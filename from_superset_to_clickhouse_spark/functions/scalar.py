@@ -1,0 +1,59 @@
+"""Scalar helpers mapping the reference's SQL function surface to Spark.
+
+Reference usages (SURVEY.md §2.6 rows 26-32):
+- ``DATE_TRUNC('MONTH', x)`` — watermark month-floor / partition expr
+  (``v1/dag.py:65``, ``v1/sql/create_table.sql:16``)
+- ``NOW() - INTERVAL '30 MONTH'`` — retention cutoff (``v2/dag.py:134``)
+- ``id %% 2`` — shard split (``v1/dag.py:119,124``)
+- JSON payload access (stored opaque in the reference; we expose parse)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def month_floor(col: Column | str) -> Column:
+    """``DATE_TRUNC('MONTH', x)`` (v1 watermark / partition expression)."""
+    return F.date_trunc("month", F.col(col) if isinstance(col, str) else col)
+
+
+def months_ago(n: int, anchor: Column | None = None) -> Column:
+    """``NOW() - INTERVAL 'n MONTH'`` month-truncated (retention cutoff,
+    reference ``v2/dag.py:132-135``)."""
+    anchor = anchor if anchor is not None else F.current_timestamp()
+    return F.date_trunc("month", F.add_months(anchor, -n))
+
+
+def mod_shard(col: Column | str, num_shards: int) -> Column:
+    """Shard id by modulo (reference ``id%2`` split, ``v1/dag.py:119,124``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(c, F.lit(num_shards))
+
+
+def with_defaults(df: DataFrame, defaults: Mapping[str, Any]) -> DataFrame:
+    """NULL→DEFAULT coercion for the given columns, other columns untouched.
+
+    The explicit Spark equivalent of ClickHouse's implicit coercion when a
+    ``Nullable`` source column lands in a ``NOT NULL DEFAULT`` target column.
+    """
+    exprs = []
+    for name in df.columns:
+        if name in defaults:
+            exprs.append(F.coalesce(F.col(name), F.lit(defaults[name])).alias(name))
+        else:
+            exprs.append(F.col(name))
+    return df.select(*exprs)
+
+
+def json_get(col: Column | str, path: str) -> Column:
+    """Extract a scalar from an opaque JSON text column.
+
+    The reference stores JSON payloads unparsed (``v2/sql/create_tables.sql:7``);
+    analysts parse on demand — this is that capability, JVM-side.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.get_json_object(c, f"$.{path}")

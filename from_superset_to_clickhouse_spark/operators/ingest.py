@@ -1,0 +1,91 @@
+"""Incremental ingest — the reference's flagship path, Spark-first.
+
+Entry point A in SURVEY.md §3.1 (v2 daily load, ``v2/dag.py:98-122``):
+watermark probe → pushed-down incremental filter on the source →
+projection with NULL→DEFAULT coercion + constant lineage column →
+append into a dedup store. Entry point B (§3.2, v1 shard load +
+partition swap) is the same staging DataFrame published with
+``overwrite_partitions`` instead of ``append``.
+
+Scale: the watermark probe is a single-column scan with partial agg; the
+incremental filter is planned before the read so it reaches the Parquet
+row-group stats / remote WHERE clause; the projection is pure Catalyst
+expressions (whole-stage codegen, no Python).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from from_superset_to_clickhouse_spark import watermark as wm
+from from_superset_to_clickhouse_spark.schema import Schema
+from from_superset_to_clickhouse_spark.tablestore import TableStore
+
+
+def build_increment(
+    source_df: DataFrame,
+    schema: Schema,
+    watermark_field: str,
+    watermark_value: Any,
+    source_tag: str,
+    strict: bool = True,
+    source_column: str = "source",
+    column_map: dict[str, str] | None = None,
+) -> DataFrame:
+    """Stage one incremental batch as a DataFrame (no side effects).
+
+    Reproduces the INSERT-SELECT projection (e.g.
+    ``v2/sql/f_superset_logs_upload_data.sql:1-14``): rename/select source
+    columns, coerce NULLs to the schema defaults, append the constant
+    ``source`` lineage column, filter to rows past the watermark.
+    """
+    df = source_df
+    for src, dst in (column_map or {}).items():
+        df = df.withColumnRenamed(src, dst)
+    df = df.filter(wm.increment_predicate(watermark_field, watermark_value, strict))
+    df = df.withColumn(source_column, F.lit(source_tag))
+    return schema.coerce(df)
+
+
+def ingest(
+    store: TableStore,
+    source_df: DataFrame,
+    schema: Schema,
+    watermark_field: str,
+    source_tag: str,
+    strict: bool = True,
+    publish: str = "append",
+    column_map: dict[str, str] | None = None,
+) -> int:
+    """One incremental load run. Returns rows ingested.
+
+    publish="append"  → v2 semantics: strict-> watermark, append, dedup
+                        deferred to latest_view/compact (Replacing analog).
+    publish="swap"    → v1 semantics: month-floored >= watermark, stage,
+                        then atomically replace the affected partitions.
+    """
+    store.create(schema, if_not_exists=True)
+    target = store.read(schema.name)
+    if publish == "swap":
+        value = wm.probe_month_floor(target, watermark_field)
+        strict = False
+    else:
+        value = wm.probe(target, watermark_field)
+    inc = build_increment(
+        source_df, schema, watermark_field, value, source_tag,
+        strict=strict, column_map=column_map,
+    )
+    # Stage-count then publish. A count + write double-scans the increment;
+    # acceptable because increments are small relative to the target, and it
+    # gives ingest an exact rows-loaded return like the reference's logs.
+    n = inc.count()
+    if n == 0:
+        return 0
+    if publish == "swap":
+        store.overwrite_partitions(schema.name, inc)
+    else:
+        store.append(schema.name, inc)
+    return n

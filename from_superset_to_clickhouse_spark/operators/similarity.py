@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers (north-star extension surface, BASELINE.json):
+
+- brute-force cosine top-k: the correctness baseline. The query set is
+  broadcast (it's small by construction); the corpus side streams — so
+  the "cross join" is really a broadcast nested loop whose cost is
+  |corpus| × |queries|, embarrassingly parallel, no shuffle of the
+  corpus. All arithmetic is double-precision Catalyst higher-order
+  functions.
+
+- LSH-bucketed (random hyperplane / signed random projection): the scale
+  path. Signatures are sign-bit band buckets; candidates come from a
+  bucket join, then exact cosine re-ranks. At 100 TB the bucket join
+  replaces the |corpus|×|queries| loop with per-bucket work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in double precision (sequential fold, JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector → (q_id, n_id, sim, rank).
+
+    queries is broadcast; excludes self-matches on equal ids.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+    )
+    sim = cosine(F.col("q_vec"), F.col("n_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("n_id") != F.col("q_id"))
+        .withColumn("sim", sim)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+def _rp_signature(vec: Column, planes: int, dim: int, seed: int = 7) -> Column:
+    """Signed-random-projection signature: ``planes`` sign bits as long.
+
+    Hyperplane weights are deterministic pseudo-random ±1 derived from
+    xxhash64(seed, plane, coordinate) parity — no RNG state, identical on
+    every executor, no data shuffled to build them.
+    """
+    bits = []
+    for p in range(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda i, p=p: F.when(
+                        F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), 2) == 0,
+                        F.lit(1.0),
+                    ).otherwise(F.lit(-1.0)),
+                ),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
+    sig = None
+    for j, b in enumerate(bits):
+        term = F.shiftleft(b, j)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = 16,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: SRP band buckets → candidate join → exact re-rank.
+
+    Recall < 1.0 by construction; the bench compares it against
+    brute_force_topk for the recall/speed tradeoff. Bucket join keys are
+    (band, band_bits of signature) — collisions bound candidate count.
+    """
+    n_bands = planes // band_bits
+    mask = (1 << band_bits) - 1
+    sig = _rp_signature(F.col(vec_col), planes, dim)
+
+    def banded(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}_vec"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned(sig, i * band_bits).bitwiseAND(F.lit(mask))
+                        for i in range(n_bands)
+                    ]
+                )
+            ).alias("band", "bucket"),
+        )
+
+    qb = banded(queries, "q")
+    cb = banded(corpus, "n")
+    cand = (
+        cb.join(
+            qb.withColumnRenamed("band", "qband").withColumnRenamed("bucket", "qbucket"),
+            (F.col("band") == F.col("qband"))
+            & (F.col("bucket") == F.col("qbucket"))
+            & (F.col("n_id") != F.col("q_id")),
+        )
+        .select("q_id", "q_vec", "n_id", "n_vec")
+        .distinct()
+    )
+    scored = cand.withColumn("sim", cosine(F.col("q_vec"), F.col("n_vec")))
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", F.round("sim", 6).alias("sim"), "rank")
+    )

@@ -1,0 +1,112 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is Catalyst expressions (whole-stage codegen; no
+Python UDFs): token counting, quality scoring, deterministic language-ID
+by marker-word scoring, and content fingerprinting. Designed for the
+``documents`` table (doc_id, text, lang, source, n_chars) but generic
+over any string column.
+
+The reference stores text payloads opaque (``v2/sql/create_tables.sql:7``);
+these operators are the extension surface a 100 TB document pipeline
+needs on top of that (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker words per language for the deterministic n-gram/stopword
+# heuristic. Scoring = occurrence count of each marker (padded-substring
+# count), language with the max score wins; ties resolve in list order.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "de", "que"),
+    "fr": ("le", "la", "et", "les"),
+    "de": ("der", "die", "und", "das"),
+    "zh": ("de", "shi", "le", "zai"),
+}
+
+_PUNCT_RE = r"[.,;:!?]"
+_WORD_RE = r"[A-Za-z0-9']+"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def word_tokens(text: Column) -> Column:
+    """BPE-ish word tokens: lowercase alnum runs (array<string>)."""
+    return F.filter(
+        F.split(F.lower(text), r"[^a-z0-9']+"), lambda x: x != F.lit("")
+    )
+
+
+def occurrence_count(text: Column, needle: str) -> Column:
+    """Count of non-overlapping occurrences of ``needle`` in ``text``
+    (length-difference trick — identical semantics in ANSI SQL, used by
+    the DuckDB oracles)."""
+    n = len(needle)
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(n)
+    ).cast("int")
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality scores: length, tokens, punctuation density,
+    mean token length, uppercase ratio. All codegen'd expressions."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_punct = F.length(F.regexp_replace(t, f"[^{'.,;:!?'}]", ""))
+    n_upper = F.length(F.regexp_replace(t, "[^A-Z]", ""))
+    return df.select(
+        *df.columns,
+        n_chars.alias("q_chars"),
+        n_tokens.alias("q_tokens"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("q_punct_ratio"),
+        F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 4).alias("q_chars_per_token"),
+        F.round(n_upper / F.greatest(n_chars, F.lit(1)), 6).alias("q_upper_ratio"),
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-word occurrence score per language over padded lowercase text."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        s = None
+        for m in markers:
+            c = occurrence_count(padded, f" {m} ")
+            s = c if s is None else s + c
+        scores[lang] = s
+    return scores
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -> DataFrame:
+    """Deterministic language-ID: argmax marker score, first-wins ties."""
+    scores = lang_scores(F.col(text_col))
+    langs = list(scores)
+    best = F.greatest(*[scores[l] for l in langs])
+    pred = None
+    for l in reversed(langs):
+        cond = scores[l] == best
+        pred = F.when(cond, F.lit(l)) if pred is None else F.when(cond, F.lit(l)).otherwise(pred)
+    # reversed + otherwise-chaining makes the FIRST language in LANG_MARKERS
+    # win ties (the last .when wrapped is evaluated first).
+    return df.withColumn(out_col, pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text.
+
+    md5 is bit-identical across engines (oracle-checkable), deterministic,
+    and cheap; for pure-Spark near-dup pipelines ``xxhash64`` is faster.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(out_col, F.md5(norm))

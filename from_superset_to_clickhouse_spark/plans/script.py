@@ -1,0 +1,59 @@
+"""SQL script runner: template params + multi-statement execution.
+
+Models SURVEY.md §2.8 rows 40-42 (the reference's ``replace_params`` +
+``split(';')`` loop in ``plugins/operator/clickhouse_operator.py:36-64``):
+literal ``{{ params.k }}`` substitution, statement split, sequential
+``spark.sql`` execution returning the last statement's DataFrame.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+
+_PARAM_RE = re.compile(r"\{\{\s*(?:params|custom_template_fields)\.(\w+)\s*\}\}")
+
+
+def render_params(sql: str, params: Mapping[str, object] | None) -> str:
+    """Substitute ``{{ params.k }}`` / ``{{ custom_template_fields.k }}``.
+
+    Literal substitution like the reference (not Jinja — the reference
+    deliberately avoids Jinja on sql_file, op.py:9-12). Values are meant
+    for identifiers/paths; pass data values via Spark SQL named args
+    instead of splicing.
+    """
+    params = params or {}
+
+    def sub(m: re.Match) -> str:
+        k = m.group(1)
+        if k not in params:
+            raise KeyError(f"missing template param: {k}")
+        return str(params[k])
+
+    return _PARAM_RE.sub(sub, sql)
+
+
+def split_statements(script: str) -> list[str]:
+    """Split on ';', dropping empty/whitespace-only statements."""
+    return [s.strip() for s in script.split(";") if s.strip()]
+
+
+def run_script(
+    spark: SparkSession,
+    script: str | None = None,
+    path: str | None = None,
+    params: Mapping[str, object] | None = None,
+) -> DataFrame | None:
+    """Run a multi-statement SQL script; returns the last statement's result."""
+    if script is None:
+        if path is None:
+            raise ValueError("provide script or path")
+        with open(path) as f:
+            script = f.read()
+    rendered = render_params(script, params)
+    result: DataFrame | None = None
+    for stmt in split_statements(rendered):
+        result = spark.sql(stmt)
+    return result

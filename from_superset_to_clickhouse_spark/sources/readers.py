@@ -1,0 +1,95 @@
+"""Source readers / sinks.
+
+Reference surface being re-expressed (SURVEY.md §2.1):
+- ``ENGINE=PostgreSQL(...)`` federated scan → ``spark.read.jdbc`` with
+  filter pushdown and optional disjoint ``predicates`` for parallel
+  extract (the v1 ``id%2`` two-shard split, ``v1/dag.py:116-125``)
+- ``import_csv`` (clickhouse-client, ``;`` delimiter, ``NULL`` literal,
+  header) → ``spark.read.csv`` with the same dialect (``hook.py:92-112``)
+- pandas export/import (``hook.py:61-69``) → Arrow-backed
+  ``toPandas`` / ``createDataFrame``
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    sep: str = ";",
+    null_value: str = "NULL",
+    header: bool = True,
+) -> DataFrame:
+    """CSV ingest with the reference's clickhouse-client dialect
+    (``--format_csv_delimiter=";"``, NULL literal, CSVWithNames —
+    ``hook.py:98-102``)."""
+    reader = (
+        spark.read.option("header", header)
+        .option("sep", sep)
+        .option("nullValue", null_value)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    predicates: Sequence[str] | None = None,
+    partition_column: str | None = None,
+    lower_bound=None,
+    upper_bound=None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Federated JDBC scan — the ``ENGINE=PostgreSQL`` external table.
+
+    ``predicates`` gives the v1-style disjoint-predicate parallel extract
+    (each predicate becomes one partition/connection, like the reference's
+    two ``id%2`` shard tasks); ``partition_column`` bounds give the generic
+    range-partitioned extract. Filters on the result push down to the
+    remote WHERE clause via Catalyst's JDBC pushdown. Credentials come
+    from ``properties`` — never spliced into SQL text (the reference
+    splices passwords into DDL at ``v2/dag.py:92``; deliberately not
+    reproduced).
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if predicates:
+        # Spark's public API for predicate-split reads is DataFrameReader.jdbc
+        return spark.read.jdbc(
+            url, table, predicates=list(predicates), properties=properties or {}
+        )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    return reader.load()
+
+
+def from_pandas(spark: SparkSession, pdf: pd.DataFrame, schema=None) -> DataFrame:
+    """pandas import (Arrow path; reference ``import_pandas_df``, hook.py:67-69)."""
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+def to_pandas(df: DataFrame) -> pd.DataFrame:
+    """pandas export (Arrow path; reference ``get_pandas_df``, hook.py:61-65)."""
+    return df.toPandas()

@@ -1,0 +1,57 @@
+"""Loader for the driver-generated parquet fixtures (/root/testdata/sf*).
+
+The fixture files carry TIMESTAMP(NANOS) columns, which Spark's Parquet
+reader rejects by default ([PARQUET_TYPE_ILLEGAL]). We read them with
+``spark.sql.legacy.parquet.nanosAsLong`` and convert ns-longs back to
+TimestampType by integer-dividing to microseconds — exactly the µs
+truncation DuckDB applies when it reads the same files, so oracle
+comparisons see identical values.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table with ns→µs timestamp normalization."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    schema = pq.read_schema(path)
+    for field in schema:
+        if pa.types.is_timestamp(field.type) and field.type.unit == "ns":
+            df = df.withColumn(
+                field.name, F.timestamp_micros(F.expr(f"`{field.name}` div 1000"))
+            )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view; returns the DataFrames."""
+    out = {}
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        df.createOrReplaceTempView(t)
+        out[t] = df
+    return out
