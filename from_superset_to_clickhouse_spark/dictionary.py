@@ -62,15 +62,21 @@ class DictionaryRegistry:
         fk: str | Column,
         columns: list[str] | None = None,
         how: str = "left",
+        keep_key: bool = False,
     ) -> DataFrame:
         """``dictGet``-style enrichment: broadcast LEFT join on the dict key.
 
         Catalyst plans this as BroadcastHashJoin — no shuffle of the fact
         side, which is what makes it viable against a 100 TB fact table.
+        Like ClickHouse ``dictGet``, only the dictionary's ATTRIBUTES are
+        returned — the dictionary key column is dropped after the join
+        (it would otherwise shadow/ambiguate a same-named fact column);
+        pass ``keep_key=True`` to opt back in.
         """
         e = self._entries[name]
         dim = self.get(name)
         if columns is not None:
             dim = dim.select(e.key, *columns)
         fk_col = F.col(fk) if isinstance(fk, str) else fk
-        return df.join(F.broadcast(dim), fk_col == dim[e.key], how)
+        joined = df.join(F.broadcast(dim), fk_col == dim[e.key], how)
+        return joined if keep_key else joined.drop(dim[e.key])

@@ -49,6 +49,21 @@ def with_defaults(df: DataFrame, defaults: Mapping[str, Any]) -> DataFrame:
     return df.select(*exprs)
 
 
+def let_bind(value: Column, body) -> Column:
+    """Evaluate ``value`` once per row and pass it to ``body`` as a bound
+    lambda variable.
+
+    Catalyst re-evaluates an expression subtree every time it appears, and
+    common-subexpression elimination does not reach inside higher-order-
+    function lambdas — so an expensive expression (a minhash signature, a
+    projection vector) referenced from N band expressions is computed N
+    times per row. Wrapping it as the single element of an array and
+    referencing it through ``transform``'s lambda variable forces exactly
+    one evaluation regardless of how many times ``body`` uses it.
+    """
+    return F.transform(F.array(value), body)[0]
+
+
 def json_get(col: Column | str, path: str) -> Column:
     """Extract a scalar from an opaque JSON text column.
 

@@ -3,14 +3,18 @@
 Scale design (the whole point at 100 TB):
 - exact: one hash-groupBy on the fingerprint — single shuffle, map-side
   partial agg.
-- MinHash+LSH: shingle → 64-bit hash → k minhashes via universal hashing
-  (a*h+b mod p) → band buckets → self-join on (band, bucket). The
-  candidate join is on bucket keys, so cost scales with collisions, not
-  with n² — the standard large-scale near-dup pipeline. All shingle and
-  minhash math is Catalyst higher-order functions (no Python).
-- SimHash: weighted bit-vote over token hashes → 64-bit signature;
-  near-dups = signatures at small Hamming distance, bucketed by bands.
-- verification: exact Jaccard on token sets for candidate pairs only.
+- MinHash+LSH: shingle → 64-bit hash → k minhashes via seeded xxhash64 →
+  band buckets → self-join on (band, bucket). The candidate join is on
+  bucket keys, so cost scales with collisions, not with n² — the
+  standard large-scale near-dup pipeline. All shingle and minhash math
+  is Catalyst higher-order functions (no Python), and every expensive
+  intermediate (shingle array, signature array) is bound exactly once
+  per row via ``let_bind`` — Catalyst CSE does not reach inside
+  higher-order-function lambdas, so naive banding re-evaluates the whole
+  signature per band (the round-1 scale-killer; VERDICT.md r1 item 2).
+- SimHash: per-bit majority vote over token hashes, computed in ONE
+  aggregate pass emitting a 64-vote array (not one pass per bit).
+- verification: exact Jaccard / Hamming distance on candidate pairs only.
 """
 
 from __future__ import annotations
@@ -18,7 +22,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from from_superset_to_clickhouse_spark.functions.scalar import let_bind
 from from_superset_to_clickhouse_spark.operators.text import word_tokens
+
 
 def normalize_text(text: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
@@ -46,33 +52,53 @@ def shingles(text: Column, k: int = 3) -> Column:
     """k-word shingle set as array<long> (xxhash64 of each shingle).
 
     Hashing shingles to 64-bit ints immediately keeps the row payload
-    small — we never shuffle raw shingle strings.
+    small — we never shuffle raw shingle strings. The token array is
+    let-bound so tokenization runs once per row, not once per shingle.
     """
-    toks = word_tokens(text)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k)))
-    )
-    return F.when(n >= k, F.array_distinct(sh)).otherwise(
-        F.array(F.xxhash64(F.concat_ws(" ", toks)))
+    return let_bind(
+        word_tokens(text),
+        lambda toks: let_bind(F.size(toks), lambda n: F.when(
+            n >= k,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), n - k),
+                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+                )
+            ),
+        ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))),
     )
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     """num_hashes minhash values (array<long>), hash family = seeded xxhash64.
 
-    min over xxhash64(seed_i, shingle_hash) per hash function — pure
-    higher-order expressions, evaluated JVM-side per row, fully
-    deterministic (xxhash64 is seed-stable across Spark versions).
+    One expression: the shingle array is let-bound (evaluated once), then
+    ``transform`` over the seed sequence computes each min — O(num_hashes
+    × |shingles|) hash ops per row and nothing else. xxhash64 is
+    seed-stable across Spark versions, so signatures are deterministic.
     """
-    sigs = [
-        F.array_min(
-            F.transform(shingle_col, lambda x, i=i: F.xxhash64(F.lit(i), x))
-        )
-        for i in range(num_hashes)
-    ]
-    return F.array(*sigs)
+    return let_bind(
+        shingle_col,
+        lambda sh: F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(F.transform(sh, lambda x: F.xxhash64(i, x))),
+        ),
+    )
+
+
+def band_buckets(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Array of ``bands`` bucket hashes from a signature array.
+
+    The signature is let-bound so it is computed once per row, not once
+    per band (the round-1 O(bands × num_hashes) blowup).
+    """
+    return let_bind(
+        sig,
+        lambda s: F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.hash(F.slice(s, b * rows_per_band + 1, rows_per_band)),
+        ),
+    )
 
 
 def minhash_candidates(
@@ -96,12 +122,7 @@ def minhash_candidates(
     sig = minhash_signature(shingles(F.col(text_col), shingle_k), num_hashes)
     banded = df.select(
         F.col(id_col).alias("doc"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bnd: F.hash(F.slice(sig, bnd * r + 1, r)),
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(band_buckets(sig, bands, r)).alias("band", "bucket"),
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -161,53 +182,75 @@ def ngram_jaccard_pairs(
     return jaccard_verify(df, cand, text_col, id_col, threshold, shingle_k)
 
 
-def simhash_signature(text: Column, bits: int = 64) -> Column:
-    """SimHash: per-bit majority vote over token xxhash64 values → long.
+def simhash_bits(text: Column, bits: int = 64) -> Column:
+    """SimHash sign bits as array<int> (length ``bits``).
 
-    bit_j(sig) = 1 if sum over tokens of sign(bit_j(hash(tok))) > 0.
-    Expressed as aggregate() over the token array — one pass, JVM-side.
+    bit_j = 1 if the majority of token hashes have bit j set. Computed in
+    ONE aggregate pass over the token-hash array: the accumulator is the
+    64-element vote vector, each token contributes ±1 per bit via
+    zip_with (round 1 ran one full array pass per bit — 64× the work).
+
+    Returned as a bit array rather than a packed long: the only
+    downstream uses are banding and Hamming distance, both of which
+    consume slices/elements, and array form avoids 64-bit overflow
+    gymnastics under ANSI mode.
     """
-    toks = word_tokens(text)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    votes = [
-        F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << j) if j < 63 else F.lit(-(1 << 63))) != 0, 1).otherwise(-1),
-        )
-        for j in range(bits)
-    ]
-    sig = None
-    for j, v in enumerate(votes):
-        bit = F.when(v > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, j)
-        sig = term if sig is None else sig.bitwiseXOR(term)
-    return sig
+    hashes = let_bind(
+        word_tokens(text), lambda toks: F.transform(toks, lambda t: F.xxhash64(t))
+    )
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda a, j: a
+            + F.when(F.getbit(h, j) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.transform(votes, lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)))
 
 
-def simhash_dedup_candidates(
+def hamming(bits_a: Column, bits_b: Column) -> Column:
+    """Hamming distance between two equal-length bit arrays."""
+    return F.aggregate(
+        F.zip_with(bits_a, bits_b, lambda a, b: F.abs(a - b)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+
+def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bits: int = 64,
     band_bits: int = 16,
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """Candidate near-dups: equal 16-bit SimHash band (4 bands over 64 bits).
+    """Near-dup pairs (id_a, id_b, hamming) within a Hamming radius.
 
-    Docs within Hamming distance 3 share at least one exact band
-    (pigeonhole) — the classic SimHash blocking scheme.
+    Classic SimHash blocking: docs within Hamming distance (bits/band_bits
+    - 1) share at least one exact band (pigeonhole), so the candidate join
+    on (band, bucket) has perfect recall for ``max_hamming`` ≤ bands-1.
+    Candidates are then verified with an exact Hamming distance on the
+    materialized signatures — no n² stage anywhere.
     """
-    sig = simhash_signature(F.col(text_col))
-    n_bands = 64 // band_bits
-    mask = (1 << band_bits) - 1
-    banded = df.select(
+    n_bands = bits // band_bits
+    sigs = df.select(
         F.col(id_col).alias("doc"),
+        simhash_bits(F.col(text_col), bits).alias("sig"),
+    )
+    banded = sigs.select(
+        "doc",
+        "sig",
         F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(sig, i * band_bits).bitwiseAND(F.lit(mask))
-                    for i in range(n_bands)
-                ]
+            let_bind(
+                F.col("sig"),
+                lambda s: F.transform(
+                    F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                    lambda i: F.hash(F.slice(s, i * band_bits + 1, band_bits)),
+                ),
             )
         ).alias("band", "bucket"),
     )
@@ -219,6 +262,27 @@ def simhash_dedup_candidates(
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.doc") < F.col("r.doc")),
         )
-        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .select(
+            F.col("l.doc").alias("id_a"),
+            F.col("r.doc").alias("id_b"),
+            hamming(F.col("l.sig"), F.col("r.sig")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_dedup_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 16,
+) -> DataFrame:
+    """Candidate near-dups: equal 16-bit SimHash band (4 bands over 64 bits).
+
+    Kept for API parity; ``simhash_pairs`` adds the exact Hamming verify
+    and is what pipelines should use.
+    """
+    return simhash_pairs(
+        df, text_col, id_col, band_bits=band_bits, max_hamming=64
+    ).select("id_a", "id_b")

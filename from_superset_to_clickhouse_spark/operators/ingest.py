@@ -59,13 +59,20 @@ def ingest(
     strict: bool = True,
     publish: str = "append",
     column_map: dict[str, str] | None = None,
+    count_rows: bool = False,
 ) -> int:
-    """One incremental load run. Returns rows ingested.
+    """One incremental load run. Returns rows ingested (-1 unless
+    ``count_rows``).
 
     publish="append"  → v2 semantics: strict-> watermark, append, dedup
                         deferred to latest_view/compact (Replacing analog).
     publish="swap"    → v1 semantics: month-floored >= watermark, stage,
                         then atomically replace the affected partitions.
+
+    The empty-increment check uses ``isEmpty()`` (stops at the first
+    found row) and the exact row count is opt-in — a full ``count()``
+    before the write would scan the source increment twice, 2× source
+    I/O per load at scale (VERDICT.md r1 item 8).
     """
     store.create(schema, if_not_exists=True)
     target = store.read(schema.name)
@@ -78,11 +85,8 @@ def ingest(
         source_df, schema, watermark_field, value, source_tag,
         strict=strict, column_map=column_map,
     )
-    # Stage-count then publish. A count + write double-scans the increment;
-    # acceptable because increments are small relative to the target, and it
-    # gives ingest an exact rows-loaded return like the reference's logs.
-    n = inc.count()
-    if n == 0:
+    n = inc.count() if count_rows else -1
+    if n == 0 or (not count_rows and inc.isEmpty()):
         return 0
     if publish == "swap":
         store.overwrite_partitions(schema.name, inc)

@@ -16,16 +16,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Marker words per language for the deterministic n-gram/stopword
-# heuristic. Scoring = occurrence count of each marker (padded-substring
-# count), language with the max score wins; ties resolve in list order.
+# Marker words per language for the deterministic stopword heuristic.
+# Scoring = occurrence count of each whitespace-delimited marker word;
+# zh is scored by CJK-codepoint count instead (Chinese is not written
+# with spaces, so word markers can never fire — the round-1 'zh' list
+# was Latin pinyin that never occurs in Chinese text, VERDICT.md r1
+# item 3). Language with the max score wins, ties resolve in dict
+# order, and an all-zero score row is classified 'unknown'. Marker sets
+# are chosen to be disjoint across languages (no shared 'la'/'de').
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
-    "en": ("the", "and", "of", "is"),
-    "es": ("el", "la", "de", "que"),
-    "fr": ("le", "la", "et", "les"),
-    "de": ("der", "die", "und", "das"),
-    "zh": ("de", "shi", "le", "zai"),
+    "en": ("the", "and", "is", "was", "with"),
+    "es": ("el", "los", "las", "una", "es"),
+    "fr": ("le", "les", "des", "une", "est"),
+    "de": ("der", "die", "und", "ist", "nicht"),
 }
+
+# CJK unified ideographs — presence of any is a strong zh signal.
+CJK_RANGE = "一-鿿"
+LANG_UNKNOWN = "unknown"
 
 _PUNCT_RE = r"[.,;:!?]"
 _WORD_RE = r"[A-Za-z0-9']+"
@@ -76,7 +84,9 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
-    """Marker-word occurrence score per language over padded lowercase text."""
+    """Marker score per language: stopword occurrences for Latin-script
+    languages, CJK codepoint count for zh. Pure string expressions —
+    replicable verbatim in ANSI SQL for the DuckDB oracle."""
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
     scores = {}
     for lang, markers in LANG_MARKERS.items():
@@ -85,21 +95,22 @@ def lang_scores(text: Column) -> dict[str, Column]:
             c = occurrence_count(padded, f" {m} ")
             s = c if s is None else s + c
         scores[lang] = s
+    scores["zh"] = F.length(F.regexp_replace(text, f"[^{CJK_RANGE}]", ""))
     return scores
 
 
 def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -> DataFrame:
-    """Deterministic language-ID: argmax marker score, first-wins ties."""
+    """Deterministic language-ID: argmax marker score, first-wins ties,
+    ``unknown`` when no marker fires at all."""
     scores = lang_scores(F.col(text_col))
     langs = list(scores)
     best = F.greatest(*[scores[l] for l in langs])
-    pred = None
+    pred = F.lit(LANG_UNKNOWN)
     for l in reversed(langs):
-        cond = scores[l] == best
-        pred = F.when(cond, F.lit(l)) if pred is None else F.when(cond, F.lit(l)).otherwise(pred)
-    # reversed + otherwise-chaining makes the FIRST language in LANG_MARKERS
-    # win ties (the last .when wrapped is evaluated first).
-    return df.withColumn(out_col, pred)
+        pred = F.when(scores[l] == best, F.lit(l)).otherwise(pred)
+    # reversed + otherwise-chaining makes the FIRST language in dict order
+    # win ties among maxima.
+    return df.withColumn(out_col, F.when(best > 0, pred).otherwise(F.lit(LANG_UNKNOWN)))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> DataFrame:

@@ -212,14 +212,22 @@ class TableStore:
         )
 
     def compact(self, name: str) -> None:
-        """Background-merge analog: rewrite the table as its latest view.
+        """Background-merge analog: collapse duplicate dedup keys on disk.
 
-        ClickHouse collapses duplicate keys at merge time; we do it as an
-        explicit job. Partition-wise rewrite via dynamic overwrite so only
-        partitions containing duplicates are touched would be a further
-        optimization; a full rewrite is correct and simple.
+        For partitioned tables with a dedup key this is PARTITION-WISE:
+        only partitions that actually contain duplicate keys are
+        rewritten and swapped (mirrors ClickHouse, whose background
+        merges — and REPLACE PARTITION — are per-partition; a 100 TB
+        table with one hot month compacts only that month). Unpartitioned
+        or keyless tables fall back to a full rewrite. ``latest_view``
+        remains the globally-correct read regardless of compaction state.
         """
         meta = self._meta(name)
+        parts = meta["partition_by"]
+        key = meta["dedup_key"]
+        if parts and key:
+            self._compact_partitionwise(name, meta)
+            return
         latest = self.latest_view(name)
         tmp = os.path.join(self.path(name), "data_compacting")
         parts = meta["partition_by"]
@@ -241,6 +249,69 @@ class TableStore:
         os.rename(tmp, data)
         if os.path.exists(old):
             shutil.rmtree(old)
+
+    def _compact_partitionwise(self, name: str, meta: dict) -> None:
+        """Rewrite only the partitions that hold duplicate dedup keys.
+
+        1. One agg finds (partition, key) groups with >1 row → the small
+           set of affected partition values (collected — it is bounded by
+           the partition count, not the data).
+        2. Within-partition latest-per-key rows for those partitions are
+           staged to a temp dir (window over (partition, key) — same
+           scope as a ClickHouse merge).
+        3. Each affected partition directory is swapped atomically.
+        """
+        parts = meta["partition_by"]
+        key = meta["dedup_key"]
+        df = self.read(name)
+        dup_parts = [
+            tuple(str(r[c]) for c in parts)
+            for r in (
+                df.groupBy(*parts, *key)
+                .count()
+                .filter(F.col("count") > 1)
+                .select(*parts)
+                .distinct()
+                .collect()
+            )
+        ]
+        if not dup_parts:
+            return
+        order = []
+        if meta.get("version_col"):
+            order.append(F.col(meta["version_col"]).desc())
+        order.append(F.col(INGEST_SEQ_COL).desc())
+        w = Window.partitionBy(*[F.col(c) for c in parts + key]).orderBy(*order)
+        affected = F.concat_ws("\x00", *[F.col(c).cast("string") for c in parts]).isin(
+            ["\x00".join(p) for p in dup_parts]
+        )
+        latest = (
+            df.filter(affected)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        out = latest
+        sort_by = meta.get("sort_by") or []
+        shard_by = meta.get("shard_by")
+        if shard_by:
+            out = out.repartition(F.col(shard_by))
+        if sort_by:
+            out = out.sortWithinPartitions(*sort_by)
+        tmp = os.path.join(self.path(name), "data_compacting")
+        out.write.mode("overwrite").partitionBy(*parts).parquet(tmp)
+        data = os.path.join(self.path(name), "data")
+        for values in dup_parts:
+            rel = os.path.join(*[f"{c}={v}" for c, v in zip(parts, values)])
+            src = os.path.join(tmp, rel)
+            dst = os.path.join(data, rel)
+            old = dst + f".old.{int(time.time() * 1000)}"
+            if os.path.exists(dst):
+                os.rename(dst, old)
+            os.rename(src, dst)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+        shutil.rmtree(tmp)
 
     # -- metadata (SURVEY §2.7 row 38) ---------------------------------------
 
@@ -264,14 +335,24 @@ class TableStore:
         """Retention delete (reference: Postgres ``DELETE … WHERE dttm <
         DATE_TRUNC('MONTH', NOW() - INTERVAL '30 MONTH')``, v2/dag.py:132-135).
 
-        Implemented as anti-filter + full overwrite (partition-pruned
-        overwrite when the predicate aligns with partitions would be the
-        Delta ``DELETE WHERE``; on plain Parquet a rewrite is the safe path).
-        Returns number of deleted rows.
+        SQL DELETE semantics: rows where the predicate is NULL are KEPT
+        (keep-predicate is ``NOT coalesce(cond, false)``). Implemented as
+        anti-filter + overwrite; a delete matching every row removes the
+        data directory entirely (``read()`` then serves the empty-schema
+        fallback) instead of writing an empty Parquet dir that would break
+        schema inference. Returns number of deleted rows.
         """
         df = self.read(name)
         before = df.count()
-        kept = df.filter(~condition)
+        kept = df.filter(~F.coalesce(condition, F.lit(False)))
+        after = kept.count()
+        if after == before:
+            return 0
+        data = os.path.join(self.path(name), "data")
+        if after == 0:
+            if os.path.exists(data):
+                shutil.rmtree(data)
+            return before
         meta = self._meta(name)
         tmp = os.path.join(self.path(name), "data_deleting")
         parts = meta["partition_by"]
@@ -279,10 +360,10 @@ class TableStore:
         if parts:
             w = w.partitionBy(*parts)
         w.parquet(tmp)
-        data = os.path.join(self.path(name), "data")
         old = data + f".old.{int(time.time() * 1000)}"
-        os.rename(data, old)
+        if os.path.exists(data):
+            os.rename(data, old)
         os.rename(tmp, data)
-        shutil.rmtree(old)
-        after = self.read(name).count()
+        if os.path.exists(old):
+            shutil.rmtree(old)
         return before - after
