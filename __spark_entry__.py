@@ -1,38 +1,784 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (SURVEY.md §7.1) on sf0.001.
+``queries()`` exposes one named callable per implemented operator from
+SURVEY.md §2 plus the LLM-data-pipeline extension surface; each entry
+with an ``oracle_sql()`` twin is hash-compared against DuckDB at sf0.01
+by the driver (CORRECTNESS_r{N}.json). Ops whose results depend on
+engine-internal hashing (xxhash64 LSH banding) are rows-only by design.
+
+Engine-parity rules used throughout (verified against DuckDB 1.0):
+- month buckets are CAST AS DATE on both sides (DuckDB date_trunc
+  returns DATE, Spark returns TIMESTAMP);
+- integer sums are ``sum(..)::BIGINT`` in DuckDB (else HUGEINT) and
+  LongType in Spark; char/array lengths are cast to INTEGER in DuckDB
+  (Spark ``length``/``size`` are IntegerType);
+- money/double sums go through an exact-decimal detour
+  ``CAST(sum(CAST(x AS DECIMAL(18,d))) AS DOUBLE)`` on BOTH engines so
+  the result is order-independent and bit-identical;
+- ratios/similarities are computed with the same IEEE operation order
+  on both engines, then ``round(.., 6)``.
 """
 
 from __future__ import annotations
 
+import datetime as dt
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from from_superset_to_clickhouse_spark.dictionary import DictionaryRegistry
+from from_superset_to_clickhouse_spark.functions.scalar import (
+    json_get,
+    mod_shard,
+    months_ago,
+    with_defaults,
+)
+from from_superset_to_clickhouse_spark.operators import dedup as ddp
+from from_superset_to_clickhouse_spark.operators import similarity as simi
+from from_superset_to_clickhouse_spark.operators import text as txt
+from from_superset_to_clickhouse_spark.operators.ingest import build_increment
+from from_superset_to_clickhouse_spark.schema import Field, Schema
+from from_superset_to_clickhouse_spark.sources.testdata import load_table
+from from_superset_to_clickhouse_spark import watermark as wm
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# Order-independent, engine-agnostic double summation: quantize each value
+# to a 2^-20 grid with floor(x * 2^20) — a power-of-two multiply is EXACT
+# in IEEE doubles, so Spark and DuckDB produce identical integers per row
+# (a decimal cast does not: Spark goes through BigDecimal shortest-repr,
+# DuckDB multiplies by 10^d in double — they disagree on full-mantissa
+# products). The integer sum is then exact and order-independent.
+_FXP = 1 << 20
+
+
+def _fxp_sum(col):
+    return F.sum(F.floor(col * _FXP)).cast("double") / F.lit(_FXP)
+
+
+def _fxp_sum_sql(expr: str) -> str:
+    return f"CAST(sum(CAST(floor(({expr}) * {_FXP}) AS BIGINT)) AS DOUBLE) / {_FXP}"
+
+# The events fixture standing in for the reference's `logs` fact table
+# (FIXTURES.md §B; reference DDL v2/sql/create_tables.sql:2-17).
+EVENTS = Schema(
+    name="events",
+    fields=(
+        Field("event_id", "bigint", nullable=False),
+        Field("ts", "timestamp", nullable=False),
+        Field("user_id", "bigint", default=-1),
+        Field("event_type", "string", default="undefined"),
+        Field("value", "double", default=0.0),
+        Field("props", "string", default="{}"),
+        Field("source", "string", nullable=False),
+    ),
+    dedup_key=("event_id",),
+    version_col="ts",
+    partition_by=("ts_month",),
+    sort_by=("event_id",),
+    shard_by="event_id",
+)
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship (SURVEY §7.1): watermark filter → NULL→default coercion →
+# lit(source) → latest-per-key dedup (row 25) → broadcast dim join
+# (row 21) → date_trunc month × event_type agg (rows 18/26/31).
+# Semantics per reference v2/sql/f_superset_logs_upload_data.sql:1-14 +
+# v2/dag.py:106-114.
+# ---------------------------------------------------------------------------
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    cust = _t(spark, sf_dir, "customer")
+    max_ts = wm.probe(ev, "ts")
+    cutoff = max_ts - dt.timedelta(days=7)
+    inc = (
+        ev.filter(wm.increment_predicate("ts", cutoff, strict=True))
+        .withColumn("value", F.coalesce(F.col("value"), F.lit(0.0)))
+        .withColumn("source", F.lit("superset"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ded = inc.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    dim = cust.select("c_custkey", "c_mktsegment")
+    j = ded.join(F.broadcast(dim), ded.user_id == dim.c_custkey, "left")
+    return j.groupBy(
+        F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+        F.col("event_type"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.max("value").alias("max_value"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+_FLAGSHIP_SQL = """
+WITH inc AS (
+  SELECT event_id, ts, user_id, event_type, coalesce(value, 0.0) AS value,
+         'superset' AS source
+  FROM events
+  WHERE ts > (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+), ded AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM inc) WHERE rn = 1
+), j AS (
+  SELECT d.*, c.c_mktsegment
+  FROM ded d LEFT JOIN customer c ON d.user_id = c.c_custkey
+)
+SELECT CAST(date_trunc('month', ts) AS DATE) AS month, event_type,
+       count(*) AS n_events,
+       count(DISTINCT c_mktsegment) AS n_segments,
+       max(value) AS max_value,
+       round(sum(value), 6) AS sum_value,
+       max(ts) AS last_ts
+FROM j GROUP BY 1, 2
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return flagship(spark, SF_SMOKE)
+
+
+# ---------------------------------------------------------------------------
+# Reference operator surface (SURVEY §2 row numbers in names/docstrings)
+# ---------------------------------------------------------------------------
+
+def q_projection_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows 12/13/17/30: ingest projection — schema-ordered select, NULL→
+    default coercion, constant lineage column (via operators.ingest.
+    build_increment with the bootstrap watermark)."""
+    ev = _ev(spark, sf_dir)
+    return build_increment(
+        ev, EVENTS, "ts", wm.BOOTSTRAP, source_tag="superset", strict=True
+    )
+
+
+def q_watermark_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows 14/18: v2 strict-> incremental predicate off a MAX probe."""
+    ev = _ev(spark, sf_dir)
+    cutoff = wm.probe(ev, "ts") - dt.timedelta(days=7)
+    return ev.filter(wm.increment_predicate("ts", cutoff, strict=True)).select(
+        "event_id", "ts", "user_id"
+    )
+
+
+def q_watermark_month_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows 14/18/19/26: v1 month-floored watermark, inclusive >=."""
+    ev = _ev(spark, sf_dir)
+    floor = wm.probe_month_floor(ev, "ts")
+    return ev.filter(wm.increment_predicate("ts", floor, strict=False)).agg(
+        F.count("*").alias("n"), F.min("ts").alias("min_ts")
+    )
+
+
+def q_null_default_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row 17: NULL→DEFAULT coercion (fixtures have no NULLs, so they are
+    synthesized first — the coercion itself is functions.scalar.with_defaults)."""
+    ev = _ev(spark, sf_dir)
+    holes = ev.select(
+        "event_id",
+        F.when(F.col("value") < 20.0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+        F.when(F.col("event_type") == "view", F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+    )
+    return with_defaults(holes, {"value": -1.0, "event_type": "undefined"})
+
+
+def q_mod_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows 15/29: modulo shard split (reference id%2, v1/dag.py:119,124)."""
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy(mod_shard("event_id", 2).alias("shard")).agg(
+        F.count("*").alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows 3/25: ReplacingMergeTree latest-wins — one row per key, ordered
+    by (version desc, id desc); the latest_view window."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("ts").alias("latest_ts"),
+            "event_type",
+        )
+    )
+
+
+def q_enrich_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows 5/21: dictGet-style broadcast dimension enrichment via the
+    TTL DictionaryRegistry."""
+    ev = _ev(spark, sf_dir)
+    cust = _t(spark, sf_dir, "customer")
+    reg = DictionaryRegistry()
+    reg.register(
+        "customer",
+        loader=lambda: cust.select("c_custkey", "c_name", "c_mktsegment"),
+        key="c_custkey",
+    )
+    return reg.enrich(ev, "customer", fk="user_id").select(
+        "event_id", "user_id", "c_name", "c_mktsegment"
+    )
+
+
+def q_month_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows 18/26/31: monthly grouped aggregate (partition-grain rollup)."""
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy(
+        F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        _fxp_sum(F.col("value")).alias("sum_value"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+def q_retention_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows 16/26/27/28: the 30-month retention cutoff expression
+    (anchored at max(ts) for determinism) + count of rows it would delete."""
+    ev = _ev(spark, sf_dir)
+    cut = ev.agg(
+        months_ago(30, F.max("ts")).cast("timestamp").alias("cutoff")
+    )
+    return (
+        cut.join(ev, ev.ts < cut.cutoff, "left")
+        .groupBy("cutoff")
+        .agg(F.count("event_id").alias("n_older"))
+    )
+
+
+def q_topk_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows 23/24: deterministic ordered LIMIT (the reference's unordered
+    `limit 1000` quirk made reproducible with a sort key)."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.orderBy(F.col("value").desc(), F.col("event_id"))
+        .limit(1000)
+        .select("event_id", "value")
+    )
+
+
+def q_json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6: JSON payload access on the opaque props column."""
+    ev = _ev(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        json_get("props", "k").alias("k_str"),
+        json_get("props", "k").cast("int").alias("k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generic relational surface (SURVEY §7.2 item 6) over the TPC-H fixtures
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped agg with exact-decimal money sums (TPC-H Q1 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(dt.datetime(1998, 9, 2)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            _fxp_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _fxp_sum(disc_price).alias("sum_disc_price"),
+            _fxp_sum(charge).alias("sum_charge"),
+            (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (_fxp_sum(F.col("l_extendedprice")) / F.count("*")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + grouped agg + deterministic top-10 (TPC-H Q3 shape)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(dt.datetime(1998, 3, 15))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(dt.datetime(1998, 3, 15))
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+        .agg(_fxp_sum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcastable dim-chain join: customer ⋈ nation ⋈ region."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            _fxp_sum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking: top-3 customers per nation by account balance."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rk")
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: EXCEPT + INTERSECT (distinct semantics), tagged union."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    rich = (
+        cust.filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("custkey"))
+        .distinct()
+    )
+    with_orders = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    ex = rich.subtract(with_orders).withColumn("tag", F.lit("except"))
+    inter = rich.intersect(with_orders).withColumn("tag", F.lit("intersect"))
+    return ex.unionByName(inter)
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no order in the last fixture year (every
+    customer has SOME order, so the unfiltered anti-join would be empty)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(dt.datetime(2001, 1, 1))
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping (subtotal + grand total rows)."""
+    ev = _ev(spark, sf_dir)
+    return ev.rollup("event_type").agg(
+        F.count("*").alias("n"),
+        _fxp_sum(F.col("value")).alias("sum_value"),
+    )
+
+
+def q_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi+theta join: lineitem ⋈ part with an inequality conjunct."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(
+            part,
+            (li.l_partkey == part.p_partkey) & (li.l_quantity > part.p_size),
+        )
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (north star; BASELINE.json)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: fixture has no dup texts, so duplicates are planted
+    (same text, shifted ids); dedup must return exactly the originals."""
+    docs = _docs(spark, sf_dir)
+    planted = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(10000))
+    )
+    return ddp.exact_dedup(planted).select("doc_id", "n_chars")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint (md5 of whitespace-normalized lowercase text)."""
+    docs = _docs(spark, sf_dir)
+    return txt.fingerprint(docs).select("doc_id", "fp")
+
+
+def q_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scores — pure codegen expressions."""
+    docs = _docs(spark, sf_dir)
+    return txt.quality_metrics(docs).select(
+        "doc_id", "q_chars", "q_tokens", "q_punct_ratio",
+        "q_chars_per_token", "q_upper_ratio",
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID graded by expression equivalence (the fixture's lang
+    labels are uncorrelated with the text — VERDICT r2 item 3)."""
+    docs = _docs(spark, sf_dir)
+    return txt.lang_id(docs).select("doc_id", "lang", "pred_lang")
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard on a deterministic candidate set (all pairs of
+    the first 100 docs) — oracle-checks the shingle/Jaccard math that the
+    LSH pipeline's verify stage uses."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    a = docs.select(F.col("doc_id").alias("id_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"))
+    cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    return ddp.jaccard_verify(docs, cand, threshold=0.0)
+
+
+def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banded candidates (rows-only: buckets are xxhash64)."""
+    return ddp.minhash_candidates(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates → exact Jaccard ≥ 0.5 (rows-only: LSH recall)."""
+    return ddp.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming ≤ 3 (rows-only)."""
+    return ddp.simhash_pairs(_docs(spark, sf_dir))
+
+
+def q_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the first 20 vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return simi.brute_force_topk(emb, queries_df, k=5)
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-5 (rows-only: bucketing is engine-hashed;
+    recall vs brute force is measured in bench.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return simi.lsh_topk(emb, queries_df, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB dialect = ANSI subset; views pre-registered)
+# ---------------------------------------------------------------------------
+
+def _occ_sql(expr: str, needle: str) -> str:
+    """SQL twin of operators.text.occurrence_count (length-diff trick)."""
+    n = len(needle)
+    return (
+        f"CAST((length({expr}) - length(replace({expr}, '{needle}', ''))) "
+        f"/ {n} AS INTEGER)"
+    )
+
+
+def _lang_id_sql() -> str:
+    pad = "(' ' || lower(text) || ' ')"
+    score_exprs = []
+    for lang, markers in txt.LANG_MARKERS.items():
+        parts = " + ".join(_occ_sql(pad, f" {m} ") for m in markers)
+        score_exprs.append(f"({parts}) AS s_{lang}")
+    zh = (
+        "CAST(length(regexp_replace(text, '[^"
+        + txt.CJK_RANGE
+        + "]', '', 'g')) AS INTEGER) AS s_zh"
+    )
+    score_exprs.append(zh)
+    langs = list(txt.LANG_MARKERS) + ["zh"]
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'unknown' "
+    for l in langs:
+        case += f"WHEN s_{l} = {best} THEN '{l}' "
+    case += "END"
+    return (
+        "WITH s AS (SELECT doc_id, lang, "
+        + ", ".join(score_exprs)
+        + " FROM documents) SELECT doc_id, lang, "
+        + case
+        + " AS pred_lang FROM s"
+    )
+
+
+_NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+_QUALITY_SQL = r"""
+WITH raw AS (
+  SELECT doc_id,
+    CAST(length(text) AS INTEGER) AS q_chars,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)
+    END AS q_tokens,
+    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS INTEGER) AS n_punct,
+    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS INTEGER) AS n_upper
+  FROM documents
+)
+SELECT doc_id, q_chars, q_tokens,
+  round(n_punct / greatest(q_chars, 1), 6) AS q_punct_ratio,
+  round(q_chars / greatest(q_tokens, 1), 4) AS q_chars_per_token,
+  round(n_upper / greatest(q_chars, 1), 6) AS q_upper_ratio
+FROM raw
+"""
+
+_JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                x -> x <> '') AS t
+  FROM documents WHERE doc_id < 100
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+      THEN list_distinct(list_transform(range(1, CAST(len(t) AS INTEGER) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      ELSE [array_to_string(t, ' ')]
+    END AS s
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(len(list_intersect(a.s, b.s)) /
+        greatest(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1),
+        6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+"""
+
+_DOT = (
+    "list_aggregate(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+)
+_NORM = (
+    "sqrt(list_aggregate(list_transform({a}, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+)
+
+_BRUTE_SQL = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+pairs AS (
+  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+    {_DOT.format(a='q.embedding', b='n.embedding')}
+    / ({_NORM.format(a='q.embedding')} * {_NORM.format(a='n.embedding')}) AS sim
+  FROM embeddings n JOIN q ON n.vec_id <> q.vec_id
+), r AS (
+  SELECT q_id, n_id, round(sim, 6) AS sim,
+    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
+         AS INTEGER) AS rank
+  FROM pairs
+)
+SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 5
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "flagship": flagship,
+        "projection_lineage": q_projection_lineage,
+        "watermark_strict": q_watermark_strict,
+        "watermark_month_floor": q_watermark_month_floor,
+        "null_default_coercion": q_null_default_coercion,
+        "mod_shard": q_mod_shard,
+        "dedup_latest": q_dedup_latest,
+        "enrich_broadcast": q_enrich_broadcast,
+        "month_agg": q_month_agg,
+        "retention_cutoff": q_retention_cutoff,
+        "topk_limit": q_topk_limit,
+        "json_get": q_json_get,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "join_dims": q_join_dims,
+        "window_rank": q_window_rank,
+        "set_ops": q_set_ops,
+        "anti_join": q_anti_join,
+        "rollup_agg": q_rollup_agg,
+        "theta_join": q_theta_join,
+        "exact_dedup": q_exact_dedup,
+        "fingerprint": q_fingerprint,
+        "quality_metrics": q_quality_metrics,
+        "lang_id": q_lang_id,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_candidates": q_minhash_candidates,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "brute_force_topk": q_brute_force_topk,
+        "lsh_topk": q_lsh_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "flagship": _FLAGSHIP_SQL,
+        "projection_lineage": (
+            "SELECT event_id, ts, coalesce(user_id, -1) AS user_id, "
+            "coalesce(event_type, 'undefined') AS event_type, "
+            "coalesce(value, 0.0) AS value, coalesce(props, '{}') AS props, "
+            "'superset' AS source FROM events "
+            "WHERE ts > TIMESTAMP '2000-01-01'"
+        ),
+        "watermark_strict": (
+            "SELECT event_id, ts, user_id FROM events "
+            "WHERE ts > (SELECT max(ts) - INTERVAL 7 DAY FROM events)"
+        ),
+        "watermark_month_floor": (
+            "SELECT count(*) AS n, min(ts) AS min_ts FROM events WHERE ts >= "
+            "(SELECT CAST(date_trunc('month', max(ts)) AS TIMESTAMP) FROM events)"
+        ),
+        "null_default_coercion": (
+            "SELECT event_id, "
+            "coalesce(CASE WHEN value < 20.0 THEN NULL ELSE value END, -1.0) "
+            "AS value, "
+            "coalesce(CASE WHEN event_type = 'view' THEN NULL ELSE event_type "
+            "END, 'undefined') AS event_type FROM events"
+        ),
+        "mod_shard": (
+            "SELECT event_id % 2 AS shard, count(*) AS n, "
+            "min(event_id) AS min_id, max(event_id) AS max_id "
+            "FROM events GROUP BY 1"
+        ),
+        "dedup_latest": (
+            "SELECT user_id, event_id AS latest_event_id, ts AS latest_ts, "
+            "event_type FROM (SELECT *, row_number() OVER (PARTITION BY "
+            "user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+            "WHERE rn = 1"
+        ),
+        "enrich_broadcast": (
+            "SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment "
+            "FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey"
+        ),
+        "month_agg": (
+            "SELECT CAST(date_trunc('month', ts) AS DATE) AS month, "
+            "event_type, count(*) AS n, "
+            f"{_fxp_sum_sql('value')} AS sum_value, "
+            "max(ts) AS last_ts FROM events GROUP BY 1, 2"
+        ),
+        "retention_cutoff": (
+            "WITH c AS (SELECT CAST(date_trunc('month', max(ts) - INTERVAL "
+            "30 MONTH) AS TIMESTAMP) AS cutoff FROM events) "
+            "SELECT c.cutoff AS cutoff, (SELECT count(e.event_id) FROM "
+            "events e WHERE e.ts < c.cutoff) AS n_older FROM c"
+        ),
+        "topk_limit": (
+            "SELECT event_id, value FROM events "
+            "ORDER BY value DESC, event_id LIMIT 1000"
+        ),
+        "json_get": (
+            "SELECT event_id, json_extract_string(props, '$.k') AS k_str, "
+            "CAST(json_extract_string(props, '$.k') AS INTEGER) AS k "
+            "FROM events"
+        ),
+        "tpch_q1": (
+            "SELECT l_returnflag, l_linestatus, "
+            "sum(l_quantity) AS sum_qty, "
+            f"{_fxp_sum_sql('l_extendedprice')} AS sum_base_price, "
+            f"{_fxp_sum_sql('l_extendedprice * (1 - l_discount)')} "
+            "AS sum_disc_price, "
+            f"{_fxp_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} "
+            "AS sum_charge, "
+            "sum(l_quantity) / count(*) AS avg_qty, "
+            f"{_fxp_sum_sql('l_extendedprice')} / count(*) AS avg_price, "
+            "count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "tpch_q3": (
+            "WITH r AS (SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS "
+            "o_orderdate, "
+            f"{_fxp_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue "
+            "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP "
+            "'1998-03-15' AND l.l_shipdate > TIMESTAMP '1998-03-15' "
+            "GROUP BY 1, 2) SELECT o_orderkey, o_orderdate, revenue FROM r "
+            "ORDER BY revenue DESC, o_orderkey LIMIT 10"
+        ),
+        "join_dims": (
+            "SELECT r.r_name, n.n_name, count(*) AS n_customers, "
+            f"{_fxp_sum_sql('c.c_acctbal')} AS "
+            "total_acctbal FROM customer c "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY 1, 2"
+        ),
+        "window_rank": (
+            "SELECT c_nationkey, c_custkey, c_acctbal, CAST(rk AS INTEGER) "
+            "AS rk FROM (SELECT c_nationkey, c_custkey, c_acctbal, "
+            "row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal "
+            "DESC, c_custkey) AS rk FROM customer) WHERE rk <= 3"
+        ),
+        "set_ops": (
+            "WITH rich AS (SELECT DISTINCT c_custkey AS custkey FROM customer "
+            "WHERE c_acctbal > 5000), wo AS (SELECT DISTINCT o_custkey AS "
+            "custkey FROM orders) "
+            "SELECT custkey, 'except' AS tag FROM (SELECT custkey FROM rich "
+            "EXCEPT SELECT custkey FROM wo) "
+            "UNION ALL SELECT custkey, 'intersect' AS tag FROM (SELECT "
+            "custkey FROM rich INTERSECT SELECT custkey FROM wo)"
+        ),
+        "anti_join": (
+            "SELECT c.c_custkey, c.c_name FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND "
+            "o.o_orderdate >= TIMESTAMP '2001-01-01')"
+        ),
+        "rollup_agg": (
+            "SELECT event_type, count(*) AS n, "
+            f"{_fxp_sum_sql('value')} AS sum_value "
+            "FROM events GROUP BY ROLLUP(event_type)"
+        ),
+        "theta_join": (
+            "SELECT p.p_brand, count(*) AS n, sum(l.l_quantity) AS sum_qty "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey AND "
+            "l.l_quantity > p.p_size GROUP BY 1"
+        ),
+        "exact_dedup": (
+            "WITH u AS (SELECT * FROM documents UNION ALL SELECT doc_id + "
+            "10000, text, lang, source, n_chars FROM documents), d AS ("
+            "SELECT doc_id, n_chars, row_number() OVER (PARTITION BY "
+            f"md5({_NORM_TEXT}) ORDER BY doc_id) AS rn FROM u) "
+            "SELECT doc_id, n_chars FROM d WHERE rn = 1"
+        ),
+        "fingerprint": (
+            f"SELECT doc_id, md5({_NORM_TEXT}) AS fp FROM documents"
+        ),
+        "quality_metrics": _QUALITY_SQL,
+        "lang_id": _lang_id_sql(),
+        "jaccard_pairs": _JACCARD_SQL,
+        "brute_force_topk": _BRUTE_SQL,
+    }
