@@ -277,12 +277,36 @@ def simhash_dedup_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     band_bits: int = 16,
+    bits: int = 64,
 ) -> DataFrame:
-    """Candidate near-dups: equal 16-bit SimHash band (4 bands over 64 bits).
+    """Candidates only: distinct pairs sharing ≥1 SimHash band bucket.
 
-    Kept for API parity; ``simhash_pairs`` adds the exact Hamming verify
-    and is what pipelines should use.
+    The cheap blocking stage of ``simhash_pairs`` without the exact
+    Hamming verify — use it when a downstream stage (e.g. an exact
+    Jaccard) does its own verification and the Hamming pass would be
+    wasted work.
     """
-    return simhash_pairs(
-        df, text_col, id_col, band_bits=band_bits, max_hamming=64
-    ).select("id_a", "id_b")
+    n_bands = bits // band_bits
+    banded = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            let_bind(
+                simhash_bits(F.col(text_col), bits),
+                lambda s: F.transform(
+                    F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                    lambda i: F.hash(F.slice(s, i * band_bits + 1, band_bits)),
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .distinct()
+    )

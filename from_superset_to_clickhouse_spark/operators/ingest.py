@@ -60,9 +60,11 @@ def ingest(
     publish: str = "append",
     column_map: dict[str, str] | None = None,
     count_rows: bool = False,
-) -> int:
-    """One incremental load run. Returns rows ingested (-1 unless
-    ``count_rows``).
+) -> int | None:
+    """One incremental load run. Returns rows ingested when
+    ``count_rows=True``, else ``None`` after a write and ``0`` for an
+    empty increment (``None`` rather than a sentinel int so a skipped
+    count can never masquerade as a real row count downstream).
 
     publish="append"  → v2 semantics: strict-> watermark, append, dedup
                         deferred to latest_view/compact (Replacing analog).
@@ -85,8 +87,8 @@ def ingest(
         source_df, schema, watermark_field, value, source_tag,
         strict=strict, column_map=column_map,
     )
-    n = inc.count() if count_rows else -1
-    if n == 0 or (not count_rows and inc.isEmpty()):
+    n = inc.count() if count_rows else None
+    if n == 0 or (n is None and inc.isEmpty()):
         return 0
     if publish == "swap":
         store.overwrite_partitions(schema.name, inc)

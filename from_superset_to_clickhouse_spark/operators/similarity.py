@@ -119,20 +119,29 @@ def lsh_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: int = 16,
+    planes: int = 64,
     band_bits: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: SRP band buckets → candidate join → exact re-rank.
+    """Approximate top-k: SRP band buckets → candidate id join → exact
+    re-rank of the candidates only.
 
-    Recall < 1.0 by construction; the bench compares it against
-    brute_force_topk for the recall/speed tradeoff. Bucket join keys are
-    (band, band_bits of signature) — collisions bound candidate count.
-    The signature bit array is computed once per row (let-bound) and
-    sliced per band.
+    Defaults (64 planes, 16 bands × 4 bits) are tuned for ≥0.8 measured
+    recall on the synthetic fixture embeddings, which are near-random
+    (top-5 neighbor cosine ≈ 0.32, per-plane agreement p ≈ 0.6 →
+    per-pair recall 1-(1-p^4)^16 ≈ 0.9). Clustered real-world embeddings
+    have far higher p, so the same defaults prune much harder there —
+    random vectors are LSH's worst case, and the bench reports the
+    measured recall/speedup pair so the tradeoff is visible.
+
+    Scale design: the band join carries ONLY (id, band, bucket) — never
+    the vectors, which would multiply shuffle volume by the band count.
+    Vectors are joined back just for the surviving candidate pairs
+    (queries broadcast; corpus joined on its key). The signature bit
+    array is computed once per row (let-bound) and sliced per band.
     """
     n_bands = planes // band_bits
 
-    def banded(df: DataFrame, prefix: str) -> DataFrame:
+    def banded(df: DataFrame, out_id: str) -> DataFrame:
         buckets = let_bind(
             _rp_bits(F.col(vec_col), planes),
             lambda s: F.transform(
@@ -141,24 +150,25 @@ def lsh_topk(
             ),
         )
         return df.select(
-            F.col(id_col).alias(f"{prefix}_id"),
-            F.col(vec_col).alias(f"{prefix}_vec"),
+            F.col(id_col).alias(out_id),
             F.posexplode(buckets).alias("band", "bucket"),
         )
 
-    qb = banded(queries, "q")
-    cb = banded(corpus, "n")
+    qb = banded(queries, "q_id")
+    cb = banded(corpus, "n_id")
     cand = (
-        cb.join(
-            qb.withColumnRenamed("band", "qband").withColumnRenamed("bucket", "qbucket"),
-            (F.col("band") == F.col("qband"))
-            & (F.col("bucket") == F.col("qbucket"))
-            & (F.col("n_id") != F.col("q_id")),
-        )
-        .select("q_id", "q_vec", "n_id", "n_vec")
+        cb.join(qb, ["band", "bucket"])
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id")
         .distinct()
     )
-    scored = cand.withColumn("sim", cosine(F.col("q_vec"), F.col("n_vec")))
+    qv = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    nv = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    scored = (
+        cand.join(nv, "n_id")
+        .join(F.broadcast(qv), "q_id")
+        .withColumn("sim", cosine(F.col("q_vec"), F.col("n_vec")))
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

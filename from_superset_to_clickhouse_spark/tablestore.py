@@ -27,6 +27,7 @@ import json
 import os
 import shutil
 import time
+import urllib.parse
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -250,6 +251,54 @@ class TableStore:
         if os.path.exists(old):
             shutil.rmtree(old)
 
+    def _partition_rel_dirs(self, base: str, depth: int) -> list[str]:
+        """Relative partition directories exactly ``depth`` levels under
+        ``base``, AS WRITTEN BY SPARK — including Hive escaping and
+        ``__HIVE_DEFAULT_PARTITION__`` for NULLs. Reading the names back
+        instead of reconstructing them from values (``str(v)``) is what
+        makes NULL/timestamp/boolean partition values safe."""
+        out: list[str] = []
+
+        def walk(d: str, rel: str, k: int) -> None:
+            if k == 0:
+                out.append(rel)
+                return
+            for entry in sorted(os.listdir(d)):
+                sub = os.path.join(d, entry)
+                if "=" in entry and os.path.isdir(sub):
+                    walk(sub, os.path.join(rel, entry) if rel else entry, k - 1)
+
+        walk(base, "", depth)
+        return out
+
+    def _swap_in(self, name: str, tmp: str, remove_rel: tuple | list = ()) -> None:
+        """Two-phase commit of staged partition directories.
+
+        Phase 1 moves every outgoing dir into a trash dir OUTSIDE data/
+        (a crash mid-swap can lose staged partitions but never leaves a
+        stray ``*.old`` dir inside data/ that would break partition
+        discovery); phase 2 moves the staged dirs in; then trash and tmp
+        are dropped. ``remove_rel`` names affected dirs that must vanish
+        even when tmp holds no replacement (fully-deleted partitions)."""
+        data = os.path.join(self.path(name), "data")
+        depth = len(self._meta(name)["partition_by"])
+        rels = self._partition_rel_dirs(tmp, depth)
+        trash = os.path.join(self.path(name), f"_trash_{int(time.time() * 1000)}")
+        os.makedirs(trash, exist_ok=True)
+        outgoing = list(rels) + [r for r in remove_rel if r not in rels]
+        for rel in outgoing:
+            dst = os.path.join(data, rel)
+            if os.path.exists(dst):
+                tdst = os.path.join(trash, rel)
+                os.makedirs(os.path.dirname(tdst), exist_ok=True)
+                os.rename(dst, tdst)
+        for rel in rels:
+            dst = os.path.join(data, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(os.path.join(tmp, rel), dst)
+        shutil.rmtree(trash)
+        shutil.rmtree(tmp, ignore_errors=True)
+
     def _compact_partitionwise(self, name: str, meta: dict) -> None:
         """Rewrite only the partitions that hold duplicate dedup keys.
 
@@ -258,33 +307,36 @@ class TableStore:
            the partition count, not the data).
         2. Within-partition latest-per-key rows for those partitions are
            staged to a temp dir (window over (partition, key) — same
-           scope as a ClickHouse merge).
-        3. Each affected partition directory is swapped atomically.
+           scope as a ClickHouse merge). The affected-partition filter is
+           NULL-safe (``eqNullSafe``), so NULL-partition rows compact too.
+        3. Each staged partition directory (named by what Spark actually
+           wrote, not reconstructed from values) is swapped in two phases.
         """
         parts = meta["partition_by"]
         key = meta["dedup_key"]
         df = self.read(name)
-        dup_parts = [
-            tuple(str(r[c]) for c in parts)
-            for r in (
-                df.groupBy(*parts, *key)
-                .count()
-                .filter(F.col("count") > 1)
-                .select(*parts)
-                .distinct()
-                .collect()
-            )
-        ]
-        if not dup_parts:
+        dup_rows = (
+            df.groupBy(*parts, *key)
+            .count()
+            .filter(F.col("count") > 1)
+            .select(*parts)
+            .distinct()
+            .collect()
+        )
+        if not dup_rows:
             return
+        affected = None
+        for r in dup_rows:
+            clause = None
+            for c in parts:
+                cond = F.col(c).eqNullSafe(F.lit(r[c]))
+                clause = cond if clause is None else clause & cond
+            affected = clause if affected is None else affected | clause
         order = []
         if meta.get("version_col"):
             order.append(F.col(meta["version_col"]).desc())
         order.append(F.col(INGEST_SEQ_COL).desc())
         w = Window.partitionBy(*[F.col(c) for c in parts + key]).orderBy(*order)
-        affected = F.concat_ws("\x00", *[F.col(c).cast("string") for c in parts]).isin(
-            ["\x00".join(p) for p in dup_parts]
-        )
         latest = (
             df.filter(affected)
             .withColumn("_rn", F.row_number().over(w))
@@ -300,18 +352,7 @@ class TableStore:
             out = out.sortWithinPartitions(*sort_by)
         tmp = os.path.join(self.path(name), "data_compacting")
         out.write.mode("overwrite").partitionBy(*parts).parquet(tmp)
-        data = os.path.join(self.path(name), "data")
-        for values in dup_parts:
-            rel = os.path.join(*[f"{c}={v}" for c, v in zip(parts, values)])
-            src = os.path.join(tmp, rel)
-            dst = os.path.join(data, rel)
-            old = dst + f".old.{int(time.time() * 1000)}"
-            if os.path.exists(dst):
-                os.rename(dst, old)
-            os.rename(src, dst)
-            if os.path.exists(old):
-                shutil.rmtree(old)
-        shutil.rmtree(tmp)
+        self._swap_in(name, tmp)
 
     # -- metadata (SURVEY §2.7 row 38) ---------------------------------------
 
@@ -336,34 +377,72 @@ class TableStore:
         DATE_TRUNC('MONTH', NOW() - INTERVAL '30 MONTH')``, v2/dag.py:132-135).
 
         SQL DELETE semantics: rows where the predicate is NULL are KEPT
-        (keep-predicate is ``NOT coalesce(cond, false)``). Implemented as
-        anti-filter + overwrite; a delete matching every row removes the
-        data directory entirely (``read()`` then serves the empty-schema
-        fallback) instead of writing an empty Parquet dir that would break
-        schema inference. Returns number of deleted rows.
+        (keep-predicate is ``NOT coalesce(cond, false)``). Returns the
+        number of deleted rows.
+
+        On partitioned tables the delete is PARTITION-PRUNED: one
+        predicate-pushed scan both counts matches and collects the set of
+        affected partition directories (via ``input_file_name``, so Hive
+        escaping / NULL partitions need no reconstruction); only those
+        directories are re-read, rewritten without the matching rows, and
+        swapped — a 30-month retention delete on a month-partitioned
+        100 TB table touches only the expiring months. Unpartitioned
+        tables fall back to a full rewrite.
         """
+        data = os.path.join(self.path(name), "data")
+        if not os.path.exists(data):
+            return 0
+        meta = self._meta(name)
+        parts = meta["partition_by"]
         df = self.read(name)
+        cond = F.coalesce(condition, F.lit(False))
+        if not parts:
+            return self._delete_full_rewrite(name, df, cond)
+        hit = (
+            df.filter(cond)
+            .select(
+                F.regexp_replace(F.input_file_name(), "/[^/]*$", "").alias("_dir")
+            )
+            .agg(F.count("*").alias("n"), F.collect_set("_dir").alias("dirs"))
+            .first()
+        )
+        n_del = hit["n"]
+        if n_del == 0:
+            return 0
+        data_abs = os.path.abspath(data)
+        rels = sorted(
+            os.path.relpath(urllib.parse.unquote(urllib.parse.urlparse(u).path), data_abs)
+            for u in hit["dirs"]
+        )
+        affected = self.spark.read.option("basePath", data_abs).parquet(
+            *[os.path.join(data_abs, r) for r in rels]
+        )
+        kept = affected.filter(~cond)
+        tmp = os.path.join(self.path(name), "data_deleting")
+        kept.write.mode("overwrite").partitionBy(*parts).parquet(tmp)
+        self._swap_in(name, tmp, remove_rel=rels)
+        if not any("=" in e for e in os.listdir(data)):
+            shutil.rmtree(data)
+        return n_del
+
+    def _delete_full_rewrite(self, name: str, df: DataFrame, cond) -> int:
+        """Unpartitioned fallback: anti-filter + full rewrite. A delete
+        matching every row removes the data directory entirely (``read()``
+        then serves the empty-schema fallback) instead of writing an empty
+        Parquet dir that would break schema inference."""
+        data = os.path.join(self.path(name), "data")
         before = df.count()
-        kept = df.filter(~F.coalesce(condition, F.lit(False)))
+        kept = df.filter(~cond)
         after = kept.count()
         if after == before:
             return 0
-        data = os.path.join(self.path(name), "data")
         if after == 0:
-            if os.path.exists(data):
-                shutil.rmtree(data)
+            shutil.rmtree(data)
             return before
-        meta = self._meta(name)
         tmp = os.path.join(self.path(name), "data_deleting")
-        parts = meta["partition_by"]
-        w = kept.write.mode("overwrite")
-        if parts:
-            w = w.partitionBy(*parts)
-        w.parquet(tmp)
+        kept.write.mode("overwrite").parquet(tmp)
         old = data + f".old.{int(time.time() * 1000)}"
-        if os.path.exists(data):
-            os.rename(data, old)
+        os.rename(data, old)
         os.rename(tmp, data)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        shutil.rmtree(old)
         return before - after

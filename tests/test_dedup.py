@@ -1,0 +1,79 @@
+"""Dedup operators: exact, MinHash+LSH, SimHash — planted-duplicate
+recall and idempotence (SURVEY.md §5 items 3-4; north-star surface)."""
+
+from pyspark.sql import functions as F
+
+from from_superset_to_clickhouse_spark.operators import dedup as ddp
+from from_superset_to_clickhouse_spark.sources.testdata import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, n=60):
+    return load_table(spark, SF, "documents").filter(F.col("doc_id") < n)
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  world"), (2, "hello world"), (3, "other text")],
+        "doc_id int, text string",
+    )
+    got = sorted(r["doc_id"] for r in ddp.exact_dedup(df).collect())
+    assert got == [1, 3]  # 2 is a whitespace/case dup of 1
+
+
+def test_exact_dedup_idempotent(spark):
+    df = _docs(spark)
+    once = ddp.exact_dedup(df)
+    twice = ddp.exact_dedup(once)
+    assert once.count() == twice.count() == df.count()  # fixture has no dups
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    docs = _docs(spark, 40)
+    # Plant near-dups: append two tokens to each text, shift ids by 1000.
+    planted = docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+    )
+    both = docs.select("doc_id", "text").unionByName(planted)
+    pairs = ddp.ngram_jaccard_pairs(both, threshold=0.5)
+    hits = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted_pairs = {(i, i + 1000) for i in range(40)}
+    recall = len(hits & planted_pairs) / len(planted_pairs)
+    assert recall >= 0.9, f"planted near-dup recall {recall}"
+
+
+def test_jaccard_identical_docs_is_one(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g")], "doc_id int, text string"
+    )
+    cand = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
+    got = ddp.jaccard_verify(df, cand, threshold=0.0).collect()
+    assert len(got) == 1 and got[0]["jaccard"] == 1.0
+
+
+def test_simhash_pairs_find_planted(spark):
+    docs = _docs(spark, 30)
+    planted = docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    both = docs.select("doc_id", "text").unionByName(planted)
+    pairs = ddp.simhash_pairs(both, max_hamming=3)
+    hits = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted_pairs = {(i, i + 1000) for i in range(30)}
+    recall = len(hits & planted_pairs) / len(planted_pairs)
+    assert recall >= 0.8, f"simhash planted recall {recall}"
+
+
+def test_simhash_candidates_superset_of_pairs(spark):
+    docs = _docs(spark, 30)
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in ddp.simhash_dedup_candidates(docs).collect()
+    }
+    verified = {
+        (r["id_a"], r["id_b"]) for r in ddp.simhash_pairs(docs).collect()
+    }
+    assert verified <= cand  # verify stage only ever removes pairs

@@ -1,0 +1,174 @@
+"""Schema coercion, dictionary TTL/enrich, readers, scripts, pipeline,
+multimodal plumbing (SURVEY.md §2 rows 5, 7-9, 17, 21, 39-44)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from from_superset_to_clickhouse_spark.dictionary import DictionaryRegistry
+from from_superset_to_clickhouse_spark.functions.scalar import (
+    json_get,
+    let_bind,
+    mod_shard,
+    with_defaults,
+)
+from from_superset_to_clickhouse_spark.operators import multimodal as mm
+from from_superset_to_clickhouse_spark.plans.pipeline import Pipeline, SkipStep, Step
+from from_superset_to_clickhouse_spark.plans.script import (
+    render_params,
+    run_script,
+    split_statements,
+)
+from from_superset_to_clickhouse_spark.schema import Field, Schema
+from from_superset_to_clickhouse_spark.sources import readers
+
+from conftest import ts
+
+
+def test_schema_coerce_defaults_and_order(spark):
+    sch = Schema(
+        name="s",
+        fields=(
+            Field("id", "int", nullable=False),
+            Field("v", "string", default="undefined"),
+            Field("n", "int", default=-1),
+        ),
+    )
+    df = spark.createDataFrame(
+        [(None, None, 1), ("x", 7, 2)], "v string, n int, id int"
+    )
+    out = sch.coerce(df)
+    assert out.columns == ["id", "v", "n"]
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == [(1, "undefined", -1), (2, "x", 7)]
+
+
+def test_with_defaults_leaves_other_columns(spark):
+    df = spark.createDataFrame([(1, None, None)], "id int, a string, b int")
+    out = with_defaults(df, {"a": "dft"})
+    r = out.first()
+    assert r["a"] == "dft" and r["b"] is None
+
+
+def test_dictionary_enrich_attributes_only(spark):
+    fact = spark.createDataFrame([(1, 10), (2, 99)], "k int, fk int")
+    dim = spark.createDataFrame([(10, "ten")], "id int, name string")
+    reg = DictionaryRegistry()
+    reg.register("d", loader=lambda: dim, key="id")
+    out = reg.enrich(fact, "d", fk="fk")
+    assert out.columns == ["k", "fk", "name"]  # dict key column dropped
+    got = {r["k"]: r["name"] for r in out.collect()}
+    assert got == {1: "ten", 2: None}
+    kept = reg.enrich(fact, "d", fk="fk", keep_key=True)
+    assert "id" in kept.columns
+
+
+def test_dictionary_ttl_reload(spark):
+    calls = []
+
+    def loader():
+        calls.append(1)
+        return spark.createDataFrame([(1, "a")], "id int, v string")
+
+    reg = DictionaryRegistry()
+    reg.register("d", loader=loader, key="id", lifetime_s=1e9)
+    reg.get("d")
+    reg.get("d")
+    assert len(calls) == 1  # cached within lifetime
+    reg.register("d0", loader=loader, key="id", lifetime_s=-1)
+    reg.get("d0")
+    reg.get("d0")
+    assert len(calls) == 3  # stale every call -> reload
+
+
+def test_csv_dialect_roundtrip(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("id;v\n1;a\n2;NULL\n")
+    df = readers.read_csv(spark, str(p))
+    rows = sorted(map(tuple, df.collect()))
+    assert rows == [(1, "a"), (2, None)]
+
+
+def test_pandas_roundtrip(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"id": [1, 2], "v": ["a", "b"]})
+    df = readers.from_pandas(spark, pdf)
+    back = readers.to_pandas(df.orderBy("id"))
+    assert back["v"].tolist() == ["a", "b"]
+
+
+def test_render_params_and_split():
+    sql = "SELECT * FROM {{ params.tbl }} WHERE d > '{{ custom_template_fields.wm }}'"
+    out = render_params(sql, {"tbl": "t", "wm": "2024-01-01"})
+    assert out == "SELECT * FROM t WHERE d > '2024-01-01'"
+    with pytest.raises(KeyError):
+        render_params("{{ params.missing }}", {})
+    assert split_statements("a; ;b;;") == ["a", "b"]
+
+
+def test_run_script_multi_statement(spark):
+    out = run_script(
+        spark,
+        script=(
+            "CREATE OR REPLACE TEMP VIEW _rs AS SELECT {{ params.x }} AS a;"
+            "SELECT a + 1 AS b FROM _rs"
+        ),
+        params={"x": 41},
+    )
+    assert out.first()["b"] == 42
+
+
+def test_pipeline_skip_and_order(spark):
+    seen = []
+
+    def mk(name):
+        def fn(ctx):
+            seen.append(name)
+            return name
+
+        return fn
+
+    def skipper(ctx):
+        raise SkipStep("legacy source")
+
+    p = Pipeline(
+        name="p",
+        stages=[
+            Step("a", mk("a")),
+            [Step("b1", mk("b1")), Step("b2", mk("b2"))],
+            Step("skip_cond", mk("never"), when=lambda ctx: ctx["go"]),
+            Step("skip_exc", skipper),
+        ],
+        config={"go": False},
+    )
+    res = p.run()
+    assert res == {"a": "a", "b1": "b1", "b2": "b2",
+                   "skip_cond": "SKIPPED", "skip_exc": "SKIPPED"}
+    assert seen == ["a", "b1", "b2"]
+
+
+def test_scalar_helpers(spark):
+    df = spark.createDataFrame([(7, '{"k": 3}')], "id int, props string")
+    r = df.select(
+        mod_shard("id", 2).alias("shard"),
+        json_get("props", "k").cast("int").alias("k"),
+        let_bind(F.col("id") * 2, lambda x: x + x).alias("quad"),
+    ).first()
+    assert (r["shard"], r["k"], r["quad"]) == (1, 3, 28)
+
+
+def test_multimodal_extract_features(spark):
+    import hashlib
+
+    docs = spark.createDataFrame([(0, "abc"), (1, "defg")], "doc_id long, text string")
+    media = mm.synthesize_media(docs, "doc_id", "text")
+    feats = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    assert feats[0]["n_bytes"] == 3
+    assert feats[0]["content_hash"] == hashlib.sha256(b"abc").hexdigest()
+    assert len(feats[1]["feature"]) == 8
+    assert feats[0]["kind"] == "image" and feats[1]["kind"] == "audio"
+
+
+def test_multimodal_decode_real_is_honest_stub():
+    with pytest.raises(NotImplementedError):
+        mm.decode_real(b"x", "image")

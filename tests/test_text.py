@@ -1,0 +1,60 @@
+"""Text operators: token counting, quality metrics, lang-id, fingerprint."""
+
+from pyspark.sql import functions as F
+
+from from_superset_to_clickhouse_spark.operators import text as txt
+
+
+def _one(spark, s):
+    return spark.createDataFrame([(s,)], "text string")
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("one",), ("a b   c",)], "text string"
+    )
+    got = [r["n"] for r in df.select(txt.token_count(F.col("text")).alias("n")).collect()]
+    assert got == [0, 0, 1, 3]
+
+
+def test_occurrence_count(spark):
+    df = _one(spark, "the cat the dog theater")
+    got = df.select(
+        txt.occurrence_count(F.col("text"), "the").alias("n")
+    ).first()["n"]
+    assert got == 3  # substring semantics: 'theater' counts
+
+
+def test_quality_metrics_known_values(spark):
+    df = txt.quality_metrics(_one(spark, "Ab c."))
+    r = df.first()
+    assert r["q_chars"] == 5
+    assert r["q_tokens"] == 2
+    assert r["q_punct_ratio"] == 0.2  # one '.' of 5 chars
+    assert r["q_upper_ratio"] == 0.2  # one 'A' of 5 chars
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is big"),
+            (2, "el perro y los gatos es una"),
+            (3, "le chat et les chiens est une"),
+            (4, "der hund und die katze ist nicht"),
+            (5, "你好世界"),
+            (6, "zzz qqq xxx"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in txt.lang_id(df).collect()}
+    assert got == {1: "en", 2: "es", 3: "fr", 4: "de", 5: "zh", 6: "unknown"}
+
+
+def test_fingerprint_normalization_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "  hello world "), (3, "hello worlds")],
+        "doc_id int, text string",
+    )
+    fps = {r["doc_id"]: r["fp"] for r in txt.fingerprint(df).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
