@@ -1,0 +1,154 @@
+"""End-to-end ports of the two reference pipelines over the fixtures.
+
+These compose the engine's pieces (Pipeline, ingest, TableStore,
+delete_where, compact) into the exact flows the reference repo is named
+after:
+
+- ``v2_daily_load``: the v2 DAG (reference ``v2/dag.py:156-169``) —
+  create tables → parallel fact+dim incremental uploads (strict ``>``
+  watermark, append into a Replacing store) → source retention delete
+  (skipped for the legacy connection, ``v2/dag.py:126-130``) → compact
+  (the background-merge analog).
+- ``v1_shard_load``: the v1 DAG (reference ``v1/dag.py:114-126``) —
+  two disjoint ``id%2`` shard extracts (month-floored ``>=`` watermark)
+  staged and published with an atomic partition swap (the
+  ``ALTER TABLE … REPLACE PARTITION`` analog) — swapping ALL staged
+  partitions, unlike the reference's ``partitions[0]`` bug
+  (``v1/dag.py:97``).
+
+Both run on any (spark, TableStore, source DataFrames) — the fixtures in
+tests, JDBC sources in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from from_superset_to_clickhouse_spark.functions.scalar import mod_shard, months_ago
+from from_superset_to_clickhouse_spark.operators.ingest import build_increment, ingest
+from from_superset_to_clickhouse_spark.plans.pipeline import Pipeline, SkipStep, Step
+from from_superset_to_clickhouse_spark.schema import Schema
+from from_superset_to_clickhouse_spark.tablestore import TableStore
+from from_superset_to_clickhouse_spark import watermark as wm
+
+
+def v2_daily_load(
+    store: TableStore,
+    fact_source: DataFrame,
+    fact_schema: Schema,
+    fact_watermark: str,
+    dim_source: DataFrame | None = None,
+    dim_schema: Schema | None = None,
+    dim_watermark: str | None = None,
+    source_tag: str = "superset",
+    retention_months: int = 30,
+) -> dict:
+    """One run of the v2 daily incremental load (reference entry point A,
+    SURVEY.md §3.1). Returns the pipeline's step-result dict."""
+
+    def create(ctx):
+        store.create(fact_schema, if_not_exists=True)
+        if dim_schema is not None:
+            store.create(dim_schema, if_not_exists=True)
+        return "created"
+
+    def upload_fact(ctx):
+        return ingest(
+            store, fact_source, fact_schema, fact_watermark,
+            source_tag=source_tag, strict=True, count_rows=True,
+        )
+
+    def upload_dim(ctx):
+        if dim_schema is None:
+            raise SkipStep("no dimension source configured")
+        return ingest(
+            store, dim_source, dim_schema, dim_watermark,
+            source_tag=source_tag, strict=True, count_rows=True,
+        )
+
+    def delete_old(ctx):
+        # Reference: never delete from the legacy database (v2/dag.py:126-130).
+        if ctx.get("connection") == "superset_old":
+            raise SkipStep("legacy source — retention delete skipped")
+        anchor = wm.probe(store.read(fact_schema.name), fact_watermark)
+        cutoff = months_ago(retention_months, F.lit(anchor))
+        return store.delete_where(
+            fact_schema.name, F.col(fact_watermark) < cutoff
+        )
+
+    def compact(ctx):
+        store.compact(fact_schema.name)
+        return "compacted"
+
+    pipe = Pipeline(
+        name="v2_daily_load",
+        stages=[
+            Step("create_tables", create),
+            [Step("fact_upload_data", upload_fact), Step("dim_upload_data", upload_dim)],
+            Step("delete_old_rows", delete_old),
+            Step("compact", compact),
+        ],
+        config={"connection": source_tag},
+    )
+    return pipe.run()
+
+
+def v1_shard_load(
+    store: TableStore,
+    source: DataFrame,
+    schema: Schema,
+    watermark_field: str,
+    source_tag: str = "superset",
+    num_shards: int = 2,
+    limit: int | None = None,
+) -> dict:
+    """One run of the v1 shard-parallel load + partition swap (reference
+    entry point B, SURVEY.md §3.2).
+
+    Each "shard" stages the month-floored increment for its ``id%n``
+    slice (the reference's disjoint predicates, ``v1/dag.py:116-125``);
+    the union of the staged slices replaces exactly the partitions it
+    contains. ``limit`` reproduces the reference's per-shard batch cap
+    (``limit 1000``) when explicitly requested — it is OFF by default
+    because an unordered limit silently truncates backfills (SURVEY §2
+    row 23 quirk note).
+    """
+    staged: dict[int, DataFrame] = {}
+
+    def create(ctx):
+        store.create(schema, if_not_exists=True)
+        return "created"
+
+    def mk_shard(shard: int):
+        def fn(ctx):
+            target = store.read(schema.name)
+            floor = wm.probe_month_floor(target, watermark_field)
+            inc = build_increment(
+                source.filter(mod_shard(schema.shard_by or "id", num_shards) == shard),
+                schema, watermark_field, floor, source_tag, strict=False,
+            )
+            if limit is not None:
+                inc = inc.limit(limit)
+            staged[shard] = inc
+            return f"staged shard {shard}"
+
+        return fn
+
+    def change_partitions(ctx):
+        full = staged[0]
+        for s in range(1, num_shards):
+            full = full.unionByName(staged[s])
+        if full.isEmpty():
+            raise SkipStep("empty increment")
+        store.overwrite_partitions(schema.name, full)
+        return "swapped"
+
+    pipe = Pipeline(
+        name="v1_shard_load",
+        stages=[
+            Step("create_table", create),
+            [Step(f"shard_upload_{s}", mk_shard(s)) for s in range(num_shards)],
+            Step("change_partitions", change_partitions),
+        ],
+    )
+    return pipe.run()
