@@ -1,0 +1,130 @@
+"""Structured Streaming tier: the reference's hand-rolled incremental
+model, expressed natively (SURVEY.md §2.9, §7.2 item 12).
+
+The reference polls daily and re-derives a watermark from the target
+(``v2/dag.py:106-114``) — which is exactly Structured Streaming's
+incremental execution done manually. This module provides:
+
+- ``stream_source``: file-stream reader over a parquet directory
+  (``Trigger.AvailableNow`` turns it into the reference's batched daily
+  run: process everything available, then stop — restart-safe via the
+  checkpoint instead of a probed watermark).
+- ``ingest_stream``: foreachBatch append into a TableStore — each
+  micro-batch flows through the same dedup-store write path as batch
+  ingest (at-least-once delivery + latest_view dedup-on-read =
+  effectively-once results, the ReplacingMergeTree property).
+- ``windowed_counts`` / ``sessionized``: tumbling/sliding and
+  session-window aggregates with late-data watermarks over `events`.
+- ``stream_dedup``: ``dropDuplicatesWithinWatermark`` — the streaming
+  Replacing analog (state bounded by the watermark horizon).
+
+Scale: state stores are keyed by (window/key) and pruned by the event-
+time watermark, so long-running streams hold state proportional to the
+lateness horizon, not the history. All aggregations are Catalyst plans —
+identical physical operators to the batch tier plus StateStoreSave.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from from_superset_to_clickhouse_spark.schema import Schema
+from from_superset_to_clickhouse_spark.tablestore import TableStore
+
+
+def stream_source(
+    spark: SparkSession, path: str, schema, fmt: str = "parquet"
+) -> DataFrame:
+    """File-stream over a directory (schema required — streaming readers
+    do not infer). New files are discovered per micro-batch."""
+    return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def ingest_stream(
+    stream: DataFrame,
+    store: TableStore,
+    schema: Schema,
+    checkpoint: str,
+    source_tag: str = "stream",
+    available_now: bool = True,
+):
+    """Continuous ingest into a dedup TableStore via foreachBatch.
+
+    ``available_now=True`` processes the backlog and stops — the
+    streaming twin of one reference DAG run; with it off the query keeps
+    following the directory. Returns the StreamingQuery (caller awaits).
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        staged = schema.coerce(batch_df.withColumn("source", F.lit(source_tag)))
+        store.append(schema.name, staged)
+
+    store.create(schema, if_not_exists=True)
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Tumbling (or sliding) event-time window aggregate with a late-data
+    watermark. Works on both streaming and batch DataFrames (batch just
+    ignores the watermark) so tests can compare the two directly."""
+    df = stream
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    return df.groupBy(win.alias("win"), *group_cols).agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+def sessionized(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    group_cols: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Session windows (gap-based) per key — the custom-stateful-operator
+    case expressed with the built-in ``session_window`` instead of
+    hand-rolled applyInPandasWithState."""
+    df = stream
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(
+        F.session_window(F.col(ts_col), gap).alias("session"), *group_cols
+    ).agg(F.count("*").alias("n_events"))
+
+
+def stream_dedup(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop duplicate keys arriving within the
+    watermark horizon — the streaming ReplacingMergeTree analog with
+    bounded state."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
