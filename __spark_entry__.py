@@ -501,6 +501,26 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simi.lsh_topk(emb, queries_df, k=5)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (rows-only: Lloyd centroid training is
+    iterative, not SQL-expressible; recall measured in bench.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return simi.ivf_topk(emb, queries_df, k=5)
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs at dedup-grade threshold 0.9.
+
+    Oracle is the exact all-pairs cosine; at >=0.9 SRP banding recall is
+    ~1 (see operator docstring), and on this fixture both sides agree
+    exactly (verified: identical pair sets, empty at sf0.01 because the
+    fixture vectors are near-random). The positive-signal test is the
+    planted-copy pytest in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return simi.embedding_dedup_pairs(emb, threshold=0.9)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect = ANSI subset; views pre-registered)
 # ---------------------------------------------------------------------------
@@ -608,6 +628,17 @@ pairs AS (
 SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 5
 """
 
+_EMB_DEDUP_SQL = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round({_DOT.format(a='a.embedding', b='b.embedding')}
+      / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')}),
+      6) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.9
+"""
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -641,6 +672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "brute_force_topk": q_brute_force_topk,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        "embedding_dedup": q_embedding_dedup,
     }
 
 
@@ -781,4 +814,5 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_sql(),
         "jaccard_pairs": _JACCARD_SQL,
         "brute_force_topk": _BRUTE_SQL,
+        "embedding_dedup": _EMB_DEDUP_SQL,
     }

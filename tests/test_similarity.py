@@ -49,3 +49,31 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     }
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.8, f"lsh_topk default recall {recall}"
+
+
+def test_ivf_topk_recall(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    truth = {
+        (r["q_id"], r["n_id"])
+        for r in simi.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["q_id"], r["n_id"])
+        for r in simi.ivf_topk(emb, queries, k=5).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.7, f"ivf_topk default recall {recall}"
+
+
+def test_embedding_dedup_finds_planted_copies(spark):
+    emb = load_table(spark, SF, "embeddings")
+    copies = emb.filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    both = emb.unionByName(copies)
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in simi.embedding_dedup_pairs(both, threshold=0.95).collect()
+    }
+    assert found == {(i, i + 10000) for i in range(30)}
