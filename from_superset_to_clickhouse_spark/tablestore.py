@@ -19,13 +19,21 @@ joins downstream), sorts within partitions by the sort key (Parquet
 min/max stats → data skipping, the ``ORDER BY id`` analog), and the
 dedup view is a single window over the dedup key — one shuffle, AQE-skew
 tolerant.
+
+All metadata / maintenance filesystem access goes through
+``fsio.Fs`` — the Hadoop FileSystem API of the session's JVM — so the
+store works unchanged on ``file://``, ``hdfs://``, or object stores
+with a committer. Concurrency contract: SINGLE WRITER PER TABLE
+(mirrors the reference's ``max_active_runs=1``, ``v2/dag.py:59``);
+the ingest-sequence bump takes a best-effort lease so a misconfigured
+second writer fails fast instead of corrupting the sequence.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
+import posixpath
 import time
 import urllib.parse
 from dataclasses import dataclass
@@ -33,6 +41,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from from_superset_to_clickhouse_spark.fsio import Fs, join
 from from_superset_to_clickhouse_spark.functions.scalar import month_floor
 from from_superset_to_clickhouse_spark.schema import Schema
 
@@ -57,11 +66,19 @@ class TableStore:
 
     # -- lifecycle (SURVEY §2.7 rows 33-37) ---------------------------------
 
+    @property
+    def fs(self) -> Fs:
+        f = getattr(self, "_fs_cache", None)
+        if f is None:
+            f = Fs(self.spark, self.root)
+            self._fs_cache = f
+        return f
+
     def path(self, name: str) -> str:
-        return os.path.join(self.root, name)
+        return join(self.root, name)
 
     def exists(self, name: str) -> bool:
-        return os.path.exists(os.path.join(self.path(name), META_FILE))
+        return self.fs.exists(join(self.path(name), META_FILE))
 
     def create(self, schema: Schema, if_not_exists: bool = True) -> None:
         """CREATE TABLE (IF NOT EXISTS): persist schema + layout metadata."""
@@ -70,7 +87,7 @@ class TableStore:
             if if_not_exists:
                 return
             raise ValueError(f"table {schema.name} already exists")
-        os.makedirs(p, exist_ok=True)
+        self.fs.mkdirs(p)
         meta = {
             "fields": [[f.name, f.dtype, f.nullable, f.default] for f in schema.fields],
             "dedup_key": list(schema.dedup_key),
@@ -80,36 +97,58 @@ class TableStore:
             "shard_by": schema.shard_by,
             "ingest_seq": 0,
         }
-        with open(os.path.join(p, META_FILE), "w") as f:
-            json.dump(meta, f)
+        self.fs.write_text(join(p, META_FILE), json.dumps(meta))
 
     def drop(self, name: str, if_exists: bool = True) -> None:
         p = self.path(name)
-        if not os.path.exists(p):
+        if not self.fs.exists(p):
             if if_exists:
                 return
             raise ValueError(f"table {name} does not exist")
-        shutil.rmtree(p)
+        self.fs.delete(p)
 
     def rename(self, old: str, new: str) -> None:
         """RENAME TABLE x TO y (reference migration step, v2/README.MD:24-27)."""
-        os.rename(self.path(old), self.path(new))
+        self.fs.rename(self.path(old), self.path(new))
 
     def _meta(self, name: str) -> dict:
-        with open(os.path.join(self.path(name), META_FILE)) as f:
-            return json.load(f)
+        return json.loads(self.fs.read_text(join(self.path(name), META_FILE)))
 
     def _save_meta(self, name: str, meta: dict) -> None:
-        tmp = os.path.join(self.path(name), META_FILE + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, os.path.join(self.path(name), META_FILE))
+        # Create-overwrite: atomically visible on close (HDFS), last
+        # writer wins — single-writer contract, see module docstring.
+        self.fs.write_text(join(self.path(name), META_FILE), json.dumps(meta))
 
     def _next_ingest_seq(self, name: str) -> int:
-        meta = self._meta(name)
-        meta["ingest_seq"] += 1
-        self._save_meta(name, meta)
-        return meta["ingest_seq"]
+        """Bump the monotone batch counter under a best-effort lease.
+
+        The lease (atomic create-no-overwrite) makes a second concurrent
+        writer fail fast rather than double-allocate a sequence; a lease
+        older than 10 minutes is presumed crashed and broken. Not a
+        substitute for the single-writer contract on raw object stores.
+        """
+        lock = join(self.path(name), ".meta.lock")
+        deadline = time.time() + 30
+        while not self.fs.try_lock(lock):
+            try:
+                if time.time() * 1000 - self.fs.mtime_ms(lock) > 600_000:
+                    self.fs.delete(lock, recursive=False)
+                    continue
+            except Exception:
+                continue  # lock vanished between try_lock and stat — retry
+            if time.time() > deadline:
+                raise IOError(
+                    f"could not acquire ingest-seq lease {lock}; "
+                    "another writer is active (single-writer contract)"
+                )
+            time.sleep(0.2)
+        try:
+            meta = self._meta(name)
+            meta["ingest_seq"] += 1
+            self._save_meta(name, meta)
+            return meta["ingest_seq"]
+        finally:
+            self.fs.unlock(lock)
 
     # -- write paths (SURVEY §2.1 rows 2-4, 6; §2.7 row 36) -----------------
 
@@ -140,7 +179,7 @@ class TableStore:
         w = out.write.mode("append")
         if parts:
             w = w.partitionBy(*parts)
-        w.parquet(os.path.join(self.path(name), "data"))
+        w.parquet(join(self.path(name), "data"))
 
     def overwrite_partitions(self, name: str, df: DataFrame) -> None:
         """Atomic partition swap: replace exactly the partitions present in df.
@@ -159,7 +198,7 @@ class TableStore:
             out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*parts)
-            .parquet(os.path.join(self.path(name), "data"))
+            .parquet(join(self.path(name), "data"))
         )
 
     def overwrite(self, name: str, df: DataFrame) -> None:
@@ -168,15 +207,15 @@ class TableStore:
         w = out.write.mode("overwrite")
         if parts:
             w = w.partitionBy(*parts)
-        w.parquet(os.path.join(self.path(name), "data"))
+        w.parquet(join(self.path(name), "data"))
 
     # -- read paths ----------------------------------------------------------
 
     def read(self, name: str) -> DataFrame:
         """Raw read — may contain not-yet-compacted duplicate keys (the
         ClickHouse "SELECT without FINAL" view)."""
-        data = os.path.join(self.path(name), "data")
-        if not os.path.exists(data):
+        data = join(self.path(name), "data")
+        if not self.fs.exists(data):
             meta = self._meta(name)
             from from_superset_to_clickhouse_spark.schema import Field, Schema as S
 
@@ -230,7 +269,7 @@ class TableStore:
             self._compact_partitionwise(name, meta)
             return
         latest = self.latest_view(name)
-        tmp = os.path.join(self.path(name), "data_compacting")
+        tmp = join(self.path(name), "data_compacting")
         parts = meta["partition_by"]
         out = latest.withColumn(INGEST_SEQ_COL, F.lit(meta["ingest_seq"]))
         sort_by = meta.get("sort_by") or []
@@ -243,13 +282,13 @@ class TableStore:
         if parts:
             w = w.partitionBy(*parts)
         w.parquet(tmp)
-        data = os.path.join(self.path(name), "data")
+        data = join(self.path(name), "data")
         old = data + f".old.{int(time.time() * 1000)}"
-        if os.path.exists(data):
-            os.rename(data, old)
-        os.rename(tmp, data)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        if self.fs.exists(data):
+            self.fs.rename(data, old)
+        self.fs.rename(tmp, data)
+        if self.fs.exists(old):
+            self.fs.delete(old)
 
     def _partition_rel_dirs(self, base: str, depth: int) -> list[str]:
         """Relative partition directories exactly ``depth`` levels under
@@ -263,10 +302,9 @@ class TableStore:
             if k == 0:
                 out.append(rel)
                 return
-            for entry in sorted(os.listdir(d)):
-                sub = os.path.join(d, entry)
-                if "=" in entry and os.path.isdir(sub):
-                    walk(sub, os.path.join(rel, entry) if rel else entry, k - 1)
+            for entry in self.fs.list_dirs(d):
+                if "=" in entry:
+                    walk(join(d, entry), join(rel, entry) if rel else entry, k - 1)
 
         walk(base, "", depth)
         return out
@@ -280,24 +318,25 @@ class TableStore:
         discovery); phase 2 moves the staged dirs in; then trash and tmp
         are dropped. ``remove_rel`` names affected dirs that must vanish
         even when tmp holds no replacement (fully-deleted partitions)."""
-        data = os.path.join(self.path(name), "data")
+        data = join(self.path(name), "data")
         depth = len(self._meta(name)["partition_by"])
         rels = self._partition_rel_dirs(tmp, depth)
-        trash = os.path.join(self.path(name), f"_trash_{int(time.time() * 1000)}")
-        os.makedirs(trash, exist_ok=True)
+        trash = join(self.path(name), f"_trash_{int(time.time() * 1000)}")
+        self.fs.mkdirs(trash)
         outgoing = list(rels) + [r for r in remove_rel if r not in rels]
         for rel in outgoing:
-            dst = os.path.join(data, rel)
-            if os.path.exists(dst):
-                tdst = os.path.join(trash, rel)
-                os.makedirs(os.path.dirname(tdst), exist_ok=True)
-                os.rename(dst, tdst)
+            dst = join(data, rel)
+            if self.fs.exists(dst):
+                tdst = join(trash, rel)
+                self.fs.mkdirs(posixpath.dirname(tdst))
+                self.fs.rename(dst, tdst)
         for rel in rels:
-            dst = os.path.join(data, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.rename(os.path.join(tmp, rel), dst)
-        shutil.rmtree(trash)
-        shutil.rmtree(tmp, ignore_errors=True)
+            dst = join(data, rel)
+            self.fs.mkdirs(posixpath.dirname(dst))
+            self.fs.rename(join(tmp, rel), dst)
+        self.fs.delete(trash)
+        if self.fs.exists(tmp):
+            self.fs.delete(tmp)
 
     def _compact_partitionwise(self, name: str, meta: dict) -> None:
         """Rewrite only the partitions that hold duplicate dedup keys.
@@ -350,7 +389,7 @@ class TableStore:
             out = out.repartition(F.col(shard_by))
         if sort_by:
             out = out.sortWithinPartitions(*sort_by)
-        tmp = os.path.join(self.path(name), "data_compacting")
+        tmp = join(self.path(name), "data_compacting")
         out.write.mode("overwrite").partitionBy(*parts).parquet(tmp)
         self._swap_in(name, tmp)
 
@@ -363,14 +402,10 @@ class TableStore:
         parts = meta["partition_by"]
         if not parts:
             return []
-        data = os.path.join(self.path(name), "data")
-        if not os.path.exists(data):
+        data = join(self.path(name), "data")
+        if not self.fs.exists(data):
             return []
-        found = []
-        for entry in sorted(os.listdir(data)):
-            if "=" in entry:
-                found.append(entry)
-        return found
+        return [e for e in self.fs.listdir(data) if "=" in e]
 
     def delete_where(self, name: str, condition) -> int:
         """Retention delete (reference: Postgres ``DELETE … WHERE dttm <
@@ -389,8 +424,8 @@ class TableStore:
         100 TB table touches only the expiring months. Unpartitioned
         tables fall back to a full rewrite.
         """
-        data = os.path.join(self.path(name), "data")
-        if not os.path.exists(data):
+        data = join(self.path(name), "data")
+        if not self.fs.exists(data):
             return 0
         meta = self._meta(name)
         parts = meta["partition_by"]
@@ -409,20 +444,24 @@ class TableStore:
         n_del = hit["n"]
         if n_del == 0:
             return 0
-        data_abs = os.path.abspath(data)
+        # Relativize the scanned file URIs against the data dir. Works
+        # for any scheme: both sides are reduced to their URI path part
+        # (a scheme-less local root is absolutized first).
+        data_base = data if "://" in data else os.path.abspath(data)
+        base_path = urllib.parse.urlparse(data_base).path or data_base
         rels = sorted(
-            os.path.relpath(urllib.parse.unquote(urllib.parse.urlparse(u).path), data_abs)
+            posixpath.relpath(urllib.parse.unquote(urllib.parse.urlparse(u).path), base_path)
             for u in hit["dirs"]
         )
-        affected = self.spark.read.option("basePath", data_abs).parquet(
-            *[os.path.join(data_abs, r) for r in rels]
+        affected = self.spark.read.option("basePath", data_base).parquet(
+            *[join(data_base, r) for r in rels]
         )
         kept = affected.filter(~cond)
-        tmp = os.path.join(self.path(name), "data_deleting")
+        tmp = join(self.path(name), "data_deleting")
         kept.write.mode("overwrite").partitionBy(*parts).parquet(tmp)
         self._swap_in(name, tmp, remove_rel=rels)
-        if not any("=" in e for e in os.listdir(data)):
-            shutil.rmtree(data)
+        if not any("=" in e for e in self.fs.listdir(data)):
+            self.fs.delete(data)
         return n_del
 
     def _delete_full_rewrite(self, name: str, df: DataFrame, cond) -> int:
@@ -430,19 +469,19 @@ class TableStore:
         matching every row removes the data directory entirely (``read()``
         then serves the empty-schema fallback) instead of writing an empty
         Parquet dir that would break schema inference."""
-        data = os.path.join(self.path(name), "data")
+        data = join(self.path(name), "data")
         before = df.count()
         kept = df.filter(~cond)
         after = kept.count()
         if after == before:
             return 0
         if after == 0:
-            shutil.rmtree(data)
+            self.fs.delete(data)
             return before
-        tmp = os.path.join(self.path(name), "data_deleting")
+        tmp = join(self.path(name), "data_deleting")
         kept.write.mode("overwrite").parquet(tmp)
         old = data + f".old.{int(time.time() * 1000)}"
-        os.rename(data, old)
-        os.rename(tmp, data)
-        shutil.rmtree(old)
+        self.fs.rename(data, old)
+        self.fs.rename(tmp, data)
+        self.fs.delete(old)
         return before - after
