@@ -460,6 +460,27 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.lang_id(docs).select("doc_id", "lang", "pred_lang")
 
 
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style pretokenizer piece count per document."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", txt.bpe_token_count(F.col("text")).alias("bpe_tokens")
+    )
+
+
+def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon polarity score per document."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", txt.sentiment_score(F.col("text")).alias("sentiment")
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (exact N and df, ln weighting)."""
+    return txt.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard on a deterministic candidate set (all pairs of
     the first 100 docs) — oracle-checks the shingle/Jaccard math that the
@@ -562,6 +583,50 @@ def _lang_id_sql() -> str:
 
 
 _NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def _bpe_sql() -> str:
+    pat = txt.BPE_PIECE_RE.replace("'", "''")
+    return (
+        "SELECT doc_id, CAST(len(regexp_extract_all(text, '"
+        + pat
+        + "')) AS INTEGER) AS bpe_tokens FROM documents"
+    )
+
+
+def _sentiment_sql() -> str:
+    pad = "(' ' || lower(text) || ' ')"
+    pos = " + ".join(_occ_sql(pad, f" {w} ") for w in txt.POSITIVE_WORDS)
+    neg = " + ".join(_occ_sql(pad, f" {w} ") for w in txt.NEGATIVE_WORDS)
+    return (
+        f"WITH s AS (SELECT doc_id, ({pos}) AS p, ({neg}) AS n FROM documents) "
+        "SELECT doc_id, CASE WHEN p + n = 0 THEN 0.0 "
+        "ELSE round((p - n) / CAST(p + n AS DOUBLE), 6) END AS sentiment FROM s"
+    )
+
+
+_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                       x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df_docs FROM tf GROUP BY 1
+), s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_docs,
+    round(tf.tf * ln(CAST((SELECT count(DISTINCT doc_id) FROM documents)
+                          AS DOUBLE) / dfreq.df_docs), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term)
+), r AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+  FROM s
+)
+SELECT doc_id, term, tf, df_docs, tfidf, rank FROM r WHERE rank <= 3
+"""
 
 _QUALITY_SQL = r"""
 WITH raw AS (
@@ -666,6 +731,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "quality_metrics": q_quality_metrics,
         "lang_id": q_lang_id,
+        "bpe_token_count": q_bpe_token_count,
+        "sentiment": q_sentiment,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_candidates": q_minhash_candidates,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -812,6 +880,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "quality_metrics": _QUALITY_SQL,
         "lang_id": _lang_id_sql(),
+        "bpe_token_count": _bpe_sql(),
+        "sentiment": _sentiment_sql(),
+        "tfidf_top_terms": _TFIDF_SQL,
         "jaccard_pairs": _JACCARD_SQL,
         "brute_force_topk": _BRUTE_SQL,
         "embedding_dedup": _EMB_DEDUP_SQL,

@@ -121,3 +121,93 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> D
     """
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn(out_col, F.md5(norm))
+
+
+# GPT-2-style pretokenizer pieces: contractions, space-prefixed letter /
+# digit runs, space-prefixed punctuation runs. No lookarounds, so the
+# identical pattern runs under Java regex (Spark) and RE2 (DuckDB) —
+# the oracle twin is len(regexp_extract_all(text, PAT)).
+BPE_PIECE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Approximate BPE token count: number of pretokenizer pieces.
+
+    Real BPE splits pieces further by merge rank (vocabulary-dependent);
+    the piece count is the vocabulary-free lower bound used for corpus
+    sizing/budgeting. Pure codegen expression — no tokenizer library on
+    the hot path.
+    """
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PIECE_RE), F.lit(0)))
+
+
+# Deterministic sentiment lexicon (tiny, illustrative — swap for a real
+# lexicon table at production scale and broadcast-join it instead).
+POSITIVE_WORDS: tuple[str, ...] = ("good", "great", "excellent", "love", "best")
+NEGATIVE_WORDS: tuple[str, ...] = ("bad", "poor", "terrible", "hate", "worst")
+
+
+def sentiment_score(text: Column) -> Column:
+    """Lexicon polarity in [-1, 1]: (pos − neg) / (pos + neg), 0.0 when
+    no lexicon word occurs. Same occurrence-count trick as ``lang_scores``
+    — fully ANSI-replicable. Quirk shared with the oracle: immediately
+    repeated words count once (" good good " holds one non-overlapping
+    " good " match)."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    pos = None
+    for w in POSITIVE_WORDS:
+        c = occurrence_count(padded, f" {w} ")
+        pos = c if pos is None else pos + c
+    neg = None
+    for w in NEGATIVE_WORDS:
+        c = occurrence_count(padded, f" {w} ")
+        neg = c if neg is None else neg + c
+    return F.round(
+        F.when(pos + neg == 0, F.lit(0.0)).otherwise(
+            (pos - neg) / (pos + neg).cast("double")
+        ),
+        6,
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document → (doc_id, term, tf, df_docs,
+    tfidf, rank).
+
+    tf = in-document term frequency, idf = ln(N / df) with exact N and
+    document frequency (no smoothing — keeps the oracle twin a plain
+    SQL aggregation). Ties rank alphabetically for determinism.
+
+    Shape at scale: one explode + two hash aggregations + a broadcast
+    of the (terms × stats) dim only if Catalyst chooses to; the window
+    is per-document (small groups). No driver-side vocabulary.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_tokens(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    doc_freq = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        tf.join(doc_freq, "term")
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_docs")), 6
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df_docs", "tfidf", "rank")
+    )

@@ -101,6 +101,17 @@ class Schema:
         """Select schema columns in order, filling defaults for NULLs."""
         return df.select(*self.default_exprs())
 
+    def clone(self, name: str, **overrides) -> "Schema":
+        """CREATE TABLE AS <other>: copy column defs, swap the "engine"
+        (layout attributes: dedup_key / partition_by / sort_by / …) via
+        keyword overrides — the reference pattern of re-declaring the
+        same columns under a different table engine
+        (``v1/sql/create_processed_table.sql:2-6``,
+        ``v2/sql/create_external_tables.sql:17-24``)."""
+        from dataclasses import replace
+
+        return replace(self, name=name, **overrides)
+
 
 # ---------------------------------------------------------------------------
 # Reference table schemas (FIXTURES.md §A; DDL in the reference repo:

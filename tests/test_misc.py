@@ -172,3 +172,35 @@ def test_multimodal_extract_features(spark):
 def test_multimodal_decode_real_is_honest_stub():
     with pytest.raises(NotImplementedError):
         mm.decode_real(b"x", "image")
+
+
+def test_client_hook_surface(spark):
+    import pandas as pd
+
+    from from_superset_to_clickhouse_spark import client
+
+    pdf = pd.DataFrame({"id": [3, 1, 2], "v": ["c", "a", "b"]})
+    client.import_pandas_df(spark, pdf, view="hook_t")
+    recs = client.get_records(spark, "SELECT id, v FROM hook_t ORDER BY id")
+    assert recs == [(1, "a"), (2, "b"), (3, "c")]
+    first = client.get_first(spark, "SELECT id FROM hook_t ORDER BY id DESC")
+    assert first == (3,)
+    assert client.get_first(spark, "SELECT id FROM hook_t WHERE id > 99") is None
+    out = client.run(
+        spark,
+        ["SELECT 1 AS a", "SELECT count(*) AS n FROM hook_t"],
+    )
+    assert out.collect()[0]["n"] == 3
+    back = client.get_pandas_df(spark, "SELECT id FROM hook_t ORDER BY id")
+    assert list(back["id"]) == [1, 2, 3]
+    assert client.capped(spark.table("hook_t"), 2).count() == 2
+
+
+def test_schema_clone_swaps_layout():
+    from __spark_entry__ import EVENTS
+
+    ext = EVENTS.clone("events_ext", partition_by=(), dedup_key=(), sort_by=())
+    assert ext.name == "events_ext"
+    assert ext.fields == EVENTS.fields
+    assert ext.partition_by == ()
+    assert EVENTS.partition_by != ()  # original untouched

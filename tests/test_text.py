@@ -58,3 +58,67 @@ def test_fingerprint_normalization_invariant(spark):
     fps = {r["doc_id"]: r["fp"] for r in txt.fingerprint(df).collect()}
     assert fps[1] == fps[2]
     assert fps[1] != fps[3]
+
+
+def test_bpe_token_count_pieces(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "I'll go, won't you?"), (2, ""), (3, "abc123 x")],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", txt.bpe_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    # "I" "'ll" " go" "," " won" "'t" " you" "?" = 8 pieces
+    assert got[1] == 8
+    assert got[2] == 0
+    assert got[3] == 3  # "abc" "123" " x"
+
+
+def test_sentiment_score_polarity(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "good stuff and great taste but bad"),
+            (2, "terrible hate"),
+            (3, "nothing from lexicon"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", txt.sentiment_score(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert got[1] == round(1 / 3, 6)  # (2-1)/3
+    assert got[2] == -1.0
+    assert got[3] == 0.0
+
+
+def test_tfidf_top_terms_exact(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        (r["doc_id"], r["term"]): r
+        for r in txt.tfidf_top_terms(df, k=2).collect()
+    }
+    # apple: tf=2 in doc1, df=1 -> 2*ln(3)
+    assert rows[(1, "apple")]["rank"] == 1
+    assert rows[(1, "apple")]["tfidf"] == round(2 * math.log(3.0), 6)
+    # durian tf=1 df=1 beats cherry tf=3 df=2 in doc3? 1*ln3=1.0986 vs 3*ln(1.5)=1.2164
+    assert rows[(3, "cherry")]["rank"] == 1
+    assert rows[(3, "durian")]["rank"] == 2
