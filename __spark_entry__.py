@@ -36,6 +36,7 @@ from from_superset_to_clickhouse_spark.functions.scalar import (
     with_defaults,
 )
 from from_superset_to_clickhouse_spark.operators import dedup as ddp
+from from_superset_to_clickhouse_spark.operators import multimodal as mm
 from from_superset_to_clickhouse_spark.operators import similarity as simi
 from from_superset_to_clickhouse_spark.operators import text as txt
 from from_superset_to_clickhouse_spark.operators.ingest import build_increment
@@ -460,6 +461,24 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.lang_id(docs).select("doc_id", "lang", "pred_lang")
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction (Arrow mapInPandas): byte counts +
+    content hash per synthesized media payload. The stub feature vector
+    is dropped for the oracle (sha256 of the payload is engine-neutral;
+    the fake embedding is not SQL)."""
+    media = mm.synthesize_media(_docs(spark, sf_dir), "doc_id", "text")
+    return mm.extract_features(media).select(
+        "media_id", "kind", "n_bytes", "content_hash"
+    )
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling schedule: pure Catalyst posexplode(sequence)
+    over synthesized video rows — one row per 5 s frame tick."""
+    media = mm.synthesize_media(_docs(spark, sf_dir), "doc_id", "text")
+    return mm.sample_frame_times(media, every_ms=5000)
+
+
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-2-style pretokenizer piece count per document."""
     d = _docs(spark, sf_dir)
@@ -731,6 +750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "quality_metrics": q_quality_metrics,
         "lang_id": q_lang_id,
+        "media_features": q_media_features,
+        "frame_sample": q_frame_sample,
         "bpe_token_count": q_bpe_token_count,
         "sentiment": q_sentiment,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -883,6 +904,21 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_count": _bpe_sql(),
         "sentiment": _sentiment_sql(),
         "tfidf_top_terms": _TFIDF_SQL,
+        "media_features": (
+            "SELECT CAST(doc_id AS BIGINT) AS media_id, "
+            "CASE WHEN doc_id % 3 = 0 THEN 'image' "
+            "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, "
+            "CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, "
+            "sha256(text) AS content_hash FROM documents"
+        ),
+        "frame_sample": (
+            "WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id, "
+            "(doc_id % 60000) + 1 AS dur FROM documents WHERE doc_id % 3 = 2), "
+            "f AS (SELECT media_id, CAST(unnest(range(0, dur, 5000)) AS INTEGER) "
+            "AS ts_ms FROM m) "
+            "SELECT media_id, CAST(ts_ms // 5000 AS INTEGER) AS frame_idx, "
+            "ts_ms FROM f"
+        ),
         "jaccard_pairs": _JACCARD_SQL,
         "brute_force_topk": _BRUTE_SQL,
         "embedding_dedup": _EMB_DEDUP_SQL,

@@ -105,3 +105,109 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta_width", T.IntegerType(), False),
+        T.StructField("meta_height", T.IntegerType(), False),
+    ]
+)
+
+# Stub resize payloads are capped so a 1920×1080 target doesn't tile a
+# digest into 2 MB of fake pixels per row; a real codec replaces this.
+_STUB_PAYLOAD_CAP = 4096
+
+
+def resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake of decode→resize→re-encode: sha256(payload)
+    tiled to min(width*height, cap) bytes. Same signature a real
+    implementation (PIL ``Image.resize`` + encode) would have."""
+    digest = hashlib.sha256(payload or b"")
+    digest.update(f"{width}x{height}".encode())
+    block = digest.digest()
+    n = min(width * height, _STUB_PAYLOAD_CAP)
+    return (block * (n // len(block) + 1))[:n]
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize every image row to (width, height) — non-image rows are
+    filtered JVM-side BEFORE the Python stage, so only image payloads
+    cross into Arrow batches. Output keeps the media shape (payload +
+    updated dims) so downstream feature extraction composes."""
+    imgs = media.filter(F.col("kind") == "image")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": pdf["payload"].map(
+                        lambda p: resize_stub(p, width, height)
+                    ),
+                    "meta_width": width,
+                    "meta_height": height,
+                }
+            )
+
+    return imgs.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frame_times(media: DataFrame, every_ms: int = 5000) -> DataFrame:
+    """Frame-sampling schedule for video rows → (media_id, frame_idx,
+    ts_ms): one frame every ``every_ms`` starting at 0, strictly inside
+    the duration.
+
+    Pure Catalyst (posexplode of ``sequence``) — the schedule needs no
+    Python, only frame CONTENT does. At scale this is the pruning step:
+    a 2-hour video at 5 s cadence explodes to 1 440 schedule rows, and
+    the decoder stage receives (media_id, ts) pairs it can seek to
+    instead of streaming whole files.
+    """
+    frames = F.sequence(
+        F.lit(0), F.col("meta_duration_ms") - 1, F.lit(every_ms)
+    )
+    return media.filter(F.col("kind") == "video").select(
+        "media_id", F.posexplode(frames).alias("frame_idx", "ts_ms")
+    )
+
+
+def extract_frames(
+    media: DataFrame, every_ms: int = 5000, dim: int = 8
+) -> DataFrame:
+    """Frame features: JVM-side schedule (``sample_frame_times``) joined
+    back to payloads, then one Arrow pass stub-decodes each (payload,
+    ts) pair. Real decoder plugs into the same seam with a seek."""
+    sched = sample_frame_times(media, every_ms)
+    vids = media.select("media_id", "payload")
+    rows = sched.join(vids, "media_id")
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("ts_ms", T.IntegerType(), False),
+            T.StructField("feature", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "ts_ms": pdf["ts_ms"],
+                    "feature": [
+                        decode_stub(
+                            (p or b"") + int(t).to_bytes(8, "big"), "video", dim
+                        )
+                        for p, t in zip(pdf["payload"], pdf["ts_ms"])
+                    ],
+                }
+            )
+
+    return rows.mapInPandas(run, schema=schema)

@@ -204,3 +204,35 @@ def test_schema_clone_swaps_layout():
     assert ext.fields == EVENTS.fields
     assert ext.partition_by == ()
     assert EVENTS.partition_by != ()  # original untouched
+
+
+def test_resize_images_filters_and_resizes(spark):
+    from from_superset_to_clickhouse_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(0, "img"), (1, "aud"), (3, "img2")], "doc_id long, text string"
+    )
+    media = mm.synthesize_media(docs, "doc_id", "text")
+    out = mm.resize_images(media, 16, 9).collect()
+    assert {r["media_id"] for r in out} == {0, 3}  # only kind == image
+    for r in out:
+        assert (r["meta_width"], r["meta_height"]) == (16, 9)
+        assert len(r["payload"]) == 16 * 9
+    # deterministic: same input -> same resized payload
+    again = {r["media_id"]: bytes(r["payload"]) for r in
+             mm.resize_images(media, 16, 9).collect()}
+    assert {r["media_id"]: bytes(r["payload"]) for r in out} == again
+
+
+def test_frame_sampling_schedule_and_features(spark):
+    from from_superset_to_clickhouse_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(2, "vid")], "doc_id long, text string"
+    )
+    media = mm.synthesize_media(docs, "doc_id", "text")
+    # doc_id=2 -> video, duration (2 % 60000) + 1 = 3 ms -> one frame at 0
+    sched = mm.sample_frame_times(media, every_ms=5000).collect()
+    assert [(r["media_id"], r["frame_idx"], r["ts_ms"]) for r in sched] == [(2, 0, 0)]
+    feats = mm.extract_frames(media, every_ms=5000, dim=4).collect()
+    assert len(feats) == 1 and len(feats[0]["feature"]) == 4
