@@ -6,6 +6,13 @@ reader rejects by default ([PARQUET_TYPE_ILLEGAL]). We read them with
 TimestampType by integer-dividing to microseconds — exactly the µs
 truncation DuckDB applies when it reads the same files, so oracle
 comparisons see identical values.
+
+Known plan cost (fixture-only): predicates on the normalized timestamp
+sit above a derived expression, so they do NOT reach the Parquet scan
+(``.explain`` shows only ``IsNotNull`` pushed for ``events.ts``).
+Native µs-timestamp Parquet — i.e. anything this engine writes, and
+the orders/lineitem fixtures — pushes timestamp predicates fully (see
+the tpch_q3 plan). Not worth engine complexity to special-case.
 """
 
 from __future__ import annotations

@@ -395,6 +395,36 @@ class TableStore:
 
     # -- metadata (SURVEY §2.7 row 38) ---------------------------------------
 
+    def tables(self) -> list[str]:
+        """List table names under this store root (system.tables analog;
+        the reference queries ClickHouse system tables, hook.py:42-46)."""
+        if not self.fs.exists(self.root):
+            return []
+        return [
+            d
+            for d in self.fs.list_dirs(self.root)
+            if self.fs.exists(join(self.root, d, META_FILE))
+        ]
+
+    def describe(self, name: str) -> dict:
+        """Table metadata: fields, layout, ingest sequence, partition
+        list (system.parts / DESCRIBE TABLE analog, ``v1/dag.py:88-94``)."""
+        meta = self._meta(name)
+        return {
+            "name": name,
+            "fields": [
+                {"name": n, "dtype": t, "nullable": nb, "default": d}
+                for n, t, nb, d in meta["fields"]
+            ],
+            "dedup_key": meta["dedup_key"],
+            "version_col": meta.get("version_col"),
+            "partition_by": meta["partition_by"],
+            "sort_by": meta["sort_by"],
+            "shard_by": meta.get("shard_by"),
+            "ingest_seq": meta["ingest_seq"],
+            "partitions": self.partitions(name),
+        }
+
     def partitions(self, name: str) -> list[str]:
         """SHOW PARTITIONS analog (reference lists system.parts,
         ``v1/dag.py:88-94``)."""

@@ -193,3 +193,19 @@ def test_overwrite_partitions_swaps_only_staged(spark, store):
     store.overwrite_partitions("t12", staged)
     rows = {r["id"]: r["v"] for r in store.read("t12").collect()}
     assert rows == {1: "jan", 2: "feb-v2"}  # id=3 replaced away with its partition
+
+
+def test_tables_and_describe(spark, tmp_path):
+    from tests.conftest import logs_schema
+
+    store = TableStore(spark, str(tmp_path / "cat"))
+    assert store.tables() == []
+    store.create(logs_schema("a"))
+    store.create(logs_schema("b"))
+    assert store.tables() == ["a", "b"]
+    d = store.describe("a")
+    assert d["name"] == "a"
+    assert [f["name"] for f in d["fields"]] == ["id", "dttm", "v"]
+    assert d["dedup_key"] == ["id"]
+    assert d["ingest_seq"] == 0
+    assert d["partitions"] == []
