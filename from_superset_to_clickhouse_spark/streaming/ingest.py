@@ -128,3 +128,64 @@ def stream_dedup(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def running_latest(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "1 hour",
+):
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    LATEST (ts, value), maintained across micro-batches and re-emitted
+    whenever the key sees data — a continuously-updated ``latest_view``
+    (the ReplacingMergeTree contract as live state instead of a window
+    over history).
+
+    This is the escape hatch the built-ins can't express: the state
+    update rule (max-by-ts with arrival-order tie-break) is arbitrary
+    Python over Arrow batches, while state size stays one row per key.
+    Ties on ts keep the previously-stored row (first-arrival wins inside
+    the state, matching max-by semantics over an append stream).
+
+    Emits in UPDATE output mode — pair with ``foreachBatch`` (or an
+    update-capable sink); file sinks are append-only and will reject it.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} long, latest_ts timestamp, latest_value double"
+    )
+    state_schema = "ts timestamp, v double"
+
+    def update(key, pdfs, state: GroupState):
+        best_ts, best_v = state.get if state.exists else (None, None)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            i = pdf[ts_col].idxmax()
+            ts, v = pdf[ts_col][i], float(pdf[value_col][i])
+            if best_ts is None or ts > best_ts:
+                best_ts, best_v = ts, v
+        state.update((best_ts, best_v))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "latest_ts": [best_ts],
+                "latest_value": [best_v],
+            }
+        )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -106,3 +106,45 @@ def test_stream_dedup_drops_duplicate_keys(spark, tmp_path):
     q.awaitTermination(120)
     assert spark.table("dedup_out").select("id").distinct().count() == 2
     assert spark.table("dedup_out").count() == 2
+
+
+def test_running_latest_stateful_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key max-ts state across
+    micro-batches: a restart with the same checkpoint sees earlier
+    state, so an OLDER late row must not displace the stored latest."""
+    schema = "user_id long, ts timestamp, value double"
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            si.running_latest(si.stream_source(spark, src, schema))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, ts(1, 1, hour=5), 10.0), (2, ts(1, 1, hour=3), 20.0)], schema
+    ).write.mode("append").parquet(src)
+    run_once()
+    # batch 2: key 1 gets an OLDER row (stays 10.0), key 2 a newer one.
+    spark.createDataFrame(
+        [(1, ts(1, 1, hour=2), 99.0), (2, ts(1, 1, hour=9), 25.0)], schema
+    ).write.mode("append").parquet(src)
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    latest = {}
+    for r in rows:  # last emission per key = max latest_ts emitted
+        cur = latest.get(r["user_id"])
+        if cur is None or r["latest_ts"] >= cur[0]:
+            latest[r["user_id"]] = (r["latest_ts"], r["latest_value"])
+    assert latest[1] == (ts(1, 1, hour=5), 10.0)
+    assert latest[2] == (ts(1, 1, hour=9), 25.0)
