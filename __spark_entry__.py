@@ -461,6 +461,32 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.lang_id(docs).select("doc_id", "lang", "pred_lang")
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation ≡ plain GROUP BY (skew mitigation).
+    l_quantity is integral-valued, so double sums are order-independent
+    and bit-match the oracle."""
+    from from_superset_to_clickhouse_spark.operators import skew
+
+    li = _t(spark, sf_dir, "lineitem")
+    return skew.salted_agg(
+        li.select("l_returnflag", "l_quantity"), ["l_returnflag"], "l_quantity"
+    )
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join ≡ plain join: orders × customer on custkey with
+    the big side salted and the small side replicated per bucket."""
+    from from_superset_to_clickhouse_spark.operators import skew
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    return skew.salted_join(orders, cust, "o_custkey").select(
+        "o_orderkey", "c_name"
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction (Arrow mapInPandas): byte counts +
     content hash per synthesized media payload. The stub feature vector
@@ -750,6 +776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "quality_metrics": q_quality_metrics,
         "lang_id": q_lang_id,
+        "salted_agg": q_salted_agg,
+        "salted_join": q_salted_join,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
         "bpe_token_count": q_bpe_token_count,
@@ -904,6 +932,14 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_count": _bpe_sql(),
         "sentiment": _sentiment_sql(),
         "tfidf_top_terms": _TFIDF_SQL,
+        "salted_agg": (
+            "SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_value, "
+            "max(l_quantity) AS max_value FROM lineitem GROUP BY l_returnflag"
+        ),
+        "salted_join": (
+            "SELECT o.o_orderkey, c.c_name FROM orders o "
+            "JOIN customer c ON o.o_custkey = c.c_custkey"
+        ),
         "media_features": (
             "SELECT CAST(doc_id AS BIGINT) AS media_id, "
             "CASE WHEN doc_id % 3 = 0 THEN 'image' "

@@ -236,3 +236,44 @@ def test_frame_sampling_schedule_and_features(spark):
     assert [(r["media_id"], r["frame_idx"], r["ts_ms"]) for r in sched] == [(2, 0, 0)]
     feats = mm.extract_frames(media, every_ms=5000, dim=4).collect()
     assert len(feats) == 1 and len(feats[0]["feature"]) == 4
+
+
+def test_salted_agg_equals_plain(spark):
+    from pyspark.sql import functions as F
+
+    from from_superset_to_clickhouse_spark.operators import skew
+
+    df = spark.createDataFrame(
+        [("hot", float(i)) for i in range(50)] + [("cold", 1.0), ("cold", 2.0)],
+        "k string, v double",
+    )
+    got = {
+        r["k"]: (r["n"], r["sum_value"], r["max_value"])
+        for r in skew.salted_agg(df, ["k"], "v", buckets=4).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["s"], r["m"])
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"), F.max("v").alias("m"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_join_equals_plain(spark):
+    from from_superset_to_clickhouse_spark.operators import skew
+
+    big = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (9, "orphan")], "k long, payload string"
+    )
+    small = spark.createDataFrame([(1, "one"), (2, "two")], "k long, name string")
+    inner = {
+        (r["k"], r["payload"], r["name"])
+        for r in skew.salted_join(big, small, "k", buckets=3).collect()
+    }
+    assert inner == {(1, "a", "one"), (1, "b", "one"), (2, "c", "two")}
+    left = {
+        (r["k"], r["payload"], r["name"])
+        for r in skew.salted_join(big, small, "k", how="left", buckets=3).collect()
+    }
+    assert left == inner | {(9, "orphan", None)}
