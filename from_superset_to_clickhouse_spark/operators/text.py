@@ -183,9 +183,11 @@ def tfidf_top_terms(
     document frequency (no smoothing — keeps the oracle twin a plain
     SQL aggregation). Ties rank alphabetically for determinism.
 
-    Shape at scale: one explode + two hash aggregations + a broadcast
-    of the (terms × stats) dim only if Catalyst chooses to; the window
-    is per-document (small groups). No driver-side vocabulary.
+    Shape at scale: one explode + two hash aggregations; the vocabulary
+    stats dim (one row per distinct term — orders of magnitude smaller
+    than the (doc, term) side) is broadcast so the big tf side keeps its
+    partitioning instead of reshuffling on term; the window is
+    per-document (small groups). No driver-side vocabulary.
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
@@ -200,7 +202,7 @@ def tfidf_top_terms(
         F.col("tfidf").desc(), F.col("term")
     )
     return (
-        tf.join(doc_freq, "term")
+        tf.join(F.broadcast(doc_freq), "term")
         .withColumn(
             "tfidf",
             F.round(
