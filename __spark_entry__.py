@@ -411,6 +411,29 @@ def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping over (event_type, month) — all 4 grouping sets."""
+    ev = _ev(spark, sf_dir).withColumn(
+        "month", F.date_trunc("month", F.col("ts")).cast("date")
+    )
+    return ev.cube("event_type", "month").agg(
+        F.count("*").alias("n"),
+        _fxp_sum(F.col("value")).alias("sum_value"),
+    )
+
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per event_type: exact interpolated median,
+    sample stddev, exact distinct-user count — all bit-matching their
+    ANSI twins (quantile_cont / stddev_samp / count distinct)."""
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
+        F.round(F.stddev("value"), 6).alias("stddev_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 def q_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi+theta join: lineitem ⋈ part with an inequality conjunct."""
     li = _t(spark, sf_dir, "lineitem")
@@ -771,6 +794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "anti_join": q_anti_join,
         "rollup_agg": q_rollup_agg,
+        "cube_agg": q_cube_agg,
+        "stats_agg": q_stats_agg,
         "theta_join": q_theta_join,
         "exact_dedup": q_exact_dedup,
         "fingerprint": q_fingerprint,
@@ -911,6 +936,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, count(*) AS n, "
             f"{_fxp_sum_sql('value')} AS sum_value "
             "FROM events GROUP BY ROLLUP(event_type)"
+        ),
+        "cube_agg": (
+            "SELECT event_type, CAST(date_trunc('month', ts) AS DATE) AS month, "
+            f"count(*) AS n, {_fxp_sum_sql('value')} AS sum_value "
+            "FROM events GROUP BY CUBE(event_type, CAST(date_trunc('month', ts) AS DATE))"
+        ),
+        "stats_agg": (
+            "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS median_value, "
+            "round(stddev_samp(value), 6) AS stddev_value, "
+            "count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
         ),
         "theta_join": (
             "SELECT p.p_brand, count(*) AS n, sum(l.l_quantity) AS sum_qty "
