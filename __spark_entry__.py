@@ -375,6 +375,35 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window with an explicit ROWS frame: 3-event moving average
+    and a running count per user, ordered by event time."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    f3 = w.rowsBetween(-2, 0)
+    # Moving avg via the fixed-point integer sum (_FXP): windowed double
+    # sums may associate differently across engines; integer sums cannot.
+    qv = F.floor(F.col("value") * _FXP)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum(qv).over(f3).cast("double") / _FXP / F.count("*").over(f3), 6
+        ).alias("mavg3"),
+        F.count("*").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "running_n"
+        ),
+    )
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp-Rabin polynomial rolling hash per document (pure codegen)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", txt.rolling_fingerprint(F.col("text")).alias("rfp")
+    )
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operators: EXCEPT + INTERSECT (distinct semantics), tagged union."""
     cust = _t(spark, sf_dir, "customer")
@@ -791,6 +820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "join_dims": q_join_dims,
         "window_rank": q_window_rank,
+        "window_frame": q_window_frame,
+        "rolling_fingerprint": q_rolling_fingerprint,
         "set_ops": q_set_ops,
         "anti_join": q_anti_join,
         "rollup_agg": q_rollup_agg,
@@ -917,6 +948,23 @@ def oracle_sql() -> dict[str, str]:
             "AS rk FROM (SELECT c_nationkey, c_custkey, c_acctbal, "
             "row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal "
             "DESC, c_custkey) AS rk FROM customer) WHERE rk <= 3"
+        ),
+        "window_frame": (
+            "SELECT user_id, event_id, "
+            "round(CAST(sum(CAST(floor(value * {fxp}) AS BIGINT)) OVER f3 "
+            "AS DOUBLE) / {fxp} / count(*) OVER f3, 6) AS mavg3, "
+            "count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n "
+            "FROM events WINDOW f3 AS (PARTITION BY user_id ORDER BY ts, "
+            "event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+        ).format(fxp=_FXP),
+        "rolling_fingerprint": (
+            "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(range(1, length(norm) + 1), "
+            "i -> CAST(unicode(substr(norm, i, 1)) AS BIGINT))), "
+            "(acc, c) -> (acc * 31 + c) % 2147483647) AS rfp FROM "
+            "(SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', "
+            "'g') AS norm FROM documents)"
         ),
         "set_ops": (
             "WITH rich AS (SELECT DISTINCT c_custkey AS custkey FROM customer "

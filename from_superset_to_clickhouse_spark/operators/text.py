@@ -123,6 +123,36 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> D
     return df.withColumn(out_col, F.md5(norm))
 
 
+# Karp-Rabin parameters. B=31 keeps the fold's intermediate product under
+# 2^36 (acc < M ≈ 2^31, ×31 + codepoint), so the bigint arithmetic never
+# overflows under ANSI mode on either engine.
+ROLLHASH_BASE = 31
+ROLLHASH_MOD = (1 << 31) - 1
+
+
+def rolling_fingerprint(
+    text: Column, base: int = ROLLHASH_BASE, mod: int = ROLLHASH_MOD
+) -> Column:
+    """Polynomial rolling hash (Karp-Rabin) of the normalized text.
+
+    ``h = foldl(c → (h·B + codepoint(c)) mod M, 0, chars)`` over the
+    whitespace-collapsed lowercase text — the incremental-hash primitive
+    behind shingling/rolling-dedup (SURVEY §7.2 item 11; reference has no
+    analog — LLM-pipeline extension). Pure codegen (`aggregate` over a
+    char array), no UDF; the DuckDB oracle twin is ``list_reduce`` over
+    ``unicode(substr(..))`` codepoints, bit-identical by construction.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    # Java's split("") can emit a trailing "" element; drop empties so the
+    # char list has exactly length(norm) entries (what the oracle folds).
+    chars = F.filter(F.split(norm, ""), lambda c: F.length(c) > 0)
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * base + F.ascii(c)) % mod,
+    )
+
+
 # GPT-2-style pretokenizer pieces: contractions, space-prefixed letter /
 # digit runs, space-prefixed punctuation runs. No lookarounds, so the
 # identical pattern runs under Java regex (Spark) and RE2 (DuckDB) —

@@ -122,3 +122,24 @@ def test_tfidf_top_terms_exact(spark):
     # durian tf=1 df=1 beats cherry tf=3 df=2 in doc3? 1*ln3=1.0986 vs 3*ln(1.5)=1.2164
     assert rows[(3, "cherry")]["rank"] == 1
     assert rows[(3, "durian")]["rank"] == 2
+
+
+def test_rolling_fingerprint_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "  AB  "), (3, "a  b"), (4, "")],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r["rfp"]
+        for r in df.select(
+            "doc_id", txt.rolling_fingerprint(F.col("text")).alias("rfp")
+        ).collect()
+    }
+    # h("ab") = (0*31 + 97)*31 + 98 = 3105
+    assert got[1] == 3105
+    # normalization: trim + lowercase -> identical to "ab"
+    assert got[2] == 3105
+    # inner whitespace collapses to one space: "a b" = (97*31 + 32)*31 + 98
+    assert got[3] == (97 * 31 + 32) * 31 + 98
+    # empty text hashes to the fold seed
+    assert got[4] == 0
