@@ -42,13 +42,16 @@ HEADLINE = [
     "simhash_pairs",
 ]
 
-# Query-slice size for the pure-Catalyst (higher-order-function) exact
-# scan: it is O(|corpus| × |queries| × dim) with a per-element codegen
-# lambda, so the full self-workload would dominate the bench (~150 s at
-# sf0.1). The approximate/vectorized methods run the FULL self-workload
-# (every corpus vector as a query — the kNN-graph/dedup shape); fairness
-# comes from comparing queries/sec on the same corpus.
-ANN_HOF_QUERIES = 400
+# ANN is measured on a deterministic query slice (vec_id < ANN_QUERIES)
+# against the FULL corpus. Recall over 2000 queries × k=5 = 10k neighbor
+# pairs is statistically equivalent to the full self-workload, at a
+# fifth of the wall-clock; throughput is reported as queries/sec so the
+# numbers are slice-size-independent. The pure-Catalyst
+# (higher-order-function) exact scan gets a smaller slice still — it is
+# O(|corpus| × |queries| × dim) with a per-element codegen lambda and
+# exists only as the like-for-like cost model for the LSH speedup ratio.
+ANN_QUERIES = 2000
+ANN_HOF_QUERIES = 100
 
 
 def main() -> None:
@@ -102,20 +105,21 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    # ANN suite. Full self-similarity workload (every corpus vector as a
-    # query) for the vectorized exact scan, SRP-LSH, and IVF; the
-    # pure-expression exact scan runs a bounded query slice. Headline
+    # ANN suite: exact vectorized scan (the truth set), SRP-LSH, and IVF,
+    # all answering the same query slice against the full corpus. Headline
     # comparison is queries/sec on the same corpus + measured recall.
     emb = load_table(spark, SF_DIR, "embeddings").cache()
-    n_vecs = emb.count()
+    emb.count()
+    ann_q = emb.filter(F.col("vec_id") < ANN_QUERIES).cache()
+    n_queries = ann_q.count()
     t0 = time.monotonic()
-    truth_rows = simi.brute_force_topk(emb, emb, k=5).collect()
+    truth_rows = simi.brute_force_topk(emb, ann_q, k=5).collect()
     timings["ann_exact_vectorized"] = round(time.monotonic() - t0, 3)
     t0 = time.monotonic()
-    lsh_rows = simi.lsh_topk(emb, emb, k=5).collect()
+    lsh_rows = simi.lsh_topk(emb, ann_q, k=5).collect()
     timings["ann_lsh"] = round(time.monotonic() - t0, 3)
     t0 = time.monotonic()
-    ivf_rows = simi.ivf_topk(emb, emb, k=5).collect()
+    ivf_rows = simi.ivf_topk(emb, ann_q, k=5).collect()
     timings["ann_ivf"] = round(time.monotonic() - t0, 3)
     hof_q = emb.filter(F.col("vec_id") < ANN_HOF_QUERIES)
     timed(
@@ -131,10 +135,10 @@ def main() -> None:
     lsh_recall = round(len(truth & lsh) / max(len(truth), 1), 3)
     ivf_recall = round(len(truth & ivf) / max(len(truth), 1), 3)
     qps = {
-        "exact_vectorized": round(n_vecs / max(timings["ann_exact_vectorized"], 1e-9), 1),
+        "exact_vectorized": round(n_queries / max(timings["ann_exact_vectorized"], 1e-9), 1),
         "exact_hof": round(ANN_HOF_QUERIES / max(timings["ann_exact_hof_slice"], 1e-9), 1),
-        "lsh": round(n_vecs / max(timings["ann_lsh"], 1e-9), 1),
-        "ivf": round(n_vecs / max(timings["ann_ivf"], 1e-9), 1),
+        "lsh": round(n_queries / max(timings["ann_lsh"], 1e-9), 1),
+        "ivf": round(n_queries / max(timings["ann_ivf"], 1e-9), 1),
     }
     # Algorithmic speedup of LSH over its like-for-like expression twin
     # (both pay per-pair expression costs; LSH prunes the pair set).
