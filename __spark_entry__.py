@@ -23,6 +23,7 @@ Engine-parity rules used throughout (verified against DuckDB 1.0):
 from __future__ import annotations
 
 import datetime as dt
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -40,8 +41,16 @@ from from_superset_to_clickhouse_spark.operators import multimodal as mm
 from from_superset_to_clickhouse_spark.operators import similarity as simi
 from from_superset_to_clickhouse_spark.operators import text as txt
 from from_superset_to_clickhouse_spark.operators.ingest import build_increment
+from from_superset_to_clickhouse_spark.plans.pipeline import Pipeline, Step
+from from_superset_to_clickhouse_spark.plans.script import run_script
 from from_superset_to_clickhouse_spark.schema import Field, Schema
+from from_superset_to_clickhouse_spark.sources.readers import (
+    from_pandas,
+    read_csv,
+    to_pandas,
+)
 from from_superset_to_clickhouse_spark.sources.testdata import load_table
+from from_superset_to_clickhouse_spark.tablestore import TableStore
 from from_superset_to_clickhouse_spark import watermark as wm
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -640,6 +649,161 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Composite lifecycle queries: drive the side-effecting engine machinery
+# (TableStore upsert/swap/delete, CSV/pandas IO, script runner, Pipeline)
+# end-to-end in a throwaway /tmp store and return the final table state so
+# the DuckDB oracle can verify the SEMANTICS, not just that the code ran.
+# SURVEY §2 rows named per query. Temp dirs are intentionally not removed:
+# the returned DataFrame is lazy and must stay readable at collect time.
+# ---------------------------------------------------------------------------
+
+_STORE_SCHEMA = Schema(
+    name="store_events",
+    fields=(
+        Field("event_id", "bigint", nullable=False),
+        Field("ts", "timestamp", nullable=False),
+        Field("event_type", "string"),
+        Field("value", "double"),
+    ),
+    dedup_key=("event_id",),
+    version_col=None,  # no version column → physical insert order wins
+    # Daily grain: the sf0.01 events fixture spans one calendar month, so
+    # month partitions would make the swap/delete queries degenerate
+    # (single partition). Day partitions give ~30, so the swap provably
+    # leaves the other days untouched and the delete provably prunes.
+    partition_by=("ts_day",),
+)
+
+
+def _store_events(spark: SparkSession, sf_dir: str) -> tuple[TableStore, DataFrame]:
+    store = TableStore(spark, tempfile.mkdtemp(prefix="sg_store_"))
+    store.create(_STORE_SCHEMA)
+    ev = _ev(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    return store, ev
+
+
+def q_replacing_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows 3/6/25/33: ReplacingMergeTree semantics end-to-end — two
+    overlapping appends into a dedup-keyed store; latest_view keeps the
+    physically-last insert per key (second batch wins on the overlap)."""
+    store, ev = _store_events(spark, sf_dir)
+    store.append("store_events", ev.filter(F.col("event_id") % 2 == 0))
+    store.append(
+        "store_events",
+        ev.filter(F.col("event_id") % 3 == 0).withColumn(
+            "value", F.col("value") * 2
+        ),
+    )
+    return store.latest_view("store_events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+
+
+def q_partition_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows 2/20/36: atomic REPLACE PARTITION — load everything, then
+    dynamic-partition-overwrite the earliest day with doubled values;
+    the other ~29 day-partitions must be untouched by the swap."""
+    store, ev = _store_events(spark, sf_dir)
+    store.append("store_events", ev)
+    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    staged = ev.filter(F.to_date("ts") == F.lit(d0)).withColumn(
+        "value", F.col("value") * 2
+    )
+    store.overwrite_partitions("store_events", staged)
+    return store.read("store_events").select("event_id", "value")
+
+
+def q_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows 16/26/28: retention DELETE (v2/dag.py:132-135 semantics) —
+    partition-pruned delete_where of everything more than 7 days before
+    the day floor of MAX(ts); survivors are the final ~8 days and the
+    earlier day-partitions are dropped without rewriting the kept ones."""
+    store, ev = _store_events(spark, sf_dir)
+    store.append("store_events", ev)
+    cutoff = ev.agg(
+        F.date_trunc("day", F.max("ts")) - F.expr("INTERVAL 7 DAYS")
+    ).first()[0]
+    store.delete_where("store_events", F.col("ts") < F.lit(cutoff))
+    return store.read("store_events").select("event_id", "ts")
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row 7: CSV bulk-ingest dialect (';' delimiter, NULL literal,
+    header — hook.py:92-112) proven by write→read_csv round-trip equality
+    against the parquet original."""
+    cust = _t(spark, sf_dir, "customer")
+    tmp = tempfile.mkdtemp(prefix="sg_csv_") + "/customer_csv"
+    (
+        cust.write.mode("overwrite")
+        .option("header", True)
+        .option("sep", ";")
+        .option("nullValue", "NULL")
+        .csv(tmp)
+    )
+    return read_csv(spark, tmp, schema=cust.schema)
+
+
+def q_pandas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows 8/9: toPandas → createDataFrame round-trip (hook.py:61-69
+    analog) over the nation dim; equality against the original."""
+    nat = _t(spark, sf_dir, "nation")
+    return from_pandas(spark, to_pandas(nat), schema=nat.schema)
+
+
+def q_script_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows 11/40/41/42: multi-statement templated script — render
+    {{ params.* }}, split on ';', run sequentially, return the last
+    statement's result (op.py:36-64 semantics)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_src")
+    script = (
+        "CREATE OR REPLACE TEMP VIEW big_orders AS "
+        "SELECT * FROM {{ params.src }} "
+        "WHERE o_totalprice > {{ params.cutoff }};\n"
+        "SELECT o_orderpriority, count(*) AS n, "
+        f"{_fxp_sum_sql('o_totalprice')} AS sum_price "
+        "FROM big_orders GROUP BY o_orderpriority;"
+    )
+    return run_script(
+        spark, script, params={"src": "orders_src", "cutoff": 150000}
+    )
+
+
+def q_pipeline_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows 39/43/44: Pipeline sequencing with a conditional skip — the
+    inflate step is gated on a runtime config flag that is off (the
+    AirflowSkipException analog, v2/dag.py:126-130), so the result must
+    equal the plain filtered aggregate."""
+    box: dict[str, DataFrame] = {}
+
+    def load(ctx) -> None:
+        box["df"] = _t(spark, sf_dir, "lineitem").filter(
+            F.col("l_quantity") >= ctx["min_qty"]
+        )
+
+    def inflate(ctx) -> None:
+        box["df"] = box["df"].withColumn(
+            "l_extendedprice", F.col("l_extendedprice") * 10
+        )
+
+    def agg(ctx) -> None:
+        box["res"] = box["df"].groupBy("l_returnflag").agg(
+            F.count("*").alias("n"),
+            _fxp_sum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+
+    Pipeline(
+        "skip_demo",
+        [
+            Step("load", load),
+            Step("inflate", inflate, when=lambda c: c.get("inflate", False)),
+            Step("agg", agg),
+        ],
+        config={"min_qty": 25},
+    ).run()
+    return box["res"]
+
+
+# ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect = ANSI subset; views pre-registered)
 # ---------------------------------------------------------------------------
 
@@ -828,6 +992,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": q_cube_agg,
         "stats_agg": q_stats_agg,
         "theta_join": q_theta_join,
+        "replacing_upsert": q_replacing_upsert,
+        "partition_swap": q_partition_swap,
+        "retention_delete": q_retention_delete,
+        "csv_roundtrip": q_csv_roundtrip,
+        "pandas_roundtrip": q_pandas_roundtrip,
+        "script_runner": q_script_runner,
+        "pipeline_skip": q_pipeline_skip,
         "exact_dedup": q_exact_dedup,
         "fingerprint": q_fingerprint,
         "quality_metrics": q_quality_metrics,
@@ -999,6 +1170,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p.p_brand, count(*) AS n, sum(l.l_quantity) AS sum_qty "
             "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey AND "
             "l.l_quantity > p.p_size GROUP BY 1"
+        ),
+        "replacing_upsert": (
+            "SELECT event_id, ts, event_type, value FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY event_id "
+            "ORDER BY batch DESC) AS rn FROM ("
+            "SELECT event_id, ts, event_type, value, 1 AS batch "
+            "FROM events WHERE event_id % 2 = 0 UNION ALL "
+            "SELECT event_id, ts, event_type, value * 2 AS value, 2 AS batch "
+            "FROM events WHERE event_id % 3 = 0)) WHERE rn = 1"
+        ),
+        "partition_swap": (
+            "SELECT event_id, value * 2 AS value FROM events "
+            "WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) "
+            "FROM events) UNION ALL "
+            "SELECT event_id, value FROM events "
+            "WHERE CAST(ts AS DATE) <> (SELECT min(CAST(ts AS DATE)) "
+            "FROM events)"
+        ),
+        "retention_delete": (
+            "SELECT event_id, ts FROM events WHERE ts >= "
+            "(SELECT date_trunc('day', max(ts)) - INTERVAL 7 DAY FROM events)"
+        ),
+        "csv_roundtrip": "SELECT * FROM customer",
+        "pandas_roundtrip": "SELECT * FROM nation",
+        "script_runner": (
+            "SELECT o_orderpriority, count(*) AS n, "
+            f"{_fxp_sum_sql('o_totalprice')} AS sum_price "
+            "FROM orders WHERE o_totalprice > 150000 GROUP BY o_orderpriority"
+        ),
+        "pipeline_skip": (
+            "SELECT l_returnflag, count(*) AS n, "
+            f"{_fxp_sum_sql('l_extendedprice')} AS sum_price "
+            "FROM lineitem WHERE l_quantity >= 25 GROUP BY l_returnflag"
         ),
         "exact_dedup": (
             "WITH u AS (SELECT * FROM documents UNION ALL SELECT doc_id + "

@@ -54,6 +54,10 @@ META_FILE = "_table_meta.json"
 _DERIVED_PARTITIONS = {
     "dttm_month": lambda: month_floor("dttm").cast("date"),
     "ts_month": lambda: month_floor("ts").cast("date"),
+    # Daily grain for high-rate facts where a month partition would blow
+    # past the ~1 GB/partition guidance at scale.
+    "dttm_day": lambda: F.to_date("dttm"),
+    "ts_day": lambda: F.to_date("ts"),
 }
 
 
