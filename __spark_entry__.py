@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import datetime as dt
 import tempfile
+import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -50,6 +51,11 @@ from from_superset_to_clickhouse_spark.sources.readers import (
     to_pandas,
 )
 from from_superset_to_clickhouse_spark.sources.testdata import load_table
+from from_superset_to_clickhouse_spark.streaming.ingest import (
+    running_latest,
+    stream_source,
+    windowed_counts,
+)
 from from_superset_to_clickhouse_spark.tablestore import TableStore
 from from_superset_to_clickhouse_spark import watermark as wm
 
@@ -804,6 +810,98 @@ def q_pipeline_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming tier (SURVEY §2.9 / §7.2 item 12), executed as real streams:
+# parquet file-stream source → Trigger.AvailableNow → memory/foreachBatch
+# sink, then the materialized result is returned for the oracle compare.
+# The batch-equivalence oracle is exactly the property AvailableNow
+# guarantees (process-everything-then-stop), so a green row proves the
+# streaming plan computes the same answer as the ANSI batch query.
+# ---------------------------------------------------------------------------
+
+
+def _stream_events(spark: SparkSession, sf_dir: str, cols: list[str]):
+    """Write normalized events to a temp dir and open a file-stream on it
+    (the raw fixture's NANOS timestamps can't be streamed directly)."""
+    src = tempfile.mkdtemp(prefix="sg_stream_") + "/src"
+    batch = _ev(spark, sf_dir).select(*cols)
+    batch.write.parquet(src)
+    return stream_source(spark, src, batch.schema)
+
+
+def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregate (1 h × event_type) with an
+    event-time watermark, run to completion with AvailableNow into a
+    memory sink. Values are pre-quantized to the _FXP grid so the
+    windowed sum is an exact integer on both engines."""
+    stream = _stream_events(
+        spark, sf_dir, ["event_id", "ts", "event_type", "value"]
+    ).withColumn("value", F.floor(F.col("value") * _FXP))
+    name = "sg_win_" + uuid.uuid4().hex[:8]
+    q = (
+        windowed_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("win.start").alias("ws"),
+        "event_type",
+        "n",
+        (F.col("sum_value").cast("double") / _FXP).alias("sum_value"),
+    )
+
+
+def q_stream_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-key
+    running latest (ts, value), drained with AvailableNow via foreachBatch;
+    the final state must equal the batch per-key argmax over history."""
+    stream = _stream_events(spark, sf_dir, ["user_id", "ts", "value"])
+    acc: dict[int, tuple] = {}
+
+    def sink(bdf: DataFrame, bid: int) -> None:
+        for r in bdf.collect():  # one row per key per batch — bounded
+            acc[r["user_id"]] = (r["latest_ts"], r["latest_value"])
+
+    ckpt = tempfile.mkdtemp(prefix="sg_ckpt_")
+    q = (
+        running_latest(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in acc.items()],
+        "user_id long, latest_ts timestamp, latest_value double",
+    )
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min) per user via the built-in
+    ``session_window`` — the oracle twin is the classic gaps-and-islands
+    construction, proving the session semantics, not just the plumbing."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("s"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect = ANSI subset; views pre-registered)
 # ---------------------------------------------------------------------------
 
@@ -999,6 +1097,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pandas_roundtrip": q_pandas_roundtrip,
         "script_runner": q_script_runner,
         "pipeline_skip": q_pipeline_skip,
+        "stream_window": q_stream_window,
+        "stream_latest": q_stream_latest,
+        "session_window": q_session_window,
         "exact_dedup": q_exact_dedup,
         "fingerprint": q_fingerprint,
         "quality_metrics": q_quality_metrics,
@@ -1194,6 +1295,29 @@ def oracle_sql() -> dict[str, str]:
         ),
         "csv_roundtrip": "SELECT * FROM customer",
         "pandas_roundtrip": "SELECT * FROM nation",
+        "stream_window": (
+            "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, "
+            "event_type, count(*) AS n, "
+            f"CAST(sum(CAST(floor(value * {_FXP}) AS BIGINT)) AS DOUBLE) "
+            f"/ {_FXP} AS sum_value FROM events GROUP BY 1, 2"
+        ),
+        "stream_latest": (
+            "SELECT user_id, ts AS latest_ts, value AS latest_value FROM ("
+            "SELECT user_id, ts, value, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY ts DESC) AS rn FROM events) "
+            "WHERE rn = 1"
+        ),
+        "session_window": (
+            "WITH d AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS "
+            "NULL OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 "
+            "ELSE 0 END AS new_s FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "g AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY "
+            "user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM d) "
+            "SELECT user_id, min(ts) AS session_start, "
+            "max(ts) + INTERVAL 30 MINUTE AS session_end, "
+            "count(*) AS n_events FROM g GROUP BY user_id, sid"
+        ),
         "script_runner": (
             "SELECT o_orderpriority, count(*) AS n, "
             f"{_fxp_sum_sql('o_totalprice')} AS sum_price "
