@@ -1005,6 +1005,36 @@ SELECT doc_id, q_chars, q_tokens,
 FROM raw
 """
 
+# ngram_jaccard_pairs oracle: exact ALL-PAIRS Jaccard ≥ threshold. Valid
+# because (a) the LSH+verify output is deterministic (xxhash64 banding on
+# a fixed fixture), and (b) the fixture has no pairs in [0.25, 0.75) —
+# planted near-dups sit ≥0.75 where 16-band/4-row collision probability
+# is ≥1-4e-8, so candidate recall over the threshold set is exactly 1.
+# A genuine LSH miss would (correctly) fail this gate.
+_NGRAM_JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+      THEN list_distinct(list_transform(range(1, CAST(len(t) AS INTEGER) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      ELSE [array_to_string(t, ' ')]
+    END AS s
+  FROM toks
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    round(len(list_intersect(a.s, b.s)) /
+          greatest(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1),
+          6) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+"""
+
 _JACCARD_SQL = r"""
 WITH toks AS (
   SELECT doc_id,
@@ -1367,6 +1397,7 @@ def oracle_sql() -> dict[str, str]:
             "ts_ms FROM f"
         ),
         "jaccard_pairs": _JACCARD_SQL,
+        "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "brute_force_topk": _BRUTE_SQL,
         "embedding_dedup": _EMB_DEDUP_SQL,
     }
