@@ -341,6 +341,29 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure filter + global agg (TPC-H Q6 shape).
+
+    Every predicate is scan-pushable: the plan shows all four conjuncts
+    in PushedFilters and a 3-column ReadSchema — the forecasting-revenue
+    query reads none of the other 13 lineitem columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(dt.datetime(1997, 1, 1)))
+            & (F.col("l_shipdate") < F.lit(dt.datetime(1998, 1, 1)))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            _fxp_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way join + grouped agg + deterministic top-10 (TPC-H Q3 shape)."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -1109,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_limit": q_topk_limit,
         "json_get": q_json_get,
         "tpch_q1": q_tpch_q1,
+        "tpch_q6": q_tpch_q6,
         "tpch_q3": q_tpch_q3,
         "join_dims": q_join_dims,
         "window_rank": q_window_rank,
@@ -1226,6 +1250,13 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS count_order "
             "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
             "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "tpch_q6": (
+            f"SELECT {_fxp_sum_sql('l_extendedprice * l_discount')} AS revenue, "
+            "count(*) AS n_items FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
         ),
         "tpch_q3": (
             "WITH r AS (SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS "
