@@ -36,6 +36,7 @@ HEADLINE = [
     "month_agg",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q6",
     "window_rank",
     "exact_dedup",
     "ngram_jaccard_pairs",

@@ -1,0 +1,77 @@
+"""Physical-plan quality gates — the 100 TB design claims as assertions.
+
+These tests pin the *plan shape*, not results: broadcast joins for dim
+enrichment (no fact shuffle), scan-level predicate pushdown and column
+pruning, map-side partial aggregation, and no Python row UDFs in
+Catalyst-only paths. A regression here is a scale regression even when
+every value is still correct.
+"""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    # explain("formatted") prints full PushedFilters/ReadSchema lines;
+    # queryExecution().toString() truncates long filter lists.
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def qmap():
+    return entry.queries()
+
+
+def test_enrich_uses_broadcast_join(spark, qmap):
+    plan = _plan(qmap["enrich_broadcast"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_broadcasts_dim_side(spark, qmap):
+    plan = _plan(qmap["flagship"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q6_pushes_all_predicates_and_prunes_columns(spark, qmap):
+    plan = _plan(qmap["tpch_q6"](spark, SF))
+    assert "PushedFilters:" in plan
+    for pushed in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+                   "GreaterThanOrEqual(l_discount", "LessThan(l_quantity"):
+        assert pushed in plan, pushed
+    # 3 of 16 lineitem columns in ReadSchema
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" in read and "l_comment" not in read
+    assert read.count(":") <= 5
+
+
+def test_tpch_q3_pushes_date_and_segment_filters(spark, qmap):
+    plan = _plan(qmap["tpch_q3"](spark, SF))
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+
+
+def test_month_agg_partial_aggregation(spark, qmap):
+    plan = _plan(qmap["month_agg"](spark, SF))
+    # partial + final pair = map-side combine before the shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_catalyst_paths_have_no_python_udf(spark, qmap):
+    for name in ("flagship", "month_agg", "tpch_q1", "quality_metrics",
+                 "lang_id", "exact_dedup", "window_rank"):
+        plan = _plan(qmap[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
