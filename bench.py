@@ -52,7 +52,7 @@ HEADLINE = [
 # O(|corpus| × |queries| × dim) with a per-element codegen lambda and
 # exists only as the like-for-like cost model for the LSH speedup ratio.
 ANN_QUERIES = 2000
-ANN_HOF_QUERIES = 100
+ANN_HOF_QUERIES = 50
 
 
 def main() -> None:
@@ -141,9 +141,15 @@ def main() -> None:
         "lsh": round(n_queries / max(timings["ann_lsh"], 1e-9), 1),
         "ivf": round(n_queries / max(timings["ann_ivf"], 1e-9), 1),
     }
-    # Algorithmic speedup of LSH over its like-for-like expression twin
-    # (both pay per-pair expression costs; LSH prunes the pair set).
-    lsh_speedup = round(qps["lsh"] / max(qps["exact_hof"], 1e-9), 2)
+    # Honest speedups: ANN paths vs the REAL exact baseline (both Arrow-
+    # vectorized, same machinery). At this fixture scale (2000 near-random
+    # vectors) brute force is hard to beat — IVF still wins by pruning to
+    # nprobe/ncells of the corpus; LSH pays candidate-join overhead that
+    # only amortizes on larger/clustered corpora. The expression-twin
+    # ratio isolates the Arrow-vs-per-pair-codegen lesson instead.
+    lsh_speedup = round(qps["lsh"] / max(qps["exact_vectorized"], 1e-9), 2)
+    ivf_speedup = round(qps["ivf"] / max(qps["exact_vectorized"], 1e-9), 2)
+    arrow_over_expr = round(qps["exact_vectorized"] / max(qps["exact_hof"], 1e-9), 1)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -154,7 +160,9 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "lsh_recall": lsh_recall,
         "ivf_recall": ivf_recall,
-        "lsh_speedup": lsh_speedup,
+        "lsh_speedup_vs_exact": lsh_speedup,
+        "ivf_speedup_vs_exact": ivf_speedup,
+        "arrow_over_expression_speedup": arrow_over_expr,
         "ann_queries_per_sec": qps,
         "cpus": int(CPUS),
     }
