@@ -141,7 +141,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.countDistinct("c_mktsegment").alias("n_segments"),
         F.max("value").alias("max_value"),
-        F.round(F.sum("value"), 6).alias("sum_value"),
+        _fxp_sum(F.col("value")).alias("sum_value"),
         F.max("ts").alias("last_ts"),
     )
 
@@ -165,7 +165,8 @@ SELECT CAST(date_trunc('month', ts) AS DATE) AS month, event_type,
        count(*) AS n_events,
        count(DISTINCT c_mktsegment) AS n_segments,
        max(value) AS max_value,
-       round(sum(value), 6) AS sum_value,
+       CAST(sum(CAST(floor(value * 1048576) AS BIGINT)) AS DOUBLE)
+         / 1048576 AS sum_value,
        max(ts) AS last_ts
 FROM j GROUP BY 1, 2
 """
@@ -1363,10 +1364,12 @@ def oracle_sql() -> dict[str, str]:
             f"/ {_FXP} AS sum_value FROM events GROUP BY 1, 2"
         ),
         "stream_latest": (
+            # ts DESC, value DESC mirrors running_latest's deterministic
+            # (ts, value) lexicographic-max tie-break.
             "SELECT user_id, ts AS latest_ts, value AS latest_value FROM ("
             "SELECT user_id, ts, value, row_number() OVER ("
-            "PARTITION BY user_id ORDER BY ts DESC) AS rn FROM events) "
-            "WHERE rn = 1"
+            "PARTITION BY user_id ORDER BY ts DESC, value DESC) AS rn "
+            "FROM events) WHERE rn = 1"
         ),
         "session_window": (
             "WITH d AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS "

@@ -32,12 +32,31 @@ def _persisted(df: DataFrame) -> DataFrame:
     """Persist an intermediate that the plan consumes more than once
     (both sides of a self-join, candidates + verify). Without this,
     Spark re-runs the whole signature pipeline per consumer — measured
-    ~2× the operator's wall-time. MEMORY_AND_DISK spills under pressure,
-    and Spark's ContextCleaner unpersists the blocks once the returned
-    DataFrame's plan is garbage-collected, so no explicit lifecycle is
-    needed. Persisted payloads are signatures/buckets (tens of bytes per
-    row), not document text — bounded at any corpus scale."""
+    ~2× the operator's wall-time. MEMORY_AND_DISK spills under pressure.
+    Payloads are signatures/buckets (tens of bytes per row), not
+    document text — bounded at any corpus scale.
+
+    LIFECYCLE: callers MUST pair this with ``_finalize`` — ``persist``
+    registers the plan in the session CacheManager, which holds a strong
+    reference; Spark's ContextCleaner reclaims GC'd RDDs and broadcasts
+    but NOT SQL cache entries, so a dangling persist leaks storage
+    blocks on every call for the life of the session."""
     return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _finalize(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Run ``result``'s plan NOW and release every persisted intermediate.
+
+    The (small — candidate pairs only) result is materialized with an
+    eager ``localCheckpoint``, whose blocks are plain RDD blocks that the
+    ContextCleaner DOES reclaim once the returned DataFrame is
+    garbage-collected; the intermediates are then unpersisted so nothing
+    accumulates in the session CacheManager across calls (a long-lived
+    session would otherwise leak |docs|×bands rows per invocation)."""
+    out = result.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out
 
 
 def normalize_text(text: Column) -> Column:
@@ -142,7 +161,7 @@ def minhash_candidates(
     )
     left = banded.alias("l")
     right = banded.alias("r")
-    return (
+    pairs = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -152,6 +171,7 @@ def minhash_candidates(
         .groupBy(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
         .agg(F.count("*").alias("n_shared_bands"))
     )
+    return _finalize(pairs, banded)
 
 
 def jaccard_verify(
@@ -177,13 +197,14 @@ def jaccard_verify(
     b = sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_jsh", "sh_b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
-    return (
+    verified = (
         candidates.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return _finalize(verified, sh)
 
 
 def ngram_jaccard_pairs(
@@ -273,7 +294,7 @@ def simhash_pairs(
         ).alias("band", "bucket"),
     ))
     l, r = banded.alias("l"), banded.alias("r")
-    return (
+    pairs = (
         l.join(
             r,
             (F.col("l.band") == F.col("r.band"))
@@ -288,6 +309,7 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    return _finalize(pairs, banded)
 
 
 def simhash_dedup_candidates(
@@ -320,7 +342,7 @@ def simhash_dedup_candidates(
         )
     )
     l, r = banded.alias("l"), banded.alias("r")
-    return (
+    pairs = (
         l.join(
             r,
             (F.col("l.band") == F.col("r.band"))
@@ -330,3 +352,4 @@ def simhash_dedup_candidates(
         .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
         .distinct()
     )
+    return _finalize(pairs, banded)

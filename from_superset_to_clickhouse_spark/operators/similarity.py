@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from from_superset_to_clickhouse_spark.functions.scalar import let_bind
+from from_superset_to_clickhouse_spark.operators.dedup import _finalize
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -378,8 +379,10 @@ def embedding_dedup_pairs(
         ),
     )
     # Persisted: consumed by both sides of the self-join; payload is
-    # (id, band, bucket) only. ContextCleaner reclaims the blocks when
-    # the returned plan is garbage-collected.
+    # (id, band, bucket) only. Released via _finalize below — persist
+    # registers in the session CacheManager, which the ContextCleaner
+    # does NOT reclaim, so the eager-materialize/unpersist pair is what
+    # keeps repeated calls from accumulating storage blocks.
     banded = df.select(
         F.col(id_col).alias("vid"),
         F.posexplode(buckets).alias("band", "bucket"),
@@ -397,13 +400,14 @@ def embedding_dedup_pairs(
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
-    return (
+    verified = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn("sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+    return _finalize(verified, banded)
 
 
 def train_centroids(

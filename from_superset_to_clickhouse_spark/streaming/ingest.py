@@ -144,10 +144,12 @@ def running_latest(
     over history).
 
     This is the escape hatch the built-ins can't express: the state
-    update rule (max-by-ts with arrival-order tie-break) is arbitrary
-    Python over Arrow batches, while state size stays one row per key.
-    Ties on ts keep the previously-stored row (first-arrival wins inside
-    the state, matching max-by semantics over an append stream).
+    update rule (max by (ts, value), lexicographic) is arbitrary Python
+    over Arrow batches, while state size stays one row per key. Ties on
+    ts are broken by the larger value — a DETERMINISTIC rule independent
+    of arrival order and batch boundaries, so the drained state always
+    equals the batch argmax ordered by (ts DESC, value DESC) and the
+    DuckDB oracle comparison cannot flake on duplicate (key, ts) rows.
 
     Emits in UPDATE output mode — pair with ``foreachBatch`` (or an
     update-capable sink); file sinks are append-only and will reject it.
@@ -165,9 +167,10 @@ def running_latest(
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            i = pdf[ts_col].idxmax()
-            ts, v = pdf[ts_col][i], float(pdf[value_col][i])
-            if best_ts is None or ts > best_ts:
+            top = pdf[pdf[ts_col] == pdf[ts_col].max()]
+            i = top[value_col].idxmax()
+            ts, v = top[ts_col][i], float(top[value_col][i])
+            if best_ts is None or (ts, v) > (best_ts, best_v):
                 best_ts, best_v = ts, v
         state.update((best_ts, best_v))
         yield pd.DataFrame(

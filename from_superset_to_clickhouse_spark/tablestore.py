@@ -139,7 +139,11 @@ class TableStore:
                     self.fs.delete(lock, recursive=False)
                     continue
             except Exception:
-                continue  # lock vanished between try_lock and stat — retry
+                # Lock vanished between try_lock and stat, or stat/delete
+                # failed (e.g. permissions). Fall through to the deadline
+                # check + sleep — a bare retry here would spin forever when
+                # the IO failure is persistent.
+                pass
             if time.time() > deadline:
                 raise IOError(
                     f"could not acquire ingest-seq lease {lock}; "
