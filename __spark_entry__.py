@@ -629,8 +629,13 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH banded candidates (rows-only: buckets are xxhash64)."""
-    return ddp.minhash_candidates(_docs(spark, sf_dir))
+    """MinHash+LSH banded candidates, md5 hash family: the oracle
+    recomputes the exact signatures (lexicographic min over md5 hex
+    strings) and band buckets in DuckDB, so the full LSH pipeline —
+    shingle → signature → band → self-join → shared-band count — is
+    hash-verified, not just row-counted. Production callers default to
+    the faster xxhash64 family; the banding logic is identical."""
+    return ddp.minhash_candidates(_docs(spark, sf_dir), hash_family="md5")
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -639,8 +644,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs within Hamming ≤ 3 (rows-only)."""
-    return ddp.simhash_pairs(_docs(spark, sf_dir))
+    """SimHash near-dup pairs within Hamming ≤ 3, md5 hash family: the
+    oracle recomputes the exact per-bit majority votes, band buckets and
+    Hamming distances in DuckDB. Production callers default to the
+    faster xxhash64 family; the blocking/verify logic is identical."""
+    return ddp.simhash_pairs(_docs(spark, sf_dir), hash_family="md5")
 
 
 def q_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1059,6 +1067,77 @@ WITH toks AS (
 SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
 """
 
+# minhash_candidates oracle (md5 hash family): recomputes the EXACT
+# Spark pipeline in DuckDB — shingle strings, 64 minhashes as the
+# lexicographic min of md5('i:shingle') hex strings, 16 band buckets as
+# md5 of the comma-joined 4-hash slice, then the banded self-join with
+# shared-band counts. Every stage is deterministic and engine-agnostic.
+_MINHASH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+      THEN list_distinct(list_transform(range(1, CAST(len(t) AS INTEGER) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      ELSE [array_to_string(t, ' ')]
+    END AS s
+  FROM toks
+), sig AS (
+  SELECT doc_id,
+    list_transform(range(64), i ->
+      list_min(list_transform(s, g -> md5(i::VARCHAR || ':' || g)))) AS sig
+  FROM sh
+), banded AS (
+  SELECT doc_id, band,
+    md5(array_to_string(sig[band*4+1:band*4+4], ',')) AS bucket
+  FROM sig CROSS JOIN range(16) r(band)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+# simhash_pairs oracle (md5 hash family): per-bit majority vote where
+# the vote for bit j uses the top bit of md5('j:token') (first hex digit
+# in 8..f), 4 × 16-bit band buckets as md5 of the concatenated bit
+# slice, banded self-join, exact Hamming verify ≤ 3.
+_SIMHASH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                x -> x <> '') AS t
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+    list_transform(range(64), j ->
+      CASE WHEN list_sum(list_transform(t, tok ->
+        CASE WHEN substr(md5(j::VARCHAR || ':' || tok), 1, 1) IN
+          ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0
+      THEN 1 ELSE 0 END) AS sig
+  FROM toks
+), banded AS (
+  SELECT doc_id, sig, band,
+    md5(array_to_string(sig[band*16+1:band*16+16], '')) AS bucket
+  FROM sig CROSS JOIN range(4) r(band)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sig AS sa, b.sig AS sb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT id_a, id_b,
+    CAST(list_sum(list_transform(range(1, 65),
+      i -> abs(sa[i] - sb[i]))) AS BIGINT) AS hamming
+  FROM cand
+) WHERE hamming <= 3
+"""
+
 _JACCARD_SQL = r"""
 WITH toks AS (
   SELECT doc_id,
@@ -1432,6 +1511,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "jaccard_pairs": _JACCARD_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+        "minhash_candidates": _MINHASH_SQL,
+        "simhash_pairs": _SIMHASH_SQL,
         "brute_force_topk": _BRUTE_SQL,
         "embedding_dedup": _EMB_DEDUP_SQL,
     }

@@ -40,7 +40,6 @@ HEADLINE = [
     "window_rank",
     "exact_dedup",
     "ngram_jaccard_pairs",
-    "simhash_pairs",
 ]
 
 # ANN is measured on a deterministic query slice (vec_id < ANN_QUERIES)
@@ -92,6 +91,19 @@ def main() -> None:
             .mode("overwrite")
             .save(),
         )
+
+    # SimHash timed on the PRODUCTION xxhash64 family (the queries()
+    # entry runs the md5 oracle family, which trades leaf-hash speed for
+    # ANSI replicability — benching that would misstate the scale path).
+    from from_superset_to_clickhouse_spark.operators import dedup as ddp
+
+    timed(
+        "simhash_pairs",
+        lambda: ddp.simhash_pairs(load_table(spark, SF_DIR, "documents"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
 
     # End-to-end v2 ingest pipeline into a throwaway store.
     tmp = tempfile.mkdtemp(prefix="bench_store_")

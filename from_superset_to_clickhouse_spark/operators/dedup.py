@@ -102,6 +102,61 @@ def shingles(text: Column, k: int = 3) -> Column:
     )
 
 
+def shingle_strings(text: Column, k: int = 3) -> Column:
+    """Raw k-word shingle strings (array<string>) — the oracle-replicable
+    shingle form: no hash at the leaf, so an ANSI-SQL engine sees exactly
+    the same values. Production paths prefer ``shingles`` (xxhash64),
+    which never shuffles raw strings."""
+    return let_bind(
+        word_tokens(text),
+        lambda toks: let_bind(F.size(toks), lambda n: F.when(
+            n >= k,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), n - k),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+                )
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))),
+    )
+
+
+def minhash_signature_md5(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """Oracle-replicable minhash (array<string>): hash i of shingle s is
+    ``md5('i:s')`` and the minhash is the LEXICOGRAPHIC minimum of the
+    hex strings — md5 hex is identical in every engine, so a DuckDB
+    oracle can recompute the exact signature (xxhash64 cannot be
+    expressed in ANSI SQL). ~32-byte values and a slower leaf hash: this
+    family exists for the correctness gate; ``minhash_signature`` is the
+    production default."""
+    return let_bind(
+        shingle_col,
+        lambda sh: F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    sh,
+                    lambda s: F.md5(F.concat_ws(":", i.cast("string"), s)),
+                )
+            ),
+        ),
+    )
+
+
+def band_buckets_md5(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Band buckets for the md5 family: ``md5(join(slice, ','))`` —
+    string-for-string replicable in ANSI SQL, unlike ``F.hash``."""
+    return let_bind(
+        sig,
+        lambda s: F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.md5(
+                F.concat_ws(",", F.slice(s, b * rows_per_band + 1, rows_per_band))
+            ),
+        ),
+    )
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     """num_hashes minhash values (array<long>), hash family = seeded xxhash64.
 
@@ -141,6 +196,7 @@ def minhash_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b, n_shared_bands).
 
@@ -148,15 +204,26 @@ def minhash_candidates(
     candidates. The self-join is on (band, bucket_hash) — a hash join on
     a well-distributed key, no n² blowup. Returns distinct pairs with the
     number of shared bands (a cheap similarity proxy).
+
+    ``hash_family``: "xxhash64" (production — fastest, JVM-internal) or
+    "md5" (ANSI-replicable hex-string family so an external SQL oracle
+    can recompute the identical signatures and buckets).
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sig = minhash_signature(shingles(F.col(text_col), shingle_k), num_hashes)
+    if hash_family == "md5":
+        sig = minhash_signature_md5(
+            shingle_strings(F.col(text_col), shingle_k), num_hashes
+        )
+        bucketed = band_buckets_md5(sig, bands, r)
+    else:
+        sig = minhash_signature(shingles(F.col(text_col), shingle_k), num_hashes)
+        bucketed = band_buckets(sig, bands, r)
     banded = _persisted(
         df.select(
             F.col(id_col).alias("doc"),
-            F.posexplode(band_buckets(sig, bands, r)).alias("band", "bucket"),
+            F.posexplode(bucketed).alias("band", "bucket"),
         )
     )
     left = banded.alias("l")
@@ -250,6 +317,33 @@ def simhash_bits(text: Column, bits: int = 64) -> Column:
     return F.transform(votes, lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)))
 
 
+def simhash_bits_md5(text: Column, bits: int = 64) -> Column:
+    """Oracle-replicable SimHash bits (array<int>): the vote for bit j
+    uses the top bit of ``md5('j:token')`` (first hex digit in 8..f) —
+    one independent md5 per (bit, token), trivially identical in ANSI
+    SQL. O(bits) md5 calls per token, so this is the correctness-gate
+    twin; ``simhash_bits`` (one xxhash64 + getbit per token) is the
+    production default."""
+    toks = word_tokens(text)
+    msb_digits = ("8", "9", "a", "b", "c", "d", "e", "f")
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda a, j: a
+            + F.when(
+                F.substring(
+                    F.md5(F.concat_ws(":", j.cast("string"), t)), 1, 1
+                ).isin(*msb_digits),
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.transform(votes, lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)))
+
+
 def hamming(bits_a: Column, bits_b: Column) -> Column:
     """Hamming distance between two equal-length bit arrays."""
     return F.aggregate(
@@ -266,6 +360,7 @@ def simhash_pairs(
     bits: int = 64,
     band_bits: int = 16,
     max_hamming: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs (id_a, id_b, hamming) within a Hamming radius.
 
@@ -274,11 +369,24 @@ def simhash_pairs(
     on (band, bucket) has perfect recall for ``max_hamming`` ≤ bands-1.
     Candidates are then verified with an exact Hamming distance on the
     materialized signatures — no n² stage anywhere.
+
+    ``hash_family``: "xxhash64" (production) or "md5" (ANSI-replicable —
+    an external SQL oracle can recompute the identical bits and buckets).
     """
     n_bands = bits // band_bits
+    bit_fn = simhash_bits_md5 if hash_family == "md5" else simhash_bits
+    if hash_family == "md5":
+        def bucket_fn(s, i):
+            return F.md5(F.concat_ws("", F.transform(
+                F.slice(s, i * band_bits + 1, band_bits),
+                lambda v: v.cast("string"),
+            )))
+    else:
+        def bucket_fn(s, i):
+            return F.hash(F.slice(s, i * band_bits + 1, band_bits))
     sigs = df.select(
         F.col(id_col).alias("doc"),
-        simhash_bits(F.col(text_col), bits).alias("sig"),
+        bit_fn(F.col(text_col), bits).alias("sig"),
     )
     banded = _persisted(sigs.select(
         "doc",
@@ -288,7 +396,7 @@ def simhash_pairs(
                 F.col("sig"),
                 lambda s: F.transform(
                     F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                    lambda i: F.hash(F.slice(s, i * band_bits + 1, band_bits)),
+                    lambda i: bucket_fn(s, i),
                 ),
             )
         ).alias("band", "bucket"),
