@@ -40,6 +40,7 @@ from from_superset_to_clickhouse_spark.functions.scalar import (
 from from_superset_to_clickhouse_spark.operators import dedup as ddp
 from from_superset_to_clickhouse_spark.operators import multimodal as mm
 from from_superset_to_clickhouse_spark.operators import similarity as simi
+from from_superset_to_clickhouse_spark.operators import temporal as tmp
 from from_superset_to_clickhouse_spark.operators import text as txt
 from from_superset_to_clickhouse_spark.operators.ingest import build_increment
 from from_superset_to_clickhouse_spark.plans.pipeline import Pipeline, Step
@@ -53,6 +54,7 @@ from from_superset_to_clickhouse_spark.sources.readers import (
 from from_superset_to_clickhouse_spark.sources.testdata import load_table
 from from_superset_to_clickhouse_spark.streaming.ingest import (
     running_latest,
+    stream_dedup as sdedup,
     stream_source,
     windowed_counts,
 )
@@ -687,6 +689,95 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Temporal joins + training-sequence prep + sketch/percentile analytics
+# (LLM-pipeline extension surface; no reference analog — the reference's
+# only temporal logic is the watermark predicate, v2/dag.py:106-109).
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each event picks up the latest order (by
+    o_orderdate <= ts) of the same customer — the point-in-time feature
+    attachment every leakage-safe training pipeline needs. Right side is
+    pre-deduped to one order per (custkey, date) per the operator's
+    determinism contract; union + one window pass, single shuffle."""
+    ev = _ev(spark, sf_dir).select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    latest = (
+        orders.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    )
+    return tmp.asof_join(
+        ev.withColumnRenamed("user_id", "k"),
+        latest.withColumnRenamed("o_custkey", "k"),
+        key="k", left_ts="ts", right_ts="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+    ).select(
+        "event_id", F.col("k").alias("user_id"), "ts",
+        F.col("asof_o_orderkey").alias("last_orderkey"),
+        F.col("asof_o_totalprice").alias("last_totalprice"),
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: classify orders into price tiers via a
+    broadcast band table — BroadcastNestedLoopJoin on lo <= v < hi,
+    zero shuffle on the fact side."""
+    bands = spark.createDataFrame(
+        [(0.0, 75000.0, "low"), (75000.0, 200000.0, "mid"),
+         (200000.0, 1e9, "high")],
+        "lo double, hi double, tier string",
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return tmp.range_join_bands(orders, bands, "o_totalprice").select(
+        "o_orderkey", "o_totalprice", "tier"
+    )
+
+
+def q_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size (64-token) training-sequence chunks per document."""
+    return txt.token_chunks(_docs(spark, sf_dir), chunk_size=64)
+
+
+def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median, p90) of event value per
+    type — the oracle-checkable twin; at 100 TB swap in
+    approx_percentile (t-digest sketch, one pass, mergeable) — same
+    call shape, bounded error (see q_approx_distinct for the
+    sketch-tier entry)."""
+    return (
+        _ev(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        )
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch tier (rows-only by design — a HyperLogLog estimate has no
+    exact ANSI twin): approx distinct users per event type alongside
+    the exact count; the pytest bound asserts relative error <= 5%.
+    At 100 TB the sketch is the only viable plan: one pass, fixed
+    memory, mergeable across partitions (exact distinct shuffles every
+    key)."""
+    return (
+        _ev(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Composite lifecycle queries: drive the side-effecting engine machinery
 # (TableStore upsert/swap/delete, CSV/pandas IO, script runner, Pipeline)
 # end-to-end in a throwaway /tmp store and return the final table state so
@@ -931,6 +1022,29 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (``dropDuplicatesWithinWatermark``) on a
+    stream that replays every event TWICE: the surviving key set must be
+    exactly the batch DISTINCT. Only the key is projected — which
+    physical duplicate survives is arrival-order-dependent, the set of
+    keys is not — so the oracle compare is deterministic while still
+    proving the bounded-state streaming dedup drops every replay."""
+    stream = _stream_events(spark, sf_dir, ["event_id", "ts"])
+    doubled = stream.unionByName(stream)
+    name = f"sdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdedup(doubled, keys=("event_id",), ts_col="ts", watermark="1 hour")
+        .select("event_id")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("event_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1253,6 +1367,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_dedup": q_embedding_dedup,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "token_chunks": q_token_chunks,
+        "percentile_stats": q_percentile_stats,
+        "approx_distinct": q_approx_distinct,
+        "stream_dedup": q_stream_dedup,
     }
 
 
@@ -1513,6 +1633,49 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "minhash_candidates": _MINHASH_SQL,
         "simhash_pairs": _SIMHASH_SQL,
+        "asof_join": (
+            # DuckDB's native ASOF JOIN is the independent semantic twin
+            # of the union+window implementation (inclusive backward).
+            "WITH latest AS (SELECT o_custkey, o_orderdate, o_orderkey, "
+            "o_totalprice FROM (SELECT *, row_number() OVER (PARTITION BY "
+            "o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn "
+            "FROM orders) WHERE rn = 1) "
+            "SELECT e.event_id, e.user_id, e.ts, "
+            "r.o_orderkey AS last_orderkey, "
+            "r.o_totalprice AS last_totalprice "
+            "FROM events e ASOF LEFT JOIN latest r "
+            "ON e.user_id = r.o_custkey "
+            "AND e.ts >= CAST(r.o_orderdate AS TIMESTAMP)"
+        ),
+        "range_join": (
+            "SELECT o_orderkey, o_totalprice, tier FROM orders LEFT JOIN "
+            "(VALUES (0.0, 75000.0, 'low'), (75000.0, 200000.0, 'mid'), "
+            "(200000.0, 1e9, 'high')) b(lo, hi, tier) "
+            "ON o_totalprice >= lo AND o_totalprice < hi"
+        ),
+        "token_chunks": r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                x -> x <> '') AS t
+  FROM documents
+), ch AS (
+  SELECT doc_id, CAST(u.chunk_id AS INTEGER) AS chunk_id,
+         t[u.chunk_id*64+1 : u.chunk_id*64+64] AS c
+  FROM toks, unnest(range(CAST(floor(greatest(len(t)-1, 0) / 64)
+                          AS BIGINT) + 1)) AS u(chunk_id)
+)
+SELECT doc_id, chunk_id, len(c) AS n_tokens,
+       array_to_string(c, ' ') AS chunk_text
+FROM ch WHERE len(c) > 0
+""",
+        "percentile_stats": (
+            "SELECT event_type, count(*) AS n, "
+            "round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS p50, "
+            "round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p90 "
+            "FROM events GROUP BY event_type"
+        ),
+        "stream_dedup": "SELECT DISTINCT event_id FROM events",
         "brute_force_topk": _BRUTE_SQL,
         "embedding_dedup": _EMB_DEDUP_SQL,
     }

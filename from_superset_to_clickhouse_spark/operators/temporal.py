@@ -1,0 +1,98 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range join.
+
+Scale design:
+
+- ``asof_join`` is the union + single-window-pass formulation — the ONLY
+  shape that survives 100 TB. The naive formulation (equi-join on key +
+  range predicate + argmax) explodes to |left| × |right rows per key|
+  intermediate rows before pruning; the window formulation shuffles each
+  row exactly once on the join key and fills values with a running
+  ``last(ignorenulls)`` inside the sorted partition. One shuffle, no
+  blowup, AQE-friendly.
+- ``range_join_bands`` broadcasts the (tiny) band table so the fact side
+  never shuffles; Spark executes it as a BroadcastNestedLoopJoin, which
+  is the right plan when one side is a handful of rows.
+
+Reference parity: the reference has no temporal-join surface (its
+ClickHouse schema is append + ReplacingMergeTree, see
+``v2/sql/create_tables.sql``); these operators are part of the
+LLM-pipeline extension surface (point-in-time feature attachment,
+banded bucketing for curriculum/quality tiers).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: Sequence[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For every left row, attach ``payload`` from the LATEST right row
+    with ``right_ts <= left_ts`` on the same ``key`` (backward as-of
+    join, inclusive — DuckDB/pandas ``merge_asof`` default semantics).
+    Left rows with no earlier right row get NULLs.
+
+    DETERMINISM CONTRACT: (key, right_ts) must be unique on the right —
+    pre-dedupe with ``latest_view``/``row_number`` if it is not; with
+    duplicates the winner would depend on sort stability.
+
+    Implementation: tag and union both sides, then one window pass per
+    payload column — ``last(col, ignorenulls=True)`` over
+    (partitionBy key, orderBy ts, side) with side ordering right-first
+    so an exactly-equal timestamp is visible to the left row (<=, not <).
+    """
+    lcols = left.columns
+    out_names = [f"{prefix}{c}" for c in payload]
+    l_tagged = left.select(
+        F.col(key).alias("_ak"),
+        F.col(left_ts).cast("timestamp").alias("_ats"),
+        F.lit(1).alias("_aside"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(n)
+          for c, n in zip(payload, out_names)],
+    )
+    r_tagged = right.select(
+        F.col(key).alias("_ak"),
+        F.col(right_ts).cast("timestamp").alias("_ats"),
+        F.lit(0).alias("_aside"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(n) for c, n in zip(payload, out_names)],
+    )
+    w = (
+        Window.partitionBy("_ak")
+        .orderBy(F.col("_ats"), F.col("_aside"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_tagged.unionByName(r_tagged)
+    for n in out_names:
+        filled = filled.withColumn(n, F.last(n, ignorenulls=True).over(w))
+    return filled.filter(F.col("_aside") == 1).select(*lcols, *out_names)
+
+
+def range_join_bands(
+    fact: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Attach band attributes where ``lo <= value < hi`` (left join).
+
+    ``bands`` must be small (a classification table — quality tiers,
+    price bands, length buckets): it is broadcast, so the fact side
+    streams through a BroadcastNestedLoopJoin with zero shuffle. For a
+    LARGE range side, pre-bucket both sides to a common grid and
+    equi-join on the bucket instead — not this operator's job.
+    """
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return fact.join(F.broadcast(bands), cond, "left")

@@ -243,3 +243,49 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df_docs", "tfidf", "rank")
     )
+
+
+def token_chunks(
+    df: DataFrame,
+    chunk_size: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-size token chunks for training
+    sequences → (doc_id, chunk_id, n_tokens, chunk_text).
+
+    The pre-tokenization step of a training-data pipeline: documents
+    become ≤``chunk_size``-token windows (no overlap; last chunk is the
+    remainder) that a downstream packer/tokenizer consumes. Everything
+    is Catalyst array expressions — the token array is bound once per
+    row (``let_bind``), chunk extraction is ``slice`` on the bound
+    array, and ``posexplode`` emits one row per chunk. One narrow
+    projection + explode: no shuffle, no UDF, linear in corpus size.
+    """
+    from from_superset_to_clickhouse_spark.functions.scalar import let_bind
+
+    chunks = let_bind(
+        word_tokens(F.col(text_col)),
+        lambda toks: let_bind(F.size(toks), lambda n: F.transform(
+            # ceil(n / chunk_size) chunk starts; empty docs get 0 chunks.
+            F.sequence(
+                F.lit(0),
+                F.floor(F.greatest(n - 1, F.lit(0)) / F.lit(chunk_size))
+                .cast("int"),
+            ),
+            lambda i: F.slice(toks, i * chunk_size + 1, chunk_size),
+        )),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(chunks).alias("chunk_id", "_toks"),
+        )
+        .filter(F.size("_toks") > 0)
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("_toks").alias("n_tokens"),
+            F.concat_ws(" ", "_toks").alias("chunk_text"),
+        )
+    )

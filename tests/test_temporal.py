@@ -1,0 +1,94 @@
+"""As-of join, range join, token chunking, sketch-tier bounds."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from from_superset_to_clickhouse_spark.operators.temporal import (
+    asof_join,
+    range_join_bands,
+)
+from from_superset_to_clickhouse_spark.operators.text import token_chunks
+
+
+@pytest.fixture(scope="module")
+def left(spark):
+    return spark.createDataFrame(
+        [(1, "2024-01-05 10:00:00"), (1, "2024-01-01 00:00:00"),
+         (1, "2024-01-03 00:00:00"), (2, "2024-02-01 00:00:00")],
+        "k int, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+@pytest.fixture(scope="module")
+def right(spark):
+    return spark.createDataFrame(
+        [(1, "2024-01-03", 100), (1, "2024-01-05", 200), (3, "2024-01-01", 9)],
+        "k int, od string, v int",
+    ).withColumn("od", F.col("od").cast("date"))
+
+
+def test_asof_backward_inclusive(spark, left, right):
+    got = {
+        (r["k"], str(r["ts"])): r["asof_v"]
+        for r in asof_join(left, right, "k", "ts", "od", ["v"]).collect()
+    }
+    assert got[(1, "2024-01-01 00:00:00")] is None  # nothing earlier
+    assert got[(1, "2024-01-03 00:00:00")] == 100   # exact-equal ts counts
+    assert got[(1, "2024-01-05 10:00:00")] == 200   # latest earlier wins
+    assert got[(2, "2024-02-01 00:00:00")] is None  # key absent on right
+
+
+def test_asof_preserves_left_rowcount(spark, left, right):
+    assert asof_join(left, right, "k", "ts", "od", ["v"]).count() == left.count()
+
+
+def test_range_join_band_edges(spark):
+    bands = spark.createDataFrame(
+        [(0.0, 10.0, "a"), (10.0, 20.0, "b")], "lo double, hi double, t string"
+    )
+    fact = spark.createDataFrame(
+        [(0.0,), (9.99,), (10.0,), (19.99,), (20.0,), (-1.0,)], "v double"
+    )
+    got = {r["v"]: r["t"] for r in range_join_bands(fact, bands, "v").collect()}
+    # lo inclusive, hi exclusive; out-of-range keeps the row with NULL.
+    assert got[0.0] == "a" and got[9.99] == "a"
+    assert got[10.0] == "b" and got[19.99] == "b"
+    assert got[20.0] is None and got[-1.0] is None
+
+
+def test_range_join_is_broadcast(spark):
+    import contextlib
+    import io
+
+    bands = spark.createDataFrame([(0.0, 10.0, "a")], "lo double, hi double, t string")
+    fact = spark.createDataFrame([(1.0,)], "v double")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        range_join_bands(fact, bands, "v").explain("formatted")
+    assert "BroadcastNestedLoopJoin" in buf.getvalue()
+
+
+def test_token_chunks_partition_and_order(spark):
+    text = " ".join(f"w{i}" for i in range(130))
+    df = spark.createDataFrame(
+        [(1, text), (2, "a b"), (3, ""), (4, "...!!!")], "doc_id int, text string"
+    )
+    rows = token_chunks(df, chunk_size=64).orderBy("doc_id", "chunk_id").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [r["n_tokens"] for r in by_doc[1]] == [64, 64, 2]
+    # Chunks concatenate back to the full token stream, in order.
+    assert " ".join(r["chunk_text"] for r in by_doc[1]) == text
+    assert by_doc[2][0]["chunk_text"] == "a b"
+    assert 3 not in by_doc and 4 not in by_doc  # token-less docs emit nothing
+
+
+def test_approx_distinct_error_bound(spark):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["approx_distinct"](spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        err = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
+        assert err <= 0.05, (r["event_type"], err)
