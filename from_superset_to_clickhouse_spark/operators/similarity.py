@@ -209,6 +209,60 @@ def _rp_bits(vec: Column, planes: int, seed: int = 7) -> Column:
     )
 
 
+def _srp_buckets_vectorized(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    planes: int,
+    band_bits: int,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, band, bucket) rows via one BLAS projection per Arrow batch.
+
+    The expression twin (``_rp_bits`` + banding) evaluates O(planes ×
+    dim) hash+multiply lambdas per row inside codegen — measured as the
+    dominant cost of ``lsh_topk`` (the join itself is cheap). Here the
+    hyperplanes are a deterministic Gaussian matrix (fixed seed → same
+    planes on every executor and every call, no RNG state shipped), the
+    sign bits are one ``m @ P >= 0`` per batch, and band buckets are a
+    base-2 dot product — the Arrow path, ~an order of magnitude faster.
+    Sign convention matches ``_rp_bits`` (>= 0 → 1)."""
+    import numpy as np
+
+    id_type = dict(df.dtypes)[id_col]
+    n_bands = planes // band_bits
+
+    def gen(batches):
+        import pandas as pd
+
+        P = None
+        pow2 = (1 << np.arange(band_bits)).astype(np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.asarray(list(pdf["vec"]), dtype=np.float64)
+            if P is None:
+                P = np.random.RandomState(seed).standard_normal(
+                    (m.shape[1], planes)
+                )
+            bits = (m @ P) >= 0.0  # n × planes
+            buckets = (
+                bits.reshape(len(pdf), n_bands, band_bits) * pow2
+            ).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    out_id: np.repeat(pdf["_sid"].to_numpy(), n_bands),
+                    "band": np.tile(np.arange(n_bands, dtype=np.int32), len(pdf)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias("_sid"), F.col(vec_col).alias("vec")
+    ).mapInPandas(gen, schema=f"{out_id} {id_type}, band int, bucket bigint")
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -232,23 +286,34 @@ def lsh_topk(
     Scale design: the band join carries ONLY (id, band, bucket) — never
     the vectors, which would multiply shuffle volume by the band count.
     Vectors are joined back just for the surviving candidate pairs
-    (queries broadcast; corpus joined on its key). The signature bit
-    array is computed once per row (let-bound) and sliced per band.
+    (queries broadcast; corpus joined on its key). Signatures come from
+    the Arrow BLAS path when numpy is available (one matrix multiply per
+    batch — the expression twin's per-element codegen lambdas were the
+    measured dominant cost); the pure-Catalyst ``_rp_bits`` banding is
+    the no-numpy fallback.
     """
     n_bands = planes // band_bits
 
-    def banded(df: DataFrame, out_id: str) -> DataFrame:
-        buckets = let_bind(
-            _rp_bits(F.col(vec_col), planes),
-            lambda s: F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda i: F.hash(F.slice(s, i * band_bits + 1, band_bits)),
-            ),
-        )
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.posexplode(buckets).alias("band", "bucket"),
-        )
+    try:
+        import numpy  # noqa: F401
+
+        def banded(df: DataFrame, out_id: str) -> DataFrame:
+            return _srp_buckets_vectorized(
+                df, id_col, vec_col, out_id, planes, band_bits
+            )
+    except ImportError:
+        def banded(df: DataFrame, out_id: str) -> DataFrame:
+            buckets = let_bind(
+                _rp_bits(F.col(vec_col), planes),
+                lambda s: F.transform(
+                    F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                    lambda i: F.hash(F.slice(s, i * band_bits + 1, band_bits)),
+                ),
+            )
+            return df.select(
+                F.col(id_col).alias(out_id),
+                F.posexplode(buckets).alias("band", "bucket"),
+            )
 
     qb = banded(queries, "q_id")
     cb = banded(corpus, "n_id")
@@ -371,22 +436,30 @@ def embedding_dedup_pairs(
     of 16) ≈ 1-(1-0.9^4)^16 ≈ 0.999.
     """
     n_bands = planes // band_bits
-    buckets = let_bind(
-        _rp_bits(F.col(vec_col), planes),
-        lambda s: F.transform(
-            F.sequence(F.lit(0), F.lit(n_bands - 1)),
-            lambda i: F.hash(F.slice(s, i * band_bits + 1, band_bits)),
-        ),
-    )
+    try:
+        import numpy  # noqa: F401
+
+        unbanded = _srp_buckets_vectorized(
+            df, id_col, vec_col, "vid", planes, band_bits
+        )
+    except ImportError:
+        buckets = let_bind(
+            _rp_bits(F.col(vec_col), planes),
+            lambda s: F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda i: F.hash(F.slice(s, i * band_bits + 1, band_bits)),
+            ),
+        )
+        unbanded = df.select(
+            F.col(id_col).alias("vid"),
+            F.posexplode(buckets).alias("band", "bucket"),
+        )
     # Persisted: consumed by both sides of the self-join; payload is
     # (id, band, bucket) only. Released via _finalize below — persist
     # registers in the session CacheManager, which the ContextCleaner
     # does NOT reclaim, so the eager-materialize/unpersist pair is what
     # keeps repeated calls from accumulating storage blocks.
-    banded = df.select(
-        F.col(id_col).alias("vid"),
-        F.posexplode(buckets).alias("band", "bucket"),
-    ).persist()
+    banded = unbanded.persist()
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
