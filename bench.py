@@ -74,6 +74,11 @@ def main() -> None:
     load_table(spark, SF_DIR, "events").limit(100).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Python-worker warmup: spin up the Arrow worker pool so the first
+    # mapInPandas-using query isn't billed for daemon startup either.
+    spark.range(1024).repartition(int(CPUS)).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     qmap = entrymod.queries()
     timings: dict[str, float] = {}

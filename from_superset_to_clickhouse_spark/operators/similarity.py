@@ -258,9 +258,16 @@ def _srp_buckets_vectorized(
                 }
             )
 
-    return df.select(
-        F.col(id_col).alias("_sid"), F.col(vec_col).alias("vec")
-    ).mapInPandas(gen, schema=f"{out_id} {id_type}, band int, bucket bigint")
+    src = df.select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("vec"))
+    # Repartition a small/compacted source so the Python projection
+    # stage uses every core (no-op at real scale, where the input
+    # already has >= core partitions).
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    return src.mapInPandas(
+        gen, schema=f"{out_id} {id_type}, band int, bucket bigint"
+    )
 
 
 def lsh_topk(
