@@ -40,6 +40,7 @@ from from_superset_to_clickhouse_spark.functions.scalar import (
 from from_superset_to_clickhouse_spark.operators import dedup as ddp
 from from_superset_to_clickhouse_spark.operators import multimodal as mm
 from from_superset_to_clickhouse_spark.operators import similarity as simi
+from from_superset_to_clickhouse_spark.operators import sampling as smp
 from from_superset_to_clickhouse_spark.operators import temporal as tmp
 from from_superset_to_clickhouse_spark.operators import text as txt
 from from_superset_to_clickhouse_spark.operators.ingest import build_increment
@@ -1024,6 +1025,68 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (cross-tab): monthly event counts, one column per type.
+    The value list is explicit so the plan is a single pass of
+    conditional aggregates — no extra distinct-values job, stable
+    column order."""
+    return (
+        _ev(spark, sf_dir)
+        .groupBy(F.date_trunc("month", F.col("ts")).cast("date").alias("month"))
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )
+
+
+def q_ntile_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bucketing (quality tiers for curriculum/filtering):
+    ntile(10) over (n_chars, doc_id) — the doc_id tiebreak makes tier
+    assignment total-order deterministic."""
+    w = Window.orderBy(F.col("n_chars"), F.col("doc_id"))
+    return _docs(spark, sf_dir).select(
+        "doc_id", "n_chars", F.ntile(10).over(w).alias("tier")
+    )
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-stable deterministic 80/20 split (affine-hash basis points —
+    same membership on any cluster size / partitioning, replicable in
+    ANSI SQL; df.sample() is neither)."""
+    return smp.train_test_split(
+        _docs(spark, sf_dir).select("doc_id", "lang"), "doc_id", 8000
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling: keep 50% of en, 20% of
+    zh, 10% of everything else — the rebalancing step of a multilingual
+    training mix, with broadcast rates and key-stable membership."""
+    return smp.stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        key_col="doc_id",
+        stratum_col="lang",
+        rates_bp={"en": 5000, "zh": 2000},
+        default_bp=1000,
+    )
+
+
+def q_grouped_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped distinct-set collection, serialized sorted so the result
+    is order-insensitive and oracle-comparable: per event type, the set
+    of user-id shards (mod 97) that produced it."""
+    shard = F.pmod(F.col("user_id"), F.lit(97))
+    return (
+        _ev(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_set(shard.cast("int")))
+            ).alias("shards")
+        )
+    )
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup (``dropDuplicatesWithinWatermark``) on a
     stream that replays every event TWICE: the surviving key set must be
@@ -1373,6 +1436,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_stats": q_percentile_stats,
         "approx_distinct": q_approx_distinct,
         "stream_dedup": q_stream_dedup,
+        "pivot": q_pivot,
+        "ntile_tiers": q_ntile_tiers,
+        "train_test_split": q_train_test_split,
+        "stratified_sample": q_stratified_sample,
+        "grouped_collect": q_grouped_collect,
     }
 
 
@@ -1676,6 +1744,35 @@ FROM ch WHERE len(c) > 0
             "FROM events GROUP BY event_type"
         ),
         "stream_dedup": "SELECT DISTINCT event_id FROM events",
+        "pivot": (
+            "SELECT CAST(date_trunc('month', ts) AS DATE) AS month, "
+            "count(*) FILTER (WHERE event_type = 'click') AS click, "
+            "count(*) FILTER (WHERE event_type = 'view') AS view, "
+            "count(*) FILTER (WHERE event_type = 'purchase') AS purchase, "
+            "count(*) FILTER (WHERE event_type = 'signup') AS signup, "
+            "count(*) FILTER (WHERE event_type = 'error') AS error "
+            "FROM events GROUP BY 1"
+        ),
+        "ntile_tiers": (
+            "SELECT doc_id, n_chars, ntile(10) OVER "
+            "(ORDER BY n_chars, doc_id) AS tier FROM documents"
+        ),
+        "train_test_split": (
+            "SELECT doc_id, lang, CASE WHEN "
+            "((doc_id % 1000003) * 514229 + 285311) % 1000003 % 10000 "
+            "< 8000 THEN 'train' ELSE 'test' END AS split FROM documents"
+        ),
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            "((doc_id % 1000003) * 514229 + 285311) % 1000003 % 10000 < "
+            "CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2000 "
+            "ELSE 1000 END"
+        ),
+        "grouped_collect": (
+            "SELECT event_type, array_to_string("
+            "list_sort(list(DISTINCT CAST(user_id % 97 AS INTEGER))), ',') "
+            "AS shards FROM events GROUP BY event_type"
+        ),
         "brute_force_topk": _BRUTE_SQL,
         "embedding_dedup": _EMB_DEDUP_SQL,
     }

@@ -1,0 +1,82 @@
+"""Deterministic sampling and dataset splitting for training pipelines.
+
+Everything here is HASH-BASED, not RNG-based, on purpose:
+
+- Reproducible: the same row lands in the same split on every run, on
+  any cluster size, after any repartition — `df.sample()` does not
+  guarantee that (it is seeded per-partition, so a repartition reshuffles
+  membership).
+- Engine-agnostic: the hash is plain modular arithmetic on BIGINT, so a
+  SQL oracle (or a downstream system auditing the split) reproduces
+  membership bit-for-bit. No xxhash64/rand dependency.
+- Leakage-safe: splitting on a STABLE KEY (doc id, user id) rather than
+  a row hash keeps all rows of an entity in one split.
+
+The hash is a fixed-parameter affine map modulo a prime — not
+cryptographic, just well-mixed and overflow-safe under ANSI mode:
+pmod(key, M) < M ≈ 1e6, times A ≈ 5e5 stays far below 2^63.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_M = 1_000_003      # prime modulus
+_A = 514_229        # multiplier (fib prime; coprime with _M)
+_B = 285_311        # offset
+
+
+def hash_basis_points(key: Column) -> Column:
+    """Deterministic bucket in [0, 10000) from a BIGINT key.
+
+    SQL twin: ``((key % 1000003) * 514229 + 285311) % 1000003 % 10000``
+    (keys must be non-negative for `%`/pmod to agree across engines).
+    """
+    return F.pmod(
+        F.pmod(F.pmod(key.cast("long"), _M) * _A + _B, _M), 10000
+    )
+
+
+def sample_pct(df: DataFrame, key_col: str, basis_points: int) -> DataFrame:
+    """Keep ~basis_points/10000 of rows, deterministically by key."""
+    return df.filter(hash_basis_points(F.col(key_col)) < basis_points)
+
+
+def train_test_split(
+    df: DataFrame, key_col: str, train_bp: int = 8000, out_col: str = "split"
+) -> DataFrame:
+    """Add a 'train'/'test' column: key-stable ~train_bp/10000 split."""
+    return df.withColumn(
+        out_col,
+        F.when(
+            hash_basis_points(F.col(key_col)) < train_bp, F.lit("train")
+        ).otherwise(F.lit("test")),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates_bp: dict[str, int],
+    default_bp: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant
+    languages, keep all of rare ones). ``rates_bp`` maps stratum value →
+    basis points kept; strata not listed get ``default_bp``.
+
+    The rates ride along as a broadcast dim (never a shuffle of the fact
+    side); membership stays key-stable within each stratum.
+    """
+    spark = df.sparkSession
+    rates = spark.createDataFrame(
+        [(k, int(v)) for k, v in rates_bp.items()],
+        f"{stratum_col} string, _rate_bp int",
+    )
+    return (
+        df.join(F.broadcast(rates), stratum_col, "left")
+        .withColumn("_rate_bp", F.coalesce(F.col("_rate_bp"), F.lit(default_bp)))
+        .filter(hash_basis_points(F.col(key_col)) < F.col("_rate_bp"))
+        .drop("_rate_bp")
+    )

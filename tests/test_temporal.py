@@ -92,3 +92,43 @@ def test_approx_distinct_error_bound(spark):
     for r in rows:
         err = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
         assert err <= 0.05, (r["event_type"], err)
+
+
+def test_train_test_split_is_key_stable_under_repartition(spark):
+    from from_superset_to_clickhouse_spark.operators.sampling import (
+        train_test_split,
+    )
+    from from_superset_to_clickhouse_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id"
+    )
+    a = {r["doc_id"]: r["split"] for r in train_test_split(docs, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in train_test_split(docs.repartition(7), "doc_id").collect()
+    }
+    assert a == b  # membership survives arbitrary repartitioning
+    frac = sum(v == "train" for v in a.values()) / len(a)
+    assert 0.7 < frac < 0.9
+
+
+def test_stratified_sample_rates(spark):
+    from from_superset_to_clickhouse_spark.operators.sampling import (
+        stratified_sample,
+    )
+    from from_superset_to_clickhouse_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "lang"
+    )
+    kept = stratified_sample(
+        docs, "doc_id", "lang", {"en": 10000, "zh": 0}, default_bp=5000
+    ).collect()
+    langs = {r["lang"] for r in kept}
+    n_en = sum(r["lang"] == "en" for r in kept)
+    assert n_en == docs.filter("lang = 'en'").count()  # 100% stratum kept
+    assert "zh" not in langs                            # 0% stratum dropped
+    others = len(kept) - n_en
+    total_others = docs.filter("lang NOT IN ('en','zh')").count()
+    assert 0.3 < others / total_others < 0.7            # ~50% default
