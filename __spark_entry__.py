@@ -1110,6 +1110,163 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("event_id")
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / semi-join (TPC-H Q4 shape, adapted to the trimmed
+    fixture: "shipped more than 60 days after ordering" stands in for
+    commit-vs-receipt lateness).
+
+    The correlated EXISTS compiles to a LEFT SEMI hash join on
+    l_orderkey with the date comparison as a join residual — one
+    shuffle, no row duplication from multi-match, which is the point of
+    semi-join semantics at scale."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(dt.datetime(1997, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(dt.datetime(1998, 1, 1)))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier volume (TPC-H Q5 shape): 6-way join
+    customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region with the
+    same-nation residual (c_nationkey = s_nationkey).
+
+    Plan shape: lineitem⋈orders shuffles once on orderkey; customer,
+    supplier, nation, region are all broadcastable dims, so the fact
+    table is shuffled exactly once."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(dt.datetime(1997, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(dt.datetime(1998, 1, 1)))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_fxp_sum(revenue).alias("revenue"))
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation over a join (TPC-H Q12 shape, with
+    o_orderpriority standing in for the missing l_shipmode): per return
+    flag, how many shipped lines belong to high- vs low-priority orders.
+    The CASE WHEN folds into the partial aggregate — a single shuffle of
+    pre-combined counts."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(dt.datetime(1998, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(dt.datetime(1999, 1, 1)))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_lines"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_priority_lines"),
+        )
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share (TPC-H Q14 shape): broadcast part dim, one
+    month of lineitem, CASE-gated numerator over a common denominator.
+    Both sums go through the fixed-point detour so the final division is
+    a single deterministic IEEE op on identical operands in both
+    engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(dt.datetime(1998, 3, 1)))
+        & (F.col("l_shipdate") < F.lit(dt.datetime(1998, 4, 1)))
+    )
+    part = _t(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (F.lit(100.0) * _fxp_sum(promo) / _fxp_sum(disc_price)).alias(
+                "promo_revenue_pct"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders (TPC-H Q18 shape): HAVING on a grouped sum,
+    then the qualifying keys drive a semi-join back into orders ⋈
+    customer. The qualifying-key set is tiny (HAVING > 300 keeps <0.5%
+    of orders), so it broadcasts — the big tables are never shuffled on
+    anything but their join keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar-aggregate subquery (TPC-H Q17 shape): lines
+    whose quantity is below 50% of their part's average quantity.
+
+    Decorrelated the way an optimizer would: the per-part AVG is a
+    grouped agg (one shuffle of partial sums), broadcast back onto
+    lineitem — no per-row subquery execution. avg = exact-integer sum /
+    exact count, so the 0.5×avg threshold is bit-identical across
+    engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_q = (
+        li.groupBy("l_partkey")
+        .agg(F.avg("l_quantity").alias("avg_qty"))
+    )
+    return (
+        li.join(F.broadcast(avg_q), "l_partkey")
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg(
+            _fxp_sum(F.col("l_extendedprice")).alias("total_price"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect = ANSI subset; views pre-registered)
 # ---------------------------------------------------------------------------
@@ -1436,6 +1593,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_stats": q_percentile_stats,
         "approx_distinct": q_approx_distinct,
         "stream_dedup": q_stream_dedup,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
         "pivot": q_pivot,
         "ntile_tiers": q_ntile_tiers,
         "train_test_split": q_train_test_split,
@@ -1744,6 +1907,72 @@ FROM ch WHERE len(c) > 0
             "FROM events GROUP BY event_type"
         ),
         "stream_dedup": "SELECT DISTINCT event_id FROM events",
+        "tpch_q4": (
+            "SELECT o_orderpriority, count(*) AS n_orders FROM orders o "
+            "WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey "
+            "AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) "
+            "GROUP BY o_orderpriority"
+        ),
+        "tpch_q5": (
+            "SELECT n_name, "
+            + _fxp_sum_sql("l_extendedprice * (1 - l_discount)")
+            + " AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "AND c_nationkey = s_nationkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY n_name"
+        ),
+        "tpch_q12": (
+            "SELECT l_returnflag, "
+            "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END) AS high_priority_lines, "
+            "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 0 ELSE 1 END) AS low_priority_lines "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_shipdate >= TIMESTAMP '1998-01-01' "
+            "AND l_shipdate < TIMESTAMP '1999-01-01' "
+            "GROUP BY l_returnflag"
+        ),
+        "tpch_q14": (
+            "SELECT 100.0 * ("
+            + _fxp_sum_sql(
+                "CASE WHEN p_type = 'PROMO' "
+                "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END"
+            )
+            + ") / ("
+            + _fxp_sum_sql("l_extendedprice * (1 - l_discount)")
+            + ") AS promo_revenue_pct, count(*) AS n_lines "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1998-03-01' "
+            "AND l_shipdate < TIMESTAMP '1998-04-01'"
+        ),
+        "tpch_q17": (
+            "SELECT " + _fxp_sum_sql("l_extendedprice") + " AS total_price, "
+            "count(*) AS n_lines FROM lineitem li JOIN "
+            "(SELECT l_partkey, avg(l_quantity) AS avg_qty "
+            "FROM lineitem GROUP BY l_partkey) pa "
+            "ON li.l_partkey = pa.l_partkey "
+            "WHERE li.l_quantity < 0.5 * pa.avg_qty"
+        ),
+        "tpch_q18": (
+            "SELECT c_name, c_custkey, o_orderkey, "
+            "CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, "
+            "total_qty FROM orders "
+            "JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty "
+            "FROM lineitem GROUP BY l_orderkey "
+            "HAVING sum(l_quantity) > 300) big "
+            "ON o_orderkey = big.l_orderkey "
+            "JOIN customer ON o_custkey = c_custkey"
+        ),
         "pivot": (
             "SELECT CAST(date_trunc('month', ts) AS DATE) AS month, "
             "count(*) FILTER (WHERE event_type = 'click') AS click, "
