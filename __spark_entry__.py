@@ -1110,6 +1110,34 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("event_id")
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (pre-training redaction): emails and phone-like runs
+    masked by pure-codegen regexp_replace. The fixture text is clean, so
+    the query PLANTS one email and one phone per doc (derived from
+    doc_id) before scrubbing — the oracle thereby verifies the masking
+    actually fires on every row, not that a no-op equals a no-op."""
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" reach me at user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1 (555) 010-"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", txt.redact_pii(planted).alias("clean")
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into fixed char-budget training bins,
+    shard-parallel (no global sort — a single global ORDER BY window
+    would serialize the corpus through one task at 100 TB)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return smp.pack_sequences(
+        docs, token_col="n_chars", id_col="doc_id", budget=4096, shards=8
+    )
+
+
 def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS / semi-join (TPC-H Q4 shape, adapted to the trimmed
     fixture: "shipped more than 60 days after ordering" stands in for
@@ -1593,6 +1621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_stats": q_percentile_stats,
         "approx_distinct": q_approx_distinct,
         "stream_dedup": q_stream_dedup,
+        "pii_redact": q_pii_redact,
+        "pack_sequences": q_pack_sequences,
         "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
         "tpch_q12": q_tpch_q12,
@@ -1907,6 +1937,27 @@ FROM ch WHERE len(c) > 0
             "FROM events GROUP BY event_type"
         ),
         "stream_dedup": "SELECT DISTINCT event_id FROM events",
+        "pii_redact": (
+            "SELECT doc_id, regexp_replace(regexp_replace("
+            "text || ' reach me at user' || CAST(doc_id AS VARCHAR) || "
+            "'@mail.example.com or +1 (555) 010-' || "
+            "lpad(CAST(doc_id AS VARCHAR), 4, '0'), "
+            "'" + txt.PII_EMAIL_RE + "', '<EMAIL>', 'g'), "
+            "'" + txt.PII_PHONE_RE + "', '<PHONE>', 'g') AS clean "
+            "FROM documents"
+        ),
+        "pack_sequences": (
+            "WITH s AS (SELECT doc_id, n_chars, "
+            "CAST(((doc_id % 1000003) * 514229 + 285311) % 1000003 % 8 "
+            "AS INTEGER) AS shard FROM documents) "
+            "SELECT doc_id, n_chars, shard, "
+            "CAST(floor(COALESCE(SUM(n_chars) OVER w, 0) / 4096.0) "
+            "AS INTEGER) AS bin, "
+            "CAST(COALESCE(SUM(n_chars) OVER w, 0) % 4096 AS INTEGER) "
+            "AS bin_offset FROM s WINDOW w AS (PARTITION BY shard "
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND 1 PRECEDING)"
+        ),
         "tpch_q4": (
             "SELECT o_orderpriority, count(*) AS n_orders FROM orders o "
             "WHERE o_orderdate >= TIMESTAMP '1997-01-01' "

@@ -19,7 +19,7 @@ pmod(key, M) < M ≈ 1e6, times A ≈ 5e5 stays far below 2^63.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _M = 1_000_003      # prime modulus
@@ -79,4 +79,40 @@ def stratified_sample(
         .withColumn("_rate_bp", F.coalesce(F.col("_rate_bp"), F.lit(default_bp)))
         .filter(hash_basis_points(F.col(key_col)) < F.col("_rate_bp"))
         .drop("_rate_bp")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    shards: int = 64,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training bins
+    (greedy sequential packing) → adds ``shard``, ``bin``, ``bin_offset``.
+
+    Documents are first scattered across ``shards`` by key hash, then
+    packed in key order WITHIN each shard: a doc starts a new bin when
+    the running total before it has crossed a multiple of ``budget``
+    (docs longer than ``budget`` spill over their bin boundary rather
+    than being split — splitting is ``token_chunks``'s job, upstream).
+
+    Scale design: the running sum is a window per shard, so parallelism
+    is ``shards``-wide and no global sort exists anywhere in the plan —
+    a single global ORDER BY window would serialize 100 TB through one
+    task. Membership is hash-derived, so the packing is deterministic
+    and replicable in ANSI SQL (same window in any engine).
+    """
+    shard = F.pmod(F.pmod(F.col(id_col).cast("long"), _M) * _A + _B, _M) % shards
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return (
+        df.withColumn("shard", shard.cast("int"))
+        .withColumn("bin", F.floor(cum_before / budget).cast("int"))
+        .withColumn("bin_offset", F.pmod(cum_before, F.lit(budget)).cast("int"))
     )

@@ -289,3 +289,28 @@ def token_chunks(
             F.concat_ws(" ", "_toks").alias("chunk_text"),
         )
     )
+
+
+# PII patterns — deliberately restricted to syntax both Java regex
+# (Spark) and RE2 (DuckDB, Go scrubbers) accept identically: character
+# classes, bounded repetition, alternation. No lookaround, no backrefs —
+# those diverge across engines and defeat oracle verification.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# Structured phone shape (optional +cc, optional (area), two 3-4 digit
+# groups) rather than "any long digit-ish run": a bare digit-run class
+# also swallows ISO dates like 2026-08-13, which a training corpus needs
+# to keep.
+PII_PHONE_RE = (
+    r"\+?[0-9]{1,3}[ .-]?\(?[0-9]{2,4}\)?[ .-]?[0-9]{3,4}[ .-]?[0-9]{3,4}"
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Mask emails then phone-like digit runs: the pre-training scrub
+    pass. Email first — an address can contain digits that the phone
+    pattern would otherwise shred mid-token. Pure codegen
+    (``regexp_replace`` replaces every match in both Spark and, with the
+    'g' flag, DuckDB/Postgres), so the scrub runs scan-speed with no
+    Python in the loop."""
+    no_email = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(no_email, PII_PHONE_RE, "<PHONE>")

@@ -132,3 +132,32 @@ def test_stratified_sample_rates(spark):
     others = len(kept) - n_en
     total_others = docs.filter("lang NOT IN ('en','zh')").count()
     assert 0.3 < others / total_others < 0.7            # ~50% default
+
+
+def test_pack_sequences_bins_and_scale_shape(spark):
+    from from_superset_to_clickhouse_spark.operators.sampling import (
+        pack_sequences,
+    )
+    from from_superset_to_clickhouse_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "n_chars"
+    )
+    packed = pack_sequences(docs, "n_chars", budget=1000, shards=4)
+    rows = sorted(
+        packed.collect(), key=lambda r: (r["shard"], r["doc_id"])
+    )
+    # replay the greedy pack per shard and check bin/offset arithmetic
+    cum = {}
+    for r in rows:
+        before = cum.get(r["shard"], 0)
+        assert r["bin"] == before // 1000
+        assert r["bin_offset"] == before % 1000
+        cum[r["shard"]] = before + r["n_chars"]
+    # membership is hash-of-key: identical after an arbitrary repartition
+    again = pack_sequences(docs.repartition(13), "n_chars", budget=1000, shards=4)
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in rows}
+    # scale shape: the window partitions by shard — no SinglePartition
+    # exchange may appear anywhere in the plan
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan

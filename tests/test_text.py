@@ -143,3 +143,26 @@ def test_rolling_fingerprint_known_values(spark):
     assert got[3] == (97 * 31 + 32) * 31 + 98
     # empty text hashes to the fold seed
     assert got[4] == 0
+
+
+def test_redact_pii_masks_planted_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+spam@sub.example.co.uk now"),
+            (2, "call +1 (555) 010-7788 today"),
+            (3, "digits 12345 are fine, 2026-08-13 too"),
+            (4, "both a@b.io and 555-010-9999 here"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r["clean"]
+        for r in df.select(
+            "doc_id", txt.redact_pii(F.col("text")).alias("clean")
+        ).collect()
+    }
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "call <PHONE> today"
+    # short digit runs and dates survive (phone needs >= 8 chars)
+    assert got[3] == "digits 12345 are fine, 2026-08-13 too"
+    assert got[4] == "both <EMAIL> and <PHONE> here"
