@@ -1110,6 +1110,78 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("event_id")
 
 
+def q_quantile_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe decile tiers: percentile_disc boundary agg + codegen
+    comparisons (``sampling.quantile_buckets``). The plan has no global
+    sort and no shuffle of the documents scan — contrast ``ntile_tiers``
+    (the exact-population twin), whose single-partition window is the
+    thing this operator exists to avoid at 100 TB."""
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return smp.quantile_buckets(docs, "n_chars", n_buckets=10)
+
+
+# DuckDB twin of q_quantile_tiers: boundaries by the SQL-standard
+# percentile_disc definition (smallest value with cume_dist >= p),
+# spelled out via cume_dist so the oracle does not depend on any
+# engine's quantile indexing convention.
+_QTILE_SQL = (
+    "WITH r AS (SELECT n_chars AS v, "
+    "cume_dist() OVER (ORDER BY n_chars) AS cd FROM documents), "
+    "b AS (SELECT "
+    + ", ".join(
+        f"min(CASE WHEN cd >= {i / 10} THEN v END) AS b{i}"
+        for i in range(1, 10)
+    )
+    + " FROM r) SELECT doc_id, n_chars, CAST(1 + "
+    + " + ".join(
+        f"(CASE WHEN n_chars > b{i} THEN 1 ELSE 0 END)" for i in range(1, 10)
+    )
+    + " AS INTEGER) AS tier FROM documents, b"
+)
+
+
+def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag window navigation: per-user inter-event gap in seconds
+    and next event type — the building block of sessionization and
+    funnel analysis. Partitioned by user, so the window parallelizes on
+    the user key; the (ts, event_id) compound order makes tie rows
+    deterministic."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        # microsecond difference: integer math, exact in both engines
+        # (NULL for each user's first event, via lag's NULL propagating)
+        (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — finer control than ROLLUP/CUBE (already
+    covered): totals by (type, month), by type alone, and grand total,
+    but NOT by month alone. One pass, partial-aggregated per set."""
+    ev = _ev(spark, sf_dir)
+    ev.createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        f"""
+        SELECT event_type,
+               CAST(date_trunc('month', ts) AS DATE) AS month,
+               count(*) AS n_events,
+               {_fxp_sum_sql('value')} AS sum_value
+        FROM _gs_events
+        GROUP BY GROUPING SETS (
+            (event_type, CAST(date_trunc('month', ts) AS DATE)),
+            (event_type),
+            ()
+        )
+        """
+    )
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (pre-training redaction): emails and phone-like runs
     masked by pure-codegen regexp_replace. The fixture text is clean, so
@@ -1621,6 +1693,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_stats": q_percentile_stats,
         "approx_distinct": q_approx_distinct,
         "stream_dedup": q_stream_dedup,
+        "quantile_tiers": q_quantile_tiers,
+        "lead_lag": q_lead_lag,
+        "grouping_sets": q_grouping_sets,
         "pii_redact": q_pii_redact,
         "pack_sequences": q_pack_sequences,
         "tpch_q4": q_tpch_q4,
@@ -1937,6 +2012,21 @@ FROM ch WHERE len(c) > 0
             "FROM events GROUP BY event_type"
         ),
         "stream_dedup": "SELECT DISTINCT event_id FROM events",
+        "quantile_tiers": _QTILE_SQL,
+        "lead_lag": (
+            "SELECT user_id, event_id, event_type, "
+            "epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us, "
+            "lead(event_type) OVER w AS next_type FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "grouping_sets": (
+            "SELECT event_type, "
+            "CAST(date_trunc('month', ts) AS DATE) AS month, "
+            "count(*) AS n_events, " + _fxp_sum_sql("value") + " AS sum_value "
+            "FROM events GROUP BY GROUPING SETS ("
+            "(event_type, CAST(date_trunc('month', ts) AS DATE)), "
+            "(event_type), ())"
+        ),
         "pii_redact": (
             "SELECT doc_id, regexp_replace(regexp_replace("
             "text || ' reach me at user' || CAST(doc_id AS VARCHAR) || "

@@ -116,3 +116,44 @@ def pack_sequences(
         .withColumn("bin", F.floor(cum_before / budget).cast("int"))
         .withColumn("bin_offset", F.pmod(cum_before, F.lit(budget)).cast("int"))
     )
+
+
+def quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    out_col: str = "tier",
+) -> DataFrame:
+    """Quality-tier assignment by quantile boundaries — the 100 TB
+    replacement for a global-ORDER-BY ``ntile``, which serializes the
+    whole table through one window task.
+
+    Two-phase: (1) ``percentile_disc`` boundaries in ONE distributed
+    aggregate (partial per partition, merged to ``n_buckets - 1``
+    scalars on the driver — bounded, like centroid training); (2) tier =
+    1 + count of boundaries strictly below the value, as pure codegen
+    comparisons. No shuffle of the data at all — the scan stays
+    partition-parallel.
+
+    ``percentile_disc`` follows the SQL-standard definition (smallest
+    value with cumulative distribution ≥ p), so any engine reproduces
+    the same boundaries bit-for-bit — they are actual data values, never
+    interpolated.
+
+    Unlike ``ntile`` the bucket populations are only approximately
+    equal under ties (every equal value lands in the same tier — which
+    is usually what a curriculum/filtering pipeline wants anyway).
+    """
+    ps = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(
+        *[
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY {value_col})"
+            ).alias(f"b{i}")
+            for i, p in enumerate(ps)
+        ]
+    ).collect()[0]
+    tier: Column = F.lit(1)
+    for b in bounds:
+        tier = tier + F.when(F.col(value_col) > F.lit(b), 1).otherwise(0)
+    return df.withColumn(out_col, tier.cast("int"))

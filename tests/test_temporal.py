@@ -161,3 +161,31 @@ def test_pack_sequences_bins_and_scale_shape(spark):
     # exchange may appear anywhere in the plan
     plan = packed._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_quantile_buckets_matches_definition_and_avoids_global_sort(spark):
+    from from_superset_to_clickhouse_spark.operators.sampling import (
+        quantile_buckets,
+    )
+    from from_superset_to_clickhouse_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "n_chars"
+    )
+    out = quantile_buckets(docs, "n_chars", n_buckets=4)
+    rows = out.collect()
+    # replay the definition: boundary_p = smallest v with cume_dist >= p
+    vals = sorted(r["n_chars"] for r in rows)
+    n = len(vals)
+    import math
+    bounds = [vals[math.ceil(n * p) - 1] for p in (0.25, 0.5, 0.75)]
+    for r in rows:
+        want = 1 + sum(r["n_chars"] > b for b in bounds)
+        assert r["tier"] == want, (r, bounds)
+    # every tier populated, roughly balanced under ties
+    from collections import Counter
+    c = Counter(r["tier"] for r in rows)
+    assert set(c) == {1, 2, 3, 4}
+    # the tier-assignment plan must not contain a global sort/window
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
