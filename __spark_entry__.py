@@ -1087,6 +1087,56 @@ def q_grouped_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SLIDING-window aggregate (2 h window, 1 h slide): every
+    event lands in exactly two overlapping windows. The oracle twin
+    materializes the overlap by cross-joining each event with offsets
+    {0,1} hours off its hour bucket — proving the sliding semantics, not
+    just re-running a tumbling agg."""
+    stream = _stream_events(
+        spark, sf_dir, ["event_id", "ts", "event_type", "value"]
+    ).withColumn("value", F.floor(F.col("value") * _FXP))
+    name = "sg_slide_" + uuid.uuid4().hex[:8]
+    q = (
+        windowed_counts(stream, window="2 hours", slide="1 hour")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("win.start").alias("ws"),
+        "event_type",
+        "n",
+        (F.col("sum_value").cast("double") / _FXP).alias("sum_value"),
+    )
+
+
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment: the event stream joins the
+    static customer dim per micro-batch (the streaming analog of the
+    dictionary lookup). Append mode, no state — the dim is broadcast
+    into every batch, the stream is never shuffled."""
+    stream = _stream_events(spark, sf_dir, ["event_id", "user_id", "ts"])
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_nationkey"
+    )
+    name = "sg_enrich_" + uuid.uuid4().hex[:8]
+    q = (
+        stream.join(F.broadcast(cust), "user_id", "left")
+        .select("event_id", "user_id", "c_name", "c_nationkey")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup (``dropDuplicatesWithinWatermark``) on a
     stream that replays every event TWICE: the surviving key set must be
@@ -1692,6 +1742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_chunks": q_token_chunks,
         "percentile_stats": q_percentile_stats,
         "approx_distinct": q_approx_distinct,
+        "stream_sliding": q_stream_sliding,
+        "stream_enrich": q_stream_enrich,
         "stream_dedup": q_stream_dedup,
         "quantile_tiers": q_quantile_tiers,
         "lead_lag": q_lead_lag,
@@ -2010,6 +2062,18 @@ FROM ch WHERE len(c) > 0
             "round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS p50, "
             "round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p90 "
             "FROM events GROUP BY event_type"
+        ),
+        "stream_sliding": (
+            "SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS ws, "
+            "event_type, count(*) AS n, "
+            f"CAST(sum(CAST(floor(value * {_FXP}) AS BIGINT)) AS DOUBLE) "
+            f"/ {_FXP} AS sum_value "
+            "FROM events, (SELECT unnest([0, 1]) AS k) ks "
+            "GROUP BY 1, 2"
+        ),
+        "stream_enrich": (
+            "SELECT event_id, user_id, c_name, c_nationkey FROM events "
+            "LEFT JOIN customer ON user_id = c_custkey"
         ),
         "stream_dedup": "SELECT DISTINCT event_id FROM events",
         "quantile_tiers": _QTILE_SQL,
