@@ -73,11 +73,10 @@ def exact_dedup(
     shuffle carries one row per (fingerprint, map partition).
     """
     fp = F.md5(normalize_text(F.col(text_col)))
-    w = Window.partitionBy(fp).orderBy(F.col(id_col))
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        df.groupBy(fp.alias("_fp"))
+        .agg(F.min_by(F.struct(*df.columns), F.col(id_col)).alias("_row"))
+        .select("_row.*")
     )
 
 
