@@ -1160,6 +1160,37 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("event_id")
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-trigram fraction per document (repetition/boilerplate
+    quality signal). The dup_frac division's operands are engine-exact
+    integers, so no rounding detour is needed for the oracle."""
+    return txt.repetition_metrics(_docs(spark, sf_dir))
+
+
+_REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                x -> x <> '') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+      THEN list_transform(range(1, CAST(len(t) AS INTEGER) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      ELSE [] END AS gs
+  FROM toks
+)
+SELECT doc_id,
+  CAST(len(gs) AS INTEGER) AS n_grams,
+  CAST(len(list_distinct(gs)) AS INTEGER) AS n_distinct,
+  CASE WHEN len(gs) > 0
+    THEN (len(gs) - len(list_distinct(gs))) / CAST(len(gs) AS DOUBLE)
+    ELSE 0.0 END AS dup_frac
+FROM g
+"""
+
+
 def q_quantile_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe decile tiers: percentile_disc boundary agg + codegen
     comparisons (``sampling.quantile_buckets``). The plan has no global
@@ -1745,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sliding": q_stream_sliding,
         "stream_enrich": q_stream_enrich,
         "stream_dedup": q_stream_dedup,
+        "repetition": q_repetition,
         "quantile_tiers": q_quantile_tiers,
         "lead_lag": q_lead_lag,
         "grouping_sets": q_grouping_sets,
@@ -2076,6 +2108,7 @@ FROM ch WHERE len(c) > 0
             "LEFT JOIN customer ON user_id = c_custkey"
         ),
         "stream_dedup": "SELECT DISTINCT event_id FROM events",
+        "repetition": _REPETITION_SQL,
         "quantile_tiers": _QTILE_SQL,
         "lead_lag": (
             "SELECT user_id, event_id, event_type, "

@@ -314,3 +314,53 @@ def redact_pii(text: Column) -> Column:
     Python in the loop."""
     no_email = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
     return F.regexp_replace(no_email, PII_PHONE_RE, "<PHONE>")
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Duplicate n-gram fraction — the classic repetition/boilerplate
+    quality signal for training corpora (docs dominated by repeated
+    phrases get high ``dup_frac`` and are filtered/downweighted).
+
+    Per document: total word n-grams, distinct n-grams, and
+    dup_frac = (total - distinct) / total (0.0 when fewer than ``n``
+    tokens). All Catalyst array expressions over a single let-bound
+    n-gram array — no shuffle, no UDF, linear scan. The division's two
+    integer operands are engine-exact, so the double is replicable in
+    ANSI SQL without any rounding detour.
+    """
+    from from_superset_to_clickhouse_spark.functions.scalar import let_bind
+
+    grams = let_bind(
+        word_tokens(F.col(text_col)),
+        lambda toks: let_bind(
+            F.size(toks),
+            lambda m: F.when(
+                m >= n,
+                F.transform(
+                    F.sequence(F.lit(0), m - n),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+    )
+    counted = let_bind(
+        grams,
+        lambda g: F.struct(
+            F.size(g).alias("n_grams"),
+            F.size(F.array_distinct(g)).alias("n_distinct"),
+        ),
+    )
+    return df.select(F.col(id_col).alias("doc_id"), counted.alias("_r")).select(
+        "doc_id",
+        F.col("_r.n_grams").alias("n_grams"),
+        F.col("_r.n_distinct").alias("n_distinct"),
+        F.when(
+            F.col("_r.n_grams") > 0,
+            (F.col("_r.n_grams") - F.col("_r.n_distinct"))
+            / F.col("_r.n_grams").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )

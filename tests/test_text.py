@@ -166,3 +166,19 @@ def test_redact_pii_masks_planted_pii(spark):
     # short digit runs and dates survive (phone needs >= 8 chars)
     assert got[3] == "digits 12345 are fine, 2026-08-13 too"
     assert got[4] == "both <EMAIL> and <PHONE> here"
+
+
+def test_repetition_metrics_planted_duplicates(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),   # 4 identical trigrams
+            (2, "one two three four five six"),     # all distinct
+            (3, "hi there"),                        # < 3 tokens
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in txt.repetition_metrics(df).collect()}
+    assert got[1]["n_grams"] == 4 and got[1]["n_distinct"] == 1
+    assert got[1]["dup_frac"] == 0.75
+    assert got[2]["n_grams"] == 4 and got[2]["dup_frac"] == 0.0
+    assert got[3]["n_grams"] == 0 and got[3]["dup_frac"] == 0.0
