@@ -50,6 +50,7 @@ from from_superset_to_clickhouse_spark.schema import Field, Schema
 from from_superset_to_clickhouse_spark.sources.readers import (
     from_pandas,
     read_csv,
+    read_json,
     to_pandas,
 )
 from from_superset_to_clickhouse_spark.sources.testdata import load_table
@@ -871,6 +872,19 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(tmp)
     )
     return read_csv(spark, tmp, schema=cust.schema)
+
+
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-Lines ingest proven by write→read_json round-trip equality
+    against the parquet original (explicit schema — no inference
+    pre-scan). Timestamps ride as ISO strings in JSON, so the ts column
+    is projected to an exact epoch-micros bigint for comparison."""
+    ev = _ev(spark, sf_dir).select(
+        "event_id", F.unix_micros(F.col("ts")).alias("ts_us"), "event_type", "user_id"
+    )
+    tmp = tempfile.mkdtemp(prefix="sg_json_") + "/events_json"
+    ev.write.mode("overwrite").json(tmp)
+    return read_json(spark, tmp, schema=ev.schema)
 
 
 def q_pandas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1743,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_swap": q_partition_swap,
         "retention_delete": q_retention_delete,
         "csv_roundtrip": q_csv_roundtrip,
+        "json_roundtrip": q_json_roundtrip,
         "pandas_roundtrip": q_pandas_roundtrip,
         "script_runner": q_script_runner,
         "pipeline_skip": q_pipeline_skip,
@@ -1975,6 +1990,10 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT date_trunc('day', max(ts)) - INTERVAL 7 DAY FROM events)"
         ),
         "csv_roundtrip": "SELECT * FROM customer",
+        "json_roundtrip": (
+            "SELECT event_id, epoch_us(ts) AS ts_us, event_type, user_id "
+            "FROM events"
+        ),
         "pandas_roundtrip": "SELECT * FROM nation",
         "stream_window": (
             "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, "

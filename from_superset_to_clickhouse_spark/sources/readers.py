@@ -93,3 +93,16 @@ def from_pandas(spark: SparkSession, pdf: pd.DataFrame, schema=None) -> DataFram
 def to_pandas(df: DataFrame) -> pd.DataFrame:
     """pandas export (Arrow path; reference ``get_pandas_df``, hook.py:61-65)."""
     return df.toPandas()
+
+
+def read_json(
+    spark: SparkSession, path: str, schema=None, multiline: bool = False
+) -> DataFrame:
+    """JSON Lines ingest (one object per line — the layout big corpora
+    ship in). An explicit schema skips the inference pre-scan, which
+    reads the whole dataset twice at 100 TB; pass one whenever the
+    layout is known."""
+    reader = spark.read.option("multiLine", multiline)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
