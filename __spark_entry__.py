@@ -1174,6 +1174,30 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("event_id")
 
 
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus stats (crawl-curation primitive): extract the
+    host of each document's URL, aggregate doc count and mean length per
+    domain. The fixture text carries no URLs, so the query PLANTS one
+    per doc (host derived from doc_id mod 50) — the oracle verifies
+    extraction + aggregation actually fire on every row."""
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" via https://site"),
+        F.pmod(F.col("doc_id"), F.lit(50)).cast("string"),
+        F.lit(".example.org/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(txt.url_domain(planted).alias("domain"), "n_chars")
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-trigram fraction per document (repetition/boilerplate
     quality signal). The dup_frac division's operands are engine-exact
@@ -1791,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sliding": q_stream_sliding,
         "stream_enrich": q_stream_enrich,
         "stream_dedup": q_stream_dedup,
+        "domain_stats": q_domain_stats,
         "repetition": q_repetition,
         "quantile_tiers": q_quantile_tiers,
         "lead_lag": q_lead_lag,
@@ -2127,6 +2152,14 @@ FROM ch WHERE len(c) > 0
             "LEFT JOIN customer ON user_id = c_custkey"
         ),
         "stream_dedup": "SELECT DISTINCT event_id FROM events",
+        "domain_stats": (
+            "SELECT regexp_extract(text || ' via https://site' || "
+            "CAST(doc_id % 50 AS VARCHAR) || '.example.org/p/' || "
+            "CAST(doc_id AS VARCHAR), "
+            "'" + txt.URL_RE + "', 1) AS domain, "
+            "count(*) AS n_docs, sum(n_chars) AS total_chars "
+            "FROM documents GROUP BY 1"
+        ),
         "repetition": _REPETITION_SQL,
         "quantile_tiers": _QTILE_SQL,
         "lead_lag": (

@@ -364,3 +364,15 @@ def repetition_metrics(
         .otherwise(F.lit(0.0))
         .alias("dup_frac"),
     )
+
+
+# URL recognition, Java-regex/RE2-common subset (no lookaround).
+URL_RE = r"https?://([A-Za-z0-9.-]+)(/[^\s]*)?"
+
+
+def url_domain(text: Column) -> Column:
+    """First URL's registrable host in the text ('' when none) — the
+    group-1 extract both Spark and RE2 engines produce identically.
+    Domain-level aggregation is how crawl corpora are curated (per-site
+    quality priors, robots blocklists, domain mixing weights)."""
+    return F.regexp_extract(text, URL_RE, 1)
