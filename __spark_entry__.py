@@ -1174,6 +1174,47 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("event_id")
 
 
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a deterministic doc graph (edges join
+    consecutive doc_ids sharing a language → same-lang runs become
+    components, so label propagation is exercised over real multi-hop
+    chains, not just star cliques). The iterative Spark loop must agree
+    with a DuckDB RECURSIVE CTE computing min reachable label — an
+    oracle for an iterative algorithm."""
+    from from_superset_to_clickhouse_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("prev_id"),
+        F.col("doc_id").alias("dst"),
+        F.col("lang").alias("b_lang"),
+    )
+    edges = docs.join(
+        b, (docs.doc_id == b.prev_id) & (docs.lang == b.b_lang)
+    ).select(F.col("doc_id").alias("src"), "dst")
+    return connected_components(
+        edges, nodes=docs.select(F.col("doc_id").alias("node"))
+    )
+
+
+_CC_SQL = """
+WITH RECURSIVE e AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM documents a JOIN documents b
+    ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+), sym AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.node
+)
+SELECT node, min(lbl) AS component FROM reach GROUP BY node
+"""
+
+
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain corpus stats (crawl-curation primitive): extract the
     host of each document's URL, aggregate doc count and mean length per
@@ -1815,6 +1856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sliding": q_stream_sliding,
         "stream_enrich": q_stream_enrich,
         "stream_dedup": q_stream_dedup,
+        "connected_components": q_connected_components,
         "domain_stats": q_domain_stats,
         "repetition": q_repetition,
         "quantile_tiers": q_quantile_tiers,
@@ -2152,6 +2194,7 @@ FROM ch WHERE len(c) > 0
             "LEFT JOIN customer ON user_id = c_custkey"
         ),
         "stream_dedup": "SELECT DISTINCT event_id FROM events",
+        "connected_components": _CC_SQL,
         "domain_stats": (
             "SELECT regexp_extract(text || ' via https://site' || "
             "CAST(doc_id % 50 AS VARCHAR) || '.example.org/p/' || "

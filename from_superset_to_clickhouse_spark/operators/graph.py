@@ -1,0 +1,107 @@
+"""Distributed connected components — the clustering step of a dedup
+pipeline.
+
+Near-dup operators (``minhash_candidates``, ``simhash_pairs``,
+``embedding_dedup_pairs``) emit PAIRS; turning pairs into "keep one doc
+per duplicate cluster" requires the transitive closure: A~B and B~C put
+all three in one cluster even though (A, C) was never a candidate pair.
+That closure is connected components over the pair graph.
+
+Implementation: iterative min-label propagation. Every node starts
+labeled with itself; each round every node takes the min of its own and
+its neighbors' labels; fixpoint = components labeled by their minimum
+member. Each round is one join + one partial-aggregated groupBy (both
+shuffle on the node key) plus a pointer-jumping hop (labels only ever
+decrease, so following label(label(n)) compresses paths), and the label
+frontier is ``localCheckpoint``ed so lineage doesn't grow with
+iterations. With the jump, rounds needed = O(log diameter) — duplicate
+clusters are shallow anyway (stars/short chains), so real corpora
+converge in a handful of rounds; the large-star/small-star variant
+(Kiveris et al., "Connected Components in MapReduce and Beyond") is the
+same loop shape if even that is too many.
+
+The reference has no graph surface (it is an Airflow ELT pipeline —
+``v2/dag.py:156-169``); this is LLM-data-pipeline extension surface, and
+the oracle twin is a recursive CTE computing min reachable label.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    max_iter: int = 30,
+) -> DataFrame:
+    """→ (node, component) where component = min node id reachable.
+
+    ``edges`` is undirected (each pair listed once is enough). ``nodes``
+    optionally supplies the full node universe (isolated nodes then come
+    back as their own singleton component); defaults to nodes appearing
+    in ``edges``. Node ids must be non-null and orderable.
+
+    Driver-side loop with a cheap convergence probe per round (EXISTS-
+    style ``limit(1).count()`` on changed labels) — the data itself
+    never reaches the driver.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every round: scan, don't recompute
+    )
+    universe = sym.select(F.col("a").alias(node_col))
+    if nodes is not None:
+        universe = universe.union(nodes.select(F.col(node_col)))
+    labels = universe.distinct().select(
+        node_col, F.col(node_col).alias("component")
+    )
+    for _ in range(max_iter):
+        neighbor_labels = sym.join(
+            labels, sym["b"] == labels[node_col]
+        ).select(sym["a"].alias(node_col), "component")
+        new_labels = (
+            labels.union(neighbor_labels)
+            .groupBy(node_col)
+            .agg(F.min("component").alias("component"))
+        )
+        # Pointer jumping: labels only ever decrease, so label(label(n))
+        # ≤ label(n) — following one extra hop each round compresses
+        # paths and turns chain convergence from O(diameter) rounds into
+        # O(log diameter).
+        hop = new_labels.select(
+            F.col(node_col).alias("component"),
+            F.col("component").alias("_parent"),
+        )
+        new_labels = (
+            new_labels.join(hop, "component")
+            .select(node_col, F.col("_parent").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), node_col)
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_survivors(
+    components: DataFrame, node_col: str = "node"
+) -> DataFrame:
+    """Keep-one-per-cluster: the survivor of each duplicate cluster is
+    its minimum-id member — exactly the rows whose label equals
+    themselves. Pure filter, no shuffle."""
+    return components.filter(F.col(node_col) == F.col("component"))

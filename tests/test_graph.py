@@ -1,0 +1,43 @@
+"""Connected components: known-graph correctness + convergence."""
+
+from pyspark.sql import functions as F
+
+from from_superset_to_clickhouse_spark.operators.graph import (
+    connected_components,
+    dedup_survivors,
+)
+
+
+def test_cc_chain_triangle_isolated(spark):
+    # chain 1-2-3-4 (multi-hop propagation), triangle 10-11-12,
+    # pair 20-21, isolated 99 (via nodes universe)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "src long, dst long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]], "node long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 99: 99}
+    surv = {
+        r["node"]
+        for r in dedup_survivors(
+            connected_components(edges, nodes=nodes)
+        ).collect()
+    }
+    assert surv == {1, 10, 20, 99}
+
+
+def test_cc_long_chain_converges(spark):
+    n = 40  # diameter 40 chain: loop must iterate, not just one pass
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, max_iter=100).collect()
+    }
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
