@@ -1151,6 +1151,50 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition:
+    purchases matched to same-user clicks within the following hour.
+    Both sides carry watermarks so the join state is bounded (Spark
+    evicts click state once the purchase watermark passes click_ts +
+    1 h); the oracle is the equivalent batch theta-join."""
+    clicks = (
+        _stream_events(spark, sf_dir, ["event_id", "user_id", "ts", "event_type"])
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        _stream_events(spark, sf_dir, ["event_id", "user_id", "ts", "event_type"])
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
+    name = "sg_ssj_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup (``dropDuplicatesWithinWatermark``) on a
     stream that replays every event TWICE: the surviving key set must be
@@ -1853,6 +1897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_chunks": q_token_chunks,
         "percentile_stats": q_percentile_stats,
         "approx_distinct": q_approx_distinct,
+        "stream_stream_join": q_stream_stream_join,
         "stream_sliding": q_stream_sliding,
         "stream_enrich": q_stream_enrich,
         "stream_dedup": q_stream_dedup,
@@ -2180,6 +2225,13 @@ FROM ch WHERE len(c) > 0
             "round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS p50, "
             "round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p90 "
             "FROM events GROUP BY event_type"
+        ),
+        "stream_stream_join": (
+            "SELECT c.event_id AS click_id, p.event_id AS purchase_id, "
+            "c.user_id FROM events c JOIN events p "
+            "ON c.event_type = 'click' AND p.event_type = 'purchase' "
+            "AND p.user_id = c.user_id AND p.ts >= c.ts "
+            "AND p.ts < c.ts + INTERVAL 1 HOUR"
         ),
         "stream_sliding": (
             "SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS ws, "
