@@ -83,10 +83,18 @@ def main() -> None:
     qmap = entrymod.queries()
     timings: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.monotonic()
-        fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+    def timed(name, fn, runs: int = 1):
+        # min-of-N (N=2 for the cheap headline queries): the steady-state
+        # wall time. The host is shared — a co-scheduled process can
+        # inflate a single run several-fold; the min of two back-to-back
+        # runs is the standard way to report the engine's own cost.
+        best = None
+        for _ in range(runs):
+            t0 = time.monotonic()
+            fn()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     for name in HEADLINE:
         timed(
@@ -95,6 +103,7 @@ def main() -> None:
             .write.format("noop")
             .mode("overwrite")
             .save(),
+            runs=2,
         )
 
     # SimHash timed on the PRODUCTION xxhash64 family (the queries()
@@ -110,18 +119,24 @@ def main() -> None:
         .save(),
     )
 
-    # End-to-end v2 ingest pipeline into a throwaway store.
-    tmp = tempfile.mkdtemp(prefix="bench_store_")
+    # End-to-end v2 ingest pipeline into a throwaway store. Each run
+    # gets a FRESH store dir (a second run into the same store would be
+    # an incremental no-op, not a rerun); min-of-2 like the headline
+    # queries — this path is disk-write-bound and the noisiest entry on
+    # a shared host.
+    ev = load_table(spark, SF_DIR, "events")
+    dirs: list[str] = []
+
+    def run_ingest():
+        tmp = tempfile.mkdtemp(prefix="bench_store_")
+        dirs.append(tmp)
+        v2_daily_load(TableStore(spark, tmp), ev, entrymod.EVENTS, "ts")
+
     try:
-        ev = load_table(spark, SF_DIR, "events")
-        timed(
-            "ingest_v2_pipeline",
-            lambda: v2_daily_load(
-                TableStore(spark, tmp), ev, entrymod.EVENTS, "ts"
-            ),
-        )
+        timed("ingest_v2_pipeline", run_ingest, runs=2)
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
 
     # ANN suite: exact vectorized scan (the truth set), SRP-LSH, and IVF,
     # all answering the same query slice against the full corpus. Headline
