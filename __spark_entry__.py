@@ -1386,6 +1386,100 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue ranking (TPC-H Q10 shape): customer ⋈
+    orders ⋈ lineitem('R') ⋈ nation, grouped revenue, deterministic
+    top-20. Customer and nation broadcast; lineitem shuffles once."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(dt.datetime(1998, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(dt.datetime(1998, 7, 1)))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_fxp_sum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive multi-attribute predicate (TPC-H Q19 shape): an OR of
+    conjunctive (brand, size, quantity) bands across the lineitem ⋈ part
+    join. Exercises how the optimizer splits an OR across join sides:
+    the part-only and lineitem-only conjuncts are still pushed to their
+    scans as a derived OR filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 20))
+            & (F.col("l_quantity").between(10, 20))
+        )
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            _fxp_sum(revenue).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested IN subqueries (TPC-H Q20 shape): suppliers that moved more
+    than 400 units of PROMO parts. Both IN lists decorrelate into
+    semi-joins: part keys broadcast into the lineitem agg, the
+    qualifying supplier keys broadcast into supplier."""
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    promo_parts = _t(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    movers = (
+        li.join(F.broadcast(promo_parts), li.l_partkey == promo_parts.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 400)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(F.broadcast(movers), supp.s_suppkey == movers.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode-safe arithmetic: Spark 4 runs with ANSI ON (division by
+    zero / overflow / bad casts THROW), so guarded pipelines use the
+    try_* family. value/(value-value) forces a division by zero on every
+    row — try_divide yields NULL instead of aborting the job; try_cast
+    of the textual props field to int NULLs the unparseable rows."""
+    ev = _ev(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.try_divide(F.col("value"), F.col("value") - F.col("value")).alias(
+            "div_by_zero"
+        ),
+        F.try_divide(F.col("value"), F.lit(2.0)).alias("half"),
+        F.col("props").try_cast("int").alias("props_as_int"),
+    )
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (pre-training redaction): emails and phone-like runs
     masked by pure-codegen regexp_replace. The fixture text is clean, so
@@ -1907,6 +2001,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_tiers": q_quantile_tiers,
         "lead_lag": q_lead_lag,
         "grouping_sets": q_grouping_sets,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "try_arith": q_try_arith,
         "pii_redact": q_pii_redact,
         "pack_sequences": q_pack_sequences,
         "tpch_q4": q_tpch_q4,
@@ -2291,6 +2389,40 @@ FROM ch WHERE len(c) > 0
             "AS bin_offset FROM s WINDOW w AS (PARTITION BY shard "
             "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING "
             "AND 1 PRECEDING)"
+        ),
+        "tpch_q10": (
+            "SELECT c_custkey, c_name, c_acctbal, n_name, "
+            + _fxp_sum_sql("l_extendedprice * (1 - l_discount)")
+            + " AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE l_returnflag = 'R' "
+            "AND o_orderdate >= TIMESTAMP '1998-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-07-01' "
+            "GROUP BY 1, 2, 3, 4 ORDER BY revenue DESC, c_custkey LIMIT 20"
+        ),
+        "tpch_q19": (
+            "SELECT "
+            + _fxp_sum_sql("l_extendedprice * (1 - l_discount)")
+            + " AS revenue, count(*) AS n_lines "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 "
+            "AND l_quantity BETWEEN 1 AND 11) "
+            "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 20 "
+            "AND l_quantity BETWEEN 10 AND 20)"
+        ),
+        "tpch_q20": (
+            "SELECT s_suppkey, s_name, s_acctbal FROM supplier "
+            "WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem "
+            "WHERE l_partkey IN (SELECT p_partkey FROM part "
+            "WHERE p_type = 'PROMO') "
+            "GROUP BY l_suppkey HAVING sum(l_quantity) > 400)"
+        ),
+        "try_arith": (
+            "SELECT event_id, CAST(NULL AS DOUBLE) AS div_by_zero, "
+            "value / 2.0 AS half, "
+            "TRY_CAST(props AS INTEGER) AS props_as_int FROM events"
         ),
         "tpch_q4": (
             "SELECT o_orderpriority, count(*) AS n_orders FROM orders o "
