@@ -51,7 +51,7 @@ HEADLINE = [
 # O(|corpus| × |queries| × dim) with a per-element codegen lambda and
 # exists only as the like-for-like cost model for the LSH speedup ratio.
 ANN_QUERIES = 2000
-ANN_HOF_QUERIES = 50
+ANN_HOF_QUERIES = 25
 
 
 def main() -> None:
@@ -151,6 +151,13 @@ def main() -> None:
     t0 = time.monotonic()
     lsh_rows = simi.lsh_topk(emb, ann_q, k=5).collect()
     timings["ann_lsh"] = round(time.monotonic() - t0, 3)
+    # Second LSH operating point: 8-bit bands prune candidates ~20x
+    # harder. Reported alongside the default so the recall/speed curve
+    # is measured, not asserted — near-random fixture embeddings are
+    # LSH's worst case and the tradeoff is the honest story.
+    t0 = time.monotonic()
+    lsh_fast_rows = simi.lsh_topk(emb, ann_q, k=5, band_bits=8).collect()
+    timings["ann_lsh_fast"] = round(time.monotonic() - t0, 3)
     t0 = time.monotonic()
     ivf_rows = simi.ivf_topk(emb, ann_q, k=5).collect()
     timings["ann_ivf"] = round(time.monotonic() - t0, 3)
@@ -164,13 +171,16 @@ def main() -> None:
     )
     truth = {(r["q_id"], r["n_id"]) for r in truth_rows}
     lsh = {(r["q_id"], r["n_id"]) for r in lsh_rows}
+    lsh_fast = {(r["q_id"], r["n_id"]) for r in lsh_fast_rows}
     ivf = {(r["q_id"], r["n_id"]) for r in ivf_rows}
     lsh_recall = round(len(truth & lsh) / max(len(truth), 1), 3)
+    lsh_fast_recall = round(len(truth & lsh_fast) / max(len(truth), 1), 3)
     ivf_recall = round(len(truth & ivf) / max(len(truth), 1), 3)
     qps = {
         "exact_vectorized": round(n_queries / max(timings["ann_exact_vectorized"], 1e-9), 1),
         "exact_hof": round(ANN_HOF_QUERIES / max(timings["ann_exact_hof_slice"], 1e-9), 1),
         "lsh": round(n_queries / max(timings["ann_lsh"], 1e-9), 1),
+        "lsh_fast": round(n_queries / max(timings["ann_lsh_fast"], 1e-9), 1),
         "ivf": round(n_queries / max(timings["ann_ivf"], 1e-9), 1),
     }
     # Honest speedups: ANN paths vs the REAL exact baseline (both Arrow-
@@ -191,8 +201,12 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "lsh_recall": lsh_recall,
+        "lsh_fast_recall": lsh_fast_recall,
         "ivf_recall": ivf_recall,
         "lsh_speedup_vs_exact": lsh_speedup,
+        "lsh_fast_speedup_vs_exact": round(
+            qps["lsh_fast"] / max(qps["exact_vectorized"], 1e-9), 2
+        ),
         "ivf_speedup_vs_exact": ivf_speedup,
         "arrow_over_expression_speedup": arrow_over_expr,
         "ann_queries_per_sec": qps,
