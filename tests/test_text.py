@@ -182,3 +182,30 @@ def test_repetition_metrics_planted_duplicates(spark):
     assert got[1]["dup_frac"] == 0.75
     assert got[2]["n_grams"] == 4 and got[2]["dup_frac"] == 0.0
     assert got[3]["n_grams"] == 0 and got[3]["dup_frac"] == 0.0
+
+
+def test_redact_pii_idempotent(spark):
+    # scrubbing already-scrubbed text must be a no-op: the replacement
+    # tokens contain no '@' and no digits, so neither pattern re-fires
+    samples = [
+        (i, s)
+        for i, s in enumerate(
+            [
+                "a@b.io and c@d.org twice",
+                "+44 20 7946 0958 then 555-010-1234",
+                "mixed x1@y.z call (555) 010-9999 end",
+                "no pii at all",
+                "",
+            ]
+        )
+    ]
+    df = spark.createDataFrame(samples, "doc_id int, text string")
+    once = df.select(
+        "doc_id", txt.redact_pii(F.col("text")).alias("clean")
+    )
+    twice = once.select(
+        "doc_id", txt.redact_pii(F.col("clean")).alias("clean")
+    )
+    assert {tuple(r) for r in once.collect()} == {
+        tuple(r) for r in twice.collect()
+    }
