@@ -117,6 +117,7 @@ def main() -> None:
         .write.format("noop")
         .mode("overwrite")
         .save(),
+        runs=2,
     )
 
     # End-to-end v2 ingest pipeline into a throwaway store. Each run
@@ -145,22 +146,37 @@ def main() -> None:
     emb.count()
     ann_q = emb.filter(F.col("vec_id") < ANN_QUERIES).cache()
     n_queries = ann_q.count()
-    t0 = time.monotonic()
-    truth_rows = simi.brute_force_topk(emb, ann_q, k=5).collect()
-    timings["ann_exact_vectorized"] = round(time.monotonic() - t0, 3)
-    t0 = time.monotonic()
-    lsh_rows = simi.lsh_topk(emb, ann_q, k=5).collect()
-    timings["ann_lsh"] = round(time.monotonic() - t0, 3)
+
+    def timed_collect(name, fn):
+        # Same min-of-2 policy as the headline loop; the first run's
+        # rows feed the recall computation (results are deterministic —
+        # both runs return the same set).
+        t0 = time.monotonic()
+        rows = fn()
+        dt = time.monotonic() - t0
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(min(dt, time.monotonic() - t0), 3)
+        return rows
+
+    truth_rows = timed_collect(
+        "ann_exact_vectorized",
+        lambda: simi.brute_force_topk(emb, ann_q, k=5).collect(),
+    )
+    lsh_rows = timed_collect(
+        "ann_lsh", lambda: simi.lsh_topk(emb, ann_q, k=5).collect()
+    )
     # Second LSH operating point: 8-bit bands prune candidates ~20x
     # harder. Reported alongside the default so the recall/speed curve
     # is measured, not asserted — near-random fixture embeddings are
     # LSH's worst case and the tradeoff is the honest story.
-    t0 = time.monotonic()
-    lsh_fast_rows = simi.lsh_topk(emb, ann_q, k=5, band_bits=8).collect()
-    timings["ann_lsh_fast"] = round(time.monotonic() - t0, 3)
-    t0 = time.monotonic()
-    ivf_rows = simi.ivf_topk(emb, ann_q, k=5).collect()
-    timings["ann_ivf"] = round(time.monotonic() - t0, 3)
+    lsh_fast_rows = timed_collect(
+        "ann_lsh_fast",
+        lambda: simi.lsh_topk(emb, ann_q, k=5, band_bits=8).collect(),
+    )
+    ivf_rows = timed_collect(
+        "ann_ivf", lambda: simi.ivf_topk(emb, ann_q, k=5).collect()
+    )
     hof_q = emb.filter(F.col("vec_id") < ANN_HOF_QUERIES)
     timed(
         "ann_exact_hof_slice",
@@ -168,6 +184,7 @@ def main() -> None:
         .write.format("noop")
         .mode("overwrite")
         .save(),
+        runs=2,
     )
     truth = {(r["q_id"], r["n_id"]) for r in truth_rows}
     lsh = {(r["q_id"], r["n_id"]) for r in lsh_rows}
