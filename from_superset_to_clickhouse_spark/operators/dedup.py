@@ -19,7 +19,7 @@ Scale design (the whole point at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pyspark import StorageLevel
