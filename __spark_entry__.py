@@ -1218,6 +1218,69 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("event_id")
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff: the 'new' snapshot is derived from events by
+    removing every 97th row, bumping value on every 89th, and adding a
+    shifted-id copy of every 101st — the diff must classify exactly
+    those as removed/changed/added and drop everything unchanged.
+    NULL-safe comparison, one full-outer join on the key."""
+    from from_superset_to_clickhouse_spark.operators.cdc import snapshot_diff
+
+    ev = _ev(spark, sf_dir).select("event_id", "value")
+    mod = F.pmod(F.col("event_id"), F.lit(97))
+    new = (
+        ev.filter(mod != 0)
+        .withColumn(
+            "value",
+            F.when(
+                F.pmod(F.col("event_id"), F.lit(89)) == 0,
+                F.col("value") + 1.0,
+            ).otherwise(F.col("value")),
+        )
+        .unionByName(
+            ev.filter(F.pmod(F.col("event_id"), F.lit(101)) == 0).select(
+                (F.col("event_id") + 10_000_000).alias("event_id"), "value"
+            )
+        )
+    )
+    return snapshot_diff(ev, new, keys=["event_id"])
+
+
+def q_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate refresh: the month × type agg
+    is built from the pre-cutoff half of events, then merged with the
+    aggregate of the post-cutoff increment by summing partials — two
+    incremental refreshes must equal the full recompute (the oracle
+    aggregates everything in one pass). History is never rescanned."""
+    from from_superset_to_clickhouse_spark.operators.cdc import (
+        merge_partial_aggregates,
+    )
+
+    ev = _ev(spark, sf_dir).select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        "event_type",
+        F.floor(F.col("value") * _FXP).alias("v"),
+    )
+    cutoff = dt.date(2024, 1, 16)  # fixture events span January 2024
+    half1 = ev.filter(F.col("day") < F.lit(cutoff))
+    half2 = ev.filter(F.col("day") >= F.lit(cutoff))
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("day", "event_type").agg(
+            F.count("*").alias("n"), F.sum("v").alias("sum_v")
+        )
+
+    merged = merge_partial_aggregates(
+        agg(half1), agg(half2), keys=["day", "event_type"], sum_cols=["n", "sum_v"]
+    )
+    return merged.select(
+        "day",
+        "event_type",
+        "n",
+        (F.col("sum_v").cast("double") / _FXP).alias("sum_value"),
+    )
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over a deterministic doc graph (edges join
     consecutive doc_ids sharing a language → same-lang runs become
@@ -1995,6 +2058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sliding": q_stream_sliding,
         "stream_enrich": q_stream_enrich,
         "stream_dedup": q_stream_dedup,
+        "snapshot_diff": q_snapshot_diff,
+        "agg_merge": q_agg_merge,
         "connected_components": q_connected_components,
         "domain_stats": q_domain_stats,
         "repetition": q_repetition,
@@ -2344,6 +2409,33 @@ FROM ch WHERE len(c) > 0
             "LEFT JOIN customer ON user_id = c_custkey"
         ),
         "stream_dedup": "SELECT DISTINCT event_id FROM events",
+        "snapshot_diff": (
+            "WITH old AS (SELECT event_id, value FROM events), "
+            "new AS ("
+            "SELECT event_id, CASE WHEN event_id % 89 = 0 "
+            "THEN value + 1.0 ELSE value END AS value "
+            "FROM events WHERE event_id % 97 <> 0 "
+            "UNION ALL "
+            "SELECT event_id + 10000000 AS event_id, value FROM events "
+            "WHERE event_id % 101 = 0) "
+            "SELECT COALESCE(o.event_id, n.event_id) AS event_id, "
+            "CASE WHEN o.event_id IS NULL THEN 'added' "
+            "WHEN n.event_id IS NULL THEN 'removed' "
+            "WHEN o.value IS DISTINCT FROM n.value THEN 'changed' END "
+            "AS change_type "
+            "FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id "
+            "WHERE CASE WHEN o.event_id IS NULL THEN 'added' "
+            "WHEN n.event_id IS NULL THEN 'removed' "
+            "WHEN o.value IS DISTINCT FROM n.value THEN 'changed' END "
+            "IS NOT NULL"
+        ),
+        "agg_merge": (
+            "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+            "event_type, count(*) AS n, "
+            f"CAST(sum(CAST(floor(value * {_FXP}) AS BIGINT)) AS DOUBLE) "
+            f"/ {_FXP} AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
         "connected_components": _CC_SQL,
         "domain_stats": (
             "SELECT regexp_extract(text || ' via https://site' || "

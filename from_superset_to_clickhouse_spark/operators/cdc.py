@@ -1,0 +1,92 @@
+"""Change-data capture: snapshot diffing and incremental aggregate
+maintenance.
+
+The reference refreshes its fact table by REPLACE PARTITION from a
+staging load (``v1/dag.py:96-102``) — the consumer-side question "what
+actually changed between two published snapshots" and the producer-side
+question "how do I refresh a downstream aggregate without recomputing
+history" are the two halves of that contract this module covers.
+
+Both are pure DataFrame plans: the diff is one full-outer join on the
+key (shuffle on the key, or broadcast when one side is small); the
+aggregate merge is a union + re-aggregate of PARTIAL sums — never a
+rescan of the full fact history.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Row-level diff of two snapshots → key columns + ``change_type``
+    ('added' | 'removed' | 'changed') — unchanged rows are dropped.
+
+    One full-outer join on the key. ``compare_cols`` limits the change
+    detection to specific columns (default: every non-key column both
+    sides share). NULL-safe comparison (``<=>``), so NULL→value and
+    value→NULL count as changes while NULL→NULL does not.
+    """
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(keys)]
+    # A literal presence marker per side: after the outer join it is
+    # NULL exactly when that side had no row — compare columns can't
+    # serve as markers because their values may legitimately be NULL.
+    o = old.select(
+        *keys,
+        F.lit(1).alias("_in_old"),
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *keys,
+        F.lit(1).alias("_in_new"),
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+    )
+    marked = o.join(n, list(keys), "full_outer")
+    same: Column = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        marked.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*keys, "change_type")
+    )
+
+
+def merge_partial_aggregates(
+    existing: DataFrame,
+    increment: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+) -> DataFrame:
+    """Incremental materialized-aggregate refresh: combine an existing
+    aggregate table with the aggregate of a new increment by SUMMING the
+    partial sums per key (counts are sums too). History is never
+    rescanned — the cost is O(|existing agg| + |increment|), the
+    SummingMergeTree/materialized-view refresh contract.
+
+    Only works for decomposable aggregates (sum/count/min/max); ratios
+    and averages must be stored as (numerator, denominator) partials and
+    divided at read time.
+    """
+    cols = [*keys, *sum_cols]
+    return (
+        existing.select(*cols)
+        .unionByName(increment.select(*cols))
+        .groupBy(*keys)
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+    )

@@ -1,0 +1,54 @@
+"""CDC: snapshot diff classification and partial-aggregate merge."""
+
+from pyspark.sql import functions as F
+
+from from_superset_to_clickhouse_spark.operators.cdc import (
+    merge_partial_aggregates,
+    snapshot_diff,
+)
+
+
+def test_snapshot_diff_classifies_and_drops_unchanged(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (4, 40.0)],
+        "id int, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (4, 41.0), (5, 50.0)],
+        "id int, v double",
+    )
+    got = {r["id"]: r["change_type"] for r in snapshot_diff(old, new, ["id"]).collect()}
+    # 1 unchanged (absent), 2 NULL->20 changed, 3 removed, 4 changed, 5 added
+    assert got == {2: "changed", 3: "removed", 4: "changed", 5: "added"}
+
+
+def test_snapshot_diff_null_to_null_is_unchanged(spark):
+    old = spark.createDataFrame([(1, None)], "id int, v double")
+    new = spark.createDataFrame([(1, None)], "id int, v double")
+    assert snapshot_diff(old, new, ["id"]).count() == 0
+
+
+def test_merge_partial_aggregates_equals_full_recompute(spark):
+    from from_superset_to_clickhouse_spark.sources.testdata import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type", F.floor(F.col("value") * 1024).alias("v")
+    )
+    full = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    )
+    h1 = ev.filter(F.col("v") % 2 == 0)
+    h2 = ev.filter(F.col("v") % 2 != 0)
+
+    def agg(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"), F.sum("v").alias("s")
+        )
+
+    merged = merge_partial_aggregates(
+        agg(h1), agg(h2), keys=["event_type"], sum_cols=["n", "s"]
+    )
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in full.collect()
+    }
