@@ -1218,6 +1218,49 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("event_id")
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs (hash split, 80%) sharing
+    any word 5-gram with the held-out 20% — the broadcast probe of the
+    held-out gram set against the training scan. Counts per doc are
+    oracle-verified."""
+    docs = _docs(spark, sf_dir)
+    is_train = smp.hash_basis_points(F.col("doc_id")) < 8000
+    return txt.contamination(
+        docs.filter(is_train), docs.filter(~is_train), n=5
+    )
+
+
+_CONTAMINATION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                x -> x <> '') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 5
+      THEN list_distinct(list_transform(range(1, CAST(len(t) AS INTEGER) - 3),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+             || ' ' || t[i+4]))
+      ELSE [] END AS gs
+  FROM toks
+), r AS (
+  SELECT doc_id, unnest(gs) AS gram FROM g
+), split AS (
+  SELECT doc_id,
+    ((doc_id % 1000003) * 514229 + 285311) % 1000003 % 10000 < 8000
+      AS is_train
+  FROM documents
+)
+SELECT r.doc_id, count(*) AS n_shared_grams
+FROM r JOIN split s ON r.doc_id = s.doc_id
+WHERE s.is_train AND r.gram IN (
+  SELECT DISTINCT r2.gram FROM r r2
+  JOIN split s2 ON r2.doc_id = s2.doc_id WHERE NOT s2.is_train)
+GROUP BY r.doc_id
+"""
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC snapshot diff: the 'new' snapshot is derived from events by
     removing every 97th row, bumping value on every 89th, and adding a
@@ -2058,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sliding": q_stream_sliding,
         "stream_enrich": q_stream_enrich,
         "stream_dedup": q_stream_dedup,
+        "contamination": q_contamination,
         "snapshot_diff": q_snapshot_diff,
         "agg_merge": q_agg_merge,
         "connected_components": q_connected_components,
@@ -2409,6 +2453,7 @@ FROM ch WHERE len(c) > 0
             "LEFT JOIN customer ON user_id = c_custkey"
         ),
         "stream_dedup": "SELECT DISTINCT event_id FROM events",
+        "contamination": _CONTAMINATION_SQL,
         "snapshot_diff": (
             "WITH old AS (SELECT event_id, value FROM events), "
             "new AS ("

@@ -376,3 +376,56 @@ def url_domain(text: Column) -> Column:
     Domain-level aggregation is how crawl corpora are curated (per-site
     quality priors, robots blocklists, domain mixing weights)."""
     return F.regexp_extract(text, URL_RE, 1)
+
+
+def ngram_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Explode each document into its distinct word n-grams →
+    (doc_id, gram). The building block for overlap/contamination
+    checks; one narrow projection + explode, no shuffle."""
+    from from_superset_to_clickhouse_spark.functions.scalar import let_bind
+
+    grams = let_bind(
+        word_tokens(F.col(text_col)),
+        lambda toks: let_bind(
+            F.size(toks),
+            lambda m: F.when(
+                m >= n,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), m - n),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram")
+    )
+
+
+def contamination(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: training docs sharing at least one
+    word n-gram with the held-out/test set → (doc_id, n_shared_grams).
+
+    Scale shape: the benchmark side is tiny relative to a training
+    corpus, so its distinct gram set BROADCASTS and the training scan is
+    never shuffled for the probe; the per-doc count is one
+    partial-aggregated groupBy. Raise ``n`` (13 is the common published
+    choice) to sharpen precision on real corpora.
+    """
+    test_grams = ngram_rows(test, text_col, id_col, n).select("gram").distinct()
+    return (
+        ngram_rows(train, text_col, id_col, n)
+        .join(F.broadcast(test_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )

@@ -209,3 +209,26 @@ def test_redact_pii_idempotent(spark):
     assert {tuple(r) for r in once.collect()} == {
         tuple(r) for r in twice.collect()
     }
+
+
+def test_contamination_planted_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words entirely here today"),
+            (3, "quick brown fox jumps too"),
+        ],
+        "doc_id int, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "a quick brown fox jumps far away")],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in txt.contamination(train, test, n=4).collect()
+    }
+    # test 4-grams: "a quick brown fox", "quick brown fox jumps",
+    # "brown fox jumps far", "fox jumps far away"
+    # doc1 shares "quick brown fox jumps"; doc3 shares it too; doc2 none
+    assert got == {1: 1, 3: 1}
