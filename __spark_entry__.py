@@ -1218,6 +1218,27 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("event_id")
 
 
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup dedup pipeline END-TO-END: exact n-gram
+    Jaccard pairs (≥0.5) → connected components (transitive closure —
+    A~B~C collapses even though (A,C) was never a pair) → keep the
+    minimum doc per cluster. Returns the surviving doc_ids; the oracle
+    recomputes pairs, the recursive closure, and the survivor rule
+    entirely in DuckDB."""
+    from from_superset_to_clickhouse_spark.operators.graph import (
+        connected_components,
+        dedup_survivors,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = ddp.ngram_jaccard_pairs(docs, threshold=0.5)
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        nodes=docs.select(F.col("doc_id").alias("node")),
+    )
+    return dedup_survivors(comp).select(F.col("node").alias("doc_id"))
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: train docs (hash split, 80%) sharing
     any word 5-gram with the held-out 20% — the broadcast probe of the
@@ -1905,6 +1926,26 @@ WITH toks AS (
 SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
 """
 
+# dedup_pipeline oracle: the ngram-Jaccard pair CTEs + a recursive
+# closure + the survivor rule (node == min reachable label).
+_DEDUP_PIPELINE_SQL = (
+    _NGRAM_JACCARD_SQL.replace("WITH toks", "WITH RECURSIVE toks").replace(
+        "SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5",
+        """, e AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs WHERE jaccard >= 0.5
+), sym AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.node
+), comp AS (
+  SELECT node, min(lbl) AS component FROM reach GROUP BY node
+)
+SELECT node AS doc_id FROM comp WHERE node = component""",
+    )
+)
+
 # minhash_candidates oracle (md5 hash family): recomputes the EXACT
 # Spark pipeline in DuckDB — shingle strings, 64 minhashes as the
 # lexicographic min of md5('i:shingle') hex strings, 16 band buckets as
@@ -2101,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sliding": q_stream_sliding,
         "stream_enrich": q_stream_enrich,
         "stream_dedup": q_stream_dedup,
+        "dedup_pipeline": q_dedup_pipeline,
         "contamination": q_contamination,
         "snapshot_diff": q_snapshot_diff,
         "agg_merge": q_agg_merge,
@@ -2453,6 +2495,7 @@ FROM ch WHERE len(c) > 0
             "LEFT JOIN customer ON user_id = c_custkey"
         ),
         "stream_dedup": "SELECT DISTINCT event_id FROM events",
+        "dedup_pipeline": _DEDUP_PIPELINE_SQL,
         "contamination": _CONTAMINATION_SQL,
         "snapshot_diff": (
             "WITH old AS (SELECT event_id, value FROM events), "
