@@ -75,3 +75,31 @@ def test_catalyst_paths_have_no_python_udf(spark, qmap):
         plan = _plan(qmap[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_tpch_q4_exists_compiles_to_semi_join(spark, qmap):
+    plan = _plan(qmap["tpch_q4"](spark, SF))
+    assert "LeftSemi" in plan
+    # the late-ship comparison rides as a join residual, not a post-filter
+    assert "Join" in plan and "60" in plan
+
+
+def test_tpch_q5_fact_scanned_once_all_dims_broadcast(spark, qmap):
+    plan = _plan(qmap["tpch_q5"](spark, SF))
+    assert plan.count("Scan parquet") >= 6
+    # customer/supplier/nation/region all arrive via BroadcastExchange
+    assert plan.count("BroadcastExchange") >= 4
+    # lineitem appears exactly once as a scan source
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_quantile_tiers_has_no_exchange_on_assignment(spark, qmap):
+    # boundary agg is a separate collected job; the returned tier
+    # assignment plan must be a pure scan+project (no shuffle at all)
+    plan = _plan(qmap["quantile_tiers"](spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_contamination_probe_is_broadcast(spark, qmap):
+    plan = _plan(qmap["contamination"](spark, SF))
+    assert "BroadcastExchange" in plan
