@@ -1218,6 +1218,34 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("event_id")
 
 
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of events (nulls, exact distincts, min/max
+    per column) — one pass, every aggregate in a single wide Aggregate.
+    Restricted to integer/string columns so the min/max string
+    rendering is engine-identical (double formatting differs across
+    engines by design)."""
+    from from_superset_to_clickhouse_spark.operators.cdc import profile
+
+    return profile(
+        _ev(spark, sf_dir), cols=["event_id", "user_id", "event_type"]
+    )
+
+
+def _profile_col_sql(c: str) -> str:
+    return (
+        f"SELECT '{c}' AS col_name, count(*) AS n_rows, "
+        f"count(*) - count({c}) AS n_nulls, "
+        f"count(DISTINCT {c}) AS n_distinct, "
+        f"CAST(min({c}) AS VARCHAR) AS min_value, "
+        f"CAST(max({c}) AS VARCHAR) AS max_value FROM events"
+    )
+
+
+_PROFILE_SQL = " UNION ALL ".join(
+    _profile_col_sql(c) for c in ("event_id", "user_id", "event_type")
+)
+
+
 def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full near-dup dedup pipeline END-TO-END: exact n-gram
     Jaccard pairs (≥0.5) → connected components (transitive closure —
@@ -2142,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sliding": q_stream_sliding,
         "stream_enrich": q_stream_enrich,
         "stream_dedup": q_stream_dedup,
+        "profile": q_profile,
         "dedup_pipeline": q_dedup_pipeline,
         "contamination": q_contamination,
         "snapshot_diff": q_snapshot_diff,
@@ -2495,6 +2524,7 @@ FROM ch WHERE len(c) > 0
             "LEFT JOIN customer ON user_id = c_custkey"
         ),
         "stream_dedup": "SELECT DISTINCT event_id FROM events",
+        "profile": _PROFILE_SQL,
         "dedup_pipeline": _DEDUP_PIPELINE_SQL,
         "contamination": _CONTAMINATION_SQL,
         "snapshot_diff": (

@@ -90,3 +90,45 @@ def merge_partial_aggregates(
         .groupBy(*keys)
         .agg(*[F.sum(c).alias(c) for c in sum_cols])
     )
+
+
+def profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Data-quality profile → one row per column: row count, null count,
+    exact distinct count, min/max (rendered as strings so heterogeneous
+    column types stack into one result).
+
+    ONE pass over the data: every per-column aggregate lives in a single
+    wide Aggregate (Spark computes them together, partial-aggregated
+    map-side), then the 1×N row is unpivoted driver-side at zero cost.
+    Exact distincts across many columns share the same scan via Spark's
+    expand-based multi-distinct planning; swap in approx_count_distinct
+    when profiling hundreds of columns at 100 TB.
+    """
+    if cols is None:
+        cols = df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__mn"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__mx"),
+        ]
+    row = df.agg(F.count(F.lit(1)).alias("__total"), *aggs).collect()[0]
+    total = row["__total"]
+    out = [
+        (
+            c,
+            total,
+            total - row[f"{c}__nn"],
+            row[f"{c}__nd"],
+            row[f"{c}__mn"],
+            row[f"{c}__mx"],
+        )
+        for c in cols
+    ]
+    return df.sparkSession.createDataFrame(
+        out,
+        "col_name string, n_rows bigint, n_nulls bigint, "
+        "n_distinct bigint, min_value string, max_value string",
+    )

@@ -52,3 +52,19 @@ def test_merge_partial_aggregates_equals_full_recompute(spark):
     assert {tuple(r) for r in merged.collect()} == {
         tuple(r) for r in full.collect()
     }
+
+
+def test_profile_counts_nulls_and_distincts(spark):
+    from from_superset_to_clickhouse_spark.operators.cdc import profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (None, "b")],
+        "id int, tag string",
+    )
+    got = {r["col_name"]: r for r in profile(df).collect()}
+    assert got["id"]["n_rows"] == 4
+    assert got["id"]["n_nulls"] == 1
+    assert got["id"]["n_distinct"] == 3
+    assert got["id"]["min_value"] == "1" and got["id"]["max_value"] == "3"
+    assert got["tag"]["n_nulls"] == 1
+    assert got["tag"]["n_distinct"] == 2
