@@ -1218,6 +1218,81 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("event_id")
 
 
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 merge (MERGE INTO emulation): the customer dim starts
+    fully open; the change batch bumps acctbal for every 3rd key (real
+    change → close + new version), re-sends every 5th key unchanged
+    (must be a no-op), and adds shifted-id new keys for every 97th.
+    Output is the full versioned dim; the oracle recomputes the merge
+    with set logic in DuckDB."""
+    from from_superset_to_clickhouse_spark.operators.cdc import scd2_apply
+
+    cust = _t(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit(dt.date(2000, 1, 1)).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    k = F.col("c_custkey")
+    changes = (
+        cust.filter(F.pmod(k, F.lit(3)) == 0)
+        .select("c_custkey", (F.col("c_acctbal") + 100.0).alias("c_acctbal"))
+        .unionByName(
+            cust.filter(F.pmod(k, F.lit(5)) == 0).select(
+                "c_custkey", "c_acctbal"
+            )
+        )
+        .unionByName(
+            cust.filter(F.pmod(k, F.lit(97)) == 0).select(
+                (k + 1_000_000).alias("c_custkey"), "c_acctbal"
+            )
+        )
+    )
+    # mod-15 keys appear in both the bumped and no-op batches; keep the
+    # bumped row (max acctbal) so changes carry one row per key
+    changes = changes.groupBy("c_custkey").agg(
+        F.max("c_acctbal").alias("c_acctbal")
+    )
+    return scd2_apply(
+        dim,
+        changes,
+        key_col="c_custkey",
+        attr_cols=["c_acctbal"],
+        effective_ts=F.lit(dt.date(2024, 1, 1)),
+    )
+
+
+_SCD2_SQL = """
+WITH dim AS (
+  SELECT c_custkey, c_acctbal, DATE '2000-01-01' AS valid_from,
+         CAST(NULL AS DATE) AS valid_to
+  FROM customer
+), ch AS (
+  SELECT c_custkey, max(c_acctbal) AS c_acctbal FROM (
+    SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal FROM customer
+    WHERE c_custkey % 3 = 0
+    UNION ALL
+    SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 5 = 0
+    UNION ALL
+    SELECT c_custkey + 1000000 AS c_custkey, c_acctbal FROM customer
+    WHERE c_custkey % 97 = 0
+  ) GROUP BY c_custkey
+)
+SELECT d.c_custkey, d.c_acctbal, d.valid_from,
+  CASE WHEN c.c_custkey IS NOT NULL
+        AND c.c_acctbal IS DISTINCT FROM d.c_acctbal
+       THEN DATE '2024-01-01' ELSE d.valid_to END AS valid_to
+FROM dim d LEFT JOIN ch c ON d.c_custkey = c.c_custkey
+UNION ALL
+SELECT c.c_custkey, c.c_acctbal, DATE '2024-01-01' AS valid_from,
+       CAST(NULL AS DATE) AS valid_to
+FROM ch c LEFT JOIN dim d ON d.c_custkey = c.c_custkey
+WHERE d.c_custkey IS NULL
+   OR c.c_acctbal IS DISTINCT FROM d.c_acctbal
+"""
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of events (nulls, exact distincts, min/max
     per column) — one pass, every aggregate in a single wide Aggregate.
@@ -2170,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sliding": q_stream_sliding,
         "stream_enrich": q_stream_enrich,
         "stream_dedup": q_stream_dedup,
+        "scd2_merge": q_scd2_merge,
         "profile": q_profile,
         "dedup_pipeline": q_dedup_pipeline,
         "contamination": q_contamination,
@@ -2524,6 +2600,7 @@ FROM ch WHERE len(c) > 0
             "LEFT JOIN customer ON user_id = c_custkey"
         ),
         "stream_dedup": "SELECT DISTINCT event_id FROM events",
+        "scd2_merge": _SCD2_SQL,
         "profile": _PROFILE_SQL,
         "dedup_pipeline": _DEDUP_PIPELINE_SQL,
         "contamination": _CONTAMINATION_SQL,

@@ -132,3 +132,67 @@ def profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
         "col_name string, n_rows bigint, n_nulls bigint, "
         "n_distinct bigint, min_value string, max_value string",
     )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    attr_cols: Sequence[str],
+    effective_ts: Column,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge — the MERGE INTO
+    emulation for history-keeping dims (closed rows never rewritten):
+
+    - an open row (``valid_to`` NULL) whose incoming attributes DIFFER
+      closes at ``effective_ts`` and a new open version is inserted;
+    - an identical incoming row is a no-op (no spurious versions);
+    - a key with no open row inserts a fresh open version;
+    - already-closed history passes through untouched.
+
+    ``changes`` must carry at most one row per key (pre-aggregate a
+    batch to latest-per-key with ``latest_view`` semantics first). Plan
+    shape: one outer join of the OPEN slice against the changes on the
+    key (both sides shuffle on the key once; changes broadcast when
+    small) + a NULL-safe attr comparison; history rows never join at
+    all.
+    """
+    is_open = F.col(to_col).isNull()
+    closed_hist = dim.filter(~is_open)
+    open_rows = dim.filter(is_open)
+    ch = changes.select(
+        F.col(key_col).alias("_k"),
+        *[F.col(c).alias(f"_c_{c}") for c in attr_cols],
+        effective_ts.alias("_ts"),
+    )
+    j = open_rows.join(ch, open_rows[key_col] == ch["_k"], "full_outer")
+    same: Column = F.lit(True)
+    for c in attr_cols:
+        same = same & F.col(c).eqNullSafe(F.col(f"_c_{c}"))
+    both = F.col(key_col).isNotNull() & F.col("_k").isNotNull()
+    only_dim = F.col(key_col).isNotNull() & F.col("_k").isNull()
+    only_change = F.col(key_col).isNull() & F.col("_k").isNotNull()
+    # rows that keep their current open version: untouched keys and
+    # no-op (identical) changes
+    keep_open = j.filter(only_dim | (both & same)).select(*dim.columns)
+    # open versions whose attrs changed -> closed at the effective ts
+    newly_closed = (
+        j.filter(both & ~same)
+        .withColumn(to_col, F.col("_ts"))
+        .select(*dim.columns)
+    )
+    # new open versions: changed keys + brand-new keys
+    inserts = (
+        j.filter(only_change | (both & ~same))
+        .select(
+            F.col("_k").alias(key_col),
+            *[F.col(f"_c_{c}").alias(c) for c in attr_cols],
+            F.col("_ts").alias(from_col),
+            F.lit(None).cast(dim.schema[to_col].dataType).alias(to_col),
+        )
+    )
+    return closed_hist.unionByName(keep_open).unionByName(
+        newly_closed.unionByName(inserts)
+    )

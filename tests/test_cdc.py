@@ -68,3 +68,39 @@ def test_profile_counts_nulls_and_distincts(spark):
     assert got["id"]["min_value"] == "1" and got["id"]["max_value"] == "3"
     assert got["tag"]["n_nulls"] == 1
     assert got["tag"]["n_distinct"] == 2
+
+
+def test_scd2_apply_versions(spark):
+    import datetime as dt
+
+    from from_superset_to_clickhouse_spark.operators.cdc import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            # key 1: open row that will change
+            (1, 10.0, dt.date(2020, 1, 1), None),
+            # key 1 also has closed history that must pass through
+            (1, 5.0, dt.date(2010, 1, 1), dt.date(2020, 1, 1)),
+            # key 2: open row, no incoming change
+            (2, 20.0, dt.date(2020, 1, 1), None),
+            # key 3: open row, identical change arrives (no-op)
+            (3, 30.0, dt.date(2020, 1, 1), None),
+        ],
+        "k int, v double, valid_from date, valid_to date",
+    )
+    changes = spark.createDataFrame(
+        [(1, 11.0), (3, 30.0), (9, 90.0)], "k int, v double"
+    )
+    out = scd2_apply(
+        dim, changes, key_col="k", attr_cols=["v"],
+        effective_ts=F.lit(dt.date(2024, 1, 1)),
+    ).collect()
+    rows = {(r["k"], r["v"], str(r["valid_from"]), str(r["valid_to"])) for r in out}
+    assert rows == {
+        (1, 5.0, "2010-01-01", "2020-01-01"),   # closed history untouched
+        (1, 10.0, "2020-01-01", "2024-01-01"),  # closed at effective ts
+        (1, 11.0, "2024-01-01", "None"),        # new open version
+        (2, 20.0, "2020-01-01", "None"),        # untouched open
+        (3, 30.0, "2020-01-01", "None"),        # identical change = no-op
+        (9, 90.0, "2024-01-01", "None"),        # brand-new key
+    }
