@@ -1063,6 +1063,16 @@ def q_ntile_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus downsampling (~25% by key hash): unlike
+    df.sample(), membership is a pure function of the key — stable
+    across runs, cluster sizes, and repartitions, and auditable by any
+    engine from the documented affine-hash formula."""
+    return smp.sample_pct(
+        _docs(spark, sf_dir).select("doc_id", "lang"), "doc_id", 2500
+    )
+
+
 def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-stable deterministic 80/20 split (affine-hash basis points —
     same membership on any cluster size / partitioning, replicable in
@@ -2271,6 +2281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "pivot": q_pivot,
         "ntile_tiers": q_ntile_tiers,
+        "sample_pct": q_sample_pct,
         "train_test_split": q_train_test_split,
         "stratified_sample": q_stratified_sample,
         "grouped_collect": q_grouped_collect,
@@ -2789,6 +2800,11 @@ FROM ch WHERE len(c) > 0
         "ntile_tiers": (
             "SELECT doc_id, n_chars, ntile(10) OVER "
             "(ORDER BY n_chars, doc_id) AS tier FROM documents"
+        ),
+        "sample_pct": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            "((doc_id % 1000003) * 514229 + 285311) % 1000003 % 10000 "
+            "< 2500"
         ),
         "train_test_split": (
             "SELECT doc_id, lang, CASE WHEN "
