@@ -82,19 +82,32 @@ def main() -> None:
 
     qmap = entrymod.queries()
     timings: dict[str, float] = {}
+    raw_timings: dict[str, list[float]] = {}
 
-    def timed(name, fn, runs: int = 1):
-        # min-of-N (N=2 for the cheap headline queries): the steady-state
-        # wall time. The host is shared — a co-scheduled process can
-        # inflate a single run several-fold; the min of two back-to-back
-        # runs is the standard way to report the engine's own cost.
-        best = None
+    def _record(name: str, runs_sec: list[float], stat: str) -> None:
+        # Keep every raw run + a dispersion figure so a shared-host spike
+        # is visible in the artifact instead of silently flipping the
+        # headline conclusion (r4's ANN numbers reversed sign run-to-run).
+        raw_timings[name] = [round(r, 3) for r in runs_sec]
+        lo = min(runs_sec)
+        if stat == "median":
+            s = sorted(runs_sec)
+            val = s[len(s) // 2]
+        else:
+            val = lo
+        timings[name] = round(val, 3)
+
+    def timed(name, fn, runs: int = 3, stat: str = "min"):
+        # min-of-3: the steady-state wall time. The host is shared — a
+        # co-scheduled process can inflate a single run several-fold; the
+        # min of back-to-back runs reports the engine's own cost, and the
+        # raw runs + dispersion expose how noisy the window was.
+        rs = []
         for _ in range(runs):
             t0 = time.monotonic()
             fn()
-            dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            rs.append(time.monotonic() - t0)
+        _record(name, rs, stat)
 
     for name in HEADLINE:
         timed(
@@ -103,7 +116,6 @@ def main() -> None:
             .write.format("noop")
             .mode("overwrite")
             .save(),
-            runs=2,
         )
 
     # SimHash timed on the PRODUCTION xxhash64 family (the queries()
@@ -117,12 +129,11 @@ def main() -> None:
         .write.format("noop")
         .mode("overwrite")
         .save(),
-        runs=2,
     )
 
     # End-to-end v2 ingest pipeline into a throwaway store. Each run
     # gets a FRESH store dir (a second run into the same store would be
-    # an incremental no-op, not a rerun); min-of-2 like the headline
+    # an incremental no-op, not a rerun); min-of-3 like the headline
     # queries — this path is disk-write-bound and the noisiest entry on
     # a shared host.
     ev = load_table(spark, SF_DIR, "events")
@@ -134,7 +145,7 @@ def main() -> None:
         v2_daily_load(TableStore(spark, tmp), ev, entrymod.EVENTS, "ts")
 
     try:
-        timed("ingest_v2_pipeline", run_ingest, runs=2)
+        timed("ingest_v2_pipeline", run_ingest)
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
@@ -142,21 +153,30 @@ def main() -> None:
     # ANN suite: exact vectorized scan (the truth set), SRP-LSH, and IVF,
     # all answering the same query slice against the full corpus. Headline
     # comparison is queries/sec on the same corpus + measured recall.
+    # Every published operating point has measured recall >= 0.8; the
+    # band_bits=8 "lsh_fast" point (recall 0.169 at r4) was dropped — on
+    # near-random fixtures that pruning level can't reach a defensible
+    # recall, and publishing it invites misuse.
     emb = load_table(spark, SF_DIR, "embeddings").cache()
-    emb.count()
+    n_corpus = emb.count()
     ann_q = emb.filter(F.col("vec_id") < ANN_QUERIES).cache()
     n_queries = ann_q.count()
 
-    def timed_collect(name, fn):
-        # Same min-of-2 policy as the headline loop; the first run's
+    def timed_collect(name, fn, runs: int = 5):
+        # Median-of-5 for the ANN suite: these are the entries whose r4
+        # conclusions flipped sign under shared-host contention (min-of-2
+        # does not tame multi-second distributed jobs). The first run's
         # rows feed the recall computation (results are deterministic —
-        # both runs return the same set).
-        t0 = time.monotonic()
-        rows = fn()
-        dt = time.monotonic() - t0
-        t0 = time.monotonic()
-        fn()
-        timings[name] = round(min(dt, time.monotonic() - t0), 3)
+        # every run returns the same set).
+        rows = None
+        rs = []
+        for _ in range(runs):
+            t0 = time.monotonic()
+            got = fn()
+            rs.append(time.monotonic() - t0)
+            if rows is None:
+                rows = got
+        _record(name, rs, stat="median")
         return rows
 
     truth_rows = timed_collect(
@@ -165,14 +185,6 @@ def main() -> None:
     )
     lsh_rows = timed_collect(
         "ann_lsh", lambda: simi.lsh_topk(emb, ann_q, k=5).collect()
-    )
-    # Second LSH operating point: 8-bit bands prune candidates ~20x
-    # harder. Reported alongside the default so the recall/speed curve
-    # is measured, not asserted — near-random fixture embeddings are
-    # LSH's worst case and the tradeoff is the honest story.
-    lsh_fast_rows = timed_collect(
-        "ann_lsh_fast",
-        lambda: simi.lsh_topk(emb, ann_q, k=5, band_bits=8).collect(),
     )
     ivf_rows = timed_collect(
         "ann_ivf", lambda: simi.ivf_topk(emb, ann_q, k=5).collect()
@@ -184,20 +196,16 @@ def main() -> None:
         .write.format("noop")
         .mode("overwrite")
         .save(),
-        runs=2,
     )
     truth = {(r["q_id"], r["n_id"]) for r in truth_rows}
     lsh = {(r["q_id"], r["n_id"]) for r in lsh_rows}
-    lsh_fast = {(r["q_id"], r["n_id"]) for r in lsh_fast_rows}
     ivf = {(r["q_id"], r["n_id"]) for r in ivf_rows}
     lsh_recall = round(len(truth & lsh) / max(len(truth), 1), 3)
-    lsh_fast_recall = round(len(truth & lsh_fast) / max(len(truth), 1), 3)
     ivf_recall = round(len(truth & ivf) / max(len(truth), 1), 3)
     qps = {
         "exact_vectorized": round(n_queries / max(timings["ann_exact_vectorized"], 1e-9), 1),
         "exact_hof": round(ANN_HOF_QUERIES / max(timings["ann_exact_hof_slice"], 1e-9), 1),
         "lsh": round(n_queries / max(timings["ann_lsh"], 1e-9), 1),
-        "lsh_fast": round(n_queries / max(timings["ann_lsh_fast"], 1e-9), 1),
         "ivf": round(n_queries / max(timings["ann_ivf"], 1e-9), 1),
     }
     # Honest speedups: ANN paths vs the REAL exact baseline (both Arrow-
@@ -211,22 +219,27 @@ def main() -> None:
     arrow_over_expr = round(qps["exact_vectorized"] / max(qps["exact_hof"], 1e-9), 1)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    dispersion = {
+        n: round((max(rs) - min(rs)) / max(min(rs), 1e-9), 3)
+        for n, rs in raw_timings.items()
+    }
     out = {
         "metric": "headline_queries_wall_time",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "raw_timings": raw_timings,
+        "dispersion": dispersion,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "lsh_recall": lsh_recall,
-        "lsh_fast_recall": lsh_fast_recall,
         "ivf_recall": ivf_recall,
         "lsh_speedup_vs_exact": lsh_speedup,
-        "lsh_fast_speedup_vs_exact": round(
-            qps["lsh_fast"] / max(qps["exact_vectorized"], 1e-9), 2
-        ),
         "ivf_speedup_vs_exact": ivf_speedup,
         "arrow_over_expression_speedup": arrow_over_expr,
         "ann_queries_per_sec": qps,
+        "ann_corpus_size": n_corpus,
+        "ann_n_queries": n_queries,
+        "ann_k": 5,
         "cpus": int(CPUS),
     }
     print(json.dumps(out))
