@@ -28,6 +28,7 @@ from from_superset_to_clickhouse_spark.functions.scalar import mod_shard, months
 from from_superset_to_clickhouse_spark.operators.ingest import build_increment, ingest
 from from_superset_to_clickhouse_spark.plans.pipeline import Pipeline, SkipStep, Step
 from from_superset_to_clickhouse_spark.schema import Schema
+from from_superset_to_clickhouse_spark.sources.readers import read_jdbc, write_jdbc
 from from_superset_to_clickhouse_spark.tablestore import TableStore
 from from_superset_to_clickhouse_spark import watermark as wm
 
@@ -42,9 +43,22 @@ def v2_daily_load(
     dim_watermark: str | None = None,
     source_tag: str = "superset",
     retention_months: int = 30,
+    sink_url: str | None = None,
+    sink_table: str | None = None,
+    sink_properties: dict[str, str] | None = None,
 ) -> dict:
     """One run of the v2 daily incremental load (reference entry point A,
-    SURVEY.md §3.1). Returns the pipeline's step-result dict."""
+    SURVEY.md §3.1). Returns the pipeline's step-result dict.
+
+    When ``sink_url``/``sink_table`` are set, a final ``external_publish``
+    step mirrors the fact table's deduped view into an external JDBC
+    store — the reference's INSERT-SELECT *into* ClickHouse half
+    (``v2/sql/f_superset_logs_upload_data.sql:1-14``). The publish is
+    itself watermark-incremental: it probes MAX(watermark) on the
+    *remote* table (bootstrap on first run / missing table) and appends
+    only newer rows, so a daily run ships one day's rows, not a 100 TB
+    snapshot, and a rerun is a no-op rather than a duplication.
+    """
 
     def create(ctx):
         store.create(fact_schema, if_not_exists=True)
@@ -80,6 +94,30 @@ def v2_daily_load(
         store.compact(fact_schema.name)
         return "compacted"
 
+    def publish_external(ctx):
+        if sink_url is None or sink_table is None:
+            raise SkipStep("no external JDBC sink configured")
+        fact = store.latest_view(fact_schema.name)
+        try:
+            remote = read_jdbc(
+                store.spark, sink_url, sink_table, properties=sink_properties
+            )
+            anchor = wm.probe(remote, fact_watermark)
+        except Exception:
+            # First run: remote table doesn't exist yet. Bootstrap —
+            # write_jdbc's append mode will CREATE it.
+            anchor = wm.BOOTSTRAP
+        inc = fact.filter(
+            wm.increment_predicate(fact_watermark, anchor, strict=True)
+        )
+        if inc.isEmpty():
+            raise SkipStep("external sink already at watermark")
+        write_jdbc(
+            inc, sink_url, sink_table, mode="append",
+            properties=sink_properties, num_partitions=8,
+        )
+        return "published"
+
     pipe = Pipeline(
         name="v2_daily_load",
         stages=[
@@ -87,6 +125,7 @@ def v2_daily_load(
             [Step("fact_upload_data", upload_fact), Step("dim_upload_data", upload_dim)],
             Step("delete_old_rows", delete_old),
             Step("compact", compact),
+            Step("external_publish", publish_external),
         ],
         config={"connection": source_tag},
     )

@@ -85,6 +85,41 @@ def read_jdbc(
     return reader.load()
 
 
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+    batch_size: int = 10_000,
+    num_partitions: int | None = None,
+) -> None:
+    """JDBC sink — the reference's INSERT-SELECT *into* the external
+    store (``v2/sql/f_superset_logs_upload_data.sql:1-14``, executed by
+    ``hook.execute`` / bulk-loaded by ``import_csv``, hook.py:92-132).
+
+    Each input partition opens one connection and inserts with JDBC
+    batching (``batchsize`` rows per round-trip). ``num_partitions``
+    coalesces before the write to bound the remote connection count — a
+    1000-executor job must not open 32,000 connections against one
+    database; 8-32 writers is the usual ceiling an OLTP/OLAP endpoint
+    sustains. ``mode="append"`` creates the remote table on first use
+    (Spark's JDBC provider issues CREATE TABLE when it doesn't exist),
+    so the sink is bootstrap-safe like the watermark probe.
+    """
+    if num_partitions is not None:
+        df = df.coalesce(num_partitions)
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
+
+
 def from_pandas(spark: SparkSession, pdf: pd.DataFrame, schema=None) -> DataFrame:
     """pandas import (Arrow path; reference ``import_pandas_df``, hook.py:67-69)."""
     return spark.createDataFrame(pdf, schema=schema)
