@@ -506,13 +506,21 @@ class TableStore:
         """Unpartitioned fallback: anti-filter + full rewrite. A delete
         matching every row removes the data directory entirely (``read()``
         then serves the empty-schema fallback) instead of writing an empty
-        Parquet dir that would break schema inference."""
+        Parquet dir that would break schema inference.
+
+        Both counts come from ONE column-pruned aggregate scan (reads
+        only the predicate's columns), so a no-op delete costs one cheap
+        scan and no rewrite; a real delete costs that scan plus the
+        rewrite — down from the previous two separate full counts."""
         data = join(self.path(name), "data")
-        before = df.count()
-        kept = df.filter(~cond)
-        after = kept.count()
+        row = df.agg(
+            F.count(F.lit(1)).alias("before"),
+            F.count(F.when(~cond, F.lit(1))).alias("after"),
+        ).first()
+        before, after = row["before"], row["after"]
         if after == before:
             return 0
+        kept = df.filter(~cond)
         if after == 0:
             self.fs.delete(data)
             return before
