@@ -103,3 +103,48 @@ def test_quantile_tiers_has_no_exchange_on_assignment(spark, qmap):
 def test_contamination_probe_is_broadcast(spark, qmap):
     plan = _plan(qmap["contamination"](spark, SF))
     assert "BroadcastExchange" in plan
+
+
+def test_snapshot_diff_is_one_keyed_outer_join(spark, qmap):
+    """CDC diff: one full-outer join shuffled on the key — no cartesian
+    product, no single-partition exchange, no broadcast of a side that
+    would be snapshot-sized at scale."""
+    plan = _plan(qmap["snapshot_diff"](spark, SF))
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_scd2_merge_never_rescans_history_into_the_join(spark, qmap):
+    """SCD2: the join input is the OPEN slice only; closed history rides
+    a union, never a join. No cartesian, no single-partition exchange."""
+    plan = _plan(qmap["scd2_merge"](spark, SF))
+    assert "Union" in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_agg_merge_partial_aggregates_after_union(spark, qmap):
+    """Incremental agg refresh: union of partials + ONE keyed shuffle
+    with map-side combine (partial/final HashAggregate pair)."""
+    plan = _plan(qmap["agg_merge"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "SinglePartition" not in plan
+
+
+def test_asof_join_windows_by_key_not_globally(spark, qmap):
+    """As-of join: union + per-key window pass — the sort must be within
+    hash-partitioned keys, never a global single-partition sort."""
+    plan = _plan(qmap["asof_join"](spark, SF))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_broadcasts_band_side(spark, qmap):
+    """Range join against a small band table: fact side streams through
+    a broadcast nested-loop join — zero shuffle of the fact."""
+    plan = _plan(qmap["range_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # no exchange on the fact side: broadcast is the only distribution
+    assert "Exchange hashpartitioning" not in plan
