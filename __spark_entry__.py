@@ -1917,6 +1917,303 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-min subquery + dim chain (TPC-H Q2 shape, adapted to
+    the trimmed fixture — no partsupp, so s_acctbal stands in for
+    ps_supplycost): in EUROPE, the supplier(s) with the minimum account
+    balance of their nation. The correlated MIN decorrelates into a
+    grouped agg broadcast back onto the dim-chained supplier side —
+    no per-row subquery execution."""
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sn = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey", "n_name")
+    )
+    mins = sn.groupBy(F.col("s_nationkey").alias("_nk")).agg(
+        F.min("s_acctbal").alias("_min_bal")
+    )
+    return (
+        sn.join(
+            F.broadcast(mins),
+            (sn.s_nationkey == mins._nk) & (sn.s_acctbal == mins._min_bal),
+        )
+        .select("s_suppkey", "s_name", "n_name", "s_acctbal")
+    )
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping between nation pairs (TPC-H Q7 shape): lineitem ⋈
+    orders ⋈ customer ⋈ supplier with TWO roles of the nation dim (the
+    customer's and the supplier's), filtered to the two directed pairs,
+    grouped by (supp_nation, cust_nation, ship year). The fact shuffles
+    once per big join key; both nation copies broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(dt.datetime(1996, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(dt.datetime(1998, 1, 1)))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), cust.c_nationkey == n1._c_nk)
+        .join(F.broadcast(n2), supp.s_nationkey == n2._s_nk)
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_fxp_sum(revenue).alias("revenue"))
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape): of all ECONOMY-part
+    revenue sold into ASIA per order year, the fraction supplied by
+    NATION_3. Numerator and denominator both ride the fixed-point
+    detour, so the final share is one deterministic IEEE divide."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(dt.datetime(1996, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(dt.datetime(1998, 1, 1)))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_c_nk"), F.col("n_regionkey").alias("_c_rk")
+    )
+    nation_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    nat = F.when(F.col("supp_nation") == "NATION_3", revenue).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation_c), cust.c_nationkey == F.col("_c_nk"))
+        .join(F.broadcast(region), F.col("_c_rk") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation_s), supp.s_nationkey == F.col("_s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (_fxp_sum(nat) / _fxp_sum(revenue)).alias("mkt_share"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-line profit by nation and year (TPC-H Q9 shape, minus the
+    absent ps_supplycost term): for parts named like '%widget%', profit
+    = discounted revenue grouped by (supplier nation, order year). Part
+    filter broadcasts into the fact scan; nation broadcasts onto the
+    supplier side."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    profit = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(_fxp_sum(profit).alias("sum_profit"), F.count("*").alias("n_lines"))
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock identification (TPC-H Q11 shape, lineitem value
+    standing in for partsupp): per part shipped by NATION_5 suppliers,
+    total value = sum(extendedprice × quantity); keep parts whose value
+    exceeds 0.1% of the global total (the scalar-subquery HAVING).
+
+    Determinism: per-part values are exact fixed-point INTEGER sums and
+    the global total is the exact integer sum of those integers; the
+    only floating op is the final threshold multiply — one IEEE product
+    of identical operands in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 5)
+    vals = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * F.col("l_quantity") * _FXP)
+            ).alias("_iv")
+        )
+    )
+    total = vals.agg(F.sum("_iv").alias("_itot"))
+    return (
+        vals.join(F.broadcast(total))
+        .filter(F.col("_iv").cast("double") > F.col("_itot").cast("double") * 0.001)
+        .select(
+            "l_partkey",
+            (F.col("_iv").cast("double") / F.lit(_FXP)).alias("part_value"),
+        )
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): LEFT join so
+    zero-order customers survive with count 0, then a histogram over the
+    per-customer counts — two keyed shuffles, no driver loop."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    counts = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (TPC-H Q15 shape): quarterly revenue per supplier,
+    then the supplier(s) matching the global MAX — the scalar subquery
+    broadcasts a single row back onto the aggregate. Revenue is
+    fixed-point, so the MAX-equality join can't flake on FP noise."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(dt.datetime(1997, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(dt.datetime(1997, 4, 1)))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    rev = li.groupBy("l_suppkey").agg(_fxp_sum(revenue).alias("total_revenue"))
+    top = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        supp.join(F.broadcast(rev), supp.s_suppkey == rev.l_suppkey)
+        .join(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part/supplier relationship count (TPC-H Q16 shape, lineitem as
+    the part-supplier relation): distinct suppliers per (brand, type,
+    size), excluding one brand and "complaint" suppliers (negative
+    account balance stands in for the comment scan). The exclusion list
+    is tiny → broadcast anti-join; count_distinct shuffles once on the
+    group key."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9") & (F.col("p_size") <= 25)
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad_supp),
+            li.l_suppkey == bad_supp.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape, adapted:
+    "late" = shipped >90 days after ordering): NATION_0 suppliers with a
+    late line on a multi-supplier order where NO other supplier was late
+    — the classic EXISTS + NOT-EXISTS pair, compiled to one semi-join
+    and one anti-join over (order, supplier) pairs. Pairs are distinct
+    (id, id) tuples, so the self-joins never carry payload columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("_late"),
+    )
+    late_pairs = (
+        lo.filter(F.col("_late")).select("l_orderkey", "l_suppkey").distinct()
+    )
+    all_pairs = lo.select("l_orderkey", "l_suppkey").distinct()
+    l1 = late_pairs.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_suppkey").alias("_s")
+    )
+    # EXISTS: some other supplier on the same order (any line)
+    has_other = l1.join(
+        all_pairs,
+        (l1._o == all_pairs.l_orderkey) & (l1._s != all_pairs.l_suppkey),
+        "left_semi",
+    )
+    # NOT EXISTS: no other supplier was late on that order
+    sole_late = has_other.join(
+        late_pairs,
+        (has_other._o == late_pairs.l_orderkey)
+        & (has_other._s != late_pairs.l_suppkey),
+        "left_anti",
+    )
+    supp = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 0)
+    return (
+        sole_late.join(F.broadcast(supp), sole_late._s == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sales opportunity (TPC-H Q22 shape): customers from seven
+    nations (nation key stands in for the phone country code) with an
+    above-average positive balance and no RECENT orders (the fixture's
+    customers all have old orders, so "no orders since 1999" keeps the
+    anti-join non-vacuous) — scalar-subquery threshold (fixed-point avg,
+    deterministic) + anti-join on the order keys, grouped per nation."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 7)
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(dt.datetime(1999, 1, 1)))
+        .select("o_custkey")
+        .distinct()
+    )
+    pos = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0.0)
+    avg_bal = pos.agg(
+        (_fxp_sum(F.col("c_acctbal")) / F.count("*")).alias("_avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            _fxp_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect = ANSI subset; views pre-registered)
 # ---------------------------------------------------------------------------
@@ -2206,6 +2503,16 @@ SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.9
 # disturbing the never-driver-checked block at the top of ``queries()``.
 _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_dims": q_media_dims,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q21": q_tpch_q21,
+    "tpch_q22": q_tpch_q22,
 }
 
 
@@ -2827,6 +3134,128 @@ FROM ch WHERE len(c) > 0
             "HAVING sum(l_quantity) > 300) big "
             "ON o_orderkey = big.l_orderkey "
             "JOIN customer ON o_custkey = c_custkey"
+        ),
+        "tpch_q2": (
+            "WITH sn AS (SELECT s_suppkey, s_name, s_acctbal, s_nationkey, "
+            "n_name FROM supplier s JOIN nation n "
+            "ON s.s_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "WHERE r.r_name = 'EUROPE'), "
+            "m AS (SELECT s_nationkey, min(s_acctbal) AS min_bal "
+            "FROM sn GROUP BY 1) "
+            "SELECT sn.s_suppkey, sn.s_name, sn.n_name, sn.s_acctbal "
+            "FROM sn JOIN m ON sn.s_nationkey = m.s_nationkey "
+            "AND sn.s_acctbal = m.min_bal"
+        ),
+        "tpch_q7": (
+            "SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation, "
+            "CAST(year(l_shipdate) AS INTEGER) AS l_year, "
+            + _fxp_sum_sql("l_extendedprice * (1 - l_discount)") + " AS revenue "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation n1 ON c.c_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON s.s_nationkey = n2.n_nationkey "
+            "WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l.l_shipdate < TIMESTAMP '1998-01-01' "
+            "AND ((n2.n_name = 'NATION_1' AND n1.n_name = 'NATION_2') "
+            "OR (n2.n_name = 'NATION_2' AND n1.n_name = 'NATION_1')) "
+            "GROUP BY 1, 2, 3"
+        ),
+        "tpch_q8": (
+            "SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, "
+            + _fxp_sum_sql(
+                "CASE WHEN n2.n_name = 'NATION_3' THEN "
+                "l_extendedprice * (1 - l_discount) ELSE 0.0 END"
+            )
+            + " / (" + _fxp_sum_sql("l_extendedprice * (1 - l_discount)")
+            + ") AS mkt_share, count(*) AS n_lines "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n1 ON c.c_nationkey = n1.n_nationkey "
+            "JOIN region r ON n1.n_regionkey = r.r_regionkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation n2 ON s.s_nationkey = n2.n_nationkey "
+            "WHERE p.p_type = 'ECONOMY' AND r.r_name = 'ASIA' "
+            "AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY 1"
+        ),
+        "tpch_q9": (
+            "SELECT n.n_name AS nation, "
+            "CAST(year(o_orderdate) AS INTEGER) AS o_year, "
+            + _fxp_sum_sql("l_extendedprice * (1 - l_discount)")
+            + " AS sum_profit, count(*) AS n_lines "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "WHERE p.p_name LIKE '%widget%' GROUP BY 1, 2"
+        ),
+        "tpch_q11": (
+            f"WITH v AS (SELECT l_partkey, "
+            f"sum(CAST(floor(l_extendedprice * l_quantity * {_FXP}) AS BIGINT)) "
+            "AS iv FROM lineitem l JOIN supplier s "
+            "ON l.l_suppkey = s.s_suppkey WHERE s.s_nationkey = 5 "
+            "GROUP BY 1), t AS (SELECT sum(iv) AS itot FROM v) "
+            "SELECT l_partkey, "
+            f"CAST(iv AS DOUBLE) / {_FXP} AS part_value "
+            "FROM v, t WHERE CAST(iv AS DOUBLE) > CAST(itot AS DOUBLE) * 0.001"
+        ),
+        "tpch_q13": (
+            "SELECT c_count, count(*) AS custdist FROM "
+            "(SELECT c.c_custkey, count(o.o_orderkey) AS c_count "
+            "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+            "AND o.o_orderpriority <> '1-URGENT' GROUP BY 1) "
+            "GROUP BY 1"
+        ),
+        "tpch_q15": (
+            "WITH rev AS (SELECT l_suppkey, "
+            + _fxp_sum_sql("l_extendedprice * (1 - l_discount)")
+            + " AS total_revenue FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-04-01' GROUP BY 1) "
+            "SELECT s_suppkey, s_name, total_revenue "
+            "FROM supplier JOIN rev ON s_suppkey = rev.l_suppkey "
+            "WHERE total_revenue = (SELECT max(total_revenue) FROM rev)"
+        ),
+        "tpch_q16": (
+            "SELECT p_brand, p_type, p_size, "
+            "count(DISTINCT l_suppkey) AS supplier_cnt "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "WHERE p.p_brand <> 'Brand#9' AND p.p_size <= 25 "
+            "AND l.l_suppkey NOT IN "
+            "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+            "GROUP BY 1, 2, 3"
+        ),
+        "tpch_q21": (
+            "WITH lo AS (SELECT l_orderkey, l_suppkey, "
+            "l_shipdate > o_orderdate + INTERVAL 90 DAY AS late "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), "
+            "lp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lo WHERE late), "
+            "ap AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lo) "
+            "SELECT s.s_suppkey, s.s_name, count(*) AS numwait "
+            "FROM lp JOIN supplier s ON lp.l_suppkey = s.s_suppkey "
+            "WHERE s.s_nationkey = 0 "
+            "AND EXISTS (SELECT 1 FROM ap WHERE ap.l_orderkey = lp.l_orderkey "
+            "AND ap.l_suppkey <> lp.l_suppkey) "
+            "AND NOT EXISTS (SELECT 1 FROM lp lp2 "
+            "WHERE lp2.l_orderkey = lp.l_orderkey "
+            "AND lp2.l_suppkey <> lp.l_suppkey) "
+            "GROUP BY 1, 2"
+        ),
+        "tpch_q22": (
+            "WITH a AS (SELECT "
+            + _fxp_sum_sql("c_acctbal")
+            + " / count(*) AS avg_bal FROM customer WHERE c_acctbal > 0.0) "
+            "SELECT c_nationkey, count(*) AS numcust, "
+            + _fxp_sum_sql("c_acctbal") + " AS totacctbal "
+            "FROM customer, a WHERE c_nationkey < 7 "
+            "AND c_acctbal > a.avg_bal "
+            "AND c_custkey NOT IN (SELECT o_custkey FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1999-01-01') "
+            "GROUP BY 1"
         ),
         "pivot": (
             "SELECT CAST(date_trunc('month', ts) AS DATE) AS month, "
