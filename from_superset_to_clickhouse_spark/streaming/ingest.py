@@ -73,6 +73,46 @@ def ingest_stream(
     return writer.start()
 
 
+def stream_to_jdbc(
+    stream: DataFrame,
+    url: str,
+    table: str,
+    checkpoint: str,
+    properties: dict[str, str] | None = None,
+    num_partitions: int = 8,
+    available_now: bool = True,
+):
+    """Continuous external publish: stream → JDBC sink via foreachBatch —
+    the streaming twin of the reference's INSERT-SELECT into ClickHouse
+    (``v2/sql/f_superset_logs_upload_data.sql:1-14``).
+
+    Exactly-once on the Spark side comes from the checkpoint (a replayed
+    micro-batch re-runs ``write_batch`` — the append is at-least-once
+    into the remote table, the standard JDBC-sink contract; dedup on the
+    remote side with a Replacing-style key if required). Each batch
+    coalesces to ``num_partitions`` writers so a wide stream can't open
+    one remote connection per shuffle partition.
+    """
+    from from_superset_to_clickhouse_spark.sources.readers import write_jdbc
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_jdbc(
+            batch_df, url, table, mode="append",
+            properties=properties, num_partitions=num_partitions,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_counts(
     stream: DataFrame,
     ts_col: str = "ts",

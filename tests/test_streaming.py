@@ -148,3 +148,33 @@ def test_running_latest_stateful_across_batches(spark, tmp_path):
             latest[r["user_id"]] = (r["latest_ts"], r["latest_value"])
     assert latest[1] == (ts(1, 1, hour=5), 10.0)
     assert latest[2] == (ts(1, 1, hour=9), 25.0)
+
+
+def test_stream_to_jdbc_publishes_and_restart_ships_only_new(spark, tmp_path):
+    """stream_to_jdbc: AvailableNow backlog lands in Derby; a restart
+    with the same checkpoint publishes only files added since — the
+    streaming INSERT-SELECT twin, no duplicates on restart."""
+    from from_superset_to_clickhouse_spark.sources.readers import read_jdbc
+
+    url = "jdbc:derby:memory:stream_jdbc_test;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    _write_source(spark, src, [(1, ts(1, 5), "a"), (2, ts(2, 5), "b")])
+
+    q = si.stream_to_jdbc(
+        si.stream_source(spark, src, SRC_SCHEMA), url, "ext_stream", ckpt,
+        properties=props,
+    )
+    q.awaitTermination(120)
+    assert read_jdbc(spark, url, "ext_stream", properties=props).count() == 2
+
+    _write_source(spark, src, [(3, ts(3, 5), "c")])
+    q2 = si.stream_to_jdbc(
+        si.stream_source(spark, src, SRC_SCHEMA), url, "ext_stream", ckpt,
+        properties=props,
+    )
+    q2.awaitTermination(120)
+    back = read_jdbc(spark, url, "ext_stream", properties=props)
+    assert back.count() == 3
+    assert {r["id"] for r in back.collect()} == {1, 2, 3}
