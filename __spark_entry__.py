@@ -1364,6 +1364,13 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_survivors(comp).select(F.col("node").alias("doc_id"))
 
 
+def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated 5-grams (substring-dedup primitive):
+    grams appearing in >= 2 distinct documents, with their document
+    counts."""
+    return txt.repeated_ngrams(_docs(spark, sf_dir), n=5, min_docs=2)
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: train docs (hash split, 80%) sharing
     any word 5-gram with the held-out 20% — the broadcast probe of the
@@ -2503,6 +2510,7 @@ SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.9
 # disturbing the never-driver-checked block at the top of ``queries()``.
 _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_dims": q_media_dims,
+    "repeated_ngrams": q_repeated_ngrams,
     "tpch_q2": q_tpch_q2,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
@@ -2962,6 +2970,23 @@ FROM ch WHERE len(c) > 0
         "profile": _PROFILE_SQL,
         "dedup_pipeline": _DEDUP_PIPELINE_SQL,
         "contamination": _CONTAMINATION_SQL,
+        "repeated_ngrams": r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                x -> x <> '') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 5
+      THEN list_distinct(list_transform(range(1, CAST(len(t) AS INTEGER) - 3),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+             || ' ' || t[i+4]))
+      ELSE [] END AS gs
+  FROM toks
+), r AS (SELECT doc_id, unnest(gs) AS gram FROM g)
+SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
+""",
         "snapshot_diff": (
             "WITH old AS (SELECT event_id, value FROM events), "
             "new AS ("

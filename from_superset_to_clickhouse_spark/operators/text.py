@@ -406,6 +406,33 @@ def ngram_rows(
     )
 
 
+def repeated_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated n-grams → (gram, n_docs): the
+    substring-level dedup primitive — grams shared by ``min_docs`` or
+    more documents mark boilerplate/duplicated passages whose spans a
+    curation pass cuts or downweights (the "deduplicating training
+    data" recipe, operating on n-grams rather than suffix arrays).
+
+    Plan: one codegen explode of per-doc DISTINCT grams (so ``count(*)``
+    per gram IS the distinct-document count — no count_distinct
+    expansion needed) + one gram-keyed shuffle with map-side partial
+    counts. The ``min_docs`` filter drops the long unique tail at the
+    reducer, so only the (tiny) repeated head is ever materialized.
+    """
+    return (
+        ngram_rows(df, text_col, id_col, n)
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 def contamination(
     train: DataFrame,
     test: DataFrame,
