@@ -1371,6 +1371,35 @@ def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.repeated_ngrams(_docs(spark, sf_dir), n=5, min_docs=2)
 
 
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup stripping over planted HTML: each document is wrapped in
+    tags with entities (including a double-encoded one) before cleaning,
+    so the oracle verifies the strip/decode/collapse chain actually
+    fires on every row — not that a no-op equals a no-op."""
+    planted = F.concat(
+        F.lit('<div class="doc"><p>'),
+        F.col("text"),
+        F.lit("</p>&nbsp;<b>x &amp;amp; y</b>\t<br/> tail</div>"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", txt.strip_markup(planted).alias("clean")
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization: per-user 1-day-gap sessions over
+    the events stream — one keyed window pass (lag boundary flag +
+    running sum), the batch twin of the streaming session_window."""
+    ev = _ev(spark, sf_dir)
+    return tmp.sessionize(
+        ev.select("user_id", "event_id", "ts"),
+        key_col="user_id",
+        ts_col="ts",
+        gap_minutes=60 * 24,
+        tiebreak_col="event_id",
+    )
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: train docs (hash split, 80%) sharing
     any word 5-gram with the held-out 20% — the broadcast probe of the
@@ -2511,6 +2540,8 @@ SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.9
 _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_dims": q_media_dims,
     "repeated_ngrams": q_repeated_ngrams,
+    "clean_text": q_clean_text,
+    "sessionize": q_sessionize,
     "tpch_q2": q_tpch_q2,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
@@ -2970,6 +3001,28 @@ FROM ch WHERE len(c) > 0
         "profile": _PROFILE_SQL,
         "dedup_pipeline": _DEDUP_PIPELINE_SQL,
         "contamination": _CONTAMINATION_SQL,
+        "clean_text": (
+            "SELECT doc_id, trim(regexp_replace("
+            "replace(replace(replace(replace(replace(replace("
+            "regexp_replace("
+            "'<div class=\"doc\"><p>' || text || "
+            "'</p>&nbsp;<b>x &amp;amp; y</b>' || chr(9) || '<br/> tail</div>', "
+            "'<[^>]*>', ' ', 'g'), "
+            "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
+            "'&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'), "
+            "'\\s+', ' ', 'g')) AS clean FROM documents"
+        ),
+        "sessionize": (
+            "SELECT user_id, event_id, ts, "
+            "CAST(sum(new_sess) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+            "AS session_seq FROM ("
+            "SELECT user_id, event_id, ts, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR "
+            "epoch_us(ts) - epoch_us(lag(ts) OVER w) > 86400000000 "
+            "THEN 1 ELSE 0 END AS new_sess FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))"
+        ),
         "repeated_ngrams": r"""
 WITH toks AS (
   SELECT doc_id,

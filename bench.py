@@ -37,6 +37,8 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q6",
+    "tpch_q8",
+    "tpch_q21",
     "window_rank",
     "exact_dedup",
     "ngram_jaccard_pairs",

@@ -79,6 +79,45 @@ def asof_join(
     return filled.filter(F.col("_aside") == 1).select(*lcols, *out_names)
 
 
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+    tiebreak_col: str | None = None,
+    out_col: str = "session_seq",
+) -> DataFrame:
+    """Batch gap-based sessionization: rows of the same ``key_col``
+    whose timestamps are within ``gap_minutes`` of the previous row
+    share a session; a longer silence starts a new one. Adds
+    ``out_col`` = the per-key session ordinal (1-based) — the batch
+    twin of Structured Streaming's ``session_window``.
+
+    Plan: ONE window pass partitioned by the key (boundary flag via
+    ``lag``, then a running sum over the same window spec — Spark plans
+    both over a single sort within hash-partitioned keys; no global
+    sort, no second shuffle). The gap comparison is integer microsecond
+    arithmetic, exact in any engine. ``tiebreak_col`` makes equal-ts
+    rows deterministic.
+    """
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    gap_us = F.lit(gap_minutes * 60_000_000)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_sess = (
+        prev.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)) > gap_us)
+    ).cast("int")
+    return df.withColumn(
+        out_col,
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
 def range_join_bands(
     fact: DataFrame,
     bands: DataFrame,

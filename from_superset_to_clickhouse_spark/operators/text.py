@@ -406,6 +406,26 @@ def ngram_rows(
     )
 
 
+def strip_markup(text: Column) -> Column:
+    """HTML/markup cleanup for crawled corpora: drop tags, decode the
+    common entities, collapse whitespace runs, trim. Pure codegen
+    (regexp_replace/replace chain — no Python), and every step has an
+    exact ANSI twin so the oracle replays it. ``&amp;`` decodes LAST so
+    double-encoded entities single-decode (``&amp;lt;`` → ``&lt;``),
+    matching standard entity-decode order."""
+    out = F.regexp_replace(text, r"<[^>]*>", " ")
+    for ent, rep in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
 def repeated_ngrams(
     df: DataFrame,
     text_col: str = "text",

@@ -41,7 +41,20 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table with ns→µs timestamp normalization."""
+    """Read one fixture table with timestamp normalization to a single
+    canonical type: TIMESTAMP (session-local, session tz pinned to UTC).
+
+    Two parquet flavors exist across driver rounds and both must land on
+    the same Spark type, or every ``unix_micros``/timestamp-typed path
+    becomes fixture-dependent:
+    - ``timestamp[ns]``: Spark can't read nanos natively — read as long
+      (``nanosAsLong``), integer-divide to µs, rebuild the timestamp;
+    - ``timestamp[us]`` without UTC adjustment: Spark 4 infers
+      TIMESTAMP_NTZ — cast to TIMESTAMP, which is wall-clock-preserving
+      under the UTC session timezone.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
@@ -51,6 +64,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 field.name, F.timestamp_micros(F.expr(f"`{field.name}` div 1000"))
             )
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 
