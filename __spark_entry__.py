@@ -667,6 +667,37 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ddp.simhash_pairs(_docs(spark, sf_dir), hash_family="md5")
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embeddings table —
+    pure Catalyst array expressions; codes defined as floor-of-shifted
+    so the oracle replays them bit-for-bit."""
+    return simi.quantize_embeddings(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def q_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch maintenance (rows-only by design — sketch
+    estimates have no exact ANSI twin): per-month HLL sketches of the
+    user population built INDEPENDENTLY, then union-merged into a
+    global distinct estimate — the materialized-view refresh pattern
+    for COUNT(DISTINCT): each new period adds one sketch row, history is
+    never rescanned. (Per-DAY partials — the fixture's events span a
+    single month.) The pytest bound asserts the merged estimate is
+    within 5% of the exact global distinct and exactly equals the
+    single-pass sketch of the same data."""
+    ev = _ev(spark, sf_dir)
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sketch"))
+    return daily.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias(
+            "merged_distinct_users"
+        ),
+        F.count("*").alias("n_partials"),
+    )
+
+
 def q_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for the first 20 vectors."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -2542,6 +2573,8 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repeated_ngrams": q_repeated_ngrams,
     "clean_text": q_clean_text,
     "sessionize": q_sessionize,
+    "quantize_embeddings": q_quantize_embeddings,
+    "sketch_merge": q_sketch_merge,
     "tpch_q2": q_tpch_q2,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
@@ -3011,6 +3044,15 @@ FROM ch WHERE len(c) > 0
             "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
             "'&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'), "
             "'\\s+', ' ', 'g')) AS clean FROM documents"
+        ),
+        "quantize_embeddings": (
+            "SELECT vec_id, CAST(s AS DOUBLE) AS scale, "
+            "list_transform(embedding, x -> CASE WHEN s > 0.0 "
+            "THEN CAST(floor(x * 127.0 / s + 0.5) AS INTEGER) "
+            "ELSE 0 END) AS qvec FROM "
+            "(SELECT vec_id, embedding, "
+            "list_max(list_transform(embedding, x -> abs(x))) AS s "
+            "FROM embeddings)"
         ),
         "sessionize": (
             "SELECT user_id, event_id, ts, "

@@ -58,6 +58,51 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "qvec",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization → (id, scale, int8 codes):
+    the 4× storage/shuffle-bandwidth reduction step an embedding lake
+    applies before indexing (dequantize: ``v ≈ q * scale / 127``).
+
+    Codes are ``floor(v * 127 / scale + 0.5)`` with ``scale =
+    max(|v_i|)`` — floor-of-shifted rather than ROUND because ROUND's
+    tie behavior differs across engines while floor is exact IEEE
+    everywhere, so the oracle replays the codes bit-for-bit. The whole
+    transform is Catalyst array expressions — no Python, no shuffle.
+    Zero vectors quantize to all-zero codes with scale 0.
+    """
+    from from_superset_to_clickhouse_spark.functions.scalar import let_bind
+
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    return df.select(
+        F.col(id_col),
+        let_bind(
+            scale,
+            lambda s: F.struct(
+                s.alias("_s"),
+                F.transform(
+                    v,
+                    lambda x: F.when(s > 0.0, F.floor(x * 127.0 / s + 0.5))
+                    .otherwise(F.lit(0))
+                    .cast("int"),
+                ).alias("_q"),
+            ),
+        ).alias("_sq"),
+    ).select(
+        id_col,
+        # float→double is lossless; a stable DOUBLE output type keeps the
+        # oracle schema comparison engine-neutral
+        F.col("_sq._s").cast("double").alias(scale_col),
+        F.col("_sq._q").alias(out_col),
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

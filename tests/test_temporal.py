@@ -94,6 +94,27 @@ def test_approx_distinct_error_bound(spark):
         assert err <= 0.05, (r["event_type"], err)
 
 
+def test_sketch_merge_matches_single_pass_and_exact(spark):
+    """HLL mergeability: union of independent per-month sketches must
+    equal the single-pass sketch of the same column exactly (merge is
+    lossless by construction) and land within 5% of the exact distinct."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+    from from_superset_to_clickhouse_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.01"
+    row = entry.queries()["sketch_merge"](spark, sf).first()
+    ev = load_table(spark, sf, "events")
+    single = ev.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("e")
+    ).first()["e"]
+    exact = ev.select("user_id").distinct().count()
+    assert row["n_partials"] > 1  # the merge actually merged something
+    assert row["merged_distinct_users"] == single
+    err = abs(row["merged_distinct_users"] - exact) / max(exact, 1)
+    assert err <= 0.05, (row["merged_distinct_users"], exact, err)
+
+
 def test_train_test_split_is_key_stable_under_repartition(spark):
     from from_superset_to_clickhouse_spark.operators.sampling import (
         train_test_split,
