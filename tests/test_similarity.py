@@ -77,3 +77,46 @@ def test_embedding_dedup_finds_planted_copies(spark):
         for r in simi.embedding_dedup_pairs(both, threshold=0.95).collect()
     }
     assert found == {(i, i + 10000) for i in range(30)}
+
+
+def test_quantize_embeddings_roundtrip_and_neighbor_recall(spark):
+    """int8 quantization fitness: codes bounded to [-127, 127], dequant
+    error within one quantization step per element, and top-5 neighbor
+    sets over dequantized vectors recall >= 0.95 of the full-precision
+    truth — the property that makes int8 storage usable for search."""
+    emb = load_table(spark, SF, "embeddings")
+    q = simi.quantize_embeddings(emb)
+    dq = q.select(
+        "vec_id",
+        F.transform(
+            "qvec", lambda c: (c * F.col("scale") / F.lit(127.0)).cast("float")
+        ).alias("embedding"),
+    )
+    # per-element: |dequant - original| <= scale/127 (half step + float eps)
+    joined = emb.select("vec_id", F.col("embedding").alias("orig")).join(
+        dq.select("vec_id", F.col("embedding").alias("deq"), ), "vec_id"
+    ).join(q.select("vec_id", "scale", "qvec"), "vec_id")
+    bad_bounds = joined.filter(
+        F.exists(F.col("qvec"), lambda c: (c > 127) | (c < -127))
+    ).count()
+    assert bad_bounds == 0
+    worst = joined.select(
+        F.array_max(
+            F.zip_with("orig", "deq", lambda a, b: F.abs(a - b))
+        ).alias("err"),
+        "scale",
+    ).select(F.max(F.col("err") / (F.col("scale") / 127.0)).alias("m")).first()["m"]
+    assert worst <= 0.5001, worst
+
+    queries = emb.filter(F.col("vec_id") < 100)
+    truth = {
+        (r["q_id"], r["n_id"])
+        for r in simi.brute_force_topk(emb, queries, k=5).collect()
+    }
+    dq_queries = dq.filter(F.col("vec_id") < 100)
+    approx = {
+        (r["q_id"], r["n_id"])
+        for r in simi.brute_force_topk(dq, dq_queries, k=5).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.95, f"int8 neighbor recall {recall}"
