@@ -846,6 +846,9 @@ _STORE_SCHEMA = Schema(
     # (single partition). Day partitions give ~30, so the swap provably
     # leaves the other days untouched and the delete provably prunes.
     partition_by=("ts_day",),
+    # Sorted layout inside each partition → parquet row-group stats +
+    # per-partition zone maps on the id (the ORDER BY id analog).
+    sort_by=("event_id",),
 )
 
 
@@ -899,6 +902,20 @@ def q_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()[0]
     store.delete_where("store_events", F.col("ts") < F.lit(cutoff))
     return store.read("store_events").select("event_id", "ts")
+
+
+def q_zone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping end-to-end: load the events fixture into a
+    day-partitioned, id-sorted store (writes collect per-partition
+    [min, max] of the sort key), then range-read ids 100-400 — the zone
+    maps translate the id range into partition pruning (event ids are
+    time-sequential, so only ~1 day survives), and the result must
+    equal the plain SQL range filter."""
+    store, ev = _store_events(spark, sf_dir)
+    store.append("store_events", ev)
+    return store.read_where("store_events", "event_id", lo=100, hi=400).select(
+        "event_id", "ts", "event_type", "value"
+    )
 
 
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2575,6 +2592,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "quantize_embeddings": q_quantize_embeddings,
     "sketch_merge": q_sketch_merge,
+    "zone_read": q_zone_read,
     "tpch_q2": q_tpch_q2,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
@@ -3044,6 +3062,10 @@ FROM ch WHERE len(c) > 0
             "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
             "'&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'), "
             "'\\s+', ' ', 'g')) AS clean FROM documents"
+        ),
+        "zone_read": (
+            "SELECT event_id, ts, event_type, value FROM events "
+            "WHERE event_id BETWEEN 100 AND 400"
         ),
         "quantize_embeddings": (
             "SELECT vec_id, CAST(s AS DOUBLE) AS scale, "

@@ -188,6 +188,7 @@ class TableStore:
         if parts:
             w = w.partitionBy(*parts)
         w.parquet(join(self.path(name), "data"))
+        self._update_zone_maps(name, out, mode="merge")
 
     def overwrite_partitions(self, name: str, df: DataFrame) -> None:
         """Atomic partition swap: replace exactly the partitions present in df.
@@ -208,6 +209,7 @@ class TableStore:
             .partitionBy(*parts)
             .parquet(join(self.path(name), "data"))
         )
+        self._update_zone_maps(name, out, mode="replace")
 
     def overwrite(self, name: str, df: DataFrame) -> None:
         seq = self._next_ingest_seq(name)
@@ -216,6 +218,107 @@ class TableStore:
         if parts:
             w = w.partitionBy(*parts)
         w.parquet(join(self.path(name), "data"))
+        self._update_zone_maps(name, out, mode="reset")
+
+    # -- zone maps (sort-key min/max per partition — data skipping) ---------
+
+    def _zone_spec(self, meta: dict) -> tuple[str | None, str | None]:
+        """Zone maps track the FIRST sort key on single-partition-column
+        tables (the reference's ``ORDER BY id`` inside monthly
+        partitions). Multi-level partitioning or no sort key → no maps."""
+        sort_by = meta.get("sort_by") or []
+        parts = meta["partition_by"]
+        if len(parts) == 1 and sort_by:
+            return sort_by[0], parts[0]
+        return None, None
+
+    @staticmethod
+    def _zkey(v):
+        """JSON-safe, order-preserving encoding of a zone bound:
+        numerics ride natively; dates/timestamps as ISO strings (ISO is
+        lexicographically ordered); strings as-is."""
+        if v is None or isinstance(v, (int, float, str)):
+            return v
+        return v.isoformat(sep=" ") if hasattr(v, "isoformat") else str(v)
+
+    def _update_zone_maps(self, name: str, staged: DataFrame, mode: str) -> None:
+        """Refresh per-partition [min, max] of the zone column from the
+        staged batch — one extra aggregate over the INCREMENT (one output
+        row per touched partition), never over the table. ``merge``
+        widens existing bounds (append), ``replace`` swaps the touched
+        partitions' entries (partition overwrite), ``reset`` rebuilds
+        from scratch (full overwrite). Deletes/compaction leave bounds
+        untouched: a superset range only costs pruning tightness, never
+        correctness."""
+        meta = self._meta(name)
+        zcol, part = self._zone_spec(meta)
+        if zcol is None or zcol not in staged.columns:
+            return
+        stats = (
+            staged.groupBy(part)
+            .agg(F.min(zcol).alias("_mn"), F.max(zcol).alias("_mx"))
+            .collect()
+        )
+        zm = {} if mode == "reset" else dict(meta.get("zone_maps") or {})
+        for r in stats:
+            key = str(r[part])
+            lo, hi = self._zkey(r["_mn"]), self._zkey(r["_mx"])
+            if mode == "merge" and key in zm:
+                old_lo, old_hi = zm[key]
+                # None = unknown bound → stays unknown (prunes as
+                # always-intersecting, which is the safe direction)
+                lo = None if (old_lo is None or lo is None) else min(old_lo, lo)
+                hi = None if (old_hi is None or hi is None) else max(old_hi, hi)
+            zm[key] = [lo, hi]
+        meta["zone_maps"] = zm
+        self._save_meta(name, meta)
+
+    def zone_prune_partitions(
+        self, name: str, col: str, lo=None, hi=None
+    ) -> list[str] | None:
+        """Partition values whose [min, max] zone intersects [lo, hi] —
+        or None when pruning isn't safe (no maps for this column, or a
+        partition on disk has no entry, e.g. a table written before the
+        feature existed; callers then fall back to a full scan)."""
+        meta = self._meta(name)
+        zcol, part = self._zone_spec(meta)
+        zm = meta.get("zone_maps")
+        if zcol != col or not zm:
+            return None
+        on_disk = {
+            urllib.parse.unquote(e.split("=", 1)[1])
+            for e in self.partitions(name)
+        }
+        if not on_disk <= set(zm.keys()):
+            return None
+        klo, khi = self._zkey(lo), self._zkey(hi)
+        return sorted(
+            k
+            for k, (mn, mx) in zm.items()
+            if (khi is None or mn is None or mn <= khi)
+            and (klo is None or mx is None or mx >= klo)
+        )
+
+    def read_where(self, name: str, col: str, lo=None, hi=None) -> DataFrame:
+        """Range read with zone-map data skipping: a [lo, hi] predicate
+        on the sort key is translated into a partition-value ``isin``
+        that Catalyst prunes at planning time (the scan's
+        PartitionFilters — directories outside the range are never
+        listed or opened), then the exact row predicate applies on the
+        surviving partitions. Without applicable maps this degrades to
+        an ordinary filtered read (parquet row-group stats still skip
+        within files, courtesy of the sorted layout)."""
+        meta = self._meta(name)
+        _, part = self._zone_spec(meta)
+        df = self.read(name)
+        keep = self.zone_prune_partitions(name, col, lo, hi)
+        if keep is not None:
+            df = df.filter(F.col(part).cast("string").isin(keep))
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+        return df
 
     # -- read paths ----------------------------------------------------------
 

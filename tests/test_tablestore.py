@@ -209,3 +209,75 @@ def test_tables_and_describe(spark, tmp_path):
     assert d["dedup_key"] == ["id"]
     assert d["ingest_seq"] == 0
     assert d["partitions"] == []
+
+
+def test_zone_maps_prune_partitions_and_match_full_filter(spark, tmp_path):
+    """Zone maps: per-partition sort-key bounds collected at write turn
+    a range predicate into partition pruning — the scan plans
+    PartitionFilters and only intersecting months survive; results
+    equal the unpruned filter twin; appends widen bounds correctly."""
+    import contextlib
+    import io
+
+    from conftest import logs_schema, ts
+
+    store = TableStore(spark, str(tmp_path))
+    sch = logs_schema("logs")
+    store.create(sch)
+    # ids 0-9 in Jan, 100-109 in Feb, 200-209 in Mar
+    rows = [
+        (base + i, ts(m, 3 + i), f"v{base + i}")
+        for m, base in ((1, 0), (2, 100), (3, 200))
+        for i in range(10)
+    ]
+    store.append("logs", spark.createDataFrame(rows, "id int, dttm timestamp, v string"))
+
+    keep = store.zone_prune_partitions("logs", "id", lo=100, hi=109)
+    assert keep == ["2024-02-01"]
+
+    q = store.read_where("logs", "id", lo=100, hi=109)
+    got = sorted(r["id"] for r in q.collect())
+    assert got == list(range(100, 110))
+    full = store.read("logs").filter((F.col("id") >= 100) & (F.col("id") <= 109))
+    assert sorted(r["id"] for r in full.collect()) == got
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()
+
+    # append into Jan with HIGHER ids: Jan's zone widens, the old range
+    # query must now include Jan (correctness under merge)
+    store.append(
+        "logs",
+        spark.createDataFrame([(105, ts(1, 20), "late")], "id int, dttm timestamp, v string"),
+    )
+    keep2 = store.zone_prune_partitions("logs", "id", lo=100, hi=109)
+    assert keep2 == ["2024-01-01", "2024-02-01"]
+    got2 = sorted(r["id"] for r in store.read_where("logs", "id", 100, 109).collect())
+    assert got2 == sorted(list(range(100, 110)) + [105])
+
+
+def test_zone_maps_refuse_to_prune_without_full_coverage(spark, tmp_path):
+    """A partition on disk with no zone entry (pre-feature table) must
+    disable pruning, not silently drop data."""
+    import json
+
+    from conftest import logs_schema, ts
+
+    store = TableStore(spark, str(tmp_path))
+    sch = logs_schema("logs")
+    store.create(sch)
+    store.append(
+        "logs",
+        spark.createDataFrame(
+            [(1, ts(1, 5), "a"), (200, ts(2, 5), "b")],
+            "id int, dttm timestamp, v string",
+        ),
+    )
+    # simulate a legacy table: drop one partition's entry
+    meta = store._meta("logs")
+    del meta["zone_maps"]["2024-02-01"]
+    store._save_meta("logs", meta)
+    assert store.zone_prune_partitions("logs", "id", 0, 10) is None
+    got = {r["id"] for r in store.read_where("logs", "id", 0, 300).collect()}
+    assert got == {1, 200}
