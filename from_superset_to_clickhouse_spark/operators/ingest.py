@@ -71,11 +71,17 @@ def ingest(
     publish="swap"    → v1 semantics: month-floored >= watermark, stage,
                         then atomically replace the affected partitions.
 
-    The empty-increment check uses ``isEmpty()`` (stops at the first
-    found row) and the exact row count is opt-in — a full ``count()``
-    before the write would scan the source increment twice, 2× source
-    I/O per load at scale (VERDICT.md r1 item 8).
+    Row counting is FREE: with ``count_rows=True`` an ``Observation``
+    rides the write action, so the increment is scanned exactly once
+    either way (an up-front ``count()`` would scan the source increment
+    twice — 2× source I/O per load at scale, VERDICT.md r1 item 8).
+    Without a count, the empty-increment check uses ``isEmpty()``
+    (stops at the first found row) to skip the write entirely; with the
+    observation the write itself is the emptiness probe (an empty
+    append/dynamic-overwrite is a no-op on the table data).
     """
+    from pyspark.sql import Observation
+
     store.create(schema, if_not_exists=True)
     target = store.read(schema.name)
     if publish == "swap":
@@ -87,11 +93,21 @@ def ingest(
         source_df, schema, watermark_field, value, source_tag,
         strict=strict, column_map=column_map,
     )
-    n = inc.count() if count_rows else None
-    if n == 0 or (n is None and inc.isEmpty()):
+    obs = None
+    if count_rows:
+        obs = Observation()
+        inc = inc.observe(obs, F.count(F.lit(1)).alias("n"))
+    elif inc.isEmpty():
         return 0
     if publish == "swap":
         store.overwrite_partitions(schema.name, inc)
     else:
         store.append(schema.name, inc)
-    return n
+    if obs is None:
+        return None
+    try:
+        return int(obs.get["n"])
+    except Exception:
+        # An empty increment schedules zero tasks, so the observation
+        # collects no metric row at all — that IS the zero count.
+        return 0

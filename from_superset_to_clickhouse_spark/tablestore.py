@@ -324,8 +324,15 @@ class TableStore:
 
     def read(self, name: str) -> DataFrame:
         """Raw read — may contain not-yet-compacted duplicate keys (the
-        ClickHouse "SELECT without FINAL" view)."""
+        ClickHouse "SELECT without FINAL" view). A data dir holding only
+        write markers (``_SUCCESS`` from an empty append) serves the
+        empty-schema fallback like a missing dir — parquet schema
+        inference would otherwise fail on it."""
         data = join(self.path(name), "data")
+        if self.fs.exists(data) and all(
+            e.startswith("_") for e in self.fs.listdir(data)
+        ):
+            self.fs.delete(data)
         if not self.fs.exists(data):
             meta = self._meta(name)
             from from_superset_to_clickhouse_spark.schema import Field, Schema as S

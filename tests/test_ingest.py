@@ -91,3 +91,31 @@ def test_watermark_probe_bootstrap(spark):
     one = spark.createDataFrame([(ts(3, 15),)], "dttm timestamp")
     assert wm.probe(one, "dttm") == ts(3, 15)
     assert wm.probe_month_floor(one, "dttm") == ts(3, 1)
+
+
+def test_ingest_counts_without_second_scan_and_empty_first_load(spark, tmp_path):
+    """count_rows rides the write as an Observation (one scan, exact
+    count); an EMPTY counted increment into a brand-new table must not
+    corrupt the store (the marker-only data dir serves the empty
+    fallback)."""
+    from conftest import logs_schema, ts
+    from from_superset_to_clickhouse_spark.operators.ingest import ingest
+    from from_superset_to_clickhouse_spark.tablestore import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    sch = logs_schema("logs")
+    src = spark.createDataFrame([], "id int, dttm timestamp, v string")
+    n0 = ingest(store, src, sch, "dttm", "t", count_rows=True)
+    assert n0 == 0
+    assert store.read("logs").count() == 0
+
+    rows = spark.createDataFrame(
+        [(1, ts(1, 5), "a"), (2, ts(2, 5), "b")], "id int, dttm timestamp, v string"
+    )
+    n1 = ingest(store, rows, sch, "dttm", "t", count_rows=True)
+    assert n1 == 2
+    assert store.read("logs").count() == 2
+    # idempotent rerun: nothing past the watermark
+    n2 = ingest(store, rows, sch, "dttm", "t", count_rows=True)
+    assert n2 == 0
+    assert store.read("logs").count() == 2
