@@ -263,7 +263,7 @@ def band_buckets(sig: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
-def minhash_candidates(
+def minhash_band_rows(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -272,12 +272,11 @@ def minhash_candidates(
     shingle_k: int = 3,
     hash_family: str = "arrow",
 ) -> DataFrame:
-    """LSH candidate pairs (id_a < id_b, n_shared_bands).
-
-    rows-per-band r = num_hashes/bands; docs sharing any band bucket are
-    candidates. The self-join is on (band, bucket_hash) — a hash join on
-    a well-distributed key, no n² blowup. Returns distinct pairs with the
-    number of shared bands (a cheap similarity proxy).
+    """The LSH INDEX representation: (doc, band, bucket) rows — what a
+    store persists so later batches can dedup against the corpus without
+    recomputing its signatures (see
+    ``minhash_candidates_incremental``). ~bands rows × tens of bytes per
+    document at any corpus scale.
 
     ``hash_family``: "arrow" (production default — vectorized universal
     hashing, one broadcast-multiply + min per doc; falls back to
@@ -294,26 +293,45 @@ def minhash_candidates(
         except ImportError:
             hash_family = "xxhash64"
     if hash_family == "arrow":
-        banded = _persisted(
-            _minhash_banded_vectorized(
-                df, text_col, id_col, num_hashes, bands, shingle_k
-            )
+        return _minhash_banded_vectorized(
+            df, text_col, id_col, num_hashes, bands, shingle_k
         )
+    if hash_family == "md5":
+        sig = minhash_signature_md5(
+            shingle_strings(F.col(text_col), shingle_k), num_hashes
+        )
+        bucketed = band_buckets_md5(sig, bands, r)
     else:
-        if hash_family == "md5":
-            sig = minhash_signature_md5(
-                shingle_strings(F.col(text_col), shingle_k), num_hashes
-            )
-            bucketed = band_buckets_md5(sig, bands, r)
-        else:
-            sig = minhash_signature(shingles(F.col(text_col), shingle_k), num_hashes)
-            bucketed = band_buckets(sig, bands, r)
-        banded = _persisted(
-            df.select(
-                F.col(id_col).alias("doc"),
-                F.posexplode(bucketed).alias("band", "bucket"),
-            )
+        sig = minhash_signature(shingles(F.col(text_col), shingle_k), num_hashes)
+        bucketed = band_buckets(sig, bands, r)
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(bucketed).alias("band", "bucket"),
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    hash_family: str = "arrow",
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b, n_shared_bands).
+
+    rows-per-band r = num_hashes/bands; docs sharing any band bucket are
+    candidates. The self-join is on (band, bucket_hash) — a hash join on
+    a well-distributed key, no n² blowup. Returns distinct pairs with the
+    number of shared bands (a cheap similarity proxy). Hash families per
+    ``minhash_band_rows``.
+    """
+    banded = _persisted(
+        minhash_band_rows(
+            df, text_col, id_col, num_hashes, bands, shingle_k, hash_family
         )
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -327,6 +345,46 @@ def minhash_candidates(
         .agg(F.count("*").alias("n_shared_bands"))
     )
     return _finalize(pairs, banded)
+
+
+def minhash_candidates_incremental(
+    new_band_rows: DataFrame, index: DataFrame
+) -> DataFrame:
+    """Dedup a NEW batch against an already-indexed corpus — the daily
+    production flow: candidates = (new × index) ∪ (new × new), never
+    index × index, so each day's cost is O(|new| × bucket collisions)
+    no matter how large the accumulated corpus is.
+
+    ``new_band_rows`` is the new batch's ``minhash_band_rows`` output;
+    ``index`` holds the band rows of every PREVIOUS batch (ids must be
+    disjoint from the new batch — same contract as any append-only
+    index). After the run, append ``new_band_rows`` to the index.
+    Pair ids are normalized (id_a < id_b) so results are identical to
+    running ``minhash_candidates`` over the union corpus.
+    """
+    nb = _persisted(new_band_rows)
+    n, i = nb.alias("n"), index.alias("i")
+    cross = n.join(
+        i,
+        (F.col("n.band") == F.col("i.band"))
+        & (F.col("n.bucket") == F.col("i.bucket")),
+    ).select(
+        F.least(F.col("n.doc"), F.col("i.doc")).alias("id_a"),
+        F.greatest(F.col("n.doc"), F.col("i.doc")).alias("id_b"),
+    )
+    l, r = nb.alias("l"), nb.alias("r")
+    within = l.join(
+        r,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col("l.doc") < F.col("r.doc")),
+    ).select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+    pairs = (
+        cross.unionByName(within)
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+    return _finalize(pairs, nb)
 
 
 def jaccard_verify(

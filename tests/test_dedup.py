@@ -77,3 +77,36 @@ def test_simhash_candidates_superset_of_pairs(spark):
         (r["id_a"], r["id_b"]) for r in ddp.simhash_pairs(docs).collect()
     }
     assert verified <= cand  # verify stage only ever removes pairs
+
+
+def test_incremental_minhash_equals_full_corpus_run(spark):
+    """Two-batch incremental dedup (batch2 vs batch1's index, plus each
+    batch against itself) must produce EXACTLY the pairs of one full
+    run over the union corpus, with identical shared-band counts."""
+    from from_superset_to_clickhouse_spark.operators.dedup import (
+        minhash_band_rows,
+        minhash_candidates,
+        minhash_candidates_incremental,
+    )
+    from from_superset_to_clickhouse_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    full = {
+        (r["id_a"], r["id_b"]): r["n_shared_bands"]
+        for r in minhash_candidates(docs).collect()
+    }
+
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    nb1 = minhash_band_rows(b1)
+    nb2 = minhash_band_rows(b2)
+    empty_index = nb1.limit(0)
+    p1 = minhash_candidates_incremental(nb1, empty_index)
+    p2 = minhash_candidates_incremental(nb2, nb1)
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared_bands"]
+        for r in p1.collect() + p2.collect()
+    }
+    assert got == full and full  # identical pair sets, and non-trivial
