@@ -38,6 +38,7 @@ from from_superset_to_clickhouse_spark.functions.scalar import (
     with_defaults,
 )
 from from_superset_to_clickhouse_spark.operators import dedup as ddp
+from from_superset_to_clickhouse_spark.operators import quality as dq
 from from_superset_to_clickhouse_spark.operators import multimodal as mm
 from from_superset_to_clickhouse_spark.operators import similarity as simi
 from from_superset_to_clickhouse_spark.operators import sampling as smp
@@ -1419,6 +1420,58 @@ def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.repeated_ngrams(_docs(spark, sf_dir), n=5, min_docs=2)
 
 
+_DQ_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def _dq_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with three planted defect classes (NULL value, unknown
+    event_type, negative user_id) so the expectation checks provably
+    fire — derived from event_id, replayable in ANSI SQL."""
+    ev = _ev(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+    return (
+        ev.withColumn(
+            "value",
+            F.when(F.col("event_id") % 97 == 0, F.lit(None)).otherwise(
+                F.col("value")
+            ),
+        )
+        .withColumn(
+            "event_type",
+            F.when(F.col("event_id") % 89 == 0, F.lit("BOGUS")).otherwise(
+                F.col("event_type")
+            ),
+        )
+        .withColumn(
+            "user_id",
+            F.when(
+                F.col("event_id") % 83 == 0, -F.col("user_id") - 1
+            ).otherwise(F.col("user_id")),
+        )
+    )
+
+
+def _dq_checks():
+    return [
+        dq.not_null("value"),
+        dq.isin("event_type", _DQ_EVENT_TYPES),
+        dq.in_range("user_id", lo=0),
+    ]
+
+
+def q_dq_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation validation: per-check violation counts from ONE wide
+    aggregate over one scan of the planted events."""
+    return dq.validate(_dq_planted(spark, sf_dir), _dq_checks())
+
+
+def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine feed: failing rows with the array of violated check
+    names — row-local filter, no shuffle."""
+    return dq.violations(_dq_planted(spark, sf_dir), _dq_checks()).select(
+        "event_id", "violated_checks"
+    )
+
+
 def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markup stripping over planted HTML: each document is wrapped in
     tags with entities (including a double-encoded one) before cleaning,
@@ -2593,6 +2646,8 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantize_embeddings": q_quantize_embeddings,
     "sketch_merge": q_sketch_merge,
     "zone_read": q_zone_read,
+    "dq_counts": q_dq_counts,
+    "dq_violations": q_dq_violations,
     "tpch_q2": q_tpch_q2,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
@@ -3066,6 +3121,42 @@ FROM ch WHERE len(c) > 0
         "zone_read": (
             "SELECT event_id, ts, event_type, value FROM events "
             "WHERE event_id BETWEEN 100 AND 400"
+        ),
+        "dq_counts": (
+            "WITH p AS (SELECT event_id, "
+            "CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS value, "
+            "CASE WHEN event_id % 89 = 0 THEN 'BOGUS' ELSE event_type END "
+            "AS event_type, "
+            "CASE WHEN event_id % 83 = 0 THEN -user_id - 1 ELSE user_id END "
+            "AS user_id FROM events), t AS (SELECT count(*) AS n FROM p) "
+            "SELECT 'not_null_value' AS \"check\", "
+            "(SELECT count(*) FROM p WHERE value IS NULL) AS n_violations, "
+            "t.n AS n_rows FROM t UNION ALL "
+            "SELECT 'isin_event_type', (SELECT count(*) FROM p WHERE NOT "
+            "coalesce(event_type IN "
+            "('click','view','purchase','signup','error'), false)), t.n "
+            "FROM t UNION ALL "
+            "SELECT 'in_range_user_id', (SELECT count(*) FROM p WHERE NOT "
+            "coalesce(user_id >= 0, false)), t.n FROM t"
+        ),
+        "dq_violations": (
+            "WITH p AS (SELECT event_id, "
+            "CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS value, "
+            "CASE WHEN event_id % 89 = 0 THEN 'BOGUS' ELSE event_type END "
+            "AS event_type, "
+            "CASE WHEN event_id % 83 = 0 THEN -user_id - 1 ELSE user_id END "
+            "AS user_id FROM events) "
+            "SELECT event_id, list_filter(["
+            "CASE WHEN value IS NULL THEN 'not_null_value' END, "
+            "CASE WHEN NOT coalesce(event_type IN "
+            "('click','view','purchase','signup','error'), false) "
+            "THEN 'isin_event_type' END, "
+            "CASE WHEN NOT coalesce(user_id >= 0, false) "
+            "THEN 'in_range_user_id' END], x -> x IS NOT NULL) "
+            "AS violated_checks FROM p "
+            "WHERE value IS NULL OR NOT coalesce(event_type IN "
+            "('click','view','purchase','signup','error'), false) "
+            "OR NOT coalesce(user_id >= 0, false)"
         ),
         "quantize_embeddings": (
             "SELECT vec_id, CAST(s AS DOUBLE) AS scale, "

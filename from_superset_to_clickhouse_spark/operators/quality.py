@@ -1,0 +1,111 @@
+"""Declarative data-quality expectations — the pipeline admission gate.
+
+An ingest at 100 TB needs machine-checkable contracts, not eyeballs:
+each expectation compiles to a Catalyst boolean column, so one pass
+yields either the per-check violation counts (``validate`` — a single
+wide aggregate, map-side combined) or the failing rows tagged with every
+reason they failed (``violations`` — filter + array of reason strings,
+feeding a quarantine table). Uniqueness is the one non-row-local check;
+it runs as a keyed count in the same job.
+
+All checks are pure expressions (no Python), and each has an exact ANSI
+twin — the oracle entry replays planted violations row for row.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One named expectation: ``passed`` is a boolean Column over a row
+    (true = ok). NULL evaluates as a violation unless the check says
+    otherwise — an unknown value does not satisfy a contract."""
+
+    name: str
+    passed: Column
+
+
+def not_null(col: str) -> Check:
+    return Check(f"not_null_{col}", F.col(col).isNotNull())
+
+
+def in_range(col: str, lo=None, hi=None) -> Check:
+    c: Column = F.lit(True)
+    if lo is not None:
+        c = c & (F.col(col) >= F.lit(lo))
+    if hi is not None:
+        c = c & (F.col(col) <= F.lit(hi))
+    return Check(f"in_range_{col}", F.coalesce(c, F.lit(False)))
+
+
+def matches(col: str, pattern: str) -> Check:
+    return Check(
+        f"matches_{col}",
+        F.coalesce(F.col(col).rlike(pattern), F.lit(False)),
+    )
+
+
+def isin(col: str, allowed: Sequence) -> Check:
+    return Check(
+        f"isin_{col}", F.coalesce(F.col(col).isin(list(allowed)), F.lit(False))
+    )
+
+
+def _with_flags(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
+    out = df
+    for ch in checks:
+        out = out.withColumn(f"_ok_{ch.name}", ch.passed)
+    return out
+
+
+def validate(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
+    """Violation counts per check + total rows — ONE wide aggregate over
+    one scan (every count is a conditional sum in the same partial/final
+    HashAggregate pair). Returns a single row; unpivoted to (check,
+    n_violations, n_rows) for stable output."""
+    aggs = [F.count(F.lit(1)).alias("_total")] + [
+        F.count(F.when(~ch.passed, F.lit(1))).alias(ch.name) for ch in checks
+    ]
+    row = df.agg(*aggs).collect()[0]
+    out = [(ch.name, row[ch.name], row["_total"]) for ch in checks]
+    return df.sparkSession.createDataFrame(
+        out, "check string, n_violations bigint, n_rows bigint"
+    )
+
+
+def violations(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
+    """Failing rows + the array of check names they violate (quarantine
+    feed). Row-local filter — no shuffle; the reasons array is built
+    from the same boolean columns the counts use."""
+    flagged = _with_flags(df, checks)
+    reasons = F.array_compact(
+        F.array(
+            *[
+                F.when(~F.col(f"_ok_{ch.name}"), F.lit(ch.name))
+                for ch in checks
+            ]
+        )
+    )
+    failed = F.size(reasons) > 0
+    return (
+        flagged.withColumn("_reasons", reasons)
+        .filter(failed)
+        .drop(*[f"_ok_{ch.name}" for ch in checks])
+        .withColumnRenamed("_reasons", "violated_checks")
+    )
+
+
+def duplicate_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Uniqueness check (the non-row-local one): key tuples appearing
+    more than once, with their multiplicity — one keyed aggregate."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )

@@ -318,3 +318,34 @@ def test_salted_join_equals_plain(spark):
         for r in skew.salted_join(big, small, "k", how="left", buckets=3).collect()
     }
     assert left == inner | {(9, "orphan", None)}
+
+
+def test_quality_checks_fire_and_duplicate_keys(spark):
+    from from_superset_to_clickhouse_spark.operators import quality as dq
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, -1.0), (2, "b", None), (3, "zz", 2.0)],
+        "id int, name string, score double",
+    )
+    checks = [
+        dq.not_null("score"),
+        dq.in_range("score", lo=0.0),
+        dq.matches("name", "^[a-z]$"),
+    ]
+    counts = {r["check"]: r["n_violations"] for r in dq.validate(df, checks).collect()}
+    assert counts == {
+        "not_null_score": 1,
+        "in_range_score": 2,  # the negative AND the NULL (unknown fails)
+        "matches_name": 2,    # NULL name and 'zz'
+    }
+    bad = sorted(
+        (r["id"], frozenset(r["violated_checks"]))
+        for r in dq.violations(df, checks).collect()
+    )
+    assert bad == [
+        (2, frozenset({"in_range_score", "matches_name"})),
+        (2, frozenset({"in_range_score", "not_null_score"})),
+        (3, frozenset({"matches_name"})),
+    ]
+    dup = dq.duplicate_keys(df, ["id"]).collect()
+    assert [(r["id"], r["n_rows"]) for r in dup] == [(2, 2)]
