@@ -1472,6 +1472,50 @@ def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dim_misattribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's one empirical data-quality number: naive
+    current-dimension reuse misattributes ~0.077% of events to the
+    wrong user (v2/README.MD:40) — the defect its v2 migration exists
+    to fix. This query IS that audit, over the fixture: treat signup
+    events as dimension-change rows (the user's segment is the signup's
+    value); attribute every event (a) point-in-time via as-of join (the
+    SCD2-correct answer) and (b) naively via the user's LATEST segment,
+    then count disagreements per month. Composes asof_join + a
+    broadcast latest-dim join; the oracle replays both with DuckDB's
+    native ASOF."""
+    ev = _ev(spark, sf_dir).select("event_id", "user_id", "ts")
+    dim = (
+        _ev(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .groupBy("user_id", F.col("ts").alias("eff_ts"))
+        .agg(F.max("value").alias("segment"))
+    )
+    correct = tmp.asof_join(
+        ev, dim, key="user_id", left_ts="ts", right_ts="eff_ts",
+        payload=["segment"],
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("eff_ts").desc())
+    naive = (
+        dim.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", F.col("segment").alias("naive_segment"))
+    )
+    attributed = correct.join(F.broadcast(naive), "user_id", "left")
+    has_hist = F.col("asof_segment").isNotNull()
+    mismatch = has_hist & (
+        F.col("asof_segment") != F.col("naive_segment")
+    )
+    return (
+        attributed.groupBy(
+            F.date_trunc("month", F.col("ts")).cast("date").alias("month")
+        )
+        .agg(
+            F.count(F.when(has_hist, 1)).alias("n_attributed"),
+            F.count(F.when(mismatch, 1)).alias("n_misattributed"),
+        )
+    )
+
+
 def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markup stripping over planted HTML: each document is wrapped in
     tags with entities (including a double-encoded one) before cleaning,
@@ -2648,6 +2692,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zone_read": q_zone_read,
     "dq_counts": q_dq_counts,
     "dq_violations": q_dq_violations,
+    "dim_misattribution": q_dim_misattribution,
     "tpch_q2": q_tpch_q2,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
@@ -3121,6 +3166,25 @@ FROM ch WHERE len(c) > 0
         "zone_read": (
             "SELECT event_id, ts, event_type, value FROM events "
             "WHERE event_id BETWEEN 100 AND 400"
+        ),
+        "dim_misattribution": (
+            "WITH dim AS (SELECT user_id, ts AS eff_ts, max(value) AS segment "
+            "FROM events WHERE event_type = 'signup' GROUP BY 1, 2), "
+            "fact AS (SELECT event_id, user_id, ts FROM events), "
+            "correct AS (SELECT f.event_id, f.user_id, f.ts, "
+            "d.segment AS asof_segment FROM fact f ASOF LEFT JOIN dim d "
+            "ON f.user_id = d.user_id AND f.ts >= d.eff_ts), "
+            "naive AS (SELECT user_id, segment AS naive_segment FROM "
+            "(SELECT user_id, segment, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY eff_ts DESC) AS rn FROM dim) "
+            "WHERE rn = 1) "
+            "SELECT CAST(date_trunc('month', c.ts) AS DATE) AS month, "
+            "count(*) FILTER (WHERE c.asof_segment IS NOT NULL) "
+            "AS n_attributed, "
+            "count(*) FILTER (WHERE c.asof_segment IS NOT NULL "
+            "AND c.asof_segment <> n.naive_segment) AS n_misattributed "
+            "FROM correct c LEFT JOIN naive n ON c.user_id = n.user_id "
+            "GROUP BY 1"
         ),
         "dq_counts": (
             "WITH p AS (SELECT event_id, "
