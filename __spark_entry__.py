@@ -655,6 +655,23 @@ def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ddp.minhash_candidates(_docs(spark, sf_dir), hash_family="md5")
 
 
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH dedup, hash-verified end-to-end: the corpus is
+    split into two batches (even/odd doc_id); batch 1 runs against an
+    empty index, batch 2 against batch 1's band rows, and the UNION of
+    the two pair sets is compared against the full-corpus SQL oracle —
+    the golden property (incremental ≡ one full run) checked by value
+    hash, not just pytest. md5 family so DuckDB can replay signatures."""
+    docs = _docs(spark, sf_dir)
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    nb1 = ddp.minhash_band_rows(b1, hash_family="md5")
+    nb2 = ddp.minhash_band_rows(b2, hash_family="md5")
+    p1 = ddp.minhash_candidates_incremental(nb1, nb1.limit(0))
+    p2 = ddp.minhash_candidates_incremental(nb2, nb1)
+    return p1.unionByName(p2)
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates → exact Jaccard ≥ 0.5 (rows-only: LSH recall)."""
     return ddp.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
@@ -2693,6 +2710,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_counts": q_dq_counts,
     "dq_violations": q_dq_violations,
     "dim_misattribution": q_dim_misattribution,
+    "minhash_incremental": q_minhash_incremental,
     "tpch_q2": q_tpch_q2,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
@@ -3085,6 +3103,9 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": _JACCARD_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "minhash_candidates": _MINHASH_SQL,
+        # Incremental two-batch run must equal one full-corpus run — the
+        # oracle IS the full-corpus SQL (golden property, hash-compared).
+        "minhash_incremental": _MINHASH_SQL,
         "simhash_pairs": _SIMHASH_SQL,
         "asof_join": (
             # DuckDB's native ASOF JOIN is the independent semantic twin
