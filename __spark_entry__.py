@@ -1533,6 +1533,91 @@ def q_dim_misattribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship LLM-curation composite, hash-verified end-to-end:
+    markup strip → token/length quality gate → language-ID (drop
+    unknown) → exact dedup (md5 fingerprint, lowest doc_id survives) →
+    deterministic train/test split → per-(split, lang) corpus stats.
+    Every stage is an already-oracled operator; the composite's SQL
+    twin chains their twins, so stage INTERACTIONS (filter ordering,
+    survivor selection, split stability) are value-hash-checked, not
+    just each stage in isolation. All stages except the dedup window
+    are row-local codegen; the dedup is one fingerprint-keyed shuffle."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    cleaned = docs.select(
+        "doc_id", txt.strip_markup(F.col("text")).alias("text")
+    )
+    enriched = cleaned.select(
+        "doc_id",
+        "text",
+        F.size(txt.word_tokens(F.col("text"))).alias("ntok"),
+        F.length("text").alias("nchars"),
+    )
+    kept = enriched.filter((F.col("ntok") >= 5) & (F.col("nchars") >= 20))
+    lang = txt.lang_id(kept).filter(F.col("pred_lang") != "unknown")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    dd = (
+        lang.withColumn("fp", F.md5(F.col("text")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    sp = smp.train_test_split(dd, "doc_id")
+    return sp.groupBy("split", "pred_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ntok").alias("sum_tokens"),
+        F.sum("nchars").alias("sum_chars"),
+    )
+
+
+def _strip_markup_sql(expr: str) -> str:
+    """SQL twin of text.strip_markup over an arbitrary expression."""
+    out = f"regexp_replace({expr}, '<[^>]*>', ' ', 'g')"
+    for ent, rep in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "''"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        out = f"replace({out}, '{ent}', '{rep}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+def _curation_sql() -> str:
+    score_exprs, case = _lang_sql_parts()
+    toks = (
+        "len(list_filter(regexp_split_to_array(lower(text), "
+        "'[^a-z0-9'']+'), x -> x <> ''))"
+    )
+    return (
+        "WITH cl AS (SELECT doc_id, "
+        + _strip_markup_sql("text")
+        + " AS text FROM documents), "
+        "m AS (SELECT doc_id, text, CAST("
+        + toks
+        + " AS INTEGER) AS ntok, length(text) AS nchars FROM cl), "
+        "k AS (SELECT * FROM m WHERE ntok >= 5 AND nchars >= 20), "
+        "s AS (SELECT doc_id, text, ntok, nchars, "
+        + ", ".join(score_exprs)
+        + " FROM k), "
+        "l AS (SELECT doc_id, text, ntok, nchars, "
+        + case
+        + " AS pred_lang FROM s), "
+        "d AS (SELECT *, md5(text) AS fp FROM l "
+        "WHERE pred_lang <> 'unknown'), "
+        "dd AS (SELECT * FROM d QUALIFY "
+        "row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1), "
+        "sp AS (SELECT *, CASE WHEN "
+        "((doc_id % 1000003) * 514229 + 285311) % 1000003 % 10000 < 8000 "
+        "THEN 'train' ELSE 'test' END AS split FROM dd) "
+        "SELECT split, pred_lang, count(*) AS n_docs, "
+        "CAST(sum(ntok) AS BIGINT) AS sum_tokens, "
+        "CAST(sum(nchars) AS BIGINT) AS sum_chars "
+        "FROM sp GROUP BY 1, 2"
+    )
+
+
 def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markup stripping over planted HTML: each document is wrapped in
     tags with entities (including a double-encoded one) before cleaning,
@@ -2425,7 +2510,9 @@ def _occ_sql(expr: str, needle: str) -> str:
     )
 
 
-def _lang_id_sql() -> str:
+def _lang_sql_parts() -> tuple[list[str], str]:
+    """(score select-expressions, argmax CASE) for the language-ID SQL
+    twin — reusable over any relation carrying a ``text`` column."""
     pad = "(' ' || lower(text) || ' ')"
     score_exprs = []
     for lang, markers in txt.LANG_MARKERS.items():
@@ -2443,6 +2530,11 @@ def _lang_id_sql() -> str:
     for l in langs:
         case += f"WHEN s_{l} = {best} THEN '{l}' "
     case += "END"
+    return score_exprs, case
+
+
+def _lang_id_sql() -> str:
+    score_exprs, case = _lang_sql_parts()
     return (
         "WITH s AS (SELECT doc_id, lang, "
         + ", ".join(score_exprs)
@@ -2711,6 +2803,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_violations": q_dq_violations,
     "dim_misattribution": q_dim_misattribution,
     "minhash_incremental": q_minhash_incremental,
+    "curation_pipeline": q_curation_pipeline,
     "tpch_q2": q_tpch_q2,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
@@ -3188,6 +3281,7 @@ FROM ch WHERE len(c) > 0
             "SELECT event_id, ts, event_type, value FROM events "
             "WHERE event_id BETWEEN 100 AND 400"
         ),
+        "curation_pipeline": _curation_sql(),
         "dim_misattribution": (
             "WITH dim AS (SELECT user_id, ts AS eff_ts, max(value) AS segment "
             "FROM events WHERE event_type = 'signup' GROUP BY 1, 2), "
