@@ -2788,22 +2788,26 @@ SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.9
 """
 
 
-# Queries added mid-round are registered here so they land inside the
-# driver's 50-entry CORRECTNESS window (positions 45..50) without
-# disturbing the never-driver-checked block at the top of ``queries()``.
+# Queries added mid-round are registered here so the strongest land
+# inside the driver's 50-entry CORRECTNESS window (positions 45..50)
+# without disturbing the never-driver-checked block at the top of
+# ``queries()``. Full-oracle entries come first — a rows-only entry in
+# the window would burn a hard-signal slot on a weaker check; everything
+# past position 50 is still verified by scripts/check_oracle.py.
 _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_dims": q_media_dims,
+    "curation_pipeline": q_curation_pipeline,
     "repeated_ngrams": q_repeated_ngrams,
     "clean_text": q_clean_text,
     "sessionize": q_sessionize,
     "quantize_embeddings": q_quantize_embeddings,
-    "sketch_merge": q_sketch_merge,
-    "zone_read": q_zone_read,
+    # ---- positions > 50 from here (check_oracle-verified) -------------
     "dq_counts": q_dq_counts,
     "dq_violations": q_dq_violations,
     "dim_misattribution": q_dim_misattribution,
     "minhash_incremental": q_minhash_incremental,
-    "curation_pipeline": q_curation_pipeline,
+    "zone_read": q_zone_read,
+    "sketch_merge": q_sketch_merge,
     "tpch_q2": q_tpch_q2,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,

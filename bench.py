@@ -42,6 +42,7 @@ HEADLINE = [
     "window_rank",
     "exact_dedup",
     "ngram_jaccard_pairs",
+    "curation_pipeline",
 ]
 
 # ANN is measured on a deterministic query slice (vec_id < ANN_QUERIES)
