@@ -98,3 +98,101 @@ def test_delete_where_partition_pruned_complement(spark, tmp_path_factory, data)
     kept = sorted(r["id"] for r in store.read("t").collect())
     assert kept == expected_kept
     assert n == len(rows) - len(expected_kept)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    frags=st.lists(
+        st.sampled_from(
+            list("ab <>/\"'9;#") + ["&amp;", "<b>", "</b>", "&lt;", "&nbsp;"]
+        ),
+        max_size=15,
+    )
+)
+def test_strip_markup_normalizes_whitespace_and_is_stable_sans_entities(
+    spark, frags
+):
+    """For ANY tag/entity soup: the output has collapsed, trimmed
+    whitespace. For ENTITY-FREE input, stripping is idempotent.
+    (With entities it deliberately is not: decode runs AFTER tag
+    removal, so '&lt;b&gt;' decodes to a literal '<b>' in the text —
+    corpus cleaning keeps what the document *displayed*.)"""
+    from pyspark.sql import functions as F
+
+    from from_superset_to_clickhouse_spark.operators.text import strip_markup
+
+    text = "".join(frags)
+    df = spark.createDataFrame([(text,)], "t string")
+    once, twice = df.select(
+        strip_markup(F.col("t")).alias("a"),
+        strip_markup(strip_markup(F.col("t"))).alias("b"),
+    ).first()
+    assert "  " not in once and once == once.strip()
+    if "&" not in text:
+        assert once == twice
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-100, 100, allow_nan=False, width=32),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_quantize_codes_always_bounded_and_exact_for_extremes(spark, vecs):
+    """For ANY float vectors: codes in [-127, 127]; the max-|v| element
+    of each vector quantizes to exactly ±127 (scale anchor)."""
+    from pyspark.sql import functions as F
+
+    from from_superset_to_clickhouse_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    rows = quantize_embeddings(df).collect()
+    for r in rows:
+        assert all(-127 <= c <= 127 for c in r["qvec"])
+        if r["scale"] > 0:
+            assert 127 in [abs(c) for c in r["qvec"]]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=EVENTS)
+def test_sessionize_seq_is_contiguous_from_one(spark, events):
+    """For ANY event stream: per key, session_seq starts at 1, never
+    decreases along (ts, id) order, and increments by at most 1."""
+    from pyspark.sql import functions as F
+
+    from from_superset_to_clickhouse_spark.operators.temporal import sessionize
+
+    rows = _rows(events)
+    df = spark.createDataFrame(rows, "id int, dttm timestamp, v string")
+    out = sessionize(
+        df, key_col="id", ts_col="dttm", gap_minutes=60, tiebreak_col="v"
+    ).collect()
+    by_key: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["id"], r["dttm"], r["v"])):
+        by_key.setdefault(r["id"], []).append(r["session_seq"])
+    for seqs in by_key.values():
+        assert seqs[0] == 1
+        for a, b in zip(seqs, seqs[1:]):
+            assert b in (a, a + 1)
