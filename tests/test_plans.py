@@ -148,3 +148,17 @@ def test_range_join_broadcasts_band_side(spark, qmap):
     assert "SortMergeJoin" not in plan
     # no exchange on the fact side: broadcast is the only distribution
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_new_catalyst_ops_have_no_python_and_no_global_sort(spark, qmap):
+    """The round-5 operators are pure-Catalyst claims: no Python
+    evaluation nodes anywhere, and no single-partition exchange (the
+    curation pipeline's dedup window partitions by fingerprint, the
+    sessionizer by key)."""
+    for name in ("curation_pipeline", "sessionize", "clean_text",
+                 "repeated_ngrams", "quantize_embeddings", "dq_violations",
+                 "zone_read"):
+        plan = _plan(qmap[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "SinglePartition" not in plan, name
