@@ -113,6 +113,38 @@ def stream_to_jdbc(
     return writer.start()
 
 
+def curate_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    min_chars: int = 20,
+    keep_langs: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Streaming text curation: markup strip → token/length quality gate
+    → language-ID (+ optional allow-list), entirely row-local codegen —
+    so the SAME transformation graph runs over a stream or a batch
+    DataFrame with identical results (the test replays a stream vs the
+    batch twin). Cross-document stages (dedup, near-dup) stay batch
+    jobs over the curated landing table; this is the per-document
+    admission path a live crawl feed runs through.
+    """
+    from from_superset_to_clickhouse_spark.operators.text import (
+        lang_id,
+        strip_markup,
+        word_tokens,
+    )
+
+    cleaned = stream.withColumn(text_col, strip_markup(F.col(text_col)))
+    gated = cleaned.filter(
+        (F.size(word_tokens(F.col(text_col))) >= min_tokens)
+        & (F.length(F.col(text_col)) >= min_chars)
+    )
+    tagged = lang_id(gated, text_col=text_col)
+    if keep_langs is not None:
+        tagged = tagged.filter(F.col("pred_lang").isin(list(keep_langs)))
+    return tagged
+
+
 def windowed_counts(
     stream: DataFrame,
     ts_col: str = "ts",

@@ -178,3 +178,43 @@ def test_stream_to_jdbc_publishes_and_restart_ships_only_new(spark, tmp_path):
     back = read_jdbc(spark, url, "ext_stream", properties=props)
     assert back.count() == 3
     assert {r["id"] for r in back.collect()} == {1, 2, 3}
+
+
+def test_curate_stream_equals_batch_curation(spark, tmp_path):
+    """The curation admission path over an AvailableNow stream produces
+    exactly the batch result on the same files — row-local codegen has
+    no stream/batch semantic gap."""
+    src = str(tmp_path / "docs")
+    rows = [
+        (0, "<p>the cat and the dog is was with</p>"),
+        (1, "el los las una es el los las una es"),
+        (2, "tiny"),
+        (3, "&lt;b&gt; the " + "word " * 10),
+        (4, "x y z"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    schema = "doc_id long, text string"
+    out_dir = str(tmp_path / "out")
+    q = (
+        si.curate_stream(si.stream_source(spark, src, schema))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["doc_id"], r["text"], r["pred_lang"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        (r["doc_id"], r["text"], r["pred_lang"])
+        for r in si.curate_stream(spark.read.parquet(src)).collect()
+    }
+    assert streamed == batch
+    ids = {d for d, _, _ in batch}
+    assert 0 in ids and 1 in ids and 2 not in ids  # gate dropped the tiny doc
+    langs = {d: l for d, _, l in batch}
+    assert langs[0] == "en" and langs[1] == "es"
