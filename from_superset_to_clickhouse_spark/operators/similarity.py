@@ -535,6 +535,24 @@ def embedding_dedup_pairs(
     return _finalize(verified, banded)
 
 
+def save_centroids(spark, centroids: list[list[float]], path: str) -> None:
+    """Persist trained IVF centroids as a tiny parquet table — the
+    production pattern: train once on a sample, ship the same coarse
+    quantizer to every indexing/query job so cell assignments stay
+    consistent across runs (retraining would silently re-shard the
+    corpus)."""
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<float>",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_centroids(spark, path: str) -> list[list[float]]:
+    """Load centroids saved by ``save_centroids`` in cell order."""
+    rows = spark.read.parquet(path).orderBy("cell").collect()
+    return [list(r["centroid"]) for r in rows]
+
+
 def train_centroids(
     corpus: DataFrame,
     ncells: int = 16,

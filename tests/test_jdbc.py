@@ -135,3 +135,22 @@ def test_v2_external_publish_incremental(spark, tmp_path):
 
     r3 = v2_daily_load(store, src, sch, "dttm", **sink)
     assert r3["external_publish"] == "SKIPPED"
+
+
+def test_dictionary_backed_by_jdbc(spark, jdbc_table):
+    """The reference's dictionaries are live lookups into an external
+    database (PostgreSQL dictionary sources); here the registry's
+    loader IS a JDBC read — TTL caching + broadcast enrich over a
+    federated table."""
+    from from_superset_to_clickhouse_spark.dictionary import DictionaryRegistry
+
+    reg = DictionaryRegistry()
+    reg.register(
+        "ext_dim",
+        loader=lambda: read_jdbc(spark, URL, jdbc_table, properties=PROPS),
+        key="id",
+    )
+    fact = spark.range(0, 10).select(F.col("id").alias("k"), F.col("id").alias("fk"))
+    out = reg.enrich(fact, "ext_dim", fk="fk")
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {i: 2 * i for i in range(10)}

@@ -120,3 +120,25 @@ def test_quantize_embeddings_roundtrip_and_neighbor_recall(spark):
     }
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.95, f"int8 neighbor recall {recall}"
+
+
+def test_centroid_persistence_reproduces_ivf_results(spark, tmp_path):
+    """Train-once/reuse: centroids round-tripped through parquet give
+    IDENTICAL ivf_topk results to the in-memory ones — the coarse
+    quantizer ships across jobs without re-sharding the corpus."""
+    emb = load_table(spark, SF, "embeddings")
+    cents = simi.train_centroids(emb, ncells=8)
+    path = str(tmp_path / "centroids")
+    simi.save_centroids(spark, cents, path)
+    loaded = simi.load_centroids(spark, path)
+    assert len(loaded) == len(cents)
+    queries = emb.filter(F.col("vec_id") < 50)
+    a = {
+        tuple(r)
+        for r in simi.ivf_topk(emb, queries, k=5, centroids=cents).collect()
+    }
+    b = {
+        tuple(r)
+        for r in simi.ivf_topk(emb, queries, k=5, centroids=loaded).collect()
+    }
+    assert a == b
