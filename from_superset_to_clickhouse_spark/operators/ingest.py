@@ -94,10 +94,11 @@ def ingest(
         strict=strict, column_map=column_map,
     )
     obs = None
+    inc_plain = inc
     if count_rows:
         obs = Observation()
-        inc = inc.observe(obs, F.count(F.lit(1)).alias("n"))
-    elif inc.isEmpty():
+        inc = inc_plain.observe(obs, F.count(F.lit(1)).alias("n"))
+    elif inc_plain.isEmpty():
         return 0
     if publish == "swap":
         store.overwrite_partitions(schema.name, inc)
@@ -109,5 +110,11 @@ def ingest(
         return int(obs.get["n"])
     except Exception:
         # An empty increment schedules zero tasks, so the observation
-        # collects no metric row at all — that IS the zero count.
-        return 0
+        # collects no metric row. CONFIRM that before reporting 0 —
+        # any other obs.get failure after a write that shipped rows
+        # must surface, not masquerade as an empty load. (isEmpty on
+        # the unobserved plan is cheap either way: first-row
+        # short-circuit when rows exist, empty pruned scan when not.)
+        if inc_plain.isEmpty():
+            return 0
+        raise

@@ -138,6 +138,16 @@ def decode_image_header(payload: bytes) -> tuple[str, int, int]:
     """
     if payload is None:
         raise ValueError("empty payload")
+    try:
+        return _decode_image_header(payload)
+    except struct.error as exc:
+        # struct.error is NOT a ValueError: without this, a payload
+        # truncated mid-header (e.g. b'GIF87a') would escape the
+        # quarantine contract and fail the whole stage.
+        raise ValueError(f"truncated image header: {exc}") from exc
+
+
+def _decode_image_header(payload: bytes) -> tuple[str, int, int]:
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         if len(payload) < 33 or payload[12:16] != b"IHDR":
             raise ValueError("PNG: missing IHDR")

@@ -67,15 +67,19 @@ def _with_flags(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
 def validate(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
     """Violation counts per check + total rows — ONE wide aggregate over
     one scan (every count is a conditional sum in the same partial/final
-    HashAggregate pair). Returns a single row; unpivoted to (check,
-    n_violations, n_rows) for stable output."""
+    HashAggregate pair), then the 1×N row unpivots with ``stack``.
+    Fully LAZY: no driver collect, so the result composes with further
+    transformations and the plan audit sees the real aggregate."""
     aggs = [F.count(F.lit(1)).alias("_total")] + [
-        F.count(F.when(~ch.passed, F.lit(1))).alias(ch.name) for ch in checks
+        F.count(F.when(~ch.passed, F.lit(1))).alias(f"_v_{i}")
+        for i, ch in enumerate(checks)
     ]
-    row = df.agg(*aggs).collect()[0]
-    out = [(ch.name, row[ch.name], row["_total"]) for ch in checks]
-    return df.sparkSession.createDataFrame(
-        out, "check string, n_violations bigint, n_rows bigint"
+    pairs = ", ".join(
+        f"'{ch.name}', _v_{i}" for i, ch in enumerate(checks)
+    )
+    return df.agg(*aggs).selectExpr(
+        f"stack({len(checks)}, {pairs}) AS (check, n_violations)",
+        "_total AS n_rows",
     )
 
 

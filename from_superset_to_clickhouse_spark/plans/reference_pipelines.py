@@ -103,9 +103,25 @@ def v2_daily_load(
                 store.spark, sink_url, sink_table, properties=sink_properties
             )
             anchor = wm.probe(remote, fact_watermark)
-        except Exception:
-            # First run: remote table doesn't exist yet. Bootstrap —
-            # write_jdbc's append mode will CREATE it.
+        except Exception as exc:
+            # Bootstrap ONLY on a recognizable missing-table error (the
+            # first run — write_jdbc's append mode will CREATE it). Any
+            # other failure (network, auth, driver) must FAIL the step:
+            # treating a transient error as first-run would re-append
+            # the entire fact table into the remote store.
+            msg = str(exc).lower()
+            missing = any(
+                s in msg
+                for s in (
+                    "does not exist",
+                    "not found",
+                    "42x05",  # Derby: table/view does not exist
+                    "42p01",  # Postgres: undefined_table
+                    "unknown table",  # ClickHouse/MySQL
+                )
+            )
+            if not missing:
+                raise
             anchor = wm.BOOTSTRAP
         inc = fact.filter(
             wm.increment_predicate(fact_watermark, anchor, strict=True)

@@ -100,15 +100,20 @@ def write_jdbc(
 
     Each input partition opens one connection and inserts with JDBC
     batching (``batchsize`` rows per round-trip). ``num_partitions``
-    coalesces before the write to bound the remote connection count — a
-    1000-executor job must not open 32,000 connections against one
+    REPARTITIONS before the write to bound the remote connection count —
+    a 1000-executor job must not open 32,000 connections against one
     database; 8-32 writers is the usual ceiling an OLTP/OLAP endpoint
-    sustains. ``mode="append"`` creates the remote table on first use
-    (Spark's JDBC provider issues CREATE TABLE when it doesn't exist),
-    so the sink is bootstrap-safe like the watermark probe.
+    sustains. A repartition (one extra shuffle of only the written
+    rows) rather than ``coalesce``: coalesce propagates upstream past
+    the previous shuffle boundary and would throttle the whole
+    computation (e.g. the dedup window feeding the publish) to the
+    writer count, not just the writers. ``mode="append"`` creates the
+    remote table on first use (Spark's JDBC provider issues CREATE
+    TABLE when it doesn't exist), so the sink is bootstrap-safe like
+    the watermark probe.
     """
     if num_partitions is not None:
-        df = df.coalesce(num_partitions)
+        df = df.repartition(num_partitions)
     writer = (
         df.write.format("jdbc")
         .option("url", url)

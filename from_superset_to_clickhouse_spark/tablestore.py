@@ -325,15 +325,16 @@ class TableStore:
     def read(self, name: str) -> DataFrame:
         """Raw read — may contain not-yet-compacted duplicate keys (the
         ClickHouse "SELECT without FINAL" view). A data dir holding only
-        write markers (``_SUCCESS`` from an empty append) serves the
-        empty-schema fallback like a missing dir — parquet schema
-        inference would otherwise fail on it."""
+        write markers (``_SUCCESS``/checksums from an empty append, or a
+        ``_temporary`` dir mid-write) serves the empty-schema fallback
+        like a missing dir — parquet schema inference would fail on it,
+        and a read must NEVER mutate storage (deleting here would race a
+        concurrent in-flight first write's ``_temporary`` dir)."""
         data = join(self.path(name), "data")
-        if self.fs.exists(data) and all(
-            e.startswith("_") for e in self.fs.listdir(data)
-        ):
-            self.fs.delete(data)
-        if not self.fs.exists(data):
+        no_data = not self.fs.exists(data) or all(
+            e.startswith(("_", ".")) for e in self.fs.listdir(data)
+        )
+        if no_data:
             meta = self._meta(name)
             from from_superset_to_clickhouse_spark.schema import Field, Schema as S
 

@@ -74,6 +74,17 @@ def main() -> int:
     ap.add_argument("--only", nargs="*", help="subset of query names")
     args = ap.parse_args()
 
+    # Composite entries mkdtemp throwaway TableStores; funnel them into
+    # one root removed at exit so repeated runs don't accumulate
+    # fixture-sized copies under /tmp.
+    import atexit
+    import shutil
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="check_oracle_")
+    tempfile.tempdir = workdir
+    atexit.register(lambda: shutil.rmtree(workdir, ignore_errors=True))
+
     import duckdb
     from pyspark.sql import SparkSession
 

@@ -198,12 +198,13 @@ def test_multimodal_image_dims_quarantines_corrupt(spark):
 
     pdf = pd.DataFrame(
         {
-            "media_id": [0, 1, 2, 3],
+            "media_id": [0, 1, 2, 3, 4],
             "payload": [
                 mm.encode_png(10, 20),
                 mm.encode_jpeg(30, 40),
                 b"\x89PNG\r\n\x1a\njunk",
                 mm.encode_gif(5, 6),
+                b"GIF87a",  # truncated mid-header: struct-level failure
             ],
         }
     )
@@ -213,6 +214,7 @@ def test_multimodal_image_dims_quarantines_corrupt(spark):
     assert (rows[1]["format"], rows[1]["width"], rows[1]["height"]) == ("jpeg", 30, 40)
     assert rows[2]["format"] is None and rows[2]["width"] is None
     assert (rows[3]["format"], rows[3]["width"], rows[3]["height"]) == ("gif", 5, 6)
+    assert rows[4]["format"] is None  # truncated header quarantines too
 
 
 def test_client_hook_surface(spark):
