@@ -1489,6 +1489,35 @@ def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory assembly (behavioral-training-data prep): per user,
+    the CHRONOLOGICAL sequence of event types plus span stats — built
+    with sort_array over (ts, event_id, type) structs inside a single
+    grouped aggregate, so ordering needs no window pass and no global
+    sort; one user-keyed shuffle total. The (ts, event_id) compound
+    sort key makes tie rows deterministic."""
+    ev = _ev(spark, sf_dir)
+    step = F.struct(
+        F.col("ts").alias("ts"),
+        F.col("event_id").alias("event_id"),
+        F.col("event_type").alias("t"),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.sort_array(F.collect_list(step)), lambda s: s["t"]
+                ),
+            ).alias("journey"),
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
 def q_dim_misattribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's one empirical data-quality number: naive
     current-dimension reuse misattributes ~0.077% of events to the
@@ -2804,6 +2833,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- positions > 50 from here (check_oracle-verified) -------------
     "dq_counts": q_dq_counts,
     "dq_violations": q_dq_violations,
+    "user_journeys": q_user_journeys,
     "dim_misattribution": q_dim_misattribution,
     "minhash_incremental": q_minhash_incremental,
     "zone_read": q_zone_read,
@@ -3286,6 +3316,12 @@ FROM ch WHERE len(c) > 0
             "WHERE event_id BETWEEN 100 AND 400"
         ),
         "curation_pipeline": _curation_sql(),
+        "user_journeys": (
+            "SELECT user_id, array_to_string("
+            "list(event_type ORDER BY ts, event_id), '>') AS journey, "
+            "count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts "
+            "FROM events GROUP BY user_id"
+        ),
         "dim_misattribution": (
             "WITH dim AS (SELECT user_id, ts AS eff_ts, max(value) AS segment "
             "FROM events WHERE event_type = 'signup' GROUP BY 1, 2), "
