@@ -1489,6 +1489,31 @@ def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join end-to-end: orders and lineitem written
+    hash-bucketed on the order key (8 buckets, sorted within), then
+    joined via the catalog WITHOUT an Exchange on either side (gated in
+    tests/test_bucketing.py) — per-order line stats. The oracle is the
+    plain SQL join: a physical-layout optimization must never change
+    results."""
+    from from_superset_to_clickhouse_spark import bucketing as bk
+
+    base = tempfile.mkdtemp(prefix="sg_buckets_")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    bk.write_bucketed(orders, "bq_orders", "o_orderkey", 8, path=base + "/o")
+    bk.write_bucketed(li, "bq_lineitem", "o_orderkey", 8, path=base + "/l")
+    j = bk.cojoin(spark, "bq_orders", "bq_lineitem", "o_orderkey")
+    return j.groupBy("o_orderkey", "o_custkey", "o_totalprice").agg(
+        F.count("*").alias("n_lines"),
+        _fxp_sum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
 def q_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trajectory assembly (behavioral-training-data prep): per user,
     the CHRONOLOGICAL sequence of event types plus span stats — built
@@ -2834,6 +2859,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_counts": q_dq_counts,
     "dq_violations": q_dq_violations,
     "user_journeys": q_user_journeys,
+    "bucketed_join": q_bucketed_join,
     "dim_misattribution": q_dim_misattribution,
     "minhash_incremental": q_minhash_incremental,
     "zone_read": q_zone_read,
@@ -3316,6 +3342,13 @@ FROM ch WHERE len(c) > 0
             "WHERE event_id BETWEEN 100 AND 400"
         ),
         "curation_pipeline": _curation_sql(),
+        "bucketed_join": (
+            "SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, "
+            "count(*) AS n_lines, "
+            f"{_fxp_sum_sql('l.l_quantity')} AS sum_qty "
+            "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+            "GROUP BY 1, 2, 3"
+        ),
         "user_journeys": (
             "SELECT user_id, array_to_string("
             "list(event_type ORDER BY ts, event_id), '>') AS journey, "
