@@ -1514,6 +1514,20 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential integrity: events whose user_id has no customer row —
+    broadcast anti-join, counted per event type (NULL user ids are
+    orphans, matching anti-join semantics; the oracle uses NOT EXISTS
+    for the same NULL behavior)."""
+    ev = _ev(spark, sf_dir)
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        dq.orphans(ev, "user_id", cust, "c_custkey")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_orphans"))
+    )
+
+
 def q_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trajectory assembly (behavioral-training-data prep): per user,
     the CHRONOLOGICAL sequence of event types plus span stats — built
@@ -2860,6 +2874,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_violations": q_dq_violations,
     "user_journeys": q_user_journeys,
     "bucketed_join": q_bucketed_join,
+    "dq_orphans": q_dq_orphans,
     "dim_misattribution": q_dim_misattribution,
     "minhash_incremental": q_minhash_incremental,
     "zone_read": q_zone_read,
@@ -3348,6 +3363,11 @@ FROM ch WHERE len(c) > 0
             f"{_fxp_sum_sql('l.l_quantity')} AS sum_qty "
             "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
             "GROUP BY 1, 2, 3"
+        ),
+        "dq_orphans": (
+            "SELECT event_type, count(*) AS n_orphans FROM events e "
+            "WHERE NOT EXISTS (SELECT 1 FROM customer c "
+            "WHERE e.user_id = c.c_custkey) GROUP BY 1"
         ),
         "user_journeys": (
             "SELECT user_id, array_to_string("

@@ -105,6 +105,18 @@ def violations(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
     )
 
 
+def orphans(
+    df: DataFrame, col: str, dim: DataFrame, dim_key: str
+) -> DataFrame:
+    """Referential-integrity probe: rows whose ``col`` has no match in
+    the dimension — a broadcast LEFT ANTI join (the dim key set ships to
+    every executor; the fact never shuffles). NULL keys are orphans (an
+    unknown reference does not satisfy the contract), matching anti-join
+    semantics exactly — use NOT EXISTS, not NOT IN, for an SQL twin."""
+    keys = dim.select(F.col(dim_key).alias(col)).distinct()
+    return df.join(F.broadcast(keys), col, "left_anti")
+
+
 def duplicate_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     """Uniqueness check (the non-row-local one): key tuples appearing
     more than once, with their multiplicity — one keyed aggregate."""
