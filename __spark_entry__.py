@@ -1492,22 +1492,32 @@ def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located join end-to-end: orders and lineitem written
     hash-bucketed on the order key (8 buckets, sorted within), then
-    joined via the catalog WITHOUT an Exchange on either side (gated in
-    tests/test_bucketing.py) — per-order line stats. The oracle is the
+    merge-joined via the catalog — the MERGE hint pins the bucket-local
+    SortMergeJoin that at fixture scale the planner would replace with
+    a broadcast (which ignores the layout), so THIS entry's own plan is
+    the shuffle-free join the buckets exist for. The oracle is the
     plain SQL join: a physical-layout optimization must never change
-    results."""
+    results. Catalog names are per-invocation and dropped immediately
+    (the analyzed plan keeps its resolved file locations); only the
+    temp files linger until harness cleanup."""
     from from_superset_to_clickhouse_spark import bucketing as bk
 
     base = tempfile.mkdtemp(prefix="sg_buckets_")
+    tag = uuid.uuid4().hex[:8]
+    t_orders, t_li = f"bq_orders_{tag}", f"bq_lineitem_{tag}"
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
     )
-    bk.write_bucketed(orders, "bq_orders", "o_orderkey", 8, path=base + "/o")
-    bk.write_bucketed(li, "bq_lineitem", "o_orderkey", 8, path=base + "/l")
-    j = bk.cojoin(spark, "bq_orders", "bq_lineitem", "o_orderkey")
+    bk.write_bucketed(orders, t_orders, "o_orderkey", 8, path=base + "/o")
+    bk.write_bucketed(li, t_li, "o_orderkey", 8, path=base + "/l")
+    try:
+        j = bk.cojoin(spark, t_orders, t_li, "o_orderkey", force_merge=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_li}")
     return j.groupBy("o_orderkey", "o_custkey", "o_totalprice").agg(
         F.count("*").alias("n_lines"),
         _fxp_sum(F.col("l_quantity")).alias("sum_qty"),
@@ -1516,11 +1526,20 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dq_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential integrity: events whose user_id has no customer row —
-    broadcast anti-join, counted per event type (NULL user ids are
-    orphans, matching anti-join semantics; the oracle uses NOT EXISTS
-    for the same NULL behavior)."""
-    ev = _ev(spark, sf_dir)
-    cust = _t(spark, sf_dir, "customer")
+    broadcast anti-join, counted per event type. The fixture has full
+    referential integrity, so defects are PLANTED on both sides (the
+    check must fire, not no-op == no-op): every 7th customer is dropped
+    from the dim (their events become orphans) and every 101st event's
+    user_id is NULLed (NULL keys are orphans by anti-join semantics —
+    the oracle uses NOT EXISTS, never NOT IN, for the same NULL
+    behavior)."""
+    ev = _ev(spark, sf_dir).withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 101 == 0, F.lit(None)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 != 0)
     return (
         dq.orphans(ev, "user_id", cust, "c_custkey")
         .groupBy("event_type")
@@ -3365,13 +3384,20 @@ FROM ch WHERE len(c) > 0
             "GROUP BY 1, 2, 3"
         ),
         "dq_orphans": (
-            "SELECT event_type, count(*) AS n_orphans FROM events e "
-            "WHERE NOT EXISTS (SELECT 1 FROM customer c "
+            "WITH ev AS (SELECT event_type, CASE WHEN event_id % 101 = 0 "
+            "THEN NULL ELSE user_id END AS user_id FROM events), "
+            "dim AS (SELECT c_custkey FROM customer WHERE c_custkey % 7 <> 0) "
+            "SELECT event_type, count(*) AS n_orphans FROM ev e "
+            "WHERE NOT EXISTS (SELECT 1 FROM dim c "
             "WHERE e.user_id = c.c_custkey) GROUP BY 1"
         ),
         "user_journeys": (
+            # ORDER BY matches Spark's full struct sort (ts, event_id,
+            # type) so a future fixture with duplicate (ts, event_id)
+            # pairs cannot make the tie order diverge
             "SELECT user_id, array_to_string("
-            "list(event_type ORDER BY ts, event_id), '>') AS journey, "
+            "list(event_type ORDER BY ts, event_id, event_type), '>') "
+            "AS journey, "
             "count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts "
             "FROM events GROUP BY user_id"
         ),

@@ -64,10 +64,15 @@ def cojoin(
     right_table: str,
     on: str | list[str],
     how: str = "inner",
+    force_merge: bool = False,
 ) -> DataFrame:
     """Join two same-bucket-spec tables on their bucket key: plans a
     bucket-local SortMergeJoin with NO Exchange on either side (gated
-    by ``tests/test_bucketing.py``)."""
-    return read_bucketed(spark, left_table).join(
-        read_bucketed(spark, right_table), on, how
-    )
+    by ``tests/test_bucketing.py``). ``force_merge`` adds a MERGE join
+    hint — at small scale the planner prefers broadcasting one side
+    (which ignores the bucketing); the hint pins the shuffle-free SMJ
+    the layout exists for, independent of the broadcast threshold."""
+    left = read_bucketed(spark, left_table)
+    if force_merge:
+        left = left.hint("merge")
+    return left.join(read_bucketed(spark, right_table), on, how)
