@@ -241,20 +241,28 @@ def q_mod_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows 3/25: ReplacingMergeTree latest-wins — one row per key, ordered
-    by (version desc, id desc); the latest_view window."""
+    """Rows 3/25: ReplacingMergeTree latest-wins — one row per key,
+    winner = max (version, id). A ``max_by`` AGGREGATE, not a window:
+    partial aggregation keeps one candidate row per key per map task, so
+    only candidates shuffle and nothing sorts — the same rewrite that
+    made exact_dedup 6× faster (r4), and skew-tolerant by construction
+    (a hot key combines map-side instead of piling into one sort
+    partition). Winner identical to the old row_number window: struct
+    ordering is lexicographic on (ts, event_id)."""
     ev = _ev(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    return (
-        ev.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "user_id",
+    pick = F.max_by(
+        F.struct(
             F.col("event_id").alias("latest_event_id"),
             F.col("ts").alias("latest_ts"),
-            "event_type",
+            F.col("event_type").alias("event_type"),
+        ),
+        F.struct(F.col("ts"), F.col("event_id")),
+    ).alias("_w")
+    return (
+        ev.groupBy("user_id")
+        .agg(pick)
+        .select(
+            "user_id", "_w.latest_event_id", "_w.latest_ts", "_w.event_type"
         )
     )
 

@@ -348,26 +348,44 @@ class TableStore:
 
     def latest_view(self, name: str) -> DataFrame:
         """Dedup-on-read: per dedup key keep the latest version — the
-        deterministic ``SELECT … FINAL``. One window shuffle on the key.
+        deterministic ``SELECT … FINAL``.
 
-        ReplacingMergeTree keeps the physically-last insert per ORDER BY key
-        (``v2/sql/create_tables.sql:15``); we order by (version_col,
-        _ingest_seq) so it's deterministic even for same-version rows.
+        ReplacingMergeTree keeps the physically-last insert per ORDER BY
+        key (``v2/sql/create_tables.sql:15``); the winner is max
+        (version_col, _ingest_seq) so it's deterministic even for
+        same-version rows (NULL version loses to any non-NULL, same as
+        the descending-window formulation).
+
+        Plan: a ``max_by`` AGGREGATE rather than a row_number window —
+        partial aggregation keeps one candidate row per key per map
+        task, so only candidates cross the shuffle and nothing sorts.
+        On a table that is mostly-deduped already this shuffles a
+        fraction of the data the window shuffled, and a hot key (the
+        classic Replacing skew case) combines map-side instead of
+        piling into a single sort partition.
         """
         meta = self._meta(name)
         df = self.read(name)
         key = meta["dedup_key"]
         if not key:
             return df.drop(INGEST_SEQ_COL)
-        order = []
+        payload = [c for c in df.columns if c not in key and c != INGEST_SEQ_COL]
+        order_fields = []
         if meta.get("version_col"):
-            order.append(F.col(meta["version_col"]).desc())
-        order.append(F.col(INGEST_SEQ_COL).desc())
-        w = Window.partitionBy(*[F.col(k) for k in key]).orderBy(*order)
-        return (
-            df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", INGEST_SEQ_COL)
+            order_fields.append(F.col(meta["version_col"]))
+        order_fields.append(F.col(INGEST_SEQ_COL))
+        pick = F.max_by(
+            F.struct(*[F.col(c).alias(c) for c in payload]),
+            F.struct(*order_fields),
+        ).alias("_w")
+        out = df.groupBy(*[F.col(k) for k in key]).agg(pick)
+        # preserve the table's column order
+        final = [c for c in df.columns if c != INGEST_SEQ_COL]
+        return out.select(
+            *[
+                F.col(c) if c in key else F.col(f"_w.{c}").alias(c)
+                for c in final
+            ]
         )
 
     def compact(self, name: str) -> None:
