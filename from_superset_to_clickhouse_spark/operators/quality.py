@@ -57,10 +57,19 @@ def isin(col: str, allowed: Sequence) -> Check:
     )
 
 
+def _ok(ch: Check) -> Column:
+    """The Check contract ('NULL evaluates as a violation') is enforced
+    HERE, centrally — a user-supplied Check whose ``passed`` expression
+    evaluates to NULL must count as failing even if its constructor
+    forgot to coalesce (the built-ins above coalesce only to keep their
+    SQL twins line-for-line)."""
+    return F.coalesce(ch.passed, F.lit(False))
+
+
 def _with_flags(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
     out = df
     for ch in checks:
-        out = out.withColumn(f"_ok_{ch.name}", ch.passed)
+        out = out.withColumn(f"_ok_{ch.name}", _ok(ch))
     return out
 
 
@@ -71,7 +80,7 @@ def validate(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
     Fully LAZY: no driver collect, so the result composes with further
     transformations and the plan audit sees the real aggregate."""
     aggs = [F.count(F.lit(1)).alias("_total")] + [
-        F.count(F.when(~ch.passed, F.lit(1))).alias(f"_v_{i}")
+        F.count(F.when(~_ok(ch), F.lit(1))).alias(f"_v_{i}")
         for i, ch in enumerate(checks)
     ]
     pairs = ", ".join(

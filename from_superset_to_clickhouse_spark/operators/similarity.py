@@ -88,9 +88,13 @@ def quantize_embeddings(
                 s.alias("_s"),
                 F.transform(
                     v,
+                    # TINYINT, not int: codes are provably within
+                    # [-127, 127] (property-tested), and the 4× narrower
+                    # element type is the entire point — persisted /
+                    # shuffled width actually drops vs float32.
                     lambda x: F.when(s > 0.0, F.floor(x * 127.0 / s + 0.5))
                     .otherwise(F.lit(0))
-                    .cast("int"),
+                    .cast("tinyint"),
                 ).alias("_q"),
             ),
         ).alias("_sq"),

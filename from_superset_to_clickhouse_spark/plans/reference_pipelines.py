@@ -46,6 +46,7 @@ def v2_daily_load(
     sink_url: str | None = None,
     sink_table: str | None = None,
     sink_properties: dict[str, str] | None = None,
+    sink_first_run: bool = False,
 ) -> dict:
     """One run of the v2 daily incremental load (reference entry point A,
     SURVEY.md §3.1). Returns the pipeline's step-result dict.
@@ -98,9 +99,36 @@ def v2_daily_load(
         if sink_url is None or sink_table is None:
             raise SkipStep("no external JDBC sink configured")
         fact = store.latest_view(fact_schema.name)
+        if sink_first_run:
+            # Explicit operator-declared bootstrap: skip the probe
+            # entirely instead of inferring "first run" from driver- and
+            # locale-specific error text (which fails closed but forces
+            # manual intervention on unrecognized drivers).
+            inc = fact
+            if inc.isEmpty():
+                raise SkipStep("nothing to publish")
+            write_jdbc(
+                inc, sink_url, sink_table, mode="append",
+                properties=sink_properties, num_partitions=8,
+            )
+            return "published"
         try:
+            # Probe MAX(watermark) via a pushed-down subquery: Spark does
+            # NOT push aggregates through the JDBC source by default, so
+            # reading the table and calling MAX would ship every remote
+            # row over the wire on every daily publish — against an
+            # ever-growing sink. The dbtable subquery makes the REMOTE
+            # engine compute the one-row answer.
+            # ANSI-quoted identifiers: Spark's JDBC writer creates quoted
+            # (case-exact) columns, so an unquoted name would case-fold
+            # on Derby/Postgres/Oracle and miss. (MySQL needs ANSI_QUOTES
+            # for this; its default backtick dialect is out of scope.)
+            probe_q = (
+                f'(SELECT MAX("{fact_watermark}") AS "{fact_watermark}" '
+                f"FROM {sink_table}) wm_probe"
+            )
             remote = read_jdbc(
-                store.spark, sink_url, sink_table, properties=sink_properties
+                store.spark, sink_url, probe_q, properties=sink_properties
             )
             anchor = wm.probe(remote, fact_watermark)
         except Exception as exc:

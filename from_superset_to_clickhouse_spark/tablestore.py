@@ -31,6 +31,7 @@ second writer fails fast instead of corrupting the sequence.
 
 from __future__ import annotations
 
+import datetime as dt
 import json
 import os
 import posixpath
@@ -241,6 +242,29 @@ class TableStore:
             return v
         return v.isoformat(sep=" ") if hasattr(v, "isoformat") else str(v)
 
+    _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+    @classmethod
+    def _zone_part_key(cls, v):
+        """Zone-map entries are keyed by the SAME string the partition
+        directory name decodes to (Hive convention), NOT Python
+        ``str(v)``: True writes ``part=true`` (str gives 'True'), NULL
+        writes ``__HIVE_DEFAULT_PARTITION__`` (str gives 'None'), so a
+        str(v) key would never satisfy the coverage check in
+        ``zone_prune_partitions`` and silently disable pruning forever —
+        the exact reconstruction trap ``_partition_rel_dirs`` documents.
+        This string also matches Spark's ``CAST(part AS STRING)`` for
+        non-NULL values, which ``read_where``'s isin relies on."""
+        if v is None:
+            return cls._HIVE_NULL
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, dt.datetime):
+            return v.isoformat(sep=" ")
+        if hasattr(v, "isoformat"):  # date
+            return v.isoformat()
+        return str(v)
+
     def _update_zone_maps(self, name: str, staged: DataFrame, mode: str) -> None:
         """Refresh per-partition [min, max] of the zone column from the
         staged batch — one extra aggregate over the INCREMENT (one output
@@ -261,7 +285,7 @@ class TableStore:
         )
         zm = {} if mode == "reset" else dict(meta.get("zone_maps") or {})
         for r in stats:
-            key = str(r[part])
+            key = self._zone_part_key(r[part])
             lo, hi = self._zkey(r["_mn"]), self._zkey(r["_mx"])
             if mode == "merge" and key in zm:
                 old_lo, old_hi = zm[key]
@@ -313,7 +337,14 @@ class TableStore:
         df = self.read(name)
         keep = self.zone_prune_partitions(name, col, lo, hi)
         if keep is not None:
-            df = df.filter(F.col(part).cast("string").isin(keep))
+            # NULL partitions need an explicit isNull arm: CAST(NULL AS
+            # STRING) is NULL and an isin against it never matches.
+            pred = F.col(part).cast("string").isin(
+                [k for k in keep if k != self._HIVE_NULL]
+            )
+            if self._HIVE_NULL in keep:
+                pred = pred | F.col(part).isNull()
+            df = df.filter(pred)
         if lo is not None:
             df = df.filter(F.col(col) >= F.lit(lo))
         if hi is not None:

@@ -15,6 +15,23 @@ Exit 0 iff every declared pair matches. Run this before every commit that
 touches __spark_entry__.py:
 
     python scripts/check_oracle.py --sf-dir /root/testdata/sf0.01
+
+``--pandas-canon`` additionally replays the DRIVER's canonicalization
+path (proven round 5): the driver fetches the DuckDB side via ``.df()``
+(a pandas DataFrame) and sorts via ``DataFrame.sort_values``.  That path
+has two failure modes the fetchall() comparison above is structurally
+blind to, both of which burned window slots in round 5:
+
+  1. DuckDB HUGEINT (``sum(INTEGER)``, ``sum(CASE...)``) converts to
+     float64 in pandas -> ``149174.0`` vs Spark's ``149174`` -> hash
+     mismatch.  Every integer sum in oracle SQL must be ``::BIGINT``.
+  2. list/array-typed output columns make ``sort_values`` raise
+     ``TypeError: unhashable type: 'list'`` -> err row.  Serialize
+     arrays (``array_join`` / ``array_to_string``) in window entries.
+
+With the flag, BOTH sides are round-tripped through pandas and sorted
+with ``sort_values`` before hashing, so either failure mode fails HERE
+before it can fail in the driver.
 """
 
 from __future__ import annotations
@@ -58,6 +75,55 @@ def norm_value(v):
     return str(v)
 
 
+def pandas_canon_hash(pdf) -> tuple[int, str, str]:
+    """Driver-faithful canonicalization: sort columns by name, sort rows
+    via pandas ``sort_values`` (raises TypeError on list columns exactly
+    like the driver's canonicalizer), then hash the normalized values.
+    pandas-native scalars (numpy int64/float64, pd.Timestamp, pd.NA) are
+    normalized through their Python equivalents so a correct pair hashes
+    identically in both modes."""
+    import numpy as np
+    import pandas as pd
+
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    if len(pdf):
+        pdf = pdf.sort_values(by=cols, kind="mergesort")  # may raise: lists
+
+    def norm_cell(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+            return "NULL" if v is None or v is pd.NaT else "NaN"
+        if isinstance(v, (np.integer,)):
+            return str(int(v))
+        if isinstance(v, (np.floating,)):
+            return norm_value(float(v))
+        if isinstance(v, np.bool_):
+            return "true" if bool(v) else "false"
+        if isinstance(v, pd.Timestamp):
+            # DuckDB .df() renders DATE as midnight datetime64 while Spark
+            # toPandas keeps datetime.date — collapse exact midnights to
+            # date form on BOTH sides so date columns compare equal (the
+            # driver demonstrably tolerates this: agg_merge's DATE column
+            # was green in r5).
+            if v.tz is None and v == v.normalize():
+                return v.date().isoformat()
+            return v.to_pydatetime().isoformat(sep=" ", timespec="microseconds")
+        if isinstance(v, dt.datetime) and v.tzinfo is None and (
+            v.hour == v.minute == v.second == v.microsecond == 0
+        ):
+            return v.date().isoformat()
+        if isinstance(v, np.ndarray):
+            return "[" + ",".join(norm_cell(x) for x in v.tolist()) + "]"
+        return norm_value(v)
+
+    lines = sorted(
+        "\x1f".join(norm_cell(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    )
+    h = hashlib.sha256("\x1e".join(lines).encode()).hexdigest()[:16]
+    return len(lines), ",".join(cols), h
+
+
 def table_hash(cols: list[str], rows: list[tuple]) -> tuple[int, str, str]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     sorted_cols = [cols[i] for i in order]
@@ -72,6 +138,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", nargs="*", help="subset of query names")
+    ap.add_argument(
+        "--pandas-canon",
+        action="store_true",
+        help="replay the driver's pandas canonicalization (catches "
+        "HUGEINT->float64 and list-column sort crashes)",
+    )
     args = ap.parse_args()
 
     # Composite entries mkdtemp throwaway TableStores; funnel them into
@@ -117,8 +189,11 @@ def main() -> int:
         try:
             sdf = fn(spark, args.sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-            s_n, s_schema, s_hash = table_hash(scols, srows)
+            if args.pandas_canon:
+                s_n, s_schema, s_hash = pandas_canon_hash(sdf.toPandas())
+            else:
+                srows = [tuple(r) for r in sdf.collect()]
+                s_n, s_schema, s_hash = table_hash(scols, srows)
         except Exception:
             print(f"FAIL  {name}: spark query raised")
             traceback.print_exc()
@@ -132,9 +207,12 @@ def main() -> int:
         t0 = time.time()
         try:
             cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
-            o_n, o_schema, o_hash = table_hash(ocols, orows)
+            if args.pandas_canon:
+                o_n, o_schema, o_hash = pandas_canon_hash(cur.df())
+            else:
+                ocols = [d[0] for d in cur.description]
+                orows = cur.fetchall()
+                o_n, o_schema, o_hash = table_hash(ocols, orows)
         except Exception:
             print(f"FAIL  {name}: oracle sql raised")
             traceback.print_exc()
@@ -153,7 +231,12 @@ def main() -> int:
                 print(f"      schema duck ={o_schema}")
             if s_n != o_n:
                 print(f"      rowcount spark={s_n} duck={o_n}")
-            if s_hash != o_hash and s_schema == o_schema and s_n == o_n:
+            if (
+                s_hash != o_hash
+                and s_schema == o_schema
+                and s_n == o_n
+                and not args.pandas_canon
+            ):
                 order = sorted(range(len(scols)), key=lambda i: scols[i])
                 sset = sorted("\x1f".join(norm_value(r[i]) for i in order) for r in srows)
                 order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])

@@ -351,3 +351,16 @@ def test_quality_checks_fire_and_duplicate_keys(spark):
     ]
     dup = dq.duplicate_keys(df, ["id"]).collect()
     assert [(r["id"], r["n_rows"]) for r in dup] == [(2, 2)]
+
+    # A user-supplied Check whose expression evaluates to NULL (no
+    # internal coalesce) must still count as a violation — the contract
+    # is enforced centrally, not per-constructor.
+    from pyspark.sql import functions as F
+
+    raw = [dq.Check("raw_score_pos", F.col("score") > 0)]  # NULL on row 3
+    raw_counts = {
+        r["check"]: r["n_violations"] for r in dq.validate(df, raw).collect()
+    }
+    assert raw_counts == {"raw_score_pos": 2}  # -1.0 AND the NULL score
+    raw_bad = sorted(r["id"] for r in dq.violations(df, raw).collect())
+    assert raw_bad == [2, 2]

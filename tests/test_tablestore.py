@@ -281,3 +281,47 @@ def test_zone_maps_refuse_to_prune_without_full_coverage(spark, tmp_path):
     assert store.zone_prune_partitions("logs", "id", 0, 10) is None
     got = {r["id"] for r in store.read_where("logs", "id", 0, 300).collect()}
     assert got == {1, 200}
+
+
+def test_zone_maps_key_by_hive_dir_names_boolean_and_null(spark, tmp_path):
+    """Zone-map keys must match the on-disk Hive directory encoding, not
+    Python str(v): a boolean partition writes ``flag=true`` (str gives
+    'True') and a NULL partition writes ``__HIVE_DEFAULT_PARTITION__``
+    (str gives 'None'). With str(v) keys the coverage check could never
+    pass and pruning would silently disable itself for such tables."""
+    from from_superset_to_clickhouse_spark.schema import Field, Schema
+
+    store = TableStore(spark, str(tmp_path))
+    sch = Schema(
+        name="flags",
+        fields=(
+            Field("id", "int", nullable=False),
+            Field("flag", "boolean"),
+            Field("v", "string"),
+        ),
+        partition_by=("flag",),
+        sort_by=("id",),
+    )
+    store.create(sch)
+    rows = [(i, True, "a") for i in range(10)]
+    rows += [(100 + i, False, "b") for i in range(10)]
+    rows += [(200 + i, None, "c") for i in range(10)]
+    store.append(
+        "flags",
+        spark.createDataFrame(rows, "id int, flag boolean, v string"),
+    )
+
+    # pruning is ACTIVE (coverage holds) and selects only the one
+    # intersecting partition per range
+    assert store.zone_prune_partitions("flags", "id", 100, 109) == ["false"]
+    assert store.zone_prune_partitions("flags", "id", 0, 9) == ["true"]
+    assert store.zone_prune_partitions("flags", "id", 200, 209) == [
+        "__HIVE_DEFAULT_PARTITION__"
+    ]
+
+    # read_where returns exactly the right rows, including from the NULL
+    # partition (isin can never match NULL — needs the isNull arm)
+    got = sorted(r["id"] for r in store.read_where("flags", "id", 200, 209).collect())
+    assert got == list(range(200, 210))
+    got = sorted(r["id"] for r in store.read_where("flags", "id", 100, 109).collect())
+    assert got == list(range(100, 110))
