@@ -621,6 +621,18 @@ def q_media_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.image_dims(media)
 
 
+def q_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: synthesize one spec-conformant PCM WAV stream
+    per document (rate/channels/duration derived from doc_id), then
+    recover the metadata by walking the actual RIFF chunks (fmt + data
+    chunk sizes → duration). The oracle predicts the values
+    arithmetically — the engine must earn them from the bytes, so any
+    chunk-walk bug (alignment, little-endian fields, block-align math)
+    hash-mismatches. Closes the audio half of the multimodal stub."""
+    audio = mm.synthesize_audio(_docs(spark, sf_dir), "doc_id")
+    return mm.audio_meta(audio)
+
+
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-2-style pretokenizer piece count per document."""
     d = _docs(spark, sf_dir)
@@ -2899,7 +2911,9 @@ SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.9
 # Full-oracle entries only — a rows-only entry in the window burns a
 # hard-signal slot on a weaker check; everything past position 50 is
 # still verified by scripts/check_oracle.py each round.
-_NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "media_audio": q_media_audio,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3295,6 +3309,18 @@ def oracle_sql() -> dict[str, str]:
             "WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'gif' END AS format, "
             "CAST(doc_id % 64 + 1 AS INTEGER) AS width, "
             "CAST(doc_id % 48 + 1 AS INTEGER) AS height FROM documents"
+        ),
+        "media_audio": (
+            # Arithmetic twin of synthesize_audio's planted contract:
+            # duration_ms = id % 1000 + 20 (exact at both rates — 8 and
+            # 16 frames/ms), sample_rate = 8000 << (id % 2), channels =
+            # (id % 3) % 2 + 1. The engine parses real RIFF bytes.
+            "SELECT CAST(doc_id AS BIGINT) AS media_id, 'wav' AS format, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END "
+            "AS INTEGER) AS sample_rate, "
+            "CAST((doc_id % 3) % 2 + 1 AS INTEGER) AS channels, "
+            "CAST(doc_id % 1000 + 20 AS INTEGER) AS duration_ms "
+            "FROM documents"
         ),
         "media_features": (
             "SELECT CAST(doc_id AS BIGINT) AS media_id, "

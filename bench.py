@@ -136,9 +136,12 @@ def main() -> None:
 
     # End-to-end v2 ingest pipeline into a throwaway store. Each run
     # gets a FRESH store dir (a second run into the same store would be
-    # an incremental no-op, not a rerun); min-of-3 like the headline
-    # queries — this path is disk-write-bound and the noisiest entry on
-    # a shared host.
+    # an incremental no-op, not a rerun). One DISCARDED warmup run first
+    # — the initial parquet write pays one-off filesystem/committer
+    # setup (r5 raw runs spanned 15.1s -> 2.4s) — then median-of-5:
+    # this path is disk-write-bound and the noisiest entry on a shared
+    # host, and min-of-N under that noise flips round-over-round
+    # conclusions.
     ev = load_table(spark, SF_DIR, "events")
     dirs: list[str] = []
 
@@ -148,7 +151,8 @@ def main() -> None:
         v2_daily_load(TableStore(spark, tmp), ev, entrymod.EVENTS, "ts")
 
     try:
-        timed("ingest_v2_pipeline", run_ingest)
+        run_ingest()  # warmup, discarded
+        timed("ingest_v2_pipeline", run_ingest, runs=5, stat="median")
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
@@ -226,6 +230,118 @@ def main() -> None:
     ivf_speedup = round(qps["ivf"] / max(qps["exact_vectorized"], 1e-9), 2)
     arrow_over_expr = round(qps["exact_vectorized"] / max(qps["exact_hof"], 1e-9), 1)
 
+    # -- ANN at scale: a corpus where pruning can actually win ----------
+    # The fixture corpus (2,000 near-random vectors) is the worst case
+    # for any partitioned/banded index AND too small to amortize
+    # candidate-join overhead — r5 honestly published LSH at 0.29x vs
+    # exact there, which misstates the scale path. This section
+    # synthesizes a 400k-vector CLUSTERED corpus (2,048 centers, the
+    # real-embedding regime where neighbors concentrate) entirely in
+    # Catalyst from xxhash64 — deterministic, no rand(), no Python — and
+    # measures the same engines at that scale. Queries are 2,000 corpus
+    # members spanning all clusters. Sizing rationale: candidate sets
+    # scale with CLUSTER SIZE (~195 here) while the exact scan scales
+    # with the corpus, so this is the smallest corpus on which the
+    # banded/partitioned paths' shuffle overhead is beaten by BLAS scan
+    # growth on a single node (measured: at 100k/256 clusters every
+    # approximate path still lost to blocked BLAS).
+    SCALE_N, SCALE_DIM, SCALE_CLUSTERS, SCALE_NOISE = 400_000, 64, 2048, 0.2
+
+    def _u(h):  # xxhash64 -> deterministic uniform in [-1, 1)
+        return F.pmod(h, F.lit(100_000)) / 50_000.0 - 1.0
+
+    cl = F.pmod(F.col("vec_id"), F.lit(SCALE_CLUSTERS))
+    scale_corpus = (
+        spark.range(SCALE_N)
+        .select(F.col("id").cast("int").alias("vec_id"))
+        .withColumn(
+            "embedding",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(SCALE_DIM - 1)),
+                lambda j: (
+                    _u(F.xxhash64(cl, j))
+                    + SCALE_NOISE * _u(F.xxhash64(F.col("vec_id"), j))
+                ).cast("float"),
+            ),
+        )
+        .repartition(int(CPUS))
+        .cache()
+    )
+    scale_corpus.count()  # materialize outside the timers
+    scale_q = scale_corpus.filter(F.pmod(F.col("vec_id"), F.lit(200)) == 0).cache()
+    n_scale_q = scale_q.count()
+
+    # band_bits=12 (4,096 buckets/band, 5 bands): the clustered-corpus
+    # operating point — buckets resolve individual clusters, so
+    # candidates/query ~ cluster size; 4-bit bands (16 buckets) would
+    # put ~128 clusters in every bucket and explode the candidate join.
+    # Measured 0.93 recall here.
+    SCALE_BAND_BITS = 12
+
+    scale_truth = timed_collect(
+        "ann_scale_exact",
+        lambda: simi.brute_force_topk(scale_corpus, scale_q, k=5).collect(),
+        runs=3,
+    )
+    # One-shot LSH: bands the corpus inline on every call. Published
+    # deliberately — banding touches all N vectors (64 planes ≈ the
+    # FLOPs of 64 exact queries), so this CANNOT beat blocked BLAS; the
+    # number documents why the index must be persisted.
+    scale_lsh_rows = timed_collect(
+        "ann_scale_lsh_onepass",
+        lambda: simi.lsh_topk(
+            scale_corpus, scale_q, k=5, band_bits=SCALE_BAND_BITS
+        ).collect(),
+        runs=3,
+    )
+    # Persisted-index LSH: build once → parquet (band-partitioned, the
+    # real production layout), then time query batches against it.
+    idx_dir = tempfile.mkdtemp(prefix="bench_lshidx_")
+    t0 = time.monotonic()
+    simi.lsh_index(
+        scale_corpus, band_bits=SCALE_BAND_BITS
+    ).write.mode("overwrite").partitionBy("band").parquet(idx_dir)
+    _record("ann_scale_lsh_index_build", [time.monotonic() - t0], "min")
+    idx = spark.read.parquet(idx_dir)
+    scale_lshi_rows = timed_collect(
+        "ann_scale_lsh_indexed",
+        lambda: simi.lsh_topk_indexed(
+            idx, scale_corpus, scale_q, k=5, band_bits=SCALE_BAND_BITS
+        ).collect(),
+        runs=3,
+    )
+    # IVF with PERSISTED centroids (train once outside the timers — the
+    # save/load_centroids production pattern; training cost reported
+    # separately like the LSH index build).
+    t0 = time.monotonic()
+    scale_cents = simi.train_centroids(scale_corpus, ncells=256)
+    _record("ann_scale_ivf_centroid_train", [time.monotonic() - t0], "min")
+    scale_ivf_rows = timed_collect(
+        "ann_scale_ivf",
+        lambda: simi.ivf_topk(
+            scale_corpus, scale_q, k=5, ncells=256, nprobe=8,
+            centroids=scale_cents,
+        ).collect(),
+        runs=3,
+    )
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    s_truth = {(r["q_id"], r["n_id"]) for r in scale_truth}
+    s_lsh = {(r["q_id"], r["n_id"]) for r in scale_lsh_rows}
+    s_lshi = {(r["q_id"], r["n_id"]) for r in scale_lshi_rows}
+    s_ivf = {(r["q_id"], r["n_id"]) for r in scale_ivf_rows}
+    scale_lsh_recall = round(len(s_truth & s_lsh) / max(len(s_truth), 1), 3)
+    scale_lshi_recall = round(len(s_truth & s_lshi) / max(len(s_truth), 1), 3)
+    scale_ivf_recall = round(len(s_truth & s_ivf) / max(len(s_truth), 1), 3)
+    scale_qps = {
+        "exact": round(n_scale_q / max(timings["ann_scale_exact"], 1e-9), 1),
+        "lsh_onepass": round(n_scale_q / max(timings["ann_scale_lsh_onepass"], 1e-9), 1),
+        "lsh_indexed": round(n_scale_q / max(timings["ann_scale_lsh_indexed"], 1e-9), 1),
+        "ivf": round(n_scale_q / max(timings["ann_scale_ivf"], 1e-9), 1),
+    }
+    scale_lsh_speedup = round(scale_qps["lsh_onepass"] / max(scale_qps["exact"], 1e-9), 2)
+    scale_lshi_speedup = round(scale_qps["lsh_indexed"] / max(scale_qps["exact"], 1e-9), 2)
+    scale_ivf_speedup = round(scale_qps["ivf"] / max(scale_qps["exact"], 1e-9), 2)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     dispersion = {
         n: round((max(rs) - min(rs)) / max(min(rs), 1e-9), 3)
@@ -248,6 +364,25 @@ def main() -> None:
         "ann_corpus_size": n_corpus,
         "ann_n_queries": n_queries,
         "ann_k": 5,
+        # Scale point: where the 2k-corpus numbers above do NOT apply.
+        # Recommendation the numbers encode: one-shot LSH cannot beat
+        # the blocked-BLAS exact scan (corpus banding ≈ a full scan);
+        # the amortized forms — lsh_index built once + lsh_topk_indexed,
+        # IVF with persisted centroids — win once the corpus is large
+        # and clustered enough that candidates/query ≪ corpus (here:
+        # 400k vectors, ~195/cluster). Below that regime, or for a
+        # single pass, use exact_vectorized.
+        "ann_scale_corpus_size": SCALE_N,
+        "ann_scale_n_queries": n_scale_q,
+        "ann_scale_clusters": SCALE_CLUSTERS,
+        "ann_scale_band_bits": SCALE_BAND_BITS,
+        "ann_scale_lsh_onepass_recall": scale_lsh_recall,
+        "ann_scale_lsh_indexed_recall": scale_lshi_recall,
+        "ann_scale_ivf_recall": scale_ivf_recall,
+        "ann_scale_lsh_onepass_speedup_vs_exact": scale_lsh_speedup,
+        "ann_scale_lsh_indexed_speedup_vs_exact": scale_lshi_speedup,
+        "ann_scale_ivf_speedup_vs_exact": scale_ivf_speedup,
+        "ann_scale_queries_per_sec": scale_qps,
         "cpus": int(CPUS),
     }
     print(json.dumps(out))

@@ -12,9 +12,13 @@ tested. Decoding comes in two tiers:
   metadata a 100 TB curation pass filters on before paying for pixel
   decode. ``encode_png``/``encode_jpeg``/``encode_gif`` synthesize
   real, spec-conformant byte streams for tests and fixtures.
-- Pixel/audio/video CONTENT decode is still stubbed (``decode_stub``
-  fake features; full-decode ``decode_real`` raises for audio/video) —
-  those need native codec libs this container doesn't ship.
+- AUDIO (WAV/RIFF) headers likewise: ``decode_wav_header`` walks real
+  RIFF chunks for rate/channels/duration; ``encode_wav`` emits
+  spec-conformant PCM streams for fixtures.
+- Pixel/sample CONTENT decode, compressed audio, and video remain
+  stubbed (``decode_stub`` fake features; full-decode ``decode_real``
+  raises for video) — those need native codec libs this container
+  doesn't ship.
 
 At scale: binary payloads ride in Parquet binary columns;
 ``mapInPandas`` streams Arrow batches so one task never materializes its
@@ -179,15 +183,82 @@ def _decode_image_header(payload: bytes) -> tuple[str, int, int]:
     raise ValueError("unknown image format")
 
 
+# -- real audio container codec (WAV/RIFF, stdlib-only) ------------------
+
+
+def encode_wav(
+    duration_ms: int,
+    sample_rate: int = 8000,
+    channels: int = 1,
+    bits: int = 16,
+) -> bytes:
+    """A real, spec-conformant PCM WAV (RIFF) stream: RIFF header,
+    ``fmt `` chunk (format tag 1 = PCM), ``data`` chunk holding exactly
+    ``sample_rate × duration_ms / 1000`` frames of deterministic
+    samples (a byte-ramp — reproducible fixtures, non-zero content)."""
+    n_frames = sample_rate * duration_ms // 1000
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    data = bytes((i * 7) % 256 for i in range(n_frames * block_align))
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_header(payload: bytes) -> tuple[str, int, int, int]:
+    """REAL WAV container parse → (format, sample_rate, channels,
+    duration_ms) — a chunk walk over the RIFF structure, no codec libs:
+    read ``fmt `` for rate/channels/width, ``data`` for the payload
+    size, duration = frames / rate. Unknown chunks are skipped by their
+    declared size (word-aligned), exactly per spec. Raises
+    ``ValueError`` on anything malformed — quarantine, never garbage."""
+    if payload is None:
+        raise ValueError("empty payload")
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE stream")
+        rate = channels = block_align = None
+        data_size = None
+        i = 12
+        while i + 8 <= len(payload):
+            cid = payload[i : i + 4]
+            (csize,) = struct.unpack("<I", payload[i + 4 : i + 8])
+            if cid == b"fmt ":
+                tag, channels, rate, _br, block_align, _bits = struct.unpack(
+                    "<HHIIHH", payload[i + 8 : i + 24]
+                )
+                if tag != 1:
+                    raise ValueError(f"non-PCM WAV (format tag {tag})")
+            elif cid == b"data":
+                data_size = csize
+            i += 8 + csize + (csize & 1)  # chunks are word-aligned
+        if rate is None or data_size is None or not rate or not block_align:
+            raise ValueError("WAV: missing fmt/data chunk")
+        duration_ms = data_size // block_align * 1000 // rate
+        return ("wav", rate, channels, duration_ms)
+    except struct.error as exc:
+        raise ValueError(f"truncated WAV header: {exc}") from exc
+
+
 def decode_real(payload: bytes, kind: str):
-    """Real decode where stdlib suffices: image container headers.
-    Pixel-level decode and audio/video need native codec libs this
-    container doesn't ship — those still raise."""
+    """Real decode where stdlib suffices: image container headers and
+    WAV/RIFF audio headers. Pixel/sample-level decode, compressed audio
+    (mp3/ogg/flac) and video need native codec libs this container
+    doesn't ship — those still raise."""
     if kind == "image":
         return decode_image_header(payload)
+    if kind == "audio":
+        return decode_wav_header(payload)
     raise NotImplementedError(
-        "audio/video decoding requires codec libs not present in this "
-        "environment; use decode_stub for the pipeline plumbing"
+        "video (and compressed-audio) decoding requires codec libs not "
+        "present in this environment; use decode_stub for the pipeline "
+        "plumbing"
     )
 
 
@@ -275,6 +346,77 @@ def image_dims(images: DataFrame) -> DataFrame:
             )
 
     return images.mapInPandas(run, schema=DIMS_SCHEMA)
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+
+def synthesize_audio(df: DataFrame, id_col: str) -> DataFrame:
+    """Fixture generator: one REAL PCM WAV byte stream per row — rate
+    (8/16 kHz), channel count and duration derived from the id so an
+    oracle can predict the metadata arithmetically while the engine has
+    to earn it by walking actual RIFF chunks. Contract: duration_ms =
+    id % 1000 + 20, sample_rate = 8000 << (id % 2), channels =
+    (id % 3) % 2 + 1."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        encode_wav(
+                            duration_ms=int(i % 1000 + 20),
+                            sample_rate=8000 << (int(i) % 2),
+                            channels=(int(i) % 3) % 2 + 1,
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    return src.mapInPandas(run, schema=IMAGE_SCHEMA)
+
+
+def audio_meta(audio: DataFrame) -> DataFrame:
+    """REAL audio metadata extraction: walk each payload's RIFF chunks →
+    (media_id, format, sample_rate, channels, duration_ms). Unparseable
+    payloads become format=NULL quarantine rows, same contract as
+    ``image_dims`` — corrupt bytes must never kill the stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, rates, chans, durs = [], [], [], []
+            for p in pdf["payload"]:
+                try:
+                    fmt, r, c, d = decode_wav_header(p)
+                except ValueError:
+                    fmt, r, c, d = None, None, None, None
+                fmts.append(fmt)
+                rates.append(r)
+                chans.append(c)
+                durs.append(d)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": fmts,
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "channels": pd.array(chans, dtype="Int32"),
+                    "duration_ms": pd.array(durs, dtype="Int32"),
+                }
+            )
+
+    return audio.mapInPandas(run, schema=AUDIO_META_SCHEMA)
 
 
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:

@@ -296,8 +296,14 @@ def _srp_buckets_vectorized(
                     (m.shape[1], planes)
                 )
             bits = (m @ P) >= 0.0  # n × planes
+            # planes need not divide evenly into bands: only the first
+            # n_bands × band_bits sign bits feed buckets (the Catalyst
+            # fallback slices the same prefix — behavior must match).
             buckets = (
-                bits.reshape(len(pdf), n_bands, band_bits) * pow2
+                bits[:, : n_bands * band_bits].reshape(
+                    len(pdf), n_bands, band_bits
+                )
+                * pow2
             ).sum(axis=2)
             yield pd.DataFrame(
                 {
@@ -319,7 +325,67 @@ def _srp_buckets_vectorized(
     )
 
 
-def lsh_topk(
+def _srp_banded(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    planes: int,
+    band_bits: int,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, band, bucket) SRP band rows — Arrow BLAS path when numpy is
+    available (one matrix multiply per batch), pure-Catalyst
+    ``_rp_bits`` fallback otherwise. The two paths produce different
+    bucket VALUES (base-2 band int vs hash of the bit slice), each
+    internally consistent: an index must be queried by the same path
+    that built it."""
+    try:
+        import numpy  # noqa: F401
+
+        return _srp_buckets_vectorized(
+            df, id_col, vec_col, out_id, planes, band_bits, seed
+        )
+    except ImportError:
+        n_bands = planes // band_bits
+        buckets = let_bind(
+            _rp_bits(F.col(vec_col), planes, seed),
+            lambda s: F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda i: F.hash(F.slice(s, i * band_bits + 1, band_bits)),
+            ),
+        )
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(buckets).alias("band", "bucket"),
+        )
+
+
+def lsh_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 64,
+    band_bits: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Persistable SRP band index of a corpus: (n_id, band, bucket).
+
+    Build ONCE, write to parquet (partition by ``band`` for band-local
+    bucket joins), query many times with ``lsh_topk_indexed``. This is
+    where LSH actually earns its keep at scale: banding touches every
+    corpus vector (64 planes ≈ the FLOPs of scoring 64 queries
+    exactly), so a one-shot band-and-join can never beat a blocked-BLAS
+    scan — measured at a 100k-vector corpus, one-shot LSH loses to
+    brute force while the SAME query batch against a prebuilt index
+    wins. Amortizing the corpus-side work across query batches (and
+    growing it incrementally, like ``minhash_incremental``) is the
+    production pattern."""
+    return _srp_banded(corpus, id_col, vec_col, "n_id", planes, band_bits, seed)
+
+
+def lsh_topk_indexed(
+    index: DataFrame,
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
@@ -327,54 +393,24 @@ def lsh_topk(
     vec_col: str = "embedding",
     planes: int = 64,
     band_bits: int = 4,
+    seed: int = 7,
 ) -> DataFrame:
-    """Approximate top-k: SRP band buckets → candidate id join → exact
-    re-rank of the candidates only.
+    """Approximate top-k against a prebuilt ``lsh_index``: band the
+    query batch (cheap — |queries| rows), join id-only band rows
+    against the index, exact re-rank of surviving candidates only.
 
-    Defaults (64 planes, 16 bands × 4 bits) are tuned for ≥0.8 measured
-    recall on the synthetic fixture embeddings, which are near-random
-    (top-5 neighbor cosine ≈ 0.32, per-plane agreement p ≈ 0.6 →
-    per-pair recall 1-(1-p^4)^16 ≈ 0.9). Clustered real-world embeddings
-    have far higher p, so the same defaults prune much harder there —
-    random vectors are LSH's worst case, and the bench reports the
-    measured recall/speedup pair so the tradeoff is visible.
+    ``planes``/``band_bits``/``seed`` must match the index build — the
+    signature function IS the index layout.
 
     Scale design: the band join carries ONLY (id, band, bucket) — never
     the vectors, which would multiply shuffle volume by the band count.
     Vectors are joined back just for the surviving candidate pairs
-    (queries broadcast; corpus joined on its key). Signatures come from
-    the Arrow BLAS path when numpy is available (one matrix multiply per
-    batch — the expression twin's per-element codegen lambdas were the
-    measured dominant cost); the pure-Catalyst ``_rp_bits`` banding is
-    the no-numpy fallback.
-    """
-    n_bands = planes // band_bits
-
-    try:
-        import numpy  # noqa: F401
-
-        def banded(df: DataFrame, out_id: str) -> DataFrame:
-            return _srp_buckets_vectorized(
-                df, id_col, vec_col, out_id, planes, band_bits
-            )
-    except ImportError:
-        def banded(df: DataFrame, out_id: str) -> DataFrame:
-            buckets = let_bind(
-                _rp_bits(F.col(vec_col), planes),
-                lambda s: F.transform(
-                    F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                    lambda i: F.hash(F.slice(s, i * band_bits + 1, band_bits)),
-                ),
-            )
-            return df.select(
-                F.col(id_col).alias(out_id),
-                F.posexplode(buckets).alias("band", "bucket"),
-            )
-
-    qb = banded(queries, "q_id")
-    cb = banded(corpus, "n_id")
+    (queries broadcast; corpus joined on its key). An index read from a
+    band-partitioned parquet table arrives pre-bucketed; the query side
+    is small enough to broadcast, so the index never shuffles."""
+    qb = _srp_banded(queries, id_col, vec_col, "q_id", planes, band_bits, seed)
     cand = (
-        cb.join(qb, ["band", "bucket"])
+        index.join(qb, ["band", "bucket"])
         .filter(F.col("n_id") != F.col("q_id"))
         .select("q_id", "n_id")
         .distinct()
@@ -402,6 +438,42 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 64,
+    band_bits: int = 4,
+) -> DataFrame:
+    """One-shot approximate top-k: build the SRP band index inline, then
+    query it — ``lsh_index`` + ``lsh_topk_indexed`` fused.
+
+    Defaults (64 planes, 16 bands × 4 bits) are tuned for ≥0.8 measured
+    recall on the synthetic fixture embeddings, which are near-random
+    (top-5 neighbor cosine ≈ 0.32, per-plane agreement p ≈ 0.6 →
+    per-pair recall 1-(1-p^4)^16 ≈ 0.9). Clustered real-world embeddings
+    have far higher per-plane agreement — use wider bands there
+    (``band_bits=8``: 256 buckets/band, measured 0.97 recall on a
+    256-cluster corpus) or 16-bucket bands explode candidate counts.
+
+    NOTE: one-shot banding touches every corpus vector, so this form
+    cannot beat a blocked-BLAS exact scan (see ``lsh_index``). Use it
+    for single-pass workloads (one dedup sweep); persist the index for
+    repeated query batches."""
+    return lsh_topk_indexed(
+        lsh_index(corpus, id_col, vec_col, planes, band_bits),
+        corpus,
+        queries,
+        k,
+        id_col,
+        vec_col,
+        planes,
+        band_bits,
     )
 
 

@@ -170,15 +170,60 @@ def test_multimodal_extract_features(spark):
 
 
 def test_multimodal_decode_real_images_for_real():
-    """Image headers decode for REAL (stdlib container parse); audio and
-    video still honestly raise — pixel/sample decode needs codec libs."""
+    """Image and WAV headers decode for REAL (stdlib container parse);
+    video still honestly raises — frame decode needs codec libs."""
     assert mm.decode_real(mm.encode_png(12, 7), "image") == ("png", 12, 7)
     assert mm.decode_real(mm.encode_jpeg(640, 480), "image") == ("jpeg", 640, 480)
     assert mm.decode_real(mm.encode_gif(3, 9), "image") == ("gif", 3, 9)
     with pytest.raises(ValueError):
         mm.decode_real(b"not an image", "image")
+    with pytest.raises(ValueError):
+        mm.decode_real(b"not audio", "audio")
     with pytest.raises(NotImplementedError):
-        mm.decode_real(b"x", "audio")
+        mm.decode_real(b"x", "video")
+
+
+def test_multimodal_wav_roundtrip_and_quarantine(spark):
+    """encode_wav → decode_wav_header recovers rate/channels/duration
+    exactly (chunk-walk over real RIFF bytes, word-aligned skip of
+    unknown chunks); non-PCM and truncated streams raise; audio_meta
+    quarantines corrupt rows as format=NULL."""
+    import pandas as pd
+
+    assert mm.decode_wav_header(mm.encode_wav(500)) == ("wav", 8000, 1, 500)
+    assert mm.decode_wav_header(
+        mm.encode_wav(1234, sample_rate=16000, channels=2)
+    ) == ("wav", 16000, 2, 1234)
+    # an unknown odd-sized chunk before fmt must be skipped word-aligned
+    wav = mm.encode_wav(100)
+    extra = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    spliced = wav[:12] + extra + wav[12:]
+    spliced = b"RIFF" + (len(spliced) - 8).to_bytes(4, "little") + spliced[8:]
+    assert mm.decode_wav_header(spliced) == ("wav", 8000, 1, 100)
+    with pytest.raises(ValueError, match="non-PCM"):
+        bad = bytearray(mm.encode_wav(10))
+        bad[20] = 3  # format tag -> IEEE float
+        mm.decode_wav_header(bytes(bad))
+    with pytest.raises(ValueError):
+        mm.decode_wav_header(mm.encode_wav(10)[:14])
+
+    pdf = pd.DataFrame(
+        {
+            "media_id": [0, 1, 2],
+            "payload": [
+                mm.encode_wav(250),
+                b"RIFF\x04\x00\x00\x00WAVE",  # no fmt/data chunks
+                mm.encode_wav(60, sample_rate=16000, channels=2),
+            ],
+        }
+    )
+    audio = spark.createDataFrame(pdf, schema=mm.IMAGE_SCHEMA)
+    rows = {r["media_id"]: r for r in mm.audio_meta(audio).collect()}
+    assert (rows[0]["format"], rows[0]["sample_rate"], rows[0]["duration_ms"]) == (
+        "wav", 8000, 250,
+    )
+    assert rows[1]["format"] is None and rows[1]["duration_ms"] is None
+    assert (rows[2]["sample_rate"], rows[2]["channels"]) == (16000, 2)
 
 
 def test_multimodal_png_crc_guard():

@@ -162,3 +162,63 @@ def test_new_catalyst_ops_have_no_python_and_no_global_sort(spark, qmap):
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "SinglePartition" not in plan, name
+
+
+def test_zone_read_prunes_partitions_at_plan_time(spark, tmp_path):
+    """Zone-map range read: the [lo, hi] sort-key predicate becomes a
+    PartitionFilters entry — non-intersecting partition directories are
+    pruned at planning time and never appear in the scan."""
+    import datetime as dtm
+
+    from from_superset_to_clickhouse_spark.schema import Field, Schema
+    from from_superset_to_clickhouse_spark.tablestore import TableStore
+
+    st = TableStore(spark, str(tmp_path))
+    sch = Schema(
+        "logs",
+        fields=(
+            Field("id", "int", nullable=False),
+            Field("dttm", "timestamp", nullable=False),
+            Field("v", "string"),
+        ),
+        dedup_key=("id",),
+        version_col="dttm",
+        partition_by=("dttm_month",),
+        sort_by=("id",),
+        shard_by="id",
+    )
+    st.create(sch)
+    rows = [
+        (b + i, dtm.datetime(2024, m, 3 + i), "x")
+        for m, b in ((1, 0), (2, 100), (3, 200))
+        for i in range(10)
+    ]
+    st.append("logs", spark.createDataFrame(rows, "id int, dttm timestamp, v string"))
+    plan = _plan(st.read_where("logs", "id", 100, 109))
+    assert "PartitionFilters" in plan
+    assert "2024-02-01" in plan      # the one intersecting partition
+    assert "2024-03-01" not in plan  # pruned before the scan
+
+
+def test_curate_stream_batch_twin_is_shuffle_free(spark):
+    """The streaming curation path is row-local codegen end-to-end: its
+    batch twin must plan ZERO exchanges and zero Python nodes — any
+    shuffle here would become per-microbatch state movement in the
+    stream."""
+    from from_superset_to_clickhouse_spark.sources.testdata import load_table
+    from from_superset_to_clickhouse_spark.streaming.ingest import curate_stream
+
+    plan = _plan(curate_stream(load_table(spark, SF, "documents")))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_bucketed_join_entry_is_exchange_free_through_the_agg(spark, qmap):
+    """The bucketed-cojoin registry entry: bucket-local SortMergeJoin
+    AND the follow-up per-order aggregate both run on the bucket
+    layout — zero Exchange nodes in the whole plan (the agg groups on a
+    superset of the bucket key, so the join's distribution satisfies
+    it)."""
+    plan = _plan(qmap["bucketed_join"](spark, SF))
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan

@@ -142,3 +142,25 @@ def test_centroid_persistence_reproduces_ivf_results(spark, tmp_path):
         for r in simi.ivf_topk(emb, queries, k=5, centroids=loaded).collect()
     }
     assert a == b
+
+
+def test_lsh_indexed_parquet_roundtrip_equals_one_shot(spark, tmp_path):
+    """Build-once/query-many: an SRP band index round-tripped through
+    band-partitioned parquet answers exactly like the fused lsh_topk —
+    a physical index layout must never change results. (This is the
+    operating point where LSH beats exact at scale: one-shot banding
+    touches every corpus vector, so only a persisted index amortizes.)"""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+
+    one_shot = sorted(
+        map(tuple, simi.lsh_topk(emb, queries, k=5).collect())
+    )
+    path = str(tmp_path / "lsh_index")
+    simi.lsh_index(emb).write.partitionBy("band").parquet(path)
+    idx = spark.read.parquet(path)
+    indexed = sorted(
+        map(tuple, simi.lsh_topk_indexed(idx, emb, queries, k=5).collect())
+    )
+    assert indexed == one_shot
+    assert len(indexed) > 0
