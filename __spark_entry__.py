@@ -978,6 +978,22 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_csv(spark, tmp, schema=cust.schema)
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC bulk interchange proven by write→read_orc round-trip equality
+    against the parquet original — type-exact (binary columnar, no
+    text-dialect lossiness), covering the second columnar format a
+    Hive/Trino-adjacent deployment standardizes on."""
+    from from_superset_to_clickhouse_spark.sources.readers import (
+        read_orc,
+        write_orc,
+    )
+
+    sup = _t(spark, sf_dir, "supplier")
+    tmp = tempfile.mkdtemp(prefix="sg_orc_") + "/supplier_orc"
+    write_orc(sup, tmp)
+    return read_orc(spark, tmp, schema=sup.schema)
+
+
 def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-Lines ingest proven by write→read_json round-trip equality
     against the parquet original (explicit schema — no inference
@@ -2913,6 +2929,7 @@ SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.9
 # still verified by scripts/check_oracle.py each round.
 _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_audio": q_media_audio,
+    "orc_roundtrip": q_orc_roundtrip,
 }
 
 
@@ -3237,6 +3254,7 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT date_trunc('day', max(ts)) - INTERVAL 7 DAY FROM events)"
         ),
         "csv_roundtrip": "SELECT * FROM customer",
+        "orc_roundtrip": "SELECT * FROM supplier",
         "json_roundtrip": (
             "SELECT event_id, epoch_us(ts) AS ts_us, event_type, user_id "
             "FROM events"

@@ -100,6 +100,22 @@ def main() -> None:
             val = lo
         timings[name] = round(val, 3)
 
+    def _hygiene():
+        # Encourage the ContextCleaner to drop dead shuffle state before
+        # each measured run: broadcast vars and shuffle files of finished
+        # jobs are only released when their JVM objects are GC'd, so in
+        # one long-lived bench JVM heavy-shuffle entries degrade
+        # run-over-run (measured: ngram_jaccard 3.4 -> 9.8 -> 18.0 s
+        # inside the full bench vs a flat ~2.0 s standalone). GC runs
+        # OUTSIDE the timed region.
+        import gc
+
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
     def timed(name, fn, runs: int = 3, stat: str = "min"):
         # min-of-3: the steady-state wall time. The host is shared — a
         # co-scheduled process can inflate a single run several-fold; the
@@ -107,6 +123,7 @@ def main() -> None:
         # raw runs + dispersion expose how noisy the window was.
         rs = []
         for _ in range(runs):
+            _hygiene()
             t0 = time.monotonic()
             fn()
             rs.append(time.monotonic() - t0)
@@ -178,6 +195,7 @@ def main() -> None:
         rows = None
         rs = []
         for _ in range(runs):
+            _hygiene()
             t0 = time.monotonic()
             got = fn()
             rs.append(time.monotonic() - t0)

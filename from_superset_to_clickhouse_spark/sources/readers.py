@@ -45,6 +45,24 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """ORC scan — the columnar interchange format next to Parquet.
+    Same pushdown/pruning properties (Catalyst plans PushedFilters and
+    ReadSchema against ORC's stripe/row-group statistics); an explicit
+    schema skips footer-merge inference across many files."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC write — type-exact columnar round-trip (no text-dialect
+    lossiness like CSV/JSON), for pipelines whose downstream readers
+    (Hive/Trino/Presto installs) standardize on ORC over Parquet."""
+    df.write.mode(mode).orc(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

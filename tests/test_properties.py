@@ -196,3 +196,26 @@ def test_sessionize_seq_is_contiguous_from_one(spark, events):
         assert seqs[0] == 1
         for a, b in zip(seqs, seqs[1:]):
             assert b in (a, a + 1)
+
+
+@given(
+    duration_ms=st.integers(min_value=1, max_value=5000),
+    rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+    channels=st.integers(min_value=1, max_value=2),
+    bits=st.sampled_from([8, 16, 32]),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_codec_roundtrip_for_any_parameters(duration_ms, rate, channels, bits):
+    """For ANY PCM parameters: decode(encode(x)) recovers rate and
+    channels exactly, and duration within the one-frame truncation the
+    integer frame count implies (encode floors to whole frames)."""
+    from from_superset_to_clickhouse_spark.operators import multimodal as mm
+
+    payload = mm.encode_wav(
+        duration_ms, sample_rate=rate, channels=channels, bits=bits
+    )
+    fmt, got_rate, got_channels, got_ms = mm.decode_wav_header(payload)
+    assert (fmt, got_rate, got_channels) == ("wav", rate, channels)
+    n_frames = rate * duration_ms // 1000
+    assert got_ms == n_frames * 1000 // rate
+    assert 0 <= duration_ms - got_ms <= 1000 // min(rate, 1000) + 1
