@@ -825,9 +825,11 @@ def ivf_topk(
     real embeddings concentrate neighbors in 1-2 cells and prune far
     harder at the same recall.
     At 100 TB the cell id is also the partition key: assignment is a
-    one-off pass (persist it), probes prune partitions, and each cell's
-    vectors are co-located. Pass pre-trained ``centroids`` to skip
-    training (the production pattern — train once on a sample).
+    one-off pass (``ivf_index`` persists it; ``ivf_topk_indexed``
+    queries it with partition-pruned reads), probes prune partitions,
+    and each cell's vectors are co-located. Pass pre-trained
+    ``centroids`` to skip training (the production pattern — train once
+    on a sample).
 
     Scoring is a cogrouped-by-cell Arrow ``applyInPandas`` (one BLAS
     matmul per cell between the cell's corpus block and the queries
@@ -838,6 +840,70 @@ def ivf_topk(
     cents = centroids if centroids is not None else train_centroids(
         corpus, ncells, id_col=id_col, vec_col=vec_col
     )
+    return ivf_topk_indexed(
+        ivf_index(corpus, cents, id_col=id_col, vec_col=vec_col),
+        queries,
+        cents,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        nprobe=nprobe,
+    )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Persistable IVF index: (cell, n_id, n_vec) — every corpus vector
+    assigned to its nearest centroid's cell, ONCE. Write it partitioned
+    by ``cell`` — ``.repartition("cell")`` first for one file per cell —
+    and query batches with ``ivf_topk_indexed``. The same ``centroids``
+    (persist via ``save_centroids``) MUST be used at query time — the
+    quantizer IS the index layout.
+
+    When it pays: SELECTIVE query batches, where only the probed cells'
+    partition directories are read (nprobe/ncells of the corpus touched
+    from storage). For a bulk batch that probes every cell anyway, the
+    fused ``ivf_topk`` over a hot corpus re-assigns with one matmul and
+    skips the index re-read — measured faster on local disk; the index
+    wins when the corpus doesn't fit hot or reads are pruned.
+
+    Arrow-batched pandas-UDF assignment when numpy is available; the
+    expression twin inlines ncells×dim literals into per-element
+    aggregate lambdas — measured ~10× slower from codegen bloat alone."""
+    try:
+        import numpy  # noqa: F401
+
+        assign = _assign_udf(centroids)(F.col(vec_col))
+    except ImportError:
+        assign = _assign_cell(F.col(vec_col), centroids)
+    return corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        assign.alias("cell"),
+    )
+
+
+def ivf_topk_indexed(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 10,
+) -> DataFrame:
+    """IVF top-k against a prebuilt ``ivf_index`` (columns: cell, n_id,
+    n_vec): probe each query's ``nprobe`` nearest cells, exact cosine
+    re-rank of those cells' vectors only.
+
+    Scoring is a cogrouped-by-cell Arrow ``applyInPandas`` (one BLAS
+    matmul per cell between the cell's corpus block and the queries
+    probing it; shuffled output is only the per-(query, cell) top-k) —
+    per-pair Catalyst expression join as the no-numpy fallback."""
     try:
         import numpy  # noqa: F401
 
@@ -845,34 +911,26 @@ def ivf_topk(
     except ImportError:
         have_np = False
     if have_np:
-        # Assignment/probe as Arrow-batched pandas UDFs: the expression
-        # twin below inlines ncells×dim literals into per-element
-        # aggregate lambdas — measured ~10× slower from codegen bloat
-        # alone, at any data size.
-        cb = corpus.select(
-            F.col(id_col).alias("n_id"),
-            F.col(vec_col).alias("n_vec"),
-            _assign_udf(cents)(F.col(vec_col)).alias("cell"),
-        )
         qb = queries.select(
             F.col(id_col).alias("q_id"),
             F.col(vec_col).alias("q_vec"),
-            F.explode(_probe_udf(cents, nprobe)(F.col(vec_col))).alias("cell"),
+            F.explode(_probe_udf(centroids, nprobe)(F.col(vec_col))).alias(
+                "cell"
+            ),
         )
-        scored = _score_cells_cogrouped(cb, qb, k, dict(corpus.dtypes)[id_col])
+        scored = _score_cells_cogrouped(
+            index, qb, k, dict(index.dtypes)["n_id"]
+        )
     else:
-        cb = corpus.select(
-            F.col(id_col).alias("n_id"),
-            F.col(vec_col).alias("n_vec"),
-            _assign_cell(F.col(vec_col), cents).alias("cell"),
-        )
         qb = queries.select(
             F.col(id_col).alias("q_id"),
             F.col(vec_col).alias("q_vec"),
-            F.explode(_probe_cells(F.col(vec_col), cents, nprobe)).alias("cell"),
+            F.explode(
+                _probe_cells(F.col(vec_col), centroids, nprobe)
+            ).alias("cell"),
         )
         scored = (
-            cb.join(qb, "cell")
+            index.join(qb, "cell")
             .filter(F.col("n_id") != F.col("q_id"))
             .select(
                 "q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("sim")

@@ -164,3 +164,27 @@ def test_lsh_indexed_parquet_roundtrip_equals_one_shot(spark, tmp_path):
     )
     assert indexed == one_shot
     assert len(indexed) > 0
+
+
+def test_ivf_indexed_parquet_roundtrip_equals_fused(spark, tmp_path):
+    """Assign-once/query-many: an IVF cell index round-tripped through
+    cell-partitioned parquet + the same persisted centroids answers
+    exactly like the fused ivf_topk — physical index layout must never
+    change results."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    cents = simi.train_centroids(emb, ncells=8)
+
+    fused = sorted(
+        map(tuple, simi.ivf_topk(emb, queries, k=5, ncells=8, nprobe=4,
+                                 centroids=cents).collect())
+    )
+    path = str(tmp_path / "ivf_index")
+    simi.ivf_index(emb, cents).write.partitionBy("cell").parquet(path)
+    idx = spark.read.parquet(path)
+    indexed = sorted(
+        map(tuple, simi.ivf_topk_indexed(idx, queries, cents, k=5,
+                                         nprobe=4).collect())
+    )
+    assert indexed == fused
+    assert len(indexed) > 0
