@@ -887,6 +887,49 @@ def ivf_index(
     )
 
 
+def ivf_topk_pruned(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 10,
+) -> DataFrame:
+    """Selective-batch IVF against a cell-partitioned ``ivf_index`` on
+    disk: compute the batch's probed cell set FIRST (a tiny job — at
+    most ncells ints reach the driver), then read ONLY those cells'
+    partition directories (a static ``isin`` the scan turns into
+    PartitionFilters — directories outside the probe set are never
+    listed or opened), then score exactly like ``ivf_topk_indexed``.
+
+    This is the operator the cell-partitioned layout exists for: a
+    small query batch probing p of N cells touches p/N of the corpus
+    FROM STORAGE, not just in compute. Results are identical to the
+    fused/indexed forms — each query only ever joins its own probed
+    cells, all of which are in the union read here."""
+    try:
+        import numpy  # noqa: F401
+
+        probe = _probe_udf(centroids, nprobe)(F.col(vec_col))
+    except ImportError:
+        probe = _probe_cells(F.col(vec_col), centroids, nprobe)
+    cells = [
+        r["cell"]
+        for r in queries.select(F.explode(probe).alias("cell"))
+        .distinct()
+        .collect()
+    ]
+    index = spark.read.parquet(index_path).filter(
+        F.col("cell").isin(cells)
+    )
+    return ivf_topk_indexed(
+        index, queries, centroids, k=k, id_col=id_col, vec_col=vec_col,
+        nprobe=nprobe,
+    )
+
+
 def ivf_topk_indexed(
     index: DataFrame,
     queries: DataFrame,

@@ -188,3 +188,34 @@ def test_ivf_indexed_parquet_roundtrip_equals_fused(spark, tmp_path):
     )
     assert indexed == fused
     assert len(indexed) > 0
+
+
+def test_ivf_pruned_reads_only_probed_cells_and_matches(spark, tmp_path):
+    """Selective-batch IVF: the probed-cell isin becomes a scan-level
+    PartitionFilter (unprobed cell directories never read) and results
+    equal the fused form exactly — each query only joins its own probed
+    cells, so restricting the read to the probe union changes nothing."""
+    import contextlib
+    import io
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = simi.train_centroids(emb, ncells=8)
+    path = str(tmp_path / "ivf_index")
+    simi.ivf_index(emb, cents).repartition("cell").write.partitionBy(
+        "cell"
+    ).parquet(path)
+
+    pruned = simi.ivf_topk_pruned(spark, path, queries, cents, k=5, nprobe=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    fused = sorted(
+        map(tuple, simi.ivf_topk(emb, queries, k=5, ncells=8, nprobe=2,
+                                 centroids=cents).collect())
+    )
+    assert sorted(map(tuple, pruned.collect())) == fused
+    assert len(fused) > 0
