@@ -1193,6 +1193,37 @@ def q_sample_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted corpus mixing: per-source keep rates (full src0,
+    3/4 src1, half src2, quarter src3, 10% of everything else) applied
+    as one key-stable hash filter — the recipe step that assembles a
+    training mix from heterogeneous sources. Deterministic: the oracle
+    replays membership from the documented affine-hash formula."""
+    return smp.weighted_mix(
+        _docs(spark, sf_dir).select("doc_id", "source", "lang"),
+        "doc_id",
+        "source",
+        {"src0": 10000, "src1": 7500, "src2": 5000, "src3": 2500},
+        default_bp=1000,
+    )
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget fill: each source admits docs in
+    affine-hash order until its char budget is reached (4000 for src0,
+    2000 for src1, 1500 default) — 'mix to N tokens per source' stated
+    in tokens, not rates. One hash-ordered window per source, no global
+    sort; the oracle replays the same window in ANSI SQL."""
+    return smp.token_budget_mix(
+        _docs(spark, sf_dir).select("doc_id", "source", "n_chars"),
+        "doc_id",
+        "source",
+        "n_chars",
+        {"src0": 4000, "src1": 2000},
+        default_budget=1500,
+    )
+
+
 def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-stable deterministic 80/20 split (affine-hash basis points —
     same membership on any cluster size / partitioning, replicable in
@@ -2930,6 +2961,8 @@ SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.9
 _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_audio": q_media_audio,
     "orc_roundtrip": q_orc_roundtrip,
+    "weighted_mix": q_weighted_mix,
+    "token_budget_mix": q_token_budget_mix,
 }
 
 
@@ -3879,6 +3912,21 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
             "SELECT doc_id, lang, CASE WHEN "
             "((doc_id % 1000003) * 514229 + 285311) % 1000003 % 10000 "
             "< 8000 THEN 'train' ELSE 'test' END AS split FROM documents"
+        ),
+        "weighted_mix": (
+            "SELECT doc_id, source, lang FROM documents WHERE "
+            "((doc_id % 1000003) * 514229 + 285311) % 1000003 % 10000 < "
+            "CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 7500 "
+            "WHEN 'src2' THEN 5000 WHEN 'src3' THEN 2500 ELSE 1000 END"
+        ),
+        "token_budget_mix": (
+            "SELECT doc_id, source, n_chars FROM ("
+            "SELECT doc_id, source, n_chars, "
+            "sum(n_chars) OVER (PARTITION BY source ORDER BY "
+            "((doc_id % 1000003) * 514229 + 285311) % 1000003 % 10000, "
+            "doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM documents) "
+            "WHERE cum <= CASE source WHEN 'src0' THEN 4000 "
+            "WHEN 'src1' THEN 2000 ELSE 1500 END"
         ),
         "stratified_sample": (
             "SELECT doc_id, lang FROM documents WHERE "

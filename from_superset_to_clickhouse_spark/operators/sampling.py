@@ -82,6 +82,72 @@ def stratified_sample(
     )
 
 
+def weighted_mix(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    weights_bp: dict[str, int],
+    default_bp: int = 0,
+) -> DataFrame:
+    """Source-weighted corpus mixing: keep ~``weights_bp[g]``/10000 of
+    each group's rows, deterministically by key — the data-mixing step
+    that assembles a training corpus from heterogeneous sources at
+    per-source rates (oversample curated sources at 10000, thin a crawl
+    to 1500, drop the rest via ``default_bp=0``).
+
+    Key-stable like every sampler here (reruns, cluster resizes and
+    repartitions never change membership), and the per-group rate is
+    one CASE expression — a single codegen scan, no shuffle, no join,
+    replicable in ANSI SQL from the documented affine-hash formula."""
+    rate = None
+    for g, w in weights_bp.items():
+        cond = F.col(group_col) == F.lit(g)
+        rate = F.when(cond, w) if rate is None else rate.when(cond, w)
+    rate = rate.otherwise(default_bp) if rate is not None else F.lit(default_bp)
+    return df.filter(hash_basis_points(F.col(key_col)) < rate)
+
+
+def token_budget_mix(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+    default_budget: int | None = None,
+) -> DataFrame:
+    """Per-source token-budget fill: admit each group's rows in
+    affine-hash order (a deterministic shuffle of the group) until the
+    group's cumulative token count reaches its budget — the "mix to N
+    tokens per source" recipe step, stated in tokens rather than rates.
+    A group absent from ``budgets`` gets ``default_budget`` (None =
+    unlimited). The row that crosses the budget is dropped, not split —
+    splitting is ``token_chunks``'s job upstream.
+
+    One hash-ordered window per group (parallel across groups, no
+    global sort); membership is a pure function of the key set, so the
+    same recipe yields the same corpus on any cluster, and an ANSI
+    window twin replays it row-for-row."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(hash_basis_points(F.col(key_col)), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    budget = None
+    for g, b in budgets.items():
+        cond = F.col(group_col) == F.lit(g)
+        budget = F.when(cond, b) if budget is None else budget.when(cond, b)
+    budget = (
+        budget.otherwise(default_budget)
+        if budget is not None
+        else F.lit(default_budget)
+    )
+    return (
+        df.withColumn("_cum_tokens", F.sum(token_col).over(w))
+        .filter(budget.isNull() | (F.col("_cum_tokens") <= budget))
+        .drop("_cum_tokens")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,

@@ -210,3 +210,54 @@ def test_quantile_buckets_matches_definition_and_avoids_global_sort(spark):
     # the tier-assignment plan must not contain a global sort/window
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_weighted_mix_and_token_budget_mix(spark):
+    """Source-weighted mixing: per-group keep counts track the declared
+    rates; token-budget fill never exceeds a group's budget, admits in
+    hash order (removing later-ordered rows never changes earlier
+    membership), and groups absent from the budget map with
+    default_budget=None pass through whole."""
+    from from_superset_to_clickhouse_spark.operators.sampling import (
+        hash_basis_points,
+        token_budget_mix,
+        weighted_mix,
+    )
+
+    rows = [(i, "a" if i % 2 == 0 else "b", 10 + i % 7) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, src string, toks int")
+
+    mixed = weighted_mix(df, "id", "src", {"a": 10000, "b": 2500})
+    counts = {r["src"]: r["n"] for r in
+              mixed.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert counts["a"] == 1000                      # rate 10000 keeps all
+    assert 150 < counts.get("b", 0) < 350           # ~25% of 1000
+    # default_bp=0 drops unlisted groups entirely
+    assert weighted_mix(df, "id", "src", {"a": 500}).filter(
+        F.col("src") == "b"
+    ).count() == 0
+
+    budgeted = token_budget_mix(df, "id", "src", "toks", {"a": 200, "b": 150})
+    sums = {r["src"]: r["s"] for r in
+            budgeted.groupBy("src").agg(F.sum("toks").alias("s")).collect()}
+    assert sums["a"] <= 200 and sums["b"] <= 150
+    assert budgeted.count() > 0
+    # unlisted group with default None passes through whole
+    all_b = token_budget_mix(df, "id", "src", "toks", {"a": 200},
+                             default_budget=None)
+    assert all_b.filter(F.col("src") == "b").count() == 1000
+    # prefix-stability: membership is decided by hash order, so a row
+    # admitted under a budget stays admitted when the budget grows
+    small = {r["id"] for r in
+             token_budget_mix(df, "id", "src", "toks", {"a": 100, "b": 100})
+             .collect()}
+    large = {r["id"] for r in budgeted.collect()}
+    assert small <= large
+    # sanity: admitted set is exactly the hash-order prefix
+    kept_a = [r["id"] for r in budgeted.filter(F.col("src") == "a").collect()]
+    order = {r["id"]: r["h"] for r in df.filter(F.col("src") == "a").select(
+        "id", hash_basis_points(F.col("id")).alias("h")).collect()}
+    max_kept = max(order[i] for i in kept_a)
+    dropped_better = [i for i, h in order.items()
+                      if h < max_kept and i not in kept_a]
+    assert dropped_better == []
