@@ -114,6 +114,7 @@ def token_budget_mix(
     token_col: str,
     budgets: dict[str, int],
     default_budget: int | None = None,
+    buckets: int = 256,
 ) -> DataFrame:
     """Per-source token-budget fill: admit each group's rows in
     affine-hash order (a deterministic shuffle of the group) until the
@@ -123,13 +124,47 @@ def token_budget_mix(
     unlimited). The row that crosses the budget is dropped, not split —
     splitting is ``token_chunks``'s job upstream.
 
-    One hash-ordered window per group (parallel across groups, no
-    global sort); membership is a pure function of the key set, so the
-    same recipe yields the same corpus on any cluster, and an ANSI
-    window twin replays it row-for-row."""
+    Scale design — a single window per group would serialize each
+    source through ONE task (a 60 TB crawl source = one task), so the
+    cumulative sum is two-phase, the ``pack_sequences`` trick turned
+    exact: hash order is coarsened into ``buckets`` order-preserving
+    ranges, (1) one aggregate computes per-(group, bucket) token
+    totals — at most groups × buckets scalars reach the driver, bounded
+    like centroid training — (2) the driver prefix-sums them into
+    per-bucket starting offsets, broadcast-joined back, and each
+    (group, bucket) window adds its local running sum. Parallelism is
+    groups × buckets wide, results identical to the one-window form
+    (the ANSI oracle twin replays the single-window semantics
+    row-for-row)."""
+    bps = hash_basis_points(F.col(key_col))
+    bucket = F.floor(bps * buckets / 10000).cast("int")
+    tagged = df.withColumn("_mix_bucket", bucket)
+
+    partials = (
+        tagged.groupBy(group_col, "_mix_bucket")
+        .agg(F.sum(token_col).alias("_bucket_tokens"))
+        .collect()
+    )
+    by_group: dict = {}
+    for r in partials:
+        by_group.setdefault(r[group_col], []).append(
+            (r["_mix_bucket"], r["_bucket_tokens"])
+        )
+    offsets = []
+    for g, lst in by_group.items():
+        run = 0
+        for b, tot in sorted(lst):
+            offsets.append((g, b, run))
+            run += tot
+    spark = df.sparkSession
+    g_type = df.schema[group_col].dataType.simpleString()
+    off_df = spark.createDataFrame(
+        offsets, f"{group_col} {g_type}, _mix_bucket int, _mix_offset long"
+    )
+
     w = (
-        Window.partitionBy(group_col)
-        .orderBy(hash_basis_points(F.col(key_col)), F.col(key_col))
+        Window.partitionBy(group_col, "_mix_bucket")
+        .orderBy(bps, F.col(key_col))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     budget = None
@@ -142,9 +177,12 @@ def token_budget_mix(
         else F.lit(default_budget)
     )
     return (
-        df.withColumn("_cum_tokens", F.sum(token_col).over(w))
+        tagged.join(F.broadcast(off_df), [group_col, "_mix_bucket"])
+        .withColumn(
+            "_cum_tokens", F.col("_mix_offset") + F.sum(token_col).over(w)
+        )
         .filter(budget.isNull() | (F.col("_cum_tokens") <= budget))
-        .drop("_cum_tokens")
+        .drop("_mix_bucket", "_mix_offset", "_cum_tokens")
     )
 
 

@@ -137,6 +137,32 @@ def test_v2_external_publish_incremental(spark, tmp_path):
     assert r3["external_publish"] == "SKIPPED"
 
 
+def test_v2_external_publish_explicit_first_run(spark, tmp_path):
+    """sink_first_run=True publishes without probing the remote at all —
+    the explicit operator-declared bootstrap that replaces error-message
+    sniffing for drivers whose missing-table error isn't recognized."""
+    from conftest import logs_schema, ts
+    from from_superset_to_clickhouse_spark.plans.reference_pipelines import (
+        v2_daily_load,
+    )
+    from from_superset_to_clickhouse_spark.tablestore import TableStore
+
+    url = "jdbc:derby:memory:jdbc_firstrun_test;create=true"
+    rows = [(i, ts(1, 1 + i % 27), f"v{i}") for i in range(10)]
+    src = spark.createDataFrame(rows, "id int, dttm timestamp, v string")
+    store = TableStore(spark, str(tmp_path))
+    sch = logs_schema("logs")
+
+    r = v2_daily_load(
+        store, src, sch, "dttm",
+        sink_url=url, sink_table="ext_logs_fr", sink_properties=PROPS,
+        sink_first_run=True,
+    )
+    assert r["external_publish"] == "published"
+    remote = read_jdbc(spark, url, "ext_logs_fr", properties=PROPS)
+    assert remote.count() == store.latest_view("logs").count() > 0
+
+
 def test_dictionary_backed_by_jdbc(spark, jdbc_table):
     """The reference's dictionaries are live lookups into an external
     database (PostgreSQL dictionary sources); here the registry's
