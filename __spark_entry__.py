@@ -962,6 +962,38 @@ def q_zone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom skip-index point read end-to-end (the ClickHouse
+    ``INDEX … TYPE bloom_filter`` analog): load events into a
+    day-partitioned store with a bloom index declared on ``user_id`` —
+    writes maintain per-partition bloom bitmaps from the increment —
+    then point-read one user; the blooms translate the equality into a
+    partition-value isin (days where the user never appears are pruned
+    at planning time; false positives cost scan only, never rows), and
+    the result must equal the plain SQL equality filter."""
+    store = TableStore(spark, tempfile.mkdtemp(prefix="sg_store_"))
+    store.create(
+        Schema(
+            name="store_events_bloom",
+            fields=(
+                Field("event_id", "bigint", nullable=False),
+                Field("ts", "timestamp", nullable=False),
+                Field("user_id", "bigint"),
+                Field("value", "double"),
+            ),
+            partition_by=("ts_day",),
+            sort_by=("event_id",),
+        )
+    )
+    # Index declared before data: the append maintains the bitmaps.
+    store.add_bloom_index("store_events_bloom", "user_id")
+    ev = _ev(spark, sf_dir).select("event_id", "ts", "user_id", "value")
+    store.append("store_events_bloom", ev)
+    return store.read_eq("store_events_bloom", "user_id", 7).select(
+        "event_id", "ts", "user_id", "value"
+    )
+
+
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row 7: CSV bulk-ingest dialect (';' delimiter, NULL literal,
     header — hook.py:92-112) proven by write→read_csv round-trip equality
@@ -2961,6 +2993,7 @@ SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.9
 _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_audio": q_media_audio,
     "orc_roundtrip": q_orc_roundtrip,
+    "bloom_read": q_bloom_read,
     "weighted_mix": q_weighted_mix,
     "token_budget_mix": q_token_budget_mix,
 }
@@ -3288,6 +3321,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "csv_roundtrip": "SELECT * FROM customer",
         "orc_roundtrip": "SELECT * FROM supplier",
+        "bloom_read": (
+            "SELECT event_id, ts, user_id, value FROM events WHERE user_id = 7"
+        ),
         "json_roundtrip": (
             "SELECT event_id, epoch_us(ts) AS ts_us, event_type, user_id "
             "FROM events"

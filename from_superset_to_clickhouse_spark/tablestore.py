@@ -39,7 +39,7 @@ import time
 import urllib.parse
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from from_superset_to_clickhouse_spark.fsio import Fs, join
@@ -190,6 +190,7 @@ class TableStore:
             w = w.partitionBy(*parts)
         w.parquet(join(self.path(name), "data"))
         self._update_zone_maps(name, out, mode="merge")
+        self._update_blooms(name, out, mode="merge")
 
     def overwrite_partitions(self, name: str, df: DataFrame) -> None:
         """Atomic partition swap: replace exactly the partitions present in df.
@@ -211,6 +212,7 @@ class TableStore:
             .parquet(join(self.path(name), "data"))
         )
         self._update_zone_maps(name, out, mode="replace")
+        self._update_blooms(name, out, mode="replace")
 
     def overwrite(self, name: str, df: DataFrame) -> None:
         seq = self._next_ingest_seq(name)
@@ -220,6 +222,7 @@ class TableStore:
             w = w.partitionBy(*parts)
         w.parquet(join(self.path(name), "data"))
         self._update_zone_maps(name, out, mode="reset")
+        self._update_blooms(name, out, mode="reset")
 
     # -- zone maps (sort-key min/max per partition — data skipping) ---------
 
@@ -322,6 +325,165 @@ class TableStore:
             if (khi is None or mn is None or mn <= khi)
             and (klo is None or mx is None or mx >= klo)
         )
+
+    # -- bloom skip indexes (per-partition bloom filter — equality skipping) --
+    #
+    # The equality-predicate complement to zone maps: zone maps prune
+    # range predicates on the SORT key; a bloom index prunes `col = v`
+    # on any declared column, including ones uncorrelated with the
+    # partition/sort layout (the ClickHouse `INDEX … TYPE bloom_filter`
+    # analog). Per partition we keep an m-bit / k-hash bloom of the
+    # column's values; a probe keeps only partitions whose filter has
+    # all k bits set for v. Stale bits (deletes, compaction) cost
+    # pruning tightness, never correctness — same contract as zone maps.
+
+    def add_bloom_index(
+        self, name: str, col: str, bits: int = 4096, k: int = 5
+    ) -> None:
+        """Declare a bloom skip index on ``col`` and backfill it from any
+        rows already on disk. ``bits`` must be a multiple of 8 (the
+        bitmap is byte-encoded); 4096/5 gives <1% false positives up to
+        ~400 distinct values per partition — at 100 TB the meta cost is
+        bits/8 bytes per partition per index (0.5 KiB default), and the
+        per-append maintenance cost is one aggregate over the INCREMENT
+        whose output is capped at ``bits`` positions per touched
+        partition."""
+        if bits % 8:
+            raise ValueError("bits must be a multiple of 8")
+        meta = self._meta(name)
+        if len(meta["partition_by"]) != 1:
+            raise ValueError("bloom indexes need a single-column partition layout")
+        existing = self.read(name)
+        if col not in existing.columns:
+            raise ValueError(f"no column {col} in table {name}")
+        dtype = existing.schema[col].dataType.simpleString()
+        idxs = dict(meta.get("bloom_indexes") or {})
+        idxs[col] = {"bits": bits, "k": k, "dtype": dtype, "filters": {}}
+        meta["bloom_indexes"] = idxs
+        self._save_meta(name, meta)
+        self._update_blooms(name, existing, mode="reset")
+
+    @staticmethod
+    def _bloom_positions(col: Column, bits: int, k: int) -> Column:
+        """k bit positions for one value: ``xxhash64(value, i) mod bits``
+        for i in 0..k-1 — the JVM-side hash, so build and probe agree
+        bit-for-bit (the probe runs the same expression on a 1-row local
+        relation rather than reimplementing xxhash64 in Python)."""
+        return F.array(
+            *[
+                F.pmod(F.xxhash64(col, F.lit(i)), F.lit(bits)).cast("int")
+                for i in range(k)
+            ]
+        )
+
+    def _update_blooms(self, name: str, staged: DataFrame, mode: str) -> None:
+        """Refresh the per-partition bloom bitmaps from the staged batch —
+        one aggregate per indexed column over the INCREMENT (collect_set
+        partially aggregates map-side, so at most ``bits`` positions per
+        touched partition cross the shuffle). ``merge`` ORs into existing
+        bitmaps (append), ``replace`` swaps touched partitions' entries
+        (partition overwrite), ``reset`` rebuilds from scratch."""
+        meta = self._meta(name)
+        idxs = meta.get("bloom_indexes") or {}
+        if not idxs:
+            return
+        part = meta["partition_by"][0]
+        changed = False
+        for col, idx in idxs.items():
+            if col not in staged.columns:
+                continue
+            bits, k = idx["bits"], idx["k"]
+            stats = (
+                staged.filter(F.col(col).isNotNull())
+                .select(
+                    F.col(part).alias("_p"),
+                    F.explode(
+                        self._bloom_positions(F.col(col), bits, k)
+                    ).alias("_pos"),
+                )
+                .groupBy("_p")
+                .agg(F.collect_set("_pos").alias("_ps"))
+                .collect()
+            )
+            filters = {} if mode == "reset" else dict(idx.get("filters") or {})
+            for r in stats:
+                key = self._zone_part_key(r["_p"])
+                buf = bytearray(bits // 8)
+                for p in r["_ps"]:
+                    buf[p >> 3] |= 1 << (p & 7)
+                if mode == "merge" and key in filters:
+                    old = bytes.fromhex(filters[key])
+                    buf = bytearray(a | b for a, b in zip(buf, old))
+                filters[key] = bytes(buf).hex()
+            # An all-NULL or empty staged partition still needs an entry
+            # (an empty bitmap: nothing matches) or the coverage check in
+            # bloom_prune_partitions would disable the index forever.
+            for r in (
+                staged.select(F.col(part).alias("_p")).distinct().collect()
+            ):
+                key = self._zone_part_key(r["_p"])
+                if key not in filters or (
+                    mode == "replace"
+                    and key not in {self._zone_part_key(s["_p"]) for s in stats}
+                ):
+                    filters[key] = bytes(bits // 8).hex()
+            idx["filters"] = filters
+            changed = True
+        if changed:
+            meta["bloom_indexes"] = idxs
+            self._save_meta(name, meta)
+
+    def bloom_prune_partitions(self, name: str, col: str, value) -> list[str] | None:
+        """Partition values whose bloom filter may contain ``value`` — or
+        None when pruning isn't safe (no index on this column, NULL
+        probe, or a partition on disk with no entry: callers fall back
+        to a full scan, same coverage contract as zone maps)."""
+        meta = self._meta(name)
+        idx = (meta.get("bloom_indexes") or {}).get(col)
+        if idx is None or value is None:
+            return None
+        filters = idx.get("filters") or {}
+        on_disk = {
+            urllib.parse.unquote(e.split("=", 1)[1])
+            for e in self.partitions(name)
+        }
+        if not on_disk <= set(filters.keys()):
+            return None
+        pos = (
+            self.spark.range(1)
+            .select(
+                self._bloom_positions(
+                    F.lit(value).cast(idx["dtype"]), idx["bits"], idx["k"]
+                ).alias("_p")
+            )
+            .first()["_p"]
+        )
+        keep = []
+        for key, hx in filters.items():
+            buf = bytes.fromhex(hx)
+            if all((buf[p >> 3] >> (p & 7)) & 1 for p in pos):
+                keep.append(key)
+        return sorted(keep)
+
+    def read_eq(self, name: str, col: str, value) -> DataFrame:
+        """Point read with bloom-index data skipping: ``col = value`` is
+        translated into a partition-value ``isin`` that Catalyst prunes
+        at planning time (directories whose bloom filter rules the value
+        out are never listed or opened), then the exact predicate applies
+        on the surviving partitions. Without an applicable index this
+        degrades to an ordinary filtered read."""
+        meta = self._meta(name)
+        parts = meta["partition_by"]
+        df = self.read(name)
+        keep = self.bloom_prune_partitions(name, col, value)
+        if keep is not None and parts:
+            pred = F.col(parts[0]).cast("string").isin(
+                [kk for kk in keep if kk != self._HIVE_NULL]
+            )
+            if self._HIVE_NULL in keep:
+                pred = pred | F.col(parts[0]).isNull()
+            df = df.filter(pred)
+        return df.filter(F.col(col) == F.lit(value))
 
     def read_where(self, name: str, col: str, lo=None, hi=None) -> DataFrame:
         """Range read with zone-map data skipping: a [lo, hi] predicate

@@ -325,3 +325,99 @@ def test_zone_maps_key_by_hive_dir_names_boolean_and_null(spark, tmp_path):
     assert got == list(range(200, 210))
     got = sorted(r["id"] for r in store.read_where("flags", "id", 100, 109).collect())
     assert got == list(range(100, 110))
+
+
+def test_bloom_index_prunes_and_matches_full_filter(spark, tmp_path):
+    """Bloom skip index: per-partition bloom filters on a non-sort column
+    turn `col = v` into partition pruning — only partitions whose filter
+    may contain v are scanned (PartitionFilters in the plan); results
+    equal the unpruned filter twin; appends OR into existing bitmaps."""
+    import contextlib
+    import io
+
+    from conftest import logs_schema, ts
+
+    store = TableStore(spark, str(tmp_path))
+    store.create(logs_schema("logs"))
+    # v values are disjoint across months: u0-u9 Jan, u100-u109 Feb,
+    # u200-u209 Mar — an equality probe should touch exactly one month.
+    rows = [
+        (base + i, ts(m, 3 + i), f"u{base + i}")
+        for m, base in ((1, 0), (2, 100), (3, 200))
+        for i in range(10)
+    ]
+    store.append("logs", spark.createDataFrame(rows, "id int, dttm timestamp, v string"))
+    store.add_bloom_index("logs", "v")  # backfills from rows already on disk
+
+    # 4096 bits / 5 hashes / 10 values per partition → false-positive
+    # probability ~1e-9; exact single-partition pruning is deterministic
+    # for this fixture.
+    assert store.bloom_prune_partitions("logs", "v", "u105") == ["2024-02-01"]
+
+    q = store.read_eq("logs", "v", "u105")
+    assert [r["id"] for r in q.collect()] == [105]
+    full = store.read("logs").filter(F.col("v") == "u105")
+    assert [r["id"] for r in full.collect()] == [105]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()
+
+    # append the probed value into Jan: Jan's bitmap ORs the new bits in
+    # and the probe must now keep both months
+    store.append(
+        "logs",
+        spark.createDataFrame([(9105, ts(1, 20), "u105")], "id int, dttm timestamp, v string"),
+    )
+    assert store.bloom_prune_partitions("logs", "v", "u105") == [
+        "2024-01-01",
+        "2024-02-01",
+    ]
+    assert sorted(r["id"] for r in store.read_eq("logs", "v", "u105").collect()) == [
+        105,
+        9105,
+    ]
+
+
+def test_bloom_index_replace_fallback_and_nulls(spark, tmp_path):
+    """Partition overwrite swaps the touched partition's bitmap (the old
+    value stops matching); a partition on disk with no filter entry
+    disables pruning rather than dropping data; NULL probes and
+    unindexed columns never prune; all-NULL staged partitions still get
+    a (bitmap-empty) entry so coverage holds."""
+    from conftest import logs_schema, ts
+
+    store = TableStore(spark, str(tmp_path))
+    store.create(logs_schema("logs"))
+    store.add_bloom_index("logs", "v")  # declared before any data
+    rows = [(i, ts(1, 3 + i), f"a{i}") for i in range(5)]
+    rows += [(100 + i, ts(2, 3 + i), f"b{i}") for i in range(5)]
+    rows += [(200 + i, ts(3, 3 + i), None) for i in range(5)]  # all-NULL month
+    store.append("logs", spark.createDataFrame(rows, "id int, dttm timestamp, v string"))
+
+    assert store.bloom_prune_partitions("logs", "v", "b3") == ["2024-02-01"]
+    # the all-NULL March partition has an entry (empty bitmap): coverage
+    # holds and March never matches a non-NULL probe
+    assert "2024-03-01" not in (store.bloom_prune_partitions("logs", "v", "a0") or [])
+
+    # overwrite Feb with new values: the swapped bitmap must forget b*
+    staged = spark.createDataFrame(
+        [(150 + i, ts(2, 10 + i), f"c{i}") for i in range(5)],
+        "id int, dttm timestamp, v string",
+    )
+    store.overwrite_partitions("logs", staged)
+    assert store.bloom_prune_partitions("logs", "v", "b3") == []
+    assert store.read_eq("logs", "v", "b3").count() == 0
+    assert store.bloom_prune_partitions("logs", "v", "c2") == ["2024-02-01"]
+    assert store.read_eq("logs", "v", "c2").count() == 1
+
+    # NULL probe / unindexed column → no pruning decision
+    assert store.bloom_prune_partitions("logs", "v", None) is None
+    assert store.bloom_prune_partitions("logs", "id", 3) is None
+
+    # legacy partition with no entry → pruning disabled, read still right
+    meta = store._meta("logs")
+    del meta["bloom_indexes"]["v"]["filters"]["2024-01-01"]
+    store._save_meta("logs", meta)
+    assert store.bloom_prune_partitions("logs", "v", "a2") is None
+    assert store.read_eq("logs", "v", "a2").count() == 1
