@@ -654,6 +654,18 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (record linkage): same-length customer-name
+    pairs within Levenshtein distance 1 — candidates from a pigeonhole
+    segment-key self-join (complete for substitution typos, no n²
+    all-pairs), survivors verified with exact levenshtein. The fixture's
+    zero-padded names make this the canonical corrupted-ID case: every
+    reported pair differs in exactly one character."""
+    return ddp.fuzzy_pairs(
+        _t(spark, sf_dir, "customer"), "c_custkey", "c_name", max_dist=1
+    )
+
+
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard on a deterministic candidate set (all pairs of
     the first 100 docs) — oracle-checks the shingle/Jaccard math that the
@@ -2994,6 +3006,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_audio": q_media_audio,
     "orc_roundtrip": q_orc_roundtrip,
     "bloom_read": q_bloom_read,
+    "fuzzy_pairs": q_fuzzy_pairs,
     "weighted_mix": q_weighted_mix,
     "token_budget_mix": q_token_budget_mix,
 }
@@ -3424,6 +3437,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT media_id, CAST(ts_ms // 5000 AS INTEGER) AS frame_idx, "
             "ts_ms FROM f"
         ),
+        "fuzzy_pairs": """
+WITH e AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+gs AS (SELECT unnest(range(2)) AS i),
+seg AS (
+  SELECT id, length(s) AS ln, i AS seg,
+         substr(s, CAST((length(s)*i)//2 AS INT)+1,
+                   CAST((length(s)*(i+1))//2 - (length(s)*i)//2 AS INT)) AS key
+  FROM e, gs
+),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM seg a JOIN seg b
+    ON a.seg = b.seg AND a.key = b.key AND a.ln = b.ln AND a.id < b.id
+  GROUP BY 1, 2 HAVING count(*) >= 1
+)
+SELECT c.id_a, c.id_b, levenshtein(ea.s, eb.s) AS dist
+FROM cand c JOIN e ea ON ea.id = c.id_a JOIN e eb ON eb.id = c.id_b
+WHERE levenshtein(ea.s, eb.s) <= 1
+""",
         "jaccard_pairs": _JACCARD_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "minhash_candidates": _MINHASH_SQL,

@@ -734,3 +734,96 @@ def simhash_dedup_candidates(
         .distinct()
     )
     return _finalize(pairs, banded)
+
+
+def segment_keys(text: Column, segments: int) -> Column:
+    """Pigeonhole blocking keys: cut the string into ``segments``
+    contiguous slices (slice i covers [floor(L*i/g), floor(L*(i+1)/g))
+    of an L-char string) and emit (slice index, slice text) structs.
+    Two same-length strings within Hamming distance d share at least
+    g-d intact slices (d substitutions corrupt at most d of g), so a
+    join on slice equality is a COMPLETE candidate generator for
+    substitution-only typos — the classic PartEnum/pigeonhole scheme."""
+    L = F.length(text)
+    out = []
+    for i in range(segments):
+        start = (F.floor(L * F.lit(i) / F.lit(segments)) + 1).cast("int")
+        end = F.floor(L * F.lit(i + 1) / F.lit(segments)).cast("int")
+        out.append(
+            F.struct(
+                F.lit(i).alias("seg"),
+                F.substring(text, start, end - start + 1).alias("key"),
+            )
+        )
+    return F.array(*out)
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 1,
+    segments: int | None = None,
+) -> DataFrame:
+    """Blocked fuzzy matcher: same-length string pairs within Levenshtein
+    distance ``max_dist``, without the n² all-pairs join.
+
+    Candidates come from a self-join on pigeonhole segment keys
+    (``segment_keys``): with g segments (default max_dist+1), two
+    same-length strings within Hamming distance d share ≥ g-d segments,
+    so the join keeps exactly the pairs with at least that many shared
+    (seg, slice, length) keys — COMPLETE for substitution-only typos
+    (the record-linkage case: IDs, names, codes with a corrupted
+    character), candidate-recall heuristic for general Levenshtein
+    (an insert+delete pair can shift every segment; such same-length
+    pairs may be missed — documented operating envelope, like LSH
+    recall). Survivors are verified with exact ``levenshtein`` ≤ d,
+    so false candidates cost compute only, never a wrong pair.
+
+    Scale shape: the join is on (seg, slice, length) hash keys — cost
+    scales with block collisions, not n². Strings with a long shared
+    constant prefix (e.g. zero-padded IDs) put everyone in one block
+    for that segment; raise ``segments`` above max_dist+1 (the
+    shared-count filter tightens to g-d) or strip the constant prefix
+    first. Only ids and slices cross the candidate shuffle; full
+    strings are re-attached for the verify join on survivors only.
+    """
+    g = segments or (max_dist + 1)
+    need = g - max_dist
+    e = df.select(F.col(id_col).alias("_fid"), F.col(text_col).alias("_fs"))
+    seg = e.select(
+        "_fid",
+        F.length("_fs").alias("_ln"),
+        F.explode(segment_keys(F.col("_fs"), g)).alias("_sg"),
+    ).select(
+        "_fid", "_ln",
+        F.col("_sg.seg").alias("_seg"),
+        F.col("_sg.key").alias("_key"),
+    )
+    a, b = seg.alias("a"), seg.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._seg") == F.col("b._seg"))
+            & (F.col("a._key") == F.col("b._key"))
+            & (F.col("a._ln") == F.col("b._ln"))
+            & (F.col("a._fid") < F.col("b._fid")),
+        )
+        # shared-segment count: dedups multi-segment collisions AND
+        # enforces the tighter g-d pigeonhole bound when g > d+1
+        .groupBy(
+            F.col("a._fid").alias("id_a"), F.col("b._fid").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .filter(F.col("_shared") >= need)
+        .select("id_a", "id_b")
+    )
+    ea = e.select(F.col("_fid").alias("id_a"), F.col("_fs").alias("_sa"))
+    eb = e.select(F.col("_fid").alias("id_b"), F.col("_fs").alias("_sb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("dist", F.levenshtein("_sa", "_sb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

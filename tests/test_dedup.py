@@ -110,3 +110,53 @@ def test_incremental_minhash_equals_full_corpus_run(spark):
         for r in p1.collect() + p2.collect()
     }
     assert got == full and full  # identical pair sets, and non-trivial
+
+
+def test_fuzzy_pairs_finds_substitution_typos_and_verifies(spark):
+    """Pigeonhole-blocked fuzzy matcher: every planted same-length
+    substitution typo within max_dist is found (completeness for the
+    Hamming case), every reported pair is levenshtein-verified, and
+    raising the segment count keeps completeness (g=4 with d=1 needs
+    3 shared slices — still implied by one substitution)."""
+    rows = [
+        (1, "ABCDEF01"),
+        (2, "ABCDEF02"),   # dist 1 from id 1
+        (3, "ABXDEF0Y"),   # dist 2 from id 1
+        (4, "ABCDEF012"),  # length 9: excluded from same-length matching
+        (5, "ZZZZZZZZ"),   # unrelated
+    ]
+    df = spark.createDataFrame(rows, "id int, s string")
+
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in ddp.fuzzy_pairs(df, "id", "s", max_dist=1).collect()
+    }
+    assert got == {(1, 2, 1)}
+
+    # d=2 additionally reaches the double-substitution pair (g defaults
+    # to 3 segments — completeness bound still holds)
+    got2 = {
+        (r["id_a"], r["id_b"])
+        for r in ddp.fuzzy_pairs(df, "id", "s", max_dist=2).collect()
+    }
+    assert got2 == {(1, 2), (1, 3), (2, 3)}
+
+    # more segments than d+1: tighter blocks (shared-count >= g-d),
+    # same answer for substitution typos
+    got4 = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in ddp.fuzzy_pairs(df, "id", "s", max_dist=1, segments=4).collect()
+    }
+    assert got4 == {(1, 2, 1)}
+
+
+def test_fuzzy_pairs_empty_and_exact_duplicates(spark):
+    """Exact duplicates report dist 0; empty strings pair with each
+    other (dist 0) and with nothing else."""
+    rows = [(1, "same"), (2, "same"), (3, ""), (4, ""), (5, "other")]
+    df = spark.createDataFrame(rows, "id int, s string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in ddp.fuzzy_pairs(df, "id", "s", max_dist=1).collect()
+    }
+    assert got == {(1, 2, 0), (3, 4, 0)}
