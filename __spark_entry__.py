@@ -666,6 +666,21 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (AllPairs/
+    PPJoin family): 3-gram shingle sets, global rarest-first element
+    order, each set indexes only its |S|-ceil(t|S|)+1 prefix, candidates
+    from the prefix-element join + size bounds, exact Jaccard verify.
+    Same answer as the brute-force all-pairs twin (the oracle IS the
+    all-pairs SQL) — but the plan never forms n² pairs, which is the
+    difference between feasible and not at corpus scale."""
+    docs = _docs(spark, sf_dir)
+    sets = docs.select(
+        "doc_id", ddp.shingle_strings(F.col("text"), 3).alias("sh")
+    )
+    return ddp.set_similarity_join(sets, "doc_id", "sh", threshold=0.5)
+
+
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard on a deterministic candidate set (all pairs of
     the first 100 docs) — oracle-checks the shingle/Jaccard math that the
@@ -3007,6 +3022,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orc_roundtrip": q_orc_roundtrip,
     "bloom_read": q_bloom_read,
     "fuzzy_pairs": q_fuzzy_pairs,
+    "prefix_jaccard_join": q_prefix_jaccard_join,
     "weighted_mix": q_weighted_mix,
     "token_budget_mix": q_token_budget_mix,
 }
@@ -3437,6 +3453,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT media_id, CAST(ts_ms // 5000 AS INTEGER) AS frame_idx, "
             "ts_ms FROM f"
         ),
+        # the exact-join point: the oracle is the BRUTE-FORCE all-pairs
+        # twin — prefix filtering must reproduce it bit-for-bit
+        "prefix_jaccard_join": _NGRAM_JACCARD_SQL,
         "fuzzy_pairs": """
 WITH e AS (SELECT c_custkey AS id, c_name AS s FROM customer),
 gs AS (SELECT unnest(range(2)) AS i),

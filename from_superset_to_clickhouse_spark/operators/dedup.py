@@ -827,3 +827,96 @@ def fuzzy_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def set_similarity_join(
+    df: DataFrame,
+    id_col: str,
+    set_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join on element sets via prefix
+    filtering (the AllPairs/PPJoin family) — same answer as the n²
+    all-pairs join, without ever forming it.
+
+    Elements are globally ordered by (document frequency, element) —
+    rarest first — and each set only indexes its PREFIX of length
+    |S| - ceil(t·|S|) + 1. Two sets with J ≥ t must overlap in
+    ≥ ceil(t·max(|A|,|B|)) elements, and by the pigeonhole prefix
+    theorem their prefixes under any shared total order must then share
+    at least one element — so a self-join on prefix elements plus the
+    size bound t·|A| ≤ |B| ≤ |A|/t is a COMPLETE candidate generator,
+    and the exact Jaccard verify on survivors makes the operator exact,
+    not approximate (unlike MinHash/SimHash, which trade recall).
+
+    Scale shape: two shuffles build the frequency-ranked sets (explode +
+    count, then re-aggregate per id); the candidate join is on single
+    prefix elements — rare elements by construction, so blocks stay
+    small where the data allows (the rarest-first order is exactly what
+    shrinks prefixes' selectivity); the verify join re-attaches full
+    sorted sets for surviving pairs only. Positional and suffix filters
+    (PPJoin+) would tighten candidates further; prefix + size filtering
+    is the load-bearing pruning.
+    """
+    base = _persisted(
+        df.select(
+            F.col(id_col).alias("_pid"),
+            F.array_distinct(F.col(set_col)).alias("_pset"),
+        )
+    )
+    tok = base.select("_pid", F.explode("_pset").alias("_tok"))
+    freq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = _persisted(
+        tok.join(freq, "_tok")
+        .groupBy("_pid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("_tok")))
+            ).alias("_rs")
+        )
+        .select(
+            "_pid",
+            F.transform("_rs", lambda s: s["_tok"]).alias("_stoks"),
+        )
+        .withColumn("_sz", F.size("_stoks"))
+        .withColumn(
+            "_pl",
+            (
+                F.col("_sz")
+                - F.ceil(F.lit(threshold) * F.col("_sz")).cast("int")
+                + 1
+            ),
+        )
+    )
+    pre = ranked.select(
+        "_pid", "_sz", F.explode(F.slice("_stoks", F.lit(1), F.col("_pl"))).alias("_tok")
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._tok") == F.col("b._tok"))
+            & (F.col("a._pid") < F.col("b._pid"))
+            & (F.col("a._sz") * F.lit(threshold) <= F.col("b._sz"))
+            & (F.col("b._sz") * F.lit(threshold) <= F.col("a._sz")),
+        )
+        .select(F.col("a._pid").alias("id_a"), F.col("b._pid").alias("id_b"))
+        .distinct()
+    )
+    sa = ranked.select(F.col("_pid").alias("id_a"), F.col("_stoks").alias("_ta"))
+    sb = ranked.select(F.col("_pid").alias("id_b"), F.col("_stoks").alias("_tb"))
+    out = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("_ta", "_tb"))
+                / F.greatest(F.size(F.array_union("_ta", "_tb")), F.lit(1)),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return _finalize(out, base, ranked)

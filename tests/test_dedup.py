@@ -160,3 +160,47 @@ def test_fuzzy_pairs_empty_and_exact_duplicates(spark):
         for r in ddp.fuzzy_pairs(df, "id", "s", max_dist=1).collect()
     }
     assert got == {(1, 2, 0), (3, 4, 0)}
+
+
+def test_set_similarity_join_is_exact_vs_brute_force(spark):
+    """Prefix filtering must be lossless: the operator's output equals
+    the brute-force all-pairs Jaccard join on the same sets, at two
+    thresholds, on real fixture shingles."""
+    import itertools
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sets = docs.select(
+        "doc_id", ddp.shingle_strings(F.col("text"), 3).alias("sh")
+    )
+    local = {r["doc_id"]: set(r["sh"]) for r in sets.collect()}
+
+    for t in (0.5, 0.8):
+        brute = set()
+        for a, b in itertools.combinations(sorted(local), 2):
+            inter = len(local[a] & local[b])
+            union = max(len(local[a] | local[b]), 1)
+            j = round(inter / union, 6)
+            if j >= t:
+                brute.add((a, b, j))
+        got = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in ddp.set_similarity_join(sets, "doc_id", "sh", t).collect()
+        }
+        assert got == brute and brute  # exact, and non-trivial
+
+
+def test_set_similarity_join_handles_empty_and_identical_sets(spark):
+    """Identical sets report jaccard 1.0; empty sets never pair (their
+    prefix is empty); disjoint sets never pair."""
+    rows = [
+        (1, ["x", "y", "z"]),
+        (2, ["x", "y", "z"]),
+        (3, []),
+        (4, ["p", "q"]),
+    ]
+    df = spark.createDataFrame(rows, "id int, s array<string>")
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ddp.set_similarity_join(df, "id", "s", 0.5).collect()
+    }
+    assert got == {(1, 2, 1.0)}
