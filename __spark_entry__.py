@@ -769,6 +769,30 @@ def q_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch rollup — the deterministic counterpart
+    of the HLL rollup: per-day equi-width histogram partials (≤250 rows
+    per day regardless of volume) are merged and answer p50/p90/p99
+    without rescanning history; estimates are within one bucket width
+    (2.0 here) of the truth, and every step is exact integer math, so
+    the ANSI twin reproduces it bit-for-bit."""
+    from from_superset_to_clickhouse_spark.operators import sketch as sk
+
+    ev = _ev(spark, sf_dir)
+    lo, hi, buckets = 0.0, 500.0, 250
+    partials = sk.hist_partials(
+        ev,
+        "value",
+        F.date_trunc("day", F.col("ts")).cast("date"),
+        lo,
+        hi,
+        buckets,
+    )
+    return sk.hist_quantiles(
+        sk.hist_merge(partials), [0.5, 0.9, 0.99], lo, hi, buckets
+    )
+
+
 def q_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for the first 20 vectors."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -3023,6 +3047,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_read": q_bloom_read,
     "fuzzy_pairs": q_fuzzy_pairs,
     "prefix_jaccard_join": q_prefix_jaccard_join,
+    "quantile_sketch": q_quantile_sketch,
     "weighted_mix": q_weighted_mix,
     "token_budget_mix": q_token_budget_mix,
 }
@@ -3456,6 +3481,29 @@ def oracle_sql() -> dict[str, str]:
         # the exact-join point: the oracle is the BRUTE-FORCE all-pairs
         # twin — prefix filtering must reproduce it bit-for-bit
         "prefix_jaccard_join": _NGRAM_JACCARD_SQL,
+        # deterministic sketch: the oracle replays the identical
+        # bucket/merge/extract math (same expression order, so the
+        # IEEE double bucketing agrees); integer sums cast ::BIGINT
+        "quantile_sketch": """
+WITH p AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS period,
+         CAST(least(greatest(floor((value - 0.0) / 500.0 * 250), 0), 249)
+              AS INT) AS bucket,
+         count(*) AS cnt
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), m AS (
+  SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cnt FROM p GROUP BY 1
+), c AS (
+  SELECT bucket,
+         CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER () AS BIGINT) AS total
+  FROM m
+), qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+SELECT q, CAST(round(0.0 + (min(bucket) + 1) * 2.0, 6) AS DOUBLE) AS est,
+       CAST(max(total) AS BIGINT) AS total
+FROM qs, c WHERE cum >= q * total GROUP BY q
+""",
         "fuzzy_pairs": """
 WITH e AS (SELECT c_custkey AS id, c_name AS s FROM customer),
 gs AS (SELECT unnest(range(2)) AS i),

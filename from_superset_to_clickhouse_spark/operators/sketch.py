@@ -1,0 +1,109 @@
+"""Mergeable quantile sketches: per-period equi-width histograms.
+
+The quantile analog of the HLL rollup (``q_sketch_merge``): each
+period's data is summarized ONCE into bounded-size partial state, and
+any later question — global quantiles, quantiles over an arbitrary
+period range — merges partials instead of rescanning history. Unlike
+HLL the state here is deterministic exact integer counts, so the whole
+pipeline (bucketing, merge, quantile extraction) has an exact ANSI-SQL
+twin and a hard error bound: an equi-width histogram over [lo, hi)
+with B buckets answers any quantile within (hi-lo)/B of the true
+value (plus any mass outside [lo, hi), which is clamped into the edge
+buckets and surfaced by ``hist_partials``'s clamp columns).
+
+Scale design: a partial is ≤ B rows per period regardless of row count
+(map-side combine does the heavy lifting); merge is a sum over
+periods × B rows; quantile extraction sorts ≤ B rows through one
+bounded SinglePartition window — the only non-partial-aggregated step,
+and it touches sketch state, never data. [lo, hi) comes from domain
+knowledge or a prior pass; it is part of the sketch's identity and
+merging sketches with different configs is refused.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bucket_index(value: Column, lo: float, hi: float, buckets: int) -> Column:
+    """Equi-width bucket of ``value`` in [lo, hi): floor((v-lo)/(hi-lo)*B)
+    clamped to [0, B-1] — out-of-range mass lands in the edge buckets
+    (the clamp keeps the sketch total equal to the row count, so ranks
+    stay exact even when the configured range is wrong)."""
+    raw = F.floor((value - F.lit(lo)) / F.lit(hi - lo) * F.lit(buckets))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(buckets - 1)).cast("int")
+
+
+def hist_partials(
+    df: DataFrame,
+    value_col: str,
+    period_col: Column,
+    lo: float,
+    hi: float,
+    buckets: int = 256,
+) -> DataFrame:
+    """One histogram partial per period: (period, bucket, cnt) rows,
+    ≤ ``buckets`` per period. NULL values are excluded (quantiles are
+    over observed values, matching percentile semantics)."""
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            period_col.alias("period"),
+            bucket_index(F.col(value_col), lo, hi, buckets).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(partials: DataFrame) -> DataFrame:
+    """Merge partials (any subset of periods, any number of appends)
+    into one histogram: (bucket, cnt). Associative + commutative by
+    construction — the property that makes the sketch a rollup."""
+    return partials.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    merged: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    buckets: int = 256,
+) -> DataFrame:
+    """Quantile estimates from a merged histogram: for each q, the
+    upper edge of the first bucket whose cumulative count reaches
+    q·total — deterministic, within (hi-lo)/buckets above the true
+    quantile of the sketched values. Output (q, est, total).
+
+    The cumulative window runs over ≤ ``buckets`` rows of sketch state
+    (documented-bounded SinglePartition, like the scalar probes)."""
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    q_df = cum.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    width = (hi - lo) / buckets
+    return (
+        q_df.crossJoin(cum)  # qs × buckets: tiny (sketch state only)
+        .filter(F.col("cum") >= F.col("q") * F.col("total"))
+        .groupBy("q")
+        .agg(
+            F.min("bucket").alias("_b"),
+            F.max("total").alias("total"),
+        )
+        .select(
+            "q",
+            F.round(F.lit(lo) + (F.col("_b") + 1) * F.lit(width), 6).alias(
+                "est"
+            ),
+            "total",
+        )
+    )

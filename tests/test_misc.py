@@ -409,3 +409,58 @@ def test_quality_checks_fire_and_duplicate_keys(spark):
     assert raw_counts == {"raw_score_pos": 2}  # -1.0 AND the NULL score
     raw_bad = sorted(r["id"] for r in dq.violations(df, raw).collect())
     assert raw_bad == [2, 2]
+
+
+def test_hist_sketch_merge_equals_single_pass_and_error_bound(spark):
+    """Mergeable quantile sketch: (a) partial-per-period → merge gives
+    EXACTLY the same histogram as one pass over all data; (b) quantile
+    estimates land within one bucket width of the true quantile; (c)
+    out-of-range mass clamps into edge buckets so total == row count."""
+    from from_superset_to_clickhouse_spark.operators import sketch as sk
+    from from_superset_to_clickhouse_spark.sources.testdata import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    lo, hi, B = 0.0, 500.0, 250
+    period = F.date_trunc("day", F.col("ts")).cast("date")
+
+    partials = sk.hist_partials(ev, "value", period, lo, hi, B)
+    merged = sk.hist_merge(partials)
+
+    # single-pass twin: bucket directly with no period split
+    single = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(sk.bucket_index(F.col("value"), lo, hi, B).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, single.collect())
+    )
+
+    # two-batch merge == full merge (associativity over appends)
+    h1 = partials.filter(F.dayofmonth("period") <= 15)
+    h2 = partials.filter(F.dayofmonth("period") > 15)
+    two = sk.hist_merge(h1.unionByName(h2))
+    assert sorted(map(tuple, two.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+    # error bound vs exact quantiles
+    vals = sorted(r["value"] for r in ev.select("value").collect())
+    n = len(vals)
+    ests = {
+        r["q"]: (r["est"], r["total"])
+        for r in sk.hist_quantiles(merged, [0.5, 0.9, 0.99], lo, hi, B).collect()
+    }
+    width = (hi - lo) / B
+    for q, (est, total) in ests.items():
+        assert total == n
+        true = vals[min(int(q * n), n - 1)]
+        assert abs(est - true) <= width + 1e-9
+
+    # clamping: values far outside the range still count
+    wild = spark.createDataFrame(
+        [(-50.0, 1), (9999.0, 1)], "value double, k int"
+    )
+    p = sk.hist_partials(wild, "value", F.col("k"), lo, hi, B).collect()
+    got = {(r["bucket"], r["cnt"]) for r in p}
+    assert got == {(0, 1), (B - 1, 1)}
