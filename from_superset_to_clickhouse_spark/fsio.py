@@ -79,6 +79,15 @@ class Fs:
             if st.isDirectory()
         )
 
+    def file_sizes(self, path: str) -> list[tuple[str, int]]:
+        """(name, bytes) of plain FILES directly under ``path``, sorted
+        by name — the input to small-file compaction decisions."""
+        return sorted(
+            (st.getPath().getName(), st.getLen())
+            for st in self._fs.listStatus(self._p(path))
+            if st.isFile()
+        )
+
     def delete(self, path: str, recursive: bool = True) -> bool:
         return self._fs.delete(self._p(path), recursive)
 

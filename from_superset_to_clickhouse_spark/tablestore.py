@@ -620,6 +620,72 @@ class TableStore:
         if self.fs.exists(old):
             self.fs.delete(old)
 
+    def optimize(
+        self, name: str, target_bytes: int = 128 << 20
+    ) -> dict[str, tuple[int, int]]:
+        """Small-file compaction (the OPTIMIZE TABLE analog, file-count
+        only — ``compact()`` owns dedup-merge semantics): every
+        partition whose data directory holds more files than
+        ceil(total_bytes / target_bytes) is rewritten to exactly that
+        many, rows preserved bit-for-bit, and swapped in with the same
+        two-phase commit appends use. Returns
+        {partition_rel_dir: (files_before, files_after)} for rewritten
+        partitions only — untouched partitions are never read.
+
+        Why it matters at scale: a streaming or micro-batch ingest lays
+        down one file per trigger per partition; a year of 5-minute
+        batches is ~100k files per partition, and scan planning +
+        object-store listing collapse long before the data does. The
+        128 MiB default matches the classic HDFS/object-store split
+        size. Sharded tables rewrite through a hash repartition on the
+        shard key (co-location preserved); sorted tables re-sort within
+        the rewritten files (concatenating sorted files is not sorted —
+        the zone-map / row-group-stats contract survives). Runs under
+        the table's single-writer contract, like every maintenance op.
+        """
+        meta = self._meta(name)
+        parts = meta["partition_by"]
+        data = join(self.path(name), "data")
+        if not self.fs.exists(data):
+            return {}
+        sort_by = meta.get("sort_by") or []
+        shard_by = meta.get("shard_by")
+        tmp = join(self.path(name), f"_optimizing_{int(time.time() * 1000)}")
+        rewritten: dict[str, tuple[int, int]] = {}
+        rels = self._partition_rel_dirs(data, len(parts)) if parts else [""]
+        for rel in rels:
+            d = join(data, rel) if rel else data
+            files = [
+                (n, s)
+                for n, s in self.fs.file_sizes(d)
+                if not n.startswith(("_", "."))
+            ]
+            total = sum(s for _, s in files)
+            want = max(1, -(-total // target_bytes))
+            if len(files) <= want:
+                continue
+            df = self.spark.read.parquet(d)
+            df = (
+                df.repartition(want, F.col(shard_by))
+                if shard_by and shard_by in df.columns
+                else df.repartition(want)
+            )
+            if sort_by:
+                df = df.sortWithinPartitions(*[F.col(c) for c in sort_by])
+            df.write.mode("overwrite").parquet(join(tmp, rel) if rel else tmp)
+            rewritten[rel or "."] = (len(files), want)
+        if rewritten:
+            if parts:
+                self._swap_in(name, tmp, ())
+            else:
+                old = data + f".old.{int(time.time() * 1000)}"
+                self.fs.rename(data, old)
+                self.fs.rename(tmp, data)
+                self.fs.delete(old)
+        if self.fs.exists(tmp):
+            self.fs.delete(tmp)
+        return rewritten
+
     def _partition_rel_dirs(self, base: str, depth: int) -> list[str]:
         """Relative partition directories exactly ``depth`` levels under
         ``base``, AS WRITTEN BY SPARK — including Hive escaping and

@@ -421,3 +421,62 @@ def test_bloom_index_replace_fallback_and_nulls(spark, tmp_path):
     store._save_meta("logs", meta)
     assert store.bloom_prune_partitions("logs", "v", "a2") is None
     assert store.read_eq("logs", "v", "a2").count() == 1
+
+
+def test_optimize_coalesces_small_files_without_changing_rows(spark, tmp_path):
+    """OPTIMIZE analog: six tiny appends leave >=6 files in a partition;
+    optimize rewrites each over-fragmented partition down to the target
+    file count, preserves every row (incl. the ingest-seq audit column),
+    leaves already-compact partitions untouched, and zone-map pruning
+    still works on the rewritten layout."""
+    from conftest import logs_schema, ts
+
+    store = TableStore(spark, str(tmp_path))
+    store.create(logs_schema("logs"))
+    for i in range(6):
+        store.append(
+            "logs",
+            spark.createDataFrame(
+                [(10 * i + j, ts(1, 5), f"v{i}") for j in range(3)],
+                "id int, dttm timestamp, v string",
+            ),
+        )
+    # one compact partition in another month
+    store.append(
+        "logs",
+        spark.createDataFrame([(999, ts(2, 5), "x")], "id int, dttm timestamp, v string"),
+    )
+    before = sorted(map(tuple, store.read("logs").collect()))
+    jan = str(tmp_path / "logs" / "data" / "dttm_month=2024-01-01")
+    n_before = len([f for f in os.listdir(jan) if f.endswith(".parquet")])
+    assert n_before >= 6
+
+    result = store.optimize("logs")  # default target: everything fits one file
+    assert result == {"dttm_month=2024-01-01": (n_before, 1)}
+    n_after = len([f for f in os.listdir(jan) if f.endswith(".parquet")])
+    assert n_after == 1
+    assert sorted(map(tuple, store.read("logs").collect())) == before
+
+    # second run is a no-op (already at target)
+    assert store.optimize("logs") == {}
+    # zone maps survive the rewrite
+    assert store.zone_prune_partitions("logs", "id", 999, 999) == ["2024-02-01"]
+
+
+def test_optimize_unpartitioned_table(spark, tmp_path):
+    """Unpartitioned tables swap the whole data dir."""
+    sch = Schema(
+        name="flat",
+        fields=(Field("id", "int", nullable=False), Field("v", "string")),
+        sort_by=("id",),
+    )
+    store = TableStore(spark, str(tmp_path))
+    store.create(sch)
+    for i in range(4):
+        store.append(
+            "flat", spark.createDataFrame([(i, f"v{i}")], "id int, v string")
+        )
+    before = sorted(map(tuple, store.read("flat").collect()))
+    got = store.optimize("flat")
+    assert got == {".": (got["."][0], 1)} and got["."][0] >= 4
+    assert sorted(map(tuple, store.read("flat").collect())) == before
