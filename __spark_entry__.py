@@ -655,12 +655,16 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked fuzzy matching (record linkage): same-length customer-name
-    pairs within Levenshtein distance 1 — candidates from a pigeonhole
-    segment-key self-join (complete for substitution typos, no n²
-    all-pairs), survivors verified with exact levenshtein. The fixture's
-    zero-padded names make this the canonical corrupted-ID case: every
-    reported pair differs in exactly one character."""
+    """Blocked fuzzy matching (record linkage): ALL customer-name pairs
+    within Levenshtein distance 1, via symmetric-delete blocking — two
+    strings within distance d always share a ≤d-delete variant, so the
+    variant self-join is a complete candidate generator for full
+    Levenshtein (insertions included) and the exact verify makes the
+    result exact. The oracle is the brute-force all-pairs twin; the
+    Spark plan never forms it. The fixture's zero-padded names are the
+    canonical corrupted-ID case — and the degenerate case for
+    segment/pigeonhole blocking (constant prefix → one giant block),
+    which is exactly why the delete-variant scheme is the default."""
     return ddp.fuzzy_pairs(
         _t(spark, sf_dir, "customer"), "c_custkey", "c_name", max_dist=1
     )
@@ -1369,6 +1373,36 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         (F.col("sum_value").cast("double") / _FXP).alias("sum_value"),
+    )
+
+
+def q_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming histogram-sketch partials (the stream producer of the
+    mergeable quantile sketch): per event-time hour, (window-start,
+    bucket, cnt) rows with bounded state — drained with AvailableNow
+    and compared against the batch GROUP BY twin. Downstream,
+    hist_merge/hist_quantiles answer p50/p99 over any window range
+    without rescanning the stream (pytest proves merged streaming
+    partials ≡ one-pass batch sketch)."""
+    from from_superset_to_clickhouse_spark.streaming.ingest import (
+        stream_quantile_partials,
+    )
+
+    stream = _stream_events(spark, sf_dir, ["event_id", "ts", "value"])
+    name = "sg_qsk_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_quantile_partials(
+            stream, window="1 hour", lo=0.0, hi=500.0, buckets=250
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("win.start").alias("ws"), "bucket", "cnt"
     )
 
 
@@ -3048,6 +3082,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_pairs": q_fuzzy_pairs,
     "prefix_jaccard_join": q_prefix_jaccard_join,
     "quantile_sketch": q_quantile_sketch,
+    "stream_quantiles": q_stream_quantiles,
     "weighted_mix": q_weighted_mix,
     "token_budget_mix": q_token_budget_mix,
 }
@@ -3504,24 +3539,21 @@ SELECT q, CAST(round(0.0 + (min(bucket) + 1) * 2.0, 6) AS DOUBLE) AS est,
        CAST(max(total) AS BIGINT) AS total
 FROM qs, c WHERE cum >= q * total GROUP BY q
 """,
+        # streaming partials twin: same bucket formula, hour windows
+        "stream_quantiles": """
+SELECT date_trunc('hour', ts) AS ws,
+       CAST(least(greatest(floor((value - 0.0) / 500.0 * 250), 0), 249)
+            AS INT) AS bucket,
+       count(*) AS cnt
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2
+""",
+        # brute-force twin: symmetric-delete blocking must be lossless
         "fuzzy_pairs": """
-WITH e AS (SELECT c_custkey AS id, c_name AS s FROM customer),
-gs AS (SELECT unnest(range(2)) AS i),
-seg AS (
-  SELECT id, length(s) AS ln, i AS seg,
-         substr(s, CAST((length(s)*i)//2 AS INT)+1,
-                   CAST((length(s)*(i+1))//2 - (length(s)*i)//2 AS INT)) AS key
-  FROM e, gs
-),
-cand AS (
-  SELECT a.id AS id_a, b.id AS id_b
-  FROM seg a JOIN seg b
-    ON a.seg = b.seg AND a.key = b.key AND a.ln = b.ln AND a.id < b.id
-  GROUP BY 1, 2 HAVING count(*) >= 1
-)
-SELECT c.id_a, c.id_b, levenshtein(ea.s, eb.s) AS dist
-FROM cand c JOIN e ea ON ea.id = c.id_a JOIN e eb ON eb.id = c.id_b
-WHERE levenshtein(ea.s, eb.s) <= 1
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
 """,
         "jaccard_pairs": _JACCARD_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,

@@ -43,6 +43,12 @@ HEADLINE = [
     "exact_dedup",
     "ngram_jaccard_pairs",
     "curation_pipeline",
+    # r6 additions: exact set-similarity join (prefix filtering),
+    # symmetric-delete fuzzy matching (262k real pairs at sf0.1 — the
+    # time is output-dominated), mergeable histogram quantile rollup
+    "prefix_jaccard_join",
+    "fuzzy_pairs",
+    "quantile_sketch",
 ]
 
 # ANN is measured on a deterministic query slice (vec_id < ANN_QUERIES)

@@ -758,7 +758,7 @@ def segment_keys(text: Column, segments: int) -> Column:
     return F.array(*out)
 
 
-def fuzzy_pairs(
+def fuzzy_pairs_pigeonhole(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -767,6 +767,14 @@ def fuzzy_pairs(
 ) -> DataFrame:
     """Blocked fuzzy matcher: same-length string pairs within Levenshtein
     distance ``max_dist``, without the n² all-pairs join.
+
+    Prefer ``fuzzy_pairs`` (symmetric-delete) for max_dist ≤ 2: it is
+    complete for FULL Levenshtein (insertions included) and its blocks
+    stay output-linear where pigeonhole blocks degenerate on strings
+    with long shared constant regions (e.g. zero-padded IDs — every row
+    lands in one block for the constant segment). This variant remains
+    the right tool for LONG strings, where the delete-neighborhood key
+    count (≈ L^d per row) is the thing that blows up instead.
 
     Candidates come from a self-join on pigeonhole segment keys
     (``segment_keys``): with g segments (default max_dist+1), two
@@ -920,3 +928,113 @@ def set_similarity_join(
         .select("id_a", "id_b", "jaccard")
     )
     return _finalize(out, base, ranked)
+
+
+def delete_variants(text: Column, max_deletes: int) -> Column:
+    """Symmetric-delete neighborhood (SymSpell): the string itself plus
+    every variant reachable by deleting up to ``max_deletes`` single
+    characters (array<string>, deduped). The completeness theorem:
+    lev(A, B) ≤ d  ⇒  some ≤d-delete variant of A equals some
+    ≤d-delete variant of B — each edit is simulated by one deletion on
+    one or both sides — so equality on variants is a COMPLETE blocking
+    key for full Levenshtein (substitutions, insertions, deletions
+    alike). Variant count is 1 + L (+ C(L,2) at d=2): linear/quadratic
+    in STRING length, not corpus size — the right trade for short
+    strings (IDs, names, titles); use the pigeonhole matcher for long
+    text. Only d ∈ {1, 2} is supported."""
+    if max_deletes not in (1, 2):
+        raise ValueError("delete_variants supports max_deletes 1 or 2")
+
+    def del1(s, i):
+        # s minus char i (1-based)
+        return F.concat(
+            F.substring(s, F.lit(1), i - 1),
+            F.substring(s, i + 1, F.length(s)),
+        )
+
+    L = F.length(text)
+    parts = [F.array(text)]
+    parts.append(
+        F.when(
+            L >= 1,
+            F.transform(F.sequence(F.lit(1), L), lambda i: del1(text, i)),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    if max_deletes == 2:
+        # delete chars i < j in one expression (avoids re-scanning the
+        # d=1 variants): s[1..i-1] + s[i+1..j-1] + s[j+1..]
+        parts.append(
+            F.when(
+                L >= 2,
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), L - 1),
+                        lambda i: F.transform(
+                            F.sequence(i + 1, L),
+                            lambda j: F.concat(
+                                F.substring(text, F.lit(1), i - 1),
+                                F.substring(text, i + 1, j - i - 1),
+                                F.substring(text, j + 1, F.length(text)),
+                            ),
+                        ),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+    return F.array_distinct(F.concat(*parts))
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Fuzzy matcher: ALL string pairs within Levenshtein distance
+    ``max_dist`` (1 or 2) — exact, and never the n² all-pairs join.
+
+    Blocking is the symmetric-delete scheme (``delete_variants``): two
+    strings within distance d always share a ≤d-delete variant, so a
+    self-join on variant equality is a complete candidate generator,
+    and exact ``levenshtein`` on survivors makes the result exact.
+    Unlike segment/pigeonhole blocking this is robust to shared
+    constant regions (zero-padded IDs put every row in one pigeonhole
+    block; a delete variant still carries the WHOLE discriminating
+    remainder, so block size tracks the number of true near-matches).
+
+    Scale shape: the exploded key relation is n·(L+1) rows at d=1
+    (n·O(L²) at d=2) of id + short string; the join is a hash join on
+    variant equality with a length band (|len_a - len_b| ≤ d) folded
+    into the key match; only ids cross the candidate shuffle and full
+    strings re-attach for the verify join on survivors. For long
+    strings (L ≳ 100) prefer ``fuzzy_pairs_pigeonhole`` or shingle
+    methods — the neighborhood size is the explosion there.
+    """
+    e = df.select(F.col(id_col).alias("_fid"), F.col(text_col).alias("_fs"))
+    keys = e.select(
+        "_fid",
+        F.length("_fs").alias("_ln"),
+        F.explode(delete_variants(F.col("_fs"), max_dist)).alias("_key"),
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._key") == F.col("b._key"))
+            & (F.col("a._fid") < F.col("b._fid"))
+            & (
+                F.abs(F.col("a._ln") - F.col("b._ln")) <= F.lit(max_dist)
+            ),
+        )
+        .select(F.col("a._fid").alias("id_a"), F.col("b._fid").alias("id_b"))
+        .distinct()
+    )
+    ea = e.select(F.col("_fid").alias("id_a"), F.col("_fs").alias("_sa"))
+    eb = e.select(F.col("_fid").alias("id_b"), F.col("_fs").alias("_sb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("dist", F.levenshtein("_sa", "_sb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

@@ -264,3 +264,37 @@ def running_latest(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_quantile_partials(
+    stream: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    lo: float = 0.0,
+    hi: float = 500.0,
+    buckets: int = 256,
+) -> DataFrame:
+    """Streaming producer of the mergeable quantile sketch
+    (``operators/sketch.py``): per event-time window, (win, bucket, cnt)
+    histogram rows. State is bounded at open-windows × buckets
+    regardless of event rate (the watermark closes windows), and the
+    emitted partials feed ``hist_merge``/``hist_quantiles`` downstream —
+    p50/p99 over any window range without rescanning the stream, the
+    same never-rescan-history contract as the batch rollup. Works on
+    both streaming and batch frames (batch ignores the watermark) so
+    tests and backfills share one definition."""
+    from from_superset_to_clickhouse_spark.operators.sketch import bucket_index
+
+    df = stream
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("win"),
+            bucket_index(F.col(value_col), lo, hi, buckets).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

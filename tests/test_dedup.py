@@ -112,7 +112,7 @@ def test_incremental_minhash_equals_full_corpus_run(spark):
     assert got == full and full  # identical pair sets, and non-trivial
 
 
-def test_fuzzy_pairs_finds_substitution_typos_and_verifies(spark):
+def test_fuzzy_pairs_pigeonhole_finds_substitution_typos(spark):
     """Pigeonhole-blocked fuzzy matcher: every planted same-length
     substitution typo within max_dist is found (completeness for the
     Hamming case), every reported pair is levenshtein-verified, and
@@ -129,7 +129,7 @@ def test_fuzzy_pairs_finds_substitution_typos_and_verifies(spark):
 
     got = {
         (r["id_a"], r["id_b"], r["dist"])
-        for r in ddp.fuzzy_pairs(df, "id", "s", max_dist=1).collect()
+        for r in ddp.fuzzy_pairs_pigeonhole(df, "id", "s", max_dist=1).collect()
     }
     assert got == {(1, 2, 1)}
 
@@ -137,7 +137,7 @@ def test_fuzzy_pairs_finds_substitution_typos_and_verifies(spark):
     # to 3 segments — completeness bound still holds)
     got2 = {
         (r["id_a"], r["id_b"])
-        for r in ddp.fuzzy_pairs(df, "id", "s", max_dist=2).collect()
+        for r in ddp.fuzzy_pairs_pigeonhole(df, "id", "s", max_dist=2).collect()
     }
     assert got2 == {(1, 2), (1, 3), (2, 3)}
 
@@ -145,14 +145,75 @@ def test_fuzzy_pairs_finds_substitution_typos_and_verifies(spark):
     # same answer for substitution typos
     got4 = {
         (r["id_a"], r["id_b"], r["dist"])
-        for r in ddp.fuzzy_pairs(df, "id", "s", max_dist=1, segments=4).collect()
+        for r in ddp.fuzzy_pairs_pigeonhole(
+            df, "id", "s", max_dist=1, segments=4
+        ).collect()
     }
     assert got4 == {(1, 2, 1)}
 
 
+def test_fuzzy_pairs_symdelete_full_levenshtein(spark):
+    """Symmetric-delete fuzzy matcher is complete for FULL Levenshtein:
+    substitutions AND the cross-length insertion pair the pigeonhole
+    scheme documents as missed; d=2 reaches double edits; nothing
+    beyond max_dist is ever reported (exact verify)."""
+    rows = [
+        (1, "ABCDEF01"),
+        (2, "ABCDEF02"),   # substitution, dist 1
+        (3, "ABXDEF0Y"),   # dist 2 from ids 1/2
+        (4, "ABCDEF012"),  # insertion, dist 1 from ids 1/2
+        (5, "ZZZZZZZZ"),   # unrelated
+    ]
+    df = spark.createDataFrame(rows, "id int, s string")
+    got1 = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in ddp.fuzzy_pairs(df, "id", "s", max_dist=1).collect()
+    }
+    assert got1 == {(1, 2, 1), (1, 4, 1), (2, 4, 1)}
+
+    got2 = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in ddp.fuzzy_pairs(df, "id", "s", max_dist=2).collect()
+    }
+    assert got2 == {(1, 2, 1), (1, 4, 1), (2, 4, 1), (1, 3, 2), (2, 3, 2)}
+
+    # brute-force completeness check on fixture customer names
+    import itertools
+
+    from from_superset_to_clickhouse_spark.sources.testdata import load_table
+
+    cust = load_table(spark, "/root/testdata/sf0.001", "customer").limit(200)
+    names = {r["c_custkey"]: r["c_name"] for r in cust.collect()}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    brute = {
+        (a, b, lev(names[a], names[b]))
+        for a, b in itertools.combinations(sorted(names), 2)
+        if lev(names[a], names[b]) <= 1
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in ddp.fuzzy_pairs(cust, "c_custkey", "c_name", 1).collect()
+    }
+    assert got == brute and brute
+
+
 def test_fuzzy_pairs_empty_and_exact_duplicates(spark):
     """Exact duplicates report dist 0; empty strings pair with each
-    other (dist 0) and with nothing else."""
+    other (dist 0) and with nothing else; d>2 is refused (the delete
+    neighborhood would explode combinatorially)."""
+    import pytest as _pytest
+
     rows = [(1, "same"), (2, "same"), (3, ""), (4, ""), (5, "other")]
     df = spark.createDataFrame(rows, "id int, s string")
     got = {
@@ -160,6 +221,8 @@ def test_fuzzy_pairs_empty_and_exact_duplicates(spark):
         for r in ddp.fuzzy_pairs(df, "id", "s", max_dist=1).collect()
     }
     assert got == {(1, 2, 0), (3, 4, 0)}
+    with _pytest.raises(ValueError):
+        ddp.fuzzy_pairs(df, "id", "s", max_dist=3).collect()
 
 
 def test_set_similarity_join_is_exact_vs_brute_force(spark):

@@ -218,3 +218,59 @@ def test_curate_stream_equals_batch_curation(spark, tmp_path):
     assert 0 in ids and 1 in ids and 2 not in ids  # gate dropped the tiny doc
     langs = {d: l for d, _, l in batch}
     assert langs[0] == "en" and langs[1] == "es"
+
+
+def test_stream_quantile_partials_feed_batch_sketch(spark, tmp_path):
+    """The streaming histogram partials, drained with AvailableNow, are
+    EXACTLY the batch partials of the same data — and merging them
+    answers the same quantiles as a batch one-pass sketch. Late events
+    within the watermark still land in their window's bucket."""
+    from from_superset_to_clickhouse_spark.operators import sketch as sk
+
+    src = str(tmp_path / "src")
+    rows_schema = "id int, ts timestamp, value double"
+    rows = [(i, ts(1, 5, hour=i % 24), float((i * 37) % 500)) for i in range(500)]
+    spark.createDataFrame(rows, rows_schema).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(rows_schema).parquet(src)
+    )
+    q = (
+        si.stream_quantile_partials(
+            stream, window="6 hours", lo=0.0, hi=500.0, buckets=50
+        )
+        .writeStream.format("memory")
+        .queryName("qsketch")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("qsketch").select(
+        F.col("win.start").alias("ws"), "bucket", "cnt"
+    )
+
+    batch = si.stream_quantile_partials(
+        spark.read.parquet(src), window="6 hours", lo=0.0, hi=500.0, buckets=50
+    ).select(F.col("win.start").alias("ws"), "bucket", "cnt")
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+    # merged streaming partials answer the same quantiles as a one-pass
+    # batch histogram over the raw data
+    merged = sk.hist_merge(streamed)
+    got = {
+        r["q"]: r["est"]
+        for r in sk.hist_quantiles(merged, [0.5, 0.9], 0.0, 500.0, 50).collect()
+    }
+    one_pass = (
+        spark.read.parquet(src)
+        .groupBy(sk.bucket_index(F.col("value"), 0.0, 500.0, 50).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    want = {
+        r["q"]: r["est"]
+        for r in sk.hist_quantiles(one_pass, [0.5, 0.9], 0.0, 500.0, 50).collect()
+    }
+    assert got == want
