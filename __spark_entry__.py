@@ -1049,6 +1049,42 @@ def q_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ADD COLUMN end-to-end: half the events are ingested,
+    then the table gains a ``source`` column with DEFAULT 'legacy'
+    (metadata-only — zero rewrite), then the other half arrives carrying
+    real values. The read reconciles mixed on-disk file schemas: pre-ALTER
+    rows surface the default, post-ALTER rows their own value — matching
+    the SQL twin that computes the same split arithmetically."""
+    store = TableStore(spark, tempfile.mkdtemp(prefix="sg_store_"))
+    store.create(
+        Schema(
+            name="store_events_evo",
+            fields=(
+                Field("event_id", "bigint", nullable=False),
+                Field("ts", "timestamp", nullable=False),
+                Field("value", "double"),
+            ),
+            partition_by=("ts_day",),
+            sort_by=("event_id",),
+        )
+    )
+    ev = _ev(spark, sf_dir).select("event_id", "ts", "value")
+    store.append("store_events_evo", ev.filter(F.col("event_id") % 2 == 0))
+    store.add_column(
+        "store_events_evo", Field("source", "string", default="legacy")
+    )
+    store.append(
+        "store_events_evo",
+        ev.filter(F.col("event_id") % 2 == 1).withColumn(
+            "source", F.lit("new")
+        ),
+    )
+    return store.read("store_events_evo").select(
+        "event_id", "ts", "value", "source"
+    )
+
+
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row 7: CSV bulk-ingest dialect (';' delimiter, NULL literal,
     header — hook.py:92-112) proven by write→read_csv round-trip equality
@@ -3083,6 +3119,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prefix_jaccard_join": q_prefix_jaccard_join,
     "quantile_sketch": q_quantile_sketch,
     "stream_quantiles": q_stream_quantiles,
+    "schema_evolution": q_schema_evolution,
     "weighted_mix": q_weighted_mix,
     "token_budget_mix": q_token_budget_mix,
 }
@@ -3412,6 +3449,11 @@ def oracle_sql() -> dict[str, str]:
         "orc_roundtrip": "SELECT * FROM supplier",
         "bloom_read": (
             "SELECT event_id, ts, user_id, value FROM events WHERE user_id = 7"
+        ),
+        "schema_evolution": (
+            "SELECT event_id, ts, value, "
+            "CASE WHEN event_id % 2 = 0 THEN 'legacy' ELSE 'new' END AS source "
+            "FROM events"
         ),
         "json_roundtrip": (
             "SELECT event_id, epoch_us(ts) AS ts_us, event_type, user_id "

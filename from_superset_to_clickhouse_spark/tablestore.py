@@ -116,6 +116,27 @@ class TableStore:
         """RENAME TABLE x TO y (reference migration step, v2/README.MD:24-27)."""
         self.fs.rename(self.path(old), self.path(new))
 
+    def add_column(self, name: str, field) -> None:
+        """ALTER TABLE … ADD COLUMN — metadata-only schema evolution
+        (the reference's v1→v2 migration reshapes tables the same way:
+        new columns arrive without rewriting history). No data rewrite
+        at any scale: rows written before the ALTER simply lack the
+        column on disk and read back as the declared DEFAULT (lazy
+        backfill, the ClickHouse semantic); rows appended after carry it
+        physically. ``field`` is a ``schema.Field``; its default is
+        recorded in the table meta so ``read`` can reconcile mixed file
+        schemas."""
+        meta = self._meta(name)
+        if field.name in [f[0] for f in meta["fields"]]:
+            raise ValueError(f"column {field.name} already exists in {name}")
+        meta["fields"].append(
+            [field.name, field.dtype, field.nullable, field.default]
+        )
+        evolved = dict(meta.get("evolved_defaults") or {})
+        evolved[field.name] = [field.dtype, field.default]
+        meta["evolved_defaults"] = evolved
+        self._save_meta(name, meta)
+
     def _meta(self, name: str) -> dict:
         return json.loads(self.fs.read_text(join(self.path(name), META_FILE)))
 
@@ -537,7 +558,25 @@ class TableStore:
                 if p not in [f.name for f in fields]:
                     schema = schema.add(p, "date")
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(data)
+        meta = self._meta(name)
+        evolved = meta.get("evolved_defaults") or {}
+        if not evolved:
+            return self.spark.read.parquet(data)
+        # Schema evolution read: files written before add_column() lack
+        # the evolved columns. mergeSchema unions all file footers (paid
+        # only on evolved tables — it reads every footer, so plain
+        # tables keep the cheap single-footer planning path) and the
+        # declared DEFAULT backfills lazily, the ClickHouse
+        # ALTER ADD COLUMN semantic: no data rewrite, old rows read as
+        # the default. compact()/optimize() materialize it physically.
+        df = self.spark.read.option("mergeSchema", "true").parquet(data)
+        for cname, (dtype, default) in evolved.items():
+            filler = F.lit(default).cast(dtype)
+            if cname not in df.columns:
+                df = df.withColumn(cname, filler)
+            elif default is not None:
+                df = df.withColumn(cname, F.coalesce(F.col(cname), filler))
+        return df
 
     def latest_view(self, name: str) -> DataFrame:
         """Dedup-on-read: per dedup key keep the latest version — the

@@ -480,3 +480,72 @@ def test_optimize_unpartitioned_table(spark, tmp_path):
     got = store.optimize("flat")
     assert got == {".": (got["."][0], 1)} and got["."][0] >= 4
     assert sorted(map(tuple, store.read("flat").collect())) == before
+
+
+def test_add_column_lazy_default_backfill(spark, tmp_path):
+    """ALTER TABLE ADD COLUMN: metadata-only — rows written before the
+    ALTER read back as the declared default (no rewrite), rows appended
+    after carry the column physically, NULLs in post-ALTER rows coerce
+    to the default, dedup/latest_view still work across mixed file
+    schemas, and compact() materializes the default physically."""
+    from conftest import logs_schema, ts
+
+    store = TableStore(spark, str(tmp_path))
+    store.create(logs_schema("logs"))
+    store.append(
+        "logs",
+        spark.createDataFrame(
+            [(1, ts(1, 5), "a"), (2, ts(2, 5), "b")], "id int, dttm timestamp, v string"
+        ),
+    )
+    store.add_column("logs", Field("score", "double", default=0.5))
+    with pytest.raises(ValueError):
+        store.add_column("logs", Field("score", "double"))
+
+    # old rows surface the default without any rewrite
+    got = {r["id"]: r["score"] for r in store.read("logs").collect()}
+    assert got == {1: 0.5, 2: 0.5}
+
+    # new rows carry real values; explicit NULL coerces to the default
+    store.append(
+        "logs",
+        spark.createDataFrame(
+            [(3, ts(1, 6), "c", 0.9), (4, ts(1, 7), "d", None)],
+            "id int, dttm timestamp, v string, score double",
+        ),
+    )
+    got = {r["id"]: r["score"] for r in store.read("logs").collect()}
+    assert got == {1: 0.5, 2: 0.5, 3: 0.9, 4: 0.5}
+
+    # dedup view across mixed schemas: latest insert per key wins
+    store.append(
+        "logs",
+        spark.createDataFrame(
+            [(1, ts(1, 8), "a2", 0.7)], "id int, dttm timestamp, v string, score double"
+        ),
+    )
+    latest = {r["id"]: (r["v"], r["score"]) for r in store.latest_view("logs").collect()}
+    assert latest[1] == ("a2", 0.7) and latest[2] == ("b", 0.5)
+
+    # compact rewrites physically; evolved read still correct afterwards
+    store.compact("logs")
+    got = {r["id"]: r["score"] for r in store.read("logs").collect()}
+    assert got == {1: 0.7, 2: 0.5, 3: 0.9, 4: 0.5}
+
+
+def test_add_column_empty_table_and_no_default(spark, tmp_path):
+    """Evolving an empty table shows the column in the empty-schema
+    read; a default-less evolved column reads as NULL for old rows."""
+    from conftest import logs_schema, ts
+
+    store = TableStore(spark, str(tmp_path))
+    store.create(logs_schema("logs"))
+    store.add_column("logs", Field("tag", "string"))
+    assert "tag" in store.read("logs").columns  # empty-table fallback
+
+    store.append(
+        "logs",
+        spark.createDataFrame([(1, ts(1, 5), "a")], "id int, dttm timestamp, v string"),
+    )
+    rows = store.read("logs").collect()
+    assert [r["tag"] for r in rows] == [None]
