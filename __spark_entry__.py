@@ -685,6 +685,15 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ddp.set_similarity_join(sets, "doc_id", "sh", threshold=0.5)
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality scoring (CCNet-style LM filtering at unigram
+    order): every document scored by the add-one-smoothed mean token
+    log-probability under the corpus's own unigram distribution —
+    rare-token documents score low. One frequency aggregate + one
+    token-keyed scoring join, all codegen."""
+    return txt.unigram_lm_scores(_docs(spark, sf_dir))
+
+
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard on a deterministic candidate set (all pairs of
     the first 100 docs) — oracle-checks the shingle/Jaccard math that the
@@ -3120,6 +3129,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_sketch": q_quantile_sketch,
     "stream_quantiles": q_stream_quantiles,
     "schema_evolution": q_schema_evolution,
+    "lm_score": q_lm_score,
     "weighted_mix": q_weighted_mix,
     "token_budget_mix": q_token_budget_mix,
 }
@@ -3589,6 +3599,23 @@ SELECT date_trunc('hour', ts) AS ws,
        count(*) AS cnt
 FROM events WHERE value IS NOT NULL
 GROUP BY 1, 2
+""",
+        "lm_score": """
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                       x -> x <> '')) AS tok
+  FROM documents
+), freq AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM freq
+)
+SELECT t.doc_id,
+       round(avg(ln(CAST(coalesce(f.c, 0) + 1 AS DOUBLE) / (tot.n + tot.v))),
+             6) AS lm_logprob
+FROM toks t LEFT JOIN freq f ON t.tok = f.tok, tot
+GROUP BY 1
 """,
         # brute-force twin: symmetric-delete blocking must be lossless
         "fuzzy_pairs": """

@@ -476,3 +476,49 @@ def contamination(
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_grams"))
     )
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref: DataFrame | None = None,
+) -> DataFrame:
+    """Unigram language-model quality score per document — the in-engine
+    approximation of CCNet-style LM filtering (docs scored by a model of
+    a reference corpus, then binned by score): per token OCCURRENCE the
+    add-one-smoothed log-probability ln((c(tok)+1)/(N+V)) under the
+    reference unigram distribution, averaged per document. Rare-token /
+    OOV-heavy documents score low; formulaic in-distribution text scores
+    high. (doc, lm_logprob) rows; empty documents produce no row
+    (no tokens to score — matching SQL AVG-over-nothing semantics).
+
+    ``ref`` defaults to ``df`` itself (self-scoring). Scale shape: the
+    frequency model is one token-keyed aggregate over the reference;
+    scoring joins token occurrences to it — a unigram vocab is bounded
+    by language, not corpus (AQE picks broadcast vs shuffle), and the
+    one-row (N, V) totals frame is broadcast explicitly. All codegen;
+    no Python in the hot path.
+    """
+    ref = df if ref is None else ref
+    rtok = ref.select(F.explode(word_tokens(F.col(text_col))).alias("_tok"))
+    freq = rtok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
+    totals = freq.agg(
+        F.sum("_c").alias("_N"), F.count(F.lit(1)).alias("_V")
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("_tok")
+    )
+    return (
+        toks.join(freq, "_tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("_c"), F.lit(0)) + 1)
+                / (F.col("_N") + F.col("_V"))
+            ).alias("_lp"),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.avg("_lp"), 6).alias("lm_logprob"))
+    )

@@ -232,3 +232,36 @@ def test_contamination_planted_overlap(spark):
     # "brown fox jumps far", "fox jumps far away"
     # doc1 shares "quick brown fox jumps"; doc3 shares it too; doc2 none
     assert got == {1: 1, 3: 1}
+
+
+def test_unigram_lm_scores_rank_and_reference(spark):
+    """LM quality scoring: documents made of corpus-common tokens score
+    higher than rare/OOV-heavy ones; scoring against an external
+    reference treats reference-unseen tokens as smoothed OOV; empty
+    docs produce no row."""
+    from from_superset_to_clickhouse_spark.operators.text import (
+        unigram_lm_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the cat"),   # common tokens
+            (2, "zyx qwv jkl pfft"),  # singletons
+            (3, ""),                  # no tokens
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["lm_logprob"] for r in unigram_lm_scores(docs).collect()}
+    assert set(got) == {1, 2}  # empty doc has no score
+    assert got[1] > got[2]
+
+    # external reference: doc 2's tokens are OOV there, scoring even lower
+    ref = spark.createDataFrame(
+        [(10, "the cat sat on the mat the cat")], "doc_id int, text string"
+    )
+    got_ref = {
+        r["doc_id"]: r["lm_logprob"]
+        for r in unigram_lm_scores(docs, ref=ref).collect()
+    }
+    assert got_ref[1] > got_ref[2]
+    assert got_ref[2] < got[2]  # fully-OOV under the external model
