@@ -685,6 +685,21 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ddp.set_similarity_join(sets, "doc_id", "sh", threshold=0.5)
 
 
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT asymmetric containment self-join (excerpt/quote dedup):
+    ordered pairs where ≥60% of doc a's 3-gram shingles appear in doc b
+    — the case a symmetric Jaccard threshold misses (a short doc
+    swallowed by a long one drowns in the union). A-prefixes under the
+    rarest-first order probe b's full posting list (inverted index);
+    exact intersection verifies. Oracle is the brute-force ordered-pair
+    twin."""
+    docs = _docs(spark, sf_dir)
+    sets = docs.select(
+        "doc_id", ddp.shingle_strings(F.col("text"), 3).alias("sh")
+    )
+    return ddp.containment_join(sets, "doc_id", "sh", threshold=0.6)
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram LM quality scoring (CCNet-style LM filtering at unigram
     order): every document scored by the add-one-smoothed mean token
@@ -3130,6 +3145,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_quantiles": q_stream_quantiles,
     "schema_evolution": q_schema_evolution,
     "lm_score": q_lm_score,
+    "containment_join": q_containment_join,
     "weighted_mix": q_weighted_mix,
     "token_budget_mix": q_token_budget_mix,
 }
@@ -3599,6 +3615,29 @@ SELECT date_trunc('hour', ts) AS ws,
        count(*) AS cnt
 FROM events WHERE value IS NOT NULL
 GROUP BY 1, 2
+""",
+        # brute-force ordered-pair containment twin (same shingle CTEs
+        # as the Jaccard oracle, asymmetric denominator, a != b)
+        "containment_join": r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+      THEN list_distinct(list_transform(range(1, CAST(len(t) AS INTEGER) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      ELSE [array_to_string(t, ' ')]
+    END AS s
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(len(list_intersect(a.s, b.s)) / greatest(len(a.s), 1), 6)
+    AS containment
+FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+WHERE round(len(list_intersect(a.s, b.s)) / greatest(len(a.s), 1), 6) >= 0.6
 """,
         "lm_score": """
 WITH toks AS (

@@ -1038,3 +1038,94 @@ def fuzzy_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def containment_join(
+    df: DataFrame,
+    id_col: str,
+    set_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT asymmetric containment self-join: ordered pairs (a, b),
+    a ≠ b, where |A ∩ B| / |A| ≥ t — "document a is substantially
+    contained in document b", the excerpt/quote-dedup primitive (a
+    Jaccard threshold misses a short doc swallowed by a long one: the
+    union is dominated by the long side).
+
+    Prefix filtering, asymmetric form: under any global element order,
+    ≥ ceil(t·|A|) shared elements cannot all hide in A's last
+    ceil(t·|A|)-1 positions, so A's prefix of length |A|-ceil(t·|A|)+1
+    must intersect B — joining A-prefixes against B's FULL posting list
+    (the inverted-index side) is a complete candidate generator, and
+    exact intersection on survivors makes the operator exact. The
+    rarest-first order keeps A-prefix probes on the small posting
+    lists. No size bound applies (b may be arbitrarily larger — that
+    is the point); the b-side full explode is the inverted index, the
+    standard trade for containment search.
+    """
+    base = _persisted(
+        df.select(
+            F.col(id_col).alias("_pid"),
+            F.array_distinct(F.col(set_col)).alias("_pset"),
+        )
+    )
+    tok = base.select("_pid", F.explode("_pset").alias("_tok"))
+    freq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = _persisted(
+        tok.join(freq, "_tok")
+        .groupBy("_pid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("_tok")))
+            ).alias("_rs")
+        )
+        .select(
+            "_pid",
+            F.transform("_rs", lambda s: s["_tok"]).alias("_stoks"),
+        )
+        .withColumn("_sz", F.size("_stoks"))
+    )
+    pre_a = ranked.select(
+        F.col("_pid").alias("id_a"),
+        F.explode(
+            F.slice(
+                "_stoks",
+                F.lit(1),
+                F.col("_sz")
+                - F.ceil(F.lit(threshold) * F.col("_sz")).cast("int")
+                + 1,
+            )
+        ).alias("_tok"),
+    )
+    post_b = ranked.select(
+        F.col("_pid").alias("id_b"), F.explode("_stoks").alias("_tok")
+    )
+    cand = (
+        pre_a.join(
+            post_b,
+            (pre_a["_tok"] == post_b["_tok"]) & (F.col("id_a") != F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = ranked.select(
+        F.col("_pid").alias("id_a"),
+        F.col("_stoks").alias("_ta"),
+        F.col("_sz").alias("_sza"),
+    )
+    sb = ranked.select(F.col("_pid").alias("id_b"), F.col("_stoks").alias("_tb"))
+    out = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.size(F.array_intersect("_ta", "_tb"))
+                / F.greatest(F.col("_sza"), F.lit(1)),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+    return _finalize(out, base, ranked)

@@ -267,3 +267,43 @@ def test_set_similarity_join_handles_empty_and_identical_sets(spark):
         for r in ddp.set_similarity_join(df, "id", "s", 0.5).collect()
     }
     assert got == {(1, 2, 1.0)}
+
+
+def test_containment_join_exact_vs_brute_force(spark):
+    """Asymmetric containment: the prefix-filtered operator equals the
+    brute-force ordered-pair containment on real fixture shingles, and
+    catches the short-doc-in-long-doc case a Jaccard threshold misses."""
+    import itertools
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sets = docs.select(
+        "doc_id", ddp.shingle_strings(F.col("text"), 3).alias("sh")
+    )
+    local = {r["doc_id"]: set(r["sh"]) for r in sets.collect()}
+    t = 0.8
+    brute = {
+        (a, b, round(len(local[a] & local[b]) / max(len(local[a]), 1), 6))
+        for a, b in itertools.permutations(sorted(local), 2)
+        if len(local[a] & local[b]) / max(len(local[a]), 1) >= t
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in ddp.containment_join(sets, "doc_id", "sh", t).collect()
+    }
+    assert got == brute
+
+    # planted: excerpt swallowed by a superset — containment fires both
+    # ways for identical sets, one way for strict subset; Jaccard at the
+    # same threshold misses the strict-subset pair
+    rows = [(1, ["a", "b", "c"]), (2, ["a", "b", "c", "d", "e", "f"])]
+    df = spark.createDataFrame(rows, "id int, s array<string>")
+    cont = {
+        (r["id_a"], r["id_b"])
+        for r in ddp.containment_join(df, "id", "s", 0.8).collect()
+    }
+    assert cont == {(1, 2)}
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in ddp.set_similarity_join(df, "id", "s", 0.8).collect()
+    }
+    assert jac == set()
