@@ -1680,6 +1680,30 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_survivors(comp).select(F.col("node").alias("doc_id"))
 
 
+def q_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup END-TO-END: near-dup pairs → connected
+    components → keep the HIGHEST-QUALITY member of each cluster
+    (longest doc, ties to lowest id) — what production corpus dedup
+    wants, vs the min-id rule of ``dedup_pipeline``. The argmax is a
+    per-component ``max_by`` aggregate (partial-aggregated; no window
+    sort); the oracle replays pairs, the recursive closure, and the
+    argmax rule in DuckDB."""
+    from from_superset_to_clickhouse_spark.operators.graph import (
+        connected_components,
+        quality_survivors,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = ddp.ngram_jaccard_pairs(docs, threshold=0.5)
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        nodes=docs.select(F.col("doc_id").alias("node")),
+    )
+    return quality_survivors(
+        comp, docs.select("doc_id", "n_chars"), quality_col="n_chars"
+    ).select("component", F.col("node").alias("doc_id"), "n_chars")
+
+
 def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated 5-grams (substring-dedup primitive):
     grams appearing in >= 2 distinct documents, with their document
@@ -2999,6 +3023,16 @@ SELECT node AS doc_id FROM comp WHERE node = component""",
     )
 )
 
+# quality_dedup oracle: same pairs + closure, but the survivor is the
+# per-component argmax by (n_chars DESC, doc_id ASC) instead of min id.
+_QUALITY_DEDUP_SQL = _DEDUP_PIPELINE_SQL.replace(
+    "SELECT node AS doc_id FROM comp WHERE node = component",
+    """SELECT c.component, d.doc_id, d.n_chars
+FROM comp c JOIN documents d ON c.node = d.doc_id
+QUALIFY row_number()
+  OVER (PARTITION BY c.component ORDER BY d.n_chars DESC, d.doc_id) = 1""",
+)
+
 # minhash_candidates oracle (md5 hash family): recomputes the EXACT
 # Spark pipeline in DuckDB — shingle strings, 64 minhashes as the
 # lexicographic min of md5('i:shingle') hex strings, 16 band buckets as
@@ -3146,6 +3180,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "schema_evolution": q_schema_evolution,
     "lm_score": q_lm_score,
     "containment_join": q_containment_join,
+    "quality_dedup": q_quality_dedup,
     "weighted_mix": q_weighted_mix,
     "token_budget_mix": q_token_budget_mix,
 }
@@ -3735,6 +3770,7 @@ FROM ch WHERE len(c) > 0
         "scd2_merge": _SCD2_SQL,
         "profile": _PROFILE_SQL,
         "dedup_pipeline": _DEDUP_PIPELINE_SQL,
+        "quality_dedup": _QUALITY_DEDUP_SQL,
         "contamination": _CONTAMINATION_SQL,
         "clean_text": (
             "SELECT doc_id, trim(regexp_replace("

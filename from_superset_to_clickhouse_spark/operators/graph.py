@@ -105,3 +105,35 @@ def dedup_survivors(
     its minimum-id member — exactly the rows whose label equals
     themselves. Pure filter, no shuffle."""
     return components.filter(F.col(node_col) == F.col("component"))
+
+
+def quality_survivors(
+    components: DataFrame,
+    attrs: DataFrame,
+    quality_col: str,
+    node_col: str = "node",
+    attr_id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-BEST-per-cluster: the survivor of each duplicate cluster is
+    its highest-``quality_col`` member, ties broken by the lowest node
+    id — what production corpus dedup actually wants (keep the longest/
+    cleanest copy, not the lowest id). One ``max_by`` aggregate per
+    component: partial aggregation ships one candidate per component
+    per map task, where a row_number window would sort every cluster.
+    → (component, node, quality)."""
+    joined = components.join(
+        attrs, components[node_col] == attrs[attr_id_col]
+    ).select(
+        "component",
+        components[node_col].alias("_n"),
+        F.col(quality_col).alias("_q"),
+    )
+    pick = F.max_by(
+        F.struct(F.col("_n"), F.col("_q")),
+        F.struct(F.col("_q"), (-F.col("_n")).alias("_neg")),
+    ).alias("_w")
+    return joined.groupBy("component").agg(pick).select(
+        "component",
+        F.col("_w._n").alias(node_col),
+        F.col("_w._q").alias(quality_col),
+    )

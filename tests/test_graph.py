@@ -41,3 +41,26 @@ def test_cc_long_chain_converges(spark):
     }
     assert set(got.values()) == {0}
     assert len(got) == n + 1
+
+
+def test_quality_survivors_argmax_and_ties(spark):
+    """Quality-aware survivor: highest quality per component wins, ties
+    break to the lowest node id; singleton components keep themselves."""
+    from from_superset_to_clickhouse_spark.operators.graph import (
+        connected_components,
+        quality_survivors,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "src int, dst int")
+    nodes = spark.createDataFrame([(n,) for n in (1, 2, 3, 10, 11, 99)], "node int")
+    comp = connected_components(edges, nodes=nodes)
+    attrs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 2), (99, 1)],
+        "doc_id int, n_chars int",
+    )
+    got = {
+        r["component"]: (r["node"], r["n_chars"])
+        for r in quality_survivors(comp, attrs, "n_chars").collect()
+    }
+    # cluster {1,2,3}: 2 and 3 tie on quality 9 → lowest id (2) wins
+    assert got == {1: (2, 9), 10: (10, 4), 99: (99, 1)}
