@@ -1680,6 +1680,19 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_survivors(comp).select(F.col("node").alias("doc_id"))
 
 
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence anomaly gate: events whose value falls outside
+    [q1 - 1.5·IQR, q3 + 1.5·IQR] of their event-type — exact
+    interpolated quartiles per (small) group broadcast back onto a
+    single fact scan; the fact table never shuffles. At extreme group
+    cardinality swap percentile→approx_percentile (same call shape)."""
+    return dq.value_outliers(
+        _ev(spark, sf_dir).select("event_id", "event_type", "value"),
+        "value",
+        ["event_type"],
+    ).select("event_id", "event_type", "value", "lo_fence", "hi_fence")
+
+
 def q_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup END-TO-END: near-dup pairs → connected
     components → keep the HIGHEST-QUALITY member of each cluster
@@ -3181,6 +3194,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_score": q_lm_score,
     "containment_join": q_containment_join,
     "quality_dedup": q_quality_dedup,
+    "value_outliers": q_value_outliers,
     "weighted_mix": q_weighted_mix,
     "token_budget_mix": q_token_budget_mix,
 }
@@ -3771,6 +3785,23 @@ FROM ch WHERE len(c) > 0
         "profile": _PROFILE_SQL,
         "dedup_pipeline": _DEDUP_PIPELINE_SQL,
         "quality_dedup": _QUALITY_DEDUP_SQL,
+        "value_outliers": """
+WITH fences AS (
+  SELECT event_type,
+    round(CAST(quantile_cont(value, 0.25) AS DOUBLE)
+          - 1.5 * (CAST(quantile_cont(value, 0.75) AS DOUBLE)
+                   - CAST(quantile_cont(value, 0.25) AS DOUBLE)), 6)
+      AS lo_fence,
+    round(CAST(quantile_cont(value, 0.75) AS DOUBLE)
+          + 1.5 * (CAST(quantile_cont(value, 0.75) AS DOUBLE)
+                   - CAST(quantile_cont(value, 0.25) AS DOUBLE)), 6)
+      AS hi_fence
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value, f.lo_fence, f.hi_fence
+FROM events e JOIN fences f USING (event_type)
+WHERE e.value < f.lo_fence OR e.value > f.hi_fence
+""",
         "contamination": _CONTAMINATION_SQL,
         "clean_text": (
             "SELECT doc_id, trim(regexp_replace("

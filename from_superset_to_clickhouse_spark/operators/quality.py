@@ -134,3 +134,42 @@ def duplicate_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .filter(F.col("n_rows") > 1)
     )
+
+
+def value_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    k: float = 1.5,
+) -> DataFrame:
+    """Tukey-fence outlier detection per group: rows whose ``value_col``
+    falls outside [q1 - k·IQR, q3 + k·IQR] of their group — the
+    data-quality anomaly gate (flag a batch's wild values per
+    event-type/source before they poison downstream aggregates).
+
+    Scale shape: one exact-percentile aggregate per group (the group
+    dimension is small — event types, sources; at extreme group
+    cardinality swap ``percentile`` for ``approx_percentile``, same
+    call shape, t-digest one-pass) broadcast back onto the fact scan —
+    the fact table is scanned once and never shuffled. Returns the
+    flagged rows with their group's fences attached."""
+    fences = (
+        df.groupBy(*group_cols)
+        .agg(
+            F.expr(f"percentile({value_col}, 0.25)").alias("_q1"),
+            F.expr(f"percentile({value_col}, 0.75)").alias("_q3"),
+        )
+        .select(
+            *group_cols,
+            F.round(F.col("_q1") - k * (F.col("_q3") - F.col("_q1")), 6).alias(
+                "lo_fence"
+            ),
+            F.round(F.col("_q3") + k * (F.col("_q3") - F.col("_q1")), 6).alias(
+                "hi_fence"
+            ),
+        )
+    )
+    return df.join(F.broadcast(fences), list(group_cols)).filter(
+        (F.col(value_col) < F.col("lo_fence"))
+        | (F.col(value_col) > F.col("hi_fence"))
+    )

@@ -464,3 +464,20 @@ def test_hist_sketch_merge_equals_single_pass_and_error_bound(spark):
     p = sk.hist_partials(wild, "value", F.col("k"), lo, hi, B).collect()
     got = {(r["bucket"], r["cnt"]) for r in p}
     assert got == {(0, 1), (B - 1, 1)}
+
+
+def test_value_outliers_tukey_fences(spark):
+    """Planted wild values are flagged per group; in-fence values are
+    not; the broadcast plan never shuffles the fact side."""
+    from from_superset_to_clickhouse_spark.operators.quality import (
+        value_outliers,
+    )
+
+    rows = [(i, "a", float(v)) for i, v in enumerate([10, 11, 12, 13, 14, 999])]
+    rows += [(100 + i, "b", float(v)) for i, v in enumerate([5, 5, 5, 5, 5])]
+    df = spark.createDataFrame(rows, "id int, g string, v double")
+    got = {r["id"] for r in value_outliers(df, "v", ["g"]).collect()}
+    assert got == {5}  # only the 999 in group a; group b has zero IQR, no flags
+
+    plan = value_outliers(df, "v", ["g"])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
