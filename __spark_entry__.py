@@ -1680,6 +1680,43 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_survivors(comp).select(F.col("node").alias("doc_id"))
 
 
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel`` analog: per user, the deepest
+    view→click→purchase chain whose events all land within 1 day of the
+    chain's first event. One aggregate + a linear Catalyst fold over the
+    time-sorted per-user events (no per-step self-join, no Python); the
+    oracle brute-forces the chain EXISTS per depth with the identical
+    (ts, type) lexicographic tie rule."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        window_funnel,
+    )
+
+    return window_funnel(
+        _ev(spark, sf_dir),
+        ["view", "click", "purchase"],
+        window_micros=86_400 * 1_000_000,
+    )
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``retention`` analog: per user — signed up in week 1
+    (the cohort anchor), AND purchased in week 2, AND purchased in week
+    4. One conditional-max aggregate per condition; sum(rk)/sum(r1)
+    downstream is the retention curve."""
+    from from_superset_to_clickhouse_spark.operators.temporal import retention
+
+    ev = _ev(spark, sf_dir)
+    day = F.dayofmonth("ts")
+    return retention(
+        ev,
+        [
+            (F.col("event_type") == "signup") & (day <= 7),
+            (F.col("event_type") == "purchase") & (day > 7) & (day <= 14),
+            (F.col("event_type") == "purchase") & (day > 21),
+        ],
+    )
+
+
 def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey-fence anomaly gate: events whose value falls outside
     [q1 - 1.5·IQR, q3 + 1.5·IQR] of their event-type — exact
@@ -3195,6 +3232,8 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment_join": q_containment_join,
     "quality_dedup": q_quality_dedup,
     "value_outliers": q_value_outliers,
+    "window_funnel": q_window_funnel,
+    "retention": q_retention,
     "weighted_mix": q_weighted_mix,
     "token_budget_mix": q_token_budget_mix,
 }
@@ -3785,6 +3824,49 @@ FROM ch WHERE len(c) > 0
         "profile": _PROFILE_SQL,
         "dedup_pipeline": _DEDUP_PIPELINE_SQL,
         "quality_dedup": _QUALITY_DEDUP_SQL,
+        "retention": """
+SELECT user_id,
+  max(CASE WHEN event_type = 'signup' AND day(ts) <= 7 THEN 1 ELSE 0 END) = 1
+    AS r1,
+  max(CASE WHEN event_type = 'signup' AND day(ts) <= 7 THEN 1 ELSE 0 END) = 1
+  AND max(CASE WHEN event_type = 'purchase' AND day(ts) > 7 AND day(ts) <= 14
+           THEN 1 ELSE 0 END) = 1 AS r2,
+  max(CASE WHEN event_type = 'signup' AND day(ts) <= 7 THEN 1 ELSE 0 END) = 1
+  AND max(CASE WHEN event_type = 'purchase' AND day(ts) > 21
+           THEN 1 ELSE 0 END) = 1 AS r3
+FROM events GROUP BY user_id
+""",
+        # brute-force chain-EXISTS per depth; tie rule matches the
+        # fold's (ts, type) lexicographic order
+        "window_funnel": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (SELECT user_id, ts, event_type FROM events),
+d1 AS (SELECT DISTINCT user_id FROM v WHERE event_type = 'view'),
+d2 AS (
+  SELECT DISTINCT a.user_id
+  FROM v a JOIN v b ON b.user_id = a.user_id
+  WHERE a.event_type = 'view' AND b.event_type = 'click'
+    AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_type > a.event_type))
+    AND b.ts <= a.ts + INTERVAL 1 DAY
+),
+d3 AS (
+  SELECT DISTINCT a.user_id
+  FROM v a
+  JOIN v b ON b.user_id = a.user_id
+  JOIN v c ON c.user_id = a.user_id
+  WHERE a.event_type = 'view' AND b.event_type = 'click'
+    AND c.event_type = 'purchase'
+    AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_type > a.event_type))
+    AND (c.ts > b.ts OR (c.ts = b.ts AND c.event_type > b.event_type))
+    AND c.ts <= a.ts + INTERVAL 1 DAY
+)
+SELECT u.user_id,
+  CASE WHEN u.user_id IN (SELECT user_id FROM d3) THEN 3
+       WHEN u.user_id IN (SELECT user_id FROM d2) THEN 2
+       WHEN u.user_id IN (SELECT user_id FROM d1) THEN 1
+       ELSE 0 END AS funnel_depth
+FROM u
+""",
         "value_outliers": """
 WITH fences AS (
   SELECT event_type,

@@ -135,3 +135,95 @@ def range_join_bands(
     """
     cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     return fact.join(F.broadcast(bands), cond, "left")
+
+
+def window_funnel(
+    df: DataFrame,
+    steps: list[str],
+    window_micros: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """ClickHouse ``windowFunnel`` analog: per user, the deepest funnel
+    step reached by a chain of events matching ``steps`` in order, with
+    every chain event inside ``window_micros`` of the chain's FIRST
+    event. Chain order is strict in (ts, type) lexicographic order (the
+    deterministic tie rule — for distinct timestamps this is plain
+    time order).
+
+    One aggregate per user, then a linear Catalyst fold (F.aggregate)
+    over the time-sorted event structs — no window function, no
+    self-join per step, no Python. DP state: for each depth k, the
+    LATEST feasible anchor (first-step ts) among chains reaching k —
+    the extension test depends only on the anchor, so max-anchor
+    dominates and one array<long> of length |steps| is the whole state.
+    Reached depths form a prefix, so depth = count of non-null slots.
+    Per-user event lists are collected (bounded by per-user activity,
+    the same contract as sessionize/journeys); the fold is O(events ×
+    steps)."""
+    n = len(steps)
+    seq = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_micros(F.col(ts_col)).alias("t"),
+                F.col(type_col).alias("y"),
+            )
+        )
+    )
+
+    def advance(acc, e):
+        outs = []
+        for k, st in enumerate(steps):
+            cur = F.element_at(acc, k + 1)
+            cond = e["y"] == F.lit(st)
+            if k == 0:
+                cand = e["t"]
+            else:
+                prev = F.element_at(acc, k)
+                cond = (
+                    cond
+                    & prev.isNotNull()
+                    & (e["t"] - prev <= F.lit(window_micros))
+                )
+                cand = prev
+            outs.append(
+                F.when(
+                    cond,
+                    F.greatest(F.coalesce(cur, F.lit(-(2**62))), cand),
+                ).otherwise(cur)
+            )
+        return F.array(*outs)
+
+    init = F.array(*[F.lit(None).cast("long") for _ in range(n)])
+    state = F.aggregate(seq, init, advance)
+    return df.groupBy(user_col).agg(
+        F.size(F.filter(state, lambda x: x.isNotNull())).alias("funnel_depth")
+    )
+
+
+def retention(
+    df: DataFrame,
+    conds: Sequence[Column],
+    user_col: str = "user_id",
+) -> DataFrame:
+    """ClickHouse ``retention`` analog: per user, r1 = condition 1 ever
+    held (the cohort anchor — e.g. "signed up in week 0") and
+    rk = r1 AND condition k ever held ("…and came back in week k").
+    Downstream, `sum(rk)/sum(r1)` per cohort is the retention curve.
+    One aggregate, conditional max per condition — partial-aggregated,
+    no windows, no joins."""
+    aggs = [
+        F.max(F.when(c, F.lit(1)).otherwise(F.lit(0))).alias(f"_c{i}")
+        for i, c in enumerate(conds)
+    ]
+    got = df.groupBy(user_col).agg(*aggs)
+    first = F.col("_c0") == 1
+    return got.select(
+        user_col,
+        first.alias("r1"),
+        *[
+            (first & (F.col(f"_c{i}") == 1)).alias(f"r{i + 1}")
+            for i in range(1, len(conds))
+        ],
+    )

@@ -261,3 +261,66 @@ def test_weighted_mix_and_token_budget_mix(spark):
     dropped_better = [i for i, h in order.items()
                       if h < max_kept and i not in kept_a]
     assert dropped_better == []
+
+
+def test_window_funnel_depths_and_reanchoring(spark):
+    """windowFunnel semantics: full chain in window → depth 3; ordered
+    prefix only → its depth; step outside the anchor window → chain
+    stops; a LATER anchor re-opens the window (the max-anchor DP rule);
+    users with no step-1 event → 0."""
+    import datetime as dt
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        window_funnel,
+    )
+
+    T = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    rows = [
+        (1, T(1), "view"), (1, T(2), "click"), (1, T(2, 30), "purchase"),
+        (2, T(1), "click"), (2, T(2), "view"),          # wrong order
+        (3, T(1), "view"), (3, T(2), "click"), (3, T(9), "purchase"),
+        (4, T(1), "view"), (4, T(7), "view"),           # re-anchor at 7h
+        (4, T(8), "click"), (4, T(8, 30), "purchase"),
+        (5, T(1), "error"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    got = {
+        r["user_id"]: r["funnel_depth"]
+        for r in window_funnel(
+            df, ["view", "click", "purchase"], 2 * 3600 * 1_000_000
+        ).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 2, 4: 3, 5: 0}
+
+
+def test_retention_anchor_gating(spark):
+    """retention: rk requires BOTH the anchor condition and condition k;
+    a user matching later conditions without the anchor is all-false."""
+    import datetime as dt
+
+    from from_superset_to_clickhouse_spark.operators.temporal import retention
+
+    D = lambda d: dt.datetime(2024, 1, d)
+    rows = [
+        (1, D(2), "signup"), (1, D(10), "purchase"),   # r1, r2; no r3
+        (2, D(10), "purchase"), (2, D(25), "purchase"),  # no anchor
+        (3, D(3), "signup"), (3, D(25), "purchase"),   # r1, r3
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    day = F.dayofmonth("ts")
+    got = {
+        r["user_id"]: (r["r1"], r["r2"], r["r3"])
+        for r in retention(
+            df,
+            [
+                (F.col("event_type") == "signup") & (day <= 7),
+                (F.col("event_type") == "purchase") & (day > 7) & (day <= 14),
+                (F.col("event_type") == "purchase") & (day > 21),
+            ],
+        ).collect()
+    }
+    assert got == {
+        1: (True, True, False),
+        2: (False, False, False),
+        3: (True, False, True),
+    }
