@@ -700,6 +700,33 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ddp.containment_join(sets, "doc_id", "sh", threshold=0.6)
 
 
+def q_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table record linkage end-to-end: a deterministically-corrupted
+    copy of the customer names (every '1'→'7') is linked back to the
+    canonical table via symmetric-delete blocked fuzzy_join (lev ≤ 2; no
+    |L|×|R| cross join), then resolved to the BEST match per noisy
+    record (min distance, ties to lowest key) with one min_by aggregate.
+    The oracle brute-forces the cross join + QUALIFY argmin."""
+    cust = _t(spark, sf_dir, "customer")
+    dirty = cust.select(
+        (F.col("c_custkey") + 1_000_000).alias("d_id"),
+        F.translate("c_name", "1", "7").alias("d_name"),
+    )
+    pairs = ddp.fuzzy_join(
+        dirty, cust, "d_id", "d_name", "c_custkey", "c_name", max_dist=2
+    )
+    best = F.min_by(
+        F.struct(F.col("c_custkey"), F.col("dist")),
+        F.struct(F.col("dist"), F.col("c_custkey")),
+    ).alias("_b")
+    return (
+        pairs.groupBy("d_id")
+        .agg(best)
+        .select("d_id", F.col("_b.c_custkey").alias("match_key"),
+                F.col("_b.dist").alias("dist"))
+    )
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram LM quality scoring (CCNet-style LM filtering at unigram
     order): every document scored by the add-one-smoothed mean token
@@ -3234,6 +3261,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_outliers": q_value_outliers,
     "window_funnel": q_window_funnel,
     "retention": q_retention,
+    "fuzzy_link": q_fuzzy_link,
     "weighted_mix": q_weighted_mix,
     "token_budget_mix": q_token_budget_mix,
 }
@@ -3726,6 +3754,19 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
     AS containment
 FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
 WHERE round(len(list_intersect(a.s, b.s)) / greatest(len(a.s), 1), 6) >= 0.6
+""",
+        # cross-table brute force + argmin; ties to lowest key
+        "fuzzy_link": """
+WITH dirty AS (
+  SELECT c_custkey + 1000000 AS d_id, translate(c_name, '1', '7') AS d_name
+  FROM customer
+)
+SELECT d.d_id, c.c_custkey AS match_key,
+       levenshtein(d.d_name, c.c_name) AS dist
+FROM dirty d JOIN customer c ON levenshtein(d.d_name, c.c_name) <= 2
+QUALIFY row_number()
+  OVER (PARTITION BY d.d_id
+        ORDER BY levenshtein(d.d_name, c.c_name), c.c_custkey) = 1
 """,
         "lm_score": """
 WITH toks AS (

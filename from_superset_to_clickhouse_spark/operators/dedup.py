@@ -1129,3 +1129,53 @@ def containment_join(
         .select("id_a", "id_b", "containment")
     )
     return _finalize(out, base, ranked)
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_text: str,
+    right_id: str,
+    right_text: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Two-table fuzzy matcher (record linkage): every (left, right) pair
+    within Levenshtein distance ``max_dist`` (1 or 2) — linking noisy
+    strings (user input, OCR, corrupted feeds) to a canonical dimension
+    without the |L|×|R| cross join. Same symmetric-delete blocking and
+    completeness argument as ``fuzzy_pairs`` (the self-join case), with
+    candidates from variant equality across the two sides and exact
+    ``levenshtein`` verification. → (left_id, right_id, dist)."""
+    lkeys = left.select(
+        F.col(left_id).alias("_lid"),
+        F.length(left_text).alias("_lln"),
+        F.explode(delete_variants(F.col(left_text), max_dist)).alias("_key"),
+    )
+    rkeys = right.select(
+        F.col(right_id).alias("_rid"),
+        F.length(right_text).alias("_rln"),
+        F.explode(delete_variants(F.col(right_text), max_dist)).alias("_key"),
+    )
+    cand = (
+        lkeys.join(
+            rkeys,
+            (lkeys["_key"] == rkeys["_key"])
+            & (F.abs(F.col("_lln") - F.col("_rln")) <= F.lit(max_dist)),
+        )
+        .select("_lid", "_rid")
+        .distinct()
+    )
+    lt = left.select(F.col(left_id).alias("_lid"), F.col(left_text).alias("_ls"))
+    rt = right.select(F.col(right_id).alias("_rid"), F.col(right_text).alias("_rs"))
+    return (
+        cand.join(lt, "_lid")
+        .join(rt, "_rid")
+        .withColumn("dist", F.levenshtein("_ls", "_rs"))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.col("_lid").alias(left_id),
+            F.col("_rid").alias(right_id),
+            "dist",
+        )
+    )

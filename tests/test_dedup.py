@@ -307,3 +307,25 @@ def test_containment_join_exact_vs_brute_force(spark):
         for r in ddp.set_similarity_join(df, "id", "s", 0.8).collect()
     }
     assert jac == set()
+
+
+def test_fuzzy_join_two_table_linkage(spark):
+    """Cross-table fuzzy join: noisy strings link to their canonical
+    originals within max_dist; unrelated strings do not link; the
+    length band excludes far-length pairs."""
+    clean = spark.createDataFrame(
+        [(1, "alpha"), (2, "bravo"), (3, "charlie")], "id int, s string"
+    )
+    noisy = spark.createDataFrame(
+        [(10, "alpho"), (11, "brvo"), (12, "zzzzz"), (13, "charliecharlie")],
+        "id int, s string",
+    )
+    got = {
+        (r["nid"], r["cid"], r["dist"])
+        for r in ddp.fuzzy_join(
+            noisy.withColumnRenamed("id", "nid"),
+            clean.withColumnRenamed("id", "cid"),
+            "nid", "s", "cid", "s", max_dist=1,
+        ).collect()
+    }
+    assert got == {(10, 1, 1), (11, 2, 1)}
