@@ -700,6 +700,15 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ddp.containment_join(sets, "doc_id", "sh", threshold=0.6)
 
 
+def q_group_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group deterministic sampling (eval-set assembly):
+    50 documents per language by affine-hash admission order — rerun-
+    and-repartition stable, groups smaller than k keep everything."""
+    return smp.group_sample_k(
+        _docs(spark, sf_dir), key_col="doc_id", group_col="lang", k=50
+    ).select("doc_id", "lang")
+
+
 def q_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-table record linkage end-to-end: a deterministically-corrupted
     copy of the customer names (every '1'→'7') is linked back to the
@@ -3262,6 +3271,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_funnel": q_window_funnel,
     "retention": q_retention,
     "fuzzy_link": q_fuzzy_link,
+    "group_sample_k": q_group_sample_k,
     "weighted_mix": q_weighted_mix,
     "token_budget_mix": q_token_budget_mix,
 }
@@ -4392,6 +4402,12 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
             "doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM documents) "
             "WHERE cum <= CASE source WHEN 'src0' THEN 4000 "
             "WHEN 'src1' THEN 2000 ELSE 1500 END"
+        ),
+        "group_sample_k": (
+            "SELECT doc_id, lang FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY lang ORDER BY "
+            "((doc_id % 1000003) * 514229 + 285311) % 1000003 % 10000, "
+            "doc_id) <= 50"
         ),
         "stratified_sample": (
             "SELECT doc_id, lang FROM documents WHERE "

@@ -261,3 +261,29 @@ def quantile_buckets(
     for b in bounds:
         tier = tier + F.when(F.col(value_col) > F.lit(b), 1).otherwise(0)
     return df.withColumn(out_col, tier.cast("int"))
+
+
+def group_sample_k(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int,
+) -> DataFrame:
+    """Exactly-k-per-group deterministic sampling (eval-set assembly:
+    "200 documents per language/source, reproducibly"). Admission order
+    is the affine key hash (``hash_basis_points`` — the ANSI-replicable
+    family, ties broken by key; repartition/insertion-order stable), so reruns and incremental rebuilds pick the
+    same rows; groups smaller than k keep everything.
+
+    One window over (group, hash): the per-group sort is the honest
+    cost — bounded by group size, AQE-skew tolerant; for rate-based
+    (not exact-count) needs use ``stratified_sample``, which never
+    sorts."""
+    w = Window.partitionBy(group_col).orderBy(
+        hash_basis_points(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -329,3 +329,48 @@ def test_fuzzy_join_two_table_linkage(spark):
         ).collect()
     }
     assert got == {(10, 1, 1), (11, 2, 1)}
+
+
+def test_fuzzy_pairs_randomized_completeness(spark):
+    """Randomized completeness: 150 random strings, each paired with a
+    variant produced by 1-2 random edits (substitution/insertion/
+    deletion). Every planted pair within its edit budget must be found
+    — the symmetric-delete completeness theorem, exercised across edit
+    types and positions. Seeded, deterministic."""
+    import random
+
+    rng = random.Random(42)
+    alpha = "abcdefghij"
+    rows, expected = [], set()
+    for i in range(150):
+        s = "".join(rng.choice(alpha) for _ in range(rng.randint(4, 12)))
+        t = s
+        n_edits = rng.randint(1, 2)
+        for _ in range(n_edits):
+            op = rng.choice(["sub", "ins", "del"])
+            p = rng.randint(0, max(len(t) - 1, 0))
+            if op == "sub" and t:
+                t = t[:p] + rng.choice(alpha) + t[p + 1:]
+            elif op == "ins":
+                t = t[:p] + rng.choice(alpha) + t[p:]
+            elif t:
+                t = t[:p] + t[p + 1:]
+        a, b = 2 * i, 2 * i + 1
+        rows += [(a, s), (b, t)]
+        # actual lev may undershoot n_edits (edits can cancel); the
+        # operator contract is about TRUE distance, so recompute it
+        prev = list(range(len(t) + 1))
+        for x, ca in enumerate(s, 1):
+            cur = [x]
+            for y, cb in enumerate(t, 1):
+                cur.append(min(prev[y] + 1, cur[-1] + 1, prev[y - 1] + (ca != cb)))
+            prev = cur
+        if 0 < prev[-1] <= 2:
+            expected.add((a, b, prev[-1]))
+    df = spark.createDataFrame(rows, "id int, s string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in ddp.fuzzy_pairs(df, "id", "s", max_dist=2).collect()
+    }
+    missed = expected - got
+    assert not missed, f"planted pairs missed: {sorted(missed)[:5]}"

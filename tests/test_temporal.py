@@ -324,3 +324,22 @@ def test_retention_anchor_gating(spark):
         2: (False, False, False),
         3: (True, False, True),
     }
+
+
+def test_group_sample_k_exact_stable(spark):
+    """Exactly k per group, repartition-stable, small groups intact."""
+    from from_superset_to_clickhouse_spark.operators.sampling import (
+        group_sample_k,
+    )
+    from from_superset_to_clickhouse_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = group_sample_k(docs, "doc_id", "lang", 10)
+    counts = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n == min(10, sizes[lang])
+
+    a = {r["doc_id"] for r in got.collect()}
+    b = {r["doc_id"] for r in group_sample_k(docs.repartition(13), "doc_id", "lang", 10).collect()}
+    assert a == b  # admission independent of physical layout
