@@ -700,6 +700,22 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ddp.containment_join(sets, "doc_id", "sh", threshold=0.6)
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (tokens with frequency > n/500) via two-pass
+    Misra–Gries: per-partition Arrow-batched summaries (≤k rows each —
+    provably a superset of every global heavy hitter) then exact counts
+    of candidates only. The shuffle is bounded by partitions×k, not the
+    vocabulary — the cost the exact-groupBy oracle twin pays."""
+    from from_superset_to_clickhouse_spark.operators.sketch import (
+        heavy_hitters,
+    )
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(txt.word_tokens(F.col("text"))).alias("tok")
+    )
+    return heavy_hitters(toks, "tok", k=500)
+
+
 def q_group_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-k-per-group deterministic sampling (eval-set assembly):
     50 documents per language by affine-hash admission order — rerun-
@@ -3272,6 +3288,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention": q_retention,
     "fuzzy_link": q_fuzzy_link,
     "group_sample_k": q_group_sample_k,
+    "heavy_hitters": q_heavy_hitters,
     "weighted_mix": q_weighted_mix,
     "token_budget_mix": q_token_budget_mix,
 }
@@ -4403,6 +4420,17 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
             "WHERE cum <= CASE source WHEN 'src0' THEN 4000 "
             "WHEN 'src1' THEN 2000 ELSE 1500 END"
         ),
+        "heavy_hitters": """
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                x -> x <> '')) AS item
+  FROM documents
+), tot AS (SELECT count(*) AS n FROM toks)
+SELECT item, count(*) AS cnt
+FROM toks, tot
+GROUP BY item, tot.n
+HAVING count(*) > tot.n / 500.0
+""",
         "group_sample_k": (
             "SELECT doc_id, lang FROM documents "
             "QUALIFY row_number() OVER (PARTITION BY lang ORDER BY "

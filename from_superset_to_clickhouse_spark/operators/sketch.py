@@ -107,3 +107,55 @@ def hist_quantiles(
             "total",
         )
     )
+
+
+def heavy_hitters(df: DataFrame, item_col: str, k: int = 100) -> DataFrame:
+    """EXACT heavy hitters without a full-cardinality shuffle: all items
+    with frequency > n/k, with exact counts — (item, cnt).
+
+    Two passes. Pass 1 runs a Misra–Gries summary per partition
+    (mapInPandas; batches pre-counted with value_counts, summaries
+    merged by add-then-subtract-(k+1)th — the standard mergeable-MG
+    reduction), emitting ≤ k candidate rows per partition. The union of
+    per-partition summaries PROVABLY contains every global >n/k item:
+    such an item is >local_n/k in at least one partition (pigeonhole),
+    and MG(k) retains everything above local_n/(k+1). Pass 2 exactly
+    counts candidates only (broadcast semi-join, then a shuffle bounded
+    by the candidate set, not the vocabulary). The exact groupBy twin
+    shuffles one row per DISTINCT item — at web-corpus vocabularies
+    that is the cost this operator deletes; results are identical,
+    which is what the oracle checks."""
+    import pandas as pd
+
+    # items ride as strings (the Arrow summary schema is fixed); the
+    # cast is injective for scalar types, so counts are unchanged
+    src = df.select(F.col(item_col).cast("string").alias("item")).filter(
+        F.col("item").isNotNull()
+    )
+
+    def mg_partial(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for it, c in pdf["item"].value_counts().items():
+                counters[it] = counters.get(it, 0) + int(c)
+            if len(counters) > k:
+                kth = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    i: v - kth for i, v in counters.items() if v - kth > 0
+                }
+        yield pd.DataFrame(
+            {"item": list(counters.keys()), "cnt": list(counters.values())}
+        )
+
+    cand = (
+        src.mapInPandas(mg_partial, "item string, cnt long")
+        .select("item")
+        .distinct()
+    )
+    total = src.count()
+    return (
+        src.join(F.broadcast(cand), "item")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > F.lit(total / k))
+    )

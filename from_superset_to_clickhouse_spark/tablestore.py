@@ -578,6 +578,22 @@ class TableStore:
                 df = df.withColumn(cname, F.coalesce(F.col(cname), filler))
         return df
 
+    def current_seq(self, name: str) -> int:
+        """The last committed ingest-sequence number — pair with
+        ``read_since`` for incremental consumption."""
+        return self._meta(name)["ingest_seq"]
+
+    def read_since(self, name: str, seq: int) -> DataFrame:
+        """Incremental consumption — the store as a CDC source: rows
+        appended by batches AFTER sequence ``seq``. A downstream job
+        remembers ``current_seq()`` at each run and reads only the
+        delta; because every append stamps one constant
+        ``_ingest_seq`` per batch, the predicate is satisfied or
+        refuted by each file's parquet min/max stats, so old files are
+        pruned at the row-group level without any manifest — the scan
+        cost tracks the delta, not the table."""
+        return self.read(name).filter(F.col(INGEST_SEQ_COL) > F.lit(seq))
+
     def latest_view(self, name: str) -> DataFrame:
         """Dedup-on-read: per dedup key keep the latest version — the
         deterministic ``SELECT … FINAL``.

@@ -481,3 +481,26 @@ def test_value_outliers_tukey_fences(spark):
 
     plan = value_outliers(df, "v", ["g"])._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_heavy_hitters_exact_and_superset_guarantee(spark):
+    """Two-pass Misra-Gries heavy hitters equal the exact groupBy twin
+    under adversarial partitioning (an item spread thin across many
+    partitions must still surface), including skewed and uniform mixes."""
+    from from_superset_to_clickhouse_spark.operators.sketch import (
+        heavy_hitters,
+    )
+
+    # 40% 'hot', a mid item, and a uniform tail of 200 singletons x 3
+    rows = [("hot",)] * 400 + [("warm",)] * 60
+    rows += [(f"tail{i}",) for i in range(200) for _ in range(3)]
+    df = spark.createDataFrame(rows, "item string").repartition(16)
+    n = len(rows)
+    k = 20
+    got = {(r["item"], r["cnt"]) for r in heavy_hitters(df, "item", k).collect()}
+    brute = {
+        (r["item"], r["cnt"])
+        for r in df.groupBy("item").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        if r["cnt"] > n / k
+    }
+    assert got == brute and brute == {("hot", 400), ("warm", 60)}

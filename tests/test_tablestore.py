@@ -549,3 +549,30 @@ def test_add_column_empty_table_and_no_default(spark, tmp_path):
     )
     rows = store.read("logs").collect()
     assert [r["tag"] for r in rows] == [None]
+
+
+def test_read_since_incremental_consumption(spark, tmp_path):
+    """read_since(seq) returns exactly the batches committed after seq,
+    and the _ingest_seq predicate reaches the parquet scan (PushedFilters)
+    so old files prune via row-group stats."""
+    import contextlib
+    import io
+
+    from conftest import logs_schema, ts
+
+    store = TableStore(spark, str(tmp_path))
+    store.create(logs_schema("logs"))
+    store.append("logs", _mkdf(spark, [(1, ts(1, 5), "a")]))
+    s1 = store.current_seq("logs")
+    store.append("logs", _mkdf(spark, [(2, ts(1, 6), "b")]))
+    store.append("logs", _mkdf(spark, [(3, ts(2, 5), "c")]))
+
+    got = sorted(r["id"] for r in store.read_since("logs", s1).collect())
+    assert got == [2, 3]
+    assert store.read_since("logs", store.current_seq("logs")).count() == 0
+
+    q = store.read_since("logs", s1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    assert "_ingest_seq" in buf.getvalue() and "PushedFilters" in buf.getvalue()
