@@ -700,6 +700,35 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ddp.containment_join(sets, "doc_id", "sh", threshold=0.6)
 
 
+def q_lm_filter_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped curation composition END-TO-END: unigram LM scores →
+    keep documents at or above the corpus median score (exact
+    interpolated percentile as the deterministic threshold, fetched by
+    a bounded scalar probe) → per-source weighted mix (src0 kept whole,
+    every other source thinned to 40%) → per (source, lang) survivor
+    counts and mean score. Each stage is an independently-oracled
+    operator; this entry hash-checks their interaction."""
+    docs = _docs(spark, sf_dir)
+    scored = txt.unigram_lm_scores(docs).join(
+        docs.select("doc_id", "lang", "source"), "doc_id"
+    )
+    med = scored.agg(F.expr("percentile(lm_logprob, 0.5)")).first()[0]
+    kept = scored.filter(F.col("lm_logprob") >= F.lit(med))
+    mixed = smp.weighted_mix(
+        kept, "doc_id", "source", {"src0": 10000}, default_bp=4000
+    )
+    # score sum as a scaled integer: each round-6 score × 1e6 is
+    # integer-valued, so the rounded sum is exact — a group MEAN of two
+    # 6-decimal scores can land on a half-way point and round apart
+    # across engines (seen: 1e-6 flip on one (source, lang) group)
+    return mixed.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("lm_logprob") * 1e6, 0).cast("long").alias(
+            "sum_lp_micro"
+        ),
+    )
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT heavy hitters (tokens with frequency > n/500) via two-pass
     Misra–Gries: per-partition Arrow-batched summaries (≤k rows each —
@@ -3289,6 +3318,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_link": q_fuzzy_link,
     "group_sample_k": q_group_sample_k,
     "heavy_hitters": q_heavy_hitters,
+    "lm_filter_mix": q_lm_filter_mix,
     "weighted_mix": q_weighted_mix,
     "token_budget_mix": q_token_budget_mix,
 }
@@ -4420,6 +4450,36 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
             "WHERE cum <= CASE source WHEN 'src0' THEN 4000 "
             "WHEN 'src1' THEN 2000 ELSE 1500 END"
         ),
+        # chained CTEs of the lm_score / percentile / weighted_mix twins
+        "lm_filter_mix": """
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                       x -> x <> '')) AS tok
+  FROM documents
+), freq AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM freq
+), scores AS (
+  SELECT t.doc_id,
+         round(avg(ln(CAST(coalesce(f.c, 0) + 1 AS DOUBLE)
+                      / (tot.n + tot.v))), 6) AS lm_logprob
+  FROM toks t LEFT JOIN freq f ON t.tok = f.tok, tot
+  GROUP BY 1
+), med AS (
+  SELECT CAST(quantile_cont(lm_logprob, 0.5) AS DOUBLE) AS m FROM scores
+), mixed AS (
+  SELECT s.doc_id, s.lm_logprob, d.lang, d.source
+  FROM scores s JOIN documents d USING (doc_id), med
+  WHERE s.lm_logprob >= med.m
+    AND ((s.doc_id % 1000003) * 514229 + 285311) % 1000003 % 10000 <
+        CASE d.source WHEN 'src0' THEN 10000 ELSE 4000 END
+)
+SELECT source, lang, count(*) AS n_docs,
+       CAST(round(sum(lm_logprob) * 1000000, 0) AS BIGINT) AS sum_lp_micro
+FROM mixed GROUP BY 1, 2
+""",
         "heavy_hitters": """
 WITH toks AS (
   SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
