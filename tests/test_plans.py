@@ -251,3 +251,36 @@ def test_correctness_window_contract(spark, qmap):
             if isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType)):
                 bad.append((n, f.name, f.dataType.simpleString()))
     assert bad == []
+
+
+def test_similarity_join_family_never_goes_quadratic(spark, qmap):
+    """The round-6 exact similarity joins must candidate through hash
+    joins on blocking keys — a CartesianProduct or a non-broadcast
+    nested loop in any of them is the n² plan they exist to avoid."""
+    for name in (
+        "fuzzy_pairs",
+        "fuzzy_link",
+        "prefix_jaccard_join",
+        "containment_join",
+    ):
+        plan = _plan(qmap[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+
+
+def test_window_funnel_single_shuffle_no_python(spark, qmap):
+    """Funnel depth is one per-user aggregate + a Catalyst fold: exactly
+    one exchange, no Python evaluation nodes."""
+    plan = _plan(qmap["window_funnel"](spark, SF))
+    assert plan.count("Exchange") <= 2  # pre-AQE plan: agg partial/final pair
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert node not in plan
+
+
+def test_heavy_hitters_candidate_join_is_broadcast(spark, qmap):
+    """Pass 2 must probe the (tiny) candidate set via broadcast — a
+    shuffled join here would reintroduce the vocabulary-wide exchange
+    the operator deletes."""
+    plan = _plan(qmap["heavy_hitters"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
