@@ -3294,6 +3294,228 @@ SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.9
 """
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval: top-15 documents for a 4-term query.
+    The serving path of an inverted index without materializing one —
+    postings are filtered to the query terms before any aggregation, so
+    the only full corpus pass is the doc-length aggregate."""
+    return txt.bm25_topk(
+        _docs(spark, sf_dir), ["spark", "vector", "merge", "stream"], k=15
+    )
+
+
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample with forward fill (TimescaleDB
+    ``time_bucket_gapfill``+``locf`` / ClickHouse ``WITH FILL`` analog):
+    per event_type, one row per hour between its first and last event;
+    empty hours carry the last seen hourly sum forward. The grid is
+    generated (``sequence``), the fill is one keyed running window —
+    same single-shuffle shape as ``asof_join``."""
+    return tmp.resample_ffill(
+        _ev(spark, sf_dir), "event_type", "ts", "value", step="1 hour"
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli corpus sampling: keep each document with
+    probability ∝ n_chars (the importance-sampling primitive of corpus
+    curation), via a PURE-INTEGER deterministic hash test — bit-exact
+    in any engine, stable under repartition. Output: kept doc count and
+    token mass per source."""
+    kept = smp.weighted_sample(
+        _docs(spark, sf_dir), "doc_id", "n_chars", target_bp=5000
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col("n_chars").cast("long")).alias("kept_chars"),
+    )
+
+
+def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power iterations, d=0.85) over the customer→supplier
+    trade graph (orders⋈lineitem edge list), rolled up to supplier-PR
+    mass per nation — 'which nations' suppliers sit at the center of
+    the trade network'. The oracle is the same three iterations
+    unrolled as CTEs; dangling-node semantics declared identically."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+    )
+    from from_superset_to_clickhouse_spark.operators import graph as gr
+
+    ranks = gr.pagerank(edges, iters=3, damping=0.85)
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias(
+            "node"
+        ),
+        "s_nationkey",
+    )
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        ranks.join(F.broadcast(sup), "node")
+        .join(
+            F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_sup"),
+            F.round(F.sum("pr"), 6).alias("pr_mass"),
+        )
+    )
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt via the built-in ``unpivot`` (ClickHouse has no
+    UNPIVOT; this is the `arrayJoin(map)` idiom done relationally):
+    three lineitem measures become (metric, value) rows. Zero-shuffle —
+    unpivot is a generator expression inside the scan stage."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 997 == 0
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "value",
+    )
+
+
+_BM25_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                       x -> x <> '')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+), qtf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('merge', 'spark', 'stream', 'vector') GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df_docs FROM qtf GROUP BY 1
+), scored AS (
+  SELECT qtf.doc_id,
+    ln(1.0 + (stats.n_docs - dfreq.df_docs + 0.5) / (dfreq.df_docs + 0.5))
+      * (qtf.tf * (1.2 + 1.0))
+      / (qtf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
+  FROM qtf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+), agg AS (
+  SELECT doc_id, round(sum(s), 6) AS score FROM scored GROUP BY 1
+)
+SELECT doc_id, score,
+  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+FROM agg ORDER BY score DESC, doc_id LIMIT 15
+"""
+
+_RESAMPLE_SQL = r"""
+WITH agg AS (
+  SELECT event_type AS key, date_trunc('hour', ts) AS bucket,
+    count(*) AS n_events, round(sum(value), 6) AS val
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type AS key,
+    min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi
+  FROM events GROUP BY 1
+), spine AS (
+  SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+)
+SELECT s.key, s.bucket,
+  COALESCE(a.n_events, 0) AS n_events,
+  last_value(a.val IGNORE NULLS) OVER (
+    PARTITION BY s.key ORDER BY s.bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val,
+  CAST(a.val IS NULL AS INTEGER) AS is_gap
+FROM spine s LEFT JOIN agg a ON s.key = a.key AND s.bucket = a.bucket
+"""
+
+_WEIGHTED_SAMPLE_SQL = r"""
+WITH ref AS (SELECT max(n_chars) AS w_ref FROM documents),
+kept AS (
+  SELECT d.* FROM documents d CROSS JOIN ref
+  WHERE ((doc_id % 1000003) * 514229 + 285311) % 1000003 % 10000 * w_ref
+        < 5000 * n_chars
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+  CAST(sum(n_chars) AS BIGINT) AS kept_chars
+FROM kept GROUP BY source
+"""
+
+# The three PageRank power iterations unrolled; (1-d)/N is computed in
+# forced-DOUBLE arithmetic so the constant is bit-identical to the
+# engine's Python-float 1.0 - 0.85.
+_PAGERANK_SQL = r"""
+WITH e AS (
+  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), od AS (
+  SELECT src, count(*) AS outdeg FROM e GROUP BY 1
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / count(*) AS base
+  FROM nodes
+),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n.n AS pr FROM nodes CROSS JOIN n),
+c1 AS (
+  SELECT e.dst, sum(r0.pr / od.outdeg) AS inflow
+  FROM r0 JOIN e ON r0.node = e.src JOIN od ON e.src = od.src GROUP BY 1
+),
+r1 AS (
+  SELECT nodes.node,
+    n.base + CAST(0.85 AS DOUBLE) * COALESCE(c1.inflow, 0.0) AS pr
+  FROM nodes CROSS JOIN n LEFT JOIN c1 ON nodes.node = c1.dst
+),
+c2 AS (
+  SELECT e.dst, sum(r1.pr / od.outdeg) AS inflow
+  FROM r1 JOIN e ON r1.node = e.src JOIN od ON e.src = od.src GROUP BY 1
+),
+r2 AS (
+  SELECT nodes.node,
+    n.base + CAST(0.85 AS DOUBLE) * COALESCE(c2.inflow, 0.0) AS pr
+  FROM nodes CROSS JOIN n LEFT JOIN c2 ON nodes.node = c2.dst
+),
+c3 AS (
+  SELECT e.dst, sum(r2.pr / od.outdeg) AS inflow
+  FROM r2 JOIN e ON r2.node = e.src JOIN od ON e.src = od.src GROUP BY 1
+),
+r3 AS (
+  SELECT nodes.node,
+    n.base + CAST(0.85 AS DOUBLE) * COALESCE(c3.inflow, 0.0) AS pr
+  FROM nodes CROSS JOIN n LEFT JOIN c3 ON nodes.node = c3.dst
+),
+final AS (SELECT node, round(pr, 9) AS pr FROM r3)
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_sup,
+  round(sum(pr), 6) AS pr_mass
+FROM final
+JOIN supplier ON final.node = 's:' || s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+_UNPIVOT_SQL = r"""
+WITH src AS (SELECT * FROM lineitem WHERE l_orderkey % 997 = 0)
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+  l_quantity AS value FROM src
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM src
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
+"""
+
+
 # Queries added mid-round are registered here so they land inside the
 # driver's 50-entry CORRECTNESS window (spliced right after the
 # never-yet-checked block) without renumbering the rest of ``queries()``.
@@ -3321,6 +3543,11 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_filter_mix": q_lm_filter_mix,
     "weighted_mix": q_weighted_mix,
     "token_budget_mix": q_token_budget_mix,
+    "bm25_topk": q_bm25_topk,
+    "resample_ffill": q_resample_ffill,
+    "weighted_sample": q_weighted_sample,
+    "pagerank_nations": q_pagerank_nations,
+    "unpivot_metrics": q_unpivot,
 }
 
 
@@ -4450,6 +4677,11 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
             "WHERE cum <= CASE source WHEN 'src0' THEN 4000 "
             "WHEN 'src1' THEN 2000 ELSE 1500 END"
         ),
+        "bm25_topk": _BM25_SQL,
+        "resample_ffill": _RESAMPLE_SQL,
+        "weighted_sample": _WEIGHTED_SAMPLE_SQL,
+        "pagerank_nations": _PAGERANK_SQL,
+        "unpivot_metrics": _UNPIVOT_SQL,
         # chained CTEs of the lm_score / percentile / weighted_mix twins
         "lm_filter_mix": """
 WITH toks AS (

@@ -137,3 +137,63 @@ def quality_survivors(
         F.col("_w._n").alias(node_col),
         F.col("_w._q").alias(quality_col),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list → (node, pr).
+
+    Plain power iteration: every node starts at 1/N; each round
+    ``pr'(v) = (1-d)/N + d * Σ_{u→v} pr(u)/outdeg(u)``. Dangling nodes
+    (outdeg 0) contribute nothing — the simple formulation, declared so
+    the SQL twin (the same ``iters`` rounds unrolled as CTEs) states
+    identical semantics. ``pr`` is rounded at output only.
+
+    Shape at scale: the edge list with its precomputed ``outdeg`` is the
+    loop invariant — built once, ``localCheckpoint``ed, and reused every
+    round so lineage stays flat. Each round is one join (ranks × edges,
+    both shuffling on the SAME src key, so the exchange is reused) + one
+    partial-aggregated groupBy on dst + a left join back to the node
+    universe for no-inbound nodes. Ranks are O(|V|) and never collected;
+    ``iters`` is fixed (rank deltas decay geometrically — a convergence
+    probe would add a driver round-trip per iteration for nothing).
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = e.join(outdeg, "src").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    ranks = nodes.select("node", (F.lit(1.0) / n).alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            ranks.join(ew, ranks["node"] == ew["src"])
+            .select("dst", (F.col("pr") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round("pr", 9).alias("pr"))

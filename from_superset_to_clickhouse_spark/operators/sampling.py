@@ -287,3 +287,37 @@ def group_sample_k(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    target_bp: int,
+    w_ref: int | None = None,
+) -> DataFrame:
+    """Weighted Bernoulli sampling: keep each row with probability
+    proportional to its (non-negative integer) weight —
+    ``P(keep) = (target_bp / 10000) * (w / w_ref)`` with ``w_ref``
+    defaulting to the corpus max weight.
+
+    The inclusion test is PURE INTEGER arithmetic on the deterministic
+    key hash: ``hash_bp(key) * w_ref < target_bp * w`` — reproducible
+    bit-for-bit by any SQL engine, stable under repartitioning, and
+    key-stable (an entity is in or out as a unit). This is the
+    importance-sampling primitive of corpus curation: sample documents
+    proportional to length/quality so the kept token mass tracks the
+    target mix without a global sort or RNG state.
+
+    Scale shape: ``w_ref`` is one MAX scalar probe (or a constant the
+    caller pins for cross-run stability); the filter itself is a
+    codegen'd predicate evaluated in the scan — no shuffle, no window.
+    """
+    if w_ref is None:
+        w_ref = df.agg(
+            F.max(F.col(weight_col).cast("long")).alias("m")
+        ).collect()[0]["m"]
+    return df.filter(
+        hash_basis_points(F.col(key_col)) * F.lit(int(w_ref))
+        < F.lit(int(target_bp)) * F.col(weight_col).cast("long")
+    )

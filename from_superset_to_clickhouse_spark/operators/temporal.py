@@ -227,3 +227,65 @@ def retention(
             for i in range(1, len(conds))
         ],
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    unit: str = "hour",
+) -> DataFrame:
+    """Regularize an irregular event stream onto a fixed time grid with
+    forward fill (TimescaleDB ``time_bucket_gapfill`` + ``locf``,
+    ClickHouse ``WITH FILL`` analog) → one row per (key, bucket) between
+    each key's first and last event: ``n_events`` (0 on gap buckets),
+    ``val`` = the bucket's aggregate carried forward over gaps, and
+    ``is_gap``.
+
+    Shape at scale: the per-bucket aggregate is one hash aggregation of
+    the raw stream (map-side partial); the dense grid is GENERATED, not
+    joined from a calendar table — ``sequence()`` explodes per key from
+    a 2-row-per-key bounds aggregate, so grid size is output-sized, not
+    input-sized. The gap join is keyed on (key, bucket) and the forward
+    fill is one ``last(ignorenulls)`` running window inside each key's
+    sorted partition — the same single-shuffle formulation as
+    ``asof_join`` above. Everything is codegen'd; nothing is collected.
+    """
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    agg = (
+        df.groupBy(F.col(key_col).alias("key"), bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("_val"),
+        )
+    )
+    spine = (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.min(bucket).alias("_lo"),
+            F.max(bucket).alias("_hi"),
+        )
+        .select(
+            "key",
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr(f"INTERVAL {step}"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(agg, ["key", "bucket"], "left")
+        .select(
+            "key",
+            "bucket",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("_val", ignorenulls=True).over(w).alias("val"),
+            F.col("_val").isNull().cast("int").alias("is_gap"),
+        )
+    )

@@ -522,3 +522,79 @@ def unigram_lm_scores(
         .groupBy(id_col)
         .agg(F.round(F.avg("_lp"), 6).alias("lm_logprob"))
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 full-text retrieval: top-k documents for a bag of
+    query terms → (doc_id, score, rank).
+
+    Standard BM25 with the Robertson/Sparck-Jones idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` (Lucene's non-negative
+    variant) and per-term saturation
+    ``tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``. N, df and avgdl are
+    exact corpus statistics over documents that tokenize to ≥1 token.
+
+    Shape at scale — this is the serving path of an inverted index
+    without materializing one: the exploded (doc, term) stream is
+    filtered to the query's terms BEFORE any aggregation (predicate on
+    a literal in-list, pushed into the scan projection), so the only
+    per-corpus full pass is the doc-length aggregate; df/idf stats are
+    computed on the already-filtered stream; the final top-k is a
+    TakeOrderedAndProject, never a global sort. No driver-side
+    vocabulary, no Python in the hot path.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_tokens(F.col(text_col))).alias("term"),
+    )
+    # Per-document length over all tokens (one full pass).
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    # Query-term postings only past this point.
+    qtf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    scored = (
+        qtf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df_docs") + 0.5)
+                    / (F.col("df_docs") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("_s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )

@@ -1,5 +1,6 @@
 """Connected components: known-graph correctness + convergence."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from from_superset_to_clickhouse_spark.operators.graph import (
@@ -64,3 +65,35 @@ def test_quality_survivors_argmax_and_ties(spark):
     }
     # cluster {1,2,3}: 2 and 3 tie on quality 9 → lowest id (2) wins
     assert got == {1: (2, 9), 10: (10, 4), 99: (99, 1)}
+
+
+def test_pagerank_star_and_dangling(spark):
+    # hub-and-spoke: a,b,c all point to z; z is dangling (outdeg 0).
+    # After enough iterations z must dominate and a/b/c stay at the
+    # teleport floor (nothing points at them).
+    from from_superset_to_clickhouse_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "z"), ("b", "z"), ("c", "z")], "src string, dst string"
+    )
+    got = {r["node"]: r["pr"] for r in pagerank(edges, iters=5).collect()}
+    assert set(got) == {"a", "b", "c", "z"}
+    floor = 0.15 / 4
+    assert got["a"] == got["b"] == got["c"] == pytest.approx(floor)
+    # z gets teleport + 0.85 * (sum of the three spokes' full rank)
+    assert got["z"] == pytest.approx(floor + 0.85 * 3 * floor)
+    # dangling mass is dropped, not redistributed (declared semantics):
+    assert sum(got.values()) < 1.0
+
+
+def test_pagerank_cycle_uniform_fixpoint(spark):
+    # a→b→c→a: by symmetry the uniform vector is the exact fixpoint,
+    # so any iteration count must return exactly 1/3 per node.
+    from from_superset_to_clickhouse_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    got = {r["node"]: r["pr"] for r in pagerank(edges, iters=4).collect()}
+    for v in got.values():
+        assert v == pytest.approx(1.0 / 3.0, abs=1e-9)

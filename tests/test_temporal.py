@@ -343,3 +343,60 @@ def test_group_sample_k_exact_stable(spark):
     a = {r["doc_id"] for r in got.collect()}
     b = {r["doc_id"] for r in group_sample_k(docs.repartition(13), "doc_id", "lang", 10).collect()}
     assert a == b  # admission independent of physical layout
+
+
+def test_resample_ffill_gaps_and_carry(spark):
+    import datetime as dt
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        resample_ffill,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("k", dt.datetime(2024, 1, 1, 0, 10), 1.0),
+            ("k", dt.datetime(2024, 1, 1, 0, 40), 2.0),
+            # hours 1-2 empty -> gap rows carrying 3.0
+            ("k", dt.datetime(2024, 1, 1, 3, 5), 7.0),
+            ("j", dt.datetime(2024, 1, 1, 5, 0), 4.0),
+        ],
+        "key string, ts timestamp, value double",
+    )
+    rows = {
+        (r["key"], r["bucket"].hour): (r["n_events"], r["val"], r["is_gap"])
+        for r in resample_ffill(df, "key", "ts", "value").collect()
+    }
+    # k spans hours 0..3 (4 rows), j is a single bucket
+    assert len(rows) == 5
+    assert rows[("k", 0)] == (2, 3.0, 0)
+    assert rows[("k", 1)] == (0, 3.0, 1)
+    assert rows[("k", 2)] == (0, 3.0, 1)
+    assert rows[("k", 3)] == (1, 7.0, 0)
+    assert rows[("j", 5)] == (1, 4.0, 0)
+
+
+def test_weighted_sample_rates_and_key_stability(spark):
+    from from_superset_to_clickhouse_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.range(20000).select(
+        F.col("id").alias("k"),
+        # weights 1 and 4: inclusion rates must track the 1:4 ratio
+        (F.pmod(F.col("id"), F.lit(2)) * 3 + 1).alias("w"),
+    )
+    kept = weighted_sample(df, "k", "w", target_bp=2000, w_ref=4)
+    rates = {
+        r["w"]: r["n"]
+        for r in kept.groupBy("w").agg(F.count("*").alias("n")).collect()
+    }
+    # P(keep | w=4) = 0.2, P(keep | w=1) = 0.05 over 10k keys each
+    assert rates[4] == pytest.approx(2000, rel=0.1)
+    assert rates[1] == pytest.approx(500, rel=0.15)
+    # key-stable: same membership after an arbitrary repartition
+    again = weighted_sample(
+        df.repartition(13), "k", "w", target_bp=2000, w_ref=4
+    )
+    assert {r["k"] for r in again.collect()} == {
+        r["k"] for r in kept.collect()
+    }

@@ -265,3 +265,45 @@ def test_unigram_lm_scores_rank_and_reference(spark):
     }
     assert got_ref[1] > got_ref[2]
     assert got_ref[2] < got[2]  # fully-OOV under the external model
+
+
+def test_bm25_known_corpus(spark):
+    from from_superset_to_clickhouse_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "cat cat cat"),        # tf saturation: 3x 'cat', short doc
+            (2, "cat dog"),            # one of each query term
+            (3, "dog dog bird fish"),  # longer doc, repeated 'dog'
+            (4, "bird fish worm moss"),  # no query terms -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(df, ["cat", "dog"], k=10).collect()
+    got = {r["doc_id"]: (r["score"], r["rank"]) for r in rows}
+    assert 4 not in got  # docs matching no query term never appear
+    assert set(got) == {1, 2, 3}
+    # ranks are 1..n, aligned with descending score
+    ranked = sorted(rows, key=lambda r: r["rank"])
+    assert [r["rank"] for r in ranked] == [1, 2, 3]
+    assert all(
+        a["score"] >= b["score"] for a, b in zip(ranked, ranked[1:])
+    )
+    # doc 2 hits BOTH terms at natural tf; idf is equal by symmetry
+    # (df=2 for each term), so doc 2 must beat the single-term docs
+    # whose repeated tf saturates under k1.
+    assert ranked[0]["doc_id"] == 2
+
+
+def test_bm25_idf_prefers_rare_terms(spark):
+    from from_superset_to_clickhouse_spark.operators.text import bm25_topk
+
+    # 'common' appears in every doc, 'rare' in one. Same tf, same dl:
+    # the rare-term doc must outrank any common-term doc.
+    df = spark.createDataFrame(
+        [(i, "common filler") for i in range(1, 10)]
+        + [(10, "rare filler")],
+        "doc_id long, text string",
+    )
+    top = bm25_topk(df, ["common", "rare"], k=1).collect()[0]
+    assert top["doc_id"] == 10
