@@ -284,3 +284,51 @@ def test_heavy_hitters_candidate_join_is_broadcast(spark, qmap):
     plan = _plan(qmap["heavy_hitters"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_round6_ops_no_python_no_single_partition(spark, qmap):
+    """Round-6 operators are pure-Catalyst claims: no Python eval
+    nodes, no single-partition exchange in the distributed stages.
+    (bm25's final top-k and the pagerank nation rollup ARE bounded
+    single-partition reductions — k and 25 rows — checked separately.)"""
+    for name in ("resample_ffill", "weighted_sample", "unpivot_metrics"):
+        plan = _plan(qmap[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "SinglePartition" not in plan, name
+
+
+def test_bm25_topk_is_take_ordered_not_global_sort(spark, qmap):
+    """The BM25 entry's final top-k must compile to
+    TakeOrderedAndProject (per-partition heap + driver merge of k), not
+    a global Sort over the scored corpus; and scoring stays JVM-side."""
+    plan = _plan(qmap["bm25_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_unpivot_is_shuffle_free(spark, qmap):
+    """Wide→long melt is a generator inside the scan stage — zero
+    exchanges of any kind."""
+    plan = _plan(qmap["unpivot_metrics"](spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_weighted_sample_filter_reaches_the_scan(spark, qmap):
+    """The weighted Bernoulli test is a codegen'd predicate: the plan
+    is scan→filter→aggregate with no joins (w_ref is a pre-collected
+    scalar literal, not a subquery join) and no window."""
+    plan = _plan(qmap["weighted_sample"](spark, SF))
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_resample_ffill_single_window_pass_keyed(spark, qmap):
+    """Forward fill must be ONE window pass partitioned by key (never a
+    global order), and the spine side must carry the generator
+    (explode), not a join against a materialized calendar."""
+    plan = _plan(qmap["resample_ffill"](spark, SF))
+    assert plan.count("Window") >= 1
+    assert "SinglePartition" not in plan
+    assert "Generate" in plan
