@@ -3389,6 +3389,16 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: nearest-prototype clustering
+    (16 lowest-id vectors as deterministic seeds) + within-cluster
+    lower-id near-dup pruning at cosine ≥ 0.9. Pairwise work is Σ|c|²
+    instead of N² — the reason the method exists."""
+    return simi.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.9, n_seeds=16
+    )
+
+
 _BM25_SQL = r"""
 WITH toks AS (
   SELECT doc_id,
@@ -3515,6 +3525,35 @@ UNION ALL
 SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
 """
 
+_SEMANTIC_DEDUP_SQL = f"""
+WITH seeds AS (
+  SELECT vec_id AS seed_id, embedding AS sv FROM embeddings WHERE vec_id < 16
+), scored AS (
+  SELECT e.vec_id, s.seed_id,
+    round({_DOT.format(a='e.embedding', b='s.sv')}
+      / ({_NORM.format(a='e.embedding')} * {_NORM.format(a='s.sv')}),
+      6) AS score
+  FROM embeddings e CROSS JOIN seeds s
+), assigned AS (
+  SELECT vec_id, seed_id AS cluster FROM (
+    SELECT vec_id, seed_id, row_number() OVER (
+      PARTITION BY vec_id ORDER BY score DESC, seed_id) AS rn
+    FROM scored) WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT y.vec_id
+  FROM assigned x
+  JOIN assigned y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  JOIN embeddings ea ON ea.vec_id = x.vec_id
+  JOIN embeddings eb ON eb.vec_id = y.vec_id
+  WHERE round({_DOT.format(a='ea.embedding', b='eb.embedding')}
+    / ({_NORM.format(a='ea.embedding')} * {_NORM.format(a='eb.embedding')}),
+    6) >= 0.9
+)
+SELECT a.vec_id, a.cluster,
+  CAST(d.vec_id IS NULL AS INTEGER) AS keep
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
 
 # Queries added mid-round are registered here so they land inside the
 # driver's 50-entry CORRECTNESS window (spliced right after the
@@ -3548,6 +3587,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "pagerank_nations": q_pagerank_nations,
     "unpivot_metrics": q_unpivot,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 
@@ -4682,6 +4722,7 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "pagerank_nations": _PAGERANK_SQL,
         "unpivot_metrics": _UNPIVOT_SQL,
+        "semantic_dedup": _SEMANTIC_DEDUP_SQL,
         # chained CTEs of the lm_score / percentile / weighted_mix twins
         "lm_filter_mix": """
 WITH toks AS (

@@ -1028,3 +1028,83 @@ def _score_cells_cogrouped(
         .cogroup(qb.groupBy("cell"))
         .applyInPandas(score, schema=f"q_id {id_type}, n_id {id_type}, sim double")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_seeds: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seeds: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings, then drop any
+    vector that has a lower-id near-duplicate (cosine ≥ ``threshold``)
+    in ITS OWN cluster → (id, cluster, keep).
+
+    ``seeds`` is the prototype set the corpus is partitioned against
+    (nearest-prototype by cosine, ties to the smallest seed id). It
+    defaults to the ``n_seeds`` lowest-id vectors — a deterministic,
+    oracle-replayable choice; at scale pass ``train_centroids`` output
+    wrapped in a DataFrame instead (the plan is identical).
+
+    The keep rule is the paper's one-pass pruning, NOT a transitive
+    closure: v is dropped iff some u < v in the same cluster has
+    cos(u, v) ≥ threshold — so it is directly expressible as NOT
+    EXISTS, and the oracle checks it exactly. (For closure semantics
+    compose ``embedding_dedup_pairs`` + ``connected_components``.)
+
+    Shape at scale: the seed set is broadcast (O(N·k) scoring, no
+    shuffle of the corpus); the pairwise stage is confined WITHIN
+    clusters — Σ|c|² work instead of N², which is the entire point of
+    SemDeDup — and shuffles on the cluster key. Scores are rounded to 6
+    decimals before both the argmax and the threshold compare so every
+    engine agrees on ties at the boundary.
+    """
+    if seeds is None:
+        seeds = df.filter(F.col(id_col) < n_seeds)
+    sd = seeds.select(
+        F.col(id_col).alias("seed_id"), F.col(vec_col).alias("seed_vec")
+    )
+    assigned = (
+        df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        .crossJoin(F.broadcast(sd))
+        .withColumn(
+            "score", F.round(cosine(F.col("vec"), F.col("seed_vec")), 6)
+        )
+        .groupBy("vid")
+        .agg(
+            F.max_by(
+                "seed_id", F.struct(F.col("score"), -F.col("seed_id"))
+            ).alias("cluster")
+        )
+    )
+    with_vec = assigned.join(
+        df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")),
+        "vid",
+    )
+    a, b = with_vec.alias("a"), with_vec.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .filter(
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6)
+            >= F.lit(threshold)
+        )
+        .select(F.col("b.vid").alias("vid"))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return (
+        assigned.join(dropped, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cluster",
+            F.when(F.col("_dropped").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("keep"),
+        )
+    )

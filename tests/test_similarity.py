@@ -219,3 +219,32 @@ def test_ivf_pruned_reads_only_probed_cells_and_matches(spark, tmp_path):
     )
     assert sorted(map(tuple, pruned.collect())) == fused
     assert len(fused) > 0
+
+
+def test_semantic_dedup_planted_clusters(spark):
+    # Two orthogonal prototypes (ids 0, 1 = the seeds). 10/11 are
+    # near-dups of prototype 0's direction; 20 matches prototype 1;
+    # 30 is a near-dup of 10 but would only be caught if it lands in
+    # the same cluster (it does). 40 is close to NOTHING above the
+    # threshold.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (10, [0.99, 0.1, 0.0, 0.0]),
+        (11, [0.99, 0.1, 0.001, 0.0]),   # ~identical to 10 -> dropped
+        (20, [0.05, 0.98, 0.0, 0.0]),
+        (40, [0.5, 0.5, 0.7, 0.0]),      # same cluster, below threshold
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: (r["cluster"], r["keep"])
+        for r in simi.semantic_dedup(df, threshold=0.95, n_seeds=2).collect()
+    }
+    assert got[0] == (0, 1)
+    assert got[1] == (1, 1)
+    assert got[10][0] == 0 and got[10][1] == 0  # dup of seed 0 (cos>0.95)
+    assert got[11] == (0, 0)                    # dup of 0/10, higher id
+    assert got[20][0] == 1                      # clustered to seed 1
+    assert got[40][1] == 1                      # nothing within threshold
+    # exactly one survivor per near-identical group, lowest id wins
+    assert got[0][1] == 1 and got[10][1] == 0 and got[11][1] == 0
