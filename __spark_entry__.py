@@ -3399,6 +3399,84 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text corpus ingest proven by write→read_text round-trip:
+    documents ship out as tab-prefixed lines and come back through the
+    line-oriented text source (splittable, parallel per-line), with the
+    id recovered from the line prefix."""
+    from from_superset_to_clickhouse_spark.sources.readers import read_text
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="sg_txt_") + "/docs_txt"
+    (
+        d.select(
+            F.concat_ws(
+                "\t", F.col("doc_id").cast("string"), F.col("text")
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(tmp)
+    )
+    raw = read_text(spark, tmp)
+    parts = F.split(F.col("value"), "\t", 2)
+    return raw.select(
+        F.element_at(parts, 1).cast("long").alias("doc_id"),
+        F.element_at(parts, 2).alias("text"),
+    )
+
+
+def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal drop-zone ingest via the ``binaryFile`` source: one
+    REAL PNG file per document id written executor-side (the object-
+    store landing pattern; local FS here), listed back with a glob
+    filter, id recovered from the filename, dimensions earned by
+    parsing the actual container bytes. The oracle predicts the planted
+    dims arithmetically — any path-parse or codec bug hash-mismatches."""
+    from from_superset_to_clickhouse_spark.operators.multimodal import (
+        encode_png,
+    )
+    from from_superset_to_clickhouse_spark.sources.readers import read_binary
+
+    tmp = tempfile.mkdtemp(prefix="sg_bin_")
+    ids = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 120)
+
+    def write_part(rows):
+        for r in rows:
+            i = int(r["doc_id"])
+            with open(f"{tmp}/{i}.png", "wb") as f:
+                f.write(encode_png(i % 64 + 1, i % 48 + 1))
+
+    ids.foreachPartition(write_part)
+    bdf = read_binary(spark, tmp, glob="*.png")
+    parsed = bdf.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.png$", 1)
+        .cast("long")
+        .alias("media_id"),
+        F.col("content").alias("payload"),
+    )
+    return mm.image_dims(parsed)
+
+
+def q_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (trailing 1 h per user): event count and
+    value sum over a microsecond-exact range frame — the time-based
+    twin of the ROWS frame in ``window_frame``. Partitioned by user, so
+    the window parallelizes on the key; no global sort."""
+    ev = _ev(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-(3_600_000_000 - 1), 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 6).alias("sum_1h"),
+    )
+
+
 _BM25_SQL = r"""
 WITH toks AS (
   SELECT doc_id,
@@ -3588,6 +3666,9 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_nations": q_pagerank_nations,
     "unpivot_metrics": q_unpivot,
     "semantic_dedup": q_semantic_dedup,
+    "text_roundtrip": q_text_roundtrip,
+    "binary_ingest": q_binary_ingest,
+    "rolling_range": q_rolling_range,
 }
 
 
@@ -4723,6 +4804,24 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
         "pagerank_nations": _PAGERANK_SQL,
         "unpivot_metrics": _UNPIVOT_SQL,
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
+        "text_roundtrip": "SELECT doc_id, text FROM documents",
+        "binary_ingest": (
+            # Arithmetic twin of the planted PNG contract (all files are
+            # PNG in this entry; dims = id%64+1 x id%48+1, id < 120).
+            "SELECT CAST(doc_id AS BIGINT) AS media_id, 'png' AS format, "
+            "CAST(doc_id % 64 + 1 AS INTEGER) AS width, "
+            "CAST(doc_id % 48 + 1 AS INTEGER) AS height "
+            "FROM documents WHERE doc_id < 120"
+        ),
+        "rolling_range": (
+            # Microsecond-exact trailing-hour RANGE frame, keyed per
+            # user — epoch_us ordering matches Spark's unix_micros.
+            "SELECT event_id, user_id, "
+            "CAST(count(*) OVER w AS BIGINT) AS n_1h, "
+            "round(sum(value) OVER w, 6) AS sum_1h FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) "
+            "RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)"
+        ),
         # chained CTEs of the lm_score / percentile / weighted_mix twins
         "lm_filter_mix": """
 WITH toks AS (

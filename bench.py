@@ -49,6 +49,15 @@ HEADLINE = [
     "prefix_jaccard_join",
     "fuzzy_pairs",
     "quantile_sketch",
+    # round-6 additions: BM25 retrieval (full-corpus doc-length pass +
+    # query-term postings), gap-filled resample (generated spine + one
+    # keyed window), SemDeDup (broadcast prototype assignment +
+    # within-cluster pairwise), 3-iteration PageRank over the
+    # customer→supplier graph
+    "bm25_topk",
+    "resample_ffill",
+    "semantic_dedup",
+    "pagerank_nations",
 ]
 
 # ANN is measured on a deterministic query slice (vec_id < ANN_QUERIES)

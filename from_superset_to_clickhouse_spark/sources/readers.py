@@ -164,3 +164,29 @@ def read_json(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_text(
+    spark: SparkSession, path: str, whole_file: bool = False
+) -> DataFrame:
+    """Plain-text corpus ingest: one row per line (``value`` string), or
+    one row per FILE with ``whole_file=True`` — the two layouts raw text
+    corpora arrive in before any structure is imposed. Splittable and
+    parallel per-line; whole-file mode keeps each document intact at the
+    cost of one task per file."""
+    return spark.read.option("wholetext", whole_file).text(path)
+
+
+def read_binary(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary-file ingest for multimodal payloads: each file becomes a
+    row (path, modificationTime, length, content) via Spark's
+    ``binaryFile`` source — the entry point for image/audio drop zones.
+    ``glob`` filters by filename pattern at LISTING time (no bytes read
+    for excluded files). Partition parallelism is per-file; pair with
+    the header decoders in ``operators/multimodal.py``."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
