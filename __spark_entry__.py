@@ -3399,6 +3399,56 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dist_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window functions: percent_rank + cume_dist per
+    market segment over account balance (standard tie semantics match
+    ANSI engines exactly). Keyed window — parallelizes per segment."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operators (EXCEPT ALL / INTERSECT ALL): duplicate-
+    preserving bag semantics over two order-key bags, folded to
+    (custkey, tag, cnt) so the duplicate counts themselves are what the
+    oracle hash-checks."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    ex = a.exceptAll(b).withColumn("tag", F.lit("except_all"))
+    inter = a.intersectAll(b).withColumn("tag", F.lit("intersect_all"))
+    return (
+        ex.unionByName(inter)
+        .groupBy("custkey", "tag")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_corr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates per return flag: Pearson
+    correlation and sample covariance of quantity vs extended price.
+    Covariance rounds to 2 decimals (its magnitude is ~1e6; rounding at
+    6 would sit inside cross-engine summation noise)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qp"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plain-text corpus ingest proven by write→read_text round-trip:
     documents ship out as tab-prefixed lines and come back through the
@@ -3811,6 +3861,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_candidates": q_minhash_candidates,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "dist_rank": q_dist_rank,
+        "set_ops_all": q_set_ops_all,
+        "corr_agg": q_corr_agg,
     }
 
 
@@ -4812,6 +4865,31 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
             "CAST(doc_id % 64 + 1 AS INTEGER) AS width, "
             "CAST(doc_id % 48 + 1 AS INTEGER) AS height "
             "FROM documents WHERE doc_id < 120"
+        ),
+        "dist_rank": (
+            "SELECT c_custkey, c_mktsegment, "
+            "round(percent_rank() OVER w, 6) AS pr, "
+            "round(cume_dist() OVER w, 6) AS cd FROM customer "
+            "WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)"
+        ),
+        "set_ops_all": """
+WITH a AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'),
+b AS (SELECT o_custkey AS custkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'),
+u AS (
+  SELECT custkey, 'except_all' AS tag FROM (SELECT * FROM a EXCEPT ALL
+                                            SELECT * FROM b)
+  UNION ALL
+  SELECT custkey, 'intersect_all' AS tag FROM (SELECT * FROM a INTERSECT ALL
+                                               SELECT * FROM b)
+)
+SELECT custkey, tag, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY 1, 2
+""",
+        "corr_agg": (
+            "SELECT l_returnflag, "
+            "round(corr(l_quantity, l_extendedprice), 6) AS corr_qp, "
+            "round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp, "
+            "CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1"
         ),
         "rolling_range": (
             # Microsecond-exact trailing-hour RANGE frame, keyed per
