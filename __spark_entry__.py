@@ -3449,6 +3449,36 @@ def q_corr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large×large time-proximity join (purchase↔error pairs within
+    ±5 min) via tolerance-width bucketize-and-verify: a plain equi-join
+    on the bucket key instead of the nested-loop theta join Spark would
+    otherwise be forced into. The oracle IS the brute-force inequality
+    join."""
+    ev = _ev(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "ts"
+    )
+    return tmp.proximity_join_binned(purchases, errors).select(
+        "l_event_id", "r_event_id", "delta_us"
+    )
+
+
+def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from a PERSISTED inverted index (term-hash-bucket
+    partitioned postings + doc lengths + corpus stats): identical
+    results to the on-the-fly entry — same oracle — but the query-time
+    read prunes to the query terms' bucket directories."""
+    tmpdir = tempfile.mkdtemp(prefix="sg_bm25idx_")
+    txt.build_inverted_index(_docs(spark, sf_dir), tmpdir)
+    return txt.bm25_topk_indexed(
+        spark, tmpdir, ["spark", "vector", "merge", "stream"], k=15
+    )
+
+
 def q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plain-text corpus ingest proven by write→read_text round-trip:
     documents ship out as tab-prefixed lines and come back through the
@@ -3864,6 +3894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dist_rank": q_dist_rank,
         "set_ops_all": q_set_ops_all,
         "corr_agg": q_corr_agg,
+        "proximity_join": q_proximity_join,
+        "bm25_indexed": q_bm25_indexed,
     }
 
 
@@ -4866,6 +4898,14 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
             "CAST(doc_id % 48 + 1 AS INTEGER) AS height "
             "FROM documents WHERE doc_id < 120"
         ),
+        "proximity_join": (
+            "SELECT a.event_id AS l_event_id, b.event_id AS r_event_id, "
+            "epoch_us(a.ts) - epoch_us(b.ts) AS delta_us "
+            "FROM events a JOIN events b ON a.event_type = 'purchase' "
+            "AND b.event_type = 'error' "
+            "AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000"
+        ),
+        "bm25_indexed": _BM25_SQL,
         "dist_rank": (
             "SELECT c_custkey, c_mktsegment, "
             "round(percent_rank() OVER w, 6) AS pr, "

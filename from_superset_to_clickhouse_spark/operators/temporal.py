@@ -289,3 +289,61 @@ def resample_ffill(
             F.col("_val").isNull().cast("int").alias("is_gap"),
         )
     )
+
+
+def proximity_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str = "ts",
+    tolerance_us: int = 300_000_000,
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Large×large time-proximity join: all (left, right) pairs with
+    ``|ts_l - ts_r| <= tolerance`` — when NEITHER side fits in a
+    broadcast, so ``range_join_bands``'s BroadcastNestedLoop shape (and
+    a raw theta join, which Spark can only execute as a nested-loop
+    cartesian) is off the table.
+
+    The scalable shape is bucketize-and-verify: bucket width = the
+    tolerance, the left side is exploded to its bucket and both
+    neighbors (any qualifying pair is then guaranteed to share a
+    bucket — pigeonhole on ``floor(ts/tol)``), the join is a plain
+    EQUI-join on the bucket key (hash-partitioned, AQE-skew-splittable),
+    and the exact ``|Δts| <= tol`` predicate prunes the candidates.
+    Cost: 3× duplication of the smaller-exploded side versus an
+    unbounded quadratic nested loop.
+
+    Returns all left columns prefixed ``left_prefix``, right columns
+    prefixed ``right_prefix``, plus ``delta_us``.
+    """
+    lcols = [
+        F.col(c).alias(f"{left_prefix}{c}") for c in left.columns
+    ]
+    rcols = [
+        F.col(c).alias(f"{right_prefix}{c}") for c in right.columns
+    ]
+    lt = f"{left_prefix}{ts_col}"
+    rt = f"{right_prefix}{ts_col}"
+    tol = F.lit(int(tolerance_us))
+    l = left.select(*lcols).withColumn(
+        "_bucket",
+        F.explode(
+            F.array(
+                F.floor(F.unix_micros(F.col(lt)) / tol) - 1,
+                F.floor(F.unix_micros(F.col(lt)) / tol),
+                F.floor(F.unix_micros(F.col(lt)) / tol) + 1,
+            )
+        ),
+    )
+    r = right.select(*rcols).withColumn(
+        "_bucket", F.floor(F.unix_micros(F.col(rt)) / tol)
+    )
+    return (
+        l.join(r, "_bucket")
+        .withColumn(
+            "delta_us", F.unix_micros(F.col(lt)) - F.unix_micros(F.col(rt))
+        )
+        .filter(F.abs(F.col("delta_us")) <= tol)
+        .drop("_bucket")
+    )

@@ -332,3 +332,13 @@ def test_resample_ffill_single_window_pass_keyed(spark, qmap):
     assert plan.count("Window") >= 1
     assert "SinglePartition" not in plan
     assert "Generate" in plan
+
+
+def test_proximity_join_is_equi_not_nested_loop(spark, qmap):
+    """The large×large time-proximity join must compile to a hash
+    equi-join on the bucket key — never BroadcastNestedLoop or a
+    cartesian product (what a raw |Δts| theta join would force)."""
+    plan = _plan(qmap["proximity_join"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan

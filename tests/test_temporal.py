@@ -400,3 +400,42 @@ def test_weighted_sample_rates_and_key_stability(spark):
     assert {r["k"] for r in again.collect()} == {
         r["k"] for r in kept.collect()
     }
+
+
+def test_proximity_join_binned_equals_brute_force(spark):
+    import datetime as dt
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        proximity_join_binned,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    # pairs straddling bucket boundaries and sitting exactly AT the
+    # tolerance edge (inclusive) — the pigeonhole + verify must agree
+    # with brute force on all of them
+    left = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=s)) for i, s in
+         [(1, 0), (2, 299), (3, 301), (4, 900), (5, 1200)]],
+        "event_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=s)) for i, s in
+         [(10, 300), (11, 601), (12, 899), (13, 1500)]],
+        "event_id long, ts timestamp",
+    )
+    got = sorted(
+        (r["l_event_id"], r["r_event_id"])
+        for r in proximity_join_binned(left, right).collect()
+    )
+    tol = 300_000_000
+    lrows = [(i, ts) for i, ts in left.collect()]
+    rrows = [(i, ts) for i, ts in right.collect()]
+    want = sorted(
+        (li, ri)
+        for li, lts in lrows
+        for ri, rts in rrows
+        if abs((lts - rts).total_seconds() * 1e6) <= tol
+    )
+    assert got == want
+    assert (1, 10) in got      # exactly at tolerance: inclusive
+    assert (3, 11) in got      # crosses a bucket boundary

@@ -307,3 +307,33 @@ def test_bm25_idf_prefers_rare_terms(spark):
     )
     top = bm25_topk(df, ["common", "rare"], k=1).collect()[0]
     assert top["doc_id"] == 10
+
+
+def test_bm25_indexed_equals_on_the_fly(spark, tmp_path):
+    from from_superset_to_clickhouse_spark.operators.text import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_inverted_index,
+    )
+    from from_superset_to_clickhouse_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    terms = ["spark", "vector", "merge", "stream"]
+    path = str(tmp_path / "idx")
+    build_inverted_index(docs, path)
+    fly = [tuple(r) for r in bm25_topk(docs, terms, k=10).collect()]
+    idx = [
+        tuple(r)
+        for r in bm25_topk_indexed(spark, path, terms, k=10).collect()
+    ]
+    assert idx == fly and len(fly) == 10
+    # the postings read must prune to the query terms' bucket dirs
+    import contextlib
+    import io
+
+    postings = spark.read.parquet(f"{path}/postings")
+    probe = postings.filter(F.col("bucket").isin([3, 7]))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()
