@@ -633,6 +633,21 @@ def q_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_meta(audio)
 
 
+def q_media_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode: synthesize one spec-conformant MP4/ISO-BMFF
+    header stream per document (dims/duration/timescale derived from
+    doc_id), then recover the metadata by walking the actual boxes
+    (ftyp check, mvhd timescale+duration, tkhd 16.16 dimensions). The
+    timescale VARIES by row (1000×(id%3+1)), so a decoder that assumes
+    milliseconds-as-units fails two thirds of rows — the oracle
+    predicts the values arithmetically and the engine must earn them
+    from the bytes. Closes the video third of the multimodal stub:
+    header metadata is now real for image, audio AND video; only
+    sample-level content decode remains codec-gated."""
+    vids = mm.synthesize_video(_docs(spark, sf_dir), "doc_id")
+    return mm.video_meta(vids)
+
+
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-2-style pretokenizer piece count per document."""
     d = _docs(spark, sf_dir)
@@ -3896,6 +3911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_agg": q_corr_agg,
         "proximity_join": q_proximity_join,
         "bm25_indexed": q_bm25_indexed,
+        "media_video": q_media_video,
     }
 
 
@@ -4170,6 +4186,18 @@ def oracle_sql() -> dict[str, str]:
             "AS INTEGER) AS sample_rate, "
             "CAST((doc_id % 3) % 2 + 1 AS INTEGER) AS channels, "
             "CAST(doc_id % 1000 + 20 AS INTEGER) AS duration_ms "
+            "FROM documents"
+        ),
+        "media_video": (
+            # Arithmetic twin of synthesize_video's planted contract:
+            # width = id%320+16, height = id%240+16, duration_ms =
+            # id%9000+500 (exact: stored units = ms × timescale/1000
+            # with timescale = 1000×(id%3+1), integral for every id).
+            # The engine parses real ISO-BMFF boxes.
+            "SELECT CAST(doc_id AS BIGINT) AS media_id, 'mp4' AS format, "
+            "CAST(doc_id % 320 + 16 AS INTEGER) AS width, "
+            "CAST(doc_id % 240 + 16 AS INTEGER) AS height, "
+            "CAST(doc_id % 9000 + 500 AS INTEGER) AS duration_ms "
             "FROM documents"
         ),
         "media_features": (

@@ -15,10 +15,12 @@ tested. Decoding comes in two tiers:
 - AUDIO (WAV/RIFF) headers likewise: ``decode_wav_header`` walks real
   RIFF chunks for rate/channels/duration; ``encode_wav`` emits
   spec-conformant PCM streams for fixtures.
-- Pixel/sample CONTENT decode, compressed audio, and video remain
-  stubbed (``decode_stub`` fake features; full-decode ``decode_real``
-  raises for video) — those need native codec libs this container
-  doesn't ship.
+- VIDEO (MP4/ISO-BMFF) headers too: ``decode_mp4_header`` walks real
+  boxes (ftyp/moov/mvhd/trak/tkhd) for dimensions + timescale-correct
+  duration; ``encode_mp4`` emits spec-conformant header streams.
+- Pixel/sample CONTENT decode and compressed audio remain stubbed
+  (``decode_stub`` fake features) — those need native codec libs this
+  container doesn't ship.
 
 At scale: binary payloads ride in Parquet binary columns;
 ``mapInPandas`` streams Arrow batches so one task never materializes its
@@ -246,19 +248,131 @@ def decode_wav_header(payload: bytes) -> tuple[str, int, int, int]:
         raise ValueError(f"truncated WAV header: {exc}") from exc
 
 
+# -- real video container codec (MP4/ISO-BMFF, stdlib-only) --------------
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + typ + payload
+
+
+def encode_mp4(
+    duration_ms: int, width: int, height: int, timescale: int = 1000
+) -> bytes:
+    """A real, spec-conformant MP4/ISO-BMFF header stream: ``ftyp``
+    (isom brand) + ``moov`` containing a version-0 ``mvhd``
+    (timescale + duration in media units) and one ``trak``/``tkhd``
+    carrying width/height as 16.16 fixed-point — exactly the boxes a
+    metadata pass reads before paying for sample decode. Duration is
+    stored as ``duration_ms × timescale / 1000`` media units, so the
+    decoder must honor the timescale to recover milliseconds."""
+    dur_units = duration_ms * timescale // 1000
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">I", 0)  # version 0 + flags
+        + struct.pack(">IIII", 0, 0, timescale, dur_units)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)  # rate, volume, reserved
+        + b"\x00" * 8
+        + matrix
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2),  # next_track_ID
+    )
+    tkhd = _box(
+        b"tkhd",
+        struct.pack(">I", 0x000007)  # version 0, flags: enabled|in-movie
+        + struct.pack(">IIIII", 0, 0, 1, 0, dur_units)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer, group, volume, reserved
+        + matrix
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+    )
+    return _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2") + _box(
+        b"moov", mvhd + _box(b"trak", tkhd)
+    )
+
+
+def _walk_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for each box in
+    buf[start:end], honoring 64-bit largesize (size == 1) and
+    to-end-of-file (size == 0) boxes per ISO 14496-12."""
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", buf[i : i + 4])
+        typ = buf[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                raise ValueError("MP4: truncated largesize box")
+            (size,) = struct.unpack(">Q", buf[i + 8 : i + 16])
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr or i + size > end:
+            raise ValueError("MP4: box overruns container")
+        yield typ, i + hdr, i + size
+        i += size
+
+
+def decode_mp4_header(payload: bytes) -> tuple[str, int, int, int]:
+    """REAL MP4/ISO-BMFF parse → (format, width, height, duration_ms):
+    top-level box walk to ``moov``, then ``mvhd`` for
+    timescale/duration (both version 0 and version 1 layouts) and the
+    first ``trak``/``tkhd`` for width/height (16.16 fixed-point).
+    Raises ``ValueError`` on anything malformed — quarantine, never
+    garbage."""
+    if payload is None:
+        raise ValueError("empty payload")
+    try:
+        boxes = dict()
+        moov = None
+        for typ, s, e in _walk_boxes(payload, 0, len(payload)):
+            boxes[typ] = (s, e)
+            if typ == b"moov":
+                moov = (s, e)
+        if b"ftyp" not in boxes or moov is None:
+            raise ValueError("MP4: missing ftyp/moov box")
+        timescale = dur_units = width = height = None
+        for typ, s, e in _walk_boxes(payload, *moov):
+            if typ == b"mvhd":
+                version = payload[s]
+                if version == 1:
+                    timescale, dur_units = struct.unpack(
+                        ">IQ", payload[s + 20 : s + 32]
+                    )
+                else:
+                    timescale, dur_units = struct.unpack(
+                        ">II", payload[s + 12 : s + 20]
+                    )
+            elif typ == b"trak" and width is None:
+                for t2, s2, e2 in _walk_boxes(payload, s, e):
+                    if t2 == b"tkhd":
+                        w_fixed, h_fixed = struct.unpack(
+                            ">II", payload[e2 - 8 : e2]
+                        )
+                        width, height = w_fixed >> 16, h_fixed >> 16
+        if not timescale or dur_units is None or width is None:
+            raise ValueError("MP4: missing mvhd/tkhd metadata")
+        return ("mp4", width, height, dur_units * 1000 // timescale)
+    except struct.error as exc:
+        raise ValueError(f"truncated MP4 header: {exc}") from exc
+
+
 def decode_real(payload: bytes, kind: str):
-    """Real decode where stdlib suffices: image container headers and
-    WAV/RIFF audio headers. Pixel/sample-level decode, compressed audio
-    (mp3/ogg/flac) and video need native codec libs this container
-    doesn't ship — those still raise."""
+    """Real decode where stdlib suffices: image container headers,
+    WAV/RIFF audio headers, and MP4/ISO-BMFF video headers.
+    Pixel/sample-level decode and compressed audio (mp3/ogg/flac) need
+    native codec libs this container doesn't ship — those still
+    raise."""
     if kind == "image":
         return decode_image_header(payload)
     if kind == "audio":
         return decode_wav_header(payload)
+    if kind == "video":
+        return decode_mp4_header(payload)
     raise NotImplementedError(
-        "video (and compressed-audio) decoding requires codec libs not "
-        "present in this environment; use decode_stub for the pipeline "
-        "plumbing"
+        "sample-level decode (pixels, compressed audio) requires codec "
+        "libs not present in this environment; use decode_stub for the "
+        "pipeline plumbing"
     )
 
 
@@ -417,6 +531,81 @@ def audio_meta(audio: DataFrame) -> DataFrame:
             )
 
     return audio.mapInPandas(run, schema=AUDIO_META_SCHEMA)
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+
+def synthesize_video(df: DataFrame, id_col: str) -> DataFrame:
+    """Fixture generator: one REAL MP4 header stream per row — planted
+    contract: width = id % 320 + 16, height = id % 240 + 16,
+    duration_ms = id % 9000 + 500, timescale = 1000 × (id % 3 + 1).
+    Duration units = duration_ms × timescale / 1000 is exact for every
+    id, so an oracle can predict the milliseconds arithmetically while
+    the engine has to recover them by walking actual boxes AND honoring
+    the varying timescale (a decoder that assumes ms-units fails 2/3 of
+    rows)."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        encode_mp4(
+                            duration_ms=int(i % 9000 + 500),
+                            width=int(i % 320 + 16),
+                            height=int(i % 240 + 16),
+                            timescale=1000 * (int(i) % 3 + 1),
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    return src.mapInPandas(run, schema=IMAGE_SCHEMA)
+
+
+def video_meta(videos: DataFrame) -> DataFrame:
+    """REAL video metadata extraction: walk each payload's ISO-BMFF
+    boxes → (media_id, format, width, height, duration_ms). Unparseable
+    payloads become format=NULL quarantine rows, same contract as
+    ``image_dims``/``audio_meta`` — corrupt bytes never kill the
+    stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs, durs = [], [], [], []
+            for p in pdf["payload"]:
+                try:
+                    fmt, w, h, d = decode_mp4_header(p)
+                except ValueError:
+                    fmt, w, h, d = None, None, None, None
+                fmts.append(fmt)
+                ws.append(w)
+                hs.append(h)
+                durs.append(d)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": fmts,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "duration_ms": pd.array(durs, dtype="Int32"),
+                }
+            )
+
+    return videos.mapInPandas(run, schema=VIDEO_META_SCHEMA)
 
 
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:

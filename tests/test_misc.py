@@ -226,6 +226,69 @@ def test_multimodal_wav_roundtrip_and_quarantine(spark):
     assert (rows[2]["sample_rate"], rows[2]["channels"]) == (16000, 2)
 
 
+def test_multimodal_mp4_roundtrip_and_quarantine(spark):
+    """encode_mp4 → decode_mp4_header recovers dims + timescale-correct
+    duration from real ISO-BMFF boxes; version-1 mvhd and largesize
+    boxes parse; malformed streams raise; video_meta quarantines
+    corrupt rows as format=NULL."""
+    import struct
+
+    import pandas as pd
+
+    assert mm.decode_mp4_header(mm.encode_mp4(2500, 320, 240)) == (
+        "mp4", 320, 240, 2500,
+    )
+    # timescale ≠ 1000: duration must be rescaled, not read raw
+    assert mm.decode_mp4_header(
+        mm.encode_mp4(7000, 64, 48, timescale=3000)
+    ) == ("mp4", 64, 48, 7000)
+    # version-1 mvhd (64-bit duration) layout
+    mvhd = mm._box(
+        b"mvhd",
+        struct.pack(">I", 1 << 24)
+        + struct.pack(">QQIQ", 0, 0, 600, 1200)
+        + b"\x00" * 80,
+    )
+    tkhd = mm._box(
+        b"tkhd",
+        struct.pack(">I", 7)
+        + struct.pack(">IIIII", 0, 0, 1, 0, 1200)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + b"\x00" * 36
+        + struct.pack(">II", 320 << 16, 240 << 16),
+    )
+    v1 = mm._box(b"ftyp", b"isom\x00\x00\x00\x00isom") + mm._box(
+        b"moov", mvhd + mm._box(b"trak", tkhd)
+    )
+    assert mm.decode_mp4_header(v1) == ("mp4", 320, 240, 2000)
+    # a largesize (size==1, 64-bit) top-level box must be skipped cleanly
+    big = struct.pack(">I", 1) + b"free" + struct.pack(">Q", 24) + b"x" * 8
+    assert mm.decode_mp4_header(big + v1) == ("mp4", 320, 240, 2000)
+    with pytest.raises(ValueError):
+        mm.decode_mp4_header(mm.encode_mp4(100, 8, 8)[:40])
+    with pytest.raises(ValueError):
+        mm.decode_mp4_header(b"\x00\x00\x00\x08ftyp")  # no moov
+
+    pdf = pd.DataFrame(
+        {
+            "media_id": [0, 1, 2],
+            "payload": [
+                mm.encode_mp4(900, 160, 120),
+                b"\x00\x00\x00\x10moovjunkjunkjunk",
+                mm.encode_mp4(4500, 1920, 1080, timescale=2000),
+            ],
+        }
+    )
+    vids = spark.createDataFrame(pdf, schema=mm.IMAGE_SCHEMA)
+    rows = {r["media_id"]: r for r in mm.video_meta(vids).collect()}
+    assert (rows[0]["format"], rows[0]["width"], rows[0]["duration_ms"]) == (
+        "mp4", 160, 900,
+    )
+    assert rows[1]["format"] is None and rows[1]["width"] is None
+    assert (rows[2]["height"], rows[2]["duration_ms"]) == (1080, 4500)
+
+
 def test_multimodal_png_crc_guard():
     """A flipped dimension byte breaks the IHDR CRC: the decoder must
     raise rather than report corrupt-but-plausible dimensions."""
