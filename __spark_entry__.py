@@ -1095,6 +1095,27 @@ def q_replacing_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reads over the append log: two batches (even then odd
+    event_ids) into a store; ``read_as_of`` at the first batch's seq
+    must reproduce exactly that batch (parquet min/max stats on the
+    constant per-batch ``_ingest_seq`` prune the NEWER files, so old
+    snapshots don't pay for table growth), and ``read_since`` at the
+    same seq must yield exactly the delta. The entry returns both
+    halves tagged, proving as_of ∪ since ≡ read with no overlap."""
+    store, ev = _store_events(spark, sf_dir)
+    store.append("store_events", ev.filter(F.col("event_id") % 2 == 0))
+    s1 = store.current_seq("store_events")
+    store.append("store_events", ev.filter(F.col("event_id") % 2 == 1))
+    snap = store.read_as_of("store_events", s1).select(
+        "event_id", "ts", "value", F.lit("asof").alias("slice")
+    )
+    delta = store.read_since("store_events", s1).select(
+        "event_id", "ts", "value", F.lit("delta").alias("slice")
+    )
+    return snap.unionByName(delta)
+
+
 def q_partition_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows 2/20/36: atomic REPLACE PARTITION — load everything, then
     dynamic-partition-overwrite the earliest day with doubled values;
@@ -3912,6 +3933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_join": q_proximity_join,
         "bm25_indexed": q_bm25_indexed,
         "media_video": q_media_video,
+        "time_travel": q_time_travel,
     }
 
 
@@ -4080,6 +4102,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM events WHERE event_id % 2 = 0 UNION ALL "
             "SELECT event_id, ts, event_type, value * 2 AS value, 2 AS batch "
             "FROM events WHERE event_id % 3 = 0)) WHERE rn = 1"
+        ),
+        "time_travel": (
+            # as_of(seq1) must be exactly batch 1 (even ids), since(seq1)
+            # exactly batch 2 (odd ids): snapshot ∪ delta ≡ table.
+            "SELECT event_id, ts, value, 'asof' AS slice FROM events "
+            "WHERE event_id % 2 = 0 UNION ALL "
+            "SELECT event_id, ts, value, 'delta' AS slice FROM events "
+            "WHERE event_id % 2 = 1"
         ),
         "partition_swap": (
             "SELECT event_id, value * 2 AS value FROM events "

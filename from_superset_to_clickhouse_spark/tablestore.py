@@ -594,6 +594,24 @@ class TableStore:
         cost tracks the delta, not the table."""
         return self.read(name).filter(F.col(INGEST_SEQ_COL) > F.lit(seq))
 
+    def read_as_of(self, name: str, seq: int) -> DataFrame:
+        """Time travel over the append history: the table as it stood
+        when ``current_seq()`` returned ``seq`` — the complement of
+        ``read_since`` (as_of(s) ∪ since(s) ≡ read, disjointly). Same
+        storage trick: the constant per-batch ``_ingest_seq`` lets
+        parquet row-group stats refute ``<= seq`` for every newer
+        file, so reading an old snapshot prunes the NEW data rather
+        than scanning it — snapshot cost tracks the snapshot, not the
+        table's growth. Contract (documented, not hidden): snapshots
+        reflect APPEND history only — a physical ``delete_where`` or
+        partition overwrite rewrites files and is visible at every
+        seq, exactly like any log-compacted store. ``optimize`` (pure
+        file-layout maintenance) preserves row-level ``_ingest_seq``,
+        so snapshots survive it; ``compact`` (dedup merge) folds
+        history into the current seq, the same way a ClickHouse
+        background merge erases pre-merge row versions."""
+        return self.read(name).filter(F.col(INGEST_SEQ_COL) <= F.lit(seq))
+
     def latest_view(self, name: str) -> DataFrame:
         """Dedup-on-read: per dedup key keep the latest version — the
         deterministic ``SELECT … FINAL``.

@@ -576,3 +576,41 @@ def test_read_since_incremental_consumption(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         q.explain("formatted")
     assert "_ingest_seq" in buf.getvalue() and "PushedFilters" in buf.getvalue()
+
+
+def test_read_as_of_time_travel(spark, tmp_path):
+    """read_as_of(seq) reproduces each historical snapshot exactly;
+    as_of(s) ∪ since(s) ≡ read with no overlap; the <= predicate is
+    pushed to the scan so newer files prune; optimize (pure layout
+    maintenance) preserves snapshots."""
+    import contextlib
+    import io
+
+    from conftest import logs_schema, ts
+
+    store = TableStore(spark, str(tmp_path))
+    store.create(logs_schema("logs"))
+    batches = [[(1, ts(1, 5), "a")], [(2, ts(1, 6), "b")], [(3, ts(2, 5), "c")]]
+    seqs = []
+    for b in batches:
+        store.append("logs", _mkdf(spark, b))
+        seqs.append(store.current_seq("logs"))
+
+    for i, s in enumerate(seqs):
+        snap = sorted(r["id"] for r in store.read_as_of("logs", s).collect())
+        assert snap == [b[0][0] for b in batches[: i + 1]]
+    # complement: as_of ∪ since partitions the table
+    s1 = seqs[0]
+    asof = {r["id"] for r in store.read_as_of("logs", s1).collect()}
+    since = {r["id"] for r in store.read_since("logs", s1).collect()}
+    assert asof | since == {1, 2, 3} and not (asof & since)
+    # pushdown: the seq predicate must reach the parquet scan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        store.read_as_of("logs", s1).explain("formatted")
+    assert "_ingest_seq" in buf.getvalue() and "PushedFilters" in buf.getvalue()
+    # layout maintenance must not rewrite history
+    store.optimize("logs")
+    assert sorted(
+        r["id"] for r in store.read_as_of("logs", seqs[1]).collect()
+    ) == [1, 2]
