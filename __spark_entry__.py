@@ -3435,6 +3435,65 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8, 2 update iterations) over the
+    embeddings table — per iteration one broadcast-literal assignment
+    pass (no shuffle) and one posexplode per-(cell, coordinate) mean
+    (exactly k×dim rows to the driver). Assignment = argmin of squared
+    L2 distance ROUNDED to 6 decimals with ties to the lowest cell —
+    the cross-engine determinism contract; the oracle replays the same
+    unrolled iterations as SQL CTEs, so a drifted mean, a wrong
+    tiebreak, or an off-by-one in the update loop all hash-mismatch."""
+    asg, _ = simi.kmeans(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=2
+    )
+    return asg
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """Unrolled Lloyd iterations as DuckDB CTEs — the oracle twin of
+    ``operators/similarity.py:kmeans`` (init = vec_id < k, empty cells
+    keep their previous centroid, rounded-distance argmin with
+    lowest-cell ties)."""
+    d2 = (
+        "list_aggregate(list_transform(list_zip(e.embedding, c.c), "
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+        "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum')"
+    )
+    parts = [
+        f"c0 AS (SELECT vec_id AS cell, "
+        f"list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c "
+        f"FROM embeddings WHERE vec_id < {k})"
+    ]
+    for i in range(iters):
+        parts.append(
+            f"a{i} AS (SELECT vec_id, cell FROM ("
+            f"SELECT e.vec_id, c.cell, row_number() OVER ("
+            f"PARTITION BY e.vec_id ORDER BY round({d2}, 6), c.cell) AS rn "
+            f"FROM embeddings e CROSS JOIN c{i} c) WHERE rn = 1)"
+        )
+        parts.append(
+            f"m{i + 1} AS (SELECT cell, list(m ORDER BY idx) AS c FROM ("
+            f"SELECT t.cell, t.idx, avg(t.x) AS m FROM ("
+            f"SELECT a{i}.cell AS cell, unnest(e.embedding) AS x, "
+            f"generate_subscripts(e.embedding, 1) AS idx "
+            f"FROM a{i} JOIN embeddings e ON a{i}.vec_id = e.vec_id) t "
+            f"GROUP BY t.cell, t.idx) GROUP BY cell)"
+        )
+        parts.append(
+            f"c{i + 1} AS (SELECT c{i}.cell, coalesce(m{i + 1}.c, c{i}.c) "
+            f"AS c FROM c{i} LEFT JOIN m{i + 1} ON c{i}.cell = m{i + 1}.cell)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM ("
+        f"SELECT e.vec_id, c.cell, row_number() OVER ("
+        f"PARTITION BY e.vec_id ORDER BY round({d2}, 6), c.cell) AS rn "
+        f"FROM embeddings e CROSS JOIN c{iters} c) WHERE rn = 1"
+    )
+
+
 def q_dist_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-rank window functions: percent_rank + cume_dist per
     market segment over account balance (standard tie semantics match
@@ -3934,6 +3993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_indexed": q_bm25_indexed,
         "media_video": q_media_video,
         "time_travel": q_time_travel,
+        "kmeans_clusters": q_kmeans_clusters,
     }
 
 
@@ -4945,6 +5005,7 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
         "resample_ffill": _RESAMPLE_SQL,
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "pagerank_nations": _PAGERANK_SQL,
+        "kmeans_clusters": _kmeans_sql(k=8, iters=2),
         "unpivot_metrics": _UNPIVOT_SQL,
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "text_roundtrip": "SELECT doc_id, text FROM documents",

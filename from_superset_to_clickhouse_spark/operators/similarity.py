@@ -719,6 +719,97 @@ def train_centroids(
     return cents
 
 
+def _dist2(vec: Column, cent: list[float]) -> Column:
+    """Squared Euclidean distance to a literal centroid, computed in
+    DOUBLE and rounded to 6 decimals — the rounding is the cross-engine
+    determinism contract (same as the cosine scores elsewhere): double
+    arithmetic agrees across engines to ~1e-13, far inside the 5e-7
+    rounding margin, so argmin never flips on representation noise."""
+    c = F.array(*[F.lit(float(x)) for x in cent])
+    return F.round(
+        F.aggregate(
+            F.zip_with(vec, c, lambda a, b: (a.cast("double") - b) ** 2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) for every vector: argmin of rounded squared-L2
+    distance against the broadcast centroid literals, ties to the
+    lowest cell index (``array_position`` returns the FIRST minimal
+    entry). Pure Catalyst — k × dim multiply-adds per row inside
+    whole-stage codegen, no shuffle, no Python."""
+    from from_superset_to_clickhouse_spark.functions.scalar import let_bind
+
+    dists = F.array(*[_dist2(F.col(vec_col), c) for c in cents])
+    cell = let_bind(
+        dists, lambda d: F.array_position(d, F.array_min(d)) - 1
+    ).cast("int")
+    return corpus.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
+
+
+def kmeans(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Distributed Lloyd's k-means (Euclidean) → (assignments, centroids).
+
+    Per iteration: one broadcast-literal assignment pass (no shuffle)
+    and one per-(cell, coordinate) mean — posexplode + partial/final
+    HashAggregate, so exactly k × dim rows cross to the driver per
+    round regardless of corpus size. Init = the first ``k`` vectors by
+    id (deterministic and oracle-replayable; callers wanting hash-order
+    init compose with ``train_centroids``). Empty cells keep their
+    previous centroid. The returned assignment is computed against the
+    FINAL centroids (iters updates, then one closing assignment), which
+    is exactly the unrolled form a SQL twin can replay.
+
+    At 100 TB: state per round is k × dim floats broadcast out and
+    k × dim averages back — the corpus is scanned ``iters + 1`` times
+    and never shuffled on vectors; only the exploded (cell, idx, x)
+    rows shuffle, combined map-side first."""
+    init = (
+        corpus.filter(F.col(id_col) < k)
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    cents = [[float(x) for x in r[0]] for r in init]
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = kmeans_assign(corpus, cents, id_col, vec_col)
+        means = (
+            assigned.select(
+                "cell", F.posexplode(F.col(vec_col)).alias("idx", "x")
+            )
+            .groupBy("cell", "idx")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["idx"]] = r["m"]
+        cents = [
+            [by_cell.get(c, {}).get(i, cents[c][i]) for i in range(dim)]
+            for c in range(k)
+        ]
+    return (
+        kmeans_assign(corpus, cents, id_col, vec_col).select(id_col, "cell"),
+        cents,
+    )
+
+
 def _assign_udf(cents: list[list[float]]):
     """Vectorized cell assignment: argmax dot against the (tiny) centroid
     matrix, one BLAS matmul per Arrow batch. The matrix rides in the UDF

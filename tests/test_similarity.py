@@ -248,3 +248,30 @@ def test_semantic_dedup_planted_clusters(spark):
     assert got[40][1] == 1                      # nothing within threshold
     # exactly one survivor per near-identical group, lowest id wins
     assert got[0][1] == 1 and got[10][1] == 0 and got[11][1] == 0
+
+
+def test_kmeans_planted_clusters_and_empty_cell(spark):
+    """Lloyd's k-means recovers three well-separated planted clusters
+    after one update, keeps an empty cell's previous centroid, and is
+    repartition-stable (no order dependence in assignment or means)."""
+    # seeds = ids 0..2; id 2's seed is isolated from all data points,
+    # so after the first assignment its cell empties and the centroid
+    # must survive unchanged.
+    rows = [
+        (0, [10.0, 0.0]), (1, [0.0, 10.0]), (2, [100.0, 100.0]),
+        (3, [11.0, 1.0]), (4, [9.0, -1.0]),
+        (5, [1.0, 11.0]), (6, [-1.0, 9.0]),
+    ]
+    rows[2] = (2, [-50.0, -50.0])  # seed 2 sits far from every point
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    asg, cents = simi.kmeans(df, k=3, iters=2)
+    got = {r["vec_id"]: r["cell"] for r in asg.collect()}
+    assert got[0] == got[3] == got[4] == 0
+    assert got[1] == got[5] == got[6] == 1
+    assert got[2] == 2  # its own far-away cluster
+    # empty-cell rule: no point ever assigned to cell 2 except id 2
+    # itself, whose mean is the point — centroid 2 equals [-50, -50]
+    assert cents[2] == [-50.0, -50.0]
+    # repartition stability: same assignment under a different layout
+    asg2, _ = simi.kmeans(df.repartition(7), k=3, iters=2)
+    assert {r["vec_id"]: r["cell"] for r in asg2.collect()} == got
