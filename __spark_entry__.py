@@ -3435,6 +3435,86 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-URL canonicalization + dup grouping: synthesize one messy
+    URL per document (mixed-case scheme/host, scheme-default ports,
+    tracking params, unsorted query order, fragments — all planted by
+    doc_id), canonicalize with ``canonical_url`` (codegen regex + array
+    ops), and count the resulting dup group sizes. The oracle is an
+    INDEPENDENT DuckDB reimplementation of the same canonicalization
+    contract, so a wrong regex anchor, a scheme-unaware port strip, or
+    an unsorted param list all hash-mismatch."""
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.concat(
+        F.when(i % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://D"),
+        s(i % 50),
+        F.lit(".Example.COM"),
+        F.when(i % 4 == 0, F.lit(":80"))
+        .when(i % 4 == 1, F.lit(":443"))
+        .otherwise(F.lit("")),
+        F.lit("/p/"),
+        s(i % 20),
+        F.when(
+            i % 3 == 0,
+            F.concat(F.lit("?utm_source=feed&b=2&a="), s(i % 5)),
+        )
+        .when(i % 3 == 1, F.concat(F.lit("?a="), s(i % 5), F.lit("&b=2")))
+        .otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    out = d.select(
+        "doc_id", txt.canonical_url(url).alias("curl")
+    )
+    w = Window.partitionBy("curl")
+    return out.select(
+        "doc_id", "curl", F.count(F.lit(1)).over(w).alias("dup_count")
+    )
+
+
+_URL_CANON_SQL = r"""
+WITH u AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+    || '://D' || (doc_id % 50) || '.Example.COM'
+    || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+             WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END)
+    || '/p/' || (doc_id % 20)
+    || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=' || (doc_id % 5)
+             WHEN doc_id % 3 = 1 THEN '?a=' || (doc_id % 5) || '&b=2'
+             ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END) AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(nofrag, '^[^:/?#]+://([^/?#]*)', 1)) AS host,
+    regexp_extract(nofrag, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path,
+    regexp_extract(nofrag, '\?([^#]*)', 1) AS q
+  FROM (SELECT doc_id, regexp_replace(trim(url), '#.*', '') AS nofrag FROM u)
+), canon AS (
+  SELECT doc_id,
+    scheme || '://'
+    || (CASE WHEN scheme = 'http' THEN regexp_replace(host, ':80$', '')
+             WHEN scheme = 'https' THEN regexp_replace(host, ':443$', '')
+             ELSE host END)
+    || (CASE WHEN path = '' THEN '/' ELSE path END)
+    || (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+             ELSE '' END) AS curl
+  FROM (
+    SELECT *, list_sort(list_filter(string_split(q, '&'),
+      x -> x <> '' AND NOT regexp_matches(x,
+        '^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|igshid|ref)='))) AS kept
+    FROM parts)
+)
+SELECT doc_id, curl,
+  CAST(count(*) OVER (PARTITION BY curl) AS BIGINT) AS dup_count
+FROM canon
+"""
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means (k=8, 2 update iterations) over the
     embeddings table — per iteration one broadcast-literal assignment
@@ -3994,6 +4074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video": q_media_video,
         "time_travel": q_time_travel,
         "kmeans_clusters": q_kmeans_clusters,
+        "url_canonical": q_url_canonical,
     }
 
 
@@ -5006,6 +5087,7 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "pagerank_nations": _PAGERANK_SQL,
         "kmeans_clusters": _kmeans_sql(k=8, iters=2),
+        "url_canonical": _URL_CANON_SQL,
         "unpivot_metrics": _UNPIVOT_SQL,
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "text_roundtrip": "SELECT doc_id, text FROM documents",

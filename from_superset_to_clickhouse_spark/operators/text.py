@@ -378,6 +378,69 @@ def url_domain(text: Column) -> Column:
     return F.regexp_extract(text, URL_RE, 1)
 
 
+# Query parameters that track campaigns/sessions, not content — the
+# standard strip list for crawl URL canonicalization.
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|igshid|ref)="
+
+
+def canonical_url(url: Column, strip_www: bool = False) -> Column:
+    """Canonical form of an absolute http(s) URL — the key a crawl
+    dedups on. Pure codegen (Java-regex/RE2-common patterns + array
+    ops, no Python):
+
+    - scheme and host lowercased; default ports (:80 http, :443 https)
+      stripped; optional leading ``www.`` strip
+    - fragment dropped (never sent to the server)
+    - tracking params (``utm_*``, ``fbclid``, ``gclid``, …) removed,
+      remaining params SORTED so param order can't split a dup group,
+      ``?`` dropped when nothing survives
+    - empty path becomes ``/``
+
+    Malformed rows (no ``scheme://host``) pass through trimmed and
+    unparsed — quarantine-by-identity, never a wrong merge."""
+    from from_superset_to_clickhouse_spark.functions.scalar import let_bind
+
+    u = F.regexp_replace(F.trim(url), r"#.*", "")  # fragment off first
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host_base = F.lower(F.regexp_extract(u, r"^[^:/?#]+://([^/?#]*)", 1))
+    path = F.regexp_extract(u, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+
+    # port strip is scheme-aware: :80 is default only for http, :443
+    # only for https — stripping either unconditionally would merge
+    # genuinely distinct origins (http://h:443 vs http://h)
+    host2 = F.when(
+        scheme == F.lit("http"), F.regexp_replace(host_base, r":80$", "")
+    ).otherwise(
+        F.when(
+            scheme == F.lit("https"),
+            F.regexp_replace(host_base, r":443$", ""),
+        ).otherwise(host_base)
+    )
+    if strip_www:
+        host2 = F.regexp_replace(host2, r"^www\.", "")
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qs = let_bind(
+        kept,
+        lambda ps: F.when(
+            F.size(ps) > 0, F.concat(F.lit("?"), F.array_join(ps, "&"))
+        ).otherwise(F.lit("")),
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host2,
+        F.when(path == "", F.lit("/")).otherwise(path),
+        qs,
+    )
+    return F.when(scheme == "", F.trim(url)).otherwise(canon)
+
+
 def ngram_rows(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:

@@ -337,3 +337,41 @@ def test_bm25_indexed_equals_on_the_fly(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         probe.explain("formatted")
     assert "PartitionFilters" in buf.getvalue()
+
+
+def test_canonical_url_contract(spark):
+    """Scheme/host lowercasing, scheme-aware default-port strip,
+    fragment drop, tracking-param removal, param sorting, empty-path
+    normalization — and malformed rows pass through trimmed, never
+    merged into a parsed group."""
+    cases = [
+        ("HTTP://Example.COM:80/a/b?z=1&utm_source=x&a=2#frag",
+         "http://example.com/a/b?a=2&z=1"),
+        ("https://Example.com:443", "https://example.com/"),
+        ("https://example.com/p?utm_campaign=c&fbclid=abc",
+         "https://example.com/p"),
+        # :443 is NOT default for http — must survive
+        ("http://h:443/x", "http://h:443/x"),
+        ("https://a.b/path/?b=2&a=1", "https://a.b/path/?a=1&b=2"),
+        ("  not a url  ", "not a url"),
+        ("https://www.site.org/?ref=nav", "https://www.site.org/"),
+    ]
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)], "i int, url string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", txt.canonical_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+    # strip_www merges the www/apex split
+    www = spark.createDataFrame(
+        [("https://www.site.org/p",), ("https://site.org/p",)], "url string"
+    )
+    c = www.select(
+        txt.canonical_url(F.col("url"), strip_www=True).alias("c")
+    ).distinct()
+    assert c.count() == 1
