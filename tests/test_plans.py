@@ -342,3 +342,28 @@ def test_proximity_join_is_equi_not_nested_loop(spark, qmap):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_kmeans_assignment_pass_is_pure_projection(spark):
+    """The per-iteration k-means assignment must be scan→project only:
+    distance argmin entirely in codegen — no Exchange, no Python, no
+    join against a centroid table (centroids ride as literals)."""
+    from from_superset_to_clickhouse_spark.operators import similarity as simi
+    from from_superset_to_clickhouse_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = [r["embedding"] for r in emb.orderBy("vec_id").limit(3).collect()]
+    plan = _plan(simi.kmeans_assign(emb, [[float(x) for x in c] for c in cents]))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    assert "Join" not in plan
+
+
+def test_url_canonical_is_codegen_with_one_window(spark, qmap):
+    """Canonicalization itself is pure codegen (no Python, no join);
+    the only exchange is the dup-count window's hash partition on the
+    canonical key — exactly the shuffle a dedup needs."""
+    plan = _plan(qmap["url_canonical"](spark, SF))
+    assert "Python" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # window hash partitioning only
