@@ -3515,6 +3515,58 @@ FROM canon
 """
 
 
+def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed naive-Bayes quality classifier, trained AND applied
+    distributed (the fasttext-filter shape): label = length(text) > 400
+    (content-derived, SQL-replayable), features = md5-prefix hashed
+    word buckets (256), training = one (bucket × label) count aggregate
+    + Laplace log-odds, scoring = broadcast weight join + per-doc sum +
+    class prior. In-sample scoring by design — the entry tests the
+    distributed training/apply machinery, and the oracle recomputes the
+    entire pipeline (counts, smoothing, log-odds, prior, sums) in SQL,
+    so any drift in the math hash-mismatches."""
+    d = _docs(spark, sf_dir)
+    labeled = d.withColumn("y", (F.length("text") > 400).cast("int"))
+    w = txt.nb_train_hashed(labeled, "y")
+    prior = txt.nb_prior(labeled, "y")
+    scored = txt.nb_score_hashed(labeled, w, prior)
+    return scored.select(
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        (F.col("score") > 0).cast("int").alias("pred"),
+    )
+
+
+_NB_SQL = r"""
+WITH labeled AS (
+  SELECT doc_id, text, CAST(length(text) > 400 AS INT) AS y FROM documents
+), toks AS (
+  SELECT doc_id, y, substr(md5(t), 1, 2) AS bucket FROM (
+    SELECT doc_id, y,
+      unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                         x -> x <> '')) AS t
+    FROM labeled)
+), tot AS (
+  SELECT CAST(sum(y) AS DOUBLE) AS pos_tot,
+         CAST(sum(1 - y) AS DOUBLE) AS neg_tot FROM toks
+), w AS (
+  SELECT bucket,
+    ln((sum(y) + 1.0) / (tot.pos_tot + 256.0))
+      - ln((sum(1 - y) + 1.0) / (tot.neg_tot + 256.0)) AS w
+  FROM toks CROSS JOIN tot GROUP BY bucket, tot.pos_tot, tot.neg_tot
+), prior AS (
+  SELECT ln((sum(y) + 1.0) / (sum(1 - y) + 1.0)) AS prior FROM labeled
+), sums AS (
+  SELECT toks.doc_id, sum(w.w) AS s FROM toks JOIN w USING (bucket)
+  GROUP BY toks.doc_id
+)
+SELECT l.doc_id,
+  round(coalesce(s.s, 0.0) + prior.prior, 6) AS score,
+  CAST(coalesce(s.s, 0.0) + prior.prior > 0 AS INT) AS pred
+FROM labeled l LEFT JOIN sums s ON l.doc_id = s.doc_id CROSS JOIN prior
+"""
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means (k=8, 2 update iterations) over the
     embeddings table — per iteration one broadcast-literal assignment
@@ -4075,6 +4127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel": q_time_travel,
         "kmeans_clusters": q_kmeans_clusters,
         "url_canonical": q_url_canonical,
+        "nb_classifier": q_nb_classifier,
     }
 
 
@@ -5088,6 +5141,7 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
         "pagerank_nations": _PAGERANK_SQL,
         "kmeans_clusters": _kmeans_sql(k=8, iters=2),
         "url_canonical": _URL_CANON_SQL,
+        "nb_classifier": _NB_SQL,
         "unpivot_metrics": _UNPIVOT_SQL,
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "text_roundtrip": "SELECT doc_id, text FROM documents",

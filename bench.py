@@ -58,6 +58,11 @@ HEADLINE = [
     "resample_ffill",
     "semantic_dedup",
     "pagerank_nations",
+    # distributed Lloyd's k-means (2 update rounds + closing assignment
+    # over the 20k-vector sf0.1 embeddings) and codegen URL
+    # canonicalization + dup-count window
+    "kmeans_clusters",
+    "url_canonical",
 ]
 
 # ANN is measured on a deterministic query slice (vec_id < ANN_QUERIES)

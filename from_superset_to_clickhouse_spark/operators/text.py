@@ -541,6 +541,99 @@ def contamination(
     )
 
 
+def hashed_token_buckets(text: Column, prefix_len: int = 2) -> Column:
+    """Feature-hash each word token to one of 16^prefix_len buckets via
+    an md5-hex prefix — the hashing-trick vocabulary bound every
+    fasttext-style filter uses, in the repo's ANSI-replicable hash
+    family (md5 hex is identical in every engine, so an external SQL
+    twin can recompute the exact buckets)."""
+    return F.transform(
+        word_tokens(text), lambda w: F.substring(F.md5(w), 1, prefix_len)
+    )
+
+
+def nb_train_hashed(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Distributed training of a hashed multinomial naive-Bayes text
+    classifier → (bucket, w) log-odds weights. This is the quality-
+    filter training loop a curation pipeline runs at corpus scale (the
+    fasttext-classifier shape): one explode + one (bucket × label)
+    count aggregate — partial/final HashAggregate, so the shuffle
+    carries at most 16^prefix_len rows per map task — then Laplace-
+    smoothed log-odds against the class totals (a broadcast one-row
+    cross join, never a collect). Weights output is ≤ 16^prefix_len
+    rows: broadcastable at any corpus size."""
+    y = F.col(label_col).cast("int")
+    toks = df.select(
+        y.alias("y"),
+        F.explode(hashed_token_buckets(F.col(text_col), prefix_len)).alias(
+            "bucket"
+        ),
+    )
+    counts = toks.groupBy("bucket").agg(
+        F.sum("y").alias("pos"), F.sum(1 - F.col("y")).alias("neg")
+    )
+    tot = toks.agg(
+        F.sum("y").alias("pos_tot"), F.sum(1 - F.col("y")).alias("neg_tot")
+    )
+    nb = float(16**prefix_len)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("pos") + 1) / (F.col("pos_tot") + nb))
+            - F.log((F.col("neg") + 1) / (F.col("neg_tot") + nb))
+        ).alias("w"),
+    )
+
+
+def nb_prior(df: DataFrame, label_col: str) -> DataFrame:
+    """One-row class-prior log-odds (add-one smoothed) — cross-joined
+    (broadcast) into scoring, never collected."""
+    y = F.col(label_col).cast("int")
+    return df.agg(
+        F.log((F.sum(y) + 1.0) / (F.sum(1 - y) + 1.0)).alias("prior")
+    )
+
+
+def nb_score_hashed(
+    df: DataFrame,
+    weights: DataFrame,
+    prior: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Apply a trained hashed-NB model → (id, score, pred). One explode
+    + one broadcast join against the ≤ 16^prefix_len weight rows + one
+    per-doc sum — the fact table shuffles once, on the doc key, with
+    map-side combine. Token-free docs score the bare prior (left
+    joins), never drop."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(hashed_token_buckets(F.col(text_col), prefix_len)).alias(
+            "bucket"
+        ),
+    )
+    sums = (
+        toks.join(F.broadcast(weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(F.sum(F.coalesce("w", F.lit(0.0))).alias("s"))
+    )
+    return (
+        df.select(id_col)
+        .join(sums, id_col, "left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            id_col,
+            (F.coalesce("s", F.lit(0.0)) + F.col("prior")).alias("score"),
+        )
+    )
+
+
 def unigram_lm_scores(
     df: DataFrame,
     text_col: str = "text",

@@ -375,3 +375,39 @@ def test_canonical_url_contract(spark):
         txt.canonical_url(F.col("url"), strip_www=True).alias("c")
     ).distinct()
     assert c.count() == 1
+
+
+def test_nb_classifier_learns_planted_signal(spark):
+    """Hashed NB trained on a corpus where 'excellent' marks label 1
+    and 'terrible' marks label 0 must separate held-in docs by score;
+    a token-free doc scores exactly the class prior; scoring is
+    repartition-stable."""
+    import math
+
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, "excellent wonderful product truly excellent", 1))
+        else:
+            rows.append((i, "terrible awful failure truly terrible", 0))
+    rows.append((100, "excellent excellent excellent", None))  # score-only
+    rows.append((101, "", None))  # token-free -> bare prior
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    train = df.filter(F.col("label").isNotNull())
+    w = txt.nb_train_hashed(train, "label")
+    prior = txt.nb_prior(train, "label")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in txt.nb_score_hashed(df, w, prior).collect()
+    }
+    assert got[100] > 0 and got[0] > 0
+    assert got[1] < 0
+    # prior: 20 pos, 20 neg -> ln(21/21) = 0
+    assert math.isclose(got[101], 0.0, abs_tol=1e-12)
+    got2 = {
+        r["doc_id"]: r["score"]
+        for r in txt.nb_score_hashed(
+            df.repartition(13), w, prior
+        ).collect()
+    }
+    assert all(math.isclose(got[k], got2[k], rel_tol=1e-9) for k in got)
