@@ -3515,6 +3515,93 @@ FROM canon
 """
 
 
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution diversity per document: Shannon entropy +
+    type-token ratio over the word-frequency distribution — the
+    repetitiveness signal curation rules threshold on. -0.0 is
+    normalized to 0.0 on both sides (single-token docs hit it)."""
+    out = txt.token_entropy(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_tokens",
+        (F.col("entropy") + F.lit(0.0)).alias("entropy"),
+        "ttr",
+    )
+
+
+_ENTROPY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                       x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), n AS (
+  SELECT doc_id, sum(tf) AS n FROM tf GROUP BY 1
+), e AS (
+  SELECT tf.doc_id, max(n.n) AS n_tokens, count(*) AS distinct_tokens,
+    round(-sum((tf.tf / CAST(n.n AS DOUBLE))
+               * ln(tf.tf / CAST(n.n AS DOUBLE))), 6) + 0.0 AS entropy,
+    round(count(*) / CAST(max(n.n) AS DOUBLE), 6) AS ttr
+  FROM tf JOIN n USING (doc_id) GROUP BY tf.doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(e.n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(coalesce(e.distinct_tokens, 0) AS BIGINT) AS distinct_tokens,
+  coalesce(e.entropy, 0.0) AS entropy,
+  coalesce(e.ttr, 0.0) AS ttr
+FROM documents d LEFT JOIN e USING (doc_id)
+"""
+
+
+def q_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style composite quality gate: five per-document rules
+    (word-count bounds, mean-word-length band, alphabetic-word
+    fraction, ellipsis-line fraction, stopword presence) each surfaced
+    as a flag plus the AND'd keep — filter AND audit in one pass, pure
+    codegen, zero shuffles. The oracle re-implements every rule in
+    SQL."""
+    return txt.gopher_gate(_docs(spark, sf_dir))
+
+
+_GOPHER_SQL = (
+    r"""
+WITH base AS (
+  SELECT doc_id, text,
+    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks,
+    string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    len(toks) AS g_words,
+    list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS wc,
+    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_n,
+    len(list_filter(lines, l -> ends_with(l, '...'))) AS ell_n,
+    len(lines) AS n_lines,
+    """
+    + "{stop_hits}"
+    + r""" AS stop_hits
+  FROM base
+)
+SELECT doc_id,
+  CAST(g_words AS INTEGER) AS g_words,
+  round(coalesce(wc, 0) / CAST(greatest(g_words, 1) AS DOUBLE), 4)
+    AS g_mean_wl,
+  round(alpha_n / CAST(greatest(g_words, 1) AS DOUBLE), 6) AS g_alpha_frac,
+  round(ell_n / CAST(greatest(n_lines, 1) AS DOUBLE), 6) AS g_ellipsis_frac,
+  CAST(stop_hits AS INTEGER) AS g_stop_hits,
+  CAST(g_words BETWEEN 10 AND 100000
+    AND (coalesce(wc, 0) / CAST(greatest(g_words, 1) AS DOUBLE)) BETWEEN 2 AND 12
+    AND alpha_n / CAST(greatest(g_words, 1) AS DOUBLE) >= 0.8
+    AND ell_n / CAST(greatest(n_lines, 1) AS DOUBLE) <= 0.3
+    AND stop_hits >= 2 AS INTEGER) AS keep
+FROM m
+"""
+)
+
+
 def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed naive-Bayes quality classifier, trained AND applied
     distributed (the fasttext-filter shape): label = length(text) > 400
@@ -4128,6 +4215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "url_canonical": q_url_canonical,
         "nb_classifier": q_nb_classifier,
+        "token_entropy": q_token_entropy,
+        "gopher_gate": q_gopher_gate,
     }
 
 
@@ -5142,6 +5231,13 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
         "kmeans_clusters": _kmeans_sql(k=8, iters=2),
         "url_canonical": _URL_CANON_SQL,
         "nb_classifier": _NB_SQL,
+        "token_entropy": _ENTROPY_SQL,
+        "gopher_gate": _GOPHER_SQL.format(
+            stop_hits=" + ".join(
+                _occ_sql("(' ' || lower(text) || ' ')", f" {w} ")
+                for w in txt.GATE_STOPWORDS
+            )
+        ),
         "unpivot_metrics": _UNPIVOT_SQL,
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "text_roundtrip": "SELECT doc_id, text FROM documents",

@@ -541,6 +541,117 @@ def contamination(
     )
 
 
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document token diversity → (id, n_tokens, distinct_tokens,
+    entropy, ttr). Shannon entropy over the token frequency
+    distribution plus type-token ratio — the repetitiveness signals
+    curation rules threshold on (a spammy page repeating one phrase has
+    near-zero entropy at any length). One explode + one (doc, term)
+    count + one per-doc aggregate — two keyed shuffles, both
+    partial-aggregated; token-free docs surface with zero entropy
+    rather than dropping."""
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # entropy needs tf/n per row: totals first, then Σ p·ln(p) over the
+    # already-collapsed (doc, term) relation — both joins keyed on doc
+    n = tf.groupBy(id_col).agg(F.sum("tf").alias("n"))
+    ent = (
+        tf.join(n, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.max("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("distinct_tokens"),
+            F.round(
+                -F.sum(
+                    (F.col("tf") / F.col("n"))
+                    * F.log(F.col("tf") / F.col("n"))
+                ),
+                6,
+            ).alias("entropy"),
+        )
+        .withColumn(
+            "ttr",
+            F.round(F.col("distinct_tokens") / F.col("n_tokens"), 6),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(ent, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("distinct_tokens", F.lit(0)).alias("distinct_tokens"),
+            F.coalesce("entropy", F.lit(0.0)).alias("entropy"),
+            F.coalesce("ttr", F.lit(0.0)).alias("ttr"),
+        )
+    )
+
+
+# Stopwords for the document-level "natural prose" check (the Gopher
+# rule: a real English document contains at least two of these).
+GATE_STOPWORDS = ("the", "and", "of", "to", "be")
+
+
+def gopher_gate(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher/C4-style composite quality gate, per document: word-count
+    bounds, mean-word-length band, alphabetic-word fraction, ellipsis-
+    line fraction, stopword presence — each rule surfaced as its own
+    flag plus the AND'd ``keep``, so a pipeline can both filter and
+    audit WHY rows fell. Pure codegen (split/filter/aggregate array
+    exprs), zero shuffles. Thresholds follow the published heuristics
+    (Rae et al. 2021 'Gopher' §A1.1; C4's line rules), adapted to
+    whitespace tokens."""
+    from from_superset_to_clickhouse_spark.functions.scalar import let_bind
+
+    t = F.col(text_col)
+
+    def flags(toks, lines):
+        n_words = F.size(toks)
+        word_chars = F.aggregate(
+            F.transform(toks, F.length),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        mean_wl = word_chars / F.greatest(n_words, F.lit(1))
+        alpha_frac = F.size(
+            F.filter(toks, lambda x: x.rlike("[A-Za-z]"))
+        ) / F.greatest(n_words, F.lit(1))
+        ell_frac = F.size(
+            F.filter(lines, lambda l: l.endswith("..."))
+        ) / F.greatest(F.size(lines), F.lit(1))
+        pad = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+        stop_hits = None
+        for w in GATE_STOPWORDS:
+            c = occurrence_count(pad, f" {w} ")
+            stop_hits = c if stop_hits is None else stop_hits + c
+        return [
+            n_words.alias("g_words"),
+            F.round(mean_wl, 4).alias("g_mean_wl"),
+            F.round(alpha_frac, 6).alias("g_alpha_frac"),
+            F.round(ell_frac, 6).alias("g_ellipsis_frac"),
+            stop_hits.alias("g_stop_hits"),
+            (
+                n_words.between(10, 100000)
+                & mean_wl.between(2, 12)
+                & (alpha_frac >= 0.8)
+                & (ell_frac <= 0.3)
+                & (stop_hits >= 2)
+            )
+            .cast("int")
+            .alias("keep"),
+        ]
+
+    ws_toks = F.filter(F.split(t, r"\s+"), lambda x: x != F.lit(""))
+    lines = F.split(t, r"\n")
+    return df.select(F.col(id_col), *flags(ws_toks, lines))
+
+
 def hashed_token_buckets(text: Column, prefix_len: int = 2) -> Column:
     """Feature-hash each word token to one of 16^prefix_len buckets via
     an md5-hex prefix — the hashing-trick vocabulary bound every

@@ -411,3 +411,48 @@ def test_nb_classifier_learns_planted_signal(spark):
         ).collect()
     }
     assert all(math.isclose(got[k], got2[k], rel_tol=1e-9) for k in got)
+
+
+def test_token_entropy_separates_repetition(spark):
+    """A one-phrase spam doc has near-zero entropy at any length; a
+    diverse doc of the same token count has high entropy; the empty doc
+    surfaces with zeros instead of dropping."""
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam"),
+        (2, "eight distinct words make this doc quite diverse"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in txt.token_entropy(df).collect()}
+    assert got[1]["entropy"] == 0.0 and got[1]["distinct_tokens"] == 1
+    # 8 equiprobable tokens -> ln(8)
+    import math
+
+    assert abs(got[2]["entropy"] - round(math.log(8), 6)) < 1e-9
+    assert got[2]["ttr"] == 1.0
+    assert got[3]["n_tokens"] == 0 and got[3]["entropy"] == 0.0
+
+
+def test_gopher_gate_rules_fire_individually(spark):
+    """Each planted defect trips exactly its own rule: too few words,
+    symbol soup (alpha fraction), ellipsis-heavy lines, no stopwords —
+    and a plain prose doc keeps."""
+    prose = (
+        "the quick brown fox jumps over the lazy dog and then runs "
+        "off to be seen again near the quiet river bank of town"
+    )
+    rows = [
+        (1, prose),
+        (2, "too short"),
+        (3, "the of " + " ".join(["$$$##@"] * 30)),
+        (4, "\n".join([f"line {i} trails off..." for i in range(10)])
+            + "\nthe and of to be plus many more ordinary words here"),
+        (5, " ".join(["wordy"] * 40)),  # no stopwords at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in txt.gopher_gate(df).collect()}
+    assert got[1]["keep"] == 1
+    assert got[2]["keep"] == 0 and got[2]["g_words"] == 2
+    assert got[3]["keep"] == 0 and got[3]["g_alpha_frac"] < 0.8
+    assert got[4]["keep"] == 0 and got[4]["g_ellipsis_frac"] > 0.3
+    assert got[5]["keep"] == 0 and got[5]["g_stop_hits"] == 0
