@@ -3515,6 +3515,38 @@ FROM canon
 """
 
 
+def q_ngram_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram bloom skip-index substring read end-to-end (the
+    ClickHouse ``INDEX … TYPE ngrambf_v1`` analog): load events into a
+    day-partitioned store with a trigram bloom declared on
+    ``event_type`` — writes maintain per-partition gram bitmaps from
+    the increment — then read ``event_type LIKE '%urchas%'``; every
+    trigram of the needle must be present in a partition's bitmap or
+    the partition is pruned at planning time, and the result must equal
+    the plain SQL substring filter ('urchas' hits only 'purchase'
+    rows)."""
+    store = TableStore(spark, tempfile.mkdtemp(prefix="sg_store_"))
+    store.create(
+        Schema(
+            name="store_events_ngram",
+            fields=(
+                Field("event_id", "bigint", nullable=False),
+                Field("ts", "timestamp", nullable=False),
+                Field("event_type", "string"),
+                Field("value", "double"),
+            ),
+            partition_by=("ts_day",),
+            sort_by=("event_id",),
+        )
+    )
+    store.add_ngram_bloom_index("store_events_ngram", "event_type", n=3)
+    ev = _ev(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    store.append("store_events_ngram", ev)
+    return store.read_like("store_events_ngram", "event_type", "urchas").select(
+        "event_id", "ts", "event_type", "value"
+    )
+
+
 def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-distribution diversity per document: Shannon entropy +
     type-token ratio over the word-frequency distribution — the
@@ -4217,6 +4249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classifier": q_nb_classifier,
         "token_entropy": q_token_entropy,
         "gopher_gate": q_gopher_gate,
+        "ngram_read": q_ngram_read,
     }
 
 
@@ -5232,6 +5265,10 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
         "url_canonical": _URL_CANON_SQL,
         "nb_classifier": _NB_SQL,
         "token_entropy": _ENTROPY_SQL,
+        "ngram_read": (
+            "SELECT event_id, ts, event_type, value FROM events "
+            "WHERE event_type LIKE '%urchas%'"
+        ),
         "gopher_gate": _GOPHER_SQL.format(
             stop_hits=" + ".join(
                 _occ_sql("(' ' || lower(text) || ' ')", f" {w} ")

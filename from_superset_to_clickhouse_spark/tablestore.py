@@ -212,6 +212,7 @@ class TableStore:
         w.parquet(join(self.path(name), "data"))
         self._update_zone_maps(name, out, mode="merge")
         self._update_blooms(name, out, mode="merge")
+        self._update_ngram_blooms(name, out, mode="merge")
 
     def overwrite_partitions(self, name: str, df: DataFrame) -> None:
         """Atomic partition swap: replace exactly the partitions present in df.
@@ -234,6 +235,7 @@ class TableStore:
         )
         self._update_zone_maps(name, out, mode="replace")
         self._update_blooms(name, out, mode="replace")
+        self._update_ngram_blooms(name, out, mode="replace")
 
     def overwrite(self, name: str, df: DataFrame) -> None:
         seq = self._next_ingest_seq(name)
@@ -244,6 +246,7 @@ class TableStore:
         w.parquet(join(self.path(name), "data"))
         self._update_zone_maps(name, out, mode="reset")
         self._update_blooms(name, out, mode="reset")
+        self._update_ngram_blooms(name, out, mode="reset")
 
     # -- zone maps (sort-key min/max per partition — data skipping) ---------
 
@@ -453,6 +456,178 @@ class TableStore:
         if changed:
             meta["bloom_indexes"] = idxs
             self._save_meta(name, meta)
+
+    # -- n-gram bloom skip indexes (substring-predicate skipping) --------
+    #
+    # The LIKE-'%needle%' complement to the equality bloom: per
+    # partition, a bloom over every character n-gram of the column's
+    # values (the ClickHouse `INDEX … TYPE ngrambf_v1` analog). A
+    # substring probe requires ALL n-grams of the needle to be present,
+    # so partitions lacking any one of them provably cannot contain a
+    # match. Case-sensitive, like the engine's `contains`. Stale bits
+    # cost tightness, never correctness — same contract as the other
+    # skip indexes.
+
+    def add_ngram_bloom_index(
+        self, name: str, col: str, n: int = 3, bits: int = 8192, k: int = 3
+    ) -> None:
+        """Declare an n-gram bloom skip index on string column ``col``
+        and backfill from disk. Default 8192/3 bits/hashes: n-gram sets
+        are denser than value sets (a 100-char string has ~98 trigrams),
+        so the bitmap is bigger and k smaller than the equality bloom's.
+        Meta cost: bits/8 bytes per partition (1 KiB default)."""
+        if bits % 8:
+            raise ValueError("bits must be a multiple of 8")
+        meta = self._meta(name)
+        if len(meta["partition_by"]) != 1:
+            raise ValueError(
+                "ngram bloom indexes need a single-column partition layout"
+            )
+        existing = self.read(name)
+        if col not in existing.columns:
+            raise ValueError(f"no column {col} in table {name}")
+        idxs = dict(meta.get("ngram_bloom_indexes") or {})
+        idxs[col] = {"n": n, "bits": bits, "k": k, "filters": {}}
+        meta["ngram_bloom_indexes"] = idxs
+        self._save_meta(name, meta)
+        self._update_ngram_blooms(name, existing, mode="reset")
+
+    @staticmethod
+    def _ngram_positions(col: Column, n: int, bits: int, k: int) -> Column:
+        """Bit positions for ALL n-grams of one string value: the
+        distinct n-grams via a substring generator, then k xxhash64
+        positions per gram — the same JVM hash family as the equality
+        bloom, so build and probe agree bit-for-bit."""
+        grams = F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length(col) - (n - 1), F.lit(0)),
+                ),
+                lambda i: F.substring(col, i, n),
+            )
+        )
+        return F.flatten(
+            F.transform(
+                grams,
+                lambda g: F.array(
+                    *[
+                        F.pmod(F.xxhash64(g, F.lit(i)), F.lit(bits)).cast(
+                            "int"
+                        )
+                        for i in range(k)
+                    ]
+                ),
+            )
+        )
+
+    def _update_ngram_blooms(
+        self, name: str, staged: DataFrame, mode: str
+    ) -> None:
+        """Refresh per-partition n-gram bitmaps from the staged batch —
+        identical merge/replace/reset contract to ``_update_blooms``;
+        the explode output is capped at ``bits`` positions per touched
+        partition by the map-side collect_set."""
+        meta = self._meta(name)
+        idxs = meta.get("ngram_bloom_indexes") or {}
+        if not idxs:
+            return
+        part = meta["partition_by"][0]
+        changed = False
+        for col, idx in idxs.items():
+            if col not in staged.columns:
+                continue
+            n, bits, k = idx["n"], idx["bits"], idx["k"]
+            stats = (
+                staged.filter(F.col(col).isNotNull())
+                .select(
+                    F.col(part).alias("_p"),
+                    F.explode(
+                        self._ngram_positions(F.col(col), n, bits, k)
+                    ).alias("_pos"),
+                )
+                .groupBy("_p")
+                .agg(F.collect_set("_pos").alias("_ps"))
+                .collect()
+            )
+            filters = {} if mode == "reset" else dict(idx.get("filters") or {})
+            for r in stats:
+                key = self._zone_part_key(r["_p"])
+                buf = bytearray(bits // 8)
+                for p in r["_ps"]:
+                    buf[p >> 3] |= 1 << (p & 7)
+                if mode == "merge" and key in filters:
+                    old = bytes.fromhex(filters[key])
+                    buf = bytearray(a | b for a, b in zip(buf, old))
+                filters[key] = bytes(buf).hex()
+            for r in (
+                staged.select(F.col(part).alias("_p")).distinct().collect()
+            ):
+                key = self._zone_part_key(r["_p"])
+                if key not in filters or (
+                    mode == "replace"
+                    and key
+                    not in {self._zone_part_key(s["_p"]) for s in stats}
+                ):
+                    filters[key] = bytes(bits // 8).hex()
+            idx["filters"] = filters
+            changed = True
+        if changed:
+            meta["ngram_bloom_indexes"] = idxs
+            self._save_meta(name, meta)
+
+    def ngram_prune_partitions(
+        self, name: str, col: str, needle: str
+    ) -> list[str] | None:
+        """Partition values that may contain ``needle`` as a substring
+        of ``col`` — or None when pruning isn't safe (no index, needle
+        shorter than the indexed n, or a partition on disk with no
+        entry). Every n-gram of the needle must have all its bits set."""
+        meta = self._meta(name)
+        idx = (meta.get("ngram_bloom_indexes") or {}).get(col)
+        if idx is None or needle is None or len(needle) < idx["n"]:
+            return None
+        filters = idx.get("filters") or {}
+        on_disk = {
+            urllib.parse.unquote(e.split("=", 1)[1])
+            for e in self.partitions(name)
+        }
+        if not on_disk <= set(filters.keys()):
+            return None
+        pos = (
+            self.spark.range(1)
+            .select(
+                self._ngram_positions(
+                    F.lit(needle), idx["n"], idx["bits"], idx["k"]
+                ).alias("_p")
+            )
+            .first()["_p"]
+        )
+        keep = []
+        for key, hx in filters.items():
+            buf = bytes.fromhex(hx)
+            if all((buf[p >> 3] >> (p & 7)) & 1 for p in pos):
+                keep.append(key)
+        return sorted(keep)
+
+    def read_like(self, name: str, col: str, needle: str) -> DataFrame:
+        """Substring read with n-gram-bloom data skipping: ``col LIKE
+        '%needle%'`` becomes a partition ``isin`` pruned at planning
+        time, then the exact ``contains`` applies on survivors. Without
+        an applicable index (or a needle shorter than n) this degrades
+        to an ordinary filtered full scan."""
+        meta = self._meta(name)
+        parts = meta["partition_by"]
+        df = self.read(name)
+        keep = self.ngram_prune_partitions(name, col, needle)
+        if keep is not None and parts:
+            pred = F.col(parts[0]).cast("string").isin(
+                [kk for kk in keep if kk != self._HIVE_NULL]
+            )
+            if self._HIVE_NULL in keep:
+                pred = pred | F.col(parts[0]).isNull()
+            df = df.filter(pred)
+        return df.filter(F.col(col).contains(F.lit(needle)))
 
     def bloom_prune_partitions(self, name: str, col: str, value) -> list[str] | None:
         """Partition values whose bloom filter may contain ``value`` — or

@@ -614,3 +614,57 @@ def test_read_as_of_time_travel(spark, tmp_path):
     assert sorted(
         r["id"] for r in store.read_as_of("logs", seqs[1]).collect()
     ) == [1, 2]
+
+
+def test_ngram_bloom_index_substring_pruning(spark, tmp_path):
+    """Trigram bloom skip index: a substring probe prunes partitions
+    lacking any needle trigram yet read_like stays exactly equal to the
+    plain contains filter; appends widen bitmaps by OR; a needle
+    shorter than n disables pruning but not correctness; NULL values
+    are skipped in the build."""
+    from from_superset_to_clickhouse_spark.schema import Field, Schema
+
+    store = TableStore(spark, str(tmp_path))
+    store.create(
+        Schema(
+            "t",
+            (
+                Field("id", "bigint", nullable=False),
+                Field("p", "bigint", nullable=False),
+                Field("s", "string"),
+            ),
+            partition_by=("p",),
+        )
+    )
+    rows = [
+        (i, i % 4, None if i == 17 else
+         f"pre-{'needle' if i % 4 == 2 else 'hay'}-{i}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, p bigint, s string")
+    store.append("t", df)
+    store.add_ngram_bloom_index("t", "s", n=3)
+
+    keep = store.ngram_prune_partitions("t", "s", "needle")
+    assert keep == ["2"]
+    got = sorted(r["id"] for r in store.read_like("t", "s", "needle").collect())
+    want = sorted(r[0] for r in rows if r[2] and "needle" in r[2])
+    assert got == want
+    # short needle: pruning declines, result still exact
+    assert store.ngram_prune_partitions("t", "s", "ne") is None
+    assert store.read_like("t", "s", "ne").count() == len(want)
+    # append into another partition widens coverage
+    store.append(
+        "t",
+        spark.createDataFrame([(100, 0, "xx-needle-yy")],
+                              "id bigint, p bigint, s string"),
+    )
+    assert store.ngram_prune_partitions("t", "s", "needle") == ["0", "2"]
+    assert store.read_like("t", "s", "needle").count() == len(want) + 1
+    # partition overwrite swaps that partition's bitmap back out
+    store.overwrite_partitions(
+        "t",
+        spark.createDataFrame([(100, 0, "plain-hay")],
+                              "id bigint, p bigint, s string"),
+    )
+    assert store.ngram_prune_partitions("t", "s", "needle") == ["2"]
