@@ -3515,6 +3515,37 @@ FROM canon
 """
 
 
+def q_projection_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-PROJECTION analog end-to-end: an append-only events
+    store declares a (event_type → sum(value), count) projection; TWO
+    appends each write one partial-aggregate batch (history never
+    rescanned), and the projection read merges partials WITHOUT
+    touching the fact table. Result must equal the plain GROUP BY over
+    everything appended — a dropped batch, a double-counted partial,
+    or a bad merge all hash-mismatch."""
+    store = TableStore(spark, tempfile.mkdtemp(prefix="sg_store_"))
+    store.create(
+        Schema(
+            name="store_events_proj",
+            fields=(
+                Field("event_id", "bigint", nullable=False),
+                Field("ts", "timestamp", nullable=False),
+                Field("event_type", "string"),
+                Field("value", "double"),
+            ),
+        )
+    )
+    ev = _ev(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    store.append("store_events_proj", ev.filter(F.col("event_id") % 2 == 0))
+    store.add_projection("store_events_proj", "by_type", ["event_type"], ["value"])
+    store.append("store_events_proj", ev.filter(F.col("event_id") % 2 == 1))
+    return store.read_projection("store_events_proj", "by_type").select(
+        "event_type",
+        F.round("value", 4).alias("value_sum"),
+        F.col("_rows").alias("n_rows"),
+    )
+
+
 def q_ngram_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram bloom skip-index substring read end-to-end (the
     ClickHouse ``INDEX … TYPE ngrambf_v1`` analog): load events into a
@@ -4250,6 +4281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         "gopher_gate": q_gopher_gate,
         "ngram_read": q_ngram_read,
+        "projection_agg": q_projection_agg,
     }
 
 
@@ -5268,6 +5300,10 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
         "ngram_read": (
             "SELECT event_id, ts, event_type, value FROM events "
             "WHERE event_type LIKE '%urchas%'"
+        ),
+        "projection_agg": (
+            "SELECT event_type, round(sum(value), 4) AS value_sum, "
+            "CAST(count(*) AS BIGINT) AS n_rows FROM events GROUP BY 1"
         ),
         "gopher_gate": _GOPHER_SQL.format(
             stop_hits=" + ".join(

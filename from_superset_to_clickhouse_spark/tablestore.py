@@ -213,6 +213,7 @@ class TableStore:
         self._update_zone_maps(name, out, mode="merge")
         self._update_blooms(name, out, mode="merge")
         self._update_ngram_blooms(name, out, mode="merge")
+        self._update_projections(name, out)
 
     def overwrite_partitions(self, name: str, df: DataFrame) -> None:
         """Atomic partition swap: replace exactly the partitions present in df.
@@ -236,6 +237,7 @@ class TableStore:
         self._update_zone_maps(name, out, mode="replace")
         self._update_blooms(name, out, mode="replace")
         self._update_ngram_blooms(name, out, mode="replace")
+        self._mark_projections_stale(name)
 
     def overwrite(self, name: str, df: DataFrame) -> None:
         seq = self._next_ingest_seq(name)
@@ -247,6 +249,7 @@ class TableStore:
         self._update_zone_maps(name, out, mode="reset")
         self._update_blooms(name, out, mode="reset")
         self._update_ngram_blooms(name, out, mode="reset")
+        self._mark_projections_stale(name)
 
     # -- zone maps (sort-key min/max per partition — data skipping) ---------
 
@@ -628,6 +631,114 @@ class TableStore:
                 pred = pred | F.col(parts[0]).isNull()
             df = df.filter(pred)
         return df.filter(F.col(col).contains(F.lit(needle)))
+
+    # -- projections (pre-aggregated alternate representation) -----------
+    #
+    # The ClickHouse `ALTER TABLE … ADD PROJECTION (SELECT … GROUP BY …)`
+    # / SummingMergeTree-materialized-view analog: a declared group-by +
+    # sum aggregate maintained INCREMENTALLY — every append writes one
+    # partial-aggregate batch (≤ |group keys| rows) into the projection
+    # directory, and a projection read merges the partials instead of
+    # scanning the fact table. History is never rescanned on ingest; a
+    # dashboard group-by over a 100 TB fact reads MBs of partials.
+    # Restricted to tables WITHOUT a dedup key (append-only aggregate
+    # semantics — a Replacing table's latest_view can silently shrink
+    # sums). Deletes and overwrites mark the projection STALE; the next
+    # projection read rebuilds it from the table (correctness first,
+    # incrementality resumes after).
+
+    def add_projection(
+        self,
+        name: str,
+        proj: str,
+        group_by: list[str],
+        sum_cols: list[str],
+    ) -> None:
+        """Declare projection ``proj`` = SELECT group_by, sum(sum_cols),
+        count(*) GROUP BY group_by, and backfill it from disk. Only
+        decomposable aggregates ride here (sum + the `_rows` count
+        partial, which also answers COUNT(*) and AVG = sum/_rows)."""
+        meta = self._meta(name)
+        if meta.get("dedup_key"):
+            raise ValueError(
+                "projections need an append-only table (no dedup key): "
+                "last-write-wins rewrites history and partial sums would "
+                "double-count superseded rows"
+            )
+        projs = dict(meta.get("projections") or {})
+        projs[proj] = {
+            "group_by": list(group_by),
+            "sum_cols": list(sum_cols),
+            "stale": False,
+        }
+        meta["projections"] = projs
+        self._save_meta(name, meta)
+        self._rebuild_projection(name, proj)
+
+    def _proj_dir(self, name: str, proj: str) -> str:
+        return join(self.path(name), f"proj_{proj}")
+
+    def _partial_agg(self, df: DataFrame, spec: dict) -> DataFrame:
+        return df.groupBy(*spec["group_by"]).agg(
+            *[F.sum(c).alias(c) for c in spec["sum_cols"]],
+            F.count(F.lit(1)).alias("_rows"),
+        )
+
+    def _rebuild_projection(self, name: str, proj: str) -> None:
+        meta = self._meta(name)
+        spec = meta["projections"][proj]
+        out = self._partial_agg(self.read(name), spec)
+        tmp = self._proj_dir(name, proj) + ".rebuilding"
+        out.write.mode("overwrite").parquet(tmp)
+        final = self._proj_dir(name, proj)
+        if self.fs.exists(final):
+            self.fs.delete(final)
+        self.fs.rename(tmp, final)
+        spec["stale"] = False
+        meta["projections"][proj] = spec
+        self._save_meta(name, meta)
+
+    def _update_projections(self, name: str, staged: DataFrame) -> None:
+        """Append path: one partial-aggregate batch per projection over
+        the INCREMENT — output bounded by the increment's distinct key
+        count, shuffles partial-aggregated map-side."""
+        meta = self._meta(name)
+        projs = meta.get("projections") or {}
+        for proj, spec in projs.items():
+            if spec.get("stale"):
+                continue
+            self._partial_agg(staged, spec).write.mode("append").parquet(
+                self._proj_dir(name, proj)
+            )
+
+    def _mark_projections_stale(self, name: str) -> None:
+        meta = self._meta(name)
+        projs = meta.get("projections") or {}
+        if not projs:
+            return
+        for spec in projs.values():
+            spec["stale"] = True
+        meta["projections"] = projs
+        self._save_meta(name, meta)
+
+    def read_projection(self, name: str, proj: str) -> DataFrame:
+        """The projection's merged view: group keys + exact sums +
+        ``_rows`` (COUNT(*)). Reads ONLY the partial batches — the fact
+        table is untouched unless a delete/overwrite marked the
+        projection stale, in which case it is rebuilt once here and
+        incrementality resumes."""
+        meta = self._meta(name)
+        spec = (meta.get("projections") or {}).get(proj)
+        if spec is None:
+            raise ValueError(f"no projection {proj} on table {name}")
+        if spec.get("stale"):
+            self._rebuild_projection(name, proj)
+            spec = self._meta(name)["projections"][proj]
+        parts = self.spark.read.parquet(self._proj_dir(name, proj))
+        return parts.groupBy(*spec["group_by"]).agg(
+            *[F.sum(c).alias(c) for c in spec["sum_cols"]],
+            F.sum("_rows").alias("_rows"),
+        )
 
     def bloom_prune_partitions(self, name: str, col: str, value) -> list[str] | None:
         """Partition values whose bloom filter may contain ``value`` — or
@@ -1130,6 +1241,7 @@ class TableStore:
         affected = self.spark.read.option("basePath", data_base).parquet(
             *[join(data_base, r) for r in rels]
         )
+        self._mark_projections_stale(name)
         kept = affected.filter(~cond)
         tmp = join(self.path(name), "data_deleting")
         kept.write.mode("overwrite").partitionBy(*parts).parquet(tmp)
@@ -1156,6 +1268,7 @@ class TableStore:
         before, after = row["before"], row["after"]
         if after == before:
             return 0
+        self._mark_projections_stale(name)
         kept = df.filter(~cond)
         if after == 0:
             self.fs.delete(data)

@@ -668,3 +668,70 @@ def test_ngram_bloom_index_substring_pruning(spark, tmp_path):
                               "id bigint, p bigint, s string"),
     )
     assert store.ngram_prune_partitions("t", "s", "needle") == ["2"]
+
+
+def test_projection_incremental_partials_and_stale_rebuild(spark, tmp_path):
+    """ClickHouse-PROJECTION analog: each append adds exactly one
+    partial batch (history never rescanned); read_projection merges
+    partials to the exact GROUP BY answer; deletes mark it stale and
+    the next read rebuilds once, after which incrementality resumes;
+    dedup-keyed tables refuse projections."""
+    from from_superset_to_clickhouse_spark.schema import Field, Schema
+
+    store = TableStore(spark, str(tmp_path))
+    store.create(
+        Schema(
+            "t",
+            (
+                Field("id", "bigint", nullable=False),
+                Field("k", "string"),
+                Field("v", "double"),
+            ),
+        )
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "id bigint, k string, v double")  # noqa: E731
+    store.append("t", mk([(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)]))
+    store.add_projection("t", "by_k", ["k"], ["v"])
+    store.append("t", mk([(4, "a", 10.0), (5, "c", 5.0)]))
+
+    got = {
+        r["k"]: (r["v"], r["_rows"])
+        for r in store.read_projection("t", "by_k").collect()
+    }
+    assert got == {"a": (14.0, 3), "b": (2.0, 1), "c": (5.0, 1)}
+    # the projection dir holds ONE partial batch per append, not a scan
+    import glob
+    import os
+
+    n_files_before = len(
+        glob.glob(os.path.join(store.path("t"), "proj_by_k", "*.parquet"))
+    )
+    store.append("t", mk([(6, "b", 1.5)]))
+    n_files_after = len(
+        glob.glob(os.path.join(store.path("t"), "proj_by_k", "*.parquet"))
+    )
+    assert n_files_after > n_files_before  # appended, not rewritten
+
+    store.delete_where("t", F.col("k") == F.lit("a"))
+    got2 = {
+        r["k"]: (r["v"], r["_rows"])
+        for r in store.read_projection("t", "by_k").collect()
+    }
+    assert got2 == {"b": (3.5, 2), "c": (5.0, 1)}
+    # incrementality resumes post-rebuild
+    store.append("t", mk([(9, "b", 7.0)]))
+    got3 = {
+        r["k"]: (r["v"], r["_rows"])
+        for r in store.read_projection("t", "by_k").collect()
+    }
+    assert got3 == {"b": (10.5, 3), "c": (5.0, 1)}
+
+    store.create(
+        Schema(
+            "d",
+            (Field("id", "bigint", nullable=False), Field("v", "double")),
+            dedup_key=("id",),
+        )
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        store.add_projection("d", "p", ["id"], ["v"])
