@@ -170,17 +170,23 @@ def test_multimodal_extract_features(spark):
 
 
 def test_multimodal_decode_real_images_for_real():
-    """Image and WAV headers decode for REAL (stdlib container parse);
-    video still honestly raises — frame decode needs codec libs."""
+    """Image, WAV and MP4 headers all decode for REAL (stdlib container
+    parse); corrupt bytes raise ValueError (quarantine contract);
+    unknown kinds honestly raise NotImplementedError."""
     assert mm.decode_real(mm.encode_png(12, 7), "image") == ("png", 12, 7)
     assert mm.decode_real(mm.encode_jpeg(640, 480), "image") == ("jpeg", 640, 480)
     assert mm.decode_real(mm.encode_gif(3, 9), "image") == ("gif", 3, 9)
+    assert mm.decode_real(mm.encode_mp4(1500, 320, 240), "video") == (
+        "mp4", 320, 240, 1500,
+    )
     with pytest.raises(ValueError):
         mm.decode_real(b"not an image", "image")
     with pytest.raises(ValueError):
         mm.decode_real(b"not audio", "audio")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         mm.decode_real(b"x", "video")
+    with pytest.raises(NotImplementedError):
+        mm.decode_real(b"x", "hologram")
 
 
 def test_multimodal_wav_roundtrip_and_quarantine(spark):
