@@ -3515,6 +3515,25 @@ FROM canon
 """
 
 
+def q_update_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE … UPDATE mutation end-to-end (the ClickHouse
+    mutation analog): load events into a day-partitioned store, then
+    zero out the value of every 'error' event — only partitions
+    containing errors rewrite; assignment sees the original row; other
+    rows ride through bit-identical. Returned state must equal the
+    CASE-expression twin over the raw table."""
+    store, ev = _store_events(spark, sf_dir)
+    store.append("store_events", ev)
+    store.update_where(
+        "store_events",
+        F.col("event_type") == F.lit("error"),
+        {"value": F.lit(0.0)},
+    )
+    return store.read("store_events").select(
+        "event_id", "event_type", "value"
+    )
+
+
 def q_projection_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse-PROJECTION analog end-to-end: an append-only events
     store declares a (event_type → sum(value), count) projection; TWO
@@ -4282,6 +4301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_gate": q_gopher_gate,
         "ngram_read": q_ngram_read,
         "projection_agg": q_projection_agg,
+        "update_mutation": q_update_mutation,
     }
 
 
@@ -5304,6 +5324,11 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
         "projection_agg": (
             "SELECT event_type, round(sum(value), 4) AS value_sum, "
             "CAST(count(*) AS BIGINT) AS n_rows FROM events GROUP BY 1"
+        ),
+        "update_mutation": (
+            "SELECT event_id, event_type, "
+            "CASE WHEN event_type = 'error' THEN 0.0 ELSE value END AS value "
+            "FROM events"
         ),
         "gopher_gate": _GOPHER_SQL.format(
             stop_hits=" + ".join(

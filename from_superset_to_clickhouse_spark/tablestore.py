@@ -1218,6 +1218,25 @@ class TableStore:
         cond = F.coalesce(condition, F.lit(False))
         if not parts:
             return self._delete_full_rewrite(name, df, cond)
+        n_del, rels, affected = self._hit_partitions(name, df, cond)
+        if n_del == 0:
+            return 0
+        self._mark_projections_stale(name)
+        kept = affected.filter(~cond)
+        tmp = join(self.path(name), "data_deleting")
+        kept.write.mode("overwrite").partitionBy(*parts).parquet(tmp)
+        self._swap_in(name, tmp, remove_rel=rels)
+        if not any("=" in e for e in self.fs.listdir(data)):
+            self.fs.delete(data)
+        return n_del
+
+    def _hit_partitions(self, name: str, df: DataFrame, cond):
+        """(match count, affected partition rel-dirs, affected rows DF)
+        from ONE predicate-pushed scan — the shared pruning machinery of
+        the DELETE/UPDATE mutations. Affected directories come from
+        ``input_file_name``, so Hive escaping / NULL partitions need no
+        reconstruction."""
+        data = join(self.path(name), "data")
         hit = (
             df.filter(cond)
             .select(
@@ -1226,9 +1245,8 @@ class TableStore:
             .agg(F.count("*").alias("n"), F.collect_set("_dir").alias("dirs"))
             .first()
         )
-        n_del = hit["n"]
-        if n_del == 0:
-            return 0
+        if hit["n"] == 0:
+            return 0, [], None
         # Relativize the scanned file URIs against the data dir. Works
         # for any scheme: both sides are reduced to their URI path part
         # (a scheme-less local root is absolutized first).
@@ -1241,14 +1259,93 @@ class TableStore:
         affected = self.spark.read.option("basePath", data_base).parquet(
             *[join(data_base, r) for r in rels]
         )
+        return hit["n"], rels, affected
+
+    def update_where(
+        self, name: str, condition, assignments: dict[str, Column]
+    ) -> int:
+        """``ALTER TABLE … UPDATE col = expr WHERE cond`` — the
+        ClickHouse mutation analog, partition-pruned exactly like
+        ``delete_where``: one predicate-pushed scan finds the affected
+        partition directories, only those are rewritten (non-matching
+        rows ride through unchanged) and swapped. Assignment RHS
+        expressions see the ORIGINAL row (simultaneous-assignment UPDATE
+        semantics); rows with a NULL predicate are untouched. Returns
+        the number of updated rows.
+
+        Partition columns (and the source columns of derived partitions)
+        cannot be assigned — that would move rows between directories;
+        use delete + append for re-partitioning mutations. Skip-index
+        metadata for the rewritten partitions is RECOMPUTED exactly
+        (replace mode) — an update can push values outside the recorded
+        zone/bloom coverage, where merely widening would turn pruning
+        into wrong answers; projections go stale."""
+        data = join(self.path(name), "data")
+        if not self.fs.exists(data):
+            return 0
+        meta = self._meta(name)
+        parts = meta["partition_by"]
+        df = self.read(name)
+        cond = F.coalesce(condition, F.lit(False))
+        frozen = set(parts)
+        for p in parts:
+            if p in _DERIVED_PARTITIONS:
+                frozen.add(p.split("_")[0])  # ts_day/ts_month derive from ts
+        for col in assignments:
+            if col in frozen:
+                raise ValueError(
+                    f"cannot assign partition(-source) column {col}; "
+                    "delete + append to re-partition rows"
+                )
+            if col not in df.columns:
+                raise ValueError(f"no column {col} in table {name}")
+
+        def apply(d: DataFrame) -> DataFrame:
+            return d.select(
+                *[
+                    F.when(cond, assignments[c]).otherwise(F.col(c)).alias(c)
+                    if c in assignments
+                    else F.col(c)
+                    for c in d.columns
+                ]
+            )
+
+        if not parts:
+            n_upd = df.filter(cond).count()
+            if n_upd == 0:
+                return 0
+            self._mark_projections_stale(name)
+            tmp = join(self.path(name), "data_updating")
+            apply(df).write.mode("overwrite").parquet(tmp)
+            old = data + f".old.{int(time.time() * 1000)}"
+            self.fs.rename(data, old)
+            self.fs.rename(tmp, data)
+            self.fs.delete(old)
+            return n_upd
+        n_upd, rels, affected = self._hit_partitions(name, df, cond)
+        if n_upd == 0:
+            return 0
         self._mark_projections_stale(name)
-        kept = affected.filter(~cond)
-        tmp = join(self.path(name), "data_deleting")
-        kept.write.mode("overwrite").partitionBy(*parts).parquet(tmp)
+        updated = apply(affected)
+        tmp = join(self.path(name), "data_updating")
+        updated.write.mode("overwrite").partitionBy(*parts).parquet(tmp)
         self._swap_in(name, tmp, remove_rel=rels)
-        if not any("=" in e for e in self.fs.listdir(data)):
-            self.fs.delete(data)
-        return n_del
+        # Recompute (not widen) skip-index metadata for the rewritten
+        # partitions from their full post-update contents.
+        rewritten = self.read(name).filter(
+            F.col(parts[0])
+            .cast("string")
+            .isin([r.split("=", 1)[1] for r in rels if "=" in r])
+            | (
+                F.col(parts[0]).isNull()
+                if any(self._HIVE_NULL in r for r in rels)
+                else F.lit(False)
+            )
+        )
+        self._update_zone_maps(name, rewritten, mode="replace")
+        self._update_blooms(name, rewritten, mode="replace")
+        self._update_ngram_blooms(name, rewritten, mode="replace")
+        return n_upd
 
     def _delete_full_rewrite(self, name: str, df: DataFrame, cond) -> int:
         """Unpartitioned fallback: anti-filter + full rewrite. A delete

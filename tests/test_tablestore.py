@@ -735,3 +735,67 @@ def test_projection_incremental_partials_and_stale_rebuild(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="append-only"):
         store.add_projection("d", "p", ["id"], ["v"])
+
+
+def test_update_where_mutation_pruned_and_index_safe(spark, tmp_path):
+    """ALTER TABLE UPDATE analog: only affected partitions rewrite
+    (untouched dirs byte-identical), assignment RHS sees the original
+    row, NULL-predicate rows stay untouched, partition columns refuse
+    assignment — and zone maps are RECOMPUTED, so a value pushed
+    outside the old recorded range is still found by read_where."""
+    from from_superset_to_clickhouse_spark.schema import Field, Schema
+
+    store = TableStore(spark, str(tmp_path))
+    store.create(
+        Schema(
+            "t",
+            (
+                Field("id", "bigint", nullable=False),
+                Field("p", "bigint", nullable=False),
+                Field("v", "double"),
+            ),
+            partition_by=("p",),
+            sort_by=("id",),
+        )
+    )
+    rows = [(i, i % 3, None if i == 7 else float(i)) for i in range(30)]
+    store.append("t", spark.createDataFrame(rows, "id bigint, p bigint, v double"))
+
+    p2dir = os.path.join(store.path("t"), "data", "p=2")
+    before = sorted(os.listdir(p2dir)), os.stat(p2dir).st_mtime_ns
+    # swap semantics: v := v + id must read the ORIGINAL v. Predicate
+    # hits only ids 0 (p=0) and 1 (p=1) — p=2 must not rewrite.
+    n = store.update_where(
+        "t", F.col("v") < 2, {"v": F.col("v") + F.col("id")}
+    )
+    assert n == 2
+    got = {r["id"]: r["v"] for r in store.read("t").collect()}
+    assert got[1] == 2.0 and got[3] == 3.0 and got[10] == 10.0
+    assert got[7] is None  # NULL predicate -> untouched
+    assert (sorted(os.listdir(p2dir)), os.stat(p2dir).st_mtime_ns) == before
+
+    with pytest.raises(ValueError, match="partition"):
+        store.update_where("t", F.lit(True), {"p": F.lit(9)})
+
+    # zone-map recompute: push a sort-key value far outside its old
+    # recorded range, then range-read it back through the pruned path
+    store2 = TableStore(spark, str(tmp_path / "z"))
+    store2.create(
+        Schema(
+            "z",
+            (
+                Field("id", "bigint", nullable=False),
+                Field("p", "bigint", nullable=False),
+            ),
+            partition_by=("p",),
+            sort_by=("id",),
+        )
+    )
+    store2.append(
+        "z",
+        spark.createDataFrame(
+            [(i, i % 2) for i in range(10)], "id bigint, p bigint"
+        ),
+    )
+    assert store2.update_where("z", F.col("id") == 4, {"id": F.lit(1000)}) == 1
+    assert [r["id"] for r in store2.read_where("z", "id", 900, 1100).collect()] == [1000]
