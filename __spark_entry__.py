@@ -3515,6 +3515,32 @@ FROM canon
 """
 
 
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal curation composition: REAL image bytes → container
+    header decode (dims) + JVM-side sha256 content hash → exact
+    content dedup keeping the lowest media_id per identical payload.
+    The synthesize contract makes payload bytes a function of
+    doc_id % 192 (format × width × height cycle), so the oracle
+    predicts dup groups arithmetically while the engine must earn them
+    from actual byte equality; the hash itself never crosses to
+    Python."""
+    imgs = mm.synthesize_images(_docs(spark, sf_dir), "doc_id")
+    dims = mm.image_dims(imgs)
+    w = Window.partitionBy("h")
+    keep = (
+        imgs.select(
+            "media_id", F.sha2(F.col("payload"), 256).alias("h")
+        )
+        .select(
+            "media_id",
+            (F.col("media_id") == F.min("media_id").over(w))
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+    return dims.join(keep, "media_id")
+
+
 def q_update_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALTER TABLE … UPDATE mutation end-to-end (the ClickHouse
     mutation analog): load events into a day-partitioned store, then
@@ -4302,6 +4328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_read": q_ngram_read,
         "projection_agg": q_projection_agg,
         "update_mutation": q_update_mutation,
+        "media_dedup": q_media_dedup,
     }
 
 
@@ -5329,6 +5356,19 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
             "SELECT event_id, event_type, "
             "CASE WHEN event_type = 'error' THEN 0.0 ELSE value END AS value "
             "FROM events"
+        ),
+        "media_dedup": (
+            # synthesize_images makes payload bytes a function of
+            # doc_id % 192 (lcm of the 3-format and 64×48 dim cycles);
+            # with contiguous ids from 0 the lowest member of each dup
+            # group is doc_id % 192 itself.
+            "SELECT CAST(doc_id AS BIGINT) AS media_id, "
+            "CASE WHEN doc_id % 3 = 0 THEN 'png' "
+            "WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'gif' END AS format, "
+            "CAST(doc_id % 64 + 1 AS INTEGER) AS width, "
+            "CAST(doc_id % 48 + 1 AS INTEGER) AS height, "
+            "CAST(doc_id = doc_id % 192 AS INTEGER) AS keep "
+            "FROM documents"
         ),
         "gopher_gate": _GOPHER_SQL.format(
             stop_hits=" + ".join(
