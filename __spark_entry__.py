@@ -3515,6 +3515,55 @@ FROM canon
 """
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM self-scoring over documents (λ=0.7):
+    the sequence-aware upgrade of `lm_score` — word ORDER now matters,
+    which is the signal CCNet's KenLM filter actually uses. The oracle
+    recomputes counts, interpolation and smoothing from scratch in
+    SQL, building bigrams with 1-based list indexing (a fencepost bug
+    on either side hash-mismatches)."""
+    return txt.bigram_lm_scores(_docs(spark, sf_dir))
+
+
+_BIGRAM_SQL = r"""
+WITH docs_t AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                x -> x <> '') AS t
+  FROM documents
+), uni AS (
+  SELECT w, count(*) AS c1 FROM (
+    SELECT unnest(t) AS w FROM docs_t) GROUP BY w
+), tot AS (
+  SELECT CAST(sum(c1) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v
+  FROM uni
+), big AS (
+  SELECT bg, count(*) AS c12 FROM (
+    SELECT unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i + 1])) AS bg
+    FROM docs_t WHERE len(t) >= 2) GROUP BY bg
+), scored AS (
+  SELECT d.doc_id, d.bg,
+    split_part(d.bg, ' ', 1) AS w1, split_part(d.bg, ' ', 2) AS w2
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                                         i -> t[i] || ' ' || t[i + 1])) AS bg
+    FROM docs_t WHERE len(t) >= 2) d
+)
+SELECT s.doc_id,
+  round(avg(ln(
+    0.7 * coalesce(big.c12 / CAST(u1.c1 AS DOUBLE), 0.0)
+    + (1.0 - 0.7) * (coalesce(u2.c1, 0) + 1) / (tot.n + tot.v)
+  )), 6) AS bigram_logprob
+FROM scored s
+LEFT JOIN big USING (bg)
+LEFT JOIN uni u1 ON s.w1 = u1.w
+LEFT JOIN uni u2 ON s.w2 = u2.w
+CROSS JOIN tot
+GROUP BY s.doc_id
+"""
+
+
 def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal curation composition: REAL image bytes → container
     header decode (dims) + JVM-side sha256 content hash → exact
@@ -4329,6 +4378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection_agg": q_projection_agg,
         "update_mutation": q_update_mutation,
         "media_dedup": q_media_dedup,
+        "bigram_lm": q_bigram_lm,
     }
 
 
@@ -5370,6 +5420,7 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
             "CAST(doc_id = doc_id % 192 AS INTEGER) AS keep "
             "FROM documents"
         ),
+        "bigram_lm": _BIGRAM_SQL,
         "gopher_gate": _GOPHER_SQL.format(
             stop_hits=" + ".join(
                 _occ_sql("(' ' || lower(text) || ' ')", f" {w} ")

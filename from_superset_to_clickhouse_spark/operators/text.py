@@ -541,6 +541,94 @@ def contamination(
     )
 
 
+def word_bigrams(text: Column) -> Column:
+    """Adjacent word-token pairs as 'w1 w2' strings — built ARRAY-side
+    (zip of the token array with its own shift), so no positional
+    self-join is ever needed to recover adjacency."""
+    from from_superset_to_clickhouse_spark.functions.scalar import let_bind
+
+    return let_bind(
+        word_tokens(text),
+        lambda t: let_bind(
+            F.size(t),
+            lambda n: F.when(
+                n >= 2,
+                F.zip_with(
+                    F.slice(t, 1, n - 1),
+                    F.slice(t, 2, n - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref: DataFrame | None = None,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram language-model score per document — the
+    next-order upgrade of ``unigram_lm_scores``: per adjacent token
+    pair, ln(λ·c(w1 w2)/c(w1) + (1−λ)·(c(w2)+1)/(N+V)) under the
+    reference corpus counts, averaged per document. Formulaic
+    in-distribution word SEQUENCES now score high even when individual
+    tokens are common everywhere — the signal CCNet's KenLM filter
+    actually uses, at bigram order. Docs with fewer than two tokens
+    produce no row (nothing to score).
+
+    Declared semantics the SQL twin replays exactly: c(w1) is w1's
+    unigram occurrence count over the reference (not its
+    bigram-first-position count); unseen w1 (possible only when
+    ref ≠ df) backs off to the smoothed unigram term alone. Scale
+    shape: two token-keyed count aggregates over the reference, then
+    scoring joins on bigram and unigram keys — AQE picks broadcast vs
+    shuffle by vocab size; one-row totals broadcast; all codegen."""
+    ref = df if ref is None else ref
+    runi = (
+        ref.select(F.explode(word_tokens(F.col(text_col))).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_c1"))
+    )
+    rbig = (
+        ref.select(F.explode(word_bigrams(F.col(text_col))).alias("_bg"))
+        .groupBy("_bg")
+        .agg(F.count(F.lit(1)).alias("_c12"))
+    )
+    totals = runi.agg(F.sum("_c1").alias("_N"), F.count(F.lit(1)).alias("_V"))
+    bigr = df.select(
+        F.col(id_col), F.explode(word_bigrams(F.col(text_col))).alias("_bg")
+    ).withColumn("_w1", F.split(F.col("_bg"), " ")[0]).withColumn(
+        "_w2", F.split(F.col("_bg"), " ")[1]
+    )
+    c1 = runi.select(F.col("_w").alias("_w1"), F.col("_c1").alias("_cw1"))
+    c2 = runi.select(F.col("_w").alias("_w2"), F.col("_c1").alias("_cw2"))
+    return (
+        bigr.join(rbig, "_bg", "left")
+        .join(c1, "_w1", "left")
+        .join(c2, "_w2", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.log(
+                F.lit(lam)
+                * F.coalesce(
+                    F.col("_c12")
+                    / F.nullif(F.col("_cw1").cast("double"), F.lit(0.0)),
+                    F.lit(0.0),
+                )
+                + F.lit(1.0 - lam)
+                * (F.coalesce(F.col("_cw2"), F.lit(0)) + 1)
+                / (F.col("_N") + F.col("_V"))
+            ).alias("_lp"),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.avg("_lp"), 6).alias("bigram_logprob"))
+    )
+
+
 def token_entropy(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -456,3 +456,30 @@ def test_gopher_gate_rules_fire_individually(spark):
     assert got[3]["keep"] == 0 and got[3]["g_alpha_frac"] < 0.8
     assert got[4]["keep"] == 0 and got[4]["g_ellipsis_frac"] > 0.3
     assert got[5]["keep"] == 0 and got[5]["g_stop_hits"] == 0
+
+
+def test_bigram_lm_sequence_sensitivity_and_backoff(spark):
+    """Word ORDER matters: a document whose bigrams match the reference
+    outranks the same bag of words scrambled; sub-2-token docs produce
+    no row; unseen-w1 bigrams (external ref) back off to the smoothed
+    unigram term instead of -inf or NaN."""
+    ref_rows = [(i, "the cat sat on the mat") for i in range(10)]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    probe = spark.createDataFrame(
+        [
+            (100, "the cat sat on the mat"),     # in-distribution order
+            (101, "mat the on sat cat the"),     # same bag, wrong order
+            (102, "zzz"),                        # one token: no row
+            (103, "qqq zzz"),                    # both words OOV
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["bigram_logprob"]
+        for r in txt.bigram_lm_scores(probe, ref=ref).collect()
+    }
+    assert got[100] > got[101]
+    assert 102 not in got
+    import math
+
+    assert math.isfinite(got[103]) and got[103] < got[101]
