@@ -3515,6 +3515,64 @@ FROM canon
 """
 
 
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the customer↔supplier
+    trade graph: suppliers are seeded with their nation key, two
+    synchronous rounds spread labels to customers (deterministic
+    majority vote, ties to the smallest label, seeds clamped). The
+    oracle unrolls the same rounds as CTEs — a vote-count bug, a tie
+    flip, or a missing clamp all hash-mismatch."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    seeds = _t(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") * 2 + 1).alias("node"),
+        F.col("s_nationkey").alias("label"),
+    )
+    from from_superset_to_clickhouse_spark.operators import graph as gr
+
+    return gr.label_propagation(edges, seeds, iters=2)
+
+
+def _label_prop_sql(iters: int = 2) -> str:
+    """Unrolled synchronous label-propagation rounds as DuckDB CTEs —
+    oracle twin of ``operators/graph.py:label_propagation`` over the
+    packed-long trade graph."""
+    parts = [
+        "e0 AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b "
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey)",
+        "sym AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0)",
+        "nodes AS (SELECT DISTINCT a AS node FROM sym)",
+        "sd AS (SELECT s_suppkey * 2 + 1 AS node, s_nationkey AS seed "
+        "FROM supplier)",
+        "l0 AS (SELECT n.node, sd.seed AS label FROM nodes n "
+        "LEFT JOIN sd USING (node))",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"v{i + 1} AS (SELECT sym.b AS node, l{i}.label, count(*) AS n "
+            f"FROM l{i} JOIN sym ON l{i}.node = sym.a "
+            f"WHERE l{i}.label IS NOT NULL GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"b{i + 1} AS (SELECT node, label AS new FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY node "
+            f"ORDER BY n DESC, label ASC) AS rn FROM v{i + 1}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"l{i + 1} AS (SELECT l{i}.node, "
+            f"coalesce(sd.seed, b{i + 1}.new, l{i}.label) AS label "
+            f"FROM l{i} LEFT JOIN b{i + 1} USING (node) "
+            f"LEFT JOIN sd USING (node))"
+        )
+    return (
+        "WITH " + ", ".join(parts) + f" SELECT node, label FROM l{iters}"
+    )
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram LM self-scoring over documents (λ=0.7):
     the sequence-aware upgrade of `lm_score` — word ORDER now matters,
@@ -4379,6 +4437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_mutation": q_update_mutation,
         "media_dedup": q_media_dedup,
         "bigram_lm": q_bigram_lm,
+        "label_prop": q_label_prop,
     }
 
 
@@ -5421,6 +5480,7 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
             "FROM documents"
         ),
         "bigram_lm": _BIGRAM_SQL,
+        "label_prop": _label_prop_sql(iters=2),
         "gopher_gate": _GOPHER_SQL.format(
             stop_hits=" + ".join(
                 _occ_sql("(' ' || lower(text) || ' ')", f" {w} ")

@@ -197,3 +197,74 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.round("pr", 9).alias("pr"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised label propagation over an undirected edge list →
+    (node, label) — the weak-supervision primitive: a few labeled seeds
+    spread through the neighborhood structure (the third member of the
+    graph trio next to connected_components and pagerank).
+
+    SYNCHRONOUS hard-label updates with fully deterministic semantics a
+    SQL twin can replay: each round, every non-seed node takes the
+    label with the highest count among its labeled neighbors, ties
+    broken toward the SMALLEST label; nodes with no labeled neighbor
+    keep their current label (NULL until reached). Seeds are clamped —
+    their labels never change. ``iters`` is fixed (like ``pagerank``:
+    a convergence probe would cost a driver round-trip per round).
+
+    Scale shape: the symmetrized edge list is the checkpointed loop
+    invariant; each round is one labels×edges join + one
+    (node, label) count aggregate + one deterministic argmax aggregate
+    + a seed-clamp join — all keyed shuffles with map-side partials,
+    labels O(|V|) and never collected.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    )
+    sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    sd = seeds.select(
+        F.col(node_col).alias("node"), F.col(label_col).alias("_seed")
+    ).localCheckpoint(eager=True)
+    labels = nodes.join(sd, "node", "left").select(
+        "node", F.col("_seed").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        votes = (
+            labels.filter(F.col("label").isNotNull())
+            .join(sym, labels["node"] == sym["a"])
+            .groupBy(F.col("b").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        # argmax by (count DESC, label ASC): max over (count, -label)
+        best = votes.groupBy("node").agg(
+            F.max_by(
+                F.col("label"), F.struct(F.col("_n"), -F.col("label"))
+            ).alias("_new")
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .join(sd, "node", "left")
+            .select(
+                "node",
+                F.coalesce(
+                    F.col("_seed"), F.col("_new"), F.col("label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -97,3 +97,43 @@ def test_pagerank_cycle_uniform_fixpoint(spark):
     got = {r["node"]: r["pr"] for r in pagerank(edges, iters=4).collect()}
     for v in got.values():
         assert v == pytest.approx(1.0 / 3.0, abs=1e-9)
+
+
+def test_label_propagation_spread_clamp_ties(spark):
+    """Two seeds spread along a path; the midpoint with equal votes
+    takes the SMALLEST label; seeds stay clamped even when outvoted;
+    unreached nodes stay NULL."""
+    from from_superset_to_clickhouse_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # path 1-2-3-4-5 with seeds at both ends, plus isolated pair 8-9
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame(
+        [(1, 10), (5, 20)], "node long, label int"
+    )
+    # iters=2 reaches every path node exactly once from its nearest
+    # seed; a third synchronous round would tie node 4 between its
+    # label-10 and label-20 neighbors (tie -> 10) — declared semantics
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, seeds, iters=2).collect()
+    }
+    assert got[1] == 10 and got[5] == 20  # clamped
+    assert got[2] == 10 and got[4] == 20  # nearest seed wins
+    assert got[3] == 10  # equal votes from both sides -> smallest label
+    assert got[8] is None and got[9] is None  # never reached
+    # clamp under pressure: seed 5 surrounded by label-10 neighbors
+    edges2 = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 5)], "src long, dst long"
+    )
+    seeds2 = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (5, 20)], "node long, label int"
+    )
+    got2 = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges2, seeds2, iters=2).collect()
+    }
+    assert got2[5] == 20
