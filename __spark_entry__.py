@@ -3515,6 +3515,65 @@ FROM canon
 """
 
 
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment analysis (the reference ingests Superset's
+    ab_user table; this is the read side): per event-type 'experiment',
+    users split into arms by id parity, Welch z-test on the value
+    metric — one conditional-aggregate pass, then scalar arithmetic.
+    The normal CDF is the A&S 7.1.26 erf polynomial written out
+    explicitly, so the oracle replays the identical operations instead
+    of trusting two engines' libm erf to agree."""
+    from from_superset_to_clickhouse_spark.operators import stats as st
+
+    ev = _ev(spark, sf_dir).select(
+        F.col("event_type").alias("experiment"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("variant"),
+        "value",
+    )
+    return st.ab_ztest(ev, "experiment", "variant", "value")
+
+
+_AB_SQL = r"""
+WITH base AS (
+  SELECT event_type AS experiment,
+    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+    CAST(value AS DOUBLE) AS m
+  FROM events
+), agg AS (
+  SELECT experiment,
+    count(CASE WHEN variant = 'A' THEN m END) AS n_a,
+    avg(CASE WHEN variant = 'A' THEN m END) AS mean_a,
+    var_samp(CASE WHEN variant = 'A' THEN m END) AS var_a,
+    count(CASE WHEN variant = 'B' THEN m END) AS n_b,
+    avg(CASE WHEN variant = 'B' THEN m END) AS mean_b,
+    var_samp(CASE WHEN variant = 'B' THEN m END) AS var_b
+  FROM base GROUP BY 1
+), calc AS (
+  SELECT *,
+    sqrt(var_a / n_a + var_b / n_b) AS se,
+    (mean_b - mean_a) / sqrt(var_a / n_a + var_b / n_b) AS z
+  FROM agg
+), et AS (
+  SELECT *, abs(z) / sqrt(2.0) AS x,
+    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+  FROM calc
+)
+SELECT experiment,
+  CAST(n_a AS BIGINT) AS n_a, round(mean_a, 6) AS mean_a,
+  CAST(n_b AS BIGINT) AS n_b, round(mean_b, 6) AS mean_b,
+  round(mean_b - mean_a, 6) AS lift,
+  round(se, 6) AS se,
+  round(z, 6) AS z,
+  round(2.0 * ((1.0 - (1.0 - (0.254829592 * t - 0.284496736 * t * t
+    + 1.421413741 * t * t * t - 1.453152027 * t * t * t * t
+    + 1.061405429 * t * t * t * t * t) * exp(-(x * x)))) / 2.0), 6)
+    AS p_value
+FROM et
+"""
+
+
 def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-supervised label propagation over the customer↔supplier
     trade graph: suppliers are seeded with their nation key, two
@@ -4438,6 +4497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "bigram_lm": q_bigram_lm,
         "label_prop": q_label_prop,
+        "ab_test": q_ab_test,
     }
 
 
@@ -5481,6 +5541,7 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
         ),
         "bigram_lm": _BIGRAM_SQL,
         "label_prop": _label_prop_sql(iters=2),
+        "ab_test": _AB_SQL,
         "gopher_gate": _GOPHER_SQL.format(
             stop_hits=" + ".join(
                 _occ_sql("(' ' || lower(text) || ' ')", f" {w} ")

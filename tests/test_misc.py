@@ -573,3 +573,32 @@ def test_heavy_hitters_exact_and_superset_guarantee(spark):
         if r["cnt"] > n / k
     }
     assert got == brute and brute == {("hot", 400), ("warm", 60)}
+
+
+def test_ab_ztest_known_values_and_degenerate_arm(spark):
+    """Welch z on a planted separable experiment matches the closed
+    form; the erf polynomial is within its published 1.5e-7 error of
+    scipy-free math.erf; an n<2 arm yields NULL z/p, not zero."""
+    import math
+
+    from from_superset_to_clickhouse_spark.operators import stats as st
+
+    rows = []
+    # exp1: arm A = {1,2,3}, arm B = {5,6,7} -> lift 4, se = 1/sqrt(1.5)
+    for v in (1.0, 2.0, 3.0):
+        rows.append(("exp1", "A", v))
+    for v in (5.0, 6.0, 7.0):
+        rows.append(("exp1", "B", v))
+    rows.append(("exp2", "A", 1.0))  # single-row arm: var_samp NULL
+    rows.append(("exp2", "B", 2.0))
+    df = spark.createDataFrame(rows, "experiment string, variant string, value double")
+    got = {r["experiment"]: r for r in st.ab_ztest(df, "experiment", "variant", "value").collect()}
+    e1 = got["exp1"]
+    assert e1["lift"] == 4.0 and e1["n_a"] == 3
+    se = math.sqrt(1.0 / 3 + 1.0 / 3)  # var=1 each arm
+    assert abs(e1["se"] - round(se, 6)) < 1e-9
+    z = 4.0 / se
+    assert abs(e1["z"] - round(z, 6)) < 1e-9
+    p_exact = 2.0 * (1.0 - 0.5 * (1.0 + math.erf(abs(z) / math.sqrt(2))))
+    assert abs(e1["p_value"] - p_exact) < 1e-6  # polynomial error bound
+    assert got["exp2"]["z"] is None and got["exp2"]["p_value"] is None
