@@ -4145,6 +4145,53 @@ def q_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric anomaly detection: per user, each event's value against
+    the TRAILING-hour baseline (mean/stddev over a time-RANGE frame
+    that EXCLUDES the current row — a spike must not dilute its own
+    baseline). Flag = |z| > 3 with a minimum baseline of 5 events;
+    keyed window, parallel per user, no global sort."""
+    ev = _ev(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-(3_600_000_000 - 1), -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    z = (F.col("value") - mu) / sd
+    return ev.select(
+        "event_id",
+        "user_id",
+        n.alias("baseline_n"),
+        F.round(mu, 6).alias("baseline_mean"),
+        F.round(z, 6).alias("z"),
+        F.when(
+            (n >= 5) & sd.isNotNull() & (F.abs(z) > 3), 1
+        )
+        .otherwise(0)
+        .alias("is_anomaly"),
+    )
+
+
+_ANOMALY_SQL = r"""
+SELECT event_id, user_id,
+  CAST(count(*) OVER w AS BIGINT) AS baseline_n,
+  round(avg(value) OVER w, 6) AS baseline_mean,
+  round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6) AS z,
+  CAST(CASE WHEN count(*) OVER w >= 5
+            AND stddev_samp(value) OVER w IS NOT NULL
+            AND abs((value - avg(value) OVER w)
+                    / stddev_samp(value) OVER w) > 3
+       THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+FROM (SELECT *, epoch_us(ts) AS us FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 3599999999 PRECEDING AND 1 PRECEDING)
+"""
+
+
 _BM25_SQL = r"""
 WITH toks AS (
   SELECT doc_id,
@@ -4498,6 +4545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": q_bigram_lm,
         "label_prop": q_label_prop,
         "ab_test": q_ab_test,
+        "anomaly_zscore": q_anomaly_zscore,
     }
 
 
@@ -5542,6 +5590,7 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
         "bigram_lm": _BIGRAM_SQL,
         "label_prop": _label_prop_sql(iters=2),
         "ab_test": _AB_SQL,
+        "anomaly_zscore": _ANOMALY_SQL,
         "gopher_gate": _GOPHER_SQL.format(
             stop_hits=" + ".join(
                 _occ_sql("(' ' || lower(text) || ' ')", f" {w} ")
