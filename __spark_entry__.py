@@ -3707,6 +3707,39 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dims.join(keep, "media_id")
 
 
+def q_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering end-to-end (the Delta OPTIMIZE…ZORDER BY
+    analog): events relaid along the (user_id, value) Morton curve —
+    layout-only, rows bit-identical — then a two-column box read. The
+    oracle is the plain SQL box filter: a clustering rewrite that
+    loses, duplicates or mutates one row hash-mismatches; the
+    multi-dimensional file-skipping WIN is gated in pytest
+    (files-touched drops after the rewrite)."""
+    store = TableStore(spark, tempfile.mkdtemp(prefix="sg_store_"))
+    store.create(
+        Schema(
+            name="store_events_z",
+            fields=(
+                Field("event_id", "bigint", nullable=False),
+                Field("ts", "timestamp", nullable=False),
+                Field("user_id", "bigint"),
+                Field("value", "double"),
+            ),
+        )
+    )
+    ev = _ev(spark, sf_dir).select("event_id", "ts", "user_id", "value")
+    store.append("store_events_z", ev)
+    store.optimize_zorder("store_events_z", ["user_id", "value"])
+    return (
+        store.read("store_events_z")
+        .filter(
+            F.col("user_id").between(100, 300)
+            & F.col("value").between(10.0, 60.0)
+        )
+        .select("event_id", "user_id", "value")
+    )
+
+
 def q_update_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALTER TABLE … UPDATE mutation end-to-end (the ClickHouse
     mutation analog): load events into a day-partitioned store, then
@@ -4546,6 +4579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_prop": q_label_prop,
         "ab_test": q_ab_test,
         "anomaly_zscore": q_anomaly_zscore,
+        "zorder_read": q_zorder_read,
     }
 
 
@@ -5591,6 +5625,11 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
         "label_prop": _label_prop_sql(iters=2),
         "ab_test": _AB_SQL,
         "anomaly_zscore": _ANOMALY_SQL,
+        "zorder_read": (
+            "SELECT event_id, user_id, value FROM events "
+            "WHERE user_id BETWEEN 100 AND 300 "
+            "AND value BETWEEN 10.0 AND 60.0"
+        ),
         "gopher_gate": _GOPHER_SQL.format(
             stop_hits=" + ".join(
                 _occ_sql("(' ' || lower(text) || ' ')", f" {w} ")

@@ -1045,6 +1045,95 @@ class TableStore:
             self.fs.delete(tmp)
         return rewritten
 
+    @staticmethod
+    def _morton(x: Column, y: Column, nbits: int) -> Column:
+        """Interleave the low ``nbits`` bits of two non-negative ints —
+        the Z-order curve value. Pure codegen (shift/mask/or terms)."""
+        z = F.lit(0).cast("long")
+        for i in range(nbits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            ).bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1
+                )
+            )
+        return z
+
+    def optimize_zorder(
+        self,
+        name: str,
+        cols: list[str],
+        nbits: int = 8,
+        files: int = 8,
+    ) -> None:
+        """Z-ORDER clustering rewrite (the Delta `OPTIMIZE … ZORDER BY`
+        analog): relayout every partition's files along the Morton
+        curve of TWO numeric columns, so parquet row-group min/max
+        stats become tight in BOTH dimensions at once and a pushed
+        two-column predicate skips most files — multi-dimensional data
+        skipping where a single sort key can only serve one dimension.
+
+        Rows are preserved bit-for-bit (layout-only, like ``optimize``;
+        row-level ``_ingest_seq`` survives so time travel does too).
+        Each column is linearly scaled to [0, 2^nbits) using its
+        TABLE-WIDE min/max from one aggregate scan — rank bucketing
+        would equalize skewed distributions but costs a global sort;
+        linear scaling matches the zone-map semantics and is the
+        standard first cut. The rewrite is ``repartitionByRange`` on
+        the z-value + sort within files, through the same two-phase
+        swap every maintenance op uses."""
+        if len(cols) != 2:
+            raise ValueError("optimize_zorder takes exactly two columns")
+        meta = self._meta(name)
+        parts = meta["partition_by"]
+        data = join(self.path(name), "data")
+        if not self.fs.exists(data):
+            return
+        full = self.read(name)
+        for c in cols:
+            if c not in full.columns:
+                raise ValueError(f"no column {c} in table {name}")
+        b = full.agg(
+            *[
+                f(F.col(c).cast("double")).alias(f"_{i}{j}")
+                for j, c in enumerate(cols)
+                for i, f in (("mn", F.min), ("mx", F.max))
+            ]
+        ).first()
+
+        def scaled(c: str, j: int) -> Column:
+            lo, hi = b[f"_mn{j}"], b[f"_mx{j}"]
+            span = (hi - lo) or 1.0
+            v = (F.col(c).cast("double") - F.lit(lo)) / F.lit(span)
+            v = F.least(F.greatest(v, F.lit(0.0)), F.lit(1.0))
+            return F.least(
+                F.floor(v * (1 << nbits)).cast("long"),
+                F.lit((1 << nbits) - 1),
+            )
+
+        zv = self._morton(scaled(cols[0], 0), scaled(cols[1], 1), nbits)
+        tmp = join(self.path(name), f"_zordering_{int(time.time() * 1000)}")
+        rels = self._partition_rel_dirs(data, len(parts)) if parts else [""]
+        for rel in rels:
+            d = join(data, rel) if rel else data
+            df = self.spark.read.parquet(d).withColumn("_zv", zv)
+            out = (
+                df.repartitionByRange(files, F.col("_zv"))
+                .sortWithinPartitions("_zv")
+                .drop("_zv")
+            )
+            out.write.mode("overwrite").parquet(join(tmp, rel) if rel else tmp)
+        if parts:
+            self._swap_in(name, tmp, ())
+        else:
+            old = data + f".old.{int(time.time() * 1000)}"
+            self.fs.rename(data, old)
+            self.fs.rename(tmp, data)
+            self.fs.delete(old)
+        if self.fs.exists(tmp):
+            self.fs.delete(tmp)
+
     def _partition_rel_dirs(self, base: str, depth: int) -> list[str]:
         """Relative partition directories exactly ``depth`` levels under
         ``base``, AS WRITTEN BY SPARK — including Hive escaping and

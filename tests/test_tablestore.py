@@ -799,3 +799,50 @@ def test_update_where_mutation_pruned_and_index_safe(spark, tmp_path):
     )
     assert store2.update_where("z", F.col("id") == 4, {"id": F.lit(1000)}) == 1
     assert [r["id"] for r in store2.read_where("z", "id", 900, 1100).collect()] == [1000]
+
+
+def test_optimize_zorder_multidim_file_skipping(spark, tmp_path):
+    """Z-order rewrite: rows preserved bit-for-bit, and a pushed
+    two-column box predicate touches FEWER files afterwards — the
+    multi-dimensional skipping a single sort key cannot provide."""
+    from from_superset_to_clickhouse_spark.schema import Field, Schema
+
+    store = TableStore(spark, str(tmp_path))
+    store.create(
+        Schema(
+            "t",
+            (
+                Field("id", "bigint", nullable=False),
+                Field("x", "bigint"),
+                Field("y", "bigint"),
+            ),
+        )
+    )
+    df = spark.range(40000).selectExpr(
+        "id",
+        "CAST(id % 200 AS BIGINT) AS x",
+        "CAST((id * 7919) % 200 AS BIGINT) AS y",
+    ).repartition(16)
+    store.append("t", df)
+
+    pred = F.col("x").between(10, 30) & F.col("y").between(10, 30)
+
+    def files_touched():
+        return (
+            store.read("t")
+            .filter(pred)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    total = store.read("t").count()
+    rows_before, files_before = store.read("t").filter(pred).count(), files_touched()
+    store.optimize_zorder("t", ["x", "y"], files=16)
+    assert store.read("t").count() == total
+    assert store.read("t").filter(pred).count() == rows_before
+    assert files_touched() < files_before
+    with pytest.raises(ValueError):
+        store.optimize_zorder("t", ["x"])  # exactly two columns
+    with pytest.raises(ValueError):
+        store.optimize_zorder("t", ["x", "nope"])
