@@ -2326,6 +2326,37 @@ SELECT node, min(lbl) AS component FROM reach GROUP BY node
 """
 
 
+def q_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components: the same doc graph as
+    `connected_components`, but arriving in two batches — components
+    built from batch 1, then batch 2 folded in via the COLLAPSED graph
+    (old edges forgotten; known endpoints stand in as their component
+    reps), whose size scales with the batch, not the corpus. The
+    oracle is the FULL-graph recursive CTE: incremental ≡ full,
+    hash-compared — the same contract minhash_incremental proves for
+    the dedup index."""
+    from from_superset_to_clickhouse_spark.operators.graph import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("prev_id"),
+        F.col("doc_id").alias("dst"),
+        F.col("lang").alias("b_lang"),
+    )
+    edges = docs.join(
+        b, (docs.doc_id == b.prev_id) & (docs.lang == b.b_lang)
+    ).select(F.col("doc_id").alias("src"), "dst")
+    batch1 = edges.filter(F.col("src") % 2 == 0)
+    batch2 = edges.filter(F.col("src") % 2 == 1)
+    comp = connected_components(
+        batch1, nodes=docs.select(F.col("doc_id").alias("node"))
+    )
+    return connected_components_incremental(comp, batch2)
+
+
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain corpus stats (crawl-curation primitive): extract the
     host of each document's URL, aggregate doc count and mean length per
@@ -4580,6 +4611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test": q_ab_test,
         "anomaly_zscore": q_anomaly_zscore,
         "zorder_read": q_zorder_read,
+        "cc_incremental": q_cc_incremental,
     }
 
 
@@ -5282,6 +5314,7 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
             "FROM events GROUP BY 1, 2"
         ),
         "connected_components": _CC_SQL,
+        "cc_incremental": _CC_SQL,
         "domain_stats": (
             "SELECT regexp_extract(text || ' via https://site' || "
             "CAST(doc_id % 50 AS VARCHAR) || '.example.org/p/' || "

@@ -98,6 +98,63 @@ def connected_components(
     return labels
 
 
+def connected_components_incremental(
+    components: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    component_col: str = "component",
+) -> DataFrame:
+    """Fold a NEW batch of edges into an existing (node, component)
+    assignment without recomputing the full graph — the cluster-side
+    twin of incremental MinHash: daily dedup appends pairs, and the
+    component table must absorb them at a cost that scales with the
+    BATCH, never the corpus.
+
+    Key insight: old edges can be forgotten because each existing
+    component is already fully connected through its representative —
+    collapsing every known node to its component id preserves exactly
+    the reachability the new edges can extend. So: relabel new-edge
+    endpoints by their current component (unknown nodes stand for
+    themselves), run CC over that COLLAPSED graph (its size is
+    O(|batch| + touched components), not O(corpus)), and join the
+    resulting rep→rep mapping back onto the assignment table — one
+    broadcast-friendly join over the corpus, no iteration over it.
+    Invariant preserved: component = min reachable node id, exactly
+    what a full recompute over all edges would produce."""
+    comp = components.select(F.col(node_col), F.col(component_col))
+    e = new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+    )
+    ca = comp.select(
+        F.col(node_col).alias("a"), F.col(component_col).alias("_ra")
+    )
+    cb = comp.select(
+        F.col(node_col).alias("b"), F.col(component_col).alias("_rb")
+    )
+    collapsed = (
+        e.join(ca, "a", "left")
+        .join(cb, "b", "left")
+        .select(
+            F.coalesce("_ra", F.col("a")).alias("src"),
+            F.coalesce("_rb", F.col("b")).alias("dst"),
+        )
+    )
+    merged = connected_components(collapsed)  # tiny graph: reps + new nodes
+    remap = merged.select(
+        F.col("node").alias(component_col), F.col("component").alias("_new")
+    )
+    updated = comp.join(remap, component_col, "left").select(
+        node_col,
+        F.coalesce("_new", F.col(component_col)).alias(component_col),
+    )
+    brand_new = merged.join(
+        comp.select(F.col(node_col).alias("node")), "node", "left_anti"
+    ).select(F.col("node").alias(node_col), F.col("component").alias(component_col))
+    return updated.unionByName(brand_new)
+
+
 def dedup_survivors(
     components: DataFrame, node_col: str = "node"
 ) -> DataFrame:

@@ -137,3 +137,36 @@ def test_label_propagation_spread_clamp_ties(spark):
         for r in label_propagation(edges2, seeds2, iters=2).collect()
     }
     assert got2[5] == 20
+
+
+def test_connected_components_incremental_merges_and_news(spark):
+    """Folding a batch into an existing assignment: a new edge merges
+    two old components to the global min label; brand-new nodes form
+    their own components; untouched components keep their labels; and
+    the result equals a full recompute over all edges."""
+    from from_superset_to_clickhouse_spark.operators.graph import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    e1 = spark.createDataFrame(
+        [(1, 2), (5, 6), (10, 11)], "src long, dst long"
+    )
+    comp = connected_components(e1)
+    # new batch: bridge {1,2} and {5,6} via 2-5; fresh pair 20-21;
+    # attach new node 30 to the untouched {10,11} via 11-30
+    e2 = spark.createDataFrame(
+        [(2, 5), (20, 21), (11, 30)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_incremental(comp, e2).collect()
+    }
+    full = {
+        r["node"]: r["component"]
+        for r in connected_components(e1.union(e2)).collect()
+    }
+    assert got == full
+    assert got[5] == 1 and got[6] == 1  # merged down to global min
+    assert got[20] == 20 and got[21] == 20
+    assert got[10] == 10 and got[30] == 10
