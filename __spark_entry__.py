@@ -1376,6 +1376,50 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second custom stateful streaming operator: per-key running
+    moment state (n, Σx, Σx²) via applyInPandasWithState — decomposable
+    state, so the drained result is independent of batch boundaries and
+    must equal the one-shot batch aggregate (count/avg/var_samp twin).
+    State is three floats per key regardless of stream length."""
+    from from_superset_to_clickhouse_spark.streaming.ingest import (
+        running_stats,
+    )
+
+    stream = _stream_events(spark, sf_dir, ["user_id", "ts", "value"])
+    acc: dict = {}
+
+    def sink(bdf: DataFrame, bid: int) -> None:
+        for r in bdf.collect():  # one row per key per batch — bounded
+            acc[r["user_id"]] = (r["n"], r["sum"], r["sum_sq"])
+
+    ckpt = tempfile.mkdtemp(prefix="sg_ckpt_")
+    q = (
+        running_stats(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.createDataFrame(
+        [(k, v[0], v[1], v[2]) for k, v in acc.items()],
+        "user_id long, n long, sum double, sum_sq double",
+    )
+    # Compare the DECOMPOSABLE state, not mean/var: the fixture values
+    # sit on a 2-decimal grid, so means are rationals that land exactly
+    # on rounding midpoints where engines' tie behavior diverges —
+    # while sums stay ON the grid (a sum of 2-decimal values is never a
+    # midpoint of the 2-decimal grid) and round deterministically.
+    return out.select(
+        "user_id",
+        "n",
+        F.round("sum", 2).alias("sum_v"),
+        F.round("sum_sq", 4).alias("sum_sq"),
+    )
+
+
 def q_stream_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-key
     running latest (ts, value), drained with AvailableNow via foreachBatch;
@@ -4612,6 +4656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore": q_anomaly_zscore,
         "zorder_read": q_zorder_read,
         "cc_incremental": q_cc_incremental,
+        "stream_stats": q_stream_stats,
     }
 
 
@@ -5315,6 +5360,12 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
         ),
         "connected_components": _CC_SQL,
         "cc_incremental": _CC_SQL,
+        "stream_stats": (
+            "SELECT user_id, CAST(count(value) AS BIGINT) AS n, "
+            "round(sum(value), 2) AS sum_v, "
+            "round(sum(value * value), 4) AS sum_sq "
+            "FROM events GROUP BY user_id"
+        ),
         "domain_stats": (
             "SELECT regexp_extract(text || ' via https://site' || "
             "CAST(doc_id % 50 AS VARCHAR) || '.example.org/p/' || "

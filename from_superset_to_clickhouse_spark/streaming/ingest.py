@@ -298,3 +298,67 @@ def stream_quantile_partials(
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def running_stats(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "1 hour",
+):
+    """Custom stateful operator: per-key RUNNING (n, sum, sum_sq) moment
+    state maintained across micro-batches, emitting count/mean/variance
+    whenever the key sees data — continuously-updated per-entity metric
+    baselines (the stream twin of the batch rolling-z-score path, with
+    an all-history baseline instead of a trailing window).
+
+    State is the DECOMPOSABLE moment triple, not Welford: merging a
+    batch is pure addition, so the result is independent of batch
+    boundaries and arrival order, and the drained state provably equals
+    the one-shot batch aggregate a SQL twin computes. State size: three
+    floats per key, forever — bounded regardless of stream length.
+    Emits in UPDATE mode; pair with ``foreachBatch``."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} long, n long, sum double, sum_sq double, "
+        "mean double, var_samp double"
+    )
+    state_schema = "n long, s double, ss double"
+
+    def update(key, pdfs, state: GroupState):
+        n, s, ss = state.get if state.exists else (0, 0.0, 0.0)
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna()
+            if len(vals) == 0:
+                continue
+            n += int(len(vals))
+            s += float(vals.sum())
+            ss += float((vals * vals).sum())
+        state.update((n, s, ss))
+        mean = s / n if n else None
+        var = (ss - s * s / n) / (n - 1) if n > 1 else None
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n": [n],
+                "sum": [s],
+                "sum_sq": [ss],
+                "mean": [mean],
+                "var_samp": [var],
+            }
+        )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -274,3 +274,46 @@ def test_stream_quantile_partials_feed_batch_sketch(spark, tmp_path):
         for r in sk.hist_quantiles(one_pass, [0.5, 0.9], 0.0, 500.0, 50).collect()
     }
     assert got == want
+
+
+def test_running_stats_decomposable_across_batches(spark, tmp_path):
+    """Per-key moment state accumulates across micro-batches and across
+    a checkpointed restart; the drained state equals the one-shot batch
+    aggregate exactly in n/sum and to FP noise in mean/var (decomposable
+    state — batch boundaries cannot change the answer)."""
+    import math
+
+    schema = "user_id long, ts timestamp, value double"
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    acc = {}
+
+    def run_once():
+        def sink(batch_df, batch_id):
+            for r in batch_df.collect():
+                acc[r["user_id"]] = (r["n"], r["sum"], r["mean"], r["var_samp"])
+
+        q = (
+            si.running_stats(si.stream_source(spark, src, schema))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, ts(1, 1, hour=1), 2.0), (1, ts(1, 1, hour=2), 4.0),
+         (2, ts(1, 1, hour=1), 7.0)], schema
+    ).write.mode("append").parquet(src)
+    run_once()
+    spark.createDataFrame(
+        [(1, ts(1, 1, hour=3), 6.0), (2, ts(1, 1, hour=2), None)], schema
+    ).write.mode("append").parquet(src)
+    run_once()
+    # key 1: values {2,4,6} -> n=3, sum=12, mean=4, var_samp=4
+    assert acc[1][0] == 3 and acc[1][1] == 12.0
+    assert math.isclose(acc[1][2], 4.0) and math.isclose(acc[1][3], 4.0)
+    # key 2: one value + one NULL -> n=1, var undefined
+    assert acc[2][0] == 1 and acc[2][1] == 7.0 and acc[2][3] is None
