@@ -3897,6 +3897,16 @@ def q_ngram_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic vocabulary build (the embedding-table id map):
+    top-1000 tokens, ids dense by (count DESC, token ASC). The
+    id-assignment sort runs over the vocabulary, not the corpus — the
+    single SinglePartition window in this plan is over ≤|vocab| rows by
+    construction, the one place a global order is genuinely the
+    semantics."""
+    return txt.build_vocab(_docs(spark, sf_dir), max_vocab=1000)
+
+
 def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-distribution diversity per document: Shannon entropy +
     type-token ratio over the word-frequency distribution — the
@@ -4657,6 +4667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_read": q_zorder_read,
         "cc_incremental": q_cc_incremental,
         "stream_stats": q_stream_stats,
+        "build_vocab": q_build_vocab,
     }
 
 
@@ -5365,6 +5376,14 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
             "round(sum(value), 2) AS sum_v, "
             "round(sum(value * value), 4) AS sum_sq "
             "FROM events GROUP BY user_id"
+        ),
+        "build_vocab": (
+            "SELECT token, CAST(row_number() OVER ("
+            "ORDER BY count(*) DESC, token) AS INTEGER) AS token_id, "
+            "count(*) AS count FROM ("
+            "SELECT unnest(list_filter(regexp_split_to_array(lower(text), "
+            "'[^a-z0-9'']+'), x -> x <> '')) AS token FROM documents) "
+            "GROUP BY token QUALIFY token_id <= 1000"
         ),
         "domain_stats": (
             "SELECT regexp_extract(text || ' via https://site' || "

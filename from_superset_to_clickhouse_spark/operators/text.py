@@ -541,6 +541,36 @@ def contamination(
     )
 
 
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    max_vocab: int | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Deterministic vocabulary → (token, token_id, count): ids are
+    dense ranks by (count DESC, token ASC) — frequency order with a
+    total tiebreak, so the mapping is identical on every run, every
+    partitioning, and every engine (unlike zipWithIndex, whose ids
+    depend on partition layout). The id-assignment sort is over the
+    VOCABULARY (bounded by language, not corpus), not the corpus — the
+    only corpus-scale work is one token count aggregate."""
+    freq = (
+        df.select(F.explode(word_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("count").desc(), F.col("token"))
+    out = freq.select(
+        "token", F.row_number().over(w).alias("token_id"), "count"
+    )
+    if max_vocab is not None:
+        out = out.filter(F.col("token_id") <= max_vocab)
+    return out
+
+
 def word_bigrams(text: Column) -> Column:
     """Adjacent word-token pairs as 'w1 w2' strings — built ARRAY-side
     (zip of the token array with its own shift), so no positional
