@@ -3897,6 +3897,24 @@ def q_ngram_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded training-data export + loader-side verification:
+    documents written as 8 deterministic hash shards with a manifest
+    (per-shard count + order-independent XOR fingerprint), then
+    re-derived FROM DISK and joined back — every ok flag must be 1,
+    and counts/fingerprints must match the oracle's arithmetic twin.
+    A lost file, duplicated task output, or mis-sharded row
+    hash-mismatches."""
+    from from_superset_to_clickhouse_spark.sources.readers import (
+        export_shards,
+        verify_shards,
+    )
+
+    path = tempfile.mkdtemp(prefix="sg_shards_")
+    export_shards(_docs(spark, sf_dir), path, n_shards=8, id_col="doc_id")
+    return verify_shards(spark, path, id_col="doc_id")
+
+
 def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic vocabulary build (the embedding-table id map):
     top-1000 tokens, ids dense by (count DESC, token ASC). The
@@ -4668,6 +4686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_incremental": q_cc_incremental,
         "stream_stats": q_stream_stats,
         "build_vocab": q_build_vocab,
+        "export_shards": q_export_shards,
     }
 
 
@@ -5376,6 +5395,15 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
             "round(sum(value), 2) AS sum_v, "
             "round(sum(value * value), 4) AS sum_sq "
             "FROM events GROUP BY user_id"
+        ),
+        "export_shards": (
+            "SELECT CAST(doc_id % 8 AS INTEGER) AS shard, "
+            "count(*) AS n_rows, "
+            "bit_xor((doc_id % 1000000007) * 2654435761 + 40503) AS xor_fp, "
+            "count(*) AS manifest_n, "
+            "bit_xor((doc_id % 1000000007) * 2654435761 + 40503) "
+            "AS manifest_fp, "
+            "1 AS ok FROM documents GROUP BY 1"
         ),
         "build_vocab": (
             "SELECT token, CAST(row_number() OVER ("

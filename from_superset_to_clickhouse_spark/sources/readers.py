@@ -16,6 +16,7 @@ from typing import Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
@@ -190,3 +191,98 @@ def read_binary(
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str,
+) -> list[dict]:
+    """Training-data delivery: write ``df`` as ``n_shards`` deterministic
+    hash shards (``shard=K/`` parquet dirs) plus a verification manifest
+    — the contract a downstream trainer checks before consuming.
+
+    Shard = ``id % n_shards`` (row placement independent of partitioning
+    and run order); the manifest records per shard the row count and an
+    ORDER-INDEPENDENT content fingerprint (``bit_xor`` of an
+    odd-multiplier id mix — XOR commutes, so any write order yields the
+    same fingerprint, and it is replayable in plain SQL). One pass
+    computes all shard statistics (partial-aggregated); the write runs
+    ``partitionBy(shard)``, so each shard is one directory a loader can
+    claim independently. Returns the manifest rows; also writes
+    ``_manifest.json`` next to the shards (underscore-prefixed so parquet readers skip it)."""
+    import json as _json
+
+    from from_superset_to_clickhouse_spark.fsio import Fs, join as fjoin
+
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
+    out = df.withColumn("shard", shard)
+    out.write.mode("overwrite").partitionBy("shard").parquet(path)
+    stats = (
+        out.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(
+                # pmod-first keeps the mix inside bigint under ANSI mode
+                # for any id magnitude (max ~2.7e18 < 2^63-1)
+                f"bit_xor((CAST({id_col} AS BIGINT) % 1000000007)"
+                f" * 2654435761 + 40503)"
+            ).alias("xor_fp"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+    manifest = [
+        {"shard": r["shard"], "n_rows": r["n_rows"], "xor_fp": r["xor_fp"]}
+        for r in stats
+    ]
+    fs = Fs(df.sparkSession, path)
+    fs.write_text(fjoin(path, "_manifest.json"), _json.dumps(manifest))
+    return manifest
+
+
+def verify_shards(spark: SparkSession, path: str, id_col: str) -> DataFrame:
+    """Re-derive each shard's count/fingerprint FROM DISK and join
+    against the manifest → (shard, n_rows, xor_fp, manifest_n,
+    manifest_fp, ok) — the loader-side integrity check: a lost file,
+    a duplicated task output, or a corrupted shard flips ``ok``."""
+    import json as _json
+
+    from from_superset_to_clickhouse_spark.fsio import Fs, join as fjoin
+
+    fs = Fs(spark, path)
+    manifest = _json.loads(fs.read_text(fjoin(path, "_manifest.json")))
+    mdf = spark.createDataFrame(
+        [(m["shard"], m["n_rows"], m["xor_fp"]) for m in manifest],
+        "shard int, manifest_n bigint, manifest_fp bigint",
+    )
+    disk = (
+        spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(
+                # pmod-first keeps the mix inside bigint under ANSI mode
+                # for any id magnitude (max ~2.7e18 < 2^63-1)
+                f"bit_xor((CAST({id_col} AS BIGINT) % 1000000007)"
+                f" * 2654435761 + 40503)"
+            ).alias("xor_fp"),
+        )
+    )
+    return (
+        disk.join(mdf, "shard", "full")
+        .select(
+            "shard",
+            "n_rows",
+            "xor_fp",
+            "manifest_n",
+            "manifest_fp",
+            (
+                (F.col("n_rows") == F.col("manifest_n"))
+                & (F.col("xor_fp") == F.col("manifest_fp"))
+            )
+            .cast("int")
+            .alias("ok"),
+        )
+    )

@@ -602,3 +602,35 @@ def test_ab_ztest_known_values_and_degenerate_arm(spark):
     p_exact = 2.0 * (1.0 - 0.5 * (1.0 + math.erf(abs(z) / math.sqrt(2))))
     assert abs(e1["p_value"] - p_exact) < 1e-6  # polynomial error bound
     assert got["exp2"]["z"] is None and got["exp2"]["p_value"] is None
+
+
+def test_export_shards_manifest_detects_tamper(spark, tmp_path):
+    """Sharded export writes a manifest whose per-shard count + XOR
+    fingerprint verify clean from disk; deleting one shard's file flips
+    exactly that shard's ok flag (fingerprint XOR is order-independent,
+    so a clean reread always matches regardless of task order)."""
+    import glob
+    import os
+
+    from from_superset_to_clickhouse_spark.sources.readers import (
+        export_shards,
+        verify_shards,
+    )
+
+    df = spark.range(200).selectExpr("id AS doc_id", "CAST(id AS STRING) AS t")
+    path = str(tmp_path / "shards")
+    manifest = export_shards(df, path, n_shards=4, id_col="doc_id")
+    assert [m["shard"] for m in manifest] == [0, 1, 2, 3]
+    assert sum(m["n_rows"] for m in manifest) == 200
+    ok = verify_shards(spark, path, id_col="doc_id")
+    assert [r["ok"] for r in ok.collect()] == [1, 1, 1, 1]
+    # tamper: drop one file from shard 2
+    victim = glob.glob(os.path.join(path, "shard=2", "*.parquet"))[0]
+    os.remove(victim)
+    spark.catalog.clearCache()
+    flags = {
+        r["shard"]: r["ok"]
+        for r in verify_shards(spark, path, id_col="doc_id").collect()
+    }
+    assert flags[2] == 0
+    assert flags[0] == 1 and flags[1] == 1 and flags[3] == 1
