@@ -3897,6 +3897,71 @@ def q_ngram_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-measuring dedup quality: precision/recall of the MinHash+LSH
+    candidate set against the EXACT all-pairs Jaccard ≥ 0.5 truth —
+    'measure, don't guess' as an oracle-checked entry. Both pipelines
+    are the already-verified operators (md5 family); this entry joins
+    candidates with truth and reduces to one metrics row, so the
+    engine's published recall claim is itself hash-verified by the SQL
+    twin recomputing both pipelines plus the metric arithmetic."""
+    docs = _docs(spark, sf_dir)
+    exact = ddp.ngram_jaccard_pairs(docs, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    cand = (
+        ddp.minhash_candidates(docs, hash_family="md5")
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    tp = cand.join(exact, ["id_a", "id_b"]).count()
+    n_cand, n_exact = cand.count(), exact.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_cand,
+                n_exact,
+                tp,
+                round(tp / max(n_cand, 1), 6),
+                round(tp / max(n_exact, 1), 6),
+            )
+        ],
+        "n_cand bigint, n_exact bigint, tp bigint, "
+        "precision double, recall double",
+    )
+
+
+_DEDUP_EVAL_SQL = (
+    _MINHASH_SQL.replace(
+        """SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+        """, cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), exact AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.s, b.s)) /
+        greatest(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1),
+        6) >= 0.5
+), m AS (
+  SELECT (SELECT count(*) FROM cand) AS n_cand,
+         (SELECT count(*) FROM exact) AS n_exact,
+         (SELECT count(*) FROM cand JOIN exact USING (id_a, id_b)) AS tp
+)
+SELECT n_cand, n_exact, tp,
+  round(tp / CAST(greatest(n_cand, 1) AS DOUBLE), 6) AS precision,
+  round(tp / CAST(greatest(n_exact, 1) AS DOUBLE), 6) AS recall
+FROM m
+""",
+    )
+)
+
+
 def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharded training-data export + loader-side verification:
     documents written as 8 deterministic hash shards with a manifest
@@ -4687,6 +4752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stats": q_stream_stats,
         "build_vocab": q_build_vocab,
         "export_shards": q_export_shards,
+        "dedup_eval": q_dedup_eval,
     }
 
 
@@ -5396,6 +5462,7 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
             "round(sum(value * value), 4) AS sum_sq "
             "FROM events GROUP BY user_id"
         ),
+        "dedup_eval": _DEDUP_EVAL_SQL,
         "export_shards": (
             "SELECT CAST(doc_id % 8 AS INTEGER) AS shard, "
             "count(*) AS n_rows, "
