@@ -648,6 +648,26 @@ def q_media_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.video_meta(vids)
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling schedule driven by REAL container metadata: MP4
+    durations come from decoding actual ISO-BMFF boxes (timescale
+    varies per row), then the per-video frame ticks are a pure-Catalyst
+    posexplode(sequence) over the DECODED duration — the full
+    seek-schedule pipeline a video curation pass runs before paying for
+    frame decode. The oracle predicts ticks from the planted duration
+    contract, so a decode error OR a fencepost in the schedule
+    hash-mismatches."""
+    vids = mm.synthesize_video(_docs(spark, sf_dir), "doc_id")
+    meta = mm.video_meta(vids)
+    frames = F.sequence(
+        F.lit(0), F.col("duration_ms") - 1, F.lit(200)
+    )
+    return meta.filter(F.col("format").isNotNull()).select(
+        "media_id",
+        F.posexplode(frames).alias("frame_idx", "ts_ms"),
+    )
+
+
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-2-style pretokenizer piece count per document."""
     d = _docs(spark, sf_dir)
@@ -4753,6 +4773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "build_vocab": q_build_vocab,
         "export_shards": q_export_shards,
         "dedup_eval": q_dedup_eval,
+        "video_frames": q_video_frames,
     }
 
 
@@ -5463,6 +5484,16 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
             "FROM events GROUP BY user_id"
         ),
         "dedup_eval": _DEDUP_EVAL_SQL,
+        "video_frames": (
+            # planted contract: duration_ms = id % 9000 + 500 -> one
+            # tick per 200 ms strictly inside the duration (3-5 ticks
+            # even for the shortest sf0.01 fixtures)
+            "SELECT CAST(doc_id AS BIGINT) AS media_id, "
+            "CAST(ts_ms // 200 AS INTEGER) AS frame_idx, "
+            "CAST(ts_ms AS INTEGER) AS ts_ms FROM ("
+            "SELECT doc_id, unnest(range(0, doc_id % 9000 + 500, 200)) "
+            "AS ts_ms FROM documents)"
+        ),
         "export_shards": (
             "SELECT CAST(doc_id % 8 AS INTEGER) AS shard, "
             "count(*) AS n_rows, "
