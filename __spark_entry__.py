@@ -1115,6 +1115,60 @@ def q_replacing_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_store_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed between two STORE SNAPSHOTS: time travel composed
+    with CDC — batch 1 (even ids), then batch 2 with the odd ids
+    plus UPDATED values for ids divisible by 10; the feed diffs
+    read_as_of(seq1) against the head via snapshot_diff. Exactly what a
+    downstream consumer asks a lakehouse table: 'what changed between
+    the version I read yesterday and now'. Both snapshots prune through
+    `_ingest_seq` row-group stats, so the diff cost tracks the two
+    snapshots, not table history. Note the store is dedup-keyed: the
+    head view is latest_view (last write wins), which is what makes
+    'changed' rows appear."""
+    store, ev = _store_events(spark, sf_dir)
+    store.append("store_events", ev.filter(F.col("event_id") % 2 == 0))
+    s1 = store.current_seq("store_events")
+    batch2 = ev.filter(
+        (F.col("event_id") % 2 == 1) | (F.col("event_id") % 10 == 0)
+    ).withColumn(
+        "value",
+        F.when(
+            F.col("event_id") % 10 == 0, F.col("value") * 2
+        ).otherwise(F.col("value")),
+    )
+    store.append("store_events", batch2)
+    old = store.read_as_of("store_events", s1).select(
+        "event_id", "value"
+    )
+    new = store.latest_view("store_events").select("event_id", "value")
+    from from_superset_to_clickhouse_spark.operators.cdc import snapshot_diff
+
+    return snapshot_diff(old, new, keys=["event_id"])
+
+
+_CHANGEFEED_SQL = r"""
+WITH old AS (
+  SELECT event_id, value FROM events WHERE event_id % 2 = 0
+), new AS (
+  SELECT event_id,
+    CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS value
+  FROM events
+  WHERE event_id % 2 = 1 OR event_id % 10 = 0
+  UNION ALL
+  SELECT event_id, value FROM events
+  WHERE event_id % 2 = 0 AND event_id % 10 <> 0
+)
+SELECT coalesce(o.event_id, n.event_id) AS event_id,
+  CASE WHEN o.event_id IS NULL THEN 'added'
+       WHEN n.event_id IS NULL THEN 'removed'
+       ELSE 'changed' END AS change_type
+FROM old o FULL JOIN new n ON o.event_id = n.event_id
+WHERE o.event_id IS NULL OR n.event_id IS NULL
+   OR o.value IS DISTINCT FROM n.value
+"""
+
+
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reads over the append log: two batches (even then odd
     event_ids) into a store; ``read_as_of`` at the first batch's seq
@@ -4774,6 +4828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_shards": q_export_shards,
         "dedup_eval": q_dedup_eval,
         "video_frames": q_video_frames,
+        "store_changefeed": q_store_changefeed,
     }
 
 
@@ -5484,6 +5539,7 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
             "FROM events GROUP BY user_id"
         ),
         "dedup_eval": _DEDUP_EVAL_SQL,
+        "store_changefeed": _CHANGEFEED_SQL,
         "video_frames": (
             # planted contract: duration_ms = id % 9000 + 500 -> one
             # tick per 200 ms strictly inside the duration (3-5 ticks
