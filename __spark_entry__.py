@@ -1768,6 +1768,62 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every purchase emits exactly
+    once — matched within the hour, or with a NULL click AFTER the
+    watermark proves no match can still arrive (the timeout-emission
+    semantics that distinguish outer from inner stream joins). Two
+    far-future sentinel rows push the final watermark past every real
+    event so the AvailableNow drain flushes all pending outer state;
+    the drained result must equal the batch LEFT JOIN twin."""
+    import datetime as _dt
+
+    cols = ["event_id", "user_id", "ts", "event_type"]
+    batch = _ev(spark, sf_dir).select(*cols)
+    far = batch.agg(F.max("ts")).first()[0] + _dt.timedelta(hours=10)
+    sentinels = spark.createDataFrame(
+        [(-1, -1, far, "click"), (-2, -1, far, "purchase")], batch.schema
+    )
+    src = tempfile.mkdtemp(prefix="sg_stream_") + "/src"
+    batch.unionByName(sentinels).write.parquet(src)
+    stream = stream_source(spark, src, batch.schema)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+    name = "sg_soj_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).filter(F.col("purchase_id") >= 0)
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup (``dropDuplicatesWithinWatermark``) on a
     stream that replays every event TWICE: the surviving key set must be
@@ -4829,6 +4885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_eval": q_dedup_eval,
         "video_frames": q_video_frames,
         "store_changefeed": q_store_changefeed,
+        "stream_outer_join": q_stream_outer_join,
     }
 
 
@@ -5540,6 +5597,13 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
         ),
         "dedup_eval": _DEDUP_EVAL_SQL,
         "store_changefeed": _CHANGEFEED_SQL,
+        "stream_outer_join": (
+            "SELECT p.event_id AS purchase_id, c.event_id AS click_id, "
+            "p.user_id FROM events p LEFT JOIN events c "
+            "ON c.event_type = 'click' AND p.user_id = c.user_id "
+            "AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR "
+            "WHERE p.event_type = 'purchase'"
+        ),
         "video_frames": (
             # planted contract: duration_ms = id % 9000 + 500 -> one
             # tick per 200 ms strictly inside the duration (3-5 ticks
