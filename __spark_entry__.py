@@ -565,6 +565,80 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.lang_id(docs).select("doc_id", "lang", "pred_lang")
 
 
+_SEG_LINE_A = {
+    0: "the cat and the dog is here with was",
+    1: "el perro los gatos las es una",
+    2: "der hund und die katze ist nicht",
+}
+_SEG_LINE_B = {0: "le chat les chiens des est une", 1: "中文 文本 中文 试验"}
+
+
+def _seg_planted(spark_side: bool):
+    """The planted 3-line mixed-language text, as a Spark Column or a
+    DuckDB SQL expression — same bytes either way."""
+    if spark_side:
+        a = (
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_SEG_LINE_A[0]))
+            .when(F.col("doc_id") % 3 == 1, F.lit(_SEG_LINE_A[1]))
+            .otherwise(F.lit(_SEG_LINE_A[2]))
+        )
+        b = F.when(F.col("doc_id") % 2 == 0, F.lit(_SEG_LINE_B[0])).otherwise(
+            F.lit(_SEG_LINE_B[1])
+        )
+        return F.concat(F.col("text"), F.lit("\n"), a, F.lit("\n"), b)
+    return (
+        "text || chr(10) || (CASE "
+        f"WHEN doc_id % 3 = 0 THEN '{_SEG_LINE_A[0]}' "
+        f"WHEN doc_id % 3 = 1 THEN '{_SEG_LINE_A[1]}' "
+        f"ELSE '{_SEG_LINE_A[2]}' END) || chr(10) || (CASE "
+        f"WHEN doc_id % 2 = 0 THEN '{_SEG_LINE_B[0]}' "
+        f"ELSE '{_SEG_LINE_B[1]}' END)"
+    )
+
+
+def q_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language detection: two planted foreign lines are appended
+    to every document, and the per-LINE language roll-up must surface
+    the mixture (n_langs ≥ 2) plus the dominant share — the signal that
+    routes crawl docs to per-language pipelines. The oracle RERUNS the
+    line-level language scoring in SQL (same marker arithmetic over the
+    exploded lines), so this is re-verification, not an arithmetic
+    prediction."""
+    d = _docs(spark, sf_dir).withColumn("text", _seg_planted(True))
+    return txt.lang_segments(d)
+
+
+def _lang_segments_sql() -> str:
+    score_exprs, case = _lang_sql_parts()
+    return f"""
+WITH lines AS (
+  SELECT doc_id, unnest(string_split({_seg_planted(False)}, chr(10))) AS text
+  FROM documents
+), scored AS (
+  SELECT doc_id, {', '.join(score_exprs)} FROM lines
+), pred AS (
+  SELECT doc_id, {case} AS lang FROM scored
+), counts AS (
+  SELECT doc_id, lang, count(*) AS c FROM pred
+  WHERE lang <> 'unknown' GROUP BY 1, 2
+), dom AS (
+  SELECT doc_id, lang, c FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY c DESC, lang) AS rn FROM counts)
+  WHERE rn = 1
+), nl AS (
+  SELECT doc_id, count(*) AS n_langs FROM counts GROUP BY 1
+), tot AS (
+  SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1
+)
+SELECT t.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines,
+  coalesce(d.lang, 'unknown') AS dominant_lang,
+  round(coalesce(d.c, 0) / CAST(t.n_lines AS DOUBLE), 6) AS dominant_frac,
+  CAST(coalesce(nl.n_langs, 0) AS INTEGER) AS n_langs
+FROM tot t LEFT JOIN dom d USING (doc_id) LEFT JOIN nl USING (doc_id)
+"""
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage salted aggregation ≡ plain GROUP BY (skew mitigation).
     l_quantity is integral-valued, so double sums are order-independent
@@ -4886,6 +4960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "store_changefeed": q_store_changefeed,
         "stream_outer_join": q_stream_outer_join,
+        "lang_segments": q_lang_segments,
     }
 
 
@@ -5597,6 +5672,7 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
         ),
         "dedup_eval": _DEDUP_EVAL_SQL,
         "store_changefeed": _CHANGEFEED_SQL,
+        "lang_segments": _lang_segments_sql(),
         "stream_outer_join": (
             "SELECT p.event_id AS purchase_id, c.event_id AS click_id, "
             "p.user_id FROM events p LEFT JOIN events c "

@@ -541,6 +541,56 @@ def contamination(
     )
 
 
+def lang_segments(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-LINE language segmentation rolled up per document →
+    (id, n_lines, dominant_lang, dominant_frac, n_langs). Crawl pages
+    are routinely mixed-language; a document-level vote (``lang_id``)
+    hides an embedded second language, while the line-level roll-up
+    surfaces it (n_langs > 1) and quantifies the dominant share —
+    exactly the signal a curation pass thresholds before routing docs
+    to per-language pipelines. Dominance = most non-unknown lines,
+    ties to the lexicographically smallest code; all-unknown docs
+    surface as ('unknown', 0.0, 0). One explode + keyed aggregates,
+    pure codegen."""
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n")).alias("text"),
+    )
+    pred = lang_id(lines, text_col="text", out_col="lang")
+    counts = (
+        pred.filter(F.col("lang") != LANG_UNKNOWN)
+        .groupBy(id_col, "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("c").desc(), F.col("lang"))
+    dom = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.col("lang").alias("dominant_lang"), "c")
+    )
+    nl = counts.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_langs"))
+    tot = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        tot.join(dom, id_col, "left")
+        .join(nl, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            F.coalesce("dominant_lang", F.lit(LANG_UNKNOWN)).alias(
+                "dominant_lang"
+            ),
+            F.round(
+                F.coalesce(F.col("c"), F.lit(0)) / F.col("n_lines"), 6
+            ).alias("dominant_frac"),
+            F.coalesce("n_langs", F.lit(0)).cast("int").alias("n_langs"),
+        )
+    )
+
+
 def build_vocab(
     df: DataFrame,
     text_col: str = "text",

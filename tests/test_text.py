@@ -483,3 +483,23 @@ def test_bigram_lm_sequence_sensitivity_and_backoff(spark):
     import math
 
     assert math.isfinite(got[103]) and got[103] < got[101]
+
+
+def test_lang_segments_mixed_and_unknown(spark):
+    """Line-level roll-up surfaces an embedded second language that a
+    whole-doc vote hides; all-unknown docs degrade to ('unknown', 0, 0
+    langs); tie on line counts breaks to the smaller code."""
+    rows = [
+        (1, "the cat and the dog is here\nel perro los gatos las es una\n"
+            "the end was near and the rest is history"),
+        (2, "zzz qqq\nxxx yyy"),
+        (3, "el perro los gatos es una\nthe dog and the cat is here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in txt.lang_segments(df).collect()}
+    assert got[1]["dominant_lang"] == "en" and got[1]["n_langs"] == 2
+    assert abs(got[1]["dominant_frac"] - 2 / 3) < 1e-6
+    assert got[2]["dominant_lang"] == "unknown" and got[2]["n_langs"] == 0
+    assert got[2]["dominant_frac"] == 0.0
+    # one es line vs one en line -> tie -> 'en' (lexicographic)
+    assert got[3]["dominant_lang"] == "en" and got[3]["n_langs"] == 2
