@@ -596,6 +596,55 @@ def _seg_planted(spark_side: bool):
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line-level boilerplate removal (the C4/CCNet line
+    rule): every doc gets a planted sitewide footer (appears in ALL
+    docs → must drop) and a planted unique line (must survive); the
+    original text rides as line 1. Output is the reassembled text —
+    order preservation, the drop rule, and the join-back all
+    hash-checked by a SQL twin recomputing line frequencies and
+    string_agg reassembly."""
+    planted = F.concat(
+        F.col("text"),
+        F.lit("\nsubscribe to our newsletter today"),
+        F.lit("\nunique line "),
+        F.col("doc_id").cast("string"),
+        F.lit("\n© example site all rights reserved"),
+    )
+    d = _docs(spark, sf_dir).withColumn("text", planted)
+    return txt.remove_boilerplate_lines(d, max_doc_freq=2)
+
+
+_LINE_DEDUP_SQL = r"""
+WITH planted AS (
+  SELECT doc_id,
+    text || chr(10) || 'subscribe to our newsletter today'
+         || chr(10) || 'unique line ' || doc_id
+         || chr(10) || chr(169) || ' example site all rights reserved'
+    AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id, pos, line, trim(line) AS norm FROM (
+    SELECT doc_id,
+      generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+      unnest(string_split(text, chr(10))) AS line
+    FROM planted)
+), freq AS (
+  SELECT norm, count(DISTINCT doc_id) AS df_docs FROM lines
+  WHERE norm <> '' GROUP BY norm
+), kept AS (
+  SELECT l.doc_id, l.pos, l.line FROM lines l
+  LEFT JOIN freq f ON l.norm = f.norm
+  WHERE l.norm = '' OR coalesce(f.df_docs, 0) <= 2
+)
+SELECT p.doc_id,
+  coalesce(k.text, '') AS text
+FROM planted p LEFT JOIN (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id) k USING (doc_id)
+"""
+
+
 def q_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-language detection: two planted foreign lines are appended
     to every document, and the per-LINE language roll-up must surface
@@ -4961,6 +5010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_changefeed": q_store_changefeed,
         "stream_outer_join": q_stream_outer_join,
         "lang_segments": q_lang_segments,
+        "line_dedup": q_line_dedup,
     }
 
 
@@ -5673,6 +5723,7 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
         "dedup_eval": _DEDUP_EVAL_SQL,
         "store_changefeed": _CHANGEFEED_SQL,
         "lang_segments": _lang_segments_sql(),
+        "line_dedup": _LINE_DEDUP_SQL,
         "stream_outer_join": (
             "SELECT p.event_id AS purchase_id, c.event_id AS click_id, "
             "p.user_id FROM events p LEFT JOIN events c "

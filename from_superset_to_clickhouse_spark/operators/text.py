@@ -541,6 +541,64 @@ def contamination(
     )
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int = 2,
+) -> DataFrame:
+    """Cross-document LINE dedup (the C4/CCNet boilerplate rule):
+    drop every line whose trimmed form appears in more than
+    ``max_doc_freq`` distinct documents — navigation, cookie banners
+    and footers repeat across a site's pages while real content does
+    not. Returns (id, text) with surviving lines reassembled IN
+    ORDER.
+
+    Scale shape: one posexplode + one line-keyed distinct-doc count
+    (partial-aggregated; the hot '' line never joins — blank lines are
+    kept structurally), one broadcast-or-shuffle join back, and one
+    per-doc ordered reassembly via array_sort over (pos, line) structs
+    — no window, no global sort. Line identity is the TRIMMED string;
+    emitted lines keep their original bytes."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("norm", F.trim(F.col("line")))
+    freq = (
+        lines.filter(F.col("norm") != "")
+        .groupBy("norm")
+        .agg(F.count_distinct(F.col(id_col)).alias("df_docs"))
+    )
+    kept = (
+        lines.join(freq, "norm", "left")
+        .filter(
+            (F.col("norm") == "")
+            | (F.coalesce("df_docs", F.lit(0)) <= max_doc_freq)
+        )
+        .select(id_col, "pos", "line")
+    )
+    reassembled = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("line")))
+            ).alias("_ls")
+        )
+        .select(
+            id_col,
+            F.array_join(
+                F.transform("_ls", lambda s: s["line"]), "\n"
+            ).alias(text_col),
+        )
+    )
+    # docs whose every line was boilerplate come back as empty text
+    return (
+        df.select(id_col)
+        .join(reassembled, id_col, "left")
+        .select(id_col, F.coalesce(text_col, F.lit("")).alias(text_col))
+    )
+
+
 def lang_segments(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -503,3 +503,26 @@ def test_lang_segments_mixed_and_unknown(spark):
     assert got[2]["dominant_frac"] == 0.0
     # one es line vs one en line -> tie -> 'en' (lexicographic)
     assert got[3]["dominant_lang"] == "en" and got[3]["n_langs"] == 2
+
+
+def test_remove_boilerplate_lines_order_and_empty(spark):
+    """Sitewide lines (> max_doc_freq docs) drop; unique lines survive
+    in original order with original bytes (identity is the TRIMMED
+    line, so indented footer copies still match); a doc made entirely
+    of boilerplate comes back as empty text, not a missing row."""
+    footer = "subscribe now"
+    rows = [
+        (1, f"alpha\n{footer}\nbeta"),
+        (2, f"gamma\n  {footer}  \ndelta"),   # indented copy still drops
+        (3, f"{footer}\nepsilon"),
+        (4, footer),                           # all boilerplate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in txt.remove_boilerplate_lines(df, max_doc_freq=2).collect()
+    }
+    assert got[1] == "alpha\nbeta"
+    assert got[2] == "gamma\ndelta"
+    assert got[3] == "epsilon"
+    assert got[4] == ""
