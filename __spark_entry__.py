@@ -1891,6 +1891,51 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest with a LIVE materialized view: events stream
+    into a projection-bearing store via foreachBatch appends — every
+    micro-batch lands one bounded partial-aggregate batch in the
+    projection, history never rescanned — and the post-drain projection
+    read must equal the batch GROUP BY over everything ingested. This
+    is the ClickHouse 'materialized view fed by an ingest stream'
+    story end-to-end: streaming ingest, incremental MV maintenance,
+    merge-on-read."""
+    store = TableStore(spark, tempfile.mkdtemp(prefix="sg_store_"))
+    store.create(
+        Schema(
+            name="stream_proj_events",
+            fields=(
+                Field("event_id", "bigint", nullable=False),
+                Field("ts", "timestamp", nullable=False),
+                Field("event_type", "string"),
+                Field("value", "double"),
+            ),
+        )
+    )
+    store.add_projection(
+        "stream_proj_events", "by_type", ["event_type"], ["value"]
+    )
+    stream = _stream_events(
+        spark, sf_dir, ["event_id", "ts", "event_type", "value"]
+    )
+    ckpt = tempfile.mkdtemp(prefix="sg_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: store.append("stream_proj_events", bdf)
+        )
+        .option("checkpointLocation", ckpt)
+        .option("maxFilesPerTrigger", "4")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return store.read_projection("stream_proj_events", "by_type").select(
+        "event_type",
+        F.round("value", 4).alias("value_sum"),
+        F.col("_rows").alias("n_rows"),
+    )
+
+
 def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER join: every purchase emits exactly
     once — matched within the hour, or with a NULL click AFTER the
@@ -5011,6 +5056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_outer_join": q_stream_outer_join,
         "lang_segments": q_lang_segments,
         "line_dedup": q_line_dedup,
+        "stream_projection": q_stream_projection,
     }
 
 
@@ -5724,6 +5770,10 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
         "store_changefeed": _CHANGEFEED_SQL,
         "lang_segments": _lang_segments_sql(),
         "line_dedup": _LINE_DEDUP_SQL,
+        "stream_projection": (
+            "SELECT event_type, round(sum(value), 4) AS value_sum, "
+            "CAST(count(*) AS BIGINT) AS n_rows FROM events GROUP BY 1"
+        ),
         "stream_outer_join": (
             "SELECT p.event_id AS purchase_id, c.event_id AS click_id, "
             "p.user_id FROM events p LEFT JOIN events c "
