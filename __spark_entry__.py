@@ -2157,6 +2157,44 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel step-conversion summary on top of ``window_funnel``: per
+    step, how many users reached it and the conversion FROM THE
+    PREVIOUS step — the dashboard table product analytics builds from
+    raw funnel depths. One extra single-row aggregate + an exploded
+    3-struct array; the oracle extends the brute-force funnel CTEs
+    with the same ratio arithmetic."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        window_funnel,
+    )
+
+    f = window_funnel(
+        _ev(spark, sf_dir),
+        ["view", "click", "purchase"],
+        window_micros=86_400 * 1_000_000,
+    )
+    row = f.agg(
+        F.count(F.lit(1)).alias("c0"),
+        *[
+            F.sum((F.col("funnel_depth") >= d).cast("long")).alias(f"c{d}")
+            for d in (1, 2, 3)
+        ],
+    )
+    steps = [
+        F.struct(
+            F.lit(d).alias("step"),
+            F.col(f"c{d}").alias("reached"),
+            F.round(
+                F.col(f"c{d}")
+                / F.greatest(F.col(f"c{d - 1}" if d > 1 else "c0"), F.lit(1)),
+                6,
+            ).alias("conversion"),
+        )
+        for d in (1, 2, 3)
+    ]
+    return row.select(F.explode(F.array(*steps)).alias("s")).select("s.*")
+
+
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``retention`` analog: per user — signed up in week 1
     (the cohort anchor), AND purchased in week 2, AND purchased in week
@@ -5057,6 +5095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_segments": q_lang_segments,
         "line_dedup": q_line_dedup,
         "stream_projection": q_stream_projection,
+        "funnel_rates": q_funnel_rates,
     }
 
 
@@ -5774,6 +5813,49 @@ SELECT gram, count(*) AS n_docs FROM r GROUP BY 1 HAVING count(*) >= 2
             "SELECT event_type, round(sum(value), 4) AS value_sum, "
             "CAST(count(*) AS BIGINT) AS n_rows FROM events GROUP BY 1"
         ),
+        "funnel_rates": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (SELECT user_id, ts, event_type FROM events),
+d1 AS (SELECT DISTINCT user_id FROM v WHERE event_type = 'view'),
+d2 AS (
+  SELECT DISTINCT a.user_id
+  FROM v a JOIN v b ON b.user_id = a.user_id
+  WHERE a.event_type = 'view' AND b.event_type = 'click'
+    AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_type > a.event_type))
+    AND b.ts <= a.ts + INTERVAL 1 DAY
+),
+d3 AS (
+  SELECT DISTINCT a.user_id
+  FROM v a
+  JOIN v b ON b.user_id = a.user_id
+  JOIN v c ON c.user_id = a.user_id
+  WHERE a.event_type = 'view' AND b.event_type = 'click'
+    AND c.event_type = 'purchase'
+    AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_type > a.event_type))
+    AND (c.ts > b.ts OR (c.ts = b.ts AND c.event_type > b.event_type))
+    AND c.ts <= a.ts + INTERVAL 1 DAY
+)
+, f AS (
+SELECT u.user_id,
+  CASE WHEN u.user_id IN (SELECT user_id FROM d3) THEN 3
+       WHEN u.user_id IN (SELECT user_id FROM d2) THEN 2
+       WHEN u.user_id IN (SELECT user_id FROM d1) THEN 1
+       ELSE 0 END AS funnel_depth
+FROM u
+), c AS (
+  SELECT count(*) AS c0,
+    sum(CASE WHEN funnel_depth >= 1 THEN 1 ELSE 0 END) AS c1,
+    sum(CASE WHEN funnel_depth >= 2 THEN 1 ELSE 0 END) AS c2,
+    sum(CASE WHEN funnel_depth >= 3 THEN 1 ELSE 0 END) AS c3
+  FROM f
+)
+SELECT 1 AS step, CAST(c1 AS BIGINT) AS reached,
+  round(c1 / CAST(greatest(c0, 1) AS DOUBLE), 6) AS conversion FROM c
+UNION ALL SELECT 2, CAST(c2 AS BIGINT),
+  round(c2 / CAST(greatest(c1, 1) AS DOUBLE), 6) FROM c
+UNION ALL SELECT 3, CAST(c3 AS BIGINT),
+  round(c3 / CAST(greatest(c2, 1) AS DOUBLE), 6) FROM c
+""",
         "stream_outer_join": (
             "SELECT p.event_id AS purchase_id, c.event_id AS click_id, "
             "p.user_id FROM events p LEFT JOIN events c "
