@@ -1267,7 +1267,45 @@ class TableStore:
             "shard_by": meta.get("shard_by"),
             "ingest_seq": meta["ingest_seq"],
             "partitions": self.partitions(name),
+            "stats": (
+                dict(
+                    meta["stats"],
+                    stale=meta["stats"]["as_of_seq"] != meta["ingest_seq"],
+                )
+                if meta.get("stats")
+                else None
+            ),
         }
+
+    def analyze(self, name: str) -> dict:
+        """ANALYZE TABLE analog: ONE wide aggregate scan computes the
+        row count and per-column null count + approximate NDV
+        (HyperLogLog — at 100 TB an exact distinct per column is a
+        shuffle per column; the sketch rides the same single pass), and
+        persists them in the table meta with the ingest sequence they
+        were computed at. ``describe`` surfaces them with a ``stale``
+        flag once later writes land — the CBO-food freshness contract.
+        Returns the stats dict."""
+        meta = self._meta(name)
+        df = self.read(name).drop(INGEST_SEQ_COL)
+        aggs = [F.count(F.lit(1)).alias("_rows")]
+        for c in df.columns:
+            aggs.append(
+                F.count(F.when(F.col(c).isNull(), 1)).alias(f"_n_{c}")
+            )
+            aggs.append(F.approx_count_distinct(c).alias(f"_d_{c}"))
+        row = df.agg(*aggs).first()
+        stats = {
+            "rows": row["_rows"],
+            "columns": {
+                c: {"nulls": row[f"_n_{c}"], "ndv": row[f"_d_{c}"]}
+                for c in df.columns
+            },
+            "as_of_seq": meta["ingest_seq"],
+        }
+        meta["stats"] = stats
+        self._save_meta(name, meta)
+        return stats
 
     def partitions(self, name: str) -> list[str]:
         """SHOW PARTITIONS analog (reference lists system.parts,

@@ -846,3 +846,40 @@ def test_optimize_zorder_multidim_file_skipping(spark, tmp_path):
         store.optimize_zorder("t", ["x"])  # exactly two columns
     with pytest.raises(ValueError):
         store.optimize_zorder("t", ["x", "nope"])
+
+
+def test_analyze_stats_and_staleness(spark, tmp_path):
+    """ANALYZE persists row count + per-column nulls/NDV from one scan;
+    describe surfaces them with a stale flag that flips after the next
+    write and clears on re-analyze."""
+    from from_superset_to_clickhouse_spark.schema import Field, Schema
+
+    store = TableStore(spark, str(tmp_path))
+    store.create(
+        Schema(
+            "t",
+            (
+                Field("id", "bigint", nullable=False),
+                Field("k", "string"),
+            ),
+        )
+    )
+    store.append(
+        "t",
+        spark.createDataFrame(
+            [(i, None if i % 5 == 0 else f"k{i % 3}") for i in range(50)],
+            "id bigint, k string",
+        ),
+    )
+    stats = store.analyze("t")
+    assert stats["rows"] == 50
+    assert stats["columns"]["k"]["nulls"] == 10
+    assert stats["columns"]["id"]["ndv"] >= 45  # approx, near-exact here
+    assert store.describe("t")["stats"]["stale"] is False
+    store.append(
+        "t", spark.createDataFrame([(100, "x")], "id bigint, k string")
+    )
+    assert store.describe("t")["stats"]["stale"] is True
+    store.analyze("t")
+    d = store.describe("t")["stats"]
+    assert d["stale"] is False and d["rows"] == 51
