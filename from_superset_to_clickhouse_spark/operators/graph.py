@@ -307,10 +307,13 @@ def label_propagation(
             .groupBy(F.col("b").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("_n"))
         )
-        # argmax by (count DESC, label ASC): max over (count, -label)
+        # argmax by (count DESC, label ASC): min over (-count, label).
+        # Negating the COUNT (not the label) keeps the tie-break
+        # type-agnostic — string labels would fail the numeric negate
+        # under ANSI mode (or NULL out with ANSI off).
         best = votes.groupBy("node").agg(
-            F.max_by(
-                F.col("label"), F.struct(F.col("_n"), -F.col("label"))
+            F.min_by(
+                F.col("label"), F.struct(-F.col("_n"), F.col("label"))
             ).alias("_new")
         )
         labels = (

@@ -779,12 +779,13 @@ def kmeans(
     k × dim averages back — the corpus is scanned ``iters + 1`` times
     and never shuffled on vectors; only the exploded (cell, idx, x)
     rows shuffle, combined map-side first."""
-    init = (
-        corpus.filter(F.col(id_col) < k)
-        .orderBy(id_col)
-        .select(vec_col)
-        .collect()
-    )
+    # orderBy+limit, not filter(id < k): ids may be 1-based or sparse,
+    # and "first k by id" must mean rank order, not value range.
+    init = corpus.orderBy(id_col).select(vec_col).limit(k).collect()
+    if len(init) < k:
+        raise ValueError(
+            f"kmeans needs at least k={k} vectors; corpus has {len(init)}"
+        )
     cents = [[float(x) for x in r[0]] for r in init]
     dim = len(cents[0])
     for _ in range(iters):

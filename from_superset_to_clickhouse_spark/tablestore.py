@@ -695,13 +695,23 @@ class TableStore:
             self.fs.delete(final)
         self.fs.rename(tmp, final)
         spec["stale"] = False
+        spec["as_of_seq"] = meta["ingest_seq"]
         meta["projections"][proj] = spec
         self._save_meta(name, meta)
 
     def _update_projections(self, name: str, staged: DataFrame) -> None:
         """Append path: one partial-aggregate batch per projection over
         the INCREMENT — output bounded by the increment's distinct key
-        count, shuffles partial-aggregated map-side."""
+        count, shuffles partial-aggregated map-side.
+
+        Crash consistency: the data parquet commits FIRST (in append()),
+        then each partial lands here. Unlike zone maps/blooms (pruning
+        hints — a gap only widens scans), projection partials are
+        correctness-bearing: a crash between the two steps would serve
+        under-counted sums forever. So each spec records the ingest_seq
+        its partials cover AFTER the partial write commits; a spec whose
+        ``as_of_seq`` lags ``meta['ingest_seq']`` is detected in
+        read_projection and rebuilt through the existing stale path."""
         meta = self._meta(name)
         projs = meta.get("projections") or {}
         for proj, spec in projs.items():
@@ -710,6 +720,9 @@ class TableStore:
             self._partial_agg(staged, spec).write.mode("append").parquet(
                 self._proj_dir(name, proj)
             )
+            spec["as_of_seq"] = meta["ingest_seq"]
+            meta["projections"][proj] = spec
+            self._save_meta(name, meta)
 
     def _mark_projections_stale(self, name: str) -> None:
         meta = self._meta(name)
@@ -731,7 +744,9 @@ class TableStore:
         spec = (meta.get("projections") or {}).get(proj)
         if spec is None:
             raise ValueError(f"no projection {proj} on table {name}")
-        if spec.get("stale"):
+        if spec.get("stale") or spec.get("as_of_seq") != meta["ingest_seq"]:
+            # as_of_seq lag = a crash landed the data batch but not its
+            # projection partial; rebuild once, incrementality resumes.
             self._rebuild_projection(name, proj)
             spec = self._meta(name)["projections"][proj]
         parts = self.spark.read.parquet(self._proj_dir(name, proj))
@@ -1458,11 +1473,21 @@ class TableStore:
         updated.write.mode("overwrite").partitionBy(*parts).parquet(tmp)
         self._swap_in(name, tmp, remove_rel=rels)
         # Recompute (not widen) skip-index metadata for the rewritten
-        # partitions from their full post-update contents.
+        # partitions from their full post-update contents. The rel-dir
+        # values are Hive-ESCAPED ('a:b' → 'a%3Ab'); CAST(col AS STRING)
+        # yields the unescaped value, so the isin list must unquote or
+        # the filter matches nothing and the indexes keep pre-update
+        # bounds — the same reconstruction trap _zone_part_key documents.
         rewritten = self.read(name).filter(
             F.col(parts[0])
             .cast("string")
-            .isin([r.split("=", 1)[1] for r in rels if "=" in r])
+            .isin(
+                [
+                    urllib.parse.unquote(r.split("=", 1)[1])
+                    for r in rels
+                    if "=" in r and not r.endswith(self._HIVE_NULL)
+                ]
+            )
             | (
                 F.col(parts[0]).isNull()
                 if any(self._HIVE_NULL in r for r in rels)

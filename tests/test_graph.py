@@ -170,3 +170,26 @@ def test_connected_components_incremental_merges_and_news(spark):
     assert got[5] == 1 and got[6] == 1  # merged down to global min
     assert got[20] == 20 and got[21] == 20
     assert got[10] == 10 and got[30] == 10
+
+
+def test_label_propagation_string_labels(spark):
+    """ADVICE r6 low: the (count DESC, label ASC) tie-break negates the
+    COUNT, not the label — string labels must work (the old -label form
+    cast-failed under ANSI or NULLed the vote)."""
+    from from_superset_to_clickhouse_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame(
+        [(1, "alpha"), (5, "beta")], "node long, label string"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, seeds, iters=2).collect()
+    }
+    assert got[1] == "alpha" and got[2] == "alpha"
+    assert got[4] == "beta" and got[5] == "beta"
+    assert got[3] == "alpha"  # tie -> lexicographically smallest label

@@ -275,3 +275,23 @@ def test_kmeans_planted_clusters_and_empty_cell(spark):
     # repartition stability: same assignment under a different layout
     asg2, _ = simi.kmeans(df.repartition(7), k=3, iters=2)
     assert {r["vec_id"]: r["cell"] for r in asg2.collect()} == got
+
+
+def test_kmeans_sparse_and_one_based_ids(spark):
+    """ADVICE r6 low: init must mean 'first k vectors by id RANK', not
+    'id value < k' — 1-based or sparse ids previously collected fewer
+    than k seeds and crashed. Also: fewer than k vectors is a clear
+    ValueError, not an IndexError."""
+    rows = [
+        (101, [10.0, 0.0]), (205, [0.0, 10.0]),
+        (309, [11.0, 1.0]), (410, [1.0, 11.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    asg, cents = simi.kmeans(df, k=2, iters=2)
+    got = {r["vec_id"]: r["cell"] for r in asg.collect()}
+    assert got[101] == got[309] == 0
+    assert got[205] == got[410] == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least k=5"):
+        simi.kmeans(df, k=5, iters=1)

@@ -883,3 +883,79 @@ def test_analyze_stats_and_staleness(spark, tmp_path):
     store.analyze("t")
     d = store.describe("t")["stats"]
     assert d["stale"] is False and d["rows"] == 51
+
+
+def test_update_where_hive_escaped_partition_value(spark, tmp_path):
+    """ADVICE r6 high: partition values Hive-escapes in dir names
+    (':' -> '%3A') must be UNescaped when the skip-index recompute
+    rebuilds the touched-partition filter — otherwise the isin list
+    holds 'a%3Ab' while CAST(col AS STRING) is 'a:b', the recompute
+    filter matches nothing, and zone maps keep pre-update bounds
+    (silent wrong read_where results in replace mode)."""
+    store = TableStore(spark, str(tmp_path))
+    store.create(
+        Schema(
+            "e",
+            (
+                Field("id", "bigint", nullable=False),
+                Field("p", "string", nullable=False),
+            ),
+            partition_by=("p",),
+            sort_by=("id",),
+        )
+    )
+    store.append(
+        "e",
+        spark.createDataFrame(
+            [(i, "a:b" if i % 2 else "plain=x") for i in range(10)],
+            "id bigint, p string",
+        ),
+    )
+    # id 4 lives in the 'plain=x' partition; id 5 in 'a:b' — update one
+    # row in EACH escapable partition far outside the recorded range.
+    assert store.update_where("e", F.col("id") == 5, {"id": F.lit(1000)}) == 1
+    assert store.update_where("e", F.col("id") == 4, {"id": F.lit(2000)}) == 1
+    got = sorted(
+        r["id"] for r in store.read_where("e", "id", 900, 2100).collect()
+    )
+    assert got == [1000, 2000]
+    # and the untouched low range still reads exactly right
+    low = sorted(r["id"] for r in store.read_where("e", "id", 0, 9).collect())
+    assert low == [0, 1, 2, 3, 6, 7, 8, 9]
+
+
+def test_projection_rebuilds_after_lost_partial(spark, tmp_path, monkeypatch):
+    """ADVICE r6 medium: projection partials are correctness-bearing.
+    Simulate a crash between the data-parquet commit and the partial
+    write (append lands, partial doesn't): read_projection must detect
+    the as-of-seq lag and rebuild instead of serving under-counted sums
+    forever."""
+    store = TableStore(spark, str(tmp_path))
+    store.create(
+        Schema(
+            "f",
+            (
+                Field("k", "string", nullable=False),
+                Field("v", "bigint", nullable=False),
+            ),
+        )
+    )
+    df = lambda rows: spark.createDataFrame(rows, "k string, v bigint")
+    store.append("f", df([("a", 1), ("b", 2)]))
+    store.add_projection("f", "by_k", ["k"], ["v"])
+    # crash window: data commits, projection partial never lands
+    monkeypatch.setattr(store, "_update_projections", lambda *a, **k: None)
+    store.append("f", df([("a", 10), ("c", 5)]))
+    monkeypatch.undo()
+    got = {
+        r["k"]: (r["v"], r["_rows"])
+        for r in store.read_projection("f", "by_k").collect()
+    }
+    assert got == {"a": (11, 2), "b": (2, 1), "c": (5, 1)}
+    # incrementality resumes after the rebuild: next append writes a
+    # partial and read_projection stays exact without another rebuild
+    store.append("f", df([("b", 100)]))
+    got = {
+        r["k"]: r["v"] for r in store.read_projection("f", "by_k").collect()
+    }
+    assert got == {"a": 11, "b": 102, "c": 5}
