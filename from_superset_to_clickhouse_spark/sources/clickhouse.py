@@ -1,0 +1,386 @@
+"""ClickHouse JDBC dialect adapter — the production wiring for the
+reference's actual sink.
+
+The engine's JDBC surface (``readers.read_jdbc`` / ``write_jdbc``) is
+database-agnostic; this module supplies everything ClickHouse-SPECIFIC
+so a deployment can point the v2 publish pipeline at a real ClickHouse
+cluster instead of the Derby test harness:
+
+- type mapping both ways (reference DDL uses ``Nullable(VARCHAR)``,
+  ``DATETIME``, ``UUID``, ``Bool`` — ``v2/sql/create_external_tables.sql:5-12``,
+  ``v2/sql/create_tables.sql:73-88``),
+- identifier quoting (ClickHouse backticks, ``"action"``-style reserved
+  words in the reference DDL),
+- DDL generation for the Replicated/Replacing + Distributed pair the
+  reference declares by hand (``v2/sql/create_tables.sql:2-21``),
+- a Replacing-aware publisher: dedup to the latest row per key BEFORE
+  the INSERT (the reference leans on merge-time collapse + ``FINAL``;
+  deduping client-side keeps the remote correct even before a merge
+  cycle and ships less data),
+- Spark JDBC option bundles for the official ``com.clickhouse.jdbc``
+  driver (no server needed to unit-test any of this — the dialect
+  logic is pure, and the publisher is exercised against Derby).
+
+Nothing here opens a connection at import time; a cluster URL is only
+ever used when the caller passes one.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from from_superset_to_clickhouse_spark.schema import Schema
+from from_superset_to_clickhouse_spark.sources.readers import write_jdbc
+
+JDBC_DRIVER = "com.clickhouse.jdbc.ClickHouseDriver"
+
+# -- identifier quoting -------------------------------------------------
+
+
+def quote_ident(name: str) -> str:
+    """ClickHouse identifier quoting: backticks, with backslash and
+    backtick escaped. (The reference quotes reserved words with double
+    quotes — ``"action"`` — which ClickHouse also accepts, but backticks
+    are the documented native form and survive ANSI_QUOTES-less MySQL
+    wire compat.)"""
+    return "`" + name.replace("\\", "\\\\").replace("`", "\\`") + "`"
+
+
+# -- Spark type -> ClickHouse type --------------------------------------
+
+_SPARK_TO_CH: dict[type, str] = {
+    T.ByteType: "Int8",
+    T.ShortType: "Int16",
+    T.IntegerType: "Int32",
+    T.LongType: "Int64",
+    T.FloatType: "Float32",
+    T.DoubleType: "Float64",
+    T.StringType: "String",
+    T.BooleanType: "Bool",
+    T.DateType: "Date32",
+    T.BinaryType: "String",
+}
+
+
+def spark_to_ch_type(dtype: T.DataType, nullable: bool = False) -> str:
+    """Spark DataType -> ClickHouse type string.
+
+    Timestamps map to ``DateTime64(6)`` (microsecond precision — Spark's
+    native resolution; plain ``DateTime`` would truncate to seconds).
+    Arrays are NEVER wrapped in Nullable (ClickHouse forbids
+    ``Nullable(Array(...))``; an absent array is ``[]``)."""
+    if isinstance(dtype, T.ArrayType):
+        inner = spark_to_ch_type(dtype.elementType, nullable=dtype.containsNull)
+        return f"Array({inner})"
+    if isinstance(dtype, T.DecimalType):
+        base = f"Decimal({dtype.precision}, {dtype.scale})"
+    elif isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        base = "DateTime64(6)"
+    else:
+        base = _SPARK_TO_CH.get(type(dtype))
+        if base is None:
+            raise ValueError(f"no ClickHouse mapping for Spark type {dtype}")
+    return f"Nullable({base})" if nullable else base
+
+
+# -- ClickHouse type -> Spark type --------------------------------------
+
+# Aliases ClickHouse accepts in DDL (the reference uses the SQL-ish
+# forms: INT, VARCHAR, TEXT, DATETIME, BOOL) normalize to canonical
+# names first.
+_CH_ALIASES = {
+    "INT": "Int32",
+    "INTEGER": "Int32",
+    "BIGINT": "Int64",
+    "SMALLINT": "Int16",
+    "TINYINT": "Int8",
+    "VARCHAR": "String",
+    "TEXT": "String",
+    "CHAR": "String",
+    "BLOB": "String",
+    "FLOAT": "Float32",
+    "REAL": "Float32",
+    "DOUBLE": "Float64",
+    "BOOL": "Bool",
+    "BOOLEAN": "Bool",
+    "DATETIME": "DateTime",
+    "TIMESTAMP": "DateTime",
+}
+
+_CH_SIMPLE_TO_SPARK: dict[str, T.DataType] = {
+    "Int8": T.ByteType(),
+    "Int16": T.ShortType(),
+    "Int32": T.IntegerType(),
+    "Int64": T.LongType(),
+    # Unsigned types widen so the full value range fits (UInt64 can
+    # exceed Int64 — Decimal(20, 0) is lossless).
+    "UInt8": T.ShortType(),
+    "UInt16": T.IntegerType(),
+    "UInt32": T.LongType(),
+    "UInt64": T.DecimalType(20, 0),
+    "Float32": T.FloatType(),
+    "Float64": T.DoubleType(),
+    "String": T.StringType(),
+    "Bool": T.BooleanType(),
+    "Date": T.DateType(),
+    "Date32": T.DateType(),
+    "DateTime": T.TimestampType(),
+    "UUID": T.StringType(),
+    "IPv4": T.StringType(),
+    "IPv6": T.StringType(),
+    "JSON": T.StringType(),
+}
+
+
+def ch_to_spark_type(ch_type: str) -> tuple[T.DataType, bool]:
+    """ClickHouse type string -> (Spark DataType, nullable).
+
+    Handles the wrappers the reference schema and common production
+    schemas use: ``Nullable(...)``, ``LowCardinality(...)`` (storage
+    detail — unwrapped), ``DateTime[64](p[, 'tz'])``, ``Decimal(p, s)``,
+    ``FixedString(n)``, ``Enum8/16(...)`` (-> String), ``Array(...)``,
+    and the SQL aliases (INT, VARCHAR, TEXT, DATETIME, BOOL)."""
+    s = ch_type.strip()
+    m = re.fullmatch(r"Nullable\s*\((.*)\)", s, re.S)
+    if m:
+        inner, _ = ch_to_spark_type(m.group(1))
+        return inner, True
+    m = re.fullmatch(r"LowCardinality\s*\((.*)\)", s, re.S)
+    if m:
+        return ch_to_spark_type(m.group(1))
+    m = re.fullmatch(r"Array\s*\((.*)\)", s, re.S)
+    if m:
+        inner, inner_null = ch_to_spark_type(m.group(1))
+        return T.ArrayType(inner, containsNull=inner_null), False
+    m = re.fullmatch(r"DateTime64\s*\(\s*\d+\s*(?:,.*)?\)", s, re.S)
+    if m:
+        return T.TimestampType(), False
+    m = re.fullmatch(r"DateTime\s*\(.*\)", s, re.S)  # DateTime('tz')
+    if m:
+        return T.TimestampType(), False
+    m = re.fullmatch(r"Decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", s)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2))), False
+    m = re.fullmatch(r"(?:Decimal|Decimal32|Decimal64|Decimal128)\s*\(\s*(\d+)\s*\)", s)
+    if m:  # Decimal32(s)/Decimal64(s): scale-only forms
+        prec = {"Decimal32": 9, "Decimal64": 18}.get(s.split("(")[0].strip(), 38)
+        return T.DecimalType(prec, int(m.group(1))), False
+    m = re.fullmatch(r"FixedString\s*\(\s*\d+\s*\)", s)
+    if m:
+        return T.StringType(), False
+    m = re.fullmatch(r"Enum(?:8|16)?\s*\(.*\)", s, re.S)
+    if m:
+        return T.StringType(), False
+    canon = _CH_ALIASES.get(s.upper(), s)
+    if canon in _CH_SIMPLE_TO_SPARK:
+        return _CH_SIMPLE_TO_SPARK[canon], False
+    raise ValueError(f"unsupported ClickHouse type: {ch_type!r}")
+
+
+def struct_type_from_ch(columns: list[tuple[str, str]]) -> T.StructType:
+    """[(name, ch_type), ...] -> StructType — e.g. parsed from a remote
+    ``DESCRIBE TABLE`` resultset fetched over the same JDBC link."""
+    fields = []
+    for name, ch in columns:
+        spark_t, nullable = ch_to_spark_type(ch)
+        fields.append(T.StructField(name, spark_t, nullable))
+    return T.StructType(fields)
+
+
+# -- DDL generation -----------------------------------------------------
+
+
+def _default_literal(value, dtype: T.DataType) -> str:
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, (int, float)):
+        return repr(value)
+    if isinstance(value, (dt.datetime, dt.date)):
+        return "'" + value.isoformat(sep=" ") + "'"
+    return "'" + str(value).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _partition_expr(part: str) -> str:
+    """Engine partition spec -> ClickHouse PARTITION BY expression. The
+    engine's derived ``<col>_month`` / ``<col>_day`` partitions are
+    ClickHouse's ``date_trunc`` partitioning (reference:
+    ``PARTITION BY date_trunc('month', dttm)``,
+    ``v2/sql/create_tables.sql:15-16``)."""
+    if part.endswith("_month"):
+        return f"date_trunc('month', {quote_ident(part[: -len('_month')])})"
+    if part.endswith("_day"):
+        return f"date_trunc('day', {quote_ident(part[: -len('_day')])})"
+    return quote_ident(part)
+
+
+def create_table_ddl(
+    schema: Schema,
+    database: str = "default",
+    cluster: str | None = None,
+    replicated: bool = False,
+) -> str:
+    """Schema -> ClickHouse CREATE TABLE DDL, mirroring the reference's
+    hand-written create_tables.sql: Replacing engine when the schema has
+    a dedup key (version column becomes the ReplacingMergeTree version
+    arg), NULLable columns for fields without defaults, ``DEFAULT``
+    literals where the schema declares them, monthly ``PARTITION BY``
+    for derived partitions, ``ORDER BY`` = dedup key or sort key."""
+    cols = []
+    for f in schema.fields:
+        ch = spark_to_ch_type(f.spark_type, nullable=f.nullable and f.default is None)
+        line = f"    {quote_ident(f.name)} {ch}"
+        if f.default is not None:
+            line += f" DEFAULT {_default_literal(f.default, f.spark_type)}"
+        cols.append(line)
+    if schema.dedup_key:
+        engine = "ReplicatedReplacingMergeTree" if replicated else "ReplacingMergeTree"
+        if schema.version_col:
+            engine += f"({quote_ident(schema.version_col)})"
+        order_cols = schema.dedup_key
+    else:
+        engine = "ReplicatedMergeTree" if replicated else "MergeTree"
+        order_cols = schema.sort_by or ("tuple()",)
+    on_cluster = f" ON CLUSTER '{cluster}'" if cluster else ""
+    order_by = ", ".join(
+        c if c == "tuple()" else quote_ident(c) for c in order_cols
+    )
+    ddl = (
+        f"CREATE TABLE IF NOT EXISTS {quote_ident(database)}."
+        f"{quote_ident(schema.name)}{on_cluster}\n(\n" + ",\n".join(cols) + "\n)\n"
+        f"ENGINE = {engine}\n"
+    )
+    for p in schema.partition_by:
+        ddl += f"PARTITION BY {_partition_expr(p)}\n"
+    ddl += f"ORDER BY ({order_by});"
+    return ddl
+
+
+def distributed_table_ddl(
+    schema: Schema,
+    cluster: str,
+    database: str = "default",
+    suffix: str = "_distributed",
+) -> str:
+    """The Distributed shim over the local/replicated table (reference
+    ``v2/sql/create_tables.sql:19-21``): same columns, sharded on the
+    schema's shard key (rand() when none is declared)."""
+    shard = quote_ident(schema.shard_by) if schema.shard_by else "rand()"
+    return (
+        f"CREATE TABLE IF NOT EXISTS {quote_ident(database)}."
+        f"{quote_ident(schema.name + suffix)} ON CLUSTER '{cluster}'\n"
+        f"AS {quote_ident(database)}.{quote_ident(schema.name)}\n"
+        f"ENGINE = Distributed('{cluster}', '{database}', "
+        f"'{schema.name}', {shard});"
+    )
+
+
+# -- Spark JDBC wiring --------------------------------------------------
+
+
+def jdbc_options(
+    host: str,
+    database: str = "default",
+    port: int = 8123,
+    user: str | None = None,
+    password: str | None = None,
+    secure: bool = False,
+) -> tuple[str, dict[str, str]]:
+    """(url, properties) for Spark's JDBC source against ClickHouse's
+    HTTP interface via the official driver. Credentials travel in
+    properties, never spliced into SQL text (the reference splices the
+    source password into DDL at ``v2/dag.py`` — deliberately not
+    reproduced)."""
+    scheme = "https" if secure else "http"
+    url = f"jdbc:clickhouse:{scheme}://{host}:{port}/{database}"
+    props = {"driver": JDBC_DRIVER}
+    if user is not None:
+        props["user"] = user
+    if password is not None:
+        props["password"] = password
+    return url, props
+
+
+def create_table_options(schema: Schema) -> str:
+    """Value for Spark's ``createTableOptions`` JDBC write option: the
+    engine clause appended to the CREATE TABLE Spark issues on first
+    write, so bootstrap-created sinks get a real MergeTree layout
+    instead of the driver default."""
+    if schema.dedup_key:
+        engine = "ReplacingMergeTree"
+        if schema.version_col:
+            engine += f"({quote_ident(schema.version_col)})"
+        order = ", ".join(quote_ident(c) for c in schema.dedup_key)
+    else:
+        engine = "MergeTree"
+        order = (
+            ", ".join(quote_ident(c) for c in schema.sort_by)
+            if schema.sort_by
+            else "tuple()"
+        )
+    opts = f"ENGINE = {engine}"
+    for p in schema.partition_by:
+        opts += f" PARTITION BY {_partition_expr(p)}"
+    return opts + f" ORDER BY ({order})"
+
+
+# -- Replacing-aware publish --------------------------------------------
+
+
+def latest_rows(
+    df: DataFrame, dedup_key: tuple[str, ...], version_col: str | None
+) -> DataFrame:
+    """Last-write-wins within the batch: one row per key, ordered by
+    (version desc) with all remaining columns as deterministic
+    tie-breaks — the client-side image of ReplacingMergeTree collapse
+    (same semantics as ``TableStore.latest_view``, applied to an
+    arbitrary DataFrame before it leaves the engine)."""
+    order = []
+    if version_col:
+        order.append(F.col(version_col).desc())
+    order += [
+        F.col(c).desc()
+        for c in df.columns
+        if c not in dedup_key and c != version_col
+    ]
+    w = Window.partitionBy(*[F.col(k) for k in dedup_key]).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def publish_replacing(
+    df: DataFrame,
+    schema: Schema,
+    url: str,
+    table: str | None = None,
+    properties: dict[str, str] | None = None,
+    num_partitions: int = 8,
+) -> None:
+    """Publish a batch into a Replacing-engine sink: coerce to the
+    declared schema (NULL→DEFAULT, column order), collapse to the
+    latest row per dedup key, bound the writer count, append. Appending
+    pre-collapsed rows keeps the remote latest-correct immediately —
+    merge-time collapse then only removes rows superseded by LATER
+    batches. Passing ``createTableOptions`` makes a bootstrap CREATE
+    produce the real engine layout."""
+    if not schema.dedup_key:
+        raise ValueError("publish_replacing needs a schema with a dedup_key")
+    out = latest_rows(schema.coerce(df), schema.dedup_key, schema.version_col)
+    props = dict(properties or {})
+    props.setdefault("createTableOptions", create_table_options(schema))
+    write_jdbc(
+        out,
+        url,
+        table or schema.name,
+        mode="append",
+        properties=props,
+        num_partitions=num_partitions,
+    )
