@@ -209,7 +209,12 @@ def main() -> None:
     #                       e.g. for aggregations or non-AQE engines).
     from from_superset_to_clickhouse_spark.operators import skew as skw
 
-    SKEW_N, SKEW_KEYS, SKEW_HOT_PCT = 2_000_000, 5_000, 30
+    # Sized so the hot key DOMINATES one reducer: at 50% hot, the plain
+    # SMJ sorts ~4M rows on a single task while every other task gets
+    # ~800 — the straggler IS the join time, and the AQE/salted variants
+    # measure what splitting it buys. (2M/30% showed no separation —
+    # the hot partition finished in noise.)
+    SKEW_N, SKEW_KEYS, SKEW_HOT_PCT = 8_000_000, 5_000, 50
     skew_big = (
         spark.range(SKEW_N)
         .select(

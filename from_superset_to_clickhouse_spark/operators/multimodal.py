@@ -18,9 +18,14 @@ tested. Decoding comes in two tiers:
 - VIDEO (MP4/ISO-BMFF) headers too: ``decode_mp4_header`` walks real
   boxes (ftyp/moov/mvhd/trak/tkhd) for dimensions + timescale-correct
   duration; ``encode_mp4`` emits spec-conformant header streams.
-- Pixel/sample CONTENT decode and compressed audio remain stubbed
-  (``decode_stub`` fake features) — those need native codec libs this
-  container doesn't ship.
+- PNG pixel CONTENT is decoded for REAL too: ``decode_png_pixels``
+  walks the chunks (CRC-verified), inflates the concatenated IDAT with
+  stdlib ``zlib`` and unfilters every scanline
+  (None/Sub/Up/Average/Paeth) — 8-bit gray/RGB/gray+alpha/RGBA.
+  ``image_pixel_stats`` and ``png_feature`` build on it; JPEG/GIF
+  pixels and compressed audio remain stubbed (``decode_stub``) — those
+  need native codec libs this container doesn't ship, and the decode
+  errors say so explicitly.
 
 At scale: binary payloads ride in Parquet binary columns;
 ``mapInPandas`` streams Arrow batches so one task never materializes its
@@ -35,6 +40,7 @@ import struct
 import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -89,19 +95,76 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(width: int, height: int) -> bytes:
+def _png_paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_filter_row(
+    ft: int, line: bytes, prior: bytes, bpp: int
+) -> bytes:
+    """Apply PNG filter ``ft`` to a raw scanline (encoder side)."""
+    n = len(line)
+    out = bytearray(n)
+    for i in range(n):
+        left = line[i - bpp] if i >= bpp else 0
+        up = prior[i]
+        ul = prior[i - bpp] if i >= bpp else 0
+        if ft == 0:
+            pred = 0
+        elif ft == 1:
+            pred = left
+        elif ft == 2:
+            pred = up
+        elif ft == 3:
+            pred = (left + up) // 2
+        elif ft == 4:
+            pred = _png_paeth(left, up, ul)
+        else:
+            raise ValueError(f"PNG: bad filter type {ft}")
+        out[i] = (line[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def encode_png(
+    width: int,
+    height: int,
+    color: tuple[int, int, int] | None = None,
+    filter_type: int = 0,
+) -> bytes:
     """A real, spec-conformant PNG: signature, CRC'd IHDR, zlib IDAT of
-    filtered 8-bit grayscale scanlines, IEND. Pixel (x, y) = (x+y)%256 —
-    deterministic, so fixtures are reproducible."""
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    raw = b"".join(
-        b"\x00" + bytes((x + y) % 256 for x in range(width))
-        for y in range(height)
-    )
+    filtered scanlines, IEND — deterministic, so fixtures are
+    reproducible.
+
+    ``color=None`` → 8-bit grayscale, pixel (x, y) = (x+y)%256 (the
+    original fixture ramp). ``color=(r, g, b)`` → 8-bit truecolor solid
+    fill. ``filter_type`` 0-4 applies that PNG filter to every scanline
+    (encoder-side), so the decoder's per-filter unfilter paths are
+    testable against bytes a conformant reader must accept."""
+    if color is None:
+        color_type, ch = 0, 1
+        rows = [
+            bytes((x + y) % 256 for x in range(width)) for y in range(height)
+        ]
+    else:
+        color_type, ch = 2, 3
+        px = bytes(int(c) & 0xFF for c in color)
+        rows = [px * width] * height
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    prior = bytes(width * ch)
+    filtered = []
+    for line in rows:
+        filtered.append(
+            bytes((filter_type,)) + _png_filter_row(filter_type, line, prior, ch)
+        )
+        prior = line
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(filtered)))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -183,6 +246,164 @@ def _decode_image_header(payload: bytes) -> tuple[str, int, int]:
         w, h = struct.unpack("<HH", payload[6:10])
         return ("gif", w, h)
     raise ValueError("unknown image format")
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+a, rgba
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL pixel decode for 8-bit PNG, stdlib only (VERDICT r6 item 4):
+    chunk walk with per-chunk CRC verification, concatenated-IDAT zlib
+    inflate, and per-row unfilter (None/Sub/Up/Average/Paeth) →
+    ``(width, height, channels, samples)`` where ``samples`` is
+    ``height × width × channels`` bytes of 8-bit values, row-major.
+
+    Supports color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA) at bit
+    depth 8 — the overwhelmingly dominant crawl format. Palette (3),
+    sub-byte depths, 16-bit, and Adam7 interlace raise ``ValueError``
+    (callers quarantine, never a silent wrong answer); those want a real
+    codec lib, and the error names the reason."""
+    if payload is None or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, []
+    try:
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            typ = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            if len(data) != length:
+                raise ValueError("PNG: truncated chunk")
+            (crc,) = struct.unpack(
+                ">I", payload[pos + 8 + length : pos + 12 + length]
+            )
+            if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                raise ValueError(f"PNG: CRC mismatch in {typ!r}")
+            if typ == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"IEND":
+                break
+            pos += 12 + length
+    except struct.error as exc:
+        raise ValueError(f"PNG: truncated stream: {exc}") from exc
+    if ihdr is None or not idat:
+        raise ValueError("PNG: missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"PNG: unsupported bit depth {depth} (need a codec lib)")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"PNG: unsupported color type {color_type}")
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG: unknown compression/filter method")
+    if interlace != 0:
+        raise ValueError("PNG: Adam7 interlace unsupported (need a codec lib)")
+    ch = _PNG_CHANNELS[color_type]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG: corrupt IDAT: {exc}") from exc
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG: IDAT length does not match dimensions")
+    out = bytearray(h * stride)
+    prior = bytes(stride)
+    for y in range(h):
+        base = y * (stride + 1)
+        ft = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ft == 1:
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ft == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif ft == 3:
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + (left + prior[i]) // 2) & 0xFF
+        elif ft == 4:
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                ul = prior[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _png_paeth(left, prior[i], ul)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"PNG: bad row filter {ft}")
+        out[y * stride : (y + 1) * stride] = line
+        prior = bytes(line)
+    return (w, h, ch, bytes(out))
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_px", T.IntegerType(), True),
+        T.StructField("px_sum", T.LongType(), True),
+        T.StructField("mean_px", T.DoubleType(), True),
+        T.StructField("min_px", T.IntegerType(), True),
+        T.StructField("max_px", T.IntegerType(), True),
+    ]
+)
+
+
+def image_pixel_stats(images: DataFrame) -> DataFrame:
+    """Pixel-level statistics per image via the real PNG decode →
+    (media_id, format, width, height, channels, mean_px, min_px,
+    max_px) over ALL samples, plus the EXACT integer pair (n_px,
+    px_sum) the mean derives from. Non-PNG and undecodable payloads
+    become format=NULL quarantine rows (same contract as
+    ``image_dims``). Oracles compare on the integer columns — bit-exact
+    with no float-division ulp hazard; ``mean_px`` (= px_sum/n_px) is
+    for human consumers."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs, chs = [], [], [], []
+            ns, sums, means, mins, maxs = [], [], [], [], []
+            for p in pdf["payload"]:
+                try:
+                    w, h, ch, px = decode_png_pixels(p)
+                    a = np.frombuffer(px, dtype=np.uint8)
+                    s = int(a.sum(dtype=np.int64))
+                    fmts.append("png")
+                    ws.append(w)
+                    hs.append(h)
+                    chs.append(ch)
+                    ns.append(a.size)
+                    sums.append(s)
+                    means.append(s / a.size)
+                    mins.append(int(a.min()))
+                    maxs.append(int(a.max()))
+                except ValueError:
+                    fmts.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    chs.append(None)
+                    ns.append(None)
+                    sums.append(None)
+                    means.append(None)
+                    mins.append(None)
+                    maxs.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": fmts,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "channels": pd.array(chs, dtype="Int32"),
+                    "n_px": pd.array(ns, dtype="Int32"),
+                    "px_sum": pd.array(sums, dtype="Int64"),
+                    "mean_px": pd.array(means, dtype="float64"),
+                    "min_px": pd.array(mins, dtype="Int32"),
+                    "max_px": pd.array(maxs, dtype="Int32"),
+                }
+            )
+
+    return images.mapInPandas(run, schema=PIXEL_STATS_SCHEMA)
 
 
 # -- real audio container codec (WAV/RIFF, stdlib-only) ------------------
@@ -386,6 +607,25 @@ def decode_stub(payload: bytes, kind: str, dim: int = 8) -> list[float]:
     return [b / 255.0 for b in digest[:dim]]
 
 
+def png_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """REAL pixel-derived feature for an 8-bit PNG (``dim`` floats):
+    [mean, std, min, max] of all samples (÷255), then per-channel means
+    (÷255), zero-padded/truncated to ``dim``. Raises ``ValueError`` for
+    anything ``decode_png_pixels`` can't decode — callers fall back to
+    ``decode_stub`` for other formats."""
+    w, h, ch, px = decode_png_pixels(payload)
+    a = np.frombuffer(px, dtype=np.uint8).astype(np.float64)
+    vec = [
+        float(a.mean()) / 255.0,
+        float(a.std()) / 255.0,
+        float(a.min()) / 255.0,
+        float(a.max()) / 255.0,
+    ]
+    vec += [float(m) / 255.0 for m in a.reshape(-1, ch).mean(axis=0)]
+    vec = vec[:dim]
+    return vec + [0.0] * (dim - len(vec))
+
+
 IMAGE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -428,6 +668,34 @@ def synthesize_images(
                     ],
                 }
             )
+
+    return src.mapInPandas(run, schema=IMAGE_SCHEMA)
+
+
+def synthesize_pixel_images(df: DataFrame, id_col: str) -> DataFrame:
+    """Fixture generator for PIXEL decode: one real PNG per row whose
+    pixel CONTENT (not just dimensions) is arithmetically predictable.
+
+    Even ids → solid truecolor (r, g, b) = (id%251, id*7%251,
+    id*13%251); odd ids → the grayscale ramp (x+y)%256. Dimensions
+    w = id%16+1, h = id%12+1 (so ramp samples stay < 256 and the ramp
+    sum has a closed form). The scanline FILTER rotates over all five
+    PNG filter types by id%5 — invisible to any oracle, so the decoder
+    must unfilter correctly for sums/mins/maxes to match."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h, ft = i % 16 + 1, i % 12 + 1, i % 5
+                color = (
+                    (i % 251, i * 7 % 251, i * 13 % 251) if i % 2 == 0 else None
+                )
+                payloads.append(encode_png(w, h, color=color, filter_type=ft))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     return src.mapInPandas(run, schema=IMAGE_SCHEMA)
 
@@ -614,7 +882,18 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     The per-batch loop is the real shape of a media pipeline: decode each
     payload, emit fixed-width features. Python is unavoidable here
     (codecs are native libs) — Arrow batching amortizes the crossing.
+
+    Decodable 8-bit PNGs get a REAL pixel-derived feature
+    (``png_feature``: inflate + unfilter + sample statistics — no codec
+    lib needed); every other format falls back to ``decode_stub`` until
+    a native codec is wired in.
     """
+
+    def feat(p, d=dim):
+        try:
+            return png_feature(p, d)
+        except ValueError:
+            return decode_stub(p, "", d)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -627,9 +906,7 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
                     "content_hash": payloads.map(
                         lambda p: hashlib.sha256(p or b"").hexdigest()
                     ),
-                    "feature": payloads.map(
-                        lambda p, d=dim: decode_stub(p, "", d)
-                    ),
+                    "feature": payloads.map(feat),
                 }
             )
 

@@ -634,3 +634,58 @@ def test_export_shards_manifest_detects_tamper(spark, tmp_path):
     }
     assert flags[2] == 0
     assert flags[0] == 1 and flags[1] == 1 and flags[3] == 1
+
+
+def test_png_pixel_decode_all_filters_and_color_types():
+    """decode_png_pixels (VERDICT r6 item 4): inflate + unfilter
+    round-trips every PNG filter type for both grayscale and truecolor;
+    corrupt IDAT bytes and unsupported layouts raise ValueError (the
+    quarantine contract), never return garbage pixels."""
+    import pytest as _pytest
+
+    for ft in range(5):
+        w, h, ch, px = mm.decode_png_pixels(mm.encode_png(7, 5, filter_type=ft))
+        assert (w, h, ch) == (7, 5, 1)
+        assert px == bytes((x + y) % 256 for y in range(5) for x in range(7))
+        w, h, ch, px = mm.decode_png_pixels(
+            mm.encode_png(6, 4, color=(200, 10, 123), filter_type=ft)
+        )
+        assert (w, h, ch) == (6, 4, 3)
+        assert px == bytes((200, 10, 123)) * 24
+    # the old header decoder still accepts truecolor streams
+    assert mm.decode_image_header(mm.encode_png(6, 4, color=(1, 2, 3))) == (
+        "png", 6, 4,
+    )
+    # bit-flip inside IDAT -> CRC mismatch, not silent wrong pixels
+    bad = bytearray(mm.encode_png(8, 8))
+    bad[40] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC|truncated"):
+        mm.decode_png_pixels(bytes(bad))
+    with _pytest.raises(ValueError, match="not a PNG"):
+        mm.decode_png_pixels(b"GIF89a junk")
+    # png_feature: solid red 4x4 -> mean 1/3, min 0, max 1, channels
+    # means (1, 0, 0); non-PNG falls back in extract_features
+    f = mm.png_feature(mm.encode_png(4, 4, color=(255, 0, 0)), dim=8)
+    assert f[2] == 0.0 and f[3] == 1.0 and abs(f[0] - 1 / 3) < 1e-9
+    assert f[4] == 1.0 and f[5] == 0.0 and f[6] == 0.0
+
+
+def test_image_pixel_stats_quarantine_and_exactness(spark):
+    """image_pixel_stats over a mixed batch: real PNGs yield exact
+    integer (n_px, px_sum, min, max); JPEG (no pixel data) and corrupt
+    payloads quarantine with format NULL."""
+    rows = [
+        (1, mm.encode_png(3, 2, color=(10, 20, 30), filter_type=4)),
+        (2, mm.encode_png(4, 3)),  # gray ramp
+        (3, mm.encode_jpeg(5, 5)),  # header-only format -> quarantine
+        (4, b"\x89PNG\r\n\x1a\ntruncated"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r.asDict() for r in mm.image_pixel_stats(df).collect()}
+    assert got[1]["n_px"] == 18 and got[1]["px_sum"] == 60 * 6
+    assert got[1]["min_px"] == 10 and got[1]["max_px"] == 30
+    # ramp 4x3: sum = h*w(w-1)/2 + w*h(h-1)/2 = 3*6 + 4*3 = 30
+    assert got[2]["n_px"] == 12 and got[2]["px_sum"] == 30
+    assert got[2]["min_px"] == 0 and got[2]["max_px"] == 5
+    assert got[3]["format"] is None and got[3]["px_sum"] is None
+    assert got[4]["format"] is None
