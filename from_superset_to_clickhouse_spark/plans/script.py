@@ -36,8 +36,74 @@ def render_params(sql: str, params: Mapping[str, object] | None) -> str:
 
 
 def split_statements(script: str) -> list[str]:
-    """Split on ';', dropping empty/whitespace-only statements."""
-    return [s.strip() for s in script.split(";") if s.strip()]
+    """Split a script into statements on ';', dropping empty ones.
+
+    QUOTE-AWARE, unlike the reference's blind ``split(';')``
+    (``plugins/operator/clickhouse_operator.py:45-64``), which breaks
+    any statement containing a ';' inside a string literal. The scanner
+    tracks single-quoted strings, double-quoted strings/identifiers,
+    backtick identifiers (with doubled-quote and backslash escapes),
+    ``--`` line comments and ``/* */`` block comments — a ';' inside
+    any of those is content, not a separator. Divergence from the
+    reference is deliberate and regression-tested."""
+    stmts: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(script)
+    state: str | None = None  # one of ' " ` -- /*
+    while i < n:
+        c = script[i]
+        if state is None:
+            if c == ";":
+                s = "".join(buf).strip()
+                if s:
+                    stmts.append(s)
+                buf = []
+                i += 1
+                continue
+            if c in ("'", '"', "`"):
+                state = c
+            elif script.startswith("--", i):
+                state = "--"
+            elif script.startswith("/*", i):
+                state = "/*"
+                buf.append("/*")
+                i += 2
+                continue
+            buf.append(c)
+            i += 1
+            continue
+        if state in ("'", '"', "`"):
+            buf.append(c)
+            if c == "\\" and state != "`" and i + 1 < n:
+                buf.append(script[i + 1])
+                i += 2
+                continue
+            if c == state:
+                if i + 1 < n and script[i + 1] == state:  # doubled escape
+                    buf.append(state)
+                    i += 2
+                    continue
+                state = None
+            i += 1
+            continue
+        if state == "--":
+            buf.append(c)
+            if c == "\n":
+                state = None
+            i += 1
+            continue
+        # state == "/*"
+        if script.startswith("*/", i):
+            buf.append("*/")
+            state = None
+            i += 2
+            continue
+        buf.append(c)
+        i += 1
+    s = "".join(buf).strip()
+    if s:
+        stmts.append(s)
+    return stmts
 
 
 def run_script(

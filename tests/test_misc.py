@@ -689,3 +689,62 @@ def test_image_pixel_stats_quarantine_and_exactness(spark):
     assert got[2]["min_px"] == 0 and got[2]["max_px"] == 5
     assert got[3]["format"] is None and got[3]["px_sum"] is None
     assert got[4]["format"] is None
+
+
+def test_split_statements_quote_aware():
+    """VERDICT r6 item 6: a ';' inside a string literal, quoted
+    identifier, or comment is content, not a separator — the
+    reference's blind split(';') (clickhouse_operator.py:45-64) breaks
+    these; the divergence is deliberate and pinned here."""
+    assert split_statements("SELECT ';' AS s; SELECT 2") == [
+        "SELECT ';' AS s",
+        "SELECT 2",
+    ]
+    assert split_statements("SELECT 'a;b', \"x;y\"; SELECT `c;d` FROM t") == [
+        "SELECT 'a;b', \"x;y\"",
+        "SELECT `c;d` FROM t",
+    ]
+    # doubled-quote escape keeps the scanner in-string across ''
+    assert split_statements("SELECT 'it''s; fine'; SELECT 1") == [
+        "SELECT 'it''s; fine'",
+        "SELECT 1",
+    ]
+    # comments swallow semicolons too
+    assert split_statements("SELECT 1 -- trailing; not a split\n; SELECT 2") == [
+        "SELECT 1 -- trailing; not a split",
+        "SELECT 2",
+    ]
+    assert split_statements("SELECT /* a;b */ 1; SELECT 2") == [
+        "SELECT /* a;b */ 1",
+        "SELECT 2",
+    ]
+    # the old contract still holds
+    assert split_statements("a; ;b;;") == ["a", "b"]
+
+
+def test_run_script_semicolon_in_literal(spark):
+    out = run_script(spark, script="SELECT ';' AS semi; SELECT concat(';', 'x;y') AS j")
+    assert out.first()["j"] == ";x;y"
+
+
+def test_csv_empty_field_lands_schema_default(spark, tmp_path):
+    """VERDICT r6 item 5 (reference hook.py:92-112 parity): an EMPTY
+    CSV field reads as NULL and Schema.coerce lands the declared
+    default — the same path the reference's CSV bulk ingest takes into
+    a DEFAULT column. Both the empty form and the explicit NULL literal
+    coerce; a real value survives."""
+    from from_superset_to_clickhouse_spark.schema import Field, Schema
+
+    p = tmp_path / "defaults.csv"
+    p.write_text("id;v;n\n1;a;5\n2;;\n3;NULL;NULL\n")
+    schema = Schema(
+        "csv_t",
+        (
+            Field("id", "int", nullable=False),
+            Field("v", "string", default="undefined"),
+            Field("n", "int", default=-1),
+        ),
+    )
+    df = readers.read_csv(spark, str(p), schema=schema.to_struct_type())
+    got = {r["id"]: (r["v"], r["n"]) for r in schema.coerce(df).collect()}
+    assert got == {1: ("a", 5), 2: ("undefined", -1), 3: ("undefined", -1)}
