@@ -790,6 +790,74 @@ def q_media_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end: decode PNG pixels → 2×2 box-filter
+    downsample → re-encode PNG → decode AGAIN for stats. Fixture dims
+    are even multiples, content is solid RGB (even ids) or the (x+y)
+    ramp (odd ids — a 2×2 box mean of a linear ramp is exactly
+    2X+2Y+1), so the oracle predicts the post-resize pixel statistics
+    in closed form; both the downsample arithmetic AND the re-encoded
+    byte stream are on the hook (stats come from re-decoding it)."""
+    imgs = mm.synthesize_pixel_images(
+        _docs(spark, sf_dir), "doc_id", even_dims=True
+    )
+    small = mm.downsample_images(imgs, factor=2)
+    return mm.image_pixel_stats(small).select(
+        "media_id", "format", "width", "height", "channels",
+        "n_px", "px_sum", "min_px", "max_px",
+    )
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count over a deterministic arithmetic graph
+    (nodes = doc_id%400, two generated edges per doc): canonicalized
+    ordered edges + two hash self-joins counting a<b<c closures — the
+    standard distributed node-iterator algorithm, each triangle counted
+    exactly once. Oracle = the identical relational program in DuckDB,
+    so an orientation or dedup bug changes the count and mismatches."""
+    d = _docs(spark, sf_dir).select((F.col("doc_id") % 400).alias("n"),
+                                    F.col("doc_id"))
+    edges = d.select(
+        F.col("n").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 400).alias("dst"),
+    ).unionByName(
+        d.select(
+            F.col("n").alias("src"),
+            ((F.col("doc_id") * 13 + 5) % 400).alias("dst"),
+        )
+    )
+    from from_superset_to_clickhouse_spark.operators import graph as gr
+
+    return gr.triangle_count(edges)
+
+
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: for every unordered pair of event
+    types, the number of users who performed BOTH — one distinct
+    (user, type) projection, one self-join on user, one partial-
+    aggregated count. The support-threshold base step of any
+    frequent-itemset miner."""
+    from from_superset_to_clickhouse_spark.operators import graph as gr
+
+    ev = _ev(spark, sf_dir)
+    return gr.cooccurrence(ev, "user_id", "event_type", min_count=1)
+
+
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling of the events fact into 6-hour bars per event
+    type: open/close = value at the first/last observation ordered by
+    (ts, event_id), high/low/volume as plain aggregates — all computed
+    as decomposable min_by/max_by aggregates (map-side partials, ONE
+    shuffle, no window sort). The oracle reproduces open/close with
+    row_number CTEs over the same ordering."""
+    ev = _ev(spark, sf_dir)
+    return tmp.ohlc_bars(
+        ev, "event_type", "ts", "value", "event_id", bar="6 hours"
+    ).select(
+        "event_type", "bar_start", "open", "high", "low", "close", "volume"
+    )
+
+
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling schedule driven by REAL container metadata: MP4
     durations come from decoding actual ISO-BMFF boxes (timescale
@@ -4915,6 +4983,10 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the 29 r6 additions moved below the boundary — green in
     # CORRECTNESS_r06.
     "media_pixels": q_media_pixels,
+    "media_resize": q_media_resize,
+    "triangle_count": q_triangle_count,
+    "cooccurrence": q_cooccurrence,
+    "ohlc_bars": q_ohlc_bars,
 }
 
 
@@ -5420,6 +5492,68 @@ def oracle_sql() -> dict[str, str]:
             "THEN greatest(doc_id % 251, (doc_id * 7) % 251, (doc_id * 13) % 251) "
             "ELSE (doc_id % 16) + (doc_id % 12) END AS INTEGER) AS max_px "
             "FROM documents"
+        ),
+        "media_resize": (
+            # Post-resize closed form (factor-2 box filter, even dims
+            # w=2a, h=2b with a=id%8+1, b=id%6+1): solid images keep
+            # their colors; the (x+y) ramp's 2x2 block mean is exactly
+            # 2X+2Y+1, so resized sum = a*b*(a+b-1), min 1, max 2a+2b-3.
+            "SELECT CAST(doc_id AS BIGINT) AS media_id, 'png' AS format, "
+            "CAST(doc_id % 8 + 1 AS INTEGER) AS width, "
+            "CAST(doc_id % 6 + 1 AS INTEGER) AS height, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INTEGER) "
+            "AS channels, "
+            "CAST(CASE WHEN doc_id % 2 = 0 "
+            "THEN 3 * (doc_id % 8 + 1) * (doc_id % 6 + 1) "
+            "ELSE (doc_id % 8 + 1) * (doc_id % 6 + 1) END AS INTEGER) AS n_px, "
+            "CAST(CASE WHEN doc_id % 2 = 0 "
+            "THEN (doc_id % 251 + (doc_id * 7) % 251 + (doc_id * 13) % 251) "
+            "* (doc_id % 8 + 1) * (doc_id % 6 + 1) "
+            "ELSE (doc_id % 8 + 1) * (doc_id % 6 + 1) "
+            "* ((doc_id % 8 + 1) + (doc_id % 6 + 1) - 1) END AS BIGINT) "
+            "AS px_sum, "
+            "CAST(CASE WHEN doc_id % 2 = 0 "
+            "THEN least(doc_id % 251, (doc_id * 7) % 251, (doc_id * 13) % 251) "
+            "ELSE 1 END AS INTEGER) AS min_px, "
+            "CAST(CASE WHEN doc_id % 2 = 0 "
+            "THEN greatest(doc_id % 251, (doc_id * 7) % 251, (doc_id * 13) % 251) "
+            "ELSE 2 * (doc_id % 8 + 1) + 2 * (doc_id % 6 + 1) - 3 "
+            "END AS INTEGER) AS max_px "
+            "FROM documents"
+        ),
+        "triangle_count": (
+            "WITH raw AS ("
+            "SELECT doc_id % 400 AS s, (doc_id * 7 + 3) % 400 AS t "
+            "FROM documents "
+            "UNION ALL "
+            "SELECT doc_id % 400, (doc_id * 13 + 5) % 400 FROM documents), "
+            "e AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b "
+            "FROM raw WHERE least(s, t) < greatest(s, t)) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_triangles "
+            "FROM e e1 JOIN e e2 ON e1.b = e2.a "
+            "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"
+        ),
+        "cooccurrence": (
+            "WITH gi AS (SELECT DISTINCT user_id AS g, event_type AS i "
+            "FROM events) "
+            "SELECT a.i AS item_a, b.i AS item_b, "
+            "CAST(count(*) AS BIGINT) AS n_groups "
+            "FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i GROUP BY 1, 2"
+        ),
+        "ohlc_bars": (
+            "WITH b AS (SELECT event_type, "
+            "time_bucket(INTERVAL '6 hours', ts) AS bar_start, "
+            "ts, event_id, value FROM events), "
+            "o AS (SELECT *, row_number() OVER (PARTITION BY event_type, "
+            "bar_start ORDER BY ts, event_id) AS rn_a, "
+            "row_number() OVER (PARTITION BY event_type, bar_start "
+            "ORDER BY ts DESC, event_id DESC) AS rn_d FROM b) "
+            "SELECT event_type, bar_start, "
+            "max(CASE WHEN rn_a = 1 THEN value END) AS open, "
+            "max(value) AS high, min(value) AS low, "
+            "max(CASE WHEN rn_d = 1 THEN value END) AS close, "
+            "CAST(count(*) AS BIGINT) AS volume "
+            "FROM o GROUP BY 1, 2"
         ),
         "media_audio": (
             # Arithmetic twin of synthesize_audio's planted contract:

@@ -328,3 +328,74 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle count → one row ``(n_triangles)``.
+
+    Canonicalize to ordered unique edges (a < b, self-loops dropped,
+    direction collapsed), then count paths a<b<c where (a,b), (b,c) and
+    (a,c) are all edges: two hash self-joins on ordered endpoints. The
+    a<b<c ordering counts each triangle exactly once and — the scale
+    property — joins only "forward" adjacency, so a node's work is
+    bounded by its forward degree. This is the standard MapReduce
+    triangle algorithm (node-iterator++ ordering); for skew-heavy
+    graphs, orient edges by (degree, id) instead of raw id to bound the
+    hub fan-out — same plan shape, different ordering column.
+
+    SQL-expressible (two self-joins + count), so fully oracle-checked.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+        )
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def cooccurrence(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_count: int = 1,
+) -> DataFrame:
+    """Item co-occurrence (market-basket pairs): for every unordered
+    item pair (item_a < item_b), the number of groups containing BOTH →
+    (item_a, item_b, n_groups).
+
+    One distinct (group, item) projection, one self-join on the group
+    key, one partial-aggregated count. At scale the join fans out as
+    Σ|basket|² — bounded in practice by basket size, not corpus size;
+    cap pathological baskets upstream (``F.size < K`` filter) the same
+    way AllPairs prefix filtering caps candidate growth. min_count
+    prunes the long tail AFTER the aggregate (a support threshold, the
+    Apriori base step)."""
+    gi = df.select(
+        F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
+    ).distinct()
+    a, b = gi.alias("a"), gi.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._g") == F.col("b._g")) & (F.col("a._i") < F.col("b._i")),
+        )
+        .groupBy(
+            F.col("a._i").alias("item_a"), F.col("b._i").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .filter(F.col("n_groups") >= min_count)
+    )
+    return pairs

@@ -672,16 +672,20 @@ def synthesize_images(
     return src.mapInPandas(run, schema=IMAGE_SCHEMA)
 
 
-def synthesize_pixel_images(df: DataFrame, id_col: str) -> DataFrame:
+def synthesize_pixel_images(
+    df: DataFrame, id_col: str, even_dims: bool = False
+) -> DataFrame:
     """Fixture generator for PIXEL decode: one real PNG per row whose
     pixel CONTENT (not just dimensions) is arithmetically predictable.
 
     Even ids → solid truecolor (r, g, b) = (id%251, id*7%251,
     id*13%251); odd ids → the grayscale ramp (x+y)%256. Dimensions
     w = id%16+1, h = id%12+1 (so ramp samples stay < 256 and the ramp
-    sum has a closed form). The scanline FILTER rotates over all five
-    PNG filter types by id%5 — invisible to any oracle, so the decoder
-    must unfilter correctly for sums/mins/maxes to match."""
+    sum has a closed form); ``even_dims=True`` doubles instead —
+    w = (id%8+1)*2, h = (id%6+1)*2 — so a factor-2 box downsample
+    covers every sample exactly. The scanline FILTER rotates over all
+    five PNG filter types by id%5 — invisible to any oracle, so the
+    decoder must unfilter correctly for sums/mins/maxes to match."""
     src = df.select(F.col(id_col).cast("long").alias("media_id"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -690,7 +694,11 @@ def synthesize_pixel_images(df: DataFrame, id_col: str) -> DataFrame:
             payloads = []
             for i in ids:
                 i = int(i)
-                w, h, ft = i % 16 + 1, i % 12 + 1, i % 5
+                if even_dims:
+                    w, h = (i % 8 + 1) * 2, (i % 6 + 1) * 2
+                else:
+                    w, h = i % 16 + 1, i % 12 + 1
+                ft = i % 5
                 color = (
                     (i % 251, i * 7 % 251, i * 13 % 251) if i % 2 == 0 else None
                 )
@@ -1017,3 +1025,92 @@ def extract_frames(
             )
 
     return rows.mapInPandas(run, schema=schema)
+
+
+_PNG_COLOR_TYPE = {1: 0, 3: 2, 2: 4, 4: 6}  # channels -> color type
+
+
+def encode_png_raw(
+    width: int,
+    height: int,
+    channels: int,
+    samples: bytes,
+    filter_type: int = 0,
+) -> bytes:
+    """General PNG encoder from raw 8-bit samples (row-major,
+    ``height × width × channels`` bytes) — the re-encode half of a real
+    decode→transform→encode pipeline. Inverse of ``decode_png_pixels``:
+    ``encode_png_raw(*decode_png_pixels(p))`` reproduces the image."""
+    if channels not in _PNG_COLOR_TYPE:
+        raise ValueError(f"unsupported channel count {channels}")
+    if len(samples) != width * height * channels:
+        raise ValueError("sample buffer does not match dimensions")
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, _PNG_COLOR_TYPE[channels], 0, 0, 0
+    )
+    stride = width * channels
+    prior = bytes(stride)
+    filtered = []
+    for y in range(height):
+        line = samples[y * stride : (y + 1) * stride]
+        filtered.append(
+            bytes((filter_type,))
+            + _png_filter_row(filter_type, line, prior, channels)
+        )
+        prior = line
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(filtered)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def downsample_png(payload: bytes, factor: int) -> bytes:
+    """REAL image resize for 8-bit PNG: decode → ``factor×factor``
+    box-filter downsample → re-encode. Each output sample is the
+    integer block mean, rounded half-up ((sum + n/2) // n) — exact
+    whenever the block sum divides evenly (solid fills, linear ramps),
+    deterministic always. Dimensions must be multiples of ``factor``
+    (a curation pipeline resizes to aligned thumbnail grids; arbitrary
+    targets want a real resampling kernel and a codec lib)."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    w, h, ch, px = decode_png_pixels(payload)
+    if w % factor or h % factor:
+        raise ValueError(
+            f"dimensions {w}x{h} not divisible by factor {factor}"
+        )
+    a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch).astype(np.uint32)
+    blocks = a.reshape(h // factor, factor, w // factor, factor, ch)
+    sums = blocks.sum(axis=(1, 3))
+    n = factor * factor
+    out = ((sums + n // 2) // n).astype(np.uint8)
+    return encode_png_raw(w // factor, h // factor, ch, out.tobytes())
+
+
+def downsample_images(media: DataFrame, factor: int) -> DataFrame:
+    """Arrow-batched decode→resize→re-encode over a PNG payload column
+    → (media_id, payload) with each payload a real downsampled PNG.
+    Undecodable/misaligned payloads quarantine as NULL payloads (the
+    per-row error never kills the stage)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for p in pdf["payload"]:
+                try:
+                    outs.append(downsample_png(p, factor))
+                except ValueError:
+                    outs.append(None)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": outs})
+
+    return media.mapInPandas(
+        run,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), True),
+            ]
+        ),
+    )

@@ -347,3 +347,48 @@ def proximity_join_binned(
         .filter(F.abs(F.col("delta_us")) <= tol)
         .drop("_bucket")
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bar: str = "6 hours",
+) -> DataFrame:
+    """Time-series downsampling to OHLC bars: per (key, time-bucket) →
+    (open, high, low, close, volume, sum_value). Open/close are the
+    value at the first/last observation in the bar, ordered by
+    (ts, tiebreak) so simultaneous observations resolve
+    deterministically.
+
+    One partial-aggregated groupBy — min_by/max_by over a (ts, tie)
+    struct make open/close ordinary decomposable aggregates, so the
+    whole bar computes map-side first and each group ships ONE partial
+    row per task. The window-function formulation (first_value over a
+    sorted partition) would sort every bar's rows; this never sorts at
+    all. At 100 TB: bars aggregate tick-level facts 1000:1 or better
+    before the one shuffle."""
+    tie = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    return (
+        df.groupBy(F.col(key_col), F.window(F.col(ts_col), bar).alias("_bar"))
+        .agg(
+            F.min_by(F.col(value_col), tie).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(F.col(value_col), tie).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.col("_bar.start").alias("bar_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "sum_value",
+        )
+    )

@@ -193,3 +193,40 @@ def test_label_propagation_string_labels(spark):
     assert got[1] == "alpha" and got[2] == "alpha"
     assert got[4] == "beta" and got[5] == "beta"
     assert got[3] == "alpha"  # tie -> lexicographically smallest label
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 has 4 triangles; duplicate/reversed/self-loop edges must not
+    change the count."""
+    from from_superset_to_clickhouse_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(b, a) for a, b in k4] + [(2, 2), (0, 1), (5, 6)]
+    edges = spark.createDataFrame(noisy, "src long, dst long")
+    assert triangle_count(edges).first()["n_triangles"] == 4
+    # a path has none
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    assert triangle_count(path).first()["n_triangles"] == 0
+
+
+def test_cooccurrence_counts_groups_not_rows(spark):
+    """Pair counts are per-GROUP (distinct first): a user repeating an
+    item doesn't inflate support; min_count prunes."""
+    from from_superset_to_clickhouse_spark.operators.graph import cooccurrence
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "b"),  # dup (1,b) must not double-count
+        (2, "a"), (2, "b"), (2, "c"),
+        (3, "a"), (3, "c"),
+    ]
+    df = spark.createDataFrame(rows, "g long, i string")
+    got = {
+        (r["item_a"], r["item_b"]): r["n_groups"]
+        for r in cooccurrence(df, "g", "i").collect()
+    }
+    assert got == {("a", "b"): 2, ("a", "c"): 2, ("b", "c"): 1}
+    got2 = {
+        (r["item_a"], r["item_b"])
+        for r in cooccurrence(df, "g", "i", min_count=2).collect()
+    }
+    assert got2 == {("a", "b"), ("a", "c")}

@@ -748,3 +748,27 @@ def test_csv_empty_field_lands_schema_default(spark, tmp_path):
     df = readers.read_csv(spark, str(p), schema=schema.to_struct_type())
     got = {r["id"]: (r["v"], r["n"]) for r in schema.coerce(df).collect()}
     assert got == {1: ("a", 5), 2: ("undefined", -1), 3: ("undefined", -1)}
+
+
+def test_png_downsample_box_filter_and_reencode(spark):
+    """downsample_images: decode -> 2x2 box mean -> re-encode -> decode
+    round trip; ramp blocks average to 2X+2Y+1 exactly, solids stay
+    themselves, misaligned dims quarantine as NULL payloads."""
+    rows = [
+        (1, mm.encode_png(8, 4, filter_type=4)),            # ramp
+        (2, mm.encode_png(4, 6, color=(10, 20, 30))),        # solid rgb
+        (3, mm.encode_png(5, 4)),                            # misaligned
+        (4, mm.encode_jpeg(4, 4)),                           # not png
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r["payload"] for r in mm.downsample_images(df, 2).collect()}
+    w, h, ch, px = mm.decode_png_pixels(bytes(out[1]))
+    assert (w, h, ch) == (4, 2, 1)
+    assert px == bytes(2 * X + 2 * Y + 1 for Y in range(2) for X in range(4))
+    w, h, ch, px = mm.decode_png_pixels(bytes(out[2]))
+    assert (w, h, ch) == (2, 3, 3) and px == bytes((10, 20, 30)) * 6
+    assert out[3] is None and out[4] is None
+    # encode_png_raw is the exact inverse of decode_png_pixels
+    p = mm.encode_png(6, 4, color=(9, 130, 200), filter_type=3)
+    assert mm.decode_png_pixels(mm.encode_png_raw(*mm.decode_png_pixels(p))) \
+        == mm.decode_png_pixels(p)

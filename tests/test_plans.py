@@ -372,3 +372,34 @@ def test_url_canonical_is_codegen_with_one_window(spark, qmap):
     assert "Python" not in plan
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2  # window hash partitioning only
+
+
+def test_skew_join_config_gate_and_salted_distribution(spark, qmap):
+    """VERDICT r6 item 7: the skew story is (a) AQE skew-join splitting
+    ON by session default — gate the configs so a refactor can't
+    silently drop them — and (b) the explicit salted_join whose plan
+    must join on (key, _salt), spreading a hot key over `buckets`
+    reducers; bench.py measures what each buys on a deliberately hot
+    key (plain vs AQE vs salted on identical inputs)."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert (
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+        == "true"
+    )
+
+    from pyspark.sql import functions as F
+
+    from from_superset_to_clickhouse_spark.operators.skew import salted_join
+
+    big = spark.range(1000).select(
+        F.pmod(F.col("id"), F.lit(3)).alias("key"), F.col("id").alias("v")
+    )
+    small = spark.range(3).select(
+        F.col("id").alias("key"), (F.col("id") * 10).alias("s")
+    )
+    plan = _plan(salted_join(big, small.hint("merge"), "key", buckets=8))
+    # the join condition carries the salt column -> hot-key rows cannot
+    # all land on one reducer
+    assert "_salt" in plan
+    assert "CartesianProduct" not in plan

@@ -439,3 +439,38 @@ def test_proximity_join_binned_equals_brute_force(spark):
     assert got == want
     assert (1, 10) in got      # exactly at tolerance: inclusive
     assert (3, 11) in got      # crosses a bucket boundary
+
+
+def test_ohlc_bars_open_close_ordering(spark):
+    """OHLC per 6-hour bar: open/close follow (ts, tiebreak) order —
+    including simultaneous ticks — and bars align to epoch multiples."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from from_superset_to_clickhouse_spark.operators.temporal import ohlc_bars
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        ("x", t0, 1, 10.0),
+        ("x", dt.datetime(2024, 1, 1, 3, 0), 2, 50.0),
+        ("x", dt.datetime(2024, 1, 1, 5, 59), 3, 20.0),
+        # simultaneous last ticks: event_id breaks the tie -> close=7.0
+        ("x", dt.datetime(2024, 1, 1, 5, 59), 4, 7.0),
+        ("x", dt.datetime(2024, 1, 1, 6, 0), 5, 99.0),  # next bar
+        ("y", t0, 6, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid long, v double")
+    got = {
+        (r["k"], r["bar_start"]): r.asDict()
+        for r in ohlc_bars(df, "k", "ts", "v", "eid").collect()
+    }
+    b0 = got[("x", dt.datetime(2024, 1, 1, 0, 0))]
+    assert (b0["open"], b0["high"], b0["low"], b0["close"]) == (10.0, 50.0, 7.0, 7.0)
+    assert b0["volume"] == 4 and b0["sum_value"] == 87.0
+    b1 = got[("x", dt.datetime(2024, 1, 1, 6, 0))]
+    assert (b1["open"], b1["close"], b1["volume"]) == (99.0, 99.0, 1)
+    assert got[("y", dt.datetime(2024, 1, 1, 0, 0))]["open"] == 3.0
+    # decomposable-aggregate claim: no window sort in the plan
+    plan = ohlc_bars(df, "k", "ts", "v", "eid")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
