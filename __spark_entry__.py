@@ -858,6 +858,70 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chi2_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test between event_type and the
+    value quartile-bucket — cell counts partial-aggregate over the
+    fact (the only data-scale pass); marginals, expecteds and the
+    Wilson–Hilferty p-value run over the tiny cell table. The oracle
+    replays the identical arithmetic including the same A&S erf
+    polynomial, so the p-value itself is hash-checked."""
+    from from_superset_to_clickhouse_spark.operators import stats as st
+
+    ev = _ev(spark, sf_dir).filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    base = ev.select(
+        "event_type",
+        F.floor(F.col("value") / 25).cast("int").alias("vb"),
+    )
+    return st.chi2_independence(base, "event_type", "vb")
+
+
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(event_type; user_id mod 4) in nats — the
+    feature-selection primitive (does this metadata column predict
+    that label?). One cell-count pass over the fact; entropy arithmetic
+    over the cells. Oracle recomputes Σ p·ln(p/(px·py)) verbatim."""
+    from from_superset_to_clickhouse_spark.operators import stats as st
+
+    ev = _ev(spark, sf_dir).filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    base = ev.select(
+        "event_type", (F.col("user_id") % 4).alias("ub")
+    )
+    return st.mutual_information(base, "event_type", "ub")
+
+
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC bars drained to completion (AvailableNow →
+    memory sink): open/close ride decomposable min_by/max_by over
+    (ts, event_id), so the result is independent of batch boundaries
+    and must hash-equal the BATCH row_number oracle — the strongest
+    batch-stream parity claim in the streaming tier (order-sensitive
+    statistics, not just commutative sums)."""
+    from from_superset_to_clickhouse_spark.streaming.ingest import (
+        streaming_ohlc,
+    )
+
+    stream = _stream_events(
+        spark, sf_dir, ["event_id", "ts", "event_type", "value"]
+    )
+    name = "sg_ohlc_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_ohlc(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "event_type", "bar_start", "open", "high", "low", "close", "volume"
+    )
+
+
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling schedule driven by REAL container metadata: MP4
     durations come from decoding actual ISO-BMFF boxes (timescale
@@ -4033,6 +4097,25 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.ab_ztest(ev, "experiment", "variant", "value")
 
 
+# Batch row_number twin for BOTH ohlc entries: the streaming variant's
+# min_by/max_by state merges associatively, so its drained result must
+# hash-equal the same batch oracle.
+_OHLC_SQL = (
+    "WITH b AS (SELECT event_type, "
+    "time_bucket(INTERVAL '6 hours', ts) AS bar_start, "
+    "ts, event_id, value FROM events), "
+    "o AS (SELECT *, row_number() OVER (PARTITION BY event_type, "
+    "bar_start ORDER BY ts, event_id) AS rn_a, "
+    "row_number() OVER (PARTITION BY event_type, bar_start "
+    "ORDER BY ts DESC, event_id DESC) AS rn_d FROM b) "
+    "SELECT event_type, bar_start, "
+    "max(CASE WHEN rn_a = 1 THEN value END) AS open, "
+    "max(value) AS high, min(value) AS low, "
+    "max(CASE WHEN rn_d = 1 THEN value END) AS close, "
+    "CAST(count(*) AS BIGINT) AS volume "
+    "FROM o GROUP BY 1, 2"
+)
+
 _AB_SQL = r"""
 WITH base AS (
   SELECT event_type AS experiment,
@@ -4987,6 +5070,9 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_count": q_triangle_count,
     "cooccurrence": q_cooccurrence,
     "ohlc_bars": q_ohlc_bars,
+    "chi2_test": q_chi2_test,
+    "mutual_info": q_mutual_info,
+    "stream_ohlc": q_stream_ohlc,
 }
 
 
@@ -5540,20 +5626,52 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_groups "
             "FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i GROUP BY 1, 2"
         ),
-        "ohlc_bars": (
-            "WITH b AS (SELECT event_type, "
-            "time_bucket(INTERVAL '6 hours', ts) AS bar_start, "
-            "ts, event_id, value FROM events), "
-            "o AS (SELECT *, row_number() OVER (PARTITION BY event_type, "
-            "bar_start ORDER BY ts, event_id) AS rn_a, "
-            "row_number() OVER (PARTITION BY event_type, bar_start "
-            "ORDER BY ts DESC, event_id DESC) AS rn_d FROM b) "
-            "SELECT event_type, bar_start, "
-            "max(CASE WHEN rn_a = 1 THEN value END) AS open, "
-            "max(value) AS high, min(value) AS low, "
-            "max(CASE WHEN rn_d = 1 THEN value END) AS close, "
-            "CAST(count(*) AS BIGINT) AS volume "
-            "FROM o GROUP BY 1, 2"
+        "ohlc_bars": _OHLC_SQL,
+        "stream_ohlc": _OHLC_SQL,
+        "chi2_test": (
+            "WITH base AS (SELECT event_type AS x, "
+            "CAST(floor(value / 25) AS INTEGER) AS y FROM events "
+            "WHERE event_type IS NOT NULL AND value IS NOT NULL), "
+            "cells AS (SELECT x, y, count(*) AS o FROM base GROUP BY 1, 2), "
+            "m AS (SELECT x, y, o, sum(o) OVER () AS n, "
+            "sum(o) OVER (PARTITION BY x) AS rx, "
+            "sum(o) OVER (PARTITION BY y) AS cy FROM cells), "
+            "s AS (SELECT max(n) AS n, count(DISTINCT x) AS n_rows_x, "
+            "count(DISTINCT y) AS n_cols_y, "
+            "sum((o - CAST(rx AS DOUBLE) * cy / n) "
+            "* (o - CAST(rx AS DOUBLE) * cy / n) "
+            "/ (CAST(rx AS DOUBLE) * cy / n)) AS chi2 FROM m), "
+            "d AS (SELECT *, (n_rows_x - 1) * (n_cols_y - 1) AS dof FROM s), "
+            "zc AS (SELECT *, (pow(chi2 / dof, 1.0 / 3.0) "
+            "- (1.0 - 2.0 / (9.0 * dof))) / sqrt(2.0 / (9.0 * dof)) AS z "
+            "FROM d), "
+            "et AS (SELECT *, abs(z) / sqrt(2.0) AS xx, "
+            "1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t FROM zc), "
+            "pv AS (SELECT *, (1.0 - (1.0 - (0.254829592 * t "
+            "- 0.284496736 * t * t + 1.421413741 * t * t * t "
+            "- 1.453152027 * t * t * t * t "
+            "+ 1.061405429 * t * t * t * t * t) * exp(-(xx * xx)))) / 2.0 "
+            "AS sf FROM et) "
+            "SELECT CAST(n AS BIGINT) AS n, "
+            "CAST(n_rows_x AS BIGINT) AS n_rows_x, "
+            "CAST(n_cols_y AS BIGINT) AS n_cols_y, "
+            "CAST(dof AS BIGINT) AS dof, round(chi2, 6) AS chi2, "
+            "round(CASE WHEN z >= 0 THEN sf ELSE 1.0 - sf END, 6) "
+            "AS p_value FROM pv"
+        ),
+        "mutual_info": (
+            "WITH base AS (SELECT event_type AS x, user_id % 4 AS y "
+            "FROM events WHERE event_type IS NOT NULL "
+            "AND user_id IS NOT NULL), "
+            "cells AS (SELECT x, y, count(*) AS o FROM base GROUP BY 1, 2), "
+            "m AS (SELECT o, sum(o) OVER () AS n, "
+            "sum(o) OVER (PARTITION BY x) AS rx, "
+            "sum(o) OVER (PARTITION BY y) AS cy FROM cells) "
+            "SELECT CAST(max(n) AS BIGINT) AS n, "
+            "round(sum((CAST(o AS DOUBLE) / n) "
+            "* ln((CAST(o AS DOUBLE) / n) "
+            "/ ((CAST(rx AS DOUBLE) / n) * (CAST(cy AS DOUBLE) / n)))), 6) "
+            "AS mi_nats FROM m"
         ),
         "media_audio": (
             # Arithmetic twin of synthesize_audio's planted contract:

@@ -84,3 +84,108 @@ def ab_ztest(
         F.round(z, 6).alias("z"),
         F.round(F.lit(2.0) * normal_sf(F.abs(z)), 6).alias("p_value"),
     )
+
+
+def chi2_p_value(chi2: Column, dof: Column) -> Column:
+    """Upper-tail chi-square p-value via the Wilson–Hilferty cube-root
+    normal approximation: ((x/k)^(1/3) - (1 - 2/(9k))) / sqrt(2/(9k))
+    ~ N(0, 1). Explicit Catalyst arithmetic + the same A&S erf
+    polynomial as the z-test — replayable verbatim in any SQL engine
+    (a native pchisq/libm gamma would diverge in the last ulps)."""
+    k = dof.cast("double")
+    z = (
+        F.pow(chi2 / k, F.lit(1.0 / 3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * k))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * k))
+    # the approximation is one-sided; negative z means "left of center"
+    return F.when(z >= 0, normal_sf(z)).otherwise(
+        F.lit(1.0) - normal_sf(-z)
+    )
+
+
+def chi2_independence(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns → one row (n, n_rows_x, n_cols_y, dof, chi2, p_value).
+
+    One partial-aggregated cell count over the fact (the only pass that
+    sees data volume); marginals and expecteds are window sums over the
+    CELL table, whose size is |x-domain| × |y-domain| — dashboard-scale,
+    not data-scale. NULL categories count as their own level (they are
+    real rows; dropping them silently would bias the test)."""
+    from pyspark.sql.window import Window
+
+    x, y = F.col(x_col), F.col(y_col)
+    cells = df.groupBy(
+        x.alias("_x"), y.alias("_y")
+    ).agg(F.count(F.lit(1)).alias("_o"))
+    w_all = Window.partitionBy()
+    w_x = Window.partitionBy("_x")
+    w_y = Window.partitionBy("_y")
+    scored = cells.select(
+        "_x",
+        "_y",
+        "_o",
+        F.sum("_o").over(w_all).alias("_n"),
+        F.sum("_o").over(w_x).alias("_rx"),
+        F.sum("_o").over(w_y).alias("_cy"),
+    ).withColumn(
+        "_e",
+        F.col("_rx").cast("double") * F.col("_cy") / F.col("_n"),
+    )
+    agg = scored.agg(
+        F.max("_n").alias("n"),
+        F.count_distinct("_x").alias("n_rows_x"),
+        F.count_distinct("_y").alias("n_cols_y"),
+        F.sum(
+            (F.col("_o") - F.col("_e")) * (F.col("_o") - F.col("_e"))
+            / F.col("_e")
+        ).alias("_chi2"),
+    )
+    dof = (F.col("n_rows_x") - 1) * (F.col("n_cols_y") - 1)
+    return agg.select(
+        "n",
+        "n_rows_x",
+        "n_cols_y",
+        dof.alias("dof"),
+        F.round("_chi2", 6).alias("chi2"),
+        F.round(chi2_p_value(F.col("_chi2"), dof), 6).alias("p_value"),
+    )
+
+
+def mutual_information(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Mutual information I(X; Y) in nats between two categorical
+    columns → one row (n, mi_nats).
+
+    Same cell/marginal machinery as the chi-square test: the fact
+    reduces once; entropy arithmetic runs over the tiny cell table.
+    The feature-selection primitive for choosing which metadata column
+    actually predicts a quality label."""
+    from pyspark.sql.window import Window
+
+    cells = df.groupBy(
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    ).agg(F.count(F.lit(1)).alias("_o"))
+    w_all = Window.partitionBy()
+    w_x = Window.partitionBy("_x")
+    w_y = Window.partitionBy("_y")
+    t = cells.select(
+        "_o",
+        F.sum("_o").over(w_all).alias("_n"),
+        F.sum("_o").over(w_x).alias("_rx"),
+        F.sum("_o").over(w_y).alias("_cy"),
+    )
+    p = F.col("_o").cast("double") / F.col("_n")
+    px = F.col("_rx").cast("double") / F.col("_n")
+    py = F.col("_cy").cast("double") / F.col("_n")
+    agg = t.agg(
+        F.max("_n").alias("n"),
+        F.sum(p * F.log(p / (px * py))).alias("_mi"),
+    )
+    return agg.select(
+        "n",
+        F.round("_mi", 6).alias("mi_nats"),
+    )

@@ -362,3 +362,46 @@ def running_stats(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_ohlc(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    bar: str = "6 hours",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming OHLC bars: the same decomposable min_by/max_by
+    formulation as the batch ``temporal.ohlc_bars`` — open/close ride
+    the (ts, tiebreak) struct ordering, so the aggregate is an ordinary
+    windowed streaming agg with watermark-bounded state and the drained
+    result is batch-equal by construction (no per-batch ordering
+    dependence: min_by/max_by merge associatively). Works on batch
+    DataFrames too (watermark skipped) so tests compare directly."""
+    df = stream
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    tie = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    return (
+        df.groupBy(
+            F.window(F.col(ts_col), bar).alias("_bar"), F.col(key_col)
+        )
+        .agg(
+            F.min_by(F.col(value_col), tie).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(F.col(value_col), tie).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("_bar.start").alias("bar_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )

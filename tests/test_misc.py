@@ -772,3 +772,40 @@ def test_png_downsample_box_filter_and_reencode(spark):
     p = mm.encode_png(6, 4, color=(9, 130, 200), filter_type=3)
     assert mm.decode_png_pixels(mm.encode_png_raw(*mm.decode_png_pixels(p))) \
         == mm.decode_png_pixels(p)
+
+
+def test_chi2_independence_known_2x2(spark):
+    """Hand-checked 2x2 table: chi2 = N(ad-bc)^2/(r1 r2 c1 c2) =
+    60*(10*10-20*20)^2/30^4 = 20/3; dof 1; Wilson-Hilferty p in the
+    right ballpark of the exact 0.00982. Independent columns give
+    chi2 = 0 and p = 1 (within approximation)."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        chi2_independence,
+        mutual_information,
+    )
+
+    rows = (
+        [("a", 0)] * 10 + [("a", 1)] * 20 + [("b", 0)] * 20 + [("b", 1)] * 10
+    )
+    df = spark.createDataFrame(rows, "x string, y int")
+    r = chi2_independence(df, "x", "y").first()
+    assert r["n"] == 60 and r["dof"] == 1
+    assert abs(r["chi2"] - 20 / 3) < 1e-6
+    assert 0.004 < r["p_value"] < 0.02
+    # independence -> chi2 0
+    ind = spark.createDataFrame(
+        [("a", 0)] * 10 + [("a", 1)] * 10 + [("b", 0)] * 10 + [("b", 1)] * 10,
+        "x string, y int",
+    )
+    r2 = chi2_independence(ind, "x", "y").first()
+    assert r2["chi2"] == 0.0 and r2["p_value"] > 0.9
+
+    # mutual information: independent -> 0; identical -> H = ln(2)
+    import math
+
+    assert mutual_information(ind, "x", "y").first()["mi_nats"] == 0.0
+    dep = spark.createDataFrame(
+        [("a", 0)] * 15 + [("b", 1)] * 15, "x string, y int"
+    )
+    mi = mutual_information(dep, "x", "y").first()["mi_nats"]
+    assert abs(mi - math.log(2)) < 1e-6

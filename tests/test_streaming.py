@@ -317,3 +317,66 @@ def test_running_stats_decomposable_across_batches(spark, tmp_path):
     assert math.isclose(acc[1][2], 4.0) and math.isclose(acc[1][3], 4.0)
     # key 2: one value + one NULL -> n=1, var undefined
     assert acc[2][0] == 1 and acc[2][1] == 7.0 and acc[2][3] is None
+
+
+def test_streaming_ohlc_equals_batch_across_file_batches(spark, tmp_path):
+    """Order-sensitive batch-stream parity: open/close depend on
+    (ts, tiebreak) ordering, and the stream delivers files in two
+    separate micro-batches with the LATER file containing the EARLIER
+    ticks — min_by/max_by state must still merge to the batch answer."""
+    import datetime as dt
+
+    from from_superset_to_clickhouse_spark.operators.temporal import ohlc_bars
+
+    src = str(tmp_path / "src")
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    rows_late_file = [  # arrives FIRST but holds the LATER ticks
+        (3, dt.datetime(2024, 1, 1, 5, 0), "x", 20.0),
+        (4, dt.datetime(2024, 1, 1, 5, 0), "x", 7.0),
+    ]
+    rows_early_file = [
+        (1, dt.datetime(2024, 1, 1, 0, 30), "x", 10.0),
+        (2, dt.datetime(2024, 1, 1, 3, 0), "x", 50.0),
+    ]
+    spark.createDataFrame(rows_late_file, schema).write.mode("append").parquet(src)
+    stream = si.stream_source(spark, src, schema)
+    name = "t_sohlc"
+    q = (
+        si.streaming_ohlc(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    spark.createDataFrame(rows_early_file, schema).write.mode("append").parquet(src)
+    q2 = (
+        si.streaming_ohlc(si.stream_source(spark, src, schema))
+        .writeStream.format("memory")
+        .queryName(name + "2")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    streamed = {
+        (r["event_type"], r["bar_start"]): (
+            r["open"], r["high"], r["low"], r["close"], r["volume"]
+        )
+        for r in spark.table(name + "2").collect()
+    }
+    batch = spark.createDataFrame(rows_late_file + rows_early_file, schema)
+    expected = {
+        (r["event_type"], r["bar_start"]): (
+            r["open"], r["high"], r["low"], r["close"], r["volume"]
+        )
+        for r in ohlc_bars(
+            batch, "event_type", "ts", "value", "event_id"
+        ).collect()
+    }
+    assert streamed == expected
+    b0 = streamed[("x", dt.datetime(2024, 1, 1, 0, 0))]
+    assert b0 == (10.0, 50.0, 7.0, 7.0, 4)  # open from the LATE-arriving file
