@@ -331,7 +331,10 @@ def label_propagation(
 
 
 def triangle_count(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    orient: str = "id",
 ) -> DataFrame:
     """Global triangle count → one row ``(n_triangles)``.
 
@@ -341,9 +344,15 @@ def triangle_count(
     a<b<c ordering counts each triangle exactly once and — the scale
     property — joins only "forward" adjacency, so a node's work is
     bounded by its forward degree. This is the standard MapReduce
-    triangle algorithm (node-iterator++ ordering); for skew-heavy
-    graphs, orient edges by (degree, id) instead of raw id to bound the
-    hub fan-out — same plan shape, different ordering column.
+    triangle algorithm (node-iterator++ ordering).
+
+    ``orient="degree"`` re-orders edges by (degree, id) instead of raw
+    id: every hub points only at HIGHER-degree nodes, so a celebrity
+    node's forward adjacency — the quadratic term in the first
+    self-join — is bounded by the count of even-bigger hubs, not its
+    follower count. Same count (orientation never changes which
+    triangles exist, only where they're discovered), different skew
+    profile; this is the standard hub mitigation for power-law graphs.
 
     SQL-expressible (two self-joins + count), so fully oracle-checked.
     """
@@ -355,6 +364,33 @@ def triangle_count(
         .filter(F.col("a") < F.col("b"))
         .distinct()
     )
+    if orient == "degree":
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionAll(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("_d"))
+        )
+        da = deg.select(
+            F.col("n").alias("a"), F.struct("_d", F.col("n")).alias("_ka")
+        )
+        db = deg.select(
+            F.col("n").alias("b"), F.struct("_d", F.col("n")).alias("_kb")
+        )
+        e = (
+            e.join(da, "a")
+            .join(db, "b")
+            .select(
+                F.when(F.col("_ka") < F.col("_kb"), F.col("a"))
+                .otherwise(F.col("b"))
+                .alias("a"),
+                F.when(F.col("_ka") < F.col("_kb"), F.col("b"))
+                .otherwise(F.col("a"))
+                .alias("b"),
+            )
+        )
+    elif orient != "id":
+        raise ValueError("orient must be 'id' or 'degree'")
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.b") == F.col("e2.a"))
@@ -371,6 +407,7 @@ def cooccurrence(
     group_col: str,
     item_col: str,
     min_count: int = 1,
+    max_basket: int | None = None,
 ) -> DataFrame:
     """Item co-occurrence (market-basket pairs): for every unordered
     item pair (item_a < item_b), the number of groups containing BOTH →
@@ -378,14 +415,22 @@ def cooccurrence(
 
     One distinct (group, item) projection, one self-join on the group
     key, one partial-aggregated count. At scale the join fans out as
-    Σ|basket|² — bounded in practice by basket size, not corpus size;
-    cap pathological baskets upstream (``F.size < K`` filter) the same
-    way AllPairs prefix filtering caps candidate growth. min_count
-    prunes the long tail AFTER the aggregate (a support threshold, the
-    Apriori base step)."""
+    Σ|basket|² — bounded by basket size, not corpus size — so
+    ``max_basket`` drops pathological groups (a crawler hitting every
+    page, a bot user touching every item) BEFORE the self-join, the
+    same way AllPairs prefix filtering caps candidate growth; dropped
+    groups cost one extra partial-aggregated count over the projection.
+    min_count prunes the long tail AFTER the aggregate (a support
+    threshold, the Apriori base step)."""
     gi = df.select(
         F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
     ).distinct()
+    if max_basket is not None:
+        sizes = gi.groupBy("_g").agg(F.count(F.lit(1)).alias("_sz"))
+        gi = (
+            gi.join(sizes.filter(F.col("_sz") <= max_basket), "_g")
+            .select("_g", "_i")
+        )
     a, b = gi.alias("a"), gi.alias("b")
     pairs = (
         a.join(

@@ -112,8 +112,11 @@ def chi2_independence(
     One partial-aggregated cell count over the fact (the only pass that
     sees data volume); marginals and expecteds are window sums over the
     CELL table, whose size is |x-domain| × |y-domain| — dashboard-scale,
-    not data-scale. NULL categories count as their own level (they are
-    real rows; dropping them silently would bias the test)."""
+    not data-scale. Callers must pre-filter NULL categories: a NULL
+    level would be counted in the chi2 sum but excluded from the
+    count_distinct level counts (dof), silently skewing the test —
+    decide explicitly whether NULL is a level (coalesce to a sentinel)
+    or noise (filter)."""
     from pyspark.sql.window import Window
 
     x, y = F.col(x_col), F.col(y_col)

@@ -230,3 +230,39 @@ def test_cooccurrence_counts_groups_not_rows(spark):
         for r in cooccurrence(df, "g", "i", min_count=2).collect()
     }
     assert got2 == {("a", "b"), ("a", "c")}
+
+
+def test_triangle_count_degree_orientation_same_count(spark):
+    """Hub mitigation: degree orientation must count the SAME triangles
+    while bounding a hub's forward adjacency — a star-with-rim graph
+    (hub 0 connected to all, rim a cycle) has exactly n_rim triangles
+    under both orientations."""
+    from from_superset_to_clickhouse_spark.operators.graph import triangle_count
+
+    n = 8
+    star = [(0, i) for i in range(1, n + 1)]
+    rim = [(i, i % n + 1) for i in range(1, n + 1)]
+    edges = spark.createDataFrame(star + rim, "src long, dst long")
+    by_id = triangle_count(edges).first()["n_triangles"]
+    by_deg = triangle_count(edges, orient="degree").first()["n_triangles"]
+    assert by_id == by_deg == n
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="orient"):
+        triangle_count(edges, orient="random")
+
+
+def test_cooccurrence_max_basket_drops_bot_groups(spark):
+    """max_basket drops the pathological group BEFORE the self-join;
+    counts then reflect only sane baskets."""
+    from from_superset_to_clickhouse_spark.operators.graph import cooccurrence
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b")] + [
+        (9, x) for x in "abcdefgh"  # bot basket of 8
+    ]
+    df = spark.createDataFrame(rows, "g long, i string")
+    got = {
+        (r["item_a"], r["item_b"]): r["n_groups"]
+        for r in cooccurrence(df, "g", "i", max_basket=5).collect()
+    }
+    assert got == {("a", "b"): 2}  # bot group contributed nothing

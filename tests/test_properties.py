@@ -219,3 +219,74 @@ def test_wav_codec_roundtrip_for_any_parameters(duration_ms, rate, channels, bit
     n_frames = rate * duration_ms // 1000
     assert got_ms == n_frames * 1000 // rate
     assert 0 <= duration_ms - got_ms <= 1000 // min(rate, 1000) + 1
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    width=st.integers(1, 24),
+    height=st.integers(1, 16),
+    filter_type=st.integers(0, 4),
+    color=st.one_of(
+        st.none(),
+        st.tuples(
+            st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+        ),
+    ),
+)
+def test_png_codec_roundtrip_for_any_parameters(
+    width, height, filter_type, color
+):
+    """Pure-codec property (no Spark): for ANY dimensions, filter type
+    and color mode, decode(encode(...)) recovers exactly the planted
+    samples, and encode_png_raw is the exact inverse of
+    decode_png_pixels."""
+    from from_superset_to_clickhouse_spark.operators import multimodal as mm
+
+    p = mm.encode_png(width, height, color=color, filter_type=filter_type)
+    w, h, ch, px = mm.decode_png_pixels(p)
+    assert (w, h) == (width, height)
+    if color is None:
+        assert ch == 1
+        assert px == bytes(
+            (x + y) % 256 for y in range(height) for x in range(width)
+        )
+    else:
+        assert ch == 3
+        assert px == bytes(c & 0xFF for c in color) * (width * height)
+    assert mm.decode_png_pixels(mm.encode_png_raw(w, h, ch, px)) == (
+        w, h, ch, px,
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w2=st.integers(1, 8),
+    h2=st.integers(1, 6),
+    factor=st.integers(1, 3),
+    filter_type=st.integers(0, 4),
+)
+def test_png_downsample_ramp_closed_form(w2, h2, factor, filter_type):
+    """Box downsample of the (x+y) ramp by ANY factor: output pixel
+    (X, Y) = round-half-up of the mean over its block, which for a
+    linear ramp is fX + fY + (f-1) exactly (the block sum divides
+    evenly when f is odd; rounds up from .0 or .5 consistently via
+    (sum + n/2) // n)."""
+    from from_superset_to_clickhouse_spark.operators import multimodal as mm
+
+    w, h = w2 * factor, h2 * factor
+    if w + h - 2 > 255:  # keep ramp samples exact (no mod wrap)
+        return
+    d = mm.downsample_png(
+        mm.encode_png(w, h, filter_type=filter_type), factor
+    )
+    ww, hh, ch, px = mm.decode_png_pixels(d)
+    assert (ww, hh, ch) == (w2, h2, 1)
+    f, n = factor, factor * factor
+    for Y in range(h2):
+        for X in range(w2):
+            block_sum = sum(
+                (f * X + dx) + (f * Y + dy)
+                for dy in range(f)
+                for dx in range(f)
+            )
+            assert px[Y * w2 + X] == (block_sum + n // 2) // n
