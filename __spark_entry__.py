@@ -4340,6 +4340,32 @@ def q_update_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO end-to-end (the lakehouse upsert): load even-id
+    events into a day-partitioned store, then merge a source holding
+    (a) every 'click' even-id row with its value negated — matched →
+    UPDATE — and (b) all odd-id click rows — not matched → INSERT.
+    Only partitions containing clicks rewrite; inserts ride the append
+    path. Final state must equal the CASE/UNION twin over the raw
+    table — a missed update, a resurrected row, or a dropped insert
+    all hash-mismatch. (Own non-dedup store: MERGE refuses dedup-keyed
+    tables, whose append already upserts.)"""
+    store = TableStore(spark, tempfile.mkdtemp(prefix="sg_store_"))
+    store.create(
+        _STORE_SCHEMA.clone("store_merge", dedup_key=(), version_col=None)
+    )
+    ev = _ev(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    store.append("store_merge", ev.filter(F.col("event_id") % 2 == 0))
+    clicks = ev.filter(F.col("event_type") == "click")
+    src = clicks.filter(F.col("event_id") % 2 == 0).withColumn(
+        "value", -F.col("value")
+    ).unionByName(clicks.filter(F.col("event_id") % 2 == 1))
+    store.merge_into("store_merge", src, on=["event_id"])
+    return store.read("store_merge").select(
+        "event_id", "event_type", F.round("value", 6).alias("value")
+    )
+
+
 def q_projection_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse-PROJECTION analog end-to-end: an append-only events
     store declares a (event_type → sum(value), count) projection; TWO
@@ -5073,6 +5099,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chi2_test": q_chi2_test,
     "mutual_info": q_mutual_info,
     "stream_ohlc": q_stream_ohlc,
+    "merge_upsert": q_merge_upsert,
 }
 
 
@@ -5628,6 +5655,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ohlc_bars": _OHLC_SQL,
         "stream_ohlc": _OHLC_SQL,
+        "merge_upsert": (
+            # even-id load, then MERGE: even clicks update to -value,
+            # odd clicks insert verbatim
+            "SELECT event_id, event_type, "
+            "round(CASE WHEN event_type = 'click' THEN -value ELSE value "
+            "END, 6) AS value FROM events WHERE event_id % 2 = 0 "
+            "UNION ALL "
+            "SELECT event_id, event_type, round(value, 6) AS value "
+            "FROM events WHERE event_id % 2 = 1 AND event_type = 'click'"
+        ),
         "chi2_test": (
             "WITH base AS (SELECT event_type AS x, "
             "CAST(floor(value / 25) AS INTEGER) AS y FROM events "

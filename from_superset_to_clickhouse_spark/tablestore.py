@@ -1472,12 +1472,19 @@ class TableStore:
         tmp = join(self.path(name), "data_updating")
         updated.write.mode("overwrite").partitionBy(*parts).parquet(tmp)
         self._swap_in(name, tmp, remove_rel=rels)
-        # Recompute (not widen) skip-index metadata for the rewritten
-        # partitions from their full post-update contents. The rel-dir
-        # values are Hive-ESCAPED ('a:b' → 'a%3Ab'); CAST(col AS STRING)
-        # yields the unescaped value, so the isin list must unquote or
-        # the filter matches nothing and the indexes keep pre-update
-        # bounds — the same reconstruction trap _zone_part_key documents.
+        self._recompute_indexes_for_rels(name, parts, rels)
+        return n_upd
+
+    def _recompute_indexes_for_rels(
+        self, name: str, parts: list, rels: list
+    ) -> None:
+        """Recompute (not widen) skip-index metadata for rewritten
+        partition directories from their full post-mutation contents —
+        shared by UPDATE and MERGE. The rel-dir values are Hive-ESCAPED
+        ('a:b' → 'a%3Ab'); CAST(col AS STRING) yields the unescaped
+        value, so the isin list must unquote or the filter matches
+        nothing and the indexes keep pre-mutation bounds — the same
+        reconstruction trap _zone_part_key documents."""
         rewritten = self.read(name).filter(
             F.col(parts[0])
             .cast("string")
@@ -1497,7 +1504,171 @@ class TableStore:
         self._update_zone_maps(name, rewritten, mode="replace")
         self._update_blooms(name, rewritten, mode="replace")
         self._update_ngram_blooms(name, rewritten, mode="replace")
-        return n_upd
+
+    def merge_into(
+        self,
+        name: str,
+        source: DataFrame,
+        on: tuple[str, ...] | list[str],
+        update_cols: list[str] | None = None,
+        insert: bool = True,
+        delete_matched: bool = False,
+    ) -> dict:
+        """Lakehouse-style MERGE INTO: upsert ``source`` into the table
+        on key columns ``on`` — matched target rows are UPDATED from the
+        source (or DELETED with ``delete_matched=True``), unmatched
+        source rows are INSERTED (``insert=True``). Returns
+        ``{"updated": n, "deleted": n, "inserted": n}``.
+
+        Scale shape: ONE key-join scan finds the affected partition
+        directories (``input_file_name``, same machinery as
+        DELETE/UPDATE); only those partitions rewrite — untouched
+        directories are never read again, never written. Inserts ride
+        the normal append path (incremental zone/bloom maintenance);
+        the rewritten partitions' skip indexes are RECOMPUTED (replace
+        mode). The not-matched rows are materialized BEFORE the swap —
+        a lazy anti-join evaluated after the rewrite would re-read
+        post-merge state (and resurrect rows a delete_matched just
+        removed).
+
+        Contracts: the source must be key-unique (checked — a dup key
+        would make the update non-deterministic); key and
+        partition(-source) columns cannot be updated; dedup-keyed
+        tables refuse MERGE (their append IS an upsert — use append +
+        latest_view/compact)."""
+        meta = self._meta(name)
+        if meta.get("dedup_key"):
+            raise ValueError(
+                "MERGE on a dedup-keyed table is redundant: append is "
+                "already an upsert (latest_view/compact collapse by key)"
+            )
+        on = list(on)
+        parts = meta["partition_by"]
+        target_cols = [f[0] for f in meta["fields"]]
+        frozen = set(on)
+        for p in parts:
+            frozen.add(p)
+            if p in _DERIVED_PARTITIONS:
+                frozen.add(p.split("_")[0])
+        if update_cols is None:
+            update_cols = [
+                c
+                for c in source.columns
+                if c in target_cols and c not in frozen
+            ]
+        for c in update_cols:
+            if c in frozen:
+                raise ValueError(
+                    f"cannot update key/partition(-source) column {c}"
+                )
+            if c not in target_cols or c not in source.columns:
+                raise ValueError(f"no column {c} in target and source")
+        if insert and not set(target_cols) <= set(source.columns):
+            missing = sorted(set(target_cols) - set(source.columns))
+            raise ValueError(
+                f"insert=True needs all target columns in source; missing {missing}"
+            )
+        src = source.localCheckpoint(eager=True)
+        dup = (
+            src.groupBy(*on)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError("source has duplicate merge keys")
+
+        df = self.read(name)
+        src_keys = src.select(*on).distinct()
+        # Not-matched rows, MATERIALIZED against the pre-merge state.
+        new_rows = None
+        if insert:
+            new_rows = src.join(
+                df.select(*on).distinct(), on, "left_anti"
+            ).localCheckpoint(eager=True)
+
+        data = join(self.path(name), "data")
+        n_upd = n_del = 0
+        if self.fs.exists(data):
+            tagged = df.select(
+                *on,
+                F.regexp_replace(F.input_file_name(), "/[^/]*$", "").alias(
+                    "_dir"
+                ),
+            )
+            hit = (
+                tagged.join(src_keys, on)
+                .agg(F.count("*").alias("n"), F.collect_set("_dir").alias("dirs"))
+                .first()
+            )
+            if hit["n"]:
+                data_base = data if "://" in data else os.path.abspath(data)
+                base_path = urllib.parse.urlparse(data_base).path or data_base
+                rels = sorted(
+                    posixpath.relpath(
+                        urllib.parse.unquote(urllib.parse.urlparse(u).path),
+                        base_path,
+                    )
+                    for u in hit["dirs"]
+                )
+                affected = (
+                    self.spark.read.option("basePath", data_base).parquet(
+                        *[join(data_base, r) for r in rels]
+                    )
+                    if parts
+                    else df
+                )
+                upd_src = src.select(
+                    *on,
+                    F.lit(1).alias("_m"),
+                    *[F.col(c).alias("_src_" + c) for c in update_cols],
+                )
+                joined = affected.join(upd_src, on, "left")
+                if delete_matched:
+                    merged = joined.filter(F.col("_m").isNull()).select(
+                        *affected.columns
+                    )
+                    n_del = hit["n"]
+                else:
+                    merged = joined.select(
+                        *[
+                            F.when(
+                                F.col("_m").isNotNull(), F.col("_src_" + c)
+                            )
+                            .otherwise(F.col(c))
+                            .alias(c)
+                            if c in update_cols
+                            else F.col(c)
+                            for c in affected.columns
+                        ]
+                    )
+                    n_upd = hit["n"]
+                self._mark_projections_stale(name)
+                tmp = join(self.path(name), "data_merging")
+                if parts:
+                    merged.write.mode("overwrite").partitionBy(*parts).parquet(
+                        tmp
+                    )
+                    self._swap_in(name, tmp, remove_rel=rels)
+                    self._recompute_indexes_for_rels(name, parts, rels)
+                else:
+                    merged.write.mode("overwrite").parquet(tmp)
+                    old = data + f".old.{int(time.time() * 1000)}"
+                    self.fs.rename(data, old)
+                    self.fs.rename(tmp, data)
+                    self.fs.delete(old)
+                    full = self.read(name)
+                    self._update_zone_maps(name, full, mode="reset")
+                    self._update_blooms(name, full, mode="reset")
+                    self._update_ngram_blooms(name, full, mode="reset")
+
+        n_ins = 0
+        if insert:
+            n_ins = new_rows.count()
+            if n_ins:
+                self.append(name, new_rows.select(*target_cols))
+        return {"updated": n_upd, "deleted": n_del, "inserted": n_ins}
 
     def _delete_full_rewrite(self, name: str, df: DataFrame, cond) -> int:
         """Unpartitioned fallback: anti-filter + full rewrite. A delete

@@ -959,3 +959,112 @@ def test_projection_rebuilds_after_lost_partial(spark, tmp_path, monkeypatch):
         r["k"]: r["v"] for r in store.read_projection("f", "by_k").collect()
     }
     assert got == {"a": 11, "b": 102, "c": 5}
+
+
+def test_merge_into_upsert_prunes_and_maintains_indexes(spark, tmp_path):
+    """MERGE INTO: matched rows update from the source, unmatched source
+    rows insert, untouched partitions stay byte-identical, zone maps
+    recompute so a merged-in value far outside the old range is still
+    found by read_where."""
+    store = TableStore(spark, str(tmp_path))
+    store.create(
+        Schema(
+            "m",
+            (
+                Field("id", "bigint", nullable=False),
+                Field("p", "bigint", nullable=False),
+                Field("v", "double"),
+            ),
+            partition_by=("p",),
+            sort_by=("id",),
+        )
+    )
+    store.append(
+        "m",
+        spark.createDataFrame(
+            [(i, i % 3, float(i)) for i in range(9)], "id bigint, p bigint, v double"
+        ),
+    )
+    p2dir = os.path.join(store.path("m"), "data", "p=2")
+    before = sorted(os.listdir(p2dir)), os.stat(p2dir).st_mtime_ns
+
+    # source touches p=0 (update id 0 and 3) and inserts id 100 (p=1)
+    src = spark.createDataFrame(
+        [(0, 0, 1000.0), (3, 0, 3000.0), (100, 1, 42.0)],
+        "id bigint, p bigint, v double",
+    )
+    res = store.merge_into("m", src, on=["id"])
+    assert res == {"updated": 2, "deleted": 0, "inserted": 1}
+    got = {r["id"]: r["v"] for r in store.read("m").collect()}
+    assert got[0] == 1000.0 and got[3] == 3000.0 and got[100] == 42.0
+    assert got[1] == 1.0 and len(got) == 10
+    assert (sorted(os.listdir(p2dir)), os.stat(p2dir).st_mtime_ns) == before
+    # zone maps recomputed + insert indexed: range reads stay exact
+    assert sorted(
+        r["id"] for r in store.read_where("m", "id", 90, 4000).collect()
+    ) == [100]  # ids 0/3 carry VALUES 1000/3000, not ids — id range only
+    assert {r["id"] for r in store.read_where("m", "id", 0, 8).collect()} == set(
+        range(9)
+    )
+
+    # delete_matched removes matched keys and does NOT resurrect them
+    res = store.merge_into(
+        "m",
+        spark.createDataFrame([(0, 0, 0.0)], "id bigint, p bigint, v double"),
+        on=["id"],
+        delete_matched=True,
+    )
+    assert res == {"updated": 0, "deleted": 1, "inserted": 0}
+    assert 0 not in {r["id"] for r in store.read("m").collect()}
+
+    # contracts
+    with pytest.raises(ValueError, match="duplicate"):
+        store.merge_into(
+            "m",
+            spark.createDataFrame(
+                [(1, 0, 1.0), (1, 0, 2.0)], "id bigint, p bigint, v double"
+            ),
+            on=["id"],
+        )
+    with pytest.raises(ValueError, match="partition"):
+        store.merge_into(
+            "m",
+            spark.createDataFrame([(1, 9, 1.0)], "id bigint, p bigint, v double"),
+            on=["id"],
+            update_cols=["p"],
+        )
+    with pytest.raises(ValueError, match="missing"):
+        store.merge_into(
+            "m",
+            spark.createDataFrame([(1, 5.0)], "id bigint, v double"),
+            on=["id"],
+        )
+
+
+def test_merge_into_unpartitioned_and_insert_false(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path))
+    store.create(
+        Schema(
+            "u",
+            (
+                Field("k", "string", nullable=False),
+                Field("v", "bigint"),
+            ),
+        )
+    )
+    df = lambda rows: spark.createDataFrame(rows, "k string, v bigint")
+    store.append("u", df([("a", 1), ("b", 2)]))
+    res = store.merge_into("u", df([("a", 10), ("c", 3)]), on=["k"])
+    assert res == {"updated": 1, "deleted": 0, "inserted": 1}
+    assert {r["k"]: r["v"] for r in store.read("u").collect()} == {
+        "a": 10, "b": 2, "c": 3,
+    }
+    res = store.merge_into("u", df([("b", 20), ("d", 4)]), on=["k"], insert=False)
+    assert res == {"updated": 1, "deleted": 0, "inserted": 0}
+    assert {r["k"]: r["v"] for r in store.read("u").collect()} == {
+        "a": 10, "b": 20, "c": 3,
+    }
+    # dedup-keyed tables refuse MERGE
+    store.create(logs_schema("d"))
+    with pytest.raises(ValueError, match="upsert"):
+        store.merge_into("d", df([("a", 1)]), on=["id"])
