@@ -1670,6 +1670,39 @@ class TableStore:
                 self.append(name, new_rows.select(*target_cols))
         return {"updated": n_upd, "deleted": n_del, "inserted": n_ins}
 
+    # Staging/trash directory name patterns every mutation uses; a crash
+    # mid-mutation can strand any of them NEXT TO data/ (never inside it
+    # — partition discovery stays clean), and vacuum() reclaims them.
+    _VACUUM_PREFIXES = (
+        "data_updating",
+        "data_deleting",
+        "data_merging",
+        "data_compacting",
+        "_zordering_",
+        "data.old.",
+        "_trash_",
+    )
+
+    def vacuum(self, name: str) -> list[str]:
+        """Garbage-collect leftover staging/trash directories from
+        crashed mutations (VACUUM analog). Every mutation here is
+        two-phase — write to a staging dir, then atomically swap — so a
+        crash strands only STAGING state; committed data under ``data/``
+        and the skip-index metadata are never touched. Returns the
+        removed entry names. Safe to run any time under the same
+        single-writer-per-table contract every mutation already assumes
+        (a vacuum concurrent with a live mutation could reap its
+        in-flight staging dir)."""
+        root = self.path(name)
+        removed = []
+        for entry in self.fs.listdir(root):
+            if entry.startswith(self._VACUUM_PREFIXES) or (
+                entry.startswith("proj_") and entry.endswith(".rebuilding")
+            ):
+                self.fs.delete(join(root, entry))
+                removed.append(entry)
+        return removed
+
     def _delete_full_rewrite(self, name: str, df: DataFrame, cond) -> int:
         """Unpartitioned fallback: anti-filter + full rewrite. A delete
         matching every row removes the data directory entirely (``read()``

@@ -1068,3 +1068,30 @@ def test_merge_into_unpartitioned_and_insert_false(spark, tmp_path):
     store.create(logs_schema("d"))
     with pytest.raises(ValueError, match="upsert"):
         store.merge_into("d", df([("a", 1)]), on=["id"])
+
+
+def test_vacuum_reclaims_crashed_staging_only(spark, tmp_path):
+    """vacuum() removes stranded staging/trash dirs from crashed
+    mutations and touches nothing committed: data survives byte-equal,
+    meta and projections intact."""
+    store = TableStore(spark, str(tmp_path))
+    store.create(
+        Schema("v", (Field("id", "bigint", nullable=False), Field("x", "bigint")))
+    )
+    store.append(
+        "v", spark.createDataFrame([(1, 10), (2, 20)], "id bigint, x bigint")
+    )
+    root = store.path("v")
+    for d in (
+        "data_updating", "data_merging", "_trash_123", "data.old.456",
+        "proj_p.rebuilding",
+    ):
+        os.makedirs(os.path.join(root, d))
+        open(os.path.join(root, d, "junk"), "w").write("x")
+    removed = store.vacuum("v")
+    assert sorted(removed) == [
+        "_trash_123", "data.old.456", "data_merging", "data_updating",
+        "proj_p.rebuilding",
+    ]
+    assert store.vacuum("v") == []  # idempotent
+    assert {r["id"]: r["x"] for r in store.read("v").collect()} == {1: 10, 2: 20}
