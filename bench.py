@@ -63,6 +63,11 @@ HEADLINE = [
     # canonicalization + dup-count window
     "kmeans_clusters",
     "url_canonical",
+    # round-7 additions: OHLC downsampling (decomposable min_by/max_by,
+    # one shuffle, no window sort) and market-basket co-occurrence
+    # (distinct projection + group-key self-join + partial-agg count)
+    "ohlc_bars",
+    "cooccurrence",
 ]
 
 # ANN is measured on a deterministic query slice (vec_id < ANN_QUERIES)
