@@ -403,3 +403,46 @@ def test_skew_join_config_gate_and_salted_distribution(spark, qmap):
     # all land on one reducer
     assert "_salt" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_fires_on_store_layout(spark, tmp_path):
+    """The store's Hive-partitioned layout is DPP-eligible: a fact-dim
+    join on the partition column with a selective dim filter plants a
+    dynamicpruning subquery in the fact scan's PartitionFilters — at
+    100 TB, only the dim-selected partition directories are read, with
+    no explicit pruning code. (Dim-side static predicates also push
+    into the partition filter.)"""
+    from from_superset_to_clickhouse_spark.schema import Field, Schema
+    from from_superset_to_clickhouse_spark.tablestore import TableStore
+
+    st = TableStore(spark, str(tmp_path))
+    st.create(
+        Schema(
+            "f",
+            (
+                Field("id", "bigint", nullable=False),
+                Field("p", "bigint", nullable=False),
+                Field("v", "double"),
+            ),
+            partition_by=("p",),
+            sort_by=("id",),
+        )
+    )
+    st.append(
+        "f",
+        spark.createDataFrame(
+            [(i, i % 20, float(i)) for i in range(2000)],
+            "id bigint, p bigint, v double",
+        ),
+    )
+    dim = (
+        spark.range(20)
+        .select(F.col("id").alias("p"), (F.col("id") * 10).alias("attr"))
+        .filter(F.col("attr") < 30)
+    )
+    j = st.read("f").join(dim, "p").groupBy("p").agg(F.sum("v").alias("s"))
+    plan = _plan(j)
+    assert "dynamicpruning" in plan.lower()
+    assert "PartitionFilters" in plan
+    # and the result is right: partitions 0,1,2 survive
+    assert sorted(r["p"] for r in j.collect()) == [0, 1, 2]
