@@ -858,6 +858,23 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle for training data: every row gets an
+    md5(seed:id) shuffle key (engine-portable — the oracle recomputes
+    identical keys), the corpus range-partitions + sorts on it (total
+    order across output files, no single-partition sort), and the entry
+    returns the first 200 rows of the shuffled order via
+    TakeOrderedAndProject — proving the ORDER itself, not just the key
+    values, without a global sort in the plan."""
+    ev = _ev(spark, sf_dir)
+    shuffled = smp.seeded_shuffle(ev, "event_id", seed=7)
+    return (
+        shuffled.select("event_id", "_skey")
+        .orderBy("_skey")
+        .limit(200)
+    )
+
+
 def q_chi2_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square independence test between event_type and the
     value quartile-bucket — cell counts partial-aggregate over the
@@ -5100,6 +5117,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mutual_info": q_mutual_info,
     "stream_ohlc": q_stream_ohlc,
     "merge_upsert": q_merge_upsert,
+    "seeded_shuffle": q_seeded_shuffle,
 }
 
 
@@ -5655,6 +5673,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ohlc_bars": _OHLC_SQL,
         "stream_ohlc": _OHLC_SQL,
+        "seeded_shuffle": (
+            "SELECT event_id, md5(concat('7:', CAST(event_id AS VARCHAR))) "
+            "AS _skey FROM events ORDER BY _skey LIMIT 200"
+        ),
         "merge_upsert": (
             # even-id load, then MERGE: even clicks update to -value,
             # odd clicks insert verbatim

@@ -321,3 +321,30 @@ def weighted_sample(
         hash_basis_points(F.col(key_col)) * F.lit(int(w_ref))
         < F.lit(int(target_bp)) * F.col(weight_col).cast("long")
     )
+
+
+def shuffle_key(id_col: Column, seed: int) -> Column:
+    """Deterministic per-row shuffle key: md5 of (seed ':' id). Engine-
+    portable (md5 is bit-identical everywhere, unlike rand() or
+    xxhash64), seed-swappable per epoch, and collision-free in practice
+    per distinct id — ordering by it IS the shuffled order."""
+    return F.md5(F.concat(F.lit(f"{seed}:"), id_col.cast("string")))
+
+
+def seeded_shuffle(
+    df: DataFrame, id_col: str, seed: int, out_partitions: int | None = None
+) -> DataFrame:
+    """Deterministic global training-data shuffle — the epoch-reshuffle
+    step before packing/sharding. Rows are ordered by ``shuffle_key``
+    via repartitionByRange + sortWithinPartitions: a TOTAL order across
+    the output files (range partition k < k+1, sorted within) with NO
+    single-partition sort — the only global structure is the range
+    sampling pass. Same seed → same order on any cluster layout; next
+    epoch = next seed, no state carried."""
+    key = shuffle_key(F.col(id_col), seed).alias("_skey")
+    out = df.withColumn("_skey", key)
+    n = out_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        out.repartitionByRange(n, F.col("_skey"))
+        .sortWithinPartitions("_skey")
+    )

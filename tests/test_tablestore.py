@@ -1095,3 +1095,37 @@ def test_vacuum_reclaims_crashed_staging_only(spark, tmp_path):
     ]
     assert store.vacuum("v") == []  # idempotent
     assert {r["id"]: r["x"] for r in store.read("v").collect()} == {1: 10, 2: 20}
+
+
+def test_merge_into_keeps_projection_exact(spark, tmp_path):
+    """MERGE + incremental projections: updates mark the projection
+    stale (partial sums can't absorb a rewrite), the next read rebuilds
+    once, and the merged-in INSERTS are covered — read_projection must
+    equal the plain GROUP BY over the post-merge table."""
+    store = TableStore(spark, str(tmp_path))
+    store.create(
+        Schema(
+            "pm",
+            (
+                Field("id", "bigint", nullable=False),
+                Field("k", "string", nullable=False),
+                Field("v", "bigint", nullable=False),
+            ),
+        )
+    )
+    df = lambda rows: spark.createDataFrame(rows, "id bigint, k string, v bigint")
+    store.append("pm", df([(1, "a", 10), (2, "a", 20), (3, "b", 5)]))
+    store.add_projection("pm", "by_k", ["k"], ["v"])
+    res = store.merge_into(
+        "pm", df([(2, "a", 200), (9, "b", 7)]), on=["id"]
+    )
+    assert res == {"updated": 1, "deleted": 0, "inserted": 1}
+    got = {
+        r["k"]: (r["v"], r["_rows"])
+        for r in store.read_projection("pm", "by_k").collect()
+    }
+    assert got == {"a": (210, 2), "b": (12, 2)}
+    # incrementality resumes: append writes one partial, stays exact
+    store.append("pm", df([(10, "a", 1)]))
+    got = {r["k"]: r["v"] for r in store.read_projection("pm", "by_k").collect()}
+    assert got == {"a": 211, "b": 12}

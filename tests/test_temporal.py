@@ -474,3 +474,46 @@ def test_ohlc_bars_open_close_ordering(spark):
     # decomposable-aggregate claim: no window sort in the plan
     plan = ohlc_bars(df, "k", "ts", "v", "eid")._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_seeded_shuffle_total_order_and_determinism(spark):
+    """seeded_shuffle: same seed -> identical global order under any
+    input layout; different seed -> different order; range partitions
+    are globally ordered (max of partition i < min of partition i+1)."""
+    from from_superset_to_clickhouse_spark.operators.sampling import (
+        seeded_shuffle,
+    )
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    a = [
+        r["doc_id"]
+        for r in seeded_shuffle(df, "doc_id", seed=1, out_partitions=4)
+        .select("doc_id")
+        .collect()
+    ]
+    b = [
+        r["doc_id"]
+        for r in seeded_shuffle(
+            df.repartition(7), "doc_id", seed=1, out_partitions=4
+        )
+        .select("doc_id")
+        .collect()
+    ]
+    assert a == b  # layout-independent
+    c = [
+        r["doc_id"]
+        for r in seeded_shuffle(df, "doc_id", seed=2, out_partitions=4)
+        .select("doc_id")
+        .collect()
+    ]
+    assert a != c and sorted(a) == sorted(c)
+    # global order across range partitions
+    parts = (
+        seeded_shuffle(df, "doc_id", seed=1, out_partitions=4)
+        .select("_skey")
+        .rdd.glom()
+        .collect()
+    )
+    bounds = [(p[0]["_skey"], p[-1]["_skey"]) for p in parts if p]
+    for (lo, hi), (lo2, hi2) in zip(bounds, bounds[1:]):
+        assert hi < lo2
