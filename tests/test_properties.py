@@ -290,3 +290,86 @@ def test_png_downsample_ramp_closed_form(w2, h2, factor, filter_type):
                 for dx in range(f)
             )
             assert px[Y * w2 + X] == (block_sum + n // 2) // n
+
+
+MERGE_ROWS = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 4), st.integers(-50, 50)),
+    min_size=0,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(base=MERGE_ROWS, src=MERGE_ROWS, delete=st.booleans())
+def test_merge_into_matches_reference_model(
+    spark, tmp_path_factory, base, src, delete
+):
+    """For ANY base table and key-unique source batch, merge_into's
+    final state equals the dict-model reference: matched keys updated
+    (or deleted), unmatched source keys inserted, everything else
+    untouched."""
+    from from_superset_to_clickhouse_spark.schema import Field, Schema
+    from from_superset_to_clickhouse_spark.tablestore import TableStore
+
+    # key-unique source (contract): last occurrence wins in the model
+    src_u = {}
+    for k, p, v in src:
+        src_u[k] = (k, p, v)
+    src_rows = list(src_u.values())
+
+    store = TableStore(spark, str(tmp_path_factory.mktemp("merge_prop")))
+    store.create(
+        Schema(
+            "t",
+            (
+                Field("id", "bigint", nullable=False),
+                Field("p", "bigint", nullable=False),
+                Field("v", "bigint"),
+            ),
+            partition_by=("p",),
+        )
+    )
+    sch = "id bigint, p bigint, v bigint"
+    if base:
+        # base may repeat keys (append-only table allows it); dedupe to
+        # keep the model simple AND satisfy determinism (merge updates
+        # every copy of a matched key)
+        base_u = list({k: (k, p, v) for k, p, v in base}.values())
+        store.append("t", spark.createDataFrame(base_u, sch))
+    else:
+        base_u = []
+    if src_rows:
+        res = store.merge_into(
+            "t",
+            spark.createDataFrame(src_rows, sch),
+            on=["id"],
+            delete_matched=delete,
+        )
+    else:
+        res = store.merge_into(
+            "t", spark.createDataFrame([], sch), on=["id"], delete_matched=delete
+        )
+
+    model = {k: (k, p, v) for k, p, v in base_u}
+    n_upd = n_del = n_ins = 0
+    for k, p, v in src_rows:
+        if k in model:
+            if delete:
+                del model[k]
+                n_del += 1
+            else:
+                mk, mp, mv = model[k]
+                model[k] = (mk, mp, v)  # p is partition: not updated
+                n_upd += 1
+        else:
+            model[k] = (k, p, v)
+            n_ins += 1
+    assert res == {"updated": n_upd, "deleted": n_del, "inserted": n_ins}
+    got = {
+        r["id"]: (r["id"], r["p"], r["v"]) for r in store.read("t").collect()
+    }
+    assert got == model
