@@ -790,6 +790,20 @@ def q_media_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM sample decode: synthesize one mono 16-bit square-wave
+    WAV per document (amplitude A = (id%5+1)·1000, half-period P =
+    id%4+1, repetitions K = id%50+10), then recover n_frames / peak /
+    RMS / mean / zero-crossings from the actual int16 sample bytes
+    (RIFF chunk walk → ``np.frombuffer`` reinterpret). The planted
+    contract makes every statistic exact — n_frames = 2PK, peak = rms
+    = A, mean = 0, crossings = 2K−1 — so any decode bug (endianness,
+    data offset, channel interleave) hash-mismatches. Closes the audio
+    half of sample-level decode; PNG pixels closed the image half."""
+    tones = mm.synthesize_tones(_docs(spark, sf_dir), "doc_id")
+    return mm.audio_features(tones)
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image resize end-to-end: decode PNG pixels → 2×2 box-filter
     downsample → re-encode PNG → decode AGAIN for stats. Fixture dims
@@ -5109,6 +5123,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the 29 r6 additions moved below the boundary — green in
     # CORRECTNESS_r06.
     "media_pixels": q_media_pixels,
+    "audio_features": q_audio_features,
     "media_resize": q_media_resize,
     "triangle_count": q_triangle_count,
     "cooccurrence": q_cooccurrence,
@@ -5594,6 +5609,22 @@ def oracle_sql() -> dict[str, str]:
             "WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'gif' END AS format, "
             "CAST(doc_id % 64 + 1 AS INTEGER) AS width, "
             "CAST(doc_id % 48 + 1 AS INTEGER) AS height FROM documents"
+        ),
+        "audio_features": (
+            # Closed-form twin of synthesize_tones' planted square-wave
+            # contract: K repetitions of [+A x P, -A x P] frames, so
+            # n_frames = 2PK, peak = rms = A exactly (|s| = A for every
+            # sample), mean = 0 (balanced halves), zero crossings =
+            # 2K - 1 (one per block boundary). The engine must decode
+            # the actual int16 PCM bytes to match.
+            "SELECT CAST(doc_id AS BIGINT) AS media_id, "
+            "CAST(2 * (doc_id % 4 + 1) * (doc_id % 50 + 10) AS INTEGER) "
+            "AS n_frames, "
+            "CAST((doc_id % 5 + 1) * 1000 AS INTEGER) AS peak, "
+            "CAST((doc_id % 5 + 1) * 1000 AS DOUBLE) AS rms, "
+            "CAST(0 AS DOUBLE) AS mean_sample, "
+            "CAST(2 * (doc_id % 50 + 10) - 1 AS INTEGER) "
+            "AS zero_crossings FROM documents"
         ),
         "media_pixels": (
             # Closed-form twin of synthesize_pixel_images' planted pixel

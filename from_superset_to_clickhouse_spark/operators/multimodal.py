@@ -809,6 +809,168 @@ def audio_meta(audio: DataFrame) -> DataFrame:
     return audio.mapInPandas(run, schema=AUDIO_META_SCHEMA)
 
 
+# -- real audio SAMPLE decode (PCM int16, stdlib-only) -------------------
+
+
+def decode_wav_samples(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """REAL PCM sample decode → (sample_rate, channels, frames) where
+    ``frames`` is an int16 ndarray of shape (n_frames, channels). Walks
+    the same RIFF chunk structure as ``decode_wav_header`` but keeps the
+    ``data`` chunk bytes and reinterprets them as little-endian int16
+    frames — no codec lib needed for PCM, which is the one audio format
+    where "decode" is a byte reinterpretation. Raises ``ValueError`` on
+    malformed streams, non-PCM format tags, or non-16-bit widths —
+    quarantine, never garbage."""
+    if payload is None:
+        raise ValueError("empty payload")
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE stream")
+        rate = channels = bits = None
+        data = None
+        i = 12
+        while i + 8 <= len(payload):
+            cid = payload[i : i + 4]
+            (csize,) = struct.unpack("<I", payload[i + 4 : i + 8])
+            if cid == b"fmt ":
+                tag, channels, rate, _br, _ba, bits = struct.unpack(
+                    "<HHIIHH", payload[i + 8 : i + 24]
+                )
+                if tag != 1:
+                    raise ValueError(f"non-PCM WAV (format tag {tag})")
+            elif cid == b"data":
+                data = payload[i + 8 : i + 8 + csize]
+                if len(data) != csize:
+                    raise ValueError("WAV data chunk truncated")
+            i += 8 + csize + (csize & 1)
+        if rate is None or data is None or not channels:
+            raise ValueError("WAV: missing fmt/data chunk")
+        if bits != 16:
+            raise ValueError(f"only 16-bit PCM supported (got {bits})")
+        samples = np.frombuffer(data, dtype="<i2")
+        n_frames = len(samples) // channels
+        return rate, channels, samples[: n_frames * channels].reshape(
+            n_frames, channels
+        )
+    except struct.error as exc:
+        raise ValueError(f"truncated WAV: {exc}") from exc
+
+
+def encode_wav_pcm(
+    frames: "np.ndarray", sample_rate: int = 8000
+) -> bytes:
+    """Encode an int16 sample array (1-D mono or (n, ch)) as a real PCM
+    WAV stream — the exact inverse of ``decode_wav_samples``, used by
+    fixtures and round-trip tests."""
+    a = np.asarray(frames, dtype="<i2")
+    if a.ndim == 1:
+        a = a.reshape(-1, 1)
+    channels = a.shape[1]
+    block_align = channels * 2
+    data = a.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * block_align, block_align, 16,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synthesize_tones(df: DataFrame, id_col: str) -> DataFrame:
+    """Fixture generator: one REAL mono 16-bit PCM square wave per row,
+    with a planted arithmetic contract so an oracle can predict the
+    signal statistics while the engine has to earn them by decoding
+    actual PCM bytes. Contract per id: amplitude A = (id % 5 + 1) ×
+    1000, half-period P = id % 4 + 1 frames, repetitions K = id % 50 +
+    10; the signal is K repetitions of [+A × P, −A × P], so n_frames =
+    2PK exactly, peak = A, rms = A (every |sample| = A), mean = 0
+    (balanced halves) and zero crossings = 2K − 1 (one per block
+    boundary)."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                amp = (i % 5 + 1) * 1000
+                half = i % 4 + 1
+                reps = i % 50 + 10
+                block = np.concatenate(
+                    [np.full(half, amp, "<i2"), np.full(half, -amp, "<i2")]
+                )
+                payloads.append(encode_wav_pcm(np.tile(block, reps)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return src.mapInPandas(run, schema=IMAGE_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("mean_sample", T.DoubleType(), True),
+        T.StructField("zero_crossings", T.IntegerType(), True),
+    ]
+)
+
+
+def audio_features(audio: DataFrame) -> DataFrame:
+    """REAL signal statistics from decoded PCM samples — the audio
+    analogue of ``image_pixel_stats``: n_frames, peak (max |s|), RMS,
+    mean, and zero-crossing count (sign changes between consecutive
+    frames, channel 0). Everything derives from the actual int16 sample
+    values, so any decode bug (endianness, channel interleave, data
+    offset) shifts the statistics and hash-mismatches the oracle.
+    Undecodable payloads quarantine as NULL-feature rows rather than
+    killing the stage. Arrow-batched ``mapInPandas``; at 100 TB the
+    payload column streams batch-at-a-time and the output is a few
+    scalars per row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            nf, pk, rms, mean, zc = [], [], [], [], []
+            for p in pdf["payload"]:
+                try:
+                    _rate, _ch, frames = decode_wav_samples(p)
+                    if frames.shape[0] == 0:
+                        raise ValueError("zero-length data chunk")
+                    s = frames.astype(np.float64)
+                    ch0 = frames[:, 0].astype(np.int64)
+                    nf.append(frames.shape[0])
+                    pk.append(int(np.abs(frames.astype(np.int64)).max()))
+                    rms.append(float(np.sqrt((s * s).mean())))
+                    # + 0.0 normalizes a signed -0.0 to 0.0 so the
+                    # value hash matches the oracle's literal 0.
+                    mean.append(float(s.mean()) + 0.0)
+                    zc.append(int((ch0[:-1] * ch0[1:] < 0).sum()))
+                except (ValueError, IndexError):
+                    nf.append(None)
+                    pk.append(None)
+                    rms.append(None)
+                    mean.append(None)
+                    zc.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_frames": pd.array(nf, dtype="Int32"),
+                    "peak": pd.array(pk, dtype="Int32"),
+                    "rms": pd.array(rms, dtype="float64"),
+                    "mean_sample": pd.array(mean, dtype="float64"),
+                    "zero_crossings": pd.array(zc, dtype="Int32"),
+                }
+            )
+
+    return audio.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
 VIDEO_META_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -232,6 +232,49 @@ def test_multimodal_wav_roundtrip_and_quarantine(spark):
     assert (rows[2]["sample_rate"], rows[2]["channels"]) == (16000, 2)
 
 
+def test_wav_sample_decode_and_audio_features(spark):
+    """decode_wav_samples reinterprets the data chunk as int16 frames
+    exactly (round-trip through encode_wav_pcm, mono and stereo);
+    non-16-bit streams raise; audio_features recovers peak/RMS/mean/
+    zero-crossings from the planted square-wave contract and
+    quarantines undecodable payloads as NULL rows."""
+    import numpy as np
+    import pandas as pd
+
+    mono = np.array([100, -200, 300, -400, 0, 7], dtype=np.int16)
+    rate, ch, frames = mm.decode_wav_samples(mm.encode_wav_pcm(mono, 16000))
+    assert (rate, ch) == (16000, 1)
+    assert np.array_equal(frames[:, 0], mono)
+
+    stereo = np.array([[1, -1], [32767, -32768], [5, 9]], dtype=np.int16)
+    _, ch2, frames2 = mm.decode_wav_samples(mm.encode_wav_pcm(stereo))
+    assert ch2 == 2
+    assert np.array_equal(frames2, stereo)
+
+    with pytest.raises(ValueError, match="16-bit"):
+        mm.decode_wav_samples(mm.encode_wav(10, bits=8))
+
+    # planted square wave for id=7: A=3000, P=4, K=17
+    tones = mm.synthesize_tones(
+        spark.range(7, 8).withColumnRenamed("id", "doc_id"), "doc_id"
+    )
+    bad = spark.createDataFrame(
+        pd.DataFrame({"media_id": [99], "payload": [b"not a wav"]}),
+        schema=mm.IMAGE_SCHEMA,
+    )
+    rows = {
+        r["media_id"]: r
+        for r in mm.audio_features(tones.unionByName(bad)).collect()
+    }
+    good = rows[7]
+    assert good["n_frames"] == 2 * 4 * 17
+    assert good["peak"] == 3000
+    assert good["rms"] == 3000.0
+    assert good["mean_sample"] == 0.0
+    assert good["zero_crossings"] == 2 * 17 - 1
+    assert rows[99]["n_frames"] is None and rows[99]["rms"] is None
+
+
 def test_multimodal_mp4_roundtrip_and_quarantine(spark):
     """encode_mp4 → decode_mp4_header recovers dims + timescale-correct
     duration from real ISO-BMFF boxes; version-1 mvhd and largesize

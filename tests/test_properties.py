@@ -221,6 +221,38 @@ def test_wav_codec_roundtrip_for_any_parameters(duration_ms, rate, channels, bit
     assert 0 <= duration_ms - got_ms <= 1000 // min(rate, 1000) + 1
 
 
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=1,
+        max_size=400,
+    ),
+    rate=st.sampled_from([8000, 44100]),
+    channels=st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=60, deadline=None)
+def test_pcm_sample_codec_is_identity(samples, rate, channels):
+    """For ANY int16 sample block: decode_wav_samples(encode_wav_pcm(x))
+    returns exactly x (whole frames), proving the sample decode is a
+    true byte-level inverse — endianness, interleave and data offset
+    all on the hook."""
+    import numpy as np
+
+    from from_superset_to_clickhouse_spark.operators import multimodal as mm
+
+    n_frames = len(samples) // channels
+    if n_frames == 0:
+        return
+    a = np.array(
+        samples[: n_frames * channels], dtype=np.int16
+    ).reshape(n_frames, channels)
+    got_rate, got_ch, frames = mm.decode_wav_samples(
+        mm.encode_wav_pcm(a, rate)
+    )
+    assert (got_rate, got_ch) == (rate, channels)
+    assert np.array_equal(frames, a)
+
+
 @settings(max_examples=40, deadline=None)
 @given(
     width=st.integers(1, 24),
