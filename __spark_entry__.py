@@ -3923,6 +3923,61 @@ SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.9
 """
 
 
+_HYBRID_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                       x -> x <> '')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+), qtf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('merge', 'spark', 'stream', 'vector') GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df_docs FROM qtf GROUP BY 1
+), bscore AS (
+  SELECT qtf.doc_id,
+    ln(1.0 + (stats.n_docs - dfreq.df_docs + 0.5) / (dfreq.df_docs + 0.5))
+      * (qtf.tf * (1.2 + 1.0))
+      / (qtf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
+  FROM qtf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+), bagg AS (
+  -- round-to-6 BEFORE ranking, matching bm25_topk's scored aggregate
+  SELECT doc_id, round(sum(s), 6) AS score FROM bscore GROUP BY 1
+), sparse AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+      CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+        AS rank
+    FROM bagg) WHERE rank <= 30
+), qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT n.vec_id AS doc_id,
+    {_DOT.format(a='qv.embedding', b='n.embedding')}
+    / ({_NORM.format(a='qv.embedding')} * {_NORM.format(a='n.embedding')})
+      AS sim
+  FROM embeddings n CROSS JOIN qv WHERE n.vec_id <> 0
+), dense AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+      CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS INTEGER)
+        AS rank
+    FROM pairs) WHERE rank <= 30
+), fused AS (
+  SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+    coalesce(1.0 / (60.0 + s.rank), 0) + coalesce(1.0 / (60.0 + d.rank), 0)
+      AS sc
+  FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+)
+SELECT doc_id, round(sc, 6) AS rrf_score,
+  CAST(row_number() OVER (ORDER BY sc DESC, doc_id) AS INTEGER) AS rank
+FROM fused ORDER BY sc DESC, doc_id LIMIT 15
+"""
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 retrieval: top-15 documents for a 4-term query.
     The serving path of an inverted index without materializing one —
@@ -3931,6 +3986,26 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.bm25_topk(
         _docs(spark, sf_dir), ["spark", "vector", "merge", "stream"], k=15
     )
+
+
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval with reciprocal-rank fusion — the
+    standard RAG serving pattern: BM25 top-30 for a 4-term query fused
+    with embedding-cosine top-30 around document 0 (vec_id ≡ doc_id in
+    the fixture), score = Σ 1/(60 + rank), final top-15. Rank-only
+    fusion needs no score calibration between the incomparable BM25 and
+    cosine scales; both input lists are already top-depth so the fusion
+    joins ~30-row DataFrames — the corpus passes happened inside the
+    retrievers."""
+    docs = _docs(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    sparse = txt.bm25_topk(
+        docs, ["spark", "vector", "merge", "stream"], k=30
+    ).select("doc_id", "rank")
+    dense = simi.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=30
+    ).select(F.col("n_id").alias("doc_id"), "rank")
+    return simi.rrf_fuse([sparse, dense], k=15)
 
 
 def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5124,6 +5199,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # CORRECTNESS_r06.
     "media_pixels": q_media_pixels,
     "audio_features": q_audio_features,
+    "hybrid_retrieval": q_hybrid_retrieval,
     "media_resize": q_media_resize,
     "triangle_count": q_triangle_count,
     "cooccurrence": q_cooccurrence,
@@ -5610,6 +5686,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id % 64 + 1 AS INTEGER) AS width, "
             "CAST(doc_id % 48 + 1 AS INTEGER) AS height FROM documents"
         ),
+        "hybrid_retrieval": _HYBRID_SQL,
         "audio_features": (
             # Closed-form twin of synthesize_tones' planted square-wave
             # contract: K repetitions of [+A x P, -A x P] frames, so

@@ -1216,3 +1216,60 @@ def semantic_dedup(
             .alias("keep"),
         )
     )
+
+
+def rrf_fuse(
+    ranked: "list[DataFrame]",
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of any number of ranked retrieval lists → (id, rrf_score, rank).
+
+    Each input carries (id_col, rank_col); a candidate's fused score is
+    Σ_lists 1/(c + rank), with lists that missed the candidate simply
+    contributing nothing (full-outer join + coalesce-to-zero). This is
+    the standard hybrid-retrieval combiner — BM25 sparse ranks fused
+    with dense embedding-cosine ranks — and is rank-only, so the two
+    sides' incomparable score scales never need calibration.
+
+    Shape at scale: each input list is already top-depth (small — depth
+    rows per query), so the fusion joins tiny DataFrames; the corpus
+    pass happened inside the upstream retrievers. Score addition is a
+    fixed left-to-right chain, bit-deterministic for the oracle. Final
+    top-k is an ordered LIMIT (TakeOrderedAndProject), never a global
+    sort.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked input")
+    fused = None
+    parts = []
+    for i, df in enumerate(ranked):
+        parts.append(f"_rrf_{i}")
+        contrib = df.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(c)) + F.col(rank_col))).alias(
+                f"_rrf_{i}"
+            ),
+        )
+        fused = (
+            contrib
+            if fused is None
+            else fused.join(contrib, id_col, "full_outer")
+        )
+    score = F.coalesce(F.col(parts[0]), F.lit(0.0))
+    for p in parts[1:]:
+        score = score + F.coalesce(F.col(p), F.lit(0.0))
+    scored = fused.select(F.col(id_col), score.alias("_score"))
+    w = Window.orderBy(F.col("_score").desc(), F.col(id_col))
+    return (
+        scored.orderBy(F.col("_score").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            F.round("_score", 6).alias("rrf_score"),
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+    )

@@ -295,3 +295,30 @@ def test_kmeans_sparse_and_one_based_ids(spark):
 
     with _pytest.raises(ValueError, match="at least k=5"):
         simi.kmeans(df, k=5, iters=1)
+
+
+def test_rrf_fuse_known_ranks_and_partial_overlap(spark):
+    """RRF over two hand-built ranked lists: overlapping candidates sum
+    both reciprocal contributions, one-list candidates score with a
+    single term, ties break by ascending id, and k truncates. Scores
+    checked exactly (1/(c+rank) sums are closed-form)."""
+    sparse = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank int"
+    )
+    dense = spark.createDataFrame(
+        [(20, 1), (40, 2)], "doc_id long, rank int"
+    )
+    rows = simi.rrf_fuse([sparse, dense], k=3, c=60).collect()
+    got = [(r["doc_id"], r["rrf_score"], r["rank"]) for r in rows]
+    # doc 20: 1/62 + 1/61, doc 10: 1/61, doc 40: 1/62 — doc 30 (1/63)
+    # is cut by k=3.
+    assert got == [
+        (20, round(1 / 62 + 1 / 61, 6), 1),
+        (10, round(1 / 61, 6), 2),
+        (40, round(1 / 62, 6), 3),
+    ]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        simi.rrf_fuse([], k=3)
