@@ -2440,6 +2440,17 @@ def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.repeated_ngrams(_docs(spark, sf_dir), n=5, min_docs=2)
 
 
+def q_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span REMOVAL (the other half of substring dedup, per
+    "Deduplicating Training Data Makes Language Models Better"): every
+    token covered by a 5-gram window shared by ≥2 documents is excised
+    and the survivors re-joined in order → (doc_id, clean_text,
+    n_removed). The oracle replays the whole pipeline — window
+    construction, repeated-head join, n-wide coverage, anti join,
+    ordered rebuild — in ANSI SQL."""
+    return txt.cut_repeated_spans(_docs(spark, sf_dir), n=5, min_docs=2)
+
+
 _DQ_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
 
 
@@ -5200,6 +5211,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_pixels": q_media_pixels,
     "audio_features": q_audio_features,
     "hybrid_retrieval": q_hybrid_retrieval,
+    "cut_spans": q_cut_spans,
     "media_resize": q_media_resize,
     "triangle_count": q_triangle_count,
     "cooccurrence": q_cooccurrence,
@@ -5687,6 +5699,45 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id % 48 + 1 AS INTEGER) AS height FROM documents"
         ),
         "hybrid_retrieval": _HYBRID_SQL,
+        "cut_spans": r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                x -> x <> '') AS t
+  FROM documents
+), wins AS (
+  SELECT doc_id,
+    unnest(range(1, CAST(len(t) AS INTEGER) - 3)) AS i,
+    unnest(list_transform(range(1, CAST(len(t) AS INTEGER) - 3),
+      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+           || ' ' || t[i+4])) AS gram
+  FROM toks WHERE len(t) >= 5
+), reps AS (
+  SELECT gram FROM (
+    SELECT gram, count(*) AS n_docs
+    FROM (SELECT DISTINCT doc_id, gram FROM wins)
+    GROUP BY gram) WHERE n_docs >= 2
+), covered AS (
+  SELECT DISTINCT w.doc_id, w.i - 1 + s.s AS pos
+  FROM wins w JOIN reps USING (gram)
+  CROSS JOIN (SELECT unnest(range(0, 5)) AS s) s
+), tok AS (
+  SELECT doc_id,
+    unnest(range(0, CAST(len(t) AS INTEGER))) AS pos,
+    unnest(t) AS token
+  FROM toks
+), kept AS (
+  SELECT tok.doc_id, tok.pos, tok.token
+  FROM tok ANTI JOIN covered USING (doc_id, pos)
+), rebuilt AS (
+  SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS clean_text,
+    count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT toks.doc_id, coalesce(rebuilt.clean_text, '') AS clean_text,
+  CAST(len(toks.t) - coalesce(rebuilt.n_kept, 0) AS INTEGER) AS n_removed
+FROM toks LEFT JOIN rebuilt USING (doc_id)
+""",
         "audio_features": (
             # Closed-form twin of synthesize_tones' planted square-wave
             # contract: K repetitions of [+A x P, -A x P] frames, so

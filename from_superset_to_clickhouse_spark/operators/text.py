@@ -516,6 +516,87 @@ def repeated_ngrams(
     )
 
 
+def cut_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove cross-document duplicated spans from every document →
+    (doc_id, clean_text, n_removed): the REMOVAL half of the
+    "deduplicating training data makes language models better" recipe,
+    at n-gram-window granularity instead of suffix arrays. Any token
+    covered by at least one n-gram window that also appears in
+    ``min_docs``+ documents is cut; survivors are re-joined in original
+    order. ``repeated_ngrams`` finds the boilerplate; this op excises
+    it.
+
+    Plan shape: one windows pass (codegen transform/slice — the same
+    gram construction as ``ngram_rows`` so the two ops compose), a
+    gram-keyed join against the (tiny, ``min_docs``-filtered) repeated
+    head, covered positions exploded n-wide and de-duplicated, a
+    (doc, pos) anti join, and a per-doc ordered rebuild
+    (array_sort over (pos, token) structs — no window function, no
+    Python). At 100 TB the gram join would key on ``xxhash64(gram)``
+    (8 bytes instead of the span text) with identical semantics;
+    the string key is kept here so the ANSI oracle can replay it
+    verbatim."""
+    reps = repeated_ngrams(df, text_col, id_col, n, min_docs).select("gram")
+    toks_arr = df.select(
+        F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("t")
+    )
+    tok = toks_arr.select(
+        "doc_id", F.posexplode("t").alias("pos", "token")
+    )
+    wins = toks_arr.filter(F.size("t") >= n).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - n),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(" ", F.slice(F.col("t"), i + 1, n)).alias(
+                        "gram"
+                    ),
+                ),
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.gram").alias("gram"))
+    covered = (
+        wins.join(reps, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tok.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        toks_arr.select("doc_id", F.size("t").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )
+
+
 def contamination(
     train: DataFrame,
     test: DataFrame,

@@ -526,3 +526,31 @@ def test_remove_boilerplate_lines_order_and_empty(spark):
     assert got[2] == "gamma\ndelta"
     assert got[3] == "epsilon"
     assert got[4] == ""
+
+
+def test_cut_repeated_spans_excises_shared_windows_only(spark):
+    """Tokens under a 3-gram window shared by >= 2 docs are cut;
+    overlapping windows merge their coverage; unique text survives
+    untouched; a doc that is ENTIRELY boilerplate collapses to the
+    empty string with every token counted removed."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha the quick brown fox omega"),
+            (2, "intro the quick brown fox outro"),
+            (3, "totally unrelated words here"),
+            (4, "the quick brown"),
+            (5, "the quick brown"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in txt.cut_repeated_spans(df, n=3, min_docs=2).collect()
+    }
+    # docs 1+2 share windows "the quick brown" and "quick brown fox":
+    # coverage merges to tokens {the,quick,brown,fox}.
+    assert got[1] == ("alpha omega", 4)
+    assert got[2] == ("intro outro", 4)
+    assert got[3] == ("totally unrelated words here", 0)
+    assert got[4] == ("", 3)
+    assert got[5] == ("", 3)
