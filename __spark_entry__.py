@@ -804,6 +804,23 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_features(tones)
 
 
+def q_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF pixel decode through a complete stdlib LZW codec:
+    synthesize one LZW-compressed GIF89a per document (4-color palette
+    from id arithmetic, diagonal (x+y)%4 index pattern — repeating
+    runs force genuine dictionary matches), then recover n_px / px_sum
+    / min / max by actually decompressing the LZW sub-blocks and
+    mapping indices through the color table. The oracle enumerates the
+    planted pixels arithmetically, so any codec bug — code-width
+    growth, KwKwK case, palette lookup — hash-mismatches. GIF joins
+    PNG as the second pixel-real image format."""
+    imgs = mm.synthesize_gif_images(_docs(spark, sf_dir), "doc_id")
+    return mm.image_pixel_stats(imgs).select(
+        "media_id", "format", "width", "height", "channels",
+        "n_px", "px_sum", "min_px", "max_px",
+    )
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image resize end-to-end: decode PNG pixels → 2×2 box-filter
     downsample → re-encode PNG → decode AGAIN for stats. Fixture dims
@@ -5212,6 +5229,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_features": q_audio_features,
     "hybrid_retrieval": q_hybrid_retrieval,
     "cut_spans": q_cut_spans,
+    "gif_pixels": q_gif_pixels,
     "media_resize": q_media_resize,
     "triangle_count": q_triangle_count,
     "cooccurrence": q_cooccurrence,
@@ -5699,6 +5717,29 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id % 48 + 1 AS INTEGER) AS height FROM documents"
         ),
         "hybrid_retrieval": _HYBRID_SQL,
+        "gif_pixels": r"""
+WITH dims AS (
+  SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 9 + 1 AS h FROM documents
+), xs AS (
+  SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims
+), px AS (
+  SELECT doc_id, w, h, (x + unnest(range(0, h))) % 4 AS c FROM xs
+), chan AS (
+  SELECT doc_id, w, h,
+    (doc_id + 31 * c) % 251 AS r,
+    (3 * doc_id + 17 * c) % 251 AS g,
+    (7 * doc_id + 11 * c) % 251 AS b
+  FROM px
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id, 'gif' AS format,
+  CAST(max(w) AS INTEGER) AS width, CAST(max(h) AS INTEGER) AS height,
+  CAST(3 AS INTEGER) AS channels,
+  CAST(count(*) * 3 AS INTEGER) AS n_px,
+  CAST(sum(r + g + b) AS BIGINT) AS px_sum,
+  CAST(least(min(r), min(g), min(b)) AS INTEGER) AS min_px,
+  CAST(greatest(max(r), max(g), max(b)) AS INTEGER) AS max_px
+FROM chan GROUP BY doc_id
+""",
         "cut_spans": r"""
 WITH toks AS (
   SELECT doc_id,

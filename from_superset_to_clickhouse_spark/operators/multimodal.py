@@ -22,10 +22,19 @@ tested. Decoding comes in two tiers:
   walks the chunks (CRC-verified), inflates the concatenated IDAT with
   stdlib ``zlib`` and unfilters every scanline
   (None/Sub/Up/Average/Paeth) — 8-bit gray/RGB/gray+alpha/RGBA.
-  ``image_pixel_stats`` and ``png_feature`` build on it; JPEG/GIF
-  pixels and compressed audio remain stubbed (``decode_stub``) — those
-  need native codec libs this container doesn't ship, and the decode
-  errors say so explicitly.
+  ``image_pixel_stats`` and ``png_feature`` build on it.
+- GIF pixel CONTENT is decoded for REAL as well: a complete GIF-flavor
+  LZW codec (``_lzw_compress``/``_lzw_decompress`` — variable code
+  width, CLEAR/EOI, 4096-entry reset, LSB-first packing) under
+  ``decode_gif_pixels``/``encode_gif_pixels`` with global/local color
+  tables and palette→RGB mapping; verified against the canonical
+  1-pixel GIF byte stream.
+- WAV PCM sample CONTENT too: ``decode_wav_samples`` reinterprets the
+  data chunk as int16 frames; ``audio_features`` derives signal
+  statistics from it.
+- JPEG pixels and compressed audio (mp3/ogg) remain stubbed
+  (``decode_stub``) — those need native codec libs this container
+  doesn't ship, and the decode errors say so explicitly.
 
 At scale: binary payloads ride in Parquet binary columns;
 ``mapInPandas`` streams Arrow batches so one task never materializes its
@@ -191,6 +200,227 @@ def encode_gif(width: int, height: int) -> bytes:
     )
 
 
+# -- real GIF LZW codec (stdlib-only) ------------------------------------
+#
+# Standard GIF-flavor LZW: variable code width starting at
+# min_code_size+1, LSB-first bit packing, CLEAR = 1<<b and EOI =
+# CLEAR+1 reserved, dictionary reset via CLEAR when the table hits
+# 4096. Encoder and decoder implement the conventional width-growth
+# pairing (width bumps when the next free code crosses 1<<width), which
+# is what every mainstream GIF writer emits; the canonical minimal
+# 1-pixel stream (02 4C 01) decodes byte-exact in the tests.
+
+
+def _lzw_compress(indices: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out_bits: list[int] = []
+    width = min_code_size + 1
+
+    def emit(code: int) -> None:
+        for k in range(width):
+            out_bits.append((code >> k) & 1)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    prefix = b""
+    for b in indices:
+        cand = prefix + bytes([b])
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix])
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code > 4095:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prefix = bytes([b])
+    if prefix:
+        emit(table[prefix])
+    # The flush emit has no paired table-add, but the decoder adds an
+    # entry for EVERY code after the first — its table can cross a
+    # power of two here and widen before reading EOI. Mirror that bump
+    # so the EOI width matches (the classic LZW tail off-by-one).
+    if next_code == (1 << width) and width < 12:
+        width += 1
+    emit(eoi)
+    data = bytearray()
+    for i in range(0, len(out_bits), 8):
+        byte = 0
+        for k, bit in enumerate(out_bits[i : i + 8]):
+            byte |= bit << k
+        data.append(byte)
+    return bytes(data)
+
+
+def _lzw_decompress(
+    data: bytes, min_code_size: int, expected: "int | None" = None
+) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    n_bits = 0
+    pos = 0
+    while True:
+        while n_bits < width:
+            if pos >= len(data):
+                # Tolerance for encoders using a different width rule at
+                # the tail: if every expected pixel is already out, the
+                # missing/garbled EOI is harmless.
+                if expected is not None and len(out) >= expected:
+                    return bytes(out[:expected])
+                raise ValueError("GIF: LZW stream ended without EOI")
+            acc |= data[pos] << n_bits
+            n_bits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF: first code after clear not literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"GIF: code {code} beyond table")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def encode_gif_pixels(
+    width: int,
+    height: int,
+    indices: bytes,
+    palette: "list[tuple[int, int, int]]",
+) -> bytes:
+    """A complete, spec-conformant GIF89a image stream with REAL
+    LZW-compressed pixel data: header, logical screen descriptor with a
+    global color table (padded to a power of two), image descriptor,
+    min-code-size byte, 255-byte-chunked LZW sub-blocks, trailer."""
+    if len(indices) != width * height:
+        raise ValueError("indices must be width*height long")
+    n = max(2, len(palette))
+    bits = max(1, (n - 1).bit_length())
+    size = 1 << bits
+    if any(i >= size for i in indices):
+        raise ValueError("index beyond palette")
+    gct = bytearray()
+    for c in range(size):
+        r, g, b = palette[c] if c < len(palette) else (0, 0, 0)
+        gct += bytes((r, g, b))
+    # GCT flag set, color resolution 7, GCT size field = bits-1
+    packed = 0x80 | (7 << 4) | (bits - 1)
+    min_code_size = max(2, bits)
+    lzw = _lzw_compress(indices, min_code_size)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, packed, 0, 0)
+        + bytes(gct)
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + bytes([min_code_size])
+        + bytes(blocks)
+        + b"\x00\x3b"
+    )
+
+
+def decode_gif_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL GIF pixel decode → (width, height, 3, rgb_bytes): logical
+    screen descriptor + global color table, extension-block skip, image
+    descriptor (local color table honored; interlace unsupported →
+    ValueError), LZW decompression of the chunked sub-blocks, palette
+    lookup to packed RGB. Raises ``ValueError`` on malformed streams —
+    quarantine, never garbage."""
+    if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    try:
+        sw, sh, packed = struct.unpack("<HHB", payload[6:11])
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            size = 2 << (packed & 0x07)
+            gct = payload[pos : pos + 3 * size]
+            if len(gct) < 3 * size:
+                raise ValueError("GIF: truncated global color table")
+            pos += 3 * size
+        while pos < len(payload):
+            block = payload[pos]
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            elif block == 0x2C:
+                _lx, _ty, w, h, ipacked = struct.unpack(
+                    "<HHHHB", payload[pos + 1 : pos + 10]
+                )
+                pos += 10
+                ct = gct
+                if ipacked & 0x80:
+                    size = 2 << (ipacked & 0x07)
+                    ct = payload[pos : pos + 3 * size]
+                    pos += 3 * size
+                if ipacked & 0x40:
+                    raise ValueError("GIF: interlaced images unsupported")
+                if ct is None:
+                    raise ValueError("GIF: no color table")
+                min_code_size = payload[pos]
+                pos += 1
+                lzw = bytearray()
+                while payload[pos] != 0:
+                    ln = payload[pos]
+                    lzw += payload[pos + 1 : pos + 1 + ln]
+                    pos += 1 + ln
+                indices = _lzw_decompress(
+                    bytes(lzw), min_code_size, expected=w * h
+                )
+                if len(indices) != w * h:
+                    raise ValueError(
+                        f"GIF: decoded {len(indices)} pixels for {w}x{h}"
+                    )
+                n_colors = len(ct) // 3
+                rgb = bytearray()
+                for i in indices:
+                    if i >= n_colors:
+                        raise ValueError("GIF: pixel index beyond palette")
+                    rgb += ct[3 * i : 3 * i + 3]
+                return (w, h, 3, bytes(rgb))
+            elif block == 0x3B:
+                break
+            else:
+                raise ValueError(f"GIF: unknown block 0x{block:02x}")
+        raise ValueError("GIF: no image descriptor")
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"truncated GIF: {exc}") from exc
+
+
 # SOF markers carrying frame dimensions: C0-CF minus C4 (DHT), C8 (JPG
 # extension), CC (DAC).
 _JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
@@ -351,7 +581,7 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 
 def image_pixel_stats(images: DataFrame) -> DataFrame:
-    """Pixel-level statistics per image via the real PNG decode →
+    """Pixel-level statistics per image via the real PNG or GIF decode →
     (media_id, format, width, height, channels, mean_px, min_px,
     max_px) over ALL samples, plus the EXACT integer pair (n_px,
     px_sum) the mean derives from. Non-PNG and undecodable payloads
@@ -366,10 +596,15 @@ def image_pixel_stats(images: DataFrame) -> DataFrame:
             ns, sums, means, mins, maxs = [], [], [], [], []
             for p in pdf["payload"]:
                 try:
-                    w, h, ch, px = decode_png_pixels(p)
+                    try:
+                        w, h, ch, px = decode_png_pixels(p)
+                        fmt = "png"
+                    except ValueError:
+                        w, h, ch, px = decode_gif_pixels(p)
+                        fmt = "gif"
                     a = np.frombuffer(px, dtype=np.uint8)
                     s = int(a.sum(dtype=np.int64))
-                    fmts.append("png")
+                    fmts.append(fmt)
                     ws.append(w)
                     hs.append(h)
                     chs.append(ch)
@@ -703,6 +938,41 @@ def synthesize_pixel_images(
                     (i % 251, i * 7 % 251, i * 13 % 251) if i % 2 == 0 else None
                 )
                 payloads.append(encode_png(w, h, color=color, filter_type=ft))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return src.mapInPandas(run, schema=IMAGE_SCHEMA)
+
+
+def synthesize_gif_images(df: DataFrame, id_col: str) -> DataFrame:
+    """Fixture generator for GIF PIXEL decode: one real LZW-compressed
+    GIF89a per row with arithmetically predictable content. Planted
+    contract per id: w = id%13+1, h = id%9+1, a 4-color global palette
+    with color c = ((id + 31c)%251, (3id + 17c)%251, (7id + 11c)%251),
+    pixel index (x, y) → (x + y) % 4 (row-major). The repeating
+    diagonal pattern forces genuine LZW dictionary use (multi-symbol
+    matches), so a decoder that mishandles code growth or the KwKwK
+    case produces wrong statistics rather than crashing."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 13 + 1, i % 9 + 1
+                pal = [
+                    (
+                        (i + 31 * c) % 251,
+                        (3 * i + 17 * c) % 251,
+                        (7 * i + 11 * c) % 251,
+                    )
+                    for c in range(4)
+                ]
+                idx = bytes(
+                    (x + y) % 4 for y in range(h) for x in range(w)
+                )
+                payloads.append(encode_gif_pixels(w, h, idx, pal))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     return src.mapInPandas(run, schema=IMAGE_SCHEMA)

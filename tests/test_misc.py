@@ -852,3 +852,43 @@ def test_chi2_independence_known_2x2(spark):
     )
     mi = mutual_information(dep, "x", "y").first()["mi_nats"]
     assert abs(mi - math.log(2)) < 1e-6
+
+
+def test_gif_pixel_decode_canonical_and_quarantine(spark):
+    """The canonical 35-byte 1x1 wild GIF (the classic minimal stream,
+    02 4C 01 LZW data) decodes to a single black pixel through a
+    graphic-control extension block; interlaced images and truncated
+    streams raise; image_pixel_stats now handles PNG and GIF rows in
+    the same pass and quarantines neither format's valid payloads."""
+    import pandas as pd
+
+    canonical = bytes.fromhex(
+        "47494638396101000100800000ffffff00000021f9040000000000"
+        "2c00000000010001000002024c01003b"
+    )
+    assert mm.decode_gif_pixels(canonical) == (1, 1, 3, b"\x00\x00\x00")
+
+    interlaced = bytearray(
+        mm.encode_gif_pixels(2, 2, bytes([0, 1, 1, 0]), [(1, 2, 3), (4, 5, 6)])
+    )
+    # image descriptor packed byte: header 13 + GCT 6 (2 colors -> pad
+    # to 2) ... locate the 0x2c and set the interlace bit
+    pos = bytes(interlaced).index(0x2C)
+    interlaced[pos + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        mm.decode_gif_pixels(bytes(interlaced))
+    with pytest.raises(ValueError):
+        mm.decode_gif_pixels(canonical[:20])
+
+    png = mm.encode_png(2, 2, color=(9, 9, 9))
+    gif = mm.encode_gif_pixels(1, 2, bytes([0, 0]), [(10, 20, 30)])
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": [1, 2, 3], "payload": [png, gif, b"junk"]}
+        ),
+        schema=mm.IMAGE_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in mm.image_pixel_stats(df).collect()}
+    assert (rows[1]["format"], rows[1]["px_sum"]) == ("png", 9 * 12)
+    assert (rows[2]["format"], rows[2]["px_sum"]) == ("gif", 2 * 60)
+    assert rows[3]["format"] is None

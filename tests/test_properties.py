@@ -405,3 +405,46 @@ def test_merge_into_matches_reference_model(
         r["id"]: (r["id"], r["p"], r["v"]) for r in store.read("t").collect()
     }
     assert got == model
+
+
+@given(
+    data=st.lists(st.integers(0, 255), min_size=0, max_size=3000),
+    bits=st.integers(min_value=2, max_value=8),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_lzw_codec_is_identity(data, bits):
+    """For ANY index stream and min-code-size: LZW decode(encode(x))
+    == x — variable code widths, the KwKwK case, the tail width bump
+    before EOI, and 4096-entry dictionary resets all on the hook."""
+    from from_superset_to_clickhouse_spark.operators import multimodal as mm
+
+    idx = bytes(v % (1 << bits) for v in data)
+    assert mm._lzw_decompress(mm._lzw_compress(idx, bits), bits) == idx
+
+
+@given(
+    w=st.integers(1, 16),
+    h=st.integers(1, 12),
+    ncol=st.integers(1, 6),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_pixel_codec_roundtrip(w, h, ncol, seed):
+    """For ANY dimensions/palette: decode_gif_pixels(encode_gif_pixels)
+    recovers exactly the palette-mapped RGB bytes, and the container
+    header still parses as a GIF with the right dimensions."""
+    import random
+
+    from from_superset_to_clickhouse_spark.operators import multimodal as mm
+
+    rng = random.Random(seed)
+    pal = [
+        (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(ncol)
+    ]
+    idx = bytes(rng.randrange(ncol) for _ in range(w * h))
+    gif = mm.encode_gif_pixels(w, h, idx, pal)
+    assert mm.decode_image_header(gif) == ("gif", w, h)
+    assert mm.decode_gif_pixels(gif) == (
+        w, h, 3, b"".join(bytes(pal[i]) for i in idx)
+    )
