@@ -68,6 +68,16 @@ HEADLINE = [
     # (distinct projection + group-key self-join + partial-agg count)
     "ohlc_bars",
     "cooccurrence",
+    # late round-7 additions: cross-document span REMOVAL (windows pass
+    # + repeated-head join + anti join + ordered rebuild — the
+    # substring-dedup removal half), BM25+dense reciprocal-rank fusion
+    # (hybrid RAG serving), and the two real content codecs at corpus
+    # scale: GIF LZW pixel decode and PCM sample statistics, both
+    # Arrow-batched mapInPandas over synthesized real byte streams
+    "cut_spans",
+    "hybrid_retrieval",
+    "gif_pixels",
+    "audio_features",
 ]
 
 # ANN is measured on a deterministic query slice (vec_id < ANN_QUERIES)
