@@ -861,6 +861,25 @@ def png_feature(payload: bytes, dim: int = 8) -> list[float]:
     return vec + [0.0] * (dim - len(vec))
 
 
+def gif_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """REAL pixel-derived feature for a GIF — identical statistic
+    layout to ``png_feature`` ([mean, std, min, max, per-channel
+    means]/255, padded to ``dim``) over the LZW-decoded, palette-mapped
+    RGB samples, so features from the two formats live in one
+    comparable space."""
+    _w, _h, ch, px = decode_gif_pixels(payload)
+    a = np.frombuffer(px, dtype=np.uint8).astype(np.float64)
+    vec = [
+        float(a.mean()) / 255.0,
+        float(a.std()) / 255.0,
+        float(a.min()) / 255.0,
+        float(a.max()) / 255.0,
+    ]
+    vec += [float(m) / 255.0 for m in a.reshape(-1, ch).mean(axis=0)]
+    vec = vec[:dim]
+    return vec + [0.0] * (dim - len(vec))
+
+
 IMAGE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -1323,15 +1342,21 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     payload, emit fixed-width features. Python is unavoidable here
     (codecs are native libs) — Arrow batching amortizes the crossing.
 
-    Decodable 8-bit PNGs get a REAL pixel-derived feature
-    (``png_feature``: inflate + unfilter + sample statistics — no codec
-    lib needed); every other format falls back to ``decode_stub`` until
-    a native codec is wired in.
+    Decodable 8-bit PNGs and GIFs get a REAL pixel-derived feature
+    (``png_feature``: inflate + unfilter + sample statistics;
+    ``gif_feature``: LZW decode + palette map — no codec lib needed,
+    identical statistic layout so both formats share one feature
+    space); every other format falls back to ``decode_stub`` until a
+    native codec is wired in.
     """
 
     def feat(p, d=dim):
         try:
             return png_feature(p, d)
+        except ValueError:
+            pass
+        try:
+            return gif_feature(p, d)
         except ValueError:
             return decode_stub(p, "", d)
 

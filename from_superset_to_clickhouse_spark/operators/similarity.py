@@ -979,6 +979,29 @@ def ivf_index(
     )
 
 
+def ivf_index_append(
+    index_path: str,
+    new_corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF maintenance: assign ONLY the new batch to cells
+    and append into the existing cell-partitioned index directories.
+
+    Because the quantizer (the frozen ``centroids``) is deterministic
+    and per-row, append(old index, new batch) is EXACTLY equal to
+    rebuilding from the unioned corpus — no approximation, no re-read
+    of the existing index. Daily maintenance cost is O(batch),
+    corpus-size-independent: the ANN counterpart of
+    ``minhash_incremental``'s new×index design. When centroids are
+    re-trained (quantizer drift), rebuild — the layout IS the
+    quantizer, so new centroids invalidate every cell assignment."""
+    ivf_index(new_corpus, centroids, id_col=id_col, vec_col=vec_col) \
+        .repartition("cell") \
+        .write.mode("append").partitionBy("cell").parquet(index_path)
+
+
 def ivf_topk_pruned(
     spark,
     index_path: str,

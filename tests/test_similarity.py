@@ -322,3 +322,46 @@ def test_rrf_fuse_known_ranks_and_partial_overlap(spark):
 
     with _pytest.raises(ValueError, match="at least one"):
         simi.rrf_fuse([], k=3)
+
+
+def test_ivf_index_append_equals_rebuild(spark, tmp_path):
+    """Incremental index maintenance: building the IVF index on the
+    first 300 vectors then appending the remaining batch yields
+    EXACTLY the index a full rebuild produces — identical (cell, id)
+    assignment (frozen quantizer is per-row deterministic) and
+    identical query results through the partition-pruned read path.
+    This is the ANN twin of minhash_incremental's O(batch) story."""
+    emb = load_table(spark, SF, "embeddings")
+    old = emb.filter(F.col("vec_id") < 300)
+    new = emb.filter(F.col("vec_id") >= 300)
+    cents = simi.train_centroids(old, ncells=8)
+
+    inc_path = str(tmp_path / "ivf_inc")
+    simi.ivf_index(old, cents).repartition("cell").write.partitionBy(
+        "cell"
+    ).parquet(inc_path)
+    simi.ivf_index_append(inc_path, new, cents)
+
+    full_path = str(tmp_path / "ivf_full")
+    simi.ivf_index(emb, cents).repartition("cell").write.partitionBy(
+        "cell"
+    ).parquet(full_path)
+
+    inc_rows = sorted(
+        (r["cell"], r["n_id"])
+        for r in spark.read.parquet(inc_path).select("cell", "n_id").collect()
+    )
+    full_rows = sorted(
+        (r["cell"], r["n_id"])
+        for r in spark.read.parquet(full_path).select("cell", "n_id").collect()
+    )
+    assert inc_rows == full_rows and len(inc_rows) == emb.count()
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    got_inc = sorted(map(tuple, simi.ivf_topk_pruned(
+        spark, inc_path, queries, cents, k=5, nprobe=3
+    ).collect()))
+    got_full = sorted(map(tuple, simi.ivf_topk_pruned(
+        spark, full_path, queries, cents, k=5, nprobe=3
+    ).collect()))
+    assert got_inc == got_full and len(got_inc) > 0
