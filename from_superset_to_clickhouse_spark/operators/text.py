@@ -1210,6 +1210,45 @@ def build_inverted_index(
     ).write.mode("overwrite").parquet(f"{path}/stats")
 
 
+def inverted_index_append(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """Incremental inverted-index maintenance: tokenize ONLY the new
+    batch, append its (term, doc_id, tf) postings into the existing
+    term-bucket partitions and its doc lengths alongside the old, then
+    refresh the 1-row corpus stats from the doc-length table — a tiny
+    aggregate over one row per document, never a corpus text re-scan.
+
+    Equal to a full rebuild when appended doc_ids are disjoint from the
+    indexed ones (each (term, doc) posting lives in exactly one batch —
+    the reference's append-only daily-load contract). Daily cost is
+    O(batch) for tokenize+postings plus O(#docs) longs for the stats
+    refresh: the text twin of ``ivf_index_append``/
+    ``minhash_incremental``."""
+    toks = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_tokens(F.col(text_col))).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    postings = (
+        toks.groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    )
+    postings.write.mode("append").partitionBy("bucket").parquet(
+        f"{path}/postings"
+    )
+    dl.write.mode("append").parquet(f"{path}/doc_lengths")
+    spark.read.parquet(f"{path}/doc_lengths").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
 def bm25_topk_indexed(
     spark,
     path: str,

@@ -554,3 +554,46 @@ def test_cut_repeated_spans_excises_shared_windows_only(spark):
     assert got[3] == ("totally unrelated words here", 0)
     assert got[4] == ("", 3)
     assert got[5] == ("", 3)
+
+
+def test_inverted_index_append_equals_rebuild(spark, tmp_path):
+    """Incremental postings maintenance: index the first 60% of the
+    corpus, append the rest, and BM25 serving equals both a full
+    rebuild AND the on-the-fly computation — postings/doc-length
+    contents are identical (disjoint doc batches each own their
+    (term, doc) rows) and the stats refresh re-aggregates the
+    doc-length table, never the corpus text."""
+    from from_superset_to_clickhouse_spark.operators.text import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_inverted_index,
+        inverted_index_append,
+    )
+    from from_superset_to_clickhouse_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    old = docs.filter(F.col("doc_id") < 30)
+    new = docs.filter(F.col("doc_id") >= 30)
+    terms = ["spark", "vector", "merge", "stream"]
+
+    inc = str(tmp_path / "inc")
+    build_inverted_index(old, inc)
+    inverted_index_append(spark, inc, new)
+
+    full = str(tmp_path / "full")
+    build_inverted_index(docs, full)
+
+    got_inc = [
+        tuple(r) for r in bm25_topk_indexed(spark, inc, terms, k=10).collect()
+    ]
+    got_full = [
+        tuple(r) for r in bm25_topk_indexed(spark, full, terms, k=10).collect()
+    ]
+    fly = [tuple(r) for r in bm25_topk(docs, terms, k=10).collect()]
+    assert got_inc == got_full == fly and len(fly) == 10
+
+    # index contents identical, not just serving results
+    for sub in ("postings", "doc_lengths"):
+        a = sorted(map(tuple, spark.read.parquet(f"{inc}/{sub}").collect()))
+        b = sorted(map(tuple, spark.read.parquet(f"{full}/{sub}").collect()))
+        assert a == b, sub
