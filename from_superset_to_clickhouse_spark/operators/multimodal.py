@@ -323,6 +323,8 @@ def encode_gif_pixels(
     min-code-size byte, 255-byte-chunked LZW sub-blocks, trailer."""
     if len(indices) != width * height:
         raise ValueError("indices must be width*height long")
+    if not 1 <= len(palette) <= 256:
+        raise ValueError("GIF palettes hold 1..256 colors")
     n = max(2, len(palette))
     bits = max(1, (n - 1).bit_length())
     size = 1 << bits

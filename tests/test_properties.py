@@ -448,3 +448,53 @@ def test_gif_pixel_codec_roundtrip(w, h, ncol, seed):
     assert mm.decode_gif_pixels(gif) == (
         w, h, 3, b"".join(bytes(pal[i]) for i in idx)
     )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(list("abcd")), min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_cut_repeated_spans_matches_reference_model(spark, docs):
+    """For ANY corpus over a 4-token vocabulary: cut_repeated_spans
+    equals an independent pure-Python model — windows shared by >= 2
+    docs, n-wide coverage union, ordered survivor rebuild. Overlap
+    merging, all-boilerplate collapse and sub-n docs all land in the
+    random space."""
+    from from_superset_to_clickhouse_spark.operators.text import (
+        cut_repeated_spans,
+    )
+
+    n = 2
+    texts = [" ".join(toks) for toks in docs]
+
+    # reference model
+    wins: dict[str, set[int]] = {}
+    for d, toks in enumerate(docs):
+        for i in range(len(toks) - n + 1):
+            wins.setdefault(" ".join(toks[i : i + n]), set()).add(d)
+    shared = {g for g, ds in wins.items() if len(ds) >= 2}
+    expected = {}
+    for d, toks in enumerate(docs):
+        covered = set()
+        for i in range(len(toks) - n + 1):
+            if " ".join(toks[i : i + n]) in shared:
+                covered.update(range(i, i + n))
+        kept = [t for p, t in enumerate(toks) if p not in covered]
+        expected[d] = (" ".join(kept), len(covered))
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in cut_repeated_spans(df, n=n, min_docs=2).collect()
+    }
+    assert got == expected
