@@ -137,6 +137,66 @@ class TableStore:
         meta["evolved_defaults"] = evolved
         self._save_meta(name, meta)
 
+    def add_check(self, name: str, check_name: str, expr: str) -> None:
+        """ALTER TABLE … ADD CONSTRAINT … CHECK (ClickHouse
+        ``constraints.sql`` semantics): ``expr`` is a SQL boolean over
+        the table's columns that every INSERTED row must satisfy.
+        Matching ClickHouse, constraints are enforced on the WRITE path
+        only (append/overwrite — one extra aggregate pass over the
+        incoming batch, all constraints counted in a single job);
+        mutations (UPDATE/MERGE of existing rows) are not re-checked,
+        and existing data is not retro-validated. SQL-standard NULL
+        semantics: a row violates only when the expression evaluates to
+        FALSE — unknown (NULL) passes."""
+        # Fail fast: force parse + column resolution against the
+        # table's own schema (F.expr alone is lazy in Spark 4) — an
+        # unparseable expression or unknown column raises HERE, not on
+        # the first insert.
+        self.read(name).limit(0).filter(F.expr(expr)).schema
+        meta = self._meta(name)
+        checks = dict(meta.get("checks") or {})
+        if check_name in checks:
+            raise ValueError(f"check {check_name} already exists on {name}")
+        checks[check_name] = expr
+        meta["checks"] = checks
+        self._save_meta(name, meta)
+
+    def drop_check(self, name: str, check_name: str) -> None:
+        """ALTER TABLE … DROP CONSTRAINT."""
+        meta = self._meta(name)
+        checks = dict(meta.get("checks") or {})
+        if check_name not in checks:
+            raise ValueError(f"no check {check_name} on {name}")
+        del checks[check_name]
+        meta["checks"] = checks
+        self._save_meta(name, meta)
+
+    def _validate_checks(self, name: str, df: DataFrame) -> None:
+        """Reject the whole batch if any CHECK constraint is violated —
+        runs BEFORE the ingest sequence advances or any byte lands, so
+        a failed insert leaves the table untouched (ClickHouse's
+        exception-on-INSERT contract). One aggregate job counts every
+        constraint's violations simultaneously."""
+        checks = self._meta(name).get("checks") or {}
+        if not checks:
+            return
+        counts = df.agg(
+            *[
+                F.count(
+                    F.when(~F.coalesce(F.expr(e), F.lit(True)), F.lit(1))
+                ).alias(n)
+                for n, e in sorted(checks.items())
+            ]
+        ).first()
+        bad = {n: counts[n] for n in checks if counts[n]}
+        if bad:
+            detail = ", ".join(
+                f"{n} ({bad[n]} rows: {checks[n]})" for n in sorted(bad)
+            )
+            raise ValueError(
+                f"CHECK constraint violation on {name}: {detail}"
+            )
+
     def _meta(self, name: str) -> dict:
         return json.loads(self.fs.read_text(join(self.path(name), META_FILE)))
 
@@ -204,6 +264,7 @@ class TableStore:
 
     def append(self, name: str, df: DataFrame) -> None:
         """INSERT INTO … SELECT (append ingest)."""
+        self._validate_checks(name, df)
         seq = self._next_ingest_seq(name)
         out, parts = self._prepare(name, df, seq)
         w = out.write.mode("append")
@@ -224,6 +285,7 @@ class TableStore:
         staged data, leaving other partitions untouched. (And unlike the
         reference's ``partitions[0]`` bug, all staged partitions swap.)
         """
+        self._validate_checks(name, df)
         seq = self._next_ingest_seq(name)
         out, parts = self._prepare(name, df, seq)
         if not parts:
@@ -240,6 +302,7 @@ class TableStore:
         self._mark_projections_stale(name)
 
     def overwrite(self, name: str, df: DataFrame) -> None:
+        self._validate_checks(name, df)
         seq = self._next_ingest_seq(name)
         out, parts = self._prepare(name, df, seq)
         w = out.write.mode("overwrite")

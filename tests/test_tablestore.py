@@ -1129,3 +1129,58 @@ def test_merge_into_keeps_projection_exact(spark, tmp_path):
     store.append("pm", df([(10, "a", 1)]))
     got = {r["k"]: r["v"] for r in store.read_projection("pm", "by_k").collect()}
     assert got == {"a": 211, "b": 12}
+
+
+def test_check_constraints_gate_the_write_path(spark, tmp_path):
+    """ClickHouse CONSTRAINT … CHECK semantics: a violating batch is
+    rejected WHOLE with per-constraint counts, before the ingest
+    sequence advances or any byte lands; NULL evaluations pass
+    (SQL-standard unknown); clean batches flow; mutations of existing
+    rows are not re-checked (CH checks INSERT only); constraints
+    persist in table meta and drop cleanly."""
+    import pytest as _pytest
+
+    from conftest import logs_schema
+
+    store = TableStore(spark, str(tmp_path))
+    store.create(logs_schema("t"))
+    store.add_check("t", "id_positive", "id >= 0")
+    store.add_check("t", "v_prefix", "v LIKE 'v%'")
+    with _pytest.raises(ValueError, match="already exists"):
+        store.add_check("t", "id_positive", "id >= 0")
+    with _pytest.raises(Exception):
+        store.add_check("t", "broken", "id >=")  # unparseable, fail fast
+
+    ok = spark.createDataFrame(
+        [(1, ts(1, 1), "v1"), (2, ts(2, 1), None)],
+        "id int, dttm timestamp, v string",
+    )
+    store.append("t", ok)  # NULL v: 'v LIKE ...' is unknown -> passes
+    assert store.read("t").count() == 2
+
+    bad = spark.createDataFrame(
+        [(-1, ts(3, 1), "v3"), (3, ts(3, 1), "x3")],
+        "id int, dttm timestamp, v string",
+    )
+    seq_before = store.current_seq("t")
+    with _pytest.raises(ValueError, match=r"id_positive \(1 rows") as ei:
+        store.append("t", bad)
+    assert "v_prefix (1 rows" in str(ei.value)
+    assert store.read("t").count() == 2  # nothing landed
+    assert store.current_seq("t") == seq_before  # seq untouched
+
+    # mutations are NOT re-checked (ClickHouse INSERT-only contract)
+    store.update_where("t", F.col("id") == 1, {"v": F.lit("zzz")})
+    assert {r["v"] for r in store.read("t").collect()} >= {"zzz"}
+
+    store.drop_check("t", "v_prefix")
+    with _pytest.raises(ValueError, match="no check"):
+        store.drop_check("t", "v_prefix")
+    store.append(
+        "t",
+        spark.createDataFrame(
+            [(9, ts(4, 1), "anything")],
+            "id int, dttm timestamp, v string",
+        ),
+    )
+    assert store.read("t").count() == 3
