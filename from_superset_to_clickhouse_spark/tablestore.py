@@ -1397,6 +1397,52 @@ class TableStore:
             return []
         return [e for e in self.fs.listdir(data) if "=" in e]
 
+    def set_ttl(self, name: str, expiry_expr: str) -> None:
+        """ClickHouse table ``TTL <expr> DELETE`` analog: declare a SQL
+        expression computing each row's expiry TIMESTAMP (e.g.
+        ``dttm + INTERVAL 30 MONTH``, matching the reference's 30-month
+        retention at ``v2/sql/delete_old_data.sql:1-3``). Enforcement is
+        explicit (``apply_ttl``) rather than a background merge — the
+        Spark-native cadence is a scheduled job, and an explicit call
+        keeps the deletion auditable. Fails fast on unresolvable
+        expressions, like ``add_check``."""
+        probe = self.read(name).limit(0).select(
+            F.expr(expiry_expr).cast("timestamp")
+        )
+        probe.schema  # force resolution
+        meta = self._meta(name)
+        meta["ttl_expr"] = expiry_expr
+        self._save_meta(name, meta)
+
+    def apply_ttl(self, name: str) -> int:
+        """Enforce the declared TTL: delete every row whose expiry has
+        passed (``expiry_expr < now()``), via the partition-pruned
+        DELETE machinery — on a time-partitioned table whole expired
+        directories drop without a rewrite. Returns rows deleted; 0 if
+        no TTL is declared. NULL expiries never expire (SQL unknown),
+        same contract as ``delete_where``."""
+        expr = self._meta(name).get("ttl_expr")
+        if not expr:
+            return 0
+        return self.delete_where(
+            name,
+            F.expr(expr).cast("timestamp") < F.current_timestamp(),
+        )
+
+    def read_sample(self, name: str, basis_points: int, key: str) -> DataFrame:
+        """ClickHouse ``SELECT … SAMPLE k`` analog: a DETERMINISTIC
+        ~basis_points/10000 subset keyed on ``key`` — the same integer
+        hash-admission primitive as ``sampling.sample_pct``, so the
+        subset is stable across reads, layouts and engines (repeated
+        dashboards sample the SAME rows, CH's core SAMPLE property).
+        Pure filter over the normal read: combines with partition
+        pruning and pushdown untouched."""
+        from from_superset_to_clickhouse_spark.operators.sampling import (
+            sample_pct,
+        )
+
+        return sample_pct(self.read(name), key, basis_points)
+
     def delete_where(self, name: str, condition) -> int:
         """Retention delete (reference: Postgres ``DELETE … WHERE dttm <
         DATE_TRUNC('MONTH', NOW() - INTERVAL '30 MONTH')``, v2/dag.py:132-135).

@@ -1184,3 +1184,57 @@ def test_check_constraints_gate_the_write_path(spark, tmp_path):
         ),
     )
     assert store.read("t").count() == 3
+
+
+def test_ttl_and_sample_read(spark, tmp_path):
+    """Declarative TTL: set_ttl records the ClickHouse-style expiry
+    expression, apply_ttl deletes exactly the expired rows through the
+    partition-pruned DELETE path and returns the count (0 when no TTL
+    declared); unresolvable expressions fail at declaration time.
+    read_sample returns the same deterministic hash-keyed subset as
+    sampling.sample_pct — stable across calls."""
+    import pytest as _pytest
+
+    from conftest import logs_schema
+
+    store = TableStore(spark, str(tmp_path))
+    store.create(logs_schema("t"))
+    rows = [(i, ts(1 + i % 12, 1), f"v{i}") for i in range(40)]
+    store.append(
+        "t", spark.createDataFrame(rows, "id int, dttm timestamp, v string")
+    )
+
+    assert store.apply_ttl("t") == 0  # no TTL declared yet
+    with _pytest.raises(Exception):
+        store.set_ttl("t", "no_such_col + INTERVAL 1 DAY")
+    # rows from 2024 + 18 months expire mid-2025 < now() -> months 1-12
+    # of 2024 all expire; keep nothing older than 18 months back from
+    # "now" (2026) — i.e. every 2024 row expires.
+    store.set_ttl("t", "dttm + INTERVAL 18 MONTH")
+    n = store.apply_ttl("t")
+    assert n == 40 and store.read("t").count() == 0
+
+    # future-dated rows survive
+    far = [(100, ts(12, 31), "keep")]
+    store.set_ttl("t", "dttm + INTERVAL 1200 MONTH")
+    store.append(
+        "t", spark.createDataFrame(far, "id int, dttm timestamp, v string")
+    )
+    assert store.apply_ttl("t") == 0 and store.read("t").count() == 1
+
+    from from_superset_to_clickhouse_spark.operators.sampling import sample_pct
+
+    store.append(
+        "t",
+        spark.createDataFrame(
+            [(i, ts(6, 15), f"s{i}") for i in range(200, 300)],
+            "id int, dttm timestamp, v string",
+        ),
+    )
+    got = sorted(r["id"] for r in store.read_sample("t", 3000, "id").collect())
+    twin = sorted(
+        r["id"] for r in sample_pct(store.read("t"), "id", 3000).collect()
+    )
+    assert got == twin and 0 < len(got) < 101
+    again = sorted(r["id"] for r in store.read_sample("t", 3000, "id").collect())
+    assert again == got
