@@ -1437,6 +1437,44 @@ def q_replacing_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_summing_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SummingMergeTree semantics end-to-end: a sum_cols-declared store
+    takes two partial-row appends (even ids, then odd), compacts (the
+    fold materializes on disk — sums of sums are the same sums), then
+    keeps accumulating; summing_view returns one row per key with
+    value/cnt folded by SUM. The oracle is the plain global aggregate —
+    accumulate-then-fold must equal aggregate-once."""
+    schema = Schema(
+        name="sum_events",
+        fields=(
+            Field("event_type", "string", nullable=False),
+            Field("value", "double"),
+            Field("cnt", "long"),
+        ),
+        dedup_key=("event_type",),
+        sum_cols=("value", "cnt"),
+    )
+    store = TableStore(spark, tempfile.mkdtemp(prefix="sg_sum_"))
+    store.create(schema)
+    ev = _ev(spark, sf_dir).select(
+        "event_id", "event_type", "value"
+    ).withColumn("cnt", F.lit(1).cast("long"))
+    store.append(
+        "sum_events",
+        ev.filter(F.col("event_id") % 2 == 0).drop("event_id"),
+    )
+    store.compact("sum_events")
+    store.append(
+        "sum_events",
+        ev.filter(F.col("event_id") % 2 == 1).drop("event_id"),
+    )
+    return store.summing_view("sum_events").select(
+        "event_type",
+        F.round("value", 4).alias("value"),
+        "cnt",
+    )
+
+
 def q_store_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change feed between two STORE SNAPSHOTS: time travel composed
     with CDC — batch 1 (even ids), then batch 2 with the odd ids
@@ -5424,6 +5462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text": q_clean_text,
         "sessionize": q_sessionize,
         "replacing_upsert": q_replacing_upsert,
+        "summing_store": q_summing_store,
         "partition_swap": q_partition_swap,
         "retention_delete": q_retention_delete,
         "csv_roundtrip": q_csv_roundtrip,
@@ -5620,6 +5659,13 @@ def oracle_sql() -> dict[str, str]:
             "WHERE event_id % 2 = 0 UNION ALL "
             "SELECT event_id, ts, value, 'delta' AS slice FROM events "
             "WHERE event_id % 2 = 1"
+        ),
+        "summing_store": (
+            # Accumulate-then-fold must equal aggregate-once: the store
+            # saw every event exactly once across the two appends, so
+            # summing_view == the plain global GROUP BY.
+            "SELECT event_type, round(sum(value), 4) AS value, "
+            "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1"
         ),
         "partition_swap": (
             "SELECT event_id, value * 2 AS value FROM events "

@@ -70,6 +70,10 @@ class Schema:
     partition_by: tuple[str, ...] = ()
     sort_by: tuple[str, ...] = ()
     shard_by: str | None = None
+    # SummingMergeTree analog: numeric columns folded by SUM per
+    # dedup_key when rows merge (summing_view / compact). Empty →
+    # Replacing (latest-wins) semantics.
+    sum_cols: tuple[str, ...] = ()
 
     def to_struct_type(self) -> T.StructType:
         return T.StructType([f.to_struct_field() for f in self.fields])

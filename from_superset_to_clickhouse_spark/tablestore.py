@@ -100,6 +100,7 @@ class TableStore:
             "partition_by": list(schema.partition_by),
             "sort_by": list(schema.sort_by),
             "shard_by": schema.shard_by,
+            "sum_cols": list(schema.sum_cols),
             "ingest_seq": 0,
         }
         self.fs.write_text(join(p, META_FILE), json.dumps(meta))
@@ -1018,6 +1019,46 @@ class TableStore:
             ]
         )
 
+    def summing_view(self, name: str) -> DataFrame:
+        """Merge-on-read for a SummingMergeTree-style table: one row per
+        (dedup key × partition) with ``sum_cols`` FOLDED BY SUM across
+        every accumulated partial row — ClickHouse SummingMergeTree
+        semantics, where appends are cheap partial rows and merges add
+        them up. Folding never crosses partition directories (CH merges
+        are per-partition: the same key in two months stays two rows).
+        Non-key, non-summed payload columns take the value from the
+        latest batch (max by ``(_ingest_seq, value)`` — deterministic
+        where ClickHouse documents "any").
+
+        Plan: a single partial-aggregated groupBy — sums combine
+        map-side, so a hot key accumulates in each map task instead of
+        shuffling every partial row."""
+        meta = self._meta(name)
+        sum_cols = meta.get("sum_cols") or []
+        key = meta["dedup_key"]
+        if not sum_cols:
+            raise ValueError(
+                f"table {name} declares no sum_cols; use latest_view"
+            )
+        if not key:
+            raise ValueError(f"summing table {name} needs a dedup_key")
+        df = self.read(name)
+        parts = [p for p in meta["partition_by"] if p in df.columns]
+        group = list(key) + parts
+        payload = [
+            c
+            for c in df.columns
+            if c not in group and c not in sum_cols and c != INGEST_SEQ_COL
+        ]
+        aggs = [F.sum(F.col(c)).alias(c) for c in sum_cols] + [
+            F.max_by(F.col(c), F.struct(F.col(INGEST_SEQ_COL), F.col(c)))
+            .alias(c)
+            for c in payload
+        ]
+        out = df.groupBy(*[F.col(g) for g in group]).agg(*aggs)
+        final = [c for c in df.columns if c != INGEST_SEQ_COL]
+        return out.select(*final)
+
     def compact(self, name: str) -> None:
         """Background-merge analog: collapse duplicate dedup keys on disk.
 
@@ -1032,10 +1073,17 @@ class TableStore:
         meta = self._meta(name)
         parts = meta["partition_by"]
         key = meta["dedup_key"]
-        if parts and key:
+        if meta.get("sum_cols"):
+            # SummingMergeTree fold: the merged state IS the sum, so
+            # compaction materializes summing_view (per-partition fold,
+            # full rewrite). Post-compact appends keep accumulating —
+            # sums of sums are the same sums.
+            latest = self.summing_view(name)
+        elif parts and key:
             self._compact_partitionwise(name, meta)
             return
-        latest = self.latest_view(name)
+        else:
+            latest = self.latest_view(name)
         tmp = join(self.path(name), "data_compacting")
         parts = meta["partition_by"]
         out = latest.withColumn(INGEST_SEQ_COL, F.lit(meta["ingest_seq"]))

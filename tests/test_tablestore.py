@@ -1238,3 +1238,65 @@ def test_ttl_and_sample_read(spark, tmp_path):
     assert got == twin and 0 < len(got) < 101
     again = sorted(r["id"] for r in store.read_sample("t", 3000, "id").collect())
     assert again == got
+
+
+def test_summing_store_accumulates_and_folds(spark, tmp_path):
+    """SummingMergeTree semantics: appends are cheap partial rows;
+    summing_view folds sum_cols per (key x partition) — never across
+    partitions, exactly ClickHouse's per-partition merge scope; payload
+    columns take the latest batch's value; compact materializes the
+    fold on disk and post-compact appends keep accumulating."""
+    import pytest as _pytest
+
+    sch = Schema(
+        name="counters",
+        fields=(
+            Field("metric", "string", nullable=False),
+            Field("dttm", "timestamp"),
+            Field("hits", "long"),
+            Field("amount", "double"),
+            Field("note", "string"),
+        ),
+        dedup_key=("metric",),
+        partition_by=("dttm_month",),
+        sum_cols=("hits", "amount"),
+    )
+    store = TableStore(spark, str(tmp_path))
+    store.create(sch)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "metric string, dttm timestamp, hits long, amount double, note string"
+    )
+    store.append("counters", mk([
+        ("a", ts(1, 5), 10, 1.5, "first"),
+        ("a", ts(1, 9), 5, 0.5, "first"),
+        ("b", ts(1, 5), 1, 1.0, "only"),
+    ]))
+    store.append("counters", mk([
+        ("a", ts(1, 20), 100, 10.0, "second"),
+        ("a", ts(2, 1), 7, 0.25, "feb"),   # other partition: stays separate
+    ]))
+
+    def snap():
+        return {
+            (r["metric"], str(r["dttm_month"])): (r["hits"], r["amount"], r["note"])
+            for r in store.summing_view("counters").collect()
+        }
+
+    expect = {
+        ("a", "2024-01-01"): (115, 12.0, "second"),
+        ("a", "2024-02-01"): (7, 0.25, "feb"),
+        ("b", "2024-01-01"): (1, 1.0, "only"),
+    }
+    assert snap() == expect
+
+    store.compact("counters")
+    assert store.read("counters").count() == 3  # folded on disk
+    assert snap() == expect  # view unchanged by compaction
+
+    store.append("counters", mk([("a", ts(1, 25), 1000, 0.0, "third")]))
+    expect[("a", "2024-01-01")] = (1115, 12.0, "third")
+    assert snap() == expect
+
+    with _pytest.raises(ValueError, match="no sum_cols"):
+        TableStore(spark, str(tmp_path)).create(logs_schema("plain")) or \
+            store.summing_view("plain")
