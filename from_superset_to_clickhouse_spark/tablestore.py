@@ -996,6 +996,14 @@ class TableStore:
         piling into a single sort partition.
         """
         meta = self._meta(name)
+        if meta.get("sum_cols"):
+            # On a summing table "latest per key" would silently DROP
+            # accumulated partials — the merged state is the SUM, not
+            # the last row. Refuse loudly, like MERGE on dedup tables.
+            raise ValueError(
+                f"table {name} declares sum_cols; use summing_view "
+                "(latest-per-key would discard accumulated partials)"
+            )
         df = self.read(name)
         key = meta["dedup_key"]
         if not key:

@@ -1298,5 +1298,7 @@ def test_summing_store_accumulates_and_folds(spark, tmp_path):
     assert snap() == expect
 
     with _pytest.raises(ValueError, match="no sum_cols"):
-        TableStore(spark, str(tmp_path)).create(logs_schema("plain")) or \
-            store.summing_view("plain")
+        store.create(logs_schema("plain"))
+        store.summing_view("plain")
+    with _pytest.raises(ValueError, match="use summing_view"):
+        store.latest_view("counters")
