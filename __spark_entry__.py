@@ -4972,6 +4972,26 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from an INCREMENTALLY MAINTAINED inverted index:
+    the first half of the corpus is indexed, the second half appended
+    via ``inverted_index_append`` (new postings into existing term
+    buckets, stats refreshed from the doc-length table — O(batch)
+    tokenize, never a corpus re-scan), then served. The oracle is the
+    SAME full-corpus BM25 SQL — append-then-serve must equal
+    index-everything-then-serve, which is what makes daily index
+    maintenance trustworthy."""
+    tmpdir = tempfile.mkdtemp(prefix="sg_bm25inc_")
+    docs = _docs(spark, sf_dir)
+    txt.build_inverted_index(docs.filter(F.col("doc_id") % 2 == 0), tmpdir)
+    txt.inverted_index_append(
+        spark, tmpdir, docs.filter(F.col("doc_id") % 2 == 1)
+    )
+    return txt.bm25_topk_indexed(
+        spark, tmpdir, ["spark", "vector", "merge", "stream"], k=15
+    )
+
+
 def q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plain-text corpus ingest proven by write→read_text round-trip:
     documents ship out as tab-prefixed lines and come back through the
@@ -5296,6 +5316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_agg": q_corr_agg,
         "proximity_join": q_proximity_join,
         "bm25_indexed": q_bm25_indexed,
+        "bm25_incremental": q_bm25_incremental,
         "media_video": q_media_video,
         "time_travel": q_time_travel,
         "kmeans_clusters": q_kmeans_clusters,
@@ -6873,6 +6894,7 @@ UNION ALL SELECT 3, CAST(c3 AS BIGINT),
             "AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000"
         ),
         "bm25_indexed": _BM25_SQL,
+        "bm25_incremental": _BM25_SQL,
         "dist_rank": (
             "SELECT c_custkey, c_mktsegment, "
             "round(percent_rank() OVER w, 6) AS pr, "
