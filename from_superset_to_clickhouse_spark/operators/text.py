@@ -522,6 +522,7 @@ def cut_repeated_spans(
     id_col: str = "doc_id",
     n: int = 5,
     min_docs: int = 2,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Remove cross-document duplicated spans from every document →
     (doc_id, clean_text, n_removed): the REMOVAL half of the
@@ -540,9 +541,12 @@ def cut_repeated_spans(
     (array_sort over (pos, token) structs — no window function, no
     Python). At 100 TB the gram join would key on ``xxhash64(gram)``
     (8 bytes instead of the span text) with identical semantics;
-    the string key is kept here so the ANSI oracle can replay it
-    verbatim."""
+    ``hash_grams=True`` IS that route (pytest-proven equal on the
+    fixture) — the default string key stays so the ANSI oracle can
+    replay the pipeline verbatim."""
     reps = repeated_ngrams(df, text_col, id_col, n, min_docs).select("gram")
+    if hash_grams:
+        reps = reps.select(F.xxhash64("gram").alias("gram"))
     toks_arr = df.select(
         F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("t")
     )
@@ -562,7 +566,13 @@ def cut_repeated_spans(
                 ),
             )
         ).alias("w"),
-    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.gram").alias("gram"))
+    ).select(
+        "doc_id",
+        F.col("w.pos").alias("pos"),
+        (
+            F.xxhash64(F.col("w.gram")) if hash_grams else F.col("w.gram")
+        ).alias("gram"),
+    )
     covered = (
         wins.join(reps, "gram")
         .select(

@@ -597,3 +597,25 @@ def test_inverted_index_append_equals_rebuild(spark, tmp_path):
         a = sorted(map(tuple, spark.read.parquet(f"{inc}/{sub}").collect()))
         b = sorted(map(tuple, spark.read.parquet(f"{full}/{sub}").collect()))
         assert a == b, sub
+
+
+def test_cut_repeated_spans_hash_mode_equals_string_mode(spark):
+    """The 100 TB shuffle-key route (hash_grams=True: joins keyed on
+    xxhash64(gram), 8 bytes instead of span text) produces the exact
+    same output as the oracle-replayable string-key default over the
+    sf0.001 documents fixture."""
+    from from_superset_to_clickhouse_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = sorted(
+        map(tuple, txt.cut_repeated_spans(docs, n=5, min_docs=2).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            txt.cut_repeated_spans(
+                docs, n=5, min_docs=2, hash_grams=True
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
