@@ -821,6 +821,22 @@ def q_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG pixel decode: synthesize one grayscale JPEG
+    per document (full FDCT + Annex K quantization + Huffman coding),
+    then recover pixel statistics by actually entropy-decoding the
+    scan, dequantizing and inverse-DCTing. The planted solid-even-gray
+    contract makes the lossy format exactly lossless on this content
+    (DC divisible by the quant step, zero AC), so the oracle demands
+    bit-exact statistics. With PNG and GIF, all three image container
+    formats now decode pixels for real."""
+    imgs = mm.synthesize_jpeg_images(_docs(spark, sf_dir), "doc_id")
+    return mm.image_pixel_stats(imgs).select(
+        "media_id", "format", "width", "height", "channels",
+        "n_px", "px_sum", "min_px", "max_px",
+    )
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image resize end-to-end: decode PNG pixels → 2×2 box-filter
     downsample → re-encode PNG → decode AGAIN for stats. Fixture dims
@@ -5288,6 +5304,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_retrieval": q_hybrid_retrieval,
     "cut_spans": q_cut_spans,
     "gif_pixels": q_gif_pixels,
+    "jpeg_pixels": q_jpeg_pixels,
     "media_resize": q_media_resize,
     "triangle_count": q_triangle_count,
     "cooccurrence": q_cooccurrence,
@@ -5784,6 +5801,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id % 48 + 1 AS INTEGER) AS height FROM documents"
         ),
         "hybrid_retrieval": _HYBRID_SQL,
+        "jpeg_pixels": (
+            # Arithmetic twin of synthesize_jpeg_images' planted
+            # contract: solid even gray v = ((id*37)%125)*2 over
+            # w = id%15+1 x h = id%11+1 — exact through the lossy
+            # format because DC = 8(v-128) divides the Annex K quant
+            # step and a solid block has zero AC energy. The engine
+            # must Huffman-decode + dequantize + IDCT real scan bytes.
+            "SELECT CAST(doc_id AS BIGINT) AS media_id, "
+            "'jpeg' AS format, "
+            "CAST(doc_id % 15 + 1 AS INTEGER) AS width, "
+            "CAST(doc_id % 11 + 1 AS INTEGER) AS height, "
+            "CAST(1 AS INTEGER) AS channels, "
+            "CAST((doc_id % 15 + 1) * (doc_id % 11 + 1) AS INTEGER) "
+            "AS n_px, "
+            "CAST(((doc_id * 37) % 125) * 2 "
+            "* (doc_id % 15 + 1) * (doc_id % 11 + 1) AS BIGINT) "
+            "AS px_sum, "
+            "CAST(((doc_id * 37) % 125) * 2 AS INTEGER) AS min_px, "
+            "CAST(((doc_id * 37) % 125) * 2 AS INTEGER) AS max_px "
+            "FROM documents"
+        ),
         "gif_pixels": r"""
 WITH dims AS (
   SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 9 + 1 AS h FROM documents

@@ -32,9 +32,14 @@ tested. Decoding comes in two tiers:
 - WAV PCM sample CONTENT too: ``decode_wav_samples`` reinterprets the
   data chunk as int16 frames; ``audio_features`` derives signal
   statistics from it.
-- JPEG pixels and compressed audio (mp3/ogg) remain stubbed
-  (``decode_stub``) — those need native codec libs this container
-  doesn't ship, and the decode errors say so explicitly.
+- JPEG pixel CONTENT decodes for REAL too, for baseline grayscale
+  streams: ``decode_jpeg_pixels`` rebuilds Huffman tables from the
+  file's DHT segments, entropy-decodes the scan (DC diffs + AC
+  run-lengths, byte unstuffing), dequantizes and inverse-DCTs;
+  ``encode_jpeg_gray`` is the matching real encoder (FDCT + Annex K
+  tables + canonical Huffman). Color/progressive JPEG and compressed
+  audio (mp3/ogg) remain honestly out of scope — the decode errors
+  say so explicitly and rows quarantine.
 
 At scale: binary payloads ride in Parquet binary columns;
 ``mapInPandas`` streams Arrow batches so one task never materializes its
@@ -423,6 +428,389 @@ def decode_gif_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError(f"truncated GIF: {exc}") from exc
 
 
+# -- real baseline JPEG codec (grayscale, stdlib+numpy) ------------------
+#
+# Full baseline sequential JPEG for ONE 8-bit grayscale component:
+# encoder emits SOI/APP0/DQT/SOF0/DHT/SOS with the JPEG Annex K
+# standard luminance tables and real Huffman-coded, FDCT'd,
+# quantized 8x8 blocks (0xFF byte stuffing, edge-replicated padding);
+# decoder walks the markers, rebuilds the Huffman trees FROM THE FILE's
+# DHT segments, entropy-decodes DC diffs + AC run-lengths, dequantizes,
+# inverse-DCTs and level-shifts. Color and progressive scans raise
+# (quarantine) - the decode path is real, not format-complete.
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K Table K.1 (luminance quantization), zigzag-independent layout.
+_JPEG_STD_QUANT = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+# Annex K luminance DC/AC Huffman specs: (BITS counts per code length
+# 1..16, HUFFVAL symbol list).
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _jpeg_huff_codes(bits, vals):
+    """(symbol -> (code, length)) per JPEG Annex C canonical assignment."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix():
+    import math
+
+    m = []
+    for u in range(8):
+        c = (1.0 / (2.0 ** 0.5)) if u == 0 else 1.0
+        m.append(
+            [
+                0.5 * c * math.cos((2 * x + 1) * u * math.pi / 16.0)
+                for x in range(8)
+            ]
+        )
+    return np.array(m, dtype=np.float64)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:  # pad with 1-bits per spec
+            self.put(1, 1)
+        return bytes(self.buf)
+
+
+def encode_jpeg_gray(
+    width: int,
+    height: int,
+    pixels: bytes,
+    quant: "list[int] | None" = None,
+) -> bytes:
+    """REAL baseline JPEG encoder for one grayscale component: FDCT +
+    quantization (Annex K luminance table by default) + canonical
+    Huffman entropy coding with byte stuffing. Edge blocks replicate
+    the last row/column (solid images stay solid, keeping their DC
+    exact). ``quant`` of all-ones gives near-lossless output for
+    roundtrip tests."""
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height bytes")
+    q = np.array(quant or _JPEG_STD_QUANT, dtype=np.float64).reshape(8, 8)
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    ph = (height + 7) // 8 * 8
+    pw = (width + 7) // 8 * 8
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:height, :width] = img
+    padded[height:, :width] = img[-1:, :]
+    padded[:height, width:] = img[:, -1:]
+    padded[height:, width:] = img[-1, -1]
+    m = _dct_matrix()
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _BitWriter()
+    prev_dc = 0
+
+    def magnitude(v):
+        s = int(abs(v)).bit_length()
+        return s, (v if v >= 0 else v + (1 << s) - 1)
+
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            block = padded[by : by + 8, bx : bx + 8] - 128.0
+            coef = m @ block @ m.T
+            qz = np.rint(coef / q).astype(np.int64)
+            zz = [int(qz.flat[_JPEG_ZIGZAG[i]]) for i in range(64)]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            s, bitsv = magnitude(diff)
+            c, ln = dc_codes[s]
+            w.put(c, ln)
+            if s:
+                w.put(bitsv, s)
+            run = 0
+            last_nz = 0
+            for i in range(63, 0, -1):
+                if zz[i]:
+                    last_nz = i
+                    break
+            for i in range(1, last_nz + 1):
+                v = zz[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac_codes[0xF0]  # ZRL
+                    w.put(c, ln)
+                    run -= 16
+                s, bitsv = magnitude(v)
+                c, ln = ac_codes[(run << 4) | s]
+                w.put(c, ln)
+                w.put(bitsv, s)
+                run = 0
+            if last_nz != 63:
+                c, ln = ac_codes[0x00]  # EOB
+                w.put(c, ln)
+    scan = w.flush()
+
+    def seg(marker, payload):
+        return marker + struct.pack(">H", len(payload) + 2) + payload
+
+    qz8 = bytes(
+        int(np.rint(q.flat[_JPEG_ZIGZAG[i]])) for i in range(64)
+    )
+    dqt = seg(b"\xff\xdb", b"\x00" + qz8)
+    sof0 = seg(
+        b"\xff\xc0",
+        b"\x08" + struct.pack(">HH", height, width) + b"\x01\x01\x11\x00",
+    )
+    dht = seg(
+        b"\xff\xc4",
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(b"\xff\xda", b"\x01\x01\x00\x00\x3f\x00")
+    app0 = seg(
+        b"\xff\xe0", b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    return (
+        b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + scan + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    def __init__(self, data):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self):
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG: entropy stream exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("JPEG: truncated stuffing")
+                nxt = self.data[self.pos]
+                self.pos += 1
+                if nxt != 0x00:
+                    raise ValueError("JPEG: unexpected marker in scan")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k):
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_huff_tree(bits, vals):
+    """(code, length) -> symbol lookup dict keyed by (length, code)."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_read_symbol(reader, tree):
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | reader.bit()
+        sym = tree.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG: invalid Huffman code")
+
+
+def _extend(v, s):
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL baseline JPEG decode -> (width, height, 1, gray_bytes) for
+    8-bit single-component (grayscale) sequential streams: marker walk,
+    DQT/DHT tables rebuilt FROM THE FILE, Huffman entropy decode (DC
+    diffs + AC run-lengths, byte unstuffing), dequantize, inverse DCT,
+    level shift, clamp. Color, progressive, 12-bit and
+    restart-interval streams raise ``ValueError`` -> quarantine."""
+    if payload is None or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    try:
+        quant = {}
+        huff = {}
+        w = h = None
+        qsel = None
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError("JPEG: bad marker alignment")
+            marker = payload[pos + 1]
+            if marker == 0xD9:
+                break
+            (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+            body = payload[pos + 4 : pos + 2 + seglen]
+            if marker == 0xDB:
+                i = 0
+                while i < len(body):
+                    pq, tq = body[i] >> 4, body[i] & 0x0F
+                    if pq != 0:
+                        raise ValueError("JPEG: 16-bit quant unsupported")
+                    tbl = np.zeros(64, dtype=np.float64)
+                    for j in range(64):
+                        tbl[_JPEG_ZIGZAG[j]] = body[i + 1 + j]
+                    quant[tq] = tbl.reshape(8, 8)
+                    i += 65
+            elif marker == 0xC4:
+                i = 0
+                while i < len(body):
+                    tc, th = body[i] >> 4, body[i] & 0x0F
+                    bits = list(body[i + 1 : i + 17])
+                    nv = sum(bits)
+                    vals = list(body[i + 17 : i + 17 + nv])
+                    huff[(tc, th)] = _jpeg_huff_tree(bits, vals)
+                    i += 17 + nv
+            elif marker == 0xC0:
+                if body[0] != 8:
+                    raise ValueError("JPEG: only 8-bit baseline")
+                h, w = struct.unpack(">HH", body[1:5])
+                if body[5] != 1:
+                    raise ValueError(
+                        "JPEG: only single-component (grayscale) streams"
+                    )
+                if body[7] != 0x11:
+                    raise ValueError("JPEG: subsampling unsupported")
+                qsel = body[8]
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise ValueError("JPEG: only baseline sequential (SOF0)")
+            elif marker == 0xDD:
+                raise ValueError("JPEG: restart intervals unsupported")
+            elif marker == 0xDA:
+                ns = body[0]
+                if ns != 1:
+                    raise ValueError("JPEG: multi-component scan")
+                dc_sel, ac_sel = body[2] >> 4, body[2] & 0x0F
+                scan_start = pos + 2 + seglen
+                return _jpeg_decode_scan(
+                    payload, scan_start, w, h,
+                    quant[qsel], huff[(0, dc_sel)], huff[(1, ac_sel)],
+                )
+            pos += 2 + seglen
+        raise ValueError("JPEG: no scan found")
+    except (struct.error, IndexError, KeyError) as exc:
+        raise ValueError(f"malformed JPEG: {exc}") from exc
+
+
+def _jpeg_decode_scan(payload, start, w, h, q, dc_tree, ac_tree):
+    end = payload.rfind(b"\xff\xd9")
+    if end < 0:
+        end = len(payload)
+    reader = _BitReader(payload[start:end])
+    m = _dct_matrix()
+    ph = (h + 7) // 8 * 8
+    pw = (w + 7) // 8 * 8
+    out = np.empty((ph, pw), dtype=np.float64)
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            zz = np.zeros(64, dtype=np.float64)
+            s = _jpeg_read_symbol(reader, dc_tree)
+            diff = _extend(reader.bits(s), s) if s else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                sym = _jpeg_read_symbol(reader, ac_tree)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                run, size = sym >> 4, sym & 0x0F
+                i += run
+                if i > 63 or size == 0:
+                    raise ValueError("JPEG: AC coefficient overrun")
+                zz[i] = _extend(reader.bits(size), size)
+                i += 1
+            coef = np.zeros(64, dtype=np.float64)
+            for j in range(64):
+                coef[_JPEG_ZIGZAG[j]] = zz[j]
+            block = m.T @ (coef.reshape(8, 8) * q) @ m
+            out[by : by + 8, bx : bx + 8] = block + 128.0
+    pix = np.clip(np.rint(out[:h, :w]), 0, 255).astype(np.uint8)
+    return (w, h, 1, pix.tobytes())
+
+
 # SOF markers carrying frame dimensions: C0-CF minus C4 (DHT), C8 (JPG
 # extension), CC (DAC).
 _JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
@@ -602,8 +990,12 @@ def image_pixel_stats(images: DataFrame) -> DataFrame:
                         w, h, ch, px = decode_png_pixels(p)
                         fmt = "png"
                     except ValueError:
-                        w, h, ch, px = decode_gif_pixels(p)
-                        fmt = "gif"
+                        try:
+                            w, h, ch, px = decode_gif_pixels(p)
+                            fmt = "gif"
+                        except ValueError:
+                            w, h, ch, px = decode_jpeg_pixels(p)
+                            fmt = "jpeg"
                     a = np.frombuffer(px, dtype=np.uint8)
                     s = int(a.sum(dtype=np.int64))
                     fmts.append(fmt)
@@ -994,6 +1386,34 @@ def synthesize_gif_images(df: DataFrame, id_col: str) -> DataFrame:
                     (x + y) % 4 for y in range(h) for x in range(w)
                 )
                 payloads.append(encode_gif_pixels(w, h, idx, pal))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return src.mapInPandas(run, schema=IMAGE_SCHEMA)
+
+
+def synthesize_jpeg_images(df: DataFrame, id_col: str) -> DataFrame:
+    """Fixture generator for JPEG PIXEL decode: one real baseline
+    grayscale JPEG per row — full FDCT + Annex K quantization + Huffman
+    entropy coding — whose content is arithmetically predictable.
+    Planted contract per id: w = id%15+1, h = id%11+1, solid gray
+    v = ((id*37) % 125) * 2. EVEN v makes the quantized DC exact
+    (DC = 8(v−128), divisible by the table's 16), and a solid block has
+    zero AC energy, so the lossy format is exactly lossless on this
+    content — the oracle can demand bit-exact statistics while the
+    decoder still exercises the real Huffman/dequant/IDCT path."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 15 + 1, i % 11 + 1
+                v = ((i * 37) % 125) * 2
+                payloads.append(
+                    encode_jpeg_gray(w, h, bytes([v]) * (w * h))
+                )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     return src.mapInPandas(run, schema=IMAGE_SCHEMA)

@@ -892,3 +892,64 @@ def test_gif_pixel_decode_canonical_and_quarantine(spark):
     assert (rows[1]["format"], rows[1]["px_sum"]) == ("png", 9 * 12)
     assert (rows[2]["format"], rows[2]["px_sum"]) == ("gif", 2 * 60)
     assert rows[3]["format"] is None
+
+
+def test_jpeg_codec_exact_solids_and_quarantine(spark):
+    """Baseline JPEG: solid even-gray images survive the lossy format
+    EXACTLY (DC divisible by the Annex K quant step, zero AC);
+    arbitrary content with an all-ones quant table round-trips within
+    ±1; multi-component (color) SOF0, progressive SOF2 and truncated
+    streams quarantine; the three-format pixel-stats pass tells
+    png/gif/jpeg apart in one batch."""
+    import pandas as pd
+
+    for v in (0, 130, 248):
+        for w, h in ((1, 1), (8, 8), (13, 9)):
+            px = bytes([v]) * (w * h)
+            got = mm.decode_jpeg_pixels(mm.encode_jpeg_gray(w, h, px))
+            assert got == (w, h, 1, px)
+
+    import random
+
+    rng = random.Random(11)
+    px = bytes(rng.randrange(256) for _ in range(16 * 12))
+    _, _, _, out = mm.decode_jpeg_pixels(
+        mm.encode_jpeg_gray(16, 12, px, quant=[1] * 64)
+    )
+    assert max(abs(a - b) for a, b in zip(px, out)) <= 1
+
+    good = mm.encode_jpeg_gray(4, 4, bytes([100]) * 16)
+    # flip SOF0 component count to 3 -> color, must quarantine
+    i = good.index(b"\xff\xc0")
+    color = bytearray(good)
+    color[i + 9] = 3
+    with pytest.raises(ValueError, match="single-component"):
+        mm.decode_jpeg_pixels(bytes(color))
+    prog = bytearray(good)
+    prog[i + 1] = 0xC2  # SOF2 progressive
+    with pytest.raises(ValueError, match="baseline"):
+        mm.decode_jpeg_pixels(bytes(prog))
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_pixels(good[:40])
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2, 3, 4],
+                "payload": [
+                    mm.encode_png(2, 2, color=(9, 9, 9)),
+                    mm.encode_gif_pixels(1, 2, bytes([0, 0]), [(10, 20, 30)]),
+                    mm.encode_jpeg_gray(3, 2, bytes([50]) * 6),
+                    b"junk",
+                ],
+            }
+        ),
+        schema=mm.IMAGE_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in mm.image_pixel_stats(df).collect()}
+    assert rows[1]["format"] == "png"
+    assert rows[2]["format"] == "gif"
+    assert (rows[3]["format"], rows[3]["px_sum"], rows[3]["channels"]) == (
+        "jpeg", 300, 1,
+    )
+    assert rows[4]["format"] is None

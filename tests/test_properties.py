@@ -498,3 +498,31 @@ def test_cut_repeated_spans_matches_reference_model(spark, docs):
         for r in cut_repeated_spans(df, n=n, min_docs=2).collect()
     }
     assert got == expected
+
+
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 16),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_roundtrip_bounded_error_and_solid_exact(w, h, seed):
+    """For ANY dimensions: an all-ones quant table round-trips
+    arbitrary grayscale content within ±1 (pure DCT float error), and
+    solid even-gray content is EXACT under the standard lossy table."""
+    import random
+
+    from from_superset_to_clickhouse_spark.operators import multimodal as mm
+
+    rng = random.Random(seed)
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    _, _, _, out = mm.decode_jpeg_pixels(
+        mm.encode_jpeg_gray(w, h, px, quant=[1] * 64)
+    )
+    assert max(abs(a - b) for a, b in zip(px, out)) <= 1
+
+    v = rng.randrange(125) * 2
+    solid = bytes([v]) * (w * h)
+    assert mm.decode_jpeg_pixels(mm.encode_jpeg_gray(w, h, solid)) == (
+        w, h, 1, solid,
+    )
