@@ -1255,6 +1255,23 @@ def png_feature(payload: bytes, dim: int = 8) -> list[float]:
     return vec + [0.0] * (dim - len(vec))
 
 
+def jpeg_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """REAL pixel-derived feature for a baseline grayscale JPEG —
+    identical statistic layout to ``png_feature`` over the
+    Huffman-decoded, IDCT'd samples."""
+    _w, _h, ch, px = decode_jpeg_pixels(payload)
+    a = np.frombuffer(px, dtype=np.uint8).astype(np.float64)
+    vec = [
+        float(a.mean()) / 255.0,
+        float(a.std()) / 255.0,
+        float(a.min()) / 255.0,
+        float(a.max()) / 255.0,
+    ]
+    vec += [float(m) / 255.0 for m in a.reshape(-1, ch).mean(axis=0)]
+    vec = vec[:dim]
+    return vec + [0.0] * (dim - len(vec))
+
+
 def gif_feature(payload: bytes, dim: int = 8) -> list[float]:
     """REAL pixel-derived feature for a GIF — identical statistic
     layout to ``png_feature`` ([mean, std, min, max, per-channel
@@ -1773,14 +1790,12 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """
 
     def feat(p, d=dim):
-        try:
-            return png_feature(p, d)
-        except ValueError:
-            pass
-        try:
-            return gif_feature(p, d)
-        except ValueError:
-            return decode_stub(p, "", d)
+        for real in (png_feature, gif_feature, jpeg_feature):
+            try:
+                return real(p, d)
+            except ValueError:
+                continue
+        return decode_stub(p, "", d)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
