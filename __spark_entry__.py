@@ -1251,6 +1251,29 @@ def q_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch with a FULL oracle (unlike HLL): two sketches
+    built over disjoint halves of the events, cell-wise MERGED, then
+    point-queried for every event_type — (row, bucket) cells derive
+    from md5 (ANSI-replicable), so DuckDB rebuilds the identical
+    sketch, merge and min-over-rows estimates bit-for-bit. Sketch
+    state is ≤ width×depth rows regardless of input size; the probe
+    broadcasts the sketch onto the key set, never rescanning data."""
+    from from_superset_to_clickhouse_spark.operators import sketch as sk
+
+    ev = _ev(spark, sf_dir).select("event_id", "event_type")
+    s1 = sk.cms_build(ev.filter(F.col("event_id") % 2 == 0), "event_type")
+    s2 = sk.cms_build(ev.filter(F.col("event_id") % 2 == 1), "event_type")
+    keys = (
+        ev.filter(F.col("event_type").isNotNull())
+        .select("event_type")
+        .distinct()
+    )
+    return sk.cms_query(sk.cms_merge(s1, s2), keys, "event_type").select(
+        F.col("key").alias("event_type"), "est"
+    )
+
+
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch rollup — the deterministic counterpart
     of the HLL rollup: per-day equi-width histogram partials (≤250 rows
@@ -5432,6 +5455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs": q_fuzzy_pairs,
         "prefix_jaccard_join": q_prefix_jaccard_join,
         "quantile_sketch": q_quantile_sketch,
+        "cms_counts": q_cms_counts,
         "stream_quantiles": q_stream_quantiles,
         "schema_evolution": q_schema_evolution,
         "lm_score": q_lm_score,
@@ -6082,6 +6106,30 @@ FROM toks LEFT JOIN rebuilt USING (doc_id)
         # deterministic sketch: the oracle replays the identical
         # bucket/merge/extract math (same expression order, so the
         # IEEE double bucketing agrees); integer sums cast ::BIGINT
+        "cms_counts": """
+-- Rebuild the identical Count-Min sketch: same md5-derived cells,
+-- same disjoint-half split + merge, same min-over-rows estimate.
+WITH src AS (
+  SELECT event_id, event_type FROM events WHERE event_type IS NOT NULL
+), cells AS (
+  SELECT r.r AS row,
+    CAST(CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' ||
+      event_type), 1, 8)) AS BIGINT) % 256 AS INTEGER) AS bucket,
+    count(*) AS cnt
+  FROM src CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) r
+  GROUP BY 1, 2
+), keys AS (SELECT DISTINCT event_type FROM events
+            WHERE event_type IS NOT NULL),
+probes AS (
+  SELECT event_type, r.r AS row,
+    CAST(CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' ||
+      event_type), 1, 8)) AS BIGINT) % 256 AS INTEGER) AS bucket
+  FROM keys CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) r
+)
+SELECT p.event_type, min(coalesce(c.cnt, 0)) AS est
+FROM probes p LEFT JOIN cells c USING (row, bucket)
+GROUP BY 1
+""",
         "quantile_sketch": """
 WITH p AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS period,

@@ -159,3 +159,78 @@ def heavy_hitters(df: DataFrame, item_col: str, k: int = 100) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") > F.lit(total / k))
     )
+
+
+# -- Count-Min sketch (Cormode & Muthukrishnan 2005) ---------------------
+#
+# Deterministic, MERGEABLE frequency sketch with a FULL SQL oracle:
+# the d hash rows are derived from md5 (an ANSI-replicable hash, unlike
+# xxhash64), so an independent engine can rebuild the identical sketch
+# and verify both construction and estimates bit-for-bit. Point
+# estimates overcount only (min over d rows bounds the error by
+# eps*N with probability 1-delta for w = ceil(e/eps), d = ceil(ln 1/delta)).
+
+
+def _cms_bucket(col: Column, row: int, width: int) -> Column:
+    """Row-``row`` bucket: first 8 md5 hex digits of ``row:value``,
+    as an integer mod width — deterministic in any engine with md5."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(str(row)), col)), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % width
+    ).cast("int")
+
+
+def cms_build(
+    df: DataFrame, col: str, width: int = 256, depth: int = 4
+) -> DataFrame:
+    """Build the sketch: (row, bucket, cnt) with ≤ width×depth rows
+    total regardless of input size. One shuffle, partial-aggregated
+    map-side; NULLs excluded (frequency of observed values). Merge two
+    sketches by unioning and re-aggregating (``cms_merge``) —
+    associative and commutative, the rollup property."""
+    rows = None
+    src = df.filter(F.col(col).isNotNull())
+    for r in range(depth):
+        part = src.select(
+            F.lit(r).alias("row"),
+            _cms_bucket(F.col(col), r, width).alias("bucket"),
+        )
+        rows = part if rows is None else rows.unionByName(part)
+    return rows.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge any number of sketches built with the SAME (width, depth):
+    cell-wise sum."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_query(
+    sketch: DataFrame, keys: DataFrame, col: str, width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates for each key: min over the key's
+    ``depth`` cells → (key, est). Estimates never undercount; the
+    expected overcount is N/width per non-colliding row. The probe
+    joins the (tiny) sketch broadcast onto the key set — no pass over
+    the original data."""
+    probes = None
+    for r in range(depth):
+        part = keys.select(
+            F.col(col).alias("key"),
+            F.lit(r).alias("row"),
+            _cms_bucket(F.col(col), r, width).alias("bucket"),
+        )
+        probes = part if probes is None else probes.unionByName(part)
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

@@ -953,3 +953,30 @@ def test_jpeg_codec_exact_solids_and_quarantine(spark):
         "jpeg", 300, 1,
     )
     assert rows[4]["format"] is None
+
+
+def test_count_min_sketch_bounds_and_merge(spark):
+    """Count-Min guarantees: estimates NEVER undercount; on a small
+    collision-free domain they are exact; merging two half-sketches
+    equals building one sketch over the union (cell-wise identity);
+    width*depth bounds the state size regardless of input rows."""
+    from from_superset_to_clickhouse_spark.operators import sketch as sk
+
+    rows = [(i, f"k{i % 7}") for i in range(700)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    exact = {f"k{j}": 100 for j in range(7)}
+
+    full = sk.cms_build(df, "k")
+    assert full.count() <= 256 * 4
+    keys = df.select("k").distinct()
+    got = {r["key"]: r["est"] for r in sk.cms_query(full, keys, "k").collect()}
+    assert all(got[k] >= exact[k] for k in exact)  # never undercounts
+    assert got == exact  # 7 keys in 256 buckets: collision-free here
+
+    merged = sk.cms_merge(
+        sk.cms_build(df.filter(F.col("id") % 2 == 0), "k"),
+        sk.cms_build(df.filter(F.col("id") % 2 == 1), "k"),
+    )
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, full.collect()))
+    assert a == b
