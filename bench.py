@@ -78,6 +78,8 @@ HEADLINE = [
     "hybrid_retrieval",
     "gif_pixels",
     "audio_features",
+    # full Huffman+DCT decode throughput over synthesized real streams
+    "jpeg_pixels",
 ]
 
 # ANN is measured on a deterministic query slice (vec_id < ANN_QUERIES)
