@@ -4288,6 +4288,21 @@ FROM canon
 """
 
 
+def q_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped simple linear regression (ClickHouse
+    simpleLinearRegression / SQL REGR_* analog): extendedprice fit
+    against quantity per returnflag, one conditional-aggregate pass
+    with NULL-pairwise exclusion. The oracle is DuckDB's OWN
+    regr_slope/regr_intercept/regr_r2 — an independent implementation,
+    not a replay of our arithmetic."""
+    from from_superset_to_clickhouse_spark.operators import stats as st
+
+    li = _t(spark, sf_dir, "lineitem")
+    return st.linear_regression(
+        li, "l_quantity", "l_extendedprice", ["l_returnflag"]
+    )
+
+
 def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B experiment analysis (the reference ingests Superset's
     ab_user table; this is the read side): per event-type 'experiment',
@@ -5371,6 +5386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": q_bigram_lm,
         "label_prop": q_label_prop,
         "ab_test": q_ab_test,
+        "linreg": q_linreg,
         "anomaly_zscore": q_anomaly_zscore,
         "zorder_read": q_zorder_read,
         "cc_incremental": q_cc_incremental,
@@ -6949,6 +6965,19 @@ UNION ALL SELECT 3, CAST(c3 AS BIGINT),
         "bigram_lm": _BIGRAM_SQL,
         "label_prop": _label_prop_sql(iters=2),
         "ab_test": _AB_SQL,
+        "linreg": (
+            # DuckDB's own REGR_* family as an INDEPENDENT oracle;
+            # pairwise NULL exclusion and the var(x)=0 NULL contract
+            # match the standard.
+            "SELECT l_returnflag, "
+            "CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) "
+            "AS n, "
+            "round(regr_slope(l_extendedprice, l_quantity), 6) AS slope, "
+            "round(regr_intercept(l_extendedprice, l_quantity), 6) "
+            "AS intercept, "
+            "round(regr_r2(l_extendedprice, l_quantity), 6) AS r2 "
+            "FROM lineitem GROUP BY 1"
+        ),
         "anomaly_zscore": _ANOMALY_SQL,
         "zorder_read": (
             "SELECT event_id, user_id, value FROM events "

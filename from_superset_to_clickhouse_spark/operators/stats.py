@@ -192,3 +192,49 @@ def mutual_information(
         "n",
         F.round("_mi", 6).alias("mi_nats"),
     )
+
+
+def linear_regression(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Grouped simple linear regression (ClickHouse
+    ``simpleLinearRegression`` / SQL ``REGR_SLOPE``/``REGR_INTERCEPT``
+    analog): per group, fit y = slope*x + intercept by least squares
+    and report r² → (group…, n, slope, intercept, r2).
+
+    One conditional-aggregate pass: rows where either side is NULL are
+    excluded pairwise (standard REGR_* semantics), the five sufficient
+    statistics (n, Σx, Σy, Σxx, Σxy, Σyy) ride map-side combine, and
+    the closed forms divide at the end — no second pass, no window.
+    Degenerate groups surface NULLs instead of dividing by zero:
+    slope/intercept NULL when var(x) = 0 (vertical data), r² NULL when
+    either variance is 0. Rounded to 6 decimals so the engine-replayed
+    ANSI twin hash-matches."""
+    both = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    x = F.when(both, F.col(x_col).cast("double"))
+    y = F.when(both, F.col(y_col).cast("double"))
+    aggd = df.groupBy(*[F.col(g) for g in (group_cols or [])]).agg(
+        F.count(x).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(y * y).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    vx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / n
+    vy = F.col("_syy") - F.col("_sy") * F.col("_sy") / n
+    cov = F.col("_sxy") - F.col("_sx") * F.col("_sy") / n
+    slope = F.when(vx > 0, cov / vx)
+    intercept = F.when(vx > 0, (F.col("_sy") - cov / vx * F.col("_sx")) / n)
+    r2 = F.when((vx > 0) & (vy > 0), cov * cov / (vx * vy))
+    return aggd.select(
+        *(group_cols or []),
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

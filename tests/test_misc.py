@@ -980,3 +980,26 @@ def test_count_min_sketch_bounds_and_merge(spark):
     a = sorted(map(tuple, merged.collect()))
     b = sorted(map(tuple, full.collect()))
     assert a == b
+
+
+def test_linear_regression_closed_form_and_degenerates(spark):
+    """Exact fit on a perfect line (slope/intercept/r2 closed-form),
+    pairwise NULL exclusion, and NULL results for vertical (var x = 0)
+    and constant-y (var y = 0 -> r2 NULL, slope 0) groups."""
+    from from_superset_to_clickhouse_spark.operators import stats as st
+
+    rows = (
+        [("line", float(x), 3.0 * x + 7.0) for x in range(10)]
+        + [("line", 99.0, None), ("line", None, 5.0)]  # excluded pairwise
+        + [("vert", 4.0, float(y)) for y in range(5)]
+        + [("flat", float(x), 2.5) for x in range(5)]
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {
+        r["g"]: (r["n"], r["slope"], r["intercept"], r["r2"])
+        for r in st.linear_regression(df, "x", "y", ["g"]).collect()
+    }
+    assert got["line"] == (10, 3.0, 7.0, 1.0)
+    assert got["vert"] == (5, None, None, None)
+    assert got["flat"][0] == 5 and got["flat"][1] == 0.0
+    assert got["flat"][3] is None  # r2 undefined when var(y) = 0
