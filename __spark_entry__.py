@@ -4113,6 +4113,19 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simi.rrf_fuse([sparse, dense], k=15)
 
 
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-window EWMA per event_type (ClickHouse
+    exponentialMovingAverage analog): normalized (1−α)^age decayed mean
+    over the 5-row trailing frame in (ts, event_id) order — one keyed
+    window pass + a codegen HOF fold, replayed bit-for-bit by DuckDB's
+    list lambdas (same left-to-right fold order)."""
+    return tmp.ewma_smooth(
+        _ev(spark, sf_dir),
+        "event_type", "ts", "value",
+        alpha=0.3, lookback=5, tiebreak_col="event_id",
+    )
+
+
 def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled hourly resample with forward fill (TimescaleDB
     ``time_bucket_gapfill``+``locf`` / ClickHouse ``WITH FILL`` analog):
@@ -5488,6 +5501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_mix": q_token_budget_mix,
         "bm25_topk": q_bm25_topk,
         "resample_ffill": q_resample_ffill,
+        "ewma": q_ewma,
         "weighted_sample": q_weighted_sample,
         "pagerank_nations": q_pagerank_nations,
         "unpivot_metrics": q_unpivot,
@@ -6930,6 +6944,21 @@ UNION ALL SELECT 3, CAST(c3 AS BIGINT),
         ),
         "bm25_topk": _BM25_SQL,
         "resample_ffill": _RESAMPLE_SQL,
+        "ewma": (
+            # Same trailing frame, same 1-based-index decay weights
+            # ((1-a)^(len-i), newest age 0), same left-to-right fold.
+            "WITH src AS (SELECT event_id, event_type, ts, value "
+            "FROM events WHERE value IS NOT NULL), "
+            "w AS (SELECT event_id, event_type, ts, "
+            "list(value) OVER (PARTITION BY event_type "
+            "ORDER BY ts, event_id "
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS l FROM src) "
+            "SELECT event_type, ts, event_id, "
+            "round(list_sum(list_transform(l, "
+            "(x, i) -> x * pow(0.7, len(l) - i))) "
+            "/ list_sum(list_transform(l, "
+            "(x, i) -> pow(0.7, len(l) - i))), 6) AS smoothed FROM w"
+        ),
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "pagerank_nations": _PAGERANK_SQL,
         "kmeans_clusters": _kmeans_sql(k=8, iters=2),

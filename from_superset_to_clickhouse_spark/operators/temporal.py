@@ -392,3 +392,67 @@ def ohlc_bars(
             "sum_value",
         )
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    lookback: int = 5,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Bounded-window exponential moving average per key (ClickHouse
+    ``exponentialMovingAverage`` analog, window-bounded so state and
+    replay cost are fixed): for each row, the normalized decayed mean
+    of the last ``lookback`` non-NULL values in (ts, tiebreak) order —
+    smoothed = Σ (1−α)^age · x / Σ (1−α)^age, age 0 at the current row.
+
+    Plan: ONE keyed window pass collecting the ≤ lookback-element
+    trailing frame, then a pure codegen HOF fold over it (``let_bind``
+    keeps the frame list evaluated once — HOF lambdas sit outside
+    common-subexpression elimination). No self-joins, no Python; the
+    fold order is left-to-right over the frame, bit-replayable by an
+    ANSI engine with list lambdas. NULL values are excluded before the
+    frame so decay ages refer to observed points."""
+    from from_superset_to_clickhouse_spark.functions.scalar import let_bind
+
+    decay = 1.0 - alpha
+    order = [F.col(ts_col)]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col))
+    w = (
+        Window.partitionBy(F.col(key_col))
+        .orderBy(*order)
+        .rowsBetween(-(lookback - 1), 0)
+    )
+    frame = F.collect_list(F.col(value_col)).over(w)
+
+    def fold(l):
+        n = F.size(l)
+        weighted = F.aggregate(
+            F.transform(
+                l,
+                lambda x, i: x.cast("double")
+                * F.pow(F.lit(decay), (n - 1 - i).cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        weights = F.aggregate(
+            F.transform(
+                l,
+                lambda x, i: F.pow(F.lit(decay), (n - 1 - i).cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.round(weighted / weights, 6)
+
+    return df.filter(F.col(value_col).isNotNull()).select(
+        key_col,
+        ts_col,
+        *( [tiebreak_col] if tiebreak_col else [] ),
+        let_bind(frame, fold).alias("smoothed"),
+    )

@@ -517,3 +517,32 @@ def test_seeded_shuffle_total_order_and_determinism(spark):
     bounds = [(p[0]["_skey"], p[-1]["_skey"]) for p in parts if p]
     for (lo, hi), (lo2, hi2) in zip(bounds, bounds[1:]):
         assert hi < lo2
+
+
+def test_ewma_smooth_hand_values_and_null_skip(spark):
+    """EWMA over a 3-row trailing frame, alpha=0.5: weights halve with
+    age and normalize; the first rows use shorter frames; NULL values
+    are excluded BEFORE framing so decay ages refer to observed
+    points."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        ewma_smooth,
+    )
+
+    rows = [
+        ("k", 1, 10.0), ("k", 2, None), ("k", 3, 20.0), ("k", 4, 40.0),
+        ("other", 1, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    got = {
+        (r["g"], r["t"]): r["smoothed"]
+        for r in ewma_smooth(
+            df, "g", "t", "v", alpha=0.5, lookback=3
+        ).collect()
+    }
+    assert got[("k", 1)] == 10.0
+    # frame [10, 20], weights [.5, 1] -> (5+20)/1.5
+    assert got[("k", 3)] == round(25.0 / 1.5, 6)
+    # frame [10, 20, 40], weights [.25, .5, 1] -> (2.5+10+40)/1.75
+    assert got[("k", 4)] == round(52.5 / 1.75, 6)
+    assert got[("other", 1)] == 7.0
+    assert ("k", 2) not in got  # NULL row dropped, not zero-filled
