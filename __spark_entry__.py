@@ -1274,6 +1274,19 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted heavy hitters (topKWeighted's exact cousin):
+    event types carrying more than 1/3 of total event value, via the
+    two-pass weighted Misra–Gries candidate pass + exact candidate-only
+    sums. The oracle IS the exact weighted groupBy HAVING twin — the
+    full-vocabulary shuffle this operator deletes."""
+    from from_superset_to_clickhouse_spark.operators import sketch as sk
+
+    return sk.weighted_heavy_hitters(
+        _ev(spark, sf_dir), "event_type", "value", k=3
+    ).select(F.col("item").alias("event_type"), "wsum")
+
+
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch rollup — the deterministic counterpart
     of the HLL rollup: per-day equi-width histogram partials (≤250 rows
@@ -5485,6 +5498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_jaccard_join": q_prefix_jaccard_join,
         "quantile_sketch": q_quantile_sketch,
         "cms_counts": q_cms_counts,
+        "weighted_hh": q_weighted_hh,
         "stream_quantiles": q_stream_quantiles,
         "schema_evolution": q_schema_evolution,
         "lm_score": q_lm_score,
@@ -6136,6 +6150,17 @@ FROM toks LEFT JOIN rebuilt USING (doc_id)
         # deterministic sketch: the oracle replays the identical
         # bucket/merge/extract math (same expression order, so the
         # IEEE double bucketing agrees); integer sums cast ::BIGINT
+        "weighted_hh": (
+            # Exact weighted groupBy HAVING twin of the two-pass MG
+            # route; identical round-then-threshold order.
+            "WITH src AS (SELECT event_type AS item, "
+            "CAST(value AS DOUBLE) AS w FROM events "
+            "WHERE event_type IS NOT NULL AND value > 0), "
+            "tot AS (SELECT sum(w) AS tw FROM src) "
+            "SELECT item AS event_type, round(sum(w), 4) AS wsum "
+            "FROM src CROSS JOIN tot GROUP BY item, tot.tw "
+            "HAVING round(sum(w), 4) > tw / 3"
+        ),
         "cms_counts": """
 -- Rebuild the identical Count-Min sketch: same md5-derived cells,
 -- same disjoint-half split + merge, same min-over-rows estimate.

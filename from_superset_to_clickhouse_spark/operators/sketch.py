@@ -234,3 +234,54 @@ def cms_query(
         .groupBy("key")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+def weighted_heavy_hitters(
+    df: DataFrame, item_col: str, weight_col: str, k: int = 100
+) -> DataFrame:
+    """EXACT weighted heavy hitters (ClickHouse ``topKWeighted``'s
+    exact cousin): all items whose TOTAL WEIGHT exceeds W/k, with
+    exact sums → (item, wsum). Same two-pass shape as
+    ``heavy_hitters`` with weights in place of counts: pass 1 runs a
+    weighted Misra–Gries / SpaceSaving-style summary per partition
+    (add weight, and when the table overflows subtract the (k+1)-th
+    largest residual from everyone — the standard mergeable reduction,
+    which preserves every item whose partition weight share exceeds
+    1/(k+1)), pass 2 exactly sums candidates only. An item with global
+    weight > W/k has > local_W/k share in ≥1 partition (pigeonhole),
+    so the candidate union provably contains every answer; NULL items
+    and NULL/negative weights are excluded (weights must be
+    non-negative for the MG guarantee)."""
+    import pandas as pd
+
+    src = df.select(
+        F.col(item_col).cast("string").alias("item"),
+        F.col(weight_col).cast("double").alias("w"),
+    ).filter(F.col("item").isNotNull() & (F.col("w") > 0))
+
+    def mg_partial(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for it, wsum in pdf.groupby("item")["w"].sum().items():
+                counters[it] = counters.get(it, 0.0) + float(wsum)
+            if len(counters) > k:
+                kth = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    i: v - kth for i, v in counters.items() if v - kth > 0
+                }
+        yield pd.DataFrame(
+            {"item": list(counters.keys()), "w": list(counters.values())}
+        )
+
+    cand = (
+        src.mapInPandas(mg_partial, "item string, w double")
+        .select("item")
+        .distinct()
+    )
+    total = src.agg(F.sum("w")).first()[0] or 0.0
+    return (
+        src.join(F.broadcast(cand), "item")
+        .groupBy("item")
+        .agg(F.round(F.sum("w"), 4).alias("wsum"))
+        .filter(F.col("wsum") > F.lit(total / k))
+    )

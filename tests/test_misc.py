@@ -1003,3 +1003,25 @@ def test_linear_regression_closed_form_and_degenerates(spark):
     assert got["vert"] == (5, None, None, None)
     assert got["flat"][0] == 5 and got["flat"][1] == 0.0
     assert got["flat"][3] is None  # r2 undefined when var(y) = 0
+
+
+def test_weighted_heavy_hitters_adversarial_partitioning(spark):
+    """Weighted MG candidates provably contain every >W/k item even
+    when a heavy item's weight is scattered thinly across partitions
+    while decoys are locally concentrated; results equal the exact
+    weighted groupBy twin; zero/negative/NULL weights excluded."""
+    from from_superset_to_clickhouse_spark.operators import sketch as sk
+
+    # 'whale' carries 60% of the weight in many small rows; decoys are
+    # single heavy rows. k=3 -> threshold = W/3.
+    rows = (
+        [("whale", 3.0)] * 200  # 600
+        + [("decoy1", 150.0), ("decoy2", 150.0), ("decoy3", 100.0)]
+        + [("noise", -5.0), (None, 99.0), ("zero", 0.0)]
+    )
+    df = spark.createDataFrame(rows, "item string, w double").repartition(8)
+    got = {
+        r["item"]: r["wsum"]
+        for r in sk.weighted_heavy_hitters(df, "item", "w", k=3).collect()
+    }
+    assert got == {"whale": 600.0}  # 600 > 1000/3; decoys below
