@@ -568,6 +568,13 @@ def main() -> None:
         "metric": "headline_queries_wall_time",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        # Provenance (VERDICT r7 item 8): a stray sf0.01 measurement
+        # run must never masquerade as the round artifact — the driver
+        # compares "sf"/"sf_dir" here; scripts/check_bench_artifact.py
+        # enforces it pre-commit.
+        "generated_by": "bench.py",
+        "run_id": time.strftime("%Y%m%dT%H%M%SZ", time.gmtime()),
+        "sf_dir": SF_DIR,
         "queries": timings,
         "raw_timings": raw_timings,
         "dispersion": dispersion,

@@ -279,9 +279,14 @@ def weighted_heavy_hitters(
         .distinct()
     )
     total = src.agg(F.sum("w")).first()[0] or 0.0
+    # Both sides of the threshold are rounded to 4 decimals so an
+    # engine that sums in a different order (the DuckDB oracle)
+    # lands on the identical grand total before dividing — an item
+    # within a few ulps of W/k can't pass on one engine and fail on
+    # the other.
     return (
         src.join(F.broadcast(cand), "item")
         .groupBy("item")
         .agg(F.round(F.sum("w"), 4).alias("wsum"))
-        .filter(F.col("wsum") > F.lit(total / k))
+        .filter(F.col("wsum") > F.lit(round(total, 4) / k))
     )

@@ -74,7 +74,11 @@ def split_statements(script: str) -> list[str]:
             continue
         if state in ("'", '"', "`"):
             buf.append(c)
-            if c == "\\" and state != "`" and i + 1 < n:
+            # Backslash escapes apply in ALL three quote states —
+            # ClickHouse's lexer honors \` inside backticks (and
+            # quote_ident emits it), so skipping it here would close
+            # the identifier early and mis-split on a later ';'.
+            if c == "\\" and i + 1 < n:
                 buf.append(script[i + 1])
                 i += 2
                 continue

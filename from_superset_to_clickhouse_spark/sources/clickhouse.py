@@ -255,8 +255,13 @@ def create_table_ddl(
         f"{quote_ident(schema.name)}{on_cluster}\n(\n" + ",\n".join(cols) + "\n)\n"
         f"ENGINE = {engine}\n"
     )
-    for p in schema.partition_by:
-        ddl += f"PARTITION BY {_partition_expr(p)}\n"
+    if schema.partition_by:
+        # ONE clause even for composite keys — ClickHouse rejects a
+        # second PARTITION BY, so multi-column keys become a tuple.
+        exprs = ", ".join(_partition_expr(p) for p in schema.partition_by)
+        if len(schema.partition_by) > 1:
+            exprs = f"({exprs})"
+        ddl += f"PARTITION BY {exprs}\n"
     ddl += f"ORDER BY ({order_by});"
     return ddl
 
@@ -324,8 +329,11 @@ def create_table_options(schema: Schema) -> str:
             else "tuple()"
         )
     opts = f"ENGINE = {engine}"
-    for p in schema.partition_by:
-        opts += f" PARTITION BY {_partition_expr(p)}"
+    if schema.partition_by:
+        exprs = ", ".join(_partition_expr(p) for p in schema.partition_by)
+        if len(schema.partition_by) > 1:
+            exprs = f"({exprs})"
+        opts += f" PARTITION BY {exprs}"
     return opts + f" ORDER BY ({order})"
 
 

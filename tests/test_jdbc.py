@@ -352,3 +352,21 @@ def test_ch_publish_replacing_dedups_before_insert(spark):
         1: (dt.datetime(2024, 3, 1), "undefined"),
         2: (dt.datetime(2024, 2, 1), "only"),
     }
+
+
+def test_ch_composite_partition_key_single_clause():
+    """ADVICE r7: a schema with two partition columns must emit ONE
+    `PARTITION BY (a, b)` clause — ClickHouse rejects a second
+    PARTITION BY outright."""
+    s = Schema(
+        "t2",
+        (Field("d", "date", nullable=False), Field("k", "int", nullable=False)),
+        partition_by=("d", "k"),
+        sort_by=("k",),
+    )
+    ddl = ch.create_table_ddl(s)
+    assert ddl.count("PARTITION BY") == 1
+    assert "PARTITION BY (`d`, `k`)" in ddl
+    opts = ch.create_table_options(s)
+    assert opts.count("PARTITION BY") == 1
+    assert "PARTITION BY (`d`, `k`)" in opts

@@ -1025,3 +1025,14 @@ def test_weighted_heavy_hitters_adversarial_partitioning(spark):
         for r in sk.weighted_heavy_hitters(df, "item", "w", k=3).collect()
     }
     assert got == {"whale": 600.0}  # 600 > 1000/3; decoys below
+
+
+def test_split_statements_backtick_backslash_escape():
+    """ADVICE r7: quote_ident escapes an embedded backtick as \\` and
+    ClickHouse's lexer accepts it — the scanner must honor backslash
+    escapes inside the backtick state too, or the identifier closes
+    early and a later ';' mis-splits."""
+    assert split_statements("SELECT `we\\`ird; name`; SELECT 2") == [
+        "SELECT `we\\`ird; name`",
+        "SELECT 2",
+    ]
