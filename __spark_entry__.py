@@ -837,6 +837,24 @@ def q_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_color_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline COLOR JPEG pixel decode (VERDICT r7 item 2): one
+    interleaved 3-component YCbCr JPEG per document — Annex K luma AND
+    chroma quant/Huffman tables, 4:4:4 on even ids, 4:2:0 (2x2-sampled
+    luma MCUs, box-downsampled chroma) on odd ids, RSTn restart markers
+    every 2 MCUs when id%3==0 — decoded back through the full
+    entropy/dequant/IDCT/upsample/BT.601 pipeline. The planted solid
+    YCbCr contract (even Y, chroma offsets divisible by the 17-step) is
+    exactly lossless through every one of those stages, so the oracle
+    replays the YCbCr->RGB reconstruction arithmetic in closed form and
+    demands bit-exact statistics."""
+    imgs = mm.synthesize_jpeg_color_images(_docs(spark, sf_dir), "doc_id")
+    return mm.image_pixel_stats(imgs).select(
+        "media_id", "format", "width", "height", "channels",
+        "n_px", "px_sum", "min_px", "max_px",
+    )
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image resize end-to-end: decode PNG pixels → 2×2 box-filter
     downsample → re-encode PNG → decode AGAIN for stats. Fixture dims
@@ -5367,6 +5385,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-8 additions land here (inside the driver's first-50 window);
     # the 15 r7 additions moved to the backfill — green in
     # CORRECTNESS_r07.
+    "jpeg_color_pixels": q_jpeg_color_pixels,
 }
 
 
@@ -5899,6 +5918,39 @@ def oracle_sql() -> dict[str, str]:
             "CAST(((doc_id * 37) % 125) * 2 AS INTEGER) AS max_px "
             "FROM documents"
         ),
+        "jpeg_color_pixels": """
+-- Arithmetic twin of synthesize_jpeg_color_images' planted contract:
+-- solid YCbCr with even Y and 17-step-aligned chroma is exactly
+-- lossless through BOTH sampling modes AND restart resets, so the
+-- decoded RGB is the closed-form BT.601 reconstruction below (same
+-- float64 expressions the decoder evaluates; planted values verified
+-- >=0.002 from any .5 rounding boundary, so round() == np.rint here).
+WITH ycc AS (
+  SELECT doc_id,
+    doc_id % 13 + 1 AS w, doc_id % 9 + 1 AS h,
+    ((doc_id * 37) % 128) * 2 AS y,
+    9 + 17 * ((doc_id * 53) % 15) AS cb,
+    9 + 17 * ((doc_id * 29) % 15) AS cr
+  FROM documents
+), rgb AS (
+  SELECT doc_id, w, h,
+    CAST(LEAST(255, GREATEST(0, round(y + 1.402 * (cr - 128)))) AS INTEGER) AS r,
+    CAST(LEAST(255, GREATEST(0, round(y - 0.344136 * (cb - 128)
+                                        - 0.714136 * (cr - 128)))) AS INTEGER) AS g,
+    CAST(LEAST(255, GREATEST(0, round(y + 1.772 * (cb - 128)))) AS INTEGER) AS b
+  FROM ycc
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+  'jpeg' AS format,
+  CAST(w AS INTEGER) AS width,
+  CAST(h AS INTEGER) AS height,
+  CAST(3 AS INTEGER) AS channels,
+  CAST(w * h * 3 AS INTEGER) AS n_px,
+  CAST((r + g + b) * w * h AS BIGINT) AS px_sum,
+  CAST(LEAST(r, g, b) AS INTEGER) AS min_px,
+  CAST(GREATEST(r, g, b) AS INTEGER) AS max_px
+FROM rgb
+""",
         "gif_pixels": r"""
 WITH dims AS (
   SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 9 + 1 AS h FROM documents

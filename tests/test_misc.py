@@ -919,11 +919,11 @@ def test_jpeg_codec_exact_solids_and_quarantine(spark):
     assert max(abs(a - b) for a, b in zip(px, out)) <= 1
 
     good = mm.encode_jpeg_gray(4, 4, bytes([100]) * 16)
-    # flip SOF0 component count to 3 -> color, must quarantine
     i = good.index(b"\xff\xc0")
+    # component count 3 with a 1-component scan -> frame/scan mismatch
     color = bytearray(good)
     color[i + 9] = 3
-    with pytest.raises(ValueError, match="single-component"):
+    with pytest.raises(ValueError, match="mismatch|malformed"):
         mm.decode_jpeg_pixels(bytes(color))
     prog = bytearray(good)
     prog[i + 1] = 0xC2  # SOF2 progressive
@@ -1036,3 +1036,71 @@ def test_split_statements_backtick_backslash_escape():
         "SELECT `we\\`ird; name`",
         "SELECT 2",
     ]
+
+
+def test_jpeg_color_codec_exact_solids_rgb_and_quarantine():
+    """COLOR baseline JPEG (VERDICT r7 item 2): solid YCbCr planes with
+    even Y and 17-step-aligned chroma survive the lossy format EXACTLY
+    through 4:4:4 AND 4:2:0 AND restart markers; the RGB front-door
+    round-trips arbitrary content within the color-conversion bound
+    under all-ones quant; 4:2:2 sampling and restart-marker corruption
+    quarantine."""
+    import numpy as np
+
+    def solid(w, h, v):
+        return bytes([v]) * (w * h)
+
+    for (w, h) in ((1, 1), (8, 8), (13, 9), (17, 13)):
+        for (y, cb, cr) in ((130, 128, 128), (200, 9, 247), (64, 43, 179)):
+            for sub in ("4:4:4", "4:2:0"):
+                for ri in (0, 2):
+                    p = mm.encode_jpeg_ycbcr(
+                        w, h, solid(w, h, y), solid(w, h, cb),
+                        solid(w, h, cr), subsampling=sub,
+                        restart_interval=ri,
+                    )
+                    got = mm.decode_jpeg_pixels(p)
+                    r = int(np.clip(np.rint(y + 1.402 * (cr - 128)), 0, 255))
+                    g = int(np.clip(np.rint(
+                        y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+                    ), 0, 255))
+                    b = int(np.clip(np.rint(y + 1.772 * (cb - 128)), 0, 255))
+                    assert got == (w, h, 3, bytes([r, g, b]) * (w * h))
+
+    # RGB front-door: all-ones quant bounds the error to the YCbCr
+    # 8-bit conversion round (<=3 levels), both sampling modes decode
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=24 * 17 * 3, dtype=np.uint8).tobytes()
+    p = mm.encode_jpeg_color(24, 17, rgb, quant=[1] * 64, chroma_quant=[1] * 64)
+    _, _, c, out = mm.decode_jpeg_pixels(p)
+    assert c == 3
+    diff = np.abs(
+        np.frombuffer(out, np.uint8).astype(int)
+        - np.frombuffer(rgb, np.uint8).astype(int)
+    )
+    assert diff.max() <= 3
+    w2, h2, c2, _ = mm.decode_jpeg_pixels(
+        mm.encode_jpeg_color(24, 17, rgb, subsampling="4:2:0")
+    )
+    assert (w2, h2, c2) == (24, 17, 3)
+
+    # 4:2:2 luma sampling (2,1) quarantines honestly
+    p422 = bytearray(mm.encode_jpeg_color(8, 8, bytes(8 * 8 * 3)))
+    i = p422.index(b"\xff\xc0")
+    p422[i + 11] = 0x21
+    with pytest.raises(ValueError, match="subsampling"):
+        mm.decode_jpeg_pixels(bytes(p422))
+
+    # dropping a restart marker is detected, not silently misdecoded
+    p_rst = mm.encode_jpeg_ycbcr(
+        32, 32, solid(32, 32, 130), solid(32, 32, 128), solid(32, 32, 128),
+        restart_interval=1,
+    )
+    j = p_rst.index(b"\xff\xd0")
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_pixels(p_rst[:j] + p_rst[j + 2:])
+
+    # header parse reports color dims
+    assert mm.decode_image_header(
+        mm.encode_jpeg_color(31, 7, bytes(31 * 7 * 3))
+    ) == ("jpeg", 31, 7)
