@@ -13,6 +13,7 @@ needs on top of that (BASELINE.json north star).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1108,6 +1109,25 @@ def unigram_lm_scores(
     )
 
 
+def stemmed_tokens(text: Column) -> Column:
+    """``word_tokens`` + Porter stemming, as one Arrow-batched pass
+    over the token arrays (pandas_udf on array<string> — one Python
+    crossing per batch, with a per-batch memo; natural vocabularies
+    are Zipfian so the memo hit rate is extreme). This is the
+    tokenizer of the stemmed retrieval tier — NOT a row-at-a-time
+    Python UDF in a hot path."""
+    from ..functions.stemmer import stem_tokens
+
+    @F.pandas_udf("array<string>")
+    def _stem(arrs: pd.Series) -> pd.Series:
+        memo: dict = {}
+        return arrs.map(
+            lambda a: a if a is None else stem_tokens(list(a), memo)
+        )
+
+    return _stem(word_tokens(text))
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: list[str],
@@ -1116,6 +1136,7 @@ def bm25_topk(
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    stem: bool = False,
 ) -> DataFrame:
     """Okapi BM25 full-text retrieval: top-k documents for a bag of
     query terms → (doc_id, score, rank).
@@ -1134,11 +1155,25 @@ def bm25_topk(
     computed on the already-filtered stream; the final top-k is a
     TakeOrderedAndProject, never a global sort. No driver-side
     vocabulary, no Python in the hot path.
+
+    With ``stem=True``, both the corpus tokens and the query terms go
+    through the Porter stemmer (``functions.stemmer``), so "merged" /
+    "merges" / "merging" retrieve documents containing "merge" —
+    tf/df/idf become statistics over stem equivalence classes.
+    Document length (dl/avgdl) is token count, which stemming does
+    not change.
     """
-    terms = sorted({t.lower() for t in query_terms})
+    if stem:
+        from ..functions.stemmer import stem_tokens
+
+        terms = sorted(set(stem_tokens([t.lower() for t in query_terms])))
+        tok_col = stemmed_tokens(F.col(text_col))
+    else:
+        terms = sorted({t.lower() for t in query_terms})
+        tok_col = word_tokens(F.col(text_col))
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_tokens(F.col(text_col))).alias("term"),
+        F.explode(tok_col).alias("term"),
     )
     # Per-document length over all tokens (one full pass).
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))

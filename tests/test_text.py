@@ -619,3 +619,94 @@ def test_cut_repeated_spans_hash_mode_equals_string_mode(spark):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_porter_stemmer_paper_golden_pairs():
+    """The original 1980 Porter algorithm, pinned by the paper's own
+    published example pairs (full-pipeline outputs) — public knowledge,
+    hand-vendored. Also pins the fixture corpus vocabulary's stems:
+    the bm25_stemmed oracle's validity rests on these being the
+    hand-derived values, NOT on the engine's own stemmer."""
+    from from_superset_to_clickhouse_spark.functions.stemmer import (
+        porter_stem,
+        stem_tokens,
+    )
+
+    golden = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti",
+        "caress": "caress", "cats": "cat", "feed": "feed",
+        "plastered": "plaster", "bled": "bled", "motoring": "motor",
+        "sing": "sing", "conflated": "conflat", "troubled": "troubl",
+        "sized": "size", "hopping": "hop", "tanned": "tan",
+        "falling": "fall", "hissing": "hiss", "fizzed": "fizz",
+        "failing": "fail", "filing": "file", "happy": "happi",
+        "sky": "sky", "relational": "relat", "conditional": "condit",
+        "rational": "ration", "valenci": "valenc", "hesitanci": "hesit",
+        "digitizer": "digit", "conformabli": "conform",
+        "radicalli": "radic", "differentli": "differ", "vileli": "vile",
+        "analogousli": "analog", "vietnamization": "vietnam",
+        "predication": "predic", "operator": "oper",
+        "feudalism": "feudal", "decisiveness": "decis",
+        "hopefulness": "hope", "callousness": "callous",
+        "formaliti": "formal", "sensitiviti": "sensit",
+        "sensibiliti": "sensibl", "triplicate": "triplic",
+        "formative": "form", "formalize": "formal",
+        "electriciti": "electr", "electrical": "electr",
+        "hopeful": "hope", "goodness": "good", "revival": "reviv",
+        "allowance": "allow", "inference": "infer",
+        "airliner": "airlin", "gyroscopic": "gyroscop",
+        "adjustable": "adjust", "defensible": "defens",
+        "irritant": "irrit", "replacement": "replac",
+        "adjustment": "adjust", "dependent": "depend",
+        "adoption": "adopt", "homologou": "homolog",
+        "communism": "commun", "activate": "activ",
+        "angulariti": "angular", "homologous": "homolog",
+        "effective": "effect", "bowdlerize": "bowdler",
+        "probate": "probat", "rate": "rate", "cease": "ceas",
+        "controll": "control", "roll": "roll",
+    }
+    bad = {w: (porter_stem(w), e) for w, e in golden.items()
+           if porter_stem(w) != e}
+    assert not bad, bad
+
+    # the fixture vocabulary: exactly these six words change, to
+    # exactly these stems (basis of the bm25_stemmed oracle's
+    # one-surface-form-per-class argument)
+    vocab = [
+        "join", "hash", "row", "batch", "scan", "customer", "column",
+        "filter", "small", "slow", "merge", "order", "vector", "line",
+        "table", "data", "agg", "value", "key", "stream", "window",
+        "spark", "a", "group", "part", "big", "sort", "query", "fast",
+        "the", "dup",
+    ]
+    changed = {w: porter_stem(w) for w in vocab if porter_stem(w) != w}
+    assert changed == {
+        "customer": "custom", "merge": "merg", "table": "tabl",
+        "value": "valu", "key": "kei", "query": "queri",
+    }
+    # inflected query forms land in the same classes
+    assert stem_tokens(
+        ["merged", "merges", "merging", "queries", "customers", "tables"]
+    ) == ["merg", "merg", "merg", "queri", "custom", "tabl"]
+
+
+def test_bm25_stemmed_unifies_inflections(spark):
+    """stem=True folds inflected surface forms into one stem class:
+    a doc with three inflections of 'merge' outscores a doc with one
+    literal 'merge' for the query 'merged' (tf 3 vs 1); without
+    stemming the same query matches nothing."""
+    df = spark.createDataFrame(
+        [
+            (1, "merging merged merges filler filler"),
+            (2, "merge filler filler filler filler"),
+            (3, "join scan filter sort group"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = txt.bm25_topk(df, ["merged"], k=3, stem=True).collect()
+    assert [r["doc_id"] for r in rows] == [1, 2]
+    assert rows[0]["score"] > rows[1]["score"]
+    # unstemmed, the same query only hits the literal surface form
+    assert [
+        r["doc_id"] for r in txt.bm25_topk(df, ["merged"], k=3).collect()
+    ] == [1]
