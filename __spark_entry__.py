@@ -1292,6 +1292,24 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_card_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-counting cardinality sketch with a FULL oracle (VERDICT
+    r7 item 5) — the cardinality tier stops being rows-only: two
+    sketches built over disjoint halves of the events are merged
+    (union-distinct of occupied buckets, the rollup property) and the
+    m*ln(m/z) estimate extracted. Buckets derive from md5, so DuckDB
+    rebuilds the identical occupied set and the identical estimate
+    bit-for-bit; approx_distinct stays as the engine-native xxhash64
+    HLL twin. Sketch state <= m rows; the estimate aggregates sketch
+    state, never data."""
+    from from_superset_to_clickhouse_spark.operators import sketch as sk
+
+    ev = _ev(spark, sf_dir).select("event_id", "user_id")
+    s1 = sk.lc_build(ev.filter(F.col("event_id") % 2 == 0), "user_id")
+    s2 = sk.lc_build(ev.filter(F.col("event_id") % 2 == 1), "user_id")
+    return sk.lc_estimate(sk.lc_merge(s1, s2))
+
+
 def q_weighted_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT weighted heavy hitters (topKWeighted's exact cousin):
     event types carrying more than 1/5 of total event value, via the
@@ -5421,6 +5439,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # CORRECTNESS_r07.
     "jpeg_color_pixels": q_jpeg_color_pixels,
     "bm25_stemmed": q_bm25_stemmed,
+    "card_sketch": q_card_sketch,
 }
 
 
@@ -6260,6 +6279,22 @@ FROM toks LEFT JOIN rebuilt USING (doc_id)
             "FROM src CROSS JOIN tot GROUP BY item, tot.tw "
             "HAVING round(sum(w), 4) > round(tw, 4) / 5"
         ),
+        "card_sketch": """
+-- Rebuild the identical linear-counting sketch: same md5-derived
+-- buckets, same disjoint-half build + union-distinct merge (a no-op
+-- relative to one distinct pass — which is the point: idempotent
+-- merge), same m*ln(m/z) float64 estimate, rounded to 6dp on both
+-- engines.
+WITH src AS (
+  SELECT DISTINCT CAST(CAST(('0x' || substr(md5('lc:' ||
+    CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1024 AS INTEGER)
+    AS bucket
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT CAST(count(*) AS INTEGER) AS n_used,
+  round(1024.0 * ln(1024.0 / (1024.0 - count(*))), 6) AS est
+FROM src
+""",
         "cms_counts": """
 -- Rebuild the identical Count-Min sketch: same md5-derived cells,
 -- same disjoint-half split + merge, same min-over-rows estimate.

@@ -161,6 +161,67 @@ def heavy_hitters(df: DataFrame, item_col: str, k: int = 100) -> DataFrame:
     )
 
 
+# -- Linear counting (Whang, Vander-Zanden & Taylor 1990) ----------------
+#
+# Deterministic, MERGEABLE cardinality sketch with a FULL SQL oracle —
+# the cardinality-tier answer to cms_build: buckets derive from md5, so
+# an independent engine rebuilds the identical occupied-bucket set and
+# the identical m*ln(m/z) estimate bit-for-bit (unlike the xxhash64
+# HLL twins, which are rows-only by design). State is <= m rows
+# regardless of input size; merge is union-distinct (associative,
+# commutative, idempotent — the rollup property). Standard error is
+# ~sqrt(m*(e^t - t - 1))/(t*m) with t = n/m; the sweet spot is load
+# factor well under 1 (estimate is infinite at z = 0 — pick m >> n or
+# fall back to the HLL tier for unbounded domains).
+
+
+def _lc_bucket(col: Column, m: int) -> Column:
+    """First 8 md5 hex digits of ``lc:value`` as an integer mod m —
+    deterministic in any engine with md5."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit("lc"), col)), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % m
+    ).cast("int")
+
+
+def lc_build(df: DataFrame, col: str, m: int = 1024) -> DataFrame:
+    """Build the sketch: the DISTINCT occupied buckets (single `bucket`
+    column, <= m rows). One shuffle with map-side partial distinct;
+    NULLs excluded (cardinality of observed values)."""
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(_lc_bucket(F.col(col), m).alias("bucket"))
+        .distinct()
+    )
+
+
+def lc_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with the SAME m: union of occupied sets."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct()
+
+
+def lc_estimate(sketch: DataFrame, m: int = 1024) -> DataFrame:
+    """(n_used, est): occupied-bucket count and the linear-counting
+    estimate m*ln(m/z), z = m - n_used, rounded to 6 decimals so the
+    SQL twin's float64 ln agrees bit-for-bit. Aggregates <= m sketch
+    rows — never the data."""
+    return sketch.agg(F.count(F.lit(1)).alias("n_used")).select(
+        F.col("n_used").cast("int"),
+        F.round(
+            F.lit(float(m))
+            * F.log(F.lit(float(m)) / (F.lit(float(m)) - F.col("n_used"))),
+            6,
+        ).alias("est"),
+    )
+
+
 # -- Count-Min sketch (Cormode & Muthukrishnan 2005) ---------------------
 #
 # Deterministic, MERGEABLE frequency sketch with a FULL SQL oracle:

@@ -526,3 +526,81 @@ def test_jpeg_roundtrip_bounded_error_and_solid_exact(w, h, seed):
     assert mm.decode_jpeg_pixels(mm.encode_jpeg_gray(w, h, solid)) == (
         w, h, 1, solid,
     )
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_cms_eps_delta_error_bound(spark, data):
+    """The (eps, delta) guarantee the Count-Min sketch is CHOSEN for
+    (VERDICT r7 item 4), not just exactness on one fixture: for any
+    multiset, (a) estimates NEVER undercount — a hard deterministic
+    guarantee of the min-over-rows construction; (b) per-key overshoot
+    exceeds eps*N = (e/width)*N on at most a delta = e^-depth fraction
+    of keys (the paper's bound is per-key probability delta; with 5
+    examples x <=60 keys and the huge slack between expected collision
+    mass N/width and eps*N, a violation count above delta*n_keys
+    indicates a real construction bug, not bad luck)."""
+    import math
+
+    from from_superset_to_clickhouse_spark.operators import sketch as sk
+
+    width, depth = 256, 4
+    items = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, 59), st.integers(1, 40)),
+            min_size=1,
+            max_size=60,
+            unique_by=lambda t: t[0],
+        )
+    )
+    rows = [(f"k{i}",) for i, c in items for _ in range(c)]
+    df = spark.createDataFrame(rows, "item string")
+    sketch = sk.cms_build(df, "item", width=width, depth=depth)
+    keys = df.select("item").distinct()
+    est = {
+        r["key"]: r["est"]
+        for r in sk.cms_query(
+            sketch, keys, "item", width=width, depth=depth
+        ).collect()
+    }
+    truth = {f"k{i}": c for i, c in items}
+    n_total = sum(truth.values())
+    assert set(est) == set(truth)
+    # (a) never undercounts
+    assert all(est[k] >= truth[k] for k in truth), (est, truth)
+    # (b) eps*N bound violated on at most ceil(delta * n_keys) keys
+    eps_n = math.e / width * n_total
+    delta = math.exp(-depth)
+    violations = sum(1 for k in truth if est[k] - truth[k] > eps_n)
+    assert violations <= math.ceil(delta * len(truth)), (
+        violations, eps_n, est, truth,
+    )
+
+
+def test_linear_counting_merge_and_accuracy(spark):
+    """lc sketch: merge(union-distinct) of disjoint halves equals the
+    one-pass sketch (idempotent, commutative), and at load factor
+    n/m ~ 0.15 the estimate lands within 10% of the true cardinality
+    for a deterministic fixture."""
+    from pyspark.sql import functions as F
+
+    from from_superset_to_clickhouse_spark.operators import sketch as sk
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("event_id"), (F.col("id") % 150).alias("v")
+    )
+    one = sk.lc_build(df, "v")
+    merged = sk.lc_merge(
+        sk.lc_build(df.filter(F.col("event_id") % 2 == 0), "v"),
+        sk.lc_build(df.filter(F.col("event_id") % 2 == 1), "v"),
+    )
+    assert sorted(r["bucket"] for r in one.collect()) == sorted(
+        r["bucket"] for r in merged.collect()
+    )
+    est = sk.lc_estimate(merged).first()
+    assert est["n_used"] <= 150
+    assert abs(est["est"] - 150) / 150 < 0.10, est
