@@ -113,6 +113,44 @@ def stream_to_jdbc(
     return writer.start()
 
 
+def stream_index_append(
+    stream: DataFrame,
+    spark: SparkSession,
+    path: str,
+    checkpoint: str,
+    n_buckets: int = 64,
+    available_now: bool = True,
+):
+    """Streaming -> incremental inverted-index maintenance: each
+    micro-batch of documents flows through ``inverted_index_append``
+    (tokenize ONLY the batch, append its postings into the existing
+    term-bucket partitions, refresh the 1-row stats from the
+    doc-length table — O(batch) text work, never a corpus re-scan).
+
+    The checkpoint makes the composition restartable: a killed query
+    resumes at the last committed offset and re-indexes nothing
+    already committed, so append-only sources never double-index
+    (proven under restart in tests/test_streaming.py). Serving stays
+    ``bm25_topk_indexed`` over the same directory — the index a live
+    crawl feed maintains is byte-compatible with the batch-built one.
+    Returns the StreamingQuery (caller awaits)."""
+    from ..operators.text import inverted_index_append
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        inverted_index_append(spark, path, batch_df, n_buckets=n_buckets)
+
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def curate_stream(
     stream: DataFrame,
     text_col: str = "text",

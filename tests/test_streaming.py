@@ -380,3 +380,59 @@ def test_streaming_ohlc_equals_batch_across_file_batches(spark, tmp_path):
     assert streamed == expected
     b0 = streamed[("x", dt.datetime(2024, 1, 1, 0, 0))]
     assert b0 == (10.0, 50.0, 7.0, 7.0, 4)  # open from the LATE-arriving file
+
+
+def test_stream_index_append_restart_no_double_indexing(spark, tmp_path):
+    """Streaming -> incremental-index composition under RESTART: a
+    first run indexes the initial files, the query dies, more files
+    arrive, a second run on the SAME checkpoint indexes ONLY the new
+    files — the final index equals a one-shot batch build over the
+    whole corpus (postings, doc lengths AND served BM25), and no
+    document is indexed twice."""
+    from from_superset_to_clickhouse_spark.operators import text as txt
+
+    docs = [
+        (1, "spark merge stream spark"),
+        (2, "vector scan filter join"),
+        (3, "merge merge window sort"),
+        (4, "spark vector table query"),
+        (5, "stream stream stream batch"),
+        (6, "join hash row group"),
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(docs[:3], schema).write.parquet(src)
+    q = si.stream_index_append(
+        si.stream_source(spark, src, spark.createDataFrame(docs, schema).schema),
+        spark, idx, ckpt,
+    )
+    q.awaitTermination(120)
+    n_after_first = spark.read.parquet(f"{idx}/doc_lengths").count()
+    assert n_after_first == 3
+
+    # "restart": new files land, a fresh query resumes from the ckpt
+    spark.createDataFrame(docs[3:], schema).write.mode("append").parquet(src)
+    q2 = si.stream_index_append(
+        si.stream_source(spark, src, spark.createDataFrame(docs, schema).schema),
+        spark, idx, ckpt,
+    )
+    q2.awaitTermination(120)
+
+    dl = spark.read.parquet(f"{idx}/doc_lengths")
+    assert dl.count() == 6  # every doc exactly once, none re-indexed
+    assert dl.select("doc_id").distinct().count() == 6
+
+    full = spark.createDataFrame(docs, schema)
+    served = {
+        (r["doc_id"], r["score"])
+        for r in txt.bm25_topk_indexed(
+            spark, idx, ["spark", "merge"], k=6
+        ).collect()
+    }
+    direct = {
+        (r["doc_id"], r["score"])
+        for r in txt.bm25_topk(full, ["spark", "merge"], k=6).collect()
+    }
+    assert served == direct and len(served) > 0
