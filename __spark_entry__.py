@@ -810,14 +810,17 @@ def q_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from id arithmetic, diagonal (x+y)%4 index pattern — repeating
     runs force genuine dictionary matches), then recover n_px / px_sum
     / min / max by actually decompressing the LZW sub-blocks and
-    mapping indices through the color table. The oracle enumerates the
-    planted pixels arithmetically, so any codec bug — code-width
-    growth, KwKwK case, palette lookup — hash-mismatches. GIF joins
+    mapping indices through the color table; odd ids are written
+    INTERLACED (Appendix E 4-pass row order) and deinterlaced on
+    decode. The oracle enumerates the planted pixels arithmetically —
+    including the position-weighted checksum ``pos_sum``, which is
+    row-order sensitive — so any codec bug (code-width growth, KwKwK
+    case, palette lookup, pass ordering) hash-mismatches. GIF joins
     PNG as the second pixel-real image format."""
     imgs = mm.synthesize_gif_images(_docs(spark, sf_dir), "doc_id")
     return mm.image_pixel_stats(imgs).select(
         "media_id", "format", "width", "height", "channels",
-        "n_px", "px_sum", "min_px", "max_px",
+        "n_px", "px_sum", "min_px", "max_px", "pos_sum",
     )
 
 
@@ -6046,12 +6049,12 @@ WITH dims AS (
 ), xs AS (
   SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims
 ), px AS (
-  SELECT doc_id, w, h, (x + unnest(range(0, h))) % 4 AS c FROM xs
+  SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs
 ), chan AS (
-  SELECT doc_id, w, h,
-    (doc_id + 31 * c) % 251 AS r,
-    (3 * doc_id + 17 * c) % 251 AS g,
-    (7 * doc_id + 11 * c) % 251 AS b
+  SELECT doc_id, w, h, y * w + x AS p,
+    (doc_id + 31 * ((x + y) % 4)) % 251 AS r,
+    (3 * doc_id + 17 * ((x + y) % 4)) % 251 AS g,
+    (7 * doc_id + 11 * ((x + y) % 4)) % 251 AS b
   FROM px
 )
 SELECT CAST(doc_id AS BIGINT) AS media_id, 'gif' AS format,
@@ -6060,7 +6063,12 @@ SELECT CAST(doc_id AS BIGINT) AS media_id, 'gif' AS format,
   CAST(count(*) * 3 AS INTEGER) AS n_px,
   CAST(sum(r + g + b) AS BIGINT) AS px_sum,
   CAST(least(min(r), min(g), min(b)) AS INTEGER) AS min_px,
-  CAST(greatest(max(r), max(g), max(b)) AS INTEGER) AS max_px
+  CAST(greatest(max(r), max(g), max(b)) AS INTEGER) AS max_px,
+  -- byte index of pixel (x,y) channel ch is 3(yw+x)+ch, so the
+  -- ROW-ORDER-sensitive checksum Σ k·byte[k] collapses to this per
+  -- pixel; odd ids are interlaced on disk — a broken deinterlacer
+  -- permutes rows and mismatches here while px_sum still agrees
+  CAST(sum(3 * p * (r + g + b) + g + 2 * b) AS BIGINT) AS pos_sum
 FROM chan GROUP BY doc_id
 """,
         "cut_spans": r"""

@@ -319,16 +319,29 @@ def _lzw_decompress(
         prev = entry
 
 
+def _gif_interlace_order(height: int) -> "list[int]":
+    """GIF89a Appendix E 4-pass interlace: the k-th TRANSMITTED row is
+    image row ``order[k]`` — pass 1 rows 0,8,16…, pass 2 rows 4,12…,
+    pass 3 rows 2,6,10…, pass 4 the odd rows."""
+    order: list[int] = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, height, step))
+    return order
+
+
 def encode_gif_pixels(
     width: int,
     height: int,
     indices: bytes,
     palette: "list[tuple[int, int, int]]",
+    interlace: bool = False,
 ) -> bytes:
     """A complete, spec-conformant GIF89a image stream with REAL
     LZW-compressed pixel data: header, logical screen descriptor with a
     global color table (padded to a power of two), image descriptor,
-    min-code-size byte, 255-byte-chunked LZW sub-blocks, trailer."""
+    min-code-size byte, 255-byte-chunked LZW sub-blocks, trailer.
+    ``interlace=True`` transmits rows in the published 4-pass order and
+    sets the image-descriptor interlace flag."""
     if len(indices) != width * height:
         raise ValueError("indices must be width*height long")
     if not 1 <= len(palette) <= 256:
@@ -345,16 +358,22 @@ def encode_gif_pixels(
     # GCT flag set, color resolution 7, GCT size field = bits-1
     packed = 0x80 | (7 << 4) | (bits - 1)
     min_code_size = max(2, bits)
+    if interlace:
+        indices = b"".join(
+            indices[r * width : (r + 1) * width]
+            for r in _gif_interlace_order(height)
+        )
     lzw = _lzw_compress(indices, min_code_size)
     blocks = bytearray()
     for i in range(0, len(lzw), 255):
         chunk = lzw[i : i + 255]
         blocks += bytes([len(chunk)]) + chunk
+    ipacked = 0x40 if interlace else 0
     return (
         b"GIF89a"
         + struct.pack("<HHBBB", width, height, packed, 0, 0)
         + bytes(gct)
-        + b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, ipacked)
         + bytes([min_code_size])
         + bytes(blocks)
         + b"\x00\x3b"
@@ -364,10 +383,10 @@ def encode_gif_pixels(
 def decode_gif_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL GIF pixel decode → (width, height, 3, rgb_bytes): logical
     screen descriptor + global color table, extension-block skip, image
-    descriptor (local color table honored; interlace unsupported →
-    ValueError), LZW decompression of the chunked sub-blocks, palette
-    lookup to packed RGB. Raises ``ValueError`` on malformed streams —
-    quarantine, never garbage."""
+    descriptor (local color table honored; 4-pass interlace
+    deinterlaced per Appendix E), LZW decompression of the chunked
+    sub-blocks, palette lookup to packed RGB. Raises ``ValueError`` on
+    malformed streams — quarantine, never garbage."""
     if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
     try:
@@ -397,8 +416,6 @@ def decode_gif_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                     size = 2 << (ipacked & 0x07)
                     ct = payload[pos : pos + 3 * size]
                     pos += 3 * size
-                if ipacked & 0x40:
-                    raise ValueError("GIF: interlaced images unsupported")
                 if ct is None:
                     raise ValueError("GIF: no color table")
                 min_code_size = payload[pos]
@@ -415,6 +432,11 @@ def decode_gif_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                     raise ValueError(
                         f"GIF: decoded {len(indices)} pixels for {w}x{h}"
                     )
+                if ipacked & 0x40:  # deinterlace: k-th row -> order[k]
+                    rows = [b""] * h
+                    for k, r in enumerate(_gif_interlace_order(h)):
+                        rows[r] = indices[k * w : (k + 1) * w]
+                    indices = b"".join(rows)
                 n_colors = len(ct) // 3
                 rgb = bytearray()
                 for i in indices:
@@ -1347,6 +1369,7 @@ PIXEL_STATS_SCHEMA = T.StructType(
         T.StructField("mean_px", T.DoubleType(), True),
         T.StructField("min_px", T.IntegerType(), True),
         T.StructField("max_px", T.IntegerType(), True),
+        T.StructField("pos_sum", T.LongType(), True),
     ]
 )
 
@@ -1364,7 +1387,7 @@ def image_pixel_stats(images: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             fmts, ws, hs, chs = [], [], [], []
-            ns, sums, means, mins, maxs = [], [], [], [], []
+            ns, sums, means, mins, maxs, possums = [], [], [], [], [], []
             for p in pdf["payload"]:
                 try:
                     try:
@@ -1388,6 +1411,13 @@ def image_pixel_stats(images: DataFrame) -> DataFrame:
                     means.append(s / a.size)
                     mins.append(int(a.min()))
                     maxs.append(int(a.max()))
+                    # position-weighted checksum Σ k·byte[k]: unlike the
+                    # multiset stats above it is ROW-ORDER sensitive, so
+                    # a mis-deinterlaced GIF or swapped-channel decode
+                    # mismatches even when sum/min/max agree.
+                    possums.append(
+                        int((a.astype(np.int64) * np.arange(a.size)).sum())
+                    )
                 except ValueError:
                     fmts.append(None)
                     ws.append(None)
@@ -1398,6 +1428,7 @@ def image_pixel_stats(images: DataFrame) -> DataFrame:
                     means.append(None)
                     mins.append(None)
                     maxs.append(None)
+                    possums.append(None)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -1410,6 +1441,7 @@ def image_pixel_stats(images: DataFrame) -> DataFrame:
                     "mean_px": pd.array(means, dtype="float64"),
                     "min_px": pd.array(mins, dtype="Int32"),
                     "max_px": pd.array(maxs, dtype="Int32"),
+                    "pos_sum": pd.array(possums, dtype="Int64"),
                 }
             )
 
@@ -1759,7 +1791,11 @@ def synthesize_gif_images(df: DataFrame, id_col: str) -> DataFrame:
     GIF89a per row with arithmetically predictable content. Planted
     contract per id: w = id%13+1, h = id%9+1, a 4-color global palette
     with color c = ((id + 31c)%251, (3id + 17c)%251, (7id + 11c)%251),
-    pixel index (x, y) → (x + y) % 4 (row-major). The repeating
+    pixel index (x, y) → (x + y) % 4 (row-major); odd ids are written
+    INTERLACED (4-pass row order + descriptor flag), so the oracle's
+    arithmetic pixel enumeration also proves the deinterlacer — a
+    decoder that ignores the flag or mis-orders passes permutes rows
+    and hash-mismatches. The repeating
     diagonal pattern forces genuine LZW dictionary use (multi-symbol
     matches), so a decoder that mishandles code growth or the KwKwK
     case produces wrong statistics rather than crashing."""
@@ -1783,7 +1819,9 @@ def synthesize_gif_images(df: DataFrame, id_col: str) -> DataFrame:
                 idx = bytes(
                     (x + y) % 4 for y in range(h) for x in range(w)
                 )
-                payloads.append(encode_gif_pixels(w, h, idx, pal))
+                payloads.append(
+                    encode_gif_pixels(w, h, idx, pal, interlace=i % 2 == 1)
+                )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     return src.mapInPandas(run, schema=IMAGE_SCHEMA)

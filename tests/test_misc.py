@@ -857,9 +857,9 @@ def test_chi2_independence_known_2x2(spark):
 def test_gif_pixel_decode_canonical_and_quarantine(spark):
     """The canonical 35-byte 1x1 wild GIF (the classic minimal stream,
     02 4C 01 LZW data) decodes to a single black pixel through a
-    graphic-control extension block; interlaced images and truncated
-    streams raise; image_pixel_stats now handles PNG and GIF rows in
-    the same pass and quarantines neither format's valid payloads."""
+    graphic-control extension block; truncated streams raise;
+    image_pixel_stats now handles PNG and GIF rows in the same pass and
+    quarantines neither format's valid payloads."""
     import pandas as pd
 
     canonical = bytes.fromhex(
@@ -867,16 +867,6 @@ def test_gif_pixel_decode_canonical_and_quarantine(spark):
         "2c00000000010001000002024c01003b"
     )
     assert mm.decode_gif_pixels(canonical) == (1, 1, 3, b"\x00\x00\x00")
-
-    interlaced = bytearray(
-        mm.encode_gif_pixels(2, 2, bytes([0, 1, 1, 0]), [(1, 2, 3), (4, 5, 6)])
-    )
-    # image descriptor packed byte: header 13 + GCT 6 (2 colors -> pad
-    # to 2) ... locate the 0x2c and set the interlace bit
-    pos = bytes(interlaced).index(0x2C)
-    interlaced[pos + 9] |= 0x40
-    with pytest.raises(ValueError, match="interlaced"):
-        mm.decode_gif_pixels(bytes(interlaced))
     with pytest.raises(ValueError):
         mm.decode_gif_pixels(canonical[:20])
 
@@ -892,6 +882,47 @@ def test_gif_pixel_decode_canonical_and_quarantine(spark):
     assert (rows[1]["format"], rows[1]["px_sum"]) == ("png", 9 * 12)
     assert (rows[2]["format"], rows[2]["px_sum"]) == ("gif", 2 * 60)
     assert rows[3]["format"] is None
+
+
+def test_gif_interlace_roundtrip_and_pass_order():
+    """GIF 4-pass interlace (Appendix E): encode(interlace=True) →
+    decode recovers the ORIGINAL row order bit-exactly for every height
+    1..20 (partial-pass heights included); the transmitted row order is
+    the published pass sequence; and flipping the interlace bit on a
+    sequential stream permutes rows exactly per the pass table — the
+    deinterlacer runs off the flag, not off content heuristics."""
+    pal = [(c, 2 * c, 3 * c) for c in range(4)]
+    for h in list(range(1, 21)) + [64]:
+        w = 5
+        idx = bytes((x + y) % 4 for y in range(h) for x in range(w))
+        payload = mm.encode_gif_pixels(w, h, idx, pal, interlace=True)
+        # flag is set on the wire
+        pos = payload.index(0x2C)
+        assert payload[pos + 9] & 0x40
+        got = mm.decode_gif_pixels(payload)
+        want = mm.decode_gif_pixels(mm.encode_gif_pixels(w, h, idx, pal))
+        assert got == want == (w, h, 3, bytes(
+            b for y in range(h) for x in range(w)
+            for b in pal[(x + y) % 4]
+        ))
+
+    # published pass ordering for h=10: rows 0,8 | 4 | 2,6 | 1,3,5,7,9
+    assert mm._gif_interlace_order(10) == [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+
+    # bit-flip WITHOUT permuting rows: decoder must apply the inverse
+    # pass mapping (row r of the flipped image = sequential row k where
+    # order[k] = r), proving the flag drives deinterlacing
+    h, w = 10, 3
+    idx = bytes((y % 4) for y in range(h) for _ in range(w))
+    seq = bytearray(mm.encode_gif_pixels(w, h, idx, pal))
+    pos = bytes(seq).index(0x2C)
+    seq[pos + 9] |= 0x40
+    _, _, _, rgb = mm.decode_gif_pixels(bytes(seq))
+    order = mm._gif_interlace_order(h)
+    for k, r in enumerate(order):
+        row = rgb[r * w * 3 : (r + 1) * w * 3]
+        c = k % 4  # sequential row k held color k%4
+        assert row == bytes(pal[c]) * w
 
 
 def test_jpeg_codec_exact_solids_and_quarantine(spark):
