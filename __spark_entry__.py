@@ -858,6 +858,25 @@ def q_jpeg_color_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_progressive_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PROGRESSIVE (SOF2) JPEG pixel decode — ITU-T T.81 Annex G,
+    the dominant wild-web JPEG flavor: every fixture is a multi-scan
+    stream (interleaved DC first + refine, spectral-banded AC first +
+    refine with EOB runs and correction bits, per-file OPTIMAL Huffman
+    tables built by the Annex K.2 flow, alternating 4:4:4/4:2:0,
+    restart markers on id%3==0) decoded by accumulating all scans into
+    coefficient buffers and running dequant/IDCT once. The planted
+    solid-YCbCr contract is identical to jpeg_color_pixels, so the same
+    closed-form BT.601 oracle demands bit-exact statistics — any
+    progressive-path bug (EOBRUN, refinement bits, non-interleaved
+    block order, DHT rebuild) mismatches."""
+    imgs = mm.synthesize_jpeg_progressive_images(_docs(spark, sf_dir), "doc_id")
+    return mm.image_pixel_stats(imgs).select(
+        "media_id", "format", "width", "height", "channels",
+        "n_px", "px_sum", "min_px", "max_px",
+    )
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image resize end-to-end: decode PNG pixels → 2×2 box-filter
     downsample → re-encode PNG → decode AGAIN for stats. Fixture dims
@@ -5293,6 +5312,42 @@ WINDOW w AS (PARTITION BY user_id ORDER BY us
 """
 
 
+_JPEG_SOLID_YCC_SQL = """
+-- Arithmetic twin of the planted solid-YCbCr contract shared by
+-- synthesize_jpeg_color_images AND synthesize_jpeg_progressive_images:
+-- solid YCbCr with even Y and 17-step-aligned chroma is exactly
+-- lossless through BOTH sampling modes, restart resets and (for the
+-- progressive twin) every scan of the Annex G multi-scan coding, so
+-- the decoded RGB is the closed-form BT.601 reconstruction below (same
+-- float64 expressions the decoder evaluates; planted values verified
+-- >=0.002 from any .5 rounding boundary, so round() == np.rint here).
+WITH ycc AS (
+  SELECT doc_id,
+    doc_id % 13 + 1 AS w, doc_id % 9 + 1 AS h,
+    ((doc_id * 37) % 128) * 2 AS y,
+    9 + 17 * ((doc_id * 53) % 15) AS cb,
+    9 + 17 * ((doc_id * 29) % 15) AS cr
+  FROM documents
+), rgb AS (
+  SELECT doc_id, w, h,
+    CAST(LEAST(255, GREATEST(0, round(y + 1.402 * (cr - 128)))) AS INTEGER) AS r,
+    CAST(LEAST(255, GREATEST(0, round(y - 0.344136 * (cb - 128)
+                                        - 0.714136 * (cr - 128)))) AS INTEGER) AS g,
+    CAST(LEAST(255, GREATEST(0, round(y + 1.772 * (cb - 128)))) AS INTEGER) AS b
+  FROM ycc
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+  'jpeg' AS format,
+  CAST(w AS INTEGER) AS width,
+  CAST(h AS INTEGER) AS height,
+  CAST(3 AS INTEGER) AS channels,
+  CAST(w * h * 3 AS INTEGER) AS n_px,
+  CAST((r + g + b) * w * h AS BIGINT) AS px_sum,
+  CAST(LEAST(r, g, b) AS INTEGER) AS min_px,
+  CAST(GREATEST(r, g, b) AS INTEGER) AS max_px
+FROM rgb
+"""
+
 _BM25_SQL = r"""
 WITH toks AS (
   SELECT doc_id,
@@ -5478,6 +5533,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_stemmed": q_bm25_stemmed,
     "card_sketch": q_card_sketch,
     "stream_index_append": q_stream_index_append,
+    "jpeg_progressive_pixels": q_jpeg_progressive_pixels,
 }
 
 
@@ -6010,39 +6066,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(((doc_id * 37) % 125) * 2 AS INTEGER) AS max_px "
             "FROM documents"
         ),
-        "jpeg_color_pixels": """
--- Arithmetic twin of synthesize_jpeg_color_images' planted contract:
--- solid YCbCr with even Y and 17-step-aligned chroma is exactly
--- lossless through BOTH sampling modes AND restart resets, so the
--- decoded RGB is the closed-form BT.601 reconstruction below (same
--- float64 expressions the decoder evaluates; planted values verified
--- >=0.002 from any .5 rounding boundary, so round() == np.rint here).
-WITH ycc AS (
-  SELECT doc_id,
-    doc_id % 13 + 1 AS w, doc_id % 9 + 1 AS h,
-    ((doc_id * 37) % 128) * 2 AS y,
-    9 + 17 * ((doc_id * 53) % 15) AS cb,
-    9 + 17 * ((doc_id * 29) % 15) AS cr
-  FROM documents
-), rgb AS (
-  SELECT doc_id, w, h,
-    CAST(LEAST(255, GREATEST(0, round(y + 1.402 * (cr - 128)))) AS INTEGER) AS r,
-    CAST(LEAST(255, GREATEST(0, round(y - 0.344136 * (cb - 128)
-                                        - 0.714136 * (cr - 128)))) AS INTEGER) AS g,
-    CAST(LEAST(255, GREATEST(0, round(y + 1.772 * (cb - 128)))) AS INTEGER) AS b
-  FROM ycc
-)
-SELECT CAST(doc_id AS BIGINT) AS media_id,
-  'jpeg' AS format,
-  CAST(w AS INTEGER) AS width,
-  CAST(h AS INTEGER) AS height,
-  CAST(3 AS INTEGER) AS channels,
-  CAST(w * h * 3 AS INTEGER) AS n_px,
-  CAST((r + g + b) * w * h AS BIGINT) AS px_sum,
-  CAST(LEAST(r, g, b) AS INTEGER) AS min_px,
-  CAST(GREATEST(r, g, b) AS INTEGER) AS max_px
-FROM rgb
-""",
+        "jpeg_color_pixels": _JPEG_SOLID_YCC_SQL,
+        # Identical planted content contract, progressively coded on
+        # disk: the arithmetic twin applies verbatim — what differs is
+        # the entire entropy layer the engine must decode to match.
+        "jpeg_progressive_pixels": _JPEG_SOLID_YCC_SQL,
         "gif_pixels": r"""
 WITH dims AS (
   SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 9 + 1 AS h FROM documents

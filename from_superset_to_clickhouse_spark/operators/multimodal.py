@@ -738,7 +738,8 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     diffs + AC run-lengths, byte unstuffing), dequantize, inverse DCT,
     level shift, clamp; interleaved MCU scans for 4:4:4 and 4:2:0
     sampling; DRI/RSTn restart intervals honored (byte-aligned
-    segments, DC predictor resets). Progressive, 12-bit, 4:2:2/4:1:1
+    segments, DC predictor resets); PROGRESSIVE (SOF2) streams route
+    through the full Annex G multi-scan decoder. 12-bit, 4:2:2/4:1:1
     and other exotic sampling raise ``ValueError`` -> quarantine."""
     if payload is None or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream")
@@ -801,9 +802,13 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                     raise ValueError(
                         "JPEG: subsampling unsupported (4:4:4/4:2:0 only)"
                     )
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            elif marker == 0xC2:
+                return _decode_jpeg_progressive(payload)
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                raise ValueError("JPEG: only baseline sequential (SOF0)")
+                raise ValueError(
+                    "JPEG: only baseline (SOF0) or progressive (SOF2)"
+                )
             elif marker == 0xDD:
                 (restart_interval,) = struct.unpack(">H", body[:2])
             elif marker == 0xDA:
@@ -1194,6 +1199,12 @@ def _jpeg_decode_scan_mcu(
                         (my * vs + by) * 8 : (my * vs + by) * 8 + 8,
                         (mx * hs + bx) * 8 : (mx * hs + bx) * 8 + 8,
                     ] = block
+    return _jpeg_planes_to_pixels(planes, comps, w, h, hmax, vmax)
+
+
+def _jpeg_planes_to_pixels(planes, comps, w, h, hmax, vmax):
+    """Shared decode tail: chroma upsample (sample replication) + crop
+    + BT.601 YCbCr→RGB for 3-component frames, crop only for 1."""
     if len(comps) == 1:
         pix = np.clip(np.rint(planes[0][:h, :w]), 0, 255).astype(np.uint8)
         return (w, h, 1, pix.tobytes())
@@ -1212,6 +1223,737 @@ def _jpeg_decode_scan_mcu(
     rgb = np.stack([r, g, b], axis=-1)
     pix = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
     return (w, h, 3, pix.tobytes())
+
+
+# -- progressive JPEG (SOF2) extension -----------------------------------
+#
+# Full progressive DCT per ITU-T T.81 Annex G (the dominant wild-web
+# JPEG flavor): spectral selection (Ss..Se bands), successive
+# approximation (Ah/Al point transforms) for DC and AC, EOB-run coding,
+# correction bits, interleaved DC scans + mandatory single-component AC
+# scans, DRI/RSTn restarts (predictor + EOBRUN resets). Encoder emits a
+# realistic multi-scan script over the same quantized coefficients as
+# the sequential encoders, so progressive and baseline decodes of the
+# same content are bit-identical; decoder accumulates every scan into
+# per-component coefficient buffers and runs dequant/IDCT once at EOI.
+# Reference: reference repo has no codecs at all (ClickHouse handles no
+# media); this is extension surface for the training-data pipeline.
+
+
+def _prog_point_ac(v: int, al: int) -> int:
+    """AC successive-approximation point transform: MAGNITUDE shift
+    (truncate toward zero), sign preserved — T.81 G.1.2.2. DC uses an
+    arithmetic shift instead; the two differ on negatives."""
+    return (abs(v) >> al) if v >= 0 else -(abs(v) >> al)
+
+
+def _prog_comp_blocks(width, height, hs, vs, hmax, vmax):
+    """Non-interleaved block grid for one component: ceil(comp_dim/8)
+    where comp_dim = ceil(frame_dim * sampling / max_sampling). May be
+    SMALLER than the MCU-padded grid — MCU padding blocks are coded
+    only by interleaved scans."""
+    cw = -(-(width * hs) // hmax)
+    ch = -(-(height * vs) // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _jpeg_build_huffman(freqs: dict) -> tuple:
+    """Optimal Huffman table from symbol frequencies per T.81 Annex
+    K.2 (the published code-size / adjust-BITS / sort-input flow that
+    every real progressive encoder runs — progressive scans use EOBn
+    symbols the static Annex K tables don't define). The reserved
+    256th symbol guarantees no all-ones code; lengths are folded down
+    to the 16-bit DHT limit. Returns (BITS[16], HUFFVAL)."""
+    freq = [0] * 257
+    for sym, c in freqs.items():
+        freq[sym] = c
+    freq[256] = 1  # reserved: keeps the all-ones code unassigned
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        v1 = v2 = -1
+        c1 = c2 = None
+        for i in range(257):
+            f = freq[i]
+            if f <= 0:
+                continue
+            if c1 is None or f < c1 or (f == c1 and i > v1):
+                c2, v2 = c1, v1
+                c1, v1 = f, i
+            elif c2 is None or f < c2 or (f == c2 and i > v2):
+                c2, v2 = f, i
+        if v2 == -1:
+            break
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    i = 32  # fold lengths > 16 down (Annex K.2 Adjust_BITS)
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved symbol's code point
+    vals = [
+        s
+        for s in sorted(range(256), key=lambda s: (codesize[s], s))
+        if codesize[s] > 0
+    ]
+    return bits[1:17], vals
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    y: bytes,
+    cb: "bytes | None" = None,
+    cr: "bytes | None" = None,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+    quant: "list[int] | None" = None,
+    chroma_quant: "list[int] | None" = None,
+) -> bytes:
+    """REAL progressive JPEG (SOF2) encoder. Same FDCT + quantization
+    as the sequential encoders, then a realistic scan script that
+    exercises every progressive coding mode:
+
+      1. DC first, all components interleaved    (Ss=0 Se=0  Ah=0 Al=1)
+      2. AC first, luma band 1-5                 (spectral selection)
+      3. AC first, luma band 6-63                (EOB runs)
+      4. AC first, each chroma 1-63
+      5. AC refine, luma 1-5 / 6-63, chroma 1-63 (Ah=1 Al=0: correction
+         bits + newly-significant coefficients)
+      6. DC refine, interleaved                  (raw bit per block)
+
+    ``cb``/``cr`` None → single-component grayscale progressive.
+    ``restart_interval`` emits DRI + RSTn inside every scan (predictor
+    and EOB-run resets)."""
+    gray = cb is None
+    ql = np.array(quant or _JPEG_STD_QUANT, dtype=np.float64).reshape(8, 8)
+    qc = np.array(
+        chroma_quant or _JPEG_STD_QUANT_C, dtype=np.float64
+    ).reshape(8, 8)
+    if gray:
+        if len(y) != width * height:
+            raise ValueError("y plane must be width*height bytes")
+        comps = [(1, 1, 1, 0)]
+        planes = [
+            np.frombuffer(y, dtype=np.uint8)
+            .astype(np.float64)
+            .reshape(height, width)
+        ]
+    else:
+        if subsampling not in ("4:4:4", "4:2:0"):
+            raise ValueError("subsampling must be 4:4:4 or 4:2:0")
+        for name, plane in (("y", y), ("cb", cb), ("cr", cr)):
+            if len(plane) != width * height:
+                raise ValueError(f"{name} plane must be width*height bytes")
+        planes = [
+            np.frombuffer(p, dtype=np.uint8)
+            .astype(np.float64)
+            .reshape(height, width)
+            for p in (y, cb, cr)
+        ]
+        if subsampling == "4:2:0":
+            planes[1] = _box2(planes[1])
+            planes[2] = _box2(planes[2])
+            comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        else:
+            comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    m = _dct_matrix()
+    qts = {0: ql, 1: qc}
+    coefs = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        nby, nbx = mcus_y * vs, mcus_x * hs
+        p = _pad_replicate(planes[ci], nby * 8, nbx * 8)
+        q = qts[tq]
+        arr = np.zeros((nby, nbx, 64), dtype=np.int64)
+        for byi in range(nby):
+            for bxi in range(nbx):
+                blk = p[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8]
+                qz = np.rint((m @ (blk - 128.0) @ m.T) / q).astype(np.int64)
+                arr[byi, bxi] = qz.flat[_JPEG_ZIGZAG]
+        coefs.append(arr)
+    def tsel(ci):
+        return 0 if ci == 0 else 1
+
+    def mcu_units(scan_cis):
+        for mi in range(mcus_x * mcus_y):
+            my, mx = divmod(mi, mcus_x)
+            unit = []
+            for ci in scan_cis:
+                _, hs, vs, _ = comps[ci]
+                for byy in range(vs):
+                    for bxx in range(hs):
+                        unit.append((ci, my * vs + byy, mx * hs + bxx))
+            yield unit
+
+    def block_units(ci):
+        _, hs, vs, _ = comps[ci]
+        bh, bw_ = _prog_comp_blocks(width, height, hs, vs, hmax, vmax)
+        for byi in range(bh):
+            for bxi in range(bw_):
+                yield [(ci, byi, bxi)]
+
+    def units_for(scan_cis):
+        if len(scan_cis) > 1:
+            return mcu_units(scan_cis)
+        return block_units(scan_cis[0])
+
+    # Two-pass entropy coding, as real progressive encoders do: pass 1
+    # runs every scan against a symbol COUNTER, optimal tables are
+    # built from the counts (Annex K.2), pass 2 re-runs the identical
+    # deterministic scans against a bit writer using those tables.
+    class _CountSink:
+        def __init__(self):
+            self.freq = {}
+
+        def sym(self, key, s):
+            d = self.freq.setdefault(key, {})
+            d[s] = d.get(s, 0) + 1
+
+        def raw(self, v, n):
+            pass
+
+        def align_rst(self):
+            pass
+
+        def flush(self):
+            return b""
+
+    class _WriteSink:
+        def __init__(self, codes):
+            self.codes = codes
+            self.bw = _BitWriter()
+            self.rstn = 0
+
+        def sym(self, key, s):
+            c, ln = self.codes[key][s]
+            self.bw.put(c, ln)
+
+        def raw(self, v, n):
+            if n:
+                self.bw.put(v, n)
+
+        def align_rst(self):
+            while self.bw.n:
+                self.bw.put(1, 1)
+            self.bw.buf += bytes([0xFF, 0xD0 + self.rstn % 8])
+            self.rstn += 1
+
+        def flush(self):
+            return self.bw.flush()
+
+    def scan_dc_first(out, scan_cis, al):
+        preds = [0] * len(comps)
+        for ui, unit in enumerate(units_for(scan_cis)):
+            if restart_interval and ui and ui % restart_interval == 0:
+                out.align_rst()
+                preds = [0] * len(comps)
+            for ci, byi, bxi in unit:
+                v = int(coefs[ci][byi, bxi, 0]) >> al
+                diff = v - preds[ci]
+                preds[ci] = v
+                s, bitsv = _jpeg_magnitude(diff)
+                out.sym(("dc", tsel(ci)), s)
+                out.raw(bitsv, s)
+
+    def scan_dc_refine(out, scan_cis, al):
+        for ui, unit in enumerate(units_for(scan_cis)):
+            if restart_interval and ui and ui % restart_interval == 0:
+                out.align_rst()
+            for ci, byi, bxi in unit:
+                out.raw((int(coefs[ci][byi, bxi, 0]) >> al) & 1, 1)
+
+    def scan_ac_first(out, ci, ss, se, al):
+        key = ("ac", tsel(ci))
+        eobrun = [0]
+
+        def flush_eob():
+            if eobrun[0]:
+                n = eobrun[0].bit_length() - 1
+                out.sym(key, n << 4)
+                out.raw(eobrun[0] - (1 << n), n)
+                eobrun[0] = 0
+
+        for ui, unit in enumerate(units_for([ci])):
+            if restart_interval and ui and ui % restart_interval == 0:
+                flush_eob()
+                out.align_rst()
+            _, byi, bxi = unit[0]
+            zz = coefs[ci][byi, bxi]
+            band = [_prog_point_ac(int(zz[k]), al) for k in range(ss, se + 1)]
+            last_nz = -1
+            for j in range(len(band) - 1, -1, -1):
+                if band[j]:
+                    last_nz = j
+                    break
+            if last_nz < 0:
+                eobrun[0] += 1
+                if eobrun[0] == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for j in range(last_nz + 1):
+                v = band[j]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    out.sym(key, 0xF0)
+                    run -= 16
+                s, bitsv = _jpeg_magnitude(v)
+                out.sym(key, (run << 4) | s)
+                out.raw(bitsv, s)
+                run = 0
+            if last_nz != len(band) - 1:
+                eobrun[0] += 1
+                if eobrun[0] == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+
+    def scan_ac_refine(out, ci, ss, se, al):
+        key = ("ac", tsel(ci))
+        eobrun = [0]
+        pending = []  # correction bits deferred behind the next EOBn
+
+        def flush_eob():
+            if eobrun[0]:
+                n = eobrun[0].bit_length() - 1
+                out.sym(key, n << 4)
+                out.raw(eobrun[0] - (1 << n), n)
+                for b in pending:
+                    out.raw(b, 1)
+                eobrun[0] = 0
+                pending.clear()
+
+        for ui, unit in enumerate(units_for([ci])):
+            if restart_interval and ui and ui % restart_interval == 0:
+                flush_eob()
+                out.align_rst()
+            _, byi, bxi = unit[0]
+            zz = coefs[ci][byi, bxi]
+            band = [int(zz[k]) for k in range(ss, se + 1)]
+            absv = [abs(v) >> al for v in band]
+            eob = 0  # index AFTER the last newly-significant coef
+            for j, t in enumerate(absv):
+                if t == 1:
+                    eob = j + 1
+            run = 0
+            br = []  # block-local buffered correction bits
+            for j, t in enumerate(absv):
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and j < eob:
+                    flush_eob()
+                    out.sym(key, 0xF0)
+                    run -= 16
+                    for b in br:
+                        out.raw(b, 1)
+                    br = []
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                # newly significant at this precision: (run,1) + sign
+                flush_eob()
+                out.sym(key, (run << 4) | 1)
+                out.raw(1 if band[j] >= 0 else 0, 1)
+                for b in br:
+                    out.raw(b, 1)
+                br = []
+                run = 0
+            if run > 0 or br:
+                eobrun[0] += 1
+                pending.extend(br)
+                if eobrun[0] == 0x7FFF or len(pending) > 900:
+                    flush_eob()
+        flush_eob()
+
+    all_cis = list(range(len(comps)))
+    scan_plan = [("dc_first", all_cis, 0, 0, 0, 1)]
+    scan_plan += [("ac_first", [0], 1, 5, 0, 1),
+                  ("ac_first", [0], 6, 63, 0, 1)]
+    if not gray:
+        scan_plan += [("ac_first", [1], 1, 63, 0, 1),
+                      ("ac_first", [2], 1, 63, 0, 1)]
+    scan_plan += [("ac_refine", [0], 1, 5, 1, 0),
+                  ("ac_refine", [0], 6, 63, 1, 0)]
+    if not gray:
+        scan_plan += [("ac_refine", [1], 1, 63, 1, 0),
+                      ("ac_refine", [2], 1, 63, 1, 0)]
+    scan_plan += [("dc_refine", all_cis, 0, 0, 1, 0)]
+
+    def run_scan(out, kind, cis, ss, se, ah, al):
+        if kind == "dc_first":
+            scan_dc_first(out, cis, al)
+        elif kind == "dc_refine":
+            scan_dc_refine(out, cis, al)
+        elif kind == "ac_first":
+            scan_ac_first(out, cis[0], ss, se, al)
+        else:
+            scan_ac_refine(out, cis[0], ss, se, al)
+
+    counter = _CountSink()
+    for sc in scan_plan:
+        run_scan(counter, *sc)
+    tables = {
+        key: _jpeg_build_huffman(fr) for key, fr in counter.freq.items()
+    }
+    codes = {
+        key: _jpeg_huff_codes(bits, vals)
+        for key, (bits, vals) in tables.items()
+    }
+    scan_datas = []
+    for sc in scan_plan:
+        sink = _WriteSink(codes)
+        run_scan(sink, *sc)
+        scan_datas.append(sink.flush())
+
+    def seg(marker, payload):
+        return marker + struct.pack(">H", len(payload) + 2) + payload
+
+    def sos(scan_cis, ss, se, ah, al, data):
+        body = bytes([len(scan_cis)])
+        for ci in scan_cis:
+            t = tsel(ci)
+            td_ta = (t << 4) if ss == 0 else t
+            body += bytes([comps[ci][0], td_ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(b"\xff\xda", body) + data
+
+    def zz8(q):
+        return bytes(
+            int(np.rint(q.flat[_JPEG_ZIGZAG[i]])) for i in range(64)
+        )
+
+    app0 = seg(
+        b"\xff\xe0",
+        b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00",
+    )
+    dqt = b"\x00" + zz8(ql)
+    if not gray:
+        dqt += b"\x01" + zz8(qc)
+    dqt = seg(b"\xff\xdb", dqt)
+    sof_body = b"\x08" + struct.pack(">HH", height, width)
+    sof_body += bytes([len(comps)])
+    for cid, hs, vs, tq in comps:
+        sof_body += bytes([cid, (hs << 4) | vs, tq])
+    sof2 = seg(b"\xff\xc2", sof_body)
+    dht = b""
+    for (kind, t), (bits, vals) in sorted(tables.items()):
+        tc = 0 if kind == "dc" else 1
+        dht += bytes([(tc << 4) | t]) + bytes(bits) + bytes(vals)
+    dht = seg(b"\xff\xc4", dht)
+    dri = (
+        seg(b"\xff\xdd", struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    out = b"\xff\xd8" + app0 + dqt + sof2 + dht + dri
+    for sc, data in zip(scan_plan, scan_datas):
+        _, cis, ss, se, ah, al = sc
+        out += sos(cis, ss, se, ah, al, data)
+    return out + b"\xff\xd9"
+
+
+def _jpeg_entropy_end(payload: bytes, start: int) -> int:
+    """First offset at/after ``start`` holding a marker that ends the
+    entropy-coded segment (anything but stuffed FF00 and RSTn)."""
+    i = start
+    n = len(payload)
+    while i < n - 1:
+        if payload[i] == 0xFF:
+            nxt = payload[i + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                i += 2
+                continue
+            return i
+        i += 1
+    return n
+
+
+def _prog_decode_scan(
+    data, comps, coefs, scan_sels, ss, se, ah, al, restart_interval,
+    width, height, hmax, vmax, mcus_x, mcus_y,
+):
+    """Decode ONE progressive scan into the zigzag coefficient
+    buffers — T.81 G.2 (the four cases: DC/AC × first/refinement),
+    EOB-run bookkeeping, correction bits, restart resets."""
+    segments = _jpeg_split_restart_segments(data)
+    scan_cis = [ci for ci, _, _ in scan_sels]
+    interleaved = len(scan_cis) > 1
+    if interleaved:
+        if ss != 0 or se != 0:
+            raise ValueError("JPEG: progressive AC scans are single-component")
+        n_units = mcus_x * mcus_y
+
+        def unit(ui):
+            my, mx = divmod(ui, mcus_x)
+            out = []
+            for ci, dct, act in scan_sels:
+                _, hs, vs, _ = comps[ci]
+                for byy in range(vs):
+                    for bxx in range(hs):
+                        out.append((ci, my * vs + byy, mx * hs + bxx, dct, act))
+            return out
+    else:
+        ci0, dct0, act0 = scan_sels[0]
+        _, hs0, vs0, _ = comps[ci0]
+        bh, bw_ = _prog_comp_blocks(width, height, hs0, vs0, hmax, vmax)
+        n_units = bh * bw_
+
+        def unit(ui):
+            byi, bxi = divmod(ui, bw_)
+            return [(ci0, byi, bxi, dct0, act0)]
+
+    p1 = 1 << al
+    m1 = -1 << al
+    reader = _BitReader(segments[0])
+    seg_idx = 0
+    preds = [0] * len(comps)
+    eobrun = 0
+    for ui in range(n_units):
+        if restart_interval and ui and ui % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG: missing restart marker")
+            reader = _BitReader(segments[seg_idx])
+            preds = [0] * len(comps)
+            eobrun = 0
+        for ci, byi, bxi, dc_tree, ac_tree in unit(ui):
+            zz = coefs[ci][byi, bxi]
+            if ss == 0:  # DC scan (Se must be 0, checked by caller)
+                if ah == 0:
+                    s = _jpeg_read_symbol(reader, dc_tree)
+                    diff = _extend(reader.bits(s), s) if s else 0
+                    preds[ci] += diff
+                    zz[0] = preds[ci] << al
+                else:
+                    if reader.bit():
+                        zz[0] |= p1
+                continue
+            if ah == 0:  # AC first scan
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = _jpeg_read_symbol(reader, ac_tree)
+                    r, s = sym >> 4, sym & 0x0F
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG: AC band overrun")
+                    zz[k] = _extend(reader.bits(s), s) << al
+                    k += 1
+                continue
+            # AC refinement scan (G.2, libjpeg-structured)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = _jpeg_read_symbol(reader, ac_tree)
+                    r, s = sym >> 4, sym & 0x0F
+                    newval = 0
+                    if s:
+                        if s != 1:
+                            raise ValueError(
+                                "JPEG: refinement size must be 1"
+                            )
+                        newval = p1 if reader.bit() else m1
+                    else:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.bits(r)
+                            break
+                        # r == 15: ZRL in a refinement scan
+                    while k <= se:
+                        if zz[k] != 0:
+                            if reader.bit():
+                                if (zz[k] & p1) == 0:
+                                    zz[k] += p1 if zz[k] >= 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        zz[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if zz[k] != 0:
+                        if reader.bit():
+                            if (zz[k] & p1) == 0:
+                                zz[k] += p1 if zz[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1
+    return eobrun
+
+
+def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL progressive JPEG (SOF2) decode: marker walk, per-scan
+    entropy decode into zigzag coefficient buffers (spectral bands and
+    successive-approximation bits accumulate across scans), then ONE
+    dequant + IDCT + upsample + BT.601 pass at end-of-image. Sampling
+    constraint matches the sequential path (4:4:4 / 4:2:0 /
+    grayscale)."""
+    quant = {}
+    huff = {}
+    w = h = None
+    comps = None
+    coefs = None
+    restart_interval = 0
+    pos = 2
+    try:
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError("JPEG: bad marker alignment")
+            marker = payload[pos + 1]
+            if marker == 0xD9:
+                break
+            (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+            body = payload[pos + 4 : pos + 2 + seglen]
+            if marker == 0xDB:
+                i = 0
+                while i < len(body):
+                    pq, tq = body[i] >> 4, body[i] & 0x0F
+                    if pq != 0:
+                        raise ValueError("JPEG: 16-bit quant unsupported")
+                    tbl = np.zeros(64, dtype=np.float64)
+                    for j in range(64):
+                        tbl[_JPEG_ZIGZAG[j]] = body[i + 1 + j]
+                    quant[tq] = tbl.reshape(8, 8)
+                    i += 65
+            elif marker == 0xC4:
+                i = 0
+                while i < len(body):
+                    tc, th = body[i] >> 4, body[i] & 0x0F
+                    bits = list(body[i + 1 : i + 17])
+                    nv = sum(bits)
+                    vals = list(body[i + 17 : i + 17 + nv])
+                    huff[(tc, th)] = _jpeg_huff_tree(bits, vals)
+                    i += 17 + nv
+            elif marker == 0xC2:
+                if body[0] != 8:
+                    raise ValueError("JPEG: only 8-bit precision")
+                h, w = struct.unpack(">HH", body[1:5])
+                nc = body[5]
+                if nc not in (1, 3):
+                    raise ValueError("JPEG: only 1- or 3-component frames")
+                comps = []
+                for ci in range(nc):
+                    cid = body[6 + ci * 3]
+                    hv = body[7 + ci * 3]
+                    comps.append((cid, hv >> 4, hv & 0x0F, body[8 + ci * 3]))
+                factors = tuple((c[1], c[2]) for c in comps)
+                ok = all(f == (1, 1) for f in factors) or (
+                    nc == 3
+                    and factors[0] == (2, 2)
+                    and factors[1] == factors[2] == (1, 1)
+                )
+                if not ok:
+                    raise ValueError(
+                        "JPEG: subsampling unsupported (4:4:4/4:2:0 only)"
+                    )
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                coefs = [
+                    np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int64)
+                    for (_, hs, vs, _) in comps
+                ]
+            elif marker == 0xDD:
+                (restart_interval,) = struct.unpack(">H", body[:2])
+            elif marker == 0xDA:
+                if comps is None:
+                    raise ValueError("JPEG: scan before SOF2")
+                ns = body[0]
+                scan_sels = []
+                cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+                for si in range(ns):
+                    cid = body[1 + si * 2]
+                    t = body[2 + si * 2]
+                    scan_sels.append((cid_to_ci[cid], t >> 4, t & 0x0F))
+                ss, se = body[1 + ns * 2], body[2 + ns * 2]
+                aa = body[3 + ns * 2]
+                ah, al = aa >> 4, aa & 0x0F
+                if ss == 0 and se != 0:
+                    raise ValueError("JPEG: bad progressive scan band")
+                if ss != 0 and ns != 1:
+                    raise ValueError(
+                        "JPEG: progressive AC scans are single-component"
+                    )
+                sels = []
+                for ci, td, ta in scan_sels:
+                    dc_tree = huff.get((0, td)) if ss == 0 and ah == 0 else None
+                    ac_tree = huff.get((1, ta)) if ss != 0 else None
+                    if ss == 0 and ah == 0 and dc_tree is None:
+                        raise ValueError("JPEG: missing DC table")
+                    if ss != 0 and ac_tree is None:
+                        raise ValueError("JPEG: missing AC table")
+                    sels.append((ci, dc_tree, ac_tree))
+                scan_start = pos + 2 + seglen
+                scan_end = _jpeg_entropy_end(payload, scan_start)
+                _prog_decode_scan(
+                    payload[scan_start:scan_end], comps, coefs, sels,
+                    ss, se, ah, al, restart_interval,
+                    w, h, hmax, vmax, mcus_x, mcus_y,
+                )
+                pos = scan_end
+                continue
+            pos += 2 + seglen
+        if coefs is None:
+            raise ValueError("JPEG: no SOF2 frame")
+        m = _dct_matrix()
+        planes = []
+        for ci, (cid, hs, vs, tq) in enumerate(comps):
+            arr = coefs[ci]
+            nby, nbx, _ = arr.shape
+            nat = np.zeros((nby, nbx, 64), dtype=np.float64)
+            nat[:, :, _JPEG_ZIGZAG] = arr
+            blocks = nat.reshape(nby, nbx, 8, 8) * quant[tq]
+            spat = np.einsum("ij,abjk,kl->abil", m.T, blocks, m) + 128.0
+            planes.append(
+                spat.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+            )
+        return _jpeg_planes_to_pixels(planes, comps, w, h, hmax, vmax)
+    except (struct.error, IndexError, KeyError) as exc:
+        raise ValueError(f"malformed JPEG: {exc}") from exc
 
 
 # SOF markers carrying frame dimensions: C0-CF minus C4 (DHT), C8 (JPG
@@ -1884,6 +2626,46 @@ def synthesize_jpeg_color_images(df: DataFrame, id_col: str) -> DataFrame:
                 cr = 9 + 17 * ((i * 29) % 15)
                 payloads.append(
                     encode_jpeg_ycbcr(
+                        w,
+                        h,
+                        bytes([y]) * (w * h),
+                        bytes([cb]) * (w * h),
+                        bytes([cr]) * (w * h),
+                        subsampling="4:2:0" if i % 2 else "4:4:4",
+                        restart_interval=2 if i % 3 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return src.mapInPandas(run, schema=IMAGE_SCHEMA)
+
+
+def synthesize_jpeg_progressive_images(df: DataFrame, id_col: str) -> DataFrame:
+    """Fixture generator for PROGRESSIVE (SOF2) JPEG pixel decode: the
+    SAME planted solid-YCbCr contract as
+    ``synthesize_jpeg_color_images`` (even luma, 17-step-aligned
+    chroma — exactly lossless through quantization), but every stream
+    is multi-scan progressive: interleaved DC first + refine,
+    spectral-banded AC first + refine with EOB runs and correction
+    bits, optimal per-file Huffman tables, alternating 4:4:4/4:2:0,
+    restart markers every 2 MCUs when id%3==0. Identical content
+    contract -> the jpeg_color arithmetic oracle applies verbatim, and
+    any progressive-path bug (EOBRUN bookkeeping, refinement bits,
+    non-interleaved AC block order, table rebuild) hash-mismatches."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 13 + 1, i % 9 + 1
+                y = ((i * 37) % 128) * 2
+                cb = 9 + 17 * ((i * 53) % 15)
+                cr = 9 + 17 * ((i * 29) % 15)
+                payloads.append(
+                    encode_jpeg_progressive(
                         w,
                         h,
                         bytes([y]) * (w * h),

@@ -956,9 +956,12 @@ def test_jpeg_codec_exact_solids_and_quarantine(spark):
     color[i + 9] = 3
     with pytest.raises(ValueError, match="mismatch|malformed"):
         mm.decode_jpeg_pixels(bytes(color))
+    # flipping SOF0->SOF2 makes the baseline scan header ILLEGAL as a
+    # progressive scan (Ss=0 with Se=63): structured quarantine, not
+    # a silent mis-decode
     prog = bytearray(good)
     prog[i + 1] = 0xC2  # SOF2 progressive
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="band|malformed"):
         mm.decode_jpeg_pixels(bytes(prog))
     with pytest.raises(ValueError):
         mm.decode_jpeg_pixels(good[:40])
@@ -984,6 +987,72 @@ def test_jpeg_codec_exact_solids_and_quarantine(spark):
         "jpeg", 300, 1,
     )
     assert rows[4]["format"] is None
+
+
+def test_jpeg_progressive_codec_matches_sequential():
+    """Progressive (SOF2) JPEG per T.81 Annex G: the multi-scan coding
+    (interleaved DC first/refine, spectral-banded AC first/refine with
+    EOB runs + correction bits, optimal per-file Huffman tables) is a
+    pure re-coding of the same quantized coefficients, so progressive
+    and sequential decodes of the same content must be BIT-IDENTICAL —
+    across grayscale/color, both sampling modes, restart intervals,
+    dense (quant=1) and sparse (Annex K) coefficient regimes, long
+    EOBn runs (large solids) and edge-size frames."""
+    import random
+
+    rng = random.Random(7)
+    # grayscale solids: exact through the lossy format
+    for v in (0, 130, 248):
+        for w, h in ((1, 1), (8, 8), (13, 9)):
+            px = bytes([v]) * (w * h)
+            assert mm.decode_jpeg_pixels(
+                mm.encode_jpeg_progressive(w, h, px)
+            ) == (w, h, 1, px)
+    # random gray, both quant regimes: identical to the baseline decode
+    for w, h in ((16, 12), (9, 7), (24, 17)):
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        for q in ([1] * 64, None):
+            assert mm.decode_jpeg_pixels(
+                mm.encode_jpeg_gray(w, h, px, quant=q)
+            ) == mm.decode_jpeg_pixels(
+                mm.encode_jpeg_progressive(w, h, px, quant=q)
+            )
+    # color: sampling x restart x size grid
+    for sub in ("4:4:4", "4:2:0"):
+        for ri in (0, 2):
+            for w, h in ((16, 16), (17, 9)):
+                n = w * h
+                y = bytes(rng.randrange(256) for _ in range(n))
+                cb = bytes(rng.randrange(256) for _ in range(n))
+                cr = bytes(rng.randrange(256) for _ in range(n))
+                assert mm.decode_jpeg_pixels(
+                    mm.encode_jpeg_ycbcr(
+                        w, h, y, cb, cr, subsampling=sub,
+                        restart_interval=ri,
+                    )
+                ) == mm.decode_jpeg_pixels(
+                    mm.encode_jpeg_progressive(
+                        w, h, y, cb, cr, subsampling=sub,
+                        restart_interval=ri,
+                    )
+                )
+    # large solid color: EOBn runs spanning hundreds of blocks
+    w, h = 128, 96
+    n = w * h
+    y, cb, cr = bytes([200]) * n, bytes([90]) * n, bytes([160]) * n
+    assert mm.decode_jpeg_pixels(
+        mm.encode_jpeg_ycbcr(w, h, y, cb, cr, subsampling="4:2:0")
+    ) == mm.decode_jpeg_pixels(
+        mm.encode_jpeg_progressive(w, h, y, cb, cr, subsampling="4:2:0")
+    )
+    # header decode reports SOF2 dims; 4:2:2 progressive still quarantines
+    prog = mm.encode_jpeg_progressive(17, 9, bytes([100]) * 153)
+    assert mm.decode_image_header(prog) == ("jpeg", 17, 9)
+    bad = bytearray(prog)
+    i = bad.index(b"\xff\xc2")
+    bad[i + 11] = 0x21  # luma sampling 2x1 = 4:2:2
+    with pytest.raises(ValueError, match="subsampling|malformed"):
+        mm.decode_jpeg_pixels(bytes(bad))
 
 
 def test_count_min_sketch_bounds_and_merge(spark):
