@@ -843,8 +843,8 @@ def q_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_jpeg_color_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline COLOR JPEG pixel decode (VERDICT r7 item 2): one
     interleaved 3-component YCbCr JPEG per document — Annex K luma AND
-    chroma quant/Huffman tables, 4:4:4 on even ids, 4:2:0 (2x2-sampled
-    luma MCUs, box-downsampled chroma) on odd ids, RSTn restart markers
+    chroma quant/Huffman tables, sampling cycling 4:4:4/4:2:0/4:2:2/
+    4:4:0 by id%4 (directional box-downsampled chroma), RSTn restart markers
     every 2 MCUs when id%3==0 — decoded back through the full
     entropy/dequant/IDCT/upsample/BT.601 pipeline. The planted solid
     YCbCr contract (even Y, chroma offsets divisible by the 17-step) is
@@ -863,8 +863,9 @@ def q_jpeg_progressive_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dominant wild-web JPEG flavor: every fixture is a multi-scan
     stream (interleaved DC first + refine, spectral-banded AC first +
     refine with EOB runs and correction bits, per-file OPTIMAL Huffman
-    tables built by the Annex K.2 flow, alternating 4:4:4/4:2:0,
-    restart markers on id%3==0) decoded by accumulating all scans into
+    tables built by the Annex K.2 flow, sampling cycling through all
+    four modes by id%4, restart markers on id%3==0) decoded by
+    accumulating all scans into
     coefficient buffers and running dequant/IDCT once. The planted
     solid-YCbCr contract is identical to jpeg_color_pixels, so the same
     closed-form BT.601 oracle demands bit-exact statistics — any

@@ -40,7 +40,8 @@ tested. Decoding comes in two tiers:
   markers, BT.601 RGB reconstruction); ``encode_jpeg_gray`` /
   ``encode_jpeg_ycbcr`` / ``encode_jpeg_color`` are the matching real
   encoders (FDCT + Annex K luma+chroma tables + canonical Huffman).
-  Progressive/12-bit/4:2:2 JPEG and compressed audio (mp3/ogg) remain
+  Progressive (SOF2) JPEG decodes for real too (Annex G multi-scan).
+  12-bit/exotic-sampling JPEG and compressed audio (mp3/ogg) remain
   honestly out of scope — the decode errors say so explicitly and rows
   quarantine.
 
@@ -739,8 +740,9 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     level shift, clamp; interleaved MCU scans for 4:4:4 and 4:2:0
     sampling; DRI/RSTn restart intervals honored (byte-aligned
     segments, DC predictor resets); PROGRESSIVE (SOF2) streams route
-    through the full Annex G multi-scan decoder. 12-bit, 4:2:2/4:1:1
-    and other exotic sampling raise ``ValueError`` -> quarantine."""
+    through the full Annex G multi-scan decoder; 4:2:2/4:4:0
+    one-axis chroma sampling decodes like 4:2:0. 12-bit and exotic
+    sampling (4:1:1, 3x1, ...) raise ``ValueError`` -> quarantine."""
     if payload is None or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream")
     try:
@@ -795,12 +797,13 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                 factors = tuple((c[1], c[2]) for c in comps)
                 ok = all(f == (1, 1) for f in factors) or (
                     nc == 3
-                    and factors[0] == (2, 2)
+                    and factors[0] in ((2, 2), (2, 1), (1, 2))
                     and factors[1] == factors[2] == (1, 1)
                 )
                 if not ok:
                     raise ValueError(
-                        "JPEG: subsampling unsupported (4:4:4/4:2:0 only)"
+                        "JPEG: subsampling unsupported"
+                        " (4:4:4/4:2:0/4:2:2/4:4:0 only)"
                     )
             elif marker == 0xC2:
                 return _decode_jpeg_progressive(payload)
@@ -890,7 +893,8 @@ def _jpeg_decode_scan(payload, start, w, h, q, dc_tree, ac_tree):
 # constants), 2x2 luma sampling (4:2:0) with box-downsampled chroma,
 # and DRI/RSTn restart markers (byte-aligned entropy segments with DC
 # predictor resets — what makes a 100 MB scan splittable in real
-# decoders). 4:2:2, 4:1:1, progressive and 12-bit still quarantine.
+# decoders), plus one-axis 4:2:2/4:4:0 chroma sampling. 4:1:1 and
+# 12-bit still quarantine; progressive routes to the Annex G decoder.
 
 _JPEG_STD_QUANT_C = [
     17, 18, 24, 47, 99, 99, 99, 99,
@@ -951,6 +955,31 @@ def _box2(plane: np.ndarray) -> np.ndarray:
     return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
 
 
+# subsampling name -> luma (h, v) sampling factors; chroma is (1, 1).
+_JPEG_SUBSAMPLING = {
+    "4:4:4": (1, 1),
+    "4:2:0": (2, 2),
+    "4:2:2": (2, 1),
+    "4:4:0": (1, 2),
+}
+
+
+def _box_chroma(plane: np.ndarray, fh: int, fv: int) -> np.ndarray:
+    """Directional box-mean chroma reduction by luma factors (fh, fv):
+    2x2 for 4:2:0, horizontal-only for 4:2:2, vertical-only for 4:4:0
+    (constant in → constant out in every mode)."""
+    if (fh, fv) == (2, 2):
+        return _box2(plane)
+    h, w = plane.shape
+    if fh == 2:
+        p = _pad_replicate(plane, h, (w + 1) // 2 * 2)
+        return (p[:, 0::2] + p[:, 1::2]) / 2.0
+    if fv == 2:
+        p = _pad_replicate(plane, (h + 1) // 2 * 2, w)
+        return (p[0::2, :] + p[1::2, :]) / 2.0
+    return plane
+
+
 def encode_jpeg_ycbcr(
     width: int,
     height: int,
@@ -965,11 +994,14 @@ def encode_jpeg_ycbcr(
     """REAL baseline color JPEG encoder: three full-resolution YCbCr
     planes -> interleaved SOF0 stream with Annex K luma (tq 0) and
     chroma (tq 1) quant tables and both Huffman table pairs. 4:2:0
-    box-downsamples chroma 2x2 and emits 2x2-sampled luma MCUs;
-    ``restart_interval`` > 0 emits a DRI segment and byte-aligned RSTn
-    markers every N MCUs with DC predictor resets."""
-    if subsampling not in ("4:4:4", "4:2:0"):
-        raise ValueError("subsampling must be 4:4:4 or 4:2:0")
+    box-downsamples chroma 2x2 and emits 2x2-sampled luma MCUs (4:2:2
+    and 4:4:0 downsample one axis only); ``restart_interval`` > 0
+    emits a DRI segment and byte-aligned RSTn markers every N MCUs
+    with DC predictor resets."""
+    if subsampling not in _JPEG_SUBSAMPLING:
+        raise ValueError(
+            "subsampling must be one of " + "/".join(_JPEG_SUBSAMPLING)
+        )
     for name, plane in (("y", y), ("cb", cb), ("cr", cr)):
         if len(plane) != width * height:
             raise ValueError(f"{name} plane must be width*height bytes")
@@ -983,12 +1015,10 @@ def encode_jpeg_ycbcr(
         .reshape(height, width)
         for p in (y, cb, cr)
     ]
-    if subsampling == "4:2:0":
-        hy = vy = 2
-        planes[1] = _box2(planes[1])
-        planes[2] = _box2(planes[2])
-    else:
-        hy = vy = 1
+    hy, vy = _JPEG_SUBSAMPLING[subsampling]
+    if (hy, vy) != (1, 1):
+        planes[1] = _box_chroma(planes[1], hy, vy)
+        planes[2] = _box_chroma(planes[2], hy, vy)
     mcus_x = -(-width // (8 * hy))
     mcus_y = -(-height // (8 * vy))
     planes[0] = _pad_replicate(planes[0], mcus_y * vy * 8, mcus_x * hy * 8)
@@ -1034,7 +1064,7 @@ def encode_jpeg_ycbcr(
         b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00",
     )
     dqt = seg(b"\xff\xdb", b"\x00" + zz8(ql) + b"\x01" + zz8(qc))
-    sampling = 0x22 if subsampling == "4:2:0" else 0x11
+    sampling = (hy << 4) | vy
     sof0 = seg(
         b"\xff\xc0",
         b"\x08"
@@ -1363,8 +1393,10 @@ def encode_jpeg_progressive(
             .reshape(height, width)
         ]
     else:
-        if subsampling not in ("4:4:4", "4:2:0"):
-            raise ValueError("subsampling must be 4:4:4 or 4:2:0")
+        if subsampling not in _JPEG_SUBSAMPLING:
+            raise ValueError(
+                "subsampling must be one of " + "/".join(_JPEG_SUBSAMPLING)
+            )
         for name, plane in (("y", y), ("cb", cb), ("cr", cr)):
             if len(plane) != width * height:
                 raise ValueError(f"{name} plane must be width*height bytes")
@@ -1374,12 +1406,11 @@ def encode_jpeg_progressive(
             .reshape(height, width)
             for p in (y, cb, cr)
         ]
-        if subsampling == "4:2:0":
-            planes[1] = _box2(planes[1])
-            planes[2] = _box2(planes[2])
-            comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
-        else:
-            comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        hy, vy = _JPEG_SUBSAMPLING[subsampling]
+        if (hy, vy) != (1, 1):
+            planes[1] = _box_chroma(planes[1], hy, vy)
+            planes[2] = _box_chroma(planes[2], hy, vy)
+        comps = [(1, hy, vy, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-width // (8 * hmax))
@@ -1882,12 +1913,13 @@ def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
                 factors = tuple((c[1], c[2]) for c in comps)
                 ok = all(f == (1, 1) for f in factors) or (
                     nc == 3
-                    and factors[0] == (2, 2)
+                    and factors[0] in ((2, 2), (2, 1), (1, 2))
                     and factors[1] == factors[2] == (1, 1)
                 )
                 if not ok:
                     raise ValueError(
-                        "JPEG: subsampling unsupported (4:4:4/4:2:0 only)"
+                        "JPEG: subsampling unsupported"
+                        " (4:4:4/4:2:0/4:2:2/4:4:0 only)"
                     )
                 hmax = max(c[1] for c in comps)
                 vmax = max(c[2] for c in comps)
@@ -2600,8 +2632,9 @@ def synthesize_jpeg_images(df: DataFrame, id_col: str) -> DataFrame:
 def synthesize_jpeg_color_images(df: DataFrame, id_col: str) -> DataFrame:
     """Fixture generator for COLOR JPEG pixel decode: one real
     baseline YCbCr JPEG per row — interleaved 3-component scan, Annex K
-    luma AND chroma tables, alternating 4:4:4 (even ids) / 4:2:0 (odd
-    ids) sampling, restart markers every 2 MCUs when id%3==0. Planted
+    luma AND chroma tables, sampling cycling through
+    4:4:4/4:2:0/4:2:2/4:4:0 by id%4, restart markers every 2 MCUs when
+    id%3==0. Planted
     contract per id: w = id%13+1, h = id%9+1, solid planes
     y = ((id*37)%128)*2 (even -> DC divisible by the luma step 16),
     cb = 9+17*((id*53)%15), cr = 9+17*((id*29)%15) (offsets from 128
@@ -2631,7 +2664,7 @@ def synthesize_jpeg_color_images(df: DataFrame, id_col: str) -> DataFrame:
                         bytes([y]) * (w * h),
                         bytes([cb]) * (w * h),
                         bytes([cr]) * (w * h),
-                        subsampling="4:2:0" if i % 2 else "4:4:4",
+                        subsampling=("4:4:4", "4:2:0", "4:2:2", "4:4:0")[i % 4],
                         restart_interval=2 if i % 3 == 0 else 0,
                     )
                 )
@@ -2647,8 +2680,9 @@ def synthesize_jpeg_progressive_images(df: DataFrame, id_col: str) -> DataFrame:
     chroma — exactly lossless through quantization), but every stream
     is multi-scan progressive: interleaved DC first + refine,
     spectral-banded AC first + refine with EOB runs and correction
-    bits, optimal per-file Huffman tables, alternating 4:4:4/4:2:0,
-    restart markers every 2 MCUs when id%3==0. Identical content
+    bits, optimal per-file Huffman tables, sampling cycling through
+    4:4:4/4:2:0/4:2:2/4:4:0 by id%4, restart markers every 2 MCUs when
+    id%3==0. Identical content
     contract -> the jpeg_color arithmetic oracle applies verbatim, and
     any progressive-path bug (EOBRUN bookkeeping, refinement bits,
     non-interleaved AC block order, table rebuild) hash-mismatches."""
@@ -2671,7 +2705,7 @@ def synthesize_jpeg_progressive_images(df: DataFrame, id_col: str) -> DataFrame:
                         bytes([y]) * (w * h),
                         bytes([cb]) * (w * h),
                         bytes([cr]) * (w * h),
-                        subsampling="4:2:0" if i % 2 else "4:4:4",
+                        subsampling=("4:4:4", "4:2:0", "4:2:2", "4:4:0")[i % 4],
                         restart_interval=2 if i % 3 == 0 else 0,
                     )
                 )

@@ -1045,12 +1045,12 @@ def test_jpeg_progressive_codec_matches_sequential():
     ) == mm.decode_jpeg_pixels(
         mm.encode_jpeg_progressive(w, h, y, cb, cr, subsampling="4:2:0")
     )
-    # header decode reports SOF2 dims; 4:2:2 progressive still quarantines
+    # header decode reports SOF2 dims; 3x1 sampling still quarantines
     prog = mm.encode_jpeg_progressive(17, 9, bytes([100]) * 153)
     assert mm.decode_image_header(prog) == ("jpeg", 17, 9)
     bad = bytearray(prog)
     i = bad.index(b"\xff\xc2")
-    bad[i + 11] = 0x21  # luma sampling 2x1 = 4:2:2
+    bad[i + 11] = 0x31  # luma sampling 3x1: not a supported mode
     with pytest.raises(ValueError, match="subsampling|malformed"):
         mm.decode_jpeg_pixels(bytes(bad))
 
@@ -1141,10 +1141,10 @@ def test_split_statements_backtick_backslash_escape():
 def test_jpeg_color_codec_exact_solids_rgb_and_quarantine():
     """COLOR baseline JPEG (VERDICT r7 item 2): solid YCbCr planes with
     even Y and 17-step-aligned chroma survive the lossy format EXACTLY
-    through 4:4:4 AND 4:2:0 AND restart markers; the RGB front-door
-    round-trips arbitrary content within the color-conversion bound
-    under all-ones quant; 4:2:2 sampling and restart-marker corruption
-    quarantine."""
+    through all four sampling modes (4:4:4/4:2:0/4:2:2/4:4:0) AND
+    restart markers; the RGB front-door round-trips arbitrary content
+    within the color-conversion bound under all-ones quant; exotic
+    sampling (3x1) and restart-marker corruption quarantine."""
     import numpy as np
 
     def solid(w, h, v):
@@ -1152,7 +1152,7 @@ def test_jpeg_color_codec_exact_solids_rgb_and_quarantine():
 
     for (w, h) in ((1, 1), (8, 8), (13, 9), (17, 13)):
         for (y, cb, cr) in ((130, 128, 128), (200, 9, 247), (64, 43, 179)):
-            for sub in ("4:4:4", "4:2:0"):
+            for sub in ("4:4:4", "4:2:0", "4:2:2", "4:4:0"):
                 for ri in (0, 2):
                     p = mm.encode_jpeg_ycbcr(
                         w, h, solid(w, h, y), solid(w, h, cb),
@@ -1184,12 +1184,12 @@ def test_jpeg_color_codec_exact_solids_rgb_and_quarantine():
     )
     assert (w2, h2, c2) == (24, 17, 3)
 
-    # 4:2:2 luma sampling (2,1) quarantines honestly
-    p422 = bytearray(mm.encode_jpeg_color(8, 8, bytes(8 * 8 * 3)))
-    i = p422.index(b"\xff\xc0")
-    p422[i + 11] = 0x21
+    # exotic 3x1 luma sampling quarantines honestly
+    p31 = bytearray(mm.encode_jpeg_color(8, 8, bytes(8 * 8 * 3)))
+    i = p31.index(b"\xff\xc0")
+    p31[i + 11] = 0x31
     with pytest.raises(ValueError, match="subsampling"):
-        mm.decode_jpeg_pixels(bytes(p422))
+        mm.decode_jpeg_pixels(bytes(p31))
 
     # dropping a restart marker is detected, not silently misdecoded
     p_rst = mm.encode_jpeg_ycbcr(
