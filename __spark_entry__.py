@@ -4995,6 +4995,100 @@ FROM labeled l LEFT JOIN sums s ON l.doc_id = s.doc_id CROSS JOIN prior
 """
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with Asymmetric Distance Computation
+    (Jégou et al. 2011) — the compressed-domain scale path for 100 TB
+    embedding corpora: per-subspace Lloyd's codebooks (m=4 subspaces,
+    k=8 codes, 2 iterations, deterministic first-k init and
+    rounded-argmin assignment), every vector encoded to 4 small ints,
+    then query-vs-codebook LUT scoring with a fixed left-to-right add
+    chain and an ordered LIMIT. The oracle replays the ENTIRE pipeline
+    — train (unrolled CTE Lloyd's per subspace), encode, LUT, ADC
+    top-10 — so a drifted codebook, a wrong subspace slice, a tiebreak
+    flip, or a LUT off-by-one all hash-mismatch. First fully-oracled
+    product quantizer in the registry."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = simi.pq_train(emb, m=4, k=8, iters=2)
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 42)
+        .select("embedding")
+        .first()[0]
+    ]
+    return simi.pq_adc_topk(emb, books, q, topk=10)
+
+
+def _pq_sql(m: int = 4, k: int = 8, iters: int = 2, d: int = 16,
+            q_id: int = 42, topk: int = 10) -> str:
+    """Unrolled per-subspace Lloyd's + encode + ADC as DuckDB CTEs —
+    the oracle twin of ``operators/similarity.py:pq_train/pq_encode/
+    pq_adc_topk`` (init = vec_id < k subvectors, empty codes keep their
+    previous centroid, rounded-distance argmin with lowest-code ties,
+    rounded-6 LUT, ADC rounded to 4)."""
+    d2 = (
+        "list_aggregate(list_transform(list_zip(sv.sv, b.c), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')"
+    )
+    parts = [
+        f"subs AS (SELECT unnest(range({m})) AS sub)",
+        "sv AS (SELECT e.vec_id, s.sub, "
+        f"list_transform(e.embedding[s.sub * {d} + 1 : s.sub * {d} + {d}], "
+        "x -> CAST(x AS DOUBLE)) AS sv FROM embeddings e CROSS JOIN subs s)",
+        f"b0 AS (SELECT sub, vec_id AS code, sv AS c FROM sv "
+        f"WHERE vec_id < {k})",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"a{i} AS (SELECT vec_id, sub, code FROM ("
+            f"SELECT sv.vec_id, sv.sub, b.code, row_number() OVER ("
+            f"PARTITION BY sv.vec_id, sv.sub "
+            f"ORDER BY round({d2}, 6), b.code) AS rn "
+            f"FROM sv JOIN b{i} b ON sv.sub = b.sub) WHERE rn = 1)"
+        )
+        parts.append(
+            f"m{i + 1} AS (SELECT sub, code, list(mn ORDER BY idx) AS c "
+            f"FROM (SELECT t.sub, t.code, t.idx, avg(t.x) AS mn FROM ("
+            f"SELECT a.sub, a.code, "
+            f"generate_subscripts(sv.sv, 1) AS idx, unnest(sv.sv) AS x "
+            f"FROM a{i} a JOIN sv ON sv.vec_id = a.vec_id "
+            f"AND sv.sub = a.sub) t GROUP BY t.sub, t.code, t.idx) "
+            f"GROUP BY sub, code)"
+        )
+        parts.append(
+            f"b{i + 1} AS (SELECT b.sub, b.code, coalesce(m.c, b.c) AS c "
+            f"FROM b{i} b LEFT JOIN m{i + 1} m "
+            f"ON b.sub = m.sub AND b.code = m.code)"
+        )
+    parts.append(
+        f"enc AS (SELECT vec_id, sub, code FROM ("
+        f"SELECT sv.vec_id, sv.sub, b.code, row_number() OVER ("
+        f"PARTITION BY sv.vec_id, sv.sub "
+        f"ORDER BY round({d2}, 6), b.code) AS rn "
+        f"FROM sv JOIN b{iters} b ON sv.sub = b.sub) WHERE rn = 1)"
+    )
+    parts.append(
+        f"lut AS (SELECT b.sub, b.code, round("
+        "list_aggregate(list_transform(list_zip(q.sv, b.c), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 6) AS dd "
+        f"FROM b{iters} b JOIN "
+        f"(SELECT sub, sv FROM sv WHERE vec_id = {q_id}) q "
+        f"ON q.sub = b.sub)"
+    )
+    code_cols = ", ".join(
+        f"CAST(MAX(CASE WHEN enc.sub = {s} THEN enc.code END) AS INTEGER)"
+        f" AS code_{s}"
+        for s in range(m)
+    )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT CAST(enc.vec_id AS BIGINT) AS vec_id, {code_cols}, "
+        f"round(SUM(l.dd), 4) AS adc "
+        f"FROM enc JOIN lut l ON l.sub = enc.sub AND l.code = enc.code "
+        f"GROUP BY enc.vec_id ORDER BY adc, vec_id LIMIT {topk}"
+    )
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means (k=8, 2 update iterations) over the
     embeddings table — per iteration one broadcast-literal assignment
@@ -5535,6 +5629,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "card_sketch": q_card_sketch,
     "stream_index_append": q_stream_index_append,
     "jpeg_progressive_pixels": q_jpeg_progressive_pixels,
+    "pq_topk": q_pq_topk,
 }
 
 
@@ -7195,6 +7290,7 @@ UNION ALL SELECT 3, CAST(c3 AS BIGINT),
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "pagerank_nations": _PAGERANK_SQL,
         "kmeans_clusters": _kmeans_sql(k=8, iters=2),
+        "pq_topk": _pq_sql(m=4, k=8, iters=2, d=16, q_id=42, topk=10),
         "url_canonical": _URL_CANON_SQL,
         "nb_classifier": _NB_SQL,
         "token_entropy": _ENTROPY_SQL,

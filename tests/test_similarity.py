@@ -365,3 +365,70 @@ def test_ivf_index_append_equals_rebuild(spark, tmp_path):
         spark, full_path, queries, cents, k=5, nprobe=3
     ).collect()))
     assert got_inc == got_full and len(got_inc) > 0
+
+
+def test_pq_train_encode_adc_matches_numpy_replay(spark):
+    """Product quantization end-to-end vs an independent numpy replay:
+    identical per-subspace Lloyd's training (deterministic init,
+    rounded-argmin with first-min ties), identical codes for every
+    vector, and identical ADC top-10 — plus the compression contract
+    (m ints per vector) and the ADC-vs-exact sanity that the true
+    query vector itself ranks first."""
+    import numpy as np
+
+    emb = load_table(spark, SF, "embeddings")
+    m, k, d, iters = 4, 8, 16, 2
+    books = simi.pq_train(emb, m=m, k=k, iters=iters)
+    assert len(books) == m and len(books[0]) == k and len(books[0][0]) == d
+
+    rows = emb.orderBy("vec_id").collect()
+    v = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+
+    def assign(bk):
+        codes = np.zeros((len(v), m), dtype=int)
+        for s in range(m):
+            cb = np.array(bk[s])
+            dist = np.round(
+                ((v[:, s * d:(s + 1) * d][:, None, :] - cb[None]) ** 2)
+                .sum(-1), 6,
+            )
+            codes[:, s] = dist.argmin(1)  # first-min ties, like Spark
+        return codes
+
+    bk = [[list(v[c][s * d:(s + 1) * d]) for c in range(k)] for s in range(m)]
+    for _ in range(iters):
+        codes = assign(bk)
+        for s in range(m):
+            for c in range(k):
+                mem = v[codes[:, s] == c][:, s * d:(s + 1) * d]
+                if len(mem):
+                    bk[s][c] = list(mem.mean(0))
+    for s in range(m):
+        for c in range(k):
+            assert np.allclose(books[s][c], bk[s][c], atol=1e-9)
+
+    enc = {
+        r["vec_id"]: tuple(r[f"code_{s}"] for s in range(m))
+        for r in simi.pq_encode(emb, books).collect()
+    }
+    codes = assign(bk)
+    for i, vid in enumerate(ids):
+        assert enc[int(vid)] == tuple(codes[i])
+
+    q = [float(x) for x in v[list(ids).index(42)]]
+    got = [
+        (r["vec_id"], r["adc"])
+        for r in simi.pq_adc_topk(emb, books, q, topk=10).collect()
+    ]
+    qv = np.array(q)
+    adc = np.zeros(len(v))
+    for s in range(m):
+        cb = np.array(bk[s])
+        lut = np.round(((qv[s * d:(s + 1) * d][None] - cb) ** 2).sum(-1), 6)
+        adc += lut[codes[:, s]]
+    order = np.lexsort((ids, np.round(adc, 4)))[:10]
+    want = [(int(ids[i]), round(float(adc[i]), 4)) for i in order]
+    assert got == want
+    # the query's own vector quantizes closest to the query LUT
+    assert got[0][0] == 42
