@@ -5103,6 +5103,170 @@ def _pq_sql(m: int = 4, k: int = 8, iters: int = 2, d: int = 16,
     )
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the FAISS-style two-level billion-scale ANN index
+    (coarse Lloyd's quantizer shards the corpus into cells; ONE product
+    quantizer trained on the RESIDUALS v − centroid[cell] compresses
+    each vector to m ints; queries probe the nprobe nearest cells and
+    score with a per-cell residual LUT). The oracle replays BOTH
+    levels end-to-end as CTEs — coarse train + assignment, residuals,
+    residual-PQ train + encode, probe selection, per-cell LUT, ADC
+    top-10 — making this the first fully-oracled two-level ANN index
+    in the registry. Persisted partitionBy(cell), the probe filter is
+    partition pruning: unprobed shards are never read."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, books = simi.ivfpq_train(
+        emb, ncells=4, coarse_iters=1, m=4, k=8, pq_iters=1
+    )
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 42)
+        .select("embedding")
+        .first()[0]
+    ]
+    return simi.ivfpq_topk(emb, cents, books, q, nprobe=2, topk=10)
+
+
+def _ivfpq_sql(ncells: int = 4, coarse_iters: int = 1, m: int = 4,
+               k: int = 8, pq_iters: int = 1, d: int = 16,
+               q_id: int = 42, nprobe: int = 2, topk: int = 10) -> str:
+    """Two-level unroll: coarse Lloyd's (the _kmeans_sql pattern) →
+    residuals → per-subspace residual-PQ Lloyd's (the _pq_sql pattern)
+    → probe selection → per-cell LUT → ADC top-k. Oracle twin of
+    ``similarity.py:ivfpq_train/ivfpq_index/ivfpq_topk``."""
+    cd2 = (
+        "list_aggregate(list_transform(list_zip(e.embedding, c.c), "
+        "p -> (CAST(p[1] AS DOUBLE) - p[2]) * "
+        "(CAST(p[1] AS DOUBLE) - p[2])), 'sum')"
+    )
+    pd2 = (
+        "list_aggregate(list_transform(list_zip(sv.sv, b.c), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')"
+    )
+    parts = [
+        f"cc0 AS (SELECT vec_id AS cell, "
+        f"list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c "
+        f"FROM embeddings WHERE vec_id < {ncells})"
+    ]
+    for i in range(coarse_iters):
+        parts.append(
+            f"ca{i} AS (SELECT vec_id, cell FROM ("
+            f"SELECT e.vec_id, c.cell, row_number() OVER ("
+            f"PARTITION BY e.vec_id ORDER BY round({cd2}, 6), c.cell) AS rn "
+            f"FROM embeddings e CROSS JOIN cc{i} c) WHERE rn = 1)"
+        )
+        parts.append(
+            f"cm{i + 1} AS (SELECT cell, list(mn ORDER BY idx) AS c FROM ("
+            f"SELECT t.cell, t.idx, avg(t.x) AS mn FROM ("
+            f"SELECT a.cell, unnest(e.embedding) AS x, "
+            f"generate_subscripts(e.embedding, 1) AS idx "
+            f"FROM ca{i} a JOIN embeddings e ON a.vec_id = e.vec_id) t "
+            f"GROUP BY t.cell, t.idx) GROUP BY cell)"
+        )
+        parts.append(
+            f"cc{i + 1} AS (SELECT cc{i}.cell, "
+            f"coalesce(cm{i + 1}.c, cc{i}.c) AS c "
+            f"FROM cc{i} LEFT JOIN cm{i + 1} "
+            f"ON cc{i}.cell = cm{i + 1}.cell)"
+        )
+    ci = coarse_iters
+    parts.append(
+        f"caf AS (SELECT vec_id, cell FROM ("
+        f"SELECT e.vec_id, c.cell, row_number() OVER ("
+        f"PARTITION BY e.vec_id ORDER BY round({cd2}, 6), c.cell) AS rn "
+        f"FROM embeddings e CROSS JOIN cc{ci} c) WHERE rn = 1)"
+    )
+    parts.append(
+        "res AS (SELECT e.vec_id, a.cell, "
+        "list_transform(list_zip(e.embedding, c.c), "
+        "p -> CAST(p[1] AS DOUBLE) - p[2]) AS rv "
+        f"FROM embeddings e JOIN caf a ON e.vec_id = a.vec_id "
+        f"JOIN cc{ci} c ON c.cell = a.cell)"
+    )
+    parts.append(f"subs AS (SELECT unnest(range({m})) AS sub)")
+    parts.append(
+        "sv AS (SELECT r.vec_id, r.cell, s.sub, "
+        f"r.rv[s.sub * {d} + 1 : s.sub * {d} + {d}] AS sv "
+        "FROM res r CROSS JOIN subs s)"
+    )
+    parts.append(
+        f"b0 AS (SELECT sub, vec_id AS code, sv AS c FROM sv "
+        f"WHERE vec_id < {k})"
+    )
+    for i in range(pq_iters):
+        parts.append(
+            f"a{i} AS (SELECT vec_id, sub, code FROM ("
+            f"SELECT sv.vec_id, sv.sub, b.code, row_number() OVER ("
+            f"PARTITION BY sv.vec_id, sv.sub "
+            f"ORDER BY round({pd2}, 6), b.code) AS rn "
+            f"FROM sv JOIN b{i} b ON sv.sub = b.sub) WHERE rn = 1)"
+        )
+        parts.append(
+            f"m{i + 1} AS (SELECT sub, code, list(mn ORDER BY idx) AS c "
+            f"FROM (SELECT t.sub, t.code, t.idx, avg(t.x) AS mn FROM ("
+            f"SELECT a.sub, a.code, "
+            f"generate_subscripts(sv.sv, 1) AS idx, unnest(sv.sv) AS x "
+            f"FROM a{i} a JOIN sv ON sv.vec_id = a.vec_id "
+            f"AND sv.sub = a.sub) t GROUP BY t.sub, t.code, t.idx) "
+            f"GROUP BY sub, code)"
+        )
+        parts.append(
+            f"b{i + 1} AS (SELECT b.sub, b.code, coalesce(m.c, b.c) AS c "
+            f"FROM b{i} b LEFT JOIN m{i + 1} m "
+            f"ON b.sub = m.sub AND b.code = m.code)"
+        )
+    bi = pq_iters
+    parts.append(
+        f"enc AS (SELECT vec_id, cell, sub, code FROM ("
+        f"SELECT sv.vec_id, sv.cell, sv.sub, b.code, row_number() OVER ("
+        f"PARTITION BY sv.vec_id, sv.sub "
+        f"ORDER BY round({pd2}, 6), b.code) AS rn "
+        f"FROM sv JOIN b{bi} b ON sv.sub = b.sub) WHERE rn = 1)"
+    )
+    parts.append(
+        "q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+        f"AS qe FROM embeddings WHERE vec_id = {q_id})"
+    )
+    qd2 = (
+        "list_aggregate(list_transform(list_zip(q.qe, c.c), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')"
+    )
+    parts.append(
+        f"probes AS (SELECT cell FROM (SELECT c.cell, row_number() OVER ("
+        f"ORDER BY round({qd2}, 6), c.cell) AS rn "
+        f"FROM cc{ci} c CROSS JOIN q) WHERE rn <= {nprobe})"
+    )
+    parts.append(
+        "qres AS (SELECT pr.cell, s.sub, "
+        "(list_transform(list_zip(q.qe, c.c), "
+        f"p -> p[1] - p[2]))[s.sub * {d} + 1 : s.sub * {d} + {d}] AS qs "
+        f"FROM probes pr JOIN cc{ci} c ON c.cell = pr.cell "
+        "CROSS JOIN subs s CROSS JOIN q)"
+    )
+    parts.append(
+        "lut AS (SELECT qr.cell, qr.sub, b.code, round("
+        "list_aggregate(list_transform(list_zip(qr.qs, b.c), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 6) AS dd "
+        f"FROM qres qr JOIN b{bi} b ON b.sub = qr.sub)"
+    )
+    code_cols = ", ".join(
+        f"CAST(MAX(CASE WHEN enc.sub = {s} THEN enc.code END) AS INTEGER)"
+        f" AS code_{s}"
+        for s in range(m)
+    )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT CAST(enc.vec_id AS BIGINT) AS vec_id, "
+        f"CAST(enc.cell AS INTEGER) AS cell, {code_cols}, "
+        f"round(SUM(l.dd), 4) AS adc "
+        f"FROM enc JOIN lut l ON l.cell = enc.cell "
+        f"AND l.sub = enc.sub AND l.code = enc.code "
+        f"GROUP BY enc.vec_id, enc.cell "
+        f"ORDER BY adc, vec_id LIMIT {topk}"
+    )
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means (k=8, 2 update iterations) over the
     embeddings table — per iteration one broadcast-literal assignment
@@ -5645,6 +5809,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jpeg_progressive_pixels": q_jpeg_progressive_pixels,
     "pq_topk": q_pq_topk,
     "audio_spectrum": q_audio_spectrum,
+    "ivfpq_topk": q_ivfpq_topk,
 }
 
 
@@ -7325,6 +7490,10 @@ UNION ALL SELECT 3, CAST(c3 AS BIGINT),
         "pagerank_nations": _PAGERANK_SQL,
         "kmeans_clusters": _kmeans_sql(k=8, iters=2),
         "pq_topk": _pq_sql(m=4, k=8, iters=2, d=16, q_id=42, topk=10),
+        "ivfpq_topk": _ivfpq_sql(
+            ncells=4, coarse_iters=1, m=4, k=8, pq_iters=1, d=16,
+            q_id=42, nprobe=2, topk=10,
+        ),
         "url_canonical": _URL_CANON_SQL,
         "nb_classifier": _NB_SQL,
         "token_entropy": _ENTROPY_SQL,

@@ -1383,16 +1383,19 @@ def pq_encode(
     books: "list[list[list[float]]]",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
-    """(id, vec, code_0..code_{m-1}): each subvector's nearest-codebook
-    id via rounded-distance argmin, ties to the lowest code — pure
-    Catalyst, m × k × (dim/m) multiply-adds per row in codegen, no
-    shuffle, no Python. The m int codes ARE the compressed vector."""
+    """(id, vec, [keep_cols...,] code_0..code_{m-1}): each subvector's
+    nearest-codebook id via rounded-distance argmin, ties to the lowest
+    code — pure Catalyst, m × k × (dim/m) multiply-adds per row in
+    codegen, no shuffle, no Python. The m int codes ARE the compressed
+    vector."""
     from from_superset_to_clickhouse_spark.functions.scalar import let_bind
 
     m = len(books)
     d = len(books[0][0])
     cols = [F.col(id_col), F.col(vec_col)]
+    cols += [F.col(c) for c in keep_cols]
     for s in range(m):
         sl = F.slice(F.col(vec_col), s * d + 1, d)
         dists = F.array(*[_dist2(sl, c) for c in books[s]])
@@ -1443,3 +1446,153 @@ def pq_adc_topk(
         F.round(adc, 4).alias("adc"),
     )
     return scored.orderBy("adc", id_col).limit(topk)
+
+
+def _residuals(
+    corpus: DataFrame,
+    cents: "list[list[float]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, residual): per-vector coarse assignment (rounded
+    argmin, lowest-cell ties — the shared determinism contract) and the
+    DOUBLE residual v − centroid[cell], all in codegen: the centroid
+    table rides as a nested array literal indexed by the assigned
+    cell."""
+    assigned = kmeans_assign(corpus, cents, id_col, vec_col)
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+    res = F.zip_with(
+        F.col(vec_col),
+        F.element_at(cent_lit, F.col("cell") + 1),
+        lambda a, b: a.cast("double") - b,
+    )
+    return assigned.select(
+        F.col(id_col), F.col("cell"), res.alias("residual")
+    )
+
+
+def ivfpq_train(
+    corpus: DataFrame,
+    ncells: int = 4,
+    coarse_iters: int = 1,
+    m: int = 4,
+    k: int = 8,
+    pq_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF-PQ training (the FAISS-style two-level index — Jégou et al.
+    2011 §IV): a coarse Lloyd's quantizer shards the corpus into cells,
+    then ONE set of product-quantization codebooks is trained on the
+    RESIDUALS v − centroid[cell] (residuals are centered near zero, so
+    a shared codebook quantizes them far better than raw vectors).
+    Returns (centroids, codebooks). Both stages reuse the deterministic
+    rounded-argmin/first-k-init contract, which is what keeps the whole
+    two-level pipeline SQL-replayable."""
+    _, cents = kmeans(
+        corpus, k=ncells, iters=coarse_iters, id_col=id_col, vec_col=vec_col
+    )
+    res = _residuals(corpus, cents, id_col, vec_col)
+    books = pq_train(
+        res, m=m, k=k, iters=pq_iters, id_col=id_col, vec_col="residual"
+    )
+    return cents, books
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    cents: "list[list[float]]",
+    books: "list[list[list[float]]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, code_0..code_{m-1}): the complete compressed index
+    row — coarse cell for partition pruning plus m residual code ids.
+    At 100 TB this is what persists (partitionBy(cell), a few bytes per
+    vector); the raw vectors are only ever re-read to rerank."""
+    res = _residuals(corpus, cents, id_col, vec_col)
+    enc = pq_encode(
+        res, books, id_col=id_col, vec_col="residual", keep_cols=("cell",)
+    )
+    return enc.drop("residual")
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    cents: "list[list[float]]",
+    books: "list[list[list[float]]]",
+    query: "list[float]",
+    nprobe: int = 2,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ ADC search: probe the ``nprobe`` coarse cells nearest the
+    query (rounded-distance order, lowest-cell ties), build ONE LUT per
+    probed cell from the cell-relative query residual q − centroid[cell]
+    against the shared codebooks (nprobe × m × k doubles, driver-side,
+    baked as literals), then score only rows whose cell is probed: m
+    lookups + a fixed left-to-right add chain, ordered LIMIT. The cell
+    filter is the partition-pruning path when the index is persisted
+    partitionBy(cell) — unprobed shards are never read."""
+    m = len(books)
+    d = len(books[0][0])
+    dists = [
+        (
+            round(
+                sum((float(a) - float(b)) ** 2 for a, b in zip(query, c)), 6
+            ),
+            cell,
+        )
+        for cell, c in enumerate(cents)
+    ]
+    probes = [cell for _, cell in sorted(dists)[:nprobe]]
+    luts = {}
+    for cell in probes:
+        qr = [float(a) - float(b) for a, b in zip(query, cents[cell])]
+        luts[cell] = [
+            [
+                round(
+                    sum(
+                        (qr[s * d + i] - float(c[i])) ** 2 for i in range(d)
+                    ),
+                    6,
+                )
+                for c in books[s]
+            ]
+            for s in range(m)
+        ]
+    idx = ivfpq_index(corpus, cents, books, id_col, vec_col)
+    probed = idx.filter(F.col("cell").isin(probes))
+    # probe position lookup keeps the LUT a rectangular literal array
+    pos = F.lit(None).cast("int")
+    for i, cell in enumerate(probes):
+        pos = F.when(F.col("cell") == cell, F.lit(i)).otherwise(pos)
+    lut_lit = [
+        F.array(*[
+            F.array(*[F.lit(luts[cell][s][c]) for c in range(len(books[s]))])
+            for cell in probes
+        ])
+        for s in range(m)
+    ]
+    probed = probed.withColumn("_pos", pos)
+    adc = F.element_at(
+        F.element_at(lut_lit[0], F.col("_pos") + 1), F.col("code_0") + 1
+    )
+    for s in range(1, m):
+        adc = adc + F.element_at(
+            F.element_at(lut_lit[s], F.col("_pos") + 1),
+            F.col(f"code_{s}") + 1,
+        )
+    return (
+        probed.select(
+            F.col(id_col),
+            F.col("cell"),
+            *[F.col(f"code_{s}") for s in range(m)],
+            F.round(adc, 4).alias("adc"),
+        )
+        .orderBy("adc", id_col)
+        .limit(topk)
+    )
