@@ -4304,6 +4304,25 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS shortest hop counts over the undirected
+    customer↔supplier trade graph (packed-long node ids, same edge
+    list as pagerank_nations), source = customer 1, truncated at 4
+    hops. Completes the graph tier's traversal gap (CC/PageRank/label
+    prop/triangles but no path queries); the oracle is a recursive CTE
+    with UNION-dedup state — (node, hops) pairs, so the replay is
+    V×H-bounded, not walk-enumerating — and MIN(hops) per node."""
+    from from_superset_to_clickhouse_spark.operators import graph as gr
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    return gr.shortest_hops(edges, [2], max_hops=4)
+
+
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long melt via the built-in ``unpivot`` (ClickHouse has no
     UNPIVOT; this is the `arrayJoin(map)` idiom done relationally):
@@ -5810,6 +5829,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_topk": q_pq_topk,
     "audio_spectrum": q_audio_spectrum,
     "ivfpq_topk": q_ivfpq_topk,
+    "bfs_hops": q_bfs_hops,
 }
 
 
@@ -7494,6 +7514,29 @@ UNION ALL SELECT 3, CAST(c3 AS BIGINT),
             ncells=4, coarse_iters=1, m=4, k=8, pq_iters=1, d=16,
             q_id=42, nprobe=2, topk=10,
         ),
+        "bfs_hops": r"""
+-- Recursive-CTE BFS twin: UNION (not UNION ALL) dedups (node, hops)
+-- states against everything already produced, so the walk table is
+-- V x H bounded on this dense bipartite graph instead of enumerating
+-- exponentially many walks; MIN(hops) per node = shortest distance
+-- within the 4-hop truncation.
+WITH RECURSIVE e AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), sym AS (
+  SELECT src AS a, dst AS b FROM e
+  UNION
+  SELECT dst AS a, src AS b FROM e
+), bfs(node, hops) AS (
+  SELECT CAST(2 AS BIGINT) AS node, 0 AS hops
+  UNION
+  SELECT s.b, b.hops + 1 FROM bfs b JOIN sym s ON s.a = b.node
+  WHERE b.hops < 4
+)
+SELECT CAST(node AS BIGINT) AS node,
+  CAST(MIN(hops) AS INTEGER) AS hops
+FROM bfs GROUP BY node
+""",
         "url_canonical": _URL_CANON_SQL,
         "nb_classifier": _NB_SQL,
         "token_entropy": _ENTROPY_SQL,

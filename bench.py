@@ -80,6 +80,18 @@ HEADLINE = [
     "audio_features",
     # full Huffman+DCT decode throughput over synthesized real streams
     "jpeg_pixels",
+    # round-8 additions: progressive (SOF2) multi-scan decode throughput
+    # (every stream carries 6-10 scans + optimal per-file DHTs), rfft
+    # spectral features over decoded PCM, compressed-domain ANN — flat
+    # PQ/ADC and the two-level IVF-PQ residual index (train + encode +
+    # probe + LUT scoring end-to-end) — and the streaming→incremental
+    # inverted-index composition (4 checkpointed micro-batches of
+    # foreachBatch index maintenance, then BM25 served from the result)
+    "jpeg_progressive_pixels",
+    "audio_spectrum",
+    "pq_topk",
+    "ivfpq_topk",
+    "stream_index_append",
 ]
 
 # ANN is measured on a deterministic query slice (vec_id < ANN_QUERIES)

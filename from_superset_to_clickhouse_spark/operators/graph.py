@@ -444,3 +444,53 @@ def cooccurrence(
         .filter(F.col("n_groups") >= min_count)
     )
     return pairs
+
+
+def shortest_hops(
+    edges: DataFrame,
+    source_ids: "list",
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    max_hops: int = 5,
+) -> DataFrame:
+    """Multi-source BFS → (node, hops): minimum hop count from any
+    source over the undirected edge set, truncated at ``max_hops``
+    (unreached nodes are absent). ClickHouse has no graph traversal;
+    the oracle twin is a recursive CTE with UNION-dedup state.
+
+    Frontier algorithm: per round, the frontier joins the symmetrized
+    edge list, an ANTI join against the visited set keeps only
+    first-time nodes (which by BFS order carry their MINIMUM hop
+    count), and both sets localCheckpoint so round N+1 scans
+    materialized results instead of growing one giant lineage. At
+    100 TB: per-round work is |frontier ⋈ edges| — the visited set
+    never re-joins edges, and the driver sees only an empty-frontier
+    probe (limit(1).count()), never data."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame(
+        [(v,) for v in source_ids], f"{node_col} long"
+    ).distinct()
+    visited = frontier.select(node_col, F.lit(0).alias("hops"))
+    visited = visited.localCheckpoint(eager=True)
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier[node_col] == sym["a"])
+            .select(sym["b"].alias(node_col))
+            .distinct()
+            .join(visited.select(node_col), node_col, "left_anti")
+            .select(node_col, F.lit(hop).alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select(node_col)
+    return visited

@@ -266,3 +266,37 @@ def test_cooccurrence_max_basket_drops_bot_groups(spark):
         for r in cooccurrence(df, "g", "i", max_basket=5).collect()
     }
     assert got == {("a", "b"): 2}  # bot group contributed nothing
+
+
+def test_shortest_hops_bfs_distances_truncation_multisource(spark):
+    """BFS hop counts on a hand-built path+branch graph: exact
+    distances, max_hops truncation (distant nodes absent), multi-source
+    minimum, and disconnected nodes never appear."""
+    from from_superset_to_clickhouse_spark.operators.graph import (
+        shortest_hops,
+    )
+
+    # path 1-2-3-4-5-6 plus branch 3-7; isolated edge 100-101
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (3, 7), (100, 101)],
+        "src long, dst long",
+    )
+    got = {
+        (r["node"], r["hops"])
+        for r in shortest_hops(edges, [1], max_hops=3).collect()
+    }
+    assert got == {(1, 0), (2, 1), (3, 2), (4, 3), (7, 3)}  # 5,6 cut off
+
+    # multi-source: min over sources; undirected symmetry
+    got2 = {
+        (r["node"], r["hops"])
+        for r in shortest_hops(edges, [1, 5], max_hops=2).collect()
+    }
+    assert got2 == {
+        (1, 0), (5, 0), (2, 1), (4, 1), (3, 2), (6, 1),
+    }
+    # disconnected component unreached from 1 even with slack
+    far = {
+        r["node"] for r in shortest_hops(edges, [1], max_hops=10).collect()
+    }
+    assert far == {1, 2, 3, 4, 5, 6, 7}

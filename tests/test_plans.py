@@ -239,12 +239,11 @@ def test_correctness_window_contract(spark, qmap):
     names = list(qmap)
     window = names[:50]
 
-    # sketch_merge is rows-only BY DESIGN (engine-hash HLL sketch) and
-    # is deliberately rotated into the r7 window once so it gets its
-    # driver row (VERDICT r6 item 1 lists it among the 34 never
-    # driver-checked entries); every other window entry needs a full
-    # oracle.
-    assert [n for n in window if n not in oracles] == ["sketch_merge"]
+    # r8 contract: sketch_merge (rows-only by design) got its one
+    # deliberate driver row in the r7 window; from r8 on, every window
+    # entry must carry a full oracle — rows-only designs stay below
+    # position 50.
+    assert [n for n in window if n not in oracles] == []
     assert set(names) - set(oracles) == {
         "lsh_topk", "ivf_topk", "approx_distinct", "sketch_merge",
     }
