@@ -960,6 +960,21 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): key = u^(1/w) with a deterministic md5-derived
+    52-bit uniform, top-50 keys = the sample — inclusion probability
+    exactly proportional to weight (value+1), fixed output size, one
+    pass, ordered LIMIT. The fixed-size complement of the Bernoulli
+    ``weighted_sample``; the oracle replays the identical key formula
+    and ordering."""
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    src = ev.select(
+        "event_id", (F.col("value") + F.lit(1.0)).alias("w")
+    )
+    return smp.weighted_reservoir_k(src, "event_id", "w", k=50, seed=7)
+
+
 def q_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch shuffle for training data: every row gets an
     md5(seed:id) shuffle key (engine-portable — the oracle recomputes
@@ -5830,6 +5845,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_spectrum": q_audio_spectrum,
     "ivfpq_topk": q_ivfpq_topk,
     "bfs_hops": q_bfs_hops,
+    "weighted_reservoir": q_weighted_reservoir,
 }
 
 
@@ -7514,6 +7530,19 @@ UNION ALL SELECT 3, CAST(c3 AS BIGINT),
             ncells=4, coarse_iters=1, m=4, k=8, pq_iters=1, d=16,
             q_id=42, nprobe=2, topk=10,
         ),
+        "weighted_reservoir": """
+-- Identical A-ES keys: md5('7:' || id) -> first 13 hex chars = 52-bit
+-- integer (exact in double), u in [0,1), key = u^(1/w) rounded to 12
+-- so a pow() ulp can't flip the order; top-50 by (key DESC, id).
+SELECT CAST(event_id AS BIGINT) AS event_id, w,
+  round(pow(
+    CAST(('0x' || substr(md5('7:' || CAST(event_id AS VARCHAR)), 1, 13))
+      AS BIGINT) / 4503599627370496.0,
+    1.0 / w), 12) AS es_key
+FROM (SELECT event_id, value + 1.0 AS w FROM events
+      WHERE value IS NOT NULL)
+ORDER BY es_key DESC, event_id LIMIT 50
+""",
         "bfs_hops": r"""
 -- Recursive-CTE BFS twin: UNION (not UNION ALL) dedups (node, hops)
 -- states against everything already produced, so the walk table is

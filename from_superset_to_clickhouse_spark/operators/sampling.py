@@ -348,3 +348,48 @@ def seeded_shuffle(
         out.repartitionByRange(n, F.col("_skey"))
         .sortWithinPartitions("_skey")
     )
+
+
+def weighted_reservoir_k(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 7,
+) -> DataFrame:
+    """Exact-k weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis A-ES scheme (IPL 2006, public literature):
+    every row draws key = u^(1/w) from a uniform u and the k LARGEST
+    keys are the sample; P(inclusion) is then exactly proportional to
+    weight, without replacement, in one pass.
+
+    The fixed-size complement of ``weighted_sample`` (Bernoulli =
+    proportional but variable-size). u is a DETERMINISTIC md5-derived
+    52-bit uniform (md5("seed:key") — 52 bits so the integer→double
+    conversion is exact IEEE on every engine), making the sample
+    reproducible bit-for-bit, stable under repartitioning, and
+    SQL-replayable; keys round to 12 decimals before ordering so a
+    cross-engine pow() ulp cannot flip the order, ties broken by key
+    column. Top-k is an ordered LIMIT (TakeOrderedAndProject) — per-
+    partition heads merge on the driver; no global sort at any scale."""
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(str(seed)), F.col(key_col).cast("string")
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(float(1 << 52))
+    es = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 12
+    )
+    return (
+        df.withColumn("es_key", es)
+        .orderBy(F.desc("es_key"), F.col(key_col))
+        .limit(k)
+    )

@@ -546,3 +546,47 @@ def test_ewma_smooth_hand_values_and_null_skip(spark):
     assert got[("k", 4)] == round(52.5 / 1.75, 6)
     assert got[("other", 1)] == 7.0
     assert ("k", 2) not in got  # NULL row dropped, not zero-filled
+
+
+def test_weighted_reservoir_aes_properties(spark):
+    """A-ES exact-k weighted sampling: output size exactly k; a whale
+    weight is always included; the sample replays bit-for-bit from the
+    documented md5/pow key formula; inclusion frequency across many
+    disjoint seeds tracks the weight ratio."""
+    import hashlib
+
+    from from_superset_to_clickhouse_spark.operators import (
+        sampling as smp,
+    )
+
+    rows = [(i, 1.0 if i else 1e6) for i in range(200)]  # id 0 is a whale
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = smp.weighted_reservoir_k(df, "id", "w", k=10, seed=3).collect()
+    assert len(got) == 10
+    assert 0 in {r["id"] for r in got}  # whale always sampled
+
+    # python replay of the exact key formula
+    def key(i, w, seed):
+        h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:13]
+        u = int(h, 16) / float(1 << 52)
+        return round(u ** (1.0 / w), 12)
+
+    want = sorted(
+        ((key(i, w, 3), i) for i, w in rows),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    assert {(r["id"], r["es_key"]) for r in got} == {
+        (i, k) for k, i in want
+    }
+
+    # proportionality: item with weight 3 is sampled ~3x as often as
+    # weight 1 across seeds (k=1 draws so inclusion == selection)
+    small = spark.createDataFrame(
+        [(1, 3.0), (2, 1.0)], "id long, w double"
+    )
+    wins = {1: 0, 2: 0}
+    for s in range(200):
+        r = smp.weighted_reservoir_k(small, "id", "w", k=1, seed=s).first()
+        wins[r["id"]] += 1
+    # expected 150/50; allow generous binomial slack
+    assert 120 <= wins[1] <= 180, wins
