@@ -804,6 +804,20 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_features(tones)
 
 
+def q_mp4_sample_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 sample-table decode: one ISO-BMFF stream per document
+    with stts/stsz/stss boxes (run-length sample timing, per-sample
+    sizes, keyframe marks), reduced to the frame-scheduler scalars —
+    sample count, keyframe count, total/max coded bytes, last DTS at
+    the mdhd media timescale. The planted contract (constant delta,
+    (13j+id)%900+100 sizes, every (id%5+2)-th sample sync) gives every
+    scalar an arithmetic closed form, so the engine must actually
+    run-length-decode the real boxes to match. Takes the video tier
+    from header metadata to frame-accurate indexing."""
+    vids = mm.synthesize_mp4_tracks(_docs(spark, sf_dir), "doc_id")
+    return mm.video_frame_index(vids)
+
+
 def q_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL spectral analysis on decoded PCM: an rfft magnitude
     spectrum per clip, reduced to (n_bins, dominant bin, its magnitude,
@@ -5846,6 +5860,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_topk": q_ivfpq_topk,
     "bfs_hops": q_bfs_hops,
     "weighted_reservoir": q_weighted_reservoir,
+    "mp4_sample_tables": q_mp4_sample_tables,
 }
 
 
@@ -6466,6 +6481,28 @@ FROM toks LEFT JOIN rebuilt USING (doc_id)
             "CAST(2 * (doc_id % 50 + 10) - 1 AS INTEGER) "
             "AS zero_crossings FROM documents"
         ),
+        "mp4_sample_tables": """
+-- Arithmetic twin of synthesize_mp4_tracks' planted sample tables:
+-- n = id%30+5 samples, constant delta id%3+1 at timescale 600,
+-- size_j = (13j+id)%900+100, keyframe every id%5+2 samples.
+WITH p AS (
+  SELECT doc_id, doc_id % 30 + 5 AS n, doc_id % 3 + 1 AS delta,
+         doc_id % 5 + 2 AS step
+  FROM documents
+), s AS (
+  SELECT doc_id, n, delta, step, unnest(range(0, n)) AS j FROM p
+), sz AS (
+  SELECT doc_id, n, delta, step,
+         (13 * j + doc_id) % 900 + 100 AS sizeb FROM s
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+  CAST(max(n) AS INTEGER) AS n_samples,
+  CAST((max(n) + max(step) - 1) // max(step) AS INTEGER) AS n_sync,
+  CAST(sum(sizeb) AS BIGINT) AS bytes_total,
+  CAST(max(sizeb) AS INTEGER) AS max_size,
+  CAST((max(n) - 1) * max(delta) * 1000 // 600 AS BIGINT) AS last_dts_ms
+FROM sz GROUP BY doc_id
+""",
         "audio_spectrum": (
             # Spectral twin of the same square-wave contract: the
             # rfft of K repetitions of [+A x P, -A x P] is nonzero only

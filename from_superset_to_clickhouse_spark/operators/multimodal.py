@@ -2328,6 +2328,174 @@ def encode_mp4(
     )
 
 
+def encode_mp4_track(
+    width: int,
+    height: int,
+    sample_deltas: "list[int]",
+    sample_sizes: "list[int]",
+    sync_every: int = 1,
+    media_timescale: int = 600,
+) -> bytes:
+    """A real ISO-BMFF stream WITH SAMPLE TABLES: ftyp + moov(mvhd,
+    trak(tkhd, mdia(mdhd, minf(stbl(stts, stsz, stss))))) — the boxes a
+    frame-accurate scheduler actually reads. ``stts`` is run-length
+    encoded from the per-sample decode deltas (media units, ``mdhd``
+    timescale), ``stsz`` carries per-sample byte sizes, ``stss`` marks
+    every ``sync_every``-th sample (1-based) as a keyframe. The movie
+    duration derives from the sample deltas, so header and sample
+    table cannot disagree."""
+    if len(sample_deltas) != len(sample_sizes) or not sample_deltas:
+        raise ValueError("need equal, non-empty delta/size lists")
+    n = len(sample_deltas)
+    total_units = sum(sample_deltas)
+    mv_timescale = 1000
+    duration_ms = total_units * 1000 // media_timescale
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">I", 0)
+        + struct.pack(">IIII", 0, 0, mv_timescale, duration_ms)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8
+        + matrix
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = _box(
+        b"tkhd",
+        struct.pack(">I", 0x000007)
+        + struct.pack(">IIIII", 0, 0, 1, 0, duration_ms)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + matrix
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _box(
+        b"mdhd",
+        struct.pack(">I", 0)
+        + struct.pack(">IIII", 0, 0, media_timescale, total_units)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und', pre_defined
+    )
+    # run-length encode deltas into stts (sample_count, sample_delta)
+    runs: "list[tuple[int, int]]" = []
+    for dlt in sample_deltas:
+        if runs and runs[-1][1] == dlt:
+            runs[-1] = (runs[-1][0] + 1, dlt)
+        else:
+            runs.append((1, dlt))
+    stts = _box(
+        b"stts",
+        struct.pack(">II", 0, len(runs))
+        + b"".join(struct.pack(">II", c, d) for c, d in runs),
+    )
+    stsz = _box(
+        b"stsz",
+        struct.pack(">III", 0, 0, n)
+        + b"".join(struct.pack(">I", s) for s in sample_sizes),
+    )
+    syncs = list(range(1, n + 1, max(1, sync_every)))
+    stss = _box(
+        b"stss",
+        struct.pack(">II", 0, len(syncs))
+        + b"".join(struct.pack(">I", s) for s in syncs),
+    )
+    stbl = _box(b"stbl", stts + stsz + stss)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + minf)
+    return _box(
+        b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2"
+    ) + _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
+
+
+def decode_mp4_samples(
+    payload: bytes,
+) -> "tuple[int, list[tuple[int, int, int, bool]]]":
+    """REAL sample-table decode → (media_timescale, [(sample_index,
+    dts_units, size_bytes, is_sync), ...]): walks moov → trak → mdia
+    for ``mdhd`` (media timescale) and stbl's ``stts`` (run-length
+    decode deltas → cumulative DTS), ``stsz`` (per-sample or constant
+    sizes) and ``stss`` (sync sample numbers; absent table = every
+    sample is sync, per spec). This is the metadata a frame sampler
+    schedules from WITHOUT touching coded media data. Raises
+    ``ValueError`` on malformed or sample-table-free streams."""
+    if payload is None:
+        raise ValueError("empty payload")
+    try:
+        moov = None
+        for typ, s, e in _walk_boxes(payload, 0, len(payload)):
+            if typ == b"moov":
+                moov = (s, e)
+        if moov is None:
+            raise ValueError("MP4: missing moov")
+        timescale = None
+        deltas: "list[int]" = []
+        sizes: "list[int]" = []
+        syncs: "set[int] | None" = None
+
+        def walk_stbl(s, e):
+            nonlocal deltas, sizes, syncs
+            for t, bs, be in _walk_boxes(payload, s, e):
+                if t == b"stts":
+                    (cnt,) = struct.unpack(">I", payload[bs + 4 : bs + 8])
+                    p = bs + 8
+                    for _ in range(cnt):
+                        c, d = struct.unpack(">II", payload[p : p + 8])
+                        deltas.extend([d] * c)
+                        p += 8
+                elif t == b"stsz":
+                    const, cnt = struct.unpack(
+                        ">II", payload[bs + 4 : bs + 12]
+                    )
+                    if const:
+                        sizes = [const] * cnt
+                    else:
+                        p = bs + 12
+                        sizes = [
+                            struct.unpack(">I", payload[p + 4 * i : p + 4 * i + 4])[0]
+                            for i in range(cnt)
+                        ]
+                elif t == b"stss":
+                    (cnt,) = struct.unpack(">I", payload[bs + 4 : bs + 8])
+                    p = bs + 8
+                    syncs = {
+                        struct.unpack(">I", payload[p + 4 * i : p + 4 * i + 4])[0]
+                        for i in range(cnt)
+                    }
+
+        for typ, s, e in _walk_boxes(payload, *moov):
+            if typ == b"trak":
+                for t2, s2, e2 in _walk_boxes(payload, s, e):
+                    if t2 == b"mdia":
+                        for t3, s3, e3 in _walk_boxes(payload, s2, e2):
+                            if t3 == b"mdhd":
+                                version = payload[s3]
+                                if version == 1:
+                                    (timescale,) = struct.unpack(
+                                        ">I", payload[s3 + 20 : s3 + 24]
+                                    )
+                                else:
+                                    (timescale,) = struct.unpack(
+                                        ">I", payload[s3 + 12 : s3 + 16]
+                                    )
+                            elif t3 == b"minf":
+                                for t4, s4, e4 in _walk_boxes(
+                                    payload, s3, e3
+                                ):
+                                    if t4 == b"stbl":
+                                        walk_stbl(s4, e4)
+        if timescale is None or not deltas or len(sizes) != len(deltas):
+            raise ValueError("MP4: missing/inconsistent sample tables")
+        out = []
+        dts = 0
+        for i, (d, sz) in enumerate(zip(deltas, sizes)):
+            is_sync = syncs is None or (i + 1) in syncs
+            out.append((i, dts, sz, is_sync))
+            dts += d
+        return timescale, out
+    except struct.error as exc:
+        raise ValueError(f"truncated MP4: {exc}") from exc
+
+
 def _walk_boxes(buf: bytes, start: int, end: int):
     """Yield (type, payload_start, payload_end) for each box in
     buf[start:end], honoring 64-bit largesize (size == 1) and
@@ -3109,6 +3277,94 @@ def video_meta(videos: DataFrame) -> DataFrame:
             )
 
     return videos.mapInPandas(run, schema=VIDEO_META_SCHEMA)
+
+
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("n_sync", T.IntegerType(), True),
+        T.StructField("bytes_total", T.LongType(), True),
+        T.StructField("max_size", T.IntegerType(), True),
+        T.StructField("last_dts_ms", T.LongType(), True),
+    ]
+)
+
+
+def video_frame_index(videos: DataFrame) -> DataFrame:
+    """REAL frame-accurate video indexing from SAMPLE TABLES: per
+    payload, ``decode_mp4_samples`` run-length-decodes ``stts`` into
+    per-sample DTS, reads ``stsz`` sizes and ``stss`` keyframes, and
+    this reduces to the scheduler scalars — sample count, keyframe
+    count, total/max coded bytes, last DTS in ms (mdhd timescale
+    honored). This is the metadata pass a frame sampler runs to plan
+    seeks WITHOUT touching coded media data; payloads lacking sample
+    tables (header-only streams) quarantine as NULL rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns, sy, bt, mx, ld = [], [], [], [], []
+            for p in pdf["payload"]:
+                try:
+                    ts, samples = decode_mp4_samples(p)
+                    sizes = [s for _, _, s, _ in samples]
+                    ns.append(len(samples))
+                    sy.append(sum(1 for t in samples if t[3]))
+                    bt.append(int(sum(sizes)))
+                    mx.append(int(max(sizes)))
+                    ld.append(samples[-1][1] * 1000 // ts)
+                except ValueError:
+                    ns.append(None)
+                    sy.append(None)
+                    bt.append(None)
+                    mx.append(None)
+                    ld.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": pd.array(ns, dtype="Int32"),
+                    "n_sync": pd.array(sy, dtype="Int32"),
+                    "bytes_total": pd.array(bt, dtype="Int64"),
+                    "max_size": pd.array(mx, dtype="Int32"),
+                    "last_dts_ms": pd.array(ld, dtype="Int64"),
+                }
+            )
+
+    return videos.mapInPandas(run, schema=VIDEO_FRAMES_SCHEMA)
+
+
+def synthesize_mp4_tracks(df: DataFrame, id_col: str) -> DataFrame:
+    """Fixture generator for SAMPLE-TABLE decode: one real ISO-BMFF
+    stream with stts/stsz/stss per row, planted contract per id:
+    n = id%30+5 samples, constant decode delta id%3+1 units at media
+    timescale 600, size_i = (13i + id) % 900 + 100 bytes, keyframe
+    every id%5+2 samples (1-based starting at sample 1). Every scalar
+    ``video_frame_index`` emits then has an arithmetic closed form."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                n = i % 30 + 5
+                delta = i % 3 + 1
+                payloads.append(
+                    encode_mp4_track(
+                        width=320,
+                        height=240,
+                        sample_deltas=[delta] * n,
+                        sample_sizes=[
+                            (13 * j + i) % 900 + 100 for j in range(n)
+                        ],
+                        sync_every=i % 5 + 2,
+                        media_timescale=600,
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return src.mapInPandas(run, schema=IMAGE_SCHEMA)
 
 
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:

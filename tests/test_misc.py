@@ -1255,3 +1255,45 @@ def test_jpeg_color_codec_exact_solids_rgb_and_quarantine():
     assert mm.decode_image_header(
         mm.encode_jpeg_color(31, 7, bytes(31 * 7 * 3))
     ) == ("jpeg", 31, 7)
+
+
+def test_mp4_sample_tables_roundtrip_and_quarantine(spark):
+    """encode_mp4_track → decode_mp4_samples recovers per-sample DTS
+    (stts run-length decode), sizes (stsz) and keyframes (stss)
+    exactly, including mixed-delta runs; header-only MP4s (no sample
+    tables) raise; video_frame_index reduces to the scheduler scalars
+    and quarantines header-only rows."""
+    import pandas as pd
+
+    deltas = [100, 100, 100, 50, 50, 200]
+    sizes = [500, 400, 300, 200, 100, 600]
+    p = mm.encode_mp4_track(
+        320, 240, deltas, sizes, sync_every=3, media_timescale=600
+    )
+    ts, samples = mm.decode_mp4_samples(p)
+    assert ts == 600
+    assert [s[1] for s in samples] == [0, 100, 200, 300, 350, 400]
+    assert [s[2] for s in samples] == sizes
+    assert [s[3] for s in samples] == [True, False, False, True, False, False]
+    # the header boxes stay consistent with the sample tables
+    assert mm.decode_mp4_header(p) == ("mp4", 320, 240, sum(deltas) * 1000 // 600)
+
+    with pytest.raises(ValueError, match="sample tables"):
+        mm.decode_mp4_samples(mm.encode_mp4(2000, 64, 64))
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2],
+                "payload": [p, mm.encode_mp4(2000, 64, 64)],
+            }
+        ),
+        schema=mm.IMAGE_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in mm.video_frame_index(df).collect()}
+    assert rows[1]["n_samples"] == 6
+    assert rows[1]["n_sync"] == 2
+    assert rows[1]["bytes_total"] == sum(sizes)
+    assert rows[1]["max_size"] == 600
+    assert rows[1]["last_dts_ms"] == 400 * 1000 // 600
+    assert rows[2]["n_samples"] is None
