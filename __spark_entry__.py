@@ -1502,6 +1502,41 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-aware overlapping chunking (RAG windows): sentences on
+    [.!?]+whitespace, 3-sentence windows every 2 (1-sentence overlap),
+    short trailing windows kept — the embedder-feeding complement of
+    fixed-token ``token_chunks``. The fixture corpus has no sentence
+    punctuation, so the entry first PLANTS deterministic structure —
+    every doc_id%5+3 words become one period-terminated sentence (a
+    pure Catalyst rewrite the oracle replays with list ops) — making
+    the multi-sentence window/overlap arithmetic actually load-bearing
+    (docs yield up to ~15 overlapping chunks, not 1). Split/sequence/
+    slice/posexplode only; no shuffle, no UDF."""
+    from from_superset_to_clickhouse_spark.functions.scalar import let_bind
+
+    docs = _docs(spark, sf_dir)
+    wpw = F.pmod(F.col("doc_id"), F.lit(5)) + 3
+    punct = let_bind(
+        F.split(F.col("text"), " "),
+        lambda w: let_bind(F.size(w), lambda n: F.concat_ws(
+            ". ",
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((n - 1) / wpw).cast("int"),
+                ),
+                lambda g: F.concat_ws(
+                    " ", F.slice(w, g * wpw + 1, wpw)
+                ),
+            ),
+        )),
+    )
+    return txt.sentence_chunks(
+        docs.select("doc_id", punct.alias("text")), n_sent=3, overlap=1
+    )
+
+
 def q_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size (64-token) training-sequence chunks per document."""
     return txt.token_chunks(_docs(spark, sf_dir), chunk_size=64)
@@ -5861,6 +5896,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bfs_hops": q_bfs_hops,
     "weighted_reservoir": q_weighted_reservoir,
     "mp4_sample_tables": q_mp4_sample_tables,
+    "sentence_chunks": q_sentence_chunks,
 }
 
 
@@ -6874,6 +6910,41 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
             "(200000.0, 1e9, 'high')) b(lo, hi, tier) "
             "ON o_totalprice >= lo AND o_totalprice < hi"
         ),
+        "sentence_chunks": r"""
+-- Replays the planted sentence structure (doc_id%5+3 words joined by
+-- '. ') then the identical sentence split (RE2-safe regex,
+-- punctuation consumed) and window arithmetic: 3-sentence windows,
+-- stride 2, last window at the final stride position reaching new
+-- material; slices clamp at n.
+WITH wrds AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         CAST(doc_id % 5 + 3 AS INTEGER) AS wpw
+  FROM documents
+), punct AS (
+  SELECT doc_id, array_to_string(
+    list_transform(
+      range(0, (CAST(len(w) AS INTEGER) - 1) // wpw + 1),
+      g -> array_to_string(w[g * wpw + 1 : g * wpw + wpw], ' ')),
+    '. ') AS text
+  FROM wrds
+), sents AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '[.!?]+\s+'),
+                x -> x <> '') AS s
+  FROM punct
+), dims AS (
+  SELECT doc_id, s, CAST(len(s) AS INTEGER) AS n
+  FROM sents WHERE len(s) > 0
+), ks AS (
+  SELECT doc_id, s, n,
+    unnest(range(0, greatest((n - 2) // 2, 0) + 1)) AS k
+  FROM dims
+)
+SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
+  CAST(len(s[k * 2 + 1 : k * 2 + 3]) AS INTEGER) AS n_sent_chunk,
+  array_to_string(s[k * 2 + 1 : k * 2 + 3], ' ') AS chunk_text
+FROM ks
+""",
         "token_chunks": r"""
 WITH toks AS (
   SELECT doc_id,

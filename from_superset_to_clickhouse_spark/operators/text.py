@@ -292,6 +292,67 @@ def token_chunks(
     )
 
 
+def sentence_chunks(
+    df: DataFrame,
+    n_sent: int = 3,
+    overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sentence-aware overlapping chunking for retrieval/RAG →
+    (doc_id, chunk_id, n_sent_chunk, chunk_text): sentences split on
+    ``[.!?]+\\s+`` (punctuation consumed — lookbehind is off-limits,
+    RE2 engines can't replay it), windows of ``n_sent`` sentences
+    starting every ``n_sent − overlap``; the last window starts at the
+    final stride position that still reaches new material, so every
+    sentence is covered exactly once by a window head. The chunking
+    most retrieval stacks feed their embedder — fixed-token windows
+    (``token_chunks``) cut mid-thought; sentence windows keep units
+    intact and the overlap keeps cross-boundary context queryable.
+
+    Pure Catalyst: one regexp split bound once per row, window starts
+    as a ``sequence`` + ``slice`` transform, ``posexplode`` to rows —
+    no shuffle, no UDF, linear in corpus size."""
+    from from_superset_to_clickhouse_spark.functions.scalar import let_bind
+
+    if not 0 <= overlap < n_sent:
+        raise ValueError("need 0 <= overlap < n_sent")
+    stride = n_sent - overlap
+    chunks = let_bind(
+        F.filter(
+            F.split(F.col(text_col), r"[.!?]+\s+"), lambda x: x != ""
+        ),
+        lambda sents: let_bind(F.size(sents), lambda n: F.when(
+            n > 0,
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.floor(
+                            (n - F.lit(n_sent) + F.lit(stride - 1))
+                            / F.lit(stride)
+                        ),
+                        F.lit(0),
+                    ).cast("int"),
+                ),
+                lambda k: F.slice(sents, k * stride + 1, n_sent),
+            ),
+        ).otherwise(F.array())),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(chunks).alias("chunk_id", "_sents"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("_sents").alias("n_sent_chunk"),
+            F.concat_ws(" ", "_sents").alias("chunk_text"),
+        )
+    )
+
+
 # PII patterns — deliberately restricted to syntax both Java regex
 # (Spark) and RE2 (DuckDB, Go scrubbers) accept identically: character
 # classes, bounded repetition, alternation. No lookaround, no backrefs —

@@ -710,3 +710,39 @@ def test_bm25_stemmed_unifies_inflections(spark):
     assert [
         r["doc_id"] for r in txt.bm25_topk(df, ["merged"], k=3).collect()
     ] == [1]
+
+
+def test_sentence_chunks_windows_overlap_and_edges(spark):
+    """Sentence windows: exact contents with overlap, short trailing
+    window kept, single-sentence doc = one chunk, empty doc = no
+    chunks, punctuation runs collapse, param validation."""
+    from from_superset_to_clickhouse_spark.operators.text import (
+        sentence_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A one. B two! C three? D four. E five."),
+            (2, "Only sentence"),
+            (3, ""),
+            (4, "Run on!!  Then more...   And end"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_sent_chunk"], r["chunk_text"])
+        for r in sentence_chunks(docs, n_sent=3, overlap=1).collect()
+    }
+    # doc 1: 5 sentences -> windows at 0, 2 (ends "E five." which,
+    # lacking trailing split whitespace, keeps its period)
+    assert got[(1, 0)] == (3, "A one B two C three")
+    assert got[(1, 1)] == (3, "C three D four E five.")
+    assert (1, 2) not in got
+    assert got[(2, 0)] == (1, "Only sentence")
+    assert not any(k[0] == 3 for k in got)
+    assert got[(4, 0)] == (3, "Run on Then more And end")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        sentence_chunks(docs, n_sent=2, overlap=2)
