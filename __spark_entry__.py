@@ -1537,6 +1537,46 @@ def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-style encoding repair: detect and fix UTF-8-misdecoded-as-
+    Latin-1 text ('Ã©' → 'é') with the GENERIC inverse transform —
+    re-encode ISO-8859-1, re-decode UTF-8 — gated by is_valid_utf8
+    detection so clean accented text is left alone. The ASCII fixture
+    corpus first gets deterministic damage planted: doc_id%4==0 docs
+    get 'a'→'á' then a real UTF-8→Latin-1 misdecode (via Spark's own
+    encode/decode, not a lookup table), %4==1 likewise with 'e'→'é',
+    %4==2 gets clean accents that must NOT be "repaired" (the negative
+    detection case — blind repair would corrupt them), %4==3 stays
+    ASCII. The oracle replays the controlled finite char map with
+    replace() chains; the Spark side never sees the map. `restored`
+    proves the repair recovered the exact pre-corruption text.
+    All JVM codegen — no UDF, no shuffle; map-only at 100 TB."""
+    docs = _docs(spark, sf_dir)
+    cls = F.pmod(F.col("doc_id"), F.lit(4))
+    planted = (
+        F.when(cls == 0, F.translate("text", "a", "á"))
+        .when(cls == 1, F.translate("text", "e", "é"))
+        .when(cls == 2, F.translate("text", "o", "ó"))
+        .otherwise(F.col("text"))
+    )
+    corrupt = F.when(
+        cls < 2, F.decode(F.encode(F.col("planted"), "UTF-8"), "ISO-8859-1")
+    ).otherwise(F.col("planted"))
+    staged = docs.select(
+        "doc_id", planted.alias("planted")
+    ).select("doc_id", "planted", corrupt.alias("text"))
+    fixed = txt.fix_mojibake(staged, "text", "text_fixed")
+    return fixed.select(
+        "doc_id",
+        "was_mojibake",
+        (F.length("text") - F.length("text_fixed")).cast("int").alias(
+            "n_fixed"
+        ),
+        (F.col("text_fixed") == F.col("planted")).alias("restored"),
+        "text_fixed",
+    )
+
+
 def q_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size (64-token) training-sequence chunks per document."""
     return txt.token_chunks(_docs(spark, sf_dir), chunk_size=64)
@@ -5897,6 +5937,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_reservoir": q_weighted_reservoir,
     "mp4_sample_tables": q_mp4_sample_tables,
     "sentence_chunks": q_sentence_chunks,
+    "fix_mojibake": q_fix_mojibake,
 }
 
 
@@ -6944,6 +6985,40 @@ SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
   CAST(len(s[k * 2 + 1 : k * 2 + 3]) AS INTEGER) AS n_sent_chunk,
   array_to_string(s[k * 2 + 1 : k * 2 + 3], ' ') AS chunk_text
 FROM ks
+""",
+        "fix_mojibake": """
+-- Replays the plant (per-class accent translate) and corruption
+-- (UTF-8 bytes read as Latin-1: 'á'=C3A1→'Ã¡', 'é'=C3A9→'Ã©') with
+-- the finite char map — the fixture corpus is pure ASCII so the map
+-- is exhaustive. Spark's side uses the generic encode/decode inverse
+-- transform; agreement here proves the generic repair equals the
+-- exact inverse on this controlled charset, and that clean accented
+-- docs (class 2) are detected and left untouched.
+WITH planted AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 4 AS INTEGER)
+      WHEN 0 THEN replace(text, 'a', 'á')
+      WHEN 1 THEN replace(text, 'e', 'é')
+      WHEN 2 THEN replace(text, 'o', 'ó')
+      ELSE text END AS planted
+  FROM documents
+), corrupt AS (
+  SELECT doc_id, planted,
+    CASE WHEN doc_id % 4 < 2
+      THEN replace(replace(planted, 'á', 'Ã¡'), 'é', 'Ã©')
+      ELSE planted END AS text
+  FROM planted
+), fixed AS (
+  SELECT doc_id, planted, text,
+    CASE WHEN doc_id % 4 < 2
+      THEN replace(replace(text, 'Ã¡', 'á'), 'Ã©', 'é')
+      ELSE text END AS text_fixed
+  FROM corrupt
+)
+SELECT doc_id, text_fixed <> text AS was_mojibake,
+  CAST(length(text) - length(text_fixed) AS INTEGER) AS n_fixed,
+  text_fixed = planted AS restored, text_fixed
+FROM fixed
 """,
         "token_chunks": r"""
 WITH toks AS (

@@ -746,3 +746,58 @@ def test_sentence_chunks_windows_overlap_and_edges(spark):
 
     with _pytest.raises(ValueError, match="overlap"):
         sentence_chunks(docs, n_sent=2, overlap=2)
+
+
+def test_fix_mojibake_repairs_and_detects(spark):
+    df = spark.createDataFrame(
+        [
+            # real mojibake: UTF-8 bytes of 'café résumé' read as Latin-1
+            (0, "cafÃ© rÃ©sumÃ©"),
+            # clean accented text: blind "repair" would corrupt; the
+            # is_valid_utf8 gate must reject (lone 0xE9 is invalid UTF-8)
+            (1, "café résumé naïve"),
+            # pure ASCII: identity roundtrip, not flagged
+            (2, "plain ascii"),
+            # lone 'Ã' (0xC3 is an invalid UTF-8 tail on its own): kept
+            (3, "stray Ã here"),
+            # char above Latin-1 repertoire (ULTRA flag '✓'): gate 1
+            # rejects before encode (Spark 4 would raise on unmappable)
+            (4, "checked ✓ done"),
+            # double space + multi-char sequence 'â€™' (U+2019 curly
+            # apostrophe mojibake, 3-byte sequence)
+            (5, "donâ€™t stop"),
+        ],
+        "id int, text string",
+    )
+    out = {
+        r["id"]: (r["text_fixed"], r["was_mojibake"])
+        for r in txt.fix_mojibake(df).collect()
+    }
+    assert out[0] == ("café résumé", True)
+    assert out[1] == ("café résumé naïve", False)
+    assert out[2] == ("plain ascii", False)
+    assert out[3] == ("stray Ã here", False)
+    assert out[4] == ("checked ✓ done", False)
+    assert out[5] == ("don’t stop", True)
+
+
+def test_fix_mojibake_roundtrip_property(spark):
+    # any Latin-1-repertoire string, corrupted by the real UTF-8→Latin-1
+    # misdecode, must be restored exactly and flagged
+    originals = ["héllo wörld", "àéîõü mix", "ASCII only stays", "ñ"]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(originals)], "id int, orig string"
+    )
+    corrupted = df.select(
+        "id",
+        "orig",
+        F.decode(F.encode("orig", "UTF-8"), "ISO-8859-1").alias("text"),
+    )
+    got = {
+        r["id"]: (r["text_fixed"], r["was_mojibake"], r["orig"])
+        for r in txt.fix_mojibake(corrupted).collect()
+    }
+    for i, s in enumerate(originals):
+        fixed, flagged, orig = got[i]
+        assert fixed == s
+        assert flagged == (s != s.encode("utf-8").decode("iso-8859-1"))
