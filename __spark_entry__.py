@@ -2627,6 +2627,32 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch``/``sequenceCount`` analog with EXACT
+    semantics: per user, does view→click→purchase occur as a
+    time-ordered subsequence with each step within 24 h of the previous
+    matched step (the ``(?t<=N)`` condition), and the MAXIMAL number of
+    disjoint such matches. One shuffle + a linear max-anchor DP fold
+    with greedy earliest-completion restart (both provably exact — see
+    ``operators/temporal.py:sequence_match``). The oracle is a
+    genuinely different algorithm: a recursive-CTE matcher that
+    repeatedly finds the earliest gap-feasible chain completion after
+    the previous match via nested correlated EXISTS — agreement is
+    independent evidence, not fold replay. (A DuckDB 1.0 list_reduce
+    replay was tried first and hit an engine vectorization bug:
+    identical folds returned different results with and without an
+    outer filter — documented here so nobody reintroduces it.)"""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        sequence_match,
+    )
+
+    return sequence_match(
+        _ev(spark, sf_dir),
+        ["view", "click", "purchase"],
+        max_gap_micros=86_400 * 1_000_000,
+    )
+
+
 def q_funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel step-conversion summary on top of ``window_funnel``: per
     step, how many users reached it and the conversion FROM THE
@@ -5938,6 +5964,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mp4_sample_tables": q_mp4_sample_tables,
     "sentence_chunks": q_sentence_chunks,
     "fix_mojibake": q_fix_mojibake,
+    "sequence_match": q_sequence_match,
 }
 
 
@@ -6985,6 +7012,42 @@ SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
   CAST(len(s[k * 2 + 1 : k * 2 + 3]) AS INTEGER) AS n_sent_chunk,
   array_to_string(s[k * 2 + 1 : k * 2 + 3], ' ') AS chunk_text
 FROM ks
+""",
+        "sequence_match": """
+-- Independent recursive-CTE matcher (NOT a fold replay): from
+-- position pos (last counted match's completion ts, initially -inf),
+-- find the EARLIEST purchase t3 such that a gap-feasible
+-- view<click<purchase chain exists strictly inside (pos, t3] — the
+-- nested correlated EXISTS quantifies over all feasible chains, so
+-- this is exact; greedy earliest-completion restart is optimal for
+-- the disjoint-match count by the interval-scheduling exchange
+-- argument. Recursion depth = max matches per user (bounded).
+WITH RECURSIVE e AS (
+  SELECT user_id, epoch_us(ts) AS t,
+    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+         WHEN 'purchase' THEN 3 ELSE 0 END AS k
+  FROM events
+), f AS (SELECT user_id, t, k FROM e WHERE k > 0),
+m(user_id, pos, cnt) AS (
+  SELECT DISTINCT user_id, CAST(-9223372036854775807 AS BIGINT), 0
+  FROM f
+  UNION ALL
+  SELECT user_id, t3, cnt + 1 FROM (
+    SELECT m.user_id, m.cnt,
+      (SELECT min(p3.t) FROM f p3
+        WHERE p3.user_id = m.user_id AND p3.k = 3 AND p3.t > m.pos
+          AND EXISTS (SELECT 1 FROM f c
+            WHERE c.user_id = m.user_id AND c.k = 2 AND c.t > m.pos
+              AND c.t < p3.t AND p3.t - c.t <= 86400000000
+              AND EXISTS (SELECT 1 FROM f v
+                WHERE v.user_id = m.user_id AND v.k = 1 AND v.t > m.pos
+                  AND v.t < c.t AND c.t - v.t <= 86400000000))) AS t3
+    FROM m) s
+  WHERE t3 IS NOT NULL
+)
+SELECT user_id, max(cnt) >= 1 AS matched,
+  CAST(max(cnt) AS INTEGER) AS n_matches
+FROM m GROUP BY user_id
 """,
         "fix_mojibake": """
 -- Replays the plant (per-class accent translate) and corruption

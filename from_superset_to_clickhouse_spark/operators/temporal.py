@@ -202,6 +202,105 @@ def window_funnel(
     )
 
 
+def sequence_match(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_gap_micros: int | None = None,
+) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1).*(?2).*(?3)')`` +
+    ``sequenceCount`` analog with EXACT semantics: per user, does the
+    time-ordered event stream contain ``steps`` as a subsequence with
+    each step within ``max_gap_micros`` of the previous matched step
+    (the ``(?t<=N)`` condition), and the MAXIMAL number of disjoint
+    (non-overlapping) such matches.
+
+    Both answers come from one linear Catalyst fold over the
+    time-sorted per-user step events — no backtracking needed:
+
+    - Existence uses the max-anchor DP (the ``window_funnel`` trick):
+      state slot k holds the LATEST timestamp of a step-k event that
+      completes a gap-feasible chain of steps 1..k. A later anchor is
+      always at least as permissive for the next gap test, so max
+      dominates and the DP is exact.
+    - Count uses greedy earliest-completion with restart: the fold
+      fires at the first event where a full chain becomes feasible,
+      increments, clears the state, and continues — the classic
+      interval-scheduling exchange argument makes earliest-completion
+      restart optimal for the disjoint-match count, so the count is
+      exact too (matched ≡ n_matches >= 1).
+
+    Shape: events not matching any step are filtered BEFORE the
+    per-user collect (at 100 TB the pattern alphabet is usually a tiny
+    slice of the stream), then ONE shuffle groups each user's step
+    events and the fold runs entirely in codegen — no window function,
+    no per-step self-join, no Python. Per-user step-event lists are
+    bounded by per-user activity, the same contract as
+    ``window_funnel``/``sessionize``. Returns (user, matched boolean,
+    n_matches int); users with zero step events are absent (the filter
+    precedes the group).
+    """
+    n = len(steps)
+    step_expr = F.lit(0)
+    for i, st in enumerate(reversed(steps)):
+        step_expr = F.when(
+            F.col(type_col) == F.lit(st), F.lit(len(steps) - i)
+        ).otherwise(step_expr)
+    evs = df.select(
+        F.col(user_col),
+        F.unix_micros(F.col(ts_col)).alias("_t"),
+        step_expr.alias("_k"),
+    ).filter(F.col("_k") > 0)
+    seq = F.array_sort(
+        F.collect_list(F.struct(F.col("_t").alias("t"), F.col("_k").alias("k")))
+    )
+    null_slots = [F.lit(None).cast("long") for _ in range(n)]
+    init = F.struct(
+        F.array(*null_slots).alias("a"), F.lit(0).alias("c")
+    )
+
+    def feasible(acc, e, k):
+        """Can event e (known to be step k) extend a chain of 1..k-1?"""
+        if k == 1:
+            return F.lit(True)
+        prev = F.element_at(acc["a"], k - 1)
+        ok = prev.isNotNull()
+        if max_gap_micros is not None:
+            ok = ok & (e["t"] - prev <= F.lit(max_gap_micros))
+        return ok
+
+    def advance(acc, e):
+        complete = (e["k"] == F.lit(n)) & feasible(acc, e, n)
+        slots = []
+        for j in range(1, n + 1):
+            # ts are sorted ascending and unique per user, so a slot
+            # update is always the max — plain overwrite suffices.
+            slots.append(
+                F.when(
+                    (e["k"] == F.lit(j)) & feasible(acc, e, j), e["t"]
+                ).otherwise(F.element_at(acc["a"], j))
+            )
+        return F.struct(
+            F.when(complete, F.array(*null_slots))
+            .otherwise(F.array(*slots))
+            .alias("a"),
+            F.when(complete, acc["c"] + 1).otherwise(acc["c"]).alias("c"),
+        )
+
+    state = F.aggregate(seq, init, advance)
+    return (
+        evs.groupBy(user_col)
+        .agg(state.alias("_st"))
+        .select(
+            user_col,
+            (F.col("_st.c") >= 1).alias("matched"),
+            F.col("_st.c").cast("int").alias("n_matches"),
+        )
+    )
+
+
 def retention(
     df: DataFrame,
     conds: Sequence[Column],

@@ -590,3 +590,144 @@ def test_weighted_reservoir_aes_properties(spark):
         wins[r["id"]] += 1
     # expected 150/50; allow generous binomial slack
     assert 120 <= wins[1] <= 180, wins
+
+
+def _seq_df(spark, rows):
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (i, base + timedelta(hours=h), 7, ty)
+            for i, (h, ty) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+
+
+def test_sequence_match_exact_dp_not_greedy(spark):
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        sequence_match,
+    )
+
+    # the case that breaks a naive one-pass automaton: an isolated
+    # early 'view' (no click within gap) must NOT poison the later
+    # tight view->click->purchase triple
+    df = _seq_df(
+        spark,
+        [(0, "view"), (100, "view"), (101, "click"), (102, "purchase")],
+    )
+    r = sequence_match(
+        df,
+        ["view", "click", "purchase"],
+        max_gap_micros=3_600_000_000 * 2,  # 2h gap
+    ).first()
+    assert r["matched"] is True and r["n_matches"] == 1
+
+
+def test_sequence_match_disjoint_count_and_gap(spark):
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        sequence_match,
+    )
+
+    steps = ["view", "click", "purchase"]
+    gap2h = 2 * 3_600_000_000
+    # two disjoint matches; middle events interleave freely
+    df = _seq_df(
+        spark,
+        [
+            (0, "view"), (1, "error"), (2, "click"), (3, "purchase"),
+            (10, "view"), (11, "click"), (12, "purchase"),
+        ],
+    )
+    r = sequence_match(df, steps, max_gap_micros=gap2h).first()
+    assert r["n_matches"] == 2
+
+    # shared prefix can't double-count: v c p p = 1 match (restart
+    # needs a fresh view)
+    df2 = _seq_df(
+        spark, [(0, "view"), (1, "click"), (2, "purchase"), (3, "purchase")]
+    )
+    assert (
+        sequence_match(df2, steps, max_gap_micros=gap2h).first()["n_matches"]
+        == 1
+    )
+
+    # gap boundary: exactly == gap passes, over fails
+    df3 = _seq_df(spark, [(0, "view"), (2, "click"), (4, "purchase")])
+    assert (
+        sequence_match(df3, steps, max_gap_micros=gap2h).first()["matched"]
+        is True
+    )
+    df4 = _seq_df(spark, [(0, "view"), (3, "click"), (5, "purchase")])
+    assert (
+        sequence_match(df4, steps, max_gap_micros=gap2h).first()["matched"]
+        is False
+    )
+
+    # no-gap variant: any-order-gap subsequence
+    assert (
+        sequence_match(df4, steps).first()["matched"] is True
+    )
+
+    # wrong order never matches
+    df5 = _seq_df(spark, [(0, "purchase"), (1, "click"), (2, "view")])
+    assert sequence_match(df5, steps).first()["matched"] is False
+
+
+def test_sequence_match_matches_python_reference(spark):
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        sequence_match,
+    )
+    import random
+
+    rng = random.Random(42)
+    types = ["view", "click", "purchase", "error"]
+    rows = []
+    per_user = {}
+    for u in range(20):
+        evs = sorted(
+            (rng.randint(0, 500), rng.choice(types)) for _ in range(40)
+        )
+        # dedupe hours so ts are unique per user (operator contract)
+        seen, uniq = set(), []
+        for h, ty in evs:
+            if h not in seen:
+                seen.add(h)
+                uniq.append((h, ty))
+        per_user[u] = uniq
+        rows += [(u, h, ty) for h, ty in uniq]
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (i, base + timedelta(hours=h), u, ty)
+            for i, (u, h, ty) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    GAP = 24 * 3_600_000_000
+    got = {
+        r["user_id"]: r["n_matches"]
+        for r in sequence_match(
+            df, ["view", "click", "purchase"], max_gap_micros=GAP
+        ).collect()
+    }
+    step_of = {"view": 1, "click": 2, "purchase": 3}
+    for u, evs in per_user.items():
+        a = [None, None, None]
+        c = 0
+        for h, ty in evs:
+            k = step_of.get(ty, 0)
+            if not k:
+                continue
+            t = h * 3_600_000_000
+            feas = k == 1 or (a[k - 2] is not None and t - a[k - 2] <= GAP)
+            if k == 3 and feas:
+                c += 1
+                a = [None, None, None]
+            elif feas:
+                a[k - 1] = t
+        if any(step_of.get(ty) for _, ty in evs):
+            assert got[u] == c, (u, got[u], c)
