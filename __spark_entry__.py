@@ -2653,6 +2653,24 @@ def q_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test across three event-type
+    pairs: exact D (distinct-value aggregation handles ties exactly,
+    one window cumsum per pair partition — no global sort) plus the
+    asymptotic p-value via the truncated Kolmogorov series with
+    Stephens' small-sample λ correction. The oracle replays the same
+    published arithmetic in DuckDB windows; D itself is
+    integer-ratio-exact so the 6-dp round is engine-stable."""
+    from from_superset_to_clickhouse_spark.operators.stats import ks_test
+
+    return ks_test(
+        _ev(spark, sf_dir),
+        "value",
+        "event_type",
+        [("click", "purchase"), ("view", "error"), ("signup", "purchase")],
+    )
+
+
 def q_funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel step-conversion summary on top of ``window_funnel``: per
     step, how many users reached it and the conversion FROM THE
@@ -5965,6 +5983,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sentence_chunks": q_sentence_chunks,
     "fix_mojibake": q_fix_mojibake,
     "sequence_match": q_sequence_match,
+    "ks_test": q_ks_test,
 }
 
 
@@ -7012,6 +7031,68 @@ SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
   CAST(len(s[k * 2 + 1 : k * 2 + 3]) AS INTEGER) AS n_sent_chunk,
   array_to_string(s[k * 2 + 1 : k * 2 + 3], ' ') AS chunk_text
 FROM ks
+""",
+        "ks_test": """
+-- Same distinct-value ECDF construction and published p-value
+-- arithmetic: D is exact integer-count ratio arithmetic; the
+-- Kolmogorov series terms decay like exp(-2 j^2 lam^2) so the 100-term
+-- sum is dominated by its first few terms and the 6-dp round is
+-- stable across engines and summation orders.
+WITH prs(pair, member, side) AS (
+  VALUES ('click|purchase', 'click', 'a'),
+         ('click|purchase', 'purchase', 'b'),
+         ('view|error', 'view', 'a'), ('view|error', 'error', 'b'),
+         ('signup|purchase', 'signup', 'a'),
+         ('signup|purchase', 'purchase', 'b')
+), tagged AS (
+  SELECT p.pair, p.side, e.value AS v
+  FROM events e JOIN prs p ON e.event_type = p.member
+), by_val AS (
+  SELECT pair, v,
+    count(*) FILTER (side = 'a') AS ca,
+    count(*) FILTER (side = 'b') AS cb
+  FROM tagged GROUP BY 1, 2
+), cum AS (
+  SELECT pair,
+    sum(ca) OVER (PARTITION BY pair ORDER BY v) AS cuma,
+    sum(cb) OVER (PARTITION BY pair ORDER BY v) AS cumb,
+    sum(ca) OVER (PARTITION BY pair) AS na,
+    sum(cb) OVER (PARTITION BY pair) AS nb
+  FROM by_val
+), gaps AS (
+  SELECT pair,
+    max(abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb)) AS d,
+    CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b
+  FROM cum GROUP BY pair
+), lamt AS (
+  SELECT pair, n_a, n_b, d,
+    d * (sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)) + 0.12
+         + 0.11 / sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b))) AS lam
+  FROM gaps
+), serbig AS (
+  SELECT pair,
+    2.0 * sum((CASE WHEN j % 2 = 1 THEN 1.0 ELSE -1.0 END)
+              * exp(-2.0 * lam * lam * j * j)) AS qb
+  FROM lamt, (SELECT unnest(range(1, 101)) AS j) js
+  GROUP BY pair
+), sersmall AS (
+  SELECT pair,
+    1.0 - sqrt(2.0 * pi()) / lam
+        * sum(exp(-(2.0*j - 1) * (2.0*j - 1) * pi() * pi()
+                  / (8.0 * lam * lam))) AS qs
+  FROM lamt, (SELECT unnest(range(1, 21)) AS j) js
+  WHERE lam > 1e-9
+  GROUP BY pair, lam
+)
+SELECT g.pair, g.n_a, g.n_b, round(g.d, 6) AS ks_d,
+  round(least(greatest(
+    CASE WHEN l.lam <= 1e-9 THEN 1.0
+         WHEN l.lam < 1.18 THEN s.qs
+         ELSE b.qb END, 0.0), 1.0), 6) AS p_value
+FROM gaps g
+JOIN lamt l ON g.pair = l.pair
+JOIN serbig b ON g.pair = b.pair
+LEFT JOIN sersmall s ON g.pair = s.pair
 """,
         "sequence_match": """
 -- Independent recursive-CTE matcher (NOT a fold replay): from

@@ -12,7 +12,7 @@ unlike a native ``erf`` whose libm implementation varies.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Abramowitz & Stegun 7.1.26 coefficients.
@@ -237,4 +237,121 @@ def linear_regression(
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
+    )
+
+
+def ks_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    pairs: "list[tuple[str, str]]",
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test per comparison pair:
+    D = sup_x |ECDF_a(x) − ECDF_b(x)| plus the asymptotic two-sided
+    p-value — the standard distribution-drift gate between corpus
+    slices (old vs new crawl, arm A vs arm B, source X vs source Y).
+
+    Exact D with exact tie handling, with NO global sort: rows are
+    first aggregated to DISTINCT values per (pair, value) — the ECDF
+    only moves at distinct sample values, and evaluating after all
+    rows of an equal value is precisely the tied-sample convention —
+    then ONE window cumsum partitioned by pair walks each pair's
+    (already shrunken) value axis. Shuffle width = Σ|pair members|;
+    each pair sorts independently inside its partition (this is the
+    scale shape: P drift checks = P bounded sorted partitions, never
+    one global sort).
+
+    p-value: Kolmogorov asymptotic series Q(λ) = 2 Σ (−1)^{j−1}
+    exp(−2 j² λ²) with the Stephens small-sample correction
+    λ = D(√n_e + 0.12 + 0.11/√n_e), n_e = n_a·n_b/(n_a+n_b),
+    truncated at j = 100 — explicit arithmetic with one deterministic
+    summation order, replayable verbatim in any SQL engine (same
+    contract as ``erf_approx``). Rounded to 6 decimals.
+    """
+    sides = []
+    for i, (a, b) in enumerate(pairs):
+        pair_name = f"{a}|{b}"
+        sides.append((i, pair_name, a, "a"))
+        sides.append((i, pair_name, b, "b"))
+    pair_df = df.sparkSession.createDataFrame(
+        [(p, m, s) for (_, p, m, s) in sides], "pair string, member string, side string"
+    )
+    tagged = df.join(
+        F.broadcast(pair_df),
+        df[group_col] == pair_df["member"],
+        "inner",
+    )
+    by_val = tagged.groupBy("pair", F.col(value_col).alias("_v")).agg(
+        F.count(F.when(F.col("side") == "a", 1)).alias("_ca"),
+        F.count(F.when(F.col("side") == "b", 1)).alias("_cb"),
+    )
+    w = (
+        Window.partitionBy("pair")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("pair")
+    cum = by_val.select(
+        "pair",
+        F.sum("_ca").over(w).alias("_cuma"),
+        F.sum("_cb").over(w).alias("_cumb"),
+        F.sum("_ca").over(wp).alias("_na"),
+        F.sum("_cb").over(wp).alias("_nb"),
+    )
+    gaps = cum.groupBy("pair").agg(
+        F.max(
+            F.abs(
+                F.col("_cuma") / F.col("_na")
+                - F.col("_cumb") / F.col("_nb")
+            )
+        ).alias("_d"),
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+    )
+    ne = (
+        F.col("n_a").cast("double")
+        * F.col("n_b")
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    lam = F.col("_d") * (
+        F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne)
+    )
+    # Kolmogorov survival Q(lam): the alternating series converges for
+    # large lam but oscillates to garbage as lam -> 0 (Q(0) must be 1);
+    # below scipy's classic switch point 1.18 use the dual
+    # theta-function form 1 - sqrt(2*pi)/lam * sum exp(-(2j-1)^2 pi^2 /
+    # (8 lam^2)) whose terms vanish as lam -> 0. Both branches are
+    # explicit arithmetic replayed verbatim in the SQL twin.
+    import math
+
+    big = F.lit(2.0) * F.aggregate(
+        F.sequence(F.lit(1), F.lit(100)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.pow(F.lit(-1.0), (j - 1).cast("double"))
+        * F.exp(F.lit(-2.0) * lam * lam * (j * j).cast("double")),
+    )
+    pi2 = F.lit(math.pi * math.pi)
+    small = F.lit(1.0) - F.lit(math.sqrt(2.0 * math.pi)) / lam * F.aggregate(
+        F.sequence(F.lit(1), F.lit(20)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.exp(
+            -((F.lit(2.0) * j - 1) * (F.lit(2.0) * j - 1)).cast("double")
+            * pi2
+            / (F.lit(8.0) * lam * lam)
+        ),
+    )
+    q = (
+        F.when(lam <= F.lit(1e-9), F.lit(1.0))
+        .when(lam < F.lit(1.18), small)
+        .otherwise(big)
+    )
+    p = F.least(F.greatest(q, F.lit(0.0)), F.lit(1.0))
+    return gaps.select(
+        "pair",
+        "n_a",
+        "n_b",
+        F.round("_d", 6).alias("ks_d"),
+        F.round(p, 6).alias("p_value"),
     )

@@ -1297,3 +1297,49 @@ def test_mp4_sample_tables_roundtrip_and_quarantine(spark):
     assert rows[1]["max_size"] == 600
     assert rows[1]["last_dts_ms"] == 400 * 1000 // 600
     assert rows[2]["n_samples"] is None
+
+
+def test_ks_test_known_cases(spark):
+    from from_superset_to_clickhouse_spark.operators.stats import ks_test
+
+    # disjoint supports -> D = 1, p ~ 0
+    rows = [("a", float(v)) for v in range(50)] + [
+        ("b", float(v)) for v in range(100, 150)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_test(df, "v", "g", [("a", "b")]).first()
+    assert r["ks_d"] == 1.0
+    assert r["p_value"] < 1e-6
+    assert (r["n_a"], r["n_b"]) == (50, 50)
+
+    # identical samples (all ties) -> D = 0, p = 1
+    rows = [("a", float(v % 5)) for v in range(40)] + [
+        ("b", float(v % 5)) for v in range(40)
+    ]
+    r = ks_test(
+        spark.createDataFrame(rows, "g string, v double"), "v", "g", [("a", "b")]
+    ).first()
+    assert r["ks_d"] == 0.0
+    assert r["p_value"] == 1.0
+
+    # hand-computed tied case: a = [1,2,2,3], b = [2,3,3,4]
+    # ECDF steps at 1,2,3,4: Fa = .25,.75,1,1 ; Fb = 0,.25,.75,1 -> D=.5
+    rows = [("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 3.0),
+            ("b", 2.0), ("b", 3.0), ("b", 3.0), ("b", 4.0)]
+    r = ks_test(
+        spark.createDataFrame(rows, "g string, v double"), "v", "g", [("a", "b")]
+    ).first()
+    assert r["ks_d"] == 0.5
+
+    # a group can sit in several pairs; each pair is independent
+    rows = [("a", 1.0), ("b", 1.0), ("c", 9.0)]
+    out = {
+        r["pair"]: r["ks_d"]
+        for r in ks_test(
+            spark.createDataFrame(rows, "g string, v double"),
+            "v",
+            "g",
+            [("a", "b"), ("a", "c")],
+        ).collect()
+    }
+    assert out == {"a|b": 0.0, "a|c": 1.0}
