@@ -2653,6 +2653,26 @@ def q_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between the first
+    half of the month (reference) and the second (current): 10
+    fixed-width value bins over [0, 500), eps-floored proportions,
+    Σ (p_cur − p_ref)·ln(p_cur/p_ref). Stationary fixture data yields
+    small-but-nonzero PSI from sampling noise — the arithmetic is
+    fully exercised and hash-checked; the planted-drift sensitivity
+    case lives in pytest."""
+    from from_superset_to_clickhouse_spark.operators.stats import psi_drift
+
+    ev = _ev(spark, sf_dir)
+    side = F.when(
+        F.col("ts") < F.lit("2024-01-16").cast("timestamp"), F.lit("ref")
+    ).otherwise(F.lit("cur"))
+    return psi_drift(
+        ev, "value", side, n_bins=10, lo=0.0, hi=500.0,
+        group_cols=["event_type"],
+    )
+
+
 def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov drift test across three event-type
     pairs: exact D (distinct-value aggregation handles ties exactly,
@@ -5984,6 +6004,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fix_mojibake": q_fix_mojibake,
     "sequence_match": q_sequence_match,
     "ks_test": q_ks_test,
+    "psi_drift": q_psi_drift,
 }
 
 
@@ -7031,6 +7052,31 @@ SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
   CAST(len(s[k * 2 + 1 : k * 2 + 3]) AS INTEGER) AS n_sent_chunk,
   array_to_string(s[k * 2 + 1 : k * 2 + 3], ' ') AS chunk_text
 FROM ks
+""",
+        "psi_drift": """
+-- Replays the binned PSI: clamped fixed-width bins, per-type window
+-- totals, eps-floored proportions. Bins empty on BOTH sides never
+-- materialize; their contribution is (eps-eps)*ln(1) = 0, so absence
+-- is equivalent.
+WITH binned AS (
+  SELECT event_type,
+    least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9) AS b,
+    count(*) FILTER (ts <  TIMESTAMP '2024-01-16') AS nr,
+    count(*) FILTER (ts >= TIMESTAMP '2024-01-16') AS nc
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, nr, nc,
+    CAST(sum(nr) OVER (PARTITION BY event_type) AS DOUBLE) AS tr,
+    CAST(sum(nc) OVER (PARTITION BY event_type) AS DOUBLE) AS tc
+  FROM binned
+), p AS (
+  SELECT event_type, tr, tc,
+    greatest(nr / tr, 1e-6) AS pr, greatest(nc / tc, 1e-6) AS pc
+  FROM tot
+)
+SELECT event_type, round(sum((pc - pr) * ln(pc / pr)), 6) AS psi,
+  CAST(max(tr) AS BIGINT) AS n_ref, CAST(max(tc) AS BIGINT) AS n_cur
+FROM p GROUP BY event_type
 """,
         "ks_test": """
 -- Same distinct-value ECDF construction and published p-value

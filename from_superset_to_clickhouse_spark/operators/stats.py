@@ -355,3 +355,69 @@ def ks_test(
         F.round("_d", 6).alias("ks_d"),
         F.round(p, 6).alias("p_value"),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    side_expr: Column,
+    n_bins: int,
+    lo: float,
+    hi: float,
+    group_cols: "list[str] | None" = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    slice — the standard binned drift monitor between training-data
+    snapshots: PSI = Σ_bins (p_cur − p_ref) · ln(p_cur / p_ref).
+    Rule-of-thumb thresholds: < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    action. ``side_expr`` must evaluate to 'ref' or 'cur' per row
+    (rows mapping to anything else are ignored).
+
+    Fixed-width bins over [lo, hi) (bounds are explicit arguments —
+    deterministic, no extra data pass; out-of-range values clamp into
+    the edge bins, the conventional treatment). Proportions are
+    floored at ``eps`` so empty bins contribute a finite penalty
+    instead of ±inf.
+
+    Shape: ONE aggregation pass to (group, bin) with conditional
+    ref/cur counts riding map-side combine, then a per-group fold over
+    ≤ n_bins rows — shuffle width is groups × bins regardless of input
+    size, the right reduction for a 100 TB drift check. All codegen;
+    no window, no Python."""
+    g = list(group_cols or [])
+    w = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    b = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(w)), F.lit(0)),
+        F.lit(n_bins - 1),
+    )
+    side = side_expr.alias("_side")
+    binned = (
+        df.select(*g, b.alias("_b"), side)
+        .filter(F.col("_side").isin("ref", "cur"))
+        .groupBy(*g, "_b")
+        .agg(
+            F.count(F.when(F.col("_side") == "ref", 1)).alias("_nr"),
+            F.count(F.when(F.col("_side") == "cur", 1)).alias("_nc"),
+        )
+    )
+    wp = Window.partitionBy(*g) if g else Window.partitionBy(F.lit(1))
+    tot = binned.select(
+        *g,
+        "_nr",
+        "_nc",
+        F.sum("_nr").over(wp).alias("_tr"),
+        F.sum("_nc").over(wp).alias("_tc"),
+    )
+    pr = F.greatest(F.col("_nr") / F.col("_tr"), F.lit(eps))
+    pc = F.greatest(F.col("_nc") / F.col("_tc"), F.lit(eps))
+    term = (pc - pr) * F.log(pc / pr)
+    return (
+        tot.groupBy(*g)
+        .agg(
+            F.round(F.sum(term), 6).alias("psi"),
+            F.max("_tr").cast("long").alias("n_ref"),
+            F.max("_tc").cast("long").alias("n_cur"),
+        )
+    )

@@ -1343,3 +1343,56 @@ def test_ks_test_known_cases(spark):
         ).collect()
     }
     assert out == {"a|b": 0.0, "a|c": 1.0}
+
+
+def test_psi_drift_sensitivity(spark):
+    from from_superset_to_clickhouse_spark.operators.stats import psi_drift
+    import math
+
+    # identical distributions -> psi == 0 exactly (same bins, same
+    # proportions)
+    rows = [("ref", float(i % 10) * 10 + 5) for i in range(100)] + [
+        ("cur", float(i % 10) * 10 + 5) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "s string, v double")
+    r = psi_drift(
+        df, "v", F.col("s"), n_bins=10, lo=0.0, hi=100.0
+    ).first()
+    assert r["psi"] == 0.0 and r["n_ref"] == 100 and r["n_cur"] == 100
+
+    # hard shift: ref mass in bin 0, cur mass in bin 9 -> large psi;
+    # hand value: p=1 vs eps both ways => 2 * (1-1e-6)*ln(1/1e-6)
+    rows = [("ref", 5.0)] * 50 + [("cur", 95.0)] * 50
+    r = psi_drift(
+        spark.createDataFrame(rows, "s string, v double"),
+        "v", F.col("s"), n_bins=10, lo=0.0, hi=100.0,
+    ).first()
+    want = 2 * (1 - 1e-6) * math.log(1 / 1e-6)
+    assert abs(r["psi"] - round(want, 6)) < 1e-6
+
+    # moderate drift: 20% of mass moves one bin -> psi in the
+    # "drifting" band, grouped path
+    rows = (
+        [("g1", "ref", 5.0)] * 50 + [("g1", "ref", 15.0)] * 50
+        + [("g1", "cur", 5.0)] * 30 + [("g1", "cur", 15.0)] * 70
+        + [("g2", "ref", 5.0)] * 10 + [("g2", "cur", 5.0)] * 10
+    )
+    out = {
+        r["g"]: r["psi"]
+        for r in psi_drift(
+            spark.createDataFrame(rows, "g string, s string, v double"),
+            "v", F.col("s"), n_bins=10, lo=0.0, hi=100.0,
+            group_cols=["g"],
+        ).collect()
+    }
+    w = (0.3 - 0.5) * math.log(0.3 / 0.5) + (0.7 - 0.5) * math.log(0.7 / 0.5)
+    assert abs(out["g1"] - round(w, 6)) < 1e-6
+    assert out["g2"] == 0.0
+
+    # out-of-range values clamp to edge bins rather than vanish
+    rows = [("ref", -99.0)] * 10 + [("cur", 999.0)] * 10
+    r = psi_drift(
+        spark.createDataFrame(rows, "s string, v double"),
+        "v", F.col("s"), n_bins=10, lo=0.0, hi=100.0,
+    ).first()
+    assert r["psi"] > 20  # full mass eps-vs-1 in two bins
