@@ -2653,6 +2653,29 @@ def q_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geo_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact within-500 km neighbor pairs over synthesized customer
+    coordinates (modular arithmetic on c_custkey — replayable in SQL)
+    via the wrap-aware lat/lon grid join: bounded cell neighborhood
+    equi-join prunes candidates, exact haversine decides, each pair
+    found exactly once (no distinct pass). The oracle is the O(n²)
+    brute-force twin — the grid path must reproduce it exactly at
+    fixture scale while staying density-bounded at 100 TB."""
+    from from_superset_to_clickhouse_spark.operators.geo import (
+        neighbor_pairs_grid,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        (((F.col("c_custkey") * 7919) % 12000) / 100.0 - 60.0).alias("lat"),
+        (((F.col("c_custkey") * 104729) % 36000) / 100.0 - 180.0).alias(
+            "lon"
+        ),
+    )
+    return neighbor_pairs_grid(pts, "id", "lat", "lon", 500.0, max_abs_lat=60.0)
+
+
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index per event type between the first
     half of the month (reference) and the second (current): 10
@@ -6005,6 +6028,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_match": q_sequence_match,
     "ks_test": q_ks_test,
     "psi_drift": q_psi_drift,
+    "geo_neighbors": q_geo_neighbors,
 }
 
 
@@ -7052,6 +7076,26 @@ SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
   CAST(len(s[k * 2 + 1 : k * 2 + 3]) AS INTEGER) AS n_sent_chunk,
   array_to_string(s[k * 2 + 1 : k * 2 + 3], ' ') AS chunk_text
 FROM ks
+""",
+        "geo_neighbors": """
+-- Brute-force O(n^2) twin of the grid-bucketed neighbor join: same
+-- synthesized coordinates, same haversine arithmetic (round-3 then
+-- compare, matching the Spark side), every a<b pair checked. The
+-- production path must agree exactly — the grid only prunes.
+WITH p AS (
+  SELECT c_custkey AS id,
+    ((c_custkey * 7919) % 12000) / 100.0 - 60.0 AS lat,
+    ((c_custkey * 104729) % 36000) / 100.0 - 180.0 AS lon
+  FROM customer
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+    round(2 * 6371.0088 * asin(sqrt(least(
+      sin(radians(b.lat - a.lat) / 2) ^ 2
+      + cos(radians(a.lat)) * cos(radians(b.lat))
+        * sin(radians(b.lon - a.lon) / 2) ^ 2, 1.0))), 3) AS dist_km
+  FROM p a JOIN p b ON a.id < b.id
+)
+SELECT id_a, id_b, dist_km FROM pairs WHERE dist_km <= 500.0
 """,
         "psi_drift": """
 -- Replays the binned PSI: clamped fixed-width bins, per-type window

@@ -1,0 +1,152 @@
+"""Geospatial primitives: haversine distance and an exact
+within-radius neighbor self-join via grid bucketing.
+
+The reference exposes no geo surface (its ClickHouse schema stores
+opaque event payloads — ``v2/sql/create_tables.sql``); this is
+extension surface for location-bearing corpora (geo dedup of crawl
+records, POI conflation, strike-radius joins). ClickHouse ships
+``greatCircleDistance``; the neighbor join is the scale-shaped
+companion ClickHouse leaves to the user.
+
+Scale design: the naive within-radius self-join is O(n²). The grid
+join buckets points into fixed lat/lon cells, equi-joins each point
+against its cell neighborhood (a bounded constant number of cells,
+longitude wrap-aware), then applies the exact haversine predicate —
+candidate count is density-bounded instead of quadratic, the join is
+a plain shuffled equi-join on cell id, and every surviving pair is
+exact (the grid only prunes, never approximates). This is the
+standard spatial-binning shape that survives 100 TB; skew from dense
+cells is AQE-skew-join territory, same as any hot-key equi-join.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0088
+KM_PER_LAT_DEG = 111.045  # mean meridian degree
+
+
+def haversine_km(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance in km (haversine form — published
+    formula, explicit arithmetic so any SQL engine replays it)."""
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dphi = F.radians(lat2 - lat1) / 2.0
+    dlmb = F.radians(lon2 - lon1) / 2.0
+    a = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(p1) * F.cos(p2) * F.sin(dlmb) * F.sin(dlmb)
+    )
+    # clamp guards asin domain against rounding at antipodes
+    return (
+        F.lit(2.0 * EARTH_RADIUS_KM)
+        * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
+    )
+
+
+def grid_params(radius_km: float, max_abs_lat: float) -> tuple[float, int, int]:
+    """Derive a (cell_deg, lat_steps, lon_steps) triple whose cell
+    neighborhood provably covers every within-radius pair for points
+    with |lat| <= max_abs_lat.
+
+    cell_deg is chosen to divide 360 evenly (so the longitude ring of
+    cells is uniform and the modular wrap join is exact); lat_steps /
+    lon_steps are the one-sided cell offsets needed to cover
+    radius_km in degrees at the worst (highest) latitude.
+    """
+    if not 0 <= max_abs_lat < 90:
+        raise ValueError("max_abs_lat must be in [0, 90)")
+    lat_deg = radius_km / KM_PER_LAT_DEG
+    lon_deg = radius_km / (KM_PER_LAT_DEG * math.cos(math.radians(max_abs_lat)))
+    # largest even divisor of 360 not exceeding lat_deg (fall back to
+    # fine cells if the radius is tiny)
+    n_cells = max(int(math.ceil(360.0 / max(lat_deg, 1e-6))), 4)
+    cell_deg = 360.0 / n_cells
+    lat_steps = int(math.ceil(lat_deg / cell_deg))
+    lon_steps = int(math.ceil(lon_deg / cell_deg))
+    return cell_deg, lat_steps, lon_steps
+
+
+def neighbor_pairs_grid(
+    df: DataFrame,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    radius_km: float,
+    max_abs_lat: float = 89.0,
+) -> DataFrame:
+    """All unordered point pairs within ``radius_km`` (exact — the
+    grid prunes candidates, the haversine predicate decides), as
+    (id_a < id_b, dist_km rounded to 3 dp).
+
+    Build side explodes each point into its (2·lat_steps+1) ×
+    (2·lon_steps+1) neighbor cells; probe side stays single-cell;
+    the equi-join on (lat_cell, lon_cell mod ring) is wrap-aware
+    across the antimeridian. id_a < id_b both canonicalizes the pair
+    and halves the join (each pair found exactly once from the lower
+    id's home cell, so no distinct pass is needed).
+    """
+    cell_deg, lat_steps, lon_steps = grid_params(radius_km, max_abs_lat)
+    n_ring = int(round(360.0 / cell_deg))
+    if 2 * lon_steps + 1 >= n_ring:
+        raise ValueError(
+            "radius too large for the ring: lon neighborhood wraps onto "
+            "itself and would duplicate pairs — use a brute-force join"
+        )
+    lat_c = F.floor((F.col(lat_col) + F.lit(90.0)) / F.lit(cell_deg))
+    lon_c = F.pmod(
+        F.floor((F.col(lon_col) + F.lit(180.0)) / F.lit(cell_deg)),
+        F.lit(n_ring),
+    )
+    pts = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(lat_col).cast("double").alias("_lat"),
+        F.col(lon_col).cast("double").alias("_lon"),
+        lat_c.alias("_latc"),
+        lon_c.alias("_lonc"),
+    )
+    offsets = [
+        (dy, dx)
+        for dy in range(-lat_steps, lat_steps + 1)
+        for dx in range(-lon_steps, lon_steps + 1)
+    ]
+    off = F.array(
+        *[
+            F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+            for dy, dx in offsets
+        ]
+    )
+    build = (
+        pts.select("*", F.explode(off).alias("_o"))
+        .select(
+            F.col("_id").alias("_idb"),
+            F.col("_lat").alias("_latb"),
+            F.col("_lon").alias("_lonb"),
+            (F.col("_latc") + F.col("_o.dy")).alias("_jlat"),
+            F.pmod(F.col("_lonc") + F.col("_o.dx"), F.lit(n_ring)).alias(
+                "_jlon"
+            ),
+        )
+    )
+    joined = pts.join(
+        build,
+        (pts["_latc"] == build["_jlat"])
+        & (pts["_lonc"] == build["_jlon"])
+        & (pts["_id"] < build["_idb"]),
+    )
+    dist = haversine_km(
+        F.col("_lat"), F.col("_lon"), F.col("_latb"), F.col("_lonb")
+    )
+    return (
+        joined.select(
+            F.col("_id").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            F.round(dist, 3).alias("dist_km"),
+        )
+        .filter(F.col("dist_km") <= F.lit(radius_km))
+    )

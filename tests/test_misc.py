@@ -1396,3 +1396,90 @@ def test_psi_drift_sensitivity(spark):
         "v", F.col("s"), n_bins=10, lo=0.0, hi=100.0,
     ).first()
     assert r["psi"] > 20  # full mass eps-vs-1 in two bins
+
+
+def test_haversine_known_distances(spark):
+    from from_superset_to_clickhouse_spark.operators.geo import haversine_km
+
+    df = spark.createDataFrame(
+        [
+            # London -> Paris ~ 343.5 km
+            (51.5074, -0.1278, 48.8566, 2.3522, 330.0, 360.0),
+            # identical points -> 0
+            (10.0, 20.0, 10.0, 20.0, 0.0, 0.0),
+            # antipodes -> ~ half circumference (~20015 km)
+            (0.0, 0.0, 0.0, 180.0, 20000.0, 20030.0),
+        ],
+        "la1 double, lo1 double, la2 double, lo2 double, lo double, hi double",
+    )
+    rows = df.select(
+        haversine_km(F.col("la1"), F.col("lo1"), F.col("la2"), F.col("lo2")).alias("d"),
+        "lo", "hi",
+    ).collect()
+    for r in rows:
+        assert r["lo"] <= r["d"] <= r["hi"], r
+
+
+def test_neighbor_pairs_grid_exact_vs_bruteforce(spark):
+    import itertools
+    import math
+    import random
+
+    from from_superset_to_clickhouse_spark.operators.geo import (
+        neighbor_pairs_grid,
+    )
+
+    rng = random.Random(7)
+    pts = [
+        (i, rng.uniform(-60, 60), rng.uniform(-180, 180)) for i in range(80)
+    ]
+    # force an antimeridian-wrap pair and a high-latitude pair
+    pts += [(100, 10.0, 179.9), (101, 10.0, -179.9)]
+    pts += [(102, 59.5, 30.0), (103, 59.5, 36.0)]  # ~338 km at lat 59.5
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in neighbor_pairs_grid(
+            df, "id", "lat", "lon", 500.0, max_abs_lat=60.0
+        ).collect()
+    }
+
+    def hav(a, b):
+        la1, lo1, la2, lo2 = map(math.radians, (a[1], a[2], b[1], b[2]))
+        x = (
+            math.sin((la2 - la1) / 2) ** 2
+            + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2
+        )
+        return 2 * 6371.0088 * math.asin(math.sqrt(min(x, 1.0)))
+
+    want = {
+        (a[0], b[0])
+        for a, b in itertools.combinations(sorted(pts), 2)
+        if round(hav(a, b), 3) <= 500.0
+    }
+    assert got == want
+    assert (100, 101) in got  # wrap pair survived the modular ring join
+    assert (102, 103) in got  # high-lat pair needs the widened lon steps
+
+
+def test_grid_params_coverage_and_guard(spark):
+    import pytest as _pt
+
+    from from_superset_to_clickhouse_spark.operators.geo import (
+        grid_params,
+        neighbor_pairs_grid,
+        KM_PER_LAT_DEG,
+    )
+    import math
+
+    for radius, maxlat in ((500.0, 60.0), (100.0, 45.0), (1000.0, 30.0)):
+        cell, ls, lo = grid_params(radius, maxlat)
+        assert cell * ls >= radius / KM_PER_LAT_DEG - 1e-9
+        assert cell * lo >= radius / (
+            KM_PER_LAT_DEG * math.cos(math.radians(maxlat))
+        ) - 1e-9
+        assert abs(round(360.0 / cell) - 360.0 / cell) < 1e-9
+
+    df = spark.createDataFrame([(1, 0.0, 0.0)], "id long, lat double, lon double")
+    with _pt.raises(ValueError, match="ring"):
+        neighbor_pairs_grid(df, "id", "lat", "lon", 9000.0, max_abs_lat=80.0)
