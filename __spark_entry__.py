@@ -6008,6 +6008,80 @@ FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
 # Full-oracle entries only — a rows-only entry in the window burns a
 # hard-signal slot on a weaker check; everything past position 50 is
 # still verified by scripts/check_oracle.py each round.
+def q_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``LIMIT 2 BY o_custkey``: each customer's two most
+    expensive orders, ordered by (price desc, orderkey) — a total
+    order, so the selection is deterministic. One keyed row_number
+    window (hash shuffle on the group key, no global sort); the
+    oracle replays it with ROW_NUMBER in DuckDB."""
+    from from_superset_to_clickhouse_spark.operators.relational import (
+        limit_by,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    top = limit_by(
+        orders,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        n=2,
+    )
+    return top.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
+
+
+def q_with_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY o_orderpriority WITH TOTALS`` over orders: per-
+    priority order count + revenue, plus the grand-total row, from
+    ONE rollup pass (grouping-id filter) instead of two scans. The
+    oracle is DuckDB GROUPING SETS ((o_orderpriority), ()) with the
+    GROUPING() flag reproducing ``is_totals``."""
+    from from_superset_to_clickhouse_spark.operators.relational import (
+        with_totals,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    out = with_totals(
+        orders,
+        ["o_orderpriority"],
+        {
+            "n_orders": F.count(F.lit(1)),
+            "revenue": F.round(F.sum("o_totalprice"), 2),
+        },
+    )
+    return out.select("o_orderpriority", "n_orders", "revenue", "is_totals")
+
+
+def q_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``argMax``/``argMin`` per nation: the customer key
+    holding the max / min account balance, with c_custkey as the
+    deterministic tiebreak (struct-lexicographic max — a plain
+    codegen aggregate, map-side combinable). The oracle uses DuckDB's
+    named-struct max/min with the same field order, so ties resolve
+    identically on both engines."""
+    from from_superset_to_clickhouse_spark.operators.relational import (
+        arg_max_expr,
+        arg_min_expr,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(
+            arg_max_expr(
+                F.col("c_custkey"), F.round("c_acctbal", 2)
+            ).alias("richest_cust"),
+            arg_min_expr(
+                F.col("c_custkey"), F.round("c_acctbal", 2)
+            ).alias("poorest_cust"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        )
+    )
+
+
 _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-8 additions land here (inside the driver's first-50 window);
     # the 15 r7 additions moved to the backfill — green in
@@ -6029,6 +6103,9 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ks_test": q_ks_test,
     "psi_drift": q_psi_drift,
     "geo_neighbors": q_geo_neighbors,
+    "limit_by": q_limit_by,
+    "with_totals": q_with_totals,
+    "argminmax": q_argminmax,
 }
 
 
@@ -7096,6 +7173,41 @@ WITH p AS (
   FROM p a JOIN p b ON a.id < b.id
 )
 SELECT id_a, id_b, dist_km FROM pairs WHERE dist_km <= 500.0
+""",
+        "limit_by": """
+-- LIMIT 2 BY o_custkey replay: the window order (price desc, then
+-- orderkey) is total, so ROW_NUMBER selects the same rows on both
+-- engines.
+WITH r AS (
+  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
+    row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+    ) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, totalprice FROM r WHERE rn <= 2
+""",
+        "with_totals": """
+-- WITH TOTALS = GROUPING SETS ((g), ()): the GROUPING() flag is the
+-- is_totals marker; Spark's rollup+grouping_id filter computes the
+-- identical two levels in one pass.
+SELECT o_orderpriority,
+  count(*) AS n_orders,
+  round(sum(o_totalprice), 2) AS revenue,
+  (GROUPING(o_orderpriority) = 1) AS is_totals
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), ())
+""",
+        "argminmax": """
+-- argMax/argMin via named-struct extremes: field order (value, arg)
+-- makes the comparison lexicographic with c_custkey as the tiebreak,
+-- exactly mirroring Spark's struct max/min.
+SELECT c_nationkey,
+  (max({'v': round(c_acctbal, 2), 'a': c_custkey})).a AS richest_cust,
+  (min({'v': round(c_acctbal, 2), 'a': c_custkey})).a AS poorest_cust,
+  round(max(c_acctbal), 2) AS max_bal,
+  round(min(c_acctbal), 2) AS min_bal
+FROM customer GROUP BY c_nationkey
 """,
         "psi_drift": """
 -- Replays the binned PSI: clamped fixed-width bins, per-type window

@@ -1,0 +1,103 @@
+"""ClickHouse relational-surface parity operators.
+
+The reference pipelines publish into ClickHouse, whose SQL dialect
+adds three relational conveniences that plain ANSI lacks and that
+downstream dashboards (Superset charts over the published tables)
+lean on heavily: ``LIMIT n BY group`` (top-n rows per group without a
+self-join), ``GROUP BY ... WITH TOTALS`` (grouped rows plus one
+grand-total row in the same result), and the ``argMax/argMin``
+aggregate family (value of one column at the extreme of another).
+This module re-expresses each Spark-first:
+
+- ``limit_by`` is a keyed ``row_number`` window — one hash-partition
+  shuffle on the group key, no global sort, no self-join. At 100 TB
+  the state per task is one counter per group.
+- ``with_totals`` is a single ``ROLLUP`` pass filtered to the two
+  grouping-id levels ClickHouse emits (the full grouping and the
+  grand total) — ONE shuffle computes both, instead of the naive
+  union of two aggregations that scans the fact table twice.
+- ``arg_max_expr``/``arg_min_expr`` compile to ``max``/``min`` over a
+  struct whose lexicographic field order makes the result
+  deterministic under ties (ClickHouse's own argMax picks an
+  arbitrary row on ties; we tighten the contract with an explicit
+  tiebreak column so results are replayable).
+
+Reference parity: from_superset_to_clickhouse uses ClickHouse as the
+serving engine (superset_to_clickhouse/operators.py:1-60 publishes
+tables that Superset queries with the ClickHouse dialect); these
+constructs are part of that served query surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def limit_by(
+    df: DataFrame,
+    by: "list[str]",
+    order: "list[Column]",
+    n: int,
+    offset: int = 0,
+) -> DataFrame:
+    """ClickHouse ``LIMIT [offset,] n BY by`` — keep rows ``offset+1
+    .. offset+n`` of each group in the given order.
+
+    ``order`` must be a total order within each group (include a
+    unique tiebreak column) or the selection is nondeterministic —
+    same caveat ClickHouse documents. One keyed window, no global
+    sort; the per-group counter state is O(1) per task.
+    """
+    w = Window.partitionBy(*by).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") > offset) & (F.col("_rn") <= offset + n))
+        .drop("_rn")
+    )
+
+
+def with_totals(
+    df: DataFrame,
+    group_cols: "list[str]",
+    aggs: "dict[str, Column]",
+) -> DataFrame:
+    """``GROUP BY group_cols WITH TOTALS``: the grouped rows plus one
+    grand-total row (``is_totals = true``, group columns NULL).
+
+    Implemented as a single ``ROLLUP`` filtered to grouping-id 0 (the
+    full grouping) and 2^k - 1 (the grand total) — one shuffle
+    produces both levels with map-side partial aggregation, instead
+    of a union of two scans. Intermediate rollup levels (for k > 1)
+    are filtered out post-agg; Catalyst prunes nothing extra but the
+    rollup expansion is k+1 copies of each partial row, bounded and
+    map-side-combined. Totals are computed over all input rows
+    (ClickHouse ``totals_mode = before_having`` semantics).
+    """
+    gid_all = (1 << len(group_cols)) - 1
+    out = (
+        df.rollup(*group_cols)
+        .agg(
+            F.grouping_id(*group_cols).alias("_gid"),
+            *[c.alias(name) for name, c in aggs.items()],
+        )
+        .filter(F.col("_gid").isin(0, gid_all))
+        .withColumn("is_totals", F.col("_gid") == gid_all)
+        .drop("_gid")
+    )
+    return out
+
+
+def arg_max_expr(arg: Column, value: Column, *tiebreak: Column) -> Column:
+    """``argMax(arg, value)`` with a deterministic tie rule: the row
+    with the greatest ``(value, *tiebreak)`` tuple wins (struct
+    comparison is lexicographic in field order). Compiles to a plain
+    ``max`` over a struct — codegen aggregate, map-side combinable,
+    mergeable across partitions (associative max)."""
+    return F.max(F.struct(value.alias("v"), *[t.alias(f"t{i}") for i, t in enumerate(tiebreak)], arg.alias("a"))).getField("a")
+
+
+def arg_min_expr(arg: Column, value: Column, *tiebreak: Column) -> Column:
+    """``argMin(arg, value)`` with the deterministic tie rule: the
+    row with the least ``(value, *tiebreak)`` tuple wins."""
+    return F.min(F.struct(value.alias("v"), *[t.alias(f"t{i}") for i, t in enumerate(tiebreak)], arg.alias("a"))).getField("a")

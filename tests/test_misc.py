@@ -1483,3 +1483,74 @@ def test_grid_params_coverage_and_guard(spark):
     df = spark.createDataFrame([(1, 0.0, 0.0)], "id long, lat double, lon double")
     with _pt.raises(ValueError, match="ring"):
         neighbor_pairs_grid(df, "id", "lat", "lon", 9000.0, max_abs_lat=80.0)
+
+
+def test_limit_by_offset_and_order(spark):
+    from from_superset_to_clickhouse_spark.operators.relational import (
+        limit_by,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [("a", i, 100 - i) for i in range(5)] + [("b", 9, 1)]
+    df = spark.createDataFrame(rows, "g string, k long, v long")
+    top2 = limit_by(df, ["g"], [F.col("v").desc(), F.col("k")], n=2)
+    got = {(r.g, r.k) for r in top2.collect()}
+    assert got == {("a", 0), ("a", 1), ("b", 9)}
+    # LIMIT 2 OFFSET 1 BY g: skip the top row of each group
+    mid = limit_by(df, ["g"], [F.col("v").desc(), F.col("k")], n=2, offset=1)
+    got = {(r.g, r.k) for r in mid.collect()}
+    assert got == {("a", 1), ("a", 2)}
+    assert "_rn" not in top2.columns
+
+
+def test_with_totals_two_group_cols(spark):
+    from from_superset_to_clickhouse_spark.operators.relational import (
+        with_totals,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("x", "p", 1), ("x", "q", 2), ("y", "p", 4)],
+        "a string, b string, v long",
+    )
+    out = with_totals(df, ["a", "b"], {"s": F.sum("v")}).collect()
+    # 3 full-grouping rows + 1 totals row; NO intermediate rollup level
+    assert len(out) == 4
+    totals = [r for r in out if r.is_totals]
+    assert len(totals) == 1 and totals[0].s == 7
+    assert totals[0].a is None and totals[0].b is None
+    full = {(r.a, r.b): r.s for r in out if not r.is_totals}
+    assert full == {("x", "p"): 1, ("x", "q"): 2, ("y", "p"): 4}
+
+
+def test_arg_extremes_deterministic_ties(spark):
+    from from_superset_to_clickhouse_spark.operators.relational import (
+        arg_max_expr,
+        arg_min_expr,
+    )
+    from pyspark.sql import functions as F
+
+    # two rows tie on v: the arg field itself is the struct tiebreak,
+    # so argmax takes the larger key and argmin the smaller
+    df = spark.createDataFrame(
+        [(1, 10.0, 7), (1, 10.0, 3), (1, 1.0, 99)], "g long, v double, k long"
+    )
+    row = (
+        df.groupBy("g")
+        .agg(
+            arg_max_expr(F.col("k"), F.col("v")).alias("amax"),
+            arg_min_expr(F.col("k"), F.col("v")).alias("amin"),
+        )
+        .collect()[0]
+    )
+    assert row.amax == 7  # tie on v=10 broken by max k
+    assert row.amin == 99  # unique min v=1
+    # explicit tiebreak column flips the tie winner
+    row2 = (
+        df.groupBy("g")
+        .agg(
+            arg_max_expr(F.col("k"), F.col("v"), -F.col("k")).alias("amax")
+        )
+        .collect()[0]
+    )
+    assert row2.amax == 3
