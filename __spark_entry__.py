@@ -6082,6 +6082,53 @@ def q_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic skewed test graph: a sparse ~degree-4 periphery
+    on nodes doc_id%300 plus a dense 20-node grid core (pairs
+    (doc_id%20, doc_id//20%20)) that only the first 400 docs feed —
+    peels in 6 rounds at k=4 down to the K20 core."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    periph = d.select(
+        (F.col("doc_id") % 300).alias("src"),
+        ((F.col("doc_id") * 11 + 1) % 300).alias("dst"),
+    ).unionByName(
+        d.select(
+            (F.col("doc_id") % 300).alias("src"),
+            ((F.col("doc_id") * 17 + 2) % 300).alias("dst"),
+        )
+    )
+    core = d.filter(F.col("doc_id") < 400).select(
+        (F.col("doc_id") % 20).alias("src"),
+        (F.floor(F.col("doc_id") / 20) % 20).alias("dst"),
+    )
+    return periph.unionByName(core)
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of the skewed test graph: iterative peeling — degree
+    aggregation + edge semi-join per round, lineage flattened by
+    localCheckpoint, convergence probed with limit(1).count(). The
+    fixture cascades through 6 peel rounds (each removal drops
+    neighbors below threshold) before stabilizing on the dense
+    20-node core. The oracle unrolls 8 peel rounds as CTEs — more
+    than the fixture needs, so both sides are at fixpoint."""
+    from from_superset_to_clickhouse_spark.operators import graph as gr
+
+    return gr.kcore(_kcore_edges(spark, sf_dir), k=4)
+
+
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient over the skewed test graph:
+    triangle listing via the a<b<c node-iterator joins, per-corner
+    credit through a 3-element explode, joined against degrees —
+    coeff = 2T/(d(d−1)), 6-dp rounded. The dense grid core scores
+    near 1, the arithmetic periphery near 0; the oracle replays the
+    identical relational program."""
+    from from_superset_to_clickhouse_spark.operators import graph as gr
+
+    return gr.clustering_coefficient(_kcore_edges(spark, sf_dir))
+
+
 _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-8 additions land here (inside the driver's first-50 window);
     # the 15 r7 additions moved to the backfill — green in
@@ -6106,6 +6153,8 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "limit_by": q_limit_by,
     "with_totals": q_with_totals,
     "argminmax": q_argminmax,
+    "kcore": q_kcore,
+    "clustering_coeff": q_clustering_coeff,
 }
 
 
@@ -7208,6 +7257,75 @@ SELECT c_nationkey,
   round(max(c_acctbal), 2) AS max_bal,
   round(min(c_acctbal), 2) AS min_bal
 FROM customer GROUP BY c_nationkey
+""",
+        "kcore": """
+-- Peel unrolled as CTEs: 8 rounds >= the fixture's 6-round cascade,
+-- so the final edge set is at fixpoint exactly like the Spark loop.
+WITH d AS (SELECT doc_id FROM documents),
+raw AS (
+  SELECT doc_id % 300 AS s, (doc_id * 11 + 1) % 300 AS t FROM d
+  UNION ALL
+  SELECT doc_id % 300, (doc_id * 17 + 2) % 300 FROM d
+  UNION ALL
+  SELECT doc_id % 20, (doc_id // 20) % 20 FROM d WHERE doc_id < 400
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM raw
+  WHERE least(s, t) < greatest(s, t)
+),
+d0 AS MATERIALIZED (SELECT n, count(*) AS deg FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY n),
+e1 AS MATERIALIZED (SELECT a, b FROM e0 WHERE a IN (SELECT n FROM d0 WHERE deg >= 4) AND b IN (SELECT n FROM d0 WHERE deg >= 4)),
+d1 AS MATERIALIZED (SELECT n, count(*) AS deg FROM (SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1) GROUP BY n),
+e2 AS MATERIALIZED (SELECT a, b FROM e1 WHERE a IN (SELECT n FROM d1 WHERE deg >= 4) AND b IN (SELECT n FROM d1 WHERE deg >= 4)),
+d2 AS MATERIALIZED (SELECT n, count(*) AS deg FROM (SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2) GROUP BY n),
+e3 AS MATERIALIZED (SELECT a, b FROM e2 WHERE a IN (SELECT n FROM d2 WHERE deg >= 4) AND b IN (SELECT n FROM d2 WHERE deg >= 4)),
+d3 AS MATERIALIZED (SELECT n, count(*) AS deg FROM (SELECT a AS n FROM e3 UNION ALL SELECT b FROM e3) GROUP BY n),
+e4 AS MATERIALIZED (SELECT a, b FROM e3 WHERE a IN (SELECT n FROM d3 WHERE deg >= 4) AND b IN (SELECT n FROM d3 WHERE deg >= 4)),
+d4 AS MATERIALIZED (SELECT n, count(*) AS deg FROM (SELECT a AS n FROM e4 UNION ALL SELECT b FROM e4) GROUP BY n),
+e5 AS MATERIALIZED (SELECT a, b FROM e4 WHERE a IN (SELECT n FROM d4 WHERE deg >= 4) AND b IN (SELECT n FROM d4 WHERE deg >= 4)),
+d5 AS MATERIALIZED (SELECT n, count(*) AS deg FROM (SELECT a AS n FROM e5 UNION ALL SELECT b FROM e5) GROUP BY n),
+e6 AS MATERIALIZED (SELECT a, b FROM e5 WHERE a IN (SELECT n FROM d5 WHERE deg >= 4) AND b IN (SELECT n FROM d5 WHERE deg >= 4)),
+d6 AS MATERIALIZED (SELECT n, count(*) AS deg FROM (SELECT a AS n FROM e6 UNION ALL SELECT b FROM e6) GROUP BY n),
+e7 AS MATERIALIZED (SELECT a, b FROM e6 WHERE a IN (SELECT n FROM d6 WHERE deg >= 4) AND b IN (SELECT n FROM d6 WHERE deg >= 4)),
+d7 AS MATERIALIZED (SELECT n, count(*) AS deg FROM (SELECT a AS n FROM e7 UNION ALL SELECT b FROM e7) GROUP BY n),
+e8 AS MATERIALIZED (SELECT a, b FROM e7 WHERE a IN (SELECT n FROM d7 WHERE deg >= 4) AND b IN (SELECT n FROM d7 WHERE deg >= 4))
+SELECT n AS node, count(*) AS core_degree
+FROM (SELECT a AS n FROM e8 UNION ALL SELECT b FROM e8) GROUP BY n
+""",
+        "clustering_coeff": """
+-- Identical relational program: canonical edges, a<b<c triangle
+-- listing, 3-corner unnest credit, left join onto degrees.
+WITH d AS (SELECT doc_id FROM documents),
+raw AS (
+  SELECT doc_id % 300 AS s, (doc_id * 11 + 1) % 300 AS t FROM d
+  UNION ALL
+  SELECT doc_id % 300, (doc_id * 17 + 2) % 300 FROM d
+  UNION ALL
+  SELECT doc_id % 20, (doc_id // 20) % 20 FROM d WHERE doc_id < 400
+),
+e0 AS (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM raw
+  WHERE least(s, t) < greatest(s, t)
+),
+deg AS (
+  SELECT n AS node, count(*) AS degree
+  FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY n
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e0 e1
+  JOIN e0 e2 ON e1.b = e2.a
+  JOIN e0 e3 ON e1.a = e3.a AND e2.b = e3.b
+),
+tcnt AS (
+  SELECT node, count(*) AS n_tri
+  FROM (SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY node
+)
+SELECT deg.node, deg.degree, coalesce(t.n_tri, 0) AS n_tri,
+  CASE WHEN deg.degree >= 2
+    THEN round(2.0 * coalesce(t.n_tri, 0) / (deg.degree * (deg.degree - 1)), 6)
+    ELSE 0.0 END AS coeff
+FROM deg LEFT JOIN tcnt t ON deg.node = t.node
 """,
         "psi_drift": """
 -- Replays the binned PSI: clamped fixed-width bins, per-type window

@@ -402,6 +402,137 @@ def triangle_count(
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """k-core subgraph membership → (node, core_degree): the maximal
+    subgraph where every node has degree ≥ k, by iterative peeling —
+    drop all nodes with degree < k, recompute degrees on the induced
+    subgraph, repeat to fixpoint. ``core_degree`` is the node's degree
+    WITHIN the k-core.
+
+    Distributed shape: each round is one degree aggregation (map-side
+    combined) + one semi-join of edges against surviving nodes — no
+    windows, no driver data. The edge set only shrinks, and each
+    round's result is localCheckpoint-ed so lineage stays flat (same
+    discipline as connected_components). Convergence probe is a
+    ``limit(1).count()`` on sub-k nodes, not a full count. Peel depth
+    is bounded by the graph's degeneracy ordering — typically a few
+    rounds; ``max_iter`` guards pathological chains (a path graph
+    peels O(n/2) rounds at k=2, raise max_iter for those).
+
+    SQL-expressible by unrolling the peel rounds as CTEs (the oracle
+    does exactly that), so fully oracle-checked; callers should assert
+    convergence ≤ the oracle's unroll depth at fixture scale.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionAll(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        weak = deg.filter(F.col("d") < k)
+        if weak.limit(1).count() == 0:
+            break
+        keep = deg.filter(F.col("d") >= k).select("n")
+        e = (
+            e.join(keep.withColumnRenamed("n", "a"), "a")
+            .join(keep.withColumnRenamed("n", "b"), "b")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Local clustering coefficient per node → (node, degree, n_tri,
+    coeff): coeff = 2·T(v) / (d(v)·(d(v)−1)), the fraction of a
+    node's neighbor pairs that are themselves connected; 0 for
+    degree-< 2 nodes.
+
+    Triangle side reuses the a<b<c node-iterator listing (two hash
+    self-joins over canonicalized forward edges — each triangle listed
+    once), then credits all three corners via one 3-element explode
+    and a partial-aggregated count; degree side is one aggregation
+    over the same canonical edges. Per-node work is bounded by forward
+    degree exactly as in ``triangle_count``; nothing is quadratic in
+    the corpus. Fully SQL-expressible → oracle-checked.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .select(
+            F.explode(
+                F.array(F.col("e1.a"), F.col("e1.b"), F.col("e2.b"))
+            ).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce(F.col("n_tri"), F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - F.lit(1))),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("coeff"),
+        )
+    )
+
+
 def cooccurrence(
     df: DataFrame,
     group_col: str,

@@ -300,3 +300,39 @@ def test_shortest_hops_bfs_distances_truncation_multisource(spark):
         r["node"] for r in shortest_hops(edges, [1], max_hops=10).collect()
     }
     assert far == {1, 2, 3, 4, 5, 6, 7}
+
+
+def test_kcore_peel_cascade(spark):
+    from from_superset_to_clickhouse_spark.operators.graph import kcore
+
+    # path 1-2-3-4-5 hung off a triangle 5-6-7: at k=2 the path
+    # cascades off one node per round, the triangle survives
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (5, 7), (6, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.node, r.core_degree) for r in kcore(df, k=2).collect()}
+    assert got == {(5, 2), (6, 2), (7, 2)}
+    # k=3: nothing survives (triangle nodes have degree 2 inside)
+    assert kcore(df, k=3).count() == 0
+    # duplicate/reversed listings collapse before peeling
+    noisy = df.union(
+        spark.createDataFrame([(2, 1), (7, 6), (6, 6)], "src long, dst long")
+    )
+    got2 = {(r.node, r.core_degree) for r in kcore(noisy, k=2).collect()}
+    assert got2 == got
+
+
+def test_clustering_coefficient_known_values(spark):
+    from from_superset_to_clickhouse_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    # K4 on 1-4 (coeff 1.0 everywhere) plus a pendant node 5 on 1
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    df = spark.createDataFrame(k4 + [(1, 5)], "src long, dst long")
+    rows = {r.node: r for r in clustering_coefficient(df).collect()}
+    assert rows[5].degree == 1 and rows[5].coeff == 0.0
+    assert rows[1].degree == 4 and rows[1].n_tri == 3
+    # node 1: 3 of its C(4,2)=6 neighbor pairs are edges -> 0.5
+    assert rows[1].coeff == 0.5
+    for n in (2, 3, 4):
+        assert rows[n].coeff == 1.0 and rows[n].n_tri == 3
