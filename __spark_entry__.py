@@ -6129,6 +6129,57 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.clustering_coefficient(_kcore_edges(spark, sf_dir))
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outlier scoring per event type with planted spikes
+    (value + 5000 on every 97th event id — SQL-replayable): two exact
+    interpolated-median aggregation passes joined back, rz =
+    (x − med) / (1.4826·MAD), |rz| > 3 flags exactly the planted
+    rows. A mean/σ z-score would have its spread inflated by the
+    spikes themselves; the median pair is immune (50% breakdown)."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        mad_outliers,
+    )
+
+    ev = _ev(spark, sf_dir).select(
+        "event_type",
+        (
+            F.col("value")
+            + F.when(F.col("event_id") % 97 == 0, F.lit(5000.0)).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("value"),
+    )
+    return mad_outliers(ev, "value", ["event_type"], threshold=3.0)
+
+
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift chart over daily bucket means per event
+    type, with a planted +300 level shift on 'click' from Jan 20 —
+    the upper chart must cross h=4σ after the shift and stay quiet
+    elsewhere. The recursion is compiled to its closed form (prefix
+    sum minus running min) — two fused keyed window passes over a
+    periods×keys-bounded series, no recursion, no collected arrays."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        cusum_changepoints,
+    )
+
+    ev = _ev(spark, sf_dir).select(
+        "event_type",
+        "ts",
+        (
+            F.col("value")
+            + F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") >= F.lit("2024-01-20").cast("timestamp")),
+                F.lit(300.0),
+            ).otherwise(F.lit(0.0))
+        ).alias("value"),
+    )
+    return cusum_changepoints(
+        ev, "event_type", "ts", "value", bucket="1 day", kappa=0.5, h=4.0
+    )
+
+
 _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-8 additions land here (inside the driver's first-50 window);
     # the 15 r7 additions moved to the backfill — green in
@@ -6155,6 +6206,8 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "argminmax": q_argminmax,
     "kcore": q_kcore,
     "clustering_coeff": q_clustering_coeff,
+    "mad_outliers": q_mad_outliers,
+    "cusum": q_cusum,
 }
 
 
@@ -7326,6 +7379,62 @@ SELECT deg.node, deg.degree, coalesce(t.n_tri, 0) AS n_tri,
     THEN round(2.0 * coalesce(t.n_tri, 0) / (deg.degree * (deg.degree - 1)), 6)
     ELSE 0.0 END AS coeff
 FROM deg LEFT JOIN tcnt t ON deg.node = t.node
+""",
+        "mad_outliers": """
+-- Same two median passes: DuckDB's median interpolates the 0.5
+-- percentile exactly like Spark's median, so center/mad agree
+-- bit-for-bit on the same doubles.
+WITH src AS (
+  SELECT event_type,
+    value + CASE WHEN event_id % 97 = 0 THEN 5000.0 ELSE 0.0 END AS value
+  FROM events
+), med AS (
+  SELECT event_type, median(value) AS m FROM src GROUP BY event_type
+), mad AS (
+  SELECT s.event_type, median(abs(s.value - med.m)) AS d
+  FROM src s JOIN med USING (event_type) GROUP BY s.event_type
+)
+SELECT s.event_type, s.value, round(m.m, 6) AS center,
+  round(d.d, 6) AS mad,
+  CASE WHEN d.d > 0
+    THEN round((s.value - m.m) / (1.4826 * d.d), 6) END AS rz,
+  coalesce(abs(CASE WHEN d.d > 0
+    THEN round((s.value - m.m) / (1.4826 * d.d), 6) END) > 3.0,
+    false) AS is_outlier
+FROM src s JOIN med m USING (event_type) JOIN mad d ON s.event_type = d.event_type
+""",
+        "cusum": """
+-- Closed-form CUSUM replay: prefix sum minus running min per keyed
+-- window order; time_bucket aligns with Spark's window() day buckets.
+WITH src AS (
+  SELECT event_type, ts,
+    value + CASE WHEN event_type = 'click' AND ts >= TIMESTAMP '2024-01-20'
+      THEN 300.0 ELSE 0.0 END AS value
+  FROM events
+), b AS (
+  SELECT event_type AS key, time_bucket(INTERVAL '1 day', ts) AS bucket_ts,
+    avg(value) AS xbar
+  FROM src GROUP BY 1, 2
+), st AS (
+  SELECT key, avg(xbar) AS mu, stddev_samp(xbar) AS sigma FROM b GROUP BY key
+), z AS (
+  SELECT b.key, bucket_ts, xbar,
+    CASE WHEN sigma > 0 THEN (xbar - mu) / sigma ELSE 0.0 END AS zv
+  FROM b JOIN st USING (key)
+), p AS (
+  SELECT key, bucket_ts, xbar,
+    sum(zv - 0.5) OVER (PARTITION BY key ORDER BY bucket_ts) AS ph,
+    sum(-zv - 0.5) OVER (PARTITION BY key ORDER BY bucket_ts) AS pl
+  FROM z
+), s AS (
+  SELECT key, bucket_ts, round(xbar, 6) AS xbar,
+    round(ph - least(0.0, min(ph) OVER (PARTITION BY key ORDER BY bucket_ts)), 6) AS s_hi,
+    round(pl - least(0.0, min(pl) OVER (PARTITION BY key ORDER BY bucket_ts)), 6) AS s_lo
+  FROM p
+)
+SELECT key, bucket_ts, xbar, s_hi, s_lo,
+  (s_hi > 4.0 OR s_lo > 4.0) AS signal
+FROM s
 """,
         "psi_drift": """
 -- Replays the binned PSI: clamped fixed-width bins, per-type window

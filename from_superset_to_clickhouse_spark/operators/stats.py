@@ -421,3 +421,51 @@ def psi_drift(
             F.max("_tc").cast("long").alias("n_cur"),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: "list[str]",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier scoring via the median absolute
+    deviation: rz = (x − median) / (1.4826·MAD), flagged when
+    |rz| > threshold. Unlike z-scores, one extreme value cannot drag
+    the center or inflate the spread (50% breakdown point); 1.4826
+    scales MAD to σ under normality.
+
+    Two exact-median aggregation passes (Spark's ``median`` — the
+    interpolated 0.5-percentile, same rule DuckDB's ``median`` uses),
+    each a per-group shuffle joined back — no windows, no global
+    sort. Degenerate groups (MAD = 0, e.g. > 50% identical values)
+    yield NULL rz and are never flagged rather than dividing by
+    zero."""
+    med = df.groupBy(*group_cols).agg(
+        F.median(value_col).alias("_med")
+    )
+    with_med = df.join(med, group_cols)
+    mad = (
+        with_med.groupBy(*group_cols)
+        .agg(
+            F.median(F.abs(F.col(value_col) - F.col("_med"))).alias("_mad")
+        )
+    )
+    scored = with_med.join(mad, group_cols).select(
+        *group_cols,
+        F.col(value_col),
+        F.round("_med", 6).alias("center"),
+        F.round("_mad", 6).alias("mad"),
+        F.when(
+            F.col("_mad") > 0,
+            F.round(
+                (F.col(value_col) - F.col("_med"))
+                / (F.lit(1.4826) * F.col("_mad")),
+                6,
+            ),
+        ).alias("rz"),
+    )
+    return scored.withColumn(
+        "is_outlier",
+        F.coalesce(F.abs(F.col("rz")) > threshold, F.lit(False)),
+    )

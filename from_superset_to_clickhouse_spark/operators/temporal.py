@@ -555,3 +555,81 @@ def ewma_smooth(
         *( [tiebreak_col] if tiebreak_col else [] ),
         let_bind(frame, fold).alias("smoothed"),
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 day",
+    kappa: float = 0.5,
+    h: float = 4.0,
+) -> DataFrame:
+    """Two-sided CUSUM control chart over a bucketed series per key →
+    (key, bucket_ts, xbar, s_hi, s_lo, signal).
+
+    The textbook recursion S⁺_t = max(0, S⁺_{t-1} + (x_t − μ − κσ))
+    has the closed form S⁺_i = P_i − min(0, min_{j≤i} P_j) where
+    P is the prefix sum of the drift-adjusted deviations — so both
+    one-sided charts compile to a window cumulative sum plus a
+    running min/max over the SAME keyed window order: no recursion,
+    no collected arrays, no Python. Values are standardized by the
+    per-key mean/stddev of the bucketed series (one extra agg+join),
+    κ and h are in σ units (classic κ=0.5, h=4 detects ~1σ shifts).
+
+    Scale shape: the time_window bucketing agg is decomposable (one
+    shuffle, map-side partials); the window pass state is one running
+    (sum, min, max) per key. Bucket-mean standardization bounds the
+    windowed series at periods × keys regardless of raw event volume.
+    """
+    b = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.window(F.col(ts_col), bucket).alias("_w"),
+        )
+        .agg(F.avg(value_col).alias("xbar"))
+        .select("key", F.col("_w.start").alias("bucket_ts"), "xbar")
+    )
+    stats = b.groupBy("key").agg(
+        F.avg("xbar").alias("_mu"),
+        F.stddev_samp("xbar").alias("_sigma"),
+    )
+    z = b.join(stats, "key").withColumn(
+        "_z",
+        F.when(
+            F.col("_sigma") > 0, (F.col("xbar") - F.col("_mu")) / F.col("_sigma")
+        ).otherwise(F.lit(0.0)),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prefixed = z.select(
+        "key",
+        "bucket_ts",
+        "xbar",
+        F.sum(F.col("_z") - F.lit(kappa)).over(w).alias("_p_hi"),
+        F.sum(-F.col("_z") - F.lit(kappa)).over(w).alias("_p_lo"),
+    )
+    # same partitioning and order → Catalyst fuses both passes into
+    # ONE Window node (no second shuffle or sort)
+    out = prefixed.select(
+        "key",
+        "bucket_ts",
+        F.round("xbar", 6).alias("xbar"),
+        F.round(
+            F.col("_p_hi")
+            - F.least(F.lit(0.0), F.min("_p_hi").over(w)),
+            6,
+        ).alias("s_hi"),
+        F.round(
+            F.col("_p_lo")
+            - F.least(F.lit(0.0), F.min("_p_lo").over(w)),
+            6,
+        ).alias("s_lo"),
+    )
+    return out.withColumn(
+        "signal", (F.col("s_hi") > h) | (F.col("s_lo") > h)
+    )

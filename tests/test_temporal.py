@@ -731,3 +731,57 @@ def test_sequence_match_matches_python_reference(spark):
                 a[k - 1] = t
         if any(step_of.get(ty) for _, ty in evs):
             assert got[u] == c, (u, got[u], c)
+
+
+def test_mad_outliers_breakdown_resistance(spark):
+    from from_superset_to_clickhouse_spark.operators.stats import mad_outliers
+
+    # 9 inliers around 10 plus one wild point: classic z-score spread
+    # would be inflated by the spike; MAD flags it anyway
+    vals = [9.0, 9.5, 10.0, 10.0, 10.0, 10.5, 10.5, 11.0, 11.0, 1000.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    rows = {r.v: r for r in mad_outliers(df, "v", ["g"]).collect()}
+    assert rows[1000.0].is_outlier
+    assert sum(r.is_outlier for r in rows.values()) == 1
+    assert rows[10.0].center == 10.25  # interpolated even-count median
+    # degenerate group: >50% identical -> MAD 0 -> NULL rz, never flagged
+    dg = spark.createDataFrame(
+        [("d", 5.0)] * 6 + [("d", 99.0)], "g string, v double"
+    )
+    out = mad_outliers(dg, "v", ["g"]).collect()
+    assert all(r.rz is None and not r.is_outlier for r in out)
+
+
+def test_cusum_closed_form_equals_recursion(spark):
+    import datetime
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        cusum_changepoints,
+    )
+
+    # one point per day: bucket means == raw values; shift at day 20
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(30):
+        v = 10.0 + (i % 3) * 0.5 + (5.0 if i >= 20 else 0.0)
+        rows.append(("k", base + datetime.timedelta(days=i), v))
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v double")
+    got = {
+        r.bucket_ts.day if r.bucket_ts.month == 1 else 31 + r.bucket_ts.day: r
+    for r in cusum_changepoints(df, "key", "ts", "v", bucket="1 day").collect()}
+    assert len(got) == 30
+    # replay the textbook recursion on the standardized series
+    xs = [10.0 + (i % 3) * 0.5 + (5.0 if i >= 20 else 0.0) for i in range(30)]
+    mu = sum(xs) / 30
+    var = sum((x - mu) ** 2 for x in xs) / 29
+    sd = var ** 0.5
+    zs = [(x - mu) / sd for x in xs]
+    s_hi = s_lo = 0.0
+    for i, z in enumerate(zs):
+        s_hi = max(0.0, s_hi + z - 0.5)
+        s_lo = max(0.0, s_lo - z - 0.5)
+        r = got[i + 1]
+        assert abs(r.s_hi - s_hi) < 1e-5 and abs(r.s_lo - s_lo) < 1e-5
+    # the shift is detected after day 20 and nowhere before
+    assert not any(got[i + 1].signal for i in range(20))
+    assert any(got[i + 1].signal for i in range(20, 30))
