@@ -6180,6 +6180,23 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction over the documents corpus: stopword-
+    delimited candidate runs, deg/freq word scores within each doc,
+    top-5 phrases per doc by (rounded score desc, phrase) — a total
+    order, so selection is engine-stable. All keyed by doc_id: one
+    window cumsum assigns run ids, two keyed aggs build phrase/word
+    stats, one (doc, word) join prices occurrences."""
+    from from_superset_to_clickhouse_spark.operators.text import (
+        rake_keywords,
+    )
+
+    return rake_keywords(
+        _docs(spark, sf_dir).select("doc_id", "text"), "doc_id", "text",
+        top_k=5, max_phrase_len=8,
+    )
+
+
 _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-8 additions land here (inside the driver's first-50 window);
     # the 15 r7 additions moved to the backfill — green in
@@ -6208,6 +6225,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clustering_coeff": q_clustering_coeff,
     "mad_outliers": q_mad_outliers,
     "cusum": q_cusum,
+    "rake_keywords": q_rake_keywords,
 }
 
 
@@ -7435,6 +7453,58 @@ WITH src AS (
 SELECT key, bucket_ts, xbar, s_hi, s_lo,
   (s_hi > 4.0 OR s_lo > 4.0) AS signal
 FROM s
+""",
+        "rake_keywords": """
+-- Identical RAKE program: 1-based positional unnest, stopword-count
+-- run ids via window cumsum, ordered string_agg phrases, deg/freq
+-- word pricing, top-5 by the same (rounded score, phrase) total
+-- order.
+WITH tok AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                x -> x <> '') AS t
+  FROM documents
+), flat0 AS (
+  SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, t FROM tok
+), flat AS (
+  SELECT doc_id, pos, t[pos] AS w,
+    t[pos] IN ('a','an','the','and','or','of','to','in','on','for',
+               'is','are','was','be','with','as','at','by','it',
+               'this','that','from','but','not') AS is_stop
+  FROM flat0
+), runs AS (
+  SELECT doc_id, pos, w, is_stop,
+    sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+  FROM flat
+), nw AS (
+  SELECT doc_id, pos, w, pid FROM runs WHERE NOT is_stop
+), ph AS (
+  SELECT doc_id, pid, count(*) AS plen,
+    string_agg(w, ' ' ORDER BY pos) AS phrase
+  FROM nw GROUP BY doc_id, pid HAVING count(*) <= 8
+), occ AS (
+  SELECT nw.doc_id, nw.w, nw.pid, ph.plen
+  FROM nw JOIN ph ON nw.doc_id = ph.doc_id AND nw.pid = ph.pid
+), wstat AS (
+  SELECT doc_id, w, count(*) AS freq, sum(plen) AS deg
+  FROM occ GROUP BY doc_id, w
+), ps AS (
+  SELECT o.doc_id, o.pid,
+    round(sum(CAST(s.deg AS DOUBLE) / s.freq), 6) AS score
+  FROM occ o JOIN wstat s ON o.doc_id = s.doc_id AND o.w = s.w
+  GROUP BY o.doc_id, o.pid
+), cand AS (
+  SELECT DISTINCT ps.doc_id, ph.phrase, ph.plen AS n_words, ps.score
+  FROM ps JOIN ph ON ps.doc_id = ph.doc_id AND ps.pid = ph.pid
+), ranked AS (
+  SELECT doc_id, phrase, n_words, score,
+    row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, phrase
+    ) AS rn
+  FROM cand
+)
+SELECT doc_id, phrase, n_words, score FROM ranked WHERE rn <= 5
 """,
         "psi_drift": """
 -- Replays the binned PSI: clamped fixed-width bins, per-type window

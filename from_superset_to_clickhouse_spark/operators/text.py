@@ -14,7 +14,7 @@ needs on top of that (BASELINE.json north star).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Marker words per language for the deterministic stopword heuristic.
@@ -1494,4 +1494,94 @@ def fix_mojibake(
         staged.withColumn(out_col, F.when(fixable, rep).otherwise(c))
         .withColumn("was_mojibake", fixable)
         .drop("_moj_cand", "_moj_enc")
+    )
+
+
+RAKE_STOPWORDS = (
+    "a", "an", "the", "and", "or", "of", "to", "in", "on", "for",
+    "is", "are", "was", "be", "with", "as", "at", "by", "it",
+    "this", "that", "from", "but", "not",
+)
+
+
+def rake_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 5,
+    stopwords: "tuple[str, ...]" = RAKE_STOPWORDS,
+    max_phrase_len: int = 4,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) → the top-k scored
+    candidate phrases per document: (id, phrase, n_words, score).
+
+    Candidate phrases are maximal runs of non-stopword tokens; each
+    word scores deg(w)/freq(w) within its document (deg = summed
+    length of phrases containing w, freq = occurrence count) and a
+    phrase scores the sum of its words' scores. Runs longer than
+    ``max_phrase_len`` are dropped (standard RAKE practice — and the
+    cap also bounds the join fan-out). Identical phrase strings in
+    one document are scored once.
+
+    Plan: tokenize (codegen split/filter), posexplode, one keyed
+    window cumsum assigns run ids (the stopword count before each
+    token), two keyed aggregations build phrase and word statistics,
+    one (doc, word) join prices each occurrence, a final keyed
+    row_number takes top-k by (rounded score desc, phrase) — a total
+    order, so selection is deterministic. Everything is keyed by
+    doc_id; no global sorts, no Python.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9']+"),
+        lambda x: x != F.lit(""),
+    )
+    flat = (
+        df.select(F.col(id_col).alias("_id"), F.posexplode(toks).alias("pos", "w"))
+        .withColumn("is_stop", F.col("w").isin(*stopwords))
+    )
+    wseq = Window.partitionBy("_id").orderBy("pos")
+    flat = flat.withColumn(
+        "pid", F.sum(F.col("is_stop").cast("int")).over(wseq)
+    ).filter(~F.col("is_stop"))
+    phrases = (
+        flat.groupBy("_id", "pid")
+        .agg(
+            F.count(F.lit(1)).alias("plen"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "w"))
+                    ),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+        )
+        .filter(F.col("plen") <= max_phrase_len)
+    )
+    occ = flat.join(phrases.select("_id", "pid", "plen"), ["_id", "pid"])
+    wstat = occ.groupBy("_id", "w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("deg"),
+    )
+    scored = (
+        occ.join(wstat, ["_id", "w"])
+        .groupBy("_id", "pid")
+        .agg(
+            F.round(
+                F.sum(F.col("deg").cast("double") / F.col("freq")), 6
+            ).alias("score")
+        )
+        .join(phrases, ["_id", "pid"])
+        .select("_id", "phrase", F.col("plen").alias("n_words"), "score")
+        .distinct()
+    )
+    wtop = Window.partitionBy("_id").orderBy(
+        F.col("score").desc(), F.col("phrase")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(wtop))
+        .filter(F.col("_rn") <= top_k)
+        .drop("_rn")
+        .withColumnRenamed("_id", id_col)
     )

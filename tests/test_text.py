@@ -801,3 +801,41 @@ def test_fix_mojibake_roundtrip_property(spark):
         fixed, flagged, orig = got[i]
         assert fixed == s
         assert flagged == (s != s.encode("utf-8").decode("iso-8859-1"))
+
+
+def test_rake_keywords_hand_computed(spark):
+    from from_superset_to_clickhouse_spark.operators.text import rake_keywords
+
+    # runs: [deep learning systems], [deep learning stack],
+    # [modern compilers] — shared words pool their degree across runs
+    text = (
+        "deep learning systems and the deep learning stack of modern "
+        "compilers"
+    )
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    rows = rake_keywords(df, "id", "text", top_k=10).collect()
+    got = {r.phrase: (r.n_words, r.score) for r in rows}
+    # freq: deep 2, learning 2, systems/stack/modern/compilers 1
+    # deg: deep 6, learning 6, systems 3, stack 3, modern 2, compilers 2
+    # word scores: deep 3, learning 3, systems 3, stack 3, modern 2,
+    # compilers 2
+    assert got["deep learning systems"] == (3, 9.0)
+    assert got["deep learning stack"] == (3, 9.0)
+    assert got["modern compilers"] == (2, 4.0)
+    assert len(got) == 3
+    # equal scores tie-break lexicographically: stack before systems
+    assert rows[0].phrase == "deep learning stack"
+    assert rows[1].phrase == "deep learning systems"
+
+
+def test_rake_dedups_repeated_phrases_and_caps_len(spark):
+    from from_superset_to_clickhouse_spark.operators.text import rake_keywords
+
+    df = spark.createDataFrame(
+        [(1, "red fox and red fox and " + " ".join(["w%d" % i for i in range(9)]))],
+        "id long, text string",
+    )
+    out = rake_keywords(df, "id", "text", top_k=10, max_phrase_len=8).collect()
+    phrases = [r.phrase for r in out]
+    assert phrases.count("red fox") == 1  # scored once despite 2 runs
+    assert all(r.n_words <= 8 for r in out)  # 9-word run dropped
