@@ -6197,6 +6197,18 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g711_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 mu-law decode: companded square-wave WAVs (format
+    tag 7, 8-bit) whose amplitudes come from the mu-law representable
+    set A = 4·(((2m+33)·2^s)−33), s = id%8, m = id%15+1 — so the
+    expansion curve must reproduce them bit-exactly and the PCM
+    closed forms carry over (n_frames = 2PK, peak = rms = A, mean =
+    0, crossings = 2K−1). A lookup-table shortcut with a wrong
+    segment/mantissa layout shifts every amplitude and mismatches."""
+    tones = mm.synthesize_g711_tones(_docs(spark, sf_dir), "doc_id", law="mu")
+    return mm.audio_features_g711(tones)
+
+
 _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-8 additions land here (inside the driver's first-50 window);
     # the 15 r7 additions moved to the backfill — green in
@@ -6226,6 +6238,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mad_outliers": q_mad_outliers,
     "cusum": q_cusum,
     "rake_keywords": q_rake_keywords,
+    "g711_audio": q_g711_audio,
 }
 
 
@@ -7505,6 +7518,20 @@ WITH tok AS (
   FROM cand
 )
 SELECT doc_id, phrase, n_words, score FROM ranked WHERE rn <= 5
+""",
+        "g711_audio": """
+-- Closed-form mu-law contract: the amplitude is the exactly-
+-- representable A(s, m) = 4*(((2m+33)*2^s)-33) with s = id%8,
+-- m = id%15+1; square-wave statistics as in audio_features.
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+  CAST(2 * (doc_id % 4 + 1) * (doc_id % 50 + 10) AS INTEGER) AS n_frames,
+  CAST(4 * (((2 * (doc_id % 15 + 1) + 33) * power(2, doc_id % 8)) - 33)
+    AS INTEGER) AS peak,
+  CAST(4 * (((2 * (doc_id % 15 + 1) + 33) * power(2, doc_id % 8)) - 33)
+    AS DOUBLE) AS rms,
+  CAST(0 AS DOUBLE) AS mean_sample,
+  CAST(2 * (doc_id % 50 + 10) - 1 AS INTEGER) AS zero_crossings
+FROM documents
 """,
         "psi_drift": """
 -- Replays the binned PSI: clamped fixed-width bins, per-type window

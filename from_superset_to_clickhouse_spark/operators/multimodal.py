@@ -3601,3 +3601,213 @@ def downsample_images(media: DataFrame, factor: int) -> DataFrame:
             ]
         ),
     )
+
+
+# -- G.711 companded audio (mu-law / A-law), stdlib+numpy only -----------
+#
+# ITU-T G.711 defines the two telephony companding laws as
+# sign/segment/mantissa piecewise-linear approximations of a log
+# curve. Both are implemented from the published bit layouts (not a
+# vendored lookup table): mu-law biases the 14-bit magnitude by 33
+# (in the 13-bit shifted domain), picks the segment from the top set
+# bit, keeps a 4-bit mantissa and complements the byte; A-law works
+# on a 12-bit magnitude with segment 0 left linear and XORs 0x55.
+# Decoded 16-bit amplitudes are therefore exactly
+#   mu:  ±4·(((2m+33)·2^s) − 33)        (max ±32124)
+#   A:   ±8·(2m+1)   (s=0)  /  ±8·((2m+33)·2^(s−1))  (max ±32256)
+# — closed forms an SQL oracle can replay, which the G.711 fixture
+# entries exploit: encode amplitudes drawn from the representable
+# set, and decode must return them bit-exactly.
+
+WAVE_FORMAT_PCM = 1
+WAVE_FORMAT_ALAW = 6
+WAVE_FORMAT_MULAW = 7
+
+
+def mulaw_compress(x: "np.ndarray") -> "np.ndarray":
+    """int16 linear → mu-law bytes (G.711 bit layout)."""
+    x32 = np.asarray(x, dtype=np.int64)
+    sign = np.where(x32 < 0, 0x80, 0x00)
+    mag = np.minimum(np.abs(x32) >> 2, 8158) + 33  # biased 13-bit domain
+    seg = np.maximum(np.int64(np.floor(np.log2(mag))) - 5, 0)
+    mant = (mag >> (seg + 1)) & 0x0F
+    return (~(sign | (seg << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def mulaw_expand(b: "np.ndarray") -> "np.ndarray":
+    """mu-law bytes → int16 linear (exact inverse on representable
+    amplitudes)."""
+    u = (~np.asarray(b, dtype=np.int64)) & 0xFF
+    seg = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((2 * mant + 33) << seg) - 33) << 2
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def alaw_compress(x: "np.ndarray") -> "np.ndarray":
+    """int16 linear → A-law bytes (G.711 bit layout, 0x55 XOR)."""
+    x32 = np.asarray(x, dtype=np.int64)
+    sign = np.where(x32 >= 0, 0x80, 0x00)  # A-law: 1 = positive
+    mag = np.minimum(np.abs(x32) >> 3, 4095)
+    seg = np.where(
+        mag < 32, 0, np.maximum(np.int64(np.floor(np.log2(np.maximum(mag, 1)))) - 4, 0)
+    )
+    mant = np.where(seg == 0, mag >> 1, (mag >> seg) & 0x0F)
+    return ((sign | (seg << 4) | mant) ^ 0x55).astype(np.uint8)
+
+
+def alaw_expand(b: "np.ndarray") -> "np.ndarray":
+    """A-law bytes → int16 linear."""
+    u = np.asarray(b, dtype=np.int64) ^ 0x55
+    seg = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = np.where(
+        seg == 0, (2 * mant + 1) << 3, ((2 * mant + 33) << (seg - 1)) << 3
+    )
+    return np.where(u & 0x80, mag, -mag).astype(np.int16)
+
+
+def encode_wav_g711(
+    frames: "np.ndarray", law: str = "mu", sample_rate: int = 8000
+) -> bytes:
+    """Encode int16 samples as a companded G.711 WAV stream (format
+    tag 7 = mu-law, 6 = A-law, 8 bits/sample) — real RIFF container,
+    real companding, the telephony twin of ``encode_wav_pcm``."""
+    a = np.asarray(frames, dtype=np.int16)
+    if a.ndim == 1:
+        a = a.reshape(-1, 1)
+    channels = a.shape[1]
+    if law == "mu":
+        tag, data = WAVE_FORMAT_MULAW, mulaw_compress(a.ravel()).tobytes()
+    elif law == "a":
+        tag, data = WAVE_FORMAT_ALAW, alaw_compress(a.ravel()).tobytes()
+    else:
+        raise ValueError("law must be 'mu' or 'a'")
+    block_align = channels
+    fmt = struct.pack(
+        "<HHIIHH", tag, channels, sample_rate,
+        sample_rate * block_align, block_align, 8,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_samples_any(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """RIFF decode accepting PCM (tag 1, 16-bit) AND G.711 (tags 6/7,
+    8-bit) data — companded streams are expanded to int16 through the
+    published piecewise-linear curves, so every downstream feature
+    extractor sees one uniform sample domain. Unknown tags / widths
+    still raise → quarantine."""
+    if payload is None:
+        raise ValueError("empty payload")
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE stream")
+        rate = channels = bits = tag = None
+        data = None
+        i = 12
+        while i + 8 <= len(payload):
+            cid = payload[i : i + 4]
+            (csize,) = struct.unpack("<I", payload[i + 4 : i + 8])
+            if cid == b"fmt ":
+                tag, channels, rate, _br, _ba, bits = struct.unpack(
+                    "<HHIIHH", payload[i + 8 : i + 24]
+                )
+            elif cid == b"data":
+                data = payload[i + 8 : i + 8 + csize]
+                if len(data) != csize:
+                    raise ValueError("WAV data chunk truncated")
+            i += 8 + csize + (csize & 1)
+        if rate is None or data is None or not channels:
+            raise ValueError("WAV: missing fmt/data chunk")
+        if tag == WAVE_FORMAT_PCM and bits == 16:
+            samples = np.frombuffer(data, dtype="<i2")
+        elif tag == WAVE_FORMAT_MULAW and bits == 8:
+            samples = mulaw_expand(np.frombuffer(data, dtype=np.uint8))
+        elif tag == WAVE_FORMAT_ALAW and bits == 8:
+            samples = alaw_expand(np.frombuffer(data, dtype=np.uint8))
+        else:
+            raise ValueError(f"unsupported WAV format (tag {tag}, {bits}-bit)")
+        n_frames = len(samples) // channels
+        return rate, channels, samples[: n_frames * channels].reshape(
+            n_frames, channels
+        )
+    except struct.error as exc:
+        raise ValueError(f"truncated WAV: {exc}") from exc
+
+
+def synthesize_g711_tones(
+    df: DataFrame, id_col: str, law: str = "mu"
+) -> DataFrame:
+    """Fixture generator: mu-law (or A-law) companded square waves
+    whose amplitudes are drawn from the law's exactly-representable
+    set, so decode must return them bit-for-bit and the closed-form
+    oracle contract of ``synthesize_tones`` carries over. Per id:
+    segment s = id%8, mantissa m = id%15+1 → mu amplitude
+    A = 4·(((2m+33)·2^s) − 33); half-period P = id%4+1; reps
+    K = id%50+10."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                s, m = i % 8, i % 15 + 1
+                if law == "mu":
+                    amp = 4 * (((2 * m + 33) << s) - 33)
+                else:
+                    amp = 8 * ((2 * m + 1) if s == 0 else ((2 * m + 33) << (s - 1)))
+                half = i % 4 + 1
+                reps = i % 50 + 10
+                block = np.concatenate(
+                    [np.full(half, amp, "<i2"), np.full(half, -amp, "<i2")]
+                )
+                payloads.append(encode_wav_g711(np.tile(block, reps), law=law))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return src.mapInPandas(run, schema=IMAGE_SCHEMA)
+
+
+def audio_features_g711(audio: DataFrame) -> DataFrame:
+    """``audio_features`` over the any-format decoder (PCM + G.711):
+    same statistics, same quarantine contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            nf, pk, rms, mean, zc = [], [], [], [], []
+            for p in pdf["payload"]:
+                try:
+                    _rate, _ch, frames = decode_wav_samples_any(p)
+                    if frames.shape[0] == 0:
+                        raise ValueError("zero-length data chunk")
+                    s = frames.astype(np.float64)
+                    ch0 = frames[:, 0].astype(np.int64)
+                    nf.append(frames.shape[0])
+                    pk.append(int(np.abs(frames.astype(np.int64)).max()))
+                    rms.append(float(np.sqrt((s * s).mean())))
+                    mean.append(float(s.mean()) + 0.0)
+                    zc.append(int((ch0[:-1] * ch0[1:] < 0).sum()))
+                except (ValueError, IndexError):
+                    nf.append(None)
+                    pk.append(None)
+                    rms.append(None)
+                    mean.append(None)
+                    zc.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_frames": pd.array(nf, dtype="Int32"),
+                    "peak": pd.array(pk, dtype="Int32"),
+                    "rms": pd.array(rms, dtype="float64"),
+                    "mean_sample": pd.array(mean, dtype="float64"),
+                    "zero_crossings": pd.array(zc, dtype="Int32"),
+                }
+            )
+
+    return audio.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)

@@ -1554,3 +1554,71 @@ def test_arg_extremes_deterministic_ties(spark):
         .collect()[0]
     )
     assert row2.amax == 3
+
+
+def test_g711_codec_properties():
+    import numpy as np
+
+    from from_superset_to_clickhouse_spark.operators.multimodal import (
+        alaw_compress,
+        alaw_expand,
+        mulaw_compress,
+        mulaw_expand,
+    )
+
+    # byte-level idempotence: every decoded byte re-encodes to itself
+    # (mu-law has the one published +0/-0 alias)
+    bs = np.arange(256, dtype=np.uint8)
+    assert int((mulaw_compress(mulaw_expand(bs)) != bs).sum()) <= 1
+    assert int((alaw_compress(alaw_expand(bs)) != bs).sum()) == 0
+    # representable amplitudes survive the roundtrip exactly
+    for s in range(8):
+        for m in range(16):
+            a_mu = 4 * (((2 * m + 33) << s) - 33)
+            if 0 < a_mu <= 32767:
+                x = np.array([a_mu, -a_mu], np.int16)
+                assert (mulaw_expand(mulaw_compress(x)) == x).all()
+            a_al = 8 * ((2 * m + 1) if s == 0 else ((2 * m + 33) << (s - 1)))
+            if 0 < a_al <= 32767:
+                x = np.array([a_al, -a_al], np.int16)
+                assert (alaw_expand(alaw_compress(x)) == x).all()
+    # quantization error bounded by half the top-segment step (512)
+    xs = np.arange(-32760, 32760, 11, dtype=np.int16)
+    err = np.abs(
+        mulaw_expand(mulaw_compress(xs)).astype(int)
+        - np.clip(xs.astype(int), -32636, 32636)
+    )
+    assert err.max() <= 512
+    err_a = np.abs(alaw_expand(alaw_compress(xs)).astype(int) - xs.astype(int))
+    assert err_a.max() <= 512
+
+
+def test_g711_wav_container_roundtrip():
+    import numpy as np
+
+    from from_superset_to_clickhouse_spark.operators.multimodal import (
+        decode_wav_samples_any,
+        encode_wav_g711,
+        encode_wav_pcm,
+    )
+
+    amp = 4 * (((2 * 7 + 33) << 3) - 33)  # representable mu amplitude
+    sig = np.array([amp, amp, -amp, -amp] * 5, np.int16)
+    for law in ("mu", "a"):
+        a_amp = amp if law == "mu" else 8 * ((2 * 7 + 33) << 2)
+        s = np.array([a_amp, -a_amp] * 6, np.int16)
+        rate, ch, frames = decode_wav_samples_any(
+            encode_wav_g711(s, law=law, sample_rate=16000)
+        )
+        assert (rate, ch) == (16000, 1)
+        assert (frames[:, 0] == s).all()
+    # PCM passthrough still works through the any-format decoder
+    rate, ch, frames = decode_wav_samples_any(encode_wav_pcm(sig, 8000))
+    assert (frames[:, 0] == sig).all()
+    # unknown format tag quarantines
+    import pytest as _pt
+
+    bad = bytearray(encode_wav_g711(sig, law="mu"))
+    bad[20] = 99  # format tag byte
+    with _pt.raises(ValueError, match="unsupported"):
+        decode_wav_samples_any(bytes(bad))
