@@ -6209,6 +6209,23 @@ def q_g711_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_features_g711(tones)
 
 
+def q_png_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Adam7 deinterlace: one interlaced grayscale PNG per doc
+    (dims id%13+1 × id%9+1 — small enough to leave whole passes
+    empty — pixel (x,y) = (id+5x+7y)%256, per-id filter type id%5
+    exercising every unfilter path against pass-local priors). The
+    decoder walks 7 independently-filtered sub-images and scatters
+    them by the published pattern; the oracle enumerates the planted
+    pixels arithmetically, and pos_sum is scatter-order sensitive, so
+    a wrong pass origin/step or shared-prior bug mismatches while
+    px_sum still agrees. Closes the last PNG quarantine gap."""
+    imgs = mm.synthesize_adam7_images(_docs(spark, sf_dir), "doc_id")
+    return mm.image_pixel_stats(imgs).select(
+        "media_id", "format", "width", "height", "channels",
+        "n_px", "px_sum", "min_px", "max_px", "pos_sum",
+    )
+
+
 _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-8 additions land here (inside the driver's first-50 window);
     # the 15 r7 additions moved to the backfill — green in
@@ -6239,6 +6256,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cusum": q_cusum,
     "rake_keywords": q_rake_keywords,
     "g711_audio": q_g711_audio,
+    "png_interlaced": q_png_interlaced,
 }
 
 
@@ -7532,6 +7550,29 @@ SELECT CAST(doc_id AS BIGINT) AS media_id,
   CAST(0 AS DOUBLE) AS mean_sample,
   CAST(2 * (doc_id % 50 + 10) - 1 AS INTEGER) AS zero_crossings
 FROM documents
+""",
+        "png_interlaced": """
+-- Planted-pixel enumeration for the Adam7 fixture: byte index of
+-- gray pixel (x, y) is y*w + x, so pos_sum is the scatter-order-
+-- sensitive checksum; px_sum/min/max are order-blind multiset twins.
+WITH dims AS (
+  SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 9 + 1 AS h FROM documents
+), xs AS (
+  SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims
+), px AS (
+  SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs
+), v AS (
+  SELECT doc_id, w, h, y * w + x AS p,
+    (doc_id + 5 * x + 7 * y) % 256 AS val
+  FROM px
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id, 'png' AS format,
+  CAST(max(w) AS INTEGER) AS width, CAST(max(h) AS INTEGER) AS height,
+  CAST(1 AS INTEGER) AS channels, CAST(count(*) AS INTEGER) AS n_px,
+  CAST(sum(val) AS BIGINT) AS px_sum,
+  CAST(min(val) AS INTEGER) AS min_px, CAST(max(val) AS INTEGER) AS max_px,
+  CAST(sum(p * val) AS BIGINT) AS pos_sum
+FROM v GROUP BY doc_id
 """,
         "psi_drift": """
 -- Replays the binned PSI: clamped fixed-width bins, per-type window

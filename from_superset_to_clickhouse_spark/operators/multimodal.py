@@ -2093,20 +2093,70 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError(f"PNG: unsupported color type {color_type}")
     if comp != 0 or filt != 0:
         raise ValueError("PNG: unknown compression/filter method")
-    if interlace != 0:
-        raise ValueError("PNG: Adam7 interlace unsupported (need a codec lib)")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG: unknown interlace method {interlace}")
     ch = _PNG_CHANNELS[color_type]
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as exc:
         raise ValueError(f"PNG: corrupt IDAT: {exc}") from exc
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG: IDAT length does not match dimensions")
-    out = bytearray(h * stride)
+    if interlace == 0:
+        stride = w * ch
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG: IDAT length does not match dimensions")
+        rows, _ = _png_unfilter_rows(raw, 0, h, stride, ch)
+        return (w, h, ch, b"".join(rows))
+    # Adam7: seven independently-filtered sub-images (pass-local
+    # priors), scattered into the full grid by the published pattern.
+    out = bytearray(h * w * ch)
+    off = 0
+    for pw, ph, xs, ys, xstep, ystep in _adam7_passes(w, h):
+        if pw == 0 or ph == 0:
+            continue  # empty pass transmits nothing, not even filters
+        rows, off = _png_unfilter_rows(raw, off, ph, pw * ch, ch)
+        for r, line in enumerate(rows):
+            y = ys + r * ystep
+            for c in range(pw):
+                x = xs + c * xstep
+                base = (y * w + x) * ch
+                out[base : base + ch] = line[c * ch : (c + 1) * ch]
+    if off != len(raw):
+        raise ValueError("PNG: IDAT length does not match interlaced passes")
+    return (w, h, ch, bytes(out))
+
+
+# PNG Adam7 interlacing (spec §8.2): (x_start, y_start, x_step,
+# y_step) per pass; the k-th pass transmits the sub-image of pixels
+# at those grid offsets, each pass filtered as its own image.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_passes(w: int, h: int):
+    """Yield (pass_w, pass_h, x_start, y_start, x_step, y_step) for
+    each Adam7 pass; zero-dimension passes are yielded (callers skip
+    them — they transmit no bytes at all)."""
+    for xs, ys, xstep, ystep in _ADAM7:
+        pw = (w - xs + xstep - 1) // xstep if w > xs else 0
+        ph = (h - ys + ystep - 1) // ystep if h > ys else 0
+        yield pw, ph, xs, ys, xstep, ystep
+
+
+def _png_unfilter_rows(
+    raw: bytes, offset: int, n_rows: int, stride: int, ch: int
+) -> "tuple[list[bytes], int]":
+    """Unfilter ``n_rows`` scanlines of ``stride`` bytes starting at
+    ``offset`` (each preceded by its filter byte); prior starts at
+    zeros — which is exactly the pass-local state Adam7 requires.
+    Returns the reconstructed rows and the next offset."""
+    if len(raw) - offset < n_rows * (stride + 1):
+        raise ValueError("PNG: IDAT truncated mid-pass")
+    rows: "list[bytes]" = []
     prior = bytes(stride)
-    for y in range(h):
-        base = y * (stride + 1)
+    for y in range(n_rows):
+        base = offset + y * (stride + 1)
         ft = raw[base]
         line = bytearray(raw[base + 1 : base + 1 + stride])
         if ft == 1:
@@ -2126,9 +2176,9 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                 line[i] = (line[i] + _png_paeth(left, prior[i], ul)) & 0xFF
         elif ft != 0:
             raise ValueError(f"PNG: bad row filter {ft}")
-        out[y * stride : (y + 1) * stride] = line
-        prior = bytes(line)
-    return (w, h, ch, bytes(out))
+        rows.append(bytes(line))
+        prior = rows[-1]
+    return rows, offset + n_rows * (stride + 1)
 
 
 PIXEL_STATS_SCHEMA = T.StructType(
@@ -3811,3 +3861,84 @@ def audio_features_g711(audio: DataFrame) -> DataFrame:
             )
 
     return audio.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def encode_png_interlaced(
+    width: int,
+    height: int,
+    channels: int,
+    samples: bytes,
+    filter_type: int = 0,
+) -> bytes:
+    """Adam7-interlaced PNG encoder from raw 8-bit samples — gathers
+    each pass's sub-image in the published order, filters every pass
+    as its own image (pass-local prior rows), sets IHDR interlace = 1.
+    ``encode_png_interlaced → decode_png_pixels`` roundtrips
+    bit-exactly, which the tests enforce across dims, channel counts
+    and filter types (including images small enough to leave whole
+    passes empty)."""
+    if channels not in _PNG_COLOR_TYPE:
+        raise ValueError(f"unsupported channel count {channels}")
+    if len(samples) != width * height * channels:
+        raise ValueError("sample buffer does not match dimensions")
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, _PNG_COLOR_TYPE[channels], 0, 0, 1
+    )
+    filtered = []
+    for pw, ph, xs, ys, xstep, ystep in _adam7_passes(width, height):
+        if pw == 0 or ph == 0:
+            continue
+        stride = pw * channels
+        prior = bytes(stride)
+        for r in range(ph):
+            y = ys + r * ystep
+            line = bytearray(stride)
+            for c in range(pw):
+                x = xs + c * xstep
+                base = (y * width + x) * channels
+                line[c * channels : (c + 1) * channels] = samples[
+                    base : base + channels
+                ]
+            line = bytes(line)
+            filtered.append(
+                bytes((filter_type,))
+                + _png_filter_row(filter_type, line, prior, channels)
+            )
+            prior = line
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(filtered)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def synthesize_adam7_images(df: DataFrame, id_col: str) -> DataFrame:
+    """Fixture generator: one Adam7-interlaced grayscale PNG per row,
+    dims w = id%13+1, h = id%9+1 (small dims leave whole passes
+    empty — the edge the deinterlacer must handle), pixel (x, y) =
+    (id + 5x + 7y) % 256 (row- AND column-sensitive, so a scatter
+    bug moves mass and breaks the position checksum), per-id filter
+    type id%5 exercising every unfilter path against pass-local
+    priors."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["media_id"]:
+                i = int(i)
+                w, h = i % 13 + 1, i % 9 + 1
+                px = bytes(
+                    (i + 5 * x + 7 * y) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                payloads.append(
+                    encode_png_interlaced(w, h, 1, px, filter_type=i % 5)
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return src.mapInPandas(run, schema=IMAGE_SCHEMA)

@@ -1622,3 +1622,59 @@ def test_g711_wav_container_roundtrip():
     bad[20] = 99  # format tag byte
     with _pt.raises(ValueError, match="unsupported"):
         decode_wav_samples_any(bytes(bad))
+
+
+def test_adam7_roundtrip_and_pass_structure():
+    import itertools
+
+    from from_superset_to_clickhouse_spark.operators.multimodal import (
+        _adam7_passes,
+        decode_png_pixels,
+        encode_png_interlaced,
+    )
+
+    # bit-exact roundtrip across dims (incl. empty-pass sizes),
+    # channels, and all five filter types with pass-local priors
+    for w, h, ch in itertools.product((1, 3, 8, 9, 17), (1, 2, 8, 10), (1, 3)):
+        px = bytes((11 * k + 7) % 256 for k in range(w * h * ch))
+        for ft in range(5):
+            assert decode_png_pixels(
+                encode_png_interlaced(w, h, ch, px, ft)
+            ) == (w, h, ch, px)
+    # 1x1: only pass 1 transmits; pass pixel counts tile the grid
+    passes = list(_adam7_passes(1, 1))
+    assert sum(pw * ph for pw, ph, *_ in passes) == 1
+    assert passes[0][:2] == (1, 1)
+    for w, h in ((8, 8), (13, 9), (5, 3)):
+        assert sum(pw * ph for pw, ph, *_ in _adam7_passes(w, h)) == w * h
+
+
+def test_adam7_truncated_pass_quarantines():
+    import pytest as _pt
+
+    from from_superset_to_clickhouse_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png_interlaced,
+    )
+    import struct as _struct
+    import zlib as _zlib
+
+    px = bytes(range(64))
+    p = encode_png_interlaced(8, 8, 1, px)
+    # corrupt: re-deflate with one pass row missing -> length mismatch
+    sig_end = 8
+    # locate IDAT chunk
+    pos = sig_end
+    while p[pos + 4 : pos + 8] != b"IDAT":
+        (ln,) = _struct.unpack(">I", p[pos : pos + 4])
+        pos += 12 + ln
+    (ln,) = _struct.unpack(">I", p[pos : pos + 4])
+    raw = _zlib.decompress(p[pos + 8 : pos + 8 + ln])
+    clipped = _zlib.compress(raw[:-3])
+    from from_superset_to_clickhouse_spark.operators.multimodal import (
+        _png_chunk,
+    )
+
+    bad = p[:pos] + _png_chunk(b"IDAT", clipped) + p[pos + 12 + ln :]
+    with _pt.raises(ValueError, match="IDAT"):
+        decode_png_pixels(bad)
