@@ -6226,6 +6226,48 @@ def q_png_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining over the documents corpus: PMI of word
+    pairs co-occurring within a 2-token window, support ≥ 20. One
+    token explode, one positional self-join keyed on doc_id (fan-out
+    tokens × window, never n²), canonical unordered pooling, scalar
+    totals broadcast. The oracle replays the identical probability
+    arithmetic in DuckDB."""
+    from from_superset_to_clickhouse_spark.operators.text import pmi_pairs
+
+    return pmi_pairs(
+        _docs(spark, sf_dir).select("doc_id", "text"), "doc_id", "text",
+        window=2, min_count=20,
+    )
+
+
+def q_soundex_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """American Soundex phonetic keys over the part-name vocabulary —
+    the classic fuzzy-blocking primitive for entity resolution. The
+    encoder is a pure Catalyst chain implementing the published rules
+    (H/W deletion = the separated-same-codes collapse rule, vowel
+    separators, first-letter code participation), NOT an engine
+    builtin, so the DuckDB oracle replays it operation for
+    operation. Output: per phonetic code, word count, distinct
+    vocabulary, and the lexicographically first word."""
+    from from_superset_to_clickhouse_spark.operators.text import (
+        soundex_expr,
+    )
+
+    words = _t(spark, sf_dir, "part").select(
+        F.explode(F.split(F.col("p_name"), " ")).alias("word")
+    )
+    return (
+        words.select(soundex_expr(F.col("word")).alias("code"), "word")
+        .groupBy("code")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.countDistinct("word").alias("n_distinct"),
+            F.min("word").alias("sample_word"),
+        )
+    )
+
+
 _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-8 additions land here (inside the driver's first-50 window);
     # the 15 r7 additions moved to the backfill — green in
@@ -6257,6 +6299,8 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rake_keywords": q_rake_keywords,
     "g711_audio": q_g711_audio,
     "png_interlaced": q_png_interlaced,
+    "pmi_pairs": q_pmi_pairs,
+    "soundex_keys": q_soundex_keys,
 }
 
 
@@ -7573,6 +7617,83 @@ SELECT CAST(doc_id AS BIGINT) AS media_id, 'png' AS format,
   CAST(min(val) AS INTEGER) AS min_px, CAST(max(val) AS INTEGER) AS max_px,
   CAST(sum(p * val) AS BIGINT) AS pos_sum
 FROM v GROUP BY doc_id
+""",
+        "pmi_pairs": """
+-- Same probability arithmetic: windowed positional self-join,
+-- canonical unordered pooling, support filter, ln of the rational
+-- probability ratio rounded to 6 dp.
+WITH tok AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                x -> x <> '') AS t
+  FROM documents
+), flat AS (
+  SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, t FROM tok
+), f AS (
+  SELECT doc_id, pos, t[pos] AS w FROM flat
+), pr AS (
+  SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+  FROM f a JOIN f b
+    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+), pairs_all AS (
+  SELECT w1, w2, count(*) AS n_pair FROM pr GROUP BY w1, w2
+), tots AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM f) AS t,
+         (SELECT CAST(sum(n_pair) AS DOUBLE) FROM pairs_all) AS p
+), wc AS (
+  SELECT w, count(*) AS c FROM f GROUP BY w
+)
+SELECT pa.w1, pa.w2, pa.n_pair,
+  round(ln((pa.n_pair / tots.p)
+           / ((c1.c / tots.t) * (c2.c / tots.t))), 6) AS pmi
+FROM pairs_all pa, tots
+JOIN wc c1 ON pa.w1 = c1.w
+JOIN wc c2 ON pa.w2 = c2.w
+WHERE pa.n_pair >= 20
+""",
+        "soundex_keys": """
+-- Operation-for-operation Soundex replay: strip/upper, tail H/W
+-- deletion, digit/separator translate, adjacent-duplicate collapse
+-- (per-symbol run collapses - RE2 has no backreferences), separator
+-- strip, first-code drop, pad.
+WITH words AS (
+  SELECT unnest(string_split(p_name, ' ')) AS word FROM part
+), s1 AS (
+  SELECT word,
+    upper(regexp_replace(word, '[^A-Za-z]', '', 'g')) AS up
+  FROM words
+), s2 AS (
+  SELECT word, up, substr(up, 1, 1) AS first,
+    substr(up, 1, 1) || regexp_replace(substr(up, 2), '[HW]', '', 'g')
+      AS dehw
+  FROM s1
+), s3 AS (
+  SELECT word, up, first,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(
+        translate(dehw, 'BFPVCGJKQSXZDTLMNRAEIOUYHW',
+                        '111122222222334556AAAAAAAA'),
+        '1+', '1', 'g'), '2+', '2', 'g'), '3+', '3', 'g'),
+        '4+', '4', 'g'), '5+', '5', 'g'), '6+', '6', 'g'),
+        'A+', 'A', 'g') AS collapsed,
+    translate(first, 'BFPVCGJKQSXZDTLMNRAEIOUYHW',
+                     '111122222222334556AAAAAAAA') AS fc
+  FROM s2
+), s4 AS (
+  SELECT word, up, first, fc, replace(collapsed, 'A', '') AS digits
+  FROM s3
+), coded AS (
+  SELECT word,
+    CASE WHEN length(up) > 0 THEN
+      first || rpad(substr(
+        CASE WHEN fc = 'A' THEN digits ELSE substr(digits, 2) END,
+        1, 3), 3, '0')
+    END AS code
+  FROM s4
+)
+SELECT code, count(*) AS n_words,
+  count(DISTINCT word) AS n_distinct, min(word) AS sample_word
+FROM coded GROUP BY code
 """,
         "psi_drift": """
 -- Replays the binned PSI: clamped fixed-width bins, per-type window

@@ -1585,3 +1585,110 @@ def rake_keywords(
         .drop("_rn")
         .withColumnRenamed("_id", id_col)
     )
+
+
+def pmi_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 2,
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information over within-window word pairs →
+    (w1, w2, n_pair, pmi): pmi = ln(P(pair) / (P(w1)·P(w2))) with
+    pair probabilities from windowed co-occurrences and word
+    probabilities from token frequencies. The collocation-mining
+    primitive (Church & Hanks 1990): high PMI = words that appear
+    together far more than chance.
+
+    Pairs come from a positional self-join (same doc, 1 ≤ Δpos ≤
+    window) keyed on doc_id — fan-out is corpus_tokens × window, not
+    n². Unordered pairs are canonicalized (least, greatest) BEFORE
+    aggregation so "a b" and "b a" pool. ``min_count`` prunes the
+    unstable low-support tail (standard practice — PMI explodes for
+    hapax pairs). One token explode, one keyed join, three partial
+    aggs, two broadcastable scalar totals.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9']+"),
+        lambda x: x != F.lit(""),
+    )
+    flat = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(toks).alias("pos", "w")
+    )
+    t1, t2 = flat.alias("t1"), flat.alias("t2")
+    pairs_all = (
+        t1.join(
+            t2,
+            (F.col("t1._id") == F.col("t2._id"))
+            & (F.col("t2.pos") - F.col("t1.pos") >= 1)
+            & (F.col("t2.pos") - F.col("t1.pos") <= window),
+        )
+        .select(
+            F.least(F.col("t1.w"), F.col("t2.w")).alias("w1"),
+            F.greatest(F.col("t1.w"), F.col("t2.w")).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    pairs = pairs_all.filter(F.col("n_pair") >= min_count)
+    wc = flat.groupBy(F.col("w").alias("_w")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    tot_tokens = flat.agg(F.count(F.lit(1)).alias("_t"))
+    # total-pair denominator from the already-grouped counts — one
+    # small agg instead of a second corpus-wide positional join
+    tot_pairs = pairs_all.agg(F.sum("n_pair").alias("_p"))
+    return (
+        pairs.join(wc.withColumnRenamed("_w", "w1"), "w1")
+        .withColumnRenamed("_c", "_c1")
+        .join(wc.withColumnRenamed("_w", "w2"), "w2")
+        .withColumnRenamed("_c", "_c2")
+        .crossJoin(F.broadcast(tot_tokens))
+        .crossJoin(F.broadcast(tot_pairs))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("_p"))
+                    / (
+                        (F.col("_c1") / F.col("_t"))
+                        * (F.col("_c2") / F.col("_t"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+_SOUNDEX_FROM = "BFPVCGJKQSXZDTLMNRAEIOUYHW"
+_SOUNDEX_TO = "111122222222334556AAAAAAAA"
+
+
+def soundex_expr(word: Column) -> Column:
+    """American Soundex as a pure Catalyst expression chain —
+    implemented from the published rules rather than delegating to
+    any engine builtin, so an ANSI oracle can replay it operation for
+    operation: uppercase/strip, delete H/W from the tail (exactly the
+    "same codes separated by h/w collapse" rule), map consonants to
+    digits and vowels to a separator, collapse adjacent duplicates
+    (the first letter's code participates), strip separators, drop
+    the first letter's own code, pad to letter + 3 digits. NULL/empty
+    or non-alphabetic input → NULL."""
+    up = F.upper(F.regexp_replace(word, "[^A-Za-z]", ""))
+    first = F.substring(up, 1, 1)
+    dehw = F.concat(first, F.regexp_replace(F.substring(up, 2, 1 << 20), "[HW]", ""))
+    mapped = F.translate(dehw, _SOUNDEX_FROM, _SOUNDEX_TO)
+    collapsed = F.regexp_replace(mapped, r"(.)\1+", "$1")
+    digits = F.translate(collapsed, "A", "")
+    fc = F.translate(first, _SOUNDEX_FROM, _SOUNDEX_TO)
+    tail = F.when(fc == "A", digits).otherwise(
+        F.substring(digits, 2, 1 << 20)
+    )
+    return F.when(
+        F.length(up) > 0,
+        F.concat(first, F.rpad(F.substring(tail, 1, 3), 3, "0")),
+    )

@@ -839,3 +839,41 @@ def test_rake_dedups_repeated_phrases_and_caps_len(spark):
     phrases = [r.phrase for r in out]
     assert phrases.count("red fox") == 1  # scored once despite 2 runs
     assert all(r.n_words <= 8 for r in out)  # 9-word run dropped
+
+
+def test_soundex_published_examples(spark):
+    from from_superset_to_clickhouse_spark.operators.text import soundex_expr
+    from pyspark.sql import functions as F
+
+    # canonical published test vectors for American Soundex,
+    # including the H/W collapse rule (Ashcraft/Tymczak/Pfister)
+    cases = {
+        "Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+        "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+        "Honeyman": "H555", "White": "W300", "Jackson": "J250",
+        "Washington": "W252", "Lee": "L000", "Gutierrez": "G362",
+        "o'hara": "O600", "": None,
+    }
+    df = spark.createDataFrame([(w,) for w in cases], "w string")
+    got = {r.w: r.code for r in df.select(
+        "w", soundex_expr(F.col("w")).alias("code")).collect()}
+    for w, want in cases.items():
+        assert got[w] == want, (w, got[w], want)
+
+
+def test_pmi_pairs_hand_computed(spark):
+    import math
+
+    from from_superset_to_clickhouse_spark.operators.text import pmi_pairs
+
+    # "x y" always adjacent; "z" never near x/y
+    docs = [(i, "x y filler%d z" % i) for i in range(4)]
+    df = spark.createDataFrame(docs, "id long, text string")
+    rows = {(r.w1, r.w2): r for r in pmi_pairs(
+        df, "id", "text", window=1, min_count=4).collect()}
+    assert set(rows) == {("x", "y")}
+    r = rows[("x", "y")]
+    # totals: 16 tokens, 12 window-1 pairs; x,y each appear 4 times
+    want = math.log((4 / 12) / ((4 / 16) * (4 / 16)))
+    assert abs(r.pmi - round(want, 6)) < 1e-9
+    assert r.n_pair == 4
