@@ -6268,6 +6268,41 @@ def q_soundex_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of o_custkey against order
+    price (smoothing 20): each order sees the mean price of the
+    customer's OTHER orders shrunk toward the global mean — the
+    leakage-free high-cardinality categorical feature. One category
+    agg + one scalar mean joined back; singletons collapse to the
+    prior, which the high-cardinality customer key exercises for
+    real. The oracle replays the arithmetic on the joined
+    aggregates."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        target_encode_loo,
+    )
+
+    return target_encode_loo(
+        _t(spark, sf_dir, "orders"), "o_custkey", "o_totalprice",
+        smoothing=20.0,
+    )
+
+
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization of the documents corpus into 64
+    buckets with the ±1 sign hash — fixed dimensionality, zero
+    vocabulary state. Both hashes are md5-derived so DuckDB rebuilds
+    the identical sparse vectors; zero-weight cells (sign
+    cancellation) are dropped on both sides."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        feature_hash,
+    )
+
+    return feature_hash(
+        _docs(spark, sf_dir).select("doc_id", "text"), "doc_id", "text",
+        n_buckets=64,
+    )
+
+
 _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-8 additions land here (inside the driver's first-50 window);
     # the 15 r7 additions moved to the backfill — green in
@@ -6301,6 +6336,8 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "png_interlaced": q_png_interlaced,
     "pmi_pairs": q_pmi_pairs,
     "soundex_keys": q_soundex_keys,
+    "target_encode": q_target_encode,
+    "feature_hash": q_feature_hash,
 }
 
 
@@ -7694,6 +7731,39 @@ WITH words AS (
 SELECT code, count(*) AS n_words,
   count(DISTINCT word) AS n_distinct, min(word) AS sample_word
 FROM coded GROUP BY code
+""",
+        "target_encode": """
+-- Same LOO arithmetic on the joined aggregates: (sum_c - y + s*mu)
+-- / (n_c - 1 + s); singleton categories collapse to the prior.
+WITH agg AS (
+  SELECT o_custkey, sum(o_totalprice) AS s, count(*) AS n
+  FROM orders GROUP BY o_custkey
+), mu AS (SELECT avg(o_totalprice) AS m FROM orders)
+SELECT o.o_custkey, o.o_totalprice,
+  round((agg.s - o.o_totalprice + 20.0 * mu.m) / (agg.n - 1 + 20.0), 6)
+    AS encoded
+FROM orders o JOIN agg USING (o_custkey), mu
+""",
+        "feature_hash": """
+-- Identical md5 bucket and sign hashes; weights that cancel to zero
+-- are dropped on both sides.
+WITH tok AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                x -> x <> '') AS t
+  FROM documents
+), flat AS (
+  SELECT doc_id, unnest(t) AS w FROM tok
+), hashed AS (
+  SELECT doc_id,
+    CAST(CAST(('0x' || substr(md5('fh:' || w), 1, 8)) AS BIGINT) % 64
+      AS INTEGER) AS bucket,
+    CASE WHEN CAST(('0x' || substr(md5('fs:' || w), 1, 8)) AS BIGINT) % 2 = 0
+      THEN 1 ELSE -1 END AS sgn
+  FROM flat
+)
+SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS weight
+FROM hashed GROUP BY doc_id, bucket HAVING sum(sgn) <> 0
 """,
         "psi_drift": """
 -- Replays the binned PSI: clamped fixed-width bins, per-type window

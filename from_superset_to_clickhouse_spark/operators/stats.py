@@ -469,3 +469,92 @@ def mad_outliers(
         "is_outlier",
         F.coalesce(F.abs(F.col("rz")) > threshold, F.lit(False)),
     )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 20.0,
+) -> DataFrame:
+    """Leave-one-out target encoding with additive smoothing — the
+    standard high-cardinality categorical feature for gradient-boosted
+    and linear models: each row's category is replaced by the mean
+    target of the OTHER rows in that category, shrunk toward the
+    global mean by ``smoothing`` pseudo-observations,
+
+        enc_i = (sum_c − y_i + s·mu) / (n_c − 1 + s).
+
+    Excluding the row's own target is what prevents the leakage that
+    makes naive mean-encoding overfit; the smoothing term keeps rare
+    categories near the prior. One category aggregation + one scalar
+    global mean, both joined back — two shuffles total, no windows, no
+    per-row recomputation (the LOO subtraction is arithmetic on the
+    joined aggregates). Singleton categories (n_c = 1) fall back to
+    the smoothed prior: (s·mu)/s = mu."""
+    agg = df.groupBy(cat_col).agg(
+        F.sum(target_col).alias("_sum_c"),
+        F.count(F.lit(1)).alias("_n_c"),
+    )
+    mu = df.agg(F.avg(target_col).alias("_mu"))
+    joined = df.join(agg, [cat_col]).crossJoin(F.broadcast(mu))
+    return joined.select(
+        cat_col,
+        F.col(target_col),
+        F.round(
+            (
+                F.col("_sum_c")
+                - F.col(target_col)
+                + F.lit(smoothing) * F.col("_mu")
+            )
+            / (F.col("_n_c") - 1 + F.lit(smoothing)),
+            6,
+        ).alias("encoded"),
+    )
+
+
+def feature_hash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Hashing-trick vectorizer (Weinberger et al. 2009) → sparse
+    (id, bucket, weight) rows: each token hashes to one of
+    ``n_buckets`` via md5 (engine-replayable, unlike murmur), with the
+    standard ±1 sign hash so collisions cancel in expectation rather
+    than accumulate. Fixed dimensionality with NO vocabulary state —
+    the property that makes it the streaming-safe featurizer.
+
+    One explode + one (id, bucket) aggregation; output is bounded by
+    nnz ≤ tokens, never buckets × docs."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9']+"),
+        lambda x: x != F.lit(""),
+    )
+    flat = df.select(
+        F.col(id_col).alias("_id"), F.explode(toks).alias("w")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit("fh"), F.col("w"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    sign_bit = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit("fs"), F.col("w"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (
+        flat.select(
+            "_id",
+            (h % n_buckets).cast("int").alias("bucket"),
+            F.when(sign_bit % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias(
+                "_sgn"
+            ),
+        )
+        .groupBy("_id", "bucket")
+        .agg(F.sum("_sgn").alias("weight"))
+        .filter(F.col("weight") != 0)
+        .withColumnRenamed("_id", id_col)
+    )

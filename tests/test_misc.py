@@ -1678,3 +1678,58 @@ def test_adam7_truncated_pass_quarantines():
     bad = p[:pos] + _png_chunk(b"IDAT", clipped) + p[pos + 12 + ln :]
     with _pt.raises(ValueError, match="IDAT"):
         decode_png_pixels(bad)
+
+
+def test_target_encode_loo_no_leakage(spark):
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        target_encode_loo,
+    )
+
+    # category a: targets 10, 20; category b: singleton 100
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("b", 100.0)], "c string, y double"
+    )
+    mu = (10 + 20 + 100) / 3.0
+    rows = {(r.c, r.y): r.encoded for r in
+            target_encode_loo(df, "c", "y", smoothing=2.0).collect()}
+    # row (a,10): uses only the OTHER a-row (20) plus 2 pseudo-obs of mu
+    assert rows[("a", 10.0)] == round((20 + 2 * mu) / 3.0, 6)
+    assert rows[("a", 20.0)] == round((10 + 2 * mu) / 3.0, 6)
+    # singleton: pure smoothed prior = mu
+    assert rows[("b", 100.0)] == round(mu, 6)
+
+
+def test_feature_hash_properties(spark):
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        feature_hash,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "alpha"), (3, "")],
+        "id long, text string",
+    )
+    rows = [(r.id, r.bucket, r.weight) for r in
+            feature_hash(df, "id", "text", n_buckets=16).collect()]
+    by_doc = {}
+    for i, b, w in rows:
+        by_doc.setdefault(i, {})[b] = w
+    # replay the md5 hashes independently to predict the vectors
+    import hashlib
+
+    def bucket(w):
+        return int(hashlib.md5(f"fh:{w}".encode()).hexdigest()[:8], 16) % 16
+
+    def sgn(w):
+        h = int(hashlib.md5(f"fs:{w}".encode()).hexdigest()[:8], 16)
+        return 1 if h % 2 == 0 else -1
+
+    want1 = {}
+    for w, c in (("alpha", 2), ("beta", 1)):
+        want1[bucket(w)] = want1.get(bucket(w), 0) + sgn(w) * c
+    want1 = {b: w for b, w in want1.items() if w != 0}
+    assert by_doc[1] == want1
+    assert by_doc[2] == {bucket("alpha"): sgn("alpha")}
+    # empty doc -> no rows
+    assert 3 not in by_doc
+    # buckets bounded
+    assert all(0 <= b < 16 for _, b, _ in rows)
