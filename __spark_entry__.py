@@ -6303,6 +6303,18 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL EXIF/TIFF parse: JPEGs carrying APP1 IFD0 blocks with
+    planted id-arithmetic metadata, half little-endian (II) and half
+    big-endian (MM) so the byte-order dispatch is exercised on every
+    batch. The parser walks JPEG markers, validates the TIFF magic,
+    and resolves inline SHORT vs offset-addressed ASCII values; the
+    oracle enumerates the planted fields arithmetically. Metadata
+    parse touches only leading bytes — row-count-bounded at 100 TB."""
+    imgs = mm.synthesize_exif_images(_docs(spark, sf_dir), "doc_id")
+    return mm.exif_metadata(imgs)
+
+
 _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-8 additions land here (inside the driver's first-50 window);
     # the 15 r7 additions moved to the backfill — green in
@@ -6338,6 +6350,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "soundex_keys": q_soundex_keys,
     "target_encode": q_target_encode,
     "feature_hash": q_feature_hash,
+    "exif_meta": q_exif_meta,
 }
 
 
@@ -7764,6 +7777,20 @@ WITH tok AS (
 )
 SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS weight
 FROM hashed GROUP BY doc_id, bucket HAVING sum(sgn) <> 0
+""",
+        "exif_meta": """
+-- Planted-metadata enumeration: the parser must recover exactly
+-- these id-arithmetic fields through real marker/IFD walking in
+-- both byte orders.
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+  CAST(doc_id % 8 + 1 AS INTEGER) AS orientation,
+  'maker' || CAST(doc_id % 7 AS VARCHAR) AS make,
+  'cam' || CAST(doc_id % 11 AS VARCHAR) AS model,
+  '2024:01:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || ' '
+    || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':'
+    || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':00' AS taken_at
+FROM documents
 """,
         "psi_drift": """
 -- Replays the binned PSI: clamped fixed-width bins, per-type window

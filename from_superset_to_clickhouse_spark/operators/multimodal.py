@@ -3942,3 +3942,237 @@ def synthesize_adam7_images(df: DataFrame, id_col: str) -> DataFrame:
             )
 
     return src.mapInPandas(run, schema=IMAGE_SCHEMA)
+
+
+# -- EXIF / TIFF metadata (JPEG APP1), stdlib-only ------------------------
+
+
+EXIF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("byte_order", T.StringType(), True),
+        T.StructField("orientation", T.IntegerType(), True),
+        T.StructField("make", T.StringType(), True),
+        T.StructField("model", T.StringType(), True),
+        T.StructField("taken_at", T.StringType(), True),
+    ]
+)
+
+_EXIF_TAG_ORIENTATION = 0x0112
+_EXIF_TAG_MAKE = 0x010F
+_EXIF_TAG_MODEL = 0x0110
+_EXIF_TAG_DATETIME = 0x0132
+
+
+def encode_jpeg_exif(
+    width: int,
+    height: int,
+    orientation: int,
+    make: str,
+    model: str,
+    taken_at: str,
+    byte_order: str = "II",
+) -> bytes:
+    """A JPEG whose APP1 segment carries a real TIFF/EXIF IFD0 —
+    byte-order mark (II little / MM big), magic 42, entry table with
+    inline SHORT values and offset-addressed ASCII values — followed
+    by the usual SOF0/EOI skeleton. Exercised in both byte orders so
+    the parser cannot hardcode endianness."""
+    if byte_order not in ("II", "MM"):
+        raise ValueError("byte_order must be 'II' or 'MM'")
+    e = "<" if byte_order == "II" else ">"
+    strings = []
+    entries = []
+
+    def ascii_entry(tag: str, value: str) -> None:
+        data = value.encode("ascii") + b"\x00"
+        strings.append((tag, data))
+
+    # IFD0: 4 entries, then next-IFD pointer 0
+    n_entries = 4
+    ifd_start = 8
+    data_start = ifd_start + 2 + n_entries * 12 + 4
+    # TIFF rule: values of <= 4 bytes live INLINE in the entry's value
+    # field; longer ones are offset-addressed into the data area.
+    blobs = []
+    blob_off = data_start
+    str_value_field = {}
+    for tag, value in (
+        (_EXIF_TAG_MAKE, make),
+        (_EXIF_TAG_MODEL, model),
+        (_EXIF_TAG_DATETIME, taken_at),
+    ):
+        data = value.encode("ascii") + b"\x00"
+        if len(data) <= 4:
+            str_value_field[tag] = (data, len(data))
+        else:
+            str_value_field[tag] = (struct.pack(e + "I", blob_off), len(data))
+            blobs.append(data)
+            blob_off += len(data)
+
+    def entry(tag: int, typ: int, count: int, value_bytes: bytes) -> bytes:
+        return (
+            struct.pack(e + "HHI", tag, typ, count)
+            + value_bytes.ljust(4, b"\x00")[:4]
+        )
+
+    entries = [
+        entry(_EXIF_TAG_MAKE, 2, str_value_field[_EXIF_TAG_MAKE][1],
+              str_value_field[_EXIF_TAG_MAKE][0]),
+        entry(_EXIF_TAG_MODEL, 2, str_value_field[_EXIF_TAG_MODEL][1],
+              str_value_field[_EXIF_TAG_MODEL][0]),
+        entry(_EXIF_TAG_ORIENTATION, 3, 1, struct.pack(e + "H", orientation)),
+        entry(_EXIF_TAG_DATETIME, 2, str_value_field[_EXIF_TAG_DATETIME][1],
+              str_value_field[_EXIF_TAG_DATETIME][0]),
+    ]
+    tiff = (
+        (b"II" if byte_order == "II" else b"MM")
+        + struct.pack(e + "H", 42)
+        + struct.pack(e + "I", ifd_start)
+        + struct.pack(e + "H", n_entries)
+        + b"".join(entries)
+        + struct.pack(e + "I", 0)
+        + b"".join(blobs)
+    )
+    app1_body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(app1_body) + 2) + app1_body
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 11)
+        + b"\x08" + struct.pack(">HH", height, width) + b"\x01\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app1 + sof0 + b"\xff\xd9"
+
+
+def decode_exif(payload: bytes) -> tuple:
+    """REAL EXIF parse: JPEG marker walk to APP1, TIFF byte-order
+    dispatch, IFD0 entry iteration with inline-vs-offset value
+    resolution → (byte_order, orientation, make, model, taken_at).
+    Missing APP1/malformed TIFF raises ValueError (quarantine)."""
+    if payload is None or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    i = 2
+    tiff = None
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("JPEG: marker desync")
+        marker = payload[i + 1]
+        if marker in (0xD8, 0xD9):
+            i += 2
+            continue
+        (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        seg = payload[i + 4 : i + 2 + seglen]
+        if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            tiff = seg[6:]
+            break
+        i += 2 + seglen
+    if tiff is None:
+        raise ValueError("EXIF: no APP1 segment")
+    try:
+        order = tiff[:2]
+        if order == b"II":
+            e, bo = "<", "II"
+        elif order == b"MM":
+            e, bo = ">", "MM"
+        else:
+            raise ValueError("EXIF: bad byte-order mark")
+        (magic,) = struct.unpack(e + "H", tiff[2:4])
+        if magic != 42:
+            raise ValueError("EXIF: bad TIFF magic")
+        (ifd_off,) = struct.unpack(e + "I", tiff[4:8])
+        (n,) = struct.unpack(e + "H", tiff[ifd_off : ifd_off + 2])
+        orientation = make = model = taken_at = None
+        for k in range(n):
+            base = ifd_off + 2 + k * 12
+            tag, typ, count = struct.unpack(e + "HHI", tiff[base : base + 8])
+            raw = tiff[base + 8 : base + 12]
+            if typ == 3 and count == 1:  # SHORT inline
+                (val,) = struct.unpack(e + "H", raw[:2])
+                if tag == _EXIF_TAG_ORIENTATION:
+                    orientation = val
+            elif typ == 2:  # ASCII, offset-addressed if > 4 bytes
+                if count <= 4:
+                    data = raw[:count]
+                else:
+                    (off,) = struct.unpack(e + "I", raw)
+                    data = tiff[off : off + count]
+                s = data.rstrip(b"\x00").decode("ascii", "replace")
+                if tag == _EXIF_TAG_MAKE:
+                    make = s
+                elif tag == _EXIF_TAG_MODEL:
+                    model = s
+                elif tag == _EXIF_TAG_DATETIME:
+                    taken_at = s
+        return (bo, orientation, make, model, taken_at)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"EXIF: truncated TIFF: {exc}") from exc
+
+
+def synthesize_exif_images(df: DataFrame, id_col: str) -> DataFrame:
+    """Fixture generator: one EXIF-bearing JPEG per row with planted
+    id-arithmetic metadata — orientation id%8+1, make 'maker<id%7>',
+    model 'cam<id%11>', timestamp derived from id, byte order II for
+    even ids and MM for odd (both endiannesses exercised)."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["media_id"]:
+                i = int(i)
+                payloads.append(
+                    encode_jpeg_exif(
+                        width=i % 50 + 1,
+                        height=i % 30 + 1,
+                        orientation=i % 8 + 1,
+                        make=f"maker{i % 7}",
+                        model=f"cam{i % 11}",
+                        taken_at=(
+                            f"2024:01:{i % 28 + 1:02d} "
+                            f"{i % 24:02d}:{i % 60:02d}:00"
+                        ),
+                        byte_order="II" if i % 2 == 0 else "MM",
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return src.mapInPandas(run, schema=IMAGE_SCHEMA)
+
+
+def exif_metadata(images: DataFrame) -> DataFrame:
+    """EXIF extraction over payload rows → EXIF_SCHEMA; undecodable
+    payloads quarantine as NULL-field rows. Arrow-batched
+    ``mapInPandas`` — metadata parse touches only the first KBs of
+    each payload, so at 100 TB the cost is bounded by row count, not
+    media bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bos, oris, makes, models, times = [], [], [], [], []
+            for p in pdf["payload"]:
+                try:
+                    bo, o, mk, md, ts = decode_exif(p)
+                    bos.append(bo)
+                    oris.append(o)
+                    makes.append(mk)
+                    models.append(md)
+                    times.append(ts)
+                except ValueError:
+                    bos.append(None)
+                    oris.append(None)
+                    makes.append(None)
+                    models.append(None)
+                    times.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "byte_order": bos,
+                    "orientation": pd.array(oris, dtype="Int32"),
+                    "make": makes,
+                    "model": models,
+                    "taken_at": times,
+                }
+            )
+
+    return images.mapInPandas(run, schema=EXIF_SCHEMA)

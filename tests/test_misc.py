@@ -1733,3 +1733,30 @@ def test_feature_hash_properties(spark):
     assert 3 not in by_doc
     # buckets bounded
     assert all(0 <= b < 16 for _, b, _ in rows)
+
+
+def test_exif_roundtrip_both_orders_and_quarantine():
+    import pytest as _pt
+
+    from from_superset_to_clickhouse_spark.operators.multimodal import (
+        decode_exif,
+        encode_jpeg,
+        encode_jpeg_exif,
+    )
+
+    for bo in ("II", "MM"):
+        p = encode_jpeg_exif(10, 20, 6, "mk", "cam long name", 
+                             "2024:02:29 23:59:59", byte_order=bo)
+        assert decode_exif(p) == (
+            bo, 6, "mk", "cam long name", "2024:02:29 23:59:59"
+        )
+    # short ASCII (<= 4 bytes incl. NUL) is stored inline: "mk" fits
+    p = encode_jpeg_exif(1, 1, 1, "abc", "x", "2024:01:01 00:00:00")
+    assert decode_exif(p)[2] == "abc"
+    # plain JPEG without APP1 quarantines
+    with _pt.raises(ValueError, match="APP1"):
+        decode_exif(encode_jpeg(5, 5))
+    # truncated TIFF quarantines rather than returning garbage
+    p = bytearray(encode_jpeg_exif(1, 1, 1, "maker", "model", "2024:01:01 00:00:00"))
+    with _pt.raises(ValueError):
+        decode_exif(bytes(p[:30]))
