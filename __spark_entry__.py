@@ -6315,6 +6315,62 @@ def q_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.exif_metadata(imgs)
 
 
+def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing over daily bucket means per event
+    type, with a planted +10/day drift on 'view' that the trend
+    component must recover. The sequential recursion runs as one
+    codegen higher-order fold per key (series bounded at periods ×
+    keys); the oracle replays the bit-identical expansion through
+    DuckDB's list_reduce. Binary-exact α=0.5, β=0.25."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        holt_forecast,
+    )
+
+    ev = _ev(spark, sf_dir).select(
+        "event_type",
+        "ts",
+        (
+            F.col("value")
+            + F.when(
+                F.col("event_type") == "view",
+                10.0 * (F.dayofmonth("ts") - 1),
+            ).otherwise(F.lit(0.0))
+        ).alias("value"),
+    )
+    return holt_forecast(
+        ev, "event_type", "ts", "value", bucket="1 day",
+        alpha=0.5, beta=0.25, horizon=7,
+    )
+
+
+def q_phonetic_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidates over the part-name vocabulary
+    plus planted typo twins (name+'s' for every id%3==0 name — an
+    appended same-code letter keeps the phonetic block intact):
+    Soundex blocking (vocabulary-bounded Σ|block|² fan-out, never
+    corpus n²) then exact Levenshtein verification at distance 1-2 —
+    the classic cheap-recall/expensive-verify two-stage linkage. The
+    oracle replays the blocking code SQL-for-SQL; DuckDB's
+    levenshtein agrees with Spark's on exact edit distance."""
+    from from_superset_to_clickhouse_spark.operators.dedup import (
+        phonetic_blocked_pairs,
+    )
+
+    names = (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("id"))
+        .select("id", F.col("p_name").alias("name"))
+    )
+    twins = names.filter(F.col("id") % 3 == 0).select(
+        (F.col("id") + 1_000_000).alias("id"),
+        F.concat(F.col("name"), F.lit("s")).alias("name"),
+    )
+    return phonetic_blocked_pairs(
+        names.unionByName(twins), "id", "name", max_edit=2
+    )
+
+
 _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-8 additions land here (inside the driver's first-50 window);
     # the 15 r7 additions moved to the backfill — green in
@@ -6351,6 +6407,8 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "target_encode": q_target_encode,
     "feature_hash": q_feature_hash,
     "exif_meta": q_exif_meta,
+    "holt_trend": q_holt_trend,
+    "phonetic_link": q_phonetic_link,
 }
 
 
@@ -7791,6 +7849,91 @@ SELECT CAST(doc_id AS BIGINT) AS media_id,
     || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':'
     || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':00' AS taken_at
 FROM documents
+""",
+        "holt_trend": """
+-- Bit-identical Holt fold: same bucket means, same expanded l'/b'
+-- arithmetic with binary-exact 0.5/0.25 constants, folded in the
+-- same ascending bucket order via list_reduce.
+WITH src AS (
+  SELECT event_type, ts,
+    value + CASE WHEN event_type = 'view'
+      THEN 10.0 * (date_part('day', ts) - 1) ELSE 0.0 END AS value
+  FROM events
+), b AS (
+  SELECT event_type AS key, time_bucket(INTERVAL '1 day', ts) AS bucket_ts,
+    avg(value) AS xbar
+  FROM src GROUP BY 1, 2
+), s AS (
+  SELECT key, list(xbar ORDER BY bucket_ts) AS xs FROM b GROUP BY key
+), f AS (
+  -- accumulator is a 2-list [level, trend]: DuckDB evaluates struct
+  -- fields sequentially (a later field would see the UPDATED level),
+  -- while list construction reads the original acc — which is the
+  -- fold semantics the Spark side uses
+  SELECT key, len(xs) AS n,
+    list_reduce(
+      list_transform(xs, x -> [CAST(x AS DOUBLE), CAST(0.0 AS DOUBLE)]),
+      (acc, e) -> [
+        0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+        0.25 * ((0.5 * e[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+          + 0.75 * acc[2]
+      ]) AS st
+  FROM s
+)
+SELECT key, CAST(n AS INTEGER) AS n_buckets,
+  round(st[1], 6) AS level, round(st[2], 6) AS trend,
+  round(st[1] + 7 * st[2], 6) AS forecast
+FROM f
+""",
+        "phonetic_link": """
+-- Same two-stage linkage: the Soundex CTE is the soundex_keys
+-- replay applied to full part names, the verify stage is exact
+-- Levenshtein at distance 1-2 with a<b canonicalization.
+WITH names AS (
+  SELECT min(p_partkey) AS id, p_name AS name FROM part GROUP BY p_name
+), ents AS (
+  SELECT id, name FROM names
+  UNION ALL
+  SELECT id + 1000000 AS id, name || 's' AS name
+  FROM names WHERE id % 3 = 0
+), s1 AS (
+  SELECT id, name,
+    upper(regexp_replace(name, '[^A-Za-z]', '', 'g')) AS up
+  FROM ents
+), s2 AS (
+  SELECT id, name, up, substr(up, 1, 1) AS first,
+    substr(up, 1, 1) || regexp_replace(substr(up, 2), '[HW]', '', 'g')
+      AS dehw
+  FROM s1
+), s3 AS (
+  SELECT id, name, up, first,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(
+        translate(dehw, 'BFPVCGJKQSXZDTLMNRAEIOUYHW',
+                        '111122222222334556AAAAAAAA'),
+        '1+', '1', 'g'), '2+', '2', 'g'), '3+', '3', 'g'),
+        '4+', '4', 'g'), '5+', '5', 'g'), '6+', '6', 'g'),
+        'A+', 'A', 'g') AS collapsed,
+    translate(first, 'BFPVCGJKQSXZDTLMNRAEIOUYHW',
+                     '111122222222334556AAAAAAAA') AS fc
+  FROM s2
+), s4 AS (
+  SELECT id, name, up, first, fc, replace(collapsed, 'A', '') AS digits
+  FROM s3
+), coded AS (
+  SELECT id, name,
+    CASE WHEN length(up) > 0 THEN
+      first || rpad(substr(
+        CASE WHEN fc = 'A' THEN digits ELSE substr(digits, 2) END,
+        1, 3), 3, '0')
+    END AS code
+  FROM s4
+)
+SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+  a.code AS code, levenshtein(a.name, b.name) AS edit_dist
+FROM coded a JOIN coded b ON a.code = b.code AND a.id < b.id
+WHERE a.code IS NOT NULL
+  AND levenshtein(a.name, b.name) BETWEEN 1 AND 2
 """,
         "psi_drift": """
 -- Replays the binned PSI: clamped fixed-width bins, per-type window

@@ -92,6 +92,20 @@ HEADLINE = [
     "pq_topk",
     "ivfpq_topk",
     "stream_index_append",
+    # late round-8 additions: RAKE keyword extraction and windowed PMI
+    # (both corpus-wide positional text programs), k-core peel +
+    # clustering coefficient (iterative and triangle-listing graph
+    # passes), MAD robust outliers (two exact-median passes over the
+    # events fact), and three codec throughputs — Adam7 deinterlace,
+    # G.711 mu-law expansion, EXIF IFD metadata walk
+    "rake_keywords",
+    "pmi_pairs",
+    "kcore",
+    "clustering_coeff",
+    "mad_outliers",
+    "png_interlaced",
+    "g711_audio",
+    "exif_meta",
 ]
 
 # ANN is measured on a deterministic query slice (vec_id < ANN_QUERIES)

@@ -1179,3 +1179,50 @@ def fuzzy_join(
             "dist",
         )
     )
+
+
+def phonetic_blocked_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_edit: int = 2,
+) -> DataFrame:
+    """Entity-resolution candidate pairs via phonetic blocking →
+    (id_a, id_b, name_a, name_b, code, edit_dist): names sharing an
+    American Soundex code are compared with exact Levenshtein and
+    kept at distance 1..max_edit (0 = identical strings — those are
+    exact-dedup's job, excluded here).
+
+    The blocking join is keyed on the phonetic code, so candidate
+    fan-out is Σ|block|² — vocabulary-bounded, never corpus n²; this
+    is the classic cheap recall filter in front of an expensive
+    verifier (same architecture as the SymSpell and prefix-filter
+    joins in this module). Pairs are canonicalized a < b on id."""
+    from from_superset_to_clickhouse_spark.operators.text import soundex_expr
+
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(name_col).alias("_name"),
+        soundex_expr(F.col(name_col)).alias("code"),
+    ).filter(F.col("code").isNotNull())
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.code") == F.col("b.code"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._name").alias("name_a"),
+            F.col("b._name").alias("name_b"),
+            F.col("a.code").alias("code"),
+            F.levenshtein(F.col("a._name"), F.col("b._name")).alias(
+                "edit_dist"
+            ),
+        )
+        .filter(
+            (F.col("edit_dist") >= 1) & (F.col("edit_dist") <= max_edit)
+        )
+    )

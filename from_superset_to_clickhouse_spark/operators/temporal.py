@@ -633,3 +633,76 @@ def cusum_changepoints(
     return out.withColumn(
         "signal", (F.col("s_hi") > h) | (F.col("s_lo") > h)
     )
+
+
+def holt_forecast(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 day",
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    horizon: int = 7,
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing per key over a
+    bucketed series → (key, n_buckets, level, trend, forecast): the
+    double-smoothing recursion l' = αx + (1−α)(l+b), b' = β(l'−l) +
+    (1−β)b, initialized l₁ = x₁, b₁ = 0, forecast = level +
+    horizon·trend. The two-parameter workhorse for short-range
+    capacity/volume forecasting where EWMA lags any trend.
+
+    The recursion is inherently sequential, so it runs as ONE codegen
+    higher-order fold over the per-key bucket series (bounded at
+    periods × keys by the same bucketing argument as the CUSUM chart
+    — the raw event volume never enters the fold). The fold's
+    floating-point operations are written identically in the SQL
+    oracle (b' expanded before l' substitution), so the replay is
+    bit-deterministic, and α/β default to binary-exact constants.
+    """
+    b = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.window(F.col(ts_col), bucket).alias("_w"),
+        )
+        .agg(F.avg(value_col).alias("xbar"))
+        .select("key", F.col("_w.start").alias("bucket_ts"), "xbar")
+    )
+    series = b.groupBy("key").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bucket_ts", "xbar"))),
+            lambda s: s["xbar"],
+        ).alias("xs")
+    )
+    a, bt = float(alpha), float(beta)
+    init = F.named_struct(
+        F.lit("l"), F.element_at(F.col("xs"), 1).cast("double"),
+        F.lit("b"), F.lit(0.0),
+    )
+
+    def step(acc, x):
+        l_new = a * x + (1.0 - a) * (acc["l"] + acc["b"])
+        b_new = (
+            bt * ((a * x + (1.0 - a) * (acc["l"] + acc["b"])) - acc["l"])
+            + (1.0 - bt) * acc["b"]
+        )
+        return F.named_struct(F.lit("l"), l_new, F.lit("b"), b_new)
+
+    folded = series.select(
+        "key",
+        F.size("xs").alias("n_buckets"),
+        F.aggregate(
+            F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+            init,
+            step,
+        ).alias("_st"),
+    )
+    return folded.select(
+        "key",
+        "n_buckets",
+        F.round(F.col("_st.l"), 6).alias("level"),
+        F.round(F.col("_st.b"), 6).alias("trend"),
+        F.round(F.col("_st.l") + horizon * F.col("_st.b"), 6).alias(
+            "forecast"
+        ),
+    )

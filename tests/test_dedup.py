@@ -374,3 +374,23 @@ def test_fuzzy_pairs_randomized_completeness(spark):
     }
     missed = expected - got
     assert not missed, f"planted pairs missed: {sorted(missed)[:5]}"
+
+
+def test_phonetic_blocked_pairs_two_stage(spark):
+    from from_superset_to_clickhouse_spark.operators.dedup import (
+        phonetic_blocked_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "robert"), (2, "rupert"),     # same block, edit 2
+            (3, "smith"), (4, "smyth"),       # same block, edit 1
+            (5, "smith"),                     # identical -> excluded
+            (6, "jackson"),                   # lone block
+            (7, "ashcraft"), (8, "ashcroft"), # same block, edit 1
+        ],
+        "id long, name string",
+    )
+    got = {(r.id_a, r.id_b): r.edit_dist
+           for r in phonetic_blocked_pairs(df, "id", "name").collect()}
+    assert got == {(1, 2): 2, (3, 4): 1, (4, 5): 1, (7, 8): 1}

@@ -785,3 +785,36 @@ def test_cusum_closed_form_equals_recursion(spark):
     # the shift is detected after day 20 and nowhere before
     assert not any(got[i + 1].signal for i in range(20))
     assert any(got[i + 1].signal for i in range(20, 30))
+
+
+def test_holt_forecast_recovers_linear_trend(spark):
+    import datetime
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        holt_forecast,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [("k", base + datetime.timedelta(days=i), 100.0 + 3.0 * i)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v double")
+    r = holt_forecast(df, "key", "ts", "v", bucket="1 day",
+                      alpha=0.5, beta=0.25, horizon=10).collect()[0]
+    assert r.n_buckets == 40
+    # on a pure linear series the trend converges to the slope
+    assert abs(r.trend - 3.0) < 0.05
+    assert abs(r.forecast - (r.level + 10 * r.trend)) < 1e-6
+    # replay the recursion directly
+    xs = [100.0 + 3.0 * i for i in range(40)]
+    l, b = xs[0], 0.0
+    for x in xs[1:]:
+        ln = 0.5 * x + 0.5 * (l + b)
+        bn = 0.25 * (ln - l) + 0.75 * b
+        l, b = ln, bn
+    assert abs(r.level - l) < 1e-6 and abs(r.trend - b) < 1e-6
+    # single-bucket key: level = the value, zero trend
+    one = spark.createDataFrame(
+        [("s", base, 42.0)], "key string, ts timestamp, v double"
+    )
+    r1 = holt_forecast(one, "key", "ts", "v").collect()[0]
+    assert (r1.n_buckets, r1.level, r1.trend) == (1, 42.0, 0.0)
