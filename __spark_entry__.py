@@ -6371,6 +6371,34 @@ def q_phonetic_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-accelerated DBSCAN over synthesized customer coordinates:
+    two planted dense lattices (custkey%4∈{0,1}) that must come out
+    as two clusters, and a sparse 1000×1000 scatter that is mostly
+    noise — all id-arithmetic, so the O(n²) brute-force oracle
+    rebuilds the exact same plane and labels components with a
+    recursive-CTE transitive closure. The engine path is the 9-cell
+    grid equi-join + pointer-jumping components — density-bounded,
+    never all-pairs. eps = 1.5, min_pts = 5."""
+    from from_superset_to_clickhouse_spark.operators.similarity import (
+        dbscan_grid,
+    )
+
+    k = F.col("c_custkey")
+    cust = _t(spark, sf_dir, "customer").select(
+        k.alias("id"),
+        F.when(k % 4 == 0, 10.0 + (k % 7) * 0.3)
+        .when(k % 4 == 1, 50.0 + (k % 5) * 0.4)
+        .otherwise(((k * 7919) % 10000) / 10.0)
+        .alias("x"),
+        F.when(k % 4 == 0, 20.0 + (k % 11) * 0.3)
+        .when(k % 4 == 1, 60.0 + (k % 13) * 0.4)
+        .otherwise(((k * 104729) % 10000) / 10.0)
+        .alias("y"),
+    )
+    return dbscan_grid(cust, "id", "x", "y", eps=1.5, min_pts=5)
+
+
 _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-8 additions land here (inside the driver's first-50 window);
     # the 15 r7 additions moved to the backfill — green in
@@ -6409,6 +6437,7 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exif_meta": q_exif_meta,
     "holt_trend": q_holt_trend,
     "phonetic_link": q_phonetic_link,
+    "dbscan": q_dbscan,
 }
 
 
@@ -7934,6 +7963,46 @@ SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
 FROM coded a JOIN coded b ON a.code = b.code AND a.id < b.id
 WHERE a.code IS NOT NULL
   AND levenshtein(a.name, b.name) BETWEEN 1 AND 2
+""",
+        "dbscan": """
+-- Brute-force DBSCAN twin: O(n^2) neighbor pairs, paper-style
+-- self-inclusive counts, recursive-CTE transitive closure labeling
+-- each core component with its min id, border points min-attached.
+WITH RECURSIVE p AS MATERIALIZED (
+  SELECT c_custkey AS id,
+    CASE WHEN c_custkey % 4 = 0 THEN 10.0 + (c_custkey % 7) * 0.3
+         WHEN c_custkey % 4 = 1 THEN 50.0 + (c_custkey % 5) * 0.4
+         ELSE ((c_custkey * 7919) % 10000) / 10.0 END AS x,
+    CASE WHEN c_custkey % 4 = 0 THEN 20.0 + (c_custkey % 11) * 0.3
+         WHEN c_custkey % 4 = 1 THEN 60.0 + (c_custkey % 13) * 0.4
+         ELSE ((c_custkey * 104729) % 10000) / 10.0 END AS y
+  FROM customer
+), near AS MATERIALIZED (
+  SELECT a.id AS pid, b.id AS qid
+  FROM p a JOIN p b
+    ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 2.25
+), core AS MATERIALIZED (
+  SELECT pid FROM near GROUP BY pid HAVING count(*) >= 5
+), sym AS MATERIALIZED (
+  SELECT n.pid AS a, n.qid AS b FROM near n
+  WHERE n.pid <> n.qid
+    AND n.pid IN (SELECT pid FROM core)
+    AND n.qid IN (SELECT pid FROM core)
+), r(node, label) AS (
+  SELECT pid, pid FROM core
+  UNION
+  SELECT sym.b, r.label FROM r JOIN sym ON r.node = sym.a
+), lab AS MATERIALIZED (
+  SELECT node AS pid, min(label) AS cluster FROM r GROUP BY node
+)
+SELECT pid AS id, cluster, true AS is_core FROM lab
+UNION ALL
+SELECT n.pid AS id, min(l.cluster) AS cluster, false AS is_core
+FROM near n
+JOIN core c ON n.qid = c.pid
+JOIN lab l ON l.pid = n.qid
+WHERE n.pid NOT IN (SELECT pid FROM core)
+GROUP BY n.pid
 """,
         "psi_drift": """
 -- Replays the binned PSI: clamped fixed-width bins, per-type window

@@ -1596,3 +1596,97 @@ def ivfpq_topk(
         .orderBy("adc", id_col)
         .limit(topk)
     )
+
+
+def dbscan_grid(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    eps: float,
+    min_pts: int,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. 1996) over 2-D
+    points → (id, cluster, is_core): cluster = min id of the point's
+    density-connected core component; border points take the smallest
+    cluster among their core neighbors (a deterministic refinement of
+    DBSCAN's arbitrary-assignment rule); noise points are absent.
+
+    Distributed shape — the textbook algorithm is sequential; this is
+    the relational reformulation:
+
+    1. eps-grid bucketing: each point keys to cell (⌊x/eps⌋, ⌊y/eps⌋);
+       candidate pairs come from a 9-cell neighborhood equi-join (the
+       left side fans out ×9, the join itself is a hash join on the
+       cell key — density-bounded, never n²; same trick as
+       ``geo.neighbor_pairs_grid``).
+    2. neighbor counts (|N_eps(p)| includes p itself, per the paper) →
+       core flags: one partial-aggregated count.
+    3. core–core adjacency → ``graph.connected_components`` (the
+       O(log d)-round pointer-jumping loop) labels each density-
+       connected component with its min core id.
+    4. border attach: one keyed join from non-core points to their
+       core neighbors' labels, min-aggregated.
+
+    All distance tests compare squared distance to eps² in double
+    precision — identical arithmetic on any engine, no sqrt.
+    """
+    from from_superset_to_clickhouse_spark.operators.graph import (
+        connected_components,
+    )
+
+    eps2 = eps * eps
+    pts = points.select(
+        F.col(id_col).alias("pid"),
+        F.col(x_col).cast("double").alias("px"),
+        F.col(y_col).cast("double").alias("py"),
+        F.floor(F.col(x_col) / eps).cast("long").alias("cx"),
+        F.floor(F.col(y_col) / eps).cast("long").alias("cy"),
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    probe = None
+    for dx, dy in offs:
+        part = pts.select(
+            "pid", "px", "py",
+            (F.col("cx") + dx).alias("cx"),
+            (F.col("cy") + dy).alias("cy"),
+        )
+        probe = part if probe is None else probe.unionByName(part)
+    right = pts.select(
+        F.col("pid").alias("qid"), F.col("px").alias("qx"),
+        F.col("py").alias("qy"), "cx", "cy",
+    )
+    near = (
+        probe.join(right, ["cx", "cy"])
+        .filter(
+            (F.col("px") - F.col("qx")) * (F.col("px") - F.col("qx"))
+            + (F.col("py") - F.col("qy")) * (F.col("py") - F.col("qy"))
+            <= F.lit(eps2)
+        )
+        .select("pid", "qid")
+    )
+    counts = near.groupBy("pid").agg(F.count(F.lit(1)).alias("n_nb"))
+    core = counts.filter(F.col("n_nb") >= min_pts).select("pid")
+    core_edges = (
+        near.join(core.withColumnRenamed("pid", "qid"), "qid")
+        .join(core, "pid")
+        .filter(F.col("pid") < F.col("qid"))
+        .select(F.col("pid").alias("src"), F.col("qid").alias("dst"))
+    )
+    labels = connected_components(
+        core_edges, nodes=core.withColumnRenamed("pid", "node"),
+        max_iter=max_iter,
+    ).select(F.col("node").alias("pid"), F.col("component").alias("cluster"))
+    core_out = labels.withColumn("is_core", F.lit(True))
+    border = (
+        near.join(core.withColumnRenamed("pid", "qid"), "qid")
+        .join(core.withColumnRenamed("pid", "_c"),
+              F.col("pid") == F.col("_c"), "left_anti")
+        .join(labels.withColumnRenamed("pid", "qid")
+                    .withColumnRenamed("cluster", "_qc"), "qid")
+        .groupBy("pid")
+        .agg(F.min("_qc").alias("cluster"))
+        .withColumn("is_core", F.lit(False))
+    )
+    return core_out.unionByName(border).withColumnRenamed("pid", id_col)

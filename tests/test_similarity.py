@@ -510,3 +510,42 @@ def test_ivfpq_two_level_index_and_search(spark, tmp_path):
         if r["cell"] in probes
     }
     assert kept == direct and len(kept) > 0
+
+
+def test_dbscan_textbook_shapes(spark):
+    from from_superset_to_clickhouse_spark.operators.similarity import (
+        dbscan_grid,
+    )
+
+    # blob A: 3x3 lattice spacing 0.5 around (0,0); blob B: same
+    # around (100,100); one border point hanging 0.9 off blob A's
+    # corner; two isolated noise points
+    pts = []
+    pid = 0
+    for bx, by in ((0.0, 0.0), (100.0, 100.0)):
+        for i in range(3):
+            for j in range(3):
+                pts.append((pid, bx + i * 0.5, by + j * 0.5))
+                pid += 1
+    border_id = pid
+    pts.append((border_id, 1.0 + 0.9, 1.0))  # within eps=1 of (1,1) corner only
+    pts.append((50, 500.0, 500.0))
+    pts.append((51, 600.0, 600.0))
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    out = {r.id: r for r in dbscan_grid(
+        df, "id", "x", "y", eps=1.0, min_pts=4).collect()}
+    # two clusters labeled by their min ids (0 and 9)
+    a_ids = set(range(9))
+    b_ids = set(range(9, 18))
+    assert all(out[i].cluster == 0 and out[i].is_core for i in a_ids)
+    assert all(out[i].cluster == 9 and out[i].is_core for i in b_ids)
+    # the hanger-on is a border point of cluster A, not core
+    assert out[border_id].cluster == 0 and not out[border_id].is_core
+    # noise points are absent entirely
+    assert 50 not in out and 51 not in out
+    # grid independence: same result with a different eps-grid origin
+    # (shift all coordinates by a non-multiple of eps)
+    df2 = df.selectExpr("id", "x + 0.37 AS x", "y + 0.37 AS y")
+    out2 = {r.id: (r.cluster, r.is_core) for r in dbscan_grid(
+        df2, "id", "x", "y", eps=1.0, min_pts=4).collect()}
+    assert out2 == {i: (r.cluster, r.is_core) for i, r in out.items()}
