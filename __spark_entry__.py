@@ -6399,6 +6399,100 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dbscan_grid(cust, "id", "x", "y", eps=1.5, min_pts=5)
 
 
+def q_range_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed range join for a LARGE (non-broadcastable) range
+    side: 500 overlapping price bands (lo = tier·1000, hi = lo+1500 —
+    overlap makes multi-match multiplicity part of the contract)
+    attach to orders via cell equi-join + exact residual; unmatched
+    orders surface once with NULL band columns. The oracle is the
+    brute-force theta join plus NOT EXISTS — the grid path must
+    reproduce it exactly."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        range_join_grid,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bands = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 500)
+        .select(
+            F.col("p_partkey").alias("tier"),
+            (F.col("p_partkey") * 1000.0).alias("lo"),
+            (F.col("p_partkey") * 1000.0 + 1500.0).alias("hi"),
+        )
+    )
+    return range_join_grid(
+        orders, bands, "o_totalprice", "lo", "hi", cell=1000.0
+    )
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization of event values per type at
+    [p05, p95]: one exact interpolated-percentile aggregation joined
+    back, one codegen clip. Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the type-7 definition, so boundaries
+    replay exactly."""
+    from from_superset_to_clickhouse_spark.operators.stats import winsorize
+
+    return winsorize(_ev(spark, sf_dir), "value", ["event_type"], 0.05, 0.95)
+
+
+def q_cidr_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse IPv4 dictionary-lookup analog: synthesized client
+    IPs (10.k%30.x.y) join a 25-row /16 network table built from
+    nations via pure-Catalyst dotted-quad parsing and CIDR mask
+    arithmetic (integer div/mul, no bitwise ops — replayable in ANSI
+    SQL). Networks broadcast; five of the thirty second-octet values
+    have no network and surface NULL."""
+    from from_superset_to_clickhouse_spark.functions.scalar import (
+        cidr_range,
+        ipv4_to_long,
+    )
+
+    k = F.col("c_custkey")
+    ips = _t(spark, sf_dir, "customer").select(
+        k.alias("custkey"),
+        F.concat_ws(
+            ".",
+            F.lit("10"),
+            (k % 30).cast("string"),
+            (k % 256).cast("string"),
+            (k % 250 + 1).cast("string"),
+        ).alias("ip"),
+    )
+    nets = _t(spark, sf_dir, "nation").select(
+        F.concat(
+            F.lit("10."), F.col("n_nationkey").cast("string"), F.lit(".0.0/16")
+        ).alias("cidr"),
+        F.col("n_name").alias("net_name"),
+    )
+    lo, hi = cidr_range("cidr")
+    nets_r = nets.select("net_name", lo.alias("_lo"), hi.alias("_hi"))
+    ipn = ips.withColumn("_ipn", ipv4_to_long("ip"))
+    return (
+        ipn.join(
+            F.broadcast(nets_r),
+            (F.col("_ipn") >= F.col("_lo")) & (F.col("_ipn") < F.col("_hi")),
+            "left",
+        )
+        .select("custkey", "ip", "net_name")
+    )
+
+
+def q_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease over the documents corpus: vowel-group
+    syllable heuristic inside a higher-order sum, terminator-split
+    sentence counts, the published 206.835/1.015/84.6 formula —
+    pure codegen, replayed term-for-term in DuckDB."""
+    from from_superset_to_clickhouse_spark.operators.text import (
+        flesch_reading_ease,
+    )
+
+    return flesch_reading_ease(
+        _docs(spark, sf_dir).select("doc_id", "text"), "doc_id", "text"
+    )
+
+
 _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-8 additions land here (inside the driver's first-50 window);
     # the 15 r7 additions moved to the backfill — green in
@@ -6438,6 +6532,10 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "holt_trend": q_holt_trend,
     "phonetic_link": q_phonetic_link,
     "dbscan": q_dbscan,
+    "range_grid": q_range_grid,
+    "winsorize": q_winsorize,
+    "cidr_lookup": q_cidr_lookup,
+    "flesch": q_flesch,
 }
 
 
@@ -8003,6 +8101,84 @@ JOIN core c ON n.qid = c.pid
 JOIN lab l ON l.pid = n.qid
 WHERE n.pid NOT IN (SELECT pid FROM core)
 GROUP BY n.pid
+""",
+        "range_grid": """
+-- Brute-force theta-join twin of the grid-bucketed range join,
+-- plus NOT EXISTS for the NULL-attribute left rows.
+WITH r AS (
+  SELECT p_partkey AS tier, p_partkey * 1000.0 AS lo,
+    p_partkey * 1000.0 + 1500.0 AS hi
+  FROM part WHERE p_partkey < 500
+)
+SELECT o.o_orderkey, o.o_totalprice, r.tier, r.lo, r.hi
+FROM orders o JOIN r
+  ON o.o_totalprice >= r.lo AND o.o_totalprice < r.hi
+UNION ALL
+SELECT o.o_orderkey, o.o_totalprice,
+  NULL AS tier, NULL AS lo, NULL AS hi
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM r
+  WHERE o.o_totalprice >= r.lo AND o.o_totalprice < r.hi
+)
+""",
+        "winsorize": """
+-- quantile_cont shares Spark percentile's interpolated type-7
+-- definition, so clip boundaries agree exactly.
+WITH b AS (
+  SELECT event_type, quantile_cont(value, 0.05) AS lo,
+    quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, e.value, round(b.lo, 6) AS p_lo,
+  round(b.hi, 6) AS p_hi,
+  round(least(greatest(e.value, b.lo), b.hi), 6) AS clipped
+FROM events e JOIN b USING (event_type)
+""",
+        "cidr_lookup": """
+-- Same dotted-quad positional arithmetic and div/mul CIDR masking;
+-- /16 blocks of 65536 addresses, hi exclusive.
+WITH ips AS (
+  SELECT c_custkey AS custkey,
+    '10.' || CAST(c_custkey % 30 AS VARCHAR) || '.'
+      || CAST(c_custkey % 256 AS VARCHAR) || '.'
+      || CAST(c_custkey % 250 + 1 AS VARCHAR) AS ip,
+    167772160 + (c_custkey % 30) * 65536 + (c_custkey % 256) * 256
+      + (c_custkey % 250 + 1) AS ipn
+  FROM customer
+), nets AS (
+  SELECT n_name AS net_name,
+    167772160 + n_nationkey * 65536 AS lo,
+    167772160 + n_nationkey * 65536 + 65536 AS hi
+  FROM nation
+)
+SELECT i.custkey, i.ip, n.net_name
+FROM ips i LEFT JOIN nets n ON i.ipn >= n.lo AND i.ipn < n.hi
+""",
+        "flesch": """
+-- Term-for-term formula replay with the same vowel-group syllable
+-- heuristic and terminator-split sentence counting.
+WITH t AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z'']+'),
+                x -> x <> '') AS w,
+    len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                    s -> trim(s) <> '')) AS n_sent
+  FROM documents
+), s AS (
+  SELECT doc_id, len(w) AS n_words, n_sent,
+    CAST(coalesce(list_sum(list_transform(w,
+      x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1))), 0)
+      AS INTEGER) AS n_syll
+  FROM t
+)
+SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+  CAST(n_sent AS INTEGER) AS n_sentences, n_syll AS n_syllables,
+  CASE WHEN n_words > 0 AND n_sent > 0 THEN
+    round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sent)
+      - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 6)
+  END AS flesch
+FROM s
 """,
         "psi_drift": """
 -- Replays the binned PSI: clamped fixed-width bins, per-type window

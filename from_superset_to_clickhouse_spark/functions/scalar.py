@@ -72,3 +72,28 @@ def json_get(col: Column | str, path: str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.get_json_object(c, f"$.{path}")
+
+
+def ipv4_to_long(col: Column | str) -> Column:
+    """Dotted-quad IPv4 string → unsigned 32-bit value as BIGINT
+    (ClickHouse ``IPv4StringToNum`` analog), pure Catalyst split +
+    positional arithmetic. Malformed inputs yield NULL via the cast
+    (ANSI-safe try_cast on the octets)."""
+    parts = F.split(F.col(col) if isinstance(col, str) else col, r"\.")
+    octet = lambda i: F.try_element_at(parts, F.lit(i)).try_cast("long")
+    return (
+        octet(1) * 16777216 + octet(2) * 65536 + octet(3) * 256 + octet(4)
+    )
+
+
+def cidr_range(col: Column | str) -> "tuple[Column, Column]":
+    """CIDR string ``a.b.c.d/p`` → (lo, hi) BIGINT bounds, hi
+    EXCLUSIVE: lo = network base masked to the prefix, hi = lo +
+    2^(32−p). The mask arithmetic uses integer div/mul (no bitwise
+    ops, so the SQL replay is engine-portable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    base = ipv4_to_long(F.split(c, "/")[0])
+    prefix = F.split(c, "/")[1].try_cast("int")
+    block = F.pow(F.lit(2.0), (32 - prefix)).cast("long")
+    lo = F.floor(base / block).cast("long") * block
+    return lo, lo + block

@@ -558,3 +558,38 @@ def feature_hash(
         .filter(F.col("weight") != 0)
         .withColumnRenamed("_id", id_col)
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: "list[str]",
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Percentile winsorization per group: values outside the
+    [lower, upper] interpolated percentiles are clipped to the
+    boundary — the standard heavy-tail taming step before moment-
+    based statistics (a mean over winsorized data has bounded
+    influence, unlike over raw data). One exact-percentile
+    aggregation joined back, one codegen clip: two shuffles, no
+    windows, no sort of the fact table. Spark's ``percentile`` and
+    DuckDB's ``quantile_cont`` share the interpolated type-7
+    definition, so the oracle replays boundaries exactly."""
+    bounds = df.groupBy(*group_cols).agg(
+        F.percentile(value_col, F.lit(lower)).alias("_lo"),
+        F.percentile(value_col, F.lit(upper)).alias("_hi"),
+    )
+    return (
+        df.join(bounds, group_cols)
+        .select(
+            *group_cols,
+            F.col(value_col),
+            F.round("_lo", 6).alias("p_lo"),
+            F.round("_hi", 6).alias("p_hi"),
+            F.round(
+                F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi")),
+                6,
+            ).alias("clipped"),
+        )
+    )

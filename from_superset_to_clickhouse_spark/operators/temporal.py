@@ -706,3 +706,56 @@ def holt_forecast(
             "forecast"
         ),
     )
+
+
+def range_join_grid(
+    fact: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    cell: float = 1.0,
+) -> DataFrame:
+    """Attach range attributes where ``lo <= value < hi`` when the
+    range side is TOO LARGE to broadcast — the scale path
+    ``range_join_bands`` explicitly declines.
+
+    Both sides key to a common grid: each range explodes to the cells
+    it overlaps (⌈span/cell⌉ rows — pick ``cell`` near the typical
+    span so the blow-up is a small constant), each fact row keys to
+    exactly one cell, and the match becomes a hash equi-join on the
+    cell plus the exact residual predicate. No broadcast, no
+    BroadcastNestedLoopJoin, no n×m: the shuffle is keyed and the
+    per-cell fan-out is bounded by range density per cell — the same
+    argument as the geo grid join. Left-join semantics: fact rows
+    matching no range come back once with NULL attributes (an
+    anti-join over the same hash-keyed condition — a second keyed
+    pass, still no broadcast)."""
+    span_cells = F.sequence(
+        F.floor(F.col(lo_col) / cell).cast("long"),
+        # hi is EXCLUSIVE: a range ending exactly on a cell boundary
+        # does not reach into that cell
+        F.ceil(F.col(hi_col) / cell).cast("long") - 1,
+    )
+    celled = ranges.withColumn("_cell", F.explode(span_cells))
+    keyed = fact.withColumn(
+        "_cell", F.floor(F.col(value_col) / cell).cast("long")
+    )
+    cond = (
+        (F.col("_f._cell") == F.col("_r._cell"))
+        & (F.col(value_col) >= F.col(lo_col))
+        & (F.col(value_col) < F.col(hi_col))
+    )
+    fk, rk = keyed.alias("_f"), celled.alias("_r")
+    matched = fk.join(rk, cond).select(
+        *[F.col(f"_f.{c}") for c in fact.columns],
+        *[F.col(f"_r.{c}") for c in ranges.columns],
+    )
+    missed = fk.join(rk, cond, "left_anti").select(
+        *[F.col(f"_f.{c}") for c in fact.columns],
+        *[
+            F.lit(None).cast(ranges.schema[c].dataType).alias(c)
+            for c in ranges.columns
+        ],
+    )
+    return matched.unionByName(missed)

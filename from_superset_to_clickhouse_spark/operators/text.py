@@ -1692,3 +1692,51 @@ def soundex_expr(word: Column) -> Column:
         F.length(up) > 0,
         F.concat(first, F.rpad(F.substring(tail, 1, 3), 3, "0")),
     )
+
+
+def flesch_reading_ease(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Flesch reading-ease per document → (id, n_words, n_sentences,
+    n_syllables, flesch): 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words), with the standard vowel-group syllable
+    heuristic (maximal [aeiouy]+ runs per word, minimum 1) — the
+    classic document-quality feature every readability gate uses.
+    Pure codegen: tokenization, regexp_extract_all per word inside a
+    higher-order sum, sentence count from terminator splits. Empty
+    docs yield NULL score rather than dividing by zero."""
+    text = F.col(text_col)
+    toks = F.filter(
+        F.split(F.lower(text), r"[^a-z']+"), lambda x: x != F.lit("")
+    )
+    n_words = F.size(toks)
+    n_sent = F.size(
+        F.filter(
+            F.split(text, r"[.!?]+"),
+            lambda s: F.length(F.trim(s)) > 0,
+        )
+    )
+    syl = F.aggregate(
+        F.transform(
+            toks,
+            lambda w: F.greatest(
+                F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))),
+                F.lit(1),
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        syl.alias("n_syllables"),
+        F.when(
+            (n_words > 0) & (n_sent > 0),
+            F.round(
+                206.835
+                - 1.015 * (n_words.cast("double") / n_sent)
+                - 84.6 * (syl.cast("double") / n_words),
+                6,
+            ),
+        ).alias("flesch"),
+    )

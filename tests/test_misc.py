@@ -1760,3 +1760,46 @@ def test_exif_roundtrip_both_orders_and_quarantine():
     p = bytearray(encode_jpeg_exif(1, 1, 1, "maker", "model", "2024:01:01 00:00:00"))
     with _pt.raises(ValueError):
         decode_exif(bytes(p[:30]))
+
+
+def test_ipv4_cidr_parsing(spark):
+    from from_superset_to_clickhouse_spark.functions.scalar import (
+        cidr_range,
+        ipv4_to_long,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("0.0.0.0",), ("255.255.255.255",), ("10.1.2.3",), ("junk",)],
+        "ip string",
+    )
+    got = [r.n for r in df.select(ipv4_to_long("ip").alias("n")).collect()]
+    # 10.1.2.3 = 10*2^24 + 1*2^16 + 2*2^8 + 3
+    assert got == [0, 4294967295, 167838211, None]
+    c = spark.createDataFrame(
+        [("10.1.0.0/16",), ("192.168.1.128/25",), ("0.0.0.0/0",)],
+        "cidr string",
+    )
+    lo, hi = cidr_range("cidr")
+    rows = c.select(lo.alias("lo"), hi.alias("hi")).collect()
+    assert (rows[0].lo, rows[0].hi - rows[0].lo) == (167772160 + 65536, 65536)
+    # /25 block of 128 addresses, base masked DOWN to the boundary
+    assert rows[1].hi - rows[1].lo == 128 and rows[1].lo % 128 == 0
+    assert (rows[2].lo, rows[2].hi) == (0, 4294967296)
+
+
+def test_flesch_known_text(spark):
+    from from_superset_to_clickhouse_spark.operators.text import (
+        flesch_reading_ease,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, "")],
+        "id long, text string",
+    )
+    rows = {r.id: r for r in flesch_reading_ease(df, "id", "text").collect()}
+    r = rows[1]
+    # 6 one-syllable words, 2 sentences
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (6, 2, 6)
+    assert r.flesch == round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 6)
+    assert rows[2].flesch is None and rows[2].n_words == 0

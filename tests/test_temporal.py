@@ -818,3 +818,46 @@ def test_holt_forecast_recovers_linear_trend(spark):
     )
     r1 = holt_forecast(one, "key", "ts", "v").collect()[0]
     assert (r1.n_buckets, r1.level, r1.trend) == (1, 42.0, 0.0)
+
+
+def test_range_join_grid_equals_theta(spark):
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        range_join_grid,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, 0.5), (2, 3.0), (3, 10.0), (4, 999.0), (5, 4.0)],
+        "id long, v double",
+    )
+    # overlapping ranges, one spanning many cells, boundary cases
+    ranges = spark.createDataFrame(
+        [("a", 0.0, 4.0), ("b", 3.0, 5.0), ("c", 9.0, 10.0), ("d", 2.0, 40.0)],
+        "tag string, lo double, hi double",
+    )
+    got = {(r.id, r.tag) for r in
+           range_join_grid(fact, ranges, "v", cell=2.0).collect()}
+    want = set()
+    rows = [(1, 0.5), (2, 3.0), (3, 10.0), (4, 999.0), (5, 4.0)]
+    bands = [("a", 0.0, 4.0), ("b", 3.0, 5.0), ("c", 9.0, 10.0), ("d", 2.0, 40.0)]
+    for i, v in rows:
+        hit = False
+        for t, lo, hi in bands:
+            if lo <= v < hi:
+                want.add((i, t)); hit = True
+        if not hit:
+            want.add((i, None))
+    assert got == want
+    # hi exclusive: v=10.0 must NOT match c=[9,10)
+    assert (3, "c") not in got and (3, "d") in got
+
+
+def test_winsorize_clips_tails(spark):
+    from from_superset_to_clickhouse_spark.operators.stats import winsorize
+
+    vals = list(range(1, 100)) + [10_000]  # one wild outlier
+    df = spark.createDataFrame([("g", float(v)) for v in vals],
+                               "g string, v double")
+    out = {r.v: r for r in winsorize(df, "v", ["g"], 0.05, 0.95).collect()}
+    assert out[10_000.0].clipped == out[10_000.0].p_hi  # clipped to p95
+    assert out[50.0].clipped == 50.0                    # interior untouched
+    assert out[1.0].clipped == out[1.0].p_lo
