@@ -6493,6 +6493,145 @@ def q_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of order revenue per priority class via the
+    rank formula — one keyed window rank (within hash partitions, no
+    global sort) + one aggregation; invariant under tie permutations
+    so row_number nondeterminism inside equal values cannot leak."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        gini_coefficient,
+    )
+
+    return gini_coefficient(
+        _t(spark, sf_dir, "orders"), "o_totalprice", ["o_orderpriority"]
+    )
+
+
+def q_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence per event type between the two
+    month halves — the bounded symmetric member of the drift family
+    (PSI monitors, KS tests, JSD scores). Same clamped fixed-width
+    binning contract as psi_drift; one binned pass + one window
+    total."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        js_divergence,
+    )
+
+    ev = _ev(spark, sf_dir)
+    side = F.when(
+        F.col("ts") < F.lit("2024-01-16").cast("timestamp"), F.lit("ref")
+    ).otherwise(F.lit("cur"))
+    return js_divergence(
+        ev, "value", side, n_bins=10, lo=0.0, hi=500.0,
+        group_cols=["event_type"],
+    )
+
+
+def _mwu_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared MWU fixture: odd event ids are arm 'b'; arm b of
+    'click' carries a planted +30 shift the test must flag while the
+    other types stay null."""
+    ev = _ev(spark, sf_dir)
+    side = F.when(F.col("event_id") % 2 == 1, F.lit("b")).otherwise(
+        F.lit("a")
+    )
+    shifted = (
+        F.col("value")
+        + F.when(
+            (F.col("event_type") == "click") & (F.col("event_id") % 2 == 1),
+            F.lit(30.0),
+        ).otherwise(F.lit(0.0))
+    ).alias("value")
+    return ev.select("event_type", shifted, side.alias("side"))
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U per event type over planted arms (odd ids =
+    'b'; click-b shifted +30): midranks from one keyed window over
+    per-distinct-value counts (tie-exact), normal approximation with
+    tie correction and continuity correction, A&S-erf p-values —
+    replayed operation-for-operation in SQL."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        mann_whitney_u,
+    )
+
+    d = _mwu_input(spark, sf_dir)
+    return mann_whitney_u(d, "value", F.col("side"), ["event_type"])
+
+
+def q_fdr_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR over the per-type Mann–Whitney
+    p-values — the multiple-comparison gate a per-slice drift
+    dashboard needs (only the planted 'click' shift should survive).
+    The suffix-min runs over the TEST table (5 rows — dashboard
+    scale; the single-partition sort is over hypotheses, documented),
+    with the type as deterministic tiebreak."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        bh_fdr,
+        mann_whitney_u,
+    )
+
+    d = _mwu_input(spark, sf_dir)
+    tests = mann_whitney_u(d, "value", F.col("side"), ["event_type"]).select(
+        "event_type", "p_value"
+    )
+    return bh_fdr(tests, "p_value", alpha=0.05, tiebreak_cols=["event_type"])
+
+
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlogram per event type over daily bucket means, lags 1-7,
+    with a planted alternating ±50 day parity signal on 'view' that
+    must show as a strongly negative lag-1 / positive lag-2 pattern.
+    All lag columns ride ONE keyed window sort; series bounded at
+    periods × keys."""
+    from from_superset_to_clickhouse_spark.operators.temporal import acf
+
+    ev = _ev(spark, sf_dir).select(
+        "event_type",
+        "ts",
+        (
+            F.col("value")
+            + F.when(
+                F.col("event_type") == "view",
+                50.0 * (F.dayofmonth("ts") % 2),
+            ).otherwise(F.lit(0.0))
+        ).alias("value"),
+    )
+    return acf(ev, "event_type", "ts", "value", bucket="1 day", max_lag=7)
+
+
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per query over synthesized judgments (query/doc pairs
+    from event arithmetic, graded relevance and a pseudo-system
+    score both id-derived): graded 2^rel−1 gains, two keyed
+    row_number windows (system + ideal order, doc id tiebreak), one
+    aggregation. The offline eval primitive for the BM25/RRF/ANN
+    serving stack."""
+    from from_superset_to_clickhouse_spark.operators.similarity import (
+        ndcg_at_k,
+    )
+
+    ev = _ev(spark, sf_dir)
+    judged = (
+        ev.select(
+            (F.col("user_id") % 20).alias("query"),
+            (F.col("event_id") % 50).alias("doc"),
+        )
+        .distinct()
+        .select(
+            "query",
+            "doc",
+            F.greatest(
+                F.lit(0),
+                3 - (F.col("query") * 7 + F.col("doc") * 13) % 9,
+            ).alias("rel"),
+            ((F.col("query") * 31 + F.col("doc") * 17) % 101).alias("score"),
+        )
+    )
+    return ndcg_at_k(judged, "query", "score", "rel", k=10,
+                     tiebreak_col="doc")
+
+
 _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-8 additions land here (inside the driver's first-50 window);
     # the 15 r7 additions moved to the backfill — green in
@@ -6536,6 +6675,12 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorize": q_winsorize,
     "cidr_lookup": q_cidr_lookup,
     "flesch": q_flesch,
+    "gini": q_gini,
+    "jsd": q_jsd,
+    "mann_whitney": q_mann_whitney,
+    "fdr_tests": q_fdr_tests,
+    "acf": q_acf,
+    "ndcg": q_ndcg,
 }
 
 
@@ -8178,6 +8323,227 @@ SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
     round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sent)
       - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 6)
   END AS flesch
+FROM s
+""",
+        "gini": """
+-- Rank-formula replay; sum(rank*x) is invariant under permutations
+-- of tied values, so row_number tie order cannot leak.
+WITH r AS (
+  SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS x,
+    row_number() OVER (
+      PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rk
+  FROM orders
+)
+SELECT o_orderpriority, count(*) AS n, round(sum(x), 2) AS total,
+  round((2.0 * sum(rk * x)) / (count(*) * sum(x))
+    - (count(*) + 1.0) / count(*), 6) AS gini
+FROM r GROUP BY o_orderpriority
+""",
+        "jsd": """
+-- Same clamped binning as psi_drift; one-sided-empty bins give the
+-- finite p*ln2 contribution, both-sided-empty bins never appear.
+WITH binned AS (
+  SELECT event_type,
+    least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9) AS b,
+    count(*) FILTER (ts <  TIMESTAMP '2024-01-16') AS nr,
+    count(*) FILTER (ts >= TIMESTAMP '2024-01-16') AS nc
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, nr, nc,
+    CAST(sum(nr) OVER (PARTITION BY event_type) AS DOUBLE) AS tr,
+    CAST(sum(nc) OVER (PARTITION BY event_type) AS DOUBLE) AS tc
+  FROM binned
+), pq AS (
+  SELECT event_type, tr, tc, nr / tr AS p, nc / tc AS q FROM tot
+)
+SELECT event_type, CAST(max(tr) AS BIGINT) AS n_ref,
+  CAST(max(tc) AS BIGINT) AS n_cur,
+  round(sum(
+    CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END
+    + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END
+  ), 6) AS jsd
+FROM pq GROUP BY event_type
+""",
+        "mann_whitney": """
+-- Midranks from per-distinct-value counts + prefix window, tie
+-- correction, continuity correction, A&S-erf p-values.
+WITH src AS (
+  SELECT event_type,
+    value + CASE WHEN event_type = 'click' AND event_id % 2 = 1
+      THEN 30.0 ELSE 0.0 END AS v,
+    CASE WHEN event_id % 2 = 1 THEN 'b' ELSE 'a' END AS side
+  FROM events
+), pv AS (
+  SELECT event_type, v,
+    count(*) FILTER (side = 'a') AS ca,
+    count(*) FILTER (side = 'b') AS cb
+  FROM src GROUP BY 1, 2
+), rk AS (
+  SELECT event_type, v, ca, cb, ca + cb AS t,
+    coalesce(sum(ca + cb) OVER (
+      PARTITION BY event_type ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+  FROM pv
+), ag AS (
+  SELECT event_type, sum(ca) AS n_a, sum(cb) AS n_b,
+    sum((bef + (t + 1.0) / 2.0) * ca) AS ra,
+    sum(CAST(t AS DOUBLE) * t * t - t) AS ties
+  FROM rk GROUP BY 1
+), st AS (
+  SELECT event_type, n_a, n_b,
+    ra - n_a * (n_a + 1.0) / 2.0 AS u,
+    (ra - n_a * (n_a + 1.0) / 2.0) - n_a * n_b / 2.0 AS zraw,
+    sqrt((n_a * n_b / 12.0) * ((n_a + n_b + 1.0)
+      - ties / ((n_a + n_b) * (n_a + n_b - 1.0)))) AS sig
+  FROM ag
+), zz AS (
+  SELECT event_type, n_a, n_b, u,
+    (zraw - sign(zraw) * 0.5) / sig AS zv
+  FROM st
+), et AS (
+  SELECT *, abs(zv) / sqrt(2.0) AS x,
+    1.0 / (1.0 + 0.3275911 * (abs(zv) / sqrt(2.0))) AS t
+  FROM zz
+), mwu AS (
+  SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+    CAST(n_b AS BIGINT) AS n_b, round(u, 6) AS u, round(zv, 6) AS z,
+    round(2.0 * ((1.0 - (1.0 - (0.254829592 * t - 0.284496736 * t * t
+      + 1.421413741 * t * t * t - 1.453152027 * t * t * t * t
+      + 1.061405429 * t * t * t * t * t) * exp(-(x * x)))) / 2.0), 6)
+      AS p_value
+  FROM et
+)
+SELECT event_type, n_a, n_b, u, z, p_value FROM mwu
+""",
+        "fdr_tests": """
+-- Full pipeline replay: the Mann-Whitney CTE feeds the BH suffix-min
+-- with (p, event_type) as the deterministic order.
+WITH src AS (
+  SELECT event_type,
+    value + CASE WHEN event_type = 'click' AND event_id % 2 = 1
+      THEN 30.0 ELSE 0.0 END AS v,
+    CASE WHEN event_id % 2 = 1 THEN 'b' ELSE 'a' END AS side
+  FROM events
+), pv AS (
+  SELECT event_type, v,
+    count(*) FILTER (side = 'a') AS ca,
+    count(*) FILTER (side = 'b') AS cb
+  FROM src GROUP BY 1, 2
+), rk AS (
+  SELECT event_type, v, ca, cb, ca + cb AS t,
+    coalesce(sum(ca + cb) OVER (
+      PARTITION BY event_type ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+  FROM pv
+), ag AS (
+  SELECT event_type, sum(ca) AS n_a, sum(cb) AS n_b,
+    sum((bef + (t + 1.0) / 2.0) * ca) AS ra,
+    sum(CAST(t AS DOUBLE) * t * t - t) AS ties
+  FROM rk GROUP BY 1
+), st AS (
+  SELECT event_type, n_a, n_b,
+    ra - n_a * (n_a + 1.0) / 2.0 AS u,
+    (ra - n_a * (n_a + 1.0) / 2.0) - n_a * n_b / 2.0 AS zraw,
+    sqrt((n_a * n_b / 12.0) * ((n_a + n_b + 1.0)
+      - ties / ((n_a + n_b) * (n_a + n_b - 1.0)))) AS sig
+  FROM ag
+), zz AS (
+  SELECT event_type, n_a, n_b, u,
+    (zraw - sign(zraw) * 0.5) / sig AS zv
+  FROM st
+), et AS (
+  SELECT *, abs(zv) / sqrt(2.0) AS x,
+    1.0 / (1.0 + 0.3275911 * (abs(zv) / sqrt(2.0))) AS t
+  FROM zz
+), mwu AS (
+  SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+    CAST(n_b AS BIGINT) AS n_b, round(u, 6) AS u, round(zv, 6) AS z,
+    round(2.0 * ((1.0 - (1.0 - (0.254829592 * t - 0.284496736 * t * t
+      + 1.421413741 * t * t * t - 1.453152027 * t * t * t * t
+      + 1.061405429 * t * t * t * t * t) * exp(-(x * x)))) / 2.0), 6)
+      AS p_value
+  FROM et
+), ranked AS (
+  SELECT event_type, p_value,
+    row_number() OVER (ORDER BY p_value, event_type) AS rank,
+    count(*) OVER () AS m
+  FROM mwu
+), qq AS (
+  SELECT event_type, p_value, rank,
+    floor(least(min(m * p_value / rank) OVER (
+      ORDER BY p_value DESC, event_type DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0)
+      * 1e6 + 0.5) / 1e6 AS q_value
+  FROM ranked
+)
+SELECT event_type, p_value, CAST(rank AS INTEGER) AS rank, q_value,
+  q_value <= 0.05 AS rejected
+FROM qq
+""",
+        "acf": """
+-- Same centered products: bucket means, per-key mean join, lag
+-- windows over one keyed order, full-series sum-of-squares
+-- denominator.
+WITH src AS (
+  SELECT event_type, ts,
+    value + CASE WHEN event_type = 'view'
+      THEN 50.0 * (date_part('day', ts) % 2) ELSE 0.0 END AS value
+  FROM events
+), b AS (
+  SELECT event_type AS key, time_bucket(INTERVAL '1 day', ts) AS bucket_ts,
+    avg(value) AS xbar
+  FROM src GROUP BY 1, 2
+), mu AS (SELECT key, avg(xbar) AS m FROM b GROUP BY key),
+c AS (
+  SELECT b.key, b.bucket_ts, b.xbar - mu.m AS cc
+  FROM b JOIN mu ON b.key = mu.key
+), l AS (
+  SELECT key, cc,
+    lag(cc, 1) OVER w AS l1, lag(cc, 2) OVER w AS l2,
+    lag(cc, 3) OVER w AS l3, lag(cc, 4) OVER w AS l4,
+    lag(cc, 5) OVER w AS l5, lag(cc, 6) OVER w AS l6,
+    lag(cc, 7) OVER w AS l7
+  FROM c WINDOW w AS (PARTITION BY key ORDER BY bucket_ts)
+), den AS (SELECT key, sum(cc * cc) AS d FROM l GROUP BY key),
+nums AS (
+  SELECT key, 1 AS lag, sum(cc * l1) AS nm FROM l WHERE l1 IS NOT NULL GROUP BY key
+  UNION ALL SELECT key, 2, sum(cc * l2) FROM l WHERE l2 IS NOT NULL GROUP BY key
+  UNION ALL SELECT key, 3, sum(cc * l3) FROM l WHERE l3 IS NOT NULL GROUP BY key
+  UNION ALL SELECT key, 4, sum(cc * l4) FROM l WHERE l4 IS NOT NULL GROUP BY key
+  UNION ALL SELECT key, 5, sum(cc * l5) FROM l WHERE l5 IS NOT NULL GROUP BY key
+  UNION ALL SELECT key, 6, sum(cc * l6) FROM l WHERE l6 IS NOT NULL GROUP BY key
+  UNION ALL SELECT key, 7, sum(cc * l7) FROM l WHERE l7 IS NOT NULL GROUP BY key
+)
+SELECT n.key, CAST(n.lag AS INTEGER) AS lag,
+  round(n.nm / den.d, 6) AS acf
+FROM nums n JOIN den ON n.key = den.key
+""",
+        "ndcg": """
+-- Same graded-gain arithmetic; both rankings totally ordered by the
+-- doc-id tiebreak so selection is engine-stable.
+WITH judged AS (
+  SELECT DISTINCT user_id % 20 AS query, event_id % 50 AS doc FROM events
+), j2 AS (
+  SELECT query, doc,
+    greatest(0, 3 - (query * 7 + doc * 13) % 9) AS rel,
+    (query * 31 + doc * 17) % 101 AS score
+  FROM judged
+), r AS (
+  SELECT query, CAST(rel AS DOUBLE) AS rel,
+    row_number() OVER (PARTITION BY query ORDER BY score DESC, doc) AS rs,
+    row_number() OVER (PARTITION BY query ORDER BY rel DESC, doc) AS ri
+  FROM j2
+), s AS (
+  SELECT query, count(*) AS n_judged,
+    sum(CASE WHEN rs <= 10
+      THEN (power(2.0, rel) - 1.0) / log2(rs + 1.0) ELSE 0.0 END) AS dcg,
+    sum(CASE WHEN ri <= 10
+      THEN (power(2.0, rel) - 1.0) / log2(ri + 1.0) ELSE 0.0 END) AS idcg
+  FROM r GROUP BY query
+)
+SELECT query, CAST(n_judged AS BIGINT) AS n_judged,
+  round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+  round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6) AS ndcg
 FROM s
 """,
         "psi_drift": """

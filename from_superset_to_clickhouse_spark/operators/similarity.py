@@ -1690,3 +1690,59 @@ def dbscan_grid(
         .withColumn("is_core", F.lit(False))
     )
     return core_out.unionByName(border).withColumnRenamed("pid", id_col)
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    query_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Ranking-quality evaluation → (query, n_judged, dcg, idcg,
+    ndcg): NDCG@k with the standard graded gain (2^rel − 1) /
+    log2(rank + 1), ideal ranking by relevance descending. The
+    offline eval metric for every retrieval stack in this module
+    (BM25 / hybrid RRF / ANN) — a ranking change is only an
+    improvement if this number says so.
+
+    Two keyed row_number windows over the same partition (system
+    ranking by score, ideal ranking by relevance), one aggregation.
+    ``tiebreak_col`` makes both orders total so the metric is
+    engine-stable; callers pass the doc id."""
+    tb = [F.col(tiebreak_col)] if tiebreak_col else []
+    w_sys = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), *tb
+    )
+    w_ideal = Window.partitionBy(query_col).orderBy(
+        F.col(rel_col).desc(), *tb
+    )
+    ranked = df.select(
+        F.col(query_col).alias("query"),
+        F.col(rel_col).cast("double").alias("_rel"),
+        F.row_number().over(w_sys).alias("_rs"),
+        F.row_number().over(w_ideal).alias("_ri"),
+    )
+    gain = F.pow(F.lit(2.0), F.col("_rel")) - 1.0
+    dcg = F.sum(
+        F.when(F.col("_rs") <= k, gain / F.log2(F.col("_rs") + 1.0)).otherwise(
+            0.0
+        )
+    )
+    idcg = F.sum(
+        F.when(F.col("_ri") <= k, gain / F.log2(F.col("_ri") + 1.0)).otherwise(
+            0.0
+        )
+    )
+    return (
+        ranked.groupBy("query")
+        .agg(
+            F.count(F.lit(1)).alias("n_judged"),
+            F.round(dcg, 6).alias("dcg"),
+            F.round(idcg, 6).alias("idcg"),
+            F.round(
+                F.when(idcg > 0, dcg / idcg).otherwise(F.lit(0.0)), 6
+            ).alias("ndcg"),
+        )
+    )

@@ -593,3 +593,211 @@ def winsorize(
             ).alias("clipped"),
         )
     )
+
+
+def gini_coefficient(
+    df: DataFrame, value_col: str, group_cols: "list[str]"
+) -> DataFrame:
+    """Gini inequality coefficient per group → (group…, n, total,
+    gini) via the rank formula G = (2·Σ rank·x)/(n·Σx) − (n+1)/n over
+    values sorted ascending (ties broken by value order are harmless:
+    equal values commute in Σ rank·x… only as long as ranks within a
+    tie are consecutive — any permutation of equal x contributes the
+    same sum). The data-balance audit metric: how concentrated are
+    tokens/bytes/revenue across sources.
+
+    One keyed window rank + one aggregation — rank is per group, so
+    the sort is within hash partitions, no global sort. Requires
+    non-negative values (documented; negative support would need the
+    mean-absolute-difference form at twice the cost)."""
+    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col))
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col).cast("double").alias("_x"),
+        F.row_number().over(w).alias("_r"),
+    )
+    return (
+        ranked.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # 2 dp: a double sum at ~1e9 magnitude carries order-
+            # dependent error above the 6th decimal
+            F.round(F.sum("_x"), 2).alias("total"),
+            F.round(
+                (2.0 * F.sum(F.col("_r") * F.col("_x")))
+                / (F.count(F.lit(1)) * F.sum("_x"))
+                - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+                6,
+            ).alias("gini"),
+        )
+    )
+
+
+def js_divergence(
+    df: DataFrame,
+    value_col: str,
+    side_col: Column,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 500.0,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Jensen–Shannon divergence between two binned value
+    distributions per group → (group…, n_ref, n_cur, jsd): JSD =
+    ½KL(P‖M) + ½KL(Q‖M), M = ½(P+Q), natural log, clamped
+    fixed-width bins (same binning contract as the PSI monitor —
+    this completes the drift-metric family: PSI for monitoring
+    dashboards, KS for exact tests, JSD for a bounded symmetric
+    score ≤ ln 2). Bins empty on one side contribute p·ln 2 —
+    finite, unlike raw KL, which is the reason JSD is the default
+    for comparing corpus slices. One binned aggregation + one window
+    total per group; conditional counts keep it a single pass."""
+    gcols = list(group_cols or [])
+    b = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - lo) / ((hi - lo) / n_bins)).cast(
+                "long"
+            ),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    )
+    binned = (
+        df.select(*gcols, b.alias("_b"), side_col.alias("_side"))
+        .groupBy(*gcols, "_b")
+        .agg(
+            F.count(F.when(F.col("_side") == "ref", 1)).alias("_nr"),
+            F.count(F.when(F.col("_side") == "cur", 1)).alias("_nc"),
+        )
+    )
+    w = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    t = binned.select(
+        *gcols,
+        "_nr",
+        "_nc",
+        F.sum("_nr").over(w).cast("double").alias("_tr"),
+        F.sum("_nc").over(w).cast("double").alias("_tc"),
+    )
+    p = F.col("_nr") / F.col("_tr")
+    q = F.col("_nc") / F.col("_tc")
+    m = (p + q) / 2.0
+    term = F.when(p > 0, 0.5 * p * F.log(p / m)).otherwise(0.0) + F.when(
+        q > 0, 0.5 * q * F.log(q / m)
+    ).otherwise(0.0)
+    return (
+        t.groupBy(*gcols)
+        .agg(
+            F.max("_tr").cast("long").alias("n_ref"),
+            F.max("_tc").cast("long").alias("n_cur"),
+            F.round(F.sum(term), 6).alias("jsd"),
+        )
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    side_col: Column,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Mann–Whitney U rank-sum test per group → (group…, n_a, n_b,
+    u, z, p_value): the nonparametric two-sample location test —
+    the robust alternative when Welch's t assumptions (normalish
+    tails) fail, which heavy-tailed latency/length metrics do.
+
+    Midranks come from ONE keyed window pass over the pooled sample
+    (average rank per tied value = avg of row_numbers, computed as a
+    per-distinct-value aggregate — no dense sort ambiguity), U =
+    R_a − n_a(n_a+1)/2, z uses the normal approximation with the
+    standard tie correction Σ(t³−t) and ±0.5 continuity correction.
+    p-values replay in SQL because the normal CDF is this module's
+    A&S erf polynomial on both sides."""
+    gcols = list(group_cols or [])
+    tagged = df.select(
+        *gcols,
+        F.col(value_col).cast("double").alias("_v"),
+        side_col.alias("_side"),
+    )
+    per_val = tagged.groupBy(*gcols, "_v").agg(
+        F.count(F.when(F.col("_side") == "a", 1)).alias("_ca"),
+        F.count(F.when(F.col("_side") == "b", 1)).alias("_cb"),
+    )
+    w = (
+        Window.partitionBy(*gcols)
+        if gcols
+        else Window.partitionBy()
+    )
+    wv = w.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    t = per_val.withColumn("_t", F.col("_ca") + F.col("_cb")).withColumn(
+        "_before", F.coalesce(F.sum(F.col("_t")).over(wv), F.lit(0))
+    )
+    # midrank of every copy of value v = before + (t+1)/2
+    midrank = F.col("_before") + (F.col("_t") + 1.0) / 2.0
+    agg = t.groupBy(*gcols).agg(
+        F.sum("_ca").alias("n_a"),
+        F.sum("_cb").alias("n_b"),
+        F.sum(midrank * F.col("_ca")).alias("_ra"),
+        F.sum(
+            F.col("_t").cast("double") * F.col("_t") * F.col("_t")
+            - F.col("_t")
+        ).alias("_ties"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    n = n_a + n_b
+    u = F.col("_ra") - n_a * (n_a + 1.0) / 2.0
+    mu = n_a * n_b / 2.0
+    sigma = F.sqrt(
+        (n_a * n_b / 12.0)
+        * ((n + 1.0) - F.col("_ties") / (n * (n - 1.0)))
+    )
+    zraw = u - mu
+    # continuity correction toward the mean; sigma = 0 (every value
+    # tied across both arms) has no sampling distribution -> NULL z/p
+    # instead of an ANSI divide-by-zero
+    z = F.when(sigma > 0, (zraw - F.signum(zraw) * 0.5) / sigma)
+    return agg.select(
+        *gcols,
+        "n_a",
+        "n_b",
+        F.round(u, 6).alias("u"),
+        F.round(z, 6).alias("z"),
+        F.round(F.lit(2.0) * normal_sf(F.abs(z)), 6).alias("p_value"),
+    )
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str,
+    alpha: float = 0.05,
+    tiebreak_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR correction over a table of test
+    p-values → every input row plus (rank, q_value, rejected): q_i =
+    min_{j≥i}(m·p_j / j), rejected where q ≤ alpha. The multiple-
+    comparison gate any metric-drift dashboard needs once it runs
+    one KS/chi²/U test per slice — without it, 5% of healthy slices
+    "drift" every day by construction.
+
+    The suffix-min runs as a descending-rank running min — one
+    window pass over the TEST table (rows = number of hypotheses,
+    dashboard-scale, not data-scale; the single-partition sort is
+    over tests, documented as such)."""
+    tb = [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.orderBy(F.col(p_col), *tb)
+    wdesc = Window.orderBy(
+        F.col(p_col).desc(), *[c.desc() for c in tb]
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    m = Window.partitionBy()
+    ranked = df.withColumn("rank", F.row_number().over(w)).withColumn(
+        "_m", F.count(F.lit(1)).over(m)
+    )
+    q_raw = F.col("_m") * F.col(p_col) / F.col("rank")
+    q = F.least(F.min(q_raw).over(wdesc), F.lit(1.0))
+    # explicit half-up floor round: m*p/rank lands EXACTLY on a
+    # rounding half-boundary whenever p's 6th decimal meets an
+    # odd m/rank ratio, and engines disagree on half cases — the
+    # floor formula is the same double arithmetic everywhere
+    out = ranked.withColumn(
+        "q_value", F.floor(q * 1e6 + 0.5) / 1e6
+    )
+    return out.withColumn("rejected", F.col("q_value") <= alpha).drop("_m")

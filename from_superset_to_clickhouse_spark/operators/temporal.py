@@ -759,3 +759,62 @@ def range_join_grid(
         ],
     )
     return matched.unionByName(missed)
+
+
+def acf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 day",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Autocorrelation function per key over a bucketed series →
+    (key, lag, acf) for lags 1..max_lag: r_l = Σ(x_t−x̄)(x_{t+l}−x̄) /
+    Σ(x_t−x̄)² (the standard biased estimator — denominator is the
+    full-series sum of squares, so r is a proper correlogram that
+    decays with lag). The first diagnostic anyone runs on a metric
+    series: seasonality shows as spikes at the period.
+
+    One bucketing agg, one keyed window pass producing all max_lag
+    lag columns over the SAME window spec (Catalyst fuses them into
+    one sort), one stack + aggregation. Series length is bounded at
+    periods × keys; nothing global."""
+    b = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.window(F.col(ts_col), bucket).alias("_w"),
+        )
+        .agg(F.avg(value_col).alias("xbar"))
+        .select("key", F.col("_w.start").alias("bucket_ts"), "xbar")
+    )
+    # center with a join (window-inside-aggregate is illegal);
+    # denominator comes from the same centered column
+    mu = b.groupBy("key").agg(F.avg("xbar").alias("_mu"))
+    c = b.join(mu, "key").withColumn("_c", F.col("xbar") - F.col("_mu"))
+    w = Window.partitionBy("key").orderBy("bucket_ts")
+    lagged = c.select(
+        "key",
+        "_c",
+        *[F.lag("_c", l).over(w).alias(f"_l{l}") for l in range(1, max_lag + 1)],
+    )
+    den = lagged.groupBy("key").agg(
+        F.sum(F.col("_c") * F.col("_c")).alias("_den")
+    )
+    pairs = None
+    for l in range(1, max_lag + 1):
+        part = (
+            lagged.filter(F.col(f"_l{l}").isNotNull())
+            .groupBy("key")
+            .agg(F.sum(F.col("_c") * F.col(f"_l{l}")).alias("_num"))
+            .withColumn("lag", F.lit(l))
+        )
+        pairs = part if pairs is None else pairs.unionByName(part)
+    return (
+        pairs.join(den, "key")
+        .select(
+            "key",
+            "lag",
+            F.round(F.col("_num") / F.col("_den"), 6).alias("acf"),
+        )
+    )

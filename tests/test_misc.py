@@ -1803,3 +1803,107 @@ def test_flesch_known_text(spark):
     assert (r.n_words, r.n_sentences, r.n_syllables) == (6, 2, 6)
     assert r.flesch == round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 6)
     assert rows[2].flesch is None and rows[2].n_words == 0
+
+
+def test_gini_known_distributions(spark):
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        gini_coefficient,
+    )
+
+    rows = [("eq", 5.0)] * 4 + [("one", 0.0), ("one", 0.0), ("one", 0.0),
+                                ("one", 10.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r.g: r.gini for r in gini_coefficient(df, "v", ["g"]).collect()}
+    assert got["eq"] == 0.0            # perfect equality
+    assert got["one"] == 0.75          # one holder: (n-1)/n
+
+
+def test_jsd_bounds(spark):
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        js_divergence,
+    )
+    from pyspark.sql import functions as F
+    import math
+
+    # identical distributions -> 0; disjoint supports -> ln 2
+    same = [("x", float(v % 10) * 50.0, s) for v in range(40)
+            for s in ("ref", "cur")]
+    disj = [("y", 10.0, "ref")] * 20 + [("y", 400.0, "cur")] * 20
+    df = spark.createDataFrame(same + disj, "g string, value double, side string")
+    got = {r.g: r.jsd for r in js_divergence(
+        df, "value", F.col("side"), group_cols=["g"]).collect()}
+    assert got["x"] == 0.0
+    assert abs(got["y"] - round(math.log(2.0), 6)) < 1e-9
+
+
+def test_mann_whitney_hand_case(spark):
+    import math
+
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        mann_whitney_u,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(v, "a") for v in (1.0, 2.0, 4.0)] + [
+        (v, "b") for v in (3.0, 5.0, 6.0)
+    ]
+    df = spark.createDataFrame(rows, "v double, side string")
+    r = mann_whitney_u(df, "v", F.col("side")).collect()[0]
+    # ranks of a = 1,2,4 -> R_a=7, U = 7 - 3*4/2 = 1
+    assert (r.n_a, r.n_b, r.u) == (3, 3, 1.0)
+    sigma = math.sqrt(9 * 7 / 12)
+    assert abs(r.z - round((1 - 4.5 + 0.5) / sigma, 6)) < 1e-9
+    # ties: all values equal -> U = n_a*n_b/2, z undefined (sigma 0)
+    tied = spark.createDataFrame(
+        [(5.0, "a")] * 3 + [(5.0, "b")] * 3, "v double, side string"
+    )
+    rt = mann_whitney_u(tied, "v", F.col("side")).collect()[0]
+    assert rt.u == 4.5  # midranks 3.5 each -> R_a = 10.5 - 6 = 4.5
+    assert rt.z is None and rt.p_value is None  # sigma 0: no test
+
+
+def test_bh_fdr_replay(spark):
+    from from_superset_to_clickhouse_spark.operators.stats import bh_fdr
+
+    ps = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205]
+    df = spark.createDataFrame([(f"t{i}", p) for i, p in enumerate(ps)],
+                               "test string, p double")
+    got = {r.test: (r.rank, r.q_value, r.rejected)
+           for r in bh_fdr(df, "p", alpha=0.05,
+                           tiebreak_cols=["test"]).collect()}
+    # python replay of the suffix-min
+    m = len(ps)
+    q_raw = [m * p / (i + 1) for i, p in enumerate(ps)]
+    q = [0.0] * m
+    run = float("inf")
+    for i in range(m - 1, -1, -1):
+        run = min(run, q_raw[i])
+        q[i] = min(run, 1.0)
+    import math
+    for i, p in enumerate(ps):
+        rank, qv, rej = got[f"t{i}"]
+        assert rank == i + 1
+        assert abs(qv - math.floor(q[i] * 1e6 + 0.5) / 1e6) < 1e-12
+        assert rej == (qv <= 0.05)
+    # suffix-min shape: q plateaus at 0.0672 from t2 through t4, so
+    # only t0/t1 clear alpha = 0.05
+    assert got["t1"][2] and not got["t2"][2]
+
+
+def test_ndcg_perfect_and_reversed(spark):
+    from from_superset_to_clickhouse_spark.operators.similarity import (
+        ndcg_at_k,
+    )
+
+    rels = [3.0, 2.0, 1.0, 0.0]
+    perfect = [(1, d, 100.0 - d, rels[d]) for d in range(4)]
+    reverse = [(2, d, float(d), rels[d]) for d in range(4)]
+    df = spark.createDataFrame(perfect + reverse,
+                               "q long, doc long, score double, rel double")
+    got = {r.query: r for r in ndcg_at_k(
+        df, "q", "score", "rel", k=10, tiebreak_col="doc").collect()}
+    assert got[1].ndcg == 1.0
+    assert got[2].ndcg < 1.0 and got[2].dcg < got[2].idcg
+    import math
+    idcg = sum((2 ** r - 1) / math.log2(i + 2) for i, r in enumerate(rels))
+    assert abs(got[1].idcg - round(idcg, 6)) < 1e-9

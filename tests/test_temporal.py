@@ -861,3 +861,24 @@ def test_winsorize_clips_tails(spark):
     assert out[10_000.0].clipped == out[10_000.0].p_hi  # clipped to p95
     assert out[50.0].clipped == 50.0                    # interior untouched
     assert out[1.0].clipped == out[1.0].p_lo
+
+
+def test_acf_alternating_signal(spark):
+    import datetime
+
+    from from_superset_to_clickhouse_spark.operators.temporal import acf
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [("k", base + datetime.timedelta(days=i),
+             100.0 + (50.0 if i % 2 else -50.0)) for i in range(30)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v double")
+    got = {r.lag: r.acf for r in acf(
+        df, "key", "ts", "v", bucket="1 day", max_lag=4).collect()}
+    assert got[1] < -0.9 and got[2] > 0.85  # period-2 correlogram
+    assert got[3] < -0.8 and got[4] > 0.8
+    # python replay at lag 1
+    xs = [100.0 + (50.0 if i % 2 else -50.0) for i in range(30)]
+    mu = sum(xs) / len(xs)
+    c = [x - mu for x in xs]
+    r1 = sum(c[i] * c[i - 1] for i in range(1, 30)) / sum(v * v for v in c)
+    assert abs(got[1] - round(r1, 6)) < 1e-9
