@@ -6701,6 +6701,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_hh": q_weighted_hh,
         # -- splice point for mid-round additions (stays inside window) ----
         **_NEW_ROUND_QUERIES,
+        # -- round-9 candidates: first positions BELOW the 50-slot window
+        # -- (never driver-checked yet; rotate to the top next round) ------
+        **_R9_QUERIES,
         # -- green-on-record backfill (CORRECTNESS_r07 green); entries ----
         # -- pushed past position 50 by new additions stay verified by ----
         # -- scripts/check_oracle.py each round ---------------------------
@@ -9603,4 +9606,347 @@ HAVING count(*) > tot.n / 500.0
         ),
         "brute_force_topk": _BRUTE_SQL,
         "embedding_dedup": _EMB_DEDUP_SQL,
+        **_R9_ORACLES,
     }
+
+
+# ---------------------------------------------------------------------------
+# Round-9 candidates: registered BELOW the position-50 window boundary
+# (spliced after _NEW_ROUND_QUERIES) so the r8 driver window stays the
+# 50 never-checked entries; these rotate up next round. Verified by
+# scripts/check_oracle.py + pytest in the meantime.
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend over daily event-value means per type,
+    with a planted +2.5/day drift on 'purchase' that the median-of-
+    slopes estimator must recover despite day-level noise. Pair count
+    is calendar-bounded (30 days -> 435 pairs/key); exact medians via
+    middle-row_number selection, no percentile interpolation."""
+    from from_superset_to_clickhouse_spark.operators.stats import theil_sen
+
+    ev = _ev(spark, sf_dir)
+    daily = (
+        ev.select(
+            "event_type",
+            F.dayofmonth("ts").alias("d"),
+            (
+                F.col("value")
+                + F.when(
+                    F.col("event_type") == "purchase",
+                    2.5 * F.dayofmonth("ts"),
+                ).otherwise(F.lit(0.0))
+            ).alias("v"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.avg("v").alias("m"))
+    )
+    return theil_sen(daily, "event_type", "d", "m").select(
+        F.col("key").alias("event_type"), "slope", "intercept", "n_pairs"
+    )
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend significance per event type over daily
+    means, with a planted -2/day decline on 'error': S from pairwise
+    signs, tie-corrected variance, +-1 continuity correction, A&S-erf
+    p-values — the is-it-trending companion to theil_sen."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        mann_kendall,
+    )
+
+    ev = _ev(spark, sf_dir)
+    daily = (
+        ev.select(
+            "event_type",
+            F.dayofmonth("ts").alias("d"),
+            (
+                F.col("value")
+                + F.when(
+                    F.col("event_type") == "error",
+                    -2.0 * F.dayofmonth("ts"),
+                ).otherwise(F.lit(0.0))
+            ).alias("v"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.avg("v").alias("m"))
+    )
+    return mann_kendall(daily, "event_type", "d", "m").select(
+        F.col("key").alias("event_type"),
+        "n", "s", "var_s", "z", "p_value",
+    )
+
+
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley sequential drift trace per event type with a
+    planted +150 level shift on 'error' after Jan 20 (lambda = 200,
+    so the shift fires within ~2 days and the full cumulative trace
+    is replayed, not just the alarm). Three stacked scans over one
+    keyed window sort; series calendar-bounded."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        page_hinkley,
+    )
+
+    ev = _ev(spark, sf_dir)
+    src = ev.select(
+        "event_type",
+        "ts",
+        (
+            F.col("value")
+            + F.when(
+                (F.col("event_type") == "error")
+                & (F.dayofmonth("ts") > 20),
+                150.0,
+            ).otherwise(F.lit(0.0))
+        ).alias("v"),
+    )
+    out = page_hinkley(
+        src, "event_type", "ts", "v", bucket="1 day", delta=0.0, lam=200.0
+    )
+    return out.select(
+        F.col("key").alias("event_type"),
+        "bucket_ts", "xbar", "ph", "alarm",
+    )
+
+
+def q_seasonal_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of daily means per event type
+    with a planted period-7 sawtooth (+15*(day%7)) on 'view': centered
+    7-point trend (NULL edges), positional phase effects re-centered
+    to zero, residuals. One keyed window pass + two phase-level
+    broadcasts."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        seasonal_decompose,
+    )
+
+    ev = _ev(spark, sf_dir)
+    src = ev.select(
+        "event_type",
+        "ts",
+        (
+            F.col("value")
+            + F.when(
+                F.col("event_type") == "view",
+                15.0 * (F.dayofmonth("ts") % 7),
+            ).otherwise(F.lit(0.0))
+        ).alias("v"),
+    )
+    out = seasonal_decompose(
+        src, "event_type", "ts", "v", bucket="1 day", period=7
+    )
+    return out.select(
+        F.col("key").alias("event_type"),
+        "bucket_ts", "y", "trend", "seasonal", "resid",
+    )
+
+
+def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression (monotone calibration fit) of daily means
+    per event type via the minimax closed form — no driver-side PAV
+    loop; the planted +2.5/day drift on 'purchase' gives a rising
+    staircase, the flat types collapse to near-constant pools.
+    O(series^2) intervals per key where series is calendar-bounded."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        isotonic_fit,
+    )
+
+    ev = _ev(spark, sf_dir)
+    daily = (
+        ev.select(
+            "event_type",
+            F.dayofmonth("ts").alias("d"),
+            (
+                F.col("value")
+                + F.when(
+                    F.col("event_type") == "purchase",
+                    2.5 * F.dayofmonth("ts"),
+                ).otherwise(F.lit(0.0))
+            ).alias("v"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.avg("v").alias("m"))
+    )
+    return isotonic_fit(daily, "event_type", "d", "m").select(
+        F.col("key").alias("event_type"), "x", "y", "fit"
+    )
+
+
+_R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "theil_sen": q_theil_sen,
+    "mann_kendall": q_mann_kendall,
+    "page_hinkley": q_page_hinkley,
+    "seasonal_decomp": q_seasonal_decomp,
+    "isotonic": q_isotonic,
+}
+
+_R9_ORACLES: dict[str, str] = {
+    "theil_sen": """
+-- Same pair construction and exact middle-row medians: daily means,
+-- all-pairs slopes, median slope then median residual intercept.
+WITH d AS (
+  SELECT event_type, date_part('day', ts) AS d,
+    avg(value + CASE WHEN event_type = 'purchase'
+      THEN 2.5 * date_part('day', ts) ELSE 0.0 END) AS m
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT a.event_type, a.d AS xi, b.d AS xj,
+    (b.m - a.m) / (b.d - a.d) AS s
+  FROM d a JOIN d b ON a.event_type = b.event_type AND a.d < b.d
+), r AS (
+  SELECT event_type, s,
+    row_number() OVER (PARTITION BY event_type ORDER BY s, xi, xj) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS mm
+  FROM p
+), sl AS (
+  SELECT event_type, avg(s) AS slope, max(mm) AS n_pairs
+  FROM r WHERE rn = floor((mm + 1) / 2) OR rn = floor((mm + 2) / 2)
+  GROUP BY event_type
+), res AS (
+  SELECT d.event_type, sl.slope, sl.n_pairs,
+    d.m - sl.slope * d.d AS rr, d.d AS xi
+  FROM d JOIN sl ON d.event_type = sl.event_type
+), rk AS (
+  SELECT event_type, slope, n_pairs, rr,
+    row_number() OVER (PARTITION BY event_type ORDER BY rr, xi) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM res
+)
+SELECT event_type, round(max(slope), 6) AS slope,
+  round(avg(rr), 6) AS intercept,
+  CAST(max(n_pairs) AS BIGINT) AS n_pairs
+FROM rk WHERE rn = floor((n + 1) / 2) OR rn = floor((n + 2) / 2)
+GROUP BY event_type
+""",
+    "mann_kendall": """
+-- Pairwise signs, tie-corrected variance, continuity correction,
+-- A&S-erf p-values — identical arithmetic order.
+WITH d AS (
+  SELECT event_type, date_part('day', ts) AS t,
+    avg(value + CASE WHEN event_type = 'error'
+      THEN -2.0 * date_part('day', ts) ELSE 0.0 END) AS y
+  FROM events GROUP BY 1, 2
+), sa AS (
+  SELECT a.event_type, sum(sign(b.y - a.y)) AS s
+  FROM d a JOIN d b ON a.event_type = b.event_type AND a.t < b.t
+  GROUP BY 1
+), ties AS (
+  SELECT event_type, sum(c) AS n,
+    sum(c * (c - 1) * (2 * c + 5)) AS tsum
+  FROM (
+    SELECT event_type, y, CAST(count(*) AS DOUBLE) AS c
+    FROM d GROUP BY 1, 2
+  ) GROUP BY 1
+), st AS (
+  SELECT sa.event_type, s, n,
+    (n * (n - 1) * (2 * n + 5) - tsum) / 18.0 AS var_s
+  FROM sa JOIN ties ON sa.event_type = ties.event_type
+), zz AS (
+  SELECT event_type, n, s, var_s,
+    CASE WHEN sqrt(var_s) > 0
+      THEN (s - sign(s)) / sqrt(var_s) END AS zv
+  FROM st
+), et AS (
+  SELECT *, abs(zv) / sqrt(2.0) AS x,
+    1.0 / (1.0 + 0.3275911 * (abs(zv) / sqrt(2.0))) AS t
+  FROM zz
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
+  round(var_s, 6) AS var_s, round(zv, 6) AS z,
+  round(2.0 * ((1.0 - (1.0 - (0.254829592 * t - 0.284496736 * t * t
+    + 1.421413741 * t * t * t - 1.453152027 * t * t * t * t
+    + 1.061405429 * t * t * t * t * t) * exp(-(x * x)))) / 2.0), 6)
+    AS p_value
+FROM et
+""",
+    "page_hinkley": """
+-- Same three stacked windows: expanding mean, cumulative deviation,
+-- running min; alarm compares the UNROUNDED trace on both engines.
+WITH src AS (
+  SELECT event_type, ts,
+    value + CASE WHEN event_type = 'error' AND date_part('day', ts) > 20
+      THEN 150.0 ELSE 0.0 END AS v
+  FROM events
+), b AS (
+  SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS bucket_ts,
+    avg(v) AS xbar
+  FROM src GROUP BY 1, 2
+), e AS (
+  SELECT event_type, bucket_ts, xbar, avg(xbar) OVER w AS mbar
+  FROM b WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), m AS (
+  SELECT event_type, bucket_ts, xbar, sum(xbar - mbar) OVER w AS mm
+  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), p AS (
+  SELECT event_type, bucket_ts, xbar, mm - min(mm) OVER w AS ph
+  FROM m WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, bucket_ts, round(xbar, 6) AS xbar,
+  round(ph, 6) AS ph, ph > 200.0 AS alarm
+FROM p
+""",
+    "seasonal_decomp": """
+-- Same positional-phase decomposition: centered 7-point trend with
+-- NULL edges, phase means of the detrended series re-centered per key.
+WITH src AS (
+  SELECT event_type, ts,
+    value + CASE WHEN event_type = 'view'
+      THEN 15.0 * (date_part('day', ts) % 7) ELSE 0.0 END AS v
+  FROM events
+), b AS (
+  SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS bucket_ts,
+    avg(v) AS y
+  FROM src GROUP BY 1, 2
+), t AS (
+  SELECT event_type, bucket_ts, y,
+    (row_number() OVER w - 1) % 7 AS phase,
+    CASE WHEN count(y) OVER f = 7 THEN avg(y) OVER f END AS trend
+  FROM b WINDOW
+    w AS (PARTITION BY event_type ORDER BY bucket_ts),
+    f AS (PARTITION BY event_type ORDER BY bucket_ts
+      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), ph AS (
+  SELECT event_type, phase, avg(y - trend) AS sraw
+  FROM t GROUP BY 1, 2
+), ce AS (SELECT event_type, avg(sraw) AS soff FROM ph GROUP BY 1),
+se AS (
+  SELECT ph.event_type, phase, sraw - soff AS seas
+  FROM ph JOIN ce ON ph.event_type = ce.event_type
+)
+SELECT t.event_type, bucket_ts, round(y, 6) AS y,
+  round(trend, 6) AS trend, round(seas, 6) AS seasonal,
+  round(y - trend - seas, 6) AS resid
+FROM t JOIN se ON t.event_type = se.event_type AND t.phase = se.phase
+""",
+    "isotonic": """
+-- Same minimax closed form: prefix sums, all O(n^2) interval means,
+-- suffix-min over interval ends, prefix-max over starts.
+WITH d AS (
+  SELECT event_type, CAST(date_part('day', ts) AS DOUBLE) AS x,
+    avg(value + CASE WHEN event_type = 'purchase'
+      THEN 2.5 * date_part('day', ts) ELSE 0.0 END) AS y
+  FROM events GROUP BY 1, date_part('day', ts)
+), base AS (
+  SELECT event_type, x, y,
+    row_number() OVER (PARTITION BY event_type ORDER BY x) AS i,
+    sum(y) OVER (PARTITION BY event_type ORDER BY x
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM d
+), iv AS (
+  SELECT a.event_type, a.i AS j, b.i AS k,
+    (b.s - (a.s - a.y)) / (b.i - a.i + 1) AS av
+  FROM base a JOIN base b
+    ON a.event_type = b.event_type AND b.i >= a.i
+), mm AS (
+  SELECT event_type, j, k AS i,
+    min(av) OVER (PARTITION BY event_type, j ORDER BY k DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+  FROM iv
+), fit AS (
+  SELECT event_type, i, max(m) AS fit FROM mm GROUP BY 1, 2
+)
+SELECT b.event_type, b.x AS x, round(b.y, 6) AS y,
+  round(f.fit, 6) AS fit
+FROM base b JOIN fit f ON b.event_type = f.event_type AND b.i = f.i
+""",
+}

@@ -801,3 +801,210 @@ def bh_fdr(
         "q_value", F.floor(q * 1e6 + 0.5) / 1e6
     )
     return out.withColumn("rejected", F.col("q_value") <= alpha).drop("_m")
+
+
+def theil_sen(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil–Sen robust trend per key → (key, slope, intercept,
+    n_pairs): slope = median over all pairs i<j of (y_j−y_i)/(x_j−x_i),
+    intercept = median over points of (y_i − slope·x_i). The
+    median-of-slopes estimator tolerates ~29% outliers where OLS
+    (``linear_regression``) is ruined by one — the robust twin any
+    metric-trend dashboard wants next to the least-squares line.
+
+    All-pairs is an equi-join on the key with an x-inequality — the
+    pair count is series²/2 per key, and series length here is
+    CALENDAR-bounded (periods per key), not data-bounded, so the
+    quadratic is over buckets, never raw rows. Medians are exact:
+    row_number over a total order (slope, then both pair endpoints)
+    and the avg of the middle one/two rows — no engine-specific
+    percentile interpolation to disagree over. Two keyed window
+    passes + two aggregates; nothing global. Assumes x is distinct
+    per key (bucketed series), so no zero denominators."""
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(b, "key").where(F.col("a._x") < F.col("b._x")).select(
+        "key",
+        F.col("a._x").alias("_xi"),
+        F.col("b._x").alias("_xj"),
+        (
+            (F.col("b._y") - F.col("a._y"))
+            / (F.col("b._x") - F.col("a._x"))
+        ).alias("_s"),
+    )
+    ws = Window.partitionBy("key").orderBy("_s", "_xi", "_xj")
+    ranked = pairs.withColumn("_rn", F.row_number().over(ws)).withColumn(
+        "_m", F.count(F.lit(1)).over(Window.partitionBy("key"))
+    )
+    # middle row(s): rn = floor((m+1)/2) and floor((m+2)/2); their avg
+    # is the exact median for odd AND even pair counts
+    slope = (
+        ranked.filter(
+            (F.col("_rn") == F.floor((F.col("_m") + 1) / 2))
+            | (F.col("_rn") == F.floor((F.col("_m") + 2) / 2))
+        )
+        .groupBy("key")
+        .agg(
+            F.avg("_s").alias("slope"),
+            F.max("_m").alias("n_pairs"),
+        )
+    )
+    resid = base.join(slope, "key").select(
+        "key",
+        "slope",
+        "n_pairs",
+        (F.col("_y") - F.col("slope") * F.col("_x")).alias("_r"),
+        F.col("_x").alias("_xi"),
+    )
+    wr = Window.partitionBy("key").orderBy("_r", "_xi")
+    rr = resid.withColumn("_rn", F.row_number().over(wr)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("key"))
+    )
+    return (
+        rr.filter(
+            (F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+            | (F.col("_rn") == F.floor((F.col("_n") + 2) / 2))
+        )
+        .groupBy("key")
+        .agg(
+            F.round(F.max("slope"), 6).alias("slope"),
+            F.round(F.avg("_r"), 6).alias("intercept"),
+            F.max("n_pairs").cast("long").alias("n_pairs"),
+        )
+    )
+
+
+def mann_kendall(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mann–Kendall trend test per key → (key, n, s, z, p_value):
+    S = Σ_{i<j} sign(y_j − y_i) over the time-ordered series, the
+    nonparametric "is this metric trending?" companion to
+    ``theil_sen`` (same pair structure; MK gives significance, TS
+    gives magnitude). Normal approximation with the standard tie
+    correction Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18 and the
+    ±1 continuity correction; p-values use this module's A&S erf
+    polynomial so the whole test replays verbatim in any SQL engine.
+
+    Pair count is calendar-bounded (bucketed series per key); one
+    keyed self-join + two aggregates, nothing global."""
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).cast("double").alias("_t"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    s_agg = (
+        a.join(b, "key")
+        .where(F.col("a._t") < F.col("b._t"))
+        .groupBy("key")
+        .agg(
+            F.sum(F.signum(F.col("b._y") - F.col("a._y"))).alias("s")
+        )
+    )
+    ties = (
+        base.groupBy("key", "_y")
+        .agg(F.count(F.lit(1)).cast("double").alias("_c"))
+        .groupBy("key")
+        .agg(
+            F.sum("_c").alias("_n"),
+            F.sum(
+                F.col("_c") * (F.col("_c") - 1) * (2 * F.col("_c") + 5)
+            ).alias("_tsum"),
+        )
+    )
+    n = F.col("_n")
+    var_s = (
+        n * (n - 1) * (2 * n + 5) - F.col("_tsum")
+    ) / F.lit(18.0)
+    sd = F.sqrt(var_s)
+    s = F.col("s")
+    # continuity correction toward zero (signum(0) = 0 covers S = 0);
+    # var = 0 (all values tied) has no sampling distribution ->
+    # NULL z/p, not a divide error — same convention as mann_whitney_u
+    z = F.when(sd > 0, (s - F.signum(s)) / sd)
+    return s_agg.join(ties, "key").select(
+        "key",
+        n.cast("long").alias("n"),
+        s.cast("long").alias("s"),
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        F.round(F.lit(2.0) * normal_sf(F.abs(z)), 6).alias("p_value"),
+    )
+
+
+def isotonic_fit(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Isotonic (monotone non-decreasing) regression per key →
+    (key, x, y, fit): the least-squares monotone fit, computed by the
+    closed-form minimax characterization fit_i = max_{j≤i} min_{k≥i}
+    mean(y_j..y_k) — equivalent to pool-adjacent-violators but with
+    NO sequential loop, so it runs as pure declarative relational
+    algebra on every engine instead of a driver-side PAV walk.
+    The calibration primitive (probability calibration, monotone
+    dose-response, "retries never decrease with payload size"
+    enforcement) that sklearn users reach for, expressed Spark-first.
+
+    Shape: interval means come from prefix sums (one keyed window),
+    all O(series²) intervals from one keyed self-join, the suffix-min
+    over k from one (key, j) window, the prefix-max over j from one
+    aggregate. Series length is CALENDAR-bounded (buckets per key),
+    so the quadratic is over buckets, never raw rows — at 100 TB the
+    series per key is still ~10³ points and the interval table ~10⁶
+    rows per key, trivially partitionable."""
+    w = Window.partitionBy("key").orderBy("_x")
+    base = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(x_col).cast("double").alias("_x"),
+            F.col(y_col).cast("double").alias("_y"),
+        )
+        .withColumn("_i", F.row_number().over(w))
+        .withColumn("_s", F.sum("_y").over(w.rowsBetween(
+            Window.unboundedPreceding, 0)))
+    )
+    lo = base.select(
+        "key", F.col("_i").alias("_j"),
+        (F.col("_s") - F.col("_y")).alias("_sprev"),
+    )
+    hi = base.select("key", F.col("_i").alias("_k"), F.col("_s").alias("_sk"))
+    intervals = lo.join(hi, "key").where(F.col("_k") >= F.col("_j")).select(
+        "key", "_j", "_k",
+        (
+            (F.col("_sk") - F.col("_sprev"))
+            / (F.col("_k") - F.col("_j") + 1)
+        ).alias("_avg"),
+    )
+    # suffix min over k (for each start j): running min, k descending;
+    # the row (j, i) then holds min_{k>=i} mean(j..k)
+    wk = Window.partitionBy("key", "_j").orderBy(F.col("_k").desc())
+    m = intervals.withColumn(
+        "_m",
+        F.min("_avg").over(wk.rowsBetween(Window.unboundedPreceding, 0)),
+    ).select("key", "_j", F.col("_k").alias("_i"), "_m")
+    # prefix max over j: rows (j, i) exist exactly for j <= i
+    fit = m.groupBy("key", "_i").agg(F.max("_m").alias("_fit"))
+    return (
+        base.join(fit, ["key", "_i"])
+        .select(
+            "key",
+            F.col("_x").alias("x"),
+            F.round("_y", 6).alias("y"),
+            F.round("_fit", 6).alias("fit"),
+        )
+    )

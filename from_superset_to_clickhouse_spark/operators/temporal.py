@@ -818,3 +818,114 @@ def acf(
             F.round(F.col("_num") / F.col("_den"), 6).alias("acf"),
         )
     )
+
+
+def page_hinkley(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 day",
+    delta: float = 0.0,
+    lam: float = 50.0,
+) -> DataFrame:
+    """Page–Hinkley mean-shift drift detector per key over a bucketed
+    series → (key, bucket_ts, xbar, ph, alarm): the sequential
+    companion to the two-window drift tests (``ks_test``,
+    ``psi_drift``) — instead of comparing two fixed halves it tracks
+    m_t = Σ_{i≤t}(x_i − x̄_i − δ) against its running minimum, where
+    x̄_i is the EXPANDING mean up to i; PH_t = m_t − min_{i≤t} m_i
+    fires when the recent mean has risen by more than δ for long
+    enough to accumulate λ of excess. The standard streaming
+    changepoint test (Page 1954), here over the bucketed batch series
+    so the full alarm trace is replayable.
+
+    One bucketing aggregate then THREE stacked scans over one keyed
+    window order (expanding mean → cumulative deviation → running
+    min) — Catalyst fuses them into a single sort per key; series
+    length is calendar-bounded."""
+    b = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.window(F.col(ts_col), bucket).alias("_w"),
+        )
+        .agg(F.avg(value_col).alias("xbar"))
+        .select("key", F.col("_w.start").alias("bucket_ts"), "xbar")
+    )
+    w = Window.partitionBy("key").orderBy("bucket_ts")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    expanded = b.withColumn("_mbar", F.avg("xbar").over(cum))
+    dev = expanded.withColumn(
+        "_dev", F.col("xbar") - F.col("_mbar") - F.lit(delta)
+    )
+    m = dev.withColumn("_m", F.sum("_dev").over(cum))
+    ph = m.withColumn("_ph", F.col("_m") - F.min("_m").over(cum))
+    return ph.select(
+        "key",
+        "bucket_ts",
+        F.round("xbar", 6).alias("xbar"),
+        F.round("_ph", 6).alias("ph"),
+        (F.col("_ph") > lam).alias("alarm"),
+    )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 day",
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition per key →
+    (key, bucket_ts, y, trend, seasonal, resid): trend is the centered
+    ``period``-point moving average (NULL at the edges where the
+    window is incomplete — no half-window bias), seasonal is the mean
+    detrended value per season phase re-centered to sum to zero, and
+    resid = y − trend − seasonal. The phase is POSITIONAL
+    (row index mod period), not a calendar day-of-week — engines
+    disagree on dow numbering, positions they can't.
+
+    One bucketing aggregate, one keyed window pass (moving avg +
+    row index share the sort), two tiny phase-level aggregates joined
+    back broadcast-size (period × keys rows). Series length per key
+    is calendar-bounded; nothing global."""
+    half = period // 2
+    b = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.window(F.col(ts_col), bucket).alias("_w"),
+        )
+        .agg(F.avg(value_col).alias("y"))
+        .select("key", F.col("_w.start").alias("bucket_ts"), "y")
+    )
+    w = Window.partitionBy("key").orderBy("bucket_ts")
+    frame = w.rowsBetween(-half, half)
+    t = (
+        b.withColumn("_idx", F.row_number().over(w) - 1)
+        .withColumn("_cnt", F.count("y").over(frame))
+        .withColumn(
+            "trend",
+            F.when(F.col("_cnt") == period, F.avg("y").over(frame)),
+        )
+        .withColumn("_phase", F.col("_idx") % period)
+        .withColumn("_detr", F.col("y") - F.col("trend"))
+    )
+    phase = t.groupBy("key", "_phase").agg(F.avg("_detr").alias("_sraw"))
+    center = phase.groupBy("key").agg(F.avg("_sraw").alias("_soff"))
+    season = phase.join(center, "key").select(
+        "key", "_phase", (F.col("_sraw") - F.col("_soff")).alias("_seas")
+    )
+    return (
+        t.join(F.broadcast(season), ["key", "_phase"])
+        .select(
+            "key",
+            "bucket_ts",
+            F.round("y", 6).alias("y"),
+            F.round("trend", 6).alias("trend"),
+            F.round("_seas", 6).alias("seasonal"),
+            F.round(
+                F.col("y") - F.col("trend") - F.col("_seas"), 6
+            ).alias("resid"),
+        )
+    )

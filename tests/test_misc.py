@@ -1907,3 +1907,120 @@ def test_ndcg_perfect_and_reversed(spark):
     import math
     idcg = sum((2 ** r - 1) / math.log2(i + 2) for i, r in enumerate(rels))
     assert abs(got[1].idcg - round(idcg, 6)) < 1e-9
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    from from_superset_to_clickhouse_spark.operators.stats import theil_sen
+
+    # clean slope 3 with one wrecked point; OLS would tip, TS holds
+    ys = [10.0 + 3.0 * x for x in range(15)]
+    ys[7] = 500.0
+    rows = [("k", float(x), ys[x]) for x in range(15)]
+    df = spark.createDataFrame(rows, "key string, x double, y double")
+    r = theil_sen(df, "key", "x", "y").collect()[0]
+    # python replay: median of pairwise slopes, then median intercept
+    slopes = sorted(
+        (ys[j] - ys[i]) / (j - i)
+        for i in range(15) for j in range(i + 1, 15)
+    )
+    m = len(slopes)
+    med = (slopes[(m - 1) // 2] + slopes[m // 2]) / 2.0
+    res = sorted(ys[i] - med * i for i in range(15))
+    icpt = (res[(15 - 1) // 2] + res[15 // 2]) / 2.0
+    assert r.n_pairs == m == 105
+    assert abs(r.slope - round(med, 6)) < 1e-9
+    assert abs(r.intercept - round(icpt, 6)) < 1e-9
+    assert abs(r.slope - 3.0) < 0.2  # the outlier moved OLS, not TS
+
+
+def test_mann_kendall_trend_and_ties(spark):
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        mann_kendall,
+    )
+
+    ys = [1.0, 2.0, 2.0, 3.0, 5.0, 4.0, 6.0, 7.0, 7.0, 9.0]
+    rows = [("k", float(t), ys[t]) for t in range(10)]
+    df = spark.createDataFrame(rows, "key string, t double, y double")
+    r = mann_kendall(df, "key", "t", "y").collect()[0]
+    # python replay with tie correction
+    s = sum(
+        (ys[j] > ys[i]) - (ys[j] < ys[i])
+        for i in range(10) for j in range(i + 1, 10)
+    )
+    from collections import Counter
+    n = 10
+    tsum = sum(c * (c - 1) * (2 * c + 5) for c in Counter(ys).values())
+    var = (n * (n - 1) * (2 * n + 5) - tsum) / 18.0
+    z = (s - 1) / var ** 0.5
+    assert r.s == s and r.n == n
+    assert abs(r.var_s - round(var, 6)) < 1e-9
+    assert abs(r.z - round(z, 6)) < 1e-9
+    assert r.p_value < 0.01  # clearly increasing
+
+
+def test_mann_kendall_flat_series_zero_z(spark):
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        mann_kendall,
+    )
+
+    rows = [("k", float(t), 5.0) for t in range(8)]
+    df = spark.createDataFrame(rows, "key string, t double, y double")
+    r = mann_kendall(df, "key", "t", "y").collect()[0]
+    # every pair tied: S = 0, Var(S) = 0 -> no z/p, not a crash
+    assert r.s == 0 and r.z is None and r.p_value is None
+
+
+def _pav(ys):
+    """Reference pool-adjacent-violators: (sum, count) block stack."""
+    blocks = []
+    for y in ys:
+        blocks.append([y, 1])
+        while len(blocks) > 1 and (
+            blocks[-2][0] / blocks[-2][1] > blocks[-1][0] / blocks[-1][1]
+        ):
+            s, c = blocks.pop()
+            blocks[-1][0] += s
+            blocks[-1][1] += c
+    out = []
+    for s, c in blocks:
+        out.extend([s / c] * c)
+    return out
+
+
+def test_isotonic_fit_equals_pav(spark):
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        isotonic_fit,
+    )
+
+    ys = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0, 5.0, 8.0]
+    rows = [("k", float(x), ys[x]) for x in range(len(ys))]
+    df = spark.createDataFrame(rows, "key string, x double, y double")
+    got = {r.x: r.fit for r in isotonic_fit(df, "key", "x", "y").collect()}
+    want = _pav(ys)
+    for x in range(len(ys)):
+        assert abs(got[float(x)] - round(want[x], 6)) < 1e-9, x
+    # monotone by construction
+    fits = [got[float(x)] for x in range(len(ys))]
+    assert all(a <= b + 1e-12 for a, b in zip(fits, fits[1:]))
+    # mean-preserving (sum of fit == sum of y, a PAV invariant)
+    assert abs(sum(fits) - sum(ys)) < 1e-4
+
+
+def test_isotonic_fit_property_random(spark):
+    import random
+
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        isotonic_fit,
+    )
+
+    rng = random.Random(42)
+    for trial in range(3):
+        ys = [rng.uniform(0, 100) for _ in range(20)]
+        rows = [(f"k{trial}", float(x), ys[x]) for x in range(20)]
+        df = spark.createDataFrame(
+            rows, "key string, x double, y double")
+        got = {r.x: r.fit
+               for r in isotonic_fit(df, "key", "x", "y").collect()}
+        want = _pav(ys)
+        for x in range(20):
+            assert abs(got[float(x)] - round(want[x], 6)) < 1e-6, (trial, x)

@@ -882,3 +882,69 @@ def test_acf_alternating_signal(spark):
     c = [x - mu for x in xs]
     r1 = sum(c[i] * c[i - 1] for i in range(1, 30)) / sum(v * v for v in c)
     assert abs(got[1] - round(r1, 6)) < 1e-9
+
+
+def test_page_hinkley_replay_and_alarm(spark):
+    import datetime
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        page_hinkley,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    # level shift of +30 from day 20
+    xs = [100.0 + (i % 3) + (30.0 if i >= 20 else 0.0) for i in range(30)]
+    rows = [("k", base + datetime.timedelta(days=i), xs[i])
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v double")
+    got = {r.bucket_ts.day: (r.ph, r.alarm) for r in page_hinkley(
+        df, "key", "ts", "v", bucket="1 day", delta=0.0, lam=50.0
+    ).collect()}
+    # python replay of the recursion
+    m, mn, cum = 0.0, 0.0, 0.0
+    for i, x in enumerate(xs):
+        cum += x
+        mbar = cum / (i + 1)
+        m += x - mbar
+        mn = min(mn, m)
+        ph = m - mn
+        assert abs(got[i + 1][0] - round(ph, 6)) < 1e-9, i
+        assert got[i + 1][1] == (ph > 50.0)
+    # the shift must actually fire, and not before it happened
+    assert any(a for d, (p, a) in got.items() if d > 20)
+    assert not any(a for d, (p, a) in got.items() if d <= 20)
+
+
+def test_seasonal_decompose_recovers_planted_period(spark):
+    import datetime
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        seasonal_decompose,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    seas = [12.0, -8.0, 3.0, 0.0, -4.0, 9.0, -12.0]  # sums to 0
+    xs = [50.0 + 2.0 * i + seas[i % 7] for i in range(28)]
+    rows = [("k", base + datetime.timedelta(days=i), xs[i])
+            for i in range(28)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v double")
+    out = sorted(
+        seasonal_decompose(df, "key", "ts", "v", bucket="1 day",
+                           period=7).collect(),
+        key=lambda r: r.bucket_ts,
+    )
+    assert len(out) == 28
+    # edges (first/last 3) have no trend; interior is the exact linear
+    # trend because the planted seasonal sums to zero over any 7 window
+    for i, r in enumerate(out):
+        if i < 3 or i >= 25:
+            assert r.trend is None and r.resid is None
+        else:
+            assert abs(r.trend - (50.0 + 2.0 * i)) < 1e-6, i
+            assert abs(r.resid) < 1e-6
+    # the recovered phase effects match the planted ones
+    ph = {i % 7: r.seasonal for i, r in enumerate(out)}
+    for p in range(7):
+        assert abs(ph[p] - seas[p]) < 1e-6
+    # seasonal components re-center to zero
+    assert abs(sum(ph.values())) < 1e-6
