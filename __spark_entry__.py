@@ -9769,12 +9769,43 @@ def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of event values across event-type
+    groups onto the POOLED distribution — the batch-effect remover
+    that makes per-source quality scores comparable before one global
+    threshold. Deterministic contract: per-group rank r of n maps to
+    pooled fractional index h = (r-1)(N-1)/(n-1) (integer product
+    then divide, so integer h is bit-exact on both engines), linear
+    interpolation between pooled ranks floor(h)+1 and floor(h)+2.
+    Scale: both rankings use the two-phase bucketed row_number (per-
+    (part,bucket) sorts, parts x buckets driver scalars) — no single-
+    task global sort; interpolation is two equi-joins on integer
+    pooled ranks."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        quantile_normalize,
+    )
+
+    ev = _ev(spark, sf_dir)
+    src = ev.select(
+        F.col("event_type").alias("grp"),
+        F.col("event_id").alias("id"),
+        F.col("value").alias("v"),
+    )
+    return quantile_normalize(src, "grp", "id", "v").select(
+        F.col("grp").alias("event_type"),
+        F.col("id").alias("event_id"),
+        F.round("v", 6).alias("v"),
+        "qnorm",
+    )
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
     "page_hinkley": q_page_hinkley,
     "seasonal_decomp": q_seasonal_decomp,
     "isotonic": q_isotonic,
+    "quantile_norm": q_quantile_norm,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -9948,5 +9979,38 @@ WITH d AS (
 SELECT b.event_type, b.x AS x, round(b.y, 6) AS y,
   round(f.fit, 6) AS fit
 FROM base b JOIN fit f ON b.event_type = f.event_type AND b.i = f.i
+""",
+    "quantile_norm": """
+-- Same deterministic mapping: per-group rank r of n -> pooled index
+-- h = (r-1)(N-1)/(n-1) (integer product, then one double division),
+-- linear interpolation between pooled ranks floor(h)+1, floor(h)+2.
+WITH src AS (
+  SELECT event_type AS grp, event_id AS id, CAST(value AS DOUBLE) AS v
+  FROM events
+), r AS (
+  SELECT grp, id, v,
+    row_number() OVER (PARTITION BY grp ORDER BY v, id) AS r,
+    count(*) OVER (PARTITION BY grp) AS n
+  FROM src
+), p AS (
+  SELECT v AS pv, row_number() OVER (ORDER BY v, grp, id) AS rr
+  FROM src
+), t AS (SELECT CAST(count(*) AS BIGINT) AS big_n FROM src),
+h AS (
+  SELECT grp, id, v, big_n,
+    CASE WHEN n > 1
+      THEN ((r - 1) * (big_n - 1)) / CAST(n - 1 AS DOUBLE)
+      ELSE (big_n - 1) / 2.0 END AS h
+  FROM r, t
+), i AS (
+  SELECT grp, id, v, h - floor(h) AS frac,
+    CAST(floor(h) AS BIGINT) + 1 AS lo,
+    least(CAST(floor(h) AS BIGINT) + 2, big_n) AS hi
+  FROM h
+)
+SELECT i.grp AS event_type, i.id AS event_id, round(i.v, 6) AS v,
+  floor((plo.pv * (1 - i.frac) + phi.pv * i.frac) * 1e6 + 0.5) / 1e6
+    AS qnorm
+FROM i JOIN p plo ON plo.rr = i.lo JOIN p phi ON phi.rr = i.hi
 """,
 }

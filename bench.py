@@ -106,6 +106,10 @@ HEADLINE = [
     "png_interlaced",
     "g711_audio",
     "exif_meta",
+    # post-wrap round-8 additions: pooled quantile normalization (two
+    # bucketed two-phase global rankings + integer-rank equi-joins over
+    # the 100k-row events fact — no single-task window sort)
+    "quantile_norm",
 ]
 
 # ANN is measured on a deterministic query slice (vec_id < ANN_QUERIES)

@@ -101,3 +101,76 @@ def arg_min_expr(arg: Column, value: Column, *tiebreak: Column) -> Column:
     """``argMin(arg, value)`` with the deterministic tie rule: the
     row with the least ``(value, *tiebreak)`` tuple wins."""
     return F.min(F.struct(value.alias("v"), *[t.alias(f"t{i}") for i, t in enumerate(tiebreak)], arg.alias("a"))).getField("a")
+
+
+def bucketed_row_number(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: "Sequence[str]",
+    part_cols: "Sequence[str]" = (),
+    buckets: int = 256,
+    out_col: str = "rn",
+) -> DataFrame:
+    """EXACT ``row_number() OVER ([PARTITION BY part] ORDER BY value,
+    tiebreaks)`` without serializing each partition through one task —
+    the primitive behind global ranking at scale. A plain window with
+    few/no partition keys funnels the whole table through one sorting
+    task; this is the two-phase form: (1) rows are range-bucketed on
+    the value (equal values always share a bucket, so bucket order IS
+    value order), one aggregate computes per-(part, bucket) counts —
+    at most parts × buckets scalars reach the driver, (2) the driver
+    prefix-sums them into per-bucket starting offsets, broadcast-joins
+    them back, and each (part, bucket) sorts only its own slice.
+    Result is row-for-row identical to the single-window form (which
+    is what SQL oracle twins replay); parallelism is parts × buckets.
+
+    Bucket boundaries are fixed-width over the observed [min, max] per
+    part (one tiny pre-aggregate). Skewed value distributions skew
+    bucket sizes, not correctness; crank ``buckets`` or pre-transform
+    the value if one bucket dominates."""
+    pc = list(part_cols)
+    v = F.col(value_col).cast("double")
+    stats = df.groupBy(*pc).agg(
+        F.min(v).alias("_bmin"), F.max(v).alias("_bmax")
+    )
+    width = (F.col("_bmax") - F.col("_bmin")) / buckets
+    tagged = df.join(F.broadcast(stats), pc) if pc else df.crossJoin(
+        F.broadcast(stats)
+    )
+    bucket = F.when(
+        F.col("_bmax") == F.col("_bmin"), F.lit(0)
+    ).otherwise(
+        F.least(
+            F.floor((v - F.col("_bmin")) / width).cast("int"),
+            F.lit(buckets - 1),
+        )
+    )
+    tagged = tagged.withColumn("_bkt", bucket).drop("_bmin", "_bmax")
+    partials = (
+        tagged.groupBy(*pc, "_bkt").agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    )
+    by_part: dict = {}
+    for r in partials:
+        key = tuple(r[c] for c in pc)
+        by_part.setdefault(key, []).append((r["_bkt"], r["_c"]))
+    offsets = []
+    for key, lst in by_part.items():
+        run = 0
+        for b, c in sorted(lst):
+            offsets.append((*key, b, run))
+            run += c
+    spark = df.sparkSession
+    types = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in pc
+    )
+    off_schema = (types + ", " if types else "") + "_bkt int, _off long"
+    off_df = spark.createDataFrame(offsets, off_schema)
+    w = Window.partitionBy(*pc, "_bkt").orderBy(
+        v, *[F.col(c) for c in tiebreak_cols]
+    )
+    return (
+        tagged.join(F.broadcast(off_df), pc + ["_bkt"])
+        .withColumn(out_col, F.col("_off") + F.row_number().over(w))
+        .drop("_bkt", "_off")
+    )

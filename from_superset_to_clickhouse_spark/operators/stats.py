@@ -1008,3 +1008,88 @@ def isotonic_fit(
             F.round("_fit", 6).alias("fit"),
         )
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    buckets: int = 256,
+) -> DataFrame:
+    """Quantile normalization across groups → (group, id, v, qnorm):
+    every group's value distribution is mapped onto the POOLED
+    distribution, so after normalization all groups share identical
+    quantiles — the batch-effect remover (microarray heritage) that
+    LLM-data pipelines use to make quality scores comparable across
+    crawl sources before a global threshold is applied.
+
+    Deterministic interpolation contract (both engines replay it
+    verbatim): a row at per-group rank r of n maps to pooled
+    fractional index h = (r−1)(N−1)/(n−1) (h = (N−1)/2 for a
+    singleton group), and qnorm linearly interpolates the pooled
+    values at positions ⌊h⌋+1 and min(⌊h⌋+2, N) (1-based). h is
+    computed as integer-product-then-divide, so whenever h SHOULD be
+    an integer it is bit-exact in IEEE double on every engine — no
+    floor() boundary disagreement.
+
+    Scale: both rankings (per-group and pooled) use
+    ``bucketed_row_number`` — no single-task global sort; the
+    interpolation is two equi-joins on integer pooled ranks. Ties
+    rank by (value, id) so the mapping is total-ordered and
+    replayable."""
+    from .relational import bucketed_row_number
+
+    src = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    ranked = bucketed_row_number(
+        src, "v", ["id"], part_cols=["grp"], buckets=buckets, out_col="_r"
+    )
+    sizes = src.groupBy("grp").agg(F.count(F.lit(1)).alias("_n"))
+    pooled = bucketed_row_number(
+        src, "v", ["grp", "id"], part_cols=[], buckets=buckets,
+        out_col="_rr",
+    ).select(F.col("_rr"), F.col("v").alias("_pv"))
+    total = src.count()
+    h = F.when(
+        F.col("_n") > 1,
+        ((F.col("_r").cast("long") - 1) * F.lit(int(total) - 1).cast("long"))
+        .cast("double")
+        / (F.col("_n") - 1),
+    ).otherwise(F.lit((total - 1) / 2.0))
+    withh = (
+        ranked.join(F.broadcast(sizes), "grp")
+        .withColumn("_h", h)
+        .withColumn("_lo", F.floor("_h").cast("long") + 1)
+        .withColumn(
+            "_hi", F.least(F.floor("_h").cast("long") + 2, F.lit(total))
+        )
+        .withColumn("_frac", F.col("_h") - F.floor("_h"))
+    )
+    lo = pooled.select(F.col("_rr").alias("_lo"), F.col("_pv").alias("_vlo"))
+    hi = pooled.select(F.col("_rr").alias("_hi"), F.col("_pv").alias("_vhi"))
+    return (
+        withh.join(lo, "_lo").join(hi, "_hi")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("id").alias(id_col),
+            F.col("v").alias(value_col),
+            # floor(x*1e6+0.5)/1e6, not round(): interpolated values can
+            # land exactly on a .5 ulp-of-6dp boundary and engines round
+            # half-cases differently; this form is bit-identical everywhere
+            (
+                F.floor(
+                    (
+                        F.col("_vlo") * (1 - F.col("_frac"))
+                        + F.col("_vhi") * F.col("_frac")
+                    )
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("qnorm"),
+        )
+    )

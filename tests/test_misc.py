@@ -2024,3 +2024,107 @@ def test_isotonic_fit_property_random(spark):
         want = _pav(ys)
         for x in range(20):
             assert abs(got[float(x)] - round(want[x], 6)) < 1e-6, (trial, x)
+
+
+def test_bucketed_row_number_matches_window(spark):
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as SF
+
+    from from_superset_to_clickhouse_spark.operators.relational import (
+        bucketed_row_number,
+    )
+
+    rng = random.Random(7)
+    rows = [(f"g{j % 3}", i, float(rng.randint(0, 40)))  # heavy ties
+            for j in range(3) for i in range(60)]
+    df = spark.createDataFrame(rows, "grp string, id int, v double")
+    # keyed form vs plain window
+    got = {
+        (r.grp, r.id): r.rn
+        for r in bucketed_row_number(
+            df, "v", ["id"], part_cols=["grp"], buckets=8
+        ).collect()
+    }
+    w = W.partitionBy("grp").orderBy("v", "id")
+    want = {
+        (r.grp, r.id): r.rn
+        for r in df.withColumn("rn", SF.row_number().over(w)).collect()
+    }
+    assert got == want
+    # global form (no partition cols) vs single window
+    got_g = {
+        (r.grp, r.id): r.rn
+        for r in bucketed_row_number(
+            df, "v", ["grp", "id"], part_cols=[], buckets=8
+        ).collect()
+    }
+    wg = W.orderBy("v", "grp", "id")
+    want_g = {
+        (r.grp, r.id): r.rn
+        for r in df.withColumn("rn", SF.row_number().over(wg)).collect()
+    }
+    assert got_g == want_g
+
+
+def test_bucketed_row_number_constant_value(spark):
+    from from_superset_to_clickhouse_spark.operators.relational import (
+        bucketed_row_number,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i, 5.0) for i in range(10)], "grp string, id int, v double"
+    )
+    got = sorted(
+        r.rn for r in bucketed_row_number(
+            df, "v", ["id"], part_cols=["grp"], buckets=4
+        ).collect()
+    )
+    assert got == list(range(1, 11))  # min==max degenerate bucket
+
+
+def test_quantile_normalize_reference(spark):
+    import math
+    import random
+
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        quantile_normalize,
+    )
+
+    rng = random.Random(13)
+    groups = {
+        "a": [(i, float(rng.randint(0, 1000))) for i in range(25)],
+        "b": [(i, float(rng.randint(500, 2000))) for i in range(40)],
+        "c": [(i, float(rng.randint(0, 100))) for i in range(10)],
+    }
+    rows = [(g, i, v) for g, rs in groups.items() for i, v in rs]
+    df = spark.createDataFrame(rows, "grp string, id int, v double")
+    out = {
+        (r.grp, r.id): r.qnorm
+        for r in quantile_normalize(df, "grp", "id", "v", buckets=8
+                                    ).collect()
+    }
+    pooled = sorted(v for rs in groups.values() for _, v in rs)
+    big_n = len(pooled)
+    for g, rs in groups.items():
+        n = len(rs)
+        order = sorted(rs, key=lambda t: (t[1], t[0]))
+        for r, (i, v) in enumerate(order, 1):
+            h = (r - 1) * (big_n - 1) / (n - 1) if n > 1 else (big_n - 1) / 2
+            lo = int(math.floor(h))
+            frac = h - lo
+            hi = min(lo + 1, big_n - 1)
+            want = pooled[lo] * (1 - frac) + pooled[hi] * frac
+            want = math.floor(want * 1e6 + 0.5) / 1e6
+            assert abs(out[(g, i)] - want) < 1e-9, (g, i)
+    # equal-size groups end up with IDENTICAL sorted distributions
+    d2 = spark.createDataFrame(
+        [("x", i, float((i * 37) % 50)) for i in range(20)]
+        + [("y", i, float(1000 + (i * 91) % 400)) for i in range(20)],
+        "grp string, id int, v double",
+    )
+    o2 = quantile_normalize(d2, "grp", "id", "v", buckets=4).collect()
+    xs = sorted(r.qnorm for r in o2 if r.grp == "x")
+    ys = sorted(r.qnorm for r in o2 if r.grp == "y")
+    assert xs == ys
