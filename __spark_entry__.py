@@ -9799,6 +9799,35 @@ def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted quantiles per event type (ClickHouse
+    quantileExactWeighted parity): weight = user_id % 17 + 1, the
+    q-quantile is the first row in (value, event_id) order whose
+    integral cumulative weight reaches q*W. Selection is the cross-
+    multiplied integer predicate cw*den >= num*W — no float threshold
+    for engines to straddle. Running totals via the two-phase
+    bucketed cumsum (no single-task per-key sort)."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        weighted_quantile,
+    )
+
+    ev = _ev(spark, sf_dir)
+    src = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        (F.col("user_id") % 17 + 1).alias("w"),
+    )
+    return weighted_quantile(
+        src, "event_type", "event_id", "value", "w"
+    ).select(
+        "event_type",
+        "q",
+        F.round("quantile", 6).alias("quantile"),
+        "total_weight",
+    )
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -9806,6 +9835,7 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seasonal_decomp": q_seasonal_decomp,
     "isotonic": q_isotonic,
     "quantile_norm": q_quantile_norm,
+    "weighted_quantile": q_weighted_quantile,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -10012,5 +10042,29 @@ SELECT i.grp AS event_type, i.id AS event_id, round(i.v, 6) AS v,
   floor((plo.pv * (1 - i.frac) + phi.pv * i.frac) * 1e6 + 0.5) / 1e6
     AS qnorm
 FROM i JOIN p plo ON plo.rr = i.lo JOIN p phi ON phi.rr = i.hi
+""",
+    "weighted_quantile": """
+-- Same lower-weighted-quantile rule: integral cumulative weight in
+-- (value, event_id) order; cross-multiplied integer selection so the
+-- chosen row is identical on both engines.
+WITH src AS (
+  SELECT event_type AS k, event_id AS id, CAST(value AS DOUBLE) AS v,
+    CAST(user_id % 17 + 1 AS BIGINT) AS w
+  FROM events
+), c AS (
+  SELECT k, id, v, w,
+    CAST(sum(w) OVER (PARTITION BY k ORDER BY v, id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cw,
+    CAST(sum(w) OVER (PARTITION BY k) AS BIGINT) AS tw
+  FROM src
+), q(num, den, q) AS (
+  VALUES (1, 4, 'p25'), (1, 2, 'p50'), (3, 4, 'p75'), (9, 10, 'p90')
+)
+SELECT c.k AS event_type, q.q AS q, round(c.v, 6) AS quantile,
+  c.tw AS total_weight
+FROM c, q
+WHERE cw * CAST(q.den AS BIGINT) >= CAST(q.num AS BIGINT) * tw
+  AND (cw - w) * CAST(q.den AS BIGINT) < CAST(q.num AS BIGINT) * tw
 """,
 }

@@ -110,6 +110,9 @@ HEADLINE = [
     # bucketed two-phase global rankings + integer-rank equi-joins over
     # the 100k-row events fact — no single-task window sort)
     "quantile_norm",
+    # exact weighted quantiles on the same bucketed-cumsum machinery
+    # (integer cross-multiplied selection, no single-task sort)
+    "weighted_quantile",
 ]
 
 # ANN is measured on a deterministic query slice (vec_id < ANN_QUERIES)

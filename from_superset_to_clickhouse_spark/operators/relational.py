@@ -103,26 +103,28 @@ def arg_min_expr(arg: Column, value: Column, *tiebreak: Column) -> Column:
     return F.min(F.struct(value.alias("v"), *[t.alias(f"t{i}") for i, t in enumerate(tiebreak)], arg.alias("a"))).getField("a")
 
 
-def bucketed_row_number(
+def bucketed_cumsum(
     df: DataFrame,
     value_col: str,
+    weight_col: str | None,
     tiebreak_cols: "Sequence[str]",
     part_cols: "Sequence[str]" = (),
     buckets: int = 256,
-    out_col: str = "rn",
+    out_col: str = "cw",
 ) -> DataFrame:
-    """EXACT ``row_number() OVER ([PARTITION BY part] ORDER BY value,
-    tiebreaks)`` without serializing each partition through one task —
-    the primitive behind global ranking at scale. A plain window with
-    few/no partition keys funnels the whole table through one sorting
-    task; this is the two-phase form: (1) rows are range-bucketed on
-    the value (equal values always share a bucket, so bucket order IS
-    value order), one aggregate computes per-(part, bucket) counts —
-    at most parts × buckets scalars reach the driver, (2) the driver
-    prefix-sums them into per-bucket starting offsets, broadcast-joins
-    them back, and each (part, bucket) sorts only its own slice.
-    Result is row-for-row identical to the single-window form (which
-    is what SQL oracle twins replay); parallelism is parts × buckets.
+    """EXACT running total of ``weight_col`` in ``(value, tiebreaks)``
+    order per part — ``sum(w) OVER ([PARTITION BY part] ORDER BY
+    value, tiebreaks ROWS UNBOUNDED PRECEDING)`` — without serializing
+    each part through one sorting task. Two-phase: (1) rows are
+    range-bucketed on the value (equal values always share a bucket,
+    so bucket order IS value order), one aggregate computes per-(part,
+    bucket) weight sums — at most parts × buckets scalars reach the
+    driver, (2) the driver prefix-sums them into per-bucket starting
+    offsets, broadcast-joins them back, and each (part, bucket)
+    window-sums only its own slice. ``weight_col=None`` sums 1 per row
+    (row_number). Weights are cast to long — integral weights make the
+    running total exact under ANY summation order, which is what lets
+    a SQL oracle replay it bit-for-bit.
 
     Bucket boundaries are fixed-width over the observed [min, max] per
     part (one tiny pre-aggregate). Skewed value distributions skew
@@ -130,6 +132,11 @@ def bucketed_row_number(
     the value if one bucket dominates."""
     pc = list(part_cols)
     v = F.col(value_col).cast("double")
+    w = (
+        F.lit(1).cast("long")
+        if weight_col is None
+        else F.col(weight_col).cast("long")
+    )
     stats = df.groupBy(*pc).agg(
         F.min(v).alias("_bmin"), F.max(v).alias("_bmax")
     )
@@ -147,7 +154,7 @@ def bucketed_row_number(
     )
     tagged = tagged.withColumn("_bkt", bucket).drop("_bmin", "_bmax")
     partials = (
-        tagged.groupBy(*pc, "_bkt").agg(F.count(F.lit(1)).alias("_c"))
+        tagged.groupBy(*pc, "_bkt").agg(F.sum(w).alias("_c"))
         .collect()
     )
     by_part: dict = {}
@@ -166,11 +173,39 @@ def bucketed_row_number(
     )
     off_schema = (types + ", " if types else "") + "_bkt int, _off long"
     off_df = spark.createDataFrame(offsets, off_schema)
-    w = Window.partitionBy(*pc, "_bkt").orderBy(
-        v, *[F.col(c) for c in tiebreak_cols]
+    win = (
+        Window.partitionBy(*pc, "_bkt")
+        .orderBy(v, *[F.col(c) for c in tiebreak_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
         tagged.join(F.broadcast(off_df), pc + ["_bkt"])
-        .withColumn(out_col, F.col("_off") + F.row_number().over(w))
+        .withColumn(out_col, F.col("_off") + F.sum(w).over(win))
         .drop("_bkt", "_off")
+    )
+
+
+def bucketed_row_number(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: "Sequence[str]",
+    part_cols: "Sequence[str]" = (),
+    buckets: int = 256,
+    out_col: str = "rn",
+) -> DataFrame:
+    """EXACT ``row_number() OVER ([PARTITION BY part] ORDER BY value,
+    tiebreaks)`` without serializing each partition through one task —
+    the primitive behind global ranking at scale. Row number is the
+    running count, i.e. ``bucketed_cumsum`` with unit weights; see
+    that function for the two-phase plan shape. Result is row-for-row
+    identical to the single-window form (which is what SQL oracle
+    twins replay); parallelism is parts × buckets."""
+    return bucketed_cumsum(
+        df,
+        value_col,
+        None,
+        tiebreak_cols,
+        part_cols=part_cols,
+        buckets=buckets,
+        out_col=out_col,
     )

@@ -1093,3 +1093,74 @@ def quantile_normalize(
             ).alias("qnorm"),
         )
     )
+
+
+def weighted_quantile(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    value_col: str,
+    weight_col: str,
+    qs: "Sequence[tuple[int, int, str]]" = (
+        (1, 4, "p25"),
+        (1, 2, "p50"),
+        (3, 4, "p75"),
+        (9, 10, "p90"),
+    ),
+    buckets: int = 256,
+) -> DataFrame:
+    """EXACT weighted quantiles per key (ClickHouse
+    ``quantileExactWeighted`` parity) → (key, q, quantile,
+    total_weight): the q-quantile is the value of the FIRST row in
+    (value, id) order whose cumulative weight reaches q·W — the
+    lower-weighted-quantile rule, which always returns an observed
+    value (no interpolation to disagree over).
+
+    Determinism contract: weights are cast to long (integral running
+    totals are exact under any summation order) and each q is a
+    rational (num, den, label), so the selection predicate is the
+    cross-multiplied INTEGER comparison ``cw·den ≥ num·W ∧
+    (cw−w)·den < num·W`` — no floating-point threshold exists for two
+    engines to straddle. Overflow bound: cw·den must fit in int64,
+    i.e. total weight < 2^63/max(den) — fine until ~10^17 total
+    weight.
+
+    Scale: the running total uses the two-phase ``bucketed_cumsum``
+    (per-(key, bucket) slices, keys × buckets driver scalars) — no
+    single-task per-key sort; the q table is a broadcast of len(qs)
+    rows and per-key totals broadcast back, so the only full-data
+    shuffles are the bucket tag and the in-bucket window."""
+    from .relational import bucketed_cumsum
+
+    src = df.select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("id"),
+        F.col(value_col).cast("double").alias("v"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).filter(F.col("w") > 0)
+    cum = bucketed_cumsum(
+        src, "v", "w", ["id"], part_cols=["k"], buckets=buckets,
+        out_col="cw",
+    )
+    tot = src.groupBy("k").agg(F.sum("w").alias("tw"))
+    qdf = df.sparkSession.createDataFrame(
+        [(int(n), int(d), str(lbl)) for n, d, lbl in qs],
+        "num long, den long, q string",
+    )
+    return (
+        cum.join(F.broadcast(tot), "k")
+        .crossJoin(F.broadcast(qdf))
+        .filter(
+            (F.col("cw") * F.col("den") >= F.col("num") * F.col("tw"))
+            & (
+                (F.col("cw") - F.col("w")) * F.col("den")
+                < F.col("num") * F.col("tw")
+            )
+        )
+        .select(
+            F.col("k").alias(key_col),
+            "q",
+            F.col("v").alias("quantile"),
+            F.col("tw").alias("total_weight"),
+        )
+    )

@@ -2128,3 +2128,58 @@ def test_quantile_normalize_reference(spark):
     xs = sorted(r.qnorm for r in o2 if r.grp == "x")
     ys = sorted(r.qnorm for r in o2 if r.grp == "y")
     assert xs == ys
+
+
+def test_weighted_quantile_reference(spark):
+    import random
+
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        weighted_quantile,
+    )
+
+    rng = random.Random(29)
+    rows = [
+        (f"k{j}", i, float(rng.randint(0, 500)), rng.randint(1, 9))
+        for j in range(3)
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "k string, id int, v double, w int")
+    got = {
+        (r.k, r.q): (r.quantile, r.total_weight)
+        for r in weighted_quantile(df, "k", "id", "v", "w",
+                                   buckets=8).collect()
+    }
+    qs = [(1, 4, "p25"), (1, 2, "p50"), (3, 4, "p75"), (9, 10, "p90")]
+    for j in range(3):
+        key = f"k{j}"
+        sub = sorted(
+            [(v, i, w) for (k, i, v, w) in rows if k == key],
+            key=lambda t: (t[0], t[1]),
+        )
+        tw = sum(w for _, _, w in sub)
+        for num, den, lbl in qs:
+            cw = 0
+            for v, i, w in sub:
+                cw += w
+                if cw * den >= num * tw:
+                    assert got[(key, lbl)] == (v, tw), (key, lbl)
+                    break
+    # exactly one row per (key, q)
+    assert len(got) == 12
+
+
+def test_weighted_quantile_unit_weights_match_lower_quantile(spark):
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        weighted_quantile,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i, float(i), 1) for i in range(1, 101)],
+        "k string, id int, v double, w int",
+    )
+    got = {
+        r.q: r.quantile
+        for r in weighted_quantile(df, "k", "id", "v", "w").collect()
+    }
+    # with unit weights on 1..100 the first row reaching q*100 is q*100
+    assert got == {"p25": 25.0, "p50": 50.0, "p75": 75.0, "p90": 90.0}
