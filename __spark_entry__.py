@@ -9828,6 +9828,22 @@ def q_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed sum/count/avg per event type at each
+    type's newest observation (tau = 3 days) — ClickHouse
+    exponentialTimeDecayedSum/Count/Avg parity. Delta-t in integer
+    micros then two double divisions, identical IEEE sequence in SQL;
+    sums rounded 2dp (order noise), ratio 6dp."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        time_decay_agg,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return time_decay_agg(
+        ev, "event_type", "ts", "value", tau_seconds=259200.0
+    )
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -9836,6 +9852,7 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "isotonic": q_isotonic,
     "quantile_norm": q_quantile_norm,
     "weighted_quantile": q_weighted_quantile,
+    "time_decay": q_time_decay,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -10066,5 +10083,24 @@ SELECT c.k AS event_type, q.q AS q, round(c.v, 6) AS quantile,
 FROM c, q
 WHERE cw * CAST(q.den AS BIGINT) >= CAST(q.num AS BIGINT) * tw
   AND (cw - w) * CAST(q.den AS BIGINT) < CAST(q.num AS BIGINT) * tw
+""",
+    "time_decay": """
+-- Same weight arithmetic: integer-micros delta, /1e6 then /tau, exp;
+-- per-key newest timestamp as the reference point.
+WITH ref AS (
+  SELECT event_type AS k, max(epoch_us(ts)) AS ref_us
+  FROM events GROUP BY 1
+), s AS (
+  SELECT e.event_type AS k, r.ref_us,
+    exp(-((r.ref_us - epoch_us(e.ts)) / 1000000.0) / 259200.0) AS wgt,
+    CAST(e.value AS DOUBLE) AS v
+  FROM events e JOIN ref r ON e.event_type = r.k
+  WHERE e.value IS NOT NULL
+)
+SELECT k AS event_type, make_timestamp(max(ref_us)) AS ref_ts,
+  count(*) AS n, round(sum(wgt), 2) AS decayed_count,
+  round(sum(v * wgt), 2) AS decayed_sum,
+  round(sum(v * wgt) / sum(wgt), 6) AS decayed_avg
+FROM s GROUP BY k
 """,
 }

@@ -929,3 +929,59 @@ def seasonal_decompose(
             ).alias("resid"),
         )
     )
+
+
+def time_decay_agg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tau_seconds: float = 86400.0,
+) -> DataFrame:
+    """Exponentially TIME-decayed aggregates per key (ClickHouse
+    ``exponentialTimeDecayedSum/Count/Avg`` parity), evaluated at each
+    key's latest observation → (key, ref_ts, n, decayed_count,
+    decayed_sum, decayed_avg): every observation contributes weight
+    exp(-Δt/τ) where Δt is the time back from the key's newest row —
+    the recency-weighted rollup behind "current" quality/engagement
+    scores that must discount stale signals by wall-clock age, not by
+    row position (``ewma_smooth`` covers the positional form).
+
+    Two partial-aggregated passes over the fact: max-ts per key (tiny
+    result, broadcast back), then one sum pass — no window, no sort.
+    Δt is computed in integer microseconds then divided once by 1e6
+    and once by τ, the identical IEEE sequence any SQL engine replays.
+    Decayed sums of doubles are order-sensitive in the last ulps, so
+    the avg (magnitude of one value) is rounded to 6 dp and the sums
+    (magnitude n·value) to 2 dp — both far above summation noise."""
+    us = F.unix_micros(F.col(ts_col))
+    ref = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.max(us).alias("_ref_us")
+    )
+    src = df.select(
+        F.col(key_col).alias("_k"),
+        us.alias("_us"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    wgt = F.exp(
+        -((F.col("_ref_us") - F.col("_us")) / F.lit(1000000.0))
+        / F.lit(float(tau_seconds))
+    )
+    return (
+        src.join(F.broadcast(ref), "_k")
+        .groupBy("_k")
+        .agg(
+            F.max(F.col("_ref_us")).alias("_ref"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(wgt).alias("_dc"),
+            F.sum(F.col("_v") * wgt).alias("_ds"),
+        )
+        .select(
+            F.col("_k").alias(key_col),
+            F.timestamp_micros(F.col("_ref")).alias("ref_ts"),
+            "n",
+            F.round("_dc", 2).alias("decayed_count"),
+            F.round("_ds", 2).alias("decayed_sum"),
+            F.round(F.col("_ds") / F.col("_dc"), 6).alias("decayed_avg"),
+        )
+    )

@@ -2183,3 +2183,44 @@ def test_weighted_quantile_unit_weights_match_lower_quantile(spark):
     }
     # with unit weights on 1..100 the first row reaching q*100 is q*100
     assert got == {"p25": 25.0, "p50": 50.0, "p75": 75.0, "p90": 90.0}
+
+
+def test_time_decay_agg_reference(spark):
+    import datetime
+    import math
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        time_decay_agg,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for j, key in enumerate(["a", "b"]):
+        for i in range(50):
+            rows.append(
+                (key, base + datetime.timedelta(hours=i * 3 + j),
+                 float((i * 7 + j * 11) % 40))
+            )
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {r.k: r for r in time_decay_agg(
+        df, "k", "ts", "v", tau_seconds=86400.0).collect()}
+    for key in ("a", "b"):
+        sub = [(ts, v) for k, ts, v in rows if k == key]
+        ref = max(ts for ts, _ in sub)
+        dc = sum(math.exp(-((ref - ts).total_seconds()) / 86400.0)
+                 for ts, _ in sub)
+        ds = sum(v * math.exp(-((ref - ts).total_seconds()) / 86400.0)
+                 for ts, v in sub)
+        r = got[key]
+        assert r.n == 50
+        assert r.ref_ts == ref
+        assert abs(r.decayed_count - dc) < 0.01
+        assert abs(r.decayed_sum - ds) < 0.01
+        assert abs(r.decayed_avg - ds / dc) < 1e-5
+    # newest row dominates with tiny tau: avg -> newest value
+    tiny = {r.k: r.decayed_avg for r in time_decay_agg(
+        df, "k", "ts", "v", tau_seconds=1.0).collect()}
+    for key in ("a", "b"):
+        sub = [(ts, v) for k, ts, v in rows if k == key]
+        newest_v = max(sub)[1]
+        assert abs(tiny[key] - newest_v) < 1e-6
