@@ -9844,6 +9844,27 @@ def q_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jaro_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Jaro-Winkler fuzzy linkage over part names (brand
+    blocks, threshold 0.8): the canonical JW variant (p=0.1, boost
+    threshold 0.7, prefix cap 4) — verified bit-identical to DuckDB's
+    jaro_winkler_similarity across every fixture pair, so the oracle
+    replays the scores with its built-in. Arrow-batched scoring of
+    equi-join candidates only — never all-pairs."""
+    from from_superset_to_clickhouse_spark.operators.dedup import (
+        jaro_winkler_link,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    return jaro_winkler_link(
+        part, "p_partkey", "p_name", ["p_brand"], threshold=0.8
+    ).select(
+        F.col("id_1").alias("p1"),
+        F.col("id_2").alias("p2"),
+        "jw",
+    )
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -9853,6 +9874,7 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_norm": q_quantile_norm,
     "weighted_quantile": q_weighted_quantile,
     "time_decay": q_time_decay,
+    "jaro_link": q_jaro_link,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -10102,5 +10124,20 @@ SELECT k AS event_type, make_timestamp(max(ref_us)) AS ref_ts,
   round(sum(v * wgt), 2) AS decayed_sum,
   round(sum(v * wgt) / sum(wgt), 6) AS decayed_avg
 FROM s GROUP BY k
+""",
+    "jaro_link": """
+-- DuckDB's jaro_winkler_similarity IS the same canonical variant
+-- (p=0.1, boost>0.7, prefix<=4); scores floor-rounded at 6dp on both
+-- engines before the threshold.
+WITH p AS (
+  SELECT p_partkey, p_brand, p_name FROM part
+), s AS (
+  SELECT a.p_partkey AS p1, b.p_partkey AS p2,
+    floor(jaro_winkler_similarity(a.p_name, b.p_name) * 1e6 + 0.5)
+      / 1e6 AS jw
+  FROM p a JOIN p b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+)
+SELECT p1, p2, jw FROM s WHERE jw >= 0.8
 """,
 }

@@ -1226,3 +1226,119 @@ def phonetic_blocked_pairs(
             (F.col("edit_dist") >= 1) & (F.col("edit_dist") <= max_edit)
         )
     )
+
+
+def _jaro_winkler_py(s1: str, s2: str) -> float:
+    """Canonical Jaro–Winkler (p = 0.1, boost threshold 0.7, prefix
+    cap 4) — the exact variant DuckDB's jaro_winkler_similarity and
+    the record-linkage literature use, so an oracle can replay scores
+    with its built-in. Greedy window matching: each s1 char claims the
+    first unclaimed equal s2 char within ⌊max/2⌋−1; transpositions =
+    half the order mismatches among matched chars."""
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    window = max(l1, l2) // 2 - 1
+    if window < 0:
+        window = 0
+    m2 = [False] * l2
+    m1 = [False] * l1
+    m = 0
+    for i, c in enumerate(s1):
+        lo = i - window
+        if lo < 0:
+            lo = 0
+        hi = i + window + 1
+        if hi > l2:
+            hi = l2
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    jaro = (m / l1 + m / l2 + (m - t) / m) / 3
+    if jaro > 0.7:
+        p = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            p += 1
+        jaro = jaro + p * 0.1 * (1 - jaro)
+    return jaro
+
+
+def jaro_winkler_col(s1: Column, s2: Column) -> Column:
+    """Vectorized (Arrow-batched) Jaro–Winkler similarity column.
+    Character-level greedy alignment is inherently per-pair CPU work
+    with data-dependent control flow — the sanctioned Python boundary
+    (same rationale as the codecs); batches cross once per task, no
+    row-at-a-time pickling."""
+    import pandas as pd
+
+    # no type hints: string annotations (future-import) defeat the
+    # hint-based eval-type inference; the "double" returnType + default
+    # SCALAR eval type are what we want anyway
+    @F.pandas_udf("double")
+    def _jw(a, b):
+        return pd.Series(
+            [
+                _jaro_winkler_py(x, y)
+                if x is not None and y is not None
+                else None
+                for x, y in zip(a, b)
+            ]
+        )
+
+    return _jw(s1, s2)
+
+
+def jaro_winkler_link(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: "list[str]",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Blocked fuzzy record linkage on Jaro–Winkler similarity →
+    (id_1, id_2, name_1, name_2, jw): candidate pairs come from an
+    equi-join on the blocking key (never all-pairs — cost scales with
+    block sizes, the record-linkage standard), each pair scored once,
+    kept when jw ≥ threshold. Pair order is canonical (id_1 < id_2).
+    Scores are emitted through floor(x*1e6+0.5)/1e6 so engines that
+    order the float ops differently in the last ulp still agree at
+    6 dp."""
+    cols = [F.col(id_col).alias("_id"), F.col(name_col).alias("_nm")] + [
+        F.col(c) for c in block_cols
+    ]
+    side = df.select(*cols)
+    a = side.select(
+        *[F.col(c) for c in block_cols],
+        F.col("_id").alias("id_1"),
+        F.col("_nm").alias("name_1"),
+    )
+    b = side.select(
+        *[F.col(c) for c in block_cols],
+        F.col("_id").alias("id_2"),
+        F.col("_nm").alias("name_2"),
+    )
+    pairs = a.join(b, block_cols).filter(F.col("id_1") < F.col("id_2"))
+    jw = jaro_winkler_col(F.col("name_1"), F.col("name_2"))
+    return (
+        pairs.withColumn("jw", F.floor(jw * 1e6 + 0.5) / 1e6)
+        .filter(F.col("jw") >= threshold)
+        .select("id_1", "id_2", "name_1", "name_2", "jw")
+    )

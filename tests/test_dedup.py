@@ -394,3 +394,38 @@ def test_phonetic_blocked_pairs_two_stage(spark):
     got = {(r.id_a, r.id_b): r.edit_dist
            for r in phonetic_blocked_pairs(df, "id", "name").collect()}
     assert got == {(1, 2): 2, (3, 4): 1, (4, 5): 1, (7, 8): 1}
+
+
+def test_jaro_winkler_known_values():
+    from from_superset_to_clickhouse_spark.operators.dedup import (
+        _jaro_winkler_py,
+    )
+
+    # published reference pairs (Winkler 1990 / record-linkage lit)
+    assert abs(_jaro_winkler_py("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12
+    assert abs(_jaro_winkler_py("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12
+    assert abs(_jaro_winkler_py("DWAYNE", "DUANE") - 0.84) < 1e-12
+    assert _jaro_winkler_py("same", "same") == 1.0
+    assert _jaro_winkler_py("", "x") == 0.0
+    assert _jaro_winkler_py("xy", "yx") == 0.0  # window 0: no matches
+    # boost only above 0.7: shared prefix but low jaro stays unboosted
+    j = _jaro_winkler_py("abcdefgh", "abcdxyz")
+    assert abs(j - 0.6904761904761904) < 1e-12
+
+
+def test_jaro_winkler_link_blocked(spark):
+    from from_superset_to_clickhouse_spark.operators.dedup import (
+        jaro_winkler_link,
+    )
+
+    rows = [
+        (1, "blk", "jellyfish lamp"),
+        (2, "blk", "jellyfish lamps"),   # near-dup, same block
+        (3, "blk", "zzz qqq www"),       # same block, dissimilar
+        (4, "other", "jellyfish lamp"),  # identical name, other block
+    ]
+    df = spark.createDataFrame(rows, "id int, blk string, nm string")
+    got = jaro_winkler_link(df, "id", "nm", ["blk"], threshold=0.9)
+    out = {(r.id_1, r.id_2): r.jw for r in got.collect()}
+    assert set(out) == {(1, 2)}  # blocking kept 4 out; 3 scored below
+    assert out[(1, 2)] > 0.97
