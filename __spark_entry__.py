@@ -9865,6 +9865,85 @@ def q_jaro_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB visual downsampling of each event type's daily series
+    (x = day, y = integral sum(user_id % 100)) to 10 points —
+    ClickHouse largestTriangleThreeBuckets parity. Integral x/y keep
+    the cnt-multiplied triangle argmax exact integer arithmetic, so
+    the unrolled 8-step SQL greedy picks the identical points."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        lttb_downsample,
+    )
+
+    ev = _ev(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.dayofmonth("ts").alias("x")
+    ).agg(F.sum(F.col("user_id") % 100).alias("y"))
+    return lttb_downsample(
+        daily, "event_type", "x", "y", n_out=10
+    ).select("event_type", "x", "y")
+
+
+def _lttb_oracle_sql(nbuckets: int = 8) -> str:
+    """Unrolled LTTB greedy: one MATERIALIZED step CTE per bucket
+    (CTE inlining would expand the chain 2^steps — the kcore lesson),
+    each picking its bucket's max-area point against the previous
+    selection and the next bucket's cnt-multiplied centroid."""
+    steps = []
+    for b in range(nbuckets):
+        prev = "s0" if b == 0 else f"s{b}"
+        steps.append(f"""
+s{b + 1} AS MATERIALIZED (
+  SELECT k, x, y FROM (
+    SELECT p.k, p.x, p.y, row_number() OVER (
+      PARTITION BY p.k ORDER BY
+        abs((prev.x * c.cnt - c.sx) * (p.y - prev.y)
+            - (prev.x - p.x) * (c.sy - prev.y * c.cnt)) DESC, p.x
+    ) AS rn
+    FROM ib p JOIN {prev} prev ON p.k = prev.k
+      JOIN nxt c ON p.k = c.k AND c.b = {b}
+    WHERE p.bkt = {b}
+  ) WHERE rn = 1
+)""")
+    unions = "\n  UNION ALL ".join(
+        f"SELECT k, x, y FROM s{i}" for i in range(nbuckets + 1)
+    )
+    return f"""
+WITH pts0 AS (
+  SELECT event_type AS k, CAST(date_part('day', ts) AS DOUBLE) AS x,
+    CAST(sum(user_id % 100) AS DOUBLE) AS y
+  FROM events GROUP BY 1, date_part('day', ts)
+), nn AS (SELECT k, count(*) AS n FROM pts0 GROUP BY k),
+pts AS MATERIALIZED (
+  SELECT p.k, p.x, p.y, nn.n,
+    row_number() OVER (PARTITION BY p.k ORDER BY p.x) - 1 AS i0
+  FROM pts0 p JOIN nn ON p.k = nn.k
+),
+ib AS MATERIALIZED (
+  SELECT k, x, y, n, ((i0 - 1) * {nbuckets}) // (n - 2) AS bkt
+  FROM pts WHERE i0 >= 1 AND i0 <= n - 2 AND n > {nbuckets + 2}
+),
+firstp AS (SELECT k, x, y FROM pts WHERE i0 = 0 AND n > {nbuckets + 2}),
+lastp AS (SELECT k, x, y FROM pts WHERE i0 = n - 1 AND n > {nbuckets + 2}),
+bs AS (
+  SELECT k, bkt, CAST(count(*) AS DOUBLE) AS cnt,
+    sum(x) AS sx, sum(y) AS sy
+  FROM ib GROUP BY k, bkt
+),
+nxt AS MATERIALIZED (
+  SELECT k, bkt - 1 AS b, cnt, sx, sy FROM bs WHERE bkt >= 1
+  UNION ALL
+  SELECT k, {nbuckets - 1} AS b, 1.0 AS cnt, x AS sx, y AS sy FROM lastp
+),
+s0 AS (SELECT k, x, y FROM firstp),{",".join(steps)}
+SELECT k AS event_type, x, y FROM (
+  {unions}
+  UNION ALL SELECT k, x, y FROM lastp
+  UNION ALL SELECT k, x, y FROM pts WHERE n <= {nbuckets + 2}
+)
+"""
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -9875,6 +9954,7 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_quantile": q_weighted_quantile,
     "time_decay": q_time_decay,
     "jaro_link": q_jaro_link,
+    "lttb": q_lttb,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -10140,4 +10220,5 @@ WITH p AS (
 )
 SELECT p1, p2, jw FROM s WHERE jw >= 0.8
 """,
+    "lttb": _lttb_oracle_sql(),
 }

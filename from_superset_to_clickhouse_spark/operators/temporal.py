@@ -985,3 +985,89 @@ def time_decay_agg(
             F.round(F.col("_ds") / F.col("_dc"), 6).alias("decayed_avg"),
         )
     )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    n_out: int = 10,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling per key (ClickHouse
+    ``largestTriangleThreeBuckets`` parity) → the ``n_out`` points of
+    each key's series that best preserve its visual shape: first and
+    last point always kept, the interior split into ``n_out``−2 equal
+    index buckets, and each bucket contributes the point forming the
+    largest triangle with the PREVIOUSLY SELECTED point and the next
+    bucket's centroid (the published LTTB greedy; Steinarsson 2013).
+    Series with ≤ ``n_out`` points pass through unchanged.
+
+    Determinism contract: the area argmax is evaluated in the
+    cnt-multiplied form |(a_x·cnt − Σx)(p_y − a_y) − (a_x − p_x)
+    (Σy − a_y·cnt)| — centroid division never happens, so with
+    INTEGRAL x/y the whole selection is exact integer arithmetic any
+    SQL engine replays bit-for-bit; ties pick the smallest x. Bucket
+    assignment is pure integer index math (idx·B // M).
+
+    Scale: the greedy is sequential per key but each key's series is
+    already a BOUNDED downsampling input (you run LTTB on a bucketed
+    series, not raw events), so per-key work is tiny; keys distribute
+    via ``applyInPandas`` over the key hash — one shuffle, Arrow
+    batches, no driver loop."""
+    import pandas as pd
+
+    out_schema = (
+        f"{key_col} string, {x_col} double, {y_col} double"
+    )
+
+    def _one(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(x_col).reset_index(drop=True)
+        xs = pdf[x_col].astype(float).tolist()
+        ys = pdf[y_col].astype(float).tolist()
+        n = len(xs)
+        if n <= n_out:
+            return pdf[[key_col, x_col, y_col]]
+        nbuckets = n_out - 2
+        m = n - 2
+        sel = [0]
+        prev = 0
+        for b in range(nbuckets):
+            members = [
+                 1 + j for j in range(m) if (j * nbuckets) // m == b
+            ]
+            if b < nbuckets - 1:
+                nxt = [
+                    1 + j
+                    for j in range(m)
+                    if (j * nbuckets) // m == b + 1
+                ]
+                cnt = float(len(nxt))
+                sx = sum(xs[j] for j in nxt)
+                sy = sum(ys[j] for j in nxt)
+            else:
+                cnt = 1.0
+                sx = xs[n - 1]
+                sy = ys[n - 1]
+            ax, ay = xs[prev], ys[prev]
+            best = members[0]
+            best_area = -1.0
+            for p in members:
+                area = abs(
+                    (ax * cnt - sx) * (ys[p] - ay)
+                    - (ax - xs[p]) * (sy - ay * cnt)
+                )
+                if area > best_area:
+                    best_area = area
+                    best = p
+            sel.append(best)
+            prev = best
+        sel.append(n - 1)
+        return pdf.iloc[sel][[key_col, x_col, y_col]]
+
+    src = df.select(
+        F.col(key_col).cast("string").alias(key_col),
+        F.col(x_col).cast("double").alias(x_col),
+        F.col(y_col).cast("double").alias(y_col),
+    )
+    return src.groupBy(key_col).applyInPandas(_one, out_schema)

@@ -2224,3 +2224,55 @@ def test_time_decay_agg_reference(spark):
         sub = [(ts, v) for k, ts, v in rows if k == key]
         newest_v = max(sub)[1]
         assert abs(tiny[key] - newest_v) < 1e-6
+
+
+def test_lttb_downsample_reference(spark):
+    import random
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        lttb_downsample,
+    )
+
+    rng = random.Random(41)
+    rows = [("a", float(i), float(rng.randint(0, 1000)))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = (
+        lttb_downsample(df, "k", "x", "y", n_out=12)
+        .orderBy("x")
+        .collect()
+    )
+    assert len(got) == 12
+    assert got[0].x == 0.0 and got[-1].x == 59.0
+
+    # independent reference: classic centroid-division LTTB
+    xs = [r[1] for r in rows]
+    ys = [r[2] for r in rows]
+    n, n_out = 60, 12
+    nb, m = n_out - 2, n - 2
+    sel, prev = [0], 0
+    for b in range(nb):
+        members = [1 + j for j in range(m) if (j * nb) // m == b]
+        if b < nb - 1:
+            nxt = [1 + j for j in range(m) if (j * nb) // m == b + 1]
+            cx = sum(xs[j] for j in nxt) / len(nxt)
+            cy = sum(ys[j] for j in nxt) / len(nxt)
+        else:
+            cx, cy = xs[n - 1], ys[n - 1]
+        ax, ay = xs[prev], ys[prev]
+        best, best_area = members[0], -1.0
+        for p in members:
+            area = abs((ax - cx) * (ys[p] - ay) - (ax - xs[p]) * (cy - ay))
+            if area > best_area:
+                best_area, best = area, p
+        sel.append(best)
+        prev = best
+    sel.append(n - 1)
+    assert [r.x for r in got] == [xs[i] for i in sel]
+
+    # short series pass through whole
+    small = spark.createDataFrame(
+        [("b", float(i), float(i * i)) for i in range(5)],
+        "k string, x double, y double",
+    )
+    assert lttb_downsample(small, "k", "x", "y", n_out=10).count() == 5
