@@ -9944,6 +9944,80 @@ SELECT k AS event_type, x, y FROM (
 """
 
 
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-apply composition: a 3-batch change feed (full
+    upsert load at seq 1; value*3 re-upserts for id%5==0 at seq 2;
+    deletes for id%7==3 at seq 3) arrives as a checkpointed file
+    stream in mtime order and is merge-applied batch-by-batch onto a
+    partitioned (non-dedup) store — update/insert for upserts,
+    matched-delete for tombstones, affected partitions only. The
+    oracle is the last-write-wins fold of the SAME feed: stream-
+    applied CDC == replaying the log."""
+    import glob
+    import os
+    import shutil
+
+    from from_superset_to_clickhouse_spark.streaming.ingest import (
+        stream_cdc_apply,
+    )
+
+    ev = _ev(spark, sf_dir).select("event_id", "event_type", "value")
+    b1 = ev.select(
+        "event_id", "event_type", "value",
+        F.lit(1).cast("long").alias("seq"), F.lit("U").alias("op"),
+    )
+    b2 = ev.filter(F.col("event_id") % 5 == 0).select(
+        "event_id", "event_type",
+        (F.col("value") * 3).alias("value"),
+        F.lit(2).cast("long").alias("seq"), F.lit("U").alias("op"),
+    )
+    b3 = ev.filter(F.col("event_id") % 7 == 3).select(
+        "event_id",
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(3).cast("long").alias("seq"), F.lit("D").alias("op"),
+    )
+    base = tempfile.mkdtemp(prefix="sg_cdc_")
+    src_dir = base + "/cdc"
+    os.makedirs(src_dir)
+    for i, b in enumerate((b1, b2, b3)):
+        tmp = base + f"/w{i}"
+        b.coalesce(1).write.parquet(tmp)
+        part = glob.glob(tmp + "/part-*.parquet")[0]
+        dst = src_dir + f"/{i:02d}.parquet"
+        shutil.copy(part, dst)
+        # file streams order new files by modification time: stamp the
+        # batches so the CDC log replays in seq order
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    store = TableStore(spark, base + "/store")
+    store.create(
+        Schema(
+            name="cdc_target",
+            fields=(
+                Field("event_id", "bigint", nullable=False),
+                Field("event_type", "string"),
+                Field("value", "double"),
+                Field("seq", "bigint"),
+            ),
+            partition_by=("event_type",),
+            sort_by=("event_id",),
+        )
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+    )
+    q = stream_cdc_apply(
+        stream, store, "cdc_target", ["event_id"], base + "/ckpt"
+    )
+    q.awaitTermination()
+    return store.read("cdc_target").select(
+        "event_id", "event_type", "value", "seq"
+    )
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -9955,6 +10029,7 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_decay": q_time_decay,
     "jaro_link": q_jaro_link,
     "lttb": q_lttb,
+    "stream_cdc_apply": q_stream_cdc_apply,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -10221,4 +10296,25 @@ WITH p AS (
 SELECT p1, p2, jw FROM s WHERE jw >= 0.8
 """,
     "lttb": _lttb_oracle_sql(),
+    "stream_cdc_apply": """
+-- Last-write-wins fold of the same CDC log: newest event per key,
+-- tombstones drop the key.
+WITH cdc AS (
+  SELECT event_id, event_type, value, CAST(1 AS BIGINT) AS seq, 'U' AS op
+  FROM events
+  UNION ALL
+  SELECT event_id, event_type, value * 3, 2, 'U'
+  FROM events WHERE event_id % 5 = 0
+  UNION ALL
+  SELECT event_id, NULL, NULL, 3, 'D'
+  FROM events WHERE event_id % 7 = 3
+), last AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_id ORDER BY seq DESC
+  ) AS rn
+  FROM cdc
+)
+SELECT event_id, event_type, value, seq
+FROM last WHERE rn = 1 AND op = 'U'
+""",
 }

@@ -443,3 +443,65 @@ def streaming_ohlc(
             "volume",
         )
     )
+
+
+def stream_cdc_apply(
+    stream: DataFrame,
+    store: TableStore,
+    table: str,
+    key_cols: "list[str]",
+    checkpoint: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    available_now: bool = True,
+):
+    """Streaming CDC-apply COMPOSITION: a change-data-capture feed
+    (rows tagged ``op`` = 'U' upsert / 'D' delete plus a monotone
+    ``seq``) applied micro-batch by micro-batch onto a TableStore
+    through ``merge_into`` — the "replicate an OLTP table into the
+    lakehouse" loop. Per batch: reduce to the LAST event per key in
+    ``seq`` order (merge requires key-unique sources, and last-write-
+    wins is the CDC contract), then matched-update/insert the
+    upserts and matched-delete the deletes. Only partitions holding
+    touched keys rewrite (merge_into's affected-partition machinery);
+    the checkpoint makes the apply restartable at the last committed
+    batch.
+
+    Ordering contract: batches must arrive in ``seq`` order (a file
+    stream orders by modification time — stamp the files, as the
+    tests do). Within a batch any order works; across batches a
+    stale upsert arriving after the delete of the same key would
+    resurrect it, exactly as in any log-ordered CDC consumer.
+    Returns the StreamingQuery (caller awaits)."""
+    from pyspark.sql import Window
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy(
+            *[F.col(c) for c in key_cols]
+        ).orderBy(F.col(seq_col).desc())
+        last = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+        )
+        ups = last.filter(F.col(op_col) == "U").drop(op_col)
+        if not ups.isEmpty():
+            store.merge_into(table, ups, on=key_cols, insert=True)
+        dels = last.filter(F.col(op_col) == "D").select(*key_cols)
+        if not dels.isEmpty():
+            store.merge_into(
+                table, dels, on=key_cols, insert=False,
+                delete_matched=True,
+            )
+
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

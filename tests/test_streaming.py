@@ -436,3 +436,80 @@ def test_stream_index_append_restart_no_double_indexing(spark, tmp_path):
         for r in txt.bm25_topk(full, ["spark", "merge"], k=6).collect()
     }
     assert served == direct and len(served) > 0
+
+
+def test_stream_cdc_apply_restart_resumes_at_committed_batch(spark, tmp_path):
+    """Streaming CDC-apply under RESTART: batch 1 (full load) commits,
+    the query dies, batches 2 (re-upsert) and 3 (delete) land, a fresh
+    query on the SAME checkpoint applies only them — final table equals
+    the last-write-wins fold of the full log."""
+    import os
+
+    from from_superset_to_clickhouse_spark.schema import Field, Schema
+    from from_superset_to_clickhouse_spark.streaming.ingest import (
+        stream_cdc_apply,
+    )
+    from from_superset_to_clickhouse_spark.tablestore import TableStore
+
+    schema = (
+        "id long, grp string, v double, seq long, op string"
+    )
+    b1 = [(i, "g" + str(i % 2), float(i), 1, "U") for i in range(10)]
+    b2 = [(i, "g" + str(i % 2), float(i) * 10, 2, "U")
+          for i in range(0, 10, 2)]
+    b3 = [(3, "g1", None, 3, "D"), (4, "g0", None, 3, "D")]
+    src = str(tmp_path / "cdc")
+    os.makedirs(src)
+
+    def land(name, rows, mtime):
+        import glob
+        import shutil
+
+        tmp = str(tmp_path / ("w_" + name))
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmp)
+        part = glob.glob(tmp + "/part-*.parquet")[0]
+        dst = src + "/" + name + ".parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    store.create(Schema(
+        name="t",
+        fields=(
+            Field("id", "bigint", nullable=False),
+            Field("grp", "string"),
+            Field("v", "double"),
+            Field("seq", "bigint"),
+        ),
+        partition_by=("grp",),
+        sort_by=("id",),
+    ))
+    sdf = spark.createDataFrame(b1, schema)
+    land("00", b1, 1_700_000_000)
+    stream = (
+        spark.readStream.format("parquet").schema(sdf.schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    q = stream_cdc_apply(
+        stream, store, "t", ["id"], str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert store.read("t").count() == 10
+
+    land("01", b2, 1_700_000_060)
+    land("02", b3, 1_700_000_120)
+    stream2 = (
+        spark.readStream.format("parquet").schema(sdf.schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    q2 = stream_cdc_apply(
+        stream2, store, "t", ["id"], str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+
+    got = {r.id: (r.v, r.seq) for r in store.read("t").collect()}
+    want = {i: (float(i), 1) for i in range(10)}
+    for i in range(0, 10, 2):
+        want[i] = (float(i) * 10, 2)
+    del want[3], want[4]
+    assert got == want
