@@ -10018,6 +10018,50 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seq_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse sequenceNextNode parity: per user, the event type
+    following the FIRST adjacent view→click run in (ts, event_id)
+    order (NULL when the run ends the history). One keyed window pass
+    with lead columns; first match via min-position equijoin."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        sequence_next_node,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return sequence_next_node(
+        ev, "user_id", "ts", "event_type", ["view", "click"],
+        tiebreak_col="event_id",
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle over events: users cohorted by
+    first-event week, offsets in whole weeks, per-cell active counts
+    and rates. Two partial-agg passes + broadcast cohort sizes."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        cohort_retention,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return cohort_retention(ev, "user_id", "ts")
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch attribution of purchases to the strictly-prior
+    view/click touches per user — one keyed window pass with
+    ignore-nulls first/last over the UNBOUNDED-to-1-PRECEDING frame,
+    no self-join against the touch history."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        touch_attribution,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return touch_attribution(
+        ev, "user_id", "ts", "event_type", ["view", "click"],
+        "purchase", tiebreak_col="event_id",
+    )
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -10030,6 +10074,9 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaro_link": q_jaro_link,
     "lttb": q_lttb,
     "stream_cdc_apply": q_stream_cdc_apply,
+    "seq_next_node": q_seq_next_node,
+    "cohort_retention": q_cohort_retention,
+    "attribution": q_attribution,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -10316,5 +10363,60 @@ WITH cdc AS (
 )
 SELECT event_id, event_type, value, seq
 FROM last WHERE rn = 1 AND op = 'U'
+""",
+    "seq_next_node": """
+-- Same lead-marked adjacency match and min-position selection.
+WITH t AS (
+  SELECT user_id AS u, event_type AS t,
+    row_number() OVER w AS pos,
+    lead(event_type, 1) OVER w AS l1,
+    lead(event_type, 2) OVER w AS l2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), m AS (
+  SELECT u, min(pos) AS mpos
+  FROM t WHERE t = 'view' AND l1 = 'click' GROUP BY u
+)
+SELECT t.u AS user_id, t.l2 AS next_event, m.mpos AS match_pos
+FROM t JOIN m ON t.u = m.u AND t.pos = m.mpos
+""",
+    "cohort_retention": """
+-- Monday-start week truncation on both engines; offsets as exact
+-- day-diffs divided by 7.
+WITH f AS (
+  SELECT user_id AS u, min(date_trunc('week', ts)) AS cohort
+  FROM events GROUP BY 1
+), a AS (
+  SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS wk
+  FROM events
+), sz AS (
+  SELECT cohort, count(*) AS cohort_size FROM f GROUP BY 1
+), cell AS (
+  SELECT f.cohort, date_diff('day', f.cohort, a.wk) // 7 AS offset_weeks,
+    count(*) AS active_users
+  FROM a JOIN f ON a.u = f.u
+  GROUP BY 1, 2
+)
+SELECT CAST(c.cohort AS TIMESTAMP) AS cohort_week, c.offset_weeks,
+  c.active_users, sz.cohort_size,
+  round(c.active_users / CAST(sz.cohort_size AS DOUBLE), 6)
+    AS retention_rate
+FROM cell c JOIN sz ON c.cohort = sz.cohort
+""",
+    "attribution": """
+-- Same ignore-nulls first/last over the strictly-prior frame.
+WITH t AS (
+  SELECT event_type AS t,
+    first_value(CASE WHEN event_type IN ('view', 'click')
+        THEN event_type END IGNORE NULLS) OVER w AS first_touch,
+    last_value(CASE WHEN event_type IN ('view', 'click')
+        THEN event_type END IGNORE NULLS) OVER w AS last_touch
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT first_touch, last_touch, count(*) AS conversions
+FROM t WHERE t = 'purchase'
+GROUP BY 1, 2
 """,
 }

@@ -1071,3 +1071,151 @@ def lttb_downsample(
         F.col(y_col).cast("double").alias(y_col),
     )
     return src.groupBy(key_col).applyInPandas(_one, out_schema)
+
+
+def sequence_next_node(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    chain: "Sequence[str]",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """ClickHouse ``sequenceNextNode`` analog: per user, find the
+    FIRST run of ADJACENT events matching ``chain`` (in (ts, tiebreak)
+    order) and return the event type that follows it → (user, next_
+    event, match_pos); ``next_event`` is NULL when the chain ends the
+    user's history. The "what do users do after view→click" question.
+
+    One keyed window pass: len(chain) ``lead`` columns mark the match
+    positions (pure codegen), ``min`` over the match positions picks
+    the first, and a self-equijoin on (user, pos) — against the tiny
+    per-user match row — retrieves the follower. No cross joins, no
+    per-user state beyond the window sort."""
+    order = [F.col(ts_col)]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(F.col(user_col)).orderBy(*order)
+    t = df.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_t"),
+        F.row_number().over(w).alias("_pos"),
+        *[
+            F.lead(F.col(type_col), i).over(w).alias(f"_l{i}")
+            for i in range(1, len(chain) + 1)
+        ],
+    )
+    match = (F.col("_t") == chain[0])
+    for i, c in enumerate(chain[1:], start=1):
+        match = match & (F.col(f"_l{i}") == c)
+    firsts = (
+        t.filter(match)
+        .groupBy("_u")
+        .agg(F.min("_pos").alias("_mpos"))
+        .select(F.col("_u").alias("_fu"), "_mpos")
+    )
+    return (
+        t.join(
+            firsts,
+            (F.col("_u") == F.col("_fu"))
+            & (F.col("_pos") == F.col("_mpos")),
+        )
+        .select(
+            F.col("_u").alias(user_col),
+            F.col(f"_l{len(chain)}").alias("next_event"),
+            F.col("_mpos").alias("match_pos"),
+        )
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Weekly cohort-retention matrix → (cohort_week, offset_weeks,
+    active_users, cohort_size, retention_rate): users are cohorted by
+    the week of their FIRST event; each later active week counts them
+    at offset = (active week − cohort week)/7. The standard product-
+    analytics triangle; offset 0 rate is 1.0 by construction.
+
+    Two partial-aggregated passes (first-event per user, then distinct
+    user-weeks) + one broadcast of cohort sizes — the fact table
+    shuffles on the user key once; the matrix itself is
+    weeks × offsets, dashboard-sized."""
+    wk = F.date_trunc("week", F.col(ts_col))
+    first = df.groupBy(F.col(user_col).alias("_u")).agg(
+        F.min(wk).alias("_cohort")
+    )
+    active = df.select(
+        F.col(user_col).alias("_u"), wk.alias("_wk")
+    ).distinct()
+    sizes = first.groupBy("_cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    joined = active.join(first, "_u").select(
+        "_cohort",
+        (
+            F.datediff(F.col("_wk"), F.col("_cohort")) / 7
+        ).cast("long").alias("offset_weeks"),
+        "_u",
+    )
+    return (
+        joined.groupBy("_cohort", "offset_weeks")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .join(F.broadcast(sizes), "_cohort")
+        .select(
+            F.col("_cohort").alias("cohort_week"),
+            "offset_weeks",
+            "active_users",
+            "cohort_size",
+            F.round(
+                F.col("active_users")
+                / F.col("cohort_size").cast("double"),
+                6,
+            ).alias("retention_rate"),
+        )
+    )
+
+
+def touch_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    touch_types: "Sequence[str]",
+    conversion_type: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First/last-touch conversion attribution → one row per
+    (first_touch, last_touch) pair with the conversion count: every
+    ``conversion_type`` event is credited to the FIRST and the LAST
+    preceding ``touch_types`` event in the user's strictly-prior
+    history (NULL when the user converts untouched). The marketing
+    question "which touch opened the journey and which closed it".
+
+    ONE keyed window pass: first/last touch ride as
+    ``first/last(…, ignorenulls)`` over the UNBOUNDED-to-1-PRECEDING
+    frame (codegen window, no self-join against the touch history),
+    then a conversions-only aggregate."""
+    order = [F.col(ts_col)]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col))
+    w = (
+        Window.partitionBy(F.col(user_col))
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col(type_col).isin(*touch_types), F.col(type_col)
+    )
+    t = df.select(
+        F.col(type_col).alias("_t"),
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    )
+    return (
+        t.filter(F.col("_t") == conversion_type)
+        .groupBy("first_touch", "last_touch")
+        .agg(F.count(F.lit(1)).alias("conversions"))
+    )

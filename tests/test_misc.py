@@ -2276,3 +2276,110 @@ def test_lttb_downsample_reference(spark):
         "k string, x double, y double",
     )
     assert lttb_downsample(small, "k", "x", "y", n_out=10).count() == 5
+
+
+def test_sequence_next_node(spark):
+    import datetime
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        sequence_next_node,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def row(u, i, t):
+        return (u, t0 + datetime.timedelta(minutes=i), i, t)
+
+    rows = [
+        # u1: view click purchase  -> next purchase at pos 1
+        row(1, 0, "view"), row(1, 1, "click"), row(1, 2, "purchase"),
+        # u2: chain at END -> NULL next
+        row(2, 0, "error"), row(2, 1, "view"), row(2, 2, "click"),
+        # u3: no adjacent view->click (interrupted)
+        row(3, 0, "view"), row(3, 1, "error"), row(3, 2, "click"),
+        # u4: two matches -> FIRST one wins (next = error, not signup)
+        row(4, 0, "view"), row(4, 1, "click"), row(4, 2, "error"),
+        row(4, 3, "view"), row(4, 4, "click"), row(4, 5, "signup"),
+    ]
+    df = spark.createDataFrame(
+        rows, "u int, ts timestamp, eid int, t string"
+    )
+    got = {
+        r.u: (r.next_event, r.match_pos)
+        for r in sequence_next_node(
+            df, "u", "ts", "t", ["view", "click"], tiebreak_col="eid"
+        ).collect()
+    }
+    assert got == {1: ("purchase", 1), 2: (None, 2), 4: ("error", 1)}
+
+
+def test_cohort_retention_matrix(spark):
+    import datetime
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        cohort_retention,
+    )
+
+    mon = datetime.datetime(2024, 1, 1)  # a Monday
+
+    def at(weeks, dow=0):
+        return mon + datetime.timedelta(weeks=weeks, days=dow)
+
+    rows = (
+        # cohort W0: users 1,2 both active W0; only 1 returns W1
+        [(1, at(0)), (2, at(0, 3)), (1, at(1)), (1, at(2)), (2, at(2))]
+        # cohort W1: user 3
+        + [(3, at(1, 2)), (3, at(3))]
+    )
+    df = spark.createDataFrame(rows, "u int, ts timestamp")
+    got = {
+        (r.cohort_week.date().isoformat(), r.offset_weeks):
+            (r.active_users, r.cohort_size, r.retention_rate)
+        for r in cohort_retention(df, "u", "ts").collect()
+    }
+    assert got[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert got[("2024-01-01", 2)] == (2, 2, 1.0)
+    assert got[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert got[("2024-01-08", 2)] == (1, 1, 1.0)
+    assert len(got) == 5
+
+
+def test_touch_attribution(spark):
+    import datetime
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        touch_attribution,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def row(u, i, t):
+        return (u, t0 + datetime.timedelta(minutes=i), i, t)
+
+    rows = [
+        # u1: view ... click ... purchase -> first view, last click
+        row(1, 0, "view"), row(1, 1, "error"), row(1, 2, "click"),
+        row(1, 3, "purchase"),
+        # u1 second purchase with no new touch -> same attribution
+        row(1, 4, "purchase"),
+        # u2: untouched conversion -> NULL/NULL
+        row(2, 0, "error"), row(2, 1, "purchase"),
+        # u3: single touch click -> click/click
+        row(3, 0, "click"), row(3, 1, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "u int, ts timestamp, eid int, t string"
+    )
+    got = {
+        (r.first_touch, r.last_touch): r.conversions
+        for r in touch_attribution(
+            df, "u", "ts", "t", ["view", "click"], "purchase",
+            tiebreak_col="eid",
+        ).collect()
+    }
+    assert got == {
+        ("view", "click"): 2,
+        (None, None): 1,
+        ("click", "click"): 1,
+    }
