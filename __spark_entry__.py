@@ -10062,6 +10062,29 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance of l_extendedprice: leading
+    digit from the integer part's decimal string (never floor(log10) —
+    libm boundary hazard), observed vs log10(1+1/d) expectations and
+    the chi-square statistic over the 9-row digit table."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        benford_test,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return benford_test(li, "l_extendedprice")
+
+
+def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the documents corpus: log-log least squares
+    of the top-300 term frequencies against rank — the corpus-level
+    naturalness fingerprint. Reuses linear_regression's one-pass
+    sufficient statistics; rank runs over the bounded vocab table."""
+    from from_superset_to_clickhouse_spark.operators.text import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir), "text", top_n=300)
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -10077,6 +10100,8 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seq_next_node": q_seq_next_node,
     "cohort_retention": q_cohort_retention,
     "attribution": q_attribution,
+    "benford": q_benford,
+    "zipf": q_zipf,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -10418,5 +10443,45 @@ WITH t AS (
 SELECT first_touch, last_touch, count(*) AS conversions
 FROM t WHERE t = 'purchase'
 GROUP BY 1, 2
+""",
+    "benford": """
+-- Same string-derived leading digit and windowed chi-square.
+WITH src AS (
+  SELECT abs(CAST(l_extendedprice AS DOUBLE)) AS v FROM lineitem
+), f AS (SELECT v FROM src WHERE v >= 1),
+c AS (
+  SELECT substr(CAST(CAST(floor(v) AS BIGINT) AS VARCHAR), 1, 1)
+    AS digit, count(*) AS n
+  FROM f GROUP BY 1
+), t AS (
+  SELECT digit, n, CAST(sum(n) OVER () AS DOUBLE) AS nn,
+    log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS p
+  FROM c
+)
+SELECT digit, n, round(n / nn, 6) AS obs_prop, round(p, 6) AS exp_prop,
+  round(sum((n - nn * p) * (n - nn * p) / (nn * p)) OVER (), 6) AS chi2
+FROM t
+""",
+    "zipf": """
+-- DuckDB's regr_* family as the independent oracle over the same
+-- log-log top-300 rank/frequency table (same tokenizer as
+-- build_vocab).
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+    '[^a-z0-9'']+'), x -> x <> '')) AS tok
+  FROM documents
+), freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+ranked AS (
+  SELECT log10(CAST(row_number() OVER (ORDER BY cnt DESC, tok)
+      AS DOUBLE)) AS lx,
+    log10(CAST(cnt AS DOUBLE)) AS ly
+  FROM freq
+  QUALIFY row_number() OVER (ORDER BY cnt DESC, tok) <= 300
+)
+SELECT CAST(regr_count(ly, lx) AS BIGINT) AS n,
+  round(regr_slope(ly, lx), 6) AS slope,
+  round(regr_intercept(ly, lx), 6) AS intercept,
+  round(regr_r2(ly, lx), 6) AS r2
+FROM ranked
 """,
 }

@@ -1164,3 +1164,47 @@ def weighted_quantile(
             F.col("tw").alias("total_weight"),
         )
     )
+
+
+def benford_test(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit Benford's-law conformance → 9 rows
+    (digit, n, obs_prop, exp_prop, chi2): the fraud/data-quality screen
+    for "naturally grown" numeric columns (amounts, populations,
+    counts). Values with |v| ≥ 1 participate; the leading digit comes
+    from the INTEGER part's decimal string — never from
+    ``floor(log10)``, whose libm boundary at exact powers of ten
+    flips the digit on some engines.
+
+    One partial-aggregated digit count over the fact; expectations
+    log10(1 + 1/d) and the chi-square statistic are window arithmetic
+    over the 9-row digit table. ``chi2`` repeats on every row
+    (scalar-per-result-row keeps the output window-safe)."""
+    v = F.abs(F.col(value_col).cast("double"))
+    src = df.select(v.alias("_v")).filter(F.col("_v") >= 1)
+    digit = F.substring(
+        F.floor(F.col("_v")).cast("long").cast("string"), 1, 1
+    )
+    counts = src.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy()
+    exp_p = F.log10(
+        F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")
+    )
+    t = counts.select(
+        "digit",
+        "n",
+        F.sum("n").over(w).alias("_N"),
+        exp_p.alias("_p"),
+    )
+    exp_n = F.col("_N") * F.col("_p")
+    term = (F.col("n") - exp_n) * (F.col("n") - exp_n) / exp_n
+    return t.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("_N").cast("double"), 6).alias(
+            "obs_prop"
+        ),
+        F.round("_p", 6).alias("exp_prop"),
+        F.round(F.sum(term).over(w), 6).alias("chi2"),
+    )

@@ -1740,3 +1740,40 @@ def flesch_reading_ease(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ),
         ).alias("flesch"),
     )
+
+
+def zipf_fit(df: DataFrame, text_col: str, top_n: int = 500) -> DataFrame:
+    """Zipf's-law fit of the corpus term distribution → one row
+    (n, slope, intercept, r2): least squares of log10(frequency) on
+    log10(rank) over the ``top_n`` most frequent terms (rank ties
+    break by term). A healthy natural-language corpus fits slope ≈ −1
+    with high r²; synthetic/templated text bends the tail — a cheap
+    corpus-level quality fingerprint to trend across crawl snapshots.
+
+    The fact table reduces to term counts in one partial-aggregated
+    pass; the global rank runs over the VOCABULARY table (top-n
+    bounded), and the fit reuses ``linear_regression``'s one-pass
+    sufficient statistics."""
+    from pyspark.sql import Window
+
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        linear_regression,
+    )
+
+    freq = (
+        df.select(
+            F.explode(word_tokens(F.col(text_col))).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok"))
+    ranked = (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            F.log10(F.col("rank").cast("double")).alias("lx"),
+            F.log10(F.col("cnt").cast("double")).alias("ly"),
+        )
+    )
+    return linear_regression(ranked, "lx", "ly")

@@ -2383,3 +2383,55 @@ def test_touch_attribution(spark):
         (None, None): 1,
         ("click", "click"): 1,
     }
+
+
+def test_benford_reference(spark):
+    import math
+    import random
+
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        benford_test,
+    )
+
+    # Benford-distributed sample: v = 10^U, U uniform
+    rng = random.Random(71)
+    rows = [(10 ** (rng.random() * 4),) for _ in range(4000)]
+    df = spark.createDataFrame(rows, "v double")
+    got = {r.digit: r for r in benford_test(df, "v").collect()}
+    assert set(got) == {str(d) for d in range(1, 10)}
+    n_total = sum(r.n for r in got.values())
+    assert n_total == 4000
+    chi2 = next(iter(got.values())).chi2
+    assert all(r.chi2 == chi2 for r in got.values())
+    for d in range(1, 10):
+        p = math.log10(1 + 1 / d)
+        r = got[str(d)]
+        assert abs(r.exp_prop - round(p, 6)) < 1e-9
+        assert abs(r.obs_prop - p) < 0.05  # conforming sample
+    assert chi2 < 30.0
+    # uniform sample does NOT conform: chi2 explodes
+    uni = spark.createDataFrame(
+        [(float(1000 + i),) for i in range(4000)], "v double"
+    )
+    bad = benford_test(uni, "v").collect()[0].chi2
+    assert bad > 100.0
+
+
+def test_zipf_fit_power_law(spark):
+    from from_superset_to_clickhouse_spark.operators.text import zipf_fit
+
+    # synthesize a corpus whose term frequencies are exactly C/rank
+    words = [f"w{i:03d}" for i in range(100)]
+    docs = []
+    for i, wd in enumerate(words):
+        freq = max(1, int(1000 / (i + 1)))
+        docs.extend([wd] * freq)
+    # pack into documents of 50 tokens
+    texts = [
+        (" ".join(docs[i:i + 50]),) for i in range(0, len(docs), 50)
+    ]
+    df = spark.createDataFrame(texts, "text string")
+    r = zipf_fit(df, "text", top_n=100).collect()[0]
+    assert r.n == 100
+    assert -1.1 < r.slope < -0.9  # ~ C/rank
+    assert r.r2 > 0.99
