@@ -10085,6 +10085,22 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(_docs(spark, sf_dir), "text", top_n=300)
 
 
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-bootstrap 95% CI for the mean event value per type:
+    200 md5-seeded resamples (the CMS hashing trick — both engines
+    draw the identical resample), replicate means rounded to 6dp
+    before ranking, bounds at ranks 5/196."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        bootstrap_ci,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return bootstrap_ci(
+        ev, "event_type", "event_id", "value",
+        n_boot=200, lo_rank=5, hi_rank=196,
+    )
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -10102,6 +10118,7 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attribution": q_attribution,
     "benford": q_benford,
     "zipf": q_zipf,
+    "bootstrap_ci": q_bootstrap_ci,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -10483,5 +10500,40 @@ SELECT CAST(regr_count(ly, lx) AS BIGINT) AS n,
   round(regr_intercept(ly, lx), 6) AS intercept,
   round(regr_r2(ly, lx), 6) AS r2
 FROM ranked
+""",
+    "bootstrap_ci": """
+-- Identical md5-seeded resamples, 6dp-rounded replicate means ranked
+-- with the replicate id as tiebreak, bounds at ranks 5/196.
+WITH src AS (
+  SELECT event_type AS k, event_id AS id, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+), idx AS (
+  SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY id) AS i
+  FROM src
+), sz AS (
+  SELECT k, count(*) AS n, round(avg(v), 6) AS mean FROM src GROUP BY k
+), reps AS (SELECT unnest(range(1, 201)) AS b),
+picked AS (
+  SELECT idx.k, reps.b,
+    CAST(('0x' || substr(md5(idx.k || ':' || CAST(reps.b AS VARCHAR)
+      || ':' || CAST(idx.i AS VARCHAR)), 1, 8)) AS BIGINT)
+      % sz.n + 1 AS i
+  FROM idx JOIN sz ON idx.k = sz.k CROSS JOIN reps
+), means AS (
+  SELECT p.k, p.b, round(avg(idx.v), 6) AS m
+  FROM picked p JOIN idx ON p.k = idx.k AND p.i = idx.i
+  GROUP BY 1, 2
+), rk AS (
+  SELECT k, m, row_number() OVER (PARTITION BY k ORDER BY m, b) AS r
+  FROM means
+), bounds AS (
+  SELECT k,
+    min(CASE WHEN r = 5 THEN m END) AS ci_lo,
+    min(CASE WHEN r = 196 THEN m END) AS ci_hi
+  FROM rk WHERE r IN (5, 196) GROUP BY k
+)
+SELECT sz.k AS event_type, CAST(sz.n AS BIGINT) AS n, sz.mean,
+  b.ci_lo, b.ci_hi
+FROM sz JOIN bounds b ON sz.k = b.k
 """,
 }

@@ -1208,3 +1208,104 @@ def benford_test(df: DataFrame, value_col: str) -> DataFrame:
         F.round("_p", 6).alias("exp_prop"),
         F.round(F.sum(term).over(w), 6).alias("chi2"),
     )
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    value_col: str,
+    n_boot: int = 200,
+    lo_rank: int = 5,
+    hi_rank: int = 196,
+) -> DataFrame:
+    """Deterministic percentile-bootstrap confidence interval for the
+    per-key mean → (key, n, mean, ci_lo, ci_hi): ``n_boot`` resamples
+    of each key's rows WITH replacement, replicate means ranked, the
+    ``lo_rank``/``hi_rank``-th means (defaults ≈ the 95 % interval at
+    B = 200) are the bounds. The uncertainty companion the A/B tier's
+    point estimates lack — no normality assumption, just the resample
+    distribution.
+
+    Determinism contract (the whole design): "randomness" is the md5
+    integer of ``key:replicate:slot`` mod n (the CMS trick), so every
+    engine draws the IDENTICAL resample; replicate means are rounded
+    to 6 dp BEFORE ranking with the replicate id as tiebreak, so
+    last-ulp summation noise cannot reorder the ranked list.
+
+    Scale: rows are indexed by the two-phase bucketed ranking (no
+    single-task sort); the resample grid is B×n rows joined back on
+    (key, index) — one hash join + one partial-aggregated reduce to
+    B×keys replicate means; B is the explicit cost multiplier."""
+    from .relational import bucketed_cumsum
+
+    src = df.select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("id"),
+        F.col(value_col).cast("double").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    idx = bucketed_cumsum(
+        src, "id", None, ["id"], part_cols=["k"], out_col="_i"
+    )
+    sizes = src.groupBy("k").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.round(F.avg("v"), 6).alias("mean"),
+    )
+    reps = df.sparkSession.range(1, n_boot + 1).select(
+        F.col("id").alias("_b")
+    )
+    slots = (
+        idx.select("k", F.col("_i").alias("_s"))
+        .join(F.broadcast(sizes.select("k", "_n")), "k")
+        .crossJoin(F.broadcast(reps))
+    )
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("k"),
+                        F.col("_b").cast("string"),
+                        F.col("_s").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.col("_n")
+        + 1
+    )
+    picked = slots.select("k", "_b", draw.alias("_i"))
+    means = (
+        picked.join(idx.select("k", "_i", "v"), ["k", "_i"])
+        .groupBy("k", "_b")
+        .agg(F.round(F.avg("v"), 6).alias("_m"))
+    )
+    w = Window.partitionBy("k").orderBy(F.col("_m"), F.col("_b"))
+    ranked = means.withColumn("_r", F.row_number().over(w))
+    bounds = (
+        ranked.filter(F.col("_r").isin(lo_rank, hi_rank))
+        .groupBy("k")
+        .agg(
+            F.min(F.when(F.col("_r") == lo_rank, F.col("_m"))).alias(
+                "ci_lo"
+            ),
+            F.min(F.when(F.col("_r") == hi_rank, F.col("_m"))).alias(
+                "ci_hi"
+            ),
+        )
+    )
+    return (
+        sizes.join(bounds, "k")
+        .select(
+            F.col("k").alias(key_col),
+            F.col("_n").alias("n"),
+            "mean",
+            "ci_lo",
+            "ci_hi",
+        )
+    )

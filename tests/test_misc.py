@@ -2435,3 +2435,43 @@ def test_zipf_fit_power_law(spark):
     assert r.n == 100
     assert -1.1 < r.slope < -0.9  # ~ C/rank
     assert r.r2 > 0.99
+
+
+def test_bootstrap_ci_reference(spark):
+    import hashlib
+    import random
+
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        bootstrap_ci,
+    )
+
+    rng = random.Random(83)
+    rows = [("a", i, float(rng.gauss(100, 15))) for i in range(60)] + [
+        ("b", i, float(rng.gauss(-5, 2))) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "k string, id int, v double")
+    got = {r.k: r for r in bootstrap_ci(
+        df, "k", "id", "v", n_boot=50, lo_rank=2, hi_rank=49).collect()}
+
+    # python replay of the md5 draw contract
+    for key in ("a", "b"):
+        vals = [v for k, i, v in rows if k == key]
+        ids = sorted(i for k, i, v in rows if k == key)
+        by_rank = [v for _, v in sorted(
+            (i, v) for k, i, v in rows if k == key)]
+        n = len(vals)
+        means = []
+        for b in range(1, 51):
+            tot = 0.0
+            for s in range(1, n + 1):
+                h = hashlib.md5(f"{key}:{b}:{s}".encode()).hexdigest()
+                j = int(h[:8], 16) % n + 1
+                tot += by_rank[j - 1]
+            means.append((round(tot / n, 6), b))
+        means.sort()
+        r = got[key]
+        assert r.n == n
+        assert abs(r.mean - sum(vals) / n) < 1e-4
+        assert r.ci_lo == means[1][0]   # rank 2
+        assert r.ci_hi == means[48][0]  # rank 49
+        assert r.ci_lo < r.mean < r.ci_hi
