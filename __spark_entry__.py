@@ -10101,6 +10101,16 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit over documents in doc_id
+    order: token births at first document + two bucketed running
+    totals give (N(r), V(r)) without any per-rank distinct; log-log
+    least squares on top. The growth companion to the zipf entry."""
+    from from_superset_to_clickhouse_spark.operators.text import heaps_fit
+
+    return heaps_fit(_docs(spark, sf_dir), "doc_id", "text")
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -10119,6 +10129,7 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "benford": q_benford,
     "zipf": q_zipf,
     "bootstrap_ci": q_bootstrap_ci,
+    "heaps": q_heaps,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -10535,5 +10546,38 @@ picked AS (
 SELECT sz.k AS event_type, CAST(sz.n AS BIGINT) AS n, sz.mean,
   b.ci_lo, b.ci_hi
 FROM sz JOIN bounds b ON sz.k = b.k
+""",
+    "heaps": """
+-- Same construction: births at first doc, window running totals in
+-- doc_id order, regr_* over the log-log growth curve.
+WITH toks AS (
+  SELECT doc_id AS d, unnest(list_filter(regexp_split_to_array(
+    lower(text), '[^a-z0-9'']+'), x -> x <> '')) AS tok
+  FROM documents
+), per_doc AS (
+  SELECT d, count(*) AS nt FROM toks GROUP BY d
+), births AS (
+  SELECT d, count(*) AS nb FROM (
+    SELECT tok, min(d) AS d FROM toks GROUP BY tok
+  ) GROUP BY d
+), base AS (
+  SELECT p.d, p.nt, coalesce(b.nb, 0) AS nb
+  FROM per_doc p LEFT JOIN births b ON p.d = b.d
+), run AS (
+  SELECT d,
+    CAST(sum(nt) OVER w AS BIGINT) AS n_run,
+    CAST(sum(nb) OVER w AS BIGINT) AS v_run
+  FROM base WINDOW w AS (ORDER BY d
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), pts AS (
+  SELECT log10(CAST(n_run AS DOUBLE)) AS lx,
+    log10(CAST(v_run AS DOUBLE)) AS ly
+  FROM run
+)
+SELECT CAST(regr_count(ly, lx) AS BIGINT) AS n,
+  round(regr_slope(ly, lx), 6) AS slope,
+  round(regr_intercept(ly, lx), 6) AS intercept,
+  round(regr_r2(ly, lx), 6) AS r2
+FROM pts
 """,
 }

@@ -1777,3 +1777,52 @@ def zipf_fit(df: DataFrame, text_col: str, top_n: int = 500) -> DataFrame:
         )
     )
     return linear_regression(ranked, "lx", "ly")
+
+
+def heaps_fit(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth → one row (n, slope,
+    intercept, r2) for log10 V(r) ~ log10 N(r), where after the first
+    r documents (in ``id_col`` order) N is the running token count and
+    V the running DISTINCT-token count. Natural corpora fit
+    V ≈ K·N^β with β ≈ 0.4–0.6; duplicated or templated corpora bend
+    flat — the growth-curve companion to ``zipf_fit``'s static
+    snapshot.
+
+    Scale: V(r) needs no per-rank distinct — each token contributes a
+    "birth" at its FIRST document (one min-aggregate), births per
+    document cumulate, token counts per document cumulate, both
+    through the two-phase bucketed running total (no single-task
+    sort); the regression reuses the one-pass sufficient
+    statistics."""
+    from from_superset_to_clickhouse_spark.operators.relational import (
+        bucketed_cumsum,
+    )
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        linear_regression,
+    )
+
+    toks = df.select(
+        F.col(id_col).alias("_d"),
+        F.explode(word_tokens(F.col(text_col))).alias("_t"),
+    )
+    per_doc = toks.groupBy("_d").agg(F.count(F.lit(1)).alias("_nt"))
+    births = (
+        toks.groupBy("_t")
+        .agg(F.min("_d").alias("_d"))
+        .groupBy("_d")
+        .agg(F.count(F.lit(1)).alias("_nb"))
+    )
+    base = per_doc.join(births, "_d", "left").select(
+        "_d", "_nt", F.coalesce("_nb", F.lit(0)).alias("_nb")
+    )
+    n_run = bucketed_cumsum(
+        base, "_d", "_nt", ["_d"], part_cols=[], out_col="_N"
+    )
+    both = bucketed_cumsum(
+        n_run, "_d", "_nb", ["_d"], part_cols=[], out_col="_V"
+    )
+    pts = both.select(
+        F.log10(F.col("_N").cast("double")).alias("lx"),
+        F.log10(F.col("_V").cast("double")).alias("ly"),
+    )
+    return linear_regression(pts, "lx", "ly")

@@ -2475,3 +2475,60 @@ def test_bootstrap_ci_reference(spark):
         assert r.ci_lo == means[1][0]   # rank 2
         assert r.ci_hi == means[48][0]  # rank 49
         assert r.ci_lo < r.mean < r.ci_hi
+
+
+def test_heaps_fit_growth_curve(spark):
+    import math
+    import random
+
+    from from_superset_to_clickhouse_spark.operators.text import heaps_fit
+
+    # corpus drawn from a Zipf vocabulary -> Heaps exponent in (0,1)
+    rng = random.Random(97)
+    vocab = [f"w{i:04d}" for i in range(2000)]
+    weights = [1.0 / (i + 1) for i in range(2000)]
+    tot = sum(weights)
+    cum = []
+    acc = 0.0
+    for w in weights:
+        acc += w / tot
+        cum.append(acc)
+
+    def draw():
+        u = rng.random()
+        lo, hi = 0, len(cum) - 1
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if cum[mid] < u:
+                lo = mid + 1
+            else:
+                hi = mid
+        return vocab[lo]
+
+    docs = [
+        (d, " ".join(draw() for _ in range(80))) for d in range(120)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = heaps_fit(df, "doc_id", "text").collect()[0]
+    assert r.n == 120
+    assert 0.3 < r.slope < 0.95
+    assert r.r2 > 0.98
+
+    # python replay of N/V running totals for the first few ranks
+    seen = set()
+    big_n = 0
+    pts = []
+    for d, text in docs:
+        tokens = text.split()
+        big_n += len(tokens)
+        seen.update(tokens)
+        pts.append((big_n, len(seen)))
+    # closed-form least squares over log-log
+    xs = [math.log10(a) for a, _ in pts]
+    ys = [math.log10(b) for _, b in pts]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    assert abs(r.slope - slope) < 1e-4
