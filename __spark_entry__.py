@@ -10111,6 +10111,51 @@ def q_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heaps_fit(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day Pearson correlation between the purchase and
+    view daily mean-value series — inputs centered by their 6dp-
+    rounded global means so the windowed moments never hit
+    catastrophic cancellation on either engine."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        rolling_corr,
+    )
+
+    ev = _ev(spark, sf_dir)
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.avg(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+        ).alias("px"),
+        F.avg(
+            F.when(F.col("event_type") == "view", F.col("value"))
+        ).alias("vx"),
+    )
+    out = rolling_corr(daily, "d", "px", "vx", window_rows=7)
+    return out.select(
+        "d",
+        F.round("px", 6).alias("px"),
+        F.round("vx", 6).alias("vx"),
+        "n_window",
+        "roll_corr",
+    )
+
+
+def q_sparkbar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse sparkbar parity: each event type's hour-of-day
+    histogram rendered as a 24-char block string — integer levels
+    (cnt*7 // max) + an 8-glyph lookup array, byte-identical on any
+    engine."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        sparkbar,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return sparkbar(
+        ev.select("event_type", F.hour("ts").alias("h")),
+        "event_type",
+        "h",
+    )
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -10130,6 +10175,8 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipf": q_zipf,
     "bootstrap_ci": q_bootstrap_ci,
     "heaps": q_heaps,
+    "rolling_corr": q_rolling_corr,
+    "sparkbar": q_sparkbar,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -10579,5 +10626,42 @@ SELECT CAST(regr_count(ly, lx) AS BIGINT) AS n,
   round(regr_intercept(ly, lx), 6) AS intercept,
   round(regr_r2(ly, lx), 6) AS r2
 FROM pts
+""",
+    "rolling_corr": """
+-- Same 6dp-rounded-mean centering and trailing 7-row corr window.
+WITH d AS (
+  SELECT date_trunc('day', ts) AS d,
+    avg(CASE WHEN event_type = 'purchase' THEN value END) AS px,
+    avg(CASE WHEN event_type = 'view' THEN value END) AS vx
+  FROM events GROUP BY 1
+), m AS (
+  SELECT round(avg(px), 6) AS mx, round(avg(vx), 6) AS my FROM d
+), c AS (
+  SELECT d.d, px, vx,
+    count(*) OVER w AS n_window,
+    round(corr(px - m.mx, vx - m.my) OVER w, 6) AS roll_corr
+  FROM d, m
+  WINDOW w AS (ORDER BY d.d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(d AS TIMESTAMP) AS d, round(px, 6) AS px,
+  round(vx, 6) AS vx, n_window, roll_corr
+FROM c
+""",
+    "sparkbar": """
+-- Same integer levels and glyph lookup; ordered string assembly.
+WITH cells AS (
+  SELECT event_type AS k, date_part('hour', ts) AS slot,
+    count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), lv AS (
+  SELECT k, slot,
+    CAST(floor((cnt * 7) / CAST(max(cnt) OVER (PARTITION BY k)
+      AS DOUBLE)) AS INTEGER) AS lvl
+  FROM cells
+)
+SELECT k AS event_type, count(*) AS n_slots,
+  string_agg(['▁','▂','▃','▄','▅','▆','▇','█'][lvl + 1], ''
+    ORDER BY slot) AS bar
+FROM lv GROUP BY k
 """,
 }

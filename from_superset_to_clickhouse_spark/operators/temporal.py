@@ -1219,3 +1219,98 @@ def touch_attribution(
         .groupBy("first_touch", "last_touch")
         .agg(F.count(F.lit(1)).alias("conversions"))
     )
+
+
+def rolling_corr(
+    df: DataFrame,
+    ts_col: str,
+    x_col: str,
+    y_col: str,
+    window_rows: int = 7,
+    part_cols: "Sequence[str]" = (),
+) -> DataFrame:
+    """Trailing-window Pearson correlation between two series →
+    original rows + (n_window, roll_corr): the do-these-metrics-move-
+    together monitor (e.g. purchases vs views over the trailing week).
+
+    Numerical contract: both inputs are CENTERED first by their
+    per-part mean ROUNDED to 6 dp — a constant both engines subtract
+    identically — so the windowed moments run on small-magnitude
+    values and the classic sum-of-products formula never hits
+    catastrophic cancellation (corr is shift-invariant, so results
+    are unchanged). One keyed window pass; output rounded to 6 dp."""
+    pc = list(part_cols)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    means = df.groupBy(*pc).agg(
+        F.round(F.avg(x), 6).alias("_mx"),
+        F.round(F.avg(y), 6).alias("_my"),
+    )
+    base = (
+        df.join(F.broadcast(means), pc)
+        if pc
+        else df.crossJoin(F.broadcast(means))
+    )
+    w = (
+        Window.partitionBy(*[F.col(c) for c in pc])
+        .orderBy(F.col(ts_col))
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    cx = x - F.col("_mx")
+    cy = y - F.col("_my")
+    return base.select(
+        *pc,
+        ts_col,
+        x_col,
+        y_col,
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        F.round(F.corr(cx, cy).over(w), 6).alias("roll_corr"),
+    )
+
+
+_SPARKBAR_BLOCKS = "▁▂▃▄▅▆▇█"
+
+
+def sparkbar(
+    df: DataFrame,
+    key_col: str,
+    slot_col: str,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """ClickHouse ``sparkbar`` analog: per key, render the slot
+    histogram as a string of 8-level block characters → (key, n_slots,
+    bar) — the dashboard-in-a-string trick for eyeballing activity
+    shape in a terminal or a SQL client. Level is pure integer arithmetic
+    ``cnt·7 // max_cnt`` (no float scaling to disagree over) and the
+    glyph comes from an 8-element lookup array, so the rendered string
+    is byte-identical on every engine.
+
+    One partial-aggregated (key, slot) count, per-key max as a window
+    over the SLOT table (slots × keys rows, dashboard-sized), ordered
+    assembly via sort-then-join of the collected array — no ordered
+    string_agg dependence."""
+    w = F.lit(1) if weight_col is None else F.col(weight_col)
+    cells = df.groupBy(
+        F.col(key_col).alias("k"), F.col(slot_col).alias("slot")
+    ).agg(F.sum(w).cast("long").alias("cnt"))
+    wk = Window.partitionBy("k")
+    lvl = (F.col("cnt") * 7).cast("long") / F.max("cnt").over(wk)
+    blocks = F.array(*[F.lit(c) for c in _SPARKBAR_BLOCKS])
+    glyph = F.element_at(blocks, F.floor(lvl).cast("int") + 1)
+    return (
+        cells.select("k", "slot", glyph.alias("g"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_slots"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("slot", "g"))
+                    ),
+                    lambda s: s.getField("g"),
+                ),
+                "",
+            ).alias("bar"),
+        )
+        .select(F.col("k").alias(key_col), "n_slots", "bar")
+    )

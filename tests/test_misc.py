@@ -2532,3 +2532,51 @@ def test_heaps_fit_growth_curve(spark):
     sxy = sum(x * y for x, y in zip(xs, ys))
     slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
     assert abs(r.slope - slope) < 1e-4
+
+
+def test_rolling_corr_reference(spark):
+    import datetime
+    import math
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        rolling_corr,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(30):
+        x = 500.0 + 15 * math.sin(i / 3)
+        y = 480.0 + 12 * math.sin(i / 3 + 0.2) + (i % 5)
+        rows.append((t0 + datetime.timedelta(days=i), x, y))
+    df = spark.createDataFrame(rows, "ts timestamp, x double, y double")
+    got = {r.ts: (r.n_window, r.roll_corr)
+           for r in rolling_corr(df, "ts", "x", "y", 7).collect()}
+    xs = [r[1] for r in rows]
+    ys = [r[2] for r in rows]
+    for i in range(29, 6, -5):
+        wx, wy = xs[i - 6:i + 1], ys[i - 6:i + 1]
+        mx, my = sum(wx) / 7, sum(wy) / 7
+        cov = sum((a - mx) * (b - my) for a, b in zip(wx, wy))
+        vx = sum((a - mx) ** 2 for a in wx)
+        vy = sum((b - my) ** 2 for b in wy)
+        want = cov / math.sqrt(vx * vy)
+        n, got_c = got[rows[i][0]]
+        assert n == 7
+        assert abs(got_c - want) < 1e-5, i
+    assert got[rows[0][0]][0] == 1  # first row: window of one
+
+
+def test_sparkbar_rendering(spark):
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        sparkbar,
+    )
+
+    rows = []
+    for slot, cnt in [(0, 1), (1, 4), (2, 8), (3, 2)]:
+        rows += [("a", slot)] * cnt
+    rows += [("b", 5)] * 3  # single slot -> full block
+    df = spark.createDataFrame(rows, "k string, slot int")
+    got = {r.k: (r.n_slots, r.bar) for r in sparkbar(df, "k", "slot").collect()}
+    # levels: 1*7//8=0, 4*7//8=3, 8*7//8=7, 2*7//8=1
+    assert got["a"] == (4, "▁▄█▂")
+    assert got["b"] == (1, "█")
