@@ -10156,6 +10156,66 @@ def q_sparkbar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_platt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt calibration of the event value score (x = value/100)
+    against the planted label value + user_id%20 > 520: 6 Newton
+    steps, parameters rounded to the 1e-8 grid after every step so
+    both engines walk the identical trajectory."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        platt_scale,
+    )
+
+    ev = _ev(spark, sf_dir)
+    src = ev.select(
+        (F.col("value") / 100.0).alias("x"),
+        (
+            (F.col("value") + F.col("user_id") % 20) > 520
+        ).cast("int").alias("y"),
+    )
+    return platt_scale(src, "x", "y", iters=6)
+
+
+def _platt_oracle_sql(iters: int = 6) -> str:
+    """Unrolled Newton: one MATERIALIZED CTE per step, each computing
+    the five sufficient sums at the previous grid point and landing
+    the update back on the 1e-8 grid."""
+    steps = ["s0 AS (SELECT CAST(0.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b)"]
+    for k in range(1, iters + 1):
+        steps.append(f"""
+s{k} AS MATERIALIZED (
+  SELECT
+    floor((p.a + (t.hyy * t.ga - t.hxy * t.gb)
+      / (t.hxx * t.hyy - t.hxy * t.hxy)) * 1e8 + 0.5) / 1e8 AS a,
+    floor((p.b + (t.hxx * t.gb - t.hxy * t.ga)
+      / (t.hxx * t.hyy - t.hxy * t.hxy)) * 1e8 + 0.5) / 1e8 AS b
+  FROM s{k - 1} p, (
+    SELECT sum(x * (y - pp)) AS ga, sum(y - pp) AS gb,
+      sum((x * x) * (pp * (1.0 - pp))) AS hxx,
+      sum(x * (pp * (1.0 - pp))) AS hxy,
+      sum(pp * (1.0 - pp)) AS hyy
+    FROM (
+      SELECT x, y, 1.0 / (1.0 + exp(-(x * q.a + q.b))) AS pp
+      FROM src, s{k - 1} q
+    )
+  ) t
+)""")
+    return f"""
+WITH src AS MATERIALIZED (
+  SELECT CAST(value AS DOUBLE) / 100.0 AS x,
+    CAST(CASE WHEN value + (user_id % 20) > 520
+      THEN 1 ELSE 0 END AS DOUBLE) AS y
+  FROM events WHERE value IS NOT NULL
+),
+{",".join(steps)}
+SELECT (SELECT count(*) FROM src) AS n, f.a, f.b,
+  (SELECT round(-avg(y * ln(pp + 1e-12)
+      + (1.0 - y) * ln(1.0 - pp + 1e-12)), 6)
+   FROM (SELECT x, y, 1.0 / (1.0 + exp(-(x * f2.a + f2.b))) AS pp
+         FROM src, s{iters} f2)) AS log_loss
+FROM s{iters} f
+"""
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -10177,6 +10237,7 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heaps": q_heaps,
     "rolling_corr": q_rolling_corr,
     "sparkbar": q_sparkbar,
+    "platt": q_platt,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -10664,4 +10725,5 @@ SELECT k AS event_type, count(*) AS n_slots,
     ORDER BY slot) AS bar
 FROM lv GROUP BY k
 """,
+    "platt": _platt_oracle_sql(),
 }

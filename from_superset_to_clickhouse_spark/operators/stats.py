@@ -12,6 +12,8 @@ unlike a native ``erf`` whose libm implementation varies.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1308,4 +1310,75 @@ def bootstrap_ci(
             "ci_lo",
             "ci_hi",
         )
+    )
+
+
+def platt_scale(
+    df: DataFrame,
+    x_col: str,
+    label_col: str,
+    iters: int = 6,
+) -> DataFrame:
+    """Platt scaling: calibrate a raw score into a probability by
+    fitting p = sigmoid(a·x + b) with Newton–Raphson → one row
+    (n, a, b, log_loss). The classifier-score → usable-probability
+    step every quality-filtering pipeline needs before thresholding
+    scores from different models on one scale.
+
+    Determinism contract: (a, b) are ROUNDED TO 8 DP AFTER EVERY
+    Newton step — per-pass aggregate sums differ across engines only
+    in the last ulps (~1e-12), far below the 1e-8 grid, so both
+    engines walk the IDENTICAL parameter trajectory and the nonlinear
+    iteration cannot amplify summation noise. Newton's quadratic
+    convergence makes 6 steps plenty from (a, b) = (0, 0).
+
+    Scale: each step is ONE partial-aggregated pass over a cached
+    two-column projection (5 sufficient sums + 2×2 closed-form
+    solve on the driver); iterations are the explicit cost knob."""
+    src = df.select(
+        F.col(x_col).cast("double").alias("x"),
+        F.col(label_col).cast("double").alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    src = src.persist()
+    try:
+        n = src.count()
+        a, b = 0.0, 0.0
+        for _ in range(iters):
+            z = F.col("x") * F.lit(a) + F.lit(b)
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            w = p * (F.lit(1.0) - p)
+            g = src.agg(
+                F.sum(F.col("x") * (F.col("y") - p)).alias("ga"),
+                F.sum(F.col("y") - p).alias("gb"),
+                F.sum(F.col("x") * F.col("x") * w).alias("hxx"),
+                F.sum(F.col("x") * w).alias("hxy"),
+                F.sum(w).alias("hyy"),
+            ).first()
+            det = g["hxx"] * g["hyy"] - g["hxy"] * g["hxy"]
+            if det == 0:
+                break
+            da = (g["hyy"] * g["ga"] - g["hxy"] * g["gb"]) / det
+            db = (g["hxx"] * g["gb"] - g["hxy"] * g["ga"]) / det
+            # 8dp rounding: both engines land on the same grid point,
+            # so trajectories are identical despite summation ulps
+            a = math.floor((a + da) * 1e8 + 0.5) / 1e8
+            b = math.floor((b + db) * 1e8 + 0.5) / 1e8
+        z = F.col("x") * F.lit(a) + F.lit(b)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        eps = F.lit(1e-12)
+        ll = src.agg(
+            F.round(
+                -F.avg(
+                    F.col("y") * F.log(p + eps)
+                    + (F.lit(1.0) - F.col("y"))
+                    * F.log(F.lit(1.0) - p + eps)
+                ),
+                6,
+            ).alias("log_loss")
+        ).first()["log_loss"]
+    finally:
+        src.unpersist()
+    return df.sparkSession.createDataFrame(
+        [(n, float(a), float(b), float(ll))],
+        "n long, a double, b double, log_loss double",
     )

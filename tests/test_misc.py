@@ -2580,3 +2580,29 @@ def test_sparkbar_rendering(spark):
     # levels: 1*7//8=0, 4*7//8=3, 8*7//8=7, 2*7//8=1
     assert got["a"] == (4, "▁▄█▂")
     assert got["b"] == (1, "█")
+
+
+def test_platt_scale_recovers_sigmoid(spark):
+    import math
+    import random
+
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        platt_scale,
+    )
+
+    # labels drawn from sigmoid(2x - 1): the fit should recover (2, -1)
+    rng = random.Random(113)
+    rows = []
+    for _ in range(4000):
+        x = rng.uniform(-3, 3)
+        p = 1 / (1 + math.exp(-(2 * x - 1)))
+        rows.append((x, 1 if rng.random() < p else 0))
+    df = spark.createDataFrame(rows, "x double, y int")
+    r = platt_scale(df, "x", "y", iters=6).collect()[0]
+    assert r.n == 4000
+    assert abs(r.a - 2.0) < 0.2
+    assert abs(r.b + 1.0) < 0.2
+    # log loss beats the uninformed baseline (entropy of base rate)
+    base = sum(y for _, y in rows) / 4000
+    h = -(base * math.log(base) + (1 - base) * math.log(1 - base))
+    assert r.log_loss < h - 0.1
