@@ -10216,6 +10216,55 @@ FROM s{iters} f
 """
 
 
+def q_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of within-session event
+    flows: sessionize per user (30-min gap), pair adjacent events
+    inside each session, count (from_type, to_type) and row-normalize
+    per source state. 5 event types -> at most a 25-row table, but the
+    pairing itself is one keyed window pass over all events."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        markov_transitions,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return markov_transitions(
+        ev, "user_id", "ts", "event_type",
+        gap_minutes=30, tiebreak_col="event_id",
+    )
+
+
+_MARKOV_SQL = """
+-- Same construction: gap-based sessions via lag+running-sum, adjacent
+-- pairs via lead over the identical (user, ts, event_id) sort, pairs
+-- crossing a session boundary dropped, row-normalized per from_type.
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+      THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM s
+), pairs AS (
+  SELECT event_type AS from_type,
+    lead(event_type) OVER w2 AS to_type,
+    lead(sid) OVER w2 = sid AS ok
+  FROM sess
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+), c AS (
+  SELECT from_type, to_type, count(*) AS n FROM pairs
+  WHERE ok AND to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+  round(CAST(n AS DOUBLE)
+    / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+FROM c
+"""
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -10238,9 +10287,11 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_corr": q_rolling_corr,
     "sparkbar": q_sparkbar,
     "platt": q_platt,
+    "markov_chain": q_markov,
 }
 
 _R9_ORACLES: dict[str, str] = {
+    "markov_chain": _MARKOV_SQL,
     "theil_sen": """
 -- Same pair construction and exact middle-row medians: daily means,
 -- all-pairs slopes, median slope then median residual intercept.

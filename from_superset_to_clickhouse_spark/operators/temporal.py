@@ -1314,3 +1314,49 @@ def sparkbar(
         )
         .select(F.col("k").alias(key_col), "n_slots", "bar")
     )
+
+
+def markov_transitions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    gap_minutes: int = 30,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix of within-session event
+    flows → (from_type, to_type, n, p): adjacent event pairs inside
+    each gap-based session, counted and row-normalized per source
+    state. The "where do users go next" model behind path sankeys and
+    next-action prediction baselines.
+
+    ONE keyed window pass: ``sessionize``'s running session ordinal
+    and the ``lead`` successor come off the same (user, ts, tiebreak)
+    sort; cross-session boundaries drop because the successor's
+    session ordinal differs. Probabilities divide by a window sum
+    over the |states|² transition table — dashboard-sized."""
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(F.col(user_col)).orderBy(*order)
+    sess = sessionize(
+        df, user_col, ts_col, gap_minutes=gap_minutes,
+        tiebreak_col=tiebreak_col, out_col="_sess",
+    )
+    pairs = sess.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(F.col(type_col)).over(w).alias("to_type"),
+        (F.lead(F.col("_sess")).over(w) == F.col("_sess")).alias("_ok"),
+    ).filter(F.col("_ok") & F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wf = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(wf).cast("double"), 6
+        ).alias("p"),
+    )

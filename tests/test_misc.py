@@ -2606,3 +2606,40 @@ def test_platt_scale_recovers_sigmoid(spark):
     base = sum(y for _, y in rows) / 4000
     h = -(base * math.log(base) + (1 - base) * math.log(1 - base))
     assert r.log_loss < h - 0.1
+
+
+def test_markov_transitions(spark):
+    import datetime
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        markov_transitions,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def row(u, minute, t):
+        return (u, t0 + datetime.timedelta(minutes=minute), minute, t)
+
+    rows = [
+        # u1 session 1: view -> click -> purchase
+        row(1, 0, "view"), row(1, 1, "click"), row(1, 2, "purchase"),
+        # u1 session 2 (90 min later): view -> error ; boundary pair
+        # (purchase -> view) must NOT count
+        row(1, 92, "view"), row(1, 93, "error"),
+        # u2: view -> click
+        row(2, 0, "view"), row(2, 1, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "u int, ts timestamp, eid int, t string"
+    )
+    got = {
+        (r.from_type, r.to_type): (r.n, r.p)
+        for r in markov_transitions(
+            df, "u", "ts", "t", gap_minutes=30, tiebreak_col="eid"
+        ).collect()
+    }
+    assert got[("view", "click")] == (2, round(2 / 3, 6))
+    assert got[("view", "error")] == (1, round(1 / 3, 6))
+    assert got[("click", "purchase")] == (1, 1.0)  # sole click exit
+    assert ("purchase", "view") not in got
+    assert len(got) == 3
