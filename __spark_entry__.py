@@ -10265,6 +10265,210 @@ FROM c
 """
 
 
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per event type between the event
+    value and a planted second metric (value + user_id%50): midranks
+    on both axes, Pearson on the ranks. Rank sums are exact multiples
+    of 0.25 — identical on both engines without any float grid."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        spearman_corr,
+    )
+
+    ev = _ev(spark, sf_dir)
+    src = ev.select(
+        "event_type",
+        F.col("value").alias("x"),
+        (F.col("value") + (F.col("user_id") % 50).cast("double")).alias(
+            "y"
+        ),
+    )
+    return spearman_corr(src, "x", "y", ["event_type"])
+
+
+_SPEARMAN_SQL = """
+-- Same midrank construction per axis (per-distinct-value counts +
+-- prefix window), Pearson on ranks with the exact (n+1)/2 centering.
+WITH src AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS x,
+    CAST(value AS DOUBLE) + CAST(user_id % 50 AS DOUBLE) AS y
+  FROM events
+), tx AS (
+  SELECT g, x, count(*) AS t FROM src GROUP BY 1, 2
+), rx AS (
+  SELECT g, x,
+    coalesce(sum(t) OVER (PARTITION BY g ORDER BY x
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      + (t + 1.0) / 2.0 AS rkx
+  FROM tx
+), ty AS (
+  SELECT g, y, count(*) AS t FROM src GROUP BY 1, 2
+), ry AS (
+  SELECT g, y,
+    coalesce(sum(t) OVER (PARTITION BY g ORDER BY y
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      + (t + 1.0) / 2.0 AS rky
+  FROM ty
+), rr AS (
+  SELECT s.g, rkx, rky
+  FROM src s JOIN rx ON s.g = rx.g AND s.x = rx.x
+             JOIN ry ON s.g = ry.g AND s.y = ry.y
+), ag AS (
+  SELECT g, count(*) AS n, sum(rkx * rky) AS sxy,
+    sum(rkx * rkx) AS sxx, sum(rky * rky) AS syy
+  FROM rr GROUP BY g
+)
+SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+  round(CASE WHEN (sxx - m) * (syy - m) > 0
+    THEN (sxy - m) / sqrt((sxx - m) * (syy - m)) END, 6) AS rho
+FROM (SELECT *, CAST(n AS DOUBLE) * (n + 1.0) * (n + 1.0) / 4.0 AS m
+      FROM ag)
+"""
+
+
+def q_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b per event type between the daily mean value and
+    the daily event count (30-point series -> 435 ordered pairs per
+    group; the O(len^2) pair join is confined to the bucketed series
+    by construction). Inputs quantized to the 2^-20 grid so the tie
+    set is engine-identical."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        kendall_tau_b,
+    )
+
+    ev = _ev(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        F.avg("value").alias("x"),
+        F.count("*").cast("double").alias("y"),
+    )
+    return kendall_tau_b(daily, "d", "x", "y", ["event_type"])
+
+
+_KENDALL_SQL = """
+-- Identical daily bucketing, 2^-20 quantization, ordered pair join,
+-- tie-adjusted tau-b denominator.
+WITH d AS (
+  SELECT event_type AS g, date_trunc('day', ts) AS o,
+    floor(avg(CAST(value AS DOUBLE)) * 1048576.0) / 1048576.0 AS x,
+    floor(CAST(count(*) AS DOUBLE) * 1048576.0) / 1048576.0 AS y
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT a.g,
+    sign(a.x - b.x) * sign(a.y - b.y) AS sxy,
+    CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+    CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+  FROM d a JOIN d b ON a.g = b.g AND a.o < b.o
+), pa AS (
+  SELECT g, count(*) AS n0, CAST(sum(sxy) AS BIGINT) AS s,
+    sum(tx) AS t1, sum(ty) AS t2
+  FROM p GROUP BY g
+), cnt AS (
+  SELECT g, count(*) AS n FROM d GROUP BY g
+)
+SELECT pa.g AS event_type, CAST(n AS BIGINT) AS n, s,
+  round(CASE WHEN (n0 - t1) * (n0 - t2) > 0
+    THEN CAST(s AS DOUBLE)
+      / sqrt(CAST(n0 - t1 AS DOUBLE) * CAST(n0 - t2 AS DOUBLE))
+    END, 6) AS tau_b
+FROM pa JOIN cnt ON pa.g = cnt.g
+"""
+
+
+def q_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V + Theil's U (both directions) between event type and
+    the value's 100-wide bucket — ClickHouse ``cramersV``/``theilsU``
+    parity from one contingency pass."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        contingency_assoc,
+    )
+
+    ev = _ev(spark, sf_dir)
+    src = ev.select(
+        "event_type",
+        F.floor(F.col("value") / 100.0).cast("long").alias("bucket"),
+    )
+    return contingency_assoc(src, "event_type", "bucket")
+
+
+_ASSOC_SQL = """
+-- Same cell table; chi2 from expected counts, entropies in nats.
+WITH cells AS (
+  SELECT event_type AS a,
+    CAST(CAST(floor(CAST(value AS DOUBLE) / 100.0) AS BIGINT)
+      AS VARCHAR) AS b,
+    count(*) AS n
+  FROM events GROUP BY 1, 2
+), ra AS (SELECT a, sum(n) AS na FROM cells GROUP BY a),
+cb AS (SELECT b, sum(n) AS nb FROM cells GROUP BY b),
+tot AS (SELECT sum(n) AS nn, count(DISTINCT a) AS r,
+               count(DISTINCT b) AS c FROM cells),
+j AS (
+  SELECT cells.a, cells.b, CAST(cells.n AS DOUBLE) AS o,
+    CAST(na AS DOUBLE) AS na, CAST(nb AS DOUBLE) AS nb,
+    CAST(nn AS DOUBLE) AS nn, r, c
+  FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
+), ag AS (
+  SELECT nn, r, c,
+    sum((o - na * nb / nn) * (o - na * nb / nn)
+        / (na * nb / nn)) AS chi2,
+    sum(-(o / nn) * ln(o / nb)) AS hab,
+    sum(-(o / nn) * ln(o / na)) AS hba,
+    sum(-(o / nn) * ln(na / nn)) AS ha,
+    sum(-(o / nn) * ln(nb / nn)) AS hb
+  FROM j GROUP BY 1, 2, 3
+)
+SELECT CAST(nn AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
+  CAST(c AS BIGINT) AS c, round(chi2, 6) AS chi2,
+  round(sqrt(chi2 / (nn * (CAST(least(r, c) AS DOUBLE) - 1.0))), 6)
+    AS cramers_v,
+  round((ha - hab) / ha, 6) AS theil_u_ab,
+  round((hb - hba) / hb, 6) AS theil_u_ba
+FROM ag
+"""
+
+
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F of value across the 5 event types: group means
+    floored to the 2^-20 grid, squared deviations re-quantized on the
+    same grid -> SSB/SSW are exact integer sums, drift-free on both
+    engines."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        anova_oneway,
+    )
+
+    return anova_oneway(_ev(spark, sf_dir), "value", "event_type")
+
+
+_ANOVA_SQL = """
+-- Same two-pass grid-centered construction.
+WITH src AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+  WHERE value IS NOT NULL
+), gm AS (
+  SELECT g, count(*) AS ng,
+    floor(avg(v) * 1048576.0) / 1048576.0 AS mg
+  FROM src GROUP BY g
+), tot AS (
+  SELECT count(*) AS n,
+    floor(avg(v) * 1048576.0) / 1048576.0 AS mu
+  FROM src
+), ssw AS (
+  SELECT count(DISTINCT src.g) AS k,
+    sum(floor((v - mg) * (v - mg) * 1048576.0)) / 1048576.0 AS ssw
+  FROM src JOIN gm ON src.g = gm.g
+), ssb AS (
+  SELECT sum(floor(ng * (mg - mu) * (mg - mu) * 1048576.0))
+    / 1048576.0 AS ssb
+  FROM gm CROSS JOIN tot
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+  round(ssb, 6) AS ssb, round(ssw, 6) AS ssw,
+  round((ssb / (k - 1.0)) / (ssw / (n - k)), 6) AS f_stat
+FROM ssw CROSS JOIN ssb CROSS JOIN tot
+"""
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -10288,10 +10492,18 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparkbar": q_sparkbar,
     "platt": q_platt,
     "markov_chain": q_markov,
+    "spearman": q_spearman,
+    "kendall": q_kendall,
+    "assoc_strength": q_assoc,
+    "anova": q_anova,
 }
 
 _R9_ORACLES: dict[str, str] = {
     "markov_chain": _MARKOV_SQL,
+    "spearman": _SPEARMAN_SQL,
+    "kendall": _KENDALL_SQL,
+    "assoc_strength": _ASSOC_SQL,
+    "anova": _ANOVA_SQL,
     "theil_sen": """
 -- Same pair construction and exact middle-row medians: daily means,
 -- all-pairs slopes, median slope then median residual intercept.

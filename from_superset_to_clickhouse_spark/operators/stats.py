@@ -1382,3 +1382,246 @@ def platt_scale(
         [(n, float(a), float(b), float(ll))],
         "n long, a double, b double, log_loss double",
     )
+
+
+# -- rank correlation & categorical association ---------------------------
+
+_Q = float(1 << 20)  # power-of-two grid: x*_Q is an EXACT double multiply
+
+
+def _midrank(
+    df: DataFrame, value_col: str, gcols: "list[str]", out: str
+) -> DataFrame:
+    """Average (mid)ranks of ``value_col`` per group, computed as a
+    per-distinct-value aggregate + one prefix window: midrank of every
+    copy of v = (#strictly smaller) + (t+1)/2 where t is v's tie count.
+    Midranks live on the 0.5 grid, so every downstream product and sum
+    is exact in IEEE doubles — bit-identical on any engine (same trick
+    as :func:`mann_whitney_u`). Returns the input rows + ``out``."""
+    pv = df.groupBy(*gcols, value_col).agg(F.count("*").alias("_t"))
+    w = (
+        Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    ).orderBy(value_col).rowsBetween(Window.unboundedPreceding, -1)
+    pv = pv.withColumn(
+        "_bef", F.coalesce(F.sum("_t").over(w), F.lit(0))
+    ).select(
+        *gcols,
+        value_col,
+        (F.col("_bef") + (F.col("_t") + F.lit(1.0)) / 2.0).alias(out),
+    )
+    return df.join(pv, [*gcols, value_col])
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Spearman rank correlation per group (ClickHouse ``rankCorr``
+    parity) → (group…, n, rho): Pearson correlation of the midranks,
+    with ties getting average ranks on both axes.
+
+    Ranks are centered by the EXACT mean rank (n+1)/2, so every
+    deviation is a multiple of 0.5; products are multiples of 0.25 and
+    the three sums (Σdx·dy, Σdx², Σdy²) are exact integers scaled by
+    4 — order-independent, no float drift between engines. Two keyed
+    window passes (one per axis) + one aggregate; series length per
+    group is whatever the caller bucketed to, nothing global."""
+    gcols = list(group_cols or [])
+    src = df.select(
+        *gcols,
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    r = _midrank(src, "_x", gcols, "_rx")
+    r = _midrank(r, "_y", gcols, "_ry")
+    agg = r.groupBy(*gcols).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("_rx") * F.col("_ry")).alias("_sxy"),
+        F.sum(F.col("_rx") * F.col("_rx")).alias("_sxx"),
+        F.sum(F.col("_ry") * F.col("_ry")).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    m = n * (n + 1.0) * (n + 1.0) / 4.0  # n * mean_rank^2, exact
+    num = F.col("_sxy") - m
+    den = F.sqrt((F.col("_sxx") - m) * (F.col("_syy") - m))
+    return agg.select(
+        *gcols,
+        "n",
+        F.round(F.when(den > 0, num / den), 6).alias("rho"),
+    )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Kendall τ-b per group (ClickHouse ``kendallRankCorrelation``
+    parity) → (group…, n, s, tau_b) over a BOUNDED series (daily
+    buckets, experiment arms — the caller aggregates first; the pair
+    join is O(len²) per group by construction, never corpus-wide).
+
+    Inputs are quantized to the 2^-20 grid before pairing so the
+    tie test (dx = 0) is the same set on every engine; S = Σ sign(dx)
+    ·sign(dy) over ordered pairs i<j, with the standard tie-adjusted
+    denominator √((n0−n1)(n0−n2))."""
+    gcols = list(group_cols or [])
+    q = lambda c: F.floor(F.col(c).cast("double") * _Q) / _Q  # noqa: E731
+    src = df.select(
+        *gcols,
+        F.col(order_col).alias("_o"),
+        q(x_col).alias("_x"),
+        q(y_col).alias("_y"),
+    )
+    a = src.select(*gcols, *[F.col(c).alias(c + "a") for c in ("_o", "_x", "_y")])
+    b = src.select(*gcols, *[F.col(c).alias(c + "b") for c in ("_o", "_x", "_y")])
+    pairs = a.join(b, gcols) .filter(F.col("_oa") < F.col("_ob")) if gcols else a.crossJoin(b).filter(F.col("_oa") < F.col("_ob"))
+    dx = F.col("_xa") - F.col("_xb")
+    dy = F.col("_ya") - F.col("_yb")
+    pa = pairs.groupBy(*gcols).agg(
+        F.count("*").alias("_n0"),
+        F.sum(F.signum(dx) * F.signum(dy)).cast("long").alias("s"),
+        F.count(F.when(dx == 0, 1)).alias("_t1"),
+        F.count(F.when(dy == 0, 1)).alias("_t2"),
+    )
+    cnt = src.groupBy(*gcols).agg(F.count("*").alias("n"))
+    den = F.sqrt(
+        (F.col("_n0") - F.col("_t1")).cast("double")
+        * (F.col("_n0") - F.col("_t2")).cast("double")
+    )
+    joined = pa.join(cnt, gcols) if gcols else pa.crossJoin(cnt)
+    return joined.select(
+        *gcols,
+        "n",
+        "s",
+        F.round(
+            F.when(den > 0, F.col("s").cast("double") / den), 6
+        ).alias("tau_b"),
+    )
+
+
+def contingency_assoc(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Cramér's V and Theil's U over one contingency table →
+    single row (n, r, c, chi2, cramers_v, theil_u_ab, theil_u_ba):
+    the two association strengths ClickHouse ships as ``cramersV`` /
+    ``theilsU``. V is the χ²-based symmetric strength; U(a|b) is the
+    asymmetric uncertainty coefficient (H(A) − H(A|B)) / H(A) built
+    from the same cell counts.
+
+    One groupBy over (a,b) → all marginals and entropies derive from
+    the (tiny, ≤ r·c rows) cell table; the corpus is touched once."""
+    cells = (
+        df.select(
+            F.col(a_col).cast("string").alias("_a"),
+            F.col(b_col).cast("string").alias("_b"),
+        )
+        .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+        .groupBy("_a", "_b")
+        .agg(F.count("*").alias("_n"))
+    )
+    ra = cells.groupBy("_a").agg(F.sum("_n").alias("_na"))
+    cb = cells.groupBy("_b").agg(F.sum("_n").alias("_nb"))
+    tot = cells.agg(
+        F.sum("_n").alias("_nn"),
+        F.countDistinct("_a").alias("r"),
+        F.countDistinct("_b").alias("c"),
+    )
+    j = cells.join(ra, "_a").join(cb, "_b").crossJoin(tot)
+    nn = F.col("_nn").cast("double")
+    e = F.col("_na").cast("double") * F.col("_nb") / nn
+    o = F.col("_n").cast("double")
+    # p·ln terms: ≤ r·c cells, libm 1-ulp noise is far below the 6dp
+    # round; entropies use natural log on both engines.
+    h_ab = -(o / nn) * F.log(o / F.col("_nb").cast("double"))
+    h_ba = -(o / nn) * F.log(o / F.col("_na").cast("double"))
+    h_a_term = -(o / nn) * F.log(F.col("_na").cast("double") / nn)
+    h_b_term = -(o / nn) * F.log(F.col("_nb").cast("double") / nn)
+    agg = j.groupBy("_nn", "r", "c").agg(
+        F.sum((o - e) * (o - e) / e).alias("_chi2"),
+        F.sum(h_ab).alias("_hab"),
+        F.sum(h_ba).alias("_hba"),
+        F.sum(h_a_term).alias("_ha"),
+        F.sum(h_b_term).alias("_hb"),
+    )
+    # H(A)/H(B) from marginals (the per-cell duplicate-weighted sums
+    # above equal them exactly because Σ_b n_ab = n_a)
+    k = F.least(F.col("r"), F.col("c")).cast("double") - 1.0
+    return agg.select(
+        F.col("_nn").cast("long").alias("n"),
+        "r",
+        "c",
+        F.round("_chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(F.col("_chi2") / (F.col("_nn").cast("double") * k)), 6
+        ).alias("cramers_v"),
+        F.round(
+            (F.col("_ha") - F.col("_hab")) / F.col("_ha"), 6
+        ).alias("theil_u_ab"),
+        F.round(
+            (F.col("_hb") - F.col("_hba")) / F.col("_hb"), 6
+        ).alias("theil_u_ba"),
+    )
+
+
+def anova_oneway(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """One-way ANOVA F over groups → single row (k, n, ssb, ssw,
+    f_stat): the k-arm generalization of the A/B z-test above.
+
+    Two-pass centered sums: group means land on the 2^-20 grid
+    (floor of an exact power-of-two multiply — identical on every
+    engine), squared deviations are re-quantized onto the same grid,
+    so SSB/SSW are exact integer sums scaled by 2^-20: no
+    catastrophic cancellation and no summation-order drift. Both
+    passes are partial-aggregatable shuffles on the group key."""
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    gm = src.groupBy("_g").agg(
+        F.count("*").alias("_ng"),
+        (F.floor(F.avg("_v") * _Q) / _Q).alias("_mg"),
+    )
+    tot = src.agg(
+        F.count("*").alias("_n"), (F.floor(F.avg("_v") * _Q) / _Q).alias("_mu")
+    )
+    dev = src.join(gm, "_g").crossJoin(tot)
+    d_w = F.col("_v") - F.col("_mg")
+    agg = dev.groupBy("_n", "_mu").agg(
+        F.countDistinct("_g").alias("k"),
+        (F.sum(F.floor(d_w * d_w * _Q)) / _Q).alias("_ssw"),
+    )
+    ssb = (
+        gm.crossJoin(tot)
+        .select(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("_ng")
+                        * (F.col("_mg") - F.col("_mu"))
+                        * (F.col("_mg") - F.col("_mu"))
+                        * _Q
+                    )
+                )
+                / _Q
+            ).alias("_ssb")
+        )
+    )
+    out = agg.crossJoin(ssb)
+    kk = F.col("k").cast("double")
+    nn = F.col("_n").cast("double")
+    f = (F.col("_ssb") / (kk - 1.0)) / (F.col("_ssw") / (nn - kk))
+    return out.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("_n").cast("long").alias("n"),
+        F.round("_ssb", 6).alias("ssb"),
+        F.round("_ssw", 6).alias("ssw"),
+        F.round(f, 6).alias("f_stat"),
+    )

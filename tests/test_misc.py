@@ -2643,3 +2643,135 @@ def test_markov_transitions(spark):
     assert got[("click", "purchase")] == (1, 1.0)  # sole click exit
     assert ("purchase", "view") not in got
     assert len(got) == 3
+
+
+def _avg_ranks(vs):
+    order = sorted(range(len(vs)), key=lambda i: vs[i])
+    ranks = [0.0] * len(vs)
+    i = 0
+    while i < len(order):
+        j = i
+        while j + 1 < len(order) and vs[order[j + 1]] == vs[order[i]]:
+            j += 1
+        avg = (i + j) / 2.0 + 1.0
+        for k in range(i, j + 1):
+            ranks[order[k]] = avg
+        i = j + 1
+    return ranks
+
+
+def test_spearman_matches_reference(spark):
+    import math
+
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        spearman_corr,
+    )
+
+    # ties on both axes; Pearson-of-midranks computed by hand
+    xs = [1.0, 2.0, 2.0, 3.0, 5.0, 5.0, 7.0, 8.0]
+    ys = [2.0, 1.0, 4.0, 4.0, 6.0, 8.0, 7.0, 7.0]
+    rx, ry = _avg_ranks(xs), _avg_ranks(ys)
+    n = len(xs)
+    mx = sum(rx) / n
+    num = sum((a - mx) * (b - mx) for a, b in zip(rx, ry))
+    den = math.sqrt(
+        sum((a - mx) ** 2 for a in rx) * sum((b - mx) ** 2 for b in ry)
+    )
+    want = round(num / den, 6)
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], "g string, x double, y double"
+    )
+    r = spearman_corr(df, "x", "y", ["g"]).collect()[0]
+    assert r.n == 8
+    assert abs(r.rho - want) < 1e-9
+    # perfect monotone -> exactly 1
+    mono = spark.createDataFrame(
+        [("g", float(i), float(i * i)) for i in range(1, 9)],
+        "g string, x double, y double",
+    )
+    assert spearman_corr(mono, "x", "y", ["g"]).collect()[0].rho == 1.0
+
+
+def test_kendall_tau_b_matches_reference(spark):
+    import math
+
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        kendall_tau_b,
+    )
+
+    xs = [1.0, 2.0, 2.0, 3.0, 5.0, 5.0, 7.0, 8.0]
+    ys = [2.0, 1.0, 4.0, 4.0, 6.0, 8.0, 7.0, 7.0]
+    # brute-force tau-b over all ordered pairs
+    s = t1 = t2 = n0 = 0
+    for i in range(len(xs)):
+        for j in range(i + 1, len(xs)):
+            dx, dy = xs[i] - xs[j], ys[i] - ys[j]
+            n0 += 1
+            s += (dx > 0) * ((dy > 0) - (dy < 0)) - (dx < 0) * (
+                (dy > 0) - (dy < 0)
+            )
+            t1 += dx == 0
+            t2 += dy == 0
+    want = round(s / math.sqrt((n0 - t1) * (n0 - t2)), 6)
+    df = spark.createDataFrame(
+        [("g", i, x, y) for i, (x, y) in enumerate(zip(xs, ys))],
+        "g string, o int, x double, y double",
+    )
+    r = kendall_tau_b(df, "o", "x", "y", ["g"]).collect()[0]
+    assert r.n == 8
+    assert abs(r.tau_b - want) < 1e-6
+
+
+def test_contingency_assoc_reference(spark):
+    import math
+
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        contingency_assoc,
+    )
+
+    # 2x2 table: a\b   0    1
+    #            x    30   10
+    #            y    10   50
+    rows = (
+        [("x", 0)] * 30 + [("x", 1)] * 10 + [("y", 0)] * 10 + [("y", 1)] * 50
+    )
+    df = spark.createDataFrame(rows, "a string, b int")
+    r = contingency_assoc(df, "a", "b").collect()[0]
+    n = 100.0
+    chi2 = 0.0
+    marg_a = {"x": 40, "y": 60}
+    marg_b = {0: 40, 1: 60}
+    obs = {("x", 0): 30, ("x", 1): 10, ("y", 0): 10, ("y", 1): 50}
+    for (a, b), o in obs.items():
+        e = marg_a[a] * marg_b[b] / n
+        chi2 += (o - e) ** 2 / e
+    assert r.n == 100 and r.r == 2 and r.c == 2
+    assert abs(r.chi2 - round(chi2, 6)) < 1e-9
+    assert abs(r.cramers_v - round(math.sqrt(chi2 / n), 6)) < 1e-9
+    h_a = -sum(v / n * math.log(v / n) for v in marg_a.values())
+    h_ab = -sum(
+        o / n * math.log(o / marg_b[b]) for (a, b), o in obs.items()
+    )
+    assert abs(r.theil_u_ab - round((h_a - h_ab) / h_a, 6)) < 1e-9
+
+
+def test_anova_oneway_reference(spark):
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        anova_oneway,
+    )
+
+    # three arms with hand-computable sums: means 2, 4, 7
+    data = {"a": [1.0, 2.0, 3.0], "b": [3.0, 4.0, 5.0], "c": [6.0, 7.0, 8.0]}
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anova_oneway(df, "v", "g").collect()[0]
+    grand = sum(sum(v) for v in data.values()) / 9.0
+    ssb = sum(3 * (sum(vs) / 3 - grand) ** 2 for vs in data.values())
+    ssw = sum(
+        (v - sum(vs) / 3) ** 2 for vs in data.values() for v in vs
+    )
+    f = (ssb / 2) / (ssw / 6)
+    assert r.k == 3 and r.n == 9
+    assert abs(r.ssb - ssb) < 1e-5
+    assert abs(r.ssw - ssw) < 1e-5
+    assert abs(r.f_stat - f) < 1e-4
