@@ -10469,6 +10469,168 @@ FROM ssw CROSS JOIN ssb CROSS JOIN tot
 """
 
 
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC (rank-sum form with midranks) of the raw event
+    value against a planted label that is value-driven plus user
+    noise — a mid-range AUC, not a degenerate 1.0. Global + per no
+    group: single row."""
+    from from_superset_to_clickhouse_spark.operators.mleval import (
+        roc_auc,
+    )
+
+    ev = _ev(spark, sf_dir)
+    src = ev.select(
+        F.col("value").alias("s"),
+        (
+            (F.col("value") + (F.col("user_id") % 2) * 50.0) > 250.0
+        ).cast("int").alias("y"),
+    )
+    return roc_auc(src, "s", "y")
+
+
+_ROC_AUC_SQL = """
+-- Midranks from per-distinct-score counts + prefix window; AUC via
+-- the rank-sum identity; every sum is on the 0.5 grid (exact).
+WITH src AS (
+  SELECT CAST(value AS DOUBLE) AS s,
+    CASE WHEN CAST(value AS DOUBLE)
+      + CAST(user_id % 2 AS DOUBLE) * 50.0 > 250.0
+      THEN 1 ELSE 0 END AS y
+  FROM events
+), pv AS (
+  SELECT s, count(*) FILTER (y = 1) AS cp,
+    count(*) FILTER (y = 0) AS cn
+  FROM src GROUP BY s
+), rk AS (
+  SELECT s, cp, cn, cp + cn AS t,
+    coalesce(sum(cp + cn) OVER (ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+  FROM pv
+), ag AS (
+  SELECT sum(cp) AS n_pos, sum(cn) AS n_neg,
+    sum((bef + (t + 1.0) / 2.0) * cp) AS rp
+  FROM rk
+)
+SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+  round((rp - n_pos * (n_pos + 1.0) / 2.0) / (n_pos * n_neg), 6)
+    AS auc,
+  round(2.0 * ((rp - n_pos * (n_pos + 1.0) / 2.0) / (n_pos * n_neg))
+    - 1.0, 6) AS gini_idx
+FROM ag
+"""
+
+
+def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded-classifier scorecard (confusion counts, accuracy /
+    precision / recall / F1, Brier, 10-bin ECE) for a probability
+    derived from value on the exact 2^-20 grid and the same planted
+    label as roc_auc."""
+    from from_superset_to_clickhouse_spark.operators.mleval import (
+        classifier_eval,
+    )
+
+    ev = _ev(spark, sf_dir)
+    src = ev.select(
+        (
+            F.floor(F.least(F.col("value") / 500.0, F.lit(1.0)) * _FXP)
+            / _FXP
+        ).alias("p"),
+        (
+            (F.col("value") + (F.col("user_id") % 2) * 50.0) > 250.0
+        ).cast("int").alias("y"),
+    )
+    return classifier_eval(src, "p", "y", threshold=0.5, bins=10)
+
+
+_CLASSIFIER_EVAL_SQL = f"""
+-- Same grid-quantized probability, confusion counts, 2^-20 Brier
+-- re-quantization, 10-bin ECE.
+WITH src AS (
+  SELECT floor(least(CAST(value AS DOUBLE) / 500.0, 1.0)
+           * {_FXP}.0) / {_FXP}.0 AS p,
+    CASE WHEN CAST(value AS DOUBLE)
+      + CAST(user_id % 2 AS DOUBLE) * 50.0 > 250.0
+      THEN 1 ELSE 0 END AS y
+  FROM events
+), conf AS (
+  SELECT count(*) AS n,
+    count(*) FILTER (p >= 0.5 AND y = 1) AS tp,
+    count(*) FILTER (p >= 0.5 AND y = 0) AS fp,
+    count(*) FILTER (p < 0.5 AND y = 0) AS tn,
+    count(*) FILTER (p < 0.5 AND y = 1) AS fn,
+    sum(floor((p - y) * (p - y) * {_FXP}.0)) / {_FXP}.0 AS se
+  FROM src
+), b AS (
+  SELECT least(floor(p * 10), 9) AS bb, count(*) AS nb,
+    avg(p) AS pb, avg(CAST(y AS DOUBLE)) AS yb
+  FROM src GROUP BY 1
+), e AS (
+  SELECT sum(CAST(nb AS DOUBLE) / (SELECT n FROM conf)
+    * abs(pb - yb)) AS ece
+  FROM b
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(tp AS BIGINT) AS tp,
+  CAST(fp AS BIGINT) AS fp, CAST(tn AS BIGINT) AS tn,
+  CAST(fn AS BIGINT) AS fn,
+  round(CAST(tp + tn AS DOUBLE) / n, 6) AS accuracy,
+  round(CASE WHEN tp + fp > 0
+    THEN CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision_,
+  round(CASE WHEN tp + fn > 0
+    THEN CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall,
+  round(CASE WHEN CAST(tp AS DOUBLE) / (tp + fp)
+             + CAST(tp AS DOUBLE) / (tp + fn) > 0
+    THEN 2.0 * (CAST(tp AS DOUBLE) / (tp + fp))
+             * (CAST(tp AS DOUBLE) / (tp + fn))
+         / (CAST(tp AS DOUBLE) / (tp + fp)
+            + CAST(tp AS DOUBLE) / (tp + fn)) END, 6) AS f1,
+  round(se / n, 6) AS brier,
+  round((SELECT ece FROM e), 6) AS ece
+FROM conf
+"""
+
+
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value screening of the
+    50-wide value bucket against the planted label — per-bucket rows
+    whose iv_term sums to the feature's IV."""
+    from from_superset_to_clickhouse_spark.operators.mleval import (
+        woe_iv,
+    )
+
+    ev = _ev(spark, sf_dir)
+    src = ev.select(
+        F.floor(F.col("value") / 50.0).cast("long").alias("b"),
+        (
+            (F.col("value") + (F.col("user_id") % 2) * 50.0) > 250.0
+        ).cast("int").alias("y"),
+    )
+    return woe_iv(src, "b", "y")
+
+
+_WOE_IV_SQL = """
+-- Same cells, Laplace 0.5 smoothing, natural-log WoE.
+WITH cells AS (
+  SELECT CAST(floor(CAST(value AS DOUBLE) / 50.0) AS BIGINT) AS bucket,
+    count(*) FILTER (CAST(value AS DOUBLE)
+      + CAST(user_id % 2 AS DOUBLE) * 50.0 > 250.0) AS n_pos,
+    count(*) FILTER (CAST(value AS DOUBLE)
+      + CAST(user_id % 2 AS DOUBLE) * 50.0 <= 250.0) AS n_neg
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM cells
+)
+SELECT bucket, CAST(n_pos AS BIGINT) AS n_pos,
+  CAST(n_neg AS BIGINT) AS n_neg,
+  round(ln(((n_pos + 0.5) / CAST(tp AS DOUBLE))
+         / ((n_neg + 0.5) / CAST(tn AS DOUBLE))), 6) AS woe,
+  round(((n_pos + 0.5) / CAST(tp AS DOUBLE)
+       - (n_neg + 0.5) / CAST(tn AS DOUBLE))
+    * ln(((n_pos + 0.5) / CAST(tp AS DOUBLE))
+       / ((n_neg + 0.5) / CAST(tn AS DOUBLE))), 6) AS iv_term
+FROM cells CROSS JOIN tot
+"""
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -10496,6 +10658,9 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kendall": q_kendall,
     "assoc_strength": q_assoc,
     "anova": q_anova,
+    "roc_auc": q_roc_auc,
+    "classifier_eval": q_classifier_eval,
+    "woe_iv": q_woe_iv,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -10504,6 +10669,9 @@ _R9_ORACLES: dict[str, str] = {
     "kendall": _KENDALL_SQL,
     "assoc_strength": _ASSOC_SQL,
     "anova": _ANOVA_SQL,
+    "roc_auc": _ROC_AUC_SQL,
+    "classifier_eval": _CLASSIFIER_EVAL_SQL,
+    "woe_iv": _WOE_IV_SQL,
     "theil_sen": """
 -- Same pair construction and exact middle-row medians: daily means,
 -- all-pairs slopes, median slope then median residual intercept.

@@ -1,0 +1,85 @@
+"""Offline classifier/ranking evaluation metrics (operators/mleval)."""
+
+import math
+
+from from_superset_to_clickhouse_spark.operators.mleval import (
+    classifier_eval,
+    roc_auc,
+    woe_iv,
+)
+
+
+def test_roc_auc_matches_pair_counting(spark):
+    # scores with ties across classes; reference = brute-force pairs
+    pos = [3.0, 5.0, 5.0, 8.0]
+    neg = [1.0, 3.0, 5.0, 6.0, 7.0]
+    wins = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0)
+        for p in pos
+        for q in neg
+    )
+    want = round(wins / (len(pos) * len(neg)), 6)
+    df = spark.createDataFrame(
+        [(s, 1) for s in pos] + [(s, 0) for s in neg], "s double, y int"
+    )
+    r = roc_auc(df, "s", "y").collect()[0]
+    assert (r.n_pos, r.n_neg) == (4, 5)
+    assert abs(r.auc - want) < 1e-9
+    assert abs(r.gini_idx - round(2 * want - 1, 6)) < 1e-9
+
+
+def test_roc_auc_perfect_and_random(spark):
+    perfect = spark.createDataFrame(
+        [(float(i), 1 if i >= 5 else 0) for i in range(10)],
+        "s double, y int",
+    )
+    assert roc_auc(perfect, "s", "y").collect()[0].auc == 1.0
+    # constant score -> all ties -> 0.5
+    const = spark.createDataFrame(
+        [(1.0, i % 2) for i in range(10)], "s double, y int"
+    )
+    assert roc_auc(const, "s", "y").collect()[0].auc == 0.5
+
+
+def test_roc_auc_grouped(spark):
+    rows = [("a", float(i), 1 if i >= 5 else 0) for i in range(10)] + [
+        ("b", float(i), 1 if i < 5 else 0) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, s double, y int")
+    got = {
+        r.g: r.auc for r in roc_auc(df, "s", "y", ["g"]).collect()
+    }
+    assert got == {"a": 1.0, "b": 0.0}
+
+
+def test_classifier_eval_reference(spark):
+    # 8 rows, hand-computed scorecard at threshold 0.5
+    data = [
+        (0.9, 1), (0.8, 1), (0.7, 0), (0.6, 1),
+        (0.4, 0), (0.3, 1), (0.2, 0), (0.1, 0),
+    ]
+    df = spark.createDataFrame(data, "p double, y int")
+    r = classifier_eval(df, "p", "y", threshold=0.5, bins=10).collect()[0]
+    assert (r.tp, r.fp, r.tn, r.fn) == (3, 1, 3, 1)
+    assert r.accuracy == 0.75
+    assert r.precision_ == 0.75 and r.recall == 0.75 and r.f1 == 0.75
+    brier = sum((p - y) ** 2 for p, y in data) / 8
+    assert abs(r.brier - brier) < 1e-5
+    # every bin has one sample -> ece = mean |p - y|
+    ece = sum(abs(p - y) for p, y in data) / 8
+    assert abs(r.ece - round(ece, 6)) < 1e-9
+
+
+def test_woe_iv_reference(spark):
+    # bucket 0: 30 pos / 10 neg; bucket 1: 10 pos / 50 neg
+    rows = (
+        [(0, 1)] * 30 + [(0, 0)] * 10 + [(1, 1)] * 10 + [(1, 0)] * 50
+    )
+    df = spark.createDataFrame(rows, "b int, y int")
+    got = {r.bucket: r for r in woe_iv(df, "b", "y").collect()}
+    tp, tn = 40.0, 60.0
+    for b, (np_, nn_) in {0: (30, 10), 1: (10, 50)}.items():
+        ps, ns = (np_ + 0.5) / tp, (nn_ + 0.5) / tn
+        assert abs(got[b].woe - round(math.log(ps / ns), 6)) < 1e-9
+        assert abs(got[b].iv_term - round((ps - ns) * math.log(ps / ns), 6)) < 1e-9
+    assert got[0].n_pos == 30 and got[1].n_neg == 50
