@@ -10631,6 +10631,187 @@ FROM cells CROSS JOIN tot
 """
 
 
+def q_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse deltaSum/runningDifference rollup per event type:
+    positive-delta sum, drop sum, and net over the (ts, event_id)-
+    ordered value series; deltas on the 2^-20 grid -> exact sums."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        delta_sum,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return delta_sum(ev, "event_type", "ts", "value", "event_id") \
+        .withColumnRenamed("key", "event_type")
+
+
+_DELTA_SUM_SQL = """
+-- Same window sort, same grid quantization of adjacent differences.
+WITH s AS (
+  SELECT event_type AS key, CAST(value AS DOUBLE) AS v,
+    lag(CAST(value AS DOUBLE)) OVER w AS pv,
+    row_number() OVER w AS rn,
+    count(*) OVER (PARTITION BY event_type) AS nn
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+SELECT key AS event_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN v - pv > 0
+    THEN floor((v - pv) * 1048576.0) ELSE 0 END) AS DOUBLE)
+    / 1048576.0 AS delta_sum,
+  CAST(sum(CASE WHEN v - pv < 0
+    THEN floor(-(v - pv) * 1048576.0) ELSE 0 END) AS DOUBLE)
+    / 1048576.0 AS neg_delta_sum,
+  round(max(CASE WHEN rn = nn THEN v END)
+      - max(CASE WHEN rn = 1 THEN v END), 6) AS net
+FROM s GROUP BY key
+"""
+
+
+def q_bounding_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse boundingRatio per event type: endpoint slope
+    (last value - first value) / elapsed seconds over the ordered
+    series."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        bounding_ratio,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return bounding_ratio(ev, "event_type", "ts", "value", "event_id") \
+        .withColumnRenamed("key", "event_type")
+
+
+_BOUNDING_RATIO_SQL = """
+WITH s AS (
+  SELECT event_type AS key, CAST(value AS DOUBLE) AS v,
+    epoch_us(ts) AS t, row_number() OVER w AS rn,
+    count(*) OVER (PARTITION BY event_type) AS nn
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), a AS (
+  SELECT key, count(*) AS n,
+    max(CASE WHEN rn = 1 THEN v END) AS v0,
+    max(CASE WHEN rn = nn THEN v END) AS v1,
+    max(CASE WHEN rn = 1 THEN t END) AS t0,
+    max(CASE WHEN rn = nn THEN t END) AS t1
+  FROM s GROUP BY key
+)
+SELECT key AS event_type, CAST(n AS BIGINT) AS n,
+  round(CASE WHEN t1 > t0
+    THEN (v1 - v0) / (CAST(t1 - t0 AS DOUBLE) / 1e6) END, 6)
+    AS rate_per_s
+FROM a
+"""
+
+
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (event type, day): each
+    observation holds until the next inside the day, weights are
+    integer microseconds, values on the 2^-10 grid -> the weighted
+    sum is an exact BIGINT on both engines."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        twap,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return twap(ev, "event_type", "ts", "value", bucket="day") \
+        .withColumnRenamed("key", "event_type")
+
+
+_TWAP_SQL = """
+-- BIGINT products (DOUBLE would round above 2^53), HUGEINT-safe cast.
+WITH r AS (
+  SELECT event_type AS key, date_trunc('day', ts) AS b,
+    epoch_us(ts) AS t,
+    CAST(floor(CAST(value AS DOUBLE) * 1024.0) AS BIGINT) AS qv
+  FROM events
+), d AS (
+  SELECT key, b, qv,
+    lead(t) OVER (PARTITION BY key, b ORDER BY t, qv) - t AS dt
+  FROM r
+)
+SELECT key AS event_type, b AS bucket_ts,
+  CAST(count(*) AS BIGINT) AS n,
+  round(CAST(CAST(sum(qv * dt) AS BIGINT) AS DOUBLE)
+      / CAST(CAST(sum(dt) AS BIGINT) AS DOUBLE) / 1024.0, 6) AS twap
+FROM d WHERE dt IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse intervalLengthSum per user: union length of the
+    [ts, ts+5min) activity intervals (overlap counted once) via
+    gaps-and-islands on integer microseconds."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        interval_union_length,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return interval_union_length(ev, "user_id", "ts", 300) \
+        .withColumnRenamed("key", "user_id")
+
+
+_INTERVAL_UNION_SQL = """
+WITH r AS (
+  SELECT user_id AS key, epoch_us(ts) AS s,
+    epoch_us(ts) + 300000000 AS e
+  FROM events
+), m AS (
+  SELECT key, s, e,
+    CASE WHEN max(e) OVER wp IS NULL OR s > max(e) OVER wp
+      THEN 1 ELSE 0 END AS new
+  FROM r
+  WINDOW wp AS (PARTITION BY key ORDER BY s
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), i AS (
+  SELECT key, s, e,
+    sum(new) OVER (PARTITION BY key ORDER BY s) AS isl
+  FROM m
+), g AS (
+  SELECT key, isl, count(*) AS cnt, max(e) - min(s) AS len
+  FROM i GROUP BY 1, 2
+)
+SELECT key AS user_id, CAST(sum(cnt) AS BIGINT) AS n,
+  CAST(count(*) AS BIGINT) AS n_islands,
+  CAST(sum(len) AS BIGINT) AS covered_us
+FROM g GROUP BY key
+"""
+
+
+def q_max_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse maxIntersections(+Position) per event type: peak
+    concurrency of the [ts, ts+5min) intervals and the earliest
+    microsecond reaching it, via a +1/-1 sweep line."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        max_intersections,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return max_intersections(ev, "event_type", "ts", 300) \
+        .withColumnRenamed("key", "event_type")
+
+
+_MAX_INTERSECTIONS_SQL = """
+-- Ends (-1) sort before starts (+1) at the same instant: half-open.
+WITH b AS (
+  SELECT event_type AS key, epoch_us(ts) AS s FROM events
+), p AS (
+  SELECT key, s AS t, 1 AS d FROM b
+  UNION ALL
+  SELECT key, s + 300000000 AS t, -1 AS d FROM b
+), r AS (
+  SELECT key, t,
+    sum(d) OVER (PARTITION BY key ORDER BY t, d) AS run
+  FROM p
+), m AS (
+  SELECT key, max(run) AS max_conc FROM r GROUP BY key
+)
+SELECT r.key AS event_type, CAST(m.max_conc AS BIGINT) AS max_conc,
+  CAST(min(t) AS BIGINT) AS at_us
+FROM r JOIN m ON r.key = m.key AND r.run = m.max_conc
+GROUP BY 1, 2
+"""
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -10661,6 +10842,11 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "roc_auc": q_roc_auc,
     "classifier_eval": q_classifier_eval,
     "woe_iv": q_woe_iv,
+    "delta_sum": q_delta_sum,
+    "bounding_ratio": q_bounding_ratio,
+    "twap": q_twap,
+    "interval_union": q_interval_union,
+    "max_intersections": q_max_intersections,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -10672,6 +10858,11 @@ _R9_ORACLES: dict[str, str] = {
     "roc_auc": _ROC_AUC_SQL,
     "classifier_eval": _CLASSIFIER_EVAL_SQL,
     "woe_iv": _WOE_IV_SQL,
+    "delta_sum": _DELTA_SUM_SQL,
+    "bounding_ratio": _BOUNDING_RATIO_SQL,
+    "twap": _TWAP_SQL,
+    "interval_union": _INTERVAL_UNION_SQL,
+    "max_intersections": _MAX_INTERSECTIONS_SQL,
     "theil_sen": """
 -- Same pair construction and exact middle-row medians: daily means,
 -- all-pairs slopes, median slope then median residual intercept.

@@ -1360,3 +1360,221 @@ def markov_transitions(
             F.col("n") / F.sum("n").over(wf).cast("double"), 6
         ).alias("p"),
     )
+
+
+# -- ClickHouse-parity interval / delta aggregates -------------------------
+
+_QG = float(1 << 20)
+
+
+def delta_sum(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """ClickHouse ``deltaSum`` / ``runningDifference`` rollup per key
+    → (key…, n, delta_sum, neg_delta_sum, net): the sum of positive
+    adjacent differences (monotone-counter resets ignored), the sum of
+    drops, and last−first. Deltas are quantized onto the 2^-20 grid
+    (exact power-of-two multiply) so the sums are exact integers —
+    order-independent across engines.
+
+    One keyed window pass (lag + row_number over the same sort —
+    Catalyst fuses them into a single sort) + one aggregate."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    v = F.col(value_col).cast("double")
+    d = v - F.lag(v).over(w)
+    rn = F.row_number().over(w)
+    rows = df.select(
+        F.col(key_col).alias("key"),
+        v.alias("_v"),
+        d.alias("_d"),
+        rn.alias("_rn"),
+        F.count("*").over(Window.partitionBy(key_col)).alias("_n"),
+    )
+    return rows.groupBy("key").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(
+                F.when(F.col("_d") > 0, F.floor(F.col("_d") * _QG)).otherwise(
+                    F.lit(0)
+                )
+            )
+            / _QG
+        ).alias("delta_sum"),
+        (
+            F.sum(
+                F.when(
+                    F.col("_d") < 0, F.floor(-F.col("_d") * _QG)
+                ).otherwise(F.lit(0))
+            )
+            / _QG
+        ).alias("neg_delta_sum"),
+        F.round(
+            F.max(F.when(F.col("_rn") == F.col("_n"), F.col("_v")))
+            - F.max(F.when(F.col("_rn") == 1, F.col("_v"))),
+            6,
+        ).alias("net"),
+    )
+
+
+def bounding_ratio(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """ClickHouse ``boundingRatio`` per key → (key…, n, rate_per_s):
+    (last value − first value) / (last ts − first ts in seconds) over
+    the (ts, tiebreak)-ordered series — the average slope between the
+    series endpoints. One keyed window pass + aggregate."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    rows = df.select(
+        F.col(key_col).alias("key"),
+        F.col(value_col).cast("double").alias("_v"),
+        F.unix_micros(F.col(ts_col)).alias("_t"),
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(Window.partitionBy(key_col)).alias("_n"),
+    )
+    agg = rows.groupBy("key").agg(
+        F.count("*").alias("n"),
+        F.max(F.when(F.col("_rn") == 1, F.col("_v"))).alias("_v0"),
+        F.max(F.when(F.col("_rn") == F.col("_n"), F.col("_v"))).alias("_v1"),
+        F.max(F.when(F.col("_rn") == 1, F.col("_t"))).alias("_t0"),
+        F.max(F.when(F.col("_rn") == F.col("_n"), F.col("_t"))).alias("_t1"),
+    )
+    dt = (F.col("_t1") - F.col("_t0")).cast("double") / 1e6
+    return agg.select(
+        "key",
+        "n",
+        F.round(
+            F.when(dt > 0, (F.col("_v1") - F.col("_v0")) / dt), 6
+        ).alias("rate_per_s"),
+    )
+
+
+def twap(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Time-weighted average value per (key, bucket) → (key, bucket_ts,
+    n, twap): each observation holds until the next one INSIDE the
+    bucket; the bucket's last observation carries no weight (no
+    look-ahead across the boundary). The fix for duration bias that a
+    plain AVG has when sampling is irregular.
+
+    Exactness: weights are integer microseconds, values are quantized
+    to the 2^-10 grid, so Σ qv·Δt is an exact BIGINT (≤ 2^19 · 86.4e9
+    · rows_per_bucket — safely inside int64 for day buckets) and the
+    final division is the only float op. One keyed window pass."""
+    qv = F.floor(F.col(value_col).cast("double") * (1 << 10))
+    b = F.date_trunc(bucket, F.col(ts_col))
+    rows = df.select(
+        F.col(key_col).alias("key"),
+        b.alias("_b"),
+        F.unix_micros(F.col(ts_col)).alias("_t"),
+        qv.alias("_qv"),
+    ).withColumn("_dt", F.lead("_t").over(
+        Window.partitionBy("key", "_b").orderBy("_t", "_qv")
+    ) - F.col("_t"))
+    # Tie order at identical _t is weight-neutral: equal-_t neighbors
+    # get _dt = 0 and contribute nothing, so (_t, _qv) is a sufficient
+    # deterministic sort — no unique tiebreak needed.
+    agg = rows.filter(F.col("_dt").isNotNull()).groupBy("key", "_b").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("_qv") * F.col("_dt")).alias("_num"),
+        F.sum("_dt").alias("_den"),
+    )
+    return agg.select(
+        "key",
+        F.col("_b").alias("bucket_ts"),
+        "n",
+        F.round(
+            F.col("_num").cast("double")
+            / F.col("_den").cast("double")
+            / float(1 << 10),
+            6,
+        ).alias("twap"),
+    )
+
+
+def interval_union_length(
+    df: DataFrame, key_col: str, ts_col: str, dur_seconds: int
+) -> DataFrame:
+    """ClickHouse ``intervalLengthSum`` per key → (key, n, n_islands,
+    covered_us): total length of the UNION of the [ts, ts+dur) activity
+    intervals — overlap counted once. Classic gaps-and-islands: a new
+    island starts where the start exceeds the running max of prior
+    ends; island lengths are max(end) − min(start). All integer
+    microseconds, exact on every engine. Two keyed window passes +
+    one aggregate, nothing global."""
+    dur_us = int(dur_seconds) * 1_000_000
+    w = Window.partitionBy("key").orderBy("_s")
+    prev_max_end = F.max("_e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rows = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.unix_micros(F.col(ts_col)).alias("_s"),
+        )
+        .withColumn("_e", F.col("_s") + F.lit(dur_us))
+        .withColumn(
+            "_new",
+            F.when(
+                prev_max_end.isNull() | (F.col("_s") > prev_max_end), 1
+            ).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(w))
+    )
+    isl = rows.groupBy("key", "_isl").agg(
+        F.count("*").alias("_cnt"),
+        (F.max("_e") - F.min("_s")).alias("_len"),
+    )
+    return isl.groupBy("key").agg(
+        F.sum("_cnt").alias("n"),
+        F.count("*").alias("n_islands"),
+        F.sum("_len").alias("covered_us"),
+    )
+
+
+def max_intersections(
+    df: DataFrame, key_col: str, ts_col: str, dur_seconds: int
+) -> DataFrame:
+    """ClickHouse ``maxIntersections`` / ``maxIntersectionsPosition``
+    per key → (key, max_conc, at_us): the peak number of
+    simultaneously-open [ts, ts+dur) intervals and the earliest
+    microsecond where the peak is reached. Sweep line: +1 at starts,
+    −1 at ends, ends sort before starts at the same instant
+    (half-open), running sum's max. One keyed window pass over
+    2·n points + one aggregate — integer-exact."""
+    dur_us = int(dur_seconds) * 1_000_000
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.unix_micros(F.col(ts_col)).alias("_s"),
+    )
+    pts = base.select(
+        "key", F.col("_s").alias("_t"), F.lit(1).alias("_d")
+    ).unionByName(
+        base.select(
+            "key",
+            (F.col("_s") + F.lit(dur_us)).alias("_t"),
+            F.lit(-1).alias("_d"),
+        )
+    )
+    w = Window.partitionBy("key").orderBy("_t", "_d")
+    run = pts.withColumn("_run", F.sum("_d").over(w))
+    mx = run.groupBy("key").agg(F.max("_run").alias("max_conc"))
+    return (
+        run.join(mx, "key")
+        .filter(F.col("_run") == F.col("max_conc"))
+        .groupBy("key", "max_conc")
+        .agg(F.min("_t").alias("at_us"))
+        .select("key", "max_conc", "at_us")
+    )

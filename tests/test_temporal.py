@@ -948,3 +948,113 @@ def test_seasonal_decompose_recovers_planted_period(spark):
         assert abs(ph[p] - seas[p]) < 1e-6
     # seasonal components re-center to zero
     assert abs(sum(ph.values())) < 1e-6
+
+
+def test_delta_sum_and_net(spark):
+    import datetime
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        delta_sum,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    vals = [10.0, 13.0, 11.0, 11.0, 20.0]  # +3, -2, 0, +9
+    rows = [
+        ("k", t0 + datetime.timedelta(minutes=i), i, v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, i int, v double")
+    r = delta_sum(df, "g", "ts", "v", "i").collect()[0]
+    assert r.n == 5
+    assert abs(r.delta_sum - 12.0) < 1e-6
+    assert abs(r.neg_delta_sum - 2.0) < 1e-6
+    assert r.net == 10.0
+
+
+def test_bounding_ratio_endpoint_slope(spark):
+    import datetime
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        bounding_ratio,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("k", t0, 0, 100.0),
+        ("k", t0 + datetime.timedelta(seconds=5), 1, 999.0),  # interior
+        ("k", t0 + datetime.timedelta(seconds=10), 2, 150.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, i int, v double")
+    r = bounding_ratio(df, "g", "ts", "v", "i").collect()[0]
+    assert r.n == 3 and r.rate_per_s == 5.0  # (150-100)/10s
+
+
+def test_twap_duration_weighting(spark):
+    import datetime
+
+    from from_superset_to_clickhouse_spark.operators.temporal import twap
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # 10.0 held 30 s, 20.0 held 10 s, last obs carries no weight
+    rows = [
+        ("k", t0, 10.0),
+        ("k", t0 + datetime.timedelta(seconds=30), 20.0),
+        ("k", t0 + datetime.timedelta(seconds=40), 99.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    r = twap(df, "g", "ts", "v").collect()[0]
+    assert r.n == 2
+    want = (10.0 * 30 + 20.0 * 10) / 40  # 12.5
+    assert abs(r.twap - want) < 1e-3
+    # plain AVG would be 43.0 — duration weighting is load-bearing
+    assert abs(r.twap - 43.0) > 20
+
+
+def test_interval_union_counts_overlap_once(spark):
+    import datetime
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        interval_union_length,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    secs = [0, 100, 600]  # [0,300)+[100,400) merge; [600,900) separate
+    rows = [("u", t0 + datetime.timedelta(seconds=s)) for s in secs]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    r = interval_union_length(df, "g", "ts", 300).collect()[0]
+    assert r.n == 3 and r.n_islands == 2
+    assert r.covered_us == (400 + 300) * 1_000_000
+
+
+def test_max_intersections_peak_and_position(spark):
+    import datetime
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        max_intersections,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # [0,300) [100,400) [200,500) -> peak 3 at t=200; [600,900) alone
+    secs = [0, 100, 200, 600]
+    rows = [("g", t0 + datetime.timedelta(seconds=s)) for s in secs]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    r = max_intersections(df, "g", "ts", 300).collect()[0]
+    import calendar
+
+    base_us = calendar.timegm(t0.timetuple()) * 1_000_000
+    assert r.max_conc == 3
+    assert r.at_us == base_us + 200 * 1_000_000
+
+
+def test_max_intersections_halfopen_boundary(spark):
+    import datetime
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        max_intersections,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # second interval starts EXACTLY when first ends: never concurrent
+    rows = [("g", t0), ("g", t0 + datetime.timedelta(seconds=300))]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    assert max_intersections(df, "g", "ts", 300).collect()[0].max_conc == 1
