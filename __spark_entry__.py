@@ -10812,6 +10812,171 @@ GROUP BY 1, 2
 """
 
 
+def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schuster periodogram (harmonics k=1..8) of the daily mean
+    value per event type — the frequency-domain twin of the acf
+    entry. Trig args are identical integers on both engines; output
+    rounded far above libm noise."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        periodogram,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return periodogram(ev, "event_type", "ts", "value") \
+        .withColumnRenamed("key", "event_type")
+
+
+_PERIODOGRAM_SQL = """
+WITH d AS (
+  SELECT event_type AS key, date_trunc('day', ts) AS b,
+    avg(CAST(value AS DOUBLE)) AS x
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT key, x,
+    row_number() OVER (PARTITION BY key ORDER BY b) - 1 AS t,
+    count(*) OVER (PARTITION BY key) AS n
+  FROM d
+), m AS (SELECT key, avg(x) AS mu FROM s GROUP BY key),
+c AS (
+  SELECT s.key, x - mu AS cx, t, n, k
+  FROM s JOIN m ON s.key = m.key
+  CROSS JOIN (SELECT unnest(range(1, 9)) AS k)
+), a AS (
+  SELECT key, CAST(k AS INTEGER) AS k,
+    sum(cx * cos(2.0 * pi() * k * t / CAST(n AS DOUBLE))) AS re,
+    sum(cx * sin(2.0 * pi() * k * t / CAST(n AS DOUBLE))) AS im,
+    max(n) AS n
+  FROM c GROUP BY 1, 2
+)
+SELECT key AS event_type, k,
+  round((re * re + im * im) / CAST(n AS DOUBLE), 6) AS power
+FROM a
+"""
+
+
+def q_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) Yule-Walker fit of the daily mean value per event type:
+    closed-form phi from 6dp-rounded autocorrelations, so the solve
+    is identical scalar arithmetic on both engines."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        yule_walker_ar2,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return yule_walker_ar2(ev, "event_type", "ts", "value") \
+        .withColumnRenamed("key", "event_type")
+
+
+_ACF_CTE = """
+WITH d AS (
+  SELECT event_type AS key, date_trunc('day', ts) AS b,
+    avg(CAST(value AS DOUBLE)) AS x
+  FROM events GROUP BY 1, 2
+), m AS (SELECT key, avg(x) AS mu FROM d GROUP BY key),
+c AS (
+  SELECT d.key, b, x - mu AS cx FROM d JOIN m ON d.key = m.key
+), l AS (
+  SELECT key, cx, lag(cx, 1) OVER wk AS l1,
+    lag(cx, 2) OVER wk AS l2, lag(cx, 3) OVER wk AS l3
+  FROM c WINDOW wk AS (PARTITION BY key ORDER BY b)
+), r AS (
+  SELECT key, count(*) AS n,
+    round(sum(cx * l1) / sum(cx * cx), 6) AS r1,
+    round(sum(cx * l2) / sum(cx * cx), 6) AS r2,
+    round(sum(cx * l3) / sum(cx * cx), 6) AS r3
+  FROM l GROUP BY key
+)
+"""
+
+_YULE_WALKER_SQL = _ACF_CTE + """
+SELECT key AS event_type, CAST(n AS BIGINT) AS n, r1, r2,
+  round(r1 * (1.0 - r2) / (1.0 - r1 * r1), 6) AS phi1,
+  round((r2 - r1 * r1) / (1.0 - r1 * r1), 6) AS phi2,
+  round(1.0 - (r1 * (1.0 - r2) / (1.0 - r1 * r1)) * r1
+            - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r2, 6)
+    AS sigma2_ratio
+FROM r
+"""
+
+
+def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation (lags 1..3) of the daily mean value
+    per event type via the unrolled Durbin-Levinson recursion on
+    6dp-rounded ACF inputs."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        pacf,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return pacf(ev, "event_type", "ts", "value") \
+        .withColumnRenamed("key", "event_type")
+
+
+_PACF_SQL = _ACF_CTE + """, p AS (
+  SELECT key, r1, r2, r3,
+    (r2 - r1 * r1) / (1.0 - r1 * r1) AS p2
+  FROM r
+), p3 AS (
+  SELECT key, r1, r2, r3, p2, r1 * (1.0 - p2) AS phi21 FROM p
+)
+SELECT key AS event_type, CAST(lag AS INTEGER) AS lag,
+  round(CASE lag WHEN 1 THEN r1 WHEN 2 THEN p2
+    ELSE (r3 - phi21 * r2 - p2 * r1)
+         / (1.0 - phi21 * r1 - p2 * r2) END, 6) AS pacf
+FROM p3 CROSS JOIN (SELECT unnest(range(1, 4)) AS lag)
+"""
+
+
+def q_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level Haar wavelet energy split of the daily event-count
+    series per event type (first 28 days): integer-exact pair sums/
+    differences, dyadic divisions only, with the conservation
+    e_total = e_d1 + e_d2 + e_a2 checkable in the output."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        haar_energy,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return haar_energy(ev, "event_type", "ts", "value") \
+        .withColumnRenamed("key", "event_type")
+
+
+_HAAR_ENERGY_SQL = """
+WITH d AS (
+  SELECT event_type AS key, date_trunc('day', ts) AS b,
+    CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT * FROM (
+    SELECT key, x,
+      row_number() OVER (PARTITION BY key ORDER BY b) - 1 AS t
+    FROM d
+  ) WHERE t < 28
+), l1 AS (
+  SELECT key, CAST(floor(t / 2) AS BIGINT) AS p,
+    sum(x) AS a1,
+    sum(CASE WHEN t % 2 = 0 THEN x ELSE -x END) AS d1,
+    sum(x * x) AS xx, count(*) AS cnt
+  FROM s GROUP BY 1, 2
+), l2 AS (
+  SELECT key, CAST(floor(p / 2) AS BIGINT) AS q,
+    sum(a1) AS a2,
+    sum(CASE WHEN p % 2 = 0 THEN a1 ELSE -a1 END) AS d2,
+    sum(d1 * d1) AS d1sq, sum(xx) AS xx, sum(cnt) AS cnt
+  FROM l1 GROUP BY 1, 2
+), a AS (
+  SELECT key, sum(cnt) AS n, sum(xx) AS et,
+    sum(d1sq) / 2.0 AS ed1, sum(d2 * d2) / 4.0 AS ed2,
+    sum(a2 * a2) / 4.0 AS ea2
+  FROM l2 GROUP BY key
+)
+SELECT key AS event_type, CAST(n AS BIGINT) AS n,
+  round(et, 6) AS e_total, round(ed1, 6) AS e_d1,
+  round(ed2, 6) AS e_d2, round(ea2, 6) AS e_a2
+FROM a
+"""
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -10847,6 +11012,10 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "twap": q_twap,
     "interval_union": q_interval_union,
     "max_intersections": q_max_intersections,
+    "periodogram": q_periodogram,
+    "yule_walker": q_yule_walker,
+    "pacf": q_pacf,
+    "haar_energy": q_haar_energy,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -10863,6 +11032,10 @@ _R9_ORACLES: dict[str, str] = {
     "twap": _TWAP_SQL,
     "interval_union": _INTERVAL_UNION_SQL,
     "max_intersections": _MAX_INTERSECTIONS_SQL,
+    "periodogram": _PERIODOGRAM_SQL,
+    "yule_walker": _YULE_WALKER_SQL,
+    "pacf": _PACF_SQL,
+    "haar_energy": _HAAR_ENERGY_SQL,
     "theil_sen": """
 -- Same pair construction and exact middle-row medians: daily means,
 -- all-pairs slopes, median slope then median residual intercept.

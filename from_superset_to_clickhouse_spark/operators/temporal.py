@@ -1578,3 +1578,239 @@ def max_intersections(
         .agg(F.min("_t").alias("at_us"))
         .select("key", "max_conc", "at_us")
     )
+
+
+# -- spectral / autoregressive series diagnostics ---------------------------
+
+
+def periodogram(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 day",
+    max_k: int = 8,
+) -> DataFrame:
+    """Discrete-Fourier periodogram of a bucketed series per key →
+    (key, k, power) for harmonics k = 1..max_k: power_k =
+    ((Σ x̃·cos(2πkt/N))² + (Σ x̃·sin(2πkt/N))²) / N over the mean-
+    centered series — the direct way to FIND the period that acf()
+    only confirms. Exactly Schuster's periodogram; a spike at k means
+    the series repeats every N/k buckets.
+
+    The series is bounded (keys × buckets), so the k-harmonic
+    expansion is a bounded columnar crossJoin — the corpus is touched
+    once by the bucketing aggregate. Trig inputs are identical
+    integers on both engines; 1-ulp libm noise is ~9 orders below
+    the 6dp output round."""
+    b = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.window(F.col(ts_col), bucket).alias("_w"),
+        )
+        .agg(F.avg(F.col(value_col).cast("double")).alias("_x"))
+        .select("key", F.col("_w.start").alias("_b"), "_x")
+    )
+    w = Window.partitionBy("key").orderBy("_b")
+    s = b.select(
+        "key",
+        "_x",
+        (F.row_number().over(w) - 1).alias("_t"),
+        F.count("*").over(Window.partitionBy("key")).alias("_n"),
+    )
+    mu = s.groupBy("key").agg(F.avg("_x").alias("_mu"))
+    ks = df.sparkSession.range(1, max_k + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    c = (
+        s.join(mu, "key")
+        .withColumn("_c", F.col("_x") - F.col("_mu"))
+        .crossJoin(F.broadcast(ks))
+    )
+    import math
+
+    ang = (
+        F.lit(2.0 * math.pi)
+        * F.col("k")
+        * F.col("_t")
+        / F.col("_n").cast("double")
+    )
+    agg = c.groupBy("key", "k").agg(
+        F.sum(F.col("_c") * F.cos(ang)).alias("_re"),
+        F.sum(F.col("_c") * F.sin(ang)).alias("_im"),
+        F.max("_n").alias("_n"),
+    )
+    return agg.select(
+        "key",
+        "k",
+        F.round(
+            (F.col("_re") * F.col("_re") + F.col("_im") * F.col("_im"))
+            / F.col("_n").cast("double"),
+            6,
+        ).alias("power"),
+    )
+
+
+def _acf_rounded(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str,
+    lags: int,
+) -> DataFrame:
+    """Biased ACF r_1..r_lags per key as 6dp-ROUNDED columns — the
+    shared front half of yule_walker_ar2/pacf: rounding makes the
+    downstream scalar recursions engine-exact."""
+    b = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.window(F.col(ts_col), bucket).alias("_w"),
+        )
+        .agg(F.avg(F.col(value_col).cast("double")).alias("_x"))
+        .select("key", F.col("_w.start").alias("_b"), "_x")
+    )
+    mu = b.groupBy("key").agg(F.avg("_x").alias("_mu"))
+    c = b.join(mu, "key").withColumn("_c", F.col("_x") - F.col("_mu"))
+    w = Window.partitionBy("key").orderBy("_b")
+    lagged = c.select(
+        "key",
+        "_c",
+        *[F.lag("_c", i).over(w).alias(f"_l{i}") for i in range(1, lags + 1)],
+    )
+    return lagged.groupBy("key").agg(
+        F.count("*").alias("n"),
+        *[
+            F.round(
+                F.sum(F.col("_c") * F.col(f"_l{i}"))
+                / F.sum(F.col("_c") * F.col("_c")),
+                6,
+            ).alias(f"r{i}")
+            for i in range(1, lags + 1)
+        ],
+    )
+
+
+def yule_walker_ar2(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """AR(2) fit per key via the Yule–Walker equations → (key, n, r1,
+    r2, phi1, phi2, sigma2_ratio): φ₁ = r₁(1−r₂)/(1−r₁²), φ₂ =
+    (r₂−r₁²)/(1−r₁²), innovation-variance fraction 1 − φ₁r₁ − φ₂r₂.
+    The autocorrelations are rounded to 6dp FIRST, so the closed-form
+    solve is identical scalar arithmetic on every engine. One
+    bucketing pass + one keyed window pass, series bounded."""
+    r = _acf_rounded(df, key_col, ts_col, value_col, bucket, 2)
+    r1, r2 = F.col("r1"), F.col("r2")
+    den = 1.0 - r1 * r1
+    phi1 = r1 * (1.0 - r2) / den
+    phi2 = (r2 - r1 * r1) / den
+    return r.select(
+        "key",
+        "n",
+        "r1",
+        "r2",
+        F.round(phi1, 6).alias("phi1"),
+        F.round(phi2, 6).alias("phi2"),
+        F.round(1.0 - phi1 * r1 - phi2 * r2, 6).alias("sigma2_ratio"),
+    )
+
+
+def pacf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Partial autocorrelation at lags 1..3 per key → (key, lag,
+    pacf) via the Durbin–Levinson recursion unrolled in closed form
+    from the 6dp-rounded ACF: the AR-order diagnostic (an AR(p)
+    series cuts off after lag p, where the plain ACF just decays).
+
+    φ₁₁ = r₁; φ₂₂ = (r₂−r₁²)/(1−r₁²); φ₃₃ from the level-2
+    coefficients φ₂₁ = r₁(1−φ₂₂). Scalar arithmetic on rounded
+    inputs — engine-exact."""
+    r = _acf_rounded(df, key_col, ts_col, value_col, bucket, 3)
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    p1 = r1
+    p2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    phi21 = r1 * (1.0 - p2)
+    p3 = (r3 - phi21 * r2 - p2 * r1) / (1.0 - phi21 * r1 - p2 * r2)
+    out = None
+    for lag, expr in ((1, p1), (2, p2), (3, p3)):
+        part = r.select(
+            "key", F.lit(lag).alias("lag"), F.round(expr, 6).alias("pacf")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def haar_energy(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 day",
+    points: int = 28,
+) -> DataFrame:
+    """Two-level Haar wavelet energy split of a bucketed COUNT/SUM
+    series per key → (key, n, e_total, e_d1, e_d2, e_a2): detail
+    energy at scale 1 (bucket-to-bucket jitter), scale 2, and the
+    coarse approximation energy, with the exact conservation
+    e_total = e_d1 + e_d2 + e_a2 (orthogonality of the Haar basis —
+    a built-in self-check). The multi-resolution complement of
+    periodogram(): WHERE the variance lives by scale, not frequency.
+
+    Series truncated to the first ``points`` buckets (a multiple of
+    4) so both levels pair completely. Pair sums/differences are
+    conditional aggregates on t's parity — integer-exact for count
+    series; energies divide by dyadic powers only."""
+    b = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.window(F.col(ts_col), bucket).alias("_w"),
+        )
+        .agg(F.count("*").cast("double").alias("_x"))
+        .select("key", F.col("_w.start").alias("_b"), "_x")
+    )
+    w = Window.partitionBy("key").orderBy("_b")
+    s = b.select(
+        "key", "_x", (F.row_number().over(w) - 1).alias("_t")
+    ).filter(F.col("_t") < points)
+    even = F.when(F.col("_t") % 2 == 0, F.col("_x")).otherwise(-F.col("_x"))
+    l1 = s.groupBy("key", F.floor(F.col("_t") / 2).alias("_p")).agg(
+        F.sum("_x").alias("_a1"),
+        F.sum(even).alias("_d1"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_xx"),
+        F.count("*").alias("_cnt"),
+    )
+    even2 = F.when(F.col("_p") % 2 == 0, F.col("_a1")).otherwise(
+        -F.col("_a1")
+    )
+    l2 = l1.groupBy("key", F.floor(F.col("_p") / 2).alias("_q")).agg(
+        F.sum("_a1").alias("_a2"),
+        F.sum(even2).alias("_d2"),
+        F.sum(F.col("_d1") * F.col("_d1")).alias("_d1sq"),
+        F.sum("_xx").alias("_xx"),
+        F.sum("_cnt").alias("_cnt"),
+    )
+    agg = l2.groupBy("key").agg(
+        F.sum("_cnt").alias("n"),
+        F.sum("_xx").alias("_et"),
+        (F.sum("_d1sq") / 2.0).alias("_ed1"),
+        (F.sum(F.col("_d2") * F.col("_d2")) / 4.0).alias("_ed2"),
+        (F.sum(F.col("_a2") * F.col("_a2")) / 4.0).alias("_ea2"),
+    )
+    return agg.select(
+        "key",
+        "n",
+        F.round("_et", 6).alias("e_total"),
+        F.round("_ed1", 6).alias("e_d1"),
+        F.round("_ed2", 6).alias("e_d2"),
+        F.round("_ea2", 6).alias("e_a2"),
+    )

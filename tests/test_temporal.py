@@ -1058,3 +1058,98 @@ def test_max_intersections_halfopen_boundary(spark):
     rows = [("g", t0), ("g", t0 + datetime.timedelta(seconds=300))]
     df = spark.createDataFrame(rows, "g string, ts timestamp")
     assert max_intersections(df, "g", "ts", 300).collect()[0].max_conc == 1
+
+
+def _daily_series(spark, vals, key="g"):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (key, t0 + datetime.timedelta(days=i), float(v))
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows, "g string, ts timestamp, v double")
+
+
+def test_periodogram_finds_planted_harmonic(spark):
+    import math
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        periodogram,
+    )
+
+    n = 32
+    vals = [10 + 5 * math.cos(2 * math.pi * 4 * t / n) for t in range(n)]
+    df = _daily_series(spark, vals)
+    got = {r.k: r.power for r in periodogram(df, "g", "ts", "v").collect()}
+    assert got[4] > 100  # N*A^2/4 = 200
+    for k in (1, 2, 3, 5, 6, 7, 8):
+        assert got[k] < 1e-6
+
+
+def test_yule_walker_recovers_ar2(spark):
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        yule_walker_ar2,
+    )
+
+    # deterministic AR(2): x_t = 0.6 x_{t-1} - 0.2 x_{t-2} + e_t with
+    # a fixed pseudo-noise sequence
+    import random
+
+    phi1, phi2 = 0.6, -0.2
+    rng = random.Random(7)
+    x = [0.0, 0.0]
+    for _ in range(2, 600):
+        x.append(phi1 * x[-1] + phi2 * x[-2] + rng.uniform(-0.5, 0.5))
+    df = _daily_series(spark, x[100:])  # drop burn-in
+    r = yule_walker_ar2(df, "g", "ts", "v").collect()[0]
+    assert abs(r.phi1 - phi1) < 0.15
+    assert abs(r.phi2 - phi2) < 0.15
+    assert 0 < r.sigma2_ratio <= 1
+
+
+def test_pacf_cuts_off_for_ar1(spark):
+    from from_superset_to_clickhouse_spark.operators.temporal import pacf
+
+    import random
+
+    rng = random.Random(11)
+    x = [0.0]
+    for _ in range(1, 600):
+        x.append(0.7 * x[-1] + rng.uniform(-0.5, 0.5))
+    df = _daily_series(spark, x[100:])
+    got = {r.lag: r.pacf for r in pacf(df, "g", "ts", "v").collect()}
+    assert abs(got[1] - 0.7) < 0.15
+    assert abs(got[2]) < 0.15 and abs(got[3]) < 0.15
+
+
+def test_haar_energy_conservation_and_flat(spark):
+    import datetime
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        haar_energy,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # event counts per day: alternate 1 and 3 events -> all detail at
+    # level 1, none at level 2
+    rows = []
+    for d in range(28):
+        for _ in range(1 if d % 2 == 0 else 3):
+            rows.append(("g", t0 + datetime.timedelta(days=d), 0.0))
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    r = haar_energy(df, "g", "ts", "v").collect()[0]
+    assert r.n == 28
+    assert abs(r.e_total - (r.e_d1 + r.e_d2 + r.e_a2)) < 1e-9
+    # x = [1,3,1,3,...]: d1 = -2 each pair -> e_d1 = 14*4/2 = 28
+    assert r.e_d1 == 28.0 and r.e_d2 == 0.0
+    # constant series: zero detail energy at both scales
+    rows2 = [
+        ("h", t0 + datetime.timedelta(days=d, hours=h), 0.0)
+        for d in range(28)
+        for h in (1, 2)
+    ]
+    df2 = spark.createDataFrame(rows2, "g string, ts timestamp, v double")
+    r2 = haar_energy(df2, "g", "ts", "v").collect()[0]
+    assert r2.e_d1 == 0.0 and r2.e_d2 == 0.0
+    assert r2.e_total == r2.e_a2 == 28 * 4.0
