@@ -10977,6 +10977,90 @@ FROM a
 """
 
 
+def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive vs seasonal-naive forecast scorecard (MAE/RMSE/sMAPE/
+    MASE) over the daily mean value per event type, both benchmarks
+    evaluated on the same rows."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        forecast_eval,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return forecast_eval(ev, "event_type", "ts", "value", season=7) \
+        .withColumnRenamed("key", "event_type")
+
+
+_FORECAST_EVAL_SQL = """
+WITH d AS (
+  SELECT event_type AS key, date_trunc('day', ts) AS b,
+    avg(CAST(value AS DOUBLE)) AS x
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT key, x, lag(x, 1) OVER wk AS f1, lag(x, 7) OVER wk AS fs
+  FROM d WINDOW wk AS (PARTITION BY key ORDER BY b)
+), e AS (
+  SELECT * FROM l WHERE f1 IS NOT NULL AND fs IS NOT NULL
+)
+SELECT key AS event_type, CAST(count(*) AS BIGINT) AS n_eval,
+  round(avg(abs(x - f1)), 6) AS mae_naive,
+  round(sqrt(avg(abs(x - f1) * abs(x - f1))), 6) AS rmse_naive,
+  round(avg(2.0 * abs(x - f1) / (abs(x) + abs(f1))), 6)
+    AS smape_naive,
+  round(avg(abs(x - fs)), 6) AS mae_snaive,
+  round(CASE WHEN avg(abs(x - fs)) > 0
+    THEN avg(abs(x - f1)) / avg(abs(x - fs)) END, 6) AS mase
+FROM e GROUP BY key
+"""
+
+
+def q_huber_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber robust location of value per event type (c=50, 5 IRLS
+    steps, iterates on the 1e-6 grid so both engines walk the same
+    trajectory), alongside the plain mean and the count of
+    downweighted tail rows."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        huber_mean,
+    )
+
+    return huber_mean(
+        _ev(spark, sf_dir), "value", ["event_type"], c=50.0, iters=5
+    )
+
+
+def _huber_oracle_sql(c: float = 50.0, iters: int = 5) -> str:
+    """Unrolled grouped IRLS: one MATERIALIZED CTE per step, each
+    re-deriving the weights at the previous grid point."""
+    steps = [
+        "m0 AS MATERIALIZED (SELECT g, count(*) AS n,"
+        " floor(avg(v) * 1e6 + 0.5) / 1e6 AS mu FROM src GROUP BY g)"
+    ]
+    for k in range(1, iters + 1):
+        steps.append(f"""
+m{k} AS MATERIALIZED (
+  SELECT s.g, count(*) AS n,
+    floor(sum((CASE WHEN v = mu THEN 1.0
+        ELSE least(1.0, {c} / abs(v - mu)) END) * v)
+      / sum(CASE WHEN v = mu THEN 1.0
+        ELSE least(1.0, {c} / abs(v - mu)) END) * 1e6 + 0.5) / 1e6
+      AS mu
+  FROM src s JOIN m{k - 1} mm ON s.g = mm.g GROUP BY s.g
+)""")
+    return f"""
+WITH src AS MATERIALIZED (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+),
+{",".join(steps)},
+dw AS (
+  SELECT s.g, count(*) FILTER (abs(v - mm.mu) > {c}) AS nd
+  FROM src s JOIN m{iters} mm ON s.g = mm.g GROUP BY s.g
+)
+SELECT f.g AS event_type, CAST(f.n AS BIGINT) AS n, f.mu AS mu,
+  m0.mu AS plain_mean, CAST(dw.nd AS BIGINT) AS n_downweighted
+FROM m{iters} f JOIN m0 ON f.g = m0.g JOIN dw ON f.g = dw.g
+"""
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -11016,6 +11100,8 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "yule_walker": q_yule_walker,
     "pacf": q_pacf,
     "haar_energy": q_haar_energy,
+    "forecast_eval": q_forecast_eval,
+    "huber_mean": q_huber_mean,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -11036,6 +11122,8 @@ _R9_ORACLES: dict[str, str] = {
     "yule_walker": _YULE_WALKER_SQL,
     "pacf": _PACF_SQL,
     "haar_energy": _HAAR_ENERGY_SQL,
+    "forecast_eval": _FORECAST_EVAL_SQL,
+    "huber_mean": _huber_oracle_sql(),
     "theil_sen": """
 -- Same pair construction and exact middle-row medians: daily means,
 -- all-pairs slopes, median slope then median residual intercept.

@@ -1625,3 +1625,62 @@ def anova_oneway(
         F.round("_ssw", 6).alias("ssw"),
         F.round(f, 6).alias("f_stat"),
     )
+
+
+def huber_mean(
+    df: DataFrame,
+    value_col: str,
+    group_cols: "list[str] | None" = None,
+    c: float = 50.0,
+    iters: int = 5,
+) -> DataFrame:
+    """Huber M-estimator of location per group → (group…, n, mu,
+    plain_mean, n_downweighted): the robust mean that a handful of
+    corrupt rows can't drag (the estimating equation clips each
+    residual's influence at ``c``). IRLS with weights w = min(1,
+    c/|x−μ|), ``iters`` fixed reweighting steps from the plain mean.
+
+    Every iterate lands on the 1e-6 grid (floor(μ·1e6 + 0.5)/1e6;
+    coarser than platt's because the floored quantity is a ratio of
+    corpus-scale sums whose order noise is ~1e-12 absolute — 1e-6
+    keeps the boundary probability negligible), so both engines walk
+    the identical trajectory — the same unrolled-recursion contract
+    as :func:`platt_scale`, but grouped:
+    each step is one conditional-aggregate pass over the corpus
+    joined to the (tiny, one row per group) current-μ table; nothing
+    is collected to the driver."""
+    gcols = list(group_cols or [])
+    src = df.select(
+        *gcols, F.col(value_col).cast("double").alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    grid = lambda col: F.floor(col * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    mu = src.groupBy(*gcols).agg(
+        F.count("*").alias("n"), grid(F.avg("_v")).alias("_mu")
+    )
+    mean0 = mu.select(*gcols, F.col("_mu").alias("_mean0"))
+    for _ in range(iters):
+        j = src.join(F.broadcast(mu.select(*gcols, "_mu")), gcols)
+        wgt = F.least(
+            F.lit(1.0), F.lit(float(c)) / F.abs(F.col("_v") - F.col("_mu"))
+        )
+        # |x − μ| = 0 → w = 1 (the limit), not a division blow-up
+        wgt = F.when(F.col("_v") == F.col("_mu"), F.lit(1.0)).otherwise(wgt)
+        mu = j.groupBy(*gcols).agg(
+            F.count("*").alias("n"),
+            grid(F.sum(wgt * F.col("_v")) / F.sum(wgt)).alias("_mu"),
+        )
+    final = src.join(F.broadcast(mu.select(*gcols, "_mu")), gcols)
+    down = final.groupBy(*gcols).agg(
+        F.sum(
+            (F.abs(F.col("_v") - F.col("_mu")) > F.lit(float(c)))
+            .cast("long")
+        ).alias("n_downweighted")
+    )
+    out = mu.join(mean0, gcols).join(down, gcols)
+    return out.select(
+        *gcols,
+        "n",
+        F.col("_mu").alias("mu"),
+        F.col("_mean0").alias("plain_mean"),
+        "n_downweighted",
+    )

@@ -1814,3 +1814,63 @@ def haar_energy(
         F.round("_ed2", 6).alias("e_d2"),
         F.round("_ea2", 6).alias("e_a2"),
     )
+
+
+def forecast_eval(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 day",
+    season: int = 7,
+) -> DataFrame:
+    """Forecast-accuracy scorecard per key → (key, n_eval, mae_naive,
+    rmse_naive, smape_naive, mae_snaive, mase): the naive (last
+    value) and seasonal-naive (value ``season`` buckets ago)
+    benchmark forecasts evaluated on the SAME rows (those with both
+    lags defined), plus MASE = naive MAE / seasonal-naive MAE — the
+    scale-free "is there even weekly structure" number (< 1 means
+    yesterday beats last-week-same-day).
+
+    One bucketing aggregate + one keyed window pass producing both
+    lags over the same sort + one aggregate. Bounded by keys ×
+    buckets."""
+    b = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.window(F.col(ts_col), bucket).alias("_w"),
+        )
+        .agg(F.avg(F.col(value_col).cast("double")).alias("_x"))
+        .select("key", F.col("_w.start").alias("_b"), "_x")
+    )
+    w = Window.partitionBy("key").orderBy("_b")
+    lagged = b.select(
+        "key",
+        "_x",
+        F.lag("_x", 1).over(w).alias("_f1"),
+        F.lag("_x", season).over(w).alias("_fs"),
+    ).filter(F.col("_f1").isNotNull() & F.col("_fs").isNotNull())
+    e1 = F.abs(F.col("_x") - F.col("_f1"))
+    es = F.abs(F.col("_x") - F.col("_fs"))
+    smape_term = (
+        F.lit(2.0) * e1 / (F.abs(F.col("_x")) + F.abs(F.col("_f1")))
+    )
+    agg = lagged.groupBy("key").agg(
+        F.count("*").alias("n_eval"),
+        F.avg(e1).alias("_mae1"),
+        F.sqrt(F.avg(e1 * e1)).alias("_rmse1"),
+        F.avg(smape_term).alias("_smape1"),
+        F.avg(es).alias("_maes"),
+    )
+    return agg.select(
+        "key",
+        "n_eval",
+        F.round("_mae1", 6).alias("mae_naive"),
+        F.round("_rmse1", 6).alias("rmse_naive"),
+        F.round("_smape1", 6).alias("smape_naive"),
+        F.round("_maes", 6).alias("mae_snaive"),
+        F.round(
+            F.when(F.col("_maes") > 0, F.col("_mae1") / F.col("_maes")),
+            6,
+        ).alias("mase"),
+    )

@@ -2775,3 +2775,33 @@ def test_anova_oneway_reference(spark):
     assert abs(r.ssb - ssb) < 1e-5
     assert abs(r.ssw - ssw) < 1e-5
     assert abs(r.f_stat - f) < 1e-4
+
+
+def test_huber_mean_resists_outliers(spark):
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        huber_mean,
+    )
+
+    # 95 inliers near 100, 5 wild outliers at 10000
+    rows = [("g", 100.0 + (i % 11) - 5) for i in range(95)] + [
+        ("g", 10000.0)
+    ] * 5
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = huber_mean(df, "v", ["g"], c=20.0, iters=5).collect()[0]
+    assert r.n == 100
+    assert abs(r.plain_mean - (sum(v for _, v in rows) / 100)) < 1e-4
+    assert r.plain_mean > 590  # dragged by outliers
+    assert abs(r.mu - 100.0) < 6  # robust estimate stays home
+    assert r.n_downweighted == 5
+
+
+def test_huber_mean_equals_mean_when_clean(spark):
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        huber_mean,
+    )
+
+    rows = [("g", float(v)) for v in (8, 9, 10, 11, 12)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = huber_mean(df, "v", ["g"], c=50.0, iters=3).collect()[0]
+    assert r.mu == r.plain_mean == 10.0
+    assert r.n_downweighted == 0

@@ -1153,3 +1153,36 @@ def test_haar_energy_conservation_and_flat(spark):
     r2 = haar_energy(df2, "g", "ts", "v").collect()[0]
     assert r2.e_d1 == 0.0 and r2.e_d2 == 0.0
     assert r2.e_total == r2.e_a2 == 28 * 4.0
+
+
+def test_forecast_eval_reference(spark):
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        forecast_eval,
+    )
+
+    # strict weekly pattern: seasonal-naive is perfect, naive is not
+    pattern = [10.0, 20.0, 30.0, 40.0, 30.0, 20.0, 10.0]
+    vals = pattern * 4  # 28 days
+    df = _daily_series(spark, vals)
+    r = forecast_eval(df, "g", "ts", "v", season=7).collect()[0]
+    assert r.n_eval == 21
+    assert r.mae_snaive == 0.0
+    assert r.mase is None  # perfect seasonal scale -> undefined ratio
+    want_mae1 = sum(
+        abs(vals[t] - vals[t - 1]) for t in range(7, 28)
+    ) / 21
+    assert abs(r.mae_naive - want_mae1) < 1e-6
+
+
+def test_forecast_eval_mase_below_one_for_trend(spark):
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        forecast_eval,
+    )
+
+    # smooth ramp: yesterday is a far better forecast than last week
+    vals = [float(i) for i in range(28)]
+    r = forecast_eval(
+        _daily_series(spark, vals), "g", "ts", "v", season=7
+    ).collect()[0]
+    assert r.mae_naive == 1.0 and r.mae_snaive == 7.0
+    assert abs(r.mase - round(1 / 7, 6)) < 1e-9
