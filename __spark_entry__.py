@@ -11061,6 +11061,143 @@ FROM m{iters} f JOIN m0 ON f.g = m0.g JOIN dw ON f.g = dw.g
 """
 
 
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar supplier-overlap link prediction on the bipartite
+    supplier-part graph from lineitem: pairs keyed by shared part
+    (never all-pairs), rare parts weighted 1/ln(deg), hub cap
+    max_deg=1000 as the scale lever (no-op at fixture degree)."""
+    from from_superset_to_clickhouse_spark.operators.graph import (
+        adamic_adar,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return adamic_adar(
+        li, "l_suppkey", "l_partkey", min_common=1, max_deg=1000
+    )
+
+
+_ADAMIC_ADAR_SQL = """
+WITH e AS (
+  SELECT DISTINCT l_suppkey AS n, l_partkey AS f FROM lineitem
+), d AS (
+  SELECT f, count(*) AS deg FROM e GROUP BY f
+  HAVING count(*) >= 2 AND count(*) <= 1000
+)
+SELECT a.n AS node_a, b.n AS node_b,
+  CAST(count(*) AS BIGINT) AS common,
+  round(sum(1.0 / ln(CAST(deg AS DOUBLE))), 6) AS aa
+FROM e a JOIN e b ON a.f = b.f AND a.n < b.n JOIN d ON d.f = a.f
+GROUP BY 1, 2
+"""
+
+
+def q_levenshtein_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact edit-distance linkage over distinct part names:
+    blocking key = last token (the noun), pairs kept at levenshtein
+    <= 4 — the built-in DP distance replays verbatim in DuckDB."""
+    from from_superset_to_clickhouse_spark.operators.dedup import (
+        levenshtein_link,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    blk = F.element_at(F.split(F.col("p_name"), " "), -1)
+    return levenshtein_link(part, "p_name", blk, max_dist=4)
+
+
+_LEVENSHTEIN_LINK_SQL = """
+WITH n AS (
+  SELECT DISTINCT p_name, string_split(p_name, ' ')[-1] AS blk
+  FROM part
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+"""
+
+
+def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational Bloom filter with md5-derived cells (the same
+    engine-replayable hashing as cms_counts): index the BUILDING-
+    segment customer keys, probe ALL customer keys -> single row with
+    member recall (always total — no false negatives by construction)
+    and the measured false-positive count/rate."""
+    from from_superset_to_clickhouse_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("k"),
+        (F.col("c_mktsegment") == "BUILDING").alias("is_member"),
+    )
+    members = cust.filter("is_member")
+    bits = bloom_build(members, "k", width=2048, depth=3)
+    probed = bloom_probe(bits, cust, "k", width=2048, depth=3)
+    j = probed.join(cust, probed.key == cust.k)
+    fp = (F.col("maybe") & ~F.col("is_member")).cast("long")
+    miss = (~F.col("maybe") & F.col("is_member")).cast("long")
+    agg = j.agg(
+        F.count("*").alias("n_probes"),
+        F.sum(F.col("is_member").cast("long")).alias("n_members"),
+        F.sum(F.col("maybe").cast("long")).alias("n_maybe"),
+        F.sum(fp).alias("n_false_pos"),
+        F.sum(miss).alias("n_missed"),
+    )
+    return agg.select(
+        "n_probes",
+        "n_members",
+        "n_maybe",
+        "n_false_pos",
+        "n_missed",
+        F.round(
+            F.col("n_false_pos").cast("double")
+            / (F.col("n_probes") - F.col("n_members")).cast("double"),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
+_BLOOM_FILTER_SQL = """
+-- Same md5 cells (row:key -> first 8 hex digits mod 2048), same
+-- all-rows-set membership rule.
+WITH cust AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS k,
+    c_mktsegment = 'BUILDING' AS is_member
+  FROM customer
+), bits AS (
+  SELECT DISTINCT r.r AS row,
+    CAST(CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || k),
+      1, 8)) AS BIGINT) % 2048 AS INTEGER) AS bucket
+  FROM cust CROSS JOIN (SELECT unnest([0, 1, 2]) AS r) r
+  WHERE is_member
+), probes AS (
+  SELECT k, r.r AS row,
+    CAST(CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || k),
+      1, 8)) AS BIGINT) % 2048 AS INTEGER) AS bucket
+  FROM cust CROSS JOIN (SELECT unnest([0, 1, 2]) AS r) r
+), probed AS (
+  SELECT p.k,
+    count(b.row) = 3 AS maybe
+  FROM probes p LEFT JOIN bits b
+    ON p.row = b.row AND p.bucket = b.bucket
+  GROUP BY p.k
+), j AS (
+  SELECT probed.k, maybe, is_member FROM probed JOIN cust USING (k)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_probes,
+  CAST(count(*) FILTER (is_member) AS BIGINT) AS n_members,
+  CAST(count(*) FILTER (maybe) AS BIGINT) AS n_maybe,
+  CAST(count(*) FILTER (maybe AND NOT is_member) AS BIGINT)
+    AS n_false_pos,
+  CAST(count(*) FILTER (NOT maybe AND is_member) AS BIGINT)
+    AS n_missed,
+  round(CAST(count(*) FILTER (maybe AND NOT is_member) AS DOUBLE)
+    / CAST(count(*) FILTER (NOT is_member) AS DOUBLE), 6) AS fp_rate
+FROM j
+"""
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -11102,6 +11239,9 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "haar_energy": q_haar_energy,
     "forecast_eval": q_forecast_eval,
     "huber_mean": q_huber_mean,
+    "adamic_adar": q_adamic_adar,
+    "levenshtein_link": q_levenshtein_link,
+    "bloom_filter": q_bloom_filter,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -11124,6 +11264,9 @@ _R9_ORACLES: dict[str, str] = {
     "haar_energy": _HAAR_ENERGY_SQL,
     "forecast_eval": _FORECAST_EVAL_SQL,
     "huber_mean": _huber_oracle_sql(),
+    "adamic_adar": _ADAMIC_ADAR_SQL,
+    "levenshtein_link": _LEVENSHTEIN_LINK_SQL,
+    "bloom_filter": _BLOOM_FILTER_SQL,
     "theil_sen": """
 -- Same pair construction and exact middle-row medians: daily means,
 -- all-pairs slopes, median slope then median residual intercept.

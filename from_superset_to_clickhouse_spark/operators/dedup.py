@@ -1342,3 +1342,36 @@ def jaro_winkler_link(
         .filter(F.col("jw") >= threshold)
         .select("id_1", "id_2", "name_1", "name_2", "jw")
     )
+
+
+def levenshtein_link(
+    df: DataFrame,
+    name_col: str,
+    block_col: Column,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Blocked exact edit-distance linkage → (name_a, name_b, dist):
+    distinct names paired WITHIN a blocking key (pass e.g. the last
+    token, a phonetic code, or a length band as ``block_col``), kept
+    when levenshtein ≤ ``max_dist``. The built-in JVM ``levenshtein``
+    is the classic DP — identical by definition in any engine that
+    ships it, so the pair table replays verbatim in SQL.
+
+    Scale shape: the quadratic expansion is per-block (Σ|block|²),
+    never corpus-wide; names collapse to DISTINCT before pairing so
+    row frequency doesn't multiply the join."""
+    names = df.select(
+        F.col(name_col).alias("_name"), block_col.alias("_blk")
+    ).distinct()
+    a = names.select(F.col("_name").alias("name_a"), "_blk")
+    b = names.select(F.col("_name").alias("name_b"), "_blk")
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

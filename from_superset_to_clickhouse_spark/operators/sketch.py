@@ -351,3 +351,54 @@ def weighted_heavy_hitters(
         .agg(F.round(F.sum("w"), 4).alias("wsum"))
         .filter(F.col("wsum") > F.lit(round(total, 4) / k))
     )
+
+
+def bloom_build(
+    df: DataFrame, col: str, width: int = 2048, depth: int = 3
+) -> DataFrame:
+    """Bloom filter as a relation → distinct (row, bucket) set-bit
+    pairs over ``depth`` md5-derived hash rows (the same
+    engine-replayable hashing as the CMS above — every cell replays
+    bit-for-bit in SQL, unlike engine-native bloom internals). The
+    bit table is ≤ width·depth rows regardless of corpus size:
+    broadcastable state built in one pass."""
+    bits = None
+    for r in range(depth):
+        part = df.select(
+            F.lit(r).alias("row"),
+            _cms_bucket(F.col(col), r, width).alias("bucket"),
+        )
+        bits = part if bits is None else bits.unionByName(part)
+    return bits.distinct()
+
+
+def bloom_probe(
+    bits: DataFrame,
+    keys: DataFrame,
+    col: str,
+    width: int = 2048,
+    depth: int = 3,
+) -> DataFrame:
+    """Membership probe against :func:`bloom_build`'s bit table →
+    (key, maybe): ``maybe`` is true iff all ``depth`` cells are set
+    (no false negatives; false-positive rate ≈ fill^depth). The
+    (tiny) bit table broadcasts onto the probe side — one pass over
+    the probes, no shuffle of the corpus."""
+    probes = None
+    for r in range(depth):
+        part = keys.select(
+            F.col(col).alias("key"),
+            F.lit(r).alias("row"),
+            _cms_bucket(F.col(col), r, width).alias("bucket"),
+        )
+        probes = part if probes is None else probes.unionByName(part)
+    hit = F.when(F.col("_hit").isNotNull(), 1).otherwise(0)
+    return (
+        probes.join(
+            F.broadcast(bits.withColumn("_hit", F.lit(1))),
+            ["row", "bucket"],
+            "left",
+        )
+        .groupBy("key")
+        .agg((F.sum(hit) == depth).alias("maybe"))
+    )

@@ -429,3 +429,23 @@ def test_jaro_winkler_link_blocked(spark):
     out = {(r.id_1, r.id_2): r.jw for r in got.collect()}
     assert set(out) == {(1, 2)}  # blocking kept 4 out; 3 scored below
     assert out[(1, 2)] > 0.97
+
+
+def test_levenshtein_link_blocked(spark):
+    from pyspark.sql import functions as F
+
+    from from_superset_to_clickhouse_spark.operators.dedup import (
+        levenshtein_link,
+    )
+
+    rows = [
+        ("red bolt",), ("blue bolt",), ("red gear",), ("red bolt",),
+    ]
+    df = spark.createDataFrame(rows, "name string")
+    blk = F.element_at(F.split(F.col("name"), " "), -1)
+    got = levenshtein_link(df, "name", blk, max_dist=4).collect()
+    # only the two bolts share a block ("red gear" never compared,
+    # duplicate "red bolt" collapsed by DISTINCT)
+    assert len(got) == 1
+    r = got[0]
+    assert (r.name_a, r.name_b, r.dist) == ("blue bolt", "red bolt", 4)

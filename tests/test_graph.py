@@ -336,3 +336,44 @@ def test_clustering_coefficient_known_values(spark):
     assert rows[1].coeff == 0.5
     for n in (2, 3, 4):
         assert rows[n].coeff == 1.0 and rows[n].n_tri == 3
+
+
+def test_adamic_adar_reference(spark):
+    import math
+
+    from from_superset_to_clickhouse_spark.operators.graph import (
+        adamic_adar,
+    )
+
+    # features: f1 shared by a,b,c (deg 3); f2 by a,b (deg 2);
+    # f3 only by c (deg 1 -> contributes nothing)
+    edges = [
+        ("a", "f1"), ("b", "f1"), ("c", "f1"),
+        ("a", "f2"), ("b", "f2"),
+        ("c", "f3"),
+    ]
+    df = spark.createDataFrame(edges, "n string, f string")
+    got = {
+        (r.node_a, r.node_b): (r.common, r.aa)
+        for r in adamic_adar(df, "n", "f").collect()
+    }
+    aa_ab = 1 / math.log(3) + 1 / math.log(2)
+    assert got[("a", "b")] == (2, round(aa_ab, 6))
+    assert got[("a", "c")] == (1, round(1 / math.log(3), 6))
+    assert got[("b", "c")] == (1, round(1 / math.log(3), 6))
+    assert len(got) == 3
+
+
+def test_adamic_adar_hub_cap(spark):
+    from from_superset_to_clickhouse_spark.operators.graph import (
+        adamic_adar,
+    )
+
+    edges = [(f"n{i}", "hub") for i in range(10)] + [
+        ("n0", "rare"), ("n1", "rare")
+    ]
+    df = spark.createDataFrame(edges, "n string, f string")
+    # hub dropped at max_deg=5: only the rare-feature pair remains
+    got = adamic_adar(df, "n", "f", max_deg=5).collect()
+    assert len(got) == 1
+    assert (got[0].node_a, got[0].node_b, got[0].common) == ("n0", "n1", 1)

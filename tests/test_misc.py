@@ -2805,3 +2805,25 @@ def test_huber_mean_equals_mean_when_clean(spark):
     r = huber_mean(df, "v", ["g"], c=50.0, iters=3).collect()[0]
     assert r.mu == r.plain_mean == 10.0
     assert r.n_downweighted == 0
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    from from_superset_to_clickhouse_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame(
+        [(str(i),) for i in range(0, 200, 2)], "k string"
+    )
+    probes = spark.createDataFrame(
+        [(str(i),) for i in range(200)], "k string"
+    )
+    bits = bloom_build(members, "k", width=256, depth=3)
+    got = {r.key: r.maybe for r in
+           bloom_probe(bits, probes, "k", width=256, depth=3).collect()}
+    # every member answers maybe=True (no false negatives, ever)
+    for i in range(0, 200, 2):
+        assert got[str(i)]
+    # the filter is not vacuous: some non-member is rejected
+    assert any(not got[str(i)] for i in range(1, 200, 2))
