@@ -11198,6 +11198,78 @@ FROM j
 """
 
 
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (period 7) over the daily mean value per
+    event type with a planted weekly component (10·(day%7)); one
+    codegen fold, oracle replays the identical trajectory via a
+    DuckDB list accumulator."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        holt_winters,
+    )
+
+    ev = _ev(spark, sf_dir).withColumn(
+        "value",
+        F.col("value")
+        + 10.0 * (F.dayofmonth("ts") % 7).cast("double"),
+    )
+    return holt_winters(ev, "event_type", "ts", "value", period=7) \
+        .withColumnRenamed("key", "event_type")
+
+
+_HOLT_WINTERS_SQL = """
+-- Same init (l0 = left-fold mean of the first season, s_i = x_i-l0),
+-- same expanded l'/b'/s' arithmetic with binary-exact 0.5/0.25
+-- constants; accumulator is the 10-list [l, b, s0..s6, t] prepended
+-- to the series so list_reduce starts from the init state.
+WITH src AS (
+  SELECT event_type, ts,
+    CAST(value AS DOUBLE)
+      + 10.0 * CAST(date_part('day', ts) % 7 AS DOUBLE) AS value
+  FROM events
+), b AS (
+  SELECT event_type AS key,
+    time_bucket(INTERVAL '1 day', ts) AS bucket_ts,
+    avg(value) AS xbar
+  FROM src GROUP BY 1, 2
+), s AS (
+  SELECT key, list(xbar ORDER BY bucket_ts) AS xs FROM b GROUP BY key
+), ini AS (
+  SELECT key, xs, len(xs) AS n,
+    list_reduce(list_slice(xs, 1, 7), (a, e) -> a + e) / 7.0 AS l0
+  FROM s
+), f AS (
+  SELECT key, n,
+    list_reduce(
+      [list_value(l0, CAST(0.0 AS DOUBLE))
+         || list_transform(list_slice(xs, 1, 7), x -> x - l0)
+         || list_value(CAST(7.0 AS DOUBLE))]
+      || list_transform(list_slice(xs, 8, len(xs)),
+                        x -> [CAST(x AS DOUBLE)]),
+      (acc, e) -> list_value(
+        0.5 * (e[1] - acc[3 + (CAST(acc[10] AS INTEGER) % 7)])
+          + 0.5 * (acc[1] + acc[2]),
+        0.25 * ((0.5 * (e[1] - acc[3 + (CAST(acc[10] AS INTEGER) % 7)])
+          + 0.5 * (acc[1] + acc[2])) - acc[1]) + 0.75 * acc[2])
+      || list_transform(list_slice(acc, 3, 9), (v, i) ->
+        CASE WHEN i - 1 = CAST(acc[10] AS INTEGER) % 7
+          THEN 0.25 * (e[1]
+            - (0.5 * (e[1] - acc[3 + (CAST(acc[10] AS INTEGER) % 7)])
+               + 0.5 * (acc[1] + acc[2])))
+            + 0.75 * v
+          ELSE v END)
+      || list_value(acc[10] + 1.0)
+    ) AS st
+  FROM ini
+)
+SELECT key AS event_type, CAST(n AS INTEGER) AS n_buckets,
+  round(st[1], 6) AS level, round(st[2], 6) AS trend,
+  round(st[3 + (CAST(st[10] AS INTEGER) % 7)], 6) AS s_next,
+  round(st[1] + st[2] + st[3 + (CAST(st[10] AS INTEGER) % 7)], 6)
+    AS forecast
+FROM f
+"""
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -11242,6 +11314,7 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "adamic_adar": q_adamic_adar,
     "levenshtein_link": q_levenshtein_link,
     "bloom_filter": q_bloom_filter,
+    "holt_winters": q_holt_winters,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -11267,6 +11340,7 @@ _R9_ORACLES: dict[str, str] = {
     "adamic_adar": _ADAMIC_ADAR_SQL,
     "levenshtein_link": _LEVENSHTEIN_LINK_SQL,
     "bloom_filter": _BLOOM_FILTER_SQL,
+    "holt_winters": _HOLT_WINTERS_SQL,
     "theil_sen": """
 -- Same pair construction and exact middle-row medians: daily means,
 -- all-pairs slopes, median slope then median residual intercept.

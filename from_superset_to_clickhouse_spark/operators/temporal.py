@@ -1874,3 +1874,111 @@ def forecast_eval(
             6,
         ).alias("mase"),
     )
+
+
+def holt_winters(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 day",
+    period: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+) -> DataFrame:
+    """Additive Holt–Winters (level + trend + seasonal) per key →
+    (key, n_buckets, level, trend, s_next, forecast): the seasonal
+    extension of :func:`holt_forecast`. Init from the first
+    ``period`` buckets (l₀ = their mean, b₀ = 0, sᵢ = xᵢ − l₀), then
+    the standard coupled recursion over the rest:
+
+        l' = α(x − s_{t%m}) + (1−α)(l + b)
+        b' = β(l' − l) + (1−β)b
+        s'_{t%m} = γ(x − l') + (1−γ)s_{t%m}
+
+    ``forecast`` is the one-bucket-ahead l' + b' + s_next.
+
+    Same scale/determinism contract as holt_forecast: ONE codegen
+    higher-order fold over the bounded per-key bucket series, α/β/γ
+    binary-exact by default, every arithmetic expression written in
+    the exact shape the SQL oracle replays (l' expanded inside b'
+    and s'), so the trajectory is bit-identical across engines."""
+    a, bt, g = float(alpha), float(beta), float(gamma)
+    m = int(period)
+    b = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.window(F.col(ts_col), bucket).alias("_w"),
+        )
+        .agg(F.avg(F.col(value_col).cast("double")).alias("xbar"))
+        .select("key", F.col("_w.start").alias("bucket_ts"), "xbar")
+    )
+    series = b.groupBy("key").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bucket_ts", "xbar"))),
+            lambda s: s["xbar"],
+        ).alias("xs")
+    )
+    head = F.slice(F.col("xs"), 1, m)
+    l0 = (
+        F.aggregate(head, F.lit(0.0), lambda acc, x: acc + x)
+        / float(m)
+    )
+    series = series.withColumn("_l0", l0)
+    init = F.named_struct(
+        F.lit("l"), F.col("_l0"),
+        F.lit("b"), F.lit(0.0),
+        F.lit("s"), F.transform(head, lambda x: x - F.col("_l0")),
+        F.lit("t"), F.lit(float(m)),
+    )
+
+    def step(acc, x):
+        idx = (acc["t"].cast("int") % m).cast("int")
+        s_cur = F.element_at(acc["s"], idx + 1)
+        l_new = a * (x - s_cur) + (1.0 - a) * (acc["l"] + acc["b"])
+        b_new = (
+            bt * ((a * (x - s_cur) + (1.0 - a) * (acc["l"] + acc["b"]))
+                  - acc["l"])
+            + (1.0 - bt) * acc["b"]
+        )
+        s_upd = F.transform(
+            acc["s"],
+            lambda v, i: F.when(
+                i == idx,
+                g * (x - (a * (x - s_cur)
+                          + (1.0 - a) * (acc["l"] + acc["b"])))
+                + (1.0 - g) * v,
+            ).otherwise(v),
+        )
+        return F.named_struct(
+            F.lit("l"), l_new,
+            F.lit("b"), b_new,
+            F.lit("s"), s_upd,
+            F.lit("t"), acc["t"] + 1.0,
+        )
+
+    folded = series.select(
+        "key",
+        F.size("xs").alias("n_buckets"),
+        F.aggregate(
+            F.slice(
+                F.col("xs"), m + 1, F.greatest(F.size("xs") - m, F.lit(0))
+            ),
+            init,
+            step,
+        ).alias("_st"),
+    )
+    s_next = F.element_at(
+        F.col("_st.s"), (F.col("_st.t").cast("int") % m) + 1
+    )
+    return folded.select(
+        "key",
+        "n_buckets",
+        F.round(F.col("_st.l"), 6).alias("level"),
+        F.round(F.col("_st.b"), 6).alias("trend"),
+        F.round(s_next, 6).alias("s_next"),
+        F.round(F.col("_st.l") + F.col("_st.b") + s_next, 6).alias(
+            "forecast"
+        ),
+    )

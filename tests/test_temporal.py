@@ -1186,3 +1186,34 @@ def test_forecast_eval_mase_below_one_for_trend(spark):
     ).collect()[0]
     assert r.mae_naive == 1.0 and r.mae_snaive == 7.0
     assert abs(r.mase - round(1 / 7, 6)) < 1e-9
+
+
+def test_holt_winters_learns_seasonal_pattern(spark):
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        holt_winters,
+    )
+
+    season = [0.0, 10.0, 20.0, 5.0, -5.0, -10.0, -20.0]
+    vals = [100.0 + season[t % 7] for t in range(35)]
+    df = _daily_series(spark, vals)
+    r = holt_winters(df, "g", "ts", "v", period=7).collect()[0]
+    assert r.n_buckets == 35
+    assert abs(r.level - 100.0) < 2.0
+    assert abs(r.trend) < 1.0
+    # next bucket is t=35 -> season[0]; forecast ≈ 100
+    assert abs(r.forecast - 100.0) < 3.0
+
+
+def test_holt_winters_tracks_trend_plus_season(spark):
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        holt_winters,
+    )
+
+    season = [5.0, -5.0, 10.0, -10.0, 0.0, 3.0, -3.0]
+    vals = [50.0 + 2.0 * t + season[t % 7] for t in range(84)]
+    df = _daily_series(spark, vals)
+    r = holt_winters(df, "g", "ts", "v", period=7).collect()[0]
+    nxt = 50.0 + 2.0 * 84 + season[84 % 7]
+    assert abs(r.forecast - nxt) < 5.0
+    # beta=0.25 from b0=0 converges slowly; 84 steps gets close
+    assert abs(r.trend - 2.0) < 0.5
