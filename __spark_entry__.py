@@ -11270,6 +11270,43 @@ FROM f
 """
 
 
+def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL energy-based voice-activity detection on decoded PCM:
+    window-aligned speech bursts planted in silence (burst/gap/count
+    all id-derived), so the VAD must actually decode samples, window
+    them, threshold energy and merge runs — every output scalar has
+    an arithmetic closed form the oracle computes from doc_id."""
+    clips = mm.synthesize_vad_clips(_docs(spark, sf_dir), "doc_id")
+    return mm.audio_vad(clips, window=64, energy_threshold=100.0)
+
+
+_AUDIO_VAD_SQL = """
+-- Planted contract: A=(id%5+1)*1000 (energy >> threshold), burst
+-- B=(id%4+1)*4 windows, gap Z=(id%3+1)*2 windows, G=id%3+2 bursts,
+-- layout Z + G*(B+Z) windows of 64 frames.
+WITH ids AS (
+  SELECT doc_id AS media_id,
+    (doc_id % 4 + 1) * 4 AS bw,
+    (doc_id % 3 + 1) * 2 AS zw,
+    doc_id % 3 + 2 AS g
+  FROM documents
+), c AS (
+  SELECT media_id, bw, zw, g,
+    zw + g * (bw + zw) AS nw, g * bw AS nv
+  FROM ids
+)
+SELECT media_id,
+  CAST(nw AS INTEGER) AS n_windows,
+  CAST(nv AS INTEGER) AS n_voiced,
+  CAST(g AS INTEGER) AS n_segments,
+  CAST(zw * 64 AS INTEGER) AS first_voiced_frame,
+  CAST((zw + g * bw + (g - 1) * zw) * 64 - 1 AS INTEGER)
+    AS last_voiced_frame,
+  round(CAST(nv AS DOUBLE) / CAST(nw AS DOUBLE), 6) AS voiced_ratio
+FROM c
+"""
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -11315,6 +11352,7 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "levenshtein_link": q_levenshtein_link,
     "bloom_filter": q_bloom_filter,
     "holt_winters": q_holt_winters,
+    "audio_vad": q_audio_vad,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -11341,6 +11379,7 @@ _R9_ORACLES: dict[str, str] = {
     "levenshtein_link": _LEVENSHTEIN_LINK_SQL,
     "bloom_filter": _BLOOM_FILTER_SQL,
     "holt_winters": _HOLT_WINTERS_SQL,
+    "audio_vad": _AUDIO_VAD_SQL,
     "theil_sen": """
 -- Same pair construction and exact middle-row medians: daily means,
 -- all-pairs slopes, median slope then median residual intercept.

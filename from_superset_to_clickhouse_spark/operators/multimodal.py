@@ -4176,3 +4176,125 @@ def exif_metadata(images: DataFrame) -> DataFrame:
             )
 
     return images.mapInPandas(run, schema=EXIF_SCHEMA)
+
+
+def synthesize_vad_clips(
+    df: DataFrame, id_col: str, window: int = 64
+) -> DataFrame:
+    """Fixture generator for VAD: one REAL mono 16-bit PCM WAV per row
+    laid out as exact window-aligned speech bursts in silence, with a
+    planted arithmetic contract. Per id: amplitude A = (id%5+1)·1000,
+    burst length B = (id%4+1)·4 windows, gap length Z = (id%3+1)·2
+    windows, bursts G = id%3+2; layout = Z silence, then G bursts each
+    followed by Z silence: total windows Z + G·(B+Z). Because every
+    burst/gap is a whole number of analysis windows, a window-energy
+    VAD recovers the segmentation EXACTLY: n_voiced = G·B, n_segments
+    = G, first voiced frame = Z·window."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    w = int(window)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                amp = (i % 5 + 1) * 1000
+                burst_w = (i % 4 + 1) * 4
+                gap_w = (i % 3 + 1) * 2
+                bursts = i % 3 + 2
+                gap = np.zeros(gap_w * w, "<i2")
+                # alternate +A/-A per frame inside bursts so the clip
+                # is zero-mean (a DC-offset bug can't masquerade as
+                # silence energy)
+                b = np.full(burst_w * w, amp, "<i2")
+                b[1::2] = -amp
+                parts = [gap]
+                for _ in range(bursts):
+                    parts.extend([b, gap])
+                payloads.append(
+                    encode_wav_pcm(np.concatenate(parts))
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return src.mapInPandas(run, schema=IMAGE_SCHEMA)
+
+
+AUDIO_VAD_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_windows", T.IntegerType(), True),
+        T.StructField("n_voiced", T.IntegerType(), True),
+        T.StructField("n_segments", T.IntegerType(), True),
+        T.StructField("first_voiced_frame", T.IntegerType(), True),
+        T.StructField("last_voiced_frame", T.IntegerType(), True),
+        T.StructField("voiced_ratio", T.DoubleType(), True),
+    ]
+)
+
+
+def audio_vad(
+    audio: DataFrame, window: int = 64, energy_threshold: float = 100.0
+) -> DataFrame:
+    """Energy-based voice-activity detection over REALLY-decoded PCM →
+    (media_id, n_windows, n_voiced, n_segments, first_voiced_frame,
+    last_voiced_frame, voiced_ratio): frames are chunked into
+    ``window``-sized analysis windows (partial tail dropped), a window
+    is voiced when its mean-square energy exceeds ``energy_threshold``,
+    and adjacent voiced windows merge into segments — the standard
+    first pass of any speech-data curation pipeline (strip silence,
+    count utterances, measure speech density).
+
+    Arrow-batched ``mapInPandas`` like the rest of the codec tier: the
+    per-item DSP is the sanctioned Python boundary; output is a few
+    scalars per clip. Undecodable payloads quarantine as NULL rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict = {k: [] for k in (
+                "nw", "nv", "ns", "first", "last", "ratio"
+            )}
+            for p in pdf["payload"]:
+                try:
+                    _rate, _ch, frames = decode_wav_samples(p)
+                    ch0 = frames[:, 0].astype(np.float64)
+                    n = (ch0.shape[0] // window) * window
+                    if n == 0:
+                        raise ValueError("shorter than one window")
+                    e = (ch0[:n].reshape(-1, window) ** 2).mean(axis=1)
+                    voiced = e > energy_threshold
+                    nv = int(voiced.sum())
+                    starts = int(
+                        (voiced[1:] & ~voiced[:-1]).sum()
+                    ) + int(voiced[0])
+                    idx = np.nonzero(voiced)[0]
+                    out["nw"].append(len(e))
+                    out["nv"].append(nv)
+                    out["ns"].append(starts)
+                    out["first"].append(
+                        int(idx[0]) * window if nv else None
+                    )
+                    out["last"].append(
+                        (int(idx[-1]) + 1) * window - 1 if nv else None
+                    )
+                    out["ratio"].append(round(nv / len(e), 6))
+                except (ValueError, IndexError):
+                    for k in out:
+                        out[k].append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_windows": pd.array(out["nw"], dtype="Int32"),
+                    "n_voiced": pd.array(out["nv"], dtype="Int32"),
+                    "n_segments": pd.array(out["ns"], dtype="Int32"),
+                    "first_voiced_frame": pd.array(
+                        out["first"], dtype="Int32"
+                    ),
+                    "last_voiced_frame": pd.array(
+                        out["last"], dtype="Int32"
+                    ),
+                    "voiced_ratio": pd.array(out["ratio"], dtype="float64"),
+                }
+            )
+
+    return audio.mapInPandas(run, schema=AUDIO_VAD_SCHEMA)

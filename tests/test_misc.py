@@ -2827,3 +2827,40 @@ def test_bloom_filter_no_false_negatives(spark):
         assert got[str(i)]
     # the filter is not vacuous: some non-member is rejected
     assert any(not got[str(i)] for i in range(1, 200, 2))
+
+
+def test_audio_vad_segments(spark):
+    import numpy as np
+
+    from from_superset_to_clickhouse_spark.operators import (
+        multimodal as mm,
+    )
+
+    w = 8
+    # hand-built clip: 2 silence windows, 3 voiced, 1 silence, 2 voiced
+    sil = np.zeros(w, "<i2")
+    sp = np.full(w, 2000, "<i2")
+    clip = np.concatenate([sil, sil, sp, sp, sp, sil, sp, sp])
+    payload = mm.encode_wav_pcm(clip)
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "media_id long, payload binary")
+    r = mm.audio_vad(df, window=w, energy_threshold=100.0).collect()[0]
+    assert r.n_windows == 8
+    assert r.n_voiced == 5
+    assert r.n_segments == 2
+    assert r.first_voiced_frame == 2 * w
+    assert r.last_voiced_frame == 8 * w - 1
+    assert abs(r.voiced_ratio - 0.625) < 1e-9
+
+
+def test_audio_vad_quarantines_garbage(spark):
+    from from_superset_to_clickhouse_spark.operators import (
+        multimodal as mm,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not a wav at all"))],
+        "media_id long, payload binary",
+    )
+    r = mm.audio_vad(df).collect()[0]
+    assert r.n_windows is None and r.voiced_ratio is None
