@@ -11307,6 +11307,119 @@ FROM c
 """
 
 
+def q_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon/Simpson audience diversity of the user distribution
+    per event type — ClickHouse ``entropy`` parity plus Simpson
+    concentration and evenness."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        diversity_index,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return diversity_index(ev, "event_type", "user_id") \
+        .withColumnRenamed("grp", "event_type")
+
+
+_DIVERSITY_SQL = """
+WITH cells AS (
+  SELECT event_type AS g, user_id AS u, count(*) AS c
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+), tot AS (SELECT g, sum(c) AS n FROM cells GROUP BY g),
+j AS (
+  SELECT cells.g, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p, n
+  FROM cells JOIN tot ON cells.g = tot.g
+), a AS (
+  SELECT g, max(n) AS n, count(*) AS k,
+    sum(-p * ln(p)) AS h, sum(p * p) AS simp
+  FROM j GROUP BY g
+)
+SELECT g AS event_type, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+  round(h, 6) AS shannon_h, round(simp, 6) AS simpson,
+  round(CASE WHEN k > 1 THEN h / ln(CAST(k AS DOUBLE)) END, 6)
+    AS evenness
+FROM a
+"""
+
+
+def q_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel extreme-value fit on daily value maxima per event type:
+    method-of-moments beta/mu and the fitted probability a future
+    daily max exceeds the largest observed."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        gumbel_fit,
+    )
+
+    return gumbel_fit(_ev(spark, sf_dir), "event_type", "ts", "value") \
+        .withColumnRenamed("key", "event_type")
+
+
+_GUMBEL_SQL = """
+WITH b AS (
+  SELECT event_type AS key, date_trunc('day', ts) AS d,
+    max(CAST(value AS DOUBLE)) AS m
+  FROM events GROUP BY 1, 2
+), gm AS (
+  SELECT key, count(*) AS n,
+    floor(avg(m) * 1048576.0) / 1048576.0 AS mu,
+    max(m) AS seen
+  FROM b GROUP BY key
+), ss AS (
+  SELECT b.key,
+    sum(floor((m - mu) * (m - mu) * 1048576.0)) / 1048576.0 AS ssd
+  FROM b JOIN gm ON b.key = gm.key GROUP BY b.key
+), p AS (
+  SELECT gm.key, n, mu, seen,
+    sqrt(ssd / (CAST(n AS DOUBLE) - 1.0)) AS s
+  FROM gm JOIN ss ON gm.key = ss.key
+), q AS (
+  SELECT key, n, mu, seen, s,
+    s * sqrt(6.0) / pi() AS beta
+  FROM p
+)
+SELECT key AS event_type, CAST(n AS BIGINT) AS n, mu AS max_mean,
+  round(s, 6) AS max_std, round(beta, 6) AS beta,
+  round(mu - 0.5772156649015329 * beta, 6) AS mu,
+  round(1.0 - exp(-exp(-((seen - (mu - 0.5772156649015329 * beta))
+    / beta))), 6) AS p_exceed_seen
+FROM q
+"""
+
+
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order->part baskets from
+    lineitem: pair expansion keyed by order (never catalog-wide),
+    support/confidence/lift on pairs seen in >= 2 baskets."""
+    from from_superset_to_clickhouse_spark.operators.relational import (
+        basket_rules,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return basket_rules(li, "l_orderkey", "l_partkey", min_pair_count=2)
+
+
+_BASKET_RULES_SQL = """
+WITH i AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+), tot AS (SELECT count(DISTINCT bk) AS nb FROM i),
+ic AS (SELECT it, count(*) AS c FROM i GROUP BY it),
+pairs AS (
+  SELECT a.it AS item_a, b.it AS item_b, count(*) AS pc
+  FROM i a JOIN i b ON a.bk = b.bk AND a.it < b.it
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT item_a, item_b, CAST(pc AS BIGINT) AS pair_cnt,
+  round(CAST(pc AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS support,
+  round(CAST(pc AS DOUBLE) / CAST(ca.c AS DOUBLE), 6) AS conf_ab,
+  round(CAST(pc AS DOUBLE) / CAST(cb.c AS DOUBLE), 6) AS conf_ba,
+  round(CAST(pc AS DOUBLE) * CAST(nb AS DOUBLE)
+    / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 6) AS lift
+FROM pairs
+JOIN ic ca ON pairs.item_a = ca.it
+JOIN ic cb ON pairs.item_b = cb.it
+CROSS JOIN tot
+"""
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -11353,6 +11466,9 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_filter": q_bloom_filter,
     "holt_winters": q_holt_winters,
     "audio_vad": q_audio_vad,
+    "diversity": q_diversity,
+    "gumbel": q_gumbel,
+    "basket_rules": q_basket_rules,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -11380,6 +11496,9 @@ _R9_ORACLES: dict[str, str] = {
     "bloom_filter": _BLOOM_FILTER_SQL,
     "holt_winters": _HOLT_WINTERS_SQL,
     "audio_vad": _AUDIO_VAD_SQL,
+    "diversity": _DIVERSITY_SQL,
+    "gumbel": _GUMBEL_SQL,
+    "basket_rules": _BASKET_RULES_SQL,
     "theil_sen": """
 -- Same pair construction and exact middle-row medians: daily means,
 -- all-pairs slopes, median slope then median residual intercept.

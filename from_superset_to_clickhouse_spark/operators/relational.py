@@ -209,3 +209,63 @@ def bucketed_row_number(
         buckets=buckets,
         out_col=out_col,
     )
+
+
+def basket_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Market-basket association rules → (item_a, item_b, pair_cnt,
+    support, conf_ab, conf_ba, lift): co-occurrence of item pairs
+    inside a basket (order, session, document), with the classic
+    support / directional confidence / lift scores. The relational
+    cousin of the text tier's PMI pairs.
+
+    Scale shape: the pair expansion is keyed BY BASKET and costs
+    Σ items_per_basket² — bounded by basket width, never catalog².
+    Items collapse to DISTINCT per basket first (quantity doesn't
+    multiply the join); ``min_pair_count`` prunes the long random
+    tail before the scoring joins, which then touch only the
+    surviving pairs against two broadcast-sized marginal tables."""
+    i = df.select(
+        F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
+    ).distinct()
+    tot = i.agg(F.countDistinct("_bk").alias("_nb"))
+    item_cnt = i.groupBy("_it").agg(F.count("*").alias("_ic"))
+    a = i.select("_bk", F.col("_it").alias("item_a"))
+    b = i.select("_bk", F.col("_it").alias("item_b"))
+    pairs = (
+        a.join(b, "_bk")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= min_pair_count)
+    )
+    ca = item_cnt.select(
+        F.col("_it").alias("item_a"), F.col("_ic").alias("_ca")
+    )
+    cb = item_cnt.select(
+        F.col("_it").alias("item_b"), F.col("_ic").alias("_cb")
+    )
+    j = (
+        pairs.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    n = F.col("_nb").cast("double")
+    pc = F.col("pair_cnt").cast("double")
+    return j.select(
+        "item_a",
+        "item_b",
+        "pair_cnt",
+        F.round(pc / n, 6).alias("support"),
+        F.round(pc / F.col("_ca").cast("double"), 6).alias("conf_ab"),
+        F.round(pc / F.col("_cb").cast("double"), 6).alias("conf_ba"),
+        F.round(
+            pc * n
+            / (F.col("_ca").cast("double") * F.col("_cb").cast("double")),
+            6,
+        ).alias("lift"),
+    )

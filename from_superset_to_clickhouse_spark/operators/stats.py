@@ -1684,3 +1684,95 @@ def huber_mean(
         F.col("_mean0").alias("plain_mean"),
         "n_downweighted",
     )
+
+
+def diversity_index(
+    df: DataFrame, group_col: str, unit_col: str
+) -> DataFrame:
+    """Shannon/Simpson diversity of the unit distribution per group →
+    (group, n, k, shannon_h, simpson, evenness): H = −Σ p·ln p in
+    nats (ClickHouse ``entropy`` parity), Simpson concentration Σ p²
+    (1/Σp² is the "effective unit count"), evenness = H/ln k. The
+    catalog/audience-concentration one-liner.
+
+    Two partial-aggregatable shuffles: (group, unit) counts, then a
+    ≤-units-sized reduction per group."""
+    cells = (
+        df.select(
+            F.col(group_col).alias("grp"), F.col(unit_col).alias("_u")
+        )
+        .filter(F.col("_u").isNotNull())
+        .groupBy("grp", "_u")
+        .agg(F.count("*").alias("_c"))
+    )
+    tot = cells.groupBy("grp").agg(F.sum("_c").alias("_n"))
+    j = cells.join(tot, "grp")
+    p = F.col("_c").cast("double") / F.col("_n").cast("double")
+    agg = j.groupBy("grp").agg(
+        F.max("_n").alias("n"),
+        F.count("*").alias("k"),
+        F.sum(-p * F.log(p)).alias("_h"),
+        F.sum(p * p).alias("_simp"),
+    )
+    return agg.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round("_h", 6).alias("shannon_h"),
+        F.round("_simp", 6).alias("simpson"),
+        F.round(
+            F.when(
+                F.col("k") > 1,
+                F.col("_h") / F.log(F.col("k").cast("double")),
+            ),
+            6,
+        ).alias("evenness"),
+    )
+
+
+_EULER_GAMMA = 0.5772156649015329
+
+
+def gumbel_fit(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Gumbel extreme-value fit on block maxima per key → (key, n,
+    max_mean, max_std, beta, mu, p_exceed_seen): daily (bucket)
+    maxima, method-of-moments Gumbel parameters β = s·√6/π, μ = m̄ −
+    γβ, and the fitted probability that a future block max exceeds
+    the LARGEST seen so far (1 − exp(−exp(−z))) — the capacity-
+    planning tail number. Block means are floored to the 2^-20 grid
+    before centering so the variance sum is drift-free."""
+    import math
+
+    b = df.groupBy(
+        F.col(key_col).alias("key"),
+        F.window(F.col(ts_col), bucket).alias("_w"),
+    ).agg(F.max(F.col(value_col).cast("double")).alias("_m"))
+    gm = b.groupBy("key").agg(
+        F.count("*").alias("n"),
+        (F.floor(F.avg("_m") * (1 << 20)) / (1 << 20)).alias("_mu"),
+        F.max("_m").alias("_seen"),
+    )
+    dev = b.join(gm, "key")
+    d = F.col("_m") - F.col("_mu")
+    agg = dev.groupBy("key", "n", "_mu", "_seen").agg(
+        (F.sum(F.floor(d * d * (1 << 20))) / (1 << 20)).alias("_ss")
+    )
+    s = F.sqrt(F.col("_ss") / (F.col("n").cast("double") - 1.0))
+    beta = s * math.sqrt(6.0) / math.pi
+    mu = F.col("_mu") - _EULER_GAMMA * beta
+    z = (F.col("_seen") - mu) / beta
+    return agg.select(
+        "key",
+        F.col("n").cast("long").alias("n"),
+        F.col("_mu").alias("max_mean"),
+        F.round(s, 6).alias("max_std"),
+        F.round(beta, 6).alias("beta"),
+        F.round(mu, 6).alias("mu"),
+        F.round(1.0 - F.exp(-F.exp(-z)), 6).alias("p_exceed_seen"),
+    )

@@ -2864,3 +2864,84 @@ def test_audio_vad_quarantines_garbage(spark):
     )
     r = mm.audio_vad(df).collect()[0]
     assert r.n_windows is None and r.voiced_ratio is None
+
+
+def test_diversity_index_reference(spark):
+    import math
+
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        diversity_index,
+    )
+
+    # g: uniform over 4 users (max entropy); h: one dominant user
+    rows = [("g", u) for u in (1, 2, 3, 4)] + [
+        ("h", 1)
+    ] * 7 + [("h", 2)]
+    df = spark.createDataFrame(rows, "t string, u int")
+    got = {r.grp: r for r in diversity_index(df, "t", "u").collect()}
+    assert got["g"].k == 4 and got["g"].n == 4
+    assert abs(got["g"].shannon_h - round(math.log(4), 6)) < 1e-9
+    assert got["g"].evenness == 1.0
+    assert got["g"].simpson == 0.25
+    h = -(7 / 8 * math.log(7 / 8) + 1 / 8 * math.log(1 / 8))
+    assert abs(got["h"].shannon_h - round(h, 6)) < 1e-9
+    assert got["h"].simpson == round((7 / 8) ** 2 + (1 / 8) ** 2, 6)
+
+
+def test_gumbel_fit_reference(spark):
+    import datetime
+    import math
+
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        gumbel_fit,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # daily maxima planted directly (one event per day)
+    maxima = [10.0, 12.0, 11.0, 15.0, 13.0, 14.0, 12.0, 11.0]
+    rows = [
+        ("g", t0 + datetime.timedelta(days=i), m)
+        for i, m in enumerate(maxima)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    r = gumbel_fit(df, "g", "ts", "v").collect()[0]
+    m = sum(maxima) / len(maxima)
+    s = math.sqrt(
+        sum((x - m) ** 2 for x in maxima) / (len(maxima) - 1)
+    )
+    beta = s * math.sqrt(6) / math.pi
+    mu = m - 0.5772156649015329 * beta
+    assert r.n == 8
+    assert abs(r.max_std - s) < 1e-4
+    assert abs(r.beta - beta) < 1e-4
+    assert abs(r.mu - mu) < 1e-4
+    z = (max(maxima) - mu) / beta
+    assert abs(r.p_exceed_seen - (1 - math.exp(-math.exp(-z)))) < 1e-4
+
+
+def test_basket_rules_reference(spark):
+    from from_superset_to_clickhouse_spark.operators.relational import (
+        basket_rules,
+    )
+
+    baskets = {
+        1: ["milk", "bread"],
+        2: ["milk", "bread", "eggs"],
+        3: ["milk", "eggs"],
+        4: ["bread"],
+    }
+    rows = [(b, i) for b, its in baskets.items() for i in its]
+    df = spark.createDataFrame(rows, "bk int, it string")
+    got = {
+        (r.item_a, r.item_b): r
+        for r in basket_rules(df, "bk", "it", min_pair_count=2).collect()
+    }
+    # milk+bread in 2 of 4 baskets; milk in 3, bread in 3
+    r = got[("bread", "milk")]
+    assert r.pair_cnt == 2
+    assert r.support == 0.5
+    assert abs(r.conf_ab - round(2 / 3, 6)) < 1e-9  # bread -> milk
+    assert abs(r.lift - round(2 * 4 / 9, 6)) < 1e-9
+    # milk+eggs supported twice as well; bread+eggs only once -> pruned
+    assert ("eggs", "milk") in got
+    assert ("bread", "eggs") not in got
