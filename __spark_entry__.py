@@ -11420,6 +11420,89 @@ CROSS JOIN tot
 """
 
 
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of customers from orders: recency vs corpus
+    max date, ntile(5) scores with the customer key as tiebreak,
+    monetary on the exact 2^-20 grid -> engine-stable tiles."""
+    from from_superset_to_clickhouse_spark.operators.relational import (
+        rfm_segments,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return rfm_segments(o, "o_custkey", "o_orderdate", "o_totalprice")
+
+
+_RFM_SQL = """
+WITH per_c AS (
+  SELECT o_custkey AS customer, max(o_orderdate) AS last_o,
+    count(*) AS frequency,
+    CAST(sum(CAST(floor(CAST(o_totalprice AS DOUBLE) * 1048576.0)
+      AS BIGINT)) AS DOUBLE) / 1048576.0 AS monetary
+  FROM orders GROUP BY 1
+), mx AS (SELECT max(last_o) AS m FROM per_c),
+r AS (
+  SELECT customer,
+    date_diff('day', last_o, m) AS recency_days,
+    frequency, monetary
+  FROM per_c CROSS JOIN mx
+)
+SELECT customer, CAST(recency_days AS INTEGER) AS recency_days,
+  CAST(frequency AS BIGINT) AS frequency,
+  round(monetary, 6) AS monetary,
+  CAST(ntile(5) OVER wr AS INTEGER) AS r_score,
+  CAST(ntile(5) OVER wf AS INTEGER) AS f_score,
+  CAST(ntile(5) OVER wm AS INTEGER) AS m_score,
+  CAST(ntile(5) OVER wr AS VARCHAR)
+    || CAST(ntile(5) OVER wf AS VARCHAR)
+    || CAST(ntile(5) OVER wm AS VARCHAR) AS rfm
+FROM r
+WINDOW wr AS (ORDER BY recency_days DESC, customer),
+       wf AS (ORDER BY frequency ASC, customer),
+       wm AS (ORDER BY monetary ASC, customer)
+"""
+
+
+def q_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto classification of parts by discounted revenue:
+    exact 2^-20-grid revenue sums make the ranking and the 80/95%
+    class boundaries bit-identical on both engines."""
+    from from_superset_to_clickhouse_spark.operators.relational import (
+        abc_analysis,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "rev_amt",
+        F.col("l_extendedprice").cast("double")
+        * (F.lit(1.0) - F.col("l_discount").cast("double")),
+    )
+    return abc_analysis(li, "l_partkey", "rev_amt") \
+        .withColumnRenamed("item", "l_partkey")
+
+
+_ABC_SQL = """
+WITH per_i AS (
+  SELECT l_partkey AS item,
+    CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE)
+      * (1.0 - CAST(l_discount AS DOUBLE)) * 1048576.0) AS BIGINT))
+      AS BIGINT) AS qr
+  FROM lineitem GROUP BY 1
+), tot AS (SELECT CAST(sum(qr) AS BIGINT) AS qt FROM per_i),
+r AS (
+  SELECT item, qr, qt,
+    CAST(sum(qr) OVER (ORDER BY qr DESC, item) AS BIGINT) AS cum
+  FROM per_i CROSS JOIN tot
+)
+SELECT item AS l_partkey,
+  round(CAST(qr AS DOUBLE) / 1048576.0, 6) AS revenue,
+  round(CAST(qr AS DOUBLE) / CAST(qt AS DOUBLE), 6) AS revenue_share,
+  round(CAST(cum AS DOUBLE) / CAST(qt AS DOUBLE), 6) AS cum_share,
+  CASE WHEN CAST(cum AS DOUBLE) / CAST(qt AS DOUBLE) <= 0.8 THEN 'A'
+       WHEN CAST(cum AS DOUBLE) / CAST(qt AS DOUBLE) <= 0.95 THEN 'B'
+       ELSE 'C' END AS abc_class
+FROM r
+"""
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -11469,6 +11552,8 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "diversity": q_diversity,
     "gumbel": q_gumbel,
     "basket_rules": q_basket_rules,
+    "rfm_segments": q_rfm,
+    "abc_analysis": q_abc,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -11499,6 +11584,8 @@ _R9_ORACLES: dict[str, str] = {
     "diversity": _DIVERSITY_SQL,
     "gumbel": _GUMBEL_SQL,
     "basket_rules": _BASKET_RULES_SQL,
+    "rfm_segments": _RFM_SQL,
+    "abc_analysis": _ABC_SQL,
     "theil_sen": """
 -- Same pair construction and exact middle-row medians: daily means,
 -- all-pairs slopes, median slope then median residual intercept.

@@ -269,3 +269,103 @@ def basket_rules(
             6,
         ).alias("lift"),
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    customer_col: str,
+    ts_col: str,
+    amount_col: str,
+    tiles: int = 5,
+) -> DataFrame:
+    """RFM segmentation → (customer, recency_days, frequency,
+    monetary, r_score, f_score, m_score, rfm): the classic CRM
+    scoring. Recency is days from the customer's last order to the
+    corpus max date (no wall clock — deterministic), scores are
+    ``ntile`` quantile ranks (higher = better: more recent, more
+    frequent, more spend) with the customer key as the universal tie
+    break so every engine assigns identical tiles.
+
+    One aggregate per customer + three window passes over the (small,
+    one row per customer) aggregate — the corpus is scanned once.
+    Monetary sums quantize to the 2^-20 grid (exact integers) so the
+    ntile ORDER is engine-stable even between near-equal spenders."""
+    fxp = float(1 << 20)
+    src = df.select(
+        F.col(customer_col).alias("customer"),
+        F.col(ts_col).alias("_ts"),
+        F.floor(F.col(amount_col).cast("double") * fxp).alias("_qa"),
+    )
+    per_c = src.groupBy("customer").agg(
+        F.max("_ts").alias("_last"),
+        F.count("*").alias("frequency"),
+        (F.sum("_qa") / fxp).alias("monetary"),
+    )
+    mx = per_c.agg(F.max("_last").alias("_mx"))
+    per_c = per_c.crossJoin(F.broadcast(mx)).withColumn(
+        "recency_days", F.datediff(F.col("_mx"), F.col("_last"))
+    )
+    w_r = Window.orderBy(F.col("recency_days").desc(), "customer")
+    w_f = Window.orderBy(F.col("frequency").asc(), "customer")
+    w_m = Window.orderBy(F.col("monetary").asc(), "customer")
+    out = per_c.select(
+        "customer",
+        "recency_days",
+        "frequency",
+        F.round("monetary", 6).alias("monetary"),
+        F.ntile(tiles).over(w_r).alias("r_score"),
+        F.ntile(tiles).over(w_f).alias("f_score"),
+        F.ntile(tiles).over(w_m).alias("m_score"),
+    )
+    return out.withColumn(
+        "rfm",
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ),
+    )
+
+
+def abc_analysis(
+    df: DataFrame,
+    item_col: str,
+    amount_col: str,
+    a_cut: float = 0.8,
+    b_cut: float = 0.95,
+) -> DataFrame:
+    """ABC / Pareto classification → (item, revenue, revenue_share,
+    cum_share, abc_class): items ranked by revenue, class A while the
+    running share ≤ ``a_cut``, B to ``b_cut``, C after — the 80/15/5
+    inventory rule. Revenue sums quantize to the 2^-20 grid (exact
+    integer totals), so the ranking, the shares and therefore the
+    class boundaries are bit-identical on every engine; the item key
+    breaks exact-revenue ties.
+
+    The window runs over the per-item AGGREGATE (catalog-sized, not
+    corpus-sized); at 100 TB the single-partition rank over ~10⁶
+    items is trivially bounded."""
+    fxp = float(1 << 20)
+    per_i = (
+        df.select(
+            F.col(item_col).alias("item"),
+            F.floor(F.col(amount_col).cast("double") * fxp).alias("_qa"),
+        )
+        .groupBy("item")
+        .agg(F.sum("_qa").alias("_qr"))
+    )
+    tot = per_i.agg(F.sum("_qr").alias("_qt"))
+    w = Window.orderBy(F.col("_qr").desc(), "item")
+    ranked = per_i.crossJoin(F.broadcast(tot)).withColumn(
+        "_cum", F.sum("_qr").over(w)
+    )
+    share = F.col("_qr").cast("double") / F.col("_qt").cast("double")
+    cum = F.col("_cum").cast("double") / F.col("_qt").cast("double")
+    return ranked.select(
+        "item",
+        F.round(F.col("_qr") / fxp, 6).alias("revenue"),
+        F.round(share, 6).alias("revenue_share"),
+        F.round(cum, 6).alias("cum_share"),
+        F.when(cum <= a_cut, "A")
+        .when(cum <= b_cut, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

@@ -2945,3 +2945,42 @@ def test_basket_rules_reference(spark):
     # milk+eggs supported twice as well; bread+eggs only once -> pruned
     assert ("eggs", "milk") in got
     assert ("bread", "eggs") not in got
+
+
+def test_rfm_segments_scores(spark):
+    import datetime
+
+    from from_superset_to_clickhouse_spark.operators.relational import (
+        rfm_segments,
+    )
+
+    d = datetime.date
+    # 5 customers with strictly ordered R/F/M profiles
+    rows = []
+    for c in range(5):
+        for k in range(c + 1):  # frequency 1..5
+            rows.append((c, d(2024, 1, c + 1), float((c + 1) * 100)))
+    df = spark.createDataFrame(rows, "cust int, dt date, amt double")
+    got = {r.customer: r for r in
+           rfm_segments(df, "cust", "dt", "amt").collect()}
+    # customer 4 ordered last -> most recent, most frequent, top spend
+    assert got[4].recency_days == 0 and got[4].rfm == "555"
+    assert got[0].recency_days == 4 and got[0].rfm == "111"
+    assert got[2].frequency == 3
+    assert got[2].monetary == 900.0  # 3 orders x 300
+
+
+def test_abc_analysis_classes(spark):
+    from from_superset_to_clickhouse_spark.operators.relational import (
+        abc_analysis,
+    )
+
+    # revenues 80, 15, 3, 2 -> shares .8/.15/.03/.02
+    rows = [("a", 80.0), ("b", 15.0), ("c", 3.0), ("d", 2.0)]
+    df = spark.createDataFrame(rows, "item string, amt double")
+    got = {r.item: r for r in abc_analysis(df, "item", "amt").collect()}
+    assert got["a"].abc_class == "A" and got["a"].cum_share == 0.8
+    assert got["b"].abc_class == "B" and got["b"].cum_share == 0.95
+    assert got["c"].abc_class == "C"
+    assert got["d"].abc_class == "C" and got["d"].cum_share == 1.0
+    assert got["b"].revenue_share == 0.15
