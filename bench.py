@@ -113,6 +113,24 @@ HEADLINE = [
     # exact weighted quantiles on the same bucketed-cumsum machinery
     # (integer cross-multiplied selection, no single-task sort)
     "weighted_quantile",
+    # round-8 continuation: rank statistics as corpus-wide midrank
+    # window passes (Spearman over two axes, ROC AUC over distinct
+    # scores), 5 grouped IRLS aggregate passes (Huber), per-user
+    # gaps-and-islands + 2n sweep-line interval programs, the
+    # harmonic-expansion periodogram, the Holt-Winters codegen fold,
+    # energy VAD decode throughput, and the two by-key pair-expansion
+    # joins (supplier Adamic-Adar ~12M pair rows at sf0.1,
+    # order-basket association rules ~1M)
+    "spearman",
+    "roc_auc",
+    "huber_mean",
+    "interval_union",
+    "max_intersections",
+    "periodogram",
+    "holt_winters",
+    "audio_vad",
+    "adamic_adar",
+    "basket_rules",
 ]
 
 # ANN is measured on a deterministic query slice (vec_id < ANN_QUERIES)
