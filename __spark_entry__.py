@@ -11503,6 +11503,243 @@ FROM r
 """
 
 
+def q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash-6 cell ids over the synthesized customer coordinates
+    (same modular derivation as geo_neighbors): pure integer shift/
+    mask interleave + base32 substring lookups — the exact cell
+    assignment replays verbatim in SQL."""
+    from from_superset_to_clickhouse_spark.operators.geo import (
+        geohash_encode,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        (((F.col("c_custkey") * 7919) % 12000) / 100.0 - 60.0).alias(
+            "lat"
+        ),
+        (((F.col("c_custkey") * 104729) % 36000) / 100.0 - 180.0).alias(
+            "lon"
+        ),
+    )
+    return geohash_encode(pts, "lat", "lon", precision=6)
+
+
+_GEOHASH_SQL = """
+-- Same 15-bit quantization, longitude-first interleave, base32 map.
+WITH pts AS (
+  SELECT c_custkey AS id,
+    ((c_custkey * 7919) % 12000) / 100.0 - 60.0 AS lat,
+    ((c_custkey * 104729) % 36000) / 100.0 - 180.0 AS lon
+  FROM customer
+), codes AS (
+  SELECT id, lat, lon,
+    least(CAST(floor((lat + 90.0) / 180.0 * 32768.0) AS BIGINT),
+          32767) AS latc,
+    least(CAST(floor((lon + 180.0) / 360.0 * 32768.0) AS BIGINT),
+          32767) AS lonc
+  FROM pts
+), bits AS (
+  SELECT id, lat, lon,
+    CAST(sum(((lonc >> (14 - i)) & 1) * (CAST(1 AS BIGINT)
+        << (29 - 2 * i))
+      + ((latc >> (14 - i)) & 1) * (CAST(1 AS BIGINT)
+        << (28 - 2 * i))) AS BIGINT) AS gh_bits
+  FROM codes CROSS JOIN (SELECT unnest(range(0, 15)) AS i)
+  GROUP BY 1, 2, 3
+)
+SELECT id, lat, lon, gh_bits,
+  substr('0123456789bcdefghjkmnpqrstuvwxyz',
+    CAST((gh_bits >> 25) & 31 AS INTEGER) + 1, 1)
+  || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+    CAST((gh_bits >> 20) & 31 AS INTEGER) + 1, 1)
+  || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+    CAST((gh_bits >> 15) & 31 AS INTEGER) + 1, 1)
+  || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+    CAST((gh_bits >> 10) & 31 AS INTEGER) + 1, 1)
+  || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+    CAST((gh_bits >> 5) & 31 AS INTEGER) + 1, 1)
+  || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+    CAST(gh_bits & 31 AS INTEGER) + 1, 1) AS geohash
+FROM bits
+"""
+
+
+def q_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart x-bar chart with Western-Electric run rules over the
+    daily mean value per event type: grid-quantized center/sigma so
+    every z and rule flag is engine-identical."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        control_chart,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return control_chart(ev, "event_type", "ts", "value") \
+        .withColumnRenamed("key", "event_type")
+
+
+_CONTROL_CHART_SQL = """
+WITH b AS (
+  SELECT event_type AS key, date_trunc('day', ts) AS bucket_ts,
+    floor(avg(CAST(value AS DOUBLE)) * 1048576.0) / 1048576.0 AS xbar
+  FROM events GROUP BY 1, 2
+), gm AS (
+  SELECT key, count(*) AS n,
+    floor(avg(xbar) * 1048576.0) / 1048576.0 AS mu
+  FROM b GROUP BY key
+), ss AS (
+  SELECT b.key,
+    sum(floor((xbar - mu) * (xbar - mu) * 1048576.0)) / 1048576.0
+      AS ssd
+  FROM b JOIN gm ON b.key = gm.key GROUP BY b.key
+), z AS (
+  SELECT b.key, bucket_ts, xbar,
+    CASE WHEN sqrt(ssd / (CAST(n AS DOUBLE) - 1.0)) > 0
+      THEN (xbar - mu) / sqrt(ssd / (CAST(n AS DOUBLE) - 1.0)) END
+      AS zv
+  FROM b JOIN gm ON b.key = gm.key JOIN ss ON b.key = ss.key
+), sided AS (
+  SELECT key, bucket_ts, xbar, zv, sign(zv) AS side,
+    CAST(abs(zv) > 2.0 AS INTEGER) * sign(zv) AS o2,
+    CAST(abs(zv) > 1.0 AS INTEGER) * sign(zv) AS o1
+  FROM z
+)
+SELECT key AS event_type, bucket_ts, xbar, round(zv, 6) AS z,
+  abs(zv) > 3.0 AS rule1,
+  (sum(CASE WHEN o2 = 1 THEN 1 ELSE 0 END)
+     OVER (PARTITION BY key ORDER BY bucket_ts
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) >= 2)
+  OR (sum(CASE WHEN o2 = -1 THEN 1 ELSE 0 END)
+     OVER (PARTITION BY key ORDER BY bucket_ts
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) >= 2) AS rule2,
+  (sum(CASE WHEN o1 = 1 THEN 1 ELSE 0 END)
+     OVER (PARTITION BY key ORDER BY bucket_ts
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) >= 4)
+  OR (sum(CASE WHEN o1 = -1 THEN 1 ELSE 0 END)
+     OVER (PARTITION BY key ORDER BY bucket_ts
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) >= 4) AS rule3,
+  (sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+     OVER (PARTITION BY key ORDER BY bucket_ts
+           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) = 8)
+  OR (sum(CASE WHEN side = -1 THEN 1 ELSE 0 END)
+     OVER (PARTITION BY key ORDER BY bucket_ts
+           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) = 8) AS rule4
+FROM sided
+"""
+
+
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance (pandas merge_asof parity):
+    each event picks the customer's EARLIEST order on/after the
+    event, nulled when more than 5 days out; the right side is
+    deduped to one row per (customer, date) first so ties cannot
+    depend on sort stability."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        asof_join_directed,
+    )
+
+    ev = _ev(spark, sf_dir).select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders")
+    right = (
+        o.groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("ots"),
+        )
+        .agg(
+            F.max(
+                F.struct(F.col("o_orderkey"), F.col("o_totalprice"))
+            )["o_totalprice"].alias("tp")
+        )
+    )
+    out = asof_join_directed(
+        ev, right, "user_id", "ts", "ots", ["tp"],
+        direction="forward", tolerance_seconds=5 * 86400,
+    )
+    return out.select(
+        "event_id", "user_id", F.col("asof_tp").alias("next_totalprice")
+    )
+
+
+_ASOF_TOLERANCE_SQL = """
+-- DuckDB ASOF is backward-only: negate the time axis so "largest
+-- right <= left" becomes "earliest order on/after the event", then
+-- apply the 5-day tolerance as a CASE on the matched date.
+WITH r AS (
+  SELECT o_custkey AS k, CAST(o_orderdate AS TIMESTAMP) AS ots,
+    arg_max(o_totalprice, o_orderkey) AS tp
+  FROM orders GROUP BY 1, 2
+), rn AS (
+  SELECT k, ots, -epoch_us(ots) AS nts, tp FROM r
+), e AS (
+  SELECT event_id, user_id, ts, -epoch_us(ts) AS nts FROM events
+)
+SELECT e.event_id, e.user_id,
+  CASE WHEN rn.ots IS NOT NULL
+    AND epoch_us(rn.ots) - epoch_us(e.ts) <= 5 * 86400 * 1000000
+    THEN rn.tp END AS next_totalprice
+FROM e ASOF LEFT JOIN rn
+  ON e.user_id = rn.k AND e.nts >= rn.nts
+"""
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning G2 log-likelihood + t-score collocations over ordered
+    adjacent bigrams (min support 5) — the significance-tested
+    complement of pmi_pairs, same tokenizer."""
+    from from_superset_to_clickhouse_spark.operators.text import (
+        collocations_g2,
+    )
+
+    return collocations_g2(_docs(spark, sf_dir), "doc_id", "text")
+
+
+_COLLOCATIONS_SQL = """
+-- Same tokenizer, lead-window bigrams, contingency arithmetic with
+-- zero cells skipped.
+WITH tok AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                x -> x <> '') AS t
+  FROM documents
+), flat AS (
+  SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, t FROM tok
+), f AS (
+  SELECT doc_id, pos, t[pos] AS w FROM flat
+), bi AS (
+  SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM f
+), bi2 AS (SELECT w1, w2 FROM bi WHERE w2 IS NOT NULL),
+pairs_all AS (
+  SELECT w1, w2, count(*) AS n_pair FROM bi2 GROUP BY 1, 2
+), c1 AS (SELECT w1, count(*) AS c1 FROM bi2 GROUP BY w1),
+c2 AS (SELECT w2, count(*) AS c2 FROM bi2 GROUP BY w2),
+tot AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS n FROM pairs_all),
+j AS (
+  SELECT p.w1, p.w2, p.n_pair,
+    CAST(p.n_pair AS DOUBLE) AS o11,
+    CAST(c1.c1 AS DOUBLE) - p.n_pair AS o12,
+    CAST(c2.c2 AS DOUBLE) - p.n_pair AS o21,
+    n - c1.c1 - c2.c2 + p.n_pair AS o22,
+    CAST(c1.c1 AS DOUBLE) * c2.c2 / n AS e11,
+    CAST(c1.c1 AS DOUBLE) * (n - c2.c2) / n AS e12,
+    (n - c1.c1) * CAST(c2.c2 AS DOUBLE) / n AS e21,
+    (n - c1.c1) * (n - c2.c2) / n AS e22
+  FROM pairs_all p JOIN c1 USING (w1) JOIN c2 USING (w2)
+  CROSS JOIN tot
+  WHERE p.n_pair >= 5
+)
+SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+  round(2.0 * (
+    (CASE WHEN o11 > 0 THEN o11 * ln(o11 / e11) ELSE 0.0 END)
+    + (CASE WHEN o12 > 0 THEN o12 * ln(o12 / e12) ELSE 0.0 END)
+    + (CASE WHEN o21 > 0 THEN o21 * ln(o21 / e21) ELSE 0.0 END)
+    + (CASE WHEN o22 > 0 THEN o22 * ln(o22 / e22) ELSE 0.0 END)), 6)
+    AS g2,
+  round((o11 - e11) / sqrt(o11), 6) AS t_score
+FROM j
+"""
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -11554,6 +11791,10 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "basket_rules": q_basket_rules,
     "rfm_segments": q_rfm,
     "abc_analysis": q_abc,
+    "geohash": q_geohash,
+    "control_chart": q_control_chart,
+    "asof_tolerance": q_asof_tolerance,
+    "collocations": q_collocations,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -11586,6 +11827,10 @@ _R9_ORACLES: dict[str, str] = {
     "basket_rules": _BASKET_RULES_SQL,
     "rfm_segments": _RFM_SQL,
     "abc_analysis": _ABC_SQL,
+    "geohash": _GEOHASH_SQL,
+    "control_chart": _CONTROL_CHART_SQL,
+    "asof_tolerance": _ASOF_TOLERANCE_SQL,
+    "collocations": _COLLOCATIONS_SQL,
     "theil_sen": """
 -- Same pair construction and exact middle-row medians: daily means,
 -- all-pairs slopes, median slope then median residual intercept.

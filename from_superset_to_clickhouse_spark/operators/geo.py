@@ -150,3 +150,61 @@ def neighbor_pairs_grid(
         )
         .filter(F.col("dist_km") <= F.lit(radius_km))
     )
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(
+    df: DataFrame, lat_col: str, lon_col: str, precision: int = 6
+) -> DataFrame:
+    """Standard geohash cell id per row → input + ``geohash`` (and the
+    integer ``gh_bits`` it decodes from): latitude/longitude quantized
+    to ⌈5·precision/2⌉-bit integer codes, bit-interleaved (longitude
+    first, per the geohash spec), then base32-mapped 5 bits per
+    character. The spatial bucketing key everything else joins on
+    (neighbor grids, privacy coarsening, tile rollups).
+
+    Pure integer Catalyst arithmetic — floor of a scaled coordinate,
+    shift/mask interleave unrolled over the bit positions, substring
+    lookups into the base32 alphabet — so the exact cell assignment
+    replays verbatim in any SQL engine (no geo library, no float
+    drift: the scale multiply is by a power of two)."""
+    if not 1 <= precision <= 12 or precision % 2:
+        # odd precisions split a bit between lat/lon; the unrolled
+        # interleave below assumes the even case (lat bits = lon bits)
+        raise ValueError("precision must be even, 2..12")
+    half = 5 * precision // 2
+    scale = float(1 << half)
+    latc = F.floor(
+        (F.col(lat_col).cast("double") + 90.0) / 180.0 * scale
+    ).cast("long")
+    lonc = F.floor(
+        (F.col(lon_col).cast("double") + 180.0) / 360.0 * scale
+    ).cast("long")
+    # exact-90/180 edge: clamp the one-past code back into range
+    latc = F.least(latc, F.lit((1 << half) - 1))
+    lonc = F.least(lonc, F.lit((1 << half) - 1))
+    bits = F.lit(0).cast("long")
+    for i in range(half):
+        lon_b = F.shiftright(lonc, half - 1 - i).bitwiseAND(F.lit(1))
+        lat_b = F.shiftright(latc, half - 1 - i).bitwiseAND(F.lit(1))
+        bits = (
+            bits
+            + F.shiftleft(lon_b, 2 * half - 1 - 2 * i)
+            + F.shiftleft(lat_b, 2 * half - 2 - 2 * i)
+        )
+    chars = [
+        F.substring(
+            F.lit(_GEOHASH32),
+            F.shiftright(bits, 5 * (precision - 1 - k))
+            .bitwiseAND(F.lit(31))
+            .cast("int")
+            + 1,
+            1,
+        )
+        for k in range(precision)
+    ]
+    return df.withColumn("gh_bits", bits).withColumn(
+        "geohash", F.concat(*chars)
+    )

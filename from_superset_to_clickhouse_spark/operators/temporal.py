@@ -1982,3 +1982,185 @@ def holt_winters(
             "forecast"
         ),
     )
+
+
+def control_chart(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Shewhart x̄ control chart with Western-Electric run rules per
+    key → (key, bucket_ts, xbar, z, rule1, rule2, rule3, rule4):
+    bucket means scored against the key's own center line ±kσ, with
+    the four classic out-of-control signals — rule1 |z| > 3, rule2
+    two of three consecutive beyond 2σ on the SAME side, rule3 four
+    of five beyond 1σ same side, rule4 eight consecutive same side.
+    The ops-monitoring classic that catches drifts a plain threshold
+    misses.
+
+    Bucket means land on the 2^-20 grid and σ comes from grid-
+    quantized squared deviations, so every z — and therefore every
+    rule flag, which compares z against exact integers via side
+    indicators — is engine-identical. One bucketing pass + one keyed
+    window pass over the bounded series."""
+    q = float(1 << 20)
+    b = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.window(F.col(ts_col), bucket).alias("_w"),
+        )
+        .agg(
+            (F.floor(F.avg(F.col(value_col).cast("double")) * q) / q).alias(
+                "xbar"
+            )
+        )
+        .select("key", F.col("_w.start").alias("bucket_ts"), "xbar")
+    )
+    gm = b.groupBy("key").agg(
+        F.count("*").alias("_n"),
+        (F.floor(F.avg("xbar") * q) / q).alias("_mu"),
+    )
+    dev = b.join(gm, "key")
+    d = F.col("xbar") - F.col("_mu")
+    ss = dev.groupBy("key").agg(
+        (F.sum(F.floor(d * d * q)) / q).alias("_ss")
+    )
+    j = dev.join(ss, "key").withColumn(
+        "_sigma",
+        F.sqrt(F.col("_ss") / (F.col("_n").cast("double") - 1.0)),
+    )
+    # sigma = 0 (constant series) has no control limits -> NULL z and
+    # all-false rules, not an ANSI divide-by-zero
+    z = F.when(
+        F.col("_sigma") > 0,
+        (F.col("xbar") - F.col("_mu")) / F.col("_sigma"),
+    )
+    j = j.withColumn("_z", z)
+    side = F.signum("_z")
+    over2 = (F.abs(F.col("_z")) > 2.0).cast("int") * side
+    over1 = (F.abs(F.col("_z")) > 1.0).cast("int") * side
+    w = Window.partitionBy("key").orderBy("bucket_ts")
+    r2 = (
+        F.sum(F.when(over2 == 1, 1).otherwise(0)).over(
+            w.rowsBetween(-2, 0)
+        )
+        >= 2
+    ) | (
+        F.sum(F.when(over2 == -1, 1).otherwise(0)).over(
+            w.rowsBetween(-2, 0)
+        )
+        >= 2
+    )
+    r3 = (
+        F.sum(F.when(over1 == 1, 1).otherwise(0)).over(
+            w.rowsBetween(-4, 0)
+        )
+        >= 4
+    ) | (
+        F.sum(F.when(over1 == -1, 1).otherwise(0)).over(
+            w.rowsBetween(-4, 0)
+        )
+        >= 4
+    )
+    r4 = (
+        F.sum(F.when(side == 1, 1).otherwise(0)).over(
+            w.rowsBetween(-7, 0)
+        )
+        == 8
+    ) | (
+        F.sum(F.when(side == -1, 1).otherwise(0)).over(
+            w.rowsBetween(-7, 0)
+        )
+        == 8
+    )
+    return j.select(
+        "key",
+        "bucket_ts",
+        "xbar",
+        F.round("_z", 6).alias("z"),
+        (F.abs(F.col("_z")) > 3.0).alias("rule1"),
+        r2.alias("rule2"),
+        r3.alias("rule3"),
+        r4.alias("rule4"),
+    )
+
+
+def asof_join_directed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: Sequence[str],
+    direction: str = "backward",
+    tolerance_seconds: "int | None" = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """:func:`asof_join` with pandas ``merge_asof``'s remaining knobs:
+    ``direction`` ("backward" = latest earlier row, "forward" =
+    earliest later row, both inclusive) and ``tolerance_seconds``
+    (matches farther than the tolerance are nulled out, exactly like
+    merge_asof — the row survives, the payload doesn't).
+
+    Same union + single-keyed-window shape as asof_join (one shuffle,
+    no per-row range join): forward runs ``first(ignorenulls)`` over
+    the FOLLOWING frame with the side tag ordered so an equal
+    timestamp on the right is still visible. The matched right
+    timestamp rides along as one extra filled column, so tolerance is
+    a codegen filter, not a second join."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    lcols = left.columns
+    out_names = [f"{prefix}{c}" for c in payload]
+    l_tagged = left.select(
+        F.col(key).alias("_ak"),
+        F.col(left_ts).cast("timestamp").alias("_ats"),
+        F.lit(1 if direction == "backward" else 0).alias("_aside"),
+        *[F.col(c) for c in lcols],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(n)
+            for c, n in zip(payload, out_names)
+        ],
+        F.lit(None).cast("timestamp").alias("_amts"),
+    )
+    r_tagged = right.select(
+        F.col(key).alias("_ak"),
+        F.col(right_ts).cast("timestamp").alias("_ats"),
+        F.lit(0 if direction == "backward" else 1).alias("_aside"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        *[F.col(c).alias(n) for c, n in zip(payload, out_names)],
+        F.col(right_ts).cast("timestamp").alias("_amts"),
+    )
+    base = Window.partitionBy("_ak").orderBy(F.col("_ats"), F.col("_aside"))
+    filled = l_tagged.unionByName(r_tagged)
+    fill_cols = [*out_names, "_amts"]
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        for n in fill_cols:
+            filled = filled.withColumn(
+                n, F.last(n, ignorenulls=True).over(w)
+            )
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        for n in fill_cols:
+            filled = filled.withColumn(
+                n, F.first(n, ignorenulls=True).over(w)
+            )
+    out = filled.filter(
+        F.col("_aside") == (1 if direction == "backward" else 0)
+    )
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.unix_micros(F.col("_amts")) - F.unix_micros(F.col("_ats"))
+        )
+        ok = F.col("_amts").isNotNull() & (
+            gap <= int(tolerance_seconds) * 1_000_000
+        )
+        for n in out_names:
+            out = out.withColumn(n, F.when(ok, F.col(n)))
+    return out.select(*lcols, *out_names)

@@ -1826,3 +1826,69 @@ def heaps_fit(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.log10(F.col("_V").cast("double")).alias("ly"),
     )
     return linear_regression(pts, "lx", "ly")
+
+
+def collocations_g2(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+) -> DataFrame:
+    """Log-likelihood-ratio (Dunning G²) and t-score collocation
+    strength over ORDERED adjacent bigrams → (w1, w2, n_pair, g2,
+    t_score): the significance-tested complement of ``pmi_pairs``
+    (PMI overweights rare pairs; G² is χ²-distributed and ranks
+    "strong AND well-attested" collocations — Dunning 1993, Manning &
+    Schütze §5.3.4). Contingency per bigram: O11 = c(w1 w2), O12 =
+    c(w1 ·) − O11, O21 = c(· w2) − O11, O22 = N − rest; G² =
+    2 Σ O·ln(O/E) over non-zero cells; t = (O11 − E11)/√O11.
+
+    Same tokenizer and scale shape as pmi_pairs: one token explode,
+    bigrams from a lead window inside each document (corpus_tokens
+    rows, no self-join needed at Δpos = 1), two broadcastable
+    marginal tables, ``min_count`` pruning before the scoring joins."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9']+"),
+        lambda x: x != F.lit(""),
+    )
+    flat = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(toks).alias("pos", "w")
+    )
+    nxt = Window.partitionBy("_id").orderBy("pos")
+    bi = flat.select(
+        F.col("w").alias("w1"),
+        F.lead("w").over(nxt).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    pairs_all = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    pairs = pairs_all.filter(F.col("n_pair") >= min_count)
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    c2 = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("_c2"))
+    tot = pairs_all.agg(F.sum("n_pair").alias("_n"))
+    j = (
+        pairs.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    n = F.col("_n").cast("double")
+    o11 = F.col("n_pair").cast("double")
+    o12 = F.col("_c1").cast("double") - o11
+    o21 = F.col("_c2").cast("double") - o11
+    o22 = n - o11 - o12 - o21
+    e11 = F.col("_c1").cast("double") * F.col("_c2") / n
+    e12 = F.col("_c1").cast("double") * (n - F.col("_c2")) / n
+    e21 = (n - F.col("_c1")) * F.col("_c2").cast("double") / n
+    e22 = (n - F.col("_c1")) * (n - F.col("_c2")) / n
+
+    def term(o, e):
+        return F.when(o > 0, o * F.log(o / e)).otherwise(F.lit(0.0))
+
+    g2 = 2.0 * (
+        term(o11, e11) + term(o12, e12) + term(o21, e21) + term(o22, e22)
+    )
+    return j.select(
+        "w1",
+        "w2",
+        "n_pair",
+        F.round(g2, 6).alias("g2"),
+        F.round((o11 - e11) / F.sqrt(o11), 6).alias("t_score"),
+    )

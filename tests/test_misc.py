@@ -2984,3 +2984,126 @@ def test_abc_analysis_classes(spark):
     assert got["c"].abc_class == "C"
     assert got["d"].abc_class == "C" and got["d"].cum_share == 1.0
     assert got["b"].revenue_share == 0.15
+
+
+def test_geohash_known_point(spark):
+    from from_superset_to_clickhouse_spark.operators.geo import (
+        geohash_encode,
+    )
+
+    # canonical example from the geohash spec writeups
+    df = spark.createDataFrame(
+        [(1, 57.64911, 10.40744), (2, 90.0, 180.0), (3, -90.0, -180.0)],
+        "id int, lat double, lon double",
+    )
+    got = {r.id: r.geohash for r in
+           geohash_encode(df, "lat", "lon", precision=6).collect()}
+    assert got[1] == "u4pruy"
+    assert got[2] == "zzzzzz"  # clamped one-past edge
+    assert got[3] == "000000"
+
+
+def test_control_chart_rules(spark):
+    import datetime
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        control_chart,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # stable series with one wild spike at day 20
+    vals = [10.0, 11.0] * 12
+    vals[20] = 60.0
+    rows = [
+        ("g", t0 + datetime.timedelta(days=i), v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    got = {r.bucket_ts.day - 1: r for r in
+           control_chart(df, "g", "ts", "v").collect()}
+    assert got[20].rule1  # the spike breaks 3 sigma
+    assert not any(got[d].rule1 for d in range(20))
+    # all-below-mean run: the spike drags mu up, so the stable
+    # days after it sit on one side -> no false rule1 there either
+    assert not got[23].rule1
+
+
+def test_asof_directed_and_tolerance(spark):
+    import datetime
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        asof_join_directed,
+    )
+
+    t = lambda d: datetime.datetime(2024, 1, d)  # noqa: E731
+    left = spark.createDataFrame(
+        [("a", 1, t(5)), ("a", 2, t(10)), ("a", 3, t(20))],
+        "k string, id int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("a", t(6), 100.0), ("a", t(12), 200.0)],
+        "k string, rts timestamp, val double",
+    )
+    fwd = {
+        r.id: r.asof_val
+        for r in asof_join_directed(
+            left, right, "k", "ts", "rts", ["val"], direction="forward"
+        ).collect()
+    }
+    assert fwd == {1: 100.0, 2: 200.0, 3: None}
+    bwd = {
+        r.id: r.asof_val
+        for r in asof_join_directed(
+            left, right, "k", "ts", "rts", ["val"], direction="backward"
+        ).collect()
+    }
+    assert bwd == {1: None, 2: 100.0, 3: 200.0}
+    # forward with 1-day tolerance: only id 1 (gap 1d) survives
+    tol = {
+        r.id: r.asof_val
+        for r in asof_join_directed(
+            left, right, "k", "ts", "rts", ["val"],
+            direction="forward", tolerance_seconds=86400,
+        ).collect()
+    }
+    assert tol == {1: 100.0, 2: None, 3: None}
+
+
+def test_collocations_g2_reference(spark):
+    import math
+
+    from from_superset_to_clickhouse_spark.operators.text import (
+        collocations_g2,
+    )
+
+    # "strong tea" 6x among filler bigrams
+    text = " x ".join(["strong tea"] * 6) + " strong coffee weak tea"
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    got = {
+        (r.w1, r.w2): r
+        for r in collocations_g2(df, "doc_id", "text", min_count=2).collect()
+    }
+    r = got[("strong", "tea")]
+    assert r.n_pair == 6
+    # replay the contingency by hand
+    bigrams = text.split()
+    bi = list(zip(bigrams, bigrams[1:]))
+    n = len(bi)
+    o11 = 6.0
+    c1 = sum(1 for a, _ in bi if a == "strong")
+    c2 = sum(1 for _, b in bi if b == "tea")
+    o12, o21 = c1 - o11, c2 - o11
+    o22 = n - o11 - o12 - o21
+    e = lambda a, b: a * b / n  # noqa: E731
+    g2 = 2 * sum(
+        o * math.log(o / ee)
+        for o, ee in (
+            (o11, e(c1, c2)),
+            (o12, e(c1, n - c2)),
+            (o21, e(n - c1, c2)),
+            (o22, e(n - c1, n - c2)),
+        )
+        if o > 0
+    )
+    assert abs(r.g2 - round(g2, 6)) < 1e-6
+    assert abs(r.t_score - round((o11 - e(c1, c2)) / math.sqrt(o11), 6)) < 1e-9
