@@ -11740,6 +11740,55 @@ FROM j
 """
 
 
+def q_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL indexed-color PNG decode: one type-3 PNG per document
+    (id-derived PLTE of 2-5 colors, diagonal (x+y+id)%n index
+    pattern, per-id filter type over the 1-byte index samples), pixel
+    statistics recovered by actually inflating, unfiltering and
+    mapping indices through the palette. The oracle enumerates the
+    planted pixels arithmetically — pos_sum is palette-mapping and
+    row-order sensitive. Narrows the last PNG color-type gap."""
+    imgs = mm.synthesize_palette_pngs(_docs(spark, sf_dir), "doc_id")
+    return mm.image_pixel_stats(imgs).select(
+        "media_id", "format", "width", "height", "channels",
+        "n_px", "px_sum", "min_px", "max_px", "pos_sum",
+    )
+
+
+_PNG_PALETTE_SQL = """
+-- Planted-pixel enumeration: pixel (x,y) channel c maps index
+-- j=(x+y+id)%n through the id-derived palette; byte position is
+-- (y*w + x)*3 + c.
+WITH dims AS (
+  SELECT doc_id, doc_id % 12 + 2 AS w, doc_id % 8 + 2 AS h,
+    doc_id % 4 + 2 AS n
+  FROM documents
+), xs AS (
+  SELECT doc_id, w, h, n, unnest(range(0, w)) AS x FROM dims
+), ys AS (
+  SELECT doc_id, w, h, n, x, unnest(range(0, h)) AS y FROM xs
+), px AS (
+  SELECT doc_id, w, h, x, y, (x + y + doc_id) % n AS j, n,
+    unnest(range(0, 3)) AS c
+  FROM ys
+), v AS (
+  SELECT doc_id, w, h, (y * w + x) * 3 + c AS p,
+    CASE c WHEN 0 THEN (31 * doc_id + 57 * j) % 256
+           WHEN 1 THEN (17 * doc_id + 23 * j) % 256
+           ELSE (7 * doc_id + 11 * j) % 256 END AS val
+  FROM px
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id, 'png' AS format,
+  CAST(max(w) AS INTEGER) AS width, CAST(max(h) AS INTEGER) AS height,
+  CAST(3 AS INTEGER) AS channels, CAST(count(*) AS INTEGER) AS n_px,
+  CAST(sum(val) AS BIGINT) AS px_sum,
+  CAST(min(val) AS INTEGER) AS min_px,
+  CAST(max(val) AS INTEGER) AS max_px,
+  CAST(sum(p * val) AS BIGINT) AS pos_sum
+FROM v GROUP BY doc_id
+"""
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -11795,6 +11844,7 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "control_chart": q_control_chart,
     "asof_tolerance": q_asof_tolerance,
     "collocations": q_collocations,
+    "png_palette": q_png_palette,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -11831,6 +11881,7 @@ _R9_ORACLES: dict[str, str] = {
     "control_chart": _CONTROL_CHART_SQL,
     "asof_tolerance": _ASOF_TOLERANCE_SQL,
     "collocations": _COLLOCATIONS_SQL,
+    "png_palette": _PNG_PALETTE_SQL,
     "theil_sen": """
 -- Same pair construction and exact middle-row medians: daily means,
 -- all-pairs slopes, median slope then median residual intercept.

@@ -2055,14 +2055,17 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     ``(width, height, channels, samples)`` where ``samples`` is
     ``height × width × channels`` bytes of 8-bit values, row-major.
 
-    Supports color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA) at bit
-    depth 8 — the overwhelmingly dominant crawl format. Palette (3),
-    sub-byte depths, 16-bit, and Adam7 interlace raise ``ValueError``
-    (callers quarantine, never a silent wrong answer); those want a real
-    codec lib, and the error names the reason."""
+    Supports color types 0/2/3/4/6 (gray, RGB, indexed-palette,
+    gray+alpha, RGBA) at bit depth 8 — the overwhelmingly dominant
+    crawl formats. Indexed images (3) unfilter as 1-byte index rows
+    and map through the PLTE table to packed RGB, exactly like the
+    GIF path. Sub-byte depths, 16-bit, and unknown interlace modes
+    raise ``ValueError`` (callers quarantine, never a silent wrong
+    answer); those want a real codec lib, and the error names the
+    reason."""
     if payload is None or payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     try:
         while pos + 8 <= len(payload):
             (length,) = struct.unpack(">I", payload[pos : pos + 4])
@@ -2077,6 +2080,10 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(f"PNG: CRC mismatch in {typ!r}")
             if typ == b"IHDR":
                 ihdr = struct.unpack(">IIBBBBB", data)
+            elif typ == b"PLTE":
+                if len(data) % 3 or not data:
+                    raise ValueError("PNG: malformed PLTE length")
+                plte = data
             elif typ == b"IDAT":
                 idat.append(data)
             elif typ == b"IEND":
@@ -2089,13 +2096,38 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     w, h, depth, color_type, comp, filt, interlace = ihdr
     if depth != 8:
         raise ValueError(f"PNG: unsupported bit depth {depth} (need a codec lib)")
-    if color_type not in _PNG_CHANNELS:
+    if color_type not in _PNG_CHANNELS and color_type != 3:
         raise ValueError(f"PNG: unsupported color type {color_type}")
     if comp != 0 or filt != 0:
         raise ValueError("PNG: unknown compression/filter method")
     if interlace not in (0, 1):
         raise ValueError(f"PNG: unknown interlace method {interlace}")
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("PNG: indexed image without PLTE")
+        # indices unfilter as 1-byte samples, then map through the
+        # palette to packed RGB (same contract as the GIF path)
+        w0, h0, _ch, idx = _decode_png_filtered(
+            ihdr, idat, 1, interlace
+        )
+        n = len(plte) // 3
+        if any(b >= n for b in idx):
+            raise ValueError("PNG: palette index beyond PLTE")
+        rgb = bytearray(len(idx) * 3)
+        for i, b in enumerate(idx):
+            rgb[i * 3 : i * 3 + 3] = plte[b * 3 : b * 3 + 3]
+        return (w0, h0, 3, bytes(rgb))
     ch = _PNG_CHANNELS[color_type]
+    return _decode_png_filtered(ihdr, idat, ch, interlace)
+
+
+def _decode_png_filtered(
+    ihdr, idat, ch: int, interlace: int
+) -> tuple[int, int, int, bytes]:
+    """Shared IDAT inflate + unfilter back half of
+    :func:`decode_png_pixels` — ``ch`` is the per-pixel byte width the
+    filters operate on (1 for indexed images)."""
+    w, h = ihdr[0], ihdr[1]
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as exc:
@@ -4298,3 +4330,75 @@ def audio_vad(
             )
 
     return audio.mapInPandas(run, schema=AUDIO_VAD_SCHEMA)
+
+
+def encode_png_palette(
+    width: int,
+    height: int,
+    indices: bytes,
+    palette: bytes,
+    filter_type: int = 0,
+) -> bytes:
+    """Indexed-color (type 3) PNG encoder: 8-bit palette indices
+    (row-major ``height × width`` bytes) + an RGB PLTE table — the
+    fixture/roundtrip twin of the palette path in
+    ``decode_png_pixels``. Filters operate on the 1-byte index
+    samples, exactly as the spec prescribes for indexed images."""
+    if len(indices) != width * height:
+        raise ValueError("index buffer does not match dimensions")
+    if len(palette) % 3 or not 3 <= len(palette) <= 768:
+        raise ValueError("PLTE must hold 1..256 RGB triples")
+    if max(indices) * 3 >= len(palette):
+        raise ValueError("index beyond palette")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    prior = bytes(width)
+    filtered = []
+    for y in range(height):
+        line = indices[y * width : (y + 1) * width]
+        filtered.append(
+            bytes((filter_type,))
+            + _png_filter_row(filter_type, line, prior, 1)
+        )
+        prior = line
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(filtered)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def synthesize_palette_pngs(df: DataFrame, id_col: str) -> DataFrame:
+    """Fixture generator: one REAL indexed-color PNG per row with a
+    planted arithmetic contract. Per id: dims w = id%12+2, h = id%8+2,
+    palette of n = id%4+2 colors where color j = ((31·id+57·j)%256,
+    (17·id+23·j)%256, (7·id+11·j)%256), index(x,y) = (x+y+id)%n,
+    filter type id%5 (exercises every unfilter path against 1-byte
+    samples). The diagonal index pattern repeats, so the palette
+    mapping — not just the inflate — is load-bearing for the
+    position-weighted checksum."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h, n = i % 12 + 2, i % 8 + 2, i % 4 + 2
+                pal = bytes(
+                    v % 256
+                    for j in range(n)
+                    for v in (31 * i + 57 * j, 17 * i + 23 * j,
+                              7 * i + 11 * j)
+                )
+                idx = bytes(
+                    (x + y + i) % n for y in range(h) for x in range(w)
+                )
+                payloads.append(
+                    encode_png_palette(w, h, idx, pal, filter_type=i % 5)
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return src.mapInPandas(run, schema=IMAGE_SCHEMA)

@@ -3107,3 +3107,38 @@ def test_collocations_g2_reference(spark):
     )
     assert abs(r.g2 - round(g2, 6)) < 1e-6
     assert abs(r.t_score - round((o11 - e(c1, c2)) / math.sqrt(o11), 6)) < 1e-9
+
+
+def test_png_palette_roundtrip_and_quarantine(spark):
+    from from_superset_to_clickhouse_spark.operators import (
+        multimodal as mm,
+    )
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    idx = bytes([0, 1, 2, 3, 3, 2, 1, 0, 0, 1, 2, 3])
+    for ft in range(5):
+        p = mm.encode_png_palette(4, 3, idx, pal, filter_type=ft)
+        w, h, ch, px = mm.decode_png_pixels(p)
+        assert (w, h, ch) == (4, 3, 3)
+        want = b"".join(pal[i * 3:i * 3 + 3] for i in idx)
+        assert px == want, f"filter {ft}"
+    # index beyond palette rejected at encode AND decode
+    import pytest
+
+    with pytest.raises(ValueError):
+        mm.encode_png_palette(2, 1, bytes([0, 9]), pal)
+    # missing PLTE quarantines
+    good = mm.encode_png_palette(2, 1, bytes([0, 1]), pal)
+    import struct as _s
+
+    # strip the PLTE chunk: walk and re-join without it
+    out, pos = good[:8], 8
+    while pos + 8 <= len(good):
+        (ln,) = _s.unpack(">I", good[pos:pos + 4])
+        typ = good[pos + 4:pos + 8]
+        chunk = good[pos:pos + 12 + ln]
+        if typ != b"PLTE":
+            out += chunk
+        pos += 12 + ln
+    with pytest.raises(ValueError, match="PLTE"):
+        mm.decode_png_pixels(out)
