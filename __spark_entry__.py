@@ -11789,6 +11789,96 @@ FROM v GROUP BY doc_id
 """
 
 
+def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN classification accuracy per class over the
+    embeddings table — majority vote with smallest-label tiebreak on
+    exact cosine neighbors; the 'are these embeddings any good'
+    probe."""
+    from from_superset_to_clickhouse_spark.operators.similarity import (
+        knn_classify_eval,
+    )
+
+    return knn_classify_eval(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+_KNN_EVAL_SQL = f"""
+WITH pairs AS (
+  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+    {_DOT.format(a='q.embedding', b='n.embedding')}
+    / ({_NORM.format(a='q.embedding')}
+       * {_NORM.format(a='n.embedding')}) AS sim
+  FROM embeddings n JOIN embeddings q ON n.vec_id <> q.vec_id
+), r AS (
+  SELECT q_id, n_id,
+    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
+      AS rank
+  FROM pairs
+), v AS (
+  SELECT r.q_id, CAST(n.label AS INTEGER) AS nl, count(*) AS c
+  FROM r JOIN embeddings n ON r.n_id = n.vec_id
+  WHERE r.rank <= 5 GROUP BY 1, 2
+), p AS (
+  SELECT q_id,
+    (max({{'c': c, 'neg': -nl, 'lab': nl}})).lab AS pred
+  FROM v GROUP BY q_id
+), j AS (
+  SELECT p.q_id, p.pred, CAST(q.label AS INTEGER) AS tl
+  FROM p JOIN embeddings q ON p.q_id = q.vec_id
+)
+SELECT tl AS label, CAST(count(*) AS BIGINT) AS n_eval,
+  CAST(count(*) FILTER (pred = tl) AS BIGINT) AS n_correct,
+  round(CAST(count(*) FILTER (pred = tl) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE), 6) AS accuracy
+FROM j GROUP BY tl
+"""
+
+
+def q_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-encoding cost model of the user_id column per event
+    type under the (ts, event_id) sort: RLE run count and
+    delta+zigzag+LEB128 varint bytes vs raw 8-byte storage — the
+    sort-key-selection analytic, all integer-exact."""
+    from from_superset_to_clickhouse_spark.operators.relational import (
+        encoding_stats,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return encoding_stats(ev, "event_type", "ts", "user_id", "event_id") \
+        .withColumnRenamed("key", "event_type")
+
+
+_ENCODING_STATS_SQL = """
+WITH s AS (
+  SELECT event_type AS key, CAST(user_id AS BIGINT) AS v,
+    lag(CAST(user_id AS BIGINT)) OVER (
+      PARTITION BY event_type ORDER BY ts, event_id) AS pv
+  FROM events
+), z AS (
+  SELECT key, v, pv,
+    CASE WHEN v - pv >= 0 THEN 2 * (v - pv)
+         ELSE -2 * (v - pv) - 1 END AS zz
+  FROM s
+), b AS (
+  SELECT key, v, pv,
+    CASE WHEN zz < 128 THEN 1 WHEN zz < 16384 THEN 2
+         WHEN zz < 2097152 THEN 3 WHEN zz < 268435456 THEN 4
+         WHEN zz < 34359738368 THEN 5 WHEN zz < 4398046511104 THEN 6
+         WHEN zz < 562949953421312 THEN 7
+         WHEN zz < 72057594037927936 THEN 8 ELSE 9 END AS vb
+  FROM z
+)
+SELECT key AS event_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN pv IS NULL OR v <> pv THEN 1 ELSE 0 END)
+    AS BIGINT) AS rle_runs,
+  CAST(sum(CASE WHEN pv IS NOT NULL THEN vb ELSE 0 END) + 8
+    AS BIGINT) AS varint_bytes,
+  CAST(count(*) * 8 AS BIGINT) AS raw_bytes,
+  round(CAST(sum(CASE WHEN pv IS NOT NULL THEN vb ELSE 0 END) + 8
+    AS DOUBLE) / (count(*) * 8.0), 6) AS ratio
+FROM b GROUP BY key
+"""
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -11845,6 +11935,8 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_tolerance": q_asof_tolerance,
     "collocations": q_collocations,
     "png_palette": q_png_palette,
+    "knn_eval": q_knn_eval,
+    "encoding_stats": q_encoding_stats,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -11882,6 +11974,8 @@ _R9_ORACLES: dict[str, str] = {
     "asof_tolerance": _ASOF_TOLERANCE_SQL,
     "collocations": _COLLOCATIONS_SQL,
     "png_palette": _PNG_PALETTE_SQL,
+    "knn_eval": _KNN_EVAL_SQL,
+    "encoding_stats": _ENCODING_STATS_SQL,
     "theil_sen": """
 -- Same pair construction and exact middle-row medians: daily means,
 -- all-pairs slopes, median slope then median residual intercept.

@@ -369,3 +369,71 @@ def abc_analysis(
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+def encoding_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Columnar-encoding cost model per key → (key, n, rle_runs,
+    varint_bytes, raw_bytes, ratio): what the column WOULD cost under
+    run-length encoding (count of value-change positions in the
+    (ts, tiebreak) order) and under delta + zigzag + LEB128 varint
+    (the Parquet/ORC integer workhorse — byte count from the exact
+    zigzagged delta magnitudes), against 8-byte raw storage. The
+    storage-planning analytic a table designer runs before choosing
+    sort keys: a column that RLEs to 1% under one ordering is worth
+    sorting by.
+
+    One keyed window pass (lag over the same sort), one aggregate —
+    all integer arithmetic, bit-identical on every engine."""
+    w = Window.partitionBy("key").orderBy("_ts", "_tb")
+    v = F.col("_v")
+    rows = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("_ts"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.col(value_col).cast("long").alias("_v"),
+    ).withColumn("_pv", F.lag(v).over(w))
+    d = v - F.col("_pv")
+    zz = F.when(d >= 0, 2 * d).otherwise(-2 * d - 1)
+    # LEB128 width ladder: 1 byte per started 7-bit group (first
+    # value of each key stored raw = 8 bytes, like a block header)
+    vb = (
+        F.when(zz < (1 << 7), 1)
+        .when(zz < (1 << 14), 2)
+        .when(zz < (1 << 21), 3)
+        .when(zz < (1 << 28), 4)
+        .when(zz < (1 << 35), 5)
+        .when(zz < (1 << 42), 6)
+        .when(zz < (1 << 49), 7)
+        .when(zz < (1 << 56), 8)
+        .otherwise(9)
+    )
+    agg = rows.groupBy("key").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(
+                F.col("_pv").isNull() | (v != F.col("_pv")), 1
+            ).otherwise(0)
+        ).alias("rle_runs"),
+        (
+            F.sum(F.when(F.col("_pv").isNotNull(), vb).otherwise(0))
+            + F.lit(8)
+        ).alias("varint_bytes"),
+    )
+    return agg.select(
+        "key",
+        "n",
+        "rle_runs",
+        "varint_bytes",
+        (F.col("n") * 8).alias("raw_bytes"),
+        F.round(
+            F.col("varint_bytes").cast("double")
+            / (F.col("n") * 8.0),
+            6,
+        ).alias("ratio"),
+    )

@@ -1746,3 +1746,72 @@ def ndcg_at_k(
             ).alias("ndcg"),
         )
     )
+
+
+def knn_classify_eval(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Leave-one-out k-NN classification accuracy per class →
+    (label, n_eval, n_correct, accuracy): every vector is classified
+    by the majority label of its k nearest cosine neighbors
+    (excluding itself; vote ties break to the SMALLEST label —
+    deterministic on every engine), then scored against its own
+    label. The standard "are these embeddings any good" probe run
+    before anyone trains on them.
+
+    Built on :func:`brute_force_topk` — the exact comparator — so the
+    eval inherits its scale story: at corpus scale swap in the IVF /
+    LSH top-k and this becomes the recall-weighted variant; the vote
+    and scoring joins are already bounded by queries × k."""
+    nb = brute_force_topk(
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+        ),
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+        ),
+        k=k,
+    )
+    lbl = emb.select(
+        F.col(id_col).alias("n_id"),
+        F.col(label_col).cast("int").alias("_nl"),
+    )
+    qlbl = emb.select(
+        F.col(id_col).alias("q_id"),
+        F.col(label_col).cast("int").alias("_tl"),
+    )
+    votes = nb.join(lbl, "n_id").groupBy("q_id", "_nl").agg(
+        F.count("*").alias("_c")
+    )
+    pred = votes.groupBy("q_id").agg(
+        F.max(
+            F.struct(
+                F.col("_c").alias("c"),
+                (-F.col("_nl")).alias("neg"),
+                F.col("_nl").alias("lab"),
+            )
+        )["lab"].alias("_pred")
+    )
+    j = pred.join(qlbl, "q_id")
+    per = j.groupBy(F.col("_tl").alias("label")).agg(
+        F.count("*").alias("n_eval"),
+        F.sum((F.col("_pred") == F.col("_tl")).cast("long")).alias(
+            "n_correct"
+        ),
+    )
+    return per.select(
+        "label",
+        "n_eval",
+        "n_correct",
+        F.round(
+            F.col("n_correct").cast("double")
+            / F.col("n_eval").cast("double"),
+            6,
+        ).alias("accuracy"),
+    )

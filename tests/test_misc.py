@@ -3142,3 +3142,34 @@ def test_png_palette_roundtrip_and_quarantine(spark):
         pos += 12 + ln
     with pytest.raises(ValueError, match="PLTE"):
         mm.decode_png_pixels(out)
+
+
+def test_encoding_stats_reference(spark):
+    import datetime
+
+    from from_superset_to_clickhouse_spark.operators.relational import (
+        encoding_stats,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # values: 5,5,5,6,200 -> runs 3; deltas 0,0,1,194
+    vals = [5, 5, 5, 6, 200]
+    rows = [
+        ("g", t0 + datetime.timedelta(seconds=i), i, v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, i int, v long")
+    r = encoding_stats(df, "g", "ts", "v", "i").collect()[0]
+    assert r.n == 5
+    assert r.rle_runs == 3
+    # zigzag(0)=0 -> 1B ×2, zigzag(1)=2 -> 1B, zigzag(194)=388 -> 2B,
+    # + 8B first-value header
+    assert r.varint_bytes == 1 + 1 + 1 + 2 + 8
+    assert r.raw_bytes == 40
+    # negative delta: 5 -> 2: zigzag(-3) = 5 -> 1 byte
+    rows2 = [("h", t0, 0, 5), ("h", t0, 1, 2)]
+    df2 = spark.createDataFrame(
+        rows2, "g string, ts timestamp, i int, v long"
+    )
+    r2 = encoding_stats(df2, "g", "ts", "v", "i").collect()[0]
+    assert r2.varint_bytes == 8 + 1

@@ -549,3 +549,41 @@ def test_dbscan_textbook_shapes(spark):
     out2 = {r.id: (r.cluster, r.is_core) for r in dbscan_grid(
         df2, "id", "x", "y", eps=1.0, min_pts=4).collect()}
     assert out2 == {i: (r.cluster, r.is_core) for i, r in out.items()}
+
+
+def test_knn_classify_eval_separable(spark):
+    from from_superset_to_clickhouse_spark.operators.similarity import (
+        knn_classify_eval,
+    )
+
+    # two tight, well-separated clusters -> 100% LOOCV accuracy
+    rows = []
+    for i in range(6):
+        rows.append((i, [10.0 + i * 0.01, 1.0, 0.0], 0))
+    for i in range(6):
+        rows.append((10 + i, [0.0, 1.0, 10.0 + i * 0.01], 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r.label: r for r in knn_classify_eval(df, k=3).collect()}
+    assert got[0].accuracy == 1.0 and got[1].accuracy == 1.0
+    assert got[0].n_eval == 6 and got[1].n_correct == 6
+
+
+def test_knn_classify_eval_tiebreak(spark):
+    from from_superset_to_clickhouse_spark.operators.similarity import (
+        knn_classify_eval,
+    )
+
+    # query 0's 2 nearest neighbors have labels 2 and 1 (one vote
+    # each) -> tie breaks to the SMALLER label 1 -> incorrect for 0
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.1], 2),
+        (2, [0.98, 0.2], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r.label: r for r in knn_classify_eval(df, k=2).collect()}
+    assert got[0].n_correct == 0  # predicted 1, truth 0
