@@ -11879,6 +11879,120 @@ FROM b GROUP BY key
 """
 
 
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier customer-retention curve over order histories:
+    lifetime = last-first order day, censored when the last order is
+    within 60 days of the corpus end (the events fixture's users are
+    all active to the end — no churn signal there); S(t) as an
+    ordered exp-cumsum-ln product."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        kaplan_meier,
+    )
+
+    return kaplan_meier(
+        _t(spark, sf_dir, "orders"),
+        "o_custkey",
+        "o_orderdate",
+        censor_horizon_days=60,
+    )
+
+
+_KAPLAN_MEIER_SQL = """
+WITH life0 AS (
+  SELECT o_custkey, CAST(min(o_orderdate) AS DATE) AS f,
+    CAST(max(o_orderdate) AS DATE) AS l
+  FROM orders GROUP BY 1
+), mx AS (SELECT max(l) AS m FROM life0),
+life AS (
+  SELECT date_diff('day', f, l) AS t_days,
+    CASE WHEN date_diff('day', l, m) > 60 THEN 1 ELSE 0 END AS dead
+  FROM life0 CROSS JOIN mx
+), pt AS (
+  SELECT t_days, count(*) AS n_t, sum(dead) AS d
+  FROM life GROUP BY 1
+), c AS (
+  SELECT t_days, d,
+    sum(n_t) OVER (ORDER BY t_days
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+  FROM pt
+)
+SELECT CAST(t_days AS INTEGER) AS t_days,
+  CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d_events,
+  round(exp(sum(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+    OVER (ORDER BY t_days
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+    AS survival
+FROM c WHERE d > 0
+"""
+
+
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction on a synthetic experiment: per-user
+    pre metric (fixed-point sum of value, days 1-15) adjusts the post
+    metric (days 16+), arm = user_id parity; pooled theta and all
+    variances on the 2^-20 grid."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        cuped_adjust,
+    )
+
+    ev = _ev(spark, sf_dir)
+    per_u = ev.groupBy(
+        F.col("user_id").alias("u"), (F.col("user_id") % 2).alias("arm")
+    ).agg(
+        _fxp_sum(
+            F.when(F.dayofmonth("ts") <= 15, F.col("value")).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("x"),
+        _fxp_sum(
+            F.when(F.dayofmonth("ts") > 15, F.col("value")).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("y"),
+    )
+    return cuped_adjust(per_u, "u", "arm", "x", "y")
+
+
+_CUPED_SQL = f"""
+WITH per_u AS (
+  SELECT user_id AS u, user_id % 2 AS arm,
+    {_fxp_sum_sql("CASE WHEN date_part('day', ts) <= 15"
+                  " THEN CAST(value AS DOUBLE) ELSE 0.0 END")} AS x,
+    {_fxp_sum_sql("CASE WHEN date_part('day', ts) > 15"
+                  " THEN CAST(value AS DOUBLE) ELSE 0.0 END")} AS y
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT floor(avg(x) * 1048576.0) / 1048576.0 AS mx,
+    floor(avg(y) * 1048576.0) / 1048576.0 AS my
+  FROM per_u
+), th AS (
+  SELECT sum(floor((x - mx) * (y - my) * 1048576.0))
+       / sum(floor((x - mx) * (x - mx) * 1048576.0)) AS theta
+  FROM per_u CROSS JOIN g
+), adj AS (
+  SELECT arm, y, y - theta * (x - mx) AS yadj
+  FROM per_u CROSS JOIN g CROSS JOIN th
+), gm AS (
+  SELECT arm, count(*) AS n,
+    floor(avg(y) * 1048576.0) / 1048576.0 AS amy,
+    floor(avg(yadj) * 1048576.0) / 1048576.0 AS amya
+  FROM adj GROUP BY arm
+), fin AS (
+  SELECT adj.arm, n, amy, amya,
+    sum(floor((y - amy) * (y - amy) * 1048576.0)) / 1048576.0 AS vy,
+    sum(floor((yadj - amya) * (yadj - amya) * 1048576.0)) / 1048576.0
+      AS va
+  FROM adj JOIN gm ON adj.arm = gm.arm GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(arm AS BIGINT) AS arm, CAST(n AS BIGINT) AS n,
+  amy AS mean_y, amya AS mean_y_adj,
+  round(vy / (CAST(n AS DOUBLE) - 1.0), 6) AS var_y,
+  round(va / (CAST(n AS DOUBLE) - 1.0), 6) AS var_y_adj,
+  round((1.0 - va / vy) * 100.0, 6) AS var_reduction_pct
+FROM fin
+"""
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -11937,6 +12051,8 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "png_palette": q_png_palette,
     "knn_eval": q_knn_eval,
     "encoding_stats": q_encoding_stats,
+    "kaplan_meier": q_kaplan_meier,
+    "cuped": q_cuped,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -11976,6 +12092,8 @@ _R9_ORACLES: dict[str, str] = {
     "png_palette": _PNG_PALETTE_SQL,
     "knn_eval": _KNN_EVAL_SQL,
     "encoding_stats": _ENCODING_STATS_SQL,
+    "kaplan_meier": _KAPLAN_MEIER_SQL,
+    "cuped": _CUPED_SQL,
     "theil_sen": """
 -- Same pair construction and exact middle-row medians: daily means,
 -- all-pairs slopes, median slope then median residual intercept.

@@ -1776,3 +1776,128 @@ def gumbel_fit(
         F.round(mu, 6).alias("mu"),
         F.round(1.0 - F.exp(-F.exp(-z)), 6).alias("p_exceed_seen"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    subject_col: str,
+    ts_col: str,
+    censor_horizon_days: int = 7,
+) -> DataFrame:
+    """Kaplan–Meier survival curve over subject lifetimes →
+    (t_days, n_risk, d_events, survival): lifetime = last activity −
+    first activity per subject; a subject whose last activity falls
+    within ``censor_horizon_days`` of the corpus end is CENSORED
+    (still alive — its lifetime only bounds the truth from below),
+    which is the entire point of KM over a naive duration histogram.
+    S(t) = Π_{u ≤ t} (1 − d_u/n_u) over death times, computed as
+    exp(cumsum(ln)) in one ordered window — identical term order on
+    every engine.
+
+    Two aggregates (per-subject lifetimes, per-duration counts) + one
+    window over the ≤ distinct-durations curve table. The corpus is
+    touched once; the curve is bounded by distinct lifetimes."""
+    life = df.groupBy(F.col(subject_col).alias("_s")).agg(
+        F.min(ts_col).alias("_first"), F.max(ts_col).alias("_last")
+    )
+    mx = life.agg(F.max("_last").alias("_mx"))
+    life = life.crossJoin(F.broadcast(mx)).select(
+        F.datediff(F.col("_last"), F.col("_first")).alias("t_days"),
+        (
+            F.datediff(F.col("_mx"), F.col("_last"))
+            > censor_horizon_days
+        ).cast("int").alias("_dead"),
+    )
+    per_t = life.groupBy("t_days").agg(
+        F.count("*").alias("_n_t"), F.sum("_dead").alias("d_events")
+    )
+    w = Window.orderBy("t_days")
+    curve = per_t.withColumn(
+        "n_risk",
+        F.sum("_n_t").over(
+            w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ),
+    ).filter(F.col("d_events") > 0)
+    # S(t) = exp(Σ ln(1 - d/n)) over death times ≤ t, in t order
+    lf = F.log(
+        1.0
+        - F.col("d_events").cast("double")
+        / F.col("n_risk").cast("double")
+    )
+    return curve.withColumn(
+        "survival",
+        F.round(
+            F.exp(
+                F.sum(lf).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                )
+            ),
+            6,
+        ),
+    ).select("t_days", "n_risk", "d_events", "survival")
+
+
+def cuped_adjust(
+    df: DataFrame,
+    unit_col: str,
+    arm_col: str,
+    pre_col: str,
+    post_col: str,
+) -> DataFrame:
+    """CUPED variance reduction per experiment arm → (arm, n, mean_y,
+    mean_y_adj, var_y, var_y_adj, var_reduction_pct): the industry-
+    standard pre-period adjustment y_adj = y − θ(x − x̄) with θ =
+    cov(x, y)/var(x) estimated POOLED (the unbiased-under-randomization
+    choice). The same experiment decided in a fraction of the traffic.
+
+    θ's covariance/variance sums and both per-arm variance sums are
+    quantized onto the 2^-20 grid after grid-floored centering, so θ
+    and every variance are drift-free across engines; the input is one
+    row per unit (the caller aggregates the raw log first)."""
+    q = float(1 << 20)
+    src = df.select(
+        F.col(unit_col).alias("_u"),
+        F.col(arm_col).alias("arm"),
+        F.col(pre_col).cast("double").alias("_x"),
+        F.col(post_col).cast("double").alias("_y"),
+    )
+    g = src.agg(
+        (F.floor(F.avg("_x") * q) / q).alias("_mx"),
+        (F.floor(F.avg("_y") * q) / q).alias("_my"),
+    )
+    c = src.crossJoin(F.broadcast(g))
+    dx = F.col("_x") - F.col("_mx")
+    dy = F.col("_y") - F.col("_my")
+    th = c.agg(
+        (F.sum(F.floor(dx * dy * q)) / q).alias("_sxy"),
+        (F.sum(F.floor(dx * dx * q)) / q).alias("_sxx"),
+    ).select((F.col("_sxy") / F.col("_sxx")).alias("_theta"))
+    adj = c.crossJoin(F.broadcast(th)).withColumn(
+        "_yadj", F.col("_y") - F.col("_theta") * dx
+    )
+    gm = adj.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        (F.floor(F.avg("_y") * q) / q).alias("_amy"),
+        (F.floor(F.avg("_yadj") * q) / q).alias("_amya"),
+    )
+    fin = adj.join(gm, "arm")
+    vy = F.col("_y") - F.col("_amy")
+    va = F.col("_yadj") - F.col("_amya")
+    out = fin.groupBy(
+        "arm", "n", "_amy", "_amya"
+    ).agg(
+        (F.sum(F.floor(vy * vy * q)) / q).alias("_vy"),
+        (F.sum(F.floor(va * va * q)) / q).alias("_va"),
+    )
+    nn = F.col("n").cast("double") - 1.0
+    return out.select(
+        "arm",
+        "n",
+        F.col("_amy").alias("mean_y"),
+        F.col("_amya").alias("mean_y_adj"),
+        F.round(F.col("_vy") / nn, 6).alias("var_y"),
+        F.round(F.col("_va") / nn, 6).alias("var_y_adj"),
+        F.round(
+            (F.lit(1.0) - F.col("_va") / F.col("_vy")) * 100.0, 6
+        ).alias("var_reduction_pct"),
+    )

@@ -3173,3 +3173,62 @@ def test_encoding_stats_reference(spark):
     )
     r2 = encoding_stats(df2, "g", "ts", "v", "i").collect()[0]
     assert r2.varint_bytes == 8 + 1
+
+
+def test_kaplan_meier_textbook(spark):
+    import datetime
+
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        kaplan_meier,
+    )
+
+    d = datetime.date
+    # 5 subjects: deaths at t=2 (two) and t=4 (one); two censored
+    # (last activity at the corpus end -> inside the horizon)
+    rows = []
+    for s, (start, end) in enumerate(
+        [
+            (d(2024, 1, 1), d(2024, 1, 3)),   # t=2, dead
+            (d(2024, 1, 1), d(2024, 1, 3)),   # t=2, dead
+            (d(2024, 1, 1), d(2024, 1, 5)),   # t=4, dead
+            (d(2024, 1, 26), d(2024, 1, 31)), # t=5, censored (at end)
+            (d(2024, 1, 28), d(2024, 1, 31)), # t=3, censored
+        ]
+    ):
+        rows.append((s, start))
+        rows.append((s, end))
+    df = spark.createDataFrame(rows, "s int, dt date")
+    got = {r.t_days: r for r in
+           kaplan_meier(df, "s", "dt", censor_horizon_days=7).collect()}
+    # risk sets (by descending duration): t=2 has n=5, d=2 -> S=0.6;
+    # t=4 has n=2 at risk (t=3 censored dropped before), d=1 -> S=0.3
+    assert got[2].n_risk == 5 and got[2].d_events == 2
+    assert abs(got[2].survival - 0.6) < 1e-9
+    assert got[4].n_risk == 2 and got[4].d_events == 1
+    assert abs(got[4].survival - 0.3) < 1e-9
+    assert set(got) == {2, 4}  # censored durations emit no curve row
+
+
+def test_cuped_reduces_variance(spark):
+    import random
+
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        cuped_adjust,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for u in range(400):
+        base = rng.uniform(0, 100)        # user-level heterogeneity
+        arm = u % 2
+        x = base + rng.uniform(-5, 5)     # pre-period metric
+        y = base + rng.uniform(-5, 5) + (3.0 if arm else 0.0)
+        rows.append((u, arm, x, y))
+    df = spark.createDataFrame(rows, "u int, arm int, x double, y double")
+    got = {r.arm: r for r in cuped_adjust(df, "u", "arm", "x", "y").collect()}
+    for a in (0, 1):
+        assert got[a].var_y_adj < got[a].var_y * 0.1  # big reduction
+        assert got[a].var_reduction_pct > 90
+    # the treatment effect survives adjustment
+    lift = got[1].mean_y_adj - got[0].mean_y_adj
+    assert abs(lift - 3.0) < 1.5
