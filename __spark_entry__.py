@@ -11993,6 +11993,56 @@ FROM fin
 """
 
 
+def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-based closeness/harmonic centrality over the customer-
+    supplier trade graph (pivots = customers 1-5, 4-hop truncation):
+    the scalable approximation of a metric whose exact form is
+    O(V*E); oracle is a recursive-CTE BFS from all five seeds."""
+    from from_superset_to_clickhouse_spark.operators.graph import (
+        closeness_from_pivots,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    return closeness_from_pivots(
+        edges, [2, 4, 6, 8, 10], max_hops=4
+    )
+
+
+_CLOSENESS_SQL = r"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), sym AS (
+  SELECT src AS a, dst AS b FROM e
+  UNION
+  SELECT dst AS a, src AS b FROM e
+), bfs(pv, node, hops) AS (
+  SELECT p, p, 0
+  FROM (SELECT CAST(unnest([2, 4, 6, 8, 10]) AS BIGINT) AS p)
+  UNION
+  SELECT b.pv, s.b, b.hops + 1
+  FROM bfs b JOIN sym s ON s.a = b.node
+  WHERE b.hops < 4
+), d AS (
+  SELECT pv, node, MIN(hops) AS hops FROM bfs GROUP BY 1, 2
+)
+SELECT CAST(node AS BIGINT) AS node,
+  CAST(count(*) AS BIGINT) AS n_reached,
+  CAST(sum(hops) AS BIGINT) AS sum_hops,
+  round(CASE WHEN sum(hops) > 0
+    THEN CAST(count(*) AS DOUBLE) / CAST(sum(hops) AS DOUBLE) END, 6)
+    AS closeness,
+  round(sum(CASE WHEN hops > 0 THEN 1.0 / CAST(hops AS DOUBLE)
+    ELSE 0.0 END), 6) AS harmonic
+FROM d GROUP BY node
+"""
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -12053,6 +12103,7 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "encoding_stats": q_encoding_stats,
     "kaplan_meier": q_kaplan_meier,
     "cuped": q_cuped,
+    "closeness": q_closeness,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -12094,6 +12145,7 @@ _R9_ORACLES: dict[str, str] = {
     "encoding_stats": _ENCODING_STATS_SQL,
     "kaplan_meier": _KAPLAN_MEIER_SQL,
     "cuped": _CUPED_SQL,
+    "closeness": _CLOSENESS_SQL,
     "theil_sen": """
 -- Same pair construction and exact middle-row medians: daily means,
 -- all-pairs slopes, median slope then median residual intercept.

@@ -673,3 +673,77 @@ def adamic_adar(
         )
         .filter(F.col("common") >= min_common)
     )
+
+
+def closeness_from_pivots(
+    edges: DataFrame,
+    pivot_ids: "list",
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Pivot-based closeness + harmonic centrality → (node,
+    n_reached, sum_hops, closeness, harmonic): BFS distances from a
+    FIXED pivot set (the standard large-graph approximation — exact
+    all-pairs closeness is O(V·E) and nobody runs it at scale),
+    aggregated per node: closeness = n_reached/Σd, harmonic =
+    Σ 1/d over d ≥ 1. Pivots contribute d = 0 to their own sum and
+    nothing to their harmonic term.
+
+    One frontier loop keyed on (pivot, node) — all pivots advance in
+    the same ≤ max_hops rounds, per-round work is |frontier ⋈ edges|
+    with an anti-join dedup, same checkpointed-invariant shape as
+    :func:`shortest_hops`."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame(
+        [(int(p), int(p)) for p in pivot_ids], "pivot long, node long"
+    ).distinct()
+    visited = frontier.select("pivot", "node", F.lit(0).alias("hops"))
+    visited = visited.localCheckpoint(eager=True)
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["a"])
+            .select("pivot", sym["b"].alias("node"))
+            .distinct()
+            .join(
+                visited.select("pivot", "node"),
+                ["pivot", "node"],
+                "left_anti",
+            )
+            .select("pivot", "node", F.lit(hop).alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("pivot", "node")
+    agg = visited.groupBy("node").agg(
+        F.count("*").alias("n_reached"),
+        F.sum("hops").alias("sum_hops"),
+        F.sum(
+            F.when(
+                F.col("hops") > 0, 1.0 / F.col("hops").cast("double")
+            ).otherwise(F.lit(0.0))
+        ).alias("_harm"),
+    )
+    return agg.select(
+        "node",
+        "n_reached",
+        "sum_hops",
+        F.round(
+            F.when(
+                F.col("sum_hops") > 0,
+                F.col("n_reached").cast("double")
+                / F.col("sum_hops").cast("double"),
+            ),
+            6,
+        ).alias("closeness"),
+        F.round("_harm", 6).alias("harmonic"),
+    )

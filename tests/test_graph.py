@@ -377,3 +377,25 @@ def test_adamic_adar_hub_cap(spark):
     got = adamic_adar(df, "n", "f", max_deg=5).collect()
     assert len(got) == 1
     assert (got[0].node_a, got[0].node_b, got[0].common) == ("n0", "n1", 1)
+
+
+def test_closeness_from_pivots_path_graph(spark):
+    from from_superset_to_clickhouse_spark.operators.graph import (
+        closeness_from_pivots,
+    )
+
+    # path 1-2-3-4-5, pivots {1, 5}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {r.node: r for r in
+           closeness_from_pivots(edges, [1, 5], max_hops=4).collect()}
+    # node 3: d(1)=2, d(5)=2 -> closeness 2/4, harmonic 1
+    assert got[3].n_reached == 2 and got[3].sum_hops == 4
+    assert got[3].closeness == 0.5 and got[3].harmonic == 1.0
+    # pivot 1: d(1)=0, d(5)=4 -> closeness 2/4, harmonic 1/4
+    assert got[1].sum_hops == 4 and got[1].harmonic == 0.25
+    # truncation: with max_hops=2, node 5 sees only pivot 5
+    got2 = {r.node: r for r in
+            closeness_from_pivots(edges, [1, 5], max_hops=2).collect()}
+    assert got2[5].n_reached == 1 and got2[5].closeness is None
