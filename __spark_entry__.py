@@ -12043,6 +12043,142 @@ FROM d GROUP BY node
 """
 
 
+def q_image_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL histogram equalization over really-decoded PNGs: the
+    Adam7 fixture's planted (id+5x+7y)%256 pixels are decoded,
+    CDF-remapped with the classic half-up formula, re-encoded, and
+    decoded AGAIN for statistics — the oracle replays the remap from
+    the planted distribution arithmetically (pos_sum is per-pixel
+    mapping sensitive)."""
+    imgs = mm.synthesize_adam7_images(_docs(spark, sf_dir), "doc_id")
+    eq = mm.equalize_images(imgs)
+    return mm.image_pixel_stats(eq).select(
+        "media_id", "format", "width", "height", "channels",
+        "n_px", "px_sum", "min_px", "max_px", "pos_sum",
+    )
+
+
+_IMAGE_EQUALIZE_SQL = """
+-- Planted-pixel CDF remap: cle(v) = #pixels <= v per doc, cmin =
+-- cle(vmin), v' = floor((cle-cmin)/(n-cmin)*255 + 0.5); constant
+-- images map to 0.
+WITH dims AS (
+  SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 9 + 1 AS h
+  FROM documents
+), xs AS (
+  SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims
+), px AS (
+  SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs
+), v AS (
+  SELECT doc_id, w, h, x, y,
+    (doc_id + 5 * x + 7 * y) % 256 AS val
+  FROM px
+), vc AS (
+  SELECT doc_id, val, count(*) AS c FROM v GROUP BY 1, 2
+), cd AS (
+  SELECT doc_id, val, c,
+    sum(c) OVER (PARTITION BY doc_id ORDER BY val) AS cle
+  FROM vc
+), mn AS (
+  SELECT doc_id, min(cle) AS cmin, sum(c) AS n FROM cd GROUP BY doc_id
+), mp AS (
+  SELECT cd.doc_id, val,
+    CASE WHEN n = cmin THEN 0
+      ELSE CAST(floor(CAST(cle - cmin AS DOUBLE)
+        / CAST(n - cmin AS DOUBLE) * 255.0 + 0.5) AS BIGINT) END AS vp
+  FROM cd JOIN mn ON cd.doc_id = mn.doc_id
+), j AS (
+  SELECT v.doc_id, w, h, (y * w + x) AS p, mp.vp
+  FROM v JOIN mp ON v.doc_id = mp.doc_id AND v.val = mp.val
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id, 'png' AS format,
+  CAST(max(w) AS INTEGER) AS width, CAST(max(h) AS INTEGER) AS height,
+  CAST(1 AS INTEGER) AS channels, CAST(count(*) AS INTEGER) AS n_px,
+  CAST(sum(vp) AS BIGINT) AS px_sum,
+  CAST(min(vp) AS INTEGER) AS min_px,
+  CAST(max(vp) AS INTEGER) AS max_px,
+  CAST(sum(p * vp) AS BIGINT) AS pos_sum
+FROM j GROUP BY doc_id
+"""
+
+
+def q_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL sample-rate reduction: block-aligned square tones decoded,
+    box-decimated by 4, re-encoded, then feature-extracted — the
+    planted alignment makes every decimated statistic exact
+    (n_frames = 2PK/4, peak = rms = A, crossings = 2K-1)."""
+    tones = mm.synthesize_aligned_tones(
+        _docs(spark, sf_dir), "doc_id", factor=4
+    )
+    return mm.audio_features(mm.decimate_audio(tones, factor=4))
+
+
+_AUDIO_DECIMATE_SQL = """
+-- Closed form from the aligned-tone contract: after /4 decimation
+-- the wave is K reps of [+A x P/4, -A x P/4] with P/4 = id%3+1.
+WITH ids AS (
+  SELECT doc_id AS media_id,
+    (doc_id % 5 + 1) * 1000 AS a,
+    doc_id % 3 + 1 AS hp,
+    doc_id % 20 + 5 AS k
+  FROM documents
+)
+SELECT media_id,
+  CAST(2 * hp * k AS INTEGER) AS n_frames,
+  CAST(a AS INTEGER) AS peak,
+  CAST(a AS DOUBLE) AS rms,
+  0.0 AS mean_sample,
+  CAST(2 * k - 1 AS INTEGER) AS zero_crossings
+FROM ids
+"""
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened corpus mixing (alpha = 0.5, target half
+    the corpus) over the SKEWED language distribution: small
+    languages keep a higher fraction than English, membership by the
+    replayable affine hash."""
+    from from_superset_to_clickhouse_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    return temperature_mix(
+        _docs(spark, sf_dir), "doc_id", "lang",
+        alpha=0.5, target_frac=0.5,
+    )
+
+
+_TEMPERATURE_MIX_SQL = """
+WITH counts AS (
+  SELECT lang AS source, count(*) AS n_orig FROM documents GROUP BY 1
+), tot AS (
+  SELECT sum(n_orig) AS n,
+    sum(pow(CAST(n_orig AS DOUBLE), 0.5)) AS z
+  FROM counts
+), rates AS (
+  SELECT source, n_orig,
+    least(10000, CAST(floor(CAST(n AS DOUBLE) * 0.5
+      * pow(CAST(n_orig AS DOUBLE), 0.5) / z
+      / CAST(n_orig AS DOUBLE) * 10000.0) AS INTEGER)) AS rate_bp
+  FROM counts CROSS JOIN tot
+), tagged AS (
+  SELECT d.lang AS source,
+    ((d.doc_id % 1000003) * 514229 + 285311) % 1000003 % 10000 AS hbp
+  FROM documents d
+), kept AS (
+  SELECT t.source, r.n_orig, r.rate_bp,
+    sum(CASE WHEN t.hbp < r.rate_bp THEN 1 ELSE 0 END) AS n_kept
+  FROM tagged t JOIN rates r ON t.source = r.source
+  GROUP BY 1, 2, 3
+)
+SELECT source, CAST(n_orig AS BIGINT) AS n_orig, rate_bp,
+  CAST(n_kept AS BIGINT) AS n_kept,
+  round(CAST(n_kept AS DOUBLE) / CAST(n_orig AS DOUBLE), 6)
+    AS kept_frac
+FROM kept
+"""
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -12104,6 +12240,9 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kaplan_meier": q_kaplan_meier,
     "cuped": q_cuped,
     "closeness": q_closeness,
+    "image_equalize": q_image_equalize,
+    "audio_decimate": q_audio_decimate,
+    "temperature_mix": q_temperature_mix,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -12146,6 +12285,9 @@ _R9_ORACLES: dict[str, str] = {
     "kaplan_meier": _KAPLAN_MEIER_SQL,
     "cuped": _CUPED_SQL,
     "closeness": _CLOSENESS_SQL,
+    "image_equalize": _IMAGE_EQUALIZE_SQL,
+    "audio_decimate": _AUDIO_DECIMATE_SQL,
+    "temperature_mix": _TEMPERATURE_MIX_SQL,
     "theil_sen": """
 -- Same pair construction and exact middle-row medians: daily means,
 -- all-pairs slopes, median slope then median residual intercept.

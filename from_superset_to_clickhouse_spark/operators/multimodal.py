@@ -4402,3 +4402,115 @@ def synthesize_palette_pngs(df: DataFrame, id_col: str) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     return src.mapInPandas(run, schema=IMAGE_SCHEMA)
+
+
+def equalize_png(payload: bytes) -> bytes:
+    """REAL histogram equalization: decode → global CDF remap →
+    re-encode. The standard contrast-normalization step of an image
+    curation pipeline, using the classic formula v' = ⌊(cdf(v) −
+    cdf_min)/(N − cdf_min)·255 + 0.5⌋ (half-up), pooled across
+    channels. A constant image maps to 0. The arithmetic is written
+    exactly as a SQL oracle replays it (divide, then ·255, then +0.5,
+    then floor), so equalized pixel statistics stay engine-exact."""
+    w, h, ch, px = decode_png_pixels(payload)
+    a = np.frombuffer(px, dtype=np.uint8)
+    counts = np.bincount(a, minlength=256)
+    cle = counts.cumsum()
+    n = a.size
+    vmin = int(a.min())
+    cmin = int(cle[vmin])
+    if n == cmin:
+        out = np.zeros_like(a)
+    else:
+        lut = np.floor(
+            (cle - cmin).astype(np.float64) / float(n - cmin) * 255.0
+            + 0.5
+        ).astype(np.uint8)
+        out = lut[a]
+    return encode_png_raw(w, h, ch, out.tobytes())
+
+
+def equalize_images(images: DataFrame) -> DataFrame:
+    """Arrow-batched decode→equalize→re-encode over a payload column —
+    same (media_id, payload) contract as the synthesizers, so the
+    result feeds straight into ``image_pixel_stats``. Undecodable
+    payloads pass through as NULL payloads (downstream quarantines)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for p in pdf["payload"]:
+                try:
+                    outs.append(equalize_png(p))
+                except (ValueError, TypeError):
+                    outs.append(None)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": outs}
+            )
+
+    return images.mapInPandas(run, schema=IMAGE_SCHEMA)
+
+
+def synthesize_aligned_tones(
+    df: DataFrame, id_col: str, factor: int = 4
+) -> DataFrame:
+    """Square-wave fixture whose half-period is a multiple of the
+    decimation ``factor``: A = (id%5+1)·1000, P = factor·(id%3+1),
+    K = id%20+5 repetitions of [+A×P, −A×P]. Every factor-length
+    block is constant, so a box decimator reproduces the wave exactly
+    — n_frames = 2PK/factor, peak = rms = A, mean = 0, crossings =
+    2K−1 at the decimated rate."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    m = int(factor)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                amp = (i % 5 + 1) * 1000
+                half = m * (i % 3 + 1)
+                reps = i % 20 + 5
+                block = np.concatenate(
+                    [np.full(half, amp, "<i2"), np.full(half, -amp, "<i2")]
+                )
+                payloads.append(encode_wav_pcm(np.tile(block, reps)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return src.mapInPandas(run, schema=IMAGE_SCHEMA)
+
+
+def decimate_audio(audio: DataFrame, factor: int = 4) -> DataFrame:
+    """REAL sample-rate reduction: decode PCM → box-filter decimate by
+    ``factor`` (each output frame is the half-up-rounded mean of a
+    ``factor``-frame block; the partial tail is dropped) → re-encode
+    at rate/factor. The anti-aliased-enough downsampler a speech
+    pipeline runs before feature extraction; feeds straight back into
+    ``audio_features``/``audio_vad``. Undecodable payloads pass
+    through as NULL."""
+    m = int(factor)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for p in pdf["payload"]:
+                try:
+                    rate, _ch, frames = decode_wav_samples(p)
+                    ch0 = frames[:, 0].astype(np.float64)
+                    n = (ch0.shape[0] // m) * m
+                    if n == 0:
+                        raise ValueError("shorter than one block")
+                    dec = np.floor(
+                        ch0[:n].reshape(-1, m).mean(axis=1) + 0.5
+                    ).astype("<i2")
+                    outs.append(
+                        encode_wav_pcm(dec, sample_rate=max(1, rate // m))
+                    )
+                except (ValueError, IndexError):
+                    outs.append(None)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": outs}
+            )
+
+    return audio.mapInPandas(run, schema=IMAGE_SCHEMA)

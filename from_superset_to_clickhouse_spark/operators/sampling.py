@@ -393,3 +393,64 @@ def weighted_reservoir_k(
         .orderBy(F.desc("es_key"), F.col(key_col))
         .limit(k)
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-flattened source mixing summary → (source, n_orig,
+    rate_bp, n_kept, kept_frac): target share of source g ∝ n_g^α
+    (α < 1 UPWEIGHTS small sources relative to their natural share —
+    the multilingual/multi-source sampling standard), scaled so the
+    whole mix targets ~``target_frac`` of the corpus, capped at
+    keep-everything. Admission is the same key-stable affine hash as
+    every sampler here, so membership is deterministic and the whole
+    plan replays in SQL.
+
+    Two aggregates over the corpus (source counts, admitted counts) +
+    scalar arithmetic on the ≤-sources-sized rate table."""
+    counts = df.groupBy(F.col(group_col).alias("source")).agg(
+        F.count("*").alias("n_orig")
+    )
+    tot = counts.agg(
+        F.sum("n_orig").alias("_n"),
+        F.sum(F.pow(F.col("n_orig").cast("double"), alpha)).alias("_z"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_orig",
+        F.least(
+            F.lit(10000),
+            F.floor(
+                F.col("_n").cast("double")
+                * float(target_frac)
+                * F.pow(F.col("n_orig").cast("double"), alpha)
+                / F.col("_z")
+                / F.col("n_orig").cast("double")
+                * 10000.0
+            ).cast("int"),
+        ).alias("rate_bp"),
+    )
+    tagged = df.select(
+        F.col(group_col).alias("source"),
+        hash_basis_points(F.col(key_col)).alias("_hbp"),
+    ).join(F.broadcast(rates), "source")
+    kept = tagged.groupBy("source", "n_orig", "rate_bp").agg(
+        F.sum((F.col("_hbp") < F.col("rate_bp")).cast("long")).alias(
+            "n_kept"
+        )
+    )
+    return kept.select(
+        "source",
+        "n_orig",
+        "rate_bp",
+        "n_kept",
+        F.round(
+            F.col("n_kept").cast("double") / F.col("n_orig").cast("double"),
+            6,
+        ).alias("kept_frac"),
+    )

@@ -3232,3 +3232,63 @@ def test_cuped_reduces_variance(spark):
     # the treatment effect survives adjustment
     lift = got[1].mean_y_adj - got[0].mean_y_adj
     assert abs(lift - 3.0) < 1.5
+
+
+def test_equalize_png_reference(spark):
+    import numpy as np
+
+    from from_superset_to_clickhouse_spark.operators import (
+        multimodal as mm,
+    )
+
+    # 2x2 gray image with values 10,10,20,30
+    px = bytes([10, 10, 20, 30])
+    p = mm.encode_png_raw(2, 2, 1, px)
+    w, h, ch, out = mm.decode_png_pixels(mm.equalize_png(p))
+    a = np.frombuffer(out, dtype=np.uint8)
+    # cdf: 10->2, 20->3, 30->4; cmin=2, n=4
+    # v'(10)=0, v'(20)=floor(1/2*255+.5)=128, v'(30)=255
+    assert list(a) == [0, 0, 128, 255]
+    # constant image maps to all zeros
+    flat = mm.encode_png_raw(2, 1, 1, bytes([77, 77]))
+    _, _, _, out2 = mm.decode_png_pixels(mm.equalize_png(flat))
+    assert bytes(out2) == b"\x00\x00"
+
+
+def test_decimate_audio_roundtrip(spark):
+    import numpy as np
+
+    from from_superset_to_clickhouse_spark.operators import (
+        multimodal as mm,
+    )
+
+    # 8 frames: blocks of 4 -> means 100 and -200; tail dropped
+    sig = np.array([100] * 4 + [-200] * 4 + [999], dtype="<i2")
+    df = spark.createDataFrame(
+        [(1, bytearray(mm.encode_wav_pcm(sig, sample_rate=8000)))],
+        "media_id long, payload binary",
+    )
+    out = mm.decimate_audio(df, factor=4).collect()[0]
+    rate, ch, frames = mm.decode_wav_samples(bytes(out.payload))
+    assert rate == 2000 and frames.shape == (2, 1)
+    assert list(frames[:, 0]) == [100, -200]
+
+
+def test_temperature_mix_flattens_shares(spark):
+    from from_superset_to_clickhouse_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    rows = [(i, "big") for i in range(900)] + [
+        (1000 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "k long, g string")
+    got = {r.source: r for r in
+           temperature_mix(df, "k", "g", alpha=0.5, target_frac=0.5).collect()}
+    # alpha=0.5: shares prop to 30 vs 10 -> small keeps a LARGER
+    # fraction of itself than big does
+    assert got["small"].rate_bp > got["big"].rate_bp
+    assert got["small"].n_orig == 100 and got["big"].n_orig == 900
+    # admission matches the rate to within hash granularity
+    for s in ("big", "small"):
+        assert abs(got[s].kept_frac - got[s].rate_bp / 10000) < 0.1
