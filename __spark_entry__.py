@@ -12179,6 +12179,104 @@ FROM kept
 """
 
 
+def q_eb_shrink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-part return rates
+    (l_returnflag = 'R'): method-of-moments beta prior from the rate
+    distribution, posterior-mean shrunk rates — the small-sample
+    ranking fix."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        eb_shrink_rates,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("x"),
+    )
+    return eb_shrink_rates(per_part, "k", "n", "x") \
+        .withColumnRenamed("key", "l_partkey")
+
+
+_EB_SHRINK_SQL = """
+WITH per AS (
+  SELECT l_partkey AS key, count(*) AS n_obs,
+    count(*) FILTER (l_returnflag = 'R') AS x_obs
+  FROM lineitem GROUP BY 1
+), src AS (
+  SELECT key, n_obs, x_obs,
+    CAST(x_obs AS DOUBLE) / CAST(n_obs AS DOUBLE) AS r
+  FROM per WHERE n_obs > 0
+), mu AS (
+  SELECT count(*) AS k,
+    floor(avg(r) * 1048576.0) / 1048576.0 AS mu
+  FROM src
+), vr AS (
+  SELECT k, mu,
+    sum(floor((r - mu) * (r - mu) * 1048576.0)) / 1048576.0
+      / (k - 1.0) AS v
+  FROM src CROSS JOIN mu GROUP BY k, mu
+), pri AS (
+  SELECT mu,
+    CASE WHEN v > 0 AND mu * (1.0 - mu) / v - 1.0 > 0
+      THEN mu * (mu * (1.0 - mu) / v - 1.0) ELSE 0.0 END AS alpha,
+    CASE WHEN v > 0 AND mu * (1.0 - mu) / v - 1.0 > 0
+      THEN (1.0 - mu) * (mu * (1.0 - mu) / v - 1.0)
+      ELSE 0.0 END AS beta
+  FROM vr
+)
+SELECT key AS l_partkey, CAST(n_obs AS BIGINT) AS n_obs,
+  CAST(x_obs AS BIGINT) AS x_obs, round(r, 6) AS raw_rate,
+  round((x_obs + alpha) / (n_obs + alpha + beta), 6) AS shrunk_rate
+FROM src CROSS JOIN pri
+"""
+
+
+def q_link_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution composition end-to-end: blocked Levenshtein
+    linkage over distinct part names -> undirected edges -> pointer-
+    jumping connected components -> (name, cluster = min reachable
+    name). Oracle closes the same edge set with a recursive CTE."""
+    from from_superset_to_clickhouse_spark.operators.dedup import (
+        levenshtein_link,
+    )
+    from from_superset_to_clickhouse_spark.operators.graph import (
+        connected_components,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    blk = F.element_at(F.split(F.col("p_name"), " "), -1)
+    edges = levenshtein_link(part, "p_name", blk, max_dist=4).select(
+        F.col("name_a").alias("src"), F.col("name_b").alias("dst")
+    )
+    names = part.select(F.col("p_name").alias("node")).distinct()
+    cc = connected_components(edges, nodes=names)
+    return cc.select(
+        F.col("node").alias("name"), F.col("component").alias("cluster")
+    )
+
+
+_LINK_CLUSTER_SQL = """
+WITH RECURSIVE n AS MATERIALIZED (
+  SELECT DISTINCT p_name AS name,
+    string_split(p_name, ' ')[-1] AS blk
+  FROM part
+), e AS MATERIALIZED (
+  SELECT a.name AS na, b.name AS nb
+  FROM n a JOIN n b ON a.blk = b.blk AND a.name < b.name
+  WHERE levenshtein(a.name, b.name) <= 4
+), sym AS MATERIALIZED (
+  SELECT na AS a, nb AS b FROM e
+  UNION
+  SELECT nb AS a, na AS b FROM e
+), reach(s, t) AS (
+  SELECT name, name FROM n
+  UNION
+  SELECT r.s, sym.b FROM reach r JOIN sym ON sym.a = r.t
+)
+SELECT s AS name, min(t) AS cluster FROM reach GROUP BY s
+"""
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -12243,6 +12341,8 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_equalize": q_image_equalize,
     "audio_decimate": q_audio_decimate,
     "temperature_mix": q_temperature_mix,
+    "eb_shrink": q_eb_shrink,
+    "link_cluster": q_link_cluster,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -12288,6 +12388,8 @@ _R9_ORACLES: dict[str, str] = {
     "image_equalize": _IMAGE_EQUALIZE_SQL,
     "audio_decimate": _AUDIO_DECIMATE_SQL,
     "temperature_mix": _TEMPERATURE_MIX_SQL,
+    "eb_shrink": _EB_SHRINK_SQL,
+    "link_cluster": _LINK_CLUSTER_SQL,
     "theil_sen": """
 -- Same pair construction and exact middle-row medians: daily means,
 -- all-pairs slopes, median slope then median residual intercept.

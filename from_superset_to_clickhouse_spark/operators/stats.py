@@ -1901,3 +1901,63 @@ def cuped_adjust(
             (F.lit(1.0) - F.col("_va") / F.col("_vy")) * 100.0, 6
         ).alias("var_reduction_pct"),
     )
+
+
+def eb_shrink_rates(
+    df: DataFrame, key_col: str, n_col: str, x_col: str
+) -> DataFrame:
+    """Empirical-Bayes (beta-binomial, method-of-moments) rate
+    shrinkage → (key, n_obs, x_obs, raw_rate, shrunk_rate): the
+    "don't rank a 1/1 item above a 97/100 item" fix. Prior (α, β)
+    from the observed rate distribution's grid-quantized mean and
+    variance — α = μ·c, β = (1−μ)·c with c = μ(1−μ)/v − 1 — then
+    every item posterior-means to (x+α)/(n+α+β). Degenerate moments
+    (v ≤ 0 or c ≤ 0: all rates equal, or overdispersion beyond the
+    beta family) fall back to no shrinkage.
+
+    One pass for per-key counts (the caller usually did it), one tiny
+    moment aggregate, one broadcast join back. Rates are exact
+    rationals of integers, so every engine sees identical inputs."""
+    q = float(1 << 20)
+    src = df.select(
+        F.col(key_col).alias("key"),
+        F.col(n_col).cast("long").alias("n_obs"),
+        F.col(x_col).cast("long").alias("x_obs"),
+    ).filter(F.col("n_obs") > 0)
+    r = F.col("x_obs").cast("double") / F.col("n_obs").cast("double")
+    src = src.withColumn("_r", r)
+    mu_t = src.agg(
+        F.count("*").alias("_k"),
+        (F.floor(F.avg("_r") * q) / q).alias("_mu"),
+    )
+    c = src.crossJoin(F.broadcast(mu_t))
+    d = F.col("_r") - F.col("_mu")
+    var_t = c.groupBy("_k", "_mu").agg(
+        (
+            F.sum(F.floor(d * d * q)) / q / (F.col("_k") - F.lit(1.0))
+        ).alias("_v")
+    )
+    common = F.when(
+        F.col("_v") > 0,
+        F.col("_mu") * (1.0 - F.col("_mu")) / F.col("_v") - 1.0,
+    ).otherwise(F.lit(0.0))
+    prior = var_t.select(
+        "_mu",
+        F.when(common > 0, F.col("_mu") * common)
+        .otherwise(F.lit(0.0))
+        .alias("_alpha"),
+        F.when(common > 0, (1.0 - F.col("_mu")) * common)
+        .otherwise(F.lit(0.0))
+        .alias("_beta"),
+    )
+    out = src.crossJoin(F.broadcast(prior))
+    shrunk = (F.col("x_obs") + F.col("_alpha")) / (
+        F.col("n_obs") + F.col("_alpha") + F.col("_beta")
+    )
+    return out.select(
+        "key",
+        "n_obs",
+        "x_obs",
+        F.round("_r", 6).alias("raw_rate"),
+        F.round(shrunk, 6).alias("shrunk_rate"),
+    )

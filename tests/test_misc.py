@@ -3292,3 +3292,58 @@ def test_temperature_mix_flattens_shares(spark):
     # admission matches the rate to within hash granularity
     for s in ("big", "small"):
         assert abs(got[s].kept_frac - got[s].rate_bp / 10000) < 0.1
+
+
+def test_eb_shrink_pulls_small_samples(spark):
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        eb_shrink_rates,
+    )
+
+    # many mid-rate items + one 1/1 item and one 97/100 item
+    rows = [(i, 100, 30 + i % 9) for i in range(40)]
+    rows += [(100, 1, 1), (101, 100, 97)]
+    df = spark.createDataFrame(rows, "k int, n long, x long")
+    got = {r.key: r for r in eb_shrink_rates(df, "k", "n", "x").collect()}
+    # the 1/1 item shrinks far toward the pool mean (~0.35); the
+    # 97/100 item barely moves -> shrunk ranking flips
+    assert got[100].raw_rate == 1.0
+    assert got[100].shrunk_rate < 0.7
+    assert got[101].shrunk_rate > 0.85
+    assert got[101].shrunk_rate > got[100].shrunk_rate
+    # well-observed items move very little
+    assert abs(got[0].shrunk_rate - got[0].raw_rate) < 0.03
+
+
+def test_eb_shrink_degenerate_no_variance(spark):
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        eb_shrink_rates,
+    )
+
+    rows = [(i, 10, 5) for i in range(5)]  # all rates identical
+    df = spark.createDataFrame(rows, "k int, n long, x long")
+    for r in eb_shrink_rates(df, "k", "n", "x").collect():
+        assert r.shrunk_rate == r.raw_rate == 0.5
+
+
+def test_link_cluster_transitive(spark):
+    from pyspark.sql import functions as F
+
+    from from_superset_to_clickhouse_spark.operators.dedup import (
+        levenshtein_link,
+    )
+    from from_superset_to_clickhouse_spark.operators.graph import (
+        connected_components,
+    )
+
+    # ab->ax (1), ax->ay (1) but ab->ay = 2: transitivity clusters all
+    rows = [("ab x",), ("ax x",), ("ay x",), ("zz y",)]
+    df = spark.createDataFrame(rows, "name string")
+    blk = F.element_at(F.split(F.col("name"), " "), -1)
+    edges = levenshtein_link(df, "name", blk, max_dist=1).select(
+        F.col("name_a").alias("src"), F.col("name_b").alias("dst")
+    )
+    names = df.select(F.col("name").alias("node")).distinct()
+    got = {r.node: r.component
+           for r in connected_components(edges, nodes=names).collect()}
+    assert got["ab x"] == got["ax x"] == got["ay x"] == "ab x"
+    assert got["zz y"] == "zz y"  # singleton survives via nodes=
