@@ -12277,6 +12277,157 @@ SELECT s AS name, min(t) AS cluster FROM reach GROUP BY s
 """
 
 
+def q_binary_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline changepoint location by binary segmentation over the
+    daily mean value per event type with a planted +20 level shift
+    from day 18 — the argmax split statistic must land on the
+    boundary."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        binary_segment,
+    )
+
+    ev = _ev(spark, sf_dir).withColumn(
+        "value",
+        F.col("value")
+        + F.when(F.dayofmonth("ts") >= 18, 20.0).otherwise(0.0),
+    )
+    return binary_segment(ev, "event_type", "ts", "value") \
+        .withColumnRenamed("key", "event_type")
+
+
+_BINARY_SEGMENT_SQL = """
+WITH src AS (
+  SELECT event_type, ts,
+    CAST(value AS DOUBLE)
+      + CASE WHEN date_part('day', ts) >= 18 THEN 20.0 ELSE 0.0 END
+      AS value
+  FROM events
+), b AS (
+  SELECT event_type AS key, date_trunc('day', ts) AS bt,
+    floor(avg(value) * 1048576.0) / 1048576.0 AS x
+  FROM src GROUP BY 1, 2
+), r AS (
+  SELECT key, bt,
+    row_number() OVER wk AS k,
+    sum(x) OVER (PARTITION BY key ORDER BY bt
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    count(*) OVER (PARTITION BY key) AS n,
+    sum(x) OVER (PARTITION BY key) AS s
+  FROM b WINDOW wk AS (PARTITION BY key ORDER BY bt)
+), st AS (
+  SELECT key, bt, k, n,
+    cum / k AS ml, (s - cum) / (n - k) AS mr,
+    abs(cum / k - (s - cum) / (n - k))
+      * sqrt(CAST(k AS DOUBLE) * (n - k) / n) AS stat
+  FROM r WHERE k < n
+), best AS (
+  SELECT key,
+    max({'s': stat, 'negk': -k, 'k': k, 'b': bt,
+         'ml': round(ml, 6), 'mr': round(mr, 6), 'n': n}) AS w
+  FROM st GROUP BY key
+)
+SELECT key AS event_type, CAST((w).n AS BIGINT) AS n,
+  CAST((w).k AS INTEGER) AS split_idx, (w).b AS split_ts,
+  round((w).s, 6) AS stat, (w).ml AS mean_left, (w).mr AS mean_right
+FROM best
+"""
+
+
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on a planted quasi-experiment:
+    treated = odd users, post = day >= 16, +20 planted effect on
+    treated-post rows; the 2x2 grid-exact cell means recover it."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        diff_in_diff,
+    )
+
+    ev = _ev(spark, sf_dir)
+    src = ev.select(
+        (F.col("user_id") % 2).cast("int").alias("treat"),
+        (F.dayofmonth("ts") >= 16).cast("int").alias("post"),
+        (
+            F.col("value")
+            + F.when(
+                ((F.col("user_id") % 2) == 1)
+                & (F.dayofmonth("ts") >= 16),
+                20.0,
+            ).otherwise(0.0)
+        ).alias("v"),
+    )
+    return diff_in_diff(src, "treat", "post", "v")
+
+
+_DIFF_IN_DIFF_SQL = """
+WITH src AS (
+  SELECT CAST(user_id % 2 AS INTEGER) AS t,
+    CASE WHEN date_part('day', ts) >= 16 THEN 1 ELSE 0 END AS p,
+    CAST(value AS DOUBLE)
+      + CASE WHEN user_id % 2 = 1 AND date_part('day', ts) >= 16
+        THEN 20.0 ELSE 0.0 END AS v
+  FROM events WHERE value IS NOT NULL
+), cells AS (
+  SELECT count(*) AS n,
+    floor(sum(CASE WHEN t = 0 AND p = 0
+        THEN floor(v * 1048576.0) END)
+      / sum(CASE WHEN t = 0 AND p = 0 THEN 1 END)) / 1048576.0
+      AS mean_c_pre,
+    floor(sum(CASE WHEN t = 0 AND p = 1
+        THEN floor(v * 1048576.0) END)
+      / sum(CASE WHEN t = 0 AND p = 1 THEN 1 END)) / 1048576.0
+      AS mean_c_post,
+    floor(sum(CASE WHEN t = 1 AND p = 0
+        THEN floor(v * 1048576.0) END)
+      / sum(CASE WHEN t = 1 AND p = 0 THEN 1 END)) / 1048576.0
+      AS mean_t_pre,
+    floor(sum(CASE WHEN t = 1 AND p = 1
+        THEN floor(v * 1048576.0) END)
+      / sum(CASE WHEN t = 1 AND p = 1 THEN 1 END)) / 1048576.0
+      AS mean_t_post
+  FROM src
+)
+SELECT CAST(n AS BIGINT) AS n, mean_c_pre, mean_c_post,
+  mean_t_pre, mean_t_post,
+  round((mean_t_post - mean_t_pre) - (mean_c_post - mean_c_pre), 6)
+    AS did
+FROM cells
+"""
+
+
+def q_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor and negative-binomial overdispersion of the daily
+    event counts per type — the burstiness diagnostic of the arrival
+    process."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        dispersion_fit,
+    )
+
+    return dispersion_fit(_ev(spark, sf_dir), "event_type", "ts") \
+        .withColumnRenamed("key", "event_type")
+
+
+_DISPERSION_SQL = """
+WITH b AS (
+  SELECT event_type AS key, date_trunc('day', ts) AS bt,
+    CAST(count(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1, 2
+), gm AS (
+  SELECT key, count(*) AS n,
+    floor(avg(c) * 1048576.0) / 1048576.0 AS mu
+  FROM b GROUP BY key
+), ag AS (
+  SELECT b.key, n, mu,
+    sum(floor((c - mu) * (c - mu) * 1048576.0)) / 1048576.0
+      / (n - 1.0) AS v
+  FROM b JOIN gm ON b.key = gm.key GROUP BY 1, 2, 3
+)
+SELECT key AS event_type, CAST(n AS BIGINT) AS n_buckets,
+  mu AS mean_cnt, round(v, 6) AS var_cnt,
+  round(v / mu, 6) AS fano,
+  round(greatest(0.0, (v - mu) / (mu * mu)), 6) AS nb_alpha
+FROM ag
+"""
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -12343,6 +12494,9 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mix": q_temperature_mix,
     "eb_shrink": q_eb_shrink,
     "link_cluster": q_link_cluster,
+    "binary_segment": q_binary_segment,
+    "diff_in_diff": q_diff_in_diff,
+    "dispersion": q_dispersion,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -12390,6 +12544,9 @@ _R9_ORACLES: dict[str, str] = {
     "temperature_mix": _TEMPERATURE_MIX_SQL,
     "eb_shrink": _EB_SHRINK_SQL,
     "link_cluster": _LINK_CLUSTER_SQL,
+    "binary_segment": _BINARY_SEGMENT_SQL,
+    "diff_in_diff": _DIFF_IN_DIFF_SQL,
+    "dispersion": _DISPERSION_SQL,
     "theil_sen": """
 -- Same pair construction and exact middle-row medians: daily means,
 -- all-pairs slopes, median slope then median residual intercept.

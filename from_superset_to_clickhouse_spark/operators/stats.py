@@ -1961,3 +1961,99 @@ def eb_shrink_rates(
         F.round("_r", 6).alias("raw_rate"),
         F.round(shrunk, 6).alias("shrunk_rate"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treat_col: str,
+    post_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Difference-in-differences → single row (n, mean_c_pre,
+    mean_c_post, mean_t_pre, mean_t_post, did): the quasi-experimental
+    workhorse when randomization wasn't available — the treatment
+    effect is the treated group's pre→post change minus the control
+    group's (which absorbs the common time trend). One conditional-
+    aggregate pass; cell means on the 2^-20 grid so the four-way
+    difference is engine-exact."""
+    q = float(1 << 20)
+    src = df.select(
+        F.col(treat_col).cast("int").alias("_t"),
+        F.col(post_col).cast("int").alias("_p"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+
+    def cell(t, p):
+        cond = (F.col("_t") == t) & (F.col("_p") == p)
+        return (
+            F.floor(
+                F.sum(F.when(cond, F.floor(F.col("_v") * q))) /
+                F.sum(F.when(cond, F.lit(1)))
+            )
+            / q
+        )
+
+    agg = src.agg(
+        F.count("*").alias("n"),
+        cell(0, 0).alias("mean_c_pre"),
+        cell(0, 1).alias("mean_c_post"),
+        cell(1, 0).alias("mean_t_pre"),
+        cell(1, 1).alias("mean_t_post"),
+    )
+    return agg.select(
+        "n",
+        "mean_c_pre",
+        "mean_c_post",
+        "mean_t_pre",
+        "mean_t_post",
+        F.round(
+            (F.col("mean_t_post") - F.col("mean_t_pre"))
+            - (F.col("mean_c_post") - F.col("mean_c_pre")),
+            6,
+        ).alias("did"),
+    )
+
+
+def dispersion_fit(
+    df: DataFrame, key_col: str, ts_col: str, bucket: str = "1 day"
+) -> DataFrame:
+    """Count-dispersion diagnostics per key → (key, n_buckets,
+    mean_cnt, var_cnt, fano, nb_alpha): Fano factor var/mean of the
+    bucketed event counts (1 = Poisson; > 1 = bursty) and the
+    method-of-moments negative-binomial overdispersion α =
+    (v − μ)/μ² (0 when the counts are under- or equi-dispersed) —
+    the first question about any arrival process. Counts are exact
+    integers; moments on the 2^-20 grid."""
+    q = float(1 << 20)
+    b = df.groupBy(
+        F.col(key_col).alias("key"),
+        F.window(F.col(ts_col), bucket).alias("_w"),
+    ).agg(F.count("*").cast("double").alias("_c"))
+    gm = b.groupBy("key").agg(
+        F.count("*").alias("n_buckets"),
+        (F.floor(F.avg("_c") * q) / q).alias("_mu"),
+    )
+    d = b.join(gm, "key")
+    dev = F.col("_c") - F.col("_mu")
+    agg = d.groupBy("key", "n_buckets", "_mu").agg(
+        (
+            F.sum(F.floor(dev * dev * q))
+            / q
+            / (F.col("n_buckets") - F.lit(1.0))
+        ).alias("_v")
+    )
+    return agg.select(
+        "key",
+        "n_buckets",
+        F.col("_mu").alias("mean_cnt"),
+        F.round("_v", 6).alias("var_cnt"),
+        F.round(F.col("_v") / F.col("_mu"), 6).alias("fano"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                (F.col("_v") - F.col("_mu"))
+                / (F.col("_mu") * F.col("_mu")),
+            ),
+            6,
+        ).alias("nb_alpha"),
+    )

@@ -2164,3 +2164,74 @@ def asof_join_directed(
         for n in out_names:
             out = out.withColumn(n, F.when(ok, F.col(n)))
     return out.select(*lcols, *out_names)
+
+
+def binary_segment(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Offline single-changepoint detection by binary segmentation →
+    (key, n, split_idx, split_ts, stat, mean_left, mean_right): the
+    split k maximizing |x̄_left − x̄_right|·√(k(n−k)/n) over the
+    bucketed series — the first recursion step of the classic
+    binary-segmentation changepoint algorithm, and the offline
+    complement of the online CUSUM/Page–Hinkley charts (it LOCATES
+    the break, they detect it in flight). Ties break to the earliest
+    split.
+
+    Bucket means land on the 2^-20 grid, so prefix sums are exact and
+    the argmax comparison is engine-identical. One bucketing pass,
+    one keyed window for the prefix sums, one max_by aggregate."""
+    q = float(1 << 20)
+    b = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.window(F.col(ts_col), bucket).alias("_w"),
+        )
+        .agg(
+            (F.floor(F.avg(F.col(value_col).cast("double")) * q) / q)
+            .alias("_x")
+        )
+        .select("key", F.col("_w.start").alias("_b"), "_x")
+    )
+    w = Window.partitionBy("key").orderBy("_b")
+    rows = b.select(
+        "key",
+        "_b",
+        F.row_number().over(w).alias("_k"),
+        F.sum("_x").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_cum"),
+        F.count("*").over(Window.partitionBy("key")).alias("_n"),
+        F.sum("_x").over(Window.partitionBy("key")).alias("_s"),
+    ).filter(F.col("_k") < F.col("_n"))
+    k = F.col("_k").cast("double")
+    n = F.col("_n").cast("double")
+    ml = F.col("_cum") / k
+    mr = (F.col("_s") - F.col("_cum")) / (n - k)
+    stat = F.abs(ml - mr) * F.sqrt(k * (n - k) / n)
+    best = rows.groupBy("key").agg(
+        F.max(
+            F.struct(
+                stat.alias("s"),
+                (-F.col("_k")).alias("negk"),
+                F.col("_k").alias("k"),
+                F.col("_b").alias("b"),
+                F.round(ml, 6).alias("ml"),
+                F.round(mr, 6).alias("mr"),
+                F.col("_n").alias("n"),
+            )
+        ).alias("_w")
+    )
+    return best.select(
+        "key",
+        F.col("_w.n").cast("long").alias("n"),
+        F.col("_w.k").cast("int").alias("split_idx"),
+        F.col("_w.b").alias("split_ts"),
+        F.round(F.col("_w.s"), 6).alias("stat"),
+        F.col("_w.ml").alias("mean_left"),
+        F.col("_w.mr").alias("mean_right"),
+    )
