@@ -12428,6 +12428,119 @@ FROM ag
 """
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARI / Coleman-Liau / SMOG readability indices per document —
+    the suite beyond the existing flesch entry, same tokenizer and
+    vowel-group syllable heuristic."""
+    from from_superset_to_clickhouse_spark.operators.text import (
+        readability_suite,
+    )
+
+    return readability_suite(_docs(spark, sf_dir), "doc_id", "text")
+
+
+_READABILITY_SQL = """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z'']+'),
+                x -> x <> '') AS w,
+    len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                    s -> trim(s) <> '')) AS n_sent
+  FROM documents
+), s AS (
+  SELECT doc_id, len(w) AS n_words, n_sent,
+    CAST(coalesce(list_sum(list_transform(w,
+      x -> len(regexp_replace(x, '[^a-z]', '', 'g')))), 0)
+      AS INTEGER) AS n_letters,
+    CAST(coalesce(list_sum(list_transform(w,
+      x -> CASE WHEN len(regexp_extract_all(x, '[aeiouy]+')) >= 3
+           THEN 1 ELSE 0 END)), 0) AS INTEGER) AS n_poly
+  FROM t
+)
+SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+  CAST(n_sent AS INTEGER) AS n_sentences, n_letters,
+  n_poly AS n_polysyllables,
+  CASE WHEN n_words > 0 AND n_sent > 0 THEN
+    floor((4.71 * (CAST(n_letters AS DOUBLE) / n_words)
+      + 0.5 * (CAST(n_words AS DOUBLE) / n_sent) - 21.43)
+      * 1e6 + 0.5) / 1e6
+  END AS ari,
+  CASE WHEN n_words > 0 AND n_sent > 0 THEN
+    floor((0.0588 * (CAST(n_letters AS DOUBLE) * 100.0 / n_words)
+      - 0.296 * (CAST(n_sent AS DOUBLE) * 100.0 / n_words)
+      - 15.8) * 1e6 + 0.5) / 1e6
+  END AS cli,
+  CASE WHEN n_words > 0 AND n_sent > 0 THEN
+    round(1.043 * sqrt(CAST(n_poly AS DOUBLE) * 30.0 / n_sent)
+      + 3.1291, 6)
+  END AS smog
+FROM s
+"""
+
+
+def q_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion experiment readout with a planted treated-arm
+    lift: z, risk/odds ratios, Wald CI, and the
+    minSampleSizeConversion-parity per-arm n for the observed lift."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        proportions_test,
+    )
+
+    ev = _ev(spark, sf_dir)
+    src = ev.select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        (
+            (F.col("value") + 15.0 * (F.col("user_id") % 2)) > 250.0
+        ).cast("int").alias("conv"),
+    )
+    return proportions_test(src, "arm", "conv")
+
+
+_PROPORTIONS_SQL = """
+WITH src AS (
+  SELECT CAST(user_id % 2 AS INTEGER) AS a,
+    CASE WHEN CAST(value AS DOUBLE)
+      + 15.0 * CAST(user_id % 2 AS DOUBLE) > 250.0
+      THEN 1 ELSE 0 END AS y
+  FROM events
+), c AS (
+  SELECT
+    sum(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS n_c,
+    sum(CASE WHEN a = 0 THEN y ELSE 0 END) AS x_c,
+    sum(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS n_t,
+    sum(CASE WHEN a = 1 THEN y ELSE 0 END) AS x_t
+  FROM src
+), d AS (
+  SELECT *,
+    CAST(x_c AS DOUBLE) / n_c AS pc,
+    CAST(x_t AS DOUBLE) / n_t AS pt,
+    CAST(x_c + x_t AS DOUBLE) / (n_c + n_t) AS pp
+  FROM c
+), e AS (
+  SELECT *,
+    sqrt(pp * (1.0 - pp) * (1.0 / n_c + 1.0 / n_t)) AS sep,
+    sqrt(pc * (1.0 - pc) / n_c + pt * (1.0 - pt) / n_t) AS sew,
+    pt - pc AS diff
+  FROM d
+)
+SELECT CAST(n_c AS BIGINT) AS n_c, CAST(x_c AS BIGINT) AS x_c,
+  CAST(n_t AS BIGINT) AS n_t, CAST(x_t AS BIGINT) AS x_t,
+  round(pc, 6) AS rate_c, round(pt, 6) AS rate_t,
+  round(CASE WHEN sep > 0 THEN diff / sep END, 6) AS z,
+  round(CASE WHEN pc > 0 THEN pt / pc END, 6) AS risk_ratio,
+  round(CASE WHEN x_c > 0 AND n_t > x_t
+    THEN (CAST(x_t AS DOUBLE) * (n_c - x_c))
+       / (CAST(x_c AS DOUBLE) * (n_t - x_t)) END, 6) AS odds_ratio,
+  round(diff - 1.959964 * sew, 6) AS ci_lo,
+  round(diff + 1.959964 * sew, 6) AS ci_hi,
+  round(CASE WHEN diff <> 0 THEN ceil(
+    7.848878512225001
+    * (pc * (1.0 - pc) + pt * (1.0 - pt)) / (diff * diff)) END, 6)
+    AS min_n_per_arm
+FROM e
+"""
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -12497,6 +12610,8 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "binary_segment": q_binary_segment,
     "diff_in_diff": q_diff_in_diff,
     "dispersion": q_dispersion,
+    "readability": q_readability,
+    "proportions": q_proportions,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -12547,6 +12662,8 @@ _R9_ORACLES: dict[str, str] = {
     "binary_segment": _BINARY_SEGMENT_SQL,
     "diff_in_diff": _DIFF_IN_DIFF_SQL,
     "dispersion": _DISPERSION_SQL,
+    "readability": _READABILITY_SQL,
+    "proportions": _PROPORTIONS_SQL,
     "theil_sen": """
 -- Same pair construction and exact middle-row medians: daily means,
 -- all-pairs slopes, median slope then median residual intercept.

@@ -2057,3 +2057,71 @@ def dispersion_fit(
             6,
         ).alias("nb_alpha"),
     )
+
+
+def proportions_test(
+    df: DataFrame,
+    arm_col: str,
+    conv_col: str,
+    z_alpha: float = 1.959964,
+    z_power: float = 0.841621,
+) -> DataFrame:
+    """Two-proportion experiment readout → single row (n_c, x_c, n_t,
+    x_t, rate_c, rate_t, z, risk_ratio, odds_ratio, ci_lo, ci_hi,
+    min_n_per_arm): pooled-SE z statistic, the two effect measures
+    medicine and growth teams actually quote, the 95% Wald CI on the
+    rate difference, and ClickHouse ``minSampleSizeConversion``
+    parity — the per-arm n that would power THIS observed lift at
+    α = 0.05 / power = 0.8 (z constants passed as binary-identical
+    literals, not library calls).
+
+    One conditional-aggregate pass; every statistic is closed-form
+    arithmetic on four exact integers."""
+    src = df.select(
+        F.col(arm_col).cast("int").alias("_a"),
+        F.col(conv_col).cast("int").alias("_y"),
+    )
+    agg = src.agg(
+        F.sum(F.when(F.col("_a") == 0, 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(F.col("_a") == 0, F.col("_y")).otherwise(0)).alias(
+            "x_c"
+        ),
+        F.sum(F.when(F.col("_a") == 1, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("_a") == 1, F.col("_y")).otherwise(0)).alias(
+            "x_t"
+        ),
+    )
+    nc, xc = F.col("n_c").cast("double"), F.col("x_c").cast("double")
+    nt, xt = F.col("n_t").cast("double"), F.col("x_t").cast("double")
+    pc, pt = xc / nc, xt / nt
+    pp = (xc + xt) / (nc + nt)
+    se_pooled = F.sqrt(pp * (1.0 - pp) * (1.0 / nc + 1.0 / nt))
+    se_wald = F.sqrt(pc * (1.0 - pc) / nc + pt * (1.0 - pt) / nt)
+    d = pt - pc
+    min_n = (
+        F.lit((z_alpha + z_power) ** 2)
+        * (pc * (1.0 - pc) + pt * (1.0 - pt))
+        / (d * d)
+    )
+    return agg.select(
+        "n_c",
+        "x_c",
+        "n_t",
+        "x_t",
+        F.round(pc, 6).alias("rate_c"),
+        F.round(pt, 6).alias("rate_t"),
+        F.round(F.when(se_pooled > 0, d / se_pooled), 6).alias("z"),
+        F.round(F.when(pc > 0, pt / pc), 6).alias("risk_ratio"),
+        F.round(
+            F.when(
+                (xc > 0) & (nt > xt),
+                (xt * (nc - xc)) / (xc * (nt - xt)),
+            ),
+            6,
+        ).alias("odds_ratio"),
+        F.round(d - z_alpha * se_wald, 6).alias("ci_lo"),
+        F.round(d + z_alpha * se_wald, 6).alias("ci_hi"),
+        F.round(
+            F.when(d != 0, F.ceil(min_n).cast("double")), 6
+        ).alias("min_n_per_arm"),
+    )

@@ -1892,3 +1892,76 @@ def collocations_g2(
         F.round(g2, 6).alias("g2"),
         F.round((o11 - e11) / F.sqrt(o11), 6).alias("t_score"),
     )
+
+
+def readability_suite(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Readability index suite per document → (id, n_words,
+    n_sentences, n_letters, n_polysyllables, ari, cli, smog): the
+    three classics beyond Flesch — Automated Readability Index
+    4.71·(chars/words) + 0.5·(words/sentences) − 21.43, Coleman–Liau
+    0.0588·L − 0.296·S − 15.8 (L/S per 100 words), and SMOG
+    1.043·√(polysyllables·30/sentences) + 3.1291 (words with ≥ 3
+    vowel-group syllables). Same tokenizer and syllable heuristic as
+    :func:`flesch_reading_ease`, all codegen, NULL on empty docs."""
+    text = F.col(text_col)
+    toks = F.filter(
+        F.split(F.lower(text), r"[^a-z']+"), lambda x: x != F.lit("")
+    )
+    n_words = F.size(toks)
+    n_sent = F.size(
+        F.filter(
+            F.split(text, r"[.!?]+"),
+            lambda s: F.length(F.trim(s)) > 0,
+        )
+    )
+    letters = F.aggregate(
+        F.transform(
+            toks,
+            lambda w: F.length(F.regexp_replace(w, "[^a-z]", "")),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    poly = F.aggregate(
+        F.transform(
+            toks,
+            lambda w: (
+                F.size(
+                    F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))
+                )
+                >= 3
+            ).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    ok = (n_words > 0) & (n_sent > 0)
+    wd = n_words.cast("double")
+    sd = n_sent.cast("double")
+    ari = (
+        4.71 * (letters.cast("double") / wd) + 0.5 * (wd / sd) - 21.43
+    )
+    cli = (
+        0.0588 * (letters.cast("double") * 100.0 / wd)
+        - 0.296 * (sd * 100.0 / wd)
+        - 15.8
+    )
+    smog = (
+        1.043 * F.sqrt(poly.cast("double") * 30.0 / sd) + 3.1291
+    )
+    # ARI/CLI are rational in the counts and can land EXACTLY on a
+    # 6dp half (doc 363 at sf0.01 does) — explicit half-up floor
+    # instead of round(), which half-rounds differently per engine.
+    hup = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        letters.alias("n_letters"),
+        poly.alias("n_polysyllables"),
+        F.when(ok, hup(ari)).alias("ari"),
+        F.when(ok, hup(cli)).alias("cli"),
+        F.when(ok, F.round(smog, 6)).alias("smog"),
+    )

@@ -76,3 +76,27 @@ def test_dispersion_fit_poisson_vs_bursty(spark):
     assert got["bursty"].mean_cnt == 5.0
     assert got["bursty"].fano > 1.5
     assert got["bursty"].nb_alpha > 0
+
+
+def test_proportions_test_reference(spark):
+    import math
+
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        proportions_test,
+    )
+
+    # control 40/400, treated 60/400
+    rows = [(0, 1)] * 40 + [(0, 0)] * 360 + [(1, 1)] * 60 + [(1, 0)] * 340
+    df = spark.createDataFrame(rows, "arm int, conv int")
+    r = proportions_test(df, "arm", "conv").collect()[0]
+    pc, pt, pp = 0.1, 0.15, 0.125
+    sep = math.sqrt(pp * (1 - pp) * (2 / 400))
+    assert abs(r.z - round((pt - pc) / sep, 6)) < 1e-9
+    assert r.risk_ratio == 1.5
+    assert abs(r.odds_ratio - round((60 * 360) / (40 * 340), 6)) < 1e-9
+    sew = math.sqrt(pc * 0.9 / 400 + pt * 0.85 / 400)
+    assert abs(r.ci_lo - round(0.05 - 1.959964 * sew, 6)) < 1e-9
+    want_n = math.ceil(
+        (1.959964 + 0.841621) ** 2 * (pc * 0.9 + pt * 0.85) / 0.05**2
+    )
+    assert r.min_n_per_arm == want_n

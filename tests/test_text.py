@@ -877,3 +877,35 @@ def test_pmi_pairs_hand_computed(spark):
     want = math.log((4 / 12) / ((4 / 16) * (4 / 16)))
     assert abs(r.pmi - round(want, 6)) < 1e-9
     assert r.n_pair == 4
+
+
+def test_readability_suite_known_text(spark):
+    from from_superset_to_clickhouse_spark.operators.text import (
+        readability_suite,
+    )
+
+    # 2 sentences, 8 words, hand-countable letters and polysyllables
+    text = "The important algorithm works. Everyone understands it now."
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    r = readability_suite(df, "doc_id", "text").collect()[0]
+    assert r.n_words == 8 and r.n_sentences == 2
+    letters = sum(
+        len([c for c in w if c.isalpha()]) for w in text.lower().split()
+    )
+    assert r.n_letters == letters
+    # important(3), algorithm(3), everyone(4: e-eo-e... vowel groups
+    # e,eo,e -> 3), understands(3) -> count words with >=3 groups
+    assert r.n_polysyllables == 4
+    ari = 4.71 * (letters / 8) + 0.5 * (8 / 2) - 21.43
+    import math
+
+    assert abs(r.ari - math.floor(ari * 1e6 + 0.5) / 1e6) < 1e-9
+    smog = 1.043 * math.sqrt(4 * 30 / 2) + 3.1291
+    assert abs(r.smog - round(smog, 6)) < 1e-9
+    # empty doc -> NULL scores
+    e = readability_suite(
+        spark.createDataFrame([(2, "")], "doc_id int, text string"),
+        "doc_id",
+        "text",
+    ).collect()[0]
+    assert e.ari is None and e.smog is None
