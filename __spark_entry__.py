@@ -12541,6 +12541,68 @@ FROM e
 """
 
 
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by power
+    iteration: grid-exact covariance from one distributed pass,
+    8 grid-rounded power steps (bounded d x d collect, same precedent
+    as k-means centroid training), eigenvalue + explained-variance
+    ratio. Oracle unrolls the identical matvec -> normalize -> grid
+    walk in SQL."""
+    from from_superset_to_clickhouse_spark.operators.similarity import (
+        pca_top_component,
+    )
+
+    return pca_top_component(_t(spark, sf_dir, "embeddings"), iters=8)
+
+
+def _pca_oracle_sql(dim: int = 64, iters: int = 8) -> str:
+    steps = []
+    prev = "v0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+w{i} AS MATERIALIZED (
+  SELECT c.j, sum(c.val * {prev}.val) AS w
+  FROM c JOIN {prev} ON c.k = {prev}.j GROUP BY c.j
+), n{i} AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS nrm FROM w{i}),
+v{i} AS MATERIALIZED (
+  SELECT j, floor(w / nrm * 1e9 + 0.5) / 1e9 AS val
+  FROM w{i} CROSS JOIN n{i}
+)""")
+        prev = f"v{i}"
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT vec_id, unnest(range(0, len(embedding))) AS j,
+    unnest(embedding) AS x
+  FROM embeddings
+), s AS MATERIALIZED (
+  SELECT a.j AS j, b.j AS k,
+    sum(floor(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)
+      * 1048576.0)) / 1048576.0 AS sxx
+  FROM d a JOIN d b ON a.vec_id = b.vec_id GROUP BY 1, 2
+), m AS MATERIALIZED (
+  SELECT j, count(*) AS n,
+    floor(avg(CAST(x AS DOUBLE)) * 1048576.0) / 1048576.0 AS mu
+  FROM d GROUP BY j
+), c AS MATERIALIZED (
+  SELECT s.j, s.k,
+    (sxx - mj.n * mj.mu * mk.mu) / (mj.n - 1.0) AS val
+  FROM s JOIN m mj ON s.j = mj.j JOIN m mk ON s.k = mk.j
+), v0 AS MATERIALIZED (
+  SELECT j, floor(1.0 / sqrt({dim}.0) * 1e9 + 0.5) / 1e9 AS val
+  FROM (SELECT unnest(range(0, {dim})) AS j)
+),{",".join(steps)},
+lam AS (
+  SELECT sum(va.val * c.val * vb.val) AS l
+  FROM c JOIN v{iters} va ON c.j = va.j JOIN v{iters} vb
+    ON c.k = vb.j
+), tr AS (SELECT sum(val) AS t FROM c WHERE j = k)
+SELECT CAST(m.j AS INTEGER) AS dim, m.mu AS mu,
+  v{iters}.val AS loading, round(l, 6) AS lambda1,
+  round(l / t, 6) AS explained
+FROM m JOIN v{iters} ON m.j = v{iters}.j CROSS JOIN lam CROSS JOIN tr
+"""
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -12612,6 +12674,7 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dispersion": q_dispersion,
     "readability": q_readability,
     "proportions": q_proportions,
+    "pca_power": q_pca_power,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -12664,6 +12727,7 @@ _R9_ORACLES: dict[str, str] = {
     "dispersion": _DISPERSION_SQL,
     "readability": _READABILITY_SQL,
     "proportions": _PROPORTIONS_SQL,
+    "pca_power": _pca_oracle_sql(),
     "theil_sen": """
 -- Same pair construction and exact middle-row medians: daily means,
 -- all-pairs slopes, median slope then median residual intercept.

@@ -1815,3 +1815,80 @@ def knn_classify_eval(
             6,
         ).alias("accuracy"),
     )
+
+
+def pca_top_component(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 8,
+) -> DataFrame:
+    """Top principal component of an embedding corpus by power
+    iteration → one row per dimension (dim, mu, loading) plus the
+    repeated scalars (lambda1, explained): the first "what is this
+    embedding space doing" diagnostic (a dominant component with high
+    explained variance usually means un-normalized embeddings or a
+    degenerate encoder).
+
+    Scale/determinism shape: ONE distributed pass builds the exact
+    grid-quantized covariance — Σxⱼxₖ and μ on the 2^-20 grid via a
+    per-vector dimension self-join keyed on the vector id (n·d²
+    expansion, never n²) — then the d×d matrix (4096 scalars at
+    d = 64) collects to the driver, which runs ``iters`` power steps
+    with every iterate floored to the 1e-9 grid: the same
+    bounded-collect precedent as k-means centroid training and the
+    same unrolled-recursion oracle contract as platt/huber (the SQL
+    twin replays the identical matvec → normalize → grid walk)."""
+    import math
+
+    q = float(1 << 20)
+    d = emb.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("j", "x"),
+    ).select("_id", "j", F.col("x").cast("double").alias("x"))
+    a = d.select("_id", F.col("j").alias("j"), F.col("x").alias("xj"))
+    b = d.select("_id", F.col("j").alias("k"), F.col("x").alias("xk"))
+    sums = (
+        a.join(b, "_id")
+        .groupBy("j", "k")
+        .agg(
+            (F.sum(F.floor(F.col("xj") * F.col("xk") * q)) / q).alias(
+                "_sxx"
+            )
+        )
+    )
+    mu = d.groupBy("j").agg(
+        F.count("*").alias("_n"), (F.floor(F.avg("x") * q) / q).alias("_mu")
+    )
+    rows = sums.collect()
+    mus = {r["j"]: (r["_n"], r["_mu"]) for r in mu.collect()}
+    dim = 1 + max(r["j"] for r in rows)
+    n = mus[0][0]
+    m = [mus[j][1] for j in range(dim)]
+    cmat = [[0.0] * dim for _ in range(dim)]
+    for r in rows:
+        j, k = r["j"], r["k"]
+        cmat[j][k] = (r["_sxx"] - n * m[j] * m[k]) / (n - 1.0)
+    grid = lambda x: math.floor(x * 1e9 + 0.5) / 1e9  # noqa: E731
+    v = [grid(1.0 / math.sqrt(dim))] * dim
+    for _ in range(iters):
+        w = [
+            sum(cmat[j][k] * v[k] for k in range(dim))
+            for j in range(dim)
+        ]
+        nrm = math.sqrt(sum(x * x for x in w))
+        v = [grid(x / nrm) for x in w]
+    lam = sum(
+        v[j] * cmat[j][k] * v[k] for j in range(dim) for k in range(dim)
+    )
+    trace = sum(cmat[j][j] for j in range(dim))
+    spark = emb.sparkSession
+    out = spark.createDataFrame(
+        [
+            (j, m[j], v[j], round(lam, 6), round(lam / trace, 6))
+            for j in range(dim)
+        ],
+        "dim int, mu double, loading double, lambda1 double,"
+        " explained double",
+    )
+    return out

@@ -587,3 +587,29 @@ def test_knn_classify_eval_tiebreak(spark):
     )
     got = {r.label: r for r in knn_classify_eval(df, k=2).collect()}
     assert got[0].n_correct == 0  # predicted 1, truth 0
+
+
+def test_pca_top_component_planted_direction(spark):
+    import random
+
+    from from_superset_to_clickhouse_spark.operators.similarity import (
+        pca_top_component,
+    )
+
+    # vectors = strong variance along dim 0, small noise elsewhere
+    rng = random.Random(5)
+    rows = []
+    for i in range(200):
+        v = [rng.uniform(-0.05, 0.05) for _ in range(8)]
+        v[0] = rng.uniform(-2.0, 2.0)
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pca_top_component(df, iters=8).collect()
+    got = {r.dim: r for r in out}
+    assert len(got) == 8
+    # loading concentrates on dim 0; sign is arbitrary
+    assert abs(got[0].loading) > 0.99
+    for j in range(1, 8):
+        assert abs(got[j].loading) < 0.1
+    assert got[0].explained > 0.95
+    assert got[0].lambda1 > 0.5
