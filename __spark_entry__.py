@@ -12603,6 +12603,90 @@ FROM m JOIN v{iters} ON m.j = v{iters}.j CROSS JOIN lam CROSS JOIN tr
 """
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values cardinality estimates of distinct users per
+    event type (k=64, md5-derived hashes) — the fully-oracled
+    order-statistics member of the cardinality tier, next to the
+    rows-only engine-native HLL."""
+    from from_superset_to_clickhouse_spark.operators.sketch import (
+        kmv_distinct,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return kmv_distinct(ev, "event_type", "user_id", k=64) \
+        .withColumnRenamed("grp", "event_type")
+
+
+_KMV_SQL = """
+WITH h AS (
+  SELECT DISTINCT event_type AS grp,
+    CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)),
+      1, 8)) AS BIGINT) + 1 AS hv
+  FROM events WHERE user_id IS NOT NULL
+), r AS (
+  SELECT grp, hv,
+    row_number() OVER (PARTITION BY grp ORDER BY hv) AS rk
+  FROM h
+), a AS (
+  SELECT grp, count(*) AS n_seen, max(hv) AS kth
+  FROM r WHERE rk <= 64 GROUP BY grp
+)
+SELECT grp AS event_type, CAST(n_seen AS BIGINT) AS n_seen,
+  round(CASE WHEN n_seen < 64 THEN CAST(n_seen AS DOUBLE)
+    ELSE 63.0 / (CAST(kth AS DOUBLE) / 4294967296.0) END, 6) AS est
+FROM a
+"""
+
+
+def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state transition entropy and perplexity of the session
+    Markov chain — how predictable the next in-session action is from
+    each state; rides the markov_chain machinery."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        markov_entropy,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return markov_entropy(
+        ev, "user_id", "ts", "event_type",
+        gap_minutes=30, tiebreak_col="event_id",
+    )
+
+
+_MARKOV_ENTROPY_SQL = """
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+      THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM s
+), pairs AS (
+  SELECT event_type AS from_type,
+    lead(event_type) OVER w2 AS to_type,
+    lead(sid) OVER w2 = sid AS ok
+  FROM sess
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+), c AS (
+  SELECT from_type, to_type, count(*) AS n FROM pairs
+  WHERE ok AND to_type IS NOT NULL GROUP BY 1, 2
+), t AS (
+  SELECT from_type, n,
+    round(CAST(n AS DOUBLE)
+      / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+  FROM c
+)
+SELECT from_type, CAST(sum(n) AS BIGINT) AS n_out,
+  round(sum(-p * ln(p)), 6) AS h_nats,
+  round(exp(sum(-p * ln(p))), 6) AS perplexity
+FROM t GROUP BY from_type
+"""
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -12675,6 +12759,8 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "readability": q_readability,
     "proportions": q_proportions,
     "pca_power": q_pca_power,
+    "kmv_distinct": q_kmv_distinct,
+    "markov_entropy": q_markov_entropy,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -12728,6 +12814,8 @@ _R9_ORACLES: dict[str, str] = {
     "readability": _READABILITY_SQL,
     "proportions": _PROPORTIONS_SQL,
     "pca_power": _pca_oracle_sql(),
+    "kmv_distinct": _KMV_SQL,
+    "markov_entropy": _MARKOV_ENTROPY_SQL,
     "theil_sen": """
 -- Same pair construction and exact middle-row medians: daily means,
 -- all-pairs slopes, median slope then median residual intercept.

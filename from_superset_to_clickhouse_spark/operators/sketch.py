@@ -402,3 +402,54 @@ def bloom_probe(
         .groupBy("key")
         .agg((F.sum(hit) == depth).alias("maybe"))
     )
+
+
+def kmv_distinct(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """K-minimum-values cardinality sketch per group → (group, n_seen,
+    est): hash every value to (0, 2³²) via the same engine-replayable
+    md5 derivation as the CMS/Bloom above, keep each group's k
+    smallest DISTINCT hashes, estimate distinct = (k−1)/θ with θ =
+    kth-min/2³² (Bar-Yossef et al.'s classic order-statistics sketch
+    — the mergeable ancestor of ThetaSketch). Groups with fewer than
+    k distinct values report their EXACT count (every hash kept).
+
+    Scale shape: one hash projection, one per-group k-smallest
+    (rank window over the distinct-hash table, bounded by distinct
+    values), state per group is k longs. Unlike HLL, every step
+    replays bit-for-bit in SQL — this is the fully-oracled member of
+    the cardinality tier."""
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("kmv"), F.col(value_col))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    )  # shift to (0, 2^32]: theta = 0 is impossible
+    hashes = (
+        df.select(F.col(group_col).alias("grp"), h.alias("_h"))
+        .filter(F.col("_h").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("_h")
+    ranked = hashes.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= k
+    )
+    agg = ranked.groupBy("grp").agg(
+        F.count("*").alias("n_seen"), F.max("_h").alias("_kth")
+    )
+    est = F.when(
+        F.col("n_seen") < k, F.col("n_seen").cast("double")
+    ).otherwise(
+        (F.lit(float(k - 1)))
+        / (F.col("_kth").cast("double") / F.lit(float(1 << 32)))
+    )
+    return agg.select(
+        "grp", "n_seen", F.round(est, 6).alias("est")
+    )

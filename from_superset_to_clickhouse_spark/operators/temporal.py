@@ -2235,3 +2235,33 @@ def binary_segment(
         F.col("_w.ml").alias("mean_left"),
         F.col("_w.mr").alias("mean_right"),
     )
+
+
+def markov_entropy(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    state_col: str,
+    gap_minutes: int = 30,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-state transition entropy over the session Markov chain →
+    (from_type, n_out, h_nats, perplexity): H_i = −Σ_j p_ij ln p_ij
+    of :func:`markov_transitions`' rows — how predictable the next
+    action is FROM each state (perplexity = e^H is the effective
+    branching factor). The follow-up question to the transition
+    matrix itself; rides the same single window pass."""
+    tm = markov_transitions(
+        df, user_col, ts_col, state_col,
+        gap_minutes=gap_minutes, tiebreak_col=tiebreak_col,
+    )
+    agg = tm.groupBy("from_type").agg(
+        F.sum("n").alias("n_out"),
+        F.sum(-F.col("p") * F.log(F.col("p"))).alias("_h"),
+    )
+    return agg.select(
+        "from_type",
+        "n_out",
+        F.round("_h", 6).alias("h_nats"),
+        F.round(F.exp("_h"), 6).alias("perplexity"),
+    )

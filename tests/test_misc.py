@@ -3347,3 +3347,59 @@ def test_link_cluster_transitive(spark):
            for r in connected_components(edges, nodes=names).collect()}
     assert got["ab x"] == got["ax x"] == got["ay x"] == "ab x"
     assert got["zz y"] == "zz y"  # singleton survives via nodes=
+
+
+def test_kmv_distinct_exact_and_estimate(spark):
+    from from_superset_to_clickhouse_spark.operators.sketch import (
+        kmv_distinct,
+    )
+
+    # group 'small' has 10 distinct values (< k) -> exact count;
+    # group 'big' has 5000 distinct -> estimate within 30%
+    rows = [("small", i) for i in range(10)] * 3 + [
+        ("big", i) for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r.grp: r for r in kmv_distinct(df, "g", "v", k=64).collect()}
+    assert got["small"].n_seen == 10 and got["small"].est == 10.0
+    assert got["big"].n_seen == 64
+    assert abs(got["big"].est - 5000) / 5000 < 0.3
+
+
+def test_markov_entropy_deterministic_vs_uniform(spark):
+    import datetime
+    import math
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        markov_entropy,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: a->b always (deterministic, H=0)
+    for rep in range(4):
+        for i, s in enumerate(("a", "b")):
+            rows.append(
+                (1, t0 + datetime.timedelta(hours=rep * 2, minutes=i),
+                 eid, s)
+            )
+            eid += 1
+    # user 2: c->a and c->b equally often (H = ln 2)
+    for rep in range(4):
+        nxt = "a" if rep % 2 == 0 else "b"
+        for i, s in enumerate(("c", nxt)):
+            rows.append(
+                (2, t0 + datetime.timedelta(hours=rep * 2, minutes=i),
+                 eid, s)
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "u int, ts timestamp, event_id int, t string"
+    )
+    got = {r.from_type: r for r in
+           markov_entropy(df, "u", "ts", "t", gap_minutes=30,
+                          tiebreak_col="event_id").collect()}
+    assert got["a"].h_nats == 0.0 and got["a"].perplexity == 1.0
+    assert abs(got["c"].h_nats - round(math.log(2), 6)) < 1e-6
+    assert abs(got["c"].perplexity - 2.0) < 1e-5
