@@ -12687,6 +12687,88 @@ FROM t GROUP BY from_type
 """
 
 
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap (|A∩B|, Jaccard, lift) between event
+    types over distinct user sets — ClickHouse groupBitmapAnd/Or
+    dashboards done relationally, intersection keyed by user."""
+    from from_superset_to_clickhouse_spark.operators.relational import (
+        audience_overlap,
+    )
+
+    return audience_overlap(_ev(spark, sf_dir), "event_type", "user_id")
+
+
+_AUDIENCE_OVERLAP_SQL = """
+WITH gu AS (
+  SELECT DISTINCT event_type AS g, user_id AS u FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+), sizes AS (SELECT g, count(*) AS n FROM gu GROUP BY g),
+tot AS (SELECT count(DISTINCT u) AS t FROM gu),
+inter AS (
+  SELECT a.g AS group_a, b.g AS group_b, count(*) AS n_both
+  FROM gu a JOIN gu b ON a.u = b.u AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT group_a, group_b,
+  CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+  CAST(n_both AS BIGINT) AS n_both,
+  CAST(na.n + nb.n - n_both AS BIGINT) AS n_any,
+  round(CAST(n_both AS DOUBLE) / (na.n + nb.n - n_both), 6)
+    AS jaccard,
+  round(CAST(n_both AS DOUBLE) * t
+    / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)), 6) AS lift
+FROM inter
+JOIN sizes na ON inter.group_a = na.g
+JOIN sizes nb ON inter.group_b = nb.g
+CROSS JOIN tot
+"""
+
+
+def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over order baskets: top-5
+    'also bought' parts per part by co-occurrence cosine, item-id
+    tiebreak for a deterministic cut."""
+    from from_superset_to_clickhouse_spark.operators.relational import (
+        item_cf_topk,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return item_cf_topk(
+        li, "l_orderkey", "l_partkey", k=5, min_pair_count=2
+    )
+
+
+_ITEM_CF_SQL = """
+WITH i AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+), ic AS (SELECT it, count(*) AS c FROM i GROUP BY it),
+pairs AS (
+  SELECT a.it AS pa, b.it AS pb, count(*) AS n
+  FROM i a JOIN i b ON a.bk = b.bk AND a.it < b.it
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), bidir AS (
+  SELECT pa AS item, pb AS rec, n FROM pairs
+  UNION ALL
+  SELECT pb AS item, pa AS rec, n FROM pairs
+), scored AS (
+  SELECT item, rec,
+    CAST(n AS DOUBLE)
+      / sqrt(CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS cosine
+  FROM bidir
+  JOIN ic ca ON bidir.item = ca.it
+  JOIN ic cb ON bidir.rec = cb.it
+), ranked AS (
+  SELECT item, rec, cosine,
+    row_number() OVER (PARTITION BY item
+      ORDER BY cosine DESC, rec) AS rank
+  FROM scored
+)
+SELECT item, rec, CAST(rank AS INTEGER) AS rank,
+  round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -12761,6 +12843,8 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pca_power": q_pca_power,
     "kmv_distinct": q_kmv_distinct,
     "markov_entropy": q_markov_entropy,
+    "audience_overlap": q_audience_overlap,
+    "item_cf": q_item_cf,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -12816,6 +12900,8 @@ _R9_ORACLES: dict[str, str] = {
     "pca_power": _pca_oracle_sql(),
     "kmv_distinct": _KMV_SQL,
     "markov_entropy": _MARKOV_ENTROPY_SQL,
+    "audience_overlap": _AUDIENCE_OVERLAP_SQL,
+    "item_cf": _ITEM_CF_SQL,
     "theil_sen": """
 -- Same pair construction and exact middle-row medians: daily means,
 -- all-pairs slopes, median slope then median residual intercept.

@@ -437,3 +437,115 @@ def encoding_stats(
             6,
         ).alias("ratio"),
     )
+
+
+def audience_overlap(
+    df: DataFrame, group_col: str, unit_col: str
+) -> DataFrame:
+    """Pairwise audience overlap between groups → (group_a, group_b,
+    n_a, n_b, n_both, n_any, jaccard, lift): |A∩B| / |A∪B| of the
+    distinct unit sets — ClickHouse's ``groupBitmapAnd/Or`` dashboards
+    done relationally. lift = n_both·N/(n_a·n_b) over the N distinct
+    units anywhere (> 1 = audiences attract, < 1 = repel).
+
+    The intersection comes from a self-join of the DISTINCT
+    (group, unit) projection keyed on unit — Σ per-unit group-count²
+    expansion, never |units|²; union sizes are arithmetic (|A|+|B|−
+    |A∩B|), not a second pass."""
+    gu = (
+        df.select(
+            F.col(group_col).alias("_g"), F.col(unit_col).alias("_u")
+        )
+        .filter(F.col("_g").isNotNull() & F.col("_u").isNotNull())
+        .distinct()
+    )
+    sizes = gu.groupBy("_g").agg(F.count("*").alias("_n"))
+    tot = gu.agg(F.countDistinct("_u").alias("_tot"))
+    a = gu.select(F.col("_g").alias("group_a"), "_u")
+    b = gu.select(F.col("_g").alias("group_b"), "_u")
+    inter = (
+        a.join(b, "_u")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    na = sizes.select(F.col("_g").alias("group_a"), F.col("_n").alias("n_a"))
+    nb = sizes.select(F.col("_g").alias("group_b"), F.col("_n").alias("n_b"))
+    j = (
+        inter.join(F.broadcast(na), "group_a")
+        .join(F.broadcast(nb), "group_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    n_any = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    return j.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        n_any.alias("n_any"),
+        F.round(
+            F.col("n_both").cast("double") / n_any.cast("double"), 6
+        ).alias("jaccard"),
+        F.round(
+            F.col("n_both").cast("double")
+            * F.col("_tot").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+            6,
+        ).alias("lift"),
+    )
+
+
+def item_cf_topk(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int = 5,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Item-item collaborative filtering → (item, rec, rank, cosine):
+    each item's top-k most-similar items by co-occurrence cosine
+    sim(a,b) = n_ab/√(n_a·n_b) over distinct baskets — the "customers
+    also bought" serving table. Same by-basket pair expansion as
+    :func:`basket_rules`; both directions of each unordered pair are
+    ranked (a recommends b AND b recommends a), ties broken by item
+    id so the top-k cut is deterministic on every engine."""
+    i = df.select(
+        F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
+    ).distinct()
+    item_cnt = i.groupBy("_it").agg(F.count("*").alias("_ic"))
+    a = i.select("_bk", F.col("_it").alias("_a"))
+    b = i.select("_bk", F.col("_it").alias("_b"))
+    pairs = (
+        a.join(b, "_bk")
+        .filter(F.col("_a") < F.col("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= min_pair_count)
+    )
+    both = pairs.select(
+        F.col("_a").alias("item"), F.col("_b").alias("rec"), "_n"
+    ).unionByName(
+        pairs.select(
+            F.col("_b").alias("item"), F.col("_a").alias("rec"), "_n"
+        )
+    )
+    ca = item_cnt.select(F.col("_it").alias("item"), F.col("_ic").alias("_ci"))
+    cb = item_cnt.select(F.col("_it").alias("rec"), F.col("_ic").alias("_cr"))
+    scored = both.join(F.broadcast(ca), "item").join(
+        F.broadcast(cb), "rec"
+    ).withColumn(
+        "cosine",
+        F.col("_n").cast("double")
+        / F.sqrt(F.col("_ci").cast("double") * F.col("_cr").cast("double")),
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("cosine").desc(), F.col("rec")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "item", "rec", "rank", F.round("cosine", 6).alias("cosine")
+        )
+    )

@@ -3403,3 +3403,50 @@ def test_markov_entropy_deterministic_vs_uniform(spark):
     assert got["a"].h_nats == 0.0 and got["a"].perplexity == 1.0
     assert abs(got["c"].h_nats - round(math.log(2), 6)) < 1e-6
     assert abs(got["c"].perplexity - 2.0) < 1e-5
+
+
+def test_audience_overlap_reference(spark):
+    from from_superset_to_clickhouse_spark.operators.relational import (
+        audience_overlap,
+    )
+
+    rows = (
+        [("a", u) for u in (1, 2, 3, 4)]
+        + [("b", u) for u in (3, 4, 5)]
+        + [("c", u) for u in (6,)]
+    )
+    df = spark.createDataFrame(rows, "g string, u int")
+    got = {
+        (r.group_a, r.group_b): r
+        for r in audience_overlap(df, "g", "u").collect()
+    }
+    r = got[("a", "b")]
+    assert (r.n_a, r.n_b, r.n_both, r.n_any) == (4, 3, 2, 5)
+    assert r.jaccard == 0.4
+    assert abs(r.lift - round(2 * 6 / 12, 6)) < 1e-9  # N=6 units
+    assert ("a", "c") not in got  # disjoint pairs emit no row
+
+
+def test_item_cf_topk_reference(spark):
+    import math
+
+    from from_superset_to_clickhouse_spark.operators.relational import (
+        item_cf_topk,
+    )
+
+    baskets = {
+        1: ["x", "y"], 2: ["x", "y"], 3: ["x", "y"],
+        4: ["x", "z"], 5: ["x", "z"], 6: ["z", "w"], 7: ["z", "w"],
+    }
+    rows = [(b, i) for b, its in baskets.items() for i in its]
+    df = spark.createDataFrame(rows, "bk int, it string")
+    got = {
+        (r.item, r.rank): r
+        for r in item_cf_topk(df, "bk", "it", k=2).collect()
+    }
+    # x: n=5 baskets; y co-occurs 3x (cos 3/sqrt(15)), z 2x (2/sqrt(20))
+    assert got[("x", 1)].rec == "y"
+    assert abs(got[("x", 1)].cosine - round(3 / math.sqrt(15), 6)) < 1e-9
+    assert got[("x", 2)].rec == "z"
+    # symmetric direction exists
+    assert got[("y", 1)].rec == "x"
