@@ -604,3 +604,157 @@ def test_linear_counting_merge_and_accuracy(spark):
     est = sk.lc_estimate(merged).first()
     assert est["n_used"] <= 150
     assert abs(est["est"] - 150) / 150 < 0.10, est
+
+
+@settings(
+    deadline=None, max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.floats(-100, 100, allow_nan=False),
+            st.floats(-100, 100, allow_nan=False),
+        ),
+        min_size=4,
+        max_size=30,
+    )
+)
+def test_spearman_bounded_and_antisymmetric(spark, data):
+    """|rho| <= 1 always, and negating one axis flips the sign."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        spearman_corr,
+    )
+
+    rows = [("g", x, y) for x, y in data]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = spearman_corr(df, "x", "y", ["g"]).collect()[0]
+    neg = spark.createDataFrame(
+        [("g", x, -y) for x, y in data], "g string, x double, y double"
+    )
+    rn = spearman_corr(neg, "x", "y", ["g"]).collect()[0]
+    if r.rho is not None:
+        assert -1.0 <= r.rho <= 1.0
+        assert abs(r.rho + rn.rho) < 1e-6
+
+
+@settings(
+    deadline=None, max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    scores=st.lists(st.floats(0, 100, allow_nan=False), min_size=6,
+                    max_size=40),
+    seed=st.integers(0, 2**16),
+)
+def test_roc_auc_score_negation_duality(spark, scores, seed):
+    """AUC(-s, y) = 1 - AUC(s, y) (with midrank tie handling)."""
+    import random
+
+    from from_superset_to_clickhouse_spark.operators.mleval import (
+        roc_auc,
+    )
+
+    rng = random.Random(seed)
+    labels = [rng.randint(0, 1) for _ in scores]
+    if len(set(labels)) < 2:
+        labels[0], labels[1] = 0, 1
+    df = spark.createDataFrame(
+        list(zip(scores, labels)), "s double, y int"
+    )
+    neg = spark.createDataFrame(
+        [(-s, y) for s, y in zip(scores, labels)], "s double, y int"
+    )
+    a = roc_auc(df, "s", "y").collect()[0].auc
+    b = roc_auc(neg, "s", "y").collect()[0].auc
+    assert abs((a + b) - 1.0) < 1e-5
+
+
+@settings(
+    deadline=None, max_examples=6,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(st.floats(0, 500, allow_nan=False), min_size=3,
+                  max_size=50)
+)
+def test_huber_mean_bounded_and_degenerate(spark, vals):
+    """The robust location stays inside [min, max]; with a huge c it
+    collapses to the plain mean."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        huber_mean,
+    )
+
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    r = huber_mean(df, "v", ["g"], c=25.0, iters=4).collect()[0]
+    assert min(vals) - 1e-6 <= r.mu <= max(vals) + 1e-6
+    r2 = huber_mean(df, "v", ["g"], c=1e9, iters=3).collect()[0]
+    assert abs(r2.mu - r2.plain_mean) < 1e-5
+
+
+@settings(
+    deadline=None, max_examples=6,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    secs=st.lists(st.integers(0, 5000), min_size=1, max_size=40,
+                  unique=True)
+)
+def test_interval_union_bounds(spark, secs):
+    """Union length <= n * dur, >= dur, and islands <= n."""
+    import datetime
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        interval_union_length,
+        max_intersections,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [("u", t0 + datetime.timedelta(seconds=s)) for s in secs]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    r = interval_union_length(df, "g", "ts", 300).collect()[0]
+    assert r.n == len(secs)
+    assert 300_000_000 <= r.covered_us <= len(secs) * 300_000_000
+    assert 1 <= r.n_islands <= len(secs)
+    m = max_intersections(df, "g", "ts", 300).collect()[0]
+    assert 1 <= m.max_conc <= len(secs)
+
+
+@settings(
+    deadline=None, max_examples=6,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lat=st.floats(-89.9, 89.9, allow_nan=False),
+    lon=st.floats(-179.9, 179.9, allow_nan=False),
+)
+def test_geohash_prefix_property(spark, lat, lon):
+    """Truncating precision yields the parent cell: the 4-char hash
+    prefixes the 6-char hash of the same point."""
+    from from_superset_to_clickhouse_spark.operators.geo import (
+        geohash_encode,
+    )
+
+    df = spark.createDataFrame([(1, lat, lon)], "id int, lat double, lon double")
+    g6 = geohash_encode(df, "lat", "lon", precision=6).collect()[0].geohash
+    g4 = geohash_encode(df, "lat", "lon", precision=4).collect()[0].geohash
+    assert g6.startswith(g4)
+
+
+def test_holt_winters_constant_series(spark):
+    """A constant series: level = the constant, trend = 0, seasonal
+    terms = 0, forecast = the constant."""
+    import datetime
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        holt_winters,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("g", t0 + datetime.timedelta(days=d), 42.0) for d in range(21)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    r = holt_winters(df, "g", "ts", "v", period=7).collect()[0]
+    assert r.level == 42.0 and r.trend == 0.0
+    assert r.s_next == 0.0 and r.forecast == 42.0
