@@ -12769,6 +12769,106 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra on KMV sketches: union cardinality from the merged
+    k-smallest set, intersection by inclusion-exclusion — the theta-
+    sketch workflow with a fully-replayable md5 hash, next to the
+    exact answers for honesty. Single row over the view/purchase
+    audiences."""
+    from from_superset_to_clickhouse_spark.operators.sketch import (
+        kmv_distinct,
+    )
+
+    ev = _ev(spark, sf_dir)
+    a = ev.filter(F.col("event_type") == "view").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    tagged = (
+        a.withColumn("g", F.lit("a"))
+        .unionByName(b.withColumn("g", F.lit("b")))
+        .unionByName(
+            a.unionByName(b).withColumn("g", F.lit("u"))
+        )
+    )
+    est = kmv_distinct(tagged, "g", "user_id", k=64)
+    pick = lambda g: F.max(F.when(F.col("grp") == g, F.col("est")))  # noqa: E731
+    ests = est.agg(
+        pick("a").alias("est_a"),
+        pick("b").alias("est_b"),
+        pick("u").alias("est_union"),
+    )
+    exact = ev.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("n_a"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("n_b"),
+    )
+    inter_exact = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id")
+        .intersect(
+            ev.filter(F.col("event_type") == "purchase").select("user_id")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = exact.crossJoin(inter_exact).crossJoin(ests)
+    return out.select(
+        "n_a",
+        "n_b",
+        "n_inter",
+        "est_a",
+        "est_b",
+        "est_union",
+        F.round(
+            F.col("est_a") + F.col("est_b") - F.col("est_union"), 6
+        ).alias("est_inter"),
+    )
+
+
+_KMV_SET_OPS_SQL = """
+WITH au AS (
+  SELECT DISTINCT user_id AS u FROM events WHERE event_type = 'view'
+), bu AS (
+  SELECT DISTINCT user_id AS u FROM events
+  WHERE event_type = 'purchase'
+), tagged AS (
+  SELECT 'a' AS g, u FROM au
+  UNION ALL SELECT 'b', u FROM bu
+  UNION ALL SELECT 'u', u FROM (
+    SELECT u FROM au UNION SELECT u FROM bu)
+), h AS (
+  SELECT DISTINCT g, CAST(('0x' || substr(
+    md5('kmv:' || CAST(u AS VARCHAR)), 1, 8)) AS BIGINT) + 1 AS hv
+  FROM tagged
+), r AS (
+  SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv) AS rk
+  FROM h
+), a AS (
+  SELECT g, count(*) AS n_seen, max(hv) AS kth
+  FROM r WHERE rk <= 64 GROUP BY g
+), e AS (
+  SELECT g, round(CASE WHEN n_seen < 64 THEN CAST(n_seen AS DOUBLE)
+    ELSE 63.0 / (CAST(kth AS DOUBLE) / 4294967296.0) END, 6) AS est
+  FROM a
+), p AS (
+  SELECT max(CASE WHEN g = 'a' THEN est END) AS est_a,
+    max(CASE WHEN g = 'b' THEN est END) AS est_b,
+    max(CASE WHEN g = 'u' THEN est END) AS est_union
+  FROM e
+), x AS (
+  SELECT (SELECT count(*) FROM au) AS n_a,
+    (SELECT count(*) FROM bu) AS n_b,
+    (SELECT count(*) FROM (
+      SELECT u FROM au INTERSECT SELECT u FROM bu)) AS n_inter
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  CAST(n_inter AS BIGINT) AS n_inter, est_a, est_b, est_union,
+  round(est_a + est_b - est_union, 6) AS est_inter
+FROM x CROSS JOIN p
+"""
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -12845,6 +12945,7 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "markov_entropy": q_markov_entropy,
     "audience_overlap": q_audience_overlap,
     "item_cf": q_item_cf,
+    "kmv_set_ops": q_kmv_set_ops,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -12902,6 +13003,7 @@ _R9_ORACLES: dict[str, str] = {
     "markov_entropy": _MARKOV_ENTROPY_SQL,
     "audience_overlap": _AUDIENCE_OVERLAP_SQL,
     "item_cf": _ITEM_CF_SQL,
+    "kmv_set_ops": _KMV_SET_OPS_SQL,
     "theil_sen": """
 -- Same pair construction and exact middle-row medians: daily means,
 -- all-pairs slopes, median slope then median residual intercept.
