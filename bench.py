@@ -131,6 +131,16 @@ HEADLINE = [
     "audio_vad",
     "adamic_adar",
     "basket_rules",
+    # later continuation: covariance build + grid-rounded power steps
+    # (n·d² pair expansion), by-basket CF ranking, distinct-set
+    # overlap join, 5-pivot BFS frontier loop, censored survival
+    # curve, SPC chart with run-rule windows
+    "pca_power",
+    "item_cf",
+    "audience_overlap",
+    "closeness",
+    "kaplan_meier",
+    "control_chart",
 ]
 
 # ANN is measured on a deterministic query slice (vec_id < ANN_QUERIES)
