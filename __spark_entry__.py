@@ -12869,6 +12869,50 @@ FROM x CROSS JOIN p
 """
 
 
+def q_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 24-bit BMP decode: bottom-up BGR rows with 4-byte padding
+    (odd widths force nonzero pad), planted per-channel pixels whose
+    position-weighted checksum is row-order AND channel-order
+    sensitive — a top-down or BGR/RGB mix-up mismatches while px_sum
+    agrees. Fourth pixel-real image format after PNG/GIF/JPEG."""
+    imgs = mm.synthesize_bmp_images(_docs(spark, sf_dir), "doc_id")
+    return mm.image_pixel_stats(imgs).select(
+        "media_id", "format", "width", "height", "channels",
+        "n_px", "px_sum", "min_px", "max_px", "pos_sum",
+    )
+
+
+_BMP_PIXELS_SQL = """
+-- Planted enumeration: pixel (x,y) channels (R,G,B) at byte
+-- position (y*w + x)*3 + c in TOP-DOWN RGB order (the decode
+-- contract), regardless of the file's bottom-up BGR layout.
+WITH dims AS (
+  SELECT doc_id, doc_id % 9 + 1 AS w, doc_id % 7 + 1 AS h
+  FROM documents
+), xs AS (
+  SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims
+), ys AS (
+  SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs
+), px AS (
+  SELECT doc_id, w, h, x, y, unnest(range(0, 3)) AS c FROM ys
+), v AS (
+  SELECT doc_id, w, h, (y * w + x) * 3 + c AS p,
+    CASE c WHEN 0 THEN (doc_id + 3 * x + 5 * y) % 256
+           WHEN 1 THEN (doc_id + 7 * x + y) % 256
+           ELSE (doc_id + x + 11 * y) % 256 END AS val
+  FROM px
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id, 'bmp' AS format,
+  CAST(max(w) AS INTEGER) AS width, CAST(max(h) AS INTEGER) AS height,
+  CAST(3 AS INTEGER) AS channels, CAST(count(*) AS INTEGER) AS n_px,
+  CAST(sum(val) AS BIGINT) AS px_sum,
+  CAST(min(val) AS INTEGER) AS min_px,
+  CAST(max(val) AS INTEGER) AS max_px,
+  CAST(sum(p * val) AS BIGINT) AS pos_sum
+FROM v GROUP BY doc_id
+"""
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -12946,6 +12990,7 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audience_overlap": q_audience_overlap,
     "item_cf": q_item_cf,
     "kmv_set_ops": q_kmv_set_ops,
+    "bmp_pixels": q_bmp_pixels,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -13004,6 +13049,7 @@ _R9_ORACLES: dict[str, str] = {
     "audience_overlap": _AUDIENCE_OVERLAP_SQL,
     "item_cf": _ITEM_CF_SQL,
     "kmv_set_ops": _KMV_SET_OPS_SQL,
+    "bmp_pixels": _BMP_PIXELS_SQL,
     "theil_sen": """
 -- Same pair construction and exact middle-row medians: daily means,
 -- all-pairs slopes, median slope then median residual intercept.

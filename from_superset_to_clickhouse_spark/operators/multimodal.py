@@ -2254,8 +2254,12 @@ def image_pixel_stats(images: DataFrame) -> DataFrame:
                             w, h, ch, px = decode_gif_pixels(p)
                             fmt = "gif"
                         except ValueError:
-                            w, h, ch, px = decode_jpeg_pixels(p)
-                            fmt = "jpeg"
+                            try:
+                                w, h, ch, px = decode_jpeg_pixels(p)
+                                fmt = "jpeg"
+                            except ValueError:
+                                w, h, ch, px = decode_bmp_pixels(p)
+                                fmt = "bmp"
                     a = np.frombuffer(px, dtype=np.uint8)
                     s = int(a.sum(dtype=np.int64))
                     fmts.append(fmt)
@@ -4514,3 +4518,104 @@ def decimate_audio(audio: DataFrame, factor: int = 4) -> DataFrame:
             )
 
     return audio.mapInPandas(run, schema=IMAGE_SCHEMA)
+
+
+def encode_bmp(
+    width: int, height: int, rgb_topdown: bytes
+) -> bytes:
+    """24-bit Windows BMP encoder (BITMAPINFOHEADER): rows stored
+    BOTTOM-UP in BGR order with 4-byte row padding, exactly as the
+    format prescribes — the fixture/roundtrip twin of
+    ``decode_bmp_pixels``. Input is top-down RGB (the decode
+    contract's output order)."""
+    if len(rgb_topdown) != width * height * 3:
+        raise ValueError("sample buffer does not match dimensions")
+    pad = (-(width * 3)) % 4
+    rows = []
+    for y in range(height - 1, -1, -1):
+        line = rgb_topdown[y * width * 3 : (y + 1) * width * 3]
+        bgr = bytearray()
+        for x in range(width):
+            r, g, b = line[x * 3 : x * 3 + 3]
+            bgr += bytes((b, g, r))
+        rows.append(bytes(bgr) + b"\x00" * pad)
+    data = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data),
+        2835, 2835, 0, 0,
+    )
+    off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    return hdr + info + data
+
+
+def decode_bmp_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL 24-bit BMP decode, stdlib only: header walk
+    (BITMAPINFOHEADER, uncompressed BI_RGB), bottom-up (or top-down
+    when height < 0) row order, BGR→RGB, 4-byte row padding stripped →
+    ``(width, height, 3, samples)`` with samples row-major TOP-DOWN
+    RGB — the same output contract as ``decode_png_pixels``, so the
+    pixel-stats operators compose unchanged. Other bit depths /
+    compressions raise ``ValueError`` (quarantine)."""
+    if payload is None or payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    if len(payload) < 54:
+        raise ValueError("BMP: truncated header")
+    (off,) = struct.unpack_from("<I", payload, 10)
+    (hsz,) = struct.unpack_from("<I", payload, 14)
+    if hsz < 40:
+        raise ValueError(f"BMP: unsupported header size {hsz}")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (comp,) = struct.unpack_from("<I", payload, 30)
+    if planes != 1 or bpp != 24 or comp != 0:
+        raise ValueError(
+            f"BMP: unsupported planes/bpp/compression {planes}/{bpp}/{comp}"
+        )
+    topdown = h < 0
+    h = abs(h)
+    if w <= 0 or h <= 0:
+        raise ValueError("BMP: bad dimensions")
+    pad = (-(w * 3)) % 4
+    need = off + (w * 3 + pad) * h
+    if len(payload) < need:
+        raise ValueError("BMP: truncated pixel data")
+    out = bytearray(w * h * 3)
+    for r in range(h):
+        y = r if topdown else h - 1 - r
+        base = off + r * (w * 3 + pad)
+        for x in range(w):
+            b, g, rr = payload[base + x * 3 : base + x * 3 + 3]
+            o = (y * w + x) * 3
+            out[o : o + 3] = bytes((rr, g, b))
+    return (w, h, 3, bytes(out))
+
+
+def synthesize_bmp_images(df: DataFrame, id_col: str) -> DataFrame:
+    """Fixture generator: one REAL 24-bit bottom-up BMP per row with
+    planted per-channel pixels — R = (id+3x+5y)%256, G = (id+7x+y)%256,
+    B = (id+x+11y)%256 over w = id%9+1, h = id%7+1 (odd widths force
+    nonzero row padding). pos_sum is row-order AND channel-order
+    sensitive, so a top-down/bottom-up or BGR/RGB mix-up
+    hash-mismatches while px_sum still agrees."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 9 + 1, i % 7 + 1
+                px = bytearray()
+                for y in range(h):
+                    for x in range(w):
+                        px += bytes((
+                            (i + 3 * x + 5 * y) % 256,
+                            (i + 7 * x + y) % 256,
+                            (i + x + 11 * y) % 256,
+                        ))
+                payloads.append(encode_bmp(w, h, bytes(px)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return src.mapInPandas(run, schema=IMAGE_SCHEMA)

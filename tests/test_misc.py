@@ -3450,3 +3450,37 @@ def test_item_cf_topk_reference(spark):
     assert got[("x", 2)].rec == "z"
     # symmetric direction exists
     assert got[("y", 1)].rec == "x"
+
+
+def test_bmp_decode_roundtrip_and_quarantine(spark):
+    import pytest
+    import struct as _s
+
+    from from_superset_to_clickhouse_spark.operators import (
+        multimodal as mm,
+    )
+
+    # odd width -> nonzero padding; interesting content
+    px = bytes((i * 37) % 256 for i in range(5 * 3 * 3))
+    p = mm.encode_bmp(5, 3, px)
+    w, h, ch, out = mm.decode_bmp_pixels(p)
+    assert (w, h, ch) == (5, 3, 3) and out == px
+    # top-down variant (negative height) decodes identically
+    neg = bytearray(p)
+    (hh,) = _s.unpack_from("<i", p, 22)
+    _s.pack_into("<i", neg, 22, -hh)
+    # flip the row order in the pixel data to keep content equal
+    off = 54
+    stride = 5 * 3 + ((-(5 * 3)) % 4)
+    rows = [bytes(p[off + r * stride: off + (r + 1) * stride])
+            for r in range(3)]
+    neg = bytes(neg[:off]) + b"".join(reversed(rows))
+    w2, h2, ch2, out2 = mm.decode_bmp_pixels(neg)
+    assert out2 == px
+    # 8-bit and compressed files quarantine
+    bad = bytearray(p)
+    _s.pack_into("<H", bad, 28, 8)
+    with pytest.raises(ValueError, match="unsupported"):
+        mm.decode_bmp_pixels(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_bmp_pixels(p[:40])
