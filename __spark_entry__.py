@@ -12913,6 +12913,71 @@ FROM v GROUP BY doc_id
 """
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-sessionization (built-in session_window + state
+    merge) run to completion over the events fixture as one
+    micro-batch (single-file source; COMPLETE mode re-emits the full
+    table, the final batch is the answer — session windows support
+    append/complete only); the oracle is the batch gaps-and-islands
+    twin. Cross-batch session merging is proven separately in pytest
+    with a checkpoint restart on a bridging file."""
+    import tempfile as _tf
+
+    from from_superset_to_clickhouse_spark.streaming.ingest import (
+        session_counts,
+        stream_source,
+    )
+
+    src = _tf.mkdtemp(prefix="sg_sess_") + "/src"
+    batch = _ev(spark, sf_dir).select("user_id", "ts")
+    batch.coalesce(1).write.parquet(src)
+    stream = stream_source(spark, src, batch.schema)
+    holder: dict = {"rows": []}
+
+    def sink(bdf, bid):
+        # COMPLETE mode: each batch re-emits the full session table,
+        # so the final batch IS the answer (bounded: one row/session)
+        holder["rows"] = bdf.collect()
+
+    ckpt = tempfile.mkdtemp(prefix="sg_ckpt_")
+    q = (
+        session_counts(stream, gap="30 minutes")
+        .writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        [(r.user_id, r.session_start, r.session_end, r.n_events)
+         for r in holder["rows"]],
+        "user_id long, session_start timestamp,"
+        " session_end timestamp, n_events long",
+    )
+
+
+_STREAM_SESSIONS_SQL = """
+WITH d AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+      AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), g AS (
+  SELECT user_id, ts,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id, min(ts) AS session_start,
+  max(ts) + INTERVAL 30 MINUTE AS session_end,
+  count(*) AS n_events
+FROM g GROUP BY user_id, sid
+"""
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -12991,6 +13056,7 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "item_cf": q_item_cf,
     "kmv_set_ops": q_kmv_set_ops,
     "bmp_pixels": q_bmp_pixels,
+    "stream_sessions": q_stream_sessions,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -13050,6 +13116,7 @@ _R9_ORACLES: dict[str, str] = {
     "item_cf": _ITEM_CF_SQL,
     "kmv_set_ops": _KMV_SET_OPS_SQL,
     "bmp_pixels": _BMP_PIXELS_SQL,
+    "stream_sessions": _STREAM_SESSIONS_SQL,
     "theil_sen": """
 -- Same pair construction and exact middle-row medians: daily means,
 -- all-pairs slopes, median slope then median residual intercept.

@@ -505,3 +505,39 @@ def stream_cdc_apply(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def session_counts(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming gap-sessionization via the BUILT-IN ``session_window``
+    aggregation → (user, session_start, session_end, n_events): the
+    state store merges sessions across micro-batches (an event landing
+    inside an open session's gap extends it, two sessions bridged by a
+    late event coalesce), and the event-time watermark bounds state —
+    sessions idle past the watermark finalize and evict. This is the
+    exact streaming twin of the batch ``session_window`` entry; pytest
+    proves the cross-batch merge by restarting the query on a second
+    file that bridges two previously-separate sessions.
+
+    Emit in UPDATE mode (sessions re-emit as they grow); at 100 TB the
+    state is one (start, end, count) triple per OPEN session per key —
+    the watermark is the knob that keeps it bounded."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("_s"),
+            F.col(user_col),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("_s.start").alias("session_start"),
+            F.col("_s.end").alias("session_end"),
+            "n_events",
+        )
+    )

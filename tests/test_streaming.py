@@ -513,3 +513,61 @@ def test_stream_cdc_apply_restart_resumes_at_committed_batch(spark, tmp_path):
         want[i] = (float(i) * 10, 2)
     del want[3], want[4]
     assert got == want
+
+
+def test_stream_sessions_merge_across_batches(spark, tmp_path):
+    """A second micro-batch whose event bridges the gap between two
+    existing sessions must MERGE them in the state store: one session
+    (start of A, end of B, summed count) replaces both."""
+    import datetime
+
+    from from_superset_to_clickhouse_spark.streaming.ingest import (
+        session_counts,
+        stream_source,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp"
+
+    # batch 1: two sessions 40 min apart (gap 30 min keeps them split)
+    b1 = spark.createDataFrame(
+        [(1, t0), (1, t0 + datetime.timedelta(minutes=5)),
+         (1, t0 + datetime.timedelta(minutes=45))],
+        schema,
+    )
+    b1.coalesce(1).write.parquet(src)
+    holder = {}
+
+    def run():
+        stream = stream_source(spark, src, b1.schema)
+        q = (
+            session_counts(stream, gap="30 minutes")
+            .writeStream.foreachBatch(
+                lambda bdf, bid: holder.__setitem__("rows", bdf.collect())
+            )
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    first = {(r.user_id, r.session_start): r for r in holder["rows"]}
+    assert len(first) == 2  # split sessions before the bridge
+
+    # batch 2 (restart on the same checkpoint): an event at +25 min
+    # sits within 30 min of BOTH sessions -> they must coalesce
+    b2 = spark.createDataFrame(
+        [(1, t0 + datetime.timedelta(minutes=25))], schema
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+    run()
+    rows = holder["rows"]
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.session_start == t0
+    assert r.session_end == t0 + datetime.timedelta(minutes=75)
+    assert r.n_events == 4
