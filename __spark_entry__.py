@@ -12978,6 +12978,48 @@ FROM g GROUP BY user_id, sid
 """
 
 
+def q_u_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (40/20/40 position-based) multi-touch attribution of
+    purchases to view/click/signup touches — the middle ground
+    between the first/last extremes of the attribution entry."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        u_shaped_attribution,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return u_shaped_attribution(
+        ev, "user_id", "ts", "event_type",
+        ["view", "click", "signup"], "purchase",
+        tiebreak_col="event_id",
+    )
+
+
+_U_ATTRIBUTION_SQL = """
+WITH t AS (
+  SELECT user_id AS u, ts, event_id, event_type AS tt,
+    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      AS cafter
+  FROM events
+), touches AS (
+  SELECT u, ts, event_id, tt, cafter FROM t
+  WHERE tt IN ('view', 'click', 'signup') AND cafter >= 1
+), ranked AS (
+  SELECT tt,
+    row_number() OVER (PARTITION BY u, cafter
+      ORDER BY ts, event_id) AS r,
+    count(*) OVER (PARTITION BY u, cafter) AS n
+  FROM touches
+)
+SELECT tt AS touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+  round(sum(CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5
+    WHEN r = 1 OR r = n THEN 0.4
+    ELSE 0.2 / (CAST(n AS DOUBLE) - 2.0) END), 6) AS credit
+FROM ranked GROUP BY tt
+"""
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -13057,6 +13099,7 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_set_ops": q_kmv_set_ops,
     "bmp_pixels": q_bmp_pixels,
     "stream_sessions": q_stream_sessions,
+    "u_attribution": q_u_attribution,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -13117,6 +13160,7 @@ _R9_ORACLES: dict[str, str] = {
     "kmv_set_ops": _KMV_SET_OPS_SQL,
     "bmp_pixels": _BMP_PIXELS_SQL,
     "stream_sessions": _STREAM_SESSIONS_SQL,
+    "u_attribution": _U_ATTRIBUTION_SQL,
     "theil_sen": """
 -- Same pair construction and exact middle-row medians: daily means,
 -- all-pairs slopes, median slope then median residual intercept.

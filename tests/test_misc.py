@@ -3484,3 +3484,43 @@ def test_bmp_decode_roundtrip_and_quarantine(spark):
         mm.decode_bmp_pixels(bytes(bad))
     with pytest.raises(ValueError, match="truncated"):
         mm.decode_bmp_pixels(p[:40])
+
+
+def test_u_shaped_attribution_reference(spark):
+    import datetime
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        u_shaped_attribution,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def row(u, m, t):
+        return (u, t0 + datetime.timedelta(minutes=m), m, t)
+
+    rows = [
+        # u1 journey: view, click, view, signup -> purchase
+        # opener view 0.4; closer signup 0.4; middles click+view 0.1 ea
+        row(1, 0, "view"), row(1, 1, "click"), row(1, 2, "view"),
+        row(1, 3, "signup"), row(1, 4, "purchase"),
+        # u2: single click -> purchase: click takes 1.0
+        row(2, 0, "click"), row(2, 1, "purchase"),
+        # u2 second journey: two views -> purchase: 0.5 each
+        row(2, 2, "view"), row(2, 3, "view"), row(2, 4, "purchase"),
+        # u3: touches with no conversion -> no credit
+        row(3, 0, "view"), row(3, 1, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_id int, event_type string"
+    )
+    got = {r.touch_type: r for r in u_shaped_attribution(
+        df, "user_id", "ts", "event_type",
+        ["view", "click", "signup"], "purchase",
+        tiebreak_col="event_id",
+    ).collect()}
+    assert abs(got["view"].credit - (0.4 + 0.1 + 0.5 + 0.5)) < 1e-9
+    assert abs(got["click"].credit - (0.1 + 1.0)) < 1e-9
+    assert abs(got["signup"].credit - 0.4) < 1e-9
+    assert got["view"].n_touches == 4  # u3's untouched views excluded
+    # total credit equals the number of touched conversions
+    assert abs(sum(r.credit for r in got.values()) - 3.0) < 1e-9
