@@ -13020,6 +13020,118 @@ FROM ranked GROUP BY tt
 """
 
 
+def q_circadian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular time-of-day statistics per event type: mean resultant
+    length (clock concentration) and the circular peak hour — the
+    directional-statistics answer to 'when does this happen'."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        circadian_stats,
+    )
+
+    return circadian_stats(_ev(spark, sf_dir), "event_type", "ts") \
+        .withColumnRenamed("key", "event_type")
+
+
+_CIRCADIAN_SQL = """
+WITH a AS (
+  SELECT event_type AS key,
+    2.0 * pi() * CAST(epoch_us(ts) % 86400000000 AS DOUBLE)
+      / 86400000000.0 AS th
+  FROM events
+), g AS (
+  SELECT key, count(*) AS n, sum(cos(th)) AS c, sum(sin(th)) AS s
+  FROM a GROUP BY key
+)
+SELECT key AS event_type, CAST(n AS BIGINT) AS n,
+  round(sqrt(c * c + s * s) / n, 6) AS resultant_r,
+  round(((atan2(s, c) / (2.0 * pi()) * 24.0) % 24.0 + 24.0) % 24.0, 4)
+    AS peak_hour
+FROM g
+"""
+
+
+def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank test on customer order lifetimes: BUILDING
+    segment vs the rest, same 60-day censoring as kaplan_meier;
+    O/E/V from exact integer risk sets, A&S-erf p-value."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        logrank_test,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"])
+    return logrank_test(
+        j,
+        "o_custkey",
+        "o_orderdate",
+        (F.col("c_mktsegment") == "BUILDING").cast("int"),
+        censor_horizon_days=60,
+    )
+
+
+_LOGRANK_SQL = """
+WITH life0 AS (
+  SELECT o.o_custkey AS s,
+    CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g,
+    CAST(min(o_orderdate) AS DATE) AS f,
+    CAST(max(o_orderdate) AS DATE) AS l
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), mx AS (SELECT max(l) AS m FROM life0),
+life AS (
+  SELECT g, date_diff('day', f, l) AS t,
+    CASE WHEN date_diff('day', l, m) > 60 THEN 1 ELSE 0 END AS dead
+  FROM life0 CROSS JOIN mx
+), pt AS (
+  SELECT t,
+    sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS a1,
+    sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS a0,
+    sum(CASE WHEN g = 1 AND dead = 1 THEN 1 ELSE 0 END) AS d1,
+    sum(CASE WHEN g = 0 AND dead = 1 THEN 1 ELSE 0 END) AS d0
+  FROM life GROUP BY t
+), risk0 AS (
+  SELECT t, d1, d0,
+    sum(a1) OVER (ORDER BY t
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n1,
+    sum(a0) OVER (ORDER BY t
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n0
+  FROM pt
+), risk AS (SELECT * FROM risk0 WHERE d1 + d0 > 0),
+tot AS (
+  SELECT sum(d1) AS o1,
+    sum(CAST(d1 + d0 AS DOUBLE) * n1 / (n1 + n0)) AS e1,
+    sum(CASE WHEN n1 + n0 > 1
+      THEN CAST(d1 + d0 AS DOUBLE) * (CAST(n1 AS DOUBLE) / (n1 + n0))
+        * (1.0 - CAST(n1 AS DOUBLE) / (n1 + n0))
+        * ((n1 + n0) - (d1 + d0)) / ((n1 + n0) - 1.0)
+      ELSE 0.0 END) AS v
+  FROM risk
+), counts AS (
+  SELECT sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS n1,
+    sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS n2
+  FROM life
+), zz AS (
+  SELECT n1, n2, o1, e1, v,
+    CASE WHEN v > 0
+      THEN (CAST(o1 AS DOUBLE) - e1) / sqrt(v) END AS zv
+  FROM counts CROSS JOIN tot
+), et AS (
+  SELECT *, abs(zv) / sqrt(2.0) AS x,
+    1.0 / (1.0 + 0.3275911 * (abs(zv) / sqrt(2.0))) AS t
+  FROM zz
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+  CAST(o1 AS BIGINT) AS o1, round(e1, 6) AS e1, round(v, 6) AS var1,
+  round(zv, 6) AS z,
+  round(2.0 * ((1.0 - (1.0 - (0.254829592 * t - 0.284496736 * t * t
+    + 1.421413741 * t * t * t - 1.453152027 * t * t * t * t
+    + 1.061405429 * t * t * t * t * t) * exp(-(x * x))) ) / 2.0), 6)
+    AS p_value
+FROM et
+"""
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -13100,6 +13212,8 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bmp_pixels": q_bmp_pixels,
     "stream_sessions": q_stream_sessions,
     "u_attribution": q_u_attribution,
+    "circadian": q_circadian,
+    "logrank": q_logrank,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -13161,6 +13275,8 @@ _R9_ORACLES: dict[str, str] = {
     "bmp_pixels": _BMP_PIXELS_SQL,
     "stream_sessions": _STREAM_SESSIONS_SQL,
     "u_attribution": _U_ATTRIBUTION_SQL,
+    "circadian": _CIRCADIAN_SQL,
+    "logrank": _LOGRANK_SQL,
     "theil_sen": """
 -- Same pair construction and exact middle-row medians: daily means,
 -- all-pairs slopes, median slope then median residual intercept.

@@ -100,3 +100,65 @@ def test_proportions_test_reference(spark):
         (1.959964 + 0.841621) ** 2 * (pc * 0.9 + pt * 0.85) / 0.05**2
     )
     assert r.min_n_per_arm == want_n
+
+
+def test_circadian_stats_reference(spark):
+    import math
+
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        circadian_stats,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # 'sharp': all events at exactly 09:00 -> R = 1, peak 9.0
+    for d in range(5):
+        rows.append(("sharp", t0 + datetime.timedelta(days=d, hours=9)))
+    # 'wrap': events at 23:00 and 01:00 -> circular mean = midnight
+    for d in range(5):
+        rows.append(("wrap", t0 + datetime.timedelta(days=d, hours=23)))
+        rows.append(("wrap", t0 + datetime.timedelta(days=d, hours=1)))
+    # 'flat': every 6 hours -> perfectly uniform, R = 0
+    for d in range(3):
+        for h in (0, 6, 12, 18):
+            rows.append(("flat", t0 + datetime.timedelta(days=d, hours=h)))
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    got = {r.key: r for r in circadian_stats(df, "g", "ts").collect()}
+    assert got["sharp"].resultant_r == 1.0
+    assert abs(got["sharp"].peak_hour - 9.0) < 1e-3
+    assert got["wrap"].peak_hour < 0.001 or got["wrap"].peak_hour > 23.999
+    assert abs(got["wrap"].resultant_r - math.cos(math.pi / 12)) < 1e-6
+    assert got["flat"].resultant_r < 1e-9
+
+
+def test_logrank_detects_divergent_hazard(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        logrank_test,
+    )
+
+    d0 = dt.date(2024, 1, 1)
+    rows = []
+    # group 0: lifetimes 100 days; group 1: lifetimes 10 days — all
+    # well before the horizon so every subject is an event
+    for s in range(30):
+        rows.append((s, 0, d0))
+        rows.append((s, 0, d0 + dt.timedelta(days=100)))
+    for s in range(30, 60):
+        rows.append((s, 1, d0))
+        rows.append((s, 1, d0 + dt.timedelta(days=10)))
+    # anchor subject active at the very end (censored) so the horizon
+    # is measured against a late corpus max
+    rows.append((99, 0, d0 + dt.timedelta(days=300)))
+    df = spark.createDataFrame(rows, "s int, g int, dt date")
+    r = logrank_test(
+        df, "s", "dt", F.col("g"), censor_horizon_days=60
+    ).collect()[0]
+    assert r.n1 == 30 and r.n2 == 31
+    assert r.o1 == 30  # all of group 1 churned
+    # group 1 dies far earlier than chance -> huge positive z
+    assert r.z > 3
+    assert r.p_value < 0.01
