@@ -13132,6 +13132,50 @@ FROM et
 """
 
 
+def q_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse sequenceCount parity: greedy non-overlapping
+    view-then-purchase matches per user via one codegen fold over
+    the ordered per-user event codes."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        sequence_count,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return sequence_count(
+        ev, "user_id", "ts", "event_type", "view", "purchase",
+        tiebreak_col="event_id",
+    ).withColumnRenamed("user", "user_id")
+
+
+_SEQUENCE_COUNT_SQL = """
+-- Same greedy automaton: (cnt, open-slot) accumulator prepended to
+-- the per-user ordered code list, folded left-to-right.
+WITH codes AS (
+  SELECT user_id,
+    list_transform(
+      list(CASE WHEN event_type = 'view' THEN 1
+                WHEN event_type = 'purchase' THEN 2
+                ELSE 0 END ORDER BY ts, event_id),
+      x -> [x]) AS cs
+  FROM events GROUP BY user_id
+), f AS (
+  SELECT user_id, len(cs) AS n_events,
+    list_reduce(
+      [[0, 0]] || cs,
+      (acc, e) -> list_value(
+        acc[1] + CASE WHEN acc[2] = 1 AND e[1] = 2 THEN 1 ELSE 0 END,
+        CASE WHEN acc[2] = 0 AND e[1] = 1 THEN 1
+             WHEN acc[2] = 1 AND e[1] = 2 THEN 0
+             ELSE acc[2] END)
+    ) AS st
+  FROM codes
+)
+SELECT user_id, CAST(n_events AS INTEGER) AS n_events,
+  CAST(st[1] AS INTEGER) AS seq_count
+FROM f
+"""
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -13214,6 +13258,7 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "u_attribution": q_u_attribution,
     "circadian": q_circadian,
     "logrank": q_logrank,
+    "sequence_count": q_sequence_count,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -13277,6 +13322,7 @@ _R9_ORACLES: dict[str, str] = {
     "u_attribution": _U_ATTRIBUTION_SQL,
     "circadian": _CIRCADIAN_SQL,
     "logrank": _LOGRANK_SQL,
+    "sequence_count": _SEQUENCE_COUNT_SQL,
     "theil_sen": """
 -- Same pair construction and exact middle-row medians: daily means,
 -- all-pairs slopes, median slope then median residual intercept.

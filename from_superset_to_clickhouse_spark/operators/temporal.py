@@ -2325,3 +2325,68 @@ def u_shaped_attribution(
             F.round(F.sum(credit), 6).alias("credit"),
         )
     )
+
+
+def sequence_count(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    first_type: str,
+    then_type: str,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """ClickHouse ``sequenceCount('(?1).*(?2)')`` parity per key →
+    (user, n_events, seq_count): GREEDY NON-OVERLAPPING matches of
+    "a ``first_type`` eventually followed by a ``then_type``" over
+    the time-ordered event stream (each event participates in at most
+    one match — the scan holds one open match slot, exactly CH's
+    automaton). The counting cousin of the boolean ``sequence_match``.
+
+    The scan is inherently sequential per key, so it runs as ONE
+    codegen higher-order fold over the bounded per-key event-code
+    list (the same shape as holt_winters); the accumulator is
+    (count, open-slot) and the oracle replays it with a prepended
+    list accumulator."""
+    order = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    code = (
+        F.when(F.col(type_col) == first_type, 1)
+        .when(F.col(type_col) == then_type, 2)
+        .otherwise(0)
+    )
+    series = (
+        df.select(
+            F.col(user_col).alias("user"),
+            order.alias("_o"),
+            code.alias("_c"),
+        )
+        .groupBy("user")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_o", "_c"))),
+                lambda s: s["_c"],
+            ).alias("_cs")
+        )
+    )
+    init = F.named_struct(
+        F.lit("cnt"), F.lit(0), F.lit("st"), F.lit(0)
+    )
+
+    def step(acc, e):
+        hit = (acc["st"] == 1) & (e == 2)
+        opened = (acc["st"] == 0) & (e == 1)
+        return F.named_struct(
+            F.lit("cnt"),
+            acc["cnt"] + F.when(hit, 1).otherwise(0),
+            F.lit("st"),
+            F.when(opened, 1).when(hit, 0).otherwise(acc["st"]),
+        )
+
+    folded = series.select(
+        "user",
+        F.size("_cs").alias("n_events"),
+        F.aggregate(F.col("_cs"), init, step).alias("_st"),
+    )
+    return folded.select(
+        "user", "n_events", F.col("_st.cnt").alias("seq_count")
+    )

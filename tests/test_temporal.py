@@ -1217,3 +1217,39 @@ def test_holt_winters_tracks_trend_plus_season(spark):
     assert abs(r.forecast - nxt) < 5.0
     # beta=0.25 from b0=0 converges slowly; 84 steps gets close
     assert abs(r.trend - 2.0) < 0.5
+
+
+def test_sequence_count_greedy_non_overlapping(spark):
+    import datetime
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        sequence_count,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def row(u, m, t):
+        return (u, t0 + datetime.timedelta(minutes=m), m, t)
+
+    rows = [
+        # u1: V V P P -> greedy: first V matches first P -> 1 match,
+        # second V opened BEFORE first P? scan: V(open) V(ignored)
+        # P(close,1) P(no open) -> 1
+        row(1, 0, "view"), row(1, 1, "view"),
+        row(1, 2, "purchase"), row(1, 3, "purchase"),
+        # u2: V P V P -> 2 disjoint matches
+        row(2, 0, "view"), row(2, 1, "purchase"),
+        row(2, 2, "view"), row(2, 3, "purchase"),
+        # u3: P V -> purchase before any view -> 0
+        row(3, 0, "purchase"), row(3, 1, "view"),
+        # u4: noise between: V click P -> 1 (gaps allowed)
+        row(4, 0, "view"), row(4, 1, "click"), row(4, 2, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_id int, event_type string"
+    )
+    got = {r.user: r.seq_count for r in sequence_count(
+        df, "user_id", "ts", "event_type", "view", "purchase",
+        tiebreak_col="event_id",
+    ).collect()}
+    assert got == {1: 1, 2: 2, 3: 0, 4: 1}
