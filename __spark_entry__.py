@@ -13176,6 +13176,86 @@ FROM f
 """
 
 
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV accumulation triangle over weekly first-activity
+    cohorts: grid-exact revenue per (cohort, age), running totals and
+    per-user cumulative LTV — the revenue companion of
+    cohort_retention."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        cohort_ltv,
+    )
+
+    return cohort_ltv(_ev(spark, sf_dir), "user_id", "ts", "value")
+
+
+_COHORT_LTV_SQL = """
+WITH src AS (
+  SELECT user_id AS u, date_trunc('week', ts) AS b,
+    CAST(floor(CAST(value AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
+  FROM events
+), fst AS (SELECT u, min(b) AS cohort FROM src GROUP BY u),
+cs AS (
+  SELECT cohort, count(DISTINCT u) AS n_users FROM fst GROUP BY cohort
+), tri AS (
+  SELECT cohort,
+    CAST(date_diff('day', CAST(cohort AS DATE), CAST(b AS DATE))
+      / 7.0 AS INTEGER) AS age,
+    CAST(sum(qv) AS BIGINT) AS qr
+  FROM src JOIN fst USING (u) GROUP BY 1, 2
+), o AS (
+  SELECT tri.cohort, age, n_users, qr,
+    CAST(sum(qr) OVER (PARTITION BY tri.cohort ORDER BY age
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM tri JOIN cs ON tri.cohort = cs.cohort
+)
+SELECT cohort AS cohort_ts, age, CAST(n_users AS BIGINT) AS n_users,
+  round(CAST(qr AS DOUBLE) / 1048576.0, 6) AS revenue,
+  round(CAST(cum AS DOUBLE) / 1048576.0, 6) AS cum_revenue,
+  round(CAST(cum AS DOUBLE) / 1048576.0
+    / CAST(n_users AS DOUBLE), 6) AS cum_ltv
+FROM o
+"""
+
+
+def q_data_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness panel per user: expected vs present daily
+    buckets over each user's own activity span and the longest run of
+    silent days — users average ~6 events over the month, so the gap
+    statistics are non-trivial."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        data_gaps,
+    )
+
+    return data_gaps(_ev(spark, sf_dir), "user_id", "ts") \
+        .withColumnRenamed("key", "user_id")
+
+
+_DATA_GAPS_SQL = """
+WITH b AS (
+  SELECT user_id AS key, date_trunc('day', ts) AS bt, count(*) AS n
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT key, bt,
+    date_diff('day', CAST(lag(bt) OVER w AS DATE), CAST(bt AS DATE))
+      - 1 AS gap
+  FROM b WINDOW w AS (PARTITION BY key ORDER BY bt)
+), a AS (
+  SELECT key, min(bt) AS first_ts, max(bt) AS last_ts,
+    count(*) AS present,
+    max(coalesce(gap, 0)) AS longest_gap
+  FROM g GROUP BY key
+)
+SELECT key AS user_id, first_ts, last_ts,
+  CAST(date_diff('day', CAST(first_ts AS DATE), CAST(last_ts AS DATE))
+    + 1 AS BIGINT) AS expected,
+  CAST(present AS BIGINT) AS present,
+  CAST(date_diff('day', CAST(first_ts AS DATE), CAST(last_ts AS DATE))
+    + 1 - present AS BIGINT) AS missing,
+  CAST(longest_gap AS BIGINT) AS longest_gap
+FROM a
+"""
+
+
 _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
@@ -13259,6 +13339,8 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "circadian": q_circadian,
     "logrank": q_logrank,
     "sequence_count": q_sequence_count,
+    "cohort_ltv": q_cohort_ltv,
+    "data_gaps": q_data_gaps,
 }
 
 _R9_ORACLES: dict[str, str] = {
@@ -13323,6 +13405,8 @@ _R9_ORACLES: dict[str, str] = {
     "circadian": _CIRCADIAN_SQL,
     "logrank": _LOGRANK_SQL,
     "sequence_count": _SEQUENCE_COUNT_SQL,
+    "cohort_ltv": _COHORT_LTV_SQL,
+    "data_gaps": _DATA_GAPS_SQL,
     "theil_sen": """
 -- Same pair construction and exact middle-row medians: daily means,
 -- all-pairs slopes, median slope then median residual intercept.

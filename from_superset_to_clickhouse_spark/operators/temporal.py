@@ -2390,3 +2390,100 @@ def sequence_count(
     return folded.select(
         "user", "n_events", F.col("_st.cnt").alias("seq_count")
     )
+
+
+def cohort_ltv(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "week",
+) -> DataFrame:
+    """Cohort lifetime-value accumulation → (cohort_ts, age, n_users,
+    revenue, cum_revenue, cum_ltv): users cohorted by first-activity
+    bucket, revenue rolled up per (cohort, age-in-buckets) on the
+    exact 2^-20 grid, then the running total and the per-user
+    cumulative LTV the growth model actually plots. The revenue
+    triangle companion of ``cohort_retention``.
+
+    Two shuffles (first-activity per user, cohort×age rollup) + one
+    ordered window over the triangle (cohorts × ages rows). Exact
+    integer arithmetic until the final per-user division."""
+    fxp = float(1 << 20)
+    src = df.select(
+        F.col(user_col).alias("_u"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("_b"),
+        F.floor(F.col(value_col).cast("double") * fxp).alias("_qv"),
+    )
+    first = src.groupBy("_u").agg(F.min("_b").alias("_cohort"))
+    j = src.join(first, "_u")
+    age = (
+        F.datediff(F.col("_b"), F.col("_cohort"))
+        / (7 if bucket == "week" else 1)
+    ).cast("int")
+    cohort_size = first.groupBy("_cohort").agg(
+        F.countDistinct("_u").alias("n_users")
+    )
+    tri = (
+        j.groupBy("_cohort", age.alias("age"))
+        .agg(F.sum("_qv").alias("_qr"))
+    )
+    w = Window.partitionBy("_cohort").orderBy("age")
+    out = (
+        tri.join(cohort_size, "_cohort")
+        .withColumn(
+            "_cum", F.sum("_qr").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+        )
+    )
+    return out.select(
+        F.col("_cohort").alias("cohort_ts"),
+        "age",
+        "n_users",
+        F.round(F.col("_qr") / fxp, 6).alias("revenue"),
+        F.round(F.col("_cum") / fxp, 6).alias("cum_revenue"),
+        F.round(
+            F.col("_cum") / fxp / F.col("n_users").cast("double"), 6
+        ).alias("cum_ltv"),
+    )
+
+
+def data_gaps(
+    df: DataFrame, key_col: str, ts_col: str, bucket: str = "1 day"
+) -> DataFrame:
+    """Data-freshness / completeness panel per key → (key, first_ts,
+    last_ts, expected, present, missing, longest_gap): the expected
+    bucket count from the key's own [first, last] span vs the buckets
+    actually present, and the longest run of consecutive missing
+    buckets (from the ordered present-bucket deltas — no spine
+    generation, no calendar join). The first data-quality dashboard
+    any ingest pipeline grows.
+
+    One bucketing aggregate + one keyed window over the per-key
+    bucket list. Integer day arithmetic throughout."""
+    b = df.groupBy(
+        F.col(key_col).alias("key"),
+        F.date_trunc("day", F.col(ts_col)).alias("_b"),
+    ).agg(F.count("*").alias("_n"))
+    w = Window.partitionBy("key").orderBy("_b")
+    gaps = b.withColumn(
+        "_gap",
+        F.datediff(F.col("_b"), F.lag("_b").over(w)) - 1,
+    )
+    agg = gaps.groupBy("key").agg(
+        F.min("_b").alias("first_ts"),
+        F.max("_b").alias("last_ts"),
+        F.count("*").alias("present"),
+        F.max(F.coalesce(F.col("_gap"), F.lit(0))).alias("longest_gap"),
+    )
+    expected = F.datediff(F.col("last_ts"), F.col("first_ts")) + 1
+    return agg.select(
+        "key",
+        "first_ts",
+        "last_ts",
+        expected.cast("long").alias("expected"),
+        "present",
+        (expected - F.col("present")).cast("long").alias("missing"),
+        F.col("longest_gap").cast("long").alias("longest_gap"),
+    )

@@ -1253,3 +1253,58 @@ def test_sequence_count_greedy_non_overlapping(spark):
         tiebreak_col="event_id",
     ).collect()}
     assert got == {1: 1, 2: 2, 3: 0, 4: 1}
+
+
+def test_cohort_ltv_triangle(spark):
+    import datetime
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        cohort_ltv,
+    )
+
+    # week-aligned Mondays so cohorts/ages are unambiguous
+    w0 = datetime.datetime(2024, 1, 1)  # a Monday
+    rows = [
+        # cohort w0: u1 spends 10 in week 0, 20 in week 1
+        (1, w0, 10.0), (1, w0 + datetime.timedelta(days=8), 20.0),
+        # cohort w0: u2 spends 30 in week 0 only
+        (2, w0 + datetime.timedelta(days=2), 30.0),
+        # cohort w1: u3 spends 40
+        (3, w0 + datetime.timedelta(days=7), 40.0),
+    ]
+    df = spark.createDataFrame(rows, "u int, ts timestamp, v double")
+    got = {(r.cohort_ts.day, r.age): r
+           for r in cohort_ltv(df, "u", "ts", "v").collect()}
+    r00 = got[(1, 0)]
+    assert r00.n_users == 2 and r00.revenue == 40.0
+    assert r00.cum_ltv == 20.0
+    r01 = got[(1, 1)]
+    assert r01.revenue == 20.0 and r01.cum_revenue == 60.0
+    assert r01.cum_ltv == 30.0
+    r10 = got[(8, 0)]
+    assert r10.n_users == 1 and r10.cum_ltv == 40.0
+
+
+def test_data_gaps_longest_run(spark):
+    import datetime
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        data_gaps,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # present days 1,2,6,7,20 -> span 20 days, 5 present, longest gap
+    # = days 8..19 = 12 missing days
+    days = [0, 1, 5, 6, 19]
+    rows = [("u", t0 + datetime.timedelta(days=d)) for d in days]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    r = data_gaps(df, "g", "ts").collect()[0]
+    assert r.expected == 20 and r.present == 5
+    assert r.missing == 15
+    assert r.longest_gap == 12
+    # dense key: no gaps
+    rows2 = [("v", t0 + datetime.timedelta(days=d)) for d in range(4)]
+    r2 = data_gaps(
+        spark.createDataFrame(rows2, "g string, ts timestamp"), "g", "ts"
+    ).collect()[0]
+    assert r2.missing == 0 and r2.longest_gap == 0
