@@ -6686,27 +6686,29 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the correctness driver hard-checks only the FIRST 50
-    # entries of this dict (observed r3–r7). Round-8 window (VERDICT r7
-    # item 1): the 5 late-r7 entries that landed after the r7 driver
-    # window ran and therefore have no driver row yet, then this round's
-    # additions, then green-on-record backfill. After this round every
-    # oracle-bearing entry in the registry has a driver CORRECTNESS row.
+    # entries of this dict (observed r3–r8). Round-9 window (VERDICT r8
+    # item 1): the 84 entries that have never had a driver CORRECTNESS
+    # row — window = first 50 (theil_sen..abc_analysis); the remaining 34
+    # (geohash..data_gaps) sit at positions 51-84 and lead the r10 window,
+    # followed by this round's additions (capped ≤16 per VERDICT item 5 so
+    # 34 + new ≤ 50 fills the r10 window exactly). Everything after that
+    # is green-on-record backfill, re-verified by scripts/check_oracle.py
+    # each round.
     return {
-        # -- r8 rotation: late-r7 entries with no driver row (full oracle;
-        # -- weighted_hh rethresholded to k=5 so it matches on 3 rows) ----
+        # -- r9 rotation: never-driver-checked entries (all pass the
+        # -- independent check_oracle.py run at sf0.001 and sf0.01) -------
+        **_R9_QUERIES,
+        # -- r9 additions queue behind the 34 leftovers for the r10 window
+        **_R10_QUERIES,
+        # -- green-on-record backfill: the r8 window (CORRECTNESS_r08
+        # -- 50/50 green) ---------------------------------------------------
         "cms_counts": q_cms_counts,
         "ewma": q_ewma,
         "seeded_shuffle": q_seeded_shuffle,
         "summing_store": q_summing_store,
         "weighted_hh": q_weighted_hh,
-        # -- splice point for mid-round additions (stays inside window) ----
         **_NEW_ROUND_QUERIES,
-        # -- round-9 candidates: first positions BELOW the 50-slot window
-        # -- (never driver-checked yet; rotate to the top next round) ------
-        **_R9_QUERIES,
-        # -- green-on-record backfill (CORRECTNESS_r07 green); entries ----
-        # -- pushed past position 50 by new additions stay verified by ----
-        # -- scripts/check_oracle.py each round ---------------------------
+        # -- older backfill (green in CORRECTNESS_r03–r07) -----------------
         "dist_rank": q_dist_rank,
         "set_ops_all": q_set_ops_all,
         "corr_agg": q_corr_agg,
@@ -6756,11 +6758,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info": q_mutual_info,
         "stream_ohlc": q_stream_ohlc,
         "merge_upsert": q_merge_upsert,
-        # ==== position 50 boundary (when _NEW_ROUND_QUERIES is empty): ====
-        # ==== everything below is outside the driver window; verified ====
-        # ==== by check_oracle.py + pytest ==================================
-        # rows-only by design (sketch_merge got its driver row in r7):
-        "sketch_merge": q_sketch_merge,
+        # NOTE (VERDICT r8 item 2): the 4 rows-only entries (lsh_topk,
+        # ivf_topk, approx_distinct, sketch_merge) are RETIRED from this
+        # registry — the operators, pytest coverage, and bench recall
+        # measurements all remain; their capabilities are covered by the
+        # fully-oracled entries pq_topk, ivfpq_topk, card_sketch,
+        # kmv_distinct, kmv_set_ops, and quantile_sketch. CORRECTNESS now
+        # carries zero permanent `err` rows.
         "flagship": flagship,
         "projection_lineage": q_projection_lineage,
         "watermark_strict": q_watermark_strict,
@@ -6777,10 +6781,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "join_dims": q_join_dims,
         "window_rank": q_window_rank,
-        # rows-only-by-design entries live here permanently:
-        "lsh_topk": q_lsh_topk,
-        "ivf_topk": q_ivf_topk,
-        "approx_distinct": q_approx_distinct,
         # green on record in earlier rounds:
         "domain_stats": q_domain_stats,
         "tpch_q12": q_tpch_q12,
@@ -9607,6 +9607,7 @@ HAVING count(*) > tot.n / 500.0
         "brute_force_topk": _BRUTE_SQL,
         "embedding_dedup": _EMB_DEDUP_SQL,
         **_R9_ORACLES,
+        **_R10_ORACLES,
     }
 
 
@@ -13341,6 +13342,47 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_count": q_sequence_count,
     "cohort_ltv": q_cohort_ltv,
     "data_gaps": q_data_gaps,
+}
+
+def q_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebP (RFC 9649) header parse — the top-3 crawl image format
+    the header tier used to quarantine (VERDICT r8 item 6): RIFF chunk
+    walk with size validation over spec-valid planted bytes cycling all
+    three bitstream variants (VP8 lossy frame-tag+sync-code 14-bit dims,
+    VP8L packed-u32 lossless header with its alpha bit, VP8X extended
+    canvas with flag byte). VP8X fixtures nest a decoy VP8 chunk with
+    DIFFERENT dims, so reading the wrong chunk hash-mismatches. The
+    oracle enumerates the planted fields arithmetically. Header parse
+    touches only leading bytes — row-count-bounded at 100 TB, zero
+    shuffles."""
+    imgs = mm.synthesize_webp_images(_docs(spark, sf_dir), "doc_id")
+    return mm.webp_metadata(imgs)
+
+
+# Round-9 additions land here. They sit directly behind the 34 _R9_QUERIES
+# leftovers (geohash..data_gaps), so the r10 window (first 50) checks
+# 34 leftovers + up to 16 new entries — hold additions to ≤16 per round
+# (VERDICT r8 item 5) and every entry gets a driver row within 2 rounds.
+_R10_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "webp_meta": q_webp_meta,
+}
+
+_R10_ORACLES: dict[str, str] = {
+    "webp_meta": """
+-- Planted-header enumeration: the parser must recover exactly these
+-- id-arithmetic fields through a real RIFF/VP8/VP8L/VP8X chunk walk
+-- (VP8X rows carry a decoy nested VP8 chunk with different dims).
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+  CASE doc_id % 3 WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l' ELSE 'vp8x' END
+    AS variant,
+  CAST(doc_id % 300 + 1 AS INTEGER) AS width,
+  CAST(doc_id % 200 + 1 AS INTEGER) AS height,
+  CAST(CASE WHEN doc_id % 2 = 0 AND doc_id % 3 <> 0 THEN 1 ELSE 0 END
+    AS INTEGER) AS has_alpha,
+  CAST(CASE WHEN doc_id % 5 = 0 AND doc_id % 3 = 2 THEN 1 ELSE 0 END
+    AS INTEGER) AS has_anim
+FROM documents
+""",
 }
 
 _R9_ORACLES: dict[str, str] = {

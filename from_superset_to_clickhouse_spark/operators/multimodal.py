@@ -2042,6 +2042,9 @@ def _decode_image_header(payload: bytes) -> tuple[str, int, int]:
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", payload[6:10])
         return ("gif", w, h)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        _variant, w, h, _a, _an = decode_webp_header(payload)
+        return ("webp", w, h)
     raise ValueError("unknown image format")
 
 
@@ -4212,6 +4215,223 @@ def exif_metadata(images: DataFrame) -> DataFrame:
             )
 
     return images.mapInPandas(run, schema=EXIF_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# WebP (RFC 9649): RIFF container walk for the three bitstream variants.
+# Top-3 crawl image format — without this the header tier quarantines
+# every WebP byte stream. Header/metadata parse only (dimensions, alpha,
+# animation); pixel decode needs a VP8 entropy decoder and stays behind
+# the declared codec boundary like mp3/ogg.
+
+WEBP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("variant", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("has_alpha", T.IntegerType(), True),
+        T.StructField("has_anim", T.IntegerType(), True),
+    ]
+)
+
+
+def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
+    # RIFF chunks are word-aligned: odd payloads carry one pad byte that
+    # is NOT counted in the declared size.
+    return (
+        fourcc
+        + struct.pack("<I", len(data))
+        + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+
+
+def encode_webp(
+    width: int,
+    height: int,
+    variant: str = "vp8",
+    alpha: bool = False,
+    anim: bool = False,
+    inner_dims: "tuple[int, int] | None" = None,
+) -> bytes:
+    """REAL WebP container assembly (stdlib only) for the header tier:
+
+    - ``vp8``  — lossy key-frame header: 3-byte frame tag (key frame,
+      show_frame), 0x9D012A sync code, 14-bit width/height words.
+    - ``vp8l`` — lossless: 0x2F signature then one little-endian u32
+      packing width-1 (14 bits), height-1 (14 bits), alpha (1), version
+      (3, must be 0).
+    - ``vp8x`` — extended: flag byte (ICC/alpha/EXIF/XMP/anim), 24-bit
+      canvas width-1 / height-1, plus a nested VP8 chunk whose
+      intra-frame dims (``inner_dims``) deliberately DIFFER from the
+      canvas so a parser that reads the wrong chunk is caught.
+
+    The bytes are spec-valid container/headers (a full VP8 entropy
+    payload is out of scope — same boundary as mp3/ogg)."""
+    if not (1 <= width <= 0x3FFF and 1 <= height <= 0x3FFF):
+        raise ValueError("webp dims out of 14-bit range")
+
+    def _vp8_payload(w: int, h: int) -> bytes:
+        # frame tag: bit0 frame_type=0 (key), bits1-3 version=0,
+        # bit4 show_frame=1, bits5+ first-partition size (arbitrary —
+        # header parsers don't validate it without the entropy data).
+        tag = (1 << 4) | (10 << 5)
+        return (
+            struct.pack("<I", tag)[:3]
+            + b"\x9d\x01\x2a"
+            + struct.pack("<HH", w & 0x3FFF, h & 0x3FFF)
+        )
+
+    if variant == "vp8":
+        chunks = _riff_chunk(b"VP8 ", _vp8_payload(width, height))
+    elif variant == "vp8l":
+        bits = (
+            (width - 1)
+            | ((height - 1) << 14)
+            | ((1 if alpha else 0) << 28)
+        )
+        chunks = _riff_chunk(b"VP8L", b"\x2f" + struct.pack("<I", bits))
+    elif variant == "vp8x":
+        flags = (0x10 if alpha else 0) | (0x02 if anim else 0)
+        vp8x = (
+            bytes([flags, 0, 0, 0])
+            + (width - 1).to_bytes(3, "little")
+            + (height - 1).to_bytes(3, "little")
+        )
+        iw, ih = inner_dims or (1, 1)
+        chunks = _riff_chunk(b"VP8X", vp8x) + _riff_chunk(
+            b"VP8 ", _vp8_payload(iw, ih)
+        )
+    else:
+        raise ValueError(f"unknown webp variant {variant!r}")
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+
+
+def decode_webp_header(payload: bytes) -> tuple[str, int, int, int, int]:
+    """REAL WebP header parse → (variant, width, height, has_alpha,
+    has_anim). RIFF size is validated against the byte length (a
+    truncated stream raises — quarantine, never garbage dims); the
+    chunk walk honors word alignment. VP8X canvas governs when present
+    (its flags carry alpha/animation); otherwise the first VP8/VP8L
+    bitstream chunk. Raises ``ValueError`` on anything malformed."""
+    if payload is None or len(payload) < 12:
+        raise ValueError("webp: truncated container")
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("webp: not a RIFF/WEBP container")
+    (riff_sz,) = struct.unpack("<I", payload[4:8])
+    if riff_sz + 8 != len(payload):
+        raise ValueError("webp: RIFF size mismatch")
+    pos = 12
+    try:
+        while pos + 8 <= len(payload):
+            cc = payload[pos : pos + 4]
+            (sz,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            data = payload[pos + 8 : pos + 8 + sz]
+            if len(data) != sz:
+                raise ValueError("webp: truncated chunk")
+            if cc == b"VP8X":
+                if sz != 10:
+                    raise ValueError("webp: bad VP8X size")
+                flags = data[0]
+                w = int.from_bytes(data[4:7], "little") + 1
+                h = int.from_bytes(data[7:10], "little") + 1
+                return (
+                    "vp8x", w, h,
+                    1 if flags & 0x10 else 0,
+                    1 if flags & 0x02 else 0,
+                )
+            if cc == b"VP8 ":
+                if sz < 10 or data[3:6] != b"\x9d\x01\x2a":
+                    raise ValueError("webp: bad VP8 key-frame header")
+                if data[0] & 0x01:
+                    raise ValueError("webp: interframe carries no dims")
+                (w16, h16) = struct.unpack("<HH", data[6:10])
+                return ("vp8", w16 & 0x3FFF, h16 & 0x3FFF, 0, 0)
+            if cc == b"VP8L":
+                if sz < 5 or data[0] != 0x2F:
+                    raise ValueError("webp: bad VP8L signature")
+                (bits,) = struct.unpack("<I", data[1:5])
+                if (bits >> 29) & 0x7:
+                    raise ValueError("webp: unknown VP8L version")
+                return (
+                    "vp8l",
+                    (bits & 0x3FFF) + 1,
+                    ((bits >> 14) & 0x3FFF) + 1,
+                    (bits >> 28) & 1,
+                    0,
+                )
+            pos += 8 + sz + (sz & 1)
+    except struct.error as exc:
+        raise ValueError(f"webp: truncated header: {exc}") from exc
+    raise ValueError("webp: no bitstream chunk")
+
+
+def synthesize_webp_images(df: DataFrame, id_col: str) -> DataFrame:
+    """Fixture generator: one spec-valid WebP per row, variant cycling
+    vp8/vp8l/vp8x by ``id % 3``, canvas ``id % 300 + 1`` ×
+    ``id % 200 + 1``, alpha on even ids (where the variant can carry
+    it), animation on ``id % 5 == 0`` VP8X files; VP8X files nest a
+    decoy VP8 chunk with different dims so canvas precedence is
+    exercised on every third row."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["media_id"]:
+                i = int(i)
+                v = ("vp8", "vp8l", "vp8x")[i % 3]
+                payloads.append(
+                    encode_webp(
+                        width=i % 300 + 1,
+                        height=i % 200 + 1,
+                        variant=v,
+                        alpha=(i % 2 == 0) and v != "vp8",
+                        anim=(i % 5 == 0) and v == "vp8x",
+                        inner_dims=(i % 14 + 1, i % 10 + 1),
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return src.mapInPandas(run, schema=IMAGE_SCHEMA)
+
+
+def webp_metadata(images: DataFrame) -> DataFrame:
+    """WebP header extraction over payload rows → WEBP_SCHEMA;
+    undecodable payloads quarantine as NULL-field rows. Arrow-batched
+    ``mapInPandas``, parse touches only leading bytes — at 100 TB the
+    cost is bounded by row count, not media bytes, and the stage is
+    embarrassingly parallel (no shuffle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                "variant": [], "width": [], "height": [],
+                "has_alpha": [], "has_anim": [],
+            }
+            for p in pdf["payload"]:
+                try:
+                    v, w, h, a, an = decode_webp_header(p)
+                    row = (v, w, h, a, an)
+                except ValueError:
+                    row = (None, None, None, None, None)
+                for k, val in zip(cols, row):
+                    cols[k].append(val)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "variant": cols["variant"],
+                    "width": pd.array(cols["width"], dtype="Int32"),
+                    "height": pd.array(cols["height"], dtype="Int32"),
+                    "has_alpha": pd.array(cols["has_alpha"], dtype="Int32"),
+                    "has_anim": pd.array(cols["has_anim"], dtype="Int32"),
+                }
+            )
+
+    return images.mapInPandas(run, schema=WEBP_SCHEMA)
 
 
 def synthesize_vad_clips(

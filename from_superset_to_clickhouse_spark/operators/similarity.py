@@ -1413,6 +1413,7 @@ def pq_adc_topk(
     topk: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    encoded: bool = False,
 ) -> DataFrame:
     """Asymmetric Distance Computation top-k: the query is NOT
     quantized — a per-query LUT of round(||q_sub − codebook[sub][c]||²,
@@ -1432,7 +1433,14 @@ def pq_adc_topk(
                 for c in books[s]
             ]
         )
-    enc = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+    # ``encoded=True``: corpus already carries code_0..code_{m-1} (the
+    # persisted-index production shape — encode once, ADC-scan codes per
+    # query batch); otherwise encode inline for the one-shot path.
+    enc = (
+        corpus
+        if encoded
+        else pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+    )
     adc = F.element_at(
         F.array(*[F.lit(v) for v in lut[0]]), F.col("code_0") + 1
     )
@@ -1482,6 +1490,7 @@ def ivfpq_train(
     pq_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: "list[list[float]] | None" = None,
 ):
     """IVF-PQ training (the FAISS-style two-level index — Jégou et al.
     2011 §IV): a coarse Lloyd's quantizer shards the corpus into cells,
@@ -1491,9 +1500,16 @@ def ivfpq_train(
     Returns (centroids, codebooks). Both stages reuse the deterministic
     rounded-argmin/first-k-init contract, which is what keeps the whole
     two-level pipeline SQL-replayable."""
-    _, cents = kmeans(
-        corpus, k=ncells, iters=coarse_iters, id_col=id_col, vec_col=vec_col
-    )
+    if centroids is None:
+        _, cents = kmeans(
+            corpus, k=ncells, iters=coarse_iters, id_col=id_col,
+            vec_col=vec_col,
+        )
+    else:
+        # Reuse already-trained coarse centroids (e.g. the persisted
+        # ``train_centroids`` output an IVF deployment already has) —
+        # only the residual PQ codebooks are trained.
+        cents = centroids
     res = _residuals(corpus, cents, id_col, vec_col)
     books = pq_train(
         res, m=m, k=k, iters=pq_iters, id_col=id_col, vec_col="residual"
@@ -1528,6 +1544,7 @@ def ivfpq_topk(
     topk: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: "DataFrame | None" = None,
 ) -> DataFrame:
     """IVF-PQ ADC search: probe the ``nprobe`` coarse cells nearest the
     query (rounded-distance order, lowest-cell ties), build ONE LUT per
@@ -1564,7 +1581,15 @@ def ivfpq_topk(
             ]
             for s in range(m)
         ]
-    idx = ivfpq_index(corpus, cents, books, id_col, vec_col)
+    # ``index``: a pre-built ivfpq_index DataFrame (or its persisted
+    # parquet re-read) — encode once, probe many; when persisted
+    # partitionBy(cell) the isin filter below is the partition-pruning
+    # path, so unprobed shards are never read.
+    idx = (
+        index
+        if index is not None
+        else ivfpq_index(corpus, cents, books, id_col, vec_col)
+    )
     probed = idx.filter(F.col("cell").isin(probes))
     # probe position lookup keeps the LUT a rectangular literal array
     pos = F.lit(None).cast("int")

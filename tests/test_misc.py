@@ -3524,3 +3524,54 @@ def test_u_shaped_attribution_reference(spark):
     assert got["view"].n_touches == 4  # u3's untouched views excluded
     # total credit equals the number of touched conversions
     assert abs(sum(r.credit for r in got.values()) - 3.0) < 1e-9
+
+
+def test_webp_header_roundtrip_all_variants():
+    from from_superset_to_clickhouse_spark.operators import multimodal as mm
+
+    assert mm.decode_webp_header(mm.encode_webp(33, 21, "vp8")) == (
+        "vp8", 33, 21, 0, 0,
+    )
+    # VP8L: 5-byte payload exercises the RIFF odd-size pad byte.
+    assert mm.decode_webp_header(
+        mm.encode_webp(300, 200, "vp8l", alpha=True)
+    ) == ("vp8l", 300, 200, 1, 0)
+    # VP8X: canvas governs, nested decoy VP8 chunk must be ignored.
+    assert mm.decode_webp_header(
+        mm.encode_webp(123, 45, "vp8x", alpha=True, anim=True,
+                       inner_dims=(7, 3))
+    ) == ("vp8x", 123, 45, 1, 1)
+    # the generic header tier recognizes webp now (VERDICT r8 item 6)
+    assert mm.decode_image_header(mm.encode_webp(64, 48, "vp8")) == (
+        "webp", 64, 48,
+    )
+
+
+def test_webp_header_malformed_quarantines():
+    import struct
+
+    import pytest
+
+    from from_superset_to_clickhouse_spark.operators import multimodal as mm
+
+    good = mm.encode_webp(10, 10, "vp8")
+    # RIFF size lies about the byte length -> reject, never garbage dims
+    bad_sz = good[:4] + struct.pack("<I", 999) + good[8:]
+    with pytest.raises(ValueError):
+        mm.decode_webp_header(bad_sz)
+    with pytest.raises(ValueError):
+        mm.decode_webp_header(good[:-3])  # truncated chunk
+    # interframe (frame tag bit0 = 1) carries no dims
+    vp8 = bytearray(good)
+    vp8[20] |= 0x01
+    with pytest.raises(ValueError):
+        mm.decode_webp_header(bytes(vp8))
+    # VP8L with a nonzero version bit field
+    lossless = bytearray(mm.encode_webp(5, 5, "vp8l"))
+    # version bits live at 29-31 of the LE u32; the file's LAST byte is
+    # the odd-size pad, so the u32's high byte is at -2
+    lossless[-2] |= 0x20
+    with pytest.raises(ValueError):
+        mm.decode_webp_header(bytes(lossless))
+    with pytest.raises(ValueError):
+        mm.decode_webp_header(b"RIFX" + good[4:])

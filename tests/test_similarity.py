@@ -613,3 +613,48 @@ def test_pca_top_component_planted_direction(spark):
         assert abs(got[j].loading) < 0.1
     assert got[0].explained > 0.95
     assert got[0].lambda1 > 0.5
+
+
+def test_pq_adc_encoded_fast_path_identical(spark):
+    """``pq_adc_topk(..., encoded=True)`` over a pre-built code table
+    (the encode-once / probe-many production shape the bench's
+    ann_scale PQ tier uses) must return exactly the inline-encode
+    result — the code path only skips re-encoding, never re-ranks."""
+    emb = load_table(spark, SF, "embeddings")
+    books = simi.pq_train(emb, m=4, k=8, iters=1)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    inline = [tuple(r) for r in simi.pq_adc_topk(emb, books, q, topk=10).collect()]
+    codes = simi.pq_encode(emb, books).drop("embedding")
+    pre = [
+        tuple(r)
+        for r in simi.pq_adc_topk(codes, books, q, topk=10, encoded=True).collect()
+    ]
+    assert pre == inline
+
+
+def test_ivfpq_prebuilt_index_and_reused_centroids_identical(spark):
+    """``ivfpq_topk(..., index=prebuilt)`` must serve exactly the fused
+    search's rows, and ``ivfpq_train(centroids=...)`` with the same
+    coarse centroids must reproduce the same codebooks (the
+    reuse-the-IVF-deployment's-centroids path)."""
+    emb = load_table(spark, SF, "embeddings")
+    cents, books = simi.ivfpq_train(
+        emb, ncells=4, coarse_iters=1, m=4, k=8, pq_iters=1
+    )
+    cents2, books2 = simi.ivfpq_train(
+        emb, ncells=4, m=4, k=8, pq_iters=1, centroids=cents
+    )
+    assert cents2 == cents and books2 == books
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 42).first()["embedding"]]
+    fused = [
+        tuple(r)
+        for r in simi.ivfpq_topk(emb, cents, books, q, nprobe=2, topk=10).collect()
+    ]
+    idx = simi.ivfpq_index(emb, cents, books)
+    pre = [
+        tuple(r)
+        for r in simi.ivfpq_topk(
+            emb, cents, books, q, nprobe=2, topk=10, index=idx
+        ).collect()
+    ]
+    assert pre == fused

@@ -87,7 +87,10 @@ def test_token_chunks_partition_and_order(spark):
 def test_approx_distinct_error_bound(spark):
     import __spark_entry__ as entry
 
-    rows = entry.queries()["approx_distinct"](spark, "/root/testdata/sf0.01").collect()
+    # q_approx_distinct was retired from queries() (VERDICT r8 item 2 —
+    # sketch entries with no exact oracle print permanent `err` rows);
+    # the operator keeps its accuracy contract here.
+    rows = entry.q_approx_distinct(spark, "/root/testdata/sf0.01").collect()
     assert rows
     for r in rows:
         err = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
@@ -103,7 +106,7 @@ def test_sketch_merge_matches_single_pass_and_exact(spark):
     from from_superset_to_clickhouse_spark.sources.testdata import load_table
 
     sf = "/root/testdata/sf0.01"
-    row = entry.queries()["sketch_merge"](spark, sf).first()
+    row = entry.q_sketch_merge(spark, sf).first()  # retired from queries()
     ev = load_table(spark, sf, "events")
     single = ev.agg(
         F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("e")
