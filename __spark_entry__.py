@@ -13344,6 +13344,165 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_gaps": q_data_gaps,
 }
 
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two synthetic raters over the events
+    corpus — rater A labels by user_id mod 3, rater B agrees except on
+    a planted 1-in-4 event slice where its label rotates, so P_o ≈ .75
+    against P_e ≈ 1/3 and kappa lands mid-scale. THE agreement
+    statistic for annotator/LLM-judge audits; chance-corrected, unlike
+    raw percent agreement. All ratios of exact integer counts."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        cohens_kappa,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    df = ev.select(
+        (F.col("user_id") % 3).cast("string").alias("ra"),
+        (
+            (
+                F.col("user_id")
+                + F.when(F.col("event_id") % 4 == 0, 1).otherwise(0)
+            )
+            % 3
+        ).cast("string").alias("rb"),
+    )
+    return cohens_kappa(df, "ra", "rb")
+
+
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test comparing two binary 'classifiers' scored
+    on the SAME events: A fires on value > 30; B copies A except
+    planted asymmetric flips (1-in-7 of A's positives drop, 1-in-11 of
+    A's negatives rise), so the discordant cells differ and the
+    continuity-corrected χ² is exercised on a real asymmetry. The
+    standard model-A-vs-B eval on one test set."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        mcnemar_test,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    a = F.when(F.col("value") > 30.0, 1).otherwise(0)
+    b = (
+        F.when((F.col("event_id") % 7 == 0) & (a == 1), 0)
+        .when((F.col("event_id") % 11 == 0) & (a == 0), 1)
+        .otherwise(a)
+    )
+    return mcnemar_test(ev.select(a.alias("ma"), b.alias("mb")), "ma", "mb")
+
+
+def q_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 vocabulary-richness estimate per language over the
+    documents corpus: singleton/doubleton counts of the standard word
+    tokenization → how many types this slice is still missing. The
+    coverage planner's companion to the Heaps exponent; everything
+    after the type-frequency groupBy is ≤ |vocab| rows."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        chao1_richness,
+    )
+    from from_superset_to_clickhouse_spark.operators.text import word_tokens
+
+    toks = _docs(spark, sf_dir).select(
+        "lang", F.explode(word_tokens(F.col("text"))).alias("tok")
+    )
+    return chao1_richness(toks, "tok", "lang")
+
+
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple Good–Turing adjusted counts over the pooled BIGRAM
+    vocabulary (the templated fixture corpus has no rare unigrams, so
+    the sparse bigram types exercise the real histogram): r* =
+    (r+1)·N_{r+1}/N_r for r ≤ 5, and the r = 0 row carrying the unseen
+    mass N₁/N — the LM-smoothing constant that prices n-grams the
+    corpus has never seen."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        good_turing,
+    )
+    from from_superset_to_clickhouse_spark.operators.text import (
+        word_bigrams,
+    )
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(word_bigrams(F.col("text"))).alias("tok")
+    )
+    return good_turing(toks, "tok", max_r=5)
+
+
+def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index of the document-length distribution from the
+    top-31 order statistics: 1/α = mean ln(x_i/x_(k+1)) over the k
+    largest lengths — says whether the length tail is heavy enough
+    that means/p99s are unstable. The only corpus-scale op is an
+    ordered LIMIT (TakeOrdered, no global sort)."""
+    from from_superset_to_clickhouse_spark.operators.stats import hill_tail
+
+    return hill_tail(
+        _docs(spark, sf_dir), "n_chars", k=30, tiebreak_col="doc_id"
+    )
+
+
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality of positive event values with the exact
+    between/within event-type decomposition — the additive inequality
+    split Gini cannot do (is value concentration a between-type or
+    within-type phenomenon?). One corpus pass for Σx·ln x + a tiny
+    group table; the oracle replays the identity T = T_b + T_w."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        theil_index,
+    )
+
+    return theil_index(_ev(spark, sf_dir), "value", "event_type")
+
+
+def q_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test over the complete day × event-type block
+    design: daily per-type value sums on the exact 2^-20 grid become
+    one observation per block×treatment, midranked within each day —
+    the nonparametric repeated-measures ANOVA (do the five types rank
+    consistently across days?). Midranks on the 0.5 grid keep every
+    rank sum exact on both engines."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        friedman_test,
+    )
+
+    cell = (
+        _ev(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            F.dayofmonth("ts").alias("blk"),
+            F.col("event_type").alias("trt"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value").cast("double") * F.lit(1048576.0))
+            ).alias("v")
+        )
+    )
+    return friedman_test(cell, "blk", "trt", "v")
+
+
+def q_perm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the arm-mean difference with DETERMINISTIC
+    md5-derived relabelings: arm = user parity, 200 null draws assign
+    each user to md5(user:k) % 2, p = (1 + #extreme)/(201) — the
+    assumption-free companion to the Welch z-test, replayable
+    bit-for-bit by any engine with md5. Values on the 2^-20 grid so
+    every per-arm mean is an exact IEEE ratio; the ×200 fan-out
+    collapses in a map-side-combinable groupBy(k, arm)."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        permutation_test_hash,
+    )
+
+    ev = _ev(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    df = ev.select(
+        F.col("user_id").alias("unit"),
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.col("value"),
+    )
+    return permutation_test_hash(df, "unit", "arm", "value", n_perm=200)
+
+
 def q_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WebP (RFC 9649) header parse — the top-3 crawl image format
     the header tier used to quarantine (VERDICT r8 item 6): RIFF chunk
@@ -13365,6 +13524,14 @@ def q_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (VERDICT r8 item 5) and every entry gets a driver row within 2 rounds.
 _R10_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "webp_meta": q_webp_meta,
+    "cohens_kappa": q_cohens_kappa,
+    "mcnemar": q_mcnemar,
+    "chao1": q_chao1,
+    "good_turing": q_good_turing,
+    "hill_tail": q_hill_tail,
+    "theil_index": q_theil_index,
+    "friedman": q_friedman,
+    "perm_test": q_perm_test,
 }
 
 _R10_ORACLES: dict[str, str] = {
@@ -13382,6 +13549,228 @@ SELECT CAST(doc_id AS BIGINT) AS media_id,
   CAST(CASE WHEN doc_id % 5 = 0 AND doc_id % 3 = 2 THEN 1 ELSE 0 END
     AS INTEGER) AS has_anim
 FROM documents
+""",
+    "cohens_kappa": """
+-- Same cell/marginal construction; P_e joins the marginal tables on
+-- label (not the observed diagonal), all ratios of exact counts.
+WITH src AS (
+  SELECT CAST(user_id % 3 AS VARCHAR) AS ra,
+    CAST((user_id + CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END) % 3
+      AS VARCHAR) AS rb
+  FROM events WHERE user_id IS NOT NULL
+), cells AS (SELECT ra, rb, count(*) AS c FROM src GROUP BY 1, 2),
+ma AS (SELECT ra AS l, sum(c) AS na FROM cells GROUP BY 1),
+mb AS (SELECT rb AS l, sum(c) AS nb FROM cells GROUP BY 1),
+pe AS (SELECT sum(CAST(na AS DOUBLE) * nb) AS pe_num
+       FROM ma JOIN mb USING (l)),
+d AS (SELECT sum(c) AS nn,
+        sum(CASE WHEN ra = rb THEN c ELSE 0 END) AS diag FROM cells)
+SELECT CAST(nn AS BIGINT) AS n,
+  round(CAST(diag AS DOUBLE) / nn, 6) AS po,
+  round(pe_num / (CAST(nn AS DOUBLE) * nn), 6) AS pe,
+  round((CAST(diag AS DOUBLE) / nn - pe_num / (CAST(nn AS DOUBLE) * nn))
+    / (1.0 - pe_num / (CAST(nn AS DOUBLE) * nn)), 6) AS kappa
+FROM d, pe
+""",
+    "mcnemar": """
+-- Same planted flips, same continuity-corrected chi2 on 1 dof, same
+-- Wilson-Hilferty + A&S-erf p-value arithmetic.
+WITH src AS (
+  SELECT CASE WHEN CAST(value AS DOUBLE) > 30.0 THEN 1 ELSE 0 END AS a,
+    event_id FROM events WHERE value IS NOT NULL
+), pair AS (
+  SELECT a AS ma,
+    CASE WHEN event_id % 7 = 0 AND a = 1 THEN 0
+         WHEN event_id % 11 = 0 AND a = 0 THEN 1
+         ELSE a END AS mb
+  FROM src
+), agg AS (
+  SELECT count(*) AS n,
+    sum(CASE WHEN ma = 1 AND mb = 0 THEN 1 ELSE 0 END) AS n10,
+    sum(CASE WHEN ma = 0 AND mb = 1 THEN 1 ELSE 0 END) AS n01
+  FROM pair
+), c AS (
+  SELECT *, CASE WHEN n10 + n01 > 0 THEN
+      (abs(n10 - n01) - 1.0) * (abs(n10 - n01) - 1.0) / (n10 + n01)
+    ELSE 0.0 END AS chi2 FROM agg
+), zc AS (SELECT *, (pow(chi2 / 1.0, 1.0 / 3.0)
+    - (1.0 - 2.0 / 9.0)) / sqrt(2.0 / 9.0) AS z FROM c),
+et AS (SELECT *, abs(z) / sqrt(2.0) AS xx,
+  1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t FROM zc),
+pv AS (SELECT *, (1.0 - (1.0 - (0.254829592 * t
+  - 0.284496736 * t * t + 1.421413741 * t * t * t
+  - 1.453152027 * t * t * t * t
+  + 1.061405429 * t * t * t * t * t) * exp(-(xx * xx)))) / 2.0
+  AS sf FROM et)
+SELECT CAST(n AS BIGINT) AS n, CAST(n10 AS BIGINT) AS n10,
+  CAST(n01 AS BIGINT) AS n01, round(chi2, 6) AS chi2,
+  round(CASE WHEN z >= 0 THEN sf ELSE 1.0 - sf END, 6) AS p_value
+FROM pv
+""",
+    "chao1": """
+-- Same word tokenization, same type-frequency table, same
+-- bias-corrected f1/f2 estimate.
+WITH toks AS (
+  SELECT lang, unnest(list_filter(regexp_split_to_array(
+    lower(text), '[^a-z0-9'']+'), x -> x <> '')) AS tok
+  FROM documents
+), freq AS (
+  SELECT lang AS grp, tok, count(*) AS c FROM toks GROUP BY 1, 2
+)
+SELECT grp, CAST(sum(c) AS BIGINT) AS n_tokens,
+  CAST(count(*) AS BIGINT) AS observed,
+  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+  round(count(*) + CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+    * (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1.0)
+    / (2.0 * (sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1.0)), 6)
+    AS chao1
+FROM freq GROUP BY grp
+""",
+    "good_turing": """
+-- Same pooled BIGRAM frequency-of-frequencies histogram and
+-- (r+1)N_{r+1}/N_r adjusted counts; the r=0 row carries the unseen
+-- mass N1/N.
+WITH tarr AS (
+  SELECT list_filter(regexp_split_to_array(
+    lower(text), '[^a-z0-9'']+'), x -> x <> '') AS ts
+  FROM documents
+), toks AS (
+  SELECT ts[i] || ' ' || ts[i + 1] AS tok
+  FROM tarr, unnest(range(1, len(ts))) AS t(i)
+), freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+hist AS (SELECT c AS r, count(*) AS n_r FROM freq GROUP BY 1),
+tot AS (SELECT sum(c) AS n FROM freq),
+base AS (
+  SELECT r, n_r FROM hist
+  UNION ALL SELECT 0 AS r, 0 AS n_r
+)
+SELECT CAST(b.r AS BIGINT) AS r, CAST(b.n_r AS BIGINT) AS n_r,
+  round(CASE WHEN b.r = 0 THEN NULL
+    ELSE (b.r + 1.0) * coalesce(nx.n_r, 0) / b.n_r END, 6) AS r_star,
+  round(CASE WHEN b.r = 0 THEN coalesce(nx.n_r, 0) * 1.0 / t.n
+    ELSE b.n_r * ((b.r + 1.0) * coalesce(nx.n_r, 0) / b.n_r) / t.n
+    END, 6) AS p_mass
+FROM base b LEFT JOIN hist nx ON nx.r = b.r + 1 CROSS JOIN tot t
+WHERE b.r <= 5
+""",
+    "hill_tail": """
+-- Same top-31 order statistics (values only -- tie identity cannot
+-- change the multiset), same log-ratio mean.
+WITH top AS (
+  SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+  WHERE n_chars > 0 ORDER BY n_chars DESC, doc_id LIMIT 31
+), xm AS (SELECT min(x) AS xmin FROM top),
+j AS (SELECT x, xmin FROM top, xm WHERE x > xmin)
+SELECT CAST(count(*) AS BIGINT) AS k,
+  round(min(xmin), 6) AS xmin,
+  round(1.0 / avg(ln(x / xmin)), 6) AS alpha,
+  round(1.0 / avg(ln(x / xmin)) / sqrt(count(*)), 6) AS se
+FROM j
+""",
+    "theil_index": """
+-- Same group sums of x and x ln x, same decomposition identity
+-- T = T_between + T_within from the tiny group table.
+WITH src AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS x FROM events
+  WHERE value > 0
+), grp AS (
+  SELECT g, count(*) AS ng, sum(x) AS sg, sum(x * ln(x)) AS xlxg
+  FROM src GROUP BY 1
+), tot AS (
+  SELECT sum(ng) AS n, sum(sg) AS s, sum(xlxg) AS xlx FROM grp
+)
+SELECT CAST(t.n AS BIGINT) AS n,
+  round(t.s / t.n, 6) AS mean,
+  round(t.xlx / t.s - ln(t.s / t.n), 6) AS theil_total,
+  round((SELECT sum((g.sg / t2.s) * ln((g.sg / g.ng) / (t2.s / t2.n)))
+    FROM grp g, tot t2), 6) AS theil_between,
+  round((SELECT sum((g.sg / t2.s) * (g.xlxg / g.sg - ln(g.sg / g.ng)))
+    FROM grp g, tot t2), 6) AS theil_within
+FROM tot t
+""",
+    "friedman": """
+-- Same complete-block filter, same 0.5-grid midranks (rank()-1 below
+-- + (ties+1)/2), same Q and Wilson-Hilferty p on k-1 dof.
+WITH cell AS (
+  SELECT CAST(date_part('day', ts) AS INTEGER) AS blk, event_type AS trt,
+    sum(CAST(floor(CAST(value AS DOUBLE) * 1048576.0) AS BIGINT)) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), kk AS (SELECT count(DISTINCT trt) AS k FROM cell),
+complete AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY blk) AS bn FROM cell
+  ) WHERE bn = (SELECT k FROM kk)
+), ranked AS (
+  SELECT blk, trt,
+    (rank() OVER (PARTITION BY blk ORDER BY v) - 1)
+      + (count(*) OVER (PARTITION BY blk, v) + 1.0) / 2.0 AS r
+  FROM complete
+), rsum AS (
+  SELECT trt, sum(r) AS rj, count(DISTINCT blk) AS nb
+  FROM ranked GROUP BY 1
+), agg AS (
+  SELECT min(nb) AS n, count(*) AS k, sum(rj * rj) AS r2 FROM rsum
+), qq AS (
+  SELECT n, k,
+    12.0 / (n * k * (k + 1.0)) * r2 - 3.0 * n * (k + 1.0) AS q
+  FROM agg
+), zc AS (SELECT *, (pow(q / (k - 1.0), 1.0 / 3.0)
+    - (1.0 - 2.0 / (9.0 * (k - 1.0)))) / sqrt(2.0 / (9.0 * (k - 1.0)))
+    AS z FROM qq),
+et AS (SELECT *, abs(z) / sqrt(2.0) AS xx,
+  1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t FROM zc),
+pv AS (SELECT *, (1.0 - (1.0 - (0.254829592 * t
+  - 0.284496736 * t * t + 1.421413741 * t * t * t
+  - 1.453152027 * t * t * t * t
+  + 1.061405429 * t * t * t * t * t) * exp(-(xx * xx)))) / 2.0
+  AS sf FROM et)
+SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
+  round(q, 6) AS q,
+  round(CASE WHEN z >= 0 THEN sf ELSE 1.0 - sf END, 6) AS p_value
+FROM pv
+""",
+    "perm_test": """
+-- Same md5-derived deterministic relabelings, same 2^-20 grid sums,
+-- same add-one p-value.
+WITH src AS (
+  SELECT CAST(user_id AS VARCHAR) AS u,
+    CAST(user_id % 2 AS INTEGER) AS arm,
+    CAST(floor(CAST(value AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+), obs AS (
+  SELECT count(*) AS n,
+    sum(CASE WHEN arm = 1 THEN qv END) * 1.0
+      / sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+    - sum(CASE WHEN arm = 0 THEN qv END) * 1.0
+      / sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS d_obs
+  FROM src
+), ks AS (SELECT unnest(range(200)) AS k),
+perm AS (
+  SELECT k,
+    CAST(CAST(('0x' || substr(md5(u || ':' || CAST(k AS VARCHAR)), 1, 8))
+      AS BIGINT) % 2 AS INTEGER) AS pa,
+    qv
+  FROM src CROSS JOIN ks
+), per_k AS (
+  SELECT k,
+    sum(CASE WHEN pa = 1 THEN qv END) * 1.0
+      / sum(CASE WHEN pa = 1 THEN 1 ELSE 0 END)
+    - sum(CASE WHEN pa = 0 THEN qv END) * 1.0
+      / sum(CASE WHEN pa = 0 THEN 1 ELSE 0 END) AS d
+  FROM perm GROUP BY 1
+), agg AS (
+  SELECT count(*) AS np,
+    sum(CASE WHEN abs(d) >= abs((SELECT d_obs FROM obs))
+      THEN 1 ELSE 0 END) AS ext
+  FROM per_k
+)
+SELECT CAST((SELECT n FROM obs) AS BIGINT) AS n_units,
+  CAST(np AS BIGINT) AS n_perm,
+  round((SELECT d_obs FROM obs) / 1048576.0, 6) AS diff_obs,
+  CAST(ext AS BIGINT) AS n_extreme,
+  round((ext + 1.0) / (np + 1.0), 6) AS p_value
+FROM agg
 """,
 }
 

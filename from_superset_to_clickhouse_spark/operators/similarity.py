@@ -1456,6 +1456,42 @@ def pq_adc_topk(
     return scored.orderBy("adc", id_col).limit(topk)
 
 
+def exact_rerank(
+    corpus: DataFrame,
+    candidates: DataFrame,
+    query: "list[float]",
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The FAISS-style *refine* stage for compressed-domain search:
+    join a BOUNDED candidate id set (ADC top-R) back to the raw
+    vectors and rank by exact squared L2 to the query literal →
+    (id, dist). PQ/IVF-PQ codes identify the right neighborhood but
+    cannot order within-cluster ties (the quantization cell is wider
+    than the neighbor gaps); re-scoring R ≪ N candidates exactly
+    restores the ordering at R/N of the exact-scan cost. The candidate
+    side broadcasts (R rows), so the join never shuffles the corpus;
+    at 100 TB the raw-vector lookup is the only full-width read and
+    it touches R rows."""
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            qlit,
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    j = F.broadcast(candidates.select(id_col)).join(corpus, id_col)
+    return (
+        j.select(F.col(id_col), F.round(d2, 6).alias("dist"))
+        .orderBy("dist", id_col)
+        .limit(topk)
+    )
+
+
 def _residuals(
     corpus: DataFrame,
     cents: "list[list[float]]",

@@ -2257,3 +2257,409 @@ def logrank_test(
         F.round(z, 6).alias("z"),
         F.round(F.lit(2.0) * normal_sf(F.abs(z)), 6).alias("p_value"),
     )
+
+
+def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Inter-rater agreement (Cohen 1960) between two label columns →
+    single row (n, po, pe, kappa): observed agreement P_o vs the
+    chance agreement P_e implied by the two raters' marginal label
+    distributions. THE agreement statistic for annotator/LLM-judge
+    label audits — raw percent-agreement overstates quality whenever
+    one label dominates.
+
+    One groupBy over the (a, b) label pair → every term derives from
+    the tiny ≤ r·c cell table; the corpus is touched once, all
+    arithmetic is ratios of exact integer counts (engine-identical
+    before the 6dp round)."""
+    cells = (
+        df.select(
+            F.col(a_col).cast("string").alias("_a"),
+            F.col(b_col).cast("string").alias("_b"),
+        )
+        .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+        .groupBy("_a", "_b")
+        .agg(F.count("*").alias("_n"))
+    )
+    ra = cells.groupBy(F.col("_a").alias("_l")).agg(
+        F.sum("_n").alias("_na")
+    )
+    cb = cells.groupBy(F.col("_b").alias("_l")).agg(
+        F.sum("_n").alias("_nb")
+    )
+    # P_e joins the MARGINAL tables on label — a label both raters use
+    # but never agree on still contributes chance agreement (summing
+    # na·nb over observed diagonal cells only would undercount it).
+    pe_num = ra.join(cb, "_l").agg(
+        F.sum(F.col("_na").cast("double") * F.col("_nb")).alias(
+            "_pe_num"
+        )
+    )
+    agg = cells.agg(
+        F.sum("_n").alias("_nn"),
+        F.sum(
+            F.when(F.col("_a") == F.col("_b"), F.col("_n")).otherwise(0)
+        ).alias("_diag"),
+    ).crossJoin(F.broadcast(pe_num))
+    nn = F.col("_nn").cast("double")
+    po = F.col("_diag").cast("double") / nn
+    pe = F.col("_pe_num") / (nn * nn)
+    return agg.select(
+        F.col("_nn").cast("long").alias("n"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
+
+
+def mcnemar_test(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """McNemar's paired test (1947, continuity-corrected) → single row
+    (n, n10, n01, chi2, p_value): do two binary classifiers scored on
+    the SAME examples disagree asymmetrically? Only the discordant
+    cells matter — n10 (a right, b wrong) vs n01 (a wrong, b right);
+    χ² = (|n10 − n01| − 1)² / (n10 + n01) on 1 dof. The standard
+    model-A-vs-model-B eval on a shared test set, where the unpaired
+    proportions test wastes the pairing.
+
+    One conditional-aggregate pass; exact integer counts into the
+    Wilson–Hilferty p — engine-identical before the 6dp round."""
+    a = F.col(a_col).cast("int")
+    b = F.col(b_col).cast("int")
+    agg = df.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when((a == 1) & (b == 0), 1).otherwise(0)).alias("n10"),
+        F.sum(F.when((a == 0) & (b == 1), 1).otherwise(0)).alias("n01"),
+    )
+    d = (F.col("n10") + F.col("n01")).cast("double")
+    num = F.abs(F.col("n10") - F.col("n01")).cast("double") - 1.0
+    chi2 = F.when(d > 0, num * num / d).otherwise(F.lit(0.0))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n10").cast("long").alias("n10"),
+        F.col("n01").cast("long").alias("n01"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(chi2_p_value(chi2, F.lit(1)), 6).alias("p_value"),
+    )
+
+
+def chao1_richness(
+    df: DataFrame, token_col: str, group_col: str
+) -> DataFrame:
+    """Chao1 species-richness estimate (Chao 1984, bias-corrected) per
+    group → (group, n_tokens, observed, f1, f2, chao1): how many
+    distinct types (vocabulary items) the corpus would show at
+    infinite sampling, from the singleton/doubleton counts —
+    observed + f1(f1−1)/(2(f2+1)). The "how much vocabulary is this
+    crawl slice still missing" estimator that pairs with the Heaps
+    exponent.
+
+    Two keyed aggregates (type-frequency table, then its histogram);
+    everything after the first groupBy is ≤ |vocabulary| rows, exact
+    integer arithmetic into one final ratio."""
+    freq = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(token_col).alias("_t")
+    ).agg(F.count("*").alias("_c"))
+    agg = freq.groupBy("grp").agg(
+        F.sum("_c").alias("n_tokens"),
+        F.count("*").alias("observed"),
+        F.sum(F.when(F.col("_c") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("_c") == 2, 1).otherwise(0)).alias("f2"),
+    )
+    f1 = F.col("f1").cast("double")
+    est = F.col("observed").cast("double") + f1 * (f1 - 1.0) / (
+        2.0 * (F.col("f2").cast("double") + 1.0)
+    )
+    return agg.select(
+        "grp",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("observed").cast("long").alias("observed"),
+        F.col("f1").cast("long").alias("f1"),
+        F.col("f2").cast("long").alias("f2"),
+        F.round(est, 6).alias("chao1"),
+    )
+
+
+def good_turing(
+    df: DataFrame, token_col: str, max_r: int = 5
+) -> DataFrame:
+    """Simple Good–Turing adjusted counts (Good 1953) over the type
+    frequency table → (r, n_r, r_star, p_mass): for each small count
+    r ≤ max_r, the adjusted count r* = (r+1)·N_{r+1}/N_r and the total
+    probability mass the r-class keeps after smoothing; the r = 0 row
+    carries the UNSEEN mass N_1/N — the LM-smoothing constant that
+    says how much probability a corpus slice owes to tokens it has
+    never seen.
+
+    Frequency-of-frequencies is two keyed aggregates; the histogram is
+    ≤ max(count) rows, ratios of exact integers, 6dp round."""
+    freq = df.groupBy(F.col(token_col).alias("_t")).agg(
+        F.count("*").alias("_c")
+    )
+    hist = freq.groupBy(F.col("_c").alias("r")).agg(
+        F.count("*").alias("n_r")
+    )
+    tot = freq.agg(F.sum("_c").alias("_n"))
+    nxt = hist.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("_n_next")
+    )
+    base = (
+        hist.unionByName(
+            tot.select(F.lit(0).cast("long").alias("r"),
+                       F.lit(0).cast("long").alias("n_r")),
+        )
+        .filter(F.col("r") <= max_r)
+        .join(nxt, "r", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    r = F.col("r").cast("double")
+    n_next = F.coalesce(F.col("_n_next"), F.lit(0)).cast("double")
+    r_star = F.when(
+        F.col("r") == 0, F.lit(None).cast("double")
+    ).otherwise(
+        F.when(
+            F.col("n_r") > 0, (r + 1.0) * n_next / F.col("n_r")
+        ).otherwise(F.lit(None))
+    )
+    p_mass = F.when(F.col("r") == 0, n_next / F.col("_n")).otherwise(
+        F.col("n_r").cast("double") * r_star / F.col("_n")
+    )
+    return base.select(
+        F.col("r").cast("long").alias("r"),
+        F.col("n_r").cast("long").alias("n_r"),
+        F.round(r_star, 6).alias("r_star"),
+        F.round(p_mass, 6).alias("p_mass"),
+    )
+
+
+def hill_tail(
+    df: DataFrame, value_col: str, k: int = 100,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Hill tail-index estimator (Hill 1975) → single row (k, xmin,
+    alpha, se): the power-law exponent of the upper tail from the
+    top-(k+1) order statistics — 1/α = mean ln(x_(i)/x_(k+1)) over the
+    k largest values. The heavy-tail diagnostic for document lengths /
+    user activity that says whether means and p99s are even stable.
+
+    The ONLY corpus-scale op is an ordered LIMIT k+1 (TakeOrdered, no
+    global sort); the log-ratio mean runs over k+1 rows. Deterministic
+    under ties via the tiebreak column."""
+    order = [F.col(value_col).desc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    top = (
+        df.filter(F.col(value_col) > 0)
+        .select(F.col(value_col).cast("double").alias("_x"))
+        .orderBy(*order)
+        .limit(k + 1)
+    )
+    xmin = top.agg(F.min("_x").alias("_xmin"))
+    j = top.crossJoin(F.broadcast(xmin)).filter(F.col("_x") > F.col("_xmin"))
+    agg = j.agg(
+        F.count("*").alias("_k"),
+        F.avg(F.log(F.col("_x") / F.col("_xmin"))).alias("_inv_a"),
+        F.min("_xmin").alias("_xm"),
+    )
+    return agg.select(
+        F.col("_k").cast("long").alias("k"),
+        F.round("_xm", 6).alias("xmin"),
+        F.round(F.lit(1.0) / F.col("_inv_a"), 6).alias("alpha"),
+        F.round(
+            F.lit(1.0) / F.col("_inv_a") / F.sqrt(F.col("_k")), 6
+        ).alias("se"),
+    )
+
+
+def theil_index(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Theil T inequality index with exact between/within decomposition
+    (Theil 1967) → single row (n, mean, theil_total, theil_between,
+    theil_within): T = Σ (x_i/(nμ))·ln(x_i/μ), additively split into
+    the share explained by group means vs inside groups — the
+    inequality statistic Gini cannot decompose. Positive values only
+    (log domain).
+
+    One corpus pass for the per-row x·ln x sum + one tiny group-mean
+    table; the decomposition identity T = T_b + T_w is checked by the
+    oracle replaying all three from the same sums."""
+    src = df.filter(F.col(value_col) > 0).select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_x"),
+    )
+    g = src.groupBy("_g").agg(
+        F.count("*").alias("_ng"),
+        F.sum("_x").alias("_sg"),
+        F.sum(F.col("_x") * F.log("_x")).alias("_xlx_g"),
+    )
+    tot = g.agg(
+        F.sum("_ng").alias("_n"), F.sum("_sg").alias("_s"),
+        F.sum("_xlx_g").alias("_xlx"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    mu = F.col("_s") / F.col("_n").cast("double")
+    mu_g = F.col("_sg") / F.col("_ng").cast("double")
+    btw = j.agg(
+        F.sum(
+            (F.col("_sg") / F.col("_s")) * F.log(mu_g / mu)
+        ).alias("_tb"),
+        # within: Σ_g share_g · T_g where
+        # T_g = Σ_i x/(n_g μ_g) ln(x/μ_g) = _xlx_g/(n_g μ_g) − ln μ_g
+        F.sum(
+            (F.col("_sg") / F.col("_s"))
+            * (F.col("_xlx_g") / F.col("_sg") - F.log(mu_g))
+        ).alias("_tw"),
+        F.min("_n").alias("_nn"),
+        F.min("_s").alias("_ss"),
+        F.min("_xlx").alias("_xx"),
+    )
+    mu_all = F.col("_ss") / F.col("_nn").cast("double")
+    t_total = F.col("_xx") / F.col("_ss") - F.log(mu_all)
+    return btw.select(
+        F.col("_nn").cast("long").alias("n"),
+        F.round(mu_all, 6).alias("mean"),
+        F.round(t_total, 6).alias("theil_total"),
+        F.round("_tb", 6).alias("theil_between"),
+        F.round("_tw", 6).alias("theil_within"),
+    )
+
+
+def friedman_test(
+    df: DataFrame, block_col: str, treatment_col: str, value_col: str
+) -> DataFrame:
+    """Friedman rank test (1937) over a complete block design → single
+    row (n_blocks, k, q, p_value): midrank each treatment WITHIN each
+    block, sum ranks per treatment, Q = 12/(nk(k+1))·ΣR_j² − 3n(k+1)
+    on k−1 dof — the nonparametric repeated-measures ANOVA (one score
+    per prompt × model, no normality assumed). Blocks must be
+    complete; incomplete blocks are dropped.
+
+    Midranks live on the 0.5 grid (average of an integer range), so
+    rank sums are EXACT on both engines; one window per block + two
+    tiny aggregates."""
+    k_count = df.select(F.col(treatment_col)).distinct().count()
+    w = Window.partitionBy(F.col(block_col))
+    complete = (
+        df.select(
+            F.col(block_col).alias("_b"),
+            F.col(treatment_col).alias("_t"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .withColumn("_bn", F.count("*").over(Window.partitionBy("_b")))
+        .filter(F.col("_bn") == k_count)
+    )
+    ranked = _midrank(
+        complete.select("_b", "_t", "_v"), "_v", ["_b"], "_r"
+    )
+    rsum = ranked.groupBy("_t").agg(
+        F.sum("_r").alias("_rj"), F.countDistinct("_b").alias("_nb")
+    )
+    agg = rsum.agg(
+        F.min("_nb").alias("_n"),
+        F.count("*").alias("_k"),
+        F.sum(F.col("_rj") * F.col("_rj")).alias("_r2"),
+    )
+    n = F.col("_n").cast("double")
+    kk = F.col("_k").cast("double")
+    q = (
+        F.lit(12.0) / (n * kk * (kk + 1.0)) * F.col("_r2")
+        - 3.0 * n * (kk + 1.0)
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n_blocks"),
+        F.col("_k").cast("long").alias("k"),
+        F.round(q, 6).alias("q"),
+        F.round(chi2_p_value(q, F.col("_k") - 1), 6).alias("p_value"),
+    )
+
+
+def permutation_test_hash(
+    df: DataFrame,
+    unit_col: str,
+    arm_col: str,
+    value_col: str,
+    n_perm: int = 200,
+    fxp: int = 1 << 20,
+) -> DataFrame:
+    """Permutation test for a difference in means → single row
+    (n_units, n_perm, diff_obs, n_extreme, p_value): the observed
+    arm-1 − arm-0 mean difference vs the null distribution from
+    ``n_perm`` DETERMINISTIC relabelings — permutation k assigns each
+    unit to md5(unit ':' k) % 2, so both engines (and reruns) see the
+    identical null draws; p = (1 + #{|diff_k| ≥ |diff_obs|}) /
+    (n_perm + 1), the standard add-one permutation p-value. The
+    assumption-free companion to the Welch z-test.
+
+    Values land on the 2^-20 grid before summing, so every per-arm sum
+    is an exact integer and every mean an exact IEEE ratio — the ≥
+    comparison is bit-deterministic. Cost is an explicit ×n_perm
+    fan-out into ONE map-side-combinable groupBy(k, arm): the shuffle
+    carries ≤ 2·n_perm·partitions partial rows, not the exploded data;
+    at 100 TB you bound n_perm, never the corpus."""
+    qv = F.floor(F.col(value_col).cast("double") * F.lit(float(fxp)))
+    base = df.select(
+        F.col(unit_col).cast("string").alias("_u"),
+        F.col(arm_col).cast("int").alias("_arm"),
+        qv.alias("_qv"),
+    )
+    obs = base.agg(
+        F.count("*").alias("_n"),
+        F.sum(F.when(F.col("_arm") == 1, F.col("_qv"))).alias("_s1"),
+        F.sum(F.when(F.col("_arm") == 1, 1).otherwise(0)).alias("_n1"),
+        F.sum(F.when(F.col("_arm") == 0, F.col("_qv"))).alias("_s0"),
+        F.sum(F.when(F.col("_arm") == 0, 1).otherwise(0)).alias("_n0"),
+    ).select(
+        "_n",
+        (
+            F.col("_s1").cast("double") / F.col("_n1")
+            - F.col("_s0").cast("double") / F.col("_n0")
+        ).alias("_d_obs"),
+    )
+    ks = F.explode(
+        F.sequence(F.lit(0), F.lit(int(n_perm) - 1))
+    ).alias("_k")
+    perm_arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("_u"), F.col("_k"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    per_k = (
+        base.select("_u", "_qv", ks)
+        .select("_k", "_qv", perm_arm.alias("_pa"))
+        .groupBy("_k")
+        .agg(
+            F.sum(F.when(F.col("_pa") == 1, F.col("_qv"))).alias("_s1"),
+            F.sum(F.when(F.col("_pa") == 1, 1).otherwise(0)).alias("_n1"),
+            F.sum(F.when(F.col("_pa") == 0, F.col("_qv"))).alias("_s0"),
+            F.sum(F.when(F.col("_pa") == 0, 1).otherwise(0)).alias("_n0"),
+        )
+        .select(
+            (
+                F.col("_s1").cast("double") / F.col("_n1")
+                - F.col("_s0").cast("double") / F.col("_n0")
+            ).alias("_d")
+        )
+    )
+    agg = per_k.crossJoin(F.broadcast(obs)).agg(
+        F.min("_n").alias("_nn"),
+        F.min("_d_obs").alias("_do"),
+        F.count("*").alias("_np"),
+        F.sum(
+            F.when(
+                F.abs(F.col("_d")) >= F.abs(F.col("_d_obs")), 1
+            ).otherwise(0)
+        ).alias("_ext"),
+    )
+    return agg.select(
+        F.col("_nn").cast("long").alias("n_units"),
+        F.col("_np").cast("long").alias("n_perm"),
+        F.round(F.col("_do") / F.lit(float(fxp)), 6).alias("diff_obs"),
+        F.col("_ext").cast("long").alias("n_extreme"),
+        F.round(
+            (F.col("_ext") + 1.0) / (F.col("_np") + 1.0), 6
+        ).alias("p_value"),
+    )

@@ -3575,3 +3575,115 @@ def test_webp_header_malformed_quarantines():
         mm.decode_webp_header(bytes(lossless))
     with pytest.raises(ValueError):
         mm.decode_webp_header(b"RIFX" + good[4:])
+
+
+def test_cohens_kappa_reference_values(spark):
+    """Perfect agreement -> kappa 1; independence-by-construction ->
+    kappa ~ 0; and P_e counts label pairs with zero joint cells (the
+    marginal-join fix) — checked against a hand computation."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        cohens_kappa,
+    )
+
+    same = spark.createDataFrame(
+        [(str(i % 3), str(i % 3)) for i in range(30)], "a string, b string"
+    )
+    assert cohens_kappa(same, "a", "b").first()["kappa"] == 1.0
+    # 2x2 with an EMPTY diagonal cell (y,y): a = x,x,x,y; b = x,y,x,x
+    rows = [("x", "x"), ("x", "y"), ("x", "x"), ("y", "x")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").first()
+    # po = 2/4; pe = (3*3 + 1*1)/16 = 10/16 -> includes (y,y) marginals
+    assert abs(r["po"] - 0.5) < 1e-9
+    assert abs(r["pe"] - 0.625) < 1e-9
+    assert abs(r["kappa"] - (0.5 - 0.625) / (1 - 0.625)) < 1e-6
+
+
+def test_mcnemar_reference(spark):
+    """Classic 2x2: only discordant cells drive the statistic."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        mcnemar_test,
+    )
+
+    rows = (
+        [(1, 1)] * 20 + [(0, 0)] * 30 + [(1, 0)] * 15 + [(0, 1)] * 5
+    )
+    df = spark.createDataFrame(rows, "a int, b int")
+    r = mcnemar_test(df, "a", "b").first()
+    assert (r["n10"], r["n01"]) == (15, 5)
+    # (|15-5|-1)^2/20 = 81/20
+    assert abs(r["chi2"] - 4.05) < 1e-9
+    assert 0.0 < r["p_value"] < 0.06  # true chi2(1) sf(4.05) ~ 0.044
+
+
+def test_chao1_and_good_turing_reference(spark):
+    """Chao1 on a hand histogram and the SGT unseen mass N1/N."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        chao1_richness,
+        good_turing,
+    )
+
+    # tokens: a,a,a  b,b  c  d  e -> observed 5, f1 = 3, f2 = 1
+    toks = [("g", t) for t in "aaabbcde"]
+    df = spark.createDataFrame(toks, "g string, t string")
+    r = chao1_richness(df, "t", "g").first()
+    assert (r["observed"], r["f1"], r["f2"]) == (5, 3, 1)
+    assert abs(r["chao1"] - (5 + 3 * 2 / (2 * 2))) < 1e-9
+    gt = {row["r"]: row for row in good_turing(df, "t").collect()}
+    assert abs(gt[0]["p_mass"] - 3 / 8) < 1e-9  # N1/N
+    assert abs(gt[1]["r_star"] - 2 * 1 / 3) < 1e-6  # (r+1)N2/N1
+    assert abs(gt[2]["r_star"] - 3 * 1 / 1) < 1e-9  # (r+1)N3/N2
+
+
+def test_hill_tail_exact_pareto(spark):
+    """On an exact Pareto(alpha) grid the Hill estimator recovers
+    alpha closely (it is the MLE for the tail exponent)."""
+    from from_superset_to_clickhouse_spark.operators.stats import hill_tail
+
+    alpha = 2.0
+    # inverse-CDF points: x_i = (i/n)^(-1/alpha), i = 1..n
+    rows = [(i, (i / 500.0) ** (-1.0 / alpha)) for i in range(1, 501)]
+    df = spark.createDataFrame(rows, "i long, x double")
+    r = hill_tail(df, "x", k=100, tiebreak_col="i").first()
+    assert abs(r["alpha"] - alpha) < 0.25
+    assert r["k"] == 100
+
+
+def test_theil_decomposition_identity(spark):
+    """T_total == T_between + T_within exactly (same sums), and a
+    one-group frame puts everything in 'within'."""
+    import random
+
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        theil_index,
+    )
+
+    rng = random.Random(3)
+    rows = [(f"g{i % 4}", rng.lognormvariate(2, 1)) for i in range(800)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    r = theil_index(df, "x", "g").first()
+    assert abs(r["theil_total"] - (r["theil_between"] + r["theil_within"])) < 2e-6
+    one = theil_index(df.select(F.lit("all").alias("g"), "x"), "x", "g").first()
+    assert abs(one["theil_between"]) < 1e-9
+    assert abs(one["theil_within"] - one["theil_total"]) < 2e-6
+
+
+def test_permutation_test_planted_effect_and_null(spark):
+    """A strong planted arm effect -> tiny p; a pure-noise arm split
+    -> p bounded away from 0. Deterministic: same inputs, same p."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        permutation_test_hash,
+    )
+
+    effect = [(i, i % 2, 10.0 + (5.0 if i % 2 else 0.0) + (i % 7) * 0.1)
+              for i in range(300)]
+    df = spark.createDataFrame(effect, "u long, arm int, v double")
+    r = permutation_test_hash(df, "u", "arm", "v", n_perm=100)
+    a, b = r.first(), r.first()
+    assert a == b  # deterministic md5 permutations
+    assert a["p_value"] <= 0.02
+    # null: value independent of arm (value keyed on i%7 only)
+    null = [(i, i % 2, 10.0 + ((i * 13) % 7) * 0.1) for i in range(300)]
+    ndf = spark.createDataFrame(null, "u long, arm int, v double")
+    p = permutation_test_hash(ndf, "u", "arm", "v", n_perm=100).first()
+    assert p["p_value"] >= 0.05

@@ -758,3 +758,185 @@ def test_holt_winters_constant_series(spark):
     r = holt_winters(df, "g", "ts", "v", period=7).collect()[0]
     assert r.level == 42.0 and r.trend == 0.0
     assert r.s_next == 0.0 and r.forecast == 42.0
+
+
+@settings(
+    deadline=None, max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    hour=st.integers(0, 23),
+    days=st.lists(st.integers(0, 27), min_size=1, max_size=10, unique=True),
+    scatter=st.lists(st.integers(0, 86_399), min_size=1, max_size=20),
+)
+def test_circadian_resultant_bounds_and_spike(spark, hour, days, scatter):
+    """0 <= R <= 1 for ANY time-of-day distribution, and a key whose
+    events all land on exactly one hour concentrates to R = 1 with
+    peak_hour = that hour (the single-spike closed form)."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        circadian_stats,
+    )
+
+    rows = [
+        ("spike", BASE + dt.timedelta(days=d, hours=hour)) for d in days
+    ] + [
+        ("noise", BASE + dt.timedelta(days=i % 5, seconds=s))
+        for i, s in enumerate(scatter)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = {r["key"]: r for r in circadian_stats(df, "k", "ts").collect()}
+    for r in got.values():
+        assert 0.0 <= r["resultant_r"] <= 1.0
+        assert 0.0 <= r["peak_hour"] < 24.0
+    assert abs(got["spike"]["resultant_r"] - 1.0) < 1e-9
+    assert abs(got["spike"]["peak_hour"] - hour) < 1e-3
+    assert got["spike"]["n"] == len(days)
+
+
+@settings(
+    deadline=None, max_examples=6,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lives=st.lists(
+        st.tuples(st.integers(0, 90), st.booleans()),
+        min_size=6,
+        max_size=24,
+    )
+)
+def test_logrank_antisymmetric_under_group_swap(spark, lives):
+    """Relabeling group 0 <-> 1 must flip the z statistic's sign and
+    leave the two-sided p-value unchanged (the O-E sum is zero-sum
+    across groups at every death time)."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        logrank_test,
+    )
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i, (span, grp) in enumerate(lives):
+        g = int(grp)
+        rows.append((i, g, BASE))
+        rows.append((i, g, BASE + dt.timedelta(days=span)))
+    # anchor subject pins the corpus end so horizons are stable
+    rows.append((10_000, 0, BASE + dt.timedelta(days=200)))
+    df = spark.createDataFrame(rows, "s long, g int, ts timestamp")
+    a = logrank_test(df, "s", "ts", F.col("g"), censor_horizon_days=30).first()
+    swapped = df.select("s", (1 - F.col("g")).alias("g"), "ts")
+    b = logrank_test(
+        swapped, "s", "ts", F.col("g"), censor_horizon_days=30
+    ).first()
+    assert a["n1"] == b["n2"] and a["n2"] == b["n1"]
+    if a["z"] is not None and b["z"] is not None:
+        assert abs(a["z"] + b["z"]) < 1e-4
+        assert abs(a["p_value"] - b["p_value"]) < 1e-4
+
+
+@settings(
+    deadline=None, max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    codes=st.lists(st.integers(0, 2), min_size=1, max_size=40),
+)
+def test_sequence_count_matches_greedy_automaton(spark, codes):
+    """The per-key fold must equal the greedy non-overlapping
+    single-slot automaton (ClickHouse sequenceCount semantics), and is
+    bounded by min(#first, #then)."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        sequence_count,
+    )
+
+    typ = {0: "x", 1: "a", 2: "b"}
+    rows = [
+        (7, BASE + dt.timedelta(minutes=i), typ[c], i)
+        for i, c in enumerate(codes)
+    ]
+    df = spark.createDataFrame(
+        rows, "u long, ts timestamp, t string, event_id long"
+    )
+    got = sequence_count(df, "u", "ts", "t", "a", "b").first()
+    cnt, open_ = 0, False
+    for c in codes:
+        if not open_ and c == 1:
+            open_ = True
+        elif open_ and c == 2:
+            cnt += 1
+            open_ = False
+    assert got["seq_count"] == cnt
+    assert got["n_events"] == len(codes)
+    assert got["seq_count"] <= min(codes.count(1), codes.count(2))
+
+
+@settings(
+    deadline=None, max_examples=6,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 4),          # user
+            st.integers(0, 8),          # week offset
+            st.floats(0, 100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_cohort_ltv_triangle_monotone_and_consistent(spark, events):
+    """With nonnegative revenue the cumulative column is nondecreasing
+    in age within every cohort, cum_ltv * n_users == cum_revenue, and
+    the triangle's final cumulative row equals the cohort's total."""
+    from collections import defaultdict
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        cohort_ltv,
+    )
+
+    rows = [
+        (u, BASE + dt.timedelta(weeks=w), float(v)) for u, w, v in events
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, v double")
+    out = sorted(
+        cohort_ltv(df, "u", "ts", "v", bucket="week").collect(),
+        key=lambda r: (r["cohort_ts"], r["age"]),
+    )
+    by_cohort = defaultdict(list)
+    for r in out:
+        assert r["age"] >= 0
+        by_cohort[r["cohort_ts"]].append(r)
+    for cr in by_cohort.values():
+        prev = 0.0
+        for r in cr:
+            assert r["cum_revenue"] >= prev - 1e-6
+            prev = r["cum_revenue"]
+            assert abs(r["cum_ltv"] * r["n_users"] - r["cum_revenue"]) < 1e-3
+        total = sum(r["revenue"] for r in cr)
+        assert abs(cr[-1]["cum_revenue"] - total) < 1e-4
+
+
+@settings(
+    deadline=None, max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    days=st.lists(st.integers(0, 40), min_size=1, max_size=15, unique=True),
+)
+def test_data_gaps_accounting_identity(spark, days):
+    """expected == present + missing for ANY day set, longest_gap is
+    the max run of consecutive absent buckets, and a dense span
+    reports zero everywhere."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        data_gaps,
+    )
+
+    rows = [("k", BASE + dt.timedelta(days=d, hours=3)) for d in days]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    r = data_gaps(df, "k", "ts").first()
+    span = max(days) - min(days) + 1
+    assert r["expected"] == span
+    assert r["present"] == len(days)
+    assert r["missing"] == span - len(days)
+    s = sorted(days)
+    ref_gap = max((b - a - 1 for a, b in zip(s, s[1:])), default=0)
+    assert r["longest_gap"] == ref_gap
