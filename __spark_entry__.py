@@ -13344,6 +13344,83 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_gaps": q_data_gaps,
 }
 
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of a planted DIRECTED graph over
+    the customer keys: 6-node cycles (k→k+1, last→first), ONE-WAY
+    chain arcs between adjacent cycles (p==2 → k+6), and sparse
+    one-way down-arcs (k%97==0 → k−7). Undirected CC would merge the
+    whole chain into one giant component; the true SCCs are exactly
+    the 6-cycles — the web-graph question (redirect loops,
+    mutually-citing clusters) CC cannot answer. Coloring depth is
+    bounded by design (short cycles, non-chaining down-arcs — the
+    small-diameter regime real web graphs live in), so the Pregel-style
+    forward-max coloring + backward containment settles in ≤3 outer
+    rounds. SCC label = max id IN the component (graph-intrinsic);
+    the oracle computes the exact mutual-reach closure via a
+    recursive CTE."""
+    from from_superset_to_clickhouse_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    mx = cust.agg(F.max("c_custkey").alias("_m"))
+    base = cust.select("c_custkey").crossJoin(F.broadcast(mx))
+    k = F.col("c_custkey")
+    p = (k - 1) % 6
+    cyc = base.select(
+        k.alias("src"),
+        F.when((p == 5) | (k == F.col("_m")), k - p)
+        .otherwise(k + 1)
+        .alias("dst"),
+    )
+    chain = base.filter((p == 2) & (k + 6 <= F.col("_m"))).select(
+        k.alias("src"), (k + 6).alias("dst")
+    )
+    down = base.filter((k % 97 == 0) & (k > 7)).select(
+        k.alias("src"), (k - 7).alias("dst")
+    )
+    nodes = cust.select(k.alias("node"))
+    return strongly_connected_components(
+        cyc.unionByName(chain).unionByName(down), nodes=nodes
+    )
+
+
+def q_seq_count_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse sequenceCount('(?1)(?2)') STRICT-adjacency parity:
+    purchase must IMMEDIATELY follow view in the per-user ordered
+    stream (any intervening event voids the open slot) — completes the
+    sequenceCount family beside the eventually-followed variant. Same
+    single codegen fold; the oracle replays the strict automaton via
+    list_reduce."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        sequence_count_strict,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return sequence_count_strict(
+        ev, "user_id", "ts", "event_type", "view", "purchase",
+        tiebreak_col="event_id",
+    ).withColumnRenamed("user", "user_id")
+
+
+def q_dtw_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping distance between every event type's daily
+    mean-value series and the purchase series — the phase-tolerant
+    shape similarity (a one-day-lagged twin scores near 0 where
+    rolling correlation collapses). O(n·m) DP as one codegen fold per
+    key over the 6dp-rounded shared bucket means; the oracle replays
+    the identical add/min cell sequence via nested list_reduce, so a
+    single wrong DP cell hash-mismatches."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        dtw_distance,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    return dtw_distance(
+        ev, "event_type", "ts", "value", ref_key="purchase"
+    )
+
+
 def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between two synthetic raters over the events
     corpus — rater A labels by user_id mod 3, rater B agrees except on
@@ -13524,6 +13601,9 @@ def q_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (VERDICT r8 item 5) and every entry gets a driver row within 2 rounds.
 _R10_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "webp_meta": q_webp_meta,
+    "scc": q_scc,
+    "seq_count_strict": q_seq_count_strict,
+    "dtw_daily": q_dtw_daily,
     "cohens_kappa": q_cohens_kappa,
     "mcnemar": q_mcnemar,
     "chao1": q_chao1,
@@ -13549,6 +13629,89 @@ SELECT CAST(doc_id AS BIGINT) AS media_id,
   CAST(CASE WHEN doc_id % 5 = 0 AND doc_id % 3 = 2 THEN 1 ELSE 0 END
     AS INTEGER) AS has_anim
 FROM documents
+""",
+    "scc": """
+-- Exact mutual-reach SCC on the same planted arcs: recursive-CTE
+-- transitive closure, scc(v) = max id u with v->*u and u->*v (self
+-- included) — the engine's coloring label is provably the same value
+-- (the max id in the component).
+WITH RECURSIVE m AS (SELECT max(c_custkey) AS mm FROM customer),
+edges AS (
+  SELECT c_custkey AS s,
+    CASE WHEN (c_custkey - 1) % 6 = 5 OR c_custkey = (SELECT mm FROM m)
+      THEN c_custkey - (c_custkey - 1) % 6 ELSE c_custkey + 1 END AS d
+  FROM customer
+  UNION
+  SELECT c_custkey, c_custkey + 6 FROM customer
+  WHERE (c_custkey - 1) % 6 = 2 AND c_custkey + 6 <= (SELECT mm FROM m)
+  UNION
+  SELECT c_custkey, c_custkey - 7 FROM customer
+  WHERE c_custkey % 97 = 0 AND c_custkey > 7
+),
+reach AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+mut AS (
+  SELECT r1.s AS v, r1.d AS u
+  FROM reach r1 JOIN reach r2 ON r1.s = r2.d AND r1.d = r2.s
+)
+SELECT c.c_custkey AS node,
+  greatest(c.c_custkey, coalesce(max(mu.u), c.c_custkey)) AS scc
+FROM customer c LEFT JOIN mut mu ON mu.v = c.c_custkey
+GROUP BY c.c_custkey
+""",
+    "seq_count_strict": """
+-- Same STRICT automaton: a hit closes the slot; any non-hit event
+-- re-opens it only if it is itself a first_type.
+WITH codes AS (
+  SELECT user_id,
+    list_transform(
+      list(CASE WHEN event_type = 'view' THEN 1
+                WHEN event_type = 'purchase' THEN 2
+                ELSE 0 END ORDER BY ts, event_id),
+      x -> [x]) AS cs
+  FROM events GROUP BY user_id
+), f AS (
+  SELECT user_id, len(cs) AS n_events,
+    list_reduce(
+      [[0, 0]] || cs,
+      (acc, e) -> list_value(
+        acc[1] + CASE WHEN acc[2] = 1 AND e[1] = 2 THEN 1 ELSE 0 END,
+        CASE WHEN acc[2] = 1 AND e[1] = 2 THEN 0
+             WHEN e[1] = 1 THEN 1
+             ELSE 0 END)
+    ) AS st
+  FROM codes
+)
+SELECT user_id, CAST(n_events AS INTEGER) AS n_events,
+  CAST(st[1] AS INTEGER) AS seq_count
+FROM f
+""",
+    "dtw_daily": """
+-- Same DP, bit-for-bit: 6dp bucket means, [0, inf..] border row,
+-- nested fold appending cells cost + least(up, diag, left).
+WITH daily AS (
+  SELECT event_type AS key, date_trunc('day', ts) AS b,
+    round(avg(CAST(value AS DOUBLE)), 6) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), series AS (
+  SELECT key, list(v ORDER BY b) AS xs FROM daily GROUP BY key
+), ref AS (SELECT xs AS ys FROM series WHERE key = 'purchase'),
+j AS (SELECT s.key, s.xs, r.ys FROM series s CROSS JOIN ref r)
+SELECT key, CAST(len(xs) AS INTEGER) AS n_x,
+  CAST(len(ys) AS INTEGER) AS n_y,
+  round(list_reduce(
+    [[0.0] || list_transform(ys, y -> 1e18)] ||
+      list_transform(xs, x -> [x]),
+    (prev, xe) -> list_reduce(
+        [[1e18]] || list_transform(ys, y -> [y]),
+        (cur, ye) -> cur || [abs(xe[1] - ye[1]) +
+          least(prev[len(cur) + 1], prev[len(cur)], cur[-1])]
+    )
+  )[len(ys) + 1], 6) AS dtw
+FROM j
 """,
     "cohens_kappa": """
 -- Same cell/marginal construction; P_e joins the marginal tables on

@@ -747,3 +747,116 @@ def closeness_from_pivots(
         ).alias("closeness"),
         F.round("_harm", 6).alias("harmonic"),
     )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    max_rounds: int = 10,
+    max_prop: int = 30,
+) -> DataFrame:
+    """→ (node, scc) — strongly connected components of a DIRECTED
+    graph by iterative forward coloring + backward containment (the
+    Pregel-style FW-BW/coloring algorithm, Orzan 2004): each outer
+    round (1) propagates the MAX node id forward to convergence, so
+    color(v) = the largest id that reaches v and every SCC is
+    monochrome; (2) walks BACKWARD from each color's root c along
+    same-color nodes — the nodes that both reach c and are reached by
+    it are exactly c's SCC; (3) settles those nodes and repeats on the
+    rest. Every color class settles one SCC per round IN PARALLEL, so
+    rounds ≈ longest chain of SCCs hanging off shared colors, not the
+    SCC count.
+
+    Both inner loops are the same shuffle shape as
+    :func:`connected_components` (join labels to edges, groupBy max /
+    any), with ``localCheckpoint`` per step and EXISTS-style
+    convergence probes — nothing but probe scalars reaches the driver.
+    The web-graph operator: dedup link farms, collapse redirect
+    cycles, find mutually-citing clusters."""
+    e0 = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    universe = e0.select(F.col("s").alias(node_col)).union(
+        e0.select(F.col("d").alias(node_col))
+    )
+    if nodes is not None:
+        universe = universe.union(nodes.select(F.col(node_col)))
+    active = universe.distinct().localCheckpoint(eager=True)
+    done = None
+    for _ in range(max_rounds):
+        if active.limit(1).count() == 0:
+            break
+        # live edge set: both endpoints still unsettled
+        e = (
+            e0.join(active.select(F.col(node_col).alias("s")), "s")
+            .join(active.select(F.col(node_col).alias("d")), "d")
+            .select("s", "d")
+            .localCheckpoint(eager=True)
+        )
+        # (1) forward MAX-color propagation: color(v) = max id reaching v
+        color = active.select(node_col, F.col(node_col).alias("color"))
+        for _ in range(max_prop):
+            via = (
+                e.join(color, e["s"] == color[node_col])
+                .select(e["d"].alias(node_col), "color")
+            )
+            new = (
+                color.union(via)
+                .groupBy(node_col)
+                .agg(F.max("color").alias("color"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new.alias("n")
+                .join(color.alias("o"), node_col)
+                .filter(F.col("n.color") != F.col("o.color"))
+                .limit(1)
+                .count()
+            )
+            color = new
+            if changed == 0:
+                break
+        # (2) backward reach from each color root WITHIN its color class:
+        # member(v) iff v's color is c and v reaches c via same-color path
+        member = color.filter(F.col(node_col) == F.col("color")).select(
+            node_col, "color"
+        )
+        ec = (
+            e.join(color.select(F.col(node_col).alias("s"),
+                                F.col("color").alias("_cs")), "s")
+            .join(color.select(F.col(node_col).alias("d"),
+                               F.col("color").alias("_cd")), "d")
+            .filter(F.col("_cs") == F.col("_cd"))
+            .select("s", "d")
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(max_prop):
+            via = (
+                ec.join(member, ec["d"] == member[node_col])
+                .select(ec["s"].alias(node_col), "color")
+            )
+            new = member.union(via).distinct().localCheckpoint(eager=True)
+            if new.count() == member.count():
+                member = new
+                break
+            member = new
+        settled = member.select(node_col, F.col("color").alias("scc"))
+        done = settled if done is None else done.union(settled)
+        done = done.localCheckpoint(eager=True)
+        active = (
+            active.join(settled.select(node_col), node_col, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    if done is None:
+        return universe.distinct().select(
+            node_col, F.col(node_col).alias("scc")
+        )
+    # any still-active nodes after max_rounds: singletons (best effort)
+    rest = active.select(node_col, F.col(node_col).alias("scc"))
+    return done.union(rest)

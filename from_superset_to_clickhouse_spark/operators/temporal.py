@@ -2348,6 +2348,43 @@ def sequence_count(
     list (the same shape as holt_winters); the accumulator is
     (count, open-slot) and the oracle replays it with a prepended
     list accumulator."""
+    return _sequence_count_fold(
+        df, user_col, ts_col, type_col, first_type, then_type,
+        tiebreak_col, strict=False,
+    )
+
+
+def sequence_count_strict(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    first_type: str,
+    then_type: str,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """ClickHouse ``sequenceCount('(?1)(?2)')`` parity — the STRICT
+    variant of :func:`sequence_count`: the ``then_type`` event must
+    IMMEDIATELY follow the ``first_type`` event in the time-ordered
+    stream (any intervening event voids the open match; a fresh
+    ``first_type`` re-opens it). Same greedy non-overlapping
+    single-slot automaton, same codegen fold shape."""
+    return _sequence_count_fold(
+        df, user_col, ts_col, type_col, first_type, then_type,
+        tiebreak_col, strict=True,
+    )
+
+
+def _sequence_count_fold(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    first_type: str,
+    then_type: str,
+    tiebreak_col: str,
+    strict: bool,
+) -> DataFrame:
     order = F.struct(F.col(ts_col), F.col(tiebreak_col))
     code = (
         F.when(F.col(type_col) == first_type, 1)
@@ -2372,15 +2409,29 @@ def sequence_count(
         F.lit("cnt"), F.lit(0), F.lit("st"), F.lit(0)
     )
 
-    def step(acc, e):
-        hit = (acc["st"] == 1) & (e == 2)
-        opened = (acc["st"] == 0) & (e == 1)
-        return F.named_struct(
-            F.lit("cnt"),
-            acc["cnt"] + F.when(hit, 1).otherwise(0),
-            F.lit("st"),
-            F.when(opened, 1).when(hit, 0).otherwise(acc["st"]),
-        )
+    if strict:
+        # strict adjacency: anything except a hit resets the slot to
+        # "open iff this very event is a first_type".
+        def step(acc, e):
+            hit = (acc["st"] == 1) & (e == 2)
+            return F.named_struct(
+                F.lit("cnt"),
+                acc["cnt"] + F.when(hit, 1).otherwise(0),
+                F.lit("st"),
+                F.when(hit, 0)
+                .when(e == 1, 1)
+                .otherwise(0),
+            )
+    else:
+        def step(acc, e):
+            hit = (acc["st"] == 1) & (e == 2)
+            opened = (acc["st"] == 0) & (e == 1)
+            return F.named_struct(
+                F.lit("cnt"),
+                acc["cnt"] + F.when(hit, 1).otherwise(0),
+                F.lit("st"),
+                F.when(opened, 1).when(hit, 0).otherwise(acc["st"]),
+            )
 
     folded = series.select(
         "user",
@@ -2486,4 +2537,79 @@ def data_gaps(
         "present",
         (expected - F.col("present")).cast("long").alias("missing"),
         F.col("longest_gap").cast("long").alias("longest_gap"),
+    )
+
+
+_DTW_INF = 1e18  # finite sentinel: both engines treat it identically
+
+
+def dtw_distance(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    ref_key: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Dynamic-time-warping distance (Sakoe & Chiba 1978) between each
+    key's bucketed daily series and a reference key's series →
+    (key, n_x, n_y, dtw): the minimal cumulative |x_i − y_j| cost over
+    monotone alignments — the shape-similarity measure that tolerates
+    phase shift, where Euclidean/rolling-corr punish it. "Which event
+    types follow the same daily rhythm as purchases, possibly lagged?"
+
+    The O(n·m) DP runs as ONE codegen fold per key: the outer
+    ``aggregate`` walks the key's series carrying the previous DP row
+    (an array), the inner ``aggregate`` builds the next row — series
+    are bucket-bounded (≤ 31 here), so state is tiny and per-key work
+    is constant. Inputs are 6dp-rounded bucket means shared by both
+    engines; every DP cell is the same IEEE add/min sequence, so the
+    oracle replays it bit-for-bit via nested list_reduce. One shuffle
+    (bucket means), one broadcast of the 1-row reference series."""
+    daily = df.groupBy(
+        F.col(key_col).alias("key"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("_b"),
+    ).agg(F.round(F.avg(F.col(value_col).cast("double")), 6).alias("_v"))
+    series = daily.groupBy("key").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_b", "_v"))),
+            lambda s: s["_v"],
+        ).alias("_xs")
+    )
+    ref = (
+        series.filter(F.col("key") == ref_key)
+        .select(F.col("_xs").alias("_ys"))
+    )
+    j = series.crossJoin(F.broadcast(ref))
+    m = F.size("_ys")
+    inf = F.lit(_DTW_INF)
+    # prev row, 1-indexed, length m+1: D[i-1][0..m]; row 0 = [0, inf..]
+    row0 = F.concat(
+        F.array(F.lit(0.0)),
+        F.transform(F.sequence(F.lit(1), m), lambda _: inf),
+    )
+
+    def outer_step(prev, x):
+        # build D[i][0..m]: starts [inf] (j=0 border), append j=1..m
+        def inner_step(cur, jj):
+            cost = F.abs(x - F.element_at(F.col("_ys"), jj))
+            best = F.least(
+                F.element_at(prev, jj + F.lit(1)),  # D[i-1][j]
+                F.element_at(prev, jj),             # D[i-1][j-1]
+                F.element_at(cur, -1),              # D[i][j-1]
+            )
+            return F.concat(cur, F.array(cost + best))
+
+        return F.aggregate(
+            F.sequence(F.lit(1), m), F.array(inf), inner_step
+        )
+
+    dtw = F.element_at(
+        F.aggregate(F.col("_xs"), row0, outer_step), m + F.lit(1)
+    )
+    return j.select(
+        "key",
+        F.size("_xs").cast("int").alias("n_x"),
+        m.cast("int").alias("n_y"),
+        F.round(dtw, 6).alias("dtw"),
     )

@@ -399,3 +399,77 @@ def test_closeness_from_pivots_path_graph(spark):
     got2 = {r.node: r for r in
             closeness_from_pivots(edges, [1, 5], max_hops=2).collect()}
     assert got2[5].n_reached == 1 and got2[5].closeness is None
+
+
+def test_scc_matches_tarjan_on_random_digraphs(spark):
+    """Forward-coloring + backward-containment SCC equals Tarjan's on
+    seeded random digraphs (labels = max id per component), including
+    isolated nodes and pure-DAG portions (every node a singleton)."""
+    import random
+
+    from from_superset_to_clickhouse_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    def tarjan(n_nodes, adj):
+        idx, low, on, st, comp = {}, {}, set(), [], {}
+        counter = [0]
+        for root in range(n_nodes):
+            if root in idx:
+                continue
+            work = [(root, 0)]
+            while work:
+                v, pi = work[-1]
+                if pi == 0:
+                    idx[v] = low[v] = counter[0]
+                    counter[0] += 1
+                    st.append(v)
+                    on.add(v)
+                recurse = False
+                for w in adj.get(v, [])[pi:]:
+                    work[-1] = (v, pi + 1)
+                    pi += 1
+                    if w not in idx:
+                        work.append((w, 0))
+                        recurse = True
+                        break
+                    if w in on:
+                        low[v] = min(low[v], idx[w])
+                if recurse:
+                    continue
+                if low[v] == idx[v]:
+                    mem = []
+                    while True:
+                        w = st.pop()
+                        on.discard(w)
+                        mem.append(w)
+                        if w == v:
+                            break
+                    mx = max(mem)
+                    for w in mem:
+                        comp[w] = mx
+                work.pop()
+                if work:
+                    pv, _ = work[-1]
+                    low[pv] = min(low[pv], low[v])
+        return comp
+
+    for seed in (1, 7):
+        rng = random.Random(seed)
+        n = 24
+        arcs = {(rng.randrange(n), rng.randrange(n)) for _ in range(40)}
+        arcs = {(a, b) for a, b in arcs if a != b}
+        adj = {}
+        for a, b in arcs:
+            adj.setdefault(a, []).append(b)
+        ref = tarjan(n, adj)
+        edges = spark.createDataFrame(sorted(arcs), "src int, dst int")
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "node int")
+        got = {
+            r["node"]: r["scc"]
+            for r in strongly_connected_components(
+                edges, nodes=nodes, max_rounds=24
+            ).collect()
+        }
+        assert got == ref, (seed, {k: (got[k], ref[k]) for k in got
+                                   if got[k] != ref[k]})

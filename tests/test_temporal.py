@@ -1311,3 +1311,82 @@ def test_data_gaps_longest_run(spark):
         spark.createDataFrame(rows2, "g string, ts timestamp"), "g", "ts"
     ).collect()[0]
     assert r2.missing == 0 and r2.longest_gap == 0
+
+
+def test_sequence_count_strict_vs_relaxed(spark):
+    """Strict adjacency counts only immediate view->purchase pairs;
+    the relaxed automaton counts eventually-followed pairs — checked
+    against hand-traced streams."""
+    import datetime as dt
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        sequence_count,
+        sequence_count_strict,
+    )
+
+    BASE = dt.datetime(2024, 1, 1)
+
+    def build(s):
+        rows = [
+            (1, BASE + dt.timedelta(minutes=i), t, i)
+            for i, t in enumerate(s)
+        ]
+        return spark.createDataFrame(
+            rows, "u long, ts timestamp, t string, event_id long"
+        )
+
+    # a x b: relaxed matches (a..b) = 1, strict = 0
+    df = build("axb")
+    assert sequence_count(df, "u", "ts", "t", "a", "b").first()[
+        "seq_count"] == 1
+    assert sequence_count_strict(df, "u", "ts", "t", "a", "b").first()[
+        "seq_count"] == 0
+    # aab: strict = 1 (second a immediately followed); abab = 2
+    assert sequence_count_strict(build("aab"), "u", "ts", "t", "a", "b"
+                                 ).first()["seq_count"] == 1
+    assert sequence_count_strict(build("abab"), "u", "ts", "t", "a", "b"
+                                 ).first()["seq_count"] == 2
+
+
+def test_dtw_distance_reference_model(spark):
+    """DTW equals the O(n·m) reference DP; identical series score 0,
+    a 1-step phase shift scores the boundary cost only."""
+    import datetime as dt
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        dtw_distance,
+    )
+
+    BASE = dt.datetime(2024, 1, 1)
+    rows = []
+    ser = {
+        "ref": [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0],
+        "same": [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0],
+        "shift": [1.0, 3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0],
+        "anti": [9.0, 6.0, 2.0, 8.0, 1.0, 0.0, 7.0, 3.0],
+    }
+    for k, vs in ser.items():
+        for d, v in enumerate(vs):
+            rows.append((k, BASE + dt.timedelta(days=d), v))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {
+        r["key"]: r["dtw"]
+        for r in dtw_distance(df, "k", "ts", "v", ref_key="ref").collect()
+    }
+
+    def ref_dtw(xs, ys):
+        inf = float("inf")
+        n, m = len(xs), len(ys)
+        D = [[inf] * (m + 1) for _ in range(n + 1)]
+        D[0][0] = 0.0
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                D[i][j] = abs(xs[i - 1] - ys[j - 1]) + min(
+                    D[i - 1][j], D[i][j - 1], D[i - 1][j - 1]
+                )
+        return D[n][m]
+
+    for k, vs in ser.items():
+        assert abs(got[k] - ref_dtw(vs, ser["ref"])) < 1e-6, k
+    assert got["same"] == 0.0
+    assert got["shift"] < got["anti"]
