@@ -13344,6 +13344,55 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_gaps": q_data_gaps,
 }
 
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry preference strengths over planted pairwise
+    matches (the model behind RLHF reward fitting / tournament
+    ranking): 5 contestants from user parity classes, opponents a
+    rotating offset, winner by an id-arithmetic rule that makes higher
+    indices stronger — the MM iterations must recover the planted
+    order. 8 Hunter-MM rounds over the K² pair table, every
+    intermediate on the 1e-9 grid; the oracle unrolls all 8 rounds as
+    CTEs, so one drifted update hash-mismatches."""
+    from from_superset_to_clickhouse_spark.operators.mleval import (
+        bradley_terry,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    a = F.col("user_id") % 5
+    b = (F.col("user_id") + 1 + F.col("event_id") % 3) % 5
+    a_wins = (F.col("event_id") * 31) % 100 < 50 + 10 * (a - b)
+    m = ev.select(
+        F.when(a_wins, a).otherwise(b).cast("string").alias("w"),
+        F.when(a_wins, b).otherwise(a).cast("string").alias("l"),
+    )
+    return bradley_terry(m, "w", "l", iters=8)
+
+
+def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap between two top-50 document rankings —
+    by length, and by a locally-perturbed length score — the
+    top-weighted similarity for comparing retrieval runs (RBO weights
+    top-rank disagreement more; Kendall/Spearman can't truncate or
+    top-weight). Ranked lists come from ordered LIMITs; the p^{d-1}/d
+    suffix weights live on a 50-row generated spine."""
+    from from_superset_to_clickhouse_spark.operators.mleval import (
+        rank_biased_overlap,
+    )
+
+    docs = _docs(spark, sf_dir)
+
+    def ranked(score):
+        top = docs.orderBy(score.desc(), "doc_id").limit(50)
+        w = Window.orderBy(score.desc(), "doc_id")
+        return top.select(
+            "doc_id", F.row_number().over(w).cast("int").alias("rank")
+        )
+
+    ra = ranked(F.col("n_chars"))
+    rb = ranked(F.col("n_chars") + (F.col("doc_id") % 7) * 3)
+    return rank_biased_overlap(ra, rb, "doc_id", depth=50, p=0.9)
+
+
 def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components of a planted DIRECTED graph over
     the customer keys: 6-node cycles (k→k+1, last→first), ONE-WAY
@@ -13595,6 +13644,102 @@ def q_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.webp_metadata(imgs)
 
 
+def _bt_sql(iters: int = 8) -> str:
+    """Unrolled Hunter-MM Bradley–Terry as DuckDB CTEs — the oracle
+    twin of ``operators/mleval.py:bradley_terry`` (same planted match
+    rule, same 1e-9-grid term/denominator/update/renormalization per
+    round, same mean-1 normalization and final 6dp round)."""
+    head = """
+WITH src AS (
+  SELECT user_id % 5 AS a, (user_id + 1 + event_id % 3) % 5 AS b,
+    event_id
+  FROM events WHERE user_id IS NOT NULL
+), mt AS (
+  SELECT
+    CASE WHEN (event_id * 31) % 100 < 50 + 10 * (a - b)
+      THEN a ELSE b END AS w,
+    CASE WHEN (event_id * 31) % 100 < 50 + 10 * (a - b)
+      THEN b ELSE a END AS l
+  FROM src
+), base AS MATERIALIZED (
+  SELECT CAST(w AS VARCHAR) AS w, CAST(l AS VARCHAR) AS l
+  FROM mt WHERE w <> l
+), wins AS (SELECT w AS item, count(*) AS wins FROM base GROUP BY 1),
+pairs AS (
+  SELECT least(w, l) AS a, greatest(w, l) AS b, count(*) AS n
+  FROM base GROUP BY 1, 2
+), allsides AS (
+  SELECT w AS item FROM base UNION ALL SELECT l FROM base
+), items AS (SELECT DISTINCT item FROM allsides),
+tot AS (SELECT item, count(*) AS n_matches FROM allsides GROUP BY 1),
+kk AS (SELECT count(*) AS k FROM items),
+sym AS (
+  SELECT a AS i, b AS j, n FROM pairs
+  UNION ALL SELECT b AS i, a AS j, n FROM pairs
+), pi0 AS MATERIALIZED (SELECT item, CAST(1.0 AS DOUBLE) AS pi FROM items)"""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f"""
+term{t} AS (
+  SELECT s.i, round(CAST(s.n AS DOUBLE) / (x.pi + y.pi), 9) AS tm
+  FROM sym s
+  JOIN pi{t - 1} x ON s.i = x.item
+  JOIN pi{t - 1} y ON s.j = y.item
+), den{t} AS (
+  SELECT i AS item, round(sum(tm), 9) AS d FROM term{t} GROUP BY 1
+), upd{t} AS (
+  SELECT w.item, round(CAST(w.wins AS DOUBLE) / d.d, 9) AS p
+  FROM wins w JOIN den{t} d USING (item)
+), s{t} AS (SELECT round(sum(p), 9) AS s FROM upd{t}),
+pi{t} AS MATERIALIZED (
+  SELECT item,
+    round(p * CAST((SELECT k FROM kk) AS DOUBLE)
+      / (SELECT s FROM s{t}), 9) AS pi
+  FROM upd{t}
+)""")
+    tail = f"""
+SELECT i.item,
+  CAST(coalesce(w.wins, 0) AS BIGINT) AS wins,
+  CAST(coalesce(t.n_matches, 0) AS BIGINT) AS n_matches,
+  round(coalesce(p.pi, 0.0), 6) AS strength,
+  CAST(row_number() OVER (
+    ORDER BY round(coalesce(p.pi, 0.0), 6) DESC, i.item
+  ) AS INTEGER) AS rank
+FROM items i
+LEFT JOIN wins w USING (item)
+LEFT JOIN tot t USING (item)
+LEFT JOIN pi{iters} p USING (item)"""
+    return head + "," + ",".join(steps) + tail
+
+
+_RBO_SQL = """
+-- Same ranked LIMIT-50 lists, same p^(d-1)/d suffix-weight spine,
+-- same (1.0 - 0.9) multiplier computed in doubles.
+WITH a AS (
+  SELECT doc_id, CAST(row_number() OVER (
+    ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rank
+  FROM documents QUALIFY rank <= 50
+), b AS (
+  SELECT doc_id, CAST(row_number() OVER (
+    ORDER BY n_chars + (doc_id % 7) * 3 DESC, doc_id) AS INTEGER) AS rank
+  FROM documents QUALIFY rank <= 50
+), common AS (
+  SELECT a.doc_id, greatest(a.rank, b.rank) AS d0
+  FROM a JOIN b USING (doc_id)
+), spine AS (SELECT CAST(unnest(range(1, 51)) AS INTEGER) AS d),
+w AS (SELECT d, pow(0.9, d - 1) / d AS wt FROM spine),
+suf AS (
+  SELECT d, round(sum(wt) OVER (ORDER BY d DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 9) AS suf
+  FROM w
+)
+SELECT CAST(50 AS INTEGER) AS depth, 0.9 AS p,
+  CAST(count(*) AS BIGINT) AS n_common,
+  round((1.0 - 0.9) * round(coalesce(sum(s.suf), 0.0), 9), 6) AS rbo
+FROM common c JOIN suf s ON c.d0 = s.d
+"""
+
+
 # Round-9 additions land here. They sit directly behind the 34 _R9_QUERIES
 # leftovers (geohash..data_gaps), so the r10 window (first 50) checks
 # 34 leftovers + up to 16 new entries — hold additions to ≤16 per round
@@ -13602,6 +13747,8 @@ def q_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 _R10_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "webp_meta": q_webp_meta,
     "scc": q_scc,
+    "bradley_terry": q_bradley_terry,
+    "rbo": q_rbo,
     "seq_count_strict": q_seq_count_strict,
     "dtw_daily": q_dtw_daily,
     "cohens_kappa": q_cohens_kappa,
@@ -13630,6 +13777,8 @@ SELECT CAST(doc_id AS BIGINT) AS media_id,
     AS INTEGER) AS has_anim
 FROM documents
 """,
+    "bradley_terry": _bt_sql(8),
+    "rbo": _RBO_SQL,
     "scc": """
 -- Exact mutual-reach SCC on the same planted arcs: recursive-CTE
 -- transitive closure, scc(v) = max id u with v->*u and u->*v (self

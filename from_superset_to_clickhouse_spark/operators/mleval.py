@@ -174,3 +174,185 @@ def woe_iv(
         F.round(woe, 6).alias("woe"),
         F.round((ps - ns) * woe, 6).alias("iv_term"),
     )
+
+
+def bradley_terry(
+    matches: DataFrame,
+    winner_col: str,
+    loser_col: str,
+    iters: int = 8,
+) -> DataFrame:
+    """Bradley–Terry pairwise-preference strengths via Hunter's (2004)
+    MM iterations → (item, wins, n_matches, strength, rank): the model
+    behind preference/RLHF reward fitting and tournament ranking —
+    π_i ← W_i / Σ_j n_ij/(π_i + π_j), renormalized to mean 1 each
+    round. Items are a BOUNDED label set (models, variants, arms);
+    the corpus-scale work is ONE groupBy producing the ≤K² pair-count
+    table, after which every iteration runs over K² rows as plain
+    Catalyst joins in a single lazy plan — no driver loop state, no
+    collect.
+
+    Every intermediate lands on the 1e-9 grid (term, denominator,
+    update, renormalization), so the ~1e-15 float-sum noise can never
+    cross a grid cell and the oracle's unrolled-CTE replay is
+    bit-identical."""
+    w = F.col(winner_col).cast("string")
+    l = F.col(loser_col).cast("string")
+    base = matches.select(w.alias("_w"), l.alias("_l")).filter(
+        F.col("_w").isNotNull() & F.col("_l").isNotNull()
+        & (F.col("_w") != F.col("_l"))
+    )
+    wins = base.groupBy(F.col("_w").alias("item")).agg(
+        F.count("*").alias("wins")
+    )
+    pairs = (
+        base.select(
+            F.least(F.col("_w"), F.col("_l")).alias("a"),
+            F.greatest(F.col("_w"), F.col("_l")).alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n"))
+    )
+    items = (
+        base.select(F.col("_w").alias("item"))
+        .union(base.select(F.col("_l").alias("item")))
+        .distinct()
+    )
+    n_items = items.groupBy().agg(F.count("*").alias("_k"))
+    tot = (
+        base.select(F.col("_w").alias("item"))
+        .union(base.select(F.col("_l").alias("item")))
+        .groupBy("item")
+        .agg(F.count("*").alias("n_matches"))
+    )
+    # directed pair table: one row per (i, j≠i) with the match count
+    sym = pairs.select(
+        F.col("a").alias("i"), F.col("b").alias("j"), "n"
+    ).union(
+        pairs.select(
+            F.col("b").alias("i"), F.col("a").alias("j"), "n"
+        )
+    )
+    pi = items.select("item", F.lit(1.0).alias("pi"))
+    for _ in range(int(iters)):
+        pj = pi.select(F.col("item").alias("j"), F.col("pi").alias("_pj"))
+        pi_i = pi.select(F.col("item").alias("i"), F.col("pi").alias("_pi"))
+        term = (
+            sym.join(pi_i, "i")
+            .join(pj, "j")
+            .select(
+                "i",
+                F.round(
+                    F.col("n").cast("double")
+                    / (F.col("_pi") + F.col("_pj")),
+                    9,
+                ).alias("_t"),
+            )
+        )
+        denom = term.groupBy(F.col("i").alias("item")).agg(
+            F.round(F.sum("_t"), 9).alias("_d")
+        )
+        upd = wins.join(denom, "item").select(
+            "item",
+            F.round(F.col("wins").cast("double") / F.col("_d"), 9).alias(
+                "_p"
+            ),
+        )
+        s = upd.groupBy().agg(F.round(F.sum("_p"), 9).alias("_s"))
+        pi = (
+            upd.crossJoin(F.broadcast(s))
+            .crossJoin(F.broadcast(n_items))
+            .select(
+                "item",
+                F.round(
+                    F.col("_p") * F.col("_k").cast("double") / F.col("_s"),
+                    9,
+                ).alias("pi"),
+            )
+            # upd feeds both the normalizer and the update, so the lazy
+            # plan doubles per round — checkpoint the K-row state to
+            # keep the plan linear (same shape as the graph loops).
+            .localCheckpoint(eager=True)
+        )
+    out = (
+        items.join(wins, "item", "left")
+        .join(tot, "item", "left")
+        .join(pi, "item", "left")
+        .select(
+            "item",
+            F.coalesce(F.col("wins"), F.lit(0)).cast("long").alias("wins"),
+            F.coalesce(F.col("n_matches"), F.lit(0))
+            .cast("long")
+            .alias("n_matches"),
+            F.round(F.coalesce(F.col("pi"), F.lit(0.0)), 6).alias(
+                "strength"
+            ),
+        )
+    )
+    rk = Window.orderBy(F.col("strength").desc(), F.col("item"))
+    # rank window runs over the BOUNDED item table (K rows), the same
+    # documented-legitimate single-partition class as ntile_tiers.
+    return out.select(
+        "item", "wins", "n_matches", "strength",
+        F.row_number().over(rk).cast("int").alias("rank"),
+    )
+
+
+def rank_biased_overlap(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str,
+    depth: int = 50,
+    p: float = 0.9,
+) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010), truncated at
+    ``depth`` → single row (depth, p, n_common, rbo): the top-weighted
+    ranking similarity for comparing two retrieval/recommendation
+    runs — RBO = (1−p)·Σ_d p^{d−1}·|A_d ∩ B_d|/d, where disagreement
+    near the top costs more than at the tail (Kendall/Spearman weight
+    all positions equally). Inputs are the two ranked lists (id +
+    1-based ``rank`` column, rank ≤ depth).
+
+    A common element entering both prefixes at d₀ = max(rank_a,
+    rank_b) contributes Σ_{d≥d₀} p^{d−1}/d — computed from a
+    ``depth``-row generated spine with a suffix-sum window (bounded
+    rows, the documented-legitimate tiny-window class), then one
+    broadcast join. Nothing corpus-scale beyond producing the ranked
+    lists themselves."""
+    a = ranked_a.select(F.col(id_col).alias("_id"), F.col("rank").alias("_ra"))
+    b = ranked_b.select(F.col(id_col).alias("_id"), F.col("rank").alias("_rb"))
+    common = a.join(b, "_id").select(
+        "_id", F.greatest(F.col("_ra"), F.col("_rb")).alias("_d0")
+    )
+    spine = (
+        F.broadcast(
+            common.sparkSession.range(1, depth + 1)
+            .select(F.col("id").cast("int").alias("_d"))
+        )
+        .withColumn(
+            "_w",
+            F.pow(F.lit(float(p)), F.col("_d") - 1) / F.col("_d"),
+        )
+    )
+    suf = spine.select(
+        "_d",
+        F.round(
+            F.sum("_w").over(
+                Window.orderBy(F.col("_d").desc()).rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+            9,
+        ).alias("_suf"),
+    )
+    j = common.join(F.broadcast(suf), common["_d0"] == suf["_d"])
+    agg = j.agg(
+        F.count("*").alias("_nc"),
+        F.round(F.coalesce(F.sum("_suf"), F.lit(0.0)), 9).alias("_ss"),
+    )
+    return agg.select(
+        F.lit(int(depth)).cast("int").alias("depth"),
+        F.lit(float(p)).alias("p"),
+        F.col("_nc").cast("long").alias("n_common"),
+        F.round((1.0 - float(p)) * F.col("_ss"), 6).alias("rbo"),
+    )

@@ -83,3 +83,69 @@ def test_woe_iv_reference(spark):
         assert abs(got[b].woe - round(math.log(ps / ns), 6)) < 1e-9
         assert abs(got[b].iv_term - round((ps - ns) * math.log(ps / ns), 6)) < 1e-9
     assert got[0].n_pos == 30 and got[1].n_neg == 50
+
+
+def test_bradley_terry_recovers_planted_strengths(spark):
+    """With wins sampled from known strengths 1:2:4:8, the MM fit
+    recovers the ordering and approximate ratios, and a symmetric
+    matchup (everyone beats everyone equally) fits all-equal."""
+    import random
+
+    from from_superset_to_clickhouse_spark.operators.mleval import (
+        bradley_terry,
+    )
+
+    rng = random.Random(5)
+    s = {0: 1.0, 1: 2.0, 2: 4.0, 3: 8.0}
+    rows = []
+    for _ in range(2000):
+        i, j = rng.sample(range(4), 2)
+        w = i if rng.random() < s[i] / (s[i] + s[j]) else j
+        rows.append((str(w), str(i if w != i else j)))
+    df = spark.createDataFrame(rows, "w string, l string")
+    out = bradley_terry(df, "w", "l", iters=8).orderBy("rank").collect()
+    assert [r["item"] for r in out] == ["3", "2", "1", "0"]
+    # consecutive strength ratios near the planted 2x
+    for hi, lo in zip(out, out[1:]):
+        assert 1.4 < hi["strength"] / lo["strength"] < 2.9
+    even = spark.createDataFrame(
+        [(str(i), str(j)) for i in range(3) for j in range(3) if i != j] * 10,
+        "w string, l string",
+    )
+    flat = bradley_terry(even, "w", "l", iters=6).collect()
+    for r in flat:
+        assert abs(r["strength"] - 1.0) < 1e-6
+
+
+def test_rank_biased_overlap_bounds_and_truncation(spark):
+    """Identical lists hit the truncated maximum 1-p^D exactly;
+    disjoint lists score 0; swapping ranks 1 and 2 costs more than
+    swapping ranks D-1 and D (top-weightedness)."""
+    from from_superset_to_clickhouse_spark.operators.mleval import (
+        rank_biased_overlap,
+    )
+
+    D, p = 20, 0.9
+    ra = spark.createDataFrame(
+        [(i, i) for i in range(1, D + 1)], "id int, rank int"
+    )
+    same = rank_biased_overlap(ra, ra, "id", depth=D, p=p).first()
+    assert abs(same["rbo"] - (1 - p ** D)) < 1e-5
+    disj = spark.createDataFrame(
+        [(100 + i, i) for i in range(1, D + 1)], "id int, rank int"
+    )
+    assert rank_biased_overlap(ra, disj, "id", depth=D, p=p).first()[
+        "rbo"] == 0.0
+
+    def swapped(a, b):
+        ranks = {i: i for i in range(1, D + 1)}
+        ranks[a], ranks[b] = b, a
+        return spark.createDataFrame(
+            [(i, r) for i, r in ranks.items()], "id int, rank int"
+        )
+
+    top = rank_biased_overlap(ra, swapped(1, 2), "id", depth=D, p=p).first()
+    bot = rank_biased_overlap(
+        ra, swapped(D - 1, D), "id", depth=D, p=p
+    ).first()
+    assert top["rbo"] < bot["rbo"] < same["rbo"]
