@@ -13344,6 +13344,121 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_gaps": q_data_gaps,
 }
 
+def q_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel two-sample embedding drift: MMD² between two hash-split
+    embedding groups, the second PLANTED with a +0.5 shift on dim 1 —
+    the drift a per-scalar PSI/KS dashboard can miss but the kernel
+    mean embedding cannot. Bounded hash samples (vec_id mod 3), RBF
+    σ²=2; the oracle replays the pair kernels with the same 1e-6
+    distance grid before exp."""
+    from from_superset_to_clickhouse_spark.operators.similarity import (
+        mmd_rbf,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 3 == 0).select("embedding")
+    b = emb.filter(F.col("vec_id") % 3 == 1).select(
+        F.concat(
+            F.array(
+                (F.element_at("embedding", 1) + F.lit(0.5)).cast("float")
+            ),
+            F.slice("embedding", 2, F.size("embedding") - 1),
+        ).alias("embedding")
+    )
+    return mmd_rbf(a, b, sigma2=2.0)
+
+
+_MMD_SQL = """
+-- Same biased V-statistic: per-pair squared distance folded over dims
+-- on the 1e-6 grid, RBF kernel means over the three bounded pair
+-- products, mmd2 = kxx + kyy - 2 kxy.
+WITH a AS (
+  SELECT embedding AS v FROM embeddings WHERE vec_id % 3 = 0
+), b AS (
+  SELECT [CAST(embedding[1] + 0.5 AS FLOAT)] ||
+    embedding[2:len(embedding)] AS v
+  FROM embeddings WHERE vec_id % 3 = 1
+), kxx AS (
+  SELECT avg(exp(-round(list_reduce(
+      [CAST(0.0 AS DOUBLE)] || list_transform(range(1, len(x.v) + 1),
+        i -> (CAST(x.v[i] AS DOUBLE) - CAST(y.v[i] AS DOUBLE))
+           * (CAST(x.v[i] AS DOUBLE) - CAST(y.v[i] AS DOUBLE))),
+      (acc, t) -> acc + t), 6) / 4.0)) AS m
+  FROM a x CROSS JOIN a y
+), kyy AS (
+  SELECT avg(exp(-round(list_reduce(
+      [CAST(0.0 AS DOUBLE)] || list_transform(range(1, len(x.v) + 1),
+        i -> (CAST(x.v[i] AS DOUBLE) - CAST(y.v[i] AS DOUBLE))
+           * (CAST(x.v[i] AS DOUBLE) - CAST(y.v[i] AS DOUBLE))),
+      (acc, t) -> acc + t), 6) / 4.0)) AS m
+  FROM b x CROSS JOIN b y
+), kxy AS (
+  SELECT avg(exp(-round(list_reduce(
+      [CAST(0.0 AS DOUBLE)] || list_transform(range(1, len(x.v) + 1),
+        i -> (CAST(x.v[i] AS DOUBLE) - CAST(y.v[i] AS DOUBLE))
+           * (CAST(x.v[i] AS DOUBLE) - CAST(y.v[i] AS DOUBLE))),
+      (acc, t) -> acc + t), 6) / 4.0)) AS m
+  FROM a x CROSS JOIN b y
+), na AS (SELECT count(*) AS n_a FROM a),
+nb AS (SELECT count(*) AS n_b FROM b)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  round(kxx.m, 6) AS kxx, round(kyy.m, 6) AS kyy,
+  round(kxy.m, 6) AS kxy,
+  round(kxx.m + kyy.m - 2.0 * kxy.m, 6) AS mmd2
+FROM kxx, kyy, kxy, na, nb
+"""
+
+
+def q_qoi_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL QOI decode (qoiformat.org — the run/index/diff/luma byte
+    codec, fifth pixel-real format after PNG/GIF/JPEG/BMP): planted
+    per-channel pixels with every third row flattened so RUN ops are
+    exercised beside DIFF/LUMA/INDEX/RGB, position-weighted checksum
+    sensitive to row and channel order. The encoder is exercised by
+    pytest roundtrips; the oracle enumerates the planted pixels
+    arithmetically, so the decode must recover every byte."""
+    imgs = mm.synthesize_qoi_images(_docs(spark, sf_dir), "doc_id")
+    return mm.image_pixel_stats(imgs).select(
+        "media_id", "format", "width", "height", "channels",
+        "n_px", "px_sum", "min_px", "max_px", "pos_sum",
+    )
+
+
+_QOI_PIXELS_SQL = """
+-- Planted enumeration: pixel (x,y) channels (R,G,B) at byte position
+-- (y*w + x)*3 + c, with x frozen to 0 on every third row (the
+-- run-length rows).
+WITH dims AS (
+  SELECT doc_id, doc_id % 10 + 1 AS w, doc_id % 6 + 1 AS h
+  FROM documents
+), xs AS (
+  SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims
+), ys AS (
+  SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs
+), px AS (
+  SELECT doc_id, w, h, x, y, unnest(range(0, 3)) AS c FROM ys
+), v AS (
+  SELECT doc_id, w, h, (y * w + x) * 3 + c AS p,
+    CASE c
+      WHEN 0 THEN (doc_id + 2 * (CASE WHEN y % 3 = 2 THEN 0 ELSE x END)
+        + 7 * y) % 256
+      WHEN 1 THEN (doc_id + 5 * (CASE WHEN y % 3 = 2 THEN 0 ELSE x END)
+        + 3 * y) % 256
+      ELSE (doc_id + 9 * (CASE WHEN y % 3 = 2 THEN 0 ELSE x END)
+        + y) % 256 END AS val
+  FROM px
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id, 'qoi' AS format,
+  CAST(max(w) AS INTEGER) AS width, CAST(max(h) AS INTEGER) AS height,
+  CAST(3 AS INTEGER) AS channels, CAST(count(*) AS INTEGER) AS n_px,
+  CAST(sum(val) AS BIGINT) AS px_sum,
+  CAST(min(val) AS INTEGER) AS min_px,
+  CAST(max(val) AS INTEGER) AS max_px,
+  CAST(sum(p * val) AS BIGINT) AS pos_sum
+FROM v GROUP BY doc_id
+"""
+
+
 def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley–Terry preference strengths over planted pairwise
     matches (the model behind RLHF reward fitting / tournament
@@ -13749,6 +13864,8 @@ _R10_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scc": q_scc,
     "bradley_terry": q_bradley_terry,
     "rbo": q_rbo,
+    "qoi_pixels": q_qoi_pixels,
+    "mmd_drift": q_mmd_drift,
     "seq_count_strict": q_seq_count_strict,
     "dtw_daily": q_dtw_daily,
     "cohens_kappa": q_cohens_kappa,
@@ -13779,6 +13896,8 @@ FROM documents
 """,
     "bradley_terry": _bt_sql(8),
     "rbo": _RBO_SQL,
+    "qoi_pixels": _QOI_PIXELS_SQL,
+    "mmd_drift": _MMD_SQL,
     "scc": """
 -- Exact mutual-reach SCC on the same planted arcs: recursive-CTE
 -- transitive closure, scc(v) = max id u with v->*u and u->*v (self

@@ -2261,8 +2261,12 @@ def image_pixel_stats(images: DataFrame) -> DataFrame:
                                 w, h, ch, px = decode_jpeg_pixels(p)
                                 fmt = "jpeg"
                             except ValueError:
-                                w, h, ch, px = decode_bmp_pixels(p)
-                                fmt = "bmp"
+                                try:
+                                    w, h, ch, px = decode_bmp_pixels(p)
+                                    fmt = "bmp"
+                                except ValueError:
+                                    w, h, ch, px = decode_qoi_pixels(p)
+                                    fmt = "qoi"
                     a = np.frombuffer(px, dtype=np.uint8)
                     s = int(a.sum(dtype=np.int64))
                     fmts.append(fmt)
@@ -4836,6 +4840,162 @@ def synthesize_bmp_images(df: DataFrame, id_col: str) -> DataFrame:
                             (i + x + 11 * y) % 256,
                         ))
                 payloads.append(encode_bmp(w, h, bytes(px)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return src.mapInPandas(run, schema=IMAGE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# QOI (Quite OK Image, qoiformat.org, 2022): the run/index/diff/luma
+# byte codec — fifth pixel-real image format after PNG/GIF/JPEG/BMP.
+
+_QOI_END = b"\x00" * 7 + b"\x01"
+
+
+def _qoi_hash(r: int, g: int, b: int, a: int) -> int:
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def encode_qoi(width: int, height: int, rgb: bytes) -> bytes:
+    """REAL QOI encode (stdlib only) of 8-bit RGB samples, standard op
+    priority RUN → INDEX → DIFF → LUMA → RGB, 64-slot seen-pixel index,
+    spec start state (0,0,0,255) and end marker."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("qoi: samples != w*h*3")
+    out = bytearray(b"qoif")
+    out += struct.pack(">IIBB", width, height, 3, 0)
+    idx = [(0, 0, 0, 0)] * 64
+    pr, pg, pb, pa = 0, 0, 0, 255
+    run = 0
+    for i in range(width * height):
+        r, g, b = rgb[i * 3], rgb[i * 3 + 1], rgb[i * 3 + 2]
+        if (r, g, b) == (pr, pg, pb):
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+        else:
+            if run:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            h = _qoi_hash(r, g, b, pa)
+            if idx[h] == (r, g, b, pa):
+                out.append(h)
+            else:
+                idx[h] = (r, g, b, pa)
+                dr = (r - pr + 128) % 256 - 128
+                dg = (g - pg + 128) % 256 - 128
+                db = (b - pb + 128) % 256 - 128
+                if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                    out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2)
+                               | (db + 2))
+                elif (
+                    -32 <= dg <= 31
+                    and -8 <= dr - dg <= 7
+                    and -8 <= db - dg <= 7
+                ):
+                    out.append(0x80 | (dg + 32))
+                    out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+                else:
+                    out += bytes((0xFE, r, g, b))
+            pr, pg, pb = r, g, b
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += _QOI_END
+    return bytes(out)
+
+
+def decode_qoi_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL QOI decode → (width, height, channels, samples): header
+    validation, all six ops (RGB/RGBA/INDEX/DIFF/LUMA/RUN) with the
+    spec's wrapping byte arithmetic and 64-slot index, end-marker
+    check. Malformed streams raise ``ValueError`` (quarantine, never
+    garbage pixels)."""
+    if payload is None or payload[:4] != b"qoif":
+        raise ValueError("not a QOI stream")
+    try:
+        w, h, ch, _cs = struct.unpack(">IIBB", payload[4:14])
+    except struct.error as exc:
+        raise ValueError(f"qoi: truncated header: {exc}") from exc
+    if ch not in (3, 4) or w == 0 or h == 0:
+        raise ValueError("qoi: bad header fields")
+    if payload[-8:] != _QOI_END:
+        raise ValueError("qoi: missing end marker")
+    data = payload[14:-8]
+    out = bytearray()
+    idx = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    n_px = w * h
+    pos = 0
+    emitted = 0
+    try:
+        while emitted < n_px:
+            op = data[pos]
+            pos += 1
+            if op == 0xFE:
+                r, g, b = data[pos], data[pos + 1], data[pos + 2]
+                pos += 3
+            elif op == 0xFF:
+                r, g, b, a = (
+                    data[pos], data[pos + 1], data[pos + 2], data[pos + 3]
+                )
+                pos += 4
+            elif op >> 6 == 0:
+                r, g, b, a = idx[op & 0x3F]
+            elif op >> 6 == 1:
+                r = (r + ((op >> 4) & 3) - 2) % 256
+                g = (g + ((op >> 2) & 3) - 2) % 256
+                b = (b + (op & 3) - 2) % 256
+            elif op >> 6 == 2:
+                dg = (op & 0x3F) - 32
+                b2 = data[pos]
+                pos += 1
+                r = (r + dg + ((b2 >> 4) & 0xF) - 8) % 256
+                g = (g + dg) % 256
+                b = (b + dg + (b2 & 0xF) - 8) % 256
+            else:  # RUN
+                n = (op & 0x3F) + 1
+                px = bytes((r, g, b, a))[:ch]
+                out += px * n
+                idx[_qoi_hash(r, g, b, a)] = (r, g, b, a)
+                emitted += n
+                continue
+            idx[_qoi_hash(r, g, b, a)] = (r, g, b, a)
+            out += bytes((r, g, b, a))[:ch]
+            emitted += 1
+    except IndexError as exc:
+        raise ValueError(f"qoi: truncated stream: {exc}") from exc
+    if emitted != n_px:
+        raise ValueError("qoi: pixel count overrun")
+    return (w, h, ch, bytes(out))
+
+
+def synthesize_qoi_images(df: DataFrame, id_col: str) -> DataFrame:
+    """Fixture generator: one REAL QOI stream per row — planted
+    per-channel pixels R = (id+2x+7y)%256, G = (id+5x+3y)%256,
+    B = (id+9x+y)%256 over w = id%10+1, h = id%6+1, with every third
+    row flattened to its first pixel so RUN ops are exercised next to
+    DIFF/LUMA/INDEX/RGB ones. pos_sum stays row- and channel-order
+    sensitive."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 10 + 1, i % 6 + 1
+                px = bytearray()
+                for y in range(h):
+                    for x in range(w):
+                        xx = 0 if y % 3 == 2 else x
+                        px += bytes((
+                            (i + 2 * xx + 7 * y) % 256,
+                            (i + 5 * xx + 3 * y) % 256,
+                            (i + 9 * xx + y) % 256,
+                        ))
+                payloads.append(encode_qoi(w, h, bytes(px)))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     return src.mapInPandas(run, schema=IMAGE_SCHEMA)

@@ -1953,3 +1953,75 @@ def pca_top_component(
         " explained double",
     )
     return out
+
+
+def mmd_rbf(
+    sample_a: DataFrame,
+    sample_b: DataFrame,
+    vec_col: str = "embedding",
+    sigma2: float = 2.0,
+) -> DataFrame:
+    """Maximum Mean Discrepancy² (Gretton et al. 2012, biased
+    V-statistic) between two embedding samples with the RBF kernel →
+    single row (n_a, n_b, kxx, kyy, kxy, mmd2): the kernel two-sample
+    test behind embedding-distribution drift detection — "did this
+    week's corpus move in embedding space?" — where PSI/KS only see
+    one scalar at a time.
+
+    MMD is inherently O(n²) in the SAMPLE sizes, so the contract is
+    bounded inputs (hash-sampled groups — the standard practice); the
+    pair expansions are broadcast nested-loop joins of the two bounded
+    sides, never a corpus×corpus product. Pair distances fold
+    left-to-right over dims and land on the 1e-6 grid before exp, so
+    both engines feed libm identical doubles; the three kernel means
+    are ratios of bounded sums (≤1 ulp per exp term, orders below the
+    6dp round)."""
+    two_s2 = 2.0 * float(sigma2)
+
+    def _k(x, y):
+        d2 = F.round(
+            F.aggregate(
+                F.zip_with(
+                    x, y,
+                    lambda p, q: (p.cast("double") - q.cast("double"))
+                    * (p.cast("double") - q.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        )
+        return F.exp(-d2 / F.lit(two_s2))
+
+    a = sample_a.select(F.col(vec_col).alias("_xa"))
+    b = sample_b.select(F.col(vec_col).alias("_xb"))
+
+    def mean_k(left, right, lc, rc):
+        j = left.crossJoin(F.broadcast(right))
+        return j.agg(
+            F.avg(_k(F.col(lc), F.col(rc))).alias("_m"),
+            F.count("*").alias("_n"),
+        )
+
+    kxx = mean_k(a, a.select(F.col("_xa").alias("_xa2")), "_xa", "_xa2")
+    kyy = mean_k(b, b.select(F.col("_xb").alias("_xb2")), "_xb", "_xb2")
+    kxy = mean_k(a, b, "_xa", "_xb")
+    na = sample_a.groupBy().agg(F.count("*").alias("n_a"))
+    nb = sample_b.groupBy().agg(F.count("*").alias("n_b"))
+    out = (
+        kxx.select(F.col("_m").alias("_kxx"))
+        .crossJoin(F.broadcast(kyy.select(F.col("_m").alias("_kyy"))))
+        .crossJoin(F.broadcast(kxy.select(F.col("_m").alias("_kxy"))))
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+    )
+    return out.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("_kxx", 6).alias("kxx"),
+        F.round("_kyy", 6).alias("kyy"),
+        F.round("_kxy", 6).alias("kxy"),
+        F.round(
+            F.col("_kxx") + F.col("_kyy") - 2.0 * F.col("_kxy"), 6
+        ).alias("mmd2"),
+    )

@@ -3687,3 +3687,41 @@ def test_permutation_test_planted_effect_and_null(spark):
     ndf = spark.createDataFrame(null, "u long, arm int, v double")
     p = permutation_test_hash(ndf, "u", "arm", "v", n_perm=100).first()
     assert p["p_value"] >= 0.05
+
+
+def test_qoi_codec_roundtrip_and_quarantine():
+    """Encode→decode identity across op regimes (random=RGB/LUMA-heavy,
+    constant=RUN-heavy incl. >62-pixel runs, gradient=DIFF-heavy) and
+    ValueError quarantine on malformed streams."""
+    import random
+
+    import pytest
+
+    from from_superset_to_clickhouse_spark.operators import multimodal as mm
+
+    rng = random.Random(1)
+    for trial in range(60):
+        w, h = rng.randint(1, 12), rng.randint(1, 8)
+        if trial % 3 == 0:
+            px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        elif trial % 3 == 1:
+            px = bytes(
+                (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            ) * (w * h)
+        else:
+            buf = bytearray()
+            r = g = b = 100
+            for _ in range(w * h):
+                r = (r + rng.randint(-2, 1)) % 256
+                g = (g + rng.randint(-2, 1)) % 256
+                b = (b + rng.randint(-2, 1)) % 256
+                buf += bytes((r, g, b))
+            px = bytes(buf)
+        enc = mm.encode_qoi(w, h, px)
+        assert mm.decode_qoi_pixels(enc) == (w, h, 3, px), (trial, w, h)
+    long = bytes((5, 6, 7)) * 200  # run > 62 forces run-splitting
+    assert mm.decode_qoi_pixels(mm.encode_qoi(20, 10, long))[3] == long
+    good = mm.encode_qoi(4, 4, bytes(range(48)))
+    for bad in (b"qoix" + good[4:], good[:-1], good[:20]):
+        with pytest.raises(ValueError):
+            mm.decode_qoi_pixels(bad)

@@ -658,3 +658,34 @@ def test_ivfpq_prebuilt_index_and_reused_centroids_identical(spark):
         ).collect()
     ]
     assert pre == fused
+
+
+def test_mmd_detects_planted_shift(spark):
+    """MMD² ≈ 0 for two samples of the same distribution; strictly
+    larger when one group is shifted; kernel self-means stay ≤ 1."""
+    import random
+
+    from from_superset_to_clickhouse_spark.operators.similarity import (
+        mmd_rbf,
+    )
+
+    rng = random.Random(2)
+
+    def draw(n, shift):
+        return [
+            ([rng.gauss(shift, 1.0)] + [rng.gauss(0, 1.0) for _ in range(7)],)
+            for _ in range(n)
+        ]
+
+    schema = "embedding array<float>"
+    a = spark.createDataFrame(draw(120, 0.0), schema)
+    b_same = spark.createDataFrame(draw(120, 0.0), schema)
+    b_shift = spark.createDataFrame(draw(120, 1.5), schema)
+    null = mmd_rbf(a, b_same, sigma2=4.0).first()
+    drift = mmd_rbf(a, b_shift, sigma2=4.0).first()
+    assert null["n_a"] == null["n_b"] == 120
+    for r in (null, drift):
+        assert 0.0 < r["kxy"] <= 1.0
+        assert r["kxx"] <= 1.0 and r["kyy"] <= 1.0
+    assert abs(null["mmd2"]) < 0.02
+    assert drift["mmd2"] > null["mmd2"] + 0.02
