@@ -13999,8 +13999,9 @@ d AS (SELECT sum(c) AS nn,
 SELECT CAST(nn AS BIGINT) AS n,
   round(CAST(diag AS DOUBLE) / nn, 6) AS po,
   round(pe_num / (CAST(nn AS DOUBLE) * nn), 6) AS pe,
-  round((CAST(diag AS DOUBLE) / nn - pe_num / (CAST(nn AS DOUBLE) * nn))
-    / (1.0 - pe_num / (CAST(nn AS DOUBLE) * nn)), 6) AS kappa
+  round(CASE WHEN pe_num / (CAST(nn AS DOUBLE) * nn) < 1.0 THEN
+    (CAST(diag AS DOUBLE) / nn - pe_num / (CAST(nn AS DOUBLE) * nn))
+    / (1.0 - pe_num / (CAST(nn AS DOUBLE) * nn)) END, 6) AS kappa
 FROM d, pe
 """,
     "mcnemar": """

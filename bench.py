@@ -141,6 +141,16 @@ HEADLINE = [
     "closeness",
     "kaplan_meier",
     "control_chart",
+    # round-9 additions: QOI decode throughput, WebP header-walk
+    # throughput, the per-key DTW DP fold, Hunter-MM Bradley-Terry
+    # (8 checkpointed K²-row rounds — driver-loop dominated, published
+    # honestly), and the FW-BW coloring SCC (iterative, ~3 outer
+    # rounds on the planted small-diameter graph)
+    "qoi_pixels",
+    "webp_meta",
+    "dtw_daily",
+    "bradley_terry",
+    "scc",
 ]
 
 # ANN is measured on a deterministic query slice (vec_id < ANN_QUERIES)

@@ -2307,7 +2307,11 @@ def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
         F.col("_nn").cast("long").alias("n"),
         F.round(po, 6).alias("po"),
         F.round(pe, 6).alias("pe"),
-        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+        # pe = 1 (both raters constant on one label) leaves kappa
+        # undefined — NULL, not a divide-by-zero (ANSI mode throws).
+        F.round(
+            F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe)), 6
+        ).alias("kappa"),
     )
 
 

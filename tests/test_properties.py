@@ -940,3 +940,157 @@ def test_data_gaps_accounting_identity(spark, days):
     s = sorted(days)
     ref_gap = max((b - a - 1 for a, b in zip(s, s[1:])), default=0)
     assert r["longest_gap"] == ref_gap
+
+
+@settings(
+    deadline=None, max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    labels=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 2)),
+        min_size=4, max_size=40,
+    )
+)
+def test_cohens_kappa_bounds_and_relabel_invariance(spark, labels):
+    """kappa <= 1 always, == 1 exactly on perfect agreement, and a
+    consistent relabeling of BOTH raters leaves it unchanged."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        cohens_kappa,
+    )
+
+    df = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in labels], "a string, b string"
+    )
+    r = cohens_kappa(df, "a", "b").first()
+    if r["kappa"] is not None:
+        assert r["kappa"] <= 1.0 + 1e-9
+        if all(a == b for a, b in labels):
+            assert r["kappa"] == 1.0
+    perm = {0: "x", 1: "y", 2: "z"}
+    df2 = spark.createDataFrame(
+        [(perm[a], perm[b]) for a, b in labels], "a string, b string"
+    )
+    r2 = cohens_kappa(df2, "a", "b").first()
+    assert r2["kappa"] == r["kappa"] and r2["pe"] == r["pe"]
+
+
+@settings(
+    deadline=None, max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 1)),
+        min_size=3, max_size=40,
+    )
+)
+def test_mcnemar_swap_antisymmetry(spark, pairs):
+    """Swapping the two classifiers swaps the discordant cells and
+    leaves chi2 / p unchanged (the test is symmetric in |n10-n01|)."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        mcnemar_test,
+    )
+
+    df = spark.createDataFrame(pairs, "a int, b int")
+    r = mcnemar_test(df, "a", "b").first()
+    w = mcnemar_test(df, "b", "a").first()
+    assert (r["n10"], r["n01"]) == (w["n01"], w["n10"])
+    assert r["chi2"] == w["chi2"] and r["p_value"] == w["p_value"]
+
+
+@settings(
+    deadline=None, max_examples=6,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    toks=st.lists(st.integers(0, 30), min_size=3, max_size=80),
+)
+def test_chao1_and_good_turing_invariants(spark, toks):
+    """chao1 >= observed richness always, and the Good-Turing p_mass
+    rows (the redistributed mass of the r<=5 classes plus unseen) sum
+    to <= 1 + rounding slack."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        chao1_richness,
+        good_turing,
+    )
+
+    df = spark.createDataFrame(
+        [("g", f"t{t}") for t in toks], "g string, t string"
+    )
+    r = chao1_richness(df, "t", "g").first()
+    assert r["chao1"] >= r["observed"] - 1e-9
+    masses = [
+        row["p_mass"] for row in good_turing(df, "t").collect()
+        if row["p_mass"] is not None
+    ]
+    assert sum(masses) <= 1.0 + 1e-6
+
+
+@settings(
+    deadline=None, max_examples=6,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(0.5, 1000, allow_nan=False), min_size=8, max_size=60
+    ),
+    scale=st.floats(0.1, 50, allow_nan=False),
+)
+def test_hill_and_theil_scale_invariance(spark, vals, scale):
+    """Both the Hill exponent and the Theil index are scale-free:
+    multiplying every value by c > 0 changes neither (log-ratio and
+    share arithmetic)."""
+    from pyspark.sql import functions as F
+
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        hill_tail,
+        theil_index,
+    )
+
+    rows = [(i, v, f"g{i % 3}") for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i long, x double, g string")
+    df2 = df.select("i", (F.col("x") * float(scale)).alias("x"), "g")
+    h1 = hill_tail(df, "x", k=5, tiebreak_col="i").first()
+    h2 = hill_tail(df2, "x", k=5, tiebreak_col="i").first()
+    if h1["alpha"] is not None and h2["alpha"] is not None:
+        assert abs(h1["alpha"] - h2["alpha"]) < 1e-3 * max(
+            1.0, abs(h1["alpha"])
+        )
+    t1 = theil_index(df, "x", "g").first()
+    t2 = theil_index(df2, "x", "g").first()
+    assert abs(t1["theil_total"] - t2["theil_total"]) < 1e-4
+    assert abs(t1["theil_between"] - t2["theil_between"]) < 1e-4
+
+
+@settings(
+    deadline=None, max_examples=6,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    xs=st.lists(st.floats(-50, 50, allow_nan=False), min_size=2,
+                max_size=12),
+    ys=st.lists(st.floats(-50, 50, allow_nan=False), min_size=2,
+                max_size=12),
+)
+def test_dtw_identity_and_symmetry(spark, xs, ys):
+    """dtw(x, x) == 0 for any series, and DTW is symmetric in its
+    arguments (the DP cost matrix transposes)."""
+    import datetime as dt
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        dtw_distance,
+    )
+
+    rows = []
+    for d, v in enumerate(xs):
+        rows.append(("x", BASE + dt.timedelta(days=d), float(v)))
+    for d, v in enumerate(ys):
+        rows.append(("y", BASE + dt.timedelta(days=d), float(v)))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    vs_x = {r["key"]: r["dtw"]
+            for r in dtw_distance(df, "k", "ts", "v", "x").collect()}
+    vs_y = {r["key"]: r["dtw"]
+            for r in dtw_distance(df, "k", "ts", "v", "y").collect()}
+    assert vs_x["x"] == 0.0 and vs_y["y"] == 0.0
+    assert abs(vs_x["y"] - vs_y["x"]) < 1e-6
