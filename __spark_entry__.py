@@ -13859,6 +13859,11 @@ FROM common c JOIN suf s ON c.d0 = s.d
 # leftovers (geohash..data_gaps), so the r10 window (first 50) checks
 # 34 leftovers + up to 16 new entries — hold additions to ≤16 per round
 # (VERDICT r8 item 5) and every entry gets a driver row within 2 rounds.
+# ENTRY-ADDING CHECKLIST (every item, every entry): (1) full oracle_sql
+# twin, aliased identically; (2) scripts/check_oracle.py --pandas-canon
+# green at sf0.001 AND sf0.01; (3) pytest reference-model test;
+# (4) rerun scripts/plan_audit.py so PLANS.md row count == len(queries())
+# (VERDICT r8 item 3 — the audit must never lag the registry).
 _R10_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "webp_meta": q_webp_meta,
     "scc": q_scc,
