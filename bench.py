@@ -654,23 +654,15 @@ def main() -> None:
     pq_codes.count()
 
     def _pq_batch():
-        import functools
-
+        # Batch LUT-join plan (ONE corpus scan for all 16 queries —
+        # pytest proves it equals the per-query ordered-LIMIT form).
         # topk=6 + drop-self client-side: the query IS a corpus member
         # (ADC distance = its own quantization error, ~rank 1), but the
         # exact truth excludes self — without this the recall ceiling
         # would be 4/5 by construction.
-        plans = [
-            simi.pq_adc_topk(
-                pq_codes, pq_books, pq_qvecs[qid], topk=6, encoded=True
-            ).select(
-                F.lit(qid).alias("q_id"),
-                F.col("vec_id").alias("n_id"),
-                F.col("adc"),
-            )
-            for qid in pq_qids
-        ]
-        return functools.reduce(lambda a, b: a.unionAll(b), plans).collect()
+        return simi.pq_adc_topk_batch(
+            pq_codes, pq_books, pq_qvecs, topk=6
+        ).collect()
 
     def _top5_no_self(rows):
         by_q: dict = {}
@@ -702,20 +694,13 @@ def main() -> None:
     ivfpq_idx.count()
 
     def _ivfpq_batch():
-        import functools
-
-        plans = [
-            simi.ivfpq_topk(
-                scale_norm, ivfpq_cents, ivfpq_books, pq_qvecs[qid],
-                nprobe=8, topk=6, index=ivfpq_idx,
-            ).select(
-                F.lit(qid).alias("q_id"),
-                F.col("vec_id").alias("n_id"),
-                F.col("adc"),
-            )
-            for qid in pq_qids
-        ]
-        return functools.reduce(lambda a, b: a.unionAll(b), plans).collect()
+        # One (q_id, cell)-LUT broadcast join: the probe filter and the
+        # per-cell residual LUT arrive together, unprobed cells never
+        # join (pytest proves equality with the per-query form).
+        return simi.ivfpq_topk_batch(
+            ivfpq_idx, ivfpq_cents, ivfpq_books, pq_qvecs,
+            nprobe=8, topk=6,
+        ).collect()
 
     ivfpq_rows = timed_collect("ann_scale_ivfpq_adc", _ivfpq_batch, runs=3)
 
@@ -726,39 +711,26 @@ def main() -> None:
     # R/N of the exact-scan cost. Both numbers are published.
     PQ_REFINE_R = 300
 
-    def _refined_batch(cand_fn):
-        import functools
-
-        plans = []
-        for qid in pq_qids:
-            cand = cand_fn(qid)
-            plans.append(
-                simi.exact_rerank(
-                    scale_norm, cand, pq_qvecs[qid], topk=6
-                ).select(
-                    F.lit(qid).alias("q_id"),
-                    F.col("vec_id").alias("n_id"),
-                    F.col("dist").alias("adc"),
-                )
-            )
-        return functools.reduce(lambda a, b: a.unionAll(b), plans).collect()
+    def _refined(cands):
+        return simi.exact_rerank_batch(
+            scale_norm, cands, pq_qvecs, topk=6
+        ).select("q_id", "n_id", F.col("dist").alias("adc")).collect()
 
     pq_ref_rows = timed_collect(
         "ann_scale_pq_refine",
-        lambda: _refined_batch(
-            lambda qid: simi.pq_adc_topk(
-                pq_codes, pq_books, pq_qvecs[qid],
-                topk=PQ_REFINE_R, encoded=True,
+        lambda: _refined(
+            simi.pq_adc_topk_batch(
+                pq_codes, pq_books, pq_qvecs, topk=PQ_REFINE_R
             )
         ),
         runs=3,
     )
     ivfpq_ref_rows = timed_collect(
         "ann_scale_ivfpq_refine",
-        lambda: _refined_batch(
-            lambda qid: simi.ivfpq_topk(
-                scale_norm, ivfpq_cents, ivfpq_books, pq_qvecs[qid],
-                nprobe=8, topk=PQ_REFINE_R, index=ivfpq_idx,
+        lambda: _refined(
+            simi.ivfpq_topk_batch(
+                ivfpq_idx, ivfpq_cents, ivfpq_books, pq_qvecs,
+                nprobe=8, topk=PQ_REFINE_R,
             )
         ),
         runs=3,

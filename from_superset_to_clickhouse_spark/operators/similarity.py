@@ -2025,3 +2025,172 @@ def mmd_rbf(
             F.col("_kxx") + F.col("_kyy") - 2.0 * F.col("_kxy"), 6
         ).alias("mmd2"),
     )
+
+
+def pq_adc_topk_batch(
+    codes: DataFrame,
+    books: "list[list[list[float]]]",
+    queries: "dict[int, list[float]]",
+    topk: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch ADC search over a pre-encoded code table → (q_id, n_id,
+    adc, rank ≤ topk): ONE plan for the whole query batch instead of
+    |Q| unioned scans. Per-query LUTs (|Q| × m × k doubles, bounded
+    query-side state like every ANN batch here) ride a BROADCAST table
+    joined to the codes, scoring stays m element_at lookups per
+    (query, row), and the per-query top-k is one window over the
+    q_id-partitioned scores — the offline-eval / reranker shape, where
+    the per-query ordered-LIMIT plan is the online-serving one.
+    Measured on the bench's 400k corpus: 16 queries in ~1 scan instead
+    of 16. At 100 TB the scan cost is paid once per BATCH, not per
+    query."""
+    m = len(books)
+    d = len(books[0][0])
+    spark = codes.sparkSession
+    rows = []
+    for qid, q in queries.items():
+        lut = [
+            [
+                round(
+                    sum(
+                        (float(q[s * d + i]) - float(c[i])) ** 2
+                        for i in range(d)
+                    ),
+                    6,
+                )
+                for c in books[s]
+            ]
+            for s in range(m)
+        ]
+        rows.append((int(qid), lut))
+    luts = spark.createDataFrame(
+        rows, "q_id long, lut array<array<double>>"
+    )
+    j = codes.crossJoin(F.broadcast(luts))
+    adc = F.element_at(
+        F.element_at(F.col("lut"), 1), F.col("code_0") + 1
+    )
+    for s in range(1, m):
+        adc = adc + F.element_at(
+            F.element_at(F.col("lut"), s + 1), F.col(f"code_{s}") + 1
+        )
+    scored = j.select(
+        "q_id", F.col(id_col).alias("n_id"), F.round(adc, 4).alias("adc")
+    )
+    w = Window.partitionBy("q_id").orderBy("adc", "n_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("q_id", "n_id", "adc", F.col("rank").cast("int"))
+    )
+
+
+def ivfpq_topk_batch(
+    index: DataFrame,
+    cents: "list[list[float]]",
+    books: "list[list[list[float]]]",
+    queries: "dict[int, list[float]]",
+    nprobe: int = 2,
+    topk: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch IVF-PQ ADC search over a pre-built ``ivfpq_index`` →
+    (q_id, n_id, adc, rank ≤ topk), one plan for the whole batch: the
+    broadcast table carries one row per PROBED (q_id, cell) pair with
+    that pair's residual LUT, so the inner join against the index both
+    APPLIES the probe filter and delivers the right LUT — unprobed
+    cells never join, exactly the partition-pruning semantics of the
+    per-query form, without |Q| separate scans."""
+    m = len(books)
+    d = len(books[0][0])
+    spark = index.sparkSession
+    rows = []
+    for qid, q in queries.items():
+        dists = sorted(
+            (
+                round(
+                    sum((float(a) - float(b)) ** 2 for a, b in zip(q, c)),
+                    6,
+                ),
+                cell,
+            )
+            for cell, c in enumerate(cents)
+        )
+        for _, cell in dists[:nprobe]:
+            qr = [float(a) - float(b) for a, b in zip(q, cents[cell])]
+            lut = [
+                [
+                    round(
+                        sum(
+                            (qr[s * d + i] - float(c[i])) ** 2
+                            for i in range(d)
+                        ),
+                        6,
+                    )
+                    for c in books[s]
+                ]
+                for s in range(m)
+            ]
+            rows.append((int(qid), int(cell), lut))
+    luts = spark.createDataFrame(
+        rows, "q_id long, cell int, lut array<array<double>>"
+    )
+    j = index.join(F.broadcast(luts), "cell")
+    adc = F.element_at(
+        F.element_at(F.col("lut"), 1), F.col("code_0") + 1
+    )
+    for s in range(1, m):
+        adc = adc + F.element_at(
+            F.element_at(F.col("lut"), s + 1), F.col(f"code_{s}") + 1
+        )
+    scored = j.select(
+        "q_id", F.col(id_col).alias("n_id"), F.round(adc, 4).alias("adc")
+    )
+    w = Window.partitionBy("q_id").orderBy("adc", "n_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("q_id", "n_id", "adc", F.col("rank").cast("int"))
+    )
+
+
+def exact_rerank_batch(
+    corpus: DataFrame,
+    candidates: DataFrame,
+    queries: "dict[int, list[float]]",
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch refine stage → (q_id, n_id, dist, rank ≤ topk): candidate
+    (q_id, n_id) pairs join the raw vectors once, the query vectors
+    ride a broadcast table, and each pair is re-scored with exact
+    squared L2 — |batch candidates| full-width rows read in one join
+    instead of |Q| separate candidate joins."""
+    spark = corpus.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(k), [float(x) for x in v]) for k, v in queries.items()],
+        "q_id long, qvec array<double>",
+    )
+    j = (
+        candidates.select("q_id", F.col("n_id"))
+        .join(corpus.select(F.col(id_col).alias("n_id"), vec_col), "n_id")
+        .join(F.broadcast(qdf), "q_id")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("qvec"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = j.select("q_id", "n_id", F.round(d2, 6).alias("dist"))
+    w = Window.partitionBy("q_id").orderBy("dist", "n_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("q_id", "n_id", "dist", F.col("rank").cast("int"))
+    )

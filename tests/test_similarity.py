@@ -689,3 +689,58 @@ def test_mmd_detects_planted_shift(spark):
         assert r["kxx"] <= 1.0 and r["kyy"] <= 1.0
     assert abs(null["mmd2"]) < 0.02
     assert drift["mmd2"] > null["mmd2"] + 0.02
+
+
+def test_batch_adc_paths_equal_per_query_forms(spark):
+    """pq_adc_topk_batch / ivfpq_topk_batch / exact_rerank_batch must
+    return exactly the per-query forms' neighbors and scores — the
+    batch shape changes the PLAN (one broadcast-LUT join instead of
+    |Q| unioned scans), never the answer."""
+    emb = load_table(spark, SF, "embeddings")
+    qids = [7, 42, 99]
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    books = simi.pq_train(emb, m=4, k=8, iters=1)
+    codes = simi.pq_encode(emb, books).drop("embedding")
+    batch = {
+        (r["q_id"], r["rank"]): (r["n_id"], r["adc"])
+        for r in simi.pq_adc_topk_batch(codes, books, qvecs, topk=7).collect()
+    }
+    for qid in qids:
+        per = simi.pq_adc_topk(
+            codes, books, qvecs[qid], topk=7, encoded=True
+        ).collect()
+        for rk, row in enumerate(per, start=1):
+            assert batch[(qid, rk)] == (row["vec_id"], row["adc"]), (qid, rk)
+
+    cents, rbooks = simi.ivfpq_train(
+        emb, ncells=4, coarse_iters=1, m=4, k=8, pq_iters=1
+    )
+    idx = simi.ivfpq_index(emb, cents, rbooks)
+    ibatch = {
+        (r["q_id"], r["rank"]): (r["n_id"], r["adc"])
+        for r in simi.ivfpq_topk_batch(
+            idx, cents, rbooks, qvecs, nprobe=2, topk=7
+        ).collect()
+    }
+    for qid in qids:
+        per = simi.ivfpq_topk(
+            emb, cents, rbooks, qvecs[qid], nprobe=2, topk=7, index=idx
+        ).collect()
+        for rk, row in enumerate(per, start=1):
+            assert ibatch[(qid, rk)] == (row["vec_id"], row["adc"]), (qid, rk)
+
+    cand = simi.pq_adc_topk_batch(codes, books, qvecs, topk=20)
+    rbatch = {
+        (r["q_id"], r["rank"]): (r["n_id"], r["dist"])
+        for r in simi.exact_rerank_batch(emb, cand, qvecs, topk=5).collect()
+    }
+    for qid in qids:
+        cand_q = simi.pq_adc_topk(
+            codes, books, qvecs[qid], topk=20, encoded=True
+        ).select(F.col("vec_id"))
+        per = simi.exact_rerank(emb, cand_q, qvecs[qid], topk=5).collect()
+        for rk, row in enumerate(per, start=1):
+            assert rbatch[(qid, rk)] == (row["vec_id"], row["dist"]), (qid, rk)
