@@ -149,3 +149,35 @@ def test_rank_biased_overlap_bounds_and_truncation(spark):
         ra, swapped(D - 1, D), "id", depth=D, p=p
     ).first()
     assert top["rbo"] < bot["rbo"] < same["rbo"]
+
+
+def test_bradley_terry_relabel_equivariance(spark):
+    """Renaming the contestants permutes the output rows but leaves
+    every (wins, n_matches, strength) triple attached to the same
+    underlying item — the fit depends only on match structure."""
+    import random
+
+    from from_superset_to_clickhouse_spark.operators.mleval import (
+        bradley_terry,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for _ in range(600):
+        i, j = rng.sample(range(4), 2)
+        w = i if rng.random() < (i + 1) / (i + j + 2) else j
+        rows.append((str(w), str(i if w != i else j)))
+    df = spark.createDataFrame(rows, "w string, l string")
+    base = {
+        r["item"]: (r["wins"], r["n_matches"], r["strength"])
+        for r in bradley_terry(df, "w", "l", iters=4).collect()
+    }
+    ren = {"0": "delta", "1": "alpha", "2": "gamma", "3": "beta"}
+    df2 = spark.createDataFrame(
+        [(ren[w], ren[l]) for w, l in rows], "w string, l string"
+    )
+    got = {
+        r["item"]: (r["wins"], r["n_matches"], r["strength"])
+        for r in bradley_terry(df2, "w", "l", iters=4).collect()
+    }
+    assert got == {ren[k]: v for k, v in base.items()}

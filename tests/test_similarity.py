@@ -744,3 +744,33 @@ def test_batch_adc_paths_equal_per_query_forms(spark):
         per = simi.exact_rerank(emb, cand_q, qvecs[qid], topk=5).collect()
         for rk, row in enumerate(per, start=1):
             assert rbatch[(qid, rk)] == (row["vec_id"], row["dist"]), (qid, rk)
+
+
+def test_batch_adc_plan_scans_codes_once_via_broadcast(spark):
+    """The batch LUT join must plan as ONE pass over the code table
+    with the LUT side broadcast (BroadcastNestedLoopJoin for the flat
+    cross, BroadcastHashJoin on cell for IVF-PQ) — never a shuffle of
+    the codes and never |Q| unioned scans."""
+    emb = load_table(spark, SF, "embeddings")
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    }
+    books = simi.pq_train(emb, m=4, k=8, iters=1)
+    codes = simi.pq_encode(emb, books).drop("embedding")
+    plan = (
+        simi.pq_adc_topk_batch(codes, books, qvecs, topk=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Union") == 0
+    cents, rbooks = simi.ivfpq_train(
+        emb, ncells=4, coarse_iters=1, m=4, k=8, pq_iters=1
+    )
+    idx = simi.ivfpq_index(emb, cents, rbooks)
+    iplan = (
+        simi.ivfpq_topk_batch(idx, cents, rbooks, qvecs, nprobe=2, topk=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in iplan
+    assert iplan.count("Union") == 0
