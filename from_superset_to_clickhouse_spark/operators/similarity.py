@@ -2136,7 +2136,15 @@ def ivfpq_topk_batch(
     luts = spark.createDataFrame(
         rows, "q_id long, cell int, lut array<array<double>>"
     )
-    j = index.join(F.broadcast(luts), "cell")
+    # Static probe-union filter BEFORE the join: on a persisted
+    # partitionBy(cell) index this isin becomes a scan-level
+    # PartitionFilter, so the batch reads only the union of probed cell
+    # directories — the join then fans each surviving row out to just
+    # the queries that probed its cell.
+    probe_union = sorted({cell for _, cell, _ in rows})
+    j = index.filter(F.col("cell").isin(probe_union)).join(
+        F.broadcast(luts), "cell"
+    )
     adc = F.element_at(
         F.element_at(F.col("lut"), 1), F.col("code_0") + 1
     )

@@ -774,3 +774,35 @@ def test_batch_adc_plan_scans_codes_once_via_broadcast(spark):
     )
     assert "BroadcastHashJoin" in iplan
     assert iplan.count("Union") == 0
+
+
+def test_ivfpq_batch_prunes_persisted_cells_and_matches(spark, tmp_path):
+    """Over a cell-partitioned persisted IVF-PQ index, the batch
+    search's probe-union filter must appear as a scan-level
+    PartitionFilter (unprobed cell directories never read) and results
+    must equal the in-memory batch exactly."""
+    emb = load_table(spark, SF, "embeddings")
+    cents, books = simi.ivfpq_train(
+        emb, ncells=8, coarse_iters=1, m=4, k=8, pq_iters=1
+    )
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 2).collect()
+    }
+    path = str(tmp_path / "ivfpq_part")
+    simi.ivfpq_index(emb, cents, books).write.partitionBy("cell").parquet(
+        path
+    )
+    disk = spark.read.parquet(path)
+    got_disk = simi.ivfpq_topk_batch(
+        disk, cents, books, qvecs, nprobe=2, topk=5
+    )
+    plan = got_disk._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    mem = sorted(
+        map(tuple, simi.ivfpq_topk_batch(
+            simi.ivfpq_index(emb, cents, books), cents, books, qvecs,
+            nprobe=2, topk=5,
+        ).collect())
+    )
+    assert sorted(map(tuple, got_disk.collect())) == mem
