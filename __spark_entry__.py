@@ -13513,9 +13513,12 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the customer keys: 6-node cycles (k→k+1, last→first), ONE-WAY
     chain arcs between adjacent cycles (p==2 → k+6), and sparse
     one-way down-arcs (k%97==0 → k−7). Undirected CC would merge the
-    whole chain into one giant component; the true SCCs are exactly
-    the 6-cycles — the web-graph question (redirect loops,
-    mutually-citing clusters) CC cannot answer. Coloring depth is
+    whole chain into one giant component; the true SCCs are the
+    6-cycles EXCEPT where a down-arc closes a loop through the chain
+    arcs and splices 2-3 adjacent cycles into one larger component
+    (e.g. k=97's arc merges three) — both component sizes are
+    exercised, and the web-graph question (redirect loops,
+    mutually-citing clusters) is one CC cannot answer. Coloring depth is
     bounded by design (short cycles, non-chaining down-arcs — the
     small-diameter regime real web graphs live in), so the Pregel-style
     forward-max coloring + backward containment settles in ≤3 outer
@@ -13550,12 +13553,15 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_seq_count_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ClickHouse sequenceCount('(?1)(?2)') STRICT-adjacency parity:
-    purchase must IMMEDIATELY follow view in the per-user ordered
-    stream (any intervening event voids the open slot) — completes the
-    sequenceCount family beside the eventually-followed variant. Same
-    single codegen fold; the oracle replays the strict automaton via
-    list_reduce."""
+    """Stream-adjacency sequence counting: purchase must IMMEDIATELY
+    follow view in the per-user ordered stream — any intervening event
+    voids the open slot. Deliberately STRONGER than ClickHouse
+    sequenceCount('(?1)(?2)'), which ignores non-condition events when
+    judging adjacency (with two conditions CH's (?1)(?2) collapses to
+    the relaxed (?1).*(?2) automaton the `sequence_count` entry
+    already covers); "purchase as the very next user action" is not
+    expressible in CH patterns. Same single codegen fold; the oracle
+    replays the automaton via list_reduce."""
     from from_superset_to_clickhouse_spark.operators.temporal import (
         sequence_count_strict,
     )
@@ -13803,8 +13809,10 @@ term{t} AS (
 ), den{t} AS (
   SELECT i AS item, round(sum(tm), 9) AS d FROM term{t} GROUP BY 1
 ), upd{t} AS (
-  SELECT w.item, round(CAST(w.wins AS DOUBLE) / d.d, 9) AS p
-  FROM wins w JOIN den{t} d USING (item)
+  SELECT i.item,
+    round(CAST(coalesce(w.wins, 0) AS DOUBLE) / d.d, 9) AS p
+  FROM items i LEFT JOIN wins w USING (item)
+  JOIN den{t} d USING (item)
 ), s{t} AS (SELECT round(sum(p), 9) AS s FROM upd{t}),
 pi{t} AS MATERIALIZED (
   SELECT item,
@@ -13936,8 +13944,8 @@ FROM customer c LEFT JOIN mut mu ON mu.v = c.c_custkey
 GROUP BY c.c_custkey
 """,
     "seq_count_strict": """
--- Same STRICT automaton: a hit closes the slot; any non-hit event
--- re-opens it only if it is itself a first_type.
+-- Same stream-adjacency automaton: a hit closes the slot; any
+-- non-hit event re-opens it only if it is itself a first_type.
 WITH codes AS (
   SELECT user_id,
     list_transform(

@@ -801,6 +801,7 @@ def strongly_connected_components(
         )
         # (1) forward MAX-color propagation: color(v) = max id reaching v
         color = active.select(node_col, F.col(node_col).alias("color"))
+        converged = False
         for _ in range(max_prop):
             via = (
                 e.join(color, e["s"] == color[node_col])
@@ -821,7 +822,18 @@ def strongly_connected_components(
             )
             color = new
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            # Exhausting the cap without convergence would settle WRONG
+            # components (partially-propagated colors split real SCCs
+            # into singletons) — fail loudly instead: propagation depth
+            # is bounded by the graph's longest simple path, so callers
+            # raise max_prop past their graph's diameter.
+            raise ValueError(
+                f"scc: forward coloring did not converge in {max_prop} "
+                "rounds — raise max_prop above the graph diameter"
+            )
         # (2) backward reach from each color root WITHIN its color class:
         # member(v) iff v's color is c and v reaches c via same-color path
         member = color.filter(F.col(node_col) == F.col("color")).select(
@@ -836,6 +848,7 @@ def strongly_connected_components(
             .select("s", "d")
             .localCheckpoint(eager=True)
         )
+        converged = False
         for _ in range(max_prop):
             via = (
                 ec.join(member, ec["d"] == member[node_col])
@@ -844,8 +857,15 @@ def strongly_connected_components(
             new = member.union(via).distinct().localCheckpoint(eager=True)
             if new.count() == member.count():
                 member = new
+                converged = True
                 break
             member = new
+        if not converged:
+            raise ValueError(
+                f"scc: backward containment did not converge in "
+                f"{max_prop} rounds — raise max_prop above the graph "
+                "diameter"
+            )
         settled = member.select(node_col, F.col("color").alias("scc"))
         done = settled if done is None else done.union(settled)
         done = done.localCheckpoint(eager=True)
@@ -857,6 +877,13 @@ def strongly_connected_components(
         return universe.distinct().select(
             node_col, F.col(node_col).alias("scc")
         )
-    # any still-active nodes after max_rounds: singletons (best effort)
-    rest = active.select(node_col, F.col(node_col).alias("scc"))
-    return done.union(rest)
+    if active.limit(1).count() > 0:
+        # Unsettled nodes after max_rounds would come back as WRONG
+        # singletons — fail loudly; rounds are bounded by the depth of
+        # the SCC condensation, so callers raise max_rounds for deep
+        # DAG chains.
+        raise ValueError(
+            f"scc: {active.count()} nodes unsettled after {max_rounds} "
+            "rounds — raise max_rounds (condensation depth exceeded)"
+        )
+    return done

@@ -233,6 +233,13 @@ def bradley_terry(
             F.col("b").alias("i"), F.col("a").alias("j"), "n"
         )
     )
+    # The bounded tables feed every MM round — checkpoint them once so
+    # the corpus-scale match scan and pair groupBy run ONCE, not once
+    # per iteration (the lazy plan would re-execute them 8×).
+    wins = wins.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+    items = items.localCheckpoint(eager=True)
+    tot = tot.localCheckpoint(eager=True)
     pi = items.select("item", F.lit(1.0).alias("pi"))
     for _ in range(int(iters)):
         pj = pi.select(F.col("item").alias("j"), F.col("pi").alias("_pj"))
@@ -252,11 +259,21 @@ def bradley_terry(
         denom = term.groupBy(F.col("i").alias("item")).agg(
             F.round(F.sum("_t"), 9).alias("_d")
         )
-        upd = wins.join(denom, "item").select(
-            "item",
-            F.round(F.col("wins").cast("double") / F.col("_d"), 9).alias(
-                "_p"
-            ),
+        # LEFT join from items: a zero-win item must stay in pi with
+        # strength 0 — dropping it would delete its n_ij terms from
+        # every opponent's denominator next round (and in the 2-item
+        # case empty the whole fit), silently inflating the winners.
+        upd = (
+            items.join(wins, "item", "left")
+            .join(denom, "item")
+            .select(
+                "item",
+                F.round(
+                    F.coalesce(F.col("wins"), F.lit(0)).cast("double")
+                    / F.col("_d"),
+                    9,
+                ).alias("_p"),
+            )
         )
         s = upd.groupBy().agg(F.round(F.sum("_p"), 9).alias("_s"))
         pi = (

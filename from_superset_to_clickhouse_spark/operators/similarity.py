@@ -1993,21 +1993,27 @@ def mmd_rbf(
         )
         return F.exp(-d2 / F.lit(two_s2))
 
-    a = sample_a.select(F.col(vec_col).alias("_xa"))
-    b = sample_b.select(F.col(vec_col).alias("_xb"))
+    # NULL embeddings are dropped up front so n_a/n_b describe exactly
+    # the population the kernel means average over (a null vector would
+    # null its kernel terms, which avg() silently skips).
+    a = (
+        sample_a.filter(F.col(vec_col).isNotNull())
+        .select(F.col(vec_col).alias("_xa"))
+    )
+    b = (
+        sample_b.filter(F.col(vec_col).isNotNull())
+        .select(F.col(vec_col).alias("_xb"))
+    )
 
     def mean_k(left, right, lc, rc):
         j = left.crossJoin(F.broadcast(right))
-        return j.agg(
-            F.avg(_k(F.col(lc), F.col(rc))).alias("_m"),
-            F.count("*").alias("_n"),
-        )
+        return j.agg(F.avg(_k(F.col(lc), F.col(rc))).alias("_m"))
 
     kxx = mean_k(a, a.select(F.col("_xa").alias("_xa2")), "_xa", "_xa2")
     kyy = mean_k(b, b.select(F.col("_xb").alias("_xb2")), "_xb", "_xb2")
     kxy = mean_k(a, b, "_xa", "_xb")
-    na = sample_a.groupBy().agg(F.count("*").alias("n_a"))
-    nb = sample_b.groupBy().agg(F.count("*").alias("n_b"))
+    na = a.groupBy().agg(F.count("*").alias("n_a"))
+    nb = b.groupBy().agg(F.count("*").alias("n_b"))
     out = (
         kxx.select(F.col("_m").alias("_kxx"))
         .crossJoin(F.broadcast(kyy.select(F.col("_m").alias("_kyy"))))

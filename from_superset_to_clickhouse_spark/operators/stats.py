@@ -2455,6 +2455,10 @@ def hill_tail(
         .select(F.col(value_col).cast("double").alias("_x"))
         .orderBy(*order)
         .limit(k + 1)
+        # the (k+1)-row result feeds BOTH the xmin aggregate and the
+        # crossJoin — checkpoint so the corpus-scale TakeOrdered runs
+        # once, not twice (Catalyst does not share the subplan).
+        .localCheckpoint(eager=True)
     )
     xmin = top.agg(F.min("_x").alias("_xmin"))
     j = top.crossJoin(F.broadcast(xmin)).filter(F.col("_x") > F.col("_xmin"))

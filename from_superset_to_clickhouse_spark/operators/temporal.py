@@ -2363,12 +2363,17 @@ def sequence_count_strict(
     then_type: str,
     tiebreak_col: str = "event_id",
 ) -> DataFrame:
-    """ClickHouse ``sequenceCount('(?1)(?2)')`` parity — the STRICT
-    variant of :func:`sequence_count`: the ``then_type`` event must
-    IMMEDIATELY follow the ``first_type`` event in the time-ordered
-    stream (any intervening event voids the open match; a fresh
-    ``first_type`` re-opens it). Same greedy non-overlapping
-    single-slot automaton, same codegen fold shape."""
+    """STREAM-ADJACENCY variant of :func:`sequence_count`: the
+    ``then_type`` event must IMMEDIATELY follow the ``first_type``
+    event in the full time-ordered stream — ANY intervening event
+    (matching a condition or not) voids the open match; a fresh
+    ``first_type`` re-opens it. NOTE this is deliberately STRONGER
+    than ClickHouse ``sequenceCount('(?1)(?2)')``: CH ignores events
+    matching no condition when judging adjacency (and with only two
+    conditions its (?1)(?2) therefore coincides with the relaxed
+    ``(?1).*(?2)`` automaton) — "purchase as the very next user
+    action" is not expressible in CH patterns at all. Same greedy
+    non-overlapping single-slot automaton, same codegen fold shape."""
     return _sequence_count_fold(
         df, user_col, ts_col, type_col, first_type, then_type,
         tiebreak_col, strict=True,

@@ -473,3 +473,27 @@ def test_scc_matches_tarjan_on_random_digraphs(spark):
         }
         assert got == ref, (seed, {k: (got[k], ref[k]) for k in got
                                    if got[k] != ref[k]})
+
+
+def test_scc_raises_on_exhausted_propagation_instead_of_wrong_answer(spark):
+    """A cycle longer than max_prop cannot color to convergence — the
+    operator must raise (silently settling would split the cycle into
+    fake singletons); with a sufficient cap the same graph returns the
+    single full-cycle component."""
+    import pytest
+
+    from from_superset_to_clickhouse_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src int, dst int"
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        strongly_connected_components(edges, max_prop=5).collect()
+    ok = {
+        r["node"]: r["scc"]
+        for r in strongly_connected_components(edges, max_prop=20).collect()
+    }
+    assert ok == {i: n - 1 for i in range(n)}

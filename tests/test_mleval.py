@@ -181,3 +181,21 @@ def test_bradley_terry_relabel_equivariance(spark):
         for r in bradley_terry(df2, "w", "l", iters=4).collect()
     }
     assert got == {ren[k]: v for k, v in base.items()}
+
+
+def test_bradley_terry_zero_win_item_kept_at_strength_zero(spark):
+    """An item that never wins must stay in the fit with strength 0 —
+    dropping it would delete its matches from opponents' denominators
+    (and in the 2-item case empty the whole output). A beats B 10-0:
+    Hunter MM with mean-1 normalization gives exactly (2, 0)."""
+    from from_superset_to_clickhouse_spark.operators.mleval import (
+        bradley_terry,
+    )
+
+    df = spark.createDataFrame([("a", "b")] * 10, "w string, l string")
+    out = {r["item"]: r for r in bradley_terry(df, "w", "l", iters=5).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"]["wins"] == 10 and out["b"]["wins"] == 0
+    assert abs(out["a"]["strength"] - 2.0) < 1e-6
+    assert out["b"]["strength"] == 0.0
+    assert (out["a"]["rank"], out["b"]["rank"]) == (1, 2)
