@@ -14101,12 +14101,17 @@ WHERE b.r <= 5
 """,
     "hill_tail": """
 -- Same top-31 order statistics (values only -- tie identity cannot
--- change the multiset), same log-ratio mean.
+-- change the multiset), same log-ratio mean. Rank BY POSITION like
+-- the engine: exactly k = 30 order statistics enter the mean, values
+-- tied with x_(k+1) contribute ln 1 = 0 instead of being dropped.
 WITH top AS (
   SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
   WHERE n_chars > 0 ORDER BY n_chars DESC, doc_id LIMIT 31
-), xm AS (SELECT min(x) AS xmin FROM top),
-j AS (SELECT x, xmin FROM top, xm WHERE x > xmin)
+), ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x DESC) AS rn FROM top
+), c AS (SELECT max(rn) AS last FROM ranked),
+xm AS (SELECT x AS xmin FROM ranked, c WHERE rn = last),
+j AS (SELECT x, xmin FROM ranked, c, xm WHERE rn < last)
 SELECT CAST(count(*) AS BIGINT) AS k,
   round(min(xmin), 6) AS xmin,
   round(1.0 / avg(ln(x / xmin)), 6) AS alpha,

@@ -1484,7 +1484,12 @@ def exact_rerank(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    j = F.broadcast(candidates.select(id_col)).join(corpus, id_col)
+    # distinct() the candidate ids: duplicate candidate rows (e.g. a
+    # probe union that emits an id twice) would otherwise duplicate
+    # (id, dist) rows and burn topk slots.
+    j = F.broadcast(candidates.select(id_col).distinct()).join(
+        corpus, id_col
+    )
     return (
         j.select(F.col(id_col), F.round(d2, 6).alias("dist"))
         .orderBy("dist", id_col)
@@ -2188,7 +2193,9 @@ def exact_rerank_batch(
         "q_id long, qvec array<double>",
     )
     j = (
-        candidates.select("q_id", F.col("n_id"))
+        # distinct per (q_id, n_id): duplicate candidate pairs would
+        # duplicate scored rows and burn that query's topk slots.
+        candidates.select("q_id", F.col("n_id")).distinct()
         .join(corpus.select(F.col(id_col).alias("n_id"), vec_col), "n_id")
         .join(F.broadcast(qdf), "q_id")
     )

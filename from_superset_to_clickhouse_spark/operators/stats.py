@@ -2325,10 +2325,14 @@ def mcnemar_test(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     proportions test wastes the pairing.
 
     One conditional-aggregate pass; exact integer counts into the
-    Wilson–Hilferty p — engine-identical before the 6dp round."""
+    Wilson–Hilferty p — engine-identical before the 6dp round.
+    ``n`` counts only the valid pairs the test actually uses: rows
+    where BOTH columns are a binary 0/1 (NULL or out-of-domain rows
+    are excluded before the aggregate, so n, n10, n01 describe the
+    same sample)."""
     a = F.col(a_col).cast("int")
     b = F.col(b_col).cast("int")
-    agg = df.agg(
+    agg = df.filter(a.isin(0, 1) & b.isin(0, 1)).agg(
         F.count("*").alias("n"),
         F.sum(F.when((a == 1) & (b == 0), 1).otherwise(0)).alias("n10"),
         F.sum(F.when((a == 0) & (b == 1), 1).otherwise(0)).alias("n01"),
@@ -2446,7 +2450,15 @@ def hill_tail(
 
     The ONLY corpus-scale op is an ordered LIMIT k+1 (TakeOrdered, no
     global sort); the log-ratio mean runs over k+1 rows. Deterministic
-    under ties via the tiebreak column."""
+    under ties via the tiebreak column.
+
+    Ties are handled BY POSITION, not by value: exactly the top-k
+    order statistics enter the mean (values tied with x_(k+1)
+    contribute ln 1 = 0 terms rather than being dropped), so k is
+    always min(k, n−1) regardless of boundary ties. A fully-tied
+    top-(k+1) (or < 2 positive values) leaves the tail exponent
+    undefined and raises ValueError instead of silently returning a
+    NULL/degenerate row."""
     order = [F.col(value_col).desc()]
     if tiebreak_col:
         order.append(F.col(tiebreak_col).asc())
@@ -2455,13 +2467,37 @@ def hill_tail(
         .select(F.col(value_col).cast("double").alias("_x"))
         .orderBy(*order)
         .limit(k + 1)
-        # the (k+1)-row result feeds BOTH the xmin aggregate and the
-        # crossJoin — checkpoint so the corpus-scale TakeOrdered runs
-        # once, not twice (Catalyst does not share the subplan).
+        # the (k+1)-row result feeds the rank window AND the crossJoin —
+        # checkpoint so the corpus-scale TakeOrdered runs once, not
+        # twice (Catalyst does not share the subplan).
         .localCheckpoint(eager=True)
     )
-    xmin = top.agg(F.min("_x").alias("_xmin"))
-    j = top.crossJoin(F.broadcast(xmin)).filter(F.col("_x") > F.col("_xmin"))
+    # degenerate-input gate on the (k+1)-row checkpointed frame (one
+    # tiny job, no corpus rescan): all-ties → alpha = 1/0, fail loud.
+    probe = top.agg(
+        F.count("*").alias("c"), F.min("_x").alias("mn"),
+        F.max("_x").alias("mx"),
+    ).first()
+    n_top = int(probe["c"])
+    if n_top < 2:
+        raise ValueError(
+            f"hill_tail: needs >= 2 positive values, got {n_top}"
+        )
+    if probe["mn"] == probe["mx"]:
+        raise ValueError(
+            "hill_tail: top-(k+1) values are all tied -- tail "
+            "exponent undefined (degenerate upper tail)"
+        )
+    # rank BY POSITION within the tiny checkpointed frame: x_(n_top) is
+    # xmin, positions 1..n_top-1 are the order statistics in the mean
+    # (ties with xmin contribute zero log-ratios, never drop rows).
+    ranked = top.withColumn(
+        "_rn", F.row_number().over(Window.orderBy(F.col("_x").desc()))
+    )
+    xmin = ranked.filter(F.col("_rn") == n_top).select(
+        F.col("_x").alias("_xmin")
+    )
+    j = ranked.filter(F.col("_rn") < n_top).crossJoin(F.broadcast(xmin))
     agg = j.agg(
         F.count("*").alias("_k"),
         F.avg(F.log(F.col("_x") / F.col("_xmin"))).alias("_inv_a"),
@@ -2543,17 +2579,22 @@ def friedman_test(
 
     Midranks live on the 0.5 grid (average of an integer range), so
     rank sums are EXACT on both engines; one window per block + two
-    tiny aggregates."""
+    tiny aggregates. Completeness means ONE ROW PER (block, treatment)
+    covering all k treatments: a block with a duplicated treatment and
+    a missing one has the right row count but a corrupt design, so the
+    filter checks distinct treatments (collect_set size) AND row count
+    — both must equal k."""
     k_count = df.select(F.col(treatment_col)).distinct().count()
-    w = Window.partitionBy(F.col(block_col))
+    wb = Window.partitionBy("_b")
     complete = (
         df.select(
             F.col(block_col).alias("_b"),
             F.col(treatment_col).alias("_t"),
             F.col(value_col).cast("double").alias("_v"),
         )
-        .withColumn("_bn", F.count("*").over(Window.partitionBy("_b")))
-        .filter(F.col("_bn") == k_count)
+        .withColumn("_bn", F.count("*").over(wb))
+        .withColumn("_bk", F.size(F.collect_set("_t").over(wb)))
+        .filter((F.col("_bn") == k_count) & (F.col("_bk") == k_count))
     )
     ranked = _midrank(
         complete.select("_b", "_t", "_v"), "_v", ["_b"], "_r"

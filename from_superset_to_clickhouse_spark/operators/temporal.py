@@ -2581,10 +2581,20 @@ def dtw_distance(
             lambda s: s["_v"],
         ).alias("_xs")
     )
+    # materialize the 1-row reference series eagerly: a misspelled
+    # ref_key must raise, not silently produce an empty result (the
+    # crossJoin against an empty broadcast side drops every row), and
+    # the checkpoint stops the ref branch recomputing the bucket-means
+    # aggregate a second time inside the join.
     ref = (
         series.filter(F.col("key") == ref_key)
         .select(F.col("_xs").alias("_ys"))
+        .localCheckpoint(eager=True)
     )
+    if ref.count() == 0:
+        raise ValueError(
+            f"dtw_distance: reference key {ref_key!r} has no rows"
+        )
     j = series.crossJoin(F.broadcast(ref))
     m = F.size("_ys")
     inf = F.lit(_DTW_INF)

@@ -3616,6 +3616,48 @@ def test_mcnemar_reference(spark):
     assert 0.0 < r["p_value"] < 0.06  # true chi2(1) sf(4.05) ~ 0.044
 
 
+def test_mcnemar_n_counts_only_valid_pairs(spark):
+    """ADVICE r9: NULL / out-of-domain rows must not inflate n — n,
+    n10, n01 all describe the same filtered paired sample."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        mcnemar_test,
+    )
+
+    rows = [(1, 0)] * 3 + [(0, 1)] * 2 + [(1, 1)] * 5 + [
+        (None, 1), (1, None), (2, 0), (0, -1),
+    ]
+    df = spark.createDataFrame(rows, "a int, b int")
+    r = mcnemar_test(df, "a", "b").first()
+    assert r["n"] == 10  # the 4 invalid rows are excluded from n too
+    assert (r["n10"], r["n01"]) == (3, 2)
+
+
+def test_friedman_drops_corrupt_blocks(spark):
+    """ADVICE r9: a block with a duplicated treatment and a missing
+    one has the right ROW COUNT but a corrupt design — it must be
+    dropped, not midranked."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        friedman_test,
+    )
+
+    good = [
+        (b, t, float((b * 7 + ord(t)) % 13))
+        for b in range(1, 7) for t in ("x", "y", "z")
+    ]
+    # block 99: three rows but treatments (x, x, y) — no z
+    bad = [(99, "x", 1.0), (99, "x", 2.0), (99, "y", 3.0)]
+    df = spark.createDataFrame(
+        good + bad, "b int, t string, v double"
+    )
+    r = friedman_test(df, "b", "t", "v").first()
+    assert r["n_blocks"] == 6  # the corrupt block is excluded
+    ref = friedman_test(
+        spark.createDataFrame(good, "b int, t string, v double"),
+        "b", "t", "v",
+    ).first()
+    assert abs(r["q"] - ref["q"]) < 1e-9
+
+
 def test_chao1_and_good_turing_reference(spark):
     """Chao1 on a hand histogram and the SGT unseen mass N1/N."""
     from from_superset_to_clickhouse_spark.operators.stats import (
@@ -3647,6 +3689,40 @@ def test_hill_tail_exact_pareto(spark):
     r = hill_tail(df, "x", k=100, tiebreak_col="i").first()
     assert abs(r["alpha"] - alpha) < 0.25
     assert r["k"] == 100
+
+
+def test_hill_tail_boundary_ties_and_degenerate(spark):
+    """ADVICE r9: ties with x_(k+1) are kept BY POSITION (zero
+    log-ratio terms), so k is exact; an all-tied top-(k+1) raises."""
+    import pytest
+
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        hill_tail,
+    )
+
+    # values 100, 50, 50, 50, 50, 50, 10: with k=3, x_(4) = 50 and the
+    # top-3 are (100, 50, 50) — old strict-> filter kept only 100.
+    rows = list(enumerate([100.0, 50.0, 50.0, 50.0, 50.0, 50.0, 10.0]))
+    df = spark.createDataFrame(rows, "i long, x double")
+    r = hill_tail(df, "x", k=3, tiebreak_col="i").first()
+    assert r["k"] == 3
+    assert r["xmin"] == 50.0
+    # 1/alpha = mean(ln(100/50), 0, 0) = ln(2)/3
+    import math
+
+    assert abs(r["alpha"] - 3.0 / math.log(2.0)) < 1e-6
+    with pytest.raises(ValueError, match="all tied"):
+        hill_tail(
+            spark.createDataFrame(
+                [(i, 7.0) for i in range(10)], "i long, x double"
+            ),
+            "x", k=3, tiebreak_col="i",
+        )
+    with pytest.raises(ValueError, match=">= 2 positive"):
+        hill_tail(
+            spark.createDataFrame([(1, 5.0)], "i long, x double"),
+            "x", k=3, tiebreak_col="i",
+        )
 
 
 def test_theil_decomposition_identity(spark):

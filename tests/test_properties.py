@@ -1051,8 +1051,13 @@ def test_hill_and_theil_scale_invariance(spark, vals, scale):
     rows = [(i, v, f"g{i % 3}") for i, v in enumerate(vals)]
     df = spark.createDataFrame(rows, "i long, x double, g string")
     df2 = df.select("i", (F.col("x") * float(scale)).alias("x"), "g")
-    h1 = hill_tail(df, "x", k=5, tiebreak_col="i").first()
-    h2 = hill_tail(df2, "x", k=5, tiebreak_col="i").first()
+    try:
+        h1 = hill_tail(df, "x", k=5, tiebreak_col="i").first()
+        h2 = hill_tail(df2, "x", k=5, tiebreak_col="i").first()
+    except ValueError:
+        # all-tied top-(k+1): hill_tail fails loud by contract (the
+        # tail exponent is undefined); scale invariance is vacuous.
+        h1 = h2 = {"alpha": None}
     if h1["alpha"] is not None and h2["alpha"] is not None:
         assert abs(h1["alpha"] - h2["alpha"]) < 1e-3 * max(
             1.0, abs(h1["alpha"])

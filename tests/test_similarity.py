@@ -745,6 +745,18 @@ def test_batch_adc_paths_equal_per_query_forms(spark):
         for rk, row in enumerate(per, start=1):
             assert rbatch[(qid, rk)] == (row["vec_id"], row["dist"]), (qid, rk)
 
+    # ADVICE r9: duplicated candidate rows must not duplicate output
+    # rows or burn topk slots — per-query and batch forms both dedup.
+    dup = cand_q.union(cand_q).union(cand_q.limit(3))
+    per_dup = simi.exact_rerank(emb, dup, qvecs[qid], topk=5).collect()
+    assert per_dup == per
+    dup_b = cand.union(cand)
+    rdup = {
+        (r["q_id"], r["rank"]): (r["n_id"], r["dist"])
+        for r in simi.exact_rerank_batch(emb, dup_b, qvecs, topk=5).collect()
+    }
+    assert rdup == rbatch
+
 
 def test_batch_adc_plan_scans_codes_once_via_broadcast(spark):
     """The batch LUT join must plan as ONE pass over the code table

@@ -1390,3 +1390,9 @@ def test_dtw_distance_reference_model(spark):
         assert abs(got[k] - ref_dtw(vs, ser["ref"])) < 1e-6, k
     assert got["same"] == 0.0
     assert got["shift"] < got["anti"]
+    # ADVICE r9: a misspelled reference key must raise, not silently
+    # return an empty frame.
+    import pytest
+
+    with pytest.raises(ValueError, match="no rows"):
+        dtw_distance(df, "k", "ts", "v", ref_key="nope")
