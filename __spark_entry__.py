@@ -6700,6 +6700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_R9_QUERIES,
         # -- r9 additions queue behind the 34 leftovers for the r10 window
         **_R10_QUERIES,
+        # -- r10 additions: positions 100+, queue for the r11 window
+        **_R11_QUERIES,
         # -- green-on-record backfill: the r8 window (CORRECTNESS_r08
         # -- 50/50 green) ---------------------------------------------------
         "cms_counts": q_cms_counts,
@@ -9608,6 +9610,7 @@ HAVING count(*) > tot.n / 500.0
         "embedding_dedup": _EMB_DEDUP_SQL,
         **_R9_ORACLES,
         **_R10_ORACLES,
+        **_R11_ORACLES,
     }
 
 
@@ -14773,4 +14776,323 @@ SELECT k AS event_type, count(*) AS n_slots,
 FROM lv GROUP BY k
 """,
     "platt": _platt_oracle_sql(),
+}
+
+
+# ---------------------------------------------------------------------------
+# Round-10 additions: appended at queries() position 100+ (behind the
+# pre-arranged r10 window per VERDICT r9 item 1) so they queue for the
+# r11 driver window without disturbing the rotation. Same ENTRY-ADDING
+# CHECKLIST as _R10_QUERIES.
+# ---------------------------------------------------------------------------
+
+
+def q_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test of a paired per-user before/after
+    shift: before = the user's mean (2^-20-grid) value over
+    even-event_id events, after = over odd — both exact integer-sum /
+    count IEEE ratios, so the paired diffs (and their tie structure)
+    are bit-identical on both engines. The paired companion to
+    mann_whitney on the same midrank machinery."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        wilcoxon_signed_rank,
+    )
+
+    ev = _ev(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    qv = F.floor(F.col("value").cast("double") * F.lit(1048576.0))
+    per = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_id") % 2 == 0, qv)).alias("_bs"),
+            F.count(F.when(F.col("event_id") % 2 == 0, 1)).alias("_bc"),
+            F.sum(F.when(F.col("event_id") % 2 == 1, qv)).alias("_os"),
+            F.count(F.when(F.col("event_id") % 2 == 1, 1)).alias("_oc"),
+        )
+        .filter((F.col("_bc") > 0) & (F.col("_oc") > 0))
+    )
+    pairs = per.select(
+        (F.col("_bs").cast("double") / F.col("_bc")).alias("before"),
+        (F.col("_os").cast("double") / F.col("_oc")).alias("after"),
+    )
+    return wilcoxon_signed_rank(pairs, "before", "after")
+
+
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q over a complete binary block design: blocks = users,
+    treatments = three planted 'detectors' on the user's history
+    (max value > 60, max value > 75, event count % 3 == 0) — matched
+    binary outcomes with a real success-rate asymmetry, the
+    k-treatment generalization of McNemar."""
+    from from_superset_to_clickhouse_spark.operators.stats import cochran_q
+
+    ev = _ev(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    per = ev.groupBy("user_id").agg(
+        F.max("value").alias("_mx"), F.count("*").alias("_c")
+    )
+    long = per.select(
+        "user_id",
+        F.expr(
+            "stack(3, 'm1', CAST(_mx > 60.0 AS INT), "
+            "'m2', CAST(_mx > 75.0 AS INT), "
+            "'m3', CAST(_c % 3 = 0 AS INT)) AS (model, y)"
+        ),
+    )
+    return cochran_q(long, "user_id", "model", "y")
+
+
+def q_boot_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile bootstrap CI for the mean event value via the
+    deterministic md5-Poisson bootstrap: 200 replicates, each row's
+    multiplicity inverted from md5(event_id:k) through shared 8dp
+    Poisson(1) thresholds, values on the 2^-20 grid — both engines
+    draw the identical resamples and read the identical 5th/195th
+    order statistics."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        bootstrap_ci_hash,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    return bootstrap_ci_hash(ev, "event_id", "value", n_boot=200)
+
+
+def q_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity profile (TTR, hapax share, Simpson repeat
+    probability, Yule's K) of the word-token stream per source — the
+    length-robust 'template spam vs natural prose' characteristic on
+    the same type-frequency table chao1/Good-Turing read."""
+    from from_superset_to_clickhouse_spark.operators.text import (
+        lexical_diversity,
+        word_tokens,
+    )
+
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(word_tokens(F.col("text"))).alias("tok")
+    )
+    return lexical_diversity(toks, "tok", "source")
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test of above/below-median signs per event
+    type in event_id order: is each type's value stream serially
+    random, or does it cluster/alternate? Median = raw stored value at
+    the ⌈n/2⌉-th order statistic (no arithmetic), so both engines
+    binarize identically; every window partitioned by type."""
+    from from_superset_to_clickhouse_spark.operators.stats import runs_test
+
+    ev = _ev(spark, sf_dir)
+    return runs_test(ev, "value", "event_id", "event_type")
+
+
+_R11_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "wilcoxon_signed": q_wilcoxon_signed,
+    "cochran_q": q_cochran_q,
+    "boot_ci": q_boot_ci,
+    "yule_k": q_yule_k,
+    "runs_test": q_runs_test,
+}
+
+# shared erf-tail replay fragment: expects a CTE named ``zz`` with a
+# column ``zv``; yields ``pv`` with normal_sf(|zv|) as ``sf``.
+_SF_TAIL = """
+et AS (SELECT *, abs(zv) / sqrt(2.0) AS xx,
+  1.0 / (1.0 + 0.3275911 * (abs(zv) / sqrt(2.0))) AS t FROM zz),
+pv AS (SELECT *, (1.0 - (1.0 - (0.254829592 * t
+  - 0.284496736 * t * t + 1.421413741 * t * t * t
+  - 1.453152027 * t * t * t * t
+  + 1.061405429 * t * t * t * t * t) * exp(-(xx * xx)))) / 2.0
+  AS sf FROM et)
+"""
+
+_R11_ORACLES: dict[str, str] = {
+    "wilcoxon_signed": """
+-- Same 2^-20-grid per-user before/after means, same midrank table
+-- over |d| (zero diffs counted but unranked), same tie-corrected
+-- continuity-corrected z and A&S-erf two-sided p.
+WITH src AS (
+  SELECT user_id, event_id,
+    CAST(floor(CAST(value AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+), per AS (
+  SELECT user_id,
+    sum(CASE WHEN event_id % 2 = 0 THEN qv END) AS bs,
+    count(*) FILTER (event_id % 2 = 0) AS bc,
+    sum(CASE WHEN event_id % 2 = 1 THEN qv END) AS os,
+    count(*) FILTER (event_id % 2 = 1) AS oc
+  FROM src GROUP BY 1
+), pairs AS (
+  SELECT os * 1.0 / oc - bs * 1.0 / bc AS d
+  FROM per WHERE bc > 0 AND oc > 0
+), pv0 AS (
+  SELECT abs(d) AS ad,
+    count(*) FILTER (d > 0) AS cp,
+    count(*) FILTER (d < 0) AS cn,
+    count(*) FILTER (d = 0) AS cz
+  FROM pairs GROUP BY 1
+), rk AS (
+  SELECT ad, cp, cn, cz, cp + cn AS t,
+    coalesce(sum(cp + cn) OVER (ORDER BY ad
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+  FROM pv0
+), ag AS (
+  SELECT sum(cp + cn + cz) AS np, sum(cp + cn) AS n,
+    sum((bef + (t + 1.0) / 2.0) * cp) AS wp,
+    sum(CAST(t AS DOUBLE) * t * t - t) AS ties
+  FROM rk
+), st AS (
+  SELECT np, n, wp,
+    wp - n * (n + 1.0) / 4.0 AS zraw,
+    sqrt(n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 - ties / 48.0) AS sig
+  FROM ag
+), zz AS (
+  SELECT *, (zraw - sign(zraw) * 0.5) / sig AS zv FROM st
+), """ + _SF_TAIL.strip() + """
+SELECT CAST(np AS BIGINT) AS n_pairs, CAST(n AS BIGINT) AS n_nonzero,
+  round(wp, 6) AS w_plus, round(zv, 6) AS z,
+  round(2.0 * sf, 6) AS p_value
+FROM pv
+""",
+    "cochran_q": """
+-- Same planted three-detector block design, same exact integer
+-- row/column sums, Wilson-Hilferty chi2(k-1) p replay.
+WITH per AS (
+  SELECT user_id, max(value) AS mx, count(*) AS c
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1
+), long AS (
+  SELECT user_id, 'm1' AS model,
+    CASE WHEN mx > 60.0 THEN 1 ELSE 0 END AS y FROM per
+  UNION ALL
+  SELECT user_id, 'm2', CASE WHEN mx > 75.0 THEN 1 ELSE 0 END FROM per
+  UNION ALL
+  SELECT user_id, 'm3', CASE WHEN c % 3 = 0 THEN 1 ELSE 0 END FROM per
+), rt AS (SELECT user_id, sum(y) AS ri FROM long GROUP BY 1),
+ra AS (
+  SELECT count(*) AS nb, sum(ri) AS nn, sum(ri * ri) AS r2 FROM rt
+), ct AS (SELECT model, sum(y) AS cj FROM long GROUP BY 1),
+ca AS (SELECT count(*) AS k, sum(cj * cj) AS c2 FROM ct),
+st AS (
+  SELECT nb, nn, k,
+    (k - 1.0) * (k * c2 - CAST(nn AS DOUBLE) * nn)
+      / (k * CAST(nn AS DOUBLE) - r2) AS q
+  FROM ra, ca
+), zz AS (
+  SELECT *, (pow(q / (k - 1.0), 1.0 / 3.0)
+    - (1.0 - 2.0 / (9.0 * (k - 1.0))))
+    / sqrt(2.0 / (9.0 * (k - 1.0))) AS zv
+  FROM st
+), """ + _SF_TAIL.strip() + """
+SELECT CAST(nb AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
+  round(q, 6) AS q,
+  round(CASE WHEN zv >= 0 THEN sf ELSE 1.0 - sf END, 6) AS p_value
+FROM pv
+""",
+    "boot_ci": """
+-- Same md5-Poisson multiplicities (shared 8dp thresholds), same
+-- 2^-20-grid replicate means, same 5th/195th order statistics.
+WITH base AS (
+  SELECT CAST(event_id AS VARCHAR) AS u,
+    CAST(floor(CAST(value AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
+  FROM events WHERE value IS NOT NULL
+), obs AS (
+  SELECT count(*) AS n, sum(qv) * 1.0 / count(*) AS mo FROM base
+), ks AS (SELECT CAST(unnest(range(200)) AS INTEGER) AS k),
+mult AS (
+  SELECT k, qv,
+    CAST(CAST(('0x' || substr(md5('bs:' || u || ':' || CAST(k AS VARCHAR)),
+      1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS uu
+  FROM base CROSS JOIN ks
+), m AS (
+  SELECT k, qv,
+    CASE WHEN uu < 0.36787944 THEN 0 WHEN uu < 0.73575888 THEN 1
+         WHEN uu < 0.91969860 THEN 2 WHEN uu < 0.98101184 THEN 3
+         WHEN uu < 0.99634015 THEN 4 WHEN uu < 0.99940582 THEN 5
+         WHEN uu < 0.99991676 THEN 6 ELSE 7 END AS mm
+  FROM mult
+), per_k AS (
+  SELECT k, sum(mm * qv) * 1.0 / sum(mm) AS mean_k
+  FROM m GROUP BY 1
+), ranked AS (
+  SELECT mean_k, row_number() OVER (ORDER BY mean_k, k) AS r FROM per_k
+), ci AS (
+  SELECT count(*) AS b,
+    min(CASE WHEN r = 5 THEN mean_k END) AS lo,
+    min(CASE WHEN r = 195 THEN mean_k END) AS hi
+  FROM ranked
+)
+SELECT CAST((SELECT n FROM obs) AS BIGINT) AS n,
+  CAST(b AS BIGINT) AS n_boot,
+  round((SELECT mo FROM obs) / 1048576.0, 6) AS mean_obs,
+  round(lo / 1048576.0, 6) AS lo95,
+  round(hi / 1048576.0, 6) AS hi95
+FROM ci
+""",
+    "yule_k": """
+-- Same word tokenization, same type-frequency moments.
+WITH toks AS (
+  SELECT source, unnest(list_filter(regexp_split_to_array(
+    lower(text), '[^a-z0-9'']+'), x -> x <> '')) AS tok
+  FROM documents
+), freq AS (
+  SELECT source AS grp, tok, count(*) AS c FROM toks GROUP BY 1, 2
+), ag AS (
+  SELECT grp, sum(c) AS n, count(*) AS v,
+    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+    sum(c * c) AS c2
+  FROM freq GROUP BY 1
+)
+SELECT grp, CAST(n AS BIGINT) AS n_tokens, CAST(v AS BIGINT) AS vocab,
+  round(CAST(v AS DOUBLE) / n, 6) AS ttr,
+  round(CAST(f1 AS DOUBLE) / v, 6) AS hapax_ratio,
+  round(CASE WHEN n > 1 THEN CAST(c2 - n AS DOUBLE)
+    / (CAST(n AS DOUBLE) * (n - 1.0)) END, 6) AS simpson_d,
+  round(1.0e4 * CAST(c2 - n AS DOUBLE)
+    / (CAST(n AS DOUBLE) * n), 6) AS yule_k
+FROM ag
+""",
+    "runs_test": """
+-- Same per-type raw-value median (⌈n/2⌉-th order statistic), same
+-- lag-window run count, same exact runs variance and A&S-erf p.
+WITH src AS (
+  SELECT event_type AS grp, event_id AS o, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+), ranked AS (
+  SELECT grp, o, v,
+    count(*) OVER (PARTITION BY grp) AS n,
+    row_number() OVER (PARTITION BY grp ORDER BY v, o) AS rn
+  FROM src
+), med AS (
+  SELECT grp, min(v) AS m FROM ranked
+  WHERE rn = floor((n + 1) / 2.0) GROUP BY 1
+), signed AS (
+  SELECT s.grp, s.o,
+    CASE WHEN s.v > med.m THEN 1 ELSE 0 END AS s
+  FROM src s JOIN med ON s.grp = med.grp
+  WHERE s.v <> med.m
+), flips AS (
+  SELECT grp, s,
+    CASE WHEN s <> lag(s) OVER (PARTITION BY grp ORDER BY o)
+      THEN 1 ELSE 0 END AS nw
+  FROM signed
+), ag AS (
+  SELECT grp, sum(s) AS a, sum(1 - s) AS b,
+    coalesce(sum(nw), 0) + 1 AS r
+  FROM flips GROUP BY 1
+), st AS (
+  SELECT grp, a, b, r,
+    2.0 * a * b / (a + b) + 1.0 AS mu,
+    sqrt(2.0 * a * b * (2.0 * a * b - (a + b))
+      / (CAST(a + b AS DOUBLE) * (a + b) * (a + b - 1.0))) AS sig
+  FROM ag
+), zz AS (
+  SELECT *, CASE WHEN sig > 0 THEN (r - mu) / sig END AS zv FROM st
+), """ + _SF_TAIL.strip() + """
+SELECT grp, CAST(a AS BIGINT) AS n_above, CAST(b AS BIGINT) AS n_below,
+  CAST(r AS BIGINT) AS n_runs, round(zv, 6) AS z,
+  round(2.0 * sf, 6) AS p_value
+FROM pv
+""",
 }

@@ -2712,3 +2712,286 @@ def permutation_test_hash(
             (F.col("_ext") + 1.0) / (F.col("_np") + 1.0), 6
         ).alias("p_value"),
     )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame, before_col: str, after_col: str
+) -> DataFrame:
+    """Wilcoxon signed-rank test (1945, normal approximation) → single
+    row (n_pairs, n_nonzero, w_plus, z, p_value): did a paired
+    before/after metric shift, without assuming normal differences?
+    Zero differences drop (Wilcoxon's rule), |d| is midranked over the
+    pooled nonzero pairs, W+ sums the ranks of positive differences;
+    z uses mu = n(n+1)/4, sigma^2 = n(n+1)(2n+1)/24 − Σ(t³−t)/48 with
+    ±0.5 continuity correction. The paired companion to
+    :func:`mann_whitney_u` (same midrank machinery, same A&S normal
+    tail, so the oracle replays it exactly).
+
+    Midranks live on the 0.5 grid (per-distinct-|d| aggregate + one
+    prefix window), so W+ is EXACT on both engines; one corpus pass
+    builds the |d| frequency table and everything after is
+    ≤ |distinct d| rows."""
+    d = F.col(after_col).cast("double") - F.col(before_col).cast("double")
+    src = (
+        df.filter(
+            F.col(before_col).isNotNull() & F.col(after_col).isNotNull()
+        )
+        .select(d.alias("_d"))
+    )
+    # ONE corpus pass: the |d| frequency table carries the zero-diff
+    # count too (it ranks nothing but contributes to n_pairs), so no
+    # separate count job.
+    per_val = src.groupBy(F.abs(F.col("_d")).alias("_ad")).agg(
+        F.count(F.when(F.col("_d") > 0, 1)).alias("_cp"),
+        F.count(F.when(F.col("_d") < 0, 1)).alias("_cn"),
+        F.count(F.when(F.col("_d") == 0, 1)).alias("_cz"),
+    )
+    # rank only the nonzero rows: the window walks |d| ascending over
+    # rows with _t > 0 (the zero row has _t = 0 and never shifts ranks)
+    wv = (
+        Window.partitionBy()
+        .orderBy("_ad")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = per_val.withColumn("_t", F.col("_cp") + F.col("_cn")).withColumn(
+        "_before", F.coalesce(F.sum("_t").over(wv), F.lit(0))
+    )
+    midrank = F.col("_before") + (F.col("_t") + 1.0) / 2.0
+    agg = t.agg(
+        F.sum(F.col("_cp") + F.col("_cn") + F.col("_cz")).alias("_np"),
+        F.sum(F.col("_cp") + F.col("_cn")).alias("_n"),
+        F.sum(midrank * F.col("_cp")).alias("_wp"),
+        F.sum(
+            F.col("_t").cast("double") * F.col("_t") * F.col("_t")
+            - F.col("_t")
+        ).alias("_ties"),
+    )
+    n = F.col("_n").cast("double")
+    mu = n * (n + 1.0) / 4.0
+    sigma = F.sqrt(
+        n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 - F.col("_ties") / 48.0
+    )
+    zraw = F.col("_wp") - mu
+    z = F.when(sigma > 0, (zraw - F.signum(zraw) * 0.5) / sigma)
+    return agg.select(
+        F.col("_np").cast("long").alias("n_pairs"),
+        F.col("_n").cast("long").alias("n_nonzero"),
+        F.round("_wp", 6).alias("w_plus"),
+        F.round(z, 6).alias("z"),
+        F.round(F.lit(2.0) * normal_sf(F.abs(z)), 6).alias("p_value"),
+    )
+
+
+def cochran_q(
+    df: DataFrame, block_col: str, treatment_col: str, outcome_col: str
+) -> DataFrame:
+    """Cochran's Q test (1950) over a complete binary block design →
+    single row (n_blocks, k, q, p_value): do k matched binary
+    treatments (k models pass/fail on the same prompts) differ in
+    success rate? Q = k(k−1)·Σ_j(C_j − N/k)² / (kN − Σ_i R_i²) on
+    k−1 dof — the k-treatment generalization of McNemar (k = 2
+    reduces to it, without continuity correction). Blocks must be
+    complete: one row per (block, treatment) covering all k — the
+    same strict completeness contract as :func:`friedman_test`
+    (distinct treatments AND row count both equal k).
+
+    Exact integer arithmetic end-to-end: C_j, R_i, N are integer
+    sums, so Q is one IEEE ratio — engine-identical before the 6dp
+    round. Two keyed aggregates; everything after the per-block
+    aggregate is ≤ n_blocks + k rows."""
+    k_count = df.select(F.col(treatment_col)).distinct().count()
+    wb = Window.partitionBy("_b")
+    src = (
+        df.select(
+            F.col(block_col).alias("_b"),
+            F.col(treatment_col).alias("_t"),
+            F.col(outcome_col).cast("int").alias("_y"),
+        )
+        .filter(F.col("_y").isin(0, 1))
+        .withColumn("_bn", F.count("*").over(wb))
+        .withColumn("_bk", F.size(F.collect_set("_t").over(wb)))
+        .filter((F.col("_bn") == k_count) & (F.col("_bk") == k_count))
+    )
+    rows = src.groupBy("_b").agg(F.sum("_y").alias("_ri"))
+    row_agg = rows.agg(
+        F.count("*").alias("_nb"),
+        F.sum("_ri").alias("_nn"),
+        F.sum(F.col("_ri") * F.col("_ri")).alias("_r2"),
+    )
+    cols = src.groupBy("_t").agg(F.sum("_y").alias("_cj"))
+    col_agg = cols.agg(
+        F.count("*").alias("_k"),
+        F.sum(F.col("_cj") * F.col("_cj")).alias("_c2"),
+    )
+    j = row_agg.crossJoin(F.broadcast(col_agg))
+    kk = F.col("_k").cast("double")
+    nn = F.col("_nn").cast("double")
+    # k(k-1)·Σ(C_j − N/k)² = (k-1)·(k·ΣC_j² − N²) (exact int sums)
+    num = (kk - 1.0) * (kk * F.col("_c2") - nn * nn)
+    den = kk * nn - F.col("_r2").cast("double")
+    q = F.when(den > 0, num / den)
+    return j.select(
+        F.col("_nb").cast("long").alias("n_blocks"),
+        F.col("_k").cast("long").alias("k"),
+        F.round(q, 6).alias("q"),
+        F.round(chi2_p_value(q, F.col("_k") - 1), 6).alias("p_value"),
+    )
+
+
+# Poisson(1) inverse-CDF thresholds for the hash bootstrap: cumulative
+# e^-1·Σ 1/i! written as SHARED 8dp literals so both engines compare
+# the same constants (the grid absorbs the truncation).
+_POIS1_CUM = (
+    0.36787944, 0.73575888, 0.91969860, 0.98101184,
+    0.99634015, 0.99940582, 0.99991676,
+)
+
+
+def bootstrap_ci_hash(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+    n_boot: int = 200,
+    fxp: int = 1 << 20,
+) -> DataFrame:
+    """Percentile bootstrap CI for the mean → single row (n, n_boot,
+    mean_obs, lo95, hi95) via the POISSON bootstrap (Chamandy et al.
+    2012 — the only bootstrap that streams: resample multiplicities
+    are per-row independent, no global multinomial draw): replicate k
+    gives row u multiplicity m ~ Poisson(1) inverted from the
+    deterministic md5(u ':' k) uniform through shared 8dp cumulative
+    thresholds, so both engines (and reruns) see identical resamples.
+    lo95/hi95 are the 2.5%/97.5% order statistics (positions
+    ⌈0.025·B⌉ and ⌈0.975·B⌉) of the B replicate means.
+
+    Values land on the 2^-20 grid, so every replicate sum is an exact
+    integer and every mean an exact IEEE ratio (the perm_test
+    contract). Cost is an explicit ×n_boot fan-out collapsing into ONE
+    map-side-combinable groupBy(k); the shuffle carries ≤
+    n_boot·partitions partial rows. At 100 TB you bound n_boot, never
+    the corpus."""
+    qv = F.floor(F.col(value_col).cast("double") * F.lit(float(fxp)))
+    base = df.select(
+        F.col(unit_col).cast("string").alias("_u"), qv.alias("_qv")
+    ).filter(F.col("_qv").isNotNull())
+    obs = base.agg(
+        F.count("*").alias("_n"),
+        (F.sum("_qv").cast("double") / F.count("*")).alias("_mo"),
+    )
+    ks = df.sparkSession.range(n_boot).select(
+        F.col("id").cast("int").alias("_k")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("bs"), F.col("_u"),
+                                  F.col("_k"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    m = F.lit(len(_POIS1_CUM))
+    for i in range(len(_POIS1_CUM) - 1, -1, -1):
+        m = F.when(u < F.lit(_POIS1_CUM[i]), F.lit(i)).otherwise(m)
+    per_k = (
+        base.crossJoin(ks)
+        .select("_k", (m * F.col("_qv")).alias("_mv"), m.alias("_m"))
+        .groupBy("_k")
+        .agg(
+            (
+                F.sum("_mv").cast("double") / F.sum("_m")
+            ).alias("_mean_k")
+        )
+    )
+    # integer ceil of 0.025·B / 0.975·B — no float drift for any B
+    lo_pos = max(1, (25 * n_boot + 999) // 1000)
+    hi_pos = (975 * n_boot + 999) // 1000
+    ranked = per_k.withColumn(
+        "_r", F.row_number().over(Window.orderBy("_mean_k", "_k"))
+    )
+    ci = ranked.agg(
+        F.count("*").alias("_b"),
+        F.min(F.when(F.col("_r") == lo_pos, F.col("_mean_k"))).alias("_lo"),
+        F.min(F.when(F.col("_r") == hi_pos, F.col("_mean_k"))).alias("_hi"),
+    )
+    j = ci.crossJoin(F.broadcast(obs))
+    g = F.lit(float(fxp))
+    return j.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_b").cast("long").alias("n_boot"),
+        F.round(F.col("_mo") / g, 6).alias("mean_obs"),
+        F.round(F.col("_lo") / g, 6).alias("lo95"),
+        F.round(F.col("_hi") / g, 6).alias("hi95"),
+    )
+
+
+def runs_test(
+    df: DataFrame, value_col: str, order_col: str, group_col: str
+) -> DataFrame:
+    """Wald–Wolfowitz runs test (1940) per group → (grp, n_above,
+    n_below, n_runs, z, p_value): is each group's sequence of
+    above/below-median signs random in ``order_col`` order, or does it
+    cluster (regime shifts, level drift) / alternate (negative
+    feedback)? The distribution-free "is this metric stream actually
+    i.i.d." check that pairs with CUSUM: CUSUM finds WHERE the shift
+    is, the runs test says whether serial structure exists at all.
+
+    Per-group median = the ⌈n/2⌉-th order statistic of the RAW stored
+    values (no arithmetic, so both engines binarize identically);
+    values equal to the median drop (Wald–Wolfowitz's rule). Runs
+    counted with one lag window over the deterministic (order_col)
+    total order; z uses mu = 2ab/(a+b)+1 and the exact runs variance.
+    Every window is PARTITIONED by group — no single-partition
+    exchange anywhere, so the plan scales with the number of groups."""
+    src = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(order_col).alias("_o"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    wg = Window.partitionBy("grp")
+    ranked = src.withColumn("_n", F.count("*").over(wg)).withColumn(
+        "_rn",
+        F.row_number().over(wg.orderBy("_v", "_o")),
+    )
+    med = (
+        ranked.filter(
+            F.col("_rn") == F.floor((F.col("_n") + 1) / 2.0)
+        )
+        .groupBy("grp")
+        .agg(F.min("_v").alias("_m"))
+    )
+    signed = (
+        src.join(F.broadcast(med), "grp")
+        .filter(F.col("_v") != F.col("_m"))
+        .select(
+            "grp", "_o",
+            (F.col("_v") > F.col("_m")).cast("int").alias("_s"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy("_o")
+    flips = signed.withColumn(
+        "_new", (F.col("_s") != F.lag("_s").over(w)).cast("int")
+    )
+    agg = flips.groupBy("grp").agg(
+        F.sum("_s").alias("_a"),
+        F.sum(F.lit(1) - F.col("_s")).alias("_b"),
+        (F.coalesce(F.sum("_new"), F.lit(0)) + 1).alias("_r"),
+    )
+    a = F.col("_a").cast("double")
+    b = F.col("_b").cast("double")
+    nn = a + b
+    mu = 2.0 * a * b / nn + 1.0
+    sigma = F.sqrt(
+        2.0 * a * b * (2.0 * a * b - nn) / (nn * nn * (nn - 1.0))
+    )
+    z = F.when(sigma > 0, (F.col("_r") - mu) / sigma)
+    return agg.select(
+        "grp",
+        F.col("_a").cast("long").alias("n_above"),
+        F.col("_b").cast("long").alias("n_below"),
+        F.col("_r").cast("long").alias("n_runs"),
+        F.round(z, 6).alias("z"),
+        F.round(F.lit(2.0) * normal_sf(F.abs(z)), 6).alias("p_value"),
+    )

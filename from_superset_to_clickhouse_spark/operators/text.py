@@ -1965,3 +1965,51 @@ def readability_suite(
         F.when(ok, hup(cli)).alias("cli"),
         F.when(ok, F.round(smog, 6)).alias("smog"),
     )
+
+
+def lexical_diversity(
+    df: DataFrame, token_col: str, group_col: str
+) -> DataFrame:
+    """Repetitiveness/diversity profile of a token stream per group →
+    (grp, n_tokens, vocab, ttr, hapax_ratio, simpson_d, yule_k):
+    type-token ratio, hapax share f1/V, Simpson's repeat probability
+    D = Σc(c−1)/(N(N−1)), and Yule's K = 10⁴·(Σc² − N)/N² — the
+    length-robust repetitiveness characteristic (K is invariant to
+    corpus size for a fixed vocabulary distribution). The quick
+    "template spam vs natural prose" discriminator that pairs with
+    chao1/Good–Turing on the same type-frequency table.
+
+    Two keyed aggregates (type-frequency table, then its moments);
+    exact integer sums into IEEE ratios — engine-identical before the
+    6dp round. Everything after the first groupBy is ≤ |vocab| rows."""
+    freq = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(token_col).alias("_t")
+    ).agg(F.count("*").alias("_c"))
+    agg = freq.groupBy("grp").agg(
+        F.sum("_c").alias("_n"),
+        F.count("*").alias("_v"),
+        F.sum(F.when(F.col("_c") == 1, 1).otherwise(0)).alias("_f1"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_c2"),
+    )
+    n = F.col("_n").cast("double")
+    v = F.col("_v").cast("double")
+    return agg.select(
+        "grp",
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.col("_v").cast("long").alias("vocab"),
+        F.round(v / n, 6).alias("ttr"),
+        F.round(F.col("_f1").cast("double") / v, 6).alias("hapax_ratio"),
+        F.round(
+            F.when(
+                F.col("_n") > 1,
+                (F.col("_c2") - F.col("_n")).cast("double")
+                / (n * (n - 1.0)),
+            ),
+            6,
+        ).alias("simpson_d"),
+        F.round(
+            F.lit(1.0e4) * (F.col("_c2") - F.col("_n")).cast("double")
+            / (n * n),
+            6,
+        ).alias("yule_k"),
+    )

@@ -3801,3 +3801,99 @@ def test_qoi_codec_roundtrip_and_quarantine():
     for bad in (b"qoix" + good[4:], good[:-1], good[:20]):
         with pytest.raises(ValueError):
             mm.decode_qoi_pixels(bad)
+
+
+def test_wilcoxon_signed_rank_reference(spark):
+    """Hand example: diffs (3, -1, 2, 2, 0, -4) -> zero drops, |d|
+    midranks (4, 1, 2.5, 2.5, 5), W+ = 9, tie-corrected sigma."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        wilcoxon_signed_rank,
+    )
+
+    pairs = [(0.0, 3.0), (1.0, 0.0), (5.0, 7.0), (2.0, 4.0),
+             (9.0, 9.0), (6.0, 2.0)]
+    df = spark.createDataFrame(pairs, "before double, after double")
+    r = wilcoxon_signed_rank(df, "before", "after").first()
+    assert (r["n_pairs"], r["n_nonzero"]) == (6, 5)
+    assert r["w_plus"] == 9.0
+    # mu = 7.5, sigma = sqrt(13.75 - 6/48), z = (1.5 - 0.5)/sigma
+    import math
+
+    sig = math.sqrt(5 * 6 * 11 / 24 - 6 / 48)
+    assert abs(r["z"] - 1.0 / sig) < 1e-6
+
+
+def test_cochran_q_reference(spark):
+    """Textbook 4x3 design: C = (3,3,1), R = (2,1,3,1) -> Q = 8/3."""
+    from from_superset_to_clickhouse_spark.operators.stats import cochran_q
+
+    rows = []
+    design = {1: (1, 1, 0), 2: (1, 0, 0), 3: (1, 1, 1), 4: (0, 1, 0)}
+    for b, ys in design.items():
+        for j, y in enumerate(ys):
+            rows.append((b, f"t{j}", y))
+    df = spark.createDataFrame(rows, "b int, t string, y int")
+    r = cochran_q(df, "b", "t", "y").first()
+    assert (r["n_blocks"], r["k"]) == (4, 3)
+    assert abs(r["q"] - 8.0 / 3.0) < 1e-6
+    # an incomplete block (one treatment missing) must be dropped
+    df2 = df.union(
+        spark.createDataFrame([(9, "t0", 1), (9, "t1", 0)],
+                              "b int, t string, y int")
+    )
+    r2 = cochran_q(df2, "b", "t", "y").first()
+    assert r2["n_blocks"] == 4
+    assert abs(r2["q"] - r["q"]) < 1e-9
+
+
+def test_bootstrap_ci_hash_reference(spark):
+    """Deterministic md5-Poisson bootstrap: CI brackets the mean on
+    well-behaved data and reruns are bit-identical."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        bootstrap_ci_hash,
+    )
+
+    rows = [(i, float(10 + (i * 37) % 50)) for i in range(400)]
+    df = spark.createDataFrame(rows, "u long, x double")
+    r1 = bootstrap_ci_hash(df, "u", "x", n_boot=200).first()
+    r2 = bootstrap_ci_hash(df, "u", "x", n_boot=200).first()
+    assert r1 == r2  # hash draws, not RNG
+    assert r1["n"] == 400 and r1["n_boot"] == 200
+    assert r1["lo95"] < r1["mean_obs"] < r1["hi95"]
+    # CI width should be a few sd/sqrt(n), not degenerate or huge
+    assert 0.1 < r1["hi95"] - r1["lo95"] < 10.0
+
+
+def test_lexical_diversity_reference(spark):
+    """Tokens (a a a b c): N=5 V=3 f1=2 c2=11 -> ttr .6, hapax 2/3,
+    simpson .3, yule 2400."""
+    from from_superset_to_clickhouse_spark.operators.text import (
+        lexical_diversity,
+    )
+
+    df = spark.createDataFrame(
+        [("g", t) for t in "aaabc"], "g string, t string"
+    )
+    r = lexical_diversity(df, "t", "g").first()
+    assert (r["n_tokens"], r["vocab"]) == (5, 3)
+    assert abs(r["ttr"] - 0.6) < 1e-9
+    assert abs(r["hapax_ratio"] - 2 / 3) < 1e-6
+    assert abs(r["simpson_d"] - 0.3) < 1e-9
+    assert abs(r["yule_k"] - 2400.0) < 1e-9
+
+
+def test_runs_test_reference(spark):
+    """Perfectly alternating signs: 8 runs of 8 kept values ->
+    z = 3/sigma with sigma^2 = 12/7; median value drops."""
+    import math
+
+    from from_superset_to_clickhouse_spark.operators.stats import runs_test
+
+    seq = [1.0, 9.0, 2.0, 8.0, 3.0, 7.0, 4.0, 6.0, 5.0]
+    rows = [("g", i, v) for i, v in enumerate(seq)]
+    df = spark.createDataFrame(rows, "g string, o int, v double")
+    r = runs_test(df, "v", "o", "g").first()
+    assert (r["n_above"], r["n_below"], r["n_runs"]) == (4, 4, 8)
+    sigma = math.sqrt(2 * 16 * (32 - 8) / (64.0 * 7))
+    assert abs(r["z"] - 3.0 / sigma) < 1e-6
+    assert r["p_value"] < 0.05  # alternation is detected
