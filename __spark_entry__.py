@@ -15096,3 +15096,167 @@ SELECT grp, CAST(a AS BIGINT) AS n_above, CAST(b AS BIGINT) AS n_below,
 FROM pv
 """,
 }
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprint pairs over the documents corpus:
+    char-7-gram md5 hashes, window-4 rightmost-min fingerprints packed
+    as h*2^20+(2^20-pos) (pure integer tie-break both engines replay),
+    boilerplate hashes in >20 docs dropped, pairs sharing >= 2
+    fingerprints — partial-overlap detection where whole-doc MinHash
+    sees two different documents."""
+    from from_superset_to_clickhouse_spark.operators.text import (
+        winnow_shared_pairs,
+    )
+
+    return winnow_shared_pairs(
+        _docs(spark, sf_dir), k=7, w=4, max_df=20, min_shared=2
+    )
+
+
+def q_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L of each 7k+3 document against its successor doc on the
+    first 30 word tokens: integer LCS DP as one codegen fold per pair
+    (the dtw pattern with integer cells), then P/R/F. The order-aware
+    contamination/summarization overlap metric."""
+    from from_superset_to_clickhouse_spark.operators.mleval import rouge_l
+    from from_superset_to_clickhouse_spark.operators.text import word_tokens
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.slice(word_tokens(F.col("text")), 1, 30).alias("_t")
+    )
+    cand = toks.filter(F.col("doc_id") % 7 == 3).select(
+        "doc_id", F.col("_t").alias("xs")
+    )
+    ref = toks.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("_t").alias("ys")
+    )
+    pairs = cand.join(ref, "doc_id").filter(
+        (F.size("xs") > 0) & (F.size("ys") > 0)
+    )
+    return rouge_l(pairs, "doc_id", "xs", "ys")
+
+
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity tiering: head/middle/tail terciles of
+    the bigram-LM doc scores with tie-coherent (first-row-position)
+    bucket assignment; per-tier count + exact-grid mean + range. The
+    quality-stratification step before mixing weights."""
+    from from_superset_to_clickhouse_spark.operators.text import ppl_tiers
+
+    return ppl_tiers(_docs(spark, sf_dir))
+
+
+_WINNOW_SQL = """
+-- Same normalization, same 32-bit md5 gram hashes, same packed
+-- (hash, rightmost-pos) window min, same df cap and pair threshold.
+WITH base AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+  FROM documents
+), d AS (
+  SELECT doc_id, length(s) - 6 AS ng, s FROM base WHERE length(s) >= 10
+), grams AS (
+  SELECT doc_id, ng, CAST(i AS BIGINT) AS pos,
+    CAST(('0x' || substr(md5(substr(s, CAST(i AS INTEGER), 7)), 1, 8))
+      AS BIGINT) AS h
+  FROM d, unnest(range(1, ng + 1)) AS t(i)
+), keys AS (
+  SELECT doc_id, ng, pos, h * 1048576 + (1048576 - pos) AS key
+  FROM grams
+), wm AS (
+  SELECT doc_id, ng, pos,
+    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+  FROM keys
+), fps AS (
+  SELECT DISTINCT doc_id, CAST(floor(wmin / 1048576) AS BIGINT) AS fph
+  FROM wm WHERE pos <= ng - 3
+), dfq AS (
+  SELECT fph FROM (
+    SELECT fph, count(*) AS c FROM fps GROUP BY 1) WHERE c <= 20
+), kept AS (SELECT f.doc_id, f.fph FROM fps f JOIN dfq USING (fph))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(count(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.fph = b.fph AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+_ROUGE_SQL = """
+-- Same 30-token truncation, same integer LCS fold (index-wrapped
+-- elements so accumulator/list types unify), same P/R/F arithmetic.
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(
+    lower(text), '[^a-z0-9'']+'), x -> x <> '')[1:30] AS t
+  FROM documents
+), pairs AS (
+  SELECT c.doc_id, c.t AS xs, r.t AS ys
+  FROM toks c JOIN toks r ON r.doc_id = c.doc_id + 1
+  WHERE c.doc_id % 7 = 3 AND len(c.t) > 0 AND len(r.t) > 0
+), d AS (
+  SELECT doc_id, len(xs) AS nx, len(ys) AS ny,
+    list_reduce(
+      [list_transform(range(0, len(ys) + 1), z -> 0)] ||
+        list_transform(range(1, len(xs) + 1), i -> [CAST(i AS INTEGER)]),
+      (prev, ie) -> list_reduce(
+        [[0]] || list_transform(range(1, len(ys) + 1),
+                                j -> [CAST(j AS INTEGER)]),
+        (cur, je) -> cur || [CASE WHEN xs[ie[1]] = ys[je[1]]
+            THEN prev[len(cur)] + 1
+            ELSE greatest(prev[len(cur) + 1], cur[-1]) END]
+      )
+    )[len(ys) + 1] AS lcs
+  FROM pairs
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(nx AS INTEGER) AS n_x,
+  CAST(ny AS INTEGER) AS n_y, CAST(lcs AS BIGINT) AS lcs,
+  round(CAST(lcs AS DOUBLE) / nx, 6) AS rouge_p,
+  round(CAST(lcs AS DOUBLE) / ny, 6) AS rouge_r,
+  round(CASE WHEN lcs > 0 THEN
+    2.0 * (CAST(lcs AS DOUBLE) / nx) * (CAST(lcs AS DOUBLE) / ny)
+      / ((CAST(lcs AS DOUBLE) / nx) + (CAST(lcs AS DOUBLE) / ny))
+    ELSE 0.0 END, 6) AS rouge_f
+FROM d
+"""
+
+_PPL_TIERS_SQL = (
+    """
+-- Bigram-LM scores replayed verbatim (the bigram_lm oracle as a
+-- subquery), then tie-coherent first-row-position terciles over the
+-- distinct-score table and exact 1e-6-grid tier means.
+WITH sc AS ("""
+    + _BIGRAM_SQL
+    + """),
+pv AS (
+  SELECT CAST(floor(bigram_logprob * 1e6 + 0.5) AS BIGINT) AS s6,
+    count(*) AS c
+  FROM sc GROUP BY 1
+), cum AS (
+  SELECT s6, c,
+    coalesce(sum(c) OVER (ORDER BY s6
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef,
+    sum(c) OVER () AS n
+  FROM pv
+), tiered AS (
+  SELECT s6, c,
+    1 + CASE WHEN bef >= ceil(1 * n / 3.0) THEN 1 ELSE 0 END
+      + CASE WHEN bef >= ceil(2 * n / 3.0) THEN 1 ELSE 0 END AS tier
+  FROM cum
+)
+SELECT CAST(tier AS INTEGER) AS tier, CAST(sum(c) AS BIGINT) AS n_docs,
+  round(sum(s6 * c) * 1.0 / sum(c) / 1e6, 6) AS avg_score,
+  round(min(s6) / 1e6, 6) AS lo,
+  round(max(s6) / 1e6, 6) AS hi
+FROM tiered GROUP BY 1
+"""
+)
+
+_R11_QUERIES.update({
+    "winnowing": q_winnowing,
+    "rouge_l": q_rouge_l,
+    "ppl_buckets": q_ppl_buckets,
+})
+_R11_ORACLES.update({
+    "winnowing": _WINNOW_SQL,
+    "rouge_l": _ROUGE_SQL,
+    "ppl_buckets": _PPL_TIERS_SQL,
+})

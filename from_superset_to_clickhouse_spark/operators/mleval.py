@@ -373,3 +373,57 @@ def rank_biased_overlap(
         F.col("_nc").cast("long").alias("n_common"),
         F.round((1.0 - float(p)) * F.col("_ss"), 6).alias("rbo"),
     )
+
+
+def rouge_l(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """ROUGE-L (Lin 2004) per candidate/reference token-array pair →
+    (id, n_x, n_y, lcs, rouge_p, rouge_r, rouge_f): longest common
+    SUBSEQUENCE length via the O(n·m) DP, then precision lcs/n_x,
+    recall lcs/n_y, F = 2PR/(P+R). The order-aware overlap metric for
+    summarization eval and train/test contamination scoring where
+    n-gram containment misses paraphrased-but-aligned passages.
+
+    The DP runs as ONE codegen fold per row (outer ``aggregate`` over
+    the candidate tokens carrying the previous DP row, inner building
+    the next row — the dtw_distance pattern with integer cells, so the
+    oracle replays it exactly via nested list_reduce). Arrays must be
+    BOUNDED (truncate upstream): per-row work is n·m cells. No
+    shuffle, no UDF — the fold lives inside the scan stage."""
+    m = F.size(F.col(y_col))
+    row0 = F.transform(F.sequence(F.lit(0), m), lambda _: F.lit(0))
+
+    def outer_step(prev, x):
+        def inner_step(cur, jj):
+            up_left = F.element_at(prev, jj)        # D[i-1][j-1]
+            up = F.element_at(prev, jj + F.lit(1))  # D[i-1][j]
+            left = F.element_at(cur, -1)            # D[i][j-1]
+            val = F.when(
+                x == F.element_at(F.col(y_col), jj), up_left + F.lit(1)
+            ).otherwise(F.greatest(up, left))
+            return F.concat(cur, F.array(val))
+
+        return F.aggregate(
+            F.sequence(F.lit(1), m), F.array(F.lit(0)), inner_step
+        )
+
+    lcs = F.element_at(
+        F.aggregate(F.col(x_col), row0, outer_step), m + F.lit(1)
+    )
+    n_x = F.size(F.col(x_col))
+    p = lcs.cast("double") / n_x
+    r = lcs.cast("double") / m
+    f1 = F.when(lcs > 0, 2.0 * p * r / (p + r)).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n_x.cast("int").alias("n_x"),
+        m.cast("int").alias("n_y"),
+        lcs.cast("long").alias("lcs"),
+        F.round(p, 6).alias("rouge_p"),
+        F.round(r, 6).alias("rouge_r"),
+        F.round(f1, 6).alias("rouge_f"),
+    )

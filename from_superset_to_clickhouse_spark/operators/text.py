@@ -2013,3 +2013,163 @@ def lexical_diversity(
             6,
         ).alias("yule_k"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 7,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    MOSS algorithm) → (doc_id, fp_hash, fp_pos): slide a w-window over
+    the char-k-gram hashes of the normalized text and keep each
+    window's minimum (rightmost on ties), de-duplicated. Guarantees a
+    shared fingerprint for any match of length ≥ k + w − 1 with
+    density ~2/(w+1) — the local-document fingerprint that catches
+    PARTIAL overlap (quotes, stitched passages) where whole-doc
+    MinHash sees two different documents.
+
+    Determinism contract: gram hash = first 8 md5 hex digits (32-bit,
+    engine-replayable); window-min tie-break packs (hash, position)
+    into ONE integer key h·2^20 + (2^20 − pos), so min(key) IS
+    (min hash, rightmost pos) — pure integer arithmetic, identical in
+    any engine. Positions are capped at 2^20 chars/doc (the pack
+    width); longer docs should chunk first.
+
+    Plan shape: one generator explode (≤ |chars| rows/doc), ONE
+    doc-partitioned window pass (never global), then a distinct — all
+    codegen, no UDF."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    base = df.select(
+        F.col(id_col).alias("doc_id"), norm.alias("_s")
+    ).filter(F.length("_s") >= k + w - 1)
+    grams = base.select(
+        "doc_id",
+        (F.length("_s") - F.lit(k - 1)).alias("_ng"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("_s") - F.lit(k - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.col("_s").substr(i, F.lit(k)).alias("g"),
+                ),
+            )
+        ).alias("_gr"),
+    ).select(
+        "doc_id",
+        "_ng",
+        F.col("_gr.pos").alias("_pos"),
+        F.conv(F.substring(F.md5(F.col("_gr.g")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("_h"),
+    )
+    key = F.col("_h") * F.lit(1048576) + (F.lit(1048576) - F.col("_pos"))
+    wmin = Window.partitionBy("doc_id").orderBy("_pos").rowsBetween(0, w - 1)
+    fps = (
+        grams.withColumn("_key", key)
+        .withColumn("_wmin", F.min("_key").over(wmin))
+        .filter(F.col("_pos") <= F.col("_ng") - F.lit(w - 1))
+        .select("doc_id", "_wmin")
+        .distinct()
+    )
+    return fps.select(
+        "doc_id",
+        F.floor(F.col("_wmin") / F.lit(1048576)).alias("fp_hash"),
+        (F.lit(1048576) - F.col("_wmin") % F.lit(1048576)).alias("fp_pos"),
+    )
+
+
+def winnow_shared_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 7,
+    w: int = 4,
+    max_df: int = 20,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Partial-overlap candidate pairs from shared winnowing
+    fingerprints → (id_a, id_b, n_shared): ordered pairs sharing ≥
+    ``min_shared`` distinct fingerprint hashes, after dropping
+    boilerplate hashes present in more than ``max_df`` documents (the
+    standard winnowing index cap — without it a templated corpus
+    yields quadratic candidates from fingerprints every document
+    shares; the cap bounds per-hash join fan-out at max_df², exactly
+    the LSH band-cap discipline).
+
+    Plan: per-hash doc lists → df-cap filter → hash-keyed self-join
+    (candidates scale with Σ df², never n²) → pair count."""
+    fph = (
+        winnow_fingerprints(df, text_col, id_col, k, w)
+        .select("doc_id", "fp_hash")
+        .distinct()
+    )
+    dfreq = fph.groupBy("fp_hash").agg(F.count("*").alias("_df"))
+    kept = fph.join(
+        dfreq.filter(F.col("_df") <= max_df).select("fp_hash"), "fp_hash"
+    )
+    a = kept.select(F.col("fp_hash"), F.col("doc_id").alias("id_a"))
+    b = kept.select(F.col("fp_hash"), F.col("doc_id").alias("id_b"))
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def ppl_tiers(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+    tiers: int = 3,
+) -> DataFrame:
+    """CCNet-style perplexity tiering → (tier, n_docs, avg_score, lo,
+    hi): bucket documents into head/middle/tail by their bigram-LM
+    score (the CCNet recipe: train a LM on a clean reference, keep the
+    head, downweight the tail). Tie-coherent terciles: a distinct
+    score's tier comes from the POSITION of its first row in score
+    order, so all equal-scoring docs land in the same tier (cleaner
+    than ntile's tie-splitting and exactly replayable).
+
+    Scale contract: the only global window walks the DISTINCT-score
+    table (the midrank-pattern exemption — per-distinct-value
+    aggregate rows, not documents); avg is an exact 1e-6-grid integer
+    ratio, so both engines emit identical tier stats."""
+    scores = bigram_lm_scores(df, text_col, id_col, lam=lam)
+    s6 = F.floor(F.col("bigram_logprob") * 1e6 + F.lit(0.5))
+    pv = scores.groupBy(s6.alias("_s6")).agg(F.count("*").alias("_c"))
+    wv = (
+        Window.partitionBy()
+        .orderBy("_s6")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = pv.withColumn(
+        "_bef", F.coalesce(F.sum("_c").over(wv), F.lit(0))
+    ).withColumn("_n", F.sum("_c").over(Window.partitionBy()))
+    # first-row position of this score is _bef+1; tier t covers
+    # positions (ceil((t-1)·n/T), ceil(t·n/T)]
+    tier = F.lit(1)
+    for t in range(1, tiers):
+        tier = tier + (
+            F.col("_bef") >= F.ceil(F.lit(t) * F.col("_n") / F.lit(tiers))
+        ).cast("int")
+    agg = cum.groupBy(tier.alias("tier")).agg(
+        F.sum("_c").alias("_nd"),
+        F.sum(F.col("_s6") * F.col("_c")).alias("_ss"),
+        F.min("_s6").alias("_lo"),
+        F.max("_s6").alias("_hi"),
+    )
+    return agg.select(
+        F.col("tier").cast("int"),
+        F.col("_nd").cast("long").alias("n_docs"),
+        F.round(
+            F.col("_ss").cast("double") / F.col("_nd") / 1e6, 6
+        ).alias("avg_score"),
+        F.round(F.col("_lo") / 1e6, 6).alias("lo"),
+        F.round(F.col("_hi") / 1e6, 6).alias("hi"),
+    )

@@ -3897,3 +3897,72 @@ def test_runs_test_reference(spark):
     sigma = math.sqrt(2 * 16 * (32 - 8) / (64.0 * 7))
     assert abs(r["z"] - 3.0 / sigma) < 1e-6
     assert r["p_value"] < 0.05  # alternation is detected
+
+
+def test_winnowing_guarantee_and_pairs(spark):
+    """Winnowing's core guarantee: any shared substring of length >=
+    k + w - 1 yields >= 1 shared fingerprint; unrelated docs share
+    none (and the pair op respects min_shared)."""
+    from from_superset_to_clickhouse_spark.operators.text import (
+        winnow_fingerprints,
+        winnow_shared_pairs,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, "AAA " + shared + " tail one xxxxxxx"),
+        (2, "prefix two " + shared + " ZZZ yyyyyyy"),
+        (3, "completely different content with no overlap at all qqq"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnow_fingerprints(df, "text", "doc_id", k=7, w=4)
+    by_doc = {
+        r["doc_id"]: set()
+        for r in fp.select("doc_id").distinct().collect()
+    }
+    for r in fp.collect():
+        by_doc[r["doc_id"]].add(r["fp_hash"])
+    assert len(by_doc[1] & by_doc[2]) >= 1
+    pairs = winnow_shared_pairs(
+        df, "text", "doc_id", k=7, w=4, max_df=10, min_shared=1
+    ).collect()
+    keys = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in keys
+    assert all(3 not in k for k in keys)
+
+
+def test_rouge_l_reference(spark):
+    """xs = (a b c d e), ys = (a c e f): LCS = 3, P = .6, R = .75,
+    F = 2PR/(P+R)."""
+    from from_superset_to_clickhouse_spark.operators.mleval import rouge_l
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c", "d", "e"], ["a", "c", "e", "f"])],
+        "id long, xs array<string>, ys array<string>",
+    )
+    r = rouge_l(df, "id", "xs", "ys").first()
+    assert (r["n_x"], r["n_y"], r["lcs"]) == (5, 4, 3)
+    assert abs(r["rouge_p"] - 0.6) < 1e-9
+    assert abs(r["rouge_r"] - 0.75) < 1e-9
+    assert abs(r["rouge_f"] - 2 * 0.6 * 0.75 / 1.35) < 1e-6
+
+
+def test_ppl_tiers_tie_coherence(spark):
+    """All equal-scoring docs land in ONE tier (first-row-position
+    rule): 3 copies of each of two templates -> tiers (1, 2) with 3
+    docs each, never a tie split across tiers."""
+    from from_superset_to_clickhouse_spark.operators.text import ppl_tiers
+
+    # template A: a highly repeated bigram (scores HIGH under the
+    # corpus LM); template B: all-distinct words (scores low) — two
+    # distinct score values, three docs each.
+    rows = [(i, "spam spam spam spam spam") for i in range(3)] + [
+        (i, "epsilon zeta eta theta iota kappa") for i in range(3, 6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["tier"]: r for r in ppl_tiers(df, "text", "doc_id").collect()}
+    assert sum(r["n_docs"] for r in out.values()) == 6
+    assert all(r["n_docs"] == 3 for r in out.values())
+    assert set(out) == {1, 2}  # ties stay together; tier 3 collapses
+    for r in out.values():
+        assert r["lo"] <= r["avg_score"] <= r["hi"]
