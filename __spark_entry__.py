@@ -15260,3 +15260,248 @@ _R11_ORACLES.update({
     "rouge_l": _ROUGE_SQL,
     "ppl_buckets": _PPL_TIERS_SQL,
 })
+
+
+def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality classifier: logistic regression of (label < 5)
+    on the first four embedding dims via 8 unrolled gradient steps,
+    weights landing on the 1e-8 grid every step (the platt_scale
+    determinism contract at d = 4) — the trained upgrade of the
+    hand-weighted heuristic gates. Oracle unrolls the identical
+    avg-gradient -> grid walk in SQL."""
+    from from_superset_to_clickhouse_spark.operators.mleval import (
+        logistic_gd,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    src = emb.select(
+        F.when(F.col("label") < 5, 1.0).otherwise(0.0).alias("y"),
+        *[
+            F.element_at("embedding", i).cast("double").alias(f"x{i}")
+            for i in range(1, 5)
+        ],
+    )
+    return logistic_gd(
+        src, "y", ["x1", "x2", "x3", "x4"], iters=8, lr=2.0
+    )
+
+
+def q_ece_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of a planted near-calibrated scorer: score
+    = (event_id % 997)/1000 (exact grid), outcome = md5-uniform <
+    score — calibrated in expectation, so per-bin gaps measure
+    sampling noise, not construction. conf/acc are exact ratios both
+    engines replay."""
+    from from_superset_to_clickhouse_spark.operators.mleval import (
+        calibration_bins,
+    )
+
+    ev = _ev(spark, sf_dir)
+    s = (F.col("event_id") % 997).cast("double") / F.lit(1000.0)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("cal"), F.col("event_id"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    src = ev.select(s.alias("score"), (u < s).cast("int").alias("y"))
+    return calibration_bins(src, "score", "y", bins=10)
+
+
+def q_nmi_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering eval: sign-octant 'clusters' from the first
+    three embedding dims against the stored class label — purity +
+    NMI from one contingency aggregate; did the cheap geometric cells
+    recover any class structure?"""
+    from from_superset_to_clickhouse_spark.operators.mleval import (
+        cluster_agreement,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def e(i: int):
+        return F.element_at("embedding", i)
+
+    c = (
+        (e(1) > 0).cast("int") * 4
+        + (e(2) > 0).cast("int") * 2
+        + (e(3) > 0).cast("int")
+    )
+    src = emb.select(c.alias("cluster"), F.col("label"))
+    return cluster_agreement(src, "cluster", "label")
+
+
+def q_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test of event values across
+    the five event types: |x - median_g| centering (raw-value order
+    statistic, no arithmetic), then the exact 2^-20-grid ANOVA — do
+    the arms differ in SPREAD, the check plain ANOVA assumes away."""
+    from from_superset_to_clickhouse_spark.operators.stats import levene_var
+
+    return levene_var(_ev(spark, sf_dir), "value", "event_type")
+
+
+def _logreg_oracle_sql(iters: int = 8, lr: float = 2.0) -> str:
+    """Unrolled gradient ascent: one MATERIALIZED CTE per step, each
+    computing the d+1 avg-gradients at the previous grid point and
+    landing the update back on the 1e-8 grid (platt pattern, d=4)."""
+    ws = ["b", "a1", "a2", "a3", "a4"]
+    zero = ", ".join(f"CAST(0.0 AS DOUBLE) AS {w}" for w in ws)
+    steps = [f"s0 AS (SELECT {zero})"]
+    zexpr = "q.b + q.a1 * x1 + q.a2 * x2 + q.a3 * x3 + q.a4 * x4"
+    for k in range(1, iters + 1):
+        gsel = ", ".join(
+            [f"avg(y - pp) AS g0"]
+            + [f"avg((y - pp) * x{j}) AS g{j}" for j in range(1, 5)]
+        )
+        upd = ", ".join(
+            f"floor((p.{ws[j]} + {lr} * t.g{j}) * 1e8 + 0.5) / 1e8"
+            f" AS {ws[j]}"
+            for j in range(5)
+        )
+        steps.append(f"""
+s{k} AS MATERIALIZED (
+  SELECT {upd}
+  FROM s{k - 1} p, (
+    SELECT {gsel}
+    FROM (SELECT y, x1, x2, x3, x4,
+      1.0 / (1.0 + exp(-({zexpr}))) AS pp
+      FROM src, s{k - 1} q)
+  ) t
+)""")
+    fz = "f2.b + f2.a1 * x1 + f2.a2 * x2 + f2.a3 * x3 + f2.a4 * x4"
+    return f"""
+WITH src AS MATERIALIZED (
+  SELECT CAST(CASE WHEN label < 5 THEN 1 ELSE 0 END AS DOUBLE) AS y,
+    CAST(embedding[1] AS DOUBLE) AS x1,
+    CAST(embedding[2] AS DOUBLE) AS x2,
+    CAST(embedding[3] AS DOUBLE) AS x3,
+    CAST(embedding[4] AS DOUBLE) AS x4
+  FROM embeddings
+),
+{",".join(steps)}
+SELECT (SELECT count(*) FROM src) AS n,
+  CAST({iters} AS INTEGER) AS iters,
+  f.b AS w0, f.a1 AS w1, f.a2 AS w2, f.a3 AS w3, f.a4 AS w4,
+  (SELECT round(-avg(y * ln(pp + 1e-12)
+      + (1.0 - y) * ln(1.0 - pp + 1e-12)), 6)
+   FROM (SELECT y, 1.0 / (1.0 + exp(-({fz}))) AS pp
+         FROM src, s{iters} f2)) AS log_loss,
+  (SELECT round(avg(CASE WHEN (zz >= 0) = (y = 1.0)
+      THEN 1.0 ELSE 0.0 END), 6)
+   FROM (SELECT y, {fz} AS zz FROM src, s{iters} f2)) AS accuracy
+FROM s{iters} f
+"""
+
+
+_ECE_SQL = """
+-- Same grid score, same md5-uniform outcome, same bin = min(floor
+-- (score*10), 9) and exact per-bin ratios.
+WITH src AS (
+  SELECT CAST(event_id % 997 AS DOUBLE) / 1000.0 AS s,
+    CASE WHEN CAST(CAST(('0x' || substr(md5('cal:' ||
+        CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+      / 4294967296.0 < CAST(event_id % 997 AS DOUBLE) / 1000.0
+      THEN 1.0 ELSE 0.0 END AS y
+  FROM events
+), binned AS (
+  SELECT least(CAST(floor(s * 10) AS INTEGER), 9) AS bin, s, y FROM src
+), per AS (
+  SELECT bin, count(*) AS nb, sum(s) AS ss, sum(y) AS sy
+  FROM binned GROUP BY 1
+), tot AS (SELECT sum(nb) AS n FROM per)
+SELECT bin, CAST(nb AS BIGINT) AS n_bin,
+  round(ss / nb, 6) AS conf,
+  round(sy / nb, 6) AS acc,
+  round(abs(ss / nb - sy / nb), 6) AS abs_gap,
+  round(CAST(nb AS DOUBLE) / (SELECT n FROM tot)
+    * abs(ss / nb - sy / nb), 6) AS wgap
+FROM per
+"""
+
+_NMI_SQL = """
+-- Same sign-octant cells, same contingency-count MI / sqrt(HcHk).
+WITH src AS (
+  SELECT (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+        + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+        + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS c,
+    label AS k
+  FROM embeddings
+), cells AS (SELECT c, k, count(*) AS n FROM src GROUP BY 1, 2),
+rowm AS (SELECT c, sum(n) AS nc, max(n) AS mx FROM cells GROUP BY 1),
+colm AS (SELECT k, sum(n) AS nk FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM cells),
+mi AS (
+  SELECT sum(n / t.nn * ln(n * t.nn
+    / (CAST(nc AS DOUBLE) * CAST(nk AS DOUBLE)))) AS mi
+  FROM cells JOIN rowm USING (c) JOIN colm USING (k) CROSS JOIN tot t
+), hc AS (
+  SELECT sum(-(nc / t.nn) * ln(nc / t.nn)) AS hc, sum(mx) AS pur,
+    count(*) AS kc
+  FROM rowm CROSS JOIN tot t
+), hk AS (
+  SELECT sum(-(nk / t.nn) * ln(nk / t.nn)) AS hk, count(*) AS kk
+  FROM colm CROSS JOIN tot t
+)
+SELECT CAST(t.nn AS BIGINT) AS n, CAST(kc AS BIGINT) AS k_clusters,
+  CAST(kk AS BIGINT) AS k_classes,
+  round(CAST(pur AS DOUBLE) / t.nn, 6) AS purity,
+  round(CASE WHEN sqrt(hc * hk) > 0 THEN mi / sqrt(hc * hk)
+    ELSE 0.0 END, 6) AS nmi
+FROM mi CROSS JOIN hc CROSS JOIN hk CROSS JOIN tot t
+"""
+
+_LEVENE_SQL = """
+-- Same raw-value per-group median centering, same 2^-20-grid ANOVA.
+WITH src0 AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+  WHERE value IS NOT NULL
+), ranked AS (
+  SELECT g, v, count(*) OVER (PARTITION BY g) AS n,
+    row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+  FROM src0
+), med AS (
+  SELECT g, min(v) AS m FROM ranked
+  WHERE rn = floor((n + 1) / 2.0) GROUP BY 1
+), src AS (
+  SELECT s.g, abs(s.v - med.m) AS v
+  FROM src0 s JOIN med ON s.g = med.g
+), gm AS (
+  SELECT g, count(*) AS ng,
+    floor(avg(v) * 1048576.0) / 1048576.0 AS mg
+  FROM src GROUP BY g
+), tot AS (
+  SELECT count(*) AS n,
+    floor(avg(v) * 1048576.0) / 1048576.0 AS mu
+  FROM src
+), ssw AS (
+  SELECT count(DISTINCT src.g) AS k,
+    sum(floor((v - mg) * (v - mg) * 1048576.0)) / 1048576.0 AS ssw
+  FROM src JOIN gm ON src.g = gm.g
+), ssb AS (
+  SELECT sum(floor(ng * (mg - mu) * (mg - mu) * 1048576.0))
+    / 1048576.0 AS ssb
+  FROM gm CROSS JOIN tot
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+  round(ssb, 6) AS ssb, round(ssw, 6) AS ssw,
+  round((ssb / (k - 1.0)) / (ssw / (n - k)), 6) AS f_stat
+FROM ssw CROSS JOIN ssb CROSS JOIN tot
+"""
+
+_R11_QUERIES.update({
+    "logreg_quality": q_logreg_quality,
+    "ece_bins": q_ece_bins,
+    "nmi_purity": q_nmi_purity,
+    "levene": q_levene,
+})
+_R11_ORACLES.update({
+    "logreg_quality": _logreg_oracle_sql(8, 2.0),
+    "ece_bins": _ECE_SQL,
+    "nmi_purity": _NMI_SQL,
+    "levene": _LEVENE_SQL,
+})

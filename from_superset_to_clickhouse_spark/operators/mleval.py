@@ -427,3 +427,208 @@ def rouge_l(
         F.round(r, 6).alias("rouge_r"),
         F.round(f1, 6).alias("rouge_f"),
     )
+
+
+def logistic_gd(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: "list[str]",
+    iters: int = 8,
+    lr: float = 2.0,
+) -> DataFrame:
+    """Logistic-regression quality classifier by K unrolled
+    gradient-ascent steps → single row (n, iters, w0..wd, log_loss,
+    accuracy): fit p = sigmoid(w0 + Σ wj·xj) on a binary target — the
+    fastText-style learned quality filter that upgrades the
+    hand-weighted heuristics (gopher_gate, nb_classifier) to a trained
+    decision boundary.
+
+    Determinism contract (the platt_scale precedent generalized to d
+    features): weights are ROUNDED TO THE 1e-8 GRID AFTER EVERY step,
+    so per-pass aggregate ulps (~1e-13) can never move the trajectory;
+    z is built left-to-right in a FIXED feature order; accuracy
+    thresholds on z ≥ 0 (exact, no sigmoid round-trip). Scale: each
+    step is ONE partial-aggregated pass over a cached projection
+    (d+1 avg-gradients); iterations are the explicit cost knob, and
+    d is bounded (hashed/selected features, never raw vocab)."""
+    import math
+
+    d = len(feature_cols)
+    src = df.select(
+        F.col(label_col).cast("double").alias("_y"),
+        *[
+            F.col(c).cast("double").alias(f"_x{j + 1}")
+            for j, c in enumerate(feature_cols)
+        ],
+    )
+    for j in range(d):
+        src = src.filter(F.col(f"_x{j + 1}").isNotNull())
+    src = src.filter(F.col("_y").isNotNull()).persist()
+    try:
+        n = src.count()
+        w = [0.0] * (d + 1)
+
+        def _z(wv):
+            z = F.lit(wv[0])
+            for j in range(d):
+                z = z + F.lit(wv[j + 1]) * F.col(f"_x{j + 1}")
+            return z
+
+        for _ in range(iters):
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_z(w)))
+            resid = F.col("_y") - p
+            aggs = [F.avg(resid).alias("_g0")] + [
+                F.avg(resid * F.col(f"_x{j + 1}")).alias(f"_g{j + 1}")
+                for j in range(d)
+            ]
+            g = src.agg(*aggs).first()
+            w = [
+                math.floor((w[j] + lr * g[f"_g{j}"]) * 1e8 + 0.5) / 1e8
+                for j in range(d + 1)
+            ]
+        z = _z(w)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        eps = F.lit(1e-12)
+        fin = src.agg(
+            F.round(
+                -F.avg(
+                    F.col("_y") * F.log(p + eps)
+                    + (F.lit(1.0) - F.col("_y"))
+                    * F.log(F.lit(1.0) - p + eps)
+                ),
+                6,
+            ).alias("_ll"),
+            F.round(
+                F.avg(
+                    F.when(
+                        (z >= 0) == (F.col("_y") == 1.0), 1.0
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("_acc"),
+        ).first()
+    finally:
+        src.unpersist()
+    row = (
+        [n, iters]
+        + [float(x) for x in w]
+        + [float(fin["_ll"]), float(fin["_acc"])]
+    )
+    schema = (
+        "n long, iters int, "
+        + ", ".join(f"w{j} double" for j in range(d + 1))
+        + ", log_loss double, accuracy double"
+    )
+    return df.sparkSession.createDataFrame([tuple(row)], schema)
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram → one row per equal-width score bin
+    (bin, n_bin, conf, acc, abs_gap, wgap): mean predicted confidence
+    vs realized accuracy; ECE = Σ wgap, MCE = max abs_gap — the
+    calibration readout every quality-filter threshold depends on
+    (platt/isotonic FIX miscalibration, this MEASURES it).
+
+    One conditional aggregate keyed by bin = min(⌊score·B⌋, B−1);
+    conf/acc are ratios of per-bin sums. Pass a GRID-quantized score
+    (the caller's contract) and every output is an exact IEEE ratio —
+    engine-identical before the 6dp round."""
+    b = F.least(
+        F.floor(F.col(score_col).cast("double") * bins).cast("int"),
+        F.lit(bins - 1),
+    )
+    src = df.select(
+        b.alias("bin"),
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("double").alias("_y"),
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    per = src.groupBy("bin").agg(
+        F.count("*").alias("_nb"),
+        F.sum("_s").alias("_ss"),
+        F.sum("_y").alias("_sy"),
+    )
+    tot = per.agg(F.sum("_nb").alias("_n"))
+    j = per.crossJoin(F.broadcast(tot))
+    conf = F.col("_ss") / F.col("_nb")
+    acc = F.col("_sy") / F.col("_nb")
+    return j.select(
+        F.col("bin"),
+        F.col("_nb").cast("long").alias("n_bin"),
+        F.round(conf, 6).alias("conf"),
+        F.round(acc, 6).alias("acc"),
+        F.round(F.abs(conf - acc), 6).alias("abs_gap"),
+        F.round(
+            F.col("_nb").cast("double") / F.col("_n")
+            * F.abs(conf - acc),
+            6,
+        ).alias("wgap"),
+    )
+
+
+def cluster_agreement(
+    df: DataFrame, cluster_col: str, class_col: str
+) -> DataFrame:
+    """Clustering-vs-labels agreement → single row (n, k_clusters,
+    k_classes, purity, nmi): purity = Σ_c max_k n_ck / N and
+    NMI = I(C;K) / sqrt(H(C)·H(K)) from the contingency table — the
+    standard external eval for embedding/topic clusters against known
+    classes (did the semdedup/kmeans cells actually recover the
+    sources?).
+
+    One contingency aggregate (≤ k_c·k_k rows), then all-exact count
+    ratios into ln; sums run over the tiny cell table, so ulps sit
+    ~1e-15 below the 6dp round on both engines."""
+    src = df.select(
+        F.col(cluster_col).alias("_c"), F.col(class_col).alias("_k")
+    ).filter(F.col("_c").isNotNull() & F.col("_k").isNotNull())
+    cells = src.groupBy("_c", "_k").agg(F.count("*").alias("_n"))
+    rowm = cells.groupBy("_c").agg(
+        F.sum("_n").alias("_nc"), F.max("_n").alias("_mx")
+    )
+    colm = cells.groupBy("_k").agg(F.sum("_n").alias("_nk"))
+    tot = cells.agg(F.sum("_n").alias("_tot"))
+    nn = F.col("_tot").cast("double")
+    mi = (
+        cells.join(rowm.select("_c", "_nc"), "_c")
+        .join(colm, "_k")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("_n")
+                / nn
+                * F.log(
+                    F.col("_n") * nn
+                    / (
+                        F.col("_nc").cast("double")
+                        * F.col("_nk").cast("double")
+                    )
+                )
+            ).alias("_mi")
+        )
+    )
+    hc = rowm.crossJoin(F.broadcast(tot)).agg(
+        F.sum(-(F.col("_nc") / nn) * F.log(F.col("_nc") / nn)).alias("_hc"),
+        F.sum("_mx").alias("_pur"),
+        F.count("*").alias("_kc"),
+    )
+    hk = colm.crossJoin(F.broadcast(tot)).agg(
+        F.sum(-(F.col("_nk") / nn) * F.log(F.col("_nk") / nn)).alias("_hk"),
+        F.count("*").alias("_kk"),
+    )
+    out = mi.crossJoin(hc).crossJoin(hk).crossJoin(F.broadcast(tot))
+    denom = F.sqrt(F.col("_hc") * F.col("_hk"))
+    return out.select(
+        F.col("_tot").cast("long").alias("n"),
+        F.col("_kc").cast("long").alias("k_clusters"),
+        F.col("_kk").cast("long").alias("k_classes"),
+        F.round(F.col("_pur").cast("double") / nn, 6).alias("purity"),
+        F.round(
+            F.when(denom > 0, F.col("_mi") / denom).otherwise(F.lit(0.0)),
+            6,
+        ).alias("nmi"),
+    )

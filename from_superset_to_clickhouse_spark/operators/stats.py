@@ -2995,3 +2995,37 @@ def runs_test(
         F.round(z, 6).alias("z"),
         F.round(F.lit(2.0) * normal_sf(F.abs(z)), 6).alias("p_value"),
     )
+
+
+def levene_var(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Brown–Forsythe / Levene variance-homogeneity test → single row
+    (k, n, ssb, ssw, f_stat): one-way ANOVA on the absolute deviations
+    |x − median_g| from each group's median — "do the k arms have the
+    same SPREAD", the robust precondition check the plain ANOVA/t
+    family silently assumes. Median (not mean) centering is the
+    Brown–Forsythe form: heavy tails cannot fake a variance shift.
+
+    Per-group median = the ⌈n/2⌉-th order statistic of the RAW stored
+    values (one partitioned rank window, no arithmetic — both engines
+    center identically); the F statistic then reuses the exact
+    2^-20-grid ANOVA machinery, so every sum is grid-quantized and
+    engine-identical."""
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    wg = Window.partitionBy("_g")
+    ranked = src.withColumn("_n", F.count("*").over(wg)).withColumn(
+        "_rn", F.row_number().over(wg.orderBy("_v"))
+    )
+    med = (
+        ranked.filter(F.col("_rn") == F.floor((F.col("_n") + 1) / 2.0))
+        .groupBy("_g")
+        .agg(F.min("_v").alias("_med"))
+    )
+    z = src.join(F.broadcast(med), "_g").select(
+        "_g", F.abs(F.col("_v") - F.col("_med")).alias("_z")
+    )
+    return anova_oneway(z, "_z", "_g")

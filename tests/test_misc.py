@@ -3966,3 +3966,23 @@ def test_ppl_tiers_tie_coherence(spark):
     assert set(out) == {1, 2}  # ties stay together; tier 3 collapses
     for r in out.values():
         assert r["lo"] <= r["avg_score"] <= r["hi"]
+
+
+def test_levene_var_detects_spread_shift(spark):
+    """Same-center groups with 4x spread difference -> large F; equal
+    spreads (mirrored data) -> F ~ 0."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        levene_var,
+    )
+
+    tight = [("a", 50.0 + (i % 11 - 5) * 0.5) for i in range(110)]
+    wide = [("b", 50.0 + (i % 11 - 5) * 4.0) for i in range(110)]
+    df = spark.createDataFrame(tight + wide, "g string, v double")
+    r = levene_var(df, "v", "g").first()
+    assert r["k"] == 2 and r["n"] == 220
+    assert r["f_stat"] > 30.0
+    same = spark.createDataFrame(
+        tight + [("b", v) for _, v in tight], "g string, v double"
+    )
+    r0 = levene_var(same, "v", "g").first()
+    assert r0["f_stat"] < 1e-6

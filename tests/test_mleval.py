@@ -199,3 +199,63 @@ def test_bradley_terry_zero_win_item_kept_at_strength_zero(spark):
     assert abs(out["a"]["strength"] - 2.0) < 1e-6
     assert out["b"]["strength"] == 0.0
     assert (out["a"]["rank"], out["b"]["rank"]) == (1, 2)
+
+
+def test_logistic_gd_learns_separable(spark):
+    """A linearly separable 1-feature problem: the fitted weight is
+    positive, accuracy -> 1.0, and reruns are bit-identical (grid
+    trajectory, not RNG)."""
+    from from_superset_to_clickhouse_spark.operators.mleval import (
+        logistic_gd,
+    )
+
+    rows = [(1.0 if x > 0 else 0.0, float(x)) for x in range(-50, 51)
+            if x != 0]
+    df = spark.createDataFrame(rows, "y double, x double")
+    r1 = logistic_gd(df, "y", ["x"], iters=8, lr=2.0).first()
+    r2 = logistic_gd(df, "y", ["x"], iters=8, lr=2.0).first()
+    assert r1 == r2
+    assert r1["w1"] > 0
+    assert r1["accuracy"] == 1.0
+    assert r1["log_loss"] < 0.4
+
+
+def test_calibration_bins_reference(spark):
+    """Hand case: bin 0 holds (.05, y=0)x2 -> conf .05 acc 0; bin 9
+    holds (.95, y=1)x2 -> gap .05; wgap = weight x gap."""
+    from from_superset_to_clickhouse_spark.operators.mleval import (
+        calibration_bins,
+    )
+
+    rows = [(0.05, 0), (0.05, 0), (0.95, 1), (0.95, 1)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = {r["bin"]: r for r in calibration_bins(df, "s", "y").collect()}
+    assert set(out) == {0, 9}
+    assert abs(out[0]["conf"] - 0.05) < 1e-9
+    assert out[0]["acc"] == 0.0
+    assert abs(out[0]["abs_gap"] - 0.05) < 1e-9
+    assert abs(out[0]["wgap"] - 0.5 * 0.05) < 1e-9
+    assert abs(out[9]["abs_gap"] - 0.05) < 1e-9
+    # score = 1.0 must clamp into the top bin, not bin B
+    df2 = spark.createDataFrame([(1.0, 1)], "s double, y int")
+    assert calibration_bins(df2, "s", "y").first()["bin"] == 9
+
+
+def test_cluster_agreement_bounds(spark):
+    """Identical partitions -> purity = nmi = 1; a constant clustering
+    -> nmi = 0 (zero cluster entropy -> guarded denominator)."""
+    from from_superset_to_clickhouse_spark.operators.mleval import (
+        cluster_agreement,
+    )
+
+    rows = [(i % 3, i % 3) for i in range(30)]
+    df = spark.createDataFrame(rows, "c int, k int")
+    r = cluster_agreement(df, "c", "k").first()
+    assert r["purity"] == 1.0 and abs(r["nmi"] - 1.0) < 1e-6
+    const = spark.createDataFrame(
+        [(0, i % 3) for i in range(30)], "c int, k int"
+    )
+    r0 = cluster_agreement(const, "c", "k").first()
+    assert r0["k_clusters"] == 1
+    assert r0["nmi"] == 0.0
+    assert abs(r0["purity"] - 1 / 3) < 1e-6
