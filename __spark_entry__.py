@@ -15505,3 +15505,328 @@ _R11_ORACLES.update({
     "nmi_purity": _NMI_SQL,
     "levene": _LEVENE_SQL,
 })
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (8 grid-rounded power steps) over the
+    nation-level trade graph (customer-nation -> supplier-nation arcs
+    from the orders⋈lineitem join): which nations CURATE trade vs
+    which are traded WITH. The corpus-scale work is the one edge-list
+    join; the iteration runs on ≤ 25 nodes. Oracle unrolls the same
+    matvec -> L2-normalize -> 1e-9-grid walk."""
+    from from_superset_to_clickhouse_spark.operators import graph as gr
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .join(supp, F.col("l_suppkey") == supp["s_suppkey"])
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+    )
+    return gr.hits(edges, iters=8).select(
+        F.col("node").cast("long").alias("node"), "hub", "authority"
+    )
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop over sign-hexadecant cells: the embeddings
+    corpus plus planted scaled copies (x1.25 of every 5th vector,
+    cosine 1 with its source) — within-cell pairs only, drop iff a
+    lower-id cell-mate sits at cosine >= 0.93. The semantic-dup
+    policy exact/MinHash dedup cannot see; planted copies MUST come
+    back keep=0."""
+    from from_superset_to_clickhouse_spark.operators.similarity import (
+        semdedup_cells,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double")
+        ).alias("embedding"),
+    )
+    dup = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x * F.lit(1.25)
+        ).alias("embedding"),
+    )
+    allv = emb.unionByName(dup)
+
+    def e(i: int):
+        return F.element_at("embedding", i)
+
+    cell = (
+        (e(1) > 0).cast("int") * 8
+        + (e(2) > 0).cast("int") * 4
+        + (e(3) > 0).cast("int") * 2
+        + (e(4) > 0).cast("int")
+    )
+    src = allv.select("vec_id", "embedding", cell.alias("cell"))
+    return semdedup_cells(src, threshold=0.93)
+
+
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: hashed-unigram (1024 buckets, md5)
+    importance weights of every document against the lang='en' target
+    slice, then the deterministic Gumbel-top-100 resample — upsample
+    target-like raw docs without a trained classifier. The bucket
+    log-ratio table broadcasts; the only corpus-scale tail op is an
+    ordered LIMIT."""
+    from from_superset_to_clickhouse_spark.operators.sampling import (
+        dsir_resample,
+    )
+    from from_superset_to_clickhouse_spark.operators.text import word_tokens
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_resample(
+        docs, target, word_tokens(F.col("text")), buckets=1024, k=100
+    )
+
+
+def q_ipw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPW treatment effect on an observational design planted from
+    the corpus: covariate x = user's exact-grid mean value, treatment
+    assigned md5-uniform < sigmoid((x-50)/10) (confounded BY x),
+    outcome = event count + 5·t. Propensity via the platt Newton walk
+    (1e-8 grid), Hajek-weighted ATE + per-arm effective sample
+    sizes."""
+    from from_superset_to_clickhouse_spark.operators.mleval import ipw_ate
+
+    ev = _ev(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    qv = F.floor(F.col("value").cast("double") * F.lit(1048576.0))
+    per = ev.groupBy("user_id").agg(
+        F.sum(qv).alias("_s"), F.count("*").alias("_c")
+    )
+    x = (F.col("_s").cast("double") / F.col("_c")) / F.lit(1048576.0)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("ipw"), F.col("user_id"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    sig = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-((x - F.lit(50.0)) / F.lit(10.0)))
+    )
+    t = (u < sig).cast("int")
+    src = per.select(
+        x.alias("x"),
+        t.alias("t"),
+        (F.col("_c").cast("double") + 5.0 * t.cast("double")).alias("y"),
+    )
+    return ipw_ate(src, "x", "t", "y", iters=6, clip=0.01)
+
+
+def _hits_oracle_sql(iters: int = 8) -> str:
+    """Unrolled HITS: per round, inbound-sum -> L2 norm -> 1e-9 grid,
+    each state MATERIALIZED (CTE referenced twice per half-step)."""
+    parts = [
+        """e AS MATERIALIZED (
+  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+)""",
+        """nodes AS MATERIALIZED (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+)""",
+        "h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f"""
+ar{k} AS MATERIALIZED (
+  SELECT n.node, coalesce(t.s, 0.0) AS a FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(p.h) AS s FROM e
+    JOIN h{k - 1} p ON e.src = p.node GROUP BY 1) t USING (node)
+), an{k} AS (SELECT sqrt(sum(a * a)) AS nrm FROM ar{k}),
+a{k} AS MATERIALIZED (
+  SELECT node, floor(a / nrm * 1e9 + 0.5) / 1e9 AS a
+  FROM ar{k}, an{k}
+),
+hr{k} AS MATERIALIZED (
+  SELECT n.node, coalesce(t.s, 0.0) AS h FROM nodes n LEFT JOIN (
+    SELECT e.src AS node, sum(q.a) AS s FROM e
+    JOIN a{k} q ON e.dst = q.node GROUP BY 1) t USING (node)
+), hn{k} AS (SELECT sqrt(sum(h * h)) AS nrm FROM hr{k}),
+h{k} AS MATERIALIZED (
+  SELECT node, floor(h / nrm * 1e9 + 0.5) / 1e9 AS h
+  FROM hr{k}, hn{k}
+)""")
+    return f"""
+-- Same edge list, same 8 matvec -> L2-normalize -> 1e-9-grid rounds.
+WITH {",".join(parts)}
+SELECT CAST(h.node AS BIGINT) AS node, round(h.h, 6) AS hub,
+  round(a.a, 6) AS authority
+FROM h{iters} h JOIN a{iters} a USING (node)
+"""
+
+
+_SEMDEDUP_SQL = f"""
+-- Same planted x1.25 copies, same sign-hexadecant cells, same
+-- within-cell lower-id cosine>=0.93 drop policy.
+WITH allv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.25)
+  FROM embeddings WHERE vec_id % 5 = 0
+), cells AS (
+  SELECT vec_id, v,
+    (CASE WHEN v[1] > 0 THEN 8 ELSE 0 END
+   + CASE WHEN v[2] > 0 THEN 4 ELSE 0 END
+   + CASE WHEN v[3] > 0 THEN 2 ELSE 0 END
+   + CASE WHEN v[4] > 0 THEN 1 ELSE 0 END) AS cell
+  FROM allv
+), dropped AS (
+  SELECT DISTINCT b.cell, b.vec_id
+  FROM cells a JOIN cells b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_DOT.format(a='a.v', b='b.v')}
+      / ({_NORM.format(a='a.v')} * {_NORM.format(a='b.v')}) >= 0.93
+)
+SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell,
+  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM cells c LEFT JOIN dropped d
+  ON c.cell = d.cell AND c.vec_id = d.vec_id
+"""
+
+_DSIR_SQL = """
+-- Same md5-bucket features, add-one log-ratios, Gumbel-top-100 with
+-- md5 noise.
+WITH tok AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 1024 AS b
+  FROM (
+    SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+      lower(text), '[^a-z0-9'']+'), x -> x <> '')) AS w
+    FROM documents)
+), ttok AS (
+  SELECT t.b FROM tok t JOIN documents d USING (doc_id)
+  WHERE d.lang = 'en'
+), rc AS (SELECT b, count(*) AS cr FROM tok GROUP BY 1),
+tc AS (SELECT b, count(*) AS ct FROM ttok GROUP BY 1),
+rt AS (SELECT sum(cr) AS nr FROM rc),
+tt AS (SELECT sum(ct) AS nt FROM tc),
+ratio AS (
+  SELECT coalesce(rc.b, tc.b) AS b,
+    ln((coalesce(ct, 0) + 1) * 1.0 / (nt + 1024))
+      - ln((coalesce(cr, 0) + 1) * 1.0 / (nr + 1024)) AS lr
+  FROM rc FULL JOIN tc ON rc.b = tc.b CROSS JOIN rt CROSS JOIN tt
+), pd AS (
+  SELECT doc_id, b, count(*) AS c FROM tok GROUP BY 1, 2
+), w AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+    round(sum(c * lr), 6) AS log_w
+  FROM pd JOIN ratio USING (b) GROUP BY 1
+), scored AS (
+  SELECT doc_id, n_feats, log_w,
+    round(log_w + (-ln(-ln(
+      (CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)),
+        1, 8)) AS BIGINT) + 0.5) / 4294967296.0))), 6) AS score
+  FROM w
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+    AS INTEGER) AS rank,
+  doc_id, n_feats, log_w, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 100
+"""
+
+
+def _ipw_oracle_sql(iters: int = 6, clip: float = 0.01) -> str:
+    """Platt Newton walk on (x, t) unrolled (1e-8 grid per step), then
+    the clipped Hajek-weighted sums."""
+    steps = [
+        "s0 AS (SELECT CAST(0.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b)"
+    ]
+    for k in range(1, iters + 1):
+        steps.append(f"""
+s{k} AS MATERIALIZED (
+  SELECT
+    floor((p.a + (t.hyy * t.ga - t.hxy * t.gb)
+      / (t.hxx * t.hyy - t.hxy * t.hxy)) * 1e8 + 0.5) / 1e8 AS a,
+    floor((p.b + (t.hxx * t.gb - t.hxy * t.ga)
+      / (t.hxx * t.hyy - t.hxy * t.hxy)) * 1e8 + 0.5) / 1e8 AS b
+  FROM s{k - 1} p, (
+    SELECT sum(x * (y - pp)) AS ga, sum(y - pp) AS gb,
+      sum((x * x) * (pp * (1.0 - pp))) AS hxx,
+      sum(x * (pp * (1.0 - pp))) AS hxy,
+      sum(pp * (1.0 - pp)) AS hyy
+    FROM (
+      SELECT x, y, 1.0 / (1.0 + exp(-(x * q.a + q.b))) AS pp
+      FROM src, s{k - 1} q
+    )
+  ) t
+)""")
+    return f"""
+-- Same per-user grid covariate, md5-sigmoid treatment, platt Newton
+-- propensity (1e-8 grid), clipped Hajek sums.
+WITH per AS MATERIALIZED (
+  SELECT user_id,
+    (sum(CAST(floor(CAST(value AS DOUBLE) * 1048576.0) AS BIGINT))
+      * 1.0 / count(*)) / 1048576.0 AS x,
+    count(*) AS c
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1
+), base AS MATERIALIZED (
+  SELECT x,
+    CASE WHEN CAST(CAST(('0x' || substr(md5('ipw:' ||
+        CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+        / 4294967296.0
+      < 1.0 / (1.0 + exp(-((x - 50.0) / 10.0)))
+      THEN 1 ELSE 0 END AS t,
+    c
+  FROM per
+), src AS MATERIALIZED (
+  SELECT x, CAST(t AS DOUBLE) AS y FROM base
+),
+{",".join(steps)},
+fin AS (
+  SELECT count(*) AS n,
+    sum((t / e) * yo) AS syt, sum(t / e) AS swt,
+    sum((t / e) * (t / e)) AS swt2,
+    sum(((1.0 - t) / (1.0 - e)) * yo) AS syc,
+    sum((1.0 - t) / (1.0 - e)) AS swc,
+    sum(((1.0 - t) / (1.0 - e)) * ((1.0 - t) / (1.0 - e))) AS swc2
+  FROM (
+    SELECT CAST(t AS DOUBLE) AS t,
+      CAST(c AS DOUBLE) + 5.0 * CAST(t AS DOUBLE) AS yo,
+      least(greatest(
+        1.0 / (1.0 + exp(-(x * f.a + f.b))), {clip}), {1.0 - clip}) AS e
+    FROM base, s{iters} f
+  )
+)
+SELECT CAST(n AS BIGINT) AS n,
+  (SELECT a FROM s{iters}) AS a, (SELECT b FROM s{iters}) AS b,
+  round(syt / swt - syc / swc, 6) AS ate,
+  round(swt * swt / swt2, 6) AS ess_t,
+  round(swc * swc / swc2, 6) AS ess_c
+FROM fin
+"""
+
+
+_R11_QUERIES.update({
+    "hits": q_hits,
+    "semdedup": q_semdedup,
+    "dsir": q_dsir,
+    "ipw": q_ipw,
+})
+_R11_ORACLES.update({
+    "hits": _hits_oracle_sql(8),
+    "semdedup": _SEMDEDUP_SQL,
+    "dsir": _DSIR_SQL,
+    "ipw": _ipw_oracle_sql(6, 0.01),
+})

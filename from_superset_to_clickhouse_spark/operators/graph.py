@@ -887,3 +887,85 @@ def strongly_connected_components(
             "rounds — raise max_rounds (condensation depth exceeded)"
         )
     return done
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 8,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) by ``iters`` power
+    steps → (node, hub, authority): a'(v) = Σ_{u→v} h(u),
+    h'(u) = Σ_{u→v} a'(v), each L2-normalized per round. PageRank
+    ranks by endorsement mass; HITS separates the CURATORS (hubs,
+    pointing at good things) from the AUTHORITIES (pointed at) — the
+    directed-graph complement to :func:`pagerank` on the same edges.
+
+    Determinism contract (the pca_power precedent): scores land on
+    the 1e-9 GRID after every normalization, so cross-engine
+    summation ulps (~1e-15) can never move the trajectory, and the
+    oracle unrolls the identical matvec → normalize → grid walk.
+    Shape at scale: the distinct edge list is the checkpointed loop
+    invariant; each half-step is one join + one partial-aggregated
+    groupBy; per-round ``localCheckpoint`` keeps lineage flat (state
+    feeds both the norm aggregate and the next join — without the
+    checkpoint the plan doubles per round)."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    grid = 1e9
+
+    def _norm_grid(df: DataFrame, col: str) -> DataFrame:
+        nrm = df.agg(
+            F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_nrm")
+        )
+        return df.crossJoin(F.broadcast(nrm)).select(
+            "node",
+            (
+                F.floor(F.col(col) / F.col("_nrm") * grid + 0.5) / grid
+            ).alias(col),
+        )
+
+    hub = nodes.select("node", F.lit(1.0).alias("h"))
+    auth = None
+    for _ in range(iters):
+        a_new = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("a"))
+        )
+        auth = _norm_grid(
+            nodes.join(a_new, "node", "left").select(
+                "node", F.coalesce("a", F.lit(0.0)).alias("a")
+            ),
+            "a",
+        ).localCheckpoint(eager=True)
+        h_new = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("h"))
+        )
+        hub = _norm_grid(
+            nodes.join(h_new, "node", "left").select(
+                "node", F.coalesce("h", F.lit(0.0)).alias("h")
+            ),
+            "h",
+        ).localCheckpoint(eager=True)
+    return (
+        hub.join(auth, "node")
+        .select(
+            "node",
+            F.round("h", 6).alias("hub"),
+            F.round("a", 6).alias("authority"),
+        )
+    )

@@ -632,3 +632,65 @@ def cluster_agreement(
             6,
         ).alias("nmi"),
     )
+
+
+def ipw_ate(
+    df: DataFrame,
+    x_col: str,
+    t_col: str,
+    y_col: str,
+    iters: int = 6,
+    clip: float = 0.01,
+) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect → single
+    row (n, a, b, ate, ess_t, ess_c): fit the propensity e(x) =
+    sigmoid(a·x + b) with the exact platt_scale Newton walk (weights
+    on the 1e-8 grid every step), clip e to [clip, 1−clip] (the
+    standard overlap trim, declared), then the Hájek estimator
+    ate = Σ t·y/e / Σ t/e − Σ (1−t)·y/(1−e) / Σ (1−t)/(1−e), with
+    per-arm effective sample sizes (Σw)²/Σw². The observational
+    "what did the treatment do" readout when arms were NOT randomized
+    — the confounder x is modeled instead of ignored (contrast
+    ab_ztest, which assumes randomization).
+
+    One Newton fit (iters bounded passes) + ONE weighted aggregate
+    pass; the fitted (a, b) are grid literals, so both engines weight
+    identical rows identically."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        platt_scale,
+    )
+
+    fit = platt_scale(df.select(
+        F.col(x_col).alias("x"), F.col(t_col).alias("y")
+    ), "x", "y", iters=iters).first()
+    a, b = float(fit["a"]), float(fit["b"])
+    e_raw = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.col(x_col).cast("double") * a + b))
+    )
+    e = F.least(F.greatest(e_raw, F.lit(clip)), F.lit(1.0 - clip))
+    t = F.col(t_col).cast("double")
+    y = F.col(y_col).cast("double")
+    wt = t / e
+    wc = (F.lit(1.0) - t) / (F.lit(1.0) - e)
+    agg = df.agg(
+        F.count("*").alias("_n"),
+        F.sum(wt * y).alias("_syt"),
+        F.sum(wt).alias("_swt"),
+        F.sum(wt * wt).alias("_swt2"),
+        F.sum(wc * y).alias("_syc"),
+        F.sum(wc).alias("_swc"),
+        F.sum(wc * wc).alias("_swc2"),
+    )
+    ate = F.col("_syt") / F.col("_swt") - F.col("_syc") / F.col("_swc")
+    return agg.select(
+        F.col("_n").cast("long").alias("n"),
+        F.lit(a).alias("a"),
+        F.lit(b).alias("b"),
+        F.round(ate, 6).alias("ate"),
+        F.round(
+            F.col("_swt") * F.col("_swt") / F.col("_swt2"), 6
+        ).alias("ess_t"),
+        F.round(
+            F.col("_swc") * F.col("_swc") / F.col("_swc2"), 6
+        ).alias("ess_c"),
+    )

@@ -454,3 +454,122 @@ def temperature_mix(
             6,
         ).alias("kept_frac"),
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    text_tokens: Column,
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) → (doc_id, n_feats,
+    log_w): per-document log importance ratio Σ_b c_b·(ln p_target[b]
+    − ln p_raw[b]) over ``buckets`` hashed unigram features with
+    add-one smoothing — "how target-like is this raw document",
+    the data-selection score that upsamples Wikipedia-like text out
+    of a web crawl without a trained classifier.
+
+    Both feature distributions come from ONE token-bucket aggregate
+    each (raw = ``docs``, target = the ``target`` frame); the bucket
+    log-ratio table is ≤ ``buckets`` rows and BROADCASTS to the
+    per-doc scoring join. Feature hash = first 8 md5 hex digits mod
+    buckets (engine-replayable); p's are exact integer ratios, so
+    both engines take ln of identical doubles."""
+    tok_raw = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(text_tokens).alias("_w"),
+    ).select(
+        "doc_id",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("_w")), 1, 8), 16, 10)
+            .cast("long"),
+            F.lit(buckets),
+        ).alias("_b"),
+    )
+    tok_tgt = target.select(F.explode(text_tokens).alias("_w")).select(
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("_w")), 1, 8), 16, 10)
+            .cast("long"),
+            F.lit(buckets),
+        ).alias("_b")
+    )
+    raw_counts = tok_raw.groupBy("_b").agg(F.count("*").alias("_cr"))
+    tgt_counts = tok_tgt.groupBy("_b").agg(F.count("*").alias("_ct"))
+    raw_tot = raw_counts.agg(F.sum("_cr").alias("_nr"))
+    tgt_tot = tgt_counts.agg(F.sum("_ct").alias("_nt"))
+    ratio = (
+        raw_counts.join(tgt_counts, "_b", "full")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "_b",
+            (
+                F.log(
+                    (F.coalesce(F.col("_ct"), F.lit(0)) + 1).cast("double")
+                    / (F.col("_nt") + F.lit(buckets)).cast("double")
+                )
+                - F.log(
+                    (F.coalesce(F.col("_cr"), F.lit(0)) + 1).cast("double")
+                    / (F.col("_nr") + F.lit(buckets)).cast("double")
+                )
+            ).alias("_lr"),
+        )
+    )
+    per_doc = tok_raw.groupBy("doc_id", "_b").agg(
+        F.count("*").alias("_c")
+    )
+    return (
+        per_doc.join(F.broadcast(ratio), "_b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_c").alias("_nf"),
+            F.sum(F.col("_c") * F.col("_lr")).alias("_lw"),
+        )
+        .select(
+            "doc_id",
+            F.col("_nf").cast("long").alias("n_feats"),
+            F.round("_lw", 6).alias("log_w"),
+        )
+    )
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target: DataFrame,
+    text_tokens: Column,
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    k: int = 100,
+) -> DataFrame:
+    """DSIR Gumbel-top-k resample → (rank, doc_id, n_feats, log_w,
+    score): draw ``k`` docs WITHOUT replacement proportionally to
+    exp(log_w) via the Gumbel-max trick with DETERMINISTIC md5 noise
+    — score = log_w + (−ln(−ln u)), u = (md5(doc)+0.5)/2^32, top-k by
+    score. Both engines (and reruns) draw the identical sample; the
+    only corpus-scale op after scoring is an ordered LIMIT
+    (TakeOrdered, no global sort)."""
+    w = dsir_weights(docs, target, text_tokens, id_col, buckets)
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit("dsir"), F.col("doc_id"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("double")
+            + F.lit(0.5)
+        )
+        / F.lit(4294967296.0)
+    )
+    g = -F.log(-F.log(u))
+    scored = w.select(
+        "doc_id", "n_feats", "log_w",
+        F.round(F.col("log_w") + g, 6).alias("score"),
+    )
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(k)
+    wr = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.withColumn(
+        "rank", F.row_number().over(wr).cast("int")
+    ).select("rank", "doc_id", "n_feats", "log_w", "score")

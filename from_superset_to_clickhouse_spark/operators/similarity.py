@@ -2215,3 +2215,62 @@ def exact_rerank_batch(
         .filter(F.col("rank") <= topk)
         .select("q_id", "n_id", "dist", F.col("rank").cast("int"))
     )
+
+
+def semdedup_cells(
+    df: DataFrame,
+    threshold: float = 0.93,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) keep/drop decisions → (id, cell,
+    keep): within each pre-assigned cluster CELL, a vector is dropped
+    iff some LOWER-id cell-mate sits within cosine ≥ threshold — the
+    semantic-duplicate policy that removes re-phrasings exact/MinHash
+    dedup cannot see. The caller supplies the cell assignment
+    (k-means cells, sign-octants, IVF coarse cells — anything
+    deterministic); this operator is the within-cell pair scan +
+    keep policy.
+
+    Scale contract: pairs are generated ONLY inside a cell (the
+    SemDeDup design point — candidates scale with Σ|cell|², never
+    n²), via a cell-keyed self-join with the lower-id side reduced to
+    (cell, id, vec). Cosine = sequential fold dot/norms (the
+    engine-replayable array aggregate), an exact computation both
+    engines run identically; the keep flag is an anti-join-style
+    aggregate, one shuffle on the cell key."""
+    base = df.select(
+        F.col(cell_col).alias("_cell"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+    )
+    a = base.select(
+        F.col("_cell"),
+        F.col("_id").alias("_ida"),
+        F.col("_v").alias("_va"),
+    )
+    b = base.select(
+        F.col("_cell"),
+        F.col("_id").alias("_idb"),
+        F.col("_v").alias("_vb"),
+    )
+    pairs = a.join(b, "_cell").filter(F.col("_ida") < F.col("_idb"))
+    cos = cosine(F.col("_va"), F.col("_vb"))
+    dropped = (
+        pairs.filter(cos >= F.lit(threshold))
+        .select("_cell", F.col("_idb").alias("_id"))
+        .distinct()
+    )
+    return (
+        base.join(
+            dropped.withColumn("_drop", F.lit(1)), ["_cell", "_id"], "left"
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_cell").alias(cell_col),
+            F.when(F.col("_drop").isNull(), 1).otherwise(0)
+            .cast("int")
+            .alias("keep"),
+        )
+    )

@@ -497,3 +497,35 @@ def test_scc_raises_on_exhausted_propagation_instead_of_wrong_answer(spark):
         for r in strongly_connected_components(edges, max_prop=20).collect()
     }
     assert ok == {i: n - 1 for i in range(n)}
+
+
+def test_hits_star_graph(spark):
+    """Star 0 -> (1,2,3): node 0 is the pure hub (h = 1), targets are
+    equal authorities (a = 1/sqrt(3)), and the roles do not mix."""
+    import math
+
+    from from_superset_to_clickhouse_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    r = {row["node"]: row for row in hits(edges, iters=4).collect()}
+    assert abs(r[0]["hub"] - 1.0) < 1e-6
+    assert r[0]["authority"] == 0.0
+    for v in (1, 2, 3):
+        assert abs(r[v]["authority"] - 1 / math.sqrt(3)) < 1e-6
+        assert r[v]["hub"] == 0.0
+
+
+def test_hits_deterministic_rerun(spark):
+    """Grid-rounded trajectory: two runs are bit-identical."""
+    from from_superset_to_clickhouse_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 7) for i in range(7)] +
+        [(i, (i + 2) % 7) for i in range(0, 7, 2)],
+        "src long, dst long",
+    )
+    a = sorted(map(tuple, hits(edges, iters=6).collect()))
+    b = sorted(map(tuple, hits(edges, iters=6).collect()))
+    assert a == b

@@ -3986,3 +3986,51 @@ def test_levene_var_detects_spread_shift(spark):
     )
     r0 = levene_var(same, "v", "g").first()
     assert r0["f_stat"] < 1e-6
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """Docs made of target-frequent tokens outscore docs of
+    target-absent tokens, and reruns are identical."""
+    from pyspark.sql import functions as F
+
+    from from_superset_to_clickhouse_spark.operators.sampling import (
+        dsir_weights,
+    )
+    from from_superset_to_clickhouse_spark.operators.text import (
+        word_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "wiki wiki science article"), (2, "buy cheap pills now"),
+         (3, "science article wiki")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(10, "wiki science article encyclopedia"),
+         (11, "article wiki wiki science")],
+        "doc_id long, text string",
+    )
+    w1 = {r["doc_id"]: r["log_w"] for r in dsir_weights(
+        docs, target, word_tokens(F.col("text"))).collect()}
+    w2 = {r["doc_id"]: r["log_w"] for r in dsir_weights(
+        docs, target, word_tokens(F.col("text"))).collect()}
+    assert w1 == w2
+    assert w1[1] > w1[2] and w1[3] > w1[2]
+
+
+def test_ipw_ate_recovers_randomized_effect(spark):
+    """With treatment independent of x and a constant +5 effect, the
+    Hajek IPW estimate lands near 5 (propensity fit ~ intercept)."""
+    from from_superset_to_clickhouse_spark.operators.mleval import ipw_ate
+
+    rows = []
+    for i in range(400):
+        t = i % 2
+        x = float((i * 13) % 50)
+        y = 10.0 + 0.1 * x + 5.0 * t
+        rows.append((x, t, y))
+    df = spark.createDataFrame(rows, "x double, t int, y double")
+    r = ipw_ate(df, "x", "t", "y").first()
+    assert r["n"] == 400
+    assert abs(r["ate"] - 5.0) < 0.3
+    assert r["ess_t"] > 100 and r["ess_c"] > 100

@@ -818,3 +818,24 @@ def test_ivfpq_batch_prunes_persisted_cells_and_matches(spark, tmp_path):
         ).collect())
     )
     assert sorted(map(tuple, got_disk.collect())) == mem
+
+
+def test_semdedup_cells_drops_planted_copy(spark):
+    """A scaled copy (cosine 1) in the same cell is dropped; the
+    lower-id original and an orthogonal-ish vector survive."""
+    from from_superset_to_clickhouse_spark.operators.similarity import (
+        semdedup_cells,
+    )
+
+    rows = [
+        (1, [1.0, 0.2, 0.1], 0),
+        (2, [1.25, 0.25, 0.125], 0),   # 1.25x copy of id 1 -> drop
+        (3, [0.1, 1.0, -0.5], 0),      # same cell, far away -> keep
+        (4, [1.0, 0.2, 0.1], 1),       # DIFFERENT cell: never compared
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cell int"
+    )
+    r = {row["vec_id"]: row["keep"]
+         for row in semdedup_cells(df, threshold=0.93).collect()}
+    assert r == {1: 1, 2: 0, 3: 1, 4: 1}
