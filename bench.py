@@ -151,6 +151,18 @@ HEADLINE = [
     "dtw_daily",
     "bradley_terry",
     "scc",
+    # round-10 additions: winnowing partial-overlap fingerprints (one
+    # doc-partitioned window over char-gram hashes + df-capped pair
+    # join), DSIR importance resample (two token-bucket aggregates +
+    # broadcast log-ratio scoring + TakeOrdered), 8-round HITS on the
+    # nation trade graph (corpus-scale edge join, 25-node iteration),
+    # the 8-step logistic GD fit (one cached-projection aggregate per
+    # step), and the SemDeDup within-cell cosine keep/drop policy
+    "winnowing",
+    "dsir",
+    "hits",
+    "logreg_quality",
+    "semdedup",
 ]
 
 # ANN is measured on a deterministic query slice (vec_id < ANN_QUERIES)
