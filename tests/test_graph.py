@@ -529,3 +529,15 @@ def test_hits_deterministic_rerun(spark):
     a = sorted(map(tuple, hits(edges, iters=6).collect()))
     b = sorted(map(tuple, hits(edges, iters=6).collect()))
     assert a == b
+
+
+def test_hits_rejects_zero_iters(spark):
+    """iters < 1 is an argument error, not a confusing join-on-None
+    crash deep in the loop (ADVICE r10)."""
+    import pytest
+
+    from from_superset_to_clickhouse_spark.operators.graph import hits
+
+    e = spark.createDataFrame([(1, 2)], "src int, dst int")
+    with pytest.raises(ValueError, match="iters"):
+        hits(e, iters=0)

@@ -259,3 +259,65 @@ def test_cluster_agreement_bounds(spark):
     assert r0["k_clusters"] == 1
     assert r0["nmi"] == 0.0
     assert abs(r0["purity"] - 1 / 3) < 1e-6
+
+
+def test_rouge_l_degenerate_inputs(spark):
+    """Empty candidate/reference arrays must score 0, not crash the DP
+    (sequence(1, 0) is descending) or leak NULL ratios (ADVICE r10)."""
+    from from_superset_to_clickhouse_spark.operators.mleval import rouge_l
+
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "b"], []),       # empty reference: m = 0
+            (2, [], ["a", "b"]),       # empty candidate: n_x = 0
+            (3, [], []),               # both empty
+            (4, ["a", "x", "b"], ["a", "b"]),  # sanity: lcs = 2
+        ],
+        "id int, xs array<string>, ys array<string>",
+    )
+    out = {r["id"]: r for r in rouge_l(df, "id", "xs", "ys").collect()}
+    for i in (1, 2, 3):
+        r = out[i]
+        assert r["lcs"] == 0
+        assert r["rouge_p"] == 0.0
+        assert r["rouge_r"] == 0.0
+        assert r["rouge_f"] == 0.0
+    assert out[4]["lcs"] == 2 and out[4]["rouge_r"] == 1.0
+
+
+def test_calibration_bins_clamps_out_of_domain(spark):
+    """Scores < 0 clamp to bin 0 and scores >= 1 to bin B-1 — no
+    phantom bins outside [0, B-1] (ADVICE r10)."""
+    from from_superset_to_clickhouse_spark.operators.mleval import (
+        calibration_bins,
+    )
+
+    df = spark.createDataFrame(
+        [(-0.3, 0), (-0.01, 1), (0.05, 0), (1.0, 1), (1.7, 1)],
+        "s double, y int",
+    )
+    bins = {r["bin"] for r in calibration_bins(df, "s", "y").collect()}
+    assert bins == {0, 9}
+
+
+def test_ipw_ate_n_matches_used_rows(spark):
+    """NULL x/t/y rows are excluded from the fit AND from n — the
+    reported sample size must describe the rows the estimate used
+    (ADVICE r10)."""
+    from from_superset_to_clickhouse_spark.operators.mleval import ipw_ate
+
+    rows = [
+        (float(i % 7), i % 2, float(i % 3) + 5.0 * (i % 2))
+        for i in range(40)
+    ]
+    clean = spark.createDataFrame(rows, "x double, t int, y double")
+    noisy = clean.unionByName(
+        spark.createDataFrame(
+            [(None, 1, 1.0), (1.0, None, 1.0), (1.0, 0, None)],
+            "x double, t int, y double",
+        )
+    )
+    a = ipw_ate(clean, "x", "t", "y").first()
+    b = ipw_ate(noisy, "x", "t", "y").first()
+    assert a["n"] == 40 and b["n"] == 40
+    assert a["ate"] == b["ate"]

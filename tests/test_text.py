@@ -909,3 +909,24 @@ def test_readability_suite_known_text(spark):
         "text",
     ).collect()[0]
     assert e.ari is None and e.smog is None
+
+
+def test_winnow_fingerprints_rejects_oversize_doc(spark):
+    """Docs longer than the 2^20+k-1 position-pack cap must fail loudly
+    (executor-side assert), never silently corrupt fingerprints
+    (ADVICE r10)."""
+    import pytest
+
+    from from_superset_to_clickhouse_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    big = "a" * (1048576 + 7)  # k=7 -> max_len = 2^20 + 6
+    df = spark.createDataFrame([(1, big)], "doc_id int, text string")
+    with pytest.raises(Exception, match="position cap"):
+        winnow_fingerprints(df, "text", "doc_id", k=7, w=4).count()
+    ok = spark.createDataFrame(
+        [(2, "the quick brown fox jumps over the lazy dog")],
+        "doc_id int, text string",
+    )
+    assert winnow_fingerprints(ok, "text", "doc_id").count() > 0
