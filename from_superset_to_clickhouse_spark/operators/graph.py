@@ -971,3 +971,135 @@ def hits(
             F.round("a", 6).alias("authority"),
         )
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) → single row
+    (n_nodes, m_edges, assortativity): the Pearson correlation of
+    endpoint degrees over all edges — positive means hubs attach to
+    hubs (social cores), negative means hubs fan out to leaves
+    (hub-and-spoke crawl graphs, the shape that predicts hot-key
+    skew in edge-partitioned joins).
+
+    Undirected treatment: each distinct edge contributes both (d_u,
+    d_v) and (d_v, d_u), which symmetrizes the correlation exactly.
+    Degrees are exact BIGINT counts; all five Pearson sums are exact
+    integer aggregates (no grid needed), so r is an exact expression
+    of integers — engine-identical. Two keyed joins + one aggregate;
+    no window, no iteration."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und.groupBy("a").agg(F.count("*").alias("d")).select(
+        F.col("a").alias("node"), F.col("d")
+    )
+    pairs = (
+        und.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("d", "dx")
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("d").alias("dy")),
+            "b",
+        )
+    )
+    agg = pairs.agg(
+        F.count("*").alias("_m2"),
+        F.sum("dx").alias("_sx"),
+        F.sum("dy").alias("_sy"),
+        F.sum(F.col("dx").cast("long") * F.col("dy")).alias("_sxy"),
+        F.sum(F.col("dx").cast("long") * F.col("dx")).alias("_sxx"),
+        F.sum(F.col("dy").cast("long") * F.col("dy")).alias("_syy"),
+    )
+    nodes = deg.agg(F.count("*").alias("_nn"))
+    agg = agg.crossJoin(F.broadcast(nodes))
+    m2 = F.col("_m2").cast("double")
+    num = m2 * F.col("_sxy") - F.col("_sx").cast("double") * F.col("_sy")
+    den = F.sqrt(
+        (m2 * F.col("_sxx") - F.col("_sx").cast("double") * F.col("_sx"))
+        * (m2 * F.col("_syy") - F.col("_sy").cast("double") * F.col("_sy"))
+    )
+    r = F.when(den > 0, num / den)
+    return agg.select(
+        F.col("_nn").cast("long").alias("n_nodes"),
+        (F.col("_m2") / 2).cast("long").alias("m_edges"),
+        F.round(r, 6).alias("assortativity"),
+    )
+
+
+def edge_jaccard(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 1,
+) -> DataFrame:
+    """Per-edge neighborhood Jaccard → (u, v, common, deg_u, deg_v,
+    jaccard): |N(u)∩N(v)| / |N(u)∪N(v)\\{u,v}| for every existing
+    edge — the tie-strength / link-prediction score (strong ties
+    share neighborhoods; a bridge between communities scores ~0).
+    The per-edge refinement of adamic_adar: same candidate structure,
+    set overlap instead of a rarity-weighted sum.
+
+    Common neighbors come from the triangle-pattern equi-join
+    (edge (u,v) ⋈ adjacency on u ⋈ adjacency on v, matching the far
+    endpoint) — candidates are Σ deg², never all pairs, and only
+    edges with ≥ ``min_common`` shared neighbors surface. All counts
+    exact integers; jaccard is an exact ratio."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und.groupBy("a").agg(F.count("*").alias("d"))
+    adj_u = und.select(F.col("a").alias("u"), F.col("b").alias("w"))
+    adj_v = und.select(F.col("a").alias("v2"), F.col("b").alias("w2"))
+    common = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .join(adj_u, "u")
+        .join(
+            adj_v,
+            (F.col("v") == F.col("v2")) & (F.col("w") == F.col("w2")),
+        )
+        .filter((F.col("w") != F.col("u")) & (F.col("w") != F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    out = (
+        common.join(
+            deg.select(F.col("a").alias("u"), F.col("d").alias("deg_u")),
+            "u",
+        )
+        .join(
+            deg.select(F.col("a").alias("v"), F.col("d").alias("deg_v")),
+            "v",
+        )
+    )
+    # union excludes the endpoints themselves: u ∈ N(v) and v ∈ N(u)
+    # always (it's an edge), so |N(u)∪N(v)\{u,v}| = du + dv − 2 − common
+    union_sz = (
+        F.col("deg_u") + F.col("deg_v") - 2 - F.col("common")
+    ).cast("double")
+    jac = F.when(
+        union_sz > 0, F.col("common").cast("double") / union_sz
+    ).otherwise(F.lit(1.0))
+    return out.select(
+        "u",
+        "v",
+        F.col("common").cast("long").alias("common"),
+        F.col("deg_u").cast("long").alias("deg_u"),
+        F.col("deg_v").cast("long").alias("deg_v"),
+        F.round(jac, 6).alias("jaccard"),
+    )

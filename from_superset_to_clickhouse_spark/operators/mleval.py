@@ -715,3 +715,304 @@ def ipw_ate(
             F.col("_swc") * F.col("_swc") / F.col("_swc2"), 6
         ).alias("ess_c"),
     )
+
+
+def mrr(
+    df: DataFrame,
+    query_col: str,
+    score_col: str,
+    rel_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Mean reciprocal rank → single row (n_queries, n_hit, mrr):
+    1/rank of the FIRST relevant result per query, averaged — the
+    navigational-search readout ("how fast does the right answer
+    surface") that complements ndcg's graded view. Queries with no
+    relevant result contribute 0 (reported via n_hit).
+
+    Ranks come from one row_number window PARTITIONED BY QUERY over
+    the deterministic (score DESC, id ASC) total order — per-query
+    state only, never a global sort. Each query's 1/rank term is
+    floor-quantized to the 2^-20 grid before the cross-query sum, so
+    summation order cannot move the mean."""
+    w = Window.partitionBy("_q").orderBy(
+        F.col("_s").desc(), F.col("_id").asc()
+    )
+    ranked = df.select(
+        F.col(query_col).alias("_q"),
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(rel_col).cast("int").alias("_r"),
+        F.col(id_col).alias("_id"),
+    ).withColumn("_rk", F.row_number().over(w))
+    first_hit = (
+        ranked.filter(F.col("_r") == 1)
+        .groupBy("_q")
+        .agg(F.min("_rk").alias("_fr"))
+    )
+    per_q = (
+        ranked.select("_q").distinct()
+        .join(first_hit, "_q", "left")
+    )
+    rr = F.when(
+        F.col("_fr").isNotNull(), F.floor(1.0 / F.col("_fr") * _Q) / _Q
+    ).otherwise(F.lit(0.0))
+    agg = per_q.agg(
+        F.count("*").alias("_nq"),
+        F.count("_fr").alias("_nh"),
+        F.sum(rr).alias("_srr"),
+    )
+    return agg.select(
+        F.col("_nq").cast("long").alias("n_queries"),
+        F.col("_nh").cast("long").alias("n_hit"),
+        F.round(F.col("_srr") / F.col("_nq").cast("double"), 6).alias(
+            "mrr"
+        ),
+    )
+
+
+def map_at_k(
+    df: DataFrame,
+    query_col: str,
+    score_col: str,
+    rel_col: str,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Mean average precision at k → single row (n_queries, k, map):
+    AP@k = Σ_{rel hits i ≤ k} P(i) / min(R, k) per query, averaged —
+    THE ranking-eval headline when multiple relevant results exist
+    per query (mrr only sees the first). P(i) = hits-so-far/i uses
+    exact integer ranks from the same per-query deterministic
+    (score DESC, id ASC) window as mrr.
+
+    Per-query AP sums ≤ k exact-ratio terms, each floor-quantized to
+    the 2^-20 grid; the cross-query mean re-quantizes per-query AP
+    the same way. All windows are query-partitioned — no global
+    sort, no single-partition exchange."""
+    if k < 1:
+        raise ValueError(f"map_at_k needs k >= 1, got {k}")
+    w = Window.partitionBy("_q").orderBy(
+        F.col("_s").desc(), F.col("_id").asc()
+    )
+    ranked = (
+        df.select(
+            F.col(query_col).alias("_q"),
+            F.col(score_col).cast("double").alias("_s"),
+            F.col(rel_col).cast("int").alias("_r"),
+            F.col(id_col).alias("_id"),
+        )
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn(
+            "_hits",
+            F.sum("_r").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    term = F.when(
+        (F.col("_r") == 1) & (F.col("_rk") <= k),
+        F.floor(
+            F.col("_hits").cast("double") / F.col("_rk") * _Q
+        )
+        / _Q,
+    ).otherwise(F.lit(0.0))
+    per_q = ranked.groupBy("_q").agg(
+        F.sum(term).alias("_ap_num"),
+        F.sum("_r").alias("_rtot"),
+    )
+    denom = F.least(F.col("_rtot"), F.lit(k)).cast("double")
+    ap = F.when(
+        F.col("_rtot") > 0,
+        F.floor(F.col("_ap_num") / denom * _Q) / _Q,
+    ).otherwise(F.lit(0.0))
+    agg = per_q.agg(
+        F.count("*").alias("_nq"), F.sum(ap).alias("_sap")
+    )
+    return agg.select(
+        F.col("_nq").cast("long").alias("n_queries"),
+        F.lit(k).cast("long").alias("k"),
+        F.round(F.col("_sap") / F.col("_nq").cast("double"), 6).alias(
+            "map"
+        ),
+    )
+
+
+def avg_precision(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Tie-coherent PR-AUC (trapezoidal average precision) → single
+    row (n, n_pos, pr_auc): area under the precision–recall curve
+    sampled at every DISTINCT score threshold, trapezoid-interpolated
+    between points — the imbalanced-data companion to roc_auc (ROC
+    flatters a 1:1000 classifier; PR does not).
+
+    Whole-block thresholding makes ties well-defined: cumulative
+    (TP, FP) come from per-distinct-score counts + ONE prefix window
+    over distinct scores (the midrank exemption — bounded by the
+    score domain, never a row sort). Every (recall, precision) point
+    is an exact integer ratio; the bounded trapezoid sum is
+    engine-identical."""
+    src = df.select(
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("int").alias("_y"),
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    pv = src.groupBy("_s").agg(
+        F.sum("_y").alias("_p"),
+        F.count("*").alias("_c"),
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy(F.col("_s").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = pv.withColumn("_tp", F.sum("_p").over(w)).withColumn(
+        "_n_at", F.sum("_c").over(w)
+    )
+    tot = pv.agg(
+        F.sum("_c").alias("_n"), F.sum("_p").alias("_np")
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    rec = F.col("_tp").cast("double") / F.col("_np")
+    prec = F.col("_tp").cast("double") / F.col("_n_at")
+    wl = Window.partitionBy().orderBy(F.col("_s").desc())
+    pts = j.select(
+        "_n",
+        "_np",
+        rec.alias("_rec"),
+        prec.alias("_prec"),
+        F.lag(rec, 1, 0.0).over(wl).alias("_rec0"),
+        F.lag(prec, 1, 1.0).over(wl).alias("_prec0"),
+    )
+    area = pts.agg(
+        F.min("_n").alias("_n"),
+        F.min("_np").alias("_np"),
+        F.sum(
+            (F.col("_rec") - F.col("_rec0"))
+            * (F.col("_prec") + F.col("_prec0"))
+            / 2.0
+        ).alias("_auc"),
+    )
+    return area.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_np").cast("long").alias("n_pos"),
+        F.round("_auc", 6).alias("pr_auc"),
+    )
+
+
+def lift_table(
+    df: DataFrame, score_col: str, label_col: str, buckets: int = 10
+) -> DataFrame:
+    """Decile lift/gain table → one row per score bucket (bucket,
+    n_bucket, n_pos, rate, lift): rank the population by model score,
+    cut into ``buckets`` equal-count slices, and compare each slice's
+    response rate to the base rate — the campaign-targeting readout
+    ("the top decile converts at 3.2× base") that thresholds and AUCs
+    don't surface directly.
+
+    Tie-coherent bucketing: every DISTINCT score block lands wholly
+    in the bucket of its starting rank, bucket = ⌊before·B/n⌋, from a
+    per-distinct-score prefix window (bounded by the score domain —
+    the midrank exemption; deterministic under ties, never a row
+    sort). All rates are exact integer ratios."""
+    if buckets < 2:
+        raise ValueError(f"lift_table needs buckets >= 2, got {buckets}")
+    src = df.select(
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("int").alias("_y"),
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    pv = src.groupBy("_s").agg(
+        F.count("*").alias("_c"), F.sum("_y").alias("_p")
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy(F.col("_s").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = pv.withColumn(
+        "_bef", F.coalesce(F.sum("_c").over(w), F.lit(0))
+    )
+    tot = pv.agg(F.sum("_c").alias("_n"), F.sum("_p").alias("_np"))
+    j = cum.crossJoin(F.broadcast(tot))
+    b = F.floor(
+        F.col("_bef") * F.lit(buckets) / F.col("_n")
+    ).cast("int")
+    per = j.groupBy(b.alias("bucket")).agg(
+        F.sum("_c").alias("_nb"),
+        F.sum("_p").alias("_pb"),
+        F.min("_n").alias("_n"),
+        F.min("_np").alias("_np"),
+    )
+    rate = F.col("_pb").cast("double") / F.col("_nb")
+    base = F.col("_np").cast("double") / F.col("_n")
+    return per.select(
+        "bucket",
+        F.col("_nb").cast("long").alias("n_bucket"),
+        F.col("_pb").cast("long").alias("n_pos"),
+        F.round(rate, 6).alias("rate"),
+        F.round(
+            F.when(F.col("_np") > 0, rate / base), 6
+        ).alias("lift"),
+    )
+
+
+def silhouette_centroid(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    centroids: "dict[int, list[float]]",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster → (label,
+    n, silhouette): s_i = (b_i − a_i)/max(a_i, b_i) with a_i = the
+    point's distance to ITS centroid and b_i = distance to the
+    nearest OTHER centroid — the O(n·k) silhouette every clustering
+    eval uses at scale (the classic O(n²) pairwise form cannot ship;
+    Rousseeuw 1987 §4 sanctions the centroid surrogate).
+
+    Centroids ride as LITERALS (the kmeans_assign precedent — grid-
+    quantized upstream, so both engines score against identical
+    coordinates); distances are left-to-right codegen folds over the
+    vector, identical order in any engine. Per-point s floor-
+    quantizes to the 2^-20 grid before the per-cluster mean."""
+    if len(centroids) < 2:
+        raise ValueError("silhouette needs >= 2 centroids")
+    v = F.col(vec_col)
+
+    def dist_to(c: "list[float]"):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(v, arr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    labels = sorted(centroids)
+    src = df.select(
+        F.col(label_col).alias("_l"),
+        *[dist_to(centroids[l]).alias(f"_d{l}") for l in labels],
+    )
+    own = F.lit(None).cast("double")
+    for l in labels:
+        own = F.when(F.col("_l") == l, F.col(f"_d{l}")).otherwise(own)
+    others = [
+        F.when(F.col("_l") != l, F.col(f"_d{l}")) for l in labels
+    ]
+    nearest = F.least(*others) if len(others) > 1 else others[0]
+    s = F.when(
+        F.greatest(own, nearest) > 0,
+        F.floor(
+            (nearest - own) / F.greatest(own, nearest) * _Q
+        )
+        / _Q,
+    ).otherwise(F.lit(0.0))
+    per = src.filter(F.col("_l").isNotNull()).groupBy("_l").agg(
+        F.count("*").alias("_n"), F.sum(s).alias("_ss")
+    )
+    return per.select(
+        F.col("_l").alias("label"),
+        F.col("_n").cast("long").alias("n"),
+        F.round(
+            F.col("_ss") / F.col("_n").cast("double"), 6
+        ).alias("silhouette"),
+    )

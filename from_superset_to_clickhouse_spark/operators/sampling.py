@@ -573,3 +573,63 @@ def dsir_resample(
     return top.withColumn(
         "rank", F.row_number().over(wr).cast("int")
     ).select("rank", "doc_id", "n_feats", "log_w", "score")
+
+
+_QN = float(1 << 20)
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    n_target: int,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation → one row per
+    stratum (stratum, n_stratum, sd, share, alloc): n_h ∝ N_h·S_h —
+    spend the sample budget where the strata are BIG and NOISY, the
+    minimum-variance design for estimating the population mean from
+    a fixed labeling/eval budget (vs proportional allocation, which
+    ignores S_h). The planning step that decides how many docs per
+    source/domain to send for human eval or quality audit.
+
+    Per-stratum sd uses the 2^-20-grid two-pass (exact ratio →
+    correctly-rounded sqrt, identical cross-engine); each N_h·S_h
+    share term grid-floors before the bounded per-stratum sum;
+    alloc = ⌊n·share + ½⌋ (explicit half-up — both engines round
+    identically). One groupBy + one broadcast of the share total."""
+    if n_target < 1:
+        raise ValueError(f"n_target must be >= 1, got {n_target}")
+    src = df.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull() & F.col("stratum").isNotNull())
+    gm = src.groupBy("stratum").agg(
+        F.count("*").alias("_nh"),
+        (F.floor(F.avg("_v") * _QN) / _QN).alias("_mh"),
+    )
+    dev = src.join(F.broadcast(gm), "stratum")
+    d = F.col("_v") - F.col("_mh")
+    ss = dev.groupBy("stratum", "_nh").agg(
+        (F.sum(F.floor(d * d * _QN)) / _QN).alias("_ss")
+    )
+    sd = F.when(
+        F.col("_nh") > 1,
+        F.sqrt(F.col("_ss") / (F.col("_nh") - 1.0)),
+    ).otherwise(F.lit(0.0))
+    term = (
+        F.floor(F.col("_nh").cast("double") * sd * _QN) / _QN
+    )
+    w = ss.select("stratum", "_nh", sd.alias("_sd"), term.alias("_t"))
+    tot = w.agg(F.sum("_t").alias("_tt"))
+    j = w.crossJoin(F.broadcast(tot))
+    share = F.when(
+        F.col("_tt") > 0, F.col("_t") / F.col("_tt")
+    ).otherwise(F.lit(0.0))
+    alloc = F.floor(share * F.lit(float(n_target)) + 0.5)
+    return j.select(
+        "stratum",
+        F.col("_nh").cast("long").alias("n_stratum"),
+        F.round("_sd", 6).alias("sd"),
+        F.round(share, 6).alias("share"),
+        alloc.cast("long").alias("alloc"),
+    )

@@ -3029,3 +3029,891 @@ def levene_var(
         "_g", F.abs(F.col("_v") - F.col("_med")).alias("_z")
     )
     return anova_oneway(z, "_z", "_g")
+
+
+def cohens_d(
+    df: DataFrame, value_col: str, side_col: Column
+) -> DataFrame:
+    """Cohen's d standardized mean difference between two arms →
+    single row (n_a, n_b, mean_a, mean_b, sd_pooled, d): the EFFECT
+    SIZE companion to ab_ztest/mann_whitney — significance says "the
+    arms differ", d says by how many pooled standard deviations,
+    which is what survives a 100×-n scale-up (p-values only shrink).
+
+    Exact-math contract: arm means land on the 2^-20 grid, squared
+    deviations are re-quantized onto the grid before summing (the
+    anova_oneway discipline), so the pooled variance is an exact
+    integer-scaled ratio — engine-identical before the 6dp round.
+    Two partial-aggregatable passes, no window, no global sort."""
+    src = df.select(
+        side_col.alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull() & F.col("_g").isNotNull())
+    gm = src.groupBy("_g").agg(
+        F.count("*").alias("_ng"),
+        (F.floor(F.avg("_v") * _Q) / _Q).alias("_mg"),
+    )
+    dev = src.join(F.broadcast(gm), "_g")
+    d_w = F.col("_v") - F.col("_mg")
+    ssw = dev.agg(
+        (F.sum(F.floor(d_w * d_w * _Q)) / _Q).alias("_ssw")
+    )
+    wide = gm.agg(
+        F.sum(F.when(F.col("_g") == "a", F.col("_ng"))).alias("_na"),
+        F.sum(F.when(F.col("_g") == "b", F.col("_ng"))).alias("_nb"),
+        F.min(F.when(F.col("_g") == "a", F.col("_mg"))).alias("_ma"),
+        F.min(F.when(F.col("_g") == "b", F.col("_mg"))).alias("_mb"),
+    )
+    j = wide.crossJoin(ssw)
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    sp = F.sqrt(F.col("_ssw") / (na + nb - 2.0))
+    d = F.when(sp > 0, (F.col("_ma") - F.col("_mb")) / sp)
+    return j.select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.round("_ma", 6).alias("mean_a"),
+        F.round("_mb", 6).alias("mean_b"),
+        F.round(sp, 6).alias("sd_pooled"),
+        F.round(d, 6).alias("d"),
+    )
+
+
+def cliffs_delta(
+    df: DataFrame, value_col: str, side_col: Column
+) -> DataFrame:
+    """Cliff's delta ordinal effect size → single row (n_a, n_b, u,
+    delta, magnitude): δ = P(a > b) − P(a < b) over all cross-arm
+    pairs, the distribution-free effect size that pairs with
+    mann_whitney the way cohens_d pairs with the t/z family — valid
+    under any monotone transform of the metric.
+
+    Never touches pairs: δ = 2U/(n_a·n_b) − 1 where U is the tie-
+    adjusted rank-sum statistic from ONE distinct-value prefix window
+    (midranks on the 0.5 grid — exact IEEE sums, engine-identical).
+    |δ| bands follow Romano et al. 2006 (0.147/0.33/0.474)."""
+    tagged = df.select(
+        F.col(value_col).cast("double").alias("_v"),
+        side_col.alias("_side"),
+    ).filter(F.col("_v").isNotNull() & F.col("_side").isNotNull())
+    per_val = tagged.groupBy("_v").agg(
+        F.count(F.when(F.col("_side") == "a", 1)).alias("_ca"),
+        F.count(F.when(F.col("_side") == "b", 1)).alias("_cb"),
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = per_val.withColumn("_t", F.col("_ca") + F.col("_cb")).withColumn(
+        "_bef", F.coalesce(F.sum("_t").over(w), F.lit(0))
+    )
+    midrank = F.col("_bef") + (F.col("_t") + 1.0) / 2.0
+    agg = t.agg(
+        F.sum("_ca").alias("n_a"),
+        F.sum("_cb").alias("n_b"),
+        F.sum(midrank * F.col("_ca")).alias("_ra"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    u = F.col("_ra") - na * (na + 1.0) / 2.0
+    delta = 2.0 * u / (na.cast("double") * nb) - 1.0
+    mag = (
+        F.when(F.abs(delta) < 0.147, "negligible")
+        .when(F.abs(delta) < 0.33, "small")
+        .when(F.abs(delta) < 0.474, "medium")
+        .otherwise("large")
+    )
+    return agg.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(u, 6).alias("u"),
+        F.round(delta, 6).alias("delta"),
+        mag.alias("magnitude"),
+    )
+
+
+def mood_median_test(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Mood's median test → single row (k, n_used, n_above, n_below,
+    chi2, p_value): χ² independence of "above vs below the GRAND
+    median" across k groups — the maximally robust (if low-power)
+    k-sample location test; it only trusts each value's side of one
+    order statistic, so arbitrary outliers cannot move it.
+
+    Grand median = first raw stored value whose cumulative count
+    reaches ⌈n/2⌉, from a per-DISTINCT-value prefix window (bounded by
+    the value domain — the midrank exemption, never a row sort).
+    Values equal to the median drop (Mood's rule); all cells are exact
+    integers, E = row·col/n exact ratios, Wilson–Hilferty p."""
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull() & F.col("_g").isNotNull())
+    pv = src.groupBy("_v").agg(F.count("*").alias("_t"))
+    w = (
+        Window.partitionBy()
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pv.withColumn("_cum", F.sum("_t").over(w))
+    tot = pv.agg(F.sum("_t").alias("_n"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("_cum") >= F.ceil(F.col("_n") / 2.0))
+        .agg(F.min("_v").alias("_med"))
+    )
+    cells = (
+        src.crossJoin(F.broadcast(med))
+        .filter(F.col("_v") != F.col("_med"))
+        .groupBy("_g")
+        .agg(
+            F.count(F.when(F.col("_v") > F.col("_med"), 1)).alias("_ab"),
+            F.count(F.when(F.col("_v") < F.col("_med"), 1)).alias("_be"),
+        )
+    )
+    totals = cells.agg(
+        F.count("*").alias("_k"),
+        F.sum("_ab").alias("_ta"),
+        F.sum("_be").alias("_tb"),
+        F.sum(F.col("_ab") + F.col("_be")).alias("_nu"),
+    )
+    j = cells.crossJoin(F.broadcast(totals))
+    ng = (F.col("_ab") + F.col("_be")).cast("double")
+    nu = F.col("_nu").cast("double")
+    ea = ng * F.col("_ta") / nu
+    eb = ng * F.col("_tb") / nu
+    term = (
+        (F.col("_ab") - ea) * (F.col("_ab") - ea) / ea
+        + (F.col("_be") - eb) * (F.col("_be") - eb) / eb
+    )
+    out = j.groupBy("_k", "_ta", "_tb", "_nu").agg(
+        F.sum(term).alias("_chi2")
+    )
+    return out.select(
+        F.col("_k").cast("long").alias("k"),
+        F.col("_nu").cast("long").alias("n_used"),
+        F.col("_ta").cast("long").alias("n_above"),
+        F.col("_tb").cast("long").alias("n_below"),
+        F.round("_chi2", 6).alias("chi2"),
+        F.round(
+            chi2_p_value(F.col("_chi2"), F.col("_k") - 1), 6
+        ).alias("p_value"),
+    )
+
+
+def bartlett_var(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Bartlett's test of equal variances → single row (k, n, t_stat,
+    p_value): the normal-theory variance-homogeneity test — more
+    powerful than Brown–Forsythe (levene_var) when tails really are
+    normalish, and the classical pre-check for pooled-variance ANOVA.
+    T = ((N−k)·ln S_p² − Σ(n_g−1)·ln s_g²) / C with Bartlett's C
+    correction, T ~ χ²(k−1).
+
+    Per-group sums of squared deviations use the 2^-20-grid two-pass
+    (anova_oneway discipline) so every variance is an exact integer-
+    scaled ratio; ln of identical doubles is identical. Groups with
+    n_g < 2 or zero spread are excluded (no log domain errors) and the
+    reported k counts what the statistic used."""
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull() & F.col("_g").isNotNull())
+    gm = src.groupBy("_g").agg(
+        F.count("*").alias("_ng"),
+        (F.floor(F.avg("_v") * _Q) / _Q).alias("_mg"),
+    )
+    dev = src.join(F.broadcast(gm), "_g")
+    d_w = F.col("_v") - F.col("_mg")
+    ss = (
+        dev.groupBy("_g", "_ng")
+        .agg((F.sum(F.floor(d_w * d_w * _Q)) / _Q).alias("_ss"))
+        .filter((F.col("_ng") >= 2) & (F.col("_ss") > 0))
+    )
+    ag = ss.agg(
+        F.count("*").alias("_k"),
+        F.sum("_ng").alias("_n"),
+        F.sum("_ss").alias("_ssp"),
+        F.sum(
+            (F.col("_ng") - 1.0)
+            * F.log(F.col("_ss") / (F.col("_ng") - 1.0))
+        ).alias("_slog"),
+        F.sum(1.0 / (F.col("_ng") - 1.0)).alias("_sinv"),
+    )
+    nk = (F.col("_n") - F.col("_k")).cast("double")
+    kk = F.col("_k").cast("double")
+    sp2 = F.col("_ssp") / nk
+    c = 1.0 + (F.col("_sinv") - 1.0 / nk) / (3.0 * (kk - 1.0))
+    t_stat = (nk * F.log(sp2) - F.col("_slog")) / c
+    return ag.select(
+        F.col("_k").cast("long").alias("k"),
+        F.col("_n").cast("long").alias("n"),
+        F.round(t_stat, 6).alias("t_stat"),
+        F.round(
+            chi2_p_value(t_stat, F.col("_k") - 1), 6
+        ).alias("p_value"),
+    )
+
+
+def poisson_rate_test(
+    df: DataFrame,
+    side_col: Column,
+    exposure_a: float,
+    exposure_b: float,
+) -> DataFrame:
+    """Two-sample Poisson rate test → single row (c_a, c_b, rate_a,
+    rate_b, z, p_value): are two event streams arriving at the same
+    rate per unit exposure? The counting-process companion to
+    proportions_test — rates instead of fractions, for throughput /
+    error-rate / arrival monitoring where n has no natural ceiling.
+
+    z = (r_a − r_b)/√(c_a/t_a² + c_b/t_b²) (normal approximation on
+    the exact integer counts — every input to the ratio is exact, so
+    both engines see bit-identical z). ONE conditional-aggregate pass;
+    exposures are caller literals (known observation windows)."""
+    agg = df.select(side_col.alias("_s")).agg(
+        F.count(F.when(F.col("_s") == "a", 1)).alias("_ca"),
+        F.count(F.when(F.col("_s") == "b", 1)).alias("_cb"),
+    )
+    ca = F.col("_ca").cast("double")
+    cb = F.col("_cb").cast("double")
+    ra = ca / F.lit(float(exposure_a))
+    rb = cb / F.lit(float(exposure_b))
+    se = F.sqrt(
+        ca / F.lit(float(exposure_a) ** 2)
+        + cb / F.lit(float(exposure_b) ** 2)
+    )
+    z = F.when(se > 0, (ra - rb) / se)
+    return agg.select(
+        F.col("_ca").cast("long").alias("c_a"),
+        F.col("_cb").cast("long").alias("c_b"),
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z"),
+        F.round(F.lit(2.0) * normal_sf(F.abs(z)), 6).alias("p_value"),
+    )
+
+
+def jarque_bera(df: DataFrame, value_col: str) -> DataFrame:
+    """Jarque–Bera normality test → single row (n, skewness,
+    kurtosis, jb, p_value): JB = n/6·(S² + (K−3)²/4) from the third
+    and fourth standardized moments — the cheap "is this metric even
+    approximately normal" gate before any normal-theory test in this
+    module (ab_ztest, bartlett_var, grubbs_test).
+
+    Three partial-aggregatable passes: grid mean → grid sd →
+    standardized-moment sums. Each z³/z⁴ term is floor-quantized to
+    the 2^-20 grid BEFORE summing (standardizing first keeps the
+    quantized terms small enough for exact BIGINT sums — raw fourth
+    powers of a 0..500 metric would overflow the 2^53 exact-integer
+    range at corpus scale)."""
+    src = df.select(
+        F.col(value_col).cast("double").alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    m1 = src.agg(
+        F.count("*").alias("_n"),
+        (F.floor(F.avg("_v") * _Q) / _Q).alias("_m"),
+    )
+    d = src.crossJoin(F.broadcast(m1))
+    dev = F.col("_v") - F.col("_m")
+    m2 = d.groupBy("_n", "_m").agg(
+        (F.sum(F.floor(dev * dev * _Q)) / _Q).alias("_ss")
+    )
+    sd = (
+        F.floor(
+            F.sqrt(F.col("_ss") / F.col("_n").cast("double")) * _Q
+        )
+        / _Q
+    )
+    m2 = m2.withColumn("_sd", sd)
+    z = (F.col("_v") - F.col("_m")) / F.col("_sd")
+    mom = (
+        src.crossJoin(F.broadcast(m2))
+        .groupBy("_n", "_sd")
+        .agg(
+            (F.sum(F.floor(z * z * z * _Q)) / _Q).alias("_s3"),
+            (F.sum(F.floor(z * z * z * z * _Q)) / _Q).alias("_s4"),
+        )
+    )
+    nn = F.col("_n").cast("double")
+    s = F.col("_s3") / nn
+    k = F.col("_s4") / nn
+    jb = nn / 6.0 * (s * s + (k - 3.0) * (k - 3.0) / 4.0)
+    return mom.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round(s, 6).alias("skewness"),
+        F.round(k, 6).alias("kurtosis"),
+        F.round(jb, 6).alias("jb"),
+        F.round(chi2_p_value(jb, F.lit(2)), 6).alias("p_value"),
+    )
+
+
+def grubbs_test(df: DataFrame, value_col: str) -> DataFrame:
+    """Grubbs' maximum-deviation outlier test → single row (n, mean,
+    sd, outlier, g_stat): G = max|x − x̄|/s, flagging the single most
+    extreme value — the classical "is THIS point an outlier" readout
+    that complements the bulk z-score sweep (anomaly_zscore flags
+    many, Grubbs names the worst one with a test statistic).
+
+    Grid mean + grid-quantized squared deviations (exact ratios);
+    the outlier row is picked by TakeOrdered on (|dev| DESC, v ASC) —
+    a bounded per-partition heap with a deterministic tie-break,
+    never a global sort."""
+    src = df.select(
+        F.col(value_col).cast("double").alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    m1 = src.agg(
+        F.count("*").alias("_n"),
+        (F.floor(F.avg("_v") * _Q) / _Q).alias("_m"),
+    )
+    d = src.crossJoin(F.broadcast(m1))
+    dev = F.col("_v") - F.col("_m")
+    m2 = d.groupBy("_n", "_m").agg(
+        (F.sum(F.floor(dev * dev * _Q)) / _Q).alias("_ss")
+    )
+    sd = F.sqrt(F.col("_ss") / F.col("_n").cast("double"))
+    worst = (
+        d.select("_v", F.abs(dev).alias("_ad"))
+        .orderBy(F.col("_ad").desc(), F.col("_v").asc())
+        .limit(1)
+        .select(F.col("_v").alias("_out"), "_ad")
+    )
+    j = m2.crossJoin(F.broadcast(worst))
+    g = F.when(sd > 0, F.col("_ad") / sd)
+    return j.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round("_m", 6).alias("mean"),
+        F.round(sd, 6).alias("sd"),
+        F.col("_out").alias("outlier"),
+        F.round(g, 6).alias("g_stat"),
+    )
+
+
+def sign_test(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Paired sign test → single row (n_pos, n_neg, n_tie, z,
+    p_value): did ``y`` beat ``x`` more often than chance, counting
+    only directions? The assumption-free floor of the paired family —
+    wilcoxon_signed_rank adds magnitudes, this only trusts signs, so
+    it survives arbitrary per-pair scale differences.
+
+    ONE conditional-aggregate pass over exact integer counts; normal
+    approximation with ±0.5 continuity on B ~ Bin(n, ½). Ties drop
+    (the standard rule) and are reported."""
+    agg = df.select(
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    ).filter(
+        F.col("_x").isNotNull() & F.col("_y").isNotNull()
+    ).agg(
+        F.count(F.when(F.col("_y") > F.col("_x"), 1)).alias("_p"),
+        F.count(F.when(F.col("_y") < F.col("_x"), 1)).alias("_m"),
+        F.count(F.when(F.col("_y") == F.col("_x"), 1)).alias("_t"),
+    )
+    p = F.col("_p").cast("double")
+    m = F.col("_m").cast("double")
+    nn = p + m
+    z = F.when(
+        nn > 0,
+        (F.abs(p - nn / 2.0) - 0.5) / F.sqrt(nn / 4.0),
+    )
+    z = F.when(z < 0, F.lit(0.0)).otherwise(z)  # inside the ±0.5 band
+    return agg.select(
+        F.col("_p").cast("long").alias("n_pos"),
+        F.col("_m").cast("long").alias("n_neg"),
+        F.col("_t").cast("long").alias("n_tie"),
+        F.round(z, 6).alias("z"),
+        F.round(F.lit(2.0) * normal_sf(z), 6).alias("p_value"),
+    )
+
+
+def trimmed_stats(
+    df: DataFrame, value_col: str, alpha: float = 0.1
+) -> DataFrame:
+    """α-trimmed and winsorized location → single row (n, n_trimmed,
+    trimmed_mean, winsor_lo, winsor_hi, winsor_mean): drop the ⌊αn⌋
+    smallest and largest values (trimmed), or clamp them to the
+    boundary order statistics (winsorized) — the robust-location pair
+    between the mean (α=0) and the median (α→0.5), standard for
+    latency/metric reporting where a handful of stragglers should not
+    own the average.
+
+    Never sorts rows: ranks come from a per-DISTINCT-value prefix
+    window (bounded by the value domain); each retained value
+    contributes kept_count · floor(v·2^20) to an exact BIGINT sum, so
+    both means are exact integer-scaled ratios on any engine."""
+    g_frac = float(alpha)
+    src = df.select(
+        F.col(value_col).cast("double").alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    pv = src.groupBy("_v").agg(F.count("*").alias("_t"))
+    w = (
+        Window.partitionBy()
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = pv.withColumn(
+        "_bef", F.coalesce(F.sum("_t").over(w), F.lit(0))
+    )
+    tot = pv.agg(F.sum("_t").alias("_n"))
+    j = cum.crossJoin(F.broadcast(tot))
+    g = F.floor(F.col("_n") * F.lit(g_frac))
+    lo_rank = g + 1
+    hi_rank = F.col("_n") - g
+    kept = F.greatest(
+        F.lit(0),
+        F.least(F.col("_bef") + F.col("_t"), hi_rank)
+        - F.greatest(F.col("_bef") + 1, lo_rank)
+        + 1,
+    )
+    qv = F.floor(F.col("_v") * _Q).cast("long")
+    # winsorized: every value clamps to the boundary order statistics
+    lo_hit = (F.col("_bef") < lo_rank) & (
+        F.col("_bef") + F.col("_t") >= lo_rank
+    )
+    hi_hit = (F.col("_bef") < hi_rank) & (
+        F.col("_bef") + F.col("_t") >= hi_rank
+    )
+    bounds = j.agg(
+        F.min(F.when(lo_hit, F.col("_v"))).alias("_vlo"),
+        F.min(F.when(hi_hit, F.col("_v"))).alias("_vhi"),
+    )
+    jj = j.crossJoin(F.broadcast(bounds))
+    clamped = F.least(
+        F.greatest(F.col("_v"), F.col("_vlo")), F.col("_vhi")
+    )
+    agg = jj.groupBy("_n", "_vlo", "_vhi").agg(
+        F.sum(kept * qv).alias("_ts"),
+        F.sum(kept).alias("_tn"),
+        F.sum(
+            F.col("_t") * F.floor(clamped * _Q).cast("long")
+        ).alias("_ws"),
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_tn").cast("long").alias("n_trimmed"),
+        F.round(
+            F.col("_ts").cast("double") / F.col("_tn") / _Q, 6
+        ).alias("trimmed_mean"),
+        F.round("_vlo", 6).alias("winsor_lo"),
+        F.round("_vhi", 6).alias("winsor_hi"),
+        F.round(
+            F.col("_ws").cast("double") / F.col("_n") / _Q, 6
+        ).alias("winsor_mean"),
+    )
+
+
+def durbin_watson(
+    df: DataFrame, value_col: str, order_col: str, group_col: str
+) -> DataFrame:
+    """Durbin–Watson serial-correlation statistic per group → (grp,
+    n, dw): DW = Σ(e_t − e_{t−1})²/Σe_t² over mean-centered residuals
+    in ``order_col`` order — ~2 means no lag-1 autocorrelation, →0
+    positive, →4 negative. The regression-residual companion to the
+    runs test: runs_test binarizes, DW keeps magnitudes.
+
+    Residuals center on the per-group 2^-20-grid mean; both quadratic
+    sums floor-quantize each term onto the grid before summing (exact
+    BIGINT-scaled sums), so DW is an exact ratio. One partitioned lag
+    window per group — no single-partition exchange."""
+    src = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(order_col).alias("_o"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    gm = src.groupBy("grp").agg(
+        (F.floor(F.avg("_v") * _Q) / _Q).alias("_mg")
+    )
+    e = src.join(F.broadcast(gm), "grp").select(
+        "grp", "_o", (F.col("_v") - F.col("_mg")).alias("_e")
+    )
+    w = Window.partitionBy("grp").orderBy("_o")
+    lagged = e.withColumn("_el", F.lag("_e").over(w))
+    diff = F.col("_e") - F.col("_el")
+    agg = lagged.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(
+                F.when(
+                    F.col("_el").isNotNull(),
+                    F.floor(diff * diff * _Q),
+                )
+            )
+            / _Q
+        ).alias("_num"),
+        (F.sum(F.floor(F.col("_e") * F.col("_e") * _Q)) / _Q).alias(
+            "_den"
+        ),
+    )
+    dw = F.when(F.col("_den") > 0, F.col("_num") / F.col("_den"))
+    return agg.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.round(dw, 6).alias("dw"),
+    )
+
+
+def ljung_box(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_col: str,
+    h: int = 3,
+) -> DataFrame:
+    """Ljung–Box portmanteau test per group → (grp, n, q_stat,
+    p_value): Q = n(n+2)·Σ_{k≤h} r_k²/(n−k) over the first h sample
+    autocorrelations of the mean-centered series — "is there ANY
+    serial structure in the first h lags", the whiteness gate before
+    trusting i.i.d.-assuming tests on a metric stream (acf shows the
+    shape; this is the test).
+
+    Per-group grid-mean centering; every numerator/denominator term
+    floor-quantizes onto the 2^-20 grid before its BIGINT-scaled sum,
+    so each r_k is an exact ratio. ONE partitioned window pass
+    computes all h lags; Q ~ χ²(h) via Wilson–Hilferty."""
+    if h < 1:
+        raise ValueError(f"ljung_box needs h >= 1, got {h}")
+    src = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(order_col).alias("_o"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    gm = src.groupBy("grp").agg(
+        (F.floor(F.avg("_v") * _Q) / _Q).alias("_mg")
+    )
+    z = src.join(F.broadcast(gm), "grp").select(
+        "grp", "_o", (F.col("_v") - F.col("_mg")).alias("_z")
+    )
+    w = Window.partitionBy("grp").orderBy("_o")
+    for k in range(1, h + 1):
+        z = z.withColumn(f"_z{k}", F.lag("_z", k).over(w))
+    aggs = [
+        F.count("*").alias("_n"),
+        (F.sum(F.floor(F.col("_z") * F.col("_z") * _Q)) / _Q).alias(
+            "_den"
+        ),
+    ]
+    for k in range(1, h + 1):
+        aggs.append(
+            (
+                F.sum(
+                    F.when(
+                        F.col(f"_z{k}").isNotNull(),
+                        F.floor(F.col("_z") * F.col(f"_z{k}") * _Q),
+                    )
+                )
+                / _Q
+            ).alias(f"_num{k}")
+        )
+    agg = z.groupBy("grp").agg(*aggs)
+    nn = F.col("_n").cast("double")
+    q = F.lit(0.0)
+    for k in range(1, h + 1):
+        rk = F.col(f"_num{k}") / F.col("_den")
+        q = q + rk * rk / (nn - k)
+    q = nn * (nn + 2.0) * q
+    return agg.select(
+        "grp",
+        F.col("_n").cast("long").alias("n"),
+        F.round(q, 6).alias("q_stat"),
+        F.round(chi2_p_value(q, F.lit(h)), 6).alias("p_value"),
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame, item_cols: "list[str]"
+) -> DataFrame:
+    """Cronbach's α internal-consistency reliability → single row
+    (n, k, sum_item_var, total_var, alpha): α = k/(k−1)·(1 −
+    Σσ²_item/σ²_total) over k item scores per subject — do the k
+    signals (quality heuristics, rater scores, detector outputs)
+    measure one underlying trait, the standard gate before averaging
+    them into a single quality score.
+
+    Complete rows only (every item non-null, so n describes every
+    variance). Item and total-score variances use the two-pass 2^-20
+    grid (means gridded, squared deviations re-quantized) — exact
+    ratios; the row total sums items in a FIXED left-to-right order,
+    identical in both engines. Two partial-aggregatable passes."""
+    k = len(item_cols)
+    if k < 2:
+        raise ValueError(f"cronbach_alpha needs >= 2 items, got {k}")
+    src = df.select(
+        *[
+            F.col(c).cast("double").alias(f"_x{j}")
+            for j, c in enumerate(item_cols)
+        ]
+    )
+    for j in range(k):
+        src = src.filter(F.col(f"_x{j}").isNotNull())
+    total = F.col("_x0")
+    for j in range(1, k):
+        total = total + F.col(f"_x{j}")
+    src = src.withColumn("_tot", total)
+    cols = [f"_x{j}" for j in range(k)] + ["_tot"]
+    m1 = src.agg(
+        F.count("*").alias("_n"),
+        *[
+            (F.floor(F.avg(c) * _Q) / _Q).alias(f"_m{c}")
+            for c in cols
+        ],
+    )
+    d = src.crossJoin(F.broadcast(m1))
+    ss_aggs = []
+    for c in cols:
+        dev = F.col(c) - F.col(f"_m{c}")
+        ss_aggs.append(
+            (F.sum(F.floor(dev * dev * _Q)) / _Q).alias(f"_ss{c}")
+        )
+    m2 = d.groupBy("_n").agg(*ss_aggs)
+    nn = F.col("_n").cast("double")
+    item_var = F.lit(0.0)
+    for j in range(k):
+        item_var = item_var + F.col(f"_ss_x{j}") / (nn - 1.0)
+    tot_var = F.col("_ss_tot") / (nn - 1.0)
+    alpha = (
+        F.lit(k / (k - 1.0))
+        * (F.lit(1.0) - item_var / tot_var)
+    )
+    return m2.select(
+        F.col("_n").cast("long").alias("n"),
+        F.lit(k).cast("long").alias("k"),
+        F.round(item_var, 6).alias("sum_item_var"),
+        F.round(tot_var, 6).alias("total_var"),
+        F.round(alpha, 6).alias("alpha"),
+    )
+
+
+def odds_ratio_2x2(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Odds ratio with Wald CI over one 2×2 table → single row (n11,
+    n10, n01, n00, odds_ratio, log_or, ci_lo, ci_hi): OR =
+    (n11·n00)/(n10·n01), the association readout for paired binary
+    outcomes that chi2/cramérs-V only test — with the 95% CI on the
+    log scale (ln OR ± 1.96·√(Σ 1/cell)) that says whether "2× the
+    odds" is signal or noise.
+
+    ONE conditional-aggregate pass; all four cells are exact
+    integers, so OR and its CI are exact expressions of them. A zero
+    cell yields NULL ratio/CI (reported, not masked — callers wanting
+    the Haldane +0.5 correction can add it upstream)."""
+    a = F.col(a_col).cast("int")
+    b = F.col(b_col).cast("int")
+    agg = df.filter(a.isNotNull() & b.isNotNull()).agg(
+        F.count(F.when((a == 1) & (b == 1), 1)).alias("_n11"),
+        F.count(F.when((a == 1) & (b == 0), 1)).alias("_n10"),
+        F.count(F.when((a == 0) & (b == 1), 1)).alias("_n01"),
+        F.count(F.when((a == 0) & (b == 0), 1)).alias("_n00"),
+    )
+    n11 = F.col("_n11").cast("double")
+    n10 = F.col("_n10").cast("double")
+    n01 = F.col("_n01").cast("double")
+    n00 = F.col("_n00").cast("double")
+    ok = (n11 > 0) & (n10 > 0) & (n01 > 0) & (n00 > 0)
+    orr = F.when(ok, n11 * n00 / (n10 * n01))
+    lor = F.when(ok, F.log(n11 * n00 / (n10 * n01)))
+    se = F.when(
+        ok,
+        F.sqrt(1.0 / n11 + 1.0 / n10 + 1.0 / n01 + 1.0 / n00),
+    )
+    return agg.select(
+        F.col("_n11").cast("long").alias("n11"),
+        F.col("_n10").cast("long").alias("n10"),
+        F.col("_n01").cast("long").alias("n01"),
+        F.col("_n00").cast("long").alias("n00"),
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(lor, 6).alias("log_or"),
+        F.round(F.exp(lor - 1.96 * se), 6).alias("ci_lo"),
+        F.round(F.exp(lor + 1.96 * se), 6).alias("ci_hi"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Kruskal–Wallis H test → single row (k, n, h_stat, p_value):
+    the k-sample rank ANOVA — mann_whitney's generalization the same
+    way anova_oneway generalizes the z-test, and the robust check
+    behind anova when the metric is heavy-tailed. H = 12/(n(n+1))·
+    Σ n_g(r̄_g − (n+1)/2)², divided by the tie correction
+    1 − Σ(t³−t)/(n³−n); H ~ χ²(k−1).
+
+    Midranks from ONE distinct-value prefix window (0.5-grid — exact
+    IEEE rank sums); per-group MEAN ranks are grid-floored before the
+    quadratic (ratio-floor rule), so the between-group sum is exact.
+    No row sort, no single-partition data movement — the window runs
+    over distinct values only."""
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull() & F.col("_g").isNotNull())
+    pv = src.groupBy("_v", "_g").agg(F.count("*").alias("_c"))
+    per_val = pv.groupBy("_v").agg(F.sum("_c").alias("_t"))
+    w = (
+        Window.partitionBy()
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_val = per_val.withColumn(
+        "_bef", F.coalesce(F.sum("_t").over(w), F.lit(0))
+    )
+    ranked = pv.join(per_val, "_v")
+    midrank = F.col("_bef") + (F.col("_t") + 1.0) / 2.0
+    grp = ranked.groupBy("_g").agg(
+        F.sum("_c").alias("_ng"),
+        F.sum(midrank * F.col("_c")).alias("_rg"),
+    )
+    ties = per_val.agg(
+        F.sum("_t").alias("_n"),
+        F.sum(
+            F.col("_t").cast("double") * F.col("_t") * F.col("_t")
+            - F.col("_t")
+        ).alias("_ties"),
+    )
+    j = grp.crossJoin(F.broadcast(ties))
+    nn = F.col("_n").cast("double")
+    rbar = F.floor(F.col("_rg") / F.col("_ng") * _Q) / _Q
+    dev = rbar - (nn + 1.0) / 2.0
+    agg = j.agg(
+        F.count("*").alias("_k"),
+        F.min("_n").alias("_nn"),
+        F.min("_ties").alias("_tt"),
+        F.sum(F.col("_ng") * dev * dev).alias("_sb"),
+    )
+    n2 = F.col("_nn").cast("double")
+    h = 12.0 / (n2 * (n2 + 1.0)) * F.col("_sb")
+    c = 1.0 - F.col("_tt") / (n2 * n2 * n2 - n2)
+    hc = F.when(c > 0, h / c)
+    return agg.select(
+        F.col("_k").cast("long").alias("k"),
+        F.col("_nn").cast("long").alias("n"),
+        F.round(hc, 6).alias("h_stat"),
+        F.round(
+            chi2_p_value(hc, F.col("_k") - 1), 6
+        ).alias("p_value"),
+    )
+
+
+def hhi_concentration(
+    df: DataFrame, key_col: str, weight_col: "str | None" = None
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration index → single row (k,
+    total, hhi, hhi_norm): Σ share², the standard "how concentrated
+    is this corpus over sources/domains/shards" readout — 1/k (even)
+    to 1.0 (monopoly); hhi_norm rescales to [0, 1] independent of k.
+    The single-number companion to the diversity entropy family, and
+    the skew early-warning for partition planning (a high-HHI key
+    column WILL hot-spot a shuffle at 100 TB).
+
+    Shares are exact ratios of BIGINT counts (or 2^-20-grid weight
+    sums); each share² floor-quantizes to the 2^-40 grid before the
+    final bounded sum, so group-iteration order cannot move the
+    result. One partial-aggregated groupBy."""
+    if weight_col is None:
+        g = df.select(F.col(key_col).alias("_k")).filter(
+            F.col("_k").isNotNull()
+        ).groupBy("_k").agg(F.count("*").cast("long").alias("_c"))
+    else:
+        g = (
+            df.select(
+                F.col(key_col).alias("_k"),
+                F.col(weight_col).cast("double").alias("_w"),
+            )
+            .filter(F.col("_k").isNotNull() & F.col("_w").isNotNull())
+            .groupBy("_k")
+            .agg(F.sum(F.floor(F.col("_w") * _Q)).alias("_c"))
+        )
+    tot = g.agg(F.sum("_c").alias("_tot"))
+    j = g.crossJoin(F.broadcast(tot))
+    share = F.col("_c").cast("double") / F.col("_tot")
+    q2 = _Q * _Q
+    agg = j.groupBy("_tot").agg(
+        F.count("*").alias("_kk"),
+        (F.sum(F.floor(share * share * q2)) / q2).alias("_hhi"),
+    )
+    kk = F.col("_kk").cast("double")
+    hhi = F.col("_hhi")
+    norm = F.when(
+        F.col("_kk") > 1, (hhi - 1.0 / kk) / (1.0 - 1.0 / kk)
+    )
+    return agg.select(
+        F.col("_kk").cast("long").alias("k"),
+        F.col("_tot").cast("long").alias("total"),
+        F.round(hhi, 6).alias("hhi"),
+        F.round(norm, 6).alias("hhi_norm"),
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    subject_col: str,
+    rater_col: str,
+    category_col: str,
+    k_raters: int,
+) -> DataFrame:
+    """Fleiss' κ multi-rater agreement → single row (n_subjects,
+    k_raters, p_bar, p_e, kappa): chance-corrected agreement when
+    EVERY subject gets k categorical ratings — the k-rater
+    generalization of cohens_kappa, the standard readout for "do our
+    k annotators/detectors agree beyond chance" before trusting
+    majority-vote labels.
+
+    Complete blocks only: subjects with exactly ``k_raters`` ratings
+    (the friedman_test discipline — partial blocks would silently
+    bias P̄). P̄ derives from Σn_ij² (exact integers), P̄_e from
+    category shares (exact ratios, share² floor-quantized at 2^-40
+    before the bounded sum). Two keyed aggregations, no window."""
+    if k_raters < 2:
+        raise ValueError(
+            f"fleiss_kappa needs k_raters >= 2, got {k_raters}"
+        )
+    src = df.select(
+        F.col(subject_col).alias("_s"),
+        F.col(rater_col).alias("_r"),
+        F.col(category_col).alias("_c"),
+    ).filter(
+        F.col("_s").isNotNull()
+        & F.col("_r").isNotNull()
+        & F.col("_c").isNotNull()
+    )
+    per_subj = src.groupBy("_s").agg(F.count("*").alias("_nr"))
+    complete = per_subj.filter(F.col("_nr") == k_raters).select("_s")
+    cells = (
+        src.join(complete, "_s")
+        .groupBy("_s", "_c")
+        .agg(F.count("*").alias("_nij"))
+    )
+    subj = cells.groupBy("_s").agg(
+        F.sum(F.col("_nij") * F.col("_nij")).alias("_sq")
+    )
+    kk = float(k_raters)
+    top = subj.agg(
+        F.count("*").alias("_ns"),
+        F.sum("_sq").alias("_ssq"),
+    )
+    cat = cells.groupBy("_c").agg(F.sum("_nij").alias("_cj"))
+    cat_tot = cat.crossJoin(F.broadcast(top))
+    share = F.col("_cj").cast("double") / (
+        F.col("_ns").cast("double") * F.lit(kk)
+    )
+    q2 = _Q * _Q
+    pe = cat_tot.agg(
+        (F.sum(F.floor(share * share * q2)) / q2).alias("_pe"),
+        F.min("_ns").alias("_ns"),
+        F.min("_ssq").alias("_ssq"),
+    )
+    ns = F.col("_ns").cast("double")
+    p_bar = (F.col("_ssq") - ns * kk) / (ns * kk * (kk - 1.0))
+    kappa = F.when(
+        F.col("_pe") < 1.0,
+        (p_bar - F.col("_pe")) / (1.0 - F.col("_pe")),
+    )
+    return pe.select(
+        F.col("_ns").cast("long").alias("n_subjects"),
+        F.lit(k_raters).cast("long").alias("k_raters"),
+        F.round(p_bar, 6).alias("p_bar"),
+        F.round("_pe", 6).alias("p_e"),
+        F.round(kappa, 6).alias("kappa"),
+    )

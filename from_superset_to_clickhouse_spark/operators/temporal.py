@@ -2628,3 +2628,104 @@ def dtw_distance(
         m.cast("int").alias("n_y"),
         F.round(dtw, 6).alias("dtw"),
     )
+
+
+def hurst_rs(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_col: str,
+    window_sizes: "Sequence[int]" = (8, 16, 32, 64),
+) -> DataFrame:
+    """Hurst exponent via rescaled-range (R/S) analysis per group →
+    (grp, n, n_scales, h): chunk each series into blocks of size w,
+    compute each block's range-of-cumulative-deviations over its
+    standard deviation, average R/S per scale, and fit
+    ln(R/S) = H·ln(w) + c by least squares — H≈0.5 random walk,
+    >0.5 trending/persistent, <0.5 mean-reverting. The long-memory
+    readout that complements acf/ljung_box (which only see fixed
+    lags).
+
+    One scan: scales ride an explode (|scales|× fan-out, bounded),
+    block means/sds use the 2^-20-grid two-pass, cumulative
+    deviations are per-(group, scale, block) prefix windows — every
+    window is partitioned, never global. Per-scale mean R/S is
+    grid-floored (ratio rule) before the bounded ≤|scales|-point
+    regression, so the slope is engine-identical."""
+    sizes = sorted(set(int(w) for w in window_sizes))
+    if len(sizes) < 2 or sizes[0] < 2:
+        raise ValueError(f"hurst_rs needs >= 2 scales >= 2, got {sizes}")
+    src = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(order_col).alias("_o"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    wg = Window.partitionBy("grp").orderBy("_o")
+    idx = src.withColumn("_rn", F.row_number().over(wg))
+    ex = idx.withColumn(
+        "_ws", F.explode(F.array(*[F.lit(w) for w in sizes]))
+    ).withColumn("_blk", F.floor((F.col("_rn") - 1) / F.col("_ws")))
+    # complete blocks only: block b of size w covers rows (bw, (b+1)w]
+    bm = (
+        ex.groupBy("grp", "_ws", "_blk")
+        .agg(
+            F.count("*").alias("_nb"),
+            (F.floor(F.avg("_v") * _QG) / _QG).alias("_mb"),
+        )
+        .filter(F.col("_nb") == F.col("_ws"))
+    )
+    blk = ex.join(bm, ["grp", "_ws", "_blk"])
+    dev = F.col("_v") - F.col("_mb")
+    wb = Window.partitionBy("grp", "_ws", "_blk").orderBy("_rn")
+    cd = blk.withColumn(
+        "_cum",
+        F.sum(dev).over(
+            wb.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_blk = cd.groupBy("grp", "_ws", "_blk").agg(
+        (F.max("_cum") - F.least(F.min("_cum"), F.lit(0.0))).alias("_r"),
+        F.sqrt(
+            (F.sum(F.floor(dev * dev * _QG)) / _QG)
+            / F.col("_ws").cast("double")
+        ).alias("_s"),
+    )
+    per_ws = (
+        per_blk.filter(F.col("_s") > 0)
+        .groupBy("grp", "_ws")
+        .agg(
+            (
+                F.floor(
+                    F.avg(F.col("_r") / F.col("_s")) * _QG
+                )
+                / _QG
+            ).alias("_rs")
+        )
+        .filter(F.col("_rs") > 0)
+    )
+    pts = per_ws.select(
+        "grp",
+        F.log(F.col("_ws").cast("double")).alias("_x"),
+        F.log("_rs").alias("_y"),
+    )
+    reg = pts.groupBy("grp").agg(
+        F.count("*").alias("_k"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    n_per = src.groupBy("grp").agg(F.count("*").alias("_n"))
+    j = reg.join(n_per, "grp")
+    kk = F.col("_k").cast("double")
+    den = kk * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    h = F.when(
+        (F.col("_k") >= 2) & (den > 0),
+        (kk * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / den,
+    )
+    return j.select(
+        "grp",
+        F.col("_n").cast("long").alias("n"),
+        F.col("_k").cast("long").alias("n_scales"),
+        F.round(h, 6).alias("h"),
+    )

@@ -449,3 +449,27 @@ def test_levenshtein_link_blocked(spark):
     assert len(got) == 1
     r = got[0]
     assert (r.name_a, r.name_b, r.dist) == ("blue bolt", "red bolt", 4)
+
+
+def test_neyman_allocation_favors_big_noisy_strata(spark):
+    """n_h tracks N_h * S_h: a stratum with double the size AND double
+    the spread gets ~4x the allocation; a zero-variance stratum gets
+    ~0. Allocations round half-up and sum to ~n_target."""
+    from from_superset_to_clickhouse_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    rows = (
+        [("big_noisy", float(v % 20)) for v in range(200)]
+        + [("small_calm", float(v % 10)) for v in range(100)]
+        + [("constant", 5.0) for _ in range(100)]
+    )
+    df = spark.createDataFrame(rows, "s string, v double")
+    out = {r["stratum"]: r for r in
+           neyman_allocation(df, "s", "v", 100).collect()}
+    assert out["constant"]["alloc"] == 0
+    assert out["big_noisy"]["alloc"] > out["small_calm"]["alloc"]
+    total = sum(r["alloc"] for r in out.values())
+    assert 98 <= total <= 102
+    shares = sum(r["share"] for r in out.values())
+    assert abs(shares - 1.0) < 1e-6

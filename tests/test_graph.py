@@ -541,3 +541,62 @@ def test_hits_rejects_zero_iters(spark):
     e = spark.createDataFrame([(1, 2)], "src int, dst int")
     with pytest.raises(ValueError, match="iters"):
         hits(e, iters=0)
+
+
+def test_degree_assortativity_star_is_negative(spark):
+    """A star graph is maximally disassortative: with the symmetrized
+    (Newman) treatment each edge contributes BOTH (n-1, 1) and
+    (1, n-1), so the endpoint-degree sequence has variance and the
+    correlation is exactly -1 (x=hub-degree always pairs with
+    y=leaf-degree and vice versa)."""
+    from from_superset_to_clickhouse_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    star = [(0, i) for i in range(1, 6)]
+    df = spark.createDataFrame(star, "src int, dst int")
+    r = degree_assortativity(df).first()
+    assert r["m_edges"] == 5
+    assert r["assortativity"] == -1.0
+    df2 = spark.createDataFrame(star + [(1, 2)], "src int, dst int")
+    r2 = degree_assortativity(df2).first()
+    assert r2["assortativity"] < 0
+
+
+def test_degree_assortativity_matches_pearson(spark):
+    import statistics
+
+    from from_superset_to_clickhouse_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs, ys = [], []
+    for a, b in edges:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    want = statistics.correlation(xs, ys)
+    r = degree_assortativity(df).first()
+    assert abs(r["assortativity"] - want) < 1e-6
+
+
+def test_edge_jaccard_triangle_plus_tail(spark):
+    from from_superset_to_clickhouse_spark.operators.graph import (
+        edge_jaccard,
+    )
+
+    # triangle 1-2-3 plus tail 3-4: edge (1,2) has common neighbor {3},
+    # union = N(1) u N(2) \ {1,2} = {3} -> jaccard 1.0;
+    # edge (2,3): common {1}, union {1,4} -> 0.5
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    out = {(r["u"], r["v"]): r for r in edge_jaccard(df).collect()}
+    assert out[(1, 2)]["jaccard"] == 1.0
+    assert out[(2, 3)]["common"] == 1
+    assert abs(out[(2, 3)]["jaccard"] - 0.5) < 1e-9
+    assert (3, 4) not in out  # no common neighbors

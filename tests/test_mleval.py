@@ -321,3 +321,101 @@ def test_ipw_ate_n_matches_used_rows(spark):
     b = ipw_ate(noisy, "x", "t", "y").first()
     assert a["n"] == 40 and b["n"] == 40
     assert a["ate"] == b["ate"]
+
+
+def test_mrr_reference(spark):
+    from from_superset_to_clickhouse_spark.operators.mleval import mrr
+
+    rows = [
+        # q1: first relevant at rank 2 -> 1/2
+        ("q1", 9.0, 0, 1), ("q1", 8.0, 1, 2), ("q1", 7.0, 1, 3),
+        # q2: first relevant at rank 1 -> 1
+        ("q2", 5.0, 1, 1), ("q2", 4.0, 0, 2),
+        # q3: no relevant -> 0
+        ("q3", 3.0, 0, 1),
+    ]
+    df = spark.createDataFrame(rows, "q string, s double, r int, id int")
+    out = mrr(df, "q", "s", "r", "id").first()
+    assert (out["n_queries"], out["n_hit"]) == (3, 2)
+    assert abs(out["mrr"] - (0.5 + 1.0 + 0.0) / 3) < 1e-5
+
+
+def test_mrr_tie_break_is_deterministic(spark):
+    from from_superset_to_clickhouse_spark.operators.mleval import mrr
+
+    # tied scores: id ASC breaks the tie, so the relevant doc (id=2)
+    # ranks second
+    rows = [("q", 5.0, 0, 1), ("q", 5.0, 1, 2)]
+    df = spark.createDataFrame(rows, "q string, s double, r int, id int")
+    assert abs(mrr(df, "q", "s", "r", "id").first()["mrr"] - 0.5) < 1e-5
+
+
+def test_map_at_k_reference(spark):
+    from from_superset_to_clickhouse_spark.operators.mleval import map_at_k
+
+    # one query, ranking r=[1,0,1,0,1], AP@5 with R=3:
+    # hits at ranks 1,3,5 -> (1/1 + 2/3 + 3/5)/3
+    rows = [("q", float(10 - i), rel, i) for i, rel in
+            [(1, 1), (2, 0), (3, 1), (4, 0), (5, 1)]]
+    df = spark.createDataFrame(rows, "q string, s double, r int, id int")
+    out = map_at_k(df, "q", "s", "r", "id", k=5).first()
+    want = (1 + 2 / 3 + 3 / 5) / 3
+    assert abs(out["map"] - want) < 1e-5
+    # k=1: only the first hit counts, denominator min(R,k)=1
+    out1 = map_at_k(df, "q", "s", "r", "id", k=1).first()
+    assert abs(out1["map"] - 1.0) < 1e-5
+
+
+def test_avg_precision_perfect_and_tied(spark):
+    from from_superset_to_clickhouse_spark.operators.mleval import (
+        avg_precision,
+    )
+
+    perfect = spark.createDataFrame(
+        [(1.0, 1), (0.9, 1), (0.1, 0), (0.0, 0)], "s double, y int"
+    )
+    assert avg_precision(perfect, "s", "y").first()["pr_auc"] == 1.0
+    # all-tied scores: single PR point (recall 1, precision = base);
+    # trapezoid from (0, 1) -> area = (1+base)/2
+    tied = spark.createDataFrame(
+        [(0.5, 1)] * 2 + [(0.5, 0)] * 2, "s double, y int"
+    )
+    r = avg_precision(tied, "s", "y").first()
+    assert abs(r["pr_auc"] - (1.0 + 0.5) / 2) < 1e-6
+
+
+def test_lift_table_top_bucket_lifts(spark):
+    from from_superset_to_clickhouse_spark.operators.mleval import (
+        lift_table,
+    )
+
+    # scores 99..0, positives exactly the top 20 scores -> top two
+    # deciles lift 5x, rest 0
+    rows = [(float(100 - i), 1 if i <= 20 else 0, i) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "s double, y int, id int")
+    out = {r["bucket"]: r for r in lift_table(df, "s", "y", 10).collect()}
+    assert len(out) == 10
+    assert out[0]["n_bucket"] == 10
+    assert abs(out[0]["lift"] - 5.0) < 1e-6
+    assert abs(out[1]["lift"] - 5.0) < 1e-6
+    assert out[5]["lift"] == 0.0
+
+
+def test_silhouette_separated_vs_merged(spark):
+    from from_superset_to_clickhouse_spark.operators.mleval import (
+        silhouette_centroid,
+    )
+
+    rows = [([0.0, float(i) / 10], 0) for i in range(5)] + [
+        ([100.0, float(i) / 10], 1) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "v array<double>, l int")
+    cents = {0: [0.0, 0.2], 1: [100.0, 0.2]}
+    out = {r["label"]: r for r in
+           silhouette_centroid(df, "v", "l", cents).collect()}
+    assert out[0]["silhouette"] > 0.99
+    assert out[1]["silhouette"] > 0.99
+    # same centroid twice -> b == a -> s == 0
+    bad = {0: [0.0, 0.2], 1: [0.0, 0.2]}
+    out2 = silhouette_centroid(df, "v", "l", bad).collect()
+    assert any(abs(r["silhouette"]) < 1.0 for r in out2)

@@ -1,0 +1,294 @@
+"""Round-11 statistics operators vs independently-computed references.
+
+Every test recomputes the statistic in plain Python (or against a
+published worked example) on a small planted dataset — the same
+verify-against-a-second-implementation discipline as test_properties.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from from_superset_to_clickhouse_spark.operators.stats import (
+    bartlett_var,
+    cliffs_delta,
+    cohens_d,
+    cronbach_alpha,
+    durbin_watson,
+    fleiss_kappa,
+    grubbs_test,
+    hhi_concentration,
+    jarque_bera,
+    kruskal_wallis,
+    ljung_box,
+    mood_median_test,
+    odds_ratio_2x2,
+    poisson_rate_test,
+    sign_test,
+    trimmed_stats,
+)
+
+
+def test_cohens_d_reference(spark):
+    a = [2.0, 4.0, 6.0, 8.0]
+    b = [1.0, 3.0, 5.0]
+    rows = [(v, "a") for v in a] + [(v, "b") for v in b]
+    df = spark.createDataFrame(rows, "v double, s string")
+    r = cohens_d(df, "v", F.col("s")).first()
+    ma, mb = sum(a) / 4, sum(b) / 3
+    ssw = sum((x - ma) ** 2 for x in a) + sum((x - mb) ** 2 for x in b)
+    sp = math.sqrt(ssw / (7 - 2))
+    assert (r["n_a"], r["n_b"]) == (4, 3)
+    assert abs(r["d"] - (ma - mb) / sp) < 1e-5
+
+
+def test_cliffs_delta_brute_force(spark):
+    a = [1.0, 3.0, 3.0, 5.0, 9.0]
+    b = [2.0, 3.0, 4.0]
+    gt = sum(1 for x in a for y in b if x > y)
+    lt = sum(1 for x in a for y in b if x < y)
+    want = (gt - lt) / (len(a) * len(b))
+    rows = [(v, "a") for v in a] + [(v, "b") for v in b]
+    df = spark.createDataFrame(rows, "v double, s string")
+    r = cliffs_delta(df, "v", F.col("s")).first()
+    assert abs(r["delta"] - want) < 1e-9
+    assert r["magnitude"] in (
+        "negligible", "small", "medium", "large"
+    )
+
+
+def test_mood_median_balanced_vs_shifted(spark):
+    # group g1 sits entirely below the grand median, g2 above
+    rows = [(float(i), "g1") for i in range(10)] + [
+        (float(i + 100), "g2") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = mood_median_test(df, "v", "g").first()
+    assert r["k"] == 2
+    # one value equals the median (rank 10 -> v=9.0? grand median is
+    # the ceil(20/2)=10th value = 9.0) and drops
+    assert r["n_used"] == 19
+    assert r["chi2"] > 10
+    assert r["p_value"] < 0.01
+
+
+def test_bartlett_known_unequal_variances(spark):
+    import statistics
+
+    g1 = [1.0, 2.0, 3.0, 4.0, 5.0]
+    g2 = [10.0, 30.0, 50.0, 70.0, 90.0]
+    rows = [(v, "a") for v in g1] + [(v, "b") for v in g2]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = bartlett_var(df, "v", "g").first()
+    s1, s2 = statistics.variance(g1), statistics.variance(g2)
+    sp2 = (4 * s1 + 4 * s2) / 8
+    t = 8 * math.log(sp2) - 4 * math.log(s1) - 4 * math.log(s2)
+    c = 1 + (1 / 4 + 1 / 4 - 1 / 8) / 3
+    assert (r["k"], r["n"]) == (2, 10)
+    assert abs(r["t_stat"] - t / c) < 1e-3
+    assert r["p_value"] < 0.05
+
+
+def test_poisson_rate_reference(spark):
+    rows = [("a",)] * 40 + [("b",)] * 10
+    df = spark.createDataFrame(rows, "s string")
+    r = poisson_rate_test(df, F.col("s"), 10.0, 5.0).first()
+    ra, rb = 4.0, 2.0
+    se = math.sqrt(40 / 100 + 10 / 25)
+    assert (r["c_a"], r["c_b"]) == (40, 10)
+    assert abs(r["z"] - (ra - rb) / se) < 1e-6
+
+
+def test_jarque_bera_symmetric_vs_skewed(spark):
+    sym = spark.createDataFrame(
+        [(float(v),) for v in (-2, -1, -1, 0, 0, 0, 1, 1, 2)], "v double"
+    )
+    r = jarque_bera(sym, "v").first()
+    assert abs(r["skewness"]) < 1e-5
+    skew = spark.createDataFrame(
+        [(float(v),) for v in [0] * 20 + [100]], "v double"
+    )
+    r2 = jarque_bera(skew, "v").first()
+    assert r2["skewness"] > 3
+    assert r2["jb"] > r["jb"]
+
+
+def test_grubbs_flags_the_planted_outlier(spark):
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 50.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = grubbs_test(df, "v").first()
+    assert r["outlier"] == 50.0
+    m = sum(vals) / len(vals)
+    sd = math.sqrt(sum((v - m) ** 2 for v in vals) / len(vals))
+    assert abs(r["g_stat"] - abs(50.0 - m) / sd) < 1e-4
+
+
+def test_sign_test_reference(spark):
+    # 8 ups, 2 downs, 1 tie
+    rows = [(1.0, 2.0)] * 8 + [(2.0, 1.0)] * 2 + [(1.0, 1.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = sign_test(df, "x", "y").first()
+    assert (r["n_pos"], r["n_neg"], r["n_tie"]) == (8, 2, 1)
+    want = (abs(8 - 5.0) - 0.5) / math.sqrt(10 / 4.0)
+    assert abs(r["z"] - want) < 1e-6
+
+
+def test_trimmed_stats_reference(spark):
+    vals = [float(v) for v in range(1, 11)] + [1000.0]  # n=11, g=1
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = trimmed_stats(df, "v", alpha=0.1).first()
+    kept = sorted(vals)[1:-1]
+    assert r["n"] == 11 and r["n_trimmed"] == 9
+    assert abs(r["trimmed_mean"] - sum(kept) / len(kept)) < 1e-5
+    wins = [max(min(v, 10.0), 2.0) for v in vals]
+    assert (r["winsor_lo"], r["winsor_hi"]) == (2.0, 10.0)
+    assert abs(r["winsor_mean"] - sum(wins) / len(wins)) < 1e-5
+
+
+def test_durbin_watson_alternating_vs_trending(spark):
+    alt = [(i, float(100 if i % 2 else -100)) for i in range(20)]
+    trend = [(i, float(i)) for i in range(20)]
+    df = spark.createDataFrame(
+        [("alt", i, v) for i, v in alt] + [("tr", i, v) for i, v in trend],
+        "g string, o int, v double",
+    )
+    out = {r["grp"]: r for r in durbin_watson(df, "v", "o", "g").collect()}
+    assert out["alt"]["dw"] > 3.5  # negative lag-1 autocorr -> ~4
+    assert out["tr"]["dw"] < 0.5  # strong positive autocorr -> ~0
+
+
+def test_ljung_box_white_vs_autocorrelated(spark):
+    import random
+
+    rng = random.Random(7)
+    white = [(i, rng.gauss(0, 1)) for i in range(200)]
+    trend = [(i, math.sin(i / 5.0) * 10) for i in range(200)]
+    df = spark.createDataFrame(
+        [("w", i, v) for i, v in white] + [("t", i, v) for i, v in trend],
+        "g string, o int, v double",
+    )
+    out = {r["grp"]: r for r in ljung_box(df, "v", "o", "g", h=3).collect()}
+    assert out["t"]["q_stat"] > 100
+    assert out["t"]["p_value"] < 0.001
+    assert out["w"]["q_stat"] < out["t"]["q_stat"]
+
+
+def test_cronbach_alpha_parallel_items(spark):
+    # items = same signal + small perturbations -> alpha near 1;
+    # uncorrelated noise -> alpha near 0
+    rows = [(float(i), float(i) + 0.1, float(i) - 0.1) for i in range(30)]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    r = cronbach_alpha(df, ["a", "b", "c"]).first()
+    assert r["alpha"] > 0.99
+    import random
+
+    rng = random.Random(3)
+    noise = [
+        (rng.random(), rng.random(), rng.random()) for _ in range(200)
+    ]
+    df2 = spark.createDataFrame(noise, "a double, b double, c double")
+    r2 = cronbach_alpha(df2, ["a", "b", "c"]).first()
+    assert abs(r2["alpha"]) < 0.5
+
+
+def test_cronbach_alpha_rejects_single_item(spark):
+    df = spark.createDataFrame([(1.0,)], "a double")
+    with pytest.raises(ValueError, match="items"):
+        cronbach_alpha(df, ["a"])
+
+
+def test_odds_ratio_worked_example(spark):
+    # classic 2x2: (10, 20, 5, 40) -> OR = 10*40 / (20*5) = 4
+    rows = (
+        [(1, 1)] * 10 + [(1, 0)] * 20 + [(0, 1)] * 5 + [(0, 0)] * 40
+    )
+    df = spark.createDataFrame(rows, "a int, b int")
+    r = odds_ratio_2x2(df, "a", "b").first()
+    assert r["odds_ratio"] == 4.0
+    se = math.sqrt(1 / 10 + 1 / 20 + 1 / 5 + 1 / 40)
+    assert abs(r["ci_lo"] - math.exp(math.log(4) - 1.96 * se)) < 1e-4
+    assert abs(r["ci_hi"] - math.exp(math.log(4) + 1.96 * se)) < 1e-4
+
+
+def test_odds_ratio_zero_cell_is_null(spark):
+    df = spark.createDataFrame([(1, 1), (0, 0)], "a int, b int")
+    r = odds_ratio_2x2(df, "a", "b").first()
+    assert r["odds_ratio"] is None
+
+
+def test_kruskal_wallis_against_scipy_formula(spark):
+    g1 = [2.9, 3.0, 2.5, 2.6, 3.2]
+    g2 = [3.8, 2.7, 4.0, 2.4]
+    g3 = [2.8, 3.4, 3.7, 2.2, 2.0]
+    rows = (
+        [(v, "a") for v in g1]
+        + [(v, "b") for v in g2]
+        + [(v, "c") for v in g3]
+    )
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = kruskal_wallis(df, "v", "g").first()
+    # hand-computed H (no ties in this classic airquality example)
+    allv = sorted(g1 + g2 + g3)
+    rank = {v: i + 1 for i, v in enumerate(allv)}
+    n = len(allv)
+    h = 12.0 / (n * (n + 1)) * sum(
+        len(g) * (sum(rank[v] for v in g) / len(g) - (n + 1) / 2) ** 2
+        for g in (g1, g2, g3)
+    )
+    assert (r["k"], r["n"]) == (3, 14)
+    assert abs(r["h_stat"] - h) < 1e-4
+
+
+def test_hhi_monopoly_and_even_split(spark):
+    mono = spark.createDataFrame([("x",)] * 10, "k string")
+    assert hhi_concentration(mono, "k").first()["hhi"] == 1.0
+    even = spark.createDataFrame(
+        [(c,) for c in "abcd" * 25], "k string"
+    )
+    r = even.transform(lambda d: hhi_concentration(d, "k")).first()
+    assert abs(r["hhi"] - 0.25) < 1e-5
+    assert abs(r["hhi_norm"]) < 1e-5
+
+
+def test_hhi_weighted(spark):
+    df = spark.createDataFrame(
+        [("a", 3.0), ("b", 1.0)], "k string, w double"
+    )
+    r = hhi_concentration(df, "k", "w").first()
+    assert abs(r["hhi"] - (0.75**2 + 0.25**2)) < 1e-5
+
+
+def test_fleiss_kappa_perfect_and_chance(spark):
+    # 3 raters, 10 subjects, all agree -> kappa = 1
+    rows = [
+        (s, r, "cat%d" % (s % 2)) for s in range(10) for r in range(3)
+    ]
+    df = spark.createDataFrame(rows, "s int, r int, c string")
+    out = fleiss_kappa(df, "s", "r", "c", k_raters=3).first()
+    assert out["n_subjects"] == 10
+    assert out["kappa"] == 1.0
+    # incomplete subjects are excluded
+    df2 = df.union(spark.createDataFrame([(99, 0, "cat0")], "s int, r int, c string"))
+    out2 = fleiss_kappa(df2, "s", "r", "c", k_raters=3).first()
+    assert out2["n_subjects"] == 10
+
+
+def test_fleiss_kappa_worked_example(spark):
+    # Fleiss 1971-style: 2 subjects x 4 raters over 2 categories
+    # subject 1: 3 A / 1 B, subject 2: 2 A / 2 B
+    rows = (
+        [(1, r, "A") for r in range(3)]
+        + [(1, 3, "B")]
+        + [(2, r, "A") for r in range(2)]
+        + [(2, r, "B") for r in (2, 3)]
+    )
+    df = spark.createDataFrame(rows, "s int, r int, c string")
+    out = fleiss_kappa(df, "s", "r", "c", k_raters=4).first()
+    # P_i: s1 = (9+1-4)/12 = 0.5, s2 = (4+4-4)/12 = 1/3; Pbar = 5/12
+    # p_A = 5/8, p_B = 3/8; Pe = 25/64 + 9/64 = 34/64
+    pbar = 5 / 12
+    pe = 34 / 64
+    assert abs(out["p_bar"] - pbar) < 1e-6
+    assert abs(out["p_e"] - pe) < 1e-6
+    assert abs(out["kappa"] - (pbar - pe) / (1 - pe)) < 1e-5

@@ -1396,3 +1396,40 @@ def test_dtw_distance_reference_model(spark):
 
     with pytest.raises(ValueError, match="no rows"):
         dtw_distance(df, "k", "ts", "v", ref_key="nope")
+
+
+def test_hurst_trending_beats_alternating(spark):
+    """A strongly persistent (monotone) series must score a higher
+    R/S slope than a violently mean-reverting (alternating) one, and
+    both land in a sane [-0.5, 1.5] window."""
+    import math
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        hurst_rs,
+    )
+
+    n = 128
+    rows = []
+    for i in range(n):
+        rows.append(("trend", i, float(i)))
+        rows.append(("alt", i, 10.0 if i % 2 else -10.0))
+        rows.append(("sin", i, math.sin(i / 3.0) * 5))
+    df = spark.createDataFrame(rows, "g string, o int, v double")
+    out = {r["grp"]: r for r in
+           hurst_rs(df, "v", "o", "g").collect()}
+    assert out["trend"]["n_scales"] >= 3
+    assert out["trend"]["h"] > 0.9  # ~1 for a pure trend
+    assert out["alt"]["h"] < 0.2   # anti-persistent
+    assert -0.5 < out["sin"]["h"] < 1.5
+
+
+def test_hurst_rejects_bad_scales(spark):
+    import pytest
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        hurst_rs,
+    )
+
+    df = spark.createDataFrame([("g", 1, 1.0)], "g string, o int, v double")
+    with pytest.raises(ValueError, match="scales"):
+        hurst_rs(df, "v", "o", "g", window_sizes=(8,))
