@@ -46,6 +46,26 @@ def main() -> int:
             f'artifact is sf={out.get("sf")!r}, expected sf={args.expect_sf}'
             " — this looks like a measurement run, not the round artifact"
         )
+    # VERDICT r10 item 5: the driver records only a ~2000-char stdout
+    # tail; the printed line must parse as JSON and leave real headroom
+    # (<1,500 chars) so adding bench keys can never truncate the
+    # recorded artifact again.
+    line = out.get("stdout_line")
+    if line is None:
+        errs.append('missing "stdout_line" (bench.py records the printed line)')
+    else:
+        if len(line) >= 1500:
+            errs.append(
+                f"stdout line is {len(line)} chars — the driver tail "
+                "cliff is ~2000 and the budget is <1500"
+            )
+        try:
+            parsed = json.loads(line)
+            for field in ("metric", "value", "unit", "sf", "queries"):
+                if field not in parsed:
+                    errs.append(f"stdout line missing {field!r}")
+        except json.JSONDecodeError as exc:
+            errs.append(f"stdout line is not valid JSON: {exc}")
     if errs:
         for e in errs:
             print(f"BENCH ARTIFACT REJECTED: {e}", file=sys.stderr)

@@ -443,3 +443,35 @@ def test_dynamic_partition_pruning_fires_on_store_layout(spark, tmp_path):
     assert "PartitionFilters" in plan
     # and the result is right: partitions 0,1,2 survive
     assert sorted(r["p"] for r in j.collect()) == [0, 1, 2]
+
+
+def test_r10_additions_plan_gates(spark, qmap):
+    """VERDICT r10 item 4: the 16 round-10 entries get the same scale
+    gates as the older tiers — no cartesian product, no row-at-a-time
+    Python anywhere; SinglePartition exchanges only where the exchanged
+    rows are provably bounded (single-row scalar results, partial-
+    aggregate stubs, the ppl_buckets DISTINCT-score midrank window, or
+    dsir's TakeOrdered stub). hits' crossJoin(broadcast(norm)) and
+    semdedup's within-cell self-join must stay broadcast/equi — never
+    CartesianProduct."""
+    r10 = [
+        "wilcoxon_signed", "cochran_q", "boot_ci", "yule_k",
+        "runs_test", "winnowing", "rouge_l", "ppl_buckets",
+        "logreg_quality", "ece_bins", "nmi_purity", "levene",
+        "hits", "semdedup", "dsir", "ipw",
+    ]
+    # Entries whose plans legitimately pass through a SinglePartition
+    # exchange: every one returns a single row / bounded stub (scalar
+    # tests, ECE bin table over B<=10 partial stubs, NMI over k*c cell
+    # stubs) or reduces a bounded DISTINCT-score set (ppl_buckets) /
+    # top-k stub (dsir). Audited in PLANS.md.
+    single_part_ok = {
+        "wilcoxon_signed", "cochran_q", "boot_ci", "ppl_buckets",
+        "ece_bins", "nmi_purity", "levene", "dsir", "ipw",
+    }
+    for name in r10:
+        plan = _plan(qmap[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        if name not in single_part_ok:
+            assert "SinglePartition" not in plan, name
