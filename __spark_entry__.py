@@ -15855,3 +15855,682 @@ _R11_ORACLES.update({
 
 _R12_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _R12_ORACLES: dict[str, str] = {}
+
+
+def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d effect size between the purchase and view arms of the
+    event stream: arm means on the 2^-20 grid, squared deviations
+    re-quantized before the pooled sum (anova_oneway discipline), so
+    the standardized difference is an exact expression of exact
+    ratios on both engines."""
+    from from_superset_to_clickhouse_spark.operators.stats import cohens_d
+
+    ev = _ev(spark, sf_dir).filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "view")
+    )
+    side = F.when(F.col("event_type") == "purchase", "a").otherwise("b")
+    return cohens_d(ev, "value", side)
+
+
+def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta ordinal effect size for the same purchase-vs-view
+    comparison: delta = 2U/(n_a n_b) - 1 from the tie-adjusted
+    rank-sum U on the 0.5-grid midrank table — never materializes a
+    pair, exact IEEE sums on both engines."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        cliffs_delta,
+    )
+
+    ev = _ev(spark, sf_dir).filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "view")
+    )
+    side = F.when(F.col("event_type") == "purchase", "a").otherwise("b")
+    return cliffs_delta(ev, "value", side)
+
+
+def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across the five event types: grand median =
+    raw stored value at the ceil(n/2) order statistic from a
+    per-distinct-value prefix window, equal-to-median rows drop
+    (Mood's rule), chi2 cells are exact integers, Wilson-Hilferty p."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        mood_median_test,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return mood_median_test(ev, "value", "event_type")
+
+
+def q_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's equal-variance test across the five event types:
+    per-group sums of squared grid-deviations are exact BIGINT-scaled
+    ratios, ln of identical doubles is identical, T ~ chi2(k-1) via
+    the shared Wilson-Hilferty replay."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        bartlett_var,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return bartlett_var(ev, "value", "event_type")
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank ANOVA across the five event types: midranks
+    from one distinct-value prefix window (0.5 grid), per-group mean
+    ranks grid-floored before the quadratic, tie-corrected H ~
+    chi2(k-1)."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        kruskal_wallis,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return kruskal_wallis(ev, "value", "event_type")
+
+
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality gate on the full event value stream:
+    grid mean -> grid sd -> standardized third/fourth moments, each
+    z-power floor-quantized before its exact BIGINT-scaled sum;
+    JB ~ chi2(2) via Wilson-Hilferty."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        jarque_bera,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return jarque_bera(ev, "value")
+
+
+_R12_QUERIES.update({
+    "cohens_d": q_cohens_d,
+    "cliffs_delta": q_cliffs_delta,
+    "mood_median": q_mood_median,
+    "bartlett": q_bartlett,
+    "kruskal_wallis": q_kruskal_wallis,
+    "jarque_bera": q_jarque_bera,
+})
+
+# shared Wilson-Hilferty chi2 tail replay: expects a CTE named ``cc``
+# with columns ``chi2v`` and ``dofv``; yields ``pv`` with the upper-tail
+# p as ``pchi`` (z-sign handled).
+_WH_TAIL = """
+zc AS (SELECT *, (pow(chi2v / dofv, 1.0 / 3.0)
+    - (1.0 - 2.0 / (9.0 * dofv))) / sqrt(2.0 / (9.0 * dofv)) AS zv
+  FROM cc),
+et AS (SELECT *, abs(zv) / sqrt(2.0) AS xx,
+  1.0 / (1.0 + 0.3275911 * (abs(zv) / sqrt(2.0))) AS t FROM zc),
+pv AS (SELECT *, CASE WHEN zv >= 0 THEN
+    (1.0 - (1.0 - (0.254829592 * t - 0.284496736 * t * t
+      + 1.421413741 * t * t * t - 1.453152027 * t * t * t * t
+      + 1.061405429 * t * t * t * t * t) * exp(-(xx * xx)))) / 2.0
+  ELSE 1.0 - (1.0 - (1.0 - (0.254829592 * t - 0.284496736 * t * t
+      + 1.421413741 * t * t * t - 1.453152027 * t * t * t * t
+      + 1.061405429 * t * t * t * t * t) * exp(-(xx * xx)))) / 2.0
+  END AS pchi FROM et)
+"""
+
+_R12_ORACLES.update({
+    "cohens_d": """
+-- Same grid arm means, same re-quantized pooled SS, same exact ratios.
+WITH src AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 'a' ELSE 'b' END AS g,
+    CAST(value AS DOUBLE) AS v
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+), gm AS (
+  SELECT g, count(*) AS ng,
+    floor(avg(v) * 1048576.0) / 1048576.0 AS mg
+  FROM src GROUP BY 1
+), ssw AS (
+  SELECT sum(CAST(floor((v - mg) * (v - mg) * 1048576.0) AS BIGINT))
+    / 1048576.0 AS ssw
+  FROM src JOIN gm USING (g)
+), wide AS (
+  SELECT sum(CASE WHEN g = 'a' THEN ng END) AS na,
+    sum(CASE WHEN g = 'b' THEN ng END) AS nb,
+    min(CASE WHEN g = 'a' THEN mg END) AS ma,
+    min(CASE WHEN g = 'b' THEN mg END) AS mb
+  FROM gm
+), fin AS (
+  SELECT na, nb, ma, mb,
+    sqrt(ssw / (CAST(na AS DOUBLE) + nb - 2.0)) AS sp
+  FROM wide, ssw
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+  round(sp, 6) AS sd_pooled,
+  round(CASE WHEN sp > 0 THEN (ma - mb) / sp END, 6) AS d
+FROM fin
+""",
+    "cliffs_delta": """
+-- Same 0.5-grid midrank table, same tie-adjusted U, same Romano bands.
+WITH src AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 'a' ELSE 'b' END AS g,
+    CAST(value AS DOUBLE) AS v
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+), pv0 AS (
+  SELECT v, count(*) FILTER (g = 'a') AS ca,
+    count(*) FILTER (g = 'b') AS cb
+  FROM src GROUP BY 1
+), rk AS (
+  SELECT ca, cb, ca + cb AS t,
+    coalesce(sum(ca + cb) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+  FROM pv0
+), ag AS (
+  SELECT sum(ca) AS na, sum(cb) AS nb,
+    sum((bef + (t + 1.0) / 2.0) * ca) AS ra
+  FROM rk
+), st AS (
+  SELECT na, nb, ra - na * (na + 1.0) / 2.0 AS u,
+    2.0 * (ra - na * (na + 1.0) / 2.0)
+      / (CAST(na AS DOUBLE) * nb) - 1.0 AS delta
+  FROM ag
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  round(u, 6) AS u, round(delta, 6) AS delta,
+  CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+       WHEN abs(delta) < 0.33 THEN 'small'
+       WHEN abs(delta) < 0.474 THEN 'medium'
+       ELSE 'large' END AS magnitude
+FROM st
+""",
+    "mood_median": """
+-- Same prefix-window grand median, same drop-equals rule, same exact
+-- integer cells and Wilson-Hilferty p on k-1 dof.
+WITH src AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), pv0 AS (
+  SELECT v, count(*) AS t FROM src GROUP BY 1
+), cum AS (
+  SELECT v, sum(t) OVER (ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM pv0
+), tot AS (SELECT sum(t) AS n FROM pv0),
+med AS (
+  SELECT min(v) AS med FROM cum, tot
+  WHERE c >= CAST(ceil(n / 2.0) AS BIGINT)
+), cells AS (
+  SELECT g, count(*) FILTER (v > med) AS ab,
+    count(*) FILTER (v < med) AS be
+  FROM src, med WHERE v <> med GROUP BY 1
+), totals AS (
+  SELECT count(*) AS k, sum(ab) AS ta, sum(be) AS tb,
+    sum(ab + be) AS nu
+  FROM cells
+), cc AS (
+  SELECT k, ta, tb, nu,
+    sum(
+      (ab - (ab + be) * CAST(ta AS DOUBLE) / nu)
+        * (ab - (ab + be) * CAST(ta AS DOUBLE) / nu)
+        / ((ab + be) * CAST(ta AS DOUBLE) / nu)
+      + (be - (ab + be) * CAST(tb AS DOUBLE) / nu)
+        * (be - (ab + be) * CAST(tb AS DOUBLE) / nu)
+        / ((ab + be) * CAST(tb AS DOUBLE) / nu)
+    ) AS chi2v,
+    CAST(k - 1 AS DOUBLE) AS dofv
+  FROM cells, totals
+  GROUP BY 1, 2, 3, 4
+),
+""" + _WH_TAIL[_WH_TAIL.index("zc"):] + """
+SELECT CAST(k AS BIGINT) AS k, CAST(nu AS BIGINT) AS n_used,
+  CAST(ta AS BIGINT) AS n_above, CAST(tb AS BIGINT) AS n_below,
+  round(chi2v, 6) AS chi2, round(pchi, 6) AS p_value
+FROM pv
+""",
+    "bartlett": """
+-- Same grid group means, same re-quantized SS, same C correction.
+WITH src AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), gm AS (
+  SELECT g, count(*) AS ng,
+    floor(avg(v) * 1048576.0) / 1048576.0 AS mg
+  FROM src GROUP BY 1
+), ss AS (
+  SELECT g, min(ng) AS ng,
+    sum(CAST(floor((v - mg) * (v - mg) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS ss
+  FROM src JOIN gm USING (g) GROUP BY 1
+  HAVING min(ng) >= 2
+    AND sum(CAST(floor((v - mg) * (v - mg) * 1048576.0) AS BIGINT))
+      / 1048576.0 > 0
+), ag AS (
+  SELECT count(*) AS k, sum(ng) AS n, sum(ss) AS ssp,
+    sum((ng - 1.0) * ln(ss / (ng - 1.0))) AS slog,
+    sum(1.0 / (ng - 1.0)) AS sinv
+  FROM ss
+), cc AS (
+  SELECT k, n,
+    ((CAST(n AS DOUBLE) - k) * ln(ssp / (CAST(n AS DOUBLE) - k)) - slog)
+      / (1.0 + (sinv - 1.0 / (CAST(n AS DOUBLE) - k))
+          / (3.0 * (CAST(k AS DOUBLE) - 1.0))) AS chi2v,
+    CAST(k - 1 AS DOUBLE) AS dofv
+  FROM ag
+),
+""" + _WH_TAIL[_WH_TAIL.index("zc"):] + """
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+  round(chi2v, 6) AS t_stat, round(pchi, 6) AS p_value
+FROM pv
+""",
+    "kruskal_wallis": """
+-- Same midrank table, same grid-floored mean ranks, same tie factor.
+WITH src AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), pvg AS (
+  SELECT v, g, count(*) AS c FROM src GROUP BY 1, 2
+), per_val AS (
+  SELECT v, sum(c) AS t FROM pvg GROUP BY 1
+), pw AS (
+  SELECT v, t,
+    coalesce(sum(t) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+  FROM per_val
+), grp AS (
+  SELECT g, sum(c) AS ng,
+    sum((bef + (t + 1.0) / 2.0) * c) AS rg
+  FROM pvg JOIN pw USING (v) GROUP BY 1
+), ties AS (
+  SELECT sum(t) AS n,
+    sum(CAST(t AS DOUBLE) * t * t - t) AS tt
+  FROM pw
+), dev AS (
+  SELECT g, ng, n, tt,
+    floor(rg / ng * 1048576.0) / 1048576.0
+      - (CAST(n AS DOUBLE) + 1.0) / 2.0 AS dv
+  FROM grp, ties
+), ag AS (
+  SELECT count(*) AS k, min(n) AS n, min(tt) AS tt,
+    sum(ng * dv * dv) AS sb
+  FROM dev
+), cc AS (
+  SELECT k, n,
+    (12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * sb)
+      / (1.0 - tt / (CAST(n AS DOUBLE) * n * n - n)) AS chi2v,
+    CAST(k - 1 AS DOUBLE) AS dofv
+  FROM ag
+),
+""" + _WH_TAIL[_WH_TAIL.index("zc"):] + """
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+  round(chi2v, 6) AS h_stat, round(pchi, 6) AS p_value
+FROM pv
+""",
+    "jarque_bera": """
+-- Same grid mean, grid sd, and floor-quantized standardized moments.
+WITH src AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL
+), m1 AS (
+  SELECT count(*) AS n,
+    floor(avg(v) * 1048576.0) / 1048576.0 AS m
+  FROM src
+), m2 AS (
+  SELECT n, m,
+    floor(sqrt((sum(CAST(floor((v - m) * (v - m) * 1048576.0)
+        AS BIGINT)) / 1048576.0) / n) * 1048576.0) / 1048576.0 AS sd
+  FROM src, m1 GROUP BY n, m
+), mom AS (
+  SELECT n, sd,
+    sum(CAST(floor(((v - m) / sd) * ((v - m) / sd) * ((v - m) / sd)
+      * 1048576.0) AS BIGINT)) / 1048576.0 AS s3,
+    sum(CAST(floor(((v - m) / sd) * ((v - m) / sd) * ((v - m) / sd)
+      * ((v - m) / sd) * 1048576.0) AS BIGINT)) / 1048576.0 AS s4
+  FROM src, m2 GROUP BY n, sd
+), cc AS (
+  SELECT n, s3 / n AS s, s4 / n AS kk,
+    CAST(n AS DOUBLE) / 6.0 * ((s3 / n) * (s3 / n)
+      + (s4 / n - 3.0) * (s4 / n - 3.0) / 4.0) AS chi2v,
+    2.0 AS dofv
+  FROM mom
+),
+""" + _WH_TAIL[_WH_TAIL.index("zc"):] + """
+SELECT CAST(n AS BIGINT) AS n, round(s, 6) AS skewness,
+  round(kk, 6) AS kurtosis, round(chi2v, 6) AS jb,
+  round(pchi, 6) AS p_value
+FROM pv
+""",
+})
+
+
+def q_poisson_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Poisson rate test: are errors and clicks arriving at
+    the same per-day rate over the 30-day fixture window? Both counts
+    are exact integers and the exposures are literals, so z is an
+    exact expression on both engines."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        poisson_rate_test,
+    )
+
+    ev = _ev(spark, sf_dir).filter(
+        F.col("event_type").isin("error", "click")
+    )
+    side = F.when(F.col("event_type") == "error", "a").otherwise("b")
+    return poisson_rate_test(ev, side, exposure_a=30.0, exposure_b=30.0)
+
+
+def q_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign test of the per-user even-vs-odd-event_id mean
+    split (the wilcoxon_signed pairing): both arm means are exact
+    BIGINT-grid-sum / count ratios, so every sign is decided
+    identically on both engines; continuity-corrected binomial z."""
+    from from_superset_to_clickhouse_spark.operators.stats import sign_test
+
+    ev = _ev(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    qv = F.floor(F.col("value").cast("double") * F.lit(1048576.0))
+    per = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_id") % 2 == 0, qv)).alias("_bs"),
+            F.count(F.when(F.col("event_id") % 2 == 0, 1)).alias("_bc"),
+            F.sum(F.when(F.col("event_id") % 2 == 1, qv)).alias("_os"),
+            F.count(F.when(F.col("event_id") % 2 == 1, 1)).alias("_oc"),
+        )
+        .filter((F.col("_bc") > 0) & (F.col("_oc") > 0))
+    )
+    pairs = per.select(
+        (F.col("_bs").cast("double") / F.col("_bc")).alias("before"),
+        (F.col("_os").cast("double") / F.col("_oc")).alias("after"),
+    )
+    return sign_test(pairs, "before", "after")
+
+
+def q_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' max-deviation outlier test on the event value stream
+    with a planted spike (value + 900 on event_id 424): grid mean and
+    re-quantized SS give an exact sd; the worst row is a bounded
+    TakeOrdered on (|dev| DESC, v ASC) — the planted spike wins
+    deterministically on both engines."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        grubbs_test,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    spiked = ev.select(
+        (
+            F.col("value").cast("double")
+            + F.when(F.col("event_id") == 424, 900.0).otherwise(0.0)
+        ).alias("v")
+    )
+    return grubbs_test(spiked, "v")
+
+
+def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed and winsorized mean of the event value stream:
+    ranks from the per-distinct-value prefix window, each retained
+    value contributing kept_count * floor(v*2^20) to exact BIGINT
+    sums; winsor bounds are the raw boundary order statistics."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        trimmed_stats,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    return trimmed_stats(ev, "value", alpha=0.1)
+
+
+def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio with Wald CI over user-day units: exposure = the
+    user-day hit a value above 70, outcome = the user-day had >= 3
+    events (both probed non-degenerate at every fixture SF). All
+    four cells exact integers; CI on the log scale."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        odds_ratio_2x2,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    ud = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(
+        F.max("value").alias("_mx"), F.count("*").alias("_c")
+    )
+    flags = ud.select(
+        (F.col("_mx") > 70.0).cast("int").alias("a"),
+        (F.col("_c") >= 3).cast("int").alias("b"),
+    )
+    return odds_ratio_2x2(flags, "a", "b")
+
+
+def q_cronbach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over three per-user 'item scores' (mean value
+    on the event_id mod-3 slices — parallel noisy measurements of the
+    same user-level trait): each item is an exact BIGINT-grid-sum /
+    count ratio; item/total variances use the two-pass grid."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        cronbach_alpha,
+    )
+
+    ev = _ev(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    qv = F.floor(F.col("value").cast("double") * F.lit(1048576.0))
+    per = ev.groupBy("user_id").agg(
+        *[
+            (
+                F.sum(F.when(F.col("event_id") % 3 == j, qv)).cast("double")
+                / F.count(F.when(F.col("event_id") % 3 == j, 1))
+                / F.lit(1048576.0)
+            ).alias(f"item{j}")
+            for j in range(3)
+        ]
+    )
+    return cronbach_alpha(per, ["item0", "item1", "item2"])
+
+
+_R12_QUERIES.update({
+    "poisson_rate": q_poisson_rate,
+    "sign_test": q_sign_test,
+    "grubbs": q_grubbs,
+    "trimmed_stats": q_trimmed_stats,
+    "odds_ratio": q_odds_ratio,
+    "cronbach": q_cronbach,
+})
+
+_R12_ORACLES.update({
+    "poisson_rate": """
+-- Same exact counts, literal exposures, A&S-erf two-sided p.
+WITH agg AS (
+  SELECT count(*) FILTER (event_type = 'error') AS ca,
+    count(*) FILTER (event_type = 'click') AS cb
+  FROM events WHERE event_type IN ('error', 'click')
+), st AS (
+  SELECT ca, cb, ca / 30.0 AS ra, cb / 30.0 AS rb,
+    sqrt(ca / 900.0 + cb / 900.0) AS se
+  FROM agg
+), zz AS (
+  SELECT *, CASE WHEN se > 0 THEN (ra - rb) / se END AS zv FROM st
+),
+""" + _SF_TAIL[_SF_TAIL.index("et"):] + """
+SELECT CAST(ca AS BIGINT) AS c_a, CAST(cb AS BIGINT) AS c_b,
+  round(ra, 6) AS rate_a, round(rb, 6) AS rate_b,
+  round(zv, 6) AS z, round(2.0 * sf, 6) AS p_value
+FROM pv
+""",
+    "sign_test": """
+-- Same exact-ratio pairs, same drop-ties rule, same continuity z.
+WITH src AS (
+  SELECT user_id, event_id,
+    CAST(floor(CAST(value AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+), per AS (
+  SELECT user_id,
+    sum(CASE WHEN event_id % 2 = 0 THEN qv END) AS bs,
+    count(*) FILTER (event_id % 2 = 0) AS bc,
+    sum(CASE WHEN event_id % 2 = 1 THEN qv END) AS os,
+    count(*) FILTER (event_id % 2 = 1) AS oc
+  FROM src GROUP BY 1
+), pairs AS (
+  SELECT bs * 1.0 / bc AS x, os * 1.0 / oc AS y
+  FROM per WHERE bc > 0 AND oc > 0
+), agg AS (
+  SELECT count(*) FILTER (y > x) AS pp,
+    count(*) FILTER (y < x) AS mm,
+    count(*) FILTER (y = x) AS nt
+  FROM pairs
+), zz AS (
+  SELECT pp, mm, nt,
+    CASE WHEN pp + mm > 0 THEN
+      CASE WHEN (abs(pp - (pp + mm) / 2.0) - 0.5)
+          / sqrt((pp + mm) / 4.0) < 0 THEN 0.0
+        ELSE (abs(pp - (pp + mm) / 2.0) - 0.5) / sqrt((pp + mm) / 4.0)
+      END END AS zv
+  FROM agg
+),
+""" + _SF_TAIL[_SF_TAIL.index("et"):] + """
+SELECT CAST(pp AS BIGINT) AS n_pos, CAST(mm AS BIGINT) AS n_neg,
+  CAST(nt AS BIGINT) AS n_tie, round(zv, 6) AS z,
+  round(2.0 * sf, 6) AS p_value
+FROM pv
+""",
+    "grubbs": """
+-- Same planted spike, grid mean, re-quantized SS, same tie-broken
+-- worst row.
+WITH src AS (
+  SELECT CAST(value AS DOUBLE)
+    + CASE WHEN event_id = 424 THEN 900.0 ELSE 0.0 END AS v
+  FROM events WHERE value IS NOT NULL
+), m1 AS (
+  SELECT count(*) AS n,
+    floor(avg(v) * 1048576.0) / 1048576.0 AS m
+  FROM src
+), m2 AS (
+  SELECT n, m,
+    sqrt((sum(CAST(floor((v - m) * (v - m) * 1048576.0) AS BIGINT))
+      / 1048576.0) / n) AS sd
+  FROM src, m1 GROUP BY n, m
+), worst AS (
+  SELECT v AS outv, abs(v - m) AS ad
+  FROM src, m1 ORDER BY abs(v - m) DESC, v ASC LIMIT 1
+)
+SELECT CAST(n AS BIGINT) AS n, round(m, 6) AS mean,
+  round(sd, 6) AS sd, outv AS outlier,
+  round(CASE WHEN sd > 0 THEN ad / sd END, 6) AS g_stat
+FROM m2, worst
+""",
+    "trimmed_stats": """
+-- Same prefix-window ranks, kept-count weighting, winsor bounds.
+WITH src AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL
+), pv0 AS (
+  SELECT v, count(*) AS t FROM src GROUP BY 1
+), cum AS (
+  SELECT v, t,
+    coalesce(sum(t) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+  FROM pv0
+), tot AS (SELECT sum(t) AS n FROM pv0),
+j AS (
+  SELECT v, t, bef, n,
+    CAST(floor(n * 0.1) AS BIGINT) AS g
+  FROM cum, tot
+), k AS (
+  SELECT v, t, bef, n, g,
+    greatest(0, least(bef + t, n - g)
+      - greatest(bef + 1, g + 1) + 1) AS kept,
+    CAST(floor(v * 1048576.0) AS BIGINT) AS qv,
+    (bef < g + 1 AND bef + t >= g + 1) AS lo_hit,
+    (bef < n - g AND bef + t >= n - g) AS hi_hit
+  FROM j
+), bounds AS (
+  SELECT min(v) FILTER (lo_hit) AS vlo,
+    min(v) FILTER (hi_hit) AS vhi
+  FROM k
+), agg AS (
+  SELECT min(n) AS n,
+    sum(kept * qv) AS ts, sum(kept) AS tn,
+    sum(t * CAST(floor(least(greatest(v, vlo), vhi) * 1048576.0)
+      AS BIGINT)) AS ws
+  FROM k, bounds
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(tn AS BIGINT) AS n_trimmed,
+  round(ts * 1.0 / tn / 1048576.0, 6) AS trimmed_mean,
+  round(vlo, 6) AS winsor_lo, round(vhi, 6) AS winsor_hi,
+  round(ws * 1.0 / n / 1048576.0, 6) AS winsor_mean
+FROM agg, bounds
+""",
+    "odds_ratio": """
+-- Same user-day units, same exact cells, same Wald CI.
+WITH ud AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+    max(value) AS mx, count(*) AS c
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+), flags AS (
+  SELECT CASE WHEN mx > 70.0 THEN 1 ELSE 0 END AS a,
+    CASE WHEN c >= 3 THEN 1 ELSE 0 END AS b
+  FROM ud
+), agg AS (
+  SELECT count(*) FILTER (a = 1 AND b = 1) AS n11,
+    count(*) FILTER (a = 1 AND b = 0) AS n10,
+    count(*) FILTER (a = 0 AND b = 1) AS n01,
+    count(*) FILTER (a = 0 AND b = 0) AS n00
+  FROM flags
+), st AS (
+  SELECT n11, n10, n01, n00,
+    (n11 > 0 AND n10 > 0 AND n01 > 0 AND n00 > 0) AS ok,
+    CAST(n11 AS DOUBLE) * n00 / (CAST(n10 AS DOUBLE) * n01) AS orr,
+    sqrt(1.0 / n11 + 1.0 / n10 + 1.0 / n01 + 1.0 / n00) AS se
+  FROM agg
+)
+SELECT CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+  CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+  round(CASE WHEN ok THEN orr END, 6) AS odds_ratio,
+  round(CASE WHEN ok THEN ln(orr) END, 6) AS log_or,
+  round(CASE WHEN ok THEN exp(ln(orr) - 1.96 * se) END, 6) AS ci_lo,
+  round(CASE WHEN ok THEN exp(ln(orr) + 1.96 * se) END, 6) AS ci_hi
+FROM st
+""",
+    "cronbach": """
+-- Same exact-ratio items, grid means, re-quantized variances, fixed
+-- left-to-right row total.
+WITH src AS (
+  SELECT user_id, event_id,
+    CAST(floor(CAST(value AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+), per AS (
+  SELECT user_id,
+    sum(CASE WHEN event_id % 3 = 0 THEN qv END) * 1.0
+      / count(*) FILTER (event_id % 3 = 0) / 1048576.0 AS x0,
+    sum(CASE WHEN event_id % 3 = 1 THEN qv END) * 1.0
+      / count(*) FILTER (event_id % 3 = 1) / 1048576.0 AS x1,
+    sum(CASE WHEN event_id % 3 = 2 THEN qv END) * 1.0
+      / count(*) FILTER (event_id % 3 = 2) / 1048576.0 AS x2
+  FROM src GROUP BY 1
+), cmpl AS (
+  SELECT x0, x1, x2, (x0 + x1) + x2 AS tt
+  FROM per
+  WHERE x0 IS NOT NULL AND x1 IS NOT NULL AND x2 IS NOT NULL
+), m1 AS (
+  SELECT count(*) AS n,
+    floor(avg(x0) * 1048576.0) / 1048576.0 AS m0,
+    floor(avg(x1) * 1048576.0) / 1048576.0 AS m1_,
+    floor(avg(x2) * 1048576.0) / 1048576.0 AS m2_,
+    floor(avg(tt) * 1048576.0) / 1048576.0 AS mt
+  FROM cmpl
+), ss AS (
+  SELECT n,
+    sum(CAST(floor((x0 - m0) * (x0 - m0) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS s0,
+    sum(CAST(floor((x1 - m1_) * (x1 - m1_) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS s1,
+    sum(CAST(floor((x2 - m2_) * (x2 - m2_) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS s2,
+    sum(CAST(floor((tt - mt) * (tt - mt) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS st
+  FROM cmpl, m1 GROUP BY n
+), fin AS (
+  SELECT n,
+    ((0.0 + s0 / (n - 1.0)) + s1 / (n - 1.0)) + s2 / (n - 1.0)
+      AS item_var,
+    st / (n - 1.0) AS tot_var
+  FROM ss
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(3 AS BIGINT) AS k,
+  round(item_var, 6) AS sum_item_var,
+  round(tot_var, 6) AS total_var,
+  round(1.5 * (1.0 - item_var / tot_var), 6) AS alpha
+FROM fin
+""",
+})
