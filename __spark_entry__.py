@@ -16534,3 +16534,274 @@ SELECT CAST(n AS BIGINT) AS n, CAST(3 AS BIGINT) AS k,
 FROM fin
 """,
 })
+
+
+def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared exact daily mean-value series per event type: each daily
+    mean is an exact BIGINT-grid-sum / count ratio (the wilcoxon
+    pairing discipline), so both engines see bit-identical series."""
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    qv = F.floor(F.col("value").cast("double") * F.lit(1048576.0))
+    return ev.groupBy(
+        F.col("event_type").alias("grp"), F.to_date("ts").alias("d")
+    ).agg(
+        (
+            F.sum(qv).cast("double") / F.count("*") / F.lit(1048576.0)
+        ).alias("dval")
+    )
+
+
+_DAILY_SQL = """
+  SELECT event_type AS grp, CAST(ts AS DATE) AS d,
+    sum(CAST(floor(CAST(value AS DOUBLE) * 1048576.0) AS BIGINT)) * 1.0
+      / count(*) / 1048576.0 AS dval
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson lag-1 serial-correlation statistic of each event
+    type's 30-point daily mean series: residuals center on the
+    per-type grid mean; both quadratic sums floor-quantize each term
+    before the exact BIGINT-scaled sum."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        durbin_watson,
+    )
+
+    return durbin_watson(_daily_series(spark, sf_dir), "dval", "d", "grp")
+
+
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box whiteness test (h=3) of the same daily series: all
+    three lag autocorrelations from ONE partitioned window pass,
+    every numerator/denominator term grid-quantized before summing;
+    Q ~ chi2(3) via the shared Wilson-Hilferty replay."""
+    from from_superset_to_clickhouse_spark.operators.stats import ljung_box
+
+    return ljung_box(_daily_series(spark, sf_dir), "dval", "d", "grp", h=3)
+
+
+def q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent (R/S, scales 8/16/32/64) of each event type's
+    hourly arrival-count series: counts are exact integers and every
+    block size is a power of two, so block means are exact IEEE
+    divisions; cumulative deviations run in deterministic sequential
+    window order on both engines; per-scale mean R/S grid-floors
+    before the bounded log-log regression."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        hurst_rs,
+    )
+
+    ev = _ev(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.col("event_type").alias("grp"),
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+    ).agg(F.count("*").cast("double").alias("cnt"))
+    return hurst_rs(hourly, "cnt", "h", "grp")
+
+
+def q_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal allocation of a 1000-unit eval budget across the
+    five event types: per-stratum sd from the grid two-pass, share
+    terms grid-floored before the bounded total, half-up integer
+    allocations."""
+    from from_superset_to_clickhouse_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    return neyman_allocation(ev, "event_type", "value", 1000)
+
+
+def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of total event value across
+    the five event types: weights on the 2^-20 grid, each share^2
+    floor-quantized at 2^-40 before the bounded sum — the skew
+    early-warning readout for partition planning."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        hhi_concentration,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    return hhi_concentration(ev, "event_type", weight_col="value")
+
+
+_R12_QUERIES.update({
+    "durbin_watson": q_durbin_watson,
+    "ljung_box": q_ljung_box,
+    "hurst": q_hurst,
+    "neyman_alloc": q_neyman_alloc,
+    "hhi": q_hhi,
+})
+
+_R12_ORACLES.update({
+    "durbin_watson": """
+-- Same exact daily series, grid group mean, re-quantized sums.
+WITH daily AS (
+""" + _DAILY_SQL + """
+), gm AS (
+  SELECT grp, floor(avg(dval) * 1048576.0) / 1048576.0 AS mg
+  FROM daily GROUP BY 1
+), e AS (
+  SELECT d.grp, d.d, d.dval - mg AS er
+  FROM daily d JOIN gm USING (grp)
+), lagged AS (
+  SELECT grp, er,
+    lag(er) OVER (PARTITION BY grp ORDER BY d) AS el
+  FROM e
+), agg AS (
+  SELECT grp, count(*) AS n,
+    sum(CASE WHEN el IS NOT NULL THEN
+      CAST(floor((er - el) * (er - el) * 1048576.0) AS BIGINT)
+    END) / 1048576.0 AS num,
+    sum(CAST(floor(er * er * 1048576.0) AS BIGINT)) / 1048576.0 AS den
+  FROM lagged GROUP BY 1
+)
+SELECT grp, CAST(n AS BIGINT) AS n,
+  round(CASE WHEN den > 0 THEN num / den END, 6) AS dw
+FROM agg
+""",
+    "ljung_box": """
+-- Same daily series, one lag window per k, Wilson-Hilferty on 3 dof.
+WITH daily AS (
+""" + _DAILY_SQL + """
+), gm AS (
+  SELECT grp, floor(avg(dval) * 1048576.0) / 1048576.0 AS mg
+  FROM daily GROUP BY 1
+), z AS (
+  SELECT d.grp, d.d, d.dval - mg AS zz_
+  FROM daily d JOIN gm USING (grp)
+), lagged AS (
+  SELECT grp, zz_,
+    lag(zz_, 1) OVER (PARTITION BY grp ORDER BY d) AS z1,
+    lag(zz_, 2) OVER (PARTITION BY grp ORDER BY d) AS z2,
+    lag(zz_, 3) OVER (PARTITION BY grp ORDER BY d) AS z3
+  FROM z
+), agg AS (
+  SELECT grp, count(*) AS n,
+    sum(CAST(floor(zz_ * zz_ * 1048576.0) AS BIGINT)) / 1048576.0 AS den,
+    sum(CASE WHEN z1 IS NOT NULL THEN
+      CAST(floor(zz_ * z1 * 1048576.0) AS BIGINT) END) / 1048576.0 AS n1,
+    sum(CASE WHEN z2 IS NOT NULL THEN
+      CAST(floor(zz_ * z2 * 1048576.0) AS BIGINT) END) / 1048576.0 AS n2,
+    sum(CASE WHEN z3 IS NOT NULL THEN
+      CAST(floor(zz_ * z3 * 1048576.0) AS BIGINT) END) / 1048576.0 AS n3
+  FROM lagged GROUP BY 1
+), cc AS (
+  SELECT grp, n,
+    CAST(n AS DOUBLE) * (n + 2.0) * (
+      0.0 + (n1 / den) * (n1 / den) / (n - 1.0)
+        + (n2 / den) * (n2 / den) / (n - 2.0)
+        + (n3 / den) * (n3 / den) / (n - 3.0)
+    ) AS chi2v,
+    3.0 AS dofv
+  FROM agg
+),
+""" + _WH_TAIL[_WH_TAIL.index("zc"):] + """
+SELECT grp, CAST(n AS BIGINT) AS n, round(chi2v, 6) AS q_stat,
+  round(pchi, 6) AS p_value
+FROM pv
+""",
+    "hurst": """
+-- Same hourly count series, power-of-two block means, sequential
+-- cumulative sums, grid-floored per-scale mean R/S, bounded fit.
+WITH hourly AS (
+  SELECT event_type AS grp, date_trunc('hour', ts) AS h,
+    CAST(count(*) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT grp, v,
+    row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+  FROM hourly
+), ex AS (
+  SELECT grp, v, rn, ws,
+    CAST(floor((rn - 1.0) / ws) AS BIGINT) AS blk
+  FROM idx, unnest([8, 16, 32, 64]) AS t(ws)
+), bm AS (
+  SELECT grp, ws, blk, count(*) AS nb,
+    floor(avg(v) * 1048576.0) / 1048576.0 AS mb
+  FROM ex GROUP BY 1, 2, 3
+  HAVING count(*) = ws
+), cd AS (
+  SELECT e.grp, e.ws, e.blk, e.v - mb AS dev,
+    sum(e.v - mb) OVER (PARTITION BY e.grp, e.ws, e.blk
+      ORDER BY e.rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS cum
+  FROM ex e JOIN bm USING (grp, ws, blk)
+), per_blk AS (
+  SELECT grp, ws, blk,
+    max(cum) - least(min(cum), 0.0) AS r,
+    sqrt((sum(CAST(floor(dev * dev * 1048576.0) AS BIGINT))
+      / 1048576.0) / ws) AS s
+  FROM cd GROUP BY 1, 2, 3
+), per_ws AS (
+  SELECT grp, ws,
+    floor(avg(r / s) * 1048576.0) / 1048576.0 AS rs
+  FROM per_blk WHERE s > 0 GROUP BY 1, 2
+  HAVING floor(avg(r / s) * 1048576.0) / 1048576.0 > 0
+), pts AS (
+  SELECT grp, ln(CAST(ws AS DOUBLE)) AS x, ln(rs) AS y FROM per_ws
+), reg AS (
+  SELECT grp, count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+    sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM pts GROUP BY 1
+), n_per AS (
+  SELECT grp, count(*) AS n FROM idx GROUP BY 1
+)
+SELECT r.grp, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS n_scales,
+  round(CASE WHEN k >= 2
+      AND CAST(k AS DOUBLE) * sxx - sx * sx > 0
+    THEN (CAST(k AS DOUBLE) * sxy - sx * sy)
+      / (CAST(k AS DOUBLE) * sxx - sx * sx) END, 6) AS h
+FROM reg r JOIN n_per USING (grp)
+""",
+    "neyman_alloc": """
+-- Same grid two-pass sd, grid-floored share terms, half-up allocs.
+WITH src AS (
+  SELECT event_type AS stratum, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), gm AS (
+  SELECT stratum, count(*) AS nh,
+    floor(avg(v) * 1048576.0) / 1048576.0 AS mh
+  FROM src GROUP BY 1
+), ss AS (
+  SELECT stratum, min(nh) AS nh,
+    sum(CAST(floor((v - mh) * (v - mh) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS ss
+  FROM src JOIN gm USING (stratum) GROUP BY 1
+), w AS (
+  SELECT stratum, nh,
+    CASE WHEN nh > 1 THEN sqrt(ss / (nh - 1.0)) ELSE 0.0 END AS sd,
+    floor(CAST(nh AS DOUBLE)
+      * CASE WHEN nh > 1 THEN sqrt(ss / (nh - 1.0)) ELSE 0.0 END
+      * 1048576.0) / 1048576.0 AS tm
+  FROM ss
+), tot AS (SELECT sum(tm) AS tt FROM w)
+SELECT stratum, CAST(nh AS BIGINT) AS n_stratum,
+  round(sd, 6) AS sd,
+  round(CASE WHEN tt > 0 THEN tm / tt ELSE 0.0 END, 6) AS share,
+  CAST(floor(CASE WHEN tt > 0 THEN tm / tt ELSE 0.0 END
+    * 1000.0 + 0.5) AS BIGINT) AS alloc
+FROM w, tot
+""",
+    "hhi": """
+-- Same grid weight sums, 2^-40-quantized share squares.
+WITH g AS (
+  SELECT event_type AS k_,
+    sum(CAST(floor(CAST(value AS DOUBLE) * 1048576.0) AS BIGINT)) AS c
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1
+), tot AS (SELECT sum(c) AS tt FROM g),
+agg AS (
+  SELECT count(*) AS kk, min(tt) AS tt,
+    sum(CAST(floor((CAST(c AS DOUBLE) / tt) * (CAST(c AS DOUBLE) / tt)
+      * 1099511627776.0) AS BIGINT)) / 1099511627776.0 AS hhi
+  FROM g, tot GROUP BY tt
+)
+SELECT CAST(kk AS BIGINT) AS k, CAST(tt AS BIGINT) AS total,
+  round(hhi, 6) AS hhi,
+  round(CASE WHEN kk > 1 THEN
+    (hhi - 1.0 / kk) / (1.0 - 1.0 / kk) END, 6) AS hhi_norm
+FROM agg
+""",
+})
