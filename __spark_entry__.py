@@ -16805,3 +16805,264 @@ SELECT CAST(kk AS BIGINT) AS k, CAST(tt AS BIGINT) AS total,
 FROM agg
 """,
 })
+
+
+def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank over 30 daily 'queries': candidates = the
+    day's events ranked by (value DESC, event_id ASC), relevant =
+    user_id % 7 == 0. Ranks from one query-partitioned row_number
+    window; per-query 1/rank grid-floored before the cross-query
+    mean."""
+    from from_superset_to_clickhouse_spark.operators.mleval import mrr
+
+    ev = _ev(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    ranked = ev.select(
+        F.to_date("ts").alias("q"),
+        F.col("value").alias("s"),
+        (F.col("user_id") % 7 == 0).cast("int").alias("rel"),
+        F.col("event_id").alias("id"),
+    )
+    return mrr(ranked, "q", "s", "rel", "id")
+
+
+def q_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@10 over the same 30 daily ranking queries as mrr: per-query
+    AP sums <= 10 exact-ratio precision terms, each grid-floored, with
+    AP itself re-quantized before the cross-query mean."""
+    from from_superset_to_clickhouse_spark.operators.mleval import map_at_k
+
+    ev = _ev(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    ranked = ev.select(
+        F.to_date("ts").alias("q"),
+        F.col("value").alias("s"),
+        (F.col("user_id") % 7 == 0).cast("int").alias("rel"),
+        F.col("event_id").alias("id"),
+    )
+    return map_at_k(ranked, "q", "s", "rel", "id", k=10)
+
+
+def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-coherent trapezoidal PR-AUC of 'value predicts purchase':
+    cumulative (TP, n) from per-distinct-score counts + one prefix
+    window over distinct scores; every PR point an exact integer
+    ratio, bounded trapezoid sum."""
+    from from_superset_to_clickhouse_spark.operators.mleval import (
+        avg_precision,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    scored = ev.select(
+        F.col("value").alias("s"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return avg_precision(scored, "s", "y")
+
+
+def q_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table of 'value predicts purchase': tie-coherent
+    bucketing (every distinct-score block lands in the bucket of its
+    starting rank), all rates exact integer ratios."""
+    from from_superset_to_clickhouse_spark.operators.mleval import (
+        lift_table,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    scored = ev.select(
+        F.col("value").alias("s"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return lift_table(scored, "s", "y", buckets=10)
+
+
+_SILH_CENTROIDS = {
+    0: [0.0] * 64,
+    1: [0.5] * 64,
+    2: [1.0] * 64,
+}
+
+
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based (simplified) silhouette per cluster over the
+    embeddings table with vec_id%3 cluster ids and three literal
+    centroids — the O(n*k) silhouette form that ships at scale;
+    distances are left-to-right codegen folds, per-point s
+    grid-floored before the per-cluster mean."""
+    from from_superset_to_clickhouse_spark.operators.mleval import (
+        silhouette_centroid,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 3).alias("cl"), "embedding"
+    )
+    return silhouette_centroid(
+        emb, "embedding", "cl", _SILH_CENTROIDS
+    )
+
+
+_R12_QUERIES.update({
+    "mrr": q_mrr,
+    "map_at_k": q_map_at_k,
+    "pr_auc": q_pr_auc,
+    "lift_table": q_lift_table,
+    "silhouette": q_silhouette,
+})
+
+_RANKED_SQL = """
+  SELECT CAST(ts AS DATE) AS q, CAST(value AS DOUBLE) AS s,
+    CASE WHEN user_id % 7 = 0 THEN 1 ELSE 0 END AS rel,
+    event_id AS id
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+"""
+
+_R12_ORACLES.update({
+    "mrr": """
+-- Same (score DESC, id ASC) per-query order, grid-floored 1/rank.
+WITH ranked AS (
+  SELECT q, rel,
+    row_number() OVER (PARTITION BY q ORDER BY s DESC, id ASC) AS rk
+  FROM (
+""" + _RANKED_SQL + """
+  )
+), first_hit AS (
+  SELECT q, min(rk) AS fr FROM ranked WHERE rel = 1 GROUP BY 1
+), per_q AS (
+  SELECT d.q, fr FROM (SELECT DISTINCT q FROM ranked) d
+  LEFT JOIN first_hit USING (q)
+), agg AS (
+  SELECT count(*) AS nq, count(fr) AS nh,
+    sum(CASE WHEN fr IS NOT NULL THEN
+      CAST(floor(1.0 / fr * 1048576.0) AS BIGINT) / 1048576.0
+      ELSE 0.0 END) AS srr
+  FROM per_q
+)
+SELECT CAST(nq AS BIGINT) AS n_queries, CAST(nh AS BIGINT) AS n_hit,
+  round(srr / nq, 6) AS mrr
+FROM agg
+""",
+    "map_at_k": """
+-- Same windows, same grid-floored precision terms and per-query AP.
+WITH ranked AS (
+  SELECT q, rel,
+    row_number() OVER (PARTITION BY q ORDER BY s DESC, id ASC) AS rk,
+    sum(rel) OVER (PARTITION BY q ORDER BY s DESC, id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hits
+  FROM (
+""" + _RANKED_SQL + """
+  )
+), per_q AS (
+  SELECT q,
+    sum(CASE WHEN rel = 1 AND rk <= 10 THEN
+      CAST(floor(CAST(hits AS DOUBLE) / rk * 1048576.0) AS BIGINT)
+        / 1048576.0
+      ELSE 0.0 END) AS ap_num,
+    sum(rel) AS rtot
+  FROM ranked GROUP BY 1
+), ap AS (
+  SELECT q, CASE WHEN rtot > 0 THEN
+      CAST(floor(ap_num / least(rtot, 10) * 1048576.0) AS BIGINT)
+        / 1048576.0
+    ELSE 0.0 END AS ap
+  FROM per_q
+), agg AS (
+  SELECT count(*) AS nq, sum(ap) AS sap FROM ap
+)
+SELECT CAST(nq AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
+  round(sap / nq, 6) AS map
+FROM agg
+""",
+    "pr_auc": """
+-- Same distinct-score blocks, cumulative counts, trapezoid sum.
+WITH src AS (
+  SELECT CAST(value AS DOUBLE) AS s,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+), pv0 AS (
+  SELECT s, sum(y) AS p, count(*) AS c FROM src GROUP BY 1
+), cum AS (
+  SELECT s,
+    sum(p) OVER (ORDER BY s DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+    sum(c) OVER (ORDER BY s DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at
+  FROM pv0
+), tot AS (SELECT sum(c) AS n, sum(p) AS np FROM pv0),
+pts AS (
+  SELECT n, np,
+    CAST(tp AS DOUBLE) / np AS rec,
+    CAST(tp AS DOUBLE) / n_at AS prec,
+    lag(CAST(tp AS DOUBLE) / np, 1, 0.0)
+      OVER (ORDER BY s DESC) AS rec0,
+    lag(CAST(tp AS DOUBLE) / n_at, 1, 1.0)
+      OVER (ORDER BY s DESC) AS prec0
+  FROM cum, tot
+)
+SELECT CAST(min(n) AS BIGINT) AS n, CAST(min(np) AS BIGINT) AS n_pos,
+  round(sum((rec - rec0) * (prec + prec0) / 2.0), 6) AS pr_auc
+FROM pts
+""",
+    "lift_table": """
+-- Same tie-coherent starting-rank buckets, exact rate ratios.
+WITH src AS (
+  SELECT CAST(value AS DOUBLE) AS s,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+), pv0 AS (
+  SELECT s, count(*) AS c, sum(y) AS p FROM src GROUP BY 1
+), cum AS (
+  SELECT s, c, p,
+    coalesce(sum(c) OVER (ORDER BY s DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+  FROM pv0
+), tot AS (SELECT sum(c) AS n, sum(p) AS np FROM pv0),
+per AS (
+  SELECT CAST(floor(bef * 10 / n) AS INTEGER) AS bucket,
+    sum(c) AS nb, sum(p) AS pb, min(n) AS n, min(np) AS np
+  FROM cum, tot GROUP BY 1
+)
+SELECT bucket, CAST(nb AS BIGINT) AS n_bucket,
+  CAST(pb AS BIGINT) AS n_pos,
+  round(CAST(pb AS DOUBLE) / nb, 6) AS rate,
+  round(CASE WHEN np > 0 THEN (CAST(pb AS DOUBLE) / nb)
+    / (CAST(np AS DOUBLE) / n) END, 6) AS lift
+FROM per
+""",
+    "silhouette": """
+-- Same literal centroids, same fold order, grid-floored s terms.
+WITH src AS (
+  SELECT vec_id % 3 AS l, embedding AS e
+  FROM embeddings
+), d AS (
+  SELECT l,
+    sqrt(list_aggregate(list_transform(e,
+      x -> (CAST(x AS DOUBLE) - 0.0) * (CAST(x AS DOUBLE) - 0.0)),
+      'sum')) AS d0,
+    sqrt(list_aggregate(list_transform(e,
+      x -> (CAST(x AS DOUBLE) - 0.5) * (CAST(x AS DOUBLE) - 0.5)),
+      'sum')) AS d1,
+    sqrt(list_aggregate(list_transform(e,
+      x -> (CAST(x AS DOUBLE) - 1.0) * (CAST(x AS DOUBLE) - 1.0)),
+      'sum')) AS d2
+  FROM src
+), sil AS (
+  SELECT l,
+    CASE l WHEN 0 THEN d0 WHEN 1 THEN d1 ELSE d2 END AS own,
+    CASE l WHEN 0 THEN least(d1, d2)
+           WHEN 1 THEN least(d0, d2)
+           ELSE least(d0, d1) END AS nearest
+  FROM d
+), s AS (
+  SELECT l, CASE WHEN greatest(own, nearest) > 0 THEN
+      CAST(floor((nearest - own) / greatest(own, nearest)
+        * 1048576.0) AS BIGINT) / 1048576.0
+    ELSE 0.0 END AS sv
+  FROM sil
+)
+SELECT l AS label, CAST(count(*) AS BIGINT) AS n,
+  round(sum(sv) / count(*), 6) AS silhouette
+FROM s GROUP BY 1
+""",
+})
