@@ -17066,3 +17066,181 @@ SELECT l AS label, CAST(count(*) AS BIGINT) AS n,
 FROM s GROUP BY 1
 """,
 })
+
+
+_GRAPH_EDGES_SQL = """
+WITH d AS (SELECT doc_id FROM documents),
+raw AS (
+  SELECT doc_id % 300 AS s, (doc_id * 11 + 1) % 300 AS t FROM d
+  UNION ALL
+  SELECT doc_id % 300, (doc_id * 17 + 2) % 300 FROM d
+  UNION ALL
+  SELECT doc_id % 20, (doc_id // 20) % 20 FROM d WHERE doc_id < 400
+),
+e0 AS (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM raw
+  WHERE least(s, t) < greatest(s, t)
+),
+und AS (
+  SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0
+),
+deg AS (
+  SELECT a AS node, count(*) AS dn FROM und GROUP BY 1
+)
+"""
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the shared skewed test graph (sparse
+    periphery + dense K20-ish core -> strongly disassortative): the
+    Pearson correlation of symmetrized endpoint degrees from exact
+    BIGINT sums — engine-identical before the 6dp round."""
+    from from_superset_to_clickhouse_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    return degree_assortativity(_kcore_edges(spark, sf_dir))
+
+
+def q_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge neighborhood Jaccard (tie strength) over the shared
+    test graph: common neighbors from the triangle-pattern equi-join
+    (candidates sum-of-deg^2, never all pairs), union size du+dv-2-c,
+    all exact integers."""
+    from from_superset_to_clickhouse_spark.operators.graph import (
+        edge_jaccard,
+    )
+
+    return edge_jaccard(_kcore_edges(spark, sf_dir), min_common=1)
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over three synthetic raters assigning each user a
+    tercile-ish category: raters 1 and 2 threshold the user's exact
+    mean value (grid-sum ratio) at 48/52 and 47/53 (high agreement),
+    rater 3 is count%3 (chance) — kappa lands mid-scale. Complete
+    3-rating blocks by construction; P_e share^2 terms quantized at
+    2^-40."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        fleiss_kappa,
+    )
+
+    ev = _ev(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    qv = F.floor(F.col("value").cast("double") * F.lit(1048576.0))
+    per = ev.groupBy("user_id").agg(
+        (
+            F.sum(qv).cast("double") / F.count("*") / F.lit(1048576.0)
+        ).alias("_m"),
+        F.count("*").alias("_c"),
+    )
+    long = per.select(
+        "user_id",
+        F.expr(
+            "stack(3, "
+            "'r1', CASE WHEN _m < 48.0 THEN 0 WHEN _m < 52.0 THEN 1 "
+            "ELSE 2 END, "
+            "'r2', CASE WHEN _m < 47.0 THEN 0 WHEN _m < 53.0 THEN 1 "
+            "ELSE 2 END, "
+            "'r3', CAST(_c % 3 AS INT)) AS (rater, cat)"
+        ),
+    )
+    return fleiss_kappa(long, "user_id", "rater", "cat", k_raters=3)
+
+
+_R12_QUERIES.update({
+    "assortativity": q_assortativity,
+    "edge_jaccard": q_edge_jaccard,
+    "fleiss_kappa": q_fleiss_kappa,
+})
+
+_R12_ORACLES.update({
+    "assortativity": _GRAPH_EDGES_SQL + """
+, pairs AS (
+  SELECT du.dn AS dx, dv.dn AS dy
+  FROM und u JOIN deg du ON u.a = du.node
+  JOIN deg dv ON u.b = dv.node
+), agg AS (
+  SELECT count(*) AS m2, sum(dx) AS sx, sum(dy) AS sy,
+    sum(CAST(dx AS BIGINT) * dy) AS sxy,
+    sum(CAST(dx AS BIGINT) * dx) AS sxx,
+    sum(CAST(dy AS BIGINT) * dy) AS syy
+  FROM pairs
+), nodes AS (SELECT count(*) AS nn FROM deg),
+fin AS (
+  SELECT nn, m2,
+    CAST(m2 AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS num,
+    sqrt((CAST(m2 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      * (CAST(m2 AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS den
+  FROM agg, nodes
+)
+SELECT CAST(nn AS BIGINT) AS n_nodes,
+  CAST(m2 // 2 AS BIGINT) AS m_edges,
+  round(CASE WHEN den > 0 THEN num / den END, 6) AS assortativity
+FROM fin
+""",
+    "edge_jaccard": _GRAPH_EDGES_SQL + """
+, common AS (
+  SELECT e.a AS u, e.b AS v, count(*) AS com
+  FROM e0 e
+  JOIN und n1 ON n1.a = e.a
+  JOIN und n2 ON n2.a = e.b AND n2.b = n1.b
+  WHERE n1.b <> e.a AND n1.b <> e.b
+  GROUP BY 1, 2
+  HAVING count(*) >= 1
+)
+SELECT u, v, CAST(com AS BIGINT) AS common,
+  CAST(du.dn AS BIGINT) AS deg_u, CAST(dv.dn AS BIGINT) AS deg_v,
+  round(CASE WHEN du.dn + dv.dn - 2 - com > 0 THEN
+      CAST(com AS DOUBLE) / (du.dn + dv.dn - 2 - com)
+    ELSE 1.0 END, 6) AS jaccard
+FROM common JOIN deg du ON common.u = du.node
+JOIN deg dv ON common.v = dv.node
+""",
+    "fleiss_kappa": """
+-- Same exact-ratio means, same thresholds, 2^-40 P_e shares.
+WITH src AS (
+  SELECT user_id,
+    CAST(floor(CAST(value AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+), per AS (
+  SELECT user_id, sum(qv) * 1.0 / count(*) / 1048576.0 AS m,
+    count(*) AS c
+  FROM src GROUP BY 1
+), long AS (
+  SELECT user_id,
+    unnest([
+      CASE WHEN m < 48.0 THEN 0 WHEN m < 52.0 THEN 1 ELSE 2 END,
+      CASE WHEN m < 47.0 THEN 0 WHEN m < 53.0 THEN 1 ELSE 2 END,
+      CAST(c % 3 AS INTEGER)
+    ]) AS cat
+  FROM per
+), cells AS (
+  SELECT user_id, cat, count(*) AS nij FROM long GROUP BY 1, 2
+), subj AS (
+  SELECT user_id, sum(nij * nij) AS sq FROM cells GROUP BY 1
+), top AS (
+  SELECT count(*) AS ns, sum(sq) AS ssq FROM subj
+), cat AS (
+  SELECT cat, sum(nij) AS cj FROM cells GROUP BY 1
+), pe AS (
+  SELECT min(ns) AS ns, min(ssq) AS ssq,
+    sum(CAST(floor(
+      (CAST(cj AS DOUBLE) / (CAST(ns AS DOUBLE) * 3.0))
+      * (CAST(cj AS DOUBLE) / (CAST(ns AS DOUBLE) * 3.0))
+      * 1099511627776.0) AS BIGINT)) / 1099511627776.0 AS pev
+  FROM cat, top
+), fin AS (
+  SELECT ns, pev,
+    (ssq - CAST(ns AS DOUBLE) * 3.0)
+      / (CAST(ns AS DOUBLE) * 3.0 * 2.0) AS p_bar
+  FROM pe
+)
+SELECT CAST(ns AS BIGINT) AS n_subjects, CAST(3 AS BIGINT) AS k_raters,
+  round(p_bar, 6) AS p_bar, round(pev, 6) AS p_e,
+  round(CASE WHEN pev < 1.0 THEN (p_bar - pev) / (1.0 - pev) END, 6)
+    AS kappa
+FROM fin
+""",
+})
