@@ -1375,3 +1375,82 @@ def levenshtein_link(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def url_snapshot_dedup(
+    df: DataFrame,
+    url_col: str,
+    snap_col: str,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-snapshot URL dedup → one row per input doc (id, url_canon,
+    snapshot, sim_to_latest, keep): the recrawl-pipeline primitive —
+    when the same canonical URL appears in multiple crawl snapshots,
+    keep the LATEST capture always, and keep an older capture only if
+    its content actually changed (estimated MinHash Jaccard against
+    the latest < ``threshold``). Unchanged recrawls are the single
+    biggest duplicate source in multi-snapshot web corpora; naive
+    URL-only dedup would also drop real content updates.
+
+    Scale shape: signatures are one map-side pass per doc
+    (``minhash_signature_md5`` — the oracle-replayable md5 family);
+    the latest capture per canonical URL comes from one max-snapshot
+    aggregate joined back (never a window over the corpus), and each
+    older doc compares against exactly ONE signature — candidates are
+    O(docs), never pairs. Similarity = fraction of equal signature
+    positions (the standard unbiased Jaccard estimator), an exact
+    ratio of integer counts."""
+    from from_superset_to_clickhouse_spark.operators.text import (
+        canonical_url,
+    )
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = shingle_strings(F.col(text_col), 3)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        canonical_url(F.col(url_col)).alias("url_canon"),
+        F.col(snap_col).cast("long").alias("snapshot"),
+        minhash_signature_md5(sh, num_hashes).alias("_sig"),
+    )
+    latest = base.groupBy("url_canon").agg(
+        F.max("snapshot").alias("_latest")
+    )
+    ref = (
+        base.join(latest, "url_canon")
+        .filter(F.col("snapshot") == F.col("_latest"))
+        # deterministic representative if several docs share the
+        # latest snapshot for one URL: smallest id wins
+        .groupBy("url_canon", "_latest")
+        .agg(F.min(F.struct("_id", "_sig")).alias("_r"))
+        .select(
+            "url_canon",
+            "_latest",
+            F.col("_r._id").alias("_ref_id"),
+            F.col("_r._sig").alias("_ref_sig"),
+        )
+    )
+    joined = base.join(F.broadcast(ref), "url_canon")
+    eq = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("_sig"), F.col("_ref_sig"), lambda a, b: a == b
+            ),
+            lambda x: x,
+        )
+    )
+    sim = eq.cast("double") / F.lit(float(num_hashes))
+    is_ref = F.col("_id") == F.col("_ref_id")
+    keep = is_ref | (sim < threshold)
+    return joined.select(
+        F.col("_id").alias(id_col),
+        "url_canon",
+        "snapshot",
+        F.round(F.when(is_ref, F.lit(1.0)).otherwise(sim), 6).alias(
+            "sim_to_latest"
+        ),
+        keep.alias("keep"),
+    )

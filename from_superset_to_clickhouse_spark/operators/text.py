@@ -2189,3 +2189,186 @@ def ppl_tiers(
         F.round(F.col("_lo") / 1e6, 6).alias("lo"),
         F.round(F.col("_hi") / 1e6, 6).alias("hi"),
     )
+
+
+def mattr(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 50,
+) -> DataFrame:
+    """Moving-average type-token ratio (Covington & McFall 2010) →
+    (id, n_tokens, n_windows, mattr): the mean TTR over every length-W
+    sliding token window — the length-robust lexical-diversity
+    standard (raw TTR collapses as documents grow; MATTR does not),
+    the per-document companion to the corpus-level ``lexical_diversity``
+    profile.
+
+    Never enumerates windows: token position p counts as a "type" in
+    window start i iff its previous same-token occurrence is < i, so
+    its contribution is the INTERVAL of valid starts
+    max(0, min(p, n−W) − max(p−W+1, prev_p+1, 0) + 1) — summed in one
+    pass. Σ contributions / (windows · W) is an exact ratio of exact
+    integers (no grid), engine-identical. One per-(doc, token) lag
+    window + one per-doc aggregate; everything partitioned by doc,
+    never global. Docs shorter than W tokens report NULL (explicit,
+    not a silently-degenerate TTR)."""
+    if window < 2:
+        raise ValueError(f"mattr needs window >= 2, got {window}")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(word_tokens(F.col(text_col))).alias("_p", "_tok"),
+    )
+    wprev = (
+        Window.partitionBy("_id", "_tok")
+        .orderBy("_p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = toks.withColumn(
+        "_prev", F.coalesce(F.max("_p").over(wprev), F.lit(-1))
+    )
+    n_w = Window.partitionBy("_id")
+    prev = prev.withColumn("_n", F.count("*").over(n_w))
+    w = F.lit(window)
+    # valid window starts are 0 .. n−W; position p is covered by starts
+    # max(0, p−W+1) .. min(p, n−W) and counts while start > prev_p
+    lo = F.greatest(
+        F.col("_p") - w + 1, F.col("_prev") + 1, F.lit(0)
+    )
+    hi = F.least(F.col("_p"), F.col("_n") - w)
+    contrib = F.greatest(hi - lo + 1, F.lit(0))
+    agg = prev.groupBy("_id").agg(
+        F.min("_n").alias("_nt"),
+        F.sum(contrib).alias("_sd"),
+    )
+    n_windows = F.col("_nt") - window + 1
+    val = F.when(
+        F.col("_nt") >= window,
+        F.col("_sd").cast("double")
+        / n_windows.cast("double")
+        / F.lit(float(window)),
+    )
+    return agg.select(
+        F.col("_id").alias(id_col),
+        F.col("_nt").cast("long").alias("n_tokens"),
+        F.when(F.col("_nt") >= window, n_windows)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_windows"),
+        F.round(val, 6).alias("mattr"),
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """First-occurrence n-gram novelty per document → (id, n_grams,
+    n_novel, novelty): the share of a document's DISTINCT word
+    n-grams whose earliest corpus appearance (min doc id) is this
+    document — the cheap "how much genuinely new text does each doc
+    add" curve that corpus-growth audits read (a near-duplicate of an
+    earlier doc scores ~0; templated feeds decay fast).
+
+    One explode → per-(gram) min-id aggregate → count join: candidates
+    are Σ grams, never pairs; all counts exact integers and novelty an
+    exact ratio. Ordering contract: "first" = the smallest ``id_col``
+    value, so ingestion order must be encoded in the id (true for
+    crawl snapshots and the fixture's doc_id)."""
+    if n < 1:
+        raise ValueError(f"ngram_novelty needs n >= 1, got {n}")
+    toks = df.select(
+        F.col(id_col).alias("_id"), word_tokens(F.col(text_col)).alias("_t")
+    ).filter(F.size("_t") >= n)
+    grams = toks.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("_t"), i, n)
+                ),
+            )
+        ).alias("_g"),
+    ).distinct()
+    first = grams.groupBy("_g").agg(F.min("_id").alias("_first"))
+    per = (
+        grams.join(first, "_g")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("_ng"),
+            F.count(F.when(F.col("_first") == F.col("_id"), 1)).alias(
+                "_nv"
+            ),
+        )
+    )
+    return per.select(
+        F.col("_id").alias(id_col),
+        F.col("_ng").cast("long").alias("n_grams"),
+        F.col("_nv").cast("long").alias("n_novel"),
+        F.round(
+            F.col("_nv").cast("double") / F.col("_ng"), 6
+        ).alias("novelty"),
+    )
+
+
+def bigram_conditional_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Conditional bigram entropy H(w2 | w1) per group → (grp,
+    n_bigrams, n_distinct, cond_entropy): how predictable is the next
+    word given the current one — the sequence-level repetitiveness
+    readout that unigram ``token_entropy`` cannot see (template spam
+    has near-zero H(w2|w1) even with a rich vocabulary).
+
+    H = Σ (c12/N) · log2(c1/c12) over bigram counts c12 and left-
+    unigram counts c1 — every ratio exact (integer counts), log2 of
+    identical doubles identical, and each term floor-quantized to the
+    2^-20 grid before the sum so accumulation order cannot move the
+    result. Two keyed aggregates + one join; bigrams never leave
+    their group's partition."""
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(text_col).alias("_x"),
+    ).select(
+        "grp", word_tokens(F.col("_x")).alias("_t")
+    ).filter(F.size("_t") >= 2)
+    big = toks.select(
+        "grp",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("_t"), i).alias("w1"),
+                    F.element_at(F.col("_t"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("_b"),
+    ).select("grp", F.col("_b.w1").alias("_w1"), F.col("_b.w2").alias("_w2"))
+    c12 = big.groupBy("grp", "_w1", "_w2").agg(F.count("*").alias("_c12"))
+    c1 = c12.groupBy("grp", "_w1").agg(F.sum("_c12").alias("_c1"))
+    tot = c12.groupBy("grp").agg(
+        F.sum("_c12").alias("_n"),
+        F.count("*").alias("_d"),
+    )
+    j = c12.join(c1, ["grp", "_w1"]).join(tot, "grp")
+    q = F.lit(1048576.0)
+    term = F.floor(
+        F.col("_c12").cast("double")
+        / F.col("_n")
+        * F.log2(F.col("_c1").cast("double") / F.col("_c12"))
+        * q
+    )
+    agg = j.groupBy("grp", "_n", "_d").agg(
+        (F.sum(term) / q).alias("_h")
+    )
+    return agg.select(
+        "grp",
+        F.col("_n").cast("long").alias("n_bigrams"),
+        F.col("_d").cast("long").alias("n_distinct"),
+        F.round("_h", 6).alias("cond_entropy"),
+    )

@@ -473,3 +473,59 @@ def test_neyman_allocation_favors_big_noisy_strata(spark):
     assert 98 <= total <= 102
     shares = sum(r["share"] for r in out.values())
     assert abs(shares - 1.0) < 1e-6
+
+
+def test_url_snapshot_dedup_keeps_changed_content(spark):
+    """Latest capture always kept; an older capture is dropped iff its
+    MinHash similarity to the latest is >= threshold (unchanged
+    recrawl) and kept when the content really changed."""
+    from from_superset_to_clickhouse_spark.operators.dedup import (
+        url_snapshot_dedup,
+    )
+
+    same = ("the quick brown fox jumps over the lazy dog and keeps "
+            "jumping all day long without any rest at all")
+    other = ("completely different page content now with a rewritten "
+             "body and nothing shared with the previous capture text")
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.example.com/p1", 0, same),
+            (2, "https://a.example.com/p1", 1, same),     # unchanged
+            (3, "https://b.example.com/p2", 0, same),
+            (4, "https://b.example.com/p2", 1, other),    # changed
+            (5, "https://c.example.com/p3", 0, same),     # single snap
+        ],
+        "doc_id int, url string, snap int, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           url_snapshot_dedup(df, "url", "snap", "text", "doc_id").collect()}
+    assert out[2]["keep"] and out[2]["sim_to_latest"] == 1.0
+    assert not out[1]["keep"]          # unchanged recrawl drops
+    assert out[4]["keep"]              # latest of p2
+    assert out[3]["keep"]              # changed content survives
+    assert out[3]["sim_to_latest"] < 0.5
+    assert out[5]["keep"]              # single-capture URL
+
+
+def test_url_snapshot_dedup_canonicalizes_urls(spark):
+    """Tracking params / case / default ports collapse into one
+    canonical group before the snapshot comparison."""
+    from from_superset_to_clickhouse_spark.operators.dedup import (
+        url_snapshot_dedup,
+    )
+
+    txt = ("some page body text that stays exactly identical across "
+           "both of the crawl snapshots in this tiny test corpus")
+    df = spark.createDataFrame(
+        [
+            (1, "HTTP://Site.Example.COM:80/a?utm_source=x&id=1", 0, txt),
+            (2, "http://site.example.com/a?id=1", 1, txt),
+        ],
+        "doc_id int, url string, snap int, text string",
+    )
+    rows = url_snapshot_dedup(
+        df, "url", "snap", "text", "doc_id"
+    ).collect()
+    assert len({r["url_canon"] for r in rows}) == 1
+    out = {r["doc_id"]: r for r in rows}
+    assert out[2]["keep"] and not out[1]["keep"]

@@ -930,3 +930,88 @@ def test_winnow_fingerprints_rejects_oversize_doc(spark):
         "doc_id int, text string",
     )
     assert winnow_fingerprints(ok, "text", "doc_id").count() > 0
+
+
+def test_mattr_reference(spark):
+    """Hand-checked MATTR: 'a b a b a b' with W=2 has 5 windows, every
+    window 2 distinct tokens -> mattr 1.0; 'a a a a' W=2 -> every
+    window 1 distinct of 2 -> 0.5; W=4 with 'a b c a b c' -> windows
+    {a b c a},{b c a b},{c a b c}: 3 distinct of 4 each -> 0.75."""
+    from from_superset_to_clickhouse_spark.operators.text import mattr
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),
+            (2, "a a a a"),
+            (3, "a b c a b c"),
+            (4, "too short"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in mattr(df, "text", "doc_id", 2).collect()}
+    assert out[1]["mattr"] == 1.0 and out[1]["n_windows"] == 5
+    assert out[2]["mattr"] == 0.5
+    o3 = {r["doc_id"]: r for r in mattr(df, "text", "doc_id", 4).collect()}
+    assert o3[3]["mattr"] == 0.75 and o3[3]["n_windows"] == 3
+    assert o3[4]["mattr"] is None and o3[4]["n_windows"] == 0
+
+
+def test_mattr_matches_bruteforce(spark):
+    """Closed-form interval counting == brute-force window enumeration
+    on a pseudo-random token stream."""
+    from from_superset_to_clickhouse_spark.operators.text import mattr
+
+    toks = [f"w{(i * 7 + i * i) % 11}" for i in range(60)]
+    text = " ".join(toks)
+    W = 10
+    wins = [toks[i:i + W] for i in range(len(toks) - W + 1)]
+    expected = sum(len(set(w)) for w in wins) / len(wins) / W
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    got = mattr(df, "text", "doc_id", W).collect()[0]
+    assert abs(got["mattr"] - round(expected, 6)) < 1e-9
+
+
+def test_ngram_novelty_duplicate_scores_zero(spark):
+    """A verbatim copy of an earlier doc has novelty 0; the first doc
+    is all-novel; a half-overlapping doc lands in between."""
+    from from_superset_to_clickhouse_spark.operators.text import (
+        ngram_novelty,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact dup of doc 1
+            (3, base + " and then some completely fresh new words appear"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           ngram_novelty(df, "text", "doc_id", n=3).collect()}
+    assert out[1]["novelty"] == 1.0
+    assert out[2]["novelty"] == 0.0
+    assert 0.0 < out[3]["novelty"] < 1.0
+
+
+def test_bigram_entropy_template_vs_varied(spark):
+    """A deterministic repeating sequence has H(w2|w1) = 0; a stream
+    where each left word precedes two equally likely successors has
+    H = 1 bit."""
+    from from_superset_to_clickhouse_spark.operators.text import (
+        bigram_conditional_entropy,
+    )
+
+    template = " ".join(["a b c"] * 20) + " a"   # every bigram forced
+    varied = " ".join(
+        "a x a y" if i % 2 == 0 else "a y a x" for i in range(10)
+    )
+    df = spark.createDataFrame(
+        [("t", template), ("v", varied)], "source string, text string"
+    )
+    out = {r["grp"]: r for r in
+           bigram_conditional_entropy(df, "text", "source").collect()}
+    assert out["t"]["cond_entropy"] == 0.0
+    # left word 'a' splits 50/50 between x and y -> ~1 bit, diluted by
+    # the deterministic x->a / y->a returns (~0.5 overall)
+    assert 0.4 < out["v"]["cond_entropy"] <= 1.0
