@@ -17244,3 +17244,296 @@ SELECT CAST(ns AS BIGINT) AS n_subjects, CAST(3 AS BIGINT) AS k_raters,
 FROM fin
 """,
 })
+
+
+_TOKS_SQL = """
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                x -> x <> '') AS t
+  FROM documents
+"""
+
+
+def q_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR (window 50) per fixture document: the closed-form
+    interval-counting MATTR — an exact ratio of exact integers, no
+    grid, identical on any engine."""
+    from from_superset_to_clickhouse_spark.operators.text import mattr
+
+    return mattr(_docs(spark, sf_dir), "text", "doc_id", window=50)
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence 5-gram novelty per fixture document: share of
+    each doc's distinct word 5-grams first seen (min doc_id) in that
+    doc — exact integer counts and ratios."""
+    from from_superset_to_clickhouse_spark.operators.text import (
+        ngram_novelty,
+    )
+
+    return ngram_novelty(_docs(spark, sf_dir), "text", "doc_id", n=5)
+
+
+def q_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram entropy H(w2|w1) per source: exact count
+    ratios, ln-based log2, terms grid-quantized at 2^-20 before the
+    per-group sum."""
+    from from_superset_to_clickhouse_spark.operators.text import (
+        bigram_conditional_entropy,
+    )
+
+    return bigram_conditional_entropy(_docs(spark, sf_dir), "text", "source")
+
+
+_R12_QUERIES.update({
+    "mattr": q_mattr,
+    "ngram_novelty": q_ngram_novelty,
+    "bigram_entropy": q_bigram_entropy,
+})
+
+_R12_ORACLES.update({
+    "mattr": """
+-- Same tokenization, same interval-counting closed form.
+WITH toks AS (
+""" + _TOKS_SQL + """
+), pos AS (
+  SELECT doc_id, generate_subscripts(t, 1) - 1 AS p,
+    unnest(t) AS tok, len(t) AS n
+  FROM toks
+), prevt AS (
+  SELECT doc_id, p, n,
+    coalesce(max(p) OVER (PARTITION BY doc_id, tok ORDER BY p
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS prev
+  FROM pos
+), contrib AS (
+  SELECT doc_id, min(n) AS nt,
+    sum(greatest(least(p, n - 50)
+      - greatest(p - 50 + 1, prev + 1, 0) + 1, 0)) AS sd
+  FROM prevt GROUP BY 1
+)
+SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+  CAST(CASE WHEN nt >= 50 THEN nt - 50 + 1 ELSE 0 END AS BIGINT)
+    AS n_windows,
+  round(CASE WHEN nt >= 50
+    THEN sd * 1.0 / (nt - 50 + 1) / 50.0 END, 6) AS mattr
+FROM contrib
+""",
+    "ngram_novelty": """
+-- Same 5-gram construction, same min-doc-id first-occurrence rule.
+WITH toks AS (
+""" + _TOKS_SQL + """
+), g0 AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_transform(
+      range(1, CAST(len(t) AS INTEGER) - 3),
+      i -> array_to_string(t[i:i+4], ' ')))) AS g
+  FROM toks WHERE len(t) >= 5
+), fst AS (
+  SELECT g, min(doc_id) AS f FROM g0 GROUP BY 1
+), per AS (
+  SELECT doc_id, count(*) AS ng,
+    count(*) FILTER (f = doc_id) AS nv
+  FROM g0 JOIN fst USING (g) GROUP BY 1
+)
+SELECT doc_id, CAST(ng AS BIGINT) AS n_grams,
+  CAST(nv AS BIGINT) AS n_novel,
+  round(nv * 1.0 / ng, 6) AS novelty
+FROM per
+""",
+    "bigram_entropy": """
+-- Same bigram counts, ln-based log2, 2^-20-quantized terms.
+WITH toks AS (
+  SELECT source AS grp,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                x -> x <> '') AS t
+  FROM documents
+), big AS (
+  SELECT grp,
+    unnest(list_transform(range(1, CAST(len(t) AS INTEGER)),
+      i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
+  FROM toks WHERE len(t) >= 2
+), c12 AS (
+  SELECT grp, b.w1 AS w1, b.w2 AS w2, count(*) AS c12 FROM big
+  GROUP BY 1, 2, 3
+), c1 AS (
+  SELECT grp, w1, sum(c12) AS c1 FROM c12 GROUP BY 1, 2
+), tot AS (
+  SELECT grp, sum(c12) AS n, count(*) AS d FROM c12 GROUP BY 1
+), agg AS (
+  SELECT t.grp, min(n) AS n, min(d) AS d,
+    sum(CAST(floor(c12 * 1.0 / n
+      * (ln(c1 * 1.0 / c12) / ln(2.0)) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS h
+  FROM c12 JOIN c1 USING (grp, w1) JOIN tot t USING (grp)
+  GROUP BY 1
+)
+SELECT grp, CAST(n AS BIGINT) AS n_bigrams,
+  CAST(d AS BIGINT) AS n_distinct, round(h, 6) AS cond_entropy
+FROM agg
+""",
+})
+
+
+def q_url_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot URL dedup over a planted two-snapshot crawl:
+    doc pairs (2k, 2k+1) share URL http://ex.com/p<k> (the old capture
+    carries a messy scheme/port/utm variant that must canonicalize
+    into the same group), and every third pair's recrawl reuses the
+    old text verbatim — those old captures must drop (sim 1.0) while
+    changed pairs keep both. md5-family MinHash, exact position-match
+    similarity ratio."""
+    from from_superset_to_clickhouse_spark.operators.dedup import (
+        url_snapshot_dedup,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    prev = d.select(
+        (F.col("doc_id") + 1).alias("_nid"),
+        F.col("text").alias("_prev_text"),
+    )
+    i = F.col("doc_id")
+    key = (i / 2).cast("long")
+    planted = (
+        d.join(prev, i == F.col("_nid"), "left")
+        .select(
+            "doc_id",
+            F.when(
+                i % 2 == 0,
+                F.concat(
+                    F.lit("HTTP://Ex.COM:80/p"),
+                    key.cast("string"),
+                    F.lit("?utm_source=x"),
+                ),
+            )
+            .otherwise(
+                F.concat(F.lit("http://ex.com/p"), key.cast("string"))
+            )
+            .alias("url"),
+            (i % 2).alias("snap"),
+            F.when(
+                (i % 2 == 1) & (key % 3 == 0), F.col("_prev_text")
+            )
+            .otherwise(F.col("text"))
+            .alias("body"),
+        )
+    )
+    return url_snapshot_dedup(
+        planted, "url", "snap", "body", "doc_id"
+    )
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document line dedup with planted boilerplate:
+    every third doc gains a newsletter line, every fourth a copyright
+    line (both exceed max_doc_freq=2 and must drop), and every doc a
+    unique ref-code line (df=1, must survive). Ordered reassembly of
+    the surviving lines, byte-for-byte replayable."""
+    from from_superset_to_clickhouse_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    t2 = F.concat(
+        F.col("text"),
+        F.when(
+            i % 3 == 0, F.lit("\nsubscribe to our newsletter")
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 4 == 0, F.lit("\ncopyright 2024 example corp")
+        ).otherwise(F.lit("")),
+        F.lit("\nref code "),
+        i.cast("string"),
+    )
+    planted = d.select("doc_id", t2.alias("body"))
+    return remove_boilerplate_lines(
+        planted, "body", "doc_id", max_doc_freq=2
+    )
+
+
+_R12_QUERIES.update({
+    "url_snapshot_dedup": q_url_snapshot_dedup,
+    "boilerplate_lines": q_boilerplate_lines,
+})
+
+_R12_ORACLES.update({
+    "url_snapshot_dedup": """
+-- Same planted layout, same canonical form, same md5 minhash family
+-- (canonicalization itself is independently gated by url_canonical).
+WITH d0 AS (SELECT doc_id, text FROM documents),
+planted AS (
+  SELECT d.doc_id,
+    'http://ex.com/p' || CAST(d.doc_id // 2 AS VARCHAR) AS url_canon,
+    d.doc_id % 2 AS snap,
+    CASE WHEN d.doc_id % 2 = 1 AND (d.doc_id // 2) % 3 = 0
+      THEN p.text ELSE d.text END AS body
+  FROM d0 d LEFT JOIN d0 p ON p.doc_id = d.doc_id - 1
+), toks AS (
+  SELECT doc_id, url_canon, snap,
+    list_filter(regexp_split_to_array(lower(body), '[^a-z0-9'']+'),
+                x -> x <> '') AS t
+  FROM planted
+), sh AS (
+  SELECT doc_id, url_canon, snap,
+    CASE WHEN len(t) >= 3
+      THEN list_distinct(list_transform(
+             range(1, CAST(len(t) AS INTEGER) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      ELSE [array_to_string(t, ' ')]
+    END AS s
+  FROM toks
+), sig AS (
+  SELECT doc_id, url_canon, snap,
+    list_transform(range(64), i ->
+      list_min(list_transform(s, g -> md5(i::VARCHAR || ':' || g))))
+      AS sg
+  FROM sh
+), latest AS (
+  SELECT url_canon, max(snap) AS l FROM sig GROUP BY 1
+), ref AS (
+  SELECT s.url_canon, min(s.doc_id) AS ref_id,
+    arg_min(s.sg, s.doc_id) AS ref_sig
+  FROM sig s JOIN latest USING (url_canon)
+  WHERE s.snap = l GROUP BY 1
+), scored AS (
+  SELECT s.doc_id, s.url_canon, s.snap,
+    s.doc_id = ref_id AS is_ref,
+    len(list_filter(range(64), i -> s.sg[i+1] = ref_sig[i+1]))
+      / 64.0 AS sim
+  FROM sig s JOIN ref USING (url_canon)
+)
+SELECT doc_id, url_canon, CAST(snap AS BIGINT) AS snapshot,
+  round(CASE WHEN is_ref THEN 1.0 ELSE sim END, 6) AS sim_to_latest,
+  (is_ref OR sim < 0.5) AS keep
+FROM scored
+""",
+    "boilerplate_lines": """
+-- Same planted lines, trimmed-line doc frequency, ordered reassembly.
+WITH base AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0
+         THEN chr(10) || 'subscribe to our newsletter' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+         THEN chr(10) || 'copyright 2024 example corp' ELSE '' END
+    || chr(10) || 'ref code ' || CAST(doc_id AS VARCHAR) AS t
+  FROM documents
+), lines AS (
+  SELECT doc_id,
+    generate_subscripts(string_split(t, chr(10)), 1) AS pos,
+    unnest(string_split(t, chr(10))) AS line
+  FROM base
+), freq AS (
+  SELECT trim(line) AS norm, count(DISTINCT doc_id) AS dfd
+  FROM lines WHERE trim(line) <> '' GROUP BY 1
+), kept AS (
+  SELECT doc_id, pos, line
+  FROM lines LEFT JOIN freq ON trim(line) = norm
+  WHERE trim(line) = '' OR coalesce(dfd, 0) <= 2
+), re AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS body
+  FROM kept GROUP BY 1
+)
+SELECT b.doc_id, coalesce(re.body, '') AS body
+FROM base b LEFT JOIN re USING (doc_id)
+""",
+})
