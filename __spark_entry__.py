@@ -17537,3 +17537,252 @@ SELECT b.doc_id, coalesce(re.body, '') AS body
 FROM base b LEFT JOIN re USING (doc_id)
 """,
 })
+
+
+def q_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedastic ANOVA across the five event types:
+    grid two-pass means/variances, exact weight expressions — the
+    equal-variance-free location gate paired with bartlett."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        welch_anova,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return welch_anova(ev, "value", "event_type")
+
+
+def q_chisq_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit of the event-type mix against the
+    uniform 1/5 plan: exact integer cells, exact expected products,
+    Wilson-Hilferty p on 4 dof."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        chisq_gof,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return chisq_gof(ev, "event_type")
+
+
+def q_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's W concordance of three per-user 'detectors' (exact
+    grid-ratio mean value, max raw value, event count) ranking the
+    user panel: per-rater midranks on the 0.5 grid, exact rank sums
+    and tie terms — do the three signals order users consistently?"""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        kendall_w,
+    )
+
+    ev = _ev(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    qv = F.floor(F.col("value").cast("double") * F.lit(1048576.0))
+    per = ev.groupBy("user_id").agg(
+        (
+            F.sum(qv).cast("double") / F.count("*") / F.lit(1048576.0)
+        ).alias("_m1"),
+        F.max(F.col("value").cast("double")).alias("_m2"),
+        F.count("*").cast("double").alias("_m3"),
+    )
+    long = per.select(
+        "user_id",
+        F.expr(
+            "stack(3, 'm1', _m1, 'm2', _m2, 'm3', _m3) AS (rater, v)"
+        ),
+    )
+    return kendall_w(long, "user_id", "rater", "v")
+
+
+def q_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L ordered-trend test over user blocks x three ordered
+    'treatments' (the event_id mod-3 slice means, ordered by
+    residue): within-block midranks from the bounded 3x3 self-join,
+    exact L and z, one-sided erf p."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        page_trend,
+    )
+
+    ev = _ev(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    qv = F.floor(F.col("value").cast("double") * F.lit(1048576.0))
+    per = ev.groupBy("user_id").agg(
+        *[
+            (
+                F.sum(F.when(F.col("event_id") % 3 == j, qv)).cast(
+                    "double"
+                )
+                / F.count(F.when(F.col("event_id") % 3 == j, 1))
+                / F.lit(1048576.0)
+            ).alias(f"_i{j}")
+            for j in range(3)
+        ]
+    )
+    long = per.select(
+        "user_id",
+        F.expr(
+            "stack(3, 1, _i0, 2, _i1, 3, _i2) AS (j, v)"
+        ),
+    ).filter(F.col("v").isNotNull())
+    return page_trend(long, "user_id", "j", "v")
+
+
+_R12_QUERIES.update({
+    "welch_anova": q_welch_anova,
+    "chisq_gof": q_chisq_gof,
+    "kendall_w": q_kendall_w,
+    "page_trend": q_page_trend,
+})
+
+_R12_ORACLES.update({
+    "welch_anova": """
+-- Same grid means/SS, same Welch weights and Satterthwaite df2.
+WITH src AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), gm AS (
+  SELECT g, count(*) AS ng,
+    floor(avg(v) * 1048576.0) / 1048576.0 AS mg
+  FROM src GROUP BY 1
+), ss AS (
+  SELECT g, min(ng) AS ng, min(mg) AS mg,
+    sum(CAST(floor((v - mg) * (v - mg) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS ss
+  FROM src JOIN gm USING (g) GROUP BY 1
+  HAVING min(ng) >= 2
+    AND sum(CAST(floor((v - mg) * (v - mg) * 1048576.0) AS BIGINT))
+      / 1048576.0 > 0
+), ww AS (
+  SELECT ng, mg,
+    CAST(ng AS DOUBLE) / (ss / (ng - 1.0)) AS w
+  FROM ss
+), tot AS (
+  SELECT count(*) AS k, sum(ng) AS n, sum(w) AS sw,
+    sum(w * mg) AS swm
+  FROM ww
+), agg AS (
+  SELECT k, n,
+    sum(w * (mg - swm / sw) * (mg - swm / sw)) AS num,
+    sum((1.0 - w / sw) * (1.0 - w / sw) / (ng - 1.0)) AS lam
+  FROM ww, tot GROUP BY 1, 2
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+  round((num / (CAST(k AS DOUBLE) - 1.0))
+    / (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2.0)
+        / (CAST(k AS DOUBLE) * k - 1.0) * lam), 6) AS f_stat,
+  CAST(k - 1 AS BIGINT) AS df1,
+  round((CAST(k AS DOUBLE) * k - 1.0) / (3.0 * lam), 6) AS df2
+FROM agg
+""",
+    "chisq_gof": """
+-- Same exact cells, uniform expectation, Wilson-Hilferty p.
+WITH cells AS (
+  SELECT event_type AS kx, count(*) AS c
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1
+), tot AS (
+  SELECT sum(c) AS n, count(*) AS lv FROM cells
+), cc AS (
+  SELECT lv AS k, n,
+    sum((c - CAST(n AS DOUBLE) / lv) * (c - CAST(n AS DOUBLE) / lv)
+      / (CAST(n AS DOUBLE) / lv)) AS chi2v,
+    CAST(lv - 1 AS DOUBLE) AS dofv
+  FROM cells, tot GROUP BY 1, 2
+),
+""" + _WH_TAIL[_WH_TAIL.index("zc"):] + """
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+  round(chi2v, 6) AS chi2, round(pchi, 6) AS p_value
+FROM pv
+""",
+    "kendall_w": """
+-- Same three detector metrics, per-rater midranks, exact S and ties.
+WITH srcv AS (
+  SELECT user_id, event_id,
+    CAST(floor(CAST(value AS DOUBLE) * 1048576.0) AS BIGINT) AS qv,
+    CAST(value AS DOUBLE) AS v
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+), per AS (
+  SELECT user_id,
+    sum(qv) * 1.0 / count(*) / 1048576.0 AS m1,
+    max(v) AS m2, CAST(count(*) AS DOUBLE) AS m3
+  FROM srcv GROUP BY 1
+), lng AS (
+  SELECT user_id, 'm1' AS r, m1 AS v FROM per
+  UNION ALL SELECT user_id, 'm2', m2 FROM per
+  UNION ALL SELECT user_id, 'm3', m3 FROM per
+), pv0 AS (
+  SELECT r, v, count(*) AS t FROM lng GROUP BY 1, 2
+), rk AS (
+  SELECT r, v, t,
+    coalesce(sum(t) OVER (PARTITION BY r ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+  FROM pv0
+), ranked AS (
+  SELECT l.user_id, bef + (t + 1.0) / 2.0 AS rkv
+  FROM lng l JOIN rk USING (r, v)
+), rsum AS (
+  SELECT user_id, sum(rkv) AS ri FROM ranked GROUP BY 1
+), ties AS (
+  SELECT sum(CAST(t AS DOUBLE) * t * t - t) AS tt FROM rk
+), nn AS (
+  SELECT count(*) AS n, sum(ri) AS rt FROM rsum
+), s AS (
+  SELECT min(n) AS n,
+    sum((ri - rt / n) * (ri - rt / n)) AS sst
+  FROM rsum, nn
+)
+SELECT CAST(n AS BIGINT) AS n_subjects, CAST(3 AS BIGINT) AS m_raters,
+  round(sst, 6) AS s_stat,
+  round(CASE WHEN 9.0 * (CAST(n AS DOUBLE) * n * n - n) - 3.0 * tt > 0
+    THEN 12.0 * sst
+      / (9.0 * (CAST(n AS DOUBLE) * n * n - n) - 3.0 * tt) END, 6) AS w
+FROM s, ties
+""",
+    "page_trend": """
+-- Same mod-3 slice means, bounded within-block midranks, exact L/z.
+WITH srcv AS (
+  SELECT user_id, event_id,
+    CAST(floor(CAST(value AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+), per AS (
+  SELECT user_id,
+    sum(CASE WHEN event_id % 3 = 0 THEN qv END) * 1.0
+      / count(*) FILTER (event_id % 3 = 0) / 1048576.0 AS i0,
+    sum(CASE WHEN event_id % 3 = 1 THEN qv END) * 1.0
+      / count(*) FILTER (event_id % 3 = 1) / 1048576.0 AS i1,
+    sum(CASE WHEN event_id % 3 = 2 THEN qv END) * 1.0
+      / count(*) FILTER (event_id % 3 = 2) / 1048576.0 AS i2
+  FROM srcv GROUP BY 1
+), lng AS (
+  SELECT user_id, 1 AS j, i0 AS v FROM per WHERE i0 IS NOT NULL
+  UNION ALL SELECT user_id, 2, i1 FROM per WHERE i1 IS NOT NULL
+  UNION ALL SELECT user_id, 3, i2 FROM per WHERE i2 IS NOT NULL
+), cmpl AS (
+  SELECT user_id FROM lng GROUP BY 1 HAVING count(*) = 3
+), src2 AS (
+  SELECT l.user_id, j, v FROM lng l JOIN cmpl USING (user_id)
+), rk AS (
+  SELECT a.user_id, a.j,
+    1.0 + sum(CASE WHEN b.v < a.v THEN 1 ELSE 0 END)
+      + (sum(CASE WHEN b.v = a.v THEN 1 ELSE 0 END) - 1.0) / 2.0
+      AS rkv
+  FROM src2 a JOIN src2 b USING (user_id) GROUP BY 1, 2
+), rj AS (
+  SELECT j, sum(rkv) AS rj FROM rk GROUP BY 1
+), blocks AS (SELECT count(*) AS m FROM cmpl),
+lstat AS (
+  SELECT sum(CAST(j AS DOUBLE) * rj) AS l, min(m) AS m
+  FROM rj, blocks
+), zz AS (
+  SELECT l, m,
+    CASE WHEN sqrt(CAST(m AS DOUBLE) * 9.0 * 16.0 * 2.0 / 144.0) > 0
+      THEN (l - CAST(m AS DOUBLE) * 12.0)
+        / sqrt(CAST(m AS DOUBLE) * 9.0 * 16.0 * 2.0 / 144.0)
+    END AS zv
+  FROM lstat
+),
+""" + _SF_TAIL[_SF_TAIL.index("et"):] + """
+SELECT CAST(m AS BIGINT) AS n_blocks, CAST(3 AS BIGINT) AS k,
+  round(l, 6) AS l_stat, round(zv, 6) AS z,
+  round(CASE WHEN zv >= 0 THEN sf ELSE 1.0 - sf END, 6) AS p_value
+FROM pv
+""",
+})

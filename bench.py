@@ -163,6 +163,18 @@ HEADLINE = [
     "hits",
     "logreg_quality",
     "semdedup",
+    # round-11 additions: cross-snapshot URL dedup (per-doc md5
+    # minhash + one broadcast ref-signature join), the interval-
+    # counting MATTR (per-(doc, token) lag window — the heaviest text
+    # window shape this round), first-occurrence n-gram novelty (one
+    # gram explode + min-id join), Kruskal-Wallis on the full value
+    # stream (distinct-value midrank window), and the R/S Hurst
+    # exponent (4-scale explode + per-block prefix windows)
+    "url_snapshot_dedup",
+    "mattr",
+    "ngram_novelty",
+    "kruskal_wallis",
+    "hurst",
 ]
 
 # ANN is measured on a deterministic query slice (vec_id < ANN_QUERIES)

@@ -3917,3 +3917,272 @@ def fleiss_kappa(
         F.round("_pe", 6).alias("p_e"),
         F.round(kappa, 6).alias("kappa"),
     )
+
+
+def welch_anova(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA → single row (k, n,
+    f_stat, df1, df2): the k-arm location test that does NOT assume
+    equal variances — the correct default when bartlett_var rejects
+    (classical ANOVA's F is anti-conservative under variance
+    imbalance). F* = Σw_g(m_g − m̃)²/(k−1) / (1 + 2(k−2)/(k²−1)·Λ)
+    with w_g = n_g/s_g², m̃ = Σw_g m_g/Σw_g,
+    Λ = Σ(1 − w_g/W)²/(n_g−1); df2 = (k²−1)/(3Λ).
+
+    Group means/variances from the two-pass 2^-20 grid (exact
+    ratios); weights and every downstream scalar are exact
+    expressions of them, so F*/df2 are engine-identical before the
+    6dp round. Groups need n_g ≥ 2 and s_g² > 0 (reported k counts
+    what the statistic used). No p-value column: F(df1, df2) has no
+    replayable closed tail; judge the statistic against the critical
+    value for (df1, df2)."""
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull() & F.col("_g").isNotNull())
+    gm = src.groupBy("_g").agg(
+        F.count("*").alias("_ng"),
+        (F.floor(F.avg("_v") * _Q) / _Q).alias("_mg"),
+    )
+    dev = src.join(F.broadcast(gm), "_g")
+    d_w = F.col("_v") - F.col("_mg")
+    ss = (
+        dev.groupBy("_g", "_ng", "_mg")
+        .agg((F.sum(F.floor(d_w * d_w * _Q)) / _Q).alias("_ss"))
+        .filter((F.col("_ng") >= 2) & (F.col("_ss") > 0))
+    )
+    w = F.col("_ng").cast("double") / (
+        F.col("_ss") / (F.col("_ng") - 1.0)
+    )
+    ww = ss.select(
+        "_ng", "_mg", w.alias("_w")
+    )
+    tot = ww.agg(
+        F.count("*").alias("_k"),
+        F.sum("_ng").alias("_n"),
+        F.sum("_w").alias("_sw"),
+        F.sum(F.col("_w") * F.col("_mg")).alias("_swm"),
+    )
+    j = ww.crossJoin(F.broadcast(tot))
+    mt = F.col("_swm") / F.col("_sw")
+    kk = F.col("_k").cast("double")
+    num_t = F.col("_w") * (F.col("_mg") - mt) * (F.col("_mg") - mt)
+    lam_t = (
+        (1.0 - F.col("_w") / F.col("_sw"))
+        * (1.0 - F.col("_w") / F.col("_sw"))
+        / (F.col("_ng") - 1.0)
+    )
+    agg = j.groupBy("_k", "_n").agg(
+        F.sum(num_t).alias("_num"),
+        F.sum(lam_t).alias("_lam"),
+    )
+    kk = F.col("_k").cast("double")
+    f = (F.col("_num") / (kk - 1.0)) / (
+        1.0 + 2.0 * (kk - 2.0) / (kk * kk - 1.0) * F.col("_lam")
+    )
+    df2 = (kk * kk - 1.0) / (3.0 * F.col("_lam"))
+    return agg.select(
+        F.col("_k").cast("long").alias("k"),
+        F.col("_n").cast("long").alias("n"),
+        F.round(f, 6).alias("f_stat"),
+        (F.col("_k") - 1).cast("long").alias("df1"),
+        F.round(df2, 6).alias("df2"),
+    )
+
+
+def chisq_gof(
+    df: DataFrame, key_col: str, probs: "dict[str, float] | None" = None
+) -> DataFrame:
+    """Chi-square goodness-of-fit of category counts against expected
+    shares → single row (k, n, chi2, p_value): uniform expectation by
+    default, or caller-supplied ``probs`` (must cover every observed
+    level; missing keys fail loud via a null-expected check). The
+    one-sample companion to chi2_independence — "is this traffic mix
+    / source distribution what we planned", the drift gate on
+    categorical pipeline health.
+
+    ONE conditional-aggregate pass; observed counts exact integers,
+    expected = n·p exact products, chi2 an exact ratio sum over the
+    bounded level table; Wilson–Hilferty p on k−1 dof."""
+    src = df.select(F.col(key_col).alias("_k")).filter(
+        F.col("_k").isNotNull()
+    )
+    cells = src.groupBy("_k").agg(F.count("*").alias("_c"))
+    tot = cells.agg(
+        F.sum("_c").alias("_n"), F.count("*").alias("_lv")
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    if probs is None:
+        exp = F.col("_n").cast("double") / F.col("_lv")
+    else:
+        p = F.lit(None).cast("double")
+        for lvl, pr in sorted(probs.items()):
+            p = F.when(F.col("_k") == lvl, F.lit(float(pr))).otherwise(p)
+        exp = F.col("_n").cast("double") * p
+    j = j.withColumn("_e", exp)
+    bad = F.sum(F.when(F.col("_e").isNull(), 1).otherwise(0))
+    term = (
+        (F.col("_c") - F.col("_e"))
+        * (F.col("_c") - F.col("_e"))
+        / F.col("_e")
+    )
+    agg = j.groupBy("_n", "_lv").agg(
+        F.sum(term).alias("_chi2"), bad.alias("_bad")
+    )
+    chi2 = F.when(F.col("_bad") == 0, F.col("_chi2"))
+    return agg.select(
+        F.col("_lv").cast("long").alias("k"),
+        F.col("_n").cast("long").alias("n"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            chi2_p_value(chi2, F.col("_lv") - 1), 6
+        ).alias("p_value"),
+    )
+
+
+def kendall_w(
+    df: DataFrame, subject_col: str, rater_col: str, value_col: str
+) -> DataFrame:
+    """Kendall's W coefficient of concordance → single row
+    (n_subjects, m_raters, s_stat, w): do m raters/detectors RANK the
+    n subjects the same way? The many-rater generalization of
+    rank correlation (W=1 perfect agreement, ~0 none) and the
+    ordinal counterpart of fleiss_kappa (which only sees categories).
+    W = 12S / (m²(n³−n) − m·ΣT) with the standard tie correction
+    T = Σ(t³−t) per rater.
+
+    Complete panels only (subjects rated by every rater — the
+    friedman_test discipline). Midranks per rater from per-rater
+    DISTINCT-value prefix windows (0.5 grid, bounded by the value
+    domain); rank sums, S (squared deviations of 0.5-grid sums) and
+    the tie term are all exact — no grid, engine-identical."""
+    src = df.select(
+        F.col(subject_col).alias("_s"),
+        F.col(rater_col).alias("_r"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(
+        F.col("_s").isNotNull()
+        & F.col("_r").isNotNull()
+        & F.col("_v").isNotNull()
+    )
+    m = src.select("_r").distinct().count()
+    per_subj = src.groupBy("_s").agg(F.count("*").alias("_nr"))
+    complete = per_subj.filter(F.col("_nr") == m).select("_s")
+    src = src.join(F.broadcast(complete), "_s")
+    pv = src.groupBy("_r", "_v").agg(F.count("*").alias("_t"))
+    w = (
+        Window.partitionBy("_r")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pv = pv.withColumn(
+        "_bef", F.coalesce(F.sum("_t").over(w), F.lit(0))
+    )
+    midrank = F.col("_bef") + (F.col("_t") + 1.0) / 2.0
+    ranked = src.join(pv, ["_r", "_v"]).select(
+        "_s", midrank.alias("_rk")
+    )
+    rsum = ranked.groupBy("_s").agg(F.sum("_rk").alias("_ri"))
+    ties = pv.agg(
+        F.sum(
+            F.col("_t").cast("double") * F.col("_t") * F.col("_t")
+            - F.col("_t")
+        ).alias("_tt")
+    )
+    nn = rsum.agg(F.count("*").alias("_n"), F.sum("_ri").alias("_rt"))
+    j = rsum.crossJoin(F.broadcast(nn))
+    mean_r = F.col("_rt") / F.col("_n")
+    s = j.agg(
+        F.min("_n").alias("_n"),
+        F.sum(
+            (F.col("_ri") - mean_r) * (F.col("_ri") - mean_r)
+        ).alias("_sst"),
+    ).crossJoin(F.broadcast(ties))
+    n_d = F.col("_n").cast("double")
+    mm = float(m)
+    den = (
+        F.lit(mm * mm) * (n_d * n_d * n_d - n_d)
+        - F.lit(mm) * F.col("_tt")
+    )
+    wstat = F.when(den > 0, 12.0 * F.col("_sst") / den)
+    return s.select(
+        F.col("_n").cast("long").alias("n_subjects"),
+        F.lit(m).cast("long").alias("m_raters"),
+        F.round("_sst", 6).alias("s_stat"),
+        F.round(wstat, 6).alias("w"),
+    )
+
+
+def page_trend(
+    df: DataFrame,
+    subject_col: str,
+    treatment_order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Page's L trend test → single row (n_blocks, k, l_stat, z,
+    p_value): is there a MONOTONE trend across k ordered treatments,
+    judged from within-block ranks? Strictly sharper than Friedman
+    when the alternative is ordered (dose, time, stage) — Friedman
+    asks "any difference", Page asks "this specific ordering".
+    L = Σ_j j·R_j; z = (L − m·k(k+1)²/4) / √(m·k²(k+1)²(k−1)/144)
+    (upper-tail normal approximation, ties broken as midranks).
+
+    Complete blocks only; within-block midranks over the ≤k-row
+    block (0.5 grid — exact), treatment order is the caller's
+    integer column (1-based). All sums exact integers/0.5-grid;
+    one-sided p via the shared A&S erf tail."""
+    src = df.select(
+        F.col(subject_col).alias("_s"),
+        F.col(treatment_order_col).cast("int").alias("_j"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(
+        F.col("_s").isNotNull()
+        & F.col("_j").isNotNull()
+        & F.col("_v").isNotNull()
+    )
+    k = src.select("_j").distinct().count()
+    per = src.groupBy("_s").agg(F.count("*").alias("_nb"))
+    complete = per.filter(F.col("_nb") == k).select("_s")
+    src = src.join(F.broadcast(complete), "_s")
+    # midrank within the block: 1 + #smaller + (#equal − 1)/2 via a
+    # bounded k×k within-block self-join (k is tiny and fixed)
+    other = src.select(
+        F.col("_s").alias("_s2"), F.col("_v").alias("_v2")
+    )
+    joined = src.join(other, F.col("_s") == F.col("_s2"))
+    rk = joined.groupBy("_s", "_j").agg(
+        (
+            F.lit(1.0)
+            + F.sum(F.when(F.col("_v2") < F.col("_v"), 1).otherwise(0))
+            + (
+                F.sum(F.when(F.col("_v2") == F.col("_v"), 1).otherwise(0))
+                - 1.0
+            )
+            / 2.0
+        ).alias("_rk")
+    )
+    rj = rk.groupBy("_j").agg(F.sum("_rk").alias("_rj"))
+    blocks = complete.agg(F.count("*").alias("_m"))
+    l = rj.agg(
+        F.sum(F.col("_j").cast("double") * F.col("_rj")).alias("_l")
+    ).crossJoin(F.broadcast(blocks))
+    m_d = F.col("_m").cast("double")
+    kf = float(k)
+    mean_l = m_d * F.lit(kf * (kf + 1.0) ** 2 / 4.0)
+    sd_l = F.sqrt(
+        m_d * F.lit(kf * kf * (kf + 1.0) ** 2 * (kf - 1.0) / 144.0)
+    )
+    z = F.when(sd_l > 0, (F.col("_l") - mean_l) / sd_l)
+    # the A&S erf polynomial is only valid for x >= 0: reflect for
+    # negative z instead of feeding the polynomial out-of-domain
+    p = F.when(z >= 0, normal_sf(z)).otherwise(
+        F.lit(1.0) - normal_sf(-z)
+    )
+    return l.select(
+        F.col("_m").cast("long").alias("n_blocks"),
+        F.lit(k).cast("long").alias("k"),
+        F.round("_l", 6).alias("l_stat"),
+        F.round(z, 6).alias("z"),
+        F.round(p, 6).alias("p_value"),
+    )

@@ -475,3 +475,32 @@ def test_r10_additions_plan_gates(spark, qmap):
         assert "BatchEvalPython" not in plan, name
         if name not in single_part_ok:
             assert "SinglePartition" not in plan, name
+
+
+def test_r11_additions_plan_gates(spark, qmap):
+    """Same scale gates for the 30 round-11 entries: no cartesian
+    product, no row-at-a-time Python. SinglePartition exchanges are
+    allowed only for single-row scalar statistics (global aggregates
+    of bounded stubs) and the bounded DISTINCT-value prefix windows
+    of the midrank exemption (cliffs_delta, kruskal_wallis,
+    trimmed_stats, pr_auc, lift_table, mood_median) — per-group and
+    per-doc outputs must stay fully partitioned."""
+    scalar_or_midrank = {
+        "cohens_d", "cliffs_delta", "mood_median", "bartlett",
+        "kruskal_wallis", "jarque_bera", "poisson_rate", "sign_test",
+        "grubbs", "trimmed_stats", "odds_ratio", "cronbach",
+        "neyman_alloc", "hhi", "mrr", "map_at_k", "pr_auc",
+        "lift_table", "assortativity", "fleiss_kappa",
+        "welch_anova", "chisq_gof", "kendall_w", "page_trend",
+    }
+    partitioned = [
+        "durbin_watson", "ljung_box", "hurst", "silhouette",
+        "edge_jaccard", "mattr", "ngram_novelty", "bigram_entropy",
+        "url_snapshot_dedup", "boilerplate_lines",
+    ]
+    for name in sorted(scalar_or_midrank) + partitioned:
+        plan = _plan(qmap[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        if name in partitioned:
+            assert "SinglePartition" not in plan, name

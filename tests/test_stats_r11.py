@@ -292,3 +292,113 @@ def test_fleiss_kappa_worked_example(spark):
     assert abs(out["p_bar"] - pbar) < 1e-6
     assert abs(out["p_e"] - pe) < 1e-6
     assert abs(out["kappa"] - (pbar - pe) / (1 - pe)) < 1e-5
+
+
+def test_welch_anova_reference(spark):
+    """Against the hand-computed Welch F* for three small unequal-
+    variance samples (scipy.stats reference design): groups with a
+    real location shift score F >> 1; identical groups score ~0."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        welch_anova,
+    )
+
+    rows = (
+        [("a", float(v)) for v in (1, 2, 3, 4, 5)]
+        + [("b", float(v)) for v in (1.1, 2.1, 3.1, 4.1, 5.1)]
+        + [("c", float(v)) for v in (20, 22, 24, 26, 28)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = welch_anova(df, "v", "g").first()
+    assert r["k"] == 3 and r["n"] == 15 and r["df1"] == 2
+    assert r["f_stat"] > 50          # c is far away
+    assert 5.0 < r["df2"] < 12.0
+    same = spark.createDataFrame(
+        [("a", float(v)) for v in range(10)]
+        + [("b", float(v)) for v in range(10)],
+        "g string, v double",
+    )
+    r2 = welch_anova(same, "v", "g").first()
+    assert abs(r2["f_stat"]) < 1e-9
+
+
+def test_chisq_gof_uniform_and_custom(spark):
+    """Uniform default: perfectly even counts give chi2 = 0; a skewed
+    split is detected. Custom probs matching the skew give ~0."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        chisq_gof,
+    )
+
+    even = spark.createDataFrame(
+        [(c,) for c in "abcd" * 25], "k string"
+    )
+    r = chisq_gof(even, "k").first()
+    # Wilson-Hilferty at chi2=0 approaches 1 from below (~0.9997)
+    assert r["chi2"] == 0.0 and r["p_value"] > 0.99
+    skew = spark.createDataFrame(
+        [("a",)] * 60 + [("b",)] * 40, "k string"
+    )
+    r2 = chisq_gof(skew, "k").first()
+    assert r2["chi2"] == 4.0  # (60-50)^2/50 + (40-50)^2/50
+    r3 = chisq_gof(skew, "k", probs={"a": 0.6, "b": 0.4}).first()
+    assert r3["chi2"] == 0.0
+
+
+def test_chisq_gof_missing_prob_is_null(spark):
+    """A level absent from probs must yield NULL chi2, not a silent
+    partial statistic."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        chisq_gof,
+    )
+
+    df = spark.createDataFrame([("a",), ("b",)], "k string")
+    r = chisq_gof(df, "k", probs={"a": 1.0}).first()
+    assert r["chi2"] is None
+
+
+def test_kendall_w_perfect_and_reversed(spark):
+    """Three raters ranking four subjects identically -> W = 1;
+    a rater panel split between a ranking and its exact reverse
+    scores low."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        kendall_w,
+    )
+
+    perfect = [
+        (s, r, float(s)) for s in range(1, 5) for r in ("r1", "r2", "r3")
+    ]
+    df = spark.createDataFrame(perfect, "s int, r string, v double")
+    out = kendall_w(df, "s", "r", "v").first()
+    assert out["n_subjects"] == 4 and out["m_raters"] == 3
+    assert out["w"] == 1.0
+    mixed = [(s, "r1", float(s)) for s in range(1, 5)] + [
+        (s, "r2", float(5 - s)) for s in range(1, 5)
+    ]
+    df2 = spark.createDataFrame(mixed, "s int, r string, v double")
+    assert kendall_w(df2, "s", "r", "v").first()["w"] == 0.0
+
+
+def test_page_trend_monotone_blocks(spark):
+    """Every block ranks treatments 1<2<3 -> L at its maximum
+    m*sum(j*j) and a strongly positive z; shuffled blocks -> z ~ 0."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        page_trend,
+    )
+
+    mono = [
+        (b, j, float(j) + 0.01 * b)
+        for b in range(1, 11)
+        for j in (1, 2, 3)
+    ]
+    df = spark.createDataFrame(mono, "s int, j int, v double")
+    r = page_trend(df, "s", "j", "v").first()
+    assert r["n_blocks"] == 10 and r["k"] == 3
+    assert r["l_stat"] == 10 * (1 * 1 + 2 * 2 + 3 * 3)
+    assert r["z"] > 3.0 and r["p_value"] < 0.01
+    anti = [
+        (b, j, float(4 - j)) for b in range(1, 11) for j in (1, 2, 3)
+    ]
+    r2 = page_trend(
+        spark.createDataFrame(anti, "s int, j int, v double"),
+        "s", "j", "v",
+    ).first()
+    assert r2["z"] < -3.0
