@@ -6700,11 +6700,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- All pass scripts/check_oracle.py --pandas-canon at sf0.01.
         **_R8_LEFTOVER_QUERIES,
         **_R10_QUERIES,
-        # -- r12 window queue (positions 50-65): the 16 r10 additions
-        # -- (wilcoxon_signed..ipw) — VERDICT r10 item 2.
+        # -- r12 window queue (positions 50-99, exactly 50): the 16 r10
+        # -- additions (wilcoxon_signed..ipw, VERDICT r10 item 2) + the
+        # -- 34 r11 additions (cohens_d..page_trend). ROTATE THESE to
+        # -- positions 0-49 at the START of round 12 (drop the two dicts
+        # -- above into backfill) — the driver checks the FIRST 50 only.
         **_R11_QUERIES,
-        # -- r11 additions (positions 66+, capped ≤34 so 16+34=50 fills
-        # -- the r12 window exactly) ----------------------------------------
         **_R12_QUERIES,
         # -- green-on-record backfill: theil_sen..abc_analysis (driver
         # -- rows in BOTH CORRECTNESS_r09 and _r10, 50/50 green) ------------
