@@ -1410,11 +1410,22 @@ def url_snapshot_dedup(
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     sh = shingle_strings(F.col(text_col), 3)
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        canonical_url(F.col(url_col)).alias("url_canon"),
-        F.col(snap_col).cast("long").alias("snapshot"),
-        minhash_signature_md5(sh, num_hashes).alias("_sig"),
+    # the signature pass is the dominant cost: spread a
+    # few-partition source (one small parquet file at fixture scale)
+    # across the cluster before computing it
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    # persisted: the signature table feeds BOTH the latest-capture
+    # reference aggregate and the scoring join — without it Spark
+    # re-runs the full md5 pipeline per consumer (measured ~2× wall)
+    base = _persisted(
+        df.select(
+            F.col(id_col).alias("_id"),
+            canonical_url(F.col(url_col)).alias("url_canon"),
+            F.col(snap_col).cast("long").alias("snapshot"),
+            minhash_signature_md5(sh, num_hashes).alias("_sig"),
+        )
     )
     latest = base.groupBy("url_canon").agg(
         F.max("snapshot").alias("_latest")
@@ -1445,7 +1456,7 @@ def url_snapshot_dedup(
     sim = eq.cast("double") / F.lit(float(num_hashes))
     is_ref = F.col("_id") == F.col("_ref_id")
     keep = is_ref | (sim < threshold)
-    return joined.select(
+    out = joined.select(
         F.col("_id").alias(id_col),
         "url_canon",
         "snapshot",
@@ -1454,3 +1465,4 @@ def url_snapshot_dedup(
         ),
         keep.alias("keep"),
     )
+    return _finalize(out, base)
