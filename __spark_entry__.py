@@ -15313,7 +15313,19 @@ def q_ece_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _ev(spark, sf_dir)
-    s = (F.col("event_id") % 997).cast("double") / F.lit(1000.0)
+    # score on the BINARY 2^-20 grid: a /1000 decimal grid makes
+    # per-bin score sums land exactly on 6-decimal round boundaries
+    # (mean of thousandths over ~10^3 rows IS a 6dp number), where
+    # partition-order last-ulp noise decides the round — the binary
+    # grid sums exactly in any order
+    s = (
+        F.floor(
+            (F.col("event_id") % 997).cast("double")
+            * F.lit(1048576.0)
+            / F.lit(1000.0)
+        )
+        / F.lit(1048576.0)
+    )
     u = (
         F.conv(
             F.substring(
@@ -15418,10 +15430,13 @@ _ECE_SQL = """
 -- Same grid score, same md5-uniform outcome, same bin = min(floor
 -- (score*10), 9) and exact per-bin ratios.
 WITH src AS (
-  SELECT CAST(event_id % 997 AS DOUBLE) / 1000.0 AS s,
+  SELECT floor(CAST(event_id % 997 AS DOUBLE) * 1048576.0 / 1000.0)
+      / 1048576.0 AS s,
     CASE WHEN CAST(CAST(('0x' || substr(md5('cal:' ||
         CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
-      / 4294967296.0 < CAST(event_id % 997 AS DOUBLE) / 1000.0
+      / 4294967296.0
+      < floor(CAST(event_id % 997 AS DOUBLE) * 1048576.0 / 1000.0)
+        / 1048576.0
       THEN 1.0 ELSE 0.0 END AS y
   FROM events
 ), binned AS (

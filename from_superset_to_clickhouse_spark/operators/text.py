@@ -2040,7 +2040,13 @@ def winnow_fingerprints(
 
     Plan shape: one generator explode (≤ |chars| rows/doc), ONE
     doc-partitioned window pass (never global), then a distinct — all
-    codegen, no UDF."""
+    codegen, no UDF. The explode+window stage dominates, so a
+    few-partition source (one small parquet file) is spread across
+    the cluster first — every downstream window is doc-partitioned,
+    so the repartition is the only shuffle added."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
     base = df.select(
         F.col(id_col).alias("doc_id"), norm.alias("_s")
@@ -2326,8 +2332,10 @@ def bigram_conditional_entropy(
     has near-zero H(w2|w1) even with a rich vocabulary).
 
     H = Σ (c12/N) · log2(c1/c12) over bigram counts c12 and left-
-    unigram counts c1 — every ratio exact (integer counts), log2 of
-    identical doubles identical, and each term floor-quantized to the
+    unigram counts c1 — every ratio exact (integer counts); log2 is
+    spelled ln(x)/ln(2) because ln is the one log the JVM and other
+    engines compute bit-identically (native log2 implementations can
+    differ in the last ulp), and each term floor-quantizes to the
     2^-20 grid before the sum so accumulation order cannot move the
     result. Two keyed aggregates + one join; bigrams never leave
     their group's partition."""
@@ -2360,7 +2368,10 @@ def bigram_conditional_entropy(
     term = F.floor(
         F.col("_c12").cast("double")
         / F.col("_n")
-        * F.log2(F.col("_c1").cast("double") / F.col("_c12"))
+        * (
+            F.log(F.col("_c1").cast("double") / F.col("_c12"))
+            / F.log(F.lit(2.0))
+        )
         * q
     )
     agg = j.groupBy("grp", "_n", "_d").agg(

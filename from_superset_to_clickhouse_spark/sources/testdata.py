@@ -67,6 +67,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for f in df.schema.fields:
         if isinstance(f.dataType, TimestampNTZType):
             df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    # The fixtures are single small parquet files (often one row group),
+    # so Spark reads them as ONE partition and every compute-heavy first
+    # stage (codec decode, minhash, char-gram windows) runs serially —
+    # an artifact real deployments don't have (a 100 TB scan is parallel
+    # by construction). Spread to the cluster parallelism; filters still
+    # push through the Repartition node (PushPredicateThroughNonJoin),
+    # and every registered query design is row-order-free.
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     return df
 
 
