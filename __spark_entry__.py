@@ -17802,3 +17802,350 @@ SELECT CAST(m AS BIGINT) AS n_blocks, CAST(3 AS BIGINT) AS k,
 FROM pv
 """,
 })
+
+
+def q_energy_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy distance between the purchase and view value samples:
+    all three pairwise |difference| expectations from ONE prefix
+    window over distinct 2^-20-grid values — exact integer sums,
+    never a pair join."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        energy_distance,
+    )
+
+    ev = _ev(spark, sf_dir).filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "view")
+    )
+    side = F.when(F.col("event_type") == "purchase", "a").otherwise("b")
+    return energy_distance(ev, "value", side)
+
+
+def q_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-Kramer HSD pairwise q statistics across the five event
+    types (10 ordered pairs): grid means, grid-re-quantized pooled
+    MSE, pair table built from per-group means only."""
+    from from_superset_to_clickhouse_spark.operators.stats import tukey_hsd
+
+    ev = _ev(spark, sf_dir)
+    return tukey_hsd(ev, "value", "event_type")
+
+
+def q_ransac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic RANSAC line fit of the purchase daily-mean series
+    with planted structural outliers (+400 on days divisible by 7):
+    md5-picked 2-point hypotheses, exact-ratio slopes, inlier band
+    tol=3 — the robust fit must ignore the planted days."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        ransac_line,
+    )
+
+    ev = _ev(spark, sf_dir).filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    qv = F.floor(F.col("value").cast("double") * F.lit(1048576.0))
+    daily = ev.groupBy(F.dayofmonth("ts").alias("d")).agg(
+        (
+            F.sum(qv).cast("double") / F.count("*") / F.lit(1048576.0)
+        ).alias("m")
+    )
+    pts = daily.select(
+        F.col("d").cast("double").alias("x"),
+        (
+            F.col("m")
+            + F.when(F.col("d") % 7 == 0, 400.0).otherwise(0.0)
+        ).alias("y"),
+    )
+    return ransac_line(pts, "x", "y", n_hypotheses=16, tol=3.0)
+
+
+def q_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score + Murphy decomposition of the planted calibrated
+    scorer (the ece_bins design: binary-grid score, md5-uniform
+    outcome): BS = REL - RES + UNC from exact per-bin ratios."""
+    from from_superset_to_clickhouse_spark.operators.mleval import (
+        brier_decomposition,
+    )
+
+    ev = _ev(spark, sf_dir)
+    s = (
+        F.floor(
+            (F.col("event_id") % 997).cast("double")
+            * F.lit(1048576.0)
+            / F.lit(1000.0)
+        )
+        / F.lit(1048576.0)
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("cal"), F.col("event_id"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    src = ev.select(s.alias("score"), (u < s).cast("int").alias("y"))
+    return brier_decomposition(src, "score", "y", bins=10)
+
+
+def q_token_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-multiset F1 between paired docs (2k vs 2k+1) — the
+    SQuAD-style overlap metric over word-token multisets; exact
+    integer overlap counts and ratios."""
+    from from_superset_to_clickhouse_spark.operators.mleval import token_f1
+    from from_superset_to_clickhouse_spark.operators.text import (
+        word_tokens,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", word_tokens(F.col("text")).alias("t")
+    )
+    ev_side = d.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") / 2).cast("long").alias("pair"),
+        F.col("t").alias("xs"),
+    )
+    od_side = d.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") / 2).cast("long").alias("pair"),
+        F.col("t").alias("ys"),
+    )
+    pairs = ev_side.join(od_side, "pair")
+    return token_f1(pairs, "pair", "xs", "ys")
+
+
+def q_entity_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surface-entity density (capitalized / numeric / URL whitespace
+    tokens) per fixture document: exact integer counts over the raw
+    token stream, prefix-class tests only (no word-boundary regex)."""
+    from from_superset_to_clickhouse_spark.operators.text import (
+        entity_density,
+    )
+
+    return entity_density(_docs(spark, sf_dir), "text", "doc_id")
+
+
+_R12_QUERIES.update({
+    "energy_dist": q_energy_dist,
+    "tukey": q_tukey,
+    "ransac": q_ransac,
+    "brier": q_brier,
+    "token_f1": q_token_f1,
+    "entity_density": q_entity_density,
+})
+
+_R12_ORACLES.update({
+    "energy_dist": """
+-- Same grid quantization, same prefix-window pairwise-|diff| sums.
+WITH src AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 'a' ELSE 'b' END AS g,
+    CAST(floor(CAST(value AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+), pv0 AS (
+  SELECT qv, count(*) FILTER (g = 'a') AS ca,
+    count(*) FILTER (g = 'b') AS cb
+  FROM src GROUP BY 1
+), pw AS (
+  SELECT qv, ca, cb,
+    coalesce(sum(ca) OVER w, 0) AS ca_lt,
+    coalesce(sum(cb) OVER w, 0) AS cb_lt,
+    coalesce(sum(ca * qv) OVER w, 0) AS sa_lt,
+    coalesce(sum(cb * qv) OVER w, 0) AS sb_lt
+  FROM pv0
+  WINDOW w AS (ORDER BY qv ROWS BETWEEN UNBOUNDED PRECEDING
+    AND 1 PRECEDING)
+), tot AS (
+  SELECT sum(ca) AS na, sum(cb) AS nb,
+    sum(ca * qv) AS sa, sum(cb * qv) AS sb
+  FROM pv0
+), agg AS (
+  SELECT min(na) AS na, min(nb) AS nb,
+    sum(ca * ((qv * cb_lt - sb_lt) + ((sb - sb_lt) - qv * (nb - cb_lt))))
+      AS dxy,
+    sum(ca * ((qv * ca_lt - sa_lt) + ((sa - sa_lt) - qv * (na - ca_lt))))
+      AS dxx,
+    sum(cb * ((qv * cb_lt - sb_lt) + ((sb - sb_lt) - qv * (nb - cb_lt))))
+      AS dyy
+  FROM pw, tot
+), fin AS (
+  SELECT na, nb,
+    CAST(dxy AS DOUBLE) / (CAST(na AS DOUBLE) * nb) / 1048576.0 AS exy,
+    CAST(dxx AS DOUBLE) / (CAST(na AS DOUBLE) * na) / 1048576.0 AS exx,
+    CAST(dyy AS DOUBLE) / (CAST(nb AS DOUBLE) * nb) / 1048576.0 AS eyy
+  FROM agg
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  round(exy, 6) AS e_xy, round(exx, 6) AS e_xx,
+  round(eyy, 6) AS e_yy,
+  round(2.0 * exy - exx - eyy, 6) AS energy
+FROM fin
+""",
+    "tukey": """
+-- Same grid means, pooled MSE, Tukey-Kramer q per ordered pair.
+WITH src AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), gm AS (
+  SELECT g, count(*) AS ng,
+    floor(avg(v) * 1048576.0) / 1048576.0 AS mg
+  FROM src GROUP BY 1
+), ssw AS (
+  SELECT sum(CAST(floor((v - mg) * (v - mg) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS ssw,
+    count(*) AS n, count(DISTINCT g) AS k
+  FROM src JOIN gm USING (g)
+), pairs AS (
+  SELECT a.g AS g1, b.g AS g2, a.ng AS n1, b.ng AS n2,
+    a.mg AS m1, b.mg AS m2
+  FROM gm a JOIN gm b ON a.g < b.g
+), fin AS (
+  SELECT g1, g2, n1, n2, m1, m2,
+    sqrt(ssw / CAST(n - k AS DOUBLE) / 2.0
+      * (1.0 / n1 + 1.0 / n2)) AS se
+  FROM pairs, ssw
+)
+SELECT g1, g2, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+  round(m1 - m2, 6) AS diff, round(se, 6) AS se,
+  round(CASE WHEN se > 0 THEN abs(m1 - m2) / se END, 6) AS q_stat
+FROM fin
+""",
+    "ransac": """
+-- Same daily series, planted outliers, md5 hypothesis picks, exact
+-- 2-point lines, inlier band, (inliers DESC, h ASC) winner.
+WITH daily AS (
+  SELECT date_part('day', ts) AS d,
+    sum(CAST(floor(CAST(value AS DOUBLE) * 1048576.0) AS BIGINT)) * 1.0
+      / count(*) / 1048576.0 AS m
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1
+), pts0 AS (
+  SELECT CAST(d AS DOUBLE) AS x,
+    m + CASE WHEN d % 7 = 0 THEN 400.0 ELSE 0.0 END AS y
+  FROM daily
+), pts AS (
+  SELECT x, y, row_number() OVER (ORDER BY x) - 1 AS i FROM pts0
+), nn AS (SELECT count(*) AS n FROM pts),
+hyp AS (
+  SELECT h,
+    CAST(('0x' || substr(md5('ransac:' || CAST(h AS VARCHAR) || ':1'),
+      1, 8)) AS BIGINT) % n AS i1,
+    CAST(('0x' || substr(md5('ransac:' || CAST(h AS VARCHAR) || ':2'),
+      1, 8)) AS BIGINT) % n AS i2
+  FROM range(16) t(h), nn
+), lines AS (
+  SELECT h, (p2.y - p1.y) / (p2.x - p1.x) AS b,
+    p1.y - (p2.y - p1.y) / (p2.x - p1.x) * p1.x AS a
+  FROM hyp JOIN pts p1 ON p1.i = i1 JOIN pts p2 ON p2.i = i2
+  WHERE p1.x <> p2.x
+), scored AS (
+  SELECT h, a, b,
+    count(*) FILTER (abs(y - (a + b * x)) <= 3.0) AS inl
+  FROM pts, lines GROUP BY 1, 2, 3
+), best AS (
+  SELECT * FROM scored ORDER BY inl DESC, h ASC LIMIT 1
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(h AS BIGINT) AS hypothesis,
+  round(b, 6) AS slope, round(a, 6) AS intercept,
+  CAST(inl AS BIGINT) AS n_inliers,
+  round(CAST(inl AS DOUBLE) / n, 6) AS inlier_frac
+FROM best, nn
+""",
+    "brier": """
+-- Same grid scorer, clamped bins, Murphy decomposition from exact
+-- per-bin ratios.
+WITH src AS (
+  SELECT floor(CAST(event_id % 997 AS DOUBLE) * 1048576.0 / 1000.0)
+      / 1048576.0 AS s,
+    CASE WHEN CAST(CAST(('0x' || substr(md5('cal:' ||
+        CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+      / 4294967296.0
+      < floor(CAST(event_id % 997 AS DOUBLE) * 1048576.0 / 1000.0)
+        / 1048576.0
+      THEN 1 ELSE 0 END AS y
+  FROM events
+), binned AS (
+  SELECT greatest(least(CAST(floor(s * 10) AS INTEGER), 9), 0) AS bin,
+    s, y
+  FROM src
+), per AS (
+  SELECT bin, count(*) AS nb, sum(y) AS pb, sum(s) AS sb,
+    sum(CAST(floor((s - y) * (s - y) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS sq
+  FROM binned GROUP BY 1
+), tot AS (SELECT sum(nb) AS n, sum(pb) AS np FROM per),
+agg AS (
+  SELECT min(n) AS n, min(np) AS np, sum(sq) AS bs,
+    sum(nb * (sb / nb - CAST(pb AS DOUBLE) / nb)
+      * (sb / nb - CAST(pb AS DOUBLE) / nb)) AS rel,
+    sum(nb * (CAST(pb AS DOUBLE) / nb - CAST(np AS DOUBLE) / n)
+      * (CAST(pb AS DOUBLE) / nb - CAST(np AS DOUBLE) / n)) AS res
+  FROM per, tot
+)
+SELECT CAST(n AS BIGINT) AS n,
+  round(bs / n, 6) AS brier,
+  round(rel / n, 6) AS reliability,
+  round(res / n, 6) AS resolution,
+  round(CAST(np AS DOUBLE) / n * (1.0 - CAST(np AS DOUBLE) / n), 6)
+    AS uncertainty
+FROM agg
+""",
+    "token_f1": """
+-- Same tokenization, multiset min-count overlap per doc pair.
+WITH toks AS (
+""" + _TOKS_SQL + """
+), ev AS (
+  SELECT doc_id // 2 AS pair, t AS xs FROM toks WHERE doc_id % 2 = 0
+), od AS (
+  SELECT doc_id // 2 AS pair, t AS ys FROM toks WHERE doc_id % 2 = 1
+), pairs AS (
+  SELECT ev.pair, xs, ys FROM ev JOIN od USING (pair)
+), xc AS (
+  SELECT pair, unnest(xs) AS tok FROM pairs
+), yc AS (
+  SELECT pair, unnest(ys) AS tok FROM pairs
+), xcnt AS (
+  SELECT pair, tok, count(*) AS cx FROM xc GROUP BY 1, 2
+), ycnt AS (
+  SELECT pair, tok, count(*) AS cy FROM yc GROUP BY 1, 2
+), merged AS (
+  SELECT pair,
+    sum(least(coalesce(cx, 0), coalesce(cy, 0))) AS ov
+  FROM xcnt FULL OUTER JOIN ycnt USING (pair, tok)
+  GROUP BY 1
+), base AS (
+  SELECT pair, len(xs) AS sx, len(ys) AS sy FROM pairs
+), fin AS (
+  SELECT b.pair, sx, sy, coalesce(ov, 0) AS ov,
+    CASE WHEN sx > 0 THEN coalesce(ov, 0) * 1.0 / sx END AS p,
+    CASE WHEN sy > 0 THEN coalesce(ov, 0) * 1.0 / sy END AS r
+  FROM base b LEFT JOIN merged USING (pair)
+)
+SELECT pair, CAST(sx AS BIGINT) AS n_x, CAST(sy AS BIGINT) AS n_y,
+  CAST(ov AS BIGINT) AS overlap,
+  round(p, 6) AS precision, round(r, 6) AS recall,
+  round(CASE WHEN ov > 0 AND p IS NOT NULL AND r IS NOT NULL
+    THEN 2.0 * p * r / (p + r) ELSE 0.0 END, 6) AS f1
+FROM fin
+""",
+    "entity_density": """
+-- Same whitespace tokens, same prefix-class tests, exact ratios.
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+    regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS t
+  FROM documents
+), per AS (
+  SELECT doc_id, count(*) AS nt,
+    count(*) FILTER (regexp_matches(t, '^[A-Z][a-z]')) AS nc,
+    count(*) FILTER (regexp_matches(t, '^[0-9][0-9.,%]*$')) AS nn,
+    count(*) FILTER (regexp_matches(t, '^https?://')) AS nu
+  FROM toks GROUP BY 1
+)
+SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+  CAST(nc AS BIGINT) AS n_caps, CAST(nn AS BIGINT) AS n_nums,
+  CAST(nu AS BIGINT) AS n_urls,
+  round(nc * 1.0 / nt, 6) AS cap_density,
+  round(nn * 1.0 / nt, 6) AS num_density
+FROM per
+""",
+})

@@ -1016,3 +1016,128 @@ def silhouette_centroid(
             F.col("_ss") / F.col("_n").cast("double"), 6
         ).alias("silhouette"),
     )
+
+
+def brier_decomposition(
+    df: DataFrame, score_col: str, label_col: str, bins: int = 10
+) -> DataFrame:
+    """Brier score with Murphy decomposition → single row (n, brier,
+    reliability, resolution, uncertainty): BS = REL − RES + UNC over
+    the binned forecasts — reliability (calibration error, lower
+    better), resolution (discrimination, higher better), uncertainty
+    (the base-rate floor no forecaster can beat). The single-number
+    companion to calibration_bins' per-bin table: ECE says "how far
+    off", the decomposition says how much skill remains after the
+    calibration debt is paid.
+
+    Same clamped bin rule as calibration_bins. Pass a GRID-quantized
+    score: every per-row (s−y)² then lands on the 2^-40 grid and each
+    term re-quantizes to 2^-20 before the corpus sum (exact BIGINT
+    sums); bin means/base rates are exact ratios, and the three
+    decomposition sums run over ≤``bins`` exact-ratio rows."""
+    b = F.greatest(
+        F.least(
+            F.floor(F.col(score_col).cast("double") * bins).cast("int"),
+            F.lit(bins - 1),
+        ),
+        F.lit(0),
+    )
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    src = df.select(
+        b.alias("_bin"), s.alias("_s"), y.alias("_y")
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    q = F.lit(1048576.0)
+    per = src.groupBy("_bin").agg(
+        F.count("*").alias("_nb"),
+        F.sum("_y").alias("_pb"),
+        F.sum("_s").alias("_sb"),
+        (
+            F.sum(
+                F.floor(
+                    (F.col("_s") - F.col("_y"))
+                    * (F.col("_s") - F.col("_y"))
+                    * q
+                )
+            )
+            / q
+        ).alias("_sq"),
+    )
+    tot = per.agg(
+        F.sum("_nb").alias("_n"), F.sum("_pb").alias("_np")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    nb = F.col("_nb").cast("double")
+    conf = F.col("_sb") / nb
+    acc = F.col("_pb").cast("double") / nb
+    base = F.col("_np").cast("double") / F.col("_n")
+    agg = j.groupBy("_n", "_np").agg(
+        F.sum("_sq").alias("_bs"),
+        F.sum(nb * (conf - acc) * (conf - acc)).alias("_rel"),
+        F.sum(nb * (acc - base) * (acc - base)).alias("_res"),
+    )
+    nn = F.col("_n").cast("double")
+    base_t = F.col("_np").cast("double") / nn
+    return agg.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round(F.col("_bs") / nn, 6).alias("brier"),
+        F.round(F.col("_rel") / nn, 6).alias("reliability"),
+        F.round(F.col("_res") / nn, 6).alias("resolution"),
+        F.round(base_t * (1.0 - base_t), 6).alias("uncertainty"),
+    )
+
+
+def token_f1(
+    df: DataFrame, id_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Token-multiset F1 per pair → (id, n_x, n_y, overlap,
+    precision, recall, f1): the SQuAD/reading-comprehension answer
+    metric — overlap = Σ_token min(count_x, count_y) over the two
+    token arrays, order-free where rouge_l is order-sensitive (the
+    two bracket generation eval between exact match and semantic
+    scoring).
+
+    One explode per side + a per-(pair, token) full-outer count
+    merge — work is Σ tokens, partitioned by pair id; all counts
+    exact integers, all ratios exact."""
+    xs = df.select(
+        F.col(id_col).alias("_id"), F.explode(F.col(x_col)).alias("_t")
+    ).groupBy("_id", "_t").agg(F.count("*").alias("_cx"))
+    ys = df.select(
+        F.col(id_col).alias("_id"), F.explode(F.col(y_col)).alias("_t")
+    ).groupBy("_id", "_t").agg(F.count("*").alias("_cy"))
+    merged = xs.join(ys, ["_id", "_t"], "full_outer").groupBy(
+        "_id"
+    ).agg(
+        F.sum(F.coalesce("_cx", F.lit(0))).alias("_nx"),
+        F.sum(F.coalesce("_cy", F.lit(0))).alias("_ny"),
+        F.sum(
+            F.least(
+                F.coalesce("_cx", F.lit(0)), F.coalesce("_cy", F.lit(0))
+            )
+        ).alias("_ov"),
+    )
+    # pairs where one side is empty never reach the merge (explode
+    # drops them): restore them with zero counts from the source ids
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(F.col(x_col)).alias("_sx"),
+        F.size(F.col(y_col)).alias("_sy"),
+    )
+    out = base.join(merged.select("_id", "_ov"), "_id", "left")
+    ov = F.coalesce("_ov", F.lit(0))
+    p = F.when(F.col("_sx") > 0, ov.cast("double") / F.col("_sx"))
+    r = F.when(F.col("_sy") > 0, ov.cast("double") / F.col("_sy"))
+    f1 = F.when(
+        (ov > 0) & p.isNotNull() & r.isNotNull(),
+        2.0 * p * r / (p + r),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.col("_sx").cast("long").alias("n_x"),
+        F.col("_sy").cast("long").alias("n_y"),
+        ov.cast("long").alias("overlap"),
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )

@@ -4186,3 +4186,278 @@ def page_trend(
         F.round(z, 6).alias("z"),
         F.round(p, 6).alias("p_value"),
     )
+
+
+def energy_distance(
+    df: DataFrame, value_col: str, side_col: Column
+) -> DataFrame:
+    """Energy distance between two samples → single row (n_a, n_b,
+    e_xy, e_xx, e_yy, energy): D² = 2·E|X−Y| − E|X−X'| − E|Y−Y'|
+    (Székely & Rizzo) — the two-sample test that sees ANY
+    distributional difference (location, scale, shape), where
+    mann_whitney sees location and ks_test sup-distance only.
+
+    Never touches pairs: values quantize to the 2^-20 BIGINT grid and
+    every pairwise-|difference| sum collapses to ONE prefix window
+    over DISTINCT values — Σ|x−y| = Σ_v a_v·[v·c<(v) − s<(v) +
+    s>(v) − v·c>(v)] with prefix counts/sums of the other sample —
+    all exact integer arithmetic (the midrank exemption shape).
+    O(distinct values), engine-identical."""
+    src = df.select(
+        side_col.alias("_g"),
+        F.floor(
+            F.col(value_col).cast("double") * F.lit(_Q)
+        ).cast("long").alias("_qv"),
+    ).filter(F.col("_g").isNotNull() & F.col("_qv").isNotNull())
+    pv = src.groupBy("_qv").agg(
+        F.count(F.when(F.col("_g") == "a", 1)).alias("_ca"),
+        F.count(F.when(F.col("_g") == "b", 1)).alias("_cb"),
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy("_qv")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pv = (
+        pv.withColumn(
+            "_ca_lt", F.coalesce(F.sum("_ca").over(w), F.lit(0))
+        )
+        .withColumn(
+            "_cb_lt", F.coalesce(F.sum("_cb").over(w), F.lit(0))
+        )
+        .withColumn(
+            "_sa_lt",
+            F.coalesce(F.sum(F.col("_ca") * F.col("_qv")).over(w), F.lit(0)),
+        )
+        .withColumn(
+            "_sb_lt",
+            F.coalesce(F.sum(F.col("_cb") * F.col("_qv")).over(w), F.lit(0)),
+        )
+    )
+    tot = pv.agg(
+        F.sum("_ca").alias("_na"),
+        F.sum("_cb").alias("_nb"),
+        F.sum(F.col("_ca") * F.col("_qv")).alias("_sa"),
+        F.sum(F.col("_cb") * F.col("_qv")).alias("_sb"),
+    )
+    j = pv.crossJoin(F.broadcast(tot))
+
+    def absum(c_self, c_other_lt, s_other_lt, n_other, s_other):
+        # Σ over this block's c_self copies of v, against the OTHER
+        # sample: below-part v·c< − s<, above-part (s_tot−s<−v·c_at…)
+        # handled via totals: s> = s_tot − s< − v·c_at, c> likewise —
+        # but the c_at term cancels (|v−v| = 0), so totals suffice.
+        v = F.col("_qv")
+        below = v * c_other_lt - s_other_lt
+        above = (s_other - s_other_lt) - v * (n_other - c_other_lt)
+        # 'above' still includes the equal-value block at distance 0:
+        # (s_at − v·c_at) = 0, so no correction is needed.
+        return F.sum(c_self * (below + above))
+
+    agg = j.groupBy("_na", "_nb", "_sa", "_sb").agg(
+        absum(
+            F.col("_ca"), F.col("_cb_lt"), F.col("_sb_lt"),
+            F.col("_nb"), F.col("_sb"),
+        ).alias("_dxy"),
+        absum(
+            F.col("_ca"), F.col("_ca_lt"), F.col("_sa_lt"),
+            F.col("_na"), F.col("_sa"),
+        ).alias("_dxx"),
+        absum(
+            F.col("_cb"), F.col("_cb_lt"), F.col("_sb_lt"),
+            F.col("_nb"), F.col("_sb"),
+        ).alias("_dyy"),
+    )
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    exy = F.col("_dxy").cast("double") / (na * nb) / _Q
+    exx = F.col("_dxx").cast("double") / (na * na) / _Q
+    eyy = F.col("_dyy").cast("double") / (nb * nb) / _Q
+    return agg.select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.round(exy, 6).alias("e_xy"),
+        F.round(exx, 6).alias("e_xx"),
+        F.round(eyy, 6).alias("e_yy"),
+        F.round(2.0 * exy - exx - eyy, 6).alias("energy"),
+    )
+
+
+def tukey_hsd(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Tukey HSD pairwise comparisons → one row per group pair (g1,
+    g2, n1, n2, diff, se, q_stat): after an ANOVA rejects, WHICH
+    groups differ? q = |m₁ − m₂| / √(s²_pooled/2·(1/n₁ + 1/n₂))
+    (Tukey–Kramer for unequal n). The statistic column is exact
+    grid arithmetic; compare against the studentized-range critical
+    value for (k, N−k) offline — that tail has no replayable closed
+    form, so no p column (the welch_anova convention).
+
+    Grid two-pass pooled variance (anova_oneway discipline); the
+    pair table is |groups|², dashboard-scale, built by self-joining
+    the per-group MEANS (never the fact table)."""
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull() & F.col("_g").isNotNull())
+    gm = src.groupBy("_g").agg(
+        F.count("*").alias("_ng"),
+        (F.floor(F.avg("_v") * _Q) / _Q).alias("_mg"),
+    )
+    dev = src.join(F.broadcast(gm), "_g")
+    d_w = F.col("_v") - F.col("_mg")
+    ssw = dev.agg(
+        (F.sum(F.floor(d_w * d_w * _Q)) / _Q).alias("_ssw"),
+        F.sum(F.lit(1)).alias("_n"),
+        F.count_distinct("_g").alias("_k"),
+    )
+    a = gm.select(
+        F.col("_g").alias("g1"),
+        F.col("_ng").alias("_n1"),
+        F.col("_mg").alias("_m1"),
+    )
+    b = gm.select(
+        F.col("_g").alias("g2"),
+        F.col("_ng").alias("_n2"),
+        F.col("_mg").alias("_m2"),
+    )
+    pairs = a.join(b, F.col("g1") < F.col("g2")).crossJoin(
+        F.broadcast(ssw)
+    )
+    mse = F.col("_ssw") / (F.col("_n") - F.col("_k")).cast("double")
+    se = F.sqrt(
+        mse / 2.0
+        * (1.0 / F.col("_n1") + 1.0 / F.col("_n2"))
+    )
+    q = F.when(se > 0, F.abs(F.col("_m1") - F.col("_m2")) / se)
+    return pairs.select(
+        "g1",
+        "g2",
+        F.col("_n1").cast("long").alias("n1"),
+        F.col("_n2").cast("long").alias("n2"),
+        F.round(F.col("_m1") - F.col("_m2"), 6).alias("diff"),
+        F.round(se, 6).alias("se"),
+        F.round(q, 6).alias("q_stat"),
+    )
+
+
+def ransac_line(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_hypotheses: int = 16,
+    tol: float = 1.0,
+) -> DataFrame:
+    """Deterministic RANSAC line fit → single row (n, hypothesis,
+    slope, intercept, n_inliers, inlier_frac): the robust alternative
+    to least squares when a series has structural outliers — sample
+    2-point hypotheses, count inliers within ``tol``, keep the
+    hypothesis with the most support (theil_sen is the rank-based
+    cousin; RANSAC survives >50% contamination when the inlier band
+    is tight).
+
+    Determinism contract (the dsir/boot_ci md5 discipline): hypothesis
+    h picks point indices md5(h:1) mod n and md5(h:2) mod n over the
+    x-rank index (dense, deterministic); degenerate picks (equal x)
+    drop. Inlier test |y − (a + b·x)| ≤ tol with slope/intercept
+    exact ratios of grid values; winner = max inliers, tie → lowest
+    h. Work = |hypotheses| × n via one broadcast join — never
+    quadratic, no driver loop."""
+    if n_hypotheses < 1:
+        raise ValueError(
+            f"ransac_line needs >= 1 hypotheses, got {n_hypotheses}"
+        )
+    w = Window.partitionBy().orderBy("_x")
+    pts = (
+        df.select(
+            F.col(x_col).cast("double").alias("_x"),
+            F.col(y_col).cast("double").alias("_y"),
+        )
+        .filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+        .withColumn("_i", F.row_number().over(w) - 1)
+    )
+    n_row = pts.agg(F.count("*").alias("_n"))
+    hyp = df.sparkSession.range(n_hypotheses).select(
+        F.col("id").alias("_h")
+    )
+
+    def pick(tag: str):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit("ransac"), F.col("_h").cast("string"),
+                        F.lit(tag),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+
+    hyp = hyp.crossJoin(F.broadcast(n_row)).select(
+        "_h",
+        (pick("1") % F.col("_n")).alias("_i1"),
+        (pick("2") % F.col("_n")).alias("_i2"),
+    )
+    p1 = pts.select(
+        F.col("_i").alias("_i1"),
+        F.col("_x").alias("_x1"),
+        F.col("_y").alias("_y1"),
+    )
+    p2 = pts.select(
+        F.col("_i").alias("_i2"),
+        F.col("_x").alias("_x2"),
+        F.col("_y").alias("_y2"),
+    )
+    lines = (
+        hyp.join(F.broadcast(p1), "_i1")
+        .join(F.broadcast(p2), "_i2")
+        .filter(F.col("_x1") != F.col("_x2"))
+        .select(
+            "_h",
+            (
+                (F.col("_y2") - F.col("_y1"))
+                / (F.col("_x2") - F.col("_x1"))
+            ).alias("_b"),
+            F.col("_x1").alias("_xa"),
+            F.col("_y1").alias("_ya"),
+        )
+        .select(
+            "_h",
+            "_b",
+            (F.col("_ya") - F.col("_b") * F.col("_xa")).alias("_a"),
+        )
+    )
+    scored = (
+        pts.crossJoin(F.broadcast(lines))
+        .groupBy("_h", "_a", "_b")
+        .agg(
+            F.count(
+                F.when(
+                    F.abs(
+                        F.col("_y")
+                        - (F.col("_a") + F.col("_b") * F.col("_x"))
+                    )
+                    <= tol,
+                    1,
+                )
+            ).alias("_inl")
+        )
+    )
+    best = (
+        scored.orderBy(F.col("_inl").desc(), F.col("_h").asc())
+        .limit(1)
+        .crossJoin(F.broadcast(n_row))
+    )
+    return best.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_h").cast("long").alias("hypothesis"),
+        F.round("_b", 6).alias("slope"),
+        F.round("_a", 6).alias("intercept"),
+        F.col("_inl").cast("long").alias("n_inliers"),
+        F.round(
+            F.col("_inl").cast("double") / F.col("_n"), 6
+        ).alias("inlier_frac"),
+    )

@@ -2383,3 +2383,48 @@ def bigram_conditional_entropy(
         F.col("_d").cast("long").alias("n_distinct"),
         F.round("_h", 6).alias("cond_entropy"),
     )
+
+
+def entity_density(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Surface-entity density per document → (id, n_tokens, n_caps,
+    n_nums, n_urls, cap_density, num_density): cheap NER-free entity
+    signals — capitalized-token, numeric-token and URL-token counts
+    over the RAW whitespace tokens. High cap/num density separates
+    listings, tables and boilerplate from prose; URL density flags
+    link farms. A standard cheap feature set for quality classifiers
+    (plays the same role as the gopher_gate ratios).
+
+    Classification is per-token prefix/whole-token tests on simple
+    character classes (no word-boundary regex — `\\b` semantics
+    differ across regex engines); one explode + one per-doc
+    aggregate, all counts exact integers."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.filter(
+                F.split(F.col(text_col), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("_t"),
+    )
+    is_cap = F.col("_t").rlike("^[A-Z][a-z]")
+    is_num = F.col("_t").rlike("^[0-9][0-9.,%]*$")
+    is_url = F.col("_t").rlike("^https?://")
+    per = toks.groupBy("_id").agg(
+        F.count("*").alias("_nt"),
+        F.count(F.when(is_cap, 1)).alias("_nc"),
+        F.count(F.when(is_num, 1)).alias("_nn"),
+        F.count(F.when(is_url, 1)).alias("_nu"),
+    )
+    nt = F.col("_nt").cast("double")
+    return per.select(
+        F.col("_id").alias(id_col),
+        F.col("_nt").cast("long").alias("n_tokens"),
+        F.col("_nc").cast("long").alias("n_caps"),
+        F.col("_nn").cast("long").alias("n_nums"),
+        F.col("_nu").cast("long").alias("n_urls"),
+        F.round(F.col("_nc") / nt, 6).alias("cap_density"),
+        F.round(F.col("_nn") / nt, 6).alias("num_density"),
+    )

@@ -419,3 +419,45 @@ def test_silhouette_separated_vs_merged(spark):
     bad = {0: [0.0, 0.2], 1: [0.0, 0.2]}
     out2 = silhouette_centroid(df, "v", "l", bad).collect()
     assert any(abs(r["silhouette"]) < 1.0 for r in out2)
+
+
+def test_brier_decomposition_identity(spark):
+    """BS == REL - RES + UNC (Murphy identity holds exactly when
+    forecasts are constant within bins); a perfect forecaster has
+    BS ~ 0, an uninformative one has RES ~ 0."""
+    from from_superset_to_clickhouse_spark.operators.mleval import (
+        brier_decomposition,
+    )
+
+    rows = [(0.05, 0)] * 18 + [(0.05, 1)] * 2 + \
+           [(0.95, 1)] * 18 + [(0.95, 0)] * 2
+    df = spark.createDataFrame(rows, "s double, y int")
+    r = brier_decomposition(df, "s", "y").first()
+    assert r["n"] == 40
+    assert abs(r["brier"] - (r["reliability"] - r["resolution"]
+                             + r["uncertainty"])) < 1e-6
+    assert r["uncertainty"] == 0.25
+    assert r["brier"] < 0.1
+
+
+def test_token_f1_reference(spark):
+    """Worked multiset overlap: repeated tokens cap at min count;
+    disjoint pairs score 0; empty sides degrade to 0 not NULL f1."""
+    from from_superset_to_clickhouse_spark.operators.mleval import token_f1
+
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "b", "b", "c"], ["b", "b", "d"]),
+            (2, ["x"], ["y"]),
+            (3, [], ["y"]),
+            (4, ["same", "same"], ["same", "same"]),
+        ],
+        "id int, xs array<string>, ys array<string>",
+    )
+    out = {r["id"]: r for r in token_f1(df, "id", "xs", "ys").collect()}
+    r1 = out[1]
+    assert r1["overlap"] == 2
+    assert r1["precision"] == 0.5 and abs(r1["recall"] - 2 / 3) < 1e-6
+    assert out[2]["f1"] == 0.0
+    assert out[3]["f1"] == 0.0 and out[3]["precision"] is None
+    assert out[4]["f1"] == 1.0

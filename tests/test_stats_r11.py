@@ -402,3 +402,67 @@ def test_page_trend_monotone_blocks(spark):
         "s", "j", "v",
     ).first()
     assert r2["z"] < -3.0
+
+
+def test_energy_distance_brute_force(spark):
+    """Closed-form prefix computation == brute-force pairwise sums on
+    a small mixed sample; identical samples score 0."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        energy_distance,
+    )
+    import pyspark.sql.functions as F
+
+    xs = [1.0, 2.0, 2.0, 5.5, 7.25]
+    ys = [2.0, 3.5, 6.0, 6.0]
+    rows = [("a", v) for v in xs] + [("b", v) for v in ys]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = energy_distance(df, "v", F.col("g")).first()
+
+    def mean_abs(a, b):
+        return sum(abs(x - y) for x in a for y in b) / (len(a) * len(b))
+
+    exy, exx, eyy = mean_abs(xs, ys), mean_abs(xs, xs), mean_abs(ys, ys)
+    assert abs(r["e_xy"] - round(exy, 6)) < 1e-9
+    assert abs(r["e_xx"] - round(exx, 6)) < 1e-9
+    assert abs(r["e_yy"] - round(eyy, 6)) < 1e-9
+    assert abs(r["energy"] - round(2 * exy - exx - eyy, 6)) < 1e-9
+    same = spark.createDataFrame(
+        [("a", v) for v in xs] + [("b", v) for v in xs],
+        "g string, v double",
+    )
+    assert energy_distance(same, "v", F.col("g")).first()["energy"] == 0.0
+
+
+def test_tukey_hsd_pairs_and_reference(spark):
+    """k=3 groups -> 3 ordered pairs; the far group's q dwarfs the
+    near pair's; diff signs follow g1 - g2."""
+    from from_superset_to_clickhouse_spark.operators.stats import tukey_hsd
+
+    rows = (
+        [("a", float(v)) for v in (1, 2, 3, 4, 5)]
+        + [("b", float(v)) for v in (1.5, 2.5, 3.5, 4.5, 5.5)]
+        + [("c", float(v)) for v in (20, 21, 22, 23, 24)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {(r["g1"], r["g2"]): r for r in tukey_hsd(df, "v", "g").collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert out[("a", "c")]["q_stat"] > 10 * out[("a", "b")]["q_stat"]
+    assert out[("a", "b")]["diff"] == -0.5
+
+
+def test_ransac_line_survives_outliers(spark):
+    """A clean line y=2x+1 with 30% wild outliers: the winning
+    hypothesis recovers the true line exactly (2-point fit through
+    inliers) with all inliers counted; plain least squares would be
+    dragged far off."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        ransac_line,
+    )
+
+    pts = [(float(i), 2.0 * i + 1.0) for i in range(20)]
+    pts += [(float(i), 500.0 + 7 * i) for i in range(20, 29)]
+    df = spark.createDataFrame(pts, "x double, y double")
+    r = ransac_line(df, "x", "y", n_hypotheses=24, tol=0.5).first()
+    assert r["n"] == 29
+    assert r["n_inliers"] == 20
+    assert r["slope"] == 2.0 and r["intercept"] == 1.0

@@ -1015,3 +1015,20 @@ def test_bigram_entropy_template_vs_varied(spark):
     # left word 'a' splits 50/50 between x and y -> ~1 bit, diluted by
     # the deterministic x->a / y->a returns (~0.5 overall)
     assert 0.4 < out["v"]["cond_entropy"] <= 1.0
+
+
+def test_entity_density_classifies_tokens(spark):
+    """Capitalized words, numbers (with separators), and URLs count
+    into their buckets; densities are exact ratios."""
+    from from_superset_to_clickhouse_spark.operators.text import (
+        entity_density,
+    )
+
+    txt = "Alice paid 1,200.50 at Bob's shop via https://pay.example.com today"
+    df = spark.createDataFrame([(1, txt)], "doc_id int, text string")
+    r = entity_density(df, "text", "doc_id").first()
+    assert r["n_tokens"] == 9
+    assert r["n_caps"] == 2      # Alice, Bob's
+    assert r["n_nums"] == 1      # 1,200.50
+    assert r["n_urls"] == 1
+    assert abs(r["cap_density"] - round(2 / 9, 6)) < 1e-9
