@@ -18149,3 +18149,293 @@ SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
 FROM per
 """,
 })
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over three per-user metrics (exact
+    grid-ratio mean value, max value, event count — the kendall_w
+    panel): 3 ordered pairs from one means pass + one moments pass,
+    all grid-re-quantized exact sums."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        corr_matrix,
+    )
+
+    ev = _ev(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    qv = F.floor(F.col("value").cast("double") * F.lit(1048576.0))
+    per = ev.groupBy("user_id").agg(
+        (
+            F.sum(qv).cast("double") / F.count("*") / F.lit(1048576.0)
+        ).alias("mean_v"),
+        F.max(F.col("value").cast("double")).alias("max_v"),
+        F.count("*").cast("double").alias("cnt"),
+    )
+    return corr_matrix(per, ["mean_v", "max_v", "cnt"])
+
+
+def q_anova_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANOVA effect sizes (eta^2, omega^2, Cohen's f) of event_type on
+    value — the magnitude readout behind the anova entry's F."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        anova_effect_sizes,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return anova_effect_sizes(ev, "value", "event_type")
+
+
+def q_prop_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion power planning on the observed purchase-vs-view
+    'value > 60' success rates: required n per arm at 5%/80% from
+    exact count ratios and literal z quantiles."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        proportions_power,
+    )
+
+    ev = _ev(spark, sf_dir).filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "view")
+    )
+    side = F.when(F.col("event_type") == "purchase", "a").otherwise("b")
+    return proportions_power(ev, side, (F.col("value") > 60.0).cast("int"))
+
+
+def q_risk_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative risk with CI and NNT over the user-day cohort (the
+    odds_ratio design: exposed = day hit a value above 70, outcome =
+    >= 3 events that day) — RR and OR on the same table let a reader
+    see the rare-outcome approximation gap directly."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        risk_ratio,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    ud = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(
+        F.max("value").alias("_mx"), F.count("*").alias("_c")
+    )
+    flags = ud.select(
+        (F.col("_mx") > 70.0).cast("int").alias("e"),
+        (F.col("_c") >= 3).cast("int").alias("y"),
+    )
+    return risk_ratio(flags, "e", "y")
+
+
+def q_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT monitor over the 30-day odd-user arm: daily
+    cumulative successes (value > 40, true rate ~0.6) against
+    H0 p=0.45 / H1 p=0.55 — the LLR walk must cross the reject-H0
+    boundary; one bounded prefix window over day checkpoints, ln
+    constants computed once in Python (identical libm on both
+    engines)."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        sprt_binomial,
+    )
+
+    ev = _ev(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    side = F.when(F.col("user_id") % 2 == 1, "b").otherwise("a")
+    return sprt_binomial(
+        ev.select(
+            F.dayofmonth("ts").alias("day"),
+            side.alias("s"),
+            (F.col("value") > 40.0).cast("int").alias("y"),
+        ),
+        "day",
+        F.col("s"),
+        F.col("y"),
+        p0=0.45,
+        p1=0.55,
+    )
+
+
+_R12_QUERIES.update({
+    "corr_matrix": q_corr_matrix,
+    "anova_effect": q_anova_effect,
+    "prop_power": q_prop_power,
+    "risk_ratio": q_risk_ratio,
+    "sprt": q_sprt,
+})
+
+_R12_ORACLES.update({
+    "corr_matrix": """
+-- Same per-user metrics, grid means, re-quantized moment sums.
+WITH srcv AS (
+  SELECT user_id,
+    CAST(floor(CAST(value AS DOUBLE) * 1048576.0) AS BIGINT) AS qv,
+    CAST(value AS DOUBLE) AS v
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+), per AS (
+  SELECT user_id,
+    sum(qv) * 1.0 / count(*) / 1048576.0 AS x0,
+    max(v) AS x1, CAST(count(*) AS DOUBLE) AS x2
+  FROM srcv GROUP BY 1
+), m1 AS (
+  SELECT count(*) AS n,
+    floor(avg(x0) * 1048576.0) / 1048576.0 AS m0,
+    floor(avg(x1) * 1048576.0) / 1048576.0 AS m1_,
+    floor(avg(x2) * 1048576.0) / 1048576.0 AS m2_
+  FROM per
+), mom AS (
+  SELECT n,
+    sum(CAST(floor((x0 - m0) * (x0 - m0) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS s00,
+    sum(CAST(floor((x0 - m0) * (x1 - m1_) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS s01,
+    sum(CAST(floor((x0 - m0) * (x2 - m2_) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS s02,
+    sum(CAST(floor((x1 - m1_) * (x1 - m1_) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS s11,
+    sum(CAST(floor((x1 - m1_) * (x2 - m2_) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS s12,
+    sum(CAST(floor((x2 - m2_) * (x2 - m2_) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS s22
+  FROM per, m1 GROUP BY n
+)
+SELECT 'mean_v' AS x, 'max_v' AS y, CAST(n AS BIGINT) AS n,
+  round(CASE WHEN sqrt(s00 * s11) > 0
+    THEN s01 / sqrt(s00 * s11) END, 6) AS r FROM mom
+UNION ALL
+SELECT 'mean_v', 'cnt', CAST(n AS BIGINT),
+  round(CASE WHEN sqrt(s00 * s22) > 0
+    THEN s02 / sqrt(s00 * s22) END, 6) FROM mom
+UNION ALL
+SELECT 'max_v', 'cnt', CAST(n AS BIGINT),
+  round(CASE WHEN sqrt(s11 * s22) > 0
+    THEN s12 / sqrt(s11 * s22) END, 6) FROM mom
+""",
+    "anova_effect": """
+-- Same grid SSB/SSW/SST, same effect-size ratios.
+WITH src AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), gm AS (
+  SELECT g, floor(avg(v) * 1048576.0) / 1048576.0 AS mg
+  FROM src GROUP BY 1
+), tot AS (
+  SELECT count(*) AS n,
+    floor(avg(v) * 1048576.0) / 1048576.0 AS m
+  FROM src
+), agg AS (
+  SELECT min(n) AS n, count(DISTINCT g) AS k,
+    sum(CAST(floor((v - mg) * (v - mg) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS ssw,
+    sum(CAST(floor((v - m) * (v - m) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS sst
+  FROM src JOIN gm USING (g), tot
+), fin AS (
+  SELECT n, k, ssw, sst, sst - ssw AS ssb,
+    ssw / (CAST(n AS DOUBLE) - k) AS mse
+  FROM agg
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+  round(CASE WHEN sst > 0 THEN ssb / sst END, 6) AS eta_sq,
+  round(CASE WHEN sst + mse > 0 THEN
+    (ssb - (CAST(k AS DOUBLE) - 1.0) * mse) / (sst + mse) END, 6)
+    AS omega_sq,
+  round(CASE WHEN ssb / sst < 1.0 THEN
+    sqrt((ssb / sst) / (1.0 - ssb / sst)) END, 6) AS cohens_f
+FROM fin
+""",
+    "prop_power": """
+-- Same exact rates, literal z quantiles, classical n formula.
+WITH agg AS (
+  SELECT count(*) FILTER (event_type = 'purchase') AS na,
+    sum(CASE WHEN event_type = 'purchase' AND CAST(value AS DOUBLE)
+      > 60.0 THEN 1 ELSE 0 END) AS sa,
+    count(*) FILTER (event_type = 'view') AS nb,
+    sum(CASE WHEN event_type = 'view' AND CAST(value AS DOUBLE)
+      > 60.0 THEN 1 ELSE 0 END) AS sb
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+), st AS (
+  SELECT na, nb,
+    CAST(sa AS DOUBLE) / na AS pa, CAST(sb AS DOUBLE) / nb AS pb,
+    CAST(sa + sb AS DOUBLE) / (CAST(na AS DOUBLE) + nb) AS pbar
+  FROM agg
+), fin AS (
+  SELECT na, nb, pa, pb, abs(pa - pb) AS delta,
+    1.959964 * sqrt(2.0 * pbar * (1.0 - pbar))
+      + 0.841621 * sqrt(pa * (1.0 - pa) + pb * (1.0 - pb)) AS num
+  FROM st
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+  round(delta, 6) AS abs_lift,
+  CAST(CASE WHEN delta > 0
+    THEN ceil(num * num / (delta * delta)) END AS BIGINT)
+    AS n_required,
+  CASE WHEN delta > 0 THEN
+    least(CAST(na AS DOUBLE), nb)
+      >= ceil(num * num / (delta * delta))
+  END AS powered
+FROM fin
+""",
+    "risk_ratio": """
+-- Same user-day cohort, exact cells, log-scale Wald CI, NNT.
+WITH ud AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+    max(value) AS mx, count(*) AS c
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+), flags AS (
+  SELECT CASE WHEN mx > 70.0 THEN 1 ELSE 0 END AS e,
+    CASE WHEN c >= 3 THEN 1 ELSE 0 END AS y
+  FROM ud
+), agg AS (
+  SELECT count(*) FILTER (e = 1 AND y = 1) AS n11,
+    count(*) FILTER (e = 1 AND y = 0) AS n10,
+    count(*) FILTER (e = 0 AND y = 1) AS n01,
+    count(*) FILTER (e = 0 AND y = 0) AS n00
+  FROM flags
+), st AS (
+  SELECT n11, n10, n01, n00,
+    (n11 > 0 AND n01 > 0 AND n11 + n10 > 0 AND n01 + n00 > 0) AS ok,
+    (CAST(n11 AS DOUBLE) / (CAST(n11 AS DOUBLE) + n10))
+      / (CAST(n01 AS DOUBLE) / (CAST(n01 AS DOUBLE) + n00)) AS rr,
+    (CAST(n11 AS DOUBLE) / (CAST(n11 AS DOUBLE) + n10))
+      - (CAST(n01 AS DOUBLE) / (CAST(n01 AS DOUBLE) + n00)) AS rd,
+    sqrt(1.0 / n11 - 1.0 / (CAST(n11 AS DOUBLE) + n10)
+      + 1.0 / n01 - 1.0 / (CAST(n01 AS DOUBLE) + n00)) AS se
+  FROM agg
+)
+SELECT CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+  CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+  round(CASE WHEN ok THEN rr END, 6) AS rr,
+  round(CASE WHEN ok THEN exp(ln(rr) - 1.96 * se) END, 6) AS ci_lo,
+  round(CASE WHEN ok THEN exp(ln(rr) + 1.96 * se) END, 6) AS ci_hi,
+  round(CASE WHEN ok AND abs(rd) > 0 THEN 1.0 / abs(rd) END, 6) AS nnt
+FROM st
+""",
+    "sprt": """
+-- Same daily cumulative counts, same ln constants (identical libm).
+WITH per AS (
+  SELECT date_part('day', ts) AS t, count(*) AS c,
+    sum(CASE WHEN CAST(value AS DOUBLE) > 40.0 THEN 1 ELSE 0 END) AS k
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+    AND user_id % 2 = 1
+  GROUP BY 1
+), cum AS (
+  SELECT t,
+    sum(c) OVER (ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+    sum(k) OVER (ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sb
+  FROM per
+), fin AS (
+  SELECT t, n, sb,
+    CAST(sb AS DOUBLE) * ln(0.55 / 0.45)
+      + CAST(n - sb AS DOUBLE) * ln(0.45 / 0.55) AS llr
+  FROM cum
+)
+SELECT t AS step, CAST(n AS BIGINT) AS n_b, CAST(sb AS BIGINT) AS s_b,
+  round(llr, 6) AS llr,
+  CASE WHEN llr >= ln(0.8 / 0.05) THEN 'reject_h0'
+       WHEN llr <= ln(0.2 / 0.95) THEN 'accept_h0'
+       ELSE 'continue' END AS decision
+FROM fin
+""",
+})

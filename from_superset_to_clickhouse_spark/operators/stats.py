@@ -4461,3 +4461,290 @@ def ransac_line(
             F.col("_inl").cast("double") / F.col("_n"), 6
         ).alias("inlier_frac"),
     )
+
+
+def corr_matrix(
+    df: DataFrame, cols: "list[str]"
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix → one row per ordered pair
+    (x, y, n, r): the metric-health overview ("which quality signals
+    are redundant") behind feature pruning and the quality-classifier
+    input audit — spearman sees monotone association, this sees
+    linear, and the gap between them flags outlier leverage.
+
+    Complete rows only (every column non-null, one shared n). Means
+    on the 2^-20 grid; every squared/cross deviation term floor-
+    re-quantizes before its exact BIGINT-scaled sum (anova_oneway
+    discipline), so each r is an exact expression. ONE aggregate pass
+    computes all k means, then ONE pass all k(k+1)/2 moment sums —
+    the pair table is k², never data-scale."""
+    k = len(cols)
+    if k < 2:
+        raise ValueError(f"corr_matrix needs >= 2 columns, got {k}")
+    src = df.select(
+        *[
+            F.col(c).cast("double").alias(f"_x{j}")
+            for j, c in enumerate(cols)
+        ]
+    )
+    for j in range(k):
+        src = src.filter(F.col(f"_x{j}").isNotNull())
+    m1 = src.agg(
+        F.count("*").alias("_n"),
+        *[
+            (F.floor(F.avg(f"_x{j}") * _Q) / _Q).alias(f"_m{j}")
+            for j in range(k)
+        ],
+    )
+    d = src.crossJoin(F.broadcast(m1))
+    aggs = []
+    for i in range(k):
+        for j in range(i, k):
+            di = F.col(f"_x{i}") - F.col(f"_m{i}")
+            dj = F.col(f"_x{j}") - F.col(f"_m{j}")
+            aggs.append(
+                (F.sum(F.floor(di * dj * _Q)) / _Q).alias(f"_s{i}_{j}")
+            )
+    mom = d.groupBy("_n").agg(*aggs)
+    rows = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            den = F.sqrt(
+                F.col(f"_s{i}_{i}") * F.col(f"_s{j}_{j}")
+            )
+            r = F.when(den > 0, F.col(f"_s{i}_{j}") / den)
+            rows.append(
+                mom.select(
+                    F.lit(cols[i]).alias("x"),
+                    F.lit(cols[j]).alias("y"),
+                    F.col("_n").cast("long").alias("n"),
+                    F.round(r, 6).alias("r"),
+                )
+            )
+    out = rows[0]
+    for extra in rows[1:]:
+        out = out.unionByName(extra)
+    return out
+
+
+def anova_effect_sizes(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """ANOVA effect sizes → single row (k, n, eta_sq, omega_sq,
+    cohens_f): HOW MUCH of the metric's variance the grouping
+    explains — η² = SSB/SST (biased up in small samples), ω² =
+    (SSB − (k−1)·MSE)/(SST + MSE) (the unbiased standard), f =
+    √(η²/(1−η²)) (the power-analysis input). The effect-size
+    companion anova_oneway's F-statistic needs (significance without
+    magnitude is how dashboards lie at 100 TB row counts — everything
+    is 'significant').
+
+    Identical grid machinery to anova_oneway: SSB/SSW are exact
+    BIGINT-scaled sums over 2^-20-grid deviations, so every ratio is
+    engine-identical before the 6dp round."""
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull() & F.col("_g").isNotNull())
+    gm = src.groupBy("_g").agg(
+        F.count("*").alias("_ng"),
+        (F.floor(F.avg("_v") * _Q) / _Q).alias("_mg"),
+    )
+    tot = src.agg(
+        F.count("*").alias("_n"),
+        (F.floor(F.avg("_v") * _Q) / _Q).alias("_m"),
+    )
+    dev = src.join(F.broadcast(gm), "_g").crossJoin(F.broadcast(tot))
+    d_w = F.col("_v") - F.col("_mg")
+    d_t = F.col("_v") - F.col("_m")
+    agg = dev.groupBy("_n").agg(
+        F.count_distinct("_g").alias("_k"),
+        (F.sum(F.floor(d_w * d_w * _Q)) / _Q).alias("_ssw"),
+        (F.sum(F.floor(d_t * d_t * _Q)) / _Q).alias("_sst"),
+    )
+    kk = F.col("_k").cast("double")
+    nn = F.col("_n").cast("double")
+    ssb = F.col("_sst") - F.col("_ssw")
+    mse = F.col("_ssw") / (nn - kk)
+    eta = F.when(F.col("_sst") > 0, ssb / F.col("_sst"))
+    omega = F.when(
+        F.col("_sst") + mse > 0,
+        (ssb - (kk - 1.0) * mse) / (F.col("_sst") + mse),
+    )
+    cf = F.when(eta < 1.0, F.sqrt(eta / (1.0 - eta)))
+    return agg.select(
+        F.col("_k").cast("long").alias("k"),
+        F.col("_n").cast("long").alias("n"),
+        F.round(eta, 6).alias("eta_sq"),
+        F.round(omega, 6).alias("omega_sq"),
+        F.round(cf, 6).alias("cohens_f"),
+    )
+
+
+def proportions_power(
+    df: DataFrame,
+    side_col: Column,
+    success_col: Column,
+    z_alpha: float = 1.959964,
+    z_power: float = 0.841621,
+) -> DataFrame:
+    """Two-proportion sample-size / detectability readout → single
+    row (n_a, n_b, p_a, p_b, abs_lift, n_required, powered): given
+    the OBSERVED rates, how many units per arm would a future test
+    need to detect this same lift at the given α/power (defaults
+    two-sided 5% / 80%), and does the current sample already clear
+    it? The planning companion to proportions_test — run the readout
+    BEFORE launching the next experiment, on the data you already
+    have.
+
+    n = (z_α·√(2p̄q̄) + z_β·√(p₁q₁+p₂q₂))² / Δ² (classical normal
+    approximation; z quantiles ride as caller literals — no inverse
+    normal needed). All inputs exact integer-count ratios, so the
+    formula is engine-identical. ONE conditional-aggregate pass."""
+    agg = df.select(
+        side_col.alias("_s"), success_col.cast("int").alias("_y")
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull()).agg(
+        F.count(F.when(F.col("_s") == "a", 1)).alias("_na"),
+        F.sum(F.when(F.col("_s") == "a", F.col("_y"))).alias("_sa"),
+        F.count(F.when(F.col("_s") == "b", 1)).alias("_nb"),
+        F.sum(F.when(F.col("_s") == "b", F.col("_y"))).alias("_sb"),
+    )
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    pa = F.col("_sa").cast("double") / na
+    pb = F.col("_sb").cast("double") / nb
+    pbar = (F.col("_sa") + F.col("_sb")).cast("double") / (na + nb)
+    delta = F.abs(pa - pb)
+    num = (
+        F.lit(float(z_alpha)) * F.sqrt(2.0 * pbar * (1.0 - pbar))
+        + F.lit(float(z_power))
+        * F.sqrt(pa * (1.0 - pa) + pb * (1.0 - pb))
+    )
+    n_req = F.when(delta > 0, F.ceil(num * num / (delta * delta)))
+    return agg.select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round(delta, 6).alias("abs_lift"),
+        n_req.cast("long").alias("n_required"),
+        F.when(
+            n_req.isNotNull(),
+            (F.least(na, nb) >= n_req).cast("boolean"),
+        ).alias("powered"),
+    )
+
+
+def risk_ratio(
+    df: DataFrame, exposed_col: str, outcome_col: str
+) -> DataFrame:
+    """Relative risk with CI → single row (n11, n10, n01, n00, rr,
+    ci_lo, ci_hi, nnt): RR = P(outcome|exposed)/P(outcome|unexposed)
+    with the log-scale Wald CI, plus number-needed-to-treat 1/|risk
+    difference| — the cohort-study readout odds_ratio_2x2 only
+    approximates when outcomes are common (OR ≈ RR only for rare
+    outcomes; dashboards routinely confuse the two).
+
+    ONE conditional-aggregate pass; all four cells exact integers,
+    ln on identical exact ratios, CI = exp(ln RR ± 1.96·SE) with
+    SE = √(1/n11 − 1/(n11+n10) + 1/n01 − 1/(n01+n00))."""
+    e = F.col(exposed_col).cast("int")
+    y = F.col(outcome_col).cast("int")
+    agg = df.filter(e.isNotNull() & y.isNotNull()).agg(
+        F.count(F.when((e == 1) & (y == 1), 1)).alias("_n11"),
+        F.count(F.when((e == 1) & (y == 0), 1)).alias("_n10"),
+        F.count(F.when((e == 0) & (y == 1), 1)).alias("_n01"),
+        F.count(F.when((e == 0) & (y == 0), 1)).alias("_n00"),
+    )
+    n11 = F.col("_n11").cast("double")
+    n10 = F.col("_n10").cast("double")
+    n01 = F.col("_n01").cast("double")
+    n00 = F.col("_n00").cast("double")
+    ne = n11 + n10
+    nu = n01 + n00
+    ok = (F.col("_n11") > 0) & (F.col("_n01") > 0) & (ne > 0) & (nu > 0)
+    p1 = n11 / ne
+    p0 = n01 / nu
+    rr = F.when(ok, p1 / p0)
+    se = F.when(
+        ok, F.sqrt(1.0 / n11 - 1.0 / ne + 1.0 / n01 - 1.0 / nu)
+    )
+    rd = p1 - p0
+    nnt = F.when(ok & (F.abs(rd) > 0), 1.0 / F.abs(rd))
+    return agg.select(
+        F.col("_n11").cast("long").alias("n11"),
+        F.col("_n10").cast("long").alias("n10"),
+        F.col("_n01").cast("long").alias("n01"),
+        F.col("_n00").cast("long").alias("n00"),
+        F.round(rr, 6).alias("rr"),
+        F.round(F.exp(F.log(rr) - 1.96 * se), 6).alias("ci_lo"),
+        F.round(F.exp(F.log(rr) + 1.96 * se), 6).alias("ci_hi"),
+        F.round(nnt, 6).alias("nnt"),
+    )
+
+
+def sprt_binomial(
+    df: DataFrame,
+    order_col: str,
+    side_col: Column,
+    success_col: Column,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+) -> DataFrame:
+    """Sequential probability ratio test over an ordered stream →
+    one row per checkpoint (step, n_b, s_b, llr, decision): Wald's
+    SPRT of H1: p = p1 vs H0: p = p0 on arm 'b' successes,
+    LLR_t = s_t·ln(p1/p0) + (n_t−s_t)·ln((1−p1)/(1−p0)), with
+    accept/reject boundaries ln(β/(1−α)) and ln((1−β)/α) — the
+    always-valid-ish early-stopping monitor a daily experiment
+    readout needs (fixed-horizon z-tests peeked daily inflate α).
+
+    Checkpoints = distinct ``order_col`` values (days): cumulative
+    exact integer counts per checkpoint from ONE prefix window over
+    the bounded checkpoint table; ln of exact constants/ratios is
+    engine-identical. decision ∈ accept_h0 / reject_h0 / continue
+    per checkpoint; the caller reads the first non-continue row."""
+    if not (0 < p0 < 1 and 0 < p1 < 1 and p0 != p1):
+        raise ValueError(f"need distinct p0, p1 in (0,1): {p0}, {p1}")
+    per = (
+        df.select(
+            F.col(order_col).alias("_t"),
+            side_col.alias("_s"),
+            success_col.cast("int").alias("_y"),
+        )
+        .filter(F.col("_s") == "b")
+        .groupBy("_t")
+        .agg(F.count("*").alias("_c"), F.sum("_y").alias("_k"))
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per.withColumn("_n", F.sum("_c").over(w)).withColumn(
+        "_sb", F.sum("_k").over(w)
+    )
+    import math as _m
+
+    l_s = _m.log(p1 / p0)
+    l_f = _m.log((1.0 - p1) / (1.0 - p0))
+    lo = _m.log(beta / (1.0 - alpha))
+    hi = _m.log((1.0 - beta) / alpha)
+    llr = (
+        F.col("_sb").cast("double") * F.lit(l_s)
+        + (F.col("_n") - F.col("_sb")).cast("double") * F.lit(l_f)
+    )
+    decision = (
+        F.when(llr >= hi, "reject_h0")
+        .when(llr <= lo, "accept_h0")
+        .otherwise("continue")
+    )
+    return cum.select(
+        F.col("_t").alias("step"),
+        F.col("_n").cast("long").alias("n_b"),
+        F.col("_sb").cast("long").alias("s_b"),
+        F.round(llr, 6).alias("llr"),
+        decision.alias("decision"),
+    )

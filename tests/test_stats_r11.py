@@ -466,3 +466,127 @@ def test_ransac_line_survives_outliers(spark):
     assert r["n"] == 29
     assert r["n_inliers"] == 20
     assert r["slope"] == 2.0 and r["intercept"] == 1.0
+
+
+def test_corr_matrix_reference(spark):
+    """Pairwise r against plain-Python Pearson; a perfectly linear
+    pair scores 1, an anti-linear pair -1."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        corr_matrix,
+    )
+
+    rows = [
+        (float(i), 2.0 * i + 1.0, float(-i), float((i * 7) % 5))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "a double, b double, c double, d double")
+    out = {(r["x"], r["y"]): r["r"]
+           for r in corr_matrix(df, ["a", "b", "c", "d"]).collect()}
+    assert len(out) == 6
+    assert out[("a", "b")] == 1.0
+    assert out[("a", "c")] == -1.0
+
+    def pearson(xs, ys):
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+        den = (sum((x - mx) ** 2 for x in xs)
+               * sum((y - my) ** 2 for y in ys)) ** 0.5
+        return num / den
+
+    a = [float(i) for i in range(40)]
+    d = [float((i * 7) % 5) for i in range(40)]
+    assert abs(out[("a", "d")] - pearson(a, d)) < 1e-5
+
+
+def test_anova_effect_sizes_reference(spark):
+    """Textbook identity check: eta^2 = SSB/SST; total separation
+    gives eta^2 ~ 1, identical groups ~ 0."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        anova_effect_sizes,
+    )
+
+    rows = (
+        [("a", float(v)) for v in (1, 2, 3)]
+        + [("b", float(v)) for v in (101, 102, 103)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anova_effect_sizes(df, "v", "g").first()
+    assert r["eta_sq"] > 0.99
+    assert r["omega_sq"] > 0.99
+    same = spark.createDataFrame(
+        [("a", float(v)) for v in range(6)]
+        + [("b", float(v)) for v in range(6)],
+        "g string, v double",
+    )
+    r2 = anova_effect_sizes(same, "v", "g").first()
+    assert abs(r2["eta_sq"]) < 1e-6
+
+
+def test_proportions_power_formula(spark):
+    """Against the hand-computed classical n for p=(0.5, 0.6) at
+    alpha=.05 two-sided / power .80 (~388 per arm)."""
+    import math
+
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        proportions_power,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [("a", 1)] * 50 + [("a", 0)] * 50 + \
+           [("b", 1)] * 60 + [("b", 0)] * 40
+    df = spark.createDataFrame(rows, "s string, y int")
+    r = proportions_power(df, F.col("s"), F.col("y")).first()
+    assert (r["p_a"], r["p_b"]) == (0.5, 0.6)
+    pbar = 0.55
+    num = (1.959964 * math.sqrt(2 * pbar * (1 - pbar))
+           + 0.841621 * math.sqrt(0.25 + 0.24))
+    want = math.ceil(num * num / 0.01)
+    assert r["n_required"] == want
+    assert r["powered"] is False   # 100 per arm < ~388
+
+
+def test_risk_ratio_worked_example(spark):
+    """Cohort 2x2 (20/80 exposed, 10/90 unexposed): RR = 2, NNT = 10;
+    a zero outcome cell yields NULL rr."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        risk_ratio,
+    )
+
+    rows = ([(1, 1)] * 20 + [(1, 0)] * 80
+            + [(0, 1)] * 10 + [(0, 0)] * 90)
+    df = spark.createDataFrame(rows, "e int, y int")
+    r = risk_ratio(df, "e", "y").first()
+    assert r["rr"] == 2.0
+    assert r["nnt"] == 10.0
+    assert r["ci_lo"] < 2.0 < r["ci_hi"]
+    degenerate = spark.createDataFrame(
+        [(1, 0)] * 5 + [(0, 1)] * 5, "e int, y int"
+    )
+    assert risk_ratio(degenerate, "e", "y").first()["rr"] is None
+
+
+def test_sprt_binomial_crosses_correct_boundary(spark):
+    """A stream at the alternative rate crosses the reject-H0 bound;
+    a stream at the null rate crosses accept-H0; decisions are per
+    checkpoint with cumulative exact counts."""
+    import pyspark.sql.functions as F
+
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        sprt_binomial,
+    )
+
+    hot = [(t, "b", 1 if i < 7 else 0)
+           for t in range(1, 21) for i in range(10)]
+    df = spark.createDataFrame(hot, "t int, s string, y int")
+    out = sprt_binomial(df, "t", F.col("s"), F.col("y"),
+                        p0=0.5, p1=0.7).collect()
+    assert [r["step"] for r in out] == list(range(1, 21))
+    assert out[-1]["decision"] == "reject_h0"
+    cold = [(t, "b", 1 if i < 5 else 0)
+            for t in range(1, 21) for i in range(10)]
+    out2 = sprt_binomial(
+        spark.createDataFrame(cold, "t int, s string, y int"),
+        "t", F.col("s"), F.col("y"), p0=0.5, p1=0.7,
+    ).collect()
+    assert out2[-1]["decision"] == "accept_h0"
