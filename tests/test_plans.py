@@ -514,3 +514,22 @@ def test_r11_additions_plan_gates(spark, qmap):
         assert "BatchEvalPython" not in plan, name
         if name in partitioned:
             assert "SinglePartition" not in plan, name
+
+
+def test_r11_late_additions_plan_gates(spark, qmap):
+    """Scale gates for the post-window round-11 additions (r13 queue):
+    no cartesian, no row Python; SinglePartition only on single-row /
+    bounded-table outputs (scalar stats, the 10-pair Tukey table, the
+    30-checkpoint SPRT walk, RANSAC's bounded winner pick) — per-pair
+    and per-doc outputs stay fully partitioned."""
+    bounded = {
+        "energy_dist", "tukey", "ransac", "brier", "corr_matrix",
+        "anova_effect", "prop_power", "risk_ratio", "sprt",
+    }
+    partitioned = ["token_f1", "entity_density"]
+    for name in sorted(bounded) + partitioned:
+        plan = _plan(qmap[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        if name in partitioned:
+            assert "SinglePartition" not in plan, name
