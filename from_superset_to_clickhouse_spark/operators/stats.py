@@ -4270,9 +4270,11 @@ def energy_distance(
     )
     na = F.col("_na").cast("double")
     nb = F.col("_nb").cast("double")
-    exy = F.col("_dxy").cast("double") / (na * nb) / _Q
-    exx = F.col("_dxx").cast("double") / (na * na) / _Q
-    eyy = F.col("_dyy").cast("double") / (nb * nb) / _Q
+    # an empty arm has no pairwise expectations: NULL, not a 0/0
+    ok = (na > 0) & (nb > 0)
+    exy = F.when(ok, F.col("_dxy").cast("double") / (na * nb) / _Q)
+    exx = F.when(ok, F.col("_dxx").cast("double") / (na * na) / _Q)
+    eyy = F.when(ok, F.col("_dyy").cast("double") / (nb * nb) / _Q)
     return agg.select(
         F.col("_na").cast("long").alias("n_a"),
         F.col("_nb").cast("long").alias("n_b"),

@@ -590,3 +590,20 @@ def test_sprt_binomial_crosses_correct_boundary(spark):
         "t", F.col("s"), F.col("y"), p0=0.5, p1=0.7,
     ).collect()
     assert out2[-1]["decision"] == "accept_h0"
+
+
+def test_energy_distance_empty_arm_is_null(spark):
+    """A one-sided sample has no cross-arm expectation: NULL energy,
+    not a divide-by-zero artifact."""
+    import pyspark.sql.functions as F
+
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        energy_distance,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "g string, v double"
+    )
+    r = energy_distance(df, "v", F.col("g")).first()
+    assert r["n_b"] == 0
+    assert r["e_xy"] is None and r["energy"] is None
