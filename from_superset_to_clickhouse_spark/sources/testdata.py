@@ -71,12 +71,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # so Spark reads them as ONE partition and every compute-heavy first
     # stage (codec decode, minhash, char-gram windows) runs serially —
     # an artifact real deployments don't have (a 100 TB scan is parallel
-    # by construction). Spread to the cluster parallelism; filters still
-    # push through the Repartition node (PushPredicateThroughNonJoin),
-    # and every registered query design is row-order-free.
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    # by construction). Spread the PAYLOAD tables (documents/embeddings:
+    # per-row compute dominates — codecs, signatures, vector math) to
+    # the cluster parallelism; the narrow numeric tables stay as read,
+    # where a 32-task shuffle stage costs more than it saves (measured
+    # +0.3-0.6s per sub-second query). Filters still push through the
+    # Repartition node, and every registered query design is
+    # row-order-free.
+    if name in ("documents", "embeddings"):
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     return df
 
 
