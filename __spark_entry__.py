@@ -18439,3 +18439,70 @@ SELECT t AS step, CAST(n AS BIGINT) AS n_b, CAST(sb AS BIGINT) AS s_b,
 FROM fin
 """,
 })
+
+
+def q_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation of the planted calibrated scorer (the
+    ece_bins/brier design) thresholded at 0.5 against its md5-uniform
+    outcome: exact integer confusion cells, one IEEE closed form."""
+    from from_superset_to_clickhouse_spark.operators.mleval import mcc
+
+    ev = _ev(spark, sf_dir)
+    s = (
+        F.floor(
+            (F.col("event_id") % 997).cast("double")
+            * F.lit(1048576.0)
+            / F.lit(1000.0)
+        )
+        / F.lit(1048576.0)
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("cal"), F.col("event_id"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    src = ev.select(s.alias("score"), (u < s).cast("int").alias("y"))
+    return mcc(src, "score", "y", threshold=0.5)
+
+
+_R12_QUERIES.update({"mcc": q_mcc})
+
+_R12_ORACLES.update({
+    "mcc": """
+-- Same grid scorer, 0.5 threshold, exact cells, IEEE closed form.
+WITH src AS (
+  SELECT floor(CAST(event_id % 997 AS DOUBLE) * 1048576.0 / 1000.0)
+      / 1048576.0 AS s,
+    CASE WHEN CAST(CAST(('0x' || substr(md5('cal:' ||
+        CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+      / 4294967296.0
+      < floor(CAST(event_id % 997 AS DOUBLE) * 1048576.0 / 1000.0)
+        / 1048576.0
+      THEN 1 ELSE 0 END AS y
+  FROM events
+), agg AS (
+  SELECT count(*) FILTER (s >= 0.5 AND y = 1) AS tp,
+    count(*) FILTER (s >= 0.5 AND y = 0) AS fp,
+    count(*) FILTER (s < 0.5 AND y = 0) AS tn,
+    count(*) FILTER (s < 0.5 AND y = 1) AS fn
+  FROM src
+), fin AS (
+  SELECT tp, fp, tn, fn,
+    sqrt((CAST(tp AS DOUBLE) + fp) * (CAST(tp AS DOUBLE) + fn)
+      * (CAST(tn AS DOUBLE) + fp) * (CAST(tn AS DOUBLE) + fn)) AS den
+  FROM agg
+)
+SELECT CAST(tp + fp + tn + fn AS BIGINT) AS n,
+  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+  CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+  round(CASE WHEN den > 0 THEN
+    (CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn) / den END, 6)
+    AS mcc
+FROM fin
+""",
+})

@@ -1141,3 +1141,52 @@ def token_f1(
         F.round(r, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     )
+
+
+def mcc(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Matthews correlation coefficient → single row (n, tp, fp, tn,
+    fn, mcc): the balanced single-number classifier score — unlike
+    accuracy/F1 it uses ALL four confusion cells symmetrically, so a
+    majority-class predictor scores ~0 on a 1:1000-imbalanced stream
+    instead of 0.999 accuracy. The scorecard companion to
+    classifier_eval (which reports the asymmetric metrics).
+
+    ONE conditional-aggregate pass; cells are exact integers and
+    MCC = (tp·tn − fp·fn)/√((tp+fp)(tp+fn)(tn+fp)(tn+fn)) is the
+    same IEEE expression of them on any engine (the marginal product
+    is computed in double — exact through ~10^13 cells² and
+    deterministic beyond). A zero marginal yields NULL (undefined),
+    not a masked 0."""
+    p = (F.col(prob_col).cast("double") >= threshold).cast("int")
+    y = F.col(label_col).cast("int")
+    agg = df.filter(
+        F.col(prob_col).isNotNull() & y.isNotNull()
+    ).agg(
+        F.count(F.when((p == 1) & (y == 1), 1)).alias("_tp"),
+        F.count(F.when((p == 1) & (y == 0), 1)).alias("_fp"),
+        F.count(F.when((p == 0) & (y == 0), 1)).alias("_tn"),
+        F.count(F.when((p == 0) & (y == 1), 1)).alias("_fn"),
+    )
+    tp = F.col("_tp").cast("double")
+    fp = F.col("_fp").cast("double")
+    tn = F.col("_tn").cast("double")
+    fn = F.col("_fn").cast("double")
+    den = F.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    m = F.when(den > 0, (tp * tn - fp * fn) / den)
+    return agg.select(
+        (F.col("_tp") + F.col("_fp") + F.col("_tn") + F.col("_fn"))
+        .cast("long")
+        .alias("n"),
+        F.col("_tp").cast("long").alias("tp"),
+        F.col("_fp").cast("long").alias("fp"),
+        F.col("_tn").cast("long").alias("tn"),
+        F.col("_fn").cast("long").alias("fn"),
+        F.round(m, 6).alias("mcc"),
+    )

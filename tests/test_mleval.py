@@ -461,3 +461,28 @@ def test_token_f1_reference(spark):
     assert out[2]["f1"] == 0.0
     assert out[3]["f1"] == 0.0 and out[3]["precision"] is None
     assert out[4]["f1"] == 1.0
+
+
+def test_mcc_reference_and_degenerate(spark):
+    """Worked confusion (tp=6, fp=1, tn=2, fn=1) against the closed
+    form; a single-class predictor (zero marginal) is NULL, and a
+    perfect predictor scores 1."""
+    import math
+
+    from from_superset_to_clickhouse_spark.operators.mleval import mcc
+
+    rows = ([(0.9, 1)] * 6 + [(0.9, 0)] * 1
+            + [(0.1, 0)] * 2 + [(0.1, 1)] * 1)
+    df = spark.createDataFrame(rows, "s double, y int")
+    r = mcc(df, "s", "y").first()
+    assert (r["tp"], r["fp"], r["tn"], r["fn"]) == (6, 1, 2, 1)
+    want = (6 * 2 - 1 * 1) / math.sqrt(7 * 7 * 3 * 3)
+    assert abs(r["mcc"] - round(want, 6)) < 1e-9
+    allpos = spark.createDataFrame(
+        [(0.9, 1)] * 5 + [(0.9, 0)] * 5, "s double, y int"
+    )
+    assert mcc(allpos, "s", "y").first()["mcc"] is None
+    perfect = spark.createDataFrame(
+        [(0.9, 1)] * 5 + [(0.1, 0)] * 5, "s double, y int"
+    )
+    assert mcc(perfect, "s", "y").first()["mcc"] == 1.0

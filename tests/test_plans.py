@@ -524,7 +524,7 @@ def test_r11_late_additions_plan_gates(spark, qmap):
     and per-doc outputs stay fully partitioned."""
     bounded = {
         "energy_dist", "tukey", "ransac", "brier", "corr_matrix",
-        "anova_effect", "prop_power", "risk_ratio", "sprt",
+        "anova_effect", "prop_power", "risk_ratio", "sprt", "mcc",
     }
     partitioned = ["token_f1", "entity_density"]
     for name in sorted(bounded) + partitioned:
