@@ -6694,19 +6694,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and push driver-green entries down into backfill. Cap additions per
     # round so (queued + new) ≤ 50 fills the next window exactly.
     return {
-        # -- r11 window (positions 0-49): the 50 never-driver-checked
-        # -- entries, per VERDICT r10 item 1: 34 r8-leftovers
-        # -- (geohash..data_gaps) + 16 r9 additions (webp_meta..perm_test).
-        # -- All pass scripts/check_oracle.py --pandas-canon at sf0.01.
-        **_R8_LEFTOVER_QUERIES,
-        **_R10_QUERIES,
-        # -- r12 window queue (positions 50-99, exactly 50): the 16 r10
-        # -- additions (wilcoxon_signed..ipw, VERDICT r10 item 2) + the
-        # -- 34 r11 additions (cohens_d..page_trend). ROTATE THESE to
-        # -- positions 0-49 at the START of round 12 (drop the two dicts
-        # -- above into backfill) — the driver checks the FIRST 50 only.
+        # -- r12 window (positions 0-49), per VERDICT r11 item 1: the 16
+        # -- r10 additions (wilcoxon_signed..ipw) + the 34 r11 additions
+        # -- (cohens_d..page_trend). _R12_QUERIES also carries the 12-entry
+        # -- r13 queue (energy_dist..mcc) at positions 50-61 — new r12
+        # -- additions (_R13_QUERIES) queue directly behind at 62+ so the
+        # -- r13 window (positions 50-99) fills with 12 queued + 38 new.
         **_R11_QUERIES,
         **_R12_QUERIES,
+        **_R13_QUERIES,
+        # -- green-on-record backfill: the r11 window (CORRECTNESS_r11
+        # -- 50/50 green): 34 r8-leftovers (geohash..data_gaps) + 16 r9
+        # -- additions (webp_meta..perm_test) --------------------------------
+        **_R8_LEFTOVER_QUERIES,
+        **_R10_QUERIES,
         # -- green-on-record backfill: theil_sen..abc_analysis (driver
         # -- rows in BOTH CORRECTNESS_r09 and _r10, 50/50 green) ------------
         **_R9_GREEN_QUERIES,
@@ -9618,6 +9619,7 @@ HAVING count(*) > tot.n / 500.0
         **_R10_ORACLES,
         **_R11_ORACLES,
         **_R12_ORACLES,
+        **_R13_ORACLES,
     }
 
 
@@ -18024,7 +18026,7 @@ WITH daily AS (
     m + CASE WHEN d % 7 = 0 THEN 400.0 ELSE 0.0 END AS y
   FROM daily
 ), pts AS (
-  SELECT x, y, row_number() OVER (ORDER BY x) - 1 AS i FROM pts0
+  SELECT x, y, row_number() OVER (ORDER BY x, y) - 1 AS i FROM pts0
 ), nn AS (SELECT count(*) AS n FROM pts),
 hyp AS (
   SELECT h,
@@ -18471,6 +18473,12 @@ def q_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _R12_QUERIES.update({"mcc": q_mcc})
+
+# Round-12 additions: queued directly behind the 12-entry r13 carry-over
+# (energy_dist..mcc) so the r13 driver window (positions 50-99) fills with
+# 12 queued + ≤38 new. Populated below as operators land.
+_R13_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_R13_ORACLES: dict[str, str] = {}
 
 _R12_ORACLES.update({
     "mcc": """

@@ -1444,7 +1444,10 @@ def url_snapshot_dedup(
             F.col("_r._sig").alias("_ref_sig"),
         )
     )
-    joined = base.join(F.broadcast(ref), "url_canon")
+    # plain shuffle equi-join on url_canon: ref carries one row (and a
+    # num_hashes-element signature) per DISTINCT canonical URL, which is
+    # corpus-scale in the multi-snapshot recrawl case — never broadcast it.
+    joined = base.join(ref.hint("shuffle_hash"), "url_canon")
     eq = F.size(
         F.filter(
             F.zip_with(

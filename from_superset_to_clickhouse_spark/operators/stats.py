@@ -3048,7 +3048,9 @@ def cohens_d(
     src = df.select(
         side_col.alias("_g"),
         F.col(value_col).cast("double").alias("_v"),
-    ).filter(F.col("_v").isNotNull() & F.col("_g").isNotNull())
+    ).filter(
+        F.col("_v").isNotNull() & F.col("_g").isin("a", "b")
+    )
     gm = src.groupBy("_g").agg(
         F.count("*").alias("_ng"),
         (F.floor(F.avg("_v") * _Q) / _Q).alias("_mg"),
@@ -4002,25 +4004,47 @@ def chisq_gof(
     / source distribution what we planned", the drift gate on
     categorical pipeline health.
 
+    With ``probs``, the cell table is the UNION of the probs domain and
+    the observed levels: an expected-but-unobserved category contributes
+    a zero-count cell with E = n·p (and counts toward k/dof) — the
+    vanished-category drift case this gate exists for.
+
     ONE conditional-aggregate pass; observed counts exact integers,
     expected = n·p exact products, chi2 an exact ratio sum over the
     bounded level table; Wilson–Hilferty p on k−1 dof."""
     src = df.select(F.col(key_col).alias("_k")).filter(
         F.col("_k").isNotNull()
     )
-    cells = src.groupBy("_k").agg(F.count("*").alias("_c"))
-    tot = cells.agg(
-        F.sum("_c").alias("_n"), F.count("*").alias("_lv")
-    )
-    j = cells.crossJoin(F.broadcast(tot))
     if probs is None:
-        exp = F.col("_n").cast("double") / F.col("_lv")
+        cells = src.groupBy("_k").agg(F.count("*").alias("_c"))
+        tot = cells.agg(
+            F.sum("_c").alias("_n"), F.count("*").alias("_lv")
+        )
+        j = cells.crossJoin(F.broadcast(tot))
+        j = j.withColumn(
+            "_e", F.col("_n").cast("double") / F.col("_lv")
+        )
     else:
-        p = F.lit(None).cast("double")
-        for lvl, pr in sorted(probs.items()):
-            p = F.when(F.col("_k") == lvl, F.lit(float(pr))).otherwise(p)
-        exp = F.col("_n").cast("double") * p
-    j = j.withColumn("_e", exp)
+        dom = df.sparkSession.createDataFrame(
+            [(str(lvl), float(pr)) for lvl, pr in sorted(probs.items())],
+            "_k string, _p double",
+        )
+        cells = (
+            src.withColumn("_k", F.col("_k").cast("string"))
+            .groupBy("_k")
+            .agg(F.count("*").alias("_c"))
+            .join(dom, "_k", "full_outer")
+            .select(
+                "_k",
+                F.coalesce(F.col("_c"), F.lit(0)).alias("_c"),
+                "_p",
+            )
+        )
+        tot = cells.agg(
+            F.sum("_c").alias("_n"), F.count("*").alias("_lv")
+        )
+        j = cells.crossJoin(F.broadcast(tot))
+        j = j.withColumn("_e", F.col("_n").cast("double") * F.col("_p"))
     bad = F.sum(F.when(F.col("_e").isNull(), 1).otherwise(0))
     term = (
         (F.col("_c") - F.col("_e"))
@@ -4361,16 +4385,19 @@ def ransac_line(
 
     Determinism contract (the dsir/boot_ci md5 discipline): hypothesis
     h picks point indices md5(h:1) mod n and md5(h:2) mod n over the
-    x-rank index (dense, deterministic); degenerate picks (equal x)
-    drop. Inlier test |y − (a + b·x)| ≤ tol with slope/intercept
-    exact ratios of grid values; winner = max inliers, tie → lowest
-    h. Work = |hypotheses| × n via one broadcast join — never
-    quadratic, no driver loop."""
+    (x, y)-rank index — a TOTAL order, so tied x values still index
+    deterministically across engines/partitionings; degenerate picks
+    (equal x) drop. Inlier test |y − (a + b·x)| ≤ tol with
+    slope/intercept exact ratios of grid values; winner = max
+    inliers, tie → lowest h. Work = |hypotheses| × n with only
+    k-bounded broadcasts (the hypothesis/line tables, ≤ n_hypotheses
+    rows) — the full point table is never broadcast, never paired
+    with itself."""
     if n_hypotheses < 1:
         raise ValueError(
             f"ransac_line needs >= 1 hypotheses, got {n_hypotheses}"
         )
-    w = Window.partitionBy().orderBy("_x")
+    w = Window.partitionBy().orderBy("_x", "_y")
     pts = (
         df.select(
             F.col(x_col).cast("double").alias("_x"),
@@ -4413,9 +4440,13 @@ def ransac_line(
         F.col("_x").alias("_x2"),
         F.col("_y").alias("_y2"),
     )
+    # broadcast the ≤n_hypotheses-row side at every step; the point
+    # table stays distributed (it is corpus-sized at scale)
+    first_pick = p1.join(F.broadcast(hyp), "_i1").select(
+        "_h", "_i2", "_x1", "_y1"
+    )
     lines = (
-        hyp.join(F.broadcast(p1), "_i1")
-        .join(F.broadcast(p2), "_i2")
+        p2.join(F.broadcast(first_pick), "_i2")
         .filter(F.col("_x1") != F.col("_x2"))
         .select(
             "_h",

@@ -43,6 +43,27 @@ def test_cohens_d_reference(spark):
     assert abs(r["d"] - (ma - mb) / sp) < 1e-5
 
 
+def test_cohens_d_ignores_other_arm_labels(spark):
+    """ADVICE r11: a third side_col label must not inflate sd_pooled —
+    rows outside arms 'a'/'b' are excluded everywhere (the
+    cliffs_delta/energy_distance discipline), so adding a wild 'c' arm
+    leaves every output identical."""
+    a = [2.0, 4.0, 6.0, 8.0]
+    b = [1.0, 3.0, 5.0]
+    rows = [(v, "a") for v in a] + [(v, "b") for v in b]
+    clean = cohens_d(
+        spark.createDataFrame(rows, "v double, s string"), "v", F.col("s")
+    ).first()
+    noisy = cohens_d(
+        spark.createDataFrame(
+            rows + [(1e6, "c"), (-1e6, "c")], "v double, s string"
+        ),
+        "v",
+        F.col("s"),
+    ).first()
+    assert clean == noisy
+
+
 def test_cliffs_delta_brute_force(spark):
     a = [1.0, 3.0, 3.0, 5.0, 9.0]
     b = [2.0, 3.0, 4.0]
@@ -343,6 +364,23 @@ def test_chisq_gof_uniform_and_custom(spark):
     assert r3["chi2"] == 0.0
 
 
+def test_chisq_gof_unobserved_expected_category(spark):
+    """ADVICE r11: a probs category with p > 0 but ZERO observed count
+    must contribute a zero-count cell (E = n*p, k from the probs
+    domain) — the vanished-category drift case. 100 obs of 'a' against
+    probs {a:0.5, b:0.5}: cells (100-50)^2/50 + (0-50)^2/50 = 100,
+    k = 2 (dof 1), not a k=1 / chi2=50 understatement."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        chisq_gof,
+    )
+
+    df = spark.createDataFrame([("a",)] * 100, "k string")
+    r = chisq_gof(df, "k", probs={"a": 0.5, "b": 0.5}).first()
+    assert r["k"] == 2
+    assert r["n"] == 100
+    assert r["chi2"] == 100.0
+
+
 def test_chisq_gof_missing_prob_is_null(spark):
     """A level absent from probs must yield NULL chi2, not a silent
     partial statistic."""
@@ -466,6 +504,24 @@ def test_ransac_line_survives_outliers(spark):
     assert r["n"] == 29
     assert r["n_inliers"] == 20
     assert r["slope"] == 2.0 and r["intercept"] == 1.0
+
+
+def test_ransac_line_tied_x_deterministic(spark):
+    """ADVICE r11: duplicate x values must still index deterministically
+    (rank window totally ordered by (x, y)) — same result across
+    shuffled row orders and partitionings."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        ransac_line,
+    )
+
+    pts = [(float(i % 7), 2.0 * (i % 7) + 1.0 + 0.01 * i) for i in range(28)]
+    df1 = spark.createDataFrame(pts, "x double, y double")
+    df2 = spark.createDataFrame(
+        list(reversed(pts)), "x double, y double"
+    ).repartition(7)
+    r1 = ransac_line(df1, "x", "y", n_hypotheses=12, tol=0.5).first()
+    r2 = ransac_line(df2, "x", "y", n_hypotheses=12, tol=0.5).first()
+    assert r1 == r2
 
 
 def test_corr_matrix_reference(spark):
