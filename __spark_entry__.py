@@ -18514,3 +18514,115 @@ SELECT CAST(tp + fp + tn + fn AS BIGINT) AS n,
 FROM fin
 """,
 })
+
+
+def q_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal with multiplicity (Lee et al. semantics at
+    5-gram window granularity): every token covered by a NON-first
+    occurrence of a corpus-duplicated 5-gram is cut — intra-document
+    repeats count, and exactly one copy (the (doc_id, pos)-minimal
+    occurrence) of each duplicated span survives. The oracle replays
+    window construction, the count/rank head, n-wide coverage, anti
+    join and ordered rebuild in ANSI SQL."""
+    return txt.remove_repeated_substrings(_docs(spark, sf_dir), n=5)
+
+
+def q_token_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level decontamination: per TRAIN doc (hash split, 80%),
+    the fraction of tokens covered by a 5-gram window shared with the
+    held-out 20% — the broadcast probe of the eval gram set against
+    the training windows scan, upgraded from the doc-level
+    ``contamination`` flag to a per-token fraction."""
+    docs = _docs(spark, sf_dir)
+    is_train = smp.hash_basis_points(F.col("doc_id")) < 8000
+    return txt.token_decontamination(
+        docs.filter(is_train), docs.filter(~is_train), n=5
+    )
+
+
+_R13_QUERIES.update({
+    "exact_substr": q_exact_substr,
+    "token_decontam": q_token_decontam,
+})
+
+_R13_ORACLES.update({
+    "exact_substr": r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                x -> x <> '') AS t
+  FROM documents
+), wins AS (
+  SELECT doc_id,
+    unnest(range(1, CAST(len(t) AS INTEGER) - 3)) AS i,
+    unnest(list_transform(range(1, CAST(len(t) AS INTEGER) - 3),
+      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+           || ' ' || t[i+4])) AS gram
+  FROM toks WHERE len(t) >= 5
+), marked AS (
+  SELECT doc_id, i, count(*) OVER (PARTITION BY gram) AS cnt,
+    row_number() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn
+  FROM wins
+), covered AS (
+  SELECT DISTINCT m.doc_id, m.i - 1 + s.s AS pos
+  FROM marked m CROSS JOIN (SELECT unnest(range(0, 5)) AS s) s
+  WHERE m.cnt >= 2 AND m.rn > 1
+), tok AS (
+  SELECT doc_id,
+    unnest(range(0, CAST(len(t) AS INTEGER))) AS pos,
+    unnest(t) AS token
+  FROM toks
+), kept AS (
+  SELECT tok.doc_id, tok.pos, tok.token
+  FROM tok ANTI JOIN covered USING (doc_id, pos)
+), rebuilt AS (
+  SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS clean_text,
+    count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT toks.doc_id, coalesce(rebuilt.clean_text, '') AS clean_text,
+  CAST(len(toks.t) - coalesce(rebuilt.n_kept, 0) AS INTEGER) AS n_removed
+FROM toks LEFT JOIN rebuilt USING (doc_id)
+""",
+    "token_decontam": r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                x -> x <> '') AS t
+  FROM documents
+), split AS (
+  SELECT doc_id,
+    ((doc_id % 1000003) * 514229 + 285311) % 1000003 % 10000 < 8000
+      AS is_train
+  FROM documents
+), wins AS (
+  SELECT doc_id,
+    unnest(range(1, CAST(len(t) AS INTEGER) - 3)) AS i,
+    unnest(list_transform(range(1, CAST(len(t) AS INTEGER) - 3),
+      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+           || ' ' || t[i+4])) AS gram
+  FROM toks WHERE len(t) >= 5
+), ev_grams AS (
+  SELECT DISTINCT w.gram
+  FROM wins w JOIN split s USING (doc_id) WHERE NOT s.is_train
+), cov AS (
+  SELECT doc_id, count(*) AS nc FROM (
+    SELECT DISTINCT w.doc_id, w.i - 1 + sp.s AS pos
+    FROM wins w
+    JOIN split s USING (doc_id)
+    JOIN ev_grams USING (gram)
+    CROSS JOIN (SELECT unnest(range(0, 5)) AS s) sp
+    WHERE s.is_train
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+  CAST(coalesce(c.nc, 0) AS BIGINT) AS n_contaminated,
+  round(CASE WHEN len(t.t) > 0
+    THEN coalesce(c.nc, 0) / CAST(len(t.t) AS DOUBLE) END, 6)
+    AS contaminated_frac
+FROM toks t
+JOIN split s USING (doc_id)
+LEFT JOIN cov c USING (doc_id)
+WHERE s.is_train
+""",
+})

@@ -2428,3 +2428,189 @@ def entity_density(
         F.round(F.col("_nc") / nt, 6).alias("cap_density"),
         F.round(F.col("_nn") / nt, 6).alias("num_density"),
     )
+
+
+def remove_repeated_substrings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """ExactSubstr-style repeated-substring removal WITH multiplicity
+    → (doc_id, clean_text, n_removed): every token covered by a
+    NON-FIRST occurrence of an n-gram that appears two or more times
+    in the corpus — counting repeats WITHIN a document, unlike
+    ``cut_repeated_spans``'s distinct-doc rule — is excised; the
+    globally-first occurrence (min over the (doc_id, pos) total
+    order) survives, so exactly one copy of each duplicated span is
+    kept. This is the "keep one occurrence" semantics of the
+    suffix-array ExactSubstr deduplicator of Lee et al.
+    ("Deduplicating Training Data Makes Language Models Better"),
+    re-expressed at n-gram-window granularity so it runs as joins +
+    aggregates instead of a sequential suffix array.
+
+    Plan shape: one codegen window explode (doc, pos, gram); one
+    gram-keyed aggregate carrying count(*) AND min(struct(doc, pos))
+    in the same map-side-combined pass (the dedup head is tiny after
+    the cnt >= 2 filter — the unique tail drops at the reducer);
+    occurrences join the head on gram and the first occurrence is
+    filtered out row-locally; covered positions explode n-wide,
+    distinct, anti-join, and the survivors rebuild per-doc via
+    array_sort over (pos, token) structs — no window function over
+    the corpus, no Python. At 100 TB the gram key would ride as
+    xxhash64(gram) exactly as in ``cut_repeated_spans(hash_grams=
+    True)``; the string key stays here so the ANSI oracle replays
+    the pipeline verbatim.
+    """
+    toks_arr = df.select(
+        F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("t")
+    )
+    wins = (
+        toks_arr.filter(F.size("t") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - n),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(" ", F.slice(F.col("t"), i + 1, n)).alias(
+                            "gram"
+                        ),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.gram").alias("gram"))
+    )
+    dup_head = (
+        wins.groupBy("gram")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+        )
+        .filter(F.col("cnt") >= 2)
+        .select(
+            "gram",
+            F.col("first.doc_id").alias("_fdoc"),
+            F.col("first.pos").alias("_fpos"),
+        )
+    )
+    covered = (
+        wins.join(dup_head, "gram")
+        .filter(
+            ~((F.col("doc_id") == F.col("_fdoc")) & (F.col("pos") == F.col("_fpos")))
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    tok = toks_arr.select("doc_id", F.posexplode("t").alias("pos", "token"))
+    kept = tok.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        toks_arr.select("doc_id", F.size("t").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )
+
+
+def token_decontamination(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Token-level benchmark decontamination → (doc_id, n_tokens,
+    n_contaminated, contaminated_frac): for each TRAINING document,
+    the fraction of its tokens covered by at least one word n-gram
+    window that also occurs in the held-out/eval set (the published
+    recipe uses 13-grams; ``n`` is the knob). Upgrades the doc-level
+    ``contamination`` op — a doc sharing one boilerplate gram scores
+    ~n/len instead of being flagged wholesale, so the curation pass
+    can threshold on the fraction (e.g. drop > 0.8, excise spans
+    between 0.1 and 0.8 with ``remove_repeated_substrings``'s
+    machinery).
+
+    Scale shape: the eval side is tiny relative to a training corpus,
+    so its distinct gram set BROADCASTS and the training windows scan
+    is never shuffled for the probe; covered positions explode n-wide
+    and the per-doc fraction is one partial-aggregated count joined
+    back to the per-doc token count. Docs with no tokens surface a
+    NULL fraction.
+    """
+    toks_arr = train.select(
+        F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("t")
+    )
+    wins = (
+        toks_arr.filter(F.size("t") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - n),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(" ", F.slice(F.col("t"), i + 1, n)).alias(
+                            "gram"
+                        ),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.gram").alias("gram"))
+    )
+    test_grams = (
+        ngram_rows(test, text_col, id_col, n).select("gram").distinct()
+    )
+    covered = (
+        wins.join(F.broadcast(test_grams), "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        toks_arr.select("doc_id", F.size("t").alias("n_tokens"))
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_contaminated", F.lit(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.coalesce("n_contaminated", F.lit(0))
+                    / F.col("n_tokens").cast("double"),
+                ),
+                6,
+            ).alias("contaminated_frac"),
+        )
+    )

@@ -1032,3 +1032,101 @@ def test_entity_density_classifies_tokens(spark):
     assert r["n_nums"] == 1      # 1,200.50
     assert r["n_urls"] == 1
     assert abs(r["cap_density"] - round(2 / 9, 6)) < 1e-9
+
+
+def test_remove_repeated_substrings_keeps_first_occurrence(spark):
+    """ExactSubstr multiplicity semantics: a 3-gram duplicated WITHIN
+    one document triggers removal of the later occurrence only; a
+    cross-doc duplicate keeps the (doc_id, pos)-minimal copy; unique
+    text is untouched."""
+    df = spark.createDataFrame(
+        [
+            # intra-doc repeat: "a b c" at pos 0 and pos 4
+            (1, "a b c x a b c"),
+            # cross-doc repeat of doc 3's "p q r" — doc 2 is first
+            (2, "p q r tail"),
+            (3, "head p q r"),
+            (4, "totally unique words here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in txt.remove_repeated_substrings(df, n=3).collect()
+    }
+    # doc 1: second "a b c" (pos 4-6) cut, first kept
+    assert got[1] == ("a b c x", 3)
+    # doc 2 holds the (doc,pos)-minimal "p q r" -> survives intact
+    assert got[2] == ("p q r tail", 0)
+    # doc 3's copy is non-first -> cut
+    assert got[3] == ("head", 3)
+    assert got[4] == ("totally unique words here", 0)
+
+
+def test_remove_repeated_substrings_preserves_order_property(spark):
+    """Property (VERDICT r11 item 4): the reassembled clean_text is
+    always a subsequence of the original token stream — surviving
+    tokens keep their relative order — and tokens NOT covered by any
+    duplicated window all survive. Seeded generative corpus with
+    planted intra- and cross-doc repeats."""
+    import random
+
+    rng = random.Random(421)
+    vocab = [f"w{i}" for i in range(40)]
+    dup_span = "s1 s2 s3 s4 s5"
+    rows = []
+    for d in range(30):
+        toks = [rng.choice(vocab) for _ in range(rng.randrange(0, 25))]
+        if d % 3 == 0:  # plant the shared span (sometimes twice)
+            at = rng.randrange(0, len(toks) + 1)
+            toks[at:at] = dup_span.split()
+            if d % 6 == 0:
+                toks.extend(dup_span.split())
+        rows.append((d, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in txt.remove_repeated_substrings(df, n=5).collect()
+    }
+    orig = {d: t.split() for d, t in rows}
+    for d, clean in out.items():
+        ct = clean.split() if clean else []
+        # subsequence check: scan original left-to-right
+        it = iter(orig[d])
+        assert all(any(o == c for o in it) for c in ct), (
+            f"doc {d}: clean_text is not an ordered subsequence"
+        )
+        # removal count consistency
+        assert len(ct) <= len(orig[d])
+
+
+def test_token_decontamination_fraction(spark):
+    """Per-token contamination: a train doc sharing one 3-gram with
+    the eval set scores exactly n_covered/n_tokens; clean docs score
+    0.0; overlapping windows merge coverage (no double count)."""
+    train = spark.createDataFrame(
+        [
+            (1, "x y z shared tri gram tail one"),
+            (2, "nothing in common at all"),
+            # two overlapping eval grams -> merged coverage of 4 tokens
+            (3, "shared tri gram four extra pad"),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "prefix shared tri gram four suffix")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_contaminated"],
+            r["contaminated_frac"],
+        )
+        for r in txt.token_decontamination(train, test, n=3).collect()
+    }
+    # doc 1: window "shared tri gram" covers 3 of 8 tokens
+    assert got[1] == (8, 3, round(3 / 8, 6))
+    assert got[2] == (5, 0, 0.0)
+    # doc 3: windows "shared tri gram" + "tri gram four" merge to 4
+    assert got[3] == (6, 4, round(4 / 6, 6))
