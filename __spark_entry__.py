@@ -18626,3 +18626,387 @@ LEFT JOIN cov c USING (doc_id)
 WHERE s.is_train
 """,
 })
+
+
+# Acklam inverse-normal-CDF replay (mirrors stats.probit_approx): a SQL
+# CASE over the same three regions with the same Horner chains. ``p``
+# must be a bare column/expression string valid in the caller's scope.
+def _probit_sql(p: str) -> str:
+    tail = (
+        "((((((-7.784894002430293e-03) * {q} + (-3.223964580411365e-01))"
+        " * {q} + (-2.400758277161838e+00)) * {q} +"
+        " (-2.549732539343734e+00)) * {q} + 4.374664141464968e+00) * {q}"
+        " + 2.938163982698783e+00) / ((((7.784695709041462e-03 * {q} +"
+        " 3.224671290700398e-01) * {q} + 2.445134137142996e+00) * {q} +"
+        " 3.754408661907416e+00) * {q} + 1.0)"
+    )
+    lo = tail.format(q=f"sqrt(-2.0 * ln({p}))")
+    hi = tail.format(q=f"sqrt(-2.0 * ln(1.0 - ({p})))")
+    # the central denominator Horner chain must match stats._ack_central:
+    # ((((b0*r+b1)*r+b2)*r+b3)*r+b4)*r + 1
+    central = (
+        "(((((((-3.969683028665376e+01) * {r} + 2.209460984245205e+02)"
+        " * {r} + (-2.759285104469687e+02)) * {r} +"
+        " 1.383577518672690e+02) * {r} + (-3.066479806614716e+01)) * {r}"
+        " + 2.506628277459239e+00) * {q}) / ((((((-5.447609879822406e+01)"
+        " * {r} + 1.615858368580409e+02) * {r} +"
+        " (-1.556989798598866e+02)) * {r} + 6.680131188771972e+01) * {r}"
+        " + (-1.328068155288572e+01)) * {r} + 1.0)"
+    ).format(r=f"(({p}) - 0.5) * (({p}) - 0.5)", q=f"(({p}) - 0.5)")
+    return (
+        f"CASE WHEN ({p}) > 0 AND ({p}) < 0.02425 THEN ({lo}) "
+        f"WHEN ({p}) >= 0.02425 AND ({p}) <= 0.97575 THEN ({central}) "
+        f"WHEN ({p}) > 0.97575 AND ({p}) < 1 THEN (-({hi})) END"
+    )
+
+
+_EV_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def q_multiclass_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 on a planted 5-class prediction
+    log: pred = true rotated one step for event_id%10<3, identity
+    otherwise — exact integer cells, IEEE ratios."""
+    from from_superset_to_clickhouse_spark.operators.mleval import (
+        multiclass_prf,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("event_type").isNotNull())
+    rot = {t: _EV_TYPES[(i + 1) % 5] for i, t in enumerate(_EV_TYPES)}
+    pred = F.when(
+        F.pmod(F.col("event_id"), 10) < 3,
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in rot.items() for x in kv]
+            ),
+            F.col("event_type"),
+        ),
+    ).otherwise(F.col("event_type"))
+    src = ev.select(
+        F.col("event_type").alias("y_true"), pred.alias("y_pred")
+    )
+    return multiclass_prf(src, "y_true", "y_pred").orderBy("label")
+
+
+def q_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosmer–Lemeshow calibration deciles on the mcc entry's planted
+    scorer (grid score, md5-threshold outcome): distinct-score block
+    deciles, fxp chi2, Wilson–Hilferty p on g−2 dof."""
+    from from_superset_to_clickhouse_spark.operators.mleval import (
+        hosmer_lemeshow,
+    )
+
+    ev = _ev(spark, sf_dir)
+    s = F.floor(
+        F.pmod(F.col("event_id"), 997).cast("double") * 1048576.0 / 1000.0
+    ) / F.lit(1048576.0)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cal:"), F.col("event_id"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    src = ev.select(s.alias("score"), (u < s).cast("int").alias("y"))
+    return hosmer_lemeshow(src, "score", "y", g=10)
+
+
+def q_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic-weighted kappa between two planted ordinal raters on
+    a 0-4 scale: rater b deviates +1 (clamped) on every 7th row and
+    -2 on every 13th — near-misses discount quadratically."""
+    from from_superset_to_clickhouse_spark.operators.mleval import (
+        weighted_kappa,
+    )
+
+    ev = _ev(spark, sf_dir)
+    a = F.pmod(F.col("event_id"), 5)
+    b = (
+        F.when(F.pmod(F.col("event_id"), 7) == 0, F.least(a + 1, F.lit(4)))
+        .when(F.pmod(F.col("event_id"), 13) == 0, F.greatest(a - 2, F.lit(0)))
+        .otherwise(a)
+    )
+    src = ev.select(a.alias("rater_a"), b.alias("rater_b"))
+    return weighted_kappa(src, "rater_a", "rater_b")
+
+
+def q_kripp_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal) over a planted annotation log:
+    units = event_id%500 (~20 ratings each), label = event_type with
+    every 11th rating flipped to 'error' — coincidence-matrix form,
+    exact integer cells."""
+    from from_superset_to_clickhouse_spark.operators.mleval import (
+        krippendorff_alpha,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("event_type").isNotNull())
+    lab = F.when(
+        F.pmod(F.col("event_id"), 11) == 0, F.lit("error")
+    ).otherwise(F.col("event_type"))
+    src = ev.select(
+        F.pmod(F.col("event_id"), 500).alias("unit"),
+        F.col("event_id").alias("rater"),
+        lab.alias("label"),
+    )
+    return krippendorff_alpha(src, "unit", "rater", "label")
+
+
+def q_dprime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signal-detection d' and criterion for the planted scorer at the
+    0.5 operating point: Acklam probit of hit/false-alarm rates with
+    the 1/(2N) extreme-rate correction."""
+    from from_superset_to_clickhouse_spark.operators.mleval import dprime
+
+    ev = _ev(spark, sf_dir)
+    s = F.floor(
+        F.pmod(F.col("event_id"), 997).cast("double") * 1048576.0 / 1000.0
+    ) / F.lit(1048576.0)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cal:"), F.col("event_id"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    src = ev.select(s.alias("score"), (u < s).cast("int").alias("y"))
+    return dprime(src, "score", "y", threshold=0.5)
+
+
+def q_cohens_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's h between the purchase and view arms' high-value rates
+    (value > 50): the arcsine-stabilized two-proportion effect size,
+    one conditional aggregate."""
+    from from_superset_to_clickhouse_spark.operators.stats import cohens_h
+
+    ev = _ev(spark, sf_dir).filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "view")
+    )
+    side = F.when(F.col("event_type") == "purchase", "a").otherwise("b")
+    return cohens_h(
+        ev.select((F.col("value") > 50).cast("int").alias("hi"), side.alias("_g")),
+        "hi",
+        "_g",
+    )
+
+
+_R13_QUERIES.update({
+    "multiclass_prf": q_multiclass_prf,
+    "hosmer_lemeshow": q_hosmer_lemeshow,
+    "weighted_kappa": q_weighted_kappa,
+    "kripp_alpha": q_kripp_alpha,
+    "dprime": q_dprime,
+    "cohens_h": q_cohens_h,
+})
+
+_MCC_SCORER_SQL = """
+  SELECT floor(CAST(event_id % 997 AS DOUBLE) * 1048576.0 / 1000.0)
+      / 1048576.0 AS s,
+    CASE WHEN CAST(CAST(('0x' || substr(md5('cal:' ||
+        CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+      / 4294967296.0
+      < floor(CAST(event_id % 997 AS DOUBLE) * 1048576.0 / 1000.0)
+        / 1048576.0
+      THEN 1 ELSE 0 END AS y
+  FROM events
+"""
+
+_R13_ORACLES.update({
+    "multiclass_prf": """
+-- Same rotation plant, same exact cells, same IEEE ratios.
+WITH src AS (
+  SELECT event_type AS t,
+    CASE WHEN event_id % 10 < 3 THEN
+      CASE event_type WHEN 'click' THEN 'view' WHEN 'view' THEN 'purchase'
+        WHEN 'purchase' THEN 'signup' WHEN 'signup' THEN 'error'
+        WHEN 'error' THEN 'click' END
+    ELSE event_type END AS p
+  FROM events WHERE event_type IS NOT NULL
+), bt AS (
+  SELECT t AS label, count(*) AS n_true,
+    count(*) FILTER (t = p) AS tp
+  FROM src GROUP BY 1
+), bp AS (
+  SELECT p AS label, count(*) AS n_pred FROM src GROUP BY 1
+), j AS (
+  SELECT coalesce(bt.label, bp.label) AS label,
+    CAST(coalesce(n_true, 0) AS BIGINT) AS n_true,
+    CAST(coalesce(n_pred, 0) AS BIGINT) AS n_pred,
+    CAST(coalesce(tp, 0) AS BIGINT) AS tp
+  FROM bt FULL OUTER JOIN bp ON bt.label = bp.label
+), r AS (
+  SELECT label, n_true, n_pred, tp,
+    CASE WHEN n_pred > 0 THEN tp / CAST(n_pred AS DOUBLE) END AS prec,
+    CASE WHEN n_true > 0 THEN tp / CAST(n_true AS DOUBLE) END AS rec
+  FROM j
+)
+SELECT label, n_true, n_pred, tp,
+  round(prec, 6) AS precision,
+  round(rec, 6) AS recall,
+  round(CASE WHEN prec IS NOT NULL AND rec IS NOT NULL
+    THEN CASE WHEN prec + rec > 0
+      THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END END, 6) AS f1
+FROM r ORDER BY label
+""",
+    "hosmer_lemeshow": """
+-- Same grid scorer, same distinct-score block deciles, same fxp chi2,
+-- same Wilson-Hilferty tail on g_used - 2.
+WITH src AS (""" + _MCC_SCORER_SQL + """
+), per AS (
+  SELECT s, count(*) AS c, sum(y) AS o FROM src GROUP BY 1
+), tot AS (SELECT sum(c) AS n FROM per),
+binned AS (
+  SELECT s, c, o,
+    CAST(floor(10 * coalesce(sum(c) OVER (ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      / (SELECT n FROM tot)) AS INTEGER) AS g
+  FROM per
+), cells AS (
+  SELECT g, sum(c) AS ng, sum(o) AS og, sum(s * c) AS eg
+  FROM binned GROUP BY 1
+), cc AS (
+  SELECT CAST(sum(ng) AS BIGINT) AS n, count(*) AS g_used,
+    sum(CAST(floor(
+      (CAST(og AS DOUBLE) - eg) * (CAST(og AS DOUBLE) - eg)
+      / (CASE WHEN eg > 0 AND ng - eg > 0
+          THEN eg * (ng - eg) / ng END) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS chi2v,
+    CAST(count(*) - 2 AS DOUBLE) AS dofv
+  FROM cells
+),
+""" + _WH_TAIL[_WH_TAIL.index("zc"):] + """
+SELECT n, CAST(g_used AS INTEGER) AS g_used,
+  round(chi2v, 6) AS chi2, CAST(dofv AS INTEGER) AS dof,
+  round(CASE WHEN dofv > 0 THEN pchi END, 6) AS p_value
+FROM pv
+""",
+    "weighted_kappa": """
+-- Same clamped plant, same k from the data span, same O/E sums.
+WITH src AS (
+  SELECT event_id % 5 AS a,
+    CASE WHEN event_id % 7 = 0 THEN least(event_id % 5 + 1, 4)
+         WHEN event_id % 13 = 0 THEN greatest(event_id % 5 - 2, 0)
+         ELSE event_id % 5 END AS b
+  FROM events
+), span AS (
+  SELECT least(min(a), min(b)) AS lo, greatest(max(a), max(b)) AS hi,
+    count(*) AS n
+  FROM src
+), obs AS (
+  SELECT a, b, count(*) AS o FROM src GROUP BY 1, 2
+), swo AS (
+  SELECT sum(CAST(a - b AS DOUBLE) * (a - b)
+    / (CASE WHEN hi - lo > 0
+        THEN CAST(hi - lo AS DOUBLE) * (hi - lo) ELSE 1.0 END) * o) AS v
+  FROM obs, span
+), ra AS (SELECT a, count(*) AS ca FROM src GROUP BY 1),
+rb AS (SELECT b, count(*) AS cb FROM src GROUP BY 1),
+swe AS (
+  SELECT sum(CAST(a - b AS DOUBLE) * (a - b)
+    / (CASE WHEN hi - lo > 0
+        THEN CAST(hi - lo AS DOUBLE) * (hi - lo) ELSE 1.0 END)
+    * CAST(ca AS DOUBLE) * cb) AS v
+  FROM ra, rb, span
+)
+SELECT CAST(n AS BIGINT) AS n,
+  CAST(hi - lo + 1 AS INTEGER) AS k,
+  round(CASE WHEN swe.v > 0
+    THEN 1.0 - swo.v / (swe.v / CAST(n AS DOUBLE)) END, 6) AS kappa_w
+FROM span, swo, swe
+""",
+    "kripp_alpha": """
+-- Same unit plant, same coincidence-matrix identity, exact cells.
+WITH src AS (
+  SELECT event_id % 500 AS u,
+    CASE WHEN event_id % 11 = 0 THEN 'error' ELSE event_type END AS c
+  FROM events WHERE event_type IS NOT NULL
+), per_uc AS (
+  SELECT u, c, count(*) AS o FROM src GROUP BY 1, 2
+), per_u AS (
+  SELECT u, sum(o) AS m FROM per_uc GROUP BY 1
+), pairable AS (
+  SELECT per_uc.u, per_uc.c, per_uc.o, per_u.m
+  FROM per_uc JOIN per_u USING (u) WHERE m >= 2
+), don AS (
+  SELECT sum(CAST(o AS DOUBLE) * (m - o) / CAST(m - 1 AS DOUBLE)) AS v,
+    count(DISTINCT u) AS nu
+  FROM pairable
+), marg AS (
+  SELECT c, sum(o) AS nc FROM pairable GROUP BY 1
+), tot AS (SELECT sum(nc) AS n FROM marg),
+de AS (
+  SELECT sum(CAST(nc AS DOUBLE) * (n - nc)) AS v, min(n) AS n
+  FROM marg, tot
+)
+SELECT CAST(de.n AS BIGINT) AS n_ratings,
+  CAST(don.nu AS BIGINT) AS n_units,
+  round(don.v / CAST(de.n AS DOUBLE), 6) AS d_o,
+  round(de.v / (CAST(de.n AS DOUBLE) * (de.n - 1)), 6) AS d_e,
+  round(CASE WHEN de.v > 0 THEN
+    1.0 - (don.v / CAST(de.n AS DOUBLE))
+      / (de.v / (CAST(de.n AS DOUBLE) * (de.n - 1))) END, 6) AS alpha
+FROM don, de
+""",
+    "dprime": ("""
+-- Same planted scorer, same 1/(2N) correction, same Acklam probit.
+WITH src AS (""" + _MCC_SCORER_SQL + """
+), agg AS (
+  SELECT count(*) FILTER (y = 1) AS np,
+    count(*) FILTER (y = 1 AND s >= 0.5) AS tp,
+    count(*) FILTER (y = 0) AS nn,
+    count(*) FILTER (y = 0 AND s >= 0.5) AS fp
+  FROM src
+), rates AS (
+  SELECT np, nn,
+    CASE WHEN tp = 0 THEN 0.5 / np
+         WHEN tp = np THEN 1.0 - 0.5 / np
+         ELSE tp / CAST(np AS DOUBLE) END AS hr,
+    CASE WHEN fp = 0 THEN 0.5 / nn
+         WHEN fp = nn THEN 1.0 - 0.5 / nn
+         ELSE fp / CAST(nn AS DOUBLE) END AS fa
+  FROM agg
+), z AS (
+  SELECT np, nn, hr, fa,
+    (""" + "__PROBIT_HR__" + """) AS zh,
+    (""" + "__PROBIT_FA__" + """) AS zf
+  FROM rates
+)
+SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+  round(hr, 6) AS hit_rate, round(fa, 6) AS fa_rate,
+  round(zh - zf, 6) AS d_prime,
+  round(-(zh + zf) / 2.0, 6) AS criterion
+FROM z
+""").replace("__PROBIT_HR__", _probit_sql("hr")).replace(
+        "__PROBIT_FA__", _probit_sql("fa")
+    ),
+    "cohens_h": """
+-- Same two-arm plant, same arcsine transform, IEEE-identical.
+WITH src AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 'a' ELSE 'b' END AS g,
+    CASE WHEN value > 50 THEN 1 ELSE 0 END AS y
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+), agg AS (
+  SELECT count(*) FILTER (g = 'a') AS na,
+    sum(y) FILTER (g = 'a') AS sa,
+    count(*) FILTER (g = 'b') AS nb,
+    sum(y) FILTER (g = 'b') AS sb
+  FROM src
+), r AS (
+  SELECT na, nb, sa / CAST(na AS DOUBLE) AS pa,
+    sb / CAST(nb AS DOUBLE) AS pb
+  FROM agg
+)
+SELECT CAST(na AS BIGINT) AS n_a, round(pa, 6) AS p_a,
+  CAST(nb AS BIGINT) AS n_b, round(pb, 6) AS p_b,
+  round(CASE WHEN na > 0 AND nb > 0 THEN
+    2.0 * asin(sqrt(pa)) - 2.0 * asin(sqrt(pb)) END, 6) AS h
+FROM r
+""",
+})

@@ -1190,3 +1190,339 @@ def mcc(
         F.col("_fn").cast("long").alias("fn"),
         F.round(m, 6).alias("mcc"),
     )
+
+
+def multiclass_prf(
+    df: DataFrame,
+    true_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class precision/recall/F1 for a multi-class prediction log
+    → (label, n_true, n_pred, tp, precision, recall, f1): the
+    class-level scorecard ``classifier_eval`` (binary) does not give.
+    Macro scores are the plain AVG of the f1 column; micro-F1 equals
+    accuracy in single-label classification — both one trivial
+    aggregate away, so the per-class table is the primitive.
+
+    Two conditional groupBy passes (by true label carrying tp, by
+    predicted label) + one outer join over the BOUNDED label set; the
+    prediction log itself shuffles only on the label key with map-side
+    combine. A class never predicted gets precision NULL (undefined),
+    not 0; F1 is NULL when both components are."""
+    t = F.col(true_col).cast("string")
+    p = F.col(pred_col).cast("string")
+    src = df.select(t.alias("_t"), p.alias("_p")).filter(
+        F.col("_t").isNotNull() & F.col("_p").isNotNull()
+    )
+    by_true = src.groupBy(F.col("_t").alias("label")).agg(
+        F.count("*").alias("n_true"),
+        F.count(F.when(F.col("_t") == F.col("_p"), 1)).alias("tp"),
+    )
+    by_pred = src.groupBy(F.col("_p").alias("label")).agg(
+        F.count("*").alias("n_pred")
+    )
+    j = by_true.join(by_pred, "label", "full_outer").select(
+        "label",
+        F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+        F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+        F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+    )
+    prec = F.when(
+        F.col("n_pred") > 0, F.col("tp") / F.col("n_pred").cast("double")
+    )
+    rec = F.when(
+        F.col("n_true") > 0, F.col("tp") / F.col("n_true").cast("double")
+    )
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & ((prec + rec) > 0),
+        F.lit(2.0) * prec * rec / (prec + rec),
+    ).otherwise(
+        F.when(prec.isNotNull() & rec.isNotNull(), F.lit(0.0))
+    )
+    return j.select(
+        "label", "n_true", "n_pred", "tp",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def hosmer_lemeshow(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    g: int = 10,
+) -> DataFrame:
+    """Hosmer–Lemeshow calibration test → single row (n, g_used,
+    chi2, dof, p_value): equal-count probability deciles, observed vs
+    expected positives per decile, chi2 ~ X²(g−2). The inferential
+    companion to ``calibration_bins`` (fixed-width bins, no test).
+
+    Deciles are assigned at DISTINCT-SCORE granularity: per-distinct-
+    prob counts + one prefix window over the (bounded-cardinality)
+    score table, each distinct score block landing wholly in decile
+    floor(g·cum_before/n) — deterministic on every engine, no global
+    row sort, no tie ambiguity. With fewer distinct scores than g the
+    realized group count g_used drops and dof follows it."""
+    q = F.floor(F.col(prob_col).cast("double") * F.lit(1048576.0)) / F.lit(
+        1048576.0
+    )
+    src = df.select(
+        q.alias("_s"), F.col(label_col).cast("int").alias("_y")
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    per = src.groupBy("_s").agg(
+        F.count("*").alias("_c"), F.sum("_y").alias("_o")
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    tot = src.agg(
+        F.count("*").alias("_n")
+    )
+    binned = (
+        per.withColumn("_bef", F.coalesce(F.sum("_c").over(w), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_g",
+            F.floor(F.lit(g) * F.col("_bef") / F.col("_n")).cast("int"),
+        )
+    )
+    cells = binned.groupBy("_g").agg(
+        F.sum("_c").alias("_ng"),
+        F.sum("_o").alias("_og"),
+        F.sum(F.col("_s") * F.col("_c")).alias("_eg"),
+    )
+    chi = cells.select(
+        F.col("_ng"),
+        F.col("_og").cast("double").alias("_ogd"),
+        F.col("_eg"),
+        (F.col("_ng") - F.col("_eg")).alias("_e0"),
+    ).agg(
+        F.sum("_ng").cast("long").alias("n"),
+        F.count("*").cast("int").alias("g_used"),
+        _fxp_sum_local(
+            (F.col("_ogd") - F.col("_eg")) * (F.col("_ogd") - F.col("_eg"))
+            / F.when(
+                (F.col("_eg") > 0) & (F.col("_e0") > 0),
+                F.col("_eg") * F.col("_e0") / F.col("_ng"),
+            )
+        ).alias("_chi2"),
+    )
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        chi2_p_value,
+    )
+
+    dof = (F.col("g_used") - F.lit(2)).cast("double")
+    return chi.select(
+        "n",
+        "g_used",
+        F.round("_chi2", 6).alias("chi2"),
+        dof.cast("int").alias("dof"),
+        F.round(
+            F.when(dof > 0, chi2_p_value(F.col("_chi2"), dof)), 6
+        ).alias("p_value"),
+    )
+
+
+def _fxp_sum_local(col):
+    return F.sum(F.floor(col * F.lit(1048576.0))).cast("double") / F.lit(
+        1048576.0
+    )
+
+
+def weighted_kappa(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Quadratic-weighted Cohen's kappa for two ORDINAL raters →
+    single row (n, k, kappa_w): disagreement weight w_ij =
+    ((i−j)/(k−1))², kappa_w = 1 − Σw·O / Σw·E with E the
+    independence expectation from the marginals. The standard
+    agreement score when near-misses should count (quality-rating
+    scales, relevance grades) — plain ``cohens_kappa`` treats a
+    1-step and a 4-step disagreement identically.
+
+    One groupBy((a, b)) contingency pass (k² cells, k bounded), the
+    marginal cross join is k×k on aggregates. Category index span is
+    taken from the data (min..max over both raters)."""
+    a = F.col(a_col).cast("int")
+    b = F.col(b_col).cast("int")
+    src = df.select(a.alias("_a"), b.alias("_b")).filter(
+        F.col("_a").isNotNull() & F.col("_b").isNotNull()
+    )
+    obs = src.groupBy("_a", "_b").agg(F.count("*").alias("_o"))
+    span = src.agg(
+        F.least(F.min("_a"), F.min("_b")).alias("_lo"),
+        F.greatest(F.max("_a"), F.max("_b")).alias("_hi"),
+        F.count("*").alias("_n"),
+    )
+    ra = src.groupBy("_a").agg(F.count("*").alias("_ca"))
+    rb = src.groupBy("_b").agg(F.count("*").alias("_cb"))
+    wd = lambda i, j, k: (  # noqa: E731
+        (i - j).cast("double") * (i - j)
+        / F.when(k > 1, (k - 1) * (k - 1)).otherwise(F.lit(1.0))
+    )
+    o_sum = (
+        obs.crossJoin(F.broadcast(span))
+        .select(
+            (
+                wd(
+                    F.col("_a"),
+                    F.col("_b"),
+                    (F.col("_hi") - F.col("_lo") + 1).cast("double"),
+                )
+                * F.col("_o")
+            ).alias("_wo"),
+            "_n",
+        )
+        .agg(F.sum("_wo").alias("_swo"), F.first("_n").alias("_n"))
+    )
+    e_sum = (
+        ra.crossJoin(rb)
+        .crossJoin(F.broadcast(span))
+        .select(
+            (
+                wd(
+                    F.col("_a"),
+                    F.col("_b"),
+                    (F.col("_hi") - F.col("_lo") + 1).cast("double"),
+                )
+                * F.col("_ca").cast("double")
+                * F.col("_cb")
+            ).alias("_we")
+        )
+        .agg(F.sum("_we").alias("_swe"))
+    )
+    j = o_sum.crossJoin(e_sum).crossJoin(
+        F.broadcast(span.select((F.col("_hi") - F.col("_lo") + 1).alias("_k")))
+    )
+    kappa = F.when(
+        F.col("_swe") > 0,
+        F.lit(1.0)
+        - F.col("_swo") / (F.col("_swe") / F.col("_n").cast("double")),
+    )
+    return j.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_k").cast("int").alias("k"),
+        F.round(kappa, 6).alias("kappa_w"),
+    )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    unit_col: str,
+    rater_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal) → single row (n_ratings,
+    n_units, d_o, d_e, alpha): the inter-annotator agreement score
+    that handles MISSING ratings and any number of raters — the
+    labeling-pipeline QA metric where Fleiss' kappa demands a
+    constant rater count per unit.
+
+    Computational form (coincidence-matrix identity): with o_uc the
+    count of label c in unit u and m_u ≥ 2 the unit's rating count,
+    D_o = (1/n)·Σ_u Σ_c o_uc(m_u − o_uc)/(m_u − 1) and
+    D_e = Σ_c n_c(n − n_c)/(n(n−1)). Two bounded aggregates: one
+    groupBy((unit, label)) + per-unit reduce, one label-marginal
+    pass; units rated once drop (no pairable information). Exact
+    integer cells; division order is fixed so engines agree."""
+    src = df.select(
+        F.col(unit_col).alias("_u"),
+        F.col(rater_col).alias("_r"),
+        F.col(label_col).cast("string").alias("_c"),
+    ).filter(F.col("_c").isNotNull())
+    per_uc = src.groupBy("_u", "_c").agg(F.count("*").alias("_o"))
+    per_u = per_uc.groupBy("_u").agg(F.sum("_o").alias("_m"))
+    pairable = per_uc.join(per_u, "_u").filter(F.col("_m") >= 2)
+    do_num = pairable.agg(
+        F.sum(
+            F.col("_o").cast("double")
+            * (F.col("_m") - F.col("_o"))
+            / (F.col("_m") - F.lit(1)).cast("double")
+        ).alias("_don"),
+        F.count_distinct(F.col("_u")).alias("_nu"),
+    )
+    marg = (
+        pairable.groupBy("_c")
+        .agg(F.sum("_o").alias("_nc"))
+    )
+    tot = marg.agg(F.sum("_nc").alias("_n"))
+    de = (
+        marg.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.col("_nc").cast("double")
+                * (F.col("_n") - F.col("_nc"))
+            ).alias("_t"),
+            "_n",
+        )
+        .agg(
+            F.sum("_t").alias("_den"),
+            F.first("_n").alias("_n"),
+        )
+    )
+    j = do_num.crossJoin(de)
+    d_o = F.col("_don") / F.col("_n").cast("double")
+    d_e = F.col("_den") / (
+        F.col("_n").cast("double") * (F.col("_n") - F.lit(1))
+    )
+    alpha = F.when(d_e > 0, F.lit(1.0) - d_o / d_e)
+    return j.select(
+        F.col("_n").cast("long").alias("n_ratings"),
+        F.col("_nu").cast("long").alias("n_units"),
+        F.round(d_o, 6).alias("d_o"),
+        F.round(d_e, 6).alias("d_e"),
+        F.round(alpha, 6).alias("alpha"),
+    )
+
+
+def dprime(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Signal-detection d' and criterion c → single row (n_pos,
+    n_neg, hit_rate, fa_rate, d_prime, criterion): d' = Φ⁻¹(H) −
+    Φ⁻¹(FA) separates sensitivity from response bias, the
+    psychophysics-standard reading of a binary classifier at one
+    operating point. Extreme rates (0 or 1, where the probit
+    diverges) get the standard 1/(2N) correction, documented in the
+    output by the corrected rates themselves.
+
+    One conditional-aggregate pass for the four cells; the probit is
+    Acklam's rational approximation (see ``probit_approx``) so the
+    whole expression replays verbatim in SQL."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        probit_approx,
+    )
+
+    p = (F.col(score_col).cast("double") >= threshold).cast("int")
+    y = F.col(label_col).cast("int")
+    agg = df.filter(y.isNotNull()).agg(
+        F.count(F.when(y == 1, 1)).alias("_np"),
+        F.count(F.when((y == 1) & (p == 1), 1)).alias("_tp"),
+        F.count(F.when(y == 0, 1)).alias("_nn"),
+        F.count(F.when((y == 0) & (p == 1), 1)).alias("_fp"),
+    )
+
+    def rate(hits, n):
+        raw = hits.cast("double") / n
+        return (
+            F.when(hits == 0, F.lit(0.5) / n)
+            .when(hits == n, F.lit(1.0) - F.lit(0.5) / n)
+            .otherwise(raw)
+        )
+
+    hr = rate(F.col("_tp"), F.col("_np"))
+    fa = rate(F.col("_fp"), F.col("_nn"))
+    zh = probit_approx(hr)
+    zf = probit_approx(fa)
+    return agg.select(
+        F.col("_np").cast("long").alias("n_pos"),
+        F.col("_nn").cast("long").alias("n_neg"),
+        F.round(hr, 6).alias("hit_rate"),
+        F.round(fa, 6).alias("fa_rate"),
+        F.round(zh - zf, 6).alias("d_prime"),
+        F.round(-(zh + zf) / F.lit(2.0), 6).alias("criterion"),
+    )

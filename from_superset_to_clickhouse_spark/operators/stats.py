@@ -4781,3 +4781,95 @@ def sprt_binomial(
         F.round(llr, 6).alias("llr"),
         decision.alias("decision"),
     )
+
+
+# Acklam's inverse-normal-CDF rational approximation (|rel err| <
+# 1.15e-9): three regions with fixed published coefficients, written
+# out as explicit Horner chains so the SAME operation order replays
+# verbatim in any SQL engine (same contract as erf_approx above).
+_ACK_A = (-3.969683028665376e+01, 2.209460984245205e+02,
+          -2.759285104469687e+02, 1.383577518672690e+02,
+          -3.066479806614716e+01, 2.506628277459239e+00)
+_ACK_B = (-5.447609879822406e+01, 1.615858368580409e+02,
+          -1.556989798598866e+02, 6.680131188771972e+01,
+          -1.328068155288572e+01)
+_ACK_C = (-7.784894002430293e-03, -3.223964580411365e-01,
+          -2.400758277161838e+00, -2.549732539343734e+00,
+          4.374664141464968e+00, 2.938163982698783e+00)
+_ACK_D = (7.784695709041462e-03, 3.224671290700398e-01,
+          2.445134137142996e+00, 3.754408661907416e+00)
+_ACK_PLOW = 0.02425
+
+
+def _ack_tail(q: Column) -> Column:
+    a, b, c, d, e, f = (F.lit(x) for x in _ACK_C)
+    g, h, i, j = (F.lit(x) for x in _ACK_D)
+    num = ((((a * q + b) * q + c) * q + d) * q + e) * q + f
+    den = (((g * q + h) * q + i) * q + j) * q + F.lit(1.0)
+    return num / den
+
+
+def _ack_central(p: Column) -> Column:
+    a0, a1, a2, a3, a4, a5 = (F.lit(x) for x in _ACK_A)
+    b0, b1, b2, b3, b4 = (F.lit(x) for x in _ACK_B)
+    q = p - F.lit(0.5)
+    r = q * q
+    num = ((((a0 * r + a1) * r + a2) * r + a3) * r + a4) * r + a5
+    den = ((((b0 * r + b1) * r + b2) * r + b3) * r + b4) * r + F.lit(1.0)
+    return num * q / den
+
+
+def probit_approx(p: Column) -> Column:
+    """Inverse normal CDF Φ⁻¹(p) for p in (0, 1) via Acklam's
+    rational approximation — deterministic, engine-replayable
+    (no libm ``erfinv`` whose implementation varies). NULL outside
+    (0, 1)."""
+    low = F.lit(_ACK_PLOW)
+    return (
+        F.when(
+            (p > 0) & (p < low), _ack_tail(F.sqrt(F.lit(-2.0) * F.log(p)))
+        )
+        .when(
+            (p >= low) & (p <= F.lit(1.0) - low), _ack_central(p)
+        )
+        .when(
+            (p > F.lit(1.0) - low) & (p < 1),
+            -_ack_tail(F.sqrt(F.lit(-2.0) * F.log(F.lit(1.0) - p))),
+        )
+    )
+
+
+def cohens_h(
+    df: DataFrame,
+    flag_col: str,
+    side_col,
+) -> DataFrame:
+    """Cohen's h effect size for two proportions → single row (n_a,
+    p_a, n_b, p_b, h): h = 2·asin(√p_a) − 2·asin(√p_b), the
+    arcsine-stabilized gap that (unlike the raw difference) means the
+    same thing at p≈0.5 and p≈0.01 — the standard effect size to pair
+    with a two-proportion power analysis. Rows outside arms 'a'/'b'
+    are ignored (two-arm discipline per cohens_d). One conditional
+    aggregate; asin/sqrt are IEEE-identical cross-engine at these
+    magnitudes and the result rounds to 6dp."""
+    side = side_col if isinstance(side_col, Column) else F.col(side_col)
+    y = F.col(flag_col).cast("int")
+    agg = df.select(side.alias("_g"), y.alias("_y")).filter(
+        F.col("_g").isin("a", "b") & F.col("_y").isNotNull()
+    ).agg(
+        F.count(F.when(F.col("_g") == "a", 1)).alias("_na"),
+        F.sum(F.when(F.col("_g") == "a", F.col("_y"))).alias("_sa"),
+        F.count(F.when(F.col("_g") == "b", 1)).alias("_nb"),
+        F.sum(F.when(F.col("_g") == "b", F.col("_y"))).alias("_sb"),
+    )
+    pa = F.col("_sa").cast("double") / F.col("_na")
+    pb = F.col("_sb").cast("double") / F.col("_nb")
+    h = F.lit(2.0) * F.asin(F.sqrt(pa)) - F.lit(2.0) * F.asin(F.sqrt(pb))
+    return agg.select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.round(pa, 6).alias("p_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.round(pb, 6).alias("p_b"),
+        F.round(F.when((F.col("_na") > 0) & (F.col("_nb") > 0), h), 6)
+        .alias("h"),
+    )
