@@ -19010,3 +19010,287 @@ SELECT CAST(na AS BIGINT) AS n_a, round(pa, 6) AS p_a,
 FROM r
 """,
 })
+
+
+def _daily_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared bounded series for the pair-based ordinal suite: daily
+    (mean value, event count) over all events — one 30-point series,
+    435 ordered pairs."""
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.avg("value").alias("x"), F.count("*").cast("double").alias("y")
+    )
+
+
+def q_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Somers' D (both asymmetries) on the daily mean-value vs count
+    series: S over ordered pairs with tie-set-exact grid inputs,
+    D_yx = S/(pairs − tied_x)."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        ordinal_assoc,
+    )
+
+    return ordinal_assoc(_daily_xy(spark, sf_dir), "d", "x", "y").select(
+        "n", "n_pairs", "s", "tied_x", "tied_y", "d_yx", "d_xy"
+    )
+
+
+def q_gk_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman–Kruskal gamma on the same bounded daily series:
+    S/(C+D), ties ignored entirely."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        ordinal_assoc,
+    )
+
+    return ordinal_assoc(_daily_xy(spark, sf_dir), "d", "x", "y").select(
+        "n", "n_pairs", "s", "pairs_xy", "gamma"
+    )
+
+
+def q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel–Haenszel common odds ratio + CMH chi2 for the purchase-
+    vs-view high-value outcome, stratified by calendar month — the
+    Simpson's-paradox guard over the collapsed ``odds_ratio`` entry."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        mantel_haenszel,
+    )
+
+    ev = _ev(spark, sf_dir).filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "view")
+    )
+    src = ev.select(
+        F.date_trunc("month", F.col("ts")).cast("date").alias("m"),
+        F.when(F.col("event_type") == "purchase", "a").otherwise("b").alias("_g"),
+        (F.col("value") > 50).cast("int").alias("hi"),
+    )
+    return mantel_haenszel(src, "m", "_g", "hi")
+
+
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage trend across four planted ramp stages (dose =
+    event_id%4) whose success rate rises 20%→50% by construction —
+    the monotone-rollout detector."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        cochran_armitage,
+    )
+
+    ev = _ev(spark, sf_dir)
+    dose = F.pmod(F.col("event_id"), 4)
+    flag = (
+        F.pmod(F.col("event_id") * 7, 100) < (F.lit(20) + F.lit(10) * dose)
+    ).cast("int")
+    return cochran_armitage(
+        ev.select(dose.cast("double").alias("dose"), flag.alias("y")),
+        "dose",
+        "y",
+    )
+
+
+def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of (value, composite) given hour-of-day:
+    the composite is value/2 + hour + a planted deterministic
+    perturbation, so controlling for hour strips the circadian
+    component — one shared grid-moment pass."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        partial_corr,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    hour = F.hour("ts").cast("double")
+    comp = (
+        F.col("value") / 2.0
+        + hour
+        + F.pmod(F.col("event_id"), 17).cast("double") / 10.0
+    )
+    return partial_corr(
+        ev.select(
+            F.col("value").alias("x"), comp.alias("y"), hour.alias("z")
+        ),
+        "x",
+        "y",
+        "z",
+    )
+
+
+_R13_QUERIES.update({
+    "somers_d": q_somers_d,
+    "gk_gamma": q_gk_gamma,
+    "mantel_haenszel": q_mantel_haenszel,
+    "cochran_armitage": q_cochran_armitage,
+    "partial_corr": q_partial_corr,
+})
+
+_ORDINAL_PAIRS_SQL = """
+  SELECT a._o AS oa, a._x AS xa, a._y AS ya,
+         b._o AS ob, b._x AS xb, b._y AS yb
+  FROM daily a, daily b WHERE a._o < b._o
+"""
+
+_DAILY_SQL = """
+  SELECT date_trunc('day', ts) AS _o,
+    floor(avg(value) * 1048576.0) / 1048576.0 AS _x,
+    floor(CAST(count(*) AS DOUBLE) * 1048576.0) / 1048576.0 AS _y
+  FROM events GROUP BY 1
+"""
+
+_R13_ORACLES.update({
+    "somers_d": ("""
+-- Same grid series, same ordered pairs, same tie counts.
+WITH daily AS (""" + _DAILY_SQL + """
+), pairs AS (""" + _ORDINAL_PAIRS_SQL + """
+), pa AS (
+  SELECT count(*) AS n0,
+    CAST(sum(sign(xa - xb) * sign(ya - yb)) AS BIGINT) AS s,
+    count(*) FILTER (xa = xb) AS tx,
+    count(*) FILTER (ya = yb) AS ty
+  FROM pairs
+), cnt AS (SELECT count(*) AS n FROM daily)
+SELECT CAST(n AS BIGINT) AS n, CAST(n0 AS BIGINT) AS n_pairs, s,
+  CAST(tx AS BIGINT) AS tied_x, CAST(ty AS BIGINT) AS tied_y,
+  round(CASE WHEN n0 > tx THEN CAST(s AS DOUBLE) / (n0 - tx) END, 6)
+    AS d_yx,
+  round(CASE WHEN n0 > ty THEN CAST(s AS DOUBLE) / (n0 - ty) END, 6)
+    AS d_xy
+FROM pa, cnt
+"""),
+    "gk_gamma": ("""
+-- Same pairs; gamma ignores every tied pair.
+WITH daily AS (""" + _DAILY_SQL + """
+), pairs AS (""" + _ORDINAL_PAIRS_SQL + """
+), pa AS (
+  SELECT count(*) AS n0,
+    CAST(sum(sign(xa - xb) * sign(ya - yb)) AS BIGINT) AS s,
+    count(*) FILTER (xa <> xb AND ya <> yb) AS cd
+  FROM pairs
+), cnt AS (SELECT count(*) AS n FROM daily)
+SELECT CAST(n AS BIGINT) AS n, CAST(n0 AS BIGINT) AS n_pairs, s,
+  CAST(cd AS BIGINT) AS pairs_xy,
+  round(CASE WHEN cd > 0 THEN CAST(s AS DOUBLE) / cd END, 6) AS gamma
+FROM pa, cnt
+"""),
+    "mantel_haenszel": ("""
+-- Same month strata, same exact cells, same fxp per-stratum terms,
+-- same Wilson-Hilferty tail at 1 dof.
+WITH src AS (
+  SELECT CAST(date_trunc('month', ts) AS DATE) AS st,
+    CASE WHEN event_type = 'purchase' THEN 'a' ELSE 'b' END AS g,
+    CASE WHEN value > 50 THEN 1 ELSE 0 END AS y
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+), cells AS (
+  SELECT st,
+    count(*) FILTER (g = 'a' AND y = 1) AS a,
+    count(*) FILTER (g = 'a' AND y = 0) AS b,
+    count(*) FILTER (g = 'b' AND y = 1) AS c,
+    count(*) FILTER (g = 'b' AND y = 0) AS d
+  FROM src GROUP BY 1
+), terms AS (
+  SELECT a, b, c, d,
+    CAST(a + b + c + d AS DOUBLE) AS ni,
+    CAST(a + b AS DOUBLE) AS r1, CAST(c + d AS DOUBLE) AS r2,
+    CAST(a + c AS DOUBLE) AS c1, CAST(b + d AS DOUBLE) AS c2
+  FROM cells
+), agg0 AS (
+  SELECT CAST(count(*) AS INTEGER) AS k,
+    CAST(sum(CAST(ni AS BIGINT)) AS BIGINT) AS n,
+    sum(CAST(floor(CAST(a AS DOUBLE) * d / ni * 1048576.0) AS BIGINT))
+      / 1048576.0 AS sad,
+    sum(CAST(floor(CAST(b AS DOUBLE) * c / ni * 1048576.0) AS BIGINT))
+      / 1048576.0 AS sbc,
+    CAST(sum(a) AS DOUBLE) AS sa,
+    sum(CAST(floor(r1 * c1 / ni * 1048576.0) AS BIGINT))
+      / 1048576.0 AS se,
+    sum(CAST(floor(r1 * r2 * c1 * c2 / (ni * ni * (ni - 1.0))
+      * 1048576.0) AS BIGINT)) / 1048576.0 AS sv
+  FROM terms
+), cc AS (
+  SELECT k, n, sad, sbc,
+    CASE WHEN sv > 0 THEN (sa - se) * (sa - se) / sv END AS chi2v,
+    1.0 AS dofv
+  FROM agg0
+),
+""" + _WH_TAIL[_WH_TAIL.index("zc"):] + """
+SELECT k, n,
+  round(CASE WHEN sbc > 0 THEN sad / sbc END, 6) AS or_mh,
+  round(chi2v, 6) AS chi2, round(pchi, 6) AS p_value
+FROM pv
+"""),
+    "cochran_armitage": ("""
+-- Same planted ramp, same bounded dose-group sums, same normal tail.
+WITH src AS (
+  SELECT floor(CAST(event_id % 4 AS DOUBLE) * 1048576.0) / 1048576.0 AS s,
+    CASE WHEN (event_id * 7) % 100 < 20 + 10 * (event_id % 4)
+      THEN 1 ELSE 0 END AS y
+  FROM events
+), g AS (
+  SELECT s, count(*) AS ni, sum(y) AS ri FROM src GROUP BY 1
+), agg AS (
+  SELECT CAST(count(*) AS INTEGER) AS k,
+    sum(ni) AS n, sum(ri) AS r,
+    sum(CAST(floor(s * ri * 1048576.0) AS BIGINT)) / 1048576.0 AS sr,
+    sum(CAST(floor(s * ni * 1048576.0) AS BIGINT)) / 1048576.0 AS sn,
+    sum(CAST(floor(s * s * ni * 1048576.0) AS BIGINT)) / 1048576.0 AS ssn
+  FROM g
+), st AS (
+  SELECT k, n, r,
+    sr - sn * CAST(r AS DOUBLE) / n AS t,
+    (CAST(r AS DOUBLE) / n) * (1.0 - CAST(r AS DOUBLE) / n)
+      * (ssn - sn * sn / CAST(n AS DOUBLE)) AS var
+  FROM agg
+), z AS (
+  SELECT k, n, r, t,
+    CASE WHEN var > 0 THEN t / sqrt(var) END AS zv
+  FROM st
+), et AS (SELECT *, abs(zv) / sqrt(2.0) AS xx,
+  1.0 / (1.0 + 0.3275911 * (abs(zv) / sqrt(2.0))) AS tt FROM z),
+pv AS (SELECT *,
+  (1.0 - (0.254829592 * tt - 0.284496736 * tt * tt
+    + 1.421413741 * tt * tt * tt - 1.453152027 * tt * tt * tt * tt
+    + 1.061405429 * tt * tt * tt * tt * tt) * exp(-(xx * xx))) AS erfv
+  FROM et)
+SELECT k, CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS n_pos,
+  round(t, 6) AS t, round(zv, 6) AS z,
+  round(CASE WHEN zv IS NOT NULL
+    THEN 2.0 * ((1.0 - erfv) / 2.0) END, 6) AS p_value
+FROM pv
+"""),
+    "partial_corr": ("""
+-- Same grid means, same floor-re-quantized moment sums, same formula.
+WITH src AS (
+  SELECT CAST(value AS DOUBLE) AS x0,
+    CAST(value AS DOUBLE) / 2.0
+      + CAST(EXTRACT(hour FROM ts) AS DOUBLE)
+      + CAST(event_id % 17 AS DOUBLE) / 10.0 AS x1,
+    CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS x2
+  FROM events WHERE value IS NOT NULL
+), m1 AS (
+  SELECT count(*) AS n,
+    floor(avg(x0) * 1048576.0) / 1048576.0 AS m0,
+    floor(avg(x1) * 1048576.0) / 1048576.0 AS m1v,
+    floor(avg(x2) * 1048576.0) / 1048576.0 AS m2
+  FROM src
+), mom AS (
+  SELECT n,
+    sum(CAST(floor((x0-m0)*(x0-m0)*1048576.0) AS BIGINT))/1048576.0 AS s00,
+    sum(CAST(floor((x0-m0)*(x1-m1v)*1048576.0) AS BIGINT))/1048576.0 AS s01,
+    sum(CAST(floor((x0-m0)*(x2-m2)*1048576.0) AS BIGINT))/1048576.0 AS s02,
+    sum(CAST(floor((x1-m1v)*(x1-m1v)*1048576.0) AS BIGINT))/1048576.0 AS s11,
+    sum(CAST(floor((x1-m1v)*(x2-m2)*1048576.0) AS BIGINT))/1048576.0 AS s12,
+    sum(CAST(floor((x2-m2)*(x2-m2)*1048576.0) AS BIGINT))/1048576.0 AS s22
+  FROM src, m1 GROUP BY n
+), r AS (
+  SELECT n,
+    CASE WHEN sqrt(s00 * s11) > 0 THEN s01 / sqrt(s00 * s11) END AS rxy,
+    CASE WHEN sqrt(s00 * s22) > 0 THEN s02 / sqrt(s00 * s22) END AS rxz,
+    CASE WHEN sqrt(s11 * s22) > 0 THEN s12 / sqrt(s11 * s22) END AS ryz
+  FROM mom
+)
+SELECT CAST(n AS BIGINT) AS n,
+  round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz, round(ryz, 6) AS r_yz,
+  round(CASE WHEN sqrt((1.0 - rxz*rxz) * (1.0 - ryz*ryz)) > 0
+    THEN (rxy - rxz*ryz) / sqrt((1.0 - rxz*rxz) * (1.0 - ryz*ryz)) END,
+    6) AS r_partial
+FROM r
+"""),
+})

@@ -4873,3 +4873,217 @@ def cohens_h(
         F.round(F.when((F.col("_na") > 0) & (F.col("_nb") > 0), h), 6)
         .alias("h"),
     )
+
+
+def ordinal_assoc(
+    df: DataFrame,
+    order_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Pair-based ordinal association suite → single row (n, n_pairs,
+    s, pairs_xy, tied_x, tied_y, gamma, d_yx, d_xy): Goodman–Kruskal
+    gamma = S/(C+D) (ignores all ties) and both Somers' D asymmetries
+    D_yx = S/(n_pairs − tied_x), D_xy = S/(n_pairs − tied_y) — the
+    tie-handling companions to ``kendall_tau_b``, sharing its bounded-
+    series discipline (the pair join is O(len²) per call by contract:
+    daily buckets, experiment arms — the caller aggregates first).
+
+    Inputs quantize to the 2^-20 grid before pairing so the tie sets
+    agree across engines; S and every pair count are exact integers."""
+    q = lambda c: F.floor(F.col(c).cast("double") * _Q) / _Q  # noqa: E731
+    src = df.select(
+        F.col(order_col).alias("_o"), q(x_col).alias("_x"), q(y_col).alias("_y")
+    )
+    a = src.select(*[F.col(c).alias(c + "a") for c in ("_o", "_x", "_y")])
+    b = src.select(*[F.col(c).alias(c + "b") for c in ("_o", "_x", "_y")])
+    pairs = a.crossJoin(b).filter(F.col("_oa") < F.col("_ob"))
+    dx = F.col("_xa") - F.col("_xb")
+    dy = F.col("_ya") - F.col("_yb")
+    pa = pairs.agg(
+        F.count("*").alias("_n0"),
+        F.sum(F.signum(dx) * F.signum(dy)).cast("long").alias("s"),
+        F.count(F.when(dx == 0, 1)).alias("_tx"),
+        F.count(F.when(dy == 0, 1)).alias("_ty"),
+        F.count(F.when((dx != 0) & (dy != 0), 1)).alias("_cd"),
+    )
+    cnt = src.agg(F.count("*").alias("n"))
+    j = pa.crossJoin(F.broadcast(cnt))
+    sd = F.col("s").cast("double")
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("_n0").cast("long").alias("n_pairs"),
+        "s",
+        F.col("_cd").cast("long").alias("pairs_xy"),
+        F.col("_tx").cast("long").alias("tied_x"),
+        F.col("_ty").cast("long").alias("tied_y"),
+        F.round(F.when(F.col("_cd") > 0, sd / F.col("_cd")), 6).alias("gamma"),
+        F.round(
+            F.when(F.col("_n0") > F.col("_tx"), sd / (F.col("_n0") - F.col("_tx"))),
+            6,
+        ).alias("d_yx"),
+        F.round(
+            F.when(F.col("_n0") > F.col("_ty"), sd / (F.col("_n0") - F.col("_ty"))),
+            6,
+        ).alias("d_xy"),
+    )
+
+
+def mantel_haenszel(
+    df: DataFrame,
+    stratum_col: str,
+    side_col,
+    flag_col: str,
+) -> DataFrame:
+    """Mantel–Haenszel stratified 2×2 analysis → single row (k, n,
+    or_mh, chi2, p_value): the common odds ratio across strata plus
+    the CMH chi-square (1 dof, no continuity correction) — the
+    segment-confounding guard for A/B readouts (``odds_ratio_2x2``
+    collapses strata and Simpson's paradox hides in the collapse).
+
+    One groupBy(stratum) with four conditional-aggregate cells, then
+    per-stratum terms floor-quantized onto the 2^-20 grid before
+    their exact BIGINT-scaled sums (order-independent on every
+    engine). Strata where an arm is empty contribute nothing to the
+    sums (their NULL terms drop), matching the standard treatment."""
+    side = side_col if isinstance(side_col, Column) else F.col(side_col)
+    y = F.col(flag_col).cast("int")
+    cells = (
+        df.select(
+            F.col(stratum_col).alias("_st"), side.alias("_g"), y.alias("_y")
+        )
+        .filter(F.col("_g").isin("a", "b") & F.col("_y").isNotNull())
+        .groupBy("_st")
+        .agg(
+            F.count(F.when((F.col("_g") == "a") & (F.col("_y") == 1), 1)).alias("_a"),
+            F.count(F.when((F.col("_g") == "a") & (F.col("_y") == 0), 1)).alias("_b"),
+            F.count(F.when((F.col("_g") == "b") & (F.col("_y") == 1), 1)).alias("_c"),
+            F.count(F.when((F.col("_g") == "b") & (F.col("_y") == 0), 1)).alias("_d"),
+        )
+    )
+    ni = (F.col("_a") + F.col("_b") + F.col("_c") + F.col("_d")).cast("double")
+    r1 = (F.col("_a") + F.col("_b")).cast("double")  # arm a total
+    r2 = (F.col("_c") + F.col("_d")).cast("double")  # arm b total
+    c1 = (F.col("_a") + F.col("_c")).cast("double")  # successes
+    c2 = (F.col("_b") + F.col("_d")).cast("double")  # failures
+    fx = lambda col: F.sum(F.floor(col * _Q)).cast("double") / _Q  # noqa: E731
+    agg = cells.agg(
+        F.count("*").cast("int").alias("k"),
+        F.sum(ni.cast("long")).alias("_n"),
+        fx(F.col("_a").cast("double") * F.col("_d") / ni).alias("_sad"),
+        fx(F.col("_b").cast("double") * F.col("_c") / ni).alias("_sbc"),
+        F.sum(F.col("_a")).cast("double").alias("_sa"),
+        fx(r1 * c1 / ni).alias("_se"),
+        fx(r1 * r2 * c1 * c2 / (ni * ni * (ni - F.lit(1.0)))).alias("_sv"),
+    )
+    or_mh = F.when(F.col("_sbc") > 0, F.col("_sad") / F.col("_sbc"))
+    dev = F.col("_sa") - F.col("_se")
+    chi2 = F.when(F.col("_sv") > 0, dev * dev / F.col("_sv"))
+    return agg.select(
+        "k",
+        F.col("_n").cast("long").alias("n"),
+        F.round(or_mh, 6).alias("or_mh"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(chi2_p_value(chi2, F.lit(1.0)), 6).alias("p_value"),
+    )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    dose_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """Cochran–Armitage trend test → single row (k, n, n_pos, t, z,
+    p_value): does success rate trend monotonically across ORDERED
+    dose groups (rollout ramp stages, quality tiers)? T =
+    Σ s_i(r_i − n_i R/N) with the group score s_i = the dose value;
+    Var(T) = (R/N)(1−R/N)·(Σ n_i s_i² − (Σ n_i s_i)²/N); two-sided
+    normal p. One groupBy(dose) pass; every sum is over the BOUNDED
+    dose-group table and the (r_i, n_i, s_i) cells are exact
+    integers/grid values."""
+    s = F.floor(F.col(dose_col).cast("double") * _Q) / _Q
+    y = F.col(flag_col).cast("int")
+    g = (
+        df.select(s.alias("_s"), y.alias("_y"))
+        .filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+        .groupBy("_s")
+        .agg(F.count("*").alias("_ni"), F.sum("_y").alias("_ri"))
+    )
+    fx = lambda col: F.sum(F.floor(col * _Q)).cast("double") / _Q  # noqa: E731
+    agg = g.agg(
+        F.count("*").cast("int").alias("k"),
+        F.sum("_ni").alias("_n"),
+        F.sum("_ri").alias("_r"),
+        fx(F.col("_s") * F.col("_ri")).alias("_sr"),
+        fx(F.col("_s") * F.col("_ni")).alias("_sn"),
+        fx(F.col("_s") * F.col("_s") * F.col("_ni")).alias("_ssn"),
+    )
+    nn = F.col("_n").cast("double")
+    rr = F.col("_r").cast("double")
+    t = F.col("_sr") - F.col("_sn") * rr / nn
+    var = (
+        (rr / nn)
+        * (F.lit(1.0) - rr / nn)
+        * (F.col("_ssn") - F.col("_sn") * F.col("_sn") / nn)
+    )
+    z = F.when(var > 0, t / F.sqrt(var))
+    p = F.lit(2.0) * normal_sf(F.abs(z))
+    return agg.select(
+        "k",
+        F.col("_n").cast("long").alias("n"),
+        F.col("_r").cast("long").alias("n_pos"),
+        F.round(t, 6).alias("t"),
+        F.round(z, 6).alias("z"),
+        F.round(F.when(z.isNotNull(), p), 6).alias("p_value"),
+    )
+
+
+def partial_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+) -> DataFrame:
+    """First-order partial correlation → single row (n, r_xy, r_xz,
+    r_yz, r_partial): the x–y linear association with the confounder
+    z regressed out, r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²))
+    — the "is this metric relationship real or just both trending
+    with traffic" check. Complete rows only; the three Pearson r's
+    share ONE moment pass with the ``corr_matrix`` grid discipline
+    (grid means, floor-re-quantized cross-deviation sums)."""
+    src = df.select(
+        F.col(x_col).cast("double").alias("_x0"),
+        F.col(y_col).cast("double").alias("_x1"),
+        F.col(z_col).cast("double").alias("_x2"),
+    )
+    for j in range(3):
+        src = src.filter(F.col(f"_x{j}").isNotNull())
+    m1 = src.agg(
+        F.count("*").alias("_n"),
+        *[(F.floor(F.avg(f"_x{j}") * _Q) / _Q).alias(f"_m{j}") for j in range(3)],
+    )
+    d = src.crossJoin(F.broadcast(m1))
+    aggs = []
+    for i in range(3):
+        for j in range(i, 3):
+            di = F.col(f"_x{i}") - F.col(f"_m{i}")
+            dj = F.col(f"_x{j}") - F.col(f"_m{j}")
+            aggs.append((F.sum(F.floor(di * dj * _Q)) / _Q).alias(f"_s{i}_{j}"))
+    mom = d.groupBy("_n").agg(*aggs)
+
+    def _r(i, j):
+        den = F.sqrt(F.col(f"_s{i}_{i}") * F.col(f"_s{j}_{j}"))
+        return F.when(den > 0, F.col(f"_s{i}_{j}") / den)
+
+    rxy, rxz, ryz = _r(0, 1), _r(0, 2), _r(1, 2)
+    pden = F.sqrt(
+        (F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - ryz * ryz)
+    )
+    rp = F.when(pden > 0, (rxy - rxz * ryz) / pden)
+    return mom.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round(rxy, 6).alias("r_xy"),
+        F.round(rxz, 6).alias("r_xz"),
+        F.round(ryz, 6).alias("r_yz"),
+        F.round(rp, 6).alias("r_partial"),
+    )
