@@ -19294,3 +19294,272 @@ SELECT CAST(n AS BIGINT) AS n,
 FROM r
 """),
 })
+
+
+def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anderson–Darling normality gate on the full event value stream:
+    distinct-value tie-block closed form, shared A&S Φ, Stephens
+    correction + D'Agostino case-3 p."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        anderson_darling,
+    )
+
+    return anderson_darling(_ev(spark, sf_dir), "value")
+
+
+def q_fligner_killeen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fligner–Killeen robust spread homogeneity across the five event
+    types — the rank/normal-scores member of the levene/bartlett trio."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        fligner_killeen,
+    )
+
+    return fligner_killeen(_ev(spark, sf_dir), "value", "event_type")
+
+
+def q_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner–Munzel unequal-variance rank test between the purchase
+    and view arms: placement-identity variances over the distinct-value
+    table, normal reference (two-sided)."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        brunner_munzel,
+    )
+
+    ev = _ev(spark, sf_dir).filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "view")
+    )
+    side = F.when(F.col("event_type") == "purchase", "a").otherwise("b")
+    return brunner_munzel(ev.select("value", side.alias("_g")), "value", "_g")
+
+
+_R13_QUERIES.update({
+    "anderson_darling": q_anderson_darling,
+    "fligner_killeen": q_fligner_killeen,
+    "brunner_munzel": q_brunner_munzel,
+})
+
+# Φ(z) replay: the A&S erf polynomial with the EXACT operation order of
+# stats.normal_sf / erf_approx, branch on sign, clamped to
+# [1e-12, 1 - 1e-12]. Expects columns z/xx/tt in scope via the two
+# helper CTE stages the caller writes (xx = abs(z)/sqrt(2), tt = A&S t).
+_PHI_CLAMPED_SQL = """
+greatest(least(
+  CASE WHEN z >= 0 THEN 1.0 - (1.0 - (1.0 - (0.254829592 * tt
+      - 0.284496736 * tt * tt + 1.421413741 * tt * tt * tt
+      - 1.453152027 * tt * tt * tt * tt
+      + 1.061405429 * tt * tt * tt * tt * tt) * exp(-(xx * xx)))) / 2.0
+  ELSE (1.0 - (1.0 - (0.254829592 * tt - 0.284496736 * tt * tt
+      + 1.421413741 * tt * tt * tt - 1.453152027 * tt * tt * tt * tt
+      + 1.061405429 * tt * tt * tt * tt * tt) * exp(-(xx * xx)))) / 2.0
+  END, 1.0 - 1e-12), 1e-12)
+"""
+
+_R13_ORACLES.update({
+    "anderson_darling": ("""
+-- Same grid moments, same tie-block closed form, same clamped Phi,
+-- same Stephens/D'Agostino tail.
+WITH src AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL
+), mom AS (
+  SELECT count(*) AS n, floor(avg(v) * 1048576.0) / 1048576.0 AS m
+  FROM src
+), ss AS (
+  SELECT n, m,
+    sum(CAST(floor((v - m) * (v - m) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS ssv
+  FROM src, mom GROUP BY 1, 2
+), pv0 AS (
+  SELECT v, count(*) AS t FROM src GROUP BY 1
+), pw AS (
+  SELECT v, t, coalesce(sum(t) OVER (ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+  FROM pv0
+), zt AS (
+  SELECT t, bef, n,
+    (v - m) / sqrt(ssv / (CAST(n AS DOUBLE) - 1.0)) AS z
+  FROM pw, ss
+), zt2 AS (
+  SELECT t, bef, n, z, abs(z) / sqrt(2.0) AS xx,
+    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS tt
+  FROM zt
+), ph AS (
+  SELECT t, bef, n, """ + _PHI_CLAMPED_SQL + """ AS phi
+  FROM zt2
+), s AS (
+  SELECT n,
+    sum(CAST(floor((CAST(t AS DOUBLE) * (2.0 * bef + t) * ln(phi)
+      + CAST(t AS DOUBLE) * (2.0 * (CAST(n AS DOUBLE) - bef) - t)
+        * ln(1.0 - phi)) * 1048576.0) AS BIGINT)) / 1048576.0 AS sv
+  FROM ph GROUP BY 1
+), fin AS (
+  SELECT n, -CAST(n AS DOUBLE) - sv / n AS a2,
+    (-CAST(n AS DOUBLE) - sv / n)
+      * (1.0 + 0.75 / n + 2.25 / (CAST(n AS DOUBLE) * n)) AS astar
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n, round(a2, 6) AS a2,
+  round(astar, 6) AS a2_star,
+  round(greatest(least(
+    CASE WHEN astar >= 0.6
+      THEN exp(1.2937 - 5.709 * astar + 0.0186 * astar * astar)
+    WHEN astar >= 0.34
+      THEN exp(0.9177 - 4.279 * astar - 1.38 * astar * astar)
+    WHEN astar >= 0.2
+      THEN 1.0 - exp(-8.318 + 42.796 * astar - 59.938 * astar * astar)
+    ELSE 1.0 - exp(-13.436 + 101.14 * astar - 223.73 * astar * astar)
+    END, 1.0), 0.0), 6) AS p_value
+FROM fin
+"""),
+    "fligner_killeen": ("""
+-- Same per-group lower medians, same pooled midranks, same Acklam
+-- normal scores, same grid-floored means and fxp sums, same WH tail.
+WITH src AS (
+  SELECT event_type AS g,
+    floor(CAST(value AS DOUBLE) * 1048576.0) / 1048576.0 AS v
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), gv AS (
+  SELECT g, v, count(*) AS c FROM src GROUP BY 1, 2
+), gcum AS (
+  SELECT g, v, c, sum(c) OVER (PARTITION BY g ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM gv
+), ng AS (SELECT g, sum(c) AS ngv FROM gv GROUP BY 1),
+med AS (
+  SELECT gcum.g, min(v) AS medv
+  FROM gcum JOIN ng ON gcum.g = ng.g
+  WHERE cum >= CAST(ceil(ngv / 2.0) AS BIGINT)
+  GROUP BY 1
+), dev AS (
+  SELECT gv.g,
+    floor(abs(gv.v - med.medv) * 1048576.0) / 1048576.0 AS d,
+    sum(c) AS c
+  FROM gv JOIN med ON gv.g = med.g GROUP BY 1, 2
+), per_d AS (
+  SELECT d, sum(c) AS t FROM dev GROUP BY 1
+), pw AS (
+  SELECT d, t, coalesce(sum(t) OVER (ORDER BY d
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+  FROM per_d
+), tot AS (SELECT sum(t) AS nn FROM per_d),
+scores AS (
+  SELECT d, ({probit}) AS a
+  FROM (
+    SELECT d, 0.5 + (bef + (t + 1.0) / 2.0)
+      / (2.0 * (CAST(nn AS DOUBLE) + 1.0)) AS pp
+    FROM pw, tot
+  )
+), scored AS (
+  SELECT dev.g, dev.c, scores.a FROM dev JOIN scores USING (d)
+), overall AS (
+  SELECT sum(CAST(floor(c * a * 1048576.0) AS BIGINT)) / 1048576.0 AS sa,
+    sum(c) AS n2
+  FROM scored
+), abar AS (
+  SELECT floor(sa / n2 * 1048576.0) / 1048576.0 AS ab FROM overall
+), v2 AS (
+  SELECT sum(CAST(floor(c * (a - ab) * (a - ab) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS sv,
+    sum(c) AS n3
+  FROM scored, abar
+), per_g AS (
+  SELECT g, sum(c) AS ngv,
+    sum(CAST(floor(c * a * 1048576.0) AS BIGINT)) / 1048576.0 AS sag
+  FROM scored GROUP BY 1
+), between AS (
+  SELECT count(*) AS k, sum(ngv) AS n4,
+    sum(CAST(floor(ngv * (floor(sag / ngv * 1048576.0) / 1048576.0 - ab)
+      * (floor(sag / ngv * 1048576.0) / 1048576.0 - ab)
+      * 1048576.0) AS BIGINT)) / 1048576.0 AS sb
+  FROM per_g, abar GROUP BY ab
+), cc AS (
+  SELECT k, n4,
+    CASE WHEN sv / (CAST(n3 AS DOUBLE) - 1.0) > 0
+      THEN sb / (sv / (CAST(n3 AS DOUBLE) - 1.0)) END AS chi2v,
+    CAST(k - 1 AS DOUBLE) AS dofv
+  FROM between, v2
+),
+""" + _WH_TAIL[_WH_TAIL.index("zc"):] + """
+SELECT CAST(k AS INTEGER) AS k, CAST(n4 AS BIGINT) AS n,
+  round(chi2v, 6) AS chi2, round(pchi, 6) AS p_value
+FROM pv
+""").format(probit=_probit_sql("pp")),
+    "brunner_munzel": ("""
+-- Same distinct-value placements, same grid-floored rank means, same
+-- fxp variance sums, same normal two-sided tail.
+WITH src AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 'a' ELSE 'b' END AS g,
+    floor(CAST(value AS DOUBLE) * 1048576.0) / 1048576.0 AS v
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+), pv0 AS (
+  SELECT v, count(*) FILTER (g = 'a') AS ca,
+    count(*) FILTER (g = 'b') AS cb
+  FROM src GROUP BY 1
+), pw AS (
+  SELECT v, ca, cb,
+    coalesce(sum(ca + cb) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef,
+    coalesce(sum(ca) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS befa,
+    coalesce(sum(cb) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS befb
+  FROM pv0
+), rk AS (
+  SELECT ca, cb,
+    bef + (CAST(ca + cb AS DOUBLE) + 1.0) / 2.0 AS rp,
+    befa + (ca + 1.0) / 2.0 AS ra,
+    befb + (cb + 1.0) / 2.0 AS rb
+  FROM pw
+), tot AS (
+  SELECT sum(ca) AS na, sum(cb) AS nb,
+    sum(ca * rp) AS sra, sum(cb * rp) AS srb
+  FROM rk
+), means AS (
+  SELECT na, nb,
+    floor(sra / CAST(na AS DOUBLE) * 1048576.0) / 1048576.0 AS rba,
+    floor(srb / CAST(nb AS DOUBLE) * 1048576.0) / 1048576.0 AS rbb
+  FROM tot
+), var AS (
+  SELECT na, nb, rba, rbb,
+    sum(CAST(floor(ca * (rp - ra - rba + (CAST(na AS DOUBLE) + 1.0) / 2.0)
+      * (rp - ra - rba + (CAST(na AS DOUBLE) + 1.0) / 2.0)
+      * 1048576.0) AS BIGINT)) / 1048576.0 AS ssa,
+    sum(CAST(floor(cb * (rp - rb - rbb + (CAST(nb AS DOUBLE) + 1.0) / 2.0)
+      * (rp - rb - rbb + (CAST(nb AS DOUBLE) + 1.0) / 2.0)
+      * 1048576.0) AS BIGINT)) / 1048576.0 AS ssb
+  FROM rk, means GROUP BY 1, 2, 3, 4
+), st AS (
+  SELECT na, nb, rba, rbb,
+    (ssa / (CAST(na AS DOUBLE) - 1.0))
+      / (CAST(nb AS DOUBLE) * nb) AS sta,
+    (ssb / (CAST(nb AS DOUBLE) - 1.0))
+      / (CAST(na AS DOUBLE) * na) AS stb
+  FROM var
+), wv AS (
+  SELECT na, nb, rba, rbb, sta, stb,
+    CASE WHEN sta / na + stb / nb > 0
+      THEN (rbb - rba) / ((CAST(na AS DOUBLE) + nb)
+        * sqrt(sta / na + stb / nb)) END AS zv
+  FROM st
+), et AS (SELECT *, abs(zv) / sqrt(2.0) AS xx,
+  1.0 / (1.0 + 0.3275911 * (abs(zv) / sqrt(2.0))) AS tt FROM wv),
+pvt AS (SELECT *,
+  (1.0 - (0.254829592 * tt - 0.284496736 * tt * tt
+    + 1.421413741 * tt * tt * tt - 1.453152027 * tt * tt * tt * tt
+    + 1.061405429 * tt * tt * tt * tt * tt) * exp(-(xx * xx))) AS erfv
+  FROM et)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  round((rbb - (CAST(nb AS DOUBLE) + 1.0) / 2.0)
+    / CAST(na AS DOUBLE), 6) AS p_hat,
+  round(zv, 6) AS w_stat,
+  round(CASE WHEN sta > 0 OR stb > 0 THEN
+    (sta / na + stb / nb) * (sta / na + stb / nb)
+    / ((sta / na) * (sta / na) / (CAST(na AS DOUBLE) - 1.0)
+      + (stb / nb) * (stb / nb) / (CAST(nb AS DOUBLE) - 1.0)) END, 6)
+    AS df_approx,
+  round(CASE WHEN zv IS NOT NULL
+    THEN 2.0 * ((1.0 - erfv) / 2.0) END, 6) AS p_value
+FROM pvt
+"""),
+})

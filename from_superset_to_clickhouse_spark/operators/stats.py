@@ -5087,3 +5087,310 @@ def partial_corr(
         F.round(ryz, 6).alias("r_yz"),
         F.round(rp, 6).alias("r_partial"),
     )
+
+
+def anderson_darling(df: DataFrame, value_col: str) -> DataFrame:
+    """Anderson–Darling normality test → single row (n, a2, a2_star,
+    p_value): the tail-sensitive EDF test (weights 1/(F(1−F)) blow up
+    in the tails where KS is blind) — the right normality gate before
+    parametric effect sizes on heavy-tailed metrics.
+
+    Closed-form over the DISTINCT-value table: for a tie-block of
+    count t at cumulative-before b, Σ(2i−1) over its rank span is
+    t(2b+t) and the reversed-index weight sums to t(2(n−b)−t), so
+    A² = −n − (1/n)·Σ_blocks [t(2b+t)·ln Φ(z) + t(2(n−b)−t)·
+    ln(1−Φ(z))] needs ONE prefix window over distinct values — no
+    row-level sort. Φ via the shared A&S erf polynomial, clamped to
+    [1e-12, 1−1e-12]; block terms floor-quantized onto the 2^-20
+    grid before the exact sum. a2_star is the Stephens small-sample
+    correction A²(1 + 0.75/n + 2.25/n²) with the D'Agostino
+    case-3 (estimated μ, σ) piecewise p-value."""
+    src = df.select(F.col(value_col).cast("double").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    mom = src.agg(
+        F.count("*").alias("_n"),
+        (F.floor(F.avg("_v") * _Q) / _Q).alias("_m"),
+    )
+    withm = src.crossJoin(F.broadcast(mom))
+    ss = withm.groupBy("_n", "_m").agg(
+        (
+            F.sum(F.floor((F.col("_v") - F.col("_m")) ** 2 * _Q)) / _Q
+        ).alias("_ss")
+    )
+    pv = src.groupBy("_v").agg(F.count("*").alias("_t"))
+    w = (
+        Window.partitionBy()
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pv = pv.withColumn("_bef", F.coalesce(F.sum("_t").over(w), F.lit(0)))
+    j = pv.crossJoin(F.broadcast(ss))
+    nn = F.col("_n").cast("double")
+    sd = F.sqrt(F.col("_ss") / (nn - 1.0))
+    z = (F.col("_v") - F.col("_m")) / sd
+    phi = F.when(
+        z >= 0, F.lit(1.0) - normal_sf(z)
+    ).otherwise(normal_sf(-z))
+    phi = F.greatest(
+        F.least(phi, F.lit(1.0 - 1e-12)), F.lit(1e-12)
+    )
+    t = F.col("_t").cast("double")
+    b = F.col("_bef").cast("double")
+    term = t * (2.0 * b + t) * F.log(phi) + t * (
+        2.0 * (nn - b) - t
+    ) * F.log(F.lit(1.0) - phi)
+    agg = j.groupBy("_n").agg(
+        (F.sum(F.floor(term * _Q)) / _Q).alias("_s")
+    )
+    n2 = F.col("_n").cast("double")
+    a2 = -n2 - F.col("_s") / n2
+    astar = a2 * (
+        F.lit(1.0) + F.lit(0.75) / n2 + F.lit(2.25) / (n2 * n2)
+    )
+    p = (
+        F.when(
+            astar >= 0.6,
+            F.exp(F.lit(1.2937) - F.lit(5.709) * astar + F.lit(0.0186) * astar * astar),
+        )
+        .when(
+            astar >= 0.34,
+            F.exp(F.lit(0.9177) - F.lit(4.279) * astar - F.lit(1.38) * astar * astar),
+        )
+        .when(
+            astar >= 0.2,
+            F.lit(1.0)
+            - F.exp(F.lit(-8.318) + F.lit(42.796) * astar - F.lit(59.938) * astar * astar),
+        )
+        .otherwise(
+            F.lit(1.0)
+            - F.exp(F.lit(-13.436) + F.lit(101.14) * astar - F.lit(223.73) * astar * astar)
+        )
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round(a2, 6).alias("a2"),
+        F.round(astar, 6).alias("a2_star"),
+        F.round(F.greatest(F.least(p, F.lit(1.0)), F.lit(0.0)), 6).alias(
+            "p_value"
+        ),
+    )
+
+
+def fligner_killeen(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Fligner–Killeen homogeneity-of-variance test → single row (k,
+    n, chi2, p_value): the rank-based spread test that stays honest
+    under non-normality — the robust member of the levene/bartlett
+    trio (bartlett collapses under heavy tails, levene under extreme
+    skew; FK ranks |x − med_g| and maps ranks through normal scores).
+
+    Pipeline, all on bounded distinct-value tables: per-group lower
+    median via a per-group prefix window (mood_median convention);
+    |x − med| re-quantized to the grid; POOLED midranks via one
+    prefix window; normal scores a = Φ⁻¹(½ + r/(2(N+1))) via the
+    shared Acklam probit; X² = Σ n_g(Ā_g − ā)²/V² with every mean
+    grid-floored and every sum floor-quantized; X² ~ χ²(k−1)."""
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        (F.floor(F.col(value_col).cast("double") * _Q) / _Q).alias("_v"),
+    ).filter(F.col("_v").isNotNull() & F.col("_g").isNotNull())
+    gv = src.groupBy("_g", "_v").agg(F.count("*").alias("_c"))
+    wg = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gv_cum = gv.withColumn("_cum", F.sum("_c").over(wg))
+    ng = gv.groupBy("_g").agg(F.sum("_c").alias("_ng"))
+    med = (
+        gv_cum.join(ng, "_g")
+        .filter(
+            F.col("_cum") >= F.ceil(F.col("_ng") / 2.0)
+        )
+        .groupBy("_g")
+        .agg(F.min("_v").alias("_med"))
+    )
+    dev = (
+        gv.join(med, "_g")
+        .select(
+            "_g",
+            (
+                F.floor(F.abs(F.col("_v") - F.col("_med")) * _Q) / _Q
+            ).alias("_d"),
+            "_c",
+        )
+        .groupBy("_g", "_d")
+        .agg(F.sum("_c").alias("_c"))
+    )
+    per_d = dev.groupBy("_d").agg(F.sum("_c").alias("_t"))
+    w = (
+        Window.partitionBy()
+        .orderBy("_d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_d = per_d.withColumn(
+        "_bef", F.coalesce(F.sum("_t").over(w), F.lit(0))
+    )
+    tot = per_d.agg(F.sum("_t").alias("_nn"))
+    per_d = per_d.crossJoin(F.broadcast(tot))
+    nn = F.col("_nn").cast("double")
+    r = F.col("_bef") + (F.col("_t") + 1.0) / 2.0
+    a = probit_approx(F.lit(0.5) + r / (2.0 * (nn + 1.0)))
+    per_d = per_d.select("_d", "_nn", a.alias("_a"))
+    scored = dev.join(per_d, "_d")
+    overall = scored.agg(
+        (F.sum(F.floor(F.col("_c") * F.col("_a") * _Q)) / _Q).alias("_sa"),
+        F.sum("_c").alias("_n2"),
+        F.min("_nn").alias("_nn"),
+    )
+    abar_all = overall.select(
+        (F.floor(F.col("_sa") / F.col("_n2") * _Q) / _Q).alias("_abar"),
+        F.col("_nn"),
+    )
+    scored2 = scored.crossJoin(F.broadcast(abar_all))
+    v2 = scored2.agg(
+        (
+            F.sum(
+                F.floor(
+                    F.col("_c")
+                    * (F.col("_a") - F.col("_abar"))
+                    * (F.col("_a") - F.col("_abar"))
+                    * _Q
+                )
+            )
+            / _Q
+        ).alias("_sv"),
+        F.sum("_c").alias("_n3"),
+    )
+    per_g = scored2.groupBy("_g").agg(
+        F.sum("_c").alias("_ng"),
+        (F.sum(F.floor(F.col("_c") * F.col("_a") * _Q)) / _Q).alias("_sag"),
+        F.min("_abar").alias("_abar"),
+    )
+    between = per_g.select(
+        "_g",
+        "_ng",
+        (
+            (F.floor(F.col("_sag") / F.col("_ng") * _Q) / _Q - F.col("_abar"))
+        ).alias("_dg"),
+    ).agg(
+        F.count("*").alias("_k"),
+        F.sum(F.col("_ng")).alias("_n4"),
+        (
+            F.sum(F.floor(F.col("_ng") * F.col("_dg") * F.col("_dg") * _Q))
+            / _Q
+        ).alias("_sb"),
+    )
+    fin = between.crossJoin(v2)
+    vv = F.col("_sv") / (F.col("_n3").cast("double") - 1.0)
+    chi2 = F.when(vv > 0, F.col("_sb") / vv)
+    return fin.select(
+        F.col("_k").cast("int").alias("k"),
+        F.col("_n4").cast("long").alias("n"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            chi2_p_value(chi2, (F.col("_k") - 1).cast("double")), 6
+        ).alias("p_value"),
+    )
+
+
+def brunner_munzel(
+    df: DataFrame, value_col: str, side_col
+) -> DataFrame:
+    """Brunner–Munzel generalized Wilcoxon test → single row (n_a,
+    n_b, p_hat, w_stat, df_approx, p_value): tests P(X<Y) + ½P(X=Y)
+    = ½ WITHOUT mann_whitney's equal-variance assumption — the
+    two-arm rank test that stays calibrated when the arms have
+    different shapes (exactly the heavy-vs-light-tail case A/B
+    metrics hit). Rows outside arms 'a'/'b' are ignored.
+
+    Everything reduces over the distinct-value table: pooled AND
+    within-arm midranks come from the same per-value (ca, cb) counts
+    via three prefix sums; the rank-variance terms S_k² use the
+    placement identity (R − R_k): every midrank is on the 0.5 grid,
+    means are grid-floored, squared terms floor-quantized (exact
+    engine-identical sums). W is referenced to the normal tail
+    (two-sided); df_approx (Welch form) is reported for small-n
+    reading."""
+    side = side_col if isinstance(side_col, Column) else F.col(side_col)
+    src = df.select(
+        side.alias("_g"),
+        (F.floor(F.col(value_col).cast("double") * _Q) / _Q).alias("_v"),
+    ).filter(F.col("_v").isNotNull() & F.col("_g").isin("a", "b"))
+    pv = src.groupBy("_v").agg(
+        F.count(F.when(F.col("_g") == "a", 1)).alias("_ca"),
+        F.count(F.when(F.col("_g") == "b", 1)).alias("_cb"),
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pv = (
+        pv.withColumn(
+            "_bef",
+            F.coalesce(F.sum(F.col("_ca") + F.col("_cb")).over(w), F.lit(0)),
+        )
+        .withColumn("_befa", F.coalesce(F.sum("_ca").over(w), F.lit(0)))
+        .withColumn("_befb", F.coalesce(F.sum("_cb").over(w), F.lit(0)))
+    )
+    t = (F.col("_ca") + F.col("_cb")).cast("double")
+    rp = F.col("_bef") + (t + 1.0) / 2.0
+    ra = F.col("_befa") + (F.col("_ca") + 1.0) / 2.0
+    rb = F.col("_befb") + (F.col("_cb") + 1.0) / 2.0
+    tot = pv.agg(
+        F.sum("_ca").alias("_na"),
+        F.sum("_cb").alias("_nb"),
+        (F.sum(F.col("_ca") * rp)).alias("_sra"),
+        (F.sum(F.col("_cb") * rp)).alias("_srb"),
+    )
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    means = tot.select(
+        "_na",
+        "_nb",
+        (F.floor(F.col("_sra") / na * _Q) / _Q).alias("_rba"),
+        (F.floor(F.col("_srb") / nb * _Q) / _Q).alias("_rbb"),
+    )
+    j = pv.crossJoin(F.broadcast(means))
+    da = rp - ra - F.col("_rba") + (na + 1.0) / 2.0
+    db = rp - rb - F.col("_rbb") + (nb + 1.0) / 2.0
+    var = j.agg(
+        F.min("_na").alias("_na"),
+        F.min("_nb").alias("_nb"),
+        F.min("_rba").alias("_rba"),
+        F.min("_rbb").alias("_rbb"),
+        (F.sum(F.floor(F.col("_ca") * da * da * _Q)) / _Q).alias("_ssa"),
+        (F.sum(F.floor(F.col("_cb") * db * db * _Q)) / _Q).alias("_ssb"),
+    )
+    na2 = F.col("_na").cast("double")
+    nb2 = F.col("_nb").cast("double")
+    nn = na2 + nb2
+    s2a = F.col("_ssa") / (na2 - 1.0)
+    s2b = F.col("_ssb") / (nb2 - 1.0)
+    st_a = s2a / (nb2 * nb2)
+    st_b = s2b / (na2 * na2)
+    se2 = st_a / na2 + st_b / nb2
+    wstat = F.when(
+        se2 > 0, (F.col("_rbb") - F.col("_rba")) / (nn * F.sqrt(se2))
+    )
+    p_hat = (F.col("_rbb") - (nb2 + 1.0) / 2.0) / na2
+    dfw = F.when(
+        (st_a > 0) | (st_b > 0),
+        (st_a / na2 + st_b / nb2) * (st_a / na2 + st_b / nb2)
+        / (
+            (st_a / na2) * (st_a / na2) / (na2 - 1.0)
+            + (st_b / nb2) * (st_b / nb2) / (nb2 - 1.0)
+        ),
+    )
+    p = F.lit(2.0) * normal_sf(F.abs(wstat))
+    return var.select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.round(p_hat, 6).alias("p_hat"),
+        F.round(wstat, 6).alias("w_stat"),
+        F.round(dfw, 6).alias("df_approx"),
+        F.round(F.when(wstat.isNotNull(), p), 6).alias("p_value"),
+    )

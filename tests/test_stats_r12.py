@@ -72,3 +72,51 @@ def test_partial_corr_additive_confounder(spark):
     assert r["n"] == 100
     assert abs(r["r_partial"] - 1.0) < 1e-6
     assert abs(r["r_xz"]) < 1e-6
+
+
+def test_brunner_munzel_published_example(spark):
+    # Brunner & Munzel (2000) worked example (also lawstat's):
+    # p_hat = 0.788961, W = 3.1375, df ~ 17.68
+    x = [1, 2, 1, 1, 1, 1, 1, 1, 1, 1, 2, 4, 1, 1]
+    y = [3, 3, 4, 3, 1, 2, 3, 1, 1, 5, 4]
+    rows = [("a", float(v)) for v in x] + [("b", float(v)) for v in y]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = st.brunner_munzel(df, "v", "g").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (14, 11)
+    assert abs(r["p_hat"] - 0.788961) < 1e-6
+    assert abs(r["w_stat"] - 3.137467) < 1e-4
+    assert abs(r["df_approx"] - 17.6828) < 1e-3
+
+
+def test_anderson_darling_rejects_uniform_accepts_normal(spark):
+    import random
+
+    uni = spark.createDataFrame(
+        [(float(i % 97) / 97.0,) for i in range(2000)], "v double"
+    )
+    ru = st.anderson_darling(uni, "v").collect()[0]
+    assert ru["a2_star"] > 10 and ru["p_value"] < 1e-4
+    rng = random.Random(7)
+    norm = spark.createDataFrame(
+        [(rng.gauss(10.0, 2.0),) for _ in range(2000)], "v double"
+    )
+    rn = st.anderson_darling(norm, "v").collect()[0]
+    assert rn["a2_star"] < 2 and rn["p_value"] > 0.01
+
+
+def test_fligner_killeen_equal_vs_unequal_spread(spark):
+    eq = [("g1", float(i % 10)) for i in range(200)] + [
+        ("g2", float(i % 10) + 5) for i in range(200)
+    ]
+    req = st.fligner_killeen(
+        spark.createDataFrame(eq, "g string, v double"), "v", "g"
+    ).collect()[0]
+    # identical shapes, shifted location: FK is location-free -> chi2 0
+    assert req["chi2"] == 0.0 and req["p_value"] > 0.9
+    uneq = [("g1", float(i % 5)) for i in range(200)] + [
+        ("g2", float((i * 7) % 40)) for i in range(200)
+    ]
+    run = st.fligner_killeen(
+        spark.createDataFrame(uneq, "g string, v double"), "v", "g"
+    ).collect()[0]
+    assert run["chi2"] > 50 and run["p_value"] < 1e-6
