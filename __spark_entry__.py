@@ -19563,3 +19563,287 @@ SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
 FROM pvt
 """),
 })
+
+
+def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared per-type daily mean-value series (5 types × ~30 days)
+    for the round-12 time-series suite."""
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    return ev.groupBy(
+        F.col("event_type").alias("g"),
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+    ).agg(F.avg("value").alias("v"))
+
+
+_DAILY_G_SQL = """
+  SELECT event_type AS g, CAST(date_trunc('day', ts) AS DATE) AS d,
+    avg(CAST(value AS DOUBLE)) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max drawdown of each event type's daily mean-value curve:
+    running-max window + per-series aggregate, grid-exact."""
+    return tmp.max_drawdown(_daily_series(spark, sf_dir), "g", "d", "v")
+
+
+def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-period SMA RSI over each type's daily series (NULL warm-up
+    rows kept — the driver hashes them as NULLs)."""
+    return tmp.rsi(_daily_series(spark, sf_dir), "g", "d", "v", period=14)
+
+
+def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-period Bollinger bands + %B over each type's daily series;
+    exact grid frame sums, sample sd."""
+    return tmp.bollinger(
+        _daily_series(spark, sf_dir), "g", "d", "v", period=20, width=2.0
+    )
+
+
+def q_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% VaR (exact order statistic) + CVaR per event type over raw
+    event values — upper-tail loss convention."""
+    return tmp.var_cvar(_ev(spark, sf_dir), "value", "event_type", q=0.95)
+
+
+def q_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank changepoint on each type's daily series: running
+    midrank sums, first-argmax break date, exponential p-approx."""
+    return tmp.pettitt_test(_daily_series(spark, sf_dir), "g", "d", "v")
+
+
+def q_adf_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey–Fuller lag-0 unit-root t on each type's daily series
+    (closed-form from shared lag-1 moments; −2.86 5% cutoff)."""
+    return tmp.adf_test(_daily_series(spark, sf_dir), "g", "d", "v")
+
+
+def q_ar1_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(1) shock half-life per event type from the same lag-1
+    moments: −ln2/lnφ inside (0,1), NULL otherwise."""
+    return tmp.ar1_halflife(_daily_series(spark, sf_dir), "g", "d", "v")
+
+
+def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly volume-weighted average price over lineitem
+    (extendedprice × quantity, exact-decimal sums)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return tmp.vwap(
+        li,
+        F.date_trunc("month", F.col("l_shipdate")).cast("date"),
+        "l_extendedprice",
+        "l_quantity",
+    )
+
+
+_R13_QUERIES.update({
+    "max_drawdown": q_max_drawdown,
+    "rsi": q_rsi,
+    "bollinger": q_bollinger,
+    "var_cvar": q_var_cvar,
+    "pettitt": q_pettitt,
+    "adf_test": q_adf_test,
+    "ar1_halflife": q_ar1_halflife,
+    "vwap": q_vwap,
+})
+
+_LAG1_MOMENTS_SQL = """
+qv AS (
+  SELECT g, d, floor(v * 1048576.0) / 1048576.0 AS v FROM daily
+), pairs AS (
+  SELECT g, v AS y,
+    lag(v) OVER (PARTITION BY g ORDER BY d) AS x
+  FROM qv
+), pp AS (SELECT g, x, y FROM pairs WHERE x IS NOT NULL),
+m AS (
+  SELECT g, count(*) AS n,
+    floor(avg(x) * 1048576.0) / 1048576.0 AS mx,
+    floor(avg(y) * 1048576.0) / 1048576.0 AS my
+  FROM pp GROUP BY 1
+), mom AS (
+  SELECT pp.g, n,
+    sum(CAST(floor((x - mx) * (x - mx) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS sxx,
+    sum(CAST(floor((x - mx) * (y - my) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS sxy,
+    sum(CAST(floor((y - my) * (y - my) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS syy
+  FROM pp JOIN m ON pp.g = m.g GROUP BY 1, 2
+)
+"""
+
+_R13_ORACLES.update({
+    "max_drawdown": ("""
+WITH daily AS (""" + _DAILY_G_SQL + """
+), qv AS (
+  SELECT g, d, floor(v * 1048576.0) / 1048576.0 AS v FROM daily
+), run AS (
+  SELECT g, v, max(v) OVER (PARTITION BY g ORDER BY d
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM qv
+)
+SELECT g, CAST(count(*) AS BIGINT) AS n,
+  round(max(peak), 6) AS peak,
+  round(max(peak - v), 6) AS max_dd,
+  round(max(CASE WHEN peak > 0 THEN 1.0 - v / peak END), 6)
+    AS max_dd_frac
+FROM run GROUP BY g
+"""),
+    "rsi": ("""
+WITH daily AS (""" + _DAILY_G_SQL + """
+), qv AS (
+  SELECT g, d, floor(v * 1048576.0) / 1048576.0 AS v FROM daily
+), dd AS (
+  SELECT g, d, v - lag(v) OVER (PARTITION BY g ORDER BY d) AS dv
+  FROM qv
+), fr AS (
+  SELECT g, d,
+    count(dv) OVER w AS cnt,
+    sum(CASE WHEN dv > 0 THEN dv
+             WHEN dv IS NOT NULL THEN 0.0 END) OVER w AS sg,
+    sum(CASE WHEN dv < 0 THEN -dv
+             WHEN dv IS NOT NULL THEN 0.0 END) OVER w AS sl
+  FROM dd
+  WINDOW w AS (PARTITION BY g ORDER BY d
+    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT g, d,
+  round(CASE WHEN cnt >= 14 THEN
+    CASE WHEN sl / cnt > 0
+      THEN 100.0 - 100.0 / (1.0 + (sg / cnt) / (sl / cnt))
+      ELSE 100.0 END END, 6) AS rsi
+FROM fr
+"""),
+    "bollinger": ("""
+WITH daily AS (""" + _DAILY_G_SQL + """
+), qv AS (
+  SELECT g, d, floor(v * 1048576.0) / 1048576.0 AS v FROM daily
+), fr AS (
+  SELECT g, d, v,
+    count(v) OVER w AS cnt, sum(v) OVER w AS s1,
+    sum(v * v) OVER w AS s2
+  FROM qv
+  WINDOW w AS (PARTITION BY g ORDER BY d
+    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+), bands AS (
+  SELECT g, d, v, cnt,
+    s1 / CAST(cnt AS DOUBLE) AS m,
+    sqrt(greatest((s2 - CAST(cnt AS DOUBLE) * (s1 / CAST(cnt AS DOUBLE))
+      * (s1 / CAST(cnt AS DOUBLE))) / (CAST(cnt AS DOUBLE) - 1.0),
+      0.0)) AS sd
+  FROM fr
+)
+SELECT g, d,
+  round(CASE WHEN cnt >= 20 THEN m END, 6) AS ma,
+  round(CASE WHEN cnt >= 20 THEN m + 2.0 * sd END, 6) AS upper,
+  round(CASE WHEN cnt >= 20 THEN m - 2.0 * sd END, 6) AS lower,
+  round(CASE WHEN cnt >= 20 AND m + 2.0 * sd > m - 2.0 * sd
+    THEN (v - (m - 2.0 * sd)) / ((m + 2.0 * sd) - (m - 2.0 * sd))
+    END, 6) AS pct_b
+FROM bands
+"""),
+    "var_cvar": ("""
+WITH src AS (
+  SELECT event_type AS g,
+    floor(CAST(value AS DOUBLE) * 1048576.0) / 1048576.0 AS v
+  FROM events WHERE value IS NOT NULL
+), pv0 AS (
+  SELECT g, v, count(*) AS c FROM src GROUP BY 1, 2
+), cum AS (
+  SELECT g, v, c, sum(c) OVER (PARTITION BY g ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+  FROM pv0
+), ng AS (SELECT g, sum(c) AS n FROM pv0 GROUP BY 1),
+vr AS (
+  SELECT cum.g, min(v) AS varq, min(n) AS n
+  FROM cum JOIN ng ON cum.g = ng.g
+  WHERE cm >= CAST(ceil(0.95 * n) AS BIGINT)
+  GROUP BY 1
+), tail AS (
+  SELECT pv0.g,
+    sum(CAST(floor(v * c * 1048576.0) AS BIGINT)) / 1048576.0 AS ts,
+    sum(c) AS tc
+  FROM pv0 JOIN vr ON pv0.g = vr.g
+  WHERE v >= varq GROUP BY 1
+)
+SELECT vr.g AS event_type, CAST(n AS BIGINT) AS n,
+  round(varq, 6) AS var_q,
+  round(ts / CAST(tc AS DOUBLE), 6) AS cvar_q,
+  CAST(tc AS BIGINT) AS n_tail
+FROM vr JOIN tail ON vr.g = tail.g
+"""),
+    "pettitt": ("""
+WITH daily AS (""" + _DAILY_G_SQL + """
+), qv AS (
+  SELECT g, d, floor(v * 1048576.0) / 1048576.0 AS v FROM daily
+), mid AS (
+  SELECT g, d,
+    CAST(rank() OVER (PARTITION BY g ORDER BY v) AS DOUBLE)
+      + (count(*) OVER (PARTITION BY g, v) - 1) / 2.0 AS r
+  FROM qv
+), run AS (
+  SELECT g, d,
+    sum(r) OVER (PARTITION BY g ORDER BY d
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st,
+    count(*) OVER (PARTITION BY g ORDER BY d
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t,
+    count(*) OVER (PARTITION BY g) AS n
+  FROM mid
+), au AS (
+  SELECT g, d, n, abs(2.0 * st - t * (n + 1.0)) AS a,
+    max(abs(2.0 * st - t * (n + 1.0)))
+      OVER (PARTITION BY g) AS kmax
+  FROM run
+)
+SELECT g, CAST(min(n) AS BIGINT) AS n,
+  round(min(kmax), 6) AS k_stat,
+  min(CASE WHEN a = kmax THEN d END) AS change_at,
+  round(least(1.0, 2.0 * exp(-6.0 * min(kmax) * min(kmax)
+    / (pow(CAST(min(n) AS DOUBLE), 3) + pow(CAST(min(n) AS DOUBLE), 2)))),
+    6) AS p_approx
+FROM au GROUP BY g
+"""),
+    "adf_test": ("""
+WITH daily AS (""" + _DAILY_G_SQL + """
+), """ + _LAG1_MOMENTS_SQL + """
+SELECT g, CAST(n AS BIGINT) AS n_pairs,
+  round(CASE WHEN sxx > 0 THEN sxy / sxx - 1.0 END, 6) AS beta,
+  round(CASE WHEN sxx > 0 AND n > 2
+      AND (syy - sxy * sxy / sxx) / (n - 2.0) / sxx > 0
+    THEN (sxy / sxx - 1.0)
+      / sqrt((syy - sxy * sxy / sxx) / (n - 2.0) / sxx) END, 6)
+    AS t_stat,
+  CASE WHEN sxx > 0 AND n > 2
+      AND (syy - sxy * sxy / sxx) / (n - 2.0) / sxx > 0
+    THEN (sxy / sxx - 1.0)
+      / sqrt((syy - sxy * sxy / sxx) / (n - 2.0) / sxx) < -2.86
+    END AS stationary_5pct
+FROM mom
+"""),
+    "ar1_halflife": ("""
+WITH daily AS (""" + _DAILY_G_SQL + """
+), """ + _LAG1_MOMENTS_SQL + """
+SELECT g, CAST(n AS BIGINT) AS n_pairs,
+  round(CASE WHEN sxx > 0 THEN sxy / sxx END, 6) AS phi,
+  round(CASE WHEN sxx > 0 AND sxy / sxx > 0 AND sxy / sxx < 1
+    THEN -ln(2.0) / ln(sxy / sxx) END, 6) AS half_life
+FROM mom
+"""),
+    "vwap": ("""
+SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS bucket,
+  CAST(count(*) AS BIGINT) AS n,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+    AS volume,
+  round(CASE WHEN CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+      AS DOUBLE) > 0
+    THEN CAST(sum(CAST(CAST(l_extendedprice AS DOUBLE)
+        * CAST(l_quantity AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+      / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) END, 6)
+    AS vwap
+FROM lineitem
+WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+GROUP BY 1
+"""),
+})

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -2728,4 +2728,412 @@ def hurst_rs(
         F.col("_n").cast("long").alias("n"),
         F.col("_k").cast("long").alias("n_scales"),
         F.round(h, 6).alias("h"),
+    )
+
+
+_Q2 = float(1 << 20)
+
+
+def max_drawdown(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Maximum drawdown per series → (group, n, peak, max_dd,
+    max_dd_frac): the largest peak-to-trough drop of a cumulative
+    metric (running max minus current, absolute and as a fraction of
+    the peak) — the risk summary for revenue/engagement curves.
+
+    One running-max window + one aggregate per series, both
+    partitioned by the series key (series are bounded buckets by
+    contract — daily rollups — so no skewed global sort). Values
+    quantize to the 2^-20 grid first: every max/ratio is then exact
+    and engine-identical."""
+    v = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    src = df.select(
+        F.col(group_col).alias("_g"), F.col(order_col).alias("_o"), v.alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    w = (
+        Window.partitionBy("_g")
+        .orderBy("_o")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = src.withColumn("_peak", F.max("_v").over(w))
+    agg = run.groupBy("_g").agg(
+        F.count("*").alias("n"),
+        F.max("_peak").alias("_maxpeak"),
+        F.max(F.col("_peak") - F.col("_v")).alias("_dd"),
+        F.max(
+            F.when(
+                F.col("_peak") > 0,
+                F.lit(1.0) - F.col("_v") / F.col("_peak"),
+            )
+        ).alias("_ddf"),
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.round("_maxpeak", 6).alias("peak"),
+        F.round("_dd", 6).alias("max_dd"),
+        F.round("_ddf", 6).alias("max_dd_frac"),
+    )
+
+
+def rsi(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    period: int = 14,
+) -> DataFrame:
+    """Relative Strength Index (SMA variant) per series point →
+    (group, order, rsi): average gain vs average loss over the
+    trailing ``period`` deltas, RSI = 100 − 100/(1+RS). The
+    Cutler/SMA form (plain window means), not Wilder's recursive
+    smoothing — windowed means parallelize; the recursion would
+    serialize the series. Rows with fewer than ``period`` trailing
+    deltas yield NULL (warm-up).
+
+    Two windows per series partition (lag + trailing frame); deltas
+    are grid-quantized so the frame sums are exact."""
+    v = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    src = df.select(
+        F.col(group_col).alias("_g"), F.col(order_col).alias("_o"), v.alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    wl = Window.partitionBy("_g").orderBy("_o")
+    d = src.withColumn("_d", F.col("_v") - F.lag("_v").over(wl))
+    wf = wl.rowsBetween(-(period - 1), 0)
+    gain = F.when(F.col("_d") > 0, F.col("_d")).otherwise(
+        F.when(F.col("_d").isNotNull(), F.lit(0.0))
+    )
+    loss = F.when(F.col("_d") < 0, -F.col("_d")).otherwise(
+        F.when(F.col("_d").isNotNull(), F.lit(0.0))
+    )
+    out = (
+        d.withColumn("_cnt", F.count("_d").over(wf))
+        .withColumn("_ag", F.sum(gain).over(wf) / F.col("_cnt"))
+        .withColumn("_al", F.sum(loss).over(wf) / F.col("_cnt"))
+    )
+    rsi_c = F.when(
+        F.col("_cnt") >= period,
+        F.when(
+            F.col("_al") > 0,
+            F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + F.col("_ag") / F.col("_al")),
+        ).otherwise(F.lit(100.0)),
+    )
+    return out.select(
+        F.col("_g").alias(group_col),
+        F.col("_o").alias(order_col),
+        F.round(rsi_c, 6).alias("rsi"),
+    )
+
+
+def bollinger(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    period: int = 20,
+    width: float = 2.0,
+) -> DataFrame:
+    """Bollinger bands per series point → (group, order, ma, upper,
+    lower, pct_b): trailing ``period`` mean ± ``width``·sd (sample),
+    %B = (v − lower)/(upper − lower). The volatility envelope for
+    metric-drift dashboards. NULL until the frame fills.
+
+    One trailing window per series partition. Values quantize to the
+    grid, so the frame's Σv and Σv² are exact integers scaled by
+    2^-20/2^-40 — identical on every engine regardless of frame
+    iteration order; sd uses the (Σv² − n·m²)/(n−1) form with the
+    SAME operation order in the SQL twin."""
+    v = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    src = df.select(
+        F.col(group_col).alias("_g"), F.col(order_col).alias("_o"), v.alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    wf = (
+        Window.partitionBy("_g")
+        .orderBy("_o")
+        .rowsBetween(-(period - 1), 0)
+    )
+    out = (
+        src.withColumn("_cnt", F.count("_v").over(wf))
+        .withColumn("_s1", F.sum("_v").over(wf))
+        .withColumn("_s2", F.sum(F.col("_v") * F.col("_v")).over(wf))
+    )
+    n = F.col("_cnt").cast("double")
+    m = F.col("_s1") / n
+    s2 = (F.col("_s2") - n * m * m) / (n - 1.0)
+    sd = F.sqrt(F.greatest(s2, F.lit(0.0)))
+    ok = F.col("_cnt") >= period
+    upper = m + F.lit(width) * sd
+    lower = m - F.lit(width) * sd
+    pctb = F.when(
+        upper > lower, (F.col("_v") - lower) / (upper - lower)
+    )
+    return out.select(
+        F.col("_g").alias(group_col),
+        F.col("_o").alias(order_col),
+        F.round(F.when(ok, m), 6).alias("ma"),
+        F.round(F.when(ok, upper), 6).alias("upper"),
+        F.round(F.when(ok, lower), 6).alias("lower"),
+        F.round(F.when(ok, pctb), 6).alias("pct_b"),
+    )
+
+
+def var_cvar(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    q: float = 0.95,
+) -> DataFrame:
+    """Value-at-Risk and Conditional VaR (expected shortfall) per
+    group → (group, n, var_q, cvar_q, n_tail): the q-th order
+    statistic of the value distribution (upper-tail loss convention:
+    large values are the risk) and the mean of the tail at or beyond
+    it. The tail-risk companion to percentile dashboards: VaR says
+    where the tail starts, CVaR says how bad it is inside.
+
+    VaR is the exact order statistic at position ceil(q·n) via a
+    per-group distinct-value prefix window (mood_median convention —
+    no approximate percentile, no full sort); CVaR is one fxp-summed
+    conditional aggregate against the broadcast per-group cutoffs."""
+    v = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    src = df.select(
+        F.col(group_col).alias("_g"), v.alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    pv = src.groupBy("_g", "_v").agg(F.count("*").alias("_c"))
+    w = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pv.withColumn("_cum", F.sum("_c").over(w))
+    ng = pv.groupBy("_g").agg(F.sum("_c").alias("_n"))
+    var_g = (
+        cum.join(ng, "_g")
+        .filter(F.col("_cum") >= F.ceil(F.lit(q) * F.col("_n")))
+        .groupBy("_g")
+        .agg(F.min("_v").alias("_var"), F.min("_n").alias("_n"))
+    )
+    tail = (
+        pv.join(var_g.select("_g", "_var"), "_g")
+        .filter(F.col("_v") >= F.col("_var"))
+        .groupBy("_g")
+        .agg(
+            (
+                F.sum(F.floor(F.col("_v") * F.col("_c") * _Q2)) / _Q2
+            ).alias("_ts"),
+            F.sum("_c").alias("_tc"),
+        )
+    )
+    out = var_g.join(tail, "_g")
+    return out.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("n"),
+        F.round("_var", 6).alias("var_q"),
+        F.round(F.col("_ts") / F.col("_tc").cast("double"), 6).alias(
+            "cvar_q"
+        ),
+        F.col("_tc").cast("long").alias("n_tail"),
+    )
+
+
+def pettitt_test(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Pettitt changepoint test per series → (group, n, k_stat,
+    change_at, p_approx): the rank-based single-changepoint detector
+    (no distribution assumed, unlike cusum's mean-shift-in-gaussian
+    frame): U_t = 2·S_t − t(n+1) with S_t the running midrank sum,
+    K = max|U_t|, first-argmax position reported, p ≈
+    2·exp(−6K²/(n³+n²)).
+
+    Midranks via rank() + (ties−1)/2 inside the series partition
+    (bounded series by contract), one running sum, one argmax via
+    min(struct) — everything per-partition, exact 0.5-grid rank
+    arithmetic."""
+    v = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    src = df.select(
+        F.col(group_col).alias("_g"), F.col(order_col).alias("_o"), v.alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    wr = Window.partitionBy("_g").orderBy("_v")
+    wt = Window.partitionBy("_g", "_v")
+    mid = src.withColumn(
+        "_r",
+        F.rank().over(wr).cast("double")
+        + (F.count("*").over(wt) - F.lit(1)) / F.lit(2.0),
+    )
+    wo = (
+        Window.partitionBy("_g")
+        .orderBy("_o")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("_g")
+    run = mid.withColumn("_st", F.sum("_r").over(wo)).withColumn(
+        "_t", F.count("*").over(wo)
+    ).withColumn("_n", F.count("*").over(wn))
+    u = 2.0 * F.col("_st") - F.col("_t") * (F.col("_n") + 1.0)
+    au = run.select("_g", "_o", "_n", F.abs(u).alias("_au")).withColumn(
+        "_kmax", F.max("_au").over(wn)
+    )
+    agg = au.groupBy("_g").agg(
+        F.min("_n").alias("n"),
+        F.min("_kmax").alias("_k"),
+        F.min(
+            F.when(F.col("_au") == F.col("_kmax"), F.struct("_o"))
+        ).alias("_arg"),
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.round("_k", 6).alias("k_stat"),
+        F.col("_arg._o").alias("change_at"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(2.0)
+                * F.exp(
+                    F.lit(-6.0)
+                    * F.col("_k")
+                    * F.col("_k")
+                    / (
+                        F.col("n").cast("double") ** 3
+                        + F.col("n").cast("double") ** 2
+                    )
+                ),
+            ),
+            6,
+        ).alias("p_approx"),
+    )
+
+
+def _lag1_moments(
+    df: DataFrame, group_col: str, order_col: str, value_col: str
+):
+    """Shared lag-1 regression moments per series → one row per group
+    with (n_pairs, grid means, fxp-summed Sxx/Sxy/Syy) over the
+    (y_{t-1}, y_t) pairs — the OLS primitive behind the ADF and AR(1)
+    operators. Series values grid-quantize first; means grid-floor;
+    cross-moment sums floor-quantize (corr_matrix discipline)."""
+    v = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    src = df.select(
+        F.col(group_col).alias("_g"), F.col(order_col).alias("_o"), v.alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    wl = Window.partitionBy("_g").orderBy("_o")
+    pairs = src.withColumn("_x", F.lag("_v").over(wl)).filter(
+        F.col("_x").isNotNull()
+    )
+    m = pairs.groupBy("_g").agg(
+        F.count("*").alias("_n"),
+        (F.floor(F.avg("_x") * _Q2) / _Q2).alias("_mx"),
+        (F.floor(F.avg("_v") * _Q2) / _Q2).alias("_my"),
+    )
+    j = pairs.join(m, "_g")
+    dx = F.col("_x") - F.col("_mx")
+    dy = F.col("_v") - F.col("_my")
+    return j.groupBy("_g", "_n", "_mx", "_my").agg(
+        (F.sum(F.floor(dx * dx * _Q2)) / _Q2).alias("_sxx"),
+        (F.sum(F.floor(dx * dy * _Q2)) / _Q2).alias("_sxy"),
+        (F.sum(F.floor(dy * dy * _Q2)) / _Q2).alias("_syy"),
+    )
+
+
+def adf_test(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Dickey–Fuller unit-root test (lag 0, intercept) per series →
+    (group, n_pairs, beta, t_stat, stationary_5pct): regress Δy_t on
+    y_{t−1}; under a unit root β = 0, and the DF t-statistic
+    t = β̂/se(β̂) is compared to the Dickey–Fuller (NOT normal)
+    critical value — the 5% constant-only asymptotic cutoff −2.86 is
+    applied for the boolean. The mean-reversion gate before trusting
+    an AR-style forecast (holt/yule_walker entries).
+
+    Closed-form OLS on the shared lag-1 moments: β_DF = Sxy/Sxx − 1,
+    RSS = Syy − Sxy²/Sxx (regression identity — Δy-on-x and y-on-x
+    leave the SAME residuals, their slopes differ by exactly 1), so
+    no second pass over the data is needed."""
+    m = _lag1_moments(df, group_col, order_col, value_col)
+    n = F.col("_n").cast("double")
+    phi = F.when(F.col("_sxx") > 0, F.col("_sxy") / F.col("_sxx"))
+    beta = phi - F.lit(1.0)
+    rss = F.col("_syy") - F.when(
+        F.col("_sxx") > 0, F.col("_sxy") * F.col("_sxy") / F.col("_sxx")
+    ).otherwise(F.lit(0.0))
+    s2 = F.when(n > 2, rss / (n - 2.0))
+    se = F.sqrt(s2 / F.col("_sxx"))
+    t = F.when(se > 0, beta / se)
+    return m.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("n_pairs"),
+        F.round(beta, 6).alias("beta"),
+        F.round(t, 6).alias("t_stat"),
+        (t < F.lit(-2.86)).alias("stationary_5pct"),
+    )
+
+
+def ar1_halflife(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """AR(1) mean-reversion half-life per series → (group, n_pairs,
+    phi, half_life): φ from the lag-1 OLS (with intercept), half-life
+    = −ln 2 / ln φ for 0 < φ < 1 — "how many buckets until a shock
+    decays halfway back", the capacity-planning companion to the ADF
+    gate. NULL half-life when φ is outside (0, 1) (no mean
+    reversion). Same shared single-pass moments as ``adf_test``."""
+    m = _lag1_moments(df, group_col, order_col, value_col)
+    phi = F.when(F.col("_sxx") > 0, F.col("_sxy") / F.col("_sxx"))
+    hl = F.when(
+        (phi > 0) & (phi < 1), -F.log(F.lit(2.0)) / F.log(phi)
+    )
+    return m.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("n_pairs"),
+        F.round(phi, 6).alias("phi"),
+        F.round(hl, 6).alias("half_life"),
+    )
+
+
+def vwap(
+    df: DataFrame,
+    bucket_col,
+    price_col: str,
+    qty_col: str,
+) -> DataFrame:
+    """Volume-weighted average price per bucket → (bucket, n, volume,
+    vwap): Σ(p·q)/Σq with the exact-DECIMAL detour on the weighted
+    sum (order-independent, engine-identical to the cent) — the
+    volume-aware counterpart to the ``twap`` operator. One aggregate
+    pass with map-side combine."""
+    b = bucket_col if isinstance(bucket_col, Column) else F.col(bucket_col)
+    p = F.col(price_col).cast("double")
+    q = F.col(qty_col).cast("double")
+    agg = df.select(b.alias("_b"), p.alias("_p"), q.alias("_q")).filter(
+        F.col("_p").isNotNull() & F.col("_q").isNotNull()
+    ).groupBy("_b").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("_q").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("_vol"),
+        F.sum((F.col("_p") * F.col("_q")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("_pq"),
+    )
+    return agg.select(
+        F.col("_b").alias("bucket"),
+        F.col("n").cast("long").alias("n"),
+        F.round("_vol", 2).alias("volume"),
+        F.round(
+            F.when(F.col("_vol") > 0, F.col("_pq") / F.col("_vol")), 6
+        ).alias("vwap"),
     )

@@ -1,0 +1,107 @@
+"""Round-12 temporal/financial additions: hand-computed references."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from from_superset_to_clickhouse_spark.operators import temporal as tmp
+
+
+def _series(spark, vals, g="s"):
+    return spark.createDataFrame(
+        [(g, i, float(v)) for i, v in enumerate(vals)],
+        "g string, d int, v double",
+    )
+
+
+def test_max_drawdown_hand(spark):
+    # curve 10 -> 15 -> 9 -> 12 -> 6: peak 15, max dd 9 (15->6),
+    # frac = 1 - 6/15 = 0.6
+    df = _series(spark, [10, 15, 9, 12, 6])
+    r = tmp.max_drawdown(df, "g", "d", "v").collect()[0]
+    assert r["peak"] == 15.0 and r["max_dd"] == 9.0
+    assert abs(r["max_dd_frac"] - 0.6) < 1e-9
+
+
+def test_rsi_monotone_extremes(spark):
+    up = tmp.rsi(_series(spark, range(20)), "g", "d", "v", period=5)
+    vals = [r["rsi"] for r in up.orderBy("d").collect()]
+    assert vals[:5] == [None] * 5  # warm-up: first row + 4 deltas
+    assert all(v == 100.0 for v in vals[5:])
+    down = tmp.rsi(_series(spark, range(20, 0, -1)), "g", "d", "v", period=5)
+    dvals = [r["rsi"] for r in down.orderBy("d").collect()]
+    assert all(v == 0.0 for v in dvals[5:])
+
+
+def test_bollinger_constant_and_known_sd(spark):
+    # constant series: sd 0 -> bands collapse, pct_b NULL
+    r = tmp.bollinger(_series(spark, [5] * 25), "g", "d", "v", period=20)
+    last = r.orderBy("d").collect()[-1]
+    assert last["ma"] == 5.0 and last["upper"] == 5.0
+    assert last["pct_b"] is None
+    # alternating 0/10 over 20 rows: mean 5, sample sd sqrt(25*20/19)
+    alt = tmp.bollinger(
+        _series(spark, [0, 10] * 12), "g", "d", "v", period=20
+    ).orderBy("d").collect()[-1]
+    sd = math.sqrt(500.0 / 19.0)
+    assert abs(alt["ma"] - 5.0) < 1e-6
+    assert abs(alt["upper"] - (5 + 2 * sd)) < 1e-4
+
+
+def test_var_cvar_hand(spark):
+    # 1..100 at q=.95: VaR = 95th order stat = 95, tail mean
+    # (95+...+100)/6 = 97.5
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(1, 101)], "g string, v double"
+    )
+    r = tmp.var_cvar(df, "v", "g", q=0.95).collect()[0]
+    assert r["var_q"] == 95.0 and r["n_tail"] == 6
+    assert abs(r["cvar_q"] - 97.5) < 1e-9
+
+
+def test_pettitt_detects_level_shift(spark):
+    shifted = [1, 2, 1, 2, 1, 2, 1, 2, 1, 2, 11, 12, 11, 12, 11, 12, 11,
+               12, 11, 12]
+    r = tmp.pettitt_test(_series(spark, shifted), "g", "d", "v").collect()[0]
+    # max|U| at the break (index 9), K = 2*sum(first-10 ranks) - 10*21
+    # first 10 ranks are midranks of {1,2}: 3 and 8 -> S_10 = 55
+    assert r["change_at"] == 9
+    assert r["k_stat"] == abs(2 * 55.0 - 10 * 21.0)
+    assert r["p_approx"] < 0.01
+    flat = tmp.pettitt_test(
+        _series(spark, [1, 2] * 10), "g", "d", "v"
+    ).collect()[0]
+    assert flat["p_approx"] > 0.5
+
+
+def test_adf_and_halflife_on_ar1(spark):
+    # strongly mean-reverting AR(1) with phi=0.5 planted exactly:
+    # y_{t+1} = 0.5*y_t with injected resets to keep variance
+    vals, y = [], 64.0
+    for i in range(60):
+        vals.append(y)
+        y = y * 0.5 if y > 0.125 else 64.0
+    df = _series(spark, vals)
+    r = tmp.ar1_halflife(df, "g", "d", "v").collect()[0]
+    # dominated by the 0.5 decay steps -> phi near 0.5, hl near 1
+    assert 0.3 < r["phi"] < 0.7
+    assert r["half_life"] is not None
+    adf = tmp.adf_test(df, "g", "d", "v").collect()[0]
+    assert adf["t_stat"] < -2.86 and adf["stationary_5pct"]
+    # deterministic +1 trend: zero residuals -> se 0 -> NULL t; the
+    # gate must NOT claim stationarity
+    walk = _series(spark, [float(i) for i in range(40)])
+    aw = tmp.adf_test(walk, "g", "d", "v").collect()[0]
+    assert aw["stationary_5pct"] is not True
+    assert aw["beta"] == 0.0
+
+
+def test_vwap_hand(spark):
+    df = spark.createDataFrame(
+        [("m1", 10.0, 2.0), ("m1", 20.0, 6.0), ("m2", 5.0, 1.0)],
+        "b string, p double, q double",
+    )
+    got = {r["bucket"]: r for r in tmp.vwap(df, "b", "p", "q").collect()}
+    assert got["m1"]["volume"] == 8.0
+    assert abs(got["m1"]["vwap"] - (10 * 2 + 20 * 6) / 8.0) < 1e-9
+    assert got["m2"]["vwap"] == 5.0
