@@ -19847,3 +19847,212 @@ WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
 GROUP BY 1
 """),
 })
+
+
+def _cand_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared generation-eval pair plant: candidate = the document's
+    token stream with every 7th token replaced by 'xxx' (pure
+    substitution noise — length preserved), reference = the original
+    text."""
+    docs = _docs(spark, sf_dir)
+    toks = txt.word_tokens(F.col("text"))
+    cand = F.concat_ws(
+        " ",
+        F.transform(
+            toks,
+            lambda x, i: F.when(F.pmod(i, 7) == 0, F.lit("xxx")).otherwise(x),
+        ),
+    )
+    return docs.select("doc_id", cand.alias("cand"), F.col("text").alias("ref"))
+
+
+def q_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BLEU-4 of the every-7th-token-corrupted candidate
+    against the original documents: clipped n-gram precisions,
+    brevity penalty, geometric mean."""
+    return txt.bleu_corpus(_cand_ref(spark, sf_dir), "cand", "ref")
+
+
+def q_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus chrF2 (char 1-6-grams, β=2) for the same candidate
+    plant — the candidate drops punctuation (token reconstruction),
+    so chrR < 1 even where BLEU's word view is clean."""
+    return txt.chrf_corpus(_cand_ref(spark, sf_dir), "cand", "ref")
+
+
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church–Gale burstiness over document terms with df >= 5:
+    per-containing-doc mean and Fano factor from one exact
+    count/count² aggregate."""
+    return txt.term_burstiness(_docs(spark, sf_dir), min_df=5)
+
+
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-piece-per-word fertility by language over the documents
+    table — the multilingual token-budget planner."""
+    return txt.token_fertility(_docs(spark, sf_dir))
+
+
+_R13_QUERIES.update({
+    "bleu": q_bleu,
+    "chrf": q_chrf,
+    "term_burstiness": q_term_burstiness,
+    "token_fertility": q_token_fertility,
+})
+
+_CAND_REF_SQL = """
+toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                x -> x <> '') AS rt
+  FROM documents
+), pairs AS (
+  SELECT doc_id, rt,
+    list_transform(range(1, CAST(len(rt) AS INTEGER) + 1),
+      i -> CASE WHEN (i - 1) % 7 = 0 THEN 'xxx' ELSE rt[i] END) AS ct
+  FROM toks
+)
+"""
+
+
+def _bleu_gram_sql(col: str, n: int) -> str:
+    """Word n-gram multiplicity counts from a token LIST column."""
+    parts = " || ' ' || ".join(f"{col}[i+{k}]" for k in range(n))
+    return (
+        f"SELECT doc_id, gram, count(*) AS cnt FROM ("
+        f"SELECT doc_id, unnest(list_transform("
+        f"range(1, CAST(len({col}) AS INTEGER) - {n - 2}), "
+        f"i -> {parts})) AS gram FROM pairs "
+        f"WHERE len({col}) >= {n}) GROUP BY 1, 2"
+    )
+
+
+_R13_ORACLES.update({
+    "bleu": ("""
+-- Same substitution plant, same clipped counts, same BP/geomean.
+WITH """ + _CAND_REF_SQL + """
+, pn AS (
+""" + "\nUNION ALL\n".join(
+        f"""  SELECT {n} AS n, sum(c.cnt) AS tot,
+    sum(least(c.cnt, coalesce(r.cnt, 0))) AS clip
+  FROM ({_bleu_gram_sql('ct', n)}) c
+  LEFT JOIN ({_bleu_gram_sql('rt', n)}) r USING (doc_id, gram)"""
+        for n in range(1, 5)
+    ) + """
+), pv AS (
+  SELECT n, CASE WHEN tot > 0
+    THEN clip / CAST(tot AS DOUBLE) END AS p
+  FROM pn
+), lens AS (
+  SELECT count(*) AS n_pairs,
+    sum(CAST(len(ct) AS INTEGER)) AS cl,
+    sum(CAST(len(rt) AS INTEGER)) AS rl
+  FROM pairs
+), logs AS (
+  SELECT sum(ln(p)) AS slog, count(*) FILTER (p > 0) AS npos,
+    count(*) AS k,
+    min(CASE WHEN n = 1 THEN p END) AS p1,
+    min(CASE WHEN n = 2 THEN p END) AS p2,
+    min(CASE WHEN n = 3 THEN p END) AS p3,
+    min(CASE WHEN n = 4 THEN p END) AS p4
+  FROM pv
+)
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+  CAST(cl AS BIGINT) AS cand_len, CAST(rl AS BIGINT) AS ref_len,
+  round(CASE WHEN CAST(cl AS DOUBLE) >= rl THEN 1.0
+    ELSE exp(1.0 - CAST(rl AS DOUBLE) / cl) END, 6) AS bp,
+  round(p1, 6) AS p1, round(p2, 6) AS p2,
+  round(p3, 6) AS p3, round(p4, 6) AS p4,
+  round(CASE WHEN npos = k THEN
+    (CASE WHEN CAST(cl AS DOUBLE) >= rl THEN 1.0
+      ELSE exp(1.0 - CAST(rl AS DOUBLE) / cl) END)
+    * exp(slog / k) END, 6) AS bleu
+FROM lens, logs
+"""),
+    "chrf": ("""
+-- Same stripped char streams, same clipped char-gram counts, same
+-- macro average and beta=2 F.
+WITH """ + _CAND_REF_SQL + """
+, streams AS (
+  SELECT p.doc_id,
+    list_aggregate(ct, 'string_agg', '') AS cs,
+    regexp_replace(lower(d.text), '\\s+', '', 'g') AS rs
+  FROM pairs p JOIN documents d ON p.doc_id = d.doc_id
+), pn AS (
+""" + "\nUNION ALL\n".join(
+        f"""  SELECT {n} AS n, sum(coalesce(c.cnt, 0)) AS tc,
+    sum(coalesce(r.cnt, 0)) AS tr,
+    sum(least(coalesce(c.cnt, 0), coalesce(r.cnt, 0))) AS clip
+  FROM (
+    SELECT doc_id, gram, count(*) AS cnt FROM (
+      SELECT doc_id, unnest(list_transform(
+        range(1, CAST(length(cs) AS INTEGER) - {n} + 2),
+        i -> substr(cs, i, {n}))) AS gram
+      FROM streams WHERE length(cs) >= {n}) GROUP BY 1, 2
+  ) c
+  FULL OUTER JOIN (
+    SELECT doc_id, gram, count(*) AS cnt FROM (
+      SELECT doc_id, unnest(list_transform(
+        range(1, CAST(length(rs) AS INTEGER) - {n} + 2),
+        i -> substr(rs, i, {n}))) AS gram
+      FROM streams WHERE length(rs) >= {n}) GROUP BY 1, 2
+  ) r USING (doc_id, gram)"""
+        for n in range(1, 7)
+    ) + """
+), pr AS (
+  SELECT
+    CASE WHEN tc > 0 THEN clip / CAST(tc AS DOUBLE) ELSE 0.0 END AS p,
+    CASE WHEN tr > 0 THEN clip / CAST(tr AS DOUBLE) ELSE 0.0 END AS r
+  FROM pn
+), mac AS (
+  SELECT sum(CAST(floor(p * 1048576.0) AS BIGINT)) / 1048576.0 AS sp,
+    sum(CAST(floor(r * 1048576.0) AS BIGINT)) / 1048576.0 AS sr,
+    count(*) AS k
+  FROM pr
+), cnt AS (SELECT count(*) AS n_pairs FROM pairs)
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+  round(sp / k, 6) AS chrp, round(sr / k, 6) AS chrr,
+  round(CASE WHEN 4.0 * (sp / k) + (sr / k) > 0
+    THEN 5.0 * (sp / k) * (sr / k) / (4.0 * (sp / k) + (sr / k))
+    ELSE 0.0 END, 6) AS chrf
+FROM mac, cnt
+"""),
+    "term_burstiness": ("""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+    regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+    x -> x <> '')) AS t
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, t, count(*) AS c FROM toks GROUP BY 1, 2
+), per_term AS (
+  SELECT t, count(*) AS dfv, sum(c) AS cf, sum(c * c) AS cf2
+  FROM per_doc GROUP BY 1 HAVING count(*) >= 5
+)
+SELECT t AS term, CAST(dfv AS BIGINT) AS df_docs,
+  CAST(cf AS BIGINT) AS cf,
+  round(cf / CAST(dfv AS DOUBLE), 6) AS mean_per_doc,
+  round(CASE WHEN cf / CAST(dfv AS DOUBLE) > 0 THEN
+    (CASE WHEN dfv > 1 THEN
+      (cf2 - CAST(dfv AS DOUBLE) * (cf / CAST(dfv AS DOUBLE))
+        * (cf / CAST(dfv AS DOUBLE))) / (CAST(dfv AS DOUBLE) - 1.0)
+      END) / (cf / CAST(dfv AS DOUBLE)) END, 6) AS fano
+FROM per_term
+"""),
+    "token_fertility": ("""
+WITH src AS (
+  SELECT lang,
+    CAST(len(regexp_extract_all(text,
+      '""" + txt.BPE_PIECE_RE.replace("'", "''") + """')) AS INTEGER)
+      AS p,
+    CAST(len(list_filter(regexp_split_to_array(lower(text),
+      '[^a-z0-9'']+'), x -> x <> '')) AS INTEGER) AS w
+  FROM documents WHERE lang IS NOT NULL
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(p) AS BIGINT) AS pieces, CAST(sum(w) AS BIGINT) AS words,
+  round(CASE WHEN sum(w) > 0
+    THEN sum(p) / CAST(sum(w) AS DOUBLE) END, 6) AS fertility
+FROM src GROUP BY 1
+"""),
+})

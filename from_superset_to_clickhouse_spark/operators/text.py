@@ -2614,3 +2614,285 @@ def token_decontamination(
             ).alias("contaminated_frac"),
         )
     )
+
+
+def _word_ngram_counts(
+    df: DataFrame, col: str, id_col: str, n: int
+) -> DataFrame:
+    """(doc_id, gram, cnt) word n-gram multiplicities (NOT distinct —
+    BLEU clipping needs true counts)."""
+    toks = word_tokens(F.col(col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def bleu_corpus(
+    df: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    id_col: str = "doc_id",
+    max_n: int = 4,
+) -> DataFrame:
+    """Corpus BLEU (Papineni et al.) → single row (n_pairs, cand_len,
+    ref_len, bp, p1..p{max_n}, bleu): modified (clipped) n-gram
+    precision per order — each candidate n-gram credits at most its
+    reference count — aggregated over the corpus BEFORE the geometric
+    mean, with the brevity penalty exp(1 − ref/cand) for short
+    candidates. The generation-eval yardstick beside ``rouge_l``
+    (recall-oriented LCS) — BLEU is the precision side.
+
+    max_n joins on (pair, gram) keys, all map-side-combined counts +
+    exact integer sums; NULL bleu when any order's precision is zero
+    (standard undefined-log convention, not smoothed)."""
+    pieces = []
+    for n in range(1, max_n + 1):
+        c = _word_ngram_counts(df, cand_col, id_col, n)
+        r = _word_ngram_counts(df, ref_col, id_col, n)
+        j = c.join(
+            r.withColumnRenamed("cnt", "rcnt"), ["doc_id", "gram"], "left"
+        ).select(
+            F.lit(n).alias("_n"),
+            F.col("cnt"),
+            F.least(
+                F.col("cnt"), F.coalesce("rcnt", F.lit(0))
+            ).alias("clip"),
+        )
+        pieces.append(j)
+    allp = pieces[0]
+    for p in pieces[1:]:
+        allp = allp.unionByName(p)
+    per_n = allp.groupBy("_n").agg(
+        F.sum("cnt").alias("_tot"), F.sum("clip").alias("_clip")
+    )
+    pn = per_n.select(
+        "_n",
+        F.when(
+            F.col("_tot") > 0, F.col("_clip") / F.col("_tot").cast("double")
+        ).alias("_p"),
+    )
+    lens = df.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.size(word_tokens(F.col(cand_col)))).alias("_cl"),
+        F.sum(F.size(word_tokens(F.col(ref_col)))).alias("_rl"),
+    )
+    logs = pn.agg(
+        F.sum(F.log("_p")).alias("_slog"),
+        F.count(F.when(F.col("_p") > 0, 1)).alias("_npos"),
+        F.count("*").alias("_k"),
+        *[
+            F.min(F.when(F.col("_n") == n, F.col("_p"))).alias(f"_p{n}")
+            for n in range(1, max_n + 1)
+        ],
+    )
+    j = lens.crossJoin(F.broadcast(logs))
+    cl = F.col("_cl").cast("double")
+    rl = F.col("_rl").cast("double")
+    bp = F.when(cl >= rl, F.lit(1.0)).otherwise(F.exp(F.lit(1.0) - rl / cl))
+    bleu = F.when(
+        F.col("_npos") == F.col("_k"),
+        bp * F.exp(F.col("_slog") / F.col("_k")),
+    )
+    return j.select(
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("_cl").cast("long").alias("cand_len"),
+        F.col("_rl").cast("long").alias("ref_len"),
+        F.round(bp, 6).alias("bp"),
+        *[
+            F.round(F.col(f"_p{n}"), 6).alias(f"p{n}")
+            for n in range(1, max_n + 1)
+        ],
+        F.round(bleu, 6).alias("bleu"),
+    )
+
+
+def chrf_corpus(
+    df: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    id_col: str = "doc_id",
+    max_n: int = 6,
+    beta: float = 2.0,
+) -> DataFrame:
+    """Corpus chrF (Popović) → single row (n_pairs, chrp, chrr,
+    chrf): character-n-gram F-score with recall weighted β² — the
+    tokenizer-free generation metric that credits partial word
+    matches BLEU misses (morphology, typos). Whitespace is stripped
+    before n-gramming (standard chrF convention); per-order P/R are
+    corpus-aggregated then macro-averaged over n = 1..max_n.
+
+    Same (pair, gram)-keyed clipped-count machinery as
+    ``bleu_corpus``, on substring grams — exact integer counts,
+    IEEE-ordered ratios."""
+    strip = lambda c: F.regexp_replace(  # noqa: E731
+        F.lower(F.col(c)), r"\s+", ""
+    )
+    pieces = []
+    for n in range(1, max_n + 1):
+
+        def grams(col):
+            s = strip(col)
+            return F.when(
+                F.length(s) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(s) - n + 1),
+                    lambda i: F.substring(s, i, n),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+
+        c = (
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(grams(cand_col)).alias("gram"),
+            )
+            .groupBy("doc_id", "gram")
+            .agg(F.count("*").alias("cnt"))
+        )
+        r = (
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(grams(ref_col)).alias("gram"),
+            )
+            .groupBy("doc_id", "gram")
+            .agg(F.count("*").alias("rcnt"))
+        )
+        j = c.join(r, ["doc_id", "gram"], "full_outer").select(
+            F.lit(n).alias("_n"),
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.coalesce("rcnt", F.lit(0)).alias("rcnt"),
+            F.least(
+                F.coalesce("cnt", F.lit(0)), F.coalesce("rcnt", F.lit(0))
+            ).alias("clip"),
+        )
+        pieces.append(j)
+    allp = pieces[0]
+    for p in pieces[1:]:
+        allp = allp.unionByName(p)
+    per_n = allp.groupBy("_n").agg(
+        F.sum("cnt").alias("_tc"),
+        F.sum("rcnt").alias("_tr"),
+        F.sum("clip").alias("_cl"),
+    )
+    pr = per_n.select(
+        F.when(F.col("_tc") > 0, F.col("_cl") / F.col("_tc").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("_p"),
+        F.when(F.col("_tr") > 0, F.col("_cl") / F.col("_tr").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("_r"),
+    )
+    mac = pr.agg(
+        (F.sum(F.floor(F.col("_p") * 1048576.0)) / F.lit(1048576.0)).alias(
+            "_sp"
+        ),
+        (F.sum(F.floor(F.col("_r") * 1048576.0)) / F.lit(1048576.0)).alias(
+            "_sr"
+        ),
+        F.count("*").alias("_k"),
+    )
+    cnt = df.agg(F.count("*").alias("n_pairs"))
+    j2 = cnt.crossJoin(F.broadcast(mac))
+    p = F.col("_sp") / F.col("_k")
+    r = F.col("_sr") / F.col("_k")
+    b2 = beta * beta
+    f = F.when(
+        (b2 * p + r) > 0,
+        (1.0 + b2) * p * r / (b2 * p + r),
+    ).otherwise(F.lit(0.0))
+    return j2.select(
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round(p, 6).alias("chrp"),
+        F.round(r, 6).alias("chrr"),
+        F.round(f, 6).alias("chrf"),
+    )
+
+
+def term_burstiness(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 5,
+) -> DataFrame:
+    """Term burstiness (Church–Gale) → (term, df_docs, cf,
+    mean_per_doc, fano): content words clump — a term occurring at
+    all tends to occur AGAIN in the same document — while function
+    words spread evenly. mean_per_doc = cf/df over CONTAINING docs;
+    fano = var/mean of the per-doc counts (sample variance, grid-
+    floored mean, fxp sum). Fano >> 1 marks topical/content terms —
+    a vocabulary-pruning and keyword-weighting signal orthogonal to
+    plain df.
+
+    One (doc, term)-count pass + one term-keyed aggregate carrying
+    Σc and Σc² (exact integers), so the variance is closed-form —
+    no second scan. ``min_df`` drops the unstable tail."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_tokens(F.col(text_col))).alias("_t"),
+    )
+    per_doc = toks.groupBy("_id", "_t").agg(F.count("*").alias("_c"))
+    per_term = per_doc.groupBy("_t").agg(
+        F.count("*").alias("_df"),
+        F.sum("_c").alias("_cf"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_cf2"),
+    ).filter(F.col("_df") >= min_df)
+    dfd = F.col("_df").cast("double")
+    mean = F.col("_cf").cast("double") / dfd
+    var = F.when(
+        F.col("_df") > 1,
+        (F.col("_cf2") - dfd * mean * mean) / (dfd - 1.0),
+    )
+    fano = F.when(mean > 0, var / mean)
+    return per_term.select(
+        F.col("_t").alias("term"),
+        F.col("_df").cast("long").alias("df_docs"),
+        F.col("_cf").cast("long").alias("cf"),
+        F.round(mean, 6).alias("mean_per_doc"),
+        F.round(fano, 6).alias("fano"),
+    )
+
+
+def token_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer fertility per language → (lang, n_docs, pieces,
+    words, fertility): BPE-piece count over word count — the
+    "tokens per word" budget number that decides how many real
+    tokens a multilingual corpus costs. Languages the pretokenizer
+    fragments (no latin script, heavy punctuation) surface with
+    fertility >> 1. One aggregate pass, exact integer sums."""
+    pieces = bpe_token_count(F.col(text_col))
+    words = F.size(word_tokens(F.col(text_col)))
+    agg = (
+        df.select(F.col(lang_col).alias("lang"), pieces.alias("_p"), words.alias("_w"))
+        .filter(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_p").alias("_pieces"),
+            F.sum("_w").alias("_words"),
+        )
+    )
+    return agg.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("_pieces").cast("long").alias("pieces"),
+        F.col("_words").cast("long").alias("words"),
+        F.round(
+            F.when(
+                F.col("_words") > 0,
+                F.col("_pieces") / F.col("_words").cast("double"),
+            ),
+            6,
+        ).alias("fertility"),
+    )

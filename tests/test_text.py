@@ -1130,3 +1130,72 @@ def test_token_decontamination_fraction(spark):
     assert got[2] == (5, 0, 0.0)
     # doc 3: windows "shared tri gram" + "tri gram four" merge to 4
     assert got[3] == (6, 4, round(4 / 6, 6))
+
+
+def test_bleu_corpus_identity_and_known(spark):
+    ident = spark.createDataFrame(
+        [(1, "the cat sat on the mat", "the cat sat on the mat")],
+        "doc_id long, cand string, ref string",
+    )
+    r = txt.bleu_corpus(ident, "cand", "ref").collect()[0]
+    assert r["bleu"] == 1.0 and r["bp"] == 1.0
+    assert r["p1"] == r["p4"] == 1.0
+    # cand shares 2/3 unigrams, 1/2 bigrams, 0 trigrams -> NULL bleu
+    part = spark.createDataFrame(
+        [(1, "the cat xx", "the cat sat on")],
+        "doc_id long, cand string, ref string",
+    )
+    rp = txt.bleu_corpus(part, "cand", "ref").collect()[0]
+    assert rp["p1"] == round(2 / 3, 6) and rp["p2"] == 0.5
+    assert rp["p3"] == 0.0 and rp["bleu"] is None
+    import math
+    assert abs(rp["bp"] - math.exp(1 - 4 / 3)) < 1e-6
+
+
+def test_bleu_clipping(spark):
+    # candidate repeats 'the' 4x but ref has it twice -> clipped p1 = 2/4
+    df = spark.createDataFrame(
+        [(1, "the the the the", "the cat the mat")],
+        "doc_id long, cand string, ref string",
+    )
+    r = txt.bleu_corpus(df, "cand", "ref", max_n=1).collect()[0]
+    assert r["p1"] == 0.5
+
+
+def test_chrf_corpus_identity(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world", "hello world")],
+        "doc_id long, cand string, ref string",
+    )
+    r = txt.chrf_corpus(df, "cand", "ref").collect()[0]
+    assert r["chrp"] == 1.0 and r["chrr"] == 1.0 and r["chrf"] == 1.0
+    half = spark.createDataFrame(
+        [(1, "abcdefgh", "abcdefghabcdefgh")],
+        "doc_id long, cand string, ref string",
+    )
+    rh = txt.chrf_corpus(half, "cand", "ref").collect()[0]
+    assert rh["chrp"] == 1.0 and rh["chrr"] < 1.0
+
+
+def test_term_burstiness_fano(spark):
+    rows = []
+    for d in range(5):
+        rows.append((d, "filler " + "bursty " * (5 if d == 4 else 1)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["term"]: r for r in txt.term_burstiness(df, min_df=5).collect()}
+    assert got["filler"]["fano"] == 0.0
+    # counts 1,1,1,1,5: mean 1.8, var 3.2, fano 1.777778
+    assert got["bursty"]["mean_per_doc"] == 1.8
+    assert abs(got["bursty"]["fano"] - 3.2 / 1.8) < 1e-6
+
+
+def test_token_fertility_contractions(spark):
+    df = spark.createDataFrame(
+        [(1, "don't stop", "en"), (2, "it's fine ok", "en")],
+        "doc_id long, text string, lang string",
+    )
+    r = txt.token_fertility(df).collect()[0]
+    # pieces: don|'t|stop = 3 ; it|'s|fine|ok = 4 -> 7
+    # words: don't,stop / it's,fine,ok -> 5
+    assert (r["pieces"], r["words"]) == (7, 5)
+    assert r["fertility"] == 1.4
