@@ -20056,3 +20056,249 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
 FROM src GROUP BY 1
 """),
 })
+
+
+def q_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized spectral entropy of each type's daily series over
+    periodogram harmonics 1-8 — the forecastability score; fxp-summed
+    normalized powers."""
+    ev = _ev(spark, sf_dir)
+    return tmp.spectral_entropy(ev, "event_type", "ts", "value") \
+        .withColumnRenamed("key", "event_type")
+
+
+def q_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX shape fingerprint (w=8, alphabet 4) of each type's daily
+    series: z-normalize, PAA, Gaussian-breakpoint letters."""
+    ev = _ev(spark, sf_dir)
+    return tmp.sax_symbols(ev, "event_type", "ts", "value") \
+        .withColumnRenamed("key", "event_type")
+
+
+def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syntetos–Boylan demand classification + SMA-Croston forecast
+    over per-user-shard daily purchase demand (20 series with
+    naturally missing days)."""
+    ev = _ev(spark, sf_dir).filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    keyed = ev.select(
+        F.pmod(F.col("user_id"), 20).alias("shard"), "ts", "value"
+    )
+    return tmp.croston_profile(keyed, "shard", "ts", "value") \
+        .withColumnRenamed("key", "shard")
+
+
+def q_ts_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape-feature vector (mean/sd/cv/acf1/slope/turning-rate/
+    longest-flat) of each type's daily series — the series-clustering
+    input."""
+    ev = _ev(spark, sf_dir)
+    return tmp.ts_features(ev, "event_type", "ts", "value") \
+        .withColumnRenamed("key", "event_type")
+
+
+_R13_QUERIES.update({
+    "spectral_entropy": q_spectral_entropy,
+    "sax": q_sax,
+    "croston": q_croston,
+    "ts_features": q_ts_features,
+})
+
+_R13_ORACLES.update({
+    "spectral_entropy": ("""
+WITH d AS (
+  SELECT event_type AS key, date_trunc('day', ts) AS b,
+    avg(CAST(value AS DOUBLE)) AS x
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT key, x,
+    row_number() OVER (PARTITION BY key ORDER BY b) - 1 AS t,
+    count(*) OVER (PARTITION BY key) AS n
+  FROM d
+), m AS (SELECT key, avg(x) AS mu FROM s GROUP BY key),
+c AS (
+  SELECT s.key, x - mu AS cx, t, n, k
+  FROM s JOIN m ON s.key = m.key
+  CROSS JOIN (SELECT unnest(range(1, 9)) AS k)
+), a AS (
+  SELECT key, CAST(k AS INTEGER) AS k,
+    round((sum(cx * cos(2.0 * pi() * k * t / CAST(n AS DOUBLE)))
+      * sum(cx * cos(2.0 * pi() * k * t / CAST(n AS DOUBLE)))
+      + sum(cx * sin(2.0 * pi() * k * t / CAST(n AS DOUBLE)))
+      * sum(cx * sin(2.0 * pi() * k * t / CAST(n AS DOUBLE))))
+      / CAST(max(n) AS DOUBLE), 6) AS power
+  FROM c GROUP BY 1, 2
+), tot AS (
+  SELECT key,
+    sum(CAST(floor(power * 1048576.0) AS BIGINT)) / 1048576.0 AS tt,
+    count(*) AS kk
+  FROM a GROUP BY 1
+), j AS (
+  SELECT a.key, a.k, a.power, tt, kk,
+    CASE WHEN tt > 0 THEN power / tt END AS p,
+    max(power) OVER (PARTITION BY a.key) AS wmax
+  FROM a JOIN tot ON a.key = tot.key
+)
+SELECT key AS event_type, CAST(min(kk) AS INTEGER) AS k_used,
+  round(sum(CASE WHEN p > 0
+      THEN CAST(floor(-p * ln(p) * 1048576.0) AS BIGINT) ELSE 0 END)
+    / 1048576.0 / ln(CAST(min(kk) AS DOUBLE)), 6) AS h_norm,
+  min(CASE WHEN power = wmax THEN k END) AS peak_k,
+  round(max(p), 6) AS peak_frac
+FROM j GROUP BY key
+"""),
+    "sax": ("""
+WITH d AS (
+  SELECT event_type AS key, date_trunc('day', ts) AS b,
+    avg(CAST(value AS DOUBLE)) AS x
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT key, floor(x * 1048576.0) / 1048576.0 AS x,
+    row_number() OVER (PARTITION BY key ORDER BY b) - 1 AS t,
+    count(*) OVER (PARTITION BY key) AS n
+  FROM d
+), mom AS (
+  SELECT key, min(n) AS n,
+    floor(avg(x) * 1048576.0) / 1048576.0 AS m
+  FROM s GROUP BY 1
+), ssq AS (
+  SELECT s.key, mom.m, mom.n,
+    sum(CAST(floor((x - m) * (x - m) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS ss
+  FROM s JOIN mom ON s.key = mom.key GROUP BY 1, 2, 3
+), z AS (
+  SELECT s.key,
+    CASE WHEN sqrt(ss / (CAST(ssq.n AS DOUBLE) - 1.0)) > 0
+      THEN (x - ssq.m) / sqrt(ss / (CAST(ssq.n AS DOUBLE) - 1.0))
+      ELSE 0.0 END AS z,
+    CAST(floor(t * 8 / CAST(ssq.n AS DOUBLE)) AS INTEGER) AS seg,
+    ssq.n
+  FROM s JOIN ssq ON s.key = ssq.key
+), paa AS (
+  SELECT key, seg, min(n) AS n,
+    floor(avg(z) * 1048576.0) / 1048576.0 AS pz
+  FROM z GROUP BY 1, 2
+), sym AS (
+  SELECT key, seg, n,
+    CASE WHEN pz < -0.6745 THEN 'a' WHEN pz < 0.0 THEN 'b'
+         WHEN pz < 0.6745 THEN 'c' ELSE 'd' END AS s
+  FROM paa
+)
+SELECT key AS event_type, CAST(min(n) AS BIGINT) AS n,
+  string_agg(s, '' ORDER BY seg) AS sax
+FROM sym GROUP BY key
+"""),
+    "croston": ("""
+WITH src AS (
+  SELECT user_id % 20 AS key, ts, CAST(value AS DOUBLE) AS v
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+), b AS (
+  SELECT key, date_trunc('day', ts) AS d,
+    floor(sum(coalesce(v, 0.0)) * 1048576.0) / 1048576.0 AS z
+  FROM src GROUP BY 1, 2
+), agg AS (
+  SELECT key, count(*) AS nb,
+    count(*) FILTER (z <> 0) AS nz,
+    sum(CAST(floor(z * 1048576.0) AS BIGINT))
+      FILTER (z <> 0) / 1048576.0 AS sz,
+    sum(CAST(floor(z * z * 1048576.0) AS BIGINT))
+      FILTER (z <> 0) / 1048576.0 AS sz2
+  FROM b GROUP BY 1
+), st AS (
+  SELECT key, nb, nz,
+    sz / nz AS mz,
+    CASE WHEN nz > 1
+      THEN (sz2 - nz * (sz / nz) * (sz / nz)) / (CAST(nz AS DOUBLE) - 1.0)
+      END AS var,
+    CAST(nb AS DOUBLE) / nz AS adi
+  FROM agg WHERE nz > 0
+), cl AS (
+  SELECT key, nb, nz, adi, mz,
+    CASE WHEN mz <> 0 THEN var / (mz * mz) END AS cv2
+  FROM st
+)
+SELECT key AS shard, CAST(nb AS BIGINT) AS n_buckets,
+  CAST(nz AS BIGINT) AS n_nonzero,
+  round(adi, 6) AS adi, round(cv2, 6) AS cv2,
+  CASE WHEN cv2 IS NULL THEN 'degenerate'
+       WHEN adi < 1.32 AND cv2 < 0.49 THEN 'smooth'
+       WHEN adi >= 1.32 AND cv2 < 0.49 THEN 'intermittent'
+       WHEN adi < 1.32 AND cv2 >= 0.49 THEN 'erratic'
+       ELSE 'lumpy' END AS pattern,
+  round(mz / adi, 6) AS forecast
+FROM cl
+"""),
+    "ts_features": ("""
+WITH d AS (
+  SELECT event_type AS key, date_trunc('day', ts) AS b,
+    avg(CAST(value AS DOUBLE)) AS x
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT key, floor(x * 1048576.0) / 1048576.0 AS v,
+    CAST(row_number() OVER (PARTITION BY key ORDER BY b) - 1
+      AS DOUBLE) AS t,
+    lag(floor(x * 1048576.0) / 1048576.0)
+      OVER (PARTITION BY key ORDER BY b) AS pr,
+    lead(floor(x * 1048576.0) / 1048576.0)
+      OVER (PARTITION BY key ORDER BY b) AS nx,
+    b
+  FROM d
+), run AS (
+  SELECT key, v, b,
+    sum(CASE WHEN pr IS NULL OR v <> pr THEN 1 ELSE 0 END)
+      OVER (PARTITION BY key ORDER BY b
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+  FROM s
+), flat AS (
+  SELECT key, max(len) AS fl FROM (
+    SELECT key, rid, count(*) AS len FROM run GROUP BY 1, 2
+  ) GROUP BY 1
+), m AS (
+  SELECT key, count(*) AS n,
+    floor(avg(v) * 1048576.0) / 1048576.0 AS mv,
+    floor(avg(t) * 1048576.0) / 1048576.0 AS mt,
+    count(*) FILTER (pr IS NOT NULL AND nx IS NOT NULL
+      AND ((v > pr AND v > nx) OR (v < pr AND v < nx))) AS turns
+  FROM s GROUP BY 1
+), mom AS (
+  SELECT s.key, n, mv, turns,
+    sum(CAST(floor((v - mv) * (v - mv) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS svv,
+    sum(CAST(floor((t - mt) * (t - mt) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS stt,
+    sum(CAST(floor((t - mt) * (v - mv) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS stv
+  FROM s JOIN m ON s.key = m.key GROUP BY 1, 2, 3, 4
+), lagm AS (
+  SELECT key, count(*) AS np,
+    floor(avg(pr) * 1048576.0) / 1048576.0 AS mx,
+    floor(avg(v) * 1048576.0) / 1048576.0 AS my
+  FROM s WHERE pr IS NOT NULL GROUP BY 1
+), lagj AS (
+  SELECT s.key,
+    sum(CAST(floor((pr - mx) * (pr - mx) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS lxx,
+    sum(CAST(floor((v - my) * (v - my) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS lyy,
+    sum(CAST(floor((pr - mx) * (v - my) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS lxy
+  FROM s JOIN lagm ON s.key = lagm.key
+  WHERE pr IS NOT NULL GROUP BY 1
+)
+SELECT mom.key AS event_type, CAST(n AS BIGINT) AS n,
+  round(mv, 6) AS mean,
+  round(sqrt(svv / (CAST(n AS DOUBLE) - 1.0)), 6) AS sd,
+  round(CASE WHEN mv <> 0
+    THEN sqrt(svv / (CAST(n AS DOUBLE) - 1.0)) / abs(mv) END, 6) AS cv,
+  round(CASE WHEN sqrt(lxx * lyy) > 0
+    THEN lxy / sqrt(lxx * lyy) END, 6) AS acf1,
+  round(CASE WHEN stt > 0 THEN stv / stt END, 6) AS trend_slope,
+  round(CASE WHEN n > 2
+    THEN turns / (CAST(n AS DOUBLE) - 2.0) END, 6) AS turning_rate,
+  CAST(fl AS BIGINT) AS longest_flat
+FROM mom
+JOIN lagj ON mom.key = lagj.key
+JOIN flat ON mom.key = flat.key
+"""),
+})

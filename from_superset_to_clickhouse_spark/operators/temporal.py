@@ -3137,3 +3137,388 @@ def vwap(
             F.when(F.col("_vol") > 0, F.col("_pq") / F.col("_vol")), 6
         ).alias("vwap"),
     )
+
+
+def spectral_entropy(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 day",
+    max_k: int = 8,
+) -> DataFrame:
+    """Normalized spectral entropy per series → (key, k_used, h_norm,
+    peak_k, peak_frac): Shannon entropy of the periodogram's
+    normalized power over harmonics 1..max_k, divided by ln(k_used)
+    — 0 means one harmonic carries everything (pure seasonality),
+    1 means white-flat spectrum (no structure). The single-number
+    "how forecastable is this series" score built directly on the
+    ``periodogram`` operator (whose 6dp-rounded powers are the
+    engine-identical inputs here). peak_k is the lowest harmonic
+    achieving the max power; peak_frac its share."""
+    p = periodogram(df, key_col, ts_col, value_col, bucket, max_k)
+    tot = p.groupBy("key").agg(
+        (F.sum(F.floor(F.col("power") * _Q2)) / _Q2).alias("_tot"),
+        F.count("*").alias("_k"),
+    )
+    j = (
+        p.join(tot, "key")
+        .withColumn(
+            "_p", F.when(F.col("_tot") > 0, F.col("power") / F.col("_tot"))
+        )
+        .withColumn(
+            "_wmax", F.max("power").over(Window.partitionBy("key"))
+        )
+    )
+    agg = j.groupBy("key").agg(
+        F.min("_k").cast("int").alias("k_used"),
+        (
+            F.sum(
+                F.when(
+                    F.col("_p") > 0,
+                    F.floor(-F.col("_p") * F.log("_p") * _Q2),
+                ).otherwise(F.lit(0.0))
+            )
+            / _Q2
+        ).alias("_h"),
+        F.max("_p").alias("_pmax"),
+        F.min(
+            F.when(F.col("power") == F.col("_wmax"), F.col("k"))
+        ).alias("peak_k"),
+    )
+    return agg.select(
+        "key",
+        "k_used",
+        F.round(
+            F.col("_h") / F.log(F.col("k_used").cast("double")), 6
+        ).alias("h_norm"),
+        "peak_k",
+        F.round("_pmax", 6).alias("peak_frac"),
+    )
+
+
+_SAX_BREAKS_4 = (-0.6745, 0.0, 0.6745)
+
+
+def sax_symbols(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 day",
+    w: int = 8,
+) -> DataFrame:
+    """SAX symbolization per series → (key, n, sax): z-normalize the
+    bucketed series (grid mean/sd), Piecewise-Aggregate-Approximate
+    into ``w`` equal segments, and map each segment mean through the
+    alphabet-4 Gaussian breakpoints (−0.6745, 0, 0.6745) → 'a'..'d'.
+    The classic Lin/Keogh symbolic fingerprint: equal strings ⇒
+    similar shapes, so a plain groupBy on the sax column clusters
+    series shapes at corpus scale with no distance computation.
+
+    Bucketing aggregate touches the corpus once; everything after
+    runs on the bounded (key × w) table. Segment of bucket t is
+    floor(t·w/n) (standard PAA with ragged tails); all means grid-
+    floored before symbol lookup so the letter never flips across
+    engines."""
+    b = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.window(F.col(ts_col), bucket).alias("_w"),
+        )
+        .agg(F.avg(F.col(value_col).cast("double")).alias("_x"))
+        .select("key", F.col("_w.start").alias("_b"), "_x")
+    )
+    wo = Window.partitionBy("key").orderBy("_b")
+    wk = Window.partitionBy("key")
+    s = b.select(
+        "key",
+        (F.floor(F.col("_x") * _Q2) / _Q2).alias("_x"),
+        (F.row_number().over(wo) - 1).alias("_t"),
+        F.count("*").over(wk).alias("_n"),
+    )
+    mom = s.groupBy("key").agg(
+        F.min("_n").alias("_n2"),
+        (F.floor(F.avg("_x") * _Q2) / _Q2).alias("_m"),
+    )
+    withm = s.join(mom, "key")
+    ss = withm.groupBy("key").agg(
+        (
+            F.sum(F.floor((F.col("_x") - F.col("_m")) ** 2 * _Q2)) / _Q2
+        ).alias("_ss"),
+        F.min("_m").alias("_m"),
+        F.min("_n2").alias("_n"),
+    )
+    z = (
+        s.drop("_n").join(ss, "key")
+        .withColumn(
+            "_sd",
+            F.sqrt(F.col("_ss") / (F.col("_n").cast("double") - 1.0)),
+        )
+        .withColumn(
+            "_z",
+            F.when(
+                F.col("_sd") > 0,
+                (F.col("_x") - F.col("_m")) / F.col("_sd"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "_seg",
+            F.floor(
+                F.col("_t") * F.lit(w) / F.col("_n").cast("double")
+            ).cast("int"),
+        )
+    )
+    paa = z.groupBy("key", "_seg").agg(
+        (F.floor(F.avg("_z") * _Q2) / _Q2).alias("_pz"),
+        F.min("_n").alias("_n"),
+    )
+    b1, b2, b3 = (F.lit(x) for x in _SAX_BREAKS_4)
+    sym = (
+        F.when(F.col("_pz") < b1, "a")
+        .when(F.col("_pz") < b2, "b")
+        .when(F.col("_pz") < b3, "c")
+        .otherwise("d")
+    )
+    out = paa.select("key", "_seg", sym.alias("_s"), "_n").groupBy(
+        "key"
+    ).agg(
+        F.min("_n").cast("long").alias("n"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_seg", "_s"))),
+                lambda st: st["_s"],
+            ),
+        ).alias("sax"),
+    )
+    return out
+
+
+def croston_profile(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Intermittent-demand profile + Croston-style rate forecast per
+    series → (key, n_buckets, n_nonzero, adi, cv2, pattern,
+    forecast): ADI = buckets per demand event, CV² = squared
+    variation of the nonzero demand sizes, quadrant-classified per
+    Syntetos–Boylan (smooth / intermittent / erratic / lumpy at the
+    1.32 / 0.49 cutoffs), forecast = mean demand ÷ ADI (the SMA
+    Croston estimate — windowed means, not the serializing EWMA
+    recursion). The demand-shape router that decides whether
+    holt/ewma forecasts can be trusted at all.
+
+    One bucketing pass + one per-key aggregate; demand sums exact on
+    the grid, variance closed-form from Σz/Σz²."""
+    b = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.window(F.col(ts_col), bucket).alias("_w"),
+        )
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.coalesce(F.col(value_col).cast("double"), F.lit(0.0)))
+                    * _Q2
+                )
+                / _Q2
+            ).alias("_z")
+        )
+        .select("key", F.col("_z"))
+    )
+    agg = b.groupBy("key").agg(
+        F.count("*").alias("_nb"),
+        F.count(F.when(F.col("_z") != 0, 1)).alias("_nz"),
+        (
+            F.sum(F.when(F.col("_z") != 0, F.floor(F.col("_z") * _Q2)))
+            / _Q2
+        ).alias("_sz"),
+        (
+            F.sum(
+                F.when(
+                    F.col("_z") != 0,
+                    F.floor(F.col("_z") * F.col("_z") * _Q2),
+                )
+            )
+            / _Q2
+        ).alias("_sz2"),
+    )
+    nz = F.col("_nz").cast("double")
+    mz = F.col("_sz") / nz
+    var = F.when(
+        F.col("_nz") > 1, (F.col("_sz2") - nz * mz * mz) / (nz - 1.0)
+    )
+    cv2 = F.when(mz != 0, var / (mz * mz))
+    adi = F.col("_nb").cast("double") / nz
+    pattern = (
+        F.when((adi < 1.32) & (cv2 < 0.49), "smooth")
+        .when((adi >= 1.32) & (cv2 < 0.49), "intermittent")
+        .when((adi < 1.32) & (cv2 >= 0.49), "erratic")
+        .otherwise("lumpy")
+    )
+    return agg.filter(F.col("_nz") > 0).select(
+        "key",
+        F.col("_nb").cast("long").alias("n_buckets"),
+        F.col("_nz").cast("long").alias("n_nonzero"),
+        F.round(adi, 6).alias("adi"),
+        F.round(cv2, 6).alias("cv2"),
+        F.when(cv2.isNull(), F.lit("degenerate")).otherwise(pattern).alias(
+            "pattern"
+        ),
+        F.round(mz / adi, 6).alias("forecast"),
+    )
+
+
+def ts_features(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Per-series shape-feature vector → (key, n, mean, sd, cv, acf1,
+    trend_slope, turning_rate, longest_flat): the catch-all
+    clustering/routing features for millions of series at once —
+    level (mean), scale-free spread (cv), short memory (lag-1
+    autocorrelation), drift (OLS slope on the bucket index),
+    roughness (fraction of interior points that are local extrema)
+    and stuck-sensor runs (longest streak of equal grid values).
+
+    One bucketing pass, then windows and aggregates on the bounded
+    per-key series: lag/lead for turning points, a run-id prefix sum
+    for flat runs, grid means + fxp moment sums for acf1/slope
+    (corr_matrix discipline)."""
+    b = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.window(F.col(ts_col), bucket).alias("_w"),
+        )
+        .agg(F.avg(F.col(value_col).cast("double")).alias("_x0"))
+        .select(
+            "key",
+            F.col("_w.start").alias("_b"),
+            (F.floor(F.col("_x0") * _Q2) / _Q2).alias("_v"),
+        )
+    )
+    wo = Window.partitionBy("key").orderBy("_b")
+    wk = Window.partitionBy("key")
+    s = b.select(
+        "key",
+        "_v",
+        (F.row_number().over(wo) - 1).cast("double").alias("_t"),
+        F.lag("_v").over(wo).alias("_pr"),
+        F.lead("_v").over(wo).alias("_nx"),
+    )
+    wt = Window.partitionBy("key").orderBy("_t")
+    run = s.withColumn(
+        "_chg",
+        F.when(
+            F.col("_pr").isNull() | (F.col("_v") != F.col("_pr")), 1
+        ).otherwise(0),
+    ).withColumn(
+        "_run",
+        F.sum("_chg").over(
+            wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    flat = (
+        run.groupBy("key", "_run")
+        .agg(F.count("*").alias("_len"))
+        .groupBy("key")
+        .agg(F.max("_len").alias("_flat"))
+    )
+    m = s.groupBy("key").agg(
+        F.count("*").alias("_n"),
+        (F.floor(F.avg("_v") * _Q2) / _Q2).alias("_mv"),
+        (F.floor(F.avg("_t") * _Q2) / _Q2).alias("_mt"),
+        F.count(
+            F.when(
+                F.col("_pr").isNotNull()
+                & F.col("_nx").isNotNull()
+                & (
+                    ((F.col("_v") > F.col("_pr")) & (F.col("_v") > F.col("_nx")))
+                    | ((F.col("_v") < F.col("_pr")) & (F.col("_v") < F.col("_nx")))
+                ),
+                1,
+            )
+        ).alias("_turns"),
+    )
+    jm = s.join(m, "key")
+    dv = F.col("_v") - F.col("_mv")
+    dt = F.col("_t") - F.col("_mt")
+    mom = jm.groupBy("key", "_n", "_mv", "_turns").agg(
+        (F.sum(F.floor(dv * dv * _Q2)) / _Q2).alias("_svv"),
+        (F.sum(F.floor(dt * dt * _Q2)) / _Q2).alias("_stt"),
+        (F.sum(F.floor(dt * dv * _Q2)) / _Q2).alias("_stv"),
+    )
+    lagm = (
+        s.filter(F.col("_pr").isNotNull())
+        .groupBy("key")
+        .agg(
+            F.count("*").alias("_np"),
+            (F.floor(F.avg("_pr") * _Q2) / _Q2).alias("_mx"),
+            (F.floor(F.avg("_v") * _Q2) / _Q2).alias("_my"),
+        )
+    )
+    lagj = (
+        s.filter(F.col("_pr").isNotNull())
+        .join(lagm, "key")
+        .groupBy("key")
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        (F.col("_pr") - F.col("_mx"))
+                        * (F.col("_pr") - F.col("_mx"))
+                        * _Q2
+                    )
+                )
+                / _Q2
+            ).alias("_lxx"),
+            (
+                F.sum(
+                    F.floor(
+                        (F.col("_v") - F.col("_my"))
+                        * (F.col("_v") - F.col("_my"))
+                        * _Q2
+                    )
+                )
+                / _Q2
+            ).alias("_lyy"),
+            (
+                F.sum(
+                    F.floor(
+                        (F.col("_pr") - F.col("_mx"))
+                        * (F.col("_v") - F.col("_my"))
+                        * _Q2
+                    )
+                )
+                / _Q2
+            ).alias("_lxy"),
+        )
+    )
+    out = mom.join(lagj, "key").join(flat, "key")
+    n = F.col("_n").cast("double")
+    sd = F.sqrt(F.col("_svv") / (n - 1.0))
+    acf1den = F.sqrt(F.col("_lxx") * F.col("_lyy"))
+    return out.select(
+        "key",
+        F.col("_n").cast("long").alias("n"),
+        F.round("_mv", 6).alias("mean"),
+        F.round(sd, 6).alias("sd"),
+        F.round(F.when(F.col("_mv") != 0, sd / F.abs("_mv")), 6).alias("cv"),
+        F.round(
+            F.when(acf1den > 0, F.col("_lxy") / acf1den), 6
+        ).alias("acf1"),
+        F.round(
+            F.when(F.col("_stt") > 0, F.col("_stv") / F.col("_stt")), 6
+        ).alias("trend_slope"),
+        F.round(
+            F.when(n > 2, F.col("_turns") / (n - 2.0)), 6
+        ).alias("turning_rate"),
+        F.col("_flat").cast("long").alias("longest_flat"),
+    )

@@ -105,3 +105,71 @@ def test_vwap_hand(spark):
     assert got["m1"]["volume"] == 8.0
     assert abs(got["m1"]["vwap"] - (10 * 2 + 20 * 6) / 8.0) < 1e-9
     assert got["m2"]["vwap"] == 5.0
+
+
+def _ts_series(spark, vals, g="s"):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [(g, base + dt.timedelta(days=i), float(v)) for i, v in enumerate(vals)],
+        "g string, ts timestamp, v double",
+    )
+
+
+def test_sax_symbols_ramp_and_flat(spark):
+    ramp = tmp.sax_symbols(
+        _ts_series(spark, range(32)), "g", "ts", "v", w=8
+    ).collect()[0]
+    # monotone ramp: letters non-decreasing a..d
+    assert ramp["sax"] == "".join(sorted(ramp["sax"]))
+    assert ramp["sax"][0] == "a" and ramp["sax"][-1] == "d"
+    flat = tmp.sax_symbols(
+        _ts_series(spark, [7] * 32), "g", "ts", "v", w=8
+    ).collect()[0]
+    # zero sd -> z = 0 everywhere -> all segments 'c' (0 < z <= .6745)
+    assert flat["sax"] == "cccccccc"
+
+
+def test_spectral_entropy_pure_tone_vs_flatish(spark):
+    import math
+
+    tone = [10 + 5 * math.sin(2 * math.pi * 2 * t / 32) for t in range(32)]
+    r = tmp.spectral_entropy(
+        _ts_series(spark, tone), "g", "ts", "v"
+    ).collect()[0]
+    assert r["peak_k"] == 2
+    assert r["peak_frac"] > 0.99 and r["h_norm"] < 0.05
+
+
+def test_croston_profile_patterns(spark):
+    # dense steady demand: ADI 1, tiny cv2 -> smooth
+    dense = tmp.croston_profile(
+        _ts_series(spark, [5, 5, 5, 6, 5, 5, 6, 5] * 4), "g", "ts", "v"
+    ).collect()[0]
+    assert dense["pattern"] == "smooth" and dense["adi"] == 1.0
+    # sparse constant demand: many zero buckets -> intermittent
+    sparse_vals = [0, 0, 0, 4, 0, 0, 0, 4] * 4
+    sp = tmp.croston_profile(
+        _ts_series(spark, sparse_vals), "g", "ts", "v"
+    ).collect()[0]
+    assert sp["pattern"] == "intermittent" and sp["adi"] == 4.0
+    assert abs(sp["forecast"] - 1.0) < 1e-6  # 4 units every 4 buckets
+
+
+def test_ts_features_known_shape(spark):
+    # strict alternation 0,10,0,10...: every interior point a turning
+    # point, acf1 ~ -1, slope ~ 0, longest flat 1
+    r = tmp.ts_features(
+        _ts_series(spark, [0, 10] * 16), "g", "ts", "v"
+    ).collect()[0]
+    assert r["turning_rate"] == 1.0
+    assert r["acf1"] < -0.99
+    # exact slope of the planted alternation: 80/2728 ~ 0.0293
+    assert abs(r["trend_slope"] - 80.0 / 2728.0) < 1e-4
+    assert r["longest_flat"] == 1
+    # constant series: sd 0, flat run = n
+    c = tmp.ts_features(
+        _ts_series(spark, [3] * 20), "g", "ts", "v"
+    ).collect()[0]
+    assert c["sd"] == 0.0 and c["longest_flat"] == 20
