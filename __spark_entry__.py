@@ -6697,9 +6697,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r12 window (positions 0-49), per VERDICT r11 item 1: the 16
         # -- r10 additions (wilcoxon_signed..ipw) + the 34 r11 additions
         # -- (cohens_d..page_trend). _R12_QUERIES also carries the 12-entry
-        # -- r13 queue (energy_dist..mcc) at positions 50-61 — new r12
-        # -- additions (_R13_QUERIES) queue directly behind at 62+ so the
-        # -- r13 window (positions 50-99) fills with 12 queued + 38 new.
+        # -- r13 queue (energy_dist..mcc) at positions 50-61; the 38 r12
+        # -- additions (_R13_QUERIES, exact_substr..lorenz) sit at 62-99,
+        # -- so the r13 window (positions 50-99) is EXACTLY 12 queued + 38
+        # -- new. R13 ROTATION (do this FIRST next round): move
+        # -- _R12_QUERIES + _R13_QUERIES above _R11_QUERIES (and likewise
+        # -- the ORACLES dicts), dropping _R11_QUERIES into backfill;
+        # -- queue new r13 additions behind position 99 and cap them at
+        # -- ≤50 so the r14 window fills exactly.
         **_R11_QUERIES,
         **_R12_QUERIES,
         **_R13_QUERIES,
@@ -20300,5 +20305,279 @@ SELECT mom.key AS event_type, CAST(n AS BIGINT) AS n,
 FROM mom
 JOIN lagj ON mom.key = lagj.key
 JOIN flat ON mom.key = flat.key
+"""),
+})
+
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed reciprocity of the planted user-interaction graph
+    (u = user_id%200 → v = event_id%200): distinct edges + one
+    swapped-key semi join."""
+    from from_superset_to_clickhouse_spark.operators.graph import (
+        reciprocity,
+    )
+
+    ev = _ev(spark, sf_dir)
+    e = ev.select(
+        F.pmod(F.col("user_id"), 200).alias("u"),
+        F.pmod(F.col("event_id"), 200).alias("v"),
+    )
+    return reciprocity(e, "u", "v")
+
+
+def q_pref_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor / preferential-attachment / cosine link scores
+    on the bipartite supplier-part graph (shared-key candidate
+    discipline, min_common=3)."""
+    from from_superset_to_clickhouse_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return link_prediction_scores(
+        li, "l_suppkey", "l_partkey", min_common=3
+    )
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of suppliers minimizing BOTH grid-floored avg
+    price and avg discount — two window passes, no pairwise join."""
+    from from_superset_to_clickhouse_spark.operators.relational import (
+        skyline_2d,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = li.groupBy("l_suppkey").agg(
+        (F.floor(F.avg("l_extendedprice") * 1048576.0) / 1048576.0).alias(
+            "avg_price"
+        ),
+        (F.floor(F.avg("l_discount") * 1048576.0) / 1048576.0).alias(
+            "avg_disc"
+        ),
+    )
+    return skyline_2d(sup, "avg_price", "avg_disc")
+
+
+_POLYS = [
+    # (poly_id, vidx, x, y) — triangle, square, concave chevron
+    (1, 0, 0.0, 0.0), (1, 1, 9.0, 0.0), (1, 2, 0.0, 9.0),
+    (2, 0, 2.0, 2.0), (2, 1, 8.0, 2.0), (2, 2, 8.0, 8.0), (2, 3, 2.0, 8.0),
+    (3, 0, 1.0, 1.0), (3, 1, 9.0, 1.0), (3, 2, 9.0, 9.0),
+    (3, 3, 5.0, 5.0), (3, 4, 1.0, 9.0),
+]
+
+
+def q_point_in_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Even-odd ray-casting point-in-polygon join: customers at
+    deterministic synthetic coordinates against three literal
+    geofences (one concave) — broadcast edge list, one crossing
+    aggregate."""
+    from from_superset_to_clickhouse_spark.operators.geo import (
+        point_in_polygons,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        (F.pmod(F.col("c_custkey"), 97) / F.lit(10.0)).alias("x"),
+        (F.pmod(F.col("c_custkey") * 7, 97) / F.lit(10.0)).alias("y"),
+    )
+    polys = spark.createDataFrame(
+        _POLYS, "poly_id int, vidx int, x double, y double"
+    )
+    return point_in_polygons(cust, polys)
+
+
+def q_newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAC standard error of the overall daily mean-value series
+    (Bartlett weights, 5 lags): the iid-vs-long-run uncertainty
+    inflation readout."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        newey_west_se,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).agg(F.avg("value").alias("v"))
+    return newey_west_se(daily, "d", "v", lags=5)
+
+
+def q_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz concentration curve of order totals by population
+    decile (distinct-value block deciles, fxp mass sums) — the curve
+    behind the gini entry."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        lorenz_curve,
+    )
+
+    return lorenz_curve(
+        _t(spark, sf_dir, "orders"), "o_totalprice", buckets=10
+    )
+
+
+_R13_QUERIES.update({
+    "reciprocity": q_reciprocity,
+    "pref_attach": q_pref_attach,
+    "skyline": q_skyline,
+    "point_in_poly": q_point_in_poly,
+    "newey_west": q_newey_west,
+    "lorenz": q_lorenz,
+})
+
+_POLY_EDGES_SQL = """
+  SELECT * FROM (VALUES
+    (1, 0.0, 0.0, 9.0, 0.0), (1, 9.0, 0.0, 0.0, 9.0),
+    (1, 0.0, 9.0, 0.0, 0.0),
+    (2, 2.0, 2.0, 8.0, 2.0), (2, 8.0, 2.0, 8.0, 8.0),
+    (2, 8.0, 8.0, 2.0, 8.0), (2, 2.0, 8.0, 2.0, 2.0),
+    (3, 1.0, 1.0, 9.0, 1.0), (3, 9.0, 1.0, 9.0, 9.0),
+    (3, 9.0, 9.0, 5.0, 5.0), (3, 5.0, 5.0, 1.0, 9.0),
+    (3, 1.0, 9.0, 1.0, 1.0)
+  ) AS e(pid, x1, y1, x2, y2)
+"""
+
+_R13_ORACLES.update({
+    "reciprocity": ("""
+WITH e AS (
+  SELECT DISTINCT user_id % 200 AS u, event_id % 200 AS v
+  FROM events WHERE user_id % 200 <> event_id % 200
+), m AS (
+  SELECT count(*) AS nm FROM e
+  WHERE EXISTS (SELECT 1 FROM e e2 WHERE e2.u = e.v AND e2.v = e.u)
+), n AS (SELECT count(*) AS ne FROM e)
+SELECT CAST(ne AS BIGINT) AS n_edges, CAST(nm AS BIGINT) AS n_mutual,
+  round(CASE WHEN ne > 0 THEN nm / CAST(ne AS DOUBLE) END, 6)
+    AS reciprocity
+FROM n, m
+"""),
+    "pref_attach": ("""
+WITH e AS (
+  SELECT DISTINCT l_suppkey AS n, l_partkey AS k FROM lineitem
+), deg AS (
+  SELECT n, count(*) AS d FROM e GROUP BY 1
+), pairs AS (
+  SELECT a.n AS a, b.n AS b, count(*) AS common
+  FROM e a JOIN e b ON a.k = b.k AND a.n < b.n
+  GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT a, b, CAST(common AS BIGINT) AS common,
+  CAST(da.d * db.d AS BIGINT) AS pref_attachment,
+  round(common / sqrt(CAST(da.d AS DOUBLE) * db.d), 6) AS cosine
+FROM pairs
+JOIN deg da ON pairs.a = da.n
+JOIN deg db ON pairs.b = db.n
+"""),
+    "skyline": ("""
+WITH sup AS (
+  SELECT l_suppkey,
+    floor(avg(CAST(l_extendedprice AS DOUBLE)) * 1048576.0)
+      / 1048576.0 AS avg_price,
+    floor(avg(CAST(l_discount AS DOUBLE)) * 1048576.0)
+      / 1048576.0 AS avg_disc
+  FROM lineitem GROUP BY 1
+), cand AS (
+  SELECT l_suppkey, avg_price, avg_disc,
+    min(avg_disc) OVER (ORDER BY avg_price
+      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mlt,
+    min(avg_disc) OVER (PARTITION BY avg_price) AS mx
+  FROM sup
+)
+SELECT l_suppkey, avg_price, avg_disc FROM cand
+WHERE (mlt IS NULL OR mlt > avg_disc) AND avg_disc = mx
+"""),
+    "point_in_poly": ("""
+WITH pts AS (
+  SELECT c_custkey AS point_id,
+    (c_custkey % 97) / 10.0 AS px,
+    ((c_custkey * 7) % 97) / 10.0 AS py
+  FROM customer
+), edges AS (""" + _POLY_EDGES_SQL + """
+), crossed AS (
+  SELECT point_id, pid
+  FROM pts, edges
+  WHERE ((y1 > py) <> (y2 > py))
+    AND px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+)
+SELECT point_id, CAST(pid AS INTEGER) AS poly_id
+FROM crossed GROUP BY 1, 2 HAVING count(*) % 2 = 1
+"""),
+    "newey_west": ("""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+    avg(CAST(value AS DOUBLE)) AS v0
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), qv AS (
+  SELECT d, floor(v0 * 1048576.0) / 1048576.0 AS v FROM daily
+), m AS (
+  SELECT count(*) AS n,
+    floor(avg(v) * 1048576.0) / 1048576.0 AS mv
+  FROM qv
+), lagged AS (
+  SELECT n, mv, v - mv AS d0,
+    lag(v, 1) OVER (ORDER BY d) - mv AS d1,
+    lag(v, 2) OVER (ORDER BY d) - mv AS d2,
+    lag(v, 3) OVER (ORDER BY d) - mv AS d3,
+    lag(v, 4) OVER (ORDER BY d) - mv AS d4,
+    lag(v, 5) OVER (ORDER BY d) - mv AS d5
+  FROM qv, m
+), agg AS (
+  SELECT n, mv,
+    sum(CAST(floor(d0 * d0 * 1048576.0) AS BIGINT)) / 1048576.0 AS g0,
+    sum(CAST(floor(d0 * d1 * 1048576.0) AS BIGINT)) / 1048576.0 AS g1,
+    sum(CAST(floor(d0 * d2 * 1048576.0) AS BIGINT)) / 1048576.0 AS g2,
+    sum(CAST(floor(d0 * d3 * 1048576.0) AS BIGINT)) / 1048576.0 AS g3,
+    sum(CAST(floor(d0 * d4 * 1048576.0) AS BIGINT)) / 1048576.0 AS g4,
+    sum(CAST(floor(d0 * d5 * 1048576.0) AS BIGINT)) / 1048576.0 AS g5
+  FROM lagged GROUP BY 1, 2
+), st AS (
+  SELECT n, mv, g0 / n AS gg0,
+    g0 / n
+    + 2.0 * (1.0 - 1.0 / 6.0) * (g1 / n)
+    + 2.0 * (1.0 - 2.0 / 6.0) * (g2 / n)
+    + 2.0 * (1.0 - 3.0 / 6.0) * (g3 / n)
+    + 2.0 * (1.0 - 4.0 / 6.0) * (g4 / n)
+    + 2.0 * (1.0 - 5.0 / 6.0) * (g5 / n) AS lr
+  FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n, round(mv, 6) AS mean,
+  round(sqrt(gg0 / n), 6) AS se_iid,
+  round(CASE WHEN lr > 0 THEN sqrt(lr / n) END, 6) AS se_nw,
+  round(CASE WHEN sqrt(gg0 / n) > 0
+    THEN (CASE WHEN lr > 0 THEN sqrt(lr / n) END) / sqrt(gg0 / n)
+    END, 6) AS inflation
+FROM st
+"""),
+    "lorenz": ("""
+WITH src AS (
+  SELECT floor(CAST(o_totalprice AS DOUBLE) * 1048576.0)
+    / 1048576.0 AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+), pv AS (
+  SELECT v, count(*) AS c FROM src GROUP BY 1
+), pw AS (
+  SELECT v, c, coalesce(sum(c) OVER (ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+  FROM pv
+), tot AS (SELECT count(*) AS n FROM src),
+binned AS (
+  SELECT CAST(floor(10 * bef / CAST(n AS DOUBLE)) AS INTEGER) AS dec,
+    c, v
+  FROM pw, tot
+), cells AS (
+  SELECT dec, sum(c) AS nc,
+    sum(CAST(floor(v * c * 1048576.0) AS BIGINT)) / 1048576.0 AS sv
+  FROM binned GROUP BY 1
+), run AS (
+  SELECT dec, nc,
+    sum(nc) OVER (ORDER BY dec
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+    sum(sv) OVER (ORDER BY dec
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+  FROM cells
+), totals AS (SELECT sum(nc) AS tn, sum(sv) AS tv FROM cells)
+SELECT dec AS decile, CAST(nc AS BIGINT) AS n,
+  round(cn / CAST(tn AS DOUBLE), 6) AS cum_pop_frac,
+  round(CASE WHEN tv <> 0 THEN cv / tv END, 6) AS cum_val_frac
+FROM run, totals
 """),
 })

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 EARTH_RADIUS_KM = 6371.0088
@@ -208,3 +208,83 @@ def geohash_encode(
     return df.withColumn("gh_bits", bits).withColumn(
         "geohash", F.concat(*chars)
     )
+
+
+def point_in_polygons(
+    points: DataFrame,
+    polygons: DataFrame,
+    point_id: str = "point_id",
+    px: str = "x",
+    py: str = "y",
+    poly_id: str = "poly_id",
+    vidx: str = "vidx",
+    vx: str = "x",
+    vy: str = "y",
+) -> DataFrame:
+    """Point-in-polygon join by ray casting → (point_id, poly_id)
+    for every point strictly inside a polygon: cast a horizontal ray
+    rightward and count edge crossings; odd = inside (even-odd
+    rule). Non-convex polygons work; points exactly ON an edge or
+    vertex follow the half-open crossing convention below (an edge
+    counts when y1 > py differs from y2 > py, so the upper endpoint
+    is exclusive) — deterministic, engine-identical.
+
+    Scale shape: the polygon table is a DIMENSION by contract (maps,
+    geofences — thousands of vertices), so edges BROADCAST and the
+    point table is never shuffled: one broadcast nested-loop against
+    the bounded edge list + one (point, poly) aggregate. For
+    continent-scale polygon sets, pre-bucket by bounding box
+    (range_join_grid) before this operator."""
+    w = Window.partitionBy(poly_id).orderBy(vidx)
+    verts = polygons.select(
+        F.col(poly_id).alias("_pid"),
+        F.col(vidx).alias("_i"),
+        F.col(vx).cast("double").alias("_x1"),
+        F.col(vy).cast("double").alias("_y1"),
+    )
+    wrap = verts.groupBy("_pid").agg(
+        F.min_by(F.struct("_x1", "_y1"), F.col("_i")).alias("_first")
+    )
+    edges = (
+        verts.withColumn(
+            "_x2",
+            F.lead("_x1").over(
+                Window.partitionBy("_pid").orderBy("_i")
+            ),
+        )
+        .withColumn(
+            "_y2",
+            F.lead("_y1").over(
+                Window.partitionBy("_pid").orderBy("_i")
+            ),
+        )
+        .join(wrap, "_pid")
+        .select(
+            "_pid",
+            "_x1",
+            "_y1",
+            F.coalesce("_x2", F.col("_first._x1")).alias("_x2"),
+            F.coalesce("_y2", F.col("_first._y1")).alias("_y2"),
+        )
+    )
+    p = points.select(
+        F.col(point_id).alias("point_id"),
+        F.col(px).cast("double").alias("_px"),
+        F.col(py).cast("double").alias("_py"),
+    )
+    crossed = p.crossJoin(F.broadcast(edges)).filter(
+        ((F.col("_y1") > F.col("_py")) != (F.col("_y2") > F.col("_py")))
+        & (
+            F.col("_px")
+            < (F.col("_x2") - F.col("_x1"))
+            * (F.col("_py") - F.col("_y1"))
+            / (F.col("_y2") - F.col("_y1"))
+            + F.col("_x1")
+        )
+    )
+    inside = (
+        crossed.groupBy("point_id", "_pid")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.pmod(F.col("_c"), 2) == 1)
+    )
+    return inside.select("point_id", F.col("_pid").alias("poly_id"))

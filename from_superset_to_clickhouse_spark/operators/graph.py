@@ -1103,3 +1103,82 @@ def edge_jaccard(
         F.col("deg_v").cast("long").alias("deg_v"),
         F.round(jac, 6).alias("jaccard"),
     )
+
+
+def reciprocity(
+    df: DataFrame, src_col: str, dst_col: str
+) -> DataFrame:
+    """Directed-graph reciprocity → single row (n_edges, n_mutual,
+    reciprocity): the fraction of directed edges whose reverse edge
+    also exists — the "is this interaction graph conversational or
+    broadcast" summary (follows-vs-friends, reply rates). Self-loops
+    drop; edges dedup first.
+
+    One distinct pass + one self-join on the swapped key (equi-join,
+    shuffle on the edge key, no enumeration beyond existing edges)."""
+    e = (
+        df.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    rev = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    mutual = e.join(rev, ["u", "v"], "left_semi")
+    n = e.agg(F.count("*").alias("n_edges"))
+    m = mutual.agg(F.count("*").alias("n_mutual"))
+    j = n.crossJoin(m)
+    return j.select(
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_mutual").cast("long").alias("n_mutual"),
+        F.round(
+            F.when(
+                F.col("n_edges") > 0,
+                F.col("n_mutual") / F.col("n_edges").cast("double"),
+            ),
+            6,
+        ).alias("reciprocity"),
+    )
+
+
+def link_prediction_scores(
+    df: DataFrame,
+    node_col: str,
+    key_col: str,
+    min_common: int = 2,
+) -> DataFrame:
+    """Link-prediction score table over the bipartite (node, key)
+    graph → (a, b, common, pref_attachment, cosine): candidate node
+    pairs KEYED BY SHARED KEY (the adamic_adar discipline — never
+    all-pairs), with the three classic scores: common-neighbor
+    count, preferential attachment deg(a)·deg(b) (hubs connect), and
+    cosine common/√(deg_a·deg_b) (degree-normalized). min_common
+    prunes the candidate tail at the reducer.
+
+    Per-key pair expansion is bounded by key degree (same hub-cap
+    caveat as adamic_adar); degrees join back by node key."""
+    e = df.select(
+        F.col(node_col).alias("n"), F.col(key_col).alias("k")
+    ).distinct()
+    deg = e.groupBy("n").agg(F.count("*").alias("deg"))
+    a = e.select(F.col("k"), F.col("n").alias("a"))
+    b = e.select(F.col("k"), F.col("n").alias("b"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("_db"))
+    out = pairs.join(da, "a").join(db, "b")
+    return out.select(
+        "a",
+        "b",
+        F.col("common").cast("long").alias("common"),
+        (F.col("_da").cast("long") * F.col("_db")).alias("pref_attachment"),
+        F.round(
+            F.col("common")
+            / F.sqrt(F.col("_da").cast("double") * F.col("_db")),
+            6,
+        ).alias("cosine"),
+    )

@@ -549,3 +549,42 @@ def item_cf_topk(
             "item", "rec", "rank", F.round("cosine", 6).alias("cosine")
         )
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier, minimize BOTH columns) →
+    the non-dominated rows: p survives unless some q has q.x ≤ p.x
+    and q.y ≤ p.y with at least one strict. The classic multi-
+    criteria OLAP operator ("cheapest AND fastest suppliers") that
+    SQL engines ship as SKYLINE OF; here it is two window passes —
+    no pairwise join.
+
+    Dominance factorizes: p is dominated iff (a) some row with
+    strictly smaller x has y ≤ p.y — one running min(y) over a RANGE
+    frame ending 1 before p.x — or (b) a same-x row has strictly
+    smaller y — one per-x min. Both windows sort the CANDIDATE table
+    (pre-aggregated entities by contract), never the fact table.
+    Exact duplicates of a frontier point all survive (no strict
+    dominance between them)."""
+    gcols = list(group_cols or [])
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    src = df.filter(x.isNotNull() & y.isNotNull())
+    wlt = (
+        Window.partitionBy(*gcols)
+        .orderBy(x_col)
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    wx = Window.partitionBy(*gcols, x_col)
+    cand = src.withColumn("_mlt", F.min(y).over(wlt)).withColumn(
+        "_mx", F.min(y).over(wx)
+    )
+    keep = (
+        F.col("_mlt").isNull() | (F.col("_mlt") > y)
+    ) & (y == F.col("_mx"))
+    return cand.filter(keep).drop("_mlt", "_mx")

@@ -5394,3 +5394,129 @@ def brunner_munzel(
         F.round(dfw, 6).alias("df_approx"),
         F.round(F.when(wstat.isNotNull(), p), 6).alias("p_value"),
     )
+
+
+def newey_west_se(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    lags: int = 5,
+) -> DataFrame:
+    """Newey–West (HAC) standard error of a series mean → single row
+    (n, mean, se_iid, se_nw, inflation): long-run variance γ0 +
+    2·Σ w_l·γ_l with Bartlett weights w_l = 1 − l/(L+1) — the
+    correct uncertainty for an autocorrelated daily metric, where
+    the iid se understates by the inflation factor (the A/B-duration
+    trap: positively autocorrelated KPIs need inflation² more days).
+
+    One pass: L lag columns inside one window over the bounded
+    series, autocovariance cross-products floor-quantized onto the
+    2^-20 grid before their exact sums; γ_l uses the standard 1/n
+    normalization (all lags share it)."""
+    v = F.floor(F.col(value_col).cast("double") * _Q) / _Q
+    src = df.select(F.col(order_col).alias("_o"), v.alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    m = src.agg(
+        F.count("*").alias("_n"),
+        (F.floor(F.avg("_v") * _Q) / _Q).alias("_m"),
+    )
+    w = Window.orderBy("_o")
+    lagged = src.crossJoin(F.broadcast(m)).select(
+        "_n",
+        "_m",
+        (F.col("_v") - F.col("_m")).alias("_d0"),
+        *[
+            (F.lag("_v", l).over(w) - F.col("_m")).alias(f"_d{l}")
+            for l in range(1, lags + 1)
+        ],
+    )
+    agg = lagged.groupBy("_n", "_m").agg(
+        (F.sum(F.floor(F.col("_d0") * F.col("_d0") * _Q)) / _Q).alias(
+            "_g0"
+        ),
+        *[
+            (
+                F.sum(
+                    F.when(
+                        F.col(f"_d{l}").isNotNull(),
+                        F.floor(F.col("_d0") * F.col(f"_d{l}") * _Q),
+                    )
+                )
+                / _Q
+            ).alias(f"_g{l}")
+            for l in range(1, lags + 1)
+        ],
+    )
+    n = F.col("_n").cast("double")
+    g0 = F.col("_g0") / n
+    lr = g0
+    for l in range(1, lags + 1):
+        wgt = 1.0 - l / (lags + 1.0)
+        lr = lr + F.lit(2.0 * wgt) * (F.col(f"_g{l}") / n)
+    se_iid = F.sqrt(g0 / n)
+    se_nw = F.when(lr > 0, F.sqrt(lr / n))
+    return agg.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round("_m", 6).alias("mean"),
+        F.round(se_iid, 6).alias("se_iid"),
+        F.round(se_nw, 6).alias("se_nw"),
+        F.round(F.when(se_iid > 0, se_nw / se_iid), 6).alias("inflation"),
+    )
+
+
+def lorenz_curve(
+    df: DataFrame,
+    value_col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Lorenz curve → one row per population decile (decile, n,
+    cum_pop_frac, cum_val_frac): the concentration CURVE behind the
+    ``gini`` scalar — "the top decile of users carries X% of
+    revenue". Deciles assigned at DISTINCT-VALUE granularity
+    ascending (each tie block lands wholly in floor(b·cum_before/n),
+    the hosmer_lemeshow discipline — no row sort, no tie
+    ambiguity); value mass via fxp sums, cumulative shares by one
+    prefix window over the ≤``buckets`` rows."""
+    v = F.floor(F.col(value_col).cast("double") * _Q) / _Q
+    src = df.select(v.alias("_v")).filter(F.col("_v").isNotNull())
+    pv = src.groupBy("_v").agg(F.count("*").alias("_c"))
+    w = (
+        Window.partitionBy()
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pv = pv.withColumn("_bef", F.coalesce(F.sum("_c").over(w), F.lit(0)))
+    tot = src.agg(F.count("*").alias("_n"))
+    binned = pv.crossJoin(F.broadcast(tot)).withColumn(
+        "_d",
+        F.floor(F.lit(buckets) * F.col("_bef") / F.col("_n")).cast("int"),
+    )
+    cells = binned.groupBy("_d").agg(
+        F.sum("_c").alias("_nc"),
+        (F.sum(F.floor(F.col("_v") * F.col("_c") * _Q)) / _Q).alias("_sv"),
+    )
+    wc = (
+        Window.partitionBy()
+        .orderBy("_d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = (
+        cells.withColumn("_cn", F.sum("_nc").over(wc))
+        .withColumn("_cv", F.sum("_sv").over(wc))
+    )
+    totals = cells.agg(
+        F.sum("_nc").alias("_tn"),
+        F.sum("_sv").alias("_tv"),
+    )
+    out = run.crossJoin(F.broadcast(totals))
+    return out.select(
+        F.col("_d").alias("decile"),
+        F.col("_nc").cast("long").alias("n"),
+        F.round(F.col("_cn") / F.col("_tn").cast("double"), 6).alias(
+            "cum_pop_frac"
+        ),
+        F.round(
+            F.when(F.col("_tv") != 0, F.col("_cv") / F.col("_tv")), 6
+        ).alias("cum_val_frac"),
+    )
