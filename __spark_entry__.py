@@ -19570,7 +19570,7 @@ FROM pvt
 })
 
 
-def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _daily_series_r12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared per-type daily mean-value series (5 types × ~30 days)
     for the round-12 time-series suite."""
     ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
@@ -19590,20 +19590,20 @@ _DAILY_G_SQL = """
 def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max drawdown of each event type's daily mean-value curve:
     running-max window + per-series aggregate, grid-exact."""
-    return tmp.max_drawdown(_daily_series(spark, sf_dir), "g", "d", "v")
+    return tmp.max_drawdown(_daily_series_r12(spark, sf_dir), "g", "d", "v")
 
 
 def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """14-period SMA RSI over each type's daily series (NULL warm-up
     rows kept — the driver hashes them as NULLs)."""
-    return tmp.rsi(_daily_series(spark, sf_dir), "g", "d", "v", period=14)
+    return tmp.rsi(_daily_series_r12(spark, sf_dir), "g", "d", "v", period=14)
 
 
 def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """20-period Bollinger bands + %B over each type's daily series;
     exact grid frame sums, sample sd."""
     return tmp.bollinger(
-        _daily_series(spark, sf_dir), "g", "d", "v", period=20, width=2.0
+        _daily_series_r12(spark, sf_dir), "g", "d", "v", period=20, width=2.0
     )
 
 
@@ -19616,19 +19616,19 @@ def q_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pettitt rank changepoint on each type's daily series: running
     midrank sums, first-argmax break date, exponential p-approx."""
-    return tmp.pettitt_test(_daily_series(spark, sf_dir), "g", "d", "v")
+    return tmp.pettitt_test(_daily_series_r12(spark, sf_dir), "g", "d", "v")
 
 
 def q_adf_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dickey–Fuller lag-0 unit-root t on each type's daily series
     (closed-form from shared lag-1 moments; −2.86 5% cutoff)."""
-    return tmp.adf_test(_daily_series(spark, sf_dir), "g", "d", "v")
+    return tmp.adf_test(_daily_series_r12(spark, sf_dir), "g", "d", "v")
 
 
 def q_ar1_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AR(1) shock half-life per event type from the same lag-1
     moments: −ln2/lnφ inside (0,1), NULL otherwise."""
-    return tmp.ar1_halflife(_daily_series(spark, sf_dir), "g", "d", "v")
+    return tmp.ar1_halflife(_daily_series_r12(spark, sf_dir), "g", "d", "v")
 
 
 def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -19868,7 +19868,13 @@ def _cand_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x, i: F.when(F.pmod(i, 7) == 0, F.lit("xxx")).otherwise(x),
         ),
     )
-    return docs.select("doc_id", cand.alias("cand"), F.col("text").alias("ref"))
+    # Materialize the pair table ONCE: bleu/chrf consume cand/ref in
+    # ~10 gram-count subtrees, and Catalyst re-inlines this nested
+    # tokenize->transform->rejoin expression into every one (CSE does
+    # not reach across them) — measured 108 s -> ~5 s at sf0.1.
+    return docs.select(
+        "doc_id", cand.alias("cand"), F.col("text").alias("ref")
+    ).localCheckpoint()
 
 
 def q_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:

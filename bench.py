@@ -175,6 +175,18 @@ HEADLINE = [
     "ngram_novelty",
     "kruskal_wallis",
     "hurst",
+    # round-12 additions: ExactSubstr keep-first span removal (the
+    # heaviest gram-window shape: multiplicity counts + min(struct)
+    # head + coverage anti-join), token-level decontamination
+    # (broadcast eval-gram probe over the training windows scan),
+    # corpus BLEU-4 (4 clipped-count joins), SAX symbolization
+    # (bucket -> z-norm -> PAA windows), and the ray-casting
+    # point-in-polygon broadcast join over customers
+    "exact_substr",
+    "token_decontam",
+    "bleu",
+    "sax",
+    "point_in_poly",
 ]
 
 # ANN is measured on a deterministic query slice (vec_id < ANN_QUERIES)

@@ -2620,18 +2620,55 @@ def _word_ngram_counts(
     df: DataFrame, col: str, id_col: str, n: int
 ) -> DataFrame:
     """(doc_id, gram, cnt) word n-gram multiplicities (NOT distinct —
-    BLEU clipping needs true counts)."""
-    toks = word_tokens(F.col(col))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    BLEU clipping needs true counts). Single-order wrapper over
+    :func:`_word_ngram_counts_all`."""
+    return _word_ngram_counts_all(df, col, id_col, n).filter(
+        F.col("n") == n
+    ).drop("n")
+
+
+def _word_ngram_counts_all(
+    df: DataFrame, col: str, id_col: str, max_n: int
+) -> DataFrame:
+    """(doc_id, n, gram, cnt) word n-gram multiplicities for ALL
+    orders 1..max_n in ONE pass: tokenize once, posexplode, attach
+    the next max_n−1 tokens via window lead() inside the per-doc
+    partition, then emit each order's gram by plain string concat —
+    everything except the (tiny, max_n-wide) final explode stays in
+    whole-stage codegen. This replaces the per-order
+    transform(sequence→slice→concat) construction, whose interpreted
+    higher-order lambda cost ~10 µs/window and made corpus BLEU
+    ~8 scans × interpreted (measured 100 s → 14 s at sf0.1 for the
+    4-order bleu entry)."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_tokens(F.col(col))).alias("pos", "t0"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    led = tok.select(
+        "doc_id",
+        "t0",
+        *[F.lead("t0", k).over(w).alias(f"t{k}") for k in range(1, max_n)],
+    )
+    grams = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("n"),
+                F.when(
+                    F.col(f"t{n - 1}").isNotNull() if n > 1 else F.lit(True),
+                    F.concat_ws(
+                        " ", *[F.col(f"t{k}") for k in range(n)]
+                    ),
+                ).alias("gram"),
+            )
+            for n in range(1, max_n + 1)
+        ]
+    )
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
-        .groupBy("doc_id", "gram")
+        led.select("doc_id", F.explode(grams).alias("_g"))
+        .select("doc_id", F.col("_g.n").alias("n"), F.col("_g.gram").alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .groupBy("doc_id", "n", "gram")
         .agg(F.count("*").alias("cnt"))
     )
 
@@ -2654,24 +2691,16 @@ def bleu_corpus(
     max_n joins on (pair, gram) keys, all map-side-combined counts +
     exact integer sums; NULL bleu when any order's precision is zero
     (standard undefined-log convention, not smoothed)."""
-    pieces = []
-    for n in range(1, max_n + 1):
-        c = _word_ngram_counts(df, cand_col, id_col, n)
-        r = _word_ngram_counts(df, ref_col, id_col, n)
-        j = c.join(
-            r.withColumnRenamed("cnt", "rcnt"), ["doc_id", "gram"], "left"
-        ).select(
-            F.lit(n).alias("_n"),
-            F.col("cnt"),
-            F.least(
-                F.col("cnt"), F.coalesce("rcnt", F.lit(0))
-            ).alias("clip"),
-        )
-        pieces.append(j)
-    allp = pieces[0]
-    for p in pieces[1:]:
-        allp = allp.unionByName(p)
-    per_n = allp.groupBy("_n").agg(
+    c = _word_ngram_counts_all(df, cand_col, id_col, max_n)
+    r = _word_ngram_counts_all(df, ref_col, id_col, max_n)
+    j = c.join(
+        r.withColumnRenamed("cnt", "rcnt"), ["doc_id", "n", "gram"], "left"
+    ).select(
+        F.col("n").alias("_n"),
+        F.col("cnt"),
+        F.least(F.col("cnt"), F.coalesce("rcnt", F.lit(0))).alias("clip"),
+    )
+    per_n = j.groupBy("_n").agg(
         F.sum("cnt").alias("_tot"), F.sum("clip").alias("_clip")
     )
     pn = per_n.select(
@@ -2736,48 +2765,66 @@ def chrf_corpus(
     strip = lambda c: F.regexp_replace(  # noqa: E731
         F.lower(F.col(c)), r"\s+", ""
     )
-    pieces = []
-    for n in range(1, max_n + 1):
 
-        def grams(col):
-            s = strip(col)
-            return F.when(
-                F.length(s) >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.length(s) - n + 1),
-                    lambda i: F.substring(s, i, n),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
+    def char_counts(col, alias):
+        # (doc_id, n, gram, cnt) for all orders in ONE pass: explode
+        # single chars, attach the next max_n-1 via window lead inside
+        # the per-doc partition, concat per order — codegen end to end
+        # except the max_n-wide final explode (same construction as
+        # _word_ngram_counts_all; the per-order transform(sequence →
+        # substring) lambda this replaces was interpreted per gram).
+        tok = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.filter(F.split(strip(col), ""), lambda x: x != F.lit(""))
+            ).alias("pos", "t0"),
+        )
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        led = tok.select(
+            "doc_id",
+            "t0",
+            *[
+                F.lead("t0", k).over(w).alias(f"t{k}")
+                for k in range(1, max_n)
+            ],
+        )
+        grams = F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("n"),
+                    F.when(
+                        F.col(f"t{n - 1}").isNotNull()
+                        if n > 1
+                        else F.lit(True),
+                        F.concat(*[F.col(f"t{k}") for k in range(n)]),
+                    ).alias("gram"),
+                )
+                for n in range(1, max_n + 1)
+            ]
+        )
+        return (
+            led.select("doc_id", F.explode(grams).alias("_g"))
+            .select(
+                "doc_id",
+                F.col("_g.n").alias("n"),
+                F.col("_g.gram").alias("gram"),
+            )
+            .filter(F.col("gram").isNotNull())
+            .groupBy("doc_id", "n", "gram")
+            .agg(F.count("*").alias(alias))
+        )
 
-        c = (
-            df.select(
-                F.col(id_col).alias("doc_id"),
-                F.explode(grams(cand_col)).alias("gram"),
-            )
-            .groupBy("doc_id", "gram")
-            .agg(F.count("*").alias("cnt"))
-        )
-        r = (
-            df.select(
-                F.col(id_col).alias("doc_id"),
-                F.explode(grams(ref_col)).alias("gram"),
-            )
-            .groupBy("doc_id", "gram")
-            .agg(F.count("*").alias("rcnt"))
-        )
-        j = c.join(r, ["doc_id", "gram"], "full_outer").select(
-            F.lit(n).alias("_n"),
-            F.coalesce("cnt", F.lit(0)).alias("cnt"),
-            F.coalesce("rcnt", F.lit(0)).alias("rcnt"),
-            F.least(
-                F.coalesce("cnt", F.lit(0)), F.coalesce("rcnt", F.lit(0))
-            ).alias("clip"),
-        )
-        pieces.append(j)
-    allp = pieces[0]
-    for p in pieces[1:]:
-        allp = allp.unionByName(p)
-    per_n = allp.groupBy("_n").agg(
+    c = char_counts(cand_col, "cnt")
+    r = char_counts(ref_col, "rcnt")
+    j = c.join(r, ["doc_id", "n", "gram"], "full_outer").select(
+        F.col("n").alias("_n"),
+        F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        F.coalesce("rcnt", F.lit(0)).alias("rcnt"),
+        F.least(
+            F.coalesce("cnt", F.lit(0)), F.coalesce("rcnt", F.lit(0))
+        ).alias("clip"),
+    )
+    per_n = j.groupBy("_n").agg(
         F.sum("cnt").alias("_tc"),
         F.sum("rcnt").alias("_tr"),
         F.sum("clip").alias("_cl"),

@@ -555,3 +555,39 @@ def test_url_snapshot_dedup_never_broadcasts_ref(spark, monkeypatch):
     assert "BroadcastHashJoin" not in plan
     assert "BroadcastExchange" not in plan
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_r12_additions_plan_gates(spark, qmap):
+    """Scale gates for the 38 round-12 additions: no cartesian
+    product, no row-at-a-time Python anywhere. SinglePartition
+    exchanges are allowed only for single-row scalar statistics and
+    the bounded global prefix windows of the distinct-value /
+    distinct-score discipline (hosmer_lemeshow deciles,
+    anderson_darling blocks, fligner_killeen pooled ranks,
+    brunner_munzel placements, lorenz deciles, the bounded-candidate
+    skyline sort, the single-series newey_west lag window) — per-doc,
+    per-pair, per-series and per-group outputs stay fully
+    partitioned. point_in_poly's broadcast nested-loop against the
+    literal edge list is the designed dimension-broadcast plan, not
+    a cartesian."""
+    scalar_or_bounded_window = {
+        "multiclass_prf", "hosmer_lemeshow", "weighted_kappa",
+        "kripp_alpha", "dprime", "cohens_h", "somers_d", "gk_gamma",
+        "mantel_haenszel", "cochran_armitage", "partial_corr",
+        "anderson_darling", "fligner_killeen", "brunner_munzel",
+        "bleu", "chrf", "newey_west", "lorenz", "reciprocity",
+        "skyline",
+    }
+    partitioned = [
+        "exact_substr", "token_decontam", "term_burstiness",
+        "token_fertility", "max_drawdown", "rsi", "bollinger",
+        "var_cvar", "pettitt", "adf_test", "ar1_halflife", "vwap",
+        "spectral_entropy", "sax", "croston", "ts_features",
+        "pref_attach", "point_in_poly",
+    ]
+    for name in sorted(scalar_or_bounded_window) + partitioned:
+        plan = _plan(qmap[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        if name not in scalar_or_bounded_window:
+            assert "SinglePartition" not in plan, name
