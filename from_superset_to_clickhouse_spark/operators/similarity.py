@@ -1540,7 +1540,17 @@ def ivfpq_train(
     a shared codebook quantizes them far better than raw vectors).
     Returns (centroids, codebooks). Both stages reuse the deterministic
     rounded-argmin/first-k-init contract, which is what keeps the whole
-    two-level pipeline SQL-replayable."""
+    two-level pipeline SQL-replayable.
+
+    Cost audit (round 12): the stage is dominated by the ncells×dim
+    rounded-argmin that produces residuals (zip_with/aggregate lambdas
+    are interpreted per element). Two cheaper forms were evaluated and
+    rejected: unrolling the distance into element_at arithmetic keeps
+    bit-identity but the 256×64-term expression tree OOMs the JVM; an
+    Arrow-batched matmul (``_assign_udf``) is fast but changes the
+    tie-break/rounding contract the ivf/ivfpq oracle twins replay. The
+    shipped fix is the residual persist below (one pass instead of
+    pq_train's two) plus the bounded-sample training contract."""
     if centroids is None:
         _, cents = kmeans(
             corpus, k=ncells, iters=coarse_iters, id_col=id_col,
