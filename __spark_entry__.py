@@ -19718,7 +19718,7 @@ SELECT g, d,
   round(CASE WHEN cnt >= 14 THEN
     CASE WHEN sl / cnt > 0
       THEN 100.0 - 100.0 / (1.0 + (sg / cnt) / (sl / cnt))
-      ELSE 100.0 END END, 6) AS rsi
+      WHEN sg / cnt > 0 THEN 100.0 ELSE 50.0 END END, 6) AS rsi
 FROM fr
 """),
     "bollinger": ("""

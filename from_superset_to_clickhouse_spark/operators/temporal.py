@@ -2820,7 +2820,11 @@ def rsi(
         F.when(
             F.col("_al") > 0,
             F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + F.col("_ag") / F.col("_al")),
-        ).otherwise(F.lit(100.0)),
+        )
+        # no losses: all-gain window reads 100; a FLAT window (no
+        # gains either) is neutral 50, not "overbought"
+        .when(F.col("_ag") > 0, F.lit(100.0))
+        .otherwise(F.lit(50.0)),
     )
     return out.select(
         F.col("_g").alias(group_col),

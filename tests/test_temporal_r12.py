@@ -173,3 +173,9 @@ def test_ts_features_known_shape(spark):
         _ts_series(spark, [3] * 20), "g", "ts", "v"
     ).collect()[0]
     assert c["sd"] == 0.0 and c["longest_flat"] == 20
+
+
+def test_rsi_flat_series_is_neutral(spark):
+    flat = tmp.rsi(_series(spark, [7] * 12), "g", "d", "v", period=5)
+    vals = [r["rsi"] for r in flat.orderBy("d").collect()]
+    assert all(v == 50.0 for v in vals[5:])
