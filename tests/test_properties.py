@@ -1099,3 +1099,138 @@ def test_dtw_identity_and_symmetry(spark, xs, ys):
             for r in dtw_distance(df, "k", "ts", "v", "y").collect()}
     assert vs_x["x"] == 0.0 and vs_y["y"] == 0.0
     assert abs(vs_x["y"] - vs_y["x"]) < 1e-6
+
+
+# ---- round-12 additions ---------------------------------------------------
+
+_XY = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(0, 20)),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pts=_XY)
+def test_skyline_dominance_invariants(spark, pts):
+    """For ANY point set: every surviving row is non-dominated, every
+    dropped row is strictly dominated by some survivor, and frontier
+    duplicates all survive."""
+    from pyspark.sql import functions as F
+
+    from from_superset_to_clickhouse_spark.operators.relational import (
+        skyline_2d,
+    )
+
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id int, x double, y double")
+    kept = {(r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect()}
+    kept_ids = {
+        r["id"] for r in skyline_2d(df, "x", "y").collect()
+    }
+
+    def dominated(p, q):
+        return q[0] <= p[0] and q[1] <= p[1] and q != p
+
+    for i, p in enumerate(((float(x), float(y)) for x, y in pts)):
+        is_dom = any(
+            dominated(p, (float(qx), float(qy)))
+            for qx, qy in pts
+        )
+        if i in kept_ids:
+            assert not is_dom, f"survivor {p} is dominated"
+        else:
+            assert is_dom, f"dropped {p} is not dominated"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vals=st.lists(st.integers(0, 1000), min_size=5, max_size=40))
+def test_lorenz_curve_monotone_and_below_diagonal(spark, vals):
+    """For ANY non-negative values: cumulative shares are monotone
+    non-decreasing, end at exactly 1.0, and the value share never
+    exceeds the population share (Lorenz dominance for ascending
+    assignment)."""
+    from hypothesis import assume
+
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        lorenz_curve,
+    )
+
+    assume(any(v > 0 for v in vals))  # zero total mass -> NULL shares
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    rows = sorted(
+        lorenz_curve(df, "v").collect(), key=lambda r: r["decile"]
+    )
+    assert rows[-1]["cum_pop_frac"] == 1.0
+    assert rows[-1]["cum_val_frac"] == 1.0
+    prev_p, prev_v = 0.0, 0.0
+    for r in rows:
+        assert r["cum_pop_frac"] >= prev_p
+        assert r["cum_val_frac"] >= prev_v - 1e-9
+        # ascending-block assignment: poorest deciles hold <= their
+        # population share of the mass (tiny fxp slack)
+        assert r["cum_val_frac"] <= r["cum_pop_frac"] + 1e-5
+        prev_p, prev_v = r["cum_pop_frac"], r["cum_val_frac"]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    p=st.floats(
+        min_value=0.001, max_value=0.999, allow_nan=False
+    )
+)
+def test_probit_phi_roundtrip(spark, p):
+    """Φ(Φ⁻¹(p)) ≈ p within the combined Acklam + A&S-erf tolerance
+    (~1.5e-7) across the full open interval, both branches."""
+    from pyspark.sql import functions as F
+
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        normal_sf,
+        probit_approx,
+    )
+
+    z = probit_approx(F.lit(float(p)))
+    phi = (
+        F.when(z >= 0, F.lit(1.0) - normal_sf(z))
+        .otherwise(normal_sf(-z))
+    )
+    got = spark.range(1).select(phi.alias("p")).collect()[0]["p"]
+    assert abs(got - p) < 5e-7
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    xs=st.lists(st.integers(0, 30), min_size=2, max_size=12),
+    ys=st.lists(st.integers(0, 30), min_size=2, max_size=12),
+)
+def test_brunner_munzel_p_hat_bounds_and_antisymmetry(spark, xs, ys):
+    """p̂ = P(X<Y) + ½P(X=Y) stays in [0, 1] and swapping the arms
+    reflects it around ½ for ANY two samples."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        brunner_munzel,
+    )
+
+    rows = [("a", float(v)) for v in xs] + [("b", float(v)) for v in ys]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = brunner_munzel(df, "v", "g").collect()[0]
+    assert 0.0 <= r["p_hat"] <= 1.0
+    swapped = [("b", float(v)) for v in xs] + [("a", float(v)) for v in ys]
+    df2 = spark.createDataFrame(swapped, "g string, v double")
+    r2 = brunner_munzel(df2, "v", "g").collect()[0]
+    assert abs((r["p_hat"] + r2["p_hat"]) - 1.0) <= 2e-6  # 2x 6dp rounding
