@@ -19206,7 +19206,8 @@ WITH src AS (
     CAST(sum(a) AS DOUBLE) AS sa,
     sum(CAST(floor(r1 * c1 / ni * 1048576.0) AS BIGINT))
       / 1048576.0 AS se,
-    sum(CAST(floor(r1 * r2 * c1 * c2 / (ni * ni * (ni - 1.0))
+    sum(CAST(floor(CASE WHEN ni > 1.0 THEN
+      r1 * r2 * c1 * c2 / (ni * ni * (ni - 1.0)) END
       * 1048576.0) AS BIGINT)) / 1048576.0 AS sv
   FROM terms
 ), cc AS (
@@ -19382,7 +19383,8 @@ WITH src AS (
   FROM pv0
 ), zt AS (
   SELECT t, bef, n,
-    (v - m) / sqrt(ssv / (CAST(n AS DOUBLE) - 1.0)) AS z
+    (v - m) / (CASE WHEN n > 1
+      THEN sqrt(ssv / (CAST(n AS DOUBLE) - 1.0)) END) AS z
   FROM pw, ss
 ), zt2 AS (
   SELECT t, bef, n, z, abs(z) / sqrt(2.0) AS xx,
@@ -19486,7 +19488,8 @@ scores AS (
 ),
 """ + _WH_TAIL[_WH_TAIL.index("zc"):] + """
 SELECT CAST(k AS INTEGER) AS k, CAST(n4 AS BIGINT) AS n,
-  round(chi2v, 6) AS chi2, round(pchi, 6) AS p_value
+  round(chi2v, 6) AS chi2,
+  round(CASE WHEN k > 1 THEN pchi END, 6) AS p_value
 FROM pv
 """).format(probit=_probit_sql("pp")),
     "brunner_munzel": ("""
@@ -19536,9 +19539,9 @@ WITH src AS (
   FROM rk, means GROUP BY 1, 2, 3, 4
 ), st AS (
   SELECT na, nb, rba, rbb,
-    (ssa / (CAST(na AS DOUBLE) - 1.0))
+    (CASE WHEN na > 1 THEN ssa / (CAST(na AS DOUBLE) - 1.0) END)
       / (CAST(nb AS DOUBLE) * nb) AS sta,
-    (ssb / (CAST(nb AS DOUBLE) - 1.0))
+    (CASE WHEN nb > 1 THEN ssb / (CAST(nb AS DOUBLE) - 1.0) END)
       / (CAST(na AS DOUBLE) * na) AS stb
   FROM var
 ), wv AS (

@@ -4974,7 +4974,12 @@ def mantel_haenszel(
         fx(F.col("_b").cast("double") * F.col("_c") / ni).alias("_sbc"),
         F.sum(F.col("_a")).cast("double").alias("_sa"),
         fx(r1 * c1 / ni).alias("_se"),
-        fx(r1 * r2 * c1 * c2 / (ni * ni * (ni - F.lit(1.0)))).alias("_sv"),
+        fx(
+            F.when(
+                ni > 1.0,
+                r1 * r2 * c1 * c2 / (ni * ni * (ni - F.lit(1.0))),
+            )
+        ).alias("_sv"),
     )
     or_mh = F.when(F.col("_sbc") > 0, F.col("_sad") / F.col("_sbc"))
     dev = F.col("_sa") - F.col("_se")
@@ -5127,7 +5132,7 @@ def anderson_darling(df: DataFrame, value_col: str) -> DataFrame:
     pv = pv.withColumn("_bef", F.coalesce(F.sum("_t").over(w), F.lit(0)))
     j = pv.crossJoin(F.broadcast(ss))
     nn = F.col("_n").cast("double")
-    sd = F.sqrt(F.col("_ss") / (nn - 1.0))
+    sd = F.when(nn > 1.0, F.sqrt(F.col("_ss") / (nn - 1.0)))
     z = (F.col("_v") - F.col("_m")) / sd
     phi = F.when(
         z >= 0, F.lit(1.0) - normal_sf(z)
@@ -5291,7 +5296,11 @@ def fligner_killeen(
         F.col("_n4").cast("long").alias("n"),
         F.round(chi2, 6).alias("chi2"),
         F.round(
-            chi2_p_value(chi2, (F.col("_k") - 1).cast("double")), 6
+            F.when(
+                F.col("_k") > 1,
+                chi2_p_value(chi2, (F.col("_k") - 1).cast("double")),
+            ),
+            6,
         ).alias("p_value"),
     )
 
@@ -5368,8 +5377,8 @@ def brunner_munzel(
     na2 = F.col("_na").cast("double")
     nb2 = F.col("_nb").cast("double")
     nn = na2 + nb2
-    s2a = F.col("_ssa") / (na2 - 1.0)
-    s2b = F.col("_ssb") / (nb2 - 1.0)
+    s2a = F.when(na2 > 1.0, F.col("_ssa") / (na2 - 1.0))
+    s2b = F.when(nb2 > 1.0, F.col("_ssb") / (nb2 - 1.0))
     st_a = s2a / (nb2 * nb2)
     st_b = s2b / (na2 * na2)
     se2 = st_a / na2 + st_b / nb2

@@ -120,3 +120,35 @@ def test_fligner_killeen_equal_vs_unequal_spread(spark):
         spark.createDataFrame(uneq, "g string, v double"), "v", "g"
     ).collect()[0]
     assert run["chi2"] > 50 and run["p_value"] < 1e-6
+
+
+def test_degenerate_inputs_surface_null_not_nan(spark):
+    """NaN poisons cross-engine parity (DuckDB errors on CAST(NaN AS
+    BIGINT)); degenerate inputs must surface NULL instead: singleton
+    strata (MH variance), n=1 sample (AD sd), one-row arm (BM
+    variance), single group (FK dof 0)."""
+    import math
+
+    mh = st.mantel_haenszel(
+        spark.createDataFrame([(1, "a", 1), (2, "b", 0)], "st int, g string, y int"),
+        "st", "g", "y",
+    ).collect()[0]
+    assert mh["chi2"] is None or not math.isnan(mh["chi2"])
+    ad = st.anderson_darling(
+        spark.createDataFrame([(5.0,)], "v double"), "v"
+    ).collect()[0]
+    assert ad["a2"] is None
+    bm = st.brunner_munzel(
+        spark.createDataFrame(
+            [("a", 1.0), ("b", 2.0), ("b", 3.0)], "g string, v double"
+        ),
+        "v", "g",
+    ).collect()[0]
+    assert bm["w_stat"] is None or not math.isnan(bm["w_stat"])
+    fk = st.fligner_killeen(
+        spark.createDataFrame(
+            [("g1", float(v)) for v in range(10)], "g string, v double"
+        ),
+        "v", "g",
+    ).collect()[0]
+    assert fk["k"] == 1 and fk["p_value"] is None
