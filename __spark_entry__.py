@@ -19350,7 +19350,7 @@ _R13_QUERIES.update({
 # [1e-12, 1 - 1e-12]. Expects columns z/xx/tt in scope via the two
 # helper CTE stages the caller writes (xx = abs(z)/sqrt(2), tt = A&S t).
 _PHI_CLAMPED_SQL = """
-greatest(least(
+CASE WHEN z IS NOT NULL THEN greatest(least(
   CASE WHEN z >= 0 THEN 1.0 - (1.0 - (1.0 - (0.254829592 * tt
       - 0.284496736 * tt * tt + 1.421413741 * tt * tt * tt
       - 1.453152027 * tt * tt * tt * tt
@@ -19358,7 +19358,7 @@ greatest(least(
   ELSE (1.0 - (1.0 - (0.254829592 * tt - 0.284496736 * tt * tt
       + 1.421413741 * tt * tt * tt - 1.453152027 * tt * tt * tt * tt
       + 1.061405429 * tt * tt * tt * tt * tt) * exp(-(xx * xx)))) / 2.0
-  END, 1.0 - 1e-12), 1e-12)
+  END, 1.0 - 1e-12), 1e-12) END
 """
 
 _R13_ORACLES.update({

@@ -5137,8 +5137,11 @@ def anderson_darling(df: DataFrame, value_col: str) -> DataFrame:
     phi = F.when(
         z >= 0, F.lit(1.0) - normal_sf(z)
     ).otherwise(normal_sf(-z))
-    phi = F.greatest(
-        F.least(phi, F.lit(1.0 - 1e-12)), F.lit(1e-12)
+    # least/greatest SKIP nulls, so clamp only when z resolved — else a
+    # NULL sd (n = 1) would resurrect as the clamp bound
+    phi = F.when(
+        z.isNotNull(),
+        F.greatest(F.least(phi, F.lit(1.0 - 1e-12)), F.lit(1e-12)),
     )
     t = F.col("_t").cast("double")
     b = F.col("_bef").cast("double")
