@@ -18969,12 +18969,14 @@ WITH src AS (""" + _MCC_SCORER_SQL + """
   FROM src
 ), rates AS (
   SELECT np, nn,
-    CASE WHEN tp = 0 THEN 0.5 / np
-         WHEN tp = np THEN 1.0 - 0.5 / np
-         ELSE tp / CAST(np AS DOUBLE) END AS hr,
-    CASE WHEN fp = 0 THEN 0.5 / nn
-         WHEN fp = nn THEN 1.0 - 0.5 / nn
-         ELSE fp / CAST(nn AS DOUBLE) END AS fa
+    CASE WHEN np > 0 THEN
+      CASE WHEN tp = 0 THEN 0.5 / np
+           WHEN tp = np THEN 1.0 - 0.5 / np
+           ELSE tp / CAST(np AS DOUBLE) END END AS hr,
+    CASE WHEN nn > 0 THEN
+      CASE WHEN fp = 0 THEN 0.5 / nn
+           WHEN fp = nn THEN 1.0 - 0.5 / nn
+           ELSE fp / CAST(nn AS DOUBLE) END END AS fa
   FROM agg
 ), z AS (
   SELECT np, nn, hr, fa,
@@ -19974,12 +19976,14 @@ WITH """ + _CAND_REF_SQL + """
 SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
   CAST(cl AS BIGINT) AS cand_len, CAST(rl AS BIGINT) AS ref_len,
   round(CASE WHEN CAST(cl AS DOUBLE) >= rl THEN 1.0
-    ELSE exp(1.0 - CAST(rl AS DOUBLE) / cl) END, 6) AS bp,
+    WHEN cl > 0 THEN exp(1.0 - CAST(rl AS DOUBLE) / cl)
+    ELSE 0.0 END, 6) AS bp,
   round(p1, 6) AS p1, round(p2, 6) AS p2,
   round(p3, 6) AS p3, round(p4, 6) AS p4,
   round(CASE WHEN npos = k THEN
     (CASE WHEN CAST(cl AS DOUBLE) >= rl THEN 1.0
-      ELSE exp(1.0 - CAST(rl AS DOUBLE) / cl) END)
+      WHEN cl > 0 THEN exp(1.0 - CAST(rl AS DOUBLE) / cl)
+      ELSE 0.0 END)
     * exp(slog / k) END, 6) AS bleu
 FROM lens, logs
 """),

@@ -1508,10 +1508,13 @@ def dprime(
 
     def rate(hits, n):
         raw = hits.cast("double") / n
-        return (
+        # n = 0 (no rows in the class) must surface NULL, not the IEEE
+        # Infinity Spark's double division produces (DuckDB nulls it)
+        return F.when(
+            n > 0,
             F.when(hits == 0, F.lit(0.5) / n)
             .when(hits == n, F.lit(1.0) - F.lit(0.5) / n)
-            .otherwise(raw)
+            .otherwise(raw),
         )
 
     hr = rate(F.col("_tp"), F.col("_np"))

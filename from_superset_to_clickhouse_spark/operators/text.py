@@ -2726,7 +2726,14 @@ def bleu_corpus(
     j = lens.crossJoin(F.broadcast(logs))
     cl = F.col("_cl").cast("double")
     rl = F.col("_rl").cast("double")
-    bp = F.when(cl >= rl, F.lit(1.0)).otherwise(F.exp(F.lit(1.0) - rl / cl))
+    # cl = 0 with rl > 0 is an infinite brevity penalty: pin bp to 0
+    # explicitly (Spark IEEE gives exp(-inf) = 0 but DuckDB nulls the
+    # division, so the twin would diverge without the guard)
+    bp = (
+        F.when(cl >= rl, F.lit(1.0))
+        .when(cl > 0, F.exp(F.lit(1.0) - rl / cl))
+        .otherwise(F.lit(0.0))
+    )
     bleu = F.when(
         F.col("_npos") == F.col("_k"),
         bp * F.exp(F.col("_slog") / F.col("_k")),
