@@ -591,3 +591,22 @@ def test_r12_additions_plan_gates(spark, qmap):
         assert "BatchEvalPython" not in plan, name
         if name not in scalar_or_bounded_window:
             assert "SinglePartition" not in plan, name
+
+
+def test_r12_broadcast_design_gates(spark, qmap):
+    """Positive plan-shape gates for the round-12 broadcast designs:
+    token_decontam must probe the (bounded-by-contract) eval gram set
+    via a broadcast join — the training windows scan never shuffles
+    for the probe; point_in_poly must evaluate the crossing predicate
+    against a BROADCAST edge list (BroadcastNestedLoopJoin — the
+    designed dimension-broadcast plan), never a CartesianProduct.
+    exact_substr deliberately carries NO broadcast hint on its
+    duplicated-gram head (corpus-scale in the worst case — AQE decides
+    from actual size), so its plan is asserted hint-free."""
+    td = _plan(qmap["token_decontam"](spark, SF))
+    assert "BroadcastHashJoin" in td or "BroadcastExchange" in td
+    pip = _plan(qmap["point_in_poly"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in pip
+    assert "CartesianProduct" not in pip
+    es = _plan(qmap["exact_substr"](spark, SF))
+    assert "CartesianProduct" not in es
