@@ -11693,7 +11693,8 @@ WITH r AS (
 )
 SELECT e.event_id, e.user_id,
   CASE WHEN rn.ots IS NOT NULL
-    AND epoch_us(rn.ots) - epoch_us(e.ts) <= 5 * 86400 * 1000000
+    AND epoch_us(rn.ots) - epoch_us(e.ts)
+      <= 5 * 86400 * CAST(1000000 AS BIGINT)
     THEN rn.tp END AS next_totalprice
 FROM e ASOF LEFT JOIN rn
   ON e.user_id = rn.k AND e.nts >= rn.nts
