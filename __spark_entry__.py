@@ -6385,7 +6385,12 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     k = F.col("c_custkey")
-    cust = _t(spark, sf_dir, "customer").select(
+    # FIXED 1500-point probe plane: the plant's lattices have constant
+    # extent, so letting the point count grow with sf would densify the
+    # clusters linearly (quadratic pair growth — wrong as a scale probe,
+    # and the O(n^2) brute-force oracle twin cannot replay it). A no-op
+    # at the sf0.01 driver scale (customer has exactly 1500 rows).
+    cust = _t(spark, sf_dir, "customer").filter(k <= 1500).select(
         k.alias("id"),
         F.when(k % 4 == 0, 10.0 + (k % 7) * 0.3)
         .when(k % 4 == 1, 50.0 + (k % 5) * 0.4)
@@ -8236,7 +8241,7 @@ WITH RECURSIVE p AS MATERIALIZED (
     CASE WHEN c_custkey % 4 = 0 THEN 20.0 + (c_custkey % 11) * 0.3
          WHEN c_custkey % 4 = 1 THEN 60.0 + (c_custkey % 13) * 0.4
          ELSE ((c_custkey * 104729) % 10000) / 10.0 END AS y
-  FROM customer
+  FROM customer WHERE c_custkey <= 1500
 ), near AS MATERIALIZED (
   SELECT a.id AS pid, b.id AS qid
   FROM p a JOIN p b
