@@ -6699,20 +6699,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and push driver-green entries down into backfill. Cap additions per
     # round so (queued + new) ≤ 50 fills the next window exactly.
     return {
-        # -- r12 window (positions 0-49), per VERDICT r11 item 1: the 16
-        # -- r10 additions (wilcoxon_signed..ipw) + the 34 r11 additions
-        # -- (cohens_d..page_trend). _R12_QUERIES also carries the 12-entry
-        # -- r13 queue (energy_dist..mcc) at positions 50-61; the 38 r12
-        # -- additions (_R13_QUERIES, exact_substr..lorenz) sit at 62-99,
-        # -- so the r13 window (positions 50-99) is EXACTLY 12 queued + 38
-        # -- new. R13 ROTATION (do this FIRST next round): move
-        # -- _R12_QUERIES + _R13_QUERIES above _R11_QUERIES (and likewise
-        # -- the ORACLES dicts), dropping _R11_QUERIES into backfill;
-        # -- queue new r13 additions behind position 99 and cap them at
-        # -- ≤50 so the r14 window fills exactly.
+        # -- r13 window (positions 0-49), per VERDICT r12 item 1: the 12
+        # -- post-window r11 entries (_R12_QUEUE_QUERIES, energy_dist..mcc)
+        # -- + the 38 r12 additions (_R13_QUERIES, exact_substr..lorenz).
+        # -- _R14_QUERIES holds the r13 additions queued directly behind
+        # -- position 49, so the r14 window (positions 50-99) is exactly
+        # -- the r13 additions (capped at ≤50). R14 ROTATION (do this
+        # -- FIRST next round): move _R14_QUERIES above _R12_QUEUE_QUERIES
+        # -- (the ORACLES dicts need no reorder — oracle_sql() is keyed,
+        # -- only queries() order gates the window), dropping
+        # -- _R12_QUEUE_QUERIES + _R13_QUERIES into backfill; queue new
+        # -- r14 additions behind them and cap at ≤50 so the r15 window
+        # -- fills exactly.
+        **_R12_QUEUE_QUERIES,
+        **_R13_QUERIES,
+        **_R14_QUERIES,
+        # -- green-on-record backfill: the r12 window (CORRECTNESS_r12
+        # -- 50/50 green): 16 r10 additions (wilcoxon_signed..ipw,
+        # -- _R11_QUERIES) + 34 r11 additions (cohens_d..page_trend,
+        # -- _R12_QUERIES) ------------------------------------------------
         **_R11_QUERIES,
         **_R12_QUERIES,
-        **_R13_QUERIES,
         # -- green-on-record backfill: the r11 window (CORRECTNESS_r11
         # -- 50/50 green): 34 r8-leftovers (geohash..data_gaps) + 16 r9
         # -- additions (webp_meta..perm_test) --------------------------------
@@ -9630,6 +9637,7 @@ HAVING count(*) > tot.n / 500.0
         **_R11_ORACLES,
         **_R12_ORACLES,
         **_R13_ORACLES,
+        **_R14_ORACLES,
     }
 
 
@@ -17938,7 +17946,13 @@ def q_entity_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_density(_docs(spark, sf_dir), "text", "doc_id")
 
 
-_R12_QUERIES.update({
+# The 12-entry r13 queue (energy_dist..mcc) — split out of _R12_QUERIES
+# at the r13 rotation so the driver head-50 window is exactly this queue
+# plus the 38 _R13_QUERIES entries; the 34 driver-green r11 additions
+# stay in _R12_QUERIES down in backfill.
+_R12_QUEUE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+_R12_QUEUE_QUERIES.update({
     "energy_dist": q_energy_dist,
     "tukey": q_tukey,
     "ransac": q_ransac,
@@ -18265,7 +18279,7 @@ def q_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_R12_QUERIES.update({
+_R12_QUEUE_QUERIES.update({
     "corr_matrix": q_corr_matrix,
     "anova_effect": q_anova_effect,
     "prop_power": q_prop_power,
@@ -18483,7 +18497,7 @@ def q_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mcc(src, "score", "y", threshold=0.5)
 
 
-_R12_QUERIES.update({"mcc": q_mcc})
+_R12_QUEUE_QUERIES.update({"mcc": q_mcc})
 
 # Round-12 additions: queued directly behind the 12-entry r13 carry-over
 # (energy_dist..mcc) so the r13 driver window (positions 50-99) fills with
@@ -19134,10 +19148,15 @@ _R13_QUERIES.update({
     "partial_corr": q_partial_corr,
 })
 
+# Pair on the same deterministic row_number tiebreak as ordinal_assoc
+# (ADVICE r12: raw _o < _o dropped pairs sharing an order value).
 _ORDINAL_PAIRS_SQL = """
-  SELECT a._o AS oa, a._x AS xa, a._y AS ya,
-         b._o AS ob, b._x AS xb, b._y AS yb
-  FROM daily a, daily b WHERE a._o < b._o
+  SELECT a.xa, a.ya, b.xb AS xb, b.yb AS yb
+  FROM (SELECT row_number() OVER (ORDER BY _o, _x, _y) AS i,
+          _x AS xa, _y AS ya FROM daily) a,
+       (SELECT row_number() OVER (ORDER BY _o, _x, _y) AS i,
+          _x AS xb, _y AS yb FROM daily) b
+  WHERE a.i < b.i
 """
 
 _DAILY_SQL = """
@@ -20494,15 +20513,17 @@ WITH sup AS (
     floor(avg(CAST(l_discount AS DOUBLE)) * 1048576.0)
       / 1048576.0 AS avg_disc
   FROM lineitem GROUP BY 1
-), cand AS (
-  SELECT l_suppkey, avg_price, avg_disc,
-    min(avg_disc) OVER (ORDER BY avg_price
-      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mlt,
-    min(avg_disc) OVER (PARTITION BY avg_price) AS mx
-  FROM sup
+), perx AS (
+  SELECT avg_price, min(avg_disc) AS mx FROM sup GROUP BY 1
+), pre AS (
+  SELECT avg_price, mx,
+    min(mx) OVER (ORDER BY avg_price
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mlt
+  FROM perx
 )
-SELECT l_suppkey, avg_price, avg_disc FROM cand
-WHERE (mlt IS NULL OR mlt > avg_disc) AND avg_disc = mx
+SELECT s.l_suppkey, s.avg_price, s.avg_disc
+FROM sup s JOIN pre p USING (avg_price)
+WHERE (p.mlt IS NULL OR p.mlt > s.avg_disc) AND s.avg_disc = p.mx
 """),
     "point_in_poly": ("""
 WITH pts AS (
@@ -20600,3 +20621,12 @@ SELECT dec AS decile, CAST(nc AS BIGINT) AS n,
 FROM run, totals
 """),
 })
+
+
+# ---------------------------------------------------------------------------
+# Round-13 additions: queued directly behind the 50-entry r13 window
+# (energy_dist..lorenz) so the r14 driver window (positions 50-99) fills
+# with exactly the ≤50 entries registered here. Same ENTRY-ADDING
+# CHECKLIST as _R10_QUERIES. Populated below as operators land.
+_R14_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_R14_ORACLES: dict[str, str] = {}

@@ -565,26 +565,29 @@ def skyline_2d(
     no pairwise join.
 
     Dominance factorizes: p is dominated iff (a) some row with
-    strictly smaller x has y ≤ p.y — one running min(y) over a RANGE
-    frame ending 1 before p.x — or (b) a same-x row has strictly
-    smaller y — one per-x min. Both windows sort the CANDIDATE table
-    (pre-aggregated entities by contract), never the fact table.
-    Exact duplicates of a frontier point all survive (no strict
-    dominance between them)."""
+    strictly smaller x has y ≤ p.y, or (b) a same-x row has strictly
+    smaller y. (a) is a prefix min over the DISTINCT-x table — one
+    groupBy(x).min(y), then a ROWS frame ending 1 row before, which
+    on distinct x is exactly "strictly smaller x" for ANY numeric x
+    (a RANGE … 1 PRECEDING frame would skip dominators within 1.0
+    of p.x — fractional data broke that; ADVICE r12). (b) is the
+    same per-x min, joined back. All passes sort/shuffle the
+    CANDIDATE table (pre-aggregated entities by contract), never the
+    fact table. Exact duplicates of a frontier point all survive
+    (no strict dominance between them)."""
     gcols = list(group_cols or [])
     x = F.col(x_col).cast("double")
     y = F.col(y_col).cast("double")
     src = df.filter(x.isNotNull() & y.isNotNull())
-    wlt = (
+    perx = src.groupBy(*gcols, x_col).agg(F.min(y).alias("_mx"))
+    wrows = (
         Window.partitionBy(*gcols)
         .orderBy(x_col)
-        .rangeBetween(Window.unboundedPreceding, -1)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    wx = Window.partitionBy(*gcols, x_col)
-    cand = src.withColumn("_mlt", F.min(y).over(wlt)).withColumn(
-        "_mx", F.min(y).over(wx)
-    )
+    perx = perx.withColumn("_mlt", F.min("_mx").over(wrows))
+    cand = src.join(perx, gcols + [x_col])
     keep = (
         F.col("_mlt").isNull() | (F.col("_mlt") > y)
     ) & (y == F.col("_mx"))
-    return cand.filter(keep).drop("_mlt", "_mx")
+    return cand.filter(keep).drop("_mlt", "_mx").select(*df.columns)

@@ -4890,14 +4890,23 @@ def ordinal_assoc(
     daily buckets, experiment arms — the caller aggregates first).
 
     Inputs quantize to the 2^-20 grid before pairing so the tie sets
-    agree across engines; S and every pair count are exact integers."""
+    agree across engines; S and every pair count are exact integers.
+
+    Every unordered pair of ROWS counts once: pairing is on a
+    row_number over (order, x, y), not on ``order_col < order_col``,
+    so rows sharing an order value still form their (tied) pairs —
+    raw order-key comparison silently dropped them (ADVICE r12). The
+    tiebreak is deterministic: rows identical in all three columns
+    compare identically whichever gets the smaller index."""
     q = lambda c: F.floor(F.col(c).cast("double") * _Q) / _Q  # noqa: E731
     src = df.select(
         F.col(order_col).alias("_o"), q(x_col).alias("_x"), q(y_col).alias("_y")
     )
-    a = src.select(*[F.col(c).alias(c + "a") for c in ("_o", "_x", "_y")])
-    b = src.select(*[F.col(c).alias(c + "b") for c in ("_o", "_x", "_y")])
-    pairs = a.crossJoin(b).filter(F.col("_oa") < F.col("_ob"))
+    wr = Window.orderBy("_o", "_x", "_y")
+    src = src.withColumn("_i", F.row_number().over(wr))
+    a = src.select(*[F.col(c).alias(c + "a") for c in ("_i", "_x", "_y")])
+    b = src.select(*[F.col(c).alias(c + "b") for c in ("_i", "_x", "_y")])
+    pairs = a.crossJoin(b).filter(F.col("_ia") < F.col("_ib"))
     dx = F.col("_xa") - F.col("_xb")
     dy = F.col("_ya") - F.col("_yb")
     pa = pairs.agg(
@@ -5133,14 +5142,19 @@ def anderson_darling(df: DataFrame, value_col: str) -> DataFrame:
     j = pv.crossJoin(F.broadcast(ss))
     nn = F.col("_n").cast("double")
     sd = F.when(nn > 1.0, F.sqrt(F.col("_ss") / (nn - 1.0)))
-    z = (F.col("_v") - F.col("_m")) / sd
+    # compute z only when sd > 0: a constant column (sd = 0) must
+    # surface NULL, not 0/0 — which is NaN with ANSI off and a
+    # DIVIDE_BY_ZERO error with ANSI on (ADVICE r12)
+    z = F.when(sd > 0, (F.col("_v") - F.col("_m")) / sd)
     phi = F.when(
         z >= 0, F.lit(1.0) - normal_sf(z)
     ).otherwise(normal_sf(-z))
-    # least/greatest SKIP nulls, so clamp only when z resolved — else a
-    # NULL sd (n = 1) would resurrect as the clamp bound
+    # least/greatest SKIP nulls AND order NaN above every value, so
+    # clamp only when z resolved to a real number — else a NULL sd
+    # (n = 1) or a 0/0 NaN z (constant column, sd = 0) would
+    # resurrect as the clamp bound; constant input must surface NULL
     phi = F.when(
-        z.isNotNull(),
+        z.isNotNull() & ~F.isnan(z),
         F.greatest(F.least(phi, F.lit(1.0 - 1e-12)), F.lit(1e-12)),
     )
     t = F.col("_t").cast("double")

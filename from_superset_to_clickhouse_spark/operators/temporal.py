@@ -3193,8 +3193,14 @@ def spectral_entropy(
     return agg.select(
         "key",
         "k_used",
+        # a one-harmonic spectrum gives 0/ln(1) = 0/0 = NaN in Spark
+        # (vs NULL in the DuckDB twin) — surface NULL (ADVICE r12)
         F.round(
-            F.col("_h") / F.log(F.col("k_used").cast("double")), 6
+            F.when(
+                F.col("k_used") > 1,
+                F.col("_h") / F.log(F.col("k_used").cast("double")),
+            ),
+            6,
         ).alias("h_norm"),
         "peak_k",
         F.round("_pmax", 6).alias("peak_frac"),

@@ -2714,10 +2714,16 @@ def bleu_corpus(
         F.sum(F.size(word_tokens(F.col(cand_col)))).alias("_cl"),
         F.sum(F.size(word_tokens(F.col(ref_col)))).alias("_rl"),
     )
+    # Normalize over ALL max_n orders, not just orders present in the
+    # candidate gram table: when every doc is shorter than n tokens the
+    # order has no rows at all, and counting only present orders would
+    # silently shrink the geometric mean's k (sacrebleu divides by
+    # max_n regardless; a missing order is precision 0 → NULL bleu
+    # under the unsmoothed convention; ADVICE r12).
     logs = pn.agg(
         F.sum(F.log("_p")).alias("_slog"),
         F.count(F.when(F.col("_p") > 0, 1)).alias("_npos"),
-        F.count("*").alias("_k"),
+        F.lit(max_n).alias("_k"),
         *[
             F.min(F.when(F.col("_n") == n, F.col("_p"))).alias(f"_p{n}")
             for n in range(1, max_n + 1)
@@ -2851,7 +2857,10 @@ def chrf_corpus(
         (F.sum(F.floor(F.col("_r") * 1048576.0)) / F.lit(1048576.0)).alias(
             "_sr"
         ),
-        F.count("*").alias("_k"),
+        # macro-average over ALL max_n orders — an order absent from
+        # both gram tables contributes P = R = 0, it does not shrink
+        # the divisor (ADVICE r12)
+        F.lit(max_n).alias("_k"),
     )
     cnt = df.agg(F.count("*").alias("n_pairs"))
     j2 = cnt.crossJoin(F.broadcast(mac))

@@ -138,6 +138,12 @@ def test_degenerate_inputs_surface_null_not_nan(spark):
         spark.createDataFrame([(5.0,)], "v double"), "v"
     ).collect()[0]
     assert ad["a2"] is None
+    # constant column, n >= 2: sd = 0 makes z = 0/0 = NaN; the clamp
+    # must not resurrect it as a finite phi (ADVICE r12)
+    adc = st.anderson_darling(
+        spark.createDataFrame([(5.0,), (5.0,), (5.0,)], "v double"), "v"
+    ).collect()[0]
+    assert adc["a2"] is None and adc["a2_star"] is None
     bm = st.brunner_munzel(
         spark.createDataFrame(
             [("a", 1.0), ("b", 2.0), ("b", 3.0)], "g string, v double"

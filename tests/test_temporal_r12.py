@@ -140,6 +140,12 @@ def test_spectral_entropy_pure_tone_vs_flatish(spark):
     ).collect()[0]
     assert r["peak_k"] == 2
     assert r["peak_frac"] > 0.99 and r["h_norm"] < 0.05
+    # single-harmonic periodogram: k_used = 1 -> h/ln(1) is 0/0; must
+    # surface NULL, not NaN (ADVICE r12)
+    r1 = tmp.spectral_entropy(
+        _ts_series(spark, [1.0, 2.0, 3.0]), "g", "ts", "v", max_k=1
+    ).collect()[0]
+    assert r1["k_used"] == 1 and r1["h_norm"] is None
 
 
 def test_croston_profile_patterns(spark):

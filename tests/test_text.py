@@ -1152,6 +1152,26 @@ def test_bleu_corpus_identity_and_known(spark):
     assert abs(rp["bp"] - math.exp(1 - 4 / 3)) < 1e-6
 
 
+def test_bleu_chrf_short_docs_normalize_over_max_n(spark):
+    """Every doc shorter than max_n: the missing orders must count as
+    precision 0 (NULL bleu, sacrebleu's divide-by-max_n convention) and
+    as P = R = 0 in the chrF macro-average — not silently shrink k
+    (ADVICE r12)."""
+    short = spark.createDataFrame(
+        [(1, "the cat", "the cat")], "doc_id long, cand string, ref string"
+    )
+    rb = txt.bleu_corpus(short, "cand", "ref").collect()[0]
+    # p1 = p2 = 1 but orders 3,4 have no grams -> NULL bleu, NULL p3/p4
+    assert rb["p1"] == 1.0 and rb["p2"] == 1.0
+    assert rb["p3"] is None and rb["p4"] is None and rb["bleu"] is None
+    tiny = spark.createDataFrame(
+        [(1, "abc", "abc")], "doc_id long, cand string, ref string"
+    )
+    rc = txt.chrf_corpus(tiny, "cand", "ref").collect()[0]
+    # orders 1-3 perfect, 4-6 missing -> macro average 3/6, not 3/3
+    assert rc["chrp"] == 0.5 and rc["chrr"] == 0.5 and rc["chrf"] == 0.5
+
+
 def test_bleu_clipping(spark):
     # candidate repeats 'the' 4x but ref has it twice -> clipped p1 = 2/4
     df = spark.createDataFrame(
