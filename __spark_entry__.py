@@ -19699,12 +19699,12 @@ m AS (
   FROM pp GROUP BY 1
 ), mom AS (
   SELECT pp.g, n,
-    sum(CAST(floor((x - mx) * (x - mx) * 1048576.0) AS BIGINT))
-      / 1048576.0 AS sxx,
-    sum(CAST(floor((x - mx) * (y - my) * 1048576.0) AS BIGINT))
-      / 1048576.0 AS sxy,
-    sum(CAST(floor((y - my) * (y - my) * 1048576.0) AS BIGINT))
-      / 1048576.0 AS syy
+    CAST(CAST(sum(CAST(floor((x - mx) * (x - mx) * 1048576.0) AS BIGINT))
+      AS VARCHAR) AS DOUBLE) / 1048576.0 AS sxx,
+    CAST(CAST(sum(CAST(floor((x - mx) * (y - my) * 1048576.0) AS BIGINT))
+      AS VARCHAR) AS DOUBLE) / 1048576.0 AS sxy,
+    CAST(CAST(sum(CAST(floor((y - my) * (y - my) * 1048576.0) AS BIGINT))
+      AS VARCHAR) AS DOUBLE) / 1048576.0 AS syy
   FROM pp JOIN m ON pp.g = m.g GROUP BY 1, 2
 )
 """
@@ -20630,3 +20630,576 @@ FROM run, totals
 # CHECKLIST as _R10_QUERIES. Populated below as operators land.
 _R14_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _R14_ORACLES: dict[str, str] = {}
+
+
+# ---------------------------------------------------------------------------
+# Round-13 entries, batch 1: the r13 stats operators. Helpers carry the
+# _r14 suffix (the registry dict they land in) per the shadowing
+# protocol.
+
+
+def _daily_value_r14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded daily mean-value series (~30 rows) for the pair-based
+    r13 location estimators — the ``_daily_xy`` discipline."""
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        (F.floor(F.avg("value") * 1048576.0) / 1048576.0).alias("v")
+    ).filter(F.col("v").isNotNull())
+
+
+def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann pseudomedian of the daily mean event value:
+    median of all Walsh averages over the ~30-point bounded series
+    (the kendall pair-join contract); every average lands exactly on
+    the 2^-21 grid."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        hodges_lehmann,
+    )
+
+    return hodges_lehmann(_daily_value_r14(spark, sf_dir), "v")
+
+
+def q_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bland-Altman agreement between the order header total and the
+    recomputed lineitem total price (sum of extendedprice x (1-disc)
+    x (1+tax), floor-quantized per line so both engines sum exactly):
+    bias, limits of agreement, observed coverage."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        bland_altman,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    comp = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        (
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice").cast("double")
+                    * (1.0 - F.col("l_discount").cast("double"))
+                    * (1.0 + F.col("l_tax").cast("double"))
+                    * 1048576.0
+                )
+            )
+            / 1048576.0
+        ).alias("b")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_totalprice").cast("double").alias("a"),
+    )
+    return bland_altman(orders.join(comp, "ok"), "a", "b")
+
+
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative churn hazard over customer order
+    histories — the same lifetime/60-day-censoring construction as
+    the kaplan_meier entry, reporting H(t) and its variance instead
+    of S(t)."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        nelson_aalen,
+    )
+
+    return nelson_aalen(
+        _t(spark, sf_dir, "orders"),
+        "o_custkey",
+        "o_orderdate",
+        censor_horizon_days=60,
+    )
+
+
+def q_c_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harrell's c-index of 'activity volume predicts user lifetime':
+    per-user score = event count, duration = active-day span, event =
+    inactive on the corpus' final day; exact integer pair counts over
+    the bounded per-user table."""
+    from from_superset_to_clickhouse_spark.operators.stats import c_index
+
+    ev = _ev(spark, sf_dir)
+    life = ev.groupBy(F.col("user_id").alias("u")).agg(
+        F.to_date(F.min("ts")).alias("_f"),
+        F.to_date(F.max("ts")).alias("_l"),
+        F.count("*").alias("score"),
+    )
+    mx = life.agg(F.max("_l").alias("_mx"))
+    src = life.crossJoin(F.broadcast(mx)).select(
+        F.col("score").cast("double").alias("score"),
+        F.datediff(F.col("_l"), F.col("_f")).cast("double").alias("dur"),
+        (F.datediff(F.col("_mx"), F.col("_l")) > 0).cast("int").alias("ev"),
+    )
+    return c_index(src, "score", "dur", "ev")
+
+
+def q_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cp/Cpk of the event value stream against a [5, 150] spec band
+    — the SPC 'is the metric pipeline within tolerance' summary with
+    the exact observed out-of-spec fraction."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        process_capability,
+    )
+
+    return process_capability(
+        _ev(spark, sf_dir), "value", lsl=5.0, usl=150.0
+    )
+
+
+def q_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way random-effects ICC(1,1) of event values grouped by
+    event type: how much value variance is BETWEEN types vs within —
+    closed-form unbalanced ANOVA on the 2^-20 grid."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        icc_oneway,
+    )
+
+    return icc_oneway(_ev(spark, sf_dir), "event_type", "value")
+
+
+def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan (Koenker) heteroskedasticity check of
+    extendedprice ~ quantity over lineitem: LM = n R-squared of the
+    squared-residual auxiliary fit, exact chi-square(1) tail."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        breusch_pagan,
+    )
+
+    return breusch_pagan(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", "l_quantity"
+    )
+
+
+def q_chow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break test of extendedprice ~ quantity across
+    the 1998 shipdate boundary: pooled vs per-segment closed-form
+    RSS, F(2, n-4) statistic (no replayable F tail — the welch_anova
+    convention)."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        chow_test,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "post", F.col("l_shipdate") >= F.lit("1998-01-01").cast("date")
+    )
+    return chow_test(li, "l_extendedprice", "l_quantity", "post")
+
+
+def q_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger test of 'do yesterday's views predict today's
+    purchase value beyond its own history': daily purchase-mean (y)
+    vs view-mean (x) series, closed-form restricted/unrestricted OLS
+    over the ~30-day bounded series."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        granger_lag1,
+    )
+
+    ev = _ev(spark, sf_dir)
+    g = lambda c: F.floor(c * 1048576.0) / 1048576.0  # noqa: E731
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        g(
+            F.avg(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+            )
+        ).alias("y"),
+        g(
+            F.avg(F.when(F.col("event_type") == "view", F.col("value")))
+        ).alias("x"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    return granger_lag1(daily, "d", "x", "y")
+
+
+_R14_QUERIES.update({
+    "hodges_lehmann": q_hodges_lehmann,
+    "bland_altman": q_bland_altman,
+    "nelson_aalen": q_nelson_aalen,
+    "c_index": q_c_index,
+    "process_capability": q_process_capability,
+    "icc": q_icc,
+    "breusch_pagan": q_breusch_pagan,
+    "chow": q_chow,
+    "granger": q_granger,
+})
+
+_R14_ORACLES.update({
+    "hodges_lehmann": ("""
+-- Same grid daily series, same i <= j Walsh pairs, same two-middle
+-- median.
+WITH daily AS (
+  SELECT floor(avg(value) * 1048576.0) / 1048576.0 AS v
+  FROM events GROUP BY date_trunc('day', ts)
+), src AS (SELECT v FROM daily WHERE v IS NOT NULL),
+idx AS (SELECT v, row_number() OVER (ORDER BY v) AS i FROM src),
+walsh AS (
+  SELECT (a.v + b.v) / 2.0 AS w FROM idx a, idx b WHERE a.i <= b.i
+), rw AS (
+  SELECT w, row_number() OVER (ORDER BY w) AS r FROM walsh
+), m AS (SELECT count(*) AS m FROM walsh),
+mid AS (
+  SELECT w FROM rw, m
+  WHERE r = CAST(ceil(m / 2.0) AS BIGINT)
+     OR r = CAST(floor(m / 2.0) AS BIGINT) + 1
+)
+SELECT (SELECT count(*) FROM src) AS n,
+  (SELECT CAST(m AS BIGINT) FROM m) AS n_pairs,
+  (SELECT round(avg(w), 6) FROM mid) AS hl
+"""),
+    "bland_altman": ("""
+-- Same per-line fxp recomputed total, same grid diffs/mean/sd.
+WITH comp AS (
+  SELECT l_orderkey AS ok,
+    sum(CAST(floor(CAST(l_extendedprice AS DOUBLE)
+      * (1.0 - CAST(l_discount AS DOUBLE))
+      * (1.0 + CAST(l_tax AS DOUBLE)) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS b
+  FROM lineitem GROUP BY 1
+), src AS (
+  SELECT floor(CAST(o.o_totalprice AS DOUBLE) * 1048576.0) / 1048576.0
+    - floor(c.b * 1048576.0) / 1048576.0 AS d
+  FROM orders o JOIN comp c ON o.o_orderkey = c.ok
+  WHERE o.o_totalprice IS NOT NULL
+), m AS (
+  SELECT count(*) AS n, floor(avg(d) * 1048576.0) / 1048576.0 AS mu
+  FROM src
+), s AS (
+  SELECT n, mu,
+    CAST(CAST(sum(CAST(floor((d - mu) * (d - mu) * 1048576.0) AS BIGINT))
+      AS VARCHAR) AS DOUBLE) / 1048576.0 AS ss
+  FROM src, m GROUP BY 1, 2
+), fin AS (
+  SELECT n, mu,
+    CASE WHEN n > 1 THEN sqrt(ss / (n - 1.0)) END AS sd
+  FROM s
+), lim AS (
+  SELECT n, mu, sd, mu - 1.96 * sd AS lo, mu + 1.96 * sd AS hi
+  FROM fin
+)
+SELECT CAST(l.n AS BIGINT) AS n, round(l.mu, 6) AS bias,
+  round(l.sd, 6) AS sd_diff, round(l.lo, 6) AS loa_low,
+  round(l.hi, 6) AS loa_high,
+  (SELECT round(avg(CASE WHEN d >= l2.lo AND d <= l2.hi
+      THEN 1.0 ELSE 0.0 END), 6) FROM src, lim l2) AS pct_within
+FROM lim l
+"""),
+    "nelson_aalen": ("""
+-- Same lifetimes/censoring as kaplan_meier, hazard sums in t order.
+WITH life0 AS (
+  SELECT o_custkey, CAST(min(o_orderdate) AS DATE) AS f,
+    CAST(max(o_orderdate) AS DATE) AS l
+  FROM orders GROUP BY 1
+), mx AS (SELECT max(l) AS m FROM life0),
+life AS (
+  SELECT date_diff('day', f, l) AS t_days,
+    CASE WHEN date_diff('day', l, m) > 60 THEN 1 ELSE 0 END AS dead
+  FROM life0 CROSS JOIN mx
+), pt AS (
+  SELECT t_days, count(*) AS n_t, sum(dead) AS d
+  FROM life GROUP BY 1
+), c AS (
+  SELECT t_days, d,
+    sum(n_t) OVER (ORDER BY t_days
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+  FROM pt
+)
+SELECT CAST(t_days AS INTEGER) AS t_days,
+  CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d_events,
+  round(sum(CAST(d AS DOUBLE) / n_risk)
+    OVER (ORDER BY t_days
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+    AS cum_hazard,
+  round(sum(CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE) * n_risk))
+    OVER (ORDER BY t_days
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+    AS var_hazard
+FROM c WHERE d > 0
+"""),
+    "c_index": ("""
+-- Same per-user table, same comparable/concordant/tied integer
+-- counts.
+WITH life AS (
+  SELECT CAST(count(*) AS DOUBLE) AS score,
+    CAST(date_diff('day', CAST(min(ts) AS DATE),
+      CAST(max(ts) AS DATE)) AS DOUBLE) AS dur,
+    CAST(max(ts) AS DATE) AS l
+  FROM events GROUP BY user_id
+), mx AS (SELECT max(l) AS m FROM life),
+src AS (
+  SELECT floor(score * 1048576.0) / 1048576.0 AS s,
+    floor(dur * 1048576.0) / 1048576.0 AS t,
+    CASE WHEN date_diff('day', l, m) > 0 THEN 1 ELSE 0 END AS e
+  FROM life, mx
+), pairs AS (
+  SELECT a.s AS sa, b.s AS sb FROM src a, src b
+  WHERE a.e = 1 AND a.t < b.t
+), agg AS (
+  SELECT count(*) AS np,
+    count(*) FILTER (sa > sb) AS nc,
+    count(*) FILTER (sa = sb) AS nt
+  FROM pairs
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM src) AS n,
+  CAST(np AS BIGINT) AS n_comparable,
+  CAST(nc AS BIGINT) AS n_concordant,
+  CAST(nt AS BIGINT) AS n_tied,
+  round(CASE WHEN np > 0
+    THEN (nc + 0.5 * nt) / CAST(np AS DOUBLE) END, 6) AS c_index
+FROM agg
+"""),
+    "process_capability": ("""
+-- Same grid mean/variance, same exact out-of-spec count.
+WITH src AS (
+  SELECT floor(CAST(value AS DOUBLE) * 1048576.0) / 1048576.0 AS v
+  FROM events WHERE value IS NOT NULL
+), m AS (
+  SELECT count(*) AS n, floor(avg(v) * 1048576.0) / 1048576.0 AS mu
+  FROM src
+), s AS (
+  SELECT n, mu,
+    sum(CAST(floor((v - mu) * (v - mu) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS ss,
+    count(*) FILTER (v < 5.0 OR v > 150.0) AS outn
+  FROM src, m GROUP BY 1, 2
+), f AS (
+  SELECT n, mu, outn,
+    CASE WHEN n > 1 THEN sqrt(ss / (n - 1.0)) END AS sd
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n, round(mu, 6) AS mean,
+  round(sd, 6) AS sd,
+  round(CASE WHEN sd > 0 THEN (150.0 - 5.0) / (6.0 * sd) END, 6) AS cp,
+  round(CASE WHEN sd > 0
+    THEN least(150.0 - mu, mu - 5.0) / (3.0 * sd) END, 6) AS cpk,
+  round(outn / CAST(n AS DOUBLE), 6) AS pct_out
+FROM f
+"""),
+    "icc": ("""
+-- Same unbalanced one-way ANOVA sums on the grid.
+WITH src AS (
+  SELECT event_type AS g,
+    floor(CAST(value AS DOUBLE) * 1048576.0) / 1048576.0 AS v
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), per AS (
+  SELECT g, count(*) AS ni,
+    floor(avg(v) * 1048576.0) / 1048576.0 AS mi
+  FROM src GROUP BY 1
+), tot AS (
+  SELECT count(*) AS n, floor(avg(v) * 1048576.0) / 1048576.0 AS mu
+  FROM src
+), btw AS (
+  SELECT max(n) AS n, count(*) AS gk,
+    sum(CAST(floor(ni * (mi - mu) * (mi - mu) * 1048576.0)
+      AS BIGINT)) / 1048576.0 AS ssb,
+    sum(ni * ni) AS sn2
+  FROM per, tot GROUP BY ()
+), wth AS (
+  SELECT sum(CAST(floor((s.v - p.mi) * (s.v - p.mi) * 1048576.0)
+      AS BIGINT)) / 1048576.0 AS ssw
+  FROM src s JOIN per p ON s.g = p.g
+), f AS (
+  SELECT CAST(b.n AS DOUBLE) AS nn, CAST(b.gk AS DOUBLE) AS g,
+    b.n AS n, b.gk AS gk, b.sn2 AS sn2, b.ssb AS ssb, w.ssw AS ssw
+  FROM btw b, wth w
+), d AS (
+  SELECT n, gk,
+    CASE WHEN g > 1 THEN ssb / (g - 1.0) END AS msb,
+    CASE WHEN nn > g THEN ssw / (nn - g) END AS msw,
+    CASE WHEN g > 1 THEN (nn - sn2 / nn) / (g - 1.0) END AS k0
+  FROM f
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(gk AS BIGINT) AS k_groups,
+  round(k0, 6) AS k0, round(msb, 6) AS msb, round(msw, 6) AS msw,
+  round(CASE WHEN msw IS NOT NULL
+      AND msb + (k0 - 1.0) * msw > 0
+    THEN (msb - msw) / (msb + (k0 - 1.0) * msw) END, 6) AS icc
+FROM d
+"""),
+    "breusch_pagan": ("""
+-- Same grid OLS sums, same integer-exact auxiliary moments, exact
+-- chi2(1) tail via the shared erf polynomial.
+WITH src AS (
+  SELECT floor(CAST(l_quantity AS DOUBLE) * 1048576.0) / 1048576.0 AS x,
+    floor(CAST(l_extendedprice AS DOUBLE) * 1048576.0)
+      / 1048576.0 AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), m1 AS (
+  SELECT count(*) AS n,
+    floor(avg(x) * 1048576.0) / 1048576.0 AS mx,
+    floor(avg(y) * 1048576.0) / 1048576.0 AS my
+  FROM src
+), s1 AS (
+  SELECT n, mx, my,
+    CAST(CAST(sum(CAST(floor((x - mx) * (x - mx) * 1048576.0) AS BIGINT))
+      AS VARCHAR) AS DOUBLE) / 1048576.0 AS sxx,
+    CAST(CAST(sum(CAST(floor((x - mx) * (y - my) * 1048576.0) AS BIGINT))
+      AS VARCHAR) AS DOUBLE) / 1048576.0 AS sxy
+  FROM src, m1 GROUP BY 1, 2, 3
+), base AS (
+  SELECT n, mx, my,
+    CASE WHEN sxx > 0 THEN sxy / sxx END AS b
+  FROM s1
+), mom AS (
+  SELECT
+    CAST(CAST(floor(x * 1048576.0) AS BIGINT) AS HUGEINT) AS ix,
+    CAST(CAST(floor(((y - my) - b * (x - mx))
+      * ((y - my) - b * (x - mx)) / 4096.0 * 1048576.0) AS BIGINT)
+      AS HUGEINT) AS iu
+  FROM src, base
+), s2 AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n2,
+    sum(ix) AS sx, sum(iu) AS su,
+    sum(ix * iu) AS sxu, sum(ix * ix) AS sxx2, sum(iu * iu) AS suu
+  FROM mom
+), abc AS (
+  SELECT CAST(CAST(n2 AS VARCHAR) AS DOUBLE) AS nn,
+    CAST(CAST(n2 * sxu - sx * su AS VARCHAR) AS DOUBLE) AS a,
+    CAST(CAST(n2 * sxx2 - sx * sx AS VARCHAR) AS DOUBLE) AS bq,
+    CAST(CAST(n2 * suu - su * su AS VARCHAR) AS DOUBLE) AS cq
+  FROM s2
+), lmv AS (
+  SELECT b.n AS n, b.b AS b,
+    CASE WHEN a.bq > 0 AND a.cq > 0
+      THEN a.nn * (a.a * a.a / (a.bq * a.cq)) END AS lm
+  FROM base b, abc a
+), z AS (
+  SELECT n, b, lm, sqrt(lm) AS zz FROM lmv
+), t AS (
+  SELECT n, b, lm, zz, 1.0 / (1.0 + 0.3275911 * (zz / sqrt(2.0))) AS tt
+  FROM z
+)
+SELECT CAST(n AS BIGINT) AS n, round(b, 6) AS slope,
+  round(lm, 6) AS lm_stat,
+  round(2.0 * (0.5 * (1.0 - (1.0 - (0.254829592 * tt
+    - 0.284496736 * tt * tt + 1.421413741 * tt * tt * tt
+    - 1.453152027 * tt * tt * tt * tt
+    + 1.061405429 * tt * tt * tt * tt * tt)
+    * exp(-(zz / sqrt(2.0)) * (zz / sqrt(2.0)))))), 6) AS p_value
+FROM t
+"""),
+    "chow": ("""
+-- Same grid segment sums, same closed-form RSS and F.
+WITH src AS (
+  SELECT floor(CAST(l_quantity AS DOUBLE) * 1048576.0) / 1048576.0 AS x,
+    floor(CAST(l_extendedprice AS DOUBLE) * 1048576.0)
+      / 1048576.0 AS y,
+    CAST(l_shipdate >= DATE '1998-01-01' AS BOOLEAN) AS g
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_shipdate IS NOT NULL
+), mp AS (
+  SELECT count(*) AS n,
+    floor(avg(x) * 1048576.0) / 1048576.0 AS mx,
+    floor(avg(y) * 1048576.0) / 1048576.0 AS my
+  FROM src
+), sp AS (
+  SELECT n,
+    CAST(CAST(sum(CAST(floor((x - mx) * (x - mx) * 1048576.0) AS BIGINT))
+      AS VARCHAR) AS DOUBLE) / 1048576.0 AS sxx,
+    CAST(CAST(sum(CAST(floor((y - my) * (y - my) * 1048576.0) AS BIGINT))
+      AS VARCHAR) AS DOUBLE) / 1048576.0 AS syy,
+    CAST(CAST(sum(CAST(floor((x - mx) * (y - my) * 1048576.0) AS BIGINT))
+      AS VARCHAR) AS DOUBLE) / 1048576.0 AS sxy
+  FROM src, mp GROUP BY 1
+), rp AS (
+  SELECT n,
+    CASE WHEN sxx > 0 THEN syy - sxy * sxy / sxx ELSE syy END AS r
+  FROM sp
+), mg AS (
+  SELECT g, count(*) AS n,
+    floor(avg(x) * 1048576.0) / 1048576.0 AS mx,
+    floor(avg(y) * 1048576.0) / 1048576.0 AS my
+  FROM src GROUP BY 1
+), sg AS (
+  SELECT s.g, m.n,
+    CAST(CAST(sum(CAST(floor((s.x - m.mx) * (s.x - m.mx) * 1048576.0)
+      AS BIGINT)) AS VARCHAR) AS DOUBLE) / 1048576.0 AS sxx,
+    CAST(CAST(sum(CAST(floor((s.y - m.my) * (s.y - m.my) * 1048576.0)
+      AS BIGINT)) AS VARCHAR) AS DOUBLE) / 1048576.0 AS syy,
+    CAST(CAST(sum(CAST(floor((s.x - m.mx) * (s.y - m.my) * 1048576.0)
+      AS BIGINT)) AS VARCHAR) AS DOUBLE) / 1048576.0 AS sxy
+  FROM src s JOIN mg m ON s.g = m.g GROUP BY 1, 2
+), rg AS (
+  SELECT g, n,
+    CASE WHEN sxx > 0 THEN syy - sxy * sxy / sxx ELSE syy END AS r
+  FROM sg
+), two AS (
+  SELECT count(*) AS k,
+    max(CASE WHEN g THEN n END) AS na,
+    max(CASE WHEN NOT g THEN n END) AS nb,
+    sum(r) AS rs,
+    max(CASE WHEN g THEN r END) AS ra,
+    max(CASE WHEN NOT g THEN r END) AS rb
+  FROM rg
+)
+SELECT CAST(p.n AS BIGINT) AS n, CAST(t.na AS BIGINT) AS n_a,
+  CAST(t.nb AS BIGINT) AS n_b, round(p.r, 6) AS rss_pooled,
+  round(t.ra, 6) AS rss_a, round(t.rb, 6) AS rss_b,
+  round(CASE WHEN t.k = 2 AND p.n > 4 AND t.rs > 0
+    THEN ((p.r - t.rs) / 2.0) / (t.rs / (p.n - 4.0)) END, 6)
+    AS f_stat,
+  CAST(2 AS INTEGER) AS df1, CAST(p.n - 4 AS BIGINT) AS df2
+FROM rp p, two t
+"""),
+    "granger": ("""
+-- Same daily purchase/view series, same lag-1 normal equations.
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d,
+    floor(avg(CASE WHEN event_type = 'purchase' THEN value END)
+      * 1048576.0) / 1048576.0 AS y,
+    floor(avg(CASE WHEN event_type = 'view' THEN value END)
+      * 1048576.0) / 1048576.0 AS x
+  FROM events GROUP BY 1
+), ser AS (
+  SELECT d, x, y FROM daily WHERE x IS NOT NULL AND y IS NOT NULL
+), lagd AS (
+  SELECT y AS yt,
+    lag(y) OVER (ORDER BY d) AS y1,
+    lag(x) OVER (ORDER BY d) AS x1
+  FROM ser
+), rows_ AS (
+  SELECT yt, y1, x1 FROM lagd WHERE y1 IS NOT NULL AND x1 IS NOT NULL
+), m AS (
+  SELECT count(*) AS n,
+    floor(avg(yt) * 1048576.0) / 1048576.0 AS my,
+    floor(avg(y1) * 1048576.0) / 1048576.0 AS m1,
+    floor(avg(x1) * 1048576.0) / 1048576.0 AS m2
+  FROM rows_
+), s AS (
+  SELECT n,
+    sum(CAST(floor((yt - my) * (yt - my) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS syy,
+    sum(CAST(floor((y1 - m1) * (y1 - m1) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS s11,
+    sum(CAST(floor((x1 - m2) * (x1 - m2) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS s22,
+    sum(CAST(floor((y1 - m1) * (x1 - m2) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS s12,
+    sum(CAST(floor((y1 - m1) * (yt - my) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS s1y,
+    sum(CAST(floor((x1 - m2) * (yt - my) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS s2y
+  FROM rows_, m GROUP BY 1
+), sol AS (
+  SELECT n, syy, s11, s1y, s2y, s12, s22,
+    s11 * s22 - s12 * s12 AS det
+  FROM s
+), bs AS (
+  SELECT n, syy, s11, s1y, s2y, det,
+    (s22 * s1y - s12 * s2y) / det AS b1,
+    (s11 * s2y - s12 * s1y) / det AS b2
+  FROM sol
+), rr AS (
+  SELECT n, det, b1, b2, s1y, s2y,
+    CASE WHEN s11 > 0 THEN syy - s1y * s1y / s11 ELSE syy END AS rss_r,
+    CASE WHEN det > 0 THEN syy - b1 * s1y - b2 * s2y END AS rss_u
+  FROM bs
+)
+SELECT CAST(n AS BIGINT) AS n, round(rss_r, 6) AS rss_r,
+  round(rss_u, 6) AS rss_u,
+  round(CASE WHEN det > 0 THEN b1 END, 6) AS b_ylag,
+  round(CASE WHEN det > 0 THEN b2 END, 6) AS b_xlag,
+  round(CASE WHEN n > 3 AND rss_u > 0
+    THEN (rss_r - rss_u) / (rss_u / (n - 3.0)) END, 6) AS f_stat,
+  CAST(n - 3 AS BIGINT) AS df2
+FROM rr
+"""),
+})

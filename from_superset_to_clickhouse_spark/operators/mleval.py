@@ -1529,3 +1529,139 @@ def dprime(
         F.round(zh - zf, 6).alias("d_prime"),
         F.round(-(zh + zf) / F.lit(2.0), 6).alias("criterion"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 additions.
+
+
+def mcfadden_r2(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: "list[str]",
+    iters: int = 8,
+    lr: float = 2.0,
+) -> DataFrame:
+    """McFadden pseudo-R² for the :func:`logistic_gd` fit → single row
+    (n, iters, log_loss, log_loss_null, mcfadden_r2): 1 − LL/LL₀
+    where LL₀ is the intercept-only (base-rate) log-likelihood — the
+    "how much better than always predicting the prevalence" score
+    that makes log-loss comparable across datasets (0.2–0.4 is an
+    excellent fit by McFadden's own calibration).
+
+    Runs the identical grid-walk gradient ascent as ``logistic_gd``
+    (same determinism contract), then one extra aggregate for the
+    null model: p̄ grid-floored, LL₀ = −(p̄·ln(p̄+ε) +
+    (1−p̄)·ln(1−p̄+ε)) with the same ε = 1e-12 the fit uses, so the
+    ratio is engine-exact."""
+    fit = logistic_gd(df, label_col, feature_cols, iters=iters, lr=lr)
+    src = df.select(F.col(label_col).cast("double").alias("_y"))
+    for c in feature_cols:
+        src = src.filter(F.col(c).isNotNull())
+    src = src.filter(F.col("_y").isNotNull())
+    pb = src.agg((F.floor(F.avg("_y") * _Q) / _Q).alias("_p"))
+    eps = F.lit(1e-12)
+    p = F.col("_p")
+    ll0 = -(
+        p * F.log(p + eps) + (F.lit(1.0) - p) * F.log(F.lit(1.0) - p + eps)
+    )
+    null = pb.select(F.round(ll0, 6).alias("log_loss_null"))
+    j = fit.select("n", "iters", "log_loss").crossJoin(F.broadcast(null))
+    r2 = F.when(
+        F.col("log_loss_null") > 0,
+        F.lit(1.0) - F.col("log_loss") / F.col("log_loss_null"),
+    )
+    return j.select(
+        "n",
+        "iters",
+        "log_loss",
+        "log_loss_null",
+        F.round(r2, 6).alias("mcfadden_r2"),
+    )
+
+
+def feature_gain(
+    df: DataFrame, label_col: str, feature_cols: "list[str]"
+) -> DataFrame:
+    """Gini-impurity / information-gain feature ranking → one row per
+    feature (feature, n, gini_parent, gini_gain, info_gain): for each
+    CATEGORICAL feature, how much splitting on it reduces the binary
+    label's Gini impurity and Shannon entropy — the fast univariate
+    screen for quality-classifier features before fitting
+    ``logistic_gd`` (the split criterion decision trees use, computed
+    corpus-wide).
+
+    One pass: features unpivot via ``stack`` (no per-feature scan),
+    then (feature, level) × label cell counts — dashboard-scale after
+    the aggregate. Impurities are exact ratios of integer counts;
+    per-level terms floor-quantize onto the 2^-20 grid before the
+    weighted sums so engines agree."""
+    k = len(feature_cols)
+    pairs = ", ".join(
+        f"'{c}', CAST(`{c}` AS STRING)" for c in feature_cols
+    )
+    src = df.select(
+        F.col(label_col).cast("int").alias("_y"),
+        F.expr(f"stack({k}, {pairs}) AS (_f, _v)"),
+    ).filter(F.col("_y").isNotNull() & F.col("_v").isNotNull())
+    cells = src.groupBy("_f", "_v").agg(
+        F.count("*").alias("_c"), F.sum("_y").alias("_p")
+    )
+    per_f = cells.groupBy("_f").agg(
+        F.sum("_c").alias("_n"),
+        F.sum("_p").alias("_np"),
+        (
+            F.sum(
+                F.floor(
+                    F.col("_c").cast("double")
+                    * _gini_term(
+                        F.col("_p").cast("double") / F.col("_c")
+                    )
+                    * _Q
+                )
+            )
+            / _Q
+        ).alias("_wg"),
+        (
+            F.sum(
+                F.floor(
+                    F.col("_c").cast("double")
+                    * _entropy_term(
+                        F.col("_p").cast("double") / F.col("_c")
+                    )
+                    * _Q
+                )
+            )
+            / _Q
+        ).alias("_we"),
+    )
+    pr = F.col("_np").cast("double") / F.col("_n")
+    gp = _gini_term(pr)
+    ep = _entropy_term(pr)
+    return per_f.select(
+        F.col("_f").alias("feature"),
+        F.col("_n").cast("long").alias("n"),
+        F.round(gp, 6).alias("gini_parent"),
+        F.round(gp - F.col("_wg") / F.col("_n").cast("double"), 6).alias(
+            "gini_gain"
+        ),
+        F.round(ep - F.col("_we") / F.col("_n").cast("double"), 6).alias(
+            "info_gain"
+        ),
+    ).orderBy("feature")
+
+
+def _gini_term(p):
+    """Binary Gini impurity 2p(1−p) as a Catalyst expression."""
+    return F.lit(2.0) * p * (F.lit(1.0) - p)
+
+
+def _entropy_term(p):
+    """Binary Shannon entropy −p·ln p − (1−p)·ln(1−p), with the 0·ln 0
+    = 0 convention made explicit (ANSI-safe: no log of zero)."""
+    return -(
+        F.when(p > 0, p * F.log(p)).otherwise(F.lit(0.0))
+        + F.when(p < 1, (F.lit(1.0) - p) * F.log(F.lit(1.0) - p)).otherwise(
+            F.lit(0.0)
+        )
+    )

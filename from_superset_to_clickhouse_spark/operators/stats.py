@@ -5546,3 +5546,587 @@ def lorenz_curve(
             F.when(F.col("_tv") != 0, F.col("_cv") / F.col("_tv")), 6
         ).alias("cum_val_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 additions: robust location, method agreement, survival hazard,
+# risk-score discrimination, regression diagnostics, process capability,
+# reliability. Same disciplines as the r11/r12 suites: decomposable
+# aggregates over the fact, 2^-20-grid quantization wherever a sum's
+# accumulation order could drift across engines, pair joins only under
+# the kendall bounded-series contract.
+
+
+def _fx128(e) -> "Column":
+    """Exact fixed-point sum for price-scale magnitudes: floor onto
+    the 2^-20 grid, accumulate in decimal(38,0) — 128-bit exact, the
+    HUGEINT a DuckDB twin's BIGINT sum widens to — then ONE cast to
+    double. A plain long sum overflows at ~2^63/Q on squared
+    price-scale deviations (ANSI aborts the job); a double sum is
+    partition-order-dependent. Decimal keeps the sum exact and the
+    final rounding single and deterministic."""
+    return (
+        F.sum(F.floor(e * _Q).cast("decimal(38,0)")).cast("double") / _Q
+    )
+
+
+def hodges_lehmann(df: DataFrame, value_col: str) -> DataFrame:
+    """One-sample Hodges–Lehmann estimator → single row (n, n_pairs,
+    hl): the median of the n(n+1)/2 Walsh averages (x_i + x_j)/2 over
+    i ≤ j — the location estimate dual to the Wilcoxon signed-rank
+    test (robust to outliers, ~95% efficient at the normal). The
+    pair join is O(len²) by the ``kendall_tau_b`` bounded-series
+    contract: daily buckets, experiment arms — the caller aggregates
+    first.
+
+    Inputs quantize to the 2^-20 grid, so every Walsh average lands
+    exactly on the 2^-21 grid and the median (mean of the two middle
+    order statistics) is engine-exact. Pairing is by row_number over
+    the value order — ties get arbitrary indices, which is harmless
+    because equal values produce identical averages."""
+    src = df.select(
+        (F.floor(F.col(value_col).cast("double") * _Q) / _Q).alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    src = src.withColumn("_i", F.row_number().over(Window.orderBy("_v")))
+    a = src.select(F.col("_i").alias("_ia"), F.col("_v").alias("_va"))
+    b = src.select(F.col("_i").alias("_ib"), F.col("_v").alias("_vb"))
+    walsh = (
+        a.crossJoin(b)
+        .filter(F.col("_ia") <= F.col("_ib"))
+        .select(((F.col("_va") + F.col("_vb")) / 2.0).alias("_w"))
+    )
+    ranked = walsh.withColumn(
+        "_r", F.row_number().over(Window.orderBy("_w"))
+    )
+    cnt = walsh.agg(F.count("*").alias("_m"))
+    # median = mean of ranks ceil(m/2) and floor(m/2)+1 (equal when m
+    # is odd)
+    mid = ranked.crossJoin(F.broadcast(cnt)).filter(
+        (F.col("_r") == F.ceil(F.col("_m") / 2))
+        | (F.col("_r") == F.floor(F.col("_m") / 2) + 1)
+    )
+    n = src.agg(F.count("*").alias("n"))
+    est = mid.agg(
+        F.max("_m").alias("_m"), F.round(F.avg("_w"), 6).alias("hl")
+    )
+    return n.crossJoin(F.broadcast(est)).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("_m").cast("long").alias("n_pairs"),
+        "hl",
+    )
+
+
+def bland_altman(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Bland–Altman method agreement → single row (n, bias, sd_diff,
+    loa_low, loa_high, pct_within): the mean difference between two
+    measurement methods and its 95% limits of agreement
+    (bias ± 1.96·sd) — the standard replacement for a correlation
+    when the question is "can method B substitute for method A".
+    pct_within is the observed fraction of differences inside the
+    limits (≈ 0.95 when differences are normal).
+
+    Differences quantize to the 2^-20 grid; the mean is grid-floored
+    and the variance sum is floor-quantized per row (two passes, same
+    shape as ``cuped_adjust``) so bias/sd are engine-identical."""
+    d = (
+        F.floor(F.col(a_col).cast("double") * _Q) / _Q
+        - F.floor(F.col(b_col).cast("double") * _Q) / _Q
+    )
+    src = df.select(d.alias("_d")).filter(F.col("_d").isNotNull())
+    m = src.agg(
+        F.count("*").alias("_n"),
+        (F.floor(F.avg("_d") * _Q) / _Q).alias("_m"),
+    )
+    c = src.crossJoin(F.broadcast(m))
+    dd = F.col("_d") - F.col("_m")
+    agg = c.groupBy("_n", "_m").agg(_fx128(dd * dd).alias("_ss"))
+    nn = F.col("_n").cast("double")
+    sd = F.when(nn > 1.0, F.sqrt(F.col("_ss") / (nn - 1.0)))
+    lo = F.col("_m") - F.lit(1.96) * sd
+    hi = F.col("_m") + F.lit(1.96) * sd
+    scored = c.crossJoin(
+        F.broadcast(
+            agg.select(
+                sd.alias("_sd"), lo.alias("_lo"), hi.alias("_hi")
+            )
+        )
+    )
+    within = scored.agg(
+        F.round(
+            F.avg(
+                F.when(
+                    (F.col("_d") >= F.col("_lo"))
+                    & (F.col("_d") <= F.col("_hi")),
+                    1.0,
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("pct_within")
+    )
+    out = agg.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round(F.col("_m"), 6).alias("bias"),
+        F.round(sd, 6).alias("sd_diff"),
+        F.round(lo, 6).alias("loa_low"),
+        F.round(hi, 6).alias("loa_high"),
+    )
+    return out.crossJoin(F.broadcast(within))
+
+
+def nelson_aalen(
+    df: DataFrame,
+    subject_col: str,
+    ts_col: str,
+    censor_horizon_days: int = 7,
+) -> DataFrame:
+    """Nelson–Aalen cumulative hazard over subject lifetimes →
+    (t_days, n_risk, d_events, cum_hazard, var_hazard): H(t) =
+    Σ_{u ≤ t} d_u/n_u with variance Σ d_u/n_u² — the estimator whose
+    slope reads as the instantaneous churn rate (where ``kaplan_meier``
+    gives the survival level). Same lifetime/censoring construction
+    as :func:`kaplan_meier`: lifetime = last − first activity per
+    subject; subjects active within ``censor_horizon_days`` of the
+    corpus end are censored.
+
+    Two aggregates + one ordered window over the distinct-lifetime
+    curve table; the running sums add exact d/n ratios in t order, so
+    both engines accumulate identically."""
+    life = df.groupBy(F.col(subject_col).alias("_s")).agg(
+        F.min(ts_col).alias("_first"), F.max(ts_col).alias("_last")
+    )
+    mx = life.agg(F.max("_last").alias("_mx"))
+    life = life.crossJoin(F.broadcast(mx)).select(
+        F.datediff(F.col("_last"), F.col("_first")).alias("t_days"),
+        (
+            F.datediff(F.col("_mx"), F.col("_last"))
+            > censor_horizon_days
+        ).cast("int").alias("_dead"),
+    )
+    per_t = life.groupBy("t_days").agg(
+        F.count("*").alias("_n_t"), F.sum("_dead").alias("d_events")
+    )
+    w = Window.orderBy("t_days")
+    curve = per_t.withColumn(
+        "n_risk",
+        F.sum("_n_t").over(
+            w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ),
+    ).filter(F.col("d_events") > 0)
+    d = F.col("d_events").cast("double")
+    nr = F.col("n_risk").cast("double")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return curve.select(
+        "t_days",
+        "n_risk",
+        "d_events",
+        F.round(F.sum(d / nr).over(run), 6).alias("cum_hazard"),
+        F.round(F.sum(d / (nr * nr)).over(run), 6).alias("var_hazard"),
+    )
+
+
+def c_index(
+    df: DataFrame,
+    score_col: str,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Harrell's concordance index → single row (n, n_comparable,
+    n_concordant, n_tied, c_index): over pairs where subject i has an
+    observed event strictly before subject j's time (event_i = 1,
+    t_i < t_j), the fraction where the risk score agrees
+    (score_i > score_j), with tied scores counted half. THE
+    discrimination metric for churn/survival risk scores (0.5 =
+    random, 1.0 = perfect ordering).
+
+    The pair join is O(len²) by the ``kendall_tau_b`` bounded-series
+    contract (score deciles, cohort summaries — the caller aggregates
+    first). Scores and durations quantize to the 2^-20 grid so the
+    comparable/concordant/tied sets are engine-identical; every count
+    is an exact integer."""
+    q = lambda c: F.floor(F.col(c).cast("double") * _Q) / _Q  # noqa: E731
+    src = df.select(
+        q(score_col).alias("_s"),
+        q(duration_col).alias("_t"),
+        F.col(event_col).cast("int").alias("_e"),
+    ).filter(
+        F.col("_s").isNotNull()
+        & F.col("_t").isNotNull()
+        & F.col("_e").isNotNull()
+    )
+    a = src.select(
+        F.col("_s").alias("_sa"), F.col("_t").alias("_ta"), F.col("_e").alias("_ea")
+    )
+    b = src.select(
+        F.col("_s").alias("_sb"), F.col("_t").alias("_tb")
+    )
+    pairs = a.crossJoin(b).filter(
+        (F.col("_ea") == 1) & (F.col("_ta") < F.col("_tb"))
+    )
+    agg = pairs.agg(
+        F.count("*").alias("_np"),
+        F.count(F.when(F.col("_sa") > F.col("_sb"), 1)).alias("_nc"),
+        F.count(F.when(F.col("_sa") == F.col("_sb"), 1)).alias("_nt"),
+    )
+    cnt = src.agg(F.count("*").alias("n"))
+    j = cnt.crossJoin(F.broadcast(agg))
+    c = F.when(
+        F.col("_np") > 0,
+        (F.col("_nc") + 0.5 * F.col("_nt")) / F.col("_np").cast("double"),
+    )
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("_np").cast("long").alias("n_comparable"),
+        F.col("_nc").cast("long").alias("n_concordant"),
+        F.col("_nt").cast("long").alias("n_tied"),
+        F.round(c, 6).alias("c_index"),
+    )
+
+
+def _ols_sums(src: DataFrame, by: "list[str]") -> DataFrame:
+    """Per-group centered OLS sums (n, sxx, syy, sxy) for (_x, _y)
+    columns already on the 2^-20 grid: group means grid-floored, then
+    per-row cross products floor-quantized before the exact sum — the
+    shared closed-form base for the r13 regression diagnostics."""
+    m = src.groupBy(*by).agg(
+        F.count("*").alias("_n"),
+        (F.floor(F.avg("_x") * _Q) / _Q).alias("_mx"),
+        (F.floor(F.avg("_y") * _Q) / _Q).alias("_my"),
+    )
+    c = src.join(F.broadcast(m), by) if by else src.crossJoin(F.broadcast(m))
+    dx = F.col("_x") - F.col("_mx")
+    dy = F.col("_y") - F.col("_my")
+    fx = _fx128
+    return c.groupBy(*by, "_n", "_mx", "_my").agg(
+        fx(dx * dx).alias("_sxx"),
+        fx(dy * dy).alias("_syy"),
+        fx(dx * dy).alias("_sxy"),
+    )
+
+
+def breusch_pagan(df: DataFrame, y_col: str, x_col: str) -> DataFrame:
+    """Breusch–Pagan heteroskedasticity test (single regressor,
+    Koenker studentized form) → single row (n, slope, lm_stat,
+    p_value): fit y ~ x by OLS, then test whether the squared
+    residuals correlate with x — LM = n·R² of the auxiliary
+    regression e² ~ x, distributed chi-square(1) under
+    homoskedasticity. The standard pre-check before trusting plain
+    OLS standard errors (``newey_west_se`` is the repair when it
+    fires).
+
+    Closed form over two grid-exact sum passes: slope = Sxy/Sxx from
+    the first; residuals e = (y−ȳ) − b(x−x̄) are per-row IEEE doubles
+    of those exact inputs, and the auxiliary R² comes from exact
+    128-bit integer moments of (x, e²/2^12) grid units — scale-free
+    up to the e²·2^8 quantization, which resolves residual
+    magnitudes from ~0.1 to ~1e7 (outside that band, rescale the
+    inputs first; the quantized e² degenerates to 0 below it and
+    overflows the long floor above). p-value exact for 1 dof:
+    2·Φ̄(√LM) via the shared A&S polynomial."""
+    q = lambda c: F.floor(F.col(c).cast("double") * _Q) / _Q  # noqa: E731
+    src = df.select(q(x_col).alias("_x"), q(y_col).alias("_y")).filter(
+        F.col("_x").isNotNull() & F.col("_y").isNotNull()
+    )
+    s1 = _ols_sums(src, [])
+    b = F.when(F.col("_sxx") > 0, F.col("_sxy") / F.col("_sxx"))
+    base = s1.select(
+        "_n", "_mx", "_my", b.alias("_b")
+    )
+    c = src.crossJoin(F.broadcast(base))
+    e = (F.col("_y") - F.col("_my")) - F.col("_b") * (
+        F.col("_x") - F.col("_mx")
+    )
+    # e² at price scale reaches ~1e9-1e10; squaring it AGAIN on the
+    # absolute 2^-20 grid either overflows the long floor (large
+    # data) or collapses to zero (small residuals). The auxiliary R²
+    # only needs EXACT moments, so: quantize u = e²/2^12 onto the
+    # grid (floor argument e²·2^8 — long-ranged for |e| up to ~1e7),
+    # lift u and x to their exact integer grid units, and accumulate
+    # the five UNCENTERED moments in decimal(38,0) (hugeint in the
+    # SQL twin) — exact products, exact sums, scale-free. r² =
+    # (n·Sxu − Sx·Su)² / ((n·Sxx − Sx²)(n·Suu − Su²)) converts each
+    # exact integer difference to double once.
+    dec = "decimal(38,0)"
+    X = F.floor(F.col("_x") * _Q).cast(dec)
+    U = F.floor(e * e / 4096.0 * _Q).cast(dec)
+    mom = c.select(X.alias("_X"), U.alias("_U"))
+    s2 = mom.agg(
+        F.count("*").cast(dec).alias("_n2"),
+        F.sum("_X").alias("_sx"),
+        F.sum("_U").alias("_su"),
+        F.sum(F.col("_X") * F.col("_U")).alias("_sxu"),
+        F.sum(F.col("_X") * F.col("_X")).alias("_sxx2"),
+        F.sum(F.col("_U") * F.col("_U")).alias("_suu"),
+    )
+    a = (
+        F.col("_n2") * F.col("_sxu") - F.col("_sx") * F.col("_su")
+    ).cast("double")
+    bb = (
+        F.col("_n2") * F.col("_sxx2") - F.col("_sx") * F.col("_sx")
+    ).cast("double")
+    cc = (
+        F.col("_n2") * F.col("_suu") - F.col("_su") * F.col("_su")
+    ).cast("double")
+    r2 = F.when((bb > 0) & (cc > 0), a * a / (bb * cc))
+    lm = F.col("_n2").cast("double") * r2
+    out = s2.select(
+        F.col("_n2").cast("long").alias("n"),
+        F.round(lm, 6).alias("lm_stat"),
+        F.round(F.lit(2.0) * normal_sf(F.sqrt(lm)), 6).alias("p_value"),
+    )
+    slope = base.select(F.round(F.col("_b"), 6).alias("slope"))
+    return slope.crossJoin(F.broadcast(out)).select(
+        "n", "slope", "lm_stat", "p_value"
+    )
+
+
+def chow_test(
+    df: DataFrame, y_col: str, x_col: str, break_col: str
+) -> DataFrame:
+    """Chow structural-break test → single row (n, n_a, n_b, rss_pooled,
+    rss_a, rss_b, f_stat, df1, df2): does the linear relation y ~ x
+    have the same (intercept, slope) on both sides of a break
+    (``break_col`` boolean: pre/post a launch, two segments)?
+    F = ((RSS_p − RSS_a − RSS_b)/2) / ((RSS_a + RSS_b)/(n − 4)).
+    No p-value column: F(2, n−4) has no replayable closed tail (the
+    ``welch_anova`` convention) — judge against the critical value.
+
+    Each RSS is the closed form Syy − Sxy²/Sxx over the shared
+    grid-exact sum machinery — three decomposable aggregate passes,
+    no residual materialization."""
+    q = lambda c: F.floor(F.col(c).cast("double") * _Q) / _Q  # noqa: E731
+    src = df.select(
+        q(x_col).alias("_x"),
+        q(y_col).alias("_y"),
+        F.col(break_col).cast("boolean").alias("_g"),
+    ).filter(
+        F.col("_x").isNotNull()
+        & F.col("_y").isNotNull()
+        & F.col("_g").isNotNull()
+    )
+    rss = lambda: F.when(  # noqa: E731
+        F.col("_sxx") > 0,
+        F.col("_syy") - F.col("_sxy") * F.col("_sxy") / F.col("_sxx"),
+    ).otherwise(F.col("_syy"))
+    pooled = _ols_sums(src.select("_x", "_y"), []).select(
+        F.col("_n").alias("_np"), rss().alias("_rp")
+    )
+    seg = (
+        _ols_sums(src.selectExpr("_g", "_x", "_y"), ["_g"])
+        .select("_g", "_n", rss().alias("_r"))
+    )
+    two = seg.agg(
+        F.count("*").alias("_k"),
+        F.max(F.when(F.col("_g"), F.col("_n"))).alias("_na"),
+        F.max(F.when(~F.col("_g"), F.col("_n"))).alias("_nb"),
+        F.sum(F.col("_r")).alias("_rs"),
+        F.max(F.when(F.col("_g"), F.col("_r"))).alias("_ra"),
+        F.max(F.when(~F.col("_g"), F.col("_r"))).alias("_rb"),
+    )
+    j = pooled.crossJoin(F.broadcast(two))
+    nn = F.col("_np").cast("double")
+    f = F.when(
+        (F.col("_k") == 2) & (nn > 4.0) & (F.col("_rs") > 0),
+        ((F.col("_rp") - F.col("_rs")) / 2.0)
+        / (F.col("_rs") / (nn - 4.0)),
+    )
+    return j.select(
+        F.col("_np").cast("long").alias("n"),
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.round("_rp", 6).alias("rss_pooled"),
+        F.round("_ra", 6).alias("rss_a"),
+        F.round("_rb", 6).alias("rss_b"),
+        F.round(f, 6).alias("f_stat"),
+        F.lit(2).alias("df1"),
+        (F.col("_np") - 4).cast("long").alias("df2"),
+    )
+
+
+def granger_lag1(
+    df: DataFrame, ts_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Lag-1 Granger causality test → single row (n, rss_r, rss_u,
+    b_ylag, b_xlag, f_stat, df2): does x's past improve the
+    prediction of y beyond y's own past? Restricted OLS
+    y_t ~ y_{t−1} vs unrestricted y_t ~ y_{t−1} + x_{t−1};
+    F = (RSS_r − RSS_u)/(RSS_u/(n−3)), distributed F(1, n−3) under
+    the null. No p-value column (the ``welch_anova`` convention:
+    the F tail has no replayable closed form); F(1, k) = t²(k), so
+    √F reads directly against t critical values.
+
+    Input is an already-bucketed series (ts, x, y) — the caller
+    aggregates the fact table first (the ``adf_test`` contract).
+    Lags are one ordered window pass; both fits are closed-form
+    normal equations over centered grid-exact sums (the 2-regressor
+    solve is Cramer's rule on the 2×2 system), so every scalar is
+    engine-identical before the 6dp round."""
+    q = lambda c: F.floor(F.col(c).cast("double") * _Q) / _Q  # noqa: E731
+    w = Window.orderBy(ts_col)
+    src = (
+        df.select(
+            F.col(ts_col), q(x_col).alias("_xr"), q(y_col).alias("_yr")
+        )
+        .withColumn("_x1", F.lag("_xr").over(w))
+        .withColumn("_y1", F.lag("_yr").over(w))
+        .filter(F.col("_x1").isNotNull() & F.col("_y1").isNotNull())
+        .select(
+            F.col("_yr").alias("_y"),
+            F.col("_y1"),
+            F.col("_x1"),
+        )
+    )
+    m = src.agg(
+        F.count("*").alias("_n"),
+        (F.floor(F.avg("_y") * _Q) / _Q).alias("_my"),
+        (F.floor(F.avg("_y1") * _Q) / _Q).alias("_m1"),
+        (F.floor(F.avg("_x1") * _Q) / _Q).alias("_m2"),
+    )
+    c = src.crossJoin(F.broadcast(m))
+    dy = F.col("_y") - F.col("_my")
+    d1 = F.col("_y1") - F.col("_m1")
+    d2 = F.col("_x1") - F.col("_m2")
+    fx = _fx128
+    s = c.groupBy("_n").agg(
+        fx(dy * dy).alias("_syy"),
+        fx(d1 * d1).alias("_s11"),
+        fx(d2 * d2).alias("_s22"),
+        fx(d1 * d2).alias("_s12"),
+        fx(d1 * dy).alias("_s1y"),
+        fx(d2 * dy).alias("_s2y"),
+    )
+    det = F.col("_s11") * F.col("_s22") - F.col("_s12") * F.col("_s12")
+    b1 = (
+        F.col("_s22") * F.col("_s1y") - F.col("_s12") * F.col("_s2y")
+    ) / det
+    b2 = (
+        F.col("_s11") * F.col("_s2y") - F.col("_s12") * F.col("_s1y")
+    ) / det
+    rss_r = F.when(
+        F.col("_s11") > 0,
+        F.col("_syy") - F.col("_s1y") * F.col("_s1y") / F.col("_s11"),
+    ).otherwise(F.col("_syy"))
+    rss_u = F.when(
+        det > 0,
+        F.col("_syy") - b1 * F.col("_s1y") - b2 * F.col("_s2y"),
+    )
+    nn = F.col("_n").cast("double")
+    f = F.when(
+        (nn > 3.0) & (rss_u > 0),
+        (rss_r - rss_u) / (rss_u / (nn - 3.0)),
+    )
+    return s.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round(rss_r, 6).alias("rss_r"),
+        F.round(rss_u, 6).alias("rss_u"),
+        F.round(F.when(det > 0, b1), 6).alias("b_ylag"),
+        F.round(F.when(det > 0, b2), 6).alias("b_xlag"),
+        F.round(f, 6).alias("f_stat"),
+        (F.col("_n") - 3).cast("long").alias("df2"),
+    )
+
+
+def process_capability(
+    df: DataFrame, value_col: str, lsl: float, usl: float
+) -> DataFrame:
+    """Process capability indices → single row (n, mean, sd, cp, cpk,
+    pct_out): Cp = (USL − LSL)/6σ (potential, centering ignored),
+    Cpk = min(USL − μ, μ − LSL)/3σ (actual), pct_out the exact
+    observed fraction outside the spec limits — the SPC summary for
+    "is this metric pipeline within tolerance".
+
+    Two grid-exact passes (mean, then floor-quantized squared
+    deviations), one conditional count — all decomposable."""
+    src = df.select(
+        (F.floor(F.col(value_col).cast("double") * _Q) / _Q).alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    m = src.agg(
+        F.count("*").alias("_n"),
+        (F.floor(F.avg("_v") * _Q) / _Q).alias("_m"),
+    )
+    c = src.crossJoin(F.broadcast(m))
+    dv = F.col("_v") - F.col("_m")
+    agg = c.groupBy("_n", "_m").agg(
+        _fx128(dv * dv).alias("_ss"),
+        F.count(
+            F.when((F.col("_v") < lsl) | (F.col("_v") > usl), 1)
+        ).alias("_out"),
+    )
+    nn = F.col("_n").cast("double")
+    sd = F.when(nn > 1.0, F.sqrt(F.col("_ss") / (nn - 1.0)))
+    cp = F.when(sd > 0, F.lit(usl - lsl) / (6.0 * sd))
+    cpk = F.when(
+        sd > 0,
+        F.least(F.lit(usl) - F.col("_m"), F.col("_m") - F.lit(lsl))
+        / (3.0 * sd),
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round("_m", 6).alias("mean"),
+        F.round(sd, 6).alias("sd"),
+        F.round(cp, 6).alias("cp"),
+        F.round(cpk, 6).alias("cpk"),
+        F.round(F.col("_out") / nn, 6).alias("pct_out"),
+    )
+
+
+def icc_oneway(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """One-way random-effects intraclass correlation ICC(1,1) →
+    single row (n, k_groups, k0, msb, msw, icc): how much of the
+    metric's variance lives BETWEEN groups (raters, sessions, shards)
+    vs within — (MSB − MSW)/(MSB + (k₀ − 1)·MSW) with k₀ =
+    (N − Σnᵢ²/N)/(g − 1), the unbalanced-design group size. The
+    reliability gate before averaging repeated measurements per unit.
+
+    Per-group means grid-floored and joined back (broadcast — the
+    group table is dashboard-scale); within/between sums of squares
+    floor-quantized per term, so MSB/MSW are engine-identical."""
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        (F.floor(F.col(value_col).cast("double") * _Q) / _Q).alias("_v"),
+    ).filter(F.col("_v").isNotNull() & F.col("_g").isNotNull())
+    per = src.groupBy("_g").agg(
+        F.count("*").alias("_ni"),
+        (F.floor(F.avg("_v") * _Q) / _Q).alias("_mi"),
+    )
+    tot = src.agg(
+        F.count("*").alias("_n"),
+        (F.floor(F.avg("_v") * _Q) / _Q).alias("_m"),
+    )
+    fx = _fx128
+    between = per.crossJoin(F.broadcast(tot)).agg(
+        F.max("_n").alias("_n"),
+        F.count("*").alias("_gk"),
+        fx(
+            F.col("_ni").cast("double")
+            * (F.col("_mi") - F.col("_m"))
+            * (F.col("_mi") - F.col("_m"))
+        ).alias("_ssb"),
+        F.sum(F.col("_ni") * F.col("_ni")).alias("_sn2"),
+    )
+    within = src.join(F.broadcast(per), "_g").agg(
+        fx(
+            (F.col("_v") - F.col("_mi")) * (F.col("_v") - F.col("_mi"))
+        ).alias("_ssw")
+    )
+    j = between.crossJoin(F.broadcast(within))
+    nn = F.col("_n").cast("double")
+    g = F.col("_gk").cast("double")
+    msb = F.when(g > 1.0, F.col("_ssb") / (g - 1.0))
+    msw = F.when(nn > g, F.col("_ssw") / (nn - g))
+    k0 = F.when(
+        g > 1.0, (nn - F.col("_sn2").cast("double") / nn) / (g - 1.0)
+    )
+    icc = F.when(
+        msw.isNotNull() & (msb + (k0 - 1.0) * msw > 0),
+        (msb - msw) / (msb + (k0 - 1.0) * msw),
+    )
+    return j.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_gk").cast("long").alias("k_groups"),
+        F.round(k0, 6).alias("k0"),
+        F.round(msb, 6).alias("msb"),
+        F.round(msw, 6).alias("msw"),
+        F.round(icc, 6).alias("icc"),
+    )

@@ -3532,3 +3532,266 @@ def ts_features(
         ).alias("turning_rate"),
         F.col("_flat").cast("long").alias("longest_flat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 additions: channel/beta indicators over the existing
+# ``ohlc_bars`` aggregate, plus the seasonal-strength summary of
+# ``seasonal_decompose``.
+
+
+def _ohlc_grid(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bar: str,
+) -> DataFrame:
+    """:func:`ohlc_bars` with the value column pre-quantized onto the
+    2^-20 grid — the indicator operators need exact H/L/C inputs so
+    every downstream window sum is engine-identical."""
+    v = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    src = df.filter(v.isNotNull()).withColumn("_qv", v)
+    return ohlc_bars(src, key_col, ts_col, "_qv", tiebreak_col, bar).select(
+        F.col(key_col).alias("key"),
+        F.col("bar_start").alias("bucket_ts"),
+        "open",
+        "high",
+        "low",
+        "close",
+    )
+
+
+def keltner_channel(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bar: str = "1 day",
+    period: int = 10,
+    mult: float = 2.0,
+) -> DataFrame:
+    """Keltner channel per key → (key, bucket_ts, center, upper,
+    lower, atr): center = trailing ``period`` SMA of the typical
+    price (H+L+C)/3 over :func:`ohlc_bars`, band = ``mult`` × the
+    SMA of the true range TR = max(H−L, |H−prev C|, |L−prev C|) —
+    the volatility envelope that, unlike ``bollinger``, reads range
+    expansion rather than close-to-close variance (the original
+    Chester Keltner construction with Wilder's TR). NULL until the
+    frame fills.
+
+    One OHLC aggregate, one lag, one trailing window — all keyed.
+    Typical price and TR land on the 2^-20 grid (sums of grid values
+    divided by 3 stay engine-exact as IEEE doubles of exact
+    inputs)."""
+    bars = _ohlc_grid(df, key_col, ts_col, value_col, tiebreak_col, bar)
+    w = Window.partitionBy("key").orderBy("bucket_ts")
+    pc = F.lag("close").over(w)
+    tr = F.when(pc.isNull(), F.col("high") - F.col("low")).otherwise(
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - pc),
+            F.abs(F.col("low") - pc),
+        )
+    )
+    typ = (F.col("high") + F.col("low") + F.col("close")) / 3.0
+    lt = bars.withColumn("_tr", tr).withColumn("_typ", typ)
+    wf = w.rowsBetween(-(period - 1), 0)
+    out = (
+        lt.withColumn("_cnt", F.count("_typ").over(wf))
+        .withColumn("_c", F.avg("_typ").over(wf))
+        .withColumn("_a", F.avg("_tr").over(wf))
+    )
+    ok = F.col("_cnt") >= period
+    return out.select(
+        "key",
+        "bucket_ts",
+        F.round(F.when(ok, F.col("_c")), 6).alias("center"),
+        F.round(
+            F.when(ok, F.col("_c") + F.lit(mult) * F.col("_a")), 6
+        ).alias("upper"),
+        F.round(
+            F.when(ok, F.col("_c") - F.lit(mult) * F.col("_a")), 6
+        ).alias("lower"),
+        F.round(F.when(ok, F.col("_a")), 6).alias("atr"),
+    )
+
+
+def donchian_channel(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bar: str = "1 day",
+    period: int = 10,
+) -> DataFrame:
+    """Donchian channel per key → (key, bucket_ts, upper, lower, mid,
+    breakout): trailing ``period``-bar extreme envelope over
+    :func:`ohlc_bars` (upper = max high, lower = min low), plus the
+    turtle-trading breakout flag: +1 when the bar's close exceeds the
+    PREVIOUS bar's upper band, −1 below the previous lower, else 0.
+    NULL bands until the frame fills.
+
+    One OHLC aggregate + one trailing min/max window per key — exact
+    order statistics of grid values, no arithmetic to drift."""
+    bars = _ohlc_grid(df, key_col, ts_col, value_col, tiebreak_col, bar)
+    w = Window.partitionBy("key").orderBy("bucket_ts")
+    wf = w.rowsBetween(-(period - 1), 0)
+    out = (
+        bars.withColumn("_cnt", F.count("high").over(wf))
+        .withColumn("_u", F.max("high").over(wf))
+        .withColumn("_l", F.min("low").over(wf))
+    )
+    ok = F.col("_cnt") >= period
+    u = F.when(ok, F.col("_u"))
+    lo = F.when(ok, F.col("_l"))
+    out = out.withColumn("_pu", F.lag(u).over(w)).withColumn(
+        "_pl", F.lag(lo).over(w)
+    )
+    breakout = (
+        F.when(
+            F.col("_pu").isNotNull() & (F.col("close") > F.col("_pu")), 1
+        )
+        .when(
+            F.col("_pl").isNotNull() & (F.col("close") < F.col("_pl")), -1
+        )
+        .otherwise(0)
+    )
+    return out.select(
+        "key",
+        "bucket_ts",
+        F.round(u, 6).alias("upper"),
+        F.round(lo, 6).alias("lower"),
+        F.round((u + lo) / 2.0, 6).alias("mid"),
+        breakout.cast("int").alias("breakout"),
+    )
+
+
+def rolling_beta(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    market_col: str,
+    period: int = 20,
+) -> DataFrame:
+    """Rolling OLS beta of a series against a market/benchmark series
+    → (group, order, beta, corr): over the trailing ``period`` rows,
+    beta = cov(v, mkt)/var(mkt) and the matching correlation — the
+    "how much does this metric move with the aggregate" exposure
+    dashboards plot per segment. The caller joins the market column
+    onto the series first (one row per (group, order) with both
+    values, the ``bollinger`` input contract). NULL until the frame
+    fills or the market variance is zero.
+
+    Both columns grid-quantize; the frame's Σx, Σy, Σxy, Σx², Σy²
+    are exact sums of grid products, so cov/var/corr are
+    engine-identical IEEE expressions of exact integers."""
+    qv = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    qm = F.floor(F.col(market_col).cast("double") * _Q2) / _Q2
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(order_col).alias("_o"),
+        qv.alias("_v"),
+        qm.alias("_m"),
+    ).filter(F.col("_v").isNotNull() & F.col("_m").isNotNull())
+    wf = (
+        Window.partitionBy("_g")
+        .orderBy("_o")
+        .rowsBetween(-(period - 1), 0)
+    )
+    out = (
+        src.withColumn("_cnt", F.count("_v").over(wf))
+        .withColumn("_sv", F.sum("_v").over(wf))
+        .withColumn("_sm", F.sum("_m").over(wf))
+        .withColumn("_svm", F.sum(F.col("_v") * F.col("_m")).over(wf))
+        .withColumn("_smm", F.sum(F.col("_m") * F.col("_m")).over(wf))
+        .withColumn("_svv", F.sum(F.col("_v") * F.col("_v")).over(wf))
+    )
+    n = F.col("_cnt").cast("double")
+    cov = F.col("_svm") - F.col("_sv") * F.col("_sm") / n
+    varm = F.col("_smm") - F.col("_sm") * F.col("_sm") / n
+    varv = F.col("_svv") - F.col("_sv") * F.col("_sv") / n
+    ok = (F.col("_cnt") >= period) & (varm > 0)
+    beta = F.when(ok, cov / varm)
+    corr = F.when(
+        ok & (varv > 0), cov / F.sqrt(varm * varv)
+    )
+    return out.select(
+        F.col("_g").alias(group_col),
+        F.col("_o").alias(order_col),
+        F.round(beta, 6).alias("beta"),
+        F.round(corr, 6).alias("corr"),
+    )
+
+
+def seasonal_strength(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 day",
+    period: int = 7,
+) -> DataFrame:
+    """Seasonal / trend strength per key → (key, n, f_seasonal,
+    f_trend): the Hyndman forecastability decomposition summary
+    F_seasonal = max(0, 1 − Var(resid)/Var(y − trend)) and
+    F_trend = max(0, 1 − Var(resid)/Var(y − seasonal)), computed over
+    :func:`seasonal_decompose`'s output rows where the trend is
+    defined (full centered windows only). The single-number "does
+    this series have real weekly structure" gate that decides whether
+    ``croston_profile``-style or seasonal models apply.
+
+    The decomposition's 6dp-rounded components re-quantize onto the
+    2^-20 grid; the three variances are grid-floored mean + per-term
+    floor-quantized squared deviations per key — engine-exact."""
+    dec = seasonal_decompose(
+        df, key_col, ts_col, value_col, bucket, period
+    ).filter(F.col("trend").isNotNull())
+    g = lambda c: F.floor(c * _Q2) / _Q2  # noqa: E731
+    src = dec.select(
+        "key",
+        g(F.col("resid")).alias("_r"),
+        g(F.col("y") - F.col("trend")).alias("_dt"),
+        g(F.col("y") - F.col("seasonal")).alias("_ds"),
+    )
+    m = src.groupBy("key").agg(
+        F.count("*").alias("_n"),
+        g(F.avg("_r")).alias("_mr"),
+        g(F.avg("_dt")).alias("_mdt"),
+        g(F.avg("_ds")).alias("_mds"),
+    )
+    c = src.join(F.broadcast(m), "key")
+    fx = lambda e: F.sum(F.floor(e * _Q2)) / _Q2  # noqa: E731
+    agg = c.groupBy("key", "_n").agg(
+        fx((F.col("_r") - F.col("_mr")) * (F.col("_r") - F.col("_mr"))).alias(
+            "_vr"
+        ),
+        fx(
+            (F.col("_dt") - F.col("_mdt")) * (F.col("_dt") - F.col("_mdt"))
+        ).alias("_vdt"),
+        fx(
+            (F.col("_ds") - F.col("_mds")) * (F.col("_ds") - F.col("_mds"))
+        ).alias("_vds"),
+    )
+    fs = F.when(
+        F.col("_vdt") > 0,
+        F.greatest(
+            F.lit(0.0), F.lit(1.0) - F.col("_vr") / F.col("_vdt")
+        ),
+    )
+    ft = F.when(
+        F.col("_vds") > 0,
+        F.greatest(
+            F.lit(0.0), F.lit(1.0) - F.col("_vr") / F.col("_vds")
+        ),
+    )
+    return agg.select(
+        "key",
+        F.col("_n").cast("long").alias("n"),
+        F.round(fs, 6).alias("f_seasonal"),
+        F.round(ft, 6).alias("f_trend"),
+    )

@@ -2430,6 +2430,34 @@ def entity_density(
     )
 
 
+def _word_ngram_windows(toks_arr: DataFrame, n: int) -> DataFrame:
+    """(doc_id, pos, gram) — every length-n word window of a
+    (doc_id, t: array<string>) table, with its 0-based start
+    position. posexplode + per-doc lead() columns + plain concat so
+    the whole construction stays in whole-stage codegen; the
+    transform(sequence → slice → concat_ws) lambda this replaces was
+    interpreted per window (~8× slower at sf0.1, same measurement as
+    ``_word_ngram_counts_all``). Docs shorter than n emit nothing
+    (the last lead is NULL on every row)."""
+    tok = toks_arr.select(
+        "doc_id", F.posexplode("t").alias("pos", "t0")
+    )
+    if n == 1:
+        return tok.select("doc_id", "pos", F.col("t0").alias("gram"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    led = tok.select(
+        "doc_id",
+        "pos",
+        "t0",
+        *[F.lead("t0", k).over(w).alias(f"t{k}") for k in range(1, n)],
+    )
+    return led.filter(F.col(f"t{n - 1}").isNotNull()).select(
+        "doc_id",
+        "pos",
+        F.concat_ws(" ", *[F.col(f"t{k}") for k in range(n)]).alias("gram"),
+    )
+
+
 def remove_repeated_substrings(
     df: DataFrame,
     text_col: str = "text",
@@ -2449,7 +2477,8 @@ def remove_repeated_substrings(
     re-expressed at n-gram-window granularity so it runs as joins +
     aggregates instead of a sequential suffix array.
 
-    Plan shape: one codegen window explode (doc, pos, gram); one
+    Plan shape: one codegen posexplode + lead-window gram build
+    (``_word_ngram_windows``); one
     gram-keyed aggregate carrying count(*) AND min(struct(doc, pos))
     in the same map-side-combined pass (the dedup head is tiny after
     the cnt >= 2 filter — the unique tail drops at the reducer);
@@ -2465,24 +2494,7 @@ def remove_repeated_substrings(
     toks_arr = df.select(
         F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("t")
     )
-    wins = (
-        toks_arr.filter(F.size("t") >= n)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("t") - n),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.concat_ws(" ", F.slice(F.col("t"), i + 1, n)).alias(
-                            "gram"
-                        ),
-                    ),
-                )
-            ).alias("w"),
-        )
-        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.gram").alias("gram"))
-    )
+    wins = _word_ngram_windows(toks_arr, n)
     dup_head = (
         wins.groupBy("gram")
         .agg(
@@ -2562,24 +2574,7 @@ def token_decontamination(
     toks_arr = train.select(
         F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("t")
     )
-    wins = (
-        toks_arr.filter(F.size("t") >= n)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("t") - n),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.concat_ws(" ", F.slice(F.col("t"), i + 1, n)).alias(
-                            "gram"
-                        ),
-                    ),
-                )
-            ).alias("w"),
-        )
-        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.gram").alias("gram"))
-    )
+    wins = _word_ngram_windows(toks_arr, n)
     test_grams = (
         ngram_rows(test, text_col, id_col, n).select("gram").distinct()
     )
@@ -2958,4 +2953,204 @@ def token_fertility(
             ),
             6,
         ).alias("fertility"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 additions.
+
+
+def wer_corpus(
+    df: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus word error rate → single row (n_pairs, total_edits,
+    ref_tokens, wer): Σ per-doc word-level Levenshtein distance over
+    Σ reference tokens — THE transcription/generation fidelity metric
+    (substitutions + insertions + deletions per reference word).
+
+    Word-level edit distance rides the engines' native
+    character-level ``levenshtein``: every distinct word across both
+    sides maps to one unique BMP code point (dense_rank over the
+    sorted vocabulary, offset 0x100, staying below the 0xD800
+    surrogate range → vocabulary contract < 54,000 distinct words
+    per call — aggregate/chunk first beyond that, the bounded-series
+    discipline), each document re-encodes as a string of those code
+    points, and char edits on the encoded strings ARE word edits.
+    Any injective mapping gives the same distance, so engines only
+    need internal consistency, not identical code pages. The per-doc
+    re-encode walks a per-token transform over the sorted (pos, char)
+    structs — interpreted, but one cheap lambda per token on the
+    final doc-length arrays only."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_tokens(F.col(cand_col)).alias("_ct"),
+        word_tokens(F.col(ref_col)).alias("_rt"),
+    )
+    both = toks.select(
+        "doc_id", F.lit("c").alias("_side"), F.col("_ct").alias("_t")
+    ).unionByName(
+        toks.select(
+            "doc_id", F.lit("r").alias("_side"), F.col("_rt").alias("_t")
+        )
+    )
+    words = both.select(
+        "doc_id", "_side", F.posexplode("_t").alias("_pos", "_w")
+    )
+    vocab = (
+        words.select("_w")
+        .distinct()
+        .withColumn(
+            "_code",
+            F.dense_rank().over(Window.orderBy("_w")) + F.lit(255),
+        )
+    )
+    ch = F.expr("decode(unhex(lpad(hex(_code), 4, '0')), 'UTF-16BE')")
+    enc = (
+        words.join(vocab, "_w")
+        .groupBy("doc_id", "_side")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", ch.alias("_ch")))
+                    ),
+                    lambda s: s["_ch"],
+                ),
+            ).alias("_enc"),
+            F.count("*").alias("_len"),
+        )
+    )
+    c = enc.filter(F.col("_side") == "c").select(
+        "doc_id", F.col("_enc").alias("_ce")
+    )
+    r = enc.filter(F.col("_side") == "r").select(
+        "doc_id", F.col("_enc").alias("_re"), F.col("_len").alias("_rl")
+    )
+    pairs = toks.select("doc_id").join(c, "doc_id", "left").join(
+        r, "doc_id", "left"
+    )
+    per = pairs.select(
+        F.levenshtein(
+            F.coalesce("_ce", F.lit("")), F.coalesce("_re", F.lit(""))
+        ).alias("_d"),
+        F.coalesce("_rl", F.lit(0)).alias("_rl"),
+    )
+    agg = per.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("_d").alias("_ed"),
+        F.sum("_rl").alias("_rt"),
+    )
+    return agg.select(
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("_ed").cast("long").alias("total_edits"),
+        F.col("_rt").cast("long").alias("ref_tokens"),
+        F.round(
+            F.when(
+                F.col("_rt") > 0,
+                F.col("_ed") / F.col("_rt").cast("double"),
+            ),
+            6,
+        ).alias("wer"),
+    )
+
+
+def ngram_compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+) -> DataFrame:
+    """Per-document n-gram compression proxy → (doc_id, n_grams,
+    n_distinct, ratio): distinct/total character n-grams — the
+    SQL-expressible stand-in for the gzip-compressibility quality
+    signal (zlib is unavailable cross-engine). Templated/repetitive
+    documents score low; natural prose sits high. The standard cheap
+    repetition gate alongside the Gopher rules.
+
+    Char grams via the same posexplode + lead construction as
+    ``chrf_corpus`` (codegen end-to-end); one per-doc aggregate with
+    exact integer counts. Docs shorter than ``n`` chars surface NULL
+    ratio."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), ""),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("pos", "t0"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    led = tok.select(
+        "doc_id",
+        "t0",
+        *[F.lead("t0", k).over(w).alias(f"t{k}") for k in range(1, n)],
+    )
+    grams = led.filter(F.col(f"t{n - 1}").isNotNull()).select(
+        "doc_id",
+        F.concat(*[F.col(f"t{k}") for k in range(n)]).alias("gram"),
+    )
+    per = grams.groupBy("doc_id").agg(
+        F.count("*").alias("_tot"),
+        F.count_distinct("gram").alias("_dis"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_tot", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("_dis", F.lit(0)).cast("long").alias("n_distinct"),
+            F.round(
+                F.when(
+                    F.col("_tot") > 0,
+                    F.col("_dis") / F.col("_tot").cast("double"),
+                ),
+                6,
+            ).alias("ratio"),
+        )
+    )
+
+
+def bpe_pair_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 20,
+) -> DataFrame:
+    """Top adjacent-token-pair statistics → (rank, left, right, cnt):
+    the corpus-wide most frequent adjacent word pairs — exactly the
+    candidate table one BPE/WordPiece merge iteration scores, and the
+    bigram collocation profile tokenizer training starts from. Ties
+    rank deterministically by (cnt desc, left, right).
+
+    Pairs via posexplode + one lead() per doc partition (codegen);
+    one map-side-combined pair count; the rank window runs over the
+    top-k-bounded candidate table only after a cheap cnt >= 2
+    prefilter."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_tokens(F.col(text_col))).alias("pos", "t0"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        tok.withColumn("_t1", F.lead("t0").over(w))
+        .filter(F.col("_t1").isNotNull())
+        .groupBy(F.col("t0").alias("left"), F.col("_t1").alias("right"))
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+    )
+    wr = Window.orderBy(
+        F.col("cnt").desc(), F.col("left"), F.col("right")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "rank", "left", "right", F.col("cnt").cast("long").alias("cnt")
+        )
     )
