@@ -21203,3 +21203,496 @@ SELECT CAST(n AS BIGINT) AS n, round(rss_r, 6) AS rss_r,
 FROM rr
 """),
 })
+
+
+# ---------------------------------------------------------------------------
+# Round-13 entries, batch 2: mleval / temporal / text operators.
+
+
+def q_mcfadden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McFadden pseudo-R-squared for the logreg_quality fit (label<5
+    on the first four embedding dims, 8 grid-walk gradient steps):
+    1 - LL/LL0 against the base-rate null, both 6dp-rounded before
+    the ratio."""
+    from from_superset_to_clickhouse_spark.operators.mleval import (
+        mcfadden_r2,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    src = emb.select(
+        F.when(F.col("label") < 5, 1.0).otherwise(0.0).alias("y"),
+        *[
+            F.element_at("embedding", i).cast("double").alias(f"x{i}")
+            for i in range(1, 5)
+        ],
+    )
+    return mcfadden_r2(
+        src, "y", ["x1", "x2", "x3", "x4"], iters=8, lr=2.0
+    )
+
+
+def q_feature_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini / information-gain ranking of three categorical features
+    (event type, 6-hour slot, user mod-7) against the high-value
+    outcome — one stacked cell aggregate, fxp impurity terms."""
+    from from_superset_to_clickhouse_spark.operators.mleval import (
+        feature_gain,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    src = ev.select(
+        (F.col("value") > 50).cast("int").alias("y"),
+        F.col("event_type").alias("etype"),
+        (F.hour("ts") / 6).cast("int").cast("string").alias("slot"),
+        (F.col("user_id") % 7).cast("string").alias("umod"),
+    )
+    return feature_gain(src, "y", ["etype", "slot", "umod"])
+
+
+def q_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keltner channel (10-bar SMA of typical price, 2x SMA of
+    Wilder's true range) over per-event-type daily OHLC bars of the
+    value stream."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        keltner_channel,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    return keltner_channel(
+        ev, "event_type", "ts", "value", "event_id",
+        bar="1 day", period=10, mult=2.0,
+    )
+
+
+def q_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian 10-bar extreme channel with the turtle breakout flag
+    (close vs the PREVIOUS bar's bands) over the same daily OHLC
+    bars."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        donchian_channel,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    return donchian_channel(
+        ev, "event_type", "ts", "value", "event_id",
+        bar="1 day", period=10,
+    )
+
+
+def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-day rolling beta of each event type's daily mean value
+    against the all-events daily mean (the 'market'): exact
+    grid-floored frame sums, cov/var closed form."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        rolling_beta,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    g = lambda c: F.floor(c * 1048576.0) / 1048576.0  # noqa: E731
+    per = ev.groupBy(
+        F.col("event_type").alias("k"),
+        F.date_trunc("day", F.col("ts")).alias("d"),
+    ).agg(g(F.avg("value")).alias("v"))
+    mkt = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        g(F.avg("value")).alias("m")
+    )
+    src = per.join(mkt, "d")
+    return rolling_beta(src, "k", "d", "v", "m", period=10).select(
+        F.col("k"), F.col("d"), "beta", "corr"
+    )
+
+
+def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman seasonal/trend strength per event type over the same
+    planted-sawtooth series as seasonal_decomp: variance ratios of
+    the decomposition's components on full-trend rows only."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        seasonal_strength,
+    )
+
+    ev = _ev(spark, sf_dir)
+    src = ev.select(
+        "event_type",
+        "ts",
+        (
+            F.col("value")
+            + F.when(
+                F.col("event_type") == "view",
+                15.0 * (F.dayofmonth("ts") % 7),
+            ).otherwise(F.lit(0.0))
+        ).alias("v"),
+    )
+    return seasonal_strength(
+        src, "event_type", "ts", "v", bucket="1 day", period=7
+    )
+
+
+def _user_seq_r14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type sequences for the WER entry: ref = the
+    type tokens in (ts, event_id) order, cand = every 3rd token
+    (positions 0, 3, ...) replaced by the sentinel 'zz' — a bounded
+    ~6-word vocabulary so the oracle can replay the word-level edit
+    distance through single-byte codes."""
+    ev = _ev(spark, sf_dir)
+    seq = ev.groupBy(F.col("user_id").alias("u")).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("ts", "event_id", F.col("event_type").alias("t"))
+                )
+            ),
+            lambda s: s["t"],
+        ).alias("toks")
+    )
+    cand = F.transform(
+        F.col("toks"),
+        lambda x, i: F.when(i % 3 == 0, F.lit("zz")).otherwise(x),
+    )
+    return seq.select(
+        "u",
+        F.concat_ws(" ", cand).alias("cand"),
+        F.concat_ws(" ", F.col("toks")).alias("ref"),
+    )
+
+
+def q_wer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word error rate of the every-3rd-token-corrupted
+    per-user event sequences: word-level Levenshtein via the BMP
+    code-point encoding, total edits over total reference tokens."""
+    return txt.wer_corpus(
+        _user_seq_r14(spark, sf_dir), "cand", "ref", id_col="u"
+    )
+
+
+def q_ngram_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct/total char-4-gram compression proxy per document —
+    the SQL-able stand-in for gzip-ratio quality gating."""
+    return txt.ngram_compression_ratio(
+        _docs(spark, sf_dir), "text", "doc_id", n=4
+    )
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-token pairs over the documents corpus — the
+    candidate table of one BPE merge iteration, ties broken
+    deterministically."""
+    return txt.bpe_pair_stats(_docs(spark, sf_dir), "text", "doc_id", top_k=20)
+
+
+_R14_QUERIES.update({
+    "mcfadden": q_mcfadden,
+    "feature_gain": q_feature_gain,
+    "keltner": q_keltner,
+    "donchian": q_donchian,
+    "rolling_beta": q_rolling_beta,
+    "seasonal_strength": q_seasonal_strength,
+    "wer": q_wer,
+    "ngram_compression": q_ngram_compression,
+    "bpe_pairs": q_bpe_pairs,
+})
+
+_OHLC_GRID_R14 = """
+src AS (
+  SELECT event_type, ts, event_id,
+    floor(CAST(value AS DOUBLE) * 1048576.0) / 1048576.0 AS v
+  FROM events WHERE value IS NOT NULL
+), b AS (
+  SELECT event_type AS key, time_bucket(INTERVAL '1 day', ts) AS bucket_ts,
+    ts, event_id, v FROM src
+), o AS (
+  SELECT *, row_number() OVER (PARTITION BY key, bucket_ts
+      ORDER BY ts, event_id) AS rn_a,
+    row_number() OVER (PARTITION BY key, bucket_ts
+      ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM b
+), bars AS (
+  SELECT key, bucket_ts,
+    max(CASE WHEN rn_a = 1 THEN v END) AS open,
+    max(v) AS high, min(v) AS low,
+    max(CASE WHEN rn_d = 1 THEN v END) AS close
+  FROM o GROUP BY 1, 2
+)
+"""
+
+_R14_ORACLES.update({
+    "mcfadden": ("""
+-- The logreg_quality grid-walk fit plus the base-rate null LL; r2
+-- from the two 6dp-rounded losses.
+SELECT b.n, b.iters, b.log_loss, n0.log_loss_null,
+  round(CASE WHEN n0.log_loss_null > 0
+    THEN 1.0 - b.log_loss / n0.log_loss_null END, 6) AS mcfadden_r2
+FROM (""" + _logreg_oracle_sql(8, 2.0) + """) b, (
+  SELECT round(-(p * ln(p + 1e-12)
+    + (1.0 - p) * ln(1.0 - p + 1e-12)), 6) AS log_loss_null
+  FROM (SELECT floor(avg(CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END)
+      * 1048576.0) / 1048576.0 AS p FROM embeddings)
+) n0
+"""),
+    "feature_gain": ("""
+-- Same stacked cells, same fxp impurity terms.
+WITH src AS (
+  SELECT CAST(value > 50 AS INTEGER) AS y, event_type AS etype,
+    CAST(CAST(floor(date_part('hour', ts) / 6) AS INTEGER)
+      AS VARCHAR) AS slot,
+    CAST(user_id % 7 AS VARCHAR) AS umod
+  FROM events WHERE value IS NOT NULL
+), stacked AS (
+  SELECT 'etype' AS f, etype AS v, y FROM src
+  UNION ALL SELECT 'slot' AS f, slot AS v, y FROM src
+  UNION ALL SELECT 'umod' AS f, umod AS v, y FROM src
+), cells AS (
+  SELECT f, v, count(*) AS c, sum(y) AS p
+  FROM stacked WHERE v IS NOT NULL GROUP BY 1, 2
+), per AS (
+  SELECT f, sum(c) AS n, sum(p) AS np,
+    sum(CAST(floor(CAST(c AS DOUBLE)
+      * (2.0 * (CAST(p AS DOUBLE) / c) * (1.0 - CAST(p AS DOUBLE) / c))
+      * 1048576.0) AS BIGINT)) / 1048576.0 AS wg,
+    sum(CAST(floor(CAST(c AS DOUBLE)
+      * (-(CASE WHEN CAST(p AS DOUBLE) / c > 0
+          THEN (CAST(p AS DOUBLE) / c) * ln(CAST(p AS DOUBLE) / c)
+          ELSE 0.0 END
+        + CASE WHEN CAST(p AS DOUBLE) / c < 1
+          THEN (1.0 - CAST(p AS DOUBLE) / c)
+            * ln(1.0 - CAST(p AS DOUBLE) / c)
+          ELSE 0.0 END))
+      * 1048576.0) AS BIGINT)) / 1048576.0 AS we
+  FROM cells GROUP BY 1
+), fin AS (
+  SELECT f, n, CAST(np AS DOUBLE) / n AS pr, wg, we FROM per
+)
+SELECT f AS feature, CAST(n AS BIGINT) AS n,
+  round(2.0 * pr * (1.0 - pr), 6) AS gini_parent,
+  round(2.0 * pr * (1.0 - pr) - wg / CAST(n AS DOUBLE), 6)
+    AS gini_gain,
+  round(-(CASE WHEN pr > 0 THEN pr * ln(pr) ELSE 0.0 END
+      + CASE WHEN pr < 1 THEN (1.0 - pr) * ln(1.0 - pr)
+        ELSE 0.0 END)
+    - we / CAST(n AS DOUBLE), 6) AS info_gain
+FROM fin
+"""),
+    "keltner": ("""
+-- Same grid OHLC bars, same TR/typical windows.
+WITH """ + _OHLC_GRID_R14 + """
+, lt AS (
+  SELECT key, bucket_ts, high, low, close,
+    lag(close) OVER w AS pc,
+    floor((high + low + close) / 3.0 * 1048576.0) / 1048576.0 AS typ
+  FROM bars WINDOW w AS (PARTITION BY key ORDER BY bucket_ts)
+), trt AS (
+  SELECT key, bucket_ts, typ,
+    CASE WHEN pc IS NULL THEN high - low
+      ELSE greatest(high - low, abs(high - pc), abs(low - pc))
+    END AS tr
+  FROM lt
+), wnd AS (
+  SELECT key, bucket_ts,
+    count(typ) OVER f AS cnt, avg(typ) OVER f AS c, avg(tr) OVER f AS a
+  FROM trt WINDOW f AS (PARTITION BY key ORDER BY bucket_ts
+    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT key, bucket_ts,
+  round(CASE WHEN cnt >= 10 THEN c END, 6) AS center,
+  round(CASE WHEN cnt >= 10 THEN c + 2.0 * a END, 6) AS upper,
+  round(CASE WHEN cnt >= 10 THEN c - 2.0 * a END, 6) AS lower,
+  round(CASE WHEN cnt >= 10 THEN a END, 6) AS atr
+FROM wnd
+"""),
+    "donchian": ("""
+-- Same grid OHLC bars, trailing extremes, previous-band breakout.
+WITH """ + _OHLC_GRID_R14 + """
+, wnd AS (
+  SELECT key, bucket_ts, close,
+    count(high) OVER f AS cnt,
+    max(high) OVER f AS u, min(low) OVER f AS l
+  FROM bars WINDOW f AS (PARTITION BY key ORDER BY bucket_ts
+    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+), pl AS (
+  SELECT key, bucket_ts, close,
+    CASE WHEN cnt >= 10 THEN u END AS uu,
+    CASE WHEN cnt >= 10 THEN l END AS ll,
+    lag(CASE WHEN cnt >= 10 THEN u END) OVER w AS pu,
+    lag(CASE WHEN cnt >= 10 THEN l END) OVER w AS plo
+  FROM wnd WINDOW w AS (PARTITION BY key ORDER BY bucket_ts)
+)
+SELECT key, bucket_ts, round(uu, 6) AS upper, round(ll, 6) AS lower,
+  round((uu + ll) / 2.0, 6) AS mid,
+  CAST(CASE WHEN pu IS NOT NULL AND close > pu THEN 1
+    WHEN plo IS NOT NULL AND close < plo THEN -1 ELSE 0 END
+    AS INTEGER) AS breakout
+FROM pl
+"""),
+    "rolling_beta": ("""
+-- Same grid daily series, same floored frame products.
+WITH per AS (
+  SELECT event_type AS k, date_trunc('day', ts) AS d,
+    floor(avg(value) * 1048576.0) / 1048576.0 AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), mkt AS (
+  SELECT date_trunc('day', ts) AS d,
+    floor(avg(value) * 1048576.0) / 1048576.0 AS m
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), src AS (SELECT k, d, v, m FROM per JOIN mkt USING (d)),
+wnd AS (
+  SELECT k, d,
+    count(v) OVER f AS cnt,
+    sum(v) OVER f AS sv, sum(m) OVER f AS sm,
+    sum(CAST(floor(v * m * 1048576.0) AS BIGINT)) OVER f
+      / 1048576.0 AS svm,
+    sum(CAST(floor(m * m * 1048576.0) AS BIGINT)) OVER f
+      / 1048576.0 AS smm,
+    sum(CAST(floor(v * v * 1048576.0) AS BIGINT)) OVER f
+      / 1048576.0 AS svv
+  FROM src WINDOW f AS (PARTITION BY k ORDER BY d
+    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+), fin AS (
+  SELECT k, d, cnt,
+    svm - sv * sm / cnt AS cov,
+    smm - sm * sm / cnt AS varm,
+    svv - sv * sv / cnt AS varv
+  FROM wnd
+)
+SELECT k, d,
+  round(CASE WHEN cnt >= 10 AND varm > 0 THEN cov / varm END, 6)
+    AS beta,
+  round(CASE WHEN cnt >= 10 AND varm > 0 AND varv > 0
+    THEN cov / sqrt(varm * varv) END, 6) AS corr
+FROM fin
+"""),
+    "seasonal_strength": ("""
+-- The seasonal_decomp pipeline composed into Hyndman variance
+-- ratios over full-trend rows.
+WITH src AS (
+  SELECT event_type, ts,
+    value + CASE WHEN event_type = 'view'
+      THEN 15.0 * (date_part('day', ts) % 7) ELSE 0.0 END AS v
+  FROM events
+), b AS (
+  SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS bucket_ts,
+    avg(v) AS y
+  FROM src GROUP BY 1, 2
+), t AS (
+  SELECT event_type, bucket_ts, y,
+    (row_number() OVER w - 1) % 7 AS phase,
+    CASE WHEN count(y) OVER f = 7 THEN avg(y) OVER f END AS trend
+  FROM b WINDOW
+    w AS (PARTITION BY event_type ORDER BY bucket_ts),
+    f AS (PARTITION BY event_type ORDER BY bucket_ts
+      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), ph AS (
+  SELECT event_type, phase, avg(y - trend) AS sraw
+  FROM t GROUP BY 1, 2
+), ce AS (SELECT event_type, avg(sraw) AS soff FROM ph GROUP BY 1),
+se AS (
+  SELECT ph.event_type, phase, sraw - soff AS seas
+  FROM ph JOIN ce ON ph.event_type = ce.event_type
+), dec AS (
+  SELECT t.event_type AS key, round(y, 6) AS y6,
+    round(trend, 6) AS t6, round(seas, 6) AS s6,
+    round(y - trend - seas, 6) AS r6
+  FROM t JOIN se ON t.event_type = se.event_type
+    AND t.phase = se.phase
+  WHERE trend IS NOT NULL
+), q AS (
+  SELECT key, floor(r6 * 1048576.0) / 1048576.0 AS r,
+    floor((y6 - t6) * 1048576.0) / 1048576.0 AS dt,
+    floor((y6 - s6) * 1048576.0) / 1048576.0 AS ds
+  FROM dec
+), m AS (
+  SELECT key, count(*) AS n,
+    floor(avg(r) * 1048576.0) / 1048576.0 AS mr,
+    floor(avg(dt) * 1048576.0) / 1048576.0 AS mdt,
+    floor(avg(ds) * 1048576.0) / 1048576.0 AS mds
+  FROM q GROUP BY 1
+), s AS (
+  SELECT q.key, m.n,
+    sum(CAST(floor((r - mr) * (r - mr) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS vr,
+    sum(CAST(floor((dt - mdt) * (dt - mdt) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS vdt,
+    sum(CAST(floor((ds - mds) * (ds - mds) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS vds
+  FROM q JOIN m ON q.key = m.key GROUP BY 1, 2
+)
+SELECT key, CAST(n AS BIGINT) AS n,
+  round(CASE WHEN vdt > 0
+    THEN greatest(0.0, 1.0 - vr / vdt) END, 6) AS f_seasonal,
+  round(CASE WHEN vds > 0
+    THEN greatest(0.0, 1.0 - vr / vds) END, 6) AS f_trend
+FROM s
+"""),
+    "wer": ("""
+-- Word-level edit distance through single-byte codes (the 6-word
+-- vocabulary makes byte = codepoint = word distance; any injective
+-- code gives the same distance as the Spark BMP encoding).
+WITH seq AS (
+  SELECT user_id AS u, list(event_type ORDER BY ts, event_id) AS toks
+  FROM events GROUP BY 1
+), enc AS (
+  SELECT u,
+    list_aggregate(list_transform(
+      range(1, CAST(len(toks) AS INTEGER) + 1),
+      i -> CASE WHEN (i - 1) % 3 = 0 THEN 'z' ELSE
+        CASE toks[i] WHEN 'click' THEN 'c' WHEN 'signup' THEN 's'
+          WHEN 'error' THEN 'e' WHEN 'view' THEN 'v'
+          WHEN 'purchase' THEN 'p' ELSE 'x' END END),
+      'string_agg', '') AS ce,
+    list_aggregate(list_transform(
+      range(1, CAST(len(toks) AS INTEGER) + 1),
+      i -> CASE toks[i] WHEN 'click' THEN 'c' WHEN 'signup' THEN 's'
+        WHEN 'error' THEN 'e' WHEN 'view' THEN 'v'
+        WHEN 'purchase' THEN 'p' ELSE 'x' END),
+      'string_agg', '') AS re,
+    CAST(len(toks) AS BIGINT) AS rl
+  FROM seq
+), per AS (SELECT levenshtein(ce, re) AS d, rl FROM enc)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(sum(d) AS BIGINT) AS total_edits,
+  CAST(sum(rl) AS BIGINT) AS ref_tokens,
+  round(CASE WHEN sum(rl) > 0
+    THEN CAST(sum(d) AS DOUBLE) / sum(rl) END, 6) AS wer
+FROM per
+"""),
+    "ngram_compression": ("""
+-- Same codepoint 4-gram windows, exact counts.
+WITH src AS (SELECT doc_id, lower(text) AS s FROM documents),
+grams AS (
+  SELECT doc_id, substr(s, CAST(i AS INTEGER), 4) AS gram
+  FROM (SELECT doc_id, s,
+    unnest(range(1, CAST(length(s) AS INTEGER) - 2)) AS i FROM src)
+), per AS (
+  SELECT doc_id, count(*) AS tot, count(DISTINCT gram) AS dis
+  FROM grams GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(coalesce(p.tot, 0) AS BIGINT) AS n_grams,
+  CAST(coalesce(p.dis, 0) AS BIGINT) AS n_distinct,
+  round(CASE WHEN p.tot > 0
+    THEN CAST(p.dis AS DOUBLE) / p.tot END, 6) AS ratio
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+"""),
+    "bpe_pairs": ("""
+-- Same adjacent pairs, same (cnt desc, pair) deterministic rank.
+WITH toks AS (
+  SELECT doc_id, list_filter(
+    regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+    x -> x <> '') AS rt
+  FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(
+    range(1, CAST(len(rt) AS INTEGER)),
+    i -> {'l': rt[i], 'r': rt[i + 1]})) AS p
+  FROM toks
+), cnts AS (
+  SELECT p.l AS "left", p.r AS "right", count(*) AS cnt
+  FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
+), ranked AS (
+  SELECT *, row_number() OVER (
+    ORDER BY cnt DESC, "left", "right") AS rank
+  FROM cnts
+)
+SELECT CAST(rank AS INTEGER) AS rank, "left", "right",
+  CAST(cnt AS BIGINT) AS cnt
+FROM ranked WHERE rank <= 20
+"""),
+})

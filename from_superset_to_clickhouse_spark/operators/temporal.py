@@ -3596,7 +3596,16 @@ def keltner_channel(
             F.abs(F.col("low") - pc),
         )
     )
-    typ = (F.col("high") + F.col("low") + F.col("close")) / 3.0
+    # typical price divides by 3 (off-grid) — re-floor it so the
+    # trailing-window averages sum exact grid values in any frame
+    # iteration order (Spark recomputes frames, DuckDB segment-trees
+    # them; only exact terms make the two orders agree)
+    typ = (
+        F.floor(
+            (F.col("high") + F.col("low") + F.col("close")) / 3.0 * _Q2
+        )
+        / _Q2
+    )
     lt = bars.withColumn("_tr", tr).withColumn("_typ", typ)
     wf = w.rowsBetween(-(period - 1), 0)
     out = (
@@ -3703,13 +3712,18 @@ def rolling_beta(
         .orderBy("_o")
         .rowsBetween(-(period - 1), 0)
     )
+    # products of grid values live on the 2^-40 grid and exceed 2^53
+    # at metric scale — floor each product back onto the 2^-20 grid
+    # so the frame sums are exact integers (order-independent across
+    # engines' differing frame-iteration strategies)
+    fq = lambda e: F.sum(F.floor(e * _Q2)).over(wf) / _Q2  # noqa: E731
     out = (
         src.withColumn("_cnt", F.count("_v").over(wf))
         .withColumn("_sv", F.sum("_v").over(wf))
         .withColumn("_sm", F.sum("_m").over(wf))
-        .withColumn("_svm", F.sum(F.col("_v") * F.col("_m")).over(wf))
-        .withColumn("_smm", F.sum(F.col("_m") * F.col("_m")).over(wf))
-        .withColumn("_svv", F.sum(F.col("_v") * F.col("_v")).over(wf))
+        .withColumn("_svm", fq(F.col("_v") * F.col("_m")))
+        .withColumn("_smm", fq(F.col("_m") * F.col("_m")))
+        .withColumn("_svv", fq(F.col("_v") * F.col("_v")))
     )
     n = F.col("_cnt").cast("double")
     cov = F.col("_svm") - F.col("_sv") * F.col("_sm") / n
