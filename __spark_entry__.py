@@ -21696,3 +21696,96 @@ SELECT CAST(rank AS INTEGER) AS rank, "left", "right",
 FROM ranked WHERE rank <= 20
 """),
 })
+
+
+def q_pot_gpd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold GPD tail fit of event values above 300:
+    method-of-moments xi/beta on the grid-exact excesses plus the
+    fitted exceed-the-seen-max probability — the POT companion to
+    the gumbel_fit block-maxima entry."""
+    from from_superset_to_clickhouse_spark.operators.stats import pot_gpd
+
+    return pot_gpd(_ev(spark, sf_dir), "value", threshold=300.0)
+
+
+def q_atkinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality index (epsilon = 1) of positive order
+    totals — the welfare-weighted companion to the gini and lorenz
+    entries, geometric over arithmetic mean."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        atkinson_index,
+    )
+
+    return atkinson_index(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+_R14_QUERIES.update({
+    "pot_gpd": q_pot_gpd,
+    "atkinson": q_atkinson,
+})
+
+_R14_ORACLES.update({
+    "pot_gpd": ("""
+-- Same grid excesses, same MoM xi/beta, same tail closed form.
+WITH src AS (
+  SELECT floor((CAST(value AS DOUBLE) - 300.0) * 1048576.0)
+    / 1048576.0 AS e
+  FROM events
+), tot AS (
+  SELECT count(*) FILTER (e IS NOT NULL) AS n FROM src
+), exc AS (SELECT e FROM src WHERE e > 0),
+m AS (
+  SELECT count(*) AS k, floor(avg(e) * 1048576.0) / 1048576.0 AS mu,
+    max(e) AS seen
+  FROM exc
+), s AS (
+  SELECT k, mu, seen,
+    CAST(CAST(sum(CAST(floor((e - mu) * (e - mu) * 1048576.0)
+      AS BIGINT)) AS VARCHAR) AS DOUBLE) / 1048576.0 AS ss
+  FROM exc, m GROUP BY 1, 2, 3
+), f AS (
+  SELECT k, mu, seen,
+    CASE WHEN k > 1 THEN ss / (k - 1.0) END AS s2
+  FROM s
+), g AS (
+  SELECT k, mu, seen, s2, mu * mu / s2 AS r FROM f
+), h AS (
+  SELECT k, mu, seen, s2,
+    CASE WHEN s2 > 0 THEN (1.0 - r) / 2.0 END AS xi,
+    CASE WHEN s2 > 0 THEN mu * (1.0 + r) / 2.0 END AS beta
+  FROM g
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n,
+  CAST(k AS BIGINT) AS n_excess,
+  round(mu, 6) AS excess_mean,
+  round(sqrt(s2), 6) AS excess_sd,
+  round(xi, 6) AS xi, round(beta, 6) AS beta,
+  round(CASE
+    WHEN xi IS NOT NULL AND abs(xi) > 1e-9
+        AND 1.0 + xi * seen / beta > 0
+      THEN pow(1.0 + xi * seen / beta, -1.0 / xi)
+    WHEN xi IS NOT NULL AND abs(xi) <= 1e-9 THEN exp(-seen / beta)
+  END, 6) AS p_exceed_seen
+FROM h
+"""),
+    "atkinson": ("""
+-- Same grid values, same floored ln terms.
+WITH src AS (
+  SELECT v FROM (
+    SELECT floor(CAST(o_totalprice AS DOUBLE) * 1048576.0)
+      / 1048576.0 AS v
+    FROM orders
+  ) WHERE v > 0
+), agg AS (
+  SELECT count(*) AS n,
+    floor(avg(v) * 1048576.0) / 1048576.0 AS m,
+    sum(CAST(floor(ln(v) * 1048576.0) AS BIGINT)) / 1048576.0 AS sl
+  FROM src
+)
+SELECT CAST(n AS BIGINT) AS n, round(m, 6) AS mean,
+  round(exp(sl / n), 6) AS geo_mean,
+  round(CASE WHEN m > 0 THEN 1.0 - exp(sl / n) / m END, 6)
+    AS atkinson
+FROM agg
+"""),
+})

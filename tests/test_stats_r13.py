@@ -183,3 +183,42 @@ def test_granger_causal_vs_independent(spark):
         "d", "x", "y",
     ).collect()[0]
     assert ind["f_stat"] is None or ind["f_stat"] < 5
+
+
+def test_pot_gpd_exponential_tail(spark):
+    # exponential-ish excesses (mean ~= sd) -> xi near 0
+    vals = []
+    for i in range(500):
+        # threshold 10; excesses follow a geometric-like ladder
+        vals.append(10.0 + ((i * 37) % 97) / 10.0)
+    vals += [5.0] * 200  # below threshold
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = st.pot_gpd(df, "v", threshold=10.0).collect()[0]
+    assert r["n"] == 700
+    # excesses of exactly 0 (i*37%97==0) are excluded by e > 0
+    assert 480 <= r["n_excess"] <= 500
+    # uniform excesses on (0, 9.7): mean ~4.85, sd ~2.8 -> r ~3 ->
+    # xi = (1-3)/2 = -1 (bounded tail, correct for uniform); the
+    # largest excess sits AT the fitted upper bound, so the
+    # exceed-the-seen probability degenerates to NULL-or-tiny
+    assert r["xi"] < -0.5
+    assert r["p_exceed_seen"] is None or r["p_exceed_seen"] < 0.05
+
+
+def test_atkinson_equal_vs_skewed(spark):
+    eq = spark.createDataFrame([(10.0,)] * 50, "v double")
+    r = st.atkinson_index(eq, "v").collect()[0]
+    # floored ln terms bias the geometric mean down by ~1e-6
+    assert abs(r["atkinson"]) < 1e-5 and abs(r["geo_mean"] - 10.0) < 1e-4
+    sk = spark.createDataFrame(
+        [(1.0,)] * 49 + [(1000.0,)], "v double"
+    )
+    r2 = st.atkinson_index(sk, "v").collect()[0]
+    # arithmetic mean ~21, geometric mean ~1.15 -> A near 1
+    assert r2["atkinson"] > 0.9
+    # zero/negative values are excluded, not logged
+    mixed = spark.createDataFrame(
+        [(0.0,), (-5.0,), (10.0,), (10.0,)], "v double"
+    )
+    r3 = st.atkinson_index(mixed, "v").collect()[0]
+    assert r3["n"] == 2 and abs(r3["atkinson"]) < 1e-5
