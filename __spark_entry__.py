@@ -6702,15 +6702,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r13 window (positions 0-49), per VERDICT r12 item 1: the 12
         # -- post-window r11 entries (_R12_QUEUE_QUERIES, energy_dist..mcc)
         # -- + the 38 r12 additions (_R13_QUERIES, exact_substr..lorenz).
-        # -- _R14_QUERIES holds the r13 additions queued directly behind
-        # -- position 49, so the r14 window (positions 50-99) is exactly
-        # -- the r13 additions (capped at ≤50). R14 ROTATION (do this
+        # -- _R14_QUERIES holds the 20 r13 additions queued directly
+        # -- behind position 49 (positions 50-69). R14 ROTATION (do this
         # -- FIRST next round): move _R14_QUERIES above _R12_QUEUE_QUERIES
         # -- (the ORACLES dicts need no reorder — oracle_sql() is keyed,
         # -- only queries() order gates the window), dropping
-        # -- _R12_QUEUE_QUERIES + _R13_QUERIES into backfill; queue new
-        # -- r14 additions behind them and cap at ≤50 so the r15 window
-        # -- fills exactly.
+        # -- _R12_QUEUE_QUERIES + _R13_QUERIES into backfill; then queue
+        # -- r14 additions behind _R14_QUERIES and cap them at ≤30 so the
+        # -- r14 window (20 queued + ≤30 new) fills positions 50-99
+        # -- exactly.
         **_R12_QUEUE_QUERIES,
         **_R13_QUERIES,
         **_R14_QUERIES,
@@ -21788,4 +21788,190 @@ SELECT CAST(n AS BIGINT) AS n, round(m, 6) AS mean,
     AS atkinson
 FROM agg
 """),
+})
+
+
+def q_yuen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yuen 20%-trimmed-mean robust location test between the
+    user-parity arms of the event value stream — order-statistic trim
+    bounds, winsorized variances, Welch-style df."""
+    from from_superset_to_clickhouse_spark.operators.stats import yuen_t
+
+    ev = _ev(spark, sf_dir)
+    src = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("arm"),
+        F.col("value"),
+    )
+    return yuen_t(src, "value", "arm", trim=0.2)
+
+
+def q_imr_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart I-MR control summary of the raw value stream per
+    event type: center/MR-bar/2.66 limits and the exact out-of-
+    control count — the SPC companion to process_capability."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        imr_chart,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    return imr_chart(ev, "event_type", "ts", "value", "event_id")
+
+
+def q_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation of daily view-mean (driver x) against daily
+    purchase-mean (response y) at lags 0-5 — which shift explains the
+    purchase series best, the granger companion."""
+    from from_superset_to_clickhouse_spark.operators.temporal import ccf
+
+    ev = _ev(spark, sf_dir)
+    g = lambda c: F.floor(c * 1048576.0) / 1048576.0  # noqa: E731
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        g(
+            F.avg(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+            )
+        ).alias("y"),
+        g(
+            F.avg(F.when(F.col("event_type") == "view", F.col("value")))
+        ).alias("x"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    return ccf(daily, "d", "x", "y", max_lag=5)
+
+
+_R14_QUERIES.update({
+    "yuen": q_yuen,
+    "imr_chart": q_imr_chart,
+    "ccf": q_ccf,
+})
+
+_R14_ORACLES.update({
+    "yuen": ("""
+-- Same order-statistic trim bounds, winsorized clamp, grid sums.
+WITH src AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+    floor(CAST(value AS DOUBLE) * 1048576.0) / 1048576.0 AS v
+  FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT g, v,
+    row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+    count(*) OVER (PARTITION BY g) AS n,
+    CAST(floor(0.2 * count(*) OVER (PARTITION BY g)) AS BIGINT) AS gt
+  FROM src
+), lh AS (
+  SELECT g,
+    max(CASE WHEN rn = gt + 1 THEN v END) AS lo,
+    max(CASE WHEN rn = n - gt THEN v END) AS hi
+  FROM r GROUP BY 1
+), j AS (
+  SELECT r.g, r.v, r.rn, r.n, r.gt,
+    greatest(least(r.v, lh.hi), lh.lo) AS wv,
+    r.rn > r.gt AND r.rn <= r.n - r.gt AS kept
+  FROM r JOIN lh ON r.g = lh.g
+), sums AS (
+  SELECT g, max(n) AS n, max(gt) AS gt,
+    floor(sum(CASE WHEN kept THEN v * 1048576.0 END)
+      / CAST(max(n) - 2 * max(gt) AS DOUBLE)) / 1048576.0 AS tm,
+    floor(avg(wv * 1048576.0)) / 1048576.0 AS wm
+  FROM j GROUP BY 1
+), ssx AS (
+  SELECT j.g,
+    CAST(CAST(sum(CAST(floor((j.wv - s.wm) * (j.wv - s.wm)
+      * 1048576.0) AS BIGINT)) AS VARCHAR) AS DOUBLE)
+      / 1048576.0 AS ssw
+  FROM j JOIN sums s ON j.g = s.g GROUP BY 1
+), arm AS (
+  SELECT s.g, s.n, CAST(s.n - 2 * s.gt AS DOUBLE) AS h, s.tm,
+    (s.n - 1.0) * (x.ssw / (s.n - 1.0))
+      / (CAST(s.n - 2 * s.gt AS DOUBLE)
+        * (CAST(s.n - 2 * s.gt AS DOUBLE) - 1.0)) AS d
+  FROM sums s JOIN ssx x ON s.g = x.g
+), ab AS (
+  SELECT a.n AS na, b.n AS nb, a.h AS ha, b.h AS hb,
+    a.tm AS tma, b.tm AS tmb, a.d AS da, b.d AS db
+  FROM arm a, arm b WHERE a.g = 'a' AND b.g = 'b'
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  CAST(ha AS BIGINT) AS h_a, CAST(hb AS BIGINT) AS h_b,
+  round(tma, 6) AS tmean_a, round(tmb, 6) AS tmean_b,
+  round(CASE WHEN da + db > 0
+    THEN (tma - tmb) / sqrt(da + db) END, 6) AS t_stat,
+  round(CASE WHEN ha > 1 AND hb > 1 AND da + db > 0
+    THEN (da + db) * (da + db)
+      / (da * da / (ha - 1.0) + db * db / (hb - 1.0)) END, 6)
+    AS df_approx
+FROM ab
+"""),
+    "imr_chart": ("""
+-- Same keyed moving ranges, same 2.66 limits, exact out count.
+WITH src AS (
+  SELECT event_type AS key, ts, event_id,
+    floor(CAST(value AS DOUBLE) * 1048576.0) / 1048576.0 AS v
+  FROM events WHERE value IS NOT NULL
+), lagged AS (
+  SELECT key, v,
+    abs(v - lag(v) OVER (PARTITION BY key ORDER BY ts, event_id))
+      AS mr
+  FROM src
+), m AS (
+  SELECT key, count(*) AS n,
+    floor(avg(v) * 1048576.0) / 1048576.0 AS c,
+    floor(avg(mr) * 1048576.0) / 1048576.0 AS mrb
+  FROM lagged GROUP BY 1
+), lim AS (
+  SELECT key, n, c, mrb, c + 2.66 * mrb AS u, c - 2.66 * mrb AS l
+  FROM m
+)
+SELECT s.key, CAST(l.n AS BIGINT) AS n, round(l.c, 6) AS center,
+  round(l.mrb, 6) AS mr_bar, round(l.u, 6) AS ucl,
+  round(l.l, 6) AS lcl,
+  CAST(count(*) FILTER (s.v > l.u OR s.v < l.l) AS BIGINT) AS n_out
+FROM src s JOIN lim l ON s.key = l.key
+GROUP BY 1, 2, 3, 4, 5, 6
+"""),
+    "ccf": ("""
+-- Same daily series, same per-lag pairwise-complete grid moments.
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d,
+    floor(avg(CASE WHEN event_type = 'purchase' THEN value END)
+      * 1048576.0) / 1048576.0 AS y,
+    floor(avg(CASE WHEN event_type = 'view' THEN value END)
+      * 1048576.0) / 1048576.0 AS x
+  FROM events GROUP BY 1
+), ser AS (
+  SELECT d, x, y FROM daily WHERE x IS NOT NULL AND y IS NOT NULL
+), lagged AS (
+  SELECT d, x, y,
+""" + ",\n".join(
+        f"    lag(x, {k}) OVER (ORDER BY d) AS x{k}"
+        for k in range(1, 6)
+    ) + """
+  FROM ser
+)
+""" + "\nUNION ALL\n".join(
+        f"""SELECT {k} AS lag, CAST(n AS BIGINT) AS n,
+  round(CASE WHEN sxx > 0 AND syy > 0
+    THEN sxy / sqrt(sxx * syy) END, 6) AS ccf
+FROM (
+  SELECT count(*) AS n,
+    sum(CAST(floor((xx - mx) * (xx - mx) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS sxx,
+    sum(CAST(floor((y - my) * (y - my) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS syy,
+    sum(CAST(floor((xx - mx) * (y - my) * 1048576.0) AS BIGINT))
+      / 1048576.0 AS sxy
+  FROM (
+    SELECT {'x' if k == 0 else f'x{k}'} AS xx, y FROM lagged
+    WHERE {'x' if k == 0 else f'x{k}'} IS NOT NULL AND y IS NOT NULL
+  ) rows_, (
+    SELECT floor(avg({'x' if k == 0 else f'x{k}'}) * 1048576.0)
+        / 1048576.0 AS mx,
+      floor(avg(y) * 1048576.0) / 1048576.0 AS my
+    FROM lagged
+    WHERE {'x' if k == 0 else f'x{k}'} IS NOT NULL AND y IS NOT NULL
+  ) m
+)"""
+        for k in range(0, 6)
+    ) + "\n"),
 })

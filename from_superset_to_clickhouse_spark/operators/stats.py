@@ -6230,3 +6230,105 @@ def atkinson_index(df: DataFrame, value_col: str) -> DataFrame:
         F.round(gm, 6).alias("geo_mean"),
         F.round(a, 6).alias("atkinson"),
     )
+
+
+def yuen_t(
+    df: DataFrame,
+    value_col: str,
+    group_col,
+    trim: float = 0.2,
+) -> DataFrame:
+    """Yuen's trimmed-mean two-sample test → single row (n_a, n_b,
+    h_a, h_b, tmean_a, tmean_b, t_stat, df_approx): Welch's t on
+    ``trim``-fraction trimmed means with winsorized variances — the
+    robust location test that keeps near-normal power while shrugging
+    off the heavy tails that wreck the plain t (the standard
+    recommendation in Wilcox's robust-statistics texts). Arms are the
+    'a'/'b' levels of ``group_col`` (the ``cohens_d`` convention).
+    No p-value column: the t tail has no replayable closed form
+    (the ``welch_anova`` convention) — read t against t(df) critical
+    values.
+
+    One rank window per arm (order statistics give the trim bounds
+    exactly — no interpolation), winsorized clamp, then grid-exact
+    mean/variance sums. g = floor(trim·n) rows leave each tail;
+    h = n − 2g observations remain."""
+    side = group_col if isinstance(group_col, Column) else F.col(group_col)
+    src = df.select(
+        side.alias("_g"),
+        (F.floor(F.col(value_col).cast("double") * _Q) / _Q).alias("_v"),
+    ).filter(F.col("_v").isNotNull() & F.col("_g").isin("a", "b"))
+    w = Window.partitionBy("_g").orderBy("_v")
+    cnt = Window.partitionBy("_g")
+    r = (
+        src.withColumn("_r", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(cnt))
+        .withColumn("_gtrim", F.floor(F.lit(trim) * F.col("_n")))
+    )
+    lo_hi = r.groupBy("_g").agg(
+        F.max(F.when(F.col("_r") == F.col("_gtrim") + 1, F.col("_v"))).alias(
+            "_lo"
+        ),
+        F.max(
+            F.when(F.col("_r") == F.col("_n") - F.col("_gtrim"), F.col("_v"))
+        ).alias("_hi"),
+    )
+    j = r.join(F.broadcast(lo_hi), "_g")
+    wins = F.greatest(F.least(F.col("_v"), F.col("_hi")), F.col("_lo"))
+    kept = (F.col("_r") > F.col("_gtrim")) & (
+        F.col("_r") <= F.col("_n") - F.col("_gtrim")
+    )
+    sums = j.groupBy("_g").agg(
+        F.max("_n").alias("_na"),
+        F.max("_gtrim").alias("_gt"),
+        (
+            F.floor(
+                F.sum(F.when(kept, F.col("_v") * _Q)) / (
+                    F.max("_n") - 2 * F.max("_gtrim")
+                ).cast("double")
+            )
+            / _Q
+        ).alias("_tm"),
+        (F.floor(F.avg(wins * _Q)) / _Q).alias("_wm"),
+    )
+    j2 = j.join(F.broadcast(sums.select("_g", "_wm")), "_g")
+    dv = wins - F.col("_wm")
+    ss = j2.groupBy("_g").agg(_fx128(dv * dv).alias("_ssw"))
+    arm = sums.join(ss, "_g")
+    h = (F.col("_na") - 2 * F.col("_gt")).cast("double")
+    nn = F.col("_na").cast("double")
+    sw2 = F.when(nn > 1.0, F.col("_ssw") / (nn - 1.0))
+    d = (nn - 1.0) * sw2 / (h * (h - 1.0))
+    arm = arm.select(
+        "_g",
+        F.col("_na").alias("_n"),
+        h.alias("_h"),
+        F.col("_tm"),
+        d.alias("_d"),
+    )
+    a = arm.filter(F.col("_g") == "a")
+    b = arm.filter(F.col("_g") == "b").select(
+        *[F.col(c).alias(c + "b") for c in ("_n", "_h", "_tm", "_d")]
+    )
+    out = a.crossJoin(F.broadcast(b))
+    dsum = F.col("_d") + F.col("_db")
+    t = F.when(dsum > 0, (F.col("_tm") - F.col("_tmb")) / F.sqrt(dsum))
+    dfa = F.when(
+        (F.col("_h") > 1) & (F.col("_hb") > 1) & (dsum > 0),
+        dsum
+        * dsum
+        / (
+            F.col("_d") * F.col("_d") / (F.col("_h") - 1.0)
+            + F.col("_db") * F.col("_db") / (F.col("_hb") - 1.0)
+        ),
+    )
+    return out.select(
+        F.col("_n").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.col("_h").cast("long").alias("h_a"),
+        F.col("_hb").cast("long").alias("h_b"),
+        F.round("_tm", 6).alias("tmean_a"),
+        F.round("_tmb", 6).alias("tmean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dfa, 6).alias("df_approx"),
+    )

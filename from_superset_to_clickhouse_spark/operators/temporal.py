@@ -3809,3 +3809,123 @@ def seasonal_strength(
         F.round(fs, 6).alias("f_seasonal"),
         F.round(ft, 6).alias("f_trend"),
     )
+
+
+def imr_chart(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Shewhart individuals / moving-range control summary per key →
+    (key, n, center, mr_bar, ucl, lcl, n_out): center line = mean,
+    average moving range M̄R = mean |vₜ − vₜ₋₁|, control limits
+    center ± 2.66·M̄R (the d₂-based I-MR constant), and the exact
+    count of points outside the limits — the SPC companion to
+    ``process_capability`` for metric streams without rational
+    subgroups.
+
+    One keyed window (lag) + two grid-exact aggregates; the moving
+    ranges land on the 2^-20 grid (differences of grid values), so
+    every mean is an exact sum divided once."""
+    w = Window.partitionBy("key").orderBy("_ts", "_tb")
+    v = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    src = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("_ts"),
+        F.col(tiebreak_col).alias("_tb"),
+        v.alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    lagged = src.withColumn("_mr", F.abs(F.col("_v") - F.lag("_v").over(w)))
+    m = lagged.groupBy("key").agg(
+        F.count("*").alias("_n"),
+        (F.floor(F.avg("_v") * _Q2) / _Q2).alias("_c"),
+        (F.floor(F.avg("_mr") * _Q2) / _Q2).alias("_mrb"),
+    )
+    ucl = F.col("_c") + F.lit(2.66) * F.col("_mrb")
+    lcl = F.col("_c") - F.lit(2.66) * F.col("_mrb")
+    lim = m.select(
+        "key", "_n", "_c", "_mrb", ucl.alias("_u"), lcl.alias("_l")
+    )
+    out = (
+        src.join(F.broadcast(lim), "key")
+        .groupBy("key", "_n", "_c", "_mrb", "_u", "_l")
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("_v") > F.col("_u")) | (F.col("_v") < F.col("_l")),
+                    1,
+                )
+            ).alias("_out")
+        )
+    )
+    return out.select(
+        "key",
+        F.col("_n").cast("long").alias("n"),
+        F.round("_c", 6).alias("center"),
+        F.round("_mrb", 6).alias("mr_bar"),
+        F.round("_u", 6).alias("ucl"),
+        F.round("_l", 6).alias("lcl"),
+        F.col("_out").cast("long").alias("n_out"),
+    )
+
+
+def ccf(
+    df: DataFrame,
+    ts_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int = 5,
+) -> DataFrame:
+    """Cross-correlation function of two aligned series → one row per
+    lag k in 0..max_lag (lag, n, ccf): corr(x_{t−k}, y_t) — which
+    shifts of the driver series x best explain y, the exploratory
+    companion that tells ``granger_lag1`` WHICH lag to test. Input is
+    an already-bucketed (ts, x, y) series (the ``adf_test``
+    contract); the window sort is one pass producing all max_lag lag
+    columns.
+
+    Per lag: pairwise-complete rows, grid-floored means, floored
+    cross sums — every correlation is engine-exact before the 6dp
+    round."""
+    q = lambda c: F.floor(F.col(c).cast("double") * _Q2) / _Q2  # noqa: E731
+    w = Window.orderBy(ts_col)
+    src = df.select(
+        F.col(ts_col), q(x_col).alias("_x"), q(y_col).alias("_y")
+    )
+    for k in range(1, max_lag + 1):
+        src = src.withColumn(f"_x{k}", F.lag("_x", k).over(w))
+    outs = []
+    for k in range(0, max_lag + 1):
+        xk = F.col("_x") if k == 0 else F.col(f"_x{k}")
+        rows = src.filter(xk.isNotNull() & F.col("_y").isNotNull())
+        m = rows.agg(
+            F.count("*").alias("_n"),
+            (F.floor(F.avg(xk) * _Q2) / _Q2).alias("_mx"),
+            (F.floor(F.avg("_y") * _Q2) / _Q2).alias("_my"),
+        )
+        c = rows.crossJoin(F.broadcast(m))
+        dx = xk - F.col("_mx")
+        dy = F.col("_y") - F.col("_my")
+        fx = lambda e: F.sum(F.floor(e * _Q2)) / _Q2  # noqa: E731
+        s = c.groupBy("_n").agg(
+            fx(dx * dx).alias("_sxx"),
+            fx(dy * dy).alias("_syy"),
+            fx(dx * dy).alias("_sxy"),
+        )
+        r = F.when(
+            (F.col("_sxx") > 0) & (F.col("_syy") > 0),
+            F.col("_sxy") / F.sqrt(F.col("_sxx") * F.col("_syy")),
+        )
+        outs.append(
+            s.select(
+                F.lit(k).alias("lag"),
+                F.col("_n").cast("long").alias("n"),
+                F.round(r, 6).alias("ccf"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

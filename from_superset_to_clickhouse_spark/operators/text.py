@@ -3129,9 +3129,10 @@ def bpe_pair_stats(
     rank deterministically by (cnt desc, left, right).
 
     Pairs via posexplode + one lead() per doc partition (codegen);
-    one map-side-combined pair count; the rank window runs over the
-    top-k-bounded candidate table only after a cheap cnt >= 2
-    prefilter."""
+    one map-side-combined pair count. The top-k cut is a distributed
+    TakeOrdered (orderBy + limit — per-partition heaps, never a
+    single-partition sort of the corpus-scale pair table); only the
+    k surviving rows pass through the rank window."""
     tok = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(word_tokens(F.col(text_col))).alias("pos", "t0"),
@@ -3144,13 +3145,12 @@ def bpe_pair_stats(
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= 2)
     )
+    top = pairs.orderBy(
+        F.col("cnt").desc(), F.col("left"), F.col("right")
+    ).limit(top_k)
     wr = Window.orderBy(
         F.col("cnt").desc(), F.col("left"), F.col("right")
     )
-    return (
-        pairs.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= top_k)
-        .select(
-            "rank", "left", "right", F.col("cnt").cast("long").alias("cnt")
-        )
+    return top.withColumn("rank", F.row_number().over(wr)).select(
+        "rank", "left", "right", F.col("cnt").cast("long").alias("cnt")
     )

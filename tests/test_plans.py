@@ -613,3 +613,32 @@ def test_r12_broadcast_design_gates(spark, qmap):
     assert "CartesianProduct" not in pip
     es = _plan(qmap["exact_substr"](spark, SF))
     assert "CartesianProduct" not in es
+
+
+def test_r13_additions_plan_gates(spark, qmap):
+    """Scale gates for the 20 round-13 additions: no cartesian
+    product, no row-at-a-time Python anywhere. SinglePartition
+    exchanges are allowed only for single-row scalar statistics
+    (agreement/diagnostic tests, tail fits, the corpus WER scalar)
+    and the bounded global windows of the established disciplines
+    (hodges_lehmann's Walsh table over a ~30-point contract-bounded
+    series, nelson_aalen's distinct-lifetime curve, granger's
+    single-series lag window) — per-key channel/beta/strength tables,
+    the per-feature gain table, per-doc compression ratios and the
+    TakeOrdered bpe top-k stay fully partitioned."""
+    scalar_or_bounded = {
+        "hodges_lehmann", "bland_altman", "nelson_aalen", "c_index",
+        "process_capability", "icc", "breusch_pagan", "chow",
+        "granger", "mcfadden", "wer", "pot_gpd", "atkinson",
+        "bpe_pairs", "yuen", "ccf",
+    }
+    partitioned = [
+        "feature_gain", "keltner", "donchian", "rolling_beta",
+        "seasonal_strength", "ngram_compression", "imr_chart",
+    ]
+    for name in sorted(scalar_or_bounded) + partitioned:
+        plan = _plan(qmap[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        if name in partitioned:
+            assert "SinglePartition" not in plan, name

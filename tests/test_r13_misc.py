@@ -183,3 +183,64 @@ def test_bpe_pair_stats_known(spark):
     assert (by_rank[2]["left"], by_rank[2]["right"]) == ("york", "new")
     assert by_rank[2]["cnt"] == 2
     assert len(out) == 2
+
+
+def test_yuen_trimmed_outlier_immunity(spark):
+    from from_superset_to_clickhouse_spark.operators import stats as st
+
+    # arm a centered 10, arm b centered 12 with two monster outliers
+    # in a: the trimmed test still sees the location difference
+    rows = []
+    for i in range(50):
+        rows.append(("a", 10.0 + (i % 5) / 10.0))
+        rows.append(("b", 12.0 + (i % 5) / 10.0))
+    rows += [("a", 1e6), ("a", -1e6)]
+    df = spark.createDataFrame(rows, "arm string, v double")
+    r = st.yuen_t(df, "v", "arm", trim=0.2).collect()[0]
+    assert r["n_a"] == 52 and r["n_b"] == 50
+    assert r["h_a"] == 52 - 2 * 10 and r["h_b"] == 30
+    assert abs(r["tmean_a"] - r["tmean_b"] + 2.0) < 0.1
+    assert r["t_stat"] < -20  # decisive despite the outliers
+    assert r["df_approx"] is not None and r["df_approx"] > 10
+
+
+def test_imr_chart_flags_spike(spark):
+    import datetime as dt
+
+    from from_superset_to_clickhouse_spark.operators import temporal as tp
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [10.0, 10.2, 9.8, 10.1, 9.9] * 8 + [50.0]
+    rows = [
+        ("g", base + dt.timedelta(hours=i), i, v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid long, v double")
+    r = tp.imr_chart(df, "k", "ts", "v", "eid").collect()[0]
+    assert r["n"] == 41
+    assert r["n_out"] == 1  # only the spike escapes the 2.66 MR band
+    assert r["ucl"] > 10.0 > r["lcl"]
+
+
+def test_ccf_known_lag(spark):
+    import datetime as dt
+
+    from from_superset_to_clickhouse_spark.operators import temporal as tp
+
+    base = dt.datetime(2024, 1, 1)
+    xs = [float((i * 7) % 13) for i in range(40)]
+    # y_t = x_{t-2} + tiny noise -> ccf peaks at lag 2
+    rows = []
+    for i in range(2, 40):
+        rows.append(
+            (
+                base + dt.timedelta(days=i),
+                xs[i],
+                xs[i - 2] + (0.01 if i % 2 else -0.01),
+            )
+        )
+    df = spark.createDataFrame(rows, "d timestamp, x double, y double")
+    out = {r["lag"]: r for r in tp.ccf(df, "d", "x", "y", max_lag=3).collect()}
+    assert out[2]["ccf"] > 0.99
+    assert abs(out[0]["ccf"]) < 0.6 and abs(out[1]["ccf"]) < 0.6
+    assert out[3]["n"] == out[0]["n"] - 3
