@@ -187,6 +187,19 @@ HEADLINE = [
     "bleu",
     "sax",
     "point_in_poly",
+    # round-13 additions: corpus WER (vocab code-point join + native
+    # levenshtein over per-user sequences), Harrell c-index (bounded
+    # pair expansion), Breusch-Pagan (two full-fact grid passes +
+    # 128-bit integer aux moments), per-doc char-4-gram compression
+    # proxy (the heaviest per-doc gram window), Keltner channel
+    # (OHLC bars + TR/typical trailing windows), and the stacked
+    # 3-feature Gini/info-gain ranking
+    "wer",
+    "c_index",
+    "breusch_pagan",
+    "ngram_compression",
+    "keltner",
+    "feature_gain",
 ]
 
 # ANN is measured on a deterministic query slice (vec_id < ANN_QUERIES)
