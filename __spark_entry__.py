@@ -21975,3 +21975,183 @@ FROM (
         for k in range(0, 6)
     ) + "\n"),
 })
+
+
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script/class census per document (latin/digit/space/
+    CJK/cyrillic/other fractions) — the mojibake and script-routing
+    gate, pure regexp-strip codegen."""
+    return txt.script_profile(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the true duplicate
+    population from two prefix-key dup detectors (40-char vs 80-char
+    lowercase prefixes) — 'how many dups are BOTH methods missing'."""
+    from from_superset_to_clickhouse_spark.operators.text import (
+        capture_recapture,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.lower(F.col("text")).alias("_t")
+    )
+    wa = Window.partitionBy(F.substring(F.col("_t"), 1, 40))
+    wb = Window.partitionBy(F.substring(F.col("_t"), 1, 80))
+    flagged = d.select(
+        (F.count("*").over(wa) > 1).alias("fa"),
+        (F.count("*").over(wb) > 1).alias("fb"),
+    )
+    return capture_recapture(flagged, "fa", "fb")
+
+
+def q_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute p-chart of the daily high-value defect rate
+    (value > 100) per event type: binomial 3-sigma limits around the
+    pooled rate, exact out-of-control bucket counts."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        p_chart,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    src = ev.select(
+        "event_type", "ts", (F.col("value") > 100).alias("defect")
+    )
+    return p_chart(src, "event_type", "ts", "defect", bucket="1 day")
+
+
+def q_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel rolling-median despike census of the raw value stream
+    per event type (7-point neighborhoods, 3 robust sigmas) — the
+    local-outlier companion to the global mad_outliers entry."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        hampel_outliers,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    return hampel_outliers(
+        ev, "event_type", "ts", "value", "event_id", window=7, k=3.0
+    )
+
+
+_R14_QUERIES.update({
+    "script_profile": q_script_profile,
+    "capture_recapture": q_capture_recapture,
+    "p_chart": q_p_chart,
+    "hampel": q_hampel,
+})
+
+_R14_ORACLES.update({
+    "script_profile": ("""
+-- Same strip-and-diff class counts (explicit whitespace class; both
+-- regex engines treat the listed ranges identically).
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+  round(CASE WHEN n > 0 THEN (n - length(regexp_replace(text,
+    '[A-Za-z]', '', 'g'))) / CAST(n AS DOUBLE) END, 6) AS latin_frac,
+  round(CASE WHEN n > 0 THEN (n - length(regexp_replace(text,
+    '[0-9]', '', 'g'))) / CAST(n AS DOUBLE) END, 6) AS digit_frac,
+  round(CASE WHEN n > 0 THEN (n - length(regexp_replace(text,
+    '[ \t\n\r\f]', '', 'g'))) / CAST(n AS DOUBLE) END, 6)
+    AS space_frac,
+  round(CASE WHEN n > 0 THEN (n - length(regexp_replace(text,
+    '[一-鿿]', '', 'g'))) / CAST(n AS DOUBLE) END, 6) AS cjk_frac,
+  round(CASE WHEN n > 0 THEN (n - length(regexp_replace(text,
+    '[Ѐ-ӿ]', '', 'g'))) / CAST(n AS DOUBLE) END, 6)
+    AS cyrillic_frac,
+  round(CASE WHEN n > 0 THEN (n
+    - (n - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+    - (n - length(regexp_replace(text, '[0-9]', '', 'g')))
+    - (n - length(regexp_replace(text, '[ \t\n\r\f]', '', 'g')))
+    - (n - length(regexp_replace(text, '[一-鿿]', '', 'g')))
+    - (n - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g'))))
+    / CAST(n AS DOUBLE) END, 6) AS other_frac
+FROM d
+"""),
+    "capture_recapture": ("""
+-- Same prefix-dup flags, exact Chapman arithmetic.
+WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+f AS (
+  SELECT count(*) OVER (PARTITION BY substr(t, 1, 40)) > 1 AS fa,
+    count(*) OVER (PARTITION BY substr(t, 1, 80)) > 1 AS fb
+  FROM d
+), agg AS (
+  SELECT count(*) AS n,
+    count(*) FILTER (fa) AS na,
+    count(*) FILTER (fb) AS nb,
+    count(*) FILTER (fa AND fb) AS m
+  FROM f
+), c AS (
+  SELECT n, na, nb, m,
+    CAST(na + 1 AS DOUBLE) * CAST(nb + 1 AS DOUBLE)
+      / CAST(m + 1 AS DOUBLE) - 1.0 AS chap
+  FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(na AS BIGINT) AS n_a,
+  CAST(nb AS BIGINT) AS n_b, CAST(m AS BIGINT) AS n_both,
+  round(chap, 6) AS chapman,
+  round(CASE WHEN chap > 0 THEN na / chap END, 6) AS coverage_a,
+  round(CASE WHEN chap > 0 THEN nb / chap END, 6) AS coverage_b
+FROM c
+"""),
+    "p_chart": ("""
+-- Same daily defect buckets, same binomial limits.
+WITH src AS (
+  SELECT event_type AS key, time_bucket(INTERVAL '1 day', ts) AS w,
+    CAST(value > 100 AS INTEGER) AS f
+  FROM events WHERE value IS NOT NULL
+), per AS (
+  SELECT key, w, count(*) AS ni, sum(f) AS di
+  FROM src GROUP BY 1, 2
+), tot AS (
+  SELECT key, count(*) AS nb, sum(ni) AS n, sum(di) AS d
+  FROM per GROUP BY 1
+), lim AS (
+  SELECT key, nb, n, CAST(d AS DOUBLE) / n AS pb FROM tot
+), j AS (
+  SELECT p.key, l.nb, l.n, l.pb,
+    CAST(p.di AS DOUBLE) / p.ni AS pi,
+    least(l.pb + 3.0 * sqrt(l.pb * (1.0 - l.pb)
+      / CAST(p.ni AS DOUBLE)), 1.0) AS ucl,
+    greatest(l.pb - 3.0 * sqrt(l.pb * (1.0 - l.pb)
+      / CAST(p.ni AS DOUBLE)), 0.0) AS lcl
+  FROM per p JOIN lim l ON p.key = l.key
+)
+SELECT key, CAST(nb AS BIGINT) AS n_buckets,
+  CAST(n AS BIGINT) AS n_total, round(pb, 6) AS p_bar,
+  CAST(count(*) FILTER (pi > ucl OR pi < lcl) AS BIGINT) AS n_out
+FROM j GROUP BY 1, 2, 3, 4
+"""),
+    "hampel": ("""
+-- Same centered 7-point frames, exact order-statistic median/MAD.
+WITH src AS (
+  SELECT event_type AS key, ts, event_id,
+    floor(CAST(value AS DOUBLE) * 1048576.0) / 1048576.0 AS v
+  FROM events WHERE value IS NOT NULL
+), fr AS (
+  SELECT key, v,
+    list_sort(list(v) OVER (PARTITION BY key ORDER BY ts, event_id
+      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS a
+  FROM src
+), md AS (
+  SELECT key, v, a,
+    (a[CAST(floor((len(a) + 1) / 2.0) AS INTEGER)]
+      + a[CAST(floor(len(a) / 2.0) AS INTEGER) + 1]) / 2.0 AS med
+  FROM fr
+), dv AS (
+  SELECT key, v, med,
+    list_sort(list_transform(a, x -> abs(x - med))) AS da
+  FROM md
+), mad AS (
+  SELECT key, v, med,
+    (da[CAST(floor((len(da) + 1) / 2.0) AS INTEGER)]
+      + da[CAST(floor(len(da) / 2.0) AS INTEGER) + 1]) / 2.0 AS mad
+  FROM dv
+)
+SELECT key, CAST(count(*) AS BIGINT) AS n,
+  CAST(count(*) FILTER (abs(v - med) > 3.0 * 1.4826 * mad)
+    AS BIGINT) AS n_flagged,
+  round(count(*) FILTER (abs(v - med) > 3.0 * 1.4826 * mad)
+    / CAST(count(*) AS DOUBLE), 6) AS flagged_frac
+FROM mad GROUP BY 1
+"""),
+})

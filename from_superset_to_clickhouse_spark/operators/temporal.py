@@ -3929,3 +3929,116 @@ def ccf(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def p_chart(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    flag_col: str,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Shewhart p-chart (attribute control) summary per key → (key,
+    n_buckets, n_total, p_bar, n_out): bucket the boolean defect flag
+    into subgroups, center line p̄ = total defects / total n, per-
+    bucket 3σ binomial limits p̄ ± 3·√(p̄(1−p̄)/nᵢ) (clamped to
+    [0, 1]), and the exact count of out-of-control buckets — the
+    attribute-data sibling of ``imr_chart`` for error/defect rates.
+
+    Two aggregates (bucket proportions, then the center line joined
+    back broadcast); every proportion is an exact integer ratio and
+    the limits are IEEE expressions of those exact ratios."""
+    src = df.select(
+        F.col(key_col).alias("key"),
+        F.window(F.col(ts_col), bucket).alias("_w"),
+        F.col(flag_col).cast("int").alias("_f"),
+    ).filter(F.col("_f").isNotNull())
+    per = src.groupBy("key", "_w").agg(
+        F.count("*").alias("_ni"), F.sum("_f").alias("_di")
+    )
+    tot = per.groupBy("key").agg(
+        F.count("*").alias("_nb"),
+        F.sum("_ni").alias("_n"),
+        F.sum("_di").alias("_d"),
+    )
+    pb = F.col("_d").cast("double") / F.col("_n")
+    lim = tot.select(
+        "key", "_nb", "_n", pb.alias("_pb")
+    )
+    j = per.join(F.broadcast(lim), "key")
+    se = F.sqrt(
+        F.col("_pb") * (1.0 - F.col("_pb")) / F.col("_ni").cast("double")
+    )
+    ucl = F.least(F.col("_pb") + 3.0 * se, F.lit(1.0))
+    lcl = F.greatest(F.col("_pb") - 3.0 * se, F.lit(0.0))
+    pi = F.col("_di").cast("double") / F.col("_ni")
+    out = j.groupBy("key", "_nb", "_n", "_pb").agg(
+        F.count(F.when((pi > ucl) | (pi < lcl), 1)).alias("_out")
+    )
+    return out.select(
+        "key",
+        F.col("_nb").cast("long").alias("n_buckets"),
+        F.col("_n").cast("long").alias("n_total"),
+        F.round("_pb", 6).alias("p_bar"),
+        F.col("_out").cast("long").alias("n_out"),
+    )
+
+
+def hampel_outliers(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    window: int = 7,
+    k: float = 3.0,
+) -> DataFrame:
+    """Hampel filter outlier census per key → (key, n, n_flagged,
+    flagged_frac): a point is flagged when it sits more than
+    k·1.4826·MAD away from the rolling median of its ``window``-point
+    centered neighborhood — the robust despike detector that, unlike
+    global ``mad_outliers``, survives level shifts and trends (each
+    point is judged against its LOCAL neighborhood).
+
+    One keyed window collects the centered frame as an array of grid
+    values; median and MAD are exact order statistics of the sorted
+    (≤ window+1)-element arrays — tiny interpreted transforms over
+    bounded arrays, never over the corpus. Engine-exact: grid values,
+    half-grid medians, IEEE thresholds of exact inputs."""
+    v = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    src = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("_ts"),
+        F.col(tiebreak_col).alias("_tb"),
+        v.alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    half = window // 2
+    w = (
+        Window.partitionBy("key")
+        .orderBy("_ts", "_tb")
+        .rowsBetween(-half, half)
+    )
+    arr = F.array_sort(F.collect_list("_v").over(w))
+
+    def med(a):
+        m = F.size(a)
+        lo = F.element_at(a, ((m + 1) / 2).cast("int"))
+        hi = F.element_at(a, (m / 2 + 1).cast("int"))
+        return (lo + hi) / 2.0
+
+    rows = src.withColumn("_arr", arr)
+    rows = rows.withColumn("_med", med(F.col("_arr")))
+    dev = F.array_sort(
+        F.transform(F.col("_arr"), lambda x: F.abs(x - F.col("_med")))
+    )
+    rows = rows.withColumn("_mad", med(dev))
+    flag = F.abs(F.col("_v") - F.col("_med")) > F.lit(k) * F.lit(
+        1.4826
+    ) * F.col("_mad")
+    return rows.groupBy("key").agg(
+        F.count("*").cast("long").alias("n"),
+        F.count(F.when(flag, 1)).cast("long").alias("n_flagged"),
+        F.round(
+            F.count(F.when(flag, 1)) / F.count("*").cast("double"), 6
+        ).alias("flagged_frac"),
+    )

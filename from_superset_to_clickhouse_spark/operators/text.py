@@ -3154,3 +3154,90 @@ def bpe_pair_stats(
     return top.withColumn("rank", F.row_number().over(wr)).select(
         "rank", "left", "right", F.col("cnt").cast("long").alias("cnt")
     )
+
+
+def script_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document script/character-class profile → (doc_id,
+    n_chars, latin_frac, digit_frac, space_frac, cjk_frac,
+    cyrillic_frac, other_frac): the unicode-block census behind
+    script-level language routing and mojibake/garbage gates (a
+    'en' doc that is 40% CJK is mislabeled or corrupted; a doc that
+    is 30% 'other' is usually binary junk). Complements the n-gram
+    ``lang_id`` heuristic, which assumes the script is already known.
+
+    Pure codegen — each class count is length(text) minus the length
+    with that class stripped (one regexp_replace per class, no
+    per-char explode), all exact integer ratios."""
+    text = F.col(text_col)
+    n = F.length(text)
+
+    def cls(pattern):
+        return n - F.length(F.regexp_replace(text, pattern, ""))
+
+    latin = cls(r"[A-Za-z]")
+    digit = cls(r"[0-9]")
+    # explicit class: Java \s includes \x0B, RE2's does not — spell
+    # the set out so the SQL twin matches byte for byte
+    space = cls("[ \t\n\r\f]")
+    cjk = cls(r"[一-鿿]")
+    cyr = cls(r"[Ѐ-ӿ]")
+    other = n - latin - digit - space - cjk - cyr
+    frac = lambda c: F.round(  # noqa: E731
+        F.when(n > 0, c.cast("double") / n), 6
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_chars"),
+        frac(latin).alias("latin_frac"),
+        frac(digit).alias("digit_frac"),
+        frac(space).alias("space_frac"),
+        frac(cjk).alias("cjk_frac"),
+        frac(cyr).alias("cyrillic_frac"),
+        frac(other).alias("other_frac"),
+    )
+
+
+def capture_recapture(
+    df: DataFrame, flag_a_col: str, flag_b_col: str
+) -> DataFrame:
+    """Chapman capture-recapture estimate of an undercounted
+    population → single row (n, n_a, n_b, n_both, chapman, coverage_a,
+    coverage_b): treat two independent detectors (two dedup methods,
+    two PII filters, two quality gates) as capture samples; the
+    bias-corrected Chapman estimator N̂ = (n_a+1)(n_b+1)/(m+1) − 1
+    says how many TRUE positives exist beyond what either detector
+    flagged, and coverage_x = n_x/N̂ is each detector's recall
+    estimate — the standard 'how much dup/PII mass are we missing'
+    audit.
+
+    One conditional-count aggregate; the estimator is exact integer
+    arithmetic divided once."""
+    a = F.col(flag_a_col).cast("boolean")
+    b = F.col(flag_b_col).cast("boolean")
+    agg = df.agg(
+        F.count("*").alias("_n"),
+        F.count(F.when(a, 1)).alias("_na"),
+        F.count(F.when(b, 1)).alias("_nb"),
+        F.count(F.when(a & b, 1)).alias("_m"),
+    )
+    chap = (
+        (F.col("_na") + 1).cast("double")
+        * (F.col("_nb") + 1).cast("double")
+        / (F.col("_m") + 1).cast("double")
+        - 1.0
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.col("_m").cast("long").alias("n_both"),
+        F.round(chap, 6).alias("chapman"),
+        F.round(
+            F.when(chap > 0, F.col("_na") / chap), 6
+        ).alias("coverage_a"),
+        F.round(
+            F.when(chap > 0, F.col("_nb") / chap), 6
+        ).alias("coverage_b"),
+    )

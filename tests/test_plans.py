@@ -630,11 +630,12 @@ def test_r13_additions_plan_gates(spark, qmap):
         "hodges_lehmann", "bland_altman", "nelson_aalen", "c_index",
         "process_capability", "icc", "breusch_pagan", "chow",
         "granger", "mcfadden", "wer", "pot_gpd", "atkinson",
-        "bpe_pairs", "yuen", "ccf",
+        "bpe_pairs", "yuen", "ccf", "capture_recapture",
     }
     partitioned = [
         "feature_gain", "keltner", "donchian", "rolling_beta",
         "seasonal_strength", "ngram_compression", "imr_chart",
+        "script_profile", "p_chart", "hampel",
     ]
     for name in sorted(scalar_or_bounded) + partitioned:
         plan = _plan(qmap[name](spark, SF))

@@ -244,3 +244,80 @@ def test_ccf_known_lag(spark):
     assert out[2]["ccf"] > 0.99
     assert abs(out[0]["ccf"]) < 0.6 and abs(out[1]["ccf"]) < 0.6
     assert out[3]["n"] == out[0]["n"] - 3
+
+
+def test_script_profile_mixed_scripts(spark):
+    rows = [
+        (1, "hello world 123"),
+        (2, "привет мир"),
+        (3, "你好世界"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in txt.script_profile(df).collect()}
+    # doc1: 10 latin, 3 digit, 2 space of 15
+    assert out[1]["n_chars"] == 15
+    assert abs(out[1]["latin_frac"] - 10 / 15) < 1e-6
+    assert abs(out[1]["digit_frac"] - 3 / 15) < 1e-6
+    assert out[1]["cjk_frac"] == 0.0 and out[1]["other_frac"] == 0.0
+    assert abs(out[2]["cyrillic_frac"] - 9 / 10) < 1e-6
+    assert out[3]["cjk_frac"] == 1.0
+    assert out[4]["latin_frac"] is None  # empty doc -> NULLs
+
+
+def test_capture_recapture_known(spark):
+    # 100 rows; A flags 40, B flags 30, both flag 20
+    rows = [
+        (i < 40, 10 <= i < 40 or i >= 90) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "fa boolean, fb boolean")
+    r = txt.capture_recapture(df, "fa", "fb").collect()[0]
+    assert (r["n_a"], r["n_b"], r["n_both"]) == (40, 40, 30)
+    chap = 41 * 41 / 31 - 1
+    assert abs(r["chapman"] - chap) < 1e-4
+    assert abs(r["coverage_a"] - 40 / chap) < 1e-4
+
+
+def test_p_chart_shifted_bucket(spark):
+    import datetime as dt
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        p_chart,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for day in range(10):
+        for i in range(200):
+            # baseline 10% defects; day 7 surges to 50%
+            bad = (i % 10 == 0) if day != 7 else (i % 2 == 0)
+            rows.append(
+                ("g", base + dt.timedelta(days=day, minutes=i), bad)
+            )
+    df = spark.createDataFrame(rows, "k string, ts timestamp, f boolean")
+    r = p_chart(df, "k", "ts", "f", bucket="1 day").collect()[0]
+    assert r["n_buckets"] == 10 and r["n_total"] == 2000
+    assert abs(r["p_bar"] - (9 * 20 + 100) / 2000.0) < 1e-6
+    assert r["n_out"] == 1  # only the surge day escapes the limits
+
+
+def test_hampel_local_vs_global(spark):
+    import datetime as dt
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        hampel_outliers,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    # rising staircase with one local spike: a GLOBAL MAD gate would
+    # flag the whole top of the ramp; Hampel flags only the spike
+    vals = [float(i) + (i % 3) * 0.1 for i in range(40)]
+    vals[20] = 200.0
+    rows = [
+        ("g", base + dt.timedelta(hours=i), i, v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid long, v double")
+    r = hampel_outliers(df, "k", "ts", "v", "eid", window=7, k=3.0).collect()[0]
+    assert r["n"] == 40
+    assert r["n_flagged"] == 1
