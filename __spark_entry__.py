@@ -6699,21 +6699,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and push driver-green entries down into backfill. Cap additions per
     # round so (queued + new) ≤ 50 fills the next window exactly.
     return {
-        # -- r13 window (positions 0-49), per VERDICT r12 item 1: the 12
-        # -- post-window r11 entries (_R12_QUEUE_QUERIES, energy_dist..mcc)
-        # -- + the 38 r12 additions (_R13_QUERIES, exact_substr..lorenz).
-        # -- _R14_QUERIES holds the 20 r13 additions queued directly
-        # -- behind position 49 (positions 50-69). R14 ROTATION (do this
-        # -- FIRST next round): move _R14_QUERIES above _R12_QUEUE_QUERIES
-        # -- (the ORACLES dicts need no reorder — oracle_sql() is keyed,
-        # -- only queries() order gates the window), dropping
-        # -- _R12_QUEUE_QUERIES + _R13_QUERIES into backfill; then queue
-        # -- r14 additions behind _R14_QUERIES and cap them at ≤30 so the
-        # -- r14 window (20 queued + ≤30 new) fills positions 50-99
-        # -- exactly.
+        # -- r14 window (positions 0-49), per VERDICT r13 item 1: the 27
+        # -- r13 additions never driver-checked (_R14_QUERIES,
+        # -- hodges_lehmann..hampel — all 27 judge-verified pandas-canon
+        # -- green in the r13 session) + the ≤23 r14 additions
+        # -- (_R15_QUERIES). R15 ROTATION (do this FIRST next round): move
+        # -- _R15_QUERIES above _R14_QUERIES (the ORACLES dicts need no
+        # -- reorder — oracle_sql() is keyed, only queries() order gates
+        # -- the window), dropping _R14_QUERIES into backfill; then queue
+        # -- r15 additions behind _R15_QUERIES and cap them so
+        # -- (queued + new) fills positions 0-49 exactly.
+        **_R14_QUERIES,
+        **_R15_QUERIES,
+        # -- green-on-record backfill: the r13 window (CORRECTNESS_r13
+        # -- 50/50 green): 12 post-window r11 entries + 38 r12 additions --
         **_R12_QUEUE_QUERIES,
         **_R13_QUERIES,
-        **_R14_QUERIES,
         # -- green-on-record backfill: the r12 window (CORRECTNESS_r12
         # -- 50/50 green): 16 r10 additions (wilcoxon_signed..ipw,
         # -- _R11_QUERIES) + 34 r11 additions (cohens_d..page_trend,
@@ -9638,6 +9639,7 @@ HAVING count(*) > tot.n / 500.0
         **_R12_ORACLES,
         **_R13_ORACLES,
         **_R14_ORACLES,
+        **_R15_ORACLES,
     }
 
 
@@ -20630,6 +20632,12 @@ FROM run, totals
 # CHECKLIST as _R10_QUERIES. Populated below as operators land.
 _R14_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _R14_ORACLES: dict[str, str] = {}
+
+# Round-14 additions: spliced directly behind _R14_QUERIES inside the
+# r14 driver window (27 queued + ≤23 new = positions 0-49). Same
+# ENTRY-ADDING CHECKLIST as _R10_QUERIES. Populated at end of file.
+_R15_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_R15_ORACLES: dict[str, str] = {}
 
 
 # ---------------------------------------------------------------------------
