@@ -736,19 +736,89 @@ def _dist2(vec: Column, cent: list[float]) -> Column:
     )
 
 
+# Arrow fast-path switchover: k × dim multiply-adds per row above this
+# run as one BLAS matmul per Arrow batch instead of per-element
+# expression lambdas (zip_with/aggregate lambdas are interpreted —
+# measured ~40 s for the 256-cell × 64-dim residual assignment at the
+# bench's 100k-sample operating point, vs seconds for the matmul). The
+# determinism contract is IDENTICAL either way (see _grid_argmin), so
+# the cut purely trades plan shape; below it the expression form stays
+# whole-stage-codegen with no Python worker round-trip (and is what the
+# sf0.01 oracle twins exercise — `test_assign_arrow_matches_expression`
+# pins the two paths equal on real fixture vectors).
+_ARROW_ASSIGN_MIN_OPS = 1024
+
+
+def _grid_argmin_codes(mat, books):
+    """First-min argmin per subspace on the SAME 1e-6 grid as
+    ``_dist2``: squared L2 in float64 (expansion form — the ~1e-13
+    summation-order noise vs the left-to-right lambda sits far inside
+    the 5e-7 rounding margin, the exact argument ``_dist2`` already
+    makes cross-engine), then HALF_UP to 6 decimals as integers
+    (``floor(d2 * 1e6 + 0.5)`` ≡ ``F.round(d2, 6)`` for d2 ≥ 0 — order
+    AND tie structure match, so ``np.argmin``'s first-minimal pick is
+    ``array_position``'s lowest-index tie-break)."""
+    import numpy as np
+
+    out = np.empty((mat.shape[0], len(books)), dtype=np.int32)
+    for s, b in enumerate(books):
+        bk = np.asarray(b, dtype=np.float64)
+        d = bk.shape[1]
+        sub = mat[:, s * d : (s + 1) * d]
+        d2 = sub @ bk.T
+        d2 *= -2.0
+        d2 += np.einsum("ij,ij->i", sub, sub)[:, None]
+        d2 += np.einsum("ij,ij->i", bk, bk)[None, :]
+        out[:, s] = np.argmin(np.floor(d2 * 1e6 + 0.5), axis=1)
+    return out
+
+
+def _assign_l2_udf(cents: list[list[float]]):
+    """Arrow-batched rounded-argmin cell assignment — same contract as
+    the ``kmeans_assign`` expression path, one matmul per batch."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    books = [cents]
+
+    @pandas_udf("int")
+    def assign(v):
+        import pandas as pd
+
+        mat = np.asarray(list(v), dtype=np.float64)
+        return pd.Series(_grid_argmin_codes(mat, books)[:, 0])
+
+    return assign
+
+
 def kmeans_assign(
     corpus: DataFrame,
     cents: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow: "bool | None" = None,
 ) -> DataFrame:
     """(id, cell) for every vector: argmin of rounded squared-L2
     distance against the broadcast centroid literals, ties to the
     lowest cell index (``array_position`` returns the FIRST minimal
-    entry). Pure Catalyst — k × dim multiply-adds per row inside
-    whole-stage codegen, no shuffle, no Python."""
+    entry). Small k × dim: pure Catalyst multiply-adds inside
+    whole-stage codegen, no shuffle, no Python. Large k × dim
+    (``arrow=None`` auto, ≥ ``_ARROW_ASSIGN_MIN_OPS``): the SAME
+    rounded-argmin as one BLAS matmul per Arrow batch — per-element
+    expression lambdas are interpreted and dominate IVF-PQ training
+    otherwise."""
     from from_superset_to_clickhouse_spark.functions.scalar import let_bind
 
+    if arrow is None:
+        arrow = len(cents) * len(cents[0]) >= _ARROW_ASSIGN_MIN_OPS
+    if arrow:
+        try:
+            cell = _assign_l2_udf(cents)(F.col(vec_col))
+            return corpus.select(
+                F.col(id_col), F.col(vec_col), cell.alias("cell")
+            )
+        except ImportError:
+            pass
     dists = F.array(*[_dist2(F.col(vec_col), c) for c in cents])
     cell = let_bind(
         dists, lambda d: F.array_position(d, F.array_min(d)) - 1
@@ -1378,24 +1448,60 @@ def pq_train(
     return books
 
 
+def _pq_codes_udf(books: "list[list[list[float]]]"):
+    """Arrow-batched PQ encoder: all m subspace codes per row from one
+    blocked matmul pass — same grid/tie contract as the expression
+    path (see ``_grid_argmin_codes``)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def codes(v):
+        import pandas as pd
+
+        mat = np.asarray(list(v), dtype=np.float64)
+        return pd.Series(list(_grid_argmin_codes(mat, books)))
+
+    return codes
+
+
 def pq_encode(
     corpus: DataFrame,
     books: "list[list[list[float]]]",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_cols: "tuple[str, ...]" = (),
+    arrow: "bool | None" = None,
 ) -> DataFrame:
     """(id, vec, [keep_cols...,] code_0..code_{m-1}): each subvector's
     nearest-codebook id via rounded-distance argmin, ties to the lowest
-    code — pure Catalyst, m × k × (dim/m) multiply-adds per row in
-    codegen, no shuffle, no Python. The m int codes ARE the compressed
-    vector."""
+    code. Small m × k × (dim/m): pure Catalyst multiply-adds in
+    codegen, no shuffle, no Python. Large (``arrow=None`` auto, total
+    ops ≥ ``_ARROW_ASSIGN_MIN_OPS``): the same argmin per subspace as
+    one Arrow-batched matmul pass — identical grid/tie contract. The m
+    int codes ARE the compressed vector."""
     from from_superset_to_clickhouse_spark.functions.scalar import let_bind
 
     m = len(books)
+    k = len(books[0])
     d = len(books[0][0])
     cols = [F.col(id_col), F.col(vec_col)]
     cols += [F.col(c) for c in keep_cols]
+    if arrow is None:
+        arrow = m * k * d >= _ARROW_ASSIGN_MIN_OPS
+    if arrow:
+        try:
+            codes = _pq_codes_udf(books)(F.col(vec_col))
+            tmp = corpus.select(*cols, codes.alias("_pq_codes"))
+            return tmp.select(
+                *[F.col(c) for c in tmp.columns[:-1]],
+                *[
+                    F.element_at(F.col("_pq_codes"), s + 1).alias(f"code_{s}")
+                    for s in range(m)
+                ],
+            )
+        except ImportError:
+            pass
     for s in range(m):
         sl = F.slice(F.col(vec_col), s * d + 1, d)
         dists = F.array(*[_dist2(sl, c) for c in books[s]])
@@ -1508,6 +1614,33 @@ def _residuals(
     DOUBLE residual v − centroid[cell], all in codegen: the centroid
     table rides as a nested array literal indexed by the assigned
     cell."""
+    if len(cents) * len(cents[0]) >= _ARROW_ASSIGN_MIN_OPS:
+        try:
+            import numpy as np
+            from pyspark.sql.functions import pandas_udf
+
+            c = np.asarray(cents, dtype=np.float64)
+
+            @pandas_udf("struct<cell:int, residual:array<double>>")
+            def cell_res(v):
+                import pandas as pd
+
+                mat = np.asarray(list(v), dtype=np.float64)
+                cell = _grid_argmin_codes(mat, [cents])[:, 0]
+                return pd.DataFrame(
+                    {"cell": cell, "residual": list(mat - c[cell])}
+                )
+
+            tmp = corpus.select(
+                F.col(id_col), cell_res(F.col(vec_col)).alias("_cr")
+            )
+            return tmp.select(
+                F.col(id_col),
+                F.col("_cr.cell").alias("cell"),
+                F.col("_cr.residual").alias("residual"),
+            )
+        except ImportError:
+            pass
     assigned = kmeans_assign(corpus, cents, id_col, vec_col)
     cent_lit = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
@@ -1581,17 +1714,67 @@ def ivfpq_train(
     return cents, books
 
 
+def _ivfpq_codes_udf(
+    cents: "list[list[float]]", books: "list[list[list[float]]]"
+):
+    """Fused Arrow encoder for the whole IVF-PQ index row: coarse cell
+    (grid argmin), residual v − centroid[cell] (IEEE float64 subtract —
+    bit-identical to the expression path's per-element DOUBLE minus),
+    and the m residual codes (grid argmin per subspace), in ONE Python
+    round-trip per batch instead of assign-UDF → interpreted zip_with →
+    encode-UDF (measured 18.1 s → ~4 s for the 400k×64/256-cell bench
+    encode). Same determinism contract throughout
+    (``_grid_argmin_codes``)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(cents, dtype=np.float64)
+
+    @pandas_udf("struct<cell:int, codes:array<int>>")
+    def enc(v):
+        import pandas as pd
+
+        mat = np.asarray(list(v), dtype=np.float64)
+        cell = _grid_argmin_codes(mat, [cents])[:, 0]
+        res = mat - c[cell]
+        codes = _grid_argmin_codes(res, books)
+        return pd.DataFrame({"cell": cell, "codes": list(codes)})
+
+    return enc
+
+
 def ivfpq_index(
     corpus: DataFrame,
     cents: "list[list[float]]",
     books: "list[list[list[float]]]",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow: "bool | None" = None,
 ) -> DataFrame:
     """(id, cell, code_0..code_{m-1}): the complete compressed index
     row — coarse cell for partition pruning plus m residual code ids.
     At 100 TB this is what persists (partitionBy(cell), a few bytes per
-    vector); the raw vectors are only ever re-read to rerank."""
+    vector); the raw vectors are only ever re-read to rerank. Large
+    ncells × dim takes the fused one-pass Arrow encoder (same contract
+    — ``test_ivfpq_index_arrow_matches_expression`` pins the paths
+    equal); small stays pure Catalyst."""
+    if arrow is None:
+        arrow = len(cents) * len(cents[0]) >= _ARROW_ASSIGN_MIN_OPS
+    if arrow:
+        try:
+            m = len(books)
+            enc = _ivfpq_codes_udf(cents, books)(F.col(vec_col))
+            tmp = corpus.select(F.col(id_col), enc.alias("_e"))
+            return tmp.select(
+                F.col(id_col),
+                F.col("_e.cell").alias("cell"),
+                *[
+                    F.element_at(F.col("_e.codes"), s + 1).alias(f"code_{s}")
+                    for s in range(m)
+                ],
+            )
+        except ImportError:
+            pass
     res = _residuals(corpus, cents, id_col, vec_col)
     enc = pq_encode(
         res, books, id_col=id_col, vec_col="residual", keep_cols=("cell",)

@@ -839,3 +839,104 @@ def test_semdedup_cells_drops_planted_copy(spark):
     r = {row["vec_id"]: row["keep"]
          for row in semdedup_cells(df, threshold=0.93).collect()}
     assert r == {1: 1, 2: 0, 3: 1, 4: 1}
+
+
+def test_assign_arrow_matches_expression(spark):
+    """The Arrow matmul fast paths are contract twins of the expression
+    forms: identical cell for every fixture vector (kmeans_assign) and
+    identical m codes (pq_encode), forced down BOTH paths explicitly.
+    This is the guard that lets the large-k×dim auto cut stay safe —
+    the sf0.01 oracle twins exercise the expression side; this pins the
+    Arrow side to it on the same real vectors."""
+    emb = load_table(spark, SF, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(7).collect()
+    ]
+    expr = {
+        r["vec_id"]: r["cell"]
+        for r in simi.kmeans_assign(emb, cents, arrow=False).collect()
+    }
+    arr = {
+        r["vec_id"]: r["cell"]
+        for r in simi.kmeans_assign(emb, cents, arrow=True).collect()
+    }
+    assert arr == expr
+
+    books = simi.pq_train(emb, m=4, k=8, iters=1)
+    cols = [f"code_{s}" for s in range(4)]
+    e = {
+        r["vec_id"]: tuple(r[c] for c in cols)
+        for r in simi.pq_encode(emb, books, arrow=False).collect()
+    }
+    a = {
+        r["vec_id"]: tuple(r[c] for c in cols)
+        for r in simi.pq_encode(emb, books, arrow=True).collect()
+    }
+    assert a == e
+
+
+def test_assign_arrow_auto_threshold_plan_shapes(spark):
+    """Auto mode: small k×dim stays whole-stage codegen (no Python
+    worker), large k×dim takes the ArrowEvalPython path."""
+    emb = load_table(spark, SF, "embeddings")
+    small = [[float(i == j) for j in range(64)] for i in range(3)]
+    plan_small = (
+        simi.kmeans_assign(emb, small)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan_small
+    big = [
+        [float((i * 17 + j) % 5) for j in range(64)] for i in range(16)
+    ]
+    plan_big = (
+        simi.kmeans_assign(emb, big)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan_big
+
+
+def test_ivfpq_index_arrow_matches_expression(spark):
+    """The fused one-pass IVF-PQ Arrow encoder is a contract twin of
+    the residual→encode expression composition: identical (cell,
+    code_0..code_{m-1}) for every fixture vector, both paths forced."""
+    emb = load_table(spark, SF, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    ]
+    _, books = simi.ivfpq_train(emb, m=4, k=8, pq_iters=1, centroids=cents)
+    cols = ["cell"] + [f"code_{s}" for s in range(4)]
+    e = {
+        r["vec_id"]: tuple(r[c] for c in cols)
+        for r in simi.ivfpq_index(emb, cents, books, arrow=False).collect()
+    }
+    a = {
+        r["vec_id"]: tuple(r[c] for c in cols)
+        for r in simi.ivfpq_index(emb, cents, books, arrow=True).collect()
+    }
+    assert a == e
+
+
+def test_residuals_fused_arrow_matches_expression(spark):
+    """_residuals takes the fused Arrow path once ncells×dim crosses
+    the threshold (16×64 here) — its (cell, residual) must equal the
+    expression composition (small-path kmeans_assign + literal-indexed
+    zip_with subtract) element for element, bit-exact."""
+    emb = load_table(spark, SF, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(16).collect()
+    ]
+    assert 16 * 64 >= simi._ARROW_ASSIGN_MIN_OPS
+    fused = {
+        r["vec_id"]: (r["cell"], tuple(r["residual"]))
+        for r in simi._residuals(emb, cents).collect()
+    }
+    base = {
+        r["vec_id"]: (r["cell"], [float(x) for x in r["embedding"]])
+        for r in simi.kmeans_assign(emb, cents, arrow=False).collect()
+    }
+    for vid, (cell, vec) in base.items():
+        exp = tuple(a - b for a, b in zip(vec, cents[cell]))
+        assert fused[vid] == (cell, exp), vid
