@@ -22163,3 +22163,229 @@ SELECT key, CAST(count(*) AS BIGINT) AS n,
 FROM mad GROUP BY 1
 """),
 })
+
+
+# ---------------------------------------------------------------------------
+# Round-14 entries, batch 1: agreement / independence / exact-test
+# additions (VERDICT r13 item 3). Same ENTRY-ADDING CHECKLIST as
+# _R10_QUERIES.
+
+
+def q_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gwet's AC1 agreement between the event-type label and a second
+    rater that mislabels every 11th event as 'error' — the paradox-
+    resistant kappa alternative (stable under skewed marginals)."""
+    from from_superset_to_clickhouse_spark.operators.stats import gwet_ac1
+
+    ev = _ev(spark, sf_dir).filter(F.col("event_type").isNotNull())
+    b = F.when(
+        F.pmod(F.col("event_id"), 11) == 0, F.lit("error")
+    ).otherwise(F.col("event_type"))
+    src = ev.select(F.col("event_type").alias("rater_a"), b.alias("rater_b"))
+    return gwet_ac1(src, "rater_a", "rater_b")
+
+
+def q_dixon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dixon's Q outlier screen on each event type's ~30 daily mean
+    values — the small-sample gap/range test (5% critical value at
+    n=30) over calendar-bounded series."""
+    from from_superset_to_clickhouse_spark.operators.stats import dixon_q
+
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.avg("value").alias("v"))
+    return dixon_q(daily, "event_type", "v", crit=0.29)
+
+
+def q_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (log-likelihood ratio) of independence between event
+    type and the user-id shard — the additive-decomposition twin of
+    the chi2 entry on the same contingency."""
+    from from_superset_to_clickhouse_spark.operators.stats import g_test
+
+    ev = _ev(spark, sf_dir).filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    src = ev.select(
+        F.col("event_type").alias("x"),
+        F.pmod(F.col("user_id"), 4).alias("y"),
+    )
+    return g_test(src, "x", "y")
+
+
+def q_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's exact test of purchase-vs-rest against the high-value
+    flag (value > 150): hypergeometric two-sided p by the order-free
+    integer-grid log recurrence — no factorial table, support bounded
+    by the rarer margin."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        fisher_exact,
+    )
+
+    ev = _ev(spark, sf_dir).filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    src = ev.select(
+        (F.col("event_type") == "purchase").alias("fa"),
+        (F.col("value") > 150).alias("fb"),
+    )
+    return fisher_exact(src, "fa", "fb")
+
+
+_R15_QUERIES.update({
+    "gwet_ac1": q_gwet_ac1,
+    "dixon_q": q_dixon_q,
+    "g_test": q_g_test,
+    "fisher_exact": q_fisher_exact,
+})
+
+_R15_ORACLES.update({
+    "gwet_ac1": ("""
+-- Same cell/marginal arithmetic: Pa vs Gwet's Pe = sum pi(1-pi)/(K-1).
+WITH src AS (
+  SELECT event_type AS a,
+    CASE WHEN event_id % 11 = 0 THEN 'error' ELSE event_type END AS b
+  FROM events WHERE event_type IS NOT NULL
+), cells AS (
+  SELECT a, b, count(*) AS o FROM src GROUP BY 1, 2
+), ra AS (SELECT a AS k, sum(o) AS ra FROM cells GROUP BY 1),
+cb AS (SELECT b AS k, sum(o) AS cb FROM cells GROUP BY 1),
+marg AS (
+  SELECT coalesce(ra.ra, 0) AS ra, coalesce(cb.cb, 0) AS cb
+  FROM ra FULL JOIN cb ON ra.k = cb.k
+), tot AS (SELECT sum(ra) AS nn FROM marg),
+pe AS (
+  SELECT max(nn) AS nn, count(*) AS kk,
+    sum(((ra + cb) / (2.0 * nn)) * (1.0 - (ra + cb) / (2.0 * nn)))
+      AS pes
+  FROM marg, tot
+), po AS (
+  SELECT coalesce(sum(o), 0) AS agree FROM cells WHERE a = b
+)
+SELECT CAST(nn AS BIGINT) AS n, CAST(kk AS BIGINT) AS n_categories,
+  round(agree / CAST(nn AS DOUBLE), 6) AS p_o,
+  round(pes / (kk - 1.0), 6) AS p_e,
+  round(CASE WHEN pes / (kk - 1.0) < 1.0
+    THEN (agree / CAST(nn AS DOUBLE) - pes / (kk - 1.0))
+      / (1.0 - pes / (kk - 1.0)) END, 6) AS ac1
+FROM pe, po
+"""),
+    "dixon_q": ("""
+-- Same grid daily means, exact order-statistic gaps.
+WITH daily AS (
+  SELECT event_type AS grp, date_trunc('day', ts) AS d,
+    floor(avg(value) * 1048576.0) / 1048576.0 AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), g AS (
+  SELECT grp, count(*) AS n, list_sort(list(v)) AS a
+  FROM daily GROUP BY 1
+), e AS (
+  SELECT grp, n, a[1] AS x1, a[2] AS x2,
+    a[len(a)] AS xn, a[len(a) - 1] AS xn1
+  FROM g
+), q AS (
+  SELECT grp, n,
+    CASE WHEN n >= 3 AND xn - x1 > 0
+      THEN (x2 - x1) / (xn - x1) END AS ql,
+    CASE WHEN n >= 3 AND xn - x1 > 0
+      THEN (xn - xn1) / (xn - x1) END AS qh
+  FROM e
+)
+SELECT grp, CAST(n AS BIGINT) AS n,
+  round(ql, 6) AS q_low, round(qh, 6) AS q_high,
+  CAST(ql > 0.29 AS INTEGER) AS low_outlier,
+  CAST(qh > 0.29 AS INTEGER) AS high_outlier
+FROM q
+"""),
+    "g_test": ("""
+-- Same cells/marginals; G = 2 sum o ln(o/e); Wilson-Hilferty tail.
+WITH base AS (
+  SELECT event_type AS x, user_id % 4 AS y FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+), cells AS (SELECT x, y, count(*) AS o FROM base GROUP BY 1, 2),
+m AS (
+  SELECT x, y, o, sum(o) OVER () AS n,
+    sum(o) OVER (PARTITION BY x) AS rx,
+    sum(o) OVER (PARTITION BY y) AS cy
+  FROM cells
+), s AS (
+  SELECT max(n) AS n, count(DISTINCT x) AS n_rows_x,
+    count(DISTINCT y) AS n_cols_y,
+    sum(2.0 * o * ln(o / (CAST(rx AS DOUBLE) * cy / n))) AS g
+  FROM m
+), d AS (SELECT *, (n_rows_x - 1) * (n_cols_y - 1) AS dof FROM s),
+zc AS (
+  SELECT *, (pow(g / dof, 1.0 / 3.0)
+    - (1.0 - 2.0 / (9.0 * dof))) / sqrt(2.0 / (9.0 * dof)) AS z
+  FROM d
+), et AS (
+  SELECT *, abs(z) / sqrt(2.0) AS xx,
+    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+  FROM zc
+), pv AS (
+  SELECT *, (1.0 - (1.0 - (0.254829592 * t - 0.284496736 * t * t
+    + 1.421413741 * t * t * t - 1.453152027 * t * t * t * t
+    + 1.061405429 * t * t * t * t * t) * exp(-(xx * xx)))) / 2.0 AS sf
+  FROM et
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(n_rows_x AS BIGINT) AS n_rows_x,
+  CAST(n_cols_y AS BIGINT) AS n_cols_y, CAST(dof AS BIGINT) AS dof,
+  round(g, 6) AS g_stat,
+  round(CASE WHEN z >= 0 THEN sf ELSE 1.0 - sf END, 6) AS p_value
+FROM pv
+"""),
+    "fisher_exact": ("""
+-- Same 2^40 log-grid ratio recurrence, exact integer cumsum/sums.
+WITH flags AS (
+  SELECT event_type = 'purchase' AS fa, value > 150 AS fb
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+), c AS (
+  SELECT count(*) AS n, count(*) FILTER (fa) AS r1,
+    count(*) FILTER (fb) AS c1,
+    count(*) FILTER (fa AND fb) AS aobs
+  FROM flags
+), sup AS (
+  SELECT n, r1, c1, aobs,
+    unnest(range(greatest(0, c1 - (n - r1)),
+                 least(r1, c1) + 1)) AS a
+  FROM c
+), st AS (
+  SELECT *, CASE WHEN a = greatest(0, c1 - (n - r1)) THEN 0
+    ELSE CAST(floor(ln(CAST(r1 - a + 1 AS DOUBLE))
+           * 1099511627776.0) AS BIGINT)
+       + CAST(floor(ln(CAST(c1 - a + 1 AS DOUBLE))
+           * 1099511627776.0) AS BIGINT)
+       - CAST(floor(ln(CAST(a AS DOUBLE)) * 1099511627776.0) AS BIGINT)
+       - CAST(floor(ln(CAST(n - r1 - c1 + a AS DOUBLE))
+           * 1099511627776.0) AS BIGINT)
+    END AS step
+  FROM sup
+), cum AS (
+  SELECT *, sum(step) OVER (ORDER BY a
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnw
+  FROM st
+), mm AS (SELECT *, max(lnw) OVER () AS m FROM cum),
+ob AS (SELECT lnw AS lnobs FROM mm WHERE a = aobs),
+pmt AS (
+  SELECT mm.*, ob.lnobs,
+    CAST(CAST(floor(exp(CAST(lnw - m AS DOUBLE) / 1099511627776.0)
+      * 1099511627776.0) AS BIGINT) AS HUGEINT) AS pmv
+  FROM mm, ob
+), s AS (
+  SELECT max(n) AS n, max(r1) AS r1, max(c1) AS c1,
+    max(aobs) AS aobs, sum(pmv) AS tot,
+    sum(pmv) FILTER (lnw <= lnobs + 109951) AS inc
+  FROM pmt
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(r1 AS BIGINT) AS n_a,
+  CAST(c1 AS BIGINT) AS n_b, CAST(aobs AS BIGINT) AS n_both,
+  round(CASE WHEN CAST(r1 - aobs AS DOUBLE) * (c1 - aobs) > 0
+    THEN CAST(aobs AS DOUBLE) * (n - r1 - c1 + aobs)
+      / (CAST(r1 - aobs AS DOUBLE) * (c1 - aobs)) END, 6)
+    AS odds_ratio,
+  round(CAST(CAST(inc AS VARCHAR) AS DOUBLE)
+    / CAST(CAST(tot AS VARCHAR) AS DOUBLE), 6) AS p_two_sided
+FROM s
+"""),
+})

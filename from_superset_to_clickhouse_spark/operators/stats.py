@@ -6332,3 +6332,237 @@ def yuen_t(
         F.round(t, 6).alias("t_stat"),
         F.round(dfa, 6).alias("df_approx"),
     )
+
+
+def gwet_ac1(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Gwet's AC1 inter-rater agreement (two raters, nominal) → one
+    row (n, n_categories, p_o, p_e, ac1): observed agreement Pa =
+    Σ_k n_kk / n against Gwet's chance correction Pe = Σ_k π_k(1−π_k)
+    / (K−1), π_k = (n_k· + n·k) / (2n) — the paradox-resistant
+    alternative to Cohen's kappa (kappa collapses when marginals are
+    extreme even at near-perfect raw agreement; AC1 doesn't, Gwet
+    2008). One cell aggregate over the fact; the K×K cell table is
+    category-scale, every ratio exact-integer."""
+    cells = df.groupBy(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+    ).agg(F.count("*").alias("_o"))
+    ra = cells.groupBy(F.col("_a").alias("_k")).agg(
+        F.sum("_o").alias("_ra")
+    )
+    cb = cells.groupBy(F.col("_b").alias("_k")).agg(
+        F.sum("_o").alias("_cb")
+    )
+    marg = ra.join(cb, "_k", "full").select(
+        "_k",
+        F.coalesce("_ra", F.lit(0)).alias("_ra"),
+        F.coalesce("_cb", F.lit(0)).alias("_cb"),
+    )
+    w_all = Window.partitionBy()
+    nw = F.sum("_ra").over(w_all).cast("double")
+    pik = (F.col("_ra") + F.col("_cb")).cast("double") / (2.0 * nw)
+    pe_terms = marg.select(
+        pik.alias("_pik"), F.sum("_ra").over(w_all).alias("_nn")
+    ).groupBy("_nn").agg(
+        F.count("*").alias("_kk"),
+        F.sum(F.col("_pik") * (F.lit(1.0) - F.col("_pik"))).alias("_pes"),
+    )
+    po = cells.filter(F.col("_a") == F.col("_b")).agg(
+        F.coalesce(F.sum("_o"), F.lit(0)).alias("_agree")
+    )
+    j = po.crossJoin(F.broadcast(pe_terms))
+    p_o = F.col("_agree").cast("double") / F.col("_nn").cast("double")
+    p_e = F.col("_pes") / (F.col("_kk").cast("double") - 1.0)
+    return j.select(
+        F.col("_nn").cast("long").alias("n"),
+        F.col("_kk").cast("long").alias("n_categories"),
+        F.round(p_o, 6).alias("p_o"),
+        F.round(p_e, 6).alias("p_e"),
+        F.round(
+            F.when(p_e < 1.0, (p_o - p_e) / (F.lit(1.0) - p_e)), 6
+        ).alias("ac1"),
+    )
+
+
+def dixon_q(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    crit: float = 0.29,
+) -> DataFrame:
+    """Dixon's Q outlier test per group → (group, n, q_low, q_high,
+    low_outlier, high_outlier): Q = gap / range for the smallest and
+    largest observations — the classic SMALL-sample screen (3 ≤ n ≲
+    30; ``crit`` defaults to the two-sided 5% critical value at n=30).
+    Callers aggregate first (daily buckets, assay replicates) — the
+    per-group sorted array is bounded by that contract, same as
+    ``hampel_outliers``'s frames, never corpus-scale.
+
+    Values grid-floor to 2^-20 so the two gaps and the range are exact
+    differences; Q is one IEEE divide of exact inputs."""
+    v = F.floor(F.col(value_col).cast("double") * _Q) / _Q
+    src = df.select(F.col(group_col).alias("grp"), v.alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    g = src.groupBy("grp").agg(
+        F.count("*").alias("_n"),
+        F.array_sort(F.collect_list("_v")).alias("_a"),
+    )
+    a = F.col("_a")
+    nn = F.size(a)
+    x1 = F.element_at(a, 1)
+    x2 = F.element_at(a, 2)
+    xn = F.element_at(a, nn)
+    xn1 = F.element_at(a, nn - 1)
+    rng = xn - x1
+    ql = F.when((nn >= 3) & (rng > 0), (x2 - x1) / rng)
+    qh = F.when((nn >= 3) & (rng > 0), (xn - xn1) / rng)
+    return g.select(
+        "grp",
+        F.col("_n").cast("long").alias("n"),
+        F.round(ql, 6).alias("q_low"),
+        F.round(qh, 6).alias("q_high"),
+        (ql > crit).cast("int").alias("low_outlier"),
+        (qh > crit).cast("int").alias("high_outlier"),
+    )
+
+
+def g_test(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """G-test (log-likelihood ratio) of independence → one row (n,
+    n_rows_x, n_cols_y, dof, g_stat, p_value): G = 2 Σ o·ln(o/e) over
+    the non-empty contingency cells — the additive-decomposition twin
+    of ``chi2_independence`` (G sums exactly across partitions of a
+    table; Pearson X² doesn't), same Wilson–Hilferty tail. One
+    partial-aggregated cell count; marginals are window sums over the
+    category-scale cell table."""
+    cells = df.groupBy(
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    ).agg(F.count(F.lit(1)).alias("_o"))
+    w_all = Window.partitionBy()
+    w_x = Window.partitionBy("_x")
+    w_y = Window.partitionBy("_y")
+    scored = cells.select(
+        "_x",
+        "_y",
+        "_o",
+        F.sum("_o").over(w_all).alias("_n"),
+        F.sum("_o").over(w_x).alias("_rx"),
+        F.sum("_o").over(w_y).alias("_cy"),
+    ).withColumn(
+        "_e",
+        F.col("_rx").cast("double") * F.col("_cy") / F.col("_n"),
+    )
+    agg = scored.agg(
+        F.max("_n").alias("n"),
+        F.count_distinct("_x").alias("n_rows_x"),
+        F.count_distinct("_y").alias("n_cols_y"),
+        F.sum(
+            F.lit(2.0)
+            * F.col("_o").cast("double")
+            * F.log(F.col("_o").cast("double") / F.col("_e"))
+        ).alias("_g"),
+    )
+    dof = (F.col("n_rows_x") - 1) * (F.col("n_cols_y") - 1)
+    return agg.select(
+        "n",
+        "n_rows_x",
+        "n_cols_y",
+        dof.alias("dof"),
+        F.round("_g", 6).alias("g_stat"),
+        F.round(chi2_p_value(F.col("_g"), dof), 6).alias("p_value"),
+    )
+
+
+# Log-space fixed-point grid for fisher_exact: ln values scale by 2^40
+# and floor to integers, so every cumulative sum is EXACT integer
+# arithmetic — order-free across engines (a double log-sum would be
+# partition-order-dependent). 2^40 · ln(n) stays < 2^63 for any
+# realistic margin, and the ≤2^-40 per-term floor loss is ~1e-8 in the
+# final log — invisible under the 1e-6 output rounding.
+_LQ = float(1 << 40)
+
+
+def fisher_exact(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Fisher's exact test for a 2×2 table of two boolean columns →
+    one row (n, n_a, n_b, n_both, odds_ratio, p_two_sided): the
+    two-sided p sums hypergeometric point masses not exceeding the
+    observed table's (with the standard 1e-7 relative slack).
+
+    Distributed derivation with NO factorial table: unnormalized
+    weights w(a) = C(r1,a)·C(r2,c1−a) follow the ratio recurrence
+    w(a)/w(a−1) = (r1−a+1)(c1−a+1) / (a(r2−c1+a)), so ln w over the
+    support [max(0,c1−r2)..min(r1,c1)] is ONE ordered integer cumsum
+    of 2^40-grid ln steps (exact, engine-order-free), normalization
+    cancels in p = Σ_incl exp / Σ_all exp, and both exp sums quantize
+    back onto the 2^40 grid for exact integer totals (decimal(38,0);
+    HUGEINT in a SQL twin). The support table is min(margin)-sized —
+    bounded by the rarer outcome, never by n."""
+    flags = df.select(
+        F.col(a_col).cast("boolean").alias("_fa"),
+        F.col(b_col).cast("boolean").alias("_fb"),
+    ).filter(F.col("_fa").isNotNull() & F.col("_fb").isNotNull())
+    c = flags.agg(
+        F.count("*").alias("_n"),
+        F.count(F.when(F.col("_fa"), 1)).alias("_r1"),
+        F.count(F.when(F.col("_fb"), 1)).alias("_c1"),
+        F.count(F.when(F.col("_fa") & F.col("_fb"), 1)).alias("_aobs"),
+    )
+    lo = F.greatest(F.lit(0), F.col("_c1") - (F.col("_n") - F.col("_r1")))
+    hi = F.least(F.col("_r1"), F.col("_c1"))
+    sup = c.select(
+        "_n", "_r1", "_c1", "_aobs",
+        F.explode(F.sequence(lo, hi)).alias("_a"),
+    )
+    gl = lambda x: F.floor(F.log(x.cast("double")) * _LQ)  # noqa: E731
+    aa = F.col("_a").cast("double")
+    step = F.when(
+        F.col("_a") == F.greatest(
+            F.lit(0), F.col("_c1") - (F.col("_n") - F.col("_r1"))
+        ),
+        F.lit(0),
+    ).otherwise(
+        gl(F.col("_r1") - F.col("_a") + 1)
+        + gl(F.col("_c1") - F.col("_a") + 1)
+        - gl(aa)
+        - gl(F.col("_n") - F.col("_r1") - F.col("_c1") + F.col("_a"))
+    )
+    w = Window.orderBy("_a").rowsBetween(Window.unboundedPreceding, 0)
+    t = sup.withColumn("_lnw", F.sum(step).over(w))
+    t = t.withColumn("_m", F.max("_lnw").over(Window.partitionBy()))
+    obs = t.filter(F.col("_a") == F.col("_aobs")).select(
+        F.col("_lnw").alias("_lnobs")
+    )
+    t = t.crossJoin(F.broadcast(obs))
+    # relative slack 1e-7 in log space = ~110k grid cells
+    tol = int(1e-7 * _LQ)
+    pm = F.floor(
+        F.exp((F.col("_lnw") - F.col("_m")).cast("double") / _LQ) * _LQ
+    ).cast("decimal(38,0)")
+    sums = t.agg(
+        F.sum(pm).alias("_tot"),
+        F.sum(
+            F.when(F.col("_lnw") <= F.col("_lnobs") + tol, pm)
+        ).alias("_inc"),
+        F.max("_n").alias("n"),
+        F.max("_r1").alias("n_a"),
+        F.max("_c1").alias("n_b"),
+        F.max("_aobs").alias("n_both"),
+    )
+    # sample odds ratio (a·d)/(b·c) from the same four counts
+    a_ = F.col("n_both").cast("double")
+    b_ = (F.col("n_a") - F.col("n_both")).cast("double")
+    c_ = (F.col("n_b") - F.col("n_both")).cast("double")
+    d_ = (F.col("n") - F.col("n_a") - F.col("n_b")
+          + F.col("n_both")).cast("double")
+    return sums.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_both").cast("long").alias("n_both"),
+        F.round(
+            F.when(b_ * c_ > 0, a_ * d_ / (b_ * c_)), 6
+        ).alias("odds_ratio"),
+        F.round(
+            F.col("_inc").cast("double") / F.col("_tot").cast("double"),
+            6,
+        ).alias("p_two_sided"),
+    )

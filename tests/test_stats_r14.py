@@ -1,0 +1,99 @@
+"""Hand-oracle tests for the round-14 stats operators."""
+
+import math
+
+from from_superset_to_clickhouse_spark.operators import stats as st
+
+
+def test_gwet_ac1_perfect_and_known(spark):
+    # perfect agreement: Pa = 1 -> AC1 = 1 regardless of Pe
+    rows = [("a", "a")] * 6 + [("b", "b")] * 4
+    r = st.gwet_ac1(
+        spark.createDataFrame(rows, "x string, y string"), "x", "y"
+    ).collect()[0]
+    assert r["n"] == 10 and r["n_categories"] == 2
+    assert r["p_o"] == 1.0 and r["ac1"] == 1.0
+    # hand case: 2x2 cells a/a=4, a/b=1, b/a=1, b/b=4
+    # Pa = 0.8; pi_a = (5+5)/20 = .5, pi_b = .5
+    # Pe = (.5*.5 + .5*.5)/(2-1) = 0.5 -> AC1 = (.8-.5)/.5 = 0.6
+    rows2 = (
+        [("a", "a")] * 4 + [("a", "b")] + [("b", "a")] + [("b", "b")] * 4
+    )
+    r2 = st.gwet_ac1(
+        spark.createDataFrame(rows2, "x string, y string"), "x", "y"
+    ).collect()[0]
+    assert r2["p_o"] == 0.8 and r2["p_e"] == 0.5 and r2["ac1"] == 0.6
+
+
+def test_gwet_ac1_survives_skewed_marginals(spark):
+    # the kappa paradox case: 98% raw agreement on a rare class ->
+    # kappa collapses toward 0, AC1 stays high (Gwet 2008, table 2)
+    rows = [("y", "y")] * 98 + [("y", "n")] + [("n", "y")]
+    r = st.gwet_ac1(
+        spark.createDataFrame(rows, "x string, y string"), "x", "y"
+    ).collect()[0]
+    k = st.cohens_kappa(
+        spark.createDataFrame(rows, "x string, y string"), "x", "y"
+    ).collect()[0]
+    assert r["ac1"] > 0.9 and k["kappa"] < 0.1
+
+
+def test_dixon_q_planted_outlier(spark):
+    # 1..9 plus 100: q_high = (100-9)/(100-1) ~ 0.919 -> flagged;
+    # q_low = (2-1)/99 ~ 0.0101 -> clean
+    rows = [("g", float(i)) for i in range(1, 10)] + [("g", 100.0)]
+    r = st.dixon_q(
+        spark.createDataFrame(rows, "g string, v double"), "g", "v"
+    ).collect()[0]
+    assert r["n"] == 10
+    assert abs(r["q_high"] - 91.0 / 99.0) < 1e-6
+    assert abs(r["q_low"] - 1.0 / 99.0) < 1e-6
+    assert r["high_outlier"] == 1 and r["low_outlier"] == 0
+
+
+def test_g_test_independent_vs_associated(spark):
+    # perfectly independent 2x2 -> G = 0, p ~ 1
+    ind = (
+        [("a", 0)] * 25 + [("a", 1)] * 25 + [("b", 0)] * 25 + [("b", 1)] * 25
+    )
+    r = st.g_test(
+        spark.createDataFrame(ind, "x string, y int"), "x", "y"
+    ).collect()[0]
+    assert r["dof"] == 1 and r["g_stat"] == 0.0 and r["p_value"] > 0.9
+    # perfectly associated -> G = 2*N*ln(2), tiny p
+    dep = [("a", 0)] * 50 + [("b", 1)] * 50
+    r2 = st.g_test(
+        spark.createDataFrame(dep, "x string, y int"), "x", "y"
+    ).collect()[0]
+    assert abs(r2["g_stat"] - 2.0 * 100.0 * math.log(2.0)) < 1e-4
+    assert r2["p_value"] < 1e-6
+
+
+def test_fisher_exact_matches_closed_form(spark):
+    # the classic tea-tasting table: a=3, r1=4, c1=4, n=8
+    # two-sided p = 2*C(4,3)C(4,1)/C(8,4) + 2*C(4,4)C(4,0)/C(8,4)
+    #             = (16+16+1+1)/70 ... support pmfs:
+    # a=0:1, a=1:16, a=2:36, a=3:16, a=4:1 (x1/70)
+    # obs a=3 (pmf 16/70): include pmf<=16 -> 1+16+16+1 = 34/70
+    rows = (
+        [(True, True)] * 3 + [(True, False)] * 1
+        + [(False, True)] * 1 + [(False, False)] * 3
+    )
+    r = st.fisher_exact(
+        spark.createDataFrame(rows, "a boolean, b boolean"), "a", "b"
+    ).collect()[0]
+    assert r["n"] == 8 and r["n_a"] == 4 and r["n_b"] == 4
+    assert r["n_both"] == 3
+    assert abs(r["p_two_sided"] - 34.0 / 70.0) < 1e-5
+    assert abs(r["odds_ratio"] - 9.0) < 1e-6
+
+
+def test_fisher_exact_extreme_table(spark):
+    # fully separated 2x2: obs is the most extreme table; only the
+    # two tails' extreme cells are <= obs pmf
+    rows = [(True, True)] * 5 + [(False, False)] * 5
+    r = st.fisher_exact(
+        spark.createDataFrame(rows, "a boolean, b boolean"), "a", "b"
+    ).collect()[0]
+    # support a in [0..5]; pmf(5) = 1/C(10,5) = 1/252; pmf(0) same
+    assert abs(r["p_two_sided"] - 2.0 / 252.0) < 1e-5
