@@ -22389,3 +22389,249 @@ SELECT CAST(n AS BIGINT) AS n, CAST(r1 AS BIGINT) AS n_a,
 FROM s
 """),
 })
+
+
+# ---------------------------------------------------------------------------
+# Round-14 entries, batch 2: regression diagnostics / method comparison.
+
+
+def q_white_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """White's heteroskedasticity test on the price~quantity fit —
+    the curvature-sensitive companion to the breusch_pagan entry on
+    the same regression (LM = n·R² of e² ~ x + x², exact chi2(2)
+    tail)."""
+    from from_superset_to_clickhouse_spark.operators.stats import white_test
+
+    li = _t(spark, sf_dir, "lineitem")
+    return white_test(li, "l_extendedprice", "l_quantity")
+
+
+def q_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's distance influence census of the price~quantity OLS fit:
+    max influence and the count of points past the 4/n screen — the
+    'could one row bend the model' audit."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        cooks_distance,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return cooks_distance(li, "l_extendedprice", "l_quantity")
+
+
+def q_deming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deming errors-in-variables fit between the raw event value and
+    a planted rescaled+shifted re-measurement (y = 1.02·x + noise) —
+    the method-comparison slope OLS would bias toward zero."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        deming_regression,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    y = (
+        F.lit(1.02) * F.col("value")
+        + (F.pmod(F.col("event_id"), 7) - F.lit(3)).cast("double")
+    )
+    src = ev.select(F.col("value").alias("x"), y.alias("y"))
+    return deming_regression(src, "x", "y", delta=1.0)
+
+
+def q_lin_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lin's concordance correlation between the raw event value and
+    the same planted re-measurement — precision × accuracy against
+    the 45° identity line, the scalar dual of bland_altman."""
+    from from_superset_to_clickhouse_spark.operators.stats import lin_ccc
+
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    y = (
+        F.lit(1.02) * F.col("value")
+        + (F.pmod(F.col("event_id"), 7) - F.lit(3)).cast("double")
+    )
+    src = ev.select(F.col("value").alias("x"), y.alias("y"))
+    return lin_ccc(src, "x", "y")
+
+
+_R15_QUERIES.update({
+    "white_test": q_white_test,
+    "cooks_distance": q_cooks_distance,
+    "deming": q_deming,
+    "lin_ccc": q_lin_ccc,
+})
+
+_R15_ORACLES.update({
+    "white_test": ("""
+-- Same grid OLS sums, same integer-exact (x, x^2, e^2/2^12) moments,
+-- exact chi2(2) tail exp(-LM/2).
+WITH src AS (
+  SELECT floor(CAST(l_quantity AS DOUBLE) * 1048576.0) / 1048576.0 AS x,
+    floor(CAST(l_extendedprice AS DOUBLE) * 1048576.0)
+      / 1048576.0 AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), m1 AS (
+  SELECT count(*) AS n,
+    floor(avg(x) * 1048576.0) / 1048576.0 AS mx,
+    floor(avg(y) * 1048576.0) / 1048576.0 AS my
+  FROM src
+), s1 AS (
+  SELECT n, mx, my,
+    CAST(CAST(sum(CAST(floor((x - mx) * (x - mx) * 1048576.0) AS BIGINT))
+      AS VARCHAR) AS DOUBLE) / 1048576.0 AS sxx,
+    CAST(CAST(sum(CAST(floor((x - mx) * (y - my) * 1048576.0) AS BIGINT))
+      AS VARCHAR) AS DOUBLE) / 1048576.0 AS sxy
+  FROM src, m1 GROUP BY 1, 2, 3
+), base AS (
+  SELECT n, mx, my, CASE WHEN sxx > 0 THEN sxy / sxx END AS b
+  FROM s1
+), mom AS (
+  SELECT
+    CAST(CAST(floor(x * 1048576.0) AS BIGINT) AS HUGEINT) AS ix,
+    CAST(CAST(floor(x * x * 1048576.0) AS BIGINT) AS HUGEINT) AS iz,
+    CAST(CAST(floor(((y - my) - b * (x - mx))
+      * ((y - my) - b * (x - mx)) / 4096.0 * 1048576.0) AS BIGINT)
+      AS HUGEINT) AS iu
+  FROM src, base
+), s2 AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n2,
+    sum(ix) AS sx, sum(iz) AS sz, sum(iu) AS su,
+    sum(ix * ix) AS sxx2, sum(iz * iz) AS szz2, sum(iu * iu) AS suu2,
+    sum(ix * iz) AS sxz2, sum(ix * iu) AS sxu2, sum(iz * iu) AS szu2
+  FROM mom
+), cen AS (
+  SELECT CAST(CAST(n2 AS VARCHAR) AS DOUBLE) AS nn,
+    CAST(CAST(n2 * sxx2 - sx * sx AS VARCHAR) AS DOUBLE) AS sxx,
+    CAST(CAST(n2 * szz2 - sz * sz AS VARCHAR) AS DOUBLE) AS szz,
+    CAST(CAST(n2 * suu2 - su * su AS VARCHAR) AS DOUBLE) AS suu,
+    CAST(CAST(n2 * sxz2 - sx * sz AS VARCHAR) AS DOUBLE) AS sxz,
+    CAST(CAST(n2 * sxu2 - sx * su AS VARCHAR) AS DOUBLE) AS sxu,
+    CAST(CAST(n2 * szu2 - sz * su AS VARCHAR) AS DOUBLE) AS szu
+  FROM s2
+), lmv AS (
+  SELECT nn,
+    CASE WHEN sxx * szz - sxz * sxz > 0 AND suu > 0
+      THEN nn * (((sxu * sxu * szz - 2.0 * sxu * szu * sxz
+        + szu * szu * sxx) / (sxx * szz - sxz * sxz)) / suu)
+    END AS lm
+  FROM cen
+)
+SELECT CAST(nn AS BIGINT) AS n, round(lm, 6) AS lm_stat,
+  round(exp(-lm / 2.0), 6) AS p_value
+FROM lmv
+"""),
+    "cooks_distance": ("""
+-- Same grid sums; per-row D_i is IEEE arithmetic of exact inputs.
+WITH src AS (
+  SELECT floor(CAST(l_quantity AS DOUBLE) * 1048576.0) / 1048576.0 AS x,
+    floor(CAST(l_extendedprice AS DOUBLE) * 1048576.0)
+      / 1048576.0 AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), m1 AS (
+  SELECT count(*) AS n,
+    floor(avg(x) * 1048576.0) / 1048576.0 AS mx,
+    floor(avg(y) * 1048576.0) / 1048576.0 AS my
+  FROM src
+), s1 AS (
+  SELECT n, mx, my,
+    CAST(CAST(sum(CAST(floor((x - mx) * (x - mx) * 1048576.0) AS BIGINT))
+      AS VARCHAR) AS DOUBLE) / 1048576.0 AS sxx,
+    CAST(CAST(sum(CAST(floor((y - my) * (y - my) * 1048576.0) AS HUGEINT))
+      AS VARCHAR) AS DOUBLE) / 1048576.0 AS syy,
+    CAST(CAST(sum(CAST(floor((x - mx) * (y - my) * 1048576.0) AS BIGINT))
+      AS VARCHAR) AS DOUBLE) / 1048576.0 AS sxy
+  FROM src, m1 GROUP BY 1, 2, 3
+), base AS (
+  SELECT n, mx, my, sxx,
+    CASE WHEN sxx > 0 THEN sxy / sxx END AS b,
+    (syy - CASE WHEN sxx > 0 THEN sxy / sxx END * sxy)
+      / (CAST(n AS DOUBLE) - 2.0) AS s2
+  FROM s1
+), per AS (
+  SELECT n, s2,
+    ((y - my) - b * (x - mx)) AS e,
+    1.0 / CAST(n AS DOUBLE) + (x - mx) * (x - mx) / sxx AS h
+  FROM src, base
+)
+SELECT CAST(n AS BIGINT) AS n, round(s2, 6) AS s2,
+  round(max(CASE WHEN s2 > 0 THEN (e * e * h)
+    / (2.0 * s2 * (1.0 - h) * (1.0 - h)) END), 6) AS max_d,
+  CAST(count(*) FILTER (CASE WHEN s2 > 0 THEN (e * e * h)
+    / (2.0 * s2 * (1.0 - h) * (1.0 - h)) END
+    > 4.0 / CAST(n AS DOUBLE)) AS BIGINT) AS n_above_4n
+FROM per GROUP BY 1, 2
+"""),
+    "deming": ("""
+-- Same planted re-measurement, same grid sums, same closed form.
+WITH raw AS (
+  SELECT value AS x0,
+    1.02 * value + CAST(event_id % 7 - 3 AS DOUBLE) AS y0
+  FROM events WHERE value IS NOT NULL
+), src AS (
+  SELECT floor(x0 * 1048576.0) / 1048576.0 AS x,
+    floor(y0 * 1048576.0) / 1048576.0 AS y
+  FROM raw
+), m1 AS (
+  SELECT count(*) AS n,
+    floor(avg(x) * 1048576.0) / 1048576.0 AS mx,
+    floor(avg(y) * 1048576.0) / 1048576.0 AS my
+  FROM src
+), s1 AS (
+  SELECT n, mx, my,
+    CAST(CAST(sum(CAST(floor((x - mx) * (x - mx) * 1048576.0) AS BIGINT))
+      AS VARCHAR) AS DOUBLE) / 1048576.0 AS sxx,
+    CAST(CAST(sum(CAST(floor((y - my) * (y - my) * 1048576.0) AS BIGINT))
+      AS VARCHAR) AS DOUBLE) / 1048576.0 AS syy,
+    CAST(CAST(sum(CAST(floor((x - mx) * (y - my) * 1048576.0) AS BIGINT))
+      AS VARCHAR) AS DOUBLE) / 1048576.0 AS sxy
+  FROM src, m1 GROUP BY 1, 2, 3
+), fit AS (
+  SELECT n, mx, my,
+    CASE WHEN sxy <> 0 THEN
+      ((syy - 1.0 * sxx) + sqrt((syy - 1.0 * sxx) * (syy - 1.0 * sxx)
+        + 4.0 * 1.0 * sxy * sxy)) / (2.0 * sxy)
+    END AS b
+  FROM s1
+)
+SELECT CAST(n AS BIGINT) AS n, round(b, 6) AS slope,
+  round(my - b * mx, 6) AS intercept
+FROM fit
+"""),
+    "lin_ccc": ("""
+-- Same planted re-measurement; ccc = 2 Sxy / (Sxx + Syy + n (mx-my)^2).
+WITH raw AS (
+  SELECT value AS x0,
+    1.02 * value + CAST(event_id % 7 - 3 AS DOUBLE) AS y0
+  FROM events WHERE value IS NOT NULL
+), src AS (
+  SELECT floor(x0 * 1048576.0) / 1048576.0 AS x,
+    floor(y0 * 1048576.0) / 1048576.0 AS y
+  FROM raw
+), m1 AS (
+  SELECT count(*) AS n,
+    floor(avg(x) * 1048576.0) / 1048576.0 AS mx,
+    floor(avg(y) * 1048576.0) / 1048576.0 AS my
+  FROM src
+), s1 AS (
+  SELECT n, mx, my,
+    CAST(CAST(sum(CAST(floor((x - mx) * (x - mx) * 1048576.0) AS BIGINT))
+      AS VARCHAR) AS DOUBLE) / 1048576.0 AS sxx,
+    CAST(CAST(sum(CAST(floor((y - my) * (y - my) * 1048576.0) AS BIGINT))
+      AS VARCHAR) AS DOUBLE) / 1048576.0 AS syy,
+    CAST(CAST(sum(CAST(floor((x - mx) * (y - my) * 1048576.0) AS BIGINT))
+      AS VARCHAR) AS DOUBLE) / 1048576.0 AS sxy
+  FROM src, m1 GROUP BY 1, 2, 3
+), v AS (
+  SELECT n,
+    CASE WHEN sxx + syy
+        + CAST(n AS DOUBLE) * (mx - my) * (mx - my) > 0
+      THEN 2.0 * sxy / (sxx + syy
+        + CAST(n AS DOUBLE) * (mx - my) * (mx - my)) END AS ccc,
+    CASE WHEN sxx > 0 AND syy > 0
+      THEN sxy / sqrt(sxx * syy) END AS r
+  FROM s1
+)
+SELECT CAST(n AS BIGINT) AS n, round(r, 6) AS r,
+  round(ccc, 6) AS ccc,
+  round(CASE WHEN r <> 0 THEN ccc / r END, 6) AS c_b
+FROM v
+"""),
+})

@@ -6566,3 +6566,177 @@ def fisher_exact(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
             6,
         ).alias("p_two_sided"),
     )
+
+
+def white_test(df: DataFrame, y_col: str, x_col: str) -> DataFrame:
+    """White's heteroskedasticity test (single regressor) → one row
+    (n, lm_stat, p_value): auxiliary regression of the squared OLS
+    residuals on (x, x²), LM = n·R² ~ chi2(2) under homoskedasticity —
+    the curvature-sensitive sibling of ``breusch_pagan`` (BP only sees
+    variance LINEAR in x; White catches U-shaped spread too). p-value
+    is the EXACT chi-square(2) tail exp(−LM/2), no approximation.
+
+    Same exactness recipe as ``breusch_pagan``: grid OLS sums for the
+    residuals, then 2^-20 integer grid units of (x, x², e²/2^12)
+    accumulated as uncentered decimal(38,0) moments (HUGEINT in a SQL
+    twin); every centered moment n·Sab − Sa·Sb is one exact integer
+    difference cast to double, and the 2-regressor explained sum of
+    squares is the closed-form normal-equation quadratic of those
+    doubles."""
+    q = lambda c: F.floor(F.col(c).cast("double") * _Q) / _Q  # noqa: E731
+    src = df.select(q(x_col).alias("_x"), q(y_col).alias("_y")).filter(
+        F.col("_x").isNotNull() & F.col("_y").isNotNull()
+    )
+    s1 = _ols_sums(src, [])
+    b = F.when(F.col("_sxx") > 0, F.col("_sxy") / F.col("_sxx"))
+    base = s1.select("_n", "_mx", "_my", b.alias("_b"))
+    c = src.crossJoin(F.broadcast(base))
+    e = (F.col("_y") - F.col("_my")) - F.col("_b") * (
+        F.col("_x") - F.col("_mx")
+    )
+    dec = "decimal(38,0)"
+    X = F.floor(F.col("_x") * _Q).cast(dec)
+    Z = F.floor(F.col("_x") * F.col("_x") * _Q).cast(dec)
+    U = F.floor(e * e / 4096.0 * _Q).cast(dec)
+    mom = c.select(X.alias("_X"), Z.alias("_Z"), U.alias("_U"))
+    s2 = mom.agg(
+        F.count("*").cast(dec).alias("_n2"),
+        F.sum("_X").alias("_sx"),
+        F.sum("_Z").alias("_sz"),
+        F.sum("_U").alias("_su"),
+        F.sum(F.col("_X") * F.col("_X")).alias("_sxx2"),
+        F.sum(F.col("_Z") * F.col("_Z")).alias("_szz2"),
+        F.sum(F.col("_U") * F.col("_U")).alias("_suu2"),
+        F.sum(F.col("_X") * F.col("_Z")).alias("_sxz2"),
+        F.sum(F.col("_X") * F.col("_U")).alias("_sxu2"),
+        F.sum(F.col("_Z") * F.col("_U")).alias("_szu2"),
+    )
+    n2 = F.col("_n2")
+
+    def cen(sab, sa, sb):
+        return (n2 * F.col(sab) - F.col(sa) * F.col(sb)).cast("double")
+
+    sxx = cen("_sxx2", "_sx", "_sx")
+    szz = cen("_szz2", "_sz", "_sz")
+    suu = cen("_suu2", "_su", "_su")
+    sxz = cen("_sxz2", "_sx", "_sz")
+    sxu = cen("_sxu2", "_sx", "_su")
+    szu = cen("_szu2", "_sz", "_su")
+    det = sxx * szz - sxz * sxz
+    ess = (
+        sxu * sxu * szz - 2.0 * sxu * szu * sxz + szu * szu * sxx
+    ) / det
+    r2 = F.when((det > 0) & (suu > 0), ess / suu)
+    lm = n2.cast("double") * r2
+    return s2.select(
+        n2.cast("long").alias("n"),
+        F.round(lm, 6).alias("lm_stat"),
+        F.round(F.exp(-lm / 2.0), 6).alias("p_value"),
+    )
+
+
+def cooks_distance(df: DataFrame, y_col: str, x_col: str) -> DataFrame:
+    """Cook's distance census for simple OLS → one row (n, s2, max_d,
+    n_above_4n): per-point influence D_i = e_i²·h_i / (p·s²·(1−h_i)²)
+    with leverage h_i = 1/n + (x_i−x̄)²/Sxx, screened at the standard
+    4/n cut — an influence AUDIT (how many points could bend the fit),
+    not a per-row dump; at 100 TB the answer stays one row.
+
+    Slope and the error variance s² = (Syy − b·Sxy)/(n−2) come from
+    the shared grid-exact sums; every D_i is IEEE arithmetic of those
+    exact inputs, identical per row on any engine, so max() and the
+    threshold count replay exactly."""
+    q = lambda c: F.floor(F.col(c).cast("double") * _Q) / _Q  # noqa: E731
+    src = df.select(q(x_col).alias("_x"), q(y_col).alias("_y")).filter(
+        F.col("_x").isNotNull() & F.col("_y").isNotNull()
+    )
+    s1 = _ols_sums(src, [])
+    b = F.when(F.col("_sxx") > 0, F.col("_sxy") / F.col("_sxx"))
+    nn = F.col("_n").cast("double")
+    s2v = (F.col("_syy") - b * F.col("_sxy")) / (nn - 2.0)
+    base = s1.select(
+        "_n", "_mx", "_my", "_sxx", b.alias("_b"), s2v.alias("_s2")
+    )
+    c = src.crossJoin(F.broadcast(base))
+    e = (F.col("_y") - F.col("_my")) - F.col("_b") * (
+        F.col("_x") - F.col("_mx")
+    )
+    dx = F.col("_x") - F.col("_mx")
+    h = 1.0 / F.col("_n").cast("double") + dx * dx / F.col("_sxx")
+    d = F.when(
+        F.col("_s2") > 0,
+        (e * e * h)
+        / (
+            F.lit(2.0)
+            * F.col("_s2")
+            * (F.lit(1.0) - h)
+            * (F.lit(1.0) - h)
+        ),
+    )
+    cut = 4.0 / F.col("_n").cast("double")
+    return c.groupBy("_n", "_s2").agg(
+        F.max(d).alias("_maxd"),
+        F.count(F.when(d > cut, 1)).alias("_nbig"),
+    ).select(
+        F.col("_n").cast("long").alias("n"),
+        F.round("_s2", 6).alias("s2"),
+        F.round("_maxd", 6).alias("max_d"),
+        F.col("_nbig").cast("long").alias("n_above_4n"),
+    )
+
+
+def deming_regression(
+    df: DataFrame, x_col: str, y_col: str, delta: float = 1.0
+) -> DataFrame:
+    """Deming (errors-in-variables) regression → one row (n, slope,
+    intercept): both axes carry measurement error with variance ratio
+    ``delta``, so the fit minimizes weighted PERPENDICULAR distance —
+    the method-comparison standard where plain OLS slope is biased
+    toward zero by x-noise. Closed form over the shared grid-exact
+    sums: b = (Syy − δSxx + √((Syy − δSxx)² + 4δ·Sxy²)) / (2·Sxy)."""
+    q = lambda c: F.floor(F.col(c).cast("double") * _Q) / _Q  # noqa: E731
+    src = df.select(q(x_col).alias("_x"), q(y_col).alias("_y")).filter(
+        F.col("_x").isNotNull() & F.col("_y").isNotNull()
+    )
+    s1 = _ols_sums(src, [])
+    d = F.lit(float(delta))
+    diff = F.col("_syy") - d * F.col("_sxx")
+    b = F.when(
+        F.col("_sxy") != 0,
+        (diff + F.sqrt(diff * diff + 4.0 * d * F.col("_sxy")
+                       * F.col("_sxy")))
+        / (2.0 * F.col("_sxy")),
+    )
+    return s1.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round(b, 6).alias("slope"),
+        F.round(F.col("_my") - b * F.col("_mx"), 6).alias("intercept"),
+    )
+
+
+def lin_ccc(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Lin's concordance correlation coefficient → one row (n, r, ccc,
+    c_b): how far paired measurements fall from the 45° identity line
+    — precision (Pearson r) × accuracy (the C_b bias-correction
+    factor). The method-agreement summary dual to ``bland_altman``'s
+    limits. ccc = 2·Sxy / (Sxx + Syy + n·(x̄−ȳ)²), all from one
+    grid-exact sum pass."""
+    q = lambda c: F.floor(F.col(c).cast("double") * _Q) / _Q  # noqa: E731
+    src = df.select(q(x_col).alias("_x"), q(y_col).alias("_y")).filter(
+        F.col("_x").isNotNull() & F.col("_y").isNotNull()
+    )
+    s1 = _ols_sums(src, [])
+    nn = F.col("_n").cast("double")
+    md = F.col("_mx") - F.col("_my")
+    den = F.col("_sxx") + F.col("_syy") + nn * md * md
+    ccc = F.when(den > 0, 2.0 * F.col("_sxy") / den)
+    r = F.when(
+        (F.col("_sxx") > 0) & (F.col("_syy") > 0),
+        F.col("_sxy") / F.sqrt(F.col("_sxx") * F.col("_syy")),
+    )
+    return s1.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round(r, 6).alias("r"),
+        F.round(ccc, 6).alias("ccc"),
+        F.round(F.when(r != 0, ccc / r), 6).alias("c_b"),
+    )

@@ -97,3 +97,74 @@ def test_fisher_exact_extreme_table(spark):
     ).collect()[0]
     # support a in [0..5]; pmf(5) = 1/C(10,5) = 1/252; pmf(0) same
     assert abs(r["p_two_sided"] - 2.0 / 252.0) < 1e-5
+
+
+def test_white_test_hetero_vs_homo(spark):
+    # variance proportional to x^2 -> LM fires; constant noise -> not
+    het = [
+        (float(x), float(x) + ((i * 37) % 11 - 5.0) * x / 10.0)
+        for i, x in enumerate(range(1, 201))
+    ]
+    r = st.white_test(
+        spark.createDataFrame(het, "x double, y double"), "y", "x"
+    ).collect()[0]
+    assert r["p_value"] < 0.01
+    hom = [
+        (float(x), float(x) + ((i * 37) % 11 - 5.0) / 10.0)
+        for i, x in enumerate(range(1, 201))
+    ]
+    r2 = st.white_test(
+        spark.createDataFrame(hom, "x double, y double"), "y", "x"
+    ).collect()[0]
+    assert r2["p_value"] > 0.05
+
+
+def test_cooks_distance_flags_planted_influencer(spark):
+    # a tight (slightly noisy) line plus one far-off high-leverage
+    # point; a PERFECT line would have s2 = 0 and NULL distances
+    rows = [
+        (float(x), 2.0 * x + 1.0 + ((x * 7) % 5 - 2.0) / 10.0)
+        for x in range(1, 31)
+    ]
+    clean = st.cooks_distance(
+        spark.createDataFrame(rows, "x double, y double"), "y", "x"
+    ).collect()[0]
+    rows_bad = rows + [(100.0, 0.0)]
+    bad = st.cooks_distance(
+        spark.createDataFrame(rows_bad, "x double, y double"), "y", "x"
+    ).collect()[0]
+    assert clean["max_d"] < 0.2 and clean["n_above_4n"] == 0
+    assert bad["max_d"] > 10.0 and bad["n_above_4n"] >= 1
+
+
+def test_deming_recovers_slope_under_x_noise(spark):
+    # y = 2x exactly but x observed with symmetric noise: OLS slope
+    # biases below 2; Deming (delta = noise ratio 1 after scaling)
+    # recovers more of it. Planted deterministic +/- noise.
+    import itertools
+
+    noise = itertools.cycle([-1.0, 1.0])
+    rows = []
+    for x in range(1, 101):
+        e = next(noise)
+        rows.append((float(x) + e, 2.0 * float(x)))
+    df = spark.createDataFrame(rows, "x double, y double")
+    dem = st.deming_regression(df, "x", "y", delta=4.0).collect()[0]
+    ols = st.linear_regression(df, "x", "y")
+    b_ols = ols.collect()[0]["slope"]
+    assert b_ols < 2.0
+    assert abs(dem["slope"] - 2.0) < abs(b_ols - 2.0)
+
+
+def test_lin_ccc_identity_vs_shifted(spark):
+    rows = [(float(x), float(x)) for x in range(1, 51)]
+    r = st.lin_ccc(
+        spark.createDataFrame(rows, "x double, y double"), "x", "y"
+    ).collect()[0]
+    assert r["ccc"] == 1.0 and r["r"] == 1.0 and r["c_b"] == 1.0
+    # constant shift keeps r = 1 but drops ccc below 1
+    rows2 = [(float(x), float(x) + 10.0) for x in range(1, 51)]
+    r2 = st.lin_ccc(
+        spark.createDataFrame(rows2, "x double, y double"), "x", "y"
+    ).collect()[0]
+    assert r2["r"] == 1.0 and r2["ccc"] < 0.9 and r2["c_b"] < 0.9
