@@ -22635,3 +22635,227 @@ SELECT CAST(n AS BIGINT) AS n, round(r, 6) AS r,
 FROM v
 """),
 })
+
+
+# ---------------------------------------------------------------------------
+# Round-14 entries, batch 3: distribution distance / scale test /
+# meta-analysis / count control chart.
+
+
+def q_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hellinger + Bhattacharyya distance between the purchase and
+    click value histograms (25-unit buckets, capped at 20) — the
+    bounded-metric drift gauge next to the jsd entry."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        hellinger_distance,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    src = ev.select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 25.0), F.lit(19)).alias("bkt"),
+    )
+    return hellinger_distance(src, "event_type", "purchase", "click", "bkt")
+
+
+def q_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari–Bradley rank scale test between purchase and view event
+    values — 'same spread?' where mann_whitney asks 'same location?'."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        ansari_bradley,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return ansari_bradley(ev, "event_type", "purchase", "view", "value")
+
+
+def q_meta_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-effect meta-analysis pooling the five event types' mean
+    values (exact integer-grid per-study effect and SE), with
+    Cochran's Q and I² heterogeneity — 'do the segments agree?'."""
+    from from_superset_to_clickhouse_spark.operators.stats import meta_fixed
+
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    u = F.floor(F.col("value") * F.lit(1048576.0))
+    dec = "decimal(38,0)"
+    stud = ev.groupBy("event_type").agg(
+        F.count("*").alias("_n"),
+        F.sum(u).alias("_s"),
+        F.sum(u.cast(dec) * u.cast(dec)).alias("_ss"),
+    )
+    nn = F.col("_n").cast("double")
+    varu = (
+        (
+            F.col("_n").cast(dec) * F.col("_ss")
+            - F.col("_s").cast(dec) * F.col("_s").cast(dec)
+        ).cast("double")
+        / (nn * (nn - 1.0))
+    )
+    stud = stud.select(
+        "event_type",
+        ((F.col("_s").cast("double") / nn) / 1048576.0).alias("e"),
+        (F.sqrt(varu / nn) / 1048576.0).alias("se"),
+    )
+    return meta_fixed(stud, "event_type", "e", "se")
+
+
+def q_c_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart c-chart of daily event counts per type: Poisson
+    3-sigma limits around the mean daily count, exact out-of-control
+    bucket census — the count sibling of the p_chart entry."""
+    from from_superset_to_clickhouse_spark.operators.temporal import c_chart
+
+    ev = _ev(spark, sf_dir).filter(F.col("event_type").isNotNull())
+    return c_chart(ev, "event_type", "ts", bucket="1 day")
+
+
+_R15_QUERIES.update({
+    "hellinger": q_hellinger,
+    "ansari_bradley": q_ansari_bradley,
+    "meta_fixed": q_meta_fixed,
+    "c_chart": q_c_chart,
+})
+
+_R15_ORACLES.update({
+    "hellinger": ("""
+-- Same buckets, exact integer cell ratios, BC = sum sqrt(p q).
+WITH src AS (
+  SELECT event_type AS g,
+    least(floor(value / 25.0), 19) AS k
+  FROM events WHERE value IS NOT NULL
+    AND event_type IN ('purchase', 'click')
+), cells AS (
+  SELECT k, count(*) FILTER (g = 'purchase') AS ca,
+    count(*) FILTER (g = 'click') AS cb
+  FROM src GROUP BY 1
+), t AS (
+  SELECT ca, cb, sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+  FROM cells
+), agg AS (
+  SELECT max(na) AS na, max(nb) AS nb, count(*) AS nk,
+    sum(sqrt((ca / CAST(na AS DOUBLE)) * (cb / CAST(nb AS DOUBLE))))
+      AS bc0
+  FROM t
+), v AS (SELECT na, nb, nk, least(bc0, 1.0) AS bc FROM agg)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  CAST(nk AS BIGINT) AS n_buckets, round(bc, 6) AS bc,
+  round(sqrt(1.0 - bc), 6) AS hellinger,
+  round(CASE WHEN bc > 0 THEN -ln(bc) END, 6) AS bhattacharyya
+FROM v
+"""),
+    "ansari_bradley": ("""
+-- Same midrank-derived min(r, n+1-r) scores, exact even/odd moments.
+WITH src AS (
+  SELECT event_type AS g,
+    floor(CAST(value AS DOUBLE) * 1048576.0) / 1048576.0 AS v
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+), pv AS (
+  SELECT v, count(*) AS t,
+    count(*) FILTER (g = 'purchase') AS ca
+  FROM src GROUP BY 1
+), rk AS (
+  SELECT v, t, ca,
+    coalesce(sum(t) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      + (t + 1.0) / 2.0 AS r,
+    sum(t) OVER () AS n
+  FROM pv
+), sc AS (
+  SELECT n, t, ca, least(r, n + 1.0 - r) AS s FROM rk
+), agg AS (
+  SELECT max(n) AS n, sum(ca) AS n1, sum(t - ca) AS n2,
+    sum(ca * s) AS ab
+  FROM sc
+), mo AS (
+  SELECT n, n1, n2, ab,
+    CASE WHEN n % 2 = 0 THEN n1 * (n + 2.0) / 4.0
+      ELSE n1 * (n + 1.0) * (n + 1.0) / (4.0 * n) END AS mean,
+    CASE WHEN n % 2 = 0
+      THEN n1 * n2 * (n + 2.0) * (n - 2.0) / (48.0 * (n - 1.0))
+      ELSE n1 * n2 * (n + 1.0) * (3.0 + n * n) / (48.0 * n * n)
+    END AS var
+  FROM agg
+), zt AS (
+  SELECT n1, n2, ab,
+    CASE WHEN var > 0 THEN (ab - mean) / sqrt(var) END AS z
+  FROM mo
+), et AS (
+  SELECT *, abs(z) / sqrt(2.0) AS xx,
+    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+  FROM zt
+)
+SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+  round(ab, 6) AS ab, round(z, 6) AS z,
+  round(2.0 * ((1.0 - (1.0 - (0.254829592 * t - 0.284496736 * t * t
+    + 1.421413741 * t * t * t - 1.453152027 * t * t * t * t
+    + 1.061405429 * t * t * t * t * t) * exp(-(xx * xx)))) / 2.0), 6)
+    AS p_value
+FROM et
+"""),
+    "meta_fixed": ("""
+-- Same exact integer-grid study effects/SEs, same pooled arithmetic.
+WITH stud AS (
+  SELECT event_type, count(*) AS n,
+    sum(CAST(floor(value * 1048576.0) AS BIGINT)) AS s,
+    sum(CAST(CAST(floor(value * 1048576.0) AS BIGINT) AS HUGEINT)
+      * CAST(floor(value * 1048576.0) AS BIGINT)) AS ss
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), eff AS (
+  SELECT event_type,
+    (CAST(s AS DOUBLE) / n) / 1048576.0 AS e,
+    sqrt((CAST(CAST(CAST(n AS HUGEINT) * ss
+        - CAST(s AS HUGEINT) * s AS VARCHAR) AS DOUBLE)
+      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+      / CAST(n AS DOUBLE)) / 1048576.0 AS se
+  FROM stud
+), w AS (
+  SELECT e, 1.0 / (se * se) AS wi FROM eff WHERE se > 0
+), agg AS (
+  SELECT count(*) AS k, sum(wi) AS sw, sum(wi * e) AS swe,
+    sum(wi * e * e) AS swee
+  FROM w
+), v AS (
+  SELECT k, swe / sw AS pooled, sqrt(1.0 / sw) AS se,
+    (swe / sw) / sqrt(1.0 / sw) AS z,
+    swee - swe * swe / sw AS q
+  FROM agg
+), i2v AS (
+  SELECT *, CASE WHEN q > 0
+    THEN greatest((q - (k - 1.0)) / q, 0.0) ELSE 0.0 END AS i2
+  FROM v
+), et AS (
+  SELECT *, abs(z) / sqrt(2.0) AS xx,
+    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+  FROM i2v
+)
+SELECT CAST(k AS BIGINT) AS k, round(pooled, 6) AS pooled,
+  round(se, 6) AS se, round(z, 6) AS z,
+  round(2.0 * ((1.0 - (1.0 - (0.254829592 * t - 0.284496736 * t * t
+    + 1.421413741 * t * t * t - 1.453152027 * t * t * t * t
+    + 1.061405429 * t * t * t * t * t) * exp(-(xx * xx)))) / 2.0), 6)
+    AS p_value,
+  round(q, 6) AS q_stat, round(i2, 6) AS i2
+FROM et
+"""),
+    "c_chart": ("""
+-- Same daily count buckets, same Poisson limits.
+WITH per AS (
+  SELECT event_type AS key, time_bucket(INTERVAL '1 day', ts) AS w,
+    count(*) AS ci
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+), tot AS (
+  SELECT key, count(*) AS nb, sum(ci) AS c FROM per GROUP BY 1
+), lim AS (
+  SELECT key, nb, CAST(c AS DOUBLE) / nb AS cb FROM tot
+), j AS (
+  SELECT p.key, l.nb, l.cb, CAST(p.ci AS DOUBLE) AS ci,
+    l.cb + 3.0 * sqrt(l.cb) AS ucl,
+    greatest(l.cb - 3.0 * sqrt(l.cb), 0.0) AS lcl
+  FROM per p JOIN lim l ON p.key = l.key
+)
+SELECT key, CAST(nb AS BIGINT) AS n_buckets, round(cb, 6) AS c_bar,
+  CAST(count(*) FILTER (ci > ucl OR ci < lcl) AS BIGINT) AS n_out
+FROM j GROUP BY 1, 2, 3
+"""),
+})

@@ -6740,3 +6740,153 @@ def lin_ccc(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         F.round(ccc, 6).alias("ccc"),
         F.round(F.when(r != 0, ccc / r), 6).alias("c_b"),
     )
+
+
+def hellinger_distance(
+    df: DataFrame,
+    group_col: str,
+    a: str,
+    b: str,
+    bucket_col: str,
+) -> DataFrame:
+    """Hellinger + Bhattacharyya distance between two empirical
+    bucket distributions → one row (n_a, n_b, n_buckets, bc,
+    hellinger, bhattacharyya): BC = Σ√(p_i·q_i) over the union of
+    buckets, H = √(1−BC), B = −ln(BC) — the bounded-metric companion
+    to ``js_divergence`` (H is a true metric in [0,1]; KL-family
+    divergences are unbounded on disjoint support). One cell count
+    over the fact; everything after is the bucket-scale table, each
+    p_i an exact integer ratio."""
+    g = F.col(group_col)
+    cells = df.filter(g.isin([a, b])).groupBy(
+        F.col(bucket_col).alias("_k")
+    ).agg(
+        F.count(F.when(g == a, 1)).alias("_ca"),
+        F.count(F.when(g == b, 1)).alias("_cb"),
+    )
+    w_all = Window.partitionBy()
+    t = cells.select(
+        "_ca",
+        "_cb",
+        F.sum("_ca").over(w_all).alias("_na"),
+        F.sum("_cb").over(w_all).alias("_nb"),
+    )
+    p = F.col("_ca").cast("double") / F.col("_na")
+    qq = F.col("_cb").cast("double") / F.col("_nb")
+    agg = t.groupBy("_na", "_nb").agg(
+        F.count("*").alias("_nk"),
+        F.sum(F.sqrt(p * qq)).alias("_bc"),
+    )
+    bc = F.least(F.col("_bc"), F.lit(1.0))
+    return agg.select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.col("_nk").cast("long").alias("n_buckets"),
+        F.round(bc, 6).alias("bc"),
+        F.round(F.sqrt(F.lit(1.0) - bc), 6).alias("hellinger"),
+        F.round(
+            F.when(bc > 0, -F.log(bc)), 6
+        ).alias("bhattacharyya"),
+    )
+
+
+def ansari_bradley(
+    df: DataFrame,
+    group_col: str,
+    a: str,
+    b: str,
+    value_col: str,
+) -> DataFrame:
+    """Ansari–Bradley two-sample SCALE test → one row (n_a, n_b, ab,
+    z, p_value): rank from both ends of the pooled sample (score =
+    min(rank, n+1−rank)), sum group-a scores, compare to the exact
+    even/odd-n null moments — detects dispersion differences between
+    equal-location groups, the rank dual of ``levene_var``. Ties get
+    midrank-derived scores (a deterministic tie policy; exact-tie
+    corrections to the null variance are not applied — documented
+    contract, same family as ``ordinal_assoc``'s tie handling).
+    Midranks land on the 0.5 grid so every score and sum is exact."""
+    g = F.col(group_col)
+    v = F.floor(F.col(value_col).cast("double") * _Q) / _Q
+    src = df.filter(g.isin([a, b]) & F.col(value_col).isNotNull()).select(
+        g.alias("_g"), v.alias("_v")
+    )
+    r = _midrank(src, "_v", [], "_r")
+    w_all = Window.partitionBy()
+    t = r.withColumn("_n", F.count("*").over(w_all))
+    score = F.least(
+        F.col("_r"), F.col("_n").cast("double") + 1.0 - F.col("_r")
+    )
+    agg = t.groupBy("_n").agg(
+        F.count(F.when(F.col("_g") == a, 1)).alias("_n1"),
+        F.count(F.when(F.col("_g") == b, 1)).alias("_n2"),
+        F.sum(F.when(F.col("_g") == a, score)).alias("_ab"),
+    )
+    n = F.col("_n").cast("double")
+    n1 = F.col("_n1").cast("double")
+    n2 = F.col("_n2").cast("double")
+    even = F.pmod(F.col("_n"), 2) == 0
+    mean = F.when(even, n1 * (n + 2.0) / 4.0).otherwise(
+        n1 * (n + 1.0) * (n + 1.0) / (4.0 * n)
+    )
+    var = F.when(
+        even,
+        n1 * n2 * (n + 2.0) * (n - 2.0) / (48.0 * (n - 1.0)),
+    ).otherwise(
+        n1 * n2 * (n + 1.0) * (3.0 + n * n) / (48.0 * n * n)
+    )
+    z = F.when(var > 0, (F.col("_ab") - mean) / F.sqrt(var))
+    return agg.select(
+        F.col("_n1").cast("long").alias("n_a"),
+        F.col("_n2").cast("long").alias("n_b"),
+        F.round("_ab", 6).alias("ab"),
+        F.round(z, 6).alias("z"),
+        F.round(F.lit(2.0) * normal_sf(F.abs(z)), 6).alias("p_value"),
+    )
+
+
+def meta_fixed(
+    df: DataFrame,
+    study_col: str,
+    effect_col: str,
+    se_col: str,
+) -> DataFrame:
+    """Fixed-effect (inverse-variance) meta-analysis → one row (k,
+    pooled, se, z, p_value, q_stat, i2): pooled = Σwᵢθᵢ/Σwᵢ with wᵢ =
+    1/seᵢ², Cochran's Q = Σwᵢ(θᵢ−pooled)², I² = max(0, (Q−(k−1))/Q) —
+    'do the k per-segment estimates agree, and what do they say
+    jointly'. The caller aggregates studies first (per-cohort effect +
+    standard error — exact-sum derived upstream); this pass is
+    study-table-scale, k rows."""
+    src = df.select(
+        F.col(study_col).alias("_s"),
+        F.col(effect_col).cast("double").alias("_e"),
+        F.col(se_col).cast("double").alias("_se"),
+    ).filter(
+        F.col("_e").isNotNull() & (F.col("_se") > 0)
+    )
+    w = 1.0 / (F.col("_se") * F.col("_se"))
+    s = src.agg(
+        F.count("*").alias("_k"),
+        F.sum(w).alias("_sw"),
+        F.sum(w * F.col("_e")).alias("_swe"),
+        F.sum(w * F.col("_e") * F.col("_e")).alias("_swee"),
+    )
+    pooled = F.col("_swe") / F.col("_sw")
+    qstat = F.col("_swee") - F.col("_swe") * F.col("_swe") / F.col("_sw")
+    k = F.col("_k").cast("double")
+    i2 = F.when(
+        qstat > 0,
+        F.greatest((qstat - (k - 1.0)) / qstat, F.lit(0.0)),
+    ).otherwise(F.lit(0.0))
+    se = F.sqrt(1.0 / F.col("_sw"))
+    z = pooled / se
+    return s.select(
+        F.col("_k").cast("long").alias("k"),
+        F.round(pooled, 6).alias("pooled"),
+        F.round(se, 6).alias("se"),
+        F.round(z, 6).alias("z"),
+        F.round(F.lit(2.0) * normal_sf(F.abs(z)), 6).alias("p_value"),
+        F.round(qstat, 6).alias("q_stat"),
+        F.round(i2, 6).alias("i2"),
+    )

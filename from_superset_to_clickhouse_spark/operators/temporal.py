@@ -4042,3 +4042,42 @@ def hampel_outliers(
             F.count(F.when(flag, 1)) / F.count("*").cast("double"), 6
         ).alias("flagged_frac"),
     )
+
+
+def c_chart(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Shewhart c-chart (count-of-defects control) summary per key →
+    (key, n_buckets, c_bar, n_out): bucket event counts into equal
+    subgroups, center line c̄ = mean bucket count, Poisson 3σ limits
+    c̄ ± 3·√c̄ (LCL clamped at 0), and the count of out-of-control
+    buckets — the count-data sibling of ``p_chart`` (rates) and
+    ``imr_chart`` (measurements). Two aggregates; every count and the
+    center line (an integer ratio) are exact."""
+    src = df.select(
+        F.col(key_col).alias("key"),
+        F.window(F.col(ts_col), bucket).alias("_w"),
+    )
+    per = src.groupBy("key", "_w").agg(F.count("*").alias("_ci"))
+    tot = per.groupBy("key").agg(
+        F.count("*").alias("_nb"),
+        F.sum("_ci").alias("_c"),
+    )
+    cb = F.col("_c").cast("double") / F.col("_nb")
+    lim = tot.select("key", "_nb", cb.alias("_cb"))
+    j = per.join(F.broadcast(lim), "key")
+    ucl = F.col("_cb") + 3.0 * F.sqrt(F.col("_cb"))
+    lcl = F.greatest(F.col("_cb") - 3.0 * F.sqrt(F.col("_cb")), F.lit(0.0))
+    ci = F.col("_ci").cast("double")
+    out = j.groupBy("key", "_nb", "_cb").agg(
+        F.count(F.when((ci > ucl) | (ci < lcl), 1)).alias("_out")
+    )
+    return out.select(
+        "key",
+        F.col("_nb").cast("long").alias("n_buckets"),
+        F.round("_cb", 6).alias("c_bar"),
+        F.col("_out").cast("long").alias("n_out"),
+    )

@@ -168,3 +168,77 @@ def test_lin_ccc_identity_vs_shifted(spark):
         spark.createDataFrame(rows2, "x double, y double"), "x", "y"
     ).collect()[0]
     assert r2["r"] == 1.0 and r2["ccc"] < 0.9 and r2["c_b"] < 0.9
+
+
+def test_hellinger_identical_vs_disjoint(spark):
+    same = [("a", 1)] * 10 + [("b", 1)] * 10 + [("a", 2)] * 10 + [("b", 2)] * 10
+    r = st.hellinger_distance(
+        spark.createDataFrame(same, "g string, k int"), "g", "a", "b", "k"
+    ).collect()[0]
+    assert r["bc"] == 1.0 and r["hellinger"] == 0.0 and r["bhattacharyya"] == 0.0
+    disj = [("a", 1)] * 10 + [("b", 2)] * 10
+    r2 = st.hellinger_distance(
+        spark.createDataFrame(disj, "g string, k int"), "g", "a", "b", "k"
+    ).collect()[0]
+    assert r2["bc"] == 0.0 and r2["hellinger"] == 1.0
+    assert r2["bhattacharyya"] is None  # -ln(0) guarded to NULL
+
+
+def test_ansari_bradley_scale_difference(spark):
+    # same center, group b 10x wider spread -> b gets the extreme
+    # ranks, a's scores concentrate high -> significant
+    a = [("a", 100.0 + d) for d in range(-10, 11)]
+    b = [("b", 100.0 + 10.0 * d) for d in range(-10, 11)]
+    r = st.ansari_bradley(
+        spark.createDataFrame(a + b, "g string, v double"), "g", "a", "b", "v"
+    ).collect()[0]
+    assert r["n_a"] == 21 and r["n_b"] == 21
+    assert r["p_value"] < 0.01 and r["z"] > 0
+    # identical distributions -> z ~ 0
+    r2 = st.ansari_bradley(
+        spark.createDataFrame(
+            a + [("b", v) for _, v in a], "g string, v double"
+        ), "g", "a", "b", "v",
+    ).collect()[0]
+    assert r2["p_value"] > 0.5
+
+
+def test_meta_fixed_agreeing_vs_heterogeneous(spark):
+    # three studies all estimating 2.0 -> pooled 2.0, Q ~ 0, I2 = 0
+    agree = [("s1", 2.0, 0.1), ("s2", 2.0, 0.2), ("s3", 2.0, 0.15)]
+    r = st.meta_fixed(
+        spark.createDataFrame(agree, "s string, e double, se double"),
+        "s", "e", "se",
+    ).collect()[0]
+    assert r["k"] == 3 and r["pooled"] == 2.0
+    assert r["q_stat"] == 0.0 and r["i2"] == 0.0
+    # hand check pooled: w = 100, 25 -> pooled = (100*1 + 25*5)/125 = 1.8
+    two = [("s1", 1.0, 0.1), ("s2", 5.0, 0.2)]
+    r2 = st.meta_fixed(
+        spark.createDataFrame(two, "s string, e double, se double"),
+        "s", "e", "se",
+    ).collect()[0]
+    assert abs(r2["pooled"] - 1.8) < 1e-9
+    assert r2["i2"] > 0.9  # wildly heterogeneous
+
+
+def test_c_chart_stable_vs_spiked(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # 10 days x 16 events -> c_bar 16, limits 16 +/- 12 -> stable
+    for d in range(10):
+        for i in range(16):
+            rows.append(("k", t0 + dt.timedelta(days=d, minutes=i)))
+    # one spiked day with 40 events -> above UCL
+    for i in range(40):
+        rows.append(("k", t0 + dt.timedelta(days=10, minutes=i)))
+    from from_superset_to_clickhouse_spark.operators.temporal import c_chart
+
+    r = c_chart(
+        spark.createDataFrame(rows, "key string, ts timestamp"),
+        "key", "ts",
+    ).collect()[0]
+    assert r["n_buckets"] == 11
+    assert r["n_out"] >= 1
