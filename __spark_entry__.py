@@ -22859,3 +22859,167 @@ SELECT key, CAST(nb AS BIGINT) AS n_buckets, round(cb, 6) AS c_bar,
 FROM j GROUP BY 1, 2, 3
 """),
 })
+
+
+# ---------------------------------------------------------------------------
+# Round-14 entries, batch 4: the finance/indicator tier over the shared
+# per-type daily series.
+
+
+def q_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sortino ratio of each type's daily mean-value returns: exact
+    grid-quantized returns, downside-only deviation."""
+    return tmp.sortino_ratio(
+        _daily_series_r12(spark, sf_dir), "g", "d", "v", target=0.0
+    )
+
+
+def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD(12,26,9) over each type's daily series — full-prefix EMA
+    recursion unrolled into bounded left-to-right folds."""
+    return tmp.macd(
+        _daily_series_r12(spark, sf_dir), "g", "d", "v",
+        fast=12, slow=26, signal=9,
+    )
+
+
+def q_stoch_osc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator %K(14)/%D(3) over each type's daily
+    series — exact window min/max, NULL warm-ups kept."""
+    return tmp.stochastic_oscillator(
+        _daily_series_r12(spark, sf_dir), "g", "d", "v",
+        k_period=14, d_period=3,
+    )
+
+
+def q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume over each type's daily series with the daily
+    event count as volume — exact signed integer accumulator."""
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        F.col("event_type").alias("g"),
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+    ).agg(F.avg("value").alias("v"), F.count("*").alias("vol"))
+    return tmp.obv(daily, "g", "d", "v", "vol")
+
+
+_R15_QUERIES.update({
+    "sortino": q_sortino,
+    "macd": q_macd,
+    "stoch_osc": q_stoch_osc,
+    "obv": q_obv,
+})
+
+_MACD_W = (
+    "(x, i) -> x * CASE WHEN i = 1 THEN pow({d}, len({l}) - 1) "
+    "ELSE ({a}) * pow({d}, len({l}) - i) END"
+)
+
+
+def _ema_list_sql(lst: str, a: str, d: str) -> str:
+    """list_sum weighted-fold twin of the unrolled EMA recursion."""
+    w = _MACD_W.format(l=lst, a=a, d=d)
+    return f"list_sum(list_transform({lst}, {w}))"
+
+
+_R15_ORACLES.update({
+    "sortino": ("""
+-- Same grid returns, exact order-free sums.
+WITH daily AS (""" + _DAILY_G_SQL + """),
+gq AS (
+  SELECT g, d, floor(v * 1048576.0) / 1048576.0 AS v FROM daily
+), l AS (
+  SELECT g, v, lag(v) OVER (PARTITION BY g ORDER BY d) AS pv FROM gq
+), r AS (
+  SELECT g, CASE WHEN pv > 0
+    THEN floor((v - pv) / pv * 1048576.0) / 1048576.0 END AS r
+  FROM l
+), t AS (SELECT g, r FROM r WHERE r IS NOT NULL),
+agg AS (
+  SELECT g, count(*) AS n, sum(r) AS se,
+    sum(least(r, 0.0) * least(r, 0.0)) AS sd2
+  FROM t GROUP BY 1
+)
+SELECT g, CAST(n AS BIGINT) AS n_returns,
+  round(se / n, 6) AS mean_excess,
+  round(sqrt(sd2 / n), 6) AS downside_dev,
+  round(CASE WHEN sqrt(sd2 / n) > 0
+    THEN (se / n) / sqrt(sd2 / n) END, 6) AS sortino
+FROM agg
+"""),
+    "macd": ("""
+-- Same unrolled EMA folds (1-based list index), same left-to-right
+-- list_sum adds.
+WITH daily AS (""" + _DAILY_G_SQL + """),
+gq AS (
+  SELECT g, d, floor(v * 1048576.0) / 1048576.0 AS v FROM daily
+), f AS (
+  SELECT g, d, list(v) OVER (PARTITION BY g ORDER BY d
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l
+  FROM gq
+), m AS (
+  SELECT g, d,
+    """ + _ema_list_sql("l", "2.0 / 13.0", "1.0 - 2.0 / 13.0") + """
+    - """ + _ema_list_sql("l", "2.0 / 27.0", "1.0 - 2.0 / 27.0") + """
+    AS macd
+  FROM f
+), s AS (
+  SELECT g, d, macd, list(macd) OVER (PARTITION BY g ORDER BY d
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ml
+  FROM m
+), fin AS (
+  SELECT g, d, macd,
+    """ + _ema_list_sql("ml", "2.0 / 10.0", "1.0 - 2.0 / 10.0") + """
+    AS sig
+  FROM s
+)
+SELECT g, d, round(macd, 6) AS macd, round(sig, 6) AS signal,
+  round(macd - sig, 6) AS histogram
+FROM fin
+"""),
+    "stoch_osc": ("""
+-- Same trailing frames, exact min/max, same warm-up NULLs.
+WITH daily AS (""" + _DAILY_G_SQL + """),
+gq AS (
+  SELECT g, d, floor(v * 1048576.0) / 1048576.0 AS v FROM daily
+), t AS (
+  SELECT g, d, v, count(*) OVER wk AS ck,
+    min(v) OVER wk AS lo, max(v) OVER wk AS hi
+  FROM gq
+  WINDOW wk AS (PARTITION BY g ORDER BY d
+    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+), k AS (
+  SELECT g, d, CASE WHEN ck >= 14 AND hi > lo
+    THEN 100.0 * (v - lo) / (hi - lo) END AS kv
+  FROM t
+), dd AS (
+  SELECT g, d, kv, CASE WHEN count(kv) OVER wd >= 3
+    THEN sum(kv) OVER wd / 3.0 END AS dv
+  FROM k
+  WINDOW wd AS (PARTITION BY g ORDER BY d
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+)
+SELECT g, d, round(kv, 6) AS pct_k, round(dv, 6) AS pct_d FROM dd
+"""),
+    "obv": ("""
+-- Same signed-volume accumulator, exact integers.
+WITH daily AS (
+  SELECT event_type AS g, CAST(date_trunc('day', ts) AS DATE) AS d,
+    avg(CAST(value AS DOUBLE)) AS v0, count(*) AS vol
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), gq AS (
+  SELECT g, d, floor(v0 * 1048576.0) / 1048576.0 AS v, vol FROM daily
+), l AS (
+  SELECT g, d, v, vol,
+    lag(v) OVER (PARTITION BY g ORDER BY d) AS pv
+  FROM gq
+), s AS (
+  SELECT g, d, CASE WHEN pv IS NULL THEN 0
+    WHEN v > pv THEN vol WHEN v < pv THEN -vol ELSE 0 END AS sv
+  FROM l
+)
+SELECT g, d, CAST(sum(sv) OVER (PARTITION BY g ORDER BY d
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
+FROM s
+"""),
+})

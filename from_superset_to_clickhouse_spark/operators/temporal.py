@@ -4081,3 +4081,222 @@ def c_chart(
         F.round("_cb", 6).alias("c_bar"),
         F.col("_out").cast("long").alias("n_out"),
     )
+
+
+def sortino_ratio(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    target: float = 0.0,
+) -> DataFrame:
+    """Sortino ratio per series → (group, n_returns, mean_excess,
+    downside_dev, sortino): period-over-period returns against a
+    target, penalizing ONLY downside variance — the risk-adjusted
+    summary where Sharpe double-counts upside volatility. Returns are
+    grid-quantized (2^-20), so every sum of returns and of squared
+    downside is an exact multiple of 2^-20/2^-40 far below the 2^53
+    mantissa — order-free exact, any engine."""
+    v = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(order_col).alias("_o"),
+        v.alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    wl = Window.partitionBy("_g").orderBy("_o")
+    prev = F.lag("_v").over(wl)
+    r = F.when(
+        prev > 0, F.floor((F.col("_v") - prev) / prev * _Q2) / _Q2
+    )
+    t = src.withColumn("_r", r).filter(F.col("_r").isNotNull())
+    ex = F.col("_r") - F.lit(float(target))
+    dn = F.least(ex, F.lit(0.0))
+    agg = t.groupBy("_g").agg(
+        F.count("*").alias("_n"),
+        F.sum(ex).alias("_se"),
+        F.sum(dn * dn).alias("_sd2"),
+    )
+    nn = F.col("_n").cast("double")
+    mean_ex = F.col("_se") / nn
+    dd = F.sqrt(F.col("_sd2") / nn)
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("n_returns"),
+        F.round(mean_ex, 6).alias("mean_excess"),
+        F.round(dd, 6).alias("downside_dev"),
+        F.round(F.when(dd > 0, mean_ex / dd), 6).alias("sortino"),
+    )
+
+
+def macd(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+) -> DataFrame:
+    """MACD per series point → (group, order, macd, signal, histogram):
+    EMA(fast) − EMA(slow) of the value, with the signal line an
+    EMA(signal) of the MACD itself. EMAs are the standard full-prefix
+    recursion e_t = αx_t + (1−α)e_{t−1} seeded at x_1, UNROLLED into a
+    left-to-right weighted fold over the prefix frame — series are
+    bounded buckets by contract (daily rollups), so the prefix arrays
+    are small and the fold is pure codegen, replayable by any engine
+    with list lambdas (same discipline as ``ewma_smooth``); the
+    recursion itself would serialize the series AND resist SQL replay.
+    """
+    from from_superset_to_clickhouse_spark.functions.scalar import let_bind
+
+    v = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(order_col).alias("_o"),
+        v.alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    wp = (
+        Window.partitionBy("_g")
+        .orderBy("_o")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+
+    def ema_fold(alpha):
+        a, d = float(alpha), 1.0 - float(alpha)
+
+        def fold(l):
+            n = F.size(l)
+            return F.aggregate(
+                F.transform(
+                    l,
+                    lambda x, i: x.cast("double")
+                    * F.when(i == 0, F.pow(F.lit(d), (n - 1).cast("double")))
+                    .otherwise(
+                        F.lit(a)
+                        * F.pow(F.lit(d), (n - 1 - i).cast("double"))
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        return fold
+
+    frame = F.collect_list("_v").over(wp)
+    t = src.select(
+        "_g",
+        "_o",
+        let_bind(frame, ema_fold(2.0 / (fast + 1.0))).alias("_ef"),
+        let_bind(frame, ema_fold(2.0 / (slow + 1.0))).alias("_es"),
+    )
+    t = t.withColumn("_macd", F.col("_ef") - F.col("_es"))
+    mframe = F.collect_list("_macd").over(
+        Window.partitionBy("_g")
+        .orderBy("_o")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = t.withColumn(
+        "_sig", let_bind(mframe, ema_fold(2.0 / (signal + 1.0)))
+    )
+    return t.select(
+        F.col("_g").alias(group_col),
+        F.col("_o").alias(order_col),
+        F.round("_macd", 6).alias("macd"),
+        F.round("_sig", 6).alias("signal"),
+        F.round(F.col("_macd") - F.col("_sig"), 6).alias("histogram"),
+    )
+
+
+def stochastic_oscillator(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    k_period: int = 14,
+    d_period: int = 3,
+) -> DataFrame:
+    """Stochastic oscillator per series point → (group, order, pct_k,
+    pct_d): %K = 100·(v − min)/(max − min) over the trailing
+    ``k_period`` rows (NULL during warm-up or on a flat window), %D =
+    the ``d_period``-point SMA of %K (NULL until fully warmed). Two
+    keyed window frames over grid values — min/max are exact, %K is
+    one IEEE ratio of exact inputs."""
+    v = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(order_col).alias("_o"),
+        v.alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    wk = (
+        Window.partitionBy("_g")
+        .orderBy("_o")
+        .rowsBetween(-(k_period - 1), 0)
+    )
+    t = src.select(
+        "_g",
+        "_o",
+        "_v",
+        F.count("*").over(wk).alias("_ck"),
+        F.min("_v").over(wk).alias("_lo"),
+        F.max("_v").over(wk).alias("_hi"),
+    )
+    k = F.when(
+        (F.col("_ck") >= k_period) & (F.col("_hi") > F.col("_lo")),
+        F.lit(100.0)
+        * (F.col("_v") - F.col("_lo"))
+        / (F.col("_hi") - F.col("_lo")),
+    )
+    t = t.withColumn("_k", k)
+    wd = (
+        Window.partitionBy("_g")
+        .orderBy("_o")
+        .rowsBetween(-(d_period - 1), 0)
+    )
+    d = F.when(
+        F.count("_k").over(wd) >= d_period,
+        F.sum("_k").over(wd) / F.lit(float(d_period)),
+    )
+    return t.select(
+        F.col("_g").alias(group_col),
+        F.col("_o").alias(order_col),
+        F.round("_k", 6).alias("pct_k"),
+        F.round(d, 6).alias("pct_d"),
+    )
+
+
+def obv(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    volume_col: str,
+) -> DataFrame:
+    """On-balance volume per series point → (group, order, obv): the
+    running sum of volume signed by the value's direction (+vol on an
+    up-move, −vol on a down-move, 0 on flat/first) — the classic
+    'is volume confirming the trend' accumulator. Grid values make
+    every direction comparison exact; volumes are integer counts, so
+    the running sum is exact integer arithmetic."""
+    v = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(order_col).alias("_o"),
+        v.alias("_v"),
+        F.col(volume_col).cast("long").alias("_vol"),
+    ).filter(F.col("_v").isNotNull() & F.col("_vol").isNotNull())
+    wl = Window.partitionBy("_g").orderBy("_o")
+    prev = F.lag("_v").over(wl)
+    signed = (
+        F.when(prev.isNull(), F.lit(0))
+        .when(F.col("_v") > prev, F.col("_vol"))
+        .when(F.col("_v") < prev, -F.col("_vol"))
+        .otherwise(F.lit(0))
+    )
+    run = Window.partitionBy("_g").orderBy("_o").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    t = src.withColumn("_s", signed)
+    return t.select(
+        F.col("_g").alias(group_col),
+        F.col("_o").alias(order_col),
+        F.sum("_s").over(run).cast("long").alias("obv"),
+    )

@@ -185,3 +185,119 @@ def test_rsi_flat_series_is_neutral(spark):
     flat = tmp.rsi(_series(spark, [7] * 12), "g", "d", "v", period=5)
     vals = [r["rsi"] for r in flat.orderBy("d").collect()]
     assert all(v == 50.0 for v in vals[5:])
+
+
+# ---------------------------------------------------------------------------
+# round-14 finance tier
+
+
+def _series(spark, vals, vols=None):
+    rows = [
+        ("k", i, float(v), int(vols[i]) if vols else 1)
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(
+        rows, "g string, o int, v double, vol int"
+    )
+
+
+def test_sortino_all_up_vs_mixed(spark):
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        sortino_ratio,
+    )
+
+    # strictly rising curve: zero downside -> NULL sortino (dd = 0)
+    up = sortino_ratio(
+        _series(spark, [100, 110, 121, 133.1]), "g", "o", "v"
+    ).collect()[0]
+    assert up["n_returns"] == 3 and up["downside_dev"] == 0.0
+    assert up["sortino"] is None
+    # returns +10%, -10%: mean ~0, dd = sqrt(0.01/2)
+    mixed = sortino_ratio(
+        _series(spark, [100, 110, 99]), "g", "o", "v"
+    ).collect()[0]
+    assert abs(mixed["downside_dev"] - (0.01 / 2) ** 0.5) < 1e-4
+    assert mixed["sortino"] < 0.1
+
+
+def test_macd_constant_series_is_zero(spark):
+    from from_superset_to_clickhouse_spark.operators.temporal import macd
+
+    rows = macd(_series(spark, [50.0] * 30), "g", "o", "v").collect()
+    assert len(rows) == 30
+    assert all(r["macd"] == 0.0 and r["signal"] == 0.0 for r in rows)
+    # a step up makes the fast EMA lead: macd > 0 right after the step
+    stepped = macd(
+        _series(spark, [50.0] * 15 + [80.0] * 15), "g", "o", "v"
+    ).collect()
+    after = [r for r in stepped if r["o"] == 16][0]
+    assert after["macd"] > 0 and after["histogram"] > 0
+
+
+def test_macd_matches_pandas_ewm_recursion(spark):
+    import numpy as np
+
+    from from_superset_to_clickhouse_spark.operators.temporal import macd
+
+    vals = [float(50 + ((i * 17) % 23) - 11) for i in range(40)]
+    got = {
+        r["o"]: (r["macd"], r["signal"])
+        for r in macd(_series(spark, vals), "g", "o", "v").collect()
+    }
+
+    def ema(xs, alpha):
+        out = [xs[0]]
+        for x in xs[1:]:
+            out.append(alpha * x + (1 - alpha) * out[-1])
+        return out
+
+    f = ema(vals, 2.0 / 13.0)
+    s = ema(vals, 2.0 / 27.0)
+    m = [a - b for a, b in zip(f, s)]
+    sig = ema(m, 2.0 / 10.0)
+    for i in range(40):
+        assert abs(got[i][0] - m[i]) < 1e-4, i
+        assert abs(got[i][1] - sig[i]) < 1e-4, i
+    assert np is not None
+
+
+def test_stochastic_oscillator_extremes_and_warmup(spark):
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        stochastic_oscillator,
+    )
+
+    vals = [float(i) for i in range(1, 31)]  # strictly rising
+    rows = {
+        r["o"]: r
+        for r in stochastic_oscillator(
+            _series(spark, vals), "g", "o", "v"
+        ).collect()
+    }
+    # warm-up: first 13 rows NULL %K
+    assert all(rows[i]["pct_k"] is None for i in range(13))
+    # rising series: current value IS the window max -> %K = 100
+    assert all(rows[i]["pct_k"] == 100.0 for i in range(13, 30))
+    assert rows[13]["pct_d"] is None and rows[15]["pct_d"] == 100.0
+    # falling series pins %K at 0
+    fall = {
+        r["o"]: r["pct_k"]
+        for r in stochastic_oscillator(
+            _series(spark, list(reversed(vals))), "g", "o", "v"
+        ).collect()
+    }
+    assert all(fall[i] == 0.0 for i in range(13, 30))
+
+
+def test_obv_hand_sequence(spark):
+    from from_superset_to_clickhouse_spark.operators.temporal import obv
+
+    # values 10, 12, 12, 9, 15 with volumes 5, 3, 7, 2, 4
+    # signed: 0, +3, 0, -2, +4 -> obv: 0, 3, 3, 1, 5
+    got = [
+        r["obv"]
+        for r in obv(
+            _series(spark, [10, 12, 12, 9, 15], [5, 3, 7, 2, 4]),
+            "g", "o", "v", "vol",
+        ).orderBy("o").collect()
+    ]
+    assert got == [0, 3, 3, 1, 5]
