@@ -23023,3 +23023,183 @@ SELECT g, d, CAST(sum(sv) OVER (PARTITION BY g ORDER BY d
 FROM s
 """),
 })
+
+
+# ---------------------------------------------------------------------------
+# Round-14 entries, batch 5: volatility / complexity / stationarity.
+
+
+def q_ulcer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ulcer index of each type's daily mean-value curve — RMS
+    percentage drawdown from the running peak, the pain-weighted
+    companion to max_drawdown."""
+    return tmp.ulcer_index(_daily_series_r12(spark, sf_dir), "g", "d", "v")
+
+
+def q_garman_klass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Garman–Klass range volatility from daily OHLC bars of the raw
+    event value stream (open/close by (ts, event_id) order) — the
+    intrabar-range variance estimator."""
+    return tmp.garman_klass(
+        _ev(spark, sf_dir).filter(F.col("value").isNotNull()),
+        "event_type", "ts", "value", "event_id", bar="1 day",
+    )
+
+
+def q_perm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy (dim 3) of each type's daily series —
+    ordinal-pattern complexity, ~1 for noise-like dynamics."""
+    return tmp.permutation_entropy(
+        _daily_series_r12(spark, sf_dir), "g", "d", "v"
+    )
+
+
+def q_kpss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity statistic per type (Bartlett lags 3,
+    5% cut 0.463) — the stationary-null mirror of the adf_test entry."""
+    return tmp.kpss_test(
+        _daily_series_r12(spark, sf_dir), "g", "d", "v", lags=3
+    )
+
+
+_R15_QUERIES.update({
+    "ulcer": q_ulcer,
+    "garman_klass": q_garman_klass,
+    "perm_entropy": q_perm_entropy,
+    "kpss": q_kpss,
+})
+
+_R15_ORACLES.update({
+    "ulcer": ("""
+-- Same running peak, exact grid-summed squared drawdowns.
+WITH daily AS (""" + _DAILY_G_SQL + """),
+gq AS (
+  SELECT g, d, floor(v * 1048576.0) / 1048576.0 AS v FROM daily
+), run AS (
+  SELECT g, v, max(v) OVER (PARTITION BY g ORDER BY d
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM gq
+), dd AS (
+  SELECT g, CASE WHEN peak > 0
+    THEN 100.0 * (1.0 - v / peak) ELSE 0.0 END AS dd
+  FROM run
+), agg AS (
+  SELECT g, count(*) AS n, max(dd) AS mx,
+    CAST(sum(CAST(floor(dd * dd * 1048576.0) AS BIGINT)) AS DOUBLE)
+      / 1048576.0 AS sq
+  FROM dd GROUP BY 1
+)
+SELECT g, CAST(n AS BIGINT) AS n, round(mx, 6) AS max_dd_pct,
+  round(sqrt(sq / n), 6) AS ulcer
+FROM agg
+"""),
+    "garman_klass": ("""
+-- Same daily OHLC bars ((ts, event_id) open/close order), same
+-- 2^40-grid exact term sums.
+WITH b AS (
+  SELECT event_type AS key, time_bucket(INTERVAL '1 day', ts) AS w,
+    ts, event_id, value
+  FROM events WHERE value IS NOT NULL
+), o AS (
+  SELECT *, row_number() OVER (PARTITION BY key, w
+      ORDER BY ts, event_id) AS rn_a,
+    row_number() OVER (PARTITION BY key, w
+      ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM b
+), bars AS (
+  SELECT key, w, max(CASE WHEN rn_a = 1 THEN value END) AS op,
+    max(value) AS hi, min(value) AS lo,
+    max(CASE WHEN rn_d = 1 THEN value END) AS cl
+  FROM o GROUP BY 1, 2
+), ok AS (SELECT * FROM bars WHERE lo > 0 AND op > 0),
+term AS (
+  SELECT key,
+    0.5 * ln(CAST(hi AS DOUBLE) / lo) * ln(CAST(hi AS DOUBLE) / lo)
+    - (2.0 * ln(2.0) - 1.0) * ln(CAST(cl AS DOUBLE) / op)
+      * ln(CAST(cl AS DOUBLE) / op) AS t
+  FROM ok
+), agg AS (
+  SELECT key, count(*) AS n,
+    CAST(sum(CAST(floor(t * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+      / 1099511627776.0 AS s
+  FROM term GROUP BY 1
+)
+SELECT key AS event_type, CAST(n AS BIGINT) AS n_bars,
+  round(s / n, 8) AS gk_var,
+  round(CASE WHEN s / n >= 0 THEN sqrt(s / n) END, 6) AS gk_vol
+FROM agg
+"""),
+    "perm_entropy": ("""
+-- Same strict-comparison pattern codes, exact cell ratios.
+WITH daily AS (""" + _DAILY_G_SQL + """),
+gq AS (
+  SELECT g, d, floor(v * 1048576.0) / 1048576.0 AS v FROM daily
+), t AS (
+  SELECT g, v AS v0,
+    lead(v, 1) OVER (PARTITION BY g ORDER BY d) AS v1,
+    lead(v, 2) OVER (PARTITION BY g ORDER BY d) AS v2
+  FROM gq
+), w3 AS (
+  SELECT g,
+    CAST(v1 > v0 AS INTEGER) * 4 + CAST(v2 > v0 AS INTEGER) * 2
+      + CAST(v2 > v1 AS INTEGER) AS c
+  FROM t WHERE v2 IS NOT NULL
+), cells AS (SELECT g, c, count(*) AS o FROM w3 GROUP BY 1, 2),
+sc AS (
+  SELECT g, sum(o) OVER (PARTITION BY g) AS n,
+    -(o / CAST(sum(o) OVER (PARTITION BY g) AS DOUBLE))
+      * ln(o / CAST(sum(o) OVER (PARTITION BY g) AS DOUBLE)) AS h
+  FROM cells
+)
+SELECT g, CAST(n AS BIGINT) AS n_windows,
+  CAST(count(*) AS BIGINT) AS n_patterns,
+  round(sum(h) / ln(6.0), 6) AS h_norm
+FROM sc GROUP BY g, n
+"""),
+    "kpss": ("""
+-- Same grid demeaning, exact 2^30-grid sums, Bartlett lags 3.
+WITH daily AS (""" + _DAILY_G_SQL + """),
+gq AS (
+  SELECT g, d, floor(v * 1048576.0) / 1048576.0 AS v FROM daily
+), m AS (
+  SELECT g, floor(avg(v) * 1048576.0) / 1048576.0 AS mv,
+    count(*) AS n
+  FROM gq GROUP BY 1
+), t AS (
+  SELECT gq.g, gq.d, n, gq.v - mv AS e FROM gq JOIN m ON gq.g = m.g
+), s AS (
+  SELECT g, d, n, e,
+    sum(e) OVER (PARTITION BY g ORDER BY d
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sp,
+    lag(e, 1) OVER (PARTITION BY g ORDER BY d) AS e1,
+    lag(e, 2) OVER (PARTITION BY g ORDER BY d) AS e2,
+    lag(e, 3) OVER (PARTITION BY g ORDER BY d) AS e3
+  FROM t
+), agg AS (
+  SELECT g, max(n) AS n,
+    CAST(sum(CAST(floor(sp * sp * 1073741824.0) AS BIGINT)) AS DOUBLE)
+      / 1073741824.0 AS ss2,
+    CAST(sum(CAST(floor(e * e * 1073741824.0) AS BIGINT)) AS DOUBLE)
+      / 1073741824.0 AS g0,
+    CAST(sum(CAST(floor(CASE WHEN e1 IS NOT NULL THEN e * e1 END
+      * 1073741824.0) AS BIGINT)) AS DOUBLE) / 1073741824.0 AS g1,
+    CAST(sum(CAST(floor(CASE WHEN e2 IS NOT NULL THEN e * e2 END
+      * 1073741824.0) AS BIGINT)) AS DOUBLE) / 1073741824.0 AS g2,
+    CAST(sum(CAST(floor(CASE WHEN e3 IS NOT NULL THEN e * e3 END
+      * 1073741824.0) AS BIGINT)) AS DOUBLE) / 1073741824.0 AS g3
+  FROM s GROUP BY 1
+), v AS (
+  SELECT g, n,
+    g0 / n + 2.0 * 0.75 * (g1 / n) + 2.0 * 0.5 * (g2 / n)
+      + 2.0 * 0.25 * (g3 / n) AS lrv,
+    ss2, CAST(n AS DOUBLE) AS nd
+  FROM agg
+)
+SELECT g, CAST(n AS BIGINT) AS n, round(lrv, 6) AS lrv,
+  round(CASE WHEN lrv > 0 THEN ss2 / (nd * nd * lrv) END, 6)
+    AS kpss_stat,
+  CAST(CASE WHEN lrv > 0 THEN ss2 / (nd * nd * lrv) END
+    < 0.463 AS INTEGER) AS stationary
+FROM v
+"""),
+})

@@ -22,6 +22,7 @@ banded bucketing for curriculum/quality tiers).
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -4299,4 +4300,232 @@ def obv(
         F.col("_g").alias(group_col),
         F.col("_o").alias(order_col),
         F.sum("_s").over(run).cast("long").alias("obv"),
+    )
+
+
+def ulcer_index(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Ulcer index per series → (group, n, max_dd_pct, ulcer): the
+    RMS of percentage drawdowns from the running peak — unlike
+    ``max_drawdown`` it charges for how LONG the curve stays under
+    water, not just the worst dip. Grid values make each drawdown an
+    IEEE ratio of exact inputs; the squared-drawdown sum accumulates
+    on the 2^-20 grid in decimal(38,0), order-free exact."""
+    v = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(order_col).alias("_o"),
+        v.alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    w = (
+        Window.partitionBy("_g")
+        .orderBy("_o")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = src.withColumn("_peak", F.max("_v").over(w))
+    dd = F.when(
+        F.col("_peak") > 0,
+        F.lit(100.0) * (F.lit(1.0) - F.col("_v") / F.col("_peak")),
+    ).otherwise(F.lit(0.0))
+    t = run.withColumn("_dd", dd)
+    agg = t.groupBy("_g").agg(
+        F.count("*").alias("_n"),
+        F.max("_dd").alias("_mx"),
+        (
+            F.sum(
+                F.floor(F.col("_dd") * F.col("_dd") * _Q2).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
+            / _Q2
+        ).alias("_sq"),
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("n"),
+        F.round("_mx", 6).alias("max_dd_pct"),
+        F.round(
+            F.sqrt(F.col("_sq") / F.col("_n").cast("double")), 6
+        ).alias("ulcer"),
+    )
+
+
+def garman_klass(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bar: str = "1 day",
+) -> DataFrame:
+    """Garman–Klass range volatility per key → (key, n_bars, gk_var,
+    gk_vol): σ² = mean over OHLC bars of 0.5·ln(H/L)² −
+    (2ln2−1)·ln(C/O)² — ~7× more efficient than close-to-close
+    variance because the intrabar range carries information a single
+    close discards. Bars come from the shared ``ohlc_bars`` one-pass
+    aggregate; bars with nonpositive prices are excluded (log
+    domain). The per-bar terms are IEEE doubles of exact bar stats;
+    the mean accumulates on the 2^-20 grid in decimal, order-free."""
+    bars = ohlc_bars(df, key_col, ts_col, value_col, tiebreak_col, bar)
+    ok = bars.filter(
+        (F.col("low") > 0) & (F.col("open") > 0)
+    )
+    hl = F.log(F.col("high").cast("double") / F.col("low"))
+    co = F.log(F.col("close").cast("double") / F.col("open"))
+    term = F.lit(0.5) * hl * hl - F.lit(
+        2.0 * math.log(2.0) - 1.0
+    ) * co * co
+    t = ok.withColumn("_t", term)
+    agg = t.groupBy(key_col).agg(
+        F.count("*").alias("_n"),
+        (
+            F.sum(
+                F.floor(F.col("_t") * _Q2 * 1048576.0).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
+            / (_Q2 * 1048576.0)
+        ).alias("_s"),
+    )
+    var = F.col("_s") / F.col("_n").cast("double")
+    return agg.select(
+        key_col,
+        F.col("_n").cast("long").alias("n_bars"),
+        F.round(var, 8).alias("gk_var"),
+        F.round(F.when(var >= 0, F.sqrt(var)), 6).alias("gk_vol"),
+    )
+
+
+def permutation_entropy(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Permutation entropy (embedding dimension 3) per series →
+    (group, n_windows, n_patterns, h_norm): Shannon entropy of the
+    ordinal pattern distribution over sliding (v_t, v_{t+1}, v_{t+2})
+    triples, normalized by ln 6 — ~0 for monotone/predictable
+    dynamics, ~1 for white noise (Bandt & Pompe 2002). Patterns are
+    coded by the three strict pairwise comparisons of grid values
+    (ties collapse deterministically toward the earlier index); the
+    pattern table is ≤ 8 cells, every probability an exact integer
+    ratio."""
+    v = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(order_col).alias("_o"),
+        v.alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    wl = Window.partitionBy("_g").orderBy("_o")
+    t = src.select(
+        "_g",
+        F.col("_v").alias("_v0"),
+        F.lead("_v", 1).over(wl).alias("_v1"),
+        F.lead("_v", 2).over(wl).alias("_v2"),
+    ).filter(F.col("_v2").isNotNull())
+    code = (
+        (F.col("_v1") > F.col("_v0")).cast("int") * 4
+        + (F.col("_v2") > F.col("_v0")).cast("int") * 2
+        + (F.col("_v2") > F.col("_v1")).cast("int")
+    )
+    cells = t.groupBy("_g", code.alias("_c")).agg(
+        F.count("*").alias("_o")
+    )
+    w_g = Window.partitionBy("_g")
+    p = F.col("_o").cast("double") / F.sum("_o").over(w_g)
+    scored = cells.select(
+        "_g",
+        F.sum("_o").over(w_g).alias("_n"),
+        (-p * F.log(p)).alias("_h"),
+    )
+    agg = scored.groupBy("_g", "_n").agg(
+        F.count("*").alias("_k"),
+        F.sum("_h").alias("_hs"),
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("n_windows"),
+        F.col("_k").cast("long").alias("n_patterns"),
+        F.round(F.col("_hs") / F.lit(math.log(6.0)), 6).alias("h_norm"),
+    )
+
+
+def kpss_test(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    lags: int = 3,
+) -> DataFrame:
+    """KPSS level-stationarity test per series → (group, n, lrv,
+    kpss_stat, stationary): η = Σ S_t² / (n²·σ̂²_lrv) with S_t the
+    partial sums of demeaned values and the Bartlett-kernel long-run
+    variance over ``lags`` autocovariances — the null here is
+    STATIONARY, the mirror image of ``adf_test`` (use both: ADF
+    rejects unit root, KPSS fails to reject stationarity → trust the
+    series). ``stationary`` flags η below the 5% critical value
+    0.463. Demeaned values sit on the exact 2^-20 grid (grid-floored
+    mean), partial sums stay exact; Σ S² and the autocovariance sums
+    accumulate grid-floored in decimal, order-free."""
+    v = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(order_col).alias("_o"),
+        v.alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    m = src.groupBy("_g").agg(
+        (F.floor(F.avg("_v") * _Q2) / _Q2).alias("_m"),
+        F.count("*").alias("_n"),
+    )
+    t = src.join(F.broadcast(m), "_g").withColumn(
+        "_e", F.col("_v") - F.col("_m")
+    )
+    wl = Window.partitionBy("_g").orderBy("_o")
+    wc = wl.rowsBetween(Window.unboundedPreceding, 0)
+    t = t.withColumn("_s", F.sum("_e").over(wc))
+    lagged = [F.lag("_e", ell).over(wl).alias(f"_e{ell}") for ell in
+              range(1, lags + 1)]
+    t = t.select("_g", "_n", "_e", "_s", *lagged)
+    dec = "decimal(38,0)"
+    # 2^30 grid: fine enough that the ≤2^-30-per-term floor loss is
+    # invisible under the 1e-6 output rounding, coarse enough that
+    # floor(S_t² · 2^30) stays inside the long range for partial sums
+    # of price-scale series (S_t ≤ n·|e|max).
+    q2 = float(1 << 30)
+
+    def fsum(e):
+        return F.sum(F.floor(e * q2).cast(dec)).cast("double") / q2
+
+    aggs = [
+        F.max("_n").alias("_nn"),
+        fsum(F.col("_s") * F.col("_s")).alias("_ss2"),
+        fsum(F.col("_e") * F.col("_e")).alias("_g0"),
+    ]
+    for ell in range(1, lags + 1):
+        aggs.append(
+            fsum(
+                F.when(
+                    F.col(f"_e{ell}").isNotNull(),
+                    F.col("_e") * F.col(f"_e{ell}"),
+                )
+            ).alias(f"_g{ell}")
+        )
+    agg = t.groupBy("_g").agg(*aggs)
+    nn = F.col("_nn").cast("double")
+    lrv = F.col("_g0") / nn
+    for ell in range(1, lags + 1):
+        wgt = 1.0 - float(ell) / (lags + 1.0)
+        lrv = lrv + 2.0 * F.lit(wgt) * (F.col(f"_g{ell}") / nn)
+    stat = F.when(lrv > 0, F.col("_ss2") / (nn * nn * lrv))
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("_nn").cast("long").alias("n"),
+        F.round(lrv, 6).alias("lrv"),
+        F.round(stat, 6).alias("kpss_stat"),
+        (stat < 0.463).cast("int").alias("stationary"),
     )

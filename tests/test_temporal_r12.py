@@ -301,3 +301,89 @@ def test_obv_hand_sequence(spark):
         ).orderBy("o").collect()
     ]
     assert got == [0, 3, 3, 1, 5]
+
+
+def test_ulcer_flat_vs_underwater(spark):
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        ulcer_index,
+    )
+
+    flat = ulcer_index(
+        _series(spark, [100.0] * 10), "g", "o", "v"
+    ).collect()[0]
+    assert flat["ulcer"] == 0.0 and flat["max_dd_pct"] == 0.0
+    # peak 100 then five points at 80: dd = 0,20,20,20,20,20
+    # ulcer = sqrt(5*400/6)
+    uw = ulcer_index(
+        _series(spark, [100.0] + [80.0] * 5), "g", "o", "v"
+    ).collect()[0]
+    assert uw["max_dd_pct"] == 20.0
+    assert abs(uw["ulcer"] - (2000.0 / 6.0) ** 0.5) < 1e-4
+
+
+def test_garman_klass_hand_bar(spark):
+    import datetime as dt
+    import math as m
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        garman_klass,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    # one bar: open 10 (first), high 20, low 8, close 16 (last)
+    rows = [
+        ("k", t0 + dt.timedelta(minutes=i), float(v), i)
+        for i, v in enumerate([10, 20, 8, 16])
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, v double, e int"
+    )
+    r = garman_klass(df, "k", "ts", "v", "e").collect()[0]
+    want = 0.5 * m.log(20 / 8) ** 2 - (2 * m.log(2) - 1) * m.log(
+        16 / 10
+    ) ** 2
+    assert r["n_bars"] == 1
+    assert abs(r["gk_var"] - want) < 1e-6
+
+
+def test_permutation_entropy_monotone_vs_alternating(spark):
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        permutation_entropy,
+    )
+
+    # strictly rising: a single ordinal pattern -> H = 0
+    mono = permutation_entropy(
+        _series(spark, [float(i) for i in range(20)]), "g", "o", "v"
+    ).collect()[0]
+    assert mono["n_patterns"] == 1 and mono["h_norm"] == 0.0
+    assert mono["n_windows"] == 18
+    # up-down alternation: two patterns, each half the windows ->
+    # H = ln2/ln6
+    import math as m
+
+    alt = permutation_entropy(
+        _series(spark, [float(i % 2) for i in range(20)]), "g", "o", "v"
+    ).collect()[0]
+    assert alt["n_patterns"] == 2
+    assert abs(alt["h_norm"] - m.log(2) / m.log(6)) < 1e-6
+
+
+def test_kpss_stationary_vs_trending(spark):
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        kpss_test,
+    )
+
+    # noise-like mean-reverting series -> small eta, stationary on
+    # (a short-period deterministic cycle would be adversarial: its
+    # negative autocovariances collapse the Bartlett long-run var)
+    osc = kpss_test(
+        _series(spark, [100.0 + ((i * 37) % 11 - 5.0) for i in range(40)]),
+        "g", "o", "v",
+    ).collect()[0]
+    assert osc["stationary"] == 1 and osc["kpss_stat"] < 0.463
+    # strong linear trend -> eta blows past the 5% cut
+    tr = kpss_test(
+        _series(spark, [float(10 * i) for i in range(40)]),
+        "g", "o", "v",
+    ).collect()[0]
+    assert tr["stationary"] == 0 and tr["kpss_stat"] > 0.463
