@@ -23203,3 +23203,217 @@ SELECT g, CAST(n AS BIGINT) AS n, round(lrv, 6) AS lrv,
 FROM v
 """),
 })
+
+
+# ---------------------------------------------------------------------------
+# Round-14 entries, batch 6: record linkage / truss decomposition /
+# spatial autocorrelation.
+
+
+def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter linkage scores over prefix-blocked document
+    pairs: per-field log likelihood ratios with u estimated from the
+    data's own collision probabilities (lang, source, length bucket),
+    m = 0.95 prior — agreement on rare values scores highest."""
+    from from_superset_to_clickhouse_spark.operators.dedup import (
+        fellegi_sunter,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100).alias("len_bucket"),
+        F.lower(F.substring(F.col("text"), 1, 20)).alias("_bk"),
+    )
+    blocks = d.select("doc_id", "_bk")
+    cand = (
+        blocks.select(F.col("doc_id").alias("id_a"), "_bk")
+        .join(
+            blocks.select(F.col("doc_id").alias("id_b"), "_bk"), "_bk"
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return fellegi_sunter(
+        d.drop("_bk"), cand, "doc_id",
+        ["lang", "source", "len_bucket"], m=0.95,
+    ).orderBy("id_a", "id_b")
+
+
+def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the skewed test graph (every edge must close ≥ 2
+    triangles): support peeling strips the sparse mod-arithmetic
+    periphery in 2 rounds, leaving the K20 core's 190 edges at
+    support 18 — the community-core extractor that also drops the
+    bridge edges kcore keeps."""
+    from from_superset_to_clickhouse_spark.operators import graph as gr
+
+    return gr.k_truss(_kcore_edges(spark, sf_dir), k=4)
+
+
+def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moran's I over a 12×12 user-grid with a planted smooth
+    gradient (cell mean value + 2·(i+j)) — rook adjacency, exact
+    grid sums; the gradient forces strong positive spatial
+    autocorrelation against E[I] = −1/(n−1)."""
+    from from_superset_to_clickhouse_spark.operators.geo import (
+        morans_i_grid,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    cells = ev.groupBy(
+        F.pmod(F.col("user_id"), 12).alias("i"),
+        F.pmod(F.floor(F.col("user_id") / 12), 12).alias("j"),
+    ).agg(F.avg("value").alias("_a"))
+    cells = cells.select(
+        "i",
+        "j",
+        (
+            F.col("_a") + 2.0 * (F.col("i") + F.col("j")).cast("double")
+        ).alias("v"),
+    )
+    return morans_i_grid(cells, "i", "j", "v")
+
+
+_R15_QUERIES.update({
+    "fellegi_sunter": q_fellegi_sunter,
+    "k_truss": q_k_truss,
+    "morans_i": q_morans_i,
+})
+
+
+def _truss_round_sql(prev: str, cur: str) -> str:
+    """One support-count + filter round of the unrolled truss peel."""
+    return f"""
+s{cur} AS MATERIALIZED (
+  SELECT e.a, e.b, coalesce(t.c, 0) AS sup
+  FROM {prev} e LEFT JOIN (
+    SELECT a, b, count(*) AS c FROM (
+      SELECT unnest([
+          {{'a': e1.a, 'b': e1.b}},
+          {{'a': e1.b, 'b': e2.b}},
+          {{'a': e1.a, 'b': e2.b}}
+        ], recursive := true)
+      FROM {prev} e1
+      JOIN {prev} e2 ON e1.b = e2.a
+      JOIN {prev} e3 ON e1.a = e3.a AND e2.b = e3.b
+    ) GROUP BY a, b
+  ) t ON e.a = t.a AND e.b = t.b
+),
+e{cur} AS MATERIALIZED (
+  SELECT a, b FROM s{cur} WHERE sup >= 2
+)"""
+
+
+_R15_ORACLES.update({
+    "fellegi_sunter": ("""
+-- Same prefix blocks, same collision-probability u, same m = 0.95.
+WITH d AS (
+  SELECT doc_id, lang, source,
+    CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+    lower(substr(text, 1, 20)) AS bk
+  FROM documents
+), n AS (SELECT count(*) AS n FROM d),
+ul AS (
+  SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE)
+    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS u
+  FROM (SELECT lang, count(*) AS c FROM d GROUP BY 1), n
+  GROUP BY n
+), us AS (
+  SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE)
+    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS u
+  FROM (SELECT source, count(*) AS c FROM d GROUP BY 1), n
+  GROUP BY n
+), ub AS (
+  SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE)
+    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS u
+  FROM (SELECT len_bucket, count(*) AS c FROM d GROUP BY 1), n
+  GROUP BY n
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM d a JOIN d b ON a.bk = b.bk AND a.doc_id < b.doc_id
+), p AS (
+  SELECT c.id_a, c.id_b,
+    (ra.lang IS NOT DISTINCT FROM rb.lang) AS agl,
+    (ra.source IS NOT DISTINCT FROM rb.source) AS ags,
+    (ra.len_bucket IS NOT DISTINCT FROM rb.len_bucket) AS agb
+  FROM cand c
+  JOIN d ra ON c.id_a = ra.doc_id
+  JOIN d rb ON c.id_b = rb.doc_id
+)
+SELECT id_a, id_b,
+  CAST(CAST(agl AS INTEGER) + CAST(ags AS INTEGER)
+    + CAST(agb AS INTEGER) AS INTEGER) AS n_agree,
+  round(
+    (0.0 + CASE WHEN agl THEN ln(0.95 / ul.u)
+      ELSE ln(0.05 / (1.0 - ul.u)) END)
+    + CASE WHEN ags THEN ln(0.95 / us.u)
+      ELSE ln(0.05 / (1.0 - us.u)) END
+    + CASE WHEN agb THEN ln(0.95 / ub.u)
+      ELSE ln(0.05 / (1.0 - ub.u)) END, 6) AS score
+FROM p, ul, us, ub
+ORDER BY id_a, id_b
+"""),
+    "k_truss": ("""
+-- Support peel unrolled 4 rounds (fixture converges in 2; the peel
+-- is idempotent past fixpoint), same a<b<c triangle listing.
+WITH d AS (SELECT doc_id FROM documents),
+raw AS (
+  SELECT doc_id % 300 AS s, (doc_id * 11 + 1) % 300 AS t FROM d
+  UNION ALL
+  SELECT doc_id % 300, (doc_id * 17 + 2) % 300 FROM d
+  UNION ALL
+  SELECT doc_id % 20, (doc_id // 20) % 20 FROM d WHERE doc_id < 400
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM raw
+  WHERE least(s, t) < greatest(s, t)
+),""" + ",".join(
+        _truss_round_sql(f"e{i}", str(i + 1)) for i in range(4)
+    ) + """
+SELECT a, b, CAST(sup AS BIGINT) AS support
+FROM s4 WHERE sup >= 2
+"""),
+    "morans_i": ("""
+-- Same cells, same planted gradient, same rook join, exact sums.
+WITH cells AS (
+  SELECT user_id % 12 AS i, floor(user_id / 12) % 12 AS j,
+    avg(CAST(value AS DOUBLE)) AS a
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), src AS (
+  SELECT i, j,
+    floor((a + 2.0 * CAST(i + j AS DOUBLE)) * 1048576.0)
+      / 1048576.0 AS v
+  FROM cells
+), m AS (
+  SELECT floor(avg(v) * 1048576.0) / 1048576.0 AS mv, count(*) AS n
+  FROM src
+), z AS (
+  SELECT i, j, n, v - mv AS z FROM src, m
+), adj AS (
+  SELECT count(*) AS np,
+    CAST(sum(CAST(floor(zl * zr * 1099511627776.0) AS BIGINT))
+      AS DOUBLE) / 1099511627776.0 AS cx
+  FROM (
+    SELECT l.z AS zl, r.z AS zr
+    FROM z l JOIN z r ON r.i = l.i + 1 AND r.j = l.j
+    UNION ALL
+    SELECT l.z, r.z
+    FROM z l JOIN z r ON r.i = l.i AND r.j = l.j + 1
+  )
+), den AS (
+  SELECT max(n) AS n,
+    CAST(sum(CAST(floor(z * z * 1099511627776.0) AS BIGINT))
+      AS DOUBLE) / 1099511627776.0 AS zz
+  FROM z
+)
+SELECT CAST(n AS BIGINT) AS n_cells,
+  CAST(2 * np AS BIGINT) AS w_sum,
+  round(CASE WHEN zz > 0 AND np > 0
+    THEN (CAST(n AS DOUBLE) / (2.0 * np)) * (2.0 * cx / zz) END, 6)
+    AS morans_i,
+  round(-1.0 / (CAST(n AS DOUBLE) - 1.0), 6) AS expected_i
+FROM den, adj
+"""),
+})

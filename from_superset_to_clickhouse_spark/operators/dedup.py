@@ -1469,3 +1469,77 @@ def url_snapshot_dedup(
         keep.alias("keep"),
     )
     return _finalize(out, base)
+
+
+def fellegi_sunter(
+    records: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    field_cols: "list[str]",
+    m: float = 0.95,
+) -> DataFrame:
+    """Fellegi–Sunter record-linkage scores → (id_a, id_b, n_agree,
+    score): for each candidate pair, the sum of per-field log
+    likelihood ratios — agreement on field k contributes
+    ln(m_k/u_k), disagreement ln((1−m_k)/(1−u_k)) — the probabilistic
+    decision model (Fellegi & Sunter 1969) that weights agreement on
+    a RARE value (low u) far above agreement on a common one.
+
+    u_k (P(agree | non-match)) is estimated from the data itself as
+    the collision probability of two random records, Σ_v (f_v/n)² —
+    one exact integer-ratio aggregate per field; m_k (P(agree |
+    match)) is the caller's prior, scalar ``m`` by default (labeled
+    pairs to EM-fit m are rarely available in a dedup pipeline —
+    documented contract). Candidates come from any blocker
+    (``minhash_candidates``, ``fuzzy_join``, a key block): this
+    operator never generates pairs, so its cost is O(candidates) +
+    two broadcast-scale field-frequency aggregates — at 100 TB the
+    heavy lifting stays in the blocking stage."""
+    n_df = records.agg(F.count("*").alias("_n"))
+    u_parts = []
+    for f in field_cols:
+        freq = records.groupBy(F.col(f)).agg(F.count("*").alias("_c"))
+        u = freq.crossJoin(F.broadcast(n_df)).agg(
+            (
+                F.sum(F.col("_c").cast("decimal(38,0)") * F.col("_c"))
+                .cast("double")
+                / (
+                    F.max("_n").cast("double")
+                    * F.max("_n").cast("double")
+                )
+            ).alias(f"_u_{f}")
+        )
+        u_parts.append(u)
+    us = u_parts[0]
+    for u in u_parts[1:]:
+        us = us.crossJoin(u)
+    a = records.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f).alias(f"_a_{f}") for f in field_cols],
+    )
+    b = records.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f).alias(f"_b_{f}") for f in field_cols],
+    )
+    pairs = (
+        candidates.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .crossJoin(F.broadcast(us))
+    )
+    mm = float(m)
+    score = F.lit(0.0)
+    agree_n = F.lit(0)
+    for f in field_cols:
+        ag = F.col(f"_a_{f}").eqNullSafe(F.col(f"_b_{f}"))
+        uk = F.col(f"_u_{f}")
+        score = score + F.when(
+            ag, F.log(F.lit(mm) / uk)
+        ).otherwise(F.log(F.lit(1.0 - mm) / (F.lit(1.0) - uk)))
+        agree_n = agree_n + ag.cast("int")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        agree_n.alias("n_agree"),
+        F.round(score, 6).alias("score"),
+    )

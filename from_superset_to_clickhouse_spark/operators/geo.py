@@ -288,3 +288,80 @@ def point_in_polygons(
         .filter(F.pmod(F.col("_c"), 2) == 1)
     )
     return inside.select("point_id", F.col("_pid").alias("poly_id"))
+
+
+def morans_i_grid(
+    df: DataFrame,
+    i_col: str,
+    j_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Moran's I spatial autocorrelation over a grid of cells →
+    one row (n_cells, w_sum, morans_i, expected_i): I = (n/ΣW) ·
+    Σ w_ij·z_i·z_j / Σ z_i², with binary rook weights (cells sharing
+    an edge, |Δi|+|Δj| = 1) — positive I means neighboring cells move
+    together, E[I] = −1/(n−1) under no autocorrelation. The input is
+    the CELL table (callers bucket raw points first — at 100 TB the
+    aggregation to cells is the only data-scale pass); the adjacency
+    self-join keys on (i±1, j), so it's an equi-join on the cell
+    table, never a theta join. Deviations sit on the exact 2^-20
+    grid (grid-floored mean); both quadratic sums accumulate
+    grid-floored in decimal, order-free exact."""
+    q = float(1 << 20)
+    src = df.select(
+        F.col(i_col).cast("long").alias("_i"),
+        F.col(j_col).cast("long").alias("_j"),
+        (F.floor(F.col(value_col).cast("double") * q) / q).alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    m = src.agg(
+        (F.floor(F.avg("_v") * q) / q).alias("_m"),
+        F.count("*").alias("_n"),
+    )
+    z = src.crossJoin(F.broadcast(m)).select(
+        "_i", "_j", "_n", (F.col("_v") - F.col("_m")).alias("_z")
+    )
+    right = z.select(
+        F.col("_i").alias("_ri"),
+        F.col("_j").alias("_rj"),
+        F.col("_z").alias("_rz"),
+    )
+    # east + south neighbors; each unordered adjacency counted once
+    # here and doubled below (w_ij symmetric)
+    east = z.join(
+        right,
+        (F.col("_ri") == F.col("_i") + 1) & (F.col("_rj") == F.col("_j")),
+    )
+    south = z.join(
+        right,
+        (F.col("_ri") == F.col("_i")) & (F.col("_rj") == F.col("_j") + 1),
+    )
+    dec = "decimal(38,0)"
+    q2 = float(1 << 40)
+    adj = east.unionByName(south).agg(
+        F.count("*").alias("_np"),
+        (
+            F.sum(F.floor(F.col("_z") * F.col("_rz") * q2).cast(dec))
+            .cast("double")
+            / q2
+        ).alias("_cross"),
+    )
+    den = z.groupBy("_n").agg(
+        (
+            F.sum(F.floor(F.col("_z") * F.col("_z") * q2).cast(dec))
+            .cast("double")
+            / q2
+        ).alias("_zz")
+    )
+    t = den.crossJoin(F.broadcast(adj))
+    nn = F.col("_n").cast("double")
+    wsum = 2.0 * F.col("_np").cast("double")
+    ii = F.when(
+        (F.col("_zz") > 0) & (F.col("_np") > 0),
+        (nn / wsum) * (2.0 * F.col("_cross") / F.col("_zz")),
+    )
+    return t.select(
+        F.col("_n").cast("long").alias("n_cells"),
+        wsum.cast("long").alias("w_sum"),
+        F.round(ii, 6).alias("morans_i"),
+        F.round(F.lit(-1.0) / (nn - 1.0), 6).alias("expected_i"),
+    )

@@ -1182,3 +1182,73 @@ def link_prediction_scores(
             6,
         ).alias("cosine"),
     )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """k-truss subgraph → (a, b, support): the maximal subgraph where
+    every edge closes at least k−2 triangles, by iterative support
+    peeling — count per-edge triangle support, drop edges below k−2,
+    recount on the induced subgraph, repeat to fixpoint. Strictly
+    stronger than ``kcore`` at the same k (every k-truss edge sits in
+    a (k−1)-core) and the standard community-core extractor that
+    survives the bridge edges k-core keeps.
+
+    Distributed shape per round: the a<b<c node-iterator triangle
+    listing (two self-joins on canonical edges — the same program as
+    ``triangle_count``), a 3-way explode crediting each triangle's
+    three edges, one count per edge, one semi-join filter. The edge
+    set only shrinks; each round localCheckpoints so lineage stays
+    flat. Convergence probes with limit(1).count(). SQL-expressible
+    by unrolling rounds as CTEs — the oracle does exactly that;
+    fixture graphs must converge within the unroll depth."""
+    if k < 3:
+        raise ValueError("k must be >= 3 (k-2 triangle support)")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    thresh = k - 2
+    sup = None
+    for _ in range(max_iter):
+        e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+        tri = e1.join(e2, "y").join(e3, ["x", "z"])
+        sides = tri.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
+                    F.struct(F.col("y").alias("a"), F.col("z").alias("b")),
+                    F.struct(F.col("x").alias("a"), F.col("z").alias("b")),
+                )
+            ).alias("_e")
+        ).select("_e.a", "_e.b")
+        sup = (
+            e.join(
+                sides.groupBy("a", "b").agg(
+                    F.count(F.lit(1)).alias("support")
+                ),
+                ["a", "b"],
+                "left",
+            )
+            .withColumn("support", F.coalesce("support", F.lit(0)))
+            .localCheckpoint(eager=True)
+        )
+        weak = sup.filter(F.col("support") < thresh)
+        if weak.limit(1).count() == 0:
+            break
+        e = sup.filter(F.col("support") >= thresh).select(
+            "a", "b"
+        ).localCheckpoint(eager=True)
+    return sup.select("a", "b", F.col("support").cast("long").alias("support"))

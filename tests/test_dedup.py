@@ -529,3 +529,32 @@ def test_url_snapshot_dedup_canonicalizes_urls(spark):
     assert len({r["url_canon"] for r in rows}) == 1
     out = {r["doc_id"]: r for r in rows}
     assert out[2]["keep"] and not out[1]["keep"]
+
+
+def test_fellegi_sunter_rare_agreement_outweighs_common(spark):
+    from from_superset_to_clickhouse_spark.operators.dedup import (
+        fellegi_sunter,
+    )
+
+    # 10 records: 'lang' nearly constant (u high -> agreement cheap),
+    # 'tag' nearly unique (u low -> agreement precious)
+    recs = [(i, "en", f"t{i}") for i in range(8)]
+    recs += [(8, "fr", "dup"), (9, "fr", "dup")]
+    df = spark.createDataFrame(recs, "id long, lang string, tag string")
+    cand = spark.createDataFrame(
+        [(0, 1), (8, 9)], "id_a long, id_b long"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in fellegi_sunter(df, cand, "id", ["lang", "tag"]).collect()
+    }
+    # (0,1): agree on common lang, disagree on unique tags
+    # (8,9): agree on BOTH including the rare tag -> far higher score
+    assert out[(0, 1)]["n_agree"] == 1
+    assert out[(8, 9)]["n_agree"] == 2
+    assert out[(8, 9)]["score"] > out[(0, 1)]["score"] + 3.0
+    # hand-check the (8,9) score: u_lang = (64+4)/100, u_tag = 12/100
+    import math as m
+
+    want = m.log(0.95 / 0.68) + m.log(0.95 / 0.12)
+    assert abs(out[(8, 9)]["score"] - want) < 1e-5

@@ -600,3 +600,43 @@ def test_edge_jaccard_triangle_plus_tail(spark):
     assert out[(2, 3)]["common"] == 1
     assert abs(out[(2, 3)]["jaccard"] - 0.5) < 1e-9
     assert (3, 4) not in out  # no common neighbors
+
+
+def test_k_truss_keeps_clique_drops_bridge(spark):
+    from from_superset_to_clickhouse_spark.operators.graph import k_truss
+
+    # K4 on 1-4 (every edge in 2 triangles), a bridge 4-5, and a
+    # triangle 5-6-7 (each edge in exactly 1 triangle)
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    rest = [(4, 5), (5, 6), (5, 7), (6, 7)]
+    df = spark.createDataFrame(k4 + rest, "src int, dst int")
+    out = {(r["a"], r["b"]): r["support"] for r in k_truss(df, k=4).collect()}
+    # 4-truss (support >= 2): exactly the K4 survives at support 2
+    assert set(out) == set(k4)
+    assert all(s == 2 for s in out.values())
+    # 3-truss (support >= 1) additionally keeps the 5-6-7 triangle
+    # but still drops the triangle-free bridge
+    out3 = {(r["a"], r["b"]) for r in k_truss(df, k=3).collect()}
+    assert out3 == set(k4) | {(5, 6), (5, 7), (6, 7)}
+
+
+def test_k_truss_cascade(spark):
+    from from_superset_to_clickhouse_spark.operators.graph import k_truss
+
+    # two K4s sharing the edge (1,2): removing nothing — every edge
+    # has support >= 2 already; but prune an edge to force a cascade:
+    # K4 minus one edge has two edges at support 1 -> whole side
+    # unravels, the intact K4 survives
+    k4a = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    k4b_nodes = [1, 2, 5, 6]
+    k4b = [
+        (min(x, y), max(x, y))
+        for idx, x in enumerate(k4b_nodes)
+        for y in k4b_nodes[idx + 1:]
+    ]
+    k4b.remove((5, 6))  # cripple the second clique
+    df = spark.createDataFrame(
+        sorted(set(k4a + k4b)), "src int, dst int"
+    )
+    out = {(r["a"], r["b"]) for r in k_truss(df, k=4).collect()}
+    assert out == set(k4a)

@@ -117,3 +117,34 @@ def test_lorenz_curve_uniform_vs_concentrated(spark):
     assert rows[-1]["cum_val_frac"] == 1.0
     # bottom decile (values 1..10): 55/5050
     assert abs(rows[0]["cum_val_frac"] - 55.0 / 5050.0) < 1e-6
+
+
+# -- round-14: Moran's I ----------------------------------------------------
+
+
+def test_morans_i_gradient_vs_checkerboard(spark):
+    from from_superset_to_clickhouse_spark.operators.geo import (
+        morans_i_grid,
+    )
+
+    grad = [
+        (i, j, float(i + j)) for i in range(6) for j in range(6)
+    ]
+    r = morans_i_grid(
+        spark.createDataFrame(grad, "i int, j int, v double"),
+        "i", "j", "v",
+    ).collect()[0]
+    assert r["n_cells"] == 36 and r["w_sum"] == 2 * 60
+    assert r["morans_i"] > 0.5  # smooth field: strong positive
+    # checkerboard: perfect negative autocorrelation, I -> -1
+    cb = [
+        (i, j, 1.0 if (i + j) % 2 == 0 else -1.0)
+        for i in range(6)
+        for j in range(6)
+    ]
+    r2 = morans_i_grid(
+        spark.createDataFrame(cb, "i int, j int, v double"),
+        "i", "j", "v",
+    ).collect()[0]
+    assert r2["morans_i"] < -0.9
+    assert abs(r2["expected_i"] - (-1.0 / 35.0)) < 1e-6
