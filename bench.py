@@ -57,7 +57,9 @@ HEADLINE = [
     "bm25_topk",
     "resample_ffill",
     "semantic_dedup",
-    "pagerank_nations",
+    # pagerank_nations / closeness / hits moved to the shared-trade-
+    # graph section below (one cached lineitem⋈orders base for all
+    # three — VERDICT r13 item 4)
     # distributed Lloyd's k-means (2 update rounds + closing assignment
     # over the 20k-vector sf0.1 embeddings) and codegen URL
     # canonicalization + dup-count window
@@ -138,7 +140,6 @@ HEADLINE = [
     "pca_power",
     "item_cf",
     "audience_overlap",
-    "closeness",
     "kaplan_meier",
     "control_chart",
     # round-9 additions: QOI decode throughput, WebP header-walk
@@ -160,7 +161,6 @@ HEADLINE = [
     # step), and the SemDeDup within-cell cosine keep/drop policy
     "winnowing",
     "dsir",
-    "hits",
     "logreg_quality",
     "semdedup",
     # round-11 additions: cross-snapshot URL dedup (per-doc md5
@@ -200,6 +200,25 @@ HEADLINE = [
     "ngram_compression",
     "keltner",
     "feature_gain",
+    # r14-window receipts (VERDICT r13 item 5): the remaining heavier
+    # queued entries get wall-time + dispersion records before the
+    # driver sees them
+    "granger",
+    "rolling_beta",
+    "pot_gpd",
+    # round-14 additions: the order-free integer-grid hypergeometric
+    # support walk, triangle-support peeling (2 rounds to the K20
+    # core), blocked Fellegi-Sunter scoring (u-frequency aggregates +
+    # candidate join), the unrolled-EMA MACD prefix folds, the KPSS
+    # partial-sum/long-run-variance windows, daily-bar Garman-Klass,
+    # and the rook-adjacency Moran's I cell join
+    "fisher_exact",
+    "k_truss",
+    "fellegi_sunter",
+    "macd",
+    "kpss",
+    "garman_klass",
+    "morans_i",
 ]
 
 # ANN is measured on a deterministic query slice (vec_id < ANN_QUERIES)
@@ -294,6 +313,29 @@ def main() -> None:
             .mode("overwrite")
             .save(),
         )
+
+    # -- Shared trade-graph section (VERDICT r13 item 4): closeness,
+    # -- hits and pagerank_nations all project their edge lists off the
+    # -- SAME lineitem⋈orders join; cache that join once so the
+    # -- CacheManager substitutes it into all three analyzed plans
+    # -- (bench-process-level reuse — the persisted-ANN-sample
+    # -- pattern), then unpersist so the TPC-H joins above keep
+    # -- measuring the real scan. The cache build itself is reported.
+    _li = load_table(spark, SF_DIR, "lineitem")
+    _o = load_table(spark, SF_DIR, "orders")
+    trade = _li.join(_o, _li["l_orderkey"] == _o["o_orderkey"]).cache()
+    t0 = time.monotonic()
+    trade.write.format("noop").mode("overwrite").save()
+    _record("trade_edge_cache_build", [time.monotonic() - t0], "min")
+    for name in ["pagerank_nations", "closeness", "hits"]:
+        timed(
+            name,
+            lambda n=name: qmap[n](spark, SF_DIR)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+    trade.unpersist()
 
     # SimHash timed on the PRODUCTION xxhash64 family (the queries()
     # entry runs the md5 oracle family, which trades leaf-hash speed for

@@ -23,6 +23,14 @@ cluster instead of the Derby test harness:
 
 Nothing here opens a connection at import time; a cluster URL is only
 ever used when the caller passes one.
+
+LIMITATION: no live ClickHouse round-trip has ever been run against
+this module — the development sandbox has no server. The DDL strings
+are golden-tested and the publisher is integration-tested against
+embedded Derby only; server-side behavior (type coercion on insert,
+Distributed fan-out, merge-time Replacing collapse) is emulated from
+the reference's DDL, not wire-verified. Validate against a real
+cluster before production use.
 """
 
 from __future__ import annotations
