@@ -799,8 +799,16 @@ def strongly_connected_components(
             .select("s", "d")
             .localCheckpoint(eager=True)
         )
-        # (1) forward MAX-color propagation: color(v) = max id reaching v
+        # (1) forward MAX-color propagation: color(v) = max id reaching v.
+        # Convergence probe: colors only ever INCREASE under max-
+        # propagation, so the exact decimal sum of colors is strictly
+        # monotone until fixpoint — one scalar aggregate on the already-
+        # checkpointed frame replaces the old new-vs-old join probe
+        # (one fewer join job per inner step, identical semantics).
         color = active.select(node_col, F.col(node_col).alias("color"))
+        prev_sum = color.agg(
+            F.sum(F.col("color").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         converged = False
         for _ in range(max_prop):
             via = (
@@ -813,17 +821,14 @@ def strongly_connected_components(
                 .agg(F.max("color").alias("color"))
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new.alias("n")
-                .join(color.alias("o"), node_col)
-                .filter(F.col("n.color") != F.col("o.color"))
-                .limit(1)
-                .count()
-            )
+            cur_sum = new.agg(
+                F.sum(F.col("color").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
             color = new
-            if changed == 0:
+            if cur_sum == prev_sum:
                 converged = True
                 break
+            prev_sum = cur_sum
         if not converged:
             # Exhausting the cap without convergence would settle WRONG
             # components (partially-propagated colors split real SCCs
@@ -848,18 +853,22 @@ def strongly_connected_components(
             .select("s", "d")
             .localCheckpoint(eager=True)
         )
+        # membership only ever GROWS, so the previous round's count
+        # (carried in a local) replaces the second count job per step
         converged = False
+        prev_cnt = member.count()
         for _ in range(max_prop):
             via = (
                 ec.join(member, ec["d"] == member[node_col])
                 .select(ec["s"].alias(node_col), "color")
             )
             new = member.union(via).distinct().localCheckpoint(eager=True)
-            if new.count() == member.count():
-                member = new
+            cur_cnt = new.count()
+            member = new
+            if cur_cnt == prev_cnt:
                 converged = True
                 break
-            member = new
+            prev_cnt = cur_cnt
         if not converged:
             raise ValueError(
                 f"scc: backward containment did not converge in "
