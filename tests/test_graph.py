@@ -640,3 +640,21 @@ def test_k_truss_cascade(spark):
     )
     out = {(r["a"], r["b"]) for r in k_truss(df, k=4).collect()}
     assert out == set(k4a)
+
+
+def test_hits_driver_path_matches_distributed(spark):
+    from from_superset_to_clickhouse_spark.operators.graph import hits
+
+    edges = [
+        (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 2), (2, 4),
+    ]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    fast = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(df, iters=8).collect()
+    }
+    slow = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(df, iters=8, driver_max_nodes=0).collect()
+    }
+    assert fast == slow
