@@ -643,3 +643,30 @@ def test_r13_additions_plan_gates(spark, qmap):
         assert "BatchEvalPython" not in plan, name
         if name in partitioned:
             assert "SinglePartition" not in plan, name
+
+
+def test_r14_additions_plan_gates(spark, qmap):
+    """Same scale gates for the 23 round-14 entries: no cartesian
+    product, no row-at-a-time Python. SinglePartition exchanges are
+    allowed only for single-row scalar statistics (the agreement /
+    independence / regression-diagnostic / meta-analysis tests and
+    Moran's I), the margin-bounded fisher_exact support walk, and the
+    global-midrank ansari_bradley — per-key series outputs (the
+    finance tier, control charts, Dixon screens) and the per-pair /
+    per-edge outputs (fellegi_sunter, k_truss) must stay fully
+    partitioned on their distributed stages."""
+    scalar_or_bounded = {
+        "gwet_ac1", "g_test", "fisher_exact", "white_test",
+        "cooks_distance", "deming", "lin_ccc", "hellinger",
+        "ansari_bradley", "meta_fixed", "morans_i", "fellegi_sunter",
+    }
+    partitioned = [
+        "dixon_q", "c_chart", "sortino", "macd", "stoch_osc", "obv",
+        "ulcer", "garman_klass", "perm_entropy", "kpss", "k_truss",
+    ]
+    for name in sorted(scalar_or_bounded) + partitioned:
+        plan = _plan(qmap[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        if name in partitioned:
+            assert "SinglePartition" not in plan, name
