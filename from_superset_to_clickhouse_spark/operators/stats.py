@@ -6371,7 +6371,12 @@ def gwet_ac1(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     )
     j = po.crossJoin(F.broadcast(pe_terms))
     p_o = F.col("_agree").cast("double") / F.col("_nn").cast("double")
-    p_e = F.col("_pes") / (F.col("_kk").cast("double") - 1.0)
+    # K = 1 leaves Pe undefined (division by K-1) — surface NULL agr
+    # stats instead of an ANSI divide-by-zero abort
+    p_e = F.when(
+        F.col("_kk") > 1,
+        F.col("_pes") / (F.col("_kk").cast("double") - 1.0),
+    )
     return j.select(
         F.col("_nn").cast("long").alias("n"),
         F.col("_kk").cast("long").alias("n_categories"),
