@@ -191,7 +191,7 @@ def test_rsi_flat_series_is_neutral(spark):
 # round-14 finance tier
 
 
-def _series(spark, vals, vols=None):
+def _series_r14(spark, vals, vols=None):
     rows = [
         ("k", i, float(v), int(vols[i]) if vols else 1)
         for i, v in enumerate(vals)
@@ -208,13 +208,13 @@ def test_sortino_all_up_vs_mixed(spark):
 
     # strictly rising curve: zero downside -> NULL sortino (dd = 0)
     up = sortino_ratio(
-        _series(spark, [100, 110, 121, 133.1]), "g", "o", "v"
+        _series_r14(spark, [100, 110, 121, 133.1]), "g", "o", "v"
     ).collect()[0]
     assert up["n_returns"] == 3 and up["downside_dev"] == 0.0
     assert up["sortino"] is None
     # returns +10%, -10%: mean ~0, dd = sqrt(0.01/2)
     mixed = sortino_ratio(
-        _series(spark, [100, 110, 99]), "g", "o", "v"
+        _series_r14(spark, [100, 110, 99]), "g", "o", "v"
     ).collect()[0]
     assert abs(mixed["downside_dev"] - (0.01 / 2) ** 0.5) < 1e-4
     assert mixed["sortino"] < 0.1
@@ -223,12 +223,12 @@ def test_sortino_all_up_vs_mixed(spark):
 def test_macd_constant_series_is_zero(spark):
     from from_superset_to_clickhouse_spark.operators.temporal import macd
 
-    rows = macd(_series(spark, [50.0] * 30), "g", "o", "v").collect()
+    rows = macd(_series_r14(spark, [50.0] * 30), "g", "o", "v").collect()
     assert len(rows) == 30
     assert all(r["macd"] == 0.0 and r["signal"] == 0.0 for r in rows)
     # a step up makes the fast EMA lead: macd > 0 right after the step
     stepped = macd(
-        _series(spark, [50.0] * 15 + [80.0] * 15), "g", "o", "v"
+        _series_r14(spark, [50.0] * 15 + [80.0] * 15), "g", "o", "v"
     ).collect()
     after = [r for r in stepped if r["o"] == 16][0]
     assert after["macd"] > 0 and after["histogram"] > 0
@@ -242,7 +242,7 @@ def test_macd_matches_pandas_ewm_recursion(spark):
     vals = [float(50 + ((i * 17) % 23) - 11) for i in range(40)]
     got = {
         r["o"]: (r["macd"], r["signal"])
-        for r in macd(_series(spark, vals), "g", "o", "v").collect()
+        for r in macd(_series_r14(spark, vals), "g", "o", "v").collect()
     }
 
     def ema(xs, alpha):
@@ -270,7 +270,7 @@ def test_stochastic_oscillator_extremes_and_warmup(spark):
     rows = {
         r["o"]: r
         for r in stochastic_oscillator(
-            _series(spark, vals), "g", "o", "v"
+            _series_r14(spark, vals), "g", "o", "v"
         ).collect()
     }
     # warm-up: first 13 rows NULL %K
@@ -282,7 +282,7 @@ def test_stochastic_oscillator_extremes_and_warmup(spark):
     fall = {
         r["o"]: r["pct_k"]
         for r in stochastic_oscillator(
-            _series(spark, list(reversed(vals))), "g", "o", "v"
+            _series_r14(spark, list(reversed(vals))), "g", "o", "v"
         ).collect()
     }
     assert all(fall[i] == 0.0 for i in range(13, 30))
@@ -296,7 +296,7 @@ def test_obv_hand_sequence(spark):
     got = [
         r["obv"]
         for r in obv(
-            _series(spark, [10, 12, 12, 9, 15], [5, 3, 7, 2, 4]),
+            _series_r14(spark, [10, 12, 12, 9, 15], [5, 3, 7, 2, 4]),
             "g", "o", "v", "vol",
         ).orderBy("o").collect()
     ]
@@ -309,13 +309,13 @@ def test_ulcer_flat_vs_underwater(spark):
     )
 
     flat = ulcer_index(
-        _series(spark, [100.0] * 10), "g", "o", "v"
+        _series_r14(spark, [100.0] * 10), "g", "o", "v"
     ).collect()[0]
     assert flat["ulcer"] == 0.0 and flat["max_dd_pct"] == 0.0
     # peak 100 then five points at 80: dd = 0,20,20,20,20,20
     # ulcer = sqrt(5*400/6)
     uw = ulcer_index(
-        _series(spark, [100.0] + [80.0] * 5), "g", "o", "v"
+        _series_r14(spark, [100.0] + [80.0] * 5), "g", "o", "v"
     ).collect()[0]
     assert uw["max_dd_pct"] == 20.0
     assert abs(uw["ulcer"] - (2000.0 / 6.0) ** 0.5) < 1e-4
@@ -353,7 +353,7 @@ def test_permutation_entropy_monotone_vs_alternating(spark):
 
     # strictly rising: a single ordinal pattern -> H = 0
     mono = permutation_entropy(
-        _series(spark, [float(i) for i in range(20)]), "g", "o", "v"
+        _series_r14(spark, [float(i) for i in range(20)]), "g", "o", "v"
     ).collect()[0]
     assert mono["n_patterns"] == 1 and mono["h_norm"] == 0.0
     assert mono["n_windows"] == 18
@@ -362,7 +362,7 @@ def test_permutation_entropy_monotone_vs_alternating(spark):
     import math as m
 
     alt = permutation_entropy(
-        _series(spark, [float(i % 2) for i in range(20)]), "g", "o", "v"
+        _series_r14(spark, [float(i % 2) for i in range(20)]), "g", "o", "v"
     ).collect()[0]
     assert alt["n_patterns"] == 2
     assert abs(alt["h_norm"] - m.log(2) / m.log(6)) < 1e-6
@@ -377,13 +377,13 @@ def test_kpss_stationary_vs_trending(spark):
     # (a short-period deterministic cycle would be adversarial: its
     # negative autocovariances collapse the Bartlett long-run var)
     osc = kpss_test(
-        _series(spark, [100.0 + ((i * 37) % 11 - 5.0) for i in range(40)]),
+        _series_r14(spark, [100.0 + ((i * 37) % 11 - 5.0) for i in range(40)]),
         "g", "o", "v",
     ).collect()[0]
     assert osc["stationary"] == 1 and osc["kpss_stat"] < 0.463
     # strong linear trend -> eta blows past the 5% cut
     tr = kpss_test(
-        _series(spark, [float(10 * i) for i in range(40)]),
+        _series_r14(spark, [float(10 * i) for i in range(40)]),
         "g", "o", "v",
     ).collect()[0]
     assert tr["stationary"] == 0 and tr["kpss_stat"] > 0.463
