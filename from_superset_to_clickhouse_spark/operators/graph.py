@@ -799,6 +799,37 @@ def strongly_connected_components(
             .select("s", "d")
             .localCheckpoint(eager=True)
         )
+        # hop doubling: propagating over e ∪ e∘e halves both inner
+        # loops' round counts (reach grows 2 hops per step) at the
+        # cost of one composition join up front. Only worth it — and
+        # only SAFE at scale — on sparse graphs: |e∘e| with
+        # multiplicity is EXACTLY Σ_v indeg(v)·outdeg(v), which two
+        # degree aggregates bound BEFORE anything is composed, so a
+        # dense graph never materializes its square.
+        eprop = e
+        n_e = e.count()
+        comp_bound = (
+            e.groupBy(F.col("d").alias("_v"))
+            .agg(F.count(F.lit(1)).alias("_in"))
+            .join(
+                e.groupBy(F.col("s").alias("_v")).agg(
+                    F.count(F.lit(1)).alias("_out")
+                ),
+                "_v",
+            )
+            .agg(F.sum(F.col("_in").cast("long") * F.col("_out")))
+            .collect()[0][0]
+            or 0
+        )
+        if comp_bound <= 4 * n_e:
+            e2 = (
+                e.alias("l")
+                .join(e.alias("r"), F.col("l.d") == F.col("r.s"))
+                .select(
+                    F.col("l.s").alias("s"), F.col("r.d").alias("d")
+                )
+            )
+            eprop = e.union(e2).distinct().localCheckpoint(eager=True)
         # (1) forward MAX-color propagation: color(v) = max id reaching v.
         # Convergence probe: colors only ever INCREASE under max-
         # propagation, so the exact decimal sum of colors is strictly
@@ -812,8 +843,8 @@ def strongly_connected_components(
         converged = False
         for _ in range(max_prop):
             via = (
-                e.join(color, e["s"] == color[node_col])
-                .select(e["d"].alias(node_col), "color")
+                eprop.join(color, eprop["s"] == color[node_col])
+                .select(eprop["d"].alias(node_col), "color")
             )
             new = (
                 color.union(via)
@@ -853,14 +884,43 @@ def strongly_connected_components(
             .select("s", "d")
             .localCheckpoint(eager=True)
         )
+        # same hop doubling as the forward loop (same pre-composition
+        # density bound); compositions of same-color edges stay within
+        # the color class, so the 2-hop union is still same-color
+        ecprop = ec
+        n_ec = ec.count()
+        ec_bound = (
+            ec.groupBy(F.col("d").alias("_v"))
+            .agg(F.count(F.lit(1)).alias("_in"))
+            .join(
+                ec.groupBy(F.col("s").alias("_v")).agg(
+                    F.count(F.lit(1)).alias("_out")
+                ),
+                "_v",
+            )
+            .agg(F.sum(F.col("_in").cast("long") * F.col("_out")))
+            .collect()[0][0]
+            or 0
+        )
+        if ec_bound <= 4 * n_ec:
+            ec2 = (
+                ec.alias("l")
+                .join(ec.alias("r"), F.col("l.d") == F.col("r.s"))
+                .select(
+                    F.col("l.s").alias("s"), F.col("r.d").alias("d")
+                )
+            )
+            ecprop = (
+                ec.union(ec2).distinct().localCheckpoint(eager=True)
+            )
         # membership only ever GROWS, so the previous round's count
         # (carried in a local) replaces the second count job per step
         converged = False
         prev_cnt = member.count()
         for _ in range(max_prop):
             via = (
-                ec.join(member, ec["d"] == member[node_col])
-                .select(ec["s"].alias(node_col), "color")
+                ecprop.join(member, ecprop["d"] == member[node_col])
+                .select(ecprop["s"].alias(node_col), "color")
             )
             new = member.union(via).distinct().localCheckpoint(eager=True)
             cur_cnt = new.count()
