@@ -6711,6 +6711,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (queued + new) fills positions 0-49 exactly.
         **_R14_QUERIES,
         **_R15_QUERIES,
+        # -- r15 queue: never-driver-checked r14 additions parked at
+        # -- positions 50+ (locally oracle-verified); they rotate to
+        # -- the head at the R15 ROTATION above ----------------------------
+        **_R16_QUERIES,
         # -- green-on-record backfill: the r13 window (CORRECTNESS_r13
         # -- 50/50 green): 12 post-window r11 entries + 38 r12 additions --
         **_R12_QUEUE_QUERIES,
@@ -9640,6 +9644,7 @@ HAVING count(*) > tot.n / 500.0
         **_R13_ORACLES,
         **_R14_ORACLES,
         **_R15_ORACLES,
+        **_R16_ORACLES,
     }
 
 
@@ -20639,6 +20644,12 @@ _R14_ORACLES: dict[str, str] = {}
 _R15_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _R15_ORACLES: dict[str, str] = {}
 
+# Round-14 QUEUE for the r15 window: parked at positions 50+ behind
+# _R15_QUERIES, locally oracle-verified this round, rotated to the
+# head next round. Same ENTRY-ADDING CHECKLIST.
+_R16_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_R16_ORACLES: dict[str, str] = {}
+
 
 # ---------------------------------------------------------------------------
 # Round-13 entries, batch 1: the r13 stats operators. Helpers carry the
@@ -23415,5 +23426,293 @@ SELECT CAST(n AS BIGINT) AS n_cells,
     AS morans_i,
   round(-1.0 / (CAST(n AS DOUBLE) - 1.0), 6) AS expected_i
 FROM den, adj
+"""),
+})
+
+
+# ---------------------------------------------------------------------------
+# Round-14 QUEUE, batch A: effect sizes / distribution tests / p-value
+# pooling (parked behind the window; rotate at r15).
+
+
+def q_vargha_delaney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vargha–Delaney A between purchase and view event values — the
+    U/(n1·n2) win-probability effect size next to mann_whitney."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        vargha_delaney_a,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return vargha_delaney_a(ev, "event_type", "purchase", "view", "value")
+
+
+def q_cvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises criterion between purchase and
+    click values — integrated squared ECDF gap, rank form."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        cvm_two_sample,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return cvm_two_sample(ev, "event_type", "purchase", "click", "value")
+
+
+def q_dagostino_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D'Agostino–Pearson K² omnibus normality test on the raw event
+    values (clearly non-normal — the test must fire) — transformed
+    skew/kurtosis z's from exact grid moments."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        dagostino_k2,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    return dagostino_k2(ev, "value")
+
+
+def q_fisher_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's combined test over the five per-type A/B proportion
+    z-tests (user parity arms, high-value outcome) — 'any effect
+    anywhere' from exact-count per-segment p-values."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        fisher_combine,
+        normal_sf,
+    )
+
+    ev = _ev(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    arms = ev.groupBy("event_type").agg(
+        F.count(F.when(F.pmod(F.col("user_id"), 2) == 0, 1)).alias("_na"),
+        F.count(
+            F.when((F.pmod(F.col("user_id"), 2) == 0)
+                   & (F.col("value") > 100), 1)
+        ).alias("_xa"),
+        F.count(F.when(F.pmod(F.col("user_id"), 2) == 1, 1)).alias("_nb"),
+        F.count(
+            F.when((F.pmod(F.col("user_id"), 2) == 1)
+                   & (F.col("value") > 100), 1)
+        ).alias("_xb"),
+    )
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    pa = F.col("_xa").cast("double") / na
+    pb = F.col("_xb").cast("double") / nb
+    pp = (F.col("_xa") + F.col("_xb")).cast("double") / (na + nb)
+    z = (pa - pb) / F.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+    pv = arms.select(
+        (F.lit(2.0) * normal_sf(F.abs(z))).alias("p")
+    )
+    return fisher_combine(pv, "p")
+
+
+_R16_QUERIES.update({
+    "vargha_delaney": q_vargha_delaney,
+    "cvm": q_cvm,
+    "dagostino_k2": q_dagostino_k2,
+    "fisher_combine": q_fisher_combine,
+})
+
+_R16_ORACLES.update({
+    "vargha_delaney": ("""
+-- Same pooled midranks, exact 0.5-grid sums.
+WITH src AS (
+  SELECT event_type AS g,
+    floor(CAST(value AS DOUBLE) * 1048576.0) / 1048576.0 AS v
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+), pv AS (
+  SELECT v, count(*) AS t,
+    count(*) FILTER (g = 'purchase') AS ca
+  FROM src GROUP BY 1
+), rk AS (
+  SELECT v, t, ca,
+    coalesce(sum(t) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      + (t + 1.0) / 2.0 AS r
+  FROM pv
+), agg AS (
+  SELECT sum(ca) AS n1, sum(t - ca) AS n2, sum(ca * r) AS r1
+  FROM rk
+)
+SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+  round(CASE WHEN n1 > 0 AND n2 > 0 THEN
+    (r1 / CAST(n1 AS DOUBLE) - (CAST(n1 AS DOUBLE) + 1.0) / 2.0)
+    / CAST(n2 AS DOUBLE) END, 6) AS a12
+FROM agg
+"""),
+    "cvm": ("""
+-- Same midranks + within-sample positions, Anderson's rank form.
+WITH src AS (
+  SELECT event_type AS g,
+    floor(CAST(value AS DOUBLE) * 1048576.0) / 1048576.0 AS v
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+), pv AS (
+  SELECT g, v, count(*) AS cnt FROM src GROUP BY 1, 2
+), tot AS (
+  SELECT v, sum(cnt) AS t FROM pv GROUP BY 1
+), rk AS (
+  SELECT v, t,
+    coalesce(sum(t) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      + (t + 1.0) / 2.0 AS r
+  FROM tot
+), rows_g AS (
+  SELECT g, v,
+    row_number() OVER (PARTITION BY g ORDER BY v) AS i
+  FROM (SELECT g, unnest(generate_series(1, CAST(cnt AS INTEGER))),
+          v FROM pv)
+), j AS (
+  SELECT rg.g, (rk.r - rg.i) * (rk.r - rg.i) AS d2
+  FROM rows_g rg JOIN rk ON rg.v = rk.v
+), agg AS (
+  SELECT count(*) FILTER (g = 'purchase') AS n,
+    count(*) FILTER (g = 'click') AS m,
+    sum(d2) FILTER (g = 'purchase') AS ua,
+    sum(d2) FILTER (g = 'click') AS ub
+  FROM j
+), tv AS (
+  SELECT n, m,
+    CASE WHEN n > 0 AND m > 0 THEN
+      (CAST(n AS DOUBLE) * ua + CAST(m AS DOUBLE) * ub)
+        / (CAST(n AS DOUBLE) * m * (n + m))
+      - (4.0 * CAST(n AS DOUBLE) * m - 1.0) / (6.0 * (n + m))
+    END AS t
+  FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n_a, CAST(m AS BIGINT) AS n_b,
+  round(t, 6) AS t_stat,
+  CAST(t > 0.461 AS INTEGER) AS reject_5pct
+FROM tv
+"""),
+    "dagostino_k2": ("""
+-- Same grid moments (2^-20 for m2, 2^-10 for m3/m4), identical
+-- transform arithmetic, exact chi2(2) tail.
+WITH src AS (
+  SELECT floor(CAST(value AS DOUBLE) * 1048576.0) / 1048576.0 AS v
+  FROM events WHERE value IS NOT NULL
+), m AS (
+  SELECT floor(avg(v) * 1048576.0) / 1048576.0 AS mv, count(*) AS n
+  FROM src
+), agg AS (
+  SELECT max(n) AS n,
+    CAST(CAST(sum(CAST(CAST(floor((v - mv) * (v - mv) * 1048576.0)
+      AS BIGINT) AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+      / 1048576.0 AS s2,
+    CAST(CAST(sum(CAST(CAST(floor((v - mv) * (v - mv) * (v - mv)
+      * 1024.0) AS BIGINT) AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+      / 1024.0 AS s3,
+    CAST(CAST(sum(CAST(CAST(floor((v - mv) * (v - mv) * (v - mv)
+      * (v - mv) * 1024.0) AS BIGINT) AS HUGEINT)) AS VARCHAR)
+      AS DOUBLE) / 1024.0 AS s4
+  FROM src, m
+), mom AS (
+  SELECT CAST(n AS DOUBLE) AS n, n AS ni,
+    s2 / n AS m2, s3 / n AS m3, s4 / n AS m4
+  FROM agg
+), gg AS (
+  SELECT n, ni, m2,
+    m3 / pow(m2, 1.5) AS g1, m4 / (m2 * m2) AS g2
+  FROM mom
+), z1c AS (
+  SELECT *,
+    g1 * sqrt((n + 1.0) * (n + 3.0) / (6.0 * (n - 2.0))) AS y,
+    -1.0 + sqrt(2.0 * (3.0 * (n * n + 27.0 * n - 70.0) * (n + 1.0)
+      * (n + 3.0) / ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0))
+      - 1.0)) AS w2
+  FROM gg
+), z1v AS (
+  SELECT *,
+    (1.0 / sqrt(ln(sqrt(w2))))
+      * ln(y / sqrt(2.0 / (w2 - 1.0))
+        + sqrt((y / sqrt(2.0 / (w2 - 1.0)))
+          * (y / sqrt(2.0 / (w2 - 1.0))) + 1.0)) AS z1
+  FROM z1c
+), z2c AS (
+  SELECT *,
+    (g2 - 3.0 * (n - 1.0) / (n + 1.0))
+      / sqrt(24.0 * n * (n - 2.0) * (n - 3.0)
+        / ((n + 1.0) * (n + 1.0) * (n + 3.0) * (n + 5.0))) AS x,
+    6.0 * (n * n - 5.0 * n + 2.0) / ((n + 7.0) * (n + 9.0))
+      * sqrt(6.0 * (n + 3.0) * (n + 5.0)
+        / (n * (n - 2.0) * (n - 3.0))) AS sb1
+  FROM z1v
+), z2v AS (
+  SELECT *, 6.0 + 8.0 / sb1 * (2.0 / sb1
+    + sqrt(1.0 + 4.0 / (sb1 * sb1))) AS aa
+  FROM z2c
+), z2w AS (
+  SELECT *,
+    ((1.0 - 2.0 / (9.0 * aa))
+      - pow((1.0 - 2.0 / aa)
+        / (1.0 + x * sqrt(2.0 / (aa - 4.0))), 1.0 / 3.0))
+      / sqrt(2.0 / (9.0 * aa)) AS z2
+  FROM z2v
+), fin AS (
+  SELECT ni, m2, g1, g2, z1, z2, z1 * z1 + z2 * z2 AS k2,
+    (ni > 20 AND m2 > 0) AS ok
+  FROM z2w
+)
+SELECT CAST(ni AS BIGINT) AS n,
+  round(CASE WHEN m2 > 0 THEN g1 END, 6) AS skew,
+  round(CASE WHEN m2 > 0 THEN g2 END, 6) AS kurtosis,
+  round(CASE WHEN ok THEN z1 END, 6) AS z_skew,
+  round(CASE WHEN ok THEN z2 END, 6) AS z_kurt,
+  round(CASE WHEN ok THEN k2 END, 6) AS k2,
+  round(CASE WHEN ok THEN exp(-k2 / 2.0) END, 6) AS p_value
+FROM fin
+"""),
+    "fisher_combine": ("""
+-- Same exact-count proportion z per type, same erf-polynomial p,
+-- Wilson-Hilferty chi2(2k) tail.
+WITH arms AS (
+  SELECT event_type,
+    count(*) FILTER (user_id % 2 = 0) AS na,
+    count(*) FILTER (user_id % 2 = 0 AND value > 100) AS xa,
+    count(*) FILTER (user_id % 2 = 1) AS nb,
+    count(*) FILTER (user_id % 2 = 1 AND value > 100) AS xb
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1
+), zt AS (
+  SELECT
+    (CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
+    / sqrt((CAST(xa + xb AS DOUBLE) / (CAST(na AS DOUBLE) + nb))
+      * (1.0 - CAST(xa + xb AS DOUBLE) / (CAST(na AS DOUBLE) + nb))
+      * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))) AS z
+  FROM arms
+), et AS (
+  SELECT abs(z) / sqrt(2.0) AS xx,
+    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+  FROM zt
+), pv AS (
+  SELECT 2.0 * ((1.0 - (1.0 - (0.254829592 * t - 0.284496736 * t * t
+    + 1.421413741 * t * t * t - 1.453152027 * t * t * t * t
+    + 1.061405429 * t * t * t * t * t) * exp(-(xx * xx)))) / 2.0) AS p
+  FROM et
+), f AS (
+  SELECT count(*) AS k, sum(-2.0 * ln(p)) AS x2
+  FROM pv WHERE p > 0 AND p <= 1
+), zc AS (
+  SELECT k, x2, k * 2 AS dof,
+    (pow(x2 / (k * 2.0), 1.0 / 3.0)
+      - (1.0 - 2.0 / (9.0 * (k * 2.0))))
+      / sqrt(2.0 / (9.0 * (k * 2.0))) AS z
+  FROM f
+), et2 AS (
+  SELECT *, abs(z) / sqrt(2.0) AS xx,
+    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+  FROM zc
+), sf AS (
+  SELECT *, (1.0 - (1.0 - (0.254829592 * t - 0.284496736 * t * t
+    + 1.421413741 * t * t * t - 1.453152027 * t * t * t * t
+    + 1.061405429 * t * t * t * t * t) * exp(-(xx * xx)))) / 2.0
+    AS sfv
+  FROM et2
+)
+SELECT CAST(k AS BIGINT) AS k, round(x2, 6) AS x2,
+  CAST(dof AS BIGINT) AS dof,
+  round(CASE WHEN k > 0 THEN
+    CASE WHEN z >= 0 THEN sfv ELSE 1.0 - sfv END END, 6) AS p_value
+FROM sf
 """),
 })

@@ -6895,3 +6895,215 @@ def meta_fixed(
         F.round(qstat, 6).alias("q_stat"),
         F.round(i2, 6).alias("i2"),
     )
+
+
+def vargha_delaney_a(
+    df: DataFrame,
+    group_col: str,
+    a: str,
+    b: str,
+    value_col: str,
+) -> DataFrame:
+    """Vargha–Delaney A effect size → one row (n_a, n_b, a12): the
+    probability a random group-a value exceeds a random group-b value
+    (ties count half) — the scale-free companion to ``mann_whitney_u``
+    (A = U/(n₁n₂); 0.5 = no effect, 0.56/0.64/0.71 = the conventional
+    small/medium/large cuts). From pooled midranks: A = (R₁/n₁ −
+    (n₁+1)/2)/n₂ — midranks are 0.5-grid exact, so A is one IEEE
+    expression of exact sums."""
+    g = F.col(group_col)
+    v = F.floor(F.col(value_col).cast("double") * _Q) / _Q
+    src = df.filter(g.isin([a, b]) & F.col(value_col).isNotNull()).select(
+        g.alias("_g"), v.alias("_v")
+    )
+    r = _midrank(src, "_v", [], "_r")
+    agg = r.agg(
+        F.count(F.when(F.col("_g") == a, 1)).alias("_n1"),
+        F.count(F.when(F.col("_g") == b, 1)).alias("_n2"),
+        F.sum(F.when(F.col("_g") == a, F.col("_r"))).alias("_r1"),
+    )
+    n1 = F.col("_n1").cast("double")
+    n2 = F.col("_n2").cast("double")
+    a12 = F.when(
+        (F.col("_n1") > 0) & (F.col("_n2") > 0),
+        (F.col("_r1") / n1 - (n1 + 1.0) / 2.0) / n2,
+    )
+    return agg.select(
+        F.col("_n1").cast("long").alias("n_a"),
+        F.col("_n2").cast("long").alias("n_b"),
+        F.round(a12, 6).alias("a12"),
+    )
+
+
+def cvm_two_sample(
+    df: DataFrame,
+    group_col: str,
+    a: str,
+    b: str,
+    value_col: str,
+) -> DataFrame:
+    """Two-sample Cramér–von Mises criterion → one row (n_a, n_b,
+    t_stat, reject_5pct): T integrates the SQUARED gap between the
+    two empirical CDFs, so it sees distribution-shape differences a
+    location test (mann_whitney) and a scale test (ansari_bradley)
+    both miss. Anderson's rank form: U = n·Σ(r_i−i)² + m·Σ(s_j−j)²
+    over each sample's pooled ranks vs within-sample positions;
+    T = U/(nm(n+m)) − (4nm−1)/(6(n+m)). Ties get midranks (the
+    within-sample position sum is tie-order invariant because tied
+    ranks are constant across the permuted positions). 5% asymptotic
+    critical value 0.461. Midranks/positions are 0.5-grid exact, the
+    quadratic sums exact multiples of 0.25."""
+    g = F.col(group_col)
+    v = F.floor(F.col(value_col).cast("double") * _Q) / _Q
+    src = df.filter(g.isin([a, b]) & F.col(value_col).isNotNull()).select(
+        g.alias("_g"), v.alias("_v")
+    )
+    r = _midrank(src, "_v", [], "_r")
+    w = Window.partitionBy("_g").orderBy("_v")
+    r = r.withColumn("_i", F.row_number().over(w).cast("double"))
+    d2 = (F.col("_r") - F.col("_i")) * (F.col("_r") - F.col("_i"))
+    agg = r.agg(
+        F.count(F.when(F.col("_g") == a, 1)).alias("_n"),
+        F.count(F.when(F.col("_g") == b, 1)).alias("_m"),
+        F.sum(F.when(F.col("_g") == a, d2)).alias("_ua"),
+        F.sum(F.when(F.col("_g") == b, d2)).alias("_ub"),
+    )
+    n = F.col("_n").cast("double")
+    m = F.col("_m").cast("double")
+    u = n * F.col("_ua") + m * F.col("_ub")
+    t = F.when(
+        (F.col("_n") > 0) & (F.col("_m") > 0),
+        u / (n * m * (n + m)) - (4.0 * n * m - 1.0) / (6.0 * (n + m)),
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n_a"),
+        F.col("_m").cast("long").alias("n_b"),
+        F.round(t, 6).alias("t_stat"),
+        (t > 0.461).cast("int").alias("reject_5pct"),
+    )
+
+
+def dagostino_k2(df: DataFrame, value_col: str) -> DataFrame:
+    """D'Agostino–Pearson K² omnibus normality test → one row (n,
+    skew, kurtosis, z_skew, z_kurt, k2, p_value): the transformed
+    skewness Z₁ (D'Agostino 1970) and Anscombe–Glynn kurtosis Z₂,
+    combined as K² = Z₁² + Z₂² ~ chi-square(2) (exact tail
+    exp(−K²/2)) — the moment-based omnibus that, unlike
+    ``jarque_bera``, is calibrated at realistic n, and unlike
+    ``anderson_darling``, needs only four exact moment sums.
+
+    Central moments come from grid-floored deviations accumulated in
+    decimal(38,0) (2nd on the 2^-20 grid, 3rd/4th on 2^-10 — fourth
+    powers of price-scale deviations overflow the long floor at the
+    fine grid); every downstream transform is shared IEEE arithmetic
+    of those exact sums, replayable term-for-term in SQL."""
+    v = F.floor(F.col(value_col).cast("double") * _Q) / _Q
+    src = df.select(v.alias("_v")).filter(F.col("_v").isNotNull())
+    m = src.agg(
+        (F.floor(F.avg("_v") * _Q) / _Q).alias("_m"),
+        F.count("*").alias("_n"),
+    )
+    c = src.crossJoin(F.broadcast(m))
+    d = F.col("_v") - F.col("_m")
+    dec = "decimal(38,0)"
+    q10 = float(1 << 10)
+    agg = c.groupBy("_n").agg(
+        (F.sum(F.floor(d * d * _Q).cast(dec)).cast("double") / _Q).alias(
+            "_s2"
+        ),
+        (
+            F.sum(F.floor(d * d * d * q10).cast(dec)).cast("double")
+            / q10
+        ).alias("_s3"),
+        (
+            F.sum(F.floor(d * d * d * d * q10).cast(dec)).cast("double")
+            / q10
+        ).alias("_s4"),
+    )
+    n = F.col("_n").cast("double")
+    m2 = F.col("_s2") / n
+    m3 = F.col("_s3") / n
+    m4 = F.col("_s4") / n
+    g1 = m3 / F.pow(m2, F.lit(1.5))
+    g2 = m4 / (m2 * m2)
+    # Z1: D'Agostino's transformed skewness
+    y = g1 * F.sqrt((n + 1.0) * (n + 3.0) / (6.0 * (n - 2.0)))
+    b2 = (
+        3.0
+        * (n * n + 27.0 * n - 70.0)
+        * (n + 1.0)
+        * (n + 3.0)
+        / ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0))
+    )
+    w2 = -1.0 + F.sqrt(2.0 * (b2 - 1.0))
+    dl = 1.0 / F.sqrt(F.log(F.sqrt(w2)))
+    al = F.sqrt(2.0 / (w2 - 1.0))
+    z1 = dl * F.log(y / al + F.sqrt((y / al) * (y / al) + 1.0))
+    # Z2: Anscombe-Glynn transformed kurtosis
+    ek = 3.0 * (n - 1.0) / (n + 1.0)
+    vk = (
+        24.0
+        * n
+        * (n - 2.0)
+        * (n - 3.0)
+        / ((n + 1.0) * (n + 1.0) * (n + 3.0) * (n + 5.0))
+    )
+    x = (g2 - ek) / F.sqrt(vk)
+    sb1 = (
+        6.0
+        * (n * n - 5.0 * n + 2.0)
+        / ((n + 7.0) * (n + 9.0))
+        * F.sqrt(
+            6.0 * (n + 3.0) * (n + 5.0) / (n * (n - 2.0) * (n - 3.0))
+        )
+    )
+    aa = 6.0 + 8.0 / sb1 * (
+        2.0 / sb1 + F.sqrt(1.0 + 4.0 / (sb1 * sb1))
+    )
+    z2 = (
+        (1.0 - 2.0 / (9.0 * aa))
+        - F.pow(
+            (1.0 - 2.0 / aa)
+            / (1.0 + x * F.sqrt(2.0 / (aa - 4.0))),
+            F.lit(1.0 / 3.0),
+        )
+    ) / F.sqrt(2.0 / (9.0 * aa))
+    k2 = z1 * z1 + z2 * z2
+    ok = (F.col("_n") > 20) & (m2 > 0)
+    return agg.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round(F.when(m2 > 0, g1), 6).alias("skew"),
+        F.round(F.when(m2 > 0, g2), 6).alias("kurtosis"),
+        F.round(F.when(ok, z1), 6).alias("z_skew"),
+        F.round(F.when(ok, z2), 6).alias("z_kurt"),
+        F.round(F.when(ok, k2), 6).alias("k2"),
+        F.round(F.when(ok, F.exp(-k2 / 2.0)), 6).alias("p_value"),
+    )
+
+
+def fisher_combine(df: DataFrame, p_col: str) -> DataFrame:
+    """Fisher's combined probability test → one row (k, x2, dof,
+    p_value): X² = −2 Σ ln pᵢ ~ chi-square(2k) under the global null
+    — 'k independent segment tests, is there an effect ANYWHERE' (the
+    p-value-level counterpart to ``meta_fixed``'s effect pooling).
+    Wilson–Hilferty tail via the shared polynomial; the ln sum runs
+    over the study table (k rows, bounded by construction)."""
+    src = df.select(F.col(p_col).cast("double").alias("_p")).filter(
+        (F.col("_p") > 0) & (F.col("_p") <= 1)
+    )
+    agg = src.agg(
+        F.count("*").alias("_k"),
+        F.sum(F.lit(-2.0) * F.log("_p")).alias("_x2"),
+    )
+    dof = (F.col("_k") * 2).cast("double")
+    return agg.select(
+        F.col("_k").cast("long").alias("k"),
+        F.round("_x2", 6).alias("x2"),
+        dof.cast("long").alias("dof"),
+        F.round(
+            F.when(
+                F.col("_k") > 0, chi2_p_value(F.col("_x2"), dof)
+            ),
+            6,
+        ).alias("p_value"),
+    )

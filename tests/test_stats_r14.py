@@ -242,3 +242,86 @@ def test_c_chart_stable_vs_spiked(spark):
     ).collect()[0]
     assert r["n_buckets"] == 11
     assert r["n_out"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# round-14 QUEUE (r15-window candidates)
+
+
+def test_vargha_delaney_hand(spark):
+    # a = {3,4,5}, b = {1,2}: every a beats every b -> A = 1
+    rows = [("a", 3.0), ("a", 4.0), ("a", 5.0), ("b", 1.0), ("b", 2.0)]
+    r = st.vargha_delaney_a(
+        spark.createDataFrame(rows, "g string, v double"), "g", "a", "b", "v"
+    ).collect()[0]
+    assert r["a12"] == 1.0
+    # identical singletons: tie counts half -> A = .5
+    rows2 = [("a", 2.0), ("b", 2.0)]
+    r2 = st.vargha_delaney_a(
+        spark.createDataFrame(rows2, "g string, v double"), "g", "a", "b", "v"
+    ).collect()[0]
+    assert r2["a12"] == 0.5
+
+
+def test_cvm_identical_vs_shifted(spark):
+    same = [("a", float(i)) for i in range(30)] + [
+        ("b", float(i)) for i in range(30)
+    ]
+    r = st.cvm_two_sample(
+        spark.createDataFrame(same, "g string, v double"), "g", "a", "b", "v"
+    ).collect()[0]
+    assert r["t_stat"] < 0.1 and r["reject_5pct"] == 0
+    shift = [("a", float(i)) for i in range(30)] + [
+        ("b", float(i) + 25.0) for i in range(30)
+    ]
+    r2 = st.cvm_two_sample(
+        spark.createDataFrame(shift, "g string, v double"), "g", "a", "b", "v"
+    ).collect()[0]
+    assert r2["t_stat"] > 0.461 and r2["reject_5pct"] == 1
+
+
+def test_dagostino_k2_normalish_vs_skewed(spark):
+    import math as m
+
+    # a symmetric bell-ish sample via the probit of a uniform grid
+    # (inverse-transform: near-normal by construction)
+    def probit(p):
+        # Acklam-lite via bisection on the erf for test purposes
+        lo, hi = -6.0, 6.0
+        for _ in range(60):
+            mid = (lo + hi) / 2
+            if 0.5 * (1 + m.erf(mid / m.sqrt(2))) < p:
+                lo = mid
+            else:
+                hi = mid
+        return (lo + hi) / 2
+
+    norm = [(probit((i + 0.5) / 200.0),) for i in range(200)]
+    r = st.dagostino_k2(
+        spark.createDataFrame(norm, "v double"), "v"
+    ).collect()[0]
+    assert abs(r["skew"]) < 0.05
+    assert r["p_value"] > 0.05
+    # exponential-ish heavy right skew -> fires hard
+    skewed = [(m.exp(i / 20.0),) for i in range(200)]
+    r2 = st.dagostino_k2(
+        spark.createDataFrame(skewed, "v double"), "v"
+    ).collect()[0]
+    assert r2["skew"] > 1.0 and r2["p_value"] < 0.001
+
+
+def test_fisher_combine_null_vs_signal(spark):
+    # five neutral p-values: X2 ~ -2*5*ln(.5) ~ 6.93, p large
+    null = [(0.5,)] * 5
+    r = st.fisher_combine(
+        spark.createDataFrame(null, "p double"), "p"
+    ).collect()[0]
+    assert r["k"] == 5 and r["dof"] == 10
+    assert abs(r["x2"] - (-2.0 * 5 * __import__("math").log(0.5))) < 1e-6
+    assert r["p_value"] > 0.5
+    # one overwhelming study drags the global null down
+    sig = [(0.5,)] * 4 + [(1e-8,)]
+    r2 = st.fisher_combine(
+        spark.createDataFrame(sig, "p double"), "p"
+    ).collect()[0]
+    assert r2["p_value"] < 0.01
