@@ -23716,3 +23716,160 @@ SELECT CAST(k AS BIGINT) AS k, round(x2, 6) AS x2,
 FROM sf
 """),
 })
+
+
+# ---------------------------------------------------------------------------
+# Round-14 QUEUE, batch B: survival summaries / inequality tails.
+
+
+def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time (τ = 30 days) under the customer
+    KM retention curve — 'average active days in the first month',
+    the non-proportional-hazards summary beside kaplan_meier."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        kaplan_meier,
+        rmst_from_curve,
+    )
+
+    curve = kaplan_meier(
+        _t(spark, sf_dir, "orders"), "o_custkey", "o_orderdate",
+        censor_horizon_days=60,
+    )
+    return rmst_from_curve(curve, "t_days", "survival", tau=30.0)
+
+
+def q_survival_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile survival times off the same KM retention curve — the
+    earliest days at which 25/50/75% of customers have churned (NULL
+    where the curve never reaches the level)."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        kaplan_meier,
+        survival_quartiles,
+    )
+
+    curve = kaplan_meier(
+        _t(spark, sf_dir, "orders"), "o_custkey", "o_orderdate",
+        censor_horizon_days=60,
+    )
+    return survival_quartiles(curve, "t_days", "survival")
+
+
+def q_palma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Palma ratio of the order-value distribution: top-10% share
+    over bottom-40% share by exact order-statistic cuts — the
+    tail-focused inequality summary next to the gini/lorenz entries."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        palma_ratio,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    return palma_ratio(o, "o_totalprice")
+
+
+def q_hoover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hoover (Robin Hood) index of the order-value distribution —
+    the share of total spend that would have to move to equalize
+    customers' orders."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        hoover_index,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    return hoover_index(o, "o_totalprice")
+
+
+_R16_QUERIES.update({
+    "rmst": q_rmst,
+    "survival_quartiles": q_survival_quartiles,
+    "palma": q_palma,
+    "hoover": q_hoover,
+})
+
+_R16_ORACLES.update({
+    "rmst": ("""
+-- Same KM curve, same capped step-segment integral.
+WITH curve AS (""" + _KAPLAN_MEIER_SQL + """),
+seg AS (
+  SELECT CAST(t_days AS DOUBLE) AS t, survival,
+    coalesce(CAST(lead(t_days) OVER (ORDER BY t_days) AS DOUBLE),
+             30.0) AS nxt
+  FROM curve
+), agg AS (
+  SELECT least(min(t), 30.0) AS head,
+    sum(survival * greatest(least(nxt, 30.0) - least(t, 30.0), 0.0))
+      AS tail
+  FROM seg
+)
+SELECT 30.0 AS tau, round(head + tail, 6) AS rmst FROM agg
+"""),
+    "survival_quartiles": ("""
+-- Same KM curve, earliest level crossings.
+WITH curve AS (""" + _KAPLAN_MEIER_SQL + """)
+SELECT min(t_days) FILTER (survival <= 0.75) AS q25_t,
+  min(t_days) FILTER (survival <= 0.50) AS median_t,
+  min(t_days) FILTER (survival <= 0.25) AS q75_t
+FROM curve
+"""),
+    "palma": ("""
+-- Same distinct-value exact tie-splitting cuts, decimal value mass.
+WITH src AS (
+  SELECT floor(CAST(o_totalprice AS DOUBLE) * 1048576.0)
+    / 1048576.0 AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+), pv AS (SELECT v, count(*) AS c FROM src GROUP BY 1),
+t AS (
+  SELECT v, c,
+    coalesce(sum(c) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ca,
+    coalesce(sum(c) OVER (ORDER BY v DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cd,
+    sum(c) OVER () AS n
+  FROM pv
+), taken AS (
+  SELECT n, v, c,
+    greatest(least(n * 4 // 10 - ca, c), 0) AS tb,
+    greatest(least(n // 10 - cd, c), 0) AS tt
+  FROM t
+), agg AS (
+  SELECT n,
+    CAST(CAST(sum(CAST(CAST(floor(v * 1048576.0) AS BIGINT)
+      AS HUGEINT) * tb) AS VARCHAR) AS DOUBLE) / 1048576.0 AS b,
+    CAST(CAST(sum(CAST(CAST(floor(v * 1048576.0) AS BIGINT)
+      AS HUGEINT) * tt) AS VARCHAR) AS DOUBLE) / 1048576.0 AS tp,
+    CAST(CAST(sum(CAST(CAST(floor(v * 1048576.0) AS BIGINT)
+      AS HUGEINT) * c) AS VARCHAR) AS DOUBLE) / 1048576.0 AS tot
+  FROM taken GROUP BY 1
+)
+SELECT CAST(n AS BIGINT) AS n,
+  round(CASE WHEN tot <> 0 THEN b / tot END, 6) AS bottom40_share,
+  round(CASE WHEN tot <> 0 THEN tp / tot END, 6) AS top10_share,
+  round(CASE WHEN tot <> 0 AND b / tot > 0
+    THEN (tp / tot) / (b / tot) END, 6) AS palma
+FROM agg
+"""),
+    "hoover": ("""
+-- Same grid mean, decimal-exact deviation and total sums.
+WITH src AS (
+  SELECT floor(CAST(o_totalprice AS DOUBLE) * 1048576.0)
+    / 1048576.0 AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+), m AS (
+  SELECT floor(avg(v) * 1048576.0) / 1048576.0 AS mv, count(*) AS n
+  FROM src
+), agg AS (
+  SELECT max(n) AS n,
+    CAST(CAST(sum(CAST(floor(abs(v - mv) * 1048576.0) AS HUGEINT))
+      AS VARCHAR) AS DOUBLE) / 1048576.0 AS dev,
+    CAST(CAST(sum(CAST(floor(v * 1048576.0) AS HUGEINT))
+      AS VARCHAR) AS DOUBLE) / 1048576.0 AS tot
+  FROM src, m
+)
+SELECT CAST(n AS BIGINT) AS n,
+  round(CASE WHEN tot <> 0 THEN 0.5 * dev / tot END, 6) AS hoover
+FROM agg
+"""),
+})

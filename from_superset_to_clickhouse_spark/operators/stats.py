@@ -7107,3 +7107,145 @@ def fisher_combine(df: DataFrame, p_col: str) -> DataFrame:
             6,
         ).alias("p_value"),
     )
+
+
+def rmst_from_curve(
+    curve: DataFrame,
+    t_col: str = "t_days",
+    survival_col: str = "survival",
+    tau: float = 30.0,
+) -> DataFrame:
+    """Restricted mean survival time → one row (tau, rmst): the area
+    under the Kaplan–Meier step curve up to the horizon τ — 'average
+    days survived in the first τ', the clinically-preferred summary
+    when hazards aren't proportional (a median can hide everything
+    after the crossing). Input is a ``kaplan_meier``-shaped curve
+    (death-time rows, post-drop survival); the integral is one lead
+    window + an exact segment sum over the bounded curve table:
+    1·min(t₁,τ) + Σ sᵢ·(min(tᵢ₊₁,τ) − min(tᵢ,τ))."""
+    w = Window.orderBy(t_col)
+    t = F.col(t_col).cast("double")
+    nxt = F.coalesce(
+        F.lead(t_col).over(w).cast("double"), F.lit(float(tau))
+    )
+    seg = F.col(survival_col) * F.greatest(
+        F.least(nxt, F.lit(float(tau))) - F.least(t, F.lit(float(tau))),
+        F.lit(0.0),
+    )
+    agg = curve.select(seg.alias("_seg"), t.alias("_t")).agg(
+        F.sum("_seg").alias("_tail"),
+        F.least(F.min("_t"), F.lit(float(tau))).alias("_head"),
+    )
+    return agg.select(
+        F.lit(float(tau)).alias("tau"),
+        F.round(F.col("_head") + F.col("_tail"), 6).alias("rmst"),
+    )
+
+
+def survival_quartiles(
+    curve: DataFrame,
+    t_col: str = "t_days",
+    survival_col: str = "survival",
+) -> DataFrame:
+    """Survival-time quartiles from a Kaplan–Meier curve → one row
+    (q25_t, median_t, q75_t): the earliest times at which S(t) drops
+    to ≤ 0.75 / 0.50 / 0.25 — NULL where the curve never reaches the
+    level (more than that share still alive at the horizon). One
+    conditional-min aggregate over the bounded curve table."""
+    s = F.col(survival_col)
+    t = F.col(t_col)
+    return curve.agg(
+        F.min(F.when(s <= 0.75, t)).alias("q25_t"),
+        F.min(F.when(s <= 0.50, t)).alias("median_t"),
+        F.min(F.when(s <= 0.25, t)).alias("q75_t"),
+    )
+
+
+def palma_ratio(df: DataFrame, value_col: str) -> DataFrame:
+    """Palma inequality ratio → one row (n, bottom40_share,
+    top10_share, palma): the top-10% share of the total divided by
+    the bottom-40% share — the inequality summary that targets the
+    tails the Gini compresses (Palma 2011). Exact order-statistic
+    cuts over the distinct-value table: for cut k, each value
+    contributes v·clamp(k − cum_before, 0, count) (tie groups split
+    exactly, no row sampling); value mass accumulates as
+    floor(v·2^20)·count in decimal(38,0) — order-free integer-exact."""
+    v = F.floor(F.col(value_col).cast("double") * _Q) / _Q
+    src = df.select(v.alias("_v")).filter(F.col("_v").isNotNull())
+    pv = src.groupBy("_v").agg(F.count("*").alias("_c"))
+    wa = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    wd = Window.orderBy(F.col("_v").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy()
+    t = pv.select(
+        "_v",
+        "_c",
+        F.coalesce(F.sum("_c").over(wa), F.lit(0)).alias("_ca"),
+        F.coalesce(F.sum("_c").over(wd), F.lit(0)).alias("_cd"),
+        F.sum("_c").over(w_all).alias("_n"),
+    )
+    k40 = F.floor(F.col("_n") * 4 / 10)
+    k10 = F.floor(F.col("_n") / 10)
+    take_b = F.greatest(
+        F.least(k40 - F.col("_ca"), F.col("_c")), F.lit(0)
+    )
+    take_t = F.greatest(
+        F.least(k10 - F.col("_cd"), F.col("_c")), F.lit(0)
+    )
+    dec = "decimal(38,0)"
+    iv = F.floor(F.col("_v") * _Q).cast(dec)
+    agg = t.groupBy("_n").agg(
+        (F.sum(iv * take_b.cast(dec)).cast("double") / _Q).alias("_b"),
+        (F.sum(iv * take_t.cast(dec)).cast("double") / _Q).alias("_t"),
+        (F.sum(iv * F.col("_c").cast(dec)).cast("double") / _Q).alias(
+            "_tot"
+        ),
+    )
+    bs = F.when(F.col("_tot") != 0, F.col("_b") / F.col("_tot"))
+    ts = F.when(F.col("_tot") != 0, F.col("_t") / F.col("_tot"))
+    return agg.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round(bs, 6).alias("bottom40_share"),
+        F.round(ts, 6).alias("top10_share"),
+        F.round(F.when(bs > 0, ts / bs), 6).alias("palma"),
+    )
+
+
+def hoover_index(df: DataFrame, value_col: str) -> DataFrame:
+    """Hoover (Robin Hood) index → one row (n, hoover): half the mean
+    absolute deviation from the mean, as a share of the total —
+    literally 'what fraction of the pie must move to equalize
+    everyone'. The most interpretable inequality number next to
+    ``gini_coefficient``/``atkinson_index``. Grid values, grid-floored
+    mean, decimal-exact |deviation| and total sums."""
+    v = F.floor(F.col(value_col).cast("double") * _Q) / _Q
+    src = df.select(v.alias("_v")).filter(F.col("_v").isNotNull())
+    m = src.agg(
+        (F.floor(F.avg("_v") * _Q) / _Q).alias("_m"),
+        F.count("*").alias("_n"),
+    )
+    c = src.crossJoin(F.broadcast(m))
+    dec = "decimal(38,0)"
+    agg = c.groupBy("_n").agg(
+        (
+            F.sum(
+                F.floor(F.abs(F.col("_v") - F.col("_m")) * _Q).cast(dec)
+            ).cast("double")
+            / _Q
+        ).alias("_dev"),
+        (
+            F.sum(F.floor(F.col("_v") * _Q).cast(dec)).cast("double")
+            / _Q
+        ).alias("_tot"),
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round(
+            F.when(
+                F.col("_tot") != 0,
+                0.5 * F.col("_dev") / F.col("_tot"),
+            ),
+            6,
+        ).alias("hoover"),
+    )

@@ -325,3 +325,42 @@ def test_fisher_combine_null_vs_signal(spark):
         spark.createDataFrame(sig, "p double"), "p"
     ).collect()[0]
     assert r2["p_value"] < 0.01
+
+
+def test_rmst_and_quartiles_hand_curve(spark):
+    # step curve: S=0.8 from t=2, 0.4 from t=5, 0.1 from t=8
+    curve = spark.createDataFrame(
+        [(2, 0.8), (5, 0.4), (8, 0.1)], "t_days int, survival double"
+    )
+    # tau=10: 1*2 + 0.8*3 + 0.4*3 + 0.1*2 = 2+2.4+1.2+0.2 = 5.8
+    r = st.rmst_from_curve(curve, tau=10.0).collect()[0]
+    assert abs(r["rmst"] - 5.8) < 1e-9
+    # tau=4 caps inside the first step: 1*2 + 0.8*2 = 3.6
+    r2 = st.rmst_from_curve(curve, tau=4.0).collect()[0]
+    assert abs(r2["rmst"] - 3.6) < 1e-9
+    q = st.survival_quartiles(curve).collect()[0]
+    assert q["q25_t"] == 5 and q["median_t"] == 5 and q["q75_t"] == 8
+    # curve that never drops below .5: median NULL
+    shallow = spark.createDataFrame(
+        [(3, 0.7)], "t_days int, survival double"
+    )
+    q2 = st.survival_quartiles(shallow).collect()[0]
+    assert q2["q25_t"] == 3 and q2["median_t"] is None
+
+
+def test_palma_and_hoover_hand(spark):
+    # 10 values: nine 1s and one 91 -> total 100
+    rows = [(1.0,)] * 9 + [(91.0,)]
+    df = spark.createDataFrame(rows, "v double")
+    p = st.palma_ratio(df, "v").collect()[0]
+    # bottom 40% = 4 ones = 4; top 10% = the 91 -> palma = 91/4
+    assert p["bottom40_share"] == 0.04 and p["top10_share"] == 0.91
+    assert abs(p["palma"] - 91.0 / 4.0) < 1e-6
+    h = st.hoover_index(df, "v").collect()[0]
+    # mean 10; sum|x-10| = 9*9 + 81 = 162 -> hoover = 81/100
+    assert abs(h["hoover"] - 0.81) < 1e-6
+    # perfectly equal -> hoover 0, palma = (0.1)/(0.4)
+    eq = spark.createDataFrame([(5.0,)] * 10, "v double")
+    assert st.hoover_index(eq, "v").collect()[0]["hoover"] == 0.0
+    pe = st.palma_ratio(eq, "v").collect()[0]
+    assert abs(pe["palma"] - 0.25) < 1e-6
