@@ -23873,3 +23873,200 @@ SELECT CAST(n AS BIGINT) AS n,
 FROM agg
 """),
 })
+
+
+# ---------------------------------------------------------------------------
+# Round-14 QUEUE, batch C: market microstructure / flow indicators /
+# forecast bias.
+
+
+def _daily_ohlc_r16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars of the raw event value per type — the shared
+    base for the cci/mfi queue entries (same one-pass min_by/max_by
+    aggregate the keltner/donchian entries ride)."""
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    return tmp.ohlc_bars(ev, "event_type", "ts", "value", "event_id",
+                         bar="1 day")
+
+
+_DAILY_OHLC_R16_SQL = """
+  SELECT key AS g, w AS d,
+    max(CASE WHEN rn_a = 1 THEN value END) AS op,
+    max(value) AS hi, min(value) AS lo,
+    max(CASE WHEN rn_d = 1 THEN value END) AS cl,
+    count(*) AS vol
+  FROM (
+    SELECT event_type AS key, time_bucket(INTERVAL '1 day', ts) AS w,
+      ts, event_id, value,
+      row_number() OVER (PARTITION BY event_type,
+        time_bucket(INTERVAL '1 day', ts)
+        ORDER BY ts, event_id) AS rn_a,
+      row_number() OVER (PARTITION BY event_type,
+        time_bucket(INTERVAL '1 day', ts)
+        ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM events WHERE value IS NOT NULL
+  ) GROUP BY 1, 2
+"""
+
+
+def q_amihud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amihud illiquidity (×1e6) of each type's daily mean-value
+    series with the daily event count as volume — price impact per
+    unit of flow."""
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        F.col("event_type").alias("g"),
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+    ).agg(F.avg("value").alias("v"), F.count("*").alias("vol"))
+    return tmp.amihud_illiquidity(daily, "g", "d", "v", "vol")
+
+
+def q_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCI(20) over the daily typical price ((H+L+C)/3 of the raw
+    value bars) per type — window-mean deviation oscillator with the
+    window's own SMA as the reference."""
+    bars = _daily_ohlc_r16(spark, sf_dir).select(
+        F.col("event_type").alias("g"),
+        F.col("bar_start").alias("d"),
+        ((F.col("high") + F.col("low") + F.col("close")) / 3.0).alias(
+            "tp"
+        ),
+    )
+    return tmp.cci(bars, "g", "d", "tp", period=20)
+
+
+def q_mfi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MFI(14) — the volume-weighted RSI — over the same daily
+    typical-price bars with bar volume = event count."""
+    bars = _daily_ohlc_r16(spark, sf_dir).select(
+        F.col("event_type").alias("g"),
+        F.col("bar_start").alias("d"),
+        ((F.col("high") + F.col("low") + F.col("close")) / 3.0).alias(
+            "tp"
+        ),
+        F.col("volume").alias("vol"),
+    )
+    return tmp.mfi(bars, "g", "d", "tp", "vol", period=14)
+
+
+def q_tracking_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-forecast tracking signal per type over the daily series —
+    cumulative error over MAD, the forecast-bias alarm."""
+    return tmp.tracking_signal(
+        _daily_series_r12(spark, sf_dir), "g", "d", "v"
+    )
+
+
+_R16_QUERIES.update({
+    "amihud": q_amihud,
+    "cci": q_cci,
+    "mfi": q_mfi,
+    "tracking_signal": q_tracking_signal,
+})
+
+_R16_ORACLES.update({
+    "amihud": ("""
+-- Same grid returns / integer volumes, decimal-exact term sums.
+WITH daily AS (
+  SELECT event_type AS g, CAST(date_trunc('day', ts) AS DATE) AS d,
+    avg(CAST(value AS DOUBLE)) AS v0, count(*) AS vol
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), gq AS (
+  SELECT g, d, floor(v0 * 1048576.0) / 1048576.0 AS v,
+    CAST(vol AS DOUBLE) AS vol
+  FROM daily
+), l AS (
+  SELECT g, v, vol, lag(v) OVER (PARTITION BY g ORDER BY d) AS pv
+  FROM gq
+), r AS (
+  SELECT g, CASE WHEN pv > 0
+    THEN floor(abs(v - pv) / pv * 1048576.0) / 1048576.0 END AS r,
+    vol
+  FROM l
+), t AS (SELECT g, r / vol * 1000000.0 AS term FROM r
+         WHERE r IS NOT NULL),
+agg AS (
+  SELECT g, count(*) AS n,
+    CAST(sum(CAST(floor(term * 1048576.0) AS BIGINT)) AS DOUBLE)
+      / 1048576.0 AS s
+  FROM t GROUP BY 1
+)
+SELECT g, CAST(n AS BIGINT) AS n,
+  round(s / n, 6) AS amihud_x1m
+FROM agg
+"""),
+    "cci": ("""
+-- Same daily bars, same one-frame SMA + window-own mean deviation.
+WITH bars AS (""" + _DAILY_OHLC_R16_SQL + """),
+tp AS (
+  SELECT g, d,
+    floor(((hi + lo + cl) / 3.0) * 1048576.0) / 1048576.0 AS v
+  FROM bars
+), f AS (
+  SELECT g, d, list(v) OVER (PARTITION BY g ORDER BY d
+    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS l
+  FROM tp
+), s AS (
+  SELECT g, d, l, list_sum(l) / len(l) AS sma FROM f
+), m AS (
+  SELECT g, d, l, sma,
+    list_sum(list_transform(l, x -> abs(x - sma))) / len(l) AS md
+  FROM s
+)
+SELECT g, d,
+  round(CASE WHEN len(l) >= 20 AND md > 0
+    THEN (l[len(l)] - sma) / (0.015 * md) END, 6) AS cci
+FROM m
+"""),
+    "mfi": ("""
+-- Same daily bars, exact grid flows, window-ordered sums.
+WITH bars AS (""" + _DAILY_OHLC_R16_SQL + """),
+tp AS (
+  SELECT g, d,
+    floor(((hi + lo + cl) / 3.0) * 1048576.0) / 1048576.0 AS v,
+    vol
+  FROM bars
+), l AS (
+  SELECT g, d, v, vol,
+    lag(v) OVER (PARTITION BY g ORDER BY d) AS pv
+  FROM tp
+), fl AS (
+  SELECT g, d,
+    CASE WHEN pv IS NOT NULL AND v > pv THEN v * vol
+      WHEN pv IS NOT NULL THEN 0.0 END AS p,
+    CASE WHEN pv IS NOT NULL AND v < pv THEN v * vol
+      WHEN pv IS NOT NULL THEN 0.0 END AS m
+  FROM l
+), wsum AS (
+  SELECT g, d,
+    count(p) OVER wf AS cnt,
+    sum(p) OVER wf AS sp, sum(m) OVER wf AS sn
+  FROM fl
+  WINDOW wf AS (PARTITION BY g ORDER BY d
+    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT g, d,
+  round(CASE WHEN cnt >= 14 THEN
+    CASE WHEN sn > 0 THEN 100.0 - 100.0 / (1.0 + sp / sn)
+      WHEN sp > 0 THEN 100.0 ELSE 50.0 END END, 6) AS mfi
+FROM wsum
+"""),
+    "tracking_signal": ("""
+-- Same grid naive errors, exact sums.
+WITH daily AS (""" + _DAILY_G_SQL + """),
+gq AS (
+  SELECT g, d, floor(v * 1048576.0) / 1048576.0 AS v FROM daily
+), l AS (
+  SELECT g, v - lag(v) OVER (PARTITION BY g ORDER BY d) AS e FROM gq
+), t AS (SELECT g, e FROM l WHERE e IS NOT NULL),
+agg AS (
+  SELECT g, count(*) AS n, sum(e) AS ce, sum(abs(e)) AS sae
+  FROM t GROUP BY 1
+)
+SELECT g, CAST(n AS BIGINT) AS n, round(ce, 6) AS cum_error,
+  round(sae / n, 6) AS mad,
+  round(CASE WHEN sae / n > 0 THEN ce / (sae / n) END, 6)
+    AS tracking_signal
+FROM agg
+"""),
+})

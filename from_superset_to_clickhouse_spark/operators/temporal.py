@@ -4529,3 +4529,197 @@ def kpss_test(
         F.round(stat, 6).alias("kpss_stat"),
         (stat < 0.463).cast("int").alias("stationary"),
     )
+
+
+def amihud_illiquidity(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    volume_col: str,
+) -> DataFrame:
+    """Amihud illiquidity per series → (group, n, amihud_x1m): the
+    mean of |return| / volume, scaled ×10⁶ (the conventional
+    per-million units — raw values are ~1e-5 and would vanish under
+    6-dp rounding) — 'how much does one unit of flow move the price',
+    the standard price-impact proxy. Returns grid-quantize (2^-20) so
+    each |r|/vol is an IEEE ratio of exact inputs; the mean
+    accumulates the ×10⁶-scaled terms grid-floored in decimal,
+    order-free exact."""
+    v = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(order_col).alias("_o"),
+        v.alias("_v"),
+        F.col(volume_col).cast("double").alias("_vol"),
+    ).filter(F.col("_v").isNotNull() & (F.col("_vol") > 0))
+    wl = Window.partitionBy("_g").orderBy("_o")
+    prev = F.lag("_v").over(wl)
+    r = F.when(
+        prev > 0, F.floor(F.abs(F.col("_v") - prev) / prev * _Q2) / _Q2
+    )
+    t = src.withColumn("_r", r).filter(F.col("_r").isNotNull())
+    term = F.col("_r") / F.col("_vol") * 1000000.0
+    dec = "decimal(38,0)"
+    agg = t.groupBy("_g").agg(
+        F.count("*").alias("_n"),
+        (
+            F.sum(F.floor(term * _Q2).cast(dec)).cast("double") / _Q2
+        ).alias("_s"),
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("n"),
+        F.round(F.col("_s") / F.col("_n").cast("double"), 6).alias(
+            "amihud_x1m"
+        ),
+    )
+
+
+def cci(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    period: int = 20,
+) -> DataFrame:
+    """Commodity Channel Index per series point → (group, order,
+    cci): (tp − SMA) / (0.015·MD) where MD is the mean absolute
+    deviation of the trailing window FROM THAT WINDOW'S OWN SMA —
+    the deviation recomputes against each row's window mean, so both
+    stats come from one collected frame and two left-to-right codegen
+    folds (the ``ewma_smooth`` discipline); NULL until the window
+    fills. Callers pass the typical price ((H+L+C)/3 off
+    ``ohlc_bars``) or any bounded series."""
+    from from_superset_to_clickhouse_spark.functions.scalar import let_bind
+
+    v = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(order_col).alias("_o"),
+        v.alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    w = (
+        Window.partitionBy("_g")
+        .orderBy("_o")
+        .rowsBetween(-(period - 1), 0)
+    )
+    frame = F.collect_list("_v").over(w)
+
+    def fold(l):
+        n = F.size(l)
+        sma = (
+            F.aggregate(l, F.lit(0.0), lambda a, x: a + x)
+            / n.cast("double")
+        )
+        md = F.aggregate(
+            F.transform(l, lambda x: F.abs(x - sma)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ) / n.cast("double")
+        return F.when(
+            (n >= period) & (md > 0),
+            (F.element_at(l, n) - sma) / (F.lit(0.015) * md),
+        )
+
+    return src.select(
+        F.col("_g").alias(group_col),
+        F.col("_o").alias(order_col),
+        F.round(let_bind(frame, fold), 6).alias("cci"),
+    )
+
+
+def mfi(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    volume_col: str,
+    period: int = 14,
+) -> DataFrame:
+    """Money Flow Index per series point → (group, order, mfi): the
+    volume-weighted RSI — raw money flow tp·vol splits into positive
+    and negative by the price direction, MFI = 100 − 100/(1 + posMF/
+    negMF) over the trailing window; NULL during warm-up, 100/0 when
+    one side is empty, 50 on an all-flat window. Grid prices × integer
+    volumes keep every flow an exact 2^-20 multiple; the frame sums
+    are window-ordered and exact."""
+    v = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(order_col).alias("_o"),
+        v.alias("_v"),
+        F.col(volume_col).cast("long").alias("_vol"),
+    ).filter(F.col("_v").isNotNull() & F.col("_vol").isNotNull())
+    wl = Window.partitionBy("_g").orderBy("_o")
+    prev = F.lag("_v").over(wl)
+    flow = F.col("_v") * F.col("_vol").cast("double")
+    pos = F.when(prev.isNotNull() & (F.col("_v") > prev), flow).otherwise(
+        F.when(prev.isNotNull(), F.lit(0.0))
+    )
+    neg = F.when(prev.isNotNull() & (F.col("_v") < prev), flow).otherwise(
+        F.when(prev.isNotNull(), F.lit(0.0))
+    )
+    wf = wl.rowsBetween(-(period - 1), 0)
+    t = (
+        src.withColumn("_p", pos)
+        .withColumn("_m", neg)
+        .withColumn("_cnt", F.count("_p").over(wf))
+        .withColumn("_sp", F.sum("_p").over(wf))
+        .withColumn("_sn", F.sum("_m").over(wf))
+    )
+    m = F.when(
+        F.col("_cnt") >= period,
+        F.when(
+            F.col("_sn") > 0,
+            F.lit(100.0)
+            - F.lit(100.0)
+            / (F.lit(1.0) + F.col("_sp") / F.col("_sn")),
+        )
+        .when(F.col("_sp") > 0, F.lit(100.0))
+        .otherwise(F.lit(50.0)),
+    )
+    return t.select(
+        F.col("_g").alias(group_col),
+        F.col("_o").alias(order_col),
+        F.round(m, 6).alias("mfi"),
+    )
+
+
+def tracking_signal(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Forecast tracking signal per series → (group, n, cum_error,
+    mad, tracking_signal): cumulative naive-forecast error over the
+    mean absolute error — the SPC-style bias alarm for a forecasting
+    pipeline (|TS| > 4 conventionally flags systematic drift; an
+    unbiased forecast oscillates near 0). Naive forecast = previous
+    value; errors are exact grid differences, both sums order-free
+    exact."""
+    v = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(order_col).alias("_o"),
+        v.alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    wl = Window.partitionBy("_g").orderBy("_o")
+    e = F.col("_v") - F.lag("_v").over(wl)
+    t = src.withColumn("_e", e).filter(F.col("_e").isNotNull())
+    agg = t.groupBy("_g").agg(
+        F.count("*").alias("_n"),
+        F.sum("_e").alias("_ce"),
+        F.sum(F.abs(F.col("_e"))).alias("_sae"),
+    )
+    mad = F.col("_sae") / F.col("_n").cast("double")
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("n"),
+        F.round("_ce", 6).alias("cum_error"),
+        F.round(mad, 6).alias("mad"),
+        F.round(
+            F.when(mad > 0, F.col("_ce") / mad), 6
+        ).alias("tracking_signal"),
+    )

@@ -387,3 +387,68 @@ def test_kpss_stationary_vs_trending(spark):
         "g", "o", "v",
     ).collect()[0]
     assert tr["stationary"] == 0 and tr["kpss_stat"] > 0.463
+
+
+def test_amihud_liquid_vs_illiquid(spark):
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        amihud_illiquidity,
+    )
+
+    # same 1% moves, 100x the volume -> 100x smaller impact
+    vals = [100.0, 101.0, 100.0, 101.0, 100.0]
+    thin = amihud_illiquidity(
+        _series_r14(spark, vals, [10] * 5), "g", "o", "v", "vol"
+    ).collect()[0]
+    deep = amihud_illiquidity(
+        _series_r14(spark, vals, [1000] * 5), "g", "o", "v", "vol"
+    ).collect()[0]
+    assert thin["n"] == 4
+    assert abs(thin["amihud_x1m"] / deep["amihud_x1m"] - 100.0) < 0.1
+
+
+def test_cci_flat_and_breakout(spark):
+    from from_superset_to_clickhouse_spark.operators.temporal import cci
+
+    # flat series: md = 0 -> NULL everywhere after warm-up too
+    rows = cci(_series_r14(spark, [50.0] * 25), "g", "o", "v").collect()
+    assert all(r["cci"] is None for r in rows)
+    # constant then a jump: the jump row sits far above its window SMA
+    jump = cci(
+        _series_r14(spark, [50.0] * 24 + [60.0]), "g", "o", "v"
+    ).orderBy("o").collect()
+    assert jump[-1]["cci"] is not None and jump[-1]["cci"] > 100
+
+
+def test_mfi_updays_vs_downdays(spark):
+    from from_superset_to_clickhouse_spark.operators.temporal import mfi
+
+    up = [float(100 + i) for i in range(16)]
+    r = mfi(
+        _series_r14(spark, up, [10] * 16), "g", "o", "v", "vol"
+    ).orderBy("o").collect()
+    assert r[13]["mfi"] is None  # warm-up needs 14 deltas
+    assert r[-1]["mfi"] == 100.0
+    down = [float(100 - i) for i in range(16)]
+    r2 = mfi(
+        _series_r14(spark, down, [10] * 16), "g", "o", "v", "vol"
+    ).orderBy("o").collect()
+    assert r2[-1]["mfi"] == 0.0
+
+
+def test_tracking_signal_biased_vs_oscillating(spark):
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        tracking_signal,
+    )
+
+    # steady +2 drift: every naive error +2 -> TS = n (maximal bias)
+    drift = tracking_signal(
+        _series_r14(spark, [float(2 * i) for i in range(11)]),
+        "g", "o", "v",
+    ).collect()[0]
+    assert drift["n"] == 10 and drift["cum_error"] == 20.0
+    assert drift["tracking_signal"] == 10.0
+    # alternation: errors cancel -> TS near 0
+    osc = tracking_signal(
+        _series_r14(spark, [100.0, 102.0] * 8), "g", "o", "v"
+    ).collect()[0]
+    assert abs(osc["tracking_signal"]) < 1.0
