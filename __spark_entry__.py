@@ -24070,3 +24070,185 @@ SELECT g, CAST(n AS BIGINT) AS n, round(ce, 6) AS cum_error,
 FROM agg
 """),
 })
+
+
+# ---------------------------------------------------------------------------
+# Round-14 QUEUE, batch D: control-chart family completion + pivots.
+
+
+def q_u_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """u-chart of daily high-value events per ACTIVE USER (defects
+    per unit with a moving denominator) — the varying-n Poisson-rate
+    sibling of the c/p/np charts."""
+    from from_superset_to_clickhouse_spark.operators.temporal import u_chart
+
+    ev = _ev(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    src = ev.select(
+        F.lit("events").alias("k"),
+        "ts",
+        (F.col("value") > 150).alias("defect"),
+        "user_id",
+    )
+    return u_chart(src, "k", "ts", "defect", "user_id", bucket="1 day")
+
+
+def q_np_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """np-chart of defective counts in fixed 200-event subgroups per
+    type ((ts, event_id) order, value > 100 flag) — equal-n counts,
+    the shop-floor tally form."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        np_chart,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    src = ev.select(
+        "event_type",
+        F.struct(F.col("ts"), F.col("event_id")).alias("ord"),
+        (F.col("value") > 100).alias("flag"),
+    )
+    return np_chart(src, "event_type", "ord", "flag", subgroup_size=200)
+
+
+def q_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (λ=0.2, 3σ, MR-bar σ̂) over each type's
+    daily series — the small-shift detector with exact unrolled
+    recursion and time-varying limits."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        ewma_chart,
+    )
+
+    return ewma_chart(
+        _daily_series_r12(spark, sf_dir), "g", "d", "v", lam=0.2
+    )
+
+
+def q_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-trader pivot levels from each type's daily value bars —
+    P/R1/S1/R2/S2 off the shared one-pass OHLC aggregate."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        pivot_points,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    return pivot_points(
+        ev, "event_type", "ts", "value", "event_id", bar="1 day"
+    )
+
+
+_R16_QUERIES.update({
+    "u_chart": q_u_chart,
+    "np_chart": q_np_chart,
+    "ewma_chart": q_ewma_chart,
+    "pivot_points": q_pivot_points,
+})
+
+_R16_ORACLES.update({
+    "u_chart": ("""
+-- Same daily defect/distinct-user buckets, same Poisson-rate limits.
+WITH src AS (
+  SELECT time_bucket(INTERVAL '1 day', ts) AS w,
+    CAST(value > 150 AS INTEGER) AS d, user_id
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+), per AS (
+  SELECT w, sum(d) AS di, count(DISTINCT user_id) AS ni
+  FROM src GROUP BY 1
+), ok AS (SELECT * FROM per WHERE ni > 0),
+tot AS (
+  SELECT count(*) AS nb, sum(di) AS dt, sum(ni) AS nt FROM ok
+), lim AS (
+  SELECT nb, CAST(dt AS DOUBLE) / nt AS ub FROM tot
+), j AS (
+  SELECT l.nb, l.ub, CAST(p.di AS DOUBLE) / p.ni AS ui,
+    l.ub + 3.0 * sqrt(l.ub / CAST(p.ni AS DOUBLE)) AS ucl,
+    greatest(l.ub - 3.0 * sqrt(l.ub / CAST(p.ni AS DOUBLE)), 0.0)
+      AS lcl
+  FROM ok p, lim l
+)
+SELECT 'events' AS key, CAST(nb AS BIGINT) AS n_buckets,
+  round(ub, 6) AS u_bar,
+  CAST(count(*) FILTER (ui > ucl OR ui < lcl) AS BIGINT) AS n_out
+FROM j GROUP BY 1, 2, 3
+"""),
+    "np_chart": ("""
+-- Same fixed-200 subgroup chunks in (ts, event_id) order.
+WITH src AS (
+  SELECT event_type AS key, CAST(value > 100 AS INTEGER) AS f,
+    (row_number() OVER (PARTITION BY event_type
+      ORDER BY ts, event_id) - 1) // 200 AS chunk
+  FROM events WHERE value IS NOT NULL
+), per AS (
+  SELECT key, chunk, count(*) AS n, sum(f) AS d
+  FROM src GROUP BY 1, 2
+), full_g AS (SELECT * FROM per WHERE n = 200),
+tot AS (
+  SELECT key, count(*) AS nb, sum(d) AS dt FROM full_g GROUP BY 1
+), lim AS (
+  SELECT key, nb, CAST(dt AS DOUBLE) / nb AS npb,
+    CAST(dt AS DOUBLE) / nb / 200.0 AS pb
+  FROM tot
+), j AS (
+  SELECT p.key, l.nb, l.npb, CAST(p.d AS DOUBLE) AS d,
+    l.npb + 3.0 * sqrt(l.npb * (1.0 - l.pb)) AS ucl,
+    greatest(l.npb - 3.0 * sqrt(l.npb * (1.0 - l.pb)), 0.0) AS lcl
+  FROM full_g p JOIN lim l ON p.key = l.key
+)
+SELECT key, CAST(nb AS BIGINT) AS n_subgroups,
+  round(npb, 6) AS np_bar,
+  CAST(count(*) FILTER (d > ucl OR d < lcl) AS BIGINT) AS n_out
+FROM j GROUP BY 1, 2, 3
+"""),
+    "ewma_chart": ("""
+-- Same unrolled EWMA prefix fold, MR-bar sigma, time-varying limits.
+WITH daily AS (""" + _DAILY_G_SQL + """),
+gq AS (
+  SELECT g, d, floor(v * 1048576.0) / 1048576.0 AS v FROM daily
+), st AS (
+  SELECT g, floor(avg(v) * 1048576.0) / 1048576.0 AS c,
+    count(*) AS n
+  FROM gq GROUP BY 1
+), mrt AS (
+  SELECT g, floor(avg(mr) * 1048576.0) / 1048576.0 AS mrb
+  FROM (
+    SELECT g, abs(v - lag(v) OVER (PARTITION BY g ORDER BY d)) AS mr
+    FROM gq
+  ) WHERE mr IS NOT NULL GROUP BY 1
+), t AS (
+  SELECT gq.g, gq.d, gq.v, st.c, st.n, mrt.mrb,
+    list(gq.v) OVER (PARTITION BY gq.g ORDER BY gq.d
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l,
+    CAST(row_number() OVER (PARTITION BY gq.g ORDER BY gq.d)
+      AS DOUBLE) AS rn
+  FROM gq JOIN st ON gq.g = st.g JOIN mrt ON gq.g = mrt.g
+), z AS (
+  SELECT g, c, n, mrb, rn,
+    list_sum(list_transform(l,
+      (x, i) -> x * 0.2 * pow(0.8, len(l) - i)))
+      + c * pow(0.8, CAST(len(l) AS DOUBLE)) AS zv
+  FROM t
+), fl AS (
+  SELECT g, c, n, mrb / 1.128 AS sig,
+    (zv > c + 3.0 * (mrb / 1.128)
+       * sqrt(0.2 / 1.8 * (1.0 - pow(0.8, 2.0 * rn)))
+     OR zv < c - 3.0 * (mrb / 1.128)
+       * sqrt(0.2 / 1.8 * (1.0 - pow(0.8, 2.0 * rn)))) AS oo
+  FROM z
+)
+SELECT g, CAST(max(n) AS BIGINT) AS n, round(max(c), 6) AS center,
+  round(max(sig), 6) AS sigma_hat,
+  CAST(count(*) FILTER (oo) AS BIGINT) AS n_out
+FROM fl GROUP BY g
+"""),
+    "pivot_points": ("""
+-- Same daily bars, pure pivot arithmetic.
+WITH bars AS (""" + _DAILY_OHLC_R16_SQL + """)
+SELECT g AS event_type, d AS bar_start,
+  round((hi + lo + cl) / 3.0, 6) AS pivot,
+  round(2.0 * ((hi + lo + cl) / 3.0) - lo, 6) AS r1,
+  round(2.0 * ((hi + lo + cl) / 3.0) - hi, 6) AS s1,
+  round((hi + lo + cl) / 3.0 + (hi - lo), 6) AS r2,
+  round((hi + lo + cl) / 3.0 - (hi - lo), 6) AS s2
+FROM bars
+"""),
+})

@@ -4723,3 +4723,209 @@ def tracking_signal(
             F.when(mad > 0, F.col("_ce") / mad), 6
         ).alias("tracking_signal"),
     )
+
+
+def u_chart(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    defect_col: str,
+    unit_col: str,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Shewhart u-chart (defects per unit, varying subgroup sizes) per
+    key → (key, n_buckets, u_bar, n_out): per bucket, defect count
+    over unit count; center ū = Σd/Σn with per-bucket limits
+    ū ± 3·√(ū/nᵢ) — the Poisson-rate chart for 'errors per active
+    user/request/page' where both the numerator and the denominator
+    move. Distinct-count units are exact; every rate an integer
+    ratio."""
+    src = df.select(
+        F.col(key_col).alias("key"),
+        F.window(F.col(ts_col), bucket).alias("_w"),
+        F.col(defect_col).cast("int").alias("_d"),
+        F.col(unit_col).alias("_u"),
+    )
+    per = src.groupBy("key", "_w").agg(
+        F.sum("_d").alias("_di"),
+        F.count_distinct("_u").alias("_ni"),
+    ).filter(F.col("_ni") > 0)
+    tot = per.groupBy("key").agg(
+        F.count("*").alias("_nb"),
+        F.sum("_di").alias("_dt"),
+        F.sum("_ni").alias("_nt"),
+    )
+    ub = F.col("_dt").cast("double") / F.col("_nt")
+    lim = tot.select("key", "_nb", ub.alias("_ub"))
+    j = per.join(F.broadcast(lim), "key")
+    se = F.sqrt(F.col("_ub") / F.col("_ni").cast("double"))
+    ucl = F.col("_ub") + 3.0 * se
+    lcl = F.greatest(F.col("_ub") - 3.0 * se, F.lit(0.0))
+    ui = F.col("_di").cast("double") / F.col("_ni")
+    out = j.groupBy("key", "_nb", "_ub").agg(
+        F.count(F.when((ui > ucl) | (ui < lcl), 1)).alias("_out")
+    )
+    return out.select(
+        "key",
+        F.col("_nb").cast("long").alias("n_buckets"),
+        F.round("_ub", 6).alias("u_bar"),
+        F.col("_out").cast("long").alias("n_out"),
+    )
+
+
+def np_chart(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    flag_col: str,
+    subgroup_size: int = 200,
+) -> DataFrame:
+    """Shewhart np-chart (defective COUNTS in equal-size subgroups)
+    per key → (key, n_subgroups, np_bar, n_out): rows chunk into
+    consecutive ``subgroup_size``-row subgroups in ``order_col``
+    order, the defective count per chunk is charted against
+    np̄ ± 3·√(np̄(1−p̄)) — the fixed-n twin of ``p_chart`` (counts are
+    what the floor actually tallies; rates need varying-n math).
+    Trailing partial chunks are dropped (their limits would need the
+    u/p forms). One row_number window + two aggregates, all exact
+    integers."""
+    w = Window.partitionBy(F.col(key_col)).orderBy(F.col(order_col))
+    src = df.select(
+        F.col(key_col).alias("key"),
+        F.col(flag_col).cast("int").alias("_f"),
+        ((F.row_number().over(w) - 1) / subgroup_size)
+        .cast("long")
+        .alias("_chunk"),
+    ).filter(F.col("_f").isNotNull())
+    per = src.groupBy("key", "_chunk").agg(
+        F.count("*").alias("_n"), F.sum("_f").alias("_d")
+    ).filter(F.col("_n") == subgroup_size)
+    tot = per.groupBy("key").agg(
+        F.count("*").alias("_nb"), F.sum("_d").alias("_dt")
+    )
+    npb = F.col("_dt").cast("double") / F.col("_nb")
+    pb = npb / float(subgroup_size)
+    lim = tot.select("key", "_nb", npb.alias("_npb"), pb.alias("_pb"))
+    j = per.join(F.broadcast(lim), "key")
+    se = F.sqrt(F.col("_npb") * (1.0 - F.col("_pb")))
+    ucl = F.col("_npb") + 3.0 * se
+    lcl = F.greatest(F.col("_npb") - 3.0 * se, F.lit(0.0))
+    d = F.col("_d").cast("double")
+    out = j.groupBy("key", "_nb", "_npb").agg(
+        F.count(F.when((d > ucl) | (d < lcl), 1)).alias("_out")
+    )
+    return out.select(
+        "key",
+        F.col("_nb").cast("long").alias("n_subgroups"),
+        F.round("_npb", 6).alias("np_bar"),
+        F.col("_out").cast("long").alias("n_out"),
+    )
+
+
+def ewma_chart(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    lam: float = 0.2,
+    width: float = 3.0,
+) -> DataFrame:
+    """EWMA control chart per key → (key, n, center, sigma_hat,
+    n_out): z_t = λx_t + (1−λ)z_{t−1} seeded at the series mean,
+    charted against center ± L·σ̂·√(λ/(2−λ)·(1−(1−λ)^{2t})) with σ̂
+    from the average moving range / d₂ (the ``imr_chart``
+    estimator) — the small-persistent-shift detector Shewhart charts
+    miss. The recursion unrolls into one prefix fold per row (the
+    ``macd`` discipline); the time-varying limit factor is exact
+    arithmetic of the row index."""
+    from from_superset_to_clickhouse_spark.functions.scalar import let_bind
+
+    lam = float(lam)
+    v = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    src = df.select(
+        F.col(key_col).alias("_g"),
+        F.col(order_col).alias("_o"),
+        v.alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    wl = Window.partitionBy("_g").orderBy("_o")
+    stats = src.groupBy("_g").agg(
+        (F.floor(F.avg("_v") * _Q2) / _Q2).alias("_c"),
+        F.count("*").alias("_n"),
+    )
+    mr = src.withColumn(
+        "_mr", F.abs(F.col("_v") - F.lag("_v").over(wl))
+    ).groupBy("_g").agg(
+        (F.floor(F.avg("_mr") * _Q2) / _Q2).alias("_mrb")
+    )
+    base = stats.join(mr, "_g")
+    t = src.join(F.broadcast(base), "_g")
+    wp = wl.rowsBetween(Window.unboundedPreceding, 0)
+    frame = F.collect_list("_v").over(wp)
+    d = 1.0 - lam
+
+    def fold(l):
+        n = F.size(l)
+        return F.aggregate(
+            F.transform(
+                l,
+                lambda x, i: x
+                * F.lit(lam)
+                * F.pow(F.lit(d), (n - 1 - i).cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ) + F.col("_c") * F.pow(F.lit(d), n.cast("double"))
+
+    t = t.withColumn("_z", let_bind(frame, fold))
+    t = t.withColumn(
+        "_t", F.row_number().over(wl).cast("double")
+    )
+    sig = F.col("_mrb") / 1.128
+    fac = F.sqrt(
+        F.lit(lam / (2.0 - lam))
+        * (1.0 - F.pow(F.lit(d), 2.0 * F.col("_t")))
+    )
+    ucl = F.col("_c") + F.lit(float(width)) * sig * fac
+    lcl = F.col("_c") - F.lit(float(width)) * sig * fac
+    flag = (F.col("_z") > ucl) | (F.col("_z") < lcl)
+    agg = t.groupBy("_g", "_c").agg(
+        F.count("*").alias("_nn"),
+        F.max(sig).alias("_sig"),
+        F.count(F.when(flag, 1)).alias("_out"),
+    )
+    return agg.select(
+        F.col("_g").alias(key_col),
+        F.col("_nn").cast("long").alias("n"),
+        F.round("_c", 6).alias("center"),
+        F.round("_sig", 6).alias("sigma_hat"),
+        F.col("_out").cast("long").alias("n_out"),
+    )
+
+
+def pivot_points(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bar: str = "1 day",
+) -> DataFrame:
+    """Classic floor-trader pivot levels per (key, bar) → (key,
+    bar_start, pivot, r1, s1, r2, s2) from the bar's OHLC: P =
+    (H+L+C)/3, R1 = 2P−L, S1 = 2P−H, R2 = P+(H−L), S2 = P−(H−L) —
+    the next-period support/resistance scaffold downstream alerting
+    joins against. One ``ohlc_bars`` aggregate + pure codegen
+    arithmetic."""
+    bars = ohlc_bars(df, key_col, ts_col, value_col, tiebreak_col, bar)
+    p = (
+        F.col("high").cast("double") + F.col("low") + F.col("close")
+    ) / 3.0
+    return bars.select(
+        key_col,
+        "bar_start",
+        F.round(p, 6).alias("pivot"),
+        F.round(2.0 * p - F.col("low"), 6).alias("r1"),
+        F.round(2.0 * p - F.col("high"), 6).alias("s1"),
+        F.round(p + (F.col("high") - F.col("low")), 6).alias("r2"),
+        F.round(p - (F.col("high") - F.col("low")), 6).alias("s2"),
+    )

@@ -453,3 +453,88 @@ def test_tracking_signal_biased_vs_oscillating(spark):
         _series_r14(spark, [100.0, 102.0] * 8), "g", "o", "v"
     ).collect()[0]
     assert abs(osc["tracking_signal"]) <= 1.0
+
+
+def test_u_chart_stable_vs_spiked_rate(spark):
+    import datetime as dt
+
+    from from_superset_to_clickhouse_spark.operators.temporal import u_chart
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # 10 days, 20 users each, 2 defects/day -> u = .1 everywhere
+    for day in range(10):
+        for u in range(20):
+            rows.append(
+                ("k", t0 + dt.timedelta(days=day, minutes=u), u < 2, u)
+            )
+    # spiked day: same 20 users, 15 defects
+    for u in range(20):
+        rows.append(
+            ("k", t0 + dt.timedelta(days=10, minutes=u), u < 15, u)
+        )
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, defect boolean, user_id int"
+    )
+    r = u_chart(df, "k", "ts", "defect", "user_id").collect()[0]
+    assert r["n_buckets"] == 11 and r["n_out"] >= 1
+
+
+def test_np_chart_counts_and_partial_chunk_drop(spark):
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        np_chart,
+    )
+
+    # 2.5 subgroups of 4: the trailing pair is dropped; defect
+    # pattern 1/4 in each full subgroup -> np_bar 1, no alarms
+    rows = [("k", i, i % 4 == 0) for i in range(10)]
+    r = np_chart(
+        spark.createDataFrame(rows, "k string, o int, f boolean"),
+        "k", "o", "f", subgroup_size=4,
+    ).collect()[0]
+    assert r["n_subgroups"] == 2 and r["np_bar"] == 1.0
+    assert r["n_out"] == 0
+
+
+def test_ewma_chart_shift_detection(spark):
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        ewma_chart,
+    )
+
+    # stable noise then a persistent +3sigma-ish level shift the
+    # EWMA accumulates into an alarm
+    base = [100.0 + ((i * 37) % 7 - 3.0) / 10.0 for i in range(30)]
+    shifted = base + [102.0 + ((i * 37) % 7 - 3.0) / 10.0
+                      for i in range(10)]
+    stable = ewma_chart(
+        _series_r14(spark, base), "g", "o", "v"
+    ).collect()[0]
+    alarm = ewma_chart(
+        _series_r14(spark, shifted), "g", "o", "v"
+    ).collect()[0]
+    assert stable["n_out"] == 0
+    assert alarm["n_out"] >= 5
+
+
+def test_pivot_points_hand_bar(spark):
+    import datetime as dt
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        pivot_points,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("k", t0 + dt.timedelta(minutes=i), float(v), i)
+        for i, v in enumerate([10, 20, 8, 16])
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, v double, e int"
+    )
+    r = pivot_points(df, "k", "ts", "v", "e").collect()[0]
+    p = (20 + 8 + 16) / 3.0
+    assert abs(r["pivot"] - p) < 1e-6
+    assert abs(r["r1"] - (2 * p - 8)) < 1e-6
+    assert abs(r["s1"] - (2 * p - 20)) < 1e-6
+    assert abs(r["r2"] - (p + 12)) < 1e-6
+    assert abs(r["s2"] - (p - 12)) < 1e-6
