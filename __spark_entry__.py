@@ -24252,3 +24252,231 @@ SELECT g AS event_type, d AS bar_start,
 FROM bars
 """),
 })
+
+
+# ---------------------------------------------------------------------------
+# Round-14 QUEUE, batch E: spatial pair statistics / graph elite core /
+# stylometry.
+
+
+_GRID_CELLS_SQL = """
+  SELECT user_id % 12 AS i, floor(user_id / 12) % 12 AS j,
+    avg(CAST(value AS DOUBLE)) AS a
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def _grid_cells_r16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The morans_i entry's 12×12 user grid with the planted smooth
+    gradient — shared by the geary/getis queue entries."""
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    cells = ev.groupBy(
+        F.pmod(F.col("user_id"), 12).alias("i"),
+        F.pmod(F.floor(F.col("user_id") / 12), 12).alias("j"),
+    ).agg(F.avg("value").alias("_a"))
+    return cells.select(
+        "i",
+        "j",
+        (
+            F.col("_a") + 2.0 * (F.col("i") + F.col("j")).cast("double")
+        ).alias("v"),
+    )
+
+
+def q_geary_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geary's C on the gradient grid — the local-difference
+    contiguity ratio (must read well below 1 on the planted smooth
+    field), the sensitivity complement to the morans_i entry."""
+    from from_superset_to_clickhouse_spark.operators.geo import (
+        geary_c_grid,
+    )
+
+    return geary_c_grid(_grid_cells_r16(spark, sf_dir), "i", "j", "v")
+
+
+def q_getis_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Getis–Ord G on the same non-negative gradient grid —
+    'do HIGH cells neighbor high cells' (G above its W/(n(n−1))
+    expectation on the planted field)."""
+    from from_superset_to_clickhouse_spark.operators.geo import (
+        getis_ord_g,
+    )
+
+    return getis_ord_g(_grid_cells_r16(spark, sf_dir), "i", "j", "v")
+
+
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient (k=10) of the skewed test graph: the K20
+    core nodes all exceed degree 10 and wire to each other — phi must
+    read near 1 while the periphery is excluded."""
+    from from_superset_to_clickhouse_spark.operators.graph import rich_club
+
+    return rich_club(_kcore_edges(spark, sf_dir), k=10)
+
+
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distances between the 20 document
+    sources over the top-50 corpus words — the authorship fingerprint
+    as pairwise mean |z| gaps (190 source pairs)."""
+    from from_superset_to_clickhouse_spark.operators.text import (
+        burrows_delta,
+    )
+
+    return burrows_delta(_docs(spark, sf_dir), "source", "text", top_n=50)
+
+
+_R16_QUERIES.update({
+    "geary_c": q_geary_c,
+    "getis_ord": q_getis_ord,
+    "rich_club": q_rich_club,
+    "burrows_delta": q_burrows_delta,
+})
+
+_R16_ORACLES.update({
+    "geary_c": ("""
+-- Same grid/gradient, same rook joins, exact decimal sums.
+WITH cells AS (""" + _GRID_CELLS_SQL + """),
+src AS (
+  SELECT i, j,
+    floor((a + 2.0 * CAST(i + j AS DOUBLE)) * 1048576.0)
+      / 1048576.0 AS v
+  FROM cells
+), m AS (
+  SELECT floor(avg(v) * 1048576.0) / 1048576.0 AS mv, count(*) AS n
+  FROM src
+), z AS (
+  SELECT i, j, n, v, v - mv AS z FROM src, m
+), adj AS (
+  SELECT count(*) AS np,
+    CAST(sum(CAST(floor((vl - vr) * (vl - vr) * 1099511627776.0)
+      AS BIGINT)) AS DOUBLE) / 1099511627776.0 AS sqd
+  FROM (
+    SELECT l.v AS vl, r.v AS vr
+    FROM z l JOIN z r ON r.i = l.i + 1 AND r.j = l.j
+    UNION ALL
+    SELECT l.v, r.v
+    FROM z l JOIN z r ON r.i = l.i AND r.j = l.j + 1
+  )
+), den AS (
+  SELECT max(n) AS n,
+    CAST(sum(CAST(floor(z * z * 1099511627776.0) AS BIGINT))
+      AS DOUBLE) / 1099511627776.0 AS zz
+  FROM z
+)
+SELECT CAST(n AS BIGINT) AS n_cells,
+  CAST(2 * np AS BIGINT) AS w_sum,
+  round(CASE WHEN zz > 0 AND np > 0
+    THEN (CAST(n AS DOUBLE) - 1.0) * (2.0 * sqd)
+      / (2.0 * (2.0 * np) * zz) END, 6) AS geary_c
+FROM den, adj
+"""),
+    "getis_ord": ("""
+-- Same grid, numerator over rook pairs, exact total-product denom.
+WITH cells AS (""" + _GRID_CELLS_SQL + """),
+src AS (
+  SELECT i, j,
+    floor((a + 2.0 * CAST(i + j AS DOUBLE)) * 1048576.0)
+      / 1048576.0 AS v
+  FROM cells
+), ok AS (SELECT * FROM src WHERE v >= 0),
+adj AS (
+  SELECT count(*) AS np,
+    CAST(sum(CAST(floor(vl * vr * 1099511627776.0) AS BIGINT))
+      AS DOUBLE) / 1099511627776.0 AS num
+  FROM (
+    SELECT l.v AS vl, r.v AS vr
+    FROM ok l JOIN ok r ON r.i = l.i + 1 AND r.j = l.j
+    UNION ALL
+    SELECT l.v, r.v
+    FROM ok l JOIN ok r ON r.i = l.i AND r.j = l.j + 1
+  )
+), tot AS (
+  SELECT count(*) AS n,
+    CAST(sum(CAST(floor(v * 1048576.0) AS BIGINT)) AS DOUBLE)
+      / 1048576.0 AS sx,
+    CAST(sum(CAST(floor(v * v * 1099511627776.0) AS BIGINT))
+      AS DOUBLE) / 1099511627776.0 AS sxx
+  FROM ok
+)
+SELECT CAST(n AS BIGINT) AS n_cells,
+  CAST(2 * np AS BIGINT) AS w_sum,
+  round(CASE WHEN sx * sx - sxx > 0
+    THEN 2.0 * num / (sx * sx - sxx) END, 6) AS g_stat,
+  round((2.0 * np) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)),
+    6) AS expected_g
+FROM tot, adj
+"""),
+    "rich_club": ("""
+-- Same canonical edges, same degree>k club density.
+WITH d AS (SELECT doc_id FROM documents),
+raw AS (
+  SELECT doc_id % 300 AS s, (doc_id * 11 + 1) % 300 AS t FROM d
+  UNION ALL
+  SELECT doc_id % 300, (doc_id * 17 + 2) % 300 FROM d
+  UNION ALL
+  SELECT doc_id % 20, (doc_id // 20) % 20 FROM d WHERE doc_id < 400
+),
+e0 AS (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM raw
+  WHERE least(s, t) < greatest(s, t)
+),
+deg AS (
+  SELECT n, count(*) AS dg
+  FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY n
+),
+club AS (SELECT n FROM deg WHERE dg > 10),
+ec AS (
+  SELECT count(*) AS e FROM e0
+  WHERE a IN (SELECT n FROM club) AND b IN (SELECT n FROM club)
+), nc AS (SELECT count(*) AS c FROM club)
+SELECT CAST(10 AS BIGINT) AS k, CAST(c AS BIGINT) AS n_club,
+  CAST(e AS BIGINT) AS e_club,
+  round(CASE WHEN c >= 2 THEN 2.0 * e
+    / (CAST(c AS DOUBLE) * (CAST(c AS DOUBLE) - 1.0)) END, 6) AS phi
+FROM nc, ec
+"""),
+    "burrows_delta": ("""
+-- Same tokenizer, top-50 by (count DESC, word), exact cell ratios,
+-- same z-score and pair-mean arithmetic.
+WITH toks AS (
+  SELECT source AS g, unnest(list_filter(
+    regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+    x -> x <> '')) AS w
+  FROM documents
+), top AS (
+  SELECT w FROM (
+    SELECT w, count(*) AS c FROM toks GROUP BY 1
+    ORDER BY c DESC, w LIMIT 50
+  )
+), gt AS (SELECT g, count(*) AS n FROM toks GROUP BY 1),
+cell AS (
+  SELECT g, w, count(*) AS cw FROM toks
+  WHERE w IN (SELECT w FROM top) GROUP BY 1, 2
+), grid AS (
+  SELECT gt.g, gt.n, top.w FROM gt CROSS JOIN top
+), f AS (
+  SELECT grid.g, grid.w,
+    coalesce(cell.cw, 0) / CAST(grid.n AS DOUBLE) AS f
+  FROM grid LEFT JOIN cell ON grid.g = cell.g AND grid.w = cell.w
+), fm AS (
+  SELECT g, w, f,
+    sum(f) OVER pw / count(*) OVER pw AS mean,
+    count(*) OVER pw AS kk
+  FROM f
+  WINDOW pw AS (PARTITION BY w)
+), fs AS (
+  SELECT g, w, f, mean,
+    sqrt(sum((f - mean) * (f - mean))
+      OVER (PARTITION BY w) / (kk - 1.0)) AS sd
+  FROM fm
+), z AS (
+  SELECT g, w,
+    CASE WHEN sd > 0 THEN (f - mean) / sd ELSE 0.0 END AS z
+  FROM fs
+)
+SELECT a.g AS group_a, b.g AS group_b,
+  round(avg(abs(a.z - b.z)), 6) AS delta
+FROM z a JOIN z b ON a.w = b.w AND a.g < b.g
+GROUP BY 1, 2
+"""),
+})

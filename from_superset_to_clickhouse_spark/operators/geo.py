@@ -365,3 +365,146 @@ def morans_i_grid(
         F.round(ii, 6).alias("morans_i"),
         F.round(F.lit(-1.0) / (nn - 1.0), 6).alias("expected_i"),
     )
+
+
+def geary_c_grid(
+    df: DataFrame,
+    i_col: str,
+    j_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Geary's C spatial contiguity ratio over a grid → one row
+    (n_cells, w_sum, geary_c): C = (n−1)·Σ wᵢⱼ(xᵢ−xⱼ)² /
+    (2W·Σ(xᵢ−x̄)²) with binary rook weights — Moran's I weighs
+    covariance with the GLOBAL mean, Geary's C squared LOCAL
+    differences, so C is the more sensitive of the pair to
+    small-neighborhood breaks (C < 1 clustered, 1 random, > 1
+    dispersed). Same equi-joined adjacency and exact decimal sums as
+    ``morans_i_grid``."""
+    q = float(1 << 20)
+    src = df.select(
+        F.col(i_col).cast("long").alias("_i"),
+        F.col(j_col).cast("long").alias("_j"),
+        (F.floor(F.col(value_col).cast("double") * q) / q).alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    m = src.agg(
+        (F.floor(F.avg("_v") * q) / q).alias("_m"),
+        F.count("*").alias("_n"),
+    )
+    z = src.crossJoin(F.broadcast(m)).select(
+        "_i", "_j", "_n", "_v", (F.col("_v") - F.col("_m")).alias("_z")
+    )
+    right = z.select(
+        F.col("_i").alias("_ri"),
+        F.col("_j").alias("_rj"),
+        F.col("_v").alias("_rv"),
+    )
+    east = z.join(
+        right,
+        (F.col("_ri") == F.col("_i") + 1) & (F.col("_rj") == F.col("_j")),
+    )
+    south = z.join(
+        right,
+        (F.col("_ri") == F.col("_i")) & (F.col("_rj") == F.col("_j") + 1),
+    )
+    dec = "decimal(38,0)"
+    q2 = float(1 << 40)
+    dd = (F.col("_v") - F.col("_rv")) * (F.col("_v") - F.col("_rv"))
+    adj = east.unionByName(south).agg(
+        F.count("*").alias("_np"),
+        (
+            F.sum(F.floor(dd * q2).cast(dec)).cast("double") / q2
+        ).alias("_sqd"),
+    )
+    den = z.groupBy("_n").agg(
+        (
+            F.sum(F.floor(F.col("_z") * F.col("_z") * q2).cast(dec))
+            .cast("double")
+            / q2
+        ).alias("_zz")
+    )
+    t = den.crossJoin(F.broadcast(adj))
+    nn = F.col("_n").cast("double")
+    wsum = 2.0 * F.col("_np").cast("double")
+    # each unordered adjacency appears once in _sqd; w_ij symmetric
+    # doubles both the numerator pair sum and W, so the 2s cancel in
+    # (n-1)·(2·sqd) / (2·W·zz) — written out for term-for-term replay
+    cc = F.when(
+        (F.col("_zz") > 0) & (F.col("_np") > 0),
+        (nn - 1.0)
+        * (2.0 * F.col("_sqd"))
+        / (2.0 * wsum * F.col("_zz")),
+    )
+    return t.select(
+        F.col("_n").cast("long").alias("n_cells"),
+        wsum.cast("long").alias("w_sum"),
+        F.round(cc, 6).alias("geary_c"),
+    )
+
+
+def getis_ord_g(
+    df: DataFrame,
+    i_col: str,
+    j_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Global Getis–Ord G over a grid of NON-NEGATIVE cell values →
+    one row (n_cells, w_sum, g_stat, expected_g): G = Σᵢⱼ wᵢⱼxᵢxⱼ /
+    Σᵢ≠ⱼ xᵢxⱼ with rook weights — the HOT-SPOT statistic: Moran's I
+    sees any co-variation, G asks specifically whether HIGH values
+    sit next to each other (G > E[G] = W/(n(n−1))). The denominator
+    is exact from totals ((Σx)² − Σx²); the numerator is the same
+    adjacency join, decimal-exact."""
+    q = float(1 << 20)
+    src = df.select(
+        F.col(i_col).cast("long").alias("_i"),
+        F.col(j_col).cast("long").alias("_j"),
+        (F.floor(F.col(value_col).cast("double") * q) / q).alias("_v"),
+    ).filter(F.col("_v").isNotNull() & (F.col("_v") >= 0))
+    right = src.select(
+        F.col("_i").alias("_ri"),
+        F.col("_j").alias("_rj"),
+        F.col("_v").alias("_rv"),
+    )
+    east = src.join(
+        right,
+        (F.col("_ri") == F.col("_i") + 1) & (F.col("_rj") == F.col("_j")),
+    )
+    south = src.join(
+        right,
+        (F.col("_ri") == F.col("_i")) & (F.col("_rj") == F.col("_j") + 1),
+    )
+    dec = "decimal(38,0)"
+    q2 = float(1 << 40)
+    adj = east.unionByName(south).agg(
+        F.count("*").alias("_np"),
+        (
+            F.sum(
+                F.floor(F.col("_v") * F.col("_rv") * q2).cast(dec)
+            ).cast("double")
+            / q2
+        ).alias("_num"),
+    )
+    tot = src.agg(
+        F.count("*").alias("_n"),
+        (
+            F.sum(F.floor(F.col("_v") * q).cast(dec)).cast("double") / q
+        ).alias("_sx"),
+        (
+            F.sum(
+                F.floor(F.col("_v") * F.col("_v") * q2).cast(dec)
+            ).cast("double")
+            / q2
+        ).alias("_sxx"),
+    )
+    t = tot.crossJoin(F.broadcast(adj))
+    nn = F.col("_n").cast("double")
+    wsum = 2.0 * F.col("_np").cast("double")
+    den = F.col("_sx") * F.col("_sx") - F.col("_sxx")
+    g = F.when(den > 0, 2.0 * F.col("_num") / den)
+    return t.select(
+        F.col("_n").cast("long").alias("n_cells"),
+        wsum.cast("long").alias("w_sum"),
+        F.round(g, 6).alias("g_stat"),
+        F.round(wsum / (nn * (nn - 1.0)), 6).alias("expected_g"),
+    )

@@ -1371,3 +1371,50 @@ def k_truss(
             "a", "b"
         ).localCheckpoint(eager=True)
     return sup.select("a", "b", F.col("support").cast("long").alias("support"))
+
+
+def rich_club(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Rich-club coefficient → one row (k, n_club, e_club, phi): the
+    edge density among nodes of degree > k — do the hubs wire to each
+    other (φ → 1, an elite core) or only down into the periphery
+    (φ → 0)? The topology question ``degree_assortativity`` answers
+    only on average. One degree aggregate + one double semi-join of
+    the canonical edge list against the club; exact integers."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    club = deg.filter(F.col("d") > k).select("n")
+    ec = (
+        e.join(club.withColumnRenamed("n", "a"), "a")
+        .join(club.withColumnRenamed("n", "b"), "b")
+    )
+    counts = club.agg(F.count("*").alias("_nc")).crossJoin(
+        ec.agg(F.count("*").alias("_ec"))
+    )
+    nc = F.col("_nc").cast("double")
+    phi = F.when(
+        F.col("_nc") >= 2,
+        2.0 * F.col("_ec").cast("double") / (nc * (nc - 1.0)),
+    )
+    return counts.select(
+        F.lit(int(k)).cast("long").alias("k"),
+        F.col("_nc").cast("long").alias("n_club"),
+        F.col("_ec").cast("long").alias("e_club"),
+        F.round(phi, 6).alias("phi"),
+    )

@@ -658,3 +658,18 @@ def test_hits_driver_path_matches_distributed(spark):
         for r in hits(df, iters=8, driver_max_nodes=0).collect()
     }
     assert fast == slow
+
+
+def test_rich_club_elite_core(spark):
+    from from_superset_to_clickhouse_spark.operators.graph import rich_club
+
+    # K5 core (degrees 4+2 spokes...) plus a star periphery
+    k5 = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    spokes = [(n, 100 + 3 * n + i) for n in range(1, 6) for i in range(2)]
+    df = spark.createDataFrame(k5 + spokes, "src int, dst int")
+    # club at k=3: exactly the K5 (degree 6 each); density 1
+    r = rich_club(df, k=3).collect()[0]
+    assert r["n_club"] == 5 and r["e_club"] == 10 and r["phi"] == 1.0
+    # club at k=10: empty -> NULL phi
+    r2 = rich_club(df, k=10).collect()[0]
+    assert r2["n_club"] == 0 and r2["phi"] is None

@@ -148,3 +148,49 @@ def test_morans_i_gradient_vs_checkerboard(spark):
     ).collect()[0]
     assert r2["morans_i"] < -0.9
     assert abs(r2["expected_i"] - (-1.0 / 35.0)) < 1e-6
+
+
+def test_geary_c_gradient_vs_checkerboard(spark):
+    from from_superset_to_clickhouse_spark.operators.geo import (
+        geary_c_grid,
+    )
+
+    grad = [(i, j, float(i + j)) for i in range(6) for j in range(6)]
+    r = geary_c_grid(
+        spark.createDataFrame(grad, "i int, j int, v double"),
+        "i", "j", "v",
+    ).collect()[0]
+    assert r["geary_c"] < 0.5  # smooth field: C well below 1
+    cb = [
+        (i, j, 1.0 if (i + j) % 2 == 0 else -1.0)
+        for i in range(6) for j in range(6)
+    ]
+    r2 = geary_c_grid(
+        spark.createDataFrame(cb, "i int, j int, v double"),
+        "i", "j", "v",
+    ).collect()[0]
+    assert r2["geary_c"] > 1.5  # dispersed: C well above 1
+
+
+def test_getis_ord_hotspot_vs_scattered(spark):
+    from from_superset_to_clickhouse_spark.operators.geo import (
+        getis_ord_g,
+    )
+
+    # high values clustered in one corner -> G above expectation
+    hot = [
+        (i, j, 10.0 if i < 2 and j < 2 else 1.0)
+        for i in range(6) for j in range(6)
+    ]
+    r = getis_ord_g(
+        spark.createDataFrame(hot, "i int, j int, v double"),
+        "i", "j", "v",
+    ).collect()[0]
+    assert r["g_stat"] > r["expected_g"]
+    # constant field: G equals its expectation exactly
+    flat = [(i, j, 5.0) for i in range(6) for j in range(6)]
+    r2 = getis_ord_g(
+        spark.createDataFrame(flat, "i int, j int, v double"),
+        "i", "j", "v",
+    ).collect()[0]
+    assert abs(r2["g_stat"] - r2["expected_g"]) < 1e-9

@@ -1219,3 +1219,23 @@ def test_token_fertility_contractions(spark):
     # words: don't,stop / it's,fine,ok -> 5
     assert (r["pieces"], r["words"]) == (7, 5)
     assert r["fertility"] == 1.4
+
+
+def test_burrows_delta_style_separation(spark):
+    from from_superset_to_clickhouse_spark.operators.text import (
+        burrows_delta,
+    )
+
+    # authors a and b share style (heavy 'the'); c is 'of'-heavy
+    rows = (
+        [("a", "the cat the dog the bird runs")] * 3
+        + [("b", "the sun the moon the star shines")] * 3
+        + [("c", "of stone of iron of glass made")] * 3
+    )
+    df = spark.createDataFrame(rows, "source string, text string")
+    d = {
+        (r["group_a"], r["group_b"]): r["delta"]
+        for r in burrows_delta(df, "source", "text", top_n=10).collect()
+    }
+    assert d[("a", "b")] < d[("a", "c")]
+    assert d[("a", "b")] < d[("b", "c")]
