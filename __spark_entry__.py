@@ -24480,3 +24480,202 @@ FROM z a JOIN z b ON a.w = b.w AND a.g < b.g
 GROUP BY 1, 2
 """),
 })
+
+
+# ---------------------------------------------------------------------------
+# Round-14 QUEUE, batch F: design-based estimation / directed drift /
+# rank distance / distributional effects.
+
+
+def q_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz–Thompson total of order value over a deterministic
+    unequal-probability Poisson sample (π = 0.5 for orders above
+    200k, 0.1 below — md5-uniform inclusion) — the honest expansion
+    estimator for a size-biased sample."""
+    from from_superset_to_clickhouse_spark.operators.sampling import (
+        horvitz_thompson,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit("ht"), F.col("o_orderkey").cast("string")
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(float(1 << 52))
+    pi = F.when(F.col("o_totalprice") > 200000.0, F.lit(0.5)).otherwise(
+        F.lit(0.1)
+    )
+    samp = o.withColumn("_pi", pi).filter(u < F.col("_pi"))
+    return horvitz_thompson(samp, "o_totalprice", "_pi")
+
+
+def q_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed KL divergences (Lidstone α=0.5, union support)
+    between the purchase and click value histograms — which way the
+    distribution moved, beside the symmetric jsd/hellinger entries."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        kl_divergence,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    src = ev.select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 25.0), F.lit(19)).alias("bkt"),
+    )
+    return kl_divergence(src, "event_type", "purchase", "click", "bkt")
+
+
+def q_spearman_footrule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman footrule between ranking documents by length and by a
+    planted mostly-agreeing second score (length with every 7th doc
+    shuffled down) — the L1 rank-displacement audit next to rbo."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        spearman_footrule,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("s_a"),
+        F.when(
+            F.pmod(F.col("doc_id"), 7) == 0,
+            F.col("n_chars").cast("double") / 2.0,
+        ).otherwise(F.col("n_chars").cast("double")).alias("s_b"),
+    )
+    return spearman_footrule(d, "doc_id", "s_a", "s_b")
+
+
+def q_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects (.25/.5/.75/.9) between purchase
+    and view event values — exact order-statistic gaps showing WHERE
+    in the distribution the two segments differ."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        quantile_treatment_effect,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return quantile_treatment_effect(
+        ev, "event_type", "purchase", "view", "value"
+    )
+
+
+_R16_QUERIES.update({
+    "horvitz_thompson": q_horvitz_thompson,
+    "kl_divergence": q_kl_divergence,
+    "spearman_footrule": q_spearman_footrule,
+    "qte": q_qte,
+})
+
+_R16_ORACLES.update({
+    "horvitz_thompson": ("""
+-- Same md5-uniform Poisson sample, same grid-exact HT sums.
+WITH o AS (
+  SELECT o_orderkey, o_totalprice,
+    CASE WHEN o_totalprice > 200000.0 THEN 0.5 ELSE 0.1 END AS pi,
+    CAST(('0x' || substr(md5('ht:' || CAST(o_orderkey AS VARCHAR)),
+      1, 13)) AS BIGINT) / 4503599627370496.0 AS u
+  FROM orders WHERE o_totalprice IS NOT NULL
+), samp AS (
+  SELECT floor(CAST(o_totalprice AS DOUBLE) * 1048576.0)
+      / 1048576.0 AS y,
+    pi
+  FROM o WHERE u < pi
+), agg AS (
+  SELECT count(*) AS n,
+    CAST(CAST(sum(CAST(floor(y / pi * 1048576.0) AS HUGEINT))
+      AS VARCHAR) AS DOUBLE) / 1048576.0 AS t,
+    CAST(CAST(sum(CAST(floor((1.0 - pi) * (y / pi) * (y / pi)
+      * 1024.0) AS HUGEINT)) AS VARCHAR) AS DOUBLE) / 1024.0 AS v
+  FROM samp
+)
+SELECT CAST(n AS BIGINT) AS n_sample, round(t, 6) AS ht_total,
+  round(sqrt(v), 6) AS ht_se
+FROM agg
+"""),
+    "kl_divergence": ("""
+-- Same buckets, same Lidstone smoothing on the union support.
+WITH src AS (
+  SELECT event_type AS g, least(floor(value / 25.0), 19) AS k
+  FROM events WHERE value IS NOT NULL
+    AND event_type IN ('purchase', 'click')
+), cells AS (
+  SELECT k, count(*) FILTER (g = 'purchase') AS cp,
+    count(*) FILTER (g = 'click') AS cq
+  FROM src GROUP BY 1
+), t AS (
+  SELECT cp, cq, sum(cp) OVER () AS np, sum(cq) OVER () AS nq,
+    count(*) OVER () AS kk
+  FROM cells
+), pr AS (
+  SELECT np, nq, kk,
+    (cp + 0.5) / (CAST(np AS DOUBLE) + 0.5 * kk) AS p,
+    (cq + 0.5) / (CAST(nq AS DOUBLE) + 0.5 * kk) AS q
+  FROM t
+), agg AS (
+  SELECT max(np) AS np, max(nq) AS nq, max(kk) AS kk,
+    sum(p * ln(p / q)) AS pq, sum(q * ln(q / p)) AS qp
+  FROM pr
+)
+SELECT CAST(np AS BIGINT) AS n_p, CAST(nq AS BIGINT) AS n_q,
+  CAST(kk AS BIGINT) AS n_buckets,
+  round(pq, 6) AS kl_pq, round(qp, 6) AS kl_qp
+FROM agg
+"""),
+    "spearman_footrule": ("""
+-- Same (score DESC, id) dense rankings, exact L1 sum.
+WITH d AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS sa,
+    CASE WHEN doc_id % 7 = 0 THEN CAST(n_chars AS DOUBLE) / 2.0
+      ELSE CAST(n_chars AS DOUBLE) END AS sb
+  FROM documents
+), r AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY sa DESC, doc_id) AS ra,
+    row_number() OVER (ORDER BY sb DESC, doc_id) AS rb
+  FROM d
+), agg AS (
+  SELECT count(*) AS n, sum(abs(ra - rb)) AS f FROM r
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(f AS BIGINT) AS footrule,
+  round(CASE WHEN n * n // 2 > 0
+    THEN CAST(f AS DOUBLE) / (n * n // 2) END, 6) AS f_norm
+FROM agg
+"""),
+    "qte": ("""
+-- Same distinct-value cumulative selection, exact type-1 order
+-- statistics at each q.
+WITH src AS (
+  SELECT event_type AS g,
+    floor(CAST(value AS DOUBLE) * 1048576.0) / 1048576.0 AS v
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+), pv AS (
+  SELECT g, v, count(*) AS c FROM src GROUP BY 1, 2
+), t AS (
+  SELECT g, v, c,
+    coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ca,
+    sum(c) OVER (PARTITION BY g) AS n
+  FROM pv
+), qq AS (
+  SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS q
+), hit AS (
+  SELECT qq.q, t.g, t.v
+  FROM t CROSS JOIN qq
+  WHERE t.ca < ceil(qq.q * t.n) AND ceil(qq.q * t.n) <= t.ca + t.c
+)
+SELECT round(a.q, 2) AS q, round(a.v, 6) AS v_a,
+  round(b.v, 6) AS v_b, round(a.v - b.v, 6) AS qte
+FROM (SELECT q, v FROM hit WHERE g = 'purchase') a
+JOIN (SELECT q, v FROM hit WHERE g = 'view') b ON a.q = b.q
+"""),
+})

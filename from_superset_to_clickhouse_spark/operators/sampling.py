@@ -633,3 +633,43 @@ def neyman_allocation(
         F.round(share, 6).alias("share"),
         alloc.cast("long").alias("alloc"),
     )
+
+
+def horvitz_thompson(
+    sample: DataFrame,
+    value_col: str,
+    prob_col: str,
+) -> DataFrame:
+    """Horvitz–Thompson estimator over an unequal-probability sample →
+    one row (n_sample, ht_total, ht_se): total̂ = Σ yᵢ/πᵢ and the
+    Poisson-sampling variance Σ(1−πᵢ)(yᵢ/πᵢ)² — THE way to total up a
+    biased sample honestly (a plain scaled mean over a size-weighted
+    sample overstates whatever was oversampled). Input is the sample
+    WITH its inclusion probabilities (the sampler's contract); terms
+    are IEEE ratios of grid values, accumulated grid-floored in
+    decimal — order-free exact."""
+    q = float(1 << 20)
+    v = F.floor(F.col(value_col).cast("double") * q) / q
+    src = sample.select(
+        v.alias("_y"), F.col(prob_col).cast("double").alias("_p")
+    ).filter(F.col("_y").isNotNull() & (F.col("_p") > 0))
+    t = F.col("_y") / F.col("_p")
+    var_term = (1.0 - F.col("_p")) * t * t
+    dec = "decimal(38,0)"
+    # variance terms are (value/π)²-scale — a 2^10 grid keeps the
+    # floor inside the long range for price-scale totals while the
+    # ≤2^-10-per-term loss stays far below the rounded output
+    q10 = float(1 << 10)
+    agg = src.agg(
+        F.count("*").alias("_n"),
+        (F.sum(F.floor(t * q).cast(dec)).cast("double") / q).alias("_t"),
+        (
+            F.sum(F.floor(var_term * q10).cast(dec)).cast("double")
+            / q10
+        ).alias("_v"),
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n_sample"),
+        F.round("_t", 6).alias("ht_total"),
+        F.round(F.sqrt(F.col("_v")), 6).alias("ht_se"),
+    )

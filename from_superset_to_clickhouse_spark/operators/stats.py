@@ -7249,3 +7249,148 @@ def hoover_index(df: DataFrame, value_col: str) -> DataFrame:
             6,
         ).alias("hoover"),
     )
+
+
+def kl_divergence(
+    df: DataFrame,
+    group_col: str,
+    p_name: str,
+    q_name: str,
+    bucket_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Directed Kullback–Leibler divergences between two empirical
+    bucket distributions → one row (n_p, n_q, n_buckets, kl_pq,
+    kl_qp): additive (Lidstone) smoothing α on the union support
+    keeps both directions finite on disjoint buckets — the ASYMMETRIC
+    drift readout next to ``js_divergence`` (which direction moved:
+    D(new‖old) spikes on novel mass, D(old‖new) on vanished mass).
+    Cell counts are exact integers; smoothing makes every probability
+    an exact rational cast once to double."""
+    g = F.col(group_col)
+    cells = df.filter(g.isin([p_name, q_name])).groupBy(
+        F.col(bucket_col).alias("_k")
+    ).agg(
+        F.count(F.when(g == p_name, 1)).alias("_cp"),
+        F.count(F.when(g == q_name, 1)).alias("_cq"),
+    )
+    w_all = Window.partitionBy()
+    t = cells.select(
+        "_cp",
+        "_cq",
+        F.sum("_cp").over(w_all).alias("_np"),
+        F.sum("_cq").over(w_all).alias("_nq"),
+        F.count("*").over(w_all).alias("_k2"),
+    )
+    a = float(alpha)
+    denom_p = F.col("_np").cast("double") + a * F.col("_k2")
+    denom_q = F.col("_nq").cast("double") + a * F.col("_k2")
+    p = (F.col("_cp").cast("double") + a) / denom_p
+    qd = (F.col("_cq").cast("double") + a) / denom_q
+    agg = t.groupBy("_np", "_nq", "_k2").agg(
+        F.sum(p * F.log(p / qd)).alias("_pq"),
+        F.sum(qd * F.log(qd / p)).alias("_qp"),
+    )
+    return agg.select(
+        F.col("_np").cast("long").alias("n_p"),
+        F.col("_nq").cast("long").alias("n_q"),
+        F.col("_k2").cast("long").alias("n_buckets"),
+        F.round("_pq", 6).alias("kl_pq"),
+        F.round("_qp", 6).alias("kl_qp"),
+    )
+
+
+def spearman_footrule(
+    df: DataFrame,
+    id_col: str,
+    score_a_col: str,
+    score_b_col: str,
+) -> DataFrame:
+    """Spearman footrule distance between two rankings of the same
+    items → one row (n, footrule, f_norm): Σ|rank_a − rank_b| with
+    deterministic dense ordering (score DESC, id ASC — the ``rbo``
+    tie policy), normalized by the maximum ⌊n²/2⌋ so 0 = identical
+    order, 1 = reversed. The L1 rank diagnostic that, unlike
+    ``spearman_corr``'s L2, doesn't square away many small swaps.
+    Ranks are exact integers; the sum is exact."""
+    a = Window.orderBy(
+        F.col(score_a_col).desc(), F.col(id_col)
+    )
+    b = Window.orderBy(
+        F.col(score_b_col).desc(), F.col(id_col)
+    )
+    src = df.select(
+        F.col(id_col),
+        F.row_number().over(a).alias("_ra"),
+        F.row_number().over(b).alias("_rb"),
+    )
+    agg = src.agg(
+        F.count("*").alias("_n"),
+        F.sum(F.abs(F.col("_ra") - F.col("_rb"))).alias("_f"),
+    )
+    n = F.col("_n")
+    mx = F.floor(n * n / 2).cast("double")
+    return agg.select(
+        n.cast("long").alias("n"),
+        F.col("_f").cast("long").alias("footrule"),
+        F.round(
+            F.when(mx > 0, F.col("_f").cast("double") / mx), 6
+        ).alias("f_norm"),
+    )
+
+
+def quantile_treatment_effect(
+    df: DataFrame,
+    group_col: str,
+    a: str,
+    b: str,
+    value_col: str,
+    quantiles: "tuple[float, ...]" = (0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Quantile treatment effects → (q, v_a, v_b, qte): the exact
+    type-1 order statistic (rank ⌈q·n⌉) of each group at each
+    requested quantile and their difference — WHERE in the
+    distribution the treatment acts (a mean lift can hide a
+    tail-only effect; QTE at .9 vs .5 shows it). Selection by
+    distinct-value cumulative counts — no per-group sort, ties
+    resolve exactly."""
+    g = F.col(group_col)
+    v = F.floor(F.col(value_col).cast("double") * _Q) / _Q
+    src = df.filter(g.isin([a, b]) & F.col(value_col).isNotNull()).select(
+        g.alias("_g"), v.alias("_v")
+    )
+    pv = src.groupBy("_g", "_v").agg(F.count("*").alias("_c"))
+    w = Window.partitionBy("_g").orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wg = Window.partitionBy("_g")
+    t = pv.select(
+        "_g",
+        "_v",
+        "_c",
+        F.coalesce(F.sum("_c").over(w), F.lit(0)).alias("_ca"),
+        F.sum("_c").over(wg).alias("_n"),
+    )
+    qs = F.explode(
+        F.array(*[F.lit(float(x)) for x in quantiles])
+    ).alias("q")
+    tq = t.select("*", qs)
+    k = F.ceil(F.col("q") * F.col("_n"))
+    hit = tq.filter(
+        (F.col("_ca") < k) & (k <= F.col("_ca") + F.col("_c"))
+    ).select("q", "_g", "_v")
+    av = hit.filter(F.col("_g") == a).select(
+        "q", F.col("_v").alias("v_a")
+    )
+    bv = hit.filter(F.col("_g") == b).select(
+        "q", F.col("_v").alias("v_b")
+    )
+    return (
+        av.join(bv, "q")
+        .select(
+            F.round("q", 2).alias("q"),
+            F.round("v_a", 6).alias("v_a"),
+            F.round("v_b", 6).alias("v_b"),
+            F.round(F.col("v_a") - F.col("v_b"), 6).alias("qte"),
+        )
+    )

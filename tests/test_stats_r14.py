@@ -364,3 +364,90 @@ def test_palma_and_hoover_hand(spark):
     assert st.hoover_index(eq, "v").collect()[0]["hoover"] == 0.0
     pe = st.palma_ratio(eq, "v").collect()[0]
     assert abs(pe["palma"] - 0.25) < 1e-6
+
+
+def test_kl_divergence_direction(spark):
+    # P concentrated where Q is thin: D(P||Q) > D(Q||P) would depend
+    # on shape; check identical -> both ~0, disjoint -> both large
+    same = [("p", 1)] * 20 + [("q", 1)] * 20
+    r = st.kl_divergence(
+        spark.createDataFrame(same, "g string, k int"), "g", "p", "q", "k"
+    ).collect()[0]
+    assert r["kl_pq"] == 0.0 and r["kl_qp"] == 0.0
+    disj = [("p", 1)] * 20 + [("q", 2)] * 20
+    r2 = st.kl_divergence(
+        spark.createDataFrame(disj, "g string, k int"), "g", "p", "q", "k"
+    ).collect()[0]
+    assert r2["kl_pq"] > 2.0 and r2["kl_qp"] > 2.0
+
+
+def test_spearman_footrule_identity_and_reverse(spark):
+    rows = [(i, float(100 - i), float(100 - i)) for i in range(10)]
+    r = st.spearman_footrule(
+        spark.createDataFrame(rows, "id int, a double, b double"),
+        "id", "a", "b",
+    ).collect()[0]
+    assert r["footrule"] == 0 and r["f_norm"] == 0.0
+    rev = [(i, float(100 - i), float(i)) for i in range(10)]
+    r2 = st.spearman_footrule(
+        spark.createDataFrame(rev, "id int, a double, b double"),
+        "id", "a", "b",
+    ).collect()[0]
+    # reversed permutation of n=10: sum|i-(11-i)| = 50 = floor(100/2)
+    assert r2["footrule"] == 50 and r2["f_norm"] == 1.0
+
+
+def test_qte_location_vs_tail_shift(spark):
+    # b = a + 10 uniformly: every quantile gap = 10
+    a = [("a", float(v)) for v in range(1, 101)]
+    b = [("b", float(v) + 10.0) for v in range(1, 101)]
+    rows = a + b
+    out = {
+        r["q"]: r
+        for r in st.quantile_treatment_effect(
+            spark.createDataFrame(rows, "g string, v double"),
+            "g", "a", "b", "v",
+        ).collect()
+    }
+    assert all(abs(out[q]["qte"] + 10.0) < 1e-6 for q in out)
+    # tail-only shift: top decile of b inflated
+    b2 = [("b", float(v) + (500.0 if v > 90 else 0.0)) for v in range(1, 101)]
+    out2 = {
+        r["q"]: r["qte"]
+        for r in st.quantile_treatment_effect(
+            spark.createDataFrame(a + b2, "g string, v double"),
+            "g", "a", "b", "v",
+        ).collect()
+    }
+    assert abs(out2[0.5]) < 1e-6 and out2[0.9] == 0.0
+    # the .9 order stat (rank 90) sits just below the inflated tail;
+    # the shift only shows above it — re-check at .95 via param
+    out3 = {
+        r["q"]: r["qte"]
+        for r in st.quantile_treatment_effect(
+            spark.createDataFrame(a + b2, "g string, v double"),
+            "g", "a", "b", "v", quantiles=(0.95,),
+        ).collect()
+    }
+    assert out3[0.95] < -400.0
+
+
+def test_horvitz_thompson_recovers_total(spark):
+    from from_superset_to_clickhouse_spark.operators.sampling import (
+        horvitz_thompson,
+    )
+
+    # a fully-enumerated "sample" with pi=1 returns the exact total
+    rows = [(float(v), 1.0) for v in range(1, 11)]
+    r = horvitz_thompson(
+        spark.createDataFrame(rows, "y double, pi double"), "y", "pi"
+    ).collect()[0]
+    assert r["ht_total"] == 55.0 and r["ht_se"] == 0.0
+    # half-probability sample doubles each kept value
+    rows2 = [(10.0, 0.5), (20.0, 0.5)]
+    r2 = horvitz_thompson(
+        spark.createDataFrame(rows2, "y double, pi double"), "y", "pi"
+    ).collect()[0]
+    assert r2["ht_total"] == 60.0
+    # var = .5*400 + .5*1600 = 1000 -> se = sqrt(1000)
+    assert abs(r2["ht_se"] - 1000.0 ** 0.5) < 1e-3
