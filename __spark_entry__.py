@@ -24679,3 +24679,144 @@ FROM (SELECT q, v FROM hit WHERE g = 'purchase') a
 JOIN (SELECT q, v FROM hit WHERE g = 'view') b ON a.q = b.q
 """),
 })
+
+
+# ---------------------------------------------------------------------------
+# Round-14 QUEUE, batch G: corpus dispersion / chain predictability /
+# smoothed candles.
+
+
+def q_word_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gries' DP dispersion of the top-30 corpus words across the 20
+    document sources — flags tokens whose mass lives in one crawl
+    source (boilerplate) vs language that spreads with the corpus."""
+    from from_superset_to_clickhouse_spark.operators.text import (
+        word_dispersion,
+    )
+
+    return word_dispersion(_docs(spark, sf_dir), "source", "text", top_n=30)
+
+
+def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event-type chain — the
+    stationary-weighted one-number predictability of the source,
+    scalar companion to the per-state markov_entropy."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        entropy_rate,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("event_type").isNotNull())
+    return entropy_rate(ev, "user_id", "ts", "event_type")
+
+
+def q_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heikin-Ashi smoothed candles over each type's daily value
+    bars — the unrolled ha_open recursion as bounded prefix folds."""
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        heikin_ashi,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    return heikin_ashi(
+        ev, "event_type", "ts", "value", "event_id", bar="1 day"
+    )
+
+
+_R16_QUERIES.update({
+    "word_dispersion": q_word_dispersion,
+    "entropy_rate": q_entropy_rate,
+    "heikin_ashi": q_heikin_ashi,
+})
+
+_R16_ORACLES.update({
+    "word_dispersion": ("""
+-- Same tokenizer, top-30 by (count DESC, word), exact ratios.
+WITH toks AS (
+  SELECT source AS g, unnest(list_filter(
+    regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+    x -> x <> '')) AS w
+  FROM documents
+), top AS (
+  SELECT w, c FROM (
+    SELECT w, count(*) AS c FROM toks GROUP BY 1
+    ORDER BY c DESC, w LIMIT 30
+  )
+), parts AS (
+  SELECT g, count(*) AS n FROM toks GROUP BY 1
+), ps AS (
+  SELECT g, CAST(n AS DOUBLE) / sum(n) OVER () AS s FROM parts
+), cell AS (
+  SELECT w, g, count(*) AS cw FROM toks
+  WHERE w IN (SELECT w FROM top) GROUP BY 1, 2
+), grid AS (
+  SELECT top.w, top.c, ps.g, ps.s FROM top CROSS JOIN ps
+), f AS (
+  SELECT grid.w, grid.c, grid.s,
+    coalesce(cell.cw, 0) / CAST(grid.c AS DOUBLE) AS v
+  FROM grid LEFT JOIN cell ON grid.w = cell.w AND grid.g = cell.g
+)
+SELECT w AS word, CAST(c AS BIGINT) AS total,
+  round(0.5 * sum(abs(v - s)), 6) AS dp
+FROM f GROUP BY 1, 2
+"""),
+    "entropy_rate": ("""
+-- Same lag-window transitions, exact cell ratios.
+WITH t AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id) AS f, event_type AS tt
+  FROM events WHERE event_type IS NOT NULL
+), tr AS (SELECT f, tt FROM t WHERE f IS NOT NULL),
+cells AS (SELECT f, tt, count(*) AS c FROM tr GROUP BY 1, 2),
+sc AS (
+  SELECT f, c, sum(c) OVER (PARTITION BY f) AS cf,
+    sum(c) OVER () AS n
+  FROM cells
+), agg AS (
+  SELECT max(n) AS n, count(DISTINCT f) AS k,
+    sum(-(CAST(cf AS DOUBLE) / n) * (CAST(c AS DOUBLE) / cf)
+      * ln(CAST(c AS DOUBLE) / cf)) AS h
+  FROM sc
+)
+SELECT CAST(n AS BIGINT) AS n_transitions,
+  CAST(k AS BIGINT) AS n_states, round(h, 6) AS h_rate,
+  round(ln(CAST(k AS DOUBLE)), 6) AS h_max,
+  round(CASE WHEN ln(CAST(k AS DOUBLE)) > 0
+    THEN 1.0 - h / ln(CAST(k AS DOUBLE)) END, 6) AS predictability
+FROM agg
+"""),
+    "heikin_ashi": ("""
+-- Same daily bars, same grid inputs, same unrolled ha_open fold.
+WITH bars AS (""" + _DAILY_OHLC_R16_SQL + """),
+gq AS (
+  SELECT g, d,
+    floor(op * 1048576.0) / 1048576.0 AS o,
+    floor(hi * 1048576.0) / 1048576.0 AS h,
+    floor(lo * 1048576.0) / 1048576.0 AS l,
+    floor(cl * 1048576.0) / 1048576.0 AS c
+  FROM bars
+), hb AS (
+  SELECT g, d, o, h, l, c, (o + h + l + c) / 4.0 AS hac
+  FROM gq
+), fr AS (
+  SELECT g, d, h, l, hac,
+    first_value((o + c) / 2.0) OVER wp AS seed,
+    list(hac) OVER wp AS lst
+  FROM hb
+  WINDOW wp AS (PARTITION BY g ORDER BY d
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), ho AS (
+  SELECT g, d, h, l, hac,
+    CASE WHEN len(lst) = 1 THEN seed
+      ELSE seed * pow(0.5, CAST(len(lst) - 1 AS DOUBLE))
+        + list_sum(list_transform(lst[1:len(lst) - 1],
+            (x, i) -> x * pow(0.5, len(lst) - i)))
+    END AS hao
+  FROM fr
+)
+SELECT g AS event_type, d AS bar_start, round(hao, 6) AS ha_open,
+  round(greatest(h, hao, hac), 6) AS ha_high,
+  round(least(l, hao, hac), 6) AS ha_low,
+  round(hac, 6) AS ha_close
+FROM ho
+"""),
+})

@@ -4929,3 +4929,118 @@ def pivot_points(
         F.round(p + (F.col("high") - F.col("low")), 6).alias("r2"),
         F.round(p - (F.col("high") - F.col("low")), 6).alias("s2"),
     )
+
+
+def entropy_rate(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Entropy rate of the per-user state chain → one row
+    (n_transitions, n_states, h_rate, h_max, predictability): the
+    stationary-weighted scalar H = −Σᵢ π̂ᵢ Σⱼ pᵢⱼ ln pᵢⱼ with π̂ from
+    the empirical from-state mass — ``markov_entropy`` answers 'how
+    predictable from EACH state'; this is the one-number source rate,
+    with predictability = 1 − H/ln(K) as the headline. Transitions
+    come from one (user, ts, tiebreak)-ordered lag window; all cell
+    arithmetic is exact integer ratios over the K²-scale table."""
+    wl = Window.partitionBy(F.col(user_col)).orderBy(
+        F.col(ts_col), F.col(tiebreak_col)
+    )
+    t = df.select(
+        F.lag(F.col(state_col)).over(wl).alias("_from"),
+        F.col(state_col).alias("_to"),
+    ).filter(F.col("_from").isNotNull())
+    cells = t.groupBy("_from", "_to").agg(F.count("*").alias("_c"))
+    w_from = Window.partitionBy("_from")
+    w_all = Window.partitionBy()
+    sc = cells.select(
+        "_from",
+        "_c",
+        F.sum("_c").over(w_from).alias("_cf"),
+        F.sum("_c").over(w_all).alias("_n"),
+    )
+    p = F.col("_c").cast("double") / F.col("_cf")
+    pi = F.col("_cf").cast("double") / F.col("_n")
+    agg = sc.groupBy("_n").agg(
+        F.count_distinct("_from").alias("_k"),
+        F.sum(-pi * p * F.log(p)).alias("_h"),
+    )
+    k = F.col("_k").cast("double")
+    hmax = F.log(k)
+    return agg.select(
+        F.col("_n").cast("long").alias("n_transitions"),
+        F.col("_k").cast("long").alias("n_states"),
+        F.round("_h", 6).alias("h_rate"),
+        F.round(hmax, 6).alias("h_max"),
+        F.round(
+            F.when(hmax > 0, 1.0 - F.col("_h") / hmax), 6
+        ).alias("predictability"),
+    )
+
+
+def heikin_ashi(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bar: str = "1 day",
+) -> DataFrame:
+    """Heikin-Ashi smoothed candles per (key, bar) → (key, bar_start,
+    ha_open, ha_high, ha_low, ha_close): ha_close = (O+H+L+C)/4 and
+    the ha_open recursion ha_openₜ = (ha_openₜ₋₁ + ha_closeₜ₋₁)/2
+    seeded at (O₁+C₁)/2 — the trend-denoising transform that turns a
+    choppy candle series into runs. The recursion unrolls into one
+    prefix fold over the bounded bar series (2^{1−t}·seed +
+    Σ 2^{i−t}·ha_closeᵢ — the ``macd`` discipline), pure codegen."""
+    from from_superset_to_clickhouse_spark.functions.scalar import let_bind
+
+    bars = ohlc_bars(df, key_col, ts_col, value_col, tiebreak_col, bar)
+    q = _Q2
+    g = lambda c: F.floor(F.col(c).cast("double") * q) / q  # noqa: E731
+    b = bars.select(
+        F.col(key_col).alias("_g"),
+        F.col("bar_start").alias("_d"),
+        g("open").alias("_o"),
+        g("high").alias("_h"),
+        g("low").alias("_l"),
+        g("close").alias("_c"),
+    )
+    hac = (F.col("_o") + F.col("_h") + F.col("_l") + F.col("_c")) / 4.0
+    b = b.withColumn("_hac", hac)
+    wl = Window.partitionBy("_g").orderBy("_d")
+    wp = wl.rowsBetween(Window.unboundedPreceding, 0)
+    seed = F.first((F.col("_o") + F.col("_c")) / 2.0).over(wp)
+    frame = F.collect_list("_hac").over(wp)
+
+    def fold(l):
+        # ha_open_t uses ha_close_1..t-1: drop the current row's hac
+        n = F.size(l)
+        prev = F.slice(l, 1, n - 1)
+        return F.when(n == 1, F.col("_seed")).otherwise(
+            F.col("_seed")
+            * F.pow(F.lit(0.5), (n - 1).cast("double"))
+            + F.aggregate(
+                F.transform(
+                    prev,
+                    lambda x, i: x
+                    * F.pow(F.lit(0.5), (n - 1 - i).cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    b = b.withColumn("_seed", seed)
+    b = b.withColumn("_hao", let_bind(frame, fold))
+    return b.select(
+        F.col("_g").alias(key_col),
+        F.col("_d").alias("bar_start"),
+        F.round("_hao", 6).alias("ha_open"),
+        F.round(F.greatest("_h", "_hao", "_hac"), 6).alias("ha_high"),
+        F.round(F.least("_l", "_hao", "_hac"), 6).alias("ha_low"),
+        F.round("_hac", 6).alias("ha_close"),
+    )

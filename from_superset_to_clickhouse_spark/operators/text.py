@@ -3320,3 +3320,63 @@ def burrows_delta(
             )
         )
     )
+
+
+def word_dispersion(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    top_n: int = 30,
+) -> DataFrame:
+    """Gries' DP dispersion for the ``top_n`` corpus words → (word,
+    total, dp): DP = ½ Σ_parts |vᵢ − sᵢ|, where vᵢ is the word's
+    share of its own occurrences in part i and sᵢ the part's share of
+    the corpus — 0 = the word spreads exactly with the corpus, → 1 =
+    it lives in one part. The burstiness-across-SOURCES complement to
+    ``term_burstiness``'s within-time clumping: a high-frequency,
+    high-DP token is boilerplate from one crawl source, not general
+    language. One token explode; everything after is (top_n × parts)-
+    scale with exact integer ratios."""
+    toks = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(word_tokens(F.col(text_col))).alias("_w"),
+    )
+    top = (
+        toks.groupBy("_w")
+        .agg(F.count("*").alias("_tot"))
+        .orderBy(F.col("_tot").desc(), F.col("_w"))
+        .limit(top_n)
+    )
+    parts = toks.groupBy("_g").agg(F.count("*").alias("_n"))
+    w_all = Window.partitionBy()
+    parts = parts.withColumn(
+        "_s", F.col("_n").cast("double") / F.sum("_n").over(w_all)
+    )
+    cell = (
+        toks.join(F.broadcast(top.select("_w")), "_w")
+        .groupBy("_w", "_g")
+        .agg(F.count("*").alias("_cw"))
+    )
+    grid = top.crossJoin(F.broadcast(parts.select("_g", "_s")))
+    f = grid.join(cell, ["_w", "_g"], "left").select(
+        "_w",
+        "_tot",
+        "_s",
+        (
+            F.coalesce(F.col("_cw"), F.lit(0)).cast("double")
+            / F.col("_tot")
+        ).alias("_v"),
+    )
+    return (
+        f.groupBy("_w", "_tot")
+        .agg(
+            F.round(
+                0.5 * F.sum(F.abs(F.col("_v") - F.col("_s"))), 6
+            ).alias("dp")
+        )
+        .select(
+            F.col("_w").alias("word"),
+            F.col("_tot").cast("long").alias("total"),
+            "dp",
+        )
+    )

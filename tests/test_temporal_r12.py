@@ -538,3 +538,59 @@ def test_pivot_points_hand_bar(spark):
     assert abs(r["s1"] - (2 * p - 20)) < 1e-6
     assert abs(r["r2"] - (p + 12)) < 1e-6
     assert abs(r["s2"] - (p - 12)) < 1e-6
+
+
+def test_entropy_rate_deterministic_vs_uniform(spark):
+    import datetime as dt
+    import math as m
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        entropy_rate,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    # deterministic a->b->a->b chain: H = 0, predictability 1
+    det = [
+        (1, t0 + dt.timedelta(minutes=i), "ab"[i % 2], i)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        det, "user_id int, ts timestamp, event_type string, event_id int"
+    )
+    r = entropy_rate(df, "user_id", "ts", "event_type").collect()[0]
+    assert r["h_rate"] == 0.0 and r["predictability"] == 1.0
+    # 2-state uniform alternation pattern abba... gives mixed rows
+    uni = [
+        (1, t0 + dt.timedelta(minutes=i), "abba"[i % 4], i)
+        for i in range(41)
+    ]
+    df2 = spark.createDataFrame(
+        uni, "user_id int, ts timestamp, event_type string, event_id int"
+    )
+    r2 = entropy_rate(df2, "user_id", "ts", "event_type").collect()[0]
+    assert abs(r2["h_rate"] - m.log(2.0)) < 0.01
+    assert r2["predictability"] < 0.05
+
+
+def test_heikin_ashi_recursion_hand(spark):
+    import datetime as dt
+
+    from from_superset_to_clickhouse_spark.operators.temporal import (
+        heikin_ashi,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    # two bars: day1 values 10 (single tick), day2 values 20
+    rows = [
+        ("k", t0, 10.0, 0),
+        ("k", t0 + dt.timedelta(days=1), 20.0, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, v double, e int"
+    )
+    out = heikin_ashi(df, "k", "ts", "v", "e").orderBy("bar_start").collect()
+    # bar1: O=H=L=C=10 -> hac 10, hao seed (10+10)/2 = 10
+    assert out[0]["ha_open"] == 10.0 and out[0]["ha_close"] == 10.0
+    # bar2: hac 20; hao = (hao1 + hac1)/2 = 10
+    assert out[1]["ha_close"] == 20.0 and out[1]["ha_open"] == 10.0
+    assert out[1]["ha_high"] == 20.0 and out[1]["ha_low"] == 10.0

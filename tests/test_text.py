@@ -1239,3 +1239,23 @@ def test_burrows_delta_style_separation(spark):
     }
     assert d[("a", "b")] < d[("a", "c")]
     assert d[("a", "b")] < d[("b", "c")]
+
+
+def test_word_dispersion_even_vs_concentrated(spark):
+    from from_superset_to_clickhouse_spark.operators.text import (
+        word_dispersion,
+    )
+
+    # 'the' appears evenly in both halves; 'zebra' only in part a
+    rows = (
+        [("a", "the zebra the zebra the")] * 2
+        + [("b", "the bird the bird the")] * 2
+    )
+    df = spark.createDataFrame(rows, "source string, text string")
+    d = {
+        r["word"]: r["dp"]
+        for r in word_dispersion(df, "source", "text", top_n=5).collect()
+    }
+    assert d["zebra"] > d["the"]
+    assert d["the"] < 0.05  # spreads with the corpus
+    assert d["zebra"] > 0.4  # lives in one part
