@@ -6702,13 +6702,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r14 window (positions 0-49), per VERDICT r13 item 1: the 27
         # -- r13 additions never driver-checked (_R14_QUERIES,
         # -- hodges_lehmann..hampel — all 27 judge-verified pandas-canon
-        # -- green in the r13 session) + the ≤23 r14 additions
-        # -- (_R15_QUERIES). R15 ROTATION (do this FIRST next round): move
-        # -- _R15_QUERIES above _R14_QUERIES (the ORACLES dicts need no
-        # -- reorder — oracle_sql() is keyed, only queries() order gates
-        # -- the window), dropping _R14_QUERIES into backfill; then queue
-        # -- r15 additions behind _R15_QUERIES and cap them so
-        # -- (queued + new) fills positions 0-49 exactly.
+        # -- green in the r13 session) + the 23 r14 additions
+        # -- (_R15_QUERIES). R15 ROTATION (do this FIRST next round):
+        # -- move _R16_QUERIES (the 27 r14-QUEUE entries below,
+        # -- vargha_delaney..heikin_ashi, all locally pandas-canon green
+        # -- at sf0.001+sf0.01 this round) to the HEAD, add ≤23 new r15
+        # -- entries (_R17_QUERIES) right behind them so 27 + 23 fills
+        # -- positions 0-49 exactly, and drop _R14_QUERIES + _R15_QUERIES
+        # -- (both driver-green after CORRECTNESS_r14) into backfill (the
+        # -- ORACLES dicts need no reorder — oracle_sql() is keyed; only
+        # -- queries() order gates the window).
         **_R14_QUERIES,
         **_R15_QUERIES,
         # -- r15 queue: never-driver-checked r14 additions parked at
