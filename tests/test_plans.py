@@ -670,3 +670,30 @@ def test_r14_additions_plan_gates(spark, qmap):
         assert "BatchEvalPython" not in plan, name
         if name in partitioned:
             assert "SinglePartition" not in plan, name
+
+
+def test_r15_queue_plan_gates(spark, qmap):
+    """Scale gates for the 27 r15-queue entries (parked behind the
+    driver window this round): no cartesian product, no row-at-a-time
+    Python. SinglePartition exchanges only for single-row scalar
+    statistics, bounded-curve survival summaries, the global-ranking
+    footrule/palma order-statistic selections, and the (top_n ×
+    groups)-scale stylometry/dispersion tables; per-key series outputs
+    (indicator/chart tier) stay fully partitioned."""
+    scalar_or_bounded = {
+        "vargha_delaney", "cvm", "dagostino_k2", "fisher_combine",
+        "rmst", "survival_quartiles", "palma", "hoover",
+        "horvitz_thompson", "kl_divergence", "spearman_footrule",
+        "qte", "geary_c", "getis_ord", "rich_club", "burrows_delta",
+        "word_dispersion", "entropy_rate", "u_chart",
+    }
+    partitioned = [
+        "amihud", "cci", "mfi", "tracking_signal", "np_chart",
+        "ewma_chart", "pivot_points", "heikin_ashi",
+    ]
+    for name in sorted(scalar_or_bounded) + partitioned:
+        plan = _plan(qmap[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        if name in partitioned:
+            assert "SinglePartition" not in plan, name
