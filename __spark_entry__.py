@@ -6699,25 +6699,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and push driver-green entries down into backfill. Cap additions per
     # round so (queued + new) ≤ 50 fills the next window exactly.
     return {
-        # -- r14 window (positions 0-49), per VERDICT r13 item 1: the 27
-        # -- r13 additions never driver-checked (_R14_QUERIES,
-        # -- hodges_lehmann..hampel — all 27 judge-verified pandas-canon
-        # -- green in the r13 session) + the 23 r14 additions
-        # -- (_R15_QUERIES). R15 ROTATION (do this FIRST next round):
-        # -- move _R16_QUERIES (the 27 r14-QUEUE entries below,
-        # -- vargha_delaney..heikin_ashi, all locally pandas-canon green
-        # -- at sf0.001+sf0.01 this round) to the HEAD, add ≤23 new r15
-        # -- entries (_R17_QUERIES) right behind them so 27 + 23 fills
-        # -- positions 0-49 exactly, and drop _R14_QUERIES + _R15_QUERIES
-        # -- (both driver-green after CORRECTNESS_r14) into backfill (the
+        # -- r15 window (positions 0-49), per VERDICT r14 item 1: the 27
+        # -- r14-queue entries never driver-checked (_R16_QUERIES,
+        # -- vargha_delaney..heikin_ashi — all 27 judge-verified
+        # -- pandas-canon green in the r14 session's full 520-entry sweep)
+        # -- + the ≤23 r15 additions (_R17_QUERIES). R16 ROTATION (do
+        # -- this FIRST next round): move _R18_QUERIES (the r15-QUEUE
+        # -- entries parked below, locally pandas-canon green this round)
+        # -- to the HEAD, add new r16 entries behind them to fill
+        # -- positions 0-49 exactly, and drop _R16_QUERIES + _R17_QUERIES
+        # -- (driver-green after CORRECTNESS_r15) into backfill (the
         # -- ORACLES dicts need no reorder — oracle_sql() is keyed; only
         # -- queries() order gates the window).
+        **_R16_QUERIES,
+        **_R17_QUERIES,
+        # -- r16 queue: never-driver-checked r15 additions parked at
+        # -- positions 50+ (locally oracle-verified); they rotate to
+        # -- the head at the R16 ROTATION above ----------------------------
+        **_R18_QUERIES,
+        # -- green-on-record backfill: the r14 window (CORRECTNESS_r14
+        # -- 50/50 green): 27 r13 additions + 23 r14 additions ------------
         **_R14_QUERIES,
         **_R15_QUERIES,
-        # -- r15 queue: never-driver-checked r14 additions parked at
-        # -- positions 50+ (locally oracle-verified); they rotate to
-        # -- the head at the R15 ROTATION above ----------------------------
-        **_R16_QUERIES,
         # -- green-on-record backfill: the r13 window (CORRECTNESS_r13
         # -- 50/50 green): 12 post-window r11 entries + 38 r12 additions --
         **_R12_QUEUE_QUERIES,
@@ -9648,6 +9651,8 @@ HAVING count(*) > tot.n / 500.0
         **_R14_ORACLES,
         **_R15_ORACLES,
         **_R16_ORACLES,
+        **_R17_ORACLES,
+        **_R18_ORACLES,
     }
 
 
@@ -20652,6 +20657,18 @@ _R15_ORACLES: dict[str, str] = {}
 # head next round. Same ENTRY-ADDING CHECKLIST.
 _R16_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _R16_ORACLES: dict[str, str] = {}
+
+# Round-15 additions: spliced directly behind _R16_QUERIES inside the
+# r15 driver window (27 queued + ≤23 new = positions 0-49). Same
+# ENTRY-ADDING CHECKLIST as _R10_QUERIES. Populated at end of file.
+_R17_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_R17_ORACLES: dict[str, str] = {}
+
+# Round-15 QUEUE for the r16 window: parked at positions 50+ behind
+# _R17_QUERIES, locally oracle-verified this round, rotated to the
+# head next round. Same ENTRY-ADDING CHECKLIST.
+_R18_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_R18_ORACLES: dict[str, str] = {}
 
 
 # ---------------------------------------------------------------------------
