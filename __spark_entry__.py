@@ -22870,20 +22870,28 @@ SELECT CAST(k AS BIGINT) AS k, round(pooled, 6) AS pooled,
 FROM et
 """),
     "c_chart": ("""
--- Same daily count buckets, same Poisson limits.
+-- Same daily count buckets DENSIFIED per key (zero-count periods are
+-- real subgroups), same Poisson limits.
 WITH per AS (
   SELECT event_type AS key, time_bucket(INTERVAL '1 day', ts) AS w,
     count(*) AS ci
   FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+), axis AS (
+  SELECT key,
+    unnest(generate_series(min(w), max(w), INTERVAL '1 day')) AS w
+  FROM per GROUP BY key
+), dense AS (
+  SELECT a.key, a.w, coalesce(p.ci, 0) AS ci
+  FROM axis a LEFT JOIN per p ON a.key = p.key AND a.w = p.w
 ), tot AS (
-  SELECT key, count(*) AS nb, sum(ci) AS c FROM per GROUP BY 1
+  SELECT key, count(*) AS nb, sum(ci) AS c FROM dense GROUP BY 1
 ), lim AS (
   SELECT key, nb, CAST(c AS DOUBLE) / nb AS cb FROM tot
 ), j AS (
   SELECT p.key, l.nb, l.cb, CAST(p.ci AS DOUBLE) AS ci,
     l.cb + 3.0 * sqrt(l.cb) AS ucl,
     greatest(l.cb - 3.0 * sqrt(l.cb), 0.0) AS lcl
-  FROM per p JOIN lim l ON p.key = l.key
+  FROM dense p JOIN lim l ON p.key = l.key
 )
 SELECT key, CAST(nb AS BIGINT) AS n_buckets, round(cb, 6) AS c_bar,
   CAST(count(*) FILTER (ci > ucl OR ci < lcl) AS BIGINT) AS n_out
@@ -23607,7 +23615,8 @@ FROM tv
 """),
     "dagostino_k2": ("""
 -- Same grid moments (2^-20 for m2, 2^-10 for m3/m4), identical
--- transform arithmetic, exact chi2(2) tail.
+-- transform arithmetic, exact chi2(2) tail; same m2 >= 1/4 scale
+-- guard (coarse-grid bias dominates sub-unit-variance data).
 WITH src AS (
   SELECT floor(CAST(value AS DOUBLE) * 1048576.0) / 1048576.0 AS v
   FROM events WHERE value IS NOT NULL
@@ -23670,12 +23679,12 @@ WITH src AS (
   FROM z2v
 ), fin AS (
   SELECT ni, m2, g1, g2, z1, z2, z1 * z1 + z2 * z2 AS k2,
-    (ni > 20 AND m2 > 0) AS ok
+    (ni > 20 AND m2 >= 0.25) AS ok
   FROM z2w
 )
 SELECT CAST(ni AS BIGINT) AS n,
-  round(CASE WHEN m2 > 0 THEN g1 END, 6) AS skew,
-  round(CASE WHEN m2 > 0 THEN g2 END, 6) AS kurtosis,
+  round(CASE WHEN m2 >= 0.25 THEN g1 END, 6) AS skew,
+  round(CASE WHEN m2 >= 0.25 THEN g2 END, 6) AS kurtosis,
   round(CASE WHEN ok THEN z1 END, 6) AS z_skew,
   round(CASE WHEN ok THEN z2 END, 6) AS z_kurt,
   round(CASE WHEN ok THEN k2 END, 6) AS k2,

@@ -832,14 +832,25 @@ def strongly_connected_components(
             eprop = e.union(e2).distinct().localCheckpoint(eager=True)
         # (1) forward MAX-color propagation: color(v) = max id reaching v.
         # Convergence probe: colors only ever INCREASE under max-
-        # propagation, so the exact decimal sum of colors is strictly
-        # monotone until fixpoint — one scalar aggregate on the already-
-        # checkpointed frame replaces the old new-vs-old join probe
-        # (one fewer join job per inner step, identical semantics).
+        # propagation, so for INTEGRAL node ids the exact decimal sum of
+        # colors is strictly monotone until fixpoint — one scalar
+        # aggregate on the already-checkpointed frame. That sum is only
+        # well-defined for numeric ids: string/other ids would ANSI-throw
+        # (or NULL-out, falsely converging) under the decimal cast, so
+        # non-numeric ids keep the type-agnostic changed-rows EXISTS
+        # probe (one equi-join on the two checkpointed frames per step).
+        node_dtype = dict(active.dtypes)[node_col]
+        sum_probe = node_dtype in (
+            "tinyint", "smallint", "int", "bigint"
+        ) or node_dtype.startswith("decimal")
         color = active.select(node_col, F.col(node_col).alias("color"))
-        prev_sum = color.agg(
-            F.sum(F.col("color").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+        prev_sum = (
+            color.agg(
+                F.sum(F.col("color").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            if sum_probe
+            else None
+        )
         converged = False
         for _ in range(max_prop):
             via = (
@@ -852,14 +863,25 @@ def strongly_connected_components(
                 .agg(F.max("color").alias("color"))
                 .localCheckpoint(eager=True)
             )
-            cur_sum = new.agg(
-                F.sum(F.col("color").cast("decimal(38,0)")).alias("s")
-            ).collect()[0]["s"]
+            if sum_probe:
+                cur_sum = new.agg(
+                    F.sum(F.col("color").cast("decimal(38,0)")).alias("s")
+                ).collect()[0]["s"]
+                stable = cur_sum == prev_sum
+                prev_sum = cur_sum
+            else:
+                stable = (
+                    new.alias("n")
+                    .join(color.alias("o"), node_col)
+                    .filter(F.col("n.color") != F.col("o.color"))
+                    .limit(1)
+                    .count()
+                    == 0
+                )
             color = new
-            if cur_sum == prev_sum:
+            if stable:
                 converged = True
                 break
-            prev_sum = cur_sum
         if not converged:
             # Exhausting the cap without convergence would settle WRONG
             # components (partially-propagated colors split real SCCs
@@ -1339,6 +1361,7 @@ def k_truss(
     )
     thresh = k - 2
     sup = None
+    converged = False
     for _ in range(max_iter):
         e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
         e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
@@ -1366,10 +1389,21 @@ def k_truss(
         )
         weak = sup.filter(F.col("support") < thresh)
         if weak.limit(1).count() == 0:
+            converged = True
             break
         e = sup.filter(F.col("support") >= thresh).select(
             "a", "b"
         ).localCheckpoint(eager=True)
+    if not converged:
+        # Exhausting the cap mid-peel would return a NON-truss: the last
+        # computed sup still carries edges below threshold (with supports
+        # relative to a stale edge set). Fail loudly, matching scc's
+        # contract — peel depth is bounded by the edge count, so callers
+        # raise max_iter for deep peel chains.
+        raise ValueError(
+            f"k_truss: peeling did not converge in {max_iter} rounds — "
+            "raise max_iter"
+        )
     return sup.select("a", "b", F.col("support").cast("long").alias("support"))
 
 

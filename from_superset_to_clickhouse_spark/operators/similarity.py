@@ -773,6 +773,32 @@ def _grid_argmin_codes(mat, books):
     return out
 
 
+def _split_valid(v, dim):
+    """Split an Arrow batch into (vals, good, mat): the positions whose
+    vector is non-NULL and exactly ``dim`` long, densified to float64.
+    ``good is None`` means every row is valid (the overwhelmingly
+    common case — zero extra copies). The Arrow twins must DEGRADE the
+    same rows the expression path degrades (NULL cell/codes) instead
+    of raising ``np.asarray`` shape errors for the whole batch: with
+    ``arrow=None`` auto-switching on k×dim, a corpus that is fine
+    under the expression path must not start failing merely because
+    the centroid count crossed ``_ARROW_ASSIGN_MIN_OPS``."""
+    import numpy as np
+
+    vals = list(v)
+    good = [
+        i for i, x in enumerate(vals) if x is not None and len(x) == dim
+    ]
+    if len(good) == len(vals):
+        return vals, None, np.asarray(vals, dtype=np.float64).reshape(
+            len(vals), dim
+        )
+    mat = np.asarray([vals[i] for i in good], dtype=np.float64).reshape(
+        len(good), dim
+    )
+    return vals, good, mat
+
+
 def _assign_l2_udf(cents: list[list[float]]):
     """Arrow-batched rounded-argmin cell assignment — same contract as
     the ``kmeans_assign`` expression path, one matmul per batch."""
@@ -780,13 +806,20 @@ def _assign_l2_udf(cents: list[list[float]]):
     from pyspark.sql.functions import pandas_udf
 
     books = [cents]
+    dim = len(cents[0])
 
     @pandas_udf("int")
     def assign(v):
         import pandas as pd
 
-        mat = np.asarray(list(v), dtype=np.float64)
-        return pd.Series(_grid_argmin_codes(mat, books)[:, 0])
+        vals, good, mat = _split_valid(v, dim)
+        cells = _grid_argmin_codes(mat, books)[:, 0]
+        if good is None:
+            return pd.Series(cells)
+        out = [None] * len(vals)
+        for j, i in enumerate(good):
+            out[i] = int(cells[j])
+        return pd.Series(pd.array(out, dtype="Int32"))
 
     return assign
 
@@ -895,8 +928,14 @@ def _assign_udf(cents: list[list[float]]):
     def assign(v):
         import pandas as pd
 
-        m = np.asarray(list(v), dtype=np.float64)
-        return pd.Series(np.argmax(m @ c.T, axis=1).astype(np.int32))
+        vals, good, m = _split_valid(v, c.shape[1])
+        cells = np.argmax(m @ c.T, axis=1).astype(np.int32)
+        if good is None:
+            return pd.Series(cells)
+        out = [None] * len(vals)
+        for j, i in enumerate(good):
+            out[i] = int(cells[j])
+        return pd.Series(pd.array(out, dtype="Int32"))
 
     return assign
 
@@ -917,9 +956,15 @@ def _probe_udf(cents: list[list[float]], nprobe: int):
     def probe(v):
         import pandas as pd
 
-        m = np.asarray(list(v), dtype=np.float64)
+        vals, good, m = _split_valid(v, c.shape[1])
         idx = np.argsort(-(m @ c.T), axis=1, kind="stable")[:, :npb]
-        return pd.Series(list(idx.astype(np.int32)))
+        idx = idx.astype(np.int32)
+        if good is None:
+            return pd.Series(list(idx))
+        out = [None] * len(vals)
+        for j, i in enumerate(good):
+            out[i] = idx[j]
+        return pd.Series(out)
 
     return probe
 
@@ -1455,12 +1500,42 @@ def _pq_codes_udf(books: "list[list[list[float]]]"):
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
+    d = len(books[0][0])
+    dim = len(books) * d
+
     @pandas_udf("array<int>")
     def codes(v):
         import pandas as pd
 
-        mat = np.asarray(list(v), dtype=np.float64)
-        return pd.Series(list(_grid_argmin_codes(mat, books)))
+        vals, good, mat = _split_valid(v, dim)
+        gc = _grid_argmin_codes(mat, books)
+        if good is None:
+            return pd.Series(list(gc))
+        out = [None] * len(vals)
+        for j, i in enumerate(good):
+            out[i] = gc[j]
+        # ragged-but-non-NULL rows keep the expression path's
+        # per-subspace rule: code_s is real iff the vector covers
+        # subspace s completely, NULL past its end (rare rows, 1-row
+        # matmuls)
+        for i, x in enumerate(vals):
+            if x is None or len(x) == dim:
+                continue
+            xs = np.asarray(x, dtype=np.float64)
+            row = []
+            for s, b in enumerate(books):
+                if len(xs) >= (s + 1) * d:
+                    row.append(
+                        int(
+                            _grid_argmin_codes(
+                                xs[s * d:(s + 1) * d][None, :], [b]
+                            )[0, 0]
+                        )
+                    )
+                else:
+                    row.append(None)
+            out[i] = row
+        return pd.Series(out)
 
     return codes
 
@@ -1625,10 +1700,23 @@ def _residuals(
             def cell_res(v):
                 import pandas as pd
 
-                mat = np.asarray(list(v), dtype=np.float64)
+                vals, good, mat = _split_valid(v, c.shape[1])
                 cell = _grid_argmin_codes(mat, [cents])[:, 0]
+                res = mat - c[cell]
+                if good is None:
+                    return pd.DataFrame(
+                        {"cell": cell, "residual": list(res)}
+                    )
+                cells = [None] * len(vals)
+                resid = [None] * len(vals)
+                for j, i in enumerate(good):
+                    cells[i] = int(cell[j])
+                    resid[i] = res[j]
                 return pd.DataFrame(
-                    {"cell": cell, "residual": list(mat - c[cell])}
+                    {
+                        "cell": pd.array(cells, dtype="Int32"),
+                        "residual": resid,
+                    }
                 )
 
             tmp = corpus.select(
@@ -1734,11 +1822,20 @@ def _ivfpq_codes_udf(
     def enc(v):
         import pandas as pd
 
-        mat = np.asarray(list(v), dtype=np.float64)
+        vals, good, mat = _split_valid(v, c.shape[1])
         cell = _grid_argmin_codes(mat, [cents])[:, 0]
         res = mat - c[cell]
         codes = _grid_argmin_codes(res, books)
-        return pd.DataFrame({"cell": cell, "codes": list(codes)})
+        if good is None:
+            return pd.DataFrame({"cell": cell, "codes": list(codes)})
+        cells = [None] * len(vals)
+        cds = [None] * len(vals)
+        for j, i in enumerate(good):
+            cells[i] = int(cell[j])
+            cds[i] = codes[j]
+        return pd.DataFrame(
+            {"cell": pd.array(cells, dtype="Int32"), "codes": cds}
+        )
 
     return enc
 

@@ -6996,7 +6996,16 @@ def dagostino_k2(df: DataFrame, value_col: str) -> DataFrame:
     decimal(38,0) (2nd on the 2^-20 grid, 3rd/4th on 2^-10 — fourth
     powers of price-scale deviations overflow the long floor at the
     fine grid); every downstream transform is shared IEEE arithmetic
-    of those exact sums, replayable term-for-term in SQL."""
+    of those exact sums, replayable term-for-term in SQL.
+
+    Scale contract: the coarse 3rd/4th-moment grid means sub-unit-
+    scale data (m2 < 1/4) would have its skew/kurtosis dominated by
+    the ~2^-10 per-term quantization — those columns degrade to NULL
+    instead of returning materially-biased values (rescale the input
+    to unit variance or larger to lift the guard). The one-row moment
+    aggregate is localCheckpointed so the z-transform tree compiles
+    against plain column refs (the inlined decimal-sum subtrees blew
+    janino's 64 KB method limit and forced interpreted fallback)."""
     v = F.floor(F.col(value_col).cast("double") * _Q) / _Q
     src = df.select(v.alias("_v")).filter(F.col("_v").isNotNull())
     m = src.agg(
@@ -7019,13 +7028,27 @@ def dagostino_k2(df: DataFrame, value_col: str) -> DataFrame:
             F.sum(F.floor(d * d * d * d * q10).cast(dec)).cast("double")
             / q10
         ).alias("_s4"),
-    )
+    ).localCheckpoint(eager=True)
     n = F.col("_n").cast("double")
     m2 = F.col("_s2") / n
     m3 = F.col("_s3") / n
     m4 = F.col("_s4") / n
     g1 = m3 / F.pow(m2, F.lit(1.5))
     g2 = m4 / (m2 * m2)
+    # Stage the 1-row transform: materialize (g1, g2) and then
+    # (z1, z2) so no single Project carries the full duplicated
+    # z-tree — the inlined version blew janino's 64 KB method limit
+    # and fell back to interpreted eval. Checkpoints are 1-row jobs;
+    # the IEEE arithmetic is unchanged (same ops, now evaluated once).
+    agg = agg.select(
+        "_n",
+        m2.alias("_m2"),
+        F.when(m2 > 0, g1).alias("_g1"),
+        F.when(m2 > 0, g2).alias("_g2"),
+    ).localCheckpoint(eager=True)
+    m2 = F.col("_m2")
+    g1 = F.col("_g1")
+    g2 = F.col("_g2")
     # Z1: D'Agostino's transformed skewness
     y = g1 * F.sqrt((n + 1.0) * (n + 3.0) / (6.0 * (n - 2.0)))
     b2 = (
@@ -7068,16 +7091,30 @@ def dagostino_k2(df: DataFrame, value_col: str) -> DataFrame:
             F.lit(1.0 / 3.0),
         )
     ) / F.sqrt(2.0 / (9.0 * aa))
+    # 2^-10 grid guard: below m2 = 1/4 the per-term floor bias
+    # (~2^-11 absolute) exceeds ~1% of the m2^1.5 / m2^2 scale the
+    # 3rd/4th moments live on — NULL, don't silently bias.
+    okm = m2 >= 0.25
+    ok = (F.col("_n") > 20) & okm
+    agg = agg.select(
+        "_n",
+        "_m2",
+        "_g1",
+        "_g2",
+        F.when(ok, z1).alias("_z1"),
+        F.when(ok, z2).alias("_z2"),
+    ).localCheckpoint(eager=True)
+    z1 = F.col("_z1")
+    z2 = F.col("_z2")
     k2 = z1 * z1 + z2 * z2
-    ok = (F.col("_n") > 20) & (m2 > 0)
     return agg.select(
         F.col("_n").cast("long").alias("n"),
-        F.round(F.when(m2 > 0, g1), 6).alias("skew"),
-        F.round(F.when(m2 > 0, g2), 6).alias("kurtosis"),
-        F.round(F.when(ok, z1), 6).alias("z_skew"),
-        F.round(F.when(ok, z2), 6).alias("z_kurt"),
-        F.round(F.when(ok, k2), 6).alias("k2"),
-        F.round(F.when(ok, F.exp(-k2 / 2.0)), 6).alias("p_value"),
+        F.round(F.when(okm, g1), 6).alias("skew"),
+        F.round(F.when(okm, g2), 6).alias("kurtosis"),
+        F.round(z1, 6).alias("z_skew"),
+        F.round(z2, 6).alias("z_kurt"),
+        F.round(k2, 6).alias("k2"),
+        F.round(F.exp(-k2 / 2.0), 6).alias("p_value"),
     )
 
 
@@ -7393,4 +7430,712 @@ def quantile_treatment_effect(
             F.round("v_b", 6).alias("v_b"),
             F.round(F.col("v_a") - F.col("v_b"), 6).alias("qte"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-15 additions: goodness-of-fit / randomness / location-scale /
+# epidemiology tier. Reference parity: these extend the analytics
+# surface beyond the reference pipeline's aggregates (v2/sql/*.sql) —
+# same exact-arithmetic discipline as the rest of this module.
+
+
+def stouffer_z(df: DataFrame, z_col: str, w_col: str) -> DataFrame:
+    """Stouffer's weighted combined z-test over k independent segment
+    z-scores → one row (k, z_comb, p_value): Z = Σwᵢzᵢ / √(Σwᵢ²) —
+    the z-scale twin of ``fisher_combine`` (which pools p-values;
+    Stouffer pools the signed evidence, so consistent small effects
+    reinforce instead of vanish). The study table is k rows (bounded
+    by construction); both sums run on the 2^-20 grid so they are
+    exact multiples far below the mantissa — order-free in any
+    engine. Two-sided p via the shared erf polynomial."""
+    src = df.select(
+        F.col(z_col).cast("double").alias("_z"),
+        F.col(w_col).cast("double").alias("_w"),
+    ).filter(F.col("_z").isNotNull() & F.col("_w").isNotNull())
+    agg = src.agg(
+        F.count("*").alias("_k"),
+        (F.sum(F.floor(F.col("_w") * F.col("_z") * _Q)) / _Q).alias("_wz"),
+        (F.sum(F.floor(F.col("_w") * F.col("_w") * _Q)) / _Q).alias("_w2"),
+    )
+    z = F.col("_wz") / F.sqrt(F.col("_w2"))
+    return agg.select(
+        F.col("_k").cast("long").alias("k"),
+        F.round(z, 6).alias("z_comb"),
+        F.round(2.0 * normal_sf(F.abs(z)), 6).alias("p_value"),
+    )
+
+
+def cvm_uniform(
+    df: DataFrame, value_col: str, lo: float, hi: float
+) -> DataFrame:
+    """One-sample Cramér–von Mises and Watson U² goodness-of-fit
+    against Uniform(lo, hi) → one row (n, w2, u2, reject_w2_5pct,
+    reject_u2_5pct): W² = 1/(12n) + Σᵢ((2i−1)/(2n) − uᵢ)² over the
+    order statistics uᵢ = clamp((x₍ᵢ₎−lo)/(hi−lo)); Watson's
+    rotation-invariant U² = W² − n(ū − ½)² (the circular variant that
+    doesn't care where the support 'starts'). Asymptotic 5% critical
+    values 0.461 (W²) and 0.187 (U²) — the ``cvm`` two-sample
+    convention of judging against the critical value, no p column.
+
+    One sort-free plan: rank by window row_number (tied u's get
+    distinct consecutive indices — the Σ over a tie block is
+    index-set-invariant, so the statistic is deterministic), every
+    squared term floored to the 2^-20 grid before the sum (exact,
+    order-free)."""
+    u = (F.col(value_col).cast("double") - F.lit(float(lo))) / F.lit(
+        float(hi - lo)
+    )
+    u = F.least(F.greatest(u, F.lit(0.0)), F.lit(1.0))
+    src = df.select(u.alias("_u")).filter(F.col("_u").isNotNull())
+    w = Window.orderBy("_u")
+    t = src.select(
+        "_u", F.row_number().over(w).cast("double").alias("_i")
+    )
+    cnt = t.select("_u", "_i", F.count("*").over(Window.partitionBy()).alias("_n"))
+    n = F.col("_n").cast("double")
+    term = (2.0 * F.col("_i") - 1.0) / (2.0 * n) - F.col("_u")
+    agg = cnt.groupBy("_n").agg(
+        (F.sum(F.floor(term * term * _Q)) / _Q).alias("_s"),
+        (F.sum(F.floor(F.col("_u") * _Q)) / _Q).alias("_su"),
+    )
+    w2 = 1.0 / (12.0 * n) + F.col("_s")
+    ubar = F.col("_su") / n
+    u2 = w2 - n * (ubar - 0.5) * (ubar - 0.5)
+    return agg.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round(w2, 6).alias("w2"),
+        F.round(u2, 6).alias("u2"),
+        (w2 > 0.461).cast("int").alias("reject_w2_5pct"),
+        (u2 > 0.187).cast("int").alias("reject_u2_5pct"),
+    )
+
+
+def lilliefors(df: DataFrame, value_col: str) -> DataFrame:
+    """Lilliefors normality test → one row (n, mean, sd, d_stat,
+    d_mod, reject_5pct): the Kolmogorov–Smirnov D against
+    Normal(mean̂, sd̂) with BOTH parameters estimated from the data —
+    the composite-null correction plain KS gets wrong (using the
+    fitted CDF shrinks D, so KS tables are anti-conservative).
+    D = maxᵢ max(i/n − Φ(zᵢ), Φ(zᵢ) − (i−1)/n) over the order
+    statistics; decision via Stephens' modification
+    D·(√n − 0.01 + 0.85/√n) against 0.895 (5%) — critical-value
+    convention, no p column.
+
+    Moments are grid-exact sums (2^-20); the per-point Φ runs through
+    the shared erf polynomial; D is a single max aggregate."""
+    v = F.floor(F.col(value_col).cast("double") * _Q) / _Q
+    src = df.select(v.alias("_v")).filter(F.col("_v").isNotNull())
+    m = src.agg(
+        F.count("*").alias("_n"),
+        (F.sum(F.floor(F.col("_v") * _Q)) / _Q).alias("_s1"),
+        (F.sum(F.floor(F.col("_v") * F.col("_v") * _Q)) / _Q).alias("_s2"),
+    )
+    t = src.crossJoin(F.broadcast(m))
+    n = F.col("_n").cast("double")
+    mean = F.col("_s1") / n
+    var = (F.col("_s2") - n * mean * mean) / (n - 1.0)
+    sd = F.sqrt(var)
+    w = Window.partitionBy("_n").orderBy("_v")
+    t = t.select(
+        "_n",
+        mean.alias("_m"),
+        sd.alias("_sd"),
+        "_v",
+        F.row_number().over(w).cast("double").alias("_i"),
+    )
+    phi = 1.0 - normal_sf((F.col("_v") - F.col("_m")) / F.col("_sd"))
+    nn = F.col("_n").cast("double")
+    gap = F.greatest(
+        F.col("_i") / nn - phi, phi - (F.col("_i") - 1.0) / nn
+    )
+    agg = t.groupBy("_n", "_m", "_sd").agg(F.max(gap).alias("_d"))
+    rn = F.sqrt(F.col("_n").cast("double"))
+    dmod = F.col("_d") * (rn - 0.01 + 0.85 / rn)
+    return agg.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round("_m", 6).alias("mean"),
+        F.round("_sd", 6).alias("sd"),
+        F.round("_d", 6).alias("d_stat"),
+        F.round(dmod, 6).alias("d_mod"),
+        (dmod > 0.895).cast("int").alias("reject_5pct"),
+    )
+
+
+def turning_point_test(
+    df: DataFrame, group_col: str, order_col: str, value_col: str
+) -> DataFrame:
+    """Turning-point randomness test per series → (group, n,
+    n_turning, expected, z_stat, reject_5pct): count interior points
+    that are strict local extrema (vₜ₋₁ < vₜ > vₜ₊₁ or the mirror);
+    under i.i.d. continuity E[T] = 2(n−2)/3, Var[T] = (16n−29)/90 —
+    too few turns = trend, too many = negative autocorrelation, the
+    direction ``runs_test`` (sign-vs-median) is blind to. Triples
+    touching a tie are excluded (counted in neither direction) and n
+    is the full series length, documented bias under heavy ties. One
+    keyed window pass (lag + lead), exact integer counts."""
+    v = F.floor(F.col(value_col).cast("double") * _Q) / _Q
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(order_col).alias("_o"),
+        v.alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    w = Window.partitionBy("_g").orderBy("_o")
+    prev = F.lag("_v").over(w)
+    nxt = F.lead("_v").over(w)
+    turn = (
+        ((prev < F.col("_v")) & (F.col("_v") > nxt))
+        | ((prev > F.col("_v")) & (F.col("_v") < nxt))
+    ).cast("int")
+    agg = src.select("_g", turn.alias("_t")).groupBy("_g").agg(
+        F.count("*").alias("_n"),
+        F.sum("_t").alias("_nt"),
+    )
+    n = F.col("_n").cast("double")
+    e = 2.0 * (n - 2.0) / 3.0
+    sd = F.sqrt((16.0 * n - 29.0) / 90.0)
+    z = F.when(
+        F.col("_n") > 3, (F.col("_nt").cast("double") - e) / sd
+    )
+    return agg.select(
+        F.col("_g").alias("g"),
+        F.col("_n").cast("long").alias("n"),
+        F.col("_nt").cast("long").alias("n_turning"),
+        F.round(e, 6).alias("expected"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > 1.96).cast("int").alias("reject_5pct"),
+    )
+
+
+def bartels_rank_test(
+    df: DataFrame, group_col: str, order_col: str, value_col: str
+) -> DataFrame:
+    """Bartels' rank version of von Neumann's ratio per series →
+    (group, n, rvn, z_stat, reject_5pct): RVN = Σ(rᵢ − rᵢ₊₁)² /
+    Σ(rᵢ − r̄)² over the series' midranks in time order — the
+    nonparametric serial-randomness test (RVN ≪ 2: positive serial
+    dependence; ≫ 2: alternation). z = (RVN − 2)/σ with the exact
+    null σ² = 4(n−2)(5n²−2n−9)/(5n(n+1)(n−1)²).
+
+    Midranks make tied values exact half-integers: both quadratic
+    forms are sums of ×4-integer grid terms — order-free exact —
+    and the ratio is one IEEE divide of exact sums."""
+    v = F.floor(F.col(value_col).cast("double") * _Q) / _Q
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(order_col).alias("_o"),
+        v.alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    wv = Window.partitionBy("_g").orderBy("_v")
+    # midrank = avg rank of the tie block = (first-1 + count+... ) —
+    # rank() gives the block start; count over the value partition
+    # gives the block size; midrank = start + (size-1)/2
+    t = src.select(
+        "_g",
+        "_o",
+        F.rank().over(wv).cast("double").alias("_rs"),
+        F.count("*")
+        .over(Window.partitionBy("_g", "_v"))
+        .cast("double")
+        .alias("_tc"),
+    )
+    r = F.col("_rs") + (F.col("_tc") - 1.0) / 2.0
+    wo = Window.partitionBy("_g").orderBy("_o")
+    t = t.select("_g", "_o", r.alias("_r"))
+    t = t.withColumn("_rn", F.lead("_r").over(wo))
+    num = (F.col("_r") - F.col("_rn")) * (F.col("_r") - F.col("_rn"))
+    agg = t.groupBy("_g").agg(
+        F.count("*").alias("_n"),
+        (F.sum(F.when(F.col("_rn").isNotNull(), num * 4.0)) / 4.0).alias(
+            "_num"
+        ),
+        (F.sum(F.col("_r") * 4.0) / 4.0).alias("_sr"),
+        (F.sum(F.col("_r") * F.col("_r") * 4.0) / 4.0).alias("_sr2"),
+    )
+    n = F.col("_n").cast("double")
+    den = F.col("_sr2") - F.col("_sr") * F.col("_sr") / n
+    rvn = F.when(den > 0, F.col("_num") / den)
+    var = (
+        4.0
+        * (n - 2.0)
+        * (5.0 * n * n - 2.0 * n - 9.0)
+        / (5.0 * n * (n + 1.0) * (n - 1.0) * (n - 1.0))
+    )
+    z = F.when(F.col("_n") > 3, (rvn - 2.0) / F.sqrt(var))
+    return agg.select(
+        F.col("_g").alias("g"),
+        F.col("_n").cast("long").alias("n"),
+        F.round(rvn, 6).alias("rvn"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > 1.96).cast("int").alias("reject_5pct"),
+    )
+
+
+def quade_test(
+    df: DataFrame, block_col: str, treat_col: str, value_col: str
+) -> DataFrame:
+    """Quade test for k related treatments over n blocks → one row
+    (n_blocks, k, f_stat, df1, df2): within-block midranks Rᵢⱼ are
+    weighted by each block's RANGE rank Qᵢ (blocks that discriminate
+    harder count more — the power upgrade over ``friedman_test`` when
+    block scales differ), Sᵢⱼ = Qᵢ(Rᵢⱼ − (k+1)/2), and
+    F = (n−1)·B/(A−B) with A = ΣSᵢⱼ², B = ΣⱼSⱼ²/n ~ F(k−1,(n−1)(k−1)).
+    Critical-value convention (``chow_test``): no replayable F tail.
+
+    Blocks missing any treatment are dropped (complete-block design).
+    Midranks and Qᵢ are half-integers, so 16·Sᵢⱼ² and 16·Sⱼ² are
+    exact integers — both quadratic forms are order-free exact sums;
+    F is one IEEE ratio of exact sums. Three keyed windows + two
+    aggregates, nothing driver-side."""
+    src = df.select(
+        F.col(block_col).alias("_b"),
+        F.col(treat_col).alias("_t"),
+        F.floor(F.col(value_col).cast("double") * _Q).alias("_vq"),
+    ).filter(F.col("_vq").isNotNull())
+    k_df = src.agg(F.countDistinct("_t").alias("_k"))
+    # complete blocks only
+    cnt = src.groupBy("_b").agg(F.countDistinct("_t").alias("_bk"))
+    src = src.crossJoin(F.broadcast(k_df)).join(cnt, "_b").filter(
+        F.col("_bk") == F.col("_k")
+    )
+    wb = Window.partitionBy("_b").orderBy("_vq")
+    tie = Window.partitionBy("_b", "_vq")
+    r = (
+        F.rank().over(wb).cast("double")
+        + (F.count("*").over(tie).cast("double") - 1.0) / 2.0
+    )
+    t = src.select("_b", "_t", "_k", "_vq", r.alias("_r"))
+    rng = src.groupBy("_b", "_k").agg(
+        (F.max("_vq") - F.min("_vq")).alias("_rng")
+    )
+    wr = Window.orderBy("_rng")
+    tier = Window.partitionBy("_rng")
+    q = (
+        F.rank().over(wr).cast("double")
+        + (F.count("*").over(tier).cast("double") - 1.0) / 2.0
+    )
+    rng = rng.select("_b", "_k", q.alias("_q"))
+    j = t.join(rng.select("_b", "_q"), "_b")
+    kk = F.col("_k").cast("double")
+    s = F.col("_q") * (F.col("_r") - (kk + 1.0) / 2.0)
+    per = j.select("_b", "_t", "_k", s.alias("_s"))
+    sj = per.groupBy("_t", "_k").agg(
+        (F.sum(F.col("_s") * 4.0) / 4.0).alias("_sj"),
+        (F.sum(F.col("_s") * F.col("_s") * 16.0) / 16.0).alias("_a_t"),
+        F.count("*").alias("_nb"),
+    )
+    agg = sj.groupBy("_k").agg(
+        F.max("_nb").alias("_n"),
+        (F.sum(F.col("_sj") * F.col("_sj") * 16.0) / 16.0).alias("_b2"),
+        F.sum("_a_t").alias("_a"),
+    )
+    n = F.col("_n").cast("double")
+    kk = F.col("_k").cast("double")
+    b = F.col("_b2") / n
+    fstat = F.when(F.col("_a") > b, (n - 1.0) * b / (F.col("_a") - b))
+    return agg.select(
+        F.col("_n").cast("long").alias("n_blocks"),
+        F.col("_k").cast("long").alias("k"),
+        F.round(fstat, 6).alias("f_stat"),
+        (F.col("_k") - 1).cast("long").alias("df1"),
+        ((F.col("_n") - 1) * (F.col("_k") - 1)).cast("long").alias("df2"),
+    )
+
+
+def jonckheere_terpstra(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Jonckheere–Terpstra ordered-alternatives test → one row
+    (k_groups, n, j_stat, mean_null, z_stat, reject_5pct): J = Σ over
+    ordered group pairs (a < b, lexicographic) of the Mann–Whitney
+    U_ab counting pairs where the later group's value wins (ties ½,
+    via midranks within the pair) — the trend-aware upgrade over
+    ``kruskal_wallis`` when groups carry a natural order. Normal
+    approximation μ = (N²−Σnᵢ²)/4, σ² = (N²(2N+3)−Σnᵢ²(2nᵢ+3))/72
+    (untied-variance convention, documented under midrank ties).
+
+    Shape: each row joins to the ≤ k−1 group pairs it belongs to (a
+    bounded broadcast fan-out, never a row×row product), one midrank
+    window per pair partition, exact ×2-integer rank sums."""
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        (F.floor(F.col(value_col).cast("double") * _Q) / _Q).alias("_v"),
+    ).filter(F.col("_v").isNotNull() & F.col("_g").isNotNull())
+    groups = src.select("_g").distinct()
+    pairs = (
+        groups.alias("l")
+        .join(groups.alias("r"), F.col("l._g") < F.col("r._g"))
+        .select(F.col("l._g").alias("_a"), F.col("r._g").alias("_b"))
+    )
+    fan = src.join(
+        F.broadcast(pairs),
+        (F.col("_g") == F.col("_a")) | (F.col("_g") == F.col("_b")),
+    )
+    wp = Window.partitionBy("_a", "_b").orderBy("_v")
+    tie = Window.partitionBy("_a", "_b", "_v")
+    r = (
+        F.rank().over(wp).cast("double")
+        + (F.count("*").over(tie).cast("double") - 1.0) / 2.0
+    )
+    t = fan.select("_a", "_b", "_g", r.alias("_r"))
+    per = t.groupBy("_a", "_b").agg(
+        (
+            F.sum(F.when(F.col("_g") == F.col("_b"), F.col("_r") * 2.0))
+            / 2.0
+        ).alias("_rb"),
+        F.count(F.when(F.col("_g") == F.col("_b"), 1)).alias("_nb"),
+    )
+    u = F.col("_rb") - F.col("_nb").cast("double") * (
+        F.col("_nb").cast("double") + 1.0
+    ) / 2.0
+    jsum = per.agg((F.sum(u * 2.0) / 2.0).alias("_j"))
+    sizes = src.groupBy("_g").agg(F.count("*").alias("_ni"))
+    tots = sizes.agg(
+        F.count("*").alias("_k"),
+        F.sum("_ni").alias("_nn"),
+        F.sum(F.col("_ni") * F.col("_ni")).alias("_s2"),
+        F.sum(
+            F.col("_ni") * F.col("_ni") * (2 * F.col("_ni") + 3)
+        ).alias("_s3"),
+    )
+    agg = jsum.crossJoin(F.broadcast(tots))
+    nn = F.col("_nn").cast("double")
+    mu = (nn * nn - F.col("_s2").cast("double")) / 4.0
+    var = (
+        nn * nn * (2.0 * nn + 3.0) - F.col("_s3").cast("double")
+    ) / 72.0
+    z = F.when(var > 0, (F.col("_j") - mu) / F.sqrt(var))
+    return agg.select(
+        F.col("_k").cast("long").alias("k_groups"),
+        F.col("_nn").cast("long").alias("n"),
+        F.round("_j", 6).alias("j_stat"),
+        F.round(mu, 6).alias("mean_null"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > 1.96).cast("int").alias("reject_5pct"),
+    )
+
+
+def smr_byar(
+    df: DataFrame, group_col: str, obs_col: str, exp_col: str
+) -> DataFrame:
+    """Standardized ratio with Byar's approximate exact Poisson CI per
+    group → (g, obs, expected, smr, ci_lo, ci_hi, sig_5pct):
+    SMR = O/E with L = O(1 − 1/(9O) − z/(3√O))³/E and
+    U = (O+1)(1 − 1/(9(O+1)) + z/(3√(O+1)))³/E (z = 1.96) — the
+    indirect-standardization workhorse; Byar's cube tracks the exact
+    Poisson limits to ~1% even at small O (L = 0 when O = 0).
+    Input is the already-aggregated (group, observed, expected)
+    table; everything here is per-row closed-form IEEE of exact
+    counts."""
+    o = F.col(obs_col).cast("double")
+    e = F.col(exp_col).cast("double")
+    z = F.lit(1.96)
+    o1 = o + 1.0
+    lo = F.when(
+        o > 0,
+        o * F.pow(1.0 - 1.0 / (9.0 * o) - z / (3.0 * F.sqrt(o)), 3.0) / e,
+    ).otherwise(F.lit(0.0))
+    hi = o1 * F.pow(
+        1.0 - 1.0 / (9.0 * o1) + z / (3.0 * F.sqrt(o1)), 3.0
+    ) / e
+    smr = o / e
+    return df.select(
+        F.col(group_col).alias("g"),
+        F.col(obs_col).cast("long").alias("obs"),
+        F.round(e, 6).alias("expected"),
+        F.round(smr, 6).alias("smr"),
+        F.round(lo, 6).alias("ci_lo"),
+        F.round(hi, 6).alias("ci_hi"),
+        ((lo > 1.0) | (hi < 1.0)).cast("int").alias("sig_5pct"),
+    )
+
+
+def suits_index(
+    df: DataFrame, income_col: str, tax_col: str
+) -> DataFrame:
+    """Suits progressivity index → one row (n, total_income,
+    total_tax, suits): S = 1 − 2·∫₀¹ y(x) dx where x = cumulative
+    income share (units ordered by income) and y = cumulative tax
+    share — the tax-system sibling of the Gini/Lorenz pair
+    (S > 0: progressive, the rich carry a more-than-proportional
+    share; S < 0: regressive). Trapezoid integral over the ordered
+    curve: cumulative sums of 2^-20-grid values are exact at every
+    prefix, each trapezoid term lands on the 2^-40 grid before the
+    final sum (order-free exact), ordering ties broken by
+    (income, tax) so the curve is engine-identical."""
+    qi = F.floor(F.col(income_col).cast("double") * _Q) / _Q
+    qt = F.floor(F.col(tax_col).cast("double") * _Q) / _Q
+    src = df.select(qi.alias("_i"), qt.alias("_t")).filter(
+        F.col("_i").isNotNull() & F.col("_t").isNotNull()
+    )
+    tot = src.agg(
+        F.count("*").alias("_n"),
+        (F.sum(F.col("_i") * _Q) / _Q).alias("_ti"),
+        (F.sum(F.col("_t") * _Q) / _Q).alias("_tt"),
+    )
+    w = Window.orderBy("_i", "_t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    t = src.select(
+        "_i",
+        "_t",
+        (F.sum(F.col("_i") * _Q).over(w) / _Q).alias("_ci"),
+        (F.sum(F.col("_t") * _Q).over(w) / _Q).alias("_ct"),
+    ).crossJoin(F.broadcast(tot))
+    x = F.col("_ci") / F.col("_ti")
+    y = F.col("_ct") / F.col("_tt")
+    xp = x - F.col("_i") / F.col("_ti")
+    yp = y - F.col("_t") / F.col("_tt")
+    term = (x - xp) * (y + yp)
+    agg = t.groupBy("_n", "_ti", "_tt").agg(
+        (F.sum(F.floor(term * _LQ)) / _LQ).alias("_area2")
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round("_ti", 6).alias("total_income"),
+        F.round("_tt", 6).alias("total_tax"),
+        F.round(1.0 - F.col("_area2"), 6).alias("suits"),
+    )
+
+
+def aalen_johansen(
+    df: DataFrame, duration_col: str, cause_col: str
+) -> DataFrame:
+    """Aalen–Johansen cumulative incidence under competing risks →
+    (t, cause, n_risk, d_cause, cif): CIFₖ(t) = Σ_{u ≤ t} S(u⁻)·dₖᵤ/nᵤ
+    with S the ALL-cause Kaplan–Meier — the estimator that 1−KM-per-
+    cause gets wrong (it overstates incidence by pretending competing
+    events are censorings). ``cause_col`` = 0 for censored, else the
+    integer competing cause.
+
+    The ``kaplan_meier`` discipline: per-duration counts, reverse
+    cumsum for n_risk, S(u⁻) = exp(cumsum(ln) over STRICTLY earlier
+    event times), then one ordered cumsum per cause of the IEEE
+    increments — identical term order on every engine; curve tables
+    are bounded by distinct durations × causes."""
+    src = df.select(
+        F.col(duration_col).cast("long").alias("_t"),
+        F.col(cause_col).cast("int").alias("_c"),
+    ).filter(F.col("_t").isNotNull() & F.col("_c").isNotNull())
+    per_t = src.groupBy("_t").agg(
+        F.count("*").alias("_n_t"),
+        F.count(F.when(F.col("_c") != 0, 1)).alias("_d_all"),
+    )
+    w = Window.orderBy("_t")
+    base = per_t.withColumn(
+        "_n_risk",
+        F.sum("_n_t").over(
+            w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ),
+    )
+    lf = F.when(
+        F.col("_d_all") > 0,
+        F.log(
+            1.0
+            - F.col("_d_all").cast("double")
+            / F.col("_n_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    base = base.withColumn(
+        "_s_minus",
+        F.exp(
+            F.coalesce(
+                F.sum(lf).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0.0),
+            )
+        ),
+    )
+    per_tc = src.filter(F.col("_c") != 0).groupBy("_t", "_c").agg(
+        F.count("*").alias("_d_c")
+    )
+    j = per_tc.join(
+        base.select("_t", "_n_risk", "_s_minus"), "_t"
+    )
+    inc = F.col("_s_minus") * F.col("_d_c").cast("double") / F.col(
+        "_n_risk"
+    ).cast("double")
+    wc = Window.partitionBy("_c").orderBy("_t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    t = j.withColumn("_cif", F.sum(inc).over(wc))
+    return t.select(
+        F.col("_t").cast("long").alias("t"),
+        F.col("_c").cast("int").alias("cause"),
+        F.col("_n_risk").cast("long").alias("n_risk"),
+        F.col("_d_c").cast("long").alias("d_cause"),
+        F.round("_cif", 6).alias("cif"),
+    )
+
+
+def moses_test(
+    df: DataFrame,
+    group_col: str,
+    control: str,
+    experimental: str,
+    value_col: str,
+    h: int = 1,
+) -> DataFrame:
+    """Moses test of extreme reactions → one row (n_c, n_e, span,
+    excess, p_value, reject_5pct): do EXPERIMENTAL observations pile
+    up in BOTH tails around the controls (the bimodal 'extreme
+    reaction' alternative every location test misses)? After dropping
+    the ``h`` smallest and largest controls (outlier armor), the span
+    of the remaining c = n_c−2h control ranks in the combined ordering
+    is s = c + g, where g counts experimentals strictly inside the
+    control range; under H₀ (stars-and-bars over the c+1 gaps)
+    P(≤ g inside) = Σᵢ₌₀..g C(i+c−2, i)·(n_e−i+1) / C(n_e+c, n_e).
+
+    The ``fisher_exact`` discipline, no factorial tables: ln weights
+    by ratio recurrence over the bounded i-spine (2^-40 ln grid, one
+    ordered cumsum), ln C(n_e+c, n_e) = Σⱼ₌₁..c ln((n_e+j)/j) over a
+    c-bounded spine, exp sums re-gridded to exact integers. Combined
+    ranking is one ordered window with (value, group) tiebreak."""
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        (F.floor(F.col(value_col).cast("double") * _Q) / _Q).alias("_v"),
+    ).filter(
+        F.col("_v").isNotNull() & F.col("_g").isin([control, experimental])
+    )
+    w = Window.orderBy("_v", "_g")
+    t = src.select(
+        "_g", "_v", F.row_number().over(w).alias("_rank")
+    )
+    # rank of each control within its own group (for trimming)
+    wc = Window.partitionBy("_g").orderBy("_v", "_rank")
+    t = t.withColumn("_grank", F.row_number().over(wc))
+    counts = t.groupBy().pivot("_g", [control, experimental]).count()
+    counts = counts.select(
+        F.col(control).alias("_nc"), F.col(experimental).alias("_ne")
+    )
+    tt = t.crossJoin(F.broadcast(counts))
+    kept = tt.filter(
+        (F.col("_g") == experimental)
+        | (
+            (F.col("_grank") > h)
+            & (F.col("_grank") <= F.col("_nc") - h)
+        )
+    )
+    span = kept.filter(F.col("_g") == control).agg(
+        F.max("_nc").alias("_nc"),
+        F.max("_ne").alias("_ne"),
+        F.min("_rank").alias("_rlo"),
+        F.max("_rank").alias("_rhi"),
+    )
+    # experimentals strictly inside the trimmed control range
+    inside = kept.crossJoin(F.broadcast(span.select(
+        F.col("_rlo").alias("_lo2"), F.col("_rhi").alias("_hi2")
+    ))).filter(
+        (F.col("_g") == experimental)
+        & (F.col("_rank") > F.col("_lo2"))
+        & (F.col("_rank") < F.col("_hi2"))
+    ).agg(F.count("*").alias("_gin"))
+    base = span.crossJoin(F.broadcast(inside)).select(
+        "_nc", "_ne", "_gin",
+        (F.col("_nc") - 2 * h).alias("_c"),
+    )
+    # ln C(ne + c, ne) over the j = 1..c spine
+    denom_spine = base.select(
+        "_ne", "_c", F.explode(F.sequence(F.lit(1), F.col("_c"))).alias("_j")
+    )
+    gl = lambda x: F.floor(F.log(x.cast("double")) * _LQ)  # noqa: E731
+    lnc = denom_spine.groupBy("_ne", "_c").agg(
+        F.sum(
+            gl(F.col("_ne") + F.col("_j")) - gl(F.col("_j"))
+        ).alias("_lnC")
+    )
+    # weights w(i) = C(i+c-2, i)·(ne-i+1), i = 0..g by ratio recurrence
+    wspine = base.select(
+        "_nc", "_ne", "_gin", "_c",
+        F.explode(F.sequence(F.lit(0), F.col("_gin"))).alias("_i"),
+    )
+    step = F.when(F.col("_i") == 0, F.lit(0)).otherwise(
+        gl(F.col("_i") + F.col("_c") - 2)
+        - gl(F.col("_i"))
+        + gl(F.col("_ne") - F.col("_i") + 1)
+        - gl(F.col("_ne") - F.col("_i") + 2)
+    )
+    wi = Window.partitionBy("_c").orderBy("_i").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    lnw0 = gl(F.col("_ne") + 1)  # w(0) = ne + 1
+    t2 = wspine.withColumn("_lnw", lnw0 + F.sum(step).over(wi))
+    t2 = t2.join(lnc, ["_ne", "_c"])
+    p = F.exp((F.col("_lnw") - F.col("_lnC")).cast("double") / _LQ)
+    agg = t2.groupBy("_nc", "_ne", "_gin", "_c").agg(
+        (F.sum(F.floor(p * _LQ)) / _LQ).alias("_p")
+    )
+    pv = F.least(F.col("_p"), F.lit(1.0))
+    return agg.select(
+        F.col("_nc").cast("long").alias("n_c"),
+        F.col("_ne").cast("long").alias("n_e"),
+        (F.col("_c") + F.col("_gin")).cast("long").alias("span"),
+        F.col("_gin").cast("long").alias("excess"),
+        F.round(pv, 6).alias("p_value"),
+        (pv < 0.05).cast("int").alias("reject_5pct"),
+    )
+
+
+def cucconi_test(
+    df: DataFrame, group_col: str, a: str, b: str, value_col: str
+) -> DataFrame:
+    """Cucconi joint location-scale two-sample test → one row (n_a,
+    n_b, u_stat, v_stat, c_stat, p_value, reject_5pct): U from the
+    squared combined midranks of sample a, V from the squared CONTRA
+    ranks (N+1−R)², combined as C = (U²+V²−2ρUV)/(2(1−ρ²)) with the
+    exact null correlation ρ = 2(N²−4)/((2N+1)(8N+11)) − 1 and the
+    asymptotic p = exp(−C) — one test that catches location AND scale
+    shifts (the Lepage alternative without combining two separate
+    statistics). Midranks make 4·ΣR² exact integers; everything
+    downstream is IEEE of exact sums."""
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        (F.floor(F.col(value_col).cast("double") * _Q) / _Q).alias("_v"),
+    ).filter(F.col("_v").isNotNull() & F.col("_g").isin([a, b]))
+    w = Window.orderBy("_v")
+    tie = Window.partitionBy("_v")
+    r = (
+        F.rank().over(w).cast("double")
+        + (F.count("*").over(tie).cast("double") - 1.0) / 2.0
+    )
+    t = src.select("_g", r.alias("_r"))
+    agg = t.agg(
+        F.count(F.when(F.col("_g") == a, 1)).alias("_na"),
+        F.count(F.when(F.col("_g") == b, 1)).alias("_nb"),
+        (
+            F.sum(
+                F.when(F.col("_g") == a, F.col("_r") * F.col("_r") * 4.0)
+            )
+            / 4.0
+        ).alias("_sr2"),
+        (
+            F.sum(F.when(F.col("_g") == a, F.col("_r") * 2.0)) / 2.0
+        ).alias("_sr"),
+    )
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    nn = na + nb
+    # contra sum: Σ(N+1-R)² = na(N+1)² - 2(N+1)ΣR + ΣR²
+    sc2 = (
+        na * (nn + 1.0) * (nn + 1.0)
+        - 2.0 * (nn + 1.0) * F.col("_sr")
+        + F.col("_sr2")
+    )
+    den = F.sqrt(
+        na * nb * (nn + 1.0) * (2.0 * nn + 1.0) * (8.0 * nn + 11.0) / 5.0
+    )
+    u = (6.0 * F.col("_sr2") - na * (nn + 1.0) * (2.0 * nn + 1.0)) / den
+    v = (6.0 * sc2 - na * (nn + 1.0) * (2.0 * nn + 1.0)) / den
+    rho = 2.0 * (nn * nn - 4.0) / (
+        (2.0 * nn + 1.0) * (8.0 * nn + 11.0)
+    ) - 1.0
+    c = (u * u + v * v - 2.0 * rho * u * v) / (2.0 * (1.0 - rho * rho))
+    p = F.exp(-c)
+    return agg.select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.round(u, 6).alias("u_stat"),
+        F.round(v, 6).alias("v_stat"),
+        F.round(c, 6).alias("c_stat"),
+        F.round(p, 6).alias("p_value"),
+        (p < 0.05).cast("int").alias("reject_5pct"),
     )

@@ -510,9 +510,11 @@ def ewma_smooth(
     smoothed = Σ (1−α)^age · x / Σ (1−α)^age, age 0 at the current row.
 
     Plan: ONE keyed window pass collecting the ≤ lookback-element
-    trailing frame, then a pure codegen HOF fold over it (``let_bind``
-    keeps the frame list evaluated once — HOF lambdas sit outside
-    common-subexpression elimination). No self-joins, no Python; the
+    trailing frame, then a JVM-side HOF fold over it (``let_bind``
+    keeps the frame list evaluated once — HOF lambdas are INTERPRETED
+    expressions, outside both codegen and common-subexpression
+    elimination, which the bounded frame makes affordable). No
+    self-joins, no Python; the
     fold order is left-to-right over the frame, bit-replayable by an
     ANSI engine with list lambdas. NULL values are excluded before the
     frame so decay ages refer to observed points."""
@@ -4056,20 +4058,43 @@ def c_chart(
     subgroups, center line c̄ = mean bucket count, Poisson 3σ limits
     c̄ ± 3·√c̄ (LCL clamped at 0), and the count of out-of-control
     buckets — the count-data sibling of ``p_chart`` (rates) and
-    ``imr_chart`` (measurements). Two aggregates; every count and the
-    center line (an integer ratio) are exact."""
+    ``imr_chart`` (measurements). The bucket axis is DENSIFIED per key
+    (sequence over the min..max bucket starts, zero-filled): an empty
+    period is a real zero-count subgroup — dropping it would inflate
+    c̄ and hide exactly the below-LCL signal a c-chart exists to catch
+    when c̄ > 9. Aggregates plus one bounded per-key sequence explode
+    (span/bucket elements); every count and the center line (an
+    integer ratio) are exact."""
     src = df.select(
         F.col(key_col).alias("key"),
         F.window(F.col(ts_col), bucket).alias("_w"),
     )
-    per = src.groupBy("key", "_w").agg(F.count("*").alias("_ci"))
-    tot = per.groupBy("key").agg(
+    per = (
+        src.groupBy("key", "_w")
+        .agg(F.count("*").alias("_ci"))
+        .select("key", F.col("_w.start").alias("_s"), "_ci")
+    )
+    axis = per.groupBy("key").agg(
+        F.min("_s").alias("_lo"), F.max("_s").alias("_hi")
+    )
+    axis = axis.select(
+        "key",
+        F.explode(
+            F.sequence(
+                F.col("_lo"), F.col("_hi"), F.expr(f"INTERVAL {bucket}")
+            )
+        ).alias("_s"),
+    )
+    dense = axis.join(per, ["key", "_s"], "left").withColumn(
+        "_ci", F.coalesce("_ci", F.lit(0))
+    )
+    tot = dense.groupBy("key").agg(
         F.count("*").alias("_nb"),
         F.sum("_ci").alias("_c"),
     )
     cb = F.col("_c").cast("double") / F.col("_nb")
     lim = tot.select("key", "_nb", cb.alias("_cb"))
-    j = per.join(F.broadcast(lim), "key")
+    j = dense.join(F.broadcast(lim), "key")
     ucl = F.col("_cb") + 3.0 * F.sqrt(F.col("_cb"))
     lcl = F.greatest(F.col("_cb") - 3.0 * F.sqrt(F.col("_cb")), F.lit(0.0))
     ci = F.col("_ci").cast("double")
@@ -4144,7 +4169,8 @@ def macd(
     recursion e_t = αx_t + (1−α)e_{t−1} seeded at x_1, UNROLLED into a
     left-to-right weighted fold over the prefix frame — series are
     bounded buckets by contract (daily rollups), so the prefix arrays
-    are small and the fold is pure codegen, replayable by any engine
+    are small and the JVM-side fold — interpreted, as all HOF lambdas
+    are — stays cheap and replayable by any engine
     with list lambdas (same discipline as ``ewma_smooth``); the
     recursion itself would serialize the series AND resist SQL replay.
     """
@@ -4995,7 +5021,8 @@ def heikin_ashi(
     seeded at (O₁+C₁)/2 — the trend-denoising transform that turns a
     choppy candle series into runs. The recursion unrolls into one
     prefix fold over the bounded bar series (2^{1−t}·seed +
-    Σ 2^{i−t}·ha_closeᵢ — the ``macd`` discipline), pure codegen."""
+    Σ 2^{i−t}·ha_closeᵢ — the ``macd`` discipline), a bounded
+    JVM-side interpreted fold."""
     from from_superset_to_clickhouse_spark.functions.scalar import let_bind
 
     bars = ohlc_bars(df, key_col, ts_col, value_col, tiebreak_col, bar)
@@ -5043,4 +5070,541 @@ def heikin_ashi(
         F.round(F.greatest("_h", "_hao", "_hac"), 6).alias("ha_high"),
         F.round(F.least("_l", "_hao", "_hac"), 6).alias("ha_low"),
         F.round("_hac", 6).alias("ha_close"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-15 additions: indicator + forecasting + anomaly tier over the
+# shared bounded-series / OHLC-bar machinery.
+
+
+def aroon(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    period: int = 14,
+) -> DataFrame:
+    """Aroon indicator per series point → (group, order, aroon_up,
+    aroon_down): 100·(period − bars_since_extreme)/period over the
+    trailing period+1 rows — 'how FRESH is the high/low', the
+    trend-age readout ``stochastic_oscillator`` (distance-based)
+    doesn't give. Ties resolve to the most recent bar.
+
+    One window pass: lexicographic max of (value, idx) / (−value,
+    idx) structs makes argmax/argmin ordinary decomposable window
+    aggregates (both engines order structs field-by-field), so bars-
+    since is exact integer arithmetic — no self-join, no sort beyond
+    the keyed window."""
+    v = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(order_col).alias("_o"),
+        v.alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    wo = Window.partitionBy("_g").orderBy("_o")
+    t = src.withColumn("_i", F.row_number().over(wo).cast("long"))
+    wf = (
+        Window.partitionBy("_g")
+        .orderBy("_o")
+        .rowsBetween(-period, 0)
+    )
+    hi_i = F.max(F.struct(F.col("_v"), F.col("_i"))).over(wf)["_i"]
+    lo_i = F.max(F.struct((-F.col("_v")).alias("_v"), F.col("_i"))).over(
+        wf
+    )["_i"]
+    cnt = F.count("*").over(wf)
+    p = float(period)
+    up = F.when(
+        cnt == period + 1,
+        F.lit(100.0)
+        * (p - (F.col("_i") - hi_i).cast("double"))
+        / p,
+    )
+    dn = F.when(
+        cnt == period + 1,
+        F.lit(100.0)
+        * (p - (F.col("_i") - lo_i).cast("double"))
+        / p,
+    )
+    return t.select(
+        F.col("_g").alias(group_col),
+        F.col("_o").alias(order_col),
+        F.round(up, 6).alias("aroon_up"),
+        F.round(dn, 6).alias("aroon_down"),
+    )
+
+
+def chaikin_money_flow(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bar: str = "1 day",
+    period: int = 20,
+) -> DataFrame:
+    """Chaikin money flow per bar → (key, bar_start, cmf): CMF =
+    Σ(MFV)/Σ(volume) over the trailing ``period`` bars, with the
+    money-flow volume MFV = volume·((C−L)−(H−C))/(H−L) (0 on a flat
+    bar) — 'is volume entering near highs or lows', the
+    accumulation/distribution readout ``obv`` (direction-only)
+    misses. One ``ohlc_bars`` aggregate + one keyed window; each
+    bar's MFV lands on the 2^-20 grid before the trailing sum, so
+    both sums are exact and order-free; CMF is one IEEE ratio.
+    Warm-up rows (< period bars) are NULL."""
+    bars = ohlc_bars(df, key_col, ts_col, value_col, tiebreak_col, bar)
+    h = F.col("high").cast("double")
+    lo = F.col("low").cast("double")
+    c = F.col("close").cast("double")
+    mfm = F.when(h > lo, ((c - lo) - (h - c)) / (h - lo)).otherwise(
+        F.lit(0.0)
+    )
+    mfv = F.floor(mfm * F.col("volume").cast("double") * _Q2) / _Q2
+    t = bars.select(
+        F.col(key_col).alias("_k"),
+        F.col("bar_start").alias("_b"),
+        mfv.alias("_mfv"),
+        F.col("volume").cast("long").alias("_vol"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_b")
+        .rowsBetween(-(period - 1), 0)
+    )
+    cmf = F.when(
+        F.count("*").over(w) >= period,
+        (F.sum(F.col("_mfv") * _Q2).over(w) / _Q2)
+        / F.sum("_vol").over(w).cast("double"),
+    )
+    return t.select(
+        F.col("_k").alias(key_col),
+        F.col("_b").alias("bar_start"),
+        F.round(cmf, 6).alias("cmf"),
+    )
+
+
+def vortex_indicator(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bar: str = "1 day",
+    period: int = 14,
+) -> DataFrame:
+    """Vortex indicator per bar → (key, bar_start, vi_plus,
+    vi_minus): VI± = Σ|H_t − L_{t−1}| / ΣTR (resp. |L_t − H_{t−1}|)
+    over the trailing ``period`` bars, TR the true range — the
+    crossing pair traders read for trend reversals; the directional
+    sibling of ``keltner_channel``'s volatility bands. Bars from one
+    ``ohlc_bars`` aggregate; per-bar VM±/TR terms are grid-floored
+    (2^-20) so the trailing sums are exact; NULL until period+1 bars
+    (the first bar has no previous close)."""
+    bars = ohlc_bars(df, key_col, ts_col, value_col, tiebreak_col, bar)
+    t = bars.select(
+        F.col(key_col).alias("_k"),
+        F.col("bar_start").alias("_b"),
+        F.col("high").cast("double").alias("_h"),
+        F.col("low").cast("double").alias("_l"),
+        F.col("close").cast("double").alias("_c"),
+    )
+    wo = Window.partitionBy("_k").orderBy("_b")
+    t = t.select(
+        "_k", "_b", "_h", "_l",
+        F.lag("_h").over(wo).alias("_ph"),
+        F.lag("_l").over(wo).alias("_pl"),
+        F.lag("_c").over(wo).alias("_pc"),
+    )
+    q = lambda x: F.floor(x * _Q2) / _Q2  # noqa: E731
+    vmp = q(F.abs(F.col("_h") - F.col("_pl")))
+    vmm = q(F.abs(F.col("_l") - F.col("_ph")))
+    tr = q(
+        F.greatest(
+            F.col("_h") - F.col("_l"),
+            F.abs(F.col("_h") - F.col("_pc")),
+            F.abs(F.col("_l") - F.col("_pc")),
+        )
+    )
+    t = t.select(
+        "_k", "_b", vmp.alias("_vmp"), vmm.alias("_vmm"), tr.alias("_tr")
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_b")
+        .rowsBetween(-(period - 1), 0)
+    )
+    ok = F.count("_tr").over(w) >= period
+    str_ = F.sum(F.col("_tr") * _Q2).over(w) / _Q2
+    vip = F.when(
+        ok & (str_ > 0),
+        (F.sum(F.col("_vmp") * _Q2).over(w) / _Q2) / str_,
+    )
+    vim = F.when(
+        ok & (str_ > 0),
+        (F.sum(F.col("_vmm") * _Q2).over(w) / _Q2) / str_,
+    )
+    return t.select(
+        F.col("_k").alias(key_col),
+        F.col("_b").alias("bar_start"),
+        F.round(vip, 6).alias("vi_plus"),
+        F.round(vim, 6).alias("vi_minus"),
+    )
+
+
+def supertrend(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bar: str = "1 day",
+    period: int = 7,
+    mult: float = 3.0,
+) -> DataFrame:
+    """Supertrend trailing stop per bar → (key, bar_start, supertrend,
+    direction): bands (H+L)/2 ± mult·ATR ratchet toward price (the
+    upper band only moves DOWN while price is below it, mirrored for
+    the lower), and the line flips sides when the close crosses —
+    the classic stop-and-reverse overlay. ATR here is the SMA of
+    true range over ``period`` bars (documented variant; Wilder's
+    RMA would nest a second recursion for no bench-visible gain).
+
+    The band ratchet is a genuine order-dependent recursion: it
+    unrolls as a left-to-right fold over each bar's ready-prefix
+    (bars with a warm ATR), the ``macd`` bounded-series discipline.
+    Every fold input lands on the 2^-20 grid FIRST and the fold only
+    ever selects/compares gridded values — zero accumulation drift,
+    so any engine with list lambdas replays it bit-for-bit. NULL
+    until the first post-warm-up bar."""
+    from from_superset_to_clickhouse_spark.functions.scalar import let_bind
+
+    bars = ohlc_bars(df, key_col, ts_col, value_col, tiebreak_col, bar)
+    t = bars.select(
+        F.col(key_col).alias("_k"),
+        F.col("bar_start").alias("_b"),
+        F.col("high").cast("double").alias("_h"),
+        F.col("low").cast("double").alias("_l"),
+        F.col("close").cast("double").alias("_c"),
+    )
+    wo = Window.partitionBy("_k").orderBy("_b")
+    pc = F.lag("_c").over(wo)
+    tr = F.floor(
+        F.greatest(
+            F.col("_h") - F.col("_l"),
+            F.coalesce(F.abs(F.col("_h") - pc), F.col("_h") - F.col("_l")),
+            F.coalesce(F.abs(F.col("_l") - pc), F.col("_h") - F.col("_l")),
+        )
+        * _Q2
+    ) / _Q2
+    t = t.withColumn("_tr", tr)
+    wp = (
+        Window.partitionBy("_k")
+        .orderBy("_b")
+        .rowsBetween(-(period - 1), 0)
+    )
+    atr = F.when(
+        F.count("_tr").over(wp) >= period,
+        F.floor(
+            (F.sum(F.col("_tr") * _Q2).over(wp) / _Q2)
+            / F.lit(float(period))
+            * _Q2
+        )
+        / _Q2,
+    )
+    hl2 = (F.col("_h") + F.col("_l")) / 2.0
+    bu = F.floor((hl2 + F.lit(float(mult)) * F.col("_atr")) * _Q2) / _Q2
+    bl = F.floor((hl2 - F.lit(float(mult)) * F.col("_atr")) * _Q2) / _Q2
+    t = t.withColumn("_atr", atr)
+    elem = F.when(
+        F.col("_atr").isNotNull(),
+        F.struct(
+            bu.alias("bu"),
+            bl.alias("bl"),
+            (F.floor(F.col("_c") * _Q2) / _Q2).alias("cq"),
+        ),
+    )
+    t = t.withColumn("_e", elem)
+    wf = (
+        Window.partitionBy("_k")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    frame = F.collect_list("_e").over(wf)
+
+    null_d = F.lit(None).cast("double")
+    zero = F.struct(
+        null_d.alias("bu"), null_d.alias("bl"), null_d.alias("cq"),
+        null_d.alias("ub"), null_d.alias("lb"), null_d.alias("st"),
+    )
+
+    def widen(x):
+        return F.struct(
+            x["bu"].alias("bu"), x["bl"].alias("bl"), x["cq"].alias("cq"),
+            null_d.alias("ub"), null_d.alias("lb"), null_d.alias("st"),
+        )
+
+    def seed(x):
+        # first ready bar: bands start at their basics; trend starts
+        # down (st = upper) unless close already above the band
+        st = F.when(x["cq"] <= x["bu"], x["bu"]).otherwise(x["bl"])
+        return F.struct(
+            x["bu"].alias("bu"), x["bl"].alias("bl"), x["cq"].alias("cq"),
+            x["bu"].alias("ub"), x["bl"].alias("lb"), st.alias("st"),
+        )
+
+    def step(acc, x):
+        ub = F.when(
+            (x["bu"] < acc["ub"]) | (acc["cq"] > acc["ub"]), x["bu"]
+        ).otherwise(acc["ub"])
+        lb = F.when(
+            (x["bl"] > acc["lb"]) | (acc["cq"] < acc["lb"]), x["bl"]
+        ).otherwise(acc["lb"])
+        was_down = acc["st"] == acc["ub"]
+        st = F.when(
+            was_down,
+            F.when(x["cq"] <= ub, ub).otherwise(lb),
+        ).otherwise(F.when(x["cq"] >= lb, lb).otherwise(ub))
+        return F.struct(
+            x["bu"].alias("bu"), x["bl"].alias("bl"), x["cq"].alias("cq"),
+            ub.alias("ub"), lb.alias("lb"), st.alias("st"),
+        )
+
+    def fold(l):
+        return F.aggregate(
+            l,
+            zero,
+            lambda acc, x: F.when(acc["bu"].isNull(), widen(x)).otherwise(
+                F.when(acc["ub"].isNull(), step(seed(acc), x)).otherwise(
+                    step(acc, x)
+                )
+            ),
+            # a 1-element ready-prefix never entered step(): finish by
+            # seeding it (DuckDB's list_reduce returns the raw element
+            # there — its twin applies the same seed-if-unstepped)
+            lambda acc: F.when(
+                acc["ub"].isNull() & acc["bu"].isNotNull(),
+                F.struct(
+                    seed(acc)["ub"].alias("ub"),
+                    seed(acc)["lb"].alias("lb"),
+                    seed(acc)["st"].alias("st"),
+                ),
+            ).otherwise(
+                F.struct(
+                    acc["ub"].alias("ub"),
+                    acc["lb"].alias("lb"),
+                    acc["st"].alias("st"),
+                )
+            ),
+        )
+
+    t = t.withColumn("_fin", let_bind(frame, fold))
+    stv = F.when(F.col("_atr").isNotNull(), F.col("_fin")["st"])
+    dirn = F.when(
+        stv.isNotNull(),
+        F.when(stv == F.col("_fin")["ub"], F.lit("down")).otherwise(
+            F.lit("up")
+        ),
+    )
+    return t.select(
+        F.col("_k").alias(key_col),
+        F.col("_b").alias("bar_start"),
+        F.round(stv, 6).alias("supertrend"),
+        dirn.alias("direction"),
+    )
+
+
+def theta_forecast(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    h: int = 1,
+) -> DataFrame:
+    """Theta-method point forecast per series → (group, n, intercept,
+    slope, ses_theta2, forecast): the M3-winning decomposition —
+    average the h-step extrapolations of the θ=0 line (the OLS trend)
+    and the θ=2 line zₜ = 2vₜ − (a + b·t) smoothed by SES with FIXED
+    ``alpha`` (free-α optimization is a solver, not an aggregate;
+    the fixed-α contract keeps the whole thing replayable).
+    ŷ_{n+h} = ½(a + b(n+h)) + ½·SES_n(z).
+
+    Two passes: grid-exact OLS sums (t = 1..n by row_number), then
+    the SES recursion unrolled as one weighted fold over the sorted
+    per-series array (the ``macd`` discipline — bounded series by
+    contract)."""
+    from from_superset_to_clickhouse_spark.functions.scalar import let_bind
+
+    v = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(order_col).alias("_o"),
+        v.alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    wo = Window.partitionBy("_g").orderBy("_o")
+    t = src.withColumn("_t", F.row_number().over(wo).cast("double"))
+    agg = t.groupBy("_g").agg(
+        F.count("*").alias("_n"),
+        (F.sum(F.col("_v") * _Q2) / _Q2).alias("_sv"),
+        F.sum("_t").alias("_st"),
+        F.sum(F.col("_t") * F.col("_t")).alias("_st2"),
+        (F.sum(F.floor(F.col("_t") * F.col("_v") * _Q2)) / _Q2).alias(
+            "_stv"
+        ),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_t"), F.col("_v")))
+        ).alias("_arr"),
+    )
+    n = F.col("_n").cast("double")
+    sxx = F.col("_st2") - F.col("_st") * F.col("_st") / n
+    sxy = F.col("_stv") - F.col("_st") * F.col("_sv") / n
+    b = F.when(sxx > 0, sxy / sxx).otherwise(F.lit(0.0))
+    a = (F.col("_sv") - b * F.col("_st")) / n
+    agg = agg.select(
+        "_g", "_n", "_arr", a.alias("_a"), b.alias("_b")
+    )
+    al, de = float(alpha), 1.0 - float(alpha)
+
+    def ses(l):
+        # z_i = 2v_i - (a + b t_i); SES_n = Σ w_i z_i with
+        # w_1 = (1-α)^{n-1}, w_i = α(1-α)^{n-i}
+        nn = F.size(l)
+        return F.aggregate(
+            F.transform(
+                l,
+                lambda x, i: (
+                    2.0 * x["_v"]
+                    - (F.col("_a") + F.col("_b") * x["_t"])
+                )
+                * F.when(
+                    i == 0, F.pow(F.lit(de), (nn - 1).cast("double"))
+                ).otherwise(
+                    F.lit(al) * F.pow(F.lit(de), (nn - 1 - i).cast("double"))
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    agg = agg.withColumn("_ses", let_bind(F.col("_arr"), ses))
+    trend = F.col("_a") + F.col("_b") * (n + float(h))
+    fc = 0.5 * trend + 0.5 * F.col("_ses")
+    return agg.select(
+        F.col("_g").alias("g"),
+        F.col("_n").cast("long").alias("n"),
+        F.round("_a", 6).alias("intercept"),
+        F.round("_b", 6).alias("slope"),
+        F.round("_ses", 6).alias("ses_theta2"),
+        F.round(fc, 6).alias("forecast"),
+    )
+
+
+def seasonal_esd(
+    df: DataFrame,
+    group_col: str,
+    date_col: str,
+    value_col: str,
+    lambdas: "tuple[float, float, float]" = (3.0, 3.0, 3.0),
+) -> DataFrame:
+    """Seasonal-hybrid ESD anomalies (3 unrolled rounds) per series →
+    (g, d, v, residual, r_stat, round): deseason each daily point by
+    its weekday MEDIAN (medians, not means — the S-H-ESD robustness
+    trick; the overall-median level terms cancel exactly, see below),
+    then run generalized-ESD: round i
+    removes the largest |residual − mean| point and re-tests the
+    REMAINING data, so one monster outlier can't mask its neighbors
+    (exactly where a single ``grubbs_test`` stops). A point is
+    emitted iff R_i = max|r−x̄|/s exceeds ``lambdas[i]`` — fixed
+    critical values by contract (t-quantiles have no replayable
+    closed form; the ``chow_test`` convention).
+
+    Rounds are literally unrolled: 3× (grid-exact moment aggregate +
+    lexicographic max_by pick + anti-join removal), the ``k_truss``
+    unrolled-program discipline; medians are exact order statistics
+    of bounded per-(g, weekday) arrays."""
+    v = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(date_col).alias("_d"),
+        v.alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    src = src.withColumn("_wd", F.dayofweek("_d"))
+
+    def arr_med(c):
+        m = F.size(c)
+        lo = F.element_at(c, ((m + 1) / 2).cast("int"))
+        hi = F.element_at(c, (m / 2 + 1).cast("int"))
+        return (lo + hi) / 2.0
+
+    wk = Window.partitionBy("_g", "_wd")
+    t = src.select(
+        "_g", "_d", "_v",
+        arr_med(F.array_sort(F.collect_list("_v").over(wk))).alias("_mw"),
+    )
+    # residual = v − seasonal − level with seasonal = med_weekday − med
+    # and level = med: the overall-median terms cancel to v − med_wd
+    r = F.floor((F.col("_v") - F.col("_mw")) * _Q2) / _Q2
+    cur = t.select("_g", "_d", "_v", r.alias("_r")).localCheckpoint(
+        eager=True
+    )
+    out = None
+    for rnd, lam in enumerate(lambdas):
+        m = cur.groupBy("_g").agg(
+            F.count("*").alias("_n"),
+            (F.sum(F.col("_r") * _Q2) / _Q2).alias("_s1"),
+            (F.sum(F.floor(F.col("_r") * F.col("_r") * _Q2)) / _Q2).alias(
+                "_s2"
+            ),
+        )
+        nn = F.col("_n").cast("double")
+        mean = F.col("_s1") / nn
+        sd = F.sqrt(
+            F.greatest(
+                (F.col("_s2") - nn * mean * mean) / nn, F.lit(0.0)
+            )
+        )
+        m = m.select("_g", mean.alias("_m"), sd.alias("_sd"), "_n")
+        j = cur.join(F.broadcast(m), "_g")
+        dev = F.abs(F.col("_r") - F.col("_m"))
+        # deterministic worst pick: lexicographic max of (dev, r, d)
+        pick = (
+            j.groupBy("_g")
+            .agg(
+                F.max(
+                    F.struct(
+                        dev.alias("_dev"),
+                        F.col("_r").alias("_r"),
+                        F.col("_d").alias("_d"),
+                        F.col("_v").alias("_v"),
+                        F.col("_sd").alias("_sd"),
+                        F.col("_n").alias("_n"),
+                    )
+                ).alias("_w")
+            )
+            .select(
+                "_g",
+                F.col("_w._d").alias("_d"),
+                F.col("_w._v").alias("_v"),
+                F.col("_w._r").alias("_r"),
+                F.when(
+                    (F.col("_w._sd") > 0) & (F.col("_w._n") > 2),
+                    F.col("_w._dev") / F.col("_w._sd"),
+                ).alias("_rs"),
+            )
+        )
+        flagged = pick.filter(F.col("_rs") > float(lam)).select(
+            "_g", "_d", "_v", "_r", "_rs", F.lit(rnd + 1).alias("_round")
+        )
+        out = flagged if out is None else out.unionByName(flagged)
+        cur = cur.join(
+            pick.select("_g", "_d"), ["_g", "_d"], "left_anti"
+        ).localCheckpoint(eager=True)
+    return out.select(
+        F.col("_g").alias("g"),
+        F.col("_d").alias("d"),
+        F.round("_v", 6).alias("v"),
+        F.round("_r", 6).alias("residual"),
+        F.round("_rs", 6).alias("r_stat"),
+        F.col("_round").cast("int").alias("round"),
     )

@@ -105,12 +105,16 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -
     ``unknown`` when no marker fires at all."""
     scores = lang_scores(F.col(text_col))
     langs = list(scores)
-    best = F.greatest(*[scores[l] for l in langs])
-    pred = F.lit(LANG_UNKNOWN)
-    for l in reversed(langs):
-        pred = F.when(scores[l] == best, F.lit(l)).otherwise(pred)
-    # reversed + otherwise-chaining makes the FIRST language in dict order
-    # win ties among maxima.
+    # array argmax, NOT a greatest + when-chain: the chain re-inlines
+    # every marker-score subtree ~7× and the fused Generate stage blew
+    # janino's 64 KB method limit under lang_segments' explode (silent
+    # interpreted fallback). array_position returns the FIRST maximal
+    # entry, so tie semantics (first language in dict order) and every
+    # integer score are unchanged.
+    arr = F.array(*[scores[l].cast("int") for l in langs])
+    lang_lit = F.array(*[F.lit(l) for l in langs])
+    best = F.array_max(arr)
+    pred = F.element_at(lang_lit, F.array_position(arr, best).cast("int"))
     return df.withColumn(out_col, F.when(best > 0, pred).otherwise(F.lit(LANG_UNKNOWN)))
 
 

@@ -673,3 +673,48 @@ def test_rich_club_elite_core(spark):
     # club at k=10: empty -> NULL phi
     r2 = rich_club(df, k=10).collect()[0]
     assert r2["n_club"] == 0 and r2["phi"] is None
+
+
+def test_scc_string_node_ids(spark):
+    """String node ids must work: the forward-coloring convergence probe
+    may only use the decimal-sum fast path for numeric ids (a string id
+    would ANSI-throw on the cast, or NULL-out and falsely converge after
+    one round with ANSI off). Two 2-cycles bridged by a one-way edge plus
+    a singleton — labels are lexicographic maxima per component."""
+    from from_superset_to_clickhouse_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"),          # SCC {a, b} -> "b"
+            ("b", "c"),                       # bridge, one-way
+            ("c", "d"), ("d", "c"),           # SCC {c, d} -> "d"
+            ("d", "e"),                       # e: singleton sink
+        ],
+        "src string, dst string",
+    )
+    got = {
+        r["node"]: r["scc"]
+        for r in strongly_connected_components(edges).collect()
+    }
+    assert got == {"a": "b", "b": "b", "c": "d", "d": "d", "e": "e"}
+
+
+def test_k_truss_raises_on_exhausted_peel_instead_of_non_truss(spark):
+    """A cascade that needs more peel rounds than max_iter must raise
+    (returning the last sup would include sub-threshold edges with
+    stale supports — a non-truss); the same graph converges with a
+    sufficient cap."""
+    import pytest
+
+    from from_superset_to_clickhouse_spark.operators.graph import k_truss
+
+    # K4 on {0,1,2,3} plus a peel chain: each round removes one layer.
+    arcs = {(a, b) for a in range(4) for b in range(4) if a < b}
+    arcs |= {(2, 4), (3, 4), (3, 5), (4, 5), (4, 6), (5, 6)}
+    df = spark.createDataFrame(sorted(arcs), "src int, dst int")
+    with pytest.raises(ValueError, match="did not converge"):
+        k_truss(df, k=4, max_iter=1).collect()
+    ok = {(r["a"], r["b"]) for r in k_truss(df, k=4, max_iter=10).collect()}
+    assert ok == {(a, b) for a in range(4) for b in range(4) if a < b}

@@ -940,3 +940,44 @@ def test_residuals_fused_arrow_matches_expression(spark):
     for vid, (cell, vec) in base.items():
         exp = tuple(a - b for a, b in zip(vec, cents[cell]))
         assert fused[vid] == (cell, exp), vid
+
+
+def test_arrow_paths_null_and_ragged_vectors_match_expression(spark):
+    """NULL and wrong-length vectors must DEGRADE (NULL cell/codes),
+    not raise, on the Arrow fast paths — with arrow=None auto-switching
+    on k×dim, the same corpus must not start failing merely because the
+    centroid count crossed the threshold. Parity is pinned against the
+    expression path row by row, including pq_encode's per-subspace rule
+    for short vectors."""
+    rows = [
+        (1, [1.0, 2.0, 3.0, 4.0]),
+        (2, None),
+        (3, [1.0, 2.0]),          # covers subspace 0 only (m=2, d=2)
+        (4, [0.5, 0.1, 0.9, 0.7]),
+        (5, [1.0, 2.0, 3.0, 4.0, 5.0]),  # too long
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = [[0.0, 0.0, 0.0, 0.0], [1.0, 1.0, 1.0, 1.0],
+             [2.0, 2.0, 2.0, 2.0]]
+    e = {r["vec_id"]: r["cell"]
+         for r in simi.kmeans_assign(df, cents, arrow=False).collect()}
+    a = {r["vec_id"]: r["cell"]
+         for r in simi.kmeans_assign(df, cents, arrow=True).collect()}
+    assert a == e and a[2] is None and a[3] is None and a[5] is None
+
+    books = [[[0.0, 0.0], [1.0, 2.0]], [[3.0, 4.0], [0.0, 0.0]]]
+    cols = ["code_0", "code_1"]
+    ee = {r["vec_id"]: tuple(r[c] for c in cols)
+          for r in simi.pq_encode(df, books, arrow=False).collect()}
+    aa = {r["vec_id"]: tuple(r[c] for c in cols)
+          for r in simi.pq_encode(df, books, arrow=True).collect()}
+    assert aa == ee
+    assert aa[2] == (None, None)   # NULL vector
+    assert aa[3] == (1, None)      # short vector: per-subspace rule
+    assert aa[4] == (0, 1)
+
+    # fused IVF-PQ encoder: NULL/ragged -> NULL cell + NULL codes
+    idx = {r["vec_id"]: (r["cell"], r["code_0"], r["code_1"])
+           for r in simi.ivfpq_index(df, cents, books, arrow=True).collect()}
+    assert idx[2] == (None, None, None) and idx[5] == (None, None, None)
+    assert idx[1][0] is not None and idx[4][0] is not None

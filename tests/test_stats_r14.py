@@ -451,3 +451,26 @@ def test_horvitz_thompson_recovers_total(spark):
     assert r2["ht_total"] == 60.0
     # var = .5*400 + .5*1600 = 1000 -> se = sqrt(1000)
     assert abs(r2["ht_se"] - 1000.0 ** 0.5) < 1e-3
+
+
+def test_c_chart_counts_empty_buckets_as_zero_subgroups(spark):
+    import datetime as dt
+
+    from from_superset_to_clickhouse_spark.operators.temporal import c_chart
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # 6 busy days of 30, then a 3-day GAP, then one busy day: the gap
+    # days are zero-count subgroups -> n_buckets 10, c_bar pulled down,
+    # and each zero day sits below LCL (c_bar > 9 => LCL > 0)
+    for d in (0, 1, 2, 3, 4, 5, 9):
+        for i in range(30):
+            rows.append(("k", t0 + dt.timedelta(days=d, minutes=i)))
+    r = c_chart(
+        spark.createDataFrame(rows, "key string, ts timestamp"),
+        "key", "ts",
+    ).collect()[0]
+    assert r["n_buckets"] == 10
+    assert r["c_bar"] == 21.0          # 210 events / 10 dense days
+    assert r["n_out"] == 3             # the three zero days < LCL
+
