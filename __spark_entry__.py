@@ -24849,3 +24849,747 @@ SELECT g AS event_type, d AS bar_start, round(hao, 6) AS ha_open,
 FROM ho
 """),
 })
+
+
+# ---------------------------------------------------------------------------
+# Round-15 entries, batch 1: randomness / forecasting / indicator tier
+# over the shared per-type daily series. Helpers carry the _r17 suffix
+# (the registry dict they land in) per the shadowing protocol.
+
+
+def q_turning_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-point randomness test on each type's daily mean-value
+    series — strict local-extrema census vs E[T] = 2(n−2)/3."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        turning_point_test,
+    )
+
+    return turning_point_test(_daily_series_r12(spark, sf_dir), "g", "d", "v")
+
+
+def q_bartels_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartels' rank von Neumann ratio on each type's daily series —
+    nonparametric serial-randomness z from exact midrank sums."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        bartels_rank_test,
+    )
+
+    return bartels_rank_test(_daily_series_r12(spark, sf_dir), "g", "d", "v")
+
+
+def q_theta_fc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method 1-step forecast of each type's daily series: OLS
+    trend + SES(α=½) of the θ=2 line, both replayed term-for-term."""
+    return tmp.theta_forecast(_daily_series_r12(spark, sf_dir), "g", "d", "v")
+
+
+def q_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aroon(10) freshness-of-extremes per daily point — struct-max
+    argmax in one keyed window, ties to the latest bar."""
+    return tmp.aroon(_daily_series_r12(spark, sf_dir), "g", "d", "v", period=10)
+
+
+def q_seasonal_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-hybrid ESD over each type's daily series with two
+    PLANTED spikes (+400 on day-of-month 10, −400 on day 20): weekday-
+    median deseasoning + 3 unrolled ESD rounds must surface them."""
+    d = _daily_series_r12(spark, sf_dir)
+    v = F.col("v") + F.when(
+        F.dayofmonth("d") == 10, F.lit(400.0)
+    ).when(F.dayofmonth("d") == 20, F.lit(-400.0)).otherwise(F.lit(0.0))
+    return tmp.seasonal_esd(
+        d.select("g", "d", v.alias("v")), "g", "d", "v",
+        lambdas=(2.5, 2.5, 2.5),
+    )
+
+
+_R17_QUERIES.update({
+    "turning_point": q_turning_point,
+    "bartels_rank": q_bartels_rank,
+    "theta_fc": q_theta_fc,
+    "aroon": q_aroon,
+    "seasonal_esd": q_seasonal_esd,
+})
+
+_R17_ORACLES.update({
+    "turning_point": ("""
+-- Same grid series, same strict-extrema census and moments.
+WITH daily AS (""" + _DAILY_G_SQL + """),
+gq AS (
+  SELECT g, d, floor(v * 1048576.0) / 1048576.0 AS v FROM daily
+), l AS (
+  SELECT g, v, lag(v) OVER w AS pv, lead(v) OVER w AS nv
+  FROM gq WINDOW w AS (PARTITION BY g ORDER BY d)
+), a AS (
+  SELECT g, count(*) AS n,
+    CAST(sum(CASE WHEN (pv < v AND v > nv) OR (pv > v AND v < nv)
+      THEN 1 ELSE 0 END) AS BIGINT) AS nt
+  FROM l GROUP BY g
+), z AS (
+  SELECT g, n, nt,
+    2.0 * (n - 2.0) / 3.0 AS e,
+    CASE WHEN n > 3 THEN (CAST(nt AS DOUBLE) - 2.0 * (n - 2.0) / 3.0)
+      / sqrt((16.0 * n - 29.0) / 90.0) END AS zs
+  FROM a
+)
+SELECT g, CAST(n AS BIGINT) AS n, nt AS n_turning,
+  round(e, 6) AS expected, round(zs, 6) AS z_stat,
+  CAST(abs(zs) > 1.96 AS INTEGER) AS reject_5pct
+FROM z
+"""),
+    "bartels_rank": ("""
+-- Same midranks (rank + tie-block size), same exact quadratic forms.
+WITH daily AS (""" + _DAILY_G_SQL + """),
+gq AS (
+  SELECT g, d, floor(v * 1048576.0) / 1048576.0 AS v FROM daily
+), r AS (
+  SELECT g, d,
+    CAST(rank() OVER (PARTITION BY g ORDER BY v) AS DOUBLE)
+      + (CAST(count(*) OVER (PARTITION BY g, v) AS DOUBLE) - 1.0) / 2.0
+      AS r
+  FROM gq
+), l AS (
+  SELECT g, r, lead(r) OVER (PARTITION BY g ORDER BY d) AS rn FROM r
+), a AS (
+  SELECT g, count(*) AS n,
+    sum(CASE WHEN rn IS NOT NULL THEN (r - rn) * (r - rn) * 4.0 END)
+      / 4.0 AS num,
+    sum(r * 4.0) / 4.0 AS sr,
+    sum(r * r * 4.0) / 4.0 AS sr2
+  FROM l GROUP BY g
+), z AS (
+  SELECT g, n,
+    CASE WHEN sr2 - sr * sr / n > 0
+      THEN num / (sr2 - sr * sr / n) END AS rvn,
+    4.0 * (n - 2.0) * (5.0 * n * n - 2.0 * n - 9.0)
+      / (5.0 * n * (n + 1.0) * (n - 1.0) * (n - 1.0)) AS var
+  FROM a
+), f AS (
+  SELECT g, n, rvn,
+    CASE WHEN n > 3 THEN (rvn - 2.0) / sqrt(var) END AS zs
+  FROM z
+)
+SELECT g, CAST(n AS BIGINT) AS n, round(rvn, 6) AS rvn,
+  round(zs, 6) AS z_stat,
+  CAST(abs(zs) > 1.96 AS INTEGER) AS reject_5pct
+FROM f
+"""),
+    "theta_fc": ("""
+-- Same grid OLS sums, same unrolled SES(0.5) fold over the theta2
+-- line, same half-half blend.
+WITH daily AS (""" + _DAILY_G_SQL + """),
+gq AS (
+  SELECT g, d, floor(v * 1048576.0) / 1048576.0 AS v FROM daily
+), idx AS (
+  SELECT g, d, v,
+    CAST(row_number() OVER (PARTITION BY g ORDER BY d) AS DOUBLE) AS t
+  FROM gq
+), a AS (
+  SELECT g, count(*) AS n,
+    sum(v * 1048576.0) / 1048576.0 AS sv,
+    sum(t) AS st, sum(t * t) AS st2,
+    sum(floor(t * v * 1048576.0)) / 1048576.0 AS stv,
+    list({'t': t, 'v': v} ORDER BY t) AS arr
+  FROM idx GROUP BY g
+), ab AS (
+  SELECT g, n, arr,
+    CASE WHEN st2 - st * st / n > 0
+      THEN (stv - st * sv / n) / (st2 - st * st / n) ELSE 0.0 END AS b,
+    sv, st
+  FROM a
+), ab2 AS (
+  SELECT g, n, arr, b, (sv - b * st) / n AS a FROM ab
+), ses AS (
+  SELECT g, n, a, b,
+    list_sum(list_transform(arr, (x, i) ->
+      (2.0 * x.v - (a + b * x.t))
+      * CASE WHEN i = 1 THEN pow(0.5, CAST(n - 1 AS DOUBLE))
+        ELSE 0.5 * pow(0.5, CAST(n - i AS DOUBLE)) END)) AS s
+  FROM ab2
+)
+SELECT g, CAST(n AS BIGINT) AS n, round(a, 6) AS intercept,
+  round(b, 6) AS slope, round(s, 6) AS ses_theta2,
+  round(0.5 * (a + b * (n + 1.0)) + 0.5 * s, 6) AS forecast
+FROM ses
+"""),
+    "aroon": ("""
+-- Same struct-max argmax (lexicographic, ties to latest index).
+WITH daily AS (""" + _DAILY_G_SQL + """),
+gq AS (
+  SELECT g, d, floor(v * 1048576.0) / 1048576.0 AS v FROM daily
+), idx AS (
+  SELECT g, d, v,
+    CAST(row_number() OVER (PARTITION BY g ORDER BY d) AS BIGINT) AS i
+  FROM gq
+), w AS (
+  SELECT g, d, i,
+    count(*) OVER wf AS c,
+    struct_extract(max({'v': v, 'i': i}) OVER wf, 'i') AS hi_i,
+    struct_extract(max({'v': -v, 'i': i}) OVER wf, 'i') AS lo_i
+  FROM idx
+  WINDOW wf AS (PARTITION BY g ORDER BY d
+    ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
+)
+SELECT g, d,
+  round(CASE WHEN c = 11
+    THEN 100.0 * (10.0 - CAST(i - hi_i AS DOUBLE)) / 10.0 END, 6)
+    AS aroon_up,
+  round(CASE WHEN c = 11
+    THEN 100.0 * (10.0 - CAST(i - lo_i AS DOUBLE)) / 10.0 END, 6)
+    AS aroon_down
+FROM w
+"""),
+})
+
+
+def _esd_round_sql(r: int) -> str:
+    """One unrolled S-H-ESD round: grid moments per series, the
+    lexicographic (dev, r, d, v) struct-max pick, flag vs lambda,
+    anti-join removal feeding the next round."""
+    return f"""
+st{r} AS (
+  SELECT g, count(*) AS n, sum(r * 1048576.0) / 1048576.0 AS s1,
+    sum(floor(r * r * 1048576.0)) / 1048576.0 AS s2
+  FROM cur{r} GROUP BY g
+), ms{r} AS (
+  SELECT g, n, s1 / n AS m,
+    sqrt(greatest((s2 - n * (s1 / n) * (s1 / n)) / n, 0.0)) AS sd
+  FROM st{r}
+), mx{r} AS (
+  SELECT c.g, max({{'dev': abs(c.r - m.m), 'r': c.r, 'd': c.d,
+    'v': c.v}}) AS mx
+  FROM cur{r} c JOIN ms{r} m USING (g) GROUP BY c.g
+), pk{r} AS (
+  SELECT x.g, struct_extract(mx, 'd') AS d,
+    struct_extract(mx, 'v') AS v, struct_extract(mx, 'r') AS r,
+    CASE WHEN m.sd > 0 AND m.n > 2
+      THEN struct_extract(mx, 'dev') / m.sd END AS rs
+  FROM mx{r} x JOIN ms{r} m USING (g)
+), fl{r} AS (
+  SELECT g, d, v, r, rs, {r} AS rnd FROM pk{r} WHERE rs > 2.5
+), cur{r + 1} AS (
+  SELECT c.* FROM cur{r} c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pk{r} p WHERE p.g = c.g AND p.d = c.d)
+)"""
+
+
+_R17_ORACLES.update({
+    "seasonal_esd": ("""
+-- Same planted spikes, same weekday-median deseason, same 3 unrolled
+-- grid-exact ESD rounds with the (dev, r, d, v) struct-max pick.
+WITH daily AS (""" + _DAILY_G_SQL + """),
+pl AS (
+  SELECT g, d, v + CASE WHEN extract(day FROM d) = 10 THEN 400.0
+    WHEN extract(day FROM d) = 20 THEN -400.0 ELSE 0.0 END AS v
+  FROM daily
+), gq AS (
+  SELECT g, d, floor(v * 1048576.0) / 1048576.0 AS v FROM pl
+), ds AS (
+  SELECT g, d, v,
+    median(v) OVER (PARTITION BY g, dayofweek(d)) AS mw
+  FROM gq
+), cur1 AS (
+  SELECT g, d, v,
+    floor((v - mw) * 1048576.0) / 1048576.0 AS r
+  FROM ds
+),""" + ",".join(_esd_round_sql(r) for r in (1, 2, 3)) + """
+SELECT g, d, round(v, 6) AS v, round(r, 6) AS residual,
+  round(rs, 6) AS r_stat, CAST(rnd AS INTEGER) AS "round"
+FROM (SELECT * FROM fl1 UNION ALL SELECT * FROM fl2
+      UNION ALL SELECT * FROM fl3)
+"""),
+})
+
+
+# ---------------------------------------------------------------------------
+# Round-15 entries, batch 2: goodness-of-fit / combined-evidence /
+# rank-test tier over the raw event values.
+
+
+def q_stouffer_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stouffer's weighted z over the five per-type A/B proportion
+    z's (user parity arms, high-value outcome; the ``fisher_combine``
+    arms) with w = √segment size — pooled signed evidence."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        normal_sf,
+        stouffer_z,
+    )
+
+    ev = _ev(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    arms = ev.groupBy("event_type").agg(
+        F.count(F.when(F.pmod(F.col("user_id"), 2) == 0, 1)).alias("_na"),
+        F.count(
+            F.when((F.pmod(F.col("user_id"), 2) == 0)
+                   & (F.col("value") > 100), 1)
+        ).alias("_xa"),
+        F.count(F.when(F.pmod(F.col("user_id"), 2) == 1, 1)).alias("_nb"),
+        F.count(
+            F.when((F.pmod(F.col("user_id"), 2) == 1)
+                   & (F.col("value") > 100), 1)
+        ).alias("_xb"),
+    )
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    pa = F.col("_xa").cast("double") / na
+    pb = F.col("_xb").cast("double") / nb
+    pp = (F.col("_xa") + F.col("_xb")).cast("double") / (na + nb)
+    z = (pa - pb) / F.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+    zw = arms.select(z.alias("z"), F.sqrt(na + nb).alias("w"))
+    return stouffer_z(zw, "z", "w")
+
+
+def q_cvm_one_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample Cramér–von Mises GOF of the event values against
+    Uniform(0, 500) — W² from exact grid order-statistic terms."""
+    from from_superset_to_clickhouse_spark.operators.stats import cvm_uniform
+
+    ev = _ev(spark, sf_dir)
+    return cvm_uniform(ev, "value", 0.0, 500.0).select(
+        "n", "w2", "reject_w2_5pct"
+    )
+
+
+def q_watson_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watson's rotation-invariant U² on the same Uniform(0, 500)
+    null — the circular variant of the W² entry above."""
+    from from_superset_to_clickhouse_spark.operators.stats import cvm_uniform
+
+    ev = _ev(spark, sf_dir)
+    return cvm_uniform(ev, "value", 0.0, 500.0).select(
+        "n", "u2", "reject_u2_5pct"
+    )
+
+
+def q_lilliefors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lilliefors KS-normality of the event values (estimated mean/sd,
+    Stephens-modified decision) — clearly non-normal, must reject."""
+    from from_superset_to_clickhouse_spark.operators.stats import lilliefors
+
+    return lilliefors(_ev(spark, sf_dir), "value")
+
+
+def q_cucconi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cucconi joint location-scale test between purchase and click
+    values — squared/contra midrank sums, asymptotic exp(−C) p."""
+    from from_superset_to_clickhouse_spark.operators.stats import cucconi_test
+
+    return cucconi_test(
+        _ev(spark, sf_dir), "event_type", "purchase", "click", "value"
+    )
+
+
+def q_moses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moses extreme-reactions test: purchase values as the
+    experimental group against view controls, h = 2 trimmed from each
+    control tail — exact stars-and-bars span p-value."""
+    from from_superset_to_clickhouse_spark.operators.stats import moses_test
+
+    return moses_test(
+        _ev(spark, sf_dir), "event_type", "view", "purchase", "value", h=2
+    )
+
+
+def q_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere–Terpstra ordered-alternatives test across the five
+    event types (lexicographic order) — pairwise midrank U's summed,
+    untied normal approximation."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        jonckheere_terpstra,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    return jonckheere_terpstra(ev, "event_type", "value")
+
+
+def q_quade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade test of the five event types over ISO-week blocks of
+    mean value — range-weighted within-block ranks, F readout."""
+    from from_superset_to_clickhouse_spark.operators.stats import quade_test
+
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    blocks = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+        "event_type",
+    ).agg(F.avg("value").alias("v"))
+    return quade_test(blocks, "wk", "event_type", "v")
+
+
+_R17_QUERIES.update({
+    "stouffer_z": q_stouffer_z,
+    "cvm_one_sample": q_cvm_one_sample,
+    "watson_u2": q_watson_u2,
+    "lilliefors": q_lilliefors,
+    "cucconi": q_cucconi,
+    "moses": q_moses,
+    "jonckheere": q_jonckheere,
+    "quade": q_quade,
+})
+
+
+_SF_POLY = """(1.0 - (1.0 - (0.254829592 * {t} - 0.284496736 * {t} * {t}
+    + 1.421413741 * {t} * {t} * {t} - 1.453152027 * {t} * {t} * {t} * {t}
+    + 1.061405429 * {t} * {t} * {t} * {t} * {t}) * exp(-({x} * {x})))) / 2.0"""
+
+
+_R17_ORACLES.update({
+    "stouffer_z": ("""
+-- Same exact-count per-type z's, sqrt-size weights, grid-exact sums,
+-- erf-polynomial two-sided p.
+WITH arms AS (
+  SELECT event_type,
+    count(*) FILTER (user_id % 2 = 0) AS na,
+    count(*) FILTER (user_id % 2 = 0 AND value > 100) AS xa,
+    count(*) FILTER (user_id % 2 = 1) AS nb,
+    count(*) FILTER (user_id % 2 = 1 AND value > 100) AS xb
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1
+), zw AS (
+  SELECT
+    (CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
+    / sqrt((CAST(xa + xb AS DOUBLE) / (CAST(na AS DOUBLE) + nb))
+      * (1.0 - CAST(xa + xb AS DOUBLE) / (CAST(na AS DOUBLE) + nb))
+      * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))) AS z,
+    sqrt(CAST(na AS DOUBLE) + nb) AS w
+  FROM arms
+), a AS (
+  SELECT count(*) AS k,
+    CAST(sum(CAST(floor(w * z * 1048576.0) AS BIGINT)) AS BIGINT)
+      / 1048576.0 AS wz,
+    CAST(sum(CAST(floor(w * w * 1048576.0) AS BIGINT)) AS BIGINT)
+      / 1048576.0 AS w2
+  FROM zw WHERE z IS NOT NULL AND w IS NOT NULL
+), zc AS (
+  SELECT k, wz / sqrt(w2) AS z FROM a
+), et AS (
+  SELECT k, z, abs(z) / sqrt(2.0) AS xx,
+    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+  FROM zc
+)
+SELECT CAST(k AS BIGINT) AS k, round(z, 6) AS z_comb,
+  round(2.0 * (""" + _SF_POLY.format(t="t", x="xx") + """), 6) AS p_value
+FROM et
+"""),
+    "cvm_one_sample": ("""
+-- Same clamped uniform PIT, same grid order-statistic terms.
+WITH src AS (
+  SELECT least(greatest(CAST(value AS DOUBLE) / 500.0, 0.0), 1.0) AS u
+  FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT u, CAST(row_number() OVER (ORDER BY u) AS DOUBLE) AS i,
+    count(*) OVER () AS n
+  FROM src
+), a AS (
+  SELECT max(n) AS n,
+    CAST(sum(CAST(floor(((2.0 * i - 1.0) / (2.0 * n) - u)
+      * ((2.0 * i - 1.0) / (2.0 * n) - u) * 1048576.0) AS BIGINT))
+      AS BIGINT) / 1048576.0 AS s
+  FROM r
+), f AS (
+  SELECT n, 1.0 / (12.0 * n) + s AS w2 FROM a
+)
+SELECT CAST(n AS BIGINT) AS n, round(w2, 6) AS w2,
+  CAST(w2 > 0.461 AS INTEGER) AS reject_w2_5pct
+FROM f
+"""),
+    "watson_u2": ("""
+-- Same W² terms plus the rotation correction n(ū − ½)².
+WITH src AS (
+  SELECT least(greatest(CAST(value AS DOUBLE) / 500.0, 0.0), 1.0) AS u
+  FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT u, CAST(row_number() OVER (ORDER BY u) AS DOUBLE) AS i,
+    count(*) OVER () AS n
+  FROM src
+), a AS (
+  SELECT max(n) AS n,
+    CAST(sum(CAST(floor(((2.0 * i - 1.0) / (2.0 * n) - u)
+      * ((2.0 * i - 1.0) / (2.0 * n) - u) * 1048576.0) AS BIGINT))
+      AS BIGINT) / 1048576.0 AS s,
+    CAST(sum(CAST(floor(u * 1048576.0) AS BIGINT)) AS BIGINT)
+      / 1048576.0 AS su
+  FROM r
+), f AS (
+  SELECT n, 1.0 / (12.0 * n) + s
+    - n * (su / n - 0.5) * (su / n - 0.5) AS u2
+  FROM a
+)
+SELECT CAST(n AS BIGINT) AS n, round(u2, 6) AS u2,
+  CAST(u2 > 0.187 AS INTEGER) AS reject_u2_5pct
+FROM f
+"""),
+    "lilliefors": ("""
+-- Same grid moments (HUGEINT-exact squared sum), mirrored-tail erf
+-- polynomial Phi, same order-statistic D and Stephens decision.
+WITH src AS (
+  SELECT floor(CAST(value AS DOUBLE) * 1048576.0) / 1048576.0 AS v
+  FROM events WHERE value IS NOT NULL
+), m AS (
+  SELECT count(*) AS n,
+    CAST(sum(CAST(floor(v * 1048576.0) AS BIGINT)) AS BIGINT)
+      / 1048576.0 AS s1,
+    CAST(CAST(sum(CAST(CAST(floor(v * v * 1048576.0) AS BIGINT)
+      AS HUGEINT)) AS VARCHAR) AS DOUBLE) / 1048576.0 AS s2
+  FROM src
+), ms AS (
+  SELECT n, s1 / n AS mean,
+    sqrt((s2 - n * (s1 / n) * (s1 / n)) / (n - 1.0)) AS sd
+  FROM m
+), r AS (
+  SELECT v, CAST(row_number() OVER (ORDER BY v) AS DOUBLE) AS i,
+    n, mean, sd, (v - mean) / sd AS z
+  FROM src, ms
+), ph AS (
+  SELECT i, n, mean, sd,
+    CASE WHEN z >= 0 THEN 1.0 - (""" + _SF_POLY.format(
+        t="(1.0 / (1.0 + 0.3275911 * (z / sqrt(2.0))))",
+        x="(z / sqrt(2.0))") + """)
+    ELSE (""" + _SF_POLY.format(
+        t="(1.0 / (1.0 + 0.3275911 * ((-z) / sqrt(2.0))))",
+        x="((-z) / sqrt(2.0))") + """) END AS phi
+  FROM r
+), d AS (
+  SELECT max(n) AS n, max(mean) AS mean, max(sd) AS sd,
+    max(greatest(i / n - phi, phi - (i - 1.0) / n)) AS dd
+  FROM ph
+), f AS (
+  SELECT n, mean, sd, dd,
+    dd * (sqrt(CAST(n AS DOUBLE)) - 0.01
+      + 0.85 / sqrt(CAST(n AS DOUBLE))) AS dmod
+  FROM d
+)
+SELECT CAST(n AS BIGINT) AS n, round(mean, 6) AS mean,
+  round(sd, 6) AS sd, round(dd, 6) AS d_stat,
+  round(dmod, 6) AS d_mod,
+  CAST(dmod > 0.895 AS INTEGER) AS reject_5pct
+FROM f
+"""),
+    "cucconi": ("""
+-- Same combined midranks, exact x4 squared-rank sums, exp(-C) p.
+WITH src AS (
+  SELECT event_type AS g,
+    floor(CAST(value AS DOUBLE) * 1048576.0) / 1048576.0 AS v
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+), r AS (
+  SELECT g,
+    CAST(rank() OVER (ORDER BY v) AS DOUBLE)
+      + (CAST(count(*) OVER (PARTITION BY v) AS DOUBLE) - 1.0) / 2.0
+      AS r
+  FROM src
+), a AS (
+  SELECT
+    count(*) FILTER (g = 'purchase') AS na,
+    count(*) FILTER (g = 'click') AS nb,
+    sum(r * r * 4.0) FILTER (g = 'purchase') / 4.0 AS sr2,
+    sum(r * 2.0) FILTER (g = 'purchase') / 2.0 AS sr
+  FROM r
+), c AS (
+  SELECT na, nb,
+    CAST(na AS DOUBLE) + nb AS nn,
+    (6.0 * sr2 - na * (CAST(na AS DOUBLE) + nb + 1.0)
+      * (2.0 * (CAST(na AS DOUBLE) + nb) + 1.0))
+      / sqrt(CAST(na AS DOUBLE) * nb * (CAST(na AS DOUBLE) + nb + 1.0)
+        * (2.0 * (CAST(na AS DOUBLE) + nb) + 1.0)
+        * (8.0 * (CAST(na AS DOUBLE) + nb) + 11.0) / 5.0) AS u,
+    (6.0 * (na * (CAST(na AS DOUBLE) + nb + 1.0)
+        * (CAST(na AS DOUBLE) + nb + 1.0)
+      - 2.0 * (CAST(na AS DOUBLE) + nb + 1.0) * sr + sr2)
+      - na * (CAST(na AS DOUBLE) + nb + 1.0)
+      * (2.0 * (CAST(na AS DOUBLE) + nb) + 1.0))
+      / sqrt(CAST(na AS DOUBLE) * nb * (CAST(na AS DOUBLE) + nb + 1.0)
+        * (2.0 * (CAST(na AS DOUBLE) + nb) + 1.0)
+        * (8.0 * (CAST(na AS DOUBLE) + nb) + 11.0) / 5.0) AS v
+  FROM a
+), f AS (
+  SELECT na, nb, u, v,
+    2.0 * (nn * nn - 4.0) / ((2.0 * nn + 1.0) * (8.0 * nn + 11.0))
+      - 1.0 AS rho
+  FROM c
+), g AS (
+  SELECT na, nb, u, v,
+    (u * u + v * v - 2.0 * rho * u * v)
+      / (2.0 * (1.0 - rho * rho)) AS cs
+  FROM f
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  round(u, 6) AS u_stat, round(v, 6) AS v_stat,
+  round(cs, 6) AS c_stat, round(exp(-cs), 6) AS p_value,
+  CAST(exp(-cs) < 0.05 AS INTEGER) AS reject_5pct
+FROM g
+"""),
+})
+
+
+_R17_ORACLES.update({
+    "moses": ("""
+-- Same (value, group) combined ranking, h=2 trims, stars-and-bars
+-- span p via the 2^40 ln-grid recurrence (HUGEINT-exact cumsums).
+WITH src AS (
+  SELECT event_type AS g,
+    floor(CAST(value AS DOUBLE) * 1048576.0) / 1048576.0 AS v
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')
+), r AS (
+  SELECT g, v, row_number() OVER (ORDER BY v, g) AS rnk FROM src
+), gr AS (
+  SELECT g, v, rnk,
+    row_number() OVER (PARTITION BY g ORDER BY v, rnk) AS grank
+  FROM r
+), cnt AS (
+  SELECT count(*) FILTER (g = 'view') AS nc,
+    count(*) FILTER (g = 'purchase') AS ne
+  FROM src
+), kept AS (
+  SELECT gr.* FROM gr, cnt
+  WHERE g = 'purchase' OR (grank > 2 AND grank <= nc - 2)
+), sp AS (
+  SELECT min(rnk) AS rlo, max(rnk) AS rhi FROM kept WHERE g = 'view'
+), gin AS (
+  SELECT count(*) AS gi FROM kept, sp
+  WHERE g = 'purchase' AND rnk > rlo AND rnk < rhi
+), base AS (
+  SELECT nc, ne, gi, nc - 4 AS c FROM cnt, gin
+), dsp AS (
+  SELECT ne, c, unnest(range(1, c + 1)) AS j FROM base
+), lnc AS (
+  SELECT ne, c,
+    sum(CAST(CAST(floor(ln(CAST(ne + j AS DOUBLE)) * 1099511627776.0)
+      AS BIGINT) AS HUGEINT)
+      - CAST(CAST(floor(ln(CAST(j AS DOUBLE)) * 1099511627776.0)
+      AS BIGINT) AS HUGEINT)) AS lc
+  FROM dsp GROUP BY ne, c
+), wsp AS (
+  SELECT nc, ne, gi, c, unnest(range(0, gi + 1)) AS i FROM base
+), st AS (
+  SELECT nc, ne, gi, c, i,
+    CASE WHEN i = 0 THEN 0
+    ELSE CAST(floor(ln(CAST(i + c - 2 AS DOUBLE)) * 1099511627776.0)
+        AS BIGINT)
+      - CAST(floor(ln(CAST(i AS DOUBLE)) * 1099511627776.0) AS BIGINT)
+      + CAST(floor(ln(CAST(ne - i + 1 AS DOUBLE)) * 1099511627776.0)
+        AS BIGINT)
+      - CAST(floor(ln(CAST(ne - i + 2 AS DOUBLE)) * 1099511627776.0)
+        AS BIGINT)
+    END AS step
+  FROM wsp
+), cw AS (
+  SELECT nc, ne, gi, c, i,
+    CAST(floor(ln(CAST(ne + 1 AS DOUBLE)) * 1099511627776.0) AS BIGINT)
+      + sum(CAST(step AS HUGEINT)) OVER (
+        PARTITION BY c ORDER BY i
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnw
+  FROM st
+), p AS (
+  SELECT nc, ne, gi, c,
+    sum(CAST(floor(exp(CAST(lnw - lc AS DOUBLE) / 1099511627776.0)
+      * 1099511627776.0) AS BIGINT)) / 1099511627776.0 AS pp
+  FROM cw JOIN lnc USING (ne, c)
+  GROUP BY nc, ne, gi, c
+)
+SELECT CAST(nc AS BIGINT) AS n_c, CAST(ne AS BIGINT) AS n_e,
+  CAST(c + gi AS BIGINT) AS span, CAST(gi AS BIGINT) AS excess,
+  round(least(pp, 1.0), 6) AS p_value,
+  CAST(least(pp, 1.0) < 0.05 AS INTEGER) AS reject_5pct
+FROM p
+"""),
+    "jonckheere": ("""
+-- Same bounded pair fan-out, per-pair midranks, exact x2 rank sums,
+-- untied-variance normal approximation.
+WITH src AS (
+  SELECT event_type AS g,
+    floor(CAST(value AS DOUBLE) * 1048576.0) / 1048576.0 AS v
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), pairs AS (
+  SELECT l.g AS a, r.g AS b
+  FROM (SELECT DISTINCT g FROM src) l, (SELECT DISTINCT g FROM src) r
+  WHERE l.g < r.g
+), fan AS (
+  SELECT p.a, p.b, s.g, s.v FROM src s JOIN pairs p
+  ON s.g = p.a OR s.g = p.b
+), r AS (
+  SELECT a, b, g,
+    CAST(rank() OVER (PARTITION BY a, b ORDER BY v) AS DOUBLE)
+      + (CAST(count(*) OVER (PARTITION BY a, b, v) AS DOUBLE) - 1.0)
+        / 2.0 AS r
+  FROM fan
+), per AS (
+  SELECT a, b,
+    sum(r * 2.0) FILTER (g = b) / 2.0 AS rb,
+    count(*) FILTER (g = b) AS nb
+  FROM r GROUP BY a, b
+), j AS (
+  SELECT sum((rb - CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) + 1.0)
+    / 2.0) * 2.0) / 2.0 AS js
+  FROM per
+), sz AS (
+  SELECT count(*) AS k, CAST(sum(ni) AS BIGINT) AS nn,
+    CAST(sum(ni * ni) AS BIGINT) AS s2,
+    CAST(sum(ni * ni * (2 * ni + 3)) AS BIGINT) AS s3
+  FROM (SELECT g, count(*) AS ni FROM src GROUP BY g)
+), f AS (
+  SELECT k, nn, js,
+    (CAST(nn AS DOUBLE) * nn - s2) / 4.0 AS mu,
+    (CAST(nn AS DOUBLE) * nn * (2.0 * nn + 3.0) - s3) / 72.0 AS var
+  FROM j, sz
+)
+SELECT CAST(k AS BIGINT) AS k_groups, nn AS n,
+  round(js, 6) AS j_stat, round(mu, 6) AS mean_null,
+  round(CASE WHEN var > 0 THEN (js - mu) / sqrt(var) END, 6) AS z_stat,
+  CAST(abs(CASE WHEN var > 0 THEN (js - mu) / sqrt(var) END) > 1.96
+    AS INTEGER) AS reject_5pct
+FROM f
+"""),
+    "quade": ("""
+-- Same ISO-week blocks, range-weighted midranks, exact x16 forms.
+WITH blocks AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS b, event_type AS t,
+    avg(CAST(value AS DOUBLE)) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), src AS (
+  SELECT b, t, floor(v * 1048576.0) AS vq FROM blocks
+  WHERE v IS NOT NULL
+), kk AS (SELECT count(DISTINCT t) AS k FROM src),
+full_b AS (
+  SELECT b FROM src, kk GROUP BY b, k HAVING count(DISTINCT t) = k
+), s2 AS (
+  SELECT s.* FROM src s JOIN full_b USING (b)
+), r AS (
+  SELECT b, t, vq,
+    CAST(rank() OVER (PARTITION BY b ORDER BY vq) AS DOUBLE)
+      + (CAST(count(*) OVER (PARTITION BY b, vq) AS DOUBLE) - 1.0)
+        / 2.0 AS r
+  FROM s2
+), rng AS (
+  SELECT b, max(vq) - min(vq) AS rg FROM s2 GROUP BY b
+), q AS (
+  SELECT b,
+    CAST(rank() OVER (ORDER BY rg) AS DOUBLE)
+      + (CAST(count(*) OVER (PARTITION BY rg) AS DOUBLE) - 1.0) / 2.0
+      AS q
+  FROM rng
+), s AS (
+  SELECT r.b, r.t, q.q * (r.r - (CAST(k AS DOUBLE) + 1.0) / 2.0) AS s,
+    k
+  FROM r JOIN q USING (b), kk
+), sj AS (
+  SELECT t, k, sum(s * 4.0) / 4.0 AS sj,
+    sum(s * s * 16.0) / 16.0 AS a_t, count(*) AS nb
+  FROM s GROUP BY t, k
+), agg AS (
+  SELECT k, max(nb) AS n, sum(sj * sj * 16.0) / 16.0 AS b2,
+    sum(a_t) AS a
+  FROM sj GROUP BY k
+), f AS (
+  SELECT k, n, a, b2 / n AS bb FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
+  round(CASE WHEN a > bb THEN (n - 1.0) * bb / (a - bb) END, 6)
+    AS f_stat,
+  CAST(k - 1 AS BIGINT) AS df1,
+  CAST((n - 1) * (k - 1) AS BIGINT) AS df2
+FROM f
+"""),
+})

@@ -1452,3 +1452,274 @@ def rich_club(
         F.col("_ec").cast("long").alias("e_club"),
         F.round(phi, 6).alias("phi"),
     )
+
+
+def louvain_move(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """One synchronous Louvain phase-1 move round from singleton
+    communities → (node, community): every node simultaneously joins
+    the neighbor whose (singleton) community maximizes the modularity
+    gain, ΔQ(i→{j}) ∝ 2m·k_{i,j} − deg(i)·deg(j) (positive iff the
+    edge beats its configuration-model expectation), ties to the
+    smallest neighbor id, staying alone when no gain is positive —
+    the deterministic, fully-distributed first move of
+    Louvain/Leiden (sequential greedy sweeps don't parallelize; the
+    synchronous round is the standard Pregel adaptation) and the
+    modularity-aware sibling of ``label_propagation``.
+
+    EXACT integer arithmetic throughout: the gain comparison is
+    2m·1 − deg_i·deg_j per neighbor (the k_{i,j} = 1 singleton case),
+    argmax via lexicographic max over (gain, −j) structs — one degree
+    aggregate + one join + one groupBy, no floats until nothing is
+    left to compare. Compose with :func:`modularity` to score the
+    resulting partition."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    m2 = e.count() * 2  # 2m, exact
+    # directed neighbor pairs (i, j) with both degrees
+    nbr = e.select(
+        F.col("a").alias("i"), F.col("b").alias("j")
+    ).unionAll(e.select(F.col("b").alias("i"), F.col("a").alias("j")))
+    nbr = (
+        nbr.join(deg.withColumnRenamed("n", "i"), "i")
+        .withColumnRenamed("d", "di")
+        .join(
+            deg.withColumnRenamed("n", "j").withColumnRenamed("d", "dj"),
+            "j",
+        )
+    )
+    gain = F.lit(int(m2)).cast("long") - F.col("di") * F.col("dj")
+    best = (
+        nbr.select(
+            "i",
+            F.struct(
+                gain.alias("g"), (-F.col("j")).alias("nj")
+            ).alias("_c"),
+            F.col("j"),
+        )
+        .groupBy("i")
+        .agg(F.max("_c").alias("_b"))
+        .select(
+            "i",
+            F.when(
+                F.col("_b.g") > 0, -F.col("_b.nj")
+            ).otherwise(F.col("i")).alias("community"),
+        )
+    )
+    # isolated nodes (none here — every node has an edge) stay alone;
+    # nodes only in e but absent from nbr cannot exist by construction
+    return best.select(F.col("i").alias("node"), "community")
+
+
+def modularity(
+    edges: DataFrame,
+    assignment: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    comm_col: str = "community",
+) -> DataFrame:
+    """Newman modularity rollup of a partition → per-community
+    (community, n_nodes, e_in, d_tot, q_term) with
+    q_term = e_in/m − (d_tot/2m)²; Q = Σ q_term. Exact integer
+    e_in/d_tot/m from two joins + aggregates; q_term is one IEEE
+    expression of exact integers (engine-identical)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    m = e.count()
+    asg = assignment.select(
+        F.col(node_col).alias("_n"), F.col(comm_col).alias("_c")
+    )
+    deg = (
+        e.select(F.col("a").alias("_n"))
+        .unionAll(e.select(F.col("b").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).cast("long").alias("_d"))
+    )
+    dsum = (
+        deg.join(asg, "_n")
+        .groupBy("_c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("_d").cast("long").alias("d_tot"),
+        )
+    )
+    ein = (
+        e.join(asg.withColumnRenamed("_n", "a"), "a")
+        .withColumnRenamed("_c", "_ca")
+        .join(
+            asg.withColumnRenamed("_n", "b").withColumnRenamed("_c", "_cb"),
+            "b",
+        )
+        .filter(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("_c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    t = dsum.join(ein, "_c", "left").withColumn(
+        "e_in", F.coalesce("e_in", F.lit(0)).cast("long")
+    )
+    md = float(m)
+    q = (
+        F.col("e_in").cast("double") / F.lit(md)
+        - (F.col("d_tot").cast("double") / F.lit(2.0 * md))
+        * (F.col("d_tot").cast("double") / F.lit(2.0 * md))
+    )
+    return t.select(
+        F.col("_c").alias(comm_col),
+        "n_nodes",
+        "e_in",
+        "d_tot",
+        F.round(q, 6).alias("q_term"),
+    )
+
+
+def betweenness_from_pivots(
+    edges: DataFrame,
+    pivots: "list",
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 10,
+) -> DataFrame:
+    """Pivot-sampled betweenness centrality (Brandes 2001 restricted
+    to source set S) → (node, betweenness): bc(v) = ½ Σ_{s∈S} δ_s(v)
+    where δ_s accumulates the shortest-path dependencies
+    δ(v) = Σ_{w: v precedes w} (σ_v/σ_w)(1 + δ(w)) — WHO SITS ON the
+    geodesics, the brokerage readout ``closeness_from_pivots``
+    (distance) and ``pagerank`` (mass) both miss. Exact-count BFS
+    per pivot (σ = # shortest paths, integer) then a layer-by-layer
+    backward sweep; with S = all nodes this is exact betweenness, a
+    pivot sample is the standard Brandes–Pich estimator.
+
+    All pivots advance SIMULTANEOUSLY in one (pivot, node)-keyed
+    frame: each forward hop is one join + one partial-aggregated
+    groupBy; the backward sweep processes one depth layer per round
+    (depth is a driver int from the forward probes). Every dependency
+    term lands on the 2^-20 grid BEFORE its sum, so the accumulated
+    δ's — and the final per-node sum of grid multiples — are exact
+    and engine-order-free. Raises if BFS hasn't exhausted every
+    reachable node within ``max_hops`` (silent truncation would
+    drop dependencies — the ``scc`` convention)."""
+    if not pivots:
+        raise ValueError("betweenness_from_pivots needs >= 1 pivot")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("w")))
+        .filter(F.col("u").isNotNull() & F.col("w").isNotNull())
+        .filter(F.col("u") != F.col("w"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    pv = spark.createDataFrame(
+        [(p,) for p in pivots], [src]
+    ).select(F.col(src).alias("p"))
+    layers = pv.select(
+        "p",
+        F.col("p").alias("v"),
+        F.lit(0).alias("d"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint(eager=True)
+    frontier = layers
+    maxd = 0
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["v"] == e["u"])
+            .select("p", F.col("w").alias("v"), "sigma")
+            .join(layers.select("p", "v"), ["p", "v"], "left_anti")
+            .groupBy("p", "v")
+            .agg(F.sum("sigma").alias("sigma"))
+            .select("p", "v", F.lit(h).alias("d"), "sigma")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        layers = layers.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+        maxd = h
+    else:
+        if frontier.limit(1).count() > 0:
+            check = (
+                frontier.join(e, frontier["v"] == e["u"])
+                .select("p", F.col("w").alias("v"))
+                .join(layers.select("p", "v"), ["p", "v"], "left_anti")
+                .limit(1)
+                .count()
+            )
+            if check > 0:
+                raise ValueError(
+                    f"betweenness_from_pivots: BFS not exhausted in "
+                    f"{max_hops} hops — raise max_hops past the diameter"
+                )
+    q = float(1 << 20)
+    deltas = layers.filter(F.col("d") == maxd).select(
+        "p", "v", F.lit(0.0).alias("delta")
+    )
+    for dd in range(maxd - 1, -1, -1):
+        cur = layers.filter(F.col("d") == dd)
+        succ = layers.filter(F.col("d") == dd + 1).join(
+            deltas, ["p", "v"]
+        ).select(
+            "p",
+            F.col("v").alias("w"),
+            F.col("sigma").alias("sw"),
+            F.col("delta").alias("dw"),
+        )
+        contrib = (
+            cur.join(e, cur["v"] == e["u"])
+            .select("p", "v", "sigma", F.col("w"))
+            .join(succ, ["p", "w"])
+            .select(
+                "p",
+                "v",
+                (
+                    F.floor(
+                        F.col("sigma").cast("double")
+                        / F.col("sw").cast("double")
+                        * (1.0 + F.col("dw"))
+                        * q
+                    )
+                    / q
+                ).alias("_t"),
+            )
+            .groupBy("p", "v")
+            .agg((F.sum(F.col("_t") * q) / q).alias("_dv"))
+        )
+        layer_d = cur.select("p", "v").join(
+            contrib, ["p", "v"], "left"
+        ).select(
+            "p", "v", F.coalesce("_dv", F.lit(0.0)).alias("delta")
+        )
+        deltas = deltas.unionByName(layer_d).localCheckpoint(eager=True)
+    bc = (
+        deltas.filter(F.col("v") != F.col("p"))
+        .groupBy("v")
+        .agg((F.sum(F.col("delta") * q) / q / 2.0).alias("_bc"))
+    )
+    # nodes never reached from any pivot simply don't appear; nodes
+    # reached but never intermediate get 0.0
+    return bc.select(
+        F.col("v").alias("node"), F.round("_bc", 6).alias("betweenness")
+    )

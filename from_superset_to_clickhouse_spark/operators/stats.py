@@ -7544,7 +7544,10 @@ def lilliefors(df: DataFrame, value_col: str) -> DataFrame:
         "_v",
         F.row_number().over(w).cast("double").alias("_i"),
     )
-    phi = 1.0 - normal_sf((F.col("_v") - F.col("_m")) / F.col("_sd"))
+    # the A&S erf polynomial is only valid for x >= 0: mirror the
+    # negative tail instead of feeding it a negative argument
+    zz = (F.col("_v") - F.col("_m")) / F.col("_sd")
+    phi = F.when(zz >= 0, 1.0 - normal_sf(zz)).otherwise(normal_sf(-zz))
     nn = F.col("_n").cast("double")
     gap = F.greatest(
         F.col("_i") / nn - phi, phi - (F.col("_i") - 1.0) / nn

@@ -3384,3 +3384,111 @@ def word_dispersion(
             "dp",
         )
     )
+
+
+def _ac_automaton(needles: "list[str]"):
+    """Build the Aho–Corasick automaton (goto/fail/output tables) for
+    ``needles`` — plain dicts/lists, picklable into a UDF closure.
+    States are ints; output lists needle INDEXES ending at a state."""
+    goto: "list[dict[str, int]]" = [{}]
+    out: "list[list[int]]" = [[]]
+    for ni, nd in enumerate(needles):
+        s = 0
+        for ch in nd:
+            nxt = goto[s].get(ch)
+            if nxt is None:
+                goto.append({})
+                out.append([])
+                nxt = len(goto) - 1
+                goto[s][ch] = nxt
+            s = nxt
+        out[s].append(ni)
+    fail = [0] * len(goto)
+    from collections import deque
+
+    q = deque()
+    for ch, s in goto[0].items():
+        fail[s] = 0
+        q.append(s)
+    while q:
+        r = q.popleft()
+        for ch, s in goto[r].items():
+            q.append(s)
+            f = fail[r]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[s] = goto[f].get(ch, 0)
+            if fail[s] == s:
+                fail[s] = 0
+            out[s] = out[s] + out[fail[s]]
+    return goto, fail, out
+
+
+def multi_needle_match(
+    df: DataFrame,
+    needles: "list[str]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Aho–Corasick multi-pattern scan → (id, needle, n_matches,
+    first_pos): every occurrence (OVERLAPPING included) of every
+    needle, in ONE pass over each document regardless of how many
+    needles there are — the decontamination primitive at scale,
+    where per-needle ``instr`` scans cost O(needles × corpus) and
+    a benchmark-suite blocklist has thousands of needles.
+    ``first_pos`` is the 1-based position of the first match; docs
+    that match nothing contribute no rows.
+
+    The automaton (goto/fail/output of the trie) is built once
+    driver-side — bounded by total needle length — and rides the UDF
+    closure to every executor like a broadcast dim; the scan is an
+    Arrow-batched pandas_udf (a per-character state machine has no
+    Catalyst expression form; this is the documented UDF-boundary
+    case). Each doc is touched exactly once."""
+    if not needles:
+        raise ValueError("multi_needle_match needs >= 1 needle")
+    if len(set(needles)) != len(needles):
+        raise ValueError("duplicate needles")
+    goto, fail, out = _ac_automaton(needles)
+    lens = [len(n) for n in needles]
+    k = len(needles)
+
+    @F.pandas_udf("array<struct<ni:int, n_matches:int, first_pos:int>>")
+    def scan(texts):
+        import pandas as pd
+
+        res = []
+        for t in texts:
+            if t is None:
+                res.append(None)
+                continue
+            counts = [0] * k
+            first = [0] * k
+            s = 0
+            for pos, ch in enumerate(t):
+                while s and ch not in goto[s]:
+                    s = fail[s]
+                s = goto[s].get(ch, 0)
+                for ni in out[s]:
+                    counts[ni] += 1
+                    if first[ni] == 0:
+                        first[ni] = pos - lens[ni] + 2  # 1-based start
+            res.append(
+                [
+                    {"ni": i, "n_matches": counts[i], "first_pos": first[i]}
+                    for i in range(k)
+                    if counts[i] > 0
+                ]
+            )
+        return pd.Series(res)
+
+    ndl = F.array(*[F.lit(n) for n in needles])
+    t = df.select(
+        F.col(id_col), F.explode(scan(F.col(text_col))).alias("_m")
+    )
+    return t.select(
+        id_col,
+        F.element_at(ndl, F.col("_m.ni") + 1).alias("needle"),
+        F.col("_m.n_matches").cast("long").alias("n_matches"),
+        F.col("_m.first_pos").cast("long").alias("first_pos"),
+    )
