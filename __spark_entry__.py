@@ -25593,3 +25593,726 @@ SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
 FROM f
 """),
 })
+
+
+# ---------------------------------------------------------------------------
+# Round-15 entries, batch 3: epidemiology / economics / survival tier.
+
+
+def q_smr_byar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized high-value-event ratio per event type: observed
+    value>300 counts vs size×overall-rate expectation, Byar 95% CI."""
+    from from_superset_to_clickhouse_spark.operators.stats import smr_byar
+
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    per = ev.groupBy("event_type").agg(
+        F.count("*").alias("_n"),
+        F.count(F.when(F.col("value") > 300, 1)).alias("_o"),
+    )
+    tot = ev.agg(
+        (
+            F.count(F.when(F.col("value") > 300, 1)).cast("double")
+            / F.count("*")
+        ).alias("_rate")
+    )
+    per = per.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        F.col("_o").alias("obs"),
+        (F.col("_n").cast("double") * F.col("_rate")).alias("exp"),
+    )
+    return smr_byar(per, "event_type", "obs", "exp")
+
+
+def q_suits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suits progressivity index of lineitem tax against customer
+    order value — trapezoid concentration integral over the
+    (income, tax)-ordered customer curve."""
+    from from_superset_to_clickhouse_spark.operators.stats import suits_index
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    q = 1048576.0
+    per = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            # grid each term BEFORE the per-customer sum: a raw IEEE
+            # double sum is accumulation-order-dependent and the two
+            # engines would grid-flip at boundaries
+            (F.sum(F.floor(F.col("o_totalprice") * q)) / q).alias(
+                "income"
+            ),
+            (
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * F.col("l_tax") * q)
+                )
+                / q
+            ).alias("tax"),
+        )
+    )
+    return suits_index(per, "income", "tax")
+
+
+def q_aalen_johansen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen–Johansen cumulative incidence of two COMPETING first
+    outcomes per user — hours from the first event to whichever of
+    first purchase (cause 1) or first error (cause 2) comes sooner
+    (ties to purchase; users with neither are censored, cause 0) —
+    all-cause KM survival weighting per cause, the estimator 1−KM
+    per cause overstates."""
+    from from_superset_to_clickhouse_spark.operators.stats import (
+        aalen_johansen,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    life = ev.groupBy("user_id").agg(
+        F.min("ts").alias("_f"),
+        F.max("ts").alias("_l"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "_tp"
+        ),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias(
+            "_te"
+        ),
+    )
+    first_out = F.when(
+        F.col("_tp").isNotNull()
+        & (F.col("_te").isNull() | (F.col("_tp") <= F.col("_te"))),
+        F.col("_tp"),
+    ).otherwise(F.col("_te"))
+    cause = (
+        F.when(first_out.isNull(), F.lit(0))
+        .when(
+            F.col("_tp").isNotNull()
+            & (F.col("_te").isNull() | (F.col("_tp") <= F.col("_te"))),
+            F.lit(1),
+        )
+        .otherwise(F.lit(2))
+    )
+    dur = F.floor(
+        (
+            F.unix_timestamp(F.coalesce(first_out, F.col("_l")))
+            - F.unix_timestamp(F.col("_f"))
+        )
+        / 3600
+    )
+    life = life.select(dur.alias("dur"), cause.cast("int").alias("cause"))
+    return aalen_johansen(life, "dur", "cause")
+
+
+_R17_QUERIES.update({
+    "smr_byar": q_smr_byar,
+    "suits": q_suits,
+    "aalen_johansen": q_aalen_johansen,
+})
+
+_R17_ORACLES.update({
+    "smr_byar": ("""
+-- Same exact counts, same Byar cube CI arithmetic.
+WITH per AS (
+  SELECT event_type AS g, count(*) AS n,
+    count(*) FILTER (value > 300) AS o
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) FILTER (value > 300) AS DOUBLE) / count(*)
+    AS rate
+  FROM events WHERE value IS NOT NULL
+), b AS (
+  SELECT g, o, CAST(n AS DOUBLE) * rate AS e,
+    CAST(o AS DOUBLE) AS od, CAST(o AS DOUBLE) + 1.0 AS o1
+  FROM per, tot
+), c AS (
+  SELECT g, o, e, od / e AS smr,
+    CASE WHEN o > 0 THEN od * pow(1.0 - 1.0 / (9.0 * od)
+      - 1.96 / (3.0 * sqrt(od)), 3.0) / e ELSE 0.0 END AS lo,
+    o1 * pow(1.0 - 1.0 / (9.0 * o1)
+      + 1.96 / (3.0 * sqrt(o1)), 3.0) / e AS hi
+  FROM b
+)
+SELECT g, CAST(o AS BIGINT) AS obs, round(e, 6) AS expected,
+  round(smr, 6) AS smr, round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi,
+  CAST(lo > 1.0 OR hi < 1.0 AS INTEGER) AS sig_5pct
+FROM c
+"""),
+    "suits": ("""
+-- Same grid customer curve, same (income, tax) ordering, same 2^-40
+-- trapezoid grid.
+WITH per AS (
+  SELECT o_custkey,
+    CAST(sum(CAST(floor(o_totalprice * 1048576.0) AS BIGINT))
+      AS BIGINT) / 1048576.0 AS inc,
+    CAST(sum(CAST(floor(l_extendedprice * l_tax * 1048576.0)
+      AS BIGINT)) AS BIGINT) / 1048576.0 AS tax
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey
+), tot AS (
+  SELECT count(*) AS n,
+    CAST(CAST(sum(CAST(CAST(inc * 1048576.0 AS BIGINT) AS HUGEINT))
+      AS VARCHAR) AS DOUBLE) / 1048576.0 AS ti,
+    CAST(CAST(sum(CAST(CAST(tax * 1048576.0 AS BIGINT) AS HUGEINT))
+      AS VARCHAR) AS DOUBLE) / 1048576.0 AS tt
+  FROM per
+), c AS (
+  SELECT inc, tax,
+    CAST(CAST(sum(CAST(CAST(inc * 1048576.0 AS BIGINT) AS HUGEINT))
+      OVER w AS VARCHAR) AS DOUBLE) / 1048576.0 AS ci,
+    CAST(CAST(sum(CAST(CAST(tax * 1048576.0 AS BIGINT) AS HUGEINT))
+      OVER w AS VARCHAR) AS DOUBLE) / 1048576.0 AS ct
+  FROM per
+  WINDOW w AS (ORDER BY inc, tax
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), t AS (
+  SELECT n, ti, tt,
+    sum(CAST(floor((ci / ti - (ci - inc) / ti)
+      * (ct / tt + (ct - tax) / tt) * 1099511627776.0) AS BIGINT))
+      AS a2
+  FROM c, tot GROUP BY n, ti, tt
+)
+SELECT CAST(n AS BIGINT) AS n, round(ti, 6) AS total_income,
+  round(tt, 6) AS total_tax,
+  round(1.0 - CAST(a2 AS DOUBLE) / 1099511627776.0, 6) AS suits
+FROM t
+"""),
+    "aalen_johansen": ("""
+-- Same competing first-outcome lifetimes, same reverse-cumsum risk
+-- sets, same exp(cumsum(ln)) all-cause survival and ordered CIF
+-- cumsums.
+WITH life AS (
+  SELECT user_id, min(ts) AS f, max(ts) AS l,
+    min(ts) FILTER (event_type = 'purchase') AS tp,
+    min(ts) FILTER (event_type = 'error') AS te
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+), lc0 AS (
+  SELECT f, l, tp, te,
+    CASE WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te) THEN tp
+      ELSE te END AS fo
+  FROM life
+), lc AS (
+  SELECT CAST(floor(CAST(epoch(coalesce(fo, l)) - epoch(f) AS DOUBLE)
+      / 3600) AS BIGINT) AS t,
+    CASE WHEN fo IS NULL THEN 0
+      WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te) THEN 1
+      ELSE 2 END AS c
+  FROM lc0
+), per_t AS (
+  SELECT t, count(*) AS n_t, count(*) FILTER (c != 0) AS d_all
+  FROM lc GROUP BY t
+), base AS (
+  SELECT t, n_t, d_all,
+    sum(n_t) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND
+      UNBOUNDED FOLLOWING) AS n_risk
+  FROM per_t
+), sm AS (
+  SELECT t, n_risk,
+    exp(coalesce(sum(CASE WHEN d_all > 0 AND d_all < n_risk
+      THEN ln(1.0 - CAST(d_all AS DOUBLE) / CAST(n_risk AS DOUBLE))
+      ELSE 0.0 END) OVER (ORDER BY t
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0))
+      AS s_minus
+  FROM base
+), per_tc AS (
+  SELECT t, c, count(*) AS d_c FROM lc WHERE c != 0 GROUP BY t, c
+), j AS (
+  SELECT p.t, p.c, s.n_risk, p.d_c,
+    s.s_minus * CAST(p.d_c AS DOUBLE) / CAST(s.n_risk AS DOUBLE)
+      AS inc
+  FROM per_tc p JOIN sm s USING (t)
+)
+SELECT CAST(t AS BIGINT) AS t, CAST(c AS INTEGER) AS cause,
+  CAST(n_risk AS BIGINT) AS n_risk, CAST(d_c AS BIGINT) AS d_cause,
+  round(sum(inc) OVER (PARTITION BY c ORDER BY t
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cif
+FROM j
+"""),
+})
+
+
+# ---------------------------------------------------------------------------
+# Round-15 entries, batch 4: OHLC-bar indicator tier (daily bars from
+# the shared min_by/max_by ohlc_bars program; SQL twin = row_number
+# open/close, the _OHLC_SQL discipline).
+
+_BARS_1D_SQL = """
+  SELECT event_type AS k, time_bucket(INTERVAL '1 day', ts) AS b,
+    max(CASE WHEN rn_a = 1 THEN value END) AS o,
+    max(value) AS h, min(value) AS l,
+    max(CASE WHEN rn_d = 1 THEN value END) AS c,
+    count(*) AS vol
+  FROM (
+    SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS bs,
+      ts, event_id, value,
+      row_number() OVER (PARTITION BY event_type,
+        time_bucket(INTERVAL '1 day', ts)
+        ORDER BY ts, event_id) AS rn_a,
+      row_number() OVER (PARTITION BY event_type,
+        time_bucket(INTERVAL '1 day', ts)
+        ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM events)
+  GROUP BY 1, 2
+"""
+
+
+def q_chaikin_mf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chaikin money flow over daily per-type OHLC(+volume) bars,
+    period 10 — grid-exact money-flow-volume trailing sums."""
+    ev = _ev(spark, sf_dir)
+    return tmp.chaikin_money_flow(
+        ev, "event_type", "ts", "value", "event_id", bar="1 day", period=10
+    )
+
+
+def q_vortex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vortex indicator VI+/VI− over daily per-type bars, period 10 —
+    grid-floored VM/TR terms, exact trailing sums."""
+    ev = _ev(spark, sf_dir)
+    return tmp.vortex_indicator(
+        ev, "event_type", "ts", "value", "event_id", bar="1 day", period=10
+    )
+
+
+def q_supertrend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supertrend(5, 2.0) trailing stop over daily per-type bars —
+    the band-ratchet recursion unrolled as a grid-exact fold, twin
+    replayed with DuckDB list_reduce."""
+    ev = _ev(spark, sf_dir)
+    return tmp.supertrend(
+        ev, "event_type", "ts", "value", "event_id",
+        bar="1 day", period=5, mult=2.0,
+    )
+
+
+_R17_QUERIES.update({
+    "chaikin_mf": q_chaikin_mf,
+    "vortex": q_vortex,
+    "supertrend": q_supertrend,
+})
+
+
+def _st_step_sql(ub: str, lb: str, st: str, cq: str) -> str:
+    """One supertrend ratchet step against accumulator accessors —
+    new-band expressions are inlined wherever referenced (struct
+    literals can't reference sibling fields)."""
+    nub = f"(CASE WHEN x.bu < {ub} OR {cq} > {ub} THEN x.bu ELSE {ub} END)"
+    nlb = f"(CASE WHEN x.bl > {lb} OR {cq} < {lb} THEN x.bl ELSE {lb} END)"
+    nst = (
+        f"(CASE WHEN {st} = {ub} THEN "
+        f"(CASE WHEN x.cq <= {nub} THEN {nub} ELSE {nlb} END) "
+        f"ELSE (CASE WHEN x.cq >= {nlb} THEN {nlb} ELSE {nub} END) END)"
+    )
+    return (
+        "{'bu': x.bu, 'bl': x.bl, 'cq': x.cq, "
+        f"'ub': {nub}, 'lb': {nlb}, 'st': {nst}}}"
+    )
+
+
+_ST_SEED_ST = "(CASE WHEN acc.cq <= acc.bu THEN acc.bu ELSE acc.bl END)"
+_ST_FOLD_SQL = (
+    "list_reduce(l2, (acc, x) -> CASE WHEN acc.bu IS NULL THEN acc "
+    "WHEN acc.ub IS NULL THEN "
+    + _st_step_sql("acc.bu", "acc.bl", _ST_SEED_ST, "acc.cq")
+    + " ELSE "
+    + _st_step_sql("acc.ub", "acc.lb", "acc.st", "acc.cq")
+    + " END)"
+)
+
+_R17_ORACLES.update({
+    "chaikin_mf": ("""
+-- Same bars, same grid MFV, same trailing-10 exact sums.
+WITH bars AS (""" + _BARS_1D_SQL + """),
+m AS (
+  SELECT k, b, vol,
+    floor(CASE WHEN h > l THEN ((c - l) - (h - c)) / (h - l)
+      ELSE 0.0 END * vol * 1048576.0) / 1048576.0 AS mfv
+  FROM bars
+), w AS (
+  SELECT k, b,
+    count(*) OVER wf AS cnt,
+    sum(mfv * 1048576.0) OVER wf / 1048576.0 AS smfv,
+    sum(vol) OVER wf AS svol
+  FROM m
+  WINDOW wf AS (PARTITION BY k ORDER BY b
+    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT k AS event_type, b AS bar_start,
+  round(CASE WHEN cnt >= 10
+    THEN smfv / CAST(svol AS DOUBLE) END, 6) AS cmf
+FROM w
+"""),
+    "vortex": ("""
+-- Same bars, same grid VM/TR terms, same trailing-10 exact sums.
+WITH bars AS (""" + _BARS_1D_SQL + """),
+lg AS (
+  SELECT k, b, h, l, c,
+    lag(h) OVER wo AS ph, lag(l) OVER wo AS pl, lag(c) OVER wo AS pc
+  FROM bars WINDOW wo AS (PARTITION BY k ORDER BY b)
+), t AS (
+  SELECT k, b,
+    floor(abs(h - pl) * 1048576.0) / 1048576.0 AS vmp,
+    floor(abs(l - ph) * 1048576.0) / 1048576.0 AS vmm,
+    floor(greatest(h - l, abs(h - pc), abs(l - pc)) * 1048576.0)
+      / 1048576.0 AS tr
+  FROM lg
+), w AS (
+  SELECT k, b,
+    count(tr) OVER wf AS cnt,
+    sum(tr * 1048576.0) OVER wf / 1048576.0 AS str,
+    sum(vmp * 1048576.0) OVER wf / 1048576.0 AS svp,
+    sum(vmm * 1048576.0) OVER wf / 1048576.0 AS svm
+  FROM t
+  WINDOW wf AS (PARTITION BY k ORDER BY b
+    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT k AS event_type, b AS bar_start,
+  round(CASE WHEN cnt >= 10 AND str > 0 THEN svp / str END, 6)
+    AS vi_plus,
+  round(CASE WHEN cnt >= 10 AND str > 0 THEN svm / str END, 6)
+    AS vi_minus
+FROM w
+"""),
+    "supertrend": ("""
+-- Same SMA(5)-ATR bands on the 2^-20 grid, same ratchet fold via
+-- list_reduce (acc starts as the raw first element = Spark's widen;
+-- a 1-element ready-prefix is seeded at finalization on both sides).
+WITH bars AS (""" + _BARS_1D_SQL + """),
+lg AS (
+  SELECT k, b, h, l, c, lag(c) OVER wo AS pc
+  FROM bars WINDOW wo AS (PARTITION BY k ORDER BY b)
+), t AS (
+  SELECT k, b, h, l, c,
+    floor(greatest(h - l, coalesce(abs(h - pc), h - l),
+      coalesce(abs(l - pc), h - l)) * 1048576.0) / 1048576.0 AS tr
+  FROM lg
+), a AS (
+  SELECT k, b, h, l, c,
+    CASE WHEN count(tr) OVER wp >= 5 THEN
+      floor((sum(tr * 1048576.0) OVER wp / 1048576.0) / 5.0
+        * 1048576.0) / 1048576.0 END AS atr
+  FROM t
+  WINDOW wp AS (PARTITION BY k ORDER BY b
+    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+), e AS (
+  SELECT k, b, atr,
+    CASE WHEN atr IS NOT NULL THEN {
+      'bu': floor(((h + l) / 2.0 + 2.0 * atr) * 1048576.0) / 1048576.0,
+      'bl': floor(((h + l) / 2.0 - 2.0 * atr) * 1048576.0) / 1048576.0,
+      'cq': floor(c * 1048576.0) / 1048576.0,
+      'ub': NULL::DOUBLE, 'lb': NULL::DOUBLE, 'st': NULL::DOUBLE}
+    END AS el
+  FROM a
+), fr AS (
+  SELECT k, b, atr,
+    list_filter(list(el) OVER (PARTITION BY k ORDER BY b
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      x -> x IS NOT NULL) AS l2
+  FROM e
+), fold AS (
+  SELECT k, b, atr,
+    CASE WHEN len(l2) = 0 THEN NULL ELSE """ + _ST_FOLD_SQL + """
+    END AS r
+  FROM fr
+), fin AS (
+  SELECT k, b, atr,
+    CASE WHEN r.ub IS NULL AND r.bu IS NOT NULL THEN {
+      'ub': r.bu, 'lb': r.bl,
+      'st': CASE WHEN r.cq <= r.bu THEN r.bu ELSE r.bl END}
+    ELSE {'ub': r.ub, 'lb': r.lb, 'st': r.st} END AS f
+  FROM fold
+)
+SELECT k AS event_type, b AS bar_start,
+  round(CASE WHEN atr IS NOT NULL THEN f.st END, 6) AS supertrend,
+  CASE WHEN atr IS NOT NULL AND f.st IS NOT NULL THEN
+    CASE WHEN f.st = f.ub THEN 'down' ELSE 'up' END END AS direction
+FROM fin
+"""),
+})
+
+
+# ---------------------------------------------------------------------------
+# Round-15 entries, batch 5: graph community / brokerage, multi-needle
+# decontamination, and the real compressed-audio codec.
+
+
+def q_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronous Louvain move from singletons on the skewed
+    test graph, rolled up to per-community modularity terms — exact
+    integer gains (2m − deg·deg), ties to the smallest neighbor."""
+    from from_superset_to_clickhouse_spark.operators.graph import (
+        louvain_move,
+        modularity,
+    )
+
+    edges = _kcore_edges(spark, sf_dir)
+    asg = louvain_move(edges)
+    return modularity(edges, asg)
+
+
+def q_aho_corasick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aho–Corasick one-pass multi-needle scan of the documents for
+    four non-self-overlapping stopword/term needles — per-(doc,
+    needle) occurrence counts and first positions; the SQL twin
+    recounts via the replace-length trick + strpos."""
+    from from_superset_to_clickhouse_spark.operators.text import (
+        multi_needle_match,
+    )
+
+    d = _docs(spark, sf_dir)
+    return multi_needle_match(d, ["the", "data", "tion", "and"])
+
+
+def q_adpcm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL IMA-ADPCM decode of per-doc planted nibble streams
+    (nibbleᵢ = (7·id + 3·i) mod 16, step index id mod 20): the SQL
+    twin replays all 16 integer decoder steps — step table lookups,
+    bit-serial diff, int16/index clamps — so a single wrong table
+    entry or clamp hash-mismatches."""
+    from from_superset_to_clickhouse_spark.operators.multimodal import (
+        adpcm_decode,
+        synthesize_adpcm_streams,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    fix = synthesize_adpcm_streams(d, "doc_id")
+    out = adpcm_decode(fix, "media_id", "payload", "idx0")
+    return out.select(
+        "media_id",
+        "n_samples",
+        "first_sample",
+        "last_sample",
+        "sum_abs",
+        F.array_join(F.col("samples"), ",").alias("samples_csv"),
+    )
+
+
+_R17_QUERIES.update({
+    "louvain_move": q_louvain_move,
+    "aho_corasick": q_aho_corasick,
+    "adpcm_audio": q_adpcm_audio,
+})
+
+_R17_ORACLES.update({
+    "louvain_move": ("""
+-- Same canonical edges, exact integer gains, (gain, -j) argmax,
+-- same modularity rollup arithmetic.
+WITH d AS (SELECT doc_id FROM documents),
+raw AS (
+  SELECT doc_id % 300 AS s, (doc_id * 11 + 1) % 300 AS t FROM d
+  UNION ALL
+  SELECT doc_id % 300, (doc_id * 17 + 2) % 300 FROM d
+  UNION ALL
+  SELECT doc_id % 20, (doc_id // 20) % 20 FROM d WHERE doc_id < 400
+), e AS MATERIALIZED (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM raw
+  WHERE least(s, t) < greatest(s, t)
+), m AS (SELECT count(*) AS m FROM e),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS dg
+  FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n
+), nbr AS (
+  SELECT a AS i, b AS j FROM e UNION ALL SELECT b, a FROM e
+), gains AS (
+  SELECT nbr.i, nbr.j, 2 * m.m - di.dg * dj.dg AS g
+  FROM nbr, m
+  JOIN deg di ON di.n = nbr.i
+  JOIN deg dj ON dj.n = nbr.j
+), best AS (
+  SELECT i,
+    CASE WHEN struct_extract(mx, 'g') > 0
+      THEN -struct_extract(mx, 'nj') ELSE i END AS community
+  FROM (SELECT i, max({'g': g, 'nj': -j}) AS mx FROM gains GROUP BY i)
+), dsum AS (
+  SELECT community AS c, CAST(count(*) AS BIGINT) AS n_nodes,
+    CAST(sum(dg) AS BIGINT) AS d_tot
+  FROM best JOIN deg ON deg.n = best.i GROUP BY community
+), ein AS (
+  SELECT ba.community AS c, CAST(count(*) AS BIGINT) AS e_in
+  FROM e
+  JOIN best ba ON ba.i = e.a
+  JOIN best bb ON bb.i = e.b
+  WHERE ba.community = bb.community
+  GROUP BY ba.community
+)
+SELECT d.c AS community, d.n_nodes,
+  coalesce(ein.e_in, 0) AS e_in, d.d_tot,
+  round(CAST(coalesce(ein.e_in, 0) AS DOUBLE) / m.m
+    - (CAST(d.d_tot AS DOUBLE) / (2.0 * m.m))
+      * (CAST(d.d_tot AS DOUBLE) / (2.0 * m.m)), 6) AS q_term
+FROM dsum d LEFT JOIN ein ON ein.c = d.c, m
+"""),
+    "aho_corasick": ("""
+-- Replace-length occurrence counts (the needles cannot self-overlap,
+-- so overlapping == non-overlapping) + strpos first positions.
+WITH needles AS (
+  SELECT unnest(['the', 'data', 'tion', 'and']) AS needle
+), c AS (
+  SELECT d.doc_id, n.needle,
+    CAST((length(d.text) - length(replace(d.text, n.needle, '')))
+      / length(n.needle) AS BIGINT) AS n_matches,
+    CAST(strpos(d.text, n.needle) AS BIGINT) AS first_pos
+  FROM documents d, needles n
+)
+SELECT doc_id, needle, n_matches, first_pos
+FROM c WHERE n_matches > 0
+"""),
+})
+
+
+def _adpcm_sql() -> str:
+    """16 unrolled IMA-ADPCM decoder steps: per doc, nibble_j is
+    closed-form, each step is integer table lookups + the bit-serial
+    diff + clamps — the full codec replayed in SQL."""
+    from from_superset_to_clickhouse_spark.operators.multimodal import (
+        IMA_INDEX_TABLE,
+        IMA_STEP_TABLE,
+    )
+
+    steps = "[" + ", ".join(str(s) for s in IMA_STEP_TABLE) + "]"
+    idxs = "[" + ", ".join(str(i) for i in IMA_INDEX_TABLE) + "]"
+    parts = [
+        f"""
+s0 AS (
+  SELECT doc_id AS media_id, CAST(0 AS INTEGER) AS p0,
+    CAST(doc_id % 20 AS INTEGER) AS x0
+  FROM documents
+)"""
+    ]
+    for j in range(1, 17):
+        prev = f"s{j - 1}j" if j > 1 else "s0"
+        parts.append(f"""
+s{j} AS MATERIALIZED (
+  SELECT media_id, p{j - 1}, x{j - 1},
+    CAST((7 * media_id + 3 * {j - 1}) % 16 AS INTEGER) AS nb,
+    list_extract({steps}, x{j - 1} + 1) AS st
+  FROM {prev}
+), t{j} AS (
+  SELECT media_id,
+    (st >> 3) + CASE WHEN nb & 1 = 1 THEN st >> 2 ELSE 0 END
+      + CASE WHEN nb & 2 = 2 THEN st >> 1 ELSE 0 END
+      + CASE WHEN nb & 4 = 4 THEN st ELSE 0 END AS df,
+    nb, p{j - 1}, x{j - 1}
+  FROM s{j}
+), u{j} AS (
+  SELECT media_id,
+    CAST(greatest(-32768, least(32767,
+      CASE WHEN nb & 8 = 8 THEN p{j - 1} - df
+        ELSE p{j - 1} + df END)) AS INTEGER) AS p{j},
+    CAST(greatest(0, least(88,
+      x{j - 1} + list_extract({idxs}, nb + 1))) AS INTEGER) AS x{j}
+  FROM t{j}
+)""")
+        parts.append(f"""
+s{j}j AS MATERIALIZED (
+  SELECT s.media_id, {", ".join(f"s.p{k}" for k in range(1, j))}
+    {"," if j > 1 else ""} u.p{j}, u.x{j}
+  FROM {"s" + str(j - 1) + "j" if j > 1 else "s0"} s
+  JOIN u{j} u USING (media_id)
+)""")
+    cols = ", ".join(f"p{j}" for j in range(1, 17))
+    absum = " + ".join(f"abs(p{j})" for j in range(1, 17))
+    csv = " || ',' || ".join(f"CAST(p{j} AS VARCHAR)" for j in range(1, 17))
+    return (
+        "-- full 16-step IMA-ADPCM integer decode, tables inline\n"
+        "WITH " + ",".join(parts) + f"""
+SELECT media_id, CAST(16 AS BIGINT) AS n_samples,
+  p1 AS first_sample, p16 AS last_sample,
+  CAST({absum} AS BIGINT) AS sum_abs,
+  {csv} AS samples_csv
+FROM s16j
+"""
+    )
+
+
+_R17_ORACLES.update({"adpcm_audio": _adpcm_sql()})
+
+
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count Brandes betweenness from 3 pivots over a
+    24-node deterministic doc graph (ring + ×5 chords) — σ path
+    counts forward, grid-exact dependency sweep backward; the twin
+    unrolls both passes to 8 hops."""
+    from from_superset_to_clickhouse_spark.operators.graph import (
+        betweenness_from_pivots,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    e1 = d.select(
+        (F.col("doc_id") % 24).alias("src"),
+        ((F.col("doc_id") * 5 + 1) % 24).alias("dst"),
+    )
+    e2 = d.select(
+        (F.col("doc_id") % 24).alias("src"),
+        ((F.col("doc_id") + 1) % 24).alias("dst"),
+    )
+    return betweenness_from_pivots(
+        e1.unionByName(e2), [0, 5, 11], max_hops=8
+    )
+
+
+_R17_QUERIES.update({"betweenness": q_betweenness})
+
+
+def _betweenness_sql(hops: int = 8) -> str:
+    """Unrolled Brandes twin: BFS layers f1..fH (sigma sums, visited
+    anti-joins), then the backward dependency chain dlH..dl0 with the
+    same 2^-20 contribution grid."""
+    parts = ["""
+d AS (SELECT doc_id FROM documents),
+raw AS (
+  SELECT doc_id % 24 AS s, (doc_id * 5 + 1) % 24 AS t FROM d
+  UNION ALL
+  SELECT doc_id % 24, (doc_id + 1) % 24 FROM d
+), sym AS MATERIALIZED (
+  SELECT DISTINCT u, w FROM (
+    SELECT s AS u, t AS w FROM raw UNION ALL SELECT t, s FROM raw)
+  WHERE u != w
+), pv AS (SELECT unnest([0, 5, 11]) AS p),
+f0 AS MATERIALIZED (
+  SELECT p, p AS v, 0 AS dd, CAST(1 AS BIGINT) AS sigma FROM pv
+), L0 AS MATERIALIZED (SELECT * FROM f0)"""]
+    for h in range(1, hops + 1):
+        parts.append(f"""
+f{h} AS MATERIALIZED (
+  SELECT f.p, e.w AS v, {h} AS dd, CAST(sum(f.sigma) AS BIGINT) AS sigma
+  FROM f{h - 1} f JOIN sym e ON f.v = e.u
+  WHERE NOT EXISTS (
+    SELECT 1 FROM L{h - 1} vis WHERE vis.p = f.p AND vis.v = e.w)
+  GROUP BY f.p, e.w
+), L{h} AS MATERIALIZED (
+  SELECT * FROM L{h - 1} UNION ALL SELECT * FROM f{h}
+)""")
+    parts.append(f"""
+dl{hops} AS MATERIALIZED (
+  SELECT p, v, 0.0 AS delta FROM L{hops} WHERE dd = {hops}
+)""")
+    for dd in range(hops - 1, -1, -1):
+        parts.append(f"""
+dl{dd} AS MATERIALIZED (
+  SELECT cur.p, cur.v, coalesce(c.s, 0.0) AS delta
+  FROM (SELECT * FROM L{hops} WHERE dd = {dd}) cur
+  LEFT JOIN (
+    SELECT c2.p, c2.v,
+      sum(floor(CAST(c2.sigma AS DOUBLE) / CAST(nx.sigma AS DOUBLE)
+        * (1.0 + nx.delta) * 1048576.0)) / 1048576.0 AS s
+    FROM (SELECT * FROM L{hops} WHERE dd = {dd}) c2
+    JOIN sym e ON c2.v = e.u
+    JOIN (
+      SELECT l.p, l.v, l.sigma, dn.delta
+      FROM L{hops} l JOIN dl{dd + 1} dn ON dn.p = l.p AND dn.v = l.v
+      WHERE l.dd = {dd + 1}) nx
+      ON nx.p = c2.p AND nx.v = e.w
+    GROUP BY c2.p, c2.v
+  ) c ON c.p = cur.p AND c.v = cur.v
+)""")
+    un = " UNION ALL ".join(
+        f"SELECT * FROM dl{dd}" for dd in range(0, hops + 1)
+    )
+    return (
+        "-- unrolled Brandes: sigma BFS + grid-exact dependency sweep\n"
+        "WITH " + ",".join(parts) + f"""
+SELECT v AS node,
+  round(sum(delta * 1048576.0) / 1048576.0 / 2.0, 6) AS betweenness
+FROM ({un}) WHERE v != p GROUP BY v
+"""
+    )
+
+
+_R17_ORACLES.update({"betweenness": _betweenness_sql()})

@@ -7871,10 +7871,15 @@ def suits_index(
     src = df.select(qi.alias("_i"), qt.alias("_t")).filter(
         F.col("_i").isNotNull() & F.col("_t").isNotNull()
     )
+    # totals and prefixes can exceed 2^53: accumulate the grid units
+    # as exact LONGs (the SQL twin uses HUGEINT + the VARCHAR
+    # round-trip), then one correctly-rounded long->double conversion
+    iu = (F.col("_i") * _Q).cast("long")
+    tu = (F.col("_t") * _Q).cast("long")
     tot = src.agg(
         F.count("*").alias("_n"),
-        (F.sum(F.col("_i") * _Q) / _Q).alias("_ti"),
-        (F.sum(F.col("_t") * _Q) / _Q).alias("_tt"),
+        (F.sum(iu).cast("double") / _Q).alias("_ti"),
+        (F.sum(tu).cast("double") / _Q).alias("_tt"),
     )
     w = Window.orderBy("_i", "_t").rowsBetween(
         Window.unboundedPreceding, 0
@@ -7882,8 +7887,8 @@ def suits_index(
     t = src.select(
         "_i",
         "_t",
-        (F.sum(F.col("_i") * _Q).over(w) / _Q).alias("_ci"),
-        (F.sum(F.col("_t") * _Q).over(w) / _Q).alias("_ct"),
+        (F.sum(iu).over(w).cast("double") / _Q).alias("_ci"),
+        (F.sum(tu).over(w).cast("double") / _Q).alias("_ct"),
     ).crossJoin(F.broadcast(tot))
     x = F.col("_ci") / F.col("_ti")
     y = F.col("_ct") / F.col("_tt")
@@ -7931,8 +7936,11 @@ def aalen_johansen(
             w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         ),
     )
+    # d_all == n_risk (everyone remaining dies) would take ln(0); that
+    # term can only influence LATER times, of which there are none —
+    # excluded on both engines (DuckDB ln(0) throws, Spark NULLs)
     lf = F.when(
-        F.col("_d_all") > 0,
+        (F.col("_d_all") > 0) & (F.col("_d_all") < F.col("_n_risk")),
         F.log(
             1.0
             - F.col("_d_all").cast("double")
