@@ -5121,18 +5121,21 @@ def decode_wav_adpcm(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     rate = channels = tag = block_align = None
     data = None
     i = 12
-    while i + 8 <= len(payload):
-        cid = payload[i : i + 4]
-        (csize,) = struct.unpack("<I", payload[i + 4 : i + 8])
-        if cid == b"fmt ":
-            tag, channels, rate, _br, block_align, _bits = struct.unpack(
-                "<HHIIHH", payload[i + 8 : i + 24]
-            )
-        elif cid == b"data":
-            data = payload[i + 8 : i + 8 + csize]
-            if len(data) != csize:
-                raise ValueError("WAV data chunk truncated")
-        i += 8 + csize + (csize & 1)
+    try:
+        while i + 8 <= len(payload):
+            cid = payload[i : i + 4]
+            (csize,) = struct.unpack("<I", payload[i + 4 : i + 8])
+            if cid == b"fmt ":
+                tag, channels, rate, _br, block_align, _bits = struct.unpack(
+                    "<HHIIHH", payload[i + 8 : i + 24]
+                )
+            elif cid == b"data":
+                data = payload[i + 8 : i + 8 + csize]
+                if len(data) != csize:
+                    raise ValueError("WAV data chunk truncated")
+            i += 8 + csize + (csize & 1)
+    except struct.error as exc:
+        raise ValueError(f"truncated WAV: {exc}") from exc
     if rate is None or data is None:
         raise ValueError("WAV: missing fmt/data chunk")
     if tag != WAVE_FORMAT_IMA_ADPCM:
@@ -5238,6 +5241,9 @@ def adpcm_decode(
                 out["last_sample"].append(int(s[-1]) if len(s) else 0)
                 out["sum_abs"].append(int(np.abs(s.astype(np.int64)).sum()))
                 out["samples"].append([int(x) for x in s])
-            yield pd.DataFrame(out)
+            # an all-quarantined batch would materialize float64 empty
+            # columns Arrow can't cast to list<int> — yield nothing
+            if out["media_id"]:
+                yield pd.DataFrame(out)
 
     return src.mapInPandas(run, schema=schema)

@@ -5219,12 +5219,18 @@ def vortex_indicator(
     q = lambda x: F.floor(x * _Q2) / _Q2  # noqa: E731
     vmp = q(F.abs(F.col("_h") - F.col("_pl")))
     vmm = q(F.abs(F.col("_l") - F.col("_ph")))
-    tr = q(
-        F.greatest(
-            F.col("_h") - F.col("_l"),
-            F.abs(F.col("_h") - F.col("_pc")),
-            F.abs(F.col("_l") - F.col("_pc")),
-        )
+    # greatest() SKIPS nulls, so the first bar would get a TR with no
+    # VM terms and the warm-up ratio would mix 4 VM over 5 TR — gate
+    # TR on the previous close explicitly
+    tr = F.when(
+        F.col("_pc").isNotNull(),
+        q(
+            F.greatest(
+                F.col("_h") - F.col("_l"),
+                F.abs(F.col("_h") - F.col("_pc")),
+                F.abs(F.col("_l") - F.col("_pc")),
+            )
+        ),
     )
     t = t.select(
         "_k", "_b", vmp.alias("_vmp"), vmm.alias("_vmm"), tr.alias("_tr")

@@ -697,3 +697,31 @@ def test_r15_queue_plan_gates(spark, qmap):
         assert "BatchEvalPython" not in plan, name
         if name in partitioned:
             assert "SinglePartition" not in plan, name
+
+
+def test_r15_additions_plan_gates(spark, qmap):
+    """Scale gates for the 23 round-15 entries: no cartesian product,
+    no row-at-a-time Python (the AC scanner and ADPCM decoder are
+    sanctioned Arrow crossings — ArrowEvalPython/MapInPandas, never
+    BatchEvalPython). SinglePartition exchanges only for single-row
+    scalar statistics, the global-order GOF rankings, the bounded
+    customer concentration curve, the bounded survival curve, and the
+    bounded pivot/graph programs; per-key series outputs (randomness
+    tests, indicator tier, ESD anomalies) stay partitioned on their
+    keyed stages."""
+    scalar_or_bounded = {
+        "stouffer_z", "cvm_one_sample", "watson_u2", "lilliefors",
+        "cucconi", "moses", "jonckheere", "quade", "smr_byar",
+        "suits", "aalen_johansen", "louvain_move", "betweenness",
+    }
+    partitioned = [
+        "turning_point", "bartels_rank", "theta_fc", "aroon",
+        "seasonal_esd", "chaikin_mf", "vortex", "supertrend",
+        "aho_corasick", "adpcm_audio",
+    ]
+    for name in sorted(scalar_or_bounded) + partitioned:
+        plan = _plan(qmap[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        if name in partitioned:
+            assert "SinglePartition" not in plan, name
