@@ -8150,3 +8150,381 @@ def cucconi_test(
         F.round(p, 6).alias("p_value"),
         (p < 0.05).cast("int").alias("reject_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-15 QUEUE additions (r16-window candidates): normal-scores and
+# scale rank tests on the shared midrank/probit machinery.
+
+
+def van_der_waerden(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Van der Waerden k-sample normal-scores location test → one row
+    (k, n, t_stat, df, p_value): pooled midranks mapped through
+    Φ⁻¹(r/(N+1)) (the shared Acklam probit), T = Σ_g (Σa)²/n_g / s²
+    with s² = Σa²/(N−1) ~ χ²(k−1) — Kruskal–Wallis' ARE-of-ANOVA
+    sibling (full Pitman efficiency against normal shifts, rank
+    robustness everywhere else). Wilson–Hilferty chi-square tail via
+    the shared erf polynomial; every score product grid-floored
+    before its sum."""
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        (F.floor(F.col(value_col).cast("double") * _Q) / _Q).alias("_v"),
+    ).filter(F.col("_v").isNotNull() & F.col("_g").isNotNull())
+    w = Window.orderBy("_v")
+    tie = Window.partitionBy("_v")
+    r = (
+        F.rank().over(w).cast("double")
+        + (F.count("*").over(tie).cast("double") - 1.0) / 2.0
+    )
+    t = src.select("_g", r.alias("_r"))
+    nn_df = t.agg(F.count("*").alias("_nn"))
+    t = t.crossJoin(F.broadcast(nn_df))
+    a = probit_approx(F.col("_r") / (F.col("_nn").cast("double") + 1.0))
+    t = t.select("_g", "_nn", a.alias("_a"))
+    per = t.groupBy("_g", "_nn").agg(
+        F.count("*").alias("_ng"),
+        (F.sum(F.floor(F.col("_a") * _Q)) / _Q).alias("_sa"),
+        (F.sum(F.floor(F.col("_a") * F.col("_a") * _Q)) / _Q).alias(
+            "_sa2"
+        ),
+    )
+    agg = per.groupBy("_nn").agg(
+        F.count("*").alias("_k"),
+        (
+            F.sum(
+                F.floor(
+                    F.col("_sa") * F.col("_sa")
+                    / F.col("_ng").cast("double")
+                    * _Q
+                )
+            )
+            / _Q
+        ).alias("_t1"),
+        F.sum("_sa2").alias("_ssq"),
+    )
+    nn = F.col("_nn").cast("double")
+    s2 = F.col("_ssq") / (nn - 1.0)
+    tstat = F.col("_t1") / s2
+    dof = (F.col("_k") - 1).cast("double")
+    # Wilson-Hilferty chi2 upper tail via the shared erf polynomial
+    zwh = (
+        F.pow(tstat / dof, F.lit(1.0 / 3.0))
+        - (1.0 - 2.0 / (9.0 * dof))
+    ) / F.sqrt(2.0 / (9.0 * dof))
+    # mirrored-tail sf: the A&S erf polynomial is x >= 0 only
+    p = F.when(
+        F.col("_k") > 1,
+        F.when(zwh >= 0, normal_sf(zwh)).otherwise(
+            1.0 - normal_sf(-zwh)
+        ),
+    )
+    return agg.select(
+        F.col("_k").cast("long").alias("k"),
+        F.col("_nn").cast("long").alias("n"),
+        F.round(tstat, 6).alias("t_stat"),
+        dof.cast("long").alias("df"),
+        F.round(p, 6).alias("p_value"),
+    )
+
+
+def klotz_test(
+    df: DataFrame, group_col: str, a: str, b: str, value_col: str
+) -> DataFrame:
+    """Klotz two-sample normal-scores SCALE test → one row (n_a, n_b,
+    t_stat, z_stat, reject_5pct): scores aᵢ = Φ⁻¹(rᵢ/(N+1))², T = Σ
+    over sample a — the normal-scores counterpart of
+    ``ansari_bradley`` (full efficiency against normal scale shifts).
+    z = (T − n_a·ā)/√(n_a·n_b/(N(N−1))·Σ(aᵢ−ā)²·... the exact
+    permutation moments E[T] = n_a ā and
+    Var[T] = n_a n_b (Σa² − N ā²)/(N(N−1))."""
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        (F.floor(F.col(value_col).cast("double") * _Q) / _Q).alias("_v"),
+    ).filter(F.col("_v").isNotNull() & F.col("_g").isin([a, b]))
+    w = Window.orderBy("_v")
+    tie = Window.partitionBy("_v")
+    r = (
+        F.rank().over(w).cast("double")
+        + (F.count("*").over(tie).cast("double") - 1.0) / 2.0
+    )
+    t = src.select("_g", r.alias("_r"))
+    nn_df = t.agg(F.count("*").alias("_nn"))
+    t = t.crossJoin(F.broadcast(nn_df))
+    sc = probit_approx(F.col("_r") / (F.col("_nn").cast("double") + 1.0))
+    sc = sc * sc
+    t = t.select("_g", "_nn", sc.alias("_a"))
+    agg = t.groupBy("_nn").agg(
+        F.count(F.when(F.col("_g") == a, 1)).alias("_na"),
+        F.count(F.when(F.col("_g") == b, 1)).alias("_nb"),
+        (
+            F.sum(F.when(F.col("_g") == a, F.floor(F.col("_a") * _Q)))
+            / _Q
+        ).alias("_ta"),
+        (F.sum(F.floor(F.col("_a") * _Q)) / _Q).alias("_sa"),
+        (F.sum(F.floor(F.col("_a") * F.col("_a") * _Q)) / _Q).alias(
+            "_sa2"
+        ),
+    )
+    nn = F.col("_nn").cast("double")
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    abar = F.col("_sa") / nn
+    var = na * nb * (F.col("_sa2") - nn * abar * abar) / (
+        nn * (nn - 1.0)
+    )
+    z = F.when(var > 0, (F.col("_ta") - na * abar) / F.sqrt(var))
+    return agg.select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.round("_ta", 6).alias("t_stat"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > 1.96).cast("int").alias("reject_5pct"),
+    )
+
+
+def siegel_tukey(
+    df: DataFrame, group_col: str, a: str, b: str, value_col: str
+) -> DataFrame:
+    """Siegel–Tukey two-sample scale test → one row (n_a, n_b, w_stat,
+    z_stat, reject_5pct): ranks assigned ZIGZAG from the extremes
+    inward (1 to the smallest, 2–3 to the two largest, 4–5 to the
+    next two smallest, …), then a plain Wilcoxon rank-sum on those
+    ranks — the scale test that needs no scores at all (low spread ⇒
+    central values ⇒ HIGH zigzag ranks). Ordering ties broken by
+    (value, group) — documented determinism contract, classic ST
+    assumes continuity. Untied normal approximation
+    E = n_a(N+1)/2, Var = n_a n_b(N+1)/12."""
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        (F.floor(F.col(value_col).cast("double") * _Q) / _Q).alias("_v"),
+    ).filter(F.col("_v").isNotNull() & F.col("_g").isin([a, b]))
+    w = Window.orderBy("_v", "_g")
+    t = src.select(
+        "_g", F.row_number().over(w).cast("long").alias("_i")
+    )
+    nn_df = t.agg(F.count("*").alias("_nn"))
+    t = t.crossJoin(F.broadcast(nn_df))
+    i = F.col("_i")
+    nnl = F.col("_nn")
+    j = nnl + 1 - i
+    bottom = i <= (nnl + 1 - i)
+    zig = F.when(
+        bottom,
+        F.when(i % 2 == 1, 2 * i - 1).otherwise(2 * i),
+    ).otherwise(F.when(j % 2 == 1, 2 * j).otherwise(2 * j - 1))
+    t = t.select("_g", "_nn", zig.cast("double").alias("_z"))
+    agg = t.groupBy("_nn").agg(
+        F.count(F.when(F.col("_g") == a, 1)).alias("_na"),
+        F.count(F.when(F.col("_g") == b, 1)).alias("_nb"),
+        F.sum(F.when(F.col("_g") == a, F.col("_z"))).alias("_w"),
+    )
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    nn = F.col("_nn").cast("double")
+    e = na * (nn + 1.0) / 2.0
+    var = na * nb * (nn + 1.0) / 12.0
+    z = F.when(var > 0, (F.col("_w") - e) / F.sqrt(var))
+    return agg.select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.round("_w", 6).alias("w_stat"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > 1.96).cast("int").alias("reject_5pct"),
+    )
+
+
+def lepage_test(
+    df: DataFrame, group_col: str, a: str, b: str, value_col: str
+) -> DataFrame:
+    """Lepage combined location-scale test → one row (n_a, n_b,
+    w_part, a_part, l_stat, p_value, reject_5pct): the standardized
+    Wilcoxon rank-sum (location) plus the standardized Ansari–Bradley
+    (scale), L = Z_W² + Z_A² ~ χ²(2) with the EXACT df-2 tail
+    exp(−L/2) — one omnibus where ``cucconi_test`` takes the
+    squared-rank route. Midranks for ties; Ansari scores
+    min(r, N+1−r); untied null moments (parity-split for Ansari),
+    documented."""
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        (F.floor(F.col(value_col).cast("double") * _Q) / _Q).alias("_v"),
+    ).filter(F.col("_v").isNotNull() & F.col("_g").isin([a, b]))
+    w = Window.orderBy("_v")
+    tie = Window.partitionBy("_v")
+    r = (
+        F.rank().over(w).cast("double")
+        + (F.count("*").over(tie).cast("double") - 1.0) / 2.0
+    )
+    t = src.select("_g", r.alias("_r"))
+    nn_df = t.agg(F.count("*").alias("_nn"))
+    t = t.crossJoin(F.broadcast(nn_df))
+    nn = F.col("_nn").cast("double")
+    asc = F.least(F.col("_r"), nn + 1.0 - F.col("_r"))
+    agg = t.groupBy("_nn").agg(
+        F.count(F.when(F.col("_g") == a, 1)).alias("_na"),
+        F.count(F.when(F.col("_g") == b, 1)).alias("_nb"),
+        (
+            F.sum(F.when(F.col("_g") == a, F.col("_r") * 2.0)) / 2.0
+        ).alias("_w"),
+        (
+            F.sum(F.when(F.col("_g") == a, asc * 2.0)) / 2.0
+        ).alias("_ab"),
+    )
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    nn = F.col("_nn").cast("double")
+    ew = na * (nn + 1.0) / 2.0
+    vw = na * nb * (nn + 1.0) / 12.0
+    even = F.pmod(F.col("_nn"), 2) == 0
+    ea = F.when(even, na * (nn + 2.0) / 4.0).otherwise(
+        na * (nn + 1.0) * (nn + 1.0) / (4.0 * nn)
+    )
+    va = F.when(
+        even,
+        na * nb * (nn + 2.0) * (nn - 2.0) / (48.0 * (nn - 1.0)),
+    ).otherwise(
+        na * nb * (nn + 1.0) * (3.0 + nn * nn) / (48.0 * nn * nn)
+    )
+    zw = (F.col("_w") - ew) / F.sqrt(vw)
+    za = (F.col("_ab") - ea) / F.sqrt(va)
+    lstat = zw * zw + za * za
+    p = F.exp(-lstat / 2.0)
+    return agg.select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.round(zw, 6).alias("w_part"),
+        F.round(za, 6).alias("a_part"),
+        F.round(lstat, 6).alias("l_stat"),
+        F.round(p, 6).alias("p_value"),
+        (p < 0.05).cast("int").alias("reject_5pct"),
+    )
+
+
+def rate_ratio_test(
+    df: DataFrame, group_col: str, obs_col: str, exp_col: str,
+    ref_group: str,
+) -> DataFrame:
+    """Exact two-sample Poisson rate-ratio test of every group against
+    ``ref_group`` → (g, obs, obs_ref, rr, p_two_sided): conditional
+    on O₁+O₂ the reference count is Binomial(O₁+O₂, E_ref/(E₁+E_ref)),
+    so the exact two-sided p sums binomial point masses ≤ the
+    observed one — the small-count companion to ``smr_byar``'s
+    interval (CIs say how big, this says how sure). The
+    ``fisher_exact`` discipline: ln-weight ratio recurrence over the
+    O₁+O₂-bounded support spine, 2^-40 grid, decimal(38,0) exact
+    totals; rr = (O_g/E_g)/(O_ref/E_ref)."""
+    ref = df.filter(F.col(group_col) == ref_group).select(
+        F.col(obs_col).cast("long").alias("_or"),
+        F.col(exp_col).cast("double").alias("_er"),
+    )
+    others = df.filter(F.col(group_col) != ref_group).select(
+        F.col(group_col).alias("_g"),
+        F.col(obs_col).cast("long").alias("_og"),
+        F.col(exp_col).cast("double").alias("_eg"),
+    )
+    base = others.crossJoin(F.broadcast(ref))
+    tot = (F.col("_og") + F.col("_or")).alias("_t")
+    pr = (F.col("_eg") / (F.col("_eg") + F.col("_er"))).alias("_pi")
+    base = base.select("*", tot, pr)
+    sup = base.select(
+        "*", F.explode(F.sequence(F.lit(0), F.col("_t"))).alias("_x")
+    )
+    gl = lambda x: F.floor(F.log(x.cast("double")) * _LQ)  # noqa: E731
+    glf = lambda x: F.floor(F.log(x) * _LQ)  # noqa: E731
+    # w(x) = C(t, x) pi^x (1-pi)^(t-x); ratio w(x)/w(x-1) =
+    # ((t-x+1)/x) * (pi/(1-pi))
+    step = F.when(F.col("_x") == 0, F.lit(0)).otherwise(
+        gl(F.col("_t") - F.col("_x") + 1)
+        - gl(F.col("_x"))
+        + glf(F.col("_pi"))
+        - glf(1.0 - F.col("_pi"))
+    )
+    w = Window.partitionBy("_g").orderBy("_x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    t = sup.withColumn("_lnw", F.sum(step).over(w))
+    mx = Window.partitionBy("_g")
+    t = t.withColumn("_m", F.max("_lnw").over(mx))
+    obsw = t.filter(F.col("_x") == F.col("_og")).select(
+        "_g", F.col("_lnw").alias("_lnobs")
+    )
+    t = t.join(obsw, "_g")
+    tol = int(1e-7 * _LQ)
+    pm = F.floor(
+        F.exp((F.col("_lnw") - F.col("_m")).cast("double") / _LQ) * _LQ
+    ).cast("decimal(38,0)")
+    sums = t.groupBy("_g", "_og", "_or", "_eg", "_er").agg(
+        F.sum(pm).alias("_tot"),
+        F.sum(
+            F.when(F.col("_lnw") <= F.col("_lnobs") + tol, pm)
+        ).alias("_inc"),
+    )
+    rr = (
+        F.col("_og").cast("double") / F.col("_eg")
+    ) / (F.col("_or").cast("double") / F.col("_er"))
+    p = F.col("_inc").cast("double") / F.col("_tot").cast("double")
+    return sums.select(
+        F.col("_g").alias("g"),
+        F.col("_og").cast("long").alias("obs"),
+        F.col("_or").cast("long").alias("obs_ref"),
+        F.round(rr, 6).alias("rr"),
+        F.round(F.least(p, F.lit(1.0)), 6).alias("p_two_sided"),
+    )
+
+
+def weibull_mrr(
+    df: DataFrame, duration_col: str
+) -> DataFrame:
+    """Weibull fit by median-rank regression → one row (n, shape,
+    scale, r2): order the lifetimes, Bernard median ranks
+    F̂ᵢ = (i−0.3)/(n+0.4), and OLS of ln(−ln(1−F̂)) on ln(t) gives
+    shape = slope and scale = exp(−intercept/slope) — the standard
+    reliability-engineering estimator (MLE needs iteration; MRR is
+    closed-form and replayable). The x-axis comes from grid-floored
+    ln durations; ties get distinct consecutive ranks by the
+    documented (t, rank) order; zero durations are excluded
+    (ln pole)."""
+    src = df.select(
+        F.col(duration_col).cast("double").alias("_t")
+    ).filter(F.col("_t").isNotNull() & (F.col("_t") > 0))
+    w = Window.orderBy("_t")
+    t = src.select(
+        "_t",
+        F.row_number().over(w).cast("double").alias("_i"),
+        F.count("*").over(Window.partitionBy()).alias("_n"),
+    )
+    n = F.col("_n").cast("double")
+    fr = (F.col("_i") - 0.3) / (n + 0.4)
+    x = F.floor(F.log("_t") * _Q) / _Q
+    y = F.floor(F.log(-F.log(1.0 - fr)) * _Q) / _Q
+    t = t.select("_n", x.alias("_x"), y.alias("_y"))
+    agg = t.groupBy("_n").agg(
+        (F.sum(F.col("_x") * _Q) / _Q).alias("_sx"),
+        (F.sum(F.col("_y") * _Q) / _Q).alias("_sy"),
+        (F.sum(F.floor(F.col("_x") * F.col("_x") * _Q)) / _Q).alias(
+            "_sxx"
+        ),
+        (F.sum(F.floor(F.col("_y") * F.col("_y") * _Q)) / _Q).alias(
+            "_syy"
+        ),
+        (F.sum(F.floor(F.col("_x") * F.col("_y") * _Q)) / _Q).alias(
+            "_sxy"
+        ),
+    )
+    n = F.col("_n").cast("double")
+    sxx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / n
+    syy = F.col("_syy") - F.col("_sy") * F.col("_sy") / n
+    sxy = F.col("_sxy") - F.col("_sx") * F.col("_sy") / n
+    shape = F.when(sxx > 0, sxy / sxx)
+    intercept = (F.col("_sy") - shape * F.col("_sx")) / n
+    scale = F.exp(-intercept / shape)
+    r2 = F.when(
+        (sxx > 0) & (syy > 0), sxy * sxy / (sxx * syy)
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round(shape, 6).alias("shape"),
+        F.round(scale, 6).alias("scale"),
+        F.round(r2, 6).alias("r2"),
+    )

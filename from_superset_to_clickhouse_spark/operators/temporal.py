@@ -5614,3 +5614,760 @@ def seasonal_esd(
         F.round("_rs", 6).alias("r_stat"),
         F.col("_round").cast("int").alias("round"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-15 QUEUE additions (r16-window candidates): forecast accuracy,
+# volatility diagnostics, event-gap control, and the indicator tier
+# completion — all on the shared bounded-series / OHLC machinery.
+
+
+def theil_u(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    sma_period: int = 3,
+) -> DataFrame:
+    """Theil's forecast-accuracy coefficients per series → (group, n,
+    u1, u2): U1 (inequality of the naive 1-step walk against the
+    series scale) and U2 (the trailing-SMA forecast against the naive
+    benchmark — U2 < 1 means the SMA actually beats 'tomorrow equals
+    today', the question ``tracking_signal`` never answers). All
+    ratio terms grid-floored (2^-20) before their sums; warm-up rows
+    excluded from both numerator and denominator identically."""
+    v = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(order_col).alias("_o"),
+        v.alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    wl = Window.partitionBy("_g").orderBy("_o")
+    prev = F.lag("_v").over(wl)
+    wp = (
+        Window.partitionBy("_g")
+        .orderBy("_o")
+        .rowsBetween(-sma_period, -1)
+    )
+    fc = F.when(
+        F.count("_v").over(wp) >= sma_period,
+        F.floor(
+            F.sum(F.col("_v") * _Q2).over(wp)
+            / F.lit(float(sma_period))
+            / _Q2
+            * _Q2
+        )
+        / _Q2,
+    )
+    t = src.select(
+        "_g", "_o", "_v", prev.alias("_p"), fc.alias("_f")
+    ).filter(F.col("_p").isNotNull() & (F.col("_p") != 0))
+    q = lambda x: F.floor(x * _Q2) / _Q2  # noqa: E731
+    naive_e = q((F.col("_v") - F.col("_p")) / F.col("_p"))
+    fc_e = q((F.col("_f") - F.col("_v")) / F.col("_p"))
+    ok = F.col("_f").isNotNull()
+    agg = t.groupBy("_g").agg(
+        F.count("*").alias("_n"),
+        (F.sum(F.floor(naive_e * naive_e * _Q2)) / _Q2).alias("_sn"),
+        (
+            F.sum(F.when(ok, F.floor(fc_e * fc_e * _Q2))) / _Q2
+        ).alias("_sf"),
+        (
+            F.sum(F.when(ok, F.floor(naive_e * naive_e * _Q2))) / _Q2
+        ).alias("_snf"),
+        (F.sum(F.floor(F.col("_v") * F.col("_v") * _Q2)) / _Q2).alias(
+            "_sv2"
+        ),
+        (F.sum(F.floor(F.col("_p") * F.col("_p") * _Q2)) / _Q2).alias(
+            "_sp2"
+        ),
+        (
+            F.sum(
+                F.floor(
+                    (F.col("_v") - F.col("_p"))
+                    * (F.col("_v") - F.col("_p"))
+                    * _Q2
+                )
+            )
+            / _Q2
+        ).alias("_sd2"),
+    )
+    n = F.col("_n").cast("double")
+    u1 = F.sqrt(F.col("_sd2") / n) / (
+        F.sqrt(F.col("_sv2") / n) + F.sqrt(F.col("_sp2") / n)
+    )
+    u2 = F.when(
+        F.col("_snf") > 0, F.sqrt(F.col("_sf") / F.col("_snf"))
+    )
+    return agg.select(
+        F.col("_g").alias("g"),
+        F.col("_n").cast("long").alias("n"),
+        F.round(u1, 6).alias("u1"),
+        F.round(u2, 6).alias("u2"),
+    )
+
+
+def arch_lm(
+    df: DataFrame, group_col: str, order_col: str, value_col: str
+) -> DataFrame:
+    """Engle's ARCH LM test (lag 1) per series → (group, n, r2,
+    lm_stat, p_value, reject_5pct): regress squared returns on their
+    own lag; LM = n·R² ~ χ²(1) under no-ARCH, tail 2·Φ̄(√LM) exact
+    for one df — 'is volatility clustered', the question
+    ``ljung_box`` asks of LEVELS. Lag-1 contract documented (the
+    closed-form simple-regression R² keeps every moment a grid-exact
+    sum; multi-lag needs a matrix solve)."""
+    v = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(order_col).alias("_o"),
+        v.alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    wl = Window.partitionBy("_g").orderBy("_o")
+    prev = F.lag("_v").over(wl)
+    r = F.when(
+        prev.isNotNull() & (prev != 0),
+        F.floor((F.col("_v") - prev) / prev * _Q2) / _Q2,
+    )
+    t = src.select("_g", "_o", (r * r).alias("_r2"))
+    t = t.select(
+        "_g",
+        "_o",
+        F.floor(F.col("_r2") * _Q2).alias("_yq"),
+        F.floor(F.lag("_r2").over(wl) * _Q2).alias("_xq"),
+    )
+    t = t.filter(F.col("_yq").isNotNull() & F.col("_xq").isNotNull())
+    y = F.col("_yq") / _Q2
+    x = F.col("_xq") / _Q2
+    agg = t.groupBy("_g").agg(
+        F.count("*").alias("_n"),
+        (F.sum(F.col("_yq")) / _Q2).alias("_sy"),
+        (F.sum(F.col("_xq")) / _Q2).alias("_sx"),
+        (F.sum(F.floor(y * y * _Q2)) / _Q2).alias("_syy"),
+        (F.sum(F.floor(x * x * _Q2)) / _Q2).alias("_sxx"),
+        (F.sum(F.floor(x * y * _Q2)) / _Q2).alias("_sxy"),
+    )
+    n = F.col("_n").cast("double")
+    sxx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / n
+    syy = F.col("_syy") - F.col("_sy") * F.col("_sy") / n
+    sxy = F.col("_sxy") - F.col("_sx") * F.col("_sy") / n
+    r2 = F.when(
+        (sxx > 0) & (syy > 0), sxy * sxy / (sxx * syy)
+    ).otherwise(F.lit(0.0))
+    lm = n * r2
+    from from_superset_to_clickhouse_spark.operators.stats import normal_sf
+
+    p = 2.0 * normal_sf(F.sqrt(lm))
+    return agg.select(
+        F.col("_g").alias("g"),
+        F.col("_n").cast("long").alias("n"),
+        F.round(r2, 6).alias("r2"),
+        F.round(lm, 6).alias("lm_stat"),
+        F.round(p, 6).alias("p_value"),
+        (p < 0.05).cast("int").alias("reject_5pct"),
+    )
+
+
+def variance_ratio(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    q: int = 4,
+) -> DataFrame:
+    """Lo–MacKinlay variance-ratio test per series → (group, n, vr,
+    z_stat, reject_5pct): VR(q) = Var(q-period increments, overlapping)
+    / (q·Var(1-period)) — a random walk has VR = 1; mean reversion
+    drags it below, momentum above (the martingale question ``kpss``
+    and ``adf_test`` approach through unit roots). Homoskedastic
+    z = (VR−1)/√(2(2q−1)(q−1)/(3qn)). Mean-adjusted increments on
+    the 2^-20 grid; overlapping q-sums from one trailing window."""
+    v = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(order_col).alias("_o"),
+        v.alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    wl = Window.partitionBy("_g").orderBy("_o")
+    d = F.when(
+        F.lag("_v").over(wl).isNotNull(),
+        F.col("_v") - F.lag("_v").over(wl),
+    )
+    t = src.select("_g", "_o", d.alias("_d")).filter(
+        F.col("_d").isNotNull()
+    )
+    wq = (
+        Window.partitionBy("_g").orderBy("_o").rowsBetween(-(q - 1), 0)
+    )
+    t = t.select(
+        "_g",
+        "_o",
+        "_d",
+        F.when(
+            F.count("_d").over(wq) >= q,
+            F.sum(F.col("_d") * _Q2).over(wq) / _Q2,
+        ).alias("_dq"),
+    )
+    agg = t.groupBy("_g").agg(
+        F.count("_d").alias("_n"),
+        (F.sum(F.col("_d") * _Q2) / _Q2).alias("_sd"),
+        (F.sum(F.floor(F.col("_d") * F.col("_d") * _Q2)) / _Q2).alias(
+            "_sd2"
+        ),
+        F.count("_dq").alias("_nq"),
+        (F.sum(F.when(F.col("_dq").isNotNull(), F.col("_dq") * _Q2))
+         / _Q2).alias("_sq"),
+        (
+            F.sum(F.floor(F.col("_dq") * F.col("_dq") * _Q2)) / _Q2
+        ).alias("_sq2"),
+    )
+    n = F.col("_n").cast("double")
+    nq = F.col("_nq").cast("double")
+    mu = F.col("_sd") / n
+    var1 = F.col("_sd2") / n - mu * mu
+    muq = F.col("_sq") / nq
+    varq = F.col("_sq2") / nq - muq * muq
+    vr = F.when(var1 > 0, varq / (float(q) * var1))
+    se = F.sqrt(
+        2.0 * (2.0 * q - 1.0) * (q - 1.0) / (3.0 * q * n)
+    )
+    z = (vr - 1.0) / se
+    return agg.select(
+        F.col("_g").alias("g"),
+        F.col("_n").cast("long").alias("n"),
+        F.round(vr, 6).alias("vr"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > 1.96).cast("int").alias("reject_5pct"),
+    )
+
+
+def g_chart(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """g-chart (geometric, time-between-events control) per key →
+    (key, n_gaps, g_bar, ucl, n_out): day-gaps between consecutive
+    events, center ḡ, UCL = ḡ + 3√(ḡ(ḡ+1)) (geometric-distribution
+    3σ), flagged when a gap exceeds it — the LOW-frequency event
+    monitor (infections, outages) where ``c_chart`` buckets would be
+    almost all zeros. Exact integer gaps; one keyed window + one
+    aggregate + one broadcast-back flag count."""
+    src = df.select(
+        F.col(key_col).alias("_k"), F.col(ts_col).alias("_ts")
+    ).filter(F.col("_ts").isNotNull())
+    wl = Window.partitionBy("_k").orderBy("_ts")
+    gap = F.datediff(F.col("_ts"), F.lag("_ts").over(wl))
+    t = src.select("_k", gap.alias("_gap")).filter(
+        F.col("_gap").isNotNull()
+    )
+    agg = t.groupBy("_k").agg(
+        F.count("*").alias("_n"),
+        F.sum("_gap").alias("_s"),
+    )
+    gb = F.col("_s").cast("double") / F.col("_n")
+    lim = agg.select(
+        "_k", "_n", gb.alias("_gb"),
+        (gb + 3.0 * F.sqrt(gb * (gb + 1.0))).alias("_ucl"),
+    )
+    j = t.join(F.broadcast(lim), "_k")
+    out = j.groupBy("_k", "_n", "_gb", "_ucl").agg(
+        F.count(
+            F.when(F.col("_gap").cast("double") > F.col("_ucl"), 1)
+        ).alias("_out")
+    )
+    return out.select(
+        F.col("_k").alias(key_col),
+        F.col("_n").cast("long").alias("n_gaps"),
+        F.round("_gb", 6).alias("g_bar"),
+        F.round("_ucl", 6).alias("ucl"),
+        F.col("_out").cast("long").alias("n_out"),
+    )
+
+
+def ultimate_oscillator(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bar: str = "1 day",
+    p1: int = 7,
+    p2: int = 14,
+    p3: int = 28,
+) -> DataFrame:
+    """Williams' Ultimate Oscillator per bar → (key, bar_start, uo):
+    buying pressure BP = C − min(L, prev C) and true range against
+    the same anchor, averaged over three nested horizons and blended
+    4:2:1 — the multi-timeframe momentum read a single-window
+    oscillator whipsaws on. Grid-floored BP/TR terms, exact trailing
+    sums, NULL until p3+1 bars."""
+    bars = ohlc_bars(df, key_col, ts_col, value_col, tiebreak_col, bar)
+    t = bars.select(
+        F.col(key_col).alias("_k"),
+        F.col("bar_start").alias("_b"),
+        F.col("high").cast("double").alias("_h"),
+        F.col("low").cast("double").alias("_l"),
+        F.col("close").cast("double").alias("_c"),
+    )
+    wo = Window.partitionBy("_k").orderBy("_b")
+    pc = F.lag("_c").over(wo)
+    q = lambda x: F.floor(x * _Q2) / _Q2  # noqa: E731
+    bp = F.when(
+        pc.isNotNull(), q(F.col("_c") - F.least(F.col("_l"), pc))
+    )
+    tr = F.when(
+        pc.isNotNull(),
+        q(F.greatest(F.col("_h"), pc) - F.least(F.col("_l"), pc)),
+    )
+    t = t.select("_k", "_b", bp.alias("_bp"), tr.alias("_tr"))
+
+    def avg_p(p):
+        wp = (
+            Window.partitionBy("_k").orderBy("_b").rowsBetween(-(p - 1), 0)
+        )
+        s_tr = F.sum(F.col("_tr") * _Q2).over(wp) / _Q2
+        return F.when(
+            (F.count("_tr").over(wp) >= p) & (s_tr > 0),
+            (F.sum(F.col("_bp") * _Q2).over(wp) / _Q2) / s_tr,
+        )
+
+    uo = 100.0 * (4.0 * avg_p(p1) + 2.0 * avg_p(p2) + avg_p(p3)) / 7.0
+    return t.select(
+        F.col("_k").alias(key_col),
+        F.col("_b").alias("bar_start"),
+        F.round(uo, 6).alias("uo"),
+    )
+
+
+def kama(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    er_period: int = 10,
+    fast: int = 2,
+    slow: int = 30,
+) -> DataFrame:
+    """Kaufman's adaptive moving average per series point → (group,
+    order, kama): the EMA whose smoothing constant follows the
+    efficiency ratio ER = |net move| / Σ|moves| over ``er_period`` —
+    flat markets damp it toward EMA(slow), trends open it toward
+    EMA(fast); the data-dependent recursion neither ``macd`` (fixed
+    α) nor ``supertrend`` (band logic) covers. The recursion unrolls
+    as a fold over each point's ready-prefix of (sc, v) pairs with sc
+    grid-floored first — identical left-to-right IEEE order on every
+    engine (the macd discipline); seed = the first ready value.
+    NULL during the er_period warm-up."""
+    from from_superset_to_clickhouse_spark.functions.scalar import let_bind
+
+    v = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(order_col).alias("_o"),
+        v.alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    wl = Window.partitionBy("_g").orderBy("_o")
+    prev = F.lag("_v").over(wl)
+    move = F.abs(F.col("_v") - prev)
+    wp = (
+        Window.partitionBy("_g")
+        .orderBy("_o")
+        .rowsBetween(-(er_period - 1), 0)
+    )
+    t = src.select("_g", "_o", "_v", move.alias("_m"))
+    net = F.abs(
+        F.col("_v") - F.lag("_v", er_period).over(wl)
+    )
+    t = t.select(
+        "_g", "_o", "_v",
+        F.when(
+            F.count("_m").over(wp) >= er_period,
+            F.sum(F.col("_m") * _Q2).over(wp) / _Q2,
+        ).alias("_vol"),
+        net.alias("_net"),
+    )
+    fa = 2.0 / (fast + 1.0)
+    sl = 2.0 / (slow + 1.0)
+    er = F.when(
+        F.col("_vol").isNotNull() & F.col("_net").isNotNull(),
+        F.when(F.col("_vol") > 0, F.col("_net") / F.col("_vol")).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    sc = F.floor(
+        (er * (fa - sl) + sl) * (er * (fa - sl) + sl) * _Q2
+    ) / _Q2
+    elem = F.when(
+        sc.isNotNull(),
+        F.struct(sc.alias("sc"), F.col("_v").alias("v")),
+    )
+    t = t.withColumn("_e", elem)
+    wf = (
+        Window.partitionBy("_g")
+        .orderBy("_o")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    frame = F.collect_list("_e").over(wf)
+
+    def fold(l):
+        return F.aggregate(
+            l,
+            F.lit(None).cast("double"),
+            lambda acc, x: F.when(acc.isNull(), x["v"]).otherwise(
+                acc + x["sc"] * (x["v"] - acc)
+            ),
+        )
+
+    t = t.withColumn("_kama", let_bind(frame, fold))
+    out = F.when(F.col("_e").isNotNull(), F.col("_kama"))
+    return t.select(
+        F.col("_g").alias(group_col),
+        F.col("_o").alias(order_col),
+        F.round(out, 6).alias("kama"),
+    )
+
+
+def trix(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    period: int = 9,
+) -> DataFrame:
+    """TRIX per series point → (group, order, ema3, trix): the
+    1-period rate of change (×10,000) of a TRIPLE-smoothed EMA — the
+    momentum line whose triple pass filters out cycles shorter than
+    the period entirely (``macd``'s two EMAs still pass them). Each
+    EMA level is the standard seeded-at-first-value recursion
+    unrolled as a weighted prefix fold (the macd discipline), level
+    feeding level through a collected prefix frame — bounded series
+    by contract."""
+    from from_superset_to_clickhouse_spark.functions.scalar import let_bind
+
+    al = 2.0 / (period + 1.0)
+    de = 1.0 - al
+
+    def ema_fold(l):
+        n = F.size(l)
+        return F.aggregate(
+            F.transform(
+                l,
+                lambda x, i: x.cast("double")
+                * F.when(i == 0, F.pow(F.lit(de), (n - 1).cast("double")))
+                .otherwise(
+                    F.lit(al) * F.pow(F.lit(de), (n - 1 - i).cast("double"))
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    v = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(order_col).alias("_o"),
+        v.alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    wf = (
+        Window.partitionBy("_g")
+        .orderBy("_o")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = src.withColumn(
+        "_e1", let_bind(F.collect_list("_v").over(wf), ema_fold)
+    )
+    t = t.withColumn(
+        "_e2", let_bind(F.collect_list("_e1").over(wf), ema_fold)
+    )
+    t = t.withColumn(
+        "_e3", let_bind(F.collect_list("_e2").over(wf), ema_fold)
+    )
+    wl = Window.partitionBy("_g").orderBy("_o")
+    pe3 = F.lag("_e3").over(wl)
+    tx = F.when(
+        pe3.isNotNull() & (pe3 != 0),
+        10000.0 * (F.col("_e3") - pe3) / pe3,
+    )
+    return t.select(
+        F.col("_g").alias(group_col),
+        F.col("_o").alias(order_col),
+        F.round("_e3", 6).alias("ema3"),
+        F.round(tx, 6).alias("trix"),
+    )
+
+
+def ichimoku(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bar: str = "1 day",
+    p1: int = 9,
+    p2: int = 26,
+) -> DataFrame:
+    """Ichimoku cloud per bar → (key, bar_start, conversion, base,
+    span_a, span_b, lagging): trailing (max H + min L)/2 midpoints at
+    two horizons, the cloud spans displaced FORWARD p2 bars (span A =
+    midpoint of conversion/base, span B = the 2·p2 midpoint) and the
+    lagging close displaced back — the one-glance trend framework.
+    Displacement is lag/lead over the bar axis (no spine generation:
+    spans attach to the bar that exists p2 later, the standard
+    backtest convention). Exact min/max windows; IEEE midpoints of
+    exact inputs."""
+    bars = ohlc_bars(df, key_col, ts_col, value_col, tiebreak_col, bar)
+    t = bars.select(
+        F.col(key_col).alias("_k"),
+        F.col("bar_start").alias("_b"),
+        F.col("high").cast("double").alias("_h"),
+        F.col("low").cast("double").alias("_l"),
+        F.col("close").cast("double").alias("_c"),
+    )
+
+    def mid(p):
+        wp = (
+            Window.partitionBy("_k").orderBy("_b").rowsBetween(-(p - 1), 0)
+        )
+        return F.when(
+            F.count("*").over(wp) >= p,
+            (F.max("_h").over(wp) + F.min("_l").over(wp)) / 2.0,
+        )
+
+    t = t.select(
+        "_k", "_b", "_c",
+        mid(p1).alias("_conv"),
+        mid(p2).alias("_base"),
+        mid(2 * p2).alias("_mid2"),
+    )
+    wl = Window.partitionBy("_k").orderBy("_b")
+    span_a = F.lag((F.col("_conv") + F.col("_base")) / 2.0, p2).over(wl)
+    span_b = F.lag("_mid2", p2).over(wl)
+    lagging = F.lead("_c", p2).over(wl)
+    return t.select(
+        F.col("_k").alias(key_col),
+        F.col("_b").alias("bar_start"),
+        F.round("_conv", 6).alias("conversion"),
+        F.round("_base", 6).alias("base"),
+        F.round(span_a, 6).alias("span_a"),
+        F.round(span_b, 6).alias("span_b"),
+        F.round(lagging, 6).alias("lagging"),
+    )
+
+
+def coppock_curve(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    roc1: int = 14,
+    roc2: int = 11,
+    wma_period: int = 10,
+) -> DataFrame:
+    """Coppock curve per series point → (group, order, coppock): the
+    WMA(10) of ROC(14)+ROC(11) — the long-horizon bottom-finder
+    designed for exactly the smoothed momentum turn ``macd`` reacts
+    to too fast. ROCs are grid-floored ratios; the WMA is an exact
+    weighted window sum (weights 1..p); NULL until every component
+    is warm."""
+    v = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(order_col).alias("_o"),
+        v.alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    wl = Window.partitionBy("_g").orderBy("_o")
+    q = lambda x: F.floor(x * _Q2) / _Q2  # noqa: E731
+
+    def roc(p):
+        pv = F.lag("_v", p).over(wl)
+        return F.when(
+            pv.isNotNull() & (pv != 0),
+            q(100.0 * (F.col("_v") - pv) / pv),
+        )
+
+    t = src.select(
+        "_g", "_o", (roc(roc1) + roc(roc2)).alias("_rc")
+    )
+    t = t.withColumn("_i", F.row_number().over(wl).cast("long"))
+    # WMA over the trailing wma_period _rc values with weights 1..p
+    wp = (
+        Window.partitionBy("_g")
+        .orderBy("_o")
+        .rowsBetween(-(wma_period - 1), 0)
+    )
+    arr = F.collect_list(F.struct(F.col("_i"), F.col("_rc"))).over(wp)
+    from from_superset_to_clickhouse_spark.functions.scalar import let_bind
+
+    def wma(l):
+        n = F.size(l)
+        num = F.aggregate(
+            F.transform(
+                l, lambda x, i: x["_rc"] * (i + 1).cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(
+            n == wma_period,
+            num / F.lit(float(wma_period * (wma_period + 1) // 2)),
+        )
+
+    cc = F.when(
+        F.count("_rc").over(wp) >= wma_period,
+        let_bind(arr, wma),
+    )
+    return t.select(
+        F.col("_g").alias(group_col),
+        F.col("_o").alias(order_col),
+        F.round(cc, 6).alias("coppock"),
+    )
+
+
+def elder_ray(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bar: str = "1 day",
+    period: int = 13,
+) -> DataFrame:
+    """Elder-ray bull/bear power per bar → (key, bar_start, ema,
+    bull_power, bear_power): H − EMA(close) and L − EMA(close) — can
+    the bulls push above / bears below consensus value; the
+    band-free complement to ``keltner_channel``. EMA is the seeded
+    full-prefix recursion unrolled as a weighted fold (the macd
+    discipline) over grid closes."""
+    from from_superset_to_clickhouse_spark.functions.scalar import let_bind
+
+    al = 2.0 / (period + 1.0)
+    de = 1.0 - al
+    bars = ohlc_bars(df, key_col, ts_col, value_col, tiebreak_col, bar)
+    t = bars.select(
+        F.col(key_col).alias("_k"),
+        F.col("bar_start").alias("_b"),
+        F.col("high").cast("double").alias("_h"),
+        F.col("low").cast("double").alias("_l"),
+        (F.floor(F.col("close").cast("double") * _Q2) / _Q2).alias("_c"),
+    )
+    wf = (
+        Window.partitionBy("_k")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+
+    def ema_fold(l):
+        n = F.size(l)
+        return F.aggregate(
+            F.transform(
+                l,
+                lambda x, i: x.cast("double")
+                * F.when(i == 0, F.pow(F.lit(de), (n - 1).cast("double")))
+                .otherwise(
+                    F.lit(al) * F.pow(F.lit(de), (n - 1 - i).cast("double"))
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    t = t.withColumn(
+        "_ema", let_bind(F.collect_list("_c").over(wf), ema_fold)
+    )
+    return t.select(
+        F.col("_k").alias(key_col),
+        F.col("_b").alias("bar_start"),
+        F.round("_ema", 6).alias("ema"),
+        F.round(F.col("_h") - F.col("_ema"), 6).alias("bull_power"),
+        F.round(F.col("_l") - F.col("_ema"), 6).alias("bear_power"),
+    )
+
+
+def sample_entropy(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    m: int = 2,
+    r_frac: float = 0.2,
+) -> DataFrame:
+    """Sample entropy per series → (group, n, r_tol, n_template,
+    n_match, sampen): −ln(A/B) where B counts template pairs of
+    length m within Chebyshev tolerance r = r_frac·σ and A the same
+    at m+1 — the regularity measure that, unlike ``perm_entropy``
+    (ordinal patterns only), sees amplitude. m = 2 contract: each row
+    carries (v, lead, lead2) and pairs come from ONE within-series
+    self-join — O(len²) per series under the documented
+    bounded-series contract (``kendall_tau_b`` precedent), exact
+    integer counts; σ from grid moments, r floored to the grid so
+    every tolerance comparison is exact."""
+    v = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(order_col).alias("_o"),
+        v.alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    mom = src.groupBy("_g").agg(
+        F.count("*").alias("_n"),
+        (F.sum(F.col("_v") * _Q2) / _Q2).alias("_s1"),
+        (F.sum(F.floor(F.col("_v") * F.col("_v") * _Q2)) / _Q2).alias(
+            "_s2"
+        ),
+    )
+    nn = F.col("_n").cast("double")
+    mean = F.col("_s1") / nn
+    sd = F.sqrt(
+        F.greatest((F.col("_s2") - nn * mean * mean) / nn, F.lit(0.0))
+    )
+    r = F.floor(sd * F.lit(float(r_frac)) * _Q2) / _Q2
+    mom = mom.select("_g", "_n", r.alias("_r"))
+    wl = Window.partitionBy("_g").orderBy("_o")
+    t = src.select(
+        "_g",
+        F.row_number().over(wl).alias("_i"),
+        "_v",
+        F.lead("_v", 1).over(wl).alias("_v1"),
+        F.lead("_v", 2).over(wl).alias("_v2"),
+    )
+    lhs = t.filter(F.col("_v1").isNotNull()).select(
+        "_g", F.col("_i").alias("_ia"),
+        F.col("_v").alias("_a0"), F.col("_v1").alias("_a1"),
+        F.col("_v2").alias("_a2"),
+    )
+    rhs = t.filter(F.col("_v1").isNotNull()).select(
+        "_g", F.col("_i").alias("_ib"),
+        F.col("_v").alias("_b0"), F.col("_v1").alias("_b1"),
+        F.col("_v2").alias("_b2"),
+    )
+    pairs = lhs.join(rhs, "_g").filter(F.col("_ia") < F.col("_ib"))
+    pairs = pairs.join(F.broadcast(mom), "_g")
+    near_m = (
+        (F.abs(F.col("_a0") - F.col("_b0")) <= F.col("_r"))
+        & (F.abs(F.col("_a1") - F.col("_b1")) <= F.col("_r"))
+    )
+    near_m1 = (
+        near_m
+        & F.col("_a2").isNotNull()
+        & F.col("_b2").isNotNull()
+        & (F.abs(F.col("_a2") - F.col("_b2")) <= F.col("_r"))
+    )
+    both2 = F.col("_a2").isNotNull() & F.col("_b2").isNotNull()
+    agg = pairs.groupBy("_g").agg(
+        F.max("_n").alias("_nn"),
+        F.max("_r").alias("_rr"),
+        F.count(F.when(near_m & both2, 1)).alias("_bm"),
+        F.count(F.when(near_m1, 1)).alias("_am"),
+    )
+    sampen = F.when(
+        (F.col("_am") > 0) & (F.col("_bm") > 0),
+        -F.log(F.col("_am").cast("double") / F.col("_bm")),
+    )
+    return agg.select(
+        F.col("_g").alias("g"),
+        F.col("_nn").cast("long").alias("n"),
+        F.round("_rr", 6).alias("r_tol"),
+        F.col("_bm").cast("long").alias("n_template"),
+        F.col("_am").cast("long").alias("n_match"),
+        F.round(sampen, 6).alias("sampen"),
+    )

@@ -3492,3 +3492,42 @@ def multi_needle_match(
         F.col("_m.n_matches").cast("long").alias("n_matches"),
         F.col("_m.first_pos").cast("long").alias("first_pos"),
     )
+
+
+def vocabulary_richness(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document vocabulary-richness panel → (id, n_tokens,
+    n_types, n_hapax, yules_k, honore_r): Yule's K = 10⁴·(Σm²Vm −
+    N)/N² (repeat-rate, length-invariant) and Honoré's R =
+    100·ln N/(1 − V1/V) (hapax-weighted) — the two classic
+    lexical-diversity statistics a plain type-token ratio conflates
+    with length. One explode + two keyed aggregates over the
+    frequency spectrum; exact integer spectra, IEEE finals. Docs
+    where every type is a hapax surface NULL R (the 1 − V1/V pole)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(word_tokens(F.col(text_col))).alias("_w"),
+    )
+    freq = toks.groupBy(id_col, "_w").agg(F.count("*").alias("_m"))
+    agg = freq.groupBy(id_col).agg(
+        F.sum("_m").alias("_n"),
+        F.count("*").alias("_v"),
+        F.count(F.when(F.col("_m") == 1, 1)).alias("_v1"),
+        F.sum(F.col("_m") * F.col("_m")).alias("_sm2"),
+    )
+    n = F.col("_n").cast("double")
+    vv = F.col("_v").cast("double")
+    v1 = F.col("_v1").cast("double")
+    k = 10000.0 * (F.col("_sm2").cast("double") - n) / (n * n)
+    r = F.when(
+        v1 < vv, 100.0 * F.log(n) / (1.0 - v1 / vv)
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.col("_v").cast("long").alias("n_types"),
+        F.col("_v1").cast("long").alias("n_hapax"),
+        F.round(k, 6).alias("yules_k"),
+        F.round(r, 6).alias("honore_r"),
+    )
