@@ -5737,20 +5737,28 @@ def arch_lm(
         F.floor(F.lag("_r2").over(wl) * _Q2).alias("_xq"),
     )
     t = t.filter(F.col("_yq").isNotNull() & F.col("_xq").isNotNull())
-    y = F.col("_yq") / _Q2
-    x = F.col("_xq") / _Q2
+    # regress on the INTEGER grid units themselves: R² is invariant
+    # under linear rescaling, and r⁴-scale cross moments (~1e-10)
+    # would vanish on any fixed grid — integer products sum exactly
+    # as longs instead (HUGEINT + VARCHAR round-trip in the twin)
     agg = t.groupBy("_g").agg(
         F.count("*").alias("_n"),
-        (F.sum(F.col("_yq")) / _Q2).alias("_sy"),
-        (F.sum(F.col("_xq")) / _Q2).alias("_sx"),
-        (F.sum(F.floor(y * y * _Q2)) / _Q2).alias("_syy"),
-        (F.sum(F.floor(x * x * _Q2)) / _Q2).alias("_sxx"),
-        (F.sum(F.floor(x * y * _Q2)) / _Q2).alias("_sxy"),
+        F.sum(F.col("_yq")).alias("_sy"),
+        F.sum(F.col("_xq")).alias("_sx"),
+        F.sum(F.col("_yq") * F.col("_yq")).cast("double").alias("_syy"),
+        F.sum(F.col("_xq") * F.col("_xq")).cast("double").alias("_sxx"),
+        F.sum(F.col("_xq") * F.col("_yq")).cast("double").alias("_sxy"),
     )
     n = F.col("_n").cast("double")
-    sxx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / n
-    syy = F.col("_syy") - F.col("_sy") * F.col("_sy") / n
-    sxy = F.col("_sxy") - F.col("_sx") * F.col("_sy") / n
+    sxx = F.col("_sxx") - F.col("_sx").cast("double") * F.col(
+        "_sx"
+    ).cast("double") / n
+    syy = F.col("_syy") - F.col("_sy").cast("double") * F.col(
+        "_sy"
+    ).cast("double") / n
+    sxy = F.col("_sxy") - F.col("_sx").cast("double") * F.col(
+        "_sy"
+    ).cast("double") / n
     r2 = F.when(
         (sxx > 0) & (syy > 0), sxy * sxy / (sxx * syy)
     ).otherwise(F.lit(0.0))
