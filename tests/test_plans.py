@@ -725,3 +725,29 @@ def test_r15_additions_plan_gates(spark, qmap):
         assert "BatchEvalPython" not in plan, name
         if name in partitioned:
             assert "SinglePartition" not in plan, name
+
+
+def test_r16_queue_plan_gates(spark, qmap):
+    """Scale gates for the 18 r15-QUEUE entries (parked behind the
+    driver window): no cartesian product, no row-at-a-time Python.
+    SinglePartition only for single-row scalar statistics and the
+    global-ranking order-statistic fits; per-key series outputs
+    (forecast-accuracy, volatility, control, indicator tiers) stay
+    partitioned. The sampen template join is a within-series
+    self-equijoin on the group key — bounded by the documented
+    series-length contract, never a cartesian."""
+    scalar_or_bounded = {
+        "van_der_waerden", "klotz", "siegel_tukey", "lepage",
+        "yules_k", "rate_ratio", "weibull_mrr", "sampen",
+    }
+    partitioned = [
+        "theil_u", "arch_lm", "variance_ratio", "g_chart",
+        "ultimate_osc", "kama", "trix", "ichimoku", "coppock",
+        "elder_ray",
+    ]
+    for name in sorted(scalar_or_bounded) + partitioned:
+        plan = _plan(qmap[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        if name in partitioned:
+            assert "SinglePartition" not in plan, name
