@@ -8528,3 +8528,52 @@ def weibull_mrr(
         F.round(scale, 6).alias("scale"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def mood_scale_test(
+    df: DataFrame, group_col: str, a: str, b: str, value_col: str
+) -> DataFrame:
+    """Mood's two-sample scale test → one row (n_a, n_b, t_stat,
+    z_stat, reject_5pct): T = Σ over sample a of (rᵢ − (N+1)/2)² —
+    squared distance of a's midranks from the grand median rank; the
+    quadratic-score member of the scale-test family (``ansari_bradley``
+    uses triangular scores, ``klotz_test`` normal scores, this one
+    parabolic — best near-normal power without a probit). Exact null
+    moments E[T] = n_a(N²−1)/12 and
+    Var[T] = n_a·n_b(N+1)(N²−4)/180; midranks make 4T an exact
+    integer."""
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        (F.floor(F.col(value_col).cast("double") * _Q) / _Q).alias("_v"),
+    ).filter(F.col("_v").isNotNull() & F.col("_g").isin([a, b]))
+    w = Window.orderBy("_v")
+    tie = Window.partitionBy("_v")
+    r = (
+        F.rank().over(w).cast("double")
+        + (F.count("*").over(tie).cast("double") - 1.0) / 2.0
+    )
+    t = src.select("_g", r.alias("_r"))
+    nn_df = t.agg(F.count("*").alias("_nn"))
+    t = t.crossJoin(F.broadcast(nn_df))
+    nn = F.col("_nn").cast("double")
+    dev = F.col("_r") - (nn + 1.0) / 2.0
+    agg = t.groupBy("_nn").agg(
+        F.count(F.when(F.col("_g") == a, 1)).alias("_na"),
+        F.count(F.when(F.col("_g") == b, 1)).alias("_nb"),
+        (
+            F.sum(F.when(F.col("_g") == a, dev * dev * 4.0)) / 4.0
+        ).alias("_t"),
+    )
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    nn = F.col("_nn").cast("double")
+    e = na * (nn * nn - 1.0) / 12.0
+    var = na * nb * (nn + 1.0) * (nn * nn - 4.0) / 180.0
+    z = F.when(var > 0, (F.col("_t") - e) / F.sqrt(var))
+    return agg.select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.round("_t", 6).alias("t_stat"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > 1.96).cast("int").alias("reject_5pct"),
+    )

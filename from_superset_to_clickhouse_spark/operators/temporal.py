@@ -6379,3 +6379,150 @@ def sample_entropy(
         F.col("_am").cast("long").alias("n_match"),
         F.round(sampen, 6).alias("sampen"),
     )
+
+
+def parabolic_sar(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bar: str = "1 day",
+    af0: float = 0.02,
+    af_step: float = 0.02,
+    af_max: float = 0.2,
+) -> DataFrame:
+    """Wilder's Parabolic SAR per bar → (key, bar_start, sar,
+    direction): the accelerating trailing stop — SAR ratchets toward
+    price by the af·(EP − SAR) parabola, af growing each new extreme,
+    the whole state FLIPPING when price crosses it; the
+    stop-and-reverse where ``supertrend`` merely switches bands.
+
+    Exact classic rules, seeded at bar 2 (trend up iff the bar
+    midpoint rose; SAR = the opposite extreme of the first two bars):
+    SARₜ = clamp(SAR + af(EP − SAR)) against the prior two bars'
+    lows (up) / highs (down), flip on penetration resetting
+    (SAR ← EP, af ← af0). The recursion is one left-to-right fold
+    over each bar's prefix of gridded (h, l, prev-lows/highs)
+    elements — the ``supertrend`` discipline, replayable via
+    list_reduce with the same unified-struct trick. NULL on bar 1."""
+    from from_superset_to_clickhouse_spark.functions.scalar import let_bind
+
+    bars = ohlc_bars(df, key_col, ts_col, value_col, tiebreak_col, bar)
+    q = lambda x: F.floor(x * _Q2) / _Q2  # noqa: E731
+    t = bars.select(
+        F.col(key_col).alias("_k"),
+        F.col("bar_start").alias("_b"),
+        q(F.col("high").cast("double")).alias("_h"),
+        q(F.col("low").cast("double")).alias("_l"),
+    )
+    wo = Window.partitionBy("_k").orderBy("_b")
+    t = t.select(
+        "_k", "_b", "_h", "_l",
+        F.lag("_h", 1).over(wo).alias("_ph"),
+        F.lag("_l", 1).over(wo).alias("_pl"),
+        F.lag("_h", 2).over(wo).alias("_ph2"),
+        F.lag("_l", 2).over(wo).alias("_pl2"),
+    )
+    elem = F.struct(
+        F.col("_h").alias("h"), F.col("_l").alias("l"),
+        F.col("_ph").alias("ph"), F.col("_pl").alias("pl"),
+        F.col("_ph2").alias("ph2"), F.col("_pl2").alias("pl2"),
+    )
+    t = t.withColumn("_e", elem)
+    wf = (
+        Window.partitionBy("_k")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    frame = F.collect_list("_e").over(wf)
+
+    nd = F.lit(None).cast("double")
+    nb = F.lit(None).cast("boolean")
+
+    def pack(up, sar, ep, af, h, l):
+        return F.struct(
+            up.alias("up"), sar.alias("sar"), ep.alias("ep"),
+            af.alias("af"), h.alias("h"), l.alias("l"),
+        )
+
+    zero = pack(nb, nd, nd, nd, nd, nd)
+
+    def seed(acc, x):
+        # acc holds bar 1 (h, l); x is bar 2
+        up = (x["h"] + x["l"]) > (acc["h"] + acc["l"])
+        sar = F.when(up, F.least(acc["l"], x["l"])).otherwise(
+            F.greatest(acc["h"], x["h"])
+        )
+        ep = F.when(up, F.greatest(acc["h"], x["h"])).otherwise(
+            F.least(acc["l"], x["l"])
+        )
+        return pack(up, sar, ep, F.lit(float(af0)), x["h"], x["l"])
+
+    def step(acc, x):
+        raw = acc["sar"] + acc["af"] * (acc["ep"] - acc["sar"])
+        up_sar = F.least(
+            raw,
+            F.coalesce(x["pl"], raw),
+            F.coalesce(x["pl2"], raw),
+        )
+        dn_sar = F.greatest(
+            raw,
+            F.coalesce(x["ph"], raw),
+            F.coalesce(x["ph2"], raw),
+        )
+        flip_up = acc["up"] & (x["l"] < up_sar)
+        flip_dn = (~acc["up"]) & (x["h"] > dn_sar)
+        new_ext_up = x["h"] > acc["ep"]
+        new_ext_dn = x["l"] < acc["ep"]
+        af_up = F.when(
+            new_ext_up,
+            F.least(acc["af"] + af_step, F.lit(float(af_max))),
+        ).otherwise(acc["af"])
+        af_dn = F.when(
+            new_ext_dn,
+            F.least(acc["af"] + af_step, F.lit(float(af_max))),
+        ).otherwise(acc["af"])
+        return F.when(
+            flip_up,
+            pack(F.lit(False), acc["ep"], x["l"],
+                 F.lit(float(af0)), x["h"], x["l"]),
+        ).when(
+            flip_dn,
+            pack(F.lit(True), acc["ep"], x["h"],
+                 F.lit(float(af0)), x["h"], x["l"]),
+        ).when(
+            acc["up"],
+            pack(F.lit(True), up_sar,
+                 F.greatest(acc["ep"], x["h"]), af_up, x["h"], x["l"]),
+        ).otherwise(
+            pack(F.lit(False), dn_sar,
+                 F.least(acc["ep"], x["l"]), af_dn, x["h"], x["l"]),
+        )
+
+    def fold(l):
+        return F.aggregate(
+            l,
+            zero,
+            lambda acc, x: F.when(
+                acc["h"].isNull(),
+                pack(nb, nd, nd, nd, x["h"], x["l"]),
+            ).otherwise(
+                F.when(acc["up"].isNull(), seed(acc, x)).otherwise(
+                    step(acc, x)
+                )
+            ),
+        )
+
+    t = t.withColumn("_fin", let_bind(frame, fold))
+    sar = F.col("_fin")["sar"]
+    dirn = F.when(
+        sar.isNotNull(),
+        F.when(F.col("_fin")["up"], F.lit("up")).otherwise(F.lit("down")),
+    )
+    return t.select(
+        F.col("_k").alias(key_col),
+        F.col("_b").alias("bar_start"),
+        F.round(sar, 6).alias("sar"),
+        dirn.alias("direction"),
+    )
