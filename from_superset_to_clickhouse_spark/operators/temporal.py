@@ -6526,3 +6526,134 @@ def parabolic_sar(
         F.round(sar, 6).alias("sar"),
         dirn.alias("direction"),
     )
+
+
+def periodogram_fixed(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    n: int = 28,
+) -> DataFrame:
+    """Fixed-length periodogram summary per series → (g, m, peak_j,
+    g_stat, p_value, spec_entropy): over the FIRST ``n`` points in
+    order, the Fourier-frequency intensities I_j = (a_j² + b_j²)/n
+    for j = 1..m = ⌊(n−1)/2⌋, Fisher's g = max I / Σ I with its EXACT
+    null tail p = Σ_k (−1)^{k−1} C(m,k)(1−kg)₊^{m−1} (the classic
+    hidden-periodicity test), and the normalized spectral entropy
+    −Σ p_j ln p_j / ln m (1 = white, 0 = pure tone). Complements —
+    not duplicates — :func:`periodogram`/:func:`spectral_entropy`:
+    those explore a CHOSEN harmonic band of a variable-length series;
+    this one fixes the length so Fisher's EXACT null tail (literal
+    binomials over a fixed m) and the literal trig tables stay
+    replayable.
+
+    CROSS-ENGINE TRIG CONTRACT: the cos/sin tables are generated ONCE
+    driver-side and embedded as literal doubles in BOTH the Spark
+    expression and the SQL twin — two engines' libm cos need not
+    agree to the last ulp, identical literals do by construction. The
+    dot products are left-to-right list folds over the ≤ n-element
+    per-series arrays (bounded-series contract); series shorter than
+    ``n`` are dropped (fixed-length contract keeps the table static).
+    Skipping mean-centering is exact here: Fourier frequencies are
+    orthogonal to the constant (the literal-table residual ~1e-15·n·v̄
+    sits far below the 1e-6 output rounding)."""
+    import math
+
+    from from_superset_to_clickhouse_spark.functions.scalar import let_bind
+
+    m = (n - 1) // 2
+    cos_t = [
+        [math.cos(2.0 * math.pi * j * t / n) for t in range(n)]
+        for j in range(1, m + 1)
+    ]
+    sin_t = [
+        [math.sin(2.0 * math.pi * j * t / n) for t in range(n)]
+        for j in range(1, m + 1)
+    ]
+    v = F.floor(F.col(value_col).cast("double") * _Q2) / _Q2
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(order_col).alias("_o"),
+        v.alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    arr = (
+        src.groupBy("_g")
+        .agg(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_o"), F.col("_v")))
+                    ),
+                    lambda s: s["_v"],
+                ),
+                1,
+                n,
+            ).alias("_a"),
+            F.count("*").alias("_n"),
+        )
+        .filter(F.col("_n") >= n)
+    )
+
+    def dot(lst, coeffs):
+        lit = F.array(*[F.lit(float(c)) for c in coeffs])
+        return F.aggregate(
+            F.transform(
+                lst, lambda x, i: x * F.element_at(lit, i + 1)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def intensity(lst):
+        return F.array(
+            *[
+                (
+                    dot(lst, cos_t[j]) * dot(lst, cos_t[j])
+                    + dot(lst, sin_t[j]) * dot(lst, sin_t[j])
+                )
+                / float(n)
+                for j in range(m)
+            ]
+        )
+
+    t = arr.withColumn("_i", let_bind(F.col("_a"), intensity))
+    tot = F.aggregate(
+        F.col("_i"), F.lit(0.0), lambda acc, x: acc + x
+    )
+    t = t.withColumn("_tot", tot)
+    gmax = F.array_max(F.col("_i"))
+    peak = F.array_position(F.col("_i"), gmax).cast("int")
+    g = gmax / F.col("_tot")
+    # exact Fisher tail: sum over k of (-1)^(k-1) C(m,k) (1-kg)_+^(m-1)
+    pterms = [
+        F.lit(((-1.0) ** (k - 1)) * math.comb(m, k))
+        * F.pow(
+            F.greatest(1.0 - F.lit(float(k)) * g, F.lit(0.0)),
+            F.lit(float(m - 1)),
+        )
+        for k in range(1, m + 1)
+    ]
+    pv = sum(pterms[1:], pterms[0])
+    ent = (
+        -F.aggregate(
+            F.col("_i"),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + F.when(
+                x > 0,
+                (x / F.col("_tot")) * F.log(x / F.col("_tot")),
+            ).otherwise(F.lit(0.0)),
+        )
+        / math.log(m)
+    )
+    return t.select(
+        F.col("_g").alias("g"),
+        F.lit(m).cast("long").alias("m"),
+        peak.alias("peak_j"),
+        F.round(g, 6).alias("g_stat"),
+        F.round(F.least(F.greatest(pv, F.lit(0.0)), F.lit(1.0)), 6).alias(
+            "p_value"
+        ),
+        F.round(ent, 6).alias("spec_entropy"),
+    )

@@ -254,3 +254,101 @@ def test_ultimate_osc_and_ichimoku_and_elder_sanity(spark):
     er = tmp.elder_ray(df, "k", "ts", "v", "tb", period=7)
     e = er.orderBy("bar_start").tail(1)[0]
     assert e["bull_power"] >= e["bear_power"]  # H >= L always
+
+
+def test_mood_scale_reference(spark):
+    rng = random.Random(13)
+    a = [rng.gauss(0, 1) for _ in range(30)]
+    b = [rng.gauss(0, 3) for _ in range(30)]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    r = st.mood_scale_test(
+        spark.createDataFrame(rows, "g string, v double"),
+        "g", "a", "b", "v",
+    ).collect()[0]
+    alln = sorted(a + b)
+    rk = {v: i + 1 for i, v in enumerate(alln)}
+    n = 60
+    t_ref = sum((rk[v] - (n + 1) / 2) ** 2 for v in a)
+    assert abs(r["t_stat"] - t_ref) < 1e-6
+    assert r["reject_5pct"] == 1  # scale-different -> a's T far below E
+
+
+def test_parabolic_sar_reference_recursion(spark):
+    rng = random.Random(21)
+    t0 = dt.datetime(2024, 1, 1)
+    rows, price = [], 100.0
+    for d in range(60):
+        for i in range(3):
+            price *= 1 + rng.gauss(0.0, 0.03)
+            rows.append(("k", t0 + dt.timedelta(days=d, hours=8 * i),
+                         price, i))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double, tb int")
+    out = [(r["sar"], r["direction"]) for r in tmp.parabolic_sar(
+        df, "k", "ts", "v", "tb").orderBy("bar_start").collect()]
+    # pure python reference over the gridded daily bars
+    daily = {}
+    for _, ts, v, tb in rows:
+        d = ts.date()
+        b = daily.setdefault(d, [v, v])
+        b[0] = max(b[0], v)
+        b[1] = min(b[1], v)
+    q = 2.0**20
+    bars = [(math.floor(h * q) / q, math.floor(l * q) / q)
+            for h, l in (daily[d] for d in sorted(daily))]
+    state = None
+    ref = []
+    for t, (h, l) in enumerate(bars):
+        ph, pl = bars[t - 1] if t >= 1 else (None, None)
+        ph2, pl2 = bars[t - 2] if t >= 2 else (None, None)
+        if state is None:
+            state = ("stash", h, l)
+            ref.append((None, None))
+            continue
+        if state[0] == "stash":
+            _, h1, l1 = state
+            up = (h + l) > (h1 + l1)
+            sar = min(l1, l) if up else max(h1, h)
+            ep = max(h1, h) if up else min(l1, l)
+            state = (up, sar, ep, 0.02)
+        else:
+            up, sar, ep, af = state
+            raw = sar + af * (ep - sar)
+            if up:
+                s2 = min(raw, pl if pl is not None else raw,
+                         pl2 if pl2 is not None else raw)
+                if l < s2:
+                    state = (False, ep, l, 0.02)
+                else:
+                    naf = min(af + 0.02, 0.2) if h > ep else af
+                    state = (True, s2, max(ep, h), naf)
+            else:
+                s2 = max(raw, ph if ph is not None else raw,
+                         ph2 if ph2 is not None else raw)
+                if h > s2:
+                    state = (True, ep, h, 0.02)
+                else:
+                    naf = min(af + 0.02, 0.2) if l < ep else af
+                    state = (False, s2, min(ep, l), naf)
+        ref.append((round(state[1], 6), "up" if state[0] else "down"))
+    assert len(out) == len(ref)
+    for i, (got, want) in enumerate(zip(out, ref)):
+        assert got == want, (i, got, want)
+
+
+def test_fisher_g_planted_tone_and_null(spark):
+    rng = random.Random(31)
+    rows = [("tone", i, 50 + 12 * math.sin(2 * math.pi * 4 * i / 28))
+            for i in range(30)]
+    rows += [("noise", i, rng.uniform(0, 100)) for i in range(30)]
+    df = spark.createDataFrame(rows, "g string, o int, v double")
+    out = {r["g"]: r for r in tmp.periodogram_fixed(
+        df, "g", "o", "v", n=28).collect()}
+    assert out["tone"]["peak_j"] == 4
+    assert out["tone"]["g_stat"] > 0.99 and out["tone"]["p_value"] < 1e-6
+    assert out["tone"]["spec_entropy"] < 0.05
+    assert out["noise"]["p_value"] > 0.01
+    assert out["noise"]["spec_entropy"] > 0.5
+    # short series are dropped by the fixed-length contract
+    short = spark.createDataFrame(
+        [("s", i, float(i)) for i in range(10)], "g string, o int, v double")
+    assert tmp.periodogram_fixed(short, "g", "o", "v", n=28).count() == 0

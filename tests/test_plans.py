@@ -743,8 +743,10 @@ def test_r16_queue_plan_gates(spark, qmap):
     partitioned = [
         "theil_u", "arch_lm", "variance_ratio", "g_chart",
         "ultimate_osc", "kama", "trix", "ichimoku", "coppock",
-        "elder_ray",
+        "elder_ray", "psar",
     ]
+    scalar_or_bounded.add("mood_scale")
+    scalar_or_bounded.add("fisher_g")
     for name in sorted(scalar_or_bounded) + partitioned:
         plan = _plan(qmap[name](spark, SF))
         assert "CartesianProduct" not in plan, name
