@@ -234,6 +234,12 @@ HEADLINE = [
     "supertrend",
     "jonckheere",
     "suits",
+    # late-r15 queue heavyweights: the PSAR stop-and-reverse fold, the
+    # probit-scored van der Waerden ranks, and the literal-trig
+    # Fisher-g periodogram
+    "psar",
+    "van_der_waerden",
+    "fisher_g",
 ]
 
 # ANN is measured on a deterministic query slice (vec_id < ANN_QUERIES)
