@@ -181,6 +181,7 @@ def bradley_terry(
     winner_col: str,
     loser_col: str,
     iters: int = 8,
+    driver_max_items: int = 128,
 ) -> DataFrame:
     """Bradley–Terry pairwise-preference strengths via Hunter's (2004)
     MM iterations → (item, wins, n_matches, strength, rank): the model
@@ -188,42 +189,64 @@ def bradley_terry(
     π_i ← W_i / Σ_j n_ij/(π_i + π_j), renormalized to mean 1 each
     round. Items are a BOUNDED label set (models, variants, arms);
     the corpus-scale work is ONE groupBy producing the ≤K² pair-count
-    table, after which every iteration runs over K² rows as plain
-    Catalyst joins in a single lazy plan — no driver loop state, no
-    collect.
+    table, after which every iteration runs over K² rows.
 
     Every intermediate lands on the 1e-9 grid (term, denominator,
     update, renormalization), so the ~1e-15 float-sum noise can never
     cross a grid cell and the oracle's unrolled-CTE replay is
-    bit-identical."""
+    bit-identical.
+
+    r15 optimization round (guide §1.2/§5, the ``hits`` ≤128-node
+    precedent): when the item set is tiny (K ≤ ``driver_max_items``
+    AFTER the corpus-scale aggregation), the 8 MM rounds run as plain
+    driver floats over the collected K²-bounded tables instead of
+    ~8 × 6 scheduler round-trips over ≤K²-row frames — the collected
+    state is K²-bounded by construction (the k-means k×dim precedent),
+    and every intermediate re-lands on the same 1e-9 grid (HALF_UP via
+    ``decimal``, replaying ``F.round``'s BigDecimal semantics), so the
+    trajectory is bit-compatible with the distributed loop — pinned by
+    ``test_bradley_terry_driver_path_matches_distributed``. Larger item
+    sets take the distributed loop unchanged."""
     w = F.col(winner_col).cast("string")
     l = F.col(loser_col).cast("string")
     base = matches.select(w.alias("_w"), l.alias("_l")).filter(
         F.col("_w").isNotNull() & F.col("_l").isNotNull()
         & (F.col("_w") != F.col("_l"))
     )
-    wins = base.groupBy(F.col("_w").alias("item")).agg(
-        F.count("*").alias("wins")
+    # r15 optimization round (guide §2.3/§2.4): ONE corpus-scale pass —
+    # the directed (winner, loser) count table is ≤K² rows and every
+    # other input (wins, undirected pair counts, the item universe,
+    # per-item match totals) is a K²-bounded re-aggregation of it.
+    # Previously wins/pairs/items/tot each re-scanned the match corpus
+    # (4 corpus-scale jobs); now the scan+groupBy runs once.
+    dp = (
+        base.groupBy("_w", "_l")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    wins = dp.groupBy(F.col("_w").alias("item")).agg(
+        F.sum("n").alias("wins")
     )
     pairs = (
-        base.select(
+        dp.select(
             F.least(F.col("_w"), F.col("_l")).alias("a"),
             F.greatest(F.col("_w"), F.col("_l")).alias("b"),
+            "n",
         )
         .groupBy("a", "b")
-        .agg(F.count("*").alias("n"))
+        .agg(F.sum("n").alias("n"))
     )
     items = (
-        base.select(F.col("_w").alias("item"))
-        .union(base.select(F.col("_l").alias("item")))
+        dp.select(F.col("_w").alias("item"))
+        .union(dp.select(F.col("_l").alias("item")))
         .distinct()
     )
     n_items = items.groupBy().agg(F.count("*").alias("_k"))
     tot = (
-        base.select(F.col("_w").alias("item"))
-        .union(base.select(F.col("_l").alias("item")))
+        dp.select(F.col("_w").alias("item"), "n")
+        .union(dp.select(F.col("_l").alias("item"), "n"))
         .groupBy("item")
-        .agg(F.count("*").alias("n_matches"))
+        .agg(F.sum("n").alias("n_matches"))
     )
     # directed pair table: one row per (i, j≠i) with the match count
     sym = pairs.select(
@@ -233,9 +256,76 @@ def bradley_terry(
             F.col("b").alias("i"), F.col("a").alias("j"), "n"
         )
     )
-    # The bounded tables feed every MM round — checkpoint them once so
-    # the corpus-scale match scan and pair groupBy run ONCE, not once
-    # per iteration (the lazy plan would re-execute them 8×).
+    k_items = items.count()
+    if k_items <= driver_max_items:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import math as _m
+
+        def _r(x: float, places: str) -> float:
+            # F.round replays: BigDecimal(Double.toString(x)) HALF_UP —
+            # repr() is Python's shortest round-trip form of the same
+            # double (all quantities here are >= 0). Non-finite values
+            # pass through (IEEE semantics, like the double column).
+            if not _m.isfinite(x):
+                return float(x)
+            return float(
+                Decimal(repr(float(x))).quantize(
+                    Decimal(places), rounding=ROUND_HALF_UP
+                )
+            )
+
+        def _div(a: float, b: float) -> float:
+            # IEEE double division (Spark's x/y on doubles): x/0 is
+            # ±inf / nan, never a Python ZeroDivisionError.
+            if b == 0.0:
+                return float("nan") if a == 0.0 else _m.copysign(
+                    float("inf"), a
+                )
+            return a / b
+
+        il = sorted(r["item"] for r in items.collect())
+        wl = {r["item"]: int(r["wins"]) for r in wins.collect()}
+        tl = {r["item"]: int(r["n_matches"]) for r in tot.collect()}
+        sl = sorted(
+            (r["i"], r["j"], int(r["n"])) for r in sym.collect()
+        )
+        pi_d = {it: 1.0 for it in il}
+        for _ in range(int(iters)):
+            denom = {it: 0.0 for it in il}
+            for i, j, n in sl:
+                denom[i] += _r(_div(n, pi_d[i] + pi_d[j]), "1e-9")
+            upd = {
+                it: _r(
+                    _div(float(wl.get(it, 0)), _r(denom[it], "1e-9")),
+                    "1e-9",
+                )
+                for it in il
+            }
+            s = _r(sum(upd[it] for it in il), "1e-9")
+            pi_d = {
+                it: _r(_div(upd[it] * k_items, s), "1e-9") for it in il
+            }
+        ranked = sorted(il, key=lambda it: (-_r(pi_d[it], "1e-6"), it))
+        rank_of = {it: r + 1 for r, it in enumerate(ranked)}
+        rows = [
+            (
+                it,
+                wl.get(it, 0),
+                tl.get(it, 0),
+                _r(pi_d[it], "1e-6"),
+                rank_of[it],
+            )
+            for it in il
+        ]
+        return matches.sparkSession.createDataFrame(
+            rows,
+            "item string, wins long, n_matches long, "
+            "strength double, rank int",
+        )
+    # Distributed loop: the K-bounded tables feed every MM round —
+    # checkpoint them once so their (cheap, dp-derived) re-aggregations
+    # don't re-run 8×.
     wins = wins.localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
     items = items.localCheckpoint(eager=True)

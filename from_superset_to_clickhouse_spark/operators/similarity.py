@@ -744,9 +744,18 @@ def _dist2(vec: Column, cent: list[float]) -> Column:
 # determinism contract is IDENTICAL either way (see _grid_argmin), so
 # the cut purely trades plan shape; below it the expression form stays
 # whole-stage-codegen with no Python worker round-trip (and is what the
-# sf0.01 oracle twins exercise — `test_assign_arrow_matches_expression`
+# smallest oracle twins exercise — `test_assign_arrow_matches_expression`
 # pins the two paths equal on real fixture vectors).
-_ARROW_ASSIGN_MIN_OPS = 1024
+#
+# r15 optimization round: lowered 1024 → 256 (guide §4.2). Measured on
+# the sf0.1 fixture (20k × dim-64 vectors, m=4 k=8 d=16 = 512 ops):
+# pq_encode 2.3 s expression vs 0.64 s Arrow, identical codes — the
+# interpreted-lambda cost already dominates at 512 ops/row, and an
+# unrolled pure-codegen form was measured SLOWER (10.9 s: the 512-term
+# expression tree blows past codegen limits into interpreted eval).
+# 256 keeps the tiniest assignments (e.g. 3 × 64 = 192) in codegen so
+# the expression path stays exercised end-to-end.
+_ARROW_ASSIGN_MIN_OPS = 256
 
 
 def _grid_argmin_codes(mat, books):
@@ -1324,7 +1333,14 @@ def semantic_dedup(
             ).alias("cluster")
         )
     )
-    with_vec = assigned.join(vecs, "vid")
+    # r15 optimization round (guide §2.4/§5): the assignment stage
+    # (N·k broadcast scoring + argmax) feeds THREE consumers — both
+    # sides of the within-cluster self-join and the final keep join.
+    # Materializing it once (eager localCheckpoint) replaces three
+    # evaluations of the scoring subtree with one + two cheap scans
+    # (measured 2.9 → 2.5 s warm at sf0.1, identical rows).
+    with_vec = assigned.join(vecs, "vid").localCheckpoint(eager=True)
+    assigned = with_vec.select("vid", "cluster")
     a, b = with_vec.alias("a"), with_vec.alias("b")
     dropped = (
         a.join(

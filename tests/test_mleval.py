@@ -201,6 +201,37 @@ def test_bradley_terry_zero_win_item_kept_at_strength_zero(spark):
     assert (out["a"]["rank"], out["b"]["rank"]) == (1, 2)
 
 
+def test_bradley_terry_driver_path_matches_distributed(spark):
+    """The r15 ≤128-item driver fast path must be bit-identical to the
+    distributed MM loop (same 1e-9 grid trajectory, same rounding, same
+    tie-broken ranks) — forced by driver_max_items=0 on one side."""
+    import random
+
+    from from_superset_to_clickhouse_spark.operators.mleval import (
+        bradley_terry,
+    )
+
+    rng = random.Random(23)
+    rows = []
+    for _ in range(1500):
+        i, j = rng.sample(range(7), 2)
+        w = i if rng.random() < (i + 1) / (i + j + 2) else j
+        rows.append((str(w), str(i if w != i else j)))
+    # include a zero-win item so the coalesce(wins, 0) branch is hit
+    rows += [("0", "zz")] * 5
+    df = spark.createDataFrame(rows, "w string, l string")
+    fast = sorted(
+        tuple(r) for r in bradley_terry(df, "w", "l", iters=8).collect()
+    )
+    dist = sorted(
+        tuple(r)
+        for r in bradley_terry(
+            df, "w", "l", iters=8, driver_max_items=0
+        ).collect()
+    )
+    assert fast == dist
+
+
 def test_logistic_gd_learns_separable(spark):
     """A linearly separable 1-feature problem: the fitted weight is
     positive, accuracy -> 1.0, and reruns are bit-identical (grid
