@@ -740,6 +740,10 @@ def closeness_from_pivots(
         )
         if nxt.limit(1).count() == 0:
             break
+        # (r15 optimization round: a lazy union of the checkpointed
+        # per-hop frames was tried here and measured SLOWER — the
+        # growing union's partition count inflates every later
+        # anti-join; the eager re-materialization stays.)
         visited = visited.union(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("pivot", "node")
     agg = visited.groupBy("node").agg(
@@ -976,8 +980,11 @@ def strongly_connected_components(
                 "diameter"
             )
         settled = member.select(node_col, F.col("color").alias("scc"))
+        # r15 optimization round: `done` is a union of already-
+        # checkpointed member frames and is only consumed once at the
+        # end — the old per-round eager checkpoint re-wrote every
+        # settled row each round.
         done = settled if done is None else done.union(settled)
-        done = done.localCheckpoint(eager=True)
         active = (
             active.join(settled.select(node_col), node_col, "left_anti")
             .localCheckpoint(eager=True)
@@ -1692,14 +1699,22 @@ def betweenness_from_pivots(
                     f"{max_hops} hops — raise max_hops past the diameter"
                 )
     q = float(1 << 20)
-    deltas = layers.filter(F.col("d") == maxd).select(
-        "p", "v", F.lit(0.0).alias("delta")
-    )
+    # r15 optimization round (guide §2.4/§5): per-layer delta frames
+    # instead of one growing eagerly-rematerialized union. Each layer's
+    # deltas carry sigma along, so the backward round reads its
+    # successor layer DIRECTLY (the old shape re-joined the full deltas
+    # union against the layer table every round just to re-attach
+    # sigma). Only the freshly computed layer is checkpointed (it feeds
+    # the next round and the final rollup); the rollup unions the
+    # checkpointed frames lazily. Per-layer delta values are unchanged.
+    delta_frames = {
+        maxd: layers.filter(F.col("d") == maxd).select(
+            "p", "v", "sigma", F.lit(0.0).alias("delta")
+        )
+    }
     for dd in range(maxd - 1, -1, -1):
         cur = layers.filter(F.col("d") == dd)
-        succ = layers.filter(F.col("d") == dd + 1).join(
-            deltas, ["p", "v"]
-        ).select(
+        succ = delta_frames[dd + 1].select(
             "p",
             F.col("v").alias("w"),
             F.col("sigma").alias("sw"),
@@ -1725,12 +1740,15 @@ def betweenness_from_pivots(
             .groupBy("p", "v")
             .agg((F.sum(F.col("_t") * q) / q).alias("_dv"))
         )
-        layer_d = cur.select("p", "v").join(
+        delta_frames[dd] = cur.select("p", "v", "sigma").join(
             contrib, ["p", "v"], "left"
         ).select(
-            "p", "v", F.coalesce("_dv", F.lit(0.0)).alias("delta")
-        )
-        deltas = deltas.unionByName(layer_d).localCheckpoint(eager=True)
+            "p", "v", "sigma",
+            F.coalesce("_dv", F.lit(0.0)).alias("delta"),
+        ).localCheckpoint(eager=True)
+    deltas = None
+    for frame in delta_frames.values():
+        deltas = frame if deltas is None else deltas.unionByName(frame)
     bc = (
         deltas.filter(F.col("v") != F.col("p"))
         .groupBy("v")

@@ -49,6 +49,22 @@ def get_spark(
         # Dimension tables (customer/part/nation ≈ ab_user/dashboards dicts)
         # should broadcast — the Spark analog of ClickHouse hashed dictionaries.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # r15 optimization round (guide §3.1/§9): let the planner pick a
+        # shuffled-hash join where its size conditions hold instead of
+        # always sort-merge — SHJ skips the per-partition sort, and the
+        # planner/AQE only choose it when the build side of each
+        # partition fits in memory, so the sizing guard (and AQE skew
+        # splitting, which supports SHJ) still applies at 100 TB.
+        # Measured on the sf0.1 join-heavy entries (3 interleaved A/B
+        # rounds): url_snapshot_dedup 6.7→4.3 s, hybrid_retrieval
+        # 6.5→3.9 s, cut_spans 5.2→3.5 s, subset total −22%. Flip back
+        # with SPARK_GRAFT_PREFER_SMJ=1 (e.g. spill-fragile clusters).
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            "true"
+            if os.environ.get("SPARK_GRAFT_PREFER_SMJ") == "1"
+            else "false",
+        )
         # Arrow-accelerated toPandas/createDataFrame and pandas UDFs.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Partition-swap publisher: overwrite exactly the partitions present
