@@ -2639,9 +2639,25 @@ def _word_ngram_counts_all(
     higher-order lambda cost ~10 µs/window and made corpus BLEU
     ~8 scans × interpreted (measured 100 s → 14 s at sf0.1 for the
     4-order bleu entry)."""
-    tok = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(word_tokens(F.col(col))).alias("pos", "t0"),
+    return _word_ngram_counts_all_tokens(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            word_tokens(F.col(col)).alias("_toks"),
+        ),
+        "_toks",
+        max_n,
+    )
+
+
+def _word_ngram_counts_all_tokens(
+    toks_df: DataFrame, tok_col: str, max_n: int
+) -> DataFrame:
+    """`_word_ngram_counts_all` over an already-tokenized array column
+    (r15 optimization round: lets ``bleu_corpus`` tokenize the pair
+    table once instead of once per side per consumer)."""
+    tok = toks_df.select(
+        "doc_id",
+        F.posexplode(F.col(tok_col)).alias("pos", "t0"),
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     led = tok.select(
@@ -2689,9 +2705,23 @@ def bleu_corpus(
 
     max_n joins on (pair, gram) keys, all map-side-combined counts +
     exact integer sums; NULL bleu when any order's precision is zero
-    (standard undefined-log convention, not smoothed)."""
-    c = _word_ngram_counts_all(df, cand_col, id_col, max_n)
-    r = _word_ngram_counts_all(df, ref_col, id_col, max_n)
+    (standard undefined-log convention, not smoothed).
+
+    r15 optimization round (guide §2.4/§5): both sides' token arrays
+    are materialized ONCE (eager localCheckpoint) — previously the
+    regex tokenizer ran four times over the corpus (candidate grams,
+    reference grams, and both length sums)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_tokens(F.col(cand_col)).alias("_ct"),
+        word_tokens(F.col(ref_col)).alias("_rt"),
+    ).localCheckpoint(eager=True)
+    c = _word_ngram_counts_all_tokens(
+        toks.select("doc_id", "_ct"), "_ct", max_n
+    )
+    r = _word_ngram_counts_all_tokens(
+        toks.select("doc_id", "_rt"), "_rt", max_n
+    )
     j = c.join(
         r.withColumnRenamed("cnt", "rcnt"), ["doc_id", "n", "gram"], "left"
     ).select(
@@ -2708,10 +2738,10 @@ def bleu_corpus(
             F.col("_tot") > 0, F.col("_clip") / F.col("_tot").cast("double")
         ).alias("_p"),
     )
-    lens = df.agg(
+    lens = toks.agg(
         F.count("*").alias("n_pairs"),
-        F.sum(F.size(word_tokens(F.col(cand_col)))).alias("_cl"),
-        F.sum(F.size(word_tokens(F.col(ref_col)))).alias("_rl"),
+        F.sum(F.size(F.col("_ct"))).alias("_cl"),
+        F.sum(F.size(F.col("_rt"))).alias("_rl"),
     )
     # Normalize over ALL max_n orders, not just orders present in the
     # candidate gram table: when every doc is shorter than n tokens the
