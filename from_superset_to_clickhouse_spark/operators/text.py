@@ -1350,9 +1350,14 @@ def inverted_index_append(
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
     )
-    postings.write.mode("append").partitionBy("bucket").parquet(
-        f"{path}/postings"
-    )
+    # r15 optimization round (guide §6): cluster the batch by bucket
+    # before the partitioned write — without this every post-shuffle
+    # task fans out into up to n_buckets directories, so a wide batch
+    # writes (tasks × buckets) small files; clustered, each bucket gets
+    # at most a handful of files per batch regardless of batch width.
+    postings.repartition(F.col("bucket")).write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(f"{path}/postings")
     dl.write.mode("append").parquet(f"{path}/doc_lengths")
     spark.read.parquet(f"{path}/doc_lengths").agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
