@@ -48,6 +48,10 @@ from from_superset_to_clickhouse_spark.schema import Schema
 
 INGEST_SEQ_COL = "_ingest_seq"
 META_FILE = "_table_meta.json"
+# One AQE advisory partition (the session default): batches estimated
+# under this land in a single write task with or without clustering,
+# so the pre-write REBALANCE would be a pure extra exchange.
+_ADVISORY_PARTITION_BYTES = 64 * 1024 * 1024
 
 # Derived partition columns the engine knows how to materialize. The
 # reference's only derived partition expr is date_trunc('month', dttm)
@@ -258,10 +262,48 @@ class TableStore:
         shard_by = meta.get("shard_by")
         if shard_by:
             df = df.repartition(F.col(shard_by))
+        elif parts:
+            df = self._cluster_for_write(df, parts)
         sort_by = meta.get("sort_by") or []
         if sort_by:
             df = df.sortWithinPartitions(*[F.col(c) for c in sort_by])
         return df, parts
+
+    def _cluster_for_write(self, df: DataFrame, parts: list) -> DataFrame:
+        """Cluster a batch by its partition columns before a partitionBy
+        write — when the batch is big enough to span several write tasks
+        (r16 optimization round, guide §6).
+
+        Without clustering, every write task fans out into every
+        partition directory it touches, so a WIDE batch writes
+        (tasks × partitions) small files — a count that grows with core
+        count and taxes every later read of the table. The REBALANCE
+        hint is the scale-adaptive fix: AQE coalesces small partition
+        groups and splits oversized ones at the advisory size, so a
+        huge single partition still parallelizes across write tasks
+        instead of serializing into one.
+
+        The guard: batches whose plan-time size estimate fits inside
+        ONE advisory partition are left alone — they end up in a single
+        write task either way (at most one file per touched partition
+        already), and the extra exchange would be a pure scheduling tax
+        (measured +0.3-0.9 s per merge_upsert run at sf0.1). Unknown
+        estimates (e.g. localCheckpointed inputs report Long.Max) err
+        toward clustering — the scale-safe direction."""
+        try:
+            est = int(
+                str(
+                    df._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            )
+        except Exception:
+            est = None
+        if est is not None and est <= _ADVISORY_PARTITION_BYTES:
+            return df
+        return df.hint("rebalance", *parts)
 
     def append(self, name: str, df: DataFrame) -> None:
         """INSERT INTO … SELECT (append ingest)."""
@@ -272,9 +314,7 @@ class TableStore:
         if parts:
             w = w.partitionBy(*parts)
         w.parquet(join(self.path(name), "data"))
-        self._update_zone_maps(name, out, mode="merge")
-        self._update_blooms(name, out, mode="merge")
-        self._update_ngram_blooms(name, out, mode="merge")
+        self._update_indexes(name, out, mode="merge")
         self._update_projections(name, out)
 
     def overwrite_partitions(self, name: str, df: DataFrame) -> None:
@@ -297,9 +337,7 @@ class TableStore:
             .partitionBy(*parts)
             .parquet(join(self.path(name), "data"))
         )
-        self._update_zone_maps(name, out, mode="replace")
-        self._update_blooms(name, out, mode="replace")
-        self._update_ngram_blooms(name, out, mode="replace")
+        self._update_indexes(name, out, mode="replace")
         self._mark_projections_stale(name)
 
     def overwrite(self, name: str, df: DataFrame) -> None:
@@ -310,9 +348,7 @@ class TableStore:
         if parts:
             w = w.partitionBy(*parts)
         w.parquet(join(self.path(name), "data"))
-        self._update_zone_maps(name, out, mode="reset")
-        self._update_blooms(name, out, mode="reset")
-        self._update_ngram_blooms(name, out, mode="reset")
+        self._update_indexes(name, out, mode="reset")
         self._mark_projections_stale(name)
 
     # -- zone maps (sort-key min/max per partition — data skipping) ---------
@@ -359,36 +395,150 @@ class TableStore:
             return v.isoformat()
         return str(v)
 
-    def _update_zone_maps(self, name: str, staged: DataFrame, mode: str) -> None:
-        """Refresh per-partition [min, max] of the zone column from the
-        staged batch — one extra aggregate over the INCREMENT (one output
-        row per touched partition), never over the table. ``merge``
-        widens existing bounds (append), ``replace`` swaps the touched
-        partitions' entries (partition overwrite), ``reset`` rebuilds
-        from scratch (full overwrite). Deletes/compaction leave bounds
-        untouched: a superset range only costs pruning tightness, never
-        correctness."""
+    def _update_indexes(
+        self,
+        name: str,
+        staged: DataFrame,
+        mode: str,
+        zone: bool = True,
+        bloom_cols: "list[str] | None" = None,
+        ngram_cols: "list[str] | None" = None,
+    ) -> None:
+        """Fused skip-index maintenance (r16 optimization round, guide
+        §2.4/§6): ONE aggregate job over the staged batch refreshes the
+        zone map AND every (n-gram-)bloom bitmap. Previously each
+        structure ran its own scan of ``staged`` — zone maps one job,
+        plus an aggregate AND a distinct-partitions job per indexed
+        column — so a table with a zone column and two bloom indexes
+        re-computed the staged lineage five times per write; now the
+        rewritten partitions (or the increment's lineage) are read once.
+
+        Per-structure semantics are unchanged: ``merge`` widens zone
+        bounds / ORs bitmaps (append), ``replace`` swaps the touched
+        partitions' entries (partition overwrite / mutation recompute),
+        ``reset`` rebuilds from scratch. Deletes/compaction leave
+        entries untouched: stale bounds/bits only cost pruning
+        tightness, never correctness. Every partition present in
+        ``staged`` gets an entry for every maintained structure — an
+        all-NULL or empty column still lands an empty bitmap, or the
+        coverage checks in the prune methods would disable the index
+        forever. ``zone``/``bloom_cols``/``ngram_cols`` restrict the
+        maintained set (the ``add_*_index`` backfills refresh exactly
+        one structure); ``None`` means every declared one.
+
+        Shuffle cost is the same as the separate passes it fuses: the
+        position explode is map-side collect_set-combined, so at most
+        ``bits`` positions per structure per touched partition cross
+        the exchange, and zone min/max ride the same exchange (their
+        values are duplicated per exploded position, which min/max
+        ignore)."""
         meta = self._meta(name)
         zcol, part = self._zone_spec(meta)
-        if zcol is None or zcol not in staged.columns:
+        if not zone or zcol is None or zcol not in staged.columns:
+            zcol = None
+        bloom_idxs = meta.get("bloom_indexes") or {}
+        ngram_idxs = meta.get("ngram_bloom_indexes") or {}
+        if bloom_cols is None:
+            bloom_cols = list(bloom_idxs)
+        if ngram_cols is None:
+            ngram_cols = list(ngram_idxs)
+        bloom_cols = [c for c in bloom_cols if c in staged.columns]
+        ngram_cols = [c for c in ngram_cols if c in staged.columns]
+        if zcol is None and not bloom_cols and not ngram_cols:
             return
-        stats = (
-            staged.groupBy(part)
-            .agg(F.min(zcol).alias("_mn"), F.max(zcol).alias("_mx"))
-            .collect()
-        )
-        zm = {} if mode == "reset" else dict(meta.get("zone_maps") or {})
-        for r in stats:
-            key = self._zone_part_key(r[part])
-            lo, hi = self._zkey(r["_mn"]), self._zkey(r["_mx"])
-            if mode == "merge" and key in zm:
-                old_lo, old_hi = zm[key]
-                # None = unknown bound → stays unknown (prunes as
-                # always-intersecting, which is the safe direction)
-                lo = None if (old_lo is None or lo is None) else min(old_lo, lo)
-                hi = None if (old_hi is None or hi is None) else max(old_hi, hi)
-            zm[key] = [lo, hi]
-        meta["zone_maps"] = zm
+        if part is None:
+            part = meta["partition_by"][0]
+        # One tagged-position array per bloom structure: struct(i, p)
+        # where i indexes `structs` — a single explode carries every
+        # structure's positions through one shuffle.
+        structs: list = []
+        arrs: list = []
+        empty = F.array().cast("array<int>")
+
+        def _tag(i: int):
+            # NB: must stay a ONE-argument lambda — F.transform treats a
+            # two-argument function as (element, array_index).
+            return lambda p: F.struct(F.lit(i).alias("i"), p.alias("p"))
+
+        for c in bloom_cols:
+            idx = bloom_idxs[c]
+            structs.append(("bloom", c, idx))
+            pos = F.when(
+                F.col(c).isNotNull(),
+                self._bloom_positions(F.col(c), idx["bits"], idx["k"]),
+            ).otherwise(empty)
+            arrs.append(F.transform(pos, _tag(len(structs) - 1)))
+        for c in ngram_cols:
+            idx = ngram_idxs[c]
+            structs.append(("ngram", c, idx))
+            pos = F.when(
+                F.col(c).isNotNull(),
+                self._ngram_positions(
+                    F.col(c), idx["n"], idx["bits"], idx["k"]
+                ),
+            ).otherwise(empty)
+            arrs.append(F.transform(pos, _tag(len(structs) - 1)))
+        sel = [F.col(part).alias("_p")]
+        aggs = []
+        if zcol is not None:
+            sel.append(F.col(zcol).alias("_z"))
+            aggs += [F.min("_z").alias("_mn"), F.max("_z").alias("_mx")]
+        if arrs:
+            # explode_outer keeps rows whose position arrays are all
+            # empty, so every touched partition reaches the aggregate.
+            sel.append(F.explode_outer(F.concat(*arrs)).alias("_tp"))
+            aggs.append(F.collect_set("_tp").alias("_ps"))
+        rows = staged.select(*sel).groupBy("_p").agg(*aggs).collect()
+        zm = None
+        if zcol is not None:
+            zm = {} if mode == "reset" else dict(meta.get("zone_maps") or {})
+        new_filters = [
+            {} if mode == "reset" else dict(idx.get("filters") or {})
+            for _kind, _c, idx in structs
+        ]
+        for r in rows:
+            key = self._zone_part_key(r["_p"])
+            if zcol is not None:
+                lo, hi = self._zkey(r["_mn"]), self._zkey(r["_mx"])
+                if mode == "merge" and key in zm:
+                    old_lo, old_hi = zm[key]
+                    # None = unknown bound → stays unknown (prunes as
+                    # always-intersecting, the safe direction)
+                    lo = (
+                        None
+                        if (old_lo is None or lo is None)
+                        else min(old_lo, lo)
+                    )
+                    hi = (
+                        None
+                        if (old_hi is None or hi is None)
+                        else max(old_hi, hi)
+                    )
+                zm[key] = [lo, hi]
+            if structs:
+                per: list[list] = [[] for _ in structs]
+                for tp in r["_ps"] or []:
+                    if tp is not None:
+                        per[tp["i"]].append(tp["p"])
+                for i, (_kind, _c, idx) in enumerate(structs):
+                    buf = bytearray(idx["bits"] // 8)
+                    for p in per[i]:
+                        buf[p >> 3] |= 1 << (p & 7)
+                    filters = new_filters[i]
+                    if mode == "merge" and key in filters:
+                        old = bytes.fromhex(filters[key])
+                        buf = bytearray(a | b for a, b in zip(buf, old))
+                    filters[key] = bytes(buf).hex()
+        if zcol is not None:
+            meta["zone_maps"] = zm
+        for i, (kind, c, idx) in enumerate(structs):
+            idx["filters"] = new_filters[i]
+            if kind == "bloom":
+                bloom_idxs[c] = idx
+                meta["bloom_indexes"] = bloom_idxs
+            else:
+                ngram_idxs[c] = idx
+                meta["ngram_bloom_indexes"] = ngram_idxs
         self._save_meta(name, meta)
 
     def zone_prune_partitions(
@@ -452,7 +602,10 @@ class TableStore:
         idxs[col] = {"bits": bits, "k": k, "dtype": dtype, "filters": {}}
         meta["bloom_indexes"] = idxs
         self._save_meta(name, meta)
-        self._update_blooms(name, existing, mode="reset")
+        self._update_indexes(
+            name, existing, mode="reset",
+            zone=False, bloom_cols=[col], ngram_cols=[],
+        )
 
     @staticmethod
     def _bloom_positions(col: Column, bits: int, k: int) -> Column:
@@ -467,62 +620,6 @@ class TableStore:
             ]
         )
 
-    def _update_blooms(self, name: str, staged: DataFrame, mode: str) -> None:
-        """Refresh the per-partition bloom bitmaps from the staged batch —
-        one aggregate per indexed column over the INCREMENT (collect_set
-        partially aggregates map-side, so at most ``bits`` positions per
-        touched partition cross the shuffle). ``merge`` ORs into existing
-        bitmaps (append), ``replace`` swaps touched partitions' entries
-        (partition overwrite), ``reset`` rebuilds from scratch."""
-        meta = self._meta(name)
-        idxs = meta.get("bloom_indexes") or {}
-        if not idxs:
-            return
-        part = meta["partition_by"][0]
-        changed = False
-        for col, idx in idxs.items():
-            if col not in staged.columns:
-                continue
-            bits, k = idx["bits"], idx["k"]
-            stats = (
-                staged.filter(F.col(col).isNotNull())
-                .select(
-                    F.col(part).alias("_p"),
-                    F.explode(
-                        self._bloom_positions(F.col(col), bits, k)
-                    ).alias("_pos"),
-                )
-                .groupBy("_p")
-                .agg(F.collect_set("_pos").alias("_ps"))
-                .collect()
-            )
-            filters = {} if mode == "reset" else dict(idx.get("filters") or {})
-            for r in stats:
-                key = self._zone_part_key(r["_p"])
-                buf = bytearray(bits // 8)
-                for p in r["_ps"]:
-                    buf[p >> 3] |= 1 << (p & 7)
-                if mode == "merge" and key in filters:
-                    old = bytes.fromhex(filters[key])
-                    buf = bytearray(a | b for a, b in zip(buf, old))
-                filters[key] = bytes(buf).hex()
-            # An all-NULL or empty staged partition still needs an entry
-            # (an empty bitmap: nothing matches) or the coverage check in
-            # bloom_prune_partitions would disable the index forever.
-            for r in (
-                staged.select(F.col(part).alias("_p")).distinct().collect()
-            ):
-                key = self._zone_part_key(r["_p"])
-                if key not in filters or (
-                    mode == "replace"
-                    and key not in {self._zone_part_key(s["_p"]) for s in stats}
-                ):
-                    filters[key] = bytes(bits // 8).hex()
-            idx["filters"] = filters
-            changed = True
-        if changed:
-            meta["bloom_indexes"] = idxs
-            self._save_meta(name, meta)
 
     # -- n-gram bloom skip indexes (substring-predicate skipping) --------
     #
@@ -557,7 +654,10 @@ class TableStore:
         idxs[col] = {"n": n, "bits": bits, "k": k, "filters": {}}
         meta["ngram_bloom_indexes"] = idxs
         self._save_meta(name, meta)
-        self._update_ngram_blooms(name, existing, mode="reset")
+        self._update_indexes(
+            name, existing, mode="reset",
+            zone=False, bloom_cols=[], ngram_cols=[col],
+        )
 
     @staticmethod
     def _ngram_positions(col: Column, n: int, bits: int, k: int) -> Column:
@@ -587,61 +687,6 @@ class TableStore:
                 ),
             )
         )
-
-    def _update_ngram_blooms(
-        self, name: str, staged: DataFrame, mode: str
-    ) -> None:
-        """Refresh per-partition n-gram bitmaps from the staged batch —
-        identical merge/replace/reset contract to ``_update_blooms``;
-        the explode output is capped at ``bits`` positions per touched
-        partition by the map-side collect_set."""
-        meta = self._meta(name)
-        idxs = meta.get("ngram_bloom_indexes") or {}
-        if not idxs:
-            return
-        part = meta["partition_by"][0]
-        changed = False
-        for col, idx in idxs.items():
-            if col not in staged.columns:
-                continue
-            n, bits, k = idx["n"], idx["bits"], idx["k"]
-            stats = (
-                staged.filter(F.col(col).isNotNull())
-                .select(
-                    F.col(part).alias("_p"),
-                    F.explode(
-                        self._ngram_positions(F.col(col), n, bits, k)
-                    ).alias("_pos"),
-                )
-                .groupBy("_p")
-                .agg(F.collect_set("_pos").alias("_ps"))
-                .collect()
-            )
-            filters = {} if mode == "reset" else dict(idx.get("filters") or {})
-            for r in stats:
-                key = self._zone_part_key(r["_p"])
-                buf = bytearray(bits // 8)
-                for p in r["_ps"]:
-                    buf[p >> 3] |= 1 << (p & 7)
-                if mode == "merge" and key in filters:
-                    old = bytes.fromhex(filters[key])
-                    buf = bytearray(a | b for a, b in zip(buf, old))
-                filters[key] = bytes(buf).hex()
-            for r in (
-                staged.select(F.col(part).alias("_p")).distinct().collect()
-            ):
-                key = self._zone_part_key(r["_p"])
-                if key not in filters or (
-                    mode == "replace"
-                    and key
-                    not in {self._zone_part_key(s["_p"]) for s in stats}
-                ):
-                    filters[key] = bytes(bits // 8).hex()
-            idx["filters"] = filters
-            changed = True
-        if changed:
-            meta["ngram_bloom_indexes"] = idxs
-            self._save_meta(name, meta)
 
     def ngram_prune_partitions(
         self, name: str, col: str, needle: str
@@ -1099,6 +1144,8 @@ class TableStore:
         shard_by = meta.get("shard_by")
         if shard_by:
             out = out.repartition(F.col(shard_by))
+        elif parts:
+            out = self._cluster_for_write(out, parts)  # guide §6
         if sort_by:
             out = out.sortWithinPartitions(*sort_by)
         w = out.write.mode("overwrite")
@@ -1365,6 +1412,8 @@ class TableStore:
         shard_by = meta.get("shard_by")
         if shard_by:
             out = out.repartition(F.col(shard_by))
+        elif parts:
+            out = self._cluster_for_write(out, parts)  # guide §6
         if sort_by:
             out = out.sortWithinPartitions(*sort_by)
         tmp = join(self.path(name), "data_compacting")
@@ -1640,35 +1689,44 @@ class TableStore:
         self._recompute_indexes_for_rels(name, parts, rels)
         return n_upd
 
+    @classmethod
+    def _rel_filter(
+        cls, parts: list, rels: list, part_col: "Column | None" = None
+    ) -> Column:
+        """NULL-total predicate "row belongs to one of these partition
+        rel-dirs". The rel-dir values are Hive-ESCAPED ('a:b' →
+        'a%3Ab'); CAST(col AS STRING) yields the unescaped value, so
+        the isin list must unquote or the filter matches nothing — the
+        same reconstruction trap _zone_part_key documents. The isin is
+        coalesced to False so a NULL partition value evaluates False
+        (not NULL) unless the NULL partition itself is listed — callers
+        negate this predicate. ``part_col`` supplies the partition
+        expression when the frame doesn't carry the column yet (derived
+        partitions)."""
+        pc = F.col(parts[0]) if part_col is None else part_col
+        return F.coalesce(
+            pc.cast("string").isin(
+                [
+                    urllib.parse.unquote(r.split("=", 1)[1])
+                    for r in rels
+                    if "=" in r and not r.endswith(cls._HIVE_NULL)
+                ]
+            ),
+            F.lit(False),
+        ) | (
+            pc.isNull()
+            if any(cls._HIVE_NULL in r for r in rels)
+            else F.lit(False)
+        )
+
     def _recompute_indexes_for_rels(
         self, name: str, parts: list, rels: list
     ) -> None:
         """Recompute (not widen) skip-index metadata for rewritten
         partition directories from their full post-mutation contents —
-        shared by UPDATE and MERGE. The rel-dir values are Hive-ESCAPED
-        ('a:b' → 'a%3Ab'); CAST(col AS STRING) yields the unescaped
-        value, so the isin list must unquote or the filter matches
-        nothing and the indexes keep pre-mutation bounds — the same
-        reconstruction trap _zone_part_key documents."""
-        rewritten = self.read(name).filter(
-            F.col(parts[0])
-            .cast("string")
-            .isin(
-                [
-                    urllib.parse.unquote(r.split("=", 1)[1])
-                    for r in rels
-                    if "=" in r and not r.endswith(self._HIVE_NULL)
-                ]
-            )
-            | (
-                F.col(parts[0]).isNull()
-                if any(self._HIVE_NULL in r for r in rels)
-                else F.lit(False)
-            )
-        )
-        self._update_zone_maps(name, rewritten, mode="replace")
-        self._update_blooms(name, rewritten, mode="replace")
-        self._update_ngram_blooms(name, rewritten, mode="replace")
+        shared by UPDATE and MERGE, one fused scan (_update_indexes)."""
+        rewritten = self.read(name).filter(self._rel_filter(parts, rels))
+        self._update_indexes(name, rewritten, mode="replace")
 
     def merge_into(
         self,
@@ -1733,40 +1791,114 @@ class TableStore:
             raise ValueError(
                 f"insert=True needs all target columns in source; missing {missing}"
             )
-        src = source.localCheckpoint(eager=True)
-        dup = (
-            src.groupBy(*on)
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > 1)
-            .limit(1)
-            .count()
-        )
-        if dup:
-            raise ValueError("source has duplicate merge keys")
+        from pyspark.sql import Observation
+
+        src_obs = Observation()
+        src = source.observe(
+            src_obs, F.count(F.lit(1)).alias("n")
+        ).localCheckpoint(eager=True)
+        n_src = int(src_obs.get["n"])
+
+        # r16 (guide §3.1): a localCheckpointed source has no size
+        # statistics, so the planner can never auto-broadcast it and
+        # both merge joins fall back to shuffling the TARGET side. We
+        # know the exact row count (it rode the checkpoint job above);
+        # with Catalyst's own static per-row width that is the same
+        # sizing rule the planner applies when stats exist — hint
+        # broadcast only when the estimate clears the session threshold,
+        # so an outsized upsert batch still shuffle-joins.
+        def _maybe_broadcast(d: DataFrame) -> DataFrame:
+            try:
+                thr = int(
+                    str(
+                        self.spark.conf.get(
+                            "spark.sql.autoBroadcastJoinThreshold"
+                        )
+                    ).rstrip("bB")
+                )
+            except (TypeError, ValueError):
+                thr = 10 * 1024 * 1024
+            if thr <= 0:
+                return d
+            est = n_src * int(d._jdf.schema().defaultSize())
+            return F.broadcast(d) if est <= thr else d
 
         df = self.read(name)
-        src_keys = src.select(*on).distinct()
-        # Not-matched rows, MATERIALIZED against the pre-merge state.
-        new_rows = None
-        if insert:
-            new_rows = src.join(
-                df.select(*on).distinct(), on, "left_anti"
-            ).localCheckpoint(eager=True)
-
+        src_keys = _maybe_broadcast(src.select(*on).distinct())
         data = join(self.path(name), "data")
-        n_upd = n_del = 0
-        if self.fs.exists(data):
+
+        # r16 (guide §2.6): the duplicate-key gate, the not-matched
+        # materialization and the hit probe are three independent
+        # READ-ONLY jobs over the checkpointed source / target — run
+        # them concurrently so the driver round-trips overlap instead
+        # of serializing (these small jobs were ~40% of merge wall at
+        # sf0.1). Nothing is written until all three have returned, so
+        # a duplicate-key failure still aborts before any byte lands.
+        def _dup_check() -> int:
+            return (
+                src.groupBy(*on)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                .limit(1)
+                .count()
+            )
+
+        def _new_rows():
+            # Not-matched rows, MATERIALIZED against the pre-merge
+            # state; the insert count rides the checkpoint job as an
+            # Observation (one scheduler round-trip fewer).
+            if not insert:
+                return None, None
+            obs = Observation()
+            return (
+                src.join(df.select(*on).distinct(), on, "left_anti")
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint(eager=True),
+                obs,
+            )
+
+        def _hit_probe():
+            if not self.fs.exists(data):
+                return None
             tagged = df.select(
                 *on,
-                F.regexp_replace(F.input_file_name(), "/[^/]*$", "").alias(
-                    "_dir"
-                ),
+                F.regexp_replace(
+                    F.input_file_name(), "/[^/]*$", ""
+                ).alias("_dir"),
             )
-            hit = (
+            return (
                 tagged.join(src_keys, on)
-                .agg(F.count("*").alias("n"), F.collect_set("_dir").alias("dirs"))
+                .agg(
+                    F.count("*").alias("n"),
+                    F.collect_set("_dir").alias("dirs"),
+                )
                 .first()
             )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_dup = pool.submit(_dup_check)
+            f_new = pool.submit(_new_rows)
+            f_hit = pool.submit(_hit_probe)
+            dup = f_dup.result()
+            new_rows, new_obs = f_new.result()
+            hit = f_hit.result()
+        if dup:
+            raise ValueError("source has duplicate merge keys")
+        n_ins = 0
+        if insert:
+            try:
+                n_ins = int(new_obs.get["n"])
+            except Exception:
+                # An empty anti-join can materialize with zero tasks, in
+                # which case the observation collects no metric row (the
+                # ingest.py Observation precedent) — the checkpointed
+                # frame makes the recount cheap.
+                n_ins = new_rows.count()
+
+        n_upd = n_del = 0
+        if hit is not None:
             if hit["n"]:
                 data_base = data if "://" in data else os.path.abspath(data)
                 base_path = urllib.parse.urlparse(data_base).path or data_base
@@ -1784,10 +1916,12 @@ class TableStore:
                     if parts
                     else df
                 )
-                upd_src = src.select(
-                    *on,
-                    F.lit(1).alias("_m"),
-                    *[F.col(c).alias("_src_" + c) for c in update_cols],
+                upd_src = _maybe_broadcast(
+                    src.select(
+                        *on,
+                        F.lit(1).alias("_m"),
+                        *[F.col(c).alias("_src_" + c) for c in update_cols],
+                    )
                 )
                 joined = affected.join(upd_src, on, "left")
                 if delete_matched:
@@ -1812,9 +1946,53 @@ class TableStore:
                 self._mark_projections_stale(name)
                 tmp = join(self.path(name), "data_merging")
                 if parts:
-                    merged.write.mode("overwrite").partitionBy(*parts).parquet(
-                        tmp
+                    # r16: inserts whose partitions are being rewritten
+                    # ANYWAY ride the rewrite write instead of a second
+                    # append pass — one write, one commit, one index
+                    # recompute (the post-swap recompute reads them).
+                    # Inserts landing in untouched partitions still go
+                    # through the normal append below. The split count
+                    # is a cheap aggregate on the CHECKPOINTED frame —
+                    # an Observation inside the write would never fire
+                    # when the fold branch is empty (zero tasks).
+                    ins_folded = 0
+                    if insert and n_ins:
+                        ins = new_rows.select(*target_cols)
+                        self._validate_checks(name, ins)
+                        seq = self._next_ingest_seq(name)
+                        for p in parts:
+                            if p not in ins.columns:
+                                ins = ins.withColumn(
+                                    p, _DERIVED_PARTITIONS[p]()
+                                )
+                        ins = ins.withColumn(INGEST_SEQ_COL, F.lit(seq))
+                        in_rewrite = self._rel_filter(parts, rels)
+                        ins_folded = ins.filter(in_rewrite).count()
+                        if ins_folded:
+                            merged = merged.unionByName(
+                                ins.filter(in_rewrite).select(
+                                    *merged.columns
+                                )
+                            )
+                    # Cluster the rewrite by partition column (guide §6):
+                    # when the update join shuffles `affected` by the
+                    # merge key, every reduce task otherwise fans out
+                    # into every rewritten partition directory —
+                    # (tasks × partitions) files per merge, growing with
+                    # core count. Sized from the affected dirs' REAL
+                    # on-disk bytes (the join's plan-time estimate is a
+                    # useless row-product): under one advisory partition
+                    # the rewrite is a single write task either way.
+                    on_disk = sum(
+                        sz
+                        for r in rels
+                        for _f, sz in self.fs.file_sizes(join(data, r))
                     )
+                    if on_disk > _ADVISORY_PARTITION_BYTES:
+                        merged = merged.hint("rebalance", *parts)
+                    merged.write.mode("overwrite").partitionBy(
+                        *parts
+                    ).parquet(tmp)
                     self._swap_in(name, tmp, remove_rel=rels)
                     self._recompute_indexes_for_rels(name, parts, rels)
                 else:
@@ -1824,15 +2002,23 @@ class TableStore:
                     self.fs.rename(tmp, data)
                     self.fs.delete(old)
                     full = self.read(name)
-                    self._update_zone_maps(name, full, mode="reset")
-                    self._update_blooms(name, full, mode="reset")
-                    self._update_ngram_blooms(name, full, mode="reset")
+                    self._update_indexes(name, full, mode="reset")
 
-        n_ins = 0
-        if insert:
-            n_ins = new_rows.count()
-            if n_ins:
-                self.append(name, new_rows.select(*target_cols))
+        if insert and n_ins:
+            rest = new_rows.select(*target_cols)
+            n_rest = n_ins
+            if (n_upd or n_del) and parts:
+                n_rest = n_ins - ins_folded
+                pc = (
+                    F.col(parts[0])
+                    if parts[0] in rest.columns
+                    else _DERIVED_PARTITIONS[parts[0]]()
+                )
+                rest = rest.filter(
+                    ~self._rel_filter(parts, rels, part_col=pc)
+                )
+            if n_rest:
+                self.append(name, rest)
         return {"updated": n_upd, "deleted": n_del, "inserted": n_ins}
 
     # Staging/trash directory name patterns every mutation uses; a crash
