@@ -453,20 +453,33 @@ def kcore(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         # r15 optimization round (guide §2.4): the degree table feeds
         # BOTH the convergence probe and the survivor semi-join; without
         # the checkpoint the full degree aggregation ran twice per round
-        # (once under the probe, once under the rebuild).
+        # (once under the probe, once under the rebuild). r16: the
+        # weak-node probe rides the checkpoint job as an Observation —
+        # one scheduler round-trip per peel round instead of two. The
+        # per-round checkpoint blocks (ADVICE r15) are reclaimed
+        # asynchronously: each round drops the only reference to the
+        # previous round's frames, so the ContextCleaner unpersists
+        # them; transient storage is bounded by GC latency, not
+        # max_iter.
+        obs = Observation()
         deg = (
             e.select(F.col("a").alias("n"))
             .unionAll(e.select(F.col("b").alias("n")))
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("d"))
+            .observe(
+                obs,
+                F.count(F.when(F.col("d") < k, F.lit(1))).alias("weak"),
+            )
             .localCheckpoint(eager=True)
         )
-        weak = deg.filter(F.col("d") < k)
-        if weak.limit(1).count() == 0:
+        if int(obs.get["weak"]) == 0:
             break
         keep = deg.filter(F.col("d") >= k).select("n")
         e = (
@@ -624,21 +637,28 @@ def shortest_hops(
         .localCheckpoint(eager=True)
     )
     spark = edges.sparkSession
+    from pyspark.sql import Observation
+
     frontier = spark.createDataFrame(
         [(v,) for v in source_ids], f"{node_col} long"
     ).distinct()
     visited = frontier.select(node_col, F.lit(0).alias("hops"))
     visited = visited.localCheckpoint(eager=True)
     for hop in range(1, max_hops + 1):
+        # r16 optimization round (guide §5): the empty-frontier probe
+        # rides the checkpoint job as an Observation — one scheduler
+        # round-trip per hop instead of two.
+        obs = Observation()
         nxt = (
             frontier.join(sym, frontier[node_col] == sym["a"])
             .select(sym["b"].alias(node_col))
             .distinct()
             .join(visited.select(node_col), node_col, "left_anti")
             .select(node_col, F.lit(hop).alias("hops"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if nxt.limit(1).count() == 0:
+        if int(obs.get["n"]) == 0:
             break
         visited = visited.union(nxt).localCheckpoint(eager=True)
         frontier = nxt.select(node_col)
@@ -720,12 +740,18 @@ def closeness_from_pivots(
         .localCheckpoint(eager=True)
     )
     spark = edges.sparkSession
+    from pyspark.sql import Observation
+
     frontier = spark.createDataFrame(
         [(int(p), int(p)) for p in pivot_ids], "pivot long, node long"
     ).distinct()
     visited = frontier.select("pivot", "node", F.lit(0).alias("hops"))
     visited = visited.localCheckpoint(eager=True)
     for hop in range(1, max_hops + 1):
+        # r16 optimization round (guide §5): the empty-frontier probe
+        # rides the checkpoint job as an Observation — one scheduler
+        # round-trip per hop instead of two.
+        obs = Observation()
         nxt = (
             frontier.join(sym, frontier["node"] == sym["a"])
             .select("pivot", sym["b"].alias("node"))
@@ -736,9 +762,10 @@ def closeness_from_pivots(
                 "left_anti",
             )
             .select("pivot", "node", F.lit(hop).alias("hops"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if nxt.limit(1).count() == 0:
+        if int(obs.get["n"]) == 0:
             break
         # (r15 optimization round: a lazy union of the checkpointed
         # per-hop frames was tried here and measured SLOWER — the
@@ -798,6 +825,8 @@ def strongly_connected_components(
     convergence probes — nothing but probe scalars reaches the driver.
     The web-graph operator: dedup link farms, collapse redirect
     cycles, find mutually-citing clusters."""
+    from pyspark.sql import Observation
+
     e0 = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
@@ -809,16 +838,44 @@ def strongly_connected_components(
     )
     if nodes is not None:
         universe = universe.union(nodes.select(F.col(node_col)))
-    active = universe.distinct().localCheckpoint(eager=True)
+    # r16 optimization round (guide §2.4/§5): every scalar the driver
+    # needs this round — emptiness probes, edge counts, the monotone
+    # color-sum convergence probe — rides the materializing checkpoint
+    # job as an Observation instead of being a separate aggregate job;
+    # each one removed is a full scheduler round-trip per round/step.
+    node_dtype = dict(universe.dtypes)[node_col]
+    sum_probe = node_dtype in (
+        "tinyint", "smallint", "int", "bigint"
+    ) or node_dtype.startswith("decimal")
+
+    def _ckpt_nodes(df_nodes, col):
+        """Checkpoint a node frame; its row count (and, for numeric
+        ids, the decimal sum of ``col``) rides the checkpoint job."""
+        obs = Observation()
+        metrics = [F.count(F.lit(1)).alias("n")]
+        if sum_probe:
+            metrics.append(
+                F.sum(F.col(col).cast("decimal(38,0)")).alias("s")
+            )
+        got = df_nodes.observe(obs, *metrics).localCheckpoint(eager=True)
+        m = obs.get
+        return got, m["n"], (m["s"] if sum_probe else None)
+
+    active, n_active, active_sum = _ckpt_nodes(
+        universe.distinct(), node_col
+    )
     done = None
     for _ in range(max_rounds):
-        if active.limit(1).count() == 0:
+        if n_active == 0:
             break
-        # live edge set: both endpoints still unsettled
+        # live edge set: both endpoints still unsettled (the edge count
+        # for the density bound rides the checkpoint job)
+        e_obs = Observation()
         e = (
             e0.join(active.select(F.col(node_col).alias("s")), "s")
             .join(active.select(F.col(node_col).alias("d")), "d")
             .select("s", "d")
+            .observe(e_obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
         # hop doubling: propagating over e ∪ e∘e halves both inner
@@ -829,7 +886,7 @@ def strongly_connected_components(
         # degree aggregates bound BEFORE anything is composed, so a
         # dense graph never materializes its square.
         eprop = e
-        n_e = e.count()
+        n_e = int(e_obs.get["n"])
         comp_bound = (
             e.groupBy(F.col("d").alias("_v"))
             .agg(F.count(F.lit(1)).alias("_in"))
@@ -855,43 +912,37 @@ def strongly_connected_components(
         # (1) forward MAX-color propagation: color(v) = max id reaching v.
         # Convergence probe: colors only ever INCREASE under max-
         # propagation, so for INTEGRAL node ids the exact decimal sum of
-        # colors is strictly monotone until fixpoint — one scalar
-        # aggregate on the already-checkpointed frame. That sum is only
+        # colors is strictly monotone until fixpoint — a scalar that now
+        # rides each step's checkpoint job as an Observation (the
+        # initial sum rode `active`'s checkpoint). That sum is only
         # well-defined for numeric ids: string/other ids would ANSI-throw
         # (or NULL-out, falsely converging) under the decimal cast, so
         # non-numeric ids keep the type-agnostic changed-rows EXISTS
         # probe (one equi-join on the two checkpointed frames per step).
-        node_dtype = dict(active.dtypes)[node_col]
-        sum_probe = node_dtype in (
-            "tinyint", "smallint", "int", "bigint"
-        ) or node_dtype.startswith("decimal")
         color = active.select(node_col, F.col(node_col).alias("color"))
-        prev_sum = (
-            color.agg(
-                F.sum(F.col("color").cast("decimal(38,0)")).alias("s")
-            ).collect()[0]["s"]
-            if sum_probe
-            else None
-        )
+        prev_sum = active_sum
         converged = False
         for _ in range(max_prop):
             via = (
                 eprop.join(color, eprop["s"] == color[node_col])
                 .select(eprop["d"].alias(node_col), "color")
             )
-            new = (
+            step = (
                 color.union(via)
                 .groupBy(node_col)
                 .agg(F.max("color").alias("color"))
-                .localCheckpoint(eager=True)
             )
             if sum_probe:
-                cur_sum = new.agg(
-                    F.sum(F.col("color").cast("decimal(38,0)")).alias("s")
-                ).collect()[0]["s"]
+                c_obs = Observation()
+                new = step.observe(
+                    c_obs,
+                    F.sum(F.col("color").cast("decimal(38,0)")).alias("s"),
+                ).localCheckpoint(eager=True)
+                cur_sum = c_obs.get["s"]
                 stable = cur_sum == prev_sum
                 prev_sum = cur_sum
             else:
+                new = step.localCheckpoint(eager=True)
                 stable = (
                     new.alias("n")
                     .join(color.alias("o"), node_col)
@@ -919,6 +970,7 @@ def strongly_connected_components(
         member = color.filter(F.col(node_col) == F.col("color")).select(
             node_col, "color"
         )
+        ec_obs = Observation()
         ec = (
             e.join(color.select(F.col(node_col).alias("s"),
                                 F.col("color").alias("_cs")), "s")
@@ -926,13 +978,14 @@ def strongly_connected_components(
                                F.col("color").alias("_cd")), "d")
             .filter(F.col("_cs") == F.col("_cd"))
             .select("s", "d")
+            .observe(ec_obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
         # same hop doubling as the forward loop (same pre-composition
         # density bound); compositions of same-color edges stay within
         # the color class, so the 2-hop union is still same-color
         ecprop = ec
-        n_ec = ec.count()
+        n_ec = int(ec_obs.get["n"])
         ec_bound = (
             ec.groupBy(F.col("d").alias("_v"))
             .agg(F.count(F.lit(1)).alias("_in"))
@@ -957,8 +1010,9 @@ def strongly_connected_components(
             ecprop = (
                 ec.union(ec2).distinct().localCheckpoint(eager=True)
             )
-        # membership only ever GROWS, so the previous round's count
-        # (carried in a local) replaces the second count job per step
+        # membership only ever GROWS, so the previous step's count
+        # (carried in a local) is the convergence probe; each step's
+        # count rides its checkpoint job as an Observation
         converged = False
         prev_cnt = member.count()
         for _ in range(max_prop):
@@ -966,8 +1020,14 @@ def strongly_connected_components(
                 ecprop.join(member, ecprop["d"] == member[node_col])
                 .select(ecprop["s"].alias(node_col), "color")
             )
-            new = member.union(via).distinct().localCheckpoint(eager=True)
-            cur_cnt = new.count()
+            m_obs = Observation()
+            new = (
+                member.union(via)
+                .distinct()
+                .observe(m_obs, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint(eager=True)
+            )
+            cur_cnt = int(m_obs.get["n"])
             member = new
             if cur_cnt == prev_cnt:
                 converged = True
@@ -985,21 +1045,21 @@ def strongly_connected_components(
         # end — the old per-round eager checkpoint re-wrote every
         # settled row each round.
         done = settled if done is None else done.union(settled)
-        active = (
-            active.join(settled.select(node_col), node_col, "left_anti")
-            .localCheckpoint(eager=True)
+        active, n_active, active_sum = _ckpt_nodes(
+            active.join(settled.select(node_col), node_col, "left_anti"),
+            node_col,
         )
     if done is None:
         return universe.distinct().select(
             node_col, F.col(node_col).alias("scc")
         )
-    if active.limit(1).count() > 0:
+    if n_active > 0:
         # Unsettled nodes after max_rounds would come back as WRONG
         # singletons — fail loudly; rounds are bounded by the depth of
         # the SCC condensation, so callers raise max_rounds for deep
         # DAG chains.
         raise ValueError(
-            f"scc: {active.count()} nodes unsettled after {max_rounds} "
+            f"scc: {n_active} nodes unsettled after {max_rounds} "
             "rounds — raise max_rounds (condensation depth exceeded)"
         )
     return done
