@@ -313,6 +313,27 @@ def main() -> None:
         except Exception:
             pass
 
+    def timed_value(name, fn, runs: int = 3):
+        # r16 (VERDICT r15 item 2, measurement-bug fix — disclosed in
+        # OPTIMIZATION_r16.md): the ANN train/index-build entries were
+        # timed ONCE (`_record(..., [one run], "min")`), and their
+        # single-shot readings kept manufacturing false round-over-round
+        # regressions on unchanged code (ann_scale_ivfpq_train read
+        # 4.17/7.00/11.7 s across runs of the same path). Min-of-N like
+        # every other entry, following the minhash_index_build r14
+        # precedent. The last run's value feeds downstream — training
+        # and index builds are deterministic, so every run returns the
+        # same model/bytes.
+        val = None
+        rs = []
+        for _ in range(runs):
+            _hygiene()
+            t0 = time.monotonic()
+            val = fn()
+            rs.append(time.monotonic() - t0)
+        _record(name, rs, "min")
+        return val
+
     def timed(name, fn, runs: int = 3, stat: str = "min"):
         # min-of-3: the steady-state wall time. The host is shared — a
         # co-scheduled process can inflate a single run several-fold; the
@@ -710,11 +731,13 @@ def main() -> None:
     # Persisted-index LSH: build once → parquet (band-partitioned, the
     # real production layout), then time query batches against it.
     idx_dir = tempfile.mkdtemp(prefix="bench_lshidx_")
-    t0 = time.monotonic()
-    simi.lsh_index(
-        scale_corpus, band_bits=SCALE_BAND_BITS
-    ).write.mode("overwrite").partitionBy("band").parquet(idx_dir)
-    _record("ann_scale_lsh_index_build", [time.monotonic() - t0], "min")
+    timed_value(
+        "ann_scale_lsh_index_build",
+        lambda: simi.lsh_index(scale_corpus, band_bits=SCALE_BAND_BITS)
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(idx_dir),
+    )
     idx = spark.read.parquet(idx_dir)
     scale_lshi_rows = timed_collect(
         "ann_scale_lsh_indexed",
@@ -731,9 +754,10 @@ def main() -> None:
     # ivf_index from disk (measured 2.4 s vs 4.6 s here); the persisted
     # cell index instead pays off for SELECTIVE batches, where partition
     # pruning reads only the probed cells' directories.
-    t0 = time.monotonic()
-    scale_cents = simi.train_centroids(scale_corpus, ncells=256)
-    _record("ann_scale_ivf_centroid_train", [time.monotonic() - t0], "min")
+    scale_cents = timed_value(
+        "ann_scale_ivf_centroid_train",
+        lambda: simi.train_centroids(scale_corpus, ncells=256),
+    )
     scale_ivf_rows = timed_collect(
         "ann_scale_ivf",
         lambda: simi.ivf_topk(
@@ -777,9 +801,10 @@ def main() -> None:
     # train on ~100k, encode the full corpus) — training cost must not
     # scale with the corpus.
     pq_train_sample = scale_norm.filter(F.pmod(F.col("vec_id"), 4) == 0)
-    t0 = time.monotonic()
-    pq_books = simi.pq_train(pq_train_sample, m=PQ_M, k=PQ_K, iters=2)
-    _record("ann_scale_pq_train", [time.monotonic() - t0], "min")
+    pq_books = timed_value(
+        "ann_scale_pq_train",
+        lambda: simi.pq_train(pq_train_sample, m=PQ_M, k=PQ_K, iters=2),
+    )
     pq_codes = simi.pq_encode(scale_norm, pq_books).drop("embedding").cache()
     pq_codes.count()
 
@@ -813,13 +838,17 @@ def main() -> None:
     # with the corpus, which is exactly what training must not do);
     # residual codebooks train on the same bounded sample, then the FULL
     # corpus is encoded into the persisted-shape index.
-    t0 = time.monotonic()
-    ivfpq_cents = simi.train_centroids(scale_norm, ncells=256)
-    _, ivfpq_books = simi.ivfpq_train(
-        pq_train_sample, m=PQ_M, k=PQ_K, pq_iters=1,
-        centroids=ivfpq_cents,
+    def _ivfpq_train():
+        cents = simi.train_centroids(scale_norm, ncells=256)
+        _, books = simi.ivfpq_train(
+            pq_train_sample, m=PQ_M, k=PQ_K, pq_iters=1,
+            centroids=cents,
+        )
+        return cents, books
+
+    ivfpq_cents, ivfpq_books = timed_value(
+        "ann_scale_ivfpq_train", _ivfpq_train
     )
-    _record("ann_scale_ivfpq_train", [time.monotonic() - t0], "min")
     ivfpq_idx = simi.ivfpq_index(scale_norm, ivfpq_cents, ivfpq_books).cache()
     ivfpq_idx.count()
 
