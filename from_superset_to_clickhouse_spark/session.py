@@ -51,14 +51,25 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # r15 optimization round (guide §3.1/§9): let the planner pick a
         # shuffled-hash join where its size conditions hold instead of
-        # always sort-merge — SHJ skips the per-partition sort, and the
-        # planner/AQE only choose it when the build side of each
-        # partition fits in memory, so the sizing guard (and AQE skew
-        # splitting, which supports SHJ) still applies at 100 TB.
+        # always sort-merge — SHJ skips the per-partition sort.
+        #
+        # Spill posture (ADVICE r15): the planner's SHJ choice is made
+        # from PLAN-TIME SIZE ESTIMATES (canBuildLocalHashMap: estimated
+        # build side < autoBroadcastJoinThreshold × shuffle partitions),
+        # not a runtime guarantee — and a shuffled-hash build map cannot
+        # spill the way sort-merge does, so a badly mis-estimated or
+        # single-hot-key build side can OOM an executor where SMJ would
+        # have spilled. Mitigations that stay on here: AQE skew-join
+        # splitting supports SHJ (oversized partitions split before the
+        # build), statistics exist for all parquet scans, and the join
+        # planner still falls back to SMJ whenever the size condition
+        # fails (gated in tests/test_plans.py: a large-estimate join
+        # still plans SortMergeJoin with this flag set). On clusters
+        # with tight executor memory or unreliable stats, flip back with
+        # SPARK_GRAFT_PREFER_SMJ=1.
         # Measured on the sf0.1 join-heavy entries (3 interleaved A/B
         # rounds): url_snapshot_dedup 6.7→4.3 s, hybrid_retrieval
-        # 6.5→3.9 s, cut_spans 5.2→3.5 s, subset total −22%. Flip back
-        # with SPARK_GRAFT_PREFER_SMJ=1 (e.g. spill-fragile clusters).
+        # 6.5→3.9 s, cut_spans 5.2→3.5 s, subset total −22%.
         .config(
             "spark.sql.join.preferSortMergeJoin",
             "true"

@@ -753,3 +753,51 @@ def test_r16_queue_plan_gates(spark, qmap):
         assert "BatchEvalPython" not in plan, name
         if name in partitioned:
             assert "SinglePartition" not in plan, name
+
+
+def test_shj_flip_keeps_skew_split_and_large_build_smj(spark):
+    """VERDICT r15 item 3: gates for the session-wide
+    ``spark.sql.join.preferSortMergeJoin=false`` flip.
+
+    (a) The skew tier's shape (broadcast disabled, hot-keyed big side)
+    still plans a SHUFFLE join — SMJ or SHJ, both of which AQE skew
+    splitting can break up — never a broadcast that would pin the hot
+    key to one task.
+    (b) A join whose build-side size estimate exceeds the planner's
+    per-partition budget (autoBroadcastJoinThreshold x shuffle
+    partitions) still falls back to SortMergeJoin: the SHJ preference
+    is size-guarded at plan time and cannot commit an arbitrarily
+    large build side to an unspillable hash map."""
+    assert spark.conf.get("spark.sql.join.preferSortMergeJoin") == "false"
+
+    # (a) the bench skew tier's exact conf shape
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = spark.range(100_000).select(
+            F.when(F.pmod(F.xxhash64("id"), F.lit(100)) < 50, F.lit(0))
+            .otherwise(F.pmod(F.col("id"), F.lit(500)))
+            .alias("key"),
+            F.col("id").alias("v"),
+        )
+        small = spark.range(500).select(
+            F.col("id").alias("key"), (F.col("id") * 7).alias("s_val")
+        )
+        plan = _plan(big.join(small, "key"))
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+
+    # (b) both sides' estimates far above threshold x partitions
+    # (64MB x 32 = 2GB here; 600M rows x 16B = ~9.6GB per side)
+    a = spark.range(600_000_000).select(
+        F.col("id").alias("k"), F.col("id").alias("va")
+    )
+    b = spark.range(600_000_000).select(
+        F.col("id").alias("k"), (F.col("id") + 1).alias("vb")
+    )
+    plan2 = _plan(a.join(b, "k"))
+    assert "SortMergeJoin" in plan2
+    assert "ShuffledHashJoin" not in plan2
+    assert "BroadcastHashJoin" not in plan2
