@@ -203,10 +203,17 @@ def bradley_terry(
     ~8 × 6 scheduler round-trips over ≤K²-row frames — the collected
     state is K²-bounded by construction (the k-means k×dim precedent),
     and every intermediate re-lands on the same 1e-9 grid (HALF_UP via
-    ``decimal``, replaying ``F.round``'s BigDecimal semantics), so the
-    trajectory is bit-compatible with the distributed loop — pinned by
-    ``test_bradley_terry_driver_path_matches_distributed``. Larger item
-    sets take the distributed loop unchanged."""
+    ``decimal``, replaying ``F.round``'s BigDecimal semantics). The
+    equality with the distributed loop rests on the repo-wide
+    grid-noise doctrine (ADVICE r15): the 1e-9 grid absorbs
+    float-summation-order differences (sorted driver accumulation vs
+    Spark's partition-order sums), and ``repr()`` is Java
+    ``Double.toString``'s shortest-round-trip twin for the quantize
+    input — both hold everywhere except exact half-boundary values,
+    the same doctrinal exposure every gridded operator shares. Pinned
+    across seeds and K sizes by
+    ``test_bradley_terry_driver_path_matches_distributed``. Larger
+    item sets take the distributed loop unchanged."""
     w = F.col(winner_col).cast("string")
     l = F.col(loser_col).cast("string")
     base = matches.select(w.alias("_w"), l.alias("_l")).filter(

@@ -2,6 +2,8 @@
 
 import math
 
+import pytest
+
 from from_superset_to_clickhouse_spark.operators.mleval import (
     classifier_eval,
     roc_auc,
@@ -201,20 +203,26 @@ def test_bradley_terry_zero_win_item_kept_at_strength_zero(spark):
     assert (out["a"]["rank"], out["b"]["rank"]) == (1, 2)
 
 
-def test_bradley_terry_driver_path_matches_distributed(spark):
-    """The r15 ≤128-item driver fast path must be bit-identical to the
-    distributed MM loop (same 1e-9 grid trajectory, same rounding, same
-    tie-broken ranks) — forced by driver_max_items=0 on one side."""
+@pytest.mark.parametrize(
+    "seed,k",
+    [(23, 7), (7, 3), (101, 29)],
+)
+def test_bradley_terry_driver_path_matches_distributed(spark, seed, k):
+    """The r15 ≤128-item driver fast path must match the distributed MM
+    loop value-for-value (same 1e-9 grid trajectory, same rounding, same
+    tie-broken ranks) — forced by driver_max_items=0 on one side. The
+    equality rests on the grid-noise doctrine (ADVICE r15), so it is
+    pinned over several seeds and item-set sizes, not one lucky draw."""
     import random
 
     from from_superset_to_clickhouse_spark.operators.mleval import (
         bradley_terry,
     )
 
-    rng = random.Random(23)
+    rng = random.Random(seed)
     rows = []
     for _ in range(1500):
-        i, j = rng.sample(range(7), 2)
+        i, j = rng.sample(range(k), 2)
         w = i if rng.random() < (i + 1) / (i + j + 2) else j
         rows.append((str(w), str(i if w != i else j)))
     # include a zero-win item so the coalesce(wins, 0) branch is hit
