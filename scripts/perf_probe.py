@@ -68,13 +68,12 @@ def main() -> int:
         fn = qmap[name]
         if args.explain:
             df = fn(spark, SF_DIR)
-            os.makedirs("plans/r15", exist_ok=True)
-            with open(f"plans/r15/{name}_probe.txt", "w") as f:
+            os.makedirs("plans/r16", exist_ok=True)
+            with open(f"plans/r16/{name}_probe.txt", "w") as f:
                 f.write(df._sc._jvm.PythonSQLUtils.explainString(
                     df._jdf.queryExecution(), "formatted"))
-            print(f"[plan saved to plans/r15/{name}_probe.txt]")
+            print(f"[plan saved to plans/r16/{name}_probe.txt]")
         runs = []
-        marks = []
         for i in range(args.runs):
             import gc
 
@@ -88,20 +87,33 @@ def main() -> int:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             t1 = time.monotonic()
             runs.append(t1 - t0)
-            marks.append((t0, t1))
             spark.sparkContext.setJobDescription(None)
         print(f"\n=== {name}: runs {[round(r, 3) for r in runs]} "
               f"(min {min(runs):.3f}) ===")
     spark.stop()
 
-    # Parse the event log: stage attribution across the whole session,
-    # filtered to the probe window (everything after warmup).
+    # Parse the event log. Attribution is filtered to the probe runs by
+    # the `probe:` job-description prefix set above (ADVICE r15: the
+    # earlier version summed EVERY stage in the session, counting the
+    # warmup noop writes and the load_table prime in the totals).
     logs = []
     for root, _dirs, files in os.walk(evdir):
         logs += [os.path.join(root, f) for f in files if "appstatus" not in f]
-    stages = []  # (wall_ms, task_ms, name, details)
+    stages = []  # (wall_ms, stage_id, ntasks, sh_read, sh_write, name, desc)
     jobs = 0
     subs = {}
+
+    def _accum(si, *needles) -> int:
+        tot = 0
+        for acc in si.get("Accumulables", []):
+            nm = acc.get("Name") or ""
+            if any(n in nm for n in needles):
+                try:
+                    tot += int(acc.get("Value", 0))
+                except (TypeError, ValueError):
+                    pass
+        return tot
+
     for lf in logs:
         with open(lf) as f:
             for line in f:
@@ -111,33 +123,44 @@ def main() -> int:
                     continue
                 et = ev.get("Event")
                 if et == "SparkListenerJobStart":
-                    jobs += 1
                     props = ev.get("Properties") or {}
                     desc = props.get("spark.job.description", "")
+                    if not desc.startswith("probe:"):
+                        continue
+                    jobs += 1
                     for sid in ev.get("Stage IDs", []):
                         subs[sid] = desc
                 elif et == "SparkListenerStageCompleted":
                     si = ev["Stage Info"]
-                    sub = si["Submission Time"] if "Submission Time" in si else None
+                    if si["Stage ID"] not in subs:
+                        continue  # warmup / load_table prime — not probed
+                    sub = si.get("Submission Time")
                     comp = si.get("Completion Time")
                     if sub is None or comp is None:
                         continue
-                    wall = comp - sub
                     stages.append(
                         (
-                            wall,
+                            comp - sub,
                             si["Stage ID"],
                             si.get("Number of Tasks", 0),
+                            _accum(si, "shuffle read", "remoteBytesRead",
+                                   "localBytesRead"),
+                            _accum(si, "shuffle bytes written",
+                                   "shuffle write", "bytesWritten"),
                             si.get("Stage Name", ""),
                             subs.get(si["Stage ID"], ""),
                         )
                     )
     stages.sort(reverse=True)
-    print(f"\njobs: {jobs}, stages: {len(stages)}, "
-          f"stage wall sum: {sum(s[0] for s in stages) / 1000:.2f}s")
-    print(f"{'wall_ms':>8} {'stg':>5} {'tasks':>5}  name / job description")
-    for wall, sid, ntask, sname, desc in stages[: args.top]:
-        print(f"{wall:>8} {sid:>5} {ntask:>5}  {sname[:60]} | {desc[:50]}")
+    print(f"\nprobe jobs: {jobs}, stages: {len(stages)}, "
+          f"stage wall sum: {sum(s[0] for s in stages) / 1000:.2f}s, "
+          f"shuffle read {sum(s[3] for s in stages) / 1e6:.1f} MB, "
+          f"write {sum(s[4] for s in stages) / 1e6:.1f} MB")
+    print(f"{'wall_ms':>8} {'stg':>5} {'tasks':>5} {'shR_MB':>7} "
+          f"{'shW_MB':>7}  name / job description")
+    for wall, sid, ntask, shr, shw, sname, desc in stages[: args.top]:
+        print(f"{wall:>8} {sid:>5} {ntask:>5} {shr / 1e6:>7.1f} "
+              f"{shw / 1e6:>7.1f}  {sname[:48]} | {desc[:40]}")
     return 0
 
 
