@@ -1315,7 +1315,12 @@ def build_inverted_index(
         f"{path}/postings"
     )
     dl.write.mode("overwrite").parquet(f"{path}/doc_lengths")
-    dl.agg(
+    # r16 optimization round (guide §2.4): stats from the WRITTEN
+    # doc-length table, not the `dl` lineage — `dl.agg(...)` after the
+    # write re-ran tokenize+groupBy over the whole corpus for a 1-row
+    # aggregate; reading back the just-written longs is a tiny columnar
+    # scan, and read+agg+write stay one fused job exactly as before.
+    df.sparkSession.read.parquet(f"{path}/doc_lengths").agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     ).write.mode("overwrite").parquet(f"{path}/stats")
 
@@ -1337,26 +1342,22 @@ def inverted_index_append(
     Equal to a full rebuild when appended doc_ids are disjoint from the
     indexed ones (each (term, doc) posting lives in exactly one batch —
     the reference's append-only daily-load contract). Daily cost is
-    O(batch) for tokenize+postings plus O(1) for the stats refresh:
-    the text twin of ``ivf_index_append``/``minhash_incremental``.
+    O(batch) for tokenize+postings plus O(#docs) longs for the stats
+    refresh: the text twin of ``ivf_index_append``/
+    ``minhash_incremental``.
 
-    r16 optimization round (VERDICT r15 item 6, guide §5): corpus stats
-    come from RUNNING TOTALS kept in a ``_stats_totals.json`` sidecar —
-    the batch's (count, Σdl) rides the doc-length write as an
-    Observation and is added with exact integer arithmetic, so the
-    per-batch full re-read of the doc-length table (O(#docs) rows per
-    micro-batch, unbounded at corpus scale) is gone. The published
-    ``stats`` parquet keeps its exact schema and values: avgdl =
-    Σdl/n in double is bit-identical to ``F.avg`` (which also sums
-    exact integers in double). The sidecar records the doc-length
-    file count it covers; if the directory doesn't match (a crashed
-    batch landed doc lengths without updating the sidecar, or the
-    index was built by ``build_inverted_index``), the totals bootstrap
-    from one full doc-length scan — the old per-batch cost, paid once."""
-    import json as _json
-
-    from ..fsio import Fs
-
+    r16 optimization round (VERDICT r15 item 6): replacing the
+    per-batch stats re-read with running totals in a JSON sidecar was
+    implemented TWO ways and measured SLOWER both times at sf0.1
+    (interleaved A/B, stream_index_append/bm25_incremental +0.4-0.9 s):
+    an Observation riding the doc-length write pays the listener-bus
+    wait on ``get``, and a listing-diff + increment-files read pays an
+    extra job plus ~8 filesystem round-trips per micro-batch — while
+    the refresh below is ONE fused job (columnar read of one long
+    column → 1-row agg → 1-row write) whose input is small even at
+    large corpus counts. Reverted per the negative-result discipline;
+    if the doc-length re-read ever dominates at real corpus scale, the
+    sidecar needs a cheaper commit channel than per-batch JSON."""
     toks = new_docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_tokens(F.col(text_col))).alias("term"),
@@ -1375,59 +1376,9 @@ def inverted_index_append(
     postings.repartition(F.col("bucket")).write.mode("append").partitionBy(
         "bucket"
     ).parquet(f"{path}/postings")
-
-    fs = Fs(spark, path)
-    dl_dir = f"{path}/doc_lengths"
-    tot_path = f"{path}/_stats_totals.json"
-
-    def _dl_files() -> int:
-        try:
-            return sum(
-                1 for f in fs.listdir(dl_dir) if f.endswith(".parquet")
-            )
-        except Exception:
-            return -1
-
-    totals = None
-    if fs.exists(tot_path):
-        try:
-            t = _json.loads(fs.read_text(tot_path))
-            if t.get("dl_files") == _dl_files():
-                totals = (int(t["n_docs"]), int(t["sum_dl"]))
-        except Exception:
-            totals = None
-
-    from pyspark.sql import Observation
-
-    obs = Observation()
-    dl.observe(
-        obs,
-        F.count(F.lit(1)).alias("n"),
-        F.sum("dl").alias("s"),
-    ).write.mode("append").parquet(dl_dir)
-    m = obs.get
-    if totals is not None:
-        n_tot = totals[0] + int(m["n"])
-        s_tot = totals[1] + int(m["s"] or 0)
-    else:
-        row = spark.read.parquet(dl_dir).agg(
-            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
-        ).first()
-        n_tot, s_tot = int(row["n"]), int(row["s"] or 0)
-    # Sidecar commits BEFORE the stats rewrite: a crash in between
-    # leaves stats one batch stale but the totals right, and the next
-    # append repairs stats; the reverse order would undercount the
-    # crashed batch forever. A crash before the sidecar is caught by
-    # the file-count coverage check above (bootstrap rescan).
-    fs.write_text(
-        tot_path,
-        _json.dumps(
-            {"n_docs": n_tot, "sum_dl": s_tot, "dl_files": _dl_files()}
-        ),
-    )
-    spark.createDataFrame(
-        [(n_tot, (float(s_tot) / n_tot) if n_tot else None)],
-        "n_docs long, avgdl double",
+    dl.write.mode("append").parquet(f"{path}/doc_lengths")
+    spark.read.parquet(f"{path}/doc_lengths").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     ).write.mode("overwrite").parquet(f"{path}/stats")
 
 
