@@ -2677,7 +2677,18 @@ def _word_ngram_counts_all_tokens(
 ) -> DataFrame:
     """`_word_ngram_counts_all` over an already-tokenized array column
     (r15 optimization round: lets ``bleu_corpus`` tokenize the pair
-    table once instead of once per side per consumer)."""
+    table once instead of once per side per consumer).
+
+    r16 optimization round: an in-row lead construction (per-order
+    suffixes via slice, NULL-padded by arrays_zip, exploded once — no
+    window, no exchange) was tried here and REVERTED: it moves the
+    gram strings INTO the groupBy exchange, ~5x the shuffle bytes of
+    the single-token window exchange it removes (perf_probe: 7.6 → 38
+    MB per bleu run), the wrong trade at corpus scale even though the
+    extra parallelism sometimes wins at sf0.1 (bimodal 3.8-18 s vs a
+    steady 4.7-5.5 s). The window form shuffles tokens — already the
+    minimal exact encoding — and its aggregate reuses the window's
+    doc_id clustering, so gram strings never cross an exchange."""
     tok = toks_df.select(
         "doc_id",
         F.posexplode(F.col(tok_col)).alias("pos", "t0"),
@@ -2711,6 +2722,85 @@ def _word_ngram_counts_all_tokens(
     )
 
 
+def _bleu_clipped_gram_counts(
+    toks_df: DataFrame, cand_col: str, ref_col: str, max_n: int
+) -> DataFrame:
+    """(n, cnt, clip) gram-level rows for corpus BLEU in ONE pass over
+    the pair table (r16 optimization round, guide §2.4/§3.5).
+
+    Previously each side ran its own posexplode → Exchange(doc_id) →
+    Window(lead) → aggregate, and the reference gram table was then
+    (broadcast-)joined back onto the candidate grams — two window
+    shuffles, two aggregates, one join whose broadcast side is
+    O(corpus grams) at scale. Here both token arrays explode
+    side-tagged from the SAME pair row, ONE window partitioned by
+    doc_id (ordered by side, then position; leads are side-guarded so
+    no gram spans the candidate/reference boundary) builds the lead
+    columns, and one aggregate counts candidate and reference
+    multiplicities per (doc, n, gram) together — the join disappears,
+    total shuffled token bytes are unchanged, and gram strings still
+    never cross an exchange (the aggregate reuses the window's doc_id
+    clustering).
+
+    Exactness: cnt/clip per gram replay the old left join —
+    ``least(cnt, rcnt)`` with rcnt = 0 when the reference lacks the
+    gram; reference-only grams surface with cnt = 0 and contribute 0
+    to both downstream sums."""
+    sided = toks_df.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("s"), F.col(cand_col).alias("a")),
+                F.struct(F.lit(1).alias("s"), F.col(ref_col).alias("a")),
+            )
+        ).alias("_e"),
+    ).select(
+        "doc_id",
+        F.col("_e.s").alias("s"),
+        F.posexplode("_e.a").alias("pos", "t0"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "pos")
+    led = sided.select(
+        "doc_id",
+        "s",
+        "t0",
+        *[F.lead("t0", k).over(w).alias(f"t{k}") for k in range(1, max_n)],
+        # v{k}: the k-ahead token exists AND is the same side (lead
+        # returns NULL past the partition end, and NULL == s is NULL —
+        # both fail the when() guard below, replaying the per-side
+        # window's frame-end NULLs)
+        *[
+            (F.lead("s", k).over(w) == F.col("s")).alias(f"v{k}")
+            for k in range(1, max_n)
+        ],
+    )
+    grams = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("n"),
+                F.when(
+                    F.col(f"v{n - 1}") if n > 1 else F.lit(True),
+                    F.concat_ws(
+                        " ", *[F.col(f"t{k}") for k in range(n)]
+                    ),
+                ).alias("gram"),
+            )
+            for n in range(1, max_n + 1)
+        ]
+    )
+    return (
+        led.select("doc_id", "s", F.explode(grams).alias("_g"))
+        .select("doc_id", "s", F.col("_g.n").alias("n"), F.col("_g.gram").alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .groupBy("doc_id", "n", "gram")
+        .agg(
+            F.count(F.when(F.col("s") == 0, 1)).alias("cnt"),
+            F.count(F.when(F.col("s") == 1, 1)).alias("rcnt"),
+        )
+        .select("n", "cnt", F.least("cnt", "rcnt").alias("clip"))
+    )
+
+
 def bleu_corpus(
     df: DataFrame,
     cand_col: str,
@@ -2739,18 +2829,12 @@ def bleu_corpus(
         word_tokens(F.col(cand_col)).alias("_ct"),
         word_tokens(F.col(ref_col)).alias("_rt"),
     ).localCheckpoint(eager=True)
-    c = _word_ngram_counts_all_tokens(
-        toks.select("doc_id", "_ct"), "_ct", max_n
-    )
-    r = _word_ngram_counts_all_tokens(
-        toks.select("doc_id", "_rt"), "_rt", max_n
-    )
-    j = c.join(
-        r.withColumnRenamed("cnt", "rcnt"), ["doc_id", "n", "gram"], "left"
-    ).select(
-        F.col("n").alias("_n"),
-        F.col("cnt"),
-        F.least(F.col("cnt"), F.coalesce("rcnt", F.lit(0))).alias("clip"),
+    # r16 optimization round: both sides' gram counts and the clip come
+    # from ONE side-tagged window pass over the pair table — see
+    # _bleu_clipped_gram_counts (replaces two per-side window passes +
+    # a gram-table join; identical sums by construction).
+    j = _bleu_clipped_gram_counts(toks, "_ct", "_rt", max_n).select(
+        F.col("n").alias("_n"), F.col("cnt"), F.col("clip")
     )
     per_n = j.groupBy("_n").agg(
         F.sum("cnt").alias("_tot"), F.sum("clip").alias("_clip")
