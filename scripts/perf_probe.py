@@ -143,10 +143,13 @@ def main() -> int:
                             comp - sub,
                             si["Stage ID"],
                             si.get("Number of Tasks", 0),
-                            _accum(si, "shuffle read", "remoteBytesRead",
-                                   "localBytesRead"),
-                            _accum(si, "shuffle bytes written",
-                                   "shuffle write", "bytesWritten"),
+                            # internal.metrics.* ONLY — the SQL display
+                            # twins ("shuffle bytes written", "shuffle
+                            # write time" in ns) would double-count or
+                            # pollute the byte sums
+                            _accum(si, "shuffle.read.remoteBytesRead",
+                                   "shuffle.read.localBytesRead"),
+                            _accum(si, "shuffle.write.bytesWritten"),
                             si.get("Stage Name", ""),
                             subs.get(si["Stage ID"], ""),
                         )
