@@ -2722,36 +2722,42 @@ def _word_ngram_counts_all_tokens(
     )
 
 
-def _bleu_clipped_gram_counts(
-    toks_df: DataFrame, cand_col: str, ref_col: str, max_n: int
+def _clipped_gram_counts(
+    pairs: DataFrame,
+    cand_arr: Column,
+    ref_arr: Column,
+    max_n: int,
+    sep: str,
 ) -> DataFrame:
-    """(n, cnt, clip) gram-level rows for corpus BLEU in ONE pass over
-    the pair table (r16 optimization round, guide §2.4/§3.5).
+    """(n, cnt, rcnt, clip) gram-level rows for the clipped-count
+    generation metrics (BLEU on word grams, chrF on char grams) in ONE
+    pass over the pair table (r16 optimization round, guide §2.4/§3.5).
 
     Previously each side ran its own posexplode → Exchange(doc_id) →
-    Window(lead) → aggregate, and the reference gram table was then
-    (broadcast-)joined back onto the candidate grams — two window
-    shuffles, two aggregates, one join whose broadcast side is
-    O(corpus grams) at scale. Here both token arrays explode
+    Window(lead) → aggregate, and the two gram tables were then joined
+    back together on (doc, n, gram) — two window shuffles, two
+    aggregates, one join whose (broadcast) build side is O(distinct
+    grams) at corpus scale. Here both element arrays explode
     side-tagged from the SAME pair row, ONE window partitioned by
     doc_id (ordered by side, then position; leads are side-guarded so
     no gram spans the candidate/reference boundary) builds the lead
     columns, and one aggregate counts candidate and reference
     multiplicities per (doc, n, gram) together — the join disappears,
-    total shuffled token bytes are unchanged, and gram strings still
+    total shuffled element bytes are unchanged, and gram strings still
     never cross an exchange (the aggregate reuses the window's doc_id
     clustering).
 
-    Exactness: cnt/clip per gram replay the old left join —
-    ``least(cnt, rcnt)`` with rcnt = 0 when the reference lacks the
-    gram; reference-only grams surface with cnt = 0 and contribute 0
-    to both downstream sums."""
-    sided = toks_df.select(
+    Exactness: the output group set is the union of both sides' grams
+    — the FULL OUTER join's row set — with cnt/rcnt = 0 where a side
+    lacks the gram, so BLEU's left join is replayed by
+    ``least(cnt, rcnt)`` (candidate-absent rows contribute 0 to every
+    downstream sum) and chrF's full outer by the rows themselves."""
+    sided = pairs.select(
         "doc_id",
         F.explode(
             F.array(
-                F.struct(F.lit(0).alias("s"), F.col(cand_col).alias("a")),
-                F.struct(F.lit(1).alias("s"), F.col(ref_col).alias("a")),
+                F.struct(F.lit(0).alias("s"), cand_arr.alias("a")),
+                F.struct(F.lit(1).alias("s"), ref_arr.alias("a")),
             )
         ).alias("_e"),
     ).select(
@@ -2765,7 +2771,7 @@ def _bleu_clipped_gram_counts(
         "s",
         "t0",
         *[F.lead("t0", k).over(w).alias(f"t{k}") for k in range(1, max_n)],
-        # v{k}: the k-ahead token exists AND is the same side (lead
+        # v{k}: the k-ahead element exists AND is the same side (lead
         # returns NULL past the partition end, and NULL == s is NULL —
         # both fail the when() guard below, replaying the per-side
         # window's frame-end NULLs)
@@ -2781,7 +2787,7 @@ def _bleu_clipped_gram_counts(
                 F.when(
                     F.col(f"v{n - 1}") if n > 1 else F.lit(True),
                     F.concat_ws(
-                        " ", *[F.col(f"t{k}") for k in range(n)]
+                        sep, *[F.col(f"t{k}") for k in range(n)]
                     ),
                 ).alias("gram"),
             )
@@ -2797,7 +2803,9 @@ def _bleu_clipped_gram_counts(
             F.count(F.when(F.col("s") == 0, 1)).alias("cnt"),
             F.count(F.when(F.col("s") == 1, 1)).alias("rcnt"),
         )
-        .select("n", "cnt", F.least("cnt", "rcnt").alias("clip"))
+        .select(
+            "n", "cnt", "rcnt", F.least("cnt", "rcnt").alias("clip")
+        )
     )
 
 
@@ -2831,11 +2839,11 @@ def bleu_corpus(
     ).localCheckpoint(eager=True)
     # r16 optimization round: both sides' gram counts and the clip come
     # from ONE side-tagged window pass over the pair table — see
-    # _bleu_clipped_gram_counts (replaces two per-side window passes +
-    # a gram-table join; identical sums by construction).
-    j = _bleu_clipped_gram_counts(toks, "_ct", "_rt", max_n).select(
-        F.col("n").alias("_n"), F.col("cnt"), F.col("clip")
-    )
+    # _clipped_gram_counts (replaces two per-side window passes + a
+    # gram-table join; identical sums by construction).
+    j = _clipped_gram_counts(
+        toks, F.col("_ct"), F.col("_rt"), max_n, " "
+    ).select(F.col("n").alias("_n"), F.col("cnt"), F.col("clip"))
     per_n = j.groupBy("_n").agg(
         F.sum("cnt").alias("_tot"), F.sum("clip").alias("_clip")
     )
@@ -2910,69 +2918,30 @@ def chrf_corpus(
 
     Same (pair, gram)-keyed clipped-count machinery as
     ``bleu_corpus``, on substring grams — exact integer counts,
-    IEEE-ordered ratios."""
+    IEEE-ordered ratios.
+
+    r16 optimization round: both sides' char grams are counted in ONE
+    side-tagged window pass (see _clipped_gram_counts — replaces two
+    per-side window passes + the (doc, n, gram) full-outer join; the
+    fused aggregate's group set IS the full-outer row set, with 0
+    where a side lacks the gram)."""
     strip = lambda c: F.regexp_replace(  # noqa: E731
         F.lower(F.col(c)), r"\s+", ""
     )
-
-    def char_counts(col, alias):
-        # (doc_id, n, gram, cnt) for all orders in ONE pass: explode
-        # single chars, attach the next max_n-1 via window lead inside
-        # the per-doc partition, concat per order — codegen end to end
-        # except the max_n-wide final explode (same construction as
-        # _word_ngram_counts_all; the per-order transform(sequence →
-        # substring) lambda this replaces was interpreted per gram).
-        tok = df.select(
-            F.col(id_col).alias("doc_id"),
-            F.posexplode(
-                F.filter(F.split(strip(col), ""), lambda x: x != F.lit(""))
-            ).alias("pos", "t0"),
-        )
-        w = Window.partitionBy("doc_id").orderBy("pos")
-        led = tok.select(
-            "doc_id",
-            "t0",
-            *[
-                F.lead("t0", k).over(w).alias(f"t{k}")
-                for k in range(1, max_n)
-            ],
-        )
-        grams = F.array(
-            *[
-                F.struct(
-                    F.lit(n).alias("n"),
-                    F.when(
-                        F.col(f"t{n - 1}").isNotNull()
-                        if n > 1
-                        else F.lit(True),
-                        F.concat(*[F.col(f"t{k}") for k in range(n)]),
-                    ).alias("gram"),
-                )
-                for n in range(1, max_n + 1)
-            ]
-        )
-        return (
-            led.select("doc_id", F.explode(grams).alias("_g"))
-            .select(
-                "doc_id",
-                F.col("_g.n").alias("n"),
-                F.col("_g.gram").alias("gram"),
-            )
-            .filter(F.col("gram").isNotNull())
-            .groupBy("doc_id", "n", "gram")
-            .agg(F.count("*").alias(alias))
-        )
-
-    c = char_counts(cand_col, "cnt")
-    r = char_counts(ref_col, "rcnt")
-    j = c.join(r, ["doc_id", "n", "gram"], "full_outer").select(
-        F.col("n").alias("_n"),
-        F.coalesce("cnt", F.lit(0)).alias("cnt"),
-        F.coalesce("rcnt", F.lit(0)).alias("rcnt"),
-        F.least(
-            F.coalesce("cnt", F.lit(0)), F.coalesce("rcnt", F.lit(0))
-        ).alias("clip"),
+    chars = lambda c: F.filter(  # noqa: E731
+        F.split(strip(c), ""), lambda x: x != F.lit("")
     )
+    j = _clipped_gram_counts(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            chars(cand_col).alias("_ca"),
+            chars(ref_col).alias("_ra"),
+        ),
+        F.col("_ca"),
+        F.col("_ra"),
+        max_n,
+        "",
+    ).select(F.col("n").alias("_n"), "cnt", "rcnt", "clip")
     per_n = j.groupBy("_n").agg(
         F.sum("cnt").alias("_tc"),
         F.sum("rcnt").alias("_tr"),
