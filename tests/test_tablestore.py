@@ -1302,3 +1302,67 @@ def test_summing_store_accumulates_and_folds(spark, tmp_path):
         store.summing_view("plain")
     with _pytest.raises(ValueError, match="use summing_view"):
         store.latest_view("counters")
+
+
+def test_fused_index_maintenance_all_structures_one_table(spark, tmp_path):
+    """r16: zone map + bloom + ngram bloom maintained on ONE table drive
+    the fused single-scan `_update_indexes` path (tagged position
+    routing). Every write mode must keep all three structures correct
+    together: append widens zone bounds and ORs bitmaps, partition
+    overwrite swaps exactly the touched partition's entries for every
+    structure, all-NULL partitions still land (empty) entries so
+    coverage holds, and each prune result stays exactly equal to the
+    full filter."""
+    from from_superset_to_clickhouse_spark.schema import Field, Schema
+
+    store = TableStore(spark, str(tmp_path))
+    store.create(
+        Schema(
+            "t",
+            (
+                Field("id", "bigint", nullable=False),
+                Field("p", "bigint", nullable=False),
+                Field("s", "string"),
+            ),
+            partition_by=("p",),
+            sort_by=("id",),
+        )
+    )
+    store.add_bloom_index("t", "s")
+    store.add_ngram_bloom_index("t", "s", n=3)
+    rows = [(1, 0, "alpha-needle"), (2, 0, "alpha-hay"),
+            (10, 1, "beta-hay"), (11, 1, None),
+            (20, 2, None), (21, 2, None)]  # partition 2 all-NULL
+    store.append("t", spark.createDataFrame(rows, "id bigint, p bigint, s string"))
+
+    meta = store._meta("t")
+    # one fused pass landed an entry for EVERY touched partition in
+    # EVERY structure (all-NULL partition 2 gets empty bitmaps)
+    for key in ("0", "1", "2"):
+        assert key in meta["zone_maps"]
+        assert key in meta["bloom_indexes"]["s"]["filters"]
+        assert key in meta["ngram_bloom_indexes"]["s"]["filters"]
+    assert meta["zone_maps"]["0"] == [1, 2]
+    assert meta["zone_maps"]["2"] == [20, 21]
+    assert store.bloom_prune_partitions("t", "s", "beta-hay") == ["1"]
+    assert store.ngram_prune_partitions("t", "s", "needle") == ["0"]
+
+    # append into partition 1: zone widens, bitmaps OR (old AND new hit)
+    store.append("t", spark.createDataFrame(
+        [(5, 1, "gamma-needle")], "id bigint, p bigint, s string"))
+    meta = store._meta("t")
+    assert meta["zone_maps"]["1"] == [5, 11]
+    assert store.bloom_prune_partitions("t", "s", "beta-hay") == ["1"]
+    assert sorted(store.ngram_prune_partitions("t", "s", "needle")) == ["0", "1"]
+
+    # overwrite partition 0: every structure's entry is REPLACED
+    store.overwrite_partitions("t", spark.createDataFrame(
+        [(100, 0, "delta-hay")], "id bigint, p bigint, s string"))
+    meta = store._meta("t")
+    assert meta["zone_maps"]["0"] == [100, 100]
+    assert store.bloom_prune_partitions("t", "s", "alpha-needle") == []
+    assert store.bloom_prune_partitions("t", "s", "delta-hay") == ["0"]
+    assert store.ngram_prune_partitions("t", "s", "alpha") == []
+    # prune results stay exactly equal to the full filter
+    assert [r["id"] for r in store.read_like("t", "s", "needle").collect()] == [5]
+    assert store.read_eq("t", "s", "delta-hay").count() == 1
